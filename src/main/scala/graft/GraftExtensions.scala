@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central registration point for everything the engine adds to a stock
+  * SparkSession: spatial functions, spatial-join strategy, optimizer rules.
+  * Idempotent — safe to call on every entry point.
+  */
+object GraftExtensions {
+  def install(spark: SparkSession): Unit = {
+    // Function registration + strategies are added as they are implemented.
+    ()
+  }
+}

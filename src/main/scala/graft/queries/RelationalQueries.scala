@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Relational operator coverage (SURVEY.md §2.1): scan, filter, project,
+  * hash-agg, joins (broadcast/shuffle/semi/anti), windows, set ops, rollup,
+  * sessionization. These are all Spark built-ins — the point of the pack is
+  * (a) to prove the engine doesn't break them while our extensions are
+  * registered and (b) to exercise the DuckDB differential-oracle harness.
+  *
+  * Every query is written to be bit-deterministic across engines: integer
+  * cents sums, fully-ordered window frames, tie-broken top-k.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: partial-agg (map-side combine) +
+    // single shuffle on the two low-cardinality group keys.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("sum_base_price"),
+          centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          centsAvg(col("l_quantity")).as("avg_qty"),
+          centsAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Top-k revenue orders: lineitem pre-agg, then broadcast-able joins to
+    // orders/customer (both far smaller than lineitem at any SF).
+    "q02_top_revenue" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      rev.join(o, rev("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), (col("rev_cents") / 100.0).as("revenue"))
+        .orderBy(col("rev_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Running windows over a fully-ordered frame (ties broken by unique key).
+    "q03_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"),
+          sum(col("l_quantity")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long").as("running_qty"))
+    }),
+
+    // Set operations: nations with customers vs nations with suppliers.
+    "q04_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      cn.intersect(sn).select(lit("both").as("tag"), col("nk"))
+        .unionAll(cn.except(sn).select(lit("cust_only").as("tag"), col("nk")))
+        .unionAll(sn.except(cn).select(lit("supp_only").as("tag"), col("nk")))
+    }),
+
+    // Anti join: customers with no orders.
+    "q05_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Semi join + agg: per-nation count of customers that have orders.
+    "q06_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // ROLLUP over the region->nation hierarchy (multi-way broadcast joins).
+    "q07_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), centsSum(col("c_acctbal")).as("sum_acctbal"))
+    }),
+
+    // Top-1-per-group via ranked window (deterministic tie-break).
+    "q08_top_per_nation" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // Tumbling-window event aggregation (batch form of the streaming agg;
+    // the streaming variant is exercised in StreamingSpec).
+    "q09_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(unix_seconds(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), centsSum(col("value")).as("sum_value"))
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user, built from lag +
+    // running sum — the classic pattern that scales (one shuffle on user_id).
+    "q10_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull
+            .or(unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("last_event_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+        |  SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
+        |  SUM(CAST(round(l_quantity*100) AS BIGINT))/COUNT(*)/100.0 AS avg_qty,
+        |  SUM(CAST(round(l_discount*100) AS BIGINT))/COUNT(*)/100.0 AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_revenue" ->
+      """WITH rev AS (
+        |  SELECT l_orderkey,
+        |         SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS rev_cents
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o.o_orderkey, c.c_name, rev.rev_cents/100.0 AS revenue
+        |FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY rev.rev_cents DESC, o.o_orderkey LIMIT 10""".stripMargin,
+
+    "q03_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |       ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+
+    "q04_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT 'both' AS tag, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+        |UNION ALL
+        |SELECT 'supp_only' AS tag, nk FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q07_rollup" ->
+      """SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+        |  SUM(CAST(round(c.c_acctbal*100) AS BIGINT))/100.0 AS sum_acctbal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r.r_name, n.n_name)""".stripMargin,
+
+    "q08_top_per_nation" ->
+      """SELECT n.n_name, x.c_custkey, x.c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) x
+        |JOIN nation n ON x.c_nationkey = n.n_nationkey
+        |WHERE x.rk = 1""".stripMargin,
+
+    "q09_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |  COUNT(*) AS n_events,
+        |  SUM(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q10_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events, MAX(event_id) AS last_event_id
+        |FROM sess GROUP BY user_id, session_id""".stripMargin
+  )
+}
