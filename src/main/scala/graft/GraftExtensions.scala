@@ -8,7 +8,6 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftExtensions {
   def install(spark: SparkSession): Unit = {
-    // Function registration + strategies are added as they are implemented.
-    ()
+    graft.functions.GraftFunctions.register(spark)
   }
 }

@@ -20,9 +20,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame]() ++
-      graft.queries.RelationalQueries.queries
+      graft.queries.RelationalQueries.queries ++
+      graft.queries.SpatialQueries.queries
 
   def oracleSql: Map[String, String] =
     Map[String, String]() ++
-      graft.queries.RelationalQueries.oracles
+      graft.queries.RelationalQueries.oracles ++
+      graft.queries.SpatialQueries.oracles
 }

@@ -1,0 +1,495 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.algorithm.distance.DiscreteHausdorffDistance
+import org.locationtech.jts.algorithm.hull.ConcaveHull
+import org.locationtech.jts.densify.Densifier
+import org.locationtech.jts.geom.util.{AffineTransformation, GeometryFixer}
+import org.locationtech.jts.linearref.LengthIndexedLine
+import org.locationtech.jts.operation.linemerge.LineMerger
+import org.locationtech.jts.operation.polygonize.Polygonizer
+import org.locationtech.jts.operation.overlay.snap.GeometrySnapper
+import org.locationtech.jts.operation.union.UnaryUnionOp
+import org.locationtech.jts.precision.{GeometryPrecisionReducer, MinimumClearance}
+import org.locationtech.jts.simplify.{DouglasPeuckerSimplifier, TopologyPreservingSimplifier}
+import org.locationtech.jts.triangulate.DelaunayTriangulationBuilder
+import graft.geom.GeomIO
+
+/** The ST_* scalar function surface (SURVEY.md §2.5). One generic Catalyst
+  * expression shape carries every kernel: per-row WKB decode -> JTS op ->
+  * encode, mirroring the reference's per-batch WkbExecutor
+  * (rust/sedona-functions/src/executor.rs:83-181) with JTS standing in for
+  * GEOS/tg/geo (c/sedona-geos/src/register.rs:20-100).
+  *
+  * CodegenFallback keeps these inside whole-stage-codegen pipelines as
+  * interpreted leaf calls — same execution shape the reference uses (no JIT,
+  * SURVEY.md §4.2).
+  */
+object ArgKind extends Enumeration {
+  val Geom, Dbl, Int_, Str, Bool, Bin, Raw = Value
+}
+
+case class GeomScalar(
+    fname: String,
+    children: Seq[Expression],
+    outType: DataType,
+    argKinds: Seq[ArgKind.Value],
+    f: Array[Any] => Any)
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = outType
+  override def prettyName: String = fname
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.length
+    val args = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      args(i) = argKinds(i) match {
+        case ArgKind.Geom => GeomIO.read(v.asInstanceOf[Array[Byte]])
+        case ArgKind.Dbl => v match {
+          case n: java.lang.Number => n.doubleValue()
+          case dec: Decimal => dec.toDouble
+        }
+        case ArgKind.Int_ => v match {
+          case n: java.lang.Number => n.intValue()
+          case dec: Decimal => dec.toInt
+        }
+        case ArgKind.Str => v.asInstanceOf[UTF8String].toString
+        case _ => v
+      }
+      i += 1
+    }
+    val res =
+      try f(args)
+      catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"$fname failed: ${e.getMessage}", e)
+      }
+    res match {
+      case null => null
+      case g: Geometry => GeomIO.write(g)
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object GeomScalars {
+  import ArgKind._
+
+  type B = Seq[Expression] => Expression
+
+  /** Function registry: SQL name -> (outType, argKinds, kernel).
+    * Geometry-typed results are signalled by BinaryType + the kernel
+    * returning a JTS Geometry. */
+  private def fn(name: String, out: DataType, kinds: Seq[ArgKind.Value])(
+      k: Array[Any] => Any): (String, B) =
+    name -> ((children: Seq[Expression]) => GeomScalar(name, children, out, kinds, k))
+
+  @inline private def g0(a: Array[Any]): Geometry = a(0).asInstanceOf[Geometry]
+  @inline private def g1(a: Array[Any]): Geometry = a(1).asInstanceOf[Geometry]
+  @inline private def d(a: Array[Any], i: Int): Double = a(i).asInstanceOf[Double]
+  @inline private def i(a: Array[Any], idx: Int): Int = a(idx).asInstanceOf[Int]
+  @inline private def s(a: Array[Any], i: Int): String = a(i).asInstanceOf[String]
+
+  private def linearOnly(g: Geometry): LineString = g match {
+    case l: LineString => l
+    case _ => null
+  }
+
+  /** PostGIS-style 1-based (negative = from end) element index. */
+  private def idx1(n: Int, size: Int): Int = if (n < 0) size + n else n - 1
+
+  private def zVals(g: Geometry): Array[Double] =
+    g.getCoordinates.map(_.getZ).filterNot(java.lang.Double.isNaN)
+
+  private def azimuth(a: Geometry, b: Geometry): Any = (a, b) match {
+    case (p1: Point, p2: Point) =>
+      val dx = p2.getX - p1.getX; val dy = p2.getY - p1.getY
+      if (dx == 0 && dy == 0) null
+      else { val az = math.atan2(dx, dy); if (az < 0) az + 2 * math.Pi else az }
+    case _ => null
+  }
+
+  private def maxDistance(a: Geometry, b: Geometry): Double = {
+    // farthest pair over vertex sets of the convex hulls (exact for
+    // point-sets; hulls bound the work on large inputs)
+    val ca = a.convexHull().getCoordinates
+    val cb = b.convexHull().getCoordinates
+    var m = 0.0
+    var i = 0
+    while (i < ca.length) {
+      var j = 0
+      while (j < cb.length) {
+        val dist = ca(i).distance(cb(j)); if (dist > m) m = dist; j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  private def forceDim2(g: Geometry): Geometry = {
+    val c = g.copy()
+    c.apply(new CoordinateSequenceFilter {
+      override def filter(seq: CoordinateSequence, i: Int): Unit =
+        if (seq.getDimension > 2) seq.setOrdinate(i, 2, Double.NaN)
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = true
+    })
+    GeomIO.read(GeomIO.writePlain(c)) // rebuild to drop Z storage
+  }
+
+  private def flip(g: Geometry): Geometry = {
+    val c = g.copy()
+    c.apply(new CoordinateSequenceFilter {
+      override def filter(seq: CoordinateSequence, i: Int): Unit = {
+        val x = seq.getOrdinate(i, 0)
+        seq.setOrdinate(i, 0, seq.getOrdinate(i, 1))
+        seq.setOrdinate(i, 1, x)
+      }
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = true
+    })
+    c.geometryChanged()
+    c
+  }
+
+  private def parseEwkt(text: String): Geometry = {
+    // "SRID=4326;POINT (1 2)" (reference: st_geomfromewkt.rs)
+    if (text.regionMatches(true, 0, "SRID=", 0, 5)) {
+      val semi = text.indexOf(';')
+      val srid = text.substring(5, semi).trim.toInt
+      val g = GeomIO.readWkt(text.substring(semi + 1))
+      g.setSRID(srid); g
+    } else GeomIO.readWkt(text)
+  }
+
+  private def typedFromText(text: String, expected: String): Geometry = {
+    val g = GeomIO.readWkt(text)
+    require(g.getGeometryType.equalsIgnoreCase(expected),
+      s"expected $expected, got ${g.getGeometryType}")
+    g
+  }
+
+  val dumpType: DataType = ArrayType(StructType(Seq(
+    StructField("path", ArrayType(IntegerType, containsNull = false)),
+    StructField("geom", BinaryType))), containsNull = false)
+
+  private def dump(g: Geometry): ArrayData = {
+    val out = Seq.newBuilder[InternalRow]
+    def rec(geom: Geometry, path: List[Int]): Unit = geom match {
+      case gc: GeometryCollection =>
+        var i = 0
+        while (i < gc.getNumGeometries) { rec(gc.getGeometryN(i), i + 1 :: path); i += 1 }
+      case simple =>
+        out += new GenericInternalRow(Array[Any](
+          new GenericArrayData(path.reverse.toArray),
+          GeomIO.write(simple)))
+    }
+    rec(g, Nil)
+    new GenericArrayData(out.result().toArray[Any])
+  }
+
+  private def points(g: Geometry): Geometry =
+    GeomIO.factory.createMultiPointFromCoords(g.getCoordinates)
+
+  private def collectionExtract(g: Geometry, dim: Int): Geometry = {
+    val parts = Seq.newBuilder[Geometry]
+    def rec(x: Geometry): Unit = x match {
+      case gc: GeometryCollection =>
+        (0 until gc.getNumGeometries).foreach(i => rec(gc.getGeometryN(i)))
+      case simple => if (simple.getDimension == dim) parts += simple
+    }
+    rec(g)
+    val ps = parts.result()
+    dim match {
+      case 0 => GeomIO.factory.createMultiPoint(ps.flatMap {
+        case p: Point => Seq(p); case _ => Seq.empty }.toArray)
+      case 1 => GeomIO.factory.createMultiLineString(ps.collect {
+        case l: LineString => l }.toArray)
+      case _ => GeomIO.factory.createMultiPolygon(ps.collect {
+        case p: Polygon => p }.toArray)
+    }
+  }
+
+  val registry: Map[String, B] = Map(
+    // ---- constructors / parsers (st_geomfromwkt.rs, st_geomfromwkb.rs) ----
+    fn("st_geomfromwkt", BinaryType, Seq(Str))(a => GeomIO.readWkt(s(a, 0))),
+    fn("st_geomfromtext", BinaryType, Seq(Str))(a => GeomIO.readWkt(s(a, 0))),
+    fn("st_geogfromwkt", BinaryType, Seq(Str))(a => GeomIO.readWkt(s(a, 0))),
+    fn("st_geomfromewkt", BinaryType, Seq(Str))(a => parseEwkt(s(a, 0))),
+    fn("st_pointfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "Point")),
+    fn("st_linefromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "LineString")),
+    fn("st_polygonfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "Polygon")),
+    fn("st_mpointfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "MultiPoint")),
+    fn("st_mlinefromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "MultiLineString")),
+    fn("st_mpolyfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "MultiPolygon")),
+    fn("st_geomcollfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "GeometryCollection")),
+    fn("st_geomfromwkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
+    fn("st_geomfromewkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
+    fn("st_point", BinaryType, Seq(Dbl, Dbl))(a => GeomIO.point(d(a, 0), d(a, 1))),
+    fn("st_makepoint", BinaryType, Seq(Dbl, Dbl))(a => GeomIO.point(d(a, 0), d(a, 1))),
+    fn("st_geogpoint", BinaryType, Seq(Dbl, Dbl))(a => GeomIO.point(d(a, 0), d(a, 1))),
+    fn("st_pointz", BinaryType, Seq(Dbl, Dbl, Dbl))(a => GeomIO.pointZ(d(a, 0), d(a, 1), d(a, 2))),
+    fn("st_makeenvelope", BinaryType, Seq(Dbl, Dbl, Dbl, Dbl))(a =>
+      GeomIO.envelope(d(a, 0), d(a, 1), d(a, 2), d(a, 3))),
+    fn("st_makeline", BinaryType, Seq(Geom, Geom))(a =>
+      GeomIO.factory.createLineString(g0(a).getCoordinates ++ g1(a).getCoordinates)),
+    fn("st_makepolygon", BinaryType, Seq(Geom))(a => g0(a) match {
+      case l: LineString => GeomIO.factory.createPolygon(l.getCoordinates)
+      case _ => null
+    }),
+
+    // ---- formatters (st_astext.rs, st_asbinary.rs, st_asewkb.rs) ----
+    fn("st_astext", StringType, Seq(Geom))(a => GeomIO.writeWkt(g0(a))),
+    fn("st_asewkt", StringType, Seq(Geom))(a => {
+      val g = g0(a)
+      if (g.getSRID != 0) s"SRID=${g.getSRID};${GeomIO.writeWkt(g)}" else GeomIO.writeWkt(g)
+    }),
+    fn("st_asbinary", BinaryType, Seq(Geom))(a => GeomIO.writePlain(g0(a))),
+    fn("st_asewkb", BinaryType, Seq(Geom))(a => GeomIO.write(g0(a))),
+    fn("st_asgeojson", StringType, Seq(Geom))(a => GeomIO.toGeoJson(g0(a))),
+
+    // ---- coordinate accessors (st_xyzm.rs, st_xyzm_minmax.rs) ----
+    fn("st_x", DoubleType, Seq(Geom))(a => g0(a) match {
+      case p: Point if !p.isEmpty => p.getX; case _ => null }),
+    fn("st_y", DoubleType, Seq(Geom))(a => g0(a) match {
+      case p: Point if !p.isEmpty => p.getY; case _ => null }),
+    fn("st_z", DoubleType, Seq(Geom))(a => g0(a) match {
+      case p: Point if !p.isEmpty && !java.lang.Double.isNaN(p.getCoordinate.getZ) =>
+        p.getCoordinate.getZ
+      case _ => null }),
+    fn("st_m", DoubleType, Seq(Geom))(a => g0(a) match {
+      case p: Point if !p.isEmpty && !java.lang.Double.isNaN(p.getCoordinate.getM) =>
+        p.getCoordinate.getM
+      case _ => null }),
+    fn("st_xmin", DoubleType, Seq(Geom))(a =>
+      if (g0(a).isEmpty) null else g0(a).getEnvelopeInternal.getMinX),
+    fn("st_xmax", DoubleType, Seq(Geom))(a =>
+      if (g0(a).isEmpty) null else g0(a).getEnvelopeInternal.getMaxX),
+    fn("st_ymin", DoubleType, Seq(Geom))(a =>
+      if (g0(a).isEmpty) null else g0(a).getEnvelopeInternal.getMinY),
+    fn("st_ymax", DoubleType, Seq(Geom))(a =>
+      if (g0(a).isEmpty) null else g0(a).getEnvelopeInternal.getMaxY),
+    fn("st_zmin", DoubleType, Seq(Geom))(a => {
+      val zs = zVals(g0(a)); if (zs.isEmpty) null else zs.min }),
+    fn("st_zmax", DoubleType, Seq(Geom))(a => {
+      val zs = zVals(g0(a)); if (zs.isEmpty) null else zs.max }),
+
+    // ---- metadata accessors (st_dimension.rs family) ----
+    fn("st_envelope", BinaryType, Seq(Geom))(a => g0(a).getEnvelope),
+    fn("st_dimension", IntegerType, Seq(Geom))(a => g0(a).getDimension),
+    fn("st_geometrytype", StringType, Seq(Geom))(a => "ST_" + g0(a).getGeometryType),
+    fn("st_hasz", BooleanType, Seq(Geom))(a => GeomIO.hasZ(g0(a))),
+    fn("st_hasm", BooleanType, Seq(Geom))(a => {
+      val c = g0(a).getCoordinate
+      c != null && !java.lang.Double.isNaN(c.getM)
+    }),
+    fn("st_isempty", BooleanType, Seq(Geom))(a => g0(a).isEmpty),
+    fn("st_iscollection", BooleanType, Seq(Geom))(a =>
+      g0(a).isInstanceOf[GeometryCollection]),
+    fn("st_isclosed", BooleanType, Seq(Geom))(a => g0(a) match {
+      case l: LineString => l.isClosed
+      case m: MultiLineString => m.isClosed
+      case _: Point | _: MultiPoint => true
+      case _ => false
+    }),
+    fn("st_isring", BooleanType, Seq(Geom))(a => g0(a) match {
+      case l: LineString => l.isRing; case _ => false }),
+    fn("st_issimple", BooleanType, Seq(Geom))(a => g0(a).isSimple),
+    fn("st_isvalid", BooleanType, Seq(Geom))(a => g0(a).isValid),
+    fn("st_isvalidreason", StringType, Seq(Geom))(a => {
+      val op = new org.locationtech.jts.operation.valid.IsValidOp(g0(a))
+      val err = op.getValidationError
+      if (err == null) "Valid Geometry" else err.toString
+    }),
+    fn("st_srid", IntegerType, Seq(Geom))(a => g0(a).getSRID),
+    fn("st_setsrid", BinaryType, Seq(Geom, Int_))(a => GeomIO.setSrid(g0(a), i(a, 1))),
+
+    // ---- element accessors (st_geometryn.rs family) ----
+    fn("st_numgeometries", IntegerType, Seq(Geom))(a => g0(a).getNumGeometries),
+    fn("st_geometryn", BinaryType, Seq(Geom, Int_))(a => {
+      val g = g0(a); val n = idx1(i(a, 1), g.getNumGeometries)
+      if (n < 0 || n >= g.getNumGeometries) null else g.getGeometryN(n)
+    }),
+    fn("st_npoints", IntegerType, Seq(Geom))(a => g0(a).getNumPoints),
+    fn("st_numpoints", IntegerType, Seq(Geom))(a => g0(a) match {
+      case l: LineString => l.getNumPoints; case _ => null }),
+    fn("st_pointn", BinaryType, Seq(Geom, Int_))(a => g0(a) match {
+      case l: LineString =>
+        val n = idx1(i(a, 1), l.getNumPoints)
+        if (n < 0 || n >= l.getNumPoints) null else l.getPointN(n)
+      case _ => null
+    }),
+    fn("st_startpoint", BinaryType, Seq(Geom))(a => g0(a) match {
+      case l: LineString if !l.isEmpty => l.getStartPoint; case _ => null }),
+    fn("st_endpoint", BinaryType, Seq(Geom))(a => g0(a) match {
+      case l: LineString if !l.isEmpty => l.getEndPoint; case _ => null }),
+    fn("st_exteriorring", BinaryType, Seq(Geom))(a => g0(a) match {
+      case p: Polygon => p.getExteriorRing; case _ => null }),
+    fn("st_interiorringn", BinaryType, Seq(Geom, Int_))(a => g0(a) match {
+      case p: Polygon =>
+        val n = idx1(i(a, 1), p.getNumInteriorRing)
+        if (n < 0 || n >= p.getNumInteriorRing) null else p.getInteriorRingN(n)
+      case _ => null
+    }),
+    fn("st_numinteriorrings", IntegerType, Seq(Geom))(a => g0(a) match {
+      case p: Polygon => p.getNumInteriorRing; case _ => null }),
+    fn("st_numinteriorring", IntegerType, Seq(Geom))(a => g0(a) match {
+      case p: Polygon => p.getNumInteriorRing; case _ => null }),
+    fn("st_nrings", IntegerType, Seq(Geom))(a => g0(a) match {
+      case p: Polygon => 1 + p.getNumInteriorRing
+      case m: MultiPolygon =>
+        (0 until m.getNumGeometries).map { i =>
+          val p = m.getGeometryN(i).asInstanceOf[Polygon]; 1 + p.getNumInteriorRing
+        }.sum
+      case _ => null
+    }),
+    fn("st_points", BinaryType, Seq(Geom))(a => points(g0(a))),
+    fn("st_boundary", BinaryType, Seq(Geom))(a => g0(a).getBoundary),
+    "st_dump" -> ((children: Seq[Expression]) =>
+      GeomScalar("st_dump", children, dumpType, Seq(Geom), a => dump(g0(a)))),
+    fn("st_collectionextract", BinaryType, Seq(Geom, Int_))(a =>
+      collectionExtract(g0(a), i(a, 1) - 1)),
+
+    // ---- predicates (c/sedona-geos/src/binary_predicates.rs) ----
+    fn("st_intersects", BooleanType, Seq(Geom, Geom))(a => g0(a).intersects(g1(a))),
+    fn("st_disjoint", BooleanType, Seq(Geom, Geom))(a => g0(a).disjoint(g1(a))),
+    fn("st_contains", BooleanType, Seq(Geom, Geom))(a => g0(a).contains(g1(a))),
+    fn("st_within", BooleanType, Seq(Geom, Geom))(a => g0(a).within(g1(a))),
+    fn("st_covers", BooleanType, Seq(Geom, Geom))(a => g0(a).covers(g1(a))),
+    fn("st_coveredby", BooleanType, Seq(Geom, Geom))(a => g0(a).coveredBy(g1(a))),
+    fn("st_crosses", BooleanType, Seq(Geom, Geom))(a => g0(a).crosses(g1(a))),
+    fn("st_overlaps", BooleanType, Seq(Geom, Geom))(a => g0(a).overlaps(g1(a))),
+    fn("st_touches", BooleanType, Seq(Geom, Geom))(a => g0(a).touches(g1(a))),
+    fn("st_equals", BooleanType, Seq(Geom, Geom))(a => g0(a).equalsTopo(g1(a))),
+    fn("st_orderingequals", BooleanType, Seq(Geom, Geom))(a => g0(a).equalsExact(g1(a))),
+    fn("st_dwithin", BooleanType, Seq(Geom, Geom, Dbl))(a =>
+      g0(a).isWithinDistance(g1(a), d(a, 2))),
+    fn("st_relate", StringType, Seq(Geom, Geom))(a => g0(a).relate(g1(a)).toString),
+    fn("st_relatematch", BooleanType, Seq(Geom, Geom, Str))(a =>
+      g0(a).relate(g1(a), s(a, 2))),
+
+    // ---- measures ----
+    fn("st_area", DoubleType, Seq(Geom))(a => g0(a).getArea),
+    fn("st_length", DoubleType, Seq(Geom))(a => g0(a) match {
+      case _: LineString | _: MultiLineString => a(0).asInstanceOf[Geometry].getLength
+      case _ => 0.0
+    }),
+    fn("st_perimeter", DoubleType, Seq(Geom))(a => g0(a) match {
+      case _: Polygon | _: MultiPolygon => a(0).asInstanceOf[Geometry].getLength
+      case _ => 0.0
+    }),
+    fn("st_distance", DoubleType, Seq(Geom, Geom))(a => g0(a).distance(g1(a))),
+    fn("st_maxdistance", DoubleType, Seq(Geom, Geom))(a => maxDistance(g0(a), g1(a))),
+    fn("st_hausdorffdistance", DoubleType, Seq(Geom, Geom))(a =>
+      DiscreteHausdorffDistance.distance(g0(a), g1(a))),
+    fn("st_azimuth", DoubleType, Seq(Geom, Geom))(a => azimuth(g0(a), g1(a))),
+    fn("st_linelocatepoint", DoubleType, Seq(Geom, Geom))(a => (g0(a), g1(a)) match {
+      case (l: LineString, p: Point) =>
+        val lil = new LengthIndexedLine(l)
+        lil.indexOf(p.getCoordinate) / l.getLength
+      case _ => null
+    }),
+
+    // ---- overlay / processing (c/sedona-geos overlay.rs + misc) ----
+    fn("st_intersection", BinaryType, Seq(Geom, Geom))(a => g0(a).intersection(g1(a))),
+    fn("st_union", BinaryType, Seq(Geom, Geom))(a => g0(a).union(g1(a))),
+    fn("st_difference", BinaryType, Seq(Geom, Geom))(a => g0(a).difference(g1(a))),
+    fn("st_symdifference", BinaryType, Seq(Geom, Geom))(a => g0(a).symDifference(g1(a))),
+    fn("st_unaryunion", BinaryType, Seq(Geom))(a => UnaryUnionOp.union(g0(a))),
+    fn("st_buffer", BinaryType, Seq(Geom, Dbl))(a => g0(a).buffer(d(a, 1))),
+    fn("st_bufferquad", BinaryType, Seq(Geom, Dbl, Int_))(a =>
+      g0(a).buffer(d(a, 1), i(a, 2))),
+    fn("st_centroid", BinaryType, Seq(Geom))(a => g0(a).getCentroid),
+    fn("st_pointonsurface", BinaryType, Seq(Geom))(a => g0(a).getInteriorPoint),
+    fn("st_convexhull", BinaryType, Seq(Geom))(a => g0(a).convexHull()),
+    fn("st_concavehull", BinaryType, Seq(Geom, Dbl))(a =>
+      ConcaveHull.concaveHullByLengthRatio(g0(a), d(a, 1))),
+    fn("st_delaunaytriangles", BinaryType, Seq(Geom))(a => {
+      val b = new DelaunayTriangulationBuilder()
+      b.setSites(g0(a)); b.getTriangles(GeomIO.factory)
+    }),
+    fn("st_simplify", BinaryType, Seq(Geom, Dbl))(a =>
+      DouglasPeuckerSimplifier.simplify(g0(a), d(a, 1))),
+    fn("st_simplifypreservetopology", BinaryType, Seq(Geom, Dbl))(a =>
+      TopologyPreservingSimplifier.simplify(g0(a), d(a, 1))),
+    fn("st_makevalid", BinaryType, Seq(Geom))(a => GeometryFixer.fix(g0(a))),
+    fn("st_normalize", BinaryType, Seq(Geom))(a => { val c = g0(a).copy(); c.normalize(); c }),
+    fn("st_reverse", BinaryType, Seq(Geom))(a => g0(a).reverse()),
+    fn("st_linemerge", BinaryType, Seq(Geom))(a => {
+      val m = new LineMerger(); m.add(g0(a))
+      val merged = m.getMergedLineStrings
+      GeomIO.factory.buildGeometry(merged)
+    }),
+    fn("st_polygonize", BinaryType, Seq(Geom))(a => {
+      val p = new Polygonizer(); p.add(g0(a))
+      GeomIO.factory.buildGeometry(p.getPolygons)
+    }),
+    fn("st_reduceprecision", BinaryType, Seq(Geom, Dbl))(a =>
+      GeometryPrecisionReducer.reduce(g0(a), new PrecisionModel(d(a, 1)))),
+    fn("st_snap", BinaryType, Seq(Geom, Geom, Dbl))(a =>
+      new GeometrySnapper(g0(a)).snapTo(g1(a), d(a, 2))),
+    fn("st_segmentize", BinaryType, Seq(Geom, Dbl))(a =>
+      Densifier.densify(g0(a), d(a, 1))),
+    fn("st_minimumclearance", DoubleType, Seq(Geom))(a =>
+      MinimumClearance.getDistance(g0(a))),
+    fn("st_minimumclearanceline", BinaryType, Seq(Geom))(a =>
+      MinimumClearance.getLine(g0(a))),
+    fn("st_linesubstring", BinaryType, Seq(Geom, Dbl, Dbl))(a => g0(a) match {
+      case l: LineString =>
+        val lil = new LengthIndexedLine(l)
+        val len = l.getLength
+        lil.extractLine(d(a, 1) * len, d(a, 2) * len)
+      case _ => null
+    }),
+    fn("st_lineinterpolatepoint", BinaryType, Seq(Geom, Dbl))(a => g0(a) match {
+      case l: LineString =>
+        val lil = new LengthIndexedLine(l)
+        GeomIO.factory.createPoint(lil.extractPoint(d(a, 1) * l.getLength))
+      case _ => null
+    }),
+
+    // ---- affine transforms (st_affine.rs family) ----
+    fn("st_translate", BinaryType, Seq(Geom, Dbl, Dbl))(a =>
+      AffineTransformation.translationInstance(d(a, 1), d(a, 2)).transform(g0(a))),
+    fn("st_scale", BinaryType, Seq(Geom, Dbl, Dbl))(a =>
+      AffineTransformation.scaleInstance(d(a, 1), d(a, 2)).transform(g0(a))),
+    fn("st_rotate", BinaryType, Seq(Geom, Dbl))(a =>
+      AffineTransformation.rotationInstance(d(a, 1)).transform(g0(a))),
+    fn("st_affine", BinaryType, Seq(Geom, Dbl, Dbl, Dbl, Dbl, Dbl, Dbl))(a =>
+      new AffineTransformation(d(a, 1), d(a, 2), d(a, 3), d(a, 4), d(a, 5), d(a, 6))
+        .transform(g0(a))),
+    fn("st_flipcoordinates", BinaryType, Seq(Geom))(a => flip(g0(a))),
+    fn("st_force2d", BinaryType, Seq(Geom))(a => forceDim2(g0(a))),
+
+    // ---- CRS (st_transform.rs; PROJ replaced by hand-coded math) ----
+    fn("st_transform", BinaryType, Seq(Geom, Str, Str))(a =>
+      CrsTransform.transform(g0(a), s(a, 1), s(a, 2))),
+
+    // ---- spatial sort keys (sd_order.rs) ----
+    fn("sd_order", LongType, Seq(Geom))(a => SpaceCurve.hilbertLonLat(g0(a))),
+    fn("sd_hilbert", LongType, Seq(Geom, Dbl, Dbl, Dbl, Dbl))(a =>
+      SpaceCurve.hilbert(g0(a), d(a, 1), d(a, 2), d(a, 3), d(a, 4))),
+    fn("sd_zorder", LongType, Seq(Geom, Dbl, Dbl, Dbl, Dbl))(a =>
+      SpaceCurve.morton(g0(a), d(a, 1), d(a, 2), d(a, 3), d(a, 4)))
+  )
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.GraftExtensions
+import graft.functions.GraftFunctions.st
+
+/** Spatial operator coverage (SURVEY.md §2.5/§2.6) over the driver testdata.
+  * The oracle DuckDB has no spatial extension, so every query synthesizes
+  * geometry from numeric columns and projects results back to numerics /
+  * WKT strings that plain SQL can recompute. Inputs are integer-valued
+  * doubles so products and sums stay exact in IEEE arithmetic and results
+  * hash-match bit-for-bit.
+  */
+object SpatialQueries {
+
+  private def prep(s: SparkSession): Unit = GraftExtensions.install(s)
+
+  // part-derived box: xmin = (p_partkey%100)*20, ymin = (p_size%50)*20,
+  // w = 1+(p_partkey%7), h = 1+(p_size%5)  — all exact integer doubles.
+  private def withBox(df: DataFrame): DataFrame = df
+    .withColumn("bxmin", (col("p_partkey") % 100).cast("double") * 20.0)
+    .withColumn("bymin", (col("p_size") % 50).cast("double") * 20.0)
+    .withColumn("bw", (col("p_partkey") % 7 + 1).cast("double"))
+    .withColumn("bh", (col("p_size") % 5 + 1).cast("double"))
+    .withColumn("box", st.makeEnvelope(col("bxmin"), col("bymin"),
+      col("bxmin") + col("bw"), col("bymin") + col("bh")))
+
+  private val boxSql =
+    """SELECT p_partkey, p_brand, p_size,
+      |  CAST(p_partkey % 100 AS DOUBLE)*20.0 AS bxmin,
+      |  CAST(p_size % 50 AS DOUBLE)*20.0 AS bymin,
+      |  CAST(p_partkey % 7 + 1 AS DOUBLE) AS bw,
+      |  CAST(p_size % 5 + 1 AS DOUBLE) AS bh
+      |FROM part""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // point constructors + accessors + distance + azimuth
+    "sp01_point_ops" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .withColumn("p1", st.point((col("l_partkey") % 997).cast("double") * 0.1,
+          (col("l_orderkey") % 983).cast("double") * 0.1))
+        .withColumn("p2", st.point((col("l_suppkey") % 89).cast("double"),
+          (col("l_linenumber") * 13 % 97).cast("double")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          st.x(col("p1")).as("x1"), st.y(col("p1")).as("y1"),
+          round(st.distance(col("p1"), col("p2")), 6).as("dist"),
+          round(st.f("st_azimuth", col("p1"), col("p2")), 6).as("azimuth"))
+    }),
+
+    // envelope constructor, area, centroid, bounds accessors, type, npoints
+    "sp02_envelope_box" -> ((s, dir) => {
+      prep(s)
+      withBox(t(s, dir, "part"))
+        .select(col("p_partkey"),
+          st.area(col("box")).as("area"),
+          round(st.x(st.centroid(col("box"))), 6).as("cx"),
+          round(st.y(st.centroid(col("box"))), 6).as("cy"),
+          st.xmin(col("box")).as("xmin"), st.ymax(col("box")).as("ymax"),
+          st.f("st_npoints", col("box")).as("npoints"),
+          st.f("st_geometrytype", col("box")).as("gtype"))
+    }),
+
+    // binary predicates on parity-controlled box pairs + affine translate
+    "sp03_predicates" -> ((s, dir) => {
+      prep(s)
+      withBox(t(s, dir, "part"))
+        .withColumn("off", when(col("p_partkey") % 3 === 0, col("bw") / 2)
+          .when(col("p_partkey") % 3 === 1, col("bw"))
+          .otherwise(col("bw") * 3))
+        .withColumn("box2", st.f("st_translate", col("box"), col("off"), lit(0.0)))
+        .withColumn("center", st.point(col("bxmin") + col("bw") / 2, col("bymin") + col("bh") / 2))
+        .select(col("p_partkey"),
+          st.intersects(col("box"), col("box2")).as("b_intersects"),
+          st.f("st_touches", col("box"), col("box2")).as("b_touches"),
+          st.f("st_overlaps", col("box"), col("box2")).as("b_overlaps"),
+          st.f("st_disjoint", col("box"), col("box2")).as("b_disjoint"),
+          st.contains(col("box"), col("center")).as("b_contains"),
+          st.within(col("center"), col("box")).as("b_within"),
+          st.dwithin(col("box"), col("box2"), col("bw")).as("b_dwithin"))
+    }),
+
+    // buffer: 32-gon area + vertex count
+    "sp04_buffer" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "part")
+        .withColumn("r", (col("p_size") % 4).cast("double") + 0.5)
+        .withColumn("buf", st.buffer(st.point(lit(10.0), lit(20.0)), col("r")))
+        .select(col("p_partkey"), col("r"),
+          round(st.area(col("buf")), 4).as("buf_area"),
+          st.f("st_npoints", col("buf")).as("buf_npoints"))
+    }),
+
+    // WKT parse/print round trip incl. EMPTY
+    "sp05_wkt_roundtrip" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "part")
+        .withColumn("xi", (col("p_partkey") % 1000).cast("int"))
+        .withColumn("yi", (col("p_size") % 100).cast("int"))
+        .withColumn("wkt", when(col("p_partkey") % 10 === 0, lit("POINT EMPTY"))
+          .otherwise(concat(lit("POINT ("), col("xi"), lit(" "), col("yi"), lit(")"))))
+        .withColumn("lwkt", concat(lit("LINESTRING (0 0, "), col("xi"), lit(" "),
+          col("yi"), lit(", "), col("xi") * 2, lit(" 7)")))
+        .select(col("p_partkey"),
+          st.asText(st.geomFromWkt(col("wkt"))).as("rt_wkt"),
+          st.asText(st.geomFromWkt(col("lwkt"))).as("rt_lwkt"),
+          st.f("st_npoints", st.geomFromWkt(col("lwkt"))).as("l_npoints"),
+          round(st.length(st.geomFromWkt(col("lwkt"))), 6).as("l_len"),
+          st.f("st_isempty", st.geomFromWkt(col("wkt"))).as("is_empty"))
+    }),
+
+    // aggregates: envelope_agg + analyze_agg per brand
+    "sp06_agg_envelope" -> ((s, dir) => {
+      prep(s)
+      withBox(t(s, dir, "part"))
+        .groupBy(col("p_brand"))
+        .agg(
+          st.xmin(st.envelopeAgg(col("box"))).as("env_xmin"),
+          st.ymin(st.envelopeAgg(col("box"))).as("env_ymin"),
+          st.xmax(st.envelopeAgg(col("box"))).as("env_xmax"),
+          st.ymax(st.envelopeAgg(col("box"))).as("env_ymax"),
+          st.analyzeAgg(col("box")).getField("count").as("n_geoms"),
+          st.analyzeAgg(col("box")).getField("total_points").as("total_points"),
+          st.analyzeAgg(col("box")).getField("total_area").as("total_area"))
+    }),
+
+    // union_agg of disjoint grid boxes: area + part count survive the union
+    "sp07_union_agg" -> ((s, dir) => {
+      prep(s)
+      withBox(t(s, dir, "part"))
+        .withColumn("gx", (col("p_partkey") % 50).cast("double") * 20.0)
+        .withColumn("gy", ((col("p_partkey") / 50) % 50).cast("double") * 20.0)
+        .withColumn("gbox", st.makeEnvelope(col("gx"), col("gy"),
+          col("gx") + col("bw"), col("gy") + col("bh")))
+        .groupBy(col("p_brand"))
+        .agg(
+          st.area(st.unionAgg(col("gbox"))).as("union_area"),
+          st.f("st_numgeometries", st.unionAgg(col("gbox"))).as("n_parts"),
+          st.f("st_numgeometries", st.collectAgg(col("gbox"))).as("n_collected"))
+    }),
+
+    // CRS transforms: web mercator + exact inverse round trip
+    "sp08_transform" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .withColumn("lon", (col("c_custkey") % 360).cast("double") - 180.0 + 0.25)
+        .withColumn("lat", (col("c_custkey") % 170).cast("double") / 2.0 - 42.5 + 0.25)
+        .withColumn("pt", st.point(col("lon"), col("lat")))
+        .withColumn("merc", st.transform(col("pt"), lit("EPSG:4326"), lit("EPSG:3857")))
+        .withColumn("back", st.transform(col("merc"), lit("EPSG:3857"), lit("EPSG:4326")))
+        .select(col("c_custkey"),
+          round(st.x(col("merc")), 2).as("mx"),
+          round(st.y(col("merc")), 2).as("my"),
+          round(st.x(col("back")), 5).as("rt_lon"),
+          round(st.y(col("back")), 5).as("rt_lat"),
+          st.f("st_srid", col("merc")).as("srid"))
+    }),
+
+    // spatial sort key: Z-order (Hilbert variant covered in unit spec)
+    "sp09_zorder" -> ((s, dir) => {
+      prep(s)
+      withBox(t(s, dir, "part"))
+        .select(col("p_partkey"),
+          st.f("sd_zorder", col("box"), lit(0.0), lit(0.0), lit(2048.0), lit(1024.0))
+            .as("zorder"))
+    }),
+
+    // geometry element access: dump/geometryn/makeline/boundary
+    "sp10_elements" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "part")
+        .withColumn("xi", (col("p_partkey") % 500).cast("int"))
+        .withColumn("yi", (col("p_size") % 60).cast("int"))
+        .withColumn("mp", st.geomFromWkt(concat(lit("MULTIPOINT (("),
+          col("xi"), lit(" "), col("yi"), lit("), ("), col("xi") + 5, lit(" "),
+          col("yi") + 3, lit("))"))))
+        .withColumn("parts", st.f("st_dump", col("mp")))
+        .select(col("p_partkey"),
+          size(col("parts")).as("n_parts"),
+          st.asText(element_at(col("parts"), 1).getField("geom")).as("first_wkt"),
+          st.asText(st.f("st_geometryn", col("mp"), lit(2))).as("second_wkt"),
+          st.f("st_numgeometries", col("mp")).as("n_geoms"),
+          st.asText(st.f("st_makeline", st.f("st_geometryn", col("mp"), lit(1)),
+            st.f("st_geometryn", col("mp"), lit(2)))).as("line_wkt"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sp01_point_ops" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_partkey % 997 AS DOUBLE)*0.1 AS x1,
+        |    CAST(l_orderkey % 983 AS DOUBLE)*0.1 AS y1,
+        |    CAST(l_suppkey % 89 AS DOUBLE) AS x2,
+        |    CAST(l_linenumber*13 % 97 AS DOUBLE) AS y2
+        |  FROM lineitem WHERE l_orderkey % 7 = 0)
+        |SELECT l_orderkey, l_linenumber, x1, y1,
+        |  round(sqrt((x1-x2)*(x1-x2) + (y1-y2)*(y1-y2)), 6) AS dist,
+        |  CASE WHEN x2-x1 = 0 AND y2-y1 = 0 THEN NULL
+        |       WHEN atan2(x2-x1, y2-y1) < 0 THEN round(atan2(x2-x1, y2-y1) + 2*pi(), 6)
+        |       ELSE round(atan2(x2-x1, y2-y1), 6) END AS azimuth
+        |FROM pts""".stripMargin,
+
+    "sp02_envelope_box" ->
+      s"""WITH b AS ($boxSql)
+        |SELECT p_partkey, bw*bh AS area,
+        |  round(bxmin + bw/2, 6) AS cx, round(bymin + bh/2, 6) AS cy,
+        |  bxmin AS xmin, bymin + bh AS ymax,
+        |  5 AS npoints, 'ST_Polygon' AS gtype
+        |FROM b""".stripMargin,
+
+    "sp03_predicates" ->
+      s"""WITH b AS ($boxSql)
+        |SELECT p_partkey,
+        |  p_partkey % 3 <> 2 AS b_intersects,
+        |  p_partkey % 3 = 1 AS b_touches,
+        |  p_partkey % 3 = 0 AS b_overlaps,
+        |  p_partkey % 3 = 2 AS b_disjoint,
+        |  TRUE AS b_contains,
+        |  TRUE AS b_within,
+        |  p_partkey % 3 <> 2 AS b_dwithin
+        |FROM b""".stripMargin,
+
+    "sp04_buffer" ->
+      """SELECT p_partkey, CAST(p_size % 4 AS DOUBLE) + 0.5 AS r,
+        |  round(0.5 * 32 * (CAST(p_size % 4 AS DOUBLE) + 0.5)
+        |        * (CAST(p_size % 4 AS DOUBLE) + 0.5) * sin(2*pi()/32), 4) AS buf_area,
+        |  33 AS buf_npoints
+        |FROM part""".stripMargin,
+
+    "sp05_wkt_roundtrip" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 10 = 0 THEN 'POINT EMPTY'
+        |       ELSE 'POINT (' || (p_partkey % 1000) || ' ' || (p_size % 100) || ')'
+        |  END AS rt_wkt,
+        |  'LINESTRING (0 0, ' || (p_partkey % 1000) || ' ' || (p_size % 100) || ', '
+        |    || (p_partkey % 1000)*2 || ' 7)' AS rt_lwkt,
+        |  3 AS l_npoints,
+        |  round(sqrt(CAST((p_partkey % 1000)*(p_partkey % 1000)
+        |             + (p_size % 100)*(p_size % 100) AS DOUBLE))
+        |      + sqrt(CAST((p_partkey % 1000)*(p_partkey % 1000)
+        |             + ((p_size % 100)-7)*((p_size % 100)-7) AS DOUBLE)), 6) AS l_len,
+        |  p_partkey % 10 = 0 AS is_empty
+        |FROM part""".stripMargin,
+
+    "sp06_agg_envelope" ->
+      s"""WITH b AS ($boxSql)
+        |SELECT p_brand,
+        |  MIN(bxmin) AS env_xmin, MIN(bymin) AS env_ymin,
+        |  MAX(bxmin + bw) AS env_xmax, MAX(bymin + bh) AS env_ymax,
+        |  COUNT(*) AS n_geoms, COUNT(*)*5 AS total_points,
+        |  CAST(SUM(bw*bh) AS DOUBLE) AS total_area
+        |FROM b GROUP BY p_brand""".stripMargin,
+
+    "sp07_union_agg" ->
+      s"""WITH b AS ($boxSql)
+        |SELECT p_brand,
+        |  CAST(SUM(bw*bh) AS DOUBLE) AS union_area,
+        |  CAST(COUNT(*) AS INT) AS n_parts,
+        |  CAST(COUNT(*) AS INT) AS n_collected
+        |FROM b GROUP BY p_brand""".stripMargin,
+
+    "sp08_transform" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.25 AS lon,
+        |    CAST(c_custkey % 170 AS DOUBLE)/2.0 - 42.5 + 0.25 AS lat
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey,
+        |  round(lon * 20037508.342789244 / 180.0, 2) AS mx,
+        |  round(ln(tan((90.0 + lat) * pi() / 360.0)) / pi() * 20037508.342789244, 2) AS my,
+        |  round(lon, 5) AS rt_lon, round(lat, 5) AS rt_lat,
+        |  3857 AS srid
+        |FROM p""".stripMargin,
+
+    "sp09_zorder" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 100 AS DOUBLE)*20.0 + CAST(p_partkey % 7 + 1 AS DOUBLE)/2 AS cx,
+        |    CAST(p_size % 50 AS DOUBLE)*20.0 + CAST(p_size % 5 + 1 AS DOUBLE)/2 AS cy
+        |  FROM part),
+        |s AS (
+        |  SELECT p_partkey,
+        |    LEAST(65535, GREATEST(0, CAST(floor(((cx - 0.0)/2048.0)*65536) AS BIGINT))) AS ix,
+        |    LEAST(65535, GREATEST(0, CAST(floor(((cy - 0.0)/1024.0)*65536) AS BIGINT))) AS iy
+        |  FROM b)
+        |SELECT p_partkey,
+        |  CAST(list_sum([(((ix >> i) & 1) << (2*i)) + (((iy >> i) & 1) << (2*i+1))
+        |                 for i in range(0, 16)]) AS BIGINT) AS zorder
+        |FROM s""".stripMargin,
+
+    "sp10_elements" ->
+      """SELECT p_partkey,
+        |  2 AS n_parts,
+        |  'POINT (' || (p_partkey % 500) || ' ' || (p_size % 60) || ')' AS first_wkt,
+        |  'POINT (' || (p_partkey % 500)+5 || ' ' || (p_size % 60)+3 || ')' AS second_wkt,
+        |  2 AS n_geoms,
+        |  'LINESTRING (' || (p_partkey % 500) || ' ' || (p_size % 60) || ', '
+        |    || (p_partkey % 500)+5 || ' ' || (p_size % 60)+3 || ')' AS line_wkt
+        |FROM part""".stripMargin
+  )
+}

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.{CrsTransform, SpaceCurve}
+import graft.geom.GeomIO
+
+/** Unit layer for the ST_* surface: WKT in → SQL function → WKT/scalar out,
+  * the ScalarUdfTester pattern from the reference
+  * (rust/sedona-testing/src/testers.rs:252).
+  */
+class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Evaluate a scalar SQL expression over a single-row frame. */
+  private def q(expr: String): Any =
+    spark.sql(s"SELECT $expr AS r").collect()(0).get(0)
+
+  test("constructors and formatters round-trip") {
+    assert(q("st_astext(st_geomfromwkt('POINT (1 2)'))") == "POINT (1 2)")
+    assert(q("st_astext(st_geomfromwkb(st_asbinary(st_point(3.5, -2.25))))") == "POINT (3.5 -2.25)")
+    assert(q("st_astext(st_geomfromewkt('SRID=4326;POINT (1 2)'))") == "POINT (1 2)")
+    assert(q("st_srid(st_geomfromewkt('SRID=4326;POINT (1 2)'))") == 4326)
+    assert(q("st_srid(st_setsrid(st_point(1,2), 3857))") == 3857)
+    assert(q("st_astext(st_makeenvelope(0,0,2,3))") == "POLYGON ((0 0, 0 3, 2 3, 2 0, 0 0))")
+    assert(q("st_asgeojson(st_point(1.5, 2))") == """{"type":"Point","coordinates":[1.5,2]}""")
+    assert(q("st_astext(st_pointz(1,2,3))") == "POINT Z(1 2 3)")
+    assert(q("st_hasz(st_pointz(1,2,3))") == true)
+    assert(q("st_astext(st_force2d(st_pointz(1,2,3)))") == "POINT (1 2)")
+    intercept[Exception](q("st_pointfromtext('LINESTRING (0 0, 1 1)')"))
+  }
+
+  test("predicates: symmetry and known relations") {
+    val a = "st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')"
+    val inner = "st_geomfromwkt('POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))')"
+    assert(q(s"st_contains($a, $inner)") == true)
+    assert(q(s"st_within($inner, $a)") == true)
+    assert(q(s"st_covers($a, $inner)") == true)
+    assert(q(s"st_coveredby($inner, $a)") == true)
+    assert(q(s"st_overlaps($a, $inner)") == false)
+    assert(q(s"st_intersects($a, $inner)") == true)
+    assert(q(s"st_disjoint($a, $inner)") == false)
+    // boundary point: covers true, contains false
+    val bp = "st_point(0, 5)"
+    assert(q(s"st_contains($a, $bp)") == false)
+    assert(q(s"st_covers($a, $bp)") == true)
+    val line1 = "st_geomfromwkt('LINESTRING (0 0, 10 10)')"
+    val line2 = "st_geomfromwkt('LINESTRING (0 10, 10 0)')"
+    assert(q(s"st_crosses($line1, $line2)") == true)
+    assert(q(s"st_relate($line1, $line2)") == "0F1FF0102")
+    assert(q(s"st_relatematch($line1, $line2, '0FFFFFFF2')") == false)
+    assert(q(s"st_equals($a, st_geomfromwkt('POLYGON ((10 0, 10 10, 0 10, 0 0, 10 0))'))") == true)
+  }
+
+  test("overlay ops") {
+    val a = "st_makeenvelope(0,0,4,4)"
+    val b = "st_makeenvelope(2,0,6,4)"
+    assert(q(s"st_area(st_intersection($a, $b))") == 8.0)
+    assert(q(s"st_area(st_union($a, $b))") == 24.0)
+    assert(q(s"st_area(st_difference($a, $b))") == 8.0)
+    assert(q(s"st_area(st_symdifference($a, $b))") == 16.0)
+    assert(q(s"st_area(st_unaryunion(st_geomfromwkt('MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((2 0, 6 0, 6 4, 2 4, 2 0)))')))") == 24.0)
+  }
+
+  test("processing: simplify, makevalid, convexhull, concavehull, snap, segmentize") {
+    assert(q("st_astext(st_simplify(st_geomfromwkt('LINESTRING (0 0, 1 0.01, 2 0, 4 0)'), 0.5))")
+      == "LINESTRING (0 0, 4 0)")
+    assert(q("st_npoints(st_simplifypreservetopology(st_geomfromwkt('LINESTRING (0 0, 1 0.01, 2 0)'), 0.5))") == 2)
+    // bowtie → fixed into valid geometry with half the bbox area
+    assert(q("st_isvalid(st_geomfromwkt('POLYGON ((0 0, 4 0, 0 4, 4 4, 0 0))'))") == false)
+    assert(q("st_area(st_makevalid(st_geomfromwkt('POLYGON ((0 0, 4 0, 0 4, 4 4, 0 0))')))") == 8.0)
+    assert(q("st_isvalid(st_makevalid(st_geomfromwkt('POLYGON ((0 0, 4 0, 0 4, 4 4, 0 0))')))") == true)
+    assert(q("st_astext(st_convexhull(st_geomfromwkt('MULTIPOINT ((0 0), (4 0), (2 1), (2 4))')))")
+      == "POLYGON ((0 0, 2 4, 4 0, 0 0))")
+    assert(q("st_area(st_concavehull(st_geomfromwkt('MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2))'), 1.0))") == 16.0)
+    assert(q("st_npoints(st_segmentize(st_geomfromwkt('LINESTRING (0 0, 10 0)'), 2.5))") == 5)
+    assert(q("st_astext(st_snap(st_geomfromwkt('LINESTRING (0 0, 2 2)'), st_point(2.05, 2.05), 0.1))")
+      == "LINESTRING (0 0, 2.05 2.05)")
+  }
+
+  test("linear referencing") {
+    val l = "st_geomfromwkt('LINESTRING (0 0, 10 0)')"
+    assert(q(s"st_astext(st_lineinterpolatepoint($l, 0.3))") == "POINT (3 0)")
+    assert(q(s"st_linelocatepoint($l, st_point(7, 1))") == 0.7)
+    assert(q(s"st_astext(st_linesubstring($l, 0.2, 0.5))") == "LINESTRING (2 0, 5 0)")
+    assert(q(s"st_astext(st_startpoint($l))") == "POINT (0 0)")
+    assert(q(s"st_astext(st_endpoint($l))") == "POINT (10 0)")
+    assert(q(s"st_isclosed($l)") == false)
+    assert(q("st_isring(st_geomfromwkt('LINESTRING (0 0, 1 0, 1 1, 0 0)'))") == true)
+  }
+
+  test("measures: hausdorff, maxdistance, perimeter, minimumclearance") {
+    assert(q("st_hausdorffdistance(st_geomfromwkt('LINESTRING (0 0, 10 0)'), st_geomfromwkt('LINESTRING (0 3, 10 3)'))") == 3.0)
+    assert(q("st_maxdistance(st_makeenvelope(0,0,1,1), st_makeenvelope(4,4,5,5))") == math.sqrt(50))
+    assert(q("st_perimeter(st_makeenvelope(0,0,3,4))") == 14.0)
+    assert(q("st_length(st_makeenvelope(0,0,3,4))") == 0.0)
+    assert(q("st_minimumclearance(st_makeenvelope(0,0,3,4))") == 3.0)
+  }
+
+  test("affine family") {
+    assert(q("st_astext(st_translate(st_point(1,2), 10, 20))") == "POINT (11 22)")
+    assert(q("st_astext(st_scale(st_point(2,3), 2, 4))") == "POINT (4 12)")
+    val rot = q("st_astext(st_rotate(st_point(1,0), pi()/2))").toString
+    assert(rot.startsWith("POINT (") && q("st_y(st_rotate(st_point(1,0), pi()/2))").asInstanceOf[Double] > 0.999)
+    assert(q("st_astext(st_affine(st_point(1,2), 1, 0, 5, 0, 1, 7))") == "POINT (6 9)")
+    assert(q("st_astext(st_flipcoordinates(st_point(1,2)))") == "POINT (2 1)")
+  }
+
+  test("collection ops: dump, points, collectionextract, geometryn, boundary") {
+    assert(q("size(st_dump(st_geomfromwkt('GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))')))") == 2)
+    assert(q("st_astext(st_points(st_geomfromwkt('LINESTRING (0 0, 1 1)')))") == "MULTIPOINT ((0 0), (1 1))")
+    assert(q("st_astext(st_collectionextract(st_geomfromwkt('GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))'), 1))") == "MULTIPOINT ((1 2))")
+    assert(q("st_astext(st_boundary(st_geomfromwkt('LINESTRING (0 0, 5 5)')))") == "MULTIPOINT ((0 0), (5 5))")
+    assert(q("st_numinteriorrings(st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))'))") == 1)
+    assert(q("st_astext(st_exteriorring(st_makeenvelope(0,0,1,1)))") == "LINESTRING (0 0, 0 1, 1 1, 1 0, 0 0)")
+    assert(q("st_nrings(st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))'))") == 2)
+  }
+
+  test("polygonize, linemerge, delaunay, reduceprecision, normalize, reverse") {
+    assert(q("st_area(st_polygonize(st_geomfromwkt('MULTILINESTRING ((0 0, 4 0), (4 0, 4 4), (4 4, 0 0))')))") == 8.0)
+    assert(q("st_astext(st_linemerge(st_geomfromwkt('MULTILINESTRING ((0 0, 2 2), (2 2, 4 4))')))") == "LINESTRING (0 0, 2 2, 4 4)")
+    assert(q("st_numgeometries(st_delaunaytriangles(st_geomfromwkt('MULTIPOINT ((0 0), (4 0), (0 4), (4 4))')))") == 2)
+    assert(q("st_astext(st_reduceprecision(st_point(1.2345, 2.3456), 10))") == "POINT (1.2 2.3)")
+    assert(q("st_astext(st_reverse(st_geomfromwkt('LINESTRING (0 0, 1 1, 2 0)')))") == "LINESTRING (2 0, 1 1, 0 0)")
+  }
+
+  test("UTM transform round-trips within 1e-6 deg") {
+    val g = GeomIO.point(9.5, 47.25)
+    val utm = CrsTransform.transform(g, "EPSG:4326", "EPSG:32632")
+    val back = CrsTransform.transform(utm, "EPSG:32632", "EPSG:4326")
+    val c = back.getCoordinate
+    assert(math.abs(c.x - 9.5) < 1e-6, s"lon ${c.x}")
+    assert(math.abs(c.y - 47.25) < 1e-6, s"lat ${c.y}")
+    // known value: CN Tower, UTM zone 17N = 630084 E, 4833438 N
+    val cn = CrsTransform.transform(
+      GeomIO.point(-79.387139, 43.642567), "EPSG:4326", "EPSG:32617").getCoordinate
+    assert(math.abs(cn.x - 630084.3) < 2.0, s"easting ${cn.x}")
+    assert(math.abs(cn.y - 4833438.6) < 2.0, s"northing ${cn.y}")
+    // southern hemisphere
+    val s = CrsTransform.transform(GeomIO.point(-58.4, -34.6), "EPSG:4326", "EPSG:32721")
+    val sb = CrsTransform.transform(s, "EPSG:32721", "EPSG:4326").getCoordinate
+    assert(math.abs(sb.x + 58.4) < 1e-6 && math.abs(sb.y + 34.6) < 1e-6)
+    intercept[IllegalArgumentException](CrsTransform.parse("EPSG:2154"))
+  }
+
+  test("hilbert curve: locality + bijectivity on a grid") {
+    // bijective over a small grid
+    val seen = collection.mutable.Set[Long]()
+    for (x <- 0 until 32; y <- 0 until 32) {
+      val h = SpaceCurve.hilbertIndex(x * 2048, y * 2048)
+      assert(!seen.contains(h)); seen += h
+    }
+    // adjacent cells on the curve are adjacent in space (Hilbert property,
+    // distance 1 step = 1 cell)
+    val cellOf = (0 until 16).flatMap(x => (0 until 16).map(y =>
+      SpaceCurve.hilbertIndex(x * 4096, y * 4096) / (4096L * 4096L) -> (x, y))).toMap
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = cellOf(d); val (x2, y2) = cellOf(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at $d")
+    }
+  }
+
+  test("aggregates over SQL") {
+    spark.range(10).selectExpr("id", "st_point(cast(id as double), cast(id % 3 as double)) AS g")
+      .createOrReplaceTempView("pts")
+    assert(spark.sql("SELECT st_astext(st_envelope_agg(g)) FROM pts").collect()(0).getString(0)
+      == "POLYGON ((0 0, 0 2, 9 2, 9 0, 0 0))")
+    assert(spark.sql("SELECT st_numgeometries(st_collect_agg(g)) FROM pts").collect()(0).getInt(0) == 10)
+    assert(spark.sql("SELECT st_astext(st_convexhull_agg(g)) FROM pts").collect()(0).getString(0).startsWith("POLYGON"))
+    val stats = spark.sql("SELECT st_analyze_agg(g) AS s FROM pts")
+      .selectExpr("s.count", "s.total_points", "s.xmax").collect()(0)
+    assert(stats.getLong(0) == 10 && stats.getLong(1) == 10 && stats.getDouble(2) == 9.0)
+    // union of two overlapping envelopes
+    spark.sql("SELECT st_makeenvelope(0, 0, 4, 4) AS g UNION ALL SELECT st_makeenvelope(2, 0, 6, 4)")
+      .createOrReplaceTempView("boxes")
+    assert(spark.sql("SELECT st_area(st_union_agg(g)) FROM boxes").collect()(0).getDouble(0) == 24.0)
+    assert(spark.sql("SELECT st_area(st_intersection_agg(g)) FROM boxes").collect()(0).getDouble(0) == 8.0)
+  }
+
+  test("null propagation") {
+    assert(q("st_area(NULL)") == null)
+    assert(q("st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)'))") == null)
+    assert(q("st_startpoint(st_point(1, 2))") == null)
+    assert(q("st_geometryn(st_geomfromwkt('MULTIPOINT ((1 2))'), 5)") == null)
+  }
+}
