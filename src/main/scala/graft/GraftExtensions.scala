@@ -9,5 +9,9 @@ import org.apache.spark.sql.SparkSession
 object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     graft.functions.GraftFunctions.register(spark)
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[graft.joins.SpatialJoinStrategy]))
+      spark.experimental.extraStrategies =
+        cur :+ graft.joins.SpatialJoinStrategy(spark)
   }
 }

@@ -21,10 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame]() ++
       graft.queries.RelationalQueries.queries ++
-      graft.queries.SpatialQueries.queries
+      graft.queries.SpatialQueries.queries ++
+      graft.queries.JoinQueries.queries
 
   def oracleSql: Map[String, String] =
     Map[String, String]() ++
       graft.queries.RelationalQueries.oracles ++
-      graft.queries.SpatialQueries.oracles
+      graft.queries.SpatialQueries.oracles ++
+      graft.queries.JoinQueries.oracles
 }

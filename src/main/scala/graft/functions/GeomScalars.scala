@@ -490,6 +490,26 @@ object GeomScalars {
     fn("sd_hilbert", LongType, Seq(Geom, Dbl, Dbl, Dbl, Dbl))(a =>
       SpaceCurve.hilbert(g0(a), d(a, 1), d(a, 2), d(a, 3), d(a, 4))),
     fn("sd_zorder", LongType, Seq(Geom, Dbl, Dbl, Dbl, Dbl))(a =>
-      SpaceCurve.morton(g0(a), d(a, 1), d(a, 2), d(a, 3), d(a, 4)))
+      SpaceCurve.morton(g0(a), d(a, 1), d(a, 2), d(a, 3), d(a, 4))),
+
+    // ---- grid-partitioning support for the shuffle spatial join
+    // (reference: KDB partitioning, rust/sedona-spatial-join/src/
+    //  partitioning/kdb.rs — here a uniform grid; cells an envelope
+    //  overlaps, and the reference-point cell for pair dedup) ----
+    "st_gridcells" -> ((children: Seq[Expression]) =>
+      GeomScalar("st_gridcells", children, ArrayType(LongType, containsNull = false),
+        Seq(Geom, Dbl, Dbl, Dbl, Dbl, Int_, Int_), a => {
+          val e = g0(a).getEnvelopeInternal
+          if (e.isNull) null
+          else new GenericArrayData(Grid.cellsOf(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY,
+            d(a, 1), d(a, 2), d(a, 3), d(a, 4), i(a, 5), i(a, 6)))
+        })),
+    fn("st_refcell", LongType, Seq(Geom, Geom, Dbl, Dbl, Dbl, Dbl, Int_, Int_))(a => {
+      val e1 = g0(a).getEnvelopeInternal
+      val e2 = g1(a).getEnvelopeInternal
+      if (e1.isNull || e2.isNull) null
+      else Grid.cellOf(math.max(e1.getMinX, e2.getMinX), math.max(e1.getMinY, e2.getMinY),
+        d(a, 2), d(a, 3), d(a, 4), d(a, 5), i(a, 6), i(a, 7))
+    })
   )
 }

@@ -1,0 +1,176 @@
+package graft.joins
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.physical._
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.index.strtree.STRtree
+import graft.geom.GeomIO
+
+/** Broadcast index spatial join: build side is broadcast, an STRtree over
+  * its geometries is built once per executor (soft-cached by broadcast id),
+  * and each streamed row probes the tree and refines candidates with a
+  * prepared geometry.
+  *
+  * This is the Spark-native analog of the reference's build/probe/refine
+  * SpatialJoinExec (rust/sedona-spatial-join/src/exec.rs:80-88) with its
+  * Hilbert-packed R-tree (index/default_spatial_index.rs:36) and prepared-
+  * geometry refinement (refine/exec_mode_selector.rs). Broadcast replaces
+  * the OnceAsync build-side collection; at cluster scale the build side
+  * ships once per executor, the probe side never moves — zero shuffle.
+  *
+  * Supported: Inner, LeftOuter (stream = left). Everything else falls back
+  * to Spark's nested-loop join in the strategy.
+  */
+case class BroadcastIndexSpatialJoinExec(
+    buildPlan: SparkPlan,
+    streamPlan: SparkPlan,
+    buildGeom: Expression,
+    streamGeom: Expression,
+    /** predicate oriented as pred(streamG, buildG) */
+    predName: String,
+    distance: Option[Expression], // bound to stream side; st_dwithin only
+    buildIsLeft: Boolean,
+    leftOuter: Boolean,
+    extraCondition: Option[Expression])
+  extends BinaryExecNode {
+
+  override def left: SparkPlan = if (buildIsLeft) buildPlan else streamPlan
+  override def right: SparkPlan = if (buildIsLeft) streamPlan else buildPlan
+  override def output: Seq[Attribute] =
+    if (leftOuter && buildIsLeft)
+      throw new IllegalStateException("left-outer with broadcast left not plannable")
+    else if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val b = BroadcastDistribution(IdentityBroadcastMode)
+    if (buildIsLeft) Seq(b, UnspecifiedDistribution) else Seq(UnspecifiedDistribution, b)
+  }
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "candidatePairs" -> SQLMetrics.createMetric(sparkContext, "index candidate pairs"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val candidatePairs = longMetric("candidatePairs")
+    val broadcastRows = buildPlan.executeBroadcast[Array[InternalRow]]()
+    val boundBuildGeom = BindReferences.bindReference(buildGeom, buildPlan.output)
+    val boundStreamGeom = BindReferences.bindReference(streamGeom, streamPlan.output)
+    val boundDistance = distance.map(BindReferences.bindReference(_, streamPlan.output))
+    val boundExtra = extraCondition.map(BindReferences.bindReference(_, output))
+    val pred = predName
+    val bIsLeft = buildIsLeft
+    val outer = leftOuter
+    val buildWidth = buildPlan.output.size
+
+    streamPlan.execute().mapPartitions { streamIter =>
+      val tree = BroadcastIndexSpatialJoinExec.treeFor(broadcastRows, boundBuildGeom)
+      val joined = new JoinedRow()
+      val nullBuild = new GenericInternalRow(buildWidth)
+      streamIter.flatMap { streamRow =>
+        val gBytes = boundStreamGeom.eval(streamRow)
+        val matches: Iterator[InternalRow] =
+          if (gBytes == null) Iterator.empty
+          else {
+            val sg = GeomIO.read(gBytes.asInstanceOf[Array[Byte]])
+            val env = new Envelope(sg.getEnvelopeInternal)
+            val dist = boundDistance.map(_.eval(streamRow).asInstanceOf[Number].doubleValue())
+            dist.foreach(d => env.expandBy(d))
+            val candidates = tree.query(env)
+            if (candidates.isEmpty) Iterator.empty
+            else {
+              candidatePairs += candidates.size()
+              val prepared: PreparedGeometry =
+                if (dist.isEmpty) PreparedGeometryFactory.prepare(sg) else null
+              val it = candidates.iterator()
+              new Iterator[(Geometry, InternalRow)] {
+                override def hasNext: Boolean = it.hasNext
+                override def next(): (Geometry, InternalRow) =
+                  it.next().asInstanceOf[(Geometry, InternalRow)]
+              }.filter { case (bg, _) =>
+                dist match {
+                  case Some(d) => sg.isWithinDistance(bg, d)
+                  case None => BroadcastIndexSpatialJoinExec.refine(prepared, pred, bg)
+                }
+              }.map { case (_, buildRow) =>
+                if (bIsLeft) joined(buildRow, streamRow) else joined(streamRow, buildRow)
+              }
+            }
+          }
+        val filtered = boundExtra match {
+          case Some(c) => matches.filter(r => java.lang.Boolean.TRUE == c.eval(r))
+          case None => matches
+        }
+        if (outer) {
+          var any = false
+          val out = filtered.map { r => any = true; numOutputRows += 1; r }
+          // emit the null-padded row lazily after the matches are exhausted
+          new Iterator[InternalRow] {
+            private var doneExtra = false
+            override def hasNext: Boolean = out.hasNext || (!any && !doneExtra)
+            override def next(): InternalRow =
+              if (out.hasNext) out.next()
+              else { doneExtra = true; numOutputRows += 1; joined(streamRow, nullBuild) }
+          }
+        } else {
+          filtered.map { r => numOutputRows += 1; r }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    if (buildIsLeft) copy(buildPlan = newLeft, streamPlan = newRight)
+    else copy(streamPlan = newLeft, buildPlan = newRight)
+}
+
+object BroadcastIndexSpatialJoinExec {
+  /** Executor-local soft cache: one STRtree per broadcast build side, not
+    * one per task (the reference builds its index once per join via
+    * OnceAsync, exec.rs:44-46). */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[STRtree]]()
+
+  def treeFor(b: Broadcast[Array[InternalRow]], geomExpr: Expression): STRtree = {
+    val ref = cache.get(b.id)
+    val cached = if (ref != null) ref.get() else null
+    if (cached != null) return cached
+    synchronized {
+      val again = cache.get(b.id)
+      val c2 = if (again != null) again.get() else null
+      if (c2 != null) return c2
+      val tree = new STRtree()
+      b.value.foreach { row =>
+        val bytes = geomExpr.eval(row)
+        if (bytes != null) {
+          val g = GeomIO.read(bytes.asInstanceOf[Array[Byte]])
+          if (!g.isEmpty) tree.insert(g.getEnvelopeInternal, (g, row))
+        }
+      }
+      tree.build()
+      cache.put(b.id, new java.lang.ref.SoftReference[STRtree](tree))
+      tree
+    }
+  }
+
+  /** pred(streamG, buildG) via the stream-side prepared geometry. */
+  def refine(prepared: PreparedGeometry, pred: String, bg: Geometry): Boolean = pred match {
+    case "st_intersects" => prepared.intersects(bg)
+    case "st_contains" => prepared.contains(bg)
+    case "st_within" => prepared.within(bg)
+    case "st_covers" => prepared.covers(bg)
+    case "st_coveredby" => prepared.coveredBy(bg)
+    case "st_touches" => prepared.touches(bg)
+    case "st_crosses" => prepared.crosses(bg)
+    case "st_overlaps" => prepared.overlaps(bg)
+    case "st_equals" => prepared.getGeometry.equalsTopo(bg)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.joins
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** Plans joins whose condition carries a spatial predicate into
+  * BroadcastIndexSpatialJoinExec. Mirrors the reference's
+  * SpatialJoinLogicalRewrite + physical planner chain
+  * (rust/sedona-query-planner/src/optimizer.rs:197-260,
+  * spatial_join_physical_planner.rs:45-97), collapsed into one Catalyst
+  * Strategy: Catalyst's PushPredicateThroughJoin already folds
+  * Filter-over-cross-join into the join condition (the reference needed
+  * MergeSpatialFilterIntoJoin for this, optimizer.rs:313-339).
+  *
+  * Build-side choice by plan statistics (reference spatial_join_reordering,
+  * option.rs:105-108). Joins with an equi-conjunct are left to Spark's
+  * hash joins, matching the reference (optimizer.rs:253-257): a hash join
+  * on the equi key beats an index join that ignores it.
+  *
+  * Falls back (Nil) when no side fits the broadcast threshold — Spark plans
+  * BNLJ; for large-large use graft.operators.SpatialJoins.gridJoin, the
+  * shuffle-partitioned path.
+  */
+case class SpatialJoinStrategy(spark: SparkSession) extends SparkStrategy {
+
+  private def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, And}
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond).exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, joinType, Some(cond), _)
+        if (joinType == Inner || joinType == Cross || joinType == LeftOuter)
+          && !hasEquiConjunct(cond, left, right) =>
+      SpatialPredicate.extract(cond, left, right) match {
+        case Some(ex) =>
+          val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+          val leftSize = left.stats.sizeInBytes
+          val rightSize = right.stats.sizeInBytes
+          val canBroadcastLeft = leftSize >= 0 && leftSize <= threshold && joinType != LeftOuter
+          val canBroadcastRight = rightSize >= 0 && rightSize <= threshold
+          // prefer the smaller broadcastable side as build
+          val buildLeft =
+            if (canBroadcastLeft && canBroadcastRight) leftSize <= rightSize
+            else canBroadcastLeft
+          if (!canBroadcastLeft && !canBroadcastRight) Nil
+          else {
+            // distance must be evaluable on the stream side
+            val streamSide = if (buildLeft) right else left
+            val distOk = ex.distance.forall(_.references.subsetOf(streamSide.outputSet))
+            if (!distOk) Nil
+            else {
+              // orient predicate as pred(streamG, buildG)
+              val (streamGeom, buildGeom, streamPred) =
+                if (buildLeft) (ex.rightGeom, ex.leftGeom, SpatialPredicate.invert(ex.predName))
+                else (ex.leftGeom, ex.rightGeom, ex.predName)
+              BroadcastIndexSpatialJoinExec(
+                buildPlan = planLater(if (buildLeft) left else right),
+                streamPlan = planLater(streamSide),
+                buildGeom = buildGeom,
+                streamGeom = streamGeom,
+                predName = streamPred,
+                distance = ex.distance,
+                buildIsLeft = buildLeft,
+                leftOuter = joinType == LeftOuter,
+                extraCondition = ex.remainder) :: Nil
+            }
+          }
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}

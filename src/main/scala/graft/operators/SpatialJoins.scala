@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.index.strtree.{ItemBoundable, ItemDistance, STRtree}
+import graft.geom.GeomIO
+
+/** Whole-operator spatial joins exposed as DataFrame combinators.
+  *
+  * - `gridJoin`: the 100TB path — both sides shuffle-partitioned on a
+  *   uniform grid, geometries duplicated into every overlapped cell, pairs
+  *   deduplicated by the reference-point rule. This is the reference's
+  *   out-of-core partitioned join (rust/sedona-spatial-join/src/
+  *   partitioning/kdb.rs:20-46, multi-assignment + dedup) re-expressed as
+  *   explode + equi-join so Catalyst/Tungsten run the shuffle, AQE handles
+  *   skew, and our ST_ predicate refines per cell.
+  *
+  * - `knnJoin`: k nearest neighbours with deterministic tie-breaking —
+  *   reference semantics from index/default_spatial_index.rs:359-430
+  *   (neighbour search + tie re-search) and probe/knn_results_merger.rs.
+  *   Objects side is broadcast; the scale path for a large object side is
+  *   gridJoin with a distance bound then rank-per-query.
+  */
+object SpatialJoins {
+  import graft.functions.GraftFunctions.st
+
+  /** Spatial join of two large inputs via grid partitioning.
+    *
+    * @param predicate SQL name of the refinement predicate, e.g.
+    *   "st_intersects" (applied as predicate(leftGeom, rightGeom))
+    * @param bounds (xmin, ymin, xmax, ymax) of the data; pass None to
+    *   compute with an envelope-aggregate pre-pass
+    * @param nx, ny grid resolution — tune so cells hold O(10k) geometries
+    */
+  def gridJoin(
+      left: DataFrame, right: DataFrame,
+      leftGeom: Column, rightGeom: Column,
+      predicate: String,
+      bounds: Option[(Double, Double, Double, Double)] = None,
+      nx: Int = 64, ny: Int = 64): DataFrame = {
+
+    val (xmin, ymin, xmax, ymax) = bounds.getOrElse {
+      val Row(a: Double, b: Double, c: Double, d: Double) =
+        left.select(st.envelopeAgg(leftGeom).as("e"))
+          .unionAll(right.select(st.envelopeAgg(rightGeom).as("e")))
+          .select(min(st.xmin(col("e"))), min(st.ymin(col("e"))),
+            max(st.xmax(col("e"))), max(st.ymax(col("e"))))
+          .collect()(0)
+      (a, b, c, d)
+    }
+    def cells(g: Column): Column = st.f("st_gridcells", g,
+      lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))
+
+    val l = left.withColumn("__lg", leftGeom)
+      .withColumn("__cell", explode(cells(col("__lg"))))
+    val r = right.withColumn("__rg", rightGeom)
+      .withColumn("__cell", explode(cells(col("__rg"))))
+    l.join(r, l("__cell") === r("__cell")
+        && st.f(predicate, col("__lg"), col("__rg"))
+        && st.f("st_refcell", col("__lg"), col("__rg"),
+          lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny)) === l("__cell"))
+      .drop("__cell", "__lg", "__rg")
+  }
+
+  private class GeomItemDistance extends ItemDistance with Serializable {
+    override def distance(a: ItemBoundable, b: ItemBoundable): Double = {
+      val ga = a.getItem.asInstanceOf[(Geometry, Any, Any)]._1
+      val gb = b.getItem.asInstanceOf[(Geometry, Any, Any)]._1
+      ga.distance(gb)
+    }
+  }
+
+  /** For each query row, the k nearest object rows by euclidean distance.
+    * Output = query columns ++ object columns ++ (knn_distance, knn_rank).
+    * Ties at equal distance break on `tieBreak` ascending (then arbitrary),
+    * matching the reference's tie handling (option.rs:98).
+    */
+  def knnJoin(
+      query: DataFrame, objects: DataFrame,
+      queryGeom: Column, objGeom: Column,
+      k: Int, tieBreak: Column): DataFrame = {
+
+    val spark = query.sparkSession
+    val objCols = objects.columns
+    val collected = objects
+      .select(objGeom.as("__g"), struct(objCols.map(col): _*).as("__s"),
+        tieBreak.cast("double").as("__t"))
+      .collect()
+      .map(r => (GeomIO.read(r.getAs[Array[Byte]]("__g")), r.getStruct(1), r.getDouble(2)))
+    val bc = spark.sparkContext.broadcast(collected)
+    val kk = k
+
+    val outSchema = StructType(query.schema.fields ++ objects.schema.fields ++
+      Seq(StructField("knn_distance", DoubleType), StructField("knn_rank", IntegerType)))
+
+    val qCols = query.columns
+    val rdd = query.select(queryGeom.as("__g"), struct(qCols.map(col): _*).as("__s"))
+      .rdd.mapPartitions { iter =>
+        val objs = bc.value
+        val tree = new STRtree()
+        objs.foreach { case item @ (g, _, _) => tree.insert(g.getEnvelopeInternal, item) }
+        if (objs.nonEmpty) tree.build()
+        val itemDist = new GeomItemDistance
+        iter.flatMap { r =>
+          val qg = GeomIO.read(r.getAs[Array[Byte]](0))
+          val qRow = r.getStruct(1)
+          if (objs.isEmpty) Iterator.empty
+          else {
+            val n = math.min(kk, objs.length)
+            val nearest = tree.nearestNeighbour(qg.getEnvelopeInternal,
+              (qg, null, null), itemDist, n)
+            val dk = nearest.map(o => qg.distance(o.asInstanceOf[(Geometry, Row, Double)]._1)).max
+            // deterministic k: re-search everything within the kth distance,
+            // order by (distance, tieBreak)
+            val env = new Envelope(qg.getEnvelopeInternal)
+            env.expandBy(dk)
+            val cands = tree.query(env).toArray
+              .map(_.asInstanceOf[(Geometry, Row, Double)])
+              .map { case (g, row, t) => (qg.distance(g), t, row) }
+              .filter(_._1 <= dk)
+              .sortBy { case (dist, t, _) => (dist, t) }
+              .take(n)
+            cands.iterator.zipWithIndex.map { case ((dist, _, oRow), i) =>
+              Row.fromSeq(qRow.toSeq ++ oRow.toSeq ++ Seq[Any](dist, i + 1))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.GraftExtensions
+import graft.functions.GraftFunctions.st
+import graft.operators.SpatialJoins
+
+/** Spatial join coverage (SURVEY.md §2.4): broadcast index join (inner +
+  * left outer), distance join, KNN join, and the shuffle-partitioned grid
+  * join. Oracles are interval-logic SQL joins in plain DuckDB.
+  */
+object JoinQueries {
+
+  private def prep(s: SparkSession): Unit = GraftExtensions.install(s)
+
+  // orders → integer-coordinate points in the part-box grid plane
+  private def orderPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("px", ((col("o_orderkey") % 100) * 20 + (col("o_orderkey") % 13)).cast("double"))
+      .withColumn("py", ((col("o_custkey") % 50) * 20 + (col("o_custkey") % 11)).cast("double"))
+      .withColumn("pt", st.point(col("px"), col("py")))
+
+  private def partBoxes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .withColumn("bxmin", (col("p_partkey") % 100).cast("double") * 20.0)
+      .withColumn("bymin", (col("p_size") % 50).cast("double") * 20.0)
+      .withColumn("bw", (col("p_partkey") % 7 + 1).cast("double"))
+      .withColumn("bh", (col("p_size") % 5 + 1).cast("double"))
+      .withColumn("box", st.makeEnvelope(col("bxmin"), col("bymin"),
+        col("bxmin") + col("bw"), col("bymin") + col("bh")))
+
+  private val pointsSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST((o_orderkey % 100)*20 + (o_orderkey % 13) AS DOUBLE) AS px,
+      |  CAST((o_custkey % 50)*20 + (o_custkey % 11) AS DOUBLE) AS py
+      |FROM orders""".stripMargin
+
+  private val boxesSql =
+    """SELECT p_partkey, p_size,
+      |  CAST(p_partkey % 100 AS DOUBLE)*20.0 AS bxmin,
+      |  CAST(p_size % 50 AS DOUBLE)*20.0 AS bymin,
+      |  CAST(p_partkey % 7 + 1 AS DOUBLE) AS bw,
+      |  CAST(p_size % 5 + 1 AS DOUBLE) AS bh
+      |FROM part""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // broadcast index join, boundary-inclusive predicate
+    "sj01_intersects_join" -> ((s, dir) => {
+      prep(s)
+      val pts = orderPoints(s, dir)
+      val boxes = partBoxes(s, dir)
+      pts.join(boxes, st.intersects(col("pt"), col("box")))
+        .select(col("o_orderkey"), col("p_partkey"))
+    }),
+
+    // strict containment, geometry args in box-first order (build=left path)
+    "sj02_contains_join" -> ((s, dir) => {
+      prep(s)
+      val pts = orderPoints(s, dir)
+      val boxes = partBoxes(s, dir)
+      boxes.join(pts, st.contains(col("box"), col("pt")))
+        .select(col("o_orderkey"), col("p_partkey"))
+    }),
+
+    // left-outer distance join
+    "sj03_dwithin_join" -> ((s, dir) => {
+      prep(s)
+      val cpts = t(s, dir, "customer")
+        .withColumn("cx", (col("c_custkey") % 80).cast("double"))
+        .withColumn("cy", (col("c_custkey") % 61).cast("double"))
+        .withColumn("cpt", st.point(col("cx"), col("cy")))
+      val spts = t(s, dir, "supplier")
+        .withColumn("sx", (col("s_suppkey") % 80).cast("double") + 0.5)
+        .withColumn("sy", (col("s_suppkey") % 61).cast("double") + 0.5)
+        .withColumn("spt", st.point(col("sx"), col("sy")))
+      cpts.join(spts, st.dwithin(col("cpt"), col("spt"), lit(7.3)), "left_outer")
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // KNN join with deterministic tie-break
+    "sj04_knn_join" -> ((s, dir) => {
+      prep(s)
+      val q = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .withColumn("qx", (col("c_custkey") % 97).cast("double") * 10.0 + 0.25)
+        .withColumn("qy", (col("c_custkey") % 89).cast("double") * 10.0 + 0.25)
+        .withColumn("qpt", st.point(col("qx"), col("qy")))
+        .select(col("c_custkey"), col("qpt"))
+      val o = partBoxes(s, dir)
+        .withColumn("opt", st.centroid(col("box")))
+        .select(col("p_partkey"), col("opt"))
+      SpatialJoins.knnJoin(q, o, col("qpt"), col("opt"), 3, col("p_partkey"))
+        .select(col("c_custkey"), col("p_partkey"), col("knn_rank"),
+          round(col("knn_distance"), 6).as("knn_distance"))
+    }),
+
+    // shuffle-partitioned grid join — same semantics as sj01
+    "sj05_grid_join" -> ((s, dir) => {
+      prep(s)
+      val pts = orderPoints(s, dir).select(col("o_orderkey"), col("pt"))
+      val boxes = partBoxes(s, dir).select(col("p_partkey"), col("box"))
+      SpatialJoins.gridJoin(pts, boxes, col("pt"), col("box"), "st_intersects",
+          bounds = Some((0.0, 0.0, 2020.0, 1020.0)), nx = 32, ny = 32)
+        .select(col("o_orderkey"), col("p_partkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sj01_intersects_join" ->
+      s"""WITH p AS ($pointsSql), b AS ($boxesSql)
+        |SELECT p.o_orderkey, b.p_partkey FROM p JOIN b
+        |ON p.px >= b.bxmin AND p.px <= b.bxmin + b.bw
+        |AND p.py >= b.bymin AND p.py <= b.bymin + b.bh""".stripMargin,
+
+    "sj02_contains_join" ->
+      s"""WITH p AS ($pointsSql), b AS ($boxesSql)
+        |SELECT p.o_orderkey, b.p_partkey FROM p JOIN b
+        |ON p.px > b.bxmin AND p.px < b.bxmin + b.bw
+        |AND p.py > b.bymin AND p.py < b.bymin + b.bh""".stripMargin,
+
+    "sj03_dwithin_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CAST(c_custkey % 80 AS DOUBLE) AS cx,
+        |    CAST(c_custkey % 61 AS DOUBLE) AS cy FROM customer),
+        |s AS (SELECT s_suppkey,
+        |    CAST(s_suppkey % 80 AS DOUBLE) + 0.5 AS sx,
+        |    CAST(s_suppkey % 61 AS DOUBLE) + 0.5 AS sy FROM supplier)
+        |SELECT c.c_custkey, s.s_suppkey FROM c LEFT JOIN s
+        |ON sqrt((cx-sx)*(cx-sx) + (cy-sy)*(cy-sy)) <= 7.3""".stripMargin,
+
+    "sj04_knn_join" ->
+      """WITH q AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 97 AS DOUBLE)*10.0 + 0.25 AS qx,
+        |    CAST(c_custkey % 89 AS DOUBLE)*10.0 + 0.25 AS qy
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |o AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 100 AS DOUBLE)*20.0 + CAST(p_partkey % 7 + 1 AS DOUBLE)/2 AS ox,
+        |    CAST(p_size % 50 AS DOUBLE)*20.0 + CAST(p_size % 5 + 1 AS DOUBLE)/2 AS oy
+        |  FROM part),
+        |ranked AS (
+        |  SELECT q.c_custkey, o.p_partkey,
+        |    sqrt((qx-ox)*(qx-ox) + (qy-oy)*(qy-oy)) AS dist,
+        |    row_number() OVER (PARTITION BY q.c_custkey
+        |      ORDER BY sqrt((qx-ox)*(qx-ox) + (qy-oy)*(qy-oy)), o.p_partkey) AS rk
+        |  FROM q CROSS JOIN o)
+        |SELECT c_custkey, p_partkey, CAST(rk AS INT) AS knn_rank,
+        |  round(dist, 6) AS knn_distance
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "sj05_grid_join" ->
+      s"""WITH p AS ($pointsSql), b AS ($boxesSql)
+        |SELECT p.o_orderkey, b.p_partkey FROM p JOIN b
+        |ON p.px >= b.bxmin AND p.px <= b.bxmin + b.bw
+        |AND p.py >= b.bymin AND p.py <= b.bymin + b.bh""".stripMargin
+  )
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.GraftFunctions.st
+import graft.operators.SpatialJoins
+
+/** Join correctness: index join ≡ cross-join + filter on seeded random data
+  * (ports the reference's test_sjoin.py differential pattern without
+  * PostGIS), plan-shape assertions, and KNN determinism.
+  */
+class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  // seeded pseudo-random boxes/points from spark.range — deterministic
+  private def boxes(n: Int, seed: Int): DataFrame =
+    spark.range(n).select(col("id").as("bid"),
+      st.makeEnvelope(
+        (pmod(hash(col("id") + seed), lit(1000)) / 10.0),
+        (pmod(hash(col("id") * 7 + seed), lit(1000)) / 10.0),
+        (pmod(hash(col("id") + seed), lit(1000)) / 10.0) + 3.0,
+        (pmod(hash(col("id") * 7 + seed), lit(1000)) / 10.0) + 4.0).as("bgeom"))
+
+  private def points(n: Int, seed: Int): DataFrame =
+    spark.range(n).select(col("id").as("pid"),
+      st.point(pmod(hash(col("id") * 3 + seed), lit(1000)) / 10.0,
+        pmod(hash(col("id") * 11 + seed), lit(1000)) / 10.0).as("pgeom"))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("index join plans as BroadcastIndexSpatialJoinExec") {
+    val j = points(100, 1).join(boxes(100, 2), st.intersects(col("pgeom"), col("bgeom")))
+    val physical = j.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastIndexSpatialJoin"), physical.take(2000))
+  }
+
+  test("equi-conjunct joins are left to Spark's hash joins") {
+    val l = points(50, 1).withColumn("k", col("pid") % 5)
+    val r = boxes(50, 2).withColumn("k", col("bid") % 5)
+    val j = l.join(r, l("k") === r("k") && st.intersects(col("pgeom"), col("bgeom")))
+    val physical = j.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastIndexSpatialJoin"), physical.take(2000))
+  }
+
+  test("index join ≡ cross join + filter for all predicates") {
+    val p = points(300, 42)
+    val b = boxes(200, 7)
+    for (pred <- Seq("st_intersects", "st_contains", "st_within", "st_covers",
+        "st_coveredby", "st_touches", "st_overlaps")) {
+      val idx = p.join(b, st.f(pred, col("pgeom"), col("bgeom")))
+        .select("pid", "bid")
+      val ref = p.crossJoin(b)
+        .filter(st.f(pred, col("pgeom"), col("bgeom")))
+        .select("pid", "bid")
+      assert(sortedRows(idx) == sortedRows(ref), s"mismatch for $pred")
+    }
+    // swapped argument order (build-side geometry first)
+    val sw = b.join(p, st.f("st_contains", col("bgeom"), col("pgeom"))).select("pid", "bid")
+    val swRef = b.crossJoin(p).filter(st.f("st_contains", col("bgeom"), col("pgeom")))
+      .select("pid", "bid")
+    assert(sortedRows(sw) == sortedRows(swRef))
+  }
+
+  test("distance join ≡ cross join + filter, literal and expression radius") {
+    val a = points(200, 3)
+    val c = points(150, 9).withColumnRenamed("pid", "qid").withColumnRenamed("pgeom", "qgeom")
+    val idx = a.join(c, st.dwithin(col("pgeom"), col("qgeom"), lit(5.0))).select("pid", "qid")
+    val ref = a.crossJoin(c).filter(st.dwithin(col("pgeom"), col("qgeom"), lit(5.0)))
+      .select("pid", "qid")
+    assert(sortedRows(idx) == sortedRows(ref))
+    // radius from the stream (left) side
+    val idx2 = a.withColumn("r", (col("pid") % 7).cast("double"))
+      .join(c, st.dwithin(col("pgeom"), col("qgeom"), col("r"))).select("pid", "qid")
+    val ref2 = a.withColumn("r", (col("pid") % 7).cast("double"))
+      .crossJoin(c).filter(st.dwithin(col("pgeom"), col("qgeom"), col("r")))
+      .select("pid", "qid")
+    assert(sortedRows(idx2) == sortedRows(ref2))
+  }
+
+  test("left outer spatial join keeps unmatched stream rows") {
+    val p = points(100, 5)
+    val b = boxes(3, 11)
+    val j = p.join(b, st.intersects(col("pgeom"), col("bgeom")), "left_outer")
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastIndexSpatialJoin"))
+    val matched = p.join(b, st.intersects(col("pgeom"), col("bgeom"))).select("pid")
+    val expected = 100 - matched.distinct().count() + matched.count()
+    assert(j.count() == expected)
+    assert(j.filter(col("bid").isNull).count() == 100 - matched.distinct().count())
+  }
+
+  test("grid join ≡ index join") {
+    val p = points(400, 13)
+    val b = boxes(300, 17)
+    val grid = SpatialJoins.gridJoin(p, b, col("pgeom"), col("bgeom"), "st_intersects",
+      bounds = Some((0.0, 0.0, 104.0, 104.0)), nx = 8, ny = 8).select("pid", "bid")
+    val idx = p.join(b, st.intersects(col("pgeom"), col("bgeom"))).select("pid", "bid")
+    assert(sortedRows(grid) == sortedRows(idx))
+    // auto-computed bounds path
+    val grid2 = SpatialJoins.gridJoin(p, b, col("pgeom"), col("bgeom"), "st_intersects",
+      nx = 5, ny = 5).select("pid", "bid")
+    assert(sortedRows(grid2) == sortedRows(idx))
+  }
+
+  test("knn join: exactly k per query, ranked by distance") {
+    val q = points(50, 23).withColumnRenamed("pid", "qid").withColumnRenamed("pgeom", "qgeom")
+    val o = points(200, 29)
+    val r = SpatialJoins.knnJoin(q, o, col("qgeom"), col("pgeom"), 4, col("pid"))
+    assert(r.groupBy("qid").count().filter(col("count") =!= 4).count() == 0)
+    // rank ordering consistent with distance
+    val bad = r.as("a").join(r.as("b"),
+      col("a.qid") === col("b.qid") && (col("a.knn_rank") < col("b.knn_rank"))
+        && (col("a.knn_distance") > col("b.knn_distance")))
+    assert(bad.count() == 0)
+    // matches brute force top-k
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("pid"))
+    val brute = q.crossJoin(o)
+      .withColumn("d", st.distance(col("qgeom"), col("pgeom")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select("qid", "pid")
+    assert(sortedRows(r.select("qid", "pid")) == sortedRows(brute))
+  }
+}
