@@ -20,6 +20,10 @@ object Debug {
       .withColumn("opt", st.point(col("x"), col("y"))).select("oid", "opt")
     try {
       SpatialJoins.knnJoin(q, o, col("qpt"), col("opt"), 2, col("oid")).show()
+      val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents").limit(5)
+        .withColumn("blob", col("text").cast("binary"))
+      graft.pipeline.MultimodalOps.decodeBatch(docs, "blob", "img")
+        .select("doc_id", "media_meta.*", "features.*").show(truncate = false)
     } catch {
       case e: Throwable =>
         var t: Throwable = e

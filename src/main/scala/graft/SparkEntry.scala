@@ -22,11 +22,13 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame]() ++
       graft.queries.RelationalQueries.queries ++
       graft.queries.SpatialQueries.queries ++
-      graft.queries.JoinQueries.queries
+      graft.queries.JoinQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     Map[String, String]() ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.SpatialQueries.oracles ++
-      graft.queries.JoinQueries.oracles
+      graft.queries.JoinQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-scale dedup and similarity operators. Design rules for 100TB:
+  * one shuffle per stage, map-side combine everywhere, candidate
+  * generation via equi-joinable keys (hash buckets / LSH bands) rather
+  * than any all-pairs comparison, and no driver-side collection.
+  */
+object PipelineOps {
+  import TextOps._
+
+  /** Exact dedup on a derived key: keeps the lowest-id row per key.
+    * One hash-shuffle on the key — at scale this is the optimal plan. */
+  def exactDedup(df: DataFrame, key: Column, id: Column): DataFrame = {
+    df.withColumn("__key", key)
+      .groupBy(col("__key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
+  }
+
+  /** MinHash-LSH candidate pairs: signature → band keys → explode →
+    * band-bucket self-join → distinct pairs with jaccard estimate.
+    * Pairs only form inside a band bucket, so the shuffle key is the band
+    * hash — no quadratic stage anywhere. */
+  def minhashPairs(df: DataFrame, id: Column, text: Column,
+      numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val r = numHashes / bands
+    val sig = df.select(id.as("doc_id"),
+        minhashSignature(shingles(tokens(text), 3), numHashes).as("mh"))
+    val banded = sig.select(col("doc_id"), col("mh"),
+        posexplode(bandKeys(col("mh"), bands, r)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard similarity for pairs sharing a blocking key (e.g.
+    * source): |distinct shingle intersection| / |union|. */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      block: Column, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val g = df.select(block.as("__blk"), id.as("doc_id"),
+      array_distinct(shingles(tokens(text), k)).as("sh"))
+    val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") > minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs within a blocking key: hamming distance over
+    * 32-bit signatures. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      block: Column, maxHamming: Int): DataFrame = {
+    val g = df.select(block.as("__blk"), id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("sh", simhash32("toks"))
+    val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Double-cast embedding (floats upcast exactly; keeps both engines'
+    * arithmetic identical). DuckDB twin: list_transform(e, x -> x::DOUBLE) */
+  def asDouble(e: Column): Column = transform(e, x => x.cast("double"))
+
+  /** dot(a, b) with left-to-right summation. DuckDB twin:
+    * list_sum([a[i]*b[i] for i in range(1, len(a)+1)]) */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k: every query row against the whole corpus
+    * (corpus side broadcast when small). The exact baseline ANN. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame,
+      qid: Column, qvec: Column, cid: Column, cvec: Column, k: Int): DataFrame = {
+    val q = queries.select(qid.as("query_id"), asDouble(qvec).as("qv"))
+    val c = corpus.select(cid.as("cand_id"), asDouble(cvec).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    q.join(broadcast(c), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket id (nbits signs; plane coefficients are
+    * hash32-derived so any engine can reproduce them).
+    * coef(p, d) = hash32(p || '_' || d) % 1001 - 500
+    * bit p = 1 iff sum_d coef(p, d) * v[d] >= 0
+    * DuckDB twin mirrors this formula in the oracle SQL. */
+  def lshBucket(vec: Column, nbits: Int): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until nbits).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(1), size(v)),
+          (x, d) => x * ((pmod(hash32(concat(lit(p.toString), lit("_"), d)), lit(1001)) - 500).cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate NN: candidates only within a bucket. */
+  def lshAnn(df: DataFrame, id: Column, vec: Column, nbits: Int, k: Int): DataFrame = {
+    val g = df.select(id.as("vid"), asDouble(vec).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nbits))
+    val a = g.select(col("bucket"), col("vid").as("query_id"), col("v").as("qv"))
+    val b = g.select(col("bucket"), col("vid").as("cand_id"), col("v").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    a.join(b, Seq("bucket")).filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("cand_id"), col("rank"), col("sim"))
+  }
+}

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.pipeline.{PipelineOps, TextOps}
+
+/** Training-data pipeline operators over documents/embeddings (the
+  * BASELINE.json north-star additions): text analysis, language-ID,
+  * exact + MinHash + SimHash + n-gram-Jaccard dedup, brute-force and
+  * LSH-bucketed cosine similarity, multimodal binary plumbing. All hashing
+  * is md5-derived so the DuckDB oracles reproduce results exactly.
+  */
+object PipelineQueries {
+  import TextOps._
+
+  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+  private def h32(x: String) = s"('0x' || substr(md5($x), 1, 8))::UBIGINT::BIGINT"
+  private val shSql = // word 3-shingles over t
+    "[array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))]"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting + quality scoring
+    "pl01_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("stop_ratio", TextOps.stopwordRatio(col("toks")))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          length(col("text")).as("n_chars_m"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_words_re"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(aggregate(transform(col("toks"), w => length(w)), lit(0),
+            (a, x) => a + x).cast("double") / size(col("toks")), 6).as("avg_word_len"),
+          round(lit(1.0) / (lit(1.0) + exp(-(log(lit(1.0) + size(col("toks"))) * 0.3
+            + col("stop_ratio") * 2 - 1))), 6).as("quality"))
+    }),
+
+    // marker-based language id with deterministic argmax
+    "pl02_langid" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("toks", tokens(col("text")))
+      val withScores = langMarkers.foldLeft(scored) { case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang", markerCount(col("toks"), markers))
+      }
+      val m = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+      val pred = langMarkers.foldLeft(lit(null).cast("string")) { case (acc, (l, _)) =>
+        when(acc.isNotNull, acc).otherwise(when(col(s"s_$l") === m, lit(l)))
+      }
+      withScores.select(col("doc_id") +:
+        langMarkers.map { case (l, _) => col(s"s_$l") } :+
+        pred.as("predicted_lang"): _*)
+    }),
+
+    // exact dedup on normalized 5-token prefix
+    "pl03_exact_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      PipelineOps.exactDedup(docs,
+          md5(concat_ws(" ", slice(tokens(col("text")), 1, 5)).cast("binary")),
+          col("doc_id"))
+        .withColumnRenamed("__key", "key_hash")
+    }),
+
+    // minhash-LSH candidate pairs
+    "pl04_minhash_pairs" -> ((s, dir) => {
+      PipelineOps.minhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        numHashes = 12, bands = 4)
+    }),
+
+    // simhash near-dup pairs inside source blocks
+    "pl05_simhash_pairs" -> ((s, dir) => {
+      PipelineOps.simhashPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        col("source"), maxHamming = 14)
+    }),
+
+    // n-gram jaccard pairs inside source blocks
+    "pl06_ngram_jaccard" -> ((s, dir) => {
+      PipelineOps.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"), col("text"),
+          col("source"), k = 3, minJaccard = 0.03)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // winnowing-lite document fingerprints
+    "pl07_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.fingerprint4(shingles(tokens(col("text")), 3)).as("fp"))
+    }),
+
+    // brute-force cosine top-3 (exact ANN baseline)
+    "pl08_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      PipelineOps.cosineTopK(
+          e.filter(col("vec_id") < 20), e,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("cand_id"), col("rank").as("rnk"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
+    // LSH-bucketed ANN (the scale path)
+    "pl09_lsh_ann" -> ((s, dir) => {
+      PipelineOps.lshAnn(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          nbits = 8, k = 2)
+        .select(col("query_id"), col("bucket"), col("cand_id"),
+          col("rank").as("rnk"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // multimodal binary column plumbing with deterministic fake decode
+    "pl10_multimodal" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("blob", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("blob")).as("n_bytes"),
+          md5(col("blob")).as("checksum"),
+          pmod(TextOps.hash32(col("text")), lit(1024)).cast("int").as("fake_width"),
+          pmod(TextOps.hash32(concat(col("text"), lit("h"))), lit(1024)).cast("int").as("fake_height"),
+          aggregate(transform(regexp_extract_all(substring(col("text"), 1, 16), lit("."), lit(0)),
+            c => ascii(c)), lit(0), (a, x) => a + x).as("ascii_sum"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pl01_text_stats" ->
+      s"""WITH d AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+        |s AS (SELECT doc_id, text, t,
+        |  len(list_filter(t, x -> x IN ('the','a','of','and')))::DOUBLE / len(t) AS stop_ratio
+        |FROM d)
+        |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_m,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_words_re,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(CAST(list_sum([length(x) for x in t]) AS DOUBLE) / len(t), 6) AS avg_word_len,
+        |  round(1.0/(1.0 + exp(-(ln(1.0 + len(t)) * 0.3 + stop_ratio * 2 - 1))), 6) AS quality
+        |FROM s""".stripMargin,
+
+    "pl02_langid" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','fast'))) AS INT) AS s_en,
+        |  CAST(len(list_filter(t, x -> x IN ('der','die','und','schnell','batch'))) AS INT) AS s_de,
+        |  CAST(len(list_filter(t, x -> x IN ('el','la','de','rapido','join'))) AS INT) AS s_es,
+        |  CAST(len(list_filter(t, x -> x IN ('le','la','et','vite','scan'))) AS INT) AS s_fr,
+        |  CAST(len(list_filter(t, x -> x IN ('de','shi','zai','stream','merge'))) AS INT) AS s_zh
+        |FROM d)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang
+        |FROM sc""".stripMargin,
+
+    "pl03_exact_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents)
+        |SELECT md5(array_to_string(t[1:5], ' ')) AS key_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "pl04_minhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (SELECT doc_id, $shSql AS sh FROM d),
+        |sig AS (SELECT doc_id,
+        |  [list_min([${h32("s || '#' || j")} for s in sh]) for j in range(0, 12)] AS mh
+        |FROM sh),
+        |banded AS (
+        |  SELECT doc_id, mh, r.range AS band,
+        |    md5(array_to_string(mh[r.range*3+1 : r.range*3+3], ',')) AS bkey
+        |  FROM sig CROSS JOIN range(0, 4) r),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    list_sum([CASE WHEN a.mh[i] = b.mh[i] THEN 1 ELSE 0 END
+        |              for i in range(1, 13)])::DOUBLE / 12 AS est_jaccard
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, est_jaccard FROM pairs""".stripMargin,
+
+    "pl05_simhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+        |sg AS (SELECT doc_id, source, ${TextOps.simhashSqlDuck("t")} AS sh FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS INT) AS hamming
+        |FROM sg a JOIN sg b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) <= 14""".stripMargin,
+
+    "pl06_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+        |g AS (SELECT doc_id, source, list_distinct($shSql) AS sh FROM d),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE AS inter,
+        |    len(a.sh) + len(b.sh) AS tot
+        |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(inter / (tot - inter), 6) AS jaccard
+        |FROM p WHERE inter / (tot - inter) > 0.03""".stripMargin,
+
+    "pl07_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |sh AS (SELECT doc_id, $shSql AS sh FROM d)
+        |SELECT doc_id,
+        |  array_to_string(list_sort([${h32("s")} for s in sh])[1:4], '-') AS fp
+        |FROM sh""".stripMargin,
+
+    "pl08_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS cid,
+        |    list_sum([qv[i]*v[i] for i in range(1, len(qv)+1)]) /
+        |      (sqrt(list_sum([qv[i]*qv[i] for i in range(1, len(qv)+1)])) *
+        |       sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)]))) AS sim
+        |  FROM q CROSS JOIN e WHERE q.qid <> e.vec_id),
+        |ranked AS (SELECT qid, cid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+        |  FROM pairs)
+        |SELECT qid AS query_id, cid AS cand_id, CAST(rk AS INT) AS rnk,
+        |  round(sim, 6) AS sim
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "pl09_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |bkt AS (SELECT vec_id, v, p.range AS p,
+        |  CASE WHEN list_sum([v[d] * ((${h32("p.range || '_' || d")} % 1001) - 500)::DOUBLE
+        |                      for d in range(1, len(v)+1)]) >= 0
+        |       THEN (1::BIGINT << p.range) ELSE 0::BIGINT END AS bit_p
+        |  FROM e CROSS JOIN range(0, 8) p),
+        |buck AS (SELECT vec_id, CAST(SUM(bit_p) AS BIGINT) AS bucket, any_value(v) AS v
+        |  FROM bkt GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS cand_id,
+        |    list_sum([a.v[i]*b.v[i] for i in range(1, len(a.v)+1)]) /
+        |      (sqrt(list_sum([a.v[i]*a.v[i] for i in range(1, len(a.v)+1)])) *
+        |       sqrt(list_sum([b.v[i]*b.v[i] for i in range(1, len(b.v)+1)]))) AS sim
+        |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |ranked AS (SELECT query_id, bucket, cand_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, bucket, cand_id, CAST(rk AS INT) AS rnk, round(sim, 6) AS sim
+        |FROM ranked WHERE rk <= 2""".stripMargin,
+
+    "pl10_multimodal" ->
+      s"""SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(${h32("text")} % 1024 AS INT) AS fake_width,
+        |  CAST(${h32("text || 'h'")} % 1024 AS INT) AS fake_height,
+        |  CAST(list_sum([ascii(c) for c in regexp_extract_all(substr(text, 1, 16), '.')]) AS INT)
+        |    AS ascii_sum
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline.{MultimodalOps, PipelineOps, TextOps}
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("minhash pairs surface near-duplicates, not unrelated docs") {
+    val pairs = PipelineOps.minhashPairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 4 && j == 1.0 })
+    assert(!pairs.exists { case (a, b, _) => b == 3 || a == 3 })
+  }
+
+  test("simhash of identical docs is identical; hamming 0") {
+    val p = PipelineOps.simhashPairs(docs.withColumn("blk", lit(1)),
+      col("doc_id"), col("text"), col("blk"), maxHamming = 32).collect()
+    val h14 = p.find(r => r.getLong(0) == 1 && r.getLong(1) == 4).get.getInt(2)
+    assert(h14 == 0)
+  }
+
+  test("ngram jaccard: identical=1, near-dup high, different low") {
+    val p = PipelineOps.ngramJaccardPairs(docs.withColumn("blk", lit(1)),
+      col("doc_id"), col("text"), col("blk")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(p((1L, 4L)) == 1.0)
+    assert(p((1L, 2L)) > 0.5 && p((1L, 2L)) < 1.0)
+    assert(p.getOrElse((1L, 3L), 0.0) < 0.1)
+  }
+
+  test("cosine top-k: self-similar vectors rank first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.98f, 0.2f))).toDF("vec_id", "embedding")
+    val r = PipelineOps.cosineTopK(vecs, vecs, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(0L) == 1L && r(1L) == 0L && r(2L) == 3L && r(3L) == 2L)
+  }
+
+  test("lsh ann buckets similar vectors together") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.5f, 0.1f) else Array(0.0f, 1.0f, -0.5f, 0.9f)
+      (i.toLong, base.map(_ + (i / 100.0f)))
+    }.toDF("vec_id", "embedding")
+    val buckets = vecs.select(col("vec_id"),
+      PipelineOps.lshBucket(PipelineOps.asDouble(col("embedding")), 6).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same-parity (similar) vectors share buckets far more than cross-parity
+    val even = (0 until 40 by 2).map(i => buckets(i.toLong))
+    val odd = (1 until 40 by 2).map(i => buckets(i.toLong))
+    assert(even.distinct.size <= 4 && odd.distinct.size <= 4)
+    assert(even.intersect(odd).isEmpty)
+  }
+
+  test("multimodal decodeBatch: schema + deterministic stub features") {
+    val df = docs.withColumn("blob", col("text").cast("binary"))
+    val out = MultimodalOps.decodeBatch(df, "blob", "img")
+    assert(out.schema.fieldNames.contains("media_meta") && out.schema.fieldNames.contains("features"))
+    val rows = out.select(col("doc_id"), col("media_meta.n_bytes"),
+      col("features.checksum"), col("features.mean_byte")).collect()
+    assert(rows.length == 4)
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val r4 = rows.find(_.getLong(0) == 4L).get
+    assert(r1.getString(2) == r4.getString(2)) // same bytes -> same checksum
+    assert(r1.getInt(1) == 43)
+  }
+
+  test("structured streaming: windowed counts + dedup run with our extensions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF().toDF("ts_ms", "word")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("word", "ts")
+      .groupBy(window(col("ts"), "10 seconds"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val q = events.writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    try {
+      input.addData((1000L, "a"), (2000L, "a"), (2000L, "a"), (12000L, "b"))
+      q.processAllAvailable()
+      val res = spark.table("wc").select("word", "n").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(res("a") == 2) // dup (2000, a) dropped
+      assert(res("b") == 1)
+    } finally q.stop()
+  }
+}
