@@ -13,5 +13,8 @@ object GraftExtensions {
     if (!cur.exists(_.isInstanceOf[graft.joins.SpatialJoinStrategy]))
       spark.experimental.extraStrategies =
         cur :+ graft.joins.SpatialJoinStrategy(spark)
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(graft.plans.GeoPruneRule))
+      spark.experimental.extraOptimizations = opts :+ graft.plans.GeoPruneRule
   }
 }

@@ -23,12 +23,14 @@ object SparkEntry {
       graft.queries.RelationalQueries.queries ++
       graft.queries.SpatialQueries.queries ++
       graft.queries.JoinQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.IoQueries.queries
 
   def oracleSql: Map[String, String] =
     Map[String, String]() ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.SpatialQueries.oracles ++
       graft.queries.JoinQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.IoQueries.oracles
 }

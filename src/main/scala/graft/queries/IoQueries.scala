@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.GraftExtensions
+import graft.functions.GraftFunctions.st
+import graft.sources.GeoParquet
+
+/** GeoParquet round-trip + covering-column pruning as a correctness-gate
+  * query: write part boxes as Hilbert-clustered GeoParquet with a bbox
+  * covering column, read back through the pruned spatial filter, verify
+  * the surviving keys against plain interval SQL.
+  */
+object IoQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gp01_geoparquet_prune" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val boxes = t(s, dir, "part")
+        .withColumn("bxmin", (col("p_partkey") % 100).cast("double") * 20.0)
+        .withColumn("bymin", (col("p_size") % 50).cast("double") * 20.0)
+        .withColumn("geom", st.makeEnvelope(col("bxmin"), col("bymin"),
+          col("bxmin") + (col("p_partkey") % 7 + 1).cast("double"),
+          col("bymin") + (col("p_size") % 5 + 1).cast("double")))
+        .select(col("p_partkey"), col("geom"))
+      val path = s"/tmp/graft_gp/${math.abs(dir.hashCode)}"
+      GeoParquet.write(boxes, path, "geom")
+      GeoParquet.read(s, path)
+        .filter(st.intersects(col("geom"),
+          st.makeEnvelope(lit(200.0), lit(100.0), lit(600.0), lit(400.0))))
+        .select(col("p_partkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "gp01_geoparquet_prune" ->
+      """WITH b AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 100 AS DOUBLE)*20.0 AS bxmin,
+        |    CAST(p_size % 50 AS DOUBLE)*20.0 AS bymin,
+        |    CAST(p_partkey % 7 + 1 AS DOUBLE) AS bw,
+        |    CAST(p_size % 5 + 1 AS DOUBLE) AS bh
+        |  FROM part)
+        |SELECT p_partkey FROM b
+        |WHERE bxmin <= 600 AND bxmin + bw >= 200
+        |  AND bymin <= 400 AND bymin + bh >= 100""".stripMargin)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.GraftFunctions.st
+import graft.sources.GeoParquet
+
+class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def sample: DataFrame =
+    spark.range(2000).select(col("id"),
+      st.makeEnvelope(
+        (pmod(hash(col("id")), lit(1000))).cast("double"),
+        (pmod(hash(col("id") * 3), lit(1000))).cast("double"),
+        (pmod(hash(col("id")), lit(1000))).cast("double") + 2.0,
+        (pmod(hash(col("id") * 3), lit(1000))).cast("double") + 2.0).as("geom"))
+
+  test("write/read round trip preserves geometry values, CRS metadata, sidecar") {
+    val dir = Files.createTempDirectory("gp").toString + "/t1"
+    GeoParquet.write(sample, dir, "geom", crs = "EPSG:3857")
+    val back = GeoParquet.read(spark, dir)
+    assert(back.count() == 2000)
+    assert(GeoParquet.geometryColumns(back) == Seq("geom" -> "EPSG:3857"))
+    assert(back.columns.contains("geom_bbox"))
+    // same geometry multiset
+    val a = sample.select(st.asText(col("geom"))).collect().map(_.getString(0)).sorted
+    val b = back.select(st.asText(col("geom"))).collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_geo.json"))).contains("\"covering\""))
+  }
+
+  test("spatial filter is rewritten to bbox ranges and pushed to parquet") {
+    val dir = Files.createTempDirectory("gp").toString + "/t2"
+    GeoParquet.write(sample, dir, "geom")
+    val back = GeoParquet.read(spark, dir)
+    val q = back.filter(st.intersects(col("geom"),
+      st.makeEnvelope(lit(100.0), lit(100.0), lit(300.0), lit(300.0))))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("geom_bbox.xmin"),
+      plan.take(3000))
+    // pruned result ≡ brute force on the raw data
+    val expected = sample.filter(st.intersects(col("geom"),
+      st.makeEnvelope(lit(100.0), lit(100.0), lit(300.0), lit(300.0))))
+      .select("id").collect().map(_.getLong(0)).sorted
+    val actual = q.select("id").collect().map(_.getLong(0)).sorted
+    assert(actual.sameElements(expected))
+  }
+
+  test("dwithin filter prunes with expanded envelope") {
+    val dir = Files.createTempDirectory("gp").toString + "/t3"
+    GeoParquet.write(sample, dir, "geom")
+    val back = GeoParquet.read(spark, dir)
+    val q = back.filter(st.dwithin(col("geom"), st.point(lit(500.0), lit(500.0)), lit(50.0)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("geom_bbox.xmin"), plan.take(3000))
+    val expected = sample.filter(st.dwithin(col("geom"), st.point(lit(500.0), lit(500.0)), lit(50.0))).count()
+    assert(q.count() == expected)
+  }
+}
