@@ -19,11 +19,24 @@ object Debug {
     val o = Seq((10L, 1.0, 1.0), (11L, 2.0, 2.0), (12L, 9.0, 9.0)).toDF("oid", "x", "y")
       .withColumn("opt", st.point(col("x"), col("y"))).select("oid", "opt")
     try {
-      SpatialJoins.knnJoin(q, o, col("qpt"), col("opt"), 2, col("oid")).show()
-      val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents").limit(5)
-        .withColumn("blob", col("text").cast("binary"))
-      graft.pipeline.MultimodalOps.decodeBatch(docs, "blob", "img")
-        .select("doc_id", "media_meta.*", "features.*").show(truncate = false)
+      val dir = "/root/testdata/sf0.1"
+      def audit(name: String, df: org.apache.spark.sql.DataFrame, needles: Seq[String]): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        needles.foreach { n =>
+          println(s"AUDIT $name [${if (plan.contains(n)) "OK " else "MISS"}] $n")
+        }
+      }
+      audit("q01", SparkEntry.queries("q01_pricing_summary")(spark, dir),
+        Seq("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate",
+          "WholeStageCodegen", "partial_sum"))
+      audit("sj01", SparkEntry.queries("sj01_intersects_join")(spark, dir),
+        Seq("BroadcastIndexSpatialJoin", "BroadcastExchange"))
+      audit("q02", SparkEntry.queries("q02_top_revenue")(spark, dir),
+        Seq("BroadcastHashJoin", "TakeOrderedAndProject"))
+      audit("sj05", SparkEntry.queries("sj05_grid_join")(spark, dir),
+        Seq("ShuffledHashJoin", "SortMergeJoin"))
+      audit("pl04", SparkEntry.queries("pl04_minhash_pairs")(spark, dir),
+        Seq("InMemoryTableScan", "HashAggregate"))
     } catch {
       case e: Throwable =>
         var t: Throwable = e

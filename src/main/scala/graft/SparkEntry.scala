@@ -12,10 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A spatial index join + spatial aggregation: order points against part
+    * boxes, per-brand envelope + revenue — the engine's signature shape. */
   def entry(spark: SparkSession): DataFrame = {
     GraftExtensions.install(spark)
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    import graft.functions.GraftFunctions.st
+    val dir = "/root/testdata/sf0.001"
+    val pts = Tables.t(spark, dir, "orders")
+      .withColumn("pt", st.point(
+        ((col("o_orderkey") % 100) * 20 + (col("o_orderkey") % 13)).cast("double"),
+        ((col("o_custkey") % 50) * 20 + (col("o_custkey") % 11)).cast("double")))
+    val boxes = Tables.t(spark, dir, "part")
+      .withColumn("bxmin", (col("p_partkey") % 100).cast("double") * 20.0)
+      .withColumn("bymin", (col("p_size") % 50).cast("double") * 20.0)
+      .withColumn("box", st.makeEnvelope(col("bxmin"), col("bymin"),
+        col("bxmin") + (col("p_partkey") % 7 + 1).cast("double"),
+        col("bymin") + (col("p_size") % 5 + 1).cast("double")))
+    pts.join(boxes, st.intersects(col("pt"), col("box")))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_hits"),
+        st.asText(st.envelopeAgg(col("pt"))).as("hit_envelope"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

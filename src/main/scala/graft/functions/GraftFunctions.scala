@@ -19,9 +19,18 @@ object GraftFunctions {
     "st_convexhull_agg" -> (es => StConvexHullAgg(es.head)),
     "st_analyze_agg" -> (es => StAnalyzeAgg(es.head)))
 
+  private val sketches: Map[String, Seq[Expression] => Expression] = Map(
+    "sd_minhash" -> (es => graft.pipeline.MinHashSig(es.head, es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval().asInstanceOf[Number].intValue()
+    })),
+    "sd_simhash32" -> (es => graft.pipeline.SimHash32(es.head)),
+    "sd_sorted_intersect_count" ->
+      (es => graft.pipeline.SortedIntersectCount(es.head, es(1))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    (GeomScalars.registry ++ aggregates).foreach { case (name, builder) =>
+    (GeomScalars.registry ++ aggregates ++ sketches).foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }

@@ -27,8 +27,11 @@ object PipelineOps {
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val r = numHashes / bands
+    // persist: the band self-join references the signatures twice; without
+    // this the md5 pass over the corpus runs twice
     val sig = df.select(id.as("doc_id"),
         minhashSignature(shingles(tokens(text), 3), numHashes).as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("doc_id"), col("mh"),
         posexplode(bandKeys(col("mh"), bands, r)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
@@ -48,12 +51,15 @@ object PipelineOps {
     * source): |distinct shingle intersection| / |union|. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       block: Column, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    // shingles are hashed to longs and sorted before the pairwise stage:
+    // per-pair intersection is an allocation-free merge over sorted ints
     val g = df.select(block.as("__blk"), id.as("doc_id"),
-      array_distinct(shingles(tokens(text), k)).as("sh"))
+      array_sort(array_distinct(transform(shingles(tokens(text), k), s => hash32(s)))).as("sh"))
     val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter",
+        call_function("sd_sorted_intersect_count", col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni"))
       .filter(col("jaccard") > minJaccard)
@@ -64,8 +70,9 @@ object PipelineOps {
     * 32-bit signatures. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       block: Column, maxHamming: Int): DataFrame = {
-    val g = df.select(block.as("__blk"), id.as("doc_id"), tokens(text).as("toks"))
-      .withColumn("sh", simhash32("toks"))
+    val g = df.select(block.as("__blk"), id.as("doc_id"),
+        transform(tokens(text), t => hash32(t)).as("hs"))
+      .withColumn("sh", simhash32("hs"))
     val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b"))

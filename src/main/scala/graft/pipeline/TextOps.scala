@@ -32,12 +32,31 @@ object TextOps {
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k))))
 
-  /** MinHash signature: h distinct salted hash32 minima over shingles.
-    * DuckDB twin:
-    * [list_min([hash32(s || '#' || j) for s in sh]) for j in range(0, h)] */
+  /** MinHash permutation constants: a_j in [1, 2^20], b_j in [0, 2^32),
+    * prime p slightly over 2^32 — products stay under 2^53 so the affine
+    * permutation is exact in BOTH engines' 64-bit integer arithmetic
+    * (DuckDB errors on BIGINT overflow; Spark silently wraps — neither
+    * happens below 2^63). */
+  final val MinhashP = 4294967311L
+  def mhA(j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"a$j".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 1048573L) + 1
+  }
+  def mhB(j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"b$j".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** MinHash signature over PRE-HASHED shingles: each shingle is md5-hashed
+    * once, then h affine permutations (a_j*x + b_j) mod p are minimized in
+    * a single JVM pass (MinHashSig expression — the HOF formulation gets
+    * its hash child inlined 12x by CollapseProject).
+    * DuckDB twin (hs = [hash32(s) for s in sh]):
+    * [list_min([(A_j*x + B_j) % 4294967311 for x in hs]) for each j] */
   def minhashSignature(sh: Column, h: Int): Column =
-    transform(sequence(lit(0), lit(h - 1)),
-      j => array_min(transform(sh, s => hash32(concat(s, lit("#"), j)))))
+    call_function("sd_minhash", transform(sh, s => hash32(s)), lit(h))
 
   /** LSH band keys from a minhash signature: md5 of each rows-per-band
     * slice. DuckDB twin:
@@ -46,18 +65,15 @@ object TextOps {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws(",", slice(mh, b * rowsPerBand + 1, lit(rowsPerBand))).cast("binary")))
 
-  /** 32-bit SimHash over token hashes (expr because shiftleft needs column
-    * args). DuckDB twin in SimHash SQL below. */
-  def simhash32(tokensCol: String): Column = expr(
-    s"""aggregate(sequence(0, 31), 0L, (acc, b) ->
-       |  acc + if(aggregate($tokensCol, 0L,
-       |            (a, t) -> a + if(((cast(conv(substring(md5(cast(t as binary)), 1, 8), 16, 10) as bigint) >> b) & 1) = 1, 1L, -1L)
-       |          ) >= 0, shiftleft(1L, b), 0L))""".stripMargin)
+  /** 32-bit SimHash over a PRE-HASHED long array column — single-pass
+    * SimHash32 expression. DuckDB twin in simhashSqlDuck. */
+  def simhash32(hashesCol: String): Column =
+    call_function("sd_simhash32", org.apache.spark.sql.functions.col(hashesCol))
 
-  /** DuckDB twin of simhash32 for oracle SQL (same bit/threshold rules). */
-  def simhashSqlDuck(tokensExpr: String): String =
-    s"""list_sum([CASE WHEN list_sum([CASE WHEN ((('0x' || substr(md5(t), 1, 8))::UBIGINT >> b) & 1) = 1
-       |  THEN 1 ELSE -1 END for t in $tokensExpr]) >= 0
+  /** DuckDB twin of simhash32: `hashesExpr` is a BIGINT list expression. */
+  def simhashSqlDuck(hashesExpr: String): String =
+    s"""list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1
+       |  THEN 1 ELSE -1 END for h in $hashesExpr]) >= 0
        |  THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)])""".stripMargin
 
   /** Marker-token language scores; deterministic argmax with fixed

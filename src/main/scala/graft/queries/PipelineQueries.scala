@@ -159,9 +159,12 @@ object PipelineQueries {
     "pl04_minhash_pairs" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
         |sh AS (SELECT doc_id, $shSql AS sh FROM d),
+        |hashed AS (SELECT doc_id, [${h32("s")} for s in sh] AS hs FROM sh),
         |sig AS (SELECT doc_id,
-        |  [list_min([${h32("s || '#' || j")} for s in sh]) for j in range(0, 12)] AS mh
-        |FROM sh),
+        |  [${(0 until 12).map(j =>
+             s"list_min([(${TextOps.mhA(j)}*x + ${TextOps.mhB(j)}) % ${TextOps.MinhashP} for x in hs])")
+             .mkString(",\n        |   ")}] AS mh
+        |FROM hashed),
         |banded AS (
         |  SELECT doc_id, mh, r.range AS band,
         |    md5(array_to_string(mh[r.range*3+1 : r.range*3+3], ',')) AS bkey
@@ -176,7 +179,8 @@ object PipelineQueries {
 
     "pl05_simhash_pairs" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS t FROM documents),
-        |sg AS (SELECT doc_id, source, ${TextOps.simhashSqlDuck("t")} AS sh FROM d)
+        |hd AS (SELECT doc_id, source, [${h32("t0")} for t0 in t] AS hs FROM d),
+        |sg AS (SELECT doc_id, source, ${TextOps.simhashSqlDuck("hs")} AS sh FROM hd)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.sh::BIGINT, b.sh::BIGINT)) AS INT) AS hamming
         |FROM sg a JOIN sg b ON a.source = b.source AND a.doc_id < b.doc_id
@@ -184,7 +188,8 @@ object PipelineQueries {
 
     "pl06_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS t FROM documents),
-        |g AS (SELECT doc_id, source, list_distinct($shSql) AS sh FROM d),
+        |g AS (SELECT doc_id, source,
+        |  list_distinct([${h32("s")} for s in $shSql]) AS sh FROM d),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    len(list_filter(a.sh, x -> list_contains(b.sh, x)))::DOUBLE AS inter,
         |    len(a.sh) + len(b.sh) AS tot
