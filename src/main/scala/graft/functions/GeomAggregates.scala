@@ -258,6 +258,27 @@ case class StAnalyzeAgg(
     copy(child = c.head)
 }
 
+/** ST_Polygonize_Agg — collected edges -> Polygonizer
+  * (c/sedona-geos/src/st_polygonize_agg.rs). */
+case class StPolygonizeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends GeomListAgg {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_polygonize_agg"
+  override protected def compactAt: Int = Int.MaxValue
+  override def eval(buf: ArrayBuffer[Geometry]): Any = {
+    if (buf.isEmpty) return null
+    val p = new org.locationtech.jts.operation.polygonize.Polygonizer()
+    buf.sortBy(g => java.util.Arrays.hashCode(GeomIO.write(g))).foreach(p.add)
+    GeomIO.write(GeomIO.factory.buildGeometry(p.getPolygons))
+  }
+  override def withNewMutableAggBufferOffset(o: Int): StPolygonizeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): StPolygonizeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
 object StAnalyzeAgg {
   class Buf {
     var count: Long = 0L

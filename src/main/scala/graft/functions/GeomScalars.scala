@@ -481,6 +481,72 @@ object GeomScalars {
     fn("st_flipcoordinates", BinaryType, Seq(Geom))(a => flip(g0(a))),
     fn("st_force2d", BinaryType, Seq(Geom))(a => forceDim2(g0(a))),
 
+    // ---- proximity constructions (DistanceOp.nearestPoints; reference:
+    // s2 st_closestpoint/shortestline/longestline kernels) ----
+    fn("st_closestpoint", BinaryType, Seq(Geom, Geom))(a => {
+      val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(g0(a), g1(a))
+      GeomIO.factory.createPoint(pts(0))
+    }),
+    fn("st_shortestline", BinaryType, Seq(Geom, Geom))(a => {
+      val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(g0(a), g1(a))
+      GeomIO.factory.createLineString(Array(pts(0), pts(1)))
+    }),
+    fn("st_longestline", BinaryType, Seq(Geom, Geom))(a => {
+      val ca = g0(a).convexHull().getCoordinates
+      val cb = g1(a).convexHull().getCoordinates
+      var best = 0.0; var bi = 0; var bj = 0
+      var i = 0
+      while (i < ca.length) {
+        var j = 0
+        while (j < cb.length) {
+          val d0 = ca(i).distance(cb(j))
+          if (d0 > best) { best = d0; bi = i; bj = j }
+          j += 1
+        }
+        i += 1
+      }
+      if (ca.isEmpty || cb.isEmpty) null
+      else GeomIO.factory.createLineString(Array(ca(bi), cb(bj)))
+    }),
+    fn("st_buildarea", BinaryType, Seq(Geom))(a => {
+      val p = new Polygonizer(); p.add(g0(a))
+      val polys = p.getPolygons
+      if (polys.isEmpty) GeomIO.factory.createPolygon()
+      else UnaryUnionOp.union(GeomIO.factory.buildGeometry(polys))
+    }),
+    fn("st_force3d", BinaryType, Seq(Geom, Dbl))(a => {
+      val c = g0(a).copy()
+      c.apply(new CoordinateSequenceFilter {
+        override def filter(seq: CoordinateSequence, i: Int): Unit =
+          if (seq.getDimension > 2 && java.lang.Double.isNaN(seq.getOrdinate(i, 2)))
+            seq.setOrdinate(i, 2, d(a, 1))
+        override def isDone: Boolean = false
+        override def isGeometryChanged: Boolean = true
+      })
+      // rebuild through 3D WKT to guarantee Z storage
+      GeomIO.readWkt(new org.locationtech.jts.io.WKTWriter(3).write {
+        val ed = new org.locationtech.jts.geom.util.GeometryEditor(GeomIO.factory)
+        ed.edit(c, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+          override def edit(coords: Array[Coordinate], g: Geometry): Array[Coordinate] =
+            coords.map(cc => new Coordinate(cc.x, cc.y,
+              if (java.lang.Double.isNaN(cc.getZ)) d(a, 1) else cc.getZ))
+        })
+      })
+    }),
+    // geography/geometry casts: the reference flips the Edges flag
+    // (st_togeomgeog.rs); our WKB model carries no edge flag, so these are
+    // identity re-tags kept for API parity
+    fn("st_togeography", BinaryType, Seq(Geom))(a => g0(a)),
+    fn("st_togeometry", BinaryType, Seq(Geom))(a => g0(a)),
+    fn("sd_format", StringType, Seq(Geom))(a => {
+      val wkt = GeomIO.writeWkt(g0(a))
+      if (wkt.length > 80) wkt.take(77) + "..." else wkt
+    }),
+    fn("st_hausdorffdistancedensify", DoubleType, Seq(Geom, Geom, Dbl))(a => {
+      val h = new DiscreteHausdorffDistance(g0(a), g1(a))
+      h.setDensifyFraction(d(a, 2)); h.distance()
+    }),
+
     // ---- CRS (st_transform.rs; PROJ replaced by hand-coded math) ----
     fn("st_transform", BinaryType, Seq(Geom, Str, Str))(a =>
       CrsTransform.transform(g0(a), s(a, 1), s(a, 2))),

@@ -17,7 +17,8 @@ object GraftFunctions {
     "st_intersection_agg" -> (es => StIntersectionAgg(es.head)),
     "st_collect_agg" -> (es => StCollectAgg(es.head)),
     "st_convexhull_agg" -> (es => StConvexHullAgg(es.head)),
-    "st_analyze_agg" -> (es => StAnalyzeAgg(es.head)))
+    "st_analyze_agg" -> (es => StAnalyzeAgg(es.head)),
+    "st_polygonize_agg" -> (es => StPolygonizeAgg(es.head)))
 
   private val sketches: Map[String, Seq[Expression] => Expression] = Map(
     "sd_minhash" -> (es => graft.pipeline.MinHashSig(es.head, es(1) match {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.GraftExtensions
 import graft.functions.GraftFunctions.st
-import graft.sources.GeoParquet
+import graft.sources.{GeoParquet, GeoTextIO}
 
 /** GeoParquet round-trip + covering-column pruning as a correctness-gate
   * query: write part boxes as Hilbert-clustered GeoParquet with a bbox
@@ -30,6 +30,27 @@ object IoQueries {
         .filter(st.intersects(col("geom"),
           st.makeEnvelope(lit(200.0), lit(100.0), lit(600.0), lit(400.0))))
         .select(col("p_partkey"))
+    }),
+
+    // CSV + JSON round trip with WKT geometry transcoding
+    "io02_csv_json_roundtrip" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val boxes = t(s, dir, "part")
+        .withColumn("bxmin", (col("p_partkey") % 100).cast("double") * 20.0)
+        .withColumn("bymin", (col("p_size") % 50).cast("double") * 20.0)
+        .withColumn("geom", st.makeEnvelope(col("bxmin"), col("bymin"),
+          col("bxmin") + (col("p_partkey") % 7 + 1).cast("double"),
+          col("bymin") + (col("p_size") % 5 + 1).cast("double")))
+        .select(col("p_partkey"), col("geom"))
+      val base = s"/tmp/graft_textio/${math.abs(dir.hashCode)}"
+      GeoTextIO.writeCsv(boxes, s"$base/csv", Seq("geom"))
+      GeoTextIO.writeJson(boxes, s"$base/json", Seq("geom"))
+      val fromCsv = GeoTextIO.readCsv(s, s"$base/csv", Seq("geom"))
+        .select(col("p_partkey"), st.area(col("geom")).as("csv_area"))
+      val fromJson = GeoTextIO.readJson(s, s"$base/json", Seq("geom"))
+        .select(col("p_partkey"), st.area(col("geom")).as("json_area"))
+      fromCsv.join(fromJson, "p_partkey")
+        .select(col("p_partkey"), col("csv_area"), col("json_area"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -43,5 +64,11 @@ object IoQueries {
         |  FROM part)
         |SELECT p_partkey FROM b
         |WHERE bxmin <= 600 AND bxmin + bw >= 200
-        |  AND bymin <= 400 AND bymin + bh >= 100""".stripMargin)
+        |  AND bymin <= 400 AND bymin + bh >= 100""".stripMargin,
+
+    "io02_csv_json_roundtrip" ->
+      """SELECT p_partkey,
+        |  CAST(p_partkey % 7 + 1 AS DOUBLE) * CAST(p_size % 5 + 1 AS DOUBLE) AS csv_area,
+        |  CAST(p_partkey % 7 + 1 AS DOUBLE) * CAST(p_size % 5 + 1 AS DOUBLE) AS json_area
+        |FROM part""".stripMargin)
 }

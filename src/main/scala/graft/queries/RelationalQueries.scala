@@ -132,6 +132,21 @@ object RelationalQueries {
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"), max(col("event_id")).as("last_event_id"))
+    }),
+
+    // CUBE over two dimensions (grouping-set machinery).
+    "q11_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // explode/unnest: token rows from part names, re-aggregated.
+    "q12_explode" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -223,6 +238,16 @@ object RelationalQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, COUNT(*) AS n_events, MAX(event_id) AS last_event_id
-        |FROM sess GROUP BY user_id, session_id""".stripMargin
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q11_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q12_explode" ->
+      """SELECT u.word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) u
+        |GROUP BY u.word""".stripMargin
   )
 }
