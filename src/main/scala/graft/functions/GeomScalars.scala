@@ -551,6 +551,13 @@ object GeomScalars {
     fn("st_transform", BinaryType, Seq(Geom, Str, Str))(a =>
       CrsTransform.transform(g0(a), s(a, 1), s(a, 2))),
 
+    // ---- KNN join stub: only valid inside a join condition, where
+    // SpatialJoinStrategy plans it into KnnJoinExec (reference pattern:
+    // rust/sedona-functions/src/st_knn.rs:30-44) ----
+    fn("st_knn", BooleanType, Seq(Geom, Geom, Int_))(_ =>
+      throw new IllegalStateException(
+        "st_knn(query_geom, object_geom, k) can only be used as a join condition")),
+
     // ---- spatial sort keys (sd_order.rs) ----
     fn("sd_order", LongType, Seq(Geom))(a => SpaceCurve.hilbertLonLat(g0(a))),
     fn("sd_hilbert", LongType, Seq(Geom, Dbl, Dbl, Dbl, Dbl))(a =>

@@ -41,6 +41,20 @@ case class SpatialJoinStrategy(spark: SparkSession) extends SparkStrategy {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // KNN join: ST_KNN(query_geom, object_geom, k) as the join condition
+    case Join(left, right, joinType, Some(
+        graft.functions.GeomScalar("st_knn", Seq(a, b, kExpr), _, _, _)), _)
+        if (joinType == Inner || joinType == Cross) && kExpr.foldable =>
+      val k = kExpr.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toInt
+      }
+      if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
+        KnnJoinExec(planLater(left), planLater(right), a, b, k, objectIsLeft = false) :: Nil
+      else if (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+        KnnJoinExec(planLater(right), planLater(left), a, b, k, objectIsLeft = true) :: Nil
+      else Nil
+
     case Join(left, right, joinType, Some(cond), _)
         if (joinType == Inner || joinType == Cross || joinType == LeftOuter)
           && !hasEquiConjunct(cond, left, right) =>

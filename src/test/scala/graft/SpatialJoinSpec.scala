@@ -115,6 +115,32 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(grid2) == sortedRows(idx))
   }
 
+  test("SQL st_knn join plans as KnnJoinExec and matches brute force") {
+    import org.apache.spark.sql.expressions.Window
+    // tie-free: distinct coordinates per id
+    val q = spark.range(30).select(col("id").as("qid"),
+      st.point(col("id") * 7.13, col("id") * 3.37).as("qg"))
+    val o = spark.range(200).select(col("id").as("oid"),
+      st.point(pmod(hash(col("id")), lit(1000)) / 5.0 + 0.017,
+        pmod(hash(col("id") * 3), lit(1000)) / 5.0 + 0.013).as("og"))
+    q.createOrReplaceTempView("knn_q")
+    o.createOrReplaceTempView("knn_o")
+    val r = spark.sql(
+      "SELECT qid, oid FROM knn_q JOIN knn_o ON st_knn(qg, og, 4)")
+    assert(r.queryExecution.executedPlan.toString.contains("KnnJoin"))
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("oid"))
+    val brute = q.crossJoin(o)
+      .withColumn("d", st.distance(col("qg"), col("og")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select("qid", "oid")
+    assert(sortedRows(r) == sortedRows(brute))
+    // stub errors outside a join
+    val e = intercept[Exception](
+      spark.sql("SELECT st_knn(st_point(0,0), st_point(1,1), 2)").collect())
+    assert(e.getMessage.contains("join condition") ||
+      e.getCause != null && e.getCause.getMessage.contains("join condition"))
+  }
+
   test("knn join: exactly k per query, ranked by distance") {
     val q = points(50, 23).withColumnRenamed("pid", "qid").withColumnRenamed("pgeom", "qgeom")
     val o = points(200, 29)
