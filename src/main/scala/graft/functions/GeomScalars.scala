@@ -243,6 +243,7 @@ object GeomScalars {
     fn("st_mlinefromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "MultiLineString")),
     fn("st_mpolyfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "MultiPolygon")),
     fn("st_geomcollfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "GeometryCollection")),
+    fn("st_geomfromgeojson", BinaryType, Seq(Str))(a => GeomIO.fromGeoJson(s(a, 0))),
     fn("st_geomfromwkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
     fn("st_geomfromewkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
     fn("st_point", BinaryType, Seq(Dbl, Dbl))(a => GeomIO.point(d(a, 0), d(a, 1))),

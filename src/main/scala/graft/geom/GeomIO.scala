@@ -60,6 +60,49 @@ object GeomIO {
     val c = g.copy(); c.setSRID(srid); c
   }
 
+  /** GeoJSON reader via Jackson (ships with Spark) — reference:
+    * ST_GeomFromGeoJSON. Supports all seven geometry types. */
+  def fromGeoJson(json: String): Geometry = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root = new ObjectMapper().readTree(json)
+    def coord(n: JsonNode): Coordinate =
+      if (n.size() > 2) new Coordinate(n.get(0).asDouble, n.get(1).asDouble, n.get(2).asDouble)
+      else new Coordinate(n.get(0).asDouble, n.get(1).asDouble)
+    def coords(n: JsonNode): Array[Coordinate] =
+      (0 until n.size()).map(i => coord(n.get(i))).toArray
+    def ring(n: JsonNode): LinearRing = factory.createLinearRing(coords(n))
+    def polygon(n: JsonNode): Polygon = {
+      val shell = ring(n.get(0))
+      val holes = (1 until n.size()).map(i => ring(n.get(i))).toArray
+      factory.createPolygon(shell, holes)
+    }
+    def build(node: JsonNode): Geometry = {
+      val c = node.get("coordinates")
+      node.get("type").asText match {
+        case "Point" =>
+          if (c.size() == 0) factory.createPoint() else factory.createPoint(coord(c))
+        case "LineString" => factory.createLineString(coords(c))
+        case "Polygon" =>
+          if (c.size() == 0) factory.createPolygon() else polygon(c)
+        case "MultiPoint" =>
+          factory.createMultiPoint(
+            (0 until c.size()).map(i => factory.createPoint(coord(c.get(i)))).toArray)
+        case "MultiLineString" =>
+          factory.createMultiLineString(
+            (0 until c.size()).map(i => factory.createLineString(coords(c.get(i)))).toArray)
+        case "MultiPolygon" =>
+          factory.createMultiPolygon(
+            (0 until c.size()).map(i => polygon(c.get(i))).toArray)
+        case "GeometryCollection" =>
+          val gs = node.get("geometries")
+          factory.createGeometryCollection(
+            (0 until gs.size()).map(i => build(gs.get(i))).toArray)
+        case other => throw new IllegalArgumentException(s"unknown GeoJSON type $other")
+      }
+    }
+    build(root)
+  }
+
   /** Minimal GeoJSON writer (geometry only) — reference: ST_AsGeoJSON in
     * rust/sedona-geo/src/register.rs. */
   def toGeoJson(g: Geometry): String = {

@@ -64,6 +64,26 @@ object SpatialJoins {
       .drop("__cell", "__lg", "__rg")
   }
 
+  /** Size-adaptive spatial join: broadcast index join when a side fits the
+    * broadcast threshold (the SpatialJoinStrategy path), otherwise the
+    * shuffle grid join — the policy the reference's planner chain applies
+    * via statistics (rust/sedona-spatial-join/option.rs:105-108 +
+    * partitioned fallback). */
+  def autoJoin(
+      left: DataFrame, right: DataFrame,
+      leftGeom: Column, rightGeom: Column,
+      predicate: String,
+      nx: Int = 64, ny: Int = 64): DataFrame = {
+    val spark = left.sparkSession
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    def size(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size(left) <= threshold || size(right) <= threshold)
+      left.join(right, st.f(predicate, leftGeom, rightGeom))
+    else
+      gridJoin(left, right, leftGeom, rightGeom, predicate, None, nx, ny)
+  }
+
   private class GeomItemDistance extends ItemDistance with Serializable {
     override def distance(a: ItemBoundable, b: ItemBoundable): Double = {
       val ga = a.getItem.asInstanceOf[(Geometry, Any, Any)]._1

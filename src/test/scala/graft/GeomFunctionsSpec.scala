@@ -43,6 +43,19 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](q("st_pointfromtext('LINESTRING (0 0, 1 1)')"))
   }
 
+  test("geojson round trip both directions") {
+    val wkts = Seq(
+      "POINT (1.5 2)", "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2))",
+      "MULTIPOINT ((1 2), (3 4))", "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    wkts.foreach { w =>
+      val rt = q(s"st_astext(st_geomfromgeojson(st_asgeojson(st_geomfromwkt('$w'))))")
+      assert(rt == w, s"roundtrip of $w gave $rt")
+    }
+  }
+
   test("predicates: symmetry and known relations") {
     val a = "st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')"
     val inner = "st_geomfromwkt('POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))')"

@@ -102,6 +102,19 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.filter(col("bid").isNull).count() == 100 - matched.distinct().count())
   }
 
+  test("autoJoin picks grid path when broadcast is disabled, same result") {
+    val p = points(150, 31)
+    val b = boxes(120, 37)
+    val expected = sortedRows(
+      p.join(b, st.intersects(col("pgeom"), col("bgeom"))).select("pid", "bid"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val auto = SpatialJoins.autoJoin(p, b, col("pgeom"), col("bgeom"), "st_intersects",
+        nx = 6, ny = 6).select("pid", "bid")
+      assert(sortedRows(auto) == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("grid join ≡ index join") {
     val p = points(400, 13)
     val b = boxes(300, 17)
