@@ -552,6 +552,19 @@ object GeomScalars {
     fn("st_transform", BinaryType, Seq(Geom, Str, Str))(a =>
       CrsTransform.transform(g0(a), s(a, 1), s(a, 2))),
 
+    // ---- spherical (geography) subset — s2 kernel analogs
+    // (c/sedona-s2geography/src/kernels.rs:68-226) ----
+    fn("st_distancesphere", DoubleType, Seq(Geom, Geom))(a =>
+      Spherical.distance(g0(a), g1(a))),
+    fn("st_dwithinsphere", BooleanType, Seq(Geom, Geom, Dbl))(a =>
+      Spherical.distance(g0(a), g1(a)) match {
+        case null => null
+        case dd: Double => java.lang.Boolean.valueOf(dd <= d(a, 2))
+      }),
+    fn("st_areasphere", DoubleType, Seq(Geom))(a => Spherical.area(g0(a))),
+    fn("st_lengthsphere", DoubleType, Seq(Geom))(a => Spherical.length(g0(a))),
+    fn("st_perimetersphere", DoubleType, Seq(Geom))(a => Spherical.perimeter(g0(a))),
+
     // ---- KNN join stub: only valid inside a join condition, where
     // SpatialJoinStrategy plans it into KnnJoinExec (reference pattern:
     // rust/sedona-functions/src/st_knn.rs:30-44) ----

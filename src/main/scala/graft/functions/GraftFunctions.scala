@@ -31,7 +31,8 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    (GeomScalars.registry ++ aggregates ++ sketches).foreach { case (name, builder) =>
+    (GeomScalars.registry ++ RasterFunctions.registry ++ aggregates ++ sketches)
+      .foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import graft.geom.GeomIO
+import RasterModel.Raster
+
+/** RS_* raster functions over the in-db struct model — the GDAL-free
+  * subset of the reference's raster surface
+  * (rust/sedona-raster-functions/src/register.rs:41-89; geotransform math
+  * from rust/sedona-raster/src/geo_transform.rs). File-IO kernels
+  * (RS_FromPath, RS_AsGeoTiff, ...) need GDAL and stay v2.
+  */
+object RasterFunctions {
+  import ArgKind._
+
+  type B = Seq[Expression] => Expression
+
+  private def fn(name: String, out: DataType, kinds: Seq[ArgKind.Value])(
+      k: Array[Any] => Any): (String, B) =
+    name -> ((children: Seq[Expression]) => GeomScalar(name, children, out, kinds, k))
+
+  @inline private def rast(a: Array[Any], i: Int = 0): Raster =
+    RasterModel.fromRow(a(i).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+  @inline private def d(a: Array[Any], i: Int): Double = a(i).asInstanceOf[Double]
+  @inline private def ii(a: Array[Any], i: Int): Int = a(i).asInstanceOf[Int]
+
+  private def bandValues(r: Raster, band1: Int): Array[Double] = {
+    val (_, data) = r.bands(band1 - 1)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(r.width * r.height)(bb.getDouble)
+  }
+
+  private def envelopeOf(r: Raster): org.locationtech.jts.geom.Geometry = {
+    val xs = Seq(r.worldX(0, 0), r.worldX(r.width, 0), r.worldX(0, r.height),
+      r.worldX(r.width, r.height))
+    val ys = Seq(r.worldY(0, 0), r.worldY(r.width, 0), r.worldY(0, r.height),
+      r.worldY(r.width, r.height))
+    GeomIO.envelope(xs.min, ys.min, xs.max, ys.max)
+  }
+
+  val registry: Map[String, B] = Map(
+    // constructor (test/bench path; reference: RS_MakeEmptyRaster/RS_AsRaster)
+    fn("rs_makeraster", RasterModel.dataType,
+      Seq(Int_, Int_, Dbl, Dbl, Dbl, Dbl, Raw))(a => {
+      val w = ii(a, 0); val h = ii(a, 1)
+      val vals = a(6).asInstanceOf[ArrayData].toDoubleArray()
+      require(vals.length == w * h, s"need ${w * h} values, got ${vals.length}")
+      RasterModel.toRow("EPSG:0", Array(d(a, 2), d(a, 4), 0.0, d(a, 3), 0.0, d(a, 5)),
+        w, h, Seq((Double.NaN, RasterModel.packDoubles(vals))))
+    }),
+
+    // metadata accessors
+    fn("rs_width", IntegerType, Seq(Raw))(a => rast(a).width),
+    fn("rs_height", IntegerType, Seq(Raw))(a => rast(a).height),
+    fn("rs_numbands", IntegerType, Seq(Raw))(a => rast(a).bands.length),
+    fn("rs_scalex", DoubleType, Seq(Raw))(a => rast(a).gt(1)),
+    fn("rs_scaley", DoubleType, Seq(Raw))(a => rast(a).gt(5)),
+    fn("rs_skewx", DoubleType, Seq(Raw))(a => rast(a).gt(2)),
+    fn("rs_skewy", DoubleType, Seq(Raw))(a => rast(a).gt(4)),
+    fn("rs_upperleftx", DoubleType, Seq(Raw))(a => rast(a).gt(0)),
+    fn("rs_upperlefty", DoubleType, Seq(Raw))(a => rast(a).gt(3)),
+    fn("rs_crs", StringType, Seq(Raw))(a => rast(a).crs),
+    fn("rs_georeference", StringType, Seq(Raw))(a => {
+      val g = rast(a).gt
+      // world-file order: scalex, skewy, skewx, scaley, ulx, uly
+      Seq(g(1), g(4), g(2), g(5), g(0), g(3)).mkString(" ")
+    }),
+    fn("rs_bandnodatavalue", DoubleType, Seq(Raw, Int_))(a => {
+      val r = rast(a); val b = ii(a, 1)
+      if (b < 1 || b > r.bands.length) null
+      else { val nd = r.bands(b - 1)._1; if (nd.isNaN) null else nd }
+    }),
+
+    // coordinate mapping (0-based pixel coords, like the reference)
+    fn("rs_pixelaspoint", BinaryType, Seq(Raw, Int_, Int_))(a => {
+      val r = rast(a)
+      GeomIO.point(r.worldX(ii(a, 1), ii(a, 2)), r.worldY(ii(a, 1), ii(a, 2)))
+    }),
+    fn("rs_pixelascentroid", BinaryType, Seq(Raw, Int_, Int_))(a => {
+      val r = rast(a)
+      GeomIO.point(r.worldX(ii(a, 1) + 0.5, ii(a, 2) + 0.5),
+        r.worldY(ii(a, 1) + 0.5, ii(a, 2) + 0.5))
+    }),
+    fn("rs_pixelaspolygon", BinaryType, Seq(Raw, Int_, Int_))(a => {
+      val r = rast(a); val c = ii(a, 1); val row = ii(a, 2)
+      val xs = Seq(r.worldX(c, row), r.worldX(c + 1, row), r.worldX(c, row + 1),
+        r.worldX(c + 1, row + 1))
+      val ys = Seq(r.worldY(c, row), r.worldY(c + 1, row), r.worldY(c, row + 1),
+        r.worldY(c + 1, row + 1))
+      GeomIO.envelope(xs.min, ys.min, xs.max, ys.max)
+    }),
+    fn("rs_worldtorastercoordx", IntegerType, Seq(Raw, Dbl, Dbl))(a =>
+      math.floor(rast(a).rasterCoord(d(a, 1), d(a, 2))._1).toInt),
+    fn("rs_worldtorastercoordy", IntegerType, Seq(Raw, Dbl, Dbl))(a =>
+      math.floor(rast(a).rasterCoord(d(a, 1), d(a, 2))._2).toInt),
+    fn("rs_rastertoworldcoordx", DoubleType, Seq(Raw, Int_, Int_))(a =>
+      rast(a).worldX(ii(a, 1), ii(a, 2))),
+    fn("rs_rastertoworldcoordy", DoubleType, Seq(Raw, Int_, Int_))(a =>
+      rast(a).worldY(ii(a, 1), ii(a, 2))),
+
+    // pixel access + band stats
+    fn("rs_value", DoubleType, Seq(Raw, Int_, Int_, Int_))(a =>
+      rast(a).value(ii(a, 1), ii(a, 2), ii(a, 3))),
+    fn("rs_bandmin", DoubleType, Seq(Raw, Int_))(a => bandValues(rast(a), ii(a, 1)).min),
+    fn("rs_bandmax", DoubleType, Seq(Raw, Int_))(a => bandValues(rast(a), ii(a, 1)).max),
+    fn("rs_bandavg", DoubleType, Seq(Raw, Int_))(a => {
+      val vs = bandValues(rast(a), ii(a, 1)); vs.sum / vs.length
+    }),
+
+    // raster-geometry relations (envelope-based, planar)
+    fn("rs_envelope", BinaryType, Seq(Raw))(a => envelopeOf(rast(a))),
+    fn("rs_intersects", BooleanType, Seq(Raw, Geom))(a =>
+      envelopeOf(rast(a)).intersects(a(1).asInstanceOf[org.locationtech.jts.geom.Geometry])),
+    fn("rs_contains", BooleanType, Seq(Raw, Geom))(a =>
+      envelopeOf(rast(a)).contains(a(1).asInstanceOf[org.locationtech.jts.geom.Geometry])),
+    fn("rs_within", BooleanType, Seq(Raw, Geom))(a =>
+      a(1).asInstanceOf[org.locationtech.jts.geom.Geometry].contains(envelopeOf(rast(a))))
+  )
+}

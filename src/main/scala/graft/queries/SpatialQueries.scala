@@ -169,6 +169,54 @@ object SpatialQueries {
             .as("zorder"))
     }),
 
+    // spherical geography subset: haversine distance, spherical box area,
+    // segment-summed spherical length
+    "sp11_sphere" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .withColumn("lon1", (col("c_custkey") % 340).cast("double") / 2.0 - 85.0)
+        .withColumn("lat1", (col("c_custkey") % 160).cast("double") / 2.0 - 40.0)
+        .withColumn("lon2", col("lon1") + 1.5)
+        .withColumn("lat2", col("lat1") + 0.75)
+        .withColumn("p1", st.point(col("lon1"), col("lat1")))
+        .withColumn("p2", st.point(col("lon2"), col("lat2")))
+        .withColumn("box", st.makeEnvelope(col("lon1"), col("lat1"), col("lon2"), col("lat2")))
+        .select(col("c_custkey"),
+          round(st.f("st_distancesphere", col("p1"), col("p2")), 4).as("dist_m"),
+          st.f("st_dwithinsphere", col("p1"), col("p2"), lit(150000.0)).as("within_150km"),
+          round(st.f("st_areasphere", col("box")), 2).as("area_m2"),
+          round(st.f("st_lengthsphere",
+            st.f("st_exteriorring", col("box"))), 4).as("ring_len_m"))
+    }),
+
+    // in-db raster: constructor, geotransform math, pixel access, stats
+    "rs01_raster_core" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "part")
+        .withColumn("ulx", (col("p_partkey") % 100).cast("double") * 10.0)
+        .withColumn("uly", (col("p_size") % 50).cast("double") * 10.0)
+        .withColumn("vals", transform(sequence(lit(0), lit(11)),
+          i => ((col("p_partkey") + i) % 97).cast("double")))
+        .withColumn("r", st.f("rs_makeraster", lit(4), lit(3), col("ulx"), col("uly"),
+          lit(2.0), lit(-2.0), col("vals")))
+        .select(col("p_partkey"),
+          st.f("rs_width", col("r")).as("w"),
+          st.f("rs_height", col("r")).as("h"),
+          st.f("rs_numbands", col("r")).as("nb"),
+          st.f("rs_scalex", col("r")).as("sx"),
+          st.f("rs_upperleftx", col("r")).as("ulx_out"),
+          st.f("rs_georeference", col("r")).as("georef"),
+          st.f("rs_value", col("r"), lit(1), lit(1), lit(2)).as("v12"),
+          st.f("rs_bandavg", col("r"), lit(1)).as("bavg"),
+          st.f("rs_rastertoworldcoordx", col("r"), lit(2), lit(1)).as("wx"),
+          st.f("rs_rastertoworldcoordy", col("r"), lit(2), lit(1)).as("wy"),
+          st.f("rs_worldtorastercoordx", col("r"), col("ulx") + 5.0, col("uly") - 3.0).as("rcx"),
+          st.f("rs_worldtorastercoordy", col("r"), col("ulx") + 5.0, col("uly") - 3.0).as("rcy"),
+          st.area(st.f("rs_envelope", col("r"))).as("env_area"),
+          st.f("rs_intersects", col("r"),
+            st.point(col("ulx") + 1.0, col("uly") - 1.0)).as("hit"))
+    }),
+
     // geometry element access: dump/geometryn/makeline/boundary
     "sp10_elements" -> ((s, dir) => {
       prep(s)
@@ -292,6 +340,48 @@ object SpatialQueries {
         |  CAST(list_sum([(((ix >> i) & 1) << (2*i)) + (((iy >> i) & 1) << (2*i+1))
         |                 for i in range(0, 16)]) AS BIGINT) AS zorder
         |FROM s""".stripMargin,
+
+    "sp11_sphere" -> {
+      def hav(lo1: String, la1: String, lo2: String, la2: String) =
+        s"""2*6371008.8*asin(sqrt(
+           |    sin(radians(($la2)-($la1))/2)*sin(radians(($la2)-($la1))/2)
+           |    + cos(radians($la1))*cos(radians($la2))
+           |      * sin(radians(($lo2)-($lo1))/2)*sin(radians(($lo2)-($lo1))/2)))""".stripMargin
+      s"""WITH p AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 340 AS DOUBLE)/2.0 - 85.0 AS lon1,
+        |    CAST(c_custkey % 160 AS DOUBLE)/2.0 - 40.0 AS lat1,
+        |    CAST(c_custkey % 340 AS DOUBLE)/2.0 - 85.0 + 1.5 AS lon2,
+        |    CAST(c_custkey % 160 AS DOUBLE)/2.0 - 40.0 + 0.75 AS lat2
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  round(${hav("lon1", "lat1", "lon2", "lat2")}, 4) AS dist_m,
+        |  ${hav("lon1", "lat1", "lon2", "lat2")} <= 150000.0 AS within_150km,
+        |  round(6371008.8*6371008.8 * radians(lon2-lon1)
+        |        * (sin(radians(lat2)) - sin(radians(lat1))), 2) AS area_m2,
+        |  round(${hav("lon1", "lat1", "lon1", "lat2")}
+        |      + ${hav("lon1", "lat2", "lon2", "lat2")}
+        |      + ${hav("lon2", "lat2", "lon2", "lat1")}
+        |      + ${hav("lon2", "lat1", "lon1", "lat1")}, 4) AS ring_len_m
+        |FROM p""".stripMargin
+    },
+
+    "rs01_raster_core" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 100 AS DOUBLE)*10.0 AS ulx,
+        |    CAST(p_size % 50 AS DOUBLE)*10.0 AS uly
+        |  FROM part)
+        |SELECT p_partkey,
+        |  4 AS w, 3 AS h, 1 AS nb, 2.0 AS sx, ulx AS ulx_out,
+        |  '2.0 0.0 0.0 -2.0 ' || ulx::VARCHAR || ' ' || uly::VARCHAR AS georef,
+        |  CAST((p_partkey + 9) % 97 AS DOUBLE) AS v12,
+        |  list_sum([CAST((p_partkey + i) % 97 AS DOUBLE) for i in range(0, 12)])/12.0 AS bavg,
+        |  ulx + 4.0 AS wx, uly - 2.0 AS wy,
+        |  2 AS rcx, 1 AS rcy,
+        |  48.0 AS env_area,
+        |  TRUE AS hit
+        |FROM p""".stripMargin,
 
     "sp10_elements" ->
       """SELECT p_partkey,
