@@ -8,7 +8,9 @@ import graft.operators.SpatialJoins
 /** Scratch debug entry point (not part of the driver contract). */
 object Debug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[2]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftSparkSessionExtensions")
+      .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -41,6 +41,11 @@ case class SpatialJoinStrategy(spark: SparkSession) extends SparkStrategy {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // KNN join captured at analysis time (pushdown-barrier node)
+    case graft.plans.KnnJoinPlan(left, right, qg, og, k, objectIsLeft) =>
+      val (queryChild, objectChild) = if (objectIsLeft) (right, left) else (left, right)
+      KnnJoinExec(planLater(queryChild), planLater(objectChild), qg, og, k, objectIsLeft) :: Nil
+
     // KNN join: ST_KNN(query_geom, object_geom, k) as the join condition
     case Join(left, right, joinType, Some(
         graft.functions.GeomScalar("st_knn", Seq(a, b, kExpr), _, _, _)), _)

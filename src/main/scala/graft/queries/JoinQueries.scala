@@ -96,6 +96,32 @@ object JoinQueries {
           round(col("knn_distance"), 6).as("knn_distance"))
     }),
 
+    // SQL st_knn with an object-side filter ABOVE the join: the analyzer-
+    // stage capture (KnnJoinCaptureRule) must stop Catalyst pushing the
+    // filter below the kNN — neighbours are found over ALL objects, then
+    // filtered. Unique object coordinates + irrational query offsets make
+    // distances tie-free.
+    "sj06_knn_filter_barrier" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .withColumn("qpt", st.point(
+          (col("c_custkey") % 97).cast("double") * 10.0 + 1.0 / 3,
+          (col("c_custkey") % 89).cast("double") * 10.0 + 1.0 / 7))
+        .select(col("c_custkey"), col("qpt"))
+        .createOrReplaceTempView("knn_barrier_q")
+      t(s, dir, "part")
+        .withColumn("opt", st.point(
+          (col("p_partkey") % 100).cast("double") * 20.0 + col("p_partkey").cast("double") * 1.0e-6,
+          (col("p_partkey") % 89).cast("double") * 10.0 + col("p_partkey").cast("double") * 1.0e-6))
+        .select(col("p_partkey"), col("opt"))
+        .createOrReplaceTempView("knn_barrier_o")
+      s.sql(
+        """SELECT c_custkey, p_partkey FROM knn_barrier_q JOIN knn_barrier_o
+          |ON st_knn(qpt, opt, 3)
+          |WHERE p_partkey % 2 = 1""".stripMargin)
+    }),
+
     // shuffle-partitioned grid join — same semantics as sj01
     "sj05_grid_join" -> ((s, dir) => {
       prep(s)
@@ -150,6 +176,25 @@ object JoinQueries {
         |SELECT c_custkey, p_partkey, CAST(rk AS INT) AS knn_rank,
         |  round(dist, 6) AS knn_distance
         |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "sj06_knn_filter_barrier" ->
+      """WITH q AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 97 AS DOUBLE)*10.0 + 1.0/3 AS qx,
+        |    CAST(c_custkey % 89 AS DOUBLE)*10.0 + 1.0/7 AS qy
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |o AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 100 AS DOUBLE)*20.0 + CAST(p_partkey AS DOUBLE)*1.0e-6 AS ox,
+        |    CAST(p_partkey % 89 AS DOUBLE)*10.0 + CAST(p_partkey AS DOUBLE)*1.0e-6 AS oy
+        |  FROM part),
+        |ranked AS (
+        |  SELECT q.c_custkey, o.p_partkey,
+        |    row_number() OVER (PARTITION BY q.c_custkey
+        |      ORDER BY sqrt((qx-ox)*(qx-ox) + (qy-oy)*(qy-oy)), o.p_partkey) AS rk
+        |  FROM q CROSS JOIN o)
+        |SELECT c_custkey, p_partkey FROM ranked
+        |WHERE rk <= 3 AND p_partkey % 2 = 1""".stripMargin,
 
     "sj05_grid_join" ->
       s"""WITH p AS ($pointsSql), b AS ($boxesSql)
