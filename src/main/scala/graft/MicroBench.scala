@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.st
+import graft.operators.SpatialJoins
+import graft.sources.RandomGeometry
+
+/** Per-operator micro-benchmarks mirroring the reference's benchmark
+  * classes (reference/benchmarks/test_{functions,predicates,distance,
+  * overlay,aggregates,knn,transform}.py over polygons_simple/
+  * polygons_complex/points_simple — see BASELINE.md). Prints one JSON
+  * line; row counts via env SPARK_GRAFT_MICRO_N (default 200k).
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_MICRO_N", "200000").toLong
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftSparkSessionExtensions")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+
+    def cached(df: DataFrame): DataFrame = { val c = df.cache(); c.count(); c }
+    val polySimple = cached(RandomGeometry.polygons(spark, n, seed = 1, nVertices = 8)
+      .withColumnRenamed("geom", "geom1")
+      .withColumn("geom2", st.f("st_translate", col("geom1"), lit(1.5), lit(0.5))))
+    val polyComplex = cached(RandomGeometry.polygons(spark, n / 4, seed = 2, nVertices = 64)
+      .withColumnRenamed("geom", "geom1")
+      .withColumn("geom2", st.f("st_translate", col("geom1"), lit(1.5), lit(0.5))))
+    val points = cached(RandomGeometry.points(spark, n, seed = 3)
+      .withColumnRenamed("geom", "geom1")
+      .withColumn("geom2", st.point(pmod(hash(col("id"), lit(9)), lit(1000)) / 10.0,
+        pmod(hash(col("id"), lit(10)), lit(1000)) / 10.0)))
+
+    def time(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime(); f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    def run(df: DataFrame): Unit = { df.write.format("noop").mode("overwrite").save() }
+
+    val results = Seq(
+      time("area_simple")(run(polySimple.select(st.area(col("geom1"))))),
+      time("area_complex")(run(polyComplex.select(st.area(col("geom1"))))),
+      time("azimuth")(run(points.select(st.f("st_azimuth", col("geom1"), col("geom2"))))),
+      time("intersects_simple")(run(polySimple.select(st.intersects(col("geom1"), col("geom2"))))),
+      time("contains_complex")(run(polyComplex.select(st.contains(col("geom1"), col("geom2"))))),
+      time("distance_points")(run(points.select(st.distance(col("geom1"), col("geom2"))))),
+      time("intersection_simple")(run(polySimple.select(st.f("st_intersection", col("geom1"), col("geom2"))))),
+      time("union_complex")(run(polyComplex.select(st.f("st_union", col("geom1"), col("geom2"))))),
+      time("buffer_points")(run(points.select(st.buffer(col("geom1"), lit(2.0))))),
+      time("envelope_agg")(run(points.groupBy(col("id") % 97)
+        .agg(st.envelopeAgg(col("geom1"))))),
+      time("union_agg")(run(polySimple.groupBy(col("id") % 997)
+        .agg(st.unionAgg(col("geom1"))))),
+      time("transform")(run(points.select(st.transform(
+        st.point(pmod(hash(col("id")), lit(170)).cast("double") - 85.0,
+          pmod(hash(col("id"), lit(5)), lit(160)).cast("double") / 2 - 40.0),
+        lit("EPSG:4326"), lit("EPSG:3857"))))),
+      time("knn_join")(SpatialJoins.knnJoin(
+        points.limit(2000).select(col("id").as("qid"), col("geom1").as("qg")),
+        points.limit(50000).select(col("id").as("oid"), col("geom1").as("og")),
+        col("qg"), col("og"), 5, col("oid")).write.format("noop").mode("overwrite").save()),
+      time("minhash_sigs")(run(
+        Tables.t(spark, "/root/testdata/sf0.1", "documents").select(
+          graft.pipeline.TextOps.minhashSignature(
+            graft.pipeline.TextOps.shingles(
+              graft.pipeline.TextOps.tokens(col("text")), 3), 12)))),
+      time("cosine_sims")(run(
+        Tables.t(spark, "/root/testdata/sf0.1", "embeddings").limit(20)
+          .select(col("vec_id").as("qid"),
+            graft.pipeline.PipelineOps.asDouble(col("embedding")).as("qv"))
+          .crossJoin(Tables.t(spark, "/root/testdata/sf0.1", "embeddings")
+            .select(col("vec_id").as("cid"),
+              graft.pipeline.PipelineOps.asDouble(col("embedding")).as("cv")))
+          .select(graft.pipeline.PipelineOps.cosine(col("qv"), col("cv"))))))
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"micro_total","value":$total,"unit":"sec","n":$n,"queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -141,6 +141,18 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), centsSum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // pivot: dynamic column-per-value aggregation.
+    "q13_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f"),
+          coalesce(col("O"), lit(0L)).as("o"),
+          coalesce(col("P"), lit(0L)).as("p"))
+    }),
+
     // explode/unnest: token rows from part names, re-aggregated.
     "q12_explode" -> ((s, dir) => {
       t(s, dir, "part")
@@ -244,6 +256,13 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q13_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q12_explode" ->
       """SELECT u.word, COUNT(*) AS n FROM (

@@ -45,9 +45,11 @@ class GeomPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("WKT round-trip preserves topology") {
+  test("WKT round-trip preserves coordinates") {
+    // coordinate-wise compare: equalsTopo would run relate(), which can
+    // throw on degenerate self-intersecting random lines
     check(Prop.forAll(geometry) { g =>
-      GeomIO.readWkt(GeomIO.writeWkt(g)).equalsTopo(g)
+      GeomIO.readWkt(GeomIO.writeWkt(g)).equalsExact(g, 1e-9)
     })
   }
 
