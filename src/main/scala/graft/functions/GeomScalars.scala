@@ -297,6 +297,10 @@ object GeomScalars {
 
     // ---- metadata accessors (st_dimension.rs family) ----
     fn("st_envelope", BinaryType, Seq(Geom))(a => g0(a).getEnvelope),
+    fn("st_expandenvelope", BinaryType, Seq(Geom, Dbl))(a => {
+      val e = new Envelope(g0(a).getEnvelopeInternal); e.expandBy(d(a, 1))
+      GeomIO.factory.toGeometry(e)
+    }),
     fn("st_dimension", IntegerType, Seq(Geom))(a => g0(a).getDimension),
     fn("st_geometrytype", StringType, Seq(Geom))(a => "ST_" + g0(a).getGeometryType),
     fn("st_hasz", BooleanType, Seq(Geom))(a => GeomIO.hasZ(g0(a))),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.locationtech.jts.geom.{Envelope, Geometry}
@@ -82,6 +83,89 @@ object SpatialJoins {
       left.join(right, st.f(predicate, leftGeom, rightGeom))
     else
       gridJoin(left, right, leftGeom, rightGeom, predicate, None, nx, ny)
+  }
+
+  /** Partitioned KNN join — the scale path when the OBJECT side cannot be
+    * broadcast (the reference's out-of-core kNN territory:
+    * probe/knn_results_merger.rs). Exact two-round grid algorithm:
+    *
+    * 1. Probe each query's 3x3 cell neighbourhood, rank candidates, and
+    *    take the kth-candidate distance as the query's radius bound; a
+    *    query with fewer than k candidates in the neighbourhood falls back
+    *    to the full-extent diagonal (correct, rare when the grid is sized
+    *    so a cell holds >= k objects).
+    * 2. Re-probe every cell intersecting the radius-bound envelope and
+    *    rank by (distance, tieBreak) — exact top-k, three shuffles total,
+    *    nothing broadcast, nothing quadratic.
+    */
+  def knnJoinGrid(
+      query: DataFrame, objects: DataFrame,
+      queryGeom: Column, objectGeom: Column,
+      k: Int, tieBreak: Column,
+      nx: Int = 32, ny: Int = 32,
+      bounds: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+
+    val (xmin, ymin, xmax, ymax) = bounds.getOrElse {
+      val Row(a: Double, b: Double, c: Double, d: Double) =
+        objects.select(st.envelopeAgg(objectGeom).as("e"))
+          .unionAll(query.select(st.envelopeAgg(queryGeom).as("e")))
+          .select(min(st.xmin(col("e"))), min(st.ymin(col("e"))),
+            max(st.xmax(col("e"))), max(st.ymax(col("e"))))
+          .collect()(0)
+      (a, b, c, d)
+    }
+    val diag = math.sqrt((xmax - xmin) * (xmax - xmin) + (ymax - ymin) * (ymax - ymin))
+    val cellW = (xmax - xmin) / nx
+    val cellH = (ymax - ymin) / ny
+    def cells(g: Column, expand: Column): Column = st.f("st_gridcells",
+      st.f("st_expandenvelope", g, expand),
+      lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))
+
+    val qCols = query.columns
+    val oCols = objects.columns
+    val q = query.withColumn("__qg", queryGeom)
+      .withColumn("__qid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o = objects.withColumn("__og", objectGeom).withColumn("__otb", tieBreak.cast("double"))
+      .withColumn("__oid", monotonically_increasing_id())
+      .withColumn("__ocell", explode(st.f("st_gridcells", st.f("st_envelope", col("__og")),
+        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // round 1: one-ring neighbourhood probe -> per-query distance bound
+    val ring = math.max(cellW, cellH) + 1e-12
+    val probe1 = q.select(col("__qid"), col("__qg"),
+        explode(cells(col("__qg"), lit(ring))).as("__pcell"))
+      .join(o.select(col("__ocell"), col("__og"), col("__otb"), col("__oid")),
+        col("__pcell") === col("__ocell"))
+      .select(col("__qid"), col("__oid"),
+        st.distance(col("__qg"), col("__og")).as("__d"), col("__otb"))
+      .dropDuplicates("__qid", "__oid")
+    val w1 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
+    val bound = probe1.withColumn("__rn", row_number().over(w1))
+      .groupBy(col("__qid"))
+      .agg(max(when(col("__rn") <= k, col("__d"))).as("__dk"),
+        count(when(col("__rn") <= k, 1)).as("__cnt"))
+      .select(col("__qid"),
+        when(col("__cnt") >= k, col("__dk")).otherwise(lit(diag)).as("__radius"))
+
+    // round 2: exact re-probe within the per-query radius (queries with an
+    // empty round-1 neighbourhood fall back to the full-extent diagonal)
+    val q2 = q.join(bound, Seq("__qid"), "left")
+      .withColumn("__radius", coalesce(col("__radius"), lit(diag)))
+      .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-9))))
+    val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
+    q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++
+        oCols.map(c => o(c).as(s"__o_$c")): _*),
+        col("__pcell") === col("__ocell"))
+      .withColumn("__d", st.distance(col("__qg"), col("__og")))
+      .filter(col("__d") <= col("__radius") + lit(1e-9))
+      .dropDuplicates("__qid", "__oid")
+      .withColumn("knn_rank", row_number().over(w2))
+      .filter(col("knn_rank") <= k)
+      .withColumn("knn_distance", col("__d"))
+      .select(qCols.map(col) ++ oCols.map(c => col(s"__o_$c").as(c)) ++
+        Seq(col("knn_distance"), col("knn_rank")): _*)
   }
 
   private class GeomItemDistance extends ItemDistance with Serializable {

@@ -93,6 +93,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getInt(1) == 43)
   }
 
+  test("stateful streaming sessionization (flatMapGroupsWithState) emits on timeout") {
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.Event
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMs = 30000)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(Event(1, 1000, 1.0), Event(1, 5000, 2.0))
+      q.processAllAvailable()
+      input.addData(Event(2, 100000, 5.0)) // watermark jumps past user 1's gap
+      q.processAllAvailable()
+      input.addData(Event(2, 200000, 1.0)) // next batch fires the timeout
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.contains((1L, 1000L, 5000L, 2L, 3.0)), rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("structured streaming: windowed counts + dedup run with our extensions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

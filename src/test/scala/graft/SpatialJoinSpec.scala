@@ -154,6 +154,23 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("join condition"))
   }
 
+  test("partitioned grid KNN ≡ brute force, including sparse-cell fallback") {
+    import org.apache.spark.sql.expressions.Window
+    val q = points(60, 41).withColumnRenamed("pid", "qid").withColumnRenamed("pgeom", "qgeom")
+    // clustered objects: many empty cells -> exercises the radius fallback
+    val o = spark.range(150).select(col("id").as("oid"),
+      st.point(pmod(hash(col("id") + 5), lit(200)) / 10.0 + 40.0,
+        pmod(hash(col("id") * 13 + 5), lit(200)) / 10.0 + 40.0).as("ogeom"))
+    val grid = SpatialJoins.knnJoinGrid(q, o, col("qgeom"), col("ogeom"), 4,
+      col("oid"), nx = 16, ny = 16).select("qid", "oid")
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("oid"))
+    val brute = q.crossJoin(o)
+      .withColumn("d", st.distance(col("qgeom"), col("ogeom")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select("qid", "oid")
+    assert(sortedRows(grid) == sortedRows(brute))
+  }
+
   test("knn join: exactly k per query, ranked by distance") {
     val q = points(50, 23).withColumnRenamed("pid", "qid").withColumnRenamed("pgeom", "qgeom")
     val o = points(200, 29)
