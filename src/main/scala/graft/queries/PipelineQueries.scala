@@ -105,6 +105,20 @@ object PipelineQueries {
           col("rank").as("rnk"), round(col("sim"), 6).as("sim"))
     }),
 
+    // IVF ANN (k-means quantizer + inverted-list probe). No oracle —
+    // iterative float means aren't SQL-replicable; the driver records a
+    // rows-only check, recall is spec'd in PipelineSpec.
+    "pl11_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.pipeline.IvfAnn.kmeans(
+        e, col("vec_id"), col("embedding"), k = 16, iters = 3)
+      graft.pipeline.IvfAnn.search(e, e.filter(col("vec_id") < 20),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        centroids, nProbe = 4, topK = 3)
+        .select(col("query_id"), col("cand_id"), col("rank").as("rnk"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
     // multimodal binary column plumbing with deterministic fake decode
     "pl10_multimodal" -> ((s, dir) => {
       t(s, dir, "documents")

@@ -80,6 +80,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(even.intersect(odd).isEmpty)
   }
 
+  test("ivf ann: high recall vs brute force on clustered vectors") {
+    import graft.pipeline.IvfAnn
+    // 8 well-separated clusters of 25 vectors each
+    val vecs = (0 until 200).map { i =>
+      val c = i % 8
+      val base = Array.tabulate(16)(d => if (d == c * 2) 10.0f else 0.0f)
+      (i.toLong, base.map(_ + ((i * 31 + 7) % 13) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val centroids = IvfAnn.kmeans(vecs, col("vec_id"), col("embedding"), k = 8, iters = 4)
+    assert(centroids.count() == 8)
+    val queries = vecs.filter(col("vec_id") < 16)
+    val approx = IvfAnn.search(vecs, queries, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), centroids, nProbe = 2, topK = 5)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val brute = queries.select(col("vec_id").as("qid"),
+        graft.pipeline.PipelineOps.asDouble(col("embedding")).as("qv"))
+      .crossJoin(vecs.select(col("vec_id").as("cid"),
+        graft.pipeline.PipelineOps.asDouble(col("embedding")).as("cv")))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", graft.pipeline.PipelineOps.cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("multimodal decodeBatch: schema + deterministic stub features") {
     val df = docs.withColumn("blob", col("text").cast("binary"))
     val out = MultimodalOps.decodeBatch(df, "blob", "img")
