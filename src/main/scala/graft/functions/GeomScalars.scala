@@ -486,6 +486,65 @@ object GeomScalars {
     fn("st_flipcoordinates", BinaryType, Seq(Geom))(a => flip(g0(a))),
     fn("st_force2d", BinaryType, Seq(Geom))(a => forceDim2(g0(a))),
 
+    // ---- decomposition: subdivide (bounded-vertex pieces for balanced
+    // spatial partitioning) and split-by-blade ----
+    "st_subdivide" -> ((children: Seq[Expression]) =>
+      GeomScalar("st_subdivide", children, ArrayType(BinaryType, containsNull = false),
+        Seq(Geom, Int_), a => {
+          val maxV = i(a, 1)
+          require(maxV >= 5, "st_subdivide needs maxVertices >= 5")
+          def rec(g: Geometry, depth: Int): Seq[Geometry] = {
+            if (g.isEmpty) Seq.empty
+            else if (g.getNumPoints <= maxV || depth > 24) Seq(g)
+            else {
+              val e = g.getEnvelopeInternal
+              val (h1, h2) =
+                if (e.getWidth >= e.getHeight) {
+                  val mx = (e.getMinX + e.getMaxX) / 2
+                  (GeomIO.envelope(e.getMinX, e.getMinY, mx, e.getMaxY),
+                    GeomIO.envelope(mx, e.getMinY, e.getMaxX, e.getMaxY))
+                } else {
+                  val my = (e.getMinY + e.getMaxY) / 2
+                  (GeomIO.envelope(e.getMinX, e.getMinY, e.getMaxX, my),
+                    GeomIO.envelope(e.getMinX, my, e.getMaxX, e.getMaxY))
+                }
+              rec(g.intersection(h1), depth + 1) ++ rec(g.intersection(h2), depth + 1)
+            }
+          }
+          new GenericArrayData(rec(g0(a), 0).map(GeomIO.write).toArray[Any])
+        })),
+    "st_split" -> ((children: Seq[Expression]) =>
+      GeomScalar("st_split", children, BinaryType, Seq(Geom, Geom), a => {
+        val input = g0(a); val blade = g1(a)
+        (input, blade) match {
+          case (l: LineString, p: Point) =>
+            val lil = new LengthIndexedLine(l)
+            val idx = lil.indexOf(p.getCoordinate)
+            if (idx <= 0 || idx >= l.getLength) l
+            else GeomIO.factory.createMultiLineString(Array(
+              lil.extractLine(0, idx).asInstanceOf[LineString],
+              lil.extractLine(idx, l.getLength).asInstanceOf[LineString]))
+          case (l: LineString, b) if b.getDimension <= 1 =>
+            // node input with the blade, keep the pieces of the input
+            val noded = l.union(b)
+            val parts = (0 until noded.getNumGeometries)
+              .map(noded.getGeometryN)
+              .filter(p => p.getDimension == 1 && p.coveredBy(l))
+            GeomIO.factory.createMultiLineString(
+              parts.collect { case ls: LineString => ls }.toArray)
+          case (poly: Polygon, b: LineString) =>
+            val p = new Polygonizer()
+            p.add(poly.getBoundary.union(b))
+            val pieces = scala.jdk.CollectionConverters
+              .CollectionHasAsScala(p.getPolygons).asScala.toSeq
+              .map(_.asInstanceOf[Polygon])
+              .filter(piece => poly.covers(piece.getInteriorPoint))
+            GeomIO.factory.createMultiPolygon(pieces.toArray)
+          case _ => throw new IllegalArgumentException(
+            s"st_split: unsupported combination ${input.getGeometryType}/${blade.getGeometryType}")
+        }
+      })),
+
     // ---- proximity constructions (DistanceOp.nearestPoints; reference:
     // s2 st_closestpoint/shortestline/longestline kernels) ----
     fn("st_closestpoint", BinaryType, Seq(Geom, Geom))(a => {

@@ -150,6 +150,17 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_astext(st_reverse(st_geomfromwkt('LINESTRING (0 0, 1 1, 2 0)')))") == "LINESTRING (2 0, 1 1, 0 0)")
   }
 
+  test("split and subdivide") {
+    assert(q("st_astext(st_split(st_geomfromwkt('LINESTRING (0 0, 10 0)'), st_point(4, 0)))")
+      == "MULTILINESTRING ((0 0, 4 0), (4 0, 10 0))")
+    assert(q("st_numgeometries(st_split(st_geomfromwkt('LINESTRING (0 0, 10 0)'), st_geomfromwkt('LINESTRING (5 -1, 5 1)')))") == 2)
+    assert(q("st_numgeometries(st_split(st_makeenvelope(0,0,10,10), st_geomfromwkt('LINESTRING (5 -1, 5 11)')))") == 2)
+    assert(q("st_area(st_split(st_makeenvelope(0,0,10,10), st_geomfromwkt('LINESTRING (5 -1, 5 11)')))") == 100.0)
+    // subdivide: pieces small, total area preserved
+    assert(q("size(st_subdivide(st_geomfromwkt('POLYGON ((0 0, 16 0, 16 16, 0 16, 0 0), (2 2, 14 2, 14 14, 2 14, 2 2))'), 6))").asInstanceOf[Int] > 1)
+    assert(q("aggregate(transform(st_subdivide(st_geomfromwkt('POLYGON ((0 0, 16 0, 16 16, 0 16, 0 0))'), 5), g -> st_area(g)), cast(0.0 as double), (acc, x) -> acc + x)") == 256.0)
+  }
+
   test("UTM transform round-trips within 1e-6 deg") {
     val g = GeomIO.point(9.5, 47.25)
     val utm = CrsTransform.transform(g, "EPSG:4326", "EPSG:32632")
