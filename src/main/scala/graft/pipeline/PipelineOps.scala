@@ -57,7 +57,15 @@ object PipelineOps {
       array_sort(array_distinct(transform(shingles(tokens(text), k), s => hash32(s)))).as("sh"))
     val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
+    // failing the bound can never pass minJaccard — skip their intersect
+    val sizeBound =
+      if (minJaccard > 0)
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
+          greatest(size(col("sh_a")), size(col("sh_b"))) > minJaccard
+      else lit(true)
     a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b"))
+      .filter(sizeBound)
       .withColumn("inter",
         call_function("sd_sorted_intersect_count", col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))

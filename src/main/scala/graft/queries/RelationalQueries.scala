@@ -69,10 +69,11 @@ object RelationalQueries {
         .unionAll(sn.except(cn).select(lit("supp_only").as("tag"), col("nk")))
     }),
 
-    // Anti join: customers with no orders.
+    // Anti join: customers with no high-value orders (every custkey has
+    // SOME order in this data, so the filter keeps the result non-empty).
     "q05_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
@@ -206,7 +207,8 @@ object RelationalQueries {
 
     "q05_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
 
     "q06_semi_join" ->
       """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer c

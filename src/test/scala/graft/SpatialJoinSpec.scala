@@ -42,6 +42,10 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("driver contract: entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("index join plans as BroadcastIndexSpatialJoinExec") {
     val j = points(100, 1).join(boxes(100, 2), st.intersects(col("pgeom"), col("bgeom")))
     val physical = j.queryExecution.executedPlan.toString
