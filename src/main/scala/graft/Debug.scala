@@ -39,6 +39,13 @@ object Debug {
         Seq("ShuffledHashJoin", "SortMergeJoin"))
       audit("pl04", SparkEntry.queries("pl04_minhash_pairs")(spark, dir),
         Seq("InMemoryTableScan", "HashAggregate"))
+      def time(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(s"TIMER $name: ${(System.nanoTime() - t0) / 1e9}s rows=$n")
+      }
+      time("pl01-first")(SparkEntry.queries("pl01_text_stats")(spark, dir).count())
+      time("pl01-second")(SparkEntry.queries("pl01_text_stats")(spark, dir).count())
     } catch {
       case e: Throwable =>
         var t: Throwable = e

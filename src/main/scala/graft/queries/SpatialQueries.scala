@@ -189,6 +189,27 @@ object SpatialQueries {
             st.f("st_exteriorring", col("box"))), 4).as("ring_len_m"))
     }),
 
+    // decomposition + proximity + GeoJSON round trip
+    "sp12_misc" -> ((s, dir) => {
+      prep(s)
+      withBox(t(s, dir, "part"))
+        .withColumn("blade", st.geomFromWkt(concat(
+          lit("LINESTRING ("), col("bxmin") + col("bw") / 2, lit(" "),
+          col("bymin") - 1, lit(", "), col("bxmin") + col("bw") / 2, lit(" "),
+          col("bymin") + col("bh") + 1, lit(")"))))
+        .withColumn("far_pt", st.point(col("bxmin") + col("bw") + 3.0, col("bymin")))
+        .withColumn("gj", concat(lit("""{"type":"Point","coordinates":["""),
+          col("bxmin").cast("int"), lit(","), col("bymin").cast("int"), lit("]}")))
+        .select(col("p_partkey"),
+          st.f("st_numgeometries", st.f("st_split", col("box"), col("blade"))).as("n_split"),
+          round(st.area(st.f("st_split", col("box"), col("blade"))), 6).as("split_area"),
+          round(st.area(st.f("st_buildarea",
+            st.f("st_boundary", col("box")))), 6).as("rebuilt_area"),
+          st.asText(st.f("st_closestpoint", col("box"), col("far_pt"))).as("cp_wkt"),
+          round(st.length(st.f("st_shortestline", col("box"), col("far_pt"))), 6).as("sl_len"),
+          st.asText(st.f("st_geomfromgeojson", col("gj"))).as("gj_wkt"))
+    }),
+
     // in-db raster: constructor, geotransform math, pixel access, stats
     "rs01_raster_core" -> ((s, dir) => {
       prep(s)
@@ -365,6 +386,17 @@ object SpatialQueries {
         |      + ${hav("lon2", "lat1", "lon1", "lat1")}, 4) AS ring_len_m
         |FROM p""".stripMargin
     },
+
+    "sp12_misc" ->
+      s"""WITH b AS ($boxSql)
+        |SELECT p_partkey,
+        |  2 AS n_split,
+        |  round(bw*bh, 6) AS split_area,
+        |  round(bw*bh, 6) AS rebuilt_area,
+        |  'POINT (' || CAST(bxmin + bw AS BIGINT) || ' ' || CAST(bymin AS BIGINT) || ')' AS cp_wkt,
+        |  3.0 AS sl_len,
+        |  'POINT (' || CAST(bxmin AS BIGINT) || ' ' || CAST(bymin AS BIGINT) || ')' AS gj_wkt
+        |FROM b""".stripMargin,
 
     "rs01_raster_core" ->
       """WITH p AS (
