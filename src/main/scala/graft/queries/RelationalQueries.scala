@@ -154,6 +154,27 @@ object RelationalQueries {
           coalesce(col("P"), lit(0L)).as("p"))
     }),
 
+    // ordered statistics: continuous percentiles + ntile buckets.
+    "q14_percentiles" -> ((s, dir) => {
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val l = t(s, dir, "lineitem")
+      val tiles = l.withColumn("tile", ntile(4).over(w))
+        .groupBy(col("tile")).agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+      val pct = l.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"))
+      tiles.select(col("tile"), col("n"), col("sum_qty"),
+          lit(null).cast("string").as("l_returnflag"),
+          lit(null).cast("double").as("median_qty"),
+          lit(null).cast("double").as("p25_price"),
+          lit(null).cast("double").as("p75_price"))
+        .unionAll(pct.select(lit(null).cast("int").as("tile"),
+          lit(null).cast("long").as("n"), lit(null).cast("long").as("sum_qty"),
+          col("l_returnflag"), col("median_qty"), col("p25_price"), col("p75_price")))
+    }),
+
     // explode/unnest: token rows from part names, re-aggregated.
     "q12_explode" -> ((s, dir) => {
       t(s, dir, "part")
@@ -265,6 +286,27 @@ object RelationalQueries {
         |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o,
         |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q14_percentiles" ->
+      """WITH tiles AS (
+        |  SELECT ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS tile,
+        |         l_quantity
+        |  FROM lineitem),
+        |t AS (SELECT tile, COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |      FROM tiles GROUP BY tile),
+        |p AS (SELECT l_returnflag,
+        |        round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |        round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |      FROM lineitem GROUP BY l_returnflag)
+        |SELECT CAST(tile AS INT) AS tile, n, sum_qty,
+        |       NULL AS l_returnflag, NULL::DOUBLE AS median_qty,
+        |       NULL::DOUBLE AS p25_price, NULL::DOUBLE AS p75_price
+        |FROM t
+        |UNION ALL
+        |SELECT NULL::INT, NULL::BIGINT, NULL::BIGINT,
+        |       l_returnflag, median_qty, p25_price, p75_price
+        |FROM p""".stripMargin,
 
     "q12_explode" ->
       """SELECT u.word, COUNT(*) AS n FROM (
