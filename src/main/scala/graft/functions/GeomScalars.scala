@@ -172,6 +172,26 @@ object GeomScalars {
     c
   }
 
+  private def orientPolygons(g: Geometry, ccwShell: Boolean): Geometry = {
+    import org.locationtech.jts.algorithm.Orientation
+    def fixRing(r: LinearRing, wantCCW: Boolean): LinearRing = {
+      val isCCW = Orientation.isCCW(r.getCoordinateSequence)
+      if (isCCW == wantCCW) r else r.reverse().asInstanceOf[LinearRing]
+    }
+    def fixPoly(p: Polygon): Polygon =
+      GeomIO.factory.createPolygon(
+        fixRing(p.getExteriorRing, ccwShell),
+        (0 until p.getNumInteriorRing)
+          .map(i => fixRing(p.getInteriorRingN(i), !ccwShell)).toArray)
+    g match {
+      case p: Polygon => fixPoly(p)
+      case m: MultiPolygon => GeomIO.factory.createMultiPolygon(
+        (0 until m.getNumGeometries)
+          .map(i => fixPoly(m.getGeometryN(i).asInstanceOf[Polygon])).toArray)
+      case other => other
+    }
+  }
+
   private def parseEwkt(text: String): Geometry = {
     // "SRID=4326;POINT (1 2)" (reference: st_geomfromewkt.rs)
     if (text.regionMatches(true, 0, "SRID=", 0, 5)) {
@@ -485,6 +505,78 @@ object GeomScalars {
         .transform(g0(a))),
     fn("st_flipcoordinates", BinaryType, Seq(Geom))(a => flip(g0(a))),
     fn("st_force2d", BinaryType, Seq(Geom))(a => forceDim2(g0(a))),
+
+    // ---- structural editors / casts ----
+    fn("st_multi", BinaryType, Seq(Geom))(a => g0(a) match {
+      case p: Point => GeomIO.factory.createMultiPoint(Array(p))
+      case l: LineString => GeomIO.factory.createMultiLineString(Array(l))
+      case p: Polygon => GeomIO.factory.createMultiPolygon(Array(p))
+      case other => other
+    }),
+    fn("st_forcecollection", BinaryType, Seq(Geom))(a => g0(a) match {
+      case gc: GeometryCollection if gc.getGeometryType == "GeometryCollection" => gc
+      case g => GeomIO.factory.createGeometryCollection(
+        (0 until g.getNumGeometries).map(g.getGeometryN).toArray)
+    }),
+    fn("st_forcepolygonccw", BinaryType, Seq(Geom))(a =>
+      orientPolygons(g0(a), ccwShell = true)),
+    fn("st_forcepolygoncw", BinaryType, Seq(Geom))(a =>
+      orientPolygons(g0(a), ccwShell = false)),
+    fn("st_removerepeatedpoints", BinaryType, Seq(Geom))(a => {
+      val g = g0(a)
+      val ed = new org.locationtech.jts.geom.util.GeometryEditor(GeomIO.factory)
+      ed.edit(g, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(coords: Array[Coordinate], geom: Geometry): Array[Coordinate] =
+          org.locationtech.jts.geom.CoordinateArrays.removeRepeatedPoints(coords)
+      })
+    }),
+    fn("st_addpoint", BinaryType, Seq(Geom, Geom, Int_))(a => (g0(a), g1(a)) match {
+      case (l: LineString, p: Point) =>
+        val cs = l.getCoordinates
+        val pos = { val n = i(a, 2); if (n < 0 || n > cs.length) cs.length else n }
+        GeomIO.factory.createLineString(
+          (cs.take(pos) :+ p.getCoordinate) ++ cs.drop(pos))
+      case _ => null
+    }),
+    fn("st_removepoint", BinaryType, Seq(Geom, Int_))(a => g0(a) match {
+      case l: LineString if l.getNumPoints > 2 =>
+        val cs = l.getCoordinates
+        val n = i(a, 1)
+        if (n < 0 || n >= cs.length) null
+        else GeomIO.factory.createLineString(cs.take(n) ++ cs.drop(n + 1))
+      case _ => null
+    }),
+    fn("st_setpoint", BinaryType, Seq(Geom, Int_, Geom))(a => (g0(a), a(2)) match {
+      case (l: LineString, p: Point) =>
+        val cs = l.getCoordinates.clone()
+        val n = { val x = i(a, 1); if (x < 0) cs.length + x else x }
+        if (n < 0 || n >= cs.length) null
+        else { cs(n) = p.getCoordinate; GeomIO.factory.createLineString(cs) }
+      case _ => null
+    }),
+    fn("st_angle", DoubleType, Seq(Geom, Geom, Geom))(a =>
+      (g0(a), g1(a), a(2)) match {
+        case (p1: Point, p2: Point, p3: Point) =>
+          org.locationtech.jts.algorithm.Angle.angleBetween(
+            p1.getCoordinate, p2.getCoordinate, p3.getCoordinate)
+        case _ => null
+      }),
+    fn("st_ndims", IntegerType, Seq(Geom))(a => if (GeomIO.hasZ(g0(a))) 3 else 2),
+    fn("st_zmflag", IntegerType, Seq(Geom))(a => {
+      val g = g0(a); val c = g.getCoordinate
+      val hasZ = c != null && !java.lang.Double.isNaN(c.getZ)
+      val hasM = c != null && !java.lang.Double.isNaN(c.getM)
+      (hasZ, hasM) match {
+        case (false, false) => 0; case (false, true) => 1
+        case (true, false) => 2; case (true, true) => 3
+      }
+    }),
+    fn("st_summary", StringType, Seq(Geom))(a => {
+      val g = g0(a)
+      s"${g.getGeometryType} with ${g.getNumPoints} points, " +
+        s"${g.getNumGeometries} component(s)" +
+        (if (g.getSRID != 0) s", SRID=${g.getSRID}" else "")
+    }),
 
     // ---- decomposition: subdivide (bounded-vertex pieces for balanced
     // spatial partitioning) and split-by-blade ----

@@ -150,6 +150,27 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_astext(st_reverse(st_geomfromwkt('LINESTRING (0 0, 1 1, 2 0)')))") == "LINESTRING (2 0, 1 1, 0 0)")
   }
 
+  test("structural editors: multi, orientation, point edits, angle") {
+    assert(q("st_astext(st_multi(st_point(1,2)))") == "MULTIPOINT ((1 2))")
+    assert(q("st_numgeometries(st_forcecollection(st_geomfromwkt('MULTIPOINT ((1 2), (3 4))')))") == 2)
+    assert(q("st_astext(st_forcepolygonccw(st_geomfromwkt('POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))')))")
+      == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(q("st_astext(st_forcepolygoncw(st_geomfromwkt('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')))")
+      == "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))")
+    assert(q("st_npoints(st_removerepeatedpoints(st_geomfromwkt('LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)')))") == 3)
+    assert(q("st_astext(st_addpoint(st_geomfromwkt('LINESTRING (0 0, 2 2)'), st_point(1, 1), 1))")
+      == "LINESTRING (0 0, 1 1, 2 2)")
+    assert(q("st_astext(st_removepoint(st_geomfromwkt('LINESTRING (0 0, 1 1, 2 2)'), 1))")
+      == "LINESTRING (0 0, 2 2)")
+    assert(q("st_astext(st_setpoint(st_geomfromwkt('LINESTRING (0 0, 1 1)'), -1, st_point(5, 5)))")
+      == "LINESTRING (0 0, 5 5)")
+    assert(q("st_angle(st_point(1,0), st_point(0,0), st_point(0,1))") == math.Pi / 2)
+    assert(q("st_ndims(st_pointz(1,2,3))") == 3)
+    assert(q("st_zmflag(st_point(1,2))") == 0)
+    assert(q("st_zmflag(st_pointz(1,2,3))") == 2)
+    assert(q("st_summary(st_makeenvelope(0,0,1,1))").toString.startsWith("Polygon with 5 points"))
+  }
+
   test("split and subdivide") {
     assert(q("st_astext(st_split(st_geomfromwkt('LINESTRING (0 0, 10 0)'), st_point(4, 0)))")
       == "MULTILINESTRING ((0 0, 4 0), (4 0, 10 0))")
