@@ -16,5 +16,9 @@ object GraftExtensions {
     val opts = spark.experimental.extraOptimizations
     if (!opts.contains(graft.plans.GeoPruneRule))
       spark.experimental.extraOptimizations = opts :+ graft.plans.GeoPruneRule
+    val opts2 = spark.experimental.extraOptimizations
+    if (!opts2.exists(_.isInstanceOf[graft.plans.GridSpatialJoinRule]))
+      spark.experimental.extraOptimizations =
+        opts2 :+ graft.plans.GridSpatialJoinRule(spark)
   }
 }

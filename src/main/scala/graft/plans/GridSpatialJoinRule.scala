@@ -1,0 +1,152 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateFunction, Max, Min}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+import graft.joins.SpatialPredicate
+import graft.functions.GeomScalars
+
+/** Planner-level large-large spatial join — the 100 TB path for SQL users.
+  *
+  * When a join condition carries a spatial predicate and NEITHER side fits
+  * the broadcast threshold, rewrites the logical join into the
+  * grid-partitioned form (the reference's out-of-core partitioned join,
+  * rust/sedona-spatial-join/src/partitioning/kdb.rs:20-46 multi-assignment
+  * + dedup, re-expressed with Spark relational operators):
+  *
+  *   Join(L, R, pred(lg, rg))
+  *     =>
+  *   Project(L.out ++ R.out,
+  *     Join(Generate(explode(gridcells(lg)), L)  as L + __lcell,
+  *          Generate(explode(gridcells(rg)), R)  as R + __rcell,
+  *          Inner, __lcell = __rcell
+  *                 AND pred(lg, rg)
+  *                 AND refcell(lg, rg) = __lcell))   -- reference-point dedup
+  *
+  * The rewritten join has an equi-conjunct on the cell id, so Catalyst
+  * plans a shuffled hash / sort-merge join: the shuffle machinery, AQE
+  * skew-split (hot cells), and codegen all apply — exactly what a
+  * hand-rolled out-of-core spatial join would have to re-implement.
+  * ST_DWithin / ST_Distance < d joins expand the left envelope by d for
+  * cell assignment and dedup, so cross-cell pairs within d still co-locate.
+  *
+  * Grid bounds come from `spark.graft.join.grid.bounds` ("xmin,ymin,
+  * xmax,ymax") when set; otherwise a bounds pre-pass (min/max of the two
+  * sides' envelopes — a partial-aggregated single-column scan, the Spark
+  * analog of the reference's bbox sampling, option.rs:110-120) runs once at
+  * optimization time. Resolution from `spark.graft.join.grid.nx/ny`
+  * (default 64x64; size so a cell holds O(10k) rows at your scale).
+  * `spark.graft.join.grid.enabled=false` disables the rewrite (falls back
+  * to BroadcastNestedLoopJoin). Inner joins only; outer large-large
+  * spatial joins fall back.
+  */
+case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def conf(key: String, default: String): String =
+    session.conf.getOption(key).getOrElse(default)
+
+  private def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond).exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+      case _ => false
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf("spark.graft.join.grid.enabled", "true") != "true") return plan
+    plan.transformUp {
+      case j @ Join(left, right, jt, Some(cond), _)
+          if (jt == Inner || jt == Cross) && !hasEquiConjunct(cond, left, right)
+            && bothLarge(left, right) =>
+        SpatialPredicate.extract(cond, left, right) match {
+          case Some(ex) if ex.distance.forall(_.references.subsetOf(left.outputSet)) =>
+            rewrite(left, right, ex).getOrElse(j)
+          case _ => j
+        }
+    }
+  }
+
+  private def bothLarge(left: LogicalPlan, right: LogicalPlan): Boolean = {
+    val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold < 0) true // broadcast disabled: grid is the only distributed path
+    else left.stats.sizeInBytes > threshold && right.stats.sizeInBytes > threshold
+  }
+
+  private def rewrite(
+      left: LogicalPlan, right: LogicalPlan,
+      ex: SpatialPredicate.Extracted): Option[LogicalPlan] = {
+    val b = GeomScalars.registry
+    bounds(left, right, ex).map { case (xmin, ymin, xmax, ymax) =>
+      val nx = conf("spark.graft.join.grid.nx", "64").toInt
+      val ny = conf("spark.graft.join.grid.ny", "64").toInt
+      val gridLits = Seq[Expression](Literal(xmin), Literal(ymin), Literal(xmax),
+        Literal(ymax), Literal(nx), Literal(ny))
+      // DWithin: expand the left envelope by d so cells/ref-point of the
+      // pair's d-neighbourhood intersection stay consistent on both paths
+      val leftKey = ex.distance match {
+        case Some(d) => b("st_expandenvelope")(Seq(ex.leftGeom, d))
+        case None => ex.leftGeom
+      }
+      val lcell = AttributeReference("__lcell", LongType, nullable = false)()
+      val rcell = AttributeReference("__rcell", LongType, nullable = false)()
+      val lgen = Generate(Explode(b("st_gridcells")(leftKey +: gridLits)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(lcell), child = left)
+      val rgen = Generate(Explode(b("st_gridcells")(ex.rightGeom +: gridLits)),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(rcell), child = right)
+      val refine: Expression = ex.distance match {
+        case Some(d) => b("st_dwithin")(Seq(ex.leftGeom, ex.rightGeom, d))
+        case None => b(ex.predName)(Seq(ex.leftGeom, ex.rightGeom))
+      }
+      val dedup = EqualTo(b("st_refcell")(Seq(leftKey, ex.rightGeom) ++ gridLits), lcell)
+      val newCond = (Seq[Expression](EqualTo(lcell, rcell), refine, dedup) ++ ex.remainder)
+        .reduce(And)
+      Project(left.output ++ right.output,
+        Join(lgen, rgen, Inner, Some(newCond), JoinHint.NONE))
+    }
+  }
+
+  /** Grid extent: pinned via conf, else a min/max envelope pre-pass over
+    * both (already filter-pushed, column-pruned) children. */
+  private def bounds(
+      left: LogicalPlan, right: LogicalPlan,
+      ex: SpatialPredicate.Extracted): Option[(Double, Double, Double, Double)] = {
+    conf("spark.graft.join.grid.bounds", "auto") match {
+      case "auto" =>
+        val b = GeomScalars.registry
+        def side(plan: LogicalPlan, geom: Expression): Option[(Double, Double, Double, Double)] = {
+          def agg(f: AggregateFunction, name: String) =
+            Alias(f.toAggregateExpression(), name)()
+          val node = Aggregate(Nil, Seq(
+            agg(Min(b("st_xmin")(Seq(geom))), "x0"),
+            agg(Min(b("st_ymin")(Seq(geom))), "y0"),
+            agg(Max(b("st_xmax")(Seq(geom))), "x1"),
+            agg(Max(b("st_ymax")(Seq(geom))), "y1")), plan)
+          val rows = session.sessionState.executePlan(node).executedPlan.executeCollect()
+          val row = rows(0)
+          if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) || row.isNullAt(3)) None
+          else Some((row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)))
+        }
+        for {
+          (lx0, ly0, lx1, ly1) <- side(left, ex.leftGeom)
+          (rx0, ry0, rx1, ry1) <- side(right, ex.rightGeom)
+        } yield (math.min(lx0, rx0), math.min(ly0, ry0),
+          math.max(lx1, rx1), math.max(ly1, ry1))
+      case s =>
+        val p = s.split(",").map(_.trim.toDouble)
+        require(p.length == 4, s"spark.graft.join.grid.bounds must be xmin,ymin,xmax,ymax, got: $s")
+        Some((p(0), p(1), p(2), p(3)))
+    }
+  }
+}

@@ -122,6 +122,25 @@ object JoinQueries {
           |WHERE p_partkey % 2 = 1""".stripMargin)
     }),
 
+    // planner-level grid rewrite: pure SQL, no hints, broadcast disabled —
+    // GridSpatialJoinRule turns the spatial theta-join into the explode/
+    // equi-join/dedup plan (the plan a 1000-executor cluster needs)
+    "sj07_planner_grid_join" -> ((s, dir) => {
+      prep(s)
+      orderPoints(s, dir).select(col("o_orderkey"), col("pt"))
+        .createOrReplaceTempView("pg_pts")
+      partBoxes(s, dir).select(col("p_partkey"), col("box"))
+        .createOrReplaceTempView("pg_boxes")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = s.sql(
+          "SELECT o_orderkey, p_partkey FROM pg_pts JOIN pg_boxes ON st_intersects(pt, box)")
+        df.queryExecution.executedPlan // force planning under broadcast-off
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // shuffle-partitioned grid join — same semantics as sj01
     "sj05_grid_join" -> ((s, dir) => {
       prep(s)
@@ -197,6 +216,12 @@ object JoinQueries {
         |WHERE rk <= 3 AND p_partkey % 2 = 1""".stripMargin,
 
     "sj05_grid_join" ->
+      s"""WITH p AS ($pointsSql), b AS ($boxesSql)
+        |SELECT p.o_orderkey, b.p_partkey FROM p JOIN b
+        |ON p.px >= b.bxmin AND p.px <= b.bxmin + b.bw
+        |AND p.py >= b.bymin AND p.py <= b.bymin + b.bh""".stripMargin,
+
+    "sj07_planner_grid_join" ->
       s"""WITH p AS ($pointsSql), b AS ($boxesSql)
         |SELECT p.o_orderkey, b.p_partkey FROM p JOIN b
         |ON p.px >= b.bxmin AND p.px <= b.bxmin + b.bw

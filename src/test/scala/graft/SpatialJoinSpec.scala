@@ -132,6 +132,61 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(grid2) == sortedRows(idx))
   }
 
+  test("planner rewrites large-large spatial join to grid equi-join (SQL path)") {
+    val p = points(300, 41)
+    val b = boxes(250, 43)
+    val expected = sortedRows(
+      p.join(b, st.intersects(col("pgeom"), col("bgeom"))).select("pid", "bid"))
+    p.createOrReplaceTempView("gp")
+    b.createOrReplaceTempView("gb")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        "SELECT pid, bid FROM gp JOIN gb ON st_intersects(pgeom, bgeom)")
+      val physical = j.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"), physical.take(2000))
+      assert(physical.contains("SortMergeJoin") || physical.contains("ShuffledHashJoin"),
+        physical.take(2000))
+      assert(sortedRows(j) == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("planner grid rewrite handles dwithin and distance< with constant radius") {
+    val p = points(200, 51)
+    val q = points(180, 53).toDF("qid", "qgeom")
+    val expected = sortedRows(
+      p.crossJoin(q).filter(st.distance(col("pgeom"), col("qgeom")) < 4.0)
+        .select(col("pid"), col("qid")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j1 = p.join(q, st.dwithin(col("pgeom"), col("qgeom"), lit(4.0)))
+        .select(col("pid"), col("qid"))
+      val phys = j1.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(2000))
+      assert(sortedRows(j1) == expected)
+      val j2 = p.join(q, st.distance(col("pgeom"), col("qgeom")) < lit(4.0))
+        .select(col("pid"), col("qid"))
+      assert(sortedRows(j2) == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("grid rewrite leaves small joins and equi-conjunct joins alone") {
+    val p = points(100, 61)
+    val b = boxes(80, 63)
+    // broadcastable: strategy path, not the grid rewrite
+    val j = p.join(b, st.intersects(col("pgeom"), col("bgeom")))
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastIndexSpatialJoin"))
+    // equi-conjunct: Spark hash join even with broadcast off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = p.withColumn("k", col("pid") % 5)
+      val r = b.withColumn("k", col("bid") % 5)
+      val je = l.join(r, l("k") === r("k") && st.intersects(col("pgeom"), col("bgeom")))
+      val phys = je.queryExecution.executedPlan.toString
+      assert(!phys.toLowerCase.contains("gridcells"), phys.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("SQL st_knn join plans as KnnJoinExec and matches brute force") {
     import org.apache.spark.sql.expressions.Window
     // tie-free: distinct coordinates per id
