@@ -719,6 +719,16 @@ object GeomScalars {
     fn("st_areasphere", DoubleType, Seq(Geom))(a => Spherical.area(g0(a))),
     fn("st_lengthsphere", DoubleType, Seq(Geom))(a => Spherical.length(g0(a))),
     fn("st_perimetersphere", DoubleType, Seq(Geom))(a => Spherical.perimeter(g0(a))),
+    // geography-join partitioning kernels (S2-covering analog,
+    // rust/sedona-spatial-join-geography): wrap-safe lat-lon grid cover
+    // of the radius-expanded envelope + canonical-cell pair dedup
+    "st_gridcells_sphere" -> ((children: Seq[Expression]) =>
+      GeomScalar("st_gridcells_sphere", children, ArrayType(LongType, containsNull = false),
+        Seq(Geom, Dbl, Int_, Int_), a =>
+          new GenericArrayData(Spherical.gridCells(
+            g0(a).getEnvelopeInternal, d(a, 1), i(a, 2), i(a, 3))))),
+    fn("st_refcell_sphere", LongType, Seq(Geom, Geom, Dbl, Int_, Int_))(a =>
+      Spherical.refCell(g0(a), g1(a), d(a, 2), i(a, 3), i(a, 4))),
 
     // ---- KNN join stub: only valid inside a join condition, where
     // SpatialJoinStrategy plans it into KnnJoinExec (reference pattern:

@@ -64,6 +64,75 @@ object Spherical {
     case _ => 0.0
   }
 
+  /** Lat-lon grid cells covered by `env` expanded by `radiusM` meters of
+    * great-circle distance — the partitioning kernel for the geography
+    * (spherical) join, the analog of the reference's S2-covering join
+    * (rust/sedona-spatial-join-geography). Grid: `nx` cells over lon
+    * [-180,180) x `ny` over lat [-90,90], row-major id = latIdx*nx+lonIdx.
+    *
+    * Longitude expansion uses the exact spherical bound
+    * |sin(dlam/2)| <= sin(r/2R)/cos(phi_max) (from the haversine identity),
+    * so no within-radius pair can land in disjoint cell sets; antimeridian
+    * wrap emits the modulo cells, and a band that reaches a pole covers the
+    * full longitude ring.
+    */
+  def gridCells(env: org.locationtech.jts.geom.Envelope,
+      radiusM: Double, nx: Int, ny: Int): Array[Long] = {
+    if (env.isNull) return Array.empty
+    val dLat = math.toDegrees(radiusM / R)
+    val poleTouch = env.getMaxY + dLat >= 90.0 || env.getMinY - dLat <= -90.0
+    val lat0 = math.max(-90.0, env.getMinY - dLat)
+    val lat1 = math.min(90.0, env.getMaxY + dLat)
+    def latIdx(lat: Double): Int = {
+      val i = ((lat + 90.0) / 180.0 * ny).toInt
+      if (i < 0) 0 else if (i >= ny) ny - 1 else i
+    }
+    val cy0 = latIdx(lat0)
+    val cy1 = latIdx(lat1)
+    val cosMax = math.cos(math.toRadians(math.max(math.abs(lat0), math.abs(lat1))))
+    val sinHalf = math.sin(math.min(radiusM / (2 * R), math.Pi / 2))
+    val fullRing = poleTouch || sinHalf >= cosMax ||
+      { val dLon = math.toDegrees(2 * math.asin(sinHalf / cosMax))
+        env.getWidth + 2 * dLon >= 360.0 }
+    val lonIdxs: Array[Int] =
+      if (fullRing) Array.tabulate(nx)(identity)
+      else {
+        val dLon = if (radiusM <= 0) 0.0 else math.toDegrees(2 * math.asin(sinHalf / cosMax))
+        val cx0 = math.floor((env.getMinX - dLon + 180.0) / 360.0 * nx).toLong
+        val cx1 = math.floor((env.getMaxX + dLon + 180.0) / 360.0 * nx).toLong
+        val seen = new java.util.LinkedHashSet[Int]()
+        var c = cx0
+        while (c <= cx1) { seen.add((((c % nx) + nx) % nx).toInt); c += 1 }
+        val arr = new Array[Int](seen.size)
+        val it = seen.iterator(); var i = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        arr
+      }
+    val out = new Array[Long]((cy1 - cy0 + 1) * lonIdxs.length)
+    var k = 0
+    var cy = cy0
+    while (cy <= cy1) {
+      var j = 0
+      while (j < lonIdxs.length) { out(k) = cy.toLong * nx + lonIdxs(j); k += 1; j += 1 }
+      cy += 1
+    }
+    out
+  }
+
+  /** Canonical cell for pair dedup in the spherical grid join: the minimum
+    * cell id common to a's expanded cover and b's cover (the wrap-safe
+    * analog of the planar reference-point rule). Null when disjoint —
+    * which the join condition already excludes. */
+  def refCell(a: Geometry, b: Geometry, radiusM: Double, nx: Int, ny: Int): Any = {
+    val ca = gridCells(a.getEnvelopeInternal, radiusM, nx, ny)
+    val cb = gridCells(b.getEnvelopeInternal, 0.0, nx, ny)
+    val sb = new java.util.HashSet[Long]()
+    cb.foreach(sb.add(_))
+    var best = Long.MaxValue
+    ca.foreach(c => if (sb.contains(c) && c < best) best = c)
+    if (best == Long.MaxValue) null else java.lang.Long.valueOf(best)
+  }
+
   def perimeter(g: Geometry): Any = g match {
     case p: Polygon =>
       (Seq(p.getExteriorRing) ++

@@ -85,6 +85,36 @@ object SpatialJoins {
       gridJoin(left, right, leftGeom, rightGeom, predicate, None, nx, ny)
   }
 
+  /** Geography (spherical) distance join — both sides shuffle-partitioned
+    * on a wrap-safe lat-lon grid, pairs refined with great-circle
+    * st_dwithinsphere and deduplicated by the canonical-common-cell rule.
+    * The Spark re-expression of the reference's S2-based geography join
+    * (rust/sedona-spatial-join-geography, planner fallback at
+    * context.rs:163-172): cell-id equality makes it a regular shuffled
+    * equi-join, so AQE skew handling applies; antimeridian and pole cases
+    * are covered by the cell kernel, not special-cased join logic.
+    *
+    * @param radiusM great-circle radius in meters
+    * @param nx,ny   grid resolution over lon [-180,180] x lat [-90,90]
+    */
+  def sphereDWithinJoin(
+      left: DataFrame, right: DataFrame,
+      leftGeom: Column, rightGeom: Column,
+      radiusM: Double,
+      nx: Int = 360, ny: Int = 180): DataFrame = {
+    val l = left.withColumn("__lg", leftGeom)
+      .withColumn("__cell", explode(st.f("st_gridcells_sphere", col("__lg"),
+        lit(radiusM), lit(nx), lit(ny))))
+    val r = right.withColumn("__rg", rightGeom)
+      .withColumn("__cell", explode(st.f("st_gridcells_sphere", col("__rg"),
+        lit(0.0), lit(nx), lit(ny))))
+    l.join(r, l("__cell") === r("__cell")
+        && st.f("st_dwithinsphere", col("__lg"), col("__rg"), lit(radiusM))
+        && st.f("st_refcell_sphere", col("__lg"), col("__rg"),
+          lit(radiusM), lit(nx), lit(ny)) === l("__cell"))
+      .drop("__cell", "__lg", "__rg")
+  }
+
   /** Partitioned KNN join — the scale path when the OBJECT side cannot be
     * broadcast (the reference's out-of-core kNN territory:
     * probe/knn_results_merger.rs). Exact two-round grid algorithm:

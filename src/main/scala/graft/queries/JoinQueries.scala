@@ -141,6 +141,25 @@ object JoinQueries {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }),
 
+    // geography join: great-circle dwithin via wrap-safe lat-lon grid —
+    // full lon ring incl. antimeridian pairs and ±89 latitudes
+    "sj08_sphere_join" -> ((s, dir) => {
+      prep(s)
+      val c = t(s, dir, "customer")
+        .withColumn("clon", (col("c_custkey") % 720).cast("double") / 2.0 - 180.0)
+        .withColumn("clat", (col("c_custkey") % 356).cast("double") / 2.0 - 89.0)
+        .withColumn("cpt", st.point(col("clon"), col("clat")))
+        .select(col("c_custkey"), col("cpt"))
+      val sup = t(s, dir, "supplier")
+        .withColumn("slon", (col("s_suppkey") % 720).cast("double") / 2.0 - 179.75)
+        .withColumn("slat", (col("s_suppkey") % 356).cast("double") / 2.0 - 88.75)
+        .withColumn("spt", st.point(col("slon"), col("slat")))
+        .select(col("s_suppkey"), col("spt"))
+      SpatialJoins.sphereDWithinJoin(c, sup, col("cpt"), col("spt"), 250000.0,
+          nx = 72, ny = 36)
+        .select(col("c_custkey"), col("s_suppkey"))
+    }),
+
     // shuffle-partitioned grid join — same semantics as sj01
     "sj05_grid_join" -> ((s, dir) => {
       prep(s)
@@ -225,6 +244,26 @@ object JoinQueries {
       s"""WITH p AS ($pointsSql), b AS ($boxesSql)
         |SELECT p.o_orderkey, b.p_partkey FROM p JOIN b
         |ON p.px >= b.bxmin AND p.px <= b.bxmin + b.bw
-        |AND p.py >= b.bymin AND p.py <= b.bymin + b.bh""".stripMargin
+        |AND p.py >= b.bymin AND p.py <= b.bymin + b.bh""".stripMargin,
+
+    "sj08_sphere_join" -> {
+      def hav(lo1: String, la1: String, lo2: String, la2: String) =
+        s"""2*6371008.8*asin(sqrt(
+           |    sin(radians(($la2)-($la1))/2)*sin(radians(($la2)-($la1))/2)
+           |    + cos(radians($la1))*cos(radians($la2))
+           |      * sin(radians(($lo2)-($lo1))/2)*sin(radians(($lo2)-($lo1))/2)))""".stripMargin
+      s"""WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 720 AS DOUBLE)/2.0 - 180.0 AS clon,
+        |    CAST(c_custkey % 356 AS DOUBLE)/2.0 - 89.0 AS clat
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    CAST(s_suppkey % 720 AS DOUBLE)/2.0 - 179.75 AS slon,
+        |    CAST(s_suppkey % 356 AS DOUBLE)/2.0 - 88.75 AS slat
+        |  FROM supplier)
+        |SELECT c.c_custkey, s.s_suppkey FROM c JOIN s
+        |ON ${hav("clon", "clat", "slon", "slat")} <= 250000.0""".stripMargin
+    }
   )
 }

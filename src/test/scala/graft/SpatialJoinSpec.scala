@@ -187,6 +187,30 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("spherical dwithin join ≡ cross join + haversine, incl. antimeridian + poles") {
+    // lon spread over the full [-180,180) ring (wrap pairs at ±180), lat
+    // up to ±89.5 (pole-adjacent full-ring path)
+    def geo(n: Int, seed: Int, idc: String, gc: String): DataFrame =
+      spark.range(n).select(col("id").as(idc),
+        st.point(pmod(hash(col("id") * 3 + seed), lit(7200)) / 20.0 - 180.0,
+          pmod(hash(col("id") * 11 + seed), lit(3580)) / 20.0 - 89.5).as(gc))
+    val a = geo(250, 71, "aid", "ag")
+    val b = geo(250, 73, "bid", "bg")
+    val r = 300000.0 // 300 km
+    val expected = sortedRows(
+      a.crossJoin(b)
+        .filter(st.f("st_distancesphere", col("ag"), col("bg")) <= r)
+        .select(col("aid"), col("bid")))
+    assert(expected.nonEmpty)
+    val grid = SpatialJoins.sphereDWithinJoin(a, b, col("ag"), col("bg"), r,
+      nx = 36, ny = 18).select(col("aid"), col("bid"))
+    assert(sortedRows(grid) == expected)
+    // finer grid, same answer
+    val grid2 = SpatialJoins.sphereDWithinJoin(a, b, col("ag"), col("bg"), r,
+      nx = 360, ny = 180).select(col("aid"), col("bid"))
+    assert(sortedRows(grid2) == expected)
+  }
+
   test("SQL st_knn join plans as KnnJoinExec and matches brute force") {
     import org.apache.spark.sql.expressions.Window
     // tie-free: distinct coordinates per id
