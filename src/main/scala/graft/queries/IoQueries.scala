@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.GraftExtensions
 import graft.functions.GraftFunctions.st
-import graft.sources.{GeoParquet, GeoTextIO}
+import graft.sources.{GeoJsonIO, GeoParquet, GeoTextIO}
 
 /** GeoParquet round-trip + covering-column pruning as a correctness-gate
   * query: write part boxes as Hilbert-clustered GeoParquet with a bbox
@@ -51,6 +51,28 @@ object IoQueries {
         .select(col("p_partkey"), st.area(col("geom")).as("json_area"))
       fromCsv.join(fromJson, "p_partkey")
         .select(col("p_partkey"), col("csv_area"), col("json_area"))
+    }),
+
+    // newline-delimited GeoJSON feature roundtrip (mixed point/box
+    // geometries in one file — per-row geometry parse, no inference)
+    "io03_geojson_roundtrip" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val feats = t(s, dir, "part")
+        .withColumn("bxmin", (col("p_partkey") % 100).cast("double") * 20.0)
+        .withColumn("bymin", (col("p_size") % 50).cast("double") * 20.0)
+        .withColumn("geom", when(col("p_partkey") % 3 === 0,
+            st.point(col("bxmin"), col("bymin")))
+          .otherwise(st.makeEnvelope(col("bxmin"), col("bymin"),
+            col("bxmin") + (col("p_partkey") % 7 + 1).cast("double"),
+            col("bymin") + (col("p_size") % 5 + 1).cast("double"))))
+        .select(col("p_partkey"), col("geom"))
+      val path = s"/tmp/graft_geojson/${math.abs(dir.hashCode)}"
+      GeoJsonIO.write(feats, path, "geom")
+      GeoJsonIO.read(s, path, "geom")
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          st.f("st_geometrytype", col("geom")).as("gtype"),
+          st.area(col("geom")).as("area"),
+          st.f("st_npoints", col("geom")).as("npoints"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -70,5 +92,13 @@ object IoQueries {
       """SELECT p_partkey,
         |  CAST(p_partkey % 7 + 1 AS DOUBLE) * CAST(p_size % 5 + 1 AS DOUBLE) AS csv_area,
         |  CAST(p_partkey % 7 + 1 AS DOUBLE) * CAST(p_size % 5 + 1 AS DOUBLE) AS json_area
+        |FROM part""".stripMargin,
+
+    "io03_geojson_roundtrip" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 'ST_Point' ELSE 'ST_Polygon' END AS gtype,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 0.0
+        |    ELSE CAST(p_partkey % 7 + 1 AS DOUBLE) * CAST(p_size % 5 + 1 AS DOUBLE) END AS area,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 5 END AS npoints
         |FROM part""".stripMargin)
 }
