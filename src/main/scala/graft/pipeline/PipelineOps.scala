@@ -20,6 +20,57 @@ object PipelineOps {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
   }
 
+  /** Connected components over a near-duplicate pair list — the step a
+    * training pipeline runs after MinHash/SimHash pair generation to turn
+    * pairwise matches into dedup groups (keep one canonical doc per
+    * component). Iterative min-label propagation: each round is one
+    * shuffle (edge-label join + min-aggregate) and converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * this beats the constant-factor-heavy two-phase star algorithms for
+    * this workload while staying fully distributed (no driver state).
+    *
+    * @param pairs one row per undirected pair
+    * @return (id, group_id) for every id that appears in `pairs`, where
+    *   group_id is the minimum id in the component
+    */
+  def connectedComponents(pairs: DataFrame, aCol: Column, bCol: Column,
+      maxIter: Int = 30): DataFrame = {
+    val half = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
+    val edges = half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("group_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"),
+          (col("nbr_min") < col("group_id")).as("__chg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("__chg")).count()
+      val prev = labels
+      labels = next.select(col("id"), col("group_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prev.unpersist()
+      next.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Dedup groups from near-dup pairs: every doc in `pairs` mapped to its
+    * component's canonical (minimum) id, with `keep` marking the survivor.
+    */
+  def dedupGroups(pairs: DataFrame, aCol: Column, bCol: Column): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .withColumn("keep", col("id") === col("group_id"))
+
   /** MinHash-LSH candidate pairs: signature → band keys → explode →
     * band-bucket self-join → distinct pairs with jaccard estimate.
     * Pairs only form inside a band bucket, so the shuffle key is the band

@@ -19,6 +19,28 @@ object PipelineQueries {
   private val shSql = // word 3-shingles over t
     "[array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))]"
 
+  // shared CTE chain: documents → shingles → minhash signatures → LSH
+  // bands → candidate pairs (the pl04 construction, reused by pl12)
+  private lazy val minhashPairCtes =
+    s"""d AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |sh AS (SELECT doc_id, $shSql AS sh FROM d),
+      |hashed AS (SELECT doc_id, [${h32("s")} for s in sh] AS hs FROM sh),
+      |sig AS (SELECT doc_id,
+      |  [${(0 until 12).map(j =>
+           s"list_min([(${TextOps.mhA(j)}*x + ${TextOps.mhB(j)}) % ${TextOps.MinhashP} for x in hs])")
+           .mkString(",\n      |   ")}] AS mh
+      |FROM hashed),
+      |banded AS (
+      |  SELECT doc_id, mh, r.range AS band,
+      |    md5(array_to_string(mh[r.range*3+1 : r.range*3+3], ',')) AS bkey
+      |  FROM sig CROSS JOIN range(0, 4) r),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    list_sum([CASE WHEN a.mh[i] = b.mh[i] THEN 1 ELSE 0 END
+      |              for i in range(1, 13)])::DOUBLE / 12 AS est_jaccard
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting + quality scoring
     "pl01_text_stats" -> ((s, dir) => {
@@ -119,6 +141,14 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // dedup groups: connected components over the minhash pair graph —
+    // distributed min-label propagation, one shuffle per round
+    "pl12_dedup_groups" -> ((s, dir) => {
+      val pairs = PipelineOps.minhashPairs(t(s, dir, "documents"),
+        col("doc_id"), col("text"), numHashes = 12, bands = 4)
+      PipelineOps.dedupGroups(pairs, col("doc_a"), col("doc_b"))
+    }),
+
     // multimodal binary column plumbing with deterministic fake decode
     "pl10_multimodal" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -171,25 +201,23 @@ object PipelineQueries {
         |FROM d GROUP BY 1""".stripMargin,
 
     "pl04_minhash_pairs" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
-        |sh AS (SELECT doc_id, $shSql AS sh FROM d),
-        |hashed AS (SELECT doc_id, [${h32("s")} for s in sh] AS hs FROM sh),
-        |sig AS (SELECT doc_id,
-        |  [${(0 until 12).map(j =>
-             s"list_min([(${TextOps.mhA(j)}*x + ${TextOps.mhB(j)}) % ${TextOps.MinhashP} for x in hs])")
-             .mkString(",\n        |   ")}] AS mh
-        |FROM hashed),
-        |banded AS (
-        |  SELECT doc_id, mh, r.range AS band,
-        |    md5(array_to_string(mh[r.range*3+1 : r.range*3+3], ',')) AS bkey
-        |  FROM sig CROSS JOIN range(0, 4) r),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    list_sum([CASE WHEN a.mh[i] = b.mh[i] THEN 1 ELSE 0 END
-        |              for i in range(1, 13)])::DOUBLE / 12 AS est_jaccard
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      s"""WITH $minhashPairCtes
         |SELECT doc_a, doc_b, est_jaccard FROM pairs""".stripMargin,
+
+    // transitive closure of the minhash pair graph — small components, so
+    // the recursive CTE terminates fast; min id per component = group id
+    "pl12_dedup_groups" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+        |SELECT id, MIN(r) AS group_id, MIN(r) = id AS keep
+        |FROM reach GROUP BY id""".stripMargin,
 
     "pl05_simhash_pairs" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS t FROM documents),

@@ -53,6 +53,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.getOrElse((1L, 3L), 0.0) < 0.1)
   }
 
+  test("connected components: multi-hop chains collapse to min id") {
+    import spark.implicits._
+    // components: {1,2,3,4} as a chain, {10,11} as an edge, {20,21,22} as
+    // a triangle — chain needs >1 propagation round
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b")
+    val got = graft.pipeline.PipelineOps.dedupGroups(pairs, col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
+  }
+
   test("cosine top-k: self-similar vectors rank first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
