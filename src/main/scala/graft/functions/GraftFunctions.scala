@@ -27,7 +27,15 @@ object GraftFunctions {
     })),
     "sd_simhash32" -> (es => graft.pipeline.SimHash32(es.head)),
     "sd_sorted_intersect_count" ->
-      (es => graft.pipeline.SortedIntersectCount(es.head, es(1))))
+      (es => graft.pipeline.SortedIntersectCount(es.head, es(1))),
+    "sd_hash32" -> (es => graft.pipeline.SdHash32(es.head)),
+    "sd_shingle_hash32" -> (es => graft.pipeline.SdShingleHash32(es.head, es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval().asInstanceOf[Number].intValue()
+    })),
+    "sd_dot" -> (es => graft.pipeline.SdDot(es.head, es(1))),
+    "sd_sqdist" -> (es => graft.pipeline.SdSqDist(es.head, es(1))),
+    "sd_argmin_sqdist" -> (es => graft.pipeline.ArgMinSqDist(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1,51 +1,73 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-style approximate nearest neighbour: a k-means coarse quantizer
-  * (Lloyd iterations as pure DataFrame ops — no MLlib, no driver-side
-  * math beyond the k centroid rows) partitions vectors into inverted
-  * lists; queries probe the `nProbe` nearest lists only.
+  * (Lloyd iterations) partitions vectors into inverted lists; queries
+  * probe the `nProbe` nearest lists only.
   *
-  * Scale shape: assignment is a broadcast join against k centroid rows +
-  * one min_by aggregation; centroid update is posexplode + per-dimension
-  * mean (k*dims tiny aggregate); search touches nProbe/k of the corpus.
+  * Scale shape: the centroid table is k x dims doubles — small enough to
+  * ship as a literal into a map-only `sd_argmin_sqdist` projection, so
+  * each Lloyd iteration is one scan + one (cid, dim) partial-aggregated
+  * mean. No crossJoin, no k-fold row duplication, no shuffle for
+  * assignment; the only shuffled data is the k*dims running means.
+  * Search touches nProbe/k of the corpus via an equi-join on list id.
   */
 object IvfAnn {
   import PipelineOps.{asDouble, cosine}
 
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, v) => s + v)
+  private def sqDist(a: Column, b: Column): Column = call_function("sd_sqdist", a, b)
 
-  /** Lloyd k-means over (id, vec double array) -> (cid, centroid). */
+  private def centroidLit(cents: Array[Array[Double]]): Column =
+    typedlit(cents.map(_.toSeq).toSeq)
+
+  /** Per-dimension means of `v` grouped by `cidCol`: Array(cid -> centroid),
+    * one aggregation (k*dims cells). */
+  private def meansByCluster(assigned: DataFrame, dims: Int): Map[Int, Array[Double]] =
+    assigned.select(col("__cid"), posexplode(col("__v")))
+      .groupBy(col("__cid"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        val c = new Array[Double](dims)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        cid -> c
+      }
+
+  /** Lloyd k-means over (id, vec double array) -> (centroid_id, centroid). */
   def kmeans(vectors: DataFrame, id: Column, vec: Column,
       k: Int, iters: Int = 5): DataFrame = {
+    val spark = vectors.sparkSession
     val v = vectors.select(id.as("__vid"), asDouble(vec).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic seed: k rows by hash order
-    var centroids = v.withColumn("__h", TextOps.hash32(col("__vid").cast("string")))
+    val seed: Array[Array[Double]] = v
+      .withColumn("__h", TextOps.hash32(col("__vid").cast("string")))
       .orderBy(col("__h")).limit(k)
-      .select((row_number().over(Window.orderBy(col("__h"))) - 1).as("__cid"),
-        col("__v").as("__cv"))
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var cents = seed
+    val dims = if (seed.nonEmpty) seed(0).length else 0
     for (_ <- 1 to iters) {
-      val assigned = v.crossJoin(broadcast(centroids))
-        .withColumn("__d", sqDist(col("__v"), col("__cv")))
-        .groupBy(col("__vid"))
-        .agg(min_by(col("__cid"), col("__d")).as("__cid"), first(col("__v")).as("__v"))
-      val updated = assigned
-        .select(col("__cid"), posexplode(col("__v")))
-        .groupBy(col("__cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("__cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("__cid"), transform(col("ps"), p => p.getField("m")).as("__cnew"))
+      val assigned = v.withColumn("__cid",
+        call_function("sd_argmin_sqdist", col("__v"), centroidLit(cents)))
+      val updated = meansByCluster(assigned, dims)
       // a cluster that lost every member keeps its previous centroid
-      centroids = centroids.join(updated, Seq("__cid"), "left")
-        .select(col("__cid"), coalesce(col("__cnew"), col("__cv")).as("__cv"))
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
     }
-    centroids.select(col("__cid").as("centroid_id"), col("__cv").as("centroid"))
+    v.unpersist()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("centroid",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
   }
 
   /** Approximate top-k neighbours: probe the nProbe nearest inverted
@@ -53,11 +75,13 @@ object IvfAnn {
   def search(vectors: DataFrame, queries: DataFrame,
       vid: Column, vvec: Column, qid: Column, qvec: Column,
       centroids: DataFrame, nProbe: Int, topK: Int): DataFrame = {
+    val cents: Array[Array[Double]] = centroids
+      .orderBy(col("centroid_id"))
+      .select(col("centroid")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // corpus list assignment: map-only argmin projection
     val corpus = vectors.select(vid.as("cand_id"), asDouble(vvec).as("cv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__d", sqDist(col("cv"), col("centroid")))
-      .groupBy(col("cand_id"))
-      .agg(min_by(col("centroid_id"), col("__d")).as("list_id"), first(col("cv")).as("cv"))
+      .withColumn("list_id", call_function("sd_argmin_sqdist", col("cv"), centroidLit(cents)))
     val wProbe = Window.partitionBy("query_id").orderBy(col("__d"), col("centroid_id"))
     val probes = queries.select(qid.as("query_id"), asDouble(qvec).as("qv"))
       .crossJoin(broadcast(centroids))

@@ -34,30 +34,67 @@ object PipelineOps {
     *   group_id is the minimum id in the component
     */
   def connectedComponents(pairs: DataFrame, aCol: Column, bCol: Column,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, localThreshold: Long = 1L << 22): DataFrame = {
     val half = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
     val edges = half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    // size-adaptive, like Spark's broadcast-join policy: an edge list that
+    // fits the driver resolves with union-find in one pass — the iterative
+    // label-propagation rounds below carry ~4 shuffles each, pure waste
+    // when the graph is megabytes. The distributed path is the >threshold
+    // plan that holds at 100TB.
+    if (edges.count() <= localThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = es.iterator.map(_._1).toArray.distinct
+      val out = nodes.map(n => (n, find(n))).toIndexedSeq
+      edges.unpersist()
+      import pairs.sparkSession.implicits._
+      return out.toDF("id", "group_id")
+    }
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("group_id", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var iter = 0
     var changed = 1L
+    var prevSum: java.math.BigDecimal = null
     while (changed > 0 && iter < maxIter) {
+      // neighbour-min propagation (one hop along edges) ...
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"),
-          (col("nbr_min") < col("group_id")).as("__chg"))
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id").as("pid"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("pgid"))
+      // ... then pointer jumping: label(x) <- label(label(x)). Labels only
+      // ever point at same-component nodes, so the jump is safe and cuts
+      // chain diameter exponentially — O(log d) rounds total.
+      val hop = prop.select(col("pid").as("jid"), col("pgid").as("jgid"))
+      val next = prop.join(hop, col("pgid") === col("jid"), "left")
+        .select(col("pid").as("id"),
+          least(col("pgid"), coalesce(col("jgid"), col("pgid"))).as("group_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("__chg")).count()
-      val prev = labels
-      labels = next.select(col("id"), col("group_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      prev.unpersist()
-      next.unpersist()
+      // labels only ever decrease, so the label sum strictly decreases iff
+      // anything changed — one aggregate materializes `next` in the cache
+      // (cutting lineage) and doubles as the convergence check
+      val curSum = next.agg(sum(col("group_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      changed = if (prevSum == null || prevSum.compareTo(curSum) != 0) 1L else 0L
+      prevSum = curSum
+      cached.unpersist()
+      cached = next
+      labels = next
       iter += 1
     }
     edges.unpersist()
@@ -81,7 +118,7 @@ object PipelineOps {
     // persist: the band self-join references the signatures twice; without
     // this the md5 pass over the corpus runs twice
     val sig = df.select(id.as("doc_id"),
-        minhashSignature(shingles(tokens(text), 3), numHashes).as("mh"))
+        minhashSignatureTok(tokens(text), 3, numHashes).as("mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("doc_id"), col("mh"),
         posexplode(bandKeys(col("mh"), bands, r)))
@@ -104,8 +141,11 @@ object PipelineOps {
       block: Column, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     // shingles are hashed to longs and sorted before the pairwise stage:
     // per-pair intersection is an allocation-free merge over sorted ints
+    // persist: both join sides reference the hashed-shingle arrays — without
+    // it the scan + md5 shingle hashing + sort runs twice
     val g = df.select(block.as("__blk"), id.as("doc_id"),
-      array_sort(array_distinct(transform(shingles(tokens(text), k), s => hash32(s)))).as("sh"))
+      array_sort(array_distinct(shingleHashes(tokens(text), k))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
@@ -130,7 +170,7 @@ object PipelineOps {
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       block: Column, maxHamming: Int): DataFrame = {
     val g = df.select(block.as("__blk"), id.as("doc_id"),
-        transform(tokens(text), t => hash32(t)).as("hs"))
+        shingleHashes(tokens(text), 1).as("hs"))
       .withColumn("sh", simhash32("hs"))
     val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -144,10 +184,10 @@ object PipelineOps {
     * arithmetic identical). DuckDB twin: list_transform(e, x -> x::DOUBLE) */
   def asDouble(e: Column): Column = transform(e, x => x.cast("double"))
 
-  /** dot(a, b) with left-to-right summation. DuckDB twin:
+  /** dot(a, b) with left-to-right summation — native kernel, bit-equal to
+    * aggregate(zip_with(a,b,_*_), 0.0, _+_). DuckDB twin:
     * list_sum([a[i]*b[i] for i in range(1, len(a)+1)]) */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("sd_dot", a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -67,6 +67,147 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 32-bit cross-engine hash: unsigned value of the first 4 md5 bytes —
+  * bit-identical to conv(substr(md5(x),1,8),16,10) (Spark) and
+  * ('0x'||substr(md5(x),1,8))::UBIGINT (DuckDB) but computed straight
+  * from the digest bytes: no hex string, no substring, no base parse. */
+case class SdHash32(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sd_hash32"
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    val md = SdHash32.digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    java.lang.Long.valueOf(
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+object SdHash32 {
+  private[pipeline] val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
+/** Fused word-shingle hashing: array<string> tokens -> array<long> of
+  * hash32(space-joined k-shingle) — bit-identical to
+  * transform(shingles(toks,k), s => hash32(s)) (and the DuckDB
+  * comprehension twin) but streams token bytes straight into the digest:
+  * no shingle strings, no per-element lambda interpretation. */
+case class SdShingleHash32(toks: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def child: Expression = toks
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sd_shingle_hash32"
+  private val space = Array[Byte](' ')
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val count = math.max(n - k + 1, 1)
+    val out = new Array[Long](count)
+    val md = SdHash32.digest.get()
+    var i = 0
+    while (i < count) {
+      md.reset()
+      val end = math.min(i + k, n)
+      var j = i
+      while (j < end) {
+        if (j > i) md.update(space)
+        val t = arr.getUTF8String(j)
+        if (t != null) md.update(t.getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(toks = c)
+}
+
+/** Dot product of two array<double> with strict left-to-right
+  * accumulation — bit-identical to the HOF formulation
+  * aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, (acc,v)=>acc+v) (and to the
+  * DuckDB oracle's list_sum comprehension), but a primitive JVM loop
+  * instead of per-element lambda interpretation. */
+case class SdDot(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sd_dot"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s = s + a.getDouble(i) * b.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Squared euclidean distance, same left-to-right order as
+  * aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, (s,v)=>s+v). */
+case class SdSqDist(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sd_sqdist"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s = s + d * d; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Index of the nearest centroid: array<double> x array<array<double>>
+  * -> int (ties to the lower index). One projection replaces the
+  * crossJoin(centroids) + min_by re-aggregation — the k-means assignment
+  * step becomes map-only, no shuffle, no k-fold row duplication. */
+case class ArgMinSqDist(vec: Expression, centroids: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def left: Expression = vec
+  override def right: Expression = centroids
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sd_argmin_sqdist"
+  override def nullSafeEval(v: Any, cs: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = cs.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    val k = m.numElements()
+    while (c < k) {
+      val cv = m.getArray(c)
+      var s = 0.0
+      var i = 0
+      val nn = math.min(n, cv.numElements())
+      while (i < nn) { val d = a.getDouble(i) - cv.getDouble(i); s = s + d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    if (best < 0) null else java.lang.Integer.valueOf(best)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, centroids = r)
+}
+
 /** array<long> (pre-hashed tokens) -> 32-bit SimHash (bit b set iff the
   * +-1 votes of bit b across hashes sum >= 0). */
 case class SimHash32(child: Expression)

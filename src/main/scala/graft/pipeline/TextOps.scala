@@ -19,10 +19,11 @@ object TextOps {
     * string_split_regex(lower(x), '\s+') */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** 32-bit cross-engine hash: first 8 hex chars of md5 as unsigned.
+  /** 32-bit cross-engine hash: first 8 hex chars of md5 as unsigned —
+    * native digest kernel (SdHash32), bit-identical to the composed form
+    * conv(substr(md5(x),1,8),16,10).
     * DuckDB twin: ('0x' || substr(md5(x), 1, 8))::UBIGINT::BIGINT */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  def hash32(c: Column): Column = call_function("sd_hash32", c)
 
   /** Word k-shingles as space-joined strings (1-based positions).
     * DuckDB twin: [array_to_string(t[i:i+k-1], ' ')
@@ -31,6 +32,13 @@ object TextOps {
     transform(
       sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k))))
+
+  /** Hashed k-shingles in one fused kernel — bit-identical to
+    * transform(shingles(toks,k), hash32) (see SdShingleHash32); k=1 is
+    * per-token hashing. DuckDB twin: [hash32 comprehension over shingles].
+    */
+  def shingleHashes(toks: Column, k: Int): Column =
+    call_function("sd_shingle_hash32", toks, lit(k))
 
   /** MinHash permutation constants: a_j in [1, 2^20], b_j in [0, 2^32),
     * prime p slightly over 2^32 — products stay under 2^53 so the affine
@@ -57,6 +65,11 @@ object TextOps {
     * [list_min([(A_j*x + B_j) % 4294967311 for x in hs]) for each j] */
   def minhashSignature(sh: Column, h: Int): Column =
     call_function("sd_minhash", transform(sh, s => hash32(s)), lit(h))
+
+  /** MinHash signature straight from the token array (fused shingle
+    * hashing; same bits as minhashSignature(shingles(toks,k), h)). */
+  def minhashSignatureTok(toks: Column, k: Int, h: Int): Column =
+    call_function("sd_minhash", shingleHashes(toks, k), lit(h))
 
   /** LSH band keys from a minhash signature: md5 of each rows-per-band
     * slice. DuckDB twin:
@@ -97,4 +110,8 @@ object TextOps {
     * DuckDB twin: array_to_string(list_sort(hs)[1:4], '-') */
   def fingerprint4(sh: Column): Column =
     concat_ws("-", slice(array_sort(transform(sh, s => hash32(s))), 1, 4))
+
+  /** fingerprint4 over pre-hashed shingles (fused kernel path). */
+  def fingerprint4Hashed(hs: Column): Column =
+    concat_ws("-", slice(array_sort(hs), 1, 4))
 }

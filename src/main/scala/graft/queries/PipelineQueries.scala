@@ -106,7 +106,7 @@ object PipelineQueries {
     "pl07_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          TextOps.fingerprint4(shingles(tokens(col("text")), 3)).as("fp"))
+          TextOps.fingerprint4Hashed(shingleHashes(tokens(col("text")), 3)).as("fp"))
     }),
 
     // brute-force cosine top-3 (exact ANN baseline)

@@ -59,11 +59,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a triangle — chain needs >1 propagation round
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b")
-    val got = graft.pipeline.PipelineOps.dedupGroups(pairs, col("a"), col("b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+    val expected = Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
       (10L, 10L, true), (11L, 10L, false),
-      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
+      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false))
+    val local = graft.pipeline.PipelineOps.dedupGroups(pairs, col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(local == expected)
+    // force the distributed label-propagation path (the at-scale plan)
+    val dist = graft.pipeline.PipelineOps
+      .connectedComponents(pairs, col("a"), col("b"), localThreshold = 0)
+      .withColumn("keep", col("id") === col("group_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(dist == expected)
   }
 
   test("cosine top-k: self-similar vectors rank first") {
