@@ -104,6 +104,15 @@ object GeomScalars {
       k: Array[Any] => Any): (String, B) =
     name -> ((children: Seq[Expression]) => GeomScalar(name, children, out, kinds, k))
 
+  /** Rebuild a geometry with each coordinate mapped through `f` as a full
+    * 3D Coordinate (works on immutable 2D CoordinateXY sequences). */
+  private[functions] def mapCoords3D(g: Geometry, f: Coordinate => Coordinate): Geometry =
+    new org.locationtech.jts.geom.util.GeometryEditor(GeomIO.factory).edit(g,
+      new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(cs: Array[Coordinate], geom: Geometry): Array[Coordinate] =
+          cs.map(f)
+      })
+
   @inline private def g0(a: Array[Any]): Geometry = a(0).asInstanceOf[Geometry]
   @inline private def g1(a: Array[Any]): Geometry = a(1).asInstanceOf[Geometry]
   @inline private def d(a: Array[Any], i: Int): Double = a(i).asInstanceOf[Double]
@@ -503,6 +512,28 @@ object GeomScalars {
     fn("st_affine", BinaryType, Seq(Geom, Dbl, Dbl, Dbl, Dbl, Dbl, Dbl))(a =>
       new AffineTransformation(d(a, 1), d(a, 2), d(a, 3), d(a, 4), d(a, 5), d(a, 6))
         .transform(g0(a))),
+    // 3D axis rotations (st_rotate.rs RotateX/RotateY): missing z treated
+    // as 0, result carries z; coordinates rebuilt 3D (2D inputs may use
+    // immutable CoordinateXY sequences)
+    fn("st_rotatex", BinaryType, Seq(Geom, Dbl))(a => {
+      val theta = d(a, 1); val c = math.cos(theta); val s = math.sin(theta)
+      GeomScalars.mapCoords3D(g0(a), co => {
+        val z = if (java.lang.Double.isNaN(co.getZ)) 0.0 else co.getZ
+        new Coordinate(co.x, co.y * c - z * s, co.y * s + z * c)
+      })
+    }),
+    fn("st_rotatey", BinaryType, Seq(Geom, Dbl))(a => {
+      val theta = d(a, 1); val c = math.cos(theta); val s = math.sin(theta)
+      GeomScalars.mapCoords3D(g0(a), co => {
+        val z = if (java.lang.Double.isNaN(co.getZ)) 0.0 else co.getZ
+        new Coordinate(co.x * c + z * s, co.y, -co.x * s + z * c)
+      })
+    }),
+    // storage-oriented simplification (sd_simplifystorage.rs): topology-
+    // preserving, tolerance in coordinate units
+    fn("sd_simplifystorage", BinaryType, Seq(Geom, Dbl))(a =>
+      org.locationtech.jts.simplify.TopologyPreservingSimplifier
+        .simplify(g0(a), d(a, 1))),
     fn("st_flipcoordinates", BinaryType, Seq(Geom))(a => flip(g0(a))),
     fn("st_force2d", BinaryType, Seq(Geom))(a => forceDim2(g0(a))),
 

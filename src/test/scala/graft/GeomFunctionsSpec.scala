@@ -182,6 +182,25 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("aggregate(transform(st_subdivide(st_geomfromwkt('POLYGON ((0 0, 16 0, 16 16, 0 16, 0 0))'), 5), g -> st_area(g)), cast(0.0 as double), (acc, x) -> acc + x)") == 256.0)
   }
 
+  test("3D axis rotations and storage simplify") {
+    // rotate POINT Z(1 2 3) by pi/2 around X: (x, y, z) -> (x, -z, y)
+    def near(e: String, v: Double): Unit =
+      assert(math.abs(q(e).asInstanceOf[Double] - v) < 1e-12, e)
+    near("st_x(st_rotatex(st_pointz(1,2,3), pi()/2))", 1.0)
+    near("st_y(st_rotatex(st_pointz(1,2,3), pi()/2))", -3.0)
+    near("st_z(st_rotatex(st_pointz(1,2,3), pi()/2))", 2.0)
+    // rotate around Y: (x, y, z) -> (z, y, -x)
+    near("st_x(st_rotatey(st_pointz(1,2,3), pi()/2))", 3.0)
+    near("st_y(st_rotatey(st_pointz(1,2,3), pi()/2))", 2.0)
+    near("st_z(st_rotatey(st_pointz(1,2,3), pi()/2))", -1.0)
+    // 2D input: z treated as 0, result carries z
+    assert(q("st_z(st_rotatex(st_point(1,2), pi()/2))")
+      .asInstanceOf[Double] == 2.0)
+    // storage simplify drops collinear detail but keeps topology
+    assert(q("st_npoints(sd_simplifystorage(st_geomfromwkt(" +
+      "'LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)'), 0.1))") == 2)
+  }
+
   test("UTM transform round-trips within 1e-6 deg") {
     val g = GeomIO.point(9.5, 47.25)
     val utm = CrsTransform.transform(g, "EPSG:4326", "EPSG:32632")
