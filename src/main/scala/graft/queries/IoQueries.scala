@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.GraftExtensions
 import graft.functions.GraftFunctions.st
-import graft.sources.{GeoJsonIO, GeoParquet, GeoTextIO}
+import graft.sources.{FlatGeobuf, GeoJsonIO, GeoParquet, GeoTextIO}
 
 /** GeoParquet round-trip + covering-column pruning as a correctness-gate
   * query: write part boxes as Hilbert-clustered GeoParquet with a bbox
@@ -73,6 +73,28 @@ object IoQueries {
           st.f("st_geometrytype", col("geom")).as("gtype"),
           st.area(col("geom")).as("area"),
           st.f("st_npoints", col("geom")).as("npoints"))
+    }),
+
+    // FlatGeobuf roundtrip (hand-implemented spec: flatbuffers framing,
+    // mixed geometry types, typed properties)
+    "io04_flatgeobuf_roundtrip" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val feats = t(s, dir, "supplier")
+        .withColumn("sx", (col("s_suppkey") % 90).cast("double") * 10.0)
+        .withColumn("sy", (col("s_suppkey") % 70).cast("double") * 10.0)
+        .withColumn("geom", when(col("s_suppkey") % 2 === 0,
+            st.point(col("sx"), col("sy")))
+          .otherwise(st.makeEnvelope(col("sx"), col("sy"),
+            col("sx") + (col("s_suppkey") % 5 + 1).cast("double"),
+            col("sy") + (col("s_suppkey") % 3 + 1).cast("double"))))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal").cast("double").as("bal"),
+          col("geom"))
+      val path = s"/tmp/graft_fgb/${math.abs(dir.hashCode)}"
+      FlatGeobuf.write(feats, path, "geom")
+      FlatGeobuf.read(s, path, "geom")
+        .select(col("s_suppkey"), col("s_name"), col("bal"),
+          st.f("st_geometrytype", col("geom")).as("gtype"),
+          st.area(col("geom")).as("area"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +122,12 @@ object IoQueries {
         |  CASE WHEN p_partkey % 3 = 0 THEN 0.0
         |    ELSE CAST(p_partkey % 7 + 1 AS DOUBLE) * CAST(p_size % 5 + 1 AS DOUBLE) END AS area,
         |  CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 5 END AS npoints
-        |FROM part""".stripMargin)
+        |FROM part""".stripMargin,
+
+    "io04_flatgeobuf_roundtrip" ->
+      """SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 'ST_Point' ELSE 'ST_Polygon' END AS gtype,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 0.0
+        |    ELSE CAST(s_suppkey % 5 + 1 AS DOUBLE) * CAST(s_suppkey % 3 + 1 AS DOUBLE) END AS area
+        |FROM supplier""".stripMargin)
 }

@@ -72,4 +72,30 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = sample.filter(st.dwithin(col("geom"), st.point(lit(500.0), lit(500.0)), lit(50.0))).count()
     assert(q.count() == expected)
   }
+
+  test("FlatGeobuf roundtrip: all geometry types, nulls, property types") {
+    import graft.sources.FlatGeobuf
+    val wkts = Seq(
+      "POINT (1 2)",
+      "LINESTRING (0 0, 1 1, 2 0.5)",
+      "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))",
+      "MULTIPOINT ((1 1), (2 3))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 2))",
+      "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((5 5, 5 7, 7 7, 7 5, 5 5), (5.5 5.5, 5.5 6, 6 6, 6 5.5, 5.5 5.5)))")
+    import spark.implicits._
+    val df = wkts.zipWithIndex.map { case (w, i) =>
+      (i.toLong, if (i % 3 == 0) null else s"name_$i", i * 1.5, i % 2 == 0, i, w)
+    }.toDF("id", "label", "score", "flag", "small", "wkt")
+      .withColumn("geom", st.geomFromWkt(col("wkt")))
+      .drop("wkt")
+    val path = "/tmp/graft_fgb_spec"
+    FlatGeobuf.write(df, path, "geom")
+    val back = FlatGeobuf.read(spark, path, "geom")
+    assert(back.schema.fieldNames.toSet == df.schema.fieldNames.toSet)
+    def snap(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.select(col("id"), col("label"), col("score"), col("flag"), col("small"),
+          st.asText(col("geom")).as("wkt"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(snap(back) == snap(df))
+  }
 }
