@@ -238,6 +238,25 @@ object SpatialQueries {
             st.point(col("ulx") + 1.0, col("uly") - 1.0)).as("hit"))
     }),
 
+    // zonal statistics: pixel-center-in-zone aggregation over in-db
+    // rasters, window-clipped to the zone envelope
+    "rs02_zonal_stats" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "part")
+        .withColumn("ulx", (col("p_partkey") % 100).cast("double") * 10.0)
+        .withColumn("uly", (col("p_size") % 50).cast("double") * 10.0)
+        .withColumn("vals", transform(sequence(lit(0), lit(11)),
+          i => ((col("p_partkey") + i) % 97).cast("double")))
+        .withColumn("r", st.f("rs_makeraster", lit(4), lit(3), col("ulx"), col("uly"),
+          lit(2.0), lit(-2.0), col("vals")))
+        .withColumn("zone", st.makeEnvelope(col("ulx") + 0.9, col("uly") - 3.2,
+          col("ulx") + 5.1, col("uly") - 0.9))
+        .withColumn("zs", st.f("rs_zonalstats", col("r"), col("zone"), lit(1)))
+        .select(col("p_partkey"),
+          col("zs.cnt").as("zcnt"), col("zs.sum").as("zsum"),
+          col("zs.mean").as("zmean"), col("zs.min").as("zmin"), col("zs.max").as("zmax"))
+    }),
+
     // geometry element access: dump/geometryn/makeline/boundary
     "sp10_elements" -> ((s, dir) => {
       prep(s)
@@ -414,6 +433,21 @@ object SpatialQueries {
         |  48.0 AS env_area,
         |  TRUE AS hit
         |FROM p""".stripMargin,
+
+    // zone covers pixel centers (c,r) with c in 0..2, r in 0..1 ->
+    // band indices i = r*4+c in [0,1,2,4,5,6]
+    "rs02_zonal_stats" ->
+      """WITH v AS (
+        |  SELECT p_partkey,
+        |    [CAST((p_partkey + i) % 97 AS DOUBLE) for i in [0,1,2,4,5,6]] AS vs
+        |  FROM part)
+        |SELECT p_partkey,
+        |  CAST(6 AS BIGINT) AS zcnt,
+        |  list_sum(vs) AS zsum,
+        |  list_sum(vs)/6 AS zmean,
+        |  list_min(vs) AS zmin,
+        |  list_max(vs) AS zmax
+        |FROM v""".stripMargin,
 
     "sp10_elements" ->
       """SELECT p_partkey,
