@@ -30,7 +30,8 @@ case class KnnJoinExec(
     queryGeom: Expression,
     objectGeom: Expression,
     k: Int,
-    objectIsLeft: Boolean)
+    objectIsLeft: Boolean,
+    spheroid: Boolean = false)
   extends BinaryExecNode {
 
   override def left: SparkPlan = if (objectIsLeft) objectPlan else queryPlan
@@ -70,24 +71,41 @@ case class KnnJoinExec(
       if (objs.nonEmpty) tree.build()
       val itemDist = new GeomDist
       val joined = new JoinedRow()
+      val sph = spheroid
       queryIter.flatMap { qRow =>
         val bytes = boundQueryGeom.eval(qRow)
         if (bytes == null || objs.isEmpty) Iterator.empty
         else {
           val qg = GeomIO.read(bytes.asInstanceOf[Array[Byte]])
           val n = math.min(kk, objs.length)
-          val nearest = tree.nearestNeighbour(qg.getEnvelopeInternal, (qg, null), itemDist, n)
-          val dk = nearest.map(o => qg.distance(o.asInstanceOf[(Geometry, InternalRow)]._1)).max
-          val env = new Envelope(qg.getEnvelopeInternal)
-          env.expandBy(dk)
-          val cands = tree.query(env).toArray
-            .map(_.asInstanceOf[(Geometry, InternalRow)])
-            .map { case (g, row) => (qg.distance(g), g, row) }
-            .filter(_._1 <= dk)
-            .sortBy { case (d, g, _) =>
-              (d, java.util.Arrays.hashCode(GeomIO.write(g)).toLong)
+          val cands =
+            if (sph) {
+              // geodesic metric: planar envelope distance is not a valid
+              // lower bound for meters, so no branch-and-bound — rank the
+              // whole broadcast object set by great-circle distance
+              // (closest planar point pair, haversine). Exact for points.
+              objs
+                .map { case (g, row) => (KnnJoinExec.geodesicDistance(qg, g), g, row) }
+                .sortBy { case (d, g, _) =>
+                  (d, java.util.Arrays.hashCode(GeomIO.write(g)).toLong)
+                }
+                .take(n)
+            } else {
+              val nearest =
+                tree.nearestNeighbour(qg.getEnvelopeInternal, (qg, null), itemDist, n)
+              val dk = nearest
+                .map(o => qg.distance(o.asInstanceOf[(Geometry, InternalRow)]._1)).max
+              val env = new Envelope(qg.getEnvelopeInternal)
+              env.expandBy(dk)
+              tree.query(env).toArray
+                .map(_.asInstanceOf[(Geometry, InternalRow)])
+                .map { case (g, row) => (qg.distance(g), g, row) }
+                .filter(_._1 <= dk)
+                .sortBy { case (d, g, _) =>
+                  (d, java.util.Arrays.hashCode(GeomIO.write(g)).toLong)
+                }
+                .take(n)
             }
-            .take(n)
           numOutputRows += cands.length
           cands.iterator.map { case (_, _, oRow) =>
             if (objLeft) joined(oRow, qRow) else joined(qRow, oRow)
@@ -101,4 +119,13 @@ case class KnnJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     if (objectIsLeft) copy(objectPlan = newLeft, queryPlan = newRight)
     else copy(queryPlan = newLeft, objectPlan = newRight)
+}
+
+object KnnJoinExec {
+  /** Great-circle distance in meters between the planar-nearest points of
+    * two lon/lat geometries (exact for point-point). */
+  def geodesicDistance(a: Geometry, b: Geometry): Double = {
+    val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(a, b)
+    graft.functions.Spherical.haversine(pts(0).x, pts(0).y, pts(1).x, pts(1).y)
+  }
 }

@@ -42,22 +42,28 @@ case class SpatialJoinStrategy(spark: SparkSession) extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     // KNN join captured at analysis time (pushdown-barrier node)
-    case graft.plans.KnnJoinPlan(left, right, qg, og, k, objectIsLeft) =>
+    case graft.plans.KnnJoinPlan(left, right, qg, og, k, objectIsLeft, sph) =>
       val (queryChild, objectChild) = if (objectIsLeft) (right, left) else (left, right)
-      KnnJoinExec(planLater(queryChild), planLater(objectChild), qg, og, k, objectIsLeft) :: Nil
+      KnnJoinExec(planLater(queryChild), planLater(objectChild), qg, og, k,
+        objectIsLeft, sph) :: Nil
 
-    // KNN join: ST_KNN(query_geom, object_geom, k) as the join condition
+    // KNN join: ST_KNN(query_geom, object_geom, k[, use_spheroid])
     case Join(left, right, joinType, Some(
-        graft.functions.GeomScalar("st_knn", Seq(a, b, kExpr), _, _, _)), _)
-        if (joinType == Inner || joinType == Cross) && kExpr.foldable =>
-      val k = kExpr.eval() match {
+        graft.functions.GeomScalar("st_knn", args, _, _, _)), _)
+        if (joinType == Inner || joinType == Cross)
+          && (args.length == 3 || args.length == 4) && args.drop(2).forall(_.foldable) =>
+      val Seq(a, b) = args.take(2)
+      val k = args(2).eval() match {
         case n: java.lang.Number => n.intValue()
         case d: org.apache.spark.sql.types.Decimal => d.toInt
       }
+      val sph = args.length == 4 && args(3).eval() == true
       if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
-        KnnJoinExec(planLater(left), planLater(right), a, b, k, objectIsLeft = false) :: Nil
+        KnnJoinExec(planLater(left), planLater(right), a, b, k,
+          objectIsLeft = false, spheroid = sph) :: Nil
       else if (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
-        KnnJoinExec(planLater(right), planLater(left), a, b, k, objectIsLeft = true) :: Nil
+        KnnJoinExec(planLater(right), planLater(left), a, b, k,
+          objectIsLeft = true, spheroid = sph) :: Nil
       else Nil
 
     case Join(left, right, joinType, Some(cond), _)

@@ -21,27 +21,33 @@ case class KnnJoinPlan(
     queryGeom: Expression,
     objectGeom: Expression,
     k: Int,
-    objectIsLeft: Boolean) extends BinaryNode {
+    objectIsLeft: Boolean,
+    spheroid: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)
 }
 
-/** Analyzer-stage rule: Join ON st_knn(q, o, k) -> KnnJoinPlan. */
+/** Analyzer-stage rule: Join ON st_knn(q, o, k[, use_spheroid]) ->
+  * KnnJoinPlan. */
 object KnnJoinCaptureRule extends Rule[LogicalPlan] {
+  private def intOf(e: Expression): Int = e.eval() match {
+    case n: java.lang.Number => n.intValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toInt
+  }
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, _, Some(
-        GeomScalar("st_knn", Seq(a, b, kExpr), _, _, _)), _)
-        if j.resolved && kExpr.foldable =>
-      val k = kExpr.eval() match {
-        case n: java.lang.Number => n.intValue()
-        case d: org.apache.spark.sql.types.Decimal => d.toInt
-      }
+        GeomScalar("st_knn", args, _, _, _)), _)
+        if j.resolved && (args.length == 3 || args.length == 4)
+          && args.drop(2).forall(_.foldable) =>
+      val Seq(a, b) = args.take(2)
+      val k = intOf(args(2))
+      val sph = args.length == 4 && args(3).eval() == true
       if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
-        KnnJoinPlan(left, right, a, b, k, objectIsLeft = false)
+        KnnJoinPlan(left, right, a, b, k, objectIsLeft = false, spheroid = sph)
       else if (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
-        KnnJoinPlan(left, right, a, b, k, objectIsLeft = true)
+        KnnJoinPlan(left, right, a, b, k, objectIsLeft = true, spheroid = sph)
       else j
   }
 }

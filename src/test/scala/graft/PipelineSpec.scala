@@ -162,6 +162,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("structured streaming: stream-static spatial join enriches events") {
+    // moving points (stream) enriched against static zones via the
+    // broadcast index spatial join — stateless per micro-batch, the
+    // streaming case the reference cannot express (SURVEY §2.10)
+    import graft.functions.GraftFunctions.st
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("eid", "x", "y")
+      .withColumn("pt", st.point(col("x"), col("y")))
+    val zones = Seq((10L, 0.0, 0.0, 5.0, 5.0), (20L, 10.0, 10.0, 15.0, 15.0))
+      .toDF("zid", "x0", "y0", "x1", "y1")
+      .select(col("zid"), st.makeEnvelope(col("x0"), col("y0"), col("x1"), col("y1")).as("zone"))
+    val joined = pts.join(zones, st.intersects(col("pt"), col("zone")))
+      .select(col("eid"), col("zid"))
+    val q = joined.writeStream.format("memory").queryName("szj")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1.0, 1.0), (2L, 12.0, 12.0), (3L, 100.0, 100.0))
+      q.processAllAvailable()
+      input.addData((4L, 4.9, 4.9))
+      q.processAllAvailable()
+      val rows = spark.table("szj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 10L), (2L, 20L), (4L, 10L)))
+    } finally q.stop()
+  }
+
   test("structured streaming: windowed counts + dedup run with our extensions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

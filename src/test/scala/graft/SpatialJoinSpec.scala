@@ -237,6 +237,41 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("join condition"))
   }
 
+  test("spheroid KNN join ranks by great-circle distance") {
+    // near the pole, planar-nearest and geodesic-nearest differ: query at
+    // lat 89, candidates at same latitude across longitudes
+    import spark.implicits._
+    val q = Seq((1L, 0.0, 89.0)).toDF("qid", "qlon", "qlat")
+      .select(col("qid"), st.point(col("qlon"), col("qlat")).as("qpt"))
+    val o = Seq((1L, 179.0, 89.0), (2L, 90.0, 89.0), (3L, 10.0, 89.0))
+      .toDF("oid", "olon", "olat")
+      .select(col("oid"), st.point(col("olon"), col("olat")).as("opt"))
+    q.createOrReplaceTempView("sphknn_q")
+    o.createOrReplaceTempView("sphknn_o")
+    val got = spark.sql(
+      "SELECT oid FROM sphknn_q JOIN sphknn_o ON st_knn(qpt, opt, 3, true)")
+      .collect().map(_.getLong(0)).toSeq
+    // geodesic order: 10 deg away, then 90, then 179 (over-the-pole path
+    // makes 179 deg still farthest here but much closer than planar)
+    assert(got == Seq(3L, 2L, 1L))
+    // planar order identical in this case for k ordering sanity; verify
+    // the geodesic distances actually drove ranking via a 2-point case
+    // where planar and geodesic orders DIFFER:
+    val q2 = Seq((1L, 0.0, 89.5)).toDF("qid", "qlon", "qlat")
+      .select(col("qid"), st.point(col("qlon"), col("qlat")).as("qpt"))
+    val o2 = Seq((1L, 180.0, 89.8), (2L, 0.0, 88.6)).toDF("oid", "olon", "olat")
+      .select(col("oid"), st.point(col("olon"), col("olat")).as("opt"))
+    q2.createOrReplaceTempView("sphknn_q2")
+    o2.createOrReplaceTempView("sphknn_o2")
+    val top = spark.sql(
+      "SELECT oid FROM sphknn_q2 JOIN sphknn_o2 ON st_knn(qpt, opt, 1, true)")
+      .collect().map(_.getLong(0)).toSeq
+    // planar: (180, 89.8) is ~180 units away vs 0.9 for (0, 88.6);
+    // geodesic: over the pole (180, 89.8) is 0.7 deg of arc (~78 km) vs
+    // 0.9 deg (~100 km) — spheroid mode must pick oid=1
+    assert(top == Seq(1L))
+  }
+
   test("partitioned grid KNN ≡ brute force, including sparse-cell fallback") {
     import org.apache.spark.sql.expressions.Window
     val q = points(60, 41).withColumnRenamed("pid", "qid").withColumnRenamed("pgeom", "qgeom")
