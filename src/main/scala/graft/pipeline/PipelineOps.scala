@@ -20,6 +20,20 @@ object PipelineOps {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
   }
 
+  /** Deterministic stratified sample: up to `perKey` rows per stratum,
+    * chosen by md5-hash order of the id (a seeded, engine-independent
+    * shuffle). One window shuffle on the stratum key — the standard way to
+    * cap per-source/per-language document counts in a training mix. */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column, perKey: Int): DataFrame = {
+    val w = Window.partitionBy(col("__stratum")).orderBy(col("__h"), col("__sid"))
+    df.withColumn("__stratum", stratum)
+      .withColumn("__sid", id)
+      .withColumn("__h", TextOps.hash32(col("__sid").cast("string")))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perKey)
+      .drop("__stratum", "__sid", "__h")
+  }
+
   /** Connected components over a near-duplicate pair list — the step a
     * training pipeline runs after MinHash/SimHash pair generation to turn
     * pairwise matches into dedup groups (keep one canonical doc per

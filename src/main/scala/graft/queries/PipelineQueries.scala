@@ -149,6 +149,34 @@ object PipelineQueries {
       PipelineOps.dedupGroups(pairs, col("doc_a"), col("doc_b"))
     }),
 
+    // deterministic stratified sampling: cap docs per (source, lang)
+    // stratum by md5-hash order — the training-mix balancing op
+    "pl13_stratified_sample" -> ((s, dir) => {
+      PipelineOps.stratifiedSample(t(s, dir, "documents"),
+          concat_ws("|", col("source"), col("lang")), col("doc_id"), perKey = 40)
+        .select(col("doc_id"), col("source"), col("lang"), col("sample_rank"))
+    }),
+
+    // embedding post-processing: l2 normalize + deterministic int8
+    // quantization + reconstruction error
+    "pl14_embed_quantize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("v", PipelineOps.asDouble(col("embedding")))
+        .withColumn("nrm", sqrt(PipelineOps.dot(col("v"), col("v"))))
+        .withColumn("scale", lit(127.0) /
+          array_max(transform(col("v"), x => abs(x / col("nrm")))))
+        .withColumn("qs", transform(col("v"),
+          x => floor(x / col("nrm") * col("scale") + lit(0.5)).cast("int")))
+        .select(col("vec_id"),
+          round(col("nrm"), 6).as("nrm6"),
+          array_min(col("qs")).as("qmin"),
+          array_max(col("qs")).as("qmax"),
+          aggregate(col("qs"), lit(0L), (a, x) => a + x).as("qsum"),
+          round(aggregate(zip_with(col("qs"), col("v"),
+              (q, x) => abs(q / col("scale") - x / col("nrm"))),
+            lit(0.0), (a, x) => a + x), 6).as("err6"))
+    }),
+
     // multimodal binary column plumbing with deterministic fake decode
     "pl10_multimodal" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -218,6 +246,33 @@ object PipelineQueries {
         |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
         |SELECT id, MIN(r) AS group_id, MIN(r) = id AS keep
         |FROM reach GROUP BY id""".stripMargin,
+
+    "pl13_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source || '|' || lang
+        |      ORDER BY h, doc_id) AS rk
+        |  FROM d)
+        |SELECT doc_id, source, lang, CAST(rk AS INT) AS sample_rank
+        |FROM r WHERE rk <= 40""".stripMargin,
+
+    "pl14_embed_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum([v[i]*v[i] for i in range(1, len(v)+1)])) AS nrm FROM e),
+        |m AS (SELECT vec_id, v, nrm,
+        |    127.0 / list_max([abs(x/nrm) for x in v]) AS scale FROM n),
+        |q AS (SELECT vec_id, v, nrm, scale,
+        |    [CAST(floor(x/nrm*scale + 0.5) AS INT) for x in v] AS qs FROM m)
+        |SELECT vec_id, round(nrm, 6) AS nrm6,
+        |  list_min(qs) AS qmin, list_max(qs) AS qmax,
+        |  CAST(list_sum(qs) AS BIGINT) AS qsum,
+        |  round(list_sum([abs(qs[i]/scale - v[i]/nrm)
+        |    for i in range(1, len(v)+1)]), 6) AS err6
+        |FROM q""".stripMargin,
 
     "pl05_simhash_pairs" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS t FROM documents),

@@ -98,6 +98,21 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"), centsSum(col("c_acctbal")).as("sum_acctbal"))
     }),
 
+    // Explicit GROUPING SETS + grouping() markers (rollup/cube's general
+    // form; pure SQL so the parser path is exercised too)
+    "q15_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
     // Top-1-per-group via ranked window (deterministic tie-break).
     "q08_top_per_nation" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -243,6 +258,16 @@ object RelationalQueries {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY ROLLUP(r.r_name, n.n_name)""".stripMargin,
+
+    "q15_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())""".stripMargin,
 
     "q08_top_per_nation" ->
       """SELECT n.n_name, x.c_custkey, x.c_acctbal FROM (
