@@ -220,27 +220,36 @@ object PipelineOps {
       .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
   }
 
+  /** Driver-side twin of TextOps.hash32 for constant folding. */
+  private def hash32Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Random-hyperplane LSH bucket id (nbits signs; plane coefficients are
     * hash32-derived so any engine can reproduce them).
-    * coef(p, d) = hash32(p || '_' || d) % 1001 - 500
+    * coef(p, d) = hash32(p || '_' || d) % 1001 - 500, d in 1..dims
     * bit p = 1 iff sum_d coef(p, d) * v[d] >= 0
-    * DuckDB twin mirrors this formula in the oracle SQL. */
-  def lshBucket(vec: Column, nbits: Int): Column = {
+    * The coefficient matrix is a driver-side constant folded into literal
+    * arrays (per-row md5 recomputation would dominate the scan); the
+    * projection is one sd_dot per plane. DuckDB twin mirrors the formula
+    * in the oracle SQL. */
+  def lshBucket(vec: Column, nbits: Int, dims: Int): Column = {
     val v = asDouble(vec)
     val bits = (0 until nbits).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(1), size(v)),
-          (x, d) => x * ((pmod(hash32(concat(lit(p.toString), lit("_"), d)), lit(1001)) - 500).cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
+      val coefs = Array.tabulate(dims)(d0 =>
+        (((hash32Local(s"${p}_${d0 + 1}") % 1001L) + 1001L) % 1001L - 500L).toDouble)
+      val proj = dot(v, typedlit(coefs.toSeq))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
   /** LSH-bucketed approximate NN: candidates only within a bucket. */
-  def lshAnn(df: DataFrame, id: Column, vec: Column, nbits: Int, k: Int): DataFrame = {
+  def lshAnn(df: DataFrame, id: Column, vec: Column, nbits: Int, k: Int,
+      dims: Int = 64): DataFrame = {
     val g = df.select(id.as("vid"), asDouble(vec).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), nbits))
+      .withColumn("bucket", lshBucket(col("v"), nbits, dims))
     val a = g.select(col("bucket"), col("vid").as("query_id"), col("v").as("qv"))
     val b = g.select(col("bucket"), col("vid").as("cand_id"), col("v").as("cv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))

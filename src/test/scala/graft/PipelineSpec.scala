@@ -91,7 +91,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i.toLong, base.map(_ + (i / 100.0f)))
     }.toDF("vec_id", "embedding")
     val buckets = vecs.select(col("vec_id"),
-      PipelineOps.lshBucket(PipelineOps.asDouble(col("embedding")), 6).as("b"))
+      PipelineOps.lshBucket(PipelineOps.asDouble(col("embedding")), 6, dims = 4).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // same-parity (similar) vectors share buckets far more than cross-parity
     val even = (0 until 40 by 2).map(i => buckets(i.toLong))
