@@ -20,6 +20,52 @@ object PipelineOps {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
   }
 
+  /** Benchmark-contamination check: for each document, how many of its
+    * distinct k-gram hashes appear anywhere in the benchmark set's k-gram
+    * universe. Shuffle shape: explode to (doc, hash) + left-semi join
+    * against the distinct benchmark hash set (broadcast when small) +
+    * count — the standard eval-decontamination pass. */
+  def contamination(docs: DataFrame, bench: DataFrame,
+      id: Column, text: Column, benchText: Column, k: Int): DataFrame = {
+    val docGrams = docs.select(id.as("doc_id"),
+        explode(array_distinct(shingleHashes(tokens(text), k))).as("g"))
+    val benchGrams = bench.select(
+        explode(array_distinct(shingleHashes(tokens(benchText), k))).as("g"))
+      .distinct()
+    val total = docs.select(id.as("doc_id"),
+      size(array_distinct(shingleHashes(tokens(text), k))).as("n_grams"))
+    val hits = docGrams.join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    total.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** Corpus vocabulary: distinct-token document frequency + total term
+    * frequency, top `k` by (tf desc, token) — explode + one aggregation
+    * with map-side combine; the vocab/BPE-prep pass. */
+  def vocabTopK(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(k)
+  }
+
+  /** Intra-document repetition ratios (Gopher-style quality rule):
+    * 1 - distinct/total for tokens and for k-gram shingles. */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("grams", shingleHashes(col("toks"), k))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+          .as("tok_rep"),
+        round(lit(1.0) - size(array_distinct(col("grams"))).cast("double") / size(col("grams")), 6)
+          .as("gram_rep"))
+  }
+
   /** Deterministic stratified sample: up to `perKey` rows per stratum,
     * chosen by md5-hash order of the id (a seeded, engine-independent
     * shuffle). One window shuffle on the stratum key — the standard way to

@@ -18,6 +18,8 @@ object PipelineQueries {
   private def h32(x: String) = s"('0x' || substr(md5($x), 1, 8))::UBIGINT::BIGINT"
   private val shSql = // word 3-shingles over t
     "[array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 2))]"
+  private lazy val shHashSql = // hashed word 3-shingles over t
+    s"[${h32("array_to_string(t[i:i+2], ' ')")} for i in range(1, greatest(len(t)-1, 2))]"
 
   // shared CTE chain: documents → shingles → minhash signatures → LSH
   // bands → candidate pairs (the pl04 construction, reused by pl12)
@@ -177,6 +179,25 @@ object PipelineQueries {
             lit(0.0), (a, x) => a + x), 6).as("err6"))
     }),
 
+    // eval-set decontamination: 5-gram overlap against a benchmark subset
+    "pl15_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      PipelineOps.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        col("doc_id"), col("text"), col("text"), k = 5)
+    }),
+
+    // vocabulary build: top-100 tokens by tf with document frequency
+    "pl16_vocab_topk" -> ((s, dir) => {
+      PipelineOps.vocabTopK(t(s, dir, "documents"), col("doc_id"), col("text"), 100)
+    }),
+
+    // intra-doc repetition ratios (quality rule)
+    "pl17_repetition" -> ((s, dir) => {
+      PipelineOps.repetitionStats(t(s, dir, "documents"), col("doc_id"), col("text"), 3)
+    }),
+
     // multimodal binary column plumbing with deterministic fake decode
     "pl10_multimodal" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -273,6 +294,36 @@ object PipelineQueries {
         |  round(list_sum([abs(qs[i]/scale - v[i]/nrm)
         |    for i in range(1, len(v)+1)]), 6) AS err6
         |FROM q""".stripMargin,
+
+    "pl15_contamination" -> {
+      val sh5 = s"[${h32("array_to_string(t[i:i+4], ' ')")} for i in range(1, greatest(len(t)-3, 2))]"
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |g AS (SELECT doc_id, list_distinct($sh5) AS gs FROM d),
+        |doc AS (SELECT doc_id, gs FROM g WHERE doc_id % 50 <> 0),
+        |bench AS (SELECT DISTINCT unnest(gs) AS bg FROM g WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits FROM (
+        |    SELECT doc_id, unnest(gs) AS g1 FROM doc) x
+        |  WHERE g1 IN (SELECT bg FROM bench) GROUP BY doc_id)
+        |SELECT doc.doc_id, CAST(len(doc.gs) AS INT) AS n_grams,
+        |  COALESCE(hits.n_hits, 0) AS n_hits
+        |FROM doc LEFT JOIN hits ON doc.doc_id = hits.doc_id""".stripMargin
+    },
+
+    "pl16_vocab_topk" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |x AS (SELECT doc_id, unnest(t) AS tok FROM d),
+        |v AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM x GROUP BY tok)
+        |SELECT tok, tf, df FROM v ORDER BY tf DESC, tok LIMIT 100""".stripMargin,
+
+    "pl17_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |g AS (SELECT doc_id, t, $shHashSql AS gs FROM d)
+        |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+        |  round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6) AS tok_rep,
+        |  round(1.0 - len(list_distinct(gs))::DOUBLE / len(gs), 6) AS gram_rep
+        |FROM g""".stripMargin,
 
     "pl05_simhash_pairs" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS t FROM documents),
