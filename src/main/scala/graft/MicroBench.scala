@@ -66,9 +66,8 @@ object MicroBench {
         col("qg"), col("og"), 5, col("oid")).write.format("noop").mode("overwrite").save()),
       time("minhash_sigs")(run(
         Tables.t(spark, "/root/testdata/sf0.1", "documents").select(
-          graft.pipeline.TextOps.minhashSignature(
-            graft.pipeline.TextOps.shingles(
-              graft.pipeline.TextOps.tokens(col("text")), 3), 12)))),
+          graft.pipeline.TextOps.minhashSignatureTok(
+            graft.pipeline.TextOps.tokens(col("text")), 3, 12)))),
       time("cosine_sims")(run(
         Tables.t(spark, "/root/testdata/sf0.1", "embeddings").limit(20)
           .select(col("vec_id").as("qid"),
@@ -76,7 +75,24 @@ object MicroBench {
           .crossJoin(Tables.t(spark, "/root/testdata/sf0.1", "embeddings")
             .select(col("vec_id").as("cid"),
               graft.pipeline.PipelineOps.asDouble(col("embedding")).as("cv")))
-          .select(graft.pipeline.PipelineOps.cosine(col("qv"), col("cv"))))))
+          .select(graft.pipeline.PipelineOps.cosine(col("qv"), col("cv"))))),
+      time("shingle_hash_fused")(run(
+        Tables.t(spark, "/root/testdata/sf0.1", "documents").select(
+          graft.pipeline.TextOps.shingleHashes(
+            graft.pipeline.TextOps.tokens(col("text")), 3)))),
+      time("sphere_join")(run(SpatialJoins.sphereDWithinJoin(
+        points.limit(20000).select(col("id").as("aid"),
+          st.point(pmod(hash(col("id"), lit(21)), lit(7200)).cast("double") / 20.0 - 180.0,
+            pmod(hash(col("id"), lit(22)), lit(3500)).cast("double") / 20.0 - 87.5).as("ag")),
+        points.limit(20000).select(col("id").as("bid"),
+          st.point(pmod(hash(col("id"), lit(23)), lit(7200)).cast("double") / 20.0 - 180.0,
+            pmod(hash(col("id"), lit(24)), lit(3500)).cast("double") / 20.0 - 87.5).as("bg")),
+        col("ag"), col("bg"), 100000.0, nx = 180, ny = 90))),
+      time("connected_components")(run(
+        graft.pipeline.PipelineOps.dedupGroups(
+          spark.range(20000).select((col("id") / 3).cast("long").as("a"),
+            ((col("id") / 3) + pmod(col("id"), lit(3)) + 1).cast("long").as("b")),
+          col("a"), col("b")))))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -109,4 +109,31 @@ class GeomPropertySpec extends AnyFunSuite {
       h >= 0 && h < (1L << 32) && m >= 0 && m < (1L << 32)
     })
   }
+
+  test("spherical grid cover: within-radius pairs always share a cell") {
+    // the invariant behind sphereDWithinJoin's correctness — the lon bound
+    // sin(dlam/2) <= sin(r/2R)/cos(phi) plus pole/antimeridian handling
+    // must guarantee cell-set overlap for every within-radius pair
+    import graft.functions.Spherical
+    val lonlat: Gen[(Double, Double)] = for {
+      lon <- Gen.chooseNum(-180.0, 180.0)
+      lat <- Gen.oneOf(Gen.chooseNum(-89.99, 89.99), Gen.chooseNum(85.0, 89.999),
+        Gen.chooseNum(-89.999, -85.0), Gen.chooseNum(-180.0, 180.0).map(_ / 2))
+    } yield (lon, lat)
+    val radius: Gen[Double] = Gen.oneOf(
+      Gen.chooseNum(1.0, 1e5), Gen.chooseNum(1e5, 2e6), Gen.chooseNum(1e6, 1e7))
+    check(Prop.forAll(lonlat, lonlat, radius,
+        Gen.chooseNum(4, 360), Gen.chooseNum(2, 180)) {
+      case ((lo1, la1), (lo2, la2), r, nx, ny) =>
+        val d = Spherical.haversine(lo1, la1, lo2, la2)
+        if (d > r) true // only within-radius pairs carry the obligation
+        else {
+          val a = GeomIO.point(lo1, la1).getEnvelopeInternal
+          val b = GeomIO.point(lo2, la2).getEnvelopeInternal
+          val ca = Spherical.gridCells(a, r, nx, ny).toSet
+          val cb = Spherical.gridCells(b, 0.0, nx, ny).toSet
+          ca.intersect(cb).nonEmpty
+        }
+    })
+  }
 }
