@@ -69,9 +69,10 @@ case class BroadcastIndexSpatialJoinExec(
     val bIsLeft = buildIsLeft
     val outer = leftOuter
     val buildWidth = buildPlan.output.size
+    val appId = sparkContext.applicationId
 
     streamPlan.execute().mapPartitions { streamIter =>
-      val tree = BroadcastIndexSpatialJoinExec.treeFor(broadcastRows, boundBuildGeom)
+      val tree = BroadcastIndexSpatialJoinExec.treeFor(appId, broadcastRows, boundBuildGeom)
       val joined = new JoinedRow()
       val nullBuild = new GenericInternalRow(buildWidth)
       streamIter.flatMap { streamRow =>
@@ -135,16 +136,21 @@ case class BroadcastIndexSpatialJoinExec(
 object BroadcastIndexSpatialJoinExec {
   /** Executor-local soft cache: one STRtree per broadcast build side, not
     * one per task (the reference builds its index once per join via
-    * OnceAsync, exec.rs:44-46). */
+    * OnceAsync, exec.rs:44-46). Keyed by (applicationId, broadcast id):
+    * broadcast ids restart at 0 with every new SparkContext, and a local
+    * JVM can host several contexts over its lifetime — a bare-id key
+    * serves stale trees across contexts. */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[STRtree]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.ref.SoftReference[STRtree]]()
 
-  def treeFor(b: Broadcast[Array[InternalRow]], geomExpr: Expression): STRtree = {
-    val ref = cache.get(b.id)
+  def treeFor(appId: String, b: Broadcast[Array[InternalRow]],
+      geomExpr: Expression): STRtree = {
+    val key = (appId, b.id)
+    val ref = cache.get(key)
     val cached = if (ref != null) ref.get() else null
     if (cached != null) return cached
     synchronized {
-      val again = cache.get(b.id)
+      val again = cache.get(key)
       val c2 = if (again != null) again.get() else null
       if (c2 != null) return c2
       val tree = new STRtree()
@@ -156,7 +162,7 @@ object BroadcastIndexSpatialJoinExec {
         }
       }
       tree.build()
-      cache.put(b.id, new java.lang.ref.SoftReference[STRtree](tree))
+      cache.put(key, new java.lang.ref.SoftReference[STRtree](tree))
       tree
     }
   }
