@@ -20,5 +20,9 @@ object GraftExtensions {
     if (!opts2.exists(_.isInstanceOf[graft.plans.GridSpatialJoinRule]))
       spark.experimental.extraOptimizations =
         opts2 :+ graft.plans.GridSpatialJoinRule(spark)
+    val opts3 = spark.experimental.extraOptimizations
+    if (!opts3.exists(_.isInstanceOf[graft.joins.KnnGridJoinRule]))
+      spark.experimental.extraOptimizations =
+        opts3 :+ graft.joins.KnnGridJoinRule(spark)
   }
 }

@@ -21,6 +21,7 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => graft.plans.KnnJoinCaptureRule)
     ext.injectOptimizerRule(_ => graft.plans.GeoPruneRule)
     ext.injectOptimizerRule(spark => graft.plans.GridSpatialJoinRule(spark))
+    ext.injectOptimizerRule(spark => graft.joins.KnnGridJoinRule(spark))
     ext.injectPlannerStrategy(spark => graft.joins.SpatialJoinStrategy(spark))
   }
 }

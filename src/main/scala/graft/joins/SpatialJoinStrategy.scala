@@ -40,12 +40,19 @@ case class SpatialJoinStrategy(spark: SparkSession) extends SparkStrategy {
     }
   }
 
+  /** Broadcast-indexed KNN exec. Large object sides never reach here —
+    * KnnGridJoinRule rewrites them at logical-optimization time (a
+    * strategy-level rewrite would be rebuilt by every AQE re-plan). */
+  private def planKnn(p: graft.plans.KnnJoinPlan): Seq[SparkPlan] = {
+    val (queryChild, objectChild) =
+      if (p.objectIsLeft) (p.right, p.left) else (p.left, p.right)
+    KnnJoinExec(planLater(queryChild), planLater(objectChild),
+      p.queryGeom, p.objectGeom, p.k, p.objectIsLeft, p.spheroid) :: Nil
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     // KNN join captured at analysis time (pushdown-barrier node)
-    case graft.plans.KnnJoinPlan(left, right, qg, og, k, objectIsLeft, sph) =>
-      val (queryChild, objectChild) = if (objectIsLeft) (right, left) else (left, right)
-      KnnJoinExec(planLater(queryChild), planLater(objectChild), qg, og, k,
-        objectIsLeft, sph) :: Nil
+    case p: graft.plans.KnnJoinPlan => planKnn(p)
 
     // KNN join: ST_KNN(query_geom, object_geom, k[, use_spheroid])
     case Join(left, right, joinType, Some(
@@ -59,11 +66,11 @@ case class SpatialJoinStrategy(spark: SparkSession) extends SparkStrategy {
       }
       val sph = args.length == 4 && args(3).eval() == true
       if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
-        KnnJoinExec(planLater(left), planLater(right), a, b, k,
-          objectIsLeft = false, spheroid = sph) :: Nil
+        planKnn(graft.plans.KnnJoinPlan(left, right, a, b, k,
+          objectIsLeft = false, spheroid = sph))
       else if (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
-        KnnJoinExec(planLater(right), planLater(left), a, b, k,
-          objectIsLeft = true, spheroid = sph) :: Nil
+        planKnn(graft.plans.KnnJoinPlan(left, right, a, b, k,
+          objectIsLeft = true, spheroid = sph))
       else Nil
 
     case Join(left, right, joinType, Some(cond), _)

@@ -272,6 +272,28 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top == Seq(1L))
   }
 
+  test("SQL KNN with large object side plans the partitioned grid path") {
+    // unique coordinates + irrational offsets -> tie-free, so the grid
+    // path must return exactly the broadcast path's rows
+    val q = points(60, 81).select(col("pid").as("qid"),
+      st.f("st_translate", col("pgeom"), lit(1.0 / 3), lit(1.0 / 7)).as("qg"))
+    val o = spark.range(3000).select(col("id").as("oid"),
+      st.point(col("id") % 55 * 1.83 + col("id") * 1e-5,
+        col("id") % 47 * 2.17 + col("id") * 1e-5).as("og"))
+    q.createOrReplaceTempView("knngrid_q")
+    o.createOrReplaceTempView("knngrid_o")
+    val sql = "SELECT qid, oid FROM knngrid_q JOIN knngrid_o ON st_knn(qg, og, 4)"
+    val expected = sortedRows(spark.sql(sql)) // broadcast path (default conf)
+    assert(spark.sql(sql).queryExecution.executedPlan.toString.contains("KnnJoin "))
+    spark.conf.set("spark.graft.knn.broadcastThreshold", "0")
+    try {
+      val grid = spark.sql(sql)
+      val phys = grid.queryExecution.executedPlan.toString
+      assert(!phys.contains("KnnJoin "), phys.take(2000))
+      assert(sortedRows(grid) == expected)
+    } finally spark.conf.unset("spark.graft.knn.broadcastThreshold")
+  }
+
   test("partitioned grid KNN ≡ brute force, including sparse-cell fallback") {
     import org.apache.spark.sql.expressions.Window
     val q = points(60, 41).withColumnRenamed("pid", "qid").withColumnRenamed("pgeom", "qgeom")
