@@ -43,32 +43,31 @@ case class GeomScalar(
     outType: DataType,
     argKinds: Seq[ArgKind.Value],
     f: Array[Any] => Any)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def nullable: Boolean = true
   override def dataType: DataType = outType
   override def prettyName: String = fname
   override def foldable: Boolean = children.forall(_.foldable)
 
-  override def eval(input: InternalRow): Any = {
-    val n = children.length
-    val args = new Array[Any](n)
+  /** Kernel over already-evaluated, non-null child values. Mutates `args`
+    * in place (arg-kind conversion), returns the Catalyst-typed result or
+    * null. Shared by interpreted eval and the generated code. */
+  def compute(args: Array[Any]): Any = {
     var i = 0
-    while (i < n) {
-      val v = children(i).eval(input)
-      if (v == null) return null
+    while (i < args.length) {
       args(i) = argKinds(i) match {
-        case ArgKind.Geom => GeomIO.read(v.asInstanceOf[Array[Byte]])
-        case ArgKind.Dbl => v match {
+        case ArgKind.Geom => GeomIO.read(args(i).asInstanceOf[Array[Byte]])
+        case ArgKind.Dbl => args(i) match {
           case n: java.lang.Number => n.doubleValue()
           case dec: Decimal => dec.toDouble
         }
-        case ArgKind.Int_ => v match {
+        case ArgKind.Int_ => args(i) match {
           case n: java.lang.Number => n.intValue()
           case dec: Decimal => dec.toInt
         }
-        case ArgKind.Str => v.asInstanceOf[UTF8String].toString
-        case _ => v
+        case ArgKind.Str => args(i).asInstanceOf[UTF8String].toString
+        case _ => args(i)
       }
       i += 1
     }
@@ -85,6 +84,56 @@ case class GeomScalar(
       case s: String => UTF8String.fromString(s)
       case other => other
     }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.length
+    val args = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      args(i) = v
+      i += 1
+    }
+    compute(args)
+  }
+
+  /** Unlike CodegenFallback, this keeps the containing operator inside
+    * WholeStageCodegen: children evaluate through their own generated
+    * code and only the kernel body is a (bound) virtual call. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen._
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("geomFn", this, classOf[GeomScalar].getName)
+    val evals = children.map(_.genCode(ctx))
+    val argsName = ctx.freshName("args")
+    val resName = ctx.freshName("res")
+    val javaType = CodeGenerator.javaType(dataType)
+    val anyNull =
+      if (evals.isEmpty) "false" else evals.map(_.isNull.toString).mkString(" || ")
+    val setArgs = evals.zipWithIndex
+      .map { case (e, i) => s"$argsName[$i] = ${e.value};" }.mkString("\n")
+    val extract =
+      if (CodeGenerator.isPrimitiveType(dataType))
+        s"((${CodeGenerator.boxedType(dataType)}) $resName).${javaType}Value()"
+      else s"($javaType) $resName"
+    ev.copy(code = code"""
+      ${evals.map(_.code).mkString("\n")}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!($anyNull)) {
+        Object[] $argsName = new Object[${children.length}];
+        $setArgs
+        Object $resName = $ref.compute($argsName);
+        if ($resName != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = $extract;
+        }
+      }""")
   }
 
   override protected def withNewChildrenInternal(
