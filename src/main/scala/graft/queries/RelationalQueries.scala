@@ -50,8 +50,12 @@ object RelationalQueries {
 
     // Running windows over a fully-ordered frame (ties broken by unique key).
     "q03_window_running" -> ((s, dir) => {
+      // quantity in the sort makes the order total even where the
+      // synthetic data duplicates (orderkey, linenumber) — running sums
+      // are tie-stable at every scale factor
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
       t(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           row_number().over(w).as("rn"),
@@ -227,10 +231,11 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(row_number() OVER w AS INT) AS rn,
         |  CAST(SUM(l_quantity) OVER (PARTITION BY l_suppkey
-        |       ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |       ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)""".stripMargin,
 
     "q04_setops" ->
       """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),

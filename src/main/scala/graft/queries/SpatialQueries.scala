@@ -130,9 +130,11 @@ object SpatialQueries {
     // union_agg of disjoint grid boxes: area + part count survive the union
     "sp07_union_agg" -> ((s, dir) => {
       prep(s)
+      // 200x200 grid keeps every partkey's box disjoint up to 40k parts
+      // (sf0.1), so per-brand union area stays exactly additive
       withBox(t(s, dir, "part"))
-        .withColumn("gx", (col("p_partkey") % 50).cast("double") * 20.0)
-        .withColumn("gy", ((col("p_partkey") / 50) % 50).cast("double") * 20.0)
+        .withColumn("gx", (col("p_partkey") % 200).cast("double") * 20.0)
+        .withColumn("gy", ((col("p_partkey") / 200) % 200).cast("double") * 20.0)
         .withColumn("gbox", st.makeEnvelope(col("gx"), col("gy"),
           col("gx") + col("bw"), col("gy") + col("bh")))
         .groupBy(col("p_brand"))
