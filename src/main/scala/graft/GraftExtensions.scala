@@ -24,5 +24,8 @@ object GraftExtensions {
     if (!opts3.exists(_.isInstanceOf[graft.joins.KnnGridJoinRule]))
       spark.experimental.extraOptimizations =
         opts3 :+ graft.joins.KnnGridJoinRule(spark)
+    val opts4 = spark.experimental.extraOptimizations
+    if (!opts4.contains(graft.plans.RasterLoadRule))
+      spark.experimental.extraOptimizations = opts4 :+ graft.plans.RasterLoadRule
   }
 }

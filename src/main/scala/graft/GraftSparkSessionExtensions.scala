@@ -22,6 +22,7 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.GeoPruneRule)
     ext.injectOptimizerRule(spark => graft.plans.GridSpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => graft.joins.KnnGridJoinRule(spark))
+    ext.injectOptimizerRule(_ => graft.plans.RasterLoadRule)
     ext.injectPlannerStrategy(spark => graft.joins.SpatialJoinStrategy(spark))
   }
 }

@@ -26,6 +26,18 @@ object RasterFunctions {
   @inline private def d(a: Array[Any], i: Int): Double = a(i).asInstanceOf[Double]
   @inline private def ii(a: Array[Any], i: Int): Int = a(i).asInstanceOf[Int]
 
+  /** Pixel-reading kernels: RasterLoadRule wraps their raster arg in
+    * rs_ensureloaded (reference `needs_pixels` annotation). */
+  val needsPixels: Set[String] =
+    Set("rs_value", "rs_bandmin", "rs_bandmax", "rs_bandavg", "rs_zonalstats")
+
+  /** Deterministic md5-prefix hash of the path — the stub loader's seed,
+    * SQL-replicable for the oracle. */
+  def stubHash(path: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(path.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   private def bandValues(r: Raster, band1: Int): Array[Double] = {
     val (_, data) = r.bands(band1 - 1)
     val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -49,6 +61,32 @@ object RasterFunctions {
       require(vals.length == w * h, s"need ${w * h} values, got ${vals.length}")
       RasterModel.toRow("EPSG:0", Array(d(a, 2), d(a, 4), 0.0, d(a, 3), 0.0, d(a, 5)),
         w, h, Seq((Double.NaN, RasterModel.packDoubles(vals))))
+    }),
+
+    // outdb reference constructor + explicit materialization (reference:
+    // RS_FromPath + async RS_EnsureLoaded wrapped in by the planner,
+    // rust/sedona-query-planner/src/ensure_loaded.rs:18-36). Offline
+    // build: metadata and pixels come from a DETERMINISTIC STUB loader
+    // (md5-derived; the real thing would be a pluggable format-keyed
+    // loader registry) — the plan shape and CSE-deduplicated
+    // materialization are the real, tested parts.
+    fn("rs_frompath", RasterModel.dataType, Seq(Str))(a => {
+      val path = a(0).asInstanceOf[String]
+      val h = RasterFunctions.stubHash(path)
+      val w = (h % 5).toInt + 3
+      val ht = ((h / 5) % 4).toInt + 2
+      RasterModel.toRow("EPSG:4326", Array((h % 100).toDouble, 2.0, 0.0,
+        ((h / 7) % 100).toDouble, 0.0, -2.0), w, ht, Seq.empty, path)
+    }),
+    fn("rs_ensureloaded", RasterModel.dataType, Seq(Raw))(a => {
+      val r = rast(a)
+      if (!r.isOutDb) a(0)
+      else {
+        val h = RasterFunctions.stubHash(r.path)
+        val vals = Array.tabulate(r.width * r.height)(i => ((h + i) % 97).toDouble)
+        RasterModel.toRow(r.crs, r.gt, r.width, r.height,
+          Seq((Double.NaN, RasterModel.packDoubles(vals))), r.path)
+      }
     }),
 
     // metadata accessors

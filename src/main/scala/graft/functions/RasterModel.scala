@@ -26,10 +26,15 @@ object RasterModel {
     StructField("transform", ArrayType(DoubleType, containsNull = false)),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("bands", ArrayType(bandType, containsNull = false))))
+    StructField("bands", ArrayType(bandType, containsNull = false)),
+    // outdb reference (reference: OutDb raster refs + RS_EnsureLoaded,
+    // rust/sedona-query-planner/src/ensure_loaded.rs): non-null path +
+    // empty bands = pixels not materialized yet
+    StructField("path", StringType)))
 
   case class Raster(crs: String, gt: Array[Double], width: Int, height: Int,
-      bands: IndexedSeq[(Double, Array[Byte])]) {
+      bands: IndexedSeq[(Double, Array[Byte])], path: String = null) {
+    def isOutDb: Boolean = path != null && bands.isEmpty
     def worldX(col: Double, row: Double): Double = gt(0) + col * gt(1) + row * gt(2)
     def worldY(col: Double, row: Double): Double = gt(3) + col * gt(4) + row * gt(5)
     /** inverse affine -> fractional (col, row) */
@@ -57,18 +62,20 @@ object RasterModel {
       (0 until bandsArr.numElements()).map { i =>
         val b = bandsArr.getStruct(i, 2)
         (b.getDouble(0), b.getBinary(1))
-      })
+      },
+      if (r.numFields > 5 && !r.isNullAt(5)) r.getUTF8String(5).toString else null)
   }
 
   def toRow(crs: String, gt: Array[Double], width: Int, height: Int,
-      bands: Seq[(Double, Array[Byte])]): InternalRow =
+      bands: Seq[(Double, Array[Byte])], path: String = null): InternalRow =
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(crs),
       new GenericArrayData(gt),
       width, height,
       new GenericArrayData(bands.map { case (nodata, data) =>
         new GenericInternalRow(Array[Any](nodata, data))
-      }.toArray[Any])))
+      }.toArray[Any]),
+      if (path == null) null else UTF8String.fromString(path)))
 
   def packDoubles(vs: Array[Double]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(vs.length * 8)

@@ -259,6 +259,22 @@ object SpatialQueries {
           col("zs.mean").as("zmean"), col("zs.min").as("zmin"), col("zs.max").as("zmax"))
     }),
 
+    // outdb raster pipeline: rs_frompath refs + RasterLoadRule-injected
+    // rs_ensureloaded materialization (pixel functions only; rs_width/
+    // rs_height read the unloaded ref's metadata)
+    "rs03_outdb_load" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("path", concat(lit("s3://rasters/tile_"), col("n_nationkey")))
+        .withColumn("r", st.f("rs_frompath", col("path")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("r")).as("w"),
+          st.f("rs_height", col("r")).as("h"),
+          st.f("rs_value", col("r"), lit(1), lit(1), lit(1)).as("v11"),
+          st.f("rs_bandavg", col("r"), lit(1)).as("bavg"),
+          st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
+    }),
+
     // geometry element access: dump/geometryn/makeline/boundary
     "sp10_elements" -> ((s, dir) => {
       prep(s)
@@ -435,6 +451,21 @@ object SpatialQueries {
         |  48.0 AS env_area,
         |  TRUE AS hit
         |FROM p""".stripMargin,
+
+    "rs03_outdb_load" ->
+      """WITH p AS (SELECT n_nationkey,
+        |    's3://rasters/tile_' || CAST(n_nationkey AS VARCHAR) AS path FROM nation),
+        |hh AS (SELECT n_nationkey,
+        |    ('0x'||substr(md5(path),1,8))::UBIGINT::BIGINT AS h0 FROM p),
+        |m AS (SELECT n_nationkey, h0,
+        |    CAST(h0 % 5 + 3 AS INT) AS w,
+        |    CAST((h0 // 5) % 4 + 2 AS INT) AS ht FROM hh)
+        |SELECT n_nationkey, w, ht AS h,
+        |  CAST((h0 + w + 1) % 97 AS DOUBLE) AS v11,
+        |  list_sum([CAST((h0 + i) % 97 AS DOUBLE) for i in range(0, w*ht)])
+        |    / (w*ht) AS bavg,
+        |  list_max([CAST((h0 + i) % 97 AS DOUBLE) for i in range(0, w*ht)]) AS bmax
+        |FROM m""".stripMargin,
 
     // zone covers pixel centers (c,r) with c in 0..2, r in 0..1 ->
     // band indices i = r*4+c in [0,1,2,4,5,6]

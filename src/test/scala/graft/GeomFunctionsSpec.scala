@@ -201,6 +201,24 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "'LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)'), 0.1))") == 2)
   }
 
+  test("outdb raster: load rule wraps pixel readers only; values correct") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val df = spark.range(3)
+      .withColumn("path", concat(lit("mem://t"), col("id")))
+      .withColumn("r", org.apache.spark.sql.functions.call_function("rs_frompath", col("path")))
+      .select(col("id"),
+        org.apache.spark.sql.functions.call_function("rs_width", col("r")).as("w"),
+        org.apache.spark.sql.functions.call_function("rs_bandavg", col("r"), lit(1)).as("bavg"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // pixel reader wrapped, metadata reader not
+    assert(optimized.contains("rs_bandavg(rs_bandavg, rs_ensureloaded"), optimized.take(1500))
+    assert(!optimized.contains("rs_width(rs_width, rs_ensureloaded"), optimized.take(1500))
+    // and the stub pixels are deterministic
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == 3 && rows.forall(_._3 >= 0.0))
+    assert(df.collect().map(_.toString).toSeq == df.collect().map(_.toString).toSeq)
+  }
+
   test("UTM transform round-trips within 1e-6 deg") {
     val g = GeomIO.point(9.5, 47.25)
     val utm = CrsTransform.transform(g, "EPSG:4326", "EPSG:32632")
