@@ -769,6 +769,19 @@ object GeomScalars {
         })
       })
     }),
+    // measured-coordinate forcing (st_force_dim.rs 3DM/4D): coordinates
+    // rebuilt as XYM / XYZM, existing ordinates preserved
+    fn("st_force3dm", BinaryType, Seq(Geom, Dbl))(a =>
+      GeomScalars.mapCoords3D(g0(a), c => new CoordinateXYM(c.x, c.y,
+        if (java.lang.Double.isNaN(c.getM)) d(a, 1) else c.getM))),
+    fn("st_force4d", BinaryType, Seq(Geom, Dbl, Dbl))(a =>
+      GeomScalars.mapCoords3D(g0(a), c => new CoordinateXYZM(c.x, c.y,
+        if (java.lang.Double.isNaN(c.getZ)) d(a, 1) else c.getZ,
+        if (java.lang.Double.isNaN(c.getM)) d(a, 2) else c.getM))),
+    fn("st_pointm", BinaryType, Seq(Dbl, Dbl, Dbl))(a =>
+      GeomIO.factory.createPoint(new CoordinateXYM(d(a, 0), d(a, 1), d(a, 2)))),
+    fn("st_pointzm", BinaryType, Seq(Dbl, Dbl, Dbl, Dbl))(a =>
+      GeomIO.factory.createPoint(new CoordinateXYZM(d(a, 0), d(a, 1), d(a, 2), d(a, 3)))),
     // geography/geometry casts: the reference flips the Edges flag
     // (st_togeomgeog.rs); our WKB model carries no edge flag, so these are
     // identity re-tags kept for API parity

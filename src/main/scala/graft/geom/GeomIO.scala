@@ -20,31 +20,49 @@ object GeomIO {
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => {
     val r = new WKTReader(factory); r.setIsOldJtsCoordinateSyntaxAllowed(false); r
   })
-  private val wkbWriter2 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, true))
-  private val wkbWriter3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3, true))
-  private val wkbWriterPlain2 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2, false))
-  private val wkbWriterPlain3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3, false))
-  private val wktWriter2 = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
-  private val wktWriter3 = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(3))
+  import org.locationtech.jts.io.Ordinate
+  private def wkb(dim: Int, srid: Boolean, ords: java.util.EnumSet[Ordinate]) =
+    ThreadLocal.withInitial[WKBWriter](() => {
+      val w = new WKBWriter(dim, srid); w.setOutputOrdinates(ords); w
+    })
+  private def wkt(dim: Int, ords: java.util.EnumSet[Ordinate]) =
+    ThreadLocal.withInitial[WKTWriter](() => {
+      val w = new WKTWriter(dim); w.setOutputOrdinates(ords); w
+    })
+  private val XY = java.util.EnumSet.of(Ordinate.X, Ordinate.Y)
+  private val XYZ = java.util.EnumSet.of(Ordinate.X, Ordinate.Y, Ordinate.Z)
+  private val XYM = java.util.EnumSet.of(Ordinate.X, Ordinate.Y, Ordinate.M)
+  private val XYZM = java.util.EnumSet.allOf(classOf[Ordinate])
+  private val wkbWriters = Array(wkb(2, true, XY), wkb(3, true, XYZ),
+    wkb(3, true, XYM), wkb(4, true, XYZM))
+  private val wkbWritersPlain = Array(wkb(2, false, XY), wkb(3, false, XYZ),
+    wkb(3, false, XYM), wkb(4, false, XYZM))
+  private val wktWriters = Array(wkt(2, XY), wkt(3, XYZ), wkt(3, XYM), wkt(4, XYZM))
 
   @inline def hasZ(g: Geometry): Boolean = {
     val c = g.getCoordinate
     c != null && !java.lang.Double.isNaN(c.getZ)
   }
 
+  @inline def hasM(g: Geometry): Boolean = {
+    val c = g.getCoordinate
+    c != null && !java.lang.Double.isNaN(c.getM)
+  }
+
+  /** 0 = XY, 1 = XYZ, 2 = XYM, 3 = XYZM. */
+  @inline private def dimIdx(g: Geometry): Int =
+    (if (hasZ(g)) 1 else 0) + (if (hasM(g)) 2 else 0)
+
   def read(bytes: Array[Byte]): Geometry = wkbReader.get.read(bytes)
 
-  def write(g: Geometry): Array[Byte] =
-    (if (hasZ(g)) wkbWriter3 else wkbWriter2).get.write(g)
+  def write(g: Geometry): Array[Byte] = wkbWriters(dimIdx(g)).get.write(g)
 
   /** Plain ISO WKB without the EWKB SRID flag (ST_AsBinary semantics). */
-  def writePlain(g: Geometry): Array[Byte] =
-    (if (hasZ(g)) wkbWriterPlain3 else wkbWriterPlain2).get.write(g)
+  def writePlain(g: Geometry): Array[Byte] = wkbWritersPlain(dimIdx(g)).get.write(g)
 
   def readWkt(s: String): Geometry = wktReader.get.read(s)
 
-  def writeWkt(g: Geometry): String =
-    (if (hasZ(g)) wktWriter3 else wktWriter2).get.write(g)
+  def writeWkt(g: Geometry): String = wktWriters(dimIdx(g)).get.write(g)
 
   def point(x: Double, y: Double): Geometry =
     factory.createPoint(new Coordinate(x, y))

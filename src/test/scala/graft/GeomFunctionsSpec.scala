@@ -201,6 +201,29 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "'LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)'), 0.1))") == 2)
   }
 
+  test("measured coordinates: M/ZM construction, forcing, roundtrip") {
+    assert(q("st_m(st_pointm(1, 2, 5.5))") == 5.5)
+    assert(q("st_m(st_pointzm(1, 2, 3, 7.25))") == 7.25)
+    assert(q("st_z(st_pointzm(1, 2, 3, 7.25))") == 3.0)
+    // WKB roundtrip preserves M
+    assert(q("st_m(st_geomfromwkb(st_asbinary(st_pointm(1, 2, 9.5))))") == 9.5)
+    assert(q("st_m(st_geomfromwkb(st_asbinary(st_pointzm(1, 2, 3, 4))))") == 4.0)
+    // WKT formatting carries the M/ZM tag and parses back
+    val wktM = q("st_astext(st_pointm(1, 2, 9.5))").toString
+    assert(wktM.startsWith("POINT M"), wktM)
+    assert(q(s"st_m(st_geomfromwkt('$wktM'))") == 9.5)
+    // forcing: 2D -> 3DM with default m; zm flags
+    assert(q("st_m(st_force3dm(st_point(1, 2), 6.0))") == 6.0)
+    assert(q("st_hasm(st_force3dm(st_point(1, 2), 0.0))") == true)
+    assert(q("st_m(st_force4d(st_pointz(1, 2, 3), 0.0, 8.0))") == 8.0)
+    assert(q("st_z(st_force4d(st_point(1, 2), 5.0, 8.0))") == 5.0)
+    assert(q("st_zmflag(st_pointzm(1,2,3,4))") == 3)
+    assert(q("st_zmflag(st_pointm(1,2,4))") == 1)
+    // line with M through WKB
+    assert(q("st_m(st_startpoint(st_geomfromwkb(st_asbinary(" +
+      "st_force3dm(st_geomfromwkt('LINESTRING (0 0, 1 1)'), 2.5)))))") == 2.5)
+  }
+
   test("outdb raster: load rule wraps pixel readers only; values correct") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val df = spark.range(3)
