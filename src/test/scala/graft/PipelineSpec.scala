@@ -189,6 +189,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("structured streaming: content-hash dedup of a document stream") {
+    // streaming ingest dedup: minhash-equivalent content key (fused
+    // shingle hash of the text) deduped across micro-batches — the
+    // streaming counterpart of pl03's batch exact-dedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docsStream = input.toDF().toDF("doc_id", "text")
+      .withColumn("content_key",
+        md5(concat_ws(",", graft.pipeline.TextOps.shingleHashes(
+          graft.pipeline.TextOps.tokens(col("text")), 3))))
+      .dropDuplicates("content_key")
+    val q = docsStream.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "the quick brown fox"), (2L, "totally different text"))
+      q.processAllAvailable()
+      // duplicate content in a later batch must be dropped by state
+      input.addData((3L, "the quick brown fox"), (4L, "yet another doc"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), ids)
+    } finally q.stop()
+  }
+
   test("structured streaming: windowed counts + dedup run with our extensions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
