@@ -769,6 +769,10 @@ object GeomScalars {
         })
       })
     }),
+    // polygon tessellation (s2 kernel ST_TessellateGeom,
+    // c/sedona-s2geography/src/kernels.rs): ear-clipping triangulation
+    fn("st_tessellate", BinaryType, Seq(Geom))(a =>
+      org.locationtech.jts.triangulate.polygon.PolygonTriangulator.triangulate(g0(a))),
     // measured-coordinate forcing (st_force_dim.rs 3DM/4D): coordinates
     // rebuilt as XYM / XYZM, existing ordinates preserved
     fn("st_force3dm", BinaryType, Seq(Geom, Dbl))(a =>

@@ -209,7 +209,9 @@ object SpatialQueries {
             st.f("st_boundary", col("box")))), 6).as("rebuilt_area"),
           st.asText(st.f("st_closestpoint", col("box"), col("far_pt"))).as("cp_wkt"),
           round(st.length(st.f("st_shortestline", col("box"), col("far_pt"))), 6).as("sl_len"),
-          st.asText(st.f("st_geomfromgeojson", col("gj"))).as("gj_wkt"))
+          st.asText(st.f("st_geomfromgeojson", col("gj"))).as("gj_wkt"),
+          round(st.area(st.f("st_tessellate", col("box"))), 6).as("tess_area"),
+          st.f("st_numgeometries", st.f("st_tessellate", col("box"))).as("tess_n"))
     }),
 
     // in-db raster: constructor, geotransform math, pixel access, stats
@@ -432,7 +434,9 @@ object SpatialQueries {
         |  round(bw*bh, 6) AS rebuilt_area,
         |  'POINT (' || CAST(bxmin + bw AS BIGINT) || ' ' || CAST(bymin AS BIGINT) || ')' AS cp_wkt,
         |  3.0 AS sl_len,
-        |  'POINT (' || CAST(bxmin AS BIGINT) || ' ' || CAST(bymin AS BIGINT) || ')' AS gj_wkt
+        |  'POINT (' || CAST(bxmin AS BIGINT) || ' ' || CAST(bymin AS BIGINT) || ')' AS gj_wkt,
+        |  round(bw*bh, 6) AS tess_area,
+        |  2 AS tess_n
         |FROM b""".stripMargin,
 
     "rs01_raster_core" ->

@@ -201,6 +201,16 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "'LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)'), 0.1))") == 2)
   }
 
+  test("tessellate: triangles cover the polygon exactly") {
+    assert(q("st_numgeometries(st_tessellate(st_makeenvelope(0,0,4,3)))") == 2)
+    assert(q("st_area(st_tessellate(st_makeenvelope(0,0,4,3)))") == 12.0)
+    // polygon with a hole: triangle areas still sum to the polygon area
+    val poly = "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (4 4, 4 6, 6 6, 6 4, 4 4))"
+    assert(q(s"st_area(st_tessellate(st_geomfromwkt('$poly')))") == 96.0)
+    assert(q(s"st_numgeometries(st_tessellate(st_geomfromwkt('$poly')))")
+      .asInstanceOf[Int] >= 8)
+  }
+
   test("measured coordinates: M/ZM construction, forcing, roundtrip") {
     assert(q("st_m(st_pointm(1, 2, 5.5))") == 5.5)
     assert(q("st_m(st_pointzm(1, 2, 3, 7.25))") == 7.25)
