@@ -40,7 +40,8 @@ object SpatialJoins {
       leftGeom: Column, rightGeom: Column,
       predicate: String,
       bounds: Option[(Double, Double, Double, Double)] = None,
-      nx: Int = 64, ny: Int = 64): DataFrame = {
+      nx: Int = 64, ny: Int = 64,
+      distance: Option[Column] = None): DataFrame = {
 
     val (xmin, ymin, xmax, ymax) = bounds.getOrElse {
       val Row(a: Double, b: Double, c: Double, d: Double) =
@@ -54,15 +55,26 @@ object SpatialJoins {
     def cells(g: Column): Column = st.f("st_gridcells", g,
       lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))
 
+    // distance joins expand the left envelope by the radius for cell
+    // assignment and reference-point dedup (same construction as
+    // GridSpatialJoinRule), refining with st_dwithin
     val l = left.withColumn("__lg", leftGeom)
-      .withColumn("__cell", explode(cells(col("__lg"))))
+      .withColumn("__lkey", distance match {
+        case Some(d) => st.f("st_expandenvelope", leftGeom, d)
+        case None => leftGeom
+      })
+      .withColumn("__cell", explode(cells(col("__lkey"))))
     val r = right.withColumn("__rg", rightGeom)
       .withColumn("__cell", explode(cells(col("__rg"))))
+    val refine = distance match {
+      case Some(d) => st.f("st_dwithin", col("__lg"), col("__rg"), d)
+      case None => st.f(predicate, col("__lg"), col("__rg"))
+    }
     l.join(r, l("__cell") === r("__cell")
-        && st.f(predicate, col("__lg"), col("__rg"))
-        && st.f("st_refcell", col("__lg"), col("__rg"),
+        && refine
+        && st.f("st_refcell", col("__lkey"), col("__rg"),
           lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny)) === l("__cell"))
-      .drop("__cell", "__lg", "__rg")
+      .drop("__cell", "__lg", "__rg", "__lkey")
   }
 
   /** Size-adaptive spatial join: broadcast index join when a side fits the

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateFunction, Max, Min}
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
@@ -73,6 +73,51 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
             rewrite(left, right, ex).getOrElse(j)
           case _ => j
         }
+      case j @ Join(left, right, LeftOuter, Some(cond), _)
+          if !hasEquiConjunct(cond, left, right) && bothLarge(left, right)
+            && left.output.map(_.name).toSet
+              .intersect(right.output.map(_.name).toSet).isEmpty =>
+        SpatialPredicate.extract(cond, left, right) match {
+          case Some(ex) if ex.distance.forall(_.references.subsetOf(left.outputSet)) =>
+            rewriteLeftOuter(j, left, right, ex).getOrElse(j)
+          case _ => j
+        }
+    }
+  }
+
+  /** Large-large LEFT OUTER: inner grid join over a row-id-tagged left
+    * side, then null-padded anti rows unioned back. The tagged left is
+    * persisted inside the rewrite so both branches observe identical ids.
+    */
+  private def rewriteLeftOuter(
+      j: Join, lChild: LogicalPlan, rChild: LogicalPlan,
+      ex: SpatialPredicate.Extracted): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.DatasetBridge
+    bounds(lChild, rChild, ex).map { b =>
+      val nx = conf("spark.graft.join.grid.nx", "64").toInt
+      val ny = conf("spark.graft.join.grid.ny", "64").toInt
+      val lDF = DatasetBridge.ofRows(session, lChild)
+        .withColumn("__gsj_id", monotonically_increasing_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rDF = DatasetBridge.ofRows(session, rChild)
+      val lNames = lChild.output.map(_.name)
+      val rNames = rChild.output.map(_.name)
+      var inner = graft.operators.SpatialJoins.gridJoin(
+        lDF, rDF, DatasetBridge.column(ex.leftGeom), DatasetBridge.column(ex.rightGeom),
+        ex.predName, bounds = Some(b), nx = nx, ny = ny,
+        distance = ex.distance.map(DatasetBridge.column))
+      ex.remainder.foreach(r => inner = inner.filter(DatasetBridge.column(r)))
+      val matched = inner.select(col("__gsj_id")).distinct()
+      val anti = lDF.join(matched, Seq("__gsj_id"), "left_anti")
+        .select(lNames.map(col) ++
+          rChild.output.map(a => lit(null).cast(a.dataType).as(a.name)): _*)
+      val result = inner.select((lNames ++ rNames).map(col): _*).unionAll(anti)
+      val analyzed = result.queryExecution.optimizedPlan
+      val byName = analyzed.output.map(a => a.name -> a).toMap
+      Project(j.output.map { orig =>
+        Alias(byName(orig.name), orig.name)(exprId = orig.exprId)
+      }, analyzed)
     }
   }
 

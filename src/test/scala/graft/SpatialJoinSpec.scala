@@ -170,6 +170,30 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("planner grid rewrite: large-large LEFT OUTER keeps unmatched rows") {
+    val p = points(250, 91).toDF("pid", "pgeom")
+    val b = boxes(40, 93)
+    val q = points(120, 95).toDF("qid", "qgeom")
+    val expected = sortedRows(
+      p.join(b, st.intersects(col("pgeom"), col("bgeom")), "left_outer")
+        .select(col("pid"), col("bid")))
+    val exp2 = sortedRows(
+      p.join(q, st.dwithin(col("pgeom"), col("qgeom"), lit(3.0)), "left_outer")
+        .select(col("pid"), col("qid")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = p.join(b, st.intersects(col("pgeom"), col("bgeom")), "left_outer")
+        .select(col("pid"), col("bid"))
+      val phys = j.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(2000))
+      assert(sortedRows(j) == expected)
+      // dwithin left outer through the same rewrite
+      val j2 = p.join(q, st.dwithin(col("pgeom"), col("qgeom"), lit(3.0)), "left_outer")
+        .select(col("pid"), col("qid"))
+      assert(sortedRows(j2) == exp2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("grid rewrite leaves small joins and equi-conjunct joins alone") {
     val p = points(100, 61)
     val b = boxes(80, 63)
