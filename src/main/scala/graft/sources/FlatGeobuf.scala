@@ -192,21 +192,45 @@ object FlatGeobuf {
     b.startTable(); b.slotRef(0, n); b.slotByte(1, typ.toByte); b.endTable()
   }
 
-  /** One complete .fgb byte stream for an iterator of (geom, row). */
+  private val NodeSize = 16
+
+  /** One complete .fgb byte stream for an iterator of (geom, row). When
+    * `index` is set and every geometry is non-null, features are
+    * Hilbert-sorted and a packed R-tree (40-byte nodes, root level first,
+    * leaf offsets = feature byte offsets) is written between header and
+    * features. */
   private def encodeFile(schema: Seq[(String, Int)], geomIdx: Int,
-      propIdx: Seq[Int], rows: Iterator[Row]): Array[Byte] = {
+      propIdx: Seq[Int], rows: Iterator[Row], index: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic)
-    val features = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var features = new scala.collection.mutable.ArrayBuffer[
+      (Array[Byte], org.locationtech.jts.geom.Envelope)]()
+    var anyNullGeom = false
     rows.foreach { r =>
       val b = new FlatBuf.Builder(256)
       val props = writeProps(schema, r, propIdx)
       val propsV = if (props.nonEmpty) b.createByteVector(props) else 0
+      var env: org.locationtech.jts.geom.Envelope = null
       val geomOff =
-        if (r.isNullAt(geomIdx)) 0
-        else writeGeometry(b, GeomIO.read(r.getAs[Array[Byte]](geomIdx)))
+        if (r.isNullAt(geomIdx)) { anyNullGeom = true; 0 }
+        else {
+          val g = GeomIO.read(r.getAs[Array[Byte]](geomIdx))
+          env = g.getEnvelopeInternal
+          writeGeometry(b, g)
+        }
       b.startTable(); b.slotRef(0, geomOff); b.slotRef(1, propsV)
-      features += b.finishSizePrefixed(b.endTable())
+      features += ((b.finishSizePrefixed(b.endTable()), env))
+    }
+    val withIndex = index && !anyNullGeom && features.nonEmpty
+    if (withIndex) {
+      // Hilbert order over the file extent (FGB index precondition)
+      val xs0 = features.map(_._2.getMinX).min; val ys0 = features.map(_._2.getMinY).min
+      val xs1 = features.map(_._2.getMaxX).max; val ys1 = features.map(_._2.getMaxY).max
+      features = features.sortBy { case (_, e) =>
+        graft.functions.SpaceCurve.hilbert(
+          GeomIO.point((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2),
+          xs0, ys0, math.max(xs1, xs0 + 1e-9), math.max(ys1, ys0 + 1e-9))
+      }
     }
     val hb = new FlatBuf.Builder(512)
     val cols = schema.map { case (n, t) => writeColumn(hb, n, t) }.toArray
@@ -217,10 +241,101 @@ object FlatGeobuf {
     hb.slotByte(2, 0) // geometry_type Unknown: per-feature types
     hb.slotRef(7, colsV)
     hb.slotLong(8, features.length.toLong)
-    hb.slotShort(9, 0, default = 16) // no spatial index
+    hb.slotShort(9, if (withIndex) NodeSize.toShort else 0, default = 16)
     out.write(hb.finishSizePrefixed(hb.endTable()))
-    features.foreach(out.write)
+    if (withIndex) out.write(buildIndex(features.toSeq))
+    features.foreach(f => out.write(f._1))
     out.toByteArray
+  }
+
+  /** Level sizes from leaf to root for `n` items. */
+  private def levelSizes(n: Long, nodeSize: Int): Seq[Long] = {
+    var sizes = List(n)
+    while (sizes.head != 1) sizes ::= (sizes.head + nodeSize - 1) / nodeSize
+    sizes // root first
+  }
+
+  /** Packed Hilbert R-tree bytes: 40-byte nodes (bbox f64 x4 + u64
+    * offset), root level first, leaves last; leaf offsets address the
+    * feature stream, internal offsets the byte position of the first
+    * child node. */
+  private def buildIndex(
+      features: Seq[(Array[Byte], org.locationtech.jts.geom.Envelope)]): Array[Byte] = {
+    case class Node(var x0: Double, var y0: Double, var x1: Double, var y1: Double,
+      var off: Long)
+    val sizes = levelSizes(features.length.toLong, NodeSize) // root..leaf
+    val starts = sizes.scanLeft(0L)(_ + _).init // node-index start per level
+    val total = sizes.sum
+    val nodes = new Array[Node](total.toInt)
+    // leaves
+    val leafStart = starts.last.toInt
+    var featOff = 0L
+    features.zipWithIndex.foreach { case ((bytes, e), i) =>
+      nodes(leafStart + i) = Node(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY, featOff)
+      featOff += bytes.length
+    }
+    // internal levels, bottom-up
+    for (li <- sizes.length - 2 to 0 by -1) {
+      val childStart = starts(li + 1).toInt
+      val childCount = sizes(li + 1).toInt
+      val myStart = starts(li).toInt
+      var c = 0
+      var p = 0
+      while (c < childCount) {
+        val end = math.min(c + NodeSize, childCount)
+        val n = Node(Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue,
+          (childStart + c).toLong * 40L)
+        var i = c
+        while (i < end) {
+          val ch = nodes(childStart + i)
+          if (ch.x0 < n.x0) n.x0 = ch.x0; if (ch.y0 < n.y0) n.y0 = ch.y0
+          if (ch.x1 > n.x1) n.x1 = ch.x1; if (ch.y1 > n.y1) n.y1 = ch.y1
+          i += 1
+        }
+        nodes(myStart + p) = n
+        p += 1
+        c = end
+      }
+    }
+    val bb = java.nio.ByteBuffer.allocate(total.toInt * 40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nodes.foreach { n =>
+      bb.putDouble(n.x0); bb.putDouble(n.y0); bb.putDouble(n.x1); bb.putDouble(n.y1)
+      bb.putLong(n.off)
+    }
+    bb.array()
+  }
+
+  /** Feature byte offsets (within the feature stream) whose index bbox
+    * intersects the query window. */
+  private def searchIndex(bytes: Array[Byte], indexStart: Int, numItems: Long,
+      nodeSize: Int, q: (Double, Double, Double, Double)): Seq[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sizes = levelSizes(numItems, nodeSize)
+    val starts = sizes.scanLeft(0L)(_ + _).init
+    val leafStart = starts.last
+    val levelEnd = starts.zip(sizes).map { case (s, n) => s + n }
+    def nodeBox(i: Long): (Double, Double, Double, Double, Long) = {
+      val p = indexStart + i.toInt * 40
+      (bb.getDouble(p), bb.getDouble(p + 8), bb.getDouble(p + 16), bb.getDouble(p + 24),
+        bb.getLong(p + 32))
+    }
+    val hits = scala.collection.mutable.ArrayBuffer[Long]()
+    val stack = scala.collection.mutable.Stack[(Long, Int)]() // nodeIdx, level
+    (0L until sizes.head).foreach(i => stack.push((i, 0)))
+    while (stack.nonEmpty) {
+      val (idx, lvl) = stack.pop()
+      val (x0, y0, x1, y1, off) = nodeBox(idx)
+      if (x0 <= q._3 && x1 >= q._1 && y0 <= q._4 && y1 >= q._2) {
+        if (idx >= leafStart) hits += off
+        else {
+          val childStart = off / 40
+          val end = math.min(childStart + nodeSize, levelEnd(lvl + 1))
+          (childStart until end).foreach(i => stack.push((i, lvl + 1)))
+        }
+      }
+    }
+    hits.toSeq
   }
 
   /** Packed Hilbert R-tree size (skip-only): 40 bytes per node. */
@@ -232,8 +347,10 @@ object FlatGeobuf {
     total * 40L
   }
 
-  /** Write `df` as FlatGeobuf: one .fgb file per partition under `path`. */
-  def write(df: DataFrame, path: String, geomCol: String): Unit = {
+  /** Write `df` as FlatGeobuf: one .fgb file per partition under `path`.
+    * With `index = true` each file carries a packed Hilbert R-tree over
+    * its (Hilbert-sorted) features, enabling bbox-filtered reads. */
+  def write(df: DataFrame, path: String, geomCol: String, index: Boolean = false): Unit = {
     val schema = df.schema.fields.filterNot(_.name == geomCol)
       .map(f => (f.name, columnTypeOf(f.dataType))).toSeq
     val geomIdx = df.schema.fieldIndex(geomCol)
@@ -246,7 +363,7 @@ object FlatGeobuf {
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
-        val bytes = encodeFile(schema, geomIdx, propIdx, rows)
+        val bytes = encodeFile(schema, geomIdx, propIdx, rows, index)
         val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.fgb")
         val fs = p.getFileSystem(serConf.value)
         val os = fs.create(p, true)
@@ -274,8 +391,12 @@ object FlatGeobuf {
     (cols, gtype, count, nodeSize, 8 + consumed)
   }
 
-  /** Read a .fgb file or a directory of part-*.fgb (parallel per file). */
-  def read(spark: SparkSession, path: String, geomCol: String = "geometry"): DataFrame = {
+  /** Read a .fgb file or a directory of part-*.fgb (parallel per file).
+    * `bbox` = (xmin, ymin, xmax, ymax) prefilters features by envelope:
+    * indexed files are searched through the packed R-tree and only hit
+    * features are decoded; unindexed files filter after decode. */
+  def read(spark: SparkSession, path: String, geomCol: String = "geometry",
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -305,15 +426,36 @@ object FlatGeobuf {
         val bytes = stream.toArray()
         val (cols, gtype, count, nodeSize, afterHeader) = decodeHeader(bytes)
         require(cols == schemaB, s"FlatGeobuf schema mismatch: $cols vs $schemaB")
-        var pos = afterHeader + indexBytes(count, nodeSize).toInt
-        val out = new scala.collection.mutable.ArrayBuffer[Row](count.toInt)
-        while (pos < bytes.length) {
+        val featureStart = afterHeader + indexBytes(count, nodeSize).toInt
+        def decode(pos: Int): (Row, Int) = {
           val (ft, consumed) = FlatBuf.rootSizePrefixed(bytes, pos)
-          pos += consumed
           val props = readProps(cols, ft.getByteVector(1))
           val gt = ft.getTable(0)
-          val wkb = if (gt == null) null else GeomIO.write(readGeometry(gt, gtype))
-          out += Row.fromSeq(props.toSeq :+ wkb)
+          val g = if (gt == null) null else readGeometry(gt, gtype)
+          val keep = bbox.forall { case (x0, y0, x1, y1) =>
+            g != null && {
+              val e = g.getEnvelopeInternal
+              e.getMinX <= x1 && e.getMaxX >= x0 && e.getMinY <= y1 && e.getMaxY >= y0
+            }
+          }
+          (if (keep) Row.fromSeq(props.toSeq :+ (if (g == null) null else GeomIO.write(g)))
+           else null, consumed)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[Row]()
+        bbox match {
+          case Some(q) if nodeSize > 0 && count > 0 =>
+            // R-tree candidates only — the rest of the file is skipped
+            searchIndex(bytes, afterHeader, count, nodeSize, q).foreach { off =>
+              val (row, _) = decode(featureStart + off.toInt)
+              if (row != null) out += row
+            }
+          case _ =>
+            var pos = featureStart
+            while (pos < bytes.length) {
+              val (row, consumed) = decode(pos)
+              pos += consumed
+              if (row != null) out += row
+            }
         }
         out
       }

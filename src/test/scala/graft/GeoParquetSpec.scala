@@ -98,4 +98,29 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.toString).sorted.toSeq
     assert(snap(back) == snap(df))
   }
+
+  test("FlatGeobuf packed R-tree: bbox read matches full-scan filter") {
+    import graft.sources.FlatGeobuf
+    // 1000 points -> multi-level tree (1000 leaves, 63 + 4 + 1 nodes)
+    val pts = spark.range(1000).select(col("id"),
+      st.point(pmod(hash(col("id") * 7 + 1), lit(1000)).cast("double"),
+        pmod(hash(col("id") * 13 + 2), lit(1000)).cast("double")).as("geom"))
+      .repartition(2)
+    val path = "/tmp/graft_fgb_idx"
+    FlatGeobuf.write(pts, path, "geom", index = true)
+    val q = (200.0, 300.0, 600.0, 800.0)
+    val viaIndex = FlatGeobuf.read(spark, path, "geom", bbox = Some(q))
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    val full = FlatGeobuf.read(spark, path, "geom")
+    val expected = full
+      .filter(st.x(col("geom")).between(q._1, q._3)
+        && st.y(col("geom")).between(q._2, q._4))
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected.nonEmpty && viaIndex == expected, s"${viaIndex.size} vs ${expected.size}")
+    // unindexed files honor the same bbox semantics (post-decode filter)
+    FlatGeobuf.write(pts, path + "_noidx", "geom")
+    val noIdx = FlatGeobuf.read(spark, path + "_noidx", "geom", bbox = Some(q))
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(noIdx == expected)
+  }
 }
