@@ -45,6 +45,26 @@ object GraftFunctions {
     }
   }
 
+  /** User extension surface (§2.8; reference: SedonaScalarUDF kernel
+    * registration, rust/sedona-expr/src/scalar_udf.rs): register a custom
+    * geometry-typed scalar under a SQL name. The kernel receives decoded
+    * JTS geometries / unboxed primitives per the arg-kind signature and
+    * may return a Geometry (WKB-encoded automatically), String, or any
+    * Catalyst-compatible value. Codegen-integrated like every built-in.
+    *
+    * {{{
+    * GraftFunctions.registerScalar(spark, "my_inflate", DoubleType,
+    *   Seq(ArgKind.Geom, ArgKind.Dbl)) { a =>
+    *     a(0).asInstanceOf[Geometry].buffer(a(1).asInstanceOf[Double]).getArea
+    *   }
+    * }}}
+    */
+  def registerScalar(spark: SparkSession, name: String,
+      out: org.apache.spark.sql.types.DataType, argKinds: Seq[ArgKind.Value])(
+      kernel: Array[Any] => Any): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      children => GeomScalar(name, children, out, argKinds, kernel), "scala_udf")
+
   /** Column DSL — `st.point(lit(1), lit(2))` etc. Requires
     * GraftExtensions.install on the session. */
   object st {

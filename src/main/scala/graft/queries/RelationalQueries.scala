@@ -117,6 +117,21 @@ object RelationalQueries {
           |  (o_orderstatus), (o_orderpriority), ())""".stripMargin)
     }),
 
+    // Correlated EXISTS / NOT EXISTS subqueries (planned as semi/anti
+    // joins — the decorrelation path)
+    "q16_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("ex_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("ex_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus,
+          |  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+          |FROM ex_orders o
+          |WHERE EXISTS (SELECT 1 FROM ex_lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          |  AND NOT EXISTS (SELECT 1 FROM ex_lineitem l
+          |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity <= 2)""".stripMargin)
+    }),
+
     // Top-1-per-group via ranked window (deterministic tie-break).
     "q08_top_per_nation" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -273,6 +288,15 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q16_exists_subquery" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity <= 2)""".stripMargin,
 
     "q08_top_per_nation" ->
       """SELECT n.n_name, x.c_custkey, x.c_acctbal FROM (

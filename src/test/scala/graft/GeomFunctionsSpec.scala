@@ -201,6 +201,22 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "'LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)'), 0.1))") == 2)
   }
 
+  test("user scalar registration: custom geometry kernel in SQL") {
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.{ArgKind, GraftFunctions}
+    GraftFunctions.registerScalar(spark, "my_inflated_area", DoubleType,
+      Seq(ArgKind.Geom, ArgKind.Dbl)) { a =>
+      a(0).asInstanceOf[org.locationtech.jts.geom.Geometry]
+        .buffer(a(1).asInstanceOf[Double]).getArea
+    }
+    val area = q("my_inflated_area(st_makeenvelope(0,0,2,2), 1.0)")
+      .asInstanceOf[Double]
+    // 4x4 core + 4 edge strips (2x1) + rounded corners (~pi)
+    assert(area > 4.0 + 8.0 + 3.0 && area < 4.0 + 8.0 + math.Pi + 0.01, area)
+    // custom kernel participates in null propagation
+    assert(q("my_inflated_area(CAST(NULL AS BINARY), 1.0)") == null)
+  }
+
   test("tessellate: triangles cover the polygon exactly") {
     assert(q("st_numgeometries(st_tessellate(st_makeenvelope(0,0,4,3)))") == 2)
     assert(q("st_area(st_tessellate(st_makeenvelope(0,0,4,3)))") == 12.0)
