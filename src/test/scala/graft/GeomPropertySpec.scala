@@ -110,6 +110,39 @@ class GeomPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("FlatBuffers wire: random feature tables roundtrip") {
+    // fuzz the hand-rolled builder/reader pair directly: random property
+    // bytes and geometry envelopes through a size-prefixed Feature table
+    import graft.sources.fgb.FlatBuf
+    val bytesGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    val strGen = Gen.oneOf(Gen.alphaNumStr, Gen.const(""),
+      Gen.const("géo-ツ-€"), Gen.asciiPrintableStr)
+    check(Prop.forAll(bytesGen, strGen, Gen.listOf(Gen.chooseNum(-1e12, 1e12)),
+        Gen.listOf(Gen.chooseNum(Int.MinValue, Int.MaxValue))) {
+      (props, s, doubles, uints) =>
+        val b = new FlatBuf.Builder(16) // tiny initial => exercises grow()
+        val pv = if (props.nonEmpty) b.createByteVector(props) else 0
+        val sv = b.createString(s)
+        val dv = b.createDoubleVector(doubles.toArray)
+        val uv = b.createUIntVector(uints.toArray)
+        b.startTable()
+        b.slotRef(0, pv); b.slotRef(1, sv); b.slotRef(2, dv); b.slotRef(3, uv)
+        b.slotByte(6, 5)
+        val buf = b.finishSizePrefixed(b.endTable())
+        val (t, consumed) = FlatBuf.rootSizePrefixed(buf, 0)
+        val backProps = Option(t.getByteVector(0)).getOrElse(Array.empty[Byte])
+        val backD = Option(t.getDoubleVector(2)).getOrElse(Array.empty[Double])
+        val backU = Option(t.getUIntVector(3)).getOrElse(Array.empty[Int])
+        consumed == buf.length &&
+          java.util.Arrays.equals(backProps, props) &&
+          t.getString(1) == s &&
+          backD.toSeq == doubles &&
+          backU.toSeq == uints &&
+          t.getByte(6, 0) == 5
+    })
+  }
+
   test("spherical grid cover: within-radius pairs always share a cell") {
     // the invariant behind sphereDWithinJoin's correctness — the lon bound
     // sin(dlam/2) <= sin(r/2R)/cos(phi) plus pole/antimeridian handling

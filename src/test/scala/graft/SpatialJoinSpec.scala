@@ -194,6 +194,17 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("grid rewrite: empty sides degrade gracefully") {
+    val p = points(50, 97).filter(col("pid") < 0) // empty
+    val b = boxes(50, 99)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // bounds pre-pass sees no rows -> no rewrite; join is empty either way
+      assert(p.join(b, st.intersects(col("pgeom"), col("bgeom"))).count() == 0)
+      assert(p.join(b, st.intersects(col("pgeom"), col("bgeom")), "left_outer").count() == 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("grid rewrite leaves small joins and equi-conjunct joins alone") {
     val p = points(100, 61)
     val b = boxes(80, 63)
