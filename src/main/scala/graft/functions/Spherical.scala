@@ -21,11 +21,17 @@ object Spherical {
     2 * R * math.asin(math.sqrt(a))
   }
 
-  /** Great-circle distance; points only (the reference's s2 distance is
-    * general — vertex-pair minimum is a v2 extension). */
+  /** Great-circle distance. Exact for point pairs; for other geometries
+    * the haversine of the planar-nearest point pair — a documented
+    * approximation (the reference's s2 distance is exact on the sphere;
+    * planar-nearest can differ near the antimeridian or across very long
+    * segments). Same metric the spheroid KNN ranking uses. */
   def distance(a: Geometry, b: Geometry): Any = (a, b) match {
     case (p: Point, q: Point) if !p.isEmpty && !q.isEmpty =>
       haversine(p.getX, p.getY, q.getX, q.getY)
+    case _ if !a.isEmpty && !b.isEmpty =>
+      val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(a, b)
+      haversine(pts(0).x, pts(0).y, pts(1).x, pts(1).y)
     case _ => null
   }
 
