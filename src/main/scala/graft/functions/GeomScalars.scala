@@ -816,6 +816,18 @@ object GeomScalars {
     fn("st_areasphere", DoubleType, Seq(Geom))(a => Spherical.area(g0(a))),
     fn("st_lengthsphere", DoubleType, Seq(Geom))(a => Spherical.length(g0(a))),
     fn("st_perimetersphere", DoubleType, Seq(Geom))(a => Spherical.perimeter(g0(a))),
+    // s2 closest-point/shortest-line analogs: planar-nearest pair, same
+    // approximation contract as st_distancesphere's general case
+    fn("st_closestpointsphere", BinaryType, Seq(Geom, Geom))(a => {
+      val pts = org.locationtech.jts.operation.distance.DistanceOp
+        .nearestPoints(g0(a), g1(a))
+      GeomIO.factory.createPoint(pts(0))
+    }),
+    fn("st_shortestlinesphere", BinaryType, Seq(Geom, Geom))(a => {
+      val pts = org.locationtech.jts.operation.distance.DistanceOp
+        .nearestPoints(g0(a), g1(a))
+      GeomIO.factory.createLineString(Array(pts(0), pts(1)))
+    }),
     // geography-join partitioning kernels (S2-covering analog,
     // rust/sedona-spatial-join-geography): wrap-safe lat-lon grid cover
     // of the radius-expanded envelope + canonical-cell pair dedup

@@ -217,6 +217,18 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("my_inflated_area(CAST(NULL AS BINARY), 1.0)") == null)
   }
 
+  test("geography closest point / shortest line / general distance") {
+    assert(q("st_astext(st_closestpointsphere(st_geomfromwkt(" +
+      "'LINESTRING (0 0, 10 0)'), st_point(5, 3)))") == "POINT (5 0)")
+    assert(q("st_astext(st_shortestlinesphere(st_geomfromwkt(" +
+      "'LINESTRING (0 0, 10 0)'), st_point(5, 3)))") == "LINESTRING (5 0, 5 3)")
+    // general-geometry spherical distance = haversine of that pair
+    val d = q("st_distancesphere(st_geomfromwkt('LINESTRING (0 0, 10 0)'), st_point(5, 3))")
+      .asInstanceOf[Double]
+    val expect = q("st_distancesphere(st_point(5, 0), st_point(5, 3))").asInstanceOf[Double]
+    assert(math.abs(d - expect) < 1e-6)
+  }
+
   test("tessellate: triangles cover the polygon exactly") {
     assert(q("st_numgeometries(st_tessellate(st_makeenvelope(0,0,4,3)))") == 2)
     assert(q("st_area(st_tessellate(st_makeenvelope(0,0,4,3)))") == 12.0)
