@@ -1,0 +1,74 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Tracks DataFrames persisted *internally* by graft rewrites and pipeline
+  * ops (grid left-outer join row-id tagging, minhash/jaccard signature
+  * reuse) and releases them automatically once a consuming query finishes.
+  *
+  * Without this, optimizer-time persists pin their whole input in the
+  * block-manager cache for the session lifetime — at 100 TB that is an
+  * unbounded leak. Release is matched by cache-builder identity: when a
+  * completed query's optimized plan references the registered cache's
+  * InMemoryRelation, the cache did its job and is dropped (non-blocking).
+  *
+  * `releaseAll()` is the manual release path for long-lived sessions that
+  * never run the consuming action to completion (e.g. abandoned queries).
+  */
+object CacheRegistry {
+
+  private val caches = ConcurrentHashMap.newKeySet[DataFrame]()
+  private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Register a df that the caller has just persisted; returns it. */
+  def register(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (hooked.add(spark)) spark.listenerManager.register(new SweepListener)
+    caches.add(df)
+    df
+  }
+
+  /** Manual release path: unpersist every tracked internal cache now. */
+  def releaseAll(): Unit = {
+    caches.forEach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    caches.clear()
+  }
+
+  /** Number of internal caches currently pinned (test/ops visibility). */
+  def pinnedCount: Int = caches.size()
+
+  private def builderOf(df: DataFrame): Option[AnyRef] =
+    try df.sparkSession.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .map(_.cachedRepresentation.cacheBuilder)
+    catch { case _: Throwable => None }
+
+  private final class SweepListener extends QueryExecutionListener {
+    private def sweep(qe: QueryExecution): Unit = {
+      if (caches.isEmpty) return
+      val present: Set[AnyRef] =
+        try qe.optimizedPlan.collect {
+          case r: InMemoryRelation => r.cacheBuilder: AnyRef
+        }.toSet
+        catch { case _: Throwable => Set.empty }
+      if (present.isEmpty) return
+      caches.forEach { df =>
+        if (builderOf(df).exists(b => present.exists(_ eq b))) {
+          caches.remove(df)
+          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+      }
+    }
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      sweep(qe)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      sweep(qe)
+  }
+}

@@ -177,9 +177,10 @@ object PipelineOps {
     val r = numHashes / bands
     // persist: the band self-join references the signatures twice; without
     // this the md5 pass over the corpus runs twice
-    val sig = df.select(id.as("doc_id"),
-        minhashSignatureTok(tokens(text), 3, numHashes).as("mh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.CacheRegistry.register(
+      df.select(id.as("doc_id"),
+          minhashSignatureTok(tokens(text), 3, numHashes).as("mh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = sig.select(col("doc_id"), col("mh"),
         posexplode(bandKeys(col("mh"), bands, r)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
@@ -203,9 +204,10 @@ object PipelineOps {
     // per-pair intersection is an allocation-free merge over sorted ints
     // persist: both join sides reference the hashed-shingle arrays — without
     // it the scan + md5 shingle hashing + sort runs twice
-    val g = df.select(block.as("__blk"), id.as("doc_id"),
-      array_sort(array_distinct(shingleHashes(tokens(text), k))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = graft.CacheRegistry.register(
+      df.select(block.as("__blk"), id.as("doc_id"),
+        array_sort(array_distinct(shingleHashes(tokens(text), k))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
@@ -291,11 +293,24 @@ object PipelineOps {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate NN: candidates only within a bucket. */
+  /** LSH-bucketed approximate NN: candidates only within a bucket.
+    * `dims` must match the vector length exactly — the hyperplane
+    * coefficient matrix is generated per dimension, so a shorter/longer
+    * vector would silently bucket on a coefficient prefix. By default the
+    * length is probed from the first row; every row is then asserted to
+    * match (mismatches raise instead of mis-bucketing). */
   def lshAnn(df: DataFrame, id: Column, vec: Column, nbits: Int, k: Int,
-      dims: Int = 64): DataFrame = {
-    val g = df.select(id.as("vid"), asDouble(vec).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), nbits, dims))
+      dims: Int = -1): DataFrame = {
+    val v0 = asDouble(vec)
+    val d =
+      if (dims > 0) dims
+      else df.select(size(v0)).limit(1).collect().headOption.map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException("lshAnn: empty input, pass dims explicitly"))
+    val checked = when(size(v0) === d, v0).otherwise(
+      raise_error(concat(lit("lshAnn: vector length "), size(v0).cast("string"),
+        lit(s" != dims=$d"))).cast("array<double>"))
+    val g = df.select(id.as("vid"), checked.as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nbits, d))
     val a = g.select(col("bucket"), col("vid").as("query_id"), col("v").as("qv"))
     val b = g.select(col("bucket"), col("vid").as("cand_id"), col("v").as("cv"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))

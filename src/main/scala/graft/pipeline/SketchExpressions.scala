@@ -138,15 +138,19 @@ case class SdShingleHash32(toks: Expression, k: Int)
   * accumulation — bit-identical to the HOF formulation
   * aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, (acc,v)=>acc+v) (and to the
   * DuckDB oracle's list_sum comprehension), but a primitive JVM loop
-  * instead of per-element lambda interpretation. */
+  * instead of per-element lambda interpretation. Ragged inputs (length
+  * mismatch) yield NULL — same as the replaced HOF, where zip_with pads
+  * the shorter side with nulls and the sum collapses to null. */
 case class SdDot(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "sd_dot"
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) { s = s + a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -157,15 +161,18 @@ case class SdDot(left: Expression, right: Expression)
 }
 
 /** Squared euclidean distance, same left-to-right order as
-  * aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, (s,v)=>s+v). */
+  * aggregate(zip_with(a,b,(x,y)=>(x-y)*(x-y)), 0.0, (s,v)=>s+v).
+  * Ragged inputs yield NULL (zip_with-pad semantics), see [[SdDot]]. */
 case class SdSqDist(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "sd_sqdist"
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s = s + d * d; i += 1 }

@@ -97,9 +97,10 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     bounds(lChild, rChild, ex).map { b =>
       val nx = conf("spark.graft.join.grid.nx", "64").toInt
       val ny = conf("spark.graft.join.grid.ny", "64").toInt
-      val lDF = DatasetBridge.ofRows(session, lChild)
-        .withColumn("__gsj_id", monotonically_increasing_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lDF = graft.CacheRegistry.register(
+        DatasetBridge.ofRows(session, lChild)
+          .withColumn("__gsj_id", monotonically_increasing_id())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val rDF = DatasetBridge.ofRows(session, rChild)
       val lNames = lChild.output.map(_.name)
       val rNames = rChild.output.map(_.name)

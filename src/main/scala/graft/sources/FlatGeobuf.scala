@@ -22,8 +22,10 @@ import graft.sources.fgb.FlatBuf
   *
   * Supported: geometry types Point/LineString/Polygon/MultiPoint/
   * MultiLineString/MultiPolygon, XY coordinates, property types
-  * Bool/Int/Long/Double/String; written files carry no spatial index
-  * (index_node_size=0), the reader skips one when present.
+  * Bool/Int/Long/Double/String; `write(index = true)` emits a packed
+  * Hilbert R-tree per file (inner nodes store first-child node indices,
+  * leaves store feature byte offsets, per the flatgeobuf spec) which
+  * bbox reads traverse.
   * `ends` holds exclusive end indices into the flat xy array (in doubles).
   */
 object FlatGeobuf {
@@ -257,8 +259,10 @@ object FlatGeobuf {
 
   /** Packed Hilbert R-tree bytes: 40-byte nodes (bbox f64 x4 + u64
     * offset), root level first, leaves last; leaf offsets address the
-    * feature stream, internal offsets the byte position of the first
-    * child node. */
+    * feature stream (byte offsets), internal offsets hold the NODE
+    * INDEX of the first child — matching the flatgeobuf packed-rtree
+    * layout so conformant readers (GDAL, flatgeobuf-js/rust) traverse
+    * our index correctly. */
   private def buildIndex(
       features: Seq[(Array[Byte], org.locationtech.jts.geom.Envelope)]): Array[Byte] = {
     case class Node(var x0: Double, var y0: Double, var x1: Double, var y1: Double,
@@ -284,7 +288,7 @@ object FlatGeobuf {
       while (c < childCount) {
         val end = math.min(c + NodeSize, childCount)
         val n = Node(Double.MaxValue, Double.MaxValue, Double.MinValue, Double.MinValue,
-          (childStart + c).toLong * 40L)
+          (childStart + c).toLong) // first-child node index (spec), not a byte offset
         var i = c
         while (i < end) {
           val ch = nodes(childStart + i)
@@ -329,7 +333,7 @@ object FlatGeobuf {
       if (x0 <= q._3 && x1 >= q._1 && y0 <= q._4 && y1 >= q._2) {
         if (idx >= leafStart) hits += off
         else {
-          val childStart = off / 40
+          val childStart = off // node index of first child (spec)
           val end = math.min(childStart + nodeSize, levelEnd(lvl + 1))
           (childStart until end).foreach(i => stack.push((i, lvl + 1)))
         }
@@ -359,6 +363,13 @@ object FlatGeobuf {
     val spark = df.sparkSession
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
+    // Overwrite semantics: a rewrite with fewer partitions must not leave
+    // stale part-*.fgb files from a previous write mixed into later reads.
+    locally {
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(conf)
+      if (fs.exists(target)) fs.delete(target, true)
+    }
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
@@ -402,11 +413,20 @@ object FlatGeobuf {
     val fs = p.getFileSystem(conf)
     val first = {
       val st = fs.getFileStatus(p)
-      val f = if (st.isDirectory)
-        fs.listStatus(p).filter(_.getPath.getName.endsWith(".fgb")).head.getPath
-      else p
+      val f = if (st.isDirectory) {
+        val parts = fs.listStatus(p).filter(_.getPath.getName.endsWith(".fgb"))
+        require(parts.nonEmpty, s"FlatGeobuf read: no .fgb files under $path")
+        parts.head.getPath
+      } else p
+      val fileLen = fs.getFileStatus(f).getLen
+      require(fileLen > 12, s"FlatGeobuf read: $f too short (${fileLen}B)")
       val in = fs.open(f)
-      val head = new Array[Byte](math.min(fs.getFileStatus(f).getLen, 1 << 20).toInt)
+      // magic (8B) + u32 size prefix → exact header extent; no arbitrary cap
+      val prefix = new Array[Byte](12)
+      in.readFully(0, prefix)
+      val hdrSize = (prefix(8) & 0xff) | ((prefix(9) & 0xff) << 8) |
+        ((prefix(10) & 0xff) << 16) | ((prefix(11) & 0xff) << 24)
+      val head = new Array[Byte](math.min(12L + hdrSize.toLong, fileLen).toInt)
       in.readFully(0, head); in.close()
       head
     }

@@ -123,4 +123,65 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(noIdx == expected)
   }
+
+  test("FlatGeobuf R-tree layout: inner nodes store first-child NODE INDEX (spec)") {
+    // Independent walk of the written index bytes — approximates an interop
+    // check against a conformant reader (GDAL/flatgeobuf-js traverse by
+    // node index for inner nodes, byte offset only at the leaves).
+    import graft.sources.FlatGeobuf
+    val pts = spark.range(500).select(col("id"),
+      st.point(pmod(hash(col("id") + 5), lit(100)).cast("double"),
+        pmod(hash(col("id") * 3 + 4), lit(100)).cast("double")).as("geom"))
+      .coalesce(1)
+    val path = "/tmp/graft_fgb_layout"
+    FlatGeobuf.write(pts, path, "geom", index = true)
+    val f = new java.io.File(path).listFiles().filter(_.getName.endsWith(".fgb")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hdrSize = bb.getInt(8)
+    val indexStart = 12 + hdrSize
+    val nodeSize = 16 // writer's NodeSize
+    // level sizes leaf..root for 500 items: 500, 32, 2, 1 -> root-first order
+    var sizes = List(500L)
+    while (sizes.head != 1) sizes ::= (sizes.head + nodeSize - 1) / nodeSize
+    val starts = sizes.scanLeft(0L)(_ + _).init
+    val total = sizes.sum
+    val leafStart = starts.last
+    def off(i: Long): Long = bb.getLong(indexStart + i.toInt * 40 + 32)
+    // inner nodes: offset is a node index into the NEXT level's range,
+    // strictly increasing in steps of nodeSize within a level
+    for (li <- 0 until sizes.length - 1) {
+      val childLo = starts(li + 1); val childHi = childLo + sizes(li + 1)
+      val offs = (starts(li) until starts(li) + sizes(li)).map(off)
+      offs.zipWithIndex.foreach { case (o, j) =>
+        assert(o == childLo + j.toLong * nodeSize,
+          s"level $li node $j: offset $o != expected ${childLo + j.toLong * nodeSize}")
+        assert(o >= childLo && o < childHi)
+      }
+    }
+    // leaves: byte offsets into the feature stream, strictly increasing
+    // from 0, each pointing at a valid size-prefixed feature
+    val featStart = indexStart + total.toInt * 40
+    val leafOffs = (leafStart until leafStart + sizes.last).map(off)
+    assert(leafOffs.head == 0L)
+    assert(leafOffs.sliding(2).forall(p => p(0) < p(1)))
+    leafOffs.foreach { o =>
+      val p = featStart + o.toInt
+      val sz = bb.getInt(p)
+      assert(sz > 0 && p + 4 + sz <= bytes.length, s"leaf offset $o not a feature boundary")
+    }
+  }
+
+  test("FlatGeobuf write overwrites: no stale parts after fewer-partition rewrite") {
+    import graft.sources.FlatGeobuf
+    val path = "/tmp/graft_fgb_overwrite"
+    val big = spark.range(100).select(col("id"),
+      st.point(col("id").cast("double"), col("id").cast("double")).as("geom"))
+    FlatGeobuf.write(big.repartition(4), path, "geom")
+    assert(new java.io.File(path).listFiles().count(_.getName.endsWith(".fgb")) == 4)
+    val small = big.filter(col("id") < 10).coalesce(1)
+    FlatGeobuf.write(small, path, "geom")
+    assert(new java.io.File(path).listFiles().count(_.getName.endsWith(".fgb")) == 1)
+    assert(FlatGeobuf.read(spark, path, "geom").count() == 10)
+  }
 }

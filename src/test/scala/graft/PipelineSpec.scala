@@ -100,6 +100,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(even.intersect(odd).isEmpty)
   }
 
+  test("sd_dot / sd_sqdist: ragged lengths yield null (zip_with semantics)") {
+    val r = spark.sql(
+      """SELECT sd_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok,
+        |       sd_dot(array(1.0d, 2.0d, 3.0d), array(3.0d, 4.0d)) AS ragged,
+        |       sd_sqdist(array(1.0d, 2.0d), array(3.0d)) AS rsq
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("lshAnn probes dims from data and raises on vector-length mismatch") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)), (2L, Array(0.9, 0.1, 0.0, 0.0)),
+      (3L, Array(0.0, 0.0, 1.0, 0.0)), (4L, Array(0.0, 0.1, 0.9, 0.0))
+    ).toDF("vid", "v")
+    // no dims passed: probed as 4, identical result to explicit dims = 4
+    val probed = PipelineOps.lshAnn(vecs, col("vid"), col("v"), nbits = 6, k = 1)
+      .collect().map(_.toString).sorted.toSeq
+    val explicit = PipelineOps.lshAnn(vecs, col("vid"), col("v"), nbits = 6, k = 1, dims = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probed == explicit && probed.nonEmpty)
+    // a ragged vector fails loudly instead of bucketing on a coef prefix
+    val ragged = vecs.union(Seq((5L, Array(1.0, 2.0))).toDF("vid", "v"))
+    val ex = intercept[Exception] {
+      PipelineOps.lshAnn(ragged, col("vid"), col("v"), nbits = 6, k = 1, dims = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("vector length")), msgs(ex).mkString("; "))
+  }
+
+  test("CacheRegistry: internal minhash persist is released after the consuming query") {
+    CacheRegistry.releaseAll()
+    val pairs = PipelineOps.minhashPairs(docs, col("doc_id"), col("text"))
+    assert(CacheRegistry.pinnedCount >= 1) // registered at build time
+    pairs.collect()
+    // listener bus is async; wait for the sweep
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (CacheRegistry.pinnedCount > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(CacheRegistry.pinnedCount == 0, "internal cache not released after action")
+  }
+
   test("ivf ann: high recall vs brute force on clustered vectors") {
     import graft.pipeline.IvfAnn
     // 8 well-separated clusters of 25 vectors each
