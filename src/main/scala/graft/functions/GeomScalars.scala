@@ -179,6 +179,18 @@ object GeomScalars {
   private def zVals(g: Geometry): Array[Double] =
     g.getCoordinates.map(_.getZ).filterNot(java.lang.Double.isNaN)
 
+  private def mVals(g: Geometry): Array[Double] =
+    g.getCoordinates.map(_.getM).filterNot(java.lang.Double.isNaN)
+
+  /** "EPSG:4326", bare "4326", or "OGC:CRS84" (= lon/lat 4326) -> SRID. */
+  private[functions] def parseCrsSrid(crs: String): Int = crs.trim match {
+    case c if c.equalsIgnoreCase("OGC:CRS84") => 4326
+    case c if c.toUpperCase.startsWith("EPSG:") => c.drop(5).trim.toInt
+    case c if c.nonEmpty && c.forall(_.isDigit) => c.toInt
+    case other => throw new IllegalArgumentException(
+      s"unsupported CRS string: '$other' (use EPSG:<code>)")
+  }
+
   private def azimuth(a: Geometry, b: Geometry): Any = (a, b) match {
     case (p1: Point, p2: Point) =>
       val dx = p2.getX - p1.getX; val dy = p2.getY - p1.getY
@@ -308,7 +320,7 @@ object GeomScalars {
     }
   }
 
-  val registry: Map[String, B] = Map(
+  private val core: Map[String, B] = Map(
     // ---- constructors / parsers (st_geomfromwkt.rs, st_geomfromwkb.rs) ----
     fn("st_geomfromwkt", BinaryType, Seq(Str))(a => GeomIO.readWkt(s(a, 0))),
     fn("st_geomfromtext", BinaryType, Seq(Str))(a => GeomIO.readWkt(s(a, 0))),
@@ -372,6 +384,10 @@ object GeomScalars {
       val zs = zVals(g0(a)); if (zs.isEmpty) null else zs.min }),
     fn("st_zmax", DoubleType, Seq(Geom))(a => {
       val zs = zVals(g0(a)); if (zs.isEmpty) null else zs.max }),
+    fn("st_mmin", DoubleType, Seq(Geom))(a => {
+      val ms = mVals(g0(a)); if (ms.isEmpty) null else ms.min }),
+    fn("st_mmax", DoubleType, Seq(Geom))(a => {
+      val ms = mVals(g0(a)); if (ms.isEmpty) null else ms.max }),
 
     // ---- metadata accessors (st_dimension.rs family) ----
     fn("st_envelope", BinaryType, Seq(Geom))(a => g0(a).getEnvelope),
@@ -406,6 +422,12 @@ object GeomScalars {
     }),
     fn("st_srid", IntegerType, Seq(Geom))(a => g0(a).getSRID),
     fn("st_setsrid", BinaryType, Seq(Geom, Int_))(a => GeomIO.setSrid(g0(a), i(a, 1))),
+    // CRS as an authority string (reference st_srid.rs/st_setsrid.rs pair
+    // ST_CRS/ST_SetCRS; we carry SRID-backed EPSG codes only)
+    fn("st_crs", StringType, Seq(Geom))(a => {
+      val srid = g0(a).getSRID; if (srid == 0) null else s"EPSG:$srid" }),
+    fn("st_setcrs", BinaryType, Seq(Geom, Str))(a =>
+      GeomIO.setSrid(g0(a), parseCrsSrid(s(a, 1)))),
 
     // ---- element accessors (st_geometryn.rs family) ----
     fn("st_numgeometries", IntegerType, Seq(Geom))(a => g0(a).getNumGeometries),
@@ -873,4 +895,28 @@ object GeomScalars {
         d(a, 2), d(a, 3), d(a, 4), d(a, 5), i(a, 6), i(a, 7))
     })
   )
+
+  /** Alternate SQL names the reference registers for existing kernels
+    * (rust/sedona-functions/src/register.rs + c/sedona-s2geography/src/
+    * kernels.rs name lists). `st_geomfromwkbunchecked` maps to the checked
+    * parser — JTS validates cheaply on read, and silent acceptance of
+    * malformed WKB is never the behavior we want at scale. Geography
+    * (`geog`/`tessellategeog`) aliases share the planar kernel: our
+    * geography support is the `_sphere` function family. */
+  private val aliases: Seq[(String, String)] = Seq(
+    "st_aswkt" -> "st_astext",
+    "st_aswkb" -> "st_asbinary",
+    "st_convex_hull" -> "st_convexhull",
+    "st_sym_difference" -> "st_symdifference",
+    "st_unary_union" -> "st_unaryunion",
+    "st_geometryfromtext" -> "st_geomfromtext",
+    "st_linestringfromtext" -> "st_linefromtext",
+    "st_geogfromtext" -> "st_geogfromwkt",
+    "st_geogfromwkb" -> "st_geomfromwkb",
+    "st_geomfromwkbunchecked" -> "st_geomfromwkb",
+    "st_tessellategeom" -> "st_tessellate",
+    "st_tessellategeog" -> "st_tessellate")
+
+  val registry: Map[String, B] =
+    core ++ aliases.map { case (alias, canonical) => alias -> core(canonical) }
 }

@@ -21,6 +21,19 @@ object RasterFunctions {
       k: Array[Any] => Any): (String, B) =
     name -> ((children: Seq[Expression]) => GeomScalar(name, children, out, kinds, k))
 
+  /** Reference-style optional trailing args: one SQL name, one kernel,
+    * several accepted signatures keyed by arity (the kernel branches on
+    * `args.length` — mirrors the multi-kernel SedonaScalarUDF dispatch,
+    * rust/sedona-expr/src/scalar_udf.rs:69-158). */
+  private def fnv(name: String, out: DataType, arities: Seq[Seq[ArgKind.Value]])(
+      k: Array[Any] => Any): (String, B) = {
+    val byArity = arities.map(ks => ks.length -> ks).toMap
+    name -> ((children: Seq[Expression]) => GeomScalar(name, children, out,
+      byArity.getOrElse(children.length, throw new IllegalArgumentException(
+        s"$name: expected ${byArity.keys.toSeq.sorted.mkString("/")} args, got ${children.length}")),
+      k))
+  }
+
   @inline private def rast(a: Array[Any], i: Int = 0): Raster =
     RasterModel.fromRow(a(i).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
   @inline private def d(a: Array[Any], i: Int): Double = a(i).asInstanceOf[Double]
@@ -29,7 +42,8 @@ object RasterFunctions {
   /** Pixel-reading kernels: RasterLoadRule wraps their raster arg in
     * rs_ensureloaded (reference `needs_pixels` annotation). */
   val needsPixels: Set[String] =
-    Set("rs_value", "rs_bandmin", "rs_bandmax", "rs_bandavg", "rs_zonalstats")
+    Set("rs_value", "rs_values", "rs_bandmin", "rs_bandmax", "rs_bandavg",
+      "rs_zonalstats", "rs_setbandnodatavalue")
 
   /** Deterministic md5-prefix hash of the path — the stub loader's seed,
     * SQL-replicable for the oracle. */
@@ -147,8 +161,159 @@ object RasterFunctions {
       val vs = bandValues(rast(a), ii(a, 1)); vs.sum / vs.length
     }),
 
+    // band metadata (rs_bandpath.rs, rs_band_accessors.rs; our bands are
+    // all little-endian f64 -> pixel type is constant REAL_64BITS)
+    fnv("rs_bandpath", StringType, Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
+      val r = rast(a)
+      val b = if (a.length > 1) ii(a, 1) else 1
+      if (b < 1 || (r.bands.nonEmpty && b > r.bands.length)) null else r.path
+    }),
+    fnv("rs_bandpixeltype", StringType, Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
+      val r = rast(a)
+      val b = if (a.length > 1) ii(a, 1) else 1
+      if (b < 1 || b > r.bands.length) null else "REAL_64BITS"
+    }),
+    fn("rs_isempty", BooleanType, Seq(Raw))(a => {
+      val r = rast(a); r.width <= 0 || r.height <= 0
+    }),
+
+    // N-D dimension surface (rs_dimensions.rs). Our band model is strictly
+    // 2D (y, x) f64 — the answers are constant per raster; the N-D
+    // reshaping ops (RS_Slice/DimToBand/BandToDim) need per-band extra
+    // dims and stay out of scope with the Zarr source.
+    fnv("rs_numdimensions", IntegerType, Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
+      val r = rast(a)
+      if (a.length > 1 && (ii(a, 1) < 1 || ii(a, 1) > r.bands.length)) null else 2
+    }),
+    fnv("rs_dimnames", ArrayType(StringType, containsNull = false),
+        Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
+      val r = rast(a)
+      if (a.length > 1 && (ii(a, 1) < 1 || ii(a, 1) > r.bands.length)) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("y"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+    }),
+    fn("rs_dimsize", LongType, Seq(Raw, Str))(a => {
+      val r = rast(a)
+      a(1).asInstanceOf[String] match {
+        case "y" => r.height.toLong
+        case "x" => r.width.toLong
+        case _ => null
+      }
+    }),
+    fnv("rs_shape", ArrayType(LongType, containsNull = false),
+        Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
+      val r = rast(a)
+      if (a.length > 1 && (ii(a, 1) < 1 || ii(a, 1) > r.bands.length)) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(r.height.toLong, r.width.toLong))
+    }),
+
+    // geotransform extras (rs_geotransform.rs; rotation formula from
+    // rust/sedona-raster/src/geo_transform.rs:133 atan2(-skewX, scaleX))
+    fn("rs_rotation", DoubleType, Seq(Raw))(a => {
+      val g = rast(a).gt; math.atan2(-g(2), g(1))
+    }),
+
+    // CRS plumbing (rs_srid.rs, rs_setsrid.rs; EPSG-authority strings only)
+    fn("rs_srid", IntegerType, Seq(Raw))(a => {
+      val crs = rast(a).crs
+      if (crs == null || crs.isEmpty) null else GeomScalars.parseCrsSrid(crs)
+    }),
+    fn("rs_setsrid", RasterModel.dataType, Seq(Raw, Int_))(a => {
+      val r = rast(a)
+      RasterModel.toRow(s"EPSG:${ii(a, 1)}", r.gt, r.width, r.height, r.bands, r.path)
+    }),
+    fn("rs_setcrs", RasterModel.dataType, Seq(Raw, Str))(a => {
+      val r = rast(a)
+      RasterModel.toRow(a(1).asInstanceOf[String], r.gt, r.width, r.height, r.bands, r.path)
+    }),
+
+    // setters (rs_set_band_nodata.rs, rs_set_georeference.rs)
+    fnv("rs_setbandnodatavalue", RasterModel.dataType,
+        Seq(Seq(Raw, Dbl), Seq(Raw, Int_, Dbl)))(a => {
+      val r = rast(a)
+      val (b, v) = if (a.length == 2) (1, d(a, 1)) else (ii(a, 1), d(a, 2))
+      if (b < 1 || b > r.bands.length) null
+      else RasterModel.toRow(r.crs, r.gt, r.width, r.height,
+        r.bands.updated(b - 1, (v, r.bands(b - 1)._2)), r.path)
+    }),
+    fnv("rs_setgeoreference", RasterModel.dataType,
+        Seq(Seq(Raw, Str), Seq(Raw, Str, Str)))(a => {
+      val r = rast(a)
+      val fmt = if (a.length > 2) a(2).asInstanceOf[String].toUpperCase else "GDAL"
+      val vs = a(1).asInstanceOf[String].trim.split("\\s+").map(_.toDouble)
+      require(vs.length == 6,
+        s"rs_setgeoreference: expected 6 world-file values, got ${vs.length}")
+      // world-file order: scaleX skewY skewX scaleY upperLeftX upperLeftY
+      var ulx = vs(4); var uly = vs(5)
+      if (fmt == "ESRI") {
+        // ESRI reports the upper-left pixel CENTER; shift through the full
+        // affine back to the corner (reference rs_set_georeference.rs:188)
+        ulx -= (vs(0) + vs(2)) * 0.5
+        uly -= (vs(1) + vs(3)) * 0.5
+      } else require(fmt == "GDAL", s"rs_setgeoreference: unknown format $fmt")
+      RasterModel.toRow(r.crs, Array(ulx, vs(0), vs(2), uly, vs(1), vs(3)),
+        r.width, r.height, r.bands, r.path)
+    }),
+
+    // point-sampling over a MultiPoint (rs_values.rs): per-sub-point value
+    // in input order; null element when out of bounds / nodata / empty
+    fnv("rs_values", ArrayType(DoubleType, containsNull = true),
+        Seq(Seq(Raw, Geom), Seq(Raw, Geom, Int_)))(a => {
+      val r = rast(a)
+      val g = a(1).asInstanceOf[org.locationtech.jts.geom.Geometry]
+      val band = if (a.length > 2) ii(a, 2) else 1
+      val out = new Array[Any](g.getNumGeometries)
+      var i = 0
+      while (i < out.length) {
+        out(i) = g.getGeometryN(i) match {
+          case p: org.locationtech.jts.geom.Point if !p.isEmpty =>
+            val (fc, fr) = r.rasterCoord(p.getX, p.getY)
+            r.value(band, math.floor(fc).toInt, math.floor(fr).toInt)
+          case _ => null
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }),
+
+    // combined coordinate mapping -> POINT (rs_worldcoordinate.rs /
+    // rs_rastercoordinate.rs geometry-returning kernels)
+    fn("rs_rastertoworldcoord", BinaryType, Seq(Raw, Int_, Int_))(a => {
+      val r = rast(a)
+      GeomIO.point(r.worldX(ii(a, 1), ii(a, 2)), r.worldY(ii(a, 1), ii(a, 2)))
+    }),
+    fn("rs_worldtorastercoord", BinaryType, Seq(Raw, Dbl, Dbl))(a => {
+      val (fc, fr) = rast(a).rasterCoord(d(a, 1), d(a, 2))
+      GeomIO.point(math.floor(fc), math.floor(fr))
+    }),
+
+    // deterministic example raster (rs_example.rs: 64x32, ul (43.08,
+    // 79.07), scale (2,2), skew (1,1), 3 bands valued by band id with the
+    // top-left pixel set to the nodata sentinel 127)
+    fn("rs_example", RasterModel.dataType, Seq())(_ => {
+      val w = 64; val h = 32
+      val bands = (1 to 3).map { b =>
+        val vals = Array.fill(w * h)(b.toDouble); vals(0) = 127.0
+        (127.0, RasterModel.packDoubles(vals))
+      }
+      RasterModel.toRow("EPSG:4326", Array(43.08, 2.0, 1.0, 79.07, 1.0, 2.0), w, h, bands)
+    }),
+
     // raster-geometry relations (envelope-based, planar)
     fn("rs_envelope", BinaryType, Seq(Raw))(a => envelopeOf(rast(a))),
+    // convex hull of the (possibly skewed) extent quadrilateral
+    fn("rs_convexhull", BinaryType, Seq(Raw))(a => {
+      val r = rast(a)
+      val cs = Array(
+        new org.locationtech.jts.geom.Coordinate(r.worldX(0, 0), r.worldY(0, 0)),
+        new org.locationtech.jts.geom.Coordinate(r.worldX(r.width, 0), r.worldY(r.width, 0)),
+        new org.locationtech.jts.geom.Coordinate(
+          r.worldX(r.width, r.height), r.worldY(r.width, r.height)),
+        new org.locationtech.jts.geom.Coordinate(r.worldX(0, r.height), r.worldY(0, r.height)))
+      GeomIO.factory.createMultiPointFromCoords(cs).convexHull()
+    }),
     fn("rs_intersects", BooleanType, Seq(Raw, Geom))(a =>
       envelopeOf(rast(a)).intersects(a(1).asInstanceOf[org.locationtech.jts.geom.Geometry])),
     fn("rs_contains", BooleanType, Seq(Raw, Geom))(a =>

@@ -277,6 +277,53 @@ object SpatialQueries {
           st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
     }),
 
+    // raster metadata batch: N-D dimension surface, rotation, CRS
+    // plumbing, setters (nodata/georeference incl. ESRI pixel-center
+    // shift), point sampling, combined coord mapping, skewed convex hull
+    "rs04_raster_meta" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "part")
+        .withColumn("ulx", (col("p_partkey") % 100).cast("double") * 10.0)
+        .withColumn("uly", (col("p_size") % 50).cast("double") * 10.0)
+        .withColumn("vals", transform(sequence(lit(0), lit(11)),
+          i => ((col("p_partkey") + i) % 97).cast("double")))
+        .withColumn("r", st.f("rs_makeraster", lit(4), lit(3), col("ulx"), col("uly"),
+          lit(2.0), lit(-2.0), col("vals")))
+        // skewed variant via the world-file setter: scalex 2, skewy 0.5,
+        // skewx 1, scaley -2 -> rotation atan2(-1, 2), |det| = 4.5
+        .withColumn("rskew", st.f("rs_setgeoreference", col("r"),
+          concat(lit("2.0 0.5 1.0 -2.0 "), col("ulx"), lit(" "), col("uly"))))
+        .withColumn("mp", st.geomFromWkt(concat(
+          lit("MULTIPOINT (("), col("ulx") + 1.0, lit(" "), col("uly") - 1.0,
+          lit("), ("), col("ulx") + 5.0, lit(" "), col("uly") - 3.0, lit("))"))))
+        .withColumn("rvals", st.f("rs_values", col("r"), col("mp")))
+        .select(col("p_partkey"),
+          st.f("rs_numdimensions", col("r")).as("ndims"),
+          array_join(st.f("rs_dimnames", col("r")), ",").as("dims"),
+          element_at(st.f("rs_shape", col("r")), 1).as("shp_y"),
+          element_at(st.f("rs_shape", col("r")), 2).as("shp_x"),
+          round(st.f("rs_rotation", col("rskew")), 9).as("rot"),
+          st.f("rs_srid", st.f("rs_setsrid", col("r"), lit(4326))).as("srid"),
+          st.f("rs_crs", st.f("rs_setcrs", col("r"), lit("EPSG:3857"))).as("crs2"),
+          st.f("rs_bandpixeltype", col("r")).as("ptype"),
+          st.f("rs_isempty", col("r")).as("empt"),
+          st.f("rs_bandnodatavalue",
+            st.f("rs_setbandnodatavalue", col("r"), lit(-1.0)), lit(1)).as("nd"),
+          st.f("rs_upperleftx", st.f("rs_setgeoreference", col("r"),
+            concat(lit("2.0 0.0 0.0 -2.0 "), col("ulx"), lit(" "), col("uly")),
+            lit("ESRI"))).as("esri_ulx"),
+          st.f("rs_upperlefty", st.f("rs_setgeoreference", col("r"),
+            concat(lit("2.0 0.0 0.0 -2.0 "), col("ulx"), lit(" "), col("uly")),
+            lit("ESRI"))).as("esri_uly"),
+          element_at(col("rvals"), 1).as("v00"),
+          element_at(col("rvals"), 2).as("v21"),
+          round(st.area(st.f("rs_convexhull", col("rskew"))), 6).as("hull_area"),
+          st.x(st.f("rs_rastertoworldcoord", col("r"), lit(2), lit(1))).as("wcx"),
+          st.y(st.f("rs_rastertoworldcoord", col("r"), lit(2), lit(1))).as("wcy"),
+          st.asText(st.f("rs_worldtorastercoord", col("r"),
+            col("ulx") + 5.0, col("uly") - 3.0)).as("rc_wkt"))
+    }),
+
     // geometry element access: dump/geometryn/makeline/boundary
     "sp10_elements" -> ((s, dir) => {
       prep(s)
@@ -485,6 +532,26 @@ object SpatialQueries {
         |  list_min(vs) AS zmin,
         |  list_max(vs) AS zmax
         |FROM v""".stripMargin,
+
+    "rs04_raster_meta" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 100 AS DOUBLE)*10.0 AS ulx,
+        |    CAST(p_size % 50 AS DOUBLE)*10.0 AS uly
+        |  FROM part)
+        |SELECT p_partkey,
+        |  2 AS ndims, 'y,x' AS dims,
+        |  CAST(3 AS BIGINT) AS shp_y, CAST(4 AS BIGINT) AS shp_x,
+        |  round(atan2(-1.0, 2.0), 9) AS rot,
+        |  4326 AS srid, 'EPSG:3857' AS crs2, 'REAL_64BITS' AS ptype,
+        |  FALSE AS empt, -1.0 AS nd,
+        |  ulx - 1.0 AS esri_ulx, uly + 1.0 AS esri_uly,
+        |  CAST(p_partkey % 97 AS DOUBLE) AS v00,
+        |  CAST((p_partkey + 6) % 97 AS DOUBLE) AS v21,
+        |  54.0 AS hull_area,
+        |  ulx + 4.0 AS wcx, uly - 2.0 AS wcy,
+        |  'POINT (2 1)' AS rc_wkt
+        |FROM p""".stripMargin,
 
     "sp10_elements" ->
       """SELECT p_partkey,

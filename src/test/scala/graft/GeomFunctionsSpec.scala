@@ -333,6 +333,69 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT st_area(st_intersection_agg(g)) FROM boxes").collect()(0).getDouble(0) == 8.0)
   }
 
+  test("reference alias names resolve to the canonical kernels") {
+    assert(q("st_aswkt(st_point(1,2))") == "POINT (1 2)")
+    assert(q("st_astext(st_geomfromwkb(st_aswkb(st_point(1,2))))") == "POINT (1 2)")
+    assert(q("st_astext(st_convex_hull(st_geomfromwkt('MULTIPOINT ((0 0),(1 0),(0 1))')))") ==
+      q("st_astext(st_convexhull(st_geomfromwkt('MULTIPOINT ((0 0),(1 0),(0 1))')))"))
+    assert(q("st_astext(st_sym_difference(st_makeenvelope(0,0,2,2), st_makeenvelope(0,0,2,2)))")
+      == "POLYGON EMPTY")
+    assert(q("st_astext(st_geometryfromtext('POINT (3 4)'))") == "POINT (3 4)")
+    assert(q("st_astext(st_linestringfromtext('LINESTRING (0 0, 1 1)'))") == "LINESTRING (0 0, 1 1)")
+    assert(q("st_astext(st_geogfromtext('POINT (3 4)'))") == "POINT (3 4)")
+    assert(q("st_astext(st_geogfromwkb(st_asbinary(st_point(1,2))))") == "POINT (1 2)")
+    assert(q("st_astext(st_geomfromwkbunchecked(st_asbinary(st_point(1,2))))") == "POINT (1 2)")
+    assert(q("st_numgeometries(st_tessellategeom(st_makeenvelope(0,0,1,1))) ") == 2)
+  }
+
+  test("m-ordinate min/max and CRS strings") {
+    assert(q("st_mmin(st_pointm(1,2,5))") == 5.0)
+    assert(q("st_mmax(st_pointm(1,2,5))") == 5.0)
+    assert(q("st_mmin(st_point(1,2))") == null)
+    assert(q("st_crs(st_setsrid(st_point(1,2), 3857))") == "EPSG:3857")
+    assert(q("st_crs(st_point(1,2))") == null)
+    assert(q("st_srid(st_setcrs(st_point(1,2), 'EPSG:32610'))") == 32610)
+    assert(q("st_srid(st_setcrs(st_point(1,2), 'OGC:CRS84'))") == 4326)
+    intercept[Exception](q("st_setcrs(st_point(1,2), 'bogus')"))
+  }
+
+  test("raster metadata batch: dims, shape, rotation, srid, setters, example") {
+    val r = "rs_makeraster(3, 2, 10.0, 20.0, 2.0, -2.0, array(1d,2d,3d,4d,5d,6d))"
+    assert(q(s"rs_numdimensions($r)") == 2)
+    val dn = q(s"rs_dimnames($r)")
+    assert(dn.asInstanceOf[scala.collection.Seq[Any]].toSeq.map(_.toString) == Seq("y", "x"),
+      s"got ${dn.getClass}: $dn")
+    assert(q(s"rs_dimsize($r, 'y')") == 2L && q(s"rs_dimsize($r, 'x')") == 3L)
+    assert(q(s"rs_dimsize($r, 'z')") == null)
+    assert(q(s"rs_shape($r)").asInstanceOf[scala.collection.Seq[Any]].toSeq == Seq(2L, 3L))
+    assert(q(s"rs_isempty($r)") == false)
+    assert(q(s"rs_rotation($r)") == 0.0)
+    assert(q(s"rs_bandpixeltype($r)") == "REAL_64BITS")
+    assert(q(s"rs_bandpixeltype($r, 9)") == null)
+    assert(q(s"rs_bandpath($r)") == null)
+    assert(q("rs_bandpath(rs_frompath('/data/x.tif'))") == "/data/x.tif")
+    assert(q(s"rs_srid(rs_setsrid($r, 4326))") == 4326)
+    assert(q(s"rs_crs(rs_setcrs($r, 'EPSG:3857'))") == "EPSG:3857")
+    assert(q(s"rs_bandnodatavalue(rs_setbandnodatavalue($r, 3.0), 1)") == 3.0)
+    // nodata masks rs_value after the set
+    assert(q(s"rs_value(rs_setbandnodatavalue($r, 3.0), 1, 2, 0)") == null)
+    assert(q(s"rs_georeference(rs_setgeoreference($r, '1.0 0.0 0.0 -1.0 5.0 6.0'))") ==
+      "1.0 0.0 0.0 -1.0 5.0 6.0")
+    // ESRI pixel-center shift: ulx 5 - 0.5*(1+0) = 4.5, uly 6 - 0.5*(0-1) = 6.5
+    assert(q(s"rs_upperleftx(rs_setgeoreference($r, '1.0 0.0 0.0 -1.0 5.0 6.0', 'ESRI'))") == 4.5)
+    assert(q(s"rs_upperlefty(rs_setgeoreference($r, '1.0 0.0 0.0 -1.0 5.0 6.0', 'ESRI'))") == 6.5)
+    // values at multipoint: centers of pixels (0,0) and (2,1); out-of-range -> null
+    assert(q(s"rs_values($r, st_geomfromwkt('MULTIPOINT ((11 19), (15 17), (99 99))'))")
+      .asInstanceOf[scala.collection.Seq[Any]].toSeq == Seq(1.0, 6.0, null))
+    assert(q(s"st_astext(rs_rastertoworldcoord($r, 1, 1))") == "POINT (12 18)")
+    assert(q(s"st_astext(rs_worldtorastercoord($r, 15.0, 17.0))") == "POINT (2 1)")
+    assert(q("rs_width(rs_example())") == 64 && q("rs_height(rs_example())") == 32)
+    assert(q("rs_numbands(rs_example())") == 3)
+    assert(q("rs_value(rs_example(), 2, 5, 5)") == 2.0)
+    assert(q("rs_value(rs_example(), 1, 0, 0)") == null) // nodata corner
+    assert(q("st_astext(rs_convexhull(rs_example()))").toString.startsWith("POLYGON"))
+  }
+
   test("null propagation") {
     assert(q("st_area(NULL)") == null)
     assert(q("st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)'))") == null)
