@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.GraftExtensions
 import graft.functions.GraftFunctions.st
-import graft.sources.{FlatGeobuf, GeoJsonIO, GeoParquet, GeoTextIO}
+import graft.sources.{FlatGeobuf, GeoJsonIO, GeoParquet, GeoTextIO, Shapefile}
 
 /** GeoParquet round-trip + covering-column pruning as a correctness-gate
   * query: write part boxes as Hilbert-clustered GeoParquet with a bbox
@@ -95,6 +95,27 @@ object IoQueries {
         .select(col("s_suppkey"), col("s_name"), col("bal"),
           st.f("st_geometrytype", col("geom")).as("gtype"),
           st.area(col("geom")).as("area"))
+    }),
+
+    // Shapefile roundtrip (hand-implemented ESRI spec: .shp/.shx/.dbf).
+    // One geometry family per file (spec), so this writes polygons; DBF F
+    // fields carry doubles at %.17G for bit-exact roundtrip.
+    "io05_shapefile_roundtrip" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val feats = t(s, dir, "supplier")
+        .withColumn("sx", (col("s_suppkey") % 90).cast("double") * 10.0)
+        .withColumn("sy", (col("s_suppkey") % 70).cast("double") * 10.0)
+        .withColumn("geom", st.makeEnvelope(col("sx"), col("sy"),
+          col("sx") + (col("s_suppkey") % 5 + 1).cast("double"),
+          col("sy") + (col("s_suppkey") % 3 + 1).cast("double")))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal").cast("double").as("bal"),
+          col("geom"))
+      val path = s"/tmp/graft_shp/${math.abs(dir.hashCode)}"
+      Shapefile.write(feats, path, "geom")
+      Shapefile.read(s, path, "geom")
+        .select(col("s_suppkey"), col("s_name"), col("bal"),
+          st.f("st_geometrytype", col("geom")).as("gtype"),
+          st.area(col("geom")).as("area"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -129,5 +150,11 @@ object IoQueries {
         |  CASE WHEN s_suppkey % 2 = 0 THEN 'ST_Point' ELSE 'ST_Polygon' END AS gtype,
         |  CASE WHEN s_suppkey % 2 = 0 THEN 0.0
         |    ELSE CAST(s_suppkey % 5 + 1 AS DOUBLE) * CAST(s_suppkey % 3 + 1 AS DOUBLE) END AS area
+        |FROM supplier""".stripMargin,
+
+    "io05_shapefile_roundtrip" ->
+      """SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
+        |  'ST_Polygon' AS gtype,
+        |  CAST(s_suppkey % 5 + 1 AS DOUBLE) * CAST(s_suppkey % 3 + 1 AS DOUBLE) AS area
         |FROM supplier""".stripMargin)
 }

@@ -172,6 +172,57 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Shapefile roundtrip per family: attributes + ring orientation + nulls") {
+    import graft.sources.Shapefile
+    import spark.implicits._
+    val families = Seq(
+      "points" -> Seq("POINT (1 2)", "POINT (-3.5 4.25)", null),
+      "multipoints" -> Seq("MULTIPOINT ((1 1), (2 3))", "MULTIPOINT ((0 0))", null),
+      "lines" -> Seq("LINESTRING (0 0, 1 1, 2 0.5)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 2))", null),
+      "polys" -> Seq(
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))",
+        "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((5 5, 5 7, 7 7, 7 5, 5 5), (5.5 5.5, 5.5 6, 6 6, 6 5.5, 5.5 5.5)))",
+        null))
+    families.foreach { case (fam, wkts) =>
+      val df = wkts.zipWithIndex.map { case (w, i) =>
+        (i.toLong, s"name_$i", i * 1.25 + 0.1, i % 2 == 0, w)
+      }.toDF("id", "label", "score", "flag", "wkt")
+        .withColumn("geom", st.geomFromWkt(col("wkt"))).drop("wkt")
+      val path = s"/tmp/graft_shp_$fam"
+      Shapefile.write(df, path, "geom")
+      val back = Shapefile.read(spark, path, "geom")
+      def snap(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.select(col("id"), col("label"), col("score"), col("flag"),
+            st.f("st_normalize", col("geom")).as("g"))
+          .select(col("id"), col("label"), col("score"), col("flag"), st.asText(col("g")))
+          .collect().map(_.toString).sorted.toSeq
+      assert(snap(back) == snap(df.select(col("id"), col("label"), col("score"),
+        col("flag"), col("geom"))), s"family $fam mismatch")
+    }
+    // mixed families in one file error loudly
+    val mixed = Seq((1L, "POINT (0 0)"), (2L, "LINESTRING (0 0, 1 1)"))
+      .toDF("id", "wkt").withColumn("geom", st.geomFromWkt(col("wkt"))).drop("wkt")
+      .coalesce(1)
+    intercept[Exception] { Shapefile.write(mixed, "/tmp/graft_shp_mixed", "geom") }
+  }
+
+  test("Shapefile doubles round-trip bit-exactly through DBF F fields") {
+    import graft.sources.Shapefile
+    import spark.implicits._
+    val vals = Seq(math.Pi, 1.0 / 3.0, -2.2250738585072014e-308, 1.7976931348623157e308,
+      0.1 + 0.2, -12345.678901234567)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .withColumn("geom", st.point(lit(0.0), lit(0.0)))
+    Shapefile.write(df.coalesce(1), "/tmp/graft_shp_dbl", "geom")
+    val back = Shapefile.read(spark, "/tmp/graft_shp_dbl", "geom")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(java.lang.Double.doubleToLongBits(back(i.toLong)) ==
+        java.lang.Double.doubleToLongBits(v), s"$v round-trip changed bits")
+    }
+  }
+
   test("FlatGeobuf write overwrites: no stale parts after fewer-partition rewrite") {
     import graft.sources.FlatGeobuf
     val path = "/tmp/graft_fgb_overwrite"
