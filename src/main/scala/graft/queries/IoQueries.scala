@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.GraftExtensions
 import graft.functions.GraftFunctions.st
-import graft.sources.{FlatGeobuf, GeoJsonIO, GeoParquet, GeoTextIO, Shapefile}
+import graft.sources.{FlatGeobuf, GeoJsonIO, GeoPackage, GeoParquet, GeoTextIO, Shapefile}
 
 /** GeoParquet round-trip + covering-column pruning as a correctness-gate
   * query: write part boxes as Hilbert-clustered GeoParquet with a bbox
@@ -116,6 +116,29 @@ object IoQueries {
         .select(col("s_suppkey"), col("s_name"), col("bal"),
           st.f("st_geometrytype", col("geom")).as("gtype"),
           st.area(col("geom")).as("area"))
+    }),
+
+    // GeoPackage roundtrip (hand-implemented SQLite container + OGC
+    // 12-128r19 GPB blobs / gpkg_* metadata; mixed geometry types OK in
+    // one GEOMETRY column, unlike shapefile)
+    "io06_geopackage_roundtrip" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val feats = t(s, dir, "supplier")
+        .withColumn("sx", (col("s_suppkey") % 90).cast("double") * 10.0)
+        .withColumn("sy", (col("s_suppkey") % 70).cast("double") * 10.0)
+        .withColumn("geom", when(col("s_suppkey") % 2 === 0,
+            st.point(col("sx"), col("sy")))
+          .otherwise(st.makeEnvelope(col("sx"), col("sy"),
+            col("sx") + (col("s_suppkey") % 5 + 1).cast("double"),
+            col("sy") + (col("s_suppkey") % 3 + 1).cast("double"))))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal").cast("double").as("bal"),
+          col("geom"))
+      val path = s"/tmp/graft_gpkg/${math.abs(dir.hashCode)}"
+      GeoPackage.write(feats, path, "geom", table = "suppliers", srid = 4326)
+      GeoPackage.read(s, path)
+        .select(col("s_suppkey"), col("s_name"), col("bal"),
+          st.f("st_geometrytype", col("geometry")).as("gtype"),
+          st.area(col("geometry")).as("area"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +179,12 @@ object IoQueries {
       """SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
         |  'ST_Polygon' AS gtype,
         |  CAST(s_suppkey % 5 + 1 AS DOUBLE) * CAST(s_suppkey % 3 + 1 AS DOUBLE) AS area
+        |FROM supplier""".stripMargin,
+
+    "io06_geopackage_roundtrip" ->
+      """SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 'ST_Point' ELSE 'ST_Polygon' END AS gtype,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 0.0
+        |    ELSE CAST(s_suppkey % 5 + 1 AS DOUBLE) * CAST(s_suppkey % 3 + 1 AS DOUBLE) END AS area
         |FROM supplier""".stripMargin)
 }

@@ -223,6 +223,74 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GeoPackage roundtrip: mixed geometry types, nulls, attributes, fid") {
+    import graft.sources.GeoPackage
+    import spark.implicits._
+    val wkts = Seq(
+      "POINT (1 2)",
+      "LINESTRING (0 0, 1 1, 2 0.5)",
+      "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))",
+      "MULTIPOINT ((1 1), (2 3))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 2))",
+      "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((5 5, 5 7, 7 7, 7 5, 5 5)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+      null)
+    val df = wkts.zipWithIndex.map { case (w, i) =>
+      (i.toLong, if (i % 3 == 0) null else s"name_$i", i * 1.25 + 0.1, w)
+    }.toDF("id", "label", "score", "wkt")
+      .withColumn("geom", st.geomFromWkt(col("wkt"))).drop("wkt")
+    val path = "/tmp/graft_gpkg_spec"
+    GeoPackage.write(df, path, "geom", table = "test_layer", srid = 4326)
+    val back = GeoPackage.read(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("fid", "geometry", "id", "label", "score"))
+    def snap(d: org.apache.spark.sql.DataFrame, g: String): Seq[String] =
+      d.select(col("id"), col("label"), col("score"), st.asText(col(g)).as("wkt"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(snap(back, "geometry") == snap(df, "geom"))
+    // fid assigned 1..n per partition file
+    assert(back.select("fid").collect().map(_.getLong(0)).forall(_ >= 1))
+    // named-table read works too
+    assert(GeoPackage.read(spark, path, table = "test_layer").count() == wkts.length)
+  }
+
+  test("GeoPackage reads an externally-written canonical file (sqlite3-authored)") {
+    // fixture authored by the stock sqlite3 library with the canonical
+    // constrained gpkg DDL (TEXT PRIMARY KEY autoindexes, AUTOINCREMENT,
+    // freelist layout, overflow chains) — interop in the read direction
+    import graft.sources.GeoPackage
+    val fixture = getClass.getResource("/external_canonical.gpkg").getPath
+    val df = GeoPackage.read(spark, fixture)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("fid", "geometry", "name", "lanes", "len_km"))
+    val rows = df.select(col("fid"), col("name"), col("lanes"), col("len_km"),
+        st.asText(col("geometry")).as("wkt"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows == Map(1L -> "main st", 2L -> "long rd", 3L -> "no-geom", 4L -> "big rd"))
+    val wkts = df.select(col("fid"), st.asText(col("geometry"))).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(wkts(1L) == "POINT (1.5 2.5)")
+    assert(wkts(2L) == "LINESTRING (0 0, 3 4, 6 0)")
+    assert(wkts(3L) == null)
+    val npts = df.filter(col("fid") === 4)
+      .select(st.f("st_npoints", col("geometry"))).collect().head.getInt(0)
+    assert(npts == 3000) // spilled through sqlite3's own overflow chain
+  }
+
+  test("GeoPackage large geometries spill to overflow pages and read back") {
+    import graft.sources.GeoPackage
+    import spark.implicits._
+    // a linestring with 4000 points -> ~64KB WKB, far beyond one 4KB page
+    val big = (0 until 4000).map(i => s"$i ${i % 7}").mkString("LINESTRING (", ", ", ")")
+    val df = Seq((1L, big), (2L, "POINT (0 0)")).toDF("id", "wkt")
+      .withColumn("geom", st.geomFromWkt(col("wkt"))).drop("wkt").coalesce(1)
+    GeoPackage.write(df, "/tmp/graft_gpkg_big", "geom")
+    val back = GeoPackage.read(spark, "/tmp/graft_gpkg_big")
+    assert(back.count() == 2)
+    val n = back.filter(col("id") === 1)
+      .select(st.f("st_npoints", col("geometry"))).collect().head.getInt(0)
+    assert(n == 4000)
+  }
+
   test("FlatGeobuf write overwrites: no stale parts after fewer-partition rewrite") {
     import graft.sources.FlatGeobuf
     val path = "/tmp/graft_fgb_overwrite"
