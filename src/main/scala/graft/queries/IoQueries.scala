@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.GraftExtensions
 import graft.functions.GraftFunctions.st
-import graft.sources.{FlatGeobuf, GeoJsonIO, GeoPackage, GeoParquet, GeoTextIO, Shapefile}
+import graft.sources.{FlatGeobuf, GeoJsonIO, GeoPackage, GeoParquet, GeoTextIO, LasIO, Shapefile}
 
 /** GeoParquet round-trip + covering-column pruning as a correctness-gate
   * query: write part boxes as Hilbert-clustered GeoParquet with a bbox
@@ -139,6 +139,28 @@ object IoQueries {
         .select(col("s_suppkey"), col("s_name"), col("bal"),
           st.f("st_geometrytype", col("geometry")).as("gtype"),
           st.area(col("geometry")).as("area"))
+    }),
+
+    // LAS point-cloud roundtrip (ASPRS 1.2, point format 1). Scale 0.25
+    // -> i32 quantization is exact for quarter-step coordinates, so the
+    // read-back doubles hash-match the oracle's formulas directly.
+    "pc01_las_roundtrip" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val pts = t(s, dir, "customer")
+        .select(
+          (col("c_custkey") % 1000).cast("double") * 0.25 as "x",
+          (col("c_custkey") % 770).cast("double") * 0.5 as "y",
+          (col("c_nationkey")).cast("double") * 0.25 as "z",
+          (col("c_custkey") % 100).cast("long") as "intensity",
+          (col("c_nationkey") % 32).cast("long") as "classification",
+          (col("c_custkey")).cast("double") * 1.5 as "gps_time")
+      val path = s"/tmp/graft_las/${math.abs(dir.hashCode)}"
+      LasIO.write(pts, path, scale = 0.25)
+      LasIO.read(s, path)
+        .groupBy(col("classification"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("z")).as("sz"), sum(col("intensity")).as("si"),
+          sum(col("gps_time")).as("sg"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -186,5 +208,17 @@ object IoQueries {
         |  CASE WHEN s_suppkey % 2 = 0 THEN 'ST_Point' ELSE 'ST_Polygon' END AS gtype,
         |  CASE WHEN s_suppkey % 2 = 0 THEN 0.0
         |    ELSE CAST(s_suppkey % 5 + 1 AS DOUBLE) * CAST(s_suppkey % 3 + 1 AS DOUBLE) END AS area
-        |FROM supplier""".stripMargin)
+        |FROM supplier""".stripMargin,
+
+    // sums are over dyadic-rational doubles (quarter/half steps), so
+    // float addition is exact and order-independent across engines
+    "pc01_las_roundtrip" ->
+      """SELECT CAST(c_nationkey % 32 AS BIGINT) AS classification,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(c_custkey % 1000 AS DOUBLE)*0.25) AS sx,
+        |  SUM(CAST(c_custkey % 770 AS DOUBLE)*0.5) AS sy,
+        |  SUM(CAST(c_nationkey AS DOUBLE)*0.25) AS sz,
+        |  CAST(SUM(c_custkey % 100) AS BIGINT) AS si,
+        |  SUM(CAST(c_custkey AS DOUBLE)*1.5) AS sg
+        |FROM customer GROUP BY 1""".stripMargin)
 }

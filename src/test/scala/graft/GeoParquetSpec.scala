@@ -291,6 +291,32 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 4000)
   }
 
+  test("LAS roundtrip: format 0 and 1, quantization exact at power-of-two scale") {
+    import graft.sources.LasIO
+    import spark.implicits._
+    val pts = (0 until 500).map { i =>
+      (i * 0.25, (i % 37) * 0.5, (i % 11) * 0.25, (i % 100).toLong, (i % 32).toLong,
+        i * 1.5)
+    }.toDF("x", "y", "z", "intensity", "classification", "gps_time")
+    // format 1 (gps) at scale 0.25: doubles reconstruct bit-exactly
+    LasIO.write(pts.repartition(3), "/tmp/graft_las1", scale = 0.25)
+    val back1 = LasIO.read(spark, "/tmp/graft_las1")
+    assert(back1.schema.fieldNames.toSeq ==
+      Seq("x", "y", "z", "intensity", "classification", "gps_time"))
+    def snap(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(snap(back1) == snap(pts))
+    // format 0 (no gps)
+    val noGps = pts.drop("gps_time")
+    LasIO.write(noGps.repartition(2), "/tmp/graft_las0", scale = 0.25)
+    assert(snap(LasIO.read(spark, "/tmp/graft_las0")) == snap(noGps))
+    // header sanity: LASF magic + 1.2 + point count
+    val f = new java.io.File("/tmp/graft_las1").listFiles()
+      .filter(_.getName.endsWith(".las")).head
+    val hdr = java.nio.file.Files.readAllBytes(f.toPath)
+    assert(new String(hdr, 0, 4, "US-ASCII") == "LASF" && hdr(24) == 1 && hdr(25) == 2)
+  }
+
   test("FlatGeobuf write overwrites: no stale parts after fewer-partition rewrite") {
     import graft.sources.FlatGeobuf
     val path = "/tmp/graft_fgb_overwrite"
