@@ -317,6 +317,41 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(hdr, 0, 4, "US-ASCII") == "LASF" && hdr(24) == 1 && hdr(25) == 2)
   }
 
+  test("Zarr roundtrip: chunk grid of rasters with shifted geotransforms") {
+    import graft.sources.ZarrIO
+    import spark.implicits._
+    // 3x2 chunk grid of 4x3 rasters on a global grid anchored at (100, 200)
+    val df = (0 until 6).map { i =>
+      val cy = i / 3L; val cx = i % 3L
+      (cy, cx, i)
+    }.toDF("cy", "cx", "seed")
+      .withColumn("ulx", lit(100.0) + col("cx") * 4 * 2.0)
+      .withColumn("uly", lit(200.0) + col("cy") * 3 * -2.0)
+      .withColumn("vals", transform(sequence(lit(0), lit(11)),
+        j => (col("seed") * 100 + j).cast("double")))
+      .withColumn("raster", st.f("rs_makeraster", lit(4), lit(3), col("ulx"), col("uly"),
+        lit(2.0), lit(-2.0), col("vals")))
+      .select("cy", "cx", "raster")
+    ZarrIO.write(df, "/tmp/graft_zarr", "raster")
+    val back = ZarrIO.read(spark, "/tmp/graft_zarr")
+    assert(back.count() == 6)
+    val vals = back.select(col("cy"), col("cx"),
+        st.f("rs_value", col("raster"), lit(1), lit(1), lit(2)).as("v"),
+        st.f("rs_upperleftx", col("raster")).as("ulx"),
+        st.f("rs_upperlefty", col("raster")).as("uly"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    (0 until 6).foreach { i =>
+      val cy = i / 3L; val cx = i % 3L
+      val (v, ulx, uly) = vals((cy, cx))
+      assert(v == i * 100 + 2 * 4 + 1, s"chunk ($cy,$cx) value") // row 2, col 1
+      assert(ulx == 100.0 + cx * 8.0 && uly == 200.0 + cy * -6.0, s"chunk ($cy,$cx) origin")
+    }
+    // uncompressed mode roundtrips too
+    ZarrIO.write(df, "/tmp/graft_zarr_raw", "raster", compress = false)
+    assert(ZarrIO.read(spark, "/tmp/graft_zarr_raw").count() == 6)
+  }
+
   test("FlatGeobuf write overwrites: no stale parts after fewer-partition rewrite") {
     import graft.sources.FlatGeobuf
     val path = "/tmp/graft_fgb_overwrite"
