@@ -324,6 +324,31 @@ object SpatialQueries {
             col("ulx") + 5.0, col("uly") - 3.0)).as("rc_wkt"))
     }),
 
+    // Zarr v2 chunk-grid roundtrip: nation rows -> 5x5 chunk grid of 4x3
+    // rasters on one global grid (reference: rust/sedona-raster-zarr).
+    // Write a zlib-chunked Zarr array, read back one row per chunk,
+    // verify pixel values and per-chunk geotransform origins.
+    "rs05_zarr_roundtrip" -> ((s, dir) => {
+      prep(s)
+      val grid = t(s, dir, "nation")
+        .withColumn("cy", (col("n_nationkey") / 5).cast("long"))
+        .withColumn("cx", (col("n_nationkey") % 5).cast("long"))
+        .withColumn("vals", transform(sequence(lit(0), lit(11)),
+          i => (col("n_nationkey") * 100 + i).cast("double")))
+        .withColumn("raster", st.f("rs_makeraster", lit(4), lit(3),
+          lit(100.0) + col("cx").cast("double") * 8.0,
+          lit(200.0) - col("cy").cast("double") * 6.0,
+          lit(2.0), lit(-2.0), col("vals")))
+        .select("cy", "cx", "raster")
+      val path = s"/tmp/graft_zarr_gate/${math.abs(dir.hashCode)}"
+      graft.sources.ZarrIO.write(grid, path, "raster")
+      graft.sources.ZarrIO.read(s, path)
+        .select(col("cy"), col("cx"),
+          st.f("rs_value", col("raster"), lit(1), lit(1), lit(2)).as("v"),
+          st.f("rs_upperleftx", col("raster")).as("ulx"),
+          st.f("rs_upperlefty", col("raster")).as("uly"))
+    }),
+
     // geometry element access: dump/geometryn/makeline/boundary
     "sp10_elements" -> ((s, dir) => {
       prep(s)
@@ -552,6 +577,16 @@ object SpatialQueries {
         |  ulx + 4.0 AS wcx, uly - 2.0 AS wcy,
         |  'POINT (2 1)' AS rc_wkt
         |FROM p""".stripMargin,
+
+    // v = pixel (col 1, row 2) of chunk (cy,cx) = nationkey*100 + 2*4+1;
+    // origins follow the global transform shifted by the chunk pixel origin
+    "rs05_zarr_roundtrip" ->
+      """SELECT CAST(n_nationkey // 5 AS BIGINT) AS cy,
+        |  CAST(n_nationkey % 5 AS BIGINT) AS cx,
+        |  CAST(n_nationkey * 100 + 9 AS DOUBLE) AS v,
+        |  100.0 + CAST(n_nationkey % 5 AS DOUBLE) * 8.0 AS ulx,
+        |  200.0 - CAST(n_nationkey // 5 AS DOUBLE) * 6.0 AS uly
+        |FROM nation""".stripMargin,
 
     "sp10_elements" ->
       """SELECT p_partkey,
