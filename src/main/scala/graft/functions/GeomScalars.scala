@@ -879,6 +879,24 @@ object GeomScalars {
     // (reference: KDB partitioning, rust/sedona-spatial-join/src/
     //  partitioning/kdb.rs — here a uniform grid; cells an envelope
     //  overlaps, and the reference-point cell for pair dedup) ----
+    // one-parse envelope accessor for the shuffle join: [xmin,ymin,xmax,ymax].
+    // Lets gridJoin carry envelope doubles as columns so bbox overlap and
+    // reference-cell dedup are pure codegen'd arithmetic (no per-pair WKB
+    // parse). Null for empty geometries, matching st_gridcells.
+    fn("sd_envelope4", ArrayType(DoubleType, containsNull = false), Seq(Geom))(a => {
+      val e = g0(a).getEnvelopeInternal
+      if (e.isNull) null
+      else new GenericArrayData(Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+    }),
+    // grid cells from an sd_envelope4 array — same math as st_gridcells
+    // without re-parsing the WKB
+    fn("sd_gridcells4", ArrayType(LongType, containsNull = false),
+        Seq(ArgKind.Raw, Dbl, Dbl, Dbl, Dbl, Int_, Int_))(a => {
+      val e = a(0).asInstanceOf[ArrayData]
+      new GenericArrayData(Grid.cellsOf(
+        e.getDouble(0), e.getDouble(1), e.getDouble(2), e.getDouble(3),
+        d(a, 1), d(a, 2), d(a, 3), d(a, 4), i(a, 5), i(a, 6)))
+    }),
     "st_gridcells" -> ((children: Seq[Expression]) =>
       GeomScalar("st_gridcells", children, ArrayType(LongType, containsNull = false),
         Seq(Geom, Dbl, Dbl, Dbl, Dbl, Int_, Int_), a => {

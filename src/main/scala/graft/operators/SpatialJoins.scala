@@ -52,29 +52,46 @@ object SpatialJoins {
           .collect()(0)
       (a, b, c, d)
     }
-    def cells(g: Column): Column = st.f("st_gridcells", g,
+    def cells4(e4: Column): Column = st.f("sd_gridcells4", e4,
       lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))
 
-    // distance joins expand the left envelope by the radius for cell
-    // assignment and reference-point dedup (same construction as
-    // GridSpatialJoinRule), refining with st_dwithin
+    // Each side parses its WKB exactly once per row (sd_envelope4); cell
+    // explode, bbox overlap and reference-point dedup all run on the
+    // carried envelope doubles — codegen'd double math. The WKB-parsing
+    // predicate refines only pairs that survive the cheap conjuncts.
+    // Distance joins expand the left envelope by the radius for cell
+    // assignment and dedup (same construction as GridSpatialJoinRule).
+    val l4base = st.f("sd_envelope4", leftGeom)
+    val l4 = distance match {
+      case Some(dst) => array(
+        element_at(l4base, 1) - dst, element_at(l4base, 2) - dst,
+        element_at(l4base, 3) + dst, element_at(l4base, 4) + dst)
+      case None => l4base
+    }
     val l = left.withColumn("__lg", leftGeom)
-      .withColumn("__lkey", distance match {
-        case Some(d) => st.f("st_expandenvelope", leftGeom, d)
-        case None => leftGeom
-      })
-      .withColumn("__cell", explode(cells(col("__lkey"))))
+      .withColumn("__l4", l4)
+      .withColumn("__lcell", explode(cells4(col("__l4"))))
     val r = right.withColumn("__rg", rightGeom)
-      .withColumn("__cell", explode(cells(col("__rg"))))
+      .withColumn("__r4", st.f("sd_envelope4", rightGeom))
+      .withColumn("__rcell", explode(cells4(col("__r4"))))
+    def le(k: Int) = element_at(col("__l4"), k)
+    def re(k: Int) = element_at(col("__r4"), k)
+    val bboxOverlap = le(1) <= re(3) && re(1) <= le(3) &&
+      le(2) <= re(4) && re(2) <= le(4)
+    // arithmetic twin of Grid.cellOf (trunc-toward-zero == floor after the
+    // 0-clamp, so the generated cell ids match st_gridcells exactly)
+    def cellc(x: Column, mn: Double, mx: Double, n: Int): Column =
+      least(greatest(floor((x - lit(mn)) / lit(mx - mn) * lit(n)).cast("long"),
+        lit(0L)), lit((n - 1).toLong))
+    val refCell = cellc(greatest(le(2), re(2)), ymin, ymax, ny) * nx +
+      cellc(greatest(le(1), re(1)), xmin, xmax, nx)
     val refine = distance match {
       case Some(d) => st.f("st_dwithin", col("__lg"), col("__rg"), d)
       case None => st.f(predicate, col("__lg"), col("__rg"))
     }
-    l.join(r, l("__cell") === r("__cell")
-        && refine
-        && st.f("st_refcell", col("__lkey"), col("__rg"),
-          lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny)) === l("__cell"))
-      .drop("__cell", "__lg", "__rg", "__lkey")
+    l.join(r, col("__lcell") === col("__rcell")
+        && bboxOverlap && refCell === col("__lcell") && refine)
+      .drop("__lcell", "__rcell", "__l4", "__r4", "__lg", "__rg")
   }
 
   /** Size-adaptive spatial join: broadcast index join when a side fits the

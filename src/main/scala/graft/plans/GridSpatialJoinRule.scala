@@ -137,27 +137,63 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
       val ny = conf("spark.graft.join.grid.ny", "64").toInt
       val gridLits = Seq[Expression](Literal(xmin), Literal(ymin), Literal(xmax),
         Literal(ymax), Literal(nx), Literal(ny))
-      // DWithin: expand the left envelope by d so cells/ref-point of the
-      // pair's d-neighbourhood intersection stay consistent on both paths
-      val leftKey = ex.distance match {
-        case Some(d) => b("st_expandenvelope")(Seq(ex.leftGeom, d))
-        case None => ex.leftGeom
+      // Each side parses its WKB once (sd_envelope4 projected as a column);
+      // cell explode, bbox overlap and reference-point dedup run on the
+      // envelope doubles — codegen'd arithmetic, no per-pair parse. DWithin
+      // expands the left envelope by d so cells/ref-point of the pair's
+      // d-neighbourhood intersection stay consistent on both paths.
+      val arr4 = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false)
+      def envProject(child: LogicalPlan, geom: Expression, name: String,
+          expand: Option[Expression]): (LogicalPlan, AttributeReference) = {
+        val rawAlias = Alias(b("sd_envelope4")(Seq(geom)), s"${name}raw")()
+        val p1 = Project(child.output :+ rawAlias, child)
+        val rawRef = p1.output.last
+        def item(k: Int): Expression = GetArrayItem(rawRef, Literal(k))
+        val e4: Expression = expand match {
+          case Some(d0) =>
+            // optimizer-built expressions skip analyzer coercion: force the
+            // radius to double before the envelope arithmetic
+            val d = if (d0.dataType == org.apache.spark.sql.types.DoubleType) d0
+              else Cast(d0, org.apache.spark.sql.types.DoubleType)
+            CreateArray(Seq(
+              Subtract(item(0), d), Subtract(item(1), d),
+              Add(item(2), d), Add(item(3), d)))
+          case None => rawRef
+        }
+        val p2 = Project(child.output :+ Alias(e4, name)(), p1)
+        (p2, p2.output.last.asInstanceOf[AttributeReference])
       }
+      val (lSide, l4) = envProject(left, ex.leftGeom, "__l4", ex.distance)
+      val (rSide, r4) = envProject(right, ex.rightGeom, "__r4", None)
       val lcell = AttributeReference("__lcell", LongType, nullable = false)()
       val rcell = AttributeReference("__rcell", LongType, nullable = false)()
-      val lgen = Generate(Explode(b("st_gridcells")(leftKey +: gridLits)),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(lcell), child = left)
-      val rgen = Generate(Explode(b("st_gridcells")(ex.rightGeom +: gridLits)),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(rcell), child = right)
+      def gen(child: LogicalPlan, e4: Expression, cellAttr: AttributeReference) =
+        Generate(Explode(b("sd_gridcells4")(e4 +: gridLits)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(cellAttr), child = child)
+      val lgen = gen(lSide, l4, lcell)
+      val rgen = gen(rSide, r4, rcell)
+      def li(k: Int): Expression = GetArrayItem(l4, Literal(k))
+      def ri(k: Int): Expression = GetArrayItem(r4, Literal(k))
+      val bboxOverlap = Seq(
+        LessThanOrEqual(li(0), ri(2)), LessThanOrEqual(ri(0), li(2)),
+        LessThanOrEqual(li(1), ri(3)), LessThanOrEqual(ri(1), li(3))).reduce[Expression](And)
+      // arithmetic twin of Grid.cellOf (Floor is LongType; 0-clamp makes
+      // trunc-toward-zero and floor agree, so ids match sd_gridcells4)
+      def cellc(x: Expression, mn: Double, mx: Double, n: Int): Expression =
+        Least(Seq(Greatest(Seq(
+          Floor(Multiply(Divide(Subtract(x, Literal(mn)), Literal(mx - mn)),
+            Literal(n.toDouble))), Literal(0L))), Literal((n - 1).toLong)))
+      val dedup = EqualTo(Add(
+        Multiply(cellc(Greatest(Seq(li(1), ri(1))), ymin, ymax, ny), Literal(nx.toLong)),
+        cellc(Greatest(Seq(li(0), ri(0))), xmin, xmax, nx)), lcell)
       val refine: Expression = ex.distance match {
         case Some(d) => b("st_dwithin")(Seq(ex.leftGeom, ex.rightGeom, d))
         case None => b(ex.predName)(Seq(ex.leftGeom, ex.rightGeom))
       }
-      val dedup = EqualTo(b("st_refcell")(Seq(leftKey, ex.rightGeom) ++ gridLits), lcell)
-      val newCond = (Seq[Expression](EqualTo(lcell, rcell), refine, dedup) ++ ex.remainder)
-        .reduce(And)
+      val newCond = (Seq[Expression](EqualTo(lcell, rcell), bboxOverlap, dedup, refine) ++
+        ex.remainder).reduce(And)
       Project(left.output ++ right.output,
         Join(lgen, rgen, Inner, Some(newCond), JoinHint.NONE))
     }
@@ -170,19 +206,18 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
       ex: SpatialPredicate.Extracted): Option[(Double, Double, Double, Double)] = {
     conf("spark.graft.join.grid.bounds", "auto") match {
       case "auto" =>
-        val b = GeomScalars.registry
         def side(plan: LogicalPlan, geom: Expression): Option[(Double, Double, Double, Double)] = {
-          def agg(f: AggregateFunction, name: String) =
-            Alias(f.toAggregateExpression(), name)()
-          val node = Aggregate(Nil, Seq(
-            agg(Min(b("st_xmin")(Seq(geom))), "x0"),
-            agg(Min(b("st_ymin")(Seq(geom))), "y0"),
-            agg(Max(b("st_xmax")(Seq(geom))), "x1"),
-            agg(Max(b("st_ymax")(Seq(geom))), "y1")), plan)
+          // one envelope aggregate = one WKB parse per row (vs 4 min/max
+          // kernel aggregates), partial-merged map-side
+          val node = Aggregate(Nil, Seq(Alias(
+            graft.functions.StEnvelopeAgg(geom).toAggregateExpression(), "e")()), plan)
           val rows = session.sessionState.executePlan(node).executedPlan.executeCollect()
-          val row = rows(0)
-          if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) || row.isNullAt(3)) None
-          else Some((row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3)))
+          if (rows.isEmpty || rows(0).isNullAt(0)) None
+          else {
+            val env = graft.geom.GeomIO.read(rows(0).getBinary(0)).getEnvelopeInternal
+            if (env.isNull) None
+            else Some((env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+          }
         }
         for {
           (lx0, ly0, lx1, ly1) <- side(left, ex.leftGeom)

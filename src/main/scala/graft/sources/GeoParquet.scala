@@ -56,9 +56,11 @@ object GeoParquet {
 
     // sidecar mirroring the `geo` footer metadata (GeoParquetMetadata)
     val spark = df.sparkSession
-    val boundsRow = df.select(
-      st.xmin(st.envelopeAgg(g)), st.ymin(st.envelopeAgg(g)),
-      st.xmax(st.envelopeAgg(g)), st.ymax(st.envelopeAgg(g))).collect()(0)
+    // single envelope aggregate (one WKB parse per row), min/max applied
+    // to the one aggregated envelope
+    val boundsRow = df.select(st.envelopeAgg(g).as("e"))
+      .select(st.xmin(col("e")), st.ymin(col("e")),
+        st.xmax(col("e")), st.ymax(col("e"))).collect()(0)
     val geoJson =
       s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{
          |"encoding":"WKB","crs":"$crs",
