@@ -16,6 +16,9 @@ object GraftExtensions {
     val opts = spark.experimental.extraOptimizations
     if (!opts.contains(graft.plans.GeoPruneRule))
       spark.experimental.extraOptimizations = opts :+ graft.plans.GeoPruneRule
+    val optsR = spark.experimental.extraOptimizations
+    if (!optsR.contains(graft.plans.RasterJoinRule))
+      spark.experimental.extraOptimizations = optsR :+ graft.plans.RasterJoinRule
     val opts2 = spark.experimental.extraOptimizations
     if (!opts2.exists(_.isInstanceOf[graft.plans.GridSpatialJoinRule]))
       spark.experimental.extraOptimizations =

@@ -20,6 +20,7 @@ class GraftSparkSessionExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPostHocResolutionRule(_ => graft.plans.KnnJoinCaptureRule)
     ext.injectOptimizerRule(_ => graft.plans.GeoPruneRule)
+    ext.injectOptimizerRule(_ => graft.plans.RasterJoinRule)
     ext.injectOptimizerRule(spark => graft.plans.GridSpatialJoinRule(spark))
     ext.injectOptimizerRule(spark => graft.joins.KnnGridJoinRule(spark))
     ext.injectOptimizerRule(_ => graft.plans.RasterLoadRule)

@@ -160,6 +160,28 @@ object JoinQueries {
         .select(col("c_custkey"), col("s_suppkey"))
     }),
 
+    // raster-geometry join: RS_Intersects in the join condition is
+    // rewritten by RasterJoinRule to ST_Intersects(RS_Envelope(r), pt)
+    // and planned through the ordinary spatial-join machinery (reference:
+    // rust/sedona-spatial-join-raster/src/physical_planner.rs)
+    "sj09_raster_join" -> ((s, dir) => {
+      prep(s)
+      val rasters = t(s, dir, "part").filter(col("p_partkey") < 500)
+        .withColumn("ulx", (col("p_partkey") % 100).cast("double") * 10.0)
+        .withColumn("uly", (col("p_size") % 50).cast("double") * 10.0)
+        .withColumn("vals", transform(sequence(lit(0), lit(11)),
+          i => ((col("p_partkey") + i) % 97).cast("double")))
+        .withColumn("r", st.f("rs_makeraster", lit(4), lit(3), col("ulx"), col("uly"),
+          lit(2.0), lit(-2.0), col("vals")))
+        .select(col("p_partkey"), col("r"))
+      val pts = t(s, dir, "orders")
+        .withColumn("pt", st.point((col("o_orderkey") % 250).cast("double") * 4.0,
+          (col("o_orderkey") % 125).cast("double") * 2.0))
+        .select(col("o_orderkey"), col("pt"))
+      rasters.join(pts, st.f("rs_intersects", col("r"), col("pt")))
+        .select(col("o_orderkey"), col("p_partkey"))
+    }),
+
     // shuffle-partitioned grid join — same semantics as sj01
     "sj05_grid_join" -> ((s, dir) => {
       prep(s)
@@ -245,6 +267,21 @@ object JoinQueries {
         |SELECT p.o_orderkey, b.p_partkey FROM p JOIN b
         |ON p.px >= b.bxmin AND p.px <= b.bxmin + b.bw
         |AND p.py >= b.bymin AND p.py <= b.bymin + b.bh""".stripMargin,
+
+    "sj09_raster_join" ->
+      """WITH r AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 100 AS DOUBLE)*10.0 AS ulx,
+        |    CAST(p_size % 50 AS DOUBLE)*10.0 AS uly
+        |  FROM part WHERE p_partkey < 500),
+        |p AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_orderkey % 250 AS DOUBLE)*4.0 AS px,
+        |    CAST(o_orderkey % 125 AS DOUBLE)*2.0 AS py
+        |  FROM orders)
+        |SELECT p.o_orderkey, r.p_partkey FROM p JOIN r
+        |ON p.px >= r.ulx AND p.px <= r.ulx + 8.0
+        |AND p.py >= r.uly - 6.0 AND p.py <= r.uly""".stripMargin,
 
     "sj08_sphere_join" -> {
       def hav(lo1: String, la1: String, lo2: String, la2: String) =

@@ -52,6 +52,33 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(physical.contains("BroadcastIndexSpatialJoin"), physical.take(2000))
   }
 
+  // raster side: small deterministic rasters over the same 0..100 plane
+  private def rasters(n: Int, seed: Int): DataFrame =
+    spark.range(n).select(col("id").as("rid"),
+      st.f("rs_makeraster", lit(4), lit(3),
+        pmod(hash(col("id") + seed), lit(1000)) / 10.0,
+        pmod(hash(col("id") * 7 + seed), lit(1000)) / 10.0 + 6.0,
+        lit(2.0), lit(-2.0),
+        transform(sequence(lit(0), lit(11)), i => i.cast("double"))).as("rast"))
+
+  test("raster-geometry join rewrites to the spatial join machinery") {
+    val j = rasters(80, 3).join(points(200, 4),
+      st.f("rs_intersects", col("rast"), col("pgeom")))
+    val physical = j.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"), physical.take(2000))
+    val expected = rasters(80, 3).crossJoin(points(200, 4))
+      .filter(st.f("rs_intersects", col("rast"), col("pgeom")))
+      .select("rid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = j.select("rid", "pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // rs_contains / rs_within forms rewrite too
+    val jc = rasters(80, 3).join(points(200, 4),
+      st.f("rs_within", col("rast"), st.f("st_buffer", col("pgeom"), lit(30.0))))
+    assert(!jc.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("equi-conjunct joins are left to Spark's hash joins") {
     val l = points(50, 1).withColumn("k", col("pid") % 5)
     val r = boxes(50, 2).withColumn("k", col("bid") % 5)
