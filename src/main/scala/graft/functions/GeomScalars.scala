@@ -850,6 +850,22 @@ object GeomScalars {
         .nearestPoints(g0(a), g1(a))
       GeomIO.factory.createLineString(Array(pts(0), pts(1)))
     }),
+    // spherical overlay subset (s2 geography st_intersection/union/
+    // difference/symdifference, c/sedona-s2geography/src/kernels.rs:
+    // 110-118): azimuthal-equidistant tangent-plane OverlayNG, see
+    // Spherical.overlay for the approximation contract
+    fn("st_intersectionsphere", BinaryType, Seq(Geom, Geom))(a =>
+      Spherical.overlay(g0(a), g1(a), 1)),
+    fn("st_unionsphere", BinaryType, Seq(Geom, Geom))(a =>
+      Spherical.overlay(g0(a), g1(a), 2)),
+    fn("st_differencesphere", BinaryType, Seq(Geom, Geom))(a =>
+      Spherical.overlay(g0(a), g1(a), 3)),
+    fn("st_symdifferencesphere", BinaryType, Seq(Geom, Geom))(a =>
+      Spherical.overlay(g0(a), g1(a), 4)),
+    fn("st_buffersphere", BinaryType, Seq(Geom, Dbl))(a =>
+      Spherical.buffer(g0(a), d(a, 1))),
+    fn("st_lineinterpolatepointsphere", BinaryType, Seq(Geom, Dbl))(a =>
+      Spherical.lineInterpolatePoint(g0(a), d(a, 1))),
     // geography-join partitioning kernels (S2-covering analog,
     // rust/sedona-spatial-join-geography): wrap-safe lat-lon grid cover
     // of the radius-expanded envelope + canonical-cell pair dedup

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.locationtech.jts.geom.{Geometry, LineString, MultiPolygon, Point, Polygon}
+import org.locationtech.jts.geom.{Coordinate, Geometry, LineString, MultiPoint, MultiPolygon, Point, Polygon}
 
 /** Spherical (geography) kernels — the common subset of the reference's
   * S2-backed geography functions (c/sedona-s2geography/src/kernels.rs:68-226)
@@ -147,5 +147,123 @@ object Spherical {
     case m: MultiPolygon =>
       (0 until m.getNumGeometries).map(i => perimeter(m.getGeometryN(i)).asInstanceOf[Double]).sum
     case _ => 0.0
+  }
+
+  // ---- spherical overlay subset (reference: c/sedona-s2geography
+  // st_intersection/union/difference/symdifference geography kernels,
+  // src/kernels.rs:110-118). S2 computes exact geodesic overlays; here the
+  // documented approximation is a local azimuthal-equidistant tangent
+  // projection centered on the inputs' combined envelope: densify in
+  // lon/lat, project, run JTS OverlayNG in the plane, inverse-project.
+  // Accurate to the densification tolerance for inputs spanning up to a
+  // few tens of degrees; geometries crossing the antimeridian or
+  // containing a pole are outside the contract (same caveat as the planar
+  // st_distancesphere general case above). ----
+
+  /** Azimuthal-equidistant forward/inverse about (lon0, lat0), meters. */
+  final class AzEq(lon0: Double, lat0: Double) {
+    private val p0 = math.toRadians(lat0)
+    private val sinP0 = math.sin(p0); private val cosP0 = math.cos(p0)
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val p = math.toRadians(lat)
+      val dl = math.toRadians(lon - lon0)
+      val cosC = sinP0 * math.sin(p) + cosP0 * math.cos(p) * math.cos(dl)
+      val c = math.acos(math.max(-1.0, math.min(1.0, cosC)))
+      val k = if (c < 1e-12) 1.0 else c / math.sin(c)
+      (R * k * math.cos(p) * math.sin(dl),
+        R * k * (cosP0 * math.sin(p) - sinP0 * math.cos(p) * math.cos(dl)))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.hypot(x, y)
+      if (rho < 1e-9) return (lon0, lat0)
+      val c = rho / R
+      val sinC = math.sin(c); val cosC = math.cos(c)
+      val lat = math.asin(cosC * sinP0 + y * sinC * cosP0 / rho)
+      val lon = math.toRadians(lon0) +
+        math.atan2(x * sinC, rho * cosP0 * cosC - y * sinP0 * sinC)
+      (math.toDegrees(lon), math.toDegrees(lat))
+    }
+  }
+
+  private def mapCoords(g: Geometry, f: (Double, Double) => (Double, Double)): Geometry = {
+    val out = g.copy()
+    out.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+      override def filter(seq: org.locationtech.jts.geom.CoordinateSequence, i: Int): Unit = {
+        val (nx, ny) = f(seq.getX(i), seq.getY(i))
+        seq.setOrdinate(i, 0, nx); seq.setOrdinate(i, 1, ny)
+      }
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = true
+    })
+    out.geometryChanged()
+    out
+  }
+
+  private def projectionFor(a: Geometry, b: Geometry): AzEq = {
+    val e = a.getEnvelopeInternal.copy()
+    e.expandToInclude(b.getEnvelopeInternal)
+    new AzEq((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+  }
+
+  private def densifyDeg(g: Geometry, tolDeg: Double): Geometry = g match {
+    case _: Point | _: MultiPoint => g
+    case _ => org.locationtech.jts.densify.Densifier.densify(g, tolDeg)
+  }
+
+  /** Spherical overlay: op is a JTS OverlayNG opcode (INTERSECTION=1,
+    * UNION=2, DIFFERENCE=3, SYMDIFFERENCE=4). */
+  def overlay(a: Geometry, b: Geometry, op: Int, tolDeg: Double = 0.5): Geometry = {
+    val proj = projectionFor(a, b)
+    val pa = mapCoords(densifyDeg(a, tolDeg), proj.forward)
+    val pb = mapCoords(densifyDeg(b, tolDeg), proj.forward)
+    val res = org.locationtech.jts.operation.overlayng.OverlayNG.overlay(pa, pb, op)
+    mapCoords(res, proj.inverse)
+  }
+
+  /** Geodesic buffer: planar buffer of `distM` meters in the tangent
+    * plane, inverse-projected. */
+  def buffer(g: Geometry, distM: Double, tolDeg: Double = 0.5): Geometry = {
+    val e = g.getEnvelopeInternal
+    val proj = new AzEq((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+    mapCoords(mapCoords(densifyDeg(g, tolDeg), proj.forward).buffer(distM), proj.inverse)
+  }
+
+  /** Great-circle interpolation between two lon/lat points (slerp). */
+  def slerp(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
+      f: Double): (Double, Double) = {
+    val p1 = math.toRadians(lat1); val l1 = math.toRadians(lon1)
+    val p2 = math.toRadians(lat2); val l2 = math.toRadians(lon2)
+    val d = haversine(lon1, lat1, lon2, lat2) / R
+    if (d < 1e-12) return (lon1, lat1)
+    val sa = math.sin((1 - f) * d) / math.sin(d)
+    val sb = math.sin(f * d) / math.sin(d)
+    val x = sa * math.cos(p1) * math.cos(l1) + sb * math.cos(p2) * math.cos(l2)
+    val y = sa * math.cos(p1) * math.sin(l1) + sb * math.cos(p2) * math.sin(l2)
+    val z = sa * math.sin(p1) + sb * math.sin(p2)
+    (math.toDegrees(math.atan2(y, x)),
+      math.toDegrees(math.atan2(z, math.hypot(x, y))))
+  }
+
+  /** Point at fraction `f` of the great-circle length of a line
+    * (reference: s2 st_lineinterpolatepoint geography kernel). Each
+    * segment is measured by haversine; the hit segment interpolates on
+    * its great circle. */
+  def lineInterpolatePoint(g: Geometry, f: Double): Geometry = g match {
+    case l: LineString if !l.isEmpty =>
+      val cs = l.getCoordinates
+      val fr = math.max(0.0, math.min(1.0, f))
+      val segLens = (1 until cs.length).map(i =>
+        haversine(cs(i - 1).x, cs(i - 1).y, cs(i).x, cs(i).y))
+      val total = segLens.sum
+      if (total == 0.0) return l.getFactory.createPoint(cs(0))
+      var target = fr * total
+      var i = 0
+      while (i < segLens.length && target > segLens(i)) { target -= segLens(i); i += 1 }
+      if (i >= segLens.length)
+        return l.getFactory.createPoint(cs(cs.length - 1))
+      val lf = if (segLens(i) == 0.0) 0.0 else target / segLens(i)
+      val (lon, lat) = slerp(cs(i).x, cs(i).y, cs(i + 1).x, cs(i + 1).y, lf)
+      l.getFactory.createPoint(new Coordinate(lon, lat))
+    case _ => null
   }
 }

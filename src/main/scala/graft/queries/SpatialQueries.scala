@@ -191,6 +191,36 @@ object SpatialQueries {
             st.f("st_exteriorring", col("box"))), 4).as("ring_len_m"))
     }),
 
+    // spherical overlay subset: nested boxes so the tangent-plane overlay
+    // result is oracle-computable in closed form (intersection = inner,
+    // union = outer, difference = outer-with-hole); plus exact great-
+    // circle line interpolation (slerp)
+    "sp13_sphere_overlay" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .withColumn("lon1", (col("c_custkey") % 340).cast("double") / 2.0 - 85.0)
+        .withColumn("lat1", (col("c_custkey") % 160).cast("double") / 2.0 - 40.0)
+        .withColumn("outer", st.makeEnvelope(col("lon1"), col("lat1"),
+          col("lon1") + 2.0, col("lat1") + 1.0))
+        .withColumn("inner", st.makeEnvelope(col("lon1") + 0.5, col("lat1") + 0.25,
+          col("lon1") + 1.5, col("lat1") + 0.75))
+        .withColumn("seg", st.f("st_makeline",
+          st.point(col("lon1"), col("lat1")),
+          st.point(col("lon1") + 1.5, col("lat1") + 0.75)))
+        .withColumn("ip", st.f("st_lineinterpolatepointsphere", col("seg"), lit(0.25)))
+        .select(col("c_custkey"),
+          round(st.f("st_areasphere",
+            st.f("st_intersectionsphere", col("outer"), col("inner"))) / 1e6, 1).as("ikm2"),
+          round(st.f("st_areasphere",
+            st.f("st_unionsphere", col("outer"), col("inner"))) / 1e6, 1).as("ukm2"),
+          round(st.f("st_areasphere",
+            st.f("st_differencesphere", col("outer"), col("inner"))) / 1e6, 1).as("dkm2"),
+          round(st.f("st_areasphere",
+            st.f("st_symdifferencesphere", col("outer"), col("inner"))) / 1e6, 1).as("skm2"),
+          round(st.f("st_x", col("ip")), 5).as("ix"),
+          round(st.f("st_y", col("ip")), 5).as("iy"))
+    }),
+
     // decomposition + proximity + GeoJSON round trip
     "sp12_misc" -> ((s, dir) => {
       prep(s)
@@ -496,6 +526,46 @@ object SpatialQueries {
         |      + ${hav("lon2", "lat2", "lon2", "lat1")}
         |      + ${hav("lon2", "lat1", "lon1", "lat1")}, 4) AS ring_len_m
         |FROM p""".stripMargin
+    },
+
+    "sp13_sphere_overlay" -> {
+      // closed-form spherical box area: R^2 * dLambda * (sin lat_top - sin lat_bot)
+      def boxArea(x0: String, y0: String, x1: String, y1: String) =
+        s"6371008.8*6371008.8 * radians(($x1)-($x0)) * (sin(radians($y1)) - sin(radians($y0)))"
+      s"""WITH p AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 340 AS DOUBLE)/2.0 - 85.0 AS lon1,
+        |    CAST(c_custkey % 160 AS DOUBLE)/2.0 - 40.0 AS lat1
+        |  FROM customer),
+        |t AS (
+        |  SELECT c_custkey, lon1, lat1,
+        |    ${boxArea("lon1+0.5", "lat1+0.25", "lon1+1.5", "lat1+0.75")} AS a_inner,
+        |    ${boxArea("lon1", "lat1", "lon1+2.0", "lat1+1.0")} AS a_outer,
+        |    2*asin(sqrt(
+        |      sin(radians(0.75)/2)*sin(radians(0.75)/2)
+        |      + cos(radians(lat1))*cos(radians(lat1+0.75))
+        |        * sin(radians(1.5)/2)*sin(radians(1.5)/2))) AS d
+        |  FROM p),
+        |s AS (
+        |  SELECT c_custkey, a_inner, a_outer,
+        |    sin(0.75*d)/sin(d) AS ca, sin(0.25*d)/sin(d) AS cb,
+        |    radians(lon1) AS l1, radians(lat1) AS f1,
+        |    radians(lon1+1.5) AS l2, radians(lat1+0.75) AS f2
+        |  FROM t),
+        |v AS (
+        |  SELECT c_custkey, a_inner, a_outer,
+        |    ca*cos(f1)*cos(l1) + cb*cos(f2)*cos(l2) AS x,
+        |    ca*cos(f1)*sin(l1) + cb*cos(f2)*sin(l2) AS y,
+        |    ca*sin(f1) + cb*sin(f2) AS z
+        |  FROM s)
+        |SELECT c_custkey,
+        |  round(a_inner/1e6, 1) AS ikm2,
+        |  round(a_outer/1e6, 1) AS ukm2,
+        |  round((a_outer - a_inner)/1e6, 1) AS dkm2,
+        |  round((a_outer - a_inner)/1e6, 1) AS skm2,
+        |  round(degrees(atan2(y, x)), 5) AS ix,
+        |  round(degrees(atan2(z, sqrt(x*x + y*y))), 5) AS iy
+        |FROM v""".stripMargin
     },
 
     "sp12_misc" ->

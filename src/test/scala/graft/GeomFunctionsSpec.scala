@@ -396,6 +396,50 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_astext(rs_convexhull(rs_example()))").toString.startsWith("POLYGON"))
   }
 
+  test("spherical overlay: high-latitude boxes where planar lon/lat overlay distorts") {
+    // two boxes at lat 78..80 overlapping in lon: planar-degree overlay
+    // would be 'correct' here too, but the areas must come out spherical
+    val inter = q("st_areasphere(st_intersectionsphere(" +
+      "st_makeenvelope(10.0, 78.0, 14.0, 80.0), st_makeenvelope(12.0, 78.0, 16.0, 80.0)))")
+      .asInstanceOf[Double]
+    val exact = q("st_areasphere(st_makeenvelope(12.0, 78.0, 14.0, 80.0))")
+      .asInstanceOf[Double]
+    assert(math.abs(inter - exact) / exact < 1e-9, s"$inter vs $exact")
+    // inclusion-exclusion: union + intersection == a + b
+    val a = q("st_areasphere(st_makeenvelope(10.0, 78.0, 14.0, 80.0))").asInstanceOf[Double]
+    val b = q("st_areasphere(st_makeenvelope(12.0, 78.0, 16.0, 80.0))").asInstanceOf[Double]
+    val uni = q("st_areasphere(st_unionsphere(" +
+      "st_makeenvelope(10.0, 78.0, 14.0, 80.0), st_makeenvelope(12.0, 78.0, 16.0, 80.0)))")
+      .asInstanceOf[Double]
+    assert(math.abs((uni + inter) - (a + b)) / (a + b) < 1e-6)
+    // symdifference is disjoint from the intersection
+    assert(q("st_intersects(st_symdifferencesphere(" +
+      "st_makeenvelope(10.0, 78.0, 14.0, 80.0), st_makeenvelope(12.0, 78.0, 16.0, 80.0))," +
+      "st_point(13.0, 79.0))") == false)
+  }
+
+  test("spherical buffer: area of a point buffer tracks pi*r^2, even at lat 60") {
+    val r = 100000.0
+    val area = q(s"st_areasphere(st_buffersphere(st_point(30.0, 60.0), $r))")
+      .asInstanceOf[Double]
+    val expected = math.Pi * r * r
+    // planar lon/lat degree-buffering would be off by ~cos(60) = 2x in lon
+    assert(math.abs(area - expected) / expected < 0.01, s"$area vs $expected")
+  }
+
+  test("spherical line interpolation follows the great circle, not the chart line") {
+    // east-west line at lat 60: the geodesic midpoint bulges poleward
+    val lat = q("st_y(st_lineinterpolatepointsphere(" +
+      "st_makeline(st_point(-30.0, 60.0), st_point(30.0, 60.0)), 0.5))")
+      .asInstanceOf[Double]
+    assert(lat > 63.0, s"midpoint lat $lat should be well above 60")
+    // endpoints at the fraction extremes
+    assert(q("st_astext(st_lineinterpolatepointsphere(" +
+      "st_makeline(st_point(0.0, 0.0), st_point(0.0, 10.0)), 0.0))") == "POINT (0 0)")
+    assert(q("st_astext(st_lineinterpolatepointsphere(" +
+      "st_makeline(st_point(0.0, 0.0), st_point(0.0, 10.0)), 1.0))") == "POINT (0 10)")
+  }
+
   test("null propagation") {
     assert(q("st_area(NULL)") == null)
     assert(q("st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)'))") == null)
