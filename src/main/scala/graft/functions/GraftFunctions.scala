@@ -35,7 +35,8 @@ object GraftFunctions {
     })),
     "sd_dot" -> (es => graft.pipeline.SdDot(es.head, es(1))),
     "sd_sqdist" -> (es => graft.pipeline.SdSqDist(es.head, es(1))),
-    "sd_argmin_sqdist" -> (es => graft.pipeline.ArgMinSqDist(es.head, es(1))))
+    "sd_argmin_sqdist" -> (es => graft.pipeline.ArgMinSqDist(es.head, es(1))),
+    "sd_min_sqdist" -> (es => graft.pipeline.MinSqDist(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

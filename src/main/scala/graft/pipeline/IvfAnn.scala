@@ -37,18 +37,76 @@ object IvfAnn {
         cid -> c
       }
 
-  /** Lloyd k-means over (id, vec double array) -> (centroid_id, centroid). */
+  /** k-means|| seeding (Bahmani et al., VLDB'12) — the scale path for the
+    * initial centroids: instead of k arbitrary rows, oversample points
+    * with probability proportional to their squared distance from the
+    * current candidate set (`l` per round, `rounds` scans), weight the
+    * candidates by how many points they attract, and reduce to k with a
+    * driver-local weighted k-means++ (candidates are O(rounds*l) — tiny).
+    * Sampling is deterministic: the md5-derived per-row hash plays the
+    * uniform draw, so the same input always seeds identically.
+    */
+  private[pipeline] def kmeansParInit(v: DataFrame, k: Int,
+      rounds: Int = 3, lOver: Int = 0): Array[Array[Double]] = {
+    val l = if (lOver > 0) lOver else 2 * k
+    // first candidate: the row with the smallest hash (any deterministic pick)
+    var cands: Array[Array[Double]] = v
+      .withColumn("__h", TextOps.hash32(col("__vid").cast("string")))
+      .orderBy(col("__h"), col("__vid")).limit(1)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    for (r <- 1 to rounds) {
+      val d2 = call_function("sd_min_sqdist", col("__v"), centroidLit(cands))
+      val phi = v.select(sum(d2).as("s")).collect()(0).getDouble(0)
+      if (phi > 0) {
+        // P(pick) = min(1, l*d2/phi); uniform draw = hash32(vid, round)/2^31
+        val draw = (TextOps.hash32(concat_ws("_", col("__vid").cast("string"),
+          lit(r.toString))).cast("double") + 1.0) / 2147483648.0
+        val picked = v.filter(draw * phi < d2 * l)
+          .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+        cands = cands ++ picked
+      }
+    }
+    if (cands.length <= k) return cands
+    // weights: points attracted per candidate
+    val wts = v.select(call_function("sd_argmin_sqdist",
+        col("__v"), centroidLit(cands)).as("c"))
+      .groupBy("c").count().collect()
+      .map(r0 => r0.getInt(0) -> r0.getLong(1)).toMap
+    val w = cands.indices.map(i => wts.getOrElse(i, 0L).toDouble max 1.0).toArray
+    // driver-local weighted k-means++ over the candidate set
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val out = scala.collection.mutable.ArrayBuffer(cands(w.indices.maxBy(w)))
+    val minD = cands.map(c => sq(c, out(0)))
+    while (out.length < k) {
+      // deterministic ++: take the candidate with max weighted distance
+      // (coincident leftovers are still admitted to always reach k)
+      val next = cands.indices.maxBy(i => minD(i) * w(i))
+      out += cands(next)
+      cands.indices.foreach(i => minD(i) = math.min(minD(i), sq(cands(i), out.last)))
+    }
+    out.toArray
+  }
+
+  /** Lloyd k-means over (id, vec double array) -> (centroid_id, centroid).
+    * init: "parallel" (k-means||, default) or "hash" (first k rows by
+    * hash order — the cheapest deterministic seed). */
   def kmeans(vectors: DataFrame, id: Column, vec: Column,
-      k: Int, iters: Int = 5): DataFrame = {
+      k: Int, iters: Int = 5, init: String = "hash"): DataFrame = {
     val spark = vectors.sparkSession
     val v = vectors.select(id.as("__vid"), asDouble(vec).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic seed: k rows by hash order
-    val seed: Array[Array[Double]] = v
-      .withColumn("__h", TextOps.hash32(col("__vid").cast("string")))
-      .orderBy(col("__h")).limit(k)
-      .select(col("__v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val seed: Array[Array[Double]] =
+      if (init == "parallel") kmeansParInit(v, k)
+      else v
+        .withColumn("__h", TextOps.hash32(col("__vid").cast("string")))
+        .orderBy(col("__h")).limit(k)
+        .select(col("__v")).collect()
+        .map(_.getSeq[Double](0).toArray)
     var cents = seed
     val dims = if (seed.nonEmpty) seed(0).length else 0
     for (_ <- 1 to iters) {
@@ -68,6 +126,42 @@ object IvfAnn {
         org.apache.spark.sql.types.StructField("centroid",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+  }
+
+  /** Smallest nProbe whose measured recall@topK on a query sample meets
+    * `recallTarget`: doubles nProbe (1,2,4,...) until the IVF result
+    * covers >= target fraction of the sample's exact brute-force top-k.
+    * The sample should be small (tens of queries) — the exact pass is one
+    * broadcast of the sample against the corpus; each probe trial touches
+    * ~nProbe/k of the corpus. Returns maxProbe if the target is never met.
+    */
+  def tuneNProbe(vectors: DataFrame, sampleQueries: DataFrame,
+      vid: Column, vvec: Column, qid: Column, qvec: Column,
+      centroids: DataFrame, topK: Int, recallTarget: Double,
+      maxProbe: Int = 64): Int = {
+    // exact pass broadcasts the SAMPLE against the corpus (cosineTopK
+    // broadcasts the corpus — right for a baseline, wrong side here)
+    val q = sampleQueries.select(qid.as("query_id"), asDouble(qvec).as("qv"))
+    val c = vectors.select(vid.as("cand_id"), asDouble(vvec).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cand_id"))
+    val exact = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("cand_id"))
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    if (exact.isEmpty) return 1
+    var nProbe = 1
+    while (nProbe <= maxProbe) {
+      val got = search(vectors, sampleQueries, vid, vvec, qid, qvec,
+          centroids, nProbe, topK)
+        .select(col("query_id"), col("cand_id"))
+        .collect().map(r => (r.get(0), r.get(1))).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      if (recall >= recallTarget) return nProbe
+      nProbe *= 2
+    }
+    maxProbe
   }
 
   /** Approximate top-k neighbours: probe the nProbe nearest inverted

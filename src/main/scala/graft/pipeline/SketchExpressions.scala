@@ -215,6 +215,37 @@ case class ArgMinSqDist(vec: Expression, centroids: Expression)
     copy(vec = l, centroids = r)
 }
 
+/** Minimum squared euclidean distance from `vec` to any row of the
+  * `centroids` matrix — the k-means|| sampling weight (companion of
+  * [[ArgMinSqDist]]; same truncate-to-min-length contract). */
+case class MinSqDist(vec: Expression, centroids: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def left: Expression = vec
+  override def right: Expression = centroids
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sd_min_sqdist"
+  override def nullSafeEval(v: Any, cs: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = cs.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var bestD = Double.MaxValue
+    var c = 0
+    val k = m.numElements()
+    while (c < k) {
+      val cv = m.getArray(c)
+      var s = 0.0
+      var i = 0
+      val nn = math.min(n, cv.numElements())
+      while (i < nn) { val d = a.getDouble(i) - cv.getDouble(i); s = s + d * d; i += 1 }
+      if (s < bestD) bestD = s
+      c += 1
+    }
+    if (k == 0) null else java.lang.Double.valueOf(bestD)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, centroids = r)
+}
+
 /** array<long> (pre-hashed tokens) -> 32-bit SimHash (bit b set iff the
   * +-1 votes of bit b across hashes sum >= 0). */
 case class SimHash32(child: Expression)

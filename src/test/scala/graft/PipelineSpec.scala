@@ -168,6 +168,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx & brute).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall $recall")
+
+    // k-means|| seeding lands one centroid per true cluster on this data:
+    // every vector's nearest seed-derived centroid is in its own cluster
+    val cents2 = IvfAnn.kmeans(vecs, col("vec_id"), col("embedding"),
+      k = 8, iters = 2, init = "parallel")
+    assert(cents2.count() == 8)
+    val approx2 = IvfAnn.search(vecs, queries, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), cents2, nProbe = 2, topK = 5)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = (approx2 & brute).size.toDouble / brute.size
+    assert(recall2 >= 0.9, s"kmeans|| recall $recall2")
+    // deterministic: same input -> same seeds
+    val againRows = IvfAnn.kmeans(vecs, col("vec_id"), col("embedding"),
+      k = 8, iters = 2, init = "parallel").orderBy("centroid_id").collect().toSeq
+    assert(cents2.orderBy("centroid_id").collect().toSeq == againRows)
+
+    // nProbe auto-tune: well-separated clusters reach target recall with
+    // few probes, and the returned setting actually meets the target
+    val np = IvfAnn.tuneNProbe(vecs, queries, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), cents2, topK = 5, recallTarget = 0.9)
+    assert(np <= 8, s"tuned nProbe $np")
+    val tuned = IvfAnn.search(vecs, queries, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), cents2, np, topK = 5)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((tuned & brute).size.toDouble / brute.size >= 0.9)
   }
 
   test("multimodal decodeBatch: schema + deterministic stub features") {
