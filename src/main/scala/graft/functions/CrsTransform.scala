@@ -99,6 +99,21 @@ object CrsTransform {
     (math.toDegrees(lam), math.toDegrees(phi))
   }
 
+  /** Single-point transform between two parsed CRS. */
+  def transformPoint(x: Double, y: Double, src: Crs, dst: Crs): (Double, Double) = {
+    if (src == dst) return (x, y)
+    val (lon, lat) = src match {
+      case LonLat => (x, y)
+      case WebMercator => mercToLonLat(x, y)
+      case Utm(z, s) => utmToLonLat(x, y, z, s)
+    }
+    dst match {
+      case LonLat => (lon, lat)
+      case WebMercator => lonLatToMerc(lon, lat)
+      case Utm(z, s) => lonLatToUtm(lon, lat, z, s)
+    }
+  }
+
   def transform(g: Geometry, from: String, to: String): Geometry = {
     val src = parse(from)
     val dst = parse(to)
@@ -108,16 +123,7 @@ object CrsTransform {
       override def filter(seq: CoordinateSequence, i: Int): Unit = {
         val x = seq.getOrdinate(i, 0)
         val y = seq.getOrdinate(i, 1)
-        val (lon, lat) = src match {
-          case LonLat => (x, y)
-          case WebMercator => mercToLonLat(x, y)
-          case Utm(z, s) => utmToLonLat(x, y, z, s)
-        }
-        val (nx, ny) = dst match {
-          case LonLat => (lon, lat)
-          case WebMercator => lonLatToMerc(lon, lat)
-          case Utm(z, s) => lonLatToUtm(lon, lat, z, s)
-        }
+        val (nx, ny) = transformPoint(x, y, src, dst)
         seq.setOrdinate(i, 0, nx)
         seq.setOrdinate(i, 1, ny)
       }

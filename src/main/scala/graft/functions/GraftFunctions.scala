@@ -40,7 +40,8 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    (GeomScalars.registry ++ RasterFunctions.registry ++ aggregates ++ sketches)
+    (GeomScalars.registry ++ RasterFunctions.registry ++ RasterOps.registry ++
+      aggregates ++ sketches)
       .foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }

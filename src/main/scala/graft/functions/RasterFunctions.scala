@@ -43,7 +43,12 @@ object RasterFunctions {
     * rs_ensureloaded (reference `needs_pixels` annotation). */
   val needsPixels: Set[String] =
     Set("rs_value", "rs_values", "rs_bandmin", "rs_bandmax", "rs_bandavg",
-      "rs_zonalstats", "rs_setbandnodatavalue")
+      "rs_zonalstats", "rs_setbandnodatavalue",
+      // RasterOps window/resample/vectorize kernels all read pixels
+      "rs_clip", "rs_tile", "rs_resample", "rs_reprojectmatch",
+      "rs_polygonize", "rs_zonalstatsall",
+      // N-D reshaping copies band bytes
+      "rs_slice", "rs_slicerange", "rs_dimtoband", "rs_bandtodim")
 
   /** Deterministic md5-prefix hash of the path — the stub loader's seed,
     * SQL-replicable for the oracle. */
@@ -53,9 +58,49 @@ object RasterFunctions {
   }
 
   private def bandValues(r: Raster, band1: Int): Array[Double] = {
-    val (_, data) = r.bands(band1 - 1)
+    val data = r.bands(band1 - 1).data
     val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     Array.fill(r.width * r.height)(bb.getDouble)
+  }
+
+  @inline private def bandDims(r: Raster, b: Int): IndexedSeq[String] =
+    r.bands(b - 1).dimsOf(r.height, r.width)
+  @inline private def bandShape(r: Raster, b: Int): IndexedSeq[Long] =
+    r.bands(b - 1).shapeOf(r.height, r.width)
+
+  /** No-band arity of the dimension accessors: every band must agree on
+    * the value (error otherwise); None when the raster has no bands. */
+  private def agreeing[T](r: Raster, fname: String)(f: Int => T): Option[T] = {
+    if (r.bands.isEmpty) return None
+    val vs = (1 to r.bands.length).map(f)
+    require(vs.distinct.length == 1, s"$fname: bands disagree: ${vs.distinct.mkString("; ")}")
+    Some(vs.head)
+  }
+
+  /** Spatial dims cannot be sliced; a name no band carries is an error
+    * (reference rs_slice.rs:329-364 pre-flight). */
+  private def validateSliceDim(r: Raster, name: String, fname: String): Unit = {
+    require(name != "y" && name != "x", s"$fname: cannot manipulate spatial dimension '$name'")
+    require(r.bands.exists(b => b.dimsOf(r.height, r.width).contains(name)),
+      s"$fname: no band has dimension '$name'")
+  }
+
+  /** C-order block slice (reference rs_slice.rs:365-377 extract_slice):
+    * take `count` consecutive indices starting at `start` along dim
+    * `di` of a band with the given full `shape`; f64 elements. */
+  private def sliceBytes(data: Array[Byte], shape: IndexedSeq[Long], di: Int,
+      start: Int, count: Int): Array[Byte] = {
+    val inner = shape.drop(di + 1).product.toInt * 8
+    val outer = shape.take(di).product.toInt
+    val stride = shape(di).toInt * inner
+    val out = new Array[Byte](outer * count * inner)
+    var o = 0
+    while (o < outer) {
+      System.arraycopy(data, o * stride + start * inner, out, o * count * inner,
+        count * inner)
+      o += 1
+    }
+    out
   }
 
   private def envelopeOf(r: Raster): org.locationtech.jts.geom.Geometry = {
@@ -67,14 +112,18 @@ object RasterFunctions {
   }
 
   val registry: Map[String, B] = Map(
-    // constructor (test/bench path; reference: RS_MakeEmptyRaster/RS_AsRaster)
-    fn("rs_makeraster", RasterModel.dataType,
-      Seq(Int_, Int_, Dbl, Dbl, Dbl, Dbl, Raw))(a => {
+    // constructor (test/bench path; reference: RS_MakeEmptyRaster/RS_AsRaster);
+    // optional trailing band count splits `vals` into nb equal bands
+    fnv("rs_makeraster", RasterModel.dataType,
+      Seq(Seq(Int_, Int_, Dbl, Dbl, Dbl, Dbl, Raw),
+        Seq(Int_, Int_, Dbl, Dbl, Dbl, Dbl, Raw, Int_)))(a => {
       val w = ii(a, 0); val h = ii(a, 1)
+      val nb = if (a.length > 7) ii(a, 7) else 1
       val vals = a(6).asInstanceOf[ArrayData].toDoubleArray()
-      require(vals.length == w * h, s"need ${w * h} values, got ${vals.length}")
+      require(vals.length == w * h * nb, s"need ${w * h * nb} values, got ${vals.length}")
       RasterModel.toRow("EPSG:0", Array(d(a, 2), d(a, 4), 0.0, d(a, 3), 0.0, d(a, 5)),
-        w, h, Seq((Double.NaN, RasterModel.packDoubles(vals))))
+        w, h, (0 until nb).map(b => RasterModel.Band(Double.NaN,
+          RasterModel.packDoubles(vals.slice(b * w * h, (b + 1) * w * h)))))
     }),
 
     // outdb reference constructor + explicit materialization (reference:
@@ -99,7 +148,7 @@ object RasterFunctions {
         val h = RasterFunctions.stubHash(r.path)
         val vals = Array.tabulate(r.width * r.height)(i => ((h + i) % 97).toDouble)
         RasterModel.toRow(r.crs, r.gt, r.width, r.height,
-          Seq((Double.NaN, RasterModel.packDoubles(vals))), r.path)
+          Seq(RasterModel.Band(Double.NaN, RasterModel.packDoubles(vals))), r.path)
       }
     }),
 
@@ -122,7 +171,7 @@ object RasterFunctions {
     fn("rs_bandnodatavalue", DoubleType, Seq(Raw, Int_))(a => {
       val r = rast(a); val b = ii(a, 1)
       if (b < 1 || b > r.bands.length) null
-      else { val nd = r.bands(b - 1)._1; if (nd.isNaN) null else nd }
+      else { val nd = r.bands(b - 1).nodata; if (nd.isNaN) null else nd }
     }),
 
     // coordinate mapping (0-based pixel coords, like the reference)
@@ -177,36 +226,160 @@ object RasterFunctions {
       val r = rast(a); r.width <= 0 || r.height <= 0
     }),
 
-    // N-D dimension surface (rs_dimensions.rs). Our band model is strictly
-    // 2D (y, x) f64 — the answers are constant per raster; the N-D
-    // reshaping ops (RS_Slice/DimToBand/BandToDim) need per-band extra
-    // dims and stay out of scope with the Zarr source.
+    // N-D dimension surface (rs_dimensions.rs): per-band dims/shape,
+    // C-order, spatial y/x last. No-band arity = all bands must agree
+    // (band-0 value; error on disagreement — rs_dimensions.rs:33).
     fnv("rs_numdimensions", IntegerType, Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
       val r = rast(a)
-      if (a.length > 1 && (ii(a, 1) < 1 || ii(a, 1) > r.bands.length)) null else 2
+      if (a.length > 1) {
+        if (ii(a, 1) < 1 || ii(a, 1) > r.bands.length) null
+        else bandDims(r, ii(a, 1)).length
+      } else agreeing(r, "rs_numdimensions")(b => bandDims(r, b).length)
+        .map(Int.box).getOrElse(2)
     }),
     fnv("rs_dimnames", ArrayType(StringType, containsNull = false),
         Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
       val r = rast(a)
-      if (a.length > 1 && (ii(a, 1) < 1 || ii(a, 1) > r.bands.length)) null
-      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("y"),
-          org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+      def arr(ds: Seq[String]) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ds.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      if (a.length > 1) {
+        if (ii(a, 1) < 1 || ii(a, 1) > r.bands.length) null
+        else arr(bandDims(r, ii(a, 1)))
+      } else arr(agreeing(r, "rs_dimnames")(b => bandDims(r, b))
+        .getOrElse(Vector("y", "x")))
     }),
-    fn("rs_dimsize", LongType, Seq(Raw, Str))(a => {
+    fnv("rs_dimsize", LongType, Seq(Seq(Raw, Str), Seq(Raw, Str, Int_)))(a => {
       val r = rast(a)
-      a(1).asInstanceOf[String] match {
-        case "y" => r.height.toLong
-        case "x" => r.width.toLong
-        case _ => null
+      val name = a(1).asInstanceOf[String]
+      val bs = if (a.length > 2) Seq(ii(a, 2)) else 1 to r.bands.length
+      val sizes = bs.filter(b => b >= 1 && b <= r.bands.length).flatMap { b =>
+        val i = bandDims(r, b).indexOf(name)
+        if (i < 0) None else Some(bandShape(r, b)(i))
+      }
+      if (r.bands.isEmpty && (name == "y" || name == "x"))
+        if (name == "y") r.height.toLong else r.width.toLong
+      else if (sizes.isEmpty) null
+      else {
+        require(sizes.distinct.length == 1,
+          s"rs_dimsize: bands disagree on dimension '$name': ${sizes.distinct.mkString(", ")}")
+        sizes.head
       }
     }),
     fnv("rs_shape", ArrayType(LongType, containsNull = false),
         Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
       val r = rast(a)
-      if (a.length > 1 && (ii(a, 1) < 1 || ii(a, 1) > r.bands.length)) null
-      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array(r.height.toLong, r.width.toLong))
+      def arr(s: Seq[Long]) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(s.toArray)
+      if (a.length > 1) {
+        if (ii(a, 1) < 1 || ii(a, 1) > r.bands.length) null
+        else arr(bandShape(r, ii(a, 1)))
+      } else arr(agreeing(r, "rs_shape")(b => bandShape(r, b))
+        .getOrElse(Vector(r.height.toLong, r.width.toLong)))
+    }),
+
+    // N-D manipulation (rs_slice.rs, rs_dim_band.rs): C-order slicing with
+    // outer x stride x inner block copies; spatial dims cannot be sliced,
+    // a dim name no band carries is an error (rs_slice.rs:329-354).
+    fn("rs_slice", RasterModel.dataType, Seq(Raw, Str, Int_))(a => {
+      val r = rast(a)
+      val name = a(1).asInstanceOf[String]
+      val idx = ii(a, 2)
+      validateSliceDim(r, name, "rs_slice")
+      val out = r.bands.map { b =>
+        val dims = b.dimsOf(r.height, r.width); val shape = b.shapeOf(r.height, r.width)
+        val di = dims.indexOf(name)
+        if (di < 0) b
+        else {
+          require(idx >= 0 && idx < shape(di),
+            s"rs_slice: index $idx out of range for dimension '$name' of size ${shape(di)}")
+          val data = sliceBytes(b.data, shape, di, idx, 1)
+          val nd = dims.patch(di, Nil, 1); val ns = shape.patch(di, Nil, 1)
+          RasterModel.Band(b.nodata, data,
+            if (nd == Vector("y", "x")) null else nd,
+            if (nd == Vector("y", "x")) null else ns)
+        }
+      }
+      RasterModel.toRow(r.crs, r.gt, r.width, r.height, out, r.path)
+    }),
+    fn("rs_slicerange", RasterModel.dataType, Seq(Raw, Str, Int_, Int_))(a => {
+      val r = rast(a)
+      val name = a(1).asInstanceOf[String]
+      val start = ii(a, 2); val end = ii(a, 3)
+      validateSliceDim(r, name, "rs_slicerange")
+      val out = r.bands.map { b =>
+        val dims = b.dimsOf(r.height, r.width); val shape = b.shapeOf(r.height, r.width)
+        val di = dims.indexOf(name)
+        if (di < 0) b
+        else {
+          require(start >= 0 && start < end && end <= shape(di),
+            s"rs_slicerange: range [$start, $end) invalid for dimension '$name' of size ${shape(di)}")
+          val data = sliceBytes(b.data, shape, di, start, end - start)
+          b.copy(data = data, shape = shape.updated(di, (end - start).toLong))
+        }
+      }
+      RasterModel.toRow(r.crs, r.gt, r.width, r.height, out, r.path)
+    }),
+    fn("rs_dimtoband", RasterModel.dataType, Seq(Raw, Str))(a => {
+      val r = rast(a)
+      val name = a(1).asInstanceOf[String]
+      validateSliceDim(r, name, "rs_dimtoband")
+      val out = r.bands.flatMap { b =>
+        val dims = b.dimsOf(r.height, r.width); val shape = b.shapeOf(r.height, r.width)
+        val di = dims.indexOf(name)
+        if (di < 0) Seq(b)
+        else {
+          val nd0 = dims.patch(di, Nil, 1); val ns0 = shape.patch(di, Nil, 1)
+          val (nd, ns) =
+            if (nd0 == Vector("y", "x")) (null, null) else (nd0, ns0)
+          (0L until shape(di)).map(i => RasterModel.Band(b.nodata,
+            sliceBytes(b.data, shape, di, i.toInt, 1), nd, ns))
+        }
+      }
+      RasterModel.toRow(r.crs, r.gt, r.width, r.height, out, r.path)
+    }),
+    fn("rs_bandtodim", RasterModel.dataType, Seq(Raw, Str))(a => {
+      val r = rast(a)
+      val name = a(1).asInstanceOf[String]
+      require(r.bands.nonEmpty, "rs_bandtodim: raster has no bands")
+      val dims = r.bands.head.dimsOf(r.height, r.width)
+      val shape = r.bands.head.shapeOf(r.height, r.width)
+      val nodata = r.bands.head.nodata
+      require(!dims.contains(name),
+        s"rs_bandtodim: dimension '$name' already exists")
+      r.bands.foreach { b =>
+        require(b.dimsOf(r.height, r.width) == dims &&
+          b.shapeOf(r.height, r.width) == shape,
+          "rs_bandtodim: bands have mismatched dims/shape")
+        require(b.nodata == nodata || (b.nodata.isNaN && nodata.isNaN),
+          "rs_bandtodim: bands have mismatched nodata")
+      }
+      val data = new Array[Byte](r.bands.map(_.data.length).sum)
+      var off = 0
+      r.bands.foreach { b =>
+        System.arraycopy(b.data, 0, data, off, b.data.length); off += b.data.length
+      }
+      RasterModel.toRow(r.crs, r.gt, r.width, r.height,
+        Seq(RasterModel.Band(nodata, data, name +: dims, r.bands.length.toLong +: shape)),
+        r.path)
+    }),
+
+    // flat metadata struct (rs_metadata.rs:46-62; tileWidth/Height = full
+    // grid for our untiled in-db model)
+    fn("rs_metadata", StructType(Seq(
+        StructField("upperLeftX", DoubleType), StructField("upperLeftY", DoubleType),
+        StructField("gridWidth", LongType), StructField("gridHeight", LongType),
+        StructField("scaleX", DoubleType), StructField("scaleY", DoubleType),
+        StructField("skewX", DoubleType), StructField("skewY", DoubleType),
+        StructField("srid", IntegerType),
+        StructField("numSampleDimensions", IntegerType),
+        StructField("tileWidth", LongType), StructField("tileHeight", LongType))),
+        Seq(Raw))(a => {
+      val r = rast(a)
+      val srid: Any =
+        if (r.crs == null || r.crs.isEmpty) null else GeomScalars.parseCrsSrid(r.crs)
+      new GenericInternalRow(Array[Any](r.gt(0), r.gt(3),
+        r.width.toLong, r.height.toLong, r.gt(1), r.gt(5), r.gt(2), r.gt(4),
+        srid, r.bands.length, r.width.toLong, r.height.toLong))
     }),
 
     // geotransform extras (rs_geotransform.rs; rotation formula from
@@ -236,7 +409,7 @@ object RasterFunctions {
       val (b, v) = if (a.length == 2) (1, d(a, 1)) else (ii(a, 1), d(a, 2))
       if (b < 1 || b > r.bands.length) null
       else RasterModel.toRow(r.crs, r.gt, r.width, r.height,
-        r.bands.updated(b - 1, (v, r.bands(b - 1)._2)), r.path)
+        r.bands.updated(b - 1, r.bands(b - 1).copy(nodata = v)), r.path)
     }),
     fnv("rs_setgeoreference", RasterModel.dataType,
         Seq(Seq(Raw, Str), Seq(Raw, Str, Str)))(a => {
@@ -296,7 +469,7 @@ object RasterFunctions {
       val w = 64; val h = 32
       val bands = (1 to 3).map { b =>
         val vals = Array.fill(w * h)(b.toDouble); vals(0) = 127.0
-        (127.0, RasterModel.packDoubles(vals))
+        RasterModel.Band(127.0, RasterModel.packDoubles(vals))
       }
       RasterModel.toRow("EPSG:4326", Array(43.08, 2.0, 1.0, 79.07, 1.0, 2.0), w, h, bands)
     }),

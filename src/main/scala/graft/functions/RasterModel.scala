@@ -17,9 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RasterModel {
 
+  // dims/shape carry per-band N-D structure (reference raster.rs:36-96
+  // band fields dim_names/source_shape): C-order, spatial "y","x" always
+  // the LAST two entries; null means plain 2D ["y","x"]/[height,width].
   val bandType: StructType = StructType(Seq(
     StructField("nodata", DoubleType),
-    StructField("data", BinaryType)))
+    StructField("data", BinaryType),
+    StructField("dims", ArrayType(StringType, containsNull = false)),
+    StructField("shape", ArrayType(LongType, containsNull = false))))
 
   val dataType: StructType = StructType(Seq(
     StructField("crs", StringType),
@@ -32,8 +37,18 @@ object RasterModel {
     // empty bands = pixels not materialized yet
     StructField("path", StringType)))
 
+  /** One band: f64-LE pixel bytes plus optional N-D structure. */
+  case class Band(nodata: Double, data: Array[Byte],
+      dims: IndexedSeq[String] = null, shape: IndexedSeq[Long] = null) {
+    /** Full dim-name list, spatial last ("y","x" default for 2D bands). */
+    def dimsOf(h: Int, w: Int): IndexedSeq[String] =
+      if (dims == null) Vector("y", "x") else dims
+    def shapeOf(h: Int, w: Int): IndexedSeq[Long] =
+      if (shape == null) Vector(h.toLong, w.toLong) else shape
+  }
+
   case class Raster(crs: String, gt: Array[Double], width: Int, height: Int,
-      bands: IndexedSeq[(Double, Array[Byte])], path: String = null) {
+      bands: IndexedSeq[Band], path: String = null) {
     def isOutDb: Boolean = path != null && bands.isEmpty
     def worldX(col: Double, row: Double): Double = gt(0) + col * gt(1) + row * gt(2)
     def worldY(col: Double, row: Double): Double = gt(3) + col * gt(4) + row * gt(5)
@@ -46,7 +61,8 @@ object RasterModel {
     def value(band1: Int, col: Int, row: Int): java.lang.Double = {
       if (band1 < 1 || band1 > bands.length) return null
       if (col < 0 || col >= width || row < 0 || row >= height) return null
-      val (nodata, data) = bands(band1 - 1)
+      if (bands(band1 - 1).dims != null && bands(band1 - 1).dims.length != 2) return null
+      val Band(nodata, data, _, _) = bands(band1 - 1)
       val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val v = bb.getDouble((row * width + col) * 8)
       if (v == nodata) null else java.lang.Double.valueOf(v)
@@ -60,20 +76,26 @@ object RasterModel {
       r.getArray(1).toDoubleArray(),
       r.getInt(2), r.getInt(3),
       (0 until bandsArr.numElements()).map { i =>
-        val b = bandsArr.getStruct(i, 2)
-        (b.getDouble(0), b.getBinary(1))
+        val b = bandsArr.getStruct(i, 4)
+        Band(b.getDouble(0), b.getBinary(1),
+          if (b.isNullAt(2)) null
+          else b.getArray(2).toObjectArray(StringType).map(_.toString).toIndexedSeq,
+          if (b.isNullAt(3)) null else b.getArray(3).toLongArray().toIndexedSeq)
       },
       if (r.numFields > 5 && !r.isNullAt(5)) r.getUTF8String(5).toString else null)
   }
 
   def toRow(crs: String, gt: Array[Double], width: Int, height: Int,
-      bands: Seq[(Double, Array[Byte])], path: String = null): InternalRow =
+      bands: Seq[Band], path: String = null): InternalRow =
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(crs),
       new GenericArrayData(gt),
       width, height,
-      new GenericArrayData(bands.map { case (nodata, data) =>
-        new GenericInternalRow(Array[Any](nodata, data))
+      new GenericArrayData(bands.map { case Band(nodata, data, dims, shape) =>
+        new GenericInternalRow(Array[Any](nodata, data,
+          if (dims == null) null
+          else new GenericArrayData(dims.map(UTF8String.fromString).toArray[Any]),
+          if (shape == null) null else new GenericArrayData(shape.toArray)))
       }.toArray[Any]),
       if (path == null) null else UTF8String.fromString(path)))
 

@@ -1,0 +1,463 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.geom.prep.PreparedGeometryFactory
+import graft.geom.GeomIO
+import RasterModel.{Band, Raster}
+
+/** Window / resample / rasterize / vectorize raster kernels — pure-math
+  * ports of the reference's GDAL-backed surface
+  * (rust/sedona-raster-gdal/src: rs_clip.rs, rs_tile.rs, rs_resample.rs,
+  * rs_reproject_match.rs, rs_as_raster.rs, rs_polygonize.rs,
+  * rs_zonal_stats.rs) over the in-db f64 band model. CRS warps use the
+  * hand-coded EPSG subset in [[CrsTransform]] (no GDAL/PROJ offline).
+  */
+object RasterOps {
+  import ArgKind._
+
+  type B = Seq[Expression] => Expression
+
+  private def fnv(name: String, out: DataType, arities: Seq[Seq[ArgKind.Value]])(
+      k: Array[Any] => Any): (String, B) = {
+    val byArity = arities.map(ks => ks.length -> ks).toMap
+    name -> ((children: Seq[Expression]) => GeomScalar(name, children, out,
+      byArity.getOrElse(children.length, throw new IllegalArgumentException(
+        s"$name: expected ${byArity.keys.toSeq.sorted.mkString("/")} args, got ${children.length}")),
+      k))
+  }
+
+  @inline private def rast(a: Array[Any], i: Int = 0): Raster =
+    RasterModel.fromRow(a(i).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+  @inline private def d(a: Array[Any], i: Int): Double = a(i).asInstanceOf[Double]
+  @inline private def ii(a: Array[Any], i: Int): Int = a(i).asInstanceOf[Int]
+  @inline private def bb(a: Array[Any], i: Int): Boolean = a(i).asInstanceOf[Boolean]
+
+  /** Raw band value at (col, row) ignoring nodata masking; NaN outside. */
+  @inline private def rawValue(r: Raster, band1: Int, c: Int, row: Int): Double = {
+    if (c < 0 || c >= r.width || row < 0 || row >= r.height) return Double.NaN
+    val data = r.bands(band1 - 1).data
+    java.lang.Double.longBitsToDouble(
+      readLongLE(data, (row.toLong * r.width + c).toInt * 8))
+  }
+
+  @inline private def readLongLE(b: Array[Byte], off: Int): Long = {
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16) |
+      ((b(off + 3) & 0xffL) << 24) | ((b(off + 4) & 0xffL) << 32) |
+      ((b(off + 5) & 0xffL) << 40) | ((b(off + 6) & 0xffL) << 48) |
+      ((b(off + 7) & 0xffL) << 56)
+  }
+
+  @inline private def isNd(v: Double, nodata: Double): Boolean =
+    v.isNaN || v == nodata
+
+  /** Pixel window (inclusive col/row bounds, clamped) covering a world
+    * envelope under the raster's inverse affine. */
+  private def windowOf(r: Raster, env: org.locationtech.jts.geom.Envelope)
+      : Option[(Int, Int, Int, Int)] = {
+    val cs = Seq(
+      r.rasterCoord(env.getMinX, env.getMinY), r.rasterCoord(env.getMinX, env.getMaxY),
+      r.rasterCoord(env.getMaxX, env.getMinY), r.rasterCoord(env.getMaxX, env.getMaxY))
+    val c0 = math.max(0, math.floor(cs.map(_._1).min).toInt)
+    val c1 = math.min(r.width - 1, math.ceil(cs.map(_._1).max).toInt - 1)
+    val r0 = math.max(0, math.floor(cs.map(_._2).min).toInt)
+    val r1 = math.min(r.height - 1, math.ceil(cs.map(_._2).max).toInt - 1)
+    if (c0 > c1 || r0 > r1) None else Some((c0, c1, r0, r1))
+  }
+
+  /** Geotransform translated so pixel (c0, r0) becomes the origin. */
+  private def shiftGt(gt: Array[Double], c0: Double, r0: Double): Array[Double] =
+    Array(gt(0) + c0 * gt(1) + r0 * gt(2), gt(1), gt(2),
+      gt(3) + c0 * gt(4) + r0 * gt(5), gt(4), gt(5))
+
+  /** Pixel hit test: center covered, or (allTouched) cell box intersects. */
+  private def pixelHit(r: Raster, pg: org.locationtech.jts.geom.prep.PreparedGeometry,
+      c: Int, row: Int, allTouched: Boolean): Boolean = {
+    if (allTouched) {
+      val xs = Seq(r.worldX(c, row), r.worldX(c + 1, row), r.worldX(c, row + 1),
+        r.worldX(c + 1, row + 1))
+      val ys = Seq(r.worldY(c, row), r.worldY(c + 1, row), r.worldY(c, row + 1),
+        r.worldY(c + 1, row + 1))
+      pg.intersects(GeomIO.envelope(xs.min, ys.min, xs.max, ys.max))
+    } else pg.covers(GeomIO.point(r.worldX(c + 0.5, row + 0.5), r.worldY(c + 0.5, row + 0.5)))
+  }
+
+  /** Zone pixel values for the zonal kernels (band `band1`, ROI hit test,
+    * optional nodata exclusion), window-clipped to the ROI envelope. */
+  private def zoneValues(r: Raster, zone: Geometry, band1: Int,
+      allTouched: Boolean, excludeNoData: Boolean): Array[Double] = {
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    windowOf(r, zone.getEnvelopeInternal).foreach { case (c0, c1, r0, r1) =>
+      val pg = PreparedGeometryFactory.prepare(zone)
+      val nodata = r.bands(band1 - 1).nodata
+      var row = r0
+      while (row <= r1) {
+        var c = c0
+        while (c <= c1) {
+          if (pixelHit(r, pg, c, row, allTouched)) {
+            val v = rawValue(r, band1, c, row)
+            if (!(excludeNoData && isNd(v, nodata))) out += v
+          }
+          c += 1
+        }
+        row += 1
+      }
+    }
+    out.toArray
+  }
+
+  private def sampleNearest(src: Raster, band1: Int, fc: Double, fr: Double): Double = {
+    val c = math.floor(fc).toInt; val row = math.floor(fr).toInt
+    rawValue(src, band1, c, row)
+  }
+
+  /** Bilinear sample in pixel-center space; nodata/outside neighbors make
+    * the result nodata (NaN). */
+  private def sampleBilinear(src: Raster, band1: Int, fc: Double, fr: Double,
+      nodata: Double): Double = {
+    val cx = fc - 0.5; val cy = fr - 0.5
+    val c0 = math.floor(cx).toInt; val r0 = math.floor(cy).toInt
+    val tx = cx - c0; val ty = cy - r0
+    val v00 = rawValue(src, band1, c0, r0)
+    val v10 = rawValue(src, band1, c0 + 1, r0)
+    val v01 = rawValue(src, band1, c0, r0 + 1)
+    val v11 = rawValue(src, band1, c0 + 1, r0 + 1)
+    if (isNd(v00, nodata) || isNd(v10, nodata) || isNd(v01, nodata) || isNd(v11, nodata))
+      Double.NaN
+    else (v00 * (1 - tx) + v10 * tx) * (1 - ty) + (v01 * (1 - tx) + v11 * tx) * ty
+  }
+
+  private def parseAlgorithm(s: String): Boolean = s.toLowerCase match {
+    case "nearestneighbor" | "nearestneighbour" | "nearest" | "nn" | "near" => false
+    case "bilinear" => true
+    case other => throw new IllegalArgumentException(
+      s"unsupported resample algorithm '$other' (nearestneighbor/bilinear)")
+  }
+
+  /** Resample `src` band-for-band onto the grid (gt, w, h) in the same
+    * coordinate space as `worldToSrc` maps from (identity for RS_Resample,
+    * a CRS warp for RS_ReprojectMatch). */
+  private def resampleTo(src: Raster, gt: Array[Double], w: Int, h: Int, crs: String,
+      bilinear: Boolean, worldToSrc: (Double, Double) => (Double, Double)): Any = {
+    val out = Raster(crs, gt, w, h, IndexedSeq.empty)
+    val bands = src.bands.zipWithIndex.map { case (b, bi) =>
+      val vals = new Array[Double](w * h)
+      var row = 0
+      while (row < h) {
+        var c = 0
+        while (c < w) {
+          val wx = out.worldX(c + 0.5, row + 0.5)
+          val wy = out.worldY(c + 0.5, row + 0.5)
+          val (sx, sy) = worldToSrc(wx, wy)
+          val (fc, fr) = src.rasterCoord(sx, sy)
+          val v =
+            if (bilinear) sampleBilinear(src, bi + 1, fc, fr, b.nodata)
+            else sampleNearest(src, bi + 1, fc, fr)
+          vals(row * w + c) = if (v.isNaN && !b.nodata.isNaN) b.nodata else v
+          c += 1
+        }
+        row += 1
+      }
+      Band(b.nodata, RasterModel.packDoubles(vals))
+    }
+    RasterModel.toRow(crs, gt, w, h, bands, src.path)
+  }
+
+  private val tileStructType = StructType(Seq(
+    StructField("x", IntegerType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("tile", RasterModel.dataType)))
+
+  val registry: Map[String, B] = Map(
+    // ------------------------------------------------------------------
+    // RS_Clip(raster, band, geom[, allTouched[, noDataValue[, crop]]])
+    // (rs_clip.rs:57-65; lenient arg omitted — we always error loudly).
+    // Single selected band, pixels outside `geom` set to nodata; crop
+    // (default true) shrinks the extent to the geometry's pixel window.
+    fnv("rs_clip", RasterModel.dataType,
+        Seq(Seq(Raw, Int_, Geom), Seq(Raw, Int_, Geom, Bool),
+          Seq(Raw, Int_, Geom, Bool, Dbl), Seq(Raw, Int_, Geom, Bool, Dbl, Bool)))(a => {
+      val r = rast(a)
+      val band = ii(a, 1)
+      val g = a(2).asInstanceOf[Geometry]
+      val allTouched = a.length > 3 && bb(a, 3)
+      val nodata = if (a.length > 4) d(a, 4) else r.bands(band - 1).nodata
+      val crop = a.length <= 5 || bb(a, 5)
+      require(band >= 1 && band <= r.bands.length, s"rs_clip: band $band out of range")
+      windowOf(r, g.getEnvelopeInternal) match {
+        case None => null // no overlap
+        case Some((c0, c1, r0, r1)) =>
+          val (w0, h0, cOff, rOff) =
+            if (crop) (c1 - c0 + 1, r1 - r0 + 1, c0, r0)
+            else (r.width, r.height, 0, 0)
+          val pg = PreparedGeometryFactory.prepare(g)
+          val vals = Array.fill(w0 * h0)(nodata)
+          var row = r0
+          while (row <= r1) {
+            var c = c0
+            while (c <= c1) {
+              if (pixelHit(r, pg, c, row, allTouched)) {
+                val v = rawValue(r, band, c, row)
+                vals((row - rOff) * w0 + (c - cOff)) = v
+              }
+              c += 1
+            }
+            row += 1
+          }
+          RasterModel.toRow(r.crs, shiftGt(r.gt, cOff, rOff), w0, h0,
+            Seq(Band(nodata, RasterModel.packDoubles(vals))), r.path)
+      }
+    }),
+
+    // ------------------------------------------------------------------
+    // RS_Tile(raster, width, height[, padWithNoData[, noDataVal]])
+    // (rs_tile.rs:55-66; the bandIndices shape is covered by composing
+    // rs_tile over rs_clip/band selection). Returns list<struct<x,y,tile>>
+    // in row-major (y, x) tile order.
+    fnv("rs_tile", ArrayType(tileStructType, containsNull = false),
+        Seq(Seq(Raw, Int_, Int_), Seq(Raw, Int_, Int_, Bool),
+          Seq(Raw, Int_, Int_, Bool, Dbl)))(a => {
+      val r = rast(a)
+      val tw = ii(a, 1); val th = ii(a, 2)
+      val pad = a.length > 3 && bb(a, 3)
+      require(tw > 0 && th > 0, s"rs_tile: tile size ${tw}x$th must be positive")
+      val ndOverride = if (a.length > 4) Some(d(a, 4)) else None
+      val nTx = (r.width + tw - 1) / tw
+      val nTy = (r.height + th - 1) / th
+      val tiles = new Array[Any](nTx * nTy)
+      var ty = 0
+      while (ty < nTy) {
+        var tx = 0
+        while (tx < nTx) {
+          val c0 = tx * tw; val r0 = ty * th
+          val w0 = if (pad) tw else math.min(tw, r.width - c0)
+          val h0 = if (pad) th else math.min(th, r.height - r0)
+          val bands = r.bands.zipWithIndex.map { case (b, bi) =>
+            val nd = ndOverride.getOrElse(b.nodata)
+            val vals = new Array[Double](w0 * h0)
+            var row = 0
+            while (row < h0) {
+              var c = 0
+              while (c < w0) {
+                val v = rawValue(r, bi + 1, c0 + c, r0 + row)
+                vals(row * w0 + c) = if (v.isNaN && !nd.isNaN) nd else v
+                c += 1
+              }
+              row += 1
+            }
+            Band(nd, RasterModel.packDoubles(vals))
+          }
+          tiles(ty * nTx + tx) = new GenericInternalRow(Array[Any](tx, ty,
+            RasterModel.toRow(r.crs, shiftGt(r.gt, c0, r0), w0, h0, bands, r.path)))
+          tx += 1
+        }
+        ty += 1
+      }
+      new GenericArrayData(tiles)
+    }),
+
+    // ------------------------------------------------------------------
+    // RS_Resample (rs_resample.rs:75-81, Sedona Spark overload ladder):
+    //   (raster, refRaster, useScale, algorithm)
+    //   (raster, widthOrScale, heightOrScale, useScale, algorithm)
+    //   (raster, widthOrScale, heightOrScale, gridX, gridY, useScale, algorithm)
+    // Same-CRS grid change; nearestneighbor or bilinear sampling.
+    fnv("rs_resample", RasterModel.dataType,
+        Seq(Seq(Raw, Raw, Bool, Str), Seq(Raw, Dbl, Dbl, Bool, Str),
+          Seq(Raw, Dbl, Dbl, Dbl, Dbl, Bool, Str)))(a => {
+      val src = rast(a)
+      val (gt, w, h, bilinear) =
+        if (a.length == 4) {
+          // grid and origin from the reference raster (rs_resample.rs:175-177)
+          val ref = rast(a, 1)
+          require(ref.crs == src.crs,
+            s"rs_resample: reference CRS ${ref.crs} != source CRS ${src.crs}")
+          val useScale = bb(a, 2)
+          val alg = parseAlgorithm(a(3).asInstanceOf[String])
+          if (useScale) {
+            // reference scale, dims sized to cover the source extent
+            val w2 = math.max(1, math.round(src.width * src.gt(1) / ref.gt(1)).toInt)
+            val h2 = math.max(1, math.round(src.height * src.gt(5) / ref.gt(5)).toInt)
+            (Array(src.gt(0), ref.gt(1), 0.0, src.gt(3), 0.0, ref.gt(5)), w2, h2, alg)
+          } else (ref.gt.clone(), ref.width, ref.height, alg)
+        } else {
+          val useScale = bb(a, a.length - 2)
+          val alg = parseAlgorithm(a(a.length - 1).asInstanceOf[String])
+          val (nsx, nsy, w2, h2) =
+            if (useScale) {
+              val sx = d(a, 1); val sy = d(a, 2)
+              require(sx != 0 && sy != 0, "rs_resample: zero scale")
+              (sx, sy, math.max(1, math.round(src.width * src.gt(1) / sx).toInt),
+                math.max(1, math.round(src.height * src.gt(5) / sy).toInt))
+            } else {
+              val w2 = d(a, 1).toInt; val h2 = d(a, 2).toInt
+              require(w2 > 0 && h2 > 0, "rs_resample: target size must be positive")
+              (src.width * src.gt(1) / w2, src.height * src.gt(5) / h2, w2, h2)
+            }
+          var ulx = src.gt(0); var uly = src.gt(3)
+          if (a.length == 7) {
+            // snap the grid so (gridX, gridY) lies on a pixel corner
+            val gx = d(a, 3); val gy = d(a, 4)
+            ulx = gx + math.round((ulx - gx) / nsx) * nsx
+            uly = gy + math.round((uly - gy) / nsy) * nsy
+          }
+          (Array(ulx, nsx, 0.0, uly, 0.0, nsy), w2, h2, alg)
+        }
+      resampleTo(src, gt, w, h, src.crs, bilinear, (x, y) => (x, y))
+    }),
+
+    // ------------------------------------------------------------------
+    // RS_ReprojectMatch(raster, reference[, algorithm])
+    // (rs_reproject_match.rs:66-73): warp onto the reference's CRS + grid
+    // + envelope through the hand-coded EPSG transforms.
+    fnv("rs_reprojectmatch", RasterModel.dataType,
+        Seq(Seq(Raw, Raw), Seq(Raw, Raw, Str)))(a => {
+      val src = rast(a)
+      val ref = rast(a, 1)
+      val bilinear = a.length > 2 && parseAlgorithm(a(2).asInstanceOf[String])
+      val warp: (Double, Double) => (Double, Double) =
+        if (src.crs == ref.crs) (x, y) => (x, y)
+        else {
+          val from = CrsTransform.parse(ref.crs)
+          val to = CrsTransform.parse(src.crs)
+          (x, y) => CrsTransform.transformPoint(x, y, from, to)
+        }
+      resampleTo(src, ref.gt.clone(), ref.width, ref.height, ref.crs, bilinear, warp)
+    }),
+
+    // ------------------------------------------------------------------
+    // RS_AsRaster(geom, raster, pixelType[, allTouched[, value[, noData]]])
+    // (rs_as_raster.rs:84-99): burn `value` (default 1.0) into the
+    // geometry's pixel footprint on a grid aligned with the reference
+    // raster and covering the geometry envelope; background = noData
+    // (default 0.0). pixelType accepted for signature parity (bands are
+    // always f64 here).
+    fnv("rs_asraster", RasterModel.dataType,
+        Seq(Seq(Geom, Raw, Str), Seq(Geom, Raw, Str, Bool),
+          Seq(Geom, Raw, Str, Bool, Dbl), Seq(Geom, Raw, Str, Bool, Dbl, Dbl)))(a => {
+      val g = a(0).asInstanceOf[Geometry]
+      val ref = rast(a, 1)
+      val allTouched = a.length > 3 && bb(a, 3)
+      val value = if (a.length > 4) d(a, 4) else 1.0
+      val nodata = if (a.length > 5) d(a, 5) else 0.0
+      val env = g.getEnvelopeInternal
+      // snap the window OUT to the reference grid (fractional coords of
+      // the envelope corners, floor/ceil to whole pixels)
+      val cs = Seq(
+        ref.rasterCoord(env.getMinX, env.getMinY), ref.rasterCoord(env.getMinX, env.getMaxY),
+        ref.rasterCoord(env.getMaxX, env.getMinY), ref.rasterCoord(env.getMaxX, env.getMaxY))
+      val c0 = math.floor(cs.map(_._1).min).toInt
+      val c1 = math.max(c0 + 1, math.ceil(cs.map(_._1).max).toInt)
+      val r0 = math.floor(cs.map(_._2).min).toInt
+      val r1 = math.max(r0 + 1, math.ceil(cs.map(_._2).max).toInt)
+      val w = c1 - c0; val h = r1 - r0
+      val gt = shiftGt(ref.gt, c0, r0)
+      val out = Raster(ref.crs, gt, w, h, IndexedSeq.empty)
+      val pg = PreparedGeometryFactory.prepare(g)
+      val vals = Array.fill(w * h)(nodata)
+      var row = 0
+      while (row < h) {
+        var c = 0
+        while (c < w) {
+          if (pixelHit(out, pg, c, row, allTouched)) vals(row * w + c) = value
+          c += 1
+        }
+        row += 1
+      }
+      RasterModel.toRow(ref.crs, gt, w, h, Seq(Band(nodata, RasterModel.packDoubles(vals))))
+    }),
+
+    // ------------------------------------------------------------------
+    // RS_Polygonize(raster, band) -> list<struct<geom, value>>
+    // (rs_polygonize.rs:48-65): 4-connected regions of equal pixel value,
+    // nodata skipped; one polygon per region (union of its pixel cells),
+    // regions emitted in scan order of their first pixel.
+    fnv("rs_polygonize", ArrayType(StructType(Seq(
+        StructField("geom", BinaryType), StructField("value", DoubleType))),
+        containsNull = false), Seq(Seq(Raw, Int_)))(a => {
+      val r = rast(a)
+      val band = ii(a, 1)
+      require(band >= 1 && band <= r.bands.length, s"rs_polygonize: band $band out of range")
+      val nodata = r.bands(band - 1).nodata
+      val w = r.width; val h = r.height
+      val seen = new Array[Boolean](w * h)
+      val out = scala.collection.mutable.ArrayBuffer[Any]()
+      val queue = new java.util.ArrayDeque[Int]()
+      var start = 0
+      while (start < w * h) {
+        if (!seen(start)) {
+          val v0 = rawValue(r, band, start % w, start / w)
+          seen(start) = true
+          if (!isNd(v0, nodata)) {
+            // BFS the region, collecting cell rectangles
+            val cells = scala.collection.mutable.ArrayBuffer[Geometry]()
+            queue.clear(); queue.add(start)
+            while (!queue.isEmpty) {
+              val p = queue.poll()
+              val c = p % w; val row = p / w
+              val xs = Seq(r.worldX(c, row), r.worldX(c + 1, row),
+                r.worldX(c, row + 1), r.worldX(c + 1, row + 1))
+              val ys = Seq(r.worldY(c, row), r.worldY(c + 1, row),
+                r.worldY(c, row + 1), r.worldY(c + 1, row + 1))
+              cells += GeomIO.envelope(xs.min, ys.min, xs.max, ys.max)
+              Seq((c - 1, row), (c + 1, row), (c, row - 1), (c, row + 1)).foreach {
+                case (nc, nr) =>
+                  if (nc >= 0 && nc < w && nr >= 0 && nr < h && !seen(nr * w + nc) &&
+                      rawValue(r, band, nc, nr) == v0) {
+                    seen(nr * w + nc) = true
+                    queue.add(nr * w + nc)
+                  }
+              }
+            }
+            val merged = org.locationtech.jts.operation.overlayng.OverlayNGRobust
+              .union(scala.jdk.CollectionConverters.BufferHasAsJava(cells).asJava)
+            out += new GenericInternalRow(Array[Any](GeomIO.write(merged), v0))
+          }
+        }
+        start += 1
+      }
+      new GenericArrayData(out.toArray)
+    }),
+
+    // ------------------------------------------------------------------
+    // RS_ZonalStatsAll(raster, roi[, band[, allTouched[, excludeNoData]]])
+    // (rs_zonal_stats.rs:31-38, fields :558-568): count/sum/mean/median/
+    // mode/stddev/variance/min/max. Median interpolates the two middles;
+    // mode ties break to the smallest value; stddev/variance population.
+    fnv("rs_zonalstatsall", StructType(Seq(
+        StructField("count", LongType), StructField("sum", DoubleType),
+        StructField("mean", DoubleType), StructField("median", DoubleType),
+        StructField("mode", DoubleType), StructField("stddev", DoubleType),
+        StructField("variance", DoubleType), StructField("min", DoubleType),
+        StructField("max", DoubleType))),
+        Seq(Seq(Raw, Geom), Seq(Raw, Geom, Int_), Seq(Raw, Geom, Int_, Bool),
+          Seq(Raw, Geom, Int_, Bool, Bool)))(a => {
+      val r = rast(a)
+      val zone = a(1).asInstanceOf[Geometry]
+      val band = if (a.length > 2) ii(a, 2) else 1
+      val allTouched = a.length > 3 && bb(a, 3)
+      val excludeNoData = a.length <= 4 || bb(a, 4)
+      require(band >= 1 && band <= r.bands.length,
+        s"rs_zonalstatsall: band $band out of range")
+      val vs = zoneValues(r, zone, band, allTouched, excludeNoData)
+      if (vs.isEmpty)
+        new GenericInternalRow(Array[Any](0L, null, null, null, null, null, null, null, null))
+      else {
+        val n = vs.length
+        val sum = vs.sum
+        val mean = sum / n
+        val sorted = vs.sorted
+        val median =
+          if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+        val mode = vs.groupBy(identity).toSeq
+          .map { case (v, g) => (v, g.length) }
+          .minBy { case (v, cnt) => (-cnt, v) }._1
+        val variance = vs.map(v => (v - mean) * (v - mean)).sum / n
+        new GenericInternalRow(Array[Any](n.toLong, sum, mean, median, mode,
+          math.sqrt(variance), variance, sorted.head, sorted.last))
+      }
+    })
+  )
+}

@@ -379,6 +379,104 @@ object SpatialQueries {
           st.f("rs_upperlefty", col("raster")).as("uly"))
     }),
 
+    // N-D raster surface: band<->dim reshaping, C-order slicing, dim
+    // accessors, flat metadata struct (reference rs_slice.rs /
+    // rs_dim_band.rs / rs_metadata.rs)
+    "rs06_nd_slice" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "part")
+        .withColumn("ulx", (col("p_partkey") % 100).cast("double") * 10.0)
+        .withColumn("uly", (col("p_size") % 50).cast("double") * 10.0)
+        .withColumn("vals", transform(sequence(lit(0), lit(23)),
+          i => ((col("p_partkey") * 3 + i) % 101).cast("double")))
+        .withColumn("r", st.f("rs_makeraster", lit(4), lit(3), col("ulx"), col("uly"),
+          lit(2.0), lit(-2.0), col("vals"), lit(2)))
+        .withColumn("m", st.f("rs_bandtodim", col("r"), lit("b")))
+        .withColumn("md", st.f("rs_metadata", col("r")))
+        .select(col("p_partkey"),
+          st.f("rs_numbands", col("m")).as("nb_merged"),
+          st.f("rs_numdimensions", col("m")).as("ndims"),
+          array_join(st.f("rs_dimnames", col("m")), ",").as("dims"),
+          st.f("rs_dimsize", col("m"), lit("b")).as("bsize"),
+          element_at(st.f("rs_shape", col("m")), 1).as("shp0"),
+          // slice out band 2 (index 1 along 'b') -> plain 2D band;
+          // pixel (col 2, row 1) = vals[12 + 1*4 + 2] = vals[18]
+          st.f("rs_value", st.f("rs_slice", col("m"), lit("b"), lit(1)),
+            lit(1), lit(2), lit(1)).as("v_slice"),
+          st.f("rs_dimsize", st.f("rs_slicerange", col("m"), lit("b"), lit(1), lit(2)),
+            lit("b")).as("range_bsize"),
+          // dim->band roundtrip: band 2 pixel (col 1, row 2) = vals[12 + 2*4 + 1]
+          st.f("rs_numbands", st.f("rs_dimtoband", col("m"), lit("b"))).as("nb_back"),
+          st.f("rs_value", st.f("rs_dimtoband", col("m"), lit("b")),
+            lit(2), lit(1), lit(2)).as("v_back"),
+          st.f("rs_bandavg", st.f("rs_dimtoband", col("m"), lit("b")), lit(1)).as("bavg1"),
+          col("md.gridWidth").as("gw"), col("md.scaleY").as("msy"),
+          col("md.numSampleDimensions").as("nsd"), col("md.srid").as("msrid"))
+    }),
+
+    // GDAL-surface raster ops, pure math: clip window, tiling, nearest +
+    // bilinear resampling, reproject-match, rasterize, polygonize,
+    // full zonal statistics (reference rust/sedona-raster-gdal)
+    "rs07_raster_ops" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "part")
+        .withColumn("ulx", (col("p_partkey") % 100).cast("double") * 10.0)
+        .withColumn("uly", (col("p_size") % 50).cast("double") * 10.0)
+        .withColumn("vals", transform(sequence(lit(0), lit(15)),
+          i => ((col("p_partkey") + i) % 7).cast("double")))
+        .withColumn("r", st.f("rs_makeraster", lit(4), lit(4), col("ulx"), col("uly"),
+          lit(1.0), lit(-1.0), col("vals")))
+        .withColumn("clip", st.f("rs_clip", col("r"), lit(1),
+          st.makeEnvelope(col("ulx") + 2.0, col("uly") - 4.0,
+            col("ulx") + 4.0, col("uly") - 2.0)))
+        .withColumn("tiles", st.f("rs_tile", col("r"), lit(3), lit(3)))
+        .withColumn("near", st.f("rs_resample", col("r"), lit(2.0), lit(2.0),
+          lit(false), lit("nearestneighbor")))
+        .withColumn("bili", st.f("rs_resample", col("r"), lit(2.0), lit(2.0),
+          lit(false), lit("bilinear")))
+        .withColumn("refg", st.f("rs_makeraster", lit(2), lit(2), col("ulx"), col("uly"),
+          lit(2.0), lit(-2.0), array(lit(0.0), lit(0.0), lit(0.0), lit(0.0))))
+        .withColumn("rpm", st.f("rs_reprojectmatch",
+          st.f("rs_setcrs", col("r"), lit("EPSG:4326")),
+          st.f("rs_setcrs", col("refg"), lit("EPSG:4326"))))
+        .withColumn("burn", st.f("rs_asraster",
+          st.makeEnvelope(col("ulx") + 1.0, col("uly") - 3.0,
+            col("ulx") + 3.0, col("uly") - 1.0),
+          col("r"), lit("d"), lit(false), lit(7.0), lit(0.0)))
+        .withColumn("stripes", st.f("rs_makeraster", lit(2), lit(2),
+          col("ulx"), col("uly"), lit(1.0), lit(-1.0),
+          array((col("p_partkey") % 7).cast("double"),
+            ((col("p_partkey") + 1) % 7).cast("double"),
+            (col("p_partkey") % 7).cast("double"),
+            ((col("p_partkey") + 1) % 7).cast("double"))))
+        .withColumn("polys", st.f("rs_polygonize", col("stripes"), lit(1)))
+        .withColumn("zs", st.f("rs_zonalstatsall", col("r"),
+          st.makeEnvelope(col("ulx"), col("uly") - 4.0,
+            col("ulx") + 4.0, col("uly")), lit(1)))
+        .select(col("p_partkey"),
+          st.f("rs_width", col("clip")).as("clip_w"),
+          st.f("rs_upperleftx", col("clip")).as("clip_ulx"),
+          st.f("rs_value", col("clip"), lit(1), lit(0), lit(0)).as("clip_v00"),
+          size(col("tiles")).as("tile_n"),
+          st.f("rs_width", element_at(col("tiles"), 2).getField("tile")).as("tile1_w"),
+          st.f("rs_value", element_at(col("tiles"), 4).getField("tile"),
+            lit(1), lit(0), lit(0)).as("tile3_v00"),
+          st.f("rs_value", col("near"), lit(1), lit(0), lit(0)).as("near_v00"),
+          st.f("rs_value", col("bili"), lit(1), lit(0), lit(0)).as("bili_v00"),
+          st.f("rs_value", col("rpm"), lit(1), lit(0), lit(0)).as("rpm_v00"),
+          st.f("rs_width", col("burn")).as("burn_w"),
+          st.f("rs_upperleftx", col("burn")).as("burn_ulx"),
+          st.f("rs_value", col("burn"), lit(1), lit(0), lit(0)).as("burn_v00"),
+          size(col("polys")).as("poly_n"),
+          element_at(col("polys"), 1).getField("value").as("poly_v0"),
+          st.area(element_at(col("polys"), 1).getField("geom")).as("poly_area0"),
+          col("zs.count").as("z_count"), col("zs.sum").as("z_sum"),
+          col("zs.mean").as("z_mean"), col("zs.median").as("z_median"),
+          col("zs.mode").as("z_mode"), round(col("zs.stddev"), 9).as("z_std"),
+          round(col("zs.variance"), 9).as("z_var"),
+          col("zs.min").as("z_min"), col("zs.max").as("z_max"))
+    }),
+
     // geometry element access: dump/geometryn/makeline/boundary
     "sp10_elements" -> ((s, dir) => {
       prep(s)
@@ -647,6 +745,53 @@ object SpatialQueries {
         |  ulx + 4.0 AS wcx, uly - 2.0 AS wcy,
         |  'POINT (2 1)' AS rc_wkt
         |FROM p""".stripMargin,
+
+    "rs06_nd_slice" ->
+      """SELECT p_partkey,
+        |  1 AS nb_merged, 3 AS ndims, 'b,y,x' AS dims,
+        |  CAST(2 AS BIGINT) AS bsize, CAST(2 AS BIGINT) AS shp0,
+        |  CAST((p_partkey*3 + 18) % 101 AS DOUBLE) AS v_slice,
+        |  CAST(1 AS BIGINT) AS range_bsize,
+        |  2 AS nb_back,
+        |  CAST((p_partkey*3 + 21) % 101 AS DOUBLE) AS v_back,
+        |  list_sum([CAST((p_partkey*3 + i) % 101 AS DOUBLE) for i in range(0, 12)])
+        |    / 12.0 AS bavg1,
+        |  CAST(4 AS BIGINT) AS gw, -2.0 AS msy, 2 AS nsd, 0 AS msrid
+        |FROM part""".stripMargin,
+
+    // 16 consecutive residues mod 7 cover 0..6, so z_min/z_max are
+    // constant; residues (p)%7 and (p+1)%7 appear 3x (the rest 2x), so
+    // the smallest-of-most-frequent mode is computable per row
+    "rs07_raster_ops" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 100 AS DOUBLE)*10.0 AS ulx,
+        |    [CAST((p_partkey + i) % 7 AS DOUBLE) for i in range(0, 16)] AS vs
+        |  FROM part),
+        |u AS (SELECT p_partkey, unnest(vs) AS v FROM p),
+        |z AS (
+        |  SELECT p_partkey, median(v) AS z_median,
+        |    stddev_pop(v) AS z_std, var_pop(v) AS z_var
+        |  FROM u GROUP BY p_partkey),
+        |m AS (
+        |  SELECT p_partkey, v AS z_mode FROM (
+        |    SELECT p_partkey, v,
+        |      row_number() OVER (PARTITION BY p_partkey
+        |        ORDER BY count(*) DESC, v) AS rn
+        |    FROM u GROUP BY p_partkey, v) WHERE rn = 1)
+        |SELECT p.p_partkey,
+        |  2 AS clip_w, p.ulx + 2.0 AS clip_ulx, vs[11] AS clip_v00,
+        |  4 AS tile_n, 1 AS tile1_w, vs[16] AS tile3_v00,
+        |  vs[6] AS near_v00,
+        |  (vs[1]+vs[2]+vs[5]+vs[6])/4.0 AS bili_v00,
+        |  vs[6] AS rpm_v00,
+        |  2 AS burn_w, p.ulx + 1.0 AS burn_ulx, 7.0 AS burn_v00,
+        |  2 AS poly_n, CAST(p.p_partkey % 7 AS DOUBLE) AS poly_v0, 2.0 AS poly_area0,
+        |  CAST(16 AS BIGINT) AS z_count, list_sum(vs) AS z_sum,
+        |  list_sum(vs)/16.0 AS z_mean,
+        |  z.z_median, m.z_mode, round(z.z_std, 9) AS z_std, round(z.z_var, 9) AS z_var,
+        |  0.0 AS z_min, 6.0 AS z_max
+        |FROM p JOIN z USING (p_partkey) JOIN m USING (p_partkey)""".stripMargin,
 
     // v = pixel (col 1, row 2) of chunk (cy,cx) = nationkey*100 + 2*4+1;
     // origins follow the global transform shifted by the chunk pixel origin

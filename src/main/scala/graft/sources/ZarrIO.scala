@@ -104,7 +104,7 @@ object ZarrIO {
         val rast = rasterOf(r, 2)
         require(rast.width == cw && rast.height == ch,
           s"zarr write: chunk shape ${rast.width}x${rast.height} != ${cw}x$ch")
-        val data = rast.bands.headOption.map(_._2).getOrElse(
+        val data = rast.bands.headOption.map(_.data).getOrElse(
           throw new IllegalArgumentException("zarr write: raster has no bands"))
         val bytes = if (doCompress) deflate(data) else data
         val p = new org.apache.hadoop.fs.Path(path, s"${r.getLong(0)}.${r.getLong(1)}")
@@ -120,7 +120,8 @@ object ZarrIO {
       s.getString(0),
       s.getSeq[Double](1).toArray,
       s.getInt(2), s.getInt(3),
-      s.getSeq[Row](4).map(b => (b.getDouble(0), b.getAs[Array[Byte]](1))).toIndexedSeq,
+      s.getSeq[Row](4).map(b =>
+        RasterModel.Band(b.getDouble(0), b.getAs[Array[Byte]](1))).toIndexedSeq,
       if (s.length > 5) s.getString(5) else null)
   }
 
@@ -190,7 +191,7 @@ object ZarrIO {
           gt(3) + cx * cw * gt(4) + cy * ch * gt(5), gt(4), gt(5))
         // external Row (createDataFrame converts to internal)
         Row(cy, cx, Row(crs, cgt.toSeq, cw, ch,
-          Seq(Row(Double.NaN, raw)), null))
+          Seq(Row(Double.NaN, raw, null, null)), null))
       }
     spark.createDataFrame(rdd, outSchema)
   }

@@ -396,6 +396,114 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_astext(rs_convexhull(rs_example()))").toString.startsWith("POLYGON"))
   }
 
+  test("N-D raster: bandtodim/dimtoband/slice/slicerange, C-order layout, metadata") {
+    // 2 bands, 3x2: band1 = 1..6, band2 = 7..12
+    val r = "rs_makeraster(3, 2, 10.0, 20.0, 2.0, -2.0, " +
+      "array(1d,2d,3d,4d,5d,6d,7d,8d,9d,10d,11d,12d), 2)"
+    assert(q(s"rs_numbands($r)") == 2)
+    val m = s"rs_bandtodim($r, 'time')"
+    assert(q(s"rs_numbands($m)") == 1)
+    assert(q(s"rs_numdimensions($m)") == 3)
+    assert(q(s"rs_dimnames($m)").asInstanceOf[scala.collection.Seq[Any]].toSeq
+      .map(_.toString) == Seq("time", "y", "x"))
+    assert(q(s"rs_shape($m)").asInstanceOf[scala.collection.Seq[Any]].toSeq ==
+      Seq(2L, 2L, 3L))
+    assert(q(s"rs_dimsize($m, 'time')") == 2L)
+    // rs_value refuses 3D bands (layout is no longer row*width+col)
+    assert(q(s"rs_value($m, 1, 0, 0)") == null)
+    // slice index 1 along time -> band2 as plain 2D; pixel (2,1) = 12
+    assert(q(s"rs_value(rs_slice($m, 'time', 1), 1, 2, 1)") == 12.0)
+    assert(q(s"rs_numdimensions(rs_slice($m, 'time', 0))") == 2)
+    // slicerange keeps the dim with reduced size
+    assert(q(s"rs_dimsize(rs_slicerange($m, 'time', 1, 2), 'time')") == 1L)
+    assert(q(s"rs_shape(rs_slicerange($m, 'time', 0, 2))")
+      .asInstanceOf[scala.collection.Seq[Any]].toSeq == Seq(2L, 2L, 3L))
+    // dimtoband expands back to two 2D bands with the original data
+    val back = s"rs_dimtoband($m, 'time')"
+    assert(q(s"rs_numbands($back)") == 2)
+    assert(q(s"rs_value($back, 1, 0, 0)") == 1.0)
+    assert(q(s"rs_value($back, 2, 2, 1)") == 12.0)
+    // errors: spatial dim, unknown dim, bad index, dim collision
+    intercept[Exception](q(s"rs_slice($m, 'y', 0)"))
+    intercept[Exception](q(s"rs_slice($m, 'nope', 0)"))
+    intercept[Exception](q(s"rs_slice($m, 'time', 2)"))
+    intercept[Exception](q(s"rs_bandtodim($r, 'x')"))
+    // metadata struct
+    assert(q(s"rs_metadata($r).gridWidth") == 3L)
+    assert(q(s"rs_metadata($r).numSampleDimensions") == 2)
+    assert(q(s"rs_metadata($r).scaleY") == -2.0)
+  }
+
+  test("raster ops: clip, tile, resample, reprojectmatch, asraster, polygonize, zonalstatsall") {
+    // 4x4 grid at (0,0), scale (1,-1): world env x [0,4], y [-4,0]
+    // values row-major 1..16
+    val r = "rs_makeraster(4, 4, 0.0, 0.0, 1.0, -1.0, " +
+      "array(1d,2d,3d,4d,5d,6d,7d,8d,9d,10d,11d,12d,13d,14d,15d,16d))"
+    // clip to the lower-right 2x2 world box: pixels (2..3, 2..3)
+    val clip = s"rs_clip($r, 1, st_makeenvelope(2.0, -4.0, 4.0, -2.0))"
+    assert(q(s"rs_width($clip)") == 2 && q(s"rs_height($clip)") == 2)
+    assert(q(s"rs_upperleftx($clip)") == 2.0 && q(s"rs_upperlefty($clip)") == -2.0)
+    assert(q(s"rs_value($clip, 1, 0, 0)") == 11.0)
+    assert(q(s"rs_value($clip, 1, 1, 1)") == 16.0)
+    // no-crop keeps the full extent, masks outside to the nodata arg
+    val nc = s"rs_clip($r, 1, st_makeenvelope(2.0, -4.0, 4.0, -2.0), false, -9.0, false)"
+    assert(q(s"rs_width($nc)") == 4)
+    assert(q(s"rs_value($nc, 1, 0, 0)") == null) // masked -> nodata -9
+    assert(q(s"rs_bandnodatavalue($nc, 1)") == -9.0)
+    assert(q(s"rs_value($nc, 1, 2, 2)") == 11.0)
+    // tile into 3x3 -> 2x2 tiles, last ones clipped (no pad)
+    assert(q(s"size(rs_tile($r, 3, 3))") == 4)
+    assert(q(s"rs_tile($r, 3, 3)[0].x") == 0 && q(s"rs_tile($r, 3, 3)[1].x") == 1)
+    assert(q(s"rs_width(rs_tile($r, 3, 3)[1].tile)") == 1)
+    assert(q(s"rs_value(rs_tile($r, 3, 3)[3].tile, 1, 0, 0)") == 16.0)
+    assert(q(s"rs_upperleftx(rs_tile($r, 3, 3)[3].tile)") == 3.0)
+    // padded tiles are full-size with nodata fill
+    assert(q(s"rs_width(rs_tile($r, 3, 3, true, -1.0)[1].tile)") == 3)
+    assert(q(s"rs_value(rs_tile($r, 3, 3, true, -1.0)[1].tile, 1, 1, 0)") == null)
+    // resample 4x4 -> 2x2 nearest: out pixel (0,0) center (1,-1) -> src (1,1) = 6
+    val rs2 = s"rs_resample($r, 2.0, 2.0, false, 'nearestneighbor')"
+    assert(q(s"rs_width($rs2)") == 2 && q(s"rs_scalex($rs2)") == 2.0)
+    assert(q(s"rs_value($rs2, 1, 0, 0)") == 6.0)
+    assert(q(s"rs_value($rs2, 1, 1, 1)") == 16.0)
+    // bilinear at same grid: out center (1,-1) sits exactly between src
+    // centers (0.5..1.5) -> average of 1,2,5,6 pixel quad = 3.5
+    assert(q(s"rs_value(rs_resample($r, 2.0, 2.0, false, 'bilinear'), 1, 0, 0)") == 3.5)
+    // useScale form: scale 2 halves the dims
+    assert(q(s"rs_width(rs_resample($r, 2.0, -2.0, true, 'nn'))") == 2)
+    // 4-arg reference-raster form
+    val ref2 = "rs_makeraster(2, 2, 0.0, 0.0, 2.0, -2.0, array(0d,0d,0d,0d))"
+    assert(q(s"rs_value(rs_resample($r, $ref2, false, 'nn'), 1, 1, 0)") == 8.0)
+    // reprojectmatch: same CRS degenerates to grid match
+    assert(q(s"rs_value(rs_reprojectmatch(rs_setcrs($r, 'EPSG:4326'), " +
+      s"rs_setcrs($ref2, 'EPSG:4326')), 1, 0, 0)") == 6.0)
+    // asraster: burn a 2x2 world box into the reference grid
+    val burned = s"rs_asraster(st_makeenvelope(1.0, -3.0, 3.0, -1.0), $r, 'd', false, 7.0, 0.0)"
+    assert(q(s"rs_width($burned)") == 2 && q(s"rs_height($burned)") == 2)
+    assert(q(s"rs_upperleftx($burned)") == 1.0)
+    assert(q(s"rs_value($burned, 1, 0, 0)") == 7.0)
+    // polygonize: constant raster -> single region covering the extent
+    val const = "rs_makeraster(2, 2, 0.0, 0.0, 1.0, -1.0, array(5d,5d,5d,5d))"
+    assert(q(s"size(rs_polygonize($const, 1))") == 1)
+    assert(q(s"rs_polygonize($const, 1)[0].value") == 5.0)
+    assert(q(s"st_area(rs_polygonize($const, 1)[0].geom)") == 4.0)
+    // two vertical stripes -> two regions in scan order
+    val stripes = "rs_makeraster(2, 2, 0.0, 0.0, 1.0, -1.0, array(1d,2d,1d,2d))"
+    assert(q(s"size(rs_polygonize($stripes, 1))") == 2)
+    assert(q(s"rs_polygonize($stripes, 1)[0].value") == 1.0)
+    assert(q(s"rs_polygonize($stripes, 1)[1].value") == 2.0)
+    // zonalstatsall over the full extent of 1..16
+    val zs = s"rs_zonalstatsall($r, st_makeenvelope(0.0, -4.0, 4.0, 0.0), 1)"
+    assert(q(s"$zs.count") == 16L)
+    assert(q(s"$zs.sum") == 136.0)
+    assert(q(s"$zs.mean") == 8.5)
+    assert(q(s"$zs.median") == 8.5)
+    assert(q(s"$zs.min") == 1.0 && q(s"$zs.max") == 16.0)
+    // variance of 1..16 (population) = (n^2-1)/12 = 21.25
+    assert(q(s"$zs.variance") == 21.25)
+    // mode ties break to the smallest value
+    assert(q(s"rs_zonalstatsall($stripes, st_makeenvelope(0.0, -2.0, 2.0, 0.0), 1).mode") == 1.0)
+  }
+
   test("spherical overlay: high-latitude boxes where planar lon/lat overlay distorts") {
     // two boxes at lat 78..80 overlapping in lon: planar-degree overlay
     // would be 'correct' here too, but the areas must come out spherical
