@@ -183,7 +183,7 @@ object GeomScalars {
     g.getCoordinates.map(_.getM).filterNot(java.lang.Double.isNaN)
 
   /** "EPSG:4326", bare "4326", or "OGC:CRS84" (= lon/lat 4326) -> SRID. */
-  private[functions] def parseCrsSrid(crs: String): Int = crs.trim match {
+  private[graft] def parseCrsSrid(crs: String): Int = crs.trim match {
     case c if c.equalsIgnoreCase("OGC:CRS84") => 4326
     case c if c.toUpperCase.startsWith("EPSG:") => c.drop(5).trim.toInt
     case c if c.nonEmpty && c.forall(_.isDigit) => c.toInt

@@ -422,6 +422,27 @@ object RasterOps {
     }),
 
     // ------------------------------------------------------------------
+    // RS_AsGeoTiff(raster[, compressionType, imageQuality]) -> binary
+    // (rs_as_geotiff.rs:313-330): hand-implemented TIFF 6.0 + GeoTIFF 1.1
+    // writer (sources.GeoTiff); only uncompressed output offline.
+    fnv("rs_asgeotiff", BinaryType,
+        Seq(Seq(Raw), Seq(Raw, Str, Dbl)))(a => {
+      if (a.length > 1) {
+        val comp = a(1).asInstanceOf[String]
+        require(comp.equalsIgnoreCase("NONE") || comp.isEmpty,
+          s"rs_asgeotiff: compression '$comp' not supported offline (NONE only)")
+      }
+      graft.sources.GeoTiff.write(rast(a))
+    }),
+
+    // RS_FromGDALRaster(binary) -> raster (rs_from_gdal_raster.rs:49,143):
+    // GeoTIFF only — the one GDAL format with an offline codec here.
+    fnv("rs_fromgdalraster", RasterModel.dataType, Seq(Seq(Bin)))(a =>
+      graft.sources.GeoTiff.read(a(0).asInstanceOf[Array[Byte]]) match {
+        case r => RasterModel.toRow(r.crs, r.gt, r.width, r.height, r.bands, r.path)
+      }),
+
+    // ------------------------------------------------------------------
     // RS_ZonalStatsAll(raster, roi[, band[, allTouched[, excludeNoData]]])
     // (rs_zonal_stats.rs:31-38, fields :558-568): count/sum/mean/median/
     // mode/stddev/variance/min/max. Median interpolates the two middles;

@@ -477,6 +477,35 @@ object SpatialQueries {
           col("zs.min").as("z_min"), col("zs.max").as("z_max"))
     }),
 
+    // GeoTIFF codec roundtrip: in-db raster -> TIFF 6.0 + GeoTIFF keys
+    // bytes -> raster (reference rs_as_geotiff.rs / rs_from_gdal_raster.rs;
+    // codec hand-implemented, sources.GeoTiff). Byte length pins the wire
+    // layout; metadata and pixels must survive the trip.
+    "rs08_geotiff_roundtrip" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("uly", (col("n_nationkey") % 5).cast("double") * 6.0)
+        .withColumn("vals", transform(sequence(lit(0), lit(11)),
+          i => ((col("n_nationkey") * 10 + i) % 89).cast("double")))
+        .withColumn("r", st.f("rs_setcrs", st.f("rs_setbandnodatavalue",
+          st.f("rs_makeraster", lit(4), lit(3), col("ulx"), col("uly"),
+            lit(2.0), lit(-2.0), col("vals")), lit(-1.0)), lit("EPSG:3857")))
+        .withColumn("g", st.f("rs_asgeotiff", col("r")))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_upperleftx", col("rt")).as("ulx_out"),
+          st.f("rs_upperlefty", col("rt")).as("uly_out"),
+          st.f("rs_scalex", col("rt")).as("sx"),
+          st.f("rs_scaley", col("rt")).as("sy"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          st.f("rs_bandnodatavalue", col("rt"), lit(1)).as("nd"),
+          st.f("rs_value", col("rt"), lit(1), lit(2), lit(1)).as("v21"),
+          octet_length(col("g")).as("blen"))
+    }),
+
     // geometry element access: dump/geometryn/makeline/boundary
     "sp10_elements" -> ((s, dir) => {
       prep(s)
@@ -792,6 +821,18 @@ object SpatialQueries {
         |  z.z_median, m.z_mode, round(z.z_std, 9) AS z_std, round(z.z_var, 9) AS z_var,
         |  0.0 AS z_min, 6.0 AS z_max
         |FROM p JOIN z USING (p_partkey) JOIN m USING (p_partkey)""".stripMargin,
+
+    // blen: 8 header + 186 IFD (15 entries) + 110 out-of-line payloads
+    // (pixel scale 24, tiepoint 48, geokeys 32, nodata ascii 6) + 96 strip
+    "rs08_geotiff_roundtrip" ->
+      """SELECT n_nationkey,
+        |  4 AS w, 3 AS h,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*8.0 AS ulx_out,
+        |  CAST(n_nationkey % 5 AS DOUBLE)*6.0 AS uly_out,
+        |  2.0 AS sx, -2.0 AS sy, 'EPSG:3857' AS crs, -1.0 AS nd,
+        |  CAST((n_nationkey*10 + 6) % 89 AS DOUBLE) AS v21,
+        |  400 AS blen
+        |FROM nation""".stripMargin,
 
     // v = pixel (col 1, row 2) of chunk (cy,cx) = nationkey*100 + 2*4+1;
     // origins follow the global transform shifted by the chunk pixel origin

@@ -1,0 +1,318 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import graft.functions.RasterModel
+import graft.functions.RasterModel.{Band, Raster}
+
+/** Minimal GeoTIFF codec, hand-implemented from the public TIFF 6.0 and
+  * GeoTIFF 1.1 (OGC 19-008r4) specs — no GDAL offline. The analog of the
+  * reference's RS_AsGeoTiff / RS_FromGDALRaster pair
+  * (rust/sedona-raster-gdal/src/rs_as_geotiff.rs, rs_from_gdal_raster.rs),
+  * restricted to what the in-db model stores:
+  *
+  *  - write: little-endian, uncompressed, PlanarConfiguration=2 (one
+  *    strip per band), f64 samples (SampleFormat=3/64-bit), georeferencing
+  *    as ModelPixelScale+ModelTiepoint (axis-aligned) or
+  *    ModelTransformation (skewed), EPSG code via GeoKeyDirectory,
+  *    band-1 nodata via the GDAL_NODATA ASCII tag.
+  *  - read: II/MM byte orders, chunky or planar, multi-strip, integer
+  *    (8/16/32-bit signed/unsigned) and float (32/64) samples widened to
+  *    the model's f64.
+  */
+object GeoTiff {
+
+  // TIFF tags
+  private val TImageWidth = 256
+  private val TImageLength = 257
+  private val TBitsPerSample = 258
+  private val TCompression = 259
+  private val TPhotometric = 262
+  private val TStripOffsets = 273
+  private val TSamplesPerPixel = 277
+  private val TRowsPerStrip = 278
+  private val TStripByteCounts = 279
+  private val TPlanarConfig = 284
+  private val TSampleFormat = 339
+  private val TModelPixelScale = 33550
+  private val TModelTiepoint = 33922
+  private val TModelTransformation = 34264
+  private val TGeoKeyDirectory = 34735
+  private val TGdalNoData = 42113
+
+  // GeoKey ids (OGC 19-008r4 §6.2)
+  private val GKModelType = 1024
+  private val GKRasterType = 1025
+  private val GKGeographicType = 2048
+  private val GKProjectedCSType = 3072
+
+  // ------------------------------------------------------------------
+  // writer
+
+  def write(r: Raster): Array[Byte] = {
+    require(r.bands.nonEmpty, "rs_asgeotiff: raster has no bands")
+    require(r.bands.forall(b => b.dims == null || b.dims.length == 2),
+      "rs_asgeotiff: N-D bands not representable in TIFF (slice first)")
+    val nb = r.bands.length
+    val skewed = r.gt(2) != 0.0 || r.gt(4) != 0.0
+    val srid =
+      if (r.crs == null || r.crs.isEmpty) 0
+      else graft.functions.GeomScalars.parseCrsSrid(r.crs)
+    val nodata1 = r.bands.head.nodata
+
+    // GeoKeyDirectory: version 1.1.0, then (id, location=0, count=1, value)
+    val geoKeys = {
+      val keys = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      keys += GKModelType -> (if (srid == 4326) 2 else 1) // 2 geographic, 1 projected
+      keys += GKRasterType -> 1 // PixelIsArea
+      if (srid == 4326) keys += GKGeographicType -> 4326
+      else if (srid != 0) keys += GKProjectedCSType -> srid
+      val arr = new Array[Int](4 * (keys.length + 1))
+      arr(0) = 1; arr(1) = 1; arr(2) = 0; arr(3) = keys.length
+      keys.zipWithIndex.foreach { case ((id, v), i) =>
+        arr(4 * (i + 1)) = id; arr(4 * (i + 1) + 3) = v
+      }
+      arr
+    }
+    val nodataAscii: Option[Array[Byte]] =
+      if (nodata1.isNaN) None
+      else Some((nodata1.toString + "\u0000").getBytes("US-ASCII"))
+
+    // entries sorted by tag; each: (tag, type, count, inline-or-deferred)
+    // type codes: 2 ASCII, 3 SHORT, 4 LONG, 12 DOUBLE
+    case class E(tag: Int, typ: Int, count: Int, inline: Option[Long],
+        payload: Array[Byte] = Array.emptyByteArray)
+    def shorts(vs: Seq[Int]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => b.putShort(v.toShort)); b.array()
+    }
+    def longs(vs: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => b.putInt(v.toInt)); b.array()
+    }
+    def doubles(vs: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putDouble); b.array()
+    }
+
+    val stripBytes = r.width.toLong * r.height * 8
+    var entries = scala.collection.mutable.ArrayBuffer[E](
+      E(TImageWidth, 4, 1, Some(r.width.toLong)),
+      E(TImageLength, 4, 1, Some(r.height.toLong)),
+      E(TBitsPerSample, 3, nb,
+        if (nb <= 2) Some(packShortsInline(Seq.fill(nb)(64))) else None,
+        shorts(Seq.fill(nb)(64))),
+      E(TCompression, 3, 1, Some(1L)),
+      E(TPhotometric, 3, 1, Some(1L)),
+      E(TStripOffsets, 4, nb, if (nb == 1) None else None, longs(Seq.fill(nb)(0L))),
+      E(TSamplesPerPixel, 3, 1, Some(nb.toLong)),
+      E(TRowsPerStrip, 4, 1, Some(r.height.toLong)),
+      E(TStripByteCounts, 4, nb,
+        if (nb == 1) Some(stripBytes) else None, longs(Seq.fill(nb)(stripBytes))),
+      E(TPlanarConfig, 3, 1, Some(2L)),
+      E(TSampleFormat, 3, nb,
+        if (nb <= 2) Some(packShortsInline(Seq.fill(nb)(3))) else None,
+        shorts(Seq.fill(nb)(3))))
+    if (skewed)
+      entries += E(TModelTransformation, 12, 16, None, doubles(Seq(
+        r.gt(1), r.gt(2), 0, r.gt(0), r.gt(4), r.gt(5), 0, r.gt(3),
+        0, 0, 0, 0, 0, 0, 0, 1)))
+    else {
+      entries += E(TModelPixelScale, 12, 3, None,
+        doubles(Seq(r.gt(1), -r.gt(5), 0.0)))
+      entries += E(TModelTiepoint, 12, 6, None,
+        doubles(Seq(0, 0, 0, r.gt(0), r.gt(3), 0)))
+    }
+    entries += E(TGeoKeyDirectory, 3, geoKeys.length, None, shorts(geoKeys.toSeq))
+    nodataAscii.foreach(b => entries += E(TGdalNoData, 2, b.length,
+      if (b.length <= 4) Some(packBytesInline(b)) else None, b))
+    entries = entries.sortBy(_.tag)
+
+    // layout: header(8) + IFD + out-of-line payloads + strips
+    val ifdSize = 2 + entries.length * 12 + 4
+    var dataOff = 8L + ifdSize
+    val payloadOffsets = entries.map { e =>
+      if (e.inline.isDefined || e.payload.length <= 4) None
+      else { val o = dataOff; dataOff += e.payload.length + (e.payload.length & 1); Some(o) }
+    }
+    val stripOffsets = (0 until nb).map(i => dataOff + i * stripBytes)
+    val total = dataOff + nb * stripBytes
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    out.putShort(entries.length.toShort)
+    entries.zip(payloadOffsets).foreach { case (e, po) =>
+      out.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.count)
+      e.tag match {
+        case TStripOffsets =>
+          if (nb == 1) out.putInt(stripOffsets.head.toInt)
+          else { // the offsets array itself lives out-of-line
+            out.putInt(po.get.toInt)
+          }
+        case _ => (e.inline, po) match {
+          case (Some(v), _) => out.putInt(v.toInt)
+          case (None, Some(o)) => out.putInt(o.toInt)
+          case (None, None) => // payload fits inline (<=4 bytes)
+            val pad = e.payload ++ Array.fill(4 - e.payload.length)(0.toByte)
+            out.put(pad, 0, 4)
+        }
+      }
+    }
+    out.putInt(0) // no next IFD
+    entries.zip(payloadOffsets).foreach { case (e, po) =>
+      po.foreach { o =>
+        // StripOffsets payload needs the real strip positions
+        val bytes =
+          if (e.tag == TStripOffsets) longs(stripOffsets)
+          else e.payload
+        out.position(o.toInt)
+        out.put(bytes)
+        if ((bytes.length & 1) == 1) out.put(0.toByte)
+      }
+    }
+    r.bands.zipWithIndex.foreach { case (b, i) =>
+      out.position(stripOffsets(i).toInt)
+      out.put(b.data)
+    }
+    out.array()
+  }
+
+  /** First 1-2 SHORT values packed into the 4-byte inline slot (LE). */
+  private def packShortsInline(vs: Seq[Int]): Long =
+    vs.zipWithIndex.map { case (v, i) => (v.toLong & 0xffff) << (16 * i) }.sum
+
+  private def packBytesInline(b: Array[Byte]): Long =
+    b.zipWithIndex.map { case (v, i) => (v.toLong & 0xff) << (8 * i) }.sum
+
+  // ------------------------------------------------------------------
+  // reader
+
+  def read(bytes: Array[Byte]): Raster = {
+    require(bytes.length >= 8, "geotiff: truncated header")
+    val order = (bytes(0), bytes(1)) match {
+      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => ByteOrder.BIG_ENDIAN
+      case _ => throw new IllegalArgumentException("geotiff: not a TIFF (bad byte order)")
+    }
+    val bb = ByteBuffer.wrap(bytes).order(order)
+    require(bb.getShort(2) == 42, "geotiff: bad TIFF magic")
+    val ifdOff = bb.getInt(4)
+    val n = bb.getShort(ifdOff) & 0xffff
+    // tag -> (type, count, valueOffsetPos)
+    val tags = (0 until n).map { i =>
+      val p = ifdOff + 2 + i * 12
+      (bb.getShort(p) & 0xffff, (bb.getShort(p + 2) & 0xffff, bb.getInt(p + 4), p + 8))
+    }.toMap
+
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
+      case 5 | 10 | 12 => 8
+      case other => throw new IllegalArgumentException(s"geotiff: field type $other")
+    }
+    def valuesOf(tag: Int): Option[IndexedSeq[Long]] = tags.get(tag).map {
+      case (typ, count, pos) =>
+        val sz = typeSize(typ)
+        val off = if (sz * count <= 4) pos else bb.getInt(pos)
+        (0 until count).map { i =>
+          typ match {
+            case 1 | 2 | 7 => (bb.get(off + i) & 0xff).toLong
+            case 6 => bb.get(off + i).toLong
+            case 3 => (bb.getShort(off + i * 2) & 0xffff).toLong
+            case 8 => bb.getShort(off + i * 2).toLong
+            case 4 => bb.getInt(off + i * 4) & 0xffffffffL
+            case 9 => bb.getInt(off + i * 4).toLong
+            case other => throw new IllegalArgumentException(
+              s"geotiff: integer read of type $other")
+          }
+        }
+    }
+    def doublesOf(tag: Int): Option[IndexedSeq[Double]] = tags.get(tag).map {
+      case (typ, count, pos) =>
+        require(typ == 12, s"geotiff: tag $tag expected DOUBLE, got type $typ")
+        val off = if (count * 8 <= 4) pos else bb.getInt(pos)
+        (0 until count).map(i => bb.getDouble(off + i * 8))
+    }
+    def asciiOf(tag: Int): Option[String] = tags.get(tag).map { case (typ, count, pos) =>
+      require(typ == 2, s"geotiff: tag $tag expected ASCII")
+      val off = if (count <= 4) pos else bb.getInt(pos)
+      new String(bytes, off, count, "US-ASCII").takeWhile(_ != '\u0000')
+    }
+    def one(tag: Int, default: => Long): Long =
+      valuesOf(tag).map(_.head).getOrElse(default)
+
+    val w = one(TImageWidth, throw new IllegalArgumentException("geotiff: no width")).toInt
+    val h = one(TImageLength, throw new IllegalArgumentException("geotiff: no height")).toInt
+    val nb = one(TSamplesPerPixel, 1L).toInt
+    require(one(TCompression, 1L) == 1L, "geotiff: only uncompressed supported")
+    val planar = one(TPlanarConfig, 1L).toInt
+    val bits = valuesOf(TBitsPerSample).map(_.map(_.toInt)).getOrElse(IndexedSeq.fill(nb)(1))
+    val formats = valuesOf(TSampleFormat).map(_.map(_.toInt))
+      .getOrElse(IndexedSeq.fill(nb)(1))
+    require(bits.distinct.length == 1 && formats.distinct.length == 1,
+      "geotiff: mixed per-band sample layouts not supported")
+    val bitsPer = bits.head
+    val fmt = formats.head
+    val rowsPerStrip = one(TRowsPerStrip, h.toLong).toInt
+    val stripOffs = valuesOf(TStripOffsets).getOrElse(
+      throw new IllegalArgumentException("geotiff: no strip offsets"))
+    val stripCounts = valuesOf(TStripByteCounts).getOrElse(
+      throw new IllegalArgumentException("geotiff: no strip byte counts"))
+
+    // concatenate strip data (plane-major for planar=2, row-major chunky else)
+    val raw = new java.io.ByteArrayOutputStream()
+    stripOffs.zip(stripCounts).foreach { case (o, c) =>
+      raw.write(bytes, o.toInt, c.toInt)
+    }
+    val data = ByteBuffer.wrap(raw.toByteArray).order(order)
+    val bytesPer = bitsPer / 8
+    require(raw.size() >= w.toLong * h * nb * bytesPer,
+      s"geotiff: pixel data truncated (${raw.size()} bytes for ${w}x$h x$nb x$bytesPer)")
+
+    @inline def sample(idx: Int): Double = (fmt, bitsPer) match {
+      case (3, 64) => data.getDouble(idx * 8)
+      case (3, 32) => data.getFloat(idx * 4).toDouble
+      case (1, 8) => (data.get(idx) & 0xff).toDouble
+      case (2, 8) => data.get(idx).toDouble
+      case (1, 16) => (data.getShort(idx * 2) & 0xffff).toDouble
+      case (2, 16) => data.getShort(idx * 2).toDouble
+      case (1, 32) => (data.getInt(idx * 4) & 0xffffffffL).toDouble
+      case (2, 32) => data.getInt(idx * 4).toDouble
+      case other => throw new IllegalArgumentException(
+        s"geotiff: unsupported sample layout $other")
+    }
+    val nodata = asciiOf(TGdalNoData).map { s =>
+      if (s.equalsIgnoreCase("nan")) Double.NaN else s.trim.toDouble
+    }.getOrElse(Double.NaN)
+    val bands = (0 until nb).map { b =>
+      val vals = new Array[Double](w * h)
+      var i = 0
+      while (i < w * h) {
+        val idx = if (planar == 2) b * w * h + i else i * nb + b
+        vals(i) = sample(idx)
+        i += 1
+      }
+      Band(nodata, RasterModel.packDoubles(vals))
+    }
+
+    val gt = doublesOf(TModelTransformation) match {
+      case Some(t) => Array(t(3), t(0), t(1), t(7), t(4), t(5))
+      case None =>
+        (doublesOf(TModelPixelScale), doublesOf(TModelTiepoint)) match {
+          case (Some(sc), Some(tp)) =>
+            // tiepoint: raster (i,j,k) -> model (x,y,z); gt shifts the
+            // origin back to pixel (0,0)
+            Array(tp(3) - tp(0) * sc(0), sc(0), 0.0,
+              tp(4) + tp(1) * sc(1), 0.0, -sc(1))
+          case _ => Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+        }
+    }
+    val crs = valuesOf(TGeoKeyDirectory).map { dir =>
+      // entries of 4 shorts after the 4-short header
+      val epsg = (1 until dir.length / 4).collectFirst {
+        case i if dir(4 * i) == GKProjectedCSType || dir(4 * i) == GKGeographicType =>
+          dir(4 * i + 3).toInt
+      }
+      epsg.map(c => s"EPSG:$c").getOrElse("EPSG:0")
+    }.getOrElse("EPSG:0")
+
+    Raster(crs, gt, w, h, bands)
+  }
+}

@@ -504,6 +504,80 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(s"rs_zonalstatsall($stripes, st_makeenvelope(0.0, -2.0, 2.0, 0.0), 1).mode") == 1.0)
   }
 
+  test("geotiff: roundtrip via rs_asgeotiff/rs_fromgdalraster, wire layout sane") {
+    val r = "rs_setcrs(rs_makeraster(3, 2, 10.0, 20.0, 2.0, -2.0, " +
+      "array(1d,2d,3d,4d,5d,6d)), 'EPSG:32633')"
+    val rt = s"rs_fromgdalraster(rs_asgeotiff($r))"
+    assert(q(s"rs_width($rt)") == 3 && q(s"rs_height($rt)") == 2)
+    assert(q(s"rs_upperleftx($rt)") == 10.0 && q(s"rs_upperlefty($rt)") == 20.0)
+    assert(q(s"rs_scalex($rt)") == 2.0 && q(s"rs_scaley($rt)") == -2.0)
+    assert(q(s"rs_crs($rt)") == "EPSG:32633")
+    assert(q(s"rs_value($rt, 1, 2, 1)") == 6.0)
+    // nodata survives through the GDAL_NODATA ascii tag
+    val nd = "rs_setbandnodatavalue(rs_makeraster(2, 2, 0.0, 0.0, 1.0, -1.0, " +
+      "array(1d,2d,3d,4d)), -5.0)"
+    assert(q(s"rs_bandnodatavalue(rs_fromgdalraster(rs_asgeotiff($nd)), 1)") == -5.0)
+    // multi-band planar roundtrip
+    val mb = "rs_makeraster(2, 2, 0.0, 0.0, 1.0, -1.0, " +
+      "array(1d,2d,3d,4d,10d,20d,30d,40d), 2)"
+    assert(q(s"rs_numbands(rs_fromgdalraster(rs_asgeotiff($mb)))") == 2)
+    assert(q(s"rs_value(rs_fromgdalraster(rs_asgeotiff($mb)), 2, 1, 1)") == 40.0)
+    // skewed transform goes through ModelTransformation
+    val sk = s"rs_setgeoreference($r, '2.0 0.5 1.0 -2.0 7.0 9.0')"
+    assert(q(s"rs_skewx(rs_fromgdalraster(rs_asgeotiff($sk)))") == 1.0)
+    assert(q(s"rs_skewy(rs_fromgdalraster(rs_asgeotiff($sk)))") == 0.5)
+    assert(q(s"rs_upperleftx(rs_fromgdalraster(rs_asgeotiff($sk)))") == 7.0)
+    // 4326 goes through the geographic model-type geokey
+    assert(q(s"rs_crs(rs_fromgdalraster(rs_asgeotiff(rs_setcrs($r, 'EPSG:4326'))))") ==
+      "EPSG:4326")
+    // wire sanity: II magic + TIFF 42
+    assert(q(s"substring(rs_asgeotiff($r), 1, 2)")
+      .asInstanceOf[Array[Byte]].toSeq == Seq('I'.toByte, 'I'.toByte))
+    // unsupported compression errors loudly
+    intercept[Exception](q(s"rs_asgeotiff($r, 'LZW', 75.0)"))
+  }
+
+  test("geotiff: reads foreign layouts (big-endian, chunky uint8, multi-strip)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-build a big-endian chunky uint8 2-band 2x2 tiff, 2 strips of 1 row
+    val bb = ByteBuffer.allocate(256).order(ByteOrder.BIG_ENDIAN)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+    val nEntries = 9
+    bb.putShort(8, nEntries.toShort)
+    var p = 10
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Int = {
+      bb.putShort(p, tag.toShort); bb.putShort(p + 2, typ.toShort)
+      bb.putInt(p + 4, count)
+      if (typ == 3 && count == 1) bb.putShort(p + 8, value.toShort)
+      else bb.putInt(p + 8, value)
+      p += 12
+      p - 12
+    }
+    val dataOff = 10 + nEntries * 12 + 4 + 2 // IFD end + next-ifd + pad
+    entry(256, 3, 1, 2) // width
+    entry(257, 3, 1, 2) // height
+    val bitsAt = entry(258, 3, 2, 0) // bits per sample [8,8]: 4 bytes, inline
+    bb.putShort(bitsAt + 8, 8); bb.putShort(bitsAt + 10, 8)
+    entry(259, 3, 1, 1) // uncompressed
+    entry(273, 4, 2, dataOff) // strip offsets x2 (out-of-line)
+    entry(277, 3, 1, 2) // samples/pixel
+    entry(278, 4, 1, 1) // rows per strip = 1
+    entry(279, 4, 2, dataOff + 8) // strip byte counts x2 (out-of-line)
+    entry(284, 3, 1, 1) // chunky
+    bb.putInt(p, 0) // next IFD
+    val pix = dataOff + 16
+    bb.putInt(dataOff, pix).putInt(dataOff + 4, pix + 4)
+    bb.putInt(dataOff + 8, 4).putInt(dataOff + 12, 4)
+    // chunky rows: (b1,b2) pairs; row0: (1,10),(2,20)  row1: (3,30),(4,40)
+    bb.position(pix)
+    bb.put(Array[Byte](1, 10, 2, 20, 3, 30, 4, 40))
+    val tiff = java.util.Arrays.copyOf(bb.array(), pix + 8)
+    val r = graft.sources.GeoTiff.read(tiff)
+    assert(r.width == 2 && r.height == 2 && r.bands.length == 2)
+    assert(r.value(1, 1, 0) == 2.0 && r.value(2, 1, 1) == 40.0)
+    assert(r.crs == "EPSG:0")
+  }
+
   test("spherical overlay: high-latitude boxes where planar lon/lat overlay distorts") {
     // two boxes at lat 78..80 overlapping in lon: planar-degree overlay
     // would be 'correct' here too, but the areas must come out spherical
