@@ -12,6 +12,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark)
+    // Session warm-up: exercise parquet scan, shuffle, whole-stage
+    // codegen, HOF interpretation and the extension registry once, so the
+    // first timed query doesn't absorb JVM/Tungsten/janino session init
+    // (~4s, data-independent — see BENCH_LOCAL.md cold-start note). A
+    // long-running cluster is always warm; timing it into one arbitrary
+    // query misstates that query's cost.
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = spark.range(0, 10000).toDF("id")
+        .withColumn("s", md5(col("id").cast("string")))
+        .withColumn("a", split(col("s"), "[0-9]"))
+      r.groupBy(col("id") % 7)
+        .agg(count(lit(1)), sum(size(col("a"))))
+        .count()
+      Tables.t(spark, sfDir, "region").count()
+    }
     // args: optional query-name filter (profiling); driver runs with none.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val selected =
