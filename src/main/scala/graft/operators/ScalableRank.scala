@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Global ranking without the single-reducer sort.
+  *
+  * `Window.orderBy(...)` with no `partitionBy` collapses the whole dataset
+  * into ONE task — the canonical Spark scale cliff (fine at 600k rows,
+  * dead at 100 TB). These operators compute the same global ranks with a
+  * range repartition (parallel sort, the same machinery as `df.orderBy`)
+  * plus a per-partition count pass: partition i's exclusive prefix sum of
+  * counts + the local row index IS the global row number.
+  *
+  * The count job and the rank job run over the SAME RDD lineage, so the
+  * range-exchange map output is written once and the second job only
+  * replays the post-shuffle stage (Spark core shuffle reuse) — partition
+  * boundaries are identical by construction, no caching required. This is
+  * `RDD.zipWithIndex`'s scheme, kept in InternalRow form so the result
+  * re-enters DataFrame land without an encoder round-trip.
+  *
+  * Ties on `orderCols` land in the same partition (range partitioner) and
+  * get arbitrary relative order — identical semantics to the built-in
+  * window `row_number`/`ntile` under a non-total ordering. Callers should
+  * `select` down to order + payload columns first; the shuffle carries
+  * whatever width you pass in.
+  */
+object ScalableRank {
+
+  /** df plus `out` = 1-based global row number by `orderCols` (ascending). */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], out: String,
+      numPartitions: Int = 0): DataFrame =
+    withGlobalRn(df, orderCols, out, numPartitions)._1
+
+  /** df plus `out` = ntile(n) by `orderCols` — built-in tile semantics
+    * (first `N mod n` tiles get the extra row). */
+  def globalNtile(df: DataFrame, orderCols: Seq[Column], n: Int, out: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(n > 0, "ntile requires n > 0")
+    val (rn, total) = withGlobalRn(df, orderCols, "__grn", numPartitions)
+    val q = total / n
+    val r = total % n
+    val idx0 = col("__grn") - 1
+    val tile =
+      if (q == 0) idx0.cast("int") + 1
+      else (when(idx0 < lit(r * (q + 1)), (idx0 / lit(q + 1)).cast("long"))
+        .otherwise(lit(r) + ((idx0 - lit(r * (q + 1))) / lit(q)).cast("long"))
+        .cast("int") + 1)
+    rn.withColumn(out, tile).drop("__grn")
+  }
+
+  /** Shared plumbing: (df + 1-based global row number `out`, total rows). */
+  private def withGlobalRn(df: DataFrame, orderCols: Seq[Column], out: String,
+      numPartitions: Int): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val rdd = sorted.queryExecution.toRdd
+    // job 1: per-partition sizes (map side of the range exchange runs here
+    // and its output is reused by job 2)
+    val counts = rdd.mapPartitions(it => Iterator.single(it.size.toLong),
+      preservesPartitioning = true).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val outSchema = sorted.schema.add(out, LongType, nullable = false)
+    val types = outSchema.fields.map(_.dataType)
+    // job 2 (runs as part of whatever action consumes the result): append
+    // offset+localIndex per row, streaming — no buffering, rows projected
+    // to UnsafeRow immediately so upstream row reuse is safe
+    val zipped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(types)
+      val joined = new JoinedRow
+      val idxRow = new SpecificInternalRow(Seq(LongType))
+      var i = offsets(pid)
+      it.map { row =>
+        i += 1
+        idxRow.setLong(0, i)
+        proj(joined(row, idxRow)): InternalRow
+      }
+    }
+    (org.apache.spark.sql.graft.DatasetBridge.internalDf(spark, zipped, outSchema), total)
+  }
+}

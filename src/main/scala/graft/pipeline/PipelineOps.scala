@@ -197,34 +197,57 @@ object PipelineOps {
   }
 
   /** N-gram Jaccard similarity for pairs sharing a blocking key (e.g.
-    * source): |distinct shingle intersection| / |union|. */
+    * source): |distinct shingle intersection| / |union|.
+    *
+    * With `minJaccard > 0` this runs as an inverted-index set-similarity
+    * join: explode distinct shingles to postings, equi-join postings on
+    * (block, shingle), and count co-occurrences per document pair — the
+    * intersection size arrives from the group-by, never from a pairwise
+    * scan. Pairs sharing no shingle (jaccard = 0) are never materialized,
+    * so the quadratic all-pairs-within-block stage disappears; shuffle
+    * volume is the co-occurrence mass (sum over shingles of freq²), which
+    * AQE's skew-join split handles when one shingle is pathologically
+    * common. With `minJaccard <= 0` zero-overlap pairs must be emitted,
+    * so the blocked pairwise merge path is kept. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       block: Column, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    // shingles are hashed to longs and sorted before the pairwise stage:
-    // per-pair intersection is an allocation-free merge over sorted ints
     // persist: both join sides reference the hashed-shingle arrays — without
-    // it the scan + md5 shingle hashing + sort runs twice
+    // it the scan + md5 shingle hashing runs twice
     val g = graft.CacheRegistry.register(
       df.select(block.as("__blk"), id.as("doc_id"),
         array_sort(array_distinct(shingleHashes(tokens(text), k))).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
-    // failing the bound can never pass minJaccard — skip their intersect
-    val sizeBound =
-      if (minJaccard > 0)
-        least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
-          greatest(size(col("sh_a")), size(col("sh_b"))) > minJaccard
-      else lit(true)
-    a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b"))
-      .filter(sizeBound)
-      .withColumn("inter",
-        call_function("sd_sorted_intersect_count", col("sh_a"), col("sh_b")).cast("double"))
-      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
-      .withColumn("jaccard", col("inter") / col("uni"))
-      .filter(col("jaccard") > minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    if (minJaccard > 0) {
+      val posts = g.select(col("__blk"), col("doc_id"),
+        size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+      val a = posts.select(col("__blk"), col("h"),
+        col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      val b = posts.select(col("__blk"), col("h"),
+        col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+      // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
+      // failing the bound can never pass minJaccard — drop before grouping
+      a.join(b, Seq("__blk", "h")).filter(col("doc_a") < col("doc_b"))
+        .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")) > minJaccard)
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).cast("double").as("inter"))
+        .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
+        .withColumn("jaccard", col("inter") / col("uni"))
+        .filter(col("jaccard") > minJaccard)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    } else {
+      // all-pairs semantics: per-pair allocation-free merge over the
+      // sorted hashed shingles
+      val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          call_function("sd_sorted_intersect_count", col("sh_a"), col("sh_b")).cast("double"))
+        .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+        .withColumn("jaccard", col("inter") / col("uni"))
+        .filter(col("jaccard") > minJaccard)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
   }
 
   /** SimHash near-dup pairs within a blocking key: hamming distance over

@@ -190,9 +190,14 @@ object RelationalQueries {
 
     // ordered statistics: continuous percentiles + ntile buckets.
     "q14_percentiles" -> ((s, dir) => {
-      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       val l = t(s, dir, "lineitem")
-      val tiles = l.withColumn("tile", ntile(4).over(w))
+      // ntile without a global-window single-reducer sort (ScalableRank:
+      // range repartition + per-partition row_number + count offsets);
+      // projected first so the ranged cache holds 4 numeric columns
+      val tiles = graft.operators.ScalableRank.globalNtile(
+          l.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity")),
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), 4, "tile")
         .groupBy(col("tile")).agg(count(lit(1)).as("n"),
           sum(col("l_quantity")).cast("long").as("sum_qty"))
       val pct = l.groupBy(col("l_returnflag"))

@@ -47,6 +47,18 @@ object GeoParquet {
     val g = col(geomCol)
     var out = df.withColumn(geomCol, g.as(geomCol, geomMetadata(crs)))
     if (withBbox) out = out.withColumn(s"${geomCol}_bbox", bboxCol(col(geomCol)))
+    // Dataset-level bounds for the sidecar ride the write job as an
+    // observed metric instead of a separate aggregate pass — at 100 TB a
+    // second full scan (and WKB parse) of the input just for 4 doubles is
+    // the difference between one pass and two. min/max are idempotent, so
+    // the range-partitioner sampling job double-counting rows into the
+    // observation is harmless.
+    val obs = new org.apache.spark.sql.Observation()
+    out = out.observe(obs,
+      st.xmin(st.envelopeAgg(col(geomCol))).as("xmin"),
+      st.ymin(st.envelopeAgg(col(geomCol))).as("ymin"),
+      st.xmax(st.envelopeAgg(col(geomCol))).as("xmax"),
+      st.ymax(st.envelopeAgg(col(geomCol))).as("ymax"))
     if (hilbertCluster) {
       val parts = if (clusterPartitions > 0) clusterPartitions
         else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -56,15 +68,15 @@ object GeoParquet {
 
     // sidecar mirroring the `geo` footer metadata (GeoParquetMetadata)
     val spark = df.sparkSession
-    // single envelope aggregate (one WKB parse per row), min/max applied
-    // to the one aggregated envelope
-    val boundsRow = df.select(st.envelopeAgg(g).as("e"))
-      .select(st.xmin(col("e")), st.ymin(col("e")),
-        st.xmax(col("e")), st.ymax(col("e"))).collect()(0)
+    val m = obs.get
+    def d(k: String): Any = m.get(k) match {
+      case Some(v: java.lang.Double) => v
+      case _ => "null"
+    }
     val geoJson =
       s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{
          |"encoding":"WKB","crs":"$crs",
-         |"bbox":[${boundsRow.getDouble(0)},${boundsRow.getDouble(1)},${boundsRow.getDouble(2)},${boundsRow.getDouble(3)}],
+         |"bbox":[${d("xmin")},${d("ymin")},${d("xmax")},${d("ymax")}],
          |"covering":${if (withBbox) s"""{"bbox":{"xmin":["${geomCol}_bbox","xmin"],"ymin":["${geomCol}_bbox","ymin"],"xmax":["${geomCol}_bbox","xmax"],"ymax":["${geomCol}_bbox","ymax"]}}""" else "null"}}}}""".stripMargin
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path, "_geo.json")

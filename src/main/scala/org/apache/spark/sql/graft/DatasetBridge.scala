@@ -16,4 +16,13 @@ object DatasetBridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** DataFrame over an RDD of UnsafeRows matching `schema` (the
+    * private[sql] internalCreateDataFrame — used by ScalableRank to
+    * re-enter DataFrame land after a per-partition index pass). */
+  def internalDf(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

@@ -300,4 +300,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(res("b") == 1)
     } finally q.stop()
   }
+  test("ScalableRank.globalRowNumber ≡ window row_number (unique keys)") {
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("k", (col("id") * 2654435761L) % 10007)
+      .withColumn("pay", col("id") % 13)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))
+    val expected = df.withColumn("rn", row_number().over(w).cast("long"))
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = graft.operators.ScalableRank
+      .globalRowNumber(df, Seq(col("k"), col("id")), "rn")
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("ScalableRank.globalNtile ≡ window ntile incl. ties and uneven tiles") {
+    for (n <- Seq(3, 4, 7)) {
+      // non-unique order key: tile SIZES must match exactly; membership can
+      // differ only inside tie runs, so compare per-tile (count, sum-of-key)
+      val df = spark.range(0, 5003).toDF("id")
+        .withColumn("k", col("id") % 97)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      val expected = df.withColumn("t", ntile(n).over(w))
+        .groupBy("t").agg(count(lit(1)).as("c"), sum("k").as("s"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+      val got = graft.operators.ScalableRank.globalNtile(df, Seq(col("k")), n, "t")
+        .groupBy("t").agg(count(lit(1)).as("c"), sum("k").as("s"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"n=$n")
+    }
+  }
 }
