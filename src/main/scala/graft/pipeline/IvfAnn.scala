@@ -104,7 +104,7 @@ object IvfAnn {
       if (init == "parallel") kmeansParInit(v, k)
       else v
         .withColumn("__h", TextOps.hash32(col("__vid").cast("string")))
-        .orderBy(col("__h")).limit(k)
+        .orderBy(col("__h"), col("__vid")).limit(k)
         .select(col("__v")).collect()
         .map(_.getSeq[Double](0).toArray)
     var cents = seed
@@ -165,21 +165,35 @@ object IvfAnn {
   }
 
   /** Approximate top-k neighbours: probe the nProbe nearest inverted
-    * lists. Output: query_id, cand_id, rank, sim (cosine). */
+    * lists. Output: query_id, cand_id, rank, sim (cosine).
+    *
+    * `listVec`, when given, supplies (corpus, query) columns used ONLY for
+    * list assignment and probe selection — e.g. a deterministic integer
+    * quantization of the embedding (see [[quantized]]) so clustering is
+    * bit-reproducible — while `sim` is still computed on the original
+    * vectors. */
   def search(vectors: DataFrame, queries: DataFrame,
       vid: Column, vvec: Column, qid: Column, qvec: Column,
-      centroids: DataFrame, nProbe: Int, topK: Int): DataFrame = {
+      centroids: DataFrame, nProbe: Int, topK: Int,
+      listVec: Option[(Column, Column)] = None): DataFrame = {
     val cents: Array[Array[Double]] = centroids
       .orderBy(col("centroid_id"))
       .select(col("centroid")).collect()
       .map(_.getSeq[Double](0).toArray)
+    val (corpusLv, queryLv) = listVec match {
+      case Some((cv, qv)) => (asDouble(cv), asDouble(qv))
+      case None => (asDouble(vvec), asDouble(qvec))
+    }
     // corpus list assignment: map-only argmin projection
-    val corpus = vectors.select(vid.as("cand_id"), asDouble(vvec).as("cv"))
-      .withColumn("list_id", call_function("sd_argmin_sqdist", col("cv"), centroidLit(cents)))
+    val corpus = vectors.select(vid.as("cand_id"), asDouble(vvec).as("cv"),
+        corpusLv.as("clv"))
+      .withColumn("list_id", call_function("sd_argmin_sqdist", col("clv"), centroidLit(cents)))
+      .drop("clv")
     val wProbe = Window.partitionBy("query_id").orderBy(col("__d"), col("centroid_id"))
-    val probes = queries.select(qid.as("query_id"), asDouble(qvec).as("qv"))
+    val probes = queries.select(qid.as("query_id"), asDouble(qvec).as("qv"),
+        queryLv.as("qlv"))
       .crossJoin(broadcast(centroids))
-      .withColumn("__d", sqDist(col("qv"), col("centroid")))
+      .withColumn("__d", sqDist(col("qlv"), col("centroid")))
       .withColumn("__pr", row_number().over(wProbe))
       .filter(col("__pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
@@ -191,4 +205,13 @@ object IvfAnn {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("cand_id"), col("rank"), col("sim"))
   }
+
+  /** Deterministic integer quantization of a float/double vector: each
+    * component becomes floor(x * 2^20 + 0.5) as an integer-valued DOUBLE.
+    * Integer-valued inputs make every float aggregation in [[kmeans]]
+    * exact (partial sums stay below 2^53), so clustering is reproducible
+    * across partitionings AND across engines — the property that lets the
+    * IVF gate query carry a DuckDB oracle. */
+  def quantized(vec: Column, scaleBits: Int = 20): Column =
+    transform(vec, x => floor(x.cast("double") * lit(math.pow(2.0, scaleBits)) + lit(0.5)))
 }

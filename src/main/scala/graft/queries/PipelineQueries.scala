@@ -129,16 +129,19 @@ object PipelineQueries {
           col("rank").as("rnk"), round(col("sim"), 6).as("sim"))
     }),
 
-    // IVF ANN (k-means quantizer + inverted-list probe). No oracle —
-    // iterative float means aren't SQL-replicable; the driver records a
-    // rows-only check, recall is spec'd in PipelineSpec.
+    // IVF ANN (k-means quantizer + inverted-list probe). Clustering runs
+    // on integer-quantized vectors (IvfAnn.quantized) so every float
+    // aggregate in the Lloyd iterations is exact → bit-reproducible across
+    // partitionings and engines; the DuckDB oracle unrolls the same three
+    // rounds. Similarity is still cosine on the original embeddings.
     "pl11_ivf_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      val qv = graft.pipeline.IvfAnn.quantized(col("embedding"))
       val centroids = graft.pipeline.IvfAnn.kmeans(
-        e, col("vec_id"), col("embedding"), k = 16, iters = 3)
+        e, col("vec_id"), qv, k = 16, iters = 3)
       graft.pipeline.IvfAnn.search(e, e.filter(col("vec_id") < 20),
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        centroids, nProbe = 4, topK = 3)
+        centroids, nProbe = 4, topK = 3, listVec = Some((qv, qv)))
         .select(col("query_id"), col("cand_id"), col("rank").as("rnk"),
           round(col("sim"), 6).as("sim"))
     }),
@@ -390,6 +393,75 @@ object PipelineQueries {
         |  FROM pairs)
         |SELECT query_id, bucket, cand_id, CAST(rk AS INT) AS rnk, round(sim, 6) AS sim
         |FROM ranked WHERE rk <= 2""".stripMargin,
+
+    "pl11_ivf_ann" ->
+      """WITH ve AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v,
+        |    [floor(x::DOUBLE * 1048576.0 + 0.5) for x in embedding] AS q
+        |  FROM embeddings),
+        |seedr AS (
+        |  SELECT vec_id, q,
+        |    row_number() OVER (ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT, vec_id) - 1 AS cid
+        |  FROM ve),
+        |c0 AS (SELECT cid, q AS cv FROM seedr WHERE cid < 16),
+        |a1 AS (SELECT ve.vec_id, ve.q, c.cid,
+        |    list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]) AS d2
+        |  FROM ve CROSS JOIN c0 c),
+        |g1 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a1)
+        |  WHERE rn = 1),
+        |m1 AS (SELECT cid, dim, SUM(val)/COUNT(*) AS m FROM (
+        |    SELECT cid, UNNEST(q) AS val, UNNEST(range(1, len(q)+1)) AS dim FROM g1)
+        |  GROUP BY cid, dim),
+        |mm1 AS (SELECT cid, LIST(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        |c1 AS (SELECT s.cid, COALESCE(mm1.cv, s.cv) AS cv FROM c0 s LEFT JOIN mm1 ON s.cid = mm1.cid),
+        |a2 AS (SELECT ve.vec_id, ve.q, c.cid,
+        |    list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]) AS d2
+        |  FROM ve CROSS JOIN c1 c),
+        |g2 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a2)
+        |  WHERE rn = 1),
+        |m2 AS (SELECT cid, dim, SUM(val)/COUNT(*) AS m FROM (
+        |    SELECT cid, UNNEST(q) AS val, UNNEST(range(1, len(q)+1)) AS dim FROM g2)
+        |  GROUP BY cid, dim),
+        |mm2 AS (SELECT cid, LIST(m ORDER BY dim) AS cv FROM m2 GROUP BY cid),
+        |c2 AS (SELECT s.cid, COALESCE(mm2.cv, s.cv) AS cv FROM c1 s LEFT JOIN mm2 ON s.cid = mm2.cid),
+        |a3 AS (SELECT ve.vec_id, ve.q, c.cid,
+        |    list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]) AS d2
+        |  FROM ve CROSS JOIN c2 c),
+        |g3 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a3)
+        |  WHERE rn = 1),
+        |m3 AS (SELECT cid, dim, SUM(val)/COUNT(*) AS m FROM (
+        |    SELECT cid, UNNEST(q) AS val, UNNEST(range(1, len(q)+1)) AS dim FROM g3)
+        |  GROUP BY cid, dim),
+        |mm3 AS (SELECT cid, LIST(m ORDER BY dim) AS cv FROM m3 GROUP BY cid),
+        |c3 AS (SELECT s.cid, COALESCE(mm3.cv, s.cv) AS cv FROM c2 s LEFT JOIN mm3 ON s.cid = mm3.cid),
+        |asg AS (SELECT vec_id AS cand_id, cid AS list_id FROM (
+        |    SELECT ve.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY ve.vec_id ORDER BY
+        |        list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]), c.cid) AS rn
+        |    FROM ve CROSS JOIN c3 c)
+        |  WHERE rn = 1),
+        |prb AS (SELECT vec_id AS query_id, cid AS list_id FROM (
+        |    SELECT ve.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY ve.vec_id ORDER BY
+        |        list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]), c.cid) AS rn
+        |    FROM ve CROSS JOIN c3 c WHERE ve.vec_id < 20)
+        |  WHERE rn <= 4),
+        |cand AS (SELECT p.query_id, a.cand_id
+        |  FROM prb p JOIN asg a ON p.list_id = a.list_id AND p.query_id <> a.cand_id),
+        |sims AS (SELECT c.query_id, c.cand_id,
+        |    list_sum([qe.v[i]*ce.v[i] for i in range(1, len(qe.v)+1)]) /
+        |      (sqrt(list_sum([qe.v[i]*qe.v[i] for i in range(1, len(qe.v)+1)])) *
+        |       sqrt(list_sum([ce.v[i]*ce.v[i] for i in range(1, len(ce.v)+1)]))) AS sim
+        |  FROM cand c JOIN ve qe ON c.query_id = qe.vec_id JOIN ve ce ON c.cand_id = ce.vec_id),
+        |ranked AS (SELECT query_id, cand_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+        |  FROM sims)
+        |SELECT query_id, cand_id, CAST(rk AS INT) AS rnk, round(sim, 6) AS sim
+        |FROM ranked WHERE rk <= 3""".stripMargin,
 
     "pl10_multimodal" ->
       s"""SELECT doc_id,
