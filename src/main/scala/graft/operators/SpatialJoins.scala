@@ -41,7 +41,8 @@ object SpatialJoins {
       predicate: String,
       bounds: Option[(Double, Double, Double, Double)] = None,
       nx: Int = 64, ny: Int = 64,
-      distance: Option[Column] = None): DataFrame = {
+      distance: Option[Column] = None,
+      extraCond: Option[Column] = None): DataFrame = {
 
     val (xmin, ymin, xmax, ymax) = bounds.getOrElse {
       val Row(a: Double, b: Double, c: Double, d: Double) =
@@ -89,8 +90,9 @@ object SpatialJoins {
       case Some(d) => st.f("st_dwithin", col("__lg"), col("__rg"), d)
       case None => st.f(predicate, col("__lg"), col("__rg"))
     }
-    l.join(r, col("__lcell") === col("__rcell")
-        && bboxOverlap && refCell === col("__lcell") && refine)
+    val cond = col("__lcell") === col("__rcell") &&
+      bboxOverlap && refCell === col("__lcell") && refine
+    l.join(r, extraCond.map(cond && _).getOrElse(cond))
       .drop("__lcell", "__rcell", "__l4", "__r4", "__lg", "__rg")
   }
 

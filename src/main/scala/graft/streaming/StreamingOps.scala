@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-streaming operators. The reference is batch-only (SURVEY.md
@@ -60,4 +60,31 @@ object StreamingOps {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Stream-stream spatial join.
+    *
+    * Structured Streaming's stream-stream join requires an equi key for
+    * state partitioning — a spatial theta predicate has none, but the
+    * grid-cell decomposition of the batch grid join provides one: both
+    * sides explode their envelope's covering cells and equi-join on cell
+    * id, then bbox overlap + reference-cell dedup + the exact predicate
+    * refine, exactly as in `SpatialJoins.gridJoin`. `timeCond` (an
+    * event-time range over the two sides' watermarked timestamp columns,
+    * e.g. `l_ts BETWEEN r_ts - INTERVAL 10 SECONDS AND r_ts + INTERVAL 10
+    * SECONDS`) bounds the join state so old rows age out — the standard
+    * stream-stream contract.
+    *
+    * Both inputs MUST carry `withWatermark` on the columns `timeCond`
+    * references. `bounds` must be given (a pre-pass action is impossible
+    * on an unbounded stream).
+    */
+  def streamSpatialJoin(left: DataFrame, right: DataFrame,
+      leftGeom: Column, rightGeom: Column, predicate: String,
+      bounds: (Double, Double, Double, Double),
+      timeCond: Column,
+      nx: Int = 64, ny: Int = 64,
+      distance: Option[Column] = None): DataFrame =
+    graft.operators.SpatialJoins.gridJoin(left, right, leftGeom, rightGeom,
+      predicate, bounds = Some(bounds), nx = nx, ny = ny,
+      distance = distance, extraCond = Some(timeCond))
 }

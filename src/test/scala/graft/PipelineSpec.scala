@@ -329,4 +329,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expected, s"n=$n")
     }
   }
+
+  test("structured streaming: stream-stream spatial join via grid equi-keys") {
+    // two unbounded inputs joined on a spatial predicate — possible in
+    // Structured Streaming only because the grid decomposition turns the
+    // theta join into an equi join on cell id (+ event-time range bound)
+    import graft.functions.GraftFunctions.st
+    implicit val sqlCtx = spark.sqlContext
+    val lin = MemoryStream[(Long, Double, Double, Long)]
+    val rin = MemoryStream[(Long, Double, Double, Long)]
+    val pts = lin.toDF().toDF("pid", "px", "py", "pts_ms")
+      .withColumn("p_ts", timestamp_millis(col("pts_ms")))
+      .withWatermark("p_ts", "5 seconds")
+      .withColumn("pt", st.point(col("px"), col("py")))
+      .select("pid", "pt", "p_ts")
+    val boxes = rin.toDF().toDF("bid", "bx", "by", "bts_ms")
+      .withColumn("b_ts", timestamp_millis(col("bts_ms")))
+      .withWatermark("b_ts", "5 seconds")
+      .withColumn("box", st.makeEnvelope(col("bx"), col("by"),
+        col("bx") + 2.0, col("by") + 2.0))
+      .select("bid", "box", "b_ts")
+    val joined = graft.streaming.StreamingOps.streamSpatialJoin(
+        pts, boxes, col("pt"), col("box"), "st_intersects",
+        bounds = (0.0, 0.0, 100.0, 100.0),
+        timeCond = col("p_ts") >= col("b_ts") - expr("INTERVAL 10 SECONDS") &&
+          col("p_ts") <= col("b_ts") + expr("INTERVAL 10 SECONDS"),
+        nx = 8, ny = 8)
+      .select(col("pid"), col("bid"))
+    val q = joined.writeStream.format("memory").queryName("sssj")
+      .outputMode("append").start()
+    try {
+      // batch 1: point 1 in box 10 (time-close), point 2 far from boxes
+      lin.addData((1L, 1.0, 1.0, 1000L), (2L, 50.0, 50.0, 1000L))
+      rin.addData((10L, 0.0, 0.0, 2000L), (20L, 80.0, 80.0, 2000L))
+      q.processAllAvailable()
+      // batch 2: point 3 lands in box 10 but 60s later -> outside the
+      // time bound, must NOT join; point 4 in box 20, time-close to a
+      // fresh box 21 copy at the same spot
+      lin.addData((3L, 1.0, 1.0, 62000L), (4L, 80.5, 80.5, 3000L))
+      rin.addData((21L, 80.0, 80.0, 4000L))
+      q.processAllAvailable()
+      val rows = spark.table("sssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 10L), (4L, 20L), (4L, 21L)), rows)
+    } finally q.stop()
+  }
 }
