@@ -58,7 +58,11 @@ object RasterFunctions {
   }
 
   private def bandValues(r: Raster, band1: Int): Array[Double] = {
-    val data = r.bands(band1 - 1).data
+    val band = r.bands(band1 - 1)
+    require(band.dims == null || band.dims.length == 2,
+      s"band $band1 carries ${band.dims.length} dims (${band.dims.mkString(",")}); " +
+        "2D band kernels require a y/x band — rs_dimtoband/rs_slice first")
+    val data = band.data
     val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     Array.fill(r.width * r.height)(bb.getDouble)
   }

@@ -35,10 +35,16 @@ object RasterOps {
   @inline private def ii(a: Array[Any], i: Int): Int = a(i).asInstanceOf[Int]
   @inline private def bb(a: Array[Any], i: Int): Boolean = a(i).asInstanceOf[Boolean]
 
-  /** Raw band value at (col, row) ignoring nodata masking; NaN outside. */
+  /** Raw band value at (col, row) ignoring nodata masking; NaN outside.
+    * N-D bands (dims beyond y/x) would silently alias slice 0 under the
+    * 2D row-major layout assumed here — fail loudly instead. */
   @inline private def rawValue(r: Raster, band1: Int, c: Int, row: Int): Double = {
+    val band = r.bands(band1 - 1)
+    require(band.dims == null || band.dims.length == 2,
+      s"band $band1 carries ${band.dims.length} dims (${band.dims.mkString(",")}); " +
+        "2D pixel kernels require a y/x band — rs_dimtoband/rs_slice first")
     if (c < 0 || c >= r.width || row < 0 || row >= r.height) return Double.NaN
-    val data = r.bands(band1 - 1).data
+    val data = band.data
     java.lang.Double.longBitsToDouble(
       readLongLE(data, (row.toLong * r.width + c).toInt * 8))
   }
@@ -54,16 +60,19 @@ object RasterOps {
     v.isNaN || v == nodata
 
   /** Pixel window (inclusive col/row bounds, clamped) covering a world
-    * envelope under the raster's inverse affine. */
-  private def windowOf(r: Raster, env: org.locationtech.jts.geom.Envelope)
-      : Option[(Int, Int, Int, Int)] = {
+    * envelope under the raster's inverse affine. `pad` widens the window
+    * by that many pixels on every side before clamping — all-touched
+    * scans pass 1 so edge-touching cells enter the scan symmetrically
+    * (the exact pixelHit intersects test still decides membership). */
+  private def windowOf(r: Raster, env: org.locationtech.jts.geom.Envelope,
+      pad: Int = 0): Option[(Int, Int, Int, Int)] = {
     val cs = Seq(
       r.rasterCoord(env.getMinX, env.getMinY), r.rasterCoord(env.getMinX, env.getMaxY),
       r.rasterCoord(env.getMaxX, env.getMinY), r.rasterCoord(env.getMaxX, env.getMaxY))
-    val c0 = math.max(0, math.floor(cs.map(_._1).min).toInt)
-    val c1 = math.min(r.width - 1, math.ceil(cs.map(_._1).max).toInt - 1)
-    val r0 = math.max(0, math.floor(cs.map(_._2).min).toInt)
-    val r1 = math.min(r.height - 1, math.ceil(cs.map(_._2).max).toInt - 1)
+    val c0 = math.max(0, math.floor(cs.map(_._1).min).toInt - pad)
+    val c1 = math.min(r.width - 1, math.ceil(cs.map(_._1).max).toInt - 1 + pad)
+    val r0 = math.max(0, math.floor(cs.map(_._2).min).toInt - pad)
+    val r1 = math.min(r.height - 1, math.ceil(cs.map(_._2).max).toInt - 1 + pad)
     if (c0 > c1 || r0 > r1) None else Some((c0, c1, r0, r1))
   }
 
@@ -89,7 +98,8 @@ object RasterOps {
   private def zoneValues(r: Raster, zone: Geometry, band1: Int,
       allTouched: Boolean, excludeNoData: Boolean): Array[Double] = {
     val out = scala.collection.mutable.ArrayBuffer[Double]()
-    windowOf(r, zone.getEnvelopeInternal).foreach { case (c0, c1, r0, r1) =>
+    windowOf(r, zone.getEnvelopeInternal, if (allTouched) 1 else 0)
+        .foreach { case (c0, c1, r0, r1) =>
       val pg = PreparedGeometryFactory.prepare(zone)
       val nodata = r.bands(band1 - 1).nodata
       var row = r0
@@ -186,7 +196,11 @@ object RasterOps {
       val nodata = if (a.length > 4) d(a, 4) else r.bands(band - 1).nodata
       val crop = a.length <= 5 || bb(a, 5)
       require(band >= 1 && band <= r.bands.length, s"rs_clip: band $band out of range")
-      windowOf(r, g.getEnvelopeInternal) match {
+      // crop extent is always the tight envelope window (GDAL cutline
+      // semantics); all-touched only widens the *scan* when the full
+      // extent is kept, so edge-touching cells can be written.
+      windowOf(r, g.getEnvelopeInternal,
+          if (allTouched && !crop) 1 else 0) match {
         case None => null // no overlap
         case Some((c0, c1, r0, r1)) =>
           val (w0, h0, cOff, rOff) =

@@ -69,14 +69,20 @@ object GeoParquet {
     // sidecar mirroring the `geo` footer metadata (GeoParquetMetadata)
     val spark = df.sparkSession
     val m = obs.get
-    def d(k: String): Any = m.get(k) match {
-      case Some(v: java.lang.Double) => v
-      case _ => "null"
-    }
+    // GeoParquet requires bbox values to be numbers — an empty input
+    // observes null min/max, so omit the bbox key entirely in that case.
+    val bounds = Seq("xmin", "ymin", "xmax", "ymax").map(k => m.get(k) match {
+      case Some(v: java.lang.Double) => Some(v.doubleValue)
+      case _ => None
+    })
+    val bboxJson =
+      if (bounds.forall(_.isDefined))
+        s""""bbox":[${bounds.map(_.get).mkString(",")}],"""
+      else ""
     val geoJson =
       s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{
          |"encoding":"WKB","crs":"$crs",
-         |"bbox":[${d("xmin")},${d("ymin")},${d("xmax")},${d("ymax")}],
+         |$bboxJson
          |"covering":${if (withBbox) s"""{"bbox":{"xmin":["${geomCol}_bbox","xmin"],"ymin":["${geomCol}_bbox","ymin"],"xmax":["${geomCol}_bbox","xmax"],"ymax":["${geomCol}_bbox","ymax"]}}""" else "null"}}}}""".stripMargin
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path, "_geo.json")

@@ -59,12 +59,17 @@ object GeoTiff {
       else graft.functions.GeomScalars.parseCrsSrid(r.crs)
     val nodata1 = r.bands.head.nodata
 
+    // EPSG's 4xxx block holds the geographic-2D CRS codes (4326 WGS84,
+    // 4269 NAD83, 4258 ETRS89, ...); anything else we can emit is a
+    // projected CRS. Gate the GeoKey class on that, not on == 4326.
+    val geographic = srid >= 4000 && srid <= 4999
+
     // GeoKeyDirectory: version 1.1.0, then (id, location=0, count=1, value)
     val geoKeys = {
       val keys = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-      keys += GKModelType -> (if (srid == 4326) 2 else 1) // 2 geographic, 1 projected
+      keys += GKModelType -> (if (geographic) 2 else 1) // 2 geographic, 1 projected
       keys += GKRasterType -> 1 // PixelIsArea
-      if (srid == 4326) keys += GKGeographicType -> 4326
+      if (geographic) keys += GKGeographicType -> srid
       else if (srid != 0) keys += GKProjectedCSType -> srid
       val arr = new Array[Int](4 * (keys.length + 1))
       arr(0) = 1; arr(1) = 1; arr(2) = 0; arr(3) = keys.length
