@@ -199,16 +199,22 @@ object PipelineOps {
   /** N-gram Jaccard similarity for pairs sharing a blocking key (e.g.
     * source): |distinct shingle intersection| / |union|.
     *
-    * With `minJaccard > 0` this runs as an inverted-index set-similarity
-    * join: explode distinct shingles to postings, equi-join postings on
-    * (block, shingle), and count co-occurrences per document pair — the
-    * intersection size arrives from the group-by, never from a pairwise
-    * scan. Pairs sharing no shingle (jaccard = 0) are never materialized,
-    * so the quadratic all-pairs-within-block stage disappears; shuffle
-    * volume is the co-occurrence mass (sum over shingles of freq²), which
-    * AQE's skew-join split handles when one shingle is pathologically
-    * common. With `minJaccard <= 0` zero-overlap pairs must be emitted,
-    * so the blocked pairwise merge path is kept. */
+    * Two exact plans, dispatched on the threshold:
+    *
+    * - `minJaccard >= 0.4`: prefix-filtered inverted-index join
+    *   (AllPairs/PPJoin). Shingle arrays are globally sorted, so two sets
+    *   with jaccard > t must collide within their first
+    *   `|s| - floor(t*|s|) + 1` elements; only those prefix postings are
+    *   exploded and equi-joined on (block, shingle) to produce candidate
+    *   pairs, which are then verified with an exact sorted-merge
+    *   intersection. Candidate volume shrinks as t grows — the classic
+    *   scale path for near-dup thresholds (0.7–0.9).
+    *
+    * - lower thresholds: blocked pairwise sorted-merge. At small t the
+    *   prefix is nearly the whole set, so the inverted join degenerates to
+    *   Σ freq² co-occurrence mass (common shingles dominate) and is far
+    *   worse than the plain C(block,2) merge; the blocking key carries the
+    *   scale burden here, as it must for any exact low-threshold join. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       block: Column, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     // persist: both join sides reference the hashed-shingle arrays — without
@@ -217,36 +223,37 @@ object PipelineOps {
       df.select(block.as("__blk"), id.as("doc_id"),
         array_sort(array_distinct(shingleHashes(tokens(text), k))).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    if (minJaccard > 0) {
-      val posts = g.select(col("__blk"), col("doc_id"),
-        size(col("sh")).as("sz"), explode(col("sh")).as("h"))
-      val a = posts.select(col("__blk"), col("h"),
-        col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      val b = posts.select(col("__blk"), col("h"),
-        col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-      // size-ratio prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
-      // failing the bound can never pass minJaccard — drop before grouping
-      a.join(b, Seq("__blk", "h")).filter(col("doc_a") < col("doc_b"))
-        .filter(least(col("sz_a"), col("sz_b")).cast("double") /
-          greatest(col("sz_a"), col("sz_b")) > minJaccard)
-        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-        .agg(count(lit(1)).cast("double").as("inter"))
-        .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
-        .withColumn("jaccard", col("inter") / col("uni"))
-        .filter(col("jaccard") > minJaccard)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val verify = (pairs: DataFrame) => pairs
+      .withColumn("inter",
+        call_function("sd_sorted_intersect_count", col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") > minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    if (minJaccard >= 0.4) {
+      // floor (not ceil) keeps the prefix a safe over-approximation under
+      // double rounding; the verify step is exact regardless
+      val pref = g.select(col("__blk"), col("doc_id"),
+        explode(slice(col("sh"), lit(1),
+          (size(col("sh")) - floor(lit(minJaccard) * size(col("sh"))).cast("int") + 1)
+            .cast("int"))).as("h"))
+      val cand = pref.select(col("__blk"), col("h"), col("doc_id").as("doc_a"))
+        .join(pref.select(col("__blk"), col("h"), col("doc_id").as("doc_b")),
+          Seq("__blk", "h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("__blk"), col("doc_a"), col("doc_b"))
+        .distinct()
+      verify(cand
+        .join(g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+          Seq("__blk", "doc_a"))
+        .join(g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("__blk", "doc_b")))
     } else {
-      // all-pairs semantics: per-pair allocation-free merge over the
+      // all-pairs-within-block: per-pair allocation-free merge over the
       // sorted hashed shingles
       val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b"))
-        .withColumn("inter",
-          call_function("sd_sorted_intersect_count", col("sh_a"), col("sh_b")).cast("double"))
-        .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
-        .withColumn("jaccard", col("inter") / col("uni"))
-        .filter(col("jaccard") > minJaccard)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      verify(a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b")))
     }
   }
 

@@ -53,6 +53,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.getOrElse((1L, 3L), 0.0) < 0.1)
   }
 
+  test("ngram jaccard: prefix-filtered inverted path agrees with pairwise merge") {
+    val t = 0.5
+    val blocked = docs.withColumn("blk", lit(1))
+    // t >= 0.4 takes the inverted-index path; the pairwise path filtered at
+    // the same threshold is the ground truth
+    val inverted = PipelineOps.ngramJaccardPairs(blocked,
+        col("doc_id"), col("text"), col("blk"), minJaccard = t)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pairwise = PipelineOps.ngramJaccardPairs(blocked,
+        col("doc_id"), col("text"), col("blk"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .filter(_._2 > t)
+    assert(inverted == pairwise)
+    assert(inverted.nonEmpty) // (1,4) identical pair must survive
+  }
+
   test("connected components: multi-hop chains collapse to min id") {
     import spark.implicits._
     // components: {1,2,3,4} as a chain, {10,11} as an edge, {20,21,22} as
