@@ -89,6 +89,97 @@ object GeoParquet {
     val fs = p.getFileSystem(conf)
     val os = fs.create(p, true)
     os.write(geoJson.getBytes("UTF-8")); os.close()
+
+    // Per-file bbox manifest (`_geo_files.json`): the FILE-level skip.
+    // Row-group pruning via the covering column still requires opening
+    // every footer; at 10^6 files that listing+footer pass dominates. The
+    // manifest lets GeoPruneRule drop whole files before the scan is
+    // planned (the reference's file-level prune,
+    // rust/sedona-geoparquet/src/file_opener.rs:291-309). Built from a
+    // read-back over the 4 bbox doubles only — column-pruned, no WKB
+    // parse, one distributed pass; Hilbert clustering makes the per-file
+    // boxes tight.
+    if (withBbox) {
+      val bb = s"${geomCol}_bbox"
+      val rows = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(s"$bb.xmin")).as("x0"), min(col(s"$bb.ymin")).as("y0"),
+          max(col(s"$bb.xmax")).as("x1"), max(col(s"$bb.ymax")).as("y1"))
+        .collect()
+      val entries = rows.filterNot(_.anyNull).map { r =>
+        val name = r.getString(0).split('/').last
+        s""""$name":[${r.getDouble(1)},${r.getDouble(2)},${r.getDouble(3)},${r.getDouble(4)}]"""
+      }
+      val mp = new org.apache.hadoop.fs.Path(path, manifestName)
+      val mos = fs.create(mp, true)
+      mos.write(
+        s"""{"version":1,"column":"$geomCol","files":{${entries.mkString(",")}}}"""
+          .getBytes("UTF-8"))
+      mos.close()
+    }
+    invalidateManifest(path)
+  }
+
+  val manifestName = "_geo_files.json"
+
+  /** Geometry column the `_geo_files.json` manifest covers, if present. */
+  def manifestColumn(spark: SparkSession, root: org.apache.hadoop.fs.Path)
+    : Option[String] = manifestMeta(spark, root).map(_._1)
+
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(String, Map[String, Array[Double]])]]()
+
+  /** Cached (column, files) manifest read — the optimizer may consult the
+    * manifest several times per query (fixpoint batch); one FS read per
+    * root path per JVM. Invalidated by path on rewrite. */
+  private def manifestMeta(spark: SparkSession, root: org.apache.hadoop.fs.Path)
+    : Option[(String, Map[String, Array[Double]])] =
+    manifestCache.computeIfAbsent(root.toString, _ => readManifest(spark, root))
+
+  /** Drop the cached manifest for `path` (call after rewriting a dataset). */
+  def invalidateManifest(path: String): Unit = {
+    val it = manifestCache.keys()
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k == path || k.endsWith(path)) manifestCache.remove(k)
+    }
+  }
+
+  /** Per-file bboxes from the `_geo_files.json` manifest, or None when the
+    * dataset has none. Keys are file names (not full paths). */
+  def fileManifest(spark: SparkSession, root: org.apache.hadoop.fs.Path)
+    : Option[Map[String, Array[Double]]] = manifestMeta(spark, root).map(_._2)
+
+  private def readManifest(spark: SparkSession, root: org.apache.hadoop.fs.Path)
+    : Option[(String, Map[String, Array[Double]])] = {
+    try {
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mp = new org.apache.hadoop.fs.Path(root, manifestName)
+      if (!fs.exists(mp)) return None
+      val in = fs.open(mp)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tree = om.readTree(bytes)
+      val files = tree.get("files")
+      val colNode = tree.get("column")
+      if (files == null || colNode == null) return None
+      val out = Map.newBuilder[String, Array[Double]]
+      val it = files.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val a = e.getValue
+        if (a.isArray && a.size() == 4)
+          out += e.getKey -> Array(a.get(0).asDouble, a.get(1).asDouble,
+            a.get(2).asDouble, a.get(3).asDouble)
+      }
+      Some((colNode.asText(), out.result()))
+    } catch { case _: Exception => None }
   }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)

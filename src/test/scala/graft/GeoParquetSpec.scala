@@ -73,6 +73,36 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.count() == expected)
   }
 
+  test("file-level prune: manifest skips files outside the query envelope") {
+    val dir = Files.createTempDirectory("gp").toString + "/t4"
+    // two far-apart clusters; Hilbert range-clustering puts them in
+    // disjoint files
+    val docs = spark.range(2000).select(col("id"),
+      st.point(
+        when(col("id") % 2 === 0, (col("id") % 100).cast("double"))
+          .otherwise((col("id") % 100).cast("double") + 10000.0),
+        (col("id") % 100).cast("double")).as("geom"))
+    GeoParquet.write(docs, dir, "geom", clusterPartitions = 4)
+    assert(Files.exists(java.nio.file.Paths.get(dir, GeoParquet.manifestName)))
+    val back = GeoParquet.read(spark, dir)
+    val q = back.filter(st.intersects(col("geom"),
+      st.makeEnvelope(lit(-1.0), lit(-1.0), lit(200.0), lit(200.0))))
+    // the optimized scan must read strictly fewer files than the dataset has
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scanned = scans.map(_.relation.location.inputFiles.length).sum
+    val total = Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).count(p => p.endsWith(".parquet") && !p.split('/').last.startsWith("_"))
+    assert(total >= 2, s"expected multiple output files, got $total")
+    assert(scanned < total, s"no file pruned: scanned $scanned of $total")
+    // correctness: pruned read ≡ brute force (even cluster only)
+    val expected = docs.filter(st.intersects(col("geom"),
+      st.makeEnvelope(lit(-1.0), lit(-1.0), lit(200.0), lit(200.0)))).count()
+    assert(q.count() == expected && expected == 1000)
+  }
+
   test("FlatGeobuf roundtrip: all geometry types, nulls, property types") {
     import graft.sources.FlatGeobuf
     val wkts = Seq(
