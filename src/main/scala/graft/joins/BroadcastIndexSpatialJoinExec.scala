@@ -87,9 +87,16 @@ case class BroadcastIndexSpatialJoinExec(
             val candidates = tree.query(env)
             if (candidates.isEmpty) Iterator.empty
             else {
-              candidatePairs += candidates.size()
+              val nCand = candidates.size()
+              candidatePairs += nCand
+              // Speculative prepare (reference option.rs:276-301 /
+              // exec_mode_selector.rs): building the prepared geometry's
+              // edge index costs more than one or two plain relate ops, so
+              // only prepare when enough index hits will amortize it.
               val prepared: PreparedGeometry =
-                if (dist.isEmpty) PreparedGeometryFactory.prepare(sg) else null
+                if (dist.isEmpty && nCand >= BroadcastIndexSpatialJoinExec.prepareThreshold)
+                  PreparedGeometryFactory.prepare(sg)
+                else null
               val it = candidates.iterator()
               new Iterator[(Geometry, InternalRow)] {
                 override def hasNext: Boolean = it.hasNext
@@ -98,7 +105,10 @@ case class BroadcastIndexSpatialJoinExec(
               }.filter { case (bg, _) =>
                 dist match {
                   case Some(d) => sg.isWithinDistance(bg, d)
-                  case None => BroadcastIndexSpatialJoinExec.refine(prepared, pred, bg)
+                  case None =>
+                    if (prepared != null)
+                      BroadcastIndexSpatialJoinExec.refine(prepared, pred, bg)
+                    else BroadcastIndexSpatialJoinExec.refineDirect(sg, pred, bg)
                 }
               }.map { case (_, buildRow) =>
                 if (bIsLeft) joined(buildRow, streamRow) else joined(streamRow, buildRow)
@@ -165,6 +175,24 @@ object BroadcastIndexSpatialJoinExec {
       cache.put(key, new java.lang.ref.SoftReference[STRtree](tree))
       tree
     }
+  }
+
+  /** Candidate count at which preparing the stream geometry pays for
+    * itself (the reference's speculative threshold, option.rs:276-301). */
+  val prepareThreshold = 3
+
+  /** pred(streamG, buildG) without preparation — cheaper for rows with
+    * fewer than [[prepareThreshold]] index hits. */
+  def refineDirect(sg: Geometry, pred: String, bg: Geometry): Boolean = pred match {
+    case "st_intersects" => sg.intersects(bg)
+    case "st_contains" => sg.contains(bg)
+    case "st_within" => sg.within(bg)
+    case "st_covers" => sg.covers(bg)
+    case "st_coveredby" => sg.coveredBy(bg)
+    case "st_touches" => sg.touches(bg)
+    case "st_crosses" => sg.crosses(bg)
+    case "st_overlaps" => sg.overlaps(bg)
+    case "st_equals" => sg.equalsTopo(bg)
   }
 
   /** pred(streamG, buildG) via the stream-side prepared geometry. */
