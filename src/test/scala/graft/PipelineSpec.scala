@@ -316,6 +316,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(res("b") == 1)
     } finally q.stop()
   }
+  test("structured streaming: watermark drops late rows; closed windows are final") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val counts = input.toDF().toDF("ts_ms", "word")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w"), col("word"), col("n"))
+    // append mode: a window only emits once the watermark passes its end
+    val q = counts.writeStream.format("memory").queryName("lateq")
+      .outputMode("append").start()
+    try {
+      input.addData((1000L, "a"), (3000L, "a"))
+      q.processAllAvailable()
+      // watermark jumps to 55s: window [0,10s) closes and emits n=2
+      input.addData((60000L, "z"))
+      q.processAllAvailable()
+      // late arrival into the closed [0,10s) window — must be dropped
+      input.addData((2000L, "a"), (61000L, "z"))
+      q.processAllAvailable()
+      input.addData((120000L, "zz")) // push watermark past [60,70s) too
+      q.processAllAvailable()
+      val byKey = spark.table("lateq").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(byKey((0L, "a")) == 2, byKey) // late (2000,"a") not counted
+      assert(byKey((60L, "z")) == 2, byKey) // in-watermark rows all counted
+      assert(spark.table("lateq").count() == 2) // closed windows emitted once
+    } finally q.stop()
+  }
+
   test("ScalableRank.globalRowNumber ≡ window row_number (unique keys)") {
     val df = spark.range(0, 5000).toDF("id")
       .withColumn("k", (col("id") * 2654435761L) % 10007)
