@@ -438,15 +438,17 @@ object RasterOps {
     // ------------------------------------------------------------------
     // RS_AsGeoTiff(raster[, compressionType, imageQuality]) -> binary
     // (rs_as_geotiff.rs:313-330): hand-implemented TIFF 6.0 + GeoTIFF 1.1
-    // writer (sources.GeoTiff); only uncompressed output offline.
+    // writer (sources.GeoTiff); NONE or DEFLATE (java.util.zip) output.
     fnv("rs_asgeotiff", BinaryType,
         Seq(Seq(Raw), Seq(Raw, Str, Dbl)))(a => {
-      if (a.length > 1) {
+      val deflate = a.length > 1 && {
         val comp = a(1).asInstanceOf[String]
-        require(comp.equalsIgnoreCase("NONE") || comp.isEmpty,
-          s"rs_asgeotiff: compression '$comp' not supported offline (NONE only)")
+        require(comp.isEmpty || comp.equalsIgnoreCase("NONE") ||
+          comp.equalsIgnoreCase("DEFLATE"),
+          s"rs_asgeotiff: compression '$comp' not supported offline (NONE/DEFLATE)")
+        comp.equalsIgnoreCase("DEFLATE")
       }
-      graft.sources.GeoTiff.write(rast(a))
+      graft.sources.GeoTiff.write(rast(a), deflate)
     }),
 
     // RS_FromGDALRaster(binary) -> raster (rs_from_gdal_raster.rs:49,143):

@@ -32,6 +32,7 @@ object GeoTiff {
   private val TRowsPerStrip = 278
   private val TStripByteCounts = 279
   private val TPlanarConfig = 284
+  private val TPredictor = 317
   private val TSampleFormat = 339
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
@@ -48,11 +49,14 @@ object GeoTiff {
   // ------------------------------------------------------------------
   // writer
 
-  def write(r: Raster): Array[Byte] = {
+  def write(r: Raster, deflate: Boolean = false): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asgeotiff: raster has no bands")
     require(r.bands.forall(b => b.dims == null || b.dims.length == 2),
       "rs_asgeotiff: N-D bands not representable in TIFF (slice first)")
     val nb = r.bands.length
+    val stripData: IndexedSeq[Array[Byte]] = r.bands.toIndexedSeq.map { b =>
+      if (deflate) deflateBytes(b.data) else b.data
+    }
     val skewed = r.gt(2) != 0.0 || r.gt(4) != 0.0
     val srid =
       if (r.crs == null || r.crs.isEmpty) 0
@@ -99,20 +103,20 @@ object GeoTiff {
       vs.foreach(b.putDouble); b.array()
     }
 
-    val stripBytes = r.width.toLong * r.height * 8
+    val stripLens = stripData.map(_.length.toLong)
     var entries = scala.collection.mutable.ArrayBuffer[E](
       E(TImageWidth, 4, 1, Some(r.width.toLong)),
       E(TImageLength, 4, 1, Some(r.height.toLong)),
       E(TBitsPerSample, 3, nb,
         if (nb <= 2) Some(packShortsInline(Seq.fill(nb)(64))) else None,
         shorts(Seq.fill(nb)(64))),
-      E(TCompression, 3, 1, Some(1L)),
+      E(TCompression, 3, 1, Some(if (deflate) 8L else 1L)),
       E(TPhotometric, 3, 1, Some(1L)),
       E(TStripOffsets, 4, nb, if (nb == 1) None else None, longs(Seq.fill(nb)(0L))),
       E(TSamplesPerPixel, 3, 1, Some(nb.toLong)),
       E(TRowsPerStrip, 4, 1, Some(r.height.toLong)),
       E(TStripByteCounts, 4, nb,
-        if (nb == 1) Some(stripBytes) else None, longs(Seq.fill(nb)(stripBytes))),
+        if (nb == 1) Some(stripLens.head) else None, longs(stripLens)),
       E(TPlanarConfig, 3, 1, Some(2L)),
       E(TSampleFormat, 3, nb,
         if (nb <= 2) Some(packShortsInline(Seq.fill(nb)(3))) else None,
@@ -139,8 +143,8 @@ object GeoTiff {
       if (e.inline.isDefined || e.payload.length <= 4) None
       else { val o = dataOff; dataOff += e.payload.length + (e.payload.length & 1); Some(o) }
     }
-    val stripOffsets = (0 until nb).map(i => dataOff + i * stripBytes)
-    val total = dataOff + nb * stripBytes
+    val stripOffsets = stripLens.scanLeft(dataOff)(_ + _).take(nb)
+    val total = dataOff + stripLens.sum
     val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
     out.putShort(entries.length.toShort)
@@ -173,11 +177,89 @@ object GeoTiff {
         if ((bytes.length & 1) == 1) out.put(0.toByte)
       }
     }
-    r.bands.zipWithIndex.foreach { case (b, i) =>
+    stripData.zipWithIndex.foreach { case (d, i) =>
       out.position(stripOffsets(i).toInt)
-      out.put(b.data)
+      out.put(d)
     }
     out.array()
+  }
+
+  private def deflateBytes(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 4))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** TIFF predictor 2: per-row horizontal differencing per channel
+    * (stride = samples per pixel in chunky layout, 1 in planar), undone by
+    * prefix-summing samples as integers of the file's width/byte order. */
+  private def undoHorizontalPredictor(chunk: Array[Byte], samplesPerRow: Int,
+      stride: Int, bytesPer: Int, order: ByteOrder): Array[Byte] = {
+    val rowBytes = samplesPerRow * bytesPer
+    val bb = ByteBuffer.wrap(chunk).order(order)
+    var rowStart = 0
+    while (rowStart + rowBytes <= chunk.length) {
+      var s = stride
+      while (s < samplesPerRow) {
+        val pos = rowStart + s * bytesPer
+        val prev = rowStart + (s - stride) * bytesPer
+        bytesPer match {
+          case 1 => bb.put(pos, (bb.get(pos) + bb.get(prev)).toByte)
+          case 2 => bb.putShort(pos, (bb.getShort(pos) + bb.getShort(prev)).toShort)
+          case 4 => bb.putInt(pos, bb.getInt(pos) + bb.getInt(prev))
+          case 8 => bb.putLong(pos, bb.getLong(pos) + bb.getLong(prev))
+          case other => throw new IllegalArgumentException(
+            s"geotiff: predictor 2 with $other-byte samples")
+        }
+        s += 1
+      }
+      rowStart += rowBytes
+    }
+    chunk
+  }
+
+  /** TIFF predictor 3 (floating point): each row stores byte-delta-coded,
+    * byte-plane-shuffled samples (MSB plane first). Undo the delta, then
+    * re-interleave planes into samples in the file's byte order. */
+  private def undoFloatPredictor(chunk: Array[Byte], samplesPerRow: Int,
+      bytesPer: Int, order: ByteOrder): Array[Byte] = {
+    val rowBytes = samplesPerRow * bytesPer
+    val out = new Array[Byte](chunk.length)
+    var rowStart = 0
+    while (rowStart + rowBytes <= chunk.length) {
+      var i = rowStart + 1
+      while (i < rowStart + rowBytes) {
+        chunk(i) = (chunk(i) + chunk(i - 1)).toByte; i += 1
+      }
+      var j = 0
+      while (j < samplesPerRow) {
+        var k = 0
+        while (k < bytesPer) {
+          val dst =
+            if (order == ByteOrder.LITTLE_ENDIAN) rowStart + j * bytesPer + (bytesPer - 1 - k)
+            else rowStart + j * bytesPer + k
+          out(dst) = chunk(rowStart + k * samplesPerRow + j)
+          k += 1
+        }
+        j += 1
+      }
+      rowStart += rowBytes
+    }
+    out
+  }
+
+  private def inflateBytes(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data, off, len)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, len * 4))
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) out.write(buf, 0, inf.inflate(buf))
+    inf.end()
+    out.toByteArray
   }
 
   /** First 1-2 SHORT values packed into the 4-byte inline slot (LE). */
@@ -246,7 +328,11 @@ object GeoTiff {
     val w = one(TImageWidth, throw new IllegalArgumentException("geotiff: no width")).toInt
     val h = one(TImageLength, throw new IllegalArgumentException("geotiff: no height")).toInt
     val nb = one(TSamplesPerPixel, 1L).toInt
-    require(one(TCompression, 1L) == 1L, "geotiff: only uncompressed supported")
+    val compression = one(TCompression, 1L).toInt
+    // 8 = Adobe deflate, 32946 = legacy deflate code
+    require(compression == 1 || compression == 8 || compression == 32946,
+      s"geotiff: compression $compression not supported (NONE/DEFLATE only)")
+    val predictor = one(TPredictor, 1L).toInt
     val planar = one(TPlanarConfig, 1L).toInt
     val bits = valuesOf(TBitsPerSample).map(_.map(_.toInt)).getOrElse(IndexedSeq.fill(nb)(1))
     val formats = valuesOf(TSampleFormat).map(_.map(_.toInt))
@@ -261,13 +347,25 @@ object GeoTiff {
     val stripCounts = valuesOf(TStripByteCounts).getOrElse(
       throw new IllegalArgumentException("geotiff: no strip byte counts"))
 
-    // concatenate strip data (plane-major for planar=2, row-major chunky else)
+    // concatenate strip data (plane-major for planar=2, row-major chunky
+    // else), inflating + undoing the row predictor per strip
+    val bytesPer = bitsPer / 8
+    val samplesPerRow = if (planar == 2) w else w * nb
+    val stride = if (planar == 2) 1 else nb
     val raw = new java.io.ByteArrayOutputStream()
     stripOffs.zip(stripCounts).foreach { case (o, c) =>
-      raw.write(bytes, o.toInt, c.toInt)
+      val chunk =
+        if (compression == 1) java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt)
+        else inflateBytes(bytes, o.toInt, c.toInt)
+      val dec = predictor match {
+        case 1 => chunk
+        case 2 => undoHorizontalPredictor(chunk, samplesPerRow, stride, bytesPer, order)
+        case 3 => undoFloatPredictor(chunk, samplesPerRow, bytesPer, order)
+        case p => throw new IllegalArgumentException(s"geotiff: predictor $p not supported")
+      }
+      raw.write(dec)
     }
     val data = ByteBuffer.wrap(raw.toByteArray).order(order)
-    val bytesPer = bitsPer / 8
     require(raw.size() >= w.toLong * h * nb * bytesPer,
       s"geotiff: pixel data truncated (${raw.size()} bytes for ${w}x$h x$nb x$bytesPer)")
 

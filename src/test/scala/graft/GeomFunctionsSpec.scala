@@ -578,6 +578,70 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.crs == "EPSG:0")
   }
 
+  test("geotiff: DEFLATE roundtrip and foreign predictor-2/3 strips decode") {
+    // our writer+reader, deflate on
+    val r = "rs_setcrs(rs_makeraster(3, 2, 10.0, 20.0, 2.0, -2.0, " +
+      "array(1d,2d,3d,4d,5d,6d)), 'EPSG:32633')"
+    val rt = s"rs_fromgdalraster(rs_asgeotiff($r, 'DEFLATE', 0.0))"
+    assert(q(s"rs_value($rt, 1, 2, 1)") == 6.0)
+    assert(q(s"rs_crs($rt)") == "EPSG:32633")
+
+    // foreign little-endian single-band TIFFs with deflate + predictors,
+    // encoded here straight from the TIFF 6.0 / Adobe extension spec text
+    import java.nio.{ByteBuffer, ByteOrder}
+    def build(pred: Int, strip: Array[Byte], w: Int, h: Int, bits: Int, fmt: Int): Array[Byte] = {
+      def deflate(d: Array[Byte]): Array[Byte] = {
+        val df = new java.util.zip.Deflater(); df.setInput(d); df.finish()
+        val o = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](256)
+        while (!df.finished()) o.write(buf, 0, df.deflate(buf))
+        o.toByteArray
+      }
+      val comp = deflate(strip)
+      val n = 11
+      val bb = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      bb.putShort(8, n.toShort)
+      var p = 10
+      def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+        bb.putShort(p, tag.toShort); bb.putShort(p + 2, typ.toShort)
+        bb.putInt(p + 4, count)
+        if (typ == 3 && count == 1) bb.putShort(p + 8, value.toShort)
+        else bb.putInt(p + 8, value)
+        p += 12
+      }
+      val dataOff = 10 + n * 12 + 4
+      entry(256, 3, 1, w); entry(257, 3, 1, h)
+      entry(258, 3, 1, bits)
+      entry(259, 3, 1, 8) // adobe deflate
+      entry(273, 4, 1, dataOff)
+      entry(277, 3, 1, 1)
+      entry(278, 4, 1, h)
+      entry(279, 4, 1, comp.length)
+      entry(284, 3, 1, 1)
+      entry(317, 3, 1, pred)
+      entry(339, 3, 1, fmt)
+      bb.putInt(p, 0)
+      bb.position(dataOff); bb.put(comp)
+      java.util.Arrays.copyOf(bb.array(), dataOff + comp.length)
+    }
+    // predictor 2, int16, 2x2: values row0 (100, 250) row1 (7, -3)
+    // differenced: (100, 150), (7, -10)
+    val p2 = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    p2.putShort(100).putShort(150).putShort(7).putShort(-10)
+    val r2 = graft.sources.GeoTiff.read(build(2, p2.array(), 2, 2, 16, 2))
+    assert(r2.value(1, 0, 0) == 100.0 && r2.value(1, 1, 0) == 250.0)
+    assert(r2.value(1, 0, 1) == 7.0 && r2.value(1, 1, 1) == -3.0)
+    // predictor 3, float32, 2x1 row (1.5f, -2.25f): shuffle big-endian byte
+    // planes then delta-code bytes
+    val s1 = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putFloat(1.5f).array()
+    val s2 = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putFloat(-2.25f).array()
+    val shuffled = Array(s1(0), s2(0), s1(1), s2(1), s1(2), s2(2), s1(3), s2(3))
+    val delta = shuffled.clone()
+    for (i <- (1 until delta.length).reverse) delta(i) = (delta(i) - delta(i - 1)).toByte
+    val r3 = graft.sources.GeoTiff.read(build(3, delta, 2, 1, 32, 3))
+    assert(r3.value(1, 0, 0) == 1.5 && r3.value(1, 1, 0) == -2.25)
+  }
+
   test("spherical overlay: high-latitude boxes where planar lon/lat overlay distorts") {
     // two boxes at lat 78..80 overlapping in lon: planar-degree overlay
     // would be 'correct' here too, but the areas must come out spherical
