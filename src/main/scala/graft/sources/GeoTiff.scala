@@ -33,6 +33,10 @@ object GeoTiff {
   private val TStripByteCounts = 279
   private val TPlanarConfig = 284
   private val TPredictor = 317
+  private val TTileWidth = 322
+  private val TTileLength = 323
+  private val TTileOffsets = 324
+  private val TTileByteCounts = 325
   private val TSampleFormat = 339
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
@@ -252,6 +256,57 @@ object GeoTiff {
     out
   }
 
+  /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, ClearCode 256,
+    * EOI 257, 9→12-bit codes with the "early change" width bump at
+    * 2^n - 1 table entries. */
+  private def lzwDecode(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len * 4)
+    val table = new Array[Array[Byte]](4096)
+    var tableSize = 0
+    def resetTable(): Unit = {
+      var i = 0
+      while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+      tableSize = 258 // 256 Clear, 257 EOI
+    }
+    var bitPos = off.toLong * 8
+    val endBit = (off + len).toLong * 8
+    var width = 9
+    def readCode(): Int = {
+      if (bitPos + width > endBit) return 257 // ran off the end: treat as EOI
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = data((bitPos >> 3).toInt) & 0xff
+        v = (v << 1) | ((b >> (7 - (bitPos & 7)).toInt) & 1)
+        bitPos += 1; i += 1
+      }
+      v
+    }
+    resetTable()
+    var prev: Array[Byte] = null
+    var code = readCode()
+    while (code != 257) {
+      if (code == 256) {
+        resetTable(); width = 9; prev = null
+      } else {
+        val entry: Array[Byte] =
+          if (code < tableSize && table(code) != null) table(code)
+          else if (prev != null) prev :+ prev(0) // KwKwK case
+          else throw new IllegalArgumentException("geotiff: corrupt LZW stream")
+        out.write(entry)
+        if (prev != null && tableSize < 4096) {
+          table(tableSize) = prev :+ entry(0)
+          tableSize += 1
+        }
+        // early change: TIFF bumps the code width one entry early
+        if (tableSize == (1 << width) - 1 && width < 12) width += 1
+        prev = entry
+      }
+      code = readCode()
+    }
+    out.toByteArray
+  }
+
   private def inflateBytes(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data, off, len)
@@ -329,9 +384,10 @@ object GeoTiff {
     val h = one(TImageLength, throw new IllegalArgumentException("geotiff: no height")).toInt
     val nb = one(TSamplesPerPixel, 1L).toInt
     val compression = one(TCompression, 1L).toInt
-    // 8 = Adobe deflate, 32946 = legacy deflate code
-    require(compression == 1 || compression == 8 || compression == 32946,
-      s"geotiff: compression $compression not supported (NONE/DEFLATE only)")
+    // 5 = LZW, 8 = Adobe deflate, 32946 = legacy deflate code
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32946,
+      s"geotiff: compression $compression not supported (NONE/LZW/DEFLATE only)")
     val predictor = one(TPredictor, 1L).toInt
     val planar = one(TPlanarConfig, 1L).toInt
     val bits = valuesOf(TBitsPerSample).map(_.map(_.toInt)).getOrElse(IndexedSeq.fill(nb)(1))
@@ -341,33 +397,77 @@ object GeoTiff {
       "geotiff: mixed per-band sample layouts not supported")
     val bitsPer = bits.head
     val fmt = formats.head
-    val rowsPerStrip = one(TRowsPerStrip, h.toLong).toInt
-    val stripOffs = valuesOf(TStripOffsets).getOrElse(
-      throw new IllegalArgumentException("geotiff: no strip offsets"))
-    val stripCounts = valuesOf(TStripByteCounts).getOrElse(
-      throw new IllegalArgumentException("geotiff: no strip byte counts"))
-
-    // concatenate strip data (plane-major for planar=2, row-major chunky
-    // else), inflating + undoing the row predictor per strip
     val bytesPer = bitsPer / 8
     val samplesPerRow = if (planar == 2) w else w * nb
     val stride = if (planar == 2) 1 else nb
-    val raw = new java.io.ByteArrayOutputStream()
-    stripOffs.zip(stripCounts).foreach { case (o, c) =>
-      val chunk =
-        if (compression == 1) java.util.Arrays.copyOfRange(bytes, o.toInt, (o + c).toInt)
-        else inflateBytes(bytes, o.toInt, c.toInt)
-      val dec = predictor match {
+
+    // decompress one strip/tile chunk and undo its row predictor
+    def decode(off: Int, len: Int, rowSamples: Int): Array[Byte] = {
+      val chunk = compression match {
+        case 1 => java.util.Arrays.copyOfRange(bytes, off, off + len)
+        case 5 => lzwDecode(bytes, off, len)
+        case _ => inflateBytes(bytes, off, len)
+      }
+      predictor match {
         case 1 => chunk
-        case 2 => undoHorizontalPredictor(chunk, samplesPerRow, stride, bytesPer, order)
-        case 3 => undoFloatPredictor(chunk, samplesPerRow, bytesPer, order)
+        case 2 => undoHorizontalPredictor(chunk, rowSamples, stride, bytesPer, order)
+        case 3 => undoFloatPredictor(chunk, rowSamples, bytesPer, order)
         case p => throw new IllegalArgumentException(s"geotiff: predictor $p not supported")
       }
-      raw.write(dec)
     }
-    val data = ByteBuffer.wrap(raw.toByteArray).order(order)
-    require(raw.size() >= w.toLong * h * nb * bytesPer,
-      s"geotiff: pixel data truncated (${raw.size()} bytes for ${w}x$h x$nb x$bytesPer)")
+
+    // assemble the whole-image sample buffer (plane-major for planar=2,
+    // row-major chunky else) from strips or tiles
+    val assembled: Array[Byte] =
+      if (tags.contains(TTileWidth)) {
+        val tw = one(TTileWidth, 0L).toInt
+        val th = one(TTileLength, 0L).toInt
+        require(tw > 0 && th > 0, "geotiff: bad tile size")
+        val tOffs = valuesOf(TTileOffsets).getOrElse(
+          throw new IllegalArgumentException("geotiff: no tile offsets"))
+        val tCounts = valuesOf(TTileByteCounts).getOrElse(
+          throw new IllegalArgumentException("geotiff: no tile byte counts"))
+        val across = (w + tw - 1) / tw
+        val down = (h + th - 1) / th
+        val planes = if (planar == 2) nb else 1
+        val chans = if (planar == 2) 1 else nb // sample channels per pixel in buffer
+        val tileRowSamples = tw * chans
+        val out = new Array[Byte](w.toLong.toInt * h * nb * bytesPer)
+        var ti = 0
+        while (ti < planes * down * across) {
+          val pl = ti / (down * across)
+          val ty = (ti % (down * across)) / across
+          val tx = ti % across
+          require(ti < tOffs.length && ti < tCounts.length, "geotiff: missing tiles")
+          val tile = decode(tOffs(ti).toInt, tCounts(ti).toInt, tileRowSamples)
+          val validRows = math.min(th, h - ty * th)
+          val validCols = math.min(tw, w - tx * tw)
+          var r0 = 0
+          while (r0 < validRows) {
+            val srcOff = r0 * tileRowSamples * bytesPer
+            val dstSample =
+              pl.toLong * w * h + ((ty.toLong * th + r0) * w + tx.toLong * tw) * chans
+            System.arraycopy(tile, srcOff, out, (dstSample * bytesPer).toInt,
+              validCols * chans * bytesPer)
+            r0 += 1
+          }
+          ti += 1
+        }
+        out
+      } else {
+        val stripOffs = valuesOf(TStripOffsets).getOrElse(
+          throw new IllegalArgumentException("geotiff: no strip offsets"))
+        val stripCounts = valuesOf(TStripByteCounts).getOrElse(
+          throw new IllegalArgumentException("geotiff: no strip byte counts"))
+        val raw = new java.io.ByteArrayOutputStream()
+        stripOffs.zip(stripCounts).foreach { case (o, c) =>
+          raw.write(decode(o.toInt, c.toInt, samplesPerRow))
+        }
+        raw.toByteArray
+      }
+    val data = ByteBuffer.wrap(assembled).order(order)
+    require(assembled.length >= w.toLong * h * nb * bytesPer,
+      s"geotiff: pixel data truncated (${assembled.length} bytes for ${w}x$h x$nb x$bytesPer)")
 
     @inline def sample(idx: Int): Double = (fmt, bitsPer) match {
       case (3, 64) => data.getDouble(idx * 8)

@@ -642,6 +642,110 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r3.value(1, 0, 0) == 1.5 && r3.value(1, 1, 0) == -2.25)
   }
 
+  test("geotiff: LZW strips and tiled layouts (incl. partial edge tiles) decode") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // minimal TIFF-variant LZW encoder (spec §13), independent of the codec
+    def lzwEncode(d: Array[Byte]): Array[Byte] = {
+      val dict = new java.util.HashMap[String, Integer]()
+      def str(bs: Seq[Byte]) = new String(bs.map(b => (b & 0xff).toChar).toArray)
+      var next = 258; var width = 9
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nacc = 0
+      def writeCode(c: Int): Unit = {
+        acc = (acc << width) | c; nacc += width
+        while (nacc >= 8) { bits.write(((acc >> (nacc - 8)) & 0xff).toInt); nacc -= 8 }
+      }
+      def reset(): Unit = {
+        dict.clear(); (0 until 256).foreach(i => dict.put(str(Seq(i.toByte)), i))
+        next = 258; width = 9
+      }
+      reset(); writeCode(256)
+      var omega = Seq.empty[Byte]
+      d.foreach { b =>
+        val k = omega :+ b
+        if (dict.containsKey(str(k))) omega = k
+        else {
+          writeCode(dict.get(str(omega)))
+          dict.put(str(k), next); next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          omega = Seq(b)
+        }
+      }
+      if (omega.nonEmpty) writeCode(dict.get(str(omega)))
+      writeCode(257)
+      if (nacc > 0) bits.write(((acc << (8 - nacc)) & 0xff).toInt)
+      bits.toByteArray
+    }
+    def buildStrip(comp: Int, strip: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = 10
+      val bb = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      bb.putShort(8, n.toShort)
+      var p = 10
+      def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+        bb.putShort(p, tag.toShort); bb.putShort(p + 2, typ.toShort)
+        bb.putInt(p + 4, count)
+        if (typ == 3 && count == 1) bb.putShort(p + 8, value.toShort)
+        else bb.putInt(p + 8, value)
+        p += 12
+      }
+      val dataOff = 10 + n * 12 + 4
+      entry(256, 3, 1, w); entry(257, 3, 1, h)
+      entry(258, 3, 1, 8); entry(259, 3, 1, comp)
+      entry(273, 4, 1, dataOff); entry(277, 3, 1, 1)
+      entry(278, 4, 1, h); entry(279, 4, 1, strip.length)
+      entry(284, 3, 1, 1); entry(339, 3, 1, 1)
+      bb.putInt(p, 0)
+      bb.position(dataOff); bb.put(strip)
+      java.util.Arrays.copyOf(bb.array(), dataOff + strip.length)
+    }
+    // LZW: 3x2 uint8 with repetition to exercise dictionary growth
+    val pix = Array[Byte](7, 7, 7, 7, 9, 9)
+    val rl = graft.sources.GeoTiff.read(buildStrip(5, lzwEncode(pix), 3, 2))
+    assert((0 until 3).map(c => rl.value(1, c, 0)) == Seq(7.0, 7.0, 7.0))
+    assert(rl.value(1, 1, 1) == 9.0 && rl.value(1, 2, 1) == 9.0)
+
+    // tiled: 3x3 uint8, 2x2 tiles (partial right/bottom tiles), uncompressed
+    def buildTiled(w: Int, h: Int, tw: Int, th: Int, tiles: Seq[Array[Byte]]): Array[Byte] = {
+      val n = 11
+      val bb = ByteBuffer.allocate(1024).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      bb.putShort(8, n.toShort)
+      var p = 10
+      def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+        bb.putShort(p, tag.toShort); bb.putShort(p + 2, typ.toShort)
+        bb.putInt(p + 4, count)
+        if (typ == 3 && count == 1) bb.putShort(p + 8, value.toShort)
+        else bb.putInt(p + 8, value)
+        p += 12
+      }
+      val arraysOff = 10 + n * 12 + 4
+      val tilesOff = arraysOff + tiles.length * 8
+      entry(256, 3, 1, w); entry(257, 3, 1, h)
+      entry(258, 3, 1, 8); entry(259, 3, 1, 1)
+      entry(277, 3, 1, 1); entry(284, 3, 1, 1); entry(339, 3, 1, 1)
+      entry(322, 3, 1, tw); entry(323, 3, 1, th)
+      entry(324, 4, tiles.length, arraysOff)
+      entry(325, 4, tiles.length, arraysOff + tiles.length * 4)
+      bb.putInt(p, 0)
+      var off = tilesOff
+      tiles.zipWithIndex.foreach { case (t, i) =>
+        bb.putInt(arraysOff + i * 4, off)
+        bb.putInt(arraysOff + tiles.length * 4 + i * 4, t.length)
+        bb.position(off); bb.put(t); off += t.length
+      }
+      java.util.Arrays.copyOf(bb.array(), off)
+    }
+    // image rows: (1 2 3 / 4 5 6 / 7 8 9); tiles row-major, padded to 2x2
+    val t00 = Array[Byte](1, 2, 4, 5)
+    val t01 = Array[Byte](3, 0, 6, 0)
+    val t10 = Array[Byte](7, 8, 0, 0)
+    val t11 = Array[Byte](9, 0, 0, 0)
+    val rt = graft.sources.GeoTiff.read(buildTiled(3, 3, 2, 2, Seq(t00, t01, t10, t11)))
+    val got = for (y <- 0 until 3; x <- 0 until 3) yield rt.value(1, x, y)
+    assert(got == (1 to 9).map(_.toDouble), got)
+  }
+
   test("spherical overlay: high-latitude boxes where planar lon/lat overlay distorts") {
     // two boxes at lat 78..80 overlapping in lon: planar-degree overlay
     // would be 'correct' here too, but the areas must come out spherical
