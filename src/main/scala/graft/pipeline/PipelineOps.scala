@@ -103,9 +103,12 @@ object PipelineOps {
     // fits the driver resolves with union-find in one pass — the iterative
     // label-propagation rounds below carry ~4 shuffles each, pure waste
     // when the graph is megabytes. The distributed path is the >threshold
-    // plan that holds at 100TB.
-    if (edges.count() <= localThreshold) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // plan that holds at 100TB. One action decides AND fetches: head
+    // collects at most threshold+1 rows, so the common small-graph case
+    // pays a single job instead of count()+collect().
+    val probe = edges.head(localThreshold.toInt + 1)
+    if (probe.length <= localThreshold) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
