@@ -161,6 +161,19 @@ object IoQueries {
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("z")).as("sz"), sum(col("intensity")).as("si"),
           sum(col("gps_time")).as("sg"))
+    }),
+
+    // LAZ (LASzip chunked-layered, LAS 1.4 point format 6) decode of the
+    // reference's fixture; the oracle is the fixture generator's ground
+    // truth (tests/data/generate.py: 50k points at 0.5³, 50k at 1.0³),
+    // independent of our decoder. Coordinates are exact doubles:
+    // raw*0.1+1.0 rounds to exactly 0.5 / 1.0.
+    "pc02_laz_fixture" -> ((s, _) => {
+      val laz = "/root/reference/rust/sedona-pointcloud/tests/data/large.laz"
+      LasIO.read(s, laz)
+        .groupBy(col("x"), col("y"), col("z"))
+        .agg(count(lit(1)).as("n"), sum(col("intensity")).as("si"),
+          max(col("classification")).as("mc"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -220,5 +233,15 @@ object IoQueries {
         |  SUM(CAST(c_nationkey AS DOUBLE)*0.25) AS sz,
         |  CAST(SUM(c_custkey % 100) AS BIGINT) AS si,
         |  SUM(CAST(c_custkey AS DOUBLE)*1.5) AS sg
-        |FROM customer GROUP BY 1""".stripMargin)
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    // ground truth restated from the reference's fixture generator
+    // (rust/sedona-pointcloud/tests/data/generate.py), not from our decoder
+    "pc02_laz_fixture" ->
+      """SELECT CAST(0.5 AS DOUBLE) AS x, CAST(0.5 AS DOUBLE) AS y,
+        |  CAST(0.5 AS DOUBLE) AS z, CAST(50000 AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS si, CAST(0 AS BIGINT) AS mc
+        |UNION ALL
+        |SELECT CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+        |  CAST(50000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin)
 }
