@@ -296,7 +296,8 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = CrsTransform.transform(GeomIO.point(-58.4, -34.6), "EPSG:4326", "EPSG:32721")
     val sb = CrsTransform.transform(s, "EPSG:32721", "EPSG:4326").getCoordinate
     assert(math.abs(sb.x + 58.4) < 1e-6 && math.abs(sb.y + 34.6) < 1e-6)
-    intercept[IllegalArgumentException](CrsTransform.parse("EPSG:2154"))
+    // legacy-datum CRS (OSGB36 needs a Helmert shift) stay unsupported
+    intercept[IllegalArgumentException](CrsTransform.parse("EPSG:27700"))
   }
 
   test("hilbert curve: locality + bijectivity on a grid") {
