@@ -162,6 +162,37 @@ object SpatialQueries {
           st.f("st_srid", col("merc")).as("srid"))
     }),
 
+    // projection-math gate for the non-mercator CRS set (LCC 2SP /
+    // LAEA / Albers / ellipsoidal-mercator / ETRS89-UTM): forward +
+    // inverse must return the synthesized lon/lat to 5 decimals, each
+    // exercised inside its projection's home domain
+    "sp14_crs_roundtrip" -> ((s, dir) => {
+      prep(s)
+      def rt(lon: Column, lat: Column, code: String, tag: String): Seq[Column] = {
+        val back = st.transform(
+          st.transform(st.point(lon, lat), lit("EPSG:4326"), lit(code)),
+          lit(code), lit("EPSG:4326"))
+        Seq(round(st.x(back), 5).as(s"lon_$tag"), round(st.y(back), 5).as(s"lat_$tag"))
+      }
+      val base = t(s, dir, "customer")
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("lon_eu", (col("c_custkey") % 240).cast("double") / 20.0 - 3.0)
+        .withColumn("lat_eu", (col("c_custkey") % 200).cast("double") / 20.0 + 41.0)
+        .withColumn("lon_us", (col("c_custkey") % 400).cast("double") / (-10.0) - 70.0)
+        .withColumn("lat_us", (col("c_custkey") % 200).cast("double") / 10.0 + 25.0)
+        .withColumn("lon_w", (col("c_custkey") % 360).cast("double") - 180.0 + 0.25)
+        .withColumn("lat_w", (col("c_custkey") % 170).cast("double") / 2.0 - 42.5 + 0.25)
+        // zone 32's own 6-degree band: the TM series is only metre-exact
+        // near its central meridian
+        .withColumn("lon_z32", (col("c_custkey") % 240).cast("double") / 40.0 + 6.0)
+      base.select(Seq(col("c_custkey")) ++
+        rt(col("lon_eu"), col("lat_eu"), "EPSG:2154", "lcc") ++
+        rt(col("lon_eu"), col("lat_eu"), "EPSG:3035", "laea") ++
+        rt(col("lon_z32"), col("lat_eu"), "EPSG:25832", "utm") ++
+        rt(col("lon_us"), col("lat_us"), "EPSG:5070", "alb") ++
+        rt(col("lon_w"), col("lat_w"), "EPSG:3395", "merc"): _*)
+    }),
+
     // spatial sort key: Z-order (Hilbert variant covered in unit spec)
     "sp09_zorder" -> ((s, dir) => {
       prep(s)
@@ -612,6 +643,27 @@ object SpatialQueries {
         |  round(ln(tan((90.0 + lat) * pi() / 360.0)) / pi() * 20037508.342789244, 2) AS my,
         |  round(lon, 5) AS rt_lon, round(lat, 5) AS rt_lat,
         |  3857 AS srid
+        |FROM p""".stripMargin,
+
+    // the oracle restates the synthesized coordinates: a correct
+    // projection roundtrip returns them to well under 5 decimals
+    "sp14_crs_roundtrip" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 240 AS DOUBLE)/20.0 - 3.0 AS lon_eu,
+        |    CAST(c_custkey % 200 AS DOUBLE)/20.0 + 41.0 AS lat_eu,
+        |    CAST(c_custkey % 400 AS DOUBLE)/(-10.0) - 70.0 AS lon_us,
+        |    CAST(c_custkey % 200 AS DOUBLE)/10.0 + 25.0 AS lat_us,
+        |    CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.25 AS lon_w,
+        |    CAST(c_custkey % 170 AS DOUBLE)/2.0 - 42.5 + 0.25 AS lat_w,
+        |    CAST(c_custkey % 240 AS DOUBLE)/40.0 + 6.0 AS lon_z32
+        |  FROM customer WHERE c_custkey % 5 = 0)
+        |SELECT c_custkey,
+        |  round(lon_eu, 5) AS lon_lcc,  round(lat_eu, 5) AS lat_lcc,
+        |  round(lon_eu, 5) AS lon_laea, round(lat_eu, 5) AS lat_laea,
+        |  round(lon_z32, 5) AS lon_utm, round(lat_eu, 5) AS lat_utm,
+        |  round(lon_us, 5) AS lon_alb,  round(lat_us, 5) AS lat_alb,
+        |  round(lon_w, 5) AS lon_merc,  round(lat_w, 5) AS lat_merc
         |FROM p""".stripMargin,
 
     "sp09_zorder" ->
