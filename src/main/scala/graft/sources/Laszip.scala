@@ -29,7 +29,7 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    at scale — file-level parallelism is the current split unit,
   *    matching LasIO's one-task-per-file model.
   */
-private[sources] object Laszip {
+private[graft] object Laszip {
 
   // ---------------------------------------------------------------------
   // laszip VLR ("laszip encoded", record id 22204)
@@ -460,6 +460,54 @@ private[sources] object Laszip {
       }
     }
   }
+
+  /** Decode the chunk table at the end of the point data: the i64 at
+    * `pointOff` locates [u32 version][u32 nChunks][IC-coded byte size
+    * per chunk] (sizes predicted by the previous chunk's size). Returns
+    * (absolute chunk start, chunk byte length) pairs — the random-access
+    * index that makes chunks, not files, the parallel split unit. */
+  def chunkTable(bytes: Array[Byte], pointOff: Int): Option[Array[(Long, Int)]] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val cto = bb.getLong(pointOff)
+    if (cto <= pointOff || cto > bytes.length - 8) return None
+    chunkSizes(java.util.Arrays.copyOfRange(bytes, cto.toInt, bytes.length))
+      .map(offsetsFromSizes(_, pointOff + 8L))
+  }
+
+  /** Chunk byte sizes from the raw table bytes ([u32 version][u32
+    * n][coded sizes]); usable on a seek-read tail slice. */
+  def chunkSizes(table: Array[Byte]): Option[Array[Int]] = {
+    if (table.length < 8) return None
+    val bb = ByteBuffer.wrap(table).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt(4)
+    if (n <= 0 || n > (1 << 26)) return None
+    val dec = new ArDecoder(table, 8, table.length)
+    val ic = new IntDec(dec, 32, 2)
+    val out = new Array[Int](n)
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      out(i) = ic.decompress(prev, 1)
+      if (out(i) <= 0) return None
+      prev = out(i)
+      i += 1
+    }
+    Some(out)
+  }
+
+  def offsetsFromSizes(sizes: Array[Int], first: Long): Array[(Long, Int)] = {
+    val out = new Array[(Long, Int)](sizes.length)
+    var off = first
+    var i = 0
+    while (i < sizes.length) { out(i) = (off, sizes(i)); off += sizes(i); i += 1 }
+    out
+  }
+
+  /** Decode a single chunk handed its own byte slice (for chunk-split
+    * parallel reads): returns up to `expect` records. */
+  def decodeChunkRecords(chunk: Array[Byte], expect: Long, nExtra: Int,
+      recLen: Int): Array[Array[Byte]] =
+    decodeChunk(chunk, 0, expect, nExtra, recLen)._1
 
   /** One chunk: [raw first point][u32 count][9 + nExtra u32 layer
     * sizes][layer bytes...]; returns the records and the offset just

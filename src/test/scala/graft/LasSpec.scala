@@ -33,6 +33,23 @@ class LasSpec extends AnyFunSuite {
     val groups = laz.groupBy("x", "y", "z").count().collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
     assert(groups == Set((0.5, 0.5, 0.5, 50000L), (1.0, 1.0, 1.0, 50000L)))
+    // the chunk table makes chunks the split unit: 100k pts / 50k chunk = 2 tasks
+    assert(laz.rdd.getNumPartitions == 2)
+  }
+
+  test("chunk table decodes to dense, in-bounds chunk extents") {
+    assume(fixturesPresent)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixtures/large.laz"))
+    val pointOff = java.nio.ByteBuffer.wrap(bytes, 96, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val table = graft.sources.Laszip.chunkTable(bytes, pointOff).get
+    assert(table.length == 2)
+    assert(table(0)._1 == pointOff + 8L)
+    assert(table(1)._1 == table(0)._1 + table(0)._2)
+    val cto = java.nio.ByteBuffer.wrap(bytes, pointOff, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(table(1)._1 + table(1)._2 == cto) // chunks end where the table begins
   }
 
   test("extra.laz decodes bit-exact to extra.las (typed extra bytes)") {
