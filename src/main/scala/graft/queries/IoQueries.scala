@@ -174,6 +174,28 @@ object IoQueries {
         .groupBy(col("x"), col("y"), col("z"))
         .agg(count(lit(1)).as("n"), sum(col("intensity")).as("si"),
           max(col("classification")).as("mc"))
+    }),
+
+    // Full LAZ cycle on driver testdata: write LAS 1.4 fmt6 LASzip
+    // (chunked layered v3, our encoder), read back through the chunk-
+    // parallel decoder, aggregate — dyadic quarter/half-step doubles so
+    // sums are exact and order-free (same determinism as pc01).
+    "pc03_laz_roundtrip" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .select(
+          (col("c_custkey") % 1000).cast("double") * 0.25 as "x",
+          (col("c_custkey") % 770).cast("double") * 0.5 as "y",
+          (col("c_nationkey")).cast("double") * 0.25 as "z",
+          (col("c_custkey") % 100).cast("long") as "intensity",
+          (col("c_nationkey") % 32).cast("long") as "classification",
+          (col("c_custkey")).cast("double") * 1.5 as "gps_time")
+      val path = s"/tmp/graft_laz/${math.abs(dir.hashCode)}"
+      LasIO.writeFmt6(pts, path, scale = 0.25, compress = true)
+      LasIO.read(s, path)
+        .groupBy(col("classification"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("z")).as("sz"), sum(col("intensity")).as("si"),
+          sum(col("gps_time")).as("sg"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +265,15 @@ object IoQueries {
         |  CAST(0 AS BIGINT) AS si, CAST(0 AS BIGINT) AS mc
         |UNION ALL
         |SELECT CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
-        |  CAST(50000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin)
+        |  CAST(50000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin,
+
+    "pc03_laz_roundtrip" ->
+      """SELECT CAST(c_nationkey % 32 AS BIGINT) AS classification,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(c_custkey % 1000 AS DOUBLE)*0.25) AS sx,
+        |  SUM(CAST(c_custkey % 770 AS DOUBLE)*0.5) AS sy,
+        |  SUM(CAST(c_nationkey AS DOUBLE)*0.25) AS sz,
+        |  CAST(SUM(c_custkey % 100) AS BIGINT) AS si,
+        |  SUM(CAST(c_custkey AS DOUBLE)*1.5) AS sg
+        |FROM customer GROUP BY 1""".stripMargin)
 }

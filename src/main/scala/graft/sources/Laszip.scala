@@ -367,8 +367,8 @@ private[graft] object Laszip {
     val icIntensity = if (decInt != null) new IntDec(decInt, 16, 4) else null
     val icScanAngle = if (decSa != null) new IntDec(decSa, 16, 2) else null
     val icPointSource = if (decPs != null) new IntDec(decPs, 16, 1) else null
-    val mGpsMulti = if (decGps != null) new SymModel(GpsMultiTotal) else null
-    val mGps0Diff = if (decGps != null) new SymModel(6) else null
+    val mGpsMulti = new SymModel(GpsMultiTotal)
+    val mGps0Diff = new SymModel(6)
     val icGps = if (decGps != null) new IntDec(decGps, 32, 9) else null
     val medX: Array[Median5] = Array.fill(12)(new Median5)
     val medY: Array[Median5] = Array.fill(12)(new Median5)
@@ -667,6 +667,454 @@ private[graft] object Laszip {
       n += 1
     }
     (out, acc)
+  }
+
+  // ---------------------------------------------------------------------
+  // Encoder (mirror of the decoder; shares SymModel/BitModel evolution)
+  // ---------------------------------------------------------------------
+
+  final class ArEncoder {
+    private var buf = new Array[Byte](1 << 10)
+    private var n = 0
+    var base: Long = 0L
+    var length: Long = AcMax
+
+    @inline private def emit(b: Int): Unit = {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(n) = b.toByte
+      n += 1
+    }
+
+    private def propagateCarry(): Unit = {
+      var i = n - 1
+      while (i >= 0 && buf(i) == 0xFF.toByte) { buf(i) = 0; i -= 1 }
+      require(i >= 0, "carry past start of arithmetic stream")
+      buf(i) = (buf(i) + 1).toByte
+    }
+
+    @inline private def renorm(): Unit = {
+      do {
+        emit(((base >>> 24) & 0xFF).toInt)
+        base = (base << 8) & M32
+      } while ({ length = (length << 8) & M32; length < AcMin })
+    }
+
+    def encodeBit(m: BitModel, sym: Int): Unit = {
+      val x = m.bit0Prob * (length >>> BmShift)
+      if (sym == 0) { length = x; m.bit0Count += 1 }
+      else {
+        val init = base
+        base = (base + x) & M32
+        if (base < init) propagateCarry()
+        length -= x
+      }
+      if (length < AcMin) renorm()
+      m.bitsUntilUpdate -= 1
+      if (m.bitsUntilUpdate == 0) m.update()
+    }
+
+    def encodeSymbol(m: SymModel, sym: Int): Unit = {
+      val init = base
+      if (sym == m.symbols - 1) {
+        val x = m.dist(sym) * (length >>> DmShift)
+        base = (base + x) & M32
+        length -= x
+      } else {
+        length >>>= DmShift
+        val x = m.dist(sym) * length
+        base = (base + x) & M32
+        length = m.dist(sym + 1) * length - x
+      }
+      if (base < init) propagateCarry()
+      if (length < AcMin) renorm()
+      m.count(sym) += 1
+      m.symbolsUntilUpdate -= 1
+      if (m.symbolsUntilUpdate == 0) m.update()
+    }
+
+    def writeBits(bits: Int, sym: Long): Unit = {
+      if (bits > 19) {
+        writeShort(sym & 0xFFFF)
+        writeBits(bits - 16, sym >>> 16)
+      } else {
+        val init = base
+        length >>>= bits
+        base = (base + sym * length) & M32
+        if (base < init) propagateCarry()
+        if (length < AcMin) renorm()
+      }
+    }
+
+    def writeShort(sym: Long): Unit = {
+      val init = base
+      length >>>= 16
+      base = (base + sym * length) & M32
+      if (base < init) propagateCarry()
+      if (length < AcMin) renorm()
+    }
+
+    def writeInt(sym: Long): Unit = { writeShort(sym & 0xFFFF); writeShort(sym >>> 16) }
+
+    def hasOutput: Boolean = n > 0 || base != 0L
+
+    /** Flush and return the stream bytes (zero-padded so any decoder
+      * prefetching up to 4 bytes past the logical end reads zeros). */
+    def done(): Array[Byte] = {
+      val init = base
+      if (length > 2 * AcMin) { base = (base + AcMin) & M32; length = AcMin >>> 1 }
+      else { base = (base + (AcMin >>> 1)) & M32; length = AcMin >>> 9 }
+      if (base < init) propagateCarry()
+      renorm()
+      emit(0); emit(0); emit(0)
+      java.util.Arrays.copyOf(buf, n)
+    }
+  }
+
+  /** Integer compressor, compress side — model layout identical to
+    * [[IntDec]] so encoder/decoder states evolve in lockstep. */
+  final class IntEnc(enc: ArEncoder, bits: Int, contexts: Int) {
+    private val bitsHigh = 8
+    private val corrBits = if (bits > 0 && bits < 32) bits else 32
+    private val corrRange = if (bits > 0 && bits < 32) 1L << bits else 0L
+    private val corrMin: Long = if (corrRange > 0) -(corrRange >> 1) else Int.MinValue.toLong
+    private val corrMax: Long = if (corrRange > 0) corrMin + corrRange - 1 else Int.MaxValue.toLong
+    private val mBits = Array.fill(contexts)(new SymModel(corrBits + 1))
+    private val mCorr0 = new BitModel
+    private val mCorr: Array[SymModel] = {
+      val a = new Array[SymModel](corrBits)
+      var k = 1
+      while (k < corrBits) { a(k) = new SymModel(1 << math.min(k, bitsHigh)); k += 1 }
+      a
+    }
+    var k = 0
+
+    def compress(pred: Int, real: Int, context: Int): Unit = {
+      var corr = real.toLong - pred.toLong
+      if (corrRange > 0) {
+        if (corr < corrMin) corr += corrRange
+        else if (corr > corrMax) corr -= corrRange
+      } else corr = (real - pred).toLong // natural i32 wrap
+      writeCorrector(corr, context)
+    }
+
+    private def writeCorrector(c: Long, context: Int): Unit = {
+      if (c == 0 || c == 1) {
+        k = 0
+        enc.encodeSymbol(mBits(context), 0)
+        enc.encodeBit(mCorr0, c.toInt)
+        return
+      }
+      var cRaw = 0L
+      if (c > 1) { // corrector in [2^(k-1)+1 .. 2^k]
+        k = 64 - java.lang.Long.numberOfLeadingZeros(c - 1)
+        cRaw = c - 1
+      } else { // corrector in [-(2^k - 1) .. -2^(k-1)]
+        k = 64 - java.lang.Long.numberOfLeadingZeros(-c)
+        cRaw = c + (1L << k) - 1
+      }
+      if (k >= 32) {
+        k = 32
+        enc.encodeSymbol(mBits(context), 32)
+        return
+      }
+      enc.encodeSymbol(mBits(context), k)
+      if (k <= bitsHigh) enc.encodeSymbol(mCorr(k), cRaw.toInt)
+      else {
+        val k1 = k - bitsHigh
+        enc.encodeSymbol(mCorr(k), (cRaw >>> k1).toInt)
+        enc.writeBits(k1, cRaw & ((1L << k1) - 1))
+      }
+    }
+  }
+
+  /** Encode point records into a layered LAZ point-data stream (the
+    * bytes that follow the header): [i64 chunk-table offset][chunks...]
+    * [chunk table]. Mirror of [[decode]]; every produced stream decodes
+    * bit-exact under it (LasSpec fuzz roundtrips). */
+  def encode(records: Iterator[Array[Byte]], recLen: Int, nExtra: Int,
+      chunkSize: Int, pointOff: Long = 0L): Array[Byte] = {
+    val chunks = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val group = new scala.collection.mutable.ArrayBuffer[Array[Byte]](chunkSize)
+    def flush(): Unit = if (group.nonEmpty) {
+      chunks += encodeChunk(group.toArray, nExtra, recLen)
+      group.clear()
+    }
+    records.foreach { r =>
+      group += r
+      if (group.length == chunkSize) flush()
+    }
+    flush()
+    val dataLen = chunks.map(_.length.toLong).sum
+    // chunk table: u32 version, u32 n, IC-coded sizes predicted by the
+    // previous size
+    val tenc = new ArEncoder
+    val tic = new IntEnc(tenc, 32, 2)
+    var prev = 0
+    chunks.foreach { c => tic.compress(prev, c.length, 1); prev = c.length }
+    val table = if (chunks.nonEmpty) tenc.done() else Array.emptyByteArray
+    val out = ByteBuffer.allocate((8 + dataLen + 8 + table.length).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putLong(pointOff + 8 + dataLen) // absolute file offset of the chunk table
+    chunks.foreach(out.put)
+    out.putInt(0) // table version
+    out.putInt(chunks.length)
+    out.put(table)
+    out.array()
+  }
+
+  /** Plain field view of a wire record (reused per point; no models). */
+  private final class PtFields(nExtra: Int) {
+    var x, y, z, intensity, retNum, numRet, classFlags, scannerCh, scanDir,
+      edge, classification, userData, scanAngle, pointSource = 0
+    var gpsBits = 0L
+    val extra = new Array[Int](nExtra)
+    def load(rec: Array[Byte]): Unit = {
+      val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+      x = bb.getInt(0); y = bb.getInt(4); z = bb.getInt(8)
+      intensity = bb.getShort(12) & 0xffff
+      val rb = rec(14) & 0xff
+      retNum = rb & 0x0f; numRet = (rb >> 4) & 0x0f
+      val fb = rec(15) & 0xff
+      classFlags = fb & 0x0f; scannerCh = (fb >> 4) & 0x03
+      scanDir = (fb >> 6) & 0x01; edge = (fb >> 7) & 0x01
+      classification = rec(16) & 0xff
+      userData = rec(17) & 0xff
+      scanAngle = bb.getShort(18).toInt
+      pointSource = bb.getShort(20) & 0xffff
+      gpsBits = bb.getLong(22)
+      var i = 0
+      while (i < extra.length) { extra(i) = rec(30 + i) & 0xff; i += 1 }
+    }
+  }
+
+  /** Encoder-side state: the shared per-context models live in [[Ctx]]
+    * (with null layer decoders); integer compressors attach here. The
+    * per-field logic is the line-by-line mirror of the decode loop. */
+  private final class EncCtxSet(encXY: ArEncoder, encZ: ArEncoder, encCls: ArEncoder,
+      encFlags: ArEncoder, encInt: ArEncoder, encSa: ArEncoder, encUd: ArEncoder,
+      encPs: ArEncoder, encGps: ArEncoder, encExtra: Array[ArEncoder], nExtra: Int) {
+    val ctx: Array[Ctx] = Array.fill(4)(new Ctx(null, null, null, null, null,
+      null, null, null, null, nExtra))
+    private val icDx = Array.fill(4)(new IntEnc(encXY, 32, 2))
+    private val icDy = Array.fill(4)(new IntEnc(encXY, 32, 22))
+    private val icZ = Array.fill(4)(new IntEnc(encZ, 32, 20))
+    private val icIntensity = Array.fill(4)(new IntEnc(encInt, 16, 4))
+    private val icScanAngle = Array.fill(4)(new IntEnc(encSa, 16, 2))
+    private val icPointSource = Array.fill(4)(new IntEnc(encPs, 16, 1))
+    private val icGps = Array.fill(4)(new IntEnc(encGps, 32, 9))
+    val changed = new Array[Boolean](7) // cls, flags, int, sa, ud, ps, gps
+    val changedExtra = new Array[Boolean](nExtra)
+
+    /** Encode one point; returns the (possibly switched) context id. */
+    def encodePoint(cur0: Int, p: PtFields): Int = {
+      var cur = cur0
+      var l = ctx(cur)
+      val lpr = (if (l.retNum == 1) 1 else 0) + (if (l.retNum >= l.numRet) 2 else 0) +
+        (if (l.gpsTimeChange) 4 else 0)
+      val scChange = p.scannerCh != cur
+      // diffs are taken against the target context's last point (seeded
+      // from the current one when first used) — mirror of the decoder's
+      // post-switch baseline
+      val baseline =
+        if (scChange && ctx(p.scannerCh).unused) l else if (scChange) ctx(p.scannerCh) else l
+      val psChange = p.pointSource != baseline.pointSource
+      val gpsChange = p.gpsBits != baseline.gpsBits
+      val saChange = p.scanAngle != baseline.scanAngle
+      val nrChange = p.numRet != baseline.numRet
+      val rdiff = (p.retNum - baseline.retNum + 16) % 16
+      val rcase = rdiff match { case 0 => 0; case 1 => 1; case 15 => 2; case _ => 3 }
+      val cv = (if (scChange) 1 << 6 else 0) | (if (psChange) 1 << 5 else 0) |
+        (if (gpsChange) 1 << 4 else 0) | (if (saChange) 1 << 3 else 0) |
+        (if (nrChange) 1 << 2 else 0) | rcase
+      encXY.encodeSymbol(l.mChanged(lpr), cv)
+
+      if (scChange) {
+        encXY.encodeSymbol(l.mScannerChannel, (p.scannerCh - cur - 1 + 4) % 4)
+        if (ctx(p.scannerCh).unused) {
+          val seed = new Array[Byte](30 + nExtra)
+          l.writeRecord(seed, 0)
+          ctx(p.scannerCh).init(seed, 0)
+        }
+        cur = p.scannerCh
+        l = ctx(cur)
+        l.scannerCh = cur
+      }
+
+      if (nrChange) {
+        if (l.mNumReturns(l.numRet) == null) l.mNumReturns(l.numRet) = new SymModel(16)
+        encXY.encodeSymbol(l.mNumReturns(l.numRet), p.numRet)
+      }
+      if (rcase == 3) {
+        if (gpsChange) {
+          if (l.mReturnNumber(l.retNum) == null) l.mReturnNumber(l.retNum) = new SymModel(16)
+          encXY.encodeSymbol(l.mReturnNumber(l.retNum), p.retNum)
+        } else encXY.encodeSymbol(l.mReturnNumberGpsSame, rdiff - 2)
+      }
+      l.retNum = p.retNum
+      l.numRet = p.numRet
+
+      val m = returnMap6(p.numRet, p.retNum)
+      val lev = returnLevel8(p.numRet, p.retNum)
+      val cpr = (if (p.retNum == 1) 2 else 0) + (if (p.retNum >= p.numRet) 1 else 0)
+      val g = if (gpsChange) 1 else 0
+      val mxi = (m << 1) | g
+
+      val dx = p.x - l.x
+      icDx(cur).compress(l.medX(mxi).get, dx, if (p.numRet == 1) 1 else 0)
+      l.x = p.x
+      l.medX(mxi).add(dx)
+      var kBits = icDx(cur).k
+      val dy = p.y - l.y
+      icDy(cur).compress(l.medY(mxi).get, dy,
+        (if (p.numRet == 1) 1 else 0) + (if (kBits < 20) kBits & ~1 else 20))
+      l.y = p.y
+      l.medY(mxi).add(dy)
+      kBits = (icDx(cur).k + icDy(cur).k) / 2
+      icZ(cur).compress(l.lastZ(lev), p.z,
+        (if (p.numRet == 1) 1 else 0) + (if (kBits < 18) kBits & ~1 else 18))
+      l.lastZ(lev) = p.z
+      l.z = p.z
+
+      val ccc = ((l.classification & 0x1f) << 1) + (if (cpr == 3) 1 else 0)
+      if (l.mClassification(ccc) == null) l.mClassification(ccc) = new SymModel(256)
+      changed(0) |= p.classification != l.classification
+      encCls.encodeSymbol(l.mClassification(ccc), p.classification)
+      l.classification = p.classification
+
+      val lastFlags = (l.edge << 5) | (l.scanDir << 4) | l.classFlags
+      val newFlags = (p.edge << 5) | (p.scanDir << 4) | p.classFlags
+      if (l.mFlags(lastFlags) == null) l.mFlags(lastFlags) = new SymModel(64)
+      changed(1) |= newFlags != lastFlags
+      encFlags.encodeSymbol(l.mFlags(lastFlags), newFlags)
+      l.classFlags = p.classFlags; l.scanDir = p.scanDir; l.edge = p.edge
+
+      val ii = (cpr << 1) | g
+      changed(2) |= p.intensity != l.intensity
+      icIntensity(cur).compress(l.lastIntensity(ii), p.intensity, cpr)
+      l.lastIntensity(ii) = p.intensity
+      l.intensity = p.intensity
+
+      if (saChange) {
+        changed(3) = true
+        icScanAngle(cur).compress(l.scanAngle, p.scanAngle, g)
+        l.scanAngle = p.scanAngle
+      }
+
+      val ui = l.userData / 4
+      if (l.mUserData(ui) == null) l.mUserData(ui) = new SymModel(256)
+      changed(4) |= p.userData != l.userData
+      encUd.encodeSymbol(l.mUserData(ui), p.userData)
+      l.userData = p.userData
+
+      if (psChange) {
+        changed(5) = true
+        icPointSource(cur).compress(l.pointSource, p.pointSource, 0)
+        l.pointSource = p.pointSource
+      }
+
+      if (gpsChange) {
+        changed(6) = true
+        writeGpsTime(l, cur, p.gpsBits)
+      }
+      l.gpsTimeChange = gpsChange
+      l.gpsBits = p.gpsBits
+
+      var j = 0
+      while (j < nExtra) {
+        val d = (p.extra(j) - l.extra(j)) & 0xff
+        if (l.mExtra(j) == null) l.mExtra(j) = new SymModel(256)
+        changedExtra(j) |= d != 0
+        encExtra(j).encodeSymbol(l.mExtra(j), d)
+        l.extra(j) = p.extra(j)
+        j += 1
+      }
+      cur
+    }
+
+    /** Mirror of [[readGpsTime]] restricted to the codes {0diff 0/1/2,
+      * multi 1/UNCHANGED/CODE_FULL} — every emitted code decodes to the
+      * exact input under the full decoder state machine. */
+    private def writeGpsTime(l: Ctx, cur: Int, gps: Long): Unit = {
+      val d64 = gps - l.lastGps(l.gpsLast)
+      if (l.lastGpsDiff(l.gpsLast) == 0) {
+        if (d64 == 0) encGps.encodeSymbol(l.mGps0Diff, 0)
+        else if (d64 == d64.toInt.toLong) {
+          encGps.encodeSymbol(l.mGps0Diff, 1)
+          icGps(cur).compress(0, d64.toInt, 0)
+          l.lastGpsDiff(l.gpsLast) = d64.toInt
+          l.lastGps(l.gpsLast) += d64
+          l.multiExtreme(l.gpsLast) = 0
+        } else {
+          encGps.encodeSymbol(l.mGps0Diff, 2)
+          fullGps(l, cur, gps)
+        }
+      } else {
+        if (d64 == 0) encGps.encodeSymbol(l.mGpsMulti, GpsMultiUnchanged)
+        else if (d64 == d64.toInt.toLong) {
+          encGps.encodeSymbol(l.mGpsMulti, 1)
+          icGps(cur).compress(l.lastGpsDiff(l.gpsLast), d64.toInt, 1)
+          l.lastGps(l.gpsLast) += d64
+          l.multiExtreme(l.gpsLast) = 0
+        } else {
+          encGps.encodeSymbol(l.mGpsMulti, GpsMultiCodeFull)
+          fullGps(l, cur, gps)
+        }
+      }
+    }
+
+    private def fullGps(l: Ctx, cur: Int, gps: Long): Unit = {
+      l.gpsNext = (l.gpsNext + 1) & 3
+      icGps(cur).compress((l.lastGps(l.gpsLast) >>> 32).toInt, (gps >>> 32).toInt, 8)
+      encGps.writeInt(gps & M32)
+      l.lastGps(l.gpsNext) = gps
+      l.gpsLast = l.gpsNext
+      l.lastGpsDiff(l.gpsLast) = 0
+      l.multiExtreme(l.gpsLast) = 0
+    }
+  }
+
+  /** One chunk: raw first point, u32 count, layer sizes, layers.
+    * Conditional layers (classification/flags/intensity/scan-angle/
+    * user-data/point-source/gps/extra) are dropped when the field never
+    * changed in the chunk — the decoder then holds the first point's
+    * value, exactly as the layered format specifies. */
+  private def encodeChunk(recs: Array[Array[Byte]], nExtra: Int, recLen: Int): Array[Byte] = {
+    val encXY = new ArEncoder; val encZ = new ArEncoder; val encCls = new ArEncoder
+    val encFlags = new ArEncoder; val encInt = new ArEncoder; val encSa = new ArEncoder
+    val encUd = new ArEncoder; val encPs = new ArEncoder; val encGps = new ArEncoder
+    val encExtra = Array.fill(nExtra)(new ArEncoder)
+    val st = new EncCtxSet(encXY, encZ, encCls, encFlags, encInt, encSa, encUd,
+      encPs, encGps, encExtra, nExtra)
+
+    val raw = recs(0)
+    var cur = (raw(15) >> 4) & 0x03
+    st.ctx(cur).init(raw, 0)
+    val p = new PtFields(nExtra)
+    var n = 1
+    while (n < recs.length) {
+      p.load(recs(n))
+      cur = st.encodePoint(cur, p)
+      n += 1
+    }
+
+    def layer(e: ArEncoder, changed: Boolean): Array[Byte] =
+      if (changed) e.done() else Array.emptyByteArray
+    val multi = recs.length > 1
+    val layers: Array[Array[Byte]] =
+      Array(layer(encXY, multi), layer(encZ, multi),
+        layer(encCls, st.changed(0)), layer(encFlags, st.changed(1)),
+        layer(encInt, st.changed(2)), layer(encSa, st.changed(3)),
+        layer(encUd, st.changed(4)), layer(encPs, st.changed(5)),
+        layer(encGps, st.changed(6))) ++
+        encExtra.indices.map(j => layer(encExtra(j), st.changedExtra(j)))
+
+    val total = recLen + 4 + 4 * layers.length + layers.map(_.length).sum
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(raw)
+    out.putInt(recs.length)
+    layers.foreach(l => out.putInt(l.length))
+    layers.foreach(out.put)
+    out.array()
   }
 
   /** GPS time sequence decoder (the GpsTime11 scheme with a 4-slot

@@ -52,6 +52,81 @@ class LasSpec extends AnyFunSuite {
     assert(table(1)._1 + table(1)._2 == cto) // chunks end where the table begins
   }
 
+  test("LASzip encoder roundtrips fuzzed records through every field path") {
+    import graft.sources.Laszip
+    val rnd = new java.util.Random(42)
+    def mkRec(nExtra: Int, i: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(30 + nExtra)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // coordinates: mixture of small deltas, plateaus, and huge jumps
+      val jump = if (rnd.nextInt(50) == 0) rnd.nextInt() else 0
+      bb.putInt(i * 10 + rnd.nextInt(20) + jump)
+      bb.putInt(i * 7 - rnd.nextInt(15))
+      bb.putInt(if (rnd.nextInt(4) == 0) rnd.nextInt(1 << 20) else 500)
+      bb.putShort((if (rnd.nextInt(3) == 0) rnd.nextInt(65536) else 100).toShort)
+      val nr = rnd.nextInt(16)
+      val r = rnd.nextInt(16)
+      bb.put(((r & 0x0f) | (nr << 4)).toByte)
+      val scanner = if (rnd.nextInt(6) == 0) rnd.nextInt(4) else 0
+      bb.put(((rnd.nextInt(16)) | (scanner << 4) | (rnd.nextInt(2) << 6) |
+        (rnd.nextInt(2) << 7)).toByte)
+      bb.put(rnd.nextInt(256).toByte) // classification
+      bb.put(rnd.nextInt(256).toByte) // user data
+      bb.putShort((if (rnd.nextInt(5) == 0) rnd.nextInt(60000) - 30000 else 0).toShort)
+      bb.putShort((if (rnd.nextInt(7) == 0) rnd.nextInt(65536) else 7).toShort)
+      // gps: plateaus, steady increments, occasional full-64 jumps
+      val gps = rnd.nextInt(4) match {
+        case 0 => 0.0
+        case 1 => i * 0.0001
+        case 2 => 1e9 + rnd.nextDouble()
+        case _ => i.toDouble
+      }
+      bb.putDouble(gps)
+      (0 until nExtra).foreach(j => bb.put(
+        (if (rnd.nextInt(3) == 0) rnd.nextInt(256) else j).toByte))
+      bb.array()
+    }
+    for (nExtra <- Seq(0, 3); n <- Seq(1, 2, 700)) {
+      val recs = (0 until n).map(i => mkRec(nExtra, i))
+      val vlr = Laszip.LazVlr(3, 256, Seq(Laszip.Item(10, 30, 3)) ++
+        (if (nExtra > 0) Seq(Laszip.Item(14, nExtra, 3)) else Nil))
+      val enc = Laszip.encode(recs.iterator, 30 + nExtra, nExtra, 256)
+      val dec = Laszip.decode(enc, 0, n, vlr, 30 + nExtra).toSeq
+      assert(dec.length == n, s"nExtra=$nExtra n=$n length")
+      recs.indices.foreach { i =>
+        assert(java.util.Arrays.equals(dec(i), recs(i)),
+          s"nExtra=$nExtra n=$n mismatch at record $i:\n" +
+            s"  want ${recs(i).map(b => f"$b%02x").mkString}\n" +
+            s"  got  ${dec(i).map(b => f"$b%02x").mkString}")
+      }
+      // chunk table round-trips too
+      val table = Laszip.chunkTable(enc, 0).get
+      assert(table.length == (n + 255) / 256)
+    }
+  }
+
+  test("DataFrame LAZ write → read roundtrip (format 6, quarter-step grid)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 5000).toDF("id")
+      .select(
+        (col("id") % 97).cast("double") * 0.25 as "x",
+        (col("id") % 61).cast("double") * 0.5 as "y",
+        (col("id") % 31).cast("double") * 0.25 as "z",
+        (col("id") % 100) as "intensity",
+        (col("id") % 32) as "classification",
+        col("id").cast("double") * 1.5 as "gps_time")
+    LasIO.writeFmt6(df.repartition(3), "/tmp/graft_laz_rt", scale = 0.25, compress = true)
+    val back = LasIO.read(spark, "/tmp/graft_laz_rt")
+      .select("x", "y", "z", "intensity", "classification", "gps_time")
+    assert(back.count() == 5000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // uncompressed twin must read identically
+    LasIO.writeFmt6(df.repartition(2), "/tmp/graft_las14_rt", scale = 0.25, compress = false)
+    val plain = LasIO.read(spark, "/tmp/graft_las14_rt")
+      .select("x", "y", "z", "intensity", "classification", "gps_time")
+    assert(plain.exceptAll(df).isEmpty && df.exceptAll(plain).isEmpty)
+  }
+
   test("extra.laz decodes bit-exact to extra.las (typed extra bytes)") {
     assume(fixturesPresent)
     val las = LasIO.read(spark, s"$fixtures/extra.las")
