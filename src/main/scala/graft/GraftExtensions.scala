@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     graft.functions.GraftFunctions.register(spark)
+    graft.sources.RandomGeometry.registerTable(spark)
     val cur = spark.experimental.extraStrategies
     if (!cur.exists(_.isInstanceOf[graft.joins.SpatialJoinStrategy]))
       spark.experimental.extraStrategies =

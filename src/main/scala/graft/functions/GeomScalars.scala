@@ -482,6 +482,8 @@ object GeomScalars {
     fn("st_within", BooleanType, Seq(Geom, Geom))(a => g0(a).within(g1(a))),
     fn("st_covers", BooleanType, Seq(Geom, Geom))(a => g0(a).covers(g1(a))),
     fn("st_coveredby", BooleanType, Seq(Geom, Geom))(a => g0(a).coveredBy(g1(a))),
+    // snake alias the reference planner accepts (spatial_filter.rs:290)
+    fn("st_covered_by", BooleanType, Seq(Geom, Geom))(a => g0(a).coveredBy(g1(a))),
     fn("st_crosses", BooleanType, Seq(Geom, Geom))(a => g0(a).crosses(g1(a))),
     fn("st_overlaps", BooleanType, Seq(Geom, Geom))(a => g0(a).overlaps(g1(a))),
     fn("st_touches", BooleanType, Seq(Geom, Geom))(a => g0(a).touches(g1(a))),

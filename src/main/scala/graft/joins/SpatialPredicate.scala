@@ -14,6 +14,7 @@ object SpatialPredicate {
   /** Predicates usable for index lookup via envelope intersection. */
   val relationPreds: Set[String] = Set(
     "st_intersects", "st_contains", "st_within", "st_covers", "st_coveredby",
+    "st_covered_by",
     "st_touches", "st_crosses", "st_overlaps", "st_equals")
 
   /** p'(b, a) == p(a, b) (reference invert table,
@@ -23,6 +24,7 @@ object SpatialPredicate {
     case "st_within" => "st_contains"
     case "st_covers" => "st_coveredby"
     case "st_coveredby" => "st_covers"
+    case "st_covered_by" => "st_covers"
     case other => other // symmetric
   }
 

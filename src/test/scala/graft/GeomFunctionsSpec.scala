@@ -29,6 +29,40 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def q(expr: String): Any =
     spark.sql(s"SELECT $expr AS r").collect()(0).get(0)
 
+  test("sd_random_geometry table function: schema, determinism, types") {
+    val sql = """SELECT * FROM sd_random_geometry(
+      '{"num_rows": 256, "seed": 7, "geometry_type": "box", "num_partitions": 2}')"""
+    val df = spark.sql(sql)
+    assert(df.columns.toSeq == Seq("id", "dist", "geometry"))
+    assert(df.count() == 256)
+    val a = df.selectExpr("sum(st_area(geometry))").collect()(0).getDouble(0)
+    val b = spark.sql(sql).selectExpr("sum(st_area(geometry))").collect()(0).getDouble(0)
+    assert(a == b && a > 0) // seeded → identical across invocations
+    val pts = spark.sql(
+      """SELECT st_geometrytype(geometry) t FROM sd_random_geometry('{"num_rows": 8, "seed": 1}')""")
+      .collect().map(_.getString(0)).toSet
+    assert(pts == Set("ST_Point"))
+  }
+
+  test("st_covered_by snake alias matches st_coveredby, incl. join planning") {
+    assert(q("st_covered_by(st_point(1,1), st_makeenvelope(0,0,2,2))") == true)
+    assert(q("st_covered_by(st_point(5,5), st_makeenvelope(0,0,2,2))") == false)
+    spark.sql(
+      """SELECT id, geometry FROM sd_random_geometry('{"num_rows": 64, "seed": 3}')""")
+      .createOrReplaceTempView("rg_pts")
+    spark.sql(
+      """SELECT id, geometry FROM sd_random_geometry(
+        '{"num_rows": 32, "seed": 4, "geometry_type": "box"}')""")
+      .createOrReplaceTempView("rg_boxes")
+    val a = spark.sql(
+      "SELECT count(*) FROM rg_pts p, rg_boxes b WHERE st_covered_by(p.geometry, b.geometry)")
+      .collect()(0).getLong(0)
+    val b = spark.sql(
+      "SELECT count(*) FROM rg_pts p, rg_boxes b WHERE st_coveredby(p.geometry, b.geometry)")
+      .collect()(0).getLong(0)
+    assert(a == b)
+  }
+
   test("constructors and formatters round-trip") {
     assert(q("st_astext(st_geomfromwkt('POINT (1 2)'))") == "POINT (1 2)")
     assert(q("st_astext(st_geomfromwkb(st_asbinary(st_point(3.5, -2.25))))") == "POINT (3.5 -2.25)")
