@@ -127,6 +127,56 @@ class LasSpec extends AnyFunSuite {
     assert(plain.exceptAll(df).isEmpty && df.exceptAll(plain).isEmpty)
   }
 
+  test("formats 7/8 read RGB(+NIR) columns from hand-built LAS 1.4 files") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def build(fmt: Int, n: Int): Array[Byte] = {
+      val recLen = if (fmt == 8) 38 else 36
+      val bb = ByteBuffer.allocate(375 + recLen * n).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("LASF".getBytes("US-ASCII"))
+      bb.position(24); bb.put(1.toByte).put(4.toByte)
+      bb.position(94)
+      bb.putShort(375.toShort)
+      bb.putInt(375) // point data offset
+      bb.putInt(0) // no VLRs
+      bb.put(fmt.toByte)
+      bb.putShort(recLen.toShort)
+      bb.putInt(0) // legacy count 0 (1.4 style)
+      bb.position(131)
+      bb.putDouble(0.5).putDouble(0.5).putDouble(0.5) // scales
+      bb.putDouble(0).putDouble(0).putDouble(0) // offsets
+      bb.position(247)
+      bb.putLong(n.toLong)
+      bb.position(375)
+      (0 until n).foreach { i =>
+        bb.putInt(i).putInt(2 * i).putInt(3 * i)
+        bb.putShort((i % 7).toShort)
+        bb.put(0x11.toByte).put(0.toByte)
+        bb.put((i % 5).toByte).put(0.toByte)
+        bb.putShort(0.toShort).putShort(0.toShort)
+        bb.putDouble(i * 0.5)
+        bb.putShort((i * 10).toShort).putShort((i * 20).toShort).putShort((i * 30).toShort)
+        if (fmt == 8) bb.putShort((i * 40).toShort)
+      }
+      bb.array()
+    }
+    for (fmt <- Seq(7, 8)) {
+      val f = s"/tmp/graft_fmt$fmt.las"
+      java.nio.file.Files.write(java.nio.file.Paths.get(f), build(fmt, 100))
+      val df = LasIO.read(spark, f)
+      assert(df.columns.contains("red") && df.columns.contains("blue"))
+      assert(df.columns.contains("nir") == (fmt == 8))
+      assert(df.count() == 100)
+      val r = df.orderBy("x").collect()(3)
+      val s = df.schema
+      assert(r.getDouble(s.fieldIndex("x")) == 1.5) // raw 3 * scale 0.5
+      assert(r.getLong(s.fieldIndex("red")) == 30L)
+      assert(r.getLong(s.fieldIndex("green")) == 60L)
+      assert(r.getLong(s.fieldIndex("blue")) == 90L)
+      if (fmt == 8) assert(r.getLong(s.fieldIndex("nir")) == 120L)
+      assert(r.getDouble(s.fieldIndex("gps_time")) == 1.5)
+    }
+  }
+
   test("extra.laz decodes bit-exact to extra.las (typed extra bytes)") {
     assume(fixturesPresent)
     val las = LasIO.read(spark, s"$fixtures/extra.las")
