@@ -56,7 +56,10 @@ object SpatialPredicate {
     }
 
     val found = conjuncts.iterator.map {
-      case p @ GeomScalar(name, Seq(a, b), _, _, _) if relationPreds(name) =>
+      case p @ GeomScalar(rawName, Seq(a, b), _, _, _) if relationPreds(rawName) =>
+        // canonicalize snake aliases so every downstream refine/plan path
+        // sees one spelling
+        val name = if (rawName == "st_covered_by") "st_coveredby" else rawName
         sides(a, b).map { case (lg, rg, swapped) =>
           (p: Expression, Extracted(if (swapped) invert(name) else name, lg, rg, None, None))
         }

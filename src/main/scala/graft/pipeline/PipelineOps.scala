@@ -104,10 +104,15 @@ object PipelineOps {
     // label-propagation rounds below carry ~4 shuffles each, pure waste
     // when the graph is megabytes. The distributed path is the >threshold
     // plan that holds at 100TB. One action decides AND fetches: head
-    // collects at most threshold+1 rows, so the common small-graph case
-    // pays a single job instead of count()+collect().
-    val probe = edges.head(localThreshold.toInt + 1)
-    if (probe.length <= localThreshold) {
+    // collects at most probeLimit+1 rows, so the common small-graph case
+    // pays a single job instead of count()+collect(). The probe is capped
+    // at 1M rows regardless of the caller's threshold so a huge graph
+    // never materializes threshold-many rows on the driver just to learn
+    // it is huge; graphs between the cap and the threshold take the
+    // distributed path, which is correct at any size.
+    val probeLimit = math.min(localThreshold, 1L << 20).toInt
+    val probe = edges.head(probeLimit + 1)
+    if (probe.length <= probeLimit) {
       val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {

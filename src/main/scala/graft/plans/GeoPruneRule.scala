@@ -36,7 +36,7 @@ object GeoPruneRule extends Rule[LogicalPlan] {
 
   /** Predicates whose true-set is contained in envelope intersection. */
   private val prunable = Set("st_intersects", "st_within", "st_contains",
-    "st_covers", "st_coveredby", "st_equals", "st_touches", "st_overlaps",
+    "st_covers", "st_coveredby", "st_covered_by", "st_equals", "st_touches", "st_overlaps",
     "st_crosses")
 
   private def constEnvelope(e: Expression): Option[Envelope] =

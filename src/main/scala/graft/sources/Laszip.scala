@@ -19,11 +19,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - POINT14 (item 10, v3/v4 layered) + BYTE14 (item 14, extra bytes).
   *    Pointwise compressors 1/2 (legacy formats 0-5) are not handled.
   *  - The return-number/number-of-returns context tables
-  *    (`returnMap6`/`returnLevel8`) are reconstructed as the standard
-  *    |n-r| distance maps clamped to 6/8 context slots; files with
-  *    varying multi-return patterns exercise slot *assignment* (which
-  *    must only be internally consistent per stream), while the
-  *    entropy-coder math below is exact.
+  *    (`returnMap6`/`returnLevel8`) are reconstructed as |n-r| distance
+  *    maps clamped to 6/8 slots, not copied from the spec's published
+  *    16x16 tables. Slot choice must match the *encoder's* tables, so:
+  *    files written by this engine (or any stream with a constant (n,r)
+  *    pattern, e.g. single-return LiDAR and both reference fixtures)
+  *    decode exactly, but an externally-encoded file whose points vary
+  *    across multi-return patterns may silently mis-predict X/Y/Z after
+  *    the first pattern change. Swap in the published tables before
+  *    trusting external multi-return LAZ.
   *  - Decode is sequential per file; the chunk table (present at the
   *    i64 offset heading the point data) would allow per-chunk splits
   *    at scale — file-level parallelism is the current split unit,
@@ -252,10 +256,12 @@ private[graft] object Laszip {
     private val corrMax: Long = if (corrRange > 0) corrMin + corrRange - 1 else Int.MaxValue.toLong
     private val mBits = Array.fill(contexts)(new SymModel(corrBits + 1))
     private val mCorr0 = new BitModel
+    // exponents run 1..corrBits inclusive (k == corrBits is legal for
+    // sub-32-bit compressors, e.g. intensity corrector -32768)
     private val mCorr: Array[SymModel] = {
-      val a = new Array[SymModel](corrBits)
+      val a = new Array[SymModel](corrBits + 1)
       var k = 1
-      while (k < corrBits) { a(k) = new SymModel(1 << math.min(k, bitsHigh)); k += 1 }
+      while (k <= corrBits) { a(k) = new SymModel(1 << math.min(k, bitsHigh)); k += 1 }
       a
     }
     /** Exponent of the last corrector (laszip getK) — feeds the Y/Z
@@ -780,10 +786,11 @@ private[graft] object Laszip {
     private val corrMax: Long = if (corrRange > 0) corrMin + corrRange - 1 else Int.MaxValue.toLong
     private val mBits = Array.fill(contexts)(new SymModel(corrBits + 1))
     private val mCorr0 = new BitModel
+    // exponents run 1..corrBits inclusive — mirror of IntDec
     private val mCorr: Array[SymModel] = {
-      val a = new Array[SymModel](corrBits)
+      val a = new Array[SymModel](corrBits + 1)
       var k = 1
-      while (k < corrBits) { a(k) = new SymModel(1 << math.min(k, bitsHigh)); k += 1 }
+      while (k <= corrBits) { a(k) = new SymModel(1 << math.min(k, bitsHigh)); k += 1 }
       a
     }
     var k = 0

@@ -50,7 +50,7 @@ object RandomGeometry {
     def s(k: String, d: String): String = if (node.has(k)) node.get(k).asText(d) else d
     val n = i("num_rows", 1024)
     val parts = i("num_partitions", 1).toInt
-    val seed = i("seed", scala.util.Random.nextLong().abs % 1000000)
+    val seed = i("seed", java.lang.Math.floorMod(scala.util.Random.nextLong(), 1000000L))
     val bounds =
       if (node.has("bounds") && node.get("bounds").isArray && node.get("bounds").size == 4)
         (0 until 4).map(j => node.get("bounds").get(j).asDouble())
