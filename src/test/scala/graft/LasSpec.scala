@@ -103,6 +103,22 @@ class LasSpec extends AnyFunSuite {
       val table = Laszip.chunkTable(enc, 0).get
       assert(table.length == (n + 255) / 256)
     }
+    // directed case: a 16-bit corrector of exactly -32768 (intensity
+    // 0 -> 32768) exercises exponent k == corrBits, the widest bucket
+    val pair = Seq(0, 32768, 0, 65535).zipWithIndex.map { case (inten, i) =>
+      val bb = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(i).putInt(0).putInt(0)
+      bb.putShort(inten.toShort)
+      bb.put(0x11.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.putShort(0.toShort).putShort(0.toShort)
+      bb.putDouble(0.0)
+      bb.array()
+    }
+    val vlr1 = Laszip.LazVlr(3, 50000, Seq(Laszip.Item(10, 30, 3)))
+    val enc1 = Laszip.encode(pair.iterator, 30, 0, 50000)
+    val dec1 = Laszip.decode(enc1, 0, pair.length, vlr1, 30).toSeq
+    pair.indices.foreach(i => assert(java.util.Arrays.equals(dec1(i), pair(i)),
+      s"k==corrBits case mismatch at $i"))
   }
 
   test("DataFrame LAZ write → read roundtrip (format 6, quarter-step grid)") {
