@@ -371,7 +371,7 @@ object FlatGeobuf {
       if (fs.exists(target)) fs.delete(target, true)
     }
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    val written = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val bytes = encodeFile(schema, geomIdx, propIdx, rows, index)
@@ -381,11 +381,22 @@ object FlatGeobuf {
         os.write(bytes); os.close()
         Iterator.single(1)
       }
-    }.count(): Unit
+    }.count()
+    // an all-empty input must still yield a readable dataset: one
+    // zero-feature file carrying the schema
+    if (written == 0L) {
+      val bytes = encodeFile(schema, geomIdx, propIdx, Iterator.empty, index = false)
+      val p = new org.apache.hadoop.fs.Path(path, "part-00000.fgb")
+      val fs = p.getFileSystem(conf)
+      val os = fs.create(p, true)
+      os.write(bytes); os.close()
+    }
   }
 
   private def decodeHeader(bytes: Array[Byte]): (Seq[(String, Int)], Int, Long, Int, Int) = {
-    require(bytes.length > 12 && (0 until 8).forall(i => bytes(i) == Magic(i)),
+    // byte 7 is the PATCH version (0x00 ours, 0x01 in GDAL-written
+    // files) — the spec says readers must not reject on it
+    require(bytes.length > 12 && (0 until 7).forall(i => bytes(i) == Magic(i)),
       "not a FlatGeobuf file (bad magic)")
     val (h, consumed) = FlatBuf.rootSizePrefixed(bytes, 8)
     val cols = {

@@ -164,7 +164,7 @@ object GeoPackage {
       if (fs.exists(target)) fs.delete(target, true)
     }
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    df.rdd.mapPartitionsWithIndex { (pid, rowIt) =>
+    val written = df.rdd.mapPartitionsWithIndex { (pid, rowIt) =>
       val rows = rowIt.toSeq
       if (rows.isEmpty) Iterator.empty
       else {
@@ -175,7 +175,16 @@ object GeoPackage {
         os.write(bytes); os.close()
         Iterator.single(1)
       }
-    }.count(): Unit
+    }.count()
+    // an all-empty input must still yield a readable dataset: one
+    // zero-row container carrying the table schema
+    if (written == 0L) {
+      val bytes = gpkgFileBytes(Seq.empty, schema, geomIdx, table, srid)
+      val p = new org.apache.hadoop.fs.Path(path, "part-00000.gpkg")
+      val fs = p.getFileSystem(conf)
+      val os = fs.create(p, true)
+      os.write(bytes); os.close()
+    }
   }
 
   // ----------------------------------------------------------------- read
@@ -197,8 +206,13 @@ object GeoPackage {
     }
     items += sb.toString
     items.map(_.trim).filter(_.nonEmpty)
-      .filterNot(i => Seq("CONSTRAINT", "PRIMARY", "UNIQUE", "CHECK", "FOREIGN")
-        .exists(k => i.toUpperCase.startsWith(k)))
+      // table-level constraints start with one of these KEYWORDS — match
+      // the whole first token, not a prefix (a column named `checksum` or
+      // `primary_road` is a column, not a constraint)
+      .filterNot { i =>
+        val kw = i.takeWhile(c => !c.isWhitespace && c != '(').toUpperCase
+        Seq("CONSTRAINT", "PRIMARY", "UNIQUE", "CHECK", "FOREIGN").contains(kw)
+      }
       .map { item =>
         val (name, rest) =
           if (item.startsWith("\"")) {

@@ -69,8 +69,11 @@ object GeoTiff {
 
     // EPSG's 4xxx block holds the geographic-2D CRS codes (4326 WGS84,
     // 4269 NAD83, 4258 ETRS89, ...); anything else we can emit is a
-    // projected CRS. Gate the GeoKey class on that, not on == 4326.
-    val geographic = srid >= 4000 && srid <= 4999
+    // projected CRS. Gate the GeoKey class on that, not on == 4326 —
+    // minus the handful of projected/geocentric/3D codes that also live
+    // in the 4xxx block.
+    val nonGeographic4xxx = Set(4087, 4088, 4936, 4937, 4978, 4979)
+    val geographic = srid >= 4000 && srid <= 4999 && !nonGeographic4xxx(srid)
 
     // GeoKeyDirectory: version 1.1.0, then (id, location=0, count=1, value)
     val geoKeys = {
@@ -116,7 +119,7 @@ object GeoTiff {
         shorts(Seq.fill(nb)(64))),
       E(TCompression, 3, 1, Some(if (deflate) 8L else 1L)),
       E(TPhotometric, 3, 1, Some(1L)),
-      E(TStripOffsets, 4, nb, if (nb == 1) None else None, longs(Seq.fill(nb)(0L))),
+      E(TStripOffsets, 4, nb, None, longs(Seq.fill(nb)(0L))),
       E(TSamplesPerPixel, 3, 1, Some(nb.toLong)),
       E(TRowsPerStrip, 4, 1, Some(r.height.toLong)),
       E(TStripByteCounts, 4, nb,

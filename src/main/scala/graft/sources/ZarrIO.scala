@@ -41,9 +41,13 @@ object ZarrIO {
     inf.setInput(data)
     val out = new Array[Byte](outLen)
     var off = 0
-    while (!inf.finished() && off < outLen) off += inf.inflate(out, off, outLen - off)
+    // needsInput guard: a truncated chunk makes inflate() return 0
+    // forever — fail loudly instead of spinning (mirrors GeoTiff's loop)
+    while (!inf.finished() && off < outLen && !inf.needsInput()) {
+      off += inf.inflate(out, off, outLen - off)
+    }
     inf.end()
-    require(off == outLen, s"zarr chunk inflated to $off bytes, expected $outLen")
+    require(off == outLen, s"zarr chunk inflated to $off bytes, expected $outLen (truncated?)")
     out
   }
 
@@ -67,14 +71,21 @@ object ZarrIO {
     val proto = rasterOf(firstRow, 2)
     val (cw, ch) = (proto.width, proto.height)
     // global upper-left from any chunk: shift back by its pixel origin
-    val cy0 = firstRow.getLong(0); val cx0 = firstRow.getLong(1)
+    val cy0 = chunkIdx(firstRow, 0); val cx0 = chunkIdx(firstRow, 1)
     val g = proto.gt
     val gUlx = g(0) - cx0 * cw * g(1) - cy0 * ch * g(2)
     val gUly = g(3) - cx0 * cw * g(4) - cy0 * ch * g(5)
-    val bounds = df.agg(smax(col(cyCol)), smax(col(cxCol))).collect().head
+    val bounds = df.agg(smax(col(cyCol).cast("long")), smax(col(cxCol).cast("long")))
+      .collect().head
     val shape = ((bounds.getLong(0) + 1) * ch, (bounds.getLong(1) + 1) * cw)
     val compressor =
       if (compress) """{"id": "zlib", "level": 6}""" else "null"
+    // the band nodata doubles as the array fill value, so it survives a
+    // roundtrip (NaN spells "NaN" in zarr v2 JSON)
+    val fillJson = {
+      val nd = proto.bands.head.nodata
+      if (nd.isNaN) "\"NaN\"" else nd.toString
+    }
     val zarray =
       s"""{
          |  "zarr_format": 2,
@@ -82,7 +93,7 @@ object ZarrIO {
          |  "chunks": [$ch, $cw],
          |  "dtype": "<f8",
          |  "compressor": $compressor,
-         |  "fill_value": 0.0,
+         |  "fill_value": $fillJson,
          |  "order": "C",
          |  "filters": null
          |}""".stripMargin
@@ -107,11 +118,19 @@ object ZarrIO {
         val data = rast.bands.headOption.map(_.data).getOrElse(
           throw new IllegalArgumentException("zarr write: raster has no bands"))
         val bytes = if (doCompress) deflate(data) else data
-        val p = new org.apache.hadoop.fs.Path(path, s"${r.getLong(0)}.${r.getLong(1)}")
+        val p = new org.apache.hadoop.fs.Path(path, s"${chunkIdx(r, 0)}.${chunkIdx(r, 1)}")
         val os = fs.create(p, true)
         os.write(bytes); os.close()
       }
     }
+  }
+
+  /** Chunk index, widened from any integral column type; negative grid
+    * positions would write files the reader's name pattern skips. */
+  private def chunkIdx(r: Row, i: Int): Long = {
+    val v = r.getAs[Number](i).longValue()
+    require(v >= 0, s"zarr chunk index $v is negative (grid must be 0-anchored)")
+    v
   }
 
   private def rasterOf(r: Row, i: Int): RasterModel.Raster = {
@@ -147,6 +166,24 @@ object ZarrIO {
     require(za.get("order").asText() == "C", "zarr order C only")
     val chunks = za.get("chunks")
     val ch = chunks.get(0).asInt(); val cw = chunks.get(1).asInt()
+    // codec filters would alter the byte stream before decompression —
+    // decoding without applying them yields garbage, so reject loudly
+    locally {
+      val f = za.get("filters")
+      require(f == null || f.isNull || (f.isArray && f.size == 0),
+        s"zarr filters $f not supported")
+    }
+    val fillValue: Double = {
+      val fv = za.get("fill_value")
+      if (fv == null || fv.isNull) Double.NaN
+      else if (fv.isTextual) fv.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => other.toDouble
+      }
+      else fv.asDouble()
+    }
     val compressed = {
       val c = za.get("compressor")
       if (c == null || c.isNull) false
@@ -189,9 +226,10 @@ object ZarrIO {
         val cgt = Array(
           gt(0) + cx * cw * gt(1) + cy * ch * gt(2), gt(1), gt(2),
           gt(3) + cx * cw * gt(4) + cy * ch * gt(5), gt(4), gt(5))
-        // external Row (createDataFrame converts to internal)
+        // external Row (createDataFrame converts to internal); the
+        // array's fill_value becomes the band nodata
         Row(cy, cx, Row(crs, cgt.toSeq, cw, ch,
-          Seq(Row(Double.NaN, raw, null, null)), null))
+          Seq(Row(fillValue, raw, null, null)), null))
       }
     spark.createDataFrame(rdd, outSchema)
   }

@@ -382,6 +382,39 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZarrIO.read(spark, "/tmp/graft_zarr_raw").count() == 6)
   }
 
+  test("FlatGeobuf reads a real-world file (natural-earth cities, GDAL-written)") {
+    import graft.sources.FlatGeobuf
+    val fixture = "/root/reference/r/sedonadb/inst/files/natural-earth_cities.fgb"
+    assume(new java.io.File(fixture).isFile)
+    val df = FlatGeobuf.read(spark, fixture)
+    val n = df.count()
+    assert(n > 100, s"expected >100 cities, got $n")
+    assert(df.columns.contains("name"))
+    // every geometry is a lon/lat point within world bounds
+    import org.apache.spark.sql.functions._
+    val stats = df.select(
+      min(call_function("st_x", col("geometry"))), max(call_function("st_x", col("geometry"))),
+      min(call_function("st_y", col("geometry"))), max(call_function("st_y", col("geometry"))),
+      countDistinct(call_function("st_geometrytype", col("geometry")))).collect()(0)
+    assert(stats.getDouble(0) >= -180 && stats.getDouble(1) <= 180)
+    assert(stats.getDouble(2) >= -90 && stats.getDouble(3) <= 90)
+    assert(stats.getLong(4) == 1L) // all points
+    val names = df.select("name").collect().map(_.getString(0)).toSet
+    assert(names.exists(_.contains("Tokyo")) || names.exists(_.contains("London")) ||
+      names.exists(_.contains("Paris")), s"sample: ${names.take(5)}")
+  }
+
+  test("empty DataFrame writes produce readable zero-row datasets") {
+    import graft.sources.{FlatGeobuf, GeoPackage}
+    import org.apache.spark.sql.functions._
+    val empty = spark.range(0).select(col("id"),
+      call_function("st_point", col("id").cast("double"), col("id").cast("double")).as("geom"))
+    FlatGeobuf.write(empty, "/tmp/graft_fgb_empty", "geom")
+    assert(FlatGeobuf.read(spark, "/tmp/graft_fgb_empty").count() == 0)
+    GeoPackage.write(empty, "/tmp/graft_gpkg_empty", "geom")
+    assert(GeoPackage.read(spark, "/tmp/graft_gpkg_empty").count() == 0)
+  }
+
   test("FlatGeobuf write overwrites: no stale parts after fewer-partition rewrite") {
     import graft.sources.FlatGeobuf
     val path = "/tmp/graft_fgb_overwrite"
