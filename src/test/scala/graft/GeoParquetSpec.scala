@@ -415,6 +415,31 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GeoPackage.read(spark, "/tmp/graft_gpkg_empty").count() == 0)
   }
 
+  test("real-world GeoParquet: cities join countries point-in-polygon") {
+    import graft.sources.GeoParquet
+    import org.apache.spark.sql.functions._
+    val dir = "/root/reference/r/sedonadb/inst/files"
+    assume(new java.io.File(s"$dir/natural-earth_countries_geo.parquet").isFile)
+    val cities = GeoParquet.read(spark, s"$dir/natural-earth_cities_geo.parquet")
+    val countries = GeoParquet.read(spark, s"$dir/natural-earth_countries_geo.parquet")
+    assert(cities.count() == 243 && countries.count() == 177)
+    // real multi-ring WKB decodes: every country has positive area and
+    // the world sums to ~space of the landmass in square degrees
+    val area = countries.select(sum(call_function("st_area", col("geometry"))))
+      .collect()(0).getDouble(0)
+    assert(area > 1000 && area < 30000, s"world area (sq deg) = $area")
+    // point-in-polygon join on real boundaries via the spatial strategy
+    val joined = cities.as("c").join(countries.as("n"),
+      call_function("st_within", col("c.geometry"), col("n.geometry")))
+      .select(col("c.name"), col("n.name").as("country"))
+    val matched = joined.count()
+    // nearly all capitals fall inside a country polygon (coastal cities on
+    // simplified boundaries may fall just outside)
+    assert(matched >= 200 && matched <= 260, s"matched=$matched")
+    val london = joined.filter(col("name") === "London").collect()
+    assert(london.length == 1 && london(0).getString(1) == "United Kingdom")
+  }
+
   test("FlatGeobuf write overwrites: no stale parts after fewer-partition rewrite") {
     import graft.sources.FlatGeobuf
     val path = "/tmp/graft_fgb_overwrite"
