@@ -262,6 +262,57 @@ object GeomScalars {
     }
   }
 
+  /** Substring of a line between two length fractions, computed in
+    * fraction space (see st_linesubstring registration note). */
+  private def lineSubstringFrac(l: LineString, s: Double, e: Double): Geometry = {
+    val coords = l.getCoordinates
+    val n = coords.length
+    val segLen = Array.tabulate(n - 1)(i => coords(i).distance(coords(i + 1)))
+    val total = segLen.sum
+    if (total == 0) return GeomIO.factory.createPoint(coords(0).copy())
+    val cum = new Array[Double](n)
+    var i = 1
+    while (i < n) { cum(i) = cum(i - 1) + segLen(i - 1); i += 1 }
+    @inline def frac(i: Int): Double = cum(i) / total
+    def lerp(a: Coordinate, b: Coordinate, t: Double): Coordinate = {
+      if (t <= 0) return a.copy()
+      if (t >= 1) return b.copy()
+      val c = a.copy()
+      c.setX(a.x + t * (b.x - a.x))
+      c.setY(a.y + t * (b.y - a.y))
+      if (!a.getZ.isNaN && !b.getZ.isNaN) c.setZ(a.getZ + t * (b.getZ - a.getZ))
+      c match {
+        case m: CoordinateXYZM => m.setM(a.getM + t * (b.getM - a.getM))
+        case m: CoordinateXYM => m.setM(a.getM + t * (b.getM - a.getM))
+        case _ =>
+      }
+      c
+    }
+    def pointAt(fr: Double): Coordinate = {
+      if (fr <= 0) return coords(0).copy()
+      if (fr >= 1) return coords(n - 1).copy()
+      var j = 0
+      while (j < n - 2 && frac(j + 1) <= fr) j += 1
+      // vertex hits come from fraction equality (cum/total == fr), the
+      // in-segment offset from length space (fr*total - cum is exact for
+      // round products like 0.4*30); lerp clamps the residue at 0/1
+      lerp(coords(j), coords(j + 1),
+        if (segLen(j) > 0) (fr * total - cum(j)) / segLen(j) else 0.0)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[Coordinate](pointAt(s))
+    i = 0
+    while (i < n) {
+      if (frac(i) > s && frac(i) < e) buf += coords(i).copy()
+      i += 1
+    }
+    buf += pointAt(e)
+    // drop repeated vertices (degenerate edges)
+    val out = scala.collection.mutable.ArrayBuffer[Coordinate](buf.head)
+    buf.tail.foreach(c => if (c.x != out.last.x || c.y != out.last.y) out += c)
+    if (out.length == 1) GeomIO.factory.createPoint(out.head)
+    else GeomIO.factory.createLineString(out.toArray)
+  }
+
   private def parseEwkt(text: String): Geometry = {
     // "SRID=4326;POINT (1 2)" (reference: st_geomfromewkt.rs)
     if (text.regionMatches(true, 0, "SRID=", 0, 5)) {
@@ -561,11 +612,16 @@ object GeomScalars {
       MinimumClearance.getDistance(g0(a))),
     fn("st_minimumclearanceline", BinaryType, Seq(Geom))(a =>
       MinimumClearance.getLine(g0(a))),
+    // Fraction-space walk (PostGIS / reference st_linesubstring.rs
+    // semantics, test_linesubstring.py): vertex fractions are cumlen /
+    // total, so an input fraction equal to a vertex's fraction hits the
+    // vertex bit-exactly (length-space `frac * len` does not); repeated
+    // vertices drop out; a zero-length result collapses to a point.
     fn("st_linesubstring", BinaryType, Seq(Geom, Dbl, Dbl))(a => g0(a) match {
-      case l: LineString =>
-        val lil = new LengthIndexedLine(l)
-        val len = l.getLength
-        lil.extractLine(d(a, 1) * len, d(a, 2) * len)
+      case l: LineString if !l.isEmpty =>
+        val s = math.max(0.0, math.min(1.0, d(a, 1)))
+        val e = math.max(0.0, math.min(1.0, d(a, 2)))
+        if (s > e) null else lineSubstringFrac(l, s, e)
       case _ => null
     }),
     fn("st_lineinterpolatepoint", BinaryType, Seq(Geom, Dbl))(a => g0(a) match {
