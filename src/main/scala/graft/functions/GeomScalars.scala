@@ -262,6 +262,51 @@ object GeomScalars {
     }
   }
 
+  /** Boundary with PostGIS/GEOS GeometryCollection semantics (JTS's
+    * getBoundary refuses collections): each member's boundary is taken
+    * independently, then grouped by dimension — points of line endpoints
+    * first, rings/lines of polygon boundaries second — returned bare
+    * when only one group is non-empty (reference
+    * tests/functions/test_functions.py st_boundary nested-GC table). */
+  private def boundaryOf(g: Geometry): Geometry = g match {
+    case gc: GeometryCollection
+        if !gc.isInstanceOf[MultiPoint] && !gc.isInstanceOf[MultiLineString] &&
+          !gc.isInstanceOf[MultiPolygon] =>
+      val members = scala.collection.mutable.ArrayBuffer[Geometry]()
+      def flatten(x: Geometry): Unit = x match {
+        case c: GeometryCollection if !c.isInstanceOf[MultiPoint] &&
+          !c.isInstanceOf[MultiLineString] && !c.isInstanceOf[MultiPolygon] =>
+          (0 until c.getNumGeometries).foreach(i => flatten(c.getGeometryN(i)))
+        case other => members += other
+      }
+      flatten(gc)
+      val pts = scala.collection.mutable.ArrayBuffer[Point]()
+      val lines = scala.collection.mutable.ArrayBuffer[LineString]()
+      members.map(_.getBoundary).foreach { b =>
+        (0 until b.getNumGeometries).foreach(i => b.getGeometryN(i) match {
+          case p: Point if !p.isEmpty => pts += p
+          case l: LineString if !l.isEmpty => lines += l
+          case _ =>
+        })
+      }
+      val ptGeom: Option[Geometry] =
+        if (pts.isEmpty) None
+        else if (pts.length == 1) Some(pts.head)
+        else Some(GeomIO.factory.createMultiPoint(pts.toArray[Point]))
+      val lineGeom: Option[Geometry] =
+        if (lines.isEmpty) None
+        else if (lines.length == 1) Some(lines.head)
+        else Some(GeomIO.factory.createMultiLineString(lines.toArray[LineString]))
+      (ptGeom, lineGeom) match {
+        case (Some(p), Some(l)) =>
+          GeomIO.factory.createGeometryCollection(Array(p, l))
+        case (Some(p), None) => p
+        case (None, Some(l)) => l
+        case (None, None) => GeomIO.factory.createGeometryCollection(Array.empty)
+      }
+    case other => other.getBoundary
+  }
+
   /** Substring of a line between two length fractions, computed in
     * fraction space (see st_linesubstring registration note). */
   private def lineSubstringFrac(l: LineString, s: Double, e: Double): Geometry = {
@@ -520,7 +565,7 @@ object GeomScalars {
       case _ => null
     }),
     fn("st_points", BinaryType, Seq(Geom))(a => points(g0(a))),
-    fn("st_boundary", BinaryType, Seq(Geom))(a => g0(a).getBoundary),
+    fn("st_boundary", BinaryType, Seq(Geom))(a => boundaryOf(g0(a))),
     "st_dump" -> ((children: Seq[Expression]) =>
       GeomScalar("st_dump", children, dumpType, Seq(Geom), a => dump(g0(a)))),
     fn("st_collectionextract", BinaryType, Seq(Geom, Int_))(a =>

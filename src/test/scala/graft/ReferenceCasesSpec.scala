@@ -125,6 +125,74 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_distance(st_point(1,1), st_makeenvelope(0,0,2,2))") == 0.0) // inside
   }
 
+  test("ST_Area over every geometry class (test_functions.py)") {
+    def area(wkt: String): Double =
+      q(s"st_area(st_geomfromwkt('$wkt'))").asInstanceOf[Double]
+    for (w <- Seq("POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY",
+      "GEOMETRYCOLLECTION EMPTY", "POINT (5 2)", "MULTIPOINT ((0 0), (1 1))",
+      "LINESTRING (0 0, 1 1)", "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))"))
+      assert(area(w) == 0.0, w)
+    assert(area("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))") == 1.0)
+    assert(area("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((0 0, 1 0, 1 1, 0 1, 0 0)))") == 2.0)
+    // nested collection counts every polygon once
+    assert(area("GEOMETRYCOLLECTION (POINT (0 0), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "LINESTRING (0 0, 1 1), GEOMETRYCOLLECTION (POLYGON ((0 0, -1 0, -1 -1, 0 -1, 0 0))))") == 2.0)
+  }
+
+  test("ST_Buffer areas match GEOS quad_segs=8 values (test_functions.py)") {
+    def bufArea(wkt: String, dist: Double): Double =
+      q(s"st_area(st_buffer(st_geomfromwkt('$wkt'), ${dist}D))").asInstanceOf[Double]
+    val eps = 1e-3 // the reference's own epsilon for this table
+    assert(math.abs(bufArea("POINT (0 0)", 1.0) - 3.121445152258052) < eps)
+    assert(math.abs(bufArea("POINT (0 0)", 2.0) - 12.485780609032208) < eps)
+    assert(math.abs(bufArea("LINESTRING (0 0, 1 1)", 1.0) - 5.949872277004242) < eps)
+    assert(math.abs(bufArea("LINESTRING (0 0, 1 1)", 2.0) - 18.14263485852459) < eps)
+    assert(math.abs(bufArea("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 2.0) - 21.48578060903221) < eps)
+    assert(math.abs(bufArea("MULTIPOINT ((0 0), (1 1))", 1.0) - 5.682167728387077) < eps)
+    assert(math.abs(bufArea("GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 1 1), " +
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))", 1.0) - 8.121445152256216) < eps)
+    assert(bufArea("POINT (1 1)", 0.0) == 0.0)
+    assert(bufArea("POLYGON EMPTY", 1.0) == 0.0)
+  }
+
+  test("ST_Centroid incl. collections (test_functions.py)") {
+    sameGeom("st_centroid(st_geomfromwkt('LINESTRING (0 0, 1 1)'))", "POINT (0.5 0.5)")
+    sameGeom("st_centroid(st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))",
+      "POINT (0.5 0.5)")
+    sameGeom("st_centroid(st_geomfromwkt('MULTIPOINT ((0 0), (1 1))'))", "POINT (0.5 0.5)")
+    sameGeom("st_centroid(st_geomfromwkt('MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))'))",
+      "POINT (1 1)")
+    // mixed collection: centroid of the highest-dimension members
+    sameGeom("st_centroid(st_geomfromwkt('GEOMETRYCOLLECTION (POINT (0 0), " +
+      "LINESTRING (0 0, 1 1), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))'))", "POINT (0.5 0.5)")
+  }
+
+  test("ST_Boundary incl. nested collections (test_functions.py)") {
+    sameGeom("st_boundary(st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))",
+      "LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)")
+    sameGeom("st_boundary(st_geomfromwkt('LINESTRING (0 0, 1 1)'))",
+      "MULTIPOINT (0 0, 1 1)")
+    // nested GC: per-member boundaries, grouped by dimension
+    sameGeom("st_boundary(st_geomfromwkt('GEOMETRYCOLLECTION(LINESTRING(1 1,2 2)," +
+      "GEOMETRYCOLLECTION(POLYGON((3 3,4 4,5 5,3 3)),GEOMETRYCOLLECTION(" +
+      "LINESTRING(6 6,7 7),POLYGON((8 8,9 9,10 10,8 8)))))'))",
+      "GEOMETRYCOLLECTION (MULTIPOINT (1 1, 2 2, 6 6, 7 7), " +
+        "MULTILINESTRING ((3 3, 4 4, 5 5, 3 3), (8 8, 9 9, 10 10, 8 8)))")
+  }
+
+  test("ST_Force2D/3D coordinate rewrites (test_functions.py)") {
+    sameGeom("st_force2d(st_geomfromwkt('POINT Z (0 1 2)'))", "POINT (0 1)")
+    sameGeom("st_force3d(st_geomfromwkt('POINT (0 1)'), 5.0D)", "POINT Z (0 1 5)")
+    sameGeom("st_force3d(st_geomfromwkt('LINESTRING (0 1, 2 3)'), 5.0D)",
+      "LINESTRING Z (0 1 5, 2 3 5)")
+    sameGeom("st_force3d(st_geomfromwkt('GEOMETRYCOLLECTION (POINT (1 2), " +
+      "LINESTRING (3 4, 5 6), POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0)))'), 5.0D)",
+      "GEOMETRYCOLLECTION Z (POINT Z (1 2 5), LINESTRING Z (3 4 5, 5 6 5), " +
+        "POLYGON Z ((0 0 5, 0 1 5, 1 1 5, 1 0 5, 0 0 5)))")
+    // existing Z wins over the default
+    sameGeom("st_force3d(st_geomfromwkt('POINT Z (0 1 2)'), 5.0D)", "POINT Z (0 1 2)")
+  }
+
   test("aggregate envelope/union on a geometry column (test_aggregate.py)") {
     spark.sql(
       """SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0,
