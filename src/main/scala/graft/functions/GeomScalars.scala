@@ -307,6 +307,48 @@ object GeomScalars {
     case other => other.getBoundary
   }
 
+  /** Rebuild `out` with M ordinates copied from `src` vertices that share
+    * the exact (x, y); vertices created by noding get NaN measures. */
+  private def reattachM(src: Geometry, out: Geometry): Geometry = {
+    val mmap = new java.util.HashMap[(Double, Double), java.lang.Double]()
+    src.getCoordinates.foreach { c =>
+      val m = c.getM
+      if (!m.isNaN) mmap.putIfAbsent((c.x, c.y), m)
+    }
+    val withZ = GeomIO.hasZ(src)
+    def conv(c: Coordinate): Coordinate = {
+      val m = mmap.get((c.x, c.y))
+      val mv = if (m == null) Double.NaN else m.doubleValue()
+      if (withZ) new CoordinateXYZM(c.x, c.y, c.getZ, mv)
+      else new CoordinateXYM(c.x, c.y, mv)
+    }
+    def rebuild(g: Geometry): Geometry = g match {
+      case p: Point =>
+        if (p.isEmpty) p else GeomIO.factory.createPoint(conv(p.getCoordinate))
+      case l: LinearRing => GeomIO.factory.createLinearRing(l.getCoordinates.map(conv))
+      case l: LineString => GeomIO.factory.createLineString(l.getCoordinates.map(conv))
+      case p: Polygon =>
+        GeomIO.factory.createPolygon(
+          GeomIO.factory.createLinearRing(p.getExteriorRing.getCoordinates.map(conv)),
+          Array.tabulate(p.getNumInteriorRing)(i =>
+            GeomIO.factory.createLinearRing(p.getInteriorRingN(i).getCoordinates.map(conv))))
+      case m: MultiPoint =>
+        GeomIO.factory.createMultiPoint(
+          Array.tabulate(m.getNumGeometries)(i => rebuild(m.getGeometryN(i)).asInstanceOf[Point]))
+      case m: MultiLineString =>
+        GeomIO.factory.createMultiLineString(Array.tabulate(m.getNumGeometries)(i =>
+          rebuild(m.getGeometryN(i)).asInstanceOf[LineString]))
+      case m: MultiPolygon =>
+        GeomIO.factory.createMultiPolygon(Array.tabulate(m.getNumGeometries)(i =>
+          rebuild(m.getGeometryN(i)).asInstanceOf[Polygon]))
+      case c: GeometryCollection =>
+        GeomIO.factory.createGeometryCollection(
+          Array.tabulate(c.getNumGeometries)(i => rebuild(c.getGeometryN(i))))
+      case other => other
+    }
+    rebuild(out)
+  }
+
   /** Substring of a line between two length fractions, computed in
     * fraction space (see st_linesubstring registration note). */
   private def lineSubstringFrac(l: LineString, s: Double, e: Double): Geometry = {
@@ -618,7 +660,14 @@ object GeomScalars {
     fn("st_union", BinaryType, Seq(Geom, Geom))(a => g0(a).union(g1(a))),
     fn("st_difference", BinaryType, Seq(Geom, Geom))(a => g0(a).difference(g1(a))),
     fn("st_symdifference", BinaryType, Seq(Geom, Geom))(a => g0(a).symDifference(g1(a))),
-    fn("st_unaryunion", BinaryType, Seq(Geom))(a => UnaryUnionOp.union(g0(a))),
+    fn("st_unaryunion", BinaryType, Seq(Geom))(a => {
+      val src = g0(a)
+      val u = UnaryUnionOp.union(src)
+      // JTS overlay keeps Z but its plain Coordinates have no M slot —
+      // reattach measures at exact source vertices (GEOS now preserves
+      // M through union; reference test_st_unaryunion_zm)
+      if (GeomIO.hasM(src)) reattachM(src, u) else u
+    }),
     fn("st_buffer", BinaryType, Seq(Geom, Dbl))(a => g0(a).buffer(d(a, 1))),
     fn("st_bufferquad", BinaryType, Seq(Geom, Dbl, Int_))(a =>
       g0(a).buffer(d(a, 1), i(a, 2))),

@@ -193,6 +193,30 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     sameGeom("st_force3d(st_geomfromwkt('POINT Z (0 1 2)'), 5.0D)", "POINT Z (0 1 2)")
   }
 
+  test("ST_UnaryUnion preserves Z/M through no-op and overlap unions (test_functions.py)") {
+    def uu(wkt: String): String =
+      q(s"replace(st_astext(st_unaryunion(st_geomfromwkt('$wkt'))), ' ', '')")
+        .asInstanceOf[String]
+    assert(uu("POINT M (0 1 2)") == "POINTM(012)")
+    assert(uu("POINT Z (0 0 0)") == "POINTZ(000)")
+    assert(uu("POINT ZM (1 2 3 4)") == "POINTZM(1234)")
+    assert(uu("LINESTRING Z (0 0 0, 1 1 1)") == "LINESTRINGZ(000,111)")
+    assert(uu("LINESTRING ZM (0 0 1 2, 1 1 3 4)") == "LINESTRINGZM(0012,1134)")
+    assert(uu("POLYGON Z ((0 0 10, 4 0 10, 4 4 10, 0 4 10, 0 0 10))") ==
+      "POLYGONZ((0010,4010,4410,0410,0010))")
+    assert(uu("MULTIPOINT Z ((0 0 0), (1 1 1))") == "MULTIPOINTZ((000),(111))")
+    // overlapping polygons reduce to one, keeping the outer ring's Z
+    // (ring start vertex is engine-specific → compare topology + Z)
+    val overlap = "st_unaryunion(st_geomfromwkt('MULTIPOLYGON Z (" +
+      "((0 0 10, 4 0 10, 4 4 10, 0 4 10, 0 0 10)), " +
+      "((1 1 5, 1 2 5, 2 2 5, 2 1 5, 1 1 5)))'))"
+    assert(q(s"st_equals($overlap, st_makeenvelope(0,0,4,4))") == true)
+    assert(q(s"st_zmin($overlap)") == 10.0 && q(s"st_zmax($overlap)") == 10.0)
+    assert(q(s"st_npoints($overlap)") == 5)
+    assert(uu("GEOMETRYCOLLECTION Z(POINT Z(1 2 3), LINESTRING Z(0 0 0,1 1 1))") ==
+      "GEOMETRYCOLLECTIONZ(POINTZ(123),LINESTRINGZ(000,111))")
+  }
+
   test("aggregate envelope/union on a geometry column (test_aggregate.py)") {
     spark.sql(
       """SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0,
