@@ -307,6 +307,72 @@ object GeomScalars {
     case other => other.getBoundary
   }
 
+  /** ST_Snap with GEOS/PostGIS semantics (JTS's GeometrySnapper
+    * diverges on two points the reference's test_st_snap table pins
+    * down: a single-point reference must still insert a vertex into a
+    * source segment, and a source vertex is snapped only when its
+    * nearest in-tolerance snap point is not already present in the
+    * line — so a dense line keeps its interior vertices instead of
+    * collapsing them all onto one endpoint). */
+  private def snapGeometry(src: Geometry, ref: Geometry, tol: Double): Geometry = {
+    val snapPts = ref.getCoordinates.foldLeft(
+      scala.collection.mutable.ArrayBuffer[Coordinate]()) { (acc, c) =>
+      if (!acc.exists(_.equals2D(c))) acc += c else acc
+    }.toArray
+    if (snapPts.isEmpty || src.isEmpty) return src
+    val t = new org.locationtech.jts.geom.util.GeometryTransformer {
+      override def transformCoordinates(coords: CoordinateSequence,
+          parent: Geometry): CoordinateSequence = {
+        val arr = coords.toCoordinateArray
+        if (arr.isEmpty) return coords
+        val line = scala.collection.mutable.ArrayBuffer[Coordinate](
+          arr.map(_.copy()).toIndexedSeq: _*)
+        val closed = line.length > 1 && line.head.equals2D(line.last)
+        val end = if (closed) line.length - 1 else line.length
+        // 1. vertex snapping, driven per SNAP POINT: each pulls its
+        // nearest in-tolerance source vertex (vertices already equal to
+        // some snap point stay put) — this is what keeps a dense line's
+        // interior vertices intact while its endpoints snap
+        snapPts.foreach { p =>
+          if (!line.exists(_.equals2D(p))) {
+            var bestI = -1
+            var bestD = tol
+            var i = 0
+            while (i < end) {
+              if (!snapPts.exists(_.equals2D(line(i)))) {
+                val d = p.distance(line(i))
+                if (d < bestD) { bestD = d; bestI = i }
+              }
+              i += 1
+            }
+            if (bestI >= 0) {
+              line(bestI) = p.copy()
+              if (closed && bestI == 0) line(line.length - 1) = p.copy()
+            }
+          }
+        }
+        // 2. segment insertion: snap points near a segment but not on a
+        // vertex become new vertices of that segment
+        snapPts.foreach { p =>
+          if (!line.exists(_.equals2D(p))) {
+            var bestJ = -1
+            var bestD = tol
+            var j = 0
+            while (j < line.length - 1) {
+              val d = org.locationtech.jts.algorithm.Distance
+                .pointToSegment(p, line(j), line(j + 1))
+              if (d < bestD) { bestD = d; bestJ = j }
+              j += 1
+            }
+            if (bestJ >= 0) line.insert(bestJ + 1, p.copy())
+          }
+        }
+        GeomIO.factory.getCoordinateSequenceFactory.create(line.toArray)
+      }
+    }
+    t.transform(src)
+  }
+
   /** Rebuild `out` with M ordinates copied from `src` vertices that share
     * the exact (x, y); vertices created by noding get NaN measures. */
   private def reattachM(src: Geometry, out: Geometry): Geometry = {
@@ -536,10 +602,7 @@ object GeomScalars {
     fn("st_dimension", IntegerType, Seq(Geom))(a => g0(a).getDimension),
     fn("st_geometrytype", StringType, Seq(Geom))(a => "ST_" + g0(a).getGeometryType),
     fn("st_hasz", BooleanType, Seq(Geom))(a => GeomIO.hasZ(g0(a))),
-    fn("st_hasm", BooleanType, Seq(Geom))(a => {
-      val c = g0(a).getCoordinate
-      c != null && !java.lang.Double.isNaN(c.getM)
-    }),
+    fn("st_hasm", BooleanType, Seq(Geom))(a => GeomIO.hasM(g0(a))),
     fn("st_isempty", BooleanType, Seq(Geom))(a => g0(a).isEmpty),
     fn("st_iscollection", BooleanType, Seq(Geom))(a =>
       g0(a).isInstanceOf[GeometryCollection]),
@@ -699,7 +762,7 @@ object GeomScalars {
     fn("st_reduceprecision", BinaryType, Seq(Geom, Dbl))(a =>
       GeometryPrecisionReducer.reduce(g0(a), new PrecisionModel(d(a, 1)))),
     fn("st_snap", BinaryType, Seq(Geom, Geom, Dbl))(a =>
-      new GeometrySnapper(g0(a)).snapTo(g1(a), d(a, 2))),
+      snapGeometry(g0(a), g1(a), d(a, 2))),
     fn("st_segmentize", BinaryType, Seq(Geom, Dbl))(a =>
       Densifier.densify(g0(a), d(a, 1))),
     fn("st_minimumclearance", DoubleType, Seq(Geom))(a =>
@@ -817,10 +880,8 @@ object GeomScalars {
       }),
     fn("st_ndims", IntegerType, Seq(Geom))(a => if (GeomIO.hasZ(g0(a))) 3 else 2),
     fn("st_zmflag", IntegerType, Seq(Geom))(a => {
-      val g = g0(a); val c = g.getCoordinate
-      val hasZ = c != null && !java.lang.Double.isNaN(c.getZ)
-      val hasM = c != null && !java.lang.Double.isNaN(c.getM)
-      (hasZ, hasM) match {
+      val g = g0(a)
+      (GeomIO.hasZ(g), GeomIO.hasM(g)) match {
         case (false, false) => 0; case (false, true) => 1
         case (true, false) => 2; case (true, true) => 3
       }

@@ -39,28 +39,110 @@ object GeomIO {
     wkb(3, false, XYM), wkb(4, false, XYZM))
   private val wktWriters = Array(wkt(2, XY), wkt(3, XYZ), wkt(3, XYM), wkt(4, XYZM))
 
+  /** First coordinate sequence reachable in the geometry (empty
+    * geometries still carry their declared dimension/measures there). */
+  private def firstSeq(g: Geometry): CoordinateSequence = g match {
+    case p: Point => p.getCoordinateSequence
+    case l: LineString => l.getCoordinateSequence
+    case p: Polygon => p.getExteriorRing.getCoordinateSequence
+    case c: GeometryCollection if c.getNumGeometries > 0 => firstSeq(c.getGeometryN(0))
+    case _ => null
+  }
+
   @inline def hasZ(g: Geometry): Boolean = {
     val c = g.getCoordinate
-    c != null && !java.lang.Double.isNaN(c.getZ)
+    if (c != null) !java.lang.Double.isNaN(c.getZ)
+    else { // empty: the declared dims live on the sequence
+      val s = firstSeq(g)
+      s != null && s.getDimension - s.getMeasures >= 3
+    }
   }
 
   @inline def hasM(g: Geometry): Boolean = {
     val c = g.getCoordinate
-    c != null && !java.lang.Double.isNaN(c.getM)
+    if (c != null) !java.lang.Double.isNaN(c.getM)
+    else {
+      val s = firstSeq(g)
+      s != null && s.getMeasures >= 1
+    }
   }
 
   /** 0 = XY, 1 = XYZ, 2 = XYM, 3 = XYZM. */
   @inline private def dimIdx(g: Geometry): Int =
     (if (hasZ(g)) 1 else 0) + (if (hasM(g)) 2 else 0)
 
-  def read(bytes: Array[Byte]): Geometry = wkbReader.get.read(bytes)
+  def read(bytes: Array[Byte]): Geometry = {
+    val g = wkbReader.get.read(bytes)
+    // JTS's WKBReader drops the declared Z/M flavor of EMPTY geometries
+    // (it builds dimension-less empty sequences); restore it from the
+    // ISO type code so `POINT ZM EMPTY` keeps its flag through storage
+    if (g.isEmpty && bytes.length >= 5) {
+      val le = bytes(0) == 1
+      val code =
+        if (le) (bytes(1) & 0xff) | ((bytes(2) & 0xff) << 8) |
+          ((bytes(3) & 0xff) << 16) | ((bytes(4) & 0xff) << 24)
+        else (bytes(4) & 0xff) | ((bytes(3) & 0xff) << 8) |
+          ((bytes(2) & 0xff) << 16) | ((bytes(1) & 0xff) << 24)
+      // dims live either in EWKB flag bits or in the ISO +1000/+2000 code
+      val iso = (code & 0xffff) / 1000
+      val z = (code & 0x80000000) != 0 || iso == 1 || iso == 3
+      val m = (code & 0x40000000) != 0 || iso == 2 || iso == 3
+      val flavor = (if (z) 1 else 0) + (if (m) 2 else 0) match {
+        case 0 => 0; case 1 => 1; case 2 => 2; case _ => 3
+      }
+      emptyWithFlavor(g, flavor) // flavor 0 too: JTS empties default dim 3
+    } else g
+  }
+
+  /** Rebuild an empty geometry whose leaf sequences declare the given
+    * ISO flavor (0 = XY, 1 = Z, 2 = M, 3 = ZM). */
+  private def emptyWithFlavor(g: Geometry, flavor: Int): Geometry = {
+    val (dim, meas) = flavor match {
+      case 0 => (2, 0)
+      case 1 => (3, 0)
+      case 2 => (3, 1)
+      case _ => (4, 1)
+    }
+    val seq = factory.getCoordinateSequenceFactory.create(0, dim, meas)
+    g match {
+      case _: Point => factory.createPoint(seq)
+      case _: LinearRing => factory.createLinearRing(seq)
+      case _: LineString => factory.createLineString(seq)
+      case _: Polygon => factory.createPolygon(factory.createLinearRing(seq))
+      case _: MultiPoint => factory.createMultiPoint(
+        Array.empty[org.locationtech.jts.geom.Point])
+      case _: MultiLineString => factory.createMultiLineString(
+        Array.empty[org.locationtech.jts.geom.LineString])
+      case _: MultiPolygon => factory.createMultiPolygon(
+        Array.empty[org.locationtech.jts.geom.Polygon])
+      case other => other // GeometryCollection has no leaf sequence to tag
+    }
+  }
 
   def write(g: Geometry): Array[Byte] = wkbWriters(dimIdx(g)).get.write(g)
 
   /** Plain ISO WKB without the EWKB SRID flag (ST_AsBinary semantics). */
   def writePlain(g: Geometry): Array[Byte] = wkbWritersPlain(dimIdx(g)).get.write(g)
 
-  def readWkt(s: String): Geometry = wktReader.get.read(s)
+  private val EmptyTag =
+    java.util.regex.Pattern.compile("(?i)^\\s*[a-z]+\\s+(ZM|Z|M)\\s+EMPTY\\s*$")
+
+  def readWkt(s: String): Geometry = {
+    val g = wktReader.get.read(s)
+    // JTS parses every EMPTY into a legacy dim-3 sequence, erasing the
+    // declared flavor (and inventing Z on plain empties) — restore it
+    // from the WKT tag so `POINT ZM EMPTY` keeps its ZM flag
+    if (g.isEmpty && !g.isInstanceOf[GeometryCollection]) {
+      val m = EmptyTag.matcher(s)
+      val flavor =
+        if (m.matches()) m.group(1).toUpperCase match {
+          case "Z" => 1
+          case "M" => 2
+          case _ => 3
+        } else 0
+      emptyWithFlavor(g, flavor)
+    } else g
+  }
 
   def writeWkt(g: Geometry): String = wktWriters(dimIdx(g)).get.write(g)
 

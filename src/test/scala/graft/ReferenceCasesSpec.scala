@@ -217,6 +217,56 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "GEOMETRYCOLLECTIONZ(POINTZ(123),LINESTRINGZ(000,111))")
   }
 
+  test("ST_Snap table (test_functions.py test_st_snap)") {
+    def snap(in: String, ref: String, tol: Double, expected: String): Unit =
+      sameGeom(s"st_snap(st_geomfromwkt('$in'), st_geomfromwkt('$ref'), ${tol}D)", expected)
+    snap("MULTIPOINT (0.9 0.9, 2.1 2.1, 3.9 3.9)", "LINESTRING (1 1, 2 2, 3 3, 4 4)",
+      0.5, "MULTIPOINT (1 1, 2 2, 4 4)")
+    snap("POINT (1.1 2.1)", "POINT (1 2)", 0.5, "POINT (1 2)")
+    snap("POINT (1.6 2.6)", "POINT (1 2)", 0.5, "POINT (1.6 2.6)")
+    snap("LINESTRING (0 0, 10 10)", "POINT (5 5)", 1.0, "LINESTRING (0 0, 5 5, 10 10)")
+    snap("POINT (5 5)", "POINT (5 5)", 0.0, "POINT (5 5)")
+    snap("POLYGON ((0.9 0.9, 0.9 5.1, 5.1 5.1, 5.1 0.9, 0.9 0.9), " +
+      "(1.9 1.9, 1.9 4.1, 4.1 4.1, 4.1 1.9, 1.9 1.9))",
+      "POLYGON ((1 1, 1 5, 5 5, 5 1, 1 1), (2 2, 2 4, 4 4, 4 2, 2 2))", 0.5,
+      "POLYGON ((1 1, 1 5, 5 5, 5 1, 1 1), (2 2, 2 4, 4 4, 4 2, 2 2))")
+    snap("LINESTRING (0.1 0.1, 0.2 0.2, 0.3 0.3, 0.4 0.4, 0.5 0.5, 0.6 0.6, " +
+      "0.7 0.7, 0.8 0.8, 0.9 0.9)", "LINESTRING (0 0, 1 1)", 0.5,
+      "LINESTRING (0 0, 0.2 0.2, 0.3 0.3, 0.4 0.4, 0.5 0.5, 0.6 0.6, 0.7 0.7, 0.8 0.8, 1 1)")
+    snap("POINT (1 2)", "POINT (3 4)", 0.5, "POINT (1 2)")
+  }
+
+  test("ST_ZmFlag across dim variants incl. nested collections (test_st_zmflag)") {
+    def zm(wkt: String): Any = q(s"st_zmflag(st_geomfromwkt('$wkt'))")
+    assert(zm("POINT EMPTY") == 0)
+    assert(zm("POINT Z EMPTY") == 2)
+    assert(zm("POINT M EMPTY") == 1)
+    assert(zm("POINT ZM EMPTY") == 3)
+    assert(zm("POINT Z (0 0 0)") == 2)
+    assert(zm("POINT M (0 0 0)") == 1)
+    assert(zm("POINT ZM (0 0 0 0)") == 3)
+    assert(zm("LINESTRING Z (0 0 0, 1 1 1)") == 2)
+    assert(zm("MULTIPOINT ((0 0), (1 1))") == 0)
+    assert(zm("MULTIPOINT ZM ((0 0 0 0))") == 3)
+    assert(zm("GEOMETRYCOLLECTION EMPTY") == 0)
+    assert(zm("GEOMETRYCOLLECTION (POINT Z (0 0 0))") == 2)
+    assert(zm("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT Z (0 0 0)))") == 2)
+  }
+
+  test("ST_Dump paths are 1-based member indexes (test_st_dump)") {
+    val rows = spark.sql(
+      "SELECT explode(st_dump(st_geomfromwkt('MULTIPOINT (0 1, 1 2)'))) AS d")
+      .selectExpr("d.path AS path", "st_astext(d.geom) AS wkt").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getSeq[Int](0) == Seq(1) && rows(0).getString(1) == "POINT (0 1)")
+    assert(rows(1).getSeq[Int](0) == Seq(2) && rows(1).getString(1) == "POINT (1 2)")
+    val single = spark.sql(
+      "SELECT explode(st_dump(st_geomfromwkt('POINT (1 2)'))) AS d")
+      .selectExpr("d.path AS path", "st_astext(d.geom) AS wkt").collect()
+    assert(single.length == 1 && single(0).getSeq[Int](0).isEmpty &&
+      single(0).getString(1) == "POINT (1 2)")
+  }
+
   test("aggregate envelope/union on a geometry column (test_aggregate.py)") {
     spark.sql(
       """SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0,
