@@ -267,6 +267,48 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       single(0).getString(1) == "POINT (1 2)")
   }
 
+  test("ST_Envelope_Agg degenerate shapes + nulls (test_aggregate.py)") {
+    def envAgg(values: String): Any =
+      q(s"(SELECT st_astext(st_envelope_agg(st_geomfromwkt(geom))) FROM (VALUES $values) AS t(geom))")
+    assert(envAgg("('POINT (1 2)'), ('POINT (3 4)'), (NULL)") ==
+      q("st_astext(st_geomfromwkt('POLYGON ((1 2, 1 4, 3 4, 3 2, 1 2))'))"))
+    assert(envAgg("(CAST(NULL AS STRING)), (NULL), (NULL)") == null)
+    assert(envAgg("('POINT (5 5)')") == "POINT (5 5)")
+    assert(envAgg("('POINT (0 0)'), ('POINT (0 1)'), ('POINT (0 2)')") ==
+      "LINESTRING (0 0, 0 2)")
+    // zero input rows
+    assert(q("(SELECT st_envelope_agg(st_geomfromwkt(geom)) FROM " +
+      "(VALUES ('POINT (1 2)')) AS t(geom) WHERE false)") == null)
+  }
+
+  test("ST_Collect_Agg type promotion + nulls (test_aggregate.py)") {
+    // member ORDER differs by design: our distributed collect sorts
+    // members by WKB hash so results are partition-arrival independent
+    // (the oracle gate hashes results); compare members as a set
+    def collect(values: String): Set[String] = {
+      val wkt = q("(SELECT st_astext(st_collect_agg(st_geomfromwkt(geom))) " +
+        s"FROM (VALUES $values) AS t(geom))")
+      if (wkt == null) return Set.empty
+      spark.sql(s"SELECT explode(st_dump(st_geomfromwkt('$wkt'))) AS d")
+        .selectExpr("st_astext(d.geom)").collect().map(_.getString(0)).toSet
+    }
+    def typeOf(values: String): Any =
+      q("(SELECT st_geometrytype(st_collect_agg(st_geomfromwkt(geom))) " +
+        s"FROM (VALUES $values) AS t(geom))")
+    assert(collect("('POINT (1 2)'), ('POINT (3 4)'), (NULL)") ==
+      Set("POINT (1 2)", "POINT (3 4)"))
+    assert(typeOf("('POINT (1 2)'), ('POINT (3 4)'), (NULL)") == "ST_MultiPoint")
+    assert(collect("('LINESTRING (1 2, 3 4)'), ('LINESTRING (5 6, 7 8)'), (NULL)") ==
+      Set("LINESTRING (1 2, 3 4)", "LINESTRING (5 6, 7 8)"))
+    assert(typeOf("('LINESTRING (1 2, 3 4)'), ('LINESTRING (5 6, 7 8)')") ==
+      "ST_MultiLineString")
+    assert(typeOf("('POLYGON ((0 0, 1 0, 0 1, 0 0))'), " +
+      "('POLYGON ((10 10, 11 10, 10 11, 10 10))')") == "ST_MultiPolygon")
+    assert(typeOf("('POINT (1 2)'), ('LINESTRING (3 4, 5 6)')") == "ST_GeometryCollection")
+    assert(q("(SELECT st_collect_agg(geom) FROM (VALUES (CAST(NULL AS BINARY)), " +
+      "(NULL)) AS t(geom))") == null)
+  }
+
   test("aggregate envelope/union on a geometry column (test_aggregate.py)") {
     spark.sql(
       """SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0,
