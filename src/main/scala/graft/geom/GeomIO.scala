@@ -52,9 +52,14 @@ object GeomIO {
   @inline def hasZ(g: Geometry): Boolean = {
     val c = g.getCoordinate
     if (c != null) !java.lang.Double.isNaN(c.getZ)
-    else { // empty: the declared dims live on the sequence
+    else { // empty: the declared dims live on the sequence. JTS builds
+      // its own empties as dim-3 CoordinateArraySequences by default, so
+      // plain dim-3 is NOT evidence of Z — only our packed marker
+      // sequences (see emptyWithFlavor) or an explicit 4th dim are.
       val s = firstSeq(g)
-      s != null && s.getDimension - s.getMeasures >= 3
+      s != null && (s.getDimension >= 4 ||
+        (s.getDimension - s.getMeasures >= 3 &&
+          s.isInstanceOf[org.locationtech.jts.geom.impl.PackedCoordinateSequence]))
     }
   }
 
@@ -103,8 +108,14 @@ object GeomIO {
       case 2 => (3, 1)
       case _ => (4, 1)
     }
-    val seq = factory.getCoordinateSequenceFactory.create(0, dim, meas)
-    g match {
+    // Z-flavored empties use a packed sequence as the marker hasZ keys
+    // on (plain dim-3 array sequences are JTS's dimension-less default)
+    val seq =
+      if (flavor == 1)
+        org.locationtech.jts.geom.impl.PackedCoordinateSequenceFactory.DOUBLE_FACTORY
+          .create(0, dim, meas)
+      else factory.getCoordinateSequenceFactory.create(0, dim, meas)
+    val out = g match {
       case _: Point => factory.createPoint(seq)
       case _: LinearRing => factory.createLinearRing(seq)
       case _: LineString => factory.createLineString(seq)
@@ -117,6 +128,8 @@ object GeomIO {
         Array.empty[org.locationtech.jts.geom.Polygon])
       case other => other // GeometryCollection has no leaf sequence to tag
     }
+    out.setSRID(g.getSRID)
+    out
   }
 
   def write(g: Geometry): Array[Byte] = wkbWriters(dimIdx(g)).get.write(g)
@@ -144,7 +157,17 @@ object GeomIO {
     } else g
   }
 
-  def writeWkt(g: Geometry): String = wktWriters(dimIdx(g)).get.write(g)
+  def writeWkt(g: Geometry): String = {
+    val idx = dimIdx(g)
+    val s = wktWriters(idx).get.write(g)
+    // JTS's writer derives the Z/M tag from visited coordinates, so an
+    // EMPTY never gets one — restore it from the declared flavor
+    if (g.isEmpty && idx > 0 && s.endsWith("EMPTY") && !s.contains(" Z ") &&
+      !s.contains(" M ") && !s.contains(" ZM ")) {
+      val tag = idx match { case 1 => "Z"; case 2 => "M"; case _ => "ZM" }
+      s.replaceFirst(" EMPTY$", s" $tag EMPTY")
+    } else s
+  }
 
   def point(x: Double, y: Double): Geometry =
     factory.createPoint(new Coordinate(x, y))

@@ -309,6 +309,40 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "(NULL)) AS t(geom))") == null)
   }
 
+  test("WKT/EWKB roundtrip across every type and dimension (test_wkb.py)") {
+    val cases = Seq(
+      "POINT (1 2)", "LINESTRING (1 2, 3 4, 5 6)",
+      "POLYGON ((0 1, 2 0, 2 3, 0 3, 0 1))", "MULTIPOINT (1 2, 3 4)",
+      "MULTILINESTRING ((1 2, 3 4), (5 6, 7 8))",
+      "MULTIPOLYGON (((0 1, 2 0, 2 3, 0 3, 0 1)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (3 4, 5 6))",
+      "POINT Z (1 2 3)", "LINESTRING Z (1 2 3, 4 5 6)",
+      "POLYGON Z ((0 1 2, 3 0 2, 3 4 2, 0 4 2, 0 1 2))",
+      "MULTIPOINT Z (1 2 3, 4 5 6)",
+      "MULTILINESTRING Z ((1 2 3, 4 5 6), (7 8 9, 10 11 12))",
+      "GEOMETRYCOLLECTION Z (POINT Z (1 2 3))",
+      "POINT M (1 2 3)", "LINESTRING M (1 2 3, 4 5 6)",
+      "MULTIPOINT M (1 2 3, 4 5 6)",
+      "POINT ZM (1 2 3 4)", "LINESTRING ZM (1 2 3 4, 5 6 7 8)",
+      "MULTIPOINT ZM (1 2 3 4, 5 6 7 8)",
+      "POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY",
+      "GEOMETRYCOLLECTION EMPTY")
+    for (w <- cases) {
+      // text roundtrip is identity (modulo canonical formatting)
+      val txt = q(s"st_astext(st_geomfromwkt('$w'))")
+      assert(txt == q(s"st_astext(st_geomfromwkt('${txt.toString.replace("'", "")}'))"),
+        s"WKT not stable for $w")
+      // EWKB roundtrip preserves content and SRID
+      val back = q(s"st_astext(st_geomfromewkb(st_asewkb(st_setsrid(st_geomfromwkt('$w'), 4326))))")
+      assert(back == txt, s"EWKB roundtrip of $w: $back != $txt")
+      assert(q(s"st_srid(st_geomfromewkb(st_asewkb(st_setsrid(st_geomfromwkt('$w'), 4326))))") == 4326,
+        s"SRID lost for $w")
+    }
+    // typed empties keep their declared dimension tag in output text
+    assert(q("st_astext(st_geomfromwkt('POINT Z EMPTY'))").toString.startsWith("POINT Z"))
+    assert(q("st_astext(st_geomfromwkt('POINT M EMPTY'))").toString.startsWith("POINT M"))
+  }
+
   test("aggregate envelope/union on a geometry column (test_aggregate.py)") {
     spark.sql(
       """SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0,
