@@ -343,6 +343,19 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_astext(st_geomfromwkt('POINT M EMPTY'))").toString.startsWith("POINT M"))
   }
 
+  test("RS_Example accessor values (test_raster_functions.py)") {
+    assert(q("rs_numbands(rs_example())") == 3)
+    assert(q("rs_width(rs_example())") == 64)
+    assert(q("rs_height(rs_example())") == 32)
+    assert(q("rs_bandnodatavalue(rs_example(), 1)") == 127.0)
+    assert(q("rs_scalex(rs_example())") == 2.0)
+    assert(q("rs_scaley(rs_example())") == 2.0)
+    assert(q("rs_skewx(rs_example())") == 1.0)
+    assert(q("rs_skewy(rs_example())") == 1.0)
+    assert(q("rs_upperleftx(rs_example())") == 43.08)
+    assert(q("rs_upperlefty(rs_example())") == 79.07)
+  }
+
   test("aggregate envelope/union on a geometry column (test_aggregate.py)") {
     spark.sql(
       """SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0,
