@@ -440,6 +440,26 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(london.length == 1 && london(0).getString(1) == "United Kingdom")
   }
 
+  test("real-world spherical areas: natural-earth countries sum to Earth's landmass") {
+    import graft.sources.GeoParquet
+    import org.apache.spark.sql.functions._
+    val f = "/root/reference/r/sedonadb/inst/files/natural-earth_countries-geography_geo.parquet"
+    assume(new java.io.File(f).isFile)
+    val countries = GeoParquet.read(spark, f)
+    // spherical area over real multipolygon boundaries: Earth's land
+    // (with Antarctica, inland waters) ≈ 1.49e14 m²; natural-earth 1:110m
+    // simplification keeps the total within a few percent
+    val total = countries.select(
+      sum(call_function("st_areasphere", col("geometry")))).collect()(0).getDouble(0)
+    assert(total > 1.30e14 && total < 1.60e14, s"total land area = $total")
+    // one anchor: Australia ≈ 7.7e12 m²
+    val aus = countries.filter(col("name") === "Australia").select(
+      call_function("st_areasphere", col("geometry"))).collect()
+    assert(aus.length == 1)
+    assert(math.abs(aus(0).getDouble(0) - 7.7e12) < 0.4e12,
+      s"Australia = ${aus(0).getDouble(0)}")
+  }
+
   test("FlatGeobuf write overwrites: no stale parts after fewer-partition rewrite") {
     import graft.sources.FlatGeobuf
     val path = "/tmp/graft_fgb_overwrite"
