@@ -356,6 +356,18 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("rs_upperlefty(rs_example())") == 79.07)
   }
 
+  test("ST_Transform web-mercator anchor + SRID plumbing (test_transforms.py)") {
+    // the reference's PROJ anchor for (1,1) 4326→3857, wkt_precision 9
+    val p = spark.sql("SELECT st_transform(st_geomfromwkt('POINT (1 1)'), " +
+      "'EPSG:4326', 'EPSG:3857') AS g")
+      .selectExpr("st_x(g)", "st_y(g)", "st_srid(g)").collect()(0)
+    assert(math.abs(p.getDouble(0) - 111319.490793274) < 1e-6)
+    assert(math.abs(p.getDouble(1) - 111325.142866385) < 1e-6)
+    assert(p.getInt(2) == 3857)
+    assert(q("st_srid(st_setsrid(st_point(1,1), 3857))") == 3857)
+    assert(q("st_srid(st_point(1,1))") == 0)
+  }
+
   test("aggregate envelope/union on a geometry column (test_aggregate.py)") {
     spark.sql(
       """SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0,
