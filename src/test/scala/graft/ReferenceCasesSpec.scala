@@ -368,6 +368,23 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_srid(st_point(1,1))") == 0)
   }
 
+  test("geography distance anchors (tests/geography/test_geog_distance.py)") {
+    // the reference's S2 radius is 6371010.0 m, ours is the IUGG mean
+    // 6371008.8 — a 1.9e-7 relative constant; compare at 1e-6 relative
+    def ds(a: String, b: String): Double =
+      q(s"st_distancesphere(st_geomfromwkt('$a'), st_geomfromwkt('$b'))")
+        .asInstanceOf[Double]
+    def rel(got: Double, want: Double): Boolean =
+      math.abs(got - want) <= 1e-6 * math.max(1.0, math.abs(want))
+    assert(ds("POINT (0 0)", "POINT (0 0)") == 0.0)
+    assert(rel(ds("POINT (0 0)", "POINT (0 1)"), 111195.10117748393))
+    // wraparound longitude: 360 ≡ 0, so this is pole distance
+    assert(rel(ds("POINT (0 0)", "POINT (360 90)"), 10007559.105973553))
+    // point on / off a meridian segment
+    assert(math.abs(ds("POINT (0 0.5)", "LINESTRING (0 0, 0 1)")) < 1.0)
+    assert(rel(ds("POINT (1 0)", "LINESTRING (0 0, 0 1)"), 111195.10117748393))
+  }
+
   test("aggregate envelope/union on a geometry column (test_aggregate.py)") {
     spark.sql(
       """SELECT st_makeenvelope(CAST(id AS DOUBLE), 0.0,
