@@ -18,7 +18,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (comma-separated name prefixes); driver
+    // leaves it unset and gets the full run
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSeq)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

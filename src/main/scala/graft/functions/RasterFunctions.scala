@@ -50,13 +50,6 @@ object RasterFunctions {
       // N-D reshaping copies band bytes
       "rs_slice", "rs_slicerange", "rs_dimtoband", "rs_bandtodim")
 
-  /** Deterministic md5-prefix hash of the path — the stub loader's seed,
-    * SQL-replicable for the oracle. */
-  def stubHash(path: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(path.getBytes("UTF-8"))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
-
   private def bandValues(r: Raster, band1: Int): Array[Double] = {
     val band = r.bands(band1 - 1)
     require(band.dims == null || band.dims.length == 2,
@@ -132,27 +125,23 @@ object RasterFunctions {
 
     // outdb reference constructor + explicit materialization (reference:
     // RS_FromPath + async RS_EnsureLoaded wrapped in by the planner,
-    // rust/sedona-query-planner/src/ensure_loaded.rs:18-36). Offline
-    // build: metadata and pixels come from a DETERMINISTIC STUB loader
-    // (md5-derived; the real thing would be a pluggable format-keyed
-    // loader registry) — the plan shape and CSE-deduplicated
-    // materialization are the real, tested parts.
+    // rust/sedona-query-planner/src/ensure_loaded.rs:18-36). Backed by
+    // the format-keyed loader registry (sources/RasterLoaders, mirroring
+    // rust/sedona/src/context.rs:383-392): rs_frompath reads only the
+    // file header (metadata accessors stay pixel-free); the
+    // RasterLoadRule-injected rs_ensureloaded fetches and decodes bands.
     fn("rs_frompath", RasterModel.dataType, Seq(Str))(a => {
       val path = a(0).asInstanceOf[String]
-      val h = RasterFunctions.stubHash(path)
-      val w = (h % 5).toInt + 3
-      val ht = ((h / 5) % 4).toInt + 2
-      RasterModel.toRow("EPSG:4326", Array((h % 100).toDouble, 2.0, 0.0,
-        ((h / 7) % 100).toDouble, 0.0, -2.0), w, ht, Seq.empty, path)
+      val r = graft.sources.RasterLoaders.readMeta(path)
+      RasterModel.toRow(r.crs, r.gt, r.width, r.height, Seq.empty, path)
     }),
     fn("rs_ensureloaded", RasterModel.dataType, Seq(Raw))(a => {
       val r = rast(a)
       if (!r.isOutDb) a(0)
       else {
-        val h = RasterFunctions.stubHash(r.path)
-        val vals = Array.tabulate(r.width * r.height)(i => ((h + i) % 97).toDouble)
-        RasterModel.toRow(r.crs, r.gt, r.width, r.height,
-          Seq(RasterModel.Band(Double.NaN, RasterModel.packDoubles(vals))), r.path)
+        val full = graft.sources.RasterLoaders.load(r.path)
+        RasterModel.toRow(full.crs, full.gt, full.width, full.height,
+          full.bands, r.path)
       }
     }),
 

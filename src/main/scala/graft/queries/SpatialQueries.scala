@@ -322,17 +322,39 @@ object SpatialQueries {
           col("zs.mean").as("zmean"), col("zs.min").as("zmin"), col("zs.max").as("zmax"))
     }),
 
-    // outdb raster pipeline: rs_frompath refs + RasterLoadRule-injected
-    // rs_ensureloaded materialization (pixel functions only; rs_width/
-    // rs_height read the unloaded ref's metadata)
+    // outdb raster pipeline over REAL files: deflate-compressed GeoTIFF
+    // fixtures written per nation through sources/GeoTiff, then
+    // rs_frompath (header-only metadata via the RasterLoaders registry)
+    // + RasterLoadRule-injected rs_ensureloaded decoding the pixel bytes
+    // from disk. w/h/crs/ulx come from the unloaded header ref; value/
+    // avg/max from the materialized bands.
     "rs03_outdb_load" -> ((s, dir) => {
       prep(s)
+      val base = s"/tmp/graft_outdb_gate/${math.abs(dir.hashCode)}"
+      new java.io.File(base).mkdirs()
+      t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { row =>
+            val n = row.getInt(0)
+            val vals = Array.tabulate(12)(i => ((n * 100 + i) % 97).toDouble)
+            val r = graft.functions.RasterModel.Raster("EPSG:4326",
+              Array((n % 10) * 8.0, 2.0, 0.0, 50.0 - (n % 5) * 6.0, 0.0, -2.0),
+              4, 3, Vector(graft.functions.RasterModel.Band(Double.NaN,
+                graft.functions.RasterModel.packDoubles(vals))))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$base/tile_$n.tif"),
+              graft.sources.GeoTiff.write(r, deflate = true))
+          }
+        }
       t(s, dir, "nation")
-        .withColumn("path", concat(lit("s3://rasters/tile_"), col("n_nationkey")))
+        .withColumn("path", concat(lit(s"file:$base/tile_"),
+          col("n_nationkey"), lit(".tif")))
         .withColumn("r", st.f("rs_frompath", col("path")))
         .select(col("n_nationkey"),
           st.f("rs_width", col("r")).as("w"),
           st.f("rs_height", col("r")).as("h"),
+          st.f("rs_crs", col("r")).as("crs"),
+          st.f("rs_upperleftx", col("r")).as("ulx"),
           st.f("rs_value", col("r"), lit(1), lit(1), lit(1)).as("v11"),
           st.f("rs_bandavg", col("r"), lit(1)).as("bavg"),
           st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
@@ -777,20 +799,20 @@ object SpatialQueries {
         |  TRUE AS hit
         |FROM p""".stripMargin,
 
+    // pixel i of tile n is (n*100 + i) % 97 — written into the GeoTIFF
+    // fixture by the Spark side, decoded back through the real loader
     "rs03_outdb_load" ->
-      """WITH p AS (SELECT n_nationkey,
-        |    's3://rasters/tile_' || CAST(n_nationkey AS VARCHAR) AS path FROM nation),
-        |hh AS (SELECT n_nationkey,
-        |    ('0x'||substr(md5(path),1,8))::UBIGINT::BIGINT AS h0 FROM p),
-        |m AS (SELECT n_nationkey, h0,
-        |    CAST(h0 % 5 + 3 AS INT) AS w,
-        |    CAST((h0 // 5) % 4 + 2 AS INT) AS ht FROM hh)
-        |SELECT n_nationkey, w, ht AS h,
-        |  CAST((h0 + w + 1) % 97 AS DOUBLE) AS v11,
-        |  list_sum([CAST((h0 + i) % 97 AS DOUBLE) for i in range(0, w*ht)])
-        |    / (w*ht) AS bavg,
-        |  list_max([CAST((h0 + i) % 97 AS DOUBLE) for i in range(0, w*ht)]) AS bmax
-        |FROM m""".stripMargin,
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*100 + i) % 97 AS DOUBLE) for i in range(0, 12)] AS vs
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(4 AS INT) AS w, CAST(3 AS INT) AS h,
+        |  'EPSG:4326' AS crs,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*8.0 AS ulx,
+        |  vs[6] AS v11,
+        |  list_sum(vs)/12.0 AS bavg,
+        |  list_max(vs) AS bmax
+        |FROM v""".stripMargin,
 
     // zone covers pixel centers (c,r) with c in 0..2, r in 0..1 ->
     // band indices i = r*4+c in [0,1,2,4,5,6]

@@ -498,10 +498,20 @@ object GeoTiff {
       Band(nodata, RasterModel.packDoubles(vals))
     }
 
-    val gt = doublesOf(TModelTransformation) match {
+    val gt = gtFrom(doublesOf(TModelTransformation), doublesOf(TModelPixelScale),
+      doublesOf(TModelTiepoint))
+    val crs = crsFrom(valuesOf(TGeoKeyDirectory))
+
+    Raster(crs, gt, w, h, bands)
+  }
+
+  private def gtFrom(transformation: Option[IndexedSeq[Double]],
+      scale: Option[IndexedSeq[Double]],
+      tiepoint: Option[IndexedSeq[Double]]): Array[Double] =
+    transformation match {
       case Some(t) => Array(t(3), t(0), t(1), t(7), t(4), t(5))
       case None =>
-        (doublesOf(TModelPixelScale), doublesOf(TModelTiepoint)) match {
+        (scale, tiepoint) match {
           case (Some(sc), Some(tp)) =>
             // tiepoint: raster (i,j,k) -> model (x,y,z); gt shifts the
             // origin back to pixel (0,0)
@@ -510,7 +520,9 @@ object GeoTiff {
           case _ => Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
         }
     }
-    val crs = valuesOf(TGeoKeyDirectory).map { dir =>
+
+  private def crsFrom(geoKeys: Option[IndexedSeq[Long]]): String =
+    geoKeys.map { dir =>
       // entries of 4 shorts after the 4-short header
       val epsg = (1 until dir.length / 4).collectFirst {
         case i if dir(4 * i) == GKProjectedCSType || dir(4 * i) == GKGeographicType =>
@@ -519,6 +531,78 @@ object GeoTiff {
       epsg.map(c => s"EPSG:$c").getOrElse("EPSG:0")
     }.getOrElse("EPSG:0")
 
-    Raster(crs, gt, w, h, bands)
+  /** Header-only metadata read for the out-db loader path: bounded
+    * fetches — 8-byte header, the IFD, and the handful of referenced geo
+    * tag values; strip/tile pixel bytes are never touched, so an S3
+    * `rs_frompath` over a fleet of large tiles costs a few KB per file.
+    * `fetch(off, len)` must return exactly `len` bytes.
+    */
+  def readMeta(fetch: (Long, Int) => Array[Byte]): Raster = {
+    val head = ByteBuffer.wrap(fetch(0L, 8))
+    val order = (head.get(0).toChar, head.get(1).toChar) match {
+      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => ByteOrder.BIG_ENDIAN
+      case _ => throw new IllegalArgumentException("geotiff: not a TIFF (bad byte order)")
+    }
+    head.order(order)
+    require(head.getShort(2) == 42, "geotiff: bad TIFF magic")
+    val ifdOff = head.getInt(4) & 0xffffffffL
+    val n = ByteBuffer.wrap(fetch(ifdOff, 2)).order(order).getShort(0) & 0xffff
+    val entries = ByteBuffer.wrap(fetch(ifdOff + 2, n * 12)).order(order)
+
+    // tag -> (type, count, byte offset of the 4 inline value bytes)
+    val tags: Map[Int, (Int, Int, Int)] = (0 until n).map { i =>
+      val p = i * 12
+      (entries.getShort(p) & 0xffff) ->
+        ((entries.getShort(p + 2) & 0xffff, entries.getInt(p + 4), p + 8))
+    }.toMap
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
+      case 5 | 10 | 12 => 8
+      case other => throw new IllegalArgumentException(s"geotiff: field type $other")
+    }
+    // value bytes: inline when they fit the 4-byte slot, else one
+    // targeted fetch at the stored offset
+    def bytesOf(typ: Int, count: Int, pos: Int): ByteBuffer = {
+      val sz = typeSize(typ) * count
+      val bb =
+        if (sz <= 4) {
+          val out = new Array[Byte](sz)
+          var i = 0
+          while (i < sz) { out(i) = entries.get(pos + i); i += 1 }
+          ByteBuffer.wrap(out)
+        } else ByteBuffer.wrap(fetch(entries.getInt(pos) & 0xffffffffL, sz))
+      bb.order(order)
+    }
+    def longsOf(tag: Int): Option[IndexedSeq[Long]] = tags.get(tag).map {
+      case (typ, count, pos) =>
+        val bb = bytesOf(typ, count, pos)
+        (0 until count).map { i =>
+          typ match {
+            case 1 | 2 | 7 => (bb.get(i) & 0xff).toLong
+            case 6 => bb.get(i).toLong
+            case 3 => (bb.getShort(i * 2) & 0xffff).toLong
+            case 8 => bb.getShort(i * 2).toLong
+            case 4 => bb.getInt(i * 4) & 0xffffffffL
+            case 9 => bb.getInt(i * 4).toLong
+            case other => throw new IllegalArgumentException(
+              s"geotiff: integer read of type $other")
+          }
+        }
+    }
+    def doublesOf(tag: Int): Option[IndexedSeq[Double]] = tags.get(tag).map {
+      case (typ, count, pos) =>
+        require(typ == 12, s"geotiff: tag $tag expected DOUBLE, got type $typ")
+        val bb = bytesOf(typ, count, pos)
+        (0 until count).map(i => bb.getDouble(i * 8))
+    }
+
+    val w = longsOf(TImageWidth).map(_.head.toInt)
+      .getOrElse(throw new IllegalArgumentException("geotiff: no width"))
+    val h = longsOf(TImageLength).map(_.head.toInt)
+      .getOrElse(throw new IllegalArgumentException("geotiff: no height"))
+    val gt = gtFrom(doublesOf(TModelTransformation), doublesOf(TModelPixelScale),
+      doublesOf(TModelTiepoint))
+    Raster(crsFrom(longsOf(TGeoKeyDirectory)), gt, w, h, Vector.empty)
   }
 }

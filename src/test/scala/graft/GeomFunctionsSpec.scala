@@ -298,8 +298,17 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("outdb raster: load rule wraps pixel readers only; values correct") {
     import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.functions.RasterModel.{Band, Raster}
+    val dir = java.nio.file.Files.createTempDirectory("graft_outdb").toFile
+    (0 until 3).foreach { i =>
+      val vals = Array.tabulate(6)(j => (i * 10 + j).toDouble)
+      val r = Raster("EPSG:4326", Array(i * 5.0, 1.0, 0.0, 0.0, 0.0, -1.0), 3, 2,
+        Vector(Band(Double.NaN, graft.functions.RasterModel.packDoubles(vals))))
+      java.nio.file.Files.write(new java.io.File(dir, s"t$i.tif").toPath,
+        graft.sources.GeoTiff.write(r))
+    }
     val df = spark.range(3)
-      .withColumn("path", concat(lit("mem://t"), col("id")))
+      .withColumn("path", concat(lit(s"file:$dir/t"), col("id"), lit(".tif")))
       .withColumn("r", org.apache.spark.sql.functions.call_function("rs_frompath", col("path")))
       .select(col("id"),
         org.apache.spark.sql.functions.call_function("rs_width", col("r")).as("w"),
@@ -308,10 +317,21 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pixel reader wrapped, metadata reader not
     assert(optimized.contains("rs_bandavg(rs_bandavg, rs_ensureloaded"), optimized.take(1500))
     assert(!optimized.contains("rs_width(rs_width, rs_ensureloaded"), optimized.take(1500))
-    // and the stub pixels are deterministic
-    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-    assert(rows.length == 3 && rows.forall(_._3 >= 0.0))
-    assert(df.collect().map(_.toString).toSeq == df.collect().map(_.toString).toSeq)
+    // real bytes through the loader registry: avg of i*10 + (0..5)
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(3, 3, 3))
+    assert(rows.map(_._3).toSeq == Seq(2.5, 12.5, 22.5))
+  }
+
+  test("outdb raster: missing file and unknown extension fail loudly") {
+    import graft.sources.RasterLoaders
+    intercept[java.io.FileNotFoundException] {
+      RasterLoaders.readMeta("file:/tmp/graft_no_such_file_9z.tif")
+    }
+    val e = intercept[IllegalArgumentException] {
+      RasterLoaders.readMeta("file:/tmp/x.xyzformat")
+    }
+    assert(e.getMessage.contains("no raster loader"))
   }
 
   test("UTM transform round-trips within 1e-6 deg") {
@@ -408,7 +428,13 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(s"rs_bandpixeltype($r)") == "REAL_64BITS")
     assert(q(s"rs_bandpixeltype($r, 9)") == null)
     assert(q(s"rs_bandpath($r)") == null)
-    assert(q("rs_bandpath(rs_frompath('/data/x.tif'))") == "/data/x.tif")
+    val bp = java.nio.file.Files.createTempFile("graft_bp", ".tif")
+    java.nio.file.Files.write(bp, graft.sources.GeoTiff.write(
+      graft.functions.RasterModel.Raster("EPSG:4326",
+        Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0), 1, 1,
+        Vector(graft.functions.RasterModel.Band(Double.NaN,
+          graft.functions.RasterModel.packDoubles(Array(7.0)))))))
+    assert(q(s"rs_bandpath(rs_frompath('file:$bp'))") == s"file:$bp")
     assert(q(s"rs_srid(rs_setsrid($r, 4326))") == 4326)
     assert(q(s"rs_crs(rs_setcrs($r, 'EPSG:3857'))") == "EPSG:3857")
     assert(q(s"rs_bandnodatavalue(rs_setbandnodatavalue($r, 3.0), 1)") == 3.0)
