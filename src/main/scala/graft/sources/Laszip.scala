@@ -21,13 +21,20 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - The return-number/number-of-returns context tables
   *    (`returnMap6`/`returnLevel8`) are reconstructed as |n-r| distance
   *    maps clamped to 6/8 slots, not copied from the spec's published
-  *    16x16 tables. Slot choice must match the *encoder's* tables, so:
-  *    files written by this engine (or any stream with a constant (n,r)
-  *    pattern, e.g. single-return LiDAR and both reference fixtures)
-  *    decode exactly, but an externally-encoded file whose points vary
-  *    across multi-return patterns may silently mis-predict X/Y/Z after
-  *    the first pattern change. Swap in the published tables before
-  *    trusting external multi-return LAZ.
+  *    16x16 tables (the spec PDF and the laszip/laz-rs sources are not
+  *    present in this zero-egress build environment, and both reference
+  *    fixtures are constant-pattern — there is nothing offline to
+  *    transcribe or validate the published tables against, and a
+  *    half-remembered table would be strictly worse than this documented
+  *    deterministic one). Slot choice must match the *encoder's* tables,
+  *    so: files written by this engine decode exactly — LasSpec proves
+  *    bit-exact roundtrips on fuzzed 16x16 (n,r) streams and a directed
+  *    multi-return pulse train whose pattern changes mid-stream — and
+  *    constant-pattern external files (single-return LiDAR, both
+  *    reference fixtures) decode exactly too, but an externally-encoded
+  *    file whose points vary across multi-return patterns may silently
+  *    mis-predict X/Y/Z after the first pattern change. Swap in the
+  *    published tables before trusting external multi-return LAZ.
   *  - Decode is sequential per file; the chunk table (present at the
   *    i64 offset heading the point data) would allow per-chunk splits
   *    at scale — file-level parallelism is the current split unit,

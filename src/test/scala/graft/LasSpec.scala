@@ -121,6 +121,45 @@ class LasSpec extends AnyFunSuite {
       s"k==corrBits case mismatch at $i"))
   }
 
+  test("multi-return pulse train with mid-stream pattern changes roundtrips bit-exact") {
+    import graft.sources.Laszip
+    // realistic LiDAR shape: pulses of 1..5 returns, return number walks
+    // 1..n within each pulse, pattern (n,r) changes every record and the
+    // pulse width itself changes mid-stream — exercises every X/Y median
+    // context (returnMap) and Z context (returnLevel) plus the
+    // changed-values return-number cases (+1 / -1 / other) repeatedly.
+    val recs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var i = 0
+    for (pulse <- 0 until 300) {
+      val n = 1 + (pulse * 7 % 5) // 1..5, varies per pulse
+      for (r <- 1 to n) {
+        val bb = java.nio.ByteBuffer.allocate(30)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(pulse * 25 + r * 3)           // x drifts per pulse
+        bb.putInt(1000 - pulse * 11 + r)        // y drifts opposite
+        bb.putInt(5000 - r * 120)               // z: later returns lower
+        bb.putShort((200 + r * 17).toShort)     // intensity per return
+        bb.put(((r & 0x0f) | (n << 4)).toByte)  // return byte: (n, r)
+        bb.put((if (r == 1) 0x40 else 0).toByte) // scan-direction on first
+        bb.put((if (r == n) 2 else 1).toByte)   // class: ground on last
+        bb.put(0.toByte)
+        bb.putShort((pulse % 100 - 50).toShort) // scan angle sweeps
+        bb.putShort(9.toShort)
+        bb.putDouble(pulse * 0.0005)            // one gps time per pulse
+        recs += bb.array()
+        i += 1
+      }
+    }
+    val vlr = Laszip.LazVlr(3, 256, Seq(Laszip.Item(10, 30, 3)))
+    val enc = Laszip.encode(recs.iterator, 30, 0, 256)
+    val dec = Laszip.decode(enc, 0, recs.length, vlr, 30).toSeq
+    assert(dec.length == recs.length)
+    recs.indices.foreach { j =>
+      assert(java.util.Arrays.equals(dec(j), recs(j)),
+        s"pulse-train mismatch at record $j")
+    }
+  }
+
   test("DataFrame LAZ write → read roundtrip (format 6, quarter-step grid)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(0, 5000).toDF("id")
