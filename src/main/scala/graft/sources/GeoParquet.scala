@@ -22,8 +22,16 @@ import graft.functions.GraftFunctions.st
   * reference's filter_access_plan_using_geoparquet_covering
   * (rust/sedona-geoparquet/src/file_opener.rs:315-340).
   *
-  * A `_geo.json` sidecar mirrors the `geo` footer metadata content
-  * (metadata.rs:285 GeoParquetMetadata) for interop/debugging.
+  * Every part file also carries the standard `geo` parquet footer
+  * key-value metadata (metadata.rs:285 GeoParquetMetadata,
+  * writer.rs:71) so external readers — GeoPandas, DuckDB spatial,
+  * sedona-db — recognize the output as GeoParquet. Spark's parquet
+  * writer has no extra-footer-metadata hook, so footers are patched
+  * right after the write in a distributed pass: the footer is the last
+  * block of a parquet file, so on truncate-capable filesystems the patch
+  * is a tail-only rewrite (metadata-sized I/O per file); elsewhere one
+  * streamed copy. A `_geo.json` sidecar mirrors the dataset-level
+  * metadata for interop/debugging.
   */
 object GeoParquet {
 
@@ -75,15 +83,18 @@ object GeoParquet {
       case Some(v: java.lang.Double) => Some(v.doubleValue)
       case _ => None
     })
-    val bboxJson =
-      if (bounds.forall(_.isDefined))
-        s""""bbox":[${bounds.map(_.get).mkString(",")}],"""
-      else ""
-    val geoJson =
+    // geo metadata JSON, parameterized on the bbox (dataset-level for the
+    // sidecar, per-file for each part footer — the spec scopes `bbox` to
+    // the file it sits in)
+    def geoJsonFor(bbox: Option[Seq[Double]]): String = {
+      val bboxJson = bbox.map(b => s""""bbox":[${b.mkString(",")}],""").getOrElse("")
       s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{
          |"encoding":"WKB","crs":"$crs",
          |$bboxJson
          |"covering":${if (withBbox) s"""{"bbox":{"xmin":["${geomCol}_bbox","xmin"],"ymin":["${geomCol}_bbox","ymin"],"xmax":["${geomCol}_bbox","xmax"],"ymax":["${geomCol}_bbox","ymax"]}}""" else "null"}}}}""".stripMargin
+    }
+    val dsBounds = if (bounds.forall(_.isDefined)) Some(bounds.map(_.get)) else None
+    val geoJson = geoJsonFor(dsBounds)
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path, "_geo.json")
     val fs = p.getFileSystem(conf)
@@ -99,6 +110,7 @@ object GeoParquet {
     // read-back over the 4 bbox doubles only — column-pruned, no WKB
     // parse, one distributed pass; Hilbert clustering makes the per-file
     // boxes tight.
+    var fileBbox = Map.empty[String, Seq[Double]]
     if (withBbox) {
       val bb = s"${geomCol}_bbox"
       val rows = spark.read.parquet(path)
@@ -106,18 +118,137 @@ object GeoParquet {
         .agg(min(col(s"$bb.xmin")).as("x0"), min(col(s"$bb.ymin")).as("y0"),
           max(col(s"$bb.xmax")).as("x1"), max(col(s"$bb.ymax")).as("y1"))
         .collect()
-      val entries = rows.filterNot(_.anyNull).map { r =>
-        val name = r.getString(0).split('/').last
-        s""""$name":[${r.getDouble(1)},${r.getDouble(2)},${r.getDouble(3)},${r.getDouble(4)}]"""
+      fileBbox = rows.filterNot(_.anyNull).map { r =>
+        r.getString(0).split('/').last ->
+          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      }.toMap
+    }
+
+    // inject the `geo` footer key into every part file, per-file bbox
+    // where known; distributed — metadata-sized work per file. Runs
+    // BEFORE the manifest write: the patch changes each file's
+    // length/mtime, and the manifest records those for freshness checks.
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .map(p => (p.toString, geoJsonFor(fileBbox.get(p.getName).orElse(dsBounds))))
+      .toSeq
+    if (parts.nonEmpty)
+      spark.sparkContext.parallelize(parts, math.min(parts.length, 64))
+        .foreach { case (f, j) => GeoParquet.patchFooterGeo(f, j) }
+
+    if (withBbox) {
+      // manifest entries carry [bbox(4), length, mtime] — the reader
+      // drops any entry whose live file status mismatches (file
+      // rewritten by another process → never wrongly pruned)
+      val statuses = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .collect {
+          case s if s.getPath.getName.endsWith(".parquet") =>
+            s.getPath.getName -> ((s.getLen, s.getModificationTime))
+        }.toMap
+      val entries = fileBbox.toSeq.sortBy(_._1).flatMap { case (name, b) =>
+        statuses.get(name).map { case (l, m) =>
+          s""""$name":[${b.mkString(",")},$l,$m]"""
+        }
       }
       val mp = new org.apache.hadoop.fs.Path(path, manifestName)
       val mos = fs.create(mp, true)
       mos.write(
-        s"""{"version":1,"column":"$geomCol","files":{${entries.mkString(",")}}}"""
+        s"""{"version":2,"column":"$geomCol","files":{${entries.mkString(",")}}}"""
           .getBytes("UTF-8"))
       mos.close()
     }
     invalidateManifest(path)
+  }
+
+  /** Add (or replace) the `geo` key in a parquet file's footer key-value
+    * metadata. The footer is the file's last block, so on a local
+    * filesystem this is an in-place tail rewrite; on stores without
+    * random-write (HDFS rename-only semantics, object stores) the file is
+    * streamed once into a sibling and renamed over. */
+  def patchFooterGeo(file: String, geoJson: String): Unit = {
+    import org.apache.parquet.format.{KeyValue, Util}
+    val p = new org.apache.hadoop.fs.Path(file)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val (md, footerStart) = try {
+      val tail8 = new Array[Byte](8)
+      in.readFully(len - 8, tail8)
+      require(tail8(4) == 'P' && tail8(5) == 'A' && tail8(6) == 'R' && tail8(7) == '1',
+        s"$file: not a parquet file")
+      val footerLen = (tail8(0) & 0xff) | ((tail8(1) & 0xff) << 8) |
+        ((tail8(2) & 0xff) << 16) | ((tail8(3) & 0xff) << 24)
+      val fStart = len - 8 - footerLen
+      val fb = new Array[Byte](footerLen)
+      in.readFully(fStart, fb)
+      (Util.readFileMetaData(new java.io.ByteArrayInputStream(fb)), fStart)
+    } finally in.close()
+    if (md.getKey_value_metadata != null)
+      md.getKey_value_metadata.removeIf(
+        (kv: KeyValue) => kv.getKey == "geo")
+    val kv = new KeyValue("geo")
+    kv.setValue(geoJson)
+    md.addToKey_value_metadata(kv)
+    val bos = new java.io.ByteArrayOutputStream()
+    Util.writeFileMetaData(md, bos)
+    val footer = bos.toByteArray
+    val tail = java.nio.ByteBuffer.allocate(footer.length + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tail.put(footer).putInt(footer.length).put("PAR1".getBytes("US-ASCII"))
+    if (fs.getScheme == "file") {
+      val raf = new java.io.RandomAccessFile(p.toUri.getPath, "rw")
+      try {
+        raf.seek(footerStart)
+        raf.write(tail.array())
+        raf.setLength(footerStart + tail.array().length)
+      } finally raf.close()
+      // the in-place write bypassed ChecksumFileSystem — drop the stale
+      // .crc sidecar or every subsequent read fails checksum
+      fs match {
+        case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+          val crc = cfs.getChecksumFile(p)
+          if (cfs.getRawFileSystem.exists(crc))
+            cfs.getRawFileSystem.delete(crc, false)
+        case _ =>
+      }
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.geo.tmp")
+      val src = fs.open(p)
+      val out = fs.create(tmp, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var remaining = footerStart
+        while (remaining > 0) {
+          val n = src.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          require(n > 0, s"$file: truncated during footer patch")
+          out.write(buf, 0, n)
+          remaining -= n
+        }
+        out.write(tail.array())
+      } finally { src.close(); out.close() }
+      fs.delete(p, false)
+      fs.rename(tmp, p)
+    }
+  }
+
+  /** The `geo` footer key-value metadata of a parquet file/dataset (first
+    * part file), if present. */
+  def footerGeoJson(spark: SparkSession, path: String): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
+      else Some(root)
+    file.flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try Option(r.getFileMetaData.getKeyValueMetaData.get("geo"))
+      finally r.close()
+    }
   }
 
   val manifestName = "_geo_files.json"
@@ -130,18 +261,27 @@ object GeoParquet {
     new java.util.concurrent.ConcurrentHashMap[String, Option[(String, Map[String, Array[Double]])]]()
 
   /** Cached (column, files) manifest read — the optimizer may consult the
-    * manifest several times per query (fixpoint batch); one FS read per
-    * root path per JVM. Invalidated by path on rewrite. */
+    * manifest several times per query (fixpoint batch). The cache key
+    * includes the manifest file's mtime+length, so a dataset rewritten by
+    * ANOTHER process (which rewrites the manifest too, or deletes it)
+    * naturally misses the stale entry; per-file freshness inside a
+    * manifest is validated in readManifest. */
   private def manifestMeta(spark: SparkSession, root: org.apache.hadoop.fs.Path)
-    : Option[(String, Map[String, Array[Double]])] =
-    manifestCache.computeIfAbsent(root.toString, _ => readManifest(spark, root))
+    : Option[(String, Map[String, Array[Double]])] = {
+    val key = try {
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(root, manifestName))
+      s"$root@${st.getModificationTime}:${st.getLen}"
+    } catch { case _: Exception => return None }
+    manifestCache.computeIfAbsent(key, _ => readManifest(spark, root))
+  }
 
   /** Drop the cached manifest for `path` (call after rewriting a dataset). */
   def invalidateManifest(path: String): Unit = {
     val it = manifestCache.keys()
     while (it.hasMoreElements) {
       val k = it.nextElement()
-      if (k == path || k.endsWith(path)) manifestCache.remove(k)
+      if (k == path || k.contains(path)) manifestCache.remove(k)
     }
   }
 
@@ -169,12 +309,20 @@ object GeoParquet {
       val files = tree.get("files")
       val colNode = tree.get("column")
       if (files == null || colNode == null) return None
+      // live statuses for per-file freshness: an entry whose recorded
+      // length/mtime mismatches the current file was rewritten by some
+      // other process — drop it (the file stays un-pruned, never wrong)
+      val statuses = fs.listStatus(root).collect {
+        case s if s.getPath.getName.endsWith(".parquet") =>
+          s.getPath.getName -> ((s.getLen, s.getModificationTime))
+      }.toMap
       val out = Map.newBuilder[String, Array[Double]]
       val it = files.fields()
       while (it.hasNext) {
         val e = it.next()
         val a = e.getValue
-        if (a.isArray && a.size() == 4)
+        if (a.isArray && a.size() == 6 &&
+            statuses.get(e.getKey).contains((a.get(4).asLong, a.get(5).asLong)))
           out += e.getKey -> Array(a.get(0).asDouble, a.get(1).asDouble,
             a.get(2).asDouble, a.get(3).asDouble)
       }
@@ -182,7 +330,50 @@ object GeoParquet {
     } catch { case _: Exception => None }
   }
 
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  /** Read a (Geo)Parquet dataset; when a `geo` footer key is present
+    * (ours or an external writer's — GeoPandas, sedona-db), its geometry
+    * columns are tagged with field metadata so `geometryColumns` and the
+    * CRS plumbing see them. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val tagged = footerGeoJson(spark, path).toSeq.flatMap(parseGeoColumns)
+      .filter { case (name, _) =>
+        df.columns.contains(name) &&
+          !df.schema(name).metadata.contains("graft.geometry")
+      }
+    if (tagged.isEmpty) df
+    else df.select(df.columns.toIndexedSeq.map { c =>
+      tagged.find(_._1 == c) match {
+        case Some((_, crs)) => col(c).as(c, geomMetadata(crs))
+        case None => col(c)
+      }
+    }: _*)
+  }
+
+  /** (column, crs) pairs out of a `geo` metadata JSON; crs may be a
+    * PROJJSON object (take its authority:code id) or a plain string. */
+  private def parseGeoColumns(json: String): Seq[(String, String)] = try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cols = om.readTree(json).get("columns")
+    if (cols == null) return Nil
+    val out = Seq.newBuilder[(String, String)]
+    val it = cols.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val crsNode = e.getValue.get("crs")
+      val crs =
+        if (crsNode == null || crsNode.isNull) "OGC:CRS84" // spec default
+        else if (crsNode.isTextual) crsNode.asText()
+        else {
+          val id = crsNode.get("id")
+          if (id != null && id.get("authority") != null && id.get("code") != null)
+            s"${id.get("authority").asText}:${id.get("code").asText}"
+          else "OGC:CRS84"
+        }
+      out += e.getKey -> crs
+    }
+    out.result()
+  } catch { case _: Exception => Nil }
 
   /** Geometry columns of a dataframe, identified by field metadata. */
   def geometryColumns(df: DataFrame): Seq[(String, String)] =

@@ -45,6 +45,66 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(dir, "_geo.json"))).contains("\"covering\""))
   }
 
+  test("geo parquet footer key-value metadata is written and round-trips") {
+    val dir = Files.createTempDirectory("gp").toString + "/tf"
+    GeoParquet.write(sample, dir, "geom", crs = "EPSG:3857")
+    // every part file carries the `geo` footer key
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val json = GeoParquet.footerGeoJson(spark, f.getPath)
+      assert(json.isDefined, s"${f.getName}: no geo footer key")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tree = om.readTree(json.get)
+      assert(tree.get("version").asText() == "1.1.0")
+      assert(tree.get("primary_column").asText() == "geom")
+      val gcol = tree.get("columns").get("geom")
+      assert(gcol.get("encoding").asText() == "WKB")
+      assert(gcol.get("crs").asText() == "EPSG:3857")
+      val cov = gcol.get("covering").get("bbox")
+      assert(cov.get("xmin").get(0).asText() == "geom_bbox")
+      // per-file bbox is present and sane (within the generator's domain)
+      val bbox = gcol.get("bbox")
+      assert(bbox != null && bbox.size() == 4)
+      assert(bbox.get(0).asDouble >= 0.0 && bbox.get(2).asDouble <= 1002.0)
+    }
+    // footer survives a plain parquet re-read path (file still valid)
+    assert(spark.read.parquet(dir).count() == 2000)
+    // read() tags geometry columns from the footer even without Spark
+    // field metadata (external-writer shape): strip tags by rewriting
+    // through plain parquet, keep the footer via patch
+    val plainDir = Files.createTempDirectory("gp").toString + "/tf2"
+    spark.read.parquet(dir).drop("geom_bbox").write.parquet(plainDir)
+    new java.io.File(plainDir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => GeoParquet.patchFooterGeo(f.getPath,
+        """{"version":"1.1.0","primary_column":"geom","columns":{"geom":{"encoding":"WKB","crs":"EPSG:3857"}}}"""))
+    val ext = GeoParquet.read(spark, plainDir)
+    assert(GeoParquet.geometryColumns(ext) == Seq("geom" -> "EPSG:3857"))
+  }
+
+  test("stale manifest entries are dropped: rewritten file is never pruned") {
+    val dir = Files.createTempDirectory("gp").toString + "/ts"
+    GeoParquet.write(sample, dir, "geom")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fresh = GeoParquet.fileManifest(spark, root).get
+    assert(fresh.nonEmpty)
+    // another process rewrites one data file in place (different bytes)
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val one = spark.read.parquet(dir).limit(1)
+    val tmpOut = Files.createTempDirectory("gp").toString + "/one"
+    one.coalesce(1).write.parquet(tmpOut)
+    val newBytes = new java.io.File(tmpOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(newBytes.toPath, victim.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    GeoParquet.invalidateManifest(dir)
+    val after = GeoParquet.fileManifest(spark, root).get
+    assert(!after.contains(victim.getName),
+      s"stale entry for rewritten ${victim.getName} still trusted")
+    assert(after.size == fresh.size - 1)
+  }
+
   test("spatial filter is rewritten to bbox ranges and pushed to parquet") {
     val dir = Files.createTempDirectory("gp").toString + "/t2"
     GeoParquet.write(sample, dir, "geom")
