@@ -176,6 +176,78 @@ object GeomScalars {
   /** PostGIS-style 1-based (negative = from end) element index. */
   private def idx1(n: Int, size: Int): Int = if (n < 0) size + n else n - 1
 
+  /** Parse a buffer style string into JTS BufferParameters + (left,
+    * right) side flags (reference st_buffer.rs:178-288 parse_buffer_params
+    * / parse_buffer_side_style — two passes on purpose: the side FLAGS
+    * take the last side= token even if a later side=both clears
+    * single-sidedness, exactly like the reference). */
+  private def parseBufferStyle(style: String)
+    : (org.locationtech.jts.operation.buffer.BufferParameters, Boolean, Boolean) = {
+    import org.locationtech.jts.operation.buffer.BufferParameters
+    val bp = new BufferParameters()
+    var capSpecified = false
+    def num(v: String, what: String): Double =
+      try v.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"Invalid $what value: '$v'. Expected a valid number")
+      }
+    val toks = style.split("\\s+").filter(_.nonEmpty)
+    toks.foreach { tok =>
+      val eq = tok.indexOf('=')
+      require(eq >= 0, s"Missing value for buffer parameter: $tok")
+      val key = tok.substring(0, eq).toLowerCase
+      val v = tok.substring(eq + 1)
+      key match {
+        case "endcap" =>
+          bp.setEndCapStyle(v.toLowerCase match {
+            case "round" => BufferParameters.CAP_ROUND
+            case "flat" | "butt" => BufferParameters.CAP_FLAT
+            case "square" => BufferParameters.CAP_SQUARE
+            case other => throw new IllegalArgumentException(
+              s"Invalid endcap style: '$other'. Valid options: round, flat, butt, square")
+          })
+          capSpecified = true
+        case "join" =>
+          bp.setJoinStyle(v.toLowerCase match {
+            case "round" => BufferParameters.JOIN_ROUND
+            case "mitre" | "miter" => BufferParameters.JOIN_MITRE
+            case "bevel" => BufferParameters.JOIN_BEVEL
+            case other => throw new IllegalArgumentException(
+              s"Invalid join style: '$other'. Valid options: round, mitre, miter, bevel")
+          })
+        case "side" =>
+          val single = v.toLowerCase match {
+            case "both" => false
+            case "left" | "right" => true
+            case other => throw new IllegalArgumentException(
+              s"Invalid side: '$other'. Valid options: both, left, right")
+          }
+          if (single && !capSpecified) bp.setEndCapStyle(BufferParameters.CAP_SQUARE)
+          bp.setSingleSided(single)
+        case "mitre_limit" | "miter_limit" =>
+          bp.setMitreLimit(num(v, "mitre_limit"))
+        case "quad_segs" | "quadrant_segments" =>
+          val n = num(v, "quadrant_segments")
+          require(n == n.toInt, s"Invalid quadrant_segments value: '$v'. " +
+            "Expected a valid number")
+          bp.setQuadrantSegments(n.toInt)
+        case other => throw new IllegalArgumentException(
+          s"Invalid buffer parameter: $other (accept: 'endcap', 'join', " +
+            "'mitre_limit', 'miter_limit', 'quad_segs', 'quadrant_segments' and 'side')")
+      }
+    }
+    var left = false; var right = false
+    toks.foreach { tok =>
+      val eq = tok.indexOf('=')
+      if (eq >= 0 && tok.substring(0, eq).equalsIgnoreCase("side")) {
+        val v = tok.substring(eq + 1)
+        if (v.equalsIgnoreCase("left")) { left = true; right = false }
+        else if (v.equalsIgnoreCase("right")) { right = true; left = false }
+      }
+    }
+    (bp, left, right)
+  }
+
   private def zVals(g: Geometry): Array[Double] =
     g.getCoordinates.map(_.getZ).filterNot(java.lang.Double.isNaN)
 
@@ -731,7 +803,22 @@ object GeomScalars {
       // M through union; reference test_st_unaryunion_zm)
       if (GeomIO.hasM(src)) reattachM(src, u) else u
     }),
-    fn("st_buffer", BinaryType, Seq(Geom, Dbl))(a => g0(a).buffer(d(a, 1))),
+    // 2-arg plain buffer, or 3-arg with a PostGIS-style style string
+    // "endcap=.. join=.. mitre_limit=.. quad_segs=.. side=.." (reference
+    // c/sedona-geos/src/st_buffer.rs:40-288, semantics matched including
+    // the token-order endcap/side interaction and the distance sign flip
+    // for single-sided buffers)
+    "st_buffer" -> ((children: Seq[Expression]) => GeomScalar("st_buffer", children,
+      BinaryType, if (children.length >= 3) Seq(Geom, Dbl, Str) else Seq(Geom, Dbl),
+      a => {
+        if (a.length < 3) g0(a).buffer(d(a, 1))
+        else {
+          var dist = d(a, 1)
+          val (bp, left, right) = parseBufferStyle(s(a, 2))
+          if ((left && dist < 0.0) || (right && dist > 0.0)) dist = -dist
+          org.locationtech.jts.operation.buffer.BufferOp.bufferOp(g0(a), dist, bp)
+        }
+      })),
     fn("st_bufferquad", BinaryType, Seq(Geom, Dbl, Int_))(a =>
       g0(a).buffer(d(a, 1), i(a, 2))),
     fn("st_centroid", BinaryType, Seq(Geom))(a => g0(a).getCentroid),

@@ -88,10 +88,28 @@ object SpatialQueries {
       prep(s)
       t(s, dir, "part")
         .withColumn("r", (col("p_size") % 4).cast("double") + 0.5)
+        .withColumn("len", (col("p_partkey") % 50 + 1).cast("double"))
+        .withColumn("line", st.geomFromWkt(
+          concat(lit("LINESTRING (0 0, "), col("len"), lit(" 0)"))))
         .withColumn("buf", st.buffer(st.point(lit(10.0), lit(20.0)), col("r")))
         .select(col("p_partkey"), col("r"),
           round(st.area(col("buf")), 4).as("buf_area"),
-          st.f("st_npoints", col("buf")).as("buf_npoints"))
+          st.f("st_npoints", col("buf")).as("buf_npoints"),
+          // style-string buffers with exact closed forms: flat cap =
+          // 2wL rectangle, square cap adds 4w^2, single-sided left = wL,
+          // mitre join on a square = (s+2w)^2, quad_segs=4 point buffer
+          // = inscribed 16-gon
+          round(st.area(st.f("st_buffer", col("line"), col("r"),
+            lit("endcap=flat"))), 4).as("flat_area"),
+          round(st.area(st.f("st_buffer", col("line"), col("r"),
+            lit("endcap=square"))), 4).as("square_area"),
+          round(st.area(st.f("st_buffer", col("line"), col("r"),
+            lit("side=left"))), 4).as("left_area"),
+          round(st.area(st.f("st_buffer",
+            st.makeEnvelope(lit(0.0), lit(0.0), lit(10.0), lit(10.0)),
+            col("r"), lit("join=mitre"))), 4).as("mitre_area"),
+          round(st.area(st.f("st_buffer", st.point(lit(10.0), lit(20.0)),
+            col("r"), lit("quad_segs=4"))), 4).as("q4_area"))
     }),
 
     // WKT parse/print round trip incl. EMPTY
@@ -616,11 +634,18 @@ object SpatialQueries {
         |FROM b""".stripMargin,
 
     "sp04_buffer" ->
-      """SELECT p_partkey, CAST(p_size % 4 AS DOUBLE) + 0.5 AS r,
-        |  round(0.5 * 32 * (CAST(p_size % 4 AS DOUBLE) + 0.5)
-        |        * (CAST(p_size % 4 AS DOUBLE) + 0.5) * sin(2*pi()/32), 4) AS buf_area,
-        |  33 AS buf_npoints
-        |FROM part""".stripMargin,
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(p_size % 4 AS DOUBLE) + 0.5 AS r,
+        |    CAST(p_partkey % 50 + 1 AS DOUBLE) AS len FROM part)
+        |SELECT p_partkey, r,
+        |  round(0.5 * 32 * r * r * sin(2*pi()/32), 4) AS buf_area,
+        |  33 AS buf_npoints,
+        |  round(2*r*len, 4) AS flat_area,
+        |  round(2*r*len + 4*r*r, 4) AS square_area,
+        |  round(r*len, 4) AS left_area,
+        |  round((10+2*r)*(10+2*r), 4) AS mitre_area,
+        |  round(0.5 * 16 * r * r * sin(2*pi()/16), 4) AS q4_area
+        |FROM p""".stripMargin,
 
     "sp05_wkt_roundtrip" ->
       """SELECT p_partkey,

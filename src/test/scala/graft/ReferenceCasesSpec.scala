@@ -155,6 +155,58 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bufArea("POLYGON EMPTY", 1.0) == 0.0)
   }
 
+  test("ST_Buffer style parameters match GEOS 3.12 areas (test_functions.py)") {
+    def bufArea(wkt: String, dist: Double, style: String): Double =
+      q(s"st_area(st_buffer(st_geomfromwkt('$wkt'), ${dist}D, '$style'))")
+        .asInstanceOf[Double]
+    val eps = 1e-3
+    val cases = Seq(
+      ("POINT(100 90)", 50.0, "quad_segs=8", 7803.612880645131),
+      ("LINESTRING(50 50,150 150,150 50)", 10.0, "endcap=round join=round",
+        5016.204476944362),
+      ("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))", 2.0, "join=miter", 196.0),
+      ("LINESTRING(0 0, 10 0)", 5.0, "endcap=square", 200.0),
+      ("POINT(0 0)", 10.0, "quad_segs=4", 306.1467458920718),
+      ("POINT(0 0)", 10.0, "quad_segs=16", 313.654849054594),
+      ("LINESTRING(0 0, 100 0, 100 100)", 5.0, "join=bevel", 2065.536128806451),
+      ("LINESTRING(0 0, 50 0)", 10.0, "endcap=flat", 1000.0),
+      ("POLYGON((0 0, 0 20, 20 20, 20 0, 0 0))", -2.0, "join=round", 256.0),
+      ("POLYGON((0 0, 0 100, 100 100, 100 0, 0 0), (20 20, 20 80, 80 80, 80 20, 20 20))",
+        5.0, "join=round quad_segs=4", 9576.536686473019),
+      ("MULTIPOINT((10 10), (30 30))", 5.0, "quad_segs=8", 156.0722576129026),
+      ("GEOMETRYCOLLECTION(POINT(10 10), LINESTRING(50 50, 60 60))", 3.0,
+        "endcap=round join=round", 141.0388264830308),
+      ("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))", 0.0, "join=miter", 100.0),
+      ("POINT(0 0)", 0.1, "quad_segs=8", 0.031214451522580514),
+      ("LINESTRING(0 0, 50 0, 50 50)", 10.0, "join=miter miter_limit=2",
+        2312.1445152258043),
+      ("LINESTRING(0 0, 0 100)", 10.0, "side=left", 1000.0),
+      // the reference's own table documents a GEOS version split here:
+      // GEOS 3.12+ = 12713.61 (artifact fix libgeos@091f6d99), GEOS 3.9 /
+      // PostGIS = 16285.08. JTS matches the PostGIS-side value.
+      ("LINESTRING (50 50, 150 150, 150 50)", 100.0, "side=right",
+        16285.07633336958),
+      // polygon single-sided: same documented GEOS version split — the
+      // reference table lists 10000.0 / 6400.0 for GEOS 3.12 and
+      // 19248.58 / 3600.0 for GEOS 3.9 (PostGIS); JTS matches the latter
+      ("POLYGON ((50 50, 50 150, 150 150, 150 50, 50 50))", 20.0, "side=left",
+        19248.578060903223),
+      ("POLYGON ((50 50, 50 150, 150 150, 150 50, 50 50))", 20.0,
+        "side=right endcap=flat", 3600.0),
+      ("LINESTRING (50 50, 150 150, 150 50)", 100.0, "side=both",
+        69888.089291866))
+    cases.foreach { case (wkt, dist, style, want) =>
+      val got = bufArea(wkt, dist, style)
+      assert(math.abs(got - want) < math.max(eps, want * 1e-6),
+        s"'$style' on $wkt: got $got want $want")
+    }
+    // invalid parameters fail loudly, like the reference
+    intercept[Exception](q("st_buffer(st_point(0,0), 1.0D, 'bogus=1')"))
+    intercept[Exception](q("st_buffer(st_point(0,0), 1.0D, 'endcap=wavy')"))
+    intercept[Exception](q("st_buffer(st_point(0,0), 1.0D, 'side=up')"))
+    intercept[Exception](q("st_buffer(st_point(0,0), 1.0D, 'quad_segs=abc')"))
+  }
+
   test("ST_Centroid incl. collections (test_functions.py)") {
     sameGeom("st_centroid(st_geomfromwkt('LINESTRING (0 0, 1 1)'))", "POINT (0.5 0.5)")
     sameGeom("st_centroid(st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))",
