@@ -72,6 +72,20 @@ case class KnnJoinExec(
       val itemDist = new GeomDist
       val joined = new JoinedRow()
       val sph = spheroid
+      // spheroid + all-point object side (the typical KNN workload):
+      // 3D unit-vector kd-tree, chord distance branch-and-bound — exact,
+      // because chord is strictly monotone in great-circle distance.
+      // Non-point objects (or query rows) fall back to the full rank.
+      val chordTree: ChordKdTree =
+        if (sph && objs.nonEmpty &&
+            objs.forall(_._1.isInstanceOf[org.locationtech.jts.geom.Point])) {
+          val t = new ChordKdTree(objs.length)
+          objs.foreach { case (g, _) =>
+            val c = g.getCoordinate; t.add(c.x, c.y)
+          }
+          t.build()
+          t
+        } else null
       queryIter.flatMap { qRow =>
         val bytes = boundQueryGeom.eval(qRow)
         if (bytes == null || objs.isEmpty) Iterator.empty
@@ -79,11 +93,29 @@ case class KnnJoinExec(
           val qg = GeomIO.read(bytes.asInstanceOf[Array[Byte]])
           val n = math.min(kk, objs.length)
           val cands =
-            if (sph) {
-              // geodesic metric: planar envelope distance is not a valid
-              // lower bound for meters, so no branch-and-bound — rank the
-              // whole broadcast object set by great-circle distance
-              // (closest planar point pair, haversine). Exact for points.
+            if (sph && chordTree != null &&
+                qg.isInstanceOf[org.locationtech.jts.geom.Point]) {
+              // exact chord-space branch-and-bound: kth chord distance,
+              // then a chord-range sweep so kth-distance ties are all
+              // present before the deterministic (distance, WKB-hash)
+              // tie-break — same result set as the full rank
+              val c = qg.getCoordinate
+              val qv = chordTree.embed(c.x, c.y)
+              val k2 = chordTree.kthDist2(qv, n)
+              chordTree.range(qv, k2)
+                .map { i =>
+                  val (g, row) = objs(i)
+                  (KnnJoinExec.geodesicDistance(qg, g), g, row)
+                }
+                .sortBy { case (d, g, _) =>
+                  (d, java.util.Arrays.hashCode(GeomIO.write(g)).toLong)
+                }
+                .take(n)
+            } else if (sph) {
+              // geodesic metric with non-point geometries: planar
+              // envelope distance is not a valid lower bound for meters —
+              // rank the broadcast object set by great-circle distance
+              // (closest planar point pair, haversine).
               objs
                 .map { case (g, row) => (KnnJoinExec.geodesicDistance(qg, g), g, row) }
                 .sortBy { case (d, g, _) =>

@@ -334,6 +334,44 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top == Seq(1L))
   }
 
+  test("spheroid KNN chord kd-tree matches brute-force geodesic rank") {
+    import spark.implicits._
+    // 500 objects spread globally, with antimeridian and pole clusters;
+    // the kd path must return exactly what a driver-side brute force
+    // over haversine distances returns
+    val rnd = new java.util.Random(7)
+    val objPts = (0 until 500).map { i =>
+      if (i % 10 == 0) (i.toLong, 179.5 + rnd.nextDouble(), -60 + rnd.nextInt(120) * 1.0)
+      else if (i % 17 == 0) (i.toLong, rnd.nextDouble() * 360 - 180, 89.0 + rnd.nextDouble())
+      else (i.toLong, rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 170 - 85)
+    }
+    val queries = Seq(
+      (1L, -179.9, 0.0),   // antimeridian
+      (2L, 0.0, 89.9),     // near pole
+      (3L, 12.5, 48.1),    // mid-latitude
+      (4L, 179.95, -45.0)) // antimeridian south
+    val o = objPts.toDF("oid", "olon", "olat")
+      .select(col("oid"), st.point(col("olon"), col("olat")).as("opt"))
+    val q = queries.toDF("qid", "qlon", "qlat")
+      .select(col("qid"), st.point(col("qlon"), col("qlat")).as("qpt"))
+    q.createOrReplaceTempView("sphkd_q")
+    o.createOrReplaceTempView("sphkd_o")
+    val k = 7
+    val got = spark.sql(
+      s"SELECT qid, oid FROM sphkd_q JOIN sphkd_o ON st_knn(qpt, opt, $k, true)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = queries.map { case (qid, qlon, qlat) =>
+      qid -> objPts.map { case (oid, olon, olat) =>
+        (graft.functions.Spherical.haversine(qlon, qlat, olon, olat), oid)
+      }.sortBy(identity).take(k).map(_._2).toSet
+    }.toMap
+    queries.foreach { case (qid, _, _) =>
+      assert(got(qid) == want(qid),
+        s"query $qid: kd ${got(qid).toSeq.sorted} vs brute ${want(qid).toSeq.sorted}")
+    }
+  }
+
   test("SQL KNN with large object side plans the partitioned grid path") {
     // unique coordinates + irrational offsets -> tie-free, so the grid
     // path must return exactly the broadcast path's rows
