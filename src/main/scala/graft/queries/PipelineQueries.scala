@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.pipeline.{PipelineOps, TextOps}
+import graft.pipeline.{MultimodalOps, PipelineOps, TextOps}
 
 /** Training-data pipeline operators over documents/embeddings (the
   * BASELINE.json north-star additions): text analysis, language-ID,
@@ -202,16 +202,26 @@ object PipelineQueries {
     }),
 
     // multimodal binary column plumbing with deterministic fake decode
+    // real image pipeline: per-doc solid-gray PNG synthesized through the
+    // JVM codec, decoded back by MultimodalOps.decodeBatch via
+    // javax.imageio — width/height/mean come from actual pixels, the
+    // oracle recomputes them from the generator formulas
     "pl10_multimodal" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("blob", col("text").cast("binary"))
+      val synth = udf((w: Int, h: Int, v: Int) => MultimodalOps.synthPng(w, h, v))
+      val src = t(s, dir, "documents")
+        .withColumn("w", (pmod(col("doc_id"), lit(13)) + 4).cast("int"))
+        .withColumn("h", (pmod(col("doc_id"), lit(7)) + 3).cast("int"))
+        .withColumn("v", pmod(col("doc_id"), lit(256)).cast("int"))
+        .withColumn("img", synth(col("w"), col("h"), col("v")))
+      MultimodalOps.decodeBatch(src, "img", "png")
         .select(col("doc_id"),
-          length(col("blob")).as("n_bytes"),
-          md5(col("blob")).as("checksum"),
-          pmod(TextOps.hash32(col("text")), lit(1024)).cast("int").as("fake_width"),
-          pmod(TextOps.hash32(concat(col("text"), lit("h"))), lit(1024)).cast("int").as("fake_height"),
-          aggregate(transform(regexp_extract_all(substring(col("text"), 1, 16), lit("."), lit(0)),
-            c => ascii(c)), lit(0), (a, x) => a + x).as("ascii_sum"))
+          col("media_meta.width").as("img_w"),
+          col("media_meta.height").as("img_h"),
+          col("features.mean_byte").as("mean_v"),
+          col("features.n_frames").as("nframes"),
+          // text-side blob stats ride along (stub-free byte math)
+          length(col("text").cast("binary")).as("n_bytes"),
+          md5(col("text").cast("binary")).as("checksum"))
     })
   )
 
@@ -465,12 +475,12 @@ object PipelineQueries {
 
     "pl10_multimodal" ->
       s"""SELECT doc_id,
+        |  CAST(doc_id % 13 + 4 AS INT) AS img_w,
+        |  CAST(doc_id % 7 + 3 AS INT) AS img_h,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_v,
+        |  1 AS nframes,
         |  CAST(length(text) AS INT) AS n_bytes,
-        |  md5(text) AS checksum,
-        |  CAST(${h32("text")} % 1024 AS INT) AS fake_width,
-        |  CAST(${h32("text || 'h'")} % 1024 AS INT) AS fake_height,
-        |  CAST(list_sum([ascii(c) for c in regexp_extract_all(substr(text, 1, 16), '.')]) AS INT)
-        |    AS ascii_sum
+        |  md5(text) AS checksum
         |FROM documents""".stripMargin
   )
 }

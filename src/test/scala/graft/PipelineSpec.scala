@@ -224,6 +224,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getInt(1) == 43)
   }
 
+  test("multimodal decodeBatch: real PNG decode via javax.imageio") {
+    val synth = org.apache.spark.sql.functions.udf(
+      (w: Int, h: Int, v: Int) => MultimodalOps.synthPng(w, h, v))
+    val df = spark.range(5).select(col("id"),
+      synth((col("id") % 9 + 2).cast("int"), (col("id") % 5 + 3).cast("int"),
+        (col("id") * 40 % 256).cast("int")).as("img"))
+    val out = MultimodalOps.decodeBatch(df, "img", "png")
+      .select(col("id"), col("media_meta.width"), col("media_meta.height"),
+        col("features.mean_byte"), col("features.n_frames")).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 9 + 2).toInt, s"width of $id")
+      assert(r.getInt(2) == (id % 5 + 3).toInt, s"height of $id")
+      assert(r.getDouble(3) == (id * 40 % 256).toDouble, s"mean of $id")
+      assert(r.getInt(4) == 1)
+    }
+    // corrupt bytes degrade to the stub, not an exception
+    val bad = spark.range(1).select(col("id"),
+      org.apache.spark.sql.functions.lit("not a png".getBytes).as("img"))
+    val badOut = MultimodalOps.decodeBatch(bad, "img", "png")
+      .select(col("features.n_frames")).collect()
+    assert(badOut.length == 1)
+  }
+
   test("stateful streaming sessionization (flatMapGroupsWithState) emits on timeout") {
     import graft.streaming.StreamingOps
     import graft.streaming.StreamingOps.Event
