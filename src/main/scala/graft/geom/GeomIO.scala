@@ -57,9 +57,10 @@ object GeomIO {
       // plain dim-3 is NOT evidence of Z — only our packed marker
       // sequences (see emptyWithFlavor) or an explicit 4th dim are.
       val s = firstSeq(g)
-      s != null && (s.getDimension >= 4 ||
+      if (s == null) { val f = emptyFlavorTag(g); f == 1 || f == 3 }
+      else s.getDimension >= 4 ||
         (s.getDimension - s.getMeasures >= 3 &&
-          s.isInstanceOf[org.locationtech.jts.geom.impl.PackedCoordinateSequence]))
+          s.isInstanceOf[org.locationtech.jts.geom.impl.PackedCoordinateSequence])
     }
   }
 
@@ -68,7 +69,8 @@ object GeomIO {
     if (c != null) !java.lang.Double.isNaN(c.getM)
     else {
       val s = firstSeq(g)
-      s != null && s.getMeasures >= 1
+      if (s == null) { val f = emptyFlavorTag(g); f == 2 || f == 3 }
+      else s.getMeasures >= 1
     }
   }
 
@@ -81,7 +83,8 @@ object GeomIO {
     // JTS's WKBReader drops the declared Z/M flavor of EMPTY geometries
     // (it builds dimension-less empty sequences); restore it from the
     // ISO type code so `POINT ZM EMPTY` keeps its flag through storage
-    if (g.isEmpty && bytes.length >= 5) {
+    if (g.isEmpty && bytes.length >= 5 &&
+        (!g.isInstanceOf[GeometryCollection] || g.getNumGeometries == 0)) {
       val le = bytes(0) == 1
       val code =
         if (le) (bytes(1) & 0xff) | ((bytes(2) & 0xff) << 8) |
@@ -126,10 +129,25 @@ object GeomIO {
         Array.empty[org.locationtech.jts.geom.LineString])
       case _: MultiPolygon => factory.createMultiPolygon(
         Array.empty[org.locationtech.jts.geom.Polygon])
-      case other => other // GeometryCollection has no leaf sequence to tag
+      case _: GeometryCollection =>
+        factory.createGeometryCollection(Array.empty[Geometry])
+      case other => other
     }
+    // empty collections (incl. the Multi* subclasses) have no leaf
+    // sequence to tag — carry the flavor out-of-band on userData, which
+    // hasZ/hasM consult for empties; WKT/WKB readers restore it from the
+    // declared tag/type code (reference test_functions.py:1258,1652 pins
+    // 'MULTIPOINT Z EMPTY' / 'GEOMETRYCOLLECTION Z EMPTY' round-trips)
+    if (out.isInstanceOf[GeometryCollection] && flavor != 0)
+      out.setUserData(Integer.valueOf(flavor))
     out.setSRID(g.getSRID)
     out
+  }
+
+  /** Out-of-band flavor of a typed empty collection (0 when untagged). */
+  @inline private def emptyFlavorTag(g: Geometry): Int = g.getUserData match {
+    case i: java.lang.Integer => i.intValue
+    case _ => 0
   }
 
   def write(g: Geometry): Array[Byte] = wkbWriters(dimIdx(g)).get.write(g)
@@ -145,7 +163,10 @@ object GeomIO {
     // JTS parses every EMPTY into a legacy dim-3 sequence, erasing the
     // declared flavor (and inventing Z on plain empties) — restore it
     // from the WKT tag so `POINT ZM EMPTY` keeps its ZM flag
-    if (g.isEmpty && !g.isInstanceOf[GeometryCollection]) {
+    // rebuild only truly-empty geometries: 'MULTIPOINT (EMPTY)' has a
+    // child and must keep it
+    if (g.isEmpty && (!g.isInstanceOf[GeometryCollection] ||
+        g.getNumGeometries == 0)) {
       val m = EmptyTag.matcher(s)
       val flavor =
         if (m.matches()) m.group(1).toUpperCase match {

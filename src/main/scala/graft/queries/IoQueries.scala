@@ -169,7 +169,13 @@ object IoQueries {
     // independent of our decoder. Coordinates are exact doubles:
     // raw*0.1+1.0 rounds to exactly 0.5 / 1.0.
     "pc02_laz_fixture" -> ((s, _) => {
-      val laz = "/root/reference/rust/sedona-pointcloud/tests/data/large.laz"
+      // fixture root is env-overridable; fail with a clear message when
+      // the fixture tree is absent rather than erroring mid-scan
+      val root = sys.env.getOrElse("GRAFT_FIXTURE_ROOT",
+        "/root/reference/rust/sedona-pointcloud/tests/data")
+      val laz = s"$root/large.laz"
+      require(new java.io.File(laz).isFile,
+        s"pc02_laz_fixture: fixture $laz not found — set GRAFT_FIXTURE_ROOT")
       LasIO.read(s, laz)
         .groupBy(col("x"), col("y"), col("z"))
         .agg(count(lit(1)).as("n"), sum(col("intensity")).as("si"),

@@ -305,6 +305,24 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zm("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT Z (0 0 0)))") == 2)
   }
 
+  test("typed EMPTY collections keep Z/M flavor through WKT and WKB " +
+      "(test_functions.py:1258,1652)") {
+    val cases = Seq(
+      "MULTIPOINT Z EMPTY", "MULTIPOINT M EMPTY", "MULTIPOINT ZM EMPTY",
+      "MULTILINESTRING Z EMPTY", "MULTIPOLYGON ZM EMPTY",
+      "GEOMETRYCOLLECTION Z EMPTY", "GEOMETRYCOLLECTION M EMPTY",
+      "GEOMETRYCOLLECTION ZM EMPTY", "MULTIPOLYGON EMPTY")
+    cases.foreach { wkt =>
+      assert(q(s"st_astext(st_geomfromwkt('$wkt'))") == wkt, s"WKT $wkt")
+      assert(q(s"st_astext(st_geomfromwkb(st_asbinary(st_geomfromwkt('$wkt'))))")
+        == wkt, s"WKB $wkt")
+    }
+    // a collection holding an empty CHILD is not a typed empty collection
+    assert(q("st_astext(st_geomfromwkt('MULTIPOINT (EMPTY)'))")
+      .asInstanceOf[String].contains("EMPTY"))
+    assert(q("st_numgeometries(st_geomfromwkt('MULTIPOINT (EMPTY)'))") == 1)
+  }
+
   test("ST_Dump paths are 1-based member indexes (test_st_dump)") {
     val rows = spark.sql(
       "SELECT explode(st_dump(st_geomfromwkt('MULTIPOINT (0 1, 1 2)'))) AS d")
