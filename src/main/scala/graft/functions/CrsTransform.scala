@@ -13,11 +13,17 @@ import org.locationtech.jts.geom.{CoordinateSequence, CoordinateSequenceFilter, 
   *  - 3035 ETRS89-extended LAEA Europe (Lambert Azimuthal Equal Area)
   *  - 5070 NAD83 Conus Albers (Albers Equal Area)
   *
+  *  - NAD83 geographic (4269), ETRS89 geographic (4258), NAD83 UTM
+  *    (269xx) and two SPCS83 state-plane zones (32118 NY Long Island,
+  *    32139 Texas Central) — datum treated as WGS84-coincident (sub-m
+  *    for ETRS89, ~1 m for NAD83)
+  *  - OSGB36: geographic 4277 and British National Grid 27700, through
+  *    a REAL datum leg — geocentric 7-parameter Helmert (single-set OS
+  *    parameters, ~3.5 m vs the OSTN grid) + Airy 1830 Transverse
+  *    Mercator
+  *
   * Anything else errors loudly, matching the reference's lazy-error
-  * behavior (rust/sedona/src/context.rs:128-130). Datums here (RGF93,
-  * ETRS89, NAD83) are treated as coincident with WGS84 — sub-meter for
-  * the European frames, ~1 m for NAD83 — so no Helmert shift step;
-  * CRS on legacy datums (e.g. OSGB36/27700) are intentionally absent.
+  * behavior (rust/sedona/src/context.rs:128-130).
   *
   * Formulas: spherical mercator; Transverse Mercator, LCC 2SP, Albers
   * and LAEA in their ellipsoidal forms from Snyder, *Map Projections —
@@ -34,17 +40,44 @@ object CrsTransform {
   }
   private val Wgs84 = Ellipsoid(6378137.0, 1.0 / 298.257223563)
   private val Grs80 = Ellipsoid(6378137.0, 1.0 / 298.257222101)
+  private val Airy1830 = Ellipsoid(6377563.396, 1.0 / 299.3249646)
+
+  /** 7-parameter Helmert similarity transform (position-vector rotation
+    * convention, EPSG method 9606), datum -> WGS84: translations in
+    * metres, rotations in arcseconds, scale in ppm. */
+  final case class Helmert(tx: Double, ty: Double, tz: Double,
+      rx: Double, ry: Double, rz: Double, sPpm: Double)
+
+  /** A non-WGS84 datum: its ellipsoid + the Helmert shift to WGS84. */
+  final case class DatumShift(el: Ellipsoid, toWgs: Helmert)
+
+  /** OSGB36 -> WGS84 single-set Helmert (OS "A guide to coordinate
+    * systems in Great Britain" §6.6 — ~3.5 m accuracy vs the OSTN grid,
+    * which is the same single-Helmert contract PROJ uses without
+    * grid files). */
+  private val Osgb36 = DatumShift(Airy1830,
+    Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894))
 
   sealed trait Crs
   case object LonLat extends Crs
   case object WebMercator extends Crs
   case class Utm(zone: Int, south: Boolean) extends Crs
-  /** Any projection with closed-form forward/inverse on a WGS84-like
-    * datum. */
-  case class Projected(epsg: Int, proj: Projection) extends Crs {
+  /** Geographic (lon/lat) CRS other than 4326; `datum` null means
+    * WGS84-coincident (NAD83/ETRS89 at the metre level). */
+  case class Geographic(epsg: Int, datum: DatumShift = null) extends Crs {
+    override def equals(o: Any): Boolean = o match {
+      case Geographic(e, _) => e == epsg
+      case _ => false
+    }
+    override def hashCode: Int = epsg
+  }
+  /** Any projection with closed-form forward/inverse; `datum` null means
+    * the projection's datum is WGS84-coincident. */
+  case class Projected(epsg: Int, proj: Projection, datum: DatumShift = null)
+    extends Crs {
     // identity by EPSG code, so src == dst shortcuts work
     override def equals(o: Any): Boolean = o match {
-      case Projected(e, _) => e == epsg
+      case Projected(e, _, _) => e == epsg
       case _ => false
     }
     override def hashCode: Int = epsg
@@ -67,9 +100,28 @@ object CrsTransform {
         lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0))
       case 5070 => Projected(5070, AlbersEqualArea(Grs80,
         lat0 = 23.0, lon0 = -96.0, sp1 = 29.5, sp2 = 45.5, fe = 0.0, fn = 0.0))
+      // geographic CRS on metre-coincident datums: passthrough lon/lat
+      case 4258 => Geographic(4258) // ETRS89
+      case 4269 => Geographic(4269) // NAD83
+      // OSGB36: real datum shift (Helmert + Airy 1830)
+      case 4277 => Geographic(4277, Osgb36)
+      case 27700 => Projected(27700, TransverseMercator(Airy1830, lon0 = -2.0,
+        k0 = 0.9996012717, fe = 400000.0, fn = -100000.0, lat0 = 49.0), Osgb36)
+      // NAD83 UTM zones 1N-23N (same TM math, GRS80, own EPSG identity)
+      case z if z >= 26901 && z <= 26923 =>
+        Projected(z, TransverseMercator(Grs80, lon0 = (z - 26900 - 1) * 6 - 180 + 3,
+          k0 = 0.9996, fe = 500000.0, fn = 0.0))
+      // SPCS83 state-plane zones (metres): NY Long Island, Texas Central
+      case 32118 => Projected(32118, LambertConformal2SP(Grs80,
+        lat0 = 40.0 + 10.0 / 60, lon0 = -74.0, sp1 = 41.0 + 2.0 / 60,
+        sp2 = 40.0 + 40.0 / 60, fe = 300000.0, fn = 0.0))
+      case 32139 => Projected(32139, LambertConformal2SP(Grs80,
+        lat0 = 29.0 + 40.0 / 60, lon0 = -98.5, sp1 = 31.0 + 53.0 / 60,
+        sp2 = 30.0 + 7.0 / 60, fe = 700000.0, fn = 3000000.0))
       case other => throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$other (supported: 4326, 3857, 3395, UTM 326xx/327xx, " +
-          "ETRS89 UTM 258xx, 2154, 3035, 5070)")
+          "ETRS89 UTM 258xx, NAD83 UTM 269xx, 2154, 3035, 5070, 4258, 4269, " +
+          "4277, 27700, 32118, 32139)")
     }
   }
 
@@ -148,7 +200,7 @@ object CrsTransform {
   /** Ellipsoidal Transverse Mercator (Snyder 8-9..8-25); backs the
     * ETRS89 UTM zones. */
   final case class TransverseMercator(el: Ellipsoid, lon0: Double, k0: Double,
-      fe: Double, fn: Double) extends Projection {
+      fe: Double, fn: Double, lat0: Double = 0.0) extends Projection {
     private val e2 = el.e2
     private val ep2 = e2 / (1 - e2)
     private def mArc(phi: Double): Double =
@@ -166,14 +218,15 @@ object CrsTransform {
       val aa = math.cos(phi) * (lam - lam0)
       val x = k0 * n * (aa + (1 - t + c) * aa * aa * aa / 6
         + (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(aa, 5) / 120) + fe
-      val y = k0 * (mArc(phi) + n * math.tan(phi) * (aa * aa / 2
+      val y = k0 * (mArc(phi) - mArc(math.toRadians(lat0))
+        + n * math.tan(phi) * (aa * aa / 2
         + (5 - t + 9 * c + 4 * c * c) * math.pow(aa, 4) / 24
         + (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(aa, 6) / 720)) + fn
       (x, y)
     }
     def inv(x: Double, y: Double): (Double, Double) = {
       val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
-      val m = (y - fn) / k0
+      val m = mArc(math.toRadians(lat0)) + (y - fn) / k0
       val mu = m / (el.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
       val phi1 = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
         (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
@@ -307,22 +360,96 @@ object CrsTransform {
     (lon, lat)
   }
 
-  /** Single-point transform between two parsed CRS. */
+  // ---- datum shift: geodetic <-> geocentric + Helmert ----
+
+  /** Geodetic (h = 0) -> geocentric XYZ on the given ellipsoid. */
+  private def geodeticToXyz(el: Ellipsoid, lon: Double, lat: Double)
+    : (Double, Double, Double) = {
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(lon)
+    val n = el.a / math.sqrt(1 - el.e2 * math.sin(phi) * math.sin(phi))
+    (n * math.cos(phi) * math.cos(lam), n * math.cos(phi) * math.sin(lam),
+      n * (1 - el.e2) * math.sin(phi))
+  }
+
+  /** Geocentric XYZ -> geodetic lon/lat (height discarded); standard
+    * fixed-point iteration on latitude, converges in a handful of steps. */
+  private def xyzToGeodetic(el: Ellipsoid, x: Double, y: Double, z: Double)
+    : (Double, Double) = {
+    val p = math.sqrt(x * x + y * y)
+    var phi = math.atan2(z, p * (1 - el.e2))
+    var i = 0
+    while (i < 8) {
+      val sin = math.sin(phi)
+      val n = el.a / math.sqrt(1 - el.e2 * sin * sin)
+      val h = p / math.cos(phi) - n
+      phi = math.atan2(z, p * (1 - el.e2 * n / (n + h)))
+      i += 1
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+  }
+
+  /** Apply the 7-parameter similarity (position-vector); `invert` runs
+    * the standard negated-parameter reverse (sub-mm from the exact
+    * matrix inverse at these magnitudes). */
+  private def helmert(h: Helmert, x: Double, y: Double, z: Double,
+      invert: Boolean): (Double, Double, Double) = {
+    val sgn = if (invert) -1.0 else 1.0
+    val s = 1.0 + sgn * h.sPpm * 1e-6
+    val as = math.Pi / (180.0 * 3600.0)
+    val rx = sgn * h.rx * as; val ry = sgn * h.ry * as; val rz = sgn * h.rz * as
+    (sgn * h.tx + s * (x - rz * y + ry * z),
+      sgn * h.ty + s * (rz * x + y - rx * z),
+      sgn * h.tz + s * (-ry * x + rx * y + z))
+  }
+
+  /** Lon/lat on `d`'s datum -> WGS84 lon/lat (toWgs) or back. */
+  private def shiftDatum(lon: Double, lat: Double, d: DatumShift,
+      toWgs: Boolean): (Double, Double) =
+    if (toWgs) {
+      val (x, y, z) = geodeticToXyz(d.el, lon, lat)
+      val (wx, wy, wz) = helmert(d.toWgs, x, y, z, invert = false)
+      xyzToGeodetic(Wgs84, wx, wy, wz)
+    } else {
+      val (x, y, z) = geodeticToXyz(Wgs84, lon, lat)
+      val (dx, dy, dz) = helmert(d.toWgs, x, y, z, invert = true)
+      xyzToGeodetic(d.el, dx, dy, dz)
+    }
+
+  private def datumOf(c: Crs): DatumShift = c match {
+    case Projected(_, _, d) => d
+    case Geographic(_, d) => d
+    case _ => null
+  }
+
+  /** Single-point transform between two parsed CRS. The pivot is WGS84
+    * lon/lat; CRS on non-coincident datums (OSGB36) pass through a
+    * geocentric Helmert leg on each side that has one. */
   def transformPoint(x: Double, y: Double, src: Crs, dst: Crs): (Double, Double) = {
     if (src == dst) return (x, y)
-    val (lon, lat) = src match {
+    val (lonS, latS) = src match {
       case LonLat => (x, y)
+      case Geographic(_, _) => (x, y)
       case WebMercator => mercToLonLat(x, y)
       case Utm(z, s) => utmProj(z).inv(x, if (s) y - 10000000.0 else y)
-      case Projected(_, p) => p.inv(x, y)
+      case Projected(_, p, _) => p.inv(x, y)
+    }
+    val (lon, lat) = datumOf(src) match {
+      case null => (lonS, latS)
+      case d => shiftDatum(lonS, latS, d, toWgs = true)
+    }
+    val (lonD, latD) = datumOf(dst) match {
+      case null => (lon, lat)
+      case d => shiftDatum(lon, lat, d, toWgs = false)
     }
     dst match {
-      case LonLat => (lon, lat)
-      case WebMercator => lonLatToMerc(lon, lat)
+      case LonLat => (lonD, latD)
+      case Geographic(_, _) => (lonD, latD)
+      case WebMercator => lonLatToMerc(lonD, latD)
       case Utm(z, s) =>
-        val (px, py) = utmProj(z).fwd(lon, lat)
+        val (px, py) = utmProj(z).fwd(lonD, latD)
         (px, if (s) py + 10000000.0 else py)
-      case Projected(_, p) => p.fwd(lon, lat)
+      case Projected(_, p, _) => p.fwd(lonD, latD)
     }
   }
 

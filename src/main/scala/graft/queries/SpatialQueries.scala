@@ -203,12 +203,25 @@ object SpatialQueries {
         // zone 32's own 6-degree band: the TM series is only metre-exact
         // near its central meridian
         .withColumn("lon_z32", (col("c_custkey") % 240).cast("double") / 40.0 + 6.0)
+        // UK domain for the OSGB36 datum-shift chain; NY / central-TX
+        // bands for the SPCS83 zones; zone-17 band for NAD83 UTM
+        .withColumn("lon_uk", (col("c_custkey") % 70).cast("double") / 10.0 - 5.5)
+        .withColumn("lat_uk", (col("c_custkey") % 100).cast("double") / 10.0 + 50.2)
+        .withColumn("lon_ny", (col("c_custkey") % 30).cast("double") / 10.0 - 74.5)
+        .withColumn("lat_ny", (col("c_custkey") % 10).cast("double") / 10.0 + 40.3)
+        .withColumn("lon_tx", (col("c_custkey") % 30).cast("double") / 10.0 - 100.0)
+        .withColumn("lat_tx", (col("c_custkey") % 20).cast("double") / 10.0 + 29.8)
+        .withColumn("lon_z17", (col("c_custkey") % 240).cast("double") / 40.0 - 82.5)
       base.select(Seq(col("c_custkey")) ++
         rt(col("lon_eu"), col("lat_eu"), "EPSG:2154", "lcc") ++
         rt(col("lon_eu"), col("lat_eu"), "EPSG:3035", "laea") ++
         rt(col("lon_z32"), col("lat_eu"), "EPSG:25832", "utm") ++
         rt(col("lon_us"), col("lat_us"), "EPSG:5070", "alb") ++
-        rt(col("lon_w"), col("lat_w"), "EPSG:3395", "merc"): _*)
+        rt(col("lon_w"), col("lat_w"), "EPSG:3395", "merc") ++
+        rt(col("lon_uk"), col("lat_uk"), "EPSG:27700", "bng") ++
+        rt(col("lon_ny"), col("lat_ny"), "EPSG:32118", "spny") ++
+        rt(col("lon_tx"), col("lat_tx"), "EPSG:32139", "sptx") ++
+        rt(col("lon_z17"), col("lat_ny"), "EPSG:26917", "n83"): _*)
     }),
 
     // spatial sort key: Z-order (Hilbert variant covered in unit spec)
@@ -703,14 +716,25 @@ object SpatialQueries {
         |    CAST(c_custkey % 200 AS DOUBLE)/10.0 + 25.0 AS lat_us,
         |    CAST(c_custkey % 360 AS DOUBLE) - 180.0 + 0.25 AS lon_w,
         |    CAST(c_custkey % 170 AS DOUBLE)/2.0 - 42.5 + 0.25 AS lat_w,
-        |    CAST(c_custkey % 240 AS DOUBLE)/40.0 + 6.0 AS lon_z32
+        |    CAST(c_custkey % 240 AS DOUBLE)/40.0 + 6.0 AS lon_z32,
+        |    CAST(c_custkey % 70 AS DOUBLE)/10.0 - 5.5 AS lon_uk,
+        |    CAST(c_custkey % 100 AS DOUBLE)/10.0 + 50.2 AS lat_uk,
+        |    CAST(c_custkey % 30 AS DOUBLE)/10.0 - 74.5 AS lon_ny,
+        |    CAST(c_custkey % 10 AS DOUBLE)/10.0 + 40.3 AS lat_ny,
+        |    CAST(c_custkey % 30 AS DOUBLE)/10.0 - 100.0 AS lon_tx,
+        |    CAST(c_custkey % 20 AS DOUBLE)/10.0 + 29.8 AS lat_tx,
+        |    CAST(c_custkey % 240 AS DOUBLE)/40.0 - 82.5 AS lon_z17
         |  FROM customer WHERE c_custkey % 5 = 0)
         |SELECT c_custkey,
         |  round(lon_eu, 5) AS lon_lcc,  round(lat_eu, 5) AS lat_lcc,
         |  round(lon_eu, 5) AS lon_laea, round(lat_eu, 5) AS lat_laea,
         |  round(lon_z32, 5) AS lon_utm, round(lat_eu, 5) AS lat_utm,
         |  round(lon_us, 5) AS lon_alb,  round(lat_us, 5) AS lat_alb,
-        |  round(lon_w, 5) AS lon_merc,  round(lat_w, 5) AS lat_merc
+        |  round(lon_w, 5) AS lon_merc,  round(lat_w, 5) AS lat_merc,
+        |  round(lon_uk, 5) AS lon_bng,  round(lat_uk, 5) AS lat_bng,
+        |  round(lon_ny, 5) AS lon_spny, round(lat_ny, 5) AS lat_spny,
+        |  round(lon_tx, 5) AS lon_sptx, round(lat_tx, 5) AS lat_sptx,
+        |  round(lon_z17, 5) AS lon_n83, round(lat_ny, 5) AS lat_n83
         |FROM p""".stripMargin,
 
     "sp09_zorder" ->

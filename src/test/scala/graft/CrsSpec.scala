@@ -76,6 +76,65 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(hx - ex) < 1e-6 && math.abs(hy - ey) < 1e-6)
   }
 
+  test("OSGB36 / British National Grid: Airy TM + Helmert datum leg") {
+    // OS worked example (datum-native, no Helmert involved): OSGB36
+    // geographic 52°39'27.2531"N 1°43'4.5177"E -> E 651409.903
+    // N 313177.270 ("A guide to coordinate systems in GB", annex C)
+    val phi = 52.0 + 39.0 / 60 + 27.2531 / 3600
+    val lam = 1.0 + 43.0 / 60 + 4.5177 / 3600
+    val (e, n) = pt(lam, phi, "EPSG:4277", "EPSG:27700")
+    assert(math.abs(e - 651409.903) < 0.01 && math.abs(n - 313177.270) < 0.01,
+      s"OS worked example: ($e,$n)")
+    // same station's ETRS89 coordinates: the full WGS84 -> geocentric
+    // Helmert -> Airy TM chain must land within the single-set Helmert
+    // contract (~3.5 m vs the OSTN grid truth)
+    val phiW = 52.0 + 39.0 / 60 + 28.8282 / 3600
+    val lamW = 1.0 + 42.0 / 60 + 57.8663 / 3600
+    val (ew, nw) = pt(lamW, phiW, "EPSG:4326", "EPSG:27700")
+    assert(math.abs(ew - 651409.903) < 6.0 && math.abs(nw - 313177.270) < 6.0,
+      s"Helmert chain: ($ew,$nw)")
+    // datum shift is a real displacement: ~100+ m between OSGB36 and
+    // WGS84 geographic coordinates of the same point in the southeast
+    val (dLon, dLat) = pt(-0.1276, 51.5072, "EPSG:4326", "EPSG:4277")
+    val shiftM = graft.functions.Spherical.haversine(-0.1276, 51.5072, dLon, dLat)
+    assert(shiftM > 80 && shiftM < 200, s"OSGB36 shift magnitude $shiftM m")
+    // forward-inverse identity through the datum leg. The 2D contract
+    // discards ellipsoidal height on each geocentric leg, which moves
+    // latitude a few mm (~5e-8 deg) — that is the standard 2D Helmert
+    // behavior, not accumulating error.
+    roundtrip("EPSG:27700", -0.1276, 51.5072, tol = 1e-6)
+    roundtrip("EPSG:27700", -3.2, 55.95, tol = 1e-6)
+    roundtrip("EPSG:4277", -5.0, 50.1, tol = 1e-6)
+  }
+
+  test("NAD83 family: geographic passthrough, UTM zones, state plane") {
+    // 4269 and 4258 are metre-coincident passthroughs
+    assert(near(pt(-74.0, 40.7, "EPSG:4269", "EPSG:4326"), (-74.0, 40.7)))
+    assert(near(pt(9.0, 52.0, "EPSG:4258", "EPSG:4326"), (9.0, 52.0)))
+    // NAD83 UTM matches WGS84 UTM under the coincident-datum treatment
+    // but keeps its own EPSG identity
+    val a = pt(-79.387139, 43.642567, "EPSG:4326", "EPSG:26917")
+    val b = pt(-79.387139, 43.642567, "EPSG:4326", "EPSG:32617")
+    assert(near(a, b, tol = 1e-3)) // GRS80 vs WGS84 flattening: ~0.1 mm
+    // SPCS83 false origins exact: NY Long Island (32118), Texas Central
+    // (32139) project their grid origins to (FE, FN)
+    assert(near(pt(-74.0, 40.0 + 10.0 / 60, "EPSG:4326", "EPSG:32118"),
+      (300000.0, 0.0), tol = 1e-5))
+    assert(near(pt(-98.5, 29.0 + 40.0 / 60, "EPSG:4326", "EPSG:32139"),
+      (700000.0, 3000000.0), tol = 1e-5))
+    // LCC scale factor ~1 along a standard parallel (32118 sp1 41°02'N)
+    val sp1 = 41.0 + 2.0 / 60
+    val (x1, y1) = pt(-74.05, sp1, "EPSG:4326", "EPSG:32118")
+    val (x2, y2) = pt(-73.95, sp1, "EPSG:4326", "EPSG:32118")
+    val planar = math.hypot(x2 - x1, y2 - y1)
+    val ground = graft.functions.Spherical.haversine(-74.05, sp1, -73.95, sp1)
+    assert(math.abs(planar / ground - 1.0) < 5e-3,
+      s"SP scale ${planar / ground}") // haversine is spherical: ~0.3% slack
+    roundtrip("EPSG:32118", -73.7, 40.8)
+    roundtrip("EPSG:32139", -97.7, 30.3)
+    roundtrip("EPSG:26918", -75.2, 39.9)
+  }
+
   test("equal-area property: LAEA preserves a small cell's area") {
     // 0.1° x 0.1° cell near (10,52): planar area in 3035 must match the
     // ellipsoid-ish area estimate within 0.2%

@@ -350,8 +350,9 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = CrsTransform.transform(GeomIO.point(-58.4, -34.6), "EPSG:4326", "EPSG:32721")
     val sb = CrsTransform.transform(s, "EPSG:32721", "EPSG:4326").getCoordinate
     assert(math.abs(sb.x + 58.4) < 1e-6 && math.abs(sb.y + 34.6) < 1e-6)
-    // legacy-datum CRS (OSGB36 needs a Helmert shift) stay unsupported
-    intercept[IllegalArgumentException](CrsTransform.parse("EPSG:27700"))
+    // OSGB36/27700 is supported via a real Helmert leg (CrsSpec anchors);
+    // a CRS we genuinely don't carry still errors loudly
+    intercept[IllegalArgumentException](CrsTransform.parse("EPSG:2056"))
   }
 
   test("hilbert curve: locality + bijectivity on a grid") {
