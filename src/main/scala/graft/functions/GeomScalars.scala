@@ -176,6 +176,80 @@ object GeomScalars {
   /** PostGIS-style 1-based (negative = from end) element index. */
   private def idx1(n: Int, size: Int): Int = if (n < 0) size + n else n - 1
 
+  /** Edge-splitting core of st_tessellategeog/geom. Z/M of an inserted
+    * vertex interpolate by its great-circle distance fraction between the
+    * segment endpoints (matches the s2 tessellator's published values,
+    * e.g. 125.023904 at the quarter point of the highlat Z case). Sphere
+    * radius 6371000 m, the constant the reference's tessellate tests
+    * use. */
+  private def tessellateEdges(g: Geometry, tolM: Double,
+      toGeography: Boolean): Geometry = {
+    require(java.lang.Double.isFinite(tolM) && tolM > 0,
+      "tessellate tolerance must be finite and greater than 0")
+    val R = 6371000.0
+    def gc(aLon: Double, aLat: Double, bLon: Double, bLat: Double): Double = {
+      val p1 = math.toRadians(aLat); val p2 = math.toRadians(bLat)
+      val dp = p2 - p1; val dl = math.toRadians(bLon - aLon)
+      val h = math.sin(dp / 2) * math.sin(dp / 2) +
+        math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+      2 * R * math.asin(math.min(1.0, math.sqrt(h)))
+    }
+    def geodesicMid(a: Coordinate, b: Coordinate): (Double, Double) = {
+      val p1 = math.toRadians(a.y); val l1 = math.toRadians(a.x)
+      val p2 = math.toRadians(b.y); val l2 = math.toRadians(b.x)
+      val x = math.cos(p1) * math.cos(l1) + math.cos(p2) * math.cos(l2)
+      val y = math.cos(p1) * math.sin(l1) + math.cos(p2) * math.sin(l2)
+      val z = math.sin(p1) + math.sin(p2)
+      val hyp = math.hypot(x, y)
+      (math.toDegrees(math.atan2(y, x)), math.toDegrees(math.atan2(z, hyp)))
+    }
+    def mkMid(a: Coordinate, b: Coordinate, lon: Double, lat: Double,
+        f: Double): Coordinate = {
+      val hasZ = !java.lang.Double.isNaN(a.getZ) && !java.lang.Double.isNaN(b.getZ)
+      val hasM = !java.lang.Double.isNaN(a.getM) && !java.lang.Double.isNaN(b.getM)
+      if (hasZ && hasM)
+        new CoordinateXYZM(lon, lat, a.getZ + f * (b.getZ - a.getZ),
+          a.getM + f * (b.getM - a.getM))
+      else if (hasM) new CoordinateXYM(lon, lat, a.getM + f * (b.getM - a.getM))
+      else if (hasZ) new Coordinate(lon, lat, a.getZ + f * (b.getZ - a.getZ))
+      else new Coordinate(lon, lat)
+    }
+    var changed = false
+    val edited = new org.locationtech.jts.geom.util.GeometryEditor(GeomIO.factory).edit(g,
+      new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+        override def edit(cs: Array[Coordinate], geom: Geometry): Array[Coordinate] = {
+          if (cs.length < 2) return cs
+          val out = scala.collection.mutable.ArrayBuffer[Coordinate](cs.head)
+          // o0/o1 are the ORIGINAL edge endpoints: Z/M of every inserted
+          // vertex interpolate against them (not the sub-segment), which
+          // is what produces the reference's 125.023904 quarter-point
+          def rec(c0: Coordinate, c1: Coordinate, o0: Coordinate,
+              o1: Coordinate, depth: Int): Unit = {
+            val chartLon = (c0.x + c1.x) / 2
+            val chartLat = (c0.y + c1.y) / 2
+            val (gmLon, gmLat) = geodesicMid(c0, c1)
+            if (depth >= 32 || gc(chartLon, chartLat, gmLon, gmLat) <= tolM)
+              out += c1
+            else {
+              val (mLon, mLat) =
+                if (toGeography) (chartLon, chartLat) else (gmLon, gmLat)
+              val dA = gc(o0.x, o0.y, mLon, mLat)
+              val dB = gc(mLon, mLat, o1.x, o1.y)
+              val f = if (dA + dB == 0) 0.5 else dA / (dA + dB)
+              val mid = mkMid(o0, o1, mLon, mLat, f)
+              changed = true
+              rec(c0, mid, o0, o1, depth + 1)
+              rec(mid, c1, o0, o1, depth + 1)
+            }
+          }
+          var i = 1
+          while (i < cs.length) { rec(cs(i - 1), cs(i), cs(i - 1), cs(i), 0); i += 1 }
+          out.toArray
+        }
+      })
+    if (changed) edited else g
+  }
+
   /** Parse a buffer style string into JTS BufferParameters + (left,
     * right) side flags (reference st_buffer.rs:178-288 parse_buffer_params
     * / parse_buffer_side_style — two passes on purpose: the side FLAGS
@@ -1091,10 +1165,21 @@ object GeomScalars {
         })
       })
     }),
-    // polygon tessellation (s2 kernel ST_TessellateGeom,
-    // c/sedona-s2geography/src/kernels.rs): ear-clipping triangulation
+    // polygon tessellation: ear-clipping triangulation
     fn("st_tessellate", BinaryType, Seq(Geom))(a =>
       org.locationtech.jts.triangulate.polygon.PolygonTriangulator.triangulate(g0(a))),
+    // s2-tessellator edge splitting (reference ST_TessellateGeog/Geom,
+    // c/sedona-s2geography; behavior pinned case-for-case by
+    // python/sedonadb/tests/geography/test_tessellate.py): recursively
+    // split every edge while the distance between its chart (lon/lat
+    // linear) midpoint and its geodesic (great-circle) midpoint exceeds
+    // the tolerance in meters. Geog inserts chart midpoints (output
+    // follows the planar edge, ready to be treated as geography); Geom
+    // inserts geodesic midpoints (output follows the great circle).
+    fn("st_tessellategeog", BinaryType, Seq(Geom, Dbl))(a =>
+      tessellateEdges(g0(a), d(a, 1), toGeography = true)),
+    fn("st_tessellategeom", BinaryType, Seq(Geom, Dbl))(a =>
+      tessellateEdges(g0(a), d(a, 1), toGeography = false)),
     // measured-coordinate forcing (st_force_dim.rs 3DM/4D): coordinates
     // rebuilt as XYM / XYZM, existing ordinates preserved
     fn("st_force3dm", BinaryType, Seq(Geom, Dbl))(a =>
@@ -1247,9 +1332,7 @@ object GeomScalars {
     "st_linestringfromtext" -> "st_linefromtext",
     "st_geogfromtext" -> "st_geogfromwkt",
     "st_geogfromwkb" -> "st_geomfromwkb",
-    "st_geomfromwkbunchecked" -> "st_geomfromwkb",
-    "st_tessellategeom" -> "st_tessellate",
-    "st_tessellategeog" -> "st_tessellate")
+    "st_geomfromwkbunchecked" -> "st_geomfromwkb")
 
   val registry: Map[String, B] =
     core ++ aliases.map { case (alias, canonical) => alias -> core(canonical) }

@@ -253,6 +253,31 @@ object SpatialQueries {
             st.f("st_exteriorring", col("box"))), 4).as("ring_len_m"))
     }),
 
+    // s2-tessellator edge splitting: a 20-degree lat-45 parallel segment
+    // shifted per row. Split counts and chart-midpoint vertices (geog
+    // direction) are exact closed forms; the geodesic bulge (geom
+    // direction) is a constant pinned by the reference's own test table.
+    "sp15_tessellate" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer").filter(col("c_custkey") % 7 === 0)
+        .withColumn("off", (col("c_custkey") % 80).cast("double") + 1.0)
+        .withColumn("tol", when(col("c_custkey") % 2 === 0, 10000.0)
+          .otherwise(1000.0))
+        .withColumn("line", st.geomFromWkt(concat(lit("LINESTRING ("),
+          col("off") - 10.0, lit(" 45, "), col("off") + 10.0, lit(" 45)"))))
+        .withColumn("tg", st.f("st_tessellategeog", col("line"), col("tol")))
+        .withColumn("tm", st.f("st_tessellategeom", col("line"), col("tol")))
+        .select(col("c_custkey"),
+          st.f("st_npoints", col("tg")).as("np_geog"),
+          st.f("st_npoints", col("tm")).as("np_geom"),
+          round(st.x(st.f("st_pointn", col("tg"), lit(2))), 5).as("p2x"),
+          round(st.y(st.f("st_pointn", col("tg"), lit(2))), 5).as("p2y"),
+          round(st.x(st.f("st_pointn", col("tm"),
+            when(col("tol") === 10000.0, 3).otherwise(5))), 5).as("midx"),
+          round(st.y(st.f("st_pointn", col("tm"),
+            when(col("tol") === 10000.0, 3).otherwise(5))), 6).as("midy"))
+    }),
+
     // spherical overlay subset: nested boxes so the tangent-plane overlay
     // result is oracle-computable in closed form (intersection = inner,
     // union = outer, difference = outer-with-hole); plus exact great-
@@ -777,6 +802,20 @@ object SpatialQueries {
         |      + ${hav("lon2", "lat1", "lon1", "lat1")}, 4) AS ring_len_m
         |FROM p""".stripMargin
     },
+
+    "sp15_tessellate" ->
+      """WITH p AS (SELECT c_custkey,
+        |    CAST(c_custkey % 80 AS DOUBLE) + 1.0 AS voff,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 10000.0 ELSE 1000.0 END AS tol
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT c_custkey,
+        |  CASE WHEN tol = 10000.0 THEN 5 ELSE 9 END AS np_geog,
+        |  CASE WHEN tol = 10000.0 THEN 5 ELSE 9 END AS np_geom,
+        |  round(voff - CASE WHEN tol = 10000.0 THEN 5.0 ELSE 7.5 END, 5) AS p2x,
+        |  45.0 AS p2y,
+        |  round(voff, 5) AS midx,
+        |  45.438549 AS midy
+        |FROM p""".stripMargin,
 
     "sp13_sphere_overlay" -> {
       // closed-form spherical box area: R^2 * dLambda * (sin lat_top - sin lat_bot)

@@ -323,6 +323,65 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_numgeometries(st_geomfromwkt('MULTIPOINT (EMPTY)'))") == 1)
   }
 
+  test("ST_TessellateGeog/Geom split tables (geography/test_tessellate.py)") {
+    def tess(fn: String, wkt: String, tol: Double): String =
+      // JTS prints 'POINT ZM(..' — normalize to the reference's 'ZM (..'
+      q(s"st_astext($fn(st_geomfromwkt('$wkt'), ${tol}D))").asInstanceOf[String]
+        .replaceAll("\\b(Z|M|ZM)\\(", "$1 (")
+    def wktRound(s: String, p: Int): String =
+      // normalize to the reference's wkt_precision=6 comparisons
+      "[-0-9.]+".r.replaceAllIn(s, m => {
+        val v = BigDecimal(m.matched).setScale(p, BigDecimal.RoundingMode.HALF_EVEN)
+        v.underlying.stripTrailingZeros.toPlainString
+      })
+    // no-split: large tolerance leaves everything untouched (both fns)
+    val untouched = Seq(
+      "POINT (0 1)", "POINT ZM (0 1 100 200)",
+      "LINESTRING (0 1, 1 2, 2 1)",
+      "LINESTRING ZM (0 1 10 20, 1 2 30 40, 2 1 50 60)",
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON ZM ((0 0 10 20, 1 0 30 40, 1 1 50 60, 0 1 70 80, 0 0 10 20))",
+      "MULTILINESTRING ((0 1, 1 2), (2 3, 3 4))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 3, 3 3, 3 4, 2 4, 2 3)))",
+      "GEOMETRYCOLLECTION (POINT (0 1), LINESTRING (0 1, 1 2))",
+      "LINESTRING EMPTY", "POLYGON EMPTY", "MULTIPOINT EMPTY",
+      "MULTILINESTRING EMPTY", "MULTIPOLYGON EMPTY", "GEOMETRYCOLLECTION EMPTY")
+    for (w <- untouched; fn <- Seq("st_tessellategeog", "st_tessellategeom"))
+      assert(tess(fn, w, 1e9) == w, s"$fn($w)")
+    // geog: chart midpoints at constant latitude
+    assert(tess("st_tessellategeog", "LINESTRING (-10 45, 10 45)", 10000.0) ==
+      "LINESTRING (-10 45, -5 45, 0 45, 5 45, 10 45)")
+    assert(tess("st_tessellategeog", "LINESTRING (-10 45, 10 45)", 1000.0) ==
+      "LINESTRING (-10 45, -7.5 45, -5 45, -2.5 45, 0 45, 2.5 45, 5 45, 7.5 45, 10 45)")
+    assert(tess("st_tessellategeog", "LINESTRING (-10 45, 10 45, 30 45)", 10000.0) ==
+      "LINESTRING (-10 45, -5 45, 0 45, 5 45, 10 45, 15 45, 20 45, 25 45, 30 45)")
+    // geog Z/M: great-circle-fraction interpolation against the original edge
+    assert(wktRound(tess("st_tessellategeog",
+      "LINESTRING Z (-10 45 100, 10 45 200)", 10000.0), 6) ==
+      "LINESTRING Z (-10 45 100, -5 45 125.023904, 0 45 150, 5 45 174.976096, 10 45 200)")
+    assert(wktRound(tess("st_tessellategeog",
+      "LINESTRING M (-10 45 0, 10 45 100)", 10000.0), 6) ==
+      "LINESTRING M (-10 45 0, -5 45 25.023904, 0 45 50, 5 45 74.976096, 10 45 100)")
+    assert(wktRound(tess("st_tessellategeog",
+      "LINESTRING ZM (-10 45 100 0, 10 45 200 100)", 10000.0), 6) ==
+      "LINESTRING ZM (-10 45 100 0, -5 45 125.023904 25.023904, 0 45 150 50, " +
+        "5 45 174.976096 74.976096, 10 45 200 100)")
+    // geom: geodesic midpoints bulge poleward
+    assert(wktRound(tess("st_tessellategeom", "LINESTRING (-10 45, 10 45)", 10000.0), 6) ==
+      "LINESTRING (-10 45, -5.019332 45.328489, 0 45.438549, 5.019332 45.328489, 10 45)")
+    assert(wktRound(tess("st_tessellategeom", "LINESTRING (-10 45, 10 45)", 1000.0), 6) ==
+      "LINESTRING (-10 45, -7.51685 45.191313, -5.019332 45.328489, " +
+        "-2.51211 45.411007, 0 45.438549, 2.51211 45.411007, 5.019332 45.328489, " +
+        "7.51685 45.191313, 10 45)")
+    assert(wktRound(tess("st_tessellategeom", "LINESTRING (-10 45, 10 45, 30 45)",
+      10000.0), 6) ==
+      "LINESTRING (-10 45, -5.019332 45.328489, 0 45.438549, 5.019332 45.328489, " +
+        "10 45, 14.980668 45.328489, 20 45.438549, 25.019332 45.328489, 30 45)")
+    // invalid tolerance fails loudly
+    intercept[Exception](q("st_tessellategeog(st_point(0,1), 0.0D)"))
+    intercept[Exception](q("st_tessellategeog(st_point(0,1), -1.0D)"))
+  }
+
   test("ST_Dump paths are 1-based member indexes (test_st_dump)") {
     val rows = spark.sql(
       "SELECT explode(st_dump(st_geomfromwkt('MULTIPOINT (0 1, 1 2)'))) AS d")
