@@ -3,24 +3,21 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan guardrail: sweeps every gate query's physical plan for
   * scale-hostile operators (BroadcastNestedLoopJoin on a non-broadcastable
-  * pattern, CartesianProduct) and prints per-query join strategy. Run after
-  * operator changes — a silent fallback to BNLJ is a perf regression long
-  * before it's a correctness one. */
+  * pattern, CartesianProduct) and reports per-query join strategy.
+  * PlanAuditSpec runs the same sweep as CI assertions, so a silent
+  * fallback to BNLJ fails the build long before it's a correctness bug. */
 object PlanAudit {
   // pl08 brute-force cosine is an intentional broadcast NLJ (exact
   // baseline over a broadcast corpus); everything else must avoid it
-  private val allowedBnlj = Set("pl08_cosine_topk", "pl11_ivf_ann")
+  val allowedBnlj: Set[String] = Set("pl08_cosine_topk", "pl11_ivf_ann")
 
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.extensions", "graft.GraftSparkSessionExtensions")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    GraftExtensions.install(spark)
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    var bad = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  final case class Entry(name: String, plan: String, tags: Seq[String],
+      flagged: Boolean, error: Option[String])
+
+  /** Build (not execute) every gate query's physical plan and classify
+    * its join strategy. */
+  def audit(spark: SparkSession, dir: String): Seq[Entry] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
         val bnlj = p.contains("BroadcastNestedLoopJoin")
@@ -33,13 +30,28 @@ object PlanAudit {
           if (p.contains("BroadcastHashJoin")) Some("bhj") else None,
           if (bnlj) Some("BNLJ") else None,
           if (cart) Some("CARTESIAN") else None).flatten
-        val flag = (bnlj && !allowedBnlj(name)) || cart
-        if (flag) bad += 1
-        println(f"[audit] $name%-28s ${tags.mkString(",")}${if (flag) "  <-- FLAG" else ""}")
+        Entry(name, p, tags, (bnlj && !allowedBnlj(name)) || cart, None)
       } catch {
-        case e: Exception => println(s"[audit] $name ERROR ${e.getMessage}"); bad += 1
+        case e: Exception => Entry(name, "", Nil, flagged = true,
+          Some(String.valueOf(e.getMessage)))
       }
     }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.GraftSparkSessionExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val entries = audit(spark, dir)
+    entries.foreach { e =>
+      val tail = e.error.map(m => s" ERROR $m")
+        .getOrElse(if (e.flagged) "  <-- FLAG" else "")
+      println(f"[audit] ${e.name}%-28s ${e.tags.mkString(",")}$tail")
+    }
+    val bad = entries.count(_.flagged)
     println(s"[audit] flagged=$bad")
     spark.stop()
     if (bad > 0) sys.exit(1)

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI form of the plan guardrail: every gate query's physical plan is
+  * built (not executed) against sf0.001 and asserted — no cartesian or
+  * un-allowlisted BroadcastNestedLoopJoin anywhere, spatial joins pick
+  * their dedicated operators, and GeoParquet scans carry pushed bbox
+  * filters. A plan regression (like a rewrite rule silently not firing)
+  * fails here instead of surfacing as bench archaeology. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+  private var entries: Map[String, PlanAudit.Entry] = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[8]")
+      .appName("plan-audit")
+      .config("spark.sql.extensions", "graft.GraftSparkSessionExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+    entries = PlanAudit.audit(spark, dir).map(e => e.name -> e).toMap
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("every gate query plans without cartesian/BNLJ fallbacks") {
+    val flagged = entries.values.filter(_.flagged).toSeq.sortBy(_.name)
+    assert(flagged.isEmpty, flagged.map(e =>
+      s"${e.name}: ${e.error.getOrElse(e.tags.mkString(","))}").mkString("; "))
+  }
+
+  test("spatial joins pick their dedicated physical operators") {
+    assert(entries("sj01_intersects_join").plan.contains("BroadcastIndexSpatialJoin"),
+      "sj01 lost the broadcast index join")
+    assert(entries("sj03_dwithin_join").plan.contains("BroadcastIndexSpatialJoin"),
+      "sj03 lost the broadcast index distance join")
+    // sj04 drives the API-level knnJoin (materializes before the plan),
+    // so the SQL-planned KNN operator is asserted on sj06
+    assert(entries("sj06_knn_filter_barrier").plan.contains("KnnJoin"),
+      "sj06 lost the KNN pushdown capture")
+    // the planner grid join rewrites to an equi-join on cell id: any
+    // shuffle-based equi join qualifies, a nested loop does not
+    val grid = entries("sj07_planner_grid_join").plan
+    assert(grid.contains("SortMergeJoin") || grid.contains("ShuffledHashJoin") ||
+      grid.contains("BroadcastHashJoin"), "sj07 grid rewrite did not equi-join")
+  }
+
+  test("GeoParquet scan carries pushed bbox filters and pruned files") {
+    val gp = entries("gp01_geoparquet_prune").plan
+    assert(gp.contains("PushedFilters") && gp.contains("_bbox"),
+      "gp01 lost bbox filter pushdown")
+  }
+
+  test("relational gates keep pushdown to the parquet scans") {
+    val q2 = entries("q02_top_revenue").plan
+    assert(q2.contains("PushedFilters: ["), "q02 lost parquet filter pushdown")
+  }
+}
