@@ -186,6 +186,27 @@ object IoQueries {
     // (chunked layered v3, our encoder), read back through the chunk-
     // parallel decoder, aggregate — dyadic quarter/half-step doubles so
     // sums are exact and order-free (same determinism as pc01).
+    // Legacy LAZ cycle: LAS 1.2 format 1 through the POINTWISE codec
+    // (compressor 2, POINT10+GPSTIME11 v2) — write, decode back, same
+    // dyadic-exactness contract as pc03.
+    "pc04_legacy_laz" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .select(
+          (col("c_custkey") % 1000).cast("double") * 0.25 as "x",
+          (col("c_custkey") % 770).cast("double") * 0.5 as "y",
+          (col("c_nationkey")).cast("double") * 0.25 as "z",
+          (col("c_custkey") % 100).cast("long") as "intensity",
+          (col("c_nationkey") % 32).cast("long") as "classification",
+          (col("c_custkey")).cast("double") * 1.5 as "gps_time")
+      val path = s"/tmp/graft_laz_legacy/${math.abs(dir.hashCode)}"
+      LasIO.write(pts, path, scale = 0.25, compress = true)
+      LasIO.read(s, path)
+        .groupBy(col("classification"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("z")).as("sz"), sum(col("intensity")).as("si"),
+          sum(col("gps_time")).as("sg"))
+    }),
+
     "pc03_laz_roundtrip" -> ((s, dir) => {
       val pts = t(s, dir, "customer")
         .select(
@@ -274,6 +295,16 @@ object IoQueries {
         |  CAST(50000 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin,
 
     "pc03_laz_roundtrip" ->
+      """SELECT CAST(c_nationkey % 32 AS BIGINT) AS classification,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(c_custkey % 1000 AS DOUBLE)*0.25) AS sx,
+        |  SUM(CAST(c_custkey % 770 AS DOUBLE)*0.5) AS sy,
+        |  SUM(CAST(c_nationkey AS DOUBLE)*0.25) AS sz,
+        |  CAST(SUM(c_custkey % 100) AS BIGINT) AS si,
+        |  SUM(CAST(c_custkey AS DOUBLE)*1.5) AS sg
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "pc04_legacy_laz" ->
       """SELECT CAST(c_nationkey % 32 AS BIGINT) AS classification,
         |  COUNT(*) AS n,
         |  SUM(CAST(c_custkey % 1000 AS DOUBLE)*0.25) AS sx,

@@ -19,11 +19,13 @@ import org.apache.spark.sql.types._
   *  - Extra Bytes VLR (LASF_Spec/4): one typed column per descriptor,
   *    raw stored values, null when the no_data bit is set and the value
   *    equals the descriptor's no_data (schema.rs:148-153 semantics).
-  *  - LAZ (compressed) for format 6 via [[Laszip]] (chunked layered
-  *    compressor, POINT14+BYTE14 v3).
+  *  - LAZ (compressed): format 6 via [[Laszip]] (chunked layered
+  *    compressor 3, POINT14+BYTE14 v3) and legacy formats 0/1 via the
+  *    pointwise compressors 1/2 (POINT10/GPSTIME11 v2).
   *
-  * Write support: uncompressed LAS 1.2 formats 0/1, and LAS 1.4
-  * format 6 plain or LASzip-compressed ([[writeFmt6]]). Coordinates
+  * Write support: LAS 1.2 formats 0/1 plain or legacy-LAZ-compressed
+  * ([[write]]), and LAS 1.4 format 6 plain or LASzip-compressed
+  * ([[writeFmt6]]). Coordinates
   * are i32 grid steps (`coord = raw*scale + offset`); pick a
   * power-of-two `scale` (0.25, 0.5, 1.0) when exact double roundtrips
   * matter.
@@ -45,7 +47,7 @@ object LasIO {
     (if (withGps) Seq(StructField("gps_time", DoubleType, nullable = false)) else Nil))
 
   private def encodeFile(rows: Seq[Row], withGps: Boolean, scale: Double,
-      idx: IndexedSeq[Int]): Array[Byte] = {
+      idx: IndexedSeq[Int], compress: Boolean = false): Array[Byte] = {
     val recLen = if (withGps) 28 else 20
     val n = rows.length
     var minX = Double.MaxValue; var minY = Double.MaxValue; var minZ = Double.MaxValue
@@ -57,7 +59,59 @@ object LasIO {
       minZ = math.min(minZ, z); maxZ = math.max(maxZ, z)
     }
     if (n == 0) { minX = 0; minY = 0; minZ = 0; maxX = 0; maxY = 0; maxZ = 0 }
-    val bb = ByteBuffer.allocate(HeaderSize + recLen * n).order(ByteOrder.LITTLE_ENDIAN)
+    def record(r: Row): Array[Byte] = {
+      val rb = ByteBuffer.allocate(recLen).order(ByteOrder.LITTLE_ENDIAN)
+      def step(v: Double, off: Double): Int = math.round((v - off) / scale).toInt
+      rb.putInt(step(r.getDouble(idx(0)), minX))
+      rb.putInt(step(r.getDouble(idx(1)), minY))
+      rb.putInt(step(r.getDouble(idx(2)), minZ))
+      rb.putShort(r.getLong(idx(3)).toShort) // intensity
+      rb.put(0x09.toByte) // return 1 of 1
+      rb.put(r.getLong(idx(4)).toByte) // classification
+      rb.put(0.toByte) // scan angle
+      rb.put(0.toByte) // user data
+      rb.putShort(0.toShort) // point source id
+      if (withGps) rb.putDouble(r.getDouble(idx(5)))
+      rb.array()
+    }
+    // laszip VLR for the legacy pointwise-chunked scheme (compressor 2,
+    // POINT10 v2 [+ GPSTIME11 v2])
+    val vlrBytes: Array[Byte] =
+      if (!compress) Array.emptyByteArray
+      else {
+        val nItems = if (withGps) 2 else 1
+        val payload = ByteBuffer.allocate(34 + 6 * nItems).order(ByteOrder.LITTLE_ENDIAN)
+        payload.putShort(2) // pointwise chunked
+        payload.putShort(0) // arithmetic coder
+        payload.put(2.toByte).put(2.toByte) // laszip version
+        payload.putShort(0)
+        payload.putInt(0) // options
+        payload.putInt(LazChunkSize)
+        payload.putLong(0L).putLong(0L) // special EVLRs unused
+        payload.putShort(nItems.toShort)
+        payload.putShort(6).putShort(20).putShort(2) // POINT10 size 20 v2
+        if (withGps) payload.putShort(7).putShort(8).putShort(2) // GPSTIME11 v2
+        val v = ByteBuffer.allocate(54 + payload.capacity())
+          .order(ByteOrder.LITTLE_ENDIAN)
+        v.putShort(0)
+        v.put("laszip encoded".getBytes("US-ASCII")).put(new Array[Byte](2))
+        v.putShort(22204.toShort)
+        v.putShort(payload.capacity().toShort)
+        v.put("graft laszip".padTo(32, ' ').getBytes("US-ASCII"))
+        v.put(payload.array())
+        v.array()
+      }
+    val pointOff = HeaderSize + vlrBytes.length
+    val data: Array[Byte] =
+      if (compress)
+        Laszip.encodePointwise(rows.iterator.map(record), recLen, withGps,
+          rgb = false, nExtra = 0, LazChunkSize, pointOff)
+      else {
+        val db = ByteBuffer.allocate(recLen * n)
+        rows.foreach(r => db.put(record(r)))
+        db.array()
+      }
+    val bb = ByteBuffer.allocate(pointOff + data.length).order(ByteOrder.LITTLE_ENDIAN)
     bb.put("LASF".getBytes("US-ASCII"))
     bb.putShort(6, 0) // file source id at 4..6, global encoding at 6..8 (zeros)
     bb.position(24)
@@ -68,9 +122,9 @@ object LasIO {
     bb.put("graft spark engine".padTo(32, '\u0000').getBytes("US-ASCII"))
     bb.putShort(1.toShort); bb.putShort(2026.toShort) // day/year of creation
     bb.putShort(HeaderSize.toShort)
-    bb.putInt(HeaderSize) // offset to point data
-    bb.putInt(0) // number of VLRs
-    bb.put((if (withGps) 1 else 0).toByte) // point data format
+    bb.putInt(pointOff) // offset to point data
+    bb.putInt(if (compress) 1 else 0) // number of VLRs
+    bb.put(((if (withGps) 1 else 0) | (if (compress) 0x80 else 0)).toByte)
     bb.putShort(recLen.toShort)
     bb.putInt(n) // legacy number of point records
     (0 until 5).foreach(_ => bb.putInt(0)) // points by return
@@ -80,26 +134,19 @@ object LasIO {
     bb.putDouble(maxX); bb.putDouble(minX) // max x, min x
     bb.putDouble(maxY); bb.putDouble(minY)
     bb.putDouble(maxZ); bb.putDouble(minZ)
-    rows.foreach { r =>
-      def step(v: Double, off: Double): Int = math.round((v - off) / scale).toInt
-      bb.putInt(step(r.getDouble(idx(0)), minX))
-      bb.putInt(step(r.getDouble(idx(1)), minY))
-      bb.putInt(step(r.getDouble(idx(2)), minZ))
-      bb.putShort(r.getLong(idx(3)).toShort) // intensity
-      bb.put(0x09.toByte) // return 1 of 1
-      bb.put(r.getLong(idx(4)).toByte) // classification
-      bb.put(0.toByte) // scan angle
-      bb.put(0.toByte) // user data
-      bb.putShort(0.toShort) // point source id
-      if (withGps) bb.putDouble(r.getDouble(idx(5)))
-    }
+    bb.position(HeaderSize)
+    bb.put(vlrBytes)
+    bb.put(data)
     bb.array()
   }
 
   /** Write a point cloud: columns x,y,z (double), intensity,
-    * classification (long) and optionally gps_time (double). One .las
-    * file per partition; the target directory is cleared first. */
-  def write(df: DataFrame, path: String, scale: Double = 0.001): Unit = {
+    * classification (long) and optionally gps_time (double). One file
+    * per partition; the target directory is cleared first. `compress`
+    * produces legacy LAZ (pointwise-chunked compressor 2, POINT10 v2
+    * [+ GPSTIME11 v2]). */
+  def write(df: DataFrame, path: String, scale: Double = 0.001,
+      compress: Boolean = false): Unit = {
     val withGps = df.schema.fieldNames.contains("gps_time")
     val expect = schema(withGps).fieldNames.toSeq
     val idx = expect.map(df.schema.fieldIndex).toIndexedSeq
@@ -112,12 +159,13 @@ object LasIO {
       if (fs.exists(target)) fs.delete(target, true)
     }
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val ext = if (compress) "laz" else "las"
     df.rdd.mapPartitionsWithIndex { (pid, rowIt) =>
       val rows = rowIt.toSeq
       if (rows.isEmpty) Iterator.empty
       else {
-        val bytes = encodeFile(rows, withGps, scale, idx)
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.las")
+        val bytes = encodeFile(rows, withGps, scale, idx, compress)
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.$ext")
         val fs = p.getFileSystem(serConf.value)
         val os = fs.create(p, true)
         os.write(bytes); os.close()
@@ -436,30 +484,39 @@ object LasIO {
     if (probe.fmt >= 6 && probe.fmt <= 8)
       readFmt6(spark, files, probe.fmt, extraDims(probe), serConf)
     else {
-      require(!probe.compressed,
-        s"LAZ for legacy point format ${probe.fmt} not supported (format 6 only)")
       require(probe.fmt == 0 || probe.fmt == 1,
         s"LAS point format ${probe.fmt} not supported (0/1/6/7/8)")
       readLegacy(spark, files, probe.fmt == 1, serConf)
     }
   }
 
+  /** Legacy formats 0/1, plain or LAZ (pointwise compressors 1/2 via
+    * [[Laszip.decodePointwise]]). */
   private def readLegacy(spark: SparkSession, files: Seq[String], withGps: Boolean,
       serConf: org.apache.spark.util.SerializableConfiguration): DataFrame = {
     val outSchema = schema(withGps)
     val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
       val (h, bytes) = loadFile(f, serConf)
       require(h.fmt == (if (withGps) 1 else 0), s"mixed LAS point formats under $f")
-      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      (0L until h.count).iterator.map { i =>
-        val p0 = h.pointOff + (i * h.recLen).toInt
-        val x = bb.getInt(p0) * h.sx + h.ox
-        val y = bb.getInt(p0 + 4) * h.sy + h.oy
-        val z = bb.getInt(p0 + 8) * h.sz + h.oz
-        val intensity = (bb.getShort(p0 + 12) & 0xffff).toLong
-        val cls = (bytes(p0 + 15) & 0xff).toLong
-        if (withGps) Row(x, y, z, intensity, cls, bb.getDouble(p0 + 20))
+      def toRow(rec: Array[Byte], off: Int): Row = {
+        val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+        val x = bb.getInt(off) * h.sx + h.ox
+        val y = bb.getInt(off + 4) * h.sy + h.oy
+        val z = bb.getInt(off + 8) * h.sz + h.oz
+        val intensity = (bb.getShort(off + 12) & 0xffff).toLong
+        val cls = (rec(off + 15) & 0xff).toLong
+        if (withGps) Row(x, y, z, intensity, cls, bb.getDouble(off + 20))
         else Row(x, y, z, intensity, cls)
+      }
+      if (h.compressed) {
+        val vlr = h.vlrs.find(v => v.userId == "laszip encoded" || v.recordId == 22204)
+          .getOrElse(throw new IllegalArgumentException(s"$f: LAZ without laszip VLR"))
+        Laszip.decodePointwise(bytes, h.pointOff, h.count,
+          Laszip.parseVlr(vlr.payload), h.recLen).map(toRow(_, 0))
+      } else {
+        (0L until h.count).iterator.map { i =>
+          toRow(bytes, h.pointOff + (i * h.recLen).toInt)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

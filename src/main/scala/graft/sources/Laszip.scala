@@ -1206,4 +1206,588 @@ private[graft] object Laszip {
       }
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Pointwise compressors 1/2 — legacy LAS point formats 0-3
+  // (POINT10 + GPSTIME11 + RGB12 + BYTE, item versions 2). All items
+  // share ONE arithmetic coder per chunk, records interleaved per point
+  // — the pre-1.4 scheme every legacy LiDAR archive uses. Implemented
+  // from the published LAZ specification's v2 item descriptions; same
+  // self-consistency caveat as the 16x16 return tables above (no legacy
+  // fixture exists offline to cross-check byte-exactness against
+  // laszip.exe, encoder+decoder are roundtrip-proven in LasSpec).
+  // ---------------------------------------------------------------------
+
+  /** The classic 8x8 number_return_map of the LAZ spec (16 X/Y median
+    * context slots keyed by (number_of_returns, return_number)). */
+  private val NrMap8: Array[Array[Int]] = Array(
+    Array(15, 14, 13, 12, 11, 10, 9, 8),
+    Array(14, 0, 1, 3, 6, 10, 10, 9),
+    Array(13, 1, 2, 4, 7, 11, 11, 10),
+    Array(12, 3, 4, 5, 8, 12, 12, 11),
+    Array(11, 6, 7, 8, 9, 13, 13, 12),
+    Array(10, 10, 11, 12, 13, 14, 14, 13),
+    Array(9, 10, 11, 12, 13, 14, 15, 14),
+    Array(8, 9, 10, 11, 12, 13, 14, 15))
+  /** number_return_level: |n - r| (8 Z predictor slots). */
+  @inline private def nrLevel8(n: Int, r: Int): Int = math.abs(n - r)
+
+  @inline private def u8Fold(v: Int): Int = v & 0xff
+  @inline private def u8Clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Lazily-created per-value 256-symbol model table (laszip pattern for
+    * bitbyte/classification/user-data conditioning on the last value). */
+  private final class LazyModels {
+    private val m = new Array[SymModel](256)
+    def apply(i: Int): SymModel = {
+      if (m(i) == null) m(i) = new SymModel(256)
+      m(i)
+    }
+  }
+
+  /** GPSTIME11 v2 state (identical scheme to the v3 gps layer: 4-slot
+    * sequence cache, deltas on the f64 bit pattern as i64). */
+  private final class Gps11 {
+    val mGpsMulti = new SymModel(GpsMultiTotal)
+    val mGps0Diff = new SymModel(6)
+    var icGps: IntDec = null
+    var icGpsEnc: IntEnc = null
+    val lastGps = new Array[Long](4)
+    val lastGpsDiff = new Array[Int](4)
+    val multiExtreme = new Array[Int](4)
+    var gpsLast = 0
+    var gpsNext = 0
+
+    def init(bits: Long): Unit = {
+      java.util.Arrays.fill(lastGps, 0L)
+      java.util.Arrays.fill(lastGpsDiff, 0)
+      java.util.Arrays.fill(multiExtreme, 0)
+      gpsLast = 0; gpsNext = 0
+      lastGps(0) = bits
+    }
+
+    def read(dec: ArDecoder): Long = {
+      if (lastGpsDiff(gpsLast) == 0) {
+        val multi = dec.decodeSymbol(mGps0Diff)
+        if (multi == 1) {
+          lastGpsDiff(gpsLast) = icGps.decompress(0, 0)
+          lastGps(gpsLast) += lastGpsDiff(gpsLast)
+          multiExtreme(gpsLast) = 0
+        } else if (multi == 2) {
+          gpsNext = (gpsNext + 1) & 3
+          val hi = icGps.decompress((lastGps(gpsLast) >>> 32).toInt, 8)
+          lastGps(gpsNext) = ((hi.toLong & M32) << 32) | dec.readInt()
+          gpsLast = gpsNext
+          lastGpsDiff(gpsLast) = 0
+          multiExtreme(gpsLast) = 0
+        } else if (multi > 2) {
+          gpsLast = (gpsLast + multi - 2) & 3
+          return read(dec)
+        }
+      } else {
+        val multi = dec.decodeSymbol(mGpsMulti)
+        if (multi == 1) {
+          lastGps(gpsLast) += icGps.decompress(lastGpsDiff(gpsLast), 1)
+          multiExtreme(gpsLast) = 0
+        } else if (multi < GpsMultiUnchanged) {
+          var gpsDiff = 0
+          if (multi == 0) {
+            gpsDiff = icGps.decompress(0, 7)
+            multiExtreme(gpsLast) += 1
+            if (multiExtreme(gpsLast) > 3) {
+              lastGpsDiff(gpsLast) = gpsDiff; multiExtreme(gpsLast) = 0
+            }
+          } else if (multi < GpsMulti) {
+            val ctx = if (multi < 10) 2 else 3
+            gpsDiff = icGps.decompress(multi * lastGpsDiff(gpsLast), ctx)
+          } else if (multi == GpsMulti) {
+            gpsDiff = icGps.decompress(GpsMulti * lastGpsDiff(gpsLast), 4)
+            multiExtreme(gpsLast) += 1
+            if (multiExtreme(gpsLast) > 3) {
+              lastGpsDiff(gpsLast) = gpsDiff; multiExtreme(gpsLast) = 0
+            }
+          } else {
+            val neg = GpsMulti - multi
+            if (neg > GpsMultiMinus) {
+              gpsDiff = icGps.decompress(neg * lastGpsDiff(gpsLast), 5)
+            } else {
+              gpsDiff = icGps.decompress(GpsMultiMinus * lastGpsDiff(gpsLast), 6)
+              multiExtreme(gpsLast) += 1
+              if (multiExtreme(gpsLast) > 3) {
+                lastGpsDiff(gpsLast) = gpsDiff; multiExtreme(gpsLast) = 0
+              }
+            }
+          }
+          lastGps(gpsLast) += gpsDiff
+        } else if (multi == GpsMultiUnchanged) {
+          // unchanged
+        } else if (multi == GpsMultiCodeFull) {
+          gpsNext = (gpsNext + 1) & 3
+          val hi = icGps.decompress((lastGps(gpsLast) >>> 32).toInt, 8)
+          lastGps(gpsNext) = ((hi.toLong & M32) << 32) | dec.readInt()
+          gpsLast = gpsNext
+          lastGpsDiff(gpsLast) = 0
+          multiExtreme(gpsLast) = 0
+        } else {
+          gpsLast = (gpsLast + multi - GpsMultiCodeFull) & 3
+          return read(dec)
+        }
+      }
+      lastGps(gpsLast)
+    }
+
+    /** Simplified but decodable encoder (codes {0diff 0/1/2, multi
+      * 1/unchanged/full} — same subset the v3 encoder uses). */
+    def write(enc: ArEncoder, gps: Long): Unit = {
+      val d64 = gps - lastGps(gpsLast)
+      if (lastGpsDiff(gpsLast) == 0) {
+        if (d64 == 0) enc.encodeSymbol(mGps0Diff, 0)
+        else if (d64 == d64.toInt.toLong) {
+          enc.encodeSymbol(mGps0Diff, 1)
+          icGpsEnc.compress(0, d64.toInt, 0)
+          lastGpsDiff(gpsLast) = d64.toInt
+          lastGps(gpsLast) += d64
+          multiExtreme(gpsLast) = 0
+        } else {
+          enc.encodeSymbol(mGps0Diff, 2)
+          full(enc, gps)
+        }
+      } else {
+        if (d64 == 0) enc.encodeSymbol(mGpsMulti, GpsMultiUnchanged)
+        else if (d64 == d64.toInt.toLong) {
+          enc.encodeSymbol(mGpsMulti, 1)
+          icGpsEnc.compress(lastGpsDiff(gpsLast), d64.toInt, 1)
+          lastGps(gpsLast) += d64
+          multiExtreme(gpsLast) = 0
+        } else {
+          enc.encodeSymbol(mGpsMulti, GpsMultiCodeFull)
+          full(enc, gps)
+        }
+      }
+    }
+    private def full(enc: ArEncoder, gps: Long): Unit = {
+      gpsNext = (gpsNext + 1) & 3
+      icGpsEnc.compress((lastGps(gpsLast) >>> 32).toInt, (gps >>> 32).toInt, 8)
+      enc.writeInt(gps & M32)
+      lastGps(gpsNext) = gps
+      gpsLast = gpsNext
+      lastGpsDiff(gpsLast) = 0
+      multiExtreme(gpsLast) = 0
+    }
+  }
+
+  /** RGB12 v2 state: 7-bit byte-used flags + six conditional 256-symbol
+    * diff models with the red->green->blue difference propagation. */
+  private final class Rgb12 {
+    val mByteUsed = new SymModel(128)
+    val mDiff: Array[SymModel] = Array.fill(6)(new SymModel(256))
+    val last = new Array[Int](3) // u16 r, g, b
+
+    def init(r: Int, g: Int, b: Int): Unit = { last(0) = r; last(1) = g; last(2) = b }
+
+    def read(dec: ArDecoder): Array[Int] = {
+      val out = new Array[Int](3)
+      val sym = dec.decodeSymbol(mByteUsed)
+      if ((sym & 1) != 0)
+        out(0) = u8Fold(dec.decodeSymbol(mDiff(0)) + (last(0) & 0xff))
+      else out(0) = last(0) & 0xff
+      if ((sym & 2) != 0)
+        out(0) |= u8Fold(dec.decodeSymbol(mDiff(1)) + (last(0) >> 8)) << 8
+      else out(0) |= last(0) & 0xff00
+      if ((sym & 64) != 0) {
+        var diff = (out(0) & 0xff) - (last(0) & 0xff)
+        if ((sym & 4) != 0)
+          out(1) = u8Fold(dec.decodeSymbol(mDiff(2)) + u8Clamp(diff + (last(1) & 0xff)))
+        else out(1) = last(1) & 0xff
+        if ((sym & 16) != 0) {
+          diff = (diff + ((out(1) & 0xff) - (last(1) & 0xff))) / 2
+          out(2) = u8Fold(dec.decodeSymbol(mDiff(4)) + u8Clamp(diff + (last(2) & 0xff)))
+        } else out(2) = last(2) & 0xff
+        diff = (out(0) >> 8) - (last(0) >> 8)
+        if ((sym & 8) != 0)
+          out(1) |= u8Fold(dec.decodeSymbol(mDiff(3)) + u8Clamp(diff + (last(1) >> 8))) << 8
+        else out(1) |= last(1) & 0xff00
+        if ((sym & 32) != 0) {
+          diff = (diff + ((out(1) >> 8) - (last(1) >> 8))) / 2
+          out(2) |= u8Fold(dec.decodeSymbol(mDiff(5)) + u8Clamp(diff + (last(2) >> 8))) << 8
+        } else out(2) |= last(2) & 0xff00
+      } else { out(1) = out(0); out(2) = out(0) }
+      last(0) = out(0); last(1) = out(1); last(2) = out(2)
+      out
+    }
+
+    def write(enc: ArEncoder, r: Int, g: Int, b: Int): Unit = {
+      var sym = 0
+      if ((r & 0xff) != (last(0) & 0xff)) sym |= 1
+      if ((r >> 8) != (last(0) >> 8)) sym |= 2
+      val differ = g != r || b != r
+      if (differ) {
+        sym |= 64
+        if ((g & 0xff) != (last(1) & 0xff)) sym |= 4
+        if ((g >> 8) != (last(1) >> 8)) sym |= 8
+        if ((b & 0xff) != (last(2) & 0xff)) sym |= 16
+        if ((b >> 8) != (last(2) >> 8)) sym |= 32
+      }
+      enc.encodeSymbol(mByteUsed, sym)
+      if ((sym & 1) != 0)
+        enc.encodeSymbol(mDiff(0), u8Fold((r & 0xff) - (last(0) & 0xff)))
+      if ((sym & 2) != 0)
+        enc.encodeSymbol(mDiff(1), u8Fold((r >> 8) - (last(0) >> 8)))
+      if ((sym & 64) != 0) {
+        var diff = (r & 0xff) - (last(0) & 0xff)
+        if ((sym & 4) != 0)
+          enc.encodeSymbol(mDiff(2), u8Fold((g & 0xff) - u8Clamp(diff + (last(1) & 0xff))))
+        if ((sym & 16) != 0) {
+          diff = (diff + ((g & 0xff) - (last(1) & 0xff))) / 2
+          enc.encodeSymbol(mDiff(4), u8Fold((b & 0xff) - u8Clamp(diff + (last(2) & 0xff))))
+        }
+        diff = (r >> 8) - (last(0) >> 8)
+        if ((sym & 8) != 0)
+          enc.encodeSymbol(mDiff(3), u8Fold((g >> 8) - u8Clamp(diff + (last(1) >> 8))))
+        if ((sym & 32) != 0) {
+          diff = (diff + ((g >> 8) - (last(1) >> 8))) / 2
+          enc.encodeSymbol(mDiff(5), u8Fold((b >> 8) - u8Clamp(diff + (last(2) >> 8))))
+        }
+      }
+      last(0) = r; last(1) = g; last(2) = b
+    }
+  }
+
+  /** POINT10 v2 state: the 20-byte legacy record. */
+  private final class Point10(dec: ArDecoder, enc: ArEncoder) {
+    val mChanged = new SymModel(64)
+    val mScanAngle: Array[SymModel] = Array.fill(2)(new SymModel(256))
+    val mBitByte = new LazyModels
+    val mClassification = new LazyModels
+    val mUserData = new LazyModels
+    val icIntensity = if (dec != null) new IntDec(dec, 16, 4) else null
+    val icPointSource = if (dec != null) new IntDec(dec, 16, 1) else null
+    val icDx = if (dec != null) new IntDec(dec, 32, 2) else null
+    val icDy = if (dec != null) new IntDec(dec, 32, 22) else null
+    val icZ = if (dec != null) new IntDec(dec, 32, 20) else null
+    val ieIntensity = if (enc != null) new IntEnc(enc, 16, 4) else null
+    val iePointSource = if (enc != null) new IntEnc(enc, 16, 1) else null
+    val ieDx = if (enc != null) new IntEnc(enc, 32, 2) else null
+    val ieDy = if (enc != null) new IntEnc(enc, 32, 22) else null
+    val ieZ = if (enc != null) new IntEnc(enc, 32, 20) else null
+    val medX: Array[Median5] = Array.fill(16)(new Median5)
+    val medY: Array[Median5] = Array.fill(16)(new Median5)
+    val lastIntensity = new Array[Int](16)
+    val lastHeight = new Array[Int](8)
+    // last record fields
+    var x, y, z = 0
+    var intensity = 0
+    var bitByte = 0
+    var classification = 0
+    var scanAngleRank = 0
+    var userData = 0
+    var pointSource = 0
+
+    def init(rec: Array[Byte], off: Int): Unit = {
+      val bb = ByteBuffer.wrap(rec, off, 20).order(ByteOrder.LITTLE_ENDIAN)
+      x = bb.getInt(off); y = bb.getInt(off + 4); z = bb.getInt(off + 8)
+      intensity = bb.getShort(off + 12) & 0xffff
+      bitByte = rec(off + 14) & 0xff
+      classification = rec(off + 15) & 0xff
+      scanAngleRank = rec(off + 16) & 0xff
+      userData = rec(off + 17) & 0xff
+      pointSource = bb.getShort(off + 18) & 0xffff
+    }
+
+    def store(rec: Array[Byte], off: Int): Unit = {
+      val bb = ByteBuffer.wrap(rec, off, 20).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(off, x); bb.putInt(off + 4, y); bb.putInt(off + 8, z)
+      bb.putShort(off + 12, intensity.toShort)
+      rec(off + 14) = bitByte.toByte
+      rec(off + 15) = classification.toByte
+      rec(off + 16) = scanAngleRank.toByte
+      rec(off + 17) = userData.toByte
+      bb.putShort(off + 18, pointSource.toShort)
+    }
+
+    def read(): Unit = {
+      val changed = dec.decodeSymbol(mChanged)
+      if ((changed & 32) != 0) bitByte = dec.decodeSymbol(mBitByte(bitByte))
+      val r = bitByte & 7
+      val n = (bitByte >> 3) & 7
+      val m = NrMap8(n)(r)
+      val lvl = nrLevel8(n, r)
+      if ((changed & 16) != 0) {
+        intensity = icIntensity.decompress(lastIntensity(m), math.min(m, 3))
+        lastIntensity(m) = intensity
+      } else intensity = lastIntensity(m)
+      if ((changed & 8) != 0)
+        classification = dec.decodeSymbol(mClassification(classification))
+      if ((changed & 4) != 0)
+        scanAngleRank = u8Fold(dec.decodeSymbol(mScanAngle((bitByte >> 6) & 1)) +
+          scanAngleRank)
+      if ((changed & 2) != 0) userData = dec.decodeSymbol(mUserData(userData))
+      if ((changed & 1) != 0)
+        pointSource = icPointSource.decompress(pointSource, 0)
+      val single = if (n == 1) 1 else 0
+      val dx = icDx.decompress(medX(m).get, single)
+      medX(m).add(dx); x += dx
+      val kx = icDx.k
+      val dy = icDy.decompress(medY(m).get,
+        single + (if (kx < 20) kx & ~1 else 20))
+      medY(m).add(dy); y += dy
+      val kxy = (icDx.k + icDy.k) / 2
+      z = icZ.decompress(lastHeight(lvl),
+        single + (if (kxy < 18) kxy & ~1 else 18))
+      lastHeight(lvl) = z
+    }
+
+    def write(rec: Array[Byte], off: Int): Unit = {
+      val bb = ByteBuffer.wrap(rec, off, 20).order(ByteOrder.LITTLE_ENDIAN)
+      val nx = bb.getInt(off); val ny = bb.getInt(off + 4); val nz = bb.getInt(off + 8)
+      val nIntensity = bb.getShort(off + 12) & 0xffff
+      val nBitByte = rec(off + 14) & 0xff
+      val nClassification = rec(off + 15) & 0xff
+      val nScanAngle = rec(off + 16) & 0xff
+      val nUserData = rec(off + 17) & 0xff
+      val nPointSource = bb.getShort(off + 18) & 0xffff
+      val r = nBitByte & 7
+      val n = (nBitByte >> 3) & 7
+      val m = NrMap8(n)(r)
+      val lvl = nrLevel8(n, r)
+      var changed = 0
+      if (nBitByte != bitByte) changed |= 32
+      if (nIntensity != lastIntensity(m)) changed |= 16
+      if (nClassification != classification) changed |= 8
+      if (nScanAngle != scanAngleRank) changed |= 4
+      if (nUserData != userData) changed |= 2
+      if (nPointSource != pointSource) changed |= 1
+      enc.encodeSymbol(mChanged, changed)
+      if ((changed & 32) != 0) {
+        enc.encodeSymbol(mBitByte(bitByte), nBitByte)
+        bitByte = nBitByte
+      }
+      if ((changed & 16) != 0) {
+        ieIntensity.compress(lastIntensity(m), nIntensity, math.min(m, 3))
+        lastIntensity(m) = nIntensity
+      }
+      intensity = nIntensity
+      if ((changed & 8) != 0) {
+        enc.encodeSymbol(mClassification(classification), nClassification)
+        classification = nClassification
+      }
+      if ((changed & 4) != 0) {
+        enc.encodeSymbol(mScanAngle((nBitByte >> 6) & 1),
+          u8Fold(nScanAngle - scanAngleRank))
+        scanAngleRank = nScanAngle
+      }
+      if ((changed & 2) != 0) {
+        enc.encodeSymbol(mUserData(userData), nUserData)
+        userData = nUserData
+      }
+      if ((changed & 1) != 0) {
+        iePointSource.compress(pointSource, nPointSource, 0)
+        pointSource = nPointSource
+      }
+      val single = if (n == 1) 1 else 0
+      val dx = nx - x
+      ieDx.compress(medX(m).get, dx, single)
+      medX(m).add(dx); x = nx
+      val kx = ieDx.k
+      val dy = ny - y
+      ieDy.compress(medY(m).get, dy, single + (if (kx < 20) kx & ~1 else 20))
+      medY(m).add(dy); y = ny
+      val kxy = (ieDx.k + ieDy.k) / 2
+      ieZ.compress(lastHeight(lvl), nz, single + (if (kxy < 18) kxy & ~1 else 18))
+      lastHeight(lvl) = nz
+      z = nz
+    }
+  }
+
+  /** Record layout of the legacy formats: POINT10 core + optional gps
+    * f64 + optional RGB 3xu16 + trailing extra bytes. */
+  private def legacyLayout(items: Seq[Item]): (Boolean, Boolean, Int) = {
+    var gps = false; var rgb = false; var extra = 0
+    items.foreach { it =>
+      it.itemType match {
+        case 6 => require(it.version == 2, s"POINT10 v${it.version} not supported (v2 only)")
+        case 7 => require(it.version == 2, s"GPSTIME11 v${it.version} not supported (v2 only)")
+          gps = true
+        case 8 => require(it.version == 2, s"RGB12 v${it.version} not supported (v2 only)")
+          rgb = true
+        case 0 => require(it.version == 2, s"BYTE v${it.version} not supported (v2 only)")
+          extra += it.size
+        case other => throw new IllegalArgumentException(
+          s"LAZ item type $other not supported in pointwise streams")
+      }
+    }
+    (gps, rgb, extra)
+  }
+
+  /** Decode a pointwise (compressor 1/2) stream of legacy records.
+    * Compressor 2 locates chunks via the chunk table; compressor 1 is a
+    * single unchunked stream. */
+  def decodePointwise(bytes: Array[Byte], pointOff: Int, total: Long,
+      vlr: LazVlr, recLen: Int): Iterator[Array[Byte]] = {
+    require(vlr.compressor == 1 || vlr.compressor == 2,
+      s"decodePointwise: compressor ${vlr.compressor}")
+    val (gps, rgb, nExtra) = legacyLayout(vlr.items)
+    if (vlr.compressor == 1) {
+      return decodePointwiseChunk(bytes, pointOff, total, gps, rgb, nExtra,
+        recLen).iterator
+    }
+    require(vlr.chunkSize > 0 && vlr.chunkSize != -1,
+      "adaptive-chunk LAZ (chunk size 0xFFFFFFFF) not supported")
+    val table = chunkTable(bytes, pointOff).getOrElse(
+      throw new IllegalArgumentException("pointwise chunked LAZ without a chunk table"))
+    val chunkSize = vlr.chunkSize
+    new Iterator[Array[Byte]] {
+      private var ci = 0
+      private var remaining = total
+      private var cur: Iterator[Array[Byte]] = Iterator.empty
+      def hasNext: Boolean = cur.hasNext || remaining > 0
+      def next(): Array[Byte] = {
+        if (!cur.hasNext) {
+          val (off, _) = table(ci)
+          val expect = math.min(chunkSize.toLong, remaining)
+          cur = decodePointwiseChunk(bytes, off.toInt, expect, gps, rgb,
+            nExtra, recLen).iterator
+          remaining -= expect
+          ci += 1
+        }
+        cur.next()
+      }
+    }
+  }
+
+  private def decodePointwiseChunk(bytes: Array[Byte], off: Int, count: Long,
+      gps: Boolean, rgb: Boolean, nExtra: Int, recLen: Int): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](count.toInt)
+    if (count == 0) return out
+    out(0) = java.util.Arrays.copyOfRange(bytes, off, off + recLen)
+    if (count == 1) return out
+    val dec = new ArDecoder(bytes, off + recLen, bytes.length)
+    val p10 = new Point10(dec, null)
+    p10.init(out(0), 0)
+    val g11 = if (gps) new Gps11 else null
+    if (gps) {
+      g11.icGps = new IntDec(dec, 32, 9)
+      val bb = ByteBuffer.wrap(out(0)).order(ByteOrder.LITTLE_ENDIAN)
+      g11.init(bb.getLong(20))
+    }
+    val r12 = if (rgb) new Rgb12 else null
+    val rgbOff = if (gps) 28 else 20
+    if (rgb) {
+      val bb = ByteBuffer.wrap(out(0)).order(ByteOrder.LITTLE_ENDIAN)
+      r12.init(bb.getShort(rgbOff) & 0xffff, bb.getShort(rgbOff + 2) & 0xffff,
+        bb.getShort(rgbOff + 4) & 0xffff)
+    }
+    val extraOff = rgbOff + (if (rgb) 6 else 0)
+    val mExtra = Array.fill(nExtra)(new SymModel(256))
+    val lastExtra = new Array[Int](nExtra)
+    var j = 0
+    while (j < nExtra) { lastExtra(j) = out(0)(extraOff + j) & 0xff; j += 1 }
+    var i = 1
+    while (i < count) {
+      val rec = new Array[Byte](recLen)
+      p10.read()
+      p10.store(rec, 0)
+      if (gps) {
+        val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putLong(20, g11.read(dec))
+      }
+      if (rgb) {
+        val v = r12.read(dec)
+        val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putShort(rgbOff, v(0).toShort)
+        bb.putShort(rgbOff + 2, v(1).toShort)
+        bb.putShort(rgbOff + 4, v(2).toShort)
+      }
+      j = 0
+      while (j < nExtra) {
+        lastExtra(j) = u8Fold(dec.decodeSymbol(mExtra(j)) + lastExtra(j))
+        rec(extraOff + j) = lastExtra(j).toByte
+        j += 1
+      }
+      out(i) = rec
+      i += 1
+    }
+    out
+  }
+
+  /** Encode legacy records as a pointwise-chunked (compressor 2) stream
+    * with the standard chunk table framing. */
+  def encodePointwise(records: Iterator[Array[Byte]], recLen: Int,
+      gps: Boolean, rgb: Boolean, nExtra: Int, chunkSize: Int,
+      pointOff: Long = 0L): Array[Byte] = {
+    val chunks = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val group = new scala.collection.mutable.ArrayBuffer[Array[Byte]](chunkSize)
+    def flush(): Unit = if (group.nonEmpty) {
+      chunks += encodePointwiseChunk(group.toArray, gps, rgb, nExtra, recLen)
+      group.clear()
+    }
+    records.foreach { r =>
+      group += r
+      if (group.length == chunkSize) flush()
+    }
+    flush()
+    val dataLen = chunks.map(_.length.toLong).sum
+    val tenc = new ArEncoder
+    val tic = new IntEnc(tenc, 32, 2)
+    var prev = 0
+    chunks.foreach { c => tic.compress(prev, c.length, 1); prev = c.length }
+    val table = if (chunks.nonEmpty) tenc.done() else Array.emptyByteArray
+    val out = ByteBuffer.allocate((8 + dataLen + 8 + table.length).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putLong(pointOff + 8 + dataLen)
+    chunks.foreach(out.put)
+    out.putInt(0)
+    out.putInt(chunks.length)
+    out.put(table)
+    out.array()
+  }
+
+  private def encodePointwiseChunk(recs: Array[Array[Byte]], gps: Boolean,
+      rgb: Boolean, nExtra: Int, recLen: Int): Array[Byte] = {
+    val enc = new ArEncoder
+    val p10 = new Point10(null, enc)
+    p10.init(recs(0), 0)
+    val g11 = if (gps) new Gps11 else null
+    if (gps) {
+      g11.icGpsEnc = new IntEnc(enc, 32, 9)
+      g11.init(ByteBuffer.wrap(recs(0)).order(ByteOrder.LITTLE_ENDIAN).getLong(20))
+    }
+    val r12 = if (rgb) new Rgb12 else null
+    val rgbOff = if (gps) 28 else 20
+    if (rgb) {
+      val bb = ByteBuffer.wrap(recs(0)).order(ByteOrder.LITTLE_ENDIAN)
+      r12.init(bb.getShort(rgbOff) & 0xffff, bb.getShort(rgbOff + 2) & 0xffff,
+        bb.getShort(rgbOff + 4) & 0xffff)
+    }
+    val extraOff = rgbOff + (if (rgb) 6 else 0)
+    val mExtra = Array.fill(nExtra)(new SymModel(256))
+    val lastExtra = new Array[Int](nExtra)
+    var j = 0
+    while (j < nExtra) { lastExtra(j) = recs(0)(extraOff + j) & 0xff; j += 1 }
+    var i = 1
+    while (i < recs.length) {
+      val rec = recs(i)
+      p10.write(rec, 0)
+      if (gps)
+        g11.write(enc, ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN).getLong(20))
+      if (rgb) {
+        val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+        r12.write(enc, bb.getShort(rgbOff) & 0xffff, bb.getShort(rgbOff + 2) & 0xffff,
+          bb.getShort(rgbOff + 4) & 0xffff)
+      }
+      j = 0
+      while (j < nExtra) {
+        val v = rec(extraOff + j) & 0xff
+        enc.encodeSymbol(mExtra(j), u8Fold(v - lastExtra(j)))
+        lastExtra(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val coded = if (recs.length > 1) enc.done() else Array.emptyByteArray
+    val out = new Array[Byte](recLen + coded.length)
+    System.arraycopy(recs(0), 0, out, 0, recLen)
+    System.arraycopy(coded, 0, out, recLen, coded.length)
+    out
+  }
 }

@@ -407,6 +407,31 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(hdr, 0, 4, "US-ASCII") == "LASF" && hdr(24) == 1 && hdr(25) == 2)
   }
 
+  test("legacy LAZ roundtrip: formats 0/1 through the pointwise codec") {
+    import graft.sources.LasIO
+    import spark.implicits._
+    val pts = (0 until 2000).map { i =>
+      ((i % 640) * 0.25, (i % 370) * 0.5, (i % 110) * 0.25,
+        (i % 100).toLong, (i % 32).toLong, i * 1.5)
+    }.toDF("x", "y", "z", "intensity", "classification", "gps_time")
+    def snap(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    LasIO.write(pts.repartition(3), "/tmp/graft_laz1", scale = 0.25, compress = true)
+    val files = new java.io.File("/tmp/graft_laz1").listFiles()
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".laz")))
+    assert(snap(LasIO.read(spark, "/tmp/graft_laz1")) == snap(pts))
+    val noGps = pts.drop("gps_time")
+    LasIO.write(noGps.repartition(2), "/tmp/graft_laz0", scale = 0.25, compress = true)
+    assert(snap(LasIO.read(spark, "/tmp/graft_laz0")) == snap(noGps))
+    // compressed legacy is smaller than the plain encoding
+    LasIO.write(pts.repartition(1), "/tmp/graft_las1p", scale = 0.25)
+    LasIO.write(pts.repartition(1), "/tmp/graft_laz1p", scale = 0.25, compress = true)
+    def size(d: String): Long = new java.io.File(d).listFiles().map(_.length).sum
+    assert(size("/tmp/graft_laz1p") < size("/tmp/graft_las1p") / 2,
+      s"laz ${size("/tmp/graft_laz1p")} vs las ${size("/tmp/graft_las1p")}")
+  }
+
   test("Zarr roundtrip: chunk grid of rasters with shifted geotransforms") {
     import graft.sources.ZarrIO
     import spark.implicits._

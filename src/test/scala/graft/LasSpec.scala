@@ -160,6 +160,63 @@ class LasSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy pointwise LAZ (formats 0-3) roundtrips bit-exact") {
+    import graft.sources.Laszip
+    val rnd = new java.util.Random(11)
+    // legacy record: POINT10 (+gps f64) (+rgb 3xu16) (+extra)
+    def mk(i: Int, gps: Boolean, rgb: Boolean, nExtra: Int): Array[Byte] = {
+      val len = 20 + (if (gps) 8 else 0) + (if (rgb) 6 else 0) + nExtra
+      val bb = java.nio.ByteBuffer.allocate(len).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val jump = if (rnd.nextInt(40) == 0) rnd.nextInt() else 0
+      bb.putInt(i * 12 + rnd.nextInt(25) + jump)
+      bb.putInt(5000 - i * 9 + rnd.nextInt(10))
+      bb.putInt(if (rnd.nextInt(5) == 0) rnd.nextInt(1 << 18) else 300)
+      bb.putShort((if (rnd.nextInt(3) == 0) rnd.nextInt(65536) else 42).toShort)
+      val r = 1 + rnd.nextInt(7); val n = math.max(r, 1 + rnd.nextInt(7))
+      bb.put((r | (n << 3) | (rnd.nextInt(2) << 6) | (rnd.nextInt(2) << 7)).toByte)
+      bb.put(rnd.nextInt(256).toByte)       // classification
+      bb.put((rnd.nextInt(181) - 90).toByte) // scan angle rank
+      bb.put(rnd.nextInt(256).toByte)       // user data
+      bb.putShort((if (rnd.nextInt(6) == 0) rnd.nextInt(65536) else 9).toShort)
+      if (gps) bb.putDouble(rnd.nextInt(4) match {
+        case 0 => 0.0
+        case 1 => i * 0.0001
+        case 2 => 5e8 + rnd.nextDouble()
+        case _ => i.toDouble
+      })
+      if (rgb) {
+        // correlated channels with occasional jumps — the rgb12 paths
+        val base = rnd.nextInt(65536)
+        bb.putShort(base.toShort)
+        bb.putShort((if (rnd.nextInt(3) == 0) base else rnd.nextInt(65536)).toShort)
+        bb.putShort((if (rnd.nextInt(3) == 0) base else rnd.nextInt(65536)).toShort)
+      }
+      (0 until nExtra).foreach(j => bb.put(
+        (if (rnd.nextInt(4) == 0) rnd.nextInt(256) else j * 3).toByte))
+      bb.array()
+    }
+    for ((gps, rgb, nExtra) <- Seq((false, false, 0), (true, false, 0),
+      (false, true, 0), (true, true, 4)); count <- Seq(1, 2, 600)) {
+      val recLen = 20 + (if (gps) 8 else 0) + (if (rgb) 6 else 0) + nExtra
+      val recs = (0 until count).map(i => mk(i, gps, rgb, nExtra))
+      val items = Seq(Laszip.Item(6, 20, 2)) ++
+        (if (gps) Seq(Laszip.Item(7, 8, 2)) else Nil) ++
+        (if (rgb) Seq(Laszip.Item(8, 6, 2)) else Nil) ++
+        (if (nExtra > 0) Seq(Laszip.Item(0, nExtra, 2)) else Nil)
+      val vlr = Laszip.LazVlr(2, 256, items)
+      val encoded = Laszip.encodePointwise(recs.iterator, recLen, gps, rgb,
+        nExtra, 256)
+      val dec = Laszip.decodePointwise(encoded, 0, count, vlr, recLen).toSeq
+      assert(dec.length == count, s"gps=$gps rgb=$rgb n=$count length")
+      recs.indices.foreach { i =>
+        assert(java.util.Arrays.equals(dec(i), recs(i)),
+          s"gps=$gps rgb=$rgb extra=$nExtra n=$count mismatch at $i:\n" +
+            s"  want ${recs(i).map(b => f"$b%02x").mkString}\n" +
+            s"  got  ${dec(i).map(b => f"$b%02x").mkString}")
+      }
+    }
+  }
+
   test("DataFrame LAZ write → read roundtrip (format 6, quarter-step grid)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(0, 5000).toDF("id")
