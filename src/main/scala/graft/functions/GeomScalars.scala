@@ -37,6 +37,31 @@ object ArgKind extends Enumeration {
   val Geom, Dbl, Int_, Str, Bool, Bin, Raw = Value
 }
 
+/** Item-level CRS carrier: struct(item: wkb, crs: string) — the
+  * reference's per-row CRS type (rust/sedona-schema/src/datatypes.rs:
+  * 126-151), used where a column mixes CRSes (raster footprints). Every
+  * GeomScalar kernel accepts it transparently: the item is unwrapped
+  * (SRID seeded from the crs string when it parses), per-row CRSes of
+  * all item args must agree, and geometry-returning kernels re-wrap the
+  * result with the propagated crs — the ItemCrsKernel contract of
+  * rust/sedona-expr/src/item_crs.rs. */
+object ItemCrs {
+  val dataType: StructType = StructType(Seq(
+    StructField("item", BinaryType),
+    StructField("crs", StringType)))
+
+  def is(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      s.fields.length == 2 &&
+        s.fields(0).name == "item" && s.fields(0).dataType == BinaryType &&
+        s.fields(1).name == "crs" && s.fields(1).dataType == StringType
+    case _ => false
+  }
+
+  def row(wkb: Array[Byte], crs: UTF8String): InternalRow =
+    new GenericInternalRow(Array[Any](wkb, crs))
+}
+
 case class GeomScalar(
     fname: String,
     children: Seq[Expression],
@@ -46,7 +71,20 @@ case class GeomScalar(
   extends Expression {
 
   override def nullable: Boolean = true
-  override def dataType: DataType = outType
+
+  /** True when a Geom-kind child carries the item-CRS struct. */
+  private lazy val hasItemCrsInput: Boolean =
+    children.indices.exists(i => i < argKinds.length &&
+      argKinds(i) == ArgKind.Geom && ItemCrs.is(children(i).dataType))
+
+  /** Geometry-returning kernels propagate item CRS to an item-CRS
+    * output; BinaryType kernels that return raw bytes must not. */
+  private lazy val wrapsItemCrs: Boolean =
+    hasItemCrsInput && outType == BinaryType &&
+      !GeomScalar.binaryNotGeometry(fname)
+
+  override def dataType: DataType =
+    if (wrapsItemCrs) ItemCrs.dataType else outType
   override def prettyName: String = fname
   override def foldable: Boolean = children.forall(_.foldable)
 
@@ -55,9 +93,28 @@ case class GeomScalar(
     * null. Shared by interpreted eval and the generated code. */
   def compute(args: Array[Any]): Any = {
     var i = 0
+    var itemCrs: UTF8String = null
+    var itemCrsSeen = false
     while (i < args.length) {
       args(i) = argKinds(i) match {
-        case ArgKind.Geom => GeomIO.read(args(i).asInstanceOf[Array[Byte]])
+        case ArgKind.Geom => args(i) match {
+          case row: InternalRow =>
+            // item-CRS struct: unwrap, seed SRID from the crs string,
+            // enforce per-row CRS agreement across item args
+            val c = if (row.isNullAt(1)) null else row.getUTF8String(1)
+            if (!itemCrsSeen) { itemCrs = c; itemCrsSeen = true }
+            else require(java.util.Objects.equals(itemCrs, c),
+              s"$fname: item CRS mismatch: $itemCrs vs $c")
+            if (row.isNullAt(0)) return null
+            val g = GeomIO.read(row.getBinary(0))
+            if (c != null) {
+              val srid = try GeomScalars.parseCrsSrid(c.toString)
+                catch { case _: Exception => 0 }
+              if (srid != 0) g.setSRID(srid)
+            }
+            g
+          case bytes => GeomIO.read(bytes.asInstanceOf[Array[Byte]])
+        }
         case ArgKind.Dbl => args(i) match {
           case n: java.lang.Number => n.doubleValue()
           case dec: Decimal => dec.toDouble
@@ -80,6 +137,7 @@ case class GeomScalar(
       }
     res match {
       case null => null
+      case g: Geometry if wrapsItemCrs => ItemCrs.row(GeomIO.write(g), itemCrs)
       case g: Geometry => GeomIO.write(g)
       case s: String => UTF8String.fromString(s)
       case other => other
@@ -139,6 +197,13 @@ case class GeomScalar(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(children = newChildren)
+}
+
+object GeomScalar {
+  /** BinaryType kernels whose result is raw bytes, not geometry — they
+    * must not be wrapped into an item-CRS struct. */
+  val binaryNotGeometry: Set[String] =
+    Set("st_asbinary", "st_asewkb", "st_aswkb")
 }
 
 object GeomScalars {
@@ -775,6 +840,12 @@ object GeomScalars {
       val srid = g0(a).getSRID; if (srid == 0) null else s"EPSG:$srid" }),
     fn("st_setcrs", BinaryType, Seq(Geom, Str))(a =>
       GeomIO.setSrid(g0(a), parseCrsSrid(s(a, 1)))),
+    // explicit item-CRS constructor: struct(item, crs) with the crs
+    // string carried verbatim per row (datatypes.rs:126-151); every
+    // geometry kernel unwraps it and propagates the crs to geometry
+    // outputs (item_crs.rs contract)
+    fn("st_itemcrs", ItemCrs.dataType, Seq(Geom, Str))(a =>
+      ItemCrs.row(GeomIO.write(g0(a)), UTF8String.fromString(s(a, 1)))),
 
     // ---- element accessors (st_geometryn.rs family) ----
     fn("st_numgeometries", IntegerType, Seq(Geom))(a => g0(a).getNumGeometries),

@@ -469,6 +469,16 @@ object RasterFunctions {
 
     // raster-geometry relations (envelope-based, planar)
     fn("rs_envelope", BinaryType, Seq(Raw))(a => envelopeOf(rast(a))),
+    // footprint with the raster's CRS carried per row (item-CRS struct —
+    // the reference's raster footprint shape, datatypes.rs:126-151);
+    // downstream geometry kernels unwrap it transparently
+    fn("rs_footprint", graft.functions.ItemCrs.dataType, Seq(Raw))(a => {
+      val r = rast(a)
+      graft.functions.ItemCrs.row(
+        graft.geom.GeomIO.write(envelopeOf(r)),
+        if (r.crs == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(r.crs))
+    }),
     // convex hull of the (possibly skewed) extent quadrilateral
     fn("rs_convexhull", BinaryType, Seq(Raw))(a => {
       val r = rast(a)

@@ -323,6 +323,47 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._3).toSeq == Seq(2.5, 12.5, 22.5))
   }
 
+  test("item-level CRS struct flows through geometry kernels") {
+    // construct -> the crs string rides along every geometry-returning
+    // kernel; scalar (non-geometry) kernels just unwrap
+    val row = spark.sql(
+      "SELECT st_itemcrs(st_point(1,2), 'EPSG:3857') AS ic").collect()(0)
+    val ic = row.getStruct(0)
+    assert(ic.schema.fieldNames.toSeq == Seq("item", "crs"))
+    assert(ic.getString(1) == "EPSG:3857")
+    // geometry kernel: output stays item-CRS with the same crs
+    val buf = spark.sql(
+      "SELECT st_buffer(st_itemcrs(st_point(1,2), 'EPSG:3857'), 1.0D) AS b")
+      .collect()(0).getStruct(0)
+    assert(buf.getString(1) == "EPSG:3857")
+    // SRID seeded from the crs string -> st_srid/st_crs see it
+    assert(q("st_srid(st_itemcrs(st_point(1,2), 'EPSG:3857'))") == 3857)
+    assert(q("st_crs(st_centroid(st_itemcrs(st_point(1,2), 'EPSG:3857')))")
+      == "EPSG:3857")
+    // scalar kernels unwrap transparently
+    assert(q("st_x(st_itemcrs(st_point(1,2), 'EPSG:4326'))") == 1.0)
+    assert(q("st_area(st_itemcrs(st_makeenvelope(0,0,2,3), 'EPSG:32632'))") == 6.0)
+    // two item args: equal crs fine, mismatch errors
+    assert(q("st_intersects(st_itemcrs(st_point(1,1), 'EPSG:4326'), " +
+      "st_itemcrs(st_makeenvelope(0,0,2,2), 'EPSG:4326'))") == true)
+    val e = intercept[Exception](q(
+      "st_distance(st_itemcrs(st_point(1,1), 'EPSG:4326'), " +
+        "st_itemcrs(st_point(2,2), 'EPSG:3857'))"))
+    assert(e.getMessage.contains("CRS mismatch") ||
+      (e.getCause != null && e.getCause.getMessage.contains("CRS mismatch")))
+    // raw-bytes outputs are NOT wrapped
+    assert(q("st_astext(st_geomfromwkb(st_asbinary(" +
+      "st_itemcrs(st_point(3,4), 'EPSG:4326'))))") == "POINT (3 4)")
+    // raster footprint carries the raster's crs per row
+    val fp = spark.sql(
+      "SELECT rs_footprint(rs_setcrs(rs_makeraster(2, 2, 10.0D, 20.0D, 1.0D, " +
+        "-1.0D, array(1.0D, 2.0D, 3.0D, 4.0D)), 'EPSG:2154')) AS fp")
+      .collect()(0).getStruct(0)
+    assert(fp.getString(1) == "EPSG:2154")
+    assert(q("st_area(rs_footprint(rs_makeraster(2, 2, 10.0D, 20.0D, 1.0D, " +
+      "-1.0D, array(1.0D, 2.0D, 3.0D, 4.0D))))") == 4.0)
+  }
+
   test("outdb raster: missing file and unknown extension fail loudly") {
     import graft.sources.RasterLoaders
     intercept[java.io.FileNotFoundException] {
