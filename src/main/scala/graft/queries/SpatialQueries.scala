@@ -278,6 +278,28 @@ object SpatialQueries {
             when(col("tol") === 10000.0, 3).otherwise(5))), 6).as("midy"))
     }),
 
+    // item-level CRS column: struct(item, crs) constructed per row with a
+    // row-varying EPSG code, pushed through geometry kernels (translate →
+    // centroid) — the crs string must ride along unchanged and seed the
+    // SRID, while scalar kernels unwrap transparently
+    "sp16_itemcrs" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .withColumn("x0", (col("c_custkey") % 500).cast("double") * 0.5)
+        .withColumn("y0", (col("c_custkey") % 300).cast("double") * 0.25)
+        .withColumn("code", concat(lit("EPSG:"), lit(32601) + col("c_custkey") % 60))
+        .withColumn("ic", st.f("st_itemcrs",
+          st.makeEnvelope(col("x0"), col("y0"), col("x0") + 2.0, col("y0") + 3.0),
+          col("code")))
+        .withColumn("g2", st.f("st_translate", col("ic"), lit(10.0), lit(5.0)))
+        .select(col("c_custkey"),
+          st.f("st_crs", col("g2")).as("crs"),
+          st.f("st_srid", col("g2")).as("srid"),
+          st.area(col("g2")).as("area"),
+          round(st.x(st.centroid(col("g2"))), 6).as("cx"),
+          round(st.y(st.centroid(col("g2"))), 6).as("cy"))
+    }),
+
     // spherical overlay subset: nested boxes so the tangent-plane overlay
     // result is oracle-computable in closed form (intersection = inner,
     // union = outer, difference = outer-with-hole); plus exact great-
@@ -815,6 +837,22 @@ object SpatialQueries {
         |  45.0 AS p2y,
         |  round(voff, 5) AS midx,
         |  45.438549 AS midy
+        |FROM p""".stripMargin,
+
+    // the crs string and srid restate the synthesized code; centroid and
+    // area of the translated envelope are exact dyadic arithmetic
+    "sp16_itemcrs" ->
+      """WITH p AS (SELECT c_custkey,
+        |    CAST(c_custkey % 500 AS DOUBLE)*0.5 AS x0,
+        |    CAST(c_custkey % 300 AS DOUBLE)*0.25 AS y0,
+        |    32601 + c_custkey % 60 AS code
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  'EPSG:' || CAST(code AS VARCHAR) AS crs,
+        |  CAST(code AS INT) AS srid,
+        |  6.0 AS area,
+        |  round(x0 + 11.0, 6) AS cx,
+        |  round(y0 + 6.5, 6) AS cy
         |FROM p""".stripMargin,
 
     "sp13_sphere_overlay" -> {
