@@ -19,12 +19,13 @@ import org.apache.spark.sql.types._
   *  - Extra Bytes VLR (LASF_Spec/4): one typed column per descriptor,
   *    raw stored values, null when the no_data bit is set and the value
   *    equals the descriptor's no_data (schema.rs:148-153 semantics).
-  *  - LAZ (compressed): format 6 via [[Laszip]] (chunked layered
-  *    compressor 3, POINT14+BYTE14 v3) and legacy formats 0/1 via the
-  *    pointwise compressors 1/2 (POINT10/GPSTIME11 v2).
+  *  - LAZ (compressed): formats 6/7/8 via [[Laszip]] (chunked layered
+  *    compressor 3, POINT14+RGB14/RGBNIR14+BYTE14 v3) and legacy
+  *    formats 0/1 via the pointwise compressors 1/2
+  *    (POINT10/GPSTIME11 v2).
   *
   * Write support: LAS 1.2 formats 0/1 plain or legacy-LAZ-compressed
-  * ([[write]]), and LAS 1.4 format 6 plain or LASzip-compressed
+  * ([[write]]), and LAS 1.4 formats 6/7/8 plain or LASzip-compressed
   * ([[writeFmt6]]). Coordinates
   * are i32 grid steps (`coord = raw*scale + offset`); pick a
   * power-of-two `scale` (0.25, 0.5, 1.0) when exact double roundtrips
@@ -178,20 +179,26 @@ object LasIO {
   // LAS 1.4 / format 6 writer (plain or LAZ-compressed)
   // -------------------------------------------------------------------
 
-  /** Write a LAS 1.4 format-6 point cloud, optionally LASzip-compressed
-    * (chunked layered v3 — decodable by this engine and by standard
-    * LASzip readers). Requires x, y, z double columns; intensity,
-    * return_number, number_of_returns, classification, user_data,
-    * scan_angle, point_source_id, gps_time are honored when present
-    * (schema6 names), defaulted otherwise. One file per partition. */
+  /** Write a LAS 1.4 format-6/7/8 point cloud, optionally
+    * LASzip-compressed (chunked layered v3 — decodable by this engine
+    * and by standard LASzip readers). Requires x, y, z double columns;
+    * intensity, return_number, number_of_returns, classification,
+    * user_data, scan_angle, point_source_id, gps_time are honored when
+    * present (schema6 names), defaulted otherwise. red/green/blue
+    * columns select format 7 (+nir: format 8). One file per
+    * partition. */
   def writeFmt6(df: DataFrame, path: String, scale: Double = 0.001,
       compress: Boolean = true): Unit = {
     val spark = df.sparkSession
     val sch = df.schema
     def idx(n: String): Int = if (sch.fieldNames.contains(n)) sch.fieldIndex(n) else -1
     val ix = Array("x", "y", "z", "intensity", "return_number", "number_of_returns",
-      "classification", "user_data", "scan_angle", "point_source_id", "gps_time").map(idx)
+      "classification", "user_data", "scan_angle", "point_source_id", "gps_time",
+      "red", "green", "blue", "nir").map(idx)
     require(ix(0) >= 0 && ix(1) >= 0 && ix(2) >= 0, "writeFmt6 requires x, y, z columns")
+    require(ix(11) >= 0 == ix(12) >= 0 && ix(12) >= 0 == ix(13) >= 0,
+      "red/green/blue columns must be present together")
+    require(ix(14) < 0 || ix(11) >= 0, "nir requires red/green/blue columns")
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     locally {
@@ -218,6 +225,9 @@ object LasIO {
   private def encodeFmt6(rows: Seq[Row], ix: Array[Int], scale: Double,
       compress: Boolean): Array[Byte] = {
     val n = rows.length
+    val fmt = if (ix(14) >= 0) 8 else if (ix(11) >= 0) 7 else 6
+    val rgbBytes = fmt match { case 8 => 8; case 7 => 6; case _ => 0 }
+    val recLen = 30 + rgbBytes
     var minX = Double.MaxValue; var minY = Double.MaxValue; var minZ = Double.MaxValue
     var maxX = -Double.MaxValue; var maxY = -Double.MaxValue; var maxZ = -Double.MaxValue
     rows.foreach { r =>
@@ -231,7 +241,7 @@ object LasIO {
     @inline def dv(r: Row, i: Int, dflt: Double): Double =
       if (i < 0 || r.isNullAt(i)) dflt else r.getDouble(i)
     val records = rows.iterator.map { r =>
-      val bb = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+      val bb = ByteBuffer.allocate(recLen).order(ByteOrder.LITTLE_ENDIAN)
       def step(v: Double, off: Double): Int = math.round((v - off) / scale).toInt
       bb.putInt(step(r.getDouble(ix(0)), minX))
       bb.putInt(step(r.getDouble(ix(1)), minY))
@@ -246,12 +256,23 @@ object LasIO {
       bb.putShort(math.round(dv(r, ix(8), 0.0) / 0.006).toShort)
       bb.putShort(lv(r, ix(9), 0L).toShort)
       bb.putDouble(dv(r, ix(10), 0.0))
+      if (fmt >= 7) {
+        bb.putShort(lv(r, ix(11), 0L).toShort)
+        bb.putShort(lv(r, ix(12), 0L).toShort)
+        bb.putShort(lv(r, ix(13), 0L).toShort)
+        if (fmt == 8) bb.putShort(lv(r, ix(14), 0L).toShort)
+      }
       bb.array()
     }
     val vlrBytes: Array[Byte] =
       if (!compress) Array.emptyByteArray
       else {
-        val payload = ByteBuffer.allocate(34 + 6).order(ByteOrder.LITTLE_ENDIAN)
+        // POINT14 v3 + (fmt 7) RGB14 v3 / (fmt 8) RGBNIR14 v3
+        val items: Seq[(Int, Int, Int)] = Seq((10, 30, 3)) ++
+          (if (fmt == 7) Seq((11, 6, 3))
+           else if (fmt == 8) Seq((12, 8, 3)) else Nil)
+        val payloadLen = 34 + 6 * items.length
+        val payload = ByteBuffer.allocate(payloadLen).order(ByteOrder.LITTLE_ENDIAN)
         payload.putShort(3) // chunked layered
         payload.putShort(0) // arithmetic coder
         payload.put(2.toByte).put(2.toByte) // laszip version
@@ -259,13 +280,15 @@ object LasIO {
         payload.putInt(0) // options
         payload.putInt(LazChunkSize)
         payload.putLong(0L).putLong(0L) // special EVLRs unused
-        payload.putShort(1) // one item
-        payload.putShort(10).putShort(30).putShort(3) // POINT14 size 30 v3
-        val v = ByteBuffer.allocate(54 + 40).order(ByteOrder.LITTLE_ENDIAN)
+        payload.putShort(items.length.toShort)
+        items.foreach { case (t, sz, ver) =>
+          payload.putShort(t.toShort).putShort(sz.toShort).putShort(ver.toShort)
+        }
+        val v = ByteBuffer.allocate(54 + payloadLen).order(ByteOrder.LITTLE_ENDIAN)
         v.putShort(0)
         v.put("laszip encoded".getBytes("US-ASCII")).put(new Array[Byte](2))
         v.putShort(22204.toShort)
-        v.putShort(40.toShort)
+        v.putShort(payloadLen.toShort)
         v.put("graft laszip".padTo(32, ' ').getBytes("US-ASCII"))
         v.put(payload.array())
         v.array()
@@ -273,9 +296,9 @@ object LasIO {
     val headerSize = 375
     val pointOff = headerSize + vlrBytes.length
     val data: Array[Byte] =
-      if (compress) Laszip.encode(records, 30, 0, LazChunkSize, pointOff)
+      if (compress) Laszip.encode(records, recLen, 0, LazChunkSize, pointOff, rgbBytes)
       else {
-        val bb = ByteBuffer.allocate(30 * n)
+        val bb = ByteBuffer.allocate(recLen * n)
         records.foreach(bb.put)
         bb.array()
       }
@@ -290,8 +313,8 @@ object LasIO {
     out.putShort(headerSize.toShort)
     out.putInt(pointOff)
     out.putInt(if (compress) 1 else 0) // VLR count
-    out.put((6 | (if (compress) 0x80 else 0)).toByte)
-    out.putShort(30.toShort)
+    out.put((fmt | (if (compress) 0x80 else 0)).toByte)
+    out.putShort(recLen.toShort)
     out.putInt(0) // legacy count: 0 for formats >= 6
     out.position(131)
     out.putDouble(scale).putDouble(scale).putDouble(scale)
@@ -310,7 +333,7 @@ object LasIO {
   private val LazChunkSize = 50000
 
   // -------------------------------------------------------------------
-  // Read path (LAS 1.0-1.4, formats 0/1/6, LAZ for 6)
+  // Read path (LAS 1.0-1.4, formats 0/1/6/7/8, LAZ for all of them)
   // -------------------------------------------------------------------
 
   private case class Vlr(userId: String, recordId: Int, payload: Array[Byte])
@@ -544,8 +567,6 @@ object LasIO {
       val flen = fs.getFileStatus(fp).getLen
       val h = parseHeader(readHeaderRegion(fs, fp, flen))
       require(h.fmt == fmt, s"mixed LAS point formats under $f")
-      require(h.fmt == 6 || !h.compressed,
-        s"LAZ for RGB point format ${h.fmt} not supported (RGB14 layers; format 6 only)")
       // extra-bytes layout is part of the shared schema: reject files
       // whose descriptors differ from the probe's instead of misreading
       require(extraDims(h) == dims,
@@ -609,7 +630,9 @@ object LasIO {
           case 2 =>
             val buf = new Array[Byte](sp.len.toInt)
             val in = fsx.open(fp); in.readFully(sp.off, buf); in.close()
-            Laszip.decodeChunkRecords(buf, sp.expect, sp.recLen - 30, sp.recLen).iterator
+            val rgbB = sp.fmt match { case 8 => 8; case 7 => 6; case _ => 0 }
+            Laszip.decodeChunkRecords(buf, sp.expect, sp.recLen - 30 - rgbB,
+              sp.recLen, rgbB).iterator
           case _ =>
             val (h, bytes) = loadFile(sp.file, serConf)
             val vlr = h.vlrs.find(v => v.userId == "laszip encoded" || v.recordId == 22204).get

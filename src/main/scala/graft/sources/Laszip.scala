@@ -16,8 +16,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * (extra.las/extra.laz, large.las/large.laz — see LasSpec).
   *
   * Scope notes:
-  *  - POINT14 (item 10, v3/v4 layered) + BYTE14 (item 14, extra bytes).
-  *    Pointwise compressors 1/2 (legacy formats 0-5) are not handled.
+  *  - POINT14 (item 10, v3/v4 layered) + RGB14 (item 11) / RGBNIR14
+  *    (item 12) + BYTE14 (item 14, extra bytes) — point formats 6/7/8.
+  *    Pointwise compressors 1/2 cover legacy formats 0-3 (see below);
+  *    WAVEPACKET items (formats 4/5/9/10) are not handled.
   *  - The return-number/number-of-returns context tables
   *    (`returnMap6`/`returnLevel8`) are reconstructed as |n-r| distance
   *    maps clamped to 6/8 slots, not copied from the spec's published
@@ -49,7 +51,12 @@ private[graft] object Laszip {
   final case class Item(itemType: Int, size: Int, version: Int)
   final case class LazVlr(compressor: Int, chunkSize: Int, items: Seq[Item]) {
     def point14: Option[Item] = items.find(_.itemType == 10)
+    def rgb14: Option[Item] = items.find(_.itemType == 11)
+    def rgbNir14: Option[Item] = items.find(_.itemType == 12)
     def byte14: Option[Item] = items.find(_.itemType == 14)
+    /** Wire bytes of the RGB(+NIR) block: 6 (fmt 7), 8 (fmt 8), 0 (fmt 6). */
+    def rgbBytes: Int =
+      if (rgbNir14.isDefined) 8 else if (rgb14.isDefined) 6 else 0
   }
 
   def parseVlr(payload: Array[Byte]): LazVlr = {
@@ -352,7 +359,7 @@ private[graft] object Laszip {
   private final class Ctx(
       decXY: ArDecoder, decZ: ArDecoder, decCls: ArDecoder, decFlags: ArDecoder,
       decInt: ArDecoder, decSa: ArDecoder, decUd: ArDecoder, decPs: ArDecoder,
-      decGps: ArDecoder, nExtra: Int) {
+      decGps: ArDecoder, nExtra: Int, rgbBytes: Int = 0) {
     var unused = true
     // last point fields (wire semantics)
     var x, y, z = 0
@@ -364,6 +371,12 @@ private[graft] object Laszip {
     var pointSource = 0
     var gpsBits = 0L // f64 bit pattern, compressed as i64
     var gpsTimeChange = false
+    // RGB/NIR (formats 7/8): the RGB12 byte-diff scheme per context,
+    // NIR its two-model analog; wire bytes sit between POINT14 and extras
+    val rgb = new Array[Int](3)
+    var nir = 0
+    val rgbState: Rgb12 = if (rgbBytes > 0) new Rgb12 else null
+    val nirState: Nir14 = if (rgbBytes == 8) new Nir14 else null
     val extra = new Array[Int](nExtra)
 
     val mChanged: Array[SymModel] = Array.fill(8)(new SymModel(128))
@@ -411,8 +424,18 @@ private[graft] object Laszip {
       pointSource = bb.getShort(recOff + 20) & 0xffff
       gpsBits = bb.getLong(recOff + 22)
       gpsTimeChange = false
+      if (rgbBytes > 0) {
+        rgb(0) = bb.getShort(recOff + 30) & 0xffff
+        rgb(1) = bb.getShort(recOff + 32) & 0xffff
+        rgb(2) = bb.getShort(recOff + 34) & 0xffff
+        rgbState.init(rgb(0), rgb(1), rgb(2))
+        if (rgbBytes == 8) {
+          nir = bb.getShort(recOff + 36) & 0xffff
+          nirState.init(nir)
+        }
+      }
       var i = 0
-      while (i < extra.length) { extra(i) = rec(recOff + 30 + i) & 0xff; i += 1 }
+      while (i < extra.length) { extra(i) = rec(recOff + 30 + rgbBytes + i) & 0xff; i += 1 }
       java.util.Arrays.fill(lastZ, z)
       java.util.Arrays.fill(lastIntensity, intensity)
       gpsLast = 0; gpsNext = 0
@@ -434,8 +457,14 @@ private[graft] object Laszip {
       bb.putShort(off + 18, scanAngle.toShort)
       bb.putShort(off + 20, pointSource.toShort)
       bb.putLong(off + 22, gpsBits)
+      if (rgbBytes > 0) {
+        bb.putShort(off + 30, rgb(0).toShort)
+        bb.putShort(off + 32, rgb(1).toShort)
+        bb.putShort(off + 34, rgb(2).toShort)
+        if (rgbBytes == 8) bb.putShort(off + 36, nir.toShort)
+      }
       var i = 0
-      while (i < extra.length) { out(off + 30 + i) = extra(i).toByte; i += 1 }
+      while (i < extra.length) { out(off + 30 + rgbBytes + i) = extra(i).toByte; i += 1 }
     }
   }
 
@@ -453,8 +482,12 @@ private[graft] object Laszip {
     val p14 = vlr.point14.getOrElse(
       throw new IllegalArgumentException("LAZ stream without POINT14 item"))
     require(p14.version == 3 || p14.version == 4, s"POINT14 v${p14.version} not supported")
+    (vlr.rgb14 orElse vlr.rgbNir14).foreach(it => require(
+      it.version == 3 || it.version == 4, s"RGB14 v${it.version} not supported"))
+    val rgbBytes = vlr.rgbBytes
     val nExtra = vlr.byte14.map(_.size).getOrElse(0)
-    require(recLen == 30 + nExtra, s"record length $recLen != 30 + $nExtra extra bytes")
+    require(recLen == 30 + rgbBytes + nExtra,
+      s"record length $recLen != 30 + $rgbBytes rgb + $nExtra extra bytes")
     // i64 chunk table offset heads the point data; chunks follow densely.
     var p = pointOff + 8
     var remaining = total
@@ -464,7 +497,7 @@ private[graft] object Laszip {
       def hasNext: Boolean = chunkPts.hasNext || remaining > 0
       def next(): Array[Byte] = {
         if (!chunkPts.hasNext) {
-          val (pts, nextP) = decodeChunk(bytes, p, remaining, nExtra, recLen)
+          val (pts, nextP) = decodeChunk(bytes, p, remaining, nExtra, recLen, rgbBytes)
           chunkPts = pts.iterator
           remaining -= pts.length
           p = nextP
@@ -519,21 +552,23 @@ private[graft] object Laszip {
   /** Decode a single chunk handed its own byte slice (for chunk-split
     * parallel reads): returns up to `expect` records. */
   def decodeChunkRecords(chunk: Array[Byte], expect: Long, nExtra: Int,
-      recLen: Int): Array[Array[Byte]] =
-    decodeChunk(chunk, 0, expect, nExtra, recLen)._1
+      recLen: Int, rgbBytes: Int = 0): Array[Array[Byte]] =
+    decodeChunk(chunk, 0, expect, nExtra, recLen, rgbBytes)._1
 
-  /** One chunk: [raw first point][u32 count][9 + nExtra u32 layer
-    * sizes][layer bytes...]; returns the records and the offset just
-    * past the chunk. */
+  /** One chunk: [raw first point][u32 count][9 + rgbLayers + nExtra u32
+    * layer sizes][layer bytes...]; returns the records and the offset
+    * just past the chunk. RGB14 contributes one layer, RGBNIR14 two
+    * (RGB then NIR), each between the POINT14 nine and the extras. */
   private def decodeChunk(bytes: Array[Byte], chunkOff: Int, remaining: Long,
-      nExtra: Int, recLen: Int): (Array[Array[Byte]], Int) = {
+      nExtra: Int, recLen: Int, rgbBytes: Int = 0): (Array[Array[Byte]], Int) = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     var p = chunkOff
     val raw = java.util.Arrays.copyOfRange(bytes, p, p + recLen)
     p += recLen
     val count = math.min(bb.getInt(p).toLong & 0xffffffffL, remaining).toInt
     p += 4
-    val nLayers = 9 + nExtra
+    val rgbLayers = rgbBytes match { case 8 => 2; case 6 => 1; case _ => 0 }
+    val nLayers = 9 + rgbLayers + nExtra
     val sizes = new Array[Int](nLayers)
     var i = 0
     while (i < nLayers) { sizes(i) = bb.getInt(p); p += 4; i += 1 }
@@ -548,10 +583,12 @@ private[graft] object Laszip {
     val decXY = dec(0); val decZ = dec(1); val decCls = dec(2); val decFlags = dec(3)
     val decInt = dec(4); val decSa = dec(5); val decUd = dec(6); val decPs = dec(7)
     val decGps = dec(8)
-    val decExtra = Array.tabulate(nExtra)(j => dec(9 + j))
+    val decRgb = if (rgbLayers >= 1) dec(9) else null
+    val decNir = if (rgbLayers == 2) dec(10) else null
+    val decExtra = Array.tabulate(nExtra)(j => dec(9 + rgbLayers + j))
 
     val ctxs = Array.fill(4)(new Ctx(decXY, decZ, decCls, decFlags, decInt,
-      decSa, decUd, decPs, decGps, nExtra))
+      decSa, decUd, decPs, decGps, nExtra, rgbBytes))
     var cur = (raw(15) >> 4) & 0x03 // scanner channel of the raw first point
     ctxs(cur).init(raw, 0)
 
@@ -664,6 +701,12 @@ private[graft] object Laszip {
       if (decGps != null && gpsTimeChange) readGpsTime(l, decGps)
       l.gpsTimeChange = gpsTimeChange
       if (gpsTimeChange && decGps != null) l.gpsBits = l.lastGps(l.gpsLast)
+
+      if (decRgb != null) {
+        val c = l.rgbState.read(decRgb)
+        l.rgb(0) = c(0); l.rgb(1) = c(1); l.rgb(2) = c(2)
+      }
+      if (decNir != null) l.nir = l.nirState.read(decNir)
 
       var j = 0
       while (j < nExtra) {
@@ -846,11 +889,11 @@ private[graft] object Laszip {
     * [chunk table]. Mirror of [[decode]]; every produced stream decodes
     * bit-exact under it (LasSpec fuzz roundtrips). */
   def encode(records: Iterator[Array[Byte]], recLen: Int, nExtra: Int,
-      chunkSize: Int, pointOff: Long = 0L): Array[Byte] = {
+      chunkSize: Int, pointOff: Long = 0L, rgbBytes: Int = 0): Array[Byte] = {
     val chunks = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val group = new scala.collection.mutable.ArrayBuffer[Array[Byte]](chunkSize)
     def flush(): Unit = if (group.nonEmpty) {
-      chunks += encodeChunk(group.toArray, nExtra, recLen)
+      chunks += encodeChunk(group.toArray, nExtra, recLen, rgbBytes)
       group.clear()
     }
     records.foreach { r =>
@@ -877,10 +920,12 @@ private[graft] object Laszip {
   }
 
   /** Plain field view of a wire record (reused per point; no models). */
-  private final class PtFields(nExtra: Int) {
+  private final class PtFields(nExtra: Int, rgbBytes: Int = 0) {
     var x, y, z, intensity, retNum, numRet, classFlags, scannerCh, scanDir,
       edge, classification, userData, scanAngle, pointSource = 0
     var gpsBits = 0L
+    val rgb = new Array[Int](3)
+    var nir = 0
     val extra = new Array[Int](nExtra)
     def load(rec: Array[Byte]): Unit = {
       val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
@@ -896,8 +941,14 @@ private[graft] object Laszip {
       scanAngle = bb.getShort(18).toInt
       pointSource = bb.getShort(20) & 0xffff
       gpsBits = bb.getLong(22)
+      if (rgbBytes > 0) {
+        rgb(0) = bb.getShort(30) & 0xffff
+        rgb(1) = bb.getShort(32) & 0xffff
+        rgb(2) = bb.getShort(34) & 0xffff
+        if (rgbBytes == 8) nir = bb.getShort(36) & 0xffff
+      }
       var i = 0
-      while (i < extra.length) { extra(i) = rec(30 + i) & 0xff; i += 1 }
+      while (i < extra.length) { extra(i) = rec(30 + rgbBytes + i) & 0xff; i += 1 }
     }
   }
 
@@ -906,9 +957,10 @@ private[graft] object Laszip {
     * per-field logic is the line-by-line mirror of the decode loop. */
   private final class EncCtxSet(encXY: ArEncoder, encZ: ArEncoder, encCls: ArEncoder,
       encFlags: ArEncoder, encInt: ArEncoder, encSa: ArEncoder, encUd: ArEncoder,
-      encPs: ArEncoder, encGps: ArEncoder, encExtra: Array[ArEncoder], nExtra: Int) {
+      encPs: ArEncoder, encGps: ArEncoder, encRgb: ArEncoder, encNir: ArEncoder,
+      encExtra: Array[ArEncoder], nExtra: Int, rgbBytes: Int) {
     val ctx: Array[Ctx] = Array.fill(4)(new Ctx(null, null, null, null, null,
-      null, null, null, null, nExtra))
+      null, null, null, null, nExtra, rgbBytes))
     private val icDx = Array.fill(4)(new IntEnc(encXY, 32, 2))
     private val icDy = Array.fill(4)(new IntEnc(encXY, 32, 22))
     private val icZ = Array.fill(4)(new IntEnc(encZ, 32, 20))
@@ -917,6 +969,7 @@ private[graft] object Laszip {
     private val icPointSource = Array.fill(4)(new IntEnc(encPs, 16, 1))
     private val icGps = Array.fill(4)(new IntEnc(encGps, 32, 9))
     val changed = new Array[Boolean](7) // cls, flags, int, sa, ud, ps, gps
+    var changedRgb, changedNir = false
     val changedExtra = new Array[Boolean](nExtra)
 
     /** Encode one point; returns the (possibly switched) context id. */
@@ -945,7 +998,7 @@ private[graft] object Laszip {
       if (scChange) {
         encXY.encodeSymbol(l.mScannerChannel, (p.scannerCh - cur - 1 + 4) % 4)
         if (ctx(p.scannerCh).unused) {
-          val seed = new Array[Byte](30 + nExtra)
+          val seed = new Array[Byte](30 + rgbBytes + nExtra)
           l.writeRecord(seed, 0)
           ctx(p.scannerCh).init(seed, 0)
         }
@@ -1033,6 +1086,18 @@ private[graft] object Laszip {
       l.gpsTimeChange = gpsChange
       l.gpsBits = p.gpsBits
 
+      if (rgbBytes > 0) {
+        changedRgb |= p.rgb(0) != l.rgb(0) || p.rgb(1) != l.rgb(1) ||
+          p.rgb(2) != l.rgb(2)
+        l.rgbState.write(encRgb, p.rgb(0), p.rgb(1), p.rgb(2))
+        l.rgb(0) = p.rgb(0); l.rgb(1) = p.rgb(1); l.rgb(2) = p.rgb(2)
+        if (rgbBytes == 8) {
+          changedNir |= p.nir != l.nir
+          l.nirState.write(encNir, p.nir)
+          l.nir = p.nir
+        }
+      }
+
       var j = 0
       while (j < nExtra) {
         val d = (p.extra(j) - l.extra(j)) & 0xff
@@ -1092,18 +1157,21 @@ private[graft] object Laszip {
     * user-data/point-source/gps/extra) are dropped when the field never
     * changed in the chunk — the decoder then holds the first point's
     * value, exactly as the layered format specifies. */
-  private def encodeChunk(recs: Array[Array[Byte]], nExtra: Int, recLen: Int): Array[Byte] = {
+  private def encodeChunk(recs: Array[Array[Byte]], nExtra: Int, recLen: Int,
+      rgbBytes: Int = 0): Array[Byte] = {
     val encXY = new ArEncoder; val encZ = new ArEncoder; val encCls = new ArEncoder
     val encFlags = new ArEncoder; val encInt = new ArEncoder; val encSa = new ArEncoder
     val encUd = new ArEncoder; val encPs = new ArEncoder; val encGps = new ArEncoder
+    val encRgb = if (rgbBytes > 0) new ArEncoder else null
+    val encNir = if (rgbBytes == 8) new ArEncoder else null
     val encExtra = Array.fill(nExtra)(new ArEncoder)
     val st = new EncCtxSet(encXY, encZ, encCls, encFlags, encInt, encSa, encUd,
-      encPs, encGps, encExtra, nExtra)
+      encPs, encGps, encRgb, encNir, encExtra, nExtra, rgbBytes)
 
     val raw = recs(0)
     var cur = (raw(15) >> 4) & 0x03
     st.ctx(cur).init(raw, 0)
-    val p = new PtFields(nExtra)
+    val p = new PtFields(nExtra, rgbBytes)
     var n = 1
     while (n < recs.length) {
       p.load(recs(n))
@@ -1115,11 +1183,15 @@ private[graft] object Laszip {
       if (changed) e.done() else Array.emptyByteArray
     val multi = recs.length > 1
     val layers: Array[Array[Byte]] =
-      Array(layer(encXY, multi), layer(encZ, multi),
+      (Array(layer(encXY, multi), layer(encZ, multi),
         layer(encCls, st.changed(0)), layer(encFlags, st.changed(1)),
         layer(encInt, st.changed(2)), layer(encSa, st.changed(3)),
         layer(encUd, st.changed(4)), layer(encPs, st.changed(5)),
         layer(encGps, st.changed(6))) ++
+        (if (rgbBytes > 0) Array(layer(encRgb, st.changedRgb))
+         else Array.empty[Array[Byte]]) ++
+        (if (rgbBytes == 8) Array(layer(encNir, st.changedNir))
+         else Array.empty[Array[Byte]])) ++
         encExtra.indices.map(j => layer(encExtra(j), st.changedExtra(j)))
 
     val total = recLen + 4 + 4 * layers.length + layers.map(_.length).sum
@@ -1450,6 +1522,38 @@ private[graft] object Laszip {
         }
       }
       last(0) = r; last(1) = g; last(2) = b
+    }
+  }
+
+  /** NIR14 state (format 8's near-infrared u16): the RGB12 byte-diff
+    * scheme reduced to one channel — 2-bit byte-used flags + two
+    * conditional 256-symbol diff models. */
+  private final class Nir14 {
+    val mByteUsed = new SymModel(4)
+    val mDiff: Array[SymModel] = Array.fill(2)(new SymModel(256))
+    var last = 0 // u16
+
+    def init(v: Int): Unit = last = v
+
+    def read(dec: ArDecoder): Int = {
+      val sym = dec.decodeSymbol(mByteUsed)
+      var v =
+        if ((sym & 1) != 0) u8Fold(dec.decodeSymbol(mDiff(0)) + (last & 0xff))
+        else last & 0xff
+      v |= (if ((sym & 2) != 0) u8Fold(dec.decodeSymbol(mDiff(1)) + (last >> 8))
+            else last >> 8) << 8
+      last = v
+      v
+    }
+
+    def write(enc: ArEncoder, v: Int): Unit = {
+      var sym = 0
+      if ((v & 0xff) != (last & 0xff)) sym |= 1
+      if ((v >> 8) != (last >> 8)) sym |= 2
+      enc.encodeSymbol(mByteUsed, sym)
+      if ((sym & 1) != 0) enc.encodeSymbol(mDiff(0), u8Fold((v & 0xff) - (last & 0xff)))
+      if ((sym & 2) != 0) enc.encodeSymbol(mDiff(1), u8Fold((v >> 8) - (last >> 8)))
+      last = v
     }
   }
 

@@ -239,6 +239,76 @@ class LasSpec extends AnyFunSuite {
     assert(plain.exceptAll(df).isEmpty && df.exceptAll(plain).isEmpty)
   }
 
+  test("RGB14/NIR v3 layers roundtrip fuzzed records (formats 7/8)") {
+    import graft.sources.Laszip
+    val rnd = new java.util.Random(1234)
+    def mkRec(rgbBytes: Int, i: Int, mode: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(30 + rgbBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(i * 5 + rnd.nextInt(9))
+      bb.putInt(i * 3)
+      bb.putInt(100)
+      bb.putShort(50.toShort)
+      bb.put(0x11.toByte)
+      // occasional scanner-channel switch exercises context seeding of
+      // the per-context Rgb12/Nir14 states
+      val scanner = if (rnd.nextInt(8) == 0) rnd.nextInt(4) else 0
+      bb.put((scanner << 4).toByte)
+      bb.put(0.toByte).put(0.toByte)
+      bb.putShort(0.toShort).putShort(0.toShort)
+      bb.putDouble(i * 0.001)
+      // rgb modes: 0 constant (layer dropped), 1 gray (r==g==b, sym bit6
+      // clear), 2 full-random (all six byte paths)
+      val (r, g, b) = mode match {
+        case 0 => (1000, 2000, 3000)
+        case 1 => val v = rnd.nextInt(65536); (v, v, v)
+        case _ => (rnd.nextInt(65536), rnd.nextInt(65536), rnd.nextInt(65536))
+      }
+      bb.putShort(r.toShort).putShort(g.toShort).putShort(b.toShort)
+      if (rgbBytes == 8)
+        bb.putShort((if (mode == 0) 4000 else rnd.nextInt(65536)).toShort)
+      bb.array()
+    }
+    for (rgbBytes <- Seq(6, 8); mode <- Seq(0, 1, 2); n <- Seq(1, 2, 600)) {
+      val recLen = 30 + rgbBytes
+      val recs = (0 until n).map(i => mkRec(rgbBytes, i, mode))
+      val item = if (rgbBytes == 8) Laszip.Item(12, 8, 3) else Laszip.Item(11, 6, 3)
+      val vlr = Laszip.LazVlr(3, 256, Seq(Laszip.Item(10, 30, 3), item))
+      val enc = Laszip.encode(recs.iterator, recLen, 0, 256, rgbBytes = rgbBytes)
+      val dec = Laszip.decode(enc, 0, n, vlr, recLen).toSeq
+      assert(dec.length == n)
+      recs.indices.foreach { i =>
+        assert(java.util.Arrays.equals(dec(i), recs(i)),
+          s"rgbBytes=$rgbBytes mode=$mode n=$n mismatch at record $i:\n" +
+            s"  want ${recs(i).map(b => f"$b%02x").mkString}\n" +
+            s"  got  ${dec(i).map(b => f"$b%02x").mkString}")
+      }
+    }
+  }
+
+  test("DataFrame LAZ write → read roundtrip (formats 7/8 with RGB/NIR)") {
+    import org.apache.spark.sql.functions._
+    for (fmt <- Seq(7, 8)) {
+      val picks = Seq(
+        (col("id") % 89).cast("double") * 0.25 as "x",
+        (col("id") % 53).cast("double") * 0.5 as "y",
+        (col("id") % 29).cast("double") * 0.25 as "z",
+        (col("id") % 100) as "intensity",
+        col("id").cast("double") * 0.5 as "gps_time",
+        (col("id") * 7 % 65536) as "red",
+        (col("id") * 11 % 65536) as "green",
+        (col("id") * 13 % 65536) as "blue") ++
+        (if (fmt == 8) Seq((col("id") * 17 % 65536) as "nir") else Nil)
+      val df = spark.range(0, 3000).toDF("id").select(picks: _*)
+      val cols = df.columns.toSeq
+      val path = s"/tmp/graft_laz_rgb_$fmt"
+      LasIO.writeFmt6(df.repartition(2), path, scale = 0.25, compress = true)
+      val back = LasIO.read(spark, path).select(cols.map(col): _*)
+      assert(back.count() == 3000)
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    }
+  }
+
   test("formats 7/8 read RGB(+NIR) columns from hand-built LAS 1.4 files") {
     import java.nio.{ByteBuffer, ByteOrder}
     def build(fmt: Int, n: Int): Array[Byte] = {
