@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.SpatialQueries.queries ++
       graft.queries.JoinQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.IoQueries.queries
+      graft.queries.IoQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     Map[String, String]() ++
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.SpatialQueries.oracles ++
       graft.queries.JoinQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.IoQueries.oracles
+      graft.queries.IoQueries.oracles ++
+      graft.queries.StreamingQueries.oracles
 }

@@ -223,6 +223,32 @@ object IoQueries {
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           sum(col("z")).as("sz"), sum(col("intensity")).as("si"),
           sum(col("gps_time")).as("sg"))
+    }),
+
+    // RGB/NIR LAZ cycle: LAS 1.4 point format 8 through the chunked-
+    // layered codec's RGB14/NIR v3 layers (RGBNIR14 item) — write, read
+    // back, aggregate the color channels alongside the coordinates.
+    "pc05_rgb_laz" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .select(
+          (col("c_custkey") % 1000).cast("double") * 0.25 as "x",
+          (col("c_custkey") % 770).cast("double") * 0.5 as "y",
+          (col("c_nationkey")).cast("double") * 0.25 as "z",
+          (col("c_custkey") % 100).cast("long") as "intensity",
+          (col("c_nationkey") % 32).cast("long") as "classification",
+          (col("c_custkey")).cast("double") * 1.5 as "gps_time",
+          (col("c_custkey") * 7 % 65536).cast("long") as "red",
+          (col("c_custkey") * 11 % 65536).cast("long") as "green",
+          (col("c_custkey") * 13 % 65536).cast("long") as "blue",
+          (col("c_custkey") * 17 % 65536).cast("long") as "nir")
+      val path = s"/tmp/graft_laz_rgb/${math.abs(dir.hashCode)}"
+      LasIO.writeFmt6(pts, path, scale = 0.25, compress = true)
+      LasIO.read(s, path)
+        .groupBy(col("classification"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("intensity")).as("si"), sum(col("red")).as("sr"),
+          sum(col("green")).as("sg2"), sum(col("blue")).as("sb"),
+          sum(col("nir")).as("sn"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -312,5 +338,16 @@ object IoQueries {
         |  SUM(CAST(c_nationkey AS DOUBLE)*0.25) AS sz,
         |  CAST(SUM(c_custkey % 100) AS BIGINT) AS si,
         |  SUM(CAST(c_custkey AS DOUBLE)*1.5) AS sg
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "pc05_rgb_laz" ->
+      """SELECT CAST(c_nationkey % 32 AS BIGINT) AS classification,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(c_custkey % 1000 AS DOUBLE)*0.25) AS sx,
+        |  CAST(SUM(c_custkey % 100) AS BIGINT) AS si,
+        |  CAST(SUM(c_custkey * 7 % 65536) AS BIGINT) AS sr,
+        |  CAST(SUM(c_custkey * 11 % 65536) AS BIGINT) AS sg2,
+        |  CAST(SUM(c_custkey * 13 % 65536) AS BIGINT) AS sb,
+        |  CAST(SUM(c_custkey * 17 % 65536) AS BIGINT) AS sn
         |FROM customer GROUP BY 1""".stripMargin)
 }

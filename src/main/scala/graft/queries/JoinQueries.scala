@@ -122,6 +122,51 @@ object JoinQueries {
           |WHERE p_partkey % 2 = 1""".stripMargin)
     }),
 
+    // out-of-core KNN: the two-round grid algorithm (nothing broadcast,
+    // nothing quadratic) on the same data as sj04 — identical result set
+    "sj10_knn_grid_join" -> ((s, dir) => {
+      prep(s)
+      val q = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .withColumn("qpt", st.point(
+          (col("c_custkey") % 97).cast("double") * 10.0 + 0.25,
+          (col("c_custkey") % 89).cast("double") * 10.0 + 0.25))
+        .select(col("c_custkey"), col("qpt"))
+      val o = partBoxes(s, dir)
+        .withColumn("opt", st.centroid(col("box")))
+        .select(col("p_partkey"), col("opt"))
+      SpatialJoins.knnJoinGrid(q, o, col("qpt"), col("opt"), 3, col("p_partkey"))
+        .select(col("c_custkey"), col("p_partkey"), col("knn_rank"),
+          round(col("knn_distance"), 6).as("knn_distance"))
+    }),
+
+    // spheroid KNN via SQL st_knn(..., use_spheroid): the chord kd-tree
+    // branch-and-bound path (all-point object side). Coordinates carry
+    // per-key epsilons so great-circle distances are tie-free; the
+    // projected distance pins the haversine metric itself.
+    "sj11_knn_spheroid" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .withColumn("qpt", st.point(
+          (col("c_custkey") % 340).cast("double") / 2.0 - 85.0 + 1.0 / 3,
+          (col("c_custkey") % 160).cast("double") / 2.0 - 40.0 + 1.0 / 7))
+        .select(col("c_custkey"), col("qpt"))
+        .createOrReplaceTempView("knn_sph_q")
+      t(s, dir, "part")
+        .withColumn("opt", st.point(
+          (col("p_partkey") % 680).cast("double") / 4.0 - 85.0
+            + col("p_partkey").cast("double") * 1.0e-6,
+          (col("p_partkey") % 320).cast("double") / 4.0 - 40.0
+            + col("p_partkey").cast("double") * 1.0e-6))
+        .select(col("p_partkey"), col("opt"))
+        .createOrReplaceTempView("knn_sph_o")
+      s.sql(
+        """SELECT c_custkey, p_partkey,
+          |  round(st_distancesphere(qpt, opt), 2) AS dist_m
+          |FROM knn_sph_q JOIN knn_sph_o ON st_knn(qpt, opt, 3, true)""".stripMargin)
+    }),
+
     // planner-level grid rewrite: pure SQL, no hints, broadcast disabled —
     // GridSpatialJoinRule turns the spatial theta-join into the explode/
     // equi-join/dedup plan (the plan a 1000-executor cluster needs)
@@ -235,6 +280,57 @@ object JoinQueries {
         |  FROM q CROSS JOIN o)
         |SELECT c_custkey, p_partkey, CAST(rk AS INT) AS knn_rank,
         |  round(dist, 6) AS knn_distance
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    // identical result contract to sj04 — the grid algorithm must agree
+    // with the broadcast-index path exactly
+    "sj10_knn_grid_join" ->
+      """WITH q AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 97 AS DOUBLE)*10.0 + 0.25 AS qx,
+        |    CAST(c_custkey % 89 AS DOUBLE)*10.0 + 0.25 AS qy
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |o AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 100 AS DOUBLE)*20.0 + CAST(p_partkey % 7 + 1 AS DOUBLE)/2 AS ox,
+        |    CAST(p_size % 50 AS DOUBLE)*20.0 + CAST(p_size % 5 + 1 AS DOUBLE)/2 AS oy
+        |  FROM part),
+        |ranked AS (
+        |  SELECT q.c_custkey, o.p_partkey,
+        |    sqrt((qx-ox)*(qx-ox) + (qy-oy)*(qy-oy)) AS dist,
+        |    row_number() OVER (PARTITION BY q.c_custkey
+        |      ORDER BY sqrt((qx-ox)*(qx-ox) + (qy-oy)*(qy-oy)), o.p_partkey) AS rk
+        |  FROM q CROSS JOIN o)
+        |SELECT c_custkey, p_partkey, CAST(rk AS INT) AS knn_rank,
+        |  round(dist, 6) AS knn_distance
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "sj11_knn_spheroid" ->
+      """WITH q AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 340 AS DOUBLE)/2.0 - 85.0 + 1.0/3 AS qlon,
+        |    CAST(c_custkey % 160 AS DOUBLE)/2.0 - 40.0 + 1.0/7 AS qlat
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |o AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 680 AS DOUBLE)/4.0 - 85.0
+        |      + CAST(p_partkey AS DOUBLE)*1.0e-6 AS olon,
+        |    CAST(p_partkey % 320 AS DOUBLE)/4.0 - 40.0
+        |      + CAST(p_partkey AS DOUBLE)*1.0e-6 AS olat
+        |  FROM part),
+        |d AS (
+        |  SELECT q.c_custkey, o.p_partkey,
+        |    2*6371008.8*asin(sqrt(
+        |      sin(radians(olat-qlat)/2)*sin(radians(olat-qlat)/2)
+        |      + cos(radians(qlat))*cos(radians(olat))
+        |        * sin(radians(olon-qlon)/2)*sin(radians(olon-qlon)/2))) AS dist
+        |  FROM q CROSS JOIN o),
+        |ranked AS (
+        |  SELECT c_custkey, p_partkey, dist,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY dist, p_partkey) AS rk
+        |  FROM d)
+        |SELECT c_custkey, p_partkey, round(dist, 2) AS dist_m
         |FROM ranked WHERE rk <= 3""".stripMargin,
 
     "sj06_knn_filter_barrier" ->
