@@ -32,6 +32,31 @@ object IoQueries {
         .select(col("p_partkey"))
     }),
 
+    // sd_random_geometry table function: the generator's per-(seed,id)
+    // hash values aren't DuckDB-expressible, so the gate pins the
+    // documented CONTRACT — full id sequence, geometry type, bounds
+    // containment (box size in [1,6) beyond the min corner), dist in
+    // [0,1), validity — via constants the oracle restates. Seed fixed so
+    // the run is deterministic; the SQL table-function surface itself is
+    // what's exercised.
+    "io07_random_geometry" -> ((s, _) => {
+      GraftExtensions.install(s)
+      s.sql(
+        """SELECT id,
+          |  st_geometrytype(geometry) AS gtype,
+          |  st_isvalid(geometry) AS valid,
+          |  st_xmin(geometry) >= 0.0 AND st_xmin(geometry) < 50.0
+          |    AND st_ymin(geometry) >= 0.0 AND st_ymin(geometry) < 40.0
+          |    AND st_xmax(geometry) - st_xmin(geometry) >= 1.0
+          |    AND st_xmax(geometry) - st_xmin(geometry) < 6.0
+          |    AND st_ymax(geometry) - st_ymin(geometry) >= 1.0
+          |    AND st_ymax(geometry) - st_ymin(geometry) < 6.0 AS in_bounds,
+          |  dist >= 0.0 AND dist < 1.0 AS dist_ok
+          |FROM sd_random_geometry('{"num_rows": 2000, "seed": 7,
+          |  "geometry_type": "box", "bounds": [0, 0, 50, 40],
+          |  "num_partitions": 8}')""".stripMargin)
+    }),
+
     // CSV + JSON round trip with WKT geometry transcoding
     "io02_csv_json_roundtrip" -> ((s, dir) => {
       GraftExtensions.install(s)
@@ -252,6 +277,15 @@ object IoQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // contract constants over the full id range (range() is 0..n-1)
+    "io07_random_geometry" ->
+      """SELECT CAST(range AS INT) AS id,
+        |  'ST_Polygon' AS gtype,
+        |  true AS valid,
+        |  true AS in_bounds,
+        |  true AS dist_ok
+        |FROM range(2000)""".stripMargin,
+
     "gp01_geoparquet_prune" ->
       """WITH b AS (
         |  SELECT p_partkey,
