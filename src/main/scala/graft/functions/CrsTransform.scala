@@ -112,6 +112,17 @@ object CrsTransform {
         Projected(z, TransverseMercator(Grs80, lon0 = (z - 26900 - 1) * 6 - 180 + 3,
           k0 = 0.9996, fe = 500000.0, fn = 0.0))
       // SPCS83 state-plane zones (metres): NY Long Island, Texas Central
+      // polar science CRSes: Antarctic / NSIDC sea-ice grids + UPS
+      case 3031 => Projected(3031,
+        PolarStereographic(Wgs84, south = true, lon0 = 0.0, latTs = -71.0))
+      case 3413 => Projected(3413,
+        PolarStereographic(Wgs84, south = false, lon0 = -45.0, latTs = 70.0))
+      case 3976 => Projected(3976,
+        PolarStereographic(Wgs84, south = true, lon0 = 0.0, latTs = -70.0))
+      case 5041 => Projected(5041, PolarStereographic(Wgs84, south = false,
+        lon0 = 0.0, k0 = 0.994, fe = 2000000.0, fn = 2000000.0))
+      case 5042 => Projected(5042, PolarStereographic(Wgs84, south = true,
+        lon0 = 0.0, k0 = 0.994, fe = 2000000.0, fn = 2000000.0))
       case 32118 => Projected(32118, LambertConformal2SP(Grs80,
         lat0 = 40.0 + 10.0 / 60, lon0 = -74.0, sp1 = 41.0 + 2.0 / 60,
         sp2 = 40.0 + 40.0 / 60, fe = 300000.0, fn = 0.0))
@@ -336,6 +347,44 @@ object CrsTransform {
       val lam = math.atan2(xp * math.sin(ce),
         d * rho * math.cos(beta0) * math.cos(ce) - d * d * yp * math.sin(beta0) * math.sin(ce))
       (lon0 + math.toDegrees(lam), math.toDegrees(phiFromQ(el, q)))
+    }
+  }
+
+  /** Polar Stereographic (Snyder 21-33..21-41 ellipsoidal; EPSG method
+    * 9829 "variant B" via a standard parallel `latTs`, or 9810
+    * "variant A" via a pole scale `k0` — UPS). `south` mirrors the
+    * aspect. EPSG 3031/3413/3976 + UPS 5041/5042. */
+  final case class PolarStereographic(el: Ellipsoid, south: Boolean,
+      lon0: Double, latTs: Double = Double.NaN, k0: Double = Double.NaN,
+      fe: Double = 0.0, fn: Double = 0.0) extends Projection {
+    // ρ = a·F·t with F = m(φ1)/t(φ1) (variant B, true at φ1) or
+    // 2·k0/sqrt((1+e)^(1+e)·(1−e)^(1−e)) (variant A, scale k0 at pole)
+    private val factor: Double =
+      if (!latTs.isNaN) {
+        val phiTs = math.toRadians(math.abs(latTs))
+        mFn(el, phiTs) / tFn(el, phiTs)
+      } else
+        2 * k0 / math.sqrt(
+          math.pow(1 + el.e, 1 + el.e) * math.pow(1 - el.e, 1 - el.e))
+
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(if (south) -lat else lat)
+      val lam = math.toRadians(if (south) -(lon - lon0) else lon - lon0)
+      val rho = el.a * factor * tFn(el, phi)
+      val x = rho * math.sin(lam)
+      val y = -rho * math.cos(lam)
+      if (south) (fe - x, fn - y) else (fe + x, fn + y)
+    }
+
+    def inv(x: Double, y: Double): (Double, Double) = {
+      val xp = if (south) fe - x else x - fe
+      val yp = if (south) fn - y else y - fn
+      val rho = math.hypot(xp, yp)
+      if (rho < 1e-9) return (lon0, if (south) -90.0 else 90.0)
+      val phi = phiFromT(el, rho / (el.a * factor))
+      val lam = math.atan2(xp, -yp)
+      val lon = if (south) lon0 - math.toDegrees(lam) else lon0 + math.toDegrees(lam)
+      (((lon + 540.0) % 360.0) - 180.0, math.toDegrees(if (south) -phi else phi))
     }
   }
 

@@ -184,14 +184,15 @@ object SpatialJoins {
 
     val qCols = query.columns
     val oCols = objects.columns
-    val q = query.withColumn("__qg", queryGeom)
+    val q = graft.CacheRegistry.register(query.withColumn("__qg", queryGeom)
       .withColumn("__qid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val o = objects.withColumn("__og", objectGeom).withColumn("__otb", tieBreak.cast("double"))
-      .withColumn("__oid", monotonically_increasing_id())
-      .withColumn("__ocell", explode(st.f("st_gridcells", st.f("st_envelope", col("__og")),
-        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val o = graft.CacheRegistry.register(
+      objects.withColumn("__og", objectGeom).withColumn("__otb", tieBreak.cast("double"))
+        .withColumn("__oid", monotonically_increasing_id())
+        .withColumn("__ocell", explode(st.f("st_gridcells", st.f("st_envelope", col("__og")),
+          lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // round 1: one-ring neighbourhood probe -> per-query distance bound
     val ring = math.max(cellW, cellH) + 1e-12

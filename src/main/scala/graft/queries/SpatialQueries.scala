@@ -212,6 +212,8 @@ object SpatialQueries {
         .withColumn("lon_tx", (col("c_custkey") % 30).cast("double") / 10.0 - 100.0)
         .withColumn("lat_tx", (col("c_custkey") % 20).cast("double") / 10.0 + 29.8)
         .withColumn("lon_z17", (col("c_custkey") % 240).cast("double") / 40.0 - 82.5)
+        // Antarctic band for the polar-stereographic grid
+        .withColumn("lat_ant", (col("c_custkey") % 200).cast("double") / 10.0 - 85.0)
       base.select(Seq(col("c_custkey")) ++
         rt(col("lon_eu"), col("lat_eu"), "EPSG:2154", "lcc") ++
         rt(col("lon_eu"), col("lat_eu"), "EPSG:3035", "laea") ++
@@ -221,7 +223,8 @@ object SpatialQueries {
         rt(col("lon_uk"), col("lat_uk"), "EPSG:27700", "bng") ++
         rt(col("lon_ny"), col("lat_ny"), "EPSG:32118", "spny") ++
         rt(col("lon_tx"), col("lat_tx"), "EPSG:32139", "sptx") ++
-        rt(col("lon_z17"), col("lat_ny"), "EPSG:26917", "n83"): _*)
+        rt(col("lon_z17"), col("lat_ny"), "EPSG:26917", "n83") ++
+        rt(col("lon_w"), col("lat_ant"), "EPSG:3031", "ps"): _*)
     }),
 
     // spatial sort key: Z-order (Hilbert variant covered in unit spec)
@@ -770,7 +773,8 @@ object SpatialQueries {
         |    CAST(c_custkey % 10 AS DOUBLE)/10.0 + 40.3 AS lat_ny,
         |    CAST(c_custkey % 30 AS DOUBLE)/10.0 - 100.0 AS lon_tx,
         |    CAST(c_custkey % 20 AS DOUBLE)/10.0 + 29.8 AS lat_tx,
-        |    CAST(c_custkey % 240 AS DOUBLE)/40.0 - 82.5 AS lon_z17
+        |    CAST(c_custkey % 240 AS DOUBLE)/40.0 - 82.5 AS lon_z17,
+        |    CAST(c_custkey % 200 AS DOUBLE)/10.0 - 85.0 AS lat_ant
         |  FROM customer WHERE c_custkey % 5 = 0)
         |SELECT c_custkey,
         |  round(lon_eu, 5) AS lon_lcc,  round(lat_eu, 5) AS lat_lcc,
@@ -781,7 +785,8 @@ object SpatialQueries {
         |  round(lon_uk, 5) AS lon_bng,  round(lat_uk, 5) AS lat_bng,
         |  round(lon_ny, 5) AS lon_spny, round(lat_ny, 5) AS lat_spny,
         |  round(lon_tx, 5) AS lon_sptx, round(lat_tx, 5) AS lat_sptx,
-        |  round(lon_z17, 5) AS lon_n83, round(lat_ny, 5) AS lat_n83
+        |  round(lon_z17, 5) AS lon_n83, round(lat_ny, 5) AS lat_n83,
+        |  round(lon_w, 5) AS lon_ps,   round(lat_ant, 5) AS lat_ps
         |FROM p""".stripMargin,
 
     "sp09_zorder" ->

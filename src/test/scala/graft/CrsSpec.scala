@@ -69,6 +69,43 @@ class CrsSpec extends AnyFunSuite {
       roundtrip("EPSG:32732", lon, lat)
   }
 
+  test("polar stereographic: poles, standard-parallel radius, UPS, roundtrips") {
+    // poles land on the (false) origin
+    assert(near(pt(0.0, -90.0, "EPSG:4326", "EPSG:3031"), (0.0, 0.0), 1e-6))
+    assert(near(pt(0.0, 90.0, "EPSG:4326", "EPSG:3413"), (0.0, 0.0), 1e-6))
+    assert(near(pt(0.0, 90.0, "EPSG:4326", "EPSG:5041"), (2000000.0, 2000000.0), 1e-6))
+    assert(near(pt(0.0, -90.0, "EPSG:4326", "EPSG:5042"), (2000000.0, 2000000.0), 1e-6))
+    // variant B is true at its standard parallel: the pole distance there
+    // equals a·m(φ1) (the parallel's true radius)
+    def m(lat: Double): Double = {
+      val e2 = 0.00669437999014; val phi = math.toRadians(lat)
+      6378137.0 * math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    }
+    val (x71, y71) = pt(0.0, -71.0, "EPSG:4326", "EPSG:3031")
+    assert(math.abs(x71) < 1e-6 && math.abs(math.hypot(x71, y71) - m(-71.0)) < 0.5,
+      s"3031 std-parallel radius ($x71,$y71)")
+    val (x70, y70) = pt(-45.0, 70.0, "EPSG:4326", "EPSG:3413")
+    assert(math.abs(x70) < 1e-6 && math.abs(math.hypot(x70, y70) - m(70.0)) < 0.5,
+      s"3413 std-parallel radius ($x70,$y70)")
+    // south aspect orientation: lon0+90E maps to +x in 3031 (EPSG 9829)
+    val (qx, qy) = pt(90.0, -75.0, "EPSG:4326", "EPSG:3031")
+    assert(qx > 0 && math.abs(qy) < 1e-6, s"3031 90E ($qx,$qy)")
+    // north aspect: on the lon0 meridian, y is negative (grid north up)
+    val (nx, ny) = pt(-45.0, 80.0, "EPSG:4326", "EPSG:3413")
+    assert(math.abs(nx) < 1e-6 && ny < 0, s"3413 lon0 ($nx,$ny)")
+    // roundtrips across each grid's domain
+    for (lon <- Seq(-170.0, -45.0, 0.0, 120.0); lat <- Seq(-88.0, -75.0, -65.0))
+      roundtrip("EPSG:3031", lon, lat)
+    for (lon <- Seq(-170.0, -45.0, 0.0, 120.0); lat <- Seq(60.0, 75.0, 88.0))
+      roundtrip("EPSG:3413", lon, lat)
+    for (lon <- Seq(-90.0, 10.0); lat <- Seq(-80.0, -60.0))
+      roundtrip("EPSG:3976", lon, lat)
+    for (lon <- Seq(-120.0, 45.0); lat <- Seq(84.5, 89.5))
+      roundtrip("EPSG:5041", lon, lat)
+    for (lon <- Seq(-120.0, 45.0); lat <- Seq(-89.5, -84.5))
+      roundtrip("EPSG:5042", lon, lat)
+  }
+
   test("projected-to-projected goes through the shared geographic hub") {
     val (x, y) = pt(2.3522, 48.8566, "EPSG:4326", "EPSG:2154")
     val (ex, ey) = pt(2.3522, 48.8566, "EPSG:4326", "EPSG:3035")
