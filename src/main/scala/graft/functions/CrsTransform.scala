@@ -84,7 +84,13 @@ object CrsTransform {
   }
 
   def parse(code: String): Crs = {
-    val c = code.trim.toUpperCase.stripPrefix("EPSG:")
+    val t = code.trim
+    // WKT1/WKT2/PROJJSON/OGC:CRS84 route through the authority extractor
+    // and come back as plain EPSG codes
+    val c =
+      if (t.toUpperCase.startsWith("EPSG:")) t.drop(5).trim
+      else if (t.nonEmpty && t.forall(_.isDigit)) t
+      else GeomScalars.parseCrsSrid(t).toString
     c.toInt match {
       case 4326 => LonLat
       case 3857 => WebMercator

@@ -398,9 +398,37 @@ object GeomScalars {
     case c if c.equalsIgnoreCase("OGC:CRS84") => 4326
     case c if c.toUpperCase.startsWith("EPSG:") => c.drop(5).trim.toInt
     case c if c.nonEmpty && c.forall(_.isDigit) => c.toInt
+    case c if c.startsWith("PROJCS") || c.startsWith("GEOGCS") ||
+        c.startsWith("PROJCRS") || c.startsWith("GEOGCRS") ||
+        c.startsWith("COMPD_CS") || c.startsWith("BOUNDCRS") =>
+      // WKT1/WKT2 CRS string: the defined CRS's own authority is the
+      // LAST AUTHORITY["EPSG","n"] / ID["EPSG",n] node in the text
+      // (nested datum/unit authorities come first) — reference
+      // test_transforms.py::test_st_srid_from_wkt
+      wktAuthority(c).getOrElse(throw new IllegalArgumentException(
+        s"WKT CRS carries no authority code: no SRID to extract"))
+    case c if c.startsWith("{") =>
+      // PROJJSON: trailing top-level {"id": {"authority": "EPSG", "code": n}}
+      projjsonSrid(c).getOrElse(throw new IllegalArgumentException(
+        s"PROJJSON CRS carries no id.code: no SRID to extract"))
     case other => throw new IllegalArgumentException(
-      s"unsupported CRS string: '$other' (use EPSG:<code>)")
+      s"unsupported CRS string: '$other' (use EPSG:<code>, WKT with an " +
+        "authority, or PROJJSON with an id)")
   }
+
+  private val AuthorityRe =
+    """(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
+  private def wktAuthority(wkt: String): Option[Int] =
+    AuthorityRe.findAllMatchIn(wkt).toSeq.lastOption.map(_.group(1).toInt)
+
+  private def projjsonSrid(json: String): Option[Int] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val id = node.get("id")
+      if (id != null && id.has("code") && id.has("authority") &&
+          id.get("authority").asText("") == "EPSG") Some(id.get("code").asInt())
+      else None
+    } catch { case _: Exception => None }
 
   private def azimuth(a: Geometry, b: Geometry): Any = (a, b) match {
     case (p1: Point, p2: Point) =>
@@ -836,8 +864,21 @@ object GeomScalars {
     fn("st_setsrid", BinaryType, Seq(Geom, Int_))(a => GeomIO.setSrid(g0(a), i(a, 1))),
     // CRS as an authority string (reference st_srid.rs/st_setsrid.rs pair
     // ST_CRS/ST_SetCRS; we carry SRID-backed EPSG codes only)
-    fn("st_crs", StringType, Seq(Geom))(a => {
-      val srid = g0(a).getSRID; if (srid == 0) null else s"EPSG:$srid" }),
+    // Raw so an item-CRS struct answers with its VERBATIM crs string;
+    // plain geometries reconstruct from the SRID, with 4326 printed as
+    // the reference prints it (OGC:CRS84 — test_transforms.py::
+    // test_item_crs_sedonadb lnglat convention)
+    fn("st_crs", StringType, Seq(Raw))(a => a(0) match {
+      case row: org.apache.spark.sql.catalyst.InternalRow =>
+        if (row.isNullAt(0) || row.isNullAt(1)) null
+        else row.getUTF8String(1).toString
+      case bytes: Array[Byte] =>
+        val srid = GeomIO.read(bytes).getSRID
+        if (srid == 0) null
+        else if (srid == 4326) "OGC:CRS84"
+        else s"EPSG:$srid"
+      case _ => null
+    }),
     fn("st_setcrs", BinaryType, Seq(Geom, Str))(a =>
       GeomIO.setSrid(g0(a), parseCrsSrid(s(a, 1)))),
     // explicit item-CRS constructor: struct(item, crs) with the crs
@@ -1021,8 +1062,31 @@ object GeomScalars {
     }),
 
     // ---- affine transforms (st_affine.rs family) ----
-    fn("st_translate", BinaryType, Seq(Geom, Dbl, Dbl))(a =>
-      AffineTransformation.translationInstance(d(a, 1), d(a, 2)).transform(g0(a))),
+    // 2-arg planar translate, or 3-offset form where dz applies only to
+    // geometries that carry Z (2D/M stay unchanged — reference
+    // test_transforms.py::test_st_translate_3d)
+    "st_translate" -> ((children: Seq[Expression]) => GeomScalar("st_translate", children,
+      BinaryType, if (children.length >= 4) Seq(Geom, Dbl, Dbl, Dbl) else Seq(Geom, Dbl, Dbl),
+      a => {
+        if (a.length < 4)
+          AffineTransformation.translationInstance(d(a, 1), d(a, 2)).transform(g0(a))
+        else {
+          val dx = d(a, 1); val dy = d(a, 2); val dz = d(a, 3)
+          val out = g0(a).copy()
+          out.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+            override def filter(seq: org.locationtech.jts.geom.CoordinateSequence,
+                i: Int): Unit = {
+              seq.setOrdinate(i, 0, seq.getOrdinate(i, 0) + dx)
+              seq.setOrdinate(i, 1, seq.getOrdinate(i, 1) + dy)
+              if (seq.hasZ) seq.setOrdinate(i, 2, seq.getOrdinate(i, 2) + dz)
+            }
+            override def isDone: Boolean = false
+            override def isGeometryChanged: Boolean = true
+          })
+          out.geometryChanged()
+          out
+        }
+      })),
     fn("st_scale", BinaryType, Seq(Geom, Dbl, Dbl))(a =>
       AffineTransformation.scaleInstance(d(a, 1), d(a, 2)).transform(g0(a))),
     fn("st_rotate", BinaryType, Seq(Geom, Dbl))(a =>

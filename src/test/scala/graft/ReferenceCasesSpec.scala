@@ -497,6 +497,94 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_srid(st_point(1,1))") == 0)
   }
 
+  test("ST_Translate 2D/3D table incl. Z/M/ZM and empties (test_transforms.py)") {
+    def t2(geom: String, dx: String, dy: String, expected: String): Unit =
+      sameGeom(s"st_translate(st_geomfromwkt('$geom'), $dx, $dy)", expected)
+    def t3(geom: String, dx: String, dy: String, dz: String, expected: String): Unit =
+      sameGeom(s"st_translate(st_geomfromwkt('$geom'), $dx, $dy, $dz)", expected)
+    t2("POINT (0 1)", "1.0D", "2.0D", "POINT (1 3)")
+    t2("POINT (0 1)", "-1.0D", "-2.0D", "POINT (-1 -1)")
+    t2("POINT (0 1)", "0.0D", "0.0D", "POINT (0 1)")
+    t2("POINT (0 1)", "1", "2", "POINT (1 3)") // integer args
+    t2("POINT Z (0 1 2)", "1.0D", "2.0D", "POINT Z (1 3 2)")
+    t2("POINT M (0 1 2)", "1.0D", "2.0D", "POINT M (1 3 2)")
+    t2("POINT ZM (0 1 2 3)", "1.0D", "2.0D", "POINT ZM (1 3 2 3)")
+    t2("LINESTRING (0 1, 2 3)", "1.0D", "2.0D", "LINESTRING (1 3, 3 5)")
+    t2("POLYGON ((0 0, 1 0, 0 1, 0 0))", "1.0D", "2.0D",
+      "POLYGON ((1 2, 2 2, 1 3, 1 2))")
+    t2("MULTIPOINT (0 1, 2 3)", "1.0D", "2.0D", "MULTIPOINT (1 3, 3 5)")
+    t2("GEOMETRYCOLLECTION (POINT (0 1))", "1.0D", "2.0D",
+      "GEOMETRYCOLLECTION (POINT (1 3))")
+    t2("LINESTRING EMPTY", "1.0D", "2.0D", "LINESTRING EMPTY")
+    t2("POLYGON EMPTY", "1.0D", "2.0D", "POLYGON EMPTY")
+    t2("GEOMETRYCOLLECTION EMPTY", "1.0D", "2.0D", "GEOMETRYCOLLECTION EMPTY")
+    // 3-offset form: dz applies to Z carriers only; 2D and M unchanged
+    t3("POINT Z (0 1 2)", "1.0D", "2.0D", "3.0D", "POINT Z (1 3 5)")
+    t3("POINT Z (0 1 2)", "-1.0D", "-2.0D", "-3.0D", "POINT Z (-1 -1 -1)")
+    t3("POINT (0 1)", "1.0D", "2.0D", "3.0D", "POINT (1 3)")
+    t3("POINT M (0 1 2)", "1.0D", "2.0D", "3.0D", "POINT M (1 3 2)")
+    t3("POINT ZM (0 1 2 3)", "1.0D", "2.0D", "3.0D", "POINT ZM (1 3 5 3)")
+    t3("LINESTRING Z (0 1 2, 2 3 4)", "1.0D", "2.0D", "3.0D",
+      "LINESTRING Z (1 3 5, 3 5 7)")
+    t3("POLYGON Z ((0 0 0, 1 0 2, 0 1 2, 0 0 0))", "1.0D", "2.0D", "3.0D",
+      "POLYGON Z ((1 2 3, 2 2 5, 1 3 5, 1 2 3))")
+    t3("MULTIPOLYGON Z (((0 0 0, 1 0 2, 0 1 2, 0 0 0)))", "1.0D", "2.0D", "3.0D",
+      "MULTIPOLYGON Z (((1 2 3, 2 2 5, 1 3 5, 1 2 3)))")
+    t3("GEOMETRYCOLLECTION Z (POINT Z (0 1 2))", "1.0D", "2.0D", "3.0D",
+      "GEOMETRYCOLLECTION Z (POINT Z (1 3 5))")
+    t3("MULTIPOINT EMPTY", "1.0D", "2.0D", "3.0D", "MULTIPOINT EMPTY")
+    // null propagation across both arities
+    assert(q("st_translate(st_point(0,1), CAST(NULL AS DOUBLE), 2.0D)") == null)
+    assert(q("st_translate(st_point(0,1), 1.0D, CAST(NULL AS DOUBLE), 3.0D)") == null)
+    assert(q("st_translate(CAST(NULL AS BINARY), 1.0D, 2.0D)") == null)
+  }
+
+  test("CRS strings: WKT authority extraction, OGC:CRS84, PROJJSON (test_transforms.py)") {
+    val wkt3857 =
+      "PROJCS[\"WGS 84 / Pseudo-Mercator\",GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+        "SPHEROID[\"WGS 84\",6378137,298.257223563,AUTHORITY[\"EPSG\",\"7030\"]]," +
+        "AUTHORITY[\"EPSG\",\"6326\"]],PRIMEM[\"Greenwich\",0,AUTHORITY[\"EPSG\",\"8901\"]]," +
+        "UNIT[\"degree\",0.0174532925199433,AUTHORITY[\"EPSG\",\"9122\"]]," +
+        "AUTHORITY[\"EPSG\",\"4326\"]],PROJECTION[\"Mercator_1SP\"]," +
+        "PARAMETER[\"central_meridian\",0],PARAMETER[\"scale_factor\",1]," +
+        "PARAMETER[\"false_easting\",0],PARAMETER[\"false_northing\",0]," +
+        "UNIT[\"metre\",1,AUTHORITY[\"EPSG\",\"9001\"]],AUTHORITY[\"EPSG\",\"3857\"]]"
+    // a WKT carrying an EPSG authority resolves to that SRID (the LAST
+    // authority in the text — the nested 4326/7030/9122 must not win)
+    assert(graft.functions.GeomScalars.parseCrsSrid(wkt3857) == 3857)
+    // authorityless WKT: the error must name the missing SRID
+    val noAuth =
+      "PROJCS[\"Custom LCC\",GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+        "SPHEROID[\"WGS 84\",6378137,298.257223563]]]," +
+        "PROJECTION[\"Lambert_Conformal_Conic_2SP\"]," +
+        "PARAMETER[\"standard_parallel_1\",33],PARAMETER[\"standard_parallel_2\",45]," +
+        "PARAMETER[\"latitude_of_origin\",39],PARAMETER[\"central_meridian\",-96]," +
+        "UNIT[\"metre\",1]]"
+    val e = intercept[IllegalArgumentException](
+      graft.functions.GeomScalars.parseCrsSrid(noAuth))
+    assert(e.getMessage.contains("SRID"))
+    // PROJJSON with a top-level id
+    assert(graft.functions.GeomScalars.parseCrsSrid(
+      """{"type": "ProjectedCRS", "name": "NAD83 / UTM zone 20N",
+        | "id": {"authority": "EPSG", "code": 26920}}""".stripMargin) == 26920)
+    // a WKT CRS feeds the transform like any other CRS string:
+    // the 3857 coordinates of (1,1) transform back to ~POINT (1 1)
+    val back = spark.sql("SELECT st_transform(st_geomfromwkt(" +
+        "'POINT (111319.490793274 111325.142866385)'), '" + wkt3857 +
+        "', 'EPSG:4326') AS g")
+      .selectExpr("st_x(g)", "st_y(g)").collect()(0)
+    assert(math.abs(back.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(back.getDouble(1) - 1.0) < 1e-6)
+    // st_crs prints 4326 as the lnglat convention; others as EPSG:<n>;
+    // srid 0 as null; setcrs accepts EPSG strings (test_st_crs_sedonadb)
+    assert(q("st_crs(st_setcrs(st_point(1,1), 'EPSG:26920'))") == "EPSG:26920")
+    assert(q("st_crs(st_setsrid(st_point(1,1), 4326))") == "OGC:CRS84")
+    assert(q("st_crs(st_point(1,1))") == null)
+    assert(q("st_srid(st_setsrid(st_point(1,1), 0))") == 0)
+    // NULL SRID/geometry propagate
+    assert(q("st_setsrid(st_point(1,1), CAST(NULL AS INT))") == null)
+  }
+
   test("geography distance anchors (tests/geography/test_geog_distance.py)") {
     // the reference's S2 radius is 6371010.0 m, ours is the IUGG mean
     // 6371008.8 — a 1.9e-7 relative constant; compare at 1e-6 relative
