@@ -35,7 +35,9 @@ object Spherical {
     case _ => null
   }
 
-  /** Sum of per-segment haversines over linear components. */
+  /** Sum of per-segment haversines over linear components (geodesic
+    * edges, the S2 edge model). Points and polygons measure 0 — the
+    * reference's length/perimeter split (test_geog_measures.py). */
   def length(g: Geometry): Any = g match {
     case l: LineString =>
       val cs = l.getCoordinates
@@ -45,28 +47,69 @@ object Spherical {
         s += haversine(cs(i - 1).x, cs(i - 1).y, cs(i).x, cs(i).y); i += 1
       }
       s
-    case _ => null
+    case m: org.locationtech.jts.geom.MultiLineString =>
+      (0 until m.getNumGeometries).map(i => length(m.getGeometryN(i)).asInstanceOf[Double]).sum
+    case _: Point | _: MultiPoint | _: Polygon | _: MultiPolygon => 0.0
+    case gc: org.locationtech.jts.geom.GeometryCollection =>
+      (0 until gc.getNumGeometries).map(i => length(gc.getGeometryN(i)).asInstanceOf[Double]).sum
+    case _ => 0.0
   }
 
+  /** Geodesic-edge spherical ring area: signed l'Huilier triangle fan
+    * from the first vertex — S2's edge model, matching the reference's
+    * geography anchors (test_geog_measures.py) after the radius-constant
+    * scaling. (The previous chart-edge lon-difference formula is exact
+    * only for parallel-following edges and diverged up to ~1.6e-3 on
+    * geodesic quads away from the equator.) */
   private def ringArea(cs: Array[org.locationtech.jts.geom.Coordinate]): Double = {
-    // spherical excess via the lon-difference / sin-lat sum formula
-    var s = 0.0
-    var i = 1
-    while (i < cs.length) {
-      s += math.toRadians(cs(i).x - cs(i - 1).x) *
-        (2 + math.sin(math.toRadians(cs(i - 1).y)) + math.sin(math.toRadians(cs(i).y)))
+    if (cs.length < 4) return 0.0 // closed ring needs >= 3 distinct vertices
+    val n = cs.length - 1
+    val vx = new Array[Double](n)
+    val vy = new Array[Double](n)
+    val vz = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val lo = math.toRadians(cs(i).x)
+      val la = math.toRadians(cs(i).y)
+      vx(i) = math.cos(la) * math.cos(lo)
+      vy(i) = math.cos(la) * math.sin(lo)
+      vz(i) = math.sin(la)
       i += 1
     }
-    math.abs(s) * R * R / 2
+    @inline def ang(p: Int, q: Int): Double = {
+      val dx = vx(p) - vx(q); val dy = vy(p) - vy(q); val dz = vz(p) - vz(q)
+      2 * math.asin(math.min(1.0, math.sqrt(dx * dx + dy * dy + dz * dz) / 2))
+    }
+    var total = 0.0
+    i = 1
+    while (i < n - 1) {
+      val a = ang(i, i + 1)
+      val b = ang(0, i + 1)
+      val c = ang(0, i)
+      val s = (a + b + c) / 2
+      val t = math.tan(s / 2) * math.tan((s - a) / 2) *
+        math.tan((s - b) / 2) * math.tan((s - c) / 2)
+      val e = 4 * math.atan(math.sqrt(math.max(0.0, t)))
+      // fan-triangle orientation from the scalar triple product
+      val sp = vx(0) * (vy(i) * vz(i + 1) - vz(i) * vy(i + 1)) +
+        vy(0) * (vz(i) * vx(i + 1) - vx(i) * vz(i + 1)) +
+        vz(0) * (vx(i) * vy(i + 1) - vy(i) * vx(i + 1))
+      total += (if (sp >= 0) e else -e)
+      i += 1
+    }
+    math.abs(total) * R * R
   }
 
-  /** Spherical area of polygonal geometry (holes subtracted). */
+  /** Spherical area of polygonal geometry (holes subtracted; collections
+    * sum their polygonal members, everything else measures 0). */
   def area(g: Geometry): Any = g match {
     case p: Polygon =>
       ringArea(p.getExteriorRing.getCoordinates) -
         (0 until p.getNumInteriorRing).map(i => ringArea(p.getInteriorRingN(i).getCoordinates)).sum
     case m: MultiPolygon =>
       (0 until m.getNumGeometries).map(i => area(m.getGeometryN(i)).asInstanceOf[Double]).sum
+    case gc: org.locationtech.jts.geom.GeometryCollection =>
+      (0 until gc.getNumGeometries).map(i => area(gc.getGeometryN(i)).asInstanceOf[Double]).sum
     case _ => 0.0
   }
 

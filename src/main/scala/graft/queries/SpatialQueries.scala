@@ -251,7 +251,10 @@ object SpatialQueries {
         .select(col("c_custkey"),
           round(st.f("st_distancesphere", col("p1"), col("p2")), 4).as("dist_m"),
           st.f("st_dwithinsphere", col("p1"), col("p2"), lit(150000.0)).as("within_150km"),
-          round(st.f("st_areasphere", col("box")), 2).as("area_m2"),
+          // geodesic-edge quad area (the S2 edge model); km² at 3 decimals
+          // keeps ~1e-7 relative resolution, far above cross-engine trig
+          // noise but far below the chart-edge model's 1e-3 divergence
+          round(st.f("st_areasphere", col("box")) / 1e6, 3).as("area_km2"),
           round(st.f("st_lengthsphere",
             st.f("st_exteriorring", col("box"))), 4).as("ring_len_m"))
     }),
@@ -304,11 +307,17 @@ object SpatialQueries {
     }),
 
     // spherical overlay subset: nested boxes so the tangent-plane overlay
-    // result is oracle-computable in closed form (intersection = inner,
-    // union = outer, difference = outer-with-hole); plus exact great-
-    // circle line interpolation (slerp)
+    // result has oracle-computable extents (intersection = inner, union =
+    // outer, difference = outer-with-hole). Areas are taken on the
+    // envelope-reconstructed quads (exact geodesic 4-corner form — the
+    // densified overlay rings themselves have no closed-form geodesic
+    // area); the hole is discriminated by center containment. Plus exact
+    // great-circle line interpolation (slerp).
     "sp13_sphere_overlay" -> ((s, dir) => {
       prep(s)
+      def envQuadKm2(g: Column): Column =
+        round(st.f("st_areasphere", st.makeEnvelope(
+          st.xmin(g), st.ymin(g), st.xmax(g), st.ymax(g))) / 1e6, 3)
       t(s, dir, "customer")
         .withColumn("lon1", (col("c_custkey") % 340).cast("double") / 2.0 - 85.0)
         .withColumn("lat1", (col("c_custkey") % 160).cast("double") / 2.0 - 40.0)
@@ -316,19 +325,22 @@ object SpatialQueries {
           col("lon1") + 2.0, col("lat1") + 1.0))
         .withColumn("inner", st.makeEnvelope(col("lon1") + 0.5, col("lat1") + 0.25,
           col("lon1") + 1.5, col("lat1") + 0.75))
+        .withColumn("center", st.point(col("lon1") + 1.0, col("lat1") + 0.5))
+        .withColumn("ig", st.f("st_intersectionsphere", col("outer"), col("inner")))
+        .withColumn("ug", st.f("st_unionsphere", col("outer"), col("inner")))
+        .withColumn("dg", st.f("st_differencesphere", col("outer"), col("inner")))
+        .withColumn("sg", st.f("st_symdifferencesphere", col("outer"), col("inner")))
         .withColumn("seg", st.f("st_makeline",
           st.point(col("lon1"), col("lat1")),
           st.point(col("lon1") + 1.5, col("lat1") + 0.75)))
         .withColumn("ip", st.f("st_lineinterpolatepointsphere", col("seg"), lit(0.25)))
         .select(col("c_custkey"),
-          round(st.f("st_areasphere",
-            st.f("st_intersectionsphere", col("outer"), col("inner"))) / 1e6, 1).as("ikm2"),
-          round(st.f("st_areasphere",
-            st.f("st_unionsphere", col("outer"), col("inner"))) / 1e6, 1).as("ukm2"),
-          round(st.f("st_areasphere",
-            st.f("st_differencesphere", col("outer"), col("inner"))) / 1e6, 1).as("dkm2"),
-          round(st.f("st_areasphere",
-            st.f("st_symdifferencesphere", col("outer"), col("inner"))) / 1e6, 1).as("skm2"),
+          envQuadKm2(col("ig")).as("ikm2"),
+          envQuadKm2(col("ug")).as("ukm2"),
+          st.f("st_contains", col("ig"), col("center")).as("i_has"),
+          st.f("st_contains", col("ug"), col("center")).as("u_has"),
+          st.f("st_contains", col("dg"), col("center")).as("d_has"),
+          st.f("st_contains", col("sg"), col("center")).as("s_has"),
           round(st.f("st_x", col("ip")), 5).as("ix"),
           round(st.f("st_y", col("ip")), 5).as("iy"))
     }),
@@ -811,23 +823,43 @@ object SpatialQueries {
            |    sin(radians(($la2)-($la1))/2)*sin(radians(($la2)-($la1))/2)
            |    + cos(radians($la1))*cos(radians($la2))
            |      * sin(radians(($lo2)-($lo1))/2)*sin(radians(($lo2)-($lo1))/2)))""".stripMargin
+      // geodesic-edge quad area: split the box on diagonal A-C and sum
+      // both triangles' l'Huilier spherical excess (same edge model the
+      // engine's kernel uses)
+      def cang(lo1: String, la1: String, lo2: String, la2: String) =
+        s"""2*asin(sqrt(
+           |      sin(radians(($la2)-($la1))/2)*sin(radians(($la2)-($la1))/2)
+           |      + cos(radians($la1))*cos(radians($la2))
+           |        * sin(radians(($lo2)-($lo1))/2)*sin(radians(($lo2)-($lo1))/2)))""".stripMargin
+      def lh(a: String, b: String, c: String) =
+        s"""4*atan(sqrt(greatest(0.0,
+           |      tan((($a)+($b)+($c))/4) * tan(((($b)+($c))-($a))/4)
+           |      * tan(((($a)+($c))-($b))/4) * tan(((($a)+($b))-($c))/4))))""".stripMargin
       s"""WITH p AS (
         |  SELECT c_custkey,
         |    CAST(c_custkey % 340 AS DOUBLE)/2.0 - 85.0 AS lon1,
         |    CAST(c_custkey % 160 AS DOUBLE)/2.0 - 40.0 AS lat1,
         |    CAST(c_custkey % 340 AS DOUBLE)/2.0 - 85.0 + 1.5 AS lon2,
         |    CAST(c_custkey % 160 AS DOUBLE)/2.0 - 40.0 + 0.75 AS lat2
-        |  FROM customer)
+        |  FROM customer),
+        |e AS (
+        |  SELECT c_custkey, lon1, lat1, lon2, lat2,
+        |    ${cang("lon1", "lat1", "lon2", "lat1")} AS cab,
+        |    ${cang("lon2", "lat1", "lon2", "lat2")} AS cbc,
+        |    ${cang("lon1", "lat1", "lon2", "lat2")} AS cac,
+        |    ${cang("lon2", "lat2", "lon1", "lat2")} AS ccd,
+        |    ${cang("lon1", "lat1", "lon1", "lat2")} AS cad
+        |  FROM p)
         |SELECT c_custkey,
         |  round(${hav("lon1", "lat1", "lon2", "lat2")}, 4) AS dist_m,
         |  ${hav("lon1", "lat1", "lon2", "lat2")} <= 150000.0 AS within_150km,
-        |  round(6371008.8*6371008.8 * radians(lon2-lon1)
-        |        * (sin(radians(lat2)) - sin(radians(lat1))), 2) AS area_m2,
+        |  round((${lh("cbc", "cac", "cab")} + ${lh("ccd", "cad", "cac")})
+        |        * 6371008.8*6371008.8 / 1e6, 3) AS area_km2,
         |  round(${hav("lon1", "lat1", "lon1", "lat2")}
         |      + ${hav("lon1", "lat2", "lon2", "lat2")}
         |      + ${hav("lon2", "lat2", "lon2", "lat1")}
         |      + ${hav("lon2", "lat1", "lon1", "lat1")}, 4) AS ring_len_m
-        |FROM p""".stripMargin
+        |FROM e""".stripMargin
     },
 
     "sp15_tessellate" ->
@@ -861,40 +893,57 @@ object SpatialQueries {
         |FROM p""".stripMargin,
 
     "sp13_sphere_overlay" -> {
-      // closed-form spherical box area: R^2 * dLambda * (sin lat_top - sin lat_bot)
-      def boxArea(x0: String, y0: String, x1: String, y1: String) =
-        s"6371008.8*6371008.8 * radians(($x1)-($x0)) * (sin(radians($y1)) - sin(radians($y0)))"
+      // geodesic quad areas via two l'Huilier triangles on the diagonal
+      // (the envelope-reconstructed quads the Spark side measures)
+      def cang(lo1: String, la1: String, lo2: String, la2: String) =
+        s"""2*asin(sqrt(
+           |      sin(radians(($la2)-($la1))/2)*sin(radians(($la2)-($la1))/2)
+           |      + cos(radians($la1))*cos(radians($la2))
+           |        * sin(radians(($lo2)-($lo1))/2)*sin(radians(($lo2)-($lo1))/2)))""".stripMargin
+      def lh(a: String, b: String, c: String) =
+        s"""4*atan(sqrt(greatest(0.0,
+           |      tan((($a)+($b)+($c))/4) * tan(((($b)+($c))-($a))/4)
+           |      * tan(((($a)+($c))-($b))/4) * tan(((($a)+($b))-($c))/4))))""".stripMargin
       s"""WITH p AS (
         |  SELECT c_custkey,
         |    CAST(c_custkey % 340 AS DOUBLE)/2.0 - 85.0 AS lon1,
         |    CAST(c_custkey % 160 AS DOUBLE)/2.0 - 40.0 AS lat1
         |  FROM customer),
-        |t AS (
+        |e AS (
         |  SELECT c_custkey, lon1, lat1,
-        |    ${boxArea("lon1+0.5", "lat1+0.25", "lon1+1.5", "lat1+0.75")} AS a_inner,
-        |    ${boxArea("lon1", "lat1", "lon1+2.0", "lat1+1.0")} AS a_outer,
+        |    ${cang("lon1+0.5", "lat1+0.25", "lon1+1.5", "lat1+0.25")} AS iab,
+        |    ${cang("lon1+1.5", "lat1+0.25", "lon1+1.5", "lat1+0.75")} AS ibc,
+        |    ${cang("lon1+0.5", "lat1+0.25", "lon1+1.5", "lat1+0.75")} AS iac,
+        |    ${cang("lon1+1.5", "lat1+0.75", "lon1+0.5", "lat1+0.75")} AS icd,
+        |    ${cang("lon1+0.5", "lat1+0.25", "lon1+0.5", "lat1+0.75")} AS iad,
+        |    ${cang("lon1", "lat1", "lon1+2.0", "lat1")} AS oab,
+        |    ${cang("lon1+2.0", "lat1", "lon1+2.0", "lat1+1.0")} AS obc,
+        |    ${cang("lon1", "lat1", "lon1+2.0", "lat1+1.0")} AS oac,
+        |    ${cang("lon1+2.0", "lat1+1.0", "lon1", "lat1+1.0")} AS ocd,
+        |    ${cang("lon1", "lat1", "lon1", "lat1+1.0")} AS oad,
         |    2*asin(sqrt(
         |      sin(radians(0.75)/2)*sin(radians(0.75)/2)
         |      + cos(radians(lat1))*cos(radians(lat1+0.75))
         |        * sin(radians(1.5)/2)*sin(radians(1.5)/2))) AS d
         |  FROM p),
         |s AS (
-        |  SELECT c_custkey, a_inner, a_outer,
+        |  SELECT c_custkey,
+        |    round((${lh("ibc", "iac", "iab")} + ${lh("icd", "iad", "iac")})
+        |          * 6371008.8*6371008.8 / 1e6, 3) AS ikm2,
+        |    round((${lh("obc", "oac", "oab")} + ${lh("ocd", "oad", "oac")})
+        |          * 6371008.8*6371008.8 / 1e6, 3) AS ukm2,
         |    sin(0.75*d)/sin(d) AS ca, sin(0.25*d)/sin(d) AS cb,
         |    radians(lon1) AS l1, radians(lat1) AS f1,
         |    radians(lon1+1.5) AS l2, radians(lat1+0.75) AS f2
-        |  FROM t),
+        |  FROM e),
         |v AS (
-        |  SELECT c_custkey, a_inner, a_outer,
+        |  SELECT c_custkey, ikm2, ukm2,
         |    ca*cos(f1)*cos(l1) + cb*cos(f2)*cos(l2) AS x,
         |    ca*cos(f1)*sin(l1) + cb*cos(f2)*sin(l2) AS y,
         |    ca*sin(f1) + cb*sin(f2) AS z
         |  FROM s)
-        |SELECT c_custkey,
-        |  round(a_inner/1e6, 1) AS ikm2,
-        |  round(a_outer/1e6, 1) AS ukm2,
-        |  round((a_outer - a_inner)/1e6, 1) AS dkm2,
-        |  round((a_outer - a_inner)/1e6, 1) AS skm2,
+        |SELECT c_custkey, ikm2, ukm2,
+        |  true AS i_has, true AS u_has, false AS d_has, false AS s_has,
         |  round(degrees(atan2(y, x)), 5) AS ix,
         |  round(degrees(atan2(z, sqrt(x*x + y*y))), 5) AS iy
         |FROM v""".stripMargin

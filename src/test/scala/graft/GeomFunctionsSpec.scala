@@ -853,20 +853,25 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("spherical overlay: high-latitude boxes where planar lon/lat overlay distorts") {
     // two boxes at lat 78..80 overlapping in lon: planar-degree overlay
-    // would be 'correct' here too, but the areas must come out spherical
+    // would be 'correct' here too, but the areas must come out spherical.
+    // Overlay outputs are densified (tolDeg 0.5) parallel-following
+    // rings; a bare envelope is a 4-corner geodesic quad — under the
+    // geodesic edge model those differ by the chord-vs-parallel sliver
+    // (~2e-4 rel at lat 80), which bounds the comparisons here.
     val inter = q("st_areasphere(st_intersectionsphere(" +
       "st_makeenvelope(10.0, 78.0, 14.0, 80.0), st_makeenvelope(12.0, 78.0, 16.0, 80.0)))")
       .asInstanceOf[Double]
     val exact = q("st_areasphere(st_makeenvelope(12.0, 78.0, 14.0, 80.0))")
       .asInstanceOf[Double]
-    assert(math.abs(inter - exact) / exact < 1e-9, s"$inter vs $exact")
-    // inclusion-exclusion: union + intersection == a + b
+    assert(math.abs(inter - exact) / exact < 5e-4, s"$inter vs $exact")
+    // inclusion-exclusion: union + intersection == a + b (mixed models
+    // bound the tolerance as above)
     val a = q("st_areasphere(st_makeenvelope(10.0, 78.0, 14.0, 80.0))").asInstanceOf[Double]
     val b = q("st_areasphere(st_makeenvelope(12.0, 78.0, 16.0, 80.0))").asInstanceOf[Double]
     val uni = q("st_areasphere(st_unionsphere(" +
       "st_makeenvelope(10.0, 78.0, 14.0, 80.0), st_makeenvelope(12.0, 78.0, 16.0, 80.0)))")
       .asInstanceOf[Double]
-    assert(math.abs((uni + inter) - (a + b)) / (a + b) < 1e-6)
+    assert(math.abs((uni + inter) - (a + b)) / (a + b) < 1e-3)
     // symdifference is disjoint from the intersection
     assert(q("st_intersects(st_symdifferencesphere(" +
       "st_makeenvelope(10.0, 78.0, 14.0, 80.0), st_makeenvelope(12.0, 78.0, 16.0, 80.0))," +

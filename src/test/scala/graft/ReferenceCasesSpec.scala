@@ -585,6 +585,48 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_setsrid(st_point(1,1), CAST(NULL AS INT))") == null)
   }
 
+  test("geography area/length anchors (tests/geography/test_geog_measures.py)") {
+    // S2 length scales with its radius constant (6371010.0); ours is the
+    // IUGG mean (6371008.8) — compare after scaling, 1e-6 rel (the same
+    // radius-constant contract as the distance anchors)
+    val s = graft.functions.Spherical.R / 6371010.0
+    def relNear(expr: String, want: Double, pow: Int): Unit = {
+      val got = q(expr).asInstanceOf[Double]
+      val scaled = want * math.pow(s, pow)
+      if (want == 0.0) assert(got == 0.0, s"$expr: got $got want 0")
+      else assert(math.abs(got - scaled) / scaled < 1e-6,
+        s"$expr: got $got want $scaled (raw $want)")
+    }
+    def area(geog: String, want: Double): Unit =
+      relNear(s"st_areasphere(st_geomfromwkt('$geog'))", want, 2)
+    def len(geog: String, want: Double): Unit =
+      relNear(s"st_lengthsphere(st_geomfromwkt('$geog'))", want, 1)
+    // zero-measure classes and empties
+    area("POINT EMPTY", 0.0); area("LINESTRING EMPTY", 0.0); area("POLYGON EMPTY", 0.0)
+    area("POINT (0 0)", 0.0); area("MULTIPOINT ((0 0), (1 1))", 0.0)
+    area("LINESTRING (0 0, 0 1)", 0.0)
+    area("MULTILINESTRING ((0 0, 0 1), (1 0, 1 1))", 0.0)
+    // geodesic-edge polygon areas (S2 anchors, BigQuery/PostGIS-validated)
+    area("POLYGON ((0 0, 0 1, 1 0, 0 0))", 6182489130.9071951)
+    area("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 12364036567.076418)
+    area("MULTIPOLYGON (((0 0, 0 1, 1 0, 0 0)), ((10 10, 10 11, 11 10, 10 10)))",
+      12271037686.230379)
+    area("POLYGON ((0 0, 0 2, 2 0, 0 0), (0.1 0.1, 0.1 0.5, 0.5 0.1, 0.1 0.1))",
+      23744568445.094166)
+    area("GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (0 0, 0 1), " +
+      "POLYGON ((0 0, 0 1, 1 0, 0 0)))", 6182489130.9071951)
+    // lengths: linear components only, polygons measure 0
+    len("POINT EMPTY", 0.0); len("LINESTRING EMPTY", 0.0); len("POLYGON EMPTY", 0.0)
+    len("POINT (0 0)", 0.0); len("MULTIPOINT ((0 0), (1 1))", 0.0)
+    len("LINESTRING (0 0, 0 1)", 111195.10117748393)
+    len("LINESTRING (0 0, 0 1, 1 1)", 222373.26637265272)
+    len("MULTILINESTRING ((0 0, 0 1), (1 0, 1 1))", 222390.20235496786)
+    len("POLYGON ((0 0, 0 1, 1 0, 0 0))", 0.0)
+    len("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 0.0)
+    assert(q("st_areasphere(CAST(NULL AS BINARY))") == null)
+    assert(q("st_lengthsphere(CAST(NULL AS BINARY))") == null)
+  }
+
   test("geography distance anchors (tests/geography/test_geog_distance.py)") {
     // the reference's S2 radius is 6371010.0 m, ours is the IUGG mean
     // 6371008.8 — a 1.9e-7 relative constant; compare at 1e-6 relative
