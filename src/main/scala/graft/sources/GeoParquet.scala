@@ -66,7 +66,8 @@ object GeoParquet {
       st.xmin(st.envelopeAgg(col(geomCol))).as("xmin"),
       st.ymin(st.envelopeAgg(col(geomCol))).as("ymin"),
       st.xmax(st.envelopeAgg(col(geomCol))).as("xmax"),
-      st.ymax(st.envelopeAgg(col(geomCol))).as("ymax"))
+      st.ymax(st.envelopeAgg(col(geomCol))).as("ymax"),
+      collect_set(st.f("st_geometrytype", col(geomCol))).as("gtypes"))
     if (hilbertCluster) {
       val parts = if (clusterPartitions > 0) clusterPartitions
         else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -83,13 +84,25 @@ object GeoParquet {
       case Some(v: java.lang.Double) => Some(v.doubleValue)
       case _ => None
     })
+    // observed geometry types in the spec's vocabulary ("Polygon", not
+    // "ST_Polygon") — a REQUIRED key of GeoParquet column metadata
+    val geometryTypes: Seq[String] = (obs.get.get("gtypes") match {
+      case Some(s: scala.collection.Seq[_]) => s.map(_.toString).toSeq
+      case _ => Seq.empty[String]
+    }).map(_.stripPrefix("ST_")).sorted
     // geo metadata JSON, parameterized on the bbox (dataset-level for the
     // sidecar, per-file for each part footer — the spec scopes `bbox` to
-    // the file it sits in)
+    // the file it sits in). The crs key is omitted for the lnglat default
+    // (spec: absent crs means OGC:CRS84) so strict PROJJSON readers don't
+    // trip over a string crs in the common case.
     def geoJsonFor(bbox: Option[Seq[Double]]): String = {
       val bboxJson = bbox.map(b => s""""bbox":[${b.mkString(",")}],""").getOrElse("")
+      val crsJson =
+        if (crs == "EPSG:4326" || crs == "OGC:CRS84") ""
+        else s""""crs":"$crs","""
+      val typesJson = geometryTypes.map(t => s""""$t"""").mkString(",")
       s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{
-         |"encoding":"WKB","crs":"$crs",
+         |"encoding":"WKB",$crsJson"geometry_types":[$typesJson],
          |$bboxJson
          |"covering":${if (withBbox) s"""{"bbox":{"xmin":["${geomCol}_bbox","xmin"],"ymin":["${geomCol}_bbox","ymin"],"xmax":["${geomCol}_bbox","xmax"],"ymax":["${geomCol}_bbox","ymax"]}}""" else "null"}}}}""".stripMargin
     }

@@ -61,6 +61,9 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
       val gcol = tree.get("columns").get("geom")
       assert(gcol.get("encoding").asText() == "WKB")
       assert(gcol.get("crs").asText() == "EPSG:3857")
+      // geometry_types is REQUIRED by the spec, in its vocabulary
+      val gt = gcol.get("geometry_types")
+      assert(gt != null && gt.size() == 1 && gt.get(0).asText() == "Polygon")
       val cov = gcol.get("covering").get("bbox")
       assert(cov.get("xmin").get(0).asText() == "geom_bbox")
       // per-file bbox is present and sane (within the generator's domain)
@@ -70,6 +73,14 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // footer survives a plain parquet re-read path (file still valid)
     assert(spark.read.parquet(dir).count() == 2000)
+    // the lnglat default omits the crs key (spec: absent == OGC:CRS84)
+    val dir44 = Files.createTempDirectory("gp").toString + "/tf44"
+    GeoParquet.write(sample, dir44, "geom")
+    val f44 = new java.io.File(dir44).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val t44 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(GeoParquet.footerGeoJson(spark, f44.getPath).get)
+    assert(t44.get("columns").get("geom").get("crs") == null)
     // read() tags geometry columns from the footer even without Spark
     // field metadata (external-writer shape): strip tags by rewriting
     // through plain parquet, keep the footer via patch
