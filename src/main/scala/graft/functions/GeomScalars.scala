@@ -430,6 +430,63 @@ object GeomScalars {
       else None
     } catch { case _: Exception => None }
 
+  /** Directed line merge: maximal head-to-tail chains, orientation
+    * preserved, broken at any node whose in/out degree is not 1. */
+  private def directedLineMerge(g: Geometry): Geometry = {
+    val lines = scala.collection.mutable.ArrayBuffer[LineString]()
+    def collect(x: Geometry): Unit = x match {
+      case l: LineString => if (!l.isEmpty) lines += l
+      case gc: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until gc.getNumGeometries).foreach(i => collect(gc.getGeometryN(i)))
+      case _ => ()
+    }
+    collect(g)
+    if (lines.length <= 1) return g
+    def sk(i: Int): (Double, Double) =
+      { val c = lines(i).getCoordinateN(0); (c.x, c.y) }
+    def ek(i: Int): (Double, Double) =
+      { val c = lines(i).getCoordinateN(lines(i).getNumPoints - 1); (c.x, c.y) }
+    val byStart = lines.indices.groupBy(sk)
+    val byEnd = lines.indices.groupBy(ek)
+    // node is a simple pass-through iff exactly one line ends and one
+    // starts there
+    def follower(i: Int): Option[Int] = {
+      val n = ek(i)
+      (byStart.get(n), byEnd.get(n)) match {
+        case (Some(Seq(j)), Some(Seq(_))) => Some(j)
+        case _ => None
+      }
+    }
+    def hasSimplePredecessor(i: Int): Boolean = {
+      val n = sk(i)
+      (byEnd.get(n), byStart.get(n)) match {
+        case (Some(Seq(_)), Some(Seq(_))) => true
+        case _ => false
+      }
+    }
+    val used = new Array[Boolean](lines.length)
+    val chains = scala.collection.mutable.ArrayBuffer[LineString]()
+    def walk(start: Int): Unit = {
+      var cs = scala.collection.mutable.ArrayBuffer[Coordinate]()
+      cs ++= lines(start).getCoordinates
+      used(start) = true
+      var cur = start
+      var next = follower(cur)
+      while (next.exists(j => !used(j))) {
+        cur = next.get
+        used(cur) = true
+        cs ++= lines(cur).getCoordinates.drop(1)
+        next = follower(cur)
+      }
+      chains += GeomIO.factory.createLineString(cs.toArray)
+    }
+    // chain heads first, then any leftover pure cycles
+    lines.indices.foreach(i => if (!used(i) && !hasSimplePredecessor(i)) walk(i))
+    lines.indices.foreach(i => if (!used(i)) walk(i))
+    if (chains.length == 1) chains(0)
+    else GeomIO.factory.createMultiLineString(chains.toArray)
+  }
+
   private def azimuth(a: Geometry, b: Geometry): Any = (a, b) match {
     case (p1: Point, p2: Point) =>
       val dx = p2.getX - p1.getX; val dy = p2.getY - p1.getY
@@ -1023,11 +1080,19 @@ object GeomScalars {
     fn("st_makevalid", BinaryType, Seq(Geom))(a => GeometryFixer.fix(g0(a))),
     fn("st_normalize", BinaryType, Seq(Geom))(a => { val c = g0(a).copy(); c.normalize(); c }),
     fn("st_reverse", BinaryType, Seq(Geom))(a => g0(a).reverse()),
-    fn("st_linemerge", BinaryType, Seq(Geom))(a => {
-      val m = new LineMerger(); m.add(g0(a))
-      val merged = m.getMergedLineStrings
-      GeomIO.factory.buildGeometry(merged)
-    }),
+    // 1-arg JTS merge, or the reference's directed 2-arg form: lines are
+    // never reversed, chains only join where one line ENDS exactly where
+    // the next STARTS with no branching (test_geog_mechanical_transforms
+    // test_st_linemerge_directed)
+    "st_linemerge" -> ((children: Seq[Expression]) => GeomScalar("st_linemerge", children,
+      BinaryType, if (children.length >= 2) Seq(Geom, Bool) else Seq(Geom),
+      a => {
+        if (a.length >= 2 && a(1).asInstanceOf[Boolean]) directedLineMerge(g0(a))
+        else {
+          val m = new LineMerger(); m.add(g0(a))
+          GeomIO.factory.buildGeometry(m.getMergedLineStrings)
+        }
+      })),
     fn("st_polygonize", BinaryType, Seq(Geom))(a => {
       val p = new Polygonizer(); p.add(g0(a))
       GeomIO.factory.buildGeometry(p.getPolygons)
@@ -1281,25 +1346,20 @@ object GeomScalars {
       if (polys.isEmpty) GeomIO.factory.createPolygon()
       else UnaryUnionOp.union(GeomIO.factory.buildGeometry(polys))
     }),
-    fn("st_force3d", BinaryType, Seq(Geom, Dbl))(a => {
-      val c = g0(a).copy()
-      c.apply(new CoordinateSequenceFilter {
-        override def filter(seq: CoordinateSequence, i: Int): Unit =
-          if (seq.getDimension > 2 && java.lang.Double.isNaN(seq.getOrdinate(i, 2)))
-            seq.setOrdinate(i, 2, d(a, 1))
-        override def isDone: Boolean = false
-        override def isGeometryChanged: Boolean = true
-      })
-      // rebuild through 3D WKT to guarantee Z storage
-      GeomIO.readWkt(new org.locationtech.jts.io.WKTWriter(3).write {
-        val ed = new org.locationtech.jts.geom.util.GeometryEditor(GeomIO.factory)
-        ed.edit(c, new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
-          override def edit(coords: Array[Coordinate], g: Geometry): Array[Coordinate] =
-            coords.map(cc => new Coordinate(cc.x, cc.y,
-              if (java.lang.Double.isNaN(cc.getZ)) d(a, 1) else cc.getZ))
+    "st_force3d" -> ((children: Seq[Expression]) => GeomScalar("st_force3d", children,
+      BinaryType, if (children.length >= 2) Seq(Geom, Dbl) else Seq(Geom),
+      a => {
+        val zFill = if (a.length >= 2) d(a, 1) else 0.0
+        // rebuild through 3D WKT to guarantee Z storage
+        GeomIO.readWkt(new org.locationtech.jts.io.WKTWriter(3).write {
+          val ed = new org.locationtech.jts.geom.util.GeometryEditor(GeomIO.factory)
+          ed.edit(g0(a), new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+            override def edit(coords: Array[Coordinate], g: Geometry): Array[Coordinate] =
+              coords.map(cc => new Coordinate(cc.x, cc.y,
+                if (java.lang.Double.isNaN(cc.getZ)) zFill else cc.getZ))
+          })
         })
-      })
-    }),
+      })),
     // polygon tessellation: ear-clipping triangulation
     fn("st_tessellate", BinaryType, Seq(Geom))(a =>
       org.locationtech.jts.triangulate.polygon.PolygonTriangulator.triangulate(g0(a))),
@@ -1317,13 +1377,24 @@ object GeomScalars {
       tessellateEdges(g0(a), d(a, 1), toGeography = false)),
     // measured-coordinate forcing (st_force_dim.rs 3DM/4D): coordinates
     // rebuilt as XYM / XYZM, existing ordinates preserved
-    fn("st_force3dm", BinaryType, Seq(Geom, Dbl))(a =>
-      GeomScalars.mapCoords3D(g0(a), c => new CoordinateXYM(c.x, c.y,
-        if (java.lang.Double.isNaN(c.getM)) d(a, 1) else c.getM))),
-    fn("st_force4d", BinaryType, Seq(Geom, Dbl, Dbl))(a =>
-      GeomScalars.mapCoords3D(g0(a), c => new CoordinateXYZM(c.x, c.y,
-        if (java.lang.Double.isNaN(c.getZ)) d(a, 1) else c.getZ,
-        if (java.lang.Double.isNaN(c.getM)) d(a, 2) else c.getM))),
+    // default fill values (m=0 / z=0,m=0) when the short arities are used
+    // (reference test_st_force3dm / test_st_force4d)
+    "st_force3dm" -> ((children: Seq[Expression]) => GeomScalar("st_force3dm", children,
+      BinaryType, if (children.length >= 2) Seq(Geom, Dbl) else Seq(Geom),
+      a => {
+        val mFill = if (a.length >= 2) d(a, 1) else 0.0
+        GeomScalars.mapCoords3D(g0(a), c => new CoordinateXYM(c.x, c.y,
+          if (java.lang.Double.isNaN(c.getM)) mFill else c.getM))
+      })),
+    "st_force4d" -> ((children: Seq[Expression]) => GeomScalar("st_force4d", children,
+      BinaryType, if (children.length >= 3) Seq(Geom, Dbl, Dbl) else Seq(Geom),
+      a => {
+        val zFill = if (a.length >= 3) d(a, 1) else 0.0
+        val mFill = if (a.length >= 3) d(a, 2) else 0.0
+        GeomScalars.mapCoords3D(g0(a), c => new CoordinateXYZM(c.x, c.y,
+          if (java.lang.Double.isNaN(c.getZ)) zFill else c.getZ,
+          if (java.lang.Double.isNaN(c.getM)) mFill else c.getM))
+      })),
     fn("st_pointm", BinaryType, Seq(Dbl, Dbl, Dbl))(a =>
       GeomIO.factory.createPoint(new CoordinateXYM(d(a, 0), d(a, 1), d(a, 2)))),
     fn("st_pointzm", BinaryType, Seq(Dbl, Dbl, Dbl, Dbl))(a =>

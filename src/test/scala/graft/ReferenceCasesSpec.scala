@@ -585,6 +585,41 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_setsrid(st_point(1,1), CAST(NULL AS INT))") == null)
   }
 
+  test("directed ST_LineMerge + force-dim default fills " +
+      "(geography/test_geog_mechanical_transforms.py)") {
+    // directed: head-to-tail chains merge, opposite orientations do not
+    sameGeom("st_linemerge(st_geomfromwkt(" +
+      "'MULTILINESTRING ((0 0, 1 0), (1 0, 1 1))'), true)",
+      "LINESTRING (0 0, 1 0, 1 1)")
+    sameGeom("st_linemerge(st_geomfromwkt(" +
+      "'MULTILINESTRING ((0 0, 1 0), (1 1, 1 0))'), true)",
+      "MULTILINESTRING ((0 0, 1 0), (1 1, 1 0))")
+    // undirected JTS merge still reverses as needed
+    sameGeom("st_linemerge(st_geomfromwkt(" +
+      "'MULTILINESTRING ((0 0, 1 0), (1 1, 1 0))'))",
+      "LINESTRING (0 0, 1 0, 1 1)")
+    // branching node breaks directed chains
+    sameGeom("st_linemerge(st_geomfromwkt(" +
+      "'MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 0, 2 0))'), true)",
+      "MULTILINESTRING ((0 0, 1 0), (1 0, 1 1), (1 0, 2 0))")
+    // force3dm: 1-arg fills m=0, 2-arg fills the given m; existing M wins
+    def w(e: String): String = q(s"st_astext($e)").toString
+    assert(w("st_force3dm(st_geomfromwkt('POINT (0 1)'))") == "POINT M(0 1 0)")
+    assert(w("st_force3dm(st_geomfromwkt('POINT (0 1)'), 5.0D)") == "POINT M(0 1 5)")
+    assert(w("st_force3dm(st_geomfromwkt('POINT Z (0 1 2)'), 5.0D)") == "POINT M(0 1 5)")
+    assert(w("st_force3dm(st_geomfromwkt('POINT M (0 1 3)'), 5.0D)") == "POINT M(0 1 3)")
+    assert(w("st_force3dm(st_geomfromwkt('POINT ZM (0 1 2 3)'), 5.0D)") == "POINT M(0 1 3)")
+    // force4d: 1-arg fills z=0,m=0; 3-arg fills the given; existing wins
+    assert(w("st_force4d(st_geomfromwkt('POINT (0 1)'))") == "POINT ZM(0 1 0 0)")
+    assert(w("st_force4d(st_geomfromwkt('POINT (0 1)'), 5.0D, 7.0D)") == "POINT ZM(0 1 5 7)")
+    assert(w("st_force4d(st_geomfromwkt('POINT Z (0 1 2)'), 5.0D, 7.0D)") == "POINT ZM(0 1 2 7)")
+    assert(w("st_force4d(st_geomfromwkt('POINT M (0 1 3)'), 5.0D, 7.0D)") == "POINT ZM(0 1 5 3)")
+    assert(w("st_force4d(st_geomfromwkt('POINT ZM (0 1 2 3)'), 5.0D, 7.0D)") == "POINT ZM(0 1 2 3)")
+    // force3d 1-arg default z=0
+    assert(w("st_force3d(st_geomfromwkt('POINT (0 1)'))") == "POINT Z(0 1 0)")
+    assert(w("st_force3d(st_geomfromwkt('POINT (0 1)'), 5.0D)") == "POINT Z(0 1 5)")
+  }
+
   test("geography area/length anchors (tests/geography/test_geog_measures.py)") {
     // S2 length scales with its radius constant (6371010.0); ours is the
     // IUGG mean (6371008.8) — compare after scaling, 1e-6 rel (the same
