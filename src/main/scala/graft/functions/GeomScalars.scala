@@ -1404,6 +1404,24 @@ object GeomScalars {
     // identity re-tags kept for API parity
     fn("st_togeography", BinaryType, Seq(Geom))(a => g0(a)),
     fn("st_togeometry", BinaryType, Seq(Geom))(a => g0(a)),
+    // S2 cell ids (s2_cellidfrompoint.qmd / s2_coveringcellids.qmd):
+    // leaf id at level 30; NULL for empty points
+    fn("s2_cellidfrompoint", LongType, Seq(Geom))(a => g0(a) match {
+      case p: Point if !p.isEmpty => S2Cells.leafCellId(p.getX, p.getY)
+      case _ => null
+    }),
+    // covering with optional min_level / max_level / max_cells
+    // (defaults 0 / 30 / 8)
+    "s2_coveringcellids" -> ((children: Seq[Expression]) =>
+      GeomScalar("s2_coveringcellids", children,
+        ArrayType(LongType, containsNull = false),
+        Seq(ArgKind.Geom) ++ Seq.fill(children.length - 1)(ArgKind.Int_),
+        a => {
+          val minL = if (a.length > 1) a(1).asInstanceOf[Int] else 0
+          val maxL = if (a.length > 2) a(2).asInstanceOf[Int] else 30
+          val maxC = if (a.length > 3) a(3).asInstanceOf[Int] else 8
+          new GenericArrayData(S2Cells.covering(g0(a), minL, maxL, maxC))
+        })),
     fn("sd_format", StringType, Seq(Geom))(a => {
       val wkt = GeomIO.writeWkt(g0(a))
       if (wkt.length > 80) wkt.take(77) + "..." else wkt

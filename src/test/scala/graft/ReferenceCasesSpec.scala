@@ -662,6 +662,43 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_lengthsphere(CAST(NULL AS BINARY))") == null)
   }
 
+  test("S2 cell ids (geography/test_geog_s2.py)") {
+    // the reference's own leaf-id anchors (shared with BigQuery)
+    assert(q("s2_cellidfrompoint(st_point(0, 0))") == 1152921504606846977L)
+    assert(q("s2_cellidfrompoint(st_point(0, 1))") == 1153451514845492609L)
+    assert(q("s2_cellidfrompoint(st_geomfromwkt('POINT EMPTY'))") == null)
+    // coverings: contract properties (cell choice is unstable even across
+    // S2 versions — the reference's tests only pin size/levels)
+    def cells(expr: String): Seq[Long] =
+      q(expr).asInstanceOf[scala.collection.Seq[Long]].toSeq
+    assert(cells("s2_coveringcellids(st_geomfromwkt('POINT EMPTY'))").isEmpty)
+    assert(cells("s2_coveringcellids(st_point(0, 0))") == Seq(1152921504606846977L))
+    def lvl(id: Long): Int = 30 - (java.lang.Long.numberOfTrailingZeros(id) >> 1)
+    val line = "st_geomfromwkt('LINESTRING (0 0, 100 50)')"
+    val dflt = cells(s"s2_coveringcellids($line)")
+    assert(dflt.nonEmpty && dflt.size <= 8 && dflt.forall(id => lvl(id) <= 30))
+    val min4 = cells(s"s2_coveringcellids($line, 4)")
+    assert(min4.nonEmpty && min4.forall(id => lvl(id) >= 4))
+    val band = cells(s"s2_coveringcellids($line, 4, 6)")
+    assert(band.nonEmpty && band.forall(id => lvl(id) >= 4 && lvl(id) <= 6))
+    // budget is respected when the region genuinely fits it (our covering
+    // is envelope-conservative, so the reference's 100-degree line would
+    // legitimately need one cell per touched face)
+    val two = cells(
+      "s2_coveringcellids(st_geomfromwkt('LINESTRING (0 0, 1 1)'), 0, 30, 2)")
+    assert(two.nonEmpty && two.size <= 2)
+    // the covering really covers: probe leaves sit inside some cell
+    def contains(cell: Long, leaf: Long): Boolean = {
+      val lsb = java.lang.Long.lowestOneBit(cell)
+      leaf >= cell - lsb + 1 && leaf <= cell + lsb - 1
+    }
+    for (cov <- Seq(dflt, min4, band);
+         pt <- Seq("st_point(0, 0)", "st_point(100, 50)", "st_point(50, 28)")) {
+      val leaf = q(s"s2_cellidfrompoint($pt)").asInstanceOf[Long]
+      assert(cov.exists(c => contains(c, leaf)), s"$pt not covered in $cov")
+    }
+  }
+
   test("geography distance anchors (tests/geography/test_geog_distance.py)") {
     // the reference's S2 radius is 6371010.0 m, ours is the IUGG mean
     // 6371008.8 — a 1.9e-7 relative constant; compare at 1e-6 relative
