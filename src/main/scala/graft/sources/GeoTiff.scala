@@ -338,24 +338,39 @@ object GeoTiff {
       case _ => throw new IllegalArgumentException("geotiff: not a TIFF (bad byte order)")
     }
     val bb = ByteBuffer.wrap(bytes).order(order)
-    require(bb.getShort(2) == 42, "geotiff: bad TIFF magic")
-    val ifdOff = bb.getInt(4)
-    val n = bb.getShort(ifdOff) & 0xffff
+    val magic = bb.getShort(2)
+    require(magic == 42 || magic == 43, "geotiff: bad TIFF magic")
+    // BigTIFF (magic 43): 8-byte offsets, u64 IFD count, 20-byte entries,
+    // 8-byte inline value slot — GDAL writes it whenever BIGTIFF=YES or
+    // the payload nears 4 GB, so read-side interop has to speak it even
+    // for small files
+    val big = magic == 43
+    if (big) require(bb.getShort(4) == 8 && bb.getShort(6) == 0,
+      "geotiff: bad BigTIFF header")
+    val ifdOff = if (big) bb.getLong(8).toInt else bb.getInt(4)
+    val n = if (big) bb.getLong(ifdOff).toInt else bb.getShort(ifdOff) & 0xffff
+    val entryBase = ifdOff + (if (big) 8 else 2)
+    val entrySize = if (big) 20 else 12
+    val valSlot = if (big) 12 else 8
+    val inlineMax = if (big) 8 else 4
+    @inline def readOff(pos: Int): Int =
+      if (big) bb.getLong(pos).toInt else bb.getInt(pos)
     // tag -> (type, count, valueOffsetPos)
     val tags = (0 until n).map { i =>
-      val p = ifdOff + 2 + i * 12
-      (bb.getShort(p) & 0xffff, (bb.getShort(p + 2) & 0xffff, bb.getInt(p + 4), p + 8))
+      val p = entryBase + i * entrySize
+      val count = if (big) bb.getLong(p + 4).toInt else bb.getInt(p + 4)
+      (bb.getShort(p) & 0xffff, (bb.getShort(p + 2) & 0xffff, count, p + valSlot))
     }.toMap
 
     def typeSize(t: Int): Int = t match {
       case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
-      case 5 | 10 | 12 => 8
+      case 5 | 10 | 12 | 16 | 17 | 18 => 8
       case other => throw new IllegalArgumentException(s"geotiff: field type $other")
     }
     def valuesOf(tag: Int): Option[IndexedSeq[Long]] = tags.get(tag).map {
       case (typ, count, pos) =>
         val sz = typeSize(typ)
-        val off = if (sz * count <= 4) pos else bb.getInt(pos)
+        val off = if (sz * count <= inlineMax) pos else readOff(pos)
         (0 until count).map { i =>
           typ match {
             case 1 | 2 | 7 => (bb.get(off + i) & 0xff).toLong
@@ -364,6 +379,7 @@ object GeoTiff {
             case 8 => bb.getShort(off + i * 2).toLong
             case 4 => bb.getInt(off + i * 4) & 0xffffffffL
             case 9 => bb.getInt(off + i * 4).toLong
+            case 16 | 17 | 18 => bb.getLong(off + i * 8)
             case other => throw new IllegalArgumentException(
               s"geotiff: integer read of type $other")
           }
@@ -372,12 +388,12 @@ object GeoTiff {
     def doublesOf(tag: Int): Option[IndexedSeq[Double]] = tags.get(tag).map {
       case (typ, count, pos) =>
         require(typ == 12, s"geotiff: tag $tag expected DOUBLE, got type $typ")
-        val off = if (count * 8 <= 4) pos else bb.getInt(pos)
+        val off = if (count * 8 <= inlineMax) pos else readOff(pos)
         (0 until count).map(i => bb.getDouble(off + i * 8))
     }
     def asciiOf(tag: Int): Option[String] = tags.get(tag).map { case (typ, count, pos) =>
       require(typ == 2, s"geotiff: tag $tag expected ASCII")
-      val off = if (count <= 4) pos else bb.getInt(pos)
+      val off = if (count <= inlineMax) pos else readOff(pos)
       new String(bytes, off, count, "US-ASCII").takeWhile(_ != '\u0000')
     }
     def one(tag: Int, default: => Long): Long =
@@ -545,33 +561,49 @@ object GeoTiff {
       case _ => throw new IllegalArgumentException("geotiff: not a TIFF (bad byte order)")
     }
     head.order(order)
-    require(head.getShort(2) == 42, "geotiff: bad TIFF magic")
-    val ifdOff = head.getInt(4) & 0xffffffffL
-    val n = ByteBuffer.wrap(fetch(ifdOff, 2)).order(order).getShort(0) & 0xffff
-    val entries = ByteBuffer.wrap(fetch(ifdOff + 2, n * 12)).order(order)
+    val magic = head.getShort(2)
+    require(magic == 42 || magic == 43, "geotiff: bad TIFF magic")
+    val big = magic == 43
+    val (n, entryBase, entrySize, valSlot, inlineMax) =
+      if (big) {
+        require(head.getShort(4) == 8 && head.getShort(6) == 0,
+          "geotiff: bad BigTIFF header")
+        val o = ByteBuffer.wrap(fetch(8L, 8)).order(order).getLong(0)
+        val cnt = ByteBuffer.wrap(fetch(o, 8)).order(order).getLong(0).toInt
+        (cnt, o + 8, 20, 12, 8)
+      } else {
+        val o = head.getInt(4) & 0xffffffffL
+        val cnt = ByteBuffer.wrap(fetch(o, 2)).order(order).getShort(0) & 0xffff
+        (cnt, o + 2, 12, 8, 4)
+      }
+    val entries = ByteBuffer.wrap(fetch(entryBase, n * entrySize)).order(order)
 
-    // tag -> (type, count, byte offset of the 4 inline value bytes)
+    // tag -> (type, count, byte offset of the inline value slot)
     val tags: Map[Int, (Int, Int, Int)] = (0 until n).map { i =>
-      val p = i * 12
+      val p = i * entrySize
+      val count = if (big) entries.getLong(p + 4).toInt else entries.getInt(p + 4)
       (entries.getShort(p) & 0xffff) ->
-        ((entries.getShort(p + 2) & 0xffff, entries.getInt(p + 4), p + 8))
+        ((entries.getShort(p + 2) & 0xffff, count, p + valSlot))
     }.toMap
     def typeSize(t: Int): Int = t match {
       case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
-      case 5 | 10 | 12 => 8
+      case 5 | 10 | 12 | 16 | 17 | 18 => 8
       case other => throw new IllegalArgumentException(s"geotiff: field type $other")
     }
-    // value bytes: inline when they fit the 4-byte slot, else one
+    // value bytes: inline when they fit the value slot, else one
     // targeted fetch at the stored offset
     def bytesOf(typ: Int, count: Int, pos: Int): ByteBuffer = {
       val sz = typeSize(typ) * count
       val bb =
-        if (sz <= 4) {
+        if (sz <= inlineMax) {
           val out = new Array[Byte](sz)
           var i = 0
           while (i < sz) { out(i) = entries.get(pos + i); i += 1 }
           ByteBuffer.wrap(out)
-        } else ByteBuffer.wrap(fetch(entries.getInt(pos) & 0xffffffffL, sz))
+        } else {
+          val off = if (big) entries.getLong(pos) else entries.getInt(pos) & 0xffffffffL
+          ByteBuffer.wrap(fetch(off, sz))
+        }
       bb.order(order)
     }
     def longsOf(tag: Int): Option[IndexedSeq[Long]] = tags.get(tag).map {
@@ -585,6 +617,7 @@ object GeoTiff {
             case 8 => bb.getShort(i * 2).toLong
             case 4 => bb.getInt(i * 4) & 0xffffffffL
             case 9 => bb.getInt(i * 4).toLong
+            case 16 | 17 | 18 => bb.getLong(i * 8)
             case other => throw new IllegalArgumentException(
               s"geotiff: integer read of type $other")
           }

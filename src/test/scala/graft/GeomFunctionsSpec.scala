@@ -683,6 +683,61 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.crs == "EPSG:0")
   }
 
+  test("geotiff: BigTIFF (magic 43, 8-byte offsets) decodes via read and readMeta") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-build a little-endian BigTIFF: 1 band, 2x2 f64, 1 strip, with
+    // pixel-scale/tiepoint georeferencing and a GeoKey CRS
+    val bb = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(43)
+    bb.putShort(8).putShort(0) // offset size marker + pad
+    bb.putLong(16L) // IFD offset
+    val nEntries = 13
+    bb.putLong(16, nEntries.toLong)
+    var p = 24
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Int = {
+      bb.putShort(p, tag.toShort); bb.putShort(p + 2, typ.toShort)
+      bb.putLong(p + 4, count)
+      bb.putLong(p + 12, value)
+      p += 20
+      p - 20
+    }
+    val dataOff = 24 + nEntries * 20 + 8 // entries + next-ifd pointer
+    entry(256, 16, 1, 2) // width as LONG8
+    entry(257, 4, 1, 2) // height as LONG (inline in 8-byte slot)
+    entry(258, 3, 1, 64) // bits per sample
+    entry(259, 3, 1, 1) // uncompressed
+    entry(273, 16, 1, dataOff + 96) // strip offset (LONG8)
+    entry(277, 3, 1, 1) // samples/pixel
+    entry(278, 3, 1, 2) // rows per strip
+    entry(279, 16, 1, 32) // strip byte count
+    entry(284, 3, 1, 1) // chunky
+    entry(339, 3, 1, 3) // sample format: float
+    entry(33550, 12, 3, dataOff) // ModelPixelScale -> out-of-line
+    entry(33922, 12, 6, dataOff + 40) // ModelTiepoint -> out-of-line
+    entry(34735, 3, 8, dataOff + 24) // GeoKeyDirectory (8 shorts)
+    bb.putLong(p, 0L) // next IFD
+    bb.position(dataOff)
+    bb.putDouble(0.5).putDouble(0.25).putDouble(0.0) // pixel scale
+    // GeoKeys: header + ProjectedCSType 32633
+    Seq(1, 1, 0, 1, 3072, 0, 1, 32633).foreach(v => bb.putShort(v.toShort))
+    bb.position(dataOff + 40)
+    Seq(0.0, 0.0, 0.0, 100.0, 200.0, 0.0).foreach(bb.putDouble) // tiepoint
+    // pixels at dataOff + 96
+    bb.position(dataOff + 96)
+    Seq(1.5, 2.5, 3.5, 4.5).foreach(bb.putDouble)
+    val tiff = java.util.Arrays.copyOf(bb.array(), dataOff + 96 + 32)
+    val r = graft.sources.GeoTiff.read(tiff)
+    assert(r.width == 2 && r.height == 2 && r.bands.length == 1)
+    assert(r.value(1, 0, 0) == 1.5 && r.value(1, 1, 1) == 4.5)
+    assert(r.crs == "EPSG:32633")
+    assert(r.gt(1) == 0.5 && r.gt(5) == -0.25)
+    // header-only metadata path with bounded fetches
+    val meta = graft.sources.GeoTiff.readMeta((off, len) =>
+      java.util.Arrays.copyOfRange(tiff, off.toInt, off.toInt + len))
+    assert(meta.width == 2 && meta.height == 2 && meta.crs == "EPSG:32633")
+    assert(meta.gt(1) == 0.5 && meta.gt(5) == -0.25)
+  }
+
   test("geotiff: DEFLATE roundtrip and foreign predictor-2/3 strips decode") {
     // our writer+reader, deflate on
     val r = "rs_setcrs(rs_makeraster(3, 2, 10.0, 20.0, 2.0, -2.0, " +
