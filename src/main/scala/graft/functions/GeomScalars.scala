@@ -200,10 +200,13 @@ case class GeomScalar(
 }
 
 object GeomScalar {
-  /** BinaryType kernels whose result is raw bytes, not geometry — they
-    * must not be wrapped into an item-CRS struct. */
+  /** BinaryType kernels whose result must not be re-wrapped into an
+    * item-CRS struct: writers of raw bytes, and CRS-changing kernels
+    * whose output CRS differs from the carried input string (the new
+    * CRS rides in the result's SRID instead). */
   val binaryNotGeometry: Set[String] =
-    Set("st_asbinary", "st_asewkb", "st_aswkb")
+    Set("st_asbinary", "st_asewkb", "st_aswkb",
+      "st_transform", "st_setcrs", "st_setsrid")
 }
 
 object GeomScalars {
@@ -836,7 +839,14 @@ object GeomScalars {
     fn("st_geomfromgeojson", BinaryType, Seq(Str))(a => GeomIO.fromGeoJson(s(a, 0))),
     fn("st_geomfromwkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
     fn("st_geomfromewkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
-    fn("st_point", BinaryType, Seq(Dbl, Dbl))(a => GeomIO.point(d(a, 0), d(a, 1))),
+    // 2-arg plain point or the reference's 3-arg (x, y, srid) form
+    "st_point" -> ((children: Seq[Expression]) => GeomScalar("st_point", children,
+      BinaryType, if (children.length >= 3) Seq(Dbl, Dbl, Int_) else Seq(Dbl, Dbl),
+      a => {
+        val p = GeomIO.point(d(a, 0), d(a, 1))
+        if (a.length >= 3) p.setSRID(i(a, 2))
+        p
+      })),
     fn("st_makepoint", BinaryType, Seq(Dbl, Dbl))(a => GeomIO.point(d(a, 0), d(a, 1))),
     fn("st_geogpoint", BinaryType, Seq(Dbl, Dbl))(a => GeomIO.point(d(a, 0), d(a, 1))),
     fn("st_pointz", BinaryType, Seq(Dbl, Dbl, Dbl))(a => GeomIO.pointZ(d(a, 0), d(a, 1), d(a, 2))),
@@ -1432,8 +1442,19 @@ object GeomScalars {
     }),
 
     // ---- CRS (st_transform.rs; PROJ replaced by hand-coded math) ----
-    fn("st_transform", BinaryType, Seq(Geom, Str, Str))(a =>
-      CrsTransform.transform(g0(a), s(a, 1), s(a, 2))),
+    // 3-arg (geom, src, dst), or the reference's 2-arg form where the
+    // source comes from the geometry's own CRS (SRID / item-CRS string)
+    "st_transform" -> ((children: Seq[Expression]) => GeomScalar("st_transform", children,
+      BinaryType, if (children.length >= 3) Seq(Geom, Str, Str) else Seq(Geom, Str),
+      a => {
+        if (a.length >= 3) CrsTransform.transform(g0(a), s(a, 1), s(a, 2))
+        else {
+          val srid = g0(a).getSRID
+          require(srid != 0, "st_transform: geometry carries no CRS " +
+            "(the 2-arg form needs ST_SetSRID/ST_SetCrs or an item-CRS column)")
+          CrsTransform.transform(g0(a), s"EPSG:$srid", s(a, 1))
+        }
+      })),
 
     // ---- spherical (geography) subset — s2 kernel analogs
     // (c/sedona-s2geography/src/kernels.rs:68-226) ----

@@ -583,6 +583,24 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_srid(st_setsrid(st_point(1,1), 0))") == 0)
     // NULL SRID/geometry propagate
     assert(q("st_setsrid(st_point(1,1), CAST(NULL AS INT))") == null)
+    // 3-arg ST_Point carries the SRID; 2-arg ST_Transform reads it
+    // (test_st_transform_bind_crs equivalence)
+    assert(q("st_srid(st_point(0, 1, 4326))") == 4326)
+    val two = spark.sql("SELECT st_transform(st_point(0.0D, 1.0D, 4326), " +
+      "'EPSG:3857') AS g").selectExpr("st_x(g)", "st_y(g)", "st_srid(g)").collect()(0)
+    val three = spark.sql("SELECT st_transform(st_point(0.0D, 1.0D), " +
+      "'EPSG:4326', 'EPSG:3857') AS g")
+      .selectExpr("st_x(g)", "st_y(g)", "st_srid(g)").collect()(0)
+    assert(two == three)
+    // SRID-less input errors loudly on the 2-arg form
+    val e2 = intercept[Exception](
+      q("st_transform(st_point(0.0D, 1.0D), 'EPSG:3857')"))
+    assert(e2.getMessage.contains("no CRS") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("no CRS")))
+    // item-CRS input: source read from the carried string, output is a
+    // plain geometry tagged with the destination SRID
+    assert(q("st_srid(st_transform(st_itemcrs(st_point(0.0D, 1.0D), " +
+      "'EPSG:4326'), 'EPSG:3857'))") == 3857)
   }
 
   test("directed ST_LineMerge + force-dim default fills " +
