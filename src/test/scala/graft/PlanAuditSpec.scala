@@ -51,6 +51,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       grid.contains("BroadcastHashJoin"), "sj07 grid rewrite did not equi-join")
   }
 
+  test("analyzer KNN barrier survives constant folding of the query side") {
+    // a literal query geometry makes st_knn one-sided after constant
+    // folding; without the analysis-time capture Spark would push the
+    // condition into the object side as a plain filter (the reference's
+    // optimizer.rs:140-195 hazard). The extensions session must plan
+    // KnnJoin regardless.
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.st
+    spark.range(4).select(col("id").as("oid"),
+      st.makeEnvelope(col("id") * 100.0, lit(0.0),
+        col("id") * 100.0 + 10.0, lit(10.0)).as("og"))
+      .createOrReplaceTempView("pa_knn_o")
+    spark.range(3).select(col("id").as("qid"),
+      st.point(lit(105.0), lit(5.0)).as("qg"))
+      .createOrReplaceTempView("pa_knn_q")
+    val df = spark.sql(
+      "SELECT qid, oid FROM pa_knn_q JOIN pa_knn_o ON st_knn(qg, og, 2)")
+    assert(df.queryExecution.executedPlan.toString.contains("KnnJoin"),
+      "literal-query st_knn lost the analyzer capture")
+    assert(df.count() == 3 * 2)
+  }
+
   test("GeoParquet scan carries pushed bbox filters and pruned files") {
     val gp = entries("gp01_geoparquet_prune").plan
     assert(gp.contains("PushedFilters") && gp.contains("_bbox"),

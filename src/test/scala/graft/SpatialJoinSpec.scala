@@ -299,6 +299,49 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getCause != null && e.getCause.getMessage.contains("join condition"))
   }
 
+  test("KNN edge cases: k > object count, polygon objects, query-side filter " +
+      "(reference test_knnjoin.py)") {
+    import org.apache.spark.sql.expressions.Window
+    // k greater than the object side: every query returns ALL objects
+    val q = spark.range(5).select(col("id").as("qid"),
+      st.point(col("id") * 11.3, col("id") * 5.7).as("qg"))
+    val o = spark.range(3).select(col("id").as("oid"),
+      st.point(col("id") * 13.1 + 0.5, col("id") * 7.9 + 0.25).as("og"))
+    q.createOrReplaceTempView("knn_eq")
+    o.createOrReplaceTempView("knn_eo")
+    val r = spark.sql("SELECT qid, oid FROM knn_eq JOIN knn_eo ON st_knn(qg, og, 5)")
+    assert(r.count() == 5 * 3)
+    // polygon object side: distance is to the polygon, zero when inside.
+    // The query point stays column-derived (non-foldable): this spec's
+    // session has no analyzer extensions, and a constant-folded st_knn
+    // arg would let Spark push the condition before the physical capture
+    // — the analyzer-time barrier for that case is asserted in
+    // PlanAuditSpec (extensions session), matching every real entry point.
+    val polys = spark.range(4).select(col("id").as("oid"),
+      st.makeEnvelope(col("id") * 100.0, lit(0.0),
+        col("id") * 100.0 + 10.0, lit(10.0)).as("og"))
+    polys.createOrReplaceTempView("knn_ep")
+    spark.range(1).select(
+        st.point(lit(105.0) + col("id") * 0.0, lit(5.0) + col("id") * 0.0).as("qg"),
+        col("id").as("qid"))
+      .createOrReplaceTempView("knn_epq")
+    val pr = spark.sql(
+      """SELECT oid, st_distance(qg, og) AS d
+        |FROM knn_epq JOIN knn_ep ON st_knn(qg, og, 2)""".stripMargin)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).sortBy(_._2)
+    assert(pr.map(_._1).toSeq == Seq(1L, 0L)) // inside box 1, then box 0
+    assert(pr(0)._2 == 0.0 && pr(1)._2 == 95.0)
+    // a query-side filter composes with the KNN (object set unfiltered)
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("oid"))
+    val filtered = spark.sql(
+      "SELECT qid, oid FROM knn_eq JOIN knn_eo ON st_knn(qg, og, 2) WHERE qid = 0")
+    val brute = q.filter(col("qid") === 0).crossJoin(o)
+      .withColumn("d", st.distance(col("qg"), col("og")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .select("qid", "oid")
+    assert(sortedRows(filtered) == sortedRows(brute))
+  }
+
   test("spheroid KNN join ranks by great-circle distance") {
     // near the pole, planar-nearest and geodesic-nearest differ: query at
     // lat 89, candidates at same latitude across longitudes
