@@ -986,13 +986,16 @@ object GeomScalars {
       case p: Polygon => p.getNumInteriorRing; case _ => null }),
     fn("st_numinteriorring", IntegerType, Seq(Geom))(a => g0(a) match {
       case p: Polygon => p.getNumInteriorRing; case _ => null }),
-    fn("st_nrings", IntegerType, Seq(Geom))(a => g0(a) match {
-      case p: Polygon => 1 + p.getNumInteriorRing
-      case m: MultiPolygon =>
-        (0 until m.getNumGeometries).map { i =>
-          val p = m.getGeometryN(i).asInstanceOf[Polygon]; 1 + p.getNumInteriorRing
-        }.sum
-      case _ => null
+    // ring count sums polygons through collections; non-polygonal and
+    // empty inputs count 0 (reference test_st_nrings)
+    fn("st_nrings", IntegerType, Seq(Geom))(a => {
+      def rings(g: Geometry): Int = g match {
+        case p: Polygon => if (p.isEmpty) 0 else 1 + p.getNumInteriorRing
+        case gc: org.locationtech.jts.geom.GeometryCollection =>
+          (0 until gc.getNumGeometries).map(i => rings(gc.getGeometryN(i))).sum
+        case _ => 0
+      }
+      rings(g0(a))
     }),
     fn("st_points", BinaryType, Seq(Geom))(a => points(g0(a))),
     fn("st_boundary", BinaryType, Seq(Geom))(a => boundaryOf(g0(a))),

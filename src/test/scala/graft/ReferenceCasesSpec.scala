@@ -680,6 +680,38 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_lengthsphere(CAST(NULL AS BINARY))") == null)
   }
 
+  test("ring/point accessors: ST_NRings, ST_NumInteriorRings, ST_Points " +
+      "(test_geog_mechanical_transforms.py)") {
+    def g(w: String) = s"st_geomfromwkt('$w')"
+    // nrings: 0 for non-polygons and empties, polygons count all rings,
+    // collections sum their polygonal members
+    assert(q(s"st_nrings(${g("POINT EMPTY")})") == 0)
+    assert(q(s"st_nrings(${g("POLYGON EMPTY")})") == 0)
+    assert(q(s"st_nrings(${g("POINT (1 2)")})") == 0)
+    assert(q(s"st_nrings(${g("LINESTRING (0 0, 1 1, 2 2)")})") == 0)
+    assert(q(s"st_nrings(${g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")})") == 1)
+    assert(q(s"st_nrings(${g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(1 1, 1 2, 2 2, 2 1, 1 1))")})") == 2)
+    assert(q(s"st_nrings(${g("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), " +
+      "((10 10, 20 10, 20 20, 10 20, 10 10), (12 12, 12 14, 14 14, 14 12, 12 12)))")})") == 3)
+    assert(q(s"st_nrings(${g("GEOMETRYCOLLECTION(POINT(1 1), " +
+      "POLYGON((0 0, 1 0, 1 1, 0 0)))")})") == 1)
+    // numinteriorrings: polygons only (NULL elsewhere), holes counted
+    assert(q(s"st_numinteriorrings(${g("POLYGON EMPTY")})") == 0)
+    assert(q(s"st_numinteriorrings(${g("POINT (1 2)")})") == null)
+    assert(q(s"st_numinteriorrings(${g("MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0), " +
+      "(1 1, 2 1, 2 2, 1 2, 1 1)),((10 10, 14 10, 14 14, 10 14, 10 10)))")})") == null)
+    assert(q(s"st_numinteriorrings(${g("POLYGON ((0 0,10 0,10 6,0 6,0 0), " +
+      "(1 1,2 1,2 5,1 5,1 1),(8 5,8 4,9 4,9 5,8 5))")})") == 2)
+    // points: every vertex (duplicates kept), Z/M preserved
+    sameGeom(s"st_points(${g("LINESTRING (0 0, 1 1, 0 0)")})",
+      "MULTIPOINT (0 0, 1 1, 0 0)")
+    sameGeom(s"st_points(${g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")})",
+      "MULTIPOINT (0 0, 4 0, 4 4, 0 4, 0 0)")
+    sameGeom(s"st_points(${g("LINESTRING ZM (1 2 3 4, 5 6 7 8, 9 0 1 2)")})",
+      "MULTIPOINT ZM (1 2 3 4, 5 6 7 8, 9 0 1 2)")
+  }
+
   test("S2 cell ids (geography/test_geog_s2.py)") {
     // the reference's own leaf-id anchors (shared with BigQuery)
     assert(q("s2_cellidfrompoint(st_point(0, 0))") == 1152921504606846977L)
