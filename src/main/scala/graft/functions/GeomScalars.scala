@@ -905,7 +905,10 @@ object GeomScalars {
       val e = new Envelope(g0(a).getEnvelopeInternal); e.expandBy(d(a, 1))
       GeomIO.factory.toGeometry(e)
     }),
-    fn("st_dimension", IntegerType, Seq(Geom))(a => g0(a).getDimension),
+    // JTS reports Dimension.FALSE (-1) for an empty collection; the
+    // reference pins 0 there (test_st_dimension_empty)
+    fn("st_dimension", IntegerType, Seq(Geom))(a =>
+      math.max(0, g0(a).getDimension)),
     fn("st_geometrytype", StringType, Seq(Geom))(a => "ST_" + g0(a).getGeometryType),
     fn("st_hasz", BooleanType, Seq(Geom))(a => GeomIO.hasZ(g0(a))),
     fn("st_hasm", BooleanType, Seq(Geom))(a => GeomIO.hasM(g0(a))),

@@ -712,6 +712,21 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "MULTIPOINT ZM (1 2 3 4, 5 6 7 8, 9 0 1 2)")
   }
 
+  test("ST_Dimension incl. typed empties and mixed collections (test_geog_accessors.py)") {
+    def g(w: String) = s"st_geomfromwkt('$w')"
+    assert(q(s"st_dimension(${g("POINT (0 0)")})") == 0)
+    assert(q(s"st_dimension(${g("LINESTRING (0 0, 1 1)")})") == 1)
+    assert(q(s"st_dimension(${g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")})") == 2)
+    // mixed collection: highest member dimension
+    assert(q(s"st_dimension(${g("GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (1 1, 2 2))")})") == 1)
+    assert(q(s"st_dimension(${g("GEOMETRYCOLLECTION (POINT (0 0), POLYGON ((0 0, 1 0, 1 1, 0 0)))")})") == 2)
+    // typed empties keep their class dimension; empty GC pins 0
+    assert(q(s"st_dimension(${g("POINT EMPTY")})") == 0)
+    assert(q(s"st_dimension(${g("LINESTRING EMPTY")})") == 1)
+    assert(q(s"st_dimension(${g("POLYGON EMPTY")})") == 2)
+    assert(q(s"st_dimension(${g("GEOMETRYCOLLECTION EMPTY")})") == 0)
+  }
+
   test("S2 cell ids (geography/test_geog_s2.py)") {
     // the reference's own leaf-id anchors (shared with BigQuery)
     assert(q("s2_cellidfrompoint(st_point(0, 0))") == 1152921504606846977L)
