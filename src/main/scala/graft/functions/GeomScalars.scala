@@ -915,11 +915,20 @@ object GeomScalars {
     fn("st_isempty", BooleanType, Seq(Geom))(a => g0(a).isEmpty),
     fn("st_iscollection", BooleanType, Seq(Geom))(a =>
       g0(a).isInstanceOf[GeometryCollection]),
-    fn("st_isclosed", BooleanType, Seq(Geom))(a => g0(a) match {
-      case l: LineString => l.isClosed
-      case m: MultiLineString => m.isClosed
-      case _: Point | _: MultiPoint => true
-      case _ => false
+    // points and polygons are closed (PostGIS geometry semantics the
+    // reference matches), empties are not; collections require every
+    // member closed (test_st_isclosed / test_st_isclosed_polygon)
+    fn("st_isclosed", BooleanType, Seq(Geom))(a => {
+      def closed(g: Geometry): Boolean = g match {
+        case g0 if g0.isEmpty => false
+        case l: LineString => l.isClosed
+        case _: Point => true
+        case _: Polygon => true
+        case gc: GeometryCollection =>
+          (0 until gc.getNumGeometries).forall(i => closed(gc.getGeometryN(i)))
+        case _ => false
+      }
+      closed(g0(a))
     }),
     fn("st_isring", BooleanType, Seq(Geom))(a => g0(a) match {
       case l: LineString => l.isRing; case _ => false }),

@@ -727,6 +727,20 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(s"st_dimension(${g("GEOMETRYCOLLECTION EMPTY")})") == 0)
   }
 
+  test("ST_IsClosed / ST_IsCollection edges (test_geog_accessors.py)") {
+    def g(w: String) = s"st_geomfromwkt('$w')"
+    assert(q(s"st_isclosed(${g("POINT EMPTY")})") == false)
+    assert(q(s"st_isclosed(${g("POINT (0 0)")})") == true)
+    assert(q(s"st_isclosed(${g("MULTIPOINT ((0 0), (1 1))")})") == true)
+    assert(q(s"st_isclosed(${g("LINESTRING (0 0, 1 0, 1 1, 0 0)")})") == true)
+    assert(q(s"st_isclosed(${g("LINESTRING (0 0, 1 0, 1 1)")})") == false)
+    assert(q(s"st_isclosed(${g("POLYGON ((0 0, 1 0, 1 1, 0 0))")})") == true)
+    assert(q(s"st_iscollection(${g("POINT (0 0)")})") == false)
+    assert(q(s"st_iscollection(${g("POLYGON ((0 0, 1 0, 1 1, 0 0))")})") == false)
+    assert(q(s"st_iscollection(${g("MULTIPOINT ((0 0), (1 1))")})") == true)
+    assert(q(s"st_iscollection(${g("GEOMETRYCOLLECTION EMPTY")})") == true)
+  }
+
   test("S2 cell ids (geography/test_geog_s2.py)") {
     // the reference's own leaf-id anchors (shared with BigQuery)
     assert(q("s2_cellidfrompoint(st_point(0, 0))") == 1152921504606846977L)
