@@ -741,6 +741,26 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(s"st_iscollection(${g("GEOMETRYCOLLECTION EMPTY")})") == true)
   }
 
+  test("ST_ZMin/ZMax/MMin/MMax across dim variants (geography/test_bounds.py)") {
+    def g(w: String) = s"st_geomfromwkt('$w')"
+    for (f <- Seq("st_zmin", "st_zmax", "st_mmin", "st_mmax")) {
+      assert(q(s"$f(${g("POINT EMPTY")})") == null, f)
+      assert(q(s"$f(${g("POINT (10 20)")})") == null, f)
+      assert(q(s"$f(${g("LINESTRING (1 2, 5 6)")})") == null, f)
+    }
+    // the XYM third ordinate is M, never Z
+    assert(q(s"st_zmin(${g("POINT M (10 20 30)")})") == null)
+    assert(q(s"st_mmin(${g("POINT M (10 20 30)")})") == 30.0)
+    assert(q(s"st_zmin(${g("POINT Z (10 20 30)")})") == 30.0)
+    assert(q(s"st_mmin(${g("POINT Z (10 20 30)")})") == null)
+    assert(q(s"st_zmin(${g("POINT ZM (10 20 30 40)")})") == 30.0)
+    assert(q(s"st_mmax(${g("POINT ZM (10 20 30 40)")})") == 40.0)
+    assert(q(s"st_zmin(${g("POLYGON Z ((-1 0 1, 0 -2 2, 3 1 3, 0 4 4, -1 0 1))")})") == 1.0)
+    assert(q(s"st_zmax(${g("POLYGON Z ((-1 0 1, 0 -2 2, 3 1 3, 0 4 4, -1 0 1))")})") == 4.0)
+    assert(q(s"st_mmin(${g("POLYGON M ((-1 0 1, 0 -2 2, 3 1 3, 0 4 4, -1 0 1))")})") == 1.0)
+    assert(q(s"st_mmax(${g("LINESTRING M (1 2 3, 5 6 7)")})") == 7.0)
+  }
+
   test("S2 cell ids (geography/test_geog_s2.py)") {
     // the reference's own leaf-id anchors (shared with BigQuery)
     assert(q("s2_cellidfrompoint(st_point(0, 0))") == 1152921504606846977L)
