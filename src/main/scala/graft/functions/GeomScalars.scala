@@ -1340,13 +1340,22 @@ object GeomScalars {
 
     // ---- proximity constructions (DistanceOp.nearestPoints; reference:
     // s2 st_closestpoint/shortestline/longestline kernels) ----
+    // empty inputs degrade: closestpoint -> empty point, shortest/longest
+    // line -> empty linestring (reference test_st_*_empties; raw JTS
+    // DistanceOp throws instead)
     fn("st_closestpoint", BinaryType, Seq(Geom, Geom))(a => {
-      val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(g0(a), g1(a))
-      GeomIO.factory.createPoint(pts(0))
+      if (g0(a).isEmpty || g1(a).isEmpty) GeomIO.factory.createPoint()
+      else {
+        val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(g0(a), g1(a))
+        GeomIO.factory.createPoint(pts(0))
+      }
     }),
     fn("st_shortestline", BinaryType, Seq(Geom, Geom))(a => {
-      val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(g0(a), g1(a))
-      GeomIO.factory.createLineString(Array(pts(0), pts(1)))
+      if (g0(a).isEmpty || g1(a).isEmpty) GeomIO.factory.createLineString()
+      else {
+        val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(g0(a), g1(a))
+        GeomIO.factory.createLineString(Array(pts(0), pts(1)))
+      }
     }),
     fn("st_longestline", BinaryType, Seq(Geom, Geom))(a => {
       val ca = g0(a).convexHull().getCoordinates
@@ -1362,7 +1371,7 @@ object GeomScalars {
         }
         i += 1
       }
-      if (ca.isEmpty || cb.isEmpty) null
+      if (ca.isEmpty || cb.isEmpty) GeomIO.factory.createLineString()
       else GeomIO.factory.createLineString(Array(ca(bi), cb(bj)))
     }),
     fn("st_buildarea", BinaryType, Seq(Geom))(a => {

@@ -761,6 +761,32 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(s"st_mmax(${g("LINESTRING M (1 2 3, 5 6 7)")})") == 7.0)
   }
 
+  test("closest/shortest/longest line empties and planar anchors (test_geog_distance.py)") {
+    def g(w: String) = s"st_geomfromwkt('$w')"
+    // empty inputs degrade instead of erroring
+    assert(q(s"st_astext(st_shortestline(${g("POINT (0 0)")}, ${g("POINT EMPTY")}))")
+      == "LINESTRING EMPTY")
+    assert(q(s"st_astext(st_shortestline(${g("POINT EMPTY")}, ${g("POINT (0 0)")}))")
+      == "LINESTRING EMPTY")
+    assert(q(s"st_astext(st_longestline(${g("POINT (0 0)")}, ${g("POINT EMPTY")}))")
+      == "LINESTRING EMPTY")
+    assert(q(s"st_astext(st_closestpoint(${g("POINT (0 0)")}, ${g("POINT EMPTY")}))")
+      == "POINT EMPTY")
+    // planar versions of the reference's point/line/polygon cases
+    sameGeom(s"st_shortestline(${g("POINT (0 0)")}, ${g("POINT (0 1)")})",
+      "LINESTRING (0 0, 0 1)")
+    sameGeom(s"st_shortestline(${g("POINT (1 0)")}, ${g("LINESTRING (0 0, 0 1)")})",
+      "LINESTRING (1 0, 0 0)")
+    sameGeom(s"st_shortestline(${g("POINT (0.25 0.25)")}, " +
+      s"${g("POLYGON ((0 0, 2 0, 0 2, 0 0))")})",
+      "LINESTRING (0.25 0.25, 0.25 0.25)")
+    sameGeom(s"st_shortestline(${g("POINT (-1 0)")}, " +
+      s"${g("POLYGON ((0 0, 2 0, 0 2, 0 0))")})",
+      "LINESTRING (-1 0, 0 0)")
+    sameGeom(s"st_closestpoint(${g("LINESTRING (0 0, 0 1)")}, ${g("POINT (1 0)")})",
+      "POINT (0 0)")
+  }
+
   test("S2 cell ids (geography/test_geog_s2.py)") {
     // the reference's own leaf-id anchors (shared with BigQuery)
     assert(q("s2_cellidfrompoint(st_point(0, 0))") == 1152921504606846977L)
