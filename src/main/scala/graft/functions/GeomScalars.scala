@@ -490,6 +490,37 @@ object GeomScalars {
     else GeomIO.factory.createMultiLineString(chains.toArray)
   }
 
+  /** Split each segment into the minimal count of EQUAL parts whose XY
+    * length fits `tol`, interpolating whatever Z/M the endpoints carry. */
+  private def segmentizeCoords(cs: Array[Coordinate], tol: Double): Array[Coordinate] = {
+    if (cs.length < 2) return cs
+    val out = scala.collection.mutable.ArrayBuffer[Coordinate](cs(0))
+    var i = 1
+    while (i < cs.length) {
+      val p = cs(i - 1); val q = cs(i)
+      val n = math.max(1, math.ceil(p.distance(q) / tol).toInt)
+      var k = 1
+      while (k < n) {
+        val t = k.toDouble / n
+        val x = p.x + (q.x - p.x) * t
+        val y = p.y + (q.y - p.y) * t
+        val hasZ = !p.getZ.isNaN && !q.getZ.isNaN
+        val hasM = !p.getM.isNaN && !q.getM.isNaN
+        out += (
+          if (hasZ && hasM)
+            new CoordinateXYZM(x, y, p.getZ + (q.getZ - p.getZ) * t,
+              p.getM + (q.getM - p.getM) * t)
+          else if (hasM) new CoordinateXYM(x, y, p.getM + (q.getM - p.getM) * t)
+          else if (hasZ) new Coordinate(x, y, p.getZ + (q.getZ - p.getZ) * t)
+          else new Coordinate(x, y))
+        k += 1
+      }
+      out += q
+      i += 1
+    }
+    out.toArray
+  }
+
   private def azimuth(a: Geometry, b: Geometry): Any = (a, b) match {
     case (p1: Point, p2: Point) =>
       val dx = p2.getX - p1.getX; val dy = p2.getY - p1.getY
@@ -1126,8 +1157,22 @@ object GeomScalars {
       GeometryPrecisionReducer.reduce(g0(a), new PrecisionModel(d(a, 1)))),
     fn("st_snap", BinaryType, Seq(Geom, Geom, Dbl))(a =>
       snapGeometry(g0(a), g1(a), d(a, 2))),
-    fn("st_segmentize", BinaryType, Seq(Geom, Dbl))(a =>
-      Densifier.densify(g0(a), d(a, 1))),
+    // equal-part subdivision per segment with Z AND M linearly
+    // interpolated (JTS Densifier drops M — reference
+    // test_st_segmentize_interpolate_zm pins all four ordinates)
+    fn("st_segmentize", BinaryType, Seq(Geom, Dbl))(a => {
+      val tol = d(a, 1)
+      require(java.lang.Double.isFinite(tol) && tol > 0,
+        "st_segmentize: max_distance must be finite and greater than 0")
+      new org.locationtech.jts.geom.util.GeometryEditor(GeomIO.factory).edit(g0(a),
+        new org.locationtech.jts.geom.util.GeometryEditor.CoordinateOperation {
+          override def edit(cs: Array[Coordinate], geom: Geometry): Array[Coordinate] =
+            geom match {
+              case _: LineString => segmentizeCoords(cs, tol)
+              case _ => cs
+            }
+        })
+    }),
     fn("st_minimumclearance", DoubleType, Seq(Geom))(a =>
       MinimumClearance.getDistance(g0(a))),
     fn("st_minimumclearanceline", BinaryType, Seq(Geom))(a =>

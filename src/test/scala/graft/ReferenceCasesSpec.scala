@@ -787,6 +787,42 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "POINT (0 0)")
   }
 
+  test("ST_Segmentize equal-part splits with Z/M interpolation (test_segmentize.py)") {
+    def g(w: String) = s"st_geomfromwkt('$w')"
+    def w(e: String): String = q(s"st_astext($e)").toString
+    // no-split when the segment already fits
+    sameGeom(s"st_segmentize(${g("LINESTRING (0 1, 1 2, 2 1)")}, 1e9)",
+      "LINESTRING (0 1, 1 2, 2 1)")
+    sameGeom(s"st_segmentize(${g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")}, 1e9)",
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    // equal-part subdivision, not max-length stepping: 2 units at 1.1 ->
+    // the midpoint, not a cut at 1.1
+    sameGeom(s"st_segmentize(${g("LINESTRING (0 0, 0 2)")}, 1.1)",
+      "LINESTRING (0 0, 0 1, 0 2)")
+    sameGeom(s"st_segmentize(${g("LINESTRING (0 0, 0 4)")}, 1.1)",
+      "LINESTRING (0 0, 0 1, 0 2, 0 3, 0 4)")
+    sameGeom(s"st_segmentize(${g("POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))")}, 1.1)",
+      "POLYGON ((0 0, 0 1, 0 2, 1 2, 2 2, 2 1, 2 0, 1 0, 0 0))")
+    sameGeom(s"st_segmentize(${g("MULTILINESTRING ((0 0, 0 2), (1 0, 1 2))")}, 1.1)",
+      "MULTILINESTRING ((0 0, 0 1, 0 2), (1 0, 1 1, 1 2))")
+    sameGeom(s"st_segmentize(${g("GEOMETRYCOLLECTION (POINT (0 1), LINESTRING (0 0, 0 2))")}, 1.1)",
+      "GEOMETRYCOLLECTION (POINT (0 1), LINESTRING (0 0, 0 1, 0 2))")
+    // Z, M, and ZM all interpolate linearly
+    assert(w(s"st_segmentize(${g("LINESTRING Z (0 0 100, 0 2 200)")}, 1.1)")
+      == "LINESTRING Z(0 0 100, 0 1 150, 0 2 200)")
+    assert(w(s"st_segmentize(${g("LINESTRING M (0 0 0, 0 2 100)")}, 1.1)")
+      == "LINESTRING M(0 0 0, 0 1 50, 0 2 100)")
+    assert(w(s"st_segmentize(${g("LINESTRING ZM (0 0 100 0, 0 2 200 100)")}, 1.1)")
+      == "LINESTRING ZM(0 0 100 0, 0 1 150 50, 0 2 200 100)")
+    // invalid max lengths error loudly
+    for (bad <- Seq("0.0", "-1.0")) {
+      val e = intercept[Exception](q(
+        s"st_segmentize(${g("LINESTRING (0 0, 1 1)")}, $bad)"))
+      val msg = Option(e.getCause).getOrElse(e).getMessage
+      assert(msg.contains("must be finite and"), msg)
+    }
+  }
+
   test("S2 cell ids (geography/test_geog_s2.py)") {
     // the reference's own leaf-id anchors (shared with BigQuery)
     assert(q("s2_cellidfrompoint(st_point(0, 0))") == 1152921504606846977L)
