@@ -396,6 +396,26 @@ object GeomScalars {
   private def mVals(g: Geometry): Array[Double] =
     g.getCoordinates.map(_.getM).filterNot(java.lang.Double.isNaN)
 
+  /** WKT parser with an optional CRS-string second arg: the 1-arg form
+    * returns plain WKB, the 2-arg form an item-CRS struct (SRID seeded
+    * when the string parses, string carried verbatim). */
+  private def wktParserWithCrs(name: String): Seq[Expression] => Expression =
+    (children: Seq[Expression]) => GeomScalar(name, children,
+      if (children.length >= 2) ItemCrs.dataType else BinaryType,
+      Seq.fill(children.length)(ArgKind.Str),
+      a => {
+        val g = GeomIO.readWkt(a(0).asInstanceOf[String])
+        if (a.length >= 2) {
+          if (g == null) null
+          else {
+            val crs = a(1).asInstanceOf[String]
+            val srid = try parseCrsSrid(crs) catch { case _: Exception => 0 }
+            if (srid != 0) g.setSRID(srid)
+            ItemCrs.row(GeomIO.write(g), UTF8String.fromString(crs))
+          }
+        } else g
+      })
+
   /** "EPSG:4326", bare "4326", or "OGC:CRS84" (= lon/lat 4326) -> SRID. */
   private[graft] def parseCrsSrid(crs: String): Int = crs.trim match {
     case c if c.equalsIgnoreCase("OGC:CRS84") => 4326
@@ -856,8 +876,10 @@ object GeomScalars {
 
   private val core: Map[String, B] = Map(
     // ---- constructors / parsers (st_geomfromwkt.rs, st_geomfromwkb.rs) ----
-    fn("st_geomfromwkt", BinaryType, Seq(Str))(a => GeomIO.readWkt(s(a, 0))),
-    fn("st_geomfromtext", BinaryType, Seq(Str))(a => GeomIO.readWkt(s(a, 0))),
+    // optional second arg: a CRS string -> item-CRS struct output with
+    // the string carried verbatim (reference ST_GeomFromText(wkt, crs))
+    "st_geomfromwkt" -> wktParserWithCrs("st_geomfromwkt"),
+    "st_geomfromtext" -> wktParserWithCrs("st_geomfromtext"),
     fn("st_geogfromwkt", BinaryType, Seq(Str))(a => GeomIO.readWkt(s(a, 0))),
     fn("st_geomfromewkt", BinaryType, Seq(Str))(a => parseEwkt(s(a, 0))),
     fn("st_pointfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "Point")),
@@ -870,14 +892,27 @@ object GeomScalars {
     fn("st_geomfromgeojson", BinaryType, Seq(Str))(a => GeomIO.fromGeoJson(s(a, 0))),
     fn("st_geomfromwkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
     fn("st_geomfromewkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
-    // 2-arg plain point or the reference's 3-arg (x, y, srid) form
-    "st_point" -> ((children: Seq[Expression]) => GeomScalar("st_point", children,
-      BinaryType, if (children.length >= 3) Seq(Dbl, Dbl, Int_) else Seq(Dbl, Dbl),
-      a => {
-        val p = GeomIO.point(d(a, 0), d(a, 1))
-        if (a.length >= 3) p.setSRID(i(a, 2))
-        p
-      })),
+    // 2-arg plain point, the reference's 3-arg (x, y, srid) form, or the
+    // 3-arg (x, y, crs-string) form — the latter returns an item-CRS
+    // struct carrying the CRS string verbatim (the reference's
+    // ST_Point(x, y, crs) output type, st_point.rs item-crs tests)
+    "st_point" -> ((children: Seq[Expression]) => {
+      val strCrs = children.length >= 3 && children(2).dataType == StringType
+      GeomScalar("st_point", children,
+        if (strCrs) ItemCrs.dataType else BinaryType,
+        if (children.length >= 3) Seq(Dbl, Dbl, Raw) else Seq(Dbl, Dbl),
+        a => {
+          val p = GeomIO.point(d(a, 0), d(a, 1))
+          if (a.length >= 3) a(2) match {
+            case s: UTF8String =>
+              val srid = try parseCrsSrid(s.toString) catch { case _: Exception => 0 }
+              if (srid != 0) p.setSRID(srid)
+              ItemCrs.row(GeomIO.write(p), UTF8String.fromString(s.toString))
+            case n: java.lang.Number => p.setSRID(n.intValue()); p
+            case dec: Decimal => p.setSRID(dec.toInt); p
+          } else p
+        })
+    }),
     fn("st_makepoint", BinaryType, Seq(Dbl, Dbl))(a => GeomIO.point(d(a, 0), d(a, 1))),
     fn("st_geogpoint", BinaryType, Seq(Dbl, Dbl))(a => GeomIO.point(d(a, 0), d(a, 1))),
     fn("st_pointz", BinaryType, Seq(Dbl, Dbl, Dbl))(a => GeomIO.pointZ(d(a, 0), d(a, 1), d(a, 2))),

@@ -100,6 +100,55 @@ object RasterFunctions {
     out
   }
 
+  /** 1-based band for the value functions: explicit bands must be >= 1;
+    * the band-less arity is only unambiguous on a single-band raster
+    * (reference sampling.rs default_band / next_band). */
+  private def resolveSampleBand(fname: String, r: Raster, a: Array[Any],
+      bandIdx: Int): Int =
+    if (a.length > bandIdx) {
+      val b = ii(a, bandIdx)
+      require(b >= 1, s"$fname: Invalid band number $b: band numbers must be 1-based")
+      b
+    } else {
+      require(r.bands.length == 1,
+        s"$fname: raster has ${r.bands.length} bands; specify which band to " +
+          "sample (the 2-argument form is only allowed for a single-band raster)")
+      1
+    }
+
+  /** SRID a raster's CRS string resolves to; 0 = no CRS (null/empty/
+    * "EPSG:0" and unparseable strings all count as none). */
+  private def rasterSrid(r: Raster): Int =
+    if (r.crs == null || r.crs.isEmpty || r.crs == "EPSG:0") 0
+    else (try GeomScalars.parseCrsSrid(r.crs) catch { case _: Exception => 0 })
+
+  /** Sample one pixel at a world point: land the point in the raster's
+    * CRS (error when exactly one side carries a CRS — sampling across a
+    * known and an unknown CRS would silently mislocate the point,
+    * sampling.rs point_crs_transform), guard non-finite coordinates,
+    * floor the inverse affine (a point just west/north of the origin
+    * maps to index -1, out of bounds — not edge pixel 0), and null out
+    * out-of-bounds / nodata-valued pixels. */
+  private def samplePoint(fname: String, r: Raster,
+      p: org.locationtech.jts.geom.Point, band: Int): java.lang.Double = {
+    var x = p.getX; var y = p.getY
+    val gSrid = p.getSRID
+    val rSrid = rasterSrid(r)
+    if (gSrid != 0 && rSrid != 0) {
+      if (gSrid != rSrid) {
+        val t = CrsTransform.transformPoint(x, y,
+          CrsTransform.parse(s"EPSG:$gSrid"), CrsTransform.parse(s"EPSG:$rSrid"))
+        x = t._1; y = t._2
+      }
+    } else if (gSrid != 0) throw new IllegalArgumentException(
+      s"$fname: geometry has a CRS but the raster does not")
+    else if (rSrid != 0) throw new IllegalArgumentException(
+      s"$fname: raster has a CRS but the geometry does not")
+    if (!java.lang.Double.isFinite(x) || !java.lang.Double.isFinite(y)) return null
+    val (fc, fr) = r.rasterCoord(x, y)
+    r.value(band, math.floor(fc).toInt, math.floor(fr).toInt)
+  }
+
   private def envelopeOf(r: Raster): org.locationtech.jts.geom.Geometry = {
     val xs = Seq(r.worldX(0, 0), r.worldX(r.width, 0), r.worldX(0, r.height),
       r.worldX(r.width, r.height))
@@ -194,9 +243,25 @@ object RasterFunctions {
     fn("rs_rastertoworldcoordy", DoubleType, Seq(Raw, Int_, Int_))(a =>
       rast(a).worldY(ii(a, 1), ii(a, 2))),
 
-    // pixel access + band stats
-    fn("rs_value", DoubleType, Seq(Raw, Int_, Int_, Int_))(a =>
-      rast(a).value(ii(a, 1), ii(a, 2), ii(a, 3))),
+    // pixel access + band stats. The reference form samples at a POINT
+    // (rs_value.rs: floor world->pixel, null for empty/non-finite/
+    // out-of-bounds/nodata; band defaults to 1 only for a single-band
+    // raster — sampling.rs default_band); the 4-arg (band, col, row)
+    // int form is kept as a pixel-space extension.
+    fnv("rs_value", DoubleType,
+        Seq(Seq(Raw, Geom), Seq(Raw, Geom, Int_), Seq(Raw, Int_, Int_, Int_)))(a =>
+      if (a.length == 4) rast(a).value(ii(a, 1), ii(a, 2), ii(a, 3))
+      else {
+        val r = rast(a)
+        val band = resolveSampleBand("rs_value", r, a, 2)
+        a(1).asInstanceOf[org.locationtech.jts.geom.Geometry] match {
+          case p: org.locationtech.jts.geom.Point if !p.isEmpty =>
+            samplePoint("rs_value", r, p, band)
+          case g if g.isEmpty => null
+          case g => throw new IllegalArgumentException(
+            s"rs_value: expected a Point, got ${g.getGeometryType}")
+        }
+      }),
     fn("rs_bandmin", DoubleType, Seq(Raw, Int_))(a => bandValues(rast(a), ii(a, 1)).min),
     fn("rs_bandmax", DoubleType, Seq(Raw, Int_))(a => bandValues(rast(a), ii(a, 1)).max),
     fn("rs_bandavg", DoubleType, Seq(Raw, Int_))(a => {
@@ -213,7 +278,7 @@ object RasterFunctions {
     fnv("rs_bandpixeltype", StringType, Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
       val r = rast(a)
       val b = if (a.length > 1) ii(a, 1) else 1
-      if (b < 1 || b > r.bands.length) null else "REAL_64BITS"
+      if (b < 1 || b > r.bands.length) null else r.bands(b - 1).pixelTypeName
     }),
     fn("rs_isempty", BooleanType, Seq(Raw))(a => {
       val r = rast(a); r.width <= 0 || r.height <= 0
@@ -289,7 +354,7 @@ object RasterFunctions {
           val nd = dims.patch(di, Nil, 1); val ns = shape.patch(di, Nil, 1)
           RasterModel.Band(b.nodata, data,
             if (nd == Vector("y", "x")) null else nd,
-            if (nd == Vector("y", "x")) null else ns)
+            if (nd == Vector("y", "x")) null else ns, b.ptype)
         }
       }
       RasterModel.toRow(r.crs, r.gt, r.width, r.height, out, r.path)
@@ -325,7 +390,7 @@ object RasterFunctions {
           val (nd, ns) =
             if (nd0 == Vector("y", "x")) (null, null) else (nd0, ns0)
           (0L until shape(di)).map(i => RasterModel.Band(b.nodata,
-            sliceBytes(b.data, shape, di, i.toInt, 1), nd, ns))
+            sliceBytes(b.data, shape, di, i.toInt, 1), nd, ns, b.ptype))
         }
       }
       RasterModel.toRow(r.crs, r.gt, r.width, r.height, out, r.path)
@@ -424,19 +489,19 @@ object RasterFunctions {
     }),
 
     // point-sampling over a MultiPoint (rs_values.rs): per-sub-point value
-    // in input order; null element when out of bounds / nodata / empty
+    // in input order; null element when out of bounds / nodata / empty.
+    // MULTIPOINT EMPTY -> empty list; band rules as rs_value.
     fnv("rs_values", ArrayType(DoubleType, containsNull = true),
         Seq(Seq(Raw, Geom), Seq(Raw, Geom, Int_)))(a => {
       val r = rast(a)
       val g = a(1).asInstanceOf[org.locationtech.jts.geom.Geometry]
-      val band = if (a.length > 2) ii(a, 2) else 1
-      val out = new Array[Any](g.getNumGeometries)
+      val band = resolveSampleBand("rs_values", r, a, 2)
+      val out = new Array[Any](if (g.isEmpty) 0 else g.getNumGeometries)
       var i = 0
       while (i < out.length) {
         out(i) = g.getGeometryN(i) match {
           case p: org.locationtech.jts.geom.Point if !p.isEmpty =>
-            val (fc, fr) = r.rasterCoord(p.getX, p.getY)
-            r.value(band, math.floor(fc).toInt, math.floor(fr).toInt)
+            samplePoint("rs_values", r, p, band)
           case _ => null
         }
         i += 1
@@ -462,7 +527,7 @@ object RasterFunctions {
       val w = 64; val h = 32
       val bands = (1 to 3).map { b =>
         val vals = Array.fill(w * h)(b.toDouble); vals(0) = 127.0
-        RasterModel.Band(127.0, RasterModel.packDoubles(vals))
+        RasterModel.Band(127.0, RasterModel.packDoubles(vals), ptype = "UNSIGNED_8BITS")
       }
       RasterModel.toRow("EPSG:4326", Array(43.08, 2.0, 1.0, 79.07, 1.0, 2.0), w, h, bands)
     }),

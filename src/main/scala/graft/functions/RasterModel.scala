@@ -24,7 +24,11 @@ object RasterModel {
     StructField("nodata", DoubleType),
     StructField("data", BinaryType),
     StructField("dims", ArrayType(StringType, containsNull = false)),
-    StructField("shape", ArrayType(LongType, containsNull = false))))
+    StructField("shape", ArrayType(LongType, containsNull = false)),
+    // declared source pixel type (reference raster.rs:210-223 names,
+    // e.g. "UNSIGNED_8BITS"); null = natively f64 ("REAL_64BITS").
+    // Working pixels are always f64 — this tags what the source stored.
+    StructField("ptype", StringType)))
 
   val dataType: StructType = StructType(Seq(
     StructField("crs", StringType),
@@ -39,7 +43,10 @@ object RasterModel {
 
   /** One band: f64-LE pixel bytes plus optional N-D structure. */
   case class Band(nodata: Double, data: Array[Byte],
-      dims: IndexedSeq[String] = null, shape: IndexedSeq[Long] = null) {
+      dims: IndexedSeq[String] = null, shape: IndexedSeq[Long] = null,
+      ptype: String = null) {
+    /** Declared pixel type name; natively-f64 bands are REAL_64BITS. */
+    def pixelTypeName: String = if (ptype == null) "REAL_64BITS" else ptype
     /** Full dim-name list, spatial last ("y","x" default for 2D bands). */
     def dimsOf(h: Int, w: Int): IndexedSeq[String] =
       if (dims == null) Vector("y", "x") else dims
@@ -62,7 +69,7 @@ object RasterModel {
       if (band1 < 1 || band1 > bands.length) return null
       if (col < 0 || col >= width || row < 0 || row >= height) return null
       if (bands(band1 - 1).dims != null && bands(band1 - 1).dims.length != 2) return null
-      val Band(nodata, data, _, _) = bands(band1 - 1)
+      val Band(nodata, data, _, _, _) = bands(band1 - 1)
       val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val v = bb.getDouble((row * width + col) * 8)
       if (v == nodata) null else java.lang.Double.valueOf(v)
@@ -76,11 +83,12 @@ object RasterModel {
       r.getArray(1).toDoubleArray(),
       r.getInt(2), r.getInt(3),
       (0 until bandsArr.numElements()).map { i =>
-        val b = bandsArr.getStruct(i, 4)
+        val b = bandsArr.getStruct(i, 5)
         Band(b.getDouble(0), b.getBinary(1),
           if (b.isNullAt(2)) null
           else b.getArray(2).toObjectArray(StringType).map(_.toString).toIndexedSeq,
-          if (b.isNullAt(3)) null else b.getArray(3).toLongArray().toIndexedSeq)
+          if (b.isNullAt(3)) null else b.getArray(3).toLongArray().toIndexedSeq,
+          if (b.isNullAt(4)) null else b.getUTF8String(4).toString)
       },
       if (r.numFields > 5 && !r.isNullAt(5)) r.getUTF8String(5).toString else null)
   }
@@ -91,11 +99,12 @@ object RasterModel {
       UTF8String.fromString(crs),
       new GenericArrayData(gt),
       width, height,
-      new GenericArrayData(bands.map { case Band(nodata, data, dims, shape) =>
+      new GenericArrayData(bands.map { case Band(nodata, data, dims, shape, ptype) =>
         new GenericInternalRow(Array[Any](nodata, data,
           if (dims == null) null
           else new GenericArrayData(dims.map(UTF8String.fromString).toArray[Any]),
-          if (shape == null) null else new GenericArrayData(shape.toArray)))
+          if (shape == null) null else new GenericArrayData(shape.toArray),
+          if (ptype == null) null else UTF8String.fromString(ptype)))
       }.toArray[Any]),
       if (path == null) null else UTF8String.fromString(path)))
 

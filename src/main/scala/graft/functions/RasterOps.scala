@@ -170,7 +170,7 @@ object RasterOps {
         }
         row += 1
       }
-      Band(b.nodata, RasterModel.packDoubles(vals))
+      Band(b.nodata, RasterModel.packDoubles(vals), ptype = b.ptype)
     }
     RasterModel.toRow(crs, gt, w, h, bands, src.path)
   }
@@ -221,7 +221,8 @@ object RasterOps {
             row += 1
           }
           RasterModel.toRow(r.crs, shiftGt(r.gt, cOff, rOff), w0, h0,
-            Seq(Band(nodata, RasterModel.packDoubles(vals))), r.path)
+            Seq(Band(nodata, RasterModel.packDoubles(vals),
+              ptype = r.bands(band - 1).ptype)), r.path)
       }
     }),
 
@@ -261,7 +262,7 @@ object RasterOps {
               }
               row += 1
             }
-            Band(nd, RasterModel.packDoubles(vals))
+            Band(nd, RasterModel.packDoubles(vals), ptype = b.ptype)
           }
           tiles(ty * nTx + tx) = new GenericInternalRow(Array[Any](tx, ty,
             RasterModel.toRow(r.crs, shiftGt(r.gt, c0, r0), w0, h0, bands, r.path)))

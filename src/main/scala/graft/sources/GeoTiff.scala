@@ -511,7 +511,7 @@ object GeoTiff {
         vals(i) = sample(idx)
         i += 1
       }
-      Band(nodata, RasterModel.packDoubles(vals))
+      Band(nodata, RasterModel.packDoubles(vals), ptype = pixelTypeName(fmt, bitsPer))
     }
 
     val gt = gtFrom(doublesOf(TModelTransformation), doublesOf(TModelPixelScale),
@@ -519,6 +519,22 @@ object GeoTiff {
     val crs = crsFrom(valuesOf(TGeoKeyDirectory))
 
     Raster(crs, gt, w, h, bands)
+  }
+
+  /** Declared source pixel type from (SampleFormat, BitsPerSample) —
+    * reference raster.rs:210-223 names; null when unrecognized. */
+  private def pixelTypeName(fmt: Int, bits: Int): String = (fmt, bits) match {
+    case (1, 8) => "UNSIGNED_8BITS"
+    case (1, 16) => "UNSIGNED_16BITS"
+    case (1, 32) => "UNSIGNED_32BITS"
+    case (1, 64) => "UNSIGNED_64BITS"
+    case (2, 8) => "SIGNED_8BITS"
+    case (2, 16) => "SIGNED_16BITS"
+    case (2, 32) => "SIGNED_32BITS"
+    case (2, 64) => "SIGNED_64BITS"
+    case (3, 32) => "REAL_32BITS"
+    case (3, 64) => "REAL_64BITS"
+    case _ => null
   }
 
   private def gtFrom(transformation: Option[IndexedSeq[Double]],

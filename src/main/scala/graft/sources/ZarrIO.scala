@@ -229,7 +229,7 @@ object ZarrIO {
         // external Row (createDataFrame converts to internal); the
         // array's fill_value becomes the band nodata
         Row(cy, cx, Row(crs, cgt.toSeq, cw, ch,
-          Seq(Row(fillValue, raw, null, null)), null))
+          Seq(Row(fillValue, raw, null, null, null)), null))
       }
     spark.createDataFrame(rdd, outSchema)
   }

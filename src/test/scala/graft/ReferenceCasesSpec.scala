@@ -472,6 +472,74 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_astext(st_geomfromwkt('POINT M EMPTY'))").toString.startsWith("POINT M"))
   }
 
+  test("RS_Value/RS_Values point sampling (test_raster_functions.py, test_rs_value.py)") {
+    // RS_Example fills band b with the constant b, except the top-left
+    // pixel (nodata 127); (74.58, 110.57) is the centroid of pixel
+    // (10, 10) and (44.58, 80.57) the centroid of the nodata corner in
+    // the raster's OGC:CRS84 space.
+    for (b <- 1 to 3)
+      assert(q(s"rs_value(rs_example(), st_point(74.58, 110.57, 'OGC:CRS84'), $b)") == b.toDouble)
+    assert(q("rs_value(rs_example(), st_point(0.0, 0.0, 'OGC:CRS84'), 1)") == null)
+    // POINT EMPTY has no location to sample -> NULL (not an error)
+    assert(q("rs_value(rs_example(), st_geomfromtext('POINT EMPTY', 'OGC:CRS84'), 1)") == null)
+    def errOf(expr: String): String = {
+      val e = intercept[Exception](q(expr))
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    // RS_Example is multiband: omitting the band is ambiguous and errors
+    assert(errOf("rs_value(rs_example(), st_point(74.58, 110.57, 'OGC:CRS84'))")
+      .contains("specify which band"))
+
+    def vals(expr: String): Seq[Any] =
+      q(expr).asInstanceOf[scala.collection.Seq[Any]].toSeq
+    assert(vals("rs_values(rs_example(), st_geomfromtext('MULTIPOINT (74.58 110.57, 74.58 110.57, 0 0)', 'OGC:CRS84'), 1)")
+      == Seq(1.0, 1.0, null))
+    assert(vals("rs_values(rs_example(), st_geomfromtext('MULTIPOINT (74.58 110.57, 44.58 80.57, 0 0)', 'OGC:CRS84'), 2)")
+      == Seq(2.0, null, null))
+    assert(vals("rs_values(rs_example(), st_geomfromtext('MULTIPOINT (74.58 110.57)', 'OGC:CRS84'), 3)")
+      == Seq(3.0))
+    // a bare Point is accepted and yields a one-element list
+    assert(vals("rs_values(rs_example(), st_point(74.58, 110.57, 'OGC:CRS84'), 1)")
+      == Seq(1.0))
+    // an empty MultiPoint is an empty list (not NULL)
+    assert(vals("rs_values(rs_example(), st_geomfromtext('MULTIPOINT EMPTY', 'OGC:CRS84'), 1)")
+      == Seq())
+    assert(errOf("rs_values(rs_example(), st_geomfromtext('MULTIPOINT (74.58 110.57)', 'OGC:CRS84'))")
+      .contains("specify which band"))
+
+    // test_rs_value.py sampling rules on a CRS-less north-up raster:
+    // origin (100, 500), 2-wide by 3-tall pixels, 7x6, nodata -12345.5
+    // planted at pixel (row 2, col 3); value(row, col) = row*10 + col.
+    val vs = (for (r <- 0 until 6; c <- 0 until 7)
+      yield if ((r, c) == (2, 3)) "-12345.5D" else s"${r * 10.0 + c}D").mkString(", ")
+    val rast = "rs_setbandnodatavalue(rs_makeraster(7, 6, 100.0, 500.0, " +
+      s"2.0, -3.0, array($vs)), -12345.5)"
+    def sample(x: Double, y: Double): Any =
+      q(s"rs_value($rast, st_point($x, $y), 1)")
+    assert(sample(101.0, 498.5) == 0.0) // pixel (0,0) center
+    assert(sample(113.0, 483.5) == 56.0) // pixel (5,6) center
+    assert(sample(107.0, 492.5) == null) // the planted nodata pixel (2,3)
+    assert(sample(103.7, 490.1) == 31.0) // off-center interior -> (3, 1)
+    assert(sample(100.4, 482.3) == 50.0) // bottom-left pixel, near corner
+    // floor vs truncate: just west/north of the extent must be NULL
+    // (floor -> index -1), not clamp/truncate to edge pixel 0
+    assert(sample(99.9, 490.0) == null)
+    assert(sample(105.0, 500.2) == null)
+    assert(sample(999.0, 999.0) == null)
+    // the band-less arity works on this single-band raster
+    assert(q(s"rs_value($rast, st_point(101.0, 498.5))") == 0.0)
+    assert(vals(s"rs_values($rast, st_geomfromtext('MULTIPOINT (101 498.5, 99.9 490, 107 492.5)'))")
+      == Seq(0.0, null, null))
+    // non-finite coordinates sample as NULL, not pixel 0
+    assert(q(s"rs_value($rast, st_point(cast('NaN' as double), 490.0), 1)") == null)
+    // one-sided CRS errors rather than silently mislocating the point
+    assert(errOf(s"rs_value($rast, st_point(101.0, 498.5, 'OGC:CRS84'), 1)")
+      .contains("geometry has a CRS but the raster does not"))
+    assert(errOf("rs_value(rs_example(), st_point(74.58, 110.57), 1)")
+      .contains("raster has a CRS but the geometry does not"))
+  }
+
   test("RS_Example accessor values (test_raster_functions.py)") {
     assert(q("rs_numbands(rs_example())") == 3)
     assert(q("rs_width(rs_example())") == 64)
@@ -483,6 +551,34 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("rs_skewy(rs_example())") == 1.0)
     assert(q("rs_upperleftx(rs_example())") == 43.08)
     assert(q("rs_upperlefty(rs_example())") == 79.07)
+    // the example raster's declared source dtype is uint8 even though
+    // working pixels are f64 (reference raster.rs pixel-type names)
+    assert(q("rs_bandpixeltype(rs_example(), 1)") == "UNSIGNED_8BITS")
+
+    // WKT CRS strings round-trip through RS_SetCRS/RS_CRS unchanged,
+    // with or without an embedded authority; RS_SRID extracts the
+    // authority code and errors when the WKT carries none.
+    val wkt3857 = "PROJCS[\"WGS 84 / Pseudo-Mercator\",GEOGCS[\"WGS 84\"," +
+      "DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563," +
+      "AUTHORITY[\"EPSG\",\"7030\"]],AUTHORITY[\"EPSG\",\"6326\"]]," +
+      "PRIMEM[\"Greenwich\",0,AUTHORITY[\"EPSG\",\"8901\"]]," +
+      "UNIT[\"degree\",0.0174532925199433,AUTHORITY[\"EPSG\",\"9122\"]]," +
+      "AUTHORITY[\"EPSG\",\"4326\"]],PROJECTION[\"Mercator_1SP\"]," +
+      "PARAMETER[\"central_meridian\",0],PARAMETER[\"scale_factor\",1]," +
+      "PARAMETER[\"false_easting\",0],PARAMETER[\"false_northing\",0]," +
+      "UNIT[\"metre\",1,AUTHORITY[\"EPSG\",\"9001\"]],AUTHORITY[\"EPSG\",\"3857\"]]"
+    val wktNoAuth = "PROJCS[\"Custom LCC\",GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+      "SPHEROID[\"WGS 84\",6378137,298.257223563]]]," +
+      "PROJECTION[\"Lambert_Conformal_Conic_2SP\"]," +
+      "PARAMETER[\"standard_parallel_1\",33],PARAMETER[\"standard_parallel_2\",45]," +
+      "PARAMETER[\"latitude_of_origin\",39],PARAMETER[\"central_meridian\",-96]," +
+      "UNIT[\"metre\",1]]"
+    assert(q(s"rs_crs(rs_setcrs(rs_example(), '$wkt3857'))") == wkt3857)
+    assert(q(s"rs_crs(rs_setcrs(rs_example(), '$wktNoAuth'))") == wktNoAuth)
+    assert(q(s"rs_srid(rs_setcrs(rs_example(), '$wkt3857'))") == 3857)
+    val e = intercept[Exception](q(s"rs_srid(rs_setcrs(rs_example(), '$wktNoAuth'))"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ").contains("SRID"))
   }
 
   test("ST_Transform web-mercator anchor + SRID plumbing (test_transforms.py)") {
