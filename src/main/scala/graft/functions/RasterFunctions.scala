@@ -216,28 +216,35 @@ object RasterFunctions {
       else { val nd = r.bands(b - 1).nodata; if (nd.isNaN) null else nd }
     }),
 
-    // coordinate mapping (0-based pixel coords, like the reference)
+    // coordinate mapping. RS_PixelAs* take 1-based (col, row) pixel
+    // coordinates (rs_pixel_functions.rs:43 — "the pixel coordinates are
+    // 1-based", converted to 0-based before the affine) and extrapolate
+    // for out-of-bounds pixels; the polygon is the affine parallelogram
+    // with the UL, UR, LR, LL ring order pinned (test_rs_pixelas.py).
     fn("rs_pixelaspoint", BinaryType, Seq(Raw, Int_, Int_))(a => {
-      val r = rast(a)
-      GeomIO.point(r.worldX(ii(a, 1), ii(a, 2)), r.worldY(ii(a, 1), ii(a, 2)))
+      val r = rast(a); val c = ii(a, 1) - 1; val row = ii(a, 2) - 1
+      GeomIO.point(r.worldX(c, row), r.worldY(c, row))
     }),
     fn("rs_pixelascentroid", BinaryType, Seq(Raw, Int_, Int_))(a => {
-      val r = rast(a)
-      GeomIO.point(r.worldX(ii(a, 1) + 0.5, ii(a, 2) + 0.5),
-        r.worldY(ii(a, 1) + 0.5, ii(a, 2) + 0.5))
+      val r = rast(a); val c = ii(a, 1) - 0.5; val row = ii(a, 2) - 0.5
+      GeomIO.point(r.worldX(c, row), r.worldY(c, row))
     }),
     fn("rs_pixelaspolygon", BinaryType, Seq(Raw, Int_, Int_))(a => {
-      val r = rast(a); val c = ii(a, 1); val row = ii(a, 2)
-      val xs = Seq(r.worldX(c, row), r.worldX(c + 1, row), r.worldX(c, row + 1),
-        r.worldX(c + 1, row + 1))
-      val ys = Seq(r.worldY(c, row), r.worldY(c + 1, row), r.worldY(c, row + 1),
-        r.worldY(c + 1, row + 1))
-      GeomIO.envelope(xs.min, ys.min, xs.max, ys.max)
+      val r = rast(a); val c = ii(a, 1) - 1; val row = ii(a, 2) - 1
+      val ring = Array((c, row), (c + 1, row), (c + 1, row + 1), (c, row + 1),
+        (c, row)).map { case (pc, pr) =>
+        new org.locationtech.jts.geom.Coordinate(
+          r.worldX(pc, pr), r.worldY(pc, pr))
+      }
+      GeomIO.factory.createPolygon(ring)
     }),
-    fn("rs_worldtorastercoordx", IntegerType, Seq(Raw, Dbl, Dbl))(a =>
-      math.floor(rast(a).rasterCoord(d(a, 1), d(a, 2))._1).toInt),
-    fn("rs_worldtorastercoordy", IntegerType, Seq(Raw, Dbl, Dbl))(a =>
-      math.floor(rast(a).rasterCoord(d(a, 1), d(a, 2))._2).toInt),
+    // world->raster maps through the inverse affine with truncation
+    // toward zero (affine_transformation.rs:66 `as i64`), Int64 output,
+    // erroring on a non-invertible geotransform
+    fn("rs_worldtorastercoordx", LongType, Seq(Raw, Dbl, Dbl))(a =>
+      rast(a).rasterCoord(d(a, 1), d(a, 2))._1.toLong),
+    fn("rs_worldtorastercoordy", LongType, Seq(Raw, Dbl, Dbl))(a =>
+      rast(a).rasterCoord(d(a, 1), d(a, 2))._2.toLong),
     fn("rs_rastertoworldcoordx", DoubleType, Seq(Raw, Int_, Int_))(a =>
       rast(a).worldX(ii(a, 1), ii(a, 2))),
     fn("rs_rastertoworldcoordy", DoubleType, Seq(Raw, Int_, Int_))(a =>
@@ -517,7 +524,7 @@ object RasterFunctions {
     }),
     fn("rs_worldtorastercoord", BinaryType, Seq(Raw, Dbl, Dbl))(a => {
       val (fc, fr) = rast(a).rasterCoord(d(a, 1), d(a, 2))
-      GeomIO.point(math.floor(fc), math.floor(fr))
+      GeomIO.point(fc.toLong.toDouble, fr.toLong.toDouble)
     }),
 
     // deterministic example raster (rs_example.rs: 64x32, ul (43.08,

@@ -59,9 +59,11 @@ object RasterModel {
     def isOutDb: Boolean = path != null && bands.isEmpty
     def worldX(col: Double, row: Double): Double = gt(0) + col * gt(1) + row * gt(2)
     def worldY(col: Double, row: Double): Double = gt(3) + col * gt(4) + row * gt(5)
-    /** inverse affine -> fractional (col, row) */
+    /** inverse affine -> fractional (col, row); errors on a singular
+      * geotransform (reference geo_transform invert error text) */
     def rasterCoord(x: Double, y: Double): (Double, Double) = {
       val det = gt(1) * gt(5) - gt(2) * gt(4)
+      require(det != 0.0, "Cannot compute coordinate: determinant is zero.")
       val dx = x - gt(0); val dy = y - gt(3)
       ((gt(5) * dx - gt(2) * dy) / det, (gt(1) * dy - gt(4) * dx) / det)
     }

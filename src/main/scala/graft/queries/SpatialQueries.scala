@@ -974,7 +974,7 @@ object SpatialQueries {
         |  CAST((p_partkey + 9) % 97 AS DOUBLE) AS v12,
         |  list_sum([CAST((p_partkey + i) % 97 AS DOUBLE) for i in range(0, 12)])/12.0 AS bavg,
         |  ulx + 4.0 AS wx, uly - 2.0 AS wy,
-        |  2 AS rcx, 1 AS rcy,
+        |  CAST(2 AS BIGINT) AS rcx, CAST(1 AS BIGINT) AS rcy,
         |  48.0 AS env_area,
         |  TRUE AS hit
         |FROM p""".stripMargin,

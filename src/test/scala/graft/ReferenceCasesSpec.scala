@@ -540,6 +540,48 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("raster has a CRS but the geometry does not"))
   }
 
+  test("RS_PixelAs* 1-based pixels, skew-safe, extrapolating (test_rs_pixelas.py)") {
+    // north-up (100, 2, 0, 500, 0, -3) and skewed (100, 2, 0.5, 500,
+    // 0.25, -3) geotransforms over a 7x6 grid; 1-based pixel (col, row).
+    val vals = (1 to 42).map(_ => "0.0D").mkString(", ")
+    val northUp = s"rs_makeraster(7, 6, 100.0, 500.0, 2.0, -3.0, array($vals))"
+    val skewed = s"rs_setgeoreference($northUp, '2.0 0.25 0.5 -3.0 100.0 500.0')"
+    def wkt(expr: String): String = q(s"st_astext($expr)").asInstanceOf[String]
+
+    // smoke rows from test_rs_pixelas_sql_text_smoke: pixel (2, 3) of the
+    // north-up grid — UL corner (102, 494), centroid (103, 492.5),
+    // parallelogram ring UL, UR, LR, LL closed
+    assert(wkt(s"rs_pixelaspoint($northUp, 2, 3)") == "POINT (102 494)")
+    assert(wkt(s"rs_pixelascentroid($northUp, 2, 3)") == "POINT (103 492.5)")
+    assert(wkt(s"rs_pixelaspolygon($northUp, 2, 3)") ==
+      "POLYGON ((102 494, 104 494, 104 491, 102 491, 102 494))")
+
+    // the affine-math reference under skew: pixel (2, 3) -> 0-based
+    // (1, 2): x = 100 + 1*2 + 2*0.5 = 103, y = 500 + 1*0.25 + 2*-3 = 494.25
+    assert(wkt(s"rs_pixelaspoint($skewed, 2, 3)") == "POINT (103 494.25)")
+    // centroid at (1.5, 2.5): x = 100 + 3 + 1.25 = 104.25,
+    // y = 500 + 0.375 - 7.5 = 492.875
+    assert(wkt(s"rs_pixelascentroid($skewed, 2, 3)") == "POINT (104.25 492.875)")
+    // the skewed pixel is a parallelogram, not its bounding envelope
+    assert(wkt(s"rs_pixelaspolygon($skewed, 2, 3)") ==
+      "POLYGON ((103 494.25, 105 494.5, 105.5 491.5, 103.5 491.25, 103 494.25))")
+
+    // (1, 1) is the raster origin; out-of-bounds pixels extrapolate
+    assert(wkt(s"rs_pixelaspoint($northUp, 1, 1)") == "POINT (100 500)")
+    assert(wkt(s"rs_pixelaspoint($northUp, 9, 8)") == "POINT (116 479)")
+
+    // world->raster truncates toward zero through the inverse affine
+    // (affine_transformation.rs `as i64`), 0-based
+    assert(q(s"rs_worldtorastercoordx($northUp, 105.0, 490.0)") == 2L)
+    assert(q(s"rs_worldtorastercoordy($northUp, 105.0, 490.0)") == 3L)
+    assert(wkt(s"rs_worldtorastercoord($northUp, 105.0, 490.0)") == "POINT (2 3)")
+    // a singular geotransform errors rather than returning garbage
+    val e = intercept[Exception](
+      q(s"rs_worldtorastercoordx(rs_setgeoreference($northUp, '0.0 0.0 0.0 0.0 100.0 500.0'), 105.0, 490.0)"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ").contains("determinant is zero"))
+  }
+
   test("RS_Example accessor values (test_raster_functions.py)") {
     assert(q("rs_numbands(rs_example())") == 3)
     assert(q("rs_width(rs_example())") == 64)
