@@ -567,52 +567,8 @@ object RasterFunctions {
     fn("rs_contains", BooleanType, Seq(Raw, Geom))(a =>
       envelopeOf(rast(a)).contains(a(1).asInstanceOf[org.locationtech.jts.geom.Geometry])),
     fn("rs_within", BooleanType, Seq(Raw, Geom))(a =>
-      a(1).asInstanceOf[org.locationtech.jts.geom.Geometry].contains(envelopeOf(rast(a)))),
-
-    // zonal statistics over pixels whose CENTER the zone geometry covers
-    // (boundary-inclusive). Pure-math port of the reference's
-    // RS_ZonalStats kernel idea (GDAL-backed there,
-    // rust/sedona-raster-gdal/src/register.rs) restricted to in-db
-    // rasters: the pixel loop is clipped to the zone envelope's raster
-    // window, so cost is proportional to the zone, not the raster.
-    fn("rs_zonalstats", StructType(Seq(
-        StructField("cnt", LongType), StructField("sum", DoubleType),
-        StructField("mean", DoubleType), StructField("min", DoubleType),
-        StructField("max", DoubleType))), Seq(Raw, Geom, Int_))(a => {
-      val r = rast(a)
-      val zone = a(1).asInstanceOf[org.locationtech.jts.geom.Geometry]
-      val band = ii(a, 2)
-      val env = zone.getEnvelopeInternal
-      // zone envelope corners -> fractional raster coords -> clipped window
-      val cs = Seq(
-        r.rasterCoord(env.getMinX, env.getMinY), r.rasterCoord(env.getMinX, env.getMaxY),
-        r.rasterCoord(env.getMaxX, env.getMinY), r.rasterCoord(env.getMaxX, env.getMaxY))
-      val c0 = math.max(0, math.floor(cs.map(_._1).min).toInt)
-      val c1 = math.min(r.width - 1, math.ceil(cs.map(_._1).max).toInt)
-      val r0 = math.max(0, math.floor(cs.map(_._2).min).toInt)
-      val r1 = math.min(r.height - 1, math.ceil(cs.map(_._2).max).toInt)
-      var cnt = 0L; var sum = 0.0
-      var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
-      val pf = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(zone)
-      var row = r0
-      while (row <= r1) {
-        var c = c0
-        while (c <= c1) {
-          val px = r.worldX(c + 0.5, row + 0.5)
-          val py = r.worldY(c + 0.5, row + 0.5)
-          if (pf.covers(graft.geom.GeomIO.point(px, py))) {
-            val v = r.value(band, c, row)
-            if (v != null) {
-              cnt += 1; sum += v.doubleValue()
-              if (v < mn) mn = v; if (v > mx) mx = v
-            }
-          }
-          c += 1
-        }
-        row += 1
-      }
-      if (cnt == 0) new GenericInternalRow(Array[Any](0L, null, null, null, null))
-      else new GenericInternalRow(Array[Any](cnt, sum, sum / cnt, mn, mx))
-    })
+      a(1).asInstanceOf[org.locationtech.jts.geom.Geometry].contains(envelopeOf(rast(a))))
+    // rs_zonalstats / rs_zonalstatsall live in RasterOps (full reference
+    // overload ladder with all_touched/exclude_no_data/lenient)
   )
 }

@@ -108,7 +108,11 @@ object RasterOps {
         while (c <= c1) {
           if (pixelHit(r, pg, c, row, allTouched)) {
             val v = rawValue(r, band1, c, row)
-            if (!(excludeNoData && isNd(v, nodata))) out += v
+            // nodata-only exclusion: a NaN pixel is dropped only when the
+            // band's nodata is itself NaN — otherwise it stays and poisons
+            // the statistics (rs_zonal_stats.rs / numpy semantics)
+            if (!(excludeNoData && (v == nodata || (v.isNaN && nodata.isNaN))))
+              out += v
           }
           c += 1
         }
@@ -460,10 +464,30 @@ object RasterOps {
       }),
 
     // ------------------------------------------------------------------
-    // RS_ZonalStatsAll(raster, roi[, band[, allTouched[, excludeNoData]]])
-    // (rs_zonal_stats.rs:31-38, fields :558-568): count/sum/mean/median/
-    // mode/stddev/variance/min/max. Median interpolates the two middles;
-    // mode ties break to the smallest value; stddev/variance population.
+    // RS_ZonalStats(raster, roi[, band], stat[, allTouched[, excludeNoData
+    // [, lenient]]]) -> Float64 and RS_ZonalStatsAll with the same ladder
+    // minus stat -> struct (rs_zonal_stats.rs:23-43). Band-less overloads
+    // are only legal on single-band rasters; a non-intersecting roi is
+    // NULL when lenient (default) and an error when not; an intersecting
+    // roi that selects no pixel center is count 0 with NULL stats; a NaN
+    // pixel poisons every statistic (numpy semantics); variance/stddev
+    // are sample (n-1), 0.0 for a single pixel; mode ties take the
+    // largest value.
+    fnv("rs_zonalstats", DoubleType,
+        Seq(Seq(Raw, Geom, Str), Seq(Raw, Geom, Int_, Str),
+          Seq(Raw, Geom, Int_, Str, Bool), Seq(Raw, Geom, Int_, Str, Bool, Bool),
+          Seq(Raw, Geom, Int_, Str, Bool, Bool, Bool)))(a => {
+      val statName = (if (a.length == 3) a(2) else a(3)).asInstanceOf[String]
+      val statIdx = ZonalStatIndex.getOrElse(statName.toLowerCase,
+        throw new IllegalArgumentException(
+          s"rs_zonalstats: unknown statistic '$statName'"))
+      zonalCompute("rs_zonalstats", a, hasStat = true) match {
+        case null => null
+        case stats =>
+          if (statIdx == 0) stats(0).asInstanceOf[Long].toDouble
+          else stats(statIdx)
+      }
+    }),
     fnv("rs_zonalstatsall", StructType(Seq(
         StructField("count", LongType), StructField("sum", DoubleType),
         StructField("mean", DoubleType), StructField("median", DoubleType),
@@ -471,31 +495,90 @@ object RasterOps {
         StructField("variance", DoubleType), StructField("min", DoubleType),
         StructField("max", DoubleType))),
         Seq(Seq(Raw, Geom), Seq(Raw, Geom, Int_), Seq(Raw, Geom, Int_, Bool),
-          Seq(Raw, Geom, Int_, Bool, Bool)))(a => {
-      val r = rast(a)
-      val zone = a(1).asInstanceOf[Geometry]
-      val band = if (a.length > 2) ii(a, 2) else 1
-      val allTouched = a.length > 3 && bb(a, 3)
-      val excludeNoData = a.length <= 4 || bb(a, 4)
-      require(band >= 1 && band <= r.bands.length,
-        s"rs_zonalstatsall: band $band out of range")
-      val vs = zoneValues(r, zone, band, allTouched, excludeNoData)
-      if (vs.isEmpty)
-        new GenericInternalRow(Array[Any](0L, null, null, null, null, null, null, null, null))
-      else {
-        val n = vs.length
-        val sum = vs.sum
-        val mean = sum / n
-        val sorted = vs.sorted
-        val median =
-          if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
-        val mode = vs.groupBy(identity).toSeq
-          .map { case (v, g) => (v, g.length) }
-          .minBy { case (v, cnt) => (-cnt, v) }._1
-        val variance = vs.map(v => (v - mean) * (v - mean)).sum / n
-        new GenericInternalRow(Array[Any](n.toLong, sum, mean, median, mode,
-          math.sqrt(variance), variance, sorted.head, sorted.last))
-      }
-    })
+          Seq(Raw, Geom, Int_, Bool, Bool), Seq(Raw, Geom, Int_, Bool, Bool, Bool)))(a =>
+      zonalCompute("rs_zonalstatsall", a, hasStat = false) match {
+        case null => null
+        case stats => new GenericInternalRow(stats)
+      })
   )
+
+  /** Statistic name -> index in the stats array; `avg`/`average` and `sd`
+    * are the reference's accepted aliases (rs_zonal_stats.rs:97-106). */
+  private val ZonalStatIndex: Map[String, Int] = Map(
+    "count" -> 0, "sum" -> 1, "mean" -> 2, "avg" -> 2, "average" -> 2,
+    "median" -> 3, "mode" -> 4, "stddev" -> 5, "sd" -> 5, "variance" -> 6,
+    "min" -> 7, "max" -> 8)
+
+  /** Shared zonal pipeline: resolve the ladder args, gate on true-geometry
+    * roi/raster intersection, select pixels, compute statistics. Returns
+    * null for the lenient non-intersecting case, else the 9-slot stats
+    * array (count, sum, mean, median, mode, stddev, variance, min, max). */
+  private def zonalCompute(fname: String, a: Array[Any],
+      hasStat: Boolean): Array[Any] = {
+    val r = rast(a)
+    val zone = a(1).asInstanceOf[Geometry]
+    val statOff = if (hasStat) 1 else 0
+    val band =
+      if (a.length > 2 && a(2).isInstanceOf[Int]) ii(a, 2)
+      else {
+        require(r.bands.length == 1,
+          s"$fname: raster has ${r.bands.length} bands; specify which band " +
+            "(the band-less overload is only allowed for a single-band raster)")
+        1
+      }
+    val flagBase = 3 + statOff
+    val allTouched = a.length > flagBase && bb(a, flagBase)
+    val excludeNoData = a.length <= flagBase + 1 || bb(a, flagBase + 1)
+    val lenient = a.length <= flagBase + 2 || bb(a, flagBase + 2)
+    require(band >= 1 && band <= r.bands.length,
+      s"$fname: band $band out of range")
+    // true-geometry intersection with the raster footprint quad — a roi
+    // whose bbox overlaps but whose geometry is disjoint is still a
+    // no-intersection case (rs_zonal_stats.rs roi gate)
+    val quad = {
+      val cs = Array((0, 0), (r.width, 0), (r.width, r.height), (0, r.height),
+        (0, 0)).map { case (c, row) =>
+        new org.locationtech.jts.geom.Coordinate(r.worldX(c, row), r.worldY(c, row))
+      }
+      GeomIO.factory.createPolygon(cs)
+    }
+    if (!zone.intersects(quad)) {
+      if (lenient) return null
+      throw new IllegalArgumentException(
+        s"$fname: the roi geometry does not intersect the raster; " +
+          "pass lenient to get NULL instead")
+    }
+    zonalStatistics(zoneValues(r, zone, band, allTouched, excludeNoData))
+  }
+
+  /** compute_statistics (rs_zonal_stats.rs:864-922): count always real;
+    * empty selection -> NULL stats; any NaN pixel -> all-NaN stats;
+    * sample variance; mode of the sorted run-lengths with `>=` keeping
+    * the later (larger) value on ties. */
+  private def zonalStatistics(vs: Array[Double]): Array[Any] = {
+    val n = vs.length
+    if (n == 0)
+      return Array[Any](0L, null, null, null, null, null, null, null, null)
+    if (vs.exists(_.isNaN)) {
+      val nan = Double.NaN
+      return Array[Any](n.toLong, nan, nan, nan, nan, nan, nan, nan, nan)
+    }
+    val sum = vs.sum
+    val mean = sum / n
+    val variance =
+      if (n <= 1) 0.0
+      else vs.map(v => (v - mean) * (v - mean)).sum / (n - 1)
+    val sorted = vs.sorted
+    val median =
+      if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    var bestVal = sorted(0); var bestLen = 1; var runLen = 1
+    var i = 1
+    while (i < n) {
+      runLen = if (sorted(i) == sorted(i - 1)) runLen + 1 else 1
+      if (runLen >= bestLen) { bestLen = runLen; bestVal = sorted(i) }
+      i += 1
+    }
+    Array[Any](n.toLong, sum, mean, median, bestVal, math.sqrt(variance),
+      variance, sorted(0), sorted(n - 1))
+  }
 }

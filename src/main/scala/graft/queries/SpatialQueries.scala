@@ -409,10 +409,12 @@ object SpatialQueries {
           lit(2.0), lit(-2.0), col("vals")))
         .withColumn("zone", st.makeEnvelope(col("ulx") + 0.9, col("uly") - 3.2,
           col("ulx") + 5.1, col("uly") - 0.9))
-        .withColumn("zs", st.f("rs_zonalstats", col("r"), col("zone"), lit(1)))
+        .withColumn("zs", st.f("rs_zonalstatsall", col("r"), col("zone"), lit(1)))
         .select(col("p_partkey"),
-          col("zs.cnt").as("zcnt"), col("zs.sum").as("zsum"),
-          col("zs.mean").as("zmean"), col("zs.min").as("zmin"), col("zs.max").as("zmax"))
+          col("zs.count").as("zcnt"), col("zs.sum").as("zsum"),
+          col("zs.mean").as("zmean"), col("zs.min").as("zmin"), col("zs.max").as("zmax"),
+          st.f("rs_zonalstats", col("r"), col("zone"), lit(1), lit("median")).as("zmed"),
+          st.f("rs_zonalstats", col("r"), col("zone"), lit(1), lit("stddev")).as("zsd"))
     }),
 
     // outdb raster pipeline over REAL files: deflate-compressed GeoTIFF
@@ -1000,14 +1002,18 @@ object SpatialQueries {
       """WITH v AS (
         |  SELECT p_partkey,
         |    [CAST((p_partkey + i) % 97 AS DOUBLE) for i in [0,1,2,4,5,6]] AS vs
-        |  FROM part)
+        |  FROM part),
+        |m AS (SELECT p_partkey, vs, list_sum(vs)/6 AS mean, list_sort(vs) AS sv
+        |  FROM v)
         |SELECT p_partkey,
         |  CAST(6 AS BIGINT) AS zcnt,
         |  list_sum(vs) AS zsum,
-        |  list_sum(vs)/6 AS zmean,
+        |  mean AS zmean,
         |  list_min(vs) AS zmin,
-        |  list_max(vs) AS zmax
-        |FROM v""".stripMargin,
+        |  list_max(vs) AS zmax,
+        |  (sv[3] + sv[4]) / 2.0 AS zmed,
+        |  sqrt(list_sum([(x - mean) * (x - mean) for x in vs]) / 5) AS zsd
+        |FROM m""".stripMargin,
 
     "rs04_raster_meta" ->
       """WITH p AS (
@@ -1054,13 +1060,13 @@ object SpatialQueries {
         |u AS (SELECT p_partkey, unnest(vs) AS v FROM p),
         |z AS (
         |  SELECT p_partkey, median(v) AS z_median,
-        |    stddev_pop(v) AS z_std, var_pop(v) AS z_var
+        |    stddev_samp(v) AS z_std, var_samp(v) AS z_var
         |  FROM u GROUP BY p_partkey),
         |m AS (
         |  SELECT p_partkey, v AS z_mode FROM (
         |    SELECT p_partkey, v,
         |      row_number() OVER (PARTITION BY p_partkey
-        |        ORDER BY count(*) DESC, v) AS rn
+        |        ORDER BY count(*) DESC, v DESC) AS rn
         |    FROM u GROUP BY p_partkey, v) WHERE rn = 1)
         |SELECT p.p_partkey,
         |  2 AS clip_w, p.ulx + 2.0 AS clip_ulx, vs[11] AS clip_v00,

@@ -603,10 +603,10 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(s"$zs.mean") == 8.5)
     assert(q(s"$zs.median") == 8.5)
     assert(q(s"$zs.min") == 1.0 && q(s"$zs.max") == 16.0)
-    // variance of 1..16 (population) = (n^2-1)/12 = 21.25
-    assert(q(s"$zs.variance") == 21.25)
-    // mode ties break to the smallest value
-    assert(q(s"rs_zonalstatsall($stripes, st_makeenvelope(0.0, -2.0, 2.0, 0.0), 1).mode") == 1.0)
+    // sample variance of 1..16 = n(n+1)/12 = 22.666...
+    assert(q(s"$zs.variance") == 16.0 * 17.0 / 12.0)
+    // mode ties break to the LARGEST value (rs_zonal_stats.rs mode_of_sorted)
+    assert(q(s"rs_zonalstatsall($stripes, st_makeenvelope(0.0, -2.0, 2.0, 0.0), 1).mode") == 2.0)
   }
 
   test("geotiff: roundtrip via rs_asgeotiff/rs_fromgdalraster, wire layout sane") {

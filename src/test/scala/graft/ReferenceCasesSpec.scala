@@ -582,6 +582,101 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getMessage).mkString(" | ").contains("determinant is zero"))
   }
 
+  test("RS_ZonalStats ladder, lenient gate, NaN/inf semantics (test_rs_zonalstats.py)") {
+    // 6x7 north-up raster, origin (100, 500), 2x3 pixels; v(r,c) = r*10+c
+    // with nodata -9999 planted at (1,1) and (2,2) and a repeated 66 at
+    // (1,2), (2,3), (3,1) so the mode is unambiguous.
+    def cell(r: Int, c: Int): String =
+      if ((r, c) == (1, 1) || (r, c) == (2, 2)) "-9999.0D"
+      else if (Set((1, 2), (2, 3), (3, 1))((r, c))) "66.0D"
+      else s"${r * 10.0 + c}D"
+    val vs = (for (r <- 0 until 6; c <- 0 until 7) yield cell(r, c)).mkString(", ")
+    val rast = "rs_setbandnodatavalue(rs_makeraster(7, 6, 100.0, 500.0, " +
+      s"2.0, -3.0, array($vs)), -9999.0)"
+    val rect = "st_geomfromwkt('POLYGON ((102.6 495.8, 109.3 495.8, 109.3 485.9, 102.6 485.9, 102.6 495.8))')"
+    // the rect selects pixel centers rows 1-4 x cols 1-4; minus the two
+    // nodata pixels: [66,13,14,21,66,24,66,32,33,34,41,42,43,44]
+    val sel = Seq(66.0, 13, 14, 21, 66, 24, 66, 32, 33, 34, 41, 42, 43, 44)
+    val mean = sel.sum / sel.length
+    val sampleVar = sel.map(v => (v - mean) * (v - mean)).sum / (sel.length - 1)
+    def zs(stat: String, rest: String = ""): Any =
+      q(s"rs_zonalstats($rast, $rect, 1, '$stat'$rest)")
+    assert(zs("count") == 14.0)
+    assert(zs("sum") == 539.0)
+    assert(zs("mean") == mean && zs("avg") == mean && zs("average") == mean)
+    assert(zs("median") == 37.5)
+    assert(zs("mode") == 66.0)
+    assert(zs("min") == 13.0 && zs("max") == 66.0)
+    assert(zs("variance") == sampleVar)
+    assert(zs("stddev") == math.sqrt(sampleVar) && zs("sd") == math.sqrt(sampleVar))
+    // disabling exclude_no_data keeps the two -9999 pixels
+    assert(zs("count", ", false, false") == 16.0)
+    // the All struct: count is Int64, the rest Float64
+    assert(q(s"rs_zonalstatsall($rast, $rect, 1).count") == 14L)
+    assert(q(s"rs_zonalstatsall($rast, $rect, 1).mode") == 66.0)
+    assert(q(s"rs_zonalstatsall($rast, $rect, 1).variance") == sampleVar)
+
+    // a sliver crossing a pixel boundary but covering no pixel center:
+    // count 0 (real tally), other stats NULL; all_touched picks pixels up
+    val sliver = "st_geomfromwkt('POLYGON ((103.6 499, 104.4 499, 104.4 483, 103.6 483, 103.6 499))')"
+    assert(q(s"rs_zonalstats($rast, $sliver, 1, 'count')") == 0.0)
+    assert(q(s"rs_zonalstats($rast, $sliver, 1, 'sum')") == null)
+    assert(q(s"rs_zonalstats($rast, $sliver, 1, 'count', true)").asInstanceOf[Double] > 0.0)
+
+    // non-intersecting roi: NULL when lenient (default), error when not —
+    // including a roi whose bbox overlaps but whose geometry is disjoint
+    def errOf(expr: String): String = {
+      val e = intercept[Exception](q(expr))
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    val disjoint = "st_geomfromwkt('POLYGON ((900 900, 910 900, 910 890, 900 890, 900 900))')"
+    val bboxOnly = "st_geomfromwkt('POLYGON ((124 490, 124 510, 108 510, 124 490))')"
+    for (roi <- Seq(disjoint, bboxOnly)) {
+      assert(q(s"rs_zonalstats($rast, $roi, 1, 'count')") == null)
+      assert(q(s"rs_zonalstatsall($rast, $roi, 1)") == null)
+      assert(errOf(s"rs_zonalstats($rast, $roi, 1, 'count', false, true, false)")
+        .contains("does not intersect"))
+    }
+
+    // a NaN pixel that is NOT the nodata sentinel poisons every statistic
+    // except count (numpy semantics)
+    val nanVs = (for (r <- 0 until 6; c <- 0 until 7)
+      yield if ((r, c) == (2, 2)) "cast('NaN' as double)" else s"${r * 10.0 + c}D")
+      .mkString(", ")
+    val nanRast = "rs_setbandnodatavalue(rs_makeraster(7, 6, 100.0, 500.0, " +
+      s"2.0, -3.0, array($nanVs)), -9999.0)"
+    assert(q(s"rs_zonalstats($nanRast, $rect, 1, 'count')") == 16.0)
+    assert(q(s"rs_zonalstats($nanRast, $rect, 1, 'min')").asInstanceOf[Double].isNaN)
+    assert(q(s"rs_zonalstats($nanRast, $rect, 1, 'mode')").asInstanceOf[Double].isNaN)
+    assert(q(s"rs_zonalstatsall($nanRast, $rect, 1).median").asInstanceOf[Double].isNaN)
+
+    // a +inf pixel flows through: sum/mean/max/mode inf, min/median
+    // finite, variance/stddev NaN (inf - inf)
+    val infVs = (for (r <- 0 until 6; c <- 0 until 7)
+      yield if ((r, c) == (2, 2)) "cast('Infinity' as double)" else s"${r * 10.0 + c}D")
+      .mkString(", ")
+    val infRast = s"rs_makeraster(7, 6, 100.0, 500.0, 2.0, -3.0, array($infVs))"
+    assert(q(s"rs_zonalstats($infRast, $rect, 1, 'sum')") == Double.PositiveInfinity)
+    assert(q(s"rs_zonalstats($infRast, $rect, 1, 'max')") == Double.PositiveInfinity)
+    assert(q(s"rs_zonalstats($infRast, $rect, 1, 'mode')") == Double.PositiveInfinity)
+    assert(q(s"rs_zonalstats($infRast, $rect, 1, 'min')") == 11.0)
+    assert(q(s"rs_zonalstats($infRast, $rect, 1, 'variance')").asInstanceOf[Double].isNaN)
+    assert(q(s"rs_zonalstats($infRast, $rect, 1, 'stddev')").asInstanceOf[Double].isNaN)
+
+    // unknown statistics error; band-less overloads error on multiband
+    assert(errOf(s"rs_zonalstats($rast, $rect, 1, 'nonsense')")
+      .contains("unknown statistic"))
+    val two = "rs_makeraster(2, 2, 0.0, 0.0, 1.0, -1.0, array(1d,2d,3d,4d,5d,6d,7d,8d), 2)"
+    val zone22 = "st_makeenvelope(0.0, -2.0, 2.0, 0.0)"
+    assert(errOf(s"rs_zonalstats($two, $zone22, 'count')").contains("2 bands"))
+    assert(errOf(s"rs_zonalstatsall($two, $zone22)").contains("2 bands"))
+    // naming the band resolves it; the 3-arg string form works single-band
+    assert(q(s"rs_zonalstats($two, $zone22, 1, 'count')") == 4.0)
+    assert(q(s"rs_zonalstats(rs_makeraster(2, 2, 0.0, 0.0, 1.0, -1.0, " +
+      "array(1d,2d,3d,4d)), st_makeenvelope(0.0, -2.0, 2.0, 0.0), 'sum')") == 10.0)
+  }
+
   test("RS_Example accessor values (test_raster_functions.py)") {
     assert(q("rs_numbands(rs_example())") == 3)
     assert(q("rs_width(rs_example())") == 64)
