@@ -122,6 +122,37 @@ object RasterOps {
     out.toArray
   }
 
+  /** (short name, min, max, integral) for a declared pixel type; null
+    * ptype = natively f64. Short names follow the reference's
+    * BandDataType Display (raster.rs), used in error messages. */
+  private def dtypeInfo(ptype: String): (String, Double, Double, Boolean) =
+    ptype match {
+      case "UNSIGNED_8BITS" => ("UInt8", 0.0, 255.0, true)
+      case "SIGNED_8BITS" => ("Int8", -128.0, 127.0, true)
+      case "UNSIGNED_16BITS" => ("UInt16", 0.0, 65535.0, true)
+      case "SIGNED_16BITS" => ("Int16", -32768.0, 32767.0, true)
+      case "UNSIGNED_32BITS" => ("UInt32", 0.0, 4294967295.0, true)
+      case "SIGNED_32BITS" => ("Int32", Int.MinValue.toDouble, Int.MaxValue.toDouble, true)
+      case "UNSIGNED_64BITS" => ("UInt64", 0.0, 1.8446744073709552E19, true)
+      case "SIGNED_64BITS" => ("Int64", Long.MinValue.toDouble, Long.MaxValue.toDouble, true)
+      case "REAL_32BITS" => ("Float32", -java.lang.Float.MAX_VALUE.toDouble,
+        java.lang.Float.MAX_VALUE.toDouble, false)
+      case _ => ("Float64", -Double.MaxValue, Double.MaxValue, false)
+    }
+
+  /** The dtype minimum — the default nodata sentinel when neither an
+    * explicit value nor a band nodata exists (rs_clip.rs). */
+  private def declaredDtypeMin(ptype: String): Double = dtypeInfo(ptype)._2
+
+  /** An explicit nodata must be representable in the band's declared
+    * dtype (integral + in range for integer dtypes, in range for floats). */
+  private def validateNodata(fname: String, v: Double, ptype: String): Unit = {
+    val (name, min, max, integral) = dtypeInfo(ptype)
+    val ok = if (integral) v == math.rint(v) && v >= min && v <= max
+      else v.isNaN || (v >= min && v <= max)
+    require(ok, s"$fname: $v is not a valid $name value")
+  }
+
   private def sampleNearest(src: Raster, band1: Int, fc: Double, fr: Double): Double = {
     val c = math.floor(fc).toInt; val row = math.floor(fr).toInt
     rawValue(src, band1, c, row)
@@ -190,28 +221,58 @@ object RasterOps {
     // (rs_clip.rs:57-65; lenient arg omitted — we always error loudly).
     // Single selected band, pixels outside `geom` set to nodata; crop
     // (default true) shrinks the extent to the geometry's pixel window.
+    // RS_Clip(raster, band, geom[, allTouched[, noData[, crop[, lenient]]]])
+    // (rs_clip.rs; defaults all_touched=false, noData=the band's own —
+    // falling back to the declared dtype's minimum when the band has
+    // none — crop=true, lenient=true). An empty mask is NULL when
+    // lenient; strict distinguishes a disjoint geometry ("do not
+    // intersect") from one that covers no pixel center ("selects no
+    // pixels"). An explicit noData must be representable in the band's
+    // declared dtype.
     fnv("rs_clip", RasterModel.dataType,
         Seq(Seq(Raw, Int_, Geom), Seq(Raw, Int_, Geom, Bool),
-          Seq(Raw, Int_, Geom, Bool, Dbl), Seq(Raw, Int_, Geom, Bool, Dbl, Bool)))(a => {
+          Seq(Raw, Int_, Geom, Bool, Dbl), Seq(Raw, Int_, Geom, Bool, Dbl, Bool),
+          Seq(Raw, Int_, Geom, Bool, Dbl, Bool, Bool)))(a => {
       val r = rast(a)
       val band = ii(a, 1)
       val g = a(2).asInstanceOf[Geometry]
       val allTouched = a.length > 3 && bb(a, 3)
-      val nodata = if (a.length > 4) d(a, 4) else r.bands(band - 1).nodata
-      val crop = a.length <= 5 || bb(a, 5)
       require(band >= 1 && band <= r.bands.length, s"rs_clip: band $band out of range")
+      val srcBand = r.bands(band - 1)
+      val nodata =
+        if (a.length > 4) {
+          val nd = d(a, 4); validateNodata("rs_clip", nd, srcBand.ptype); nd
+        } else if (!srcBand.nodata.isNaN) srcBand.nodata
+        else declaredDtypeMin(srcBand.ptype)
+      val crop = a.length <= 5 || bb(a, 5)
+      val lenient = a.length <= 6 || bb(a, 6)
+      // strict empty-mask errors distinguish a truly disjoint geometry
+      // from one that overlaps the footprint but covers no pixel center
+      def emptyResult(): Any =
+        if (lenient) null
+        else {
+          val quad = GeomIO.factory.createPolygon(Array((0, 0), (r.width, 0),
+            (r.width, r.height), (0, r.height), (0, 0)).map { case (c, row) =>
+            new org.locationtech.jts.geom.Coordinate(r.worldX(c, row), r.worldY(c, row))
+          })
+          if (!g.intersects(quad)) throw new IllegalArgumentException(
+            "rs_clip: the raster and geometry do not intersect")
+          else throw new IllegalArgumentException(
+            "rs_clip: the geometry selects no pixels (pass all_touched or lenient)")
+        }
       // crop extent is always the tight envelope window (GDAL cutline
       // semantics); all-touched only widens the *scan* when the full
       // extent is kept, so edge-touching cells can be written.
       windowOf(r, g.getEnvelopeInternal,
           if (allTouched && !crop) 1 else 0) match {
-        case None => null // no overlap
+        case None => emptyResult()
         case Some((c0, c1, r0, r1)) =>
           val (w0, h0, cOff, rOff) =
             if (crop) (c1 - c0 + 1, r1 - r0 + 1, c0, r0)
             else (r.width, r.height, 0, 0)
           val pg = PreparedGeometryFactory.prepare(g)
           val vals = Array.fill(w0 * h0)(nodata)
+          var hits = 0
           var row = r0
           while (row <= r1) {
             var c = c0
@@ -219,14 +280,16 @@ object RasterOps {
               if (pixelHit(r, pg, c, row, allTouched)) {
                 val v = rawValue(r, band, c, row)
                 vals((row - rOff) * w0 + (c - cOff)) = v
+                hits += 1
               }
               c += 1
             }
             row += 1
           }
-          RasterModel.toRow(r.crs, shiftGt(r.gt, cOff, rOff), w0, h0,
+          if (hits == 0) emptyResult()
+          else RasterModel.toRow(r.crs, shiftGt(r.gt, cOff, rOff), w0, h0,
             Seq(Band(nodata, RasterModel.packDoubles(vals),
-              ptype = r.bands(band - 1).ptype)), r.path)
+              ptype = srcBand.ptype)), r.path)
       }
     }),
 
@@ -235,14 +298,40 @@ object RasterOps {
     // (rs_tile.rs:55-66; the bandIndices shape is covered by composing
     // rs_tile over rs_clip/band selection). Returns list<struct<x,y,tile>>
     // in row-major (y, x) tile order.
-    fnv("rs_tile", ArrayType(tileStructType, containsNull = false),
-        Seq(Seq(Raw, Int_, Int_), Seq(Raw, Int_, Int_, Bool),
-          Seq(Raw, Int_, Int_, Bool, Dbl)))(a => {
-      val r = rast(a)
-      val tw = ii(a, 1); val th = ii(a, 2)
-      val pad = a.length > 3 && bb(a, 3)
+    // RS_Tile(raster[, bandIndices], w, h[, padWithNoData[, noDataVal]])
+    // (rs_tile.rs): row-major (y, x) tile grid; edge tiles keep their
+    // partial size unless padding; a noDataVal without padding is an
+    // error rather than silently ignored (documented divergence from
+    // Sedona Spark); the bandIndices overload keeps only those 1-based
+    // bands, in the given order.
+    "rs_tile" -> ((children: Seq[Expression]) => {
+      val kinds = children.length match {
+        case 3 => Seq(Raw, Int_, Int_)
+        case 4 if children(1).dataType.isInstanceOf[ArrayType] =>
+          Seq(Raw, Raw, Int_, Int_)
+        case 4 => Seq(Raw, Int_, Int_, Bool)
+        case 5 => Seq(Raw, Int_, Int_, Bool, Dbl)
+        case n => throw new IllegalArgumentException(
+          s"rs_tile: expected 3/4/5 args, got $n")
+      }
+      GeomScalar("rs_tile", children,
+        ArrayType(tileStructType, containsNull = false), kinds, a => {
+      val r0full = rast(a)
+      val bandSel = a(1) match {
+        case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+          arr.toIntArray().toIndexedSeq
+        case _ => 1 to r0full.bands.length
+      }
+      bandSel.foreach(b => require(b >= 1 && b <= r0full.bands.length,
+        s"rs_tile: band $b out of range"))
+      val argOff = if (a(1).isInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]) 1 else 0
+      val r = r0full.copy(bands = bandSel.map(b => r0full.bands(b - 1)).toIndexedSeq)
+      val tw = ii(a, 1 + argOff); val th = ii(a, 2 + argOff)
+      val pad = a.length > 3 + argOff && bb(a, 3 + argOff)
       require(tw > 0 && th > 0, s"rs_tile: tile size ${tw}x$th must be positive")
-      val ndOverride = if (a.length > 4) Some(d(a, 4)) else None
+      require(a.length <= 4 + argOff || pad,
+        "rs_tile: noDataVal is only meaningful with pad_with_nodata = true")
+      val ndOverride = if (a.length > 4 + argOff) Some(d(a, 4 + argOff)) else None
       val nTx = (r.width + tw - 1) / tw
       val nTy = (r.height + th - 1) / th
       val tiles = new Array[Any](nTx * nTy)
@@ -275,7 +364,7 @@ object RasterOps {
         ty += 1
       }
       new GenericArrayData(tiles)
-    }),
+    })}),
 
     // ------------------------------------------------------------------
     // RS_Resample (rs_resample.rs:75-81, Sedona Spark overload ladder):

@@ -677,6 +677,72 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "array(1d,2d,3d,4d)), st_makeenvelope(0.0, -2.0, 2.0, 0.0), 'sum')") == 10.0)
   }
 
+  test("RS_Tile grid positions, band selection, pad rules (test_rs_tile.py)") {
+    // RS_Example is 64x32: 32x16 tiles -> 2x2 grid at (0,0),(1,0),(0,1),(1,1)
+    def positions(expr: String): Seq[(Int, Int)] =
+      q(expr).asInstanceOf[scala.collection.Seq[Any]].toSeq.map { t =>
+        val r = t.asInstanceOf[org.apache.spark.sql.Row]
+        (r.getInt(0), r.getInt(1))
+      }
+    assert(positions("rs_tile(rs_example(), 32, 16)") ==
+      Seq((0, 0), (1, 0), (0, 1), (1, 1)))
+    // padding 40x20 tiles still yields the 2x2 grid (edges padded, not shrunk)
+    assert(positions("rs_tile(rs_example(), 40, 20, true, 0.0)") ==
+      Seq((0, 0), (1, 0), (0, 1), (1, 1)))
+    assert(q("rs_width(rs_tile(rs_example(), 40, 20, true, 0.0)[3].tile)") == 40)
+    // without padding the edge tiles keep their partial size
+    assert(q("rs_width(rs_tile(rs_example(), 40, 20)[3].tile)") == 24)
+    // the bandIndices overload keeps only the named 1-based bands
+    assert(q("rs_numbands(rs_tile(rs_example(), array(1, 3), 32, 16)[0].tile)") == 2)
+    assert(q("rs_value(rs_tile(rs_example(), array(3, 1), 32, 16)[0].tile, 1, 5, 5)") == 3.0)
+    assert(positions("rs_tile(rs_example(), array(1, 3), 32, 16)") ==
+      Seq((0, 0), (1, 0), (0, 1), (1, 1)))
+    // a noDataVal with pad_with_nodata = false errors rather than being
+    // silently ignored (SedonaDB's documented divergence from Sedona Spark)
+    val e = intercept[Exception](q("rs_tile(rs_example(), 4, 4, false, 0.0)"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ").contains("only meaningful with pad_with_nodata"))
+  }
+
+  test("RS_Clip lenient gate, nodata sentinel, dtype validation (test_rs_clip.py)") {
+    def errOf(expr: String): String = {
+      val e = intercept[Exception](q(expr))
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    // 6x7 f64 raster, origin (100, 500), 2x3 pixels, v(r,c) = r*10+c
+    val vs = (for (r <- 0 until 6; c <- 0 until 7) yield s"${r * 10.0 + c}D").mkString(", ")
+    val rast = s"rs_makeraster(7, 6, 100.0, 500.0, 2.0, -3.0, array($vs))"
+    val sliver = "st_geomfromwkt('POLYGON ((103.6 499, 104.4 499, 104.4 483, 103.6 483, 103.6 499))')"
+    val disjoint = "st_geomfromwkt('POLYGON ((900 900, 910 900, 910 890, 900 890, 900 900))')"
+    val rect = "st_geomfromwkt('POLYGON ((102.6 495.8, 109.3 495.8, 109.3 485.9, 102.6 485.9, 102.6 495.8))')"
+
+    // an empty mask is NULL by default (lenient), whether the geometry is
+    // a center-missing sliver or fully disjoint; all_touched rescues it
+    assert(q(s"rs_clip($rast, 1, $sliver)") == null)
+    assert(q(s"rs_clip($rast, 1, $disjoint)") == null)
+    assert(q(s"rs_width(rs_clip($rast, 1, $sliver, true))") == 2)
+    // strict (lenient=false) distinguishes the two empty cases
+    assert(errOf(s"rs_clip($rast, 1, $disjoint, false, -9999.0, true, false)")
+      .contains("do not intersect"))
+    assert(errOf(s"rs_clip($rast, 1, $sliver, false, -9999.0, true, false)")
+      .contains("selects no pixels"))
+    // band out of range errors regardless of leniency
+    assert(errOf(s"rs_clip($rast, 4, $rect)").contains("out of range"))
+
+    // no explicit nodata and no band nodata: masked pixels get the
+    // declared dtype minimum (f64 here) and the output band records it
+    val tri = "st_geomfromwkt('POLYGON ((101.3 498.6, 112.4 496.9, 104.2 483.7, 101.3 498.6))')"
+    assert(q(s"rs_bandnodatavalue(rs_clip($rast, 1, $tri), 1)") == -Double.MaxValue)
+    // a band nodata is inherited as the default fill
+    assert(q(s"rs_bandnodatavalue(rs_clip(rs_setbandnodatavalue($rast, -77.0), 1, $tri), 1)") == -77.0)
+    // an explicit nodata must be representable in the declared dtype:
+    // RS_Example's bands are UNSIGNED_8BITS, so -5 is rejected
+    assert(errOf("rs_clip(rs_example(), 1, st_makeenvelope(50.0, 85.0, 80.0, 110.0), false, -5.0)")
+      .contains("not a valid UInt8 value"))
+    assert(q("rs_numbands(rs_clip(rs_example(), 1, st_makeenvelope(50.0, 85.0, 80.0, 110.0), false, 250.0))") == 1)
+  }
+
   test("RS_Example accessor values (test_raster_functions.py)") {
     assert(q("rs_numbands(rs_example())") == 3)
     assert(q("rs_width(rs_example())") == 64)
