@@ -178,7 +178,7 @@ object RasterOps {
     case "nearestneighbor" | "nearestneighbour" | "nearest" | "nn" | "near" => false
     case "bilinear" => true
     case other => throw new IllegalArgumentException(
-      s"unsupported resample algorithm '$other' (nearestneighbor/bilinear)")
+      s"unknown algorithm '$other' (NearestNeighbor/Bilinear)")
   }
 
   /** Resample `src` band-for-band onto the grid (gt, w, h) in the same
@@ -376,18 +376,29 @@ object RasterOps {
         Seq(Seq(Raw, Raw, Bool, Str), Seq(Raw, Dbl, Dbl, Bool, Str),
           Seq(Raw, Dbl, Dbl, Dbl, Dbl, Bool, Str)))(a => {
       val src = rast(a)
+      // scale mode keeps the pixel size exact and grows the extent to
+      // whole pixels: dims = ceil(|extent| / |scale|), the grown border
+      // filling with nodata (rs_resample.rs:601-602, Sedona Spark
+      // semantics)
+      def scaleDims(sx: Double, sy: Double): (Int, Int) = {
+        require(sx != 0 && sy != 0 && java.lang.Double.isFinite(sx) &&
+          java.lang.Double.isFinite(sy),
+          "rs_resample: scaleX and scaleY must be finite and non-zero")
+        (math.max(1, math.ceil(math.abs(src.width * src.gt(1)) / math.abs(sx)).toInt),
+          math.max(1, math.ceil(math.abs(src.height * src.gt(5)) / math.abs(sy)).toInt))
+      }
       val (gt, w, h, bilinear) =
         if (a.length == 4) {
           // grid and origin from the reference raster (rs_resample.rs:175-177)
           val ref = rast(a, 1)
           require(ref.crs == src.crs,
-            s"rs_resample: reference CRS ${ref.crs} != source CRS ${src.crs}")
+            s"rs_resample: reference CRS ${ref.crs} != source CRS ${src.crs}; " +
+              "RS_Resample does not reproject")
           val useScale = bb(a, 2)
           val alg = parseAlgorithm(a(3).asInstanceOf[String])
           if (useScale) {
             // reference scale, dims sized to cover the source extent
-            val w2 = math.max(1, math.round(src.width * src.gt(1) / ref.gt(1)).toInt)
-            val h2 = math.max(1, math.round(src.height * src.gt(5) / ref.gt(5)).toInt)
+            val (w2, h2) = scaleDims(ref.gt(1), ref.gt(5))
             (Array(src.gt(0), ref.gt(1), 0.0, src.gt(3), 0.0, ref.gt(5)), w2, h2, alg)
           } else (ref.gt.clone(), ref.width, ref.height, alg)
         } else {
@@ -396,22 +407,37 @@ object RasterOps {
           val (nsx, nsy, w2, h2) =
             if (useScale) {
               val sx = d(a, 1); val sy = d(a, 2)
-              require(sx != 0 && sy != 0, "rs_resample: zero scale")
-              (sx, sy, math.max(1, math.round(src.width * src.gt(1) / sx).toInt),
-                math.max(1, math.round(src.height * src.gt(5) / sy).toInt))
+              val (w2, h2) = scaleDims(sx, sy)
+              (sx, sy, w2, h2)
             } else {
-              val w2 = d(a, 1).toInt; val h2 = d(a, 2).toInt
-              require(w2 > 0 && h2 > 0, "rs_resample: target size must be positive")
+              // explicit dimensions must be whole positive numbers rather
+              // than silently truncating (rs_resample.rs:463-475)
+              def dim(name: String, v: Double): Int = {
+                require(v == math.rint(v),
+                  s"rs_resample: $name must be a whole number when useScale is false (got $v)")
+                require(v > 0, s"rs_resample: $name must be positive (got $v)")
+                v.toInt
+              }
+              val w2 = dim("width", d(a, 1)); val h2 = dim("height", d(a, 2))
               (src.width * src.gt(1) / w2, src.height * src.gt(5) / h2, w2, h2)
             }
           var ulx = src.gt(0); var uly = src.gt(3)
+          var ww = w2; var hh = h2
           if (a.length == 7) {
-            // snap the grid so (gridX, gridY) lies on a pixel corner
+            // snap the grid so (gridX, gridY) lies on a pixel corner, then
+            // re-cover the source extent from the snapped origin
+            // (rs_resample.rs:621-632)
             val gx = d(a, 3); val gy = d(a, 4)
             ulx = gx + math.round((ulx - gx) / nsx) * nsx
             uly = gy + math.round((uly - gy) / nsy) * nsy
+            if (useScale) {
+              val maxX = src.gt(0) + src.width * src.gt(1)
+              val minY = src.gt(3) + src.height * src.gt(5)
+              ww = math.max(1, math.ceil(math.abs(maxX - ulx) / math.abs(nsx)).toInt)
+              hh = math.max(1, math.ceil(math.abs(minY - uly) / math.abs(nsy)).toInt)
+            }
           }
-          (Array(ulx, nsx, 0.0, uly, 0.0, nsy), w2, h2, alg)
+          (Array(ulx, nsx, 0.0, uly, 0.0, nsy), ww, hh, alg)
         }
       resampleTo(src, gt, w, h, src.crs, bilinear, (x, y) => (x, y))
     }),

@@ -743,6 +743,48 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("rs_numbands(rs_clip(rs_example(), 1, st_makeenvelope(50.0, 85.0, 80.0, 110.0), false, 250.0))") == 1)
   }
 
+  test("RS_Resample scale-mode extent growth + argument errors (test_rs_resample.py)") {
+    def errOf(expr: String): String = {
+      val e = intercept[Exception](q(expr))
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    }
+    // 4x3 raster of 2x2 pixels (extent 8x6), v(r,c) = r*10+c, nodata -99
+    val vs = (for (r <- 0 until 3; c <- 0 until 4) yield s"${r * 10.0 + c}D").mkString(", ")
+    val rast = "rs_setbandnodatavalue(rs_makeraster(4, 3, 100.0, 500.0, " +
+      s"2.0, -2.0, array($vs)), -99.0)"
+    // pixel size 1: ceil(8/1) x ceil(6/1) = 8x6 — same grid as the
+    // explicit dimension mode
+    assert(q(s"rs_width(rs_resample($rast, 1.0, -1.0, true, 'NearestNeighbor'))") == 8)
+    assert(q(s"rs_height(rs_resample($rast, 1.0, -1.0, true, 'NearestNeighbor'))") == 6)
+    // pixel size 5 keeps the scale exact and grows the extent to whole
+    // pixels: ceil(8/5)=2 x ceil(6/5)=2 spanning 10x10; the grown
+    // right/bottom border reads back as the band nodata
+    val grown = s"rs_resample($rast, 5.0, -5.0, true, 'NearestNeighbor')"
+    assert(q(s"rs_width($grown)") == 2 && q(s"rs_height($grown)") == 2)
+    assert(q(s"rs_scalex($grown)") == 5.0 && q(s"rs_scaley($grown)") == -5.0)
+    // out pixel (1,1) center (107.5, 492.5) is past the source's y extent
+    // (494): the grown border fills with the band nodata -> NULL sample
+    assert(q(s"rs_value($grown, 1, 1, 1)") == null)
+    // out pixel (1, 0) center (107.5, 497.5) -> src (3, 1) = 13
+    assert(q(s"rs_value($grown, 1, 1, 0)") == 13.0)
+    // the reference-raster overload takes grid and origin from the ref,
+    // which must share the CRS — RS_Resample never reprojects
+    assert(errOf(s"rs_resample(rs_setcrs($rast, 'EPSG:4326'), " +
+      "rs_setcrs(rs_makeraster(8, 6, 100.0, 500.0, 1.0, -1.0, " +
+      s"array(${Seq.fill(48)("0.0D").mkString(", ")})), 'EPSG:3857'), false, 'NearestNeighbor')")
+      .contains("does not reproject"))
+    // argument errors pin the reference's messages
+    assert(errOf(s"rs_resample($rast, 3.5, 6.0, false, 'NearestNeighbor')")
+      .contains("whole number"))
+    assert(errOf(s"rs_resample($rast, 0.0, 6.0, false, 'NearestNeighbor')")
+      .contains("positive"))
+    assert(errOf(s"rs_resample($rast, 0.0, -1.0, true, 'NearestNeighbor')")
+      .contains("non-zero"))
+    assert(errOf(s"rs_resample($rast, 8.0, 6.0, false, 'sinc')")
+      .contains("unknown algorithm"))
+  }
+
   test("RS_Example accessor values (test_raster_functions.py)") {
     assert(q("rs_numbands(rs_example())") == 3)
     assert(q("rs_width(rs_example())") == 64)
