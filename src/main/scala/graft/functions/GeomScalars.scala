@@ -34,7 +34,10 @@ import graft.geom.GeomIO
   * SURVEY.md §4.2).
   */
 object ArgKind extends Enumeration {
-  val Geom, Dbl, Int_, Str, Bool, Bin, Raw = Value
+  // DblN: nullable double — a NULL child reaches the kernel as null
+  // instead of nulling the whole result (reference kernels with
+  // optional per-row arguments, e.g. RS_AsRaster's nodata).
+  val Geom, Dbl, Int_, Str, Bool, Bin, Raw, DblN = Value
 }
 
 /** Item-level CRS carrier: struct(item: wkb, crs: string) — the
@@ -119,6 +122,11 @@ case class GeomScalar(
           case n: java.lang.Number => n.doubleValue()
           case dec: Decimal => dec.toDouble
         }
+        case ArgKind.DblN => args(i) match {
+          case null => null
+          case n: java.lang.Number => java.lang.Double.valueOf(n.doubleValue())
+          case dec: Decimal => java.lang.Double.valueOf(dec.toDouble)
+        }
         case ArgKind.Int_ => args(i) match {
           case n: java.lang.Number => n.intValue()
           case dec: Decimal => dec.toInt
@@ -150,7 +158,7 @@ case class GeomScalar(
     var i = 0
     while (i < n) {
       val v = children(i).eval(input)
-      if (v == null) return null
+      if (v == null && argKinds(i) != ArgKind.DblN) return null
       args(i) = v
       i += 1
     }
@@ -171,10 +179,17 @@ case class GeomScalar(
     val argsName = ctx.freshName("args")
     val resName = ctx.freshName("res")
     val javaType = CodeGenerator.javaType(dataType)
+    val hardNulls = evals.zipWithIndex
+      .filterNot { case (_, i) => argKinds(i) == ArgKind.DblN }
     val anyNull =
-      if (evals.isEmpty) "false" else evals.map(_.isNull.toString).mkString(" || ")
+      if (hardNulls.isEmpty) "false"
+      else hardNulls.map(_._1.isNull.toString).mkString(" || ")
     val setArgs = evals.zipWithIndex
-      .map { case (e, i) => s"$argsName[$i] = ${e.value};" }.mkString("\n")
+      .map { case (e, i) =>
+        if (argKinds(i) == ArgKind.DblN)
+          s"if (${e.isNull}) { $argsName[$i] = null; } else { $argsName[$i] = ${e.value}; }"
+        else s"$argsName[$i] = ${e.value};"
+      }.mkString("\n")
     val extract =
       if (CodeGenerator.isPrimitiveType(dataType))
         s"((${CodeGenerator.boxedType(dataType)}) $resName).${javaType}Value()"

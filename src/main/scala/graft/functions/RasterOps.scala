@@ -144,6 +144,54 @@ object RasterOps {
     * explicit value nor a band nodata exists (rs_clip.rs). */
   private def declaredDtypeMin(ptype: String): Double = dtypeInfo(ptype)._2
 
+  /** RS_AsRaster pixelType tokens -> declared ptype name
+    * (rs_as_raster.rs:271-290 parse_pixel_type). */
+  private def parsePixelTypeToken(s: String): String =
+    s.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "d" | "float64" => "REAL_64BITS"
+      case "f" | "float32" => "REAL_32BITS"
+      case "i" | "int32" => "SIGNED_32BITS"
+      case "ui" | "uint32" => "UNSIGNED_32BITS"
+      case "s" | "int16" => "SIGNED_16BITS"
+      case "us" | "uint16" => "UNSIGNED_16BITS"
+      case "b" | "uint8" => "UNSIGNED_8BITS"
+      case "i8" | "int8" => "SIGNED_8BITS"
+      case "u64" | "uint64" => "UNSIGNED_64BITS"
+      case "i64" | "int64" => "SIGNED_64BITS"
+      case other => throw new IllegalArgumentException(
+        s"Unsupported pixelType: $other (expected one of D/F/I/UI/S/US/B/I8/U64/I64 " +
+          "or int8/uint8/int16/uint16/int32/uint32/int64/uint64/float32/float64)")
+    }
+
+  /** Validating cast of a fill/nodata value into the declared dtype
+    * (rs_as_raster.rs:342-407): integral dtypes require an exactly-
+    * representable integer in range; float32 narrows. Returns the value
+    * as stored in the band. */
+  private def castToDtype(role: String, v: Double, ptype: String): Double = {
+    val (name, min, max, integral) = dtypeInfo(ptype)
+    if (integral) {
+      require(java.lang.Double.isFinite(v), s"$role must be finite for $name: $v")
+      require(v == math.rint(v), s"$role must be an integer for $name: $v")
+      require(v >= min && v <= max, s"$role is out of range for $name: $v")
+      v
+    } else if (name == "Float32") {
+      val f = v.toFloat
+      require(!java.lang.Double.isFinite(v) || java.lang.Float.isFinite(f),
+        s"$role is out of range for $name: $v")
+      f.toDouble
+    } else v
+  }
+
+  /** GDAL-style burn-value write conversion (GDALCopyWords semantics):
+    * round to nearest and clamp for integral dtypes, narrow for f32. */
+  private def storeToDtype(v: Double, ptype: String): Double = {
+    val (name, min, max, integral) = dtypeInfo(ptype)
+    if (integral) {
+      if (v.isNaN) 0.0 else math.min(max, math.max(min, math.rint(v)))
+    } else if (name == "Float32") v.toFloat.toDouble
+    else v
+  }
+
   /** An explicit nodata must be representable in the band's declared
     * dtype (integral + in range for integer dtypes, in range for floats). */
   private def validateNodata(fname: String, v: Double, ptype: String): Unit = {
@@ -462,45 +510,65 @@ object RasterOps {
     }),
 
     // ------------------------------------------------------------------
-    // RS_AsRaster(geom, raster, pixelType[, allTouched[, value[, noData]]])
-    // (rs_as_raster.rs:84-99): burn `value` (default 1.0) into the
-    // geometry's pixel footprint on a grid aligned with the reference
-    // raster and covering the geometry envelope; background = noData
-    // (default 0.0). pixelType accepted for signature parity (bands are
-    // always f64 here).
+    // RS_AsRaster(geom, raster, pixelType[, allTouched[, value[, noData
+    // [, useGeometryExtent]]]]) (rs_as_raster.rs:53-66,418-486): burn
+    // `value` (default 1.0) into the geometry's pixel footprint on a grid
+    // aligned with the reference raster. useGeometryExtent (default true)
+    // picks between the geometry envelope snapped out to whole reference
+    // pixels and the full reference grid. The output grid is initialized
+    // with noData (0 when absent); the band carries noData only when one
+    // was given, in the declared pixelType.
     fnv("rs_asraster", RasterModel.dataType,
         Seq(Seq(Geom, Raw, Str), Seq(Geom, Raw, Str, Bool),
-          Seq(Geom, Raw, Str, Bool, Dbl), Seq(Geom, Raw, Str, Bool, Dbl, Dbl)))(a => {
+          Seq(Geom, Raw, Str, Bool, Dbl), Seq(Geom, Raw, Str, Bool, Dbl, DblN),
+          Seq(Geom, Raw, Str, Bool, Dbl, DblN, Bool)))(a => {
       val g = a(0).asInstanceOf[Geometry]
       val ref = rast(a, 1)
+      val ptype = parsePixelTypeToken(a(2).asInstanceOf[String])
       val allTouched = a.length > 3 && bb(a, 3)
-      val value = if (a.length > 4) d(a, 4) else 1.0
-      val nodata = if (a.length > 5) d(a, 5) else 0.0
-      val env = g.getEnvelopeInternal
-      // snap the window OUT to the reference grid (fractional coords of
-      // the envelope corners, floor/ceil to whole pixels)
-      val cs = Seq(
-        ref.rasterCoord(env.getMinX, env.getMinY), ref.rasterCoord(env.getMinX, env.getMaxY),
-        ref.rasterCoord(env.getMaxX, env.getMinY), ref.rasterCoord(env.getMaxX, env.getMaxY))
-      val c0 = math.floor(cs.map(_._1).min).toInt
-      val c1 = math.max(c0 + 1, math.ceil(cs.map(_._1).max).toInt)
-      val r0 = math.floor(cs.map(_._2).min).toInt
-      val r1 = math.max(r0 + 1, math.ceil(cs.map(_._2).max).toInt)
-      val w = c1 - c0; val h = r1 - r0
-      val gt = shiftGt(ref.gt, c0, r0)
+      val burn = if (a.length > 4) d(a, 4) else 1.0
+      val nodataOpt: Option[Double] =
+        if (a.length > 5 && a(5) != null) Some(d(a, 5)) else None
+      val useGeomExtent = a.length <= 6 || bb(a, 6)
+      require(ref.gt(2) == 0.0 && ref.gt(4) == 0.0,
+        "RS_AsRaster currently requires skew_x=0 and skew_y=0 in the reference raster")
+      val sx = ref.gt(1); val sy = ref.gt(5)
+      require(sx != 0.0 && sy != 0.0, "Reference raster has zero scale")
+      // window arithmetic verbatim from the reference (rs_as_raster.rs:
+      // 440-478): rows measured from MaxY with the raster's own scale_y
+      // sign, so a south-up reference grid yields an empty extent error
+      // rather than a flipped window.
+      val (w, h, gt) =
+        if (useGeomExtent) {
+          val env = g.getEnvelopeInternal
+          val c0 = math.floor((env.getMinX - ref.gt(0)) / sx).toLong
+          val c1 = math.ceil((env.getMaxX - ref.gt(0)) / sx).toLong
+          val r0 = math.floor((env.getMaxY - ref.gt(3)) / sy).toLong
+          val r1 = math.ceil((env.getMinY - ref.gt(3)) / sy).toLong
+          val w = math.max(0L, c1 - c0); val h = math.max(0L, r1 - r0)
+          require(w > 0 && h > 0, "Geometry extent produced an empty raster")
+          (w.toInt, h.toInt, shiftGt(ref.gt, c0.toDouble, r0.toDouble))
+        } else (ref.width, ref.height, ref.gt.clone())
+      // fill is validated like the reference's "initial fill value"; the
+      // burn value goes through GDAL's write path (round + clamp)
+      val fill = castToDtype("initial fill value", nodataOpt.getOrElse(0.0), ptype)
+      nodataOpt.foreach(nd => castToDtype("nodata value", nd, ptype))
+      val burnStored = storeToDtype(burn, ptype)
       val out = Raster(ref.crs, gt, w, h, IndexedSeq.empty)
       val pg = PreparedGeometryFactory.prepare(g)
-      val vals = Array.fill(w * h)(nodata)
+      val vals = Array.fill(w * h)(fill)
       var row = 0
       while (row < h) {
         var c = 0
         while (c < w) {
-          if (pixelHit(out, pg, c, row, allTouched)) vals(row * w + c) = value
+          if (pixelHit(out, pg, c, row, allTouched)) vals(row * w + c) = burnStored
           c += 1
         }
         row += 1
       }
-      RasterModel.toRow(ref.crs, gt, w, h, Seq(Band(nodata, RasterModel.packDoubles(vals))))
+      RasterModel.toRow(ref.crs, gt, w, h, Seq(Band(
+        nodataOpt.getOrElse(Double.NaN), RasterModel.packDoubles(vals),
+        ptype = ptype)))
     }),
 
     // ------------------------------------------------------------------

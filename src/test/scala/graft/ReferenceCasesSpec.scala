@@ -785,6 +785,105 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("unknown algorithm"))
   }
 
+  test("RS_AsRaster grids, options, dtypes (test_rs_asraster.py)") {
+    // The reference compares RS_AsRaster with rasterio.features.rasterize
+    // on a 7x6 uint8 grid: origin (100, 500), 2-wide by 3-tall north-up
+    // pixels (GDAL_TRANSFORM/GEOM_RECT/GEOM_TRIANGLE in the test module).
+    // Expected pixel sets below are the rasterize results derived by hand
+    // for those deterministic cases (centroid parity + boundary walk).
+    val ref = "rs_makeraster(7, 6, 100.0, 500.0, 2.0, -3.0, " +
+      "array_repeat(cast(0.0 as double), 42))"
+    val rect = "st_geomfromwkt('POLYGON ((102.6 495.8, 109.3 495.8, " +
+      "109.3 485.9, 102.6 485.9, 102.6 495.8))')"
+    val tri = "st_geomfromwkt('POLYGON ((101.3 498.6, 112.4 496.9, " +
+      "104.2 483.7, 101.3 498.6))')"
+    def vals(r: String, w: Int, h: Int): IndexedSeq[IndexedSeq[Any]] = {
+      val cells = (0 until h).map(row => (0 until w).map(c =>
+        s"rs_value($r, 1, $c, $row)").mkString("array(", ", ", ")"))
+      val got = spark.sql(s"SELECT ${cells.mkString("array(", ", ", ")")} AS g")
+        .collect()(0).getSeq[scala.collection.Seq[Any]](0)
+      got.map(_.toIndexedSeq).toIndexedSeq
+    }
+
+    // rect-centroid-cropped: envelope snapped out -> 4x4 window at
+    // (102, 497); the rect covers every pixel center in it.
+    val a = s"rs_asraster($rect, $ref, 'b', false, 7.0, 0.0)"
+    assert(q(s"rs_width($a)") == 4 && q(s"rs_height($a)") == 4)
+    assert(q(s"rs_upperleftx($a)") == 102.0 && q(s"rs_upperlefty($a)") == 497.0)
+    assert(q(s"rs_bandpixeltype($a, 1)") == "UNSIGNED_8BITS")
+    assert(vals(a, 4, 4).flatten.forall(_ == 7.0))
+
+    // rect-centroid-full-nodata9: full reference grid, fill 9, burn rows
+    // 1-4 x cols 1-4 (the centers inside the rect).
+    val b = s"rs_asraster($rect, $ref, 'b', false, 7.0, 9.0, false)"
+    assert(q(s"rs_width($b)") == 7 && q(s"rs_height($b)") == 6)
+    assert(q(s"rs_upperleftx($b)") == 100.0 && q(s"rs_upperlefty($b)") == 500.0)
+    val bg = vals(b, 7, 6)
+    for (row <- 0 until 6; c <- 0 until 7) {
+      // fill pixels hold 9 == band nodata, which rs_value masks to null
+      val want = if (row >= 1 && row <= 4 && c >= 1 && c <= 4) 7.0 else null
+      assert(bg(row)(c) == want, s"full rect ($c,$row): ${bg(row)(c)} want $want")
+    }
+
+    // triangle-centroid-cropped: the snapped envelope IS the full grid;
+    // centers inside the triangle by row: 1..5, 1..4, 2..3, 2 (rows 1-4).
+    val c = s"rs_asraster($tri, $ref, 'b', false, 7.0, 9.0)"
+    assert(q(s"rs_width($c)") == 7 && q(s"rs_height($c)") == 6)
+    val centroidRows = Map(1 -> (1 to 5), 2 -> (1 to 4), 3 -> (2 to 3), 4 -> (2 to 2))
+    val cg = vals(c, 7, 6)
+    for (row <- 0 until 6; col <- 0 until 7) {
+      val want = if (centroidRows.get(row).exists(_.contains(col))) 7.0 else null
+      assert(cg(row)(col) == want, s"tri centroid ($col,$row): ${cg(row)(col)} want $want")
+    }
+
+    // triangle-touched-cropped-nodata9: centroid set plus every cell the
+    // boundary passes through — cols 0-5 / 0-6 / 1-5 / 1-4 / 1-3 / 1-2.
+    val t = s"rs_asraster($tri, $ref, 'b', true, 7.0, 9.0)"
+    val touchedRows = Map(0 -> (0 to 5), 1 -> (0 to 6), 2 -> (1 to 5),
+      3 -> (1 to 4), 4 -> (1 to 3), 5 -> (1 to 2))
+    val tg = vals(t, 7, 6)
+    for (row <- 0 until 6; col <- 0 until 7) {
+      val want = if (touchedRows.get(row).exists(_.contains(col))) 7.0 else null
+      assert(tg(row)(col) == want, s"tri touched ($col,$row): ${tg(row)(col)} want $want")
+    }
+
+    // every dtype both dialects support burns exactly and tags the band
+    for ((tok, name) <- Seq("uint8" -> "UNSIGNED_8BITS", "uint16" -> "UNSIGNED_16BITS",
+        "int16" -> "SIGNED_16BITS", "int32" -> "SIGNED_32BITS",
+        "float32" -> "REAL_32BITS", "float64" -> "REAL_64BITS")) {
+      val r = s"rs_asraster($rect, $ref, '$tok', false, 7.0, 0.0)"
+      assert(q(s"rs_bandpixeltype($r, 1)") == name, tok)
+      assert(q(s"rs_value($r, 1, 0, 0)") == 7.0, tok)
+    }
+
+    // without nodata: burn into zeros, band has no nodata value
+    val nn = s"rs_asraster($rect, $ref, 'b', false, 7.0)"
+    assert(q(s"rs_bandnodatavalue($nn, 1)") == null)
+    assert(q(s"rs_value($nn, 1, 0, 0)") == 7.0)
+    // a NULL nodata argument means "no nodata", not a NULL result
+    val nl = s"rs_asraster($rect, $ref, 'b', false, 7.0, cast(null as double))"
+    assert(q(s"rs_bandnodatavalue($nl, 1)") == null)
+    assert(q(s"rs_value($nl, 1, 0, 0)") == 7.0)
+
+    // argument errors mirror the reference's messages
+    def err(expr: String): String =
+      intercept[Exception](q(expr)).getMessage
+    assert(err(s"rs_asraster($rect, $ref, 'q')").contains("Unsupported pixelType: q"))
+    assert(err(s"rs_asraster($rect, rs_setgeoreference(" +
+      "rs_makeraster(2, 2, 0.0, 0.0, 1.0, -1.0, array(0d,0d,0d,0d)), " +
+      "'1.0 0.5 0.5 -1.0 0.0 0.0'), 'b')")
+      .contains("skew_x=0 and skew_y=0"))
+    // south-up reference grid: the row window formulas produce an empty
+    // extent (rows measured from MaxY with the raster's scale_y sign)
+    assert(err(s"rs_asraster($rect, " +
+      "rs_makeraster(7, 6, 100.0, 482.0, 2.0, 3.0, array_repeat(cast(0.0 as double), 42)), 'b')")
+      .contains("Geometry extent produced an empty raster"))
+    assert(err(s"rs_asraster($rect, $ref, 'b', false, 7.0, 9.5)")
+      .contains("must be an integer for UInt8: 9.5"))
+    assert(err(s"rs_asraster($rect, $ref, 'b', false, 7.0, 300.0)")
+      .contains("out of range for UInt8: 300"))
+  }
+
   test("RS_Example accessor values (test_raster_functions.py)") {
     assert(q("rs_numbands(rs_example())") == 3)
     assert(q("rs_width(rs_example())") == 64)
