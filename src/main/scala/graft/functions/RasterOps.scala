@@ -231,11 +231,20 @@ object RasterOps {
 
   /** Resample `src` band-for-band onto the grid (gt, w, h) in the same
     * coordinate space as `worldToSrc` maps from (identity for RS_Resample,
-    * a CRS warp for RS_ReprojectMatch). */
+    * a CRS warp for RS_ReprojectMatch).
+    *
+    * `fillNoNodata`: value for uncovered output cells when the band has no
+    * nodata — RS_ReprojectMatch prefills with 0.0 like GDAL's warp
+    * (rs_reproject_match.rs:198 `.unwrap_or(0.0)`), RS_Resample keeps NaN.
+    * `maskBilinearNodata=false` reproduces the warp's pass-through: source
+    * nodata values blend raw instead of poisoning the sample. */
   private def resampleTo(src: Raster, gt: Array[Double], w: Int, h: Int, crs: String,
-      bilinear: Boolean, worldToSrc: (Double, Double) => (Double, Double)): Any = {
+      bilinear: Boolean, worldToSrc: (Double, Double) => (Double, Double),
+      fillNoNodata: Double = Double.NaN,
+      maskBilinearNodata: Boolean = true): Any = {
     val out = Raster(crs, gt, w, h, IndexedSeq.empty)
     val bands = src.bands.zipWithIndex.map { case (b, bi) =>
+      val fill = if (!b.nodata.isNaN) b.nodata else fillNoNodata
       val vals = new Array[Double](w * h)
       var row = 0
       while (row < h) {
@@ -246,9 +255,11 @@ object RasterOps {
           val (sx, sy) = worldToSrc(wx, wy)
           val (fc, fr) = src.rasterCoord(sx, sy)
           val v =
-            if (bilinear) sampleBilinear(src, bi + 1, fc, fr, b.nodata)
+            if (bilinear && maskBilinearNodata)
+              sampleBilinear(src, bi + 1, fc, fr, b.nodata)
+            else if (bilinear) sampleBilinearRaw(src, bi + 1, fc, fr)
             else sampleNearest(src, bi + 1, fc, fr)
-          vals(row * w + c) = if (v.isNaN && !b.nodata.isNaN) b.nodata else v
+          vals(row * w + c) = if (v.isNaN) fill else v
           c += 1
         }
         row += 1
@@ -257,6 +268,31 @@ object RasterOps {
     }
     RasterModel.toRow(crs, gt, w, h, bands, src.path)
   }
+
+  /** Bilinear without source-nodata masking (GDAL warp pass-through):
+    * in-bounds nodata pixels blend as raw numbers; a sample touching any
+    * out-of-bounds neighbor is NaN (→ caller's fill). */
+  private def sampleBilinearRaw(src: Raster, band1: Int, fc: Double, fr: Double): Double = {
+    val cx = fc - 0.5; val cy = fr - 0.5
+    val c0 = math.floor(cx).toInt; val r0 = math.floor(cy).toInt
+    val tx = cx - c0; val ty = cy - r0
+    val v00 = rawValue(src, band1, c0, r0)
+    val v10 = rawValue(src, band1, c0 + 1, r0)
+    val v01 = rawValue(src, band1, c0, r0 + 1)
+    val v11 = rawValue(src, band1, c0 + 1, r0 + 1)
+    (v00 * (1 - tx) + v10 * tx) * (1 - ty) + (v01 * (1 - tx) + v11 * tx) * ty
+  }
+
+  /** Int64/UInt64 bands cannot survive a float-routed warp — rejected up
+    * front with the reference's message (utils.rs:369, shared by
+    * RS_Resample's regrid path and RS_ReprojectMatch always). */
+  private def rejectInt64Warp(fname: String, r: Raster): Unit =
+    r.bands.foreach { b =>
+      require(b.ptype != "SIGNED_64BITS" && b.ptype != "UNSIGNED_64BITS",
+        s"$fname does not support Int64/UInt64 rasters: GDAL routes 64-bit " +
+          "integer pixels through a floating working type that cannot represent " +
+          "them exactly; cast to Int32/Float64 first.")
+    }
 
   private val tileStructType = StructType(Seq(
     StructField("x", IntegerType, nullable = false),
@@ -487,6 +523,12 @@ object RasterOps {
           }
           (Array(ulx, nsx, 0.0, uly, 0.0, nsy), ww, hh, alg)
         }
+      // Int64/UInt64 survive only the extent-preserving nearest dimension
+      // path (pure value selection); scale mode, grid snap, the reference-
+      // grid form, and any interpolating algorithm route through float
+      // (rs_resample.rs:522-539)
+      val isRegrid = a.length == 4 || a.length == 7 || (a.length == 5 && bb(a, 3))
+      if (isRegrid || bilinear) rejectInt64Warp("RS_Resample", src)
       resampleTo(src, gt, w, h, src.crs, bilinear, (x, y) => (x, y))
     }),
 
@@ -499,6 +541,8 @@ object RasterOps {
       val src = rast(a)
       val ref = rast(a, 1)
       val bilinear = a.length > 2 && parseAlgorithm(a(2).asInstanceOf[String])
+      // the warp always routes pixels through a floating working type
+      rejectInt64Warp("RS_ReprojectMatch", src)
       val warp: (Double, Double) => (Double, Double) =
         if (src.crs == ref.crs) (x, y) => (x, y)
         else {
@@ -506,7 +550,10 @@ object RasterOps {
           val to = CrsTransform.parse(src.crs)
           (x, y) => CrsTransform.transformPoint(x, y, from, to)
         }
-      resampleTo(src, ref.gt.clone(), ref.width, ref.height, ref.crs, bilinear, warp)
+      // warp semantics: uncovered reference cells prefill with the input
+      // band's nodata (0 when none); source nodata passes through unmasked
+      resampleTo(src, ref.gt.clone(), ref.width, ref.height, ref.crs, bilinear, warp,
+        fillNoNodata = 0.0, maskBilinearNodata = false)
     }),
 
     // ------------------------------------------------------------------

@@ -884,6 +884,79 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("out of range for UInt8: 300"))
   }
 
+  test("RS_ReprojectMatch warp semantics (test_rs_reprojectmatch.py)") {
+    // same-CRS 2x nearest upsample: 4x3 input of 2x2 pixels onto an 8x6
+    // 1x1 reference grid with the same extent replicates each source
+    // pixel into a 2x2 block (bit-exact in the reference suite)
+    val in43 = "rs_makeraster(4, 3, 100.0, 500.0, 2.0, -2.0, " +
+      "array(1d,2d,3d,4d, 5d,6d,7d,8d, 9d,10d,11d,12d))"
+    val ref86 = "rs_makeraster(8, 6, 100.0, 500.0, 1.0, -1.0, " +
+      "array_repeat(cast(0.0 as double), 48))"
+    val up = s"rs_reprojectmatch($in43, $ref86)"
+    assert(q(s"rs_width($up)") == 8 && q(s"rs_height($up)") == 6)
+    assert(q(s"rs_scalex($up)") == 1.0 && q(s"rs_scaley($up)") == -1.0)
+    for (row <- 0 until 6; c <- 0 until 8) {
+      val want = (row / 2) * 4 + (c / 2) + 1.0
+      assert(q(s"rs_value($up, 1, $c, $row)") == want, s"($c,$row)")
+    }
+
+    // uncovered reference cells fill with the input band nodata: 3x3
+    // input extent [0,6]x[0,6], reference 5x5 of 2x2 overhangs right and
+    // bottom -> cols/rows 3..4 read as nodata-masked nulls
+    val in33 = "rs_setbandnodatavalue(rs_makeraster(3, 3, 0.0, 6.0, 2.0, -2.0, " +
+      "array(1d,2d,3d, 4d,5d,6d, 7d,8d,9d)), 1, 200.0)"
+    val ref55 = "rs_makeraster(5, 5, 0.0, 6.0, 2.0, -2.0, " +
+      "array_repeat(cast(0.0 as double), 25))"
+    val un = s"rs_reprojectmatch($in33, $ref55)"
+    assert(q(s"rs_bandnodatavalue($un, 1)") == 200.0)
+    for (row <- 0 until 5; c <- 0 until 5) {
+      val want: Any =
+        if (row <= 2 && c <= 2) row * 3 + c + 1.0
+        else null // 200 == band nodata, masked by rs_value
+      assert(q(s"rs_value($un, 1, $c, $row)") == want, s"($c,$row)")
+    }
+
+    // bilinear 2x downsample: every output center sits exactly between
+    // four source pixels -> their plain average (vals = row*8+col)
+    val vals64 = (0 until 64).map(i => s"${i}d").mkString("array(", ",", ")")
+    val in88 = s"rs_makeraster(8, 8, 100.0, 508.0, 1.0, -1.0, $vals64)"
+    val ref44 = "rs_makeraster(4, 4, 100.0, 508.0, 2.0, -2.0, " +
+      "array_repeat(cast(0.0 as double), 16))"
+    val bi = s"rs_reprojectmatch($in88, $ref44, 'Bilinear')"
+    for (row <- 0 until 4; c <- 0 until 4)
+      assert(q(s"rs_value($bi, 1, $c, $row)") == 16.0 * row + 2 * c + 4.5, s"($c,$row)")
+
+    // cross-CRS: 2x2 1-degree EPSG:4326 input onto a web-mercator
+    // reference covering the same lon/lat box — nearest selection
+    // through the inverse Mercator lands each center in its own cell
+    val geo = "rs_setcrs(rs_makeraster(2, 2, 0.0, 2.0, 1.0, -1.0, " +
+      "array(1d,2d,3d,4d)), 'EPSG:4326')"
+    val refMerc = "rs_setcrs(rs_makeraster(2, 2, 0.0, 222638.9816, " +
+      "111319.4908, -111319.4908, array_repeat(cast(0.0 as double), 4)), 'EPSG:3857')"
+    val cc = s"rs_reprojectmatch($geo, $refMerc)"
+    assert(q(s"rs_crs($cc)") == "EPSG:3857")
+    assert(q(s"rs_value($cc, 1, 0, 0)") == 1.0 && q(s"rs_value($cc, 1, 1, 0)") == 2.0)
+    assert(q(s"rs_value($cc, 1, 0, 1)") == 3.0 && q(s"rs_value($cc, 1, 1, 1)") == 4.0)
+
+    // Int64/UInt64 rasters are rejected up front for any algorithm
+    val rect64 = "st_geomfromwkt('POLYGON ((102.6 495.8, 109.3 495.8, " +
+      "109.3 485.9, 102.6 485.9, 102.6 495.8))')"
+    val base = "rs_makeraster(7, 6, 100.0, 500.0, 2.0, -3.0, " +
+      "array_repeat(cast(0.0 as double), 42))"
+    val i64r = s"rs_asraster($rect64, $base, 'i64', false, 7.0, 0.0)"
+    for (alg <- Seq("NearestNeighbor", "Bilinear")) {
+      val m = intercept[Exception](
+        q(s"rs_reprojectmatch($i64r, $base, '$alg')")).getMessage
+      assert(m.contains("does not support Int64/UInt64 rasters"), alg)
+    }
+    // RS_Resample shares the check on its float-routed paths, but the
+    // plain dimension nearest path is a pure value selection and keeps it
+    val m2 = intercept[Exception](
+      q(s"rs_resample($i64r, 2.0, 2.0, true, 'nearestneighbor')")).getMessage
+    assert(m2.contains("does not support Int64/UInt64 rasters"))
+    assert(q(s"rs_value(rs_resample($i64r, 8.0, 8.0, false, 'nearestneighbor'), 1, 0, 0)") == 7.0)
+  }
+
   test("RS_Example accessor values (test_raster_functions.py)") {
     assert(q("rs_numbands(rs_example())") == 3)
     assert(q("rs_width(rs_example())") == 64)
