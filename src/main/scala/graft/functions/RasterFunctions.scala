@@ -75,9 +75,12 @@ object RasterFunctions {
   }
 
   /** Spatial dims cannot be sliced; a name no band carries is an error
-    * (reference rs_slice.rs:329-364 pre-flight). */
-  private def validateSliceDim(r: Raster, name: String, fname: String): Unit = {
-    require(name != "y" && name != "x", s"$fname: cannot manipulate spatial dimension '$name'")
+    * (reference rs_slice.rs:329-364 pre-flight; verb differs per function:
+    * "slice" for RS_Slice/RS_SliceRange, "expand" for RS_DimToBand,
+    * rs_dim_band.rs:88). */
+  private def validateSliceDim(r: Raster, name: String, fname: String,
+      verb: String = "slice"): Unit = {
+    require(name != "y" && name != "x", s"$fname: cannot $verb spatial dimension '$name'")
     require(r.bands.exists(b => b.dimsOf(r.height, r.width).contains(name)),
       s"$fname: no band has dimension '$name'")
   }
@@ -355,8 +358,9 @@ object RasterFunctions {
         val di = dims.indexOf(name)
         if (di < 0) b
         else {
-          require(idx >= 0 && idx < shape(di),
-            s"rs_slice: index $idx out of range for dimension '$name' of size ${shape(di)}")
+          require(idx >= 0, s"rs_slice: index must be non-negative, got $idx")
+          require(idx < shape(di),
+            s"rs_slice: index $idx out of range for dimension '$name' with size ${shape(di)}")
           val data = sliceBytes(b.data, shape, di, idx, 1)
           val nd = dims.patch(di, Nil, 1); val ns = shape.patch(di, Nil, 1)
           RasterModel.Band(b.nodata, data,
@@ -376,8 +380,12 @@ object RasterFunctions {
         val di = dims.indexOf(name)
         if (di < 0) b
         else {
-          require(start >= 0 && start < end && end <= shape(di),
-            s"rs_slicerange: range [$start, $end) invalid for dimension '$name' of size ${shape(di)}")
+          require(start >= 0, s"rs_slicerange: start must be non-negative, got $start")
+          require(end >= 0, s"rs_slicerange: end must be non-negative, got $end")
+          require(end <= shape(di),
+            s"rs_slicerange: end ($end) out of range for dimension '$name' with size ${shape(di)}")
+          require(start < end,
+            s"rs_slicerange: range [$start, $end) invalid for dimension '$name'")
           val data = sliceBytes(b.data, shape, di, start, end - start)
           b.copy(data = data, shape = shape.updated(di, (end - start).toLong))
         }
@@ -387,7 +395,7 @@ object RasterFunctions {
     fn("rs_dimtoband", RasterModel.dataType, Seq(Raw, Str))(a => {
       val r = rast(a)
       val name = a(1).asInstanceOf[String]
-      validateSliceDim(r, name, "rs_dimtoband")
+      validateSliceDim(r, name, "rs_dimtoband", verb = "expand")
       val out = r.bands.flatMap { b =>
         val dims = b.dimsOf(r.height, r.width); val shape = b.shapeOf(r.height, r.width)
         val di = dims.indexOf(name)

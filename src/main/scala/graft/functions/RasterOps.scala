@@ -676,14 +676,21 @@ object RasterOps {
     // writer (sources.GeoTiff); NONE or DEFLATE (java.util.zip) output.
     fnv("rs_asgeotiff", BinaryType,
         Seq(Seq(Raw), Seq(Raw, Str, Dbl)))(a => {
-      val deflate = a.length > 1 && {
-        val comp = a(1).asInstanceOf[String]
-        require(comp.isEmpty || comp.equalsIgnoreCase("NONE") ||
-          comp.equalsIgnoreCase("DEFLATE"),
-          s"rs_asgeotiff: compression '$comp' not supported offline (NONE/DEFLATE)")
-        comp.equalsIgnoreCase("DEFLATE")
+      // the lossless codec set the reference suite pins
+      // (test_rs_asgeotiff.py COMPRESSIONS); the quality fraction is
+      // accepted and ignored for lossless codecs
+      val code = if (a.length <= 1) 1 else {
+        a(1).asInstanceOf[String].trim.toLowerCase(java.util.Locale.ROOT) match {
+          case "" | "none" => 1
+          case "deflate" => 8
+          case "lzw" => 5
+          case "packbits" => 32773
+          case other => throw new IllegalArgumentException(
+            s"rs_asgeotiff: compression '$other' not supported offline " +
+              "(NONE/DEFLATE/LZW/PACKBITS)")
+        }
       }
-      graft.sources.GeoTiff.write(rast(a), deflate)
+      graft.sources.GeoTiff.writeCompressed(rast(a), code)
     }),
 
     // RS_FromGDALRaster(binary) -> raster (rs_from_gdal_raster.rs:49,143):

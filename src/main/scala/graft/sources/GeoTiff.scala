@@ -53,13 +53,70 @@ object GeoTiff {
   // ------------------------------------------------------------------
   // writer
 
-  def write(r: Raster, deflate: Boolean = false): Array[Byte] = {
+  def write(r: Raster, deflate: Boolean = false): Array[Byte] =
+    writeCompressed(r, if (deflate) 8 else 1)
+
+  /** compressionCode: TIFF tag 259 value — 1 none, 5 LZW, 8 deflate,
+    * 32773 PackBits (the lossless set RS_AsGeoTiff's reference suite
+    * pins, test_rs_asgeotiff.py COMPRESSIONS). Bands whose declared
+    * ptype agrees are written in that dtype so load→encode→decode is
+    * byte-identical; mixed/unknown ptypes fall back to f64. */
+  def writeCompressed(r: Raster, compressionCode: Int): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asgeotiff: raster has no bands")
     require(r.bands.forall(b => b.dims == null || b.dims.length == 2),
       "rs_asgeotiff: N-D bands not representable in TIFF (slice first)")
     val nb = r.bands.length
+    // (SampleFormat, BitsPerSample) from the shared declared ptype
+    val ptypes = r.bands.map(b => if (b.ptype == null) "REAL_64BITS" else b.ptype).distinct
+    val (sampleFmt, sampleBits) =
+      (if (ptypes.length == 1) ptypes.head else "REAL_64BITS") match {
+        case "UNSIGNED_8BITS" => (1, 8)
+        case "SIGNED_8BITS" => (2, 8)
+        case "UNSIGNED_16BITS" => (1, 16)
+        case "SIGNED_16BITS" => (2, 16)
+        case "UNSIGNED_32BITS" => (1, 32)
+        case "SIGNED_32BITS" => (2, 32)
+        case "UNSIGNED_64BITS" => (1, 64)
+        case "SIGNED_64BITS" => (2, 64)
+        case "REAL_32BITS" => (3, 32)
+        case _ => (3, 64)
+      }
+    // narrow the model's f64 pixels to the declared dtype (LE)
+    def narrow(data: Array[Byte]): Array[Byte] =
+      if (sampleFmt == 3 && sampleBits == 64) data
+      else {
+        val in = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+        val n = data.length / 8
+        val out = ByteBuffer.allocate(n * (sampleBits / 8)).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) {
+          val v = in.getDouble(i * 8)
+          (sampleFmt, sampleBits) match {
+            case (3, 32) => out.putFloat(v.toFloat)
+            case (_, 8) => out.put(math.round(v).toByte)
+            case (_, 16) => out.putShort(math.round(v).toShort)
+            case (_, 32) => out.putInt(math.round(v).toInt)
+            case (1, 64) =>
+              // unsigned 64-bit: values above Long.MaxValue wrap through
+              // the two's-complement bit pattern
+              out.putLong(if (v >= 9.223372036854776E18)
+                (v - 1.8446744073709552E19).toLong else math.round(v))
+            case (_, 64) => out.putLong(math.round(v))
+          }
+          i += 1
+        }
+        out.array()
+      }
     val stripData: IndexedSeq[Array[Byte]] = r.bands.toIndexedSeq.map { b =>
-      if (deflate) deflateBytes(b.data) else b.data
+      val raw = narrow(b.data)
+      compressionCode match {
+        case 1 => raw
+        case 5 => lzwEncode(raw)
+        case 8 => deflateBytes(raw)
+        case 32773 => packBitsEncode(raw, r.width * (sampleBits / 8))
+        case other => throw new IllegalArgumentException(
+          s"rs_asgeotiff: compression code $other not supported")
+      }
     }
     val skewed = r.gt(2) != 0.0 || r.gt(4) != 0.0
     val srid =
@@ -115,9 +172,9 @@ object GeoTiff {
       E(TImageWidth, 4, 1, Some(r.width.toLong)),
       E(TImageLength, 4, 1, Some(r.height.toLong)),
       E(TBitsPerSample, 3, nb,
-        if (nb <= 2) Some(packShortsInline(Seq.fill(nb)(64))) else None,
-        shorts(Seq.fill(nb)(64))),
-      E(TCompression, 3, 1, Some(if (deflate) 8L else 1L)),
+        if (nb <= 2) Some(packShortsInline(Seq.fill(nb)(sampleBits))) else None,
+        shorts(Seq.fill(nb)(sampleBits))),
+      E(TCompression, 3, 1, Some(compressionCode.toLong)),
       E(TPhotometric, 3, 1, Some(1L)),
       E(TStripOffsets, 4, nb, None, longs(Seq.fill(nb)(0L))),
       E(TSamplesPerPixel, 3, 1, Some(nb.toLong)),
@@ -126,8 +183,8 @@ object GeoTiff {
         if (nb == 1) Some(stripLens.head) else None, longs(stripLens)),
       E(TPlanarConfig, 3, 1, Some(2L)),
       E(TSampleFormat, 3, nb,
-        if (nb <= 2) Some(packShortsInline(Seq.fill(nb)(3))) else None,
-        shorts(Seq.fill(nb)(3))))
+        if (nb <= 2) Some(packShortsInline(Seq.fill(nb)(sampleFmt))) else None,
+        shorts(Seq.fill(nb)(sampleFmt))))
     if (skewed)
       entries += E(TModelTransformation, 12, 16, None, doubles(Seq(
         r.gt(1), r.gt(2), 0, r.gt(0), r.gt(4), r.gt(5), 0, r.gt(3),
@@ -310,6 +367,109 @@ object GeoTiff {
     out.toByteArray
   }
 
+  /** TIFF-variant LZW encoder (TIFF 6.0 §13) — the mirror of lzwDecode:
+    * MSB-first bit packing, leading ClearCode, "early change" width bump
+    * when the table reaches 2^n - 1 entries, table reset before 4094. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    var bitBuf = 0L; var bitCount = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCount += width
+      while (bitCount >= 8) {
+        out.write(((bitBuf >> (bitCount - 8)) & 0xff).toInt)
+        bitCount -= 8
+      }
+    }
+    // dictionary of byte strings; key = (prefixCode << 8) | nextByte
+    var dict = new java.util.HashMap[Int, Integer](8192)
+    var nextCode = 258
+    def reset(): Unit = { dict = new java.util.HashMap[Int, Integer](8192); nextCode = 258 }
+    emit(256)
+    var i = 0
+    var cur = -1
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (cur < 0) cur = b
+      else {
+        val key = (cur << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          emit(cur)
+          dict.put(key, Integer.valueOf(nextCode))
+          nextCode += 1
+          // early change: the decoder's table runs one entry behind the
+          // encoder's, so bumping when nextCode fills the current width
+          // (libtiff's free_ent > maxcode) lands on the same code number
+          // as lzwDecode's tableSize == 2^w - 1 rule
+          if (nextCode == (1 << width) && width < 12) width += 1
+          if (nextCode >= 4094) { emit(256); reset(); width = 9 }
+          cur = b
+        }
+      }
+      i += 1
+    }
+    if (cur >= 0) emit(cur)
+    emit(257)
+    if (bitCount > 0) out.write(((bitBuf << (8 - bitCount)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** PackBits decode (TIFF 6.0 §9): n in [0,127] copy n+1 literals,
+    * n in [-127,-1] repeat next byte 1-n times, -128 is a no-op. */
+  private def packBitsDecode(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len * 2)
+    var i = off
+    val end = off + len
+    while (i < end) {
+      val n = data(i).toInt; i += 1
+      if (n >= 0) {
+        val count = n + 1
+        require(i + count <= end, "geotiff: truncated PackBits literal run")
+        out.write(data, i, count); i += count
+      } else if (n != -128) {
+        require(i < end, "geotiff: truncated PackBits repeat run")
+        val b = data(i); i += 1
+        var k = 1 - n
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PackBits encode, restarted at every row boundary as TIFF requires
+    * (`rowBytes` = bytes per image row in this strip's layout). */
+  private def packBitsEncode(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length))
+    var rowStart = 0
+    while (rowStart < data.length) {
+      val rowEnd = math.min(rowStart + rowBytes, data.length)
+      var i = rowStart
+      while (i < rowEnd) {
+        // find run length of identical bytes at i
+        var run = 1
+        while (i + run < rowEnd && run < 128 && data(i + run) == data(i)) run += 1
+        if (run >= 2) {
+          out.write(1 - run); out.write(data(i)); i += run
+        } else {
+          // literal run: until the next >=3 repeat or 128 bytes
+          var j = i + 1
+          var break = false
+          while (j < rowEnd && j - i < 128 && !break) {
+            if (j + 2 < rowEnd && data(j) == data(j + 1) && data(j) == data(j + 2))
+              break = true
+            else j += 1
+          }
+          out.write(j - i - 1); out.write(data, i, j - i); i = j
+        }
+      }
+      rowStart = rowEnd
+    }
+    out.toByteArray
+  }
+
   private def inflateBytes(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data, off, len)
@@ -403,10 +563,10 @@ object GeoTiff {
     val h = one(TImageLength, throw new IllegalArgumentException("geotiff: no height")).toInt
     val nb = one(TSamplesPerPixel, 1L).toInt
     val compression = one(TCompression, 1L).toInt
-    // 5 = LZW, 8 = Adobe deflate, 32946 = legacy deflate code
+    // 5 = LZW, 8 = Adobe deflate, 32946 = legacy deflate, 32773 = PackBits
     require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32946,
-      s"geotiff: compression $compression not supported (NONE/LZW/DEFLATE only)")
+      compression == 32946 || compression == 32773,
+      s"geotiff: compression $compression not supported (NONE/LZW/DEFLATE/PACKBITS only)")
     val predictor = one(TPredictor, 1L).toInt
     val planar = one(TPlanarConfig, 1L).toInt
     val bits = valuesOf(TBitsPerSample).map(_.map(_.toInt)).getOrElse(IndexedSeq.fill(nb)(1))
@@ -425,6 +585,7 @@ object GeoTiff {
       val chunk = compression match {
         case 1 => java.util.Arrays.copyOfRange(bytes, off, off + len)
         case 5 => lzwDecode(bytes, off, len)
+        case 32773 => packBitsDecode(bytes, off, len)
         case _ => inflateBytes(bytes, off, len)
       }
       predictor match {
@@ -497,6 +658,10 @@ object GeoTiff {
       case (2, 16) => data.getShort(idx * 2).toDouble
       case (1, 32) => (data.getInt(idx * 4) & 0xffffffffL).toDouble
       case (2, 32) => data.getInt(idx * 4).toDouble
+      case (1, 64) =>
+        val v = data.getLong(idx * 8)
+        if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+      case (2, 64) => data.getLong(idx * 8).toDouble
       case other => throw new IllegalArgumentException(
         s"geotiff: unsupported sample layout $other")
     }

@@ -638,8 +638,10 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // wire sanity: II magic + TIFF 42
     assert(q(s"substring(rs_asgeotiff($r), 1, 2)")
       .asInstanceOf[Array[Byte]].toSeq == Seq('I'.toByte, 'I'.toByte))
-    // unsupported compression errors loudly
-    intercept[Exception](q(s"rs_asgeotiff($r, 'LZW', 75.0)"))
+    // lossless codec set roundtrips; lossy/unknown errors loudly
+    for (comp <- Seq("LZW", "DEFLATE", "PACKBITS", "NONE"))
+      assert(q(s"rs_value(rs_fromgdalraster(rs_asgeotiff($r, '$comp', 75.0)), 1, 0, 1)") == 4.0)
+    intercept[Exception](q(s"rs_asgeotiff($r, 'JPEG', 75.0)"))
   }
 
   test("geotiff: reads foreign layouts (big-endian, chunky uint8, multi-strip)") {

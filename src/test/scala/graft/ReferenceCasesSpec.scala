@@ -957,6 +957,113 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(s"rs_value(rs_resample($i64r, 8.0, 8.0, false, 'nearestneighbor'), 1, 0, 0)") == 7.0)
   }
 
+  test("N-D raster surface: slice/dim errors and edges (test_raster_nd.py)") {
+    // r3d: [time=3, y=4, x=5], sequential values 0..59 (from_numpy fixture)
+    val vals = (0 until 60).map(i => s"${i}d").mkString("array(", ",", ")")
+    val r3d = "rs_bandtodim(rs_makeraster(5, 4, 0.0, 4.0, 1.0, -1.0, " +
+      s"$vals, 3), 'time')"
+    val r2d = "rs_makeraster(5, 4, 0.0, 4.0, 1.0, -1.0, " +
+      (0 until 20).map(i => s"${i}d").mkString("array(", ",", ")") + ")"
+
+    assert(q(s"rs_numdimensions($r2d)") == 2)
+    assert(q(s"rs_numdimensions($r3d)") == 3)
+    assert(q(s"rs_numdimensions($r3d, 1)") == 3)
+    // a null or out-of-range band yields NULL, not band-1 defaulting
+    assert(q(s"rs_numdimensions($r3d, cast(null as int))") == null)
+    assert(q(s"rs_numdimensions($r3d, 99)") == null)
+    assert(q(s"rs_dimnames($r2d)") == Seq("y", "x"))
+    assert(q(s"rs_dimnames($r3d)") == Seq("time", "y", "x"))
+    assert(q(s"rs_dimsize($r2d, 'x')") == 5)
+    assert(q(s"rs_dimsize($r3d, 'time')") == 3)
+    assert(q(s"rs_dimsize($r3d, 'time', 1)") == 3)
+    assert(q(s"rs_dimsize($r2d, 'nonexistent')") == null)
+    assert(q(s"rs_shape($r2d)") == Seq(4L, 5L))
+    assert(q(s"rs_shape($r3d)") == Seq(3L, 4L, 5L))
+
+    // slice drops the axis; values equal arr[1] (20..39 at y,x)
+    assert(q(s"rs_shape(rs_slice($r3d, 'time', 1))") == Seq(4L, 5L))
+    assert(q(s"rs_value(rs_slice($r3d, 'time', 1), 1, 2, 1)") == 27.0)
+    // range keeps the axis narrowed to [0, 2)
+    assert(q(s"rs_shape(rs_slicerange($r3d, 'time', 0, 2))") == Seq(2L, 4L, 5L))
+
+    def err(expr: String): String = intercept[Exception](q(expr)).getMessage
+    assert(err(s"rs_slice($r3d, 'x', 0)").contains("cannot slice spatial dimension"))
+    assert(err(s"rs_slice($r3d, 'y', 0)").contains("cannot slice spatial dimension"))
+    assert(err(s"rs_slice($r3d, 'time', 3)").contains("out of range"))
+    assert(err(s"rs_slice($r3d, 'time', -1)").contains("index must be non-negative"))
+    assert(err(s"rs_slicerange($r3d, 'time', -1, 2)").contains("start must be non-negative"))
+    assert(err(s"rs_slice($r3d, 'nope', 0)").contains("no band has dimension 'nope'"))
+
+    // DimToBand expands time into 3 bands of [y,x]; spatial/unknown error
+    assert(q(s"rs_numbands(rs_dimtoband($r3d, 'time'))") == 3)
+    assert(q(s"rs_value(rs_dimtoband($r3d, 'time'), 2, 2, 1)") == 27.0)
+    assert(err(s"rs_dimtoband($r3d, 'x')").contains("cannot expand spatial dimension"))
+    assert(err(s"rs_dimtoband($r2d, 'nope')").contains("no band has dimension 'nope'"))
+    // round trip restores the single 3-D band
+    assert(q(s"rs_shape(rs_bandtodim(rs_dimtoband($r3d, 'time'), 'time'))") ==
+      Seq(3L, 4L, 5L))
+    assert(q(s"rs_numbands(rs_bandtodim(rs_dimtoband($r3d, 'time'), 'time'))") == 1)
+  }
+
+  test("RS_AsGeoTiff lossless codec roundtrips (test_rs_asgeotiff.py)") {
+    // load -> encode -> decode must preserve pixels, transform, nodata and
+    // band type for every lossless codec, and the container must carry
+    // the requested codec (reference COMPRESSIONS table)
+    val base = "rs_makeraster(7, 6, 100.0, 500.0, 2.0, -3.0, " +
+      "array_repeat(cast(0.0 as double), 42))"
+    val rect = "st_geomfromwkt('POLYGON ((102.6 495.8, 109.3 495.8, " +
+      "109.3 485.9, 102.6 485.9, 102.6 495.8))')"
+    def compressionTag(bytes: Array[Byte]): Int = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = bb.getInt(4)
+      val n = bb.getShort(ifd) & 0xffff
+      (0 until n).map(i => ifd + 2 + i * 12)
+        .find(off => (bb.getShort(off) & 0xffff) == 259)
+        .map(off => bb.getShort(off + 8) & 0xffff).getOrElse(-1)
+    }
+    for ((tok, name) <- Seq("b" -> "UNSIGNED_8BITS", "us" -> "UNSIGNED_16BITS",
+        "s" -> "SIGNED_16BITS", "i" -> "SIGNED_32BITS",
+        "f" -> "REAL_32BITS", "d" -> "REAL_64BITS");
+        (comp, code) <- Seq("none" -> 1, "Deflate" -> 8, "LZW" -> 5,
+          "PackBits" -> 32773)) {
+      val src = s"rs_setcrs(rs_asraster($rect, $base, '$tok', false, 7.0, 100.0), 'EPSG:3857')"
+      val enc = s"rs_asgeotiff($src, '$comp', 0.75)"
+      val encBytes = q(enc).asInstanceOf[Array[Byte]]
+      assert(compressionTag(encBytes) == code, s"$comp tag")
+      val back = s"rs_fromgdalraster($enc)"
+      assert(q(s"rs_bandpixeltype($back, 1)") == name, s"$tok/$comp ptype")
+      assert(q(s"rs_bandnodatavalue($back, 1)") == 100.0, s"$tok/$comp nodata")
+      assert(q(s"rs_crs($back)") == "EPSG:3857", s"$tok/$comp crs")
+      assert(q(s"rs_upperleftx($back)") == 102.0 && q(s"rs_scalex($back)") == 2.0)
+      assert(q(s"rs_value($back, 1, 0, 0)") == 7.0, s"$tok/$comp pixel")
+    }
+    // one-argument form stays uncompressed
+    val plain = q(s"rs_asgeotiff(rs_setcrs($base, 'EPSG:3857'))").asInstanceOf[Array[Byte]]
+    assert(compressionTag(plain) == 1)
+
+    // codec stress beyond the tiny grid: LZW across its 9->10->11 bit
+    // width bumps and PackBits across mixed literal/repeat rows
+    import graft.functions.RasterModel
+    val w = 120; val h = 90
+    val vals = Array.tabulate(w * h) { i =>
+      if ((i / w) % 7 == 0) 42.0 else ((i.toLong * 7919) % 997).toDouble
+    }
+    val big = RasterModel.Raster("EPSG:3857", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      w, h, IndexedSeq(RasterModel.Band(Double.NaN, RasterModel.packDoubles(vals),
+        ptype = "UNSIGNED_16BITS")))
+    for (code <- Seq(5, 32773, 8)) {
+      val rt = graft.sources.GeoTiff.read(graft.sources.GeoTiff.writeCompressed(big, code))
+      assert(rt.width == w && rt.height == h, s"code $code dims")
+      val got = java.nio.ByteBuffer.wrap(rt.bands.head.data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < w * h) {
+        assert(got.getDouble(i * 8) == vals(i), s"code $code pixel $i")
+        i += 1
+      }
+    }
+  }
+
   test("RS_Example accessor values (test_raster_functions.py)") {
     assert(q("rs_numbands(rs_example())") == 3)
     assert(q("rs_width(rs_example())") == 64)
