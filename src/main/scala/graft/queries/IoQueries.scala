@@ -57,6 +57,64 @@ object IoQueries {
           |  "num_partitions": 8}')""".stripMargin)
     }),
 
+    // Native parquet GEOMETRY logical type (parquet-format 2.11; what
+    // sedona-db and GeoPandas store_schema=False emit — reference
+    // io/test_parquet.py "Parquet Geometry" cases). Spark's own schema
+    // inference rejects the annotation, so this gate proves the
+    // explicit-schema read path end-to-end: files written per-partition
+    // with the annotated schema, read back via GeoParquet.read, CRS
+    // carried from the logical type.
+    "io08_native_geometry" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val base = s"/tmp/graft_native_geom/${math.abs(dir.hashCode)}"
+      // clean slate: partition->file grouping is not stable across runs,
+      // so stale files from a previous run would duplicate rows
+      val baseDir = new java.io.File(base)
+      if (baseDir.isDirectory) baseDir.listFiles().foreach(_.delete())
+      baseDir.mkdirs()
+      t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+        .repartition(4)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          import org.apache.parquet.schema._
+          import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+          import org.apache.parquet.example.data.simple.SimpleGroup
+          val rows = it.toSeq
+          if (rows.nonEmpty) {
+            val schema = new MessageType("spark_schema",
+              Types.required(PrimitiveType.PrimitiveTypeName.INT32).named("n_nationkey"),
+              Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+                .as(LogicalTypeAnnotation.geometryType("EPSG:32620")).named("geometry"))
+            val conf = new org.apache.hadoop.conf.Configuration()
+            GroupWriteSupport.setSchema(schema, conf)
+            val part = rows.map(_.getInt(0)).min
+            val f = s"$base/part_$part.parquet"
+            new java.io.File(f).delete()
+            val w = ExampleParquetWriter.builder(
+              new org.apache.hadoop.fs.Path(f)).withConf(conf).build()
+            val gf = new org.locationtech.jts.geom.GeometryFactory()
+            rows.foreach { r =>
+              val n = r.getInt(0)
+              val wkb = graft.geom.GeomIO.write(gf.createPoint(
+                new org.locationtech.jts.geom.Coordinate(n * 1.5, n * 2.5)))
+              val g = new SimpleGroup(schema)
+              g.add("n_nationkey", n)
+              g.add("geometry",
+                org.apache.parquet.io.api.Binary.fromConstantByteArray(wkb))
+              w.write(g)
+            }
+            w.close()
+          }
+        }
+      val df = GeoParquet.read(s, base)
+      // the crs literal is read off the tagged schema — MISSING (and a
+      // gate mismatch) if the logical-type CRS plumbing broke
+      val crs = GeoParquet.geometryColumns(df).toMap.getOrElse("geometry", "MISSING")
+      df.select(col("n_nationkey"),
+        st.f("st_x", col("geometry")).as("x"),
+        st.f("st_y", col("geometry")).as("y"),
+        lit(crs).as("crs"))
+    }),
+
     // CSV + JSON round trip with WKT geometry transcoding
     "io02_csv_json_roundtrip" -> ((s, dir) => {
       GraftExtensions.install(s)
@@ -285,6 +343,15 @@ object IoQueries {
         |  true AS in_bounds,
         |  true AS dist_ok
         |FROM range(2000)""".stripMargin,
+
+    // coordinates are a pure function of the key; crs comes off the
+    // logical-type tag the explicit-schema read carries through
+    "io08_native_geometry" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+        |  CAST(n_nationkey AS DOUBLE)*1.5 AS x,
+        |  CAST(n_nationkey AS DOUBLE)*2.5 AS y,
+        |  'EPSG:32620' AS crs
+        |FROM nation""".stripMargin,
 
     "gp01_geoparquet_prune" ->
       """WITH b AS (

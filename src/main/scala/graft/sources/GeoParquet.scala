@@ -247,7 +247,14 @@ object GeoParquet {
 
   /** The `geo` footer key-value metadata of a parquet file/dataset (first
     * part file), if present. */
-  def footerGeoJson(spark: SparkSession, path: String): Option[String] = {
+  def footerGeoJson(spark: SparkSession, path: String): Option[String] =
+    footerMeta(spark, path).flatMap(_._1)
+
+  /** First part file's footer: (`geo` key JSON if present, parquet
+    * schema). One footer read covers both the GeoParquet metadata and the
+    * native-logical-type probe. */
+  private def footerMeta(spark: SparkSession, path: String)
+    : Option[(Option[String], org.apache.parquet.schema.MessageType)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -256,12 +263,61 @@ object GeoParquet {
         fs.listStatus(root).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
       else Some(root)
-    file.flatMap { f =>
+    file.map { f =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-      try Option(r.getFileMetaData.getKeyValueMetaData.get("geo"))
+      try (Option(r.getFileMetaData.getKeyValueMetaData.get("geo")),
+        r.getFileMetaData.getSchema)
       finally r.close()
     }
+  }
+
+  /** (name, crs) of top-level BINARY fields annotated with the native
+    * parquet GEOMETRY / GEOGRAPHY logical types (parquet-format 2.11;
+    * what GeoPandas `to_arrow()` + `store_schema=False` and sedona-db
+    * emit). Payload is ISO WKB either way. */
+  private def nativeGeoColumns(schema: org.apache.parquet.schema.MessageType)
+    : Seq[(String, String)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{
+      GeometryLogicalTypeAnnotation, GeographyLogicalTypeAnnotation}
+    import scala.jdk.CollectionConverters._
+    schema.getFields.asScala.toSeq.collect {
+      case p if p.isPrimitive && (p.getLogicalTypeAnnotation match {
+            case _: GeometryLogicalTypeAnnotation |
+                 _: GeographyLogicalTypeAnnotation => true
+            case _ => false
+          }) =>
+        val crs = p.getLogicalTypeAnnotation match {
+          case g: GeometryLogicalTypeAnnotation => g.getCrs
+          case g: GeographyLogicalTypeAnnotation => g.getCrs
+          case _ => null
+        }
+        p.getName -> (if (crs == null || crs.isEmpty) "OGC:CRS84" else crs)
+    }
+  }
+
+  /** The same parquet schema with GEOMETRY/GEOGRAPHY annotations removed
+    * (plain BINARY) — Spark 4.1's schema inference refuses the annotated
+    * form (PARQUET_TYPE_ILLEGAL), but reads the column fine when handed
+    * the converted schema explicitly. */
+  private def stripGeoAnnotations(schema: org.apache.parquet.schema.MessageType)
+    : org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{
+      GeometryLogicalTypeAnnotation, GeographyLogicalTypeAnnotation}
+    import org.apache.parquet.schema.{PrimitiveType, Type, Types, MessageType}
+    import scala.jdk.CollectionConverters._
+    def strip(t: Type): Type = t match {
+      case p: PrimitiveType => p.getLogicalTypeAnnotation match {
+        case _: GeometryLogicalTypeAnnotation | _: GeographyLogicalTypeAnnotation =>
+          val b = Types.primitive(p.getPrimitiveTypeName, p.getRepetition)
+          val withId = if (p.getId != null) b.id(p.getId.intValue) else b
+          withId.named(p.getName)
+        case _ => p
+      }
+      case g => g // geometry nests only at top level in practice
+    }
+    new MessageType(schema.getName,
+      schema.getFields.asScala.map(strip).asJava)
   }
 
   val manifestName = "_geo_files.json"
@@ -346,10 +402,25 @@ object GeoParquet {
   /** Read a (Geo)Parquet dataset; when a `geo` footer key is present
     * (ours or an external writer's — GeoPandas, sedona-db), its geometry
     * columns are tagged with field metadata so `geometryColumns` and the
-    * CRS plumbing see them. */
+    * CRS plumbing see them. Files carrying the native parquet GEOMETRY /
+    * GEOGRAPHY logical types (no `geo` key; GeoPandas with
+    * `store_schema=False`, sedona-db native writes — reference
+    * io/test_parquet.py "Parquet Geometry" cases) read through an
+    * explicitly-converted schema, since Spark's own inference rejects
+    * the annotation. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(path)
-    val tagged = footerGeoJson(spark, path).toSeq.flatMap(parseGeoColumns)
+    val fm = footerMeta(spark, path)
+    val native = fm.map(f => nativeGeoColumns(f._2)).getOrElse(Nil)
+    val df =
+      if (native.isEmpty) spark.read.parquet(path)
+      else {
+        val st = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+          .convert(stripGeoAnnotations(fm.get._2))
+        spark.read.schema(st).parquet(path)
+      }
+    val tagged = (fm.flatMap(_._1).toSeq.flatMap(parseGeoColumns) ++ native)
+      .distinct
       .filter { case (name, _) =>
         df.columns.contains(name) &&
           !df.schema(name).metadata.contains("graft.geometry")

@@ -93,6 +93,47 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GeoParquet.geometryColumns(ext) == Seq("geom" -> "EPSG:3857"))
   }
 
+  test("native parquet GEOMETRY/GEOGRAPHY logical types read as tagged WKB") {
+    // Spark 4.1 refuses schema inference over the native parquet GEOMETRY
+    // logical type (PARQUET_TYPE_ILLEGAL) that sedona-db and GeoPandas
+    // (store_schema=False) emit — reference io/test_parquet.py reads such
+    // files directly. GeoParquet.read must strip the annotation into an
+    // explicit schema and still tag the column + CRS.
+    import org.apache.parquet.schema._
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    val schema = new MessageType("spark_schema",
+      Types.required(PrimitiveType.PrimitiveTypeName.INT32).named("id"),
+      Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.geometryType("EPSG:32620")).named("geometry"),
+      Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.geographyType()).named("geog"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val path = Files.createTempDirectory("gp").toString + "/native.parquet"
+    val w = ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).build()
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    for (i <- 0 until 10) {
+      val wkb = graft.geom.GeomIO.write(gf.createPoint(
+        new org.locationtech.jts.geom.Coordinate(i * 1.5, i * 2.5)))
+      val g = new SimpleGroup(schema)
+      g.add("id", i)
+      g.add("geometry", org.apache.parquet.io.api.Binary.fromConstantByteArray(wkb))
+      g.add("geog", org.apache.parquet.io.api.Binary.fromConstantByteArray(wkb))
+      w.write(g)
+    }
+    w.close()
+    // plain Spark refuses it; GeoParquet.read succeeds and tags
+    intercept[Exception](spark.read.parquet(path).collect())
+    val df = GeoParquet.read(spark, path)
+    assert(df.count() == 10)
+    assert(GeoParquet.geometryColumns(df).toMap ==
+      Map("geometry" -> "EPSG:32620", "geog" -> "OGC:CRS84"))
+    val xs = df.select(st.x(col("geometry"))).collect().map(_.getDouble(0)).sorted
+    assert(xs.sameElements(Array.tabulate(10)(_ * 1.5)))
+  }
+
   test("stale manifest entries are dropped: rewritten file is never pruned") {
     val dir = Files.createTempDirectory("gp").toString + "/ts"
     GeoParquet.write(sample, dir, "geom")
