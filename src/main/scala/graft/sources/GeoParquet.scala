@@ -51,10 +51,32 @@ object GeoParquet {
     * row-group run per partition). */
   def write(df: DataFrame, path: String, geomCol: String,
       crs: String = "EPSG:4326", withBbox: Boolean = true,
-      hilbertCluster: Boolean = true, clusterPartitions: Int = 0): Unit = {
+      hilbertCluster: Boolean = true, clusterPartitions: Int = 0,
+      overwriteBboxColumns: Boolean = false,
+      geoparquetVersion: String = "1.1"): Unit = {
+    // version gate mirrors the reference writer's
+    // ("Unexpected GeoParquet version string", io/test_parquet.py):
+    // 1.0 = metadata only, 1.1 = + covering, 2.0 = + native parquet
+    // GEOMETRY logical type on the column
+    val version = geoparquetVersion match {
+      case "1.0" | "1.0.0" => "1.0.0"
+      case "1.1" | "1.1.0" => "1.1.0"
+      case "2.0" | "2.0.0" => "2.0.0"
+      case other => throw new IllegalArgumentException(
+        s"Unexpected GeoParquet version string: '$other' (supported: 1.0, 1.1, 2.0)")
+    }
+    // 1.0 has no covering key; drop the bbox machinery for it
+    val bboxOn = withBbox && version != "1.0.0"
     val g = col(geomCol)
     var out = df.withColumn(geomCol, g.as(geomCol, geomMetadata(crs)))
-    if (withBbox) out = out.withColumn(s"${geomCol}_bbox", bboxCol(col(geomCol)))
+    // re-writing a read-back 1.1 dataset would silently replace its
+    // covering column — refuse unless asked (reference writer guard,
+    // io/test_parquet.py test_write_geoparquet_1_1)
+    require(!bboxOn || overwriteBboxColumns ||
+      !df.columns.contains(s"${geomCol}_bbox"),
+      s"Can't overwrite GeoParquet 1.1 bbox column '${geomCol}_bbox' " +
+        "(pass overwriteBboxColumns = true to regenerate it)")
+    if (bboxOn) out = out.withColumn(s"${geomCol}_bbox", bboxCol(col(geomCol)))
     // Dataset-level bounds for the sidecar ride the write job as an
     // observed metric instead of a separate aggregate pass — at 100 TB a
     // second full scan (and WKB parse) of the input just for 4 doubles is
@@ -93,18 +115,24 @@ object GeoParquet {
     // geo metadata JSON, parameterized on the bbox (dataset-level for the
     // sidecar, per-file for each part footer — the spec scopes `bbox` to
     // the file it sits in). The crs key is omitted for the lnglat default
-    // (spec: absent crs means OGC:CRS84) so strict PROJJSON readers don't
-    // trip over a string crs in the common case.
+    // (spec: absent crs means OGC:CRS84); non-default CRSes are written
+    // as PROJJSON objects (the spec's required form; the reference
+    // asserts crs.id.authority/code — test_write_geoparquet_ensure_
+    // projjson_crs) with a plain-string fallback for codes outside the
+    // supported table.
     def geoJsonFor(bbox: Option[Seq[Double]]): String = {
       val bboxJson = bbox.map(b => s""""bbox":[${b.mkString(",")}],""").getOrElse("")
       val crsJson =
         if (crs == "EPSG:4326" || crs == "OGC:CRS84") ""
-        else s""""crs":"$crs","""
+        else ProjJson.forCrs(crs) match {
+          case Some(pj) => s""""crs":$pj,"""
+          case None => s""""crs":"$crs","""
+        }
       val typesJson = geometryTypes.map(t => s""""$t"""").mkString(",")
-      s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{
+      s"""{"version":"$version","primary_column":"$geomCol","columns":{"$geomCol":{
          |"encoding":"WKB",$crsJson"geometry_types":[$typesJson],
          |$bboxJson
-         |"covering":${if (withBbox) s"""{"bbox":{"xmin":["${geomCol}_bbox","xmin"],"ymin":["${geomCol}_bbox","ymin"],"xmax":["${geomCol}_bbox","xmax"],"ymax":["${geomCol}_bbox","ymax"]}}""" else "null"}}}}""".stripMargin
+         |"covering":${if (bboxOn) s"""{"bbox":{"xmin":["${geomCol}_bbox","xmin"],"ymin":["${geomCol}_bbox","ymin"],"xmax":["${geomCol}_bbox","xmax"],"ymax":["${geomCol}_bbox","ymax"]}}""" else "null"}}}}""".stripMargin
     }
     val dsBounds = if (bounds.forall(_.isDefined)) Some(bounds.map(_.get)) else None
     val geoJson = geoJsonFor(dsBounds)
@@ -124,7 +152,7 @@ object GeoParquet {
     // parse, one distributed pass; Hilbert clustering makes the per-file
     // boxes tight.
     var fileBbox = Map.empty[String, Seq[Double]]
-    if (withBbox) {
+    if (bboxOn) {
       val bb = s"${geomCol}_bbox"
       val rows = spark.read.parquet(path)
         .groupBy(input_file_name().as("f"))
@@ -145,11 +173,13 @@ object GeoParquet {
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
       .map(p => (p.toString, geoJsonFor(fileBbox.get(p.getName).orElse(dsBounds))))
       .toSeq
+    val nativeType =
+      if (version == "2.0.0") Some((geomCol, crs)) else None
     if (parts.nonEmpty)
       spark.sparkContext.parallelize(parts, math.min(parts.length, 64))
-        .foreach { case (f, j) => GeoParquet.patchFooterGeo(f, j) }
+        .foreach { case (f, j) => GeoParquet.patchFooterGeo(f, j, nativeType) }
 
-    if (withBbox) {
+    if (bboxOn) {
       // manifest entries carry [bbox(4), length, mtime] — the reader
       // drops any entry whose live file status mismatches (file
       // rewritten by another process → never wrongly pruned)
@@ -178,7 +208,8 @@ object GeoParquet {
     * filesystem this is an in-place tail rewrite; on stores without
     * random-write (HDFS rename-only semantics, object stores) the file is
     * streamed once into a sibling and renamed over. */
-  def patchFooterGeo(file: String, geoJson: String): Unit = {
+  def patchFooterGeo(file: String, geoJson: String,
+      geometryLogicalType: Option[(String, String)] = None): Unit = {
     import org.apache.parquet.format.{KeyValue, Util}
     val p = new org.apache.hadoop.fs.Path(file)
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -203,6 +234,24 @@ object GeoParquet {
     val kv = new KeyValue("geo")
     kv.setValue(geoJson)
     md.addToKey_value_metadata(kv)
+    // GeoParquet 2.0: stamp the native parquet GEOMETRY logical type on
+    // the geometry column's schema element (what sedona-db's 2.0 writer
+    // emits — io/test_parquet.py test_write_geoparquet_2_0 asserts
+    // logical_type == Geometry). Readers that don't know the annotation
+    // still see plain BINARY WKB via our explicit-schema read path.
+    geometryLogicalType.foreach { case (colName, crsStr) =>
+      import org.apache.parquet.format.{GeometryType => TGeometryType, LogicalType => TLogicalType}
+      val it = md.getSchema.iterator()
+      while (it.hasNext) {
+        val se = it.next()
+        if (se.getName == colName && se.isSetType) {
+          val gt = new TGeometryType()
+          if (crsStr != null && crsStr.nonEmpty) gt.setCrs(crsStr)
+          se.setLogicalType(TLogicalType.GEOMETRY(gt))
+          se.unsetConverted_type()
+        }
+      }
+    }
     val bos = new java.io.ByteArrayOutputStream()
     Util.writeFileMetaData(md, bos)
     val footer = bos.toByteArray

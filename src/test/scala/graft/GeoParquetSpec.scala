@@ -60,7 +60,9 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tree.get("primary_column").asText() == "geom")
       val gcol = tree.get("columns").get("geom")
       assert(gcol.get("encoding").asText() == "WKB")
-      assert(gcol.get("crs").asText() == "EPSG:3857")
+      // crs is the spec-required PROJJSON object form
+      assert(gcol.get("crs").isObject &&
+        gcol.get("crs").get("id").get("code").asInt == 3857)
       // geometry_types is REQUIRED by the spec, in its vocabulary
       val gt = gcol.get("geometry_types")
       assert(gt != null && gt.size() == 1 && gt.get(0).asText() == "Polygon")
@@ -91,6 +93,41 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
         """{"version":"1.1.0","primary_column":"geom","columns":{"geom":{"encoding":"WKB","crs":"EPSG:3857"}}}"""))
     val ext = GeoParquet.read(spark, plainDir)
     assert(GeoParquet.geometryColumns(ext) == Seq("geom" -> "EPSG:3857"))
+  }
+
+  test("footer crs is PROJJSON: object form with id, round-trips through read") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // every supported EPSG code emits well-formed PROJJSON with the
+    // right identity and a conversion block for projected CRSes
+    val codes = Seq(4326, 4258, 4269, 4277, 4171, 3857, 3395, 32633, 32718,
+      25832, 26910, 2154, 3035, 5070, 27700, 3031, 3413, 3976, 5041, 5042,
+      32118, 32139)
+    for (c <- codes) {
+      val pj = graft.sources.ProjJson.forCrs(s"EPSG:$c")
+      assert(pj.isDefined, s"EPSG:$c missing")
+      val n = om.readTree(pj.get)
+      assert(n.get("id").get("code").asInt == c, s"EPSG:$c id")
+      assert(n.get("type").asText.endsWith("CRS"))
+      if (n.get("type").asText == "ProjectedCRS") {
+        assert(n.get("base_crs").get("id").get("code").asInt > 0)
+        assert(n.get("conversion").get("method").get("id").get("code").asInt > 0)
+        assert(n.get("conversion").get("parameters").size >= 4)
+      }
+    }
+    assert(graft.sources.ProjJson.forCrs("OGC:CRS84").isDefined)
+    assert(graft.sources.ProjJson.forCrs("EPSG:99999").isEmpty)
+    // written dataset carries the object crs; read() maps it back to the
+    // EPSG string via id.authority/code (reference
+    // test_write_geoparquet_ensure_projjson_crs)
+    val dir = Files.createTempDirectory("gp").toString + "/projjson"
+    GeoParquet.write(sample.limit(50), dir, "geom", crs = "EPSG:3857")
+    val geo = om.readTree(GeoParquet.footerGeoJson(spark, dir).get)
+    val crsNode = geo.get("columns").get("geom").get("crs")
+    assert(crsNode.isObject, "crs must be a PROJJSON object, not a string")
+    assert(crsNode.get("id").get("authority").asText == "EPSG")
+    assert(crsNode.get("id").get("code").asInt == 3857)
+    assert(GeoParquet.geometryColumns(GeoParquet.read(spark, dir)) ==
+      Seq("geom" -> "EPSG:3857"))
   }
 
   test("native parquet GEOMETRY/GEOGRAPHY logical types read as tagged WKB") {
@@ -132,6 +169,38 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("geometry" -> "EPSG:32620", "geog" -> "OGC:CRS84"))
     val xs = df.select(st.x(col("geometry"))).collect().map(_.getDouble(0)).sorted
     assert(xs.sameElements(Array.tabulate(10)(_ * 1.5)))
+  }
+
+  test("GeoParquet 2.0 write: native GEOMETRY logical type stamped and read back") {
+    val dir = Files.createTempDirectory("gp").toString + "/v2"
+    GeoParquet.write(sample.limit(100), dir, "geom", crs = "EPSG:3857",
+      geoparquetVersion = "2.0")
+    // footer: version 2.0.0 + GEOMETRY logical type on the column
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val geo = om.readTree(GeoParquet.footerGeoJson(spark, dir).get)
+    assert(geo.get("version").asText == "2.0.0")
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath),
+        new org.apache.hadoop.conf.Configuration()))
+    val lta = try r.getFileMetaData.getSchema
+      .getType(Seq("geom"): _*).asPrimitiveType()
+      .getLogicalTypeAnnotation finally r.close()
+    assert(lta.isInstanceOf[
+      org.apache.parquet.schema.LogicalTypeAnnotation.GeometryLogicalTypeAnnotation])
+    // vanilla Spark still reads our own 2.0 output (the Spark
+    // row-metadata KV supplies the schema, bypassing inference); foreign
+    // writers without that KV need GeoParquet.read's explicit schema
+    assert(spark.read.parquet(dir).count() == 100)
+    val back = GeoParquet.read(spark, dir)
+    assert(back.count() == 100)
+    assert(GeoParquet.geometryColumns(back)
+      .toMap[String, String].apply("geom") == "EPSG:3857")
+    // unknown version string errors loudly (reference parity)
+    intercept[IllegalArgumentException](GeoParquet.write(
+      sample.limit(1), dir + "x", "geom", geoparquetVersion = "not supported"))
   }
 
   test("stale manifest entries are dropped: rewritten file is never pruned") {
