@@ -4,6 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.physical._
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -24,8 +25,12 @@ import graft.geom.GeomIO
   * the OnceAsync build-side collection; at cluster scale the build side
   * ships once per executor, the probe side never moves — zero shuffle.
   *
-  * Supported: Inner, LeftOuter (stream = left). Everything else falls back
-  * to Spark's nested-loop join in the strategy.
+  * Join types (reference SpatialJoinExec covers the same set,
+  * test_sjoin.py): Inner/Cross either orientation; LeftOuter, LeftSemi,
+  * LeftAnti, ExistenceJoin (mark join, the EXISTS-in-OR rewrite) with the
+  * stream on the left; RightOuter with the stream on the right. The
+  * preserved side always streams — only the non-preserved side is
+  * broadcast, so no match is ever lost to broadcasting.
   */
 case class BroadcastIndexSpatialJoinExec(
     buildPlan: SparkPlan,
@@ -36,17 +41,29 @@ case class BroadcastIndexSpatialJoinExec(
     predName: String,
     distance: Option[Expression], // bound to stream side; st_dwithin only
     buildIsLeft: Boolean,
-    leftOuter: Boolean,
+    joinType: JoinType,
     extraCondition: Option[Expression])
   extends BinaryExecNode {
 
   override def left: SparkPlan = if (buildIsLeft) buildPlan else streamPlan
   override def right: SparkPlan = if (buildIsLeft) streamPlan else buildPlan
-  override def output: Seq[Attribute] =
-    if (leftOuter && buildIsLeft)
-      throw new IllegalStateException("left-outer with broadcast left not plannable")
-    else if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
-    else left.output ++ right.output
+
+  override def output: Seq[Attribute] = joinType match {
+    case Inner | Cross => left.output ++ right.output
+    case LeftOuter =>
+      require(!buildIsLeft, "left-outer requires the stream on the left")
+      left.output ++ right.output.map(_.withNullability(true))
+    case RightOuter =>
+      require(buildIsLeft, "right-outer requires the stream on the right")
+      left.output.map(_.withNullability(true)) ++ right.output
+    case LeftSemi | LeftAnti =>
+      require(!buildIsLeft, "semi/anti joins stream the left side")
+      left.output
+    case ExistenceJoin(exists) =>
+      require(!buildIsLeft, "existence join streams the left side")
+      left.output :+ exists
+    case t => throw new IllegalStateException(s"unsupported spatial join type $t")
+  }
 
   override def requiredChildDistribution: Seq[Distribution] = {
     val b = BroadcastDistribution(IdentityBroadcastMode)
@@ -64,10 +81,13 @@ case class BroadcastIndexSpatialJoinExec(
     val boundBuildGeom = BindReferences.bindReference(buildGeom, buildPlan.output)
     val boundStreamGeom = BindReferences.bindReference(streamGeom, streamPlan.output)
     val boundDistance = distance.map(BindReferences.bindReference(_, streamPlan.output))
-    val boundExtra = extraCondition.map(BindReferences.bindReference(_, output))
+    // the extra condition sees the full (left ++ right) pair row, even for
+    // join types whose OUTPUT omits the build side
+    val pairAttrs = left.output ++ right.output
+    val boundExtra = extraCondition.map(BindReferences.bindReference(_, pairAttrs))
     val pred = predName
     val bIsLeft = buildIsLeft
-    val outer = leftOuter
+    val jt = joinType
     val buildWidth = buildPlan.output.size
     val appId = sparkContext.applicationId
 
@@ -75,6 +95,8 @@ case class BroadcastIndexSpatialJoinExec(
       val tree = BroadcastIndexSpatialJoinExec.treeFor(appId, broadcastRows, boundBuildGeom)
       val joined = new JoinedRow()
       val nullBuild = new GenericInternalRow(buildWidth)
+      val existsTrue = new GenericInternalRow(Array[Any](true))
+      val existsFalse = new GenericInternalRow(Array[Any](false))
       streamIter.flatMap { streamRow =>
         val gBytes = boundStreamGeom.eval(streamRow)
         val matches: Iterator[InternalRow] =
@@ -119,19 +141,35 @@ case class BroadcastIndexSpatialJoinExec(
           case Some(c) => matches.filter(r => java.lang.Boolean.TRUE == c.eval(r))
           case None => matches
         }
-        if (outer) {
-          var any = false
-          val out = filtered.map { r => any = true; numOutputRows += 1; r }
-          // emit the null-padded row lazily after the matches are exhausted
-          new Iterator[InternalRow] {
-            private var doneExtra = false
-            override def hasNext: Boolean = out.hasNext || (!any && !doneExtra)
-            override def next(): InternalRow =
-              if (out.hasNext) out.next()
-              else { doneExtra = true; numOutputRows += 1; joined(streamRow, nullBuild) }
-          }
-        } else {
-          filtered.map { r => numOutputRows += 1; r }
+        jt match {
+          case Inner | Cross =>
+            filtered.map { r => numOutputRows += 1; r }
+          case LeftOuter | RightOuter =>
+            var any = false
+            val out = filtered.map { r => any = true; numOutputRows += 1; r }
+            // emit the null-padded row lazily after the matches are exhausted
+            new Iterator[InternalRow] {
+              private var doneExtra = false
+              override def hasNext: Boolean = out.hasNext || (!any && !doneExtra)
+              override def next(): InternalRow =
+                if (out.hasNext) out.next()
+                else {
+                  doneExtra = true; numOutputRows += 1
+                  if (bIsLeft) joined(nullBuild, streamRow)
+                  else joined(streamRow, nullBuild)
+                }
+            }
+          case LeftSemi =>
+            if (filtered.hasNext) { numOutputRows += 1; Iterator.single(streamRow) }
+            else Iterator.empty
+          case LeftAnti =>
+            if (filtered.hasNext) Iterator.empty
+            else { numOutputRows += 1; Iterator.single(streamRow) }
+          case ExistenceJoin(_) =>
+            numOutputRows += 1
+            Iterator.single(new JoinedRow(streamRow,
+              if (filtered.hasNext) existsTrue else existsFalse))
+          case t => throw new IllegalStateException(s"unsupported spatial join type $t")
         }
       }
     }

@@ -74,15 +74,26 @@ case class SpatialJoinStrategy(spark: SparkSession) extends SparkStrategy {
       else Nil
 
     case Join(left, right, joinType, Some(cond), _)
-        if (joinType == Inner || joinType == Cross || joinType == LeftOuter)
-          && !hasEquiConjunct(cond, left, right) =>
+        if (joinType match {
+          case Inner | Cross | LeftOuter | RightOuter |
+               LeftSemi | LeftAnti | _: ExistenceJoin => true
+          case _ => false
+        }) && !hasEquiConjunct(cond, left, right) =>
       SpatialPredicate.extract(cond, left, right) match {
         case Some(ex) =>
           val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
           val leftSize = left.stats.sizeInBytes
           val rightSize = right.stats.sizeInBytes
-          val canBroadcastLeft = leftSize >= 0 && leftSize <= threshold && joinType != LeftOuter
-          val canBroadcastRight = rightSize >= 0 && rightSize <= threshold
+          // the preserved side must stream: it can never be the
+          // broadcast build (a broadcast of the preserved side would
+          // need cross-partition match bookkeeping to pad/emit/suppress)
+          val leftPreserved = joinType match {
+            case LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin => true
+            case _ => false
+          }
+          val rightPreserved = joinType == RightOuter
+          val canBroadcastLeft = leftSize >= 0 && leftSize <= threshold && !leftPreserved
+          val canBroadcastRight = rightSize >= 0 && rightSize <= threshold && !rightPreserved
           // prefer the smaller broadcastable side as build
           val buildLeft =
             if (canBroadcastLeft && canBroadcastRight) leftSize <= rightSize
@@ -106,7 +117,7 @@ case class SpatialJoinStrategy(spark: SparkSession) extends SparkStrategy {
                 predName = streamPred,
                 distance = ex.distance,
                 buildIsLeft = buildLeft,
-                leftOuter = joinType == LeftOuter,
+                joinType = joinType,
                 extraCondition = ex.remainder) :: Nil
             }
           }

@@ -170,6 +170,32 @@ object JoinQueries {
     // planner-level grid rewrite: pure SQL, no hints, broadcast disabled —
     // GridSpatialJoinRule turns the spatial theta-join into the explode/
     // equi-join/dedup plan (the plan a 1000-executor cluster needs)
+    // spatial semi / anti / mark (EXISTS-in-OR → ExistenceJoin) / right
+    // outer, all through the broadcast index join (reference
+    // test_sjoin.py test_spatial_join_semi_anti +
+    // test_spatial_mark_join_via_correlated_exists). One tagged union so
+    // each set's membership is oracle-checked exactly.
+    "sj12_semi_anti_join" -> ((s, dir) => {
+      prep(s)
+      val pts = orderPoints(s, dir).select(col("o_orderkey"), col("pt"))
+      val boxes = partBoxes(s, dir).select(col("p_partkey"), col("box"))
+      pts.createOrReplaceTempView("sj12_pts")
+      boxes.createOrReplaceTempView("sj12_boxes")
+      val semi = pts.join(boxes, st.intersects(col("pt"), col("box")), "left_semi")
+        .select(col("o_orderkey").as("key"), lit("semi").as("tag"))
+      val anti = pts.join(boxes, st.intersects(col("pt"), col("box")), "left_anti")
+        .select(col("o_orderkey").as("key"), lit("anti").as("tag"))
+      // unmatched build rows through the RIGHT OUTER path
+      val ro = pts.join(boxes, st.intersects(col("pt"), col("box")), "right_outer")
+        .filter(col("o_orderkey").isNull)
+        .select(col("p_partkey").as("key"), lit("ro_unmatched").as("tag"))
+      val mark = s.sql(
+        """SELECT o_orderkey AS key, 'mark' AS tag FROM sj12_pts
+          |WHERE o_orderkey % 1000 = 0 OR EXISTS (
+          |  SELECT 1 FROM sj12_boxes WHERE st_intersects(pt, box))""".stripMargin)
+      semi.union(anti).union(ro).union(mark)
+    }),
+
     "sj07_planner_grid_join" -> ((s, dir) => {
       prep(s)
       orderPoints(s, dir).select(col("o_orderkey"), col("pt"))
@@ -357,6 +383,27 @@ object JoinQueries {
         |SELECT p.o_orderkey, b.p_partkey FROM p JOIN b
         |ON p.px >= b.bxmin AND p.px <= b.bxmin + b.bw
         |AND p.py >= b.bymin AND p.py <= b.bymin + b.bh""".stripMargin,
+
+    // intersects on point-in-box is closed-interval logic in plain SQL;
+    // each tag restates the join type's set semantics with EXISTS
+    "sj12_semi_anti_join" ->
+      s"""WITH p AS ($pointsSql), b AS ($boxesSql),
+        |hit AS (SELECT p.o_orderkey FROM p WHERE EXISTS (
+        |  SELECT 1 FROM b WHERE p.px >= b.bxmin AND p.px <= b.bxmin + b.bw
+        |    AND p.py >= b.bymin AND p.py <= b.bymin + b.bh))
+        |SELECT o_orderkey AS key, 'semi' AS tag FROM hit
+        |UNION ALL
+        |SELECT o_orderkey AS key, 'anti' AS tag FROM p
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM hit)
+        |UNION ALL
+        |SELECT b.p_partkey AS key, 'ro_unmatched' AS tag FROM b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p WHERE p.px >= b.bxmin AND p.px <= b.bxmin + b.bw
+        |    AND p.py >= b.bymin AND p.py <= b.bymin + b.bh)
+        |UNION ALL
+        |SELECT o_orderkey AS key, 'mark' AS tag FROM p
+        |WHERE o_orderkey % 1000 = 0
+        |  OR o_orderkey IN (SELECT o_orderkey FROM hit)""".stripMargin,
 
     "sj07_planner_grid_join" ->
       s"""WITH p AS ($pointsSql), b AS ($boxesSql)

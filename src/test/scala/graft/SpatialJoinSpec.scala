@@ -133,6 +133,58 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.filter(col("bid").isNull).count() == 100 - matched.distinct().count())
   }
 
+  test("semi/anti/right-outer/mark spatial joins plan indexed and match set logic") {
+    val p = points(200, 21)
+    val b = boxes(40, 22)
+    p.createOrReplaceTempView("sj_pts"); b.createOrReplaceTempView("sj_boxes")
+    val innerPids = p.join(b, st.intersects(col("pgeom"), col("bgeom")))
+      .select("pid").distinct().collect().map(_.getLong(0)).toSet
+
+    // LEFT SEMI ≡ EXISTS (reference test_spatial_join_semi_anti)
+    val semi = spark.sql("""SELECT pid FROM sj_pts LEFT SEMI JOIN sj_boxes
+      ON st_intersects(pgeom, bgeom)""")
+    assert(semi.queryExecution.executedPlan.toString.contains("BroadcastIndexSpatialJoin"),
+      semi.queryExecution.executedPlan.toString.take(1500))
+    assert(semi.collect().map(_.getLong(0)).toSet == innerPids)
+    assert(semi.count() == innerPids.size) // exactly one row per match
+
+    // LEFT ANTI ≡ NOT EXISTS
+    val anti = spark.sql("""SELECT pid FROM sj_pts LEFT ANTI JOIN sj_boxes
+      ON st_intersects(pgeom, bgeom)""")
+    assert(anti.queryExecution.executedPlan.toString.contains("BroadcastIndexSpatialJoin"))
+    assert(anti.collect().map(_.getLong(0)).toSet == (0L until 200L).toSet -- innerPids)
+
+    // RIGHT OUTER: stream right, broadcast left; unmatched boxes padded
+    val ro = spark.sql("""SELECT pid, bid FROM sj_pts RIGHT OUTER JOIN sj_boxes
+      ON st_intersects(pgeom, bgeom)""")
+    assert(ro.queryExecution.executedPlan.toString.contains("BroadcastIndexSpatialJoin"))
+    val matchedPairs = p.join(b, st.intersects(col("pgeom"), col("bgeom")))
+    val matchedBids = matchedPairs.select("bid").distinct().count()
+    assert(ro.count() == matchedPairs.count() + (40 - matchedBids))
+    assert(ro.filter(col("pid").isNull).count() == 40 - matchedBids)
+
+    // mark join: EXISTS inside OR (reference
+    // test_spatial_mark_join_via_correlated_exists) — ExistenceJoin
+    val mark = spark.sql("""SELECT pid FROM sj_pts
+      WHERE pid < 3 OR EXISTS (
+        SELECT 1 FROM sj_boxes WHERE st_intersects(pgeom, bgeom))
+      ORDER BY pid""")
+    assert(mark.queryExecution.executedPlan.toString.contains("BroadcastIndexSpatialJoin"),
+      mark.queryExecution.executedPlan.toString.take(1500))
+    assert(mark.collect().map(_.getLong(0)).toSet ==
+      (innerPids ++ Set(0L, 1L, 2L)))
+
+    // semi with DWithin expression radius binds distance on the stream side
+    val semiD = spark.sql("""SELECT pid FROM sj_pts LEFT SEMI JOIN sj_boxes
+      ON st_dwithin(pgeom, bgeom, cast(pid % 5 AS DOUBLE))""")
+    val bruteD = p.crossJoin(b)
+      .filter(st.f("st_dwithin", col("pgeom"), col("bgeom"),
+        (col("pid") % 5).cast("double")))
+      .select("pid").distinct()
+    assert(semiD.collect().map(_.getLong(0)).toSet ==
+      bruteD.collect().map(_.getLong(0)).toSet)
+  }
+
   test("autoJoin picks grid path when broadcast is disabled, same result") {
     val p = points(150, 31)
     val b = boxes(120, 37)
