@@ -946,7 +946,7 @@ object GeomScalars {
       val g = g0(a)
       if (g.getSRID != 0) s"SRID=${g.getSRID};${GeomIO.writeWkt(g)}" else GeomIO.writeWkt(g)
     }),
-    fn("st_asbinary", BinaryType, Seq(Geom))(a => GeomIO.writePlain(g0(a))),
+    fn("st_asbinary", BinaryType, Seq(Geom))(a => GeomIO.writeIso(g0(a))),
     fn("st_asewkb", BinaryType, Seq(Geom))(a => GeomIO.write(g0(a))),
     fn("st_asgeojson", StringType, Seq(Geom))(a => GeomIO.toGeoJson(g0(a))),
 

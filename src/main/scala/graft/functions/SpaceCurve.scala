@@ -65,12 +65,20 @@ object SpaceCurve {
     ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
   }
 
+  /** Sort key for EMPTY geometries: past every curve position (curve max
+    * is 2^32 - 1), so empties cluster after all located geometries —
+    * the reference's sd_order contract (test_order.py: empties sort
+    * after non-empties; SQL NULLs order by engine null placement). */
+  val EmptyKey: Long = 1L << 32
+
   def hilbert(g: Geometry, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Long = {
+    if (g.isEmpty) return EmptyKey
     val (cx, cy) = center(g)
     hilbertIndex(scale(cx, xmin, xmax), scale(cy, ymin, ymax))
   }
 
   def morton(g: Geometry, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Long = {
+    if (g.isEmpty) return EmptyKey
     val (cx, cy) = center(g)
     mortonIndex(scale(cx, xmin, xmax), scale(cy, ymin, ymax))
   }

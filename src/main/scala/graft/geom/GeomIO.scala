@@ -23,7 +23,12 @@ object GeomIO {
   import org.locationtech.jts.io.Ordinate
   private def wkb(dim: Int, srid: Boolean, ords: java.util.EnumSet[Ordinate]) =
     ThreadLocal.withInitial[WKBWriter](() => {
-      val w = new WKBWriter(dim, srid); w.setOutputOrdinates(ords); w
+      // NDR (little-endian) — the byte order the reference and PostGIS
+      // emit (geography/test_constructors_parsers_formatters.py pins the
+      // exact bytes); JTS defaults to XDR
+      val w = new WKBWriter(dim,
+        org.locationtech.jts.io.ByteOrderValues.LITTLE_ENDIAN, srid)
+      w.setOutputOrdinates(ords); w
     })
   private def wkt(dim: Int, ords: java.util.EnumSet[Ordinate]) =
     ThreadLocal.withInitial[WKTWriter](() => {
@@ -152,8 +157,75 @@ object GeomIO {
 
   def write(g: Geometry): Array[Byte] = wkbWriters(dimIdx(g)).get.write(g)
 
-  /** Plain ISO WKB without the EWKB SRID flag (ST_AsBinary semantics). */
+  /** Plain WKB without the EWKB SRID flag, JTS (EWKB-style Z/M flag
+    * bits) dialect — internal use where readers accept either. */
   def writePlain(g: Geometry): Array[Byte] = wkbWritersPlain(dimIdx(g)).get.write(g)
+
+  /** ISO WKB (ST_AsBinary semantics): NDR byte order, ISO type codes
+    * (base + 1000·Z + 2000·M — JTS's writer can only emit the EWKB flag
+    * bits), empty points as NaN ordinates. Byte-for-byte what the
+    * reference and PostGIS emit
+    * (geography/test_constructors_parsers_formatters.py pins). */
+  def writeIso(g: Geometry): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(64)
+    val out = new java.io.DataOutputStream(bos)
+    def putInt(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
+    def putDouble(v: Double): Unit =
+      out.writeLong(java.lang.Long.reverseBytes(java.lang.Double.doubleToLongBits(v)))
+    def putCoords(seq: CoordinateSequence, z: Boolean, m: Boolean): Unit = {
+      var i = 0
+      while (i < seq.size) {
+        putDouble(seq.getX(i)); putDouble(seq.getY(i))
+        if (z) putDouble(seq.getOrdinate(i, 2))
+        if (m) putDouble(seq.getOrdinate(i, if (z) 3 else 2))
+        i += 1
+      }
+    }
+    def emit(geom: Geometry, z: Boolean, m: Boolean): Unit = {
+      out.writeByte(1) // NDR
+      val base = geom match {
+        case _: Point => 1
+        case _: LineString => 2
+        case _: Polygon => 3
+        case _: MultiPoint => 4
+        case _: MultiLineString => 5
+        case _: MultiPolygon => 6
+        case _: GeometryCollection => 7
+      }
+      putInt(base + (if (z && m) 3000 else if (m) 2000 else if (z) 1000 else 0))
+      geom match {
+        case p: Point =>
+          if (p.isEmpty) {
+            val n = 2 + (if (z) 1 else 0) + (if (m) 1 else 0)
+            var i = 0
+            while (i < n) { putDouble(Double.NaN); i += 1 }
+          } else putCoords(p.getCoordinateSequence, z, m)
+        case l: LineString =>
+          putInt(l.getNumPoints)
+          putCoords(l.getCoordinateSequence, z, m)
+        case p: Polygon =>
+          if (p.isEmpty) putInt(0)
+          else {
+            putInt(1 + p.getNumInteriorRing)
+            putInt(p.getExteriorRing.getNumPoints)
+            putCoords(p.getExteriorRing.getCoordinateSequence, z, m)
+            var r = 0
+            while (r < p.getNumInteriorRing) {
+              putInt(p.getInteriorRingN(r).getNumPoints)
+              putCoords(p.getInteriorRingN(r).getCoordinateSequence, z, m)
+              r += 1
+            }
+          }
+        case c: GeometryCollection =>
+          putInt(c.getNumGeometries)
+          var i = 0
+          while (i < c.getNumGeometries) { emit(c.getGeometryN(i), z, m); i += 1 }
+      }
+    }
+    emit(g, hasZ(g), hasM(g))
+    out.flush()
+    bos.toByteArray
+  }
 
   private val EmptyTag =
     java.util.regex.Pattern.compile("(?i)^\\s*[a-z]+\\s+(ZM|Z|M)\\s+EMPTY\\s*$")

@@ -1508,4 +1508,54 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ua = q("(SELECT st_area(st_union_agg(g)) FROM agg_boxes)")
     assert(ua == 4.0, s"union_agg area: $ua")
   }
+
+  test("sd_order: empties sort after every located geometry, NULL passthrough " +
+      "(functions/test_order.py)") {
+    // reference contract: ORDER BY sd_order(geometry) puts geometries in
+    // curve order, EMPTY after all of them, NULL per engine null placement
+    val rows = spark.sql(
+      """SELECT wkt, sd_order(st_geomfromwkt(wkt)) AS k FROM VALUES
+        |  ('POINT EMPTY'), ('POINT (-80 -80)'), ('POINT (80 80)'),
+        |  ('POINT (-79 -79)'), (CAST(NULL AS STRING)) AS t(wkt)""".stripMargin)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(rows(null) == null)
+    val empty = rows("POINT EMPTY").asInstanceOf[Long]
+    val located = Seq("POINT (-80 -80)", "POINT (80 80)", "POINT (-79 -79)")
+      .map(rows(_).asInstanceOf[Long])
+    assert(located.forall(_ < empty), s"empty key $empty must exceed $located")
+    // nearby points get nearby keys (clustering property)
+    val k80 = rows("POINT (-80 -80)").asInstanceOf[Long]
+    val k79 = rows("POINT (-79 -79)").asInstanceOf[Long]
+    val kOpp = rows("POINT (80 80)").asInstanceOf[Long]
+    assert(math.abs(k80 - k79) < math.abs(k80 - kOpp))
+  }
+
+  test("ST_AsBinary exact bytes incl. EMPTY encodings " +
+      "(geography/test_constructors_parsers_formatters.py)") {
+    def hex(expr: String): String =
+      q(s"hex(st_asbinary($expr))").asInstanceOf[String].toLowerCase
+    // POINT EMPTY serializes as POINT (NaN NaN) — the PostGIS/reference pin
+    assert(hex("st_geomfromwkt('POINT EMPTY')") ==
+      "0101000000000000000000f87f000000000000f87f")
+    assert(hex("st_geomfromwkt('POINT (1 1)')") ==
+      "0101000000000000000000f03f000000000000f03f")
+    // LINESTRING EMPTY is a zero-count body, not NaNs
+    assert(hex("st_geomfromwkt('LINESTRING EMPTY')") == "010200000000000000")
+    assert(hex("st_geomfromwkt('LINESTRING (0 0, 1 2, 3 4)')") ==
+      "010200000003000000" + "0"*16 + "0"*16 +
+      "000000000000f03f0000000000000040" +
+      "00000000000008400000000000001040")
+    // ISO ZM type code: 3000 + 1 = 0x0bb9 little-endian
+    assert(hex("st_geomfromwkt('POINT ZM (0 0 0 0)')") ==
+      "01b90b0000" + "0"*64)
+    // collection: nested headers byte-for-byte
+    assert(hex("st_geomfromwkt('GEOMETRYCOLLECTION (POINT (0 0), " +
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))')") ==
+      "010700000002000000" +
+      "0101000000" + "0"*32 +
+      "010300000001000000050000000000000000000000000000000000000000000000" +
+      "0000f03f0000000000000000000000000000f03f000000000000f03f000000000" +
+      "0000000000000000000f03f00000000000000000000000000000000")
+  }
 }
