@@ -253,12 +253,53 @@ object Spherical {
     case _ => org.locationtech.jts.densify.Densifier.densify(g, tolDeg)
   }
 
+  /** Typed empty of the intersection-result dimension (OverlayNG's own
+    * convention: dim 0 → POINT EMPTY, 1 → LINESTRING, 2 → POLYGON —
+    * what the reference's geography overlay returns for disjoint
+    * inputs, test_geog_overlay.py). */
+  private def emptyOfDim(dim: Int, f: org.locationtech.jts.geom.GeometryFactory): Geometry =
+    dim match {
+      case 0 => f.createPoint()
+      case 1 => f.createLineString()
+      case _ => f.createPolygon()
+    }
+
   /** Spherical overlay: op is a JTS OverlayNG opcode (INTERSECTION=1,
-    * UNION=2, DIFFERENCE=3, SYMDIFFERENCE=4). */
+    * UNION=2, DIFFERENCE=3, SYMDIFFERENCE=4).
+    *
+    * Empty inputs and disjoint coverings short-circuit before the
+    * tangent-plane machinery (the reference's S2 covering check) — so
+    * far-apart inputs (e.g. difference against a polygon 170° away,
+    * test_st_difference_very_far) are exact even though a combined
+    * tangent projection would be outside the documented contract.
+    * Empty-input semantics are the S2 pins: intersection/empty-minuend
+    * difference → GEOMETRYCOLLECTION EMPTY; union/symdifference with one
+    * empty side → the other side unchanged. */
   def overlay(a: Geometry, b: Geometry, op: Int, tolDeg: Double = 0.5): Geometry = {
+    import org.locationtech.jts.operation.overlayng.OverlayNG._
+    if (a.isEmpty || b.isEmpty) return op match {
+      case INTERSECTION => a.getFactory.createGeometryCollection()
+      case DIFFERENCE =>
+        if (a.isEmpty) a.getFactory.createGeometryCollection() else a
+      case _ => if (a.isEmpty) b else a // UNION / SYMDIFFERENCE
+    }
+    val da = densifyDeg(a, tolDeg)
+    val db = densifyDeg(b, tolDeg)
+    // densified geodesics deviate < ~2e-3 deg from their chart chords, so
+    // chart envelopes separated by a wider margin are disjoint on the
+    // sphere (antimeridian wrap stays outside the contract)
+    val ea = da.getEnvelopeInternal.copy()
+    ea.expandBy(0.01)
+    if (!ea.intersects(db.getEnvelopeInternal)) return op match {
+      case INTERSECTION =>
+        emptyOfDim(math.min(a.getDimension, b.getDimension), a.getFactory)
+      case DIFFERENCE => a
+      case _ => // UNION / SYMDIFFERENCE: collect, no overlay needed
+        org.locationtech.jts.geom.util.GeometryCombiner.combine(a, b)
+    }
     val proj = projectionFor(a, b)
-    val pa = mapCoords(densifyDeg(a, tolDeg), proj.forward)
-    val pb = mapCoords(densifyDeg(b, tolDeg), proj.forward)
+    val pa = mapCoords(da, proj.forward)
+    val pb = mapCoords(db, proj.forward)
     val res = org.locationtech.jts.operation.overlayng.OverlayNG.overlay(pa, pb, op)
     mapCoords(res, proj.inverse)
   }

@@ -1558,4 +1558,43 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "0000f03f0000000000000000000000000000f03f000000000000f03f000000000" +
       "0000000000000000000f03f00000000000000000000000000000000")
   }
+
+  test("spherical overlay empty/disjoint semantics (geography/test_geog_overlay.py)") {
+    def wkt(expr: String): String = q(s"st_astext($expr)").asInstanceOf[String]
+    def g(w: String) = s"st_geomfromwkt('$w')"
+    // empty inputs: intersection -> GC EMPTY; difference keeps a non-empty
+    // minuend; union/symdifference return the other side
+    assert(wkt(s"st_intersectionsphere(${g("POINT EMPTY")}, ${g("POINT EMPTY")})")
+      == "GEOMETRYCOLLECTION EMPTY")
+    assert(wkt(s"st_intersectionsphere(${g("POINT (0 0)")}, ${g("POINT EMPTY")})")
+      == "GEOMETRYCOLLECTION EMPTY")
+    assert(wkt(s"st_intersectionsphere(${g("POLYGON EMPTY")}, " +
+      s"${g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")})") == "GEOMETRYCOLLECTION EMPTY")
+    assert(wkt(s"st_differencesphere(${g("POINT EMPTY")}, ${g("POINT (0 0)")})")
+      == "GEOMETRYCOLLECTION EMPTY")
+    assert(wkt(s"st_differencesphere(${g("POINT (0 0)")}, ${g("POINT EMPTY")})")
+      == "POINT (0 0)")
+    assert(wkt(s"st_unionsphere(${g("POINT EMPTY")}, ${g("POINT (0 0)")})")
+      == "POINT (0 0)")
+    assert(wkt(s"st_unionsphere(${g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")}, " +
+      s"${g("POLYGON EMPTY")})") == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    // disjoint coverings: typed empty intersection by min dimension
+    assert(wkt(s"st_intersectionsphere(${g("LINESTRING (0 0, 10 0)")}, " +
+      s"${g("LINESTRING (0 10, 10 10)")})") == "LINESTRING EMPTY")
+    assert(wkt(s"st_intersectionsphere(${g("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")}, " +
+      s"${g("POLYGON ((10 10, 15 10, 15 15, 10 15, 10 10))")})") == "POLYGON EMPTY")
+    assert(wkt(s"st_intersectionsphere(${g("LINESTRING (20 0, 30 0)")}, " +
+      s"${g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")})") == "LINESTRING EMPTY")
+    // very-far difference is exact via the covering short-circuit, even
+    // though a combined tangent chart would be degenerate
+    assert(wkt(s"st_differencesphere(${g("POINT (0 0)")}, ${g("POINT (180 0)")})")
+      == "POINT (0 0)")
+    assert(wkt(s"st_differencesphere(${g("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")}, " +
+      s"${g("POLYGON ((170 -5, 175 -5, 175 0, 170 0, 170 -5))")})")
+      == "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")
+    // disjoint symdifference collects without an overlay
+    assert(wkt(s"st_symdifferencesphere(${g("LINESTRING (0 0, 10 0)")}, " +
+      s"${g("LINESTRING (0 10, 10 10)")})")
+      == "MULTILINESTRING ((0 0, 10 0), (0 10, 10 10))")
+  }
 }
