@@ -1589,6 +1589,8 @@ object GeomScalars {
     fn("st_perimetersphere", DoubleType, Seq(Geom))(a => Spherical.perimeter(g0(a))),
     // s2 closest-point/shortest-line analogs: planar-nearest pair, same
     // approximation contract as st_distancesphere's general case
+    fn("st_centroidsphere", BinaryType, Seq(Geom))(a =>
+      GeomIO.write(Spherical.centroid(g0(a)))),
     fn("st_closestpointsphere", BinaryType, Seq(Geom, Geom))(a => {
       val pts = org.locationtech.jts.operation.distance.DistanceOp
         .nearestPoints(g0(a), g1(a))

@@ -312,6 +312,143 @@ object Spherical {
     mapCoords(mapCoords(densifyDeg(g, tolDeg), proj.forward).buffer(distM), proj.inverse)
   }
 
+  // ---- spherical (true) centroid — the geography ST_Centroid kernel
+  // (reference s2 centroid, tests/geography/test_geog_transformations.py).
+  // Exact vector integrals: points sum unit vectors; a geodesic edge AB
+  // of arc angle θ integrates to tan(θ/2)·(A+B); a geodesic polygon's
+  // surface integral of position is ½·Σ_edges θ_e·n̂_e (divergence
+  // identity; hemisphere → π·ẑ checks). Highest-dimension components
+  // win, S2's collection rule. Z/M average with the same weights
+  // (arc length / area), matching the reference's ZM interpolation. ----
+
+  private final class CentroidAcc {
+    var x, y, z = 0.0 // position integral (unnormalized direction)
+    var w = 0.0 // scalar weight for Z/M averaging
+    var zOrd, mOrd = 0.0 // weighted Z / M ordinate sums
+    def add(vx: Double, vy: Double, vz: Double, weight: Double,
+        zv: Double, mv: Double): Unit = {
+      x += vx; y += vy; z += vz
+      if (!weight.isNaN) {
+        w += weight
+        if (!zv.isNaN) zOrd += weight * zv
+        if (!mv.isNaN) mOrd += weight * mv
+      }
+    }
+  }
+
+  @inline private def unitVec(lon: Double, lat: Double): (Double, Double, Double) = {
+    val p = math.toRadians(lat); val l = math.toRadians(lon)
+    (math.cos(p) * math.cos(l), math.cos(p) * math.sin(l), math.sin(p))
+  }
+
+  def centroid(g: Geometry): Geometry = {
+    if (g == null) return null
+    if (g.isEmpty) return g.getFactory.createGeometryCollection()
+    val dim = g.getDimension
+    val acc = new CentroidAcc
+    val withZ = graft.geom.GeomIO.hasZ(g)
+    val withM = graft.geom.GeomIO.hasM(g)
+
+    def seqZ(s: org.locationtech.jts.geom.CoordinateSequence, i: Int): Double =
+      if (withZ) s.getOrdinate(i, 2) else Double.NaN
+    def seqM(s: org.locationtech.jts.geom.CoordinateSequence, i: Int): Double =
+      if (withM) s.getOrdinate(i, if (withZ) 3 else 2) else Double.NaN
+
+    def addLine(s: org.locationtech.jts.geom.CoordinateSequence): Unit = {
+      var i = 1
+      while (i < s.size) {
+        val (ax, ay, az) = unitVec(s.getX(i - 1), s.getY(i - 1))
+        val (bx, by, bz) = unitVec(s.getX(i), s.getY(i))
+        val dx = ax - bx; val dy = ay - by; val dz = az - bz
+        val theta = 2 * math.asin(math.min(1.0,
+          math.sqrt(dx * dx + dy * dy + dz * dz) / 2))
+        val t = math.tan(theta / 2)
+        acc.add(t * (ax + bx), t * (ay + by), t * (az + bz), theta,
+          (seqZ(s, i - 1) + seqZ(s, i)) / 2, (seqM(s, i - 1) + seqM(s, i)) / 2)
+        i += 1
+      }
+    }
+
+    /** ½·Σ θ_e n̂_e over a closed ring, sign-normalized to CCW. */
+    def ringIntegral(ring: org.locationtech.jts.geom.LinearRing)
+      : (Double, Double, Double) = {
+      val s = ring.getCoordinateSequence
+      var sx, sy, sz = 0.0
+      var i = 1
+      while (i < s.size) {
+        val (ax, ay, az) = unitVec(s.getX(i - 1), s.getY(i - 1))
+        val (bx, by, bz) = unitVec(s.getX(i), s.getY(i))
+        // n = A × B, scaled to θ/|A×B|
+        val cx = ay * bz - az * by
+        val cy = az * bx - ax * bz
+        val cz = ax * by - ay * bx
+        val norm = math.sqrt(cx * cx + cy * cy + cz * cz)
+        if (norm > 1e-18) {
+          val dx = ax - bx; val dy = ay - by; val dz = az - bz
+          val theta = 2 * math.asin(math.min(1.0,
+            math.sqrt(dx * dx + dy * dy + dz * dz) / 2))
+          val k = 0.5 * theta / norm
+          sx += k * cx; sy += k * cy; sz += k * cz
+        }
+        i += 1
+      }
+      if (org.locationtech.jts.algorithm.Orientation.isCCW(ring.getCoordinates))
+        (sx, sy, sz)
+      else (-sx, -sy, -sz)
+    }
+
+    def addPolygon(p: Polygon): Unit = {
+      var (sx, sy, sz) = ringIntegral(p.getExteriorRing)
+      var r = 0
+      while (r < p.getNumInteriorRing) {
+        val (hx, hy, hz) = ringIntegral(p.getInteriorRingN(r))
+        sx -= hx; sy -= hy; sz -= hz
+        r += 1
+      }
+      // Z/M on polygons: area-weighted mean of shell vertex ordinates
+      // (documented approximation; the reference's ZM pins cover only
+      // points and linestrings)
+      val s = p.getExteriorRing.getCoordinateSequence
+      var zv = 0.0; var mv = 0.0; var n = 0
+      var i = 0
+      while (i < s.size - 1) {
+        if (withZ) zv += seqZ(s, i); if (withM) mv += seqM(s, i)
+        n += 1; i += 1
+      }
+      val w = area(p).asInstanceOf[Double] / (R * R)
+      acc.add(sx, sy, sz, w,
+        if (withZ && n > 0) zv / n else Double.NaN,
+        if (withM && n > 0) mv / n else Double.NaN)
+    }
+
+    def walk(geom: Geometry): Unit = geom match {
+      case _ if geom.isEmpty =>
+      case p: Point if dim == 0 =>
+        val s = p.getCoordinateSequence
+        val (vx, vy, vz) = unitVec(p.getX, p.getY)
+        acc.add(vx, vy, vz, 1.0, seqZ(s, 0), seqM(s, 0))
+      case l: LineString if dim == 1 => addLine(l.getCoordinateSequence)
+      case p: Polygon if dim == 2 => addPolygon(p)
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case _ => // lower-dimension component of a mixed collection: skip
+    }
+    walk(g)
+
+    val norm = math.sqrt(acc.x * acc.x + acc.y * acc.y + acc.z * acc.z)
+    if (norm < 1e-18) return g.getFactory.createGeometryCollection()
+    val lat = math.toDegrees(math.asin(acc.z / norm))
+    val lon = math.toDegrees(math.atan2(acc.y, acc.x))
+    val f = g.getFactory
+    if (!withZ && !withM) return f.createPoint(new org.locationtech.jts.geom.Coordinate(lon, lat))
+    val cdim = 2 + (if (withZ) 1 else 0) + (if (withM) 1 else 0)
+    val seq = f.getCoordinateSequenceFactory.create(1, cdim, if (withM) 1 else 0)
+    seq.setOrdinate(0, 0, lon); seq.setOrdinate(0, 1, lat)
+    if (withZ) seq.setOrdinate(0, 2, acc.zOrd / acc.w)
+    if (withM) seq.setOrdinate(0, if (withZ) 3 else 2, acc.mOrd / acc.w)
+    f.createPoint(seq)
+  }
+
   /** Great-circle interpolation between two lon/lat points (slerp). */
   def slerp(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
       f: Double): (Double, Double) = {

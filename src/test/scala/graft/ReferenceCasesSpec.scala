@@ -1597,4 +1597,46 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${g("LINESTRING (0 10, 10 10)")})")
       == "MULTILINESTRING ((0 0, 10 0), (0 10, 10 10))")
   }
+
+  test("spherical centroid: exact S2 vector integrals " +
+      "(geography/test_geog_transformations.py)") {
+    def cen(w: String): String =
+      q(s"st_astext(st_centroidsphere(st_geomfromwkt('$w')))").asInstanceOf[String]
+    def xy(w: String): (Double, Double) = {
+      val r = spark.sql("SELECT st_x(c) x, st_y(c) y FROM (SELECT " +
+        s"st_centroidsphere(st_geomfromwkt('$w')) c)").collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // empties -> GEOMETRYCOLLECTION EMPTY
+    for (w <- Seq("POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY"))
+      assert(cen(w) == "GEOMETRYCOLLECTION EMPTY", w)
+    assert(cen("POINT (0 1)") == "POINT (0 1)")
+    // meridian lines: length-weighted midpoint
+    val (lx, ly) = xy("LINESTRING (0 0, 0 1)")
+    assert(math.abs(lx) < 1e-12 && math.abs(ly - 0.5) < 1e-9)
+    val (l2x, l2y) = xy("LINESTRING (0 0, 0 1, 0 5)")
+    assert(math.abs(l2x) < 1e-12 && math.abs(l2y - 2.5) < 1e-9)
+    val (mpx, mpy) = xy("MULTIPOINT ((0 0), (0 1))")
+    assert(math.abs(mpx) < 1e-12 && math.abs(mpy - 0.5) < 1e-9)
+    // reference's S2 triangle pin at 1e-6 (exact surface integral)
+    val (tx, ty) = xy("POLYGON ((0 0, 0 1, 1 0, 0 0))")
+    assert(math.abs(tx - 0.3333498812) < 1e-6, s"tx=$tx")
+    assert(math.abs(ty - 0.3333442395) < 1e-6, s"ty=$ty")
+    // square polygon centroid ~ (0.5, 0.5)
+    val (sx2, sy2) = xy("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert(math.abs(sx2 - 0.5) < 1e-4 && math.abs(sy2 - 0.5) < 1e-4)
+    // pole: symmetric line about the pole centroids to lat 90
+    val (_, py) = xy("LINESTRING (-90 80, -90 85, 90 80)")
+    assert(math.abs(py - 90.0) < 1e-6, s"py=$py")
+    // ZM interpolation rides the same weights
+    assert(cen("POINT ZM (0 1 10 20)").replace("ZM(", "ZM (") == "POINT ZM (0 1 10 20)")
+    val zm = cen("MULTIPOINT ZM ((0 0 10 20), (0 1 11 21))")
+    assert(zm.startsWith("POINT ZM(0 0.5") && zm.contains("10.5") &&
+      zm.contains("20.5"), zm)
+    val lz = cen("LINESTRING Z (0 0 10, 0 1 11, 0 5 15)")
+    assert(lz.startsWith("POINT Z(0 2.5") && lz.contains("12.5"), lz)
+    // mixed collection: highest dimension wins (S2 rule)
+    val (gx, gy) = xy("GEOMETRYCOLLECTION (POINT (50 50), LINESTRING (0 0, 0 1))")
+    assert(math.abs(gx) < 1e-12 && math.abs(gy - 0.5) < 1e-9, s"($gx,$gy)")
+  }
 }
