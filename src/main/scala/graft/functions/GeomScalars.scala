@@ -1624,7 +1624,7 @@ object GeomScalars {
       GeomScalar("st_gridcells_sphere", children, ArrayType(LongType, containsNull = false),
         Seq(Geom, Dbl, Int_, Int_), a =>
           new GenericArrayData(Spherical.gridCells(
-            g0(a).getEnvelopeInternal, d(a, 1), i(a, 2), i(a, 3))))),
+            Spherical.latLngBound(g0(a)), d(a, 1), i(a, 2), i(a, 3))))),
     fn("st_refcell_sphere", LongType, Seq(Geom, Geom, Dbl, Int_, Int_))(a =>
       Spherical.refCell(g0(a), g1(a), d(a, 2), i(a, 3), i(a, 4))),
 

@@ -21,17 +21,158 @@ object Spherical {
     2 * R * math.asin(math.sqrt(a))
   }
 
-  /** Great-circle distance. Exact for point pairs; for other geometries
-    * the haversine of the planar-nearest point pair — a documented
-    * approximation (the reference's s2 distance is exact on the sphere;
-    * planar-nearest can differ near the antimeridian or across very long
-    * segments). Same metric the spheroid KNN ranking uses. */
+  // ---- exact great-circle distance between geometries (S2-style edge
+  // model: every segment is a geodesic arc). Point pairs are haversine;
+  // mixed shapes decompose into vertices + arcs: the minimum over
+  // vertex-to-arc distances is exact for disjoint arc sets (as in the
+  // plane, the min between disjoint segments is attained at an
+  // endpoint), arcs that cross -> 0, and chart containment (point in
+  // polygon) -> 0 (containment itself is the one chart-proxied test —
+  // contract excludes wrap/pole polygons). ----
+
+  @inline private def angV(ax: Double, ay: Double, az: Double,
+      bx: Double, by: Double, bz: Double): Double = {
+    val dx = ax - bx; val dy = ay - by; val dz = az - bz
+    2 * math.asin(math.min(1.0, math.sqrt(dx * dx + dy * dy + dz * dz) / 2))
+  }
+
+  /** Central angle from point P to geodesic arc AB (all unit vectors). */
+  private def pointArcAngle(px: Double, py: Double, pz: Double,
+      ax: Double, ay: Double, az: Double,
+      bx: Double, by: Double, bz: Double): Double = {
+    val nx = ay * bz - az * by
+    val ny = az * bx - ax * bz
+    val nz = ax * by - ay * bx
+    val nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+    val endMin = math.min(angV(px, py, pz, ax, ay, az), angV(px, py, pz, bx, by, bz))
+    if (nn < 1e-18) return endMin // degenerate arc
+    val pn = (px * nx + py * ny + pz * nz) / nn
+    // foot of P on the arc's great circle
+    var fx = px - pn * nx / nn
+    var fy = py - pn * ny / nn
+    var fz = pz - pn * nz / nn
+    val fn = math.sqrt(fx * fx + fy * fy + fz * fz)
+    if (fn < 1e-18) return endMin // P at the circle's pole
+    fx /= fn; fy /= fn; fz /= fn
+    val arc = angV(ax, ay, az, bx, by, bz)
+    val within = angV(ax, ay, az, fx, fy, fz) +
+      angV(fx, fy, fz, bx, by, bz) <= arc + 1e-12
+    if (within) math.asin(math.min(1.0, math.abs(pn))) else endMin
+  }
+
+  /** Do geodesic arcs AB and CD cross? (great-circle intersection point
+    * inside both arcs) */
+  private def arcsCross(a: Array[Double], b: Array[Double],
+      c: Array[Double], d: Array[Double]): Boolean = {
+    val n1x = a(1) * b(2) - a(2) * b(1); val n1y = a(2) * b(0) - a(0) * b(2)
+    val n1z = a(0) * b(1) - a(1) * b(0)
+    val n2x = c(1) * d(2) - c(2) * d(1); val n2y = c(2) * d(0) - c(0) * d(2)
+    val n2z = c(0) * d(1) - c(1) * d(0)
+    var tx = n1y * n2z - n1z * n2y
+    var ty = n1z * n2x - n1x * n2z
+    var tz = n1x * n2y - n1y * n2x
+    val tn = math.sqrt(tx * tx + ty * ty + tz * tz)
+    if (tn < 1e-18) return false // coplanar: endpoint distances cover it
+    tx /= tn; ty /= tn; tz /= tn
+    def onArc(px: Double, py: Double, pz: Double,
+        u: Array[Double], v: Array[Double]): Boolean =
+      angV(u(0), u(1), u(2), px, py, pz) + angV(px, py, pz, v(0), v(1), v(2)) <=
+        angV(u(0), u(1), u(2), v(0), v(1), v(2)) + 1e-12
+    (onArc(tx, ty, tz, a, b) && onArc(tx, ty, tz, c, d)) ||
+      (onArc(-tx, -ty, -tz, a, b) && onArc(-tx, -ty, -tz, c, d))
+  }
+
+  private def vecOf(c: Coordinate): Array[Double] = {
+    val (x, y, z) = unitVec(c.x, c.y); Array(x, y, z)
+  }
+
+  /** (vertices, arcs) of a geometry: arcs as consecutive vertex pairs. */
+  private def decompose(g: Geometry)
+    : (Array[Array[Double]], Array[(Array[Double], Array[Double])]) = {
+    val verts = Array.newBuilder[Array[Double]]
+    val arcs = Array.newBuilder[(Array[Double], Array[Double])]
+    def addSeq(cs: Array[Coordinate]): Unit = {
+      var prev: Array[Double] = null
+      var i = 0
+      while (i < cs.length) {
+        val v = vecOf(cs(i))
+        verts += v
+        if (prev != null) arcs += ((prev, v))
+        prev = v
+        i += 1
+      }
+    }
+    def walk(geom: Geometry): Unit = geom match {
+      case _ if geom.isEmpty =>
+      case p: Point => verts += vecOf(p.getCoordinate)
+      case l: LineString => addSeq(l.getCoordinates)
+      case p: Polygon =>
+        addSeq(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing).foreach(i =>
+          addSeq(p.getInteriorRingN(i).getCoordinates))
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case other => addSeq(other.getCoordinates)
+    }
+    walk(g)
+    (verts.result(), arcs.result())
+  }
+
   def distance(a: Geometry, b: Geometry): Any = (a, b) match {
     case (p: Point, q: Point) if !p.isEmpty && !q.isEmpty =>
       haversine(p.getX, p.getY, q.getX, q.getY)
     case _ if !a.isEmpty && !b.isEmpty =>
-      val pts = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(a, b)
-      haversine(pts(0).x, pts(0).y, pts(1).x, pts(1).y)
+      // chart containment/overlap: any shared interior -> 0 (exact for
+      // crossing arcs below; this catches point-in-polygon)
+      if ((a.getDimension == 2 || b.getDimension == 2) && a.intersects(b))
+        return 0.0
+      val (va, aa) = decompose(a)
+      val (vb, ab) = decompose(b)
+      var best = Double.MaxValue
+      var i = 0
+      while (i < va.length) {
+        val p = va(i)
+        var j = 0
+        if (ab.isEmpty) {
+          while (j < vb.length) {
+            val q = vb(j)
+            best = math.min(best, angV(p(0), p(1), p(2), q(0), q(1), q(2)))
+            j += 1
+          }
+        } else while (j < ab.length) {
+          val (u, v) = ab(j)
+          best = math.min(best, pointArcAngle(p(0), p(1), p(2),
+            u(0), u(1), u(2), v(0), v(1), v(2)))
+          j += 1
+        }
+        i += 1
+      }
+      i = 0
+      while (i < vb.length && aa.nonEmpty) {
+        val p = vb(i)
+        var j = 0
+        while (j < aa.length) {
+          val (u, v) = aa(j)
+          best = math.min(best, pointArcAngle(p(0), p(1), p(2),
+            u(0), u(1), u(2), v(0), v(1), v(2)))
+          j += 1
+        }
+        i += 1
+      }
+      if (best > 0) {
+        var i2 = 0
+        var crossed = false
+        while (i2 < aa.length && !crossed) {
+          var j = 0
+          while (j < ab.length && !crossed) {
+            if (arcsCross(aa(i2)._1, aa(i2)._2, ab(j)._1, ab(j)._2)) crossed = true
+            j += 1
+          }
+          i2 += 1
+        }
+        if (crossed) best = 0.0
+      }
+      best * R
     case _ => null
   }
 
@@ -172,9 +313,70 @@ object Spherical {
     * cell id common to a's expanded cover and b's cover (the wrap-safe
     * analog of the planar reference-point rule). Null when disjoint —
     * which the join condition already excludes. */
+  /** Spherical lat/lng bound (S2 RectBounder): the chart envelope of the
+    * vertices widened by each geodesic edge's poleward latitude bulge.
+    * A great-circle arc between two points at latitude φ reaches beyond
+    * φ between them (up to the circle's extremum latitude acos(|n_z|)),
+    * so a chart envelope under-covers long high-latitude edges — and a
+    * grid cover built from it could miss within-radius pairs. Longitude
+    * is chart-exact for non-wrapping edges (< 180° span, the documented
+    * contract), so only latitude needs the edge walk. */
+  def latLngBound(g: Geometry): org.locationtech.jts.geom.Envelope = {
+    val env = new org.locationtech.jts.geom.Envelope()
+    def addEdges(cs: Array[Coordinate]): Unit = {
+      var i = 0
+      while (i < cs.length) {
+        env.expandToInclude(cs(i).x, cs(i).y)
+        if (i > 0) {
+          val a = cs(i - 1); val b = cs(i)
+          val (ax, ay, az) = unitVec(a.x, a.y)
+          val (bx, by, bz) = unitVec(b.x, b.y)
+          val nx = ay * bz - az * by
+          val nyv = az * bx - ax * bz
+          val nz = ax * by - ay * bx
+          val nn = math.sqrt(nx * nx + nyv * nyv + nz * nz)
+          // nz ~ 0 is a meridian-plane edge: latitude is monotonic along
+          // it (pole crossings need 180°-apart endpoints, outside the
+          // contract), so no bulge — and atan2(0,0) would misfire
+          if (nn > 1e-18 && nx * nx + nyv * nyv > 1e-30 && math.abs(nz) > 1e-15) {
+            // extremum latitude of the full circle and its longitude
+            val latExt = math.toDegrees(math.acos(math.min(1.0, math.abs(nz) / nn)))
+            // northernmost point: z - (z·n̂)n̂, i.e. (-nx·nz, -ny·nz, nx²+ny²)
+            // (z-component nx²+ny² is positive, so this is the max-z
+            // branch for either circle orientation)
+            val px = -nx * nz; val py = -nyv * nz
+            val lonN = math.toDegrees(math.atan2(py, px))
+            def within(lon: Double): Boolean = {
+              val lo = math.min(a.x, b.x); val hi = math.max(a.x, b.x)
+              val l = ((lon - lo) % 360.0 + 360.0) % 360.0 + lo
+              l >= lo && l <= hi
+            }
+            if (within(lonN)) env.expandToInclude(a.x, latExt)
+            if (within(lonN + 180.0)) env.expandToInclude(a.x, -latExt)
+          }
+        }
+        i += 1
+      }
+    }
+    def walk(geom: Geometry): Unit = geom match {
+      case _ if geom.isEmpty =>
+      case p: Point => env.expandToInclude(p.getX, p.getY)
+      case l: LineString => addEdges(l.getCoordinates)
+      case p: Polygon =>
+        addEdges(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing).foreach(i =>
+          addEdges(p.getInteriorRingN(i).getCoordinates))
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case other => env.expandToInclude(other.getEnvelopeInternal)
+    }
+    walk(g)
+    env
+  }
+
   def refCell(a: Geometry, b: Geometry, radiusM: Double, nx: Int, ny: Int): Any = {
-    val ca = gridCells(a.getEnvelopeInternal, radiusM, nx, ny)
-    val cb = gridCells(b.getEnvelopeInternal, 0.0, nx, ny)
+    val ca = gridCells(latLngBound(a), radiusM, nx, ny)
+    val cb = gridCells(latLngBound(b), 0.0, nx, ny)
     val sb = new java.util.HashSet[Long]()
     cb.foreach(sb.add(_))
     var best = Long.MaxValue

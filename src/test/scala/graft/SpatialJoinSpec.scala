@@ -525,4 +525,35 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("qid", "pid")
     assert(sortedRows(r.select("qid", "pid")) == sortedRows(brute))
   }
+
+  test("spherical rect bounder: geodesic latitude bulge covered, join stays exact") {
+    import graft.functions.Spherical
+    // sampled geodesic always inside the bound, for a spread of edges
+    val edges = Seq((-60.0, 60.0, 60.0, 60.0), (-40.0, -70.0, 50.0, -65.0),
+      (10.0, 0.0, 80.0, 45.0), (-120.0, 55.0, -30.0, 55.0), (0.0, 10.0, 0.1, 80.0))
+    for ((lo1, la1, lo2, la2) <- edges) {
+      val g = graft.geom.GeomIO.readWkt(s"LINESTRING ($lo1 $la1, $lo2 $la2)")
+      val env = Spherical.latLngBound(g)
+      var f = 0.0
+      while (f <= 1.0) {
+        val (lon, lat) = Spherical.slerp(lo1, la1, lo2, la2, f)
+        assert(lat <= env.getMaxY + 1e-9 && lat >= env.getMinY - 1e-9,
+          s"($lo1 $la1)-($lo2 $la2) at f=$f: lat $lat outside $env")
+        f += 0.01
+      }
+    }
+    // the east-west 60N edge bulges to ~69.4N — chart envelope misses it
+    val bulged = Spherical.latLngBound(
+      graft.geom.GeomIO.readWkt("LINESTRING (-60 60, 60 60)"))
+    assert(bulged.getMaxY > 69.0, s"bulge missing: $bulged")
+    // join correctness: high-lat edge geometries near the bulge apex must
+    // pair with points there even though chart envelopes are disjoint
+    val lines = spark.range(1).selectExpr(
+      "id AS lid", "st_geomfromwkt('LINESTRING (-60 60, 60 60)') AS lg")
+    val pts = spark.range(1).selectExpr(
+      "id AS pid", "st_point(0.0D, 73.5D) AS pg")
+    val j = graft.operators.SpatialJoins.sphereDWithinJoin(
+      lines, pts, col("lg"), col("pg"), 100000.0)
+    assert(j.count() == 1, "bulge-apex pair lost by the grid cover")
+  }
 }
