@@ -457,7 +457,16 @@ object GeoParquet {
     * io/test_parquet.py "Parquet Geometry" cases) read through an
     * explicitly-converted schema, since Spark's own inference rejects
     * the annotation. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, Map.empty[String, String])
+
+  /** As [[read]], with explicit geometry-column overrides: `name -> crs`
+    * marks a plain binary WKB column as geometry (or replaces an
+    * existing column's CRS) — the reference's `geometry_columns` read
+    * option (test_context.py test_read_parquet_geometry_columns_*). A
+    * name absent from the schema is an error. */
+  def read(spark: SparkSession, path: String,
+      geometryColumns: Map[String, String]): DataFrame = {
     val fm = footerMeta(spark, path)
     val native = fm.map(f => nativeGeoColumns(f._2)).getOrElse(Nil)
     val df =
@@ -468,12 +477,17 @@ object GeoParquet {
           .convert(stripGeoAnnotations(fm.get._2))
         spark.read.schema(st).parquet(path)
       }
-    val tagged = (fm.flatMap(_._1).toSeq.flatMap(parseGeoColumns) ++ native)
-      .distinct
-      .filter { case (name, _) =>
-        df.columns.contains(name) &&
-          !df.schema(name).metadata.contains("graft.geometry")
-      }
+    val missing = geometryColumns.keys.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"Geometry columns not found in schema: ${missing.mkString(", ")}")
+    // explicit overrides win over footer/native tags, which win over
+    // pre-existing Spark field metadata
+    val tagged = (geometryColumns.toSeq ++
+      (fm.flatMap(_._1).toSeq.flatMap(parseGeoColumns) ++ native)
+        .filter { case (name, _) =>
+          df.columns.contains(name) &&
+            !df.schema(name).metadata.contains("graft.geometry")
+        }).distinctBy(_._1)
     if (tagged.isEmpty) df
     else df.select(df.columns.toIndexedSeq.map { c =>
       tagged.find(_._1 == c) match {

@@ -171,6 +171,29 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(xs.sameElements(Array.tabulate(10)(_ * 1.5)))
   }
 
+  test("geometry_columns read override marks plain WKB columns, errors on missing") {
+    // plain parquet, no geo metadata at all (reference
+    // test_read_parquet_geometry_columns_roundtrip)
+    val dir = Files.createTempDirectory("gp").toString + "/plain"
+    spark.range(20).select(col("id"),
+      st.f("st_asbinary", st.point(col("id").cast("double"), lit(1.0))).as("geom"))
+      .write.parquet(dir)
+    assert(GeoParquet.geometryColumns(spark.read.parquet(dir)).isEmpty)
+    val df = GeoParquet.read(spark, dir, Map("geom" -> "EPSG:4326"))
+    assert(GeoParquet.geometryColumns(df) == Seq("geom" -> "EPSG:4326"))
+    assert(df.select(st.x(col("geom"))).collect().map(_.getDouble(0)).sorted
+      .sameElements(Array.tabulate(20)(_.toDouble)))
+    // override replaces an existing tag's CRS
+    val gp = Files.createTempDirectory("gp").toString + "/tagged"
+    GeoParquet.write(df, gp, "geom", crs = "EPSG:4326")
+    val re = GeoParquet.read(spark, gp, Map("geom" -> "EPSG:3857"))
+    assert(GeoParquet.geometryColumns(re) == Seq("geom" -> "EPSG:3857"))
+    // unknown column errors with the reference's message
+    val ex = intercept[IllegalArgumentException](
+      GeoParquet.read(spark, dir, Map("geom_foo" -> "EPSG:4326")))
+    assert(ex.getMessage.contains("Geometry columns not found in schema"))
+  }
+
   test("GeoParquet 2.0 write: native GEOMETRY logical type stamped and read back") {
     val dir = Files.createTempDirectory("gp").toString + "/v2"
     GeoParquet.write(sample.limit(100), dir, "geom", crs = "EPSG:3857",
