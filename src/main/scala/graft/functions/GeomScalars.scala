@@ -1591,6 +1591,19 @@ object GeomScalars {
     // approximation contract as st_distancesphere's general case
     fn("st_centroidsphere", BinaryType, Seq(Geom))(a =>
       GeomIO.write(Spherical.centroid(g0(a)))),
+    // exact for crossing geodesic arcs / shared vertices; containment
+    // (no boundary crossing) goes through the chart test inside
+    // Spherical.distance — same contract as the other _sphere kernels
+    fn("st_intersectssphere", BooleanType, Seq(Geom, Geom))(a => {
+      val ga = g0(a); val gb = g1(a)
+      // empty never intersects (reference geography pin); null propagates
+      // via the null-in null-out wrapper
+      if (ga.isEmpty || gb.isEmpty) java.lang.Boolean.FALSE
+      else Spherical.distance(ga, gb) match {
+        case null => null
+        case d: Double => java.lang.Boolean.valueOf(d == 0.0)
+      }
+    }),
     fn("st_closestpointsphere", BinaryType, Seq(Geom, Geom))(a => {
       val pts = org.locationtech.jts.operation.distance.DistanceOp
         .nearestPoints(g0(a), g1(a))

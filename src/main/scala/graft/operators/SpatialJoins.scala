@@ -146,6 +146,27 @@ object SpatialJoins {
       .drop("__cell", "__lg", "__rg")
   }
 
+  /** Geography intersects join: the dwithin machinery at radius 0 with
+    * the st_intersectssphere refine (exact for crossing geodesic edges,
+    * chart containment for fully-contained pairs — the reference's
+    * geography sjoin surface, tests/geography/test_geog_sjoin.py). */
+  def sphereIntersectsJoin(
+      left: DataFrame, right: DataFrame,
+      leftGeom: Column, rightGeom: Column,
+      nx: Int = 360, ny: Int = 180): DataFrame = {
+    val l = left.withColumn("__lg", leftGeom)
+      .withColumn("__cell", explode(st.f("st_gridcells_sphere", col("__lg"),
+        lit(0.0), lit(nx), lit(ny))))
+    val r = right.withColumn("__rg", rightGeom)
+      .withColumn("__cell", explode(st.f("st_gridcells_sphere", col("__rg"),
+        lit(0.0), lit(nx), lit(ny))))
+    l.join(r, l("__cell") === r("__cell")
+        && st.f("st_intersectssphere", col("__lg"), col("__rg"))
+        && st.f("st_refcell_sphere", col("__lg"), col("__rg"),
+          lit(0.0), lit(nx), lit(ny)) === l("__cell"))
+      .drop("__cell", "__lg", "__rg")
+  }
+
   /** Partitioned KNN join — the scale path when the OBJECT side cannot be
     * broadcast (the reference's out-of-core kNN territory:
     * probe/knn_results_merger.rs). Exact two-round grid algorithm:

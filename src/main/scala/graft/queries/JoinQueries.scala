@@ -196,6 +196,27 @@ object JoinQueries {
       semi.union(anti).union(ro).union(mark)
     }),
 
+    // geography intersects join (st_intersectssphere refine over the
+    // radius-0 grid cover). Point-in-quad membership rides the chart
+    // containment branch of the spherical distance kernel, so the
+    // oracle's interval logic states the identical predicate.
+    "sj13_sphere_intersects_join" -> ((s, dir) => {
+      prep(s)
+      val quads = t(s, dir, "part")
+        .withColumn("qxmin", (col("p_partkey") % 60).cast("double") * 6.0 - 180.0)
+        .withColumn("qymin", (col("p_size") % 28).cast("double") * 6.0 - 84.0)
+        .withColumn("quad", st.makeEnvelope(col("qxmin"), col("qymin"),
+          col("qxmin") + 2.0, col("qymin") + 2.0))
+        .select(col("p_partkey"), col("quad"))
+      val pts = t(s, dir, "orders")
+        .withColumn("plon", (col("o_orderkey") % 120).cast("double") * 3.0 - 179.75)
+        .withColumn("plat", (col("o_custkey") % 56).cast("double") * 3.0 - 83.75)
+        .withColumn("pt", st.point(col("plon"), col("plat")))
+        .select(col("o_orderkey"), col("pt"))
+      SpatialJoins.sphereIntersectsJoin(quads, pts, col("quad"), col("pt"))
+        .select(col("p_partkey"), col("o_orderkey"))
+    }),
+
     "sj07_planner_grid_join" -> ((s, dir) => {
       prep(s)
       orderPoints(s, dir).select(col("o_orderkey"), col("pt"))
@@ -404,6 +425,19 @@ object JoinQueries {
         |SELECT o_orderkey AS key, 'mark' AS tag FROM p
         |WHERE o_orderkey % 1000 = 0
         |  OR o_orderkey IN (SELECT o_orderkey FROM hit)""".stripMargin,
+
+    "sj13_sphere_intersects_join" ->
+      """WITH q AS (SELECT p_partkey,
+        |    CAST(p_partkey % 60 AS DOUBLE)*6.0 - 180.0 AS qxmin,
+        |    CAST(p_size % 28 AS DOUBLE)*6.0 - 84.0 AS qymin
+        |  FROM part),
+        |p AS (SELECT o_orderkey,
+        |    CAST(o_orderkey % 120 AS DOUBLE)*3.0 - 179.75 AS plon,
+        |    CAST(o_custkey % 56 AS DOUBLE)*3.0 - 83.75 AS plat
+        |  FROM orders)
+        |SELECT q.p_partkey, p.o_orderkey FROM q JOIN p
+        |ON p.plon >= q.qxmin AND p.plon <= q.qxmin + 2.0
+        |AND p.plat >= q.qymin AND p.plat <= q.qymin + 2.0""".stripMargin,
 
     "sj07_planner_grid_join" ->
       s"""WITH p AS ($pointsSql), b AS ($boxesSql)

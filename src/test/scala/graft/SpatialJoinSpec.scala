@@ -556,4 +556,45 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       lines, pts, col("lg"), col("pg"), 100000.0)
     assert(j.count() == 1, "bulge-apex pair lost by the grid cover")
   }
+
+  test("geography intersects: predicate semantics + sphere intersects join") {
+    // reference geography predicate pins (test_geog_predicates.py):
+    // point/polygon membership judged on geodesic edges
+    def b(expr: String): Any =
+      spark.sql(s"SELECT $expr").collect()(0).get(0)
+    def g(w: String) = s"st_geomfromwkt('$w')"
+    assert(b(s"st_intersectssphere(${g("POLYGON ((0 0, 2 0, 0 2, 0 0))")}, " +
+      s"${g("POINT (0.25 0.25)")})") == true)
+    assert(b(s"st_intersectssphere(${g("POLYGON ((0 0, 2 0, 0 2, 0 0))")}, " +
+      s"${g("POINT (-30 -30)")})") == false)
+    assert(b(s"st_intersectssphere(${g("POINT (0 0)")}, " +
+      s"${g("POLYGON ((0 0, 2 0, 0 2, 0 0))")})") == true) // boundary point
+    assert(b(s"st_intersectssphere(${g("LINESTRING (0.25 0.25, 3 3)")}, " +
+      s"${g("POLYGON ((0 0, 2 0, 0 2, 0 0))")})") == true) // crossing line
+    assert(b(s"st_intersectssphere(${g("LINESTRING (3 3, 4 4)")}, " +
+      s"${g("POLYGON ((0 0, 2 0, 0 2, 0 0))")})") == false)
+    assert(b(s"st_intersectssphere(${g("POINT EMPTY")}, ${g("POINT (0 0)")})") == false)
+    assert(b(s"st_intersectssphere(NULL, ${g("POINT (0 0)")})") == null)
+    // the geodesic-vs-chart case: a long 60N edge passes ~74N at lon 0;
+    // a chart segment test would say false
+    assert(b(s"st_intersectssphere(${g("LINESTRING (-60 60, 60 60)")}, " +
+      s"${g("LINESTRING (0 60, 0 80)")})") == true)
+
+    // join: sphereIntersectsJoin == brute-force over the predicate
+    val polys = spark.range(40).selectExpr("id AS aid",
+      """st_makeenvelope(CAST(pmod(hash(id), 300) AS DOUBLE) - 150.0,
+         CAST(pmod(hash(id*7), 120) AS DOUBLE) - 60.0,
+         CAST(pmod(hash(id), 300) AS DOUBLE) - 145.0,
+         CAST(pmod(hash(id*7), 120) AS DOUBLE) - 55.0) AS ag""")
+    val pts = spark.range(300).selectExpr("id AS bid",
+      """st_point(CAST(pmod(hash(id*3), 340) AS DOUBLE) - 170.0,
+         CAST(pmod(hash(id*11), 160) AS DOUBLE) - 80.0) AS bg""")
+    val j = graft.operators.SpatialJoins.sphereIntersectsJoin(
+      polys, pts, col("ag"), col("bg")).select("aid", "bid")
+    val ref = polys.crossJoin(pts)
+      .filter(st.f("st_intersectssphere", col("ag"), col("bg")))
+      .select("aid", "bid")
+    assert(sortedRows(j) == sortedRows(ref))
+    assert(j.count() > 0)
+  }
 }
