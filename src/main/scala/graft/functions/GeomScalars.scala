@@ -1591,6 +1591,10 @@ object GeomScalars {
     // approximation contract as st_distancesphere's general case
     fn("st_centroidsphere", BinaryType, Seq(Geom))(a =>
       GeomIO.write(Spherical.centroid(g0(a)))),
+    fn("st_convexhullsphere", BinaryType, Seq(Geom))(a =>
+      GeomIO.write(Spherical.convexHull(g0(a)))),
+    fn("st_pointonsurfacesphere", BinaryType, Seq(Geom))(a =>
+      GeomIO.write(Spherical.pointOnSurface(g0(a)))),
     // exact for crossing geodesic arcs / shared vertices; containment
     // (no boundary crossing) goes through the chart test inside
     // Spherical.distance — same contract as the other _sphere kernels

@@ -651,6 +651,101 @@ object Spherical {
     f.createPoint(seq)
   }
 
+  /** Spherical convex hull: tangent-plane hull about the vertex-mean
+    * direction. A hull of points is vertex SELECTION, so the result
+    * carries the original lon/lat vertices verbatim (geodesic edges
+    * implied) — exact for contract-scale inputs (< a hemisphere), the
+    * geography ST_ConvexHull surface (test_geog_transformations.py).
+    * Degenerate inputs follow the geometry convention the reference
+    * pins: empty in → typed empty out, 2 points → LINESTRING. */
+  def convexHull(g: Geometry): Geometry = {
+    if (g == null) return null
+    if (g.isEmpty) return g
+    val e = g.getEnvelopeInternal
+    val proj = new AzEq((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+    // key projected coords back to original lon/lat so hull output keeps
+    // the input vertices bit-for-bit
+    val back = new java.util.HashMap[(Double, Double), Coordinate]()
+    g.getCoordinates.foreach { c =>
+      val (x, y) = proj.forward(c.x, c.y)
+      back.put((x, y), c)
+    }
+    val hull = mapCoords(g, proj.forward).convexHull()
+    val restored = hull.copy()
+    restored.apply(new org.locationtech.jts.geom.CoordinateSequenceFilter {
+      override def filter(seq: org.locationtech.jts.geom.CoordinateSequence, i: Int): Unit = {
+        val orig = back.get((seq.getX(i), seq.getY(i)))
+        if (orig != null) { seq.setOrdinate(i, 0, orig.x); seq.setOrdinate(i, 1, orig.y) }
+        else {
+          val (lon, lat) = proj.inverse(seq.getX(i), seq.getY(i))
+          seq.setOrdinate(i, 0, lon); seq.setOrdinate(i, 1, lat)
+        }
+      }
+      override def isDone: Boolean = false
+      override def isGeometryChanged: Boolean = true
+    })
+    restored.geometryChanged()
+    // degenerate 2-point hull: orient by first appearance in the input
+    // (the reference's convention, test_st_convexhull_degenerate)
+    restored match {
+      case l: LineString if l.getNumPoints == 2 =>
+        val first = g.getCoordinates.find(c =>
+          c.equals2D(l.getCoordinateN(0)) || c.equals2D(l.getCoordinateN(1)))
+        if (first.exists(_.equals2D(l.getCoordinateN(1)))) l.reverse() else l
+      case other => other
+    }
+  }
+
+  /** Geography ST_PointOnSurface (test_geog_transformations.py):
+    * point/line inputs return the VERTEX nearest the spherical centroid
+    * (ties to the later vertex, matching the reference pins), carrying
+    * Z/M; polygons return a tangent-plane interior point (documented
+    * approximation — the reference's S2 interior pick differs in the
+    * low decimals). Empties → the empty point. */
+  def pointOnSurface(g: Geometry): Geometry = {
+    if (g == null) return null
+    if (g.isEmpty) return g.getFactory.createPoint()
+    if (g.getDimension == 2) {
+      val e = g.getEnvelopeInternal
+      val proj = new AzEq((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+      val ip = mapCoords(g, proj.forward).getInteriorPoint
+      val (lon, lat) = proj.inverse(ip.getX, ip.getY)
+      return g.getFactory.createPoint(new Coordinate(lon, lat))
+    }
+    val cen = centroid(g)
+    val c = cen match {
+      case p: Point if !p.isEmpty => (p.getX, p.getY)
+      case _ => return g.getFactory.createPoint()
+    }
+    // nearest vertex, ties to the later one; rebuild as a point of the
+    // owning sequence's dimension so Z/M ride along
+    var bestSeq: org.locationtech.jts.geom.CoordinateSequence = null
+    var bestIdx = -1
+    var bestAng = Double.MaxValue
+    def scan(seq: org.locationtech.jts.geom.CoordinateSequence): Unit = {
+      var i = 0
+      while (i < seq.size) {
+        val a = haversine(c._1, c._2, seq.getX(i), seq.getY(i))
+        if (a <= bestAng) { bestAng = a; bestSeq = seq; bestIdx = i }
+        i += 1
+      }
+    }
+    def walk(geom: Geometry): Unit = geom match {
+      case p: Point => scan(p.getCoordinateSequence)
+      case l: LineString => scan(l.getCoordinateSequence)
+      case gc: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until gc.getNumGeometries).foreach(i => walk(gc.getGeometryN(i)))
+      case other => // dimension-2 handled above
+    }
+    walk(g)
+    if (bestSeq == null) return g.getFactory.createPoint()
+    val dim = bestSeq.getDimension; val meas = bestSeq.getMeasures
+    val out = g.getFactory.getCoordinateSequenceFactory.create(1, dim, meas)
+    var d = 0
+    while (d < dim) { out.setOrdinate(0, d, bestSeq.getOrdinate(bestIdx, d)); d += 1 }
+    g.getFactory.createPoint(out)
+  }
+
   /** Great-circle interpolation between two lon/lat points (slerp). */
   def slerp(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
       f: Double): (Double, Double) = {

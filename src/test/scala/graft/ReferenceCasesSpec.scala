@@ -1639,4 +1639,42 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (gx, gy) = xy("GEOMETRYCOLLECTION (POINT (50 50), LINESTRING (0 0, 0 1))")
     assert(math.abs(gx) < 1e-12 && math.abs(gy - 0.5) < 1e-9, s"($gx,$gy)")
   }
+
+  test("geography convex hull + point-on-surface (test_geog_transformations.py)") {
+    def wkt(expr: String): String = q(s"st_astext($expr)").asInstanceOf[String]
+    def g(w: String) = s"st_geomfromwkt('$w')"
+    def norm(expr: String): Any = q(s"st_astext(st_normalize($expr))")
+    // hull: vertex selection, original coordinates verbatim
+    assert(wkt(s"st_convexhullsphere(${g("POINT (0 1)")})") == "POINT (0 1)")
+    assert(norm(s"st_convexhullsphere(${g("MULTIPOINT ((0 0), (0 1), (1 0))")})") ==
+      norm(s"${g("POLYGON ((0 0, 1 0, 0 1, 0 0))")}"))
+    assert(norm(s"st_convexhullsphere(${g("POLYGON ((0 0, 0 2, 2 0, 0 0), (0.1 0.1, 0.1 0.5, 0.5 0.1, 0.1 0.1))")})") ==
+      norm(s"${g("POLYGON ((0 0, 2 0, 0 2, 0 0))")}"))
+    assert(norm(s"st_convexhullsphere(${g("GEOMETRYCOLLECTION (POINT (5 5), LINESTRING (0 0, 0 1), POLYGON ((0 0, 0 1, 1 0, 0 0)))")})") ==
+      norm(s"${g("POLYGON ((0 0, 1 0, 5 5, 0 1, 0 0))")}"))
+    // degenerate: typed empty in -> out; 2 points -> LINESTRING; colinear collapses
+    assert(wkt(s"st_convexhullsphere(${g("LINESTRING EMPTY")})") == "LINESTRING EMPTY")
+    assert(wkt(s"st_convexhullsphere(${g("POLYGON EMPTY")})") == "POLYGON EMPTY")
+    assert(wkt(s"st_convexhullsphere(${g("MULTIPOINT ((0 0), (0 1))")})") ==
+      "LINESTRING (0 0, 0 1)")
+    assert(wkt(s"st_convexhullsphere(${g("LINESTRING (0 0, 0 1, 0 2)")})") ==
+      "LINESTRING (0 0, 0 2)")
+    // point-on-surface: nearest vertex to the spherical centroid, later
+    // vertex on ties; Z/M carried
+    assert(wkt(s"st_pointonsurfacesphere(${g("POINT (0 1)")})") == "POINT (0 1)")
+    assert(wkt(s"st_pointonsurfacesphere(${g("MULTIPOINT ((0 0), (0 1))")})") == "POINT (0 1)")
+    assert(wkt(s"st_pointonsurfacesphere(${g("LINESTRING (0 0, 0 1)")})") == "POINT (0 1)")
+    assert(wkt(s"st_pointonsurfacesphere(${g("LINESTRING (0 0, 0 1, 0 5)")})") == "POINT (0 1)")
+    assert(wkt(s"st_pointonsurfacesphere(${g("POINT ZM (0 1 10 20)")})")
+      .replace("ZM(", "ZM (") == "POINT ZM (0 1 10 20)")
+    assert(wkt(s"st_pointonsurfacesphere(${g("LINESTRING ZM (0 0 10 20, 0 1 11 21)")})")
+      .replace("ZM(", "ZM (") == "POINT ZM (0 1 11 21)")
+    assert(wkt(s"st_pointonsurfacesphere(${g("POINT EMPTY")})") == "POINT EMPTY")
+    assert(wkt(s"st_pointonsurfacesphere(${g("POLYGON EMPTY")})") == "POINT EMPTY")
+    // polygon: an interior point (tangent-plane pick, documented)
+    val ip = q("st_astext(st_pointonsurfacesphere(st_geomfromwkt(" +
+      "'POLYGON ((0 0, 0 1, 1 0, 0 0))')))").asInstanceOf[String]
+    assert(q(s"st_contains(st_geomfromwkt('POLYGON ((0 0, 0 1, 1 0, 0 0))'), " +
+      s"st_geomfromwkt('$ip'))") == true, ip)
+  }
 }
