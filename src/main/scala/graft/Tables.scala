@@ -16,13 +16,21 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and floor-truncate to micros (exactly what
-    * DuckDB's nanosecond->microsecond read does, so oracles agree). */
+  /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) (which
+    * Spark's parquet reader rejects — read nanos as long, floor-truncate
+    * to micros, exactly DuckDB's nanosecond->microsecond read) or plain
+    * TIMESTAMP(MICROS)/NTZ. Dispatch on the read schema so both vintages
+    * of the driver testdata load; either way the column comes out as
+    * session-TZ TimestampType (session TZ is pinned UTC, so the NTZ cast
+    * preserves the stored micros value bit-for-bit). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact sum of a <=2-decimal double column, returned as double. */
