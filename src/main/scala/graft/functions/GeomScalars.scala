@@ -907,6 +907,22 @@ object GeomScalars {
     fn("st_geomfromgeojson", BinaryType, Seq(Str))(a => GeomIO.fromGeoJson(s(a, 0))),
     fn("st_geomfromwkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
     fn("st_geomfromewkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
+    // structural WKB check that passes the ORIGINAL bytes through
+    // unchanged — backs the reader's validate option (reference
+    // read_parquet(..., validate=True), io/test_parquet.py
+    // test_read_parquet_validate_wkb_*: error message "WKB validation
+    // failed"; validate=False admits malformed bytes untouched)
+    fn("sd_validatewkb", BinaryType, Seq(Raw))(a => {
+      val b = a(0) match {
+        case bytes: Array[Byte] => bytes
+        case other => throw new IllegalArgumentException(
+          s"WKB validation failed: not a binary column (${other.getClass.getSimpleName})")
+      }
+      try GeomIO.read(b)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"WKB validation failed: ${e.getMessage}") }
+      b
+    }),
     // 2-arg plain point, the reference's 3-arg (x, y, srid) form, or the
     // 3-arg (x, y, crs-string) form — the latter returns an item-CRS
     // struct carrying the CRS string verbatim (the reference's

@@ -466,7 +466,17 @@ object GeoParquet {
     * option (test_context.py test_read_parquet_geometry_columns_*). A
     * name absent from the schema is an error. */
   def read(spark: SparkSession, path: String,
-      geometryColumns: Map[String, String]): DataFrame = {
+      geometryColumns: Map[String, String]): DataFrame =
+    read(spark, path, geometryColumns, validate = false)
+
+  /** As [[read]], with `validate = true` running a structural WKB check
+    * over every tagged geometry column as rows are materialized
+    * (reference `read_parquet(..., validate=True)`,
+    * io/test_parquet.py test_read_parquet_validate_wkb_*): malformed
+    * bytes fail the query with "WKB validation failed"; valid bytes pass
+    * through unchanged. validate = false admits malformed bytes as-is. */
+  def read(spark: SparkSession, path: String,
+      geometryColumns: Map[String, String], validate: Boolean): DataFrame = {
     val fm = footerMeta(spark, path)
     val native = fm.map(f => nativeGeoColumns(f._2)).getOrElse(Nil)
     val df =
@@ -491,7 +501,9 @@ object GeoParquet {
     if (tagged.isEmpty) df
     else df.select(df.columns.toIndexedSeq.map { c =>
       tagged.find(_._1 == c) match {
-        case Some((_, crs)) => col(c).as(c, geomMetadata(crs))
+        case Some((_, crs)) =>
+          val base = if (validate) st.f("sd_validatewkb", col(c)) else col(c)
+          base.as(c, geomMetadata(crs))
         case None => col(c)
       }
     }: _*)

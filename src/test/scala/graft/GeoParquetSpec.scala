@@ -194,6 +194,38 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("Geometry columns not found in schema"))
   }
 
+  test("validate read option: structural WKB check, original bytes preserved") {
+    // reference io/test_parquet.py test_read_parquet_validate_wkb_*:
+    // validate=False admits malformed bytes untouched; validate=True
+    // fails materialization with "WKB validation failed"
+    val validWkb = Array[Byte](1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      -16, 63, 0, 0, 0, 0, 0, 0, 0, 64) // POINT (1 2), NDR
+    val dir = Files.createTempDirectory("gp").toString + "/val"
+    import spark.implicits._
+    Seq((1, validWkb), (2, Array[Byte](1)), (3, validWkb))
+      .toDF("id", "geom").write.parquet(dir)
+    // validate = false: all three rows come back, bytes untouched
+    val lax = GeoParquet.read(spark, dir, Map("geom" -> "EPSG:4326"), validate = false)
+    assert(lax.count() == 3)
+    assert(lax.filter(col("id") === 2).select(col("geom")).head.getAs[Array[Byte]](0)
+      .sameElements(Array[Byte](1)))
+    // validate = true over only-valid rows: passes, bytes bit-identical
+    val okOnly = GeoParquet.read(spark, dir, Map("geom" -> "EPSG:4326"), validate = true)
+      .filter(col("id") =!= 2)
+    assert(okOnly.select(col("geom")).collect()
+      .forall(_.getAs[Array[Byte]](0).sameElements(validWkb)))
+    // validate = true over the malformed row: query fails with the message
+    val ex = intercept[Exception] {
+      GeoParquet.read(spark, dir, Map("geom" -> "EPSG:4326"), validate = true)
+        .select(col("geom")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("WKB validation failed")))
+  }
+
   test("GeoParquet 2.0 write: native GEOMETRY logical type stamped and read back") {
     val dir = Files.createTempDirectory("gp").toString + "/v2"
     GeoParquet.write(sample.limit(100), dir, "geom", crs = "EPSG:3857",
