@@ -89,7 +89,12 @@ case class GeomScalar(
   override def dataType: DataType =
     if (wrapsItemCrs) ItemCrs.dataType else outType
   override def prettyName: String = fname
-  override def foldable: Boolean = children.forall(_.foldable)
+  // I/O kernels are never folded: ConstantFolding would (a) run file I/O
+  // on the DRIVER at plan time and (b) evaluate pixel readers before
+  // RasterLoadRule has wrapped their raster arg in rs_ensureloaded
+  // (the fold and the wrap live in the same optimizer batch)
+  override def foldable: Boolean =
+    !GeomScalar.neverFold(fname) && children.forall(_.foldable)
 
   /** Kernel over already-evaluated, non-null child values. Mutates `args`
     * in place (arg-kind conversion), returns the Catalyst-typed result or
@@ -222,6 +227,9 @@ object GeomScalar {
   val binaryNotGeometry: Set[String] =
     Set("st_asbinary", "st_asewkb", "st_aswkb",
       "st_transform", "st_setcrs", "st_setsrid")
+
+  /** Kernels that do file I/O — excluded from constant folding. */
+  val neverFold: Set[String] = Set("rs_frompath", "rs_ensureloaded")
 }
 
 object GeomScalars {
@@ -411,25 +419,33 @@ object GeomScalars {
   private def mVals(g: Geometry): Array[Double] =
     g.getCoordinates.map(_.getM).filterNot(java.lang.Double.isNaN)
 
-  /** WKT parser with an optional CRS-string second arg: the 1-arg form
-    * returns plain WKB, the 2-arg form an item-CRS struct (SRID seeded
-    * when the string parses, string carried verbatim). */
+  /** WKT parser with an optional second arg: the 1-arg form returns
+    * plain WKB; a CRS-STRING second arg returns an item-CRS struct (SRID
+    * seeded when the string parses, string carried verbatim); an INTEGER
+    * second arg is a plain SRID stamp (PostGIS ST_GeomFromText(wkt,
+    * srid) — test_functions.py test_st_geomfromtext_with_srid). */
   private def wktParserWithCrs(name: String): Seq[Expression] => Expression =
-    (children: Seq[Expression]) => GeomScalar(name, children,
-      if (children.length >= 2) ItemCrs.dataType else BinaryType,
-      Seq.fill(children.length)(ArgKind.Str),
-      a => {
-        val g = GeomIO.readWkt(a(0).asInstanceOf[String])
-        if (a.length >= 2) {
-          if (g == null) null
-          else {
-            val crs = a(1).asInstanceOf[String]
-            val srid = try parseCrsSrid(crs) catch { case _: Exception => 0 }
-            if (srid != 0) g.setSRID(srid)
-            ItemCrs.row(GeomIO.write(g), UTF8String.fromString(crs))
-          }
-        } else g
-      })
+    (children: Seq[Expression]) => {
+      val strCrs = children.length >= 2 && children(1).dataType == StringType
+      GeomScalar(name, children,
+        if (strCrs) ItemCrs.dataType else BinaryType,
+        Seq(ArgKind.Str) ++ Seq(ArgKind.Raw).take(children.length - 1),
+        a => {
+          val g = GeomIO.readWkt(a(0).asInstanceOf[String])
+          if (a.length >= 2) {
+            if (g == null) null
+            else a(1) match {
+              case s: UTF8String =>
+                val crs = s.toString
+                val srid = try parseCrsSrid(crs) catch { case _: Exception => 0 }
+                if (srid != 0) g.setSRID(srid)
+                ItemCrs.row(GeomIO.write(g), s)
+              case n: java.lang.Number => g.setSRID(n.intValue()); g
+              case d: Decimal => g.setSRID(d.toInt); g
+            }
+          } else g
+        })
+    }
 
   /** "EPSG:4326", bare "4326", or "OGC:CRS84" (= lon/lat 4326) -> SRID. */
   private[graft] def parseCrsSrid(crs: String): Int = crs.trim match {
@@ -848,6 +864,26 @@ object GeomScalars {
     g
   }
 
+  /** Typed WKT constructor with an optional SRID second arg (int or a
+    * digit/authority string — test_functions.py
+    * test_typed_geom_constructors_accept_srid). Wrong geometry type,
+    * including wrong-type EMPTY, is an error. */
+  private def typedParser(name: String, expected: String): B =
+    (children: Seq[Expression]) => GeomScalar(name, children, BinaryType,
+      Seq(ArgKind.Str) ++ Seq(ArgKind.Raw).take(children.length - 1),
+      a => {
+        val g = typedFromText(a(0).asInstanceOf[String], expected)
+        if (a.length >= 2) {
+          val srid = a(1) match {
+            case n: java.lang.Number => n.intValue()
+            case s: UTF8String => parseCrsSrid(s.toString)
+            case d: Decimal => d.toInt
+          }
+          g.setSRID(srid)
+        }
+        g
+      })
+
   val dumpType: DataType = ArrayType(StructType(Seq(
     StructField("path", ArrayType(IntegerType, containsNull = false)),
     StructField("geom", BinaryType))), containsNull = false)
@@ -897,13 +933,13 @@ object GeomScalars {
     "st_geomfromtext" -> wktParserWithCrs("st_geomfromtext"),
     fn("st_geogfromwkt", BinaryType, Seq(Str))(a => GeomIO.readWkt(s(a, 0))),
     fn("st_geomfromewkt", BinaryType, Seq(Str))(a => parseEwkt(s(a, 0))),
-    fn("st_pointfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "Point")),
-    fn("st_linefromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "LineString")),
-    fn("st_polygonfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "Polygon")),
-    fn("st_mpointfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "MultiPoint")),
-    fn("st_mlinefromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "MultiLineString")),
-    fn("st_mpolyfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "MultiPolygon")),
-    fn("st_geomcollfromtext", BinaryType, Seq(Str))(a => typedFromText(s(a, 0), "GeometryCollection")),
+    "st_pointfromtext" -> typedParser("st_pointfromtext", "Point"),
+    "st_linefromtext" -> typedParser("st_linefromtext", "LineString"),
+    "st_polygonfromtext" -> typedParser("st_polygonfromtext", "Polygon"),
+    "st_mpointfromtext" -> typedParser("st_mpointfromtext", "MultiPoint"),
+    "st_mlinefromtext" -> typedParser("st_mlinefromtext", "MultiLineString"),
+    "st_mpolyfromtext" -> typedParser("st_mpolyfromtext", "MultiPolygon"),
+    "st_geomcollfromtext" -> typedParser("st_geomcollfromtext", "GeometryCollection"),
     fn("st_geomfromgeojson", BinaryType, Seq(Str))(a => GeomIO.fromGeoJson(s(a, 0))),
     fn("st_geomfromwkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
     fn("st_geomfromewkb", BinaryType, Seq(Bin))(a => GeomIO.read(a(0).asInstanceOf[Array[Byte]])),
@@ -1027,8 +1063,12 @@ object GeomScalars {
       }
       closed(g0(a))
     }),
+    // non-LineString input is a hard error (PostGIS compatibility,
+    // test_functions.py test_st_isring_non_linestring_error)
     fn("st_isring", BooleanType, Seq(Geom))(a => g0(a) match {
-      case l: LineString => l.isRing; case _ => false }),
+      case l: LineString => l.isRing
+      case g => throw new IllegalArgumentException(
+        s"st_isring: input must be a linestring, got ${g.getGeometryType}") }),
     fn("st_issimple", BooleanType, Seq(Geom))(a => g0(a).isSimple),
     fn("st_isvalid", BooleanType, Seq(Geom))(a => g0(a).isValid),
     fn("st_isvalidreason", StringType, Seq(Geom))(a => {
@@ -1079,16 +1119,34 @@ object GeomScalars {
         if (n < 0 || n >= l.getNumPoints) null else l.getPointN(n)
       case _ => null
     }),
-    fn("st_startpoint", BinaryType, Seq(Geom))(a => g0(a) match {
-      case l: LineString if !l.isEmpty => l.getStartPoint; case _ => null }),
+    // ST_StartPoint works on EVERY geometry (PostGIS 3.2 semantics the
+    // reference matches — test_functions.py test_st_start_point): first
+    // vertex of the first non-empty leaf, Z/M preserved via the leaf's
+    // own coordinate sequence. ST_EndPoint stays linestring-only.
+    fn("st_startpoint", BinaryType, Seq(Geom))(a => {
+      def first(g: Geometry): Point = g match {
+        case _ if g.isEmpty => null
+        case p: Point => p
+        case l: LineString => l.getPointN(0)
+        case p: Polygon => p.getExteriorRing.getPointN(0)
+        case c: GeometryCollection =>
+          (0 until c.getNumGeometries).iterator
+            .map(i => first(c.getGeometryN(i))).collectFirst {
+              case p if p != null => p }.orNull
+      }
+      first(g0(a))
+    }),
     fn("st_endpoint", BinaryType, Seq(Geom))(a => g0(a) match {
       case l: LineString if !l.isEmpty => l.getEndPoint; case _ => null }),
     fn("st_exteriorring", BinaryType, Seq(Geom))(a => g0(a) match {
       case p: Polygon => p.getExteriorRing; case _ => null }),
+    // strictly 1-based, NO negative from-end indexing (PostGIS:
+    // ST_InteriorRingN(-1) is null — test_functions.py
+    // test_st_interiorringn)
     fn("st_interiorringn", BinaryType, Seq(Geom, Int_))(a => g0(a) match {
       case p: Polygon =>
-        val n = idx1(i(a, 1), p.getNumInteriorRing)
-        if (n < 0 || n >= p.getNumInteriorRing) null else p.getInteriorRingN(n)
+        val n = i(a, 1)
+        if (n < 1 || n > p.getNumInteriorRing) null else p.getInteriorRingN(n - 1)
       case _ => null
     }),
     fn("st_numinteriorrings", IntegerType, Seq(Geom))(a => g0(a) match {
@@ -1148,11 +1206,21 @@ object GeomScalars {
     fn("st_hausdorffdistance", DoubleType, Seq(Geom, Geom))(a =>
       DiscreteHausdorffDistance.distance(g0(a), g1(a))),
     fn("st_azimuth", DoubleType, Seq(Geom, Geom))(a => azimuth(g0(a), g1(a))),
+    // empty inputs -> null; non-linestring -> error naming the type
+    // (test_functions.py test_st_linelocatepoint_*)
     fn("st_linelocatepoint", DoubleType, Seq(Geom, Geom))(a => (g0(a), g1(a)) match {
       case (l: LineString, p: Point) =>
-        val lil = new LengthIndexedLine(l)
-        lil.indexOf(p.getCoordinate) / l.getLength
-      case _ => null
+        if (l.isEmpty || p.isEmpty) null
+        else {
+          val lil = new LengthIndexedLine(l)
+          lil.indexOf(p.getCoordinate) / l.getLength
+        }
+      case (l: LineString, p) => throw new IllegalArgumentException(
+        s"st_linelocatepoint: second argument must be a Point, " +
+          s"got ${p.getGeometryType}")
+      case (g, _) => throw new IllegalArgumentException(
+        s"st_linelocatepoint: first argument must be a LineString, " +
+          s"got ${g.getGeometryType}")
     }),
 
     // ---- overlay / processing (c/sedona-geos overlay.rs + misc) ----
@@ -1189,12 +1257,26 @@ object GeomScalars {
     fn("st_centroid", BinaryType, Seq(Geom))(a => g0(a).getCentroid),
     fn("st_pointonsurface", BinaryType, Seq(Geom))(a => g0(a).getInteriorPoint),
     fn("st_convexhull", BinaryType, Seq(Geom))(a => g0(a).convexHull()),
-    fn("st_concavehull", BinaryType, Seq(Geom, Dbl))(a =>
-      ConcaveHull.concaveHullByLengthRatio(g0(a), d(a, 1))),
-    fn("st_delaunaytriangles", BinaryType, Seq(Geom))(a => {
-      val b = new DelaunayTriangulationBuilder()
-      b.setSites(g0(a)); b.getTriangles(GeomIO.factory)
-    }),
+    // optional 3rd arg allow_holes (test_functions.py
+    // test_st_concavehull_allow_holes)
+    "st_concavehull" -> ((children: Seq[Expression]) =>
+      GeomScalar("st_concavehull", children, BinaryType,
+        Seq(Geom, Dbl) ++ Seq(Bool).take(children.length - 2),
+        a => ConcaveHull.concaveHullByLengthRatio(g0(a), d(a, 1),
+          a.length >= 3 && a(2).asInstanceOf[Boolean]))),
+    // optional tolerance (snapping sites) and flags: 0 = triangles
+    // collection, 1 = edge MULTILINESTRING (PostGIS flag contract,
+    // test_st_delaunaytriangles_tolerance/_flags)
+    "st_delaunaytriangles" -> ((children: Seq[Expression]) =>
+      GeomScalar("st_delaunaytriangles", children, BinaryType,
+        Seq(Geom) ++ Seq(Dbl, Int_).take(children.length - 1),
+        a => {
+          val b = new DelaunayTriangulationBuilder()
+          b.setSites(g0(a))
+          if (a.length >= 2) b.setTolerance(d(a, 1))
+          if (a.length >= 3 && i(a, 2) == 1) b.getEdges(GeomIO.factory)
+          else b.getTriangles(GeomIO.factory)
+        })),
     fn("st_simplify", BinaryType, Seq(Geom, Dbl))(a =>
       DouglasPeuckerSimplifier.simplify(g0(a), d(a, 1))),
     fn("st_simplifypreservetopology", BinaryType, Seq(Geom, Dbl))(a =>
@@ -1239,8 +1321,13 @@ object GeomScalars {
             }
         })
     }),
-    fn("st_minimumclearance", DoubleType, Seq(Geom))(a =>
-      MinimumClearance.getDistance(g0(a))),
+    // JTS signals "no clearance" (single point, empty) with
+    // Double.MAX_VALUE; the SQL contract is +Infinity
+    // (test_functions.py test_st_minimum_clearance)
+    fn("st_minimumclearance", DoubleType, Seq(Geom))(a => {
+      val c = MinimumClearance.getDistance(g0(a))
+      if (c == Double.MaxValue) Double.PositiveInfinity else c
+    }),
     fn("st_minimumclearanceline", BinaryType, Seq(Geom))(a =>
       MinimumClearance.getLine(g0(a))),
     // Fraction-space walk (PostGIS / reference st_linesubstring.rs
@@ -1485,11 +1572,21 @@ object GeomScalars {
       if (ca.isEmpty || cb.isEmpty) GeomIO.factory.createLineString()
       else GeomIO.factory.createLineString(Array(ca(bi), cb(bj)))
     }),
+    // GEOS_BuildArea semantics (test_functions.py test_st_buildarea*):
+    // puntal input -> NULL; polygonal input contributes its BOUNDARY
+    // rings as linework (JTS Polygonizer only extracts LineString
+    // components, so rings must be lifted explicitly); empty linework ->
+    // POLYGON EMPTY
     fn("st_buildarea", BinaryType, Seq(Geom))(a => {
-      val p = new Polygonizer(); p.add(g0(a))
-      val polys = p.getPolygons
-      if (polys.isEmpty) GeomIO.factory.createPolygon()
-      else UnaryUnionOp.union(GeomIO.factory.buildGeometry(polys))
+      val g = g0(a)
+      if (g.getDimension == 0) null
+      else {
+        val p = new Polygonizer()
+        p.add(if (g.getDimension == 2) g.getBoundary else g)
+        val polys = p.getPolygons
+        if (polys.isEmpty) GeomIO.factory.createPolygon()
+        else UnaryUnionOp.union(GeomIO.factory.buildGeometry(polys))
+      }
     }),
     "st_force3d" -> ((children: Seq[Expression]) => GeomScalar("st_force3d", children,
       BinaryType, if (children.length >= 2) Seq(Geom, Dbl) else Seq(Geom),
@@ -1663,10 +1760,14 @@ object GeomScalars {
 
     // ---- KNN join stub: only valid inside a join condition, where
     // SpatialJoinStrategy plans it into KnnJoinExec (reference pattern:
-    // rust/sedona-functions/src/st_knn.rs:30-44) ----
-    fn("st_knn", BooleanType, Seq(Geom, Geom, Int_))(_ =>
-      throw new IllegalStateException(
-        "st_knn(query_geom, object_geom, k) can only be used as a join condition")),
+    // rust/sedona-functions/src/st_knn.rs:30-44). Arity 2-4: k defaults
+    // to 1 when omitted (test_knnjoin.py test_knn_join_default_k) ----
+    "st_knn" -> ((children: Seq[Expression]) =>
+      GeomScalar("st_knn", children, BooleanType,
+        Seq(Geom, Geom) ++ Seq(Int_, Raw).take(children.length - 2),
+        _ => throw new IllegalStateException(
+          "st_knn(query_geom, object_geom[, k[, use_spheroid]]) " +
+            "can only be used as a join condition"))),
 
     // ---- spatial sort keys (sd_order.rs) ----
     fn("sd_order", LongType, Seq(Geom))(a => SpaceCurve.hilbertLonLat(g0(a))),

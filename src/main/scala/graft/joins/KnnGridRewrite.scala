@@ -87,9 +87,9 @@ case class KnnGridJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     case j @ Join(left, right, jt, Some(
         graft.functions.GeomScalar("st_knn", args, _, _, _)), _)
         if (jt == Inner || jt == Cross)
-          && (args.length == 3 || args.length == 4) && args.drop(2).forall(_.foldable) =>
+          && args.length >= 2 && args.length <= 4 && args.drop(2).forall(_.foldable) =>
       val Seq(a, b) = args.take(2)
-      val k = args(2).eval() match {
+      val k = if (args.length < 3) 1 else args(2).eval() match { // default k = 1
         case n: java.lang.Number => n.intValue()
         case d: org.apache.spark.sql.types.Decimal => d.toInt
       }

@@ -54,13 +54,14 @@ case class SpatialJoinStrategy(spark: SparkSession) extends SparkStrategy {
     // KNN join captured at analysis time (pushdown-barrier node)
     case p: graft.plans.KnnJoinPlan => planKnn(p)
 
-    // KNN join: ST_KNN(query_geom, object_geom, k[, use_spheroid])
+    // KNN join: ST_KNN(query_geom, object_geom[, k[, use_spheroid]]);
+    // omitted k defaults to 1 (test_knnjoin.py test_knn_join_default_k)
     case Join(left, right, joinType, Some(
         graft.functions.GeomScalar("st_knn", args, _, _, _)), _)
         if (joinType == Inner || joinType == Cross)
-          && (args.length == 3 || args.length == 4) && args.drop(2).forall(_.foldable) =>
+          && args.length >= 2 && args.length <= 4 && args.drop(2).forall(_.foldable) =>
       val Seq(a, b) = args.take(2)
-      val k = args(2).eval() match {
+      val k = if (args.length < 3) 1 else args(2).eval() match {
         case n: java.lang.Number => n.intValue()
         case d: org.apache.spark.sql.types.Decimal => d.toInt
       }

@@ -39,10 +39,10 @@ object KnnJoinCaptureRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, _, Some(
         GeomScalar("st_knn", args, _, _, _)), _)
-        if j.resolved && (args.length == 3 || args.length == 4)
+        if j.resolved && args.length >= 2 && args.length <= 4
           && args.drop(2).forall(_.foldable) =>
       val Seq(a, b) = args.take(2)
-      val k = intOf(args(2))
+      val k = if (args.length >= 3) intOf(args(2)) else 1 // default k = 1
       val sph = args.length == 4 && args(3).eval() == true
       if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
         KnnJoinPlan(left, right, a, b, k, objectIsLeft = false, spheroid = sph)

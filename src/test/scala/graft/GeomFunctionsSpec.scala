@@ -375,6 +375,33 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("no raster loader"))
   }
 
+  test("outdb raster: a custom registered loader is invoked by rs_ensureloaded") {
+    // the registry is pluggable like the reference's
+    // (test_raster_loader.py test_py_raster_loader_registration):
+    // register a loader for a private extension and drive it end-to-end
+    // through rs_frompath + the planner-injected rs_ensureloaded
+    import graft.functions.RasterModel.{Band, Raster}
+    import graft.sources.RasterLoaders
+    RasterLoaders.register("mockfmt", new RasterLoaders.Loader {
+      def readMeta(fetch: (Long, Int) => Array[Byte], fileLen: Long): Raster =
+        Raster("EPSG:4326", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0), 2, 2, Vector.empty)
+      def load(bytes: Array[Byte]): Raster = {
+        // pixel values derived from the actual file bytes: proves the
+        // loader (not a stub) produced the band
+        val v = bytes.map(_.toDouble)
+        Raster("EPSG:4326", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0), 2, 2,
+          Vector(Band(Double.NaN, graft.functions.RasterModel.packDoubles(v))))
+      }
+    })
+    val f = java.nio.file.Files.createTempFile("graft_mock", ".mockfmt")
+    java.nio.file.Files.write(f, Array[Byte](7, 11, 13, 17))
+    val row = spark.sql(
+      s"SELECT rs_bandavg(rs_frompath('file:$f'), 1) AS a, " +
+        s"rs_width(rs_frompath('file:$f')) AS w").collect()(0)
+    assert(row.getInt(1) == 2)
+    assert(row.getDouble(0) == (7 + 11 + 13 + 17) / 4.0)
+  }
+
   test("UTM transform round-trips within 1e-6 deg") {
     val g = GeomIO.point(9.5, 47.25)
     val utm = CrsTransform.transform(g, "EPSG:4326", "EPSG:32632")
@@ -960,7 +987,9 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("null propagation") {
     assert(q("st_area(NULL)") == null)
     assert(q("st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)'))") == null)
-    assert(q("st_startpoint(st_point(1, 2))") == null)
+    // ST_StartPoint follows PostGIS 3.2 any-geometry semantics now
+    // (point -> itself); a linestring-only accessor that IS null there:
+    assert(q("st_endpoint(st_point(1, 2))") == null)
     assert(q("st_geometryn(st_geomfromwkt('MULTIPOINT ((1 2))'), 5)") == null)
   }
 }

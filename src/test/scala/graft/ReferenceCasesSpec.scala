@@ -139,6 +139,268 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LINESTRING (0 0, 1 1), GEOMETRYCOLLECTION (POLYGON ((0 0, -1 0, -1 -1, 0 -1, 0 0))))") == 2.0)
   }
 
+  test("ST_StartPoint any-geometry / ST_EndPoint linestring-only (test_functions.py)") {
+    def sp(wkt: String, expected: String): Unit =
+      sameGeom(s"st_startpoint(st_geomfromwkt('$wkt'))", expected)
+    for (e <- Seq("POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY",
+        "MULTIPOINT EMPTY", "MULTILINESTRING EMPTY", "MULTIPOLYGON EMPTY",
+        "GEOMETRYCOLLECTION EMPTY"))
+      assert(q(s"st_startpoint(st_geomfromwkt('$e'))") == null, e)
+    sp("LINESTRING (1 2, 3 4, 5 6)", "POINT (1 2)")
+    sp("LINESTRING Z (1 2 3, 3 4 5, 5 6 7)", "POINT Z (1 2 3)")
+    sp("LINESTRING M (1 2 3, 3 4 5, 5 6 7)", "POINT M (1 2 3)")
+    sp("LINESTRING ZM (1 2 3 4, 3 4 5 6, 5 6 7 8)", "POINT ZM (1 2 3 4)")
+    sp("POINT (1 2)", "POINT (1 2)")
+    sp("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (0 0)")
+    sp("MULTIPOINT (0 0, 10 0, 10 10, 0 10, 0 0)", "POINT (0 0)")
+    sp("MULTILINESTRING ((1 2, 3 4), (5 6, 7 8))", "POINT (1 2)")
+    sp("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)))", "POINT (0 0)")
+    sp("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (3 4, 5 6))", "POINT (1 2)")
+    sp("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (" +
+      "POINT (1 2), LINESTRING (3 4, 5 6))))", "POINT (1 2)")
+    // EndPoint: strict linestring contract
+    sameGeom("st_endpoint(st_geomfromwkt('LINESTRING ZM (1 2 3 4, 3 4 5 6, 5 6 7 8)'))",
+      "POINT ZM (5 6 7 8)")
+    assert(q("st_endpoint(st_geomfromwkt('POINT (1 2)'))") == null)
+    assert(q("st_endpoint(st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'))") == null)
+    assert(q("st_endpoint(st_geomfromwkt('MULTILINESTRING ((1 2, 3 4), (5 6, 7 8))'))") == null)
+  }
+
+  test("ST_PointN / ST_InteriorRingN index contracts (test_functions.py)") {
+    // PointN: 1-based, negative = from end
+    sameGeom("st_pointn(st_geomfromwkt('LINESTRING (1 2, 3 4, 5 6)'), -1)", "POINT (5 6)")
+    sameGeom("st_pointn(st_geomfromwkt('LINESTRING ZM (1 2 3 4, 3 4 5 6, 5 6 7 8)'), 2)",
+      "POINT ZM (3 4 5 6)")
+    assert(q("st_pointn(st_geomfromwkt('LINESTRING (1 2, 3 4, 5 6)'), 0)") == null)
+    assert(q("st_pointn(st_geomfromwkt('LINESTRING (1 2, 3 4, 5 6)'), 4)") == null)
+    assert(q("st_pointn(st_geomfromwkt('LINESTRING (1 2, 3 4, 5 6)'), -4)") == null)
+    assert(q("st_pointn(st_geomfromwkt('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'), 1)") == null)
+    assert(q("st_pointn(st_geomfromwkt('MULTILINESTRING ((1 2, 3 4), (5 6, 7 8))'), 1)") == null)
+    assert(q("st_pointn(st_geomfromwkt('LINESTRING EMPTY'), 1)") == null)
+    // InteriorRingN: 1-based only, NO negative indexing
+    val holed = "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1), " +
+      "(4 4, 4 5, 5 5, 5 4, 4 4))"
+    sameGeom(s"st_interiorringn(st_geomfromwkt('$holed'), 1)",
+      "LINESTRING (1 1, 1 2, 2 2, 2 1, 1 1)")
+    sameGeom(s"st_interiorringn(st_geomfromwkt('$holed'), 2)",
+      "LINESTRING (4 4, 4 5, 5 5, 5 4, 4 4)")
+    assert(q(s"st_interiorringn(st_geomfromwkt('$holed'), 3)") == null)
+    assert(q(s"st_interiorringn(st_geomfromwkt('$holed'), 0)") == null)
+    assert(q(s"st_interiorringn(st_geomfromwkt('$holed'), -1)") == null)
+    assert(q("st_interiorringn(st_geomfromwkt('MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1, 1 1)))'), 1)") == null)
+    assert(q("st_interiorringn(st_geomfromwkt('POINT (0 0)'), 1)") == null)
+    assert(q("st_interiorringn(st_geomfromwkt('POLYGON EMPTY'), 1)") == null)
+  }
+
+  test("ST_IsRing errors on non-linestrings; ST_LineLocatePoint contracts " +
+      "(test_functions.py)") {
+    assert(q("st_isring(st_geomfromwkt('LINESTRING (0 0, 0 1, 1 1, 1 0, 0 0)'))") == true)
+    assert(q("st_isring(st_geomfromwkt('LINESTRING (0 0, 0 1, 1 1)'))") == false)
+    for (bad <- Seq("POINT(0 0)", "MULTIPOINT((0 0), (1 1))",
+        "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "MULTILINESTRING((0 0, 0 1, 1 1, 1 0, 0 0))",
+        "GEOMETRYCOLLECTION(LINESTRING(0 0, 0 1, 1 1, 1 0, 0 0))")) {
+      val e = intercept[Exception](q(s"st_isring(st_geomfromwkt('$bad'))"))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" ")
+      assert(msgs.toLowerCase.contains("linestring"), bad)
+    }
+    assert(q("st_linelocatepoint(st_geomfromwkt('LINESTRING EMPTY'), " +
+      "st_geomfromwkt('POINT (0 0)'))") == null)
+    assert(q("st_linelocatepoint(st_geomfromwkt('LINESTRING (0 0, 1 1)'), " +
+      "st_geomfromwkt('POINT EMPTY'))") == null)
+    val e2 = intercept[Exception](q("st_linelocatepoint(" +
+      "st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 0))'), st_geomfromwkt('POINT (0.5 0.5)'))"))
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+    assert(m2.toLowerCase.contains("linestring"))
+  }
+
+  test("typed WKT constructors: SRID arg, matching EMPTY, wrong-type errors " +
+      "(test_functions.py)") {
+    val table = Seq(
+      ("st_pointfromtext", "POINT (1 2)", "POINT EMPTY", "LINESTRING EMPTY"),
+      ("st_linefromtext", "LINESTRING (0 0, 1 1)", "LINESTRING EMPTY", "POINT EMPTY"),
+      ("st_polygonfromtext", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON EMPTY", "POINT EMPTY"),
+      ("st_mpointfromtext", "MULTIPOINT ((0 0))", "MULTIPOINT EMPTY", "LINESTRING EMPTY"),
+      ("st_mlinefromtext", "MULTILINESTRING ((0 0, 1 1))", "MULTILINESTRING EMPTY", "POINT EMPTY"),
+      ("st_mpolyfromtext", "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))", "MULTIPOLYGON EMPTY", "POINT EMPTY"),
+      ("st_geomcollfromtext", "GEOMETRYCOLLECTION (POINT (0 0))", "GEOMETRYCOLLECTION EMPTY", "LINESTRING EMPTY"))
+    for ((fn, wkt, matchingEmpty, wrongEmpty) <- table) {
+      assert(q(s"st_srid($fn('$wkt', 4326))") == 4326, fn)
+      sameGeom(s"$fn('$matchingEmpty')", matchingEmpty)
+      intercept[Exception](q(s"$fn('$wrongEmpty')"))
+    }
+    // st_linestringfromtext is an alias of st_linefromtext
+    sameGeom("st_linestringfromtext('LINESTRING (0 0, 1 1)')", "LINESTRING (0 0, 1 1)")
+    // ST_GeomFromText with int or digit-string SRID
+    assert(q("st_srid(st_geomfromtext('POINT (0 0)', 0))") == 0)
+    assert(q("st_srid(st_geomfromtext('POINT (0 0)', 4326))") == 4326)
+    assert(q("st_srid(st_geomfromtext('POINT (0 0)', '4326'))") == 4326)
+    assert(q("st_srid(st_geomfromtext('POINT (0 0)', CAST(NULL AS INT)))") == null)
+    // ST_Point with SRID third arg
+    assert(q("st_srid(st_point(1, 1, 0))") == 0)
+    assert(q("st_srid(st_point(1, 1, 4326))") == 4326)
+    assert(q("st_srid(st_point(1, 1, '4326'))") == 4326)
+  }
+
+  test("ST_Boundary of closed rings / points is empty (test_functions.py)") {
+    for (wkt <- Seq("POINT (5 10)", "MULTIPOINT (100 200)",
+        "MULTIPOINT (5 10, 15 20)", "MULTIPOINT (1 1, 2 2, 3 3, 1 1)",
+        "LINESTRING(10 10, 20 20, 30 10, 10 10)",
+        "MULTILINESTRING ((0 0, 0 1, 1 0, 0 0), (10 10, 10 20, 20 10, 10 10))"))
+      assert(q(s"st_isempty(st_boundary(st_geomfromwkt('$wkt')))") == true, wkt)
+  }
+
+  test("ST_MinimumClearance / ST_MinimumClearanceLine (test_functions.py)") {
+    def mc(wkt: String): Double =
+      q(s"st_minimumclearance(st_geomfromwkt('$wkt'))").asInstanceOf[Double]
+    assert(q("st_minimumclearance(CAST(NULL AS BINARY))") == null)
+    assert(mc("POINT (1 1)").isPosInfinity)
+    assert(mc("POLYGON EMPTY").isPosInfinity)
+    assert(mc("LINESTRING (0 0, 1 1, 2 2)") == 1.4142135623730951)
+    assert(mc("LINESTRING (5 107, 54 84, 101 100)") == 49.64876634922564)
+    assert(mc("LINESTRING(0 0,0 0,1 1,1 1,2 2)") == 1.4142135623730951)
+    assert(mc("POLYGON((0 0,0 3,3 3,3 0,0 0),(1 1,1 2,2 2,2 1,1 1))") == 1.0)
+    assert(mc("POLYGON((0 0,0 1,0 1,1 1,1 0,0 0,0 0))") == 1.0)
+    assert(mc("POLYGON((0 0,3 0,3 3,2 1,1 3,0 3,0 0))") == 1.0)
+    assert(mc("MULTIPOINT (10 40, 40 30)") == 31.622776601683793)
+    assert(mc("MULTIPOINT ((10 10), (20 20), (30 30))") == 14.142135623730951)
+    assert(mc("MULTILINESTRING ((10 10, 20 20), (30 30, 40 40))") == 14.142135623730951)
+    assert(mc("MULTILINESTRING ((5 5, 10 5, 10 15), (20 20, 25 10))") == 5.0)
+    assert(mc("MULTIPOLYGON(((26 125, 26 200, 126 200, 126 125, 26 125 )," +
+      "( 51 150, 101 150, 76 175, 51 150 )),(( 151 100, 151 200, 176 175, 151 100 )))")
+      == 25.0)
+    assert(mc("GEOMETRYCOLLECTION(POINT(1 1),MULTIPOLYGON(((0 2,1 1,0 0,0 2))," +
+      "((2 0,1 1,2 2,2 0))))") == 1.0)
+    def mcl(wkt: String, expected: String): Unit =
+      sameGeom(s"st_minimumclearanceline(st_geomfromwkt('$wkt'))", expected)
+    mcl("POLYGON ((0 0, 1 0, 1 1, 0.5 3.2e-4, 0 0))", "LINESTRING (0.5 0.00032, 0.5 0)")
+    mcl("LINESTRING (5 107, 54 84, 101 100)", "LINESTRING (54 84, 101 100)")
+    // the square-with-hole has four equally-minimal witness segments
+    // (every hole-shell gap is exactly 1): GEOS picks (1 1)-(1 2), JTS
+    // picks (0 1)-(1 1) — same clearance, tie-broken differently, so pin
+    // the length only
+    assert(q("st_length(st_minimumclearanceline(st_geomfromwkt(" +
+      "'POLYGON((0 0,0 3,3 3,3 0,0 0),(1 1,1 2,2 2,2 1,1 1))')))") == 1.0)
+    mcl("POLYGON((0 0,0 1,0 1,1 1,1 0,0 0,0 0))", "LINESTRING (0 0, 0 1)")
+    mcl("LINESTRING (0 0, 1 1, 2 2)", "LINESTRING (0 0, 1 1)")
+    mcl("POINT (1 1)", "LINESTRING EMPTY")
+    mcl("POLYGON EMPTY", "LINESTRING EMPTY")
+    mcl("POLYGON((0 0,3 0,3 3,2 1,1 3,0 3,0 0))", "LINESTRING (1 3, 0 3)")
+  }
+
+  test("ST_DelaunayTriangles tolerance + only-edges flag (test_functions.py)") {
+    sameGeom("st_delaunaytriangles(st_geomfromwkt('MULTIPOINT ((0 0), (1 0), (0.5 1))'), 0.0D)",
+      "GEOMETRYCOLLECTION (POLYGON ((0.5 1, 0 0, 1 0, 0.5 1)))")
+    // tolerance snaps the near-duplicate site away
+    sameGeom("st_delaunaytriangles(st_geomfromwkt('MULTIPOINT ((0 0), (0.001 0), (1 0), (0.5 1))'), 1.0D)",
+      "GEOMETRYCOLLECTION (POLYGON ((0.5 1, 0 0, 1 0, 0.5 1)))")
+    sameGeom("st_delaunaytriangles(st_geomfromwkt('MULTIPOINT ((0 0), (1 0), (0.5 1))'), 0.0D, 1)",
+      "MULTILINESTRING ((0.5 1, 1 0), (0 0, 0.5 1), (0 0, 1 0))")
+    assert(q("st_delaunaytriangles(CAST(NULL AS BINARY))") == null)
+  }
+
+  test("ST_ConcaveHull allow_holes arg (test_functions.py)") {
+    def ch(wkt: String, pct: Double, holes: Boolean, expected: String): Unit = {
+      if (expected.toUpperCase.contains("EMPTY"))
+        assert(q(s"st_isempty(st_concavehull(st_geomfromwkt('$wkt'), ${pct}D, $holes))")
+          == true, wkt)
+      else
+        assert(q(s"st_equals(st_concavehull(st_geomfromwkt('$wkt'), ${pct}D, $holes), " +
+          s"st_geomfromwkt('$expected'))") == true, wkt)
+    }
+    ch("POINT EMPTY", 0.1, true, "POLYGON EMPTY")
+    ch("POINT (2.5 3.1)", 0.1, true, "POINT (2.5 3.1)")
+    ch("LINESTRING EMPTY", 0.2, true, "POLYGON EMPTY")
+    ch("LINESTRING (100 150, 50 60, 70 80, 160 170)", 0.2, true,
+      "POLYGON ((50 60, 100 150, 160 170, 70 80, 50 60))")
+    ch("LINESTRING (100 150, 50 60, 70 80, 160 170)", 0.2, false,
+      "POLYGON ((70 80, 50 60, 100 150, 160 170, 70 80))")
+    ch("POLYGON ((70 80, 50 60, 100 150, 160 170, 70 80))", 0.2, false,
+      "POLYGON ((70 80, 50 60, 100 150, 160 170, 70 80))")
+    ch("POLYGON ((70 80, 50 60, 100 150, 160 170, 70 80))", 0.2, true,
+      "POLYGON ((70 80, 50 60, 100 150, 160 170, 70 80))")
+    ch("MULTIPOINT EMPTY", 0.2, false, "POLYGON EMPTY")
+    ch("MULTIPOINT ((10 40), (40 30), (20 20), (30 10))", 0.1, true,
+      "POLYGON ((40 30, 30 10, 20 20, 10 40, 40 30))")
+    ch("MULTIPOINT ((10 40), (40 30), (20 20), (30 10))", 0.1, false,
+      "POLYGON ((20 20, 10 40, 40 30, 30 10, 20 20))")
+    ch("MULTILINESTRING EMPTY", 0.1, false, "POLYGON EMPTY")
+    ch("MULTILINESTRING ((10 10, 20 20, 10 40), (40 40, 30 30, 40 20, 30 10))", 0.1, true,
+      "POLYGON ((30 30, 40 40, 40 20, 30 10, 10 10, 20 20, 10 40, 30 30))")
+    ch("MULTILINESTRING ((10 10, 20 20, 10 40), (40 40, 30 30, 40 20, 30 10))", 0.1, false,
+      "POLYGON ((20 20, 10 40, 30 30, 40 40, 40 20, 30 10, 10 10, 20 20))")
+    ch("GEOMETRYCOLLECTION EMPTY", 0.1, true, "POLYGON EMPTY")
+    ch("GEOMETRYCOLLECTION (MULTIPOINT((1 1), (3 3)), POINT(5 6), LINESTRING(4 5, 5 6))",
+      0.1, true, "POLYGON ((1 1, 4 5, 5 6, 3 3, 1 1))")
+    ch("GEOMETRYCOLLECTION (MULTIPOINT((1 1), (3 3)), POINT(5 6), LINESTRING(4 5, 5 6))",
+      0.1, false, "POLYGON ((3 3, 1 1, 4 5, 5 6, 3 3))")
+  }
+
+  test("ST_BuildArea linework/puntal/polygonal table (test_functions.py)") {
+    sameGeom("st_buildarea(st_geomfromwkt('LINESTRING (0 0, 1 0, 1 1, 0 0)'))",
+      "POLYGON ((0 0, 1 1, 1 0, 0 0))")
+    sameGeom("st_buildarea(st_geomfromwkt('MULTILINESTRING ((0 0, 1 0, 1 1, 0 0), " +
+      "(2 2, 3 2, 3 3, 2 2))'))",
+      "MULTIPOLYGON (((1 1, 1 0, 0 0, 1 1)), ((3 3, 3 2, 2 2, 3 3)))")
+    // polygonal input rebuilds from its boundary rings
+    sameGeom("st_buildarea(st_geomfromwkt('POLYGON ((0 0, 1 0, 1 1, 0 0))'))",
+      "POLYGON ((0 0, 1 1, 1 0, 0 0))")
+    sameGeom("st_buildarea(st_geomfromwkt('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))'))",
+      "POLYGON ((0 0, 1 1, 1 0, 0 0))")
+    // empty linework -> POLYGON EMPTY; puntal -> NULL
+    sameGeom("st_buildarea(st_geomfromwkt('LINESTRING EMPTY'))", "POLYGON EMPTY")
+    sameGeom("st_buildarea(st_geomfromwkt('MULTILINESTRING EMPTY'))", "POLYGON EMPTY")
+    assert(q("st_buildarea(st_geomfromwkt('POINT (0 0)'))") == null)
+    assert(q("st_buildarea(CAST(NULL AS BINARY))") == null)
+  }
+
+  test("ST_IsSimple truth table (test_functions.py)") {
+    def simple(wkt: String): Any = q(s"st_issimple(st_geomfromwkt('$wkt'))")
+    assert(q("st_issimple(CAST(NULL AS BINARY))") == null)
+    assert(simple("POINT (1 1)") == true)
+    assert(simple("POINT EMPTY") == true)
+    assert(simple("MULTIPOINT (1 1, 2 2, 3 3)") == true)
+    assert(simple("MULTIPOINT (1 1, 2 2, 1 1)") == false)
+    assert(simple("MULTIPOINT EMPTY") == true)
+    assert(simple("LINESTRING (0 0, 1 1)") == true)
+    assert(simple("LINESTRING (0 0, 1 1, 2 2)") == true)
+    assert(simple("LINESTRING (0 0, 1 1, 0 1, 1 0)") == false)
+    assert(simple("LINESTRING(1 1,2 2,2 3.5,1 3,1 2,2 1)") == false)
+    assert(simple("LINESTRING (0 0, 1 1, 0 0)") == false)
+    assert(simple("LINESTRING (0 0, 1 1, 1 0, 0 0)") == true)
+    assert(simple("LINESTRING EMPTY") == true)
+    assert(simple("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))") == true)
+    assert(simple("POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))") == false)
+    assert(simple("POLYGON((1 2, 3 4, 5 6, 1 2))") == false)
+    assert(simple("POLYGON((0 0, 2 0, 1 1, 2 2, 0 2, 1 1, 0 0))") == false)
+    assert(simple("POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))") == true)
+    assert(simple("POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0), (1 1, 0 2, 2 2, 1 1))") == true)
+    assert(simple("MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))") == true)
+    assert(simple("MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))") == false)
+    assert(simple("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))") == true)
+    assert(simple("MULTILINESTRING ((0 0, 1 1, 2 2), (2 2, 3 3))") == true)
+    assert(simple("MULTILINESTRING ((0 0, 2 0, 2 2, 0 2, 0 0), " +
+      "(1 1, 3 1, 3 3, 1 3, 1 1))") == false)
+    assert(simple("MULTILINESTRING ((0 0, 2 2), (1 0, 1 2))") == false)
+    assert(simple("MULTILINESTRING EMPTY") == true)
+    assert(simple("MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)))") == true)
+    assert(simple("MULTIPOLYGON (((0 0, 0 2, 2 2, 2 0, 0 0)), " +
+      "((3 0, 3 2, 5 2, 5 0, 3 0)))") == true)
+  }
+
+  test("ST_IsValidReason messages (test_functions.py)") {
+    assert(q("st_isvalidreason(CAST(NULL AS BINARY))") == null)
+    assert(q("st_isvalidreason(st_geomfromwkt('POINT (0 0)'))") == "Valid Geometry")
+    assert(q("st_isvalidreason(st_geomfromwkt('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))'))")
+      == "Valid Geometry")
+    assert(q("st_isvalidreason(st_geomfromwkt('POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))'))")
+      .asInstanceOf[String].startsWith("Self-intersection"))
+    assert(q("st_isvalidreason(st_geomfromwkt('Polygon((0 0, 2 0, 1 1, 2 2, 0 2, 1 1, 0 0)'" +
+      " || '))'))").asInstanceOf[String].startsWith("Ring Self-intersection"))
+  }
+
   test("ST_Buffer areas match GEOS quad_segs=8 values (test_functions.py)") {
     def bufArea(wkt: String, dist: Double): Double =
       q(s"st_area(st_buffer(st_geomfromwkt('$wkt'), ${dist}D))").asInstanceOf[Double]

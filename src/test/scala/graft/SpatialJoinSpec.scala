@@ -349,6 +349,13 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT st_knn(st_point(0,0), st_point(1,1), 2)").collect())
     assert(e.getMessage.contains("join condition") ||
       e.getCause != null && e.getCause.getMessage.contains("join condition"))
+    // 2-arg form defaults to k = 1 (test_knnjoin.py test_knn_join_default_k)
+    val r1 = spark.sql(
+      "SELECT qid, oid FROM knn_q JOIN knn_o ON st_knn(qg, og)")
+    val rExplicit = spark.sql(
+      "SELECT qid, oid FROM knn_q JOIN knn_o ON st_knn(qg, og, 1)")
+    assert(sortedRows(r1) == sortedRows(rExplicit))
+    assert(r1.count() == 30)
   }
 
   test("KNN edge cases: k > object count, polygon objects, query-side filter " +
