@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.locationtech.jts.geom.{CoordinateSequence, CoordinateSequenceFilter, Geometry}
+import org.locationtech.jts.geom.{Coordinate, CoordinateSequence, CoordinateSequenceFilter, Geometry}
 
 /** Hand-coded CRS math replacing the reference's PROJ engine
   * (c/sedona-proj/src/transform.rs:36,258). Scope: a practical subset of
@@ -60,6 +60,10 @@ object CrsTransform {
 
   sealed trait Crs
   case object LonLat extends Crs
+  /** EPSG:4979 — WGS84 geodetic 3D (lon/lat/ellipsoidal height). */
+  case object Geodetic3D extends Crs
+  /** EPSG:4978 — WGS84 geocentric cartesian XYZ (metres). */
+  case object Geocentric extends Crs
   case object WebMercator extends Crs
   case class Utm(zone: Int, south: Boolean) extends Crs
   /** Geographic (lon/lat) CRS other than 4326; `datum` null means
@@ -93,6 +97,8 @@ object CrsTransform {
       else GeomScalars.parseCrsSrid(t).toString
     c.toInt match {
       case 4326 => LonLat
+      case 4979 => Geodetic3D
+      case 4978 => Geocentric
       case 3857 => WebMercator
       case z if z >= 32601 && z <= 32660 => Utm(z - 32600, south = false)
       case z if z >= 32701 && z <= 32760 => Utm(z - 32700, south = true)
@@ -136,9 +142,9 @@ object CrsTransform {
         lat0 = 29.0 + 40.0 / 60, lon0 = -98.5, sp1 = 31.0 + 53.0 / 60,
         sp2 = 30.0 + 7.0 / 60, fe = 700000.0, fn = 3000000.0))
       case other => throw new IllegalArgumentException(
-        s"Unsupported CRS EPSG:$other (supported: 4326, 3857, 3395, UTM 326xx/327xx, " +
-          "ETRS89 UTM 258xx, NAD83 UTM 269xx, 2154, 3035, 5070, 4258, 4269, " +
-          "4277, 27700, 32118, 32139)")
+        s"Unsupported CRS EPSG:$other (supported: 4326, 4978, 4979, 3857, 3395, " +
+          "UTM 326xx/327xx, ETRS89 UTM 258xx, NAD83 UTM 269xx, 2154, 3035, 5070, " +
+          "4258, 4269, 4277, 27700, 32118, 32139)")
     }
   }
 
@@ -483,11 +489,14 @@ object CrsTransform {
   def transformPoint(x: Double, y: Double, src: Crs, dst: Crs): (Double, Double) = {
     if (src == dst) return (x, y)
     val (lonS, latS) = src match {
-      case LonLat => (x, y)
+      case LonLat | Geodetic3D => (x, y)
       case Geographic(_, _) => (x, y)
       case WebMercator => mercToLonLat(x, y)
       case Utm(z, s) => utmProj(z).inv(x, if (s) y - 10000000.0 else y)
       case Projected(_, p, _) => p.inv(x, y)
+      case Geocentric => throw new IllegalArgumentException(
+        "EPSG:4978 is a 3D cartesian CRS — only 4326/4979 <-> 4978 " +
+          "transforms are supported")
     }
     val (lon, lat) = datumOf(src) match {
       case null => (lonS, latS)
@@ -498,20 +507,75 @@ object CrsTransform {
       case d => shiftDatum(lon, lat, d, toWgs = false)
     }
     dst match {
-      case LonLat => (lonD, latD)
+      case LonLat | Geodetic3D => (lonD, latD)
       case Geographic(_, _) => (lonD, latD)
       case WebMercator => lonLatToMerc(lonD, latD)
       case Utm(z, s) =>
         val (px, py) = utmProj(z).fwd(lonD, latD)
         (px, if (s) py + 10000000.0 else py)
       case Projected(_, p, _) => p.fwd(lonD, latD)
+      case Geocentric => throw new IllegalArgumentException(
+        "EPSG:4978 is a 3D cartesian CRS — only 4326/4979 <-> 4978 " +
+          "transforms are supported")
     }
   }
+
+  /** Geodetic with ellipsoidal height -> geocentric XYZ (WGS84). */
+  private def geodeticToXyzH(lon: Double, lat: Double, h: Double)
+    : (Double, Double, Double) = {
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(lon)
+    val n = Wgs84.a / math.sqrt(1 - Wgs84.e2 * math.sin(phi) * math.sin(phi))
+    ((n + h) * math.cos(phi) * math.cos(lam),
+      (n + h) * math.cos(phi) * math.sin(lam),
+      (n * (1 - Wgs84.e2) + h) * math.sin(phi))
+  }
+
+  /** Geocentric XYZ -> geodetic lon/lat/height (WGS84). */
+  private def xyzToGeodeticH(x: Double, y: Double, z: Double)
+    : (Double, Double, Double) = {
+    val p = math.sqrt(x * x + y * y)
+    var phi = math.atan2(z, p * (1 - Wgs84.e2))
+    var h = 0.0
+    var i = 0
+    while (i < 10) {
+      val sin = math.sin(phi)
+      val n = Wgs84.a / math.sqrt(1 - Wgs84.e2 * sin * sin)
+      h = p / math.cos(phi) - n
+      phi = math.atan2(z, p * (1 - Wgs84.e2 * n / (n + h)))
+      i += 1
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi), h)
+  }
+
+  /** Rebuild every coordinate as a full 3D Coordinate mapped through f. */
+  private def map3d(g: Geometry,
+      f: (Double, Double, Double) => (Double, Double, Double)): Geometry =
+    GeomScalars.mapCoords3D(g, c => {
+      val h = if (java.lang.Double.isNaN(c.getZ)) 0.0 else c.getZ
+      val (nx, ny, nz) = f(c.x, c.y, h)
+      new Coordinate(nx, ny, nz)
+    })
 
   def transform(g: Geometry, from: String, to: String): Geometry = {
     val src = parse(from)
     val dst = parse(to)
     if (src == dst) return g
+    // 3D geocentric legs (EPSG:4978) carry the height through a full
+    // coordinate rebuild; the 2D path below only touches x/y
+    // (reference c/sedona-proj: test_transforms.py test_st_transform_3d)
+    val srid3 = to.trim.toUpperCase.stripPrefix("EPSG:").toInt
+    (src, dst) match {
+      case (LonLat | Geodetic3D, Geocentric) =>
+        val out = map3d(g, geodeticToXyzH)
+        out.setSRID(srid3); return out
+      case (Geocentric, LonLat | Geodetic3D) =>
+        val out = map3d(g, xyzToGeodeticH)
+        out.setSRID(srid3); return out
+      case (LonLat, Geodetic3D) | (Geodetic3D, LonLat) =>
+        val out = g.copy(); out.setSRID(srid3); return out
+      case _ =>
+    }
     val out = g.copy()
     out.apply(new CoordinateSequenceFilter {
       override def filter(seq: CoordinateSequence, i: Int): Unit = {

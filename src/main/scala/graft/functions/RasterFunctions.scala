@@ -479,6 +479,13 @@ object RasterFunctions {
     fnv("rs_setbandnodatavalue", RasterModel.dataType,
         Seq(Seq(Raw, Dbl), Seq(Raw, Int_, Dbl)))(a => {
       val r = rast(a)
+      // the 2-arg form is ambiguous on a multiband raster — error rather
+      // than silently setting band 1 (test_raster_functions.py
+      // test_rs_setbandnodatavalue_two_arg_requires_single_band)
+      if (a.length == 2) require(r.bands.length == 1,
+        s"rs_setbandnodatavalue: raster has ${r.bands.length} bands; " +
+          "specify which band to set (the 2-argument form is only allowed " +
+          "for a single-band raster)")
       val (b, v) = if (a.length == 2) (1, d(a, 1)) else (ii(a, 1), d(a, 2))
       if (b < 1 || b > r.bands.length) null
       else RasterModel.toRow(r.crs, r.gt, r.width, r.height,

@@ -679,6 +679,12 @@ object RasterOps {
       // the lossless codec set the reference suite pins
       // (test_rs_asgeotiff.py COMPRESSIONS); the quality fraction is
       // accepted and ignored for lossless codecs
+      if (a.length > 2) {
+        val quality = d(a, 2)
+        require(quality >= 0.0 && quality <= 1.0,
+          s"rs_asgeotiff: quality $quality out of range: must be between " +
+            "0.0 and 1.0 (a fraction, not a 0-100 percentage)")
+      }
       val code = if (a.length <= 1) 1 else {
         a(1).asInstanceOf[String].trim.toLowerCase(java.util.Locale.ROOT) match {
           case "" | "none" => 1

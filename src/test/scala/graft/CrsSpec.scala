@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.CrsTransform
 import graft.functions.CrsTransform._
+import graft.geom.GeomIO
 
 /** Projection math checks: exact false-origin anchors, known-point
   * envelopes, and forward∘inverse identity across the supported EPSG
@@ -104,6 +105,33 @@ class CrsSpec extends AnyFunSuite {
       roundtrip("EPSG:5041", lon, lat)
     for (lon <- Seq(-120.0, 45.0); lat <- Seq(-89.5, -84.5))
       roundtrip("EPSG:5042", lon, lat)
+  }
+
+  test("geocentric EPSG:4978: 3D anchor + roundtrip (test_transforms.py)") {
+    // reference anchor: ST_Transform(POINT Z (1 1 1), 'EPSG:4979',
+    // 'EPSG:4978') = POINT Z (6376201.805927448 111297.016517882
+    // 110568.792276973)
+    val p = GeomIO.readWkt("POINT Z (1 1 1)")
+    val xyz = CrsTransform.transform(p, "EPSG:4979", "EPSG:4978")
+    val c = xyz.getCoordinate
+    assert(math.abs(c.x - 6376201.805927448) < 1e-6, s"x ${c.x}")
+    assert(math.abs(c.y - 111297.016517882) < 1e-6, s"y ${c.y}")
+    assert(math.abs(c.getZ - 110568.792276973) < 1e-6, s"z ${c.getZ}")
+    assert(xyz.getSRID == 4978)
+    // inverse recovers lon/lat/h
+    val back = CrsTransform.transform(xyz, "EPSG:4978", "EPSG:4979").getCoordinate
+    assert(math.abs(back.x - 1.0) < 1e-9 && math.abs(back.y - 1.0) < 1e-9)
+    assert(math.abs(back.getZ - 1.0) < 1e-6)
+    // 2D 4326 input: height 0, same surface point
+    val flat = CrsTransform.transform(GeomIO.point(1.0, 1.0),
+      "EPSG:4326", "EPSG:4978").getCoordinate
+    // h=0 differs from the h=1 anchor by exactly cos(1°)·cos(1°) in X
+    assert(math.abs(flat.x - (6376201.805927448 -
+      math.cos(math.toRadians(1)) * math.cos(math.toRadians(1)))) < 1e-6)
+    // 4978 into a 2D projection is rejected loudly
+    intercept[IllegalArgumentException] {
+      CrsTransform.transform(p, "EPSG:4978", "EPSG:3857")
+    }
   }
 
   test("projected-to-projected goes through the shared geographic hub") {

@@ -1367,6 +1367,38 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getMessage).mkString(" | ").contains("SRID"))
   }
 
+  test("raster ambiguous-band and quality-range error contracts " +
+      "(test_raster_functions.py)") {
+    def causesMsg(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    // 2-arg nodata setter on the 3-band example is ambiguous
+    val e1 = intercept[Exception](q("rs_setbandnodatavalue(rs_example(), 0.0D)"))
+    assert(causesMsg(e1).contains("specify which band"))
+    // band-less value sampler likewise
+    val e2 = intercept[Exception](
+      q("rs_value(rs_example(), st_point(74.58D, 110.57D))"))
+    assert(causesMsg(e2).contains("specify which band"))
+    // quality is a 0-1 fraction, not a percentage
+    val e3 = intercept[Exception](
+      q("rs_asgeotiff(rs_example(), 'DEFLATE', 75.0D)"))
+    assert(causesMsg(e3).contains("between 0.0 and 1.0"))
+    // in-range quality accepted (and ignored for lossless codecs)
+    assert(q("length(rs_asgeotiff(rs_example(), 'DEFLATE', 0.85D))")
+      .asInstanceOf[Int] > 0)
+  }
+
+  test("ST_Transform 3D geocentric anchor (test_transforms.py test_st_transform_3d)") {
+    val r = spark.sql("SELECT st_transform(st_geomfromwkt('POINT Z (1 1 1)'), " +
+      "'EPSG:4979', 'EPSG:4978') AS g").select(
+        org.apache.spark.sql.functions.expr("st_x(g)"),
+        org.apache.spark.sql.functions.expr("st_y(g)"),
+        org.apache.spark.sql.functions.expr("st_z(g)")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 6376201.805927448) < 1e-6)
+    assert(math.abs(r.getDouble(1) - 111297.016517882) < 1e-6)
+    assert(math.abs(r.getDouble(2) - 110568.792276973) < 1e-6)
+  }
+
   test("ST_Transform web-mercator anchor + SRID plumbing (test_transforms.py)") {
     // the reference's PROJ anchor for (1,1) 4326→3857, wkt_precision 9
     val p = spark.sql("SELECT st_transform(st_geomfromwkt('POINT (1 1)'), " +
