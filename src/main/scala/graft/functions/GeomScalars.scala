@@ -1203,8 +1203,17 @@ object GeomScalars {
     }),
     fn("st_distance", DoubleType, Seq(Geom, Geom))(a => g0(a).distance(g1(a))),
     fn("st_maxdistance", DoubleType, Seq(Geom, Geom))(a => maxDistance(g0(a), g1(a))),
-    fn("st_hausdorffdistance", DoubleType, Seq(Geom, Geom))(a =>
-      DiscreteHausdorffDistance.distance(g0(a), g1(a))),
+    // optional 3rd arg densify fraction; EMPTY inputs -> null
+    // (test_distance.py test_st_hausdorffdistance_densify)
+    "st_hausdorffdistance" -> ((children: Seq[Expression]) =>
+      GeomScalar("st_hausdorffdistance", children, DoubleType,
+        Seq(Geom, Geom) ++ Seq(Dbl).take(children.length - 2),
+        a => {
+          if (g0(a).isEmpty || g1(a).isEmpty) null
+          else if (a.length >= 3)
+            DiscreteHausdorffDistance.distance(g0(a), g1(a), d(a, 2))
+          else DiscreteHausdorffDistance.distance(g0(a), g1(a))
+        })),
     fn("st_azimuth", DoubleType, Seq(Geom, Geom))(a => azimuth(g0(a), g1(a))),
     // empty inputs -> null; non-linestring -> error naming the type
     // (test_functions.py test_st_linelocatepoint_*)

@@ -19,6 +19,26 @@ object TextOps {
     * string_split_regex(lower(x), '\s+') */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** PII-redaction regexes, ordered (emails first so an IP-shaped mail
+    * domain is consumed by [EMAIL] before the IP pass — order changes
+    * output, both engines must apply the same sequence). Patterns are
+    * restricted to the syntax subset Java regex and DuckDB's RE2 parse
+    * identically: character classes, bounded repetition, \d, \b. */
+  final val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  final val PiiPhoneRe = "\\+\\d{1,3}-\\d{2,4}-\\d{3,4}-\\d{4}"
+
+  /** CCNet/Dolma-style PII scrub: emails -> [EMAIL], IPv4 -> [IP],
+    * international phone numbers -> [PHONE]. Map-only, codegen'd
+    * regexp_replace chain. DuckDB twin: the same three
+    * regexp_replace(..., 'g') calls in the same order. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "[EMAIL]"),
+        PiiIpRe, "[IP]"),
+      PiiPhoneRe, "[PHONE]")
+
   /** 32-bit cross-engine hash: first 8 hex chars of md5 as unsigned —
     * native digest kernel (SdHash32), bit-identical to the composed form
     * conv(substr(md5(x),1,8),16,10).

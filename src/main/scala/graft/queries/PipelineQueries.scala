@@ -201,6 +201,27 @@ object PipelineQueries {
       PipelineOps.repetitionStats(t(s, dir, "documents"), col("doc_id"), col("text"), 3)
     }),
 
+    // PII redaction (CCNet/Dolma scrub stage): deterministic synthetic
+    // emails/IPs/phones appended per doc so the redaction provably fires;
+    // output pins the redacted text hash + per-category counts
+    "pl18_pii_redact" -> ((s, dir) => {
+      val spiked = t(s, dir, "documents")
+        .withColumn("spiked", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@ex"),
+          pmod(col("doc_id"), lit(7)), lit(".com from "),
+          pmod(col("doc_id"), lit(256)), lit(".13.7."),
+          pmod(col("doc_id"), lit(250)), lit(" call +49-30-555-"),
+          pmod(col("doc_id"), lit(9000)) + 1000))
+      def occurrences(c: org.apache.spark.sql.Column, token: String) =
+        ((length(c) - length(replace(c, lit(token), lit("")))) / token.length)
+          .cast("int")
+      spiked.select(col("doc_id"),
+        substring(md5(TextOps.redactPii(col("spiked"))), 1, 16).as("red_hash"),
+        occurrences(TextOps.redactPii(col("spiked")), "[EMAIL]").as("n_email"),
+        occurrences(TextOps.redactPii(col("spiked")), "[IP]").as("n_ip"),
+        occurrences(TextOps.redactPii(col("spiked")), "[PHONE]").as("n_phone"))
+    }),
+
     // multimodal binary column plumbing with deterministic fake decode
     // real image pipeline: per-doc solid-gray PNG synthesized through the
     // JVM codec, decoded back by MultimodalOps.decodeBatch via
@@ -337,6 +358,24 @@ object PipelineQueries {
         |  round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6) AS tok_rep,
         |  round(1.0 - len(list_distinct(gs))::DOUBLE / len(gs), 6) AS gram_rep
         |FROM g""".stripMargin,
+
+    "pl18_pii_redact" ->
+      s"""WITH sp AS (SELECT doc_id, text || ' contact user' ||
+        |  CAST(doc_id AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.com from ' || CAST(doc_id % 256 AS VARCHAR) || '.13.7.' ||
+        |  CAST(doc_id % 250 AS VARCHAR) || ' call +49-30-555-' ||
+        |  CAST(doc_id % 9000 + 1000 AS VARCHAR) AS spiked FROM documents),
+        |red AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  spiked,
+        |  '${TextOps.PiiEmailRe}', '[EMAIL]', 'g'),
+        |  '${TextOps.PiiIpRe}', '[IP]', 'g'),
+        |  '${TextOps.PiiPhoneRe}', '[PHONE]', 'g') AS r
+        |FROM sp)
+        |SELECT doc_id, substr(md5(r), 1, 16) AS red_hash,
+        |  CAST((length(r) - length(replace(r, '[EMAIL]', ''))) / 7 AS INT) AS n_email,
+        |  CAST((length(r) - length(replace(r, '[IP]', ''))) / 4 AS INT) AS n_ip,
+        |  CAST((length(r) - length(replace(r, '[PHONE]', ''))) / 7 AS INT) AS n_phone
+        |FROM red""".stripMargin,
 
     "pl05_simhash_pairs" ->
       s"""WITH d AS (SELECT doc_id, source, $toksSql AS t FROM documents),

@@ -665,10 +665,13 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // wire sanity: II magic + TIFF 42
     assert(q(s"substring(rs_asgeotiff($r), 1, 2)")
       .asInstanceOf[Array[Byte]].toSeq == Seq('I'.toByte, 'I'.toByte))
-    // lossless codec set roundtrips; lossy/unknown errors loudly
+    // lossless codec set roundtrips (quality is a 0-1 fraction — 0-100
+    // style values error, test_rs_asgeotiff_out_of_range_quality_errors);
+    // lossy/unknown errors loudly
     for (comp <- Seq("LZW", "DEFLATE", "PACKBITS", "NONE"))
-      assert(q(s"rs_value(rs_fromgdalraster(rs_asgeotiff($r, '$comp', 75.0)), 1, 0, 1)") == 4.0)
-    intercept[Exception](q(s"rs_asgeotiff($r, 'JPEG', 75.0)"))
+      assert(q(s"rs_value(rs_fromgdalraster(rs_asgeotiff($r, '$comp', 0.75)), 1, 0, 1)") == 4.0)
+    intercept[Exception](q(s"rs_asgeotiff($r, 'DEFLATE', 75.0)"))
+    intercept[Exception](q(s"rs_asgeotiff($r, 'JPEG', 0.75)"))
   }
 
   test("geotiff: reads foreign layouts (big-endian, chunky uint8, multi-strip)") {

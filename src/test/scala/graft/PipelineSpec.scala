@@ -371,6 +371,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("PII redaction: emails, IPv4, phones replaced; clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail me at alice.smith+tag@sub.example.co.uk today",
+        "mail me at [EMAIL] today"),
+      ("server 10.0.255.3 and 192.168.1.1 are down",
+        "server [IP] and [IP] are down"),
+      ("call +49-30-555-1234 or +1-800-555-0199 now",
+        "call [PHONE] or [PHONE] now"),
+      // IP-shaped mail domain: the email regex needs an alphabetic TLD,
+      // so the IP pass catches the address part instead
+      ("root@192.168.0.1 logged in", "root@[IP] logged in"),
+      ("no pii here, just 3.14 and v1.2.3", "no pii here, just 3.14 and v1.2.3"))
+      .toDF("raw", "want")
+    val got = rows.select(TextOps.redactPii(col("raw")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("ScalableRank.globalRowNumber ≡ window row_number (unique keys)") {
     val df = spark.range(0, 5000).toDF("id")
       .withColumn("k", (col("id") * 2654435761L) % 10007)

@@ -1388,6 +1388,17 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[Int] > 0)
   }
 
+  test("ST_HausdorffDistance densify fraction + empties (test_distance.py)") {
+    assert(q("st_hausdorffdistance(st_geomfromwkt('POINT EMPTY'), " +
+      "st_geomfromwkt('POINT EMPTY'), 0.5D)") == null)
+    assert(q("st_hausdorffdistance(st_geomfromwkt('LINESTRING (0 0, 100 0)'), " +
+      "st_geomfromwkt('LINESTRING (0 1, 100 1)'), 0.5D)") == 1.0)
+    assert(q("st_hausdorffdistance(st_geomfromwkt('LINESTRING (130 0, 0 0, 0 150)'), " +
+      "st_geomfromwkt('LINESTRING (10 10, 10 150, 130 10)'), 0.5D)") == 70.0)
+    assert(q("st_hausdorffdistance(CAST(NULL AS BINARY), " +
+      "st_geomfromwkt('POINT (0 0)'), 0.5D)") == null)
+  }
+
   test("ST_Transform 3D geocentric anchor (test_transforms.py test_st_transform_3d)") {
     val r = spark.sql("SELECT st_transform(st_geomfromwkt('POINT Z (1 1 1)'), " +
       "'EPSG:4979', 'EPSG:4978') AS g").select(
