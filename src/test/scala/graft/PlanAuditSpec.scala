@@ -73,6 +73,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 3 * 2)
   }
 
+  test("round-6 gates keep their intended plan shapes") {
+    // sj12: semi/anti plan through the spatial join machinery, not BNLJ
+    val sj12 = entries("sj12_semi_anti_join").plan
+    assert(sj12.contains("BroadcastIndexSpatialJoin") ||
+      sj12.contains("SortMergeJoin") || sj12.contains("ShuffledHashJoin"),
+      "sj12 semi/anti lost its spatial join operators")
+    // sj13: sphere intersects join rewrites to an equi-join on grid cell
+    val sj13 = entries("sj13_sphere_intersects_join").plan
+    assert(sj13.contains("SortMergeJoin") || sj13.contains("ShuffledHashJoin") ||
+      sj13.contains("BroadcastHashJoin"), "sj13 sphere join did not equi-join")
+    // pl18 PII redaction is map-only: no shuffle anywhere in the plan
+    val pl18 = entries("pl18_pii_redact").plan
+    assert(!pl18.contains("Exchange"), "pl18 redaction gained a shuffle")
+    // pl03 exact dedup is one hash shuffle, never a join
+    val pl03 = entries("pl03_exact_dedup").plan
+    assert(!pl03.contains("Join"), "pl03 dedup should be join-free")
+  }
+
   test("GeoParquet scan carries pushed bbox filters and pruned files") {
     val gp = entries("gp01_geoparquet_prune").plan
     assert(gp.contains("PushedFilters") && gp.contains("_bbox"),
