@@ -1730,6 +1730,49 @@ object GeomScalars {
         case d: Double => java.lang.Boolean.valueOf(d == 0.0)
       }
     }),
+    // ---- S2 LngLatRect surface: wrap-aware geography bounds
+    // (tests/geography/test_bounds.py — ST_XMin/ST_XMax on a geography
+    // crossing the antimeridian return the WRAPPED interval endpoints,
+    // xmin > xmax; ST_Envelope splits into a MULTIPOLYGON at ±180) ----
+    fn("st_xminsphere", DoubleType, Seq(Geom))(a =>
+      Spherical.lngLatRect(g0(a)).map(_._1).orNull),
+    fn("st_yminsphere", DoubleType, Seq(Geom))(a =>
+      Spherical.lngLatRect(g0(a)).map(_._2).orNull),
+    fn("st_xmaxsphere", DoubleType, Seq(Geom))(a =>
+      Spherical.lngLatRect(g0(a)).map(_._3).orNull),
+    fn("st_ymaxsphere", DoubleType, Seq(Geom))(a =>
+      Spherical.lngLatRect(g0(a)).map(_._4).orNull),
+    fn("st_envelopesphere", BinaryType, Seq(Geom))(a =>
+      Spherical.lngLatRect(g0(a)) match {
+        case None => GeomIO.factory.createPolygon()
+        case Some((lo, latLo, hi, latHi)) =>
+          def rect(x0: Double, x1: Double): Geometry =
+            if (latLo == latHi)
+              GeomIO.factory.createLineString(Array(
+                new Coordinate(x0, latLo), new Coordinate(x1, latLo)))
+            else GeomIO.factory.createPolygon(Array(
+              new Coordinate(x0, latLo), new Coordinate(x0, latHi),
+              new Coordinate(x1, latHi), new Coordinate(x1, latLo),
+              new Coordinate(x0, latLo)))
+          if (lo <= hi) {
+            if (lo == hi && latLo == latHi) GeomIO.point(lo, latLo)
+            else if (lo == hi)
+              GeomIO.factory.createLineString(Array(
+                new Coordinate(lo, latLo), new Coordinate(lo, latHi)))
+            else rect(lo, hi)
+          } else {
+            // antimeridian wrap: split into east [lo, 180] + west
+            // [-180, hi] pieces (polygons, or lines when zero-height)
+            (rect(lo, 180.0), rect(-180.0, hi)) match {
+              case (e: Polygon, w: Polygon) =>
+                GeomIO.factory.createMultiPolygon(Array(e, w))
+              case (e: LineString, w: LineString) =>
+                GeomIO.factory.createMultiLineString(Array(e, w))
+              case (e, w) => GeomIO.factory.createGeometryCollection(Array(e, w))
+            }
+          }
+      }),
+
     fn("st_closestpointsphere", BinaryType, Seq(Geom, Geom))(a => {
       val pts = org.locationtech.jts.operation.distance.DistanceOp
         .nearestPoints(g0(a), g1(a))

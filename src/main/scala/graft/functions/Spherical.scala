@@ -374,6 +374,115 @@ object Spherical {
     env
   }
 
+  /** S2-style lng/lat rect with ANTIMERIDIAN WRAP: geodesic edges take
+    * the short arc in longitude (S2LatLngRectBounder), latitudes widened
+    * by each edge's poleward bulge. Returns (lngLo, latLo, lngHi,
+    * latHi); lngLo > lngHi encodes a rect crossing the antimeridian
+    * (the reference's wrapped ST_XMin/ST_XMax on geography —
+    * tests/geography/test_bounds.py). None for empty input.
+    *
+    * The minimal covering longitude interval is computed exactly: every
+    * edge contributes its short arc, arcs are merged on the circle, and
+    * the cover is the complement of the LARGEST uncovered gap — order-
+    * independent, no incremental-union tie hazards. */
+  def lngLatRect(g: Geometry): Option[(Double, Double, Double, Double)] = {
+    if (g == null || g.isEmpty) return None
+    // longitude arcs split at ±180 into chart segments
+    val segs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var latMin = Double.MaxValue
+    var latMax = -Double.MaxValue
+    def norm(l: Double): Double = {
+      val x = ((l + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      if (x == -180.0 && l >= 0) 180.0 else x
+    }
+    def addSeg(s: Double, e: Double): Unit = if (s <= e) segs += ((s, e))
+    def addArc(aRaw: Double, bRaw: Double): Unit = {
+      val a = norm(aRaw); val b = norm(bRaw)
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      if (hi - lo <= 180.0) addSeg(lo, hi) // short arc stays in chart
+      else { addSeg(hi, 180.0); addSeg(-180.0, lo) } // wraps the antimeridian
+    }
+    def addEdgeLat(a: Coordinate, b: Coordinate): Unit = {
+      val (ax, ay, az) = unitVec(a.x, a.y)
+      val (bx, by, bz) = unitVec(b.x, b.y)
+      val nx = ay * bz - az * by
+      val nyv = az * bx - ax * bz
+      val nz = ax * by - ay * bx
+      val nn = math.sqrt(nx * nx + nyv * nyv + nz * nz)
+      if (nn > 1e-18 && nx * nx + nyv * nyv > 1e-30 && math.abs(nz) > 1e-15) {
+        val latExt = math.toDegrees(math.acos(math.min(1.0, math.abs(nz) / nn)))
+        val px = -nx * nz; val py = -nyv * nz
+        val lonN = norm(math.toDegrees(math.atan2(py, px)))
+        // short-arc containment test in wrapped space
+        def onShortArc(l: Double): Boolean = {
+          val lo = math.min(norm(a.x), norm(b.x)); val hi = math.max(norm(a.x), norm(b.x))
+          if (hi - lo <= 180.0) l >= lo && l <= hi else l >= hi || l <= lo
+        }
+        if (onShortArc(lonN)) latMax = math.max(latMax, latExt)
+        if (onShortArc(norm(lonN + 180.0))) latMin = math.min(latMin, -latExt)
+      }
+    }
+    def addCoords(cs: Array[Coordinate]): Unit = {
+      var i = 0
+      while (i < cs.length) {
+        latMin = math.min(latMin, cs(i).y); latMax = math.max(latMax, cs(i).y)
+        if (i > 0) { addArc(cs(i - 1).x, cs(i).x); addEdgeLat(cs(i - 1), cs(i)) }
+        else addArc(cs(i).x, cs(i).x)
+        i += 1
+      }
+    }
+    def walk(geom: Geometry): Unit = geom match {
+      case _ if geom.isEmpty =>
+      case p: Point =>
+        latMin = math.min(latMin, p.getY); latMax = math.max(latMax, p.getY)
+        addArc(p.getX, p.getX)
+      case l: LineString => addCoords(l.getCoordinates)
+      case p: Polygon =>
+        addCoords(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing).foreach(i =>
+          addCoords(p.getInteriorRingN(i).getCoordinates))
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case other =>
+        val e = other.getEnvelopeInternal
+        latMin = math.min(latMin, e.getMinY); latMax = math.max(latMax, e.getMaxY)
+        addArc(e.getMinX, e.getMaxX)
+    }
+    walk(g)
+    if (segs.isEmpty) return None
+    // merge chart segments, then take the complement of the largest gap
+    val sorted = segs.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    sorted.foreach { case (s, e) =>
+      if (merged.nonEmpty && s <= merged.last._2) {
+        val (ps, pe) = merged.last
+        merged(merged.length - 1) = (ps, math.max(pe, e))
+      } else merged += ((s, e))
+    }
+    val (lo, hi) =
+      if (merged.length == 1 &&
+          !(merged.head._1 <= -180.0 + 1e-12 && merged.head._2 >= 180.0 - 1e-12))
+        merged.head
+      else {
+        // circular gaps: between consecutive merged segments + the
+        // wrap-around gap from the last segment's end to the first's start
+        var bestGap = -1.0; var bestAt = 0
+        var i = 0
+        while (i < merged.length) {
+          val next = if (i == merged.length - 1) merged(0)._1 + 360.0 else merged(i + 1)._1
+          val gap = next - merged(i)._2
+          if (gap > bestGap) { bestGap = gap; bestAt = i }
+          i += 1
+        }
+        if (bestGap <= 1e-12) (-180.0, 180.0) // fully covered
+        else {
+          val start = norm(if (bestAt == merged.length - 1) merged(0)._1 else merged(bestAt + 1)._1)
+          (start, norm(merged(bestAt)._2))
+        }
+      }
+    Some((lo, latMin, hi, latMax))
+  }
+
   def refCell(a: Geometry, b: Geometry, radiusM: Double, nx: Int, ny: Int): Any = {
     val ca = gridCells(latLngBound(a), radiusM, nx, ny)
     val cb = gridCells(latLngBound(b), 0.0, nx, ny)

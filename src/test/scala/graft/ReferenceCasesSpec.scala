@@ -1388,6 +1388,48 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[Int] > 0)
   }
 
+  test("geography wrap-aware bounds + envelope (geography/test_bounds.py)") {
+    def wktRound(s: String, p: Int): String =
+      "[-0-9.]+".r.replaceAllIn(s, m => {
+        val v = BigDecimal(m.matched).setScale(p, BigDecimal.RoundingMode.HALF_EVEN)
+        v.underlying.stripTrailingZeros.toPlainString
+      })
+    // wrapped interval endpoints: xmin > xmax across the antimeridian
+    for (wkt <- Seq("LINESTRING (170 0, -170 0)",
+        "POLYGON ((170 -10, 170 10, -170 10, -170 -10, 170 -10))")) {
+      assert(q(s"st_xminsphere(st_geomfromwkt('$wkt'))") == 170.0, wkt)
+      assert(q(s"st_xmaxsphere(st_geomfromwkt('$wkt'))") == -170.0, wkt)
+    }
+    // non-wrapping stays chart-identical
+    assert(q("st_xminsphere(st_geomfromwkt('LINESTRING (-10 0, 20 5)'))") == -10.0)
+    assert(q("st_xmaxsphere(st_geomfromwkt('LINESTRING (-10 0, 20 5)'))") == 20.0)
+    // envelope splits at the antimeridian into a MULTIPOLYGON
+    assert(wktRound(q("st_astext(st_envelopesphere(st_geomfromwkt(" +
+      "'LINESTRING (170 10, -170 20)')))").asInstanceOf[String], 6) ==
+      "MULTIPOLYGON (((170 10, 170 20, 180 20, 180 10, 170 10)), " +
+        "((-180 10, -180 20, -170 20, -170 10, -180 10)))")
+    // geodesic latitude bulge: the lat-10 edge across 180 reaches 10.151082
+    assert(wktRound(q("st_astext(st_envelopesphere(st_geomfromwkt(" +
+      "'POLYGON ((170 -10, 170 10, -170 10, -170 -10, 170 -10))')))")
+      .asInstanceOf[String], 6) ==
+      "MULTIPOLYGON (((170 -10.151082, 170 10.151082, 180 10.151082, " +
+        "180 -10.151082, 170 -10.151082)), ((-180 -10.151082, -180 10.151082, " +
+        "-170 10.151082, -170 -10.151082, -180 -10.151082)))")
+    // same-latitude points wrap as a MULTILINESTRING (the envelope-agg
+    // antimeridian case, expressed over a collected geometry)
+    assert(q("st_astext(st_envelopesphere(st_geomfromwkt(" +
+      "'GEOMETRYCOLLECTION (POINT (170 0), POINT (-170 0))')))") ==
+      "MULTILINESTRING ((170 0, 180 0), (-180 0, -170 0))")
+    // degenerate forms: point, zero-height equator line
+    assert(q("st_astext(st_envelopesphere(st_geomfromwkt('POINT (5 6)')))")
+      == "POINT (5 6)")
+    assert(q("st_astext(st_envelopesphere(st_geomfromwkt('LINESTRING (0 0, 10 0)')))")
+      == "LINESTRING (0 0, 10 0)")
+    // empty -> empty; null propagates
+    assert(q("st_isempty(st_envelopesphere(st_geomfromwkt('POLYGON EMPTY')))") == true)
+    assert(q("st_envelopesphere(CAST(NULL AS BINARY))") == null)
+  }
+
   test("ST_HausdorffDistance densify fraction + empties (test_distance.py)") {
     assert(q("st_hausdorffdistance(st_geomfromwkt('POINT EMPTY'), " +
       "st_geomfromwkt('POINT EMPTY'), 0.5D)") == null)
