@@ -1734,6 +1734,21 @@ object GeomScalars {
     // (tests/geography/test_bounds.py — ST_XMin/ST_XMax on a geography
     // crossing the antimeridian return the WRAPPED interval endpoints,
     // xmin > xmax; ST_Envelope splits into a MULTIPOLYGON at ±180) ----
+    // exact spherical max distance via the antipode identity:
+    // max d(A, B) = pi*R - min d(A, antipode(B)) — reuses the exact
+    // geodesic min-distance kernel (geography/test_geog_distance.py
+    // test_st_max_distance*, incl. the antipodal-linestring case)
+    fn("st_maxdistancesphere", DoubleType, Seq(Geom, Geom))(a => {
+      if (g0(a).isEmpty || g1(a).isEmpty) null
+      else {
+        val anti = GeomScalars.mapCoords3D(g1(a), c => {
+          val lon = c.x + 180.0
+          val n = ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+          new Coordinate(n, -c.y, c.getZ)
+        })
+        math.Pi * Spherical.R - Spherical.distance(g0(a), anti).asInstanceOf[Double]
+      }
+    }),
     fn("st_xminsphere", DoubleType, Seq(Geom))(a =>
       Spherical.lngLatRect(g0(a)).map(_._1).orNull),
     fn("st_yminsphere", DoubleType, Seq(Geom))(a =>

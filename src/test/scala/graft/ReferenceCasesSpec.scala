@@ -1388,6 +1388,30 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[Int] > 0)
   }
 
+  test("spherical max distance incl. antipodal linestrings " +
+      "(geography/test_geog_distance.py)") {
+    def md(a: String, b: String): Double =
+      q(s"st_maxdistancesphere(st_geomfromwkt('$a'), st_geomfromwkt('$b'))")
+        .asInstanceOf[Double]
+    def rel(got: Double, want: Double): Unit =
+      assert(math.abs(got - want) <= 1e-6 * math.max(1.0, math.abs(want)) ||
+        math.abs(got / want - 1.0) < 1e-6, s"got $got want $want")
+    assert(q("st_maxdistancesphere(st_geomfromwkt('POINT (0 0)'), " +
+      "st_geomfromwkt('POINT EMPTY'))") == null)
+    assert(md("POINT (0 0)", "POINT (0 0)") == 0.0)
+    rel(md("POINT (0 0)", "POINT (0 1)"), 111195.10117748393)
+    rel(md("POINT (0 0)", "LINESTRING (0 0, 0 1)"), 111195.10117748393)
+    rel(md("POINT (1 0)", "LINESTRING (0 0, 0 1)"), 157249.62809250789)
+    rel(md("LINESTRING (0 0, 0 1)", "POINT (1 0)"), 157249.62809250789)
+    rel(md("POINT (0.25 0.25)", "POLYGON ((0 0, 2 0, 0 2, 0 0))"), 196566.41390163341)
+    rel(md("POINT (0 0)", "POLYGON ((0 0, 2 0, 0 2, 0 0))"), 222390.20235496786)
+    rel(md("POINT (-1 0)", "POLYGON ((0 0, 2 0, 0 2, 0 0))"), 333585.3035324518)
+    // antipodal linestring pair: both geodesics pass the poles, the max
+    // is the full half-circumference pi*R
+    rel(md("LINESTRING (-90 -80, 90 -80)", "LINESTRING (0 80, 180 80)"),
+      20015118.022076216)
+  }
+
   test("geography wrap-aware bounds + envelope (geography/test_bounds.py)") {
     def wktRound(s: String, p: Int): String =
       "[-0-9.]+".r.replaceAllIn(s, m => {
