@@ -56,6 +56,34 @@ object StreamingQueries {
       s.table(sinkName)
         .select(col("user_id"), col("start_ms").as("start_us"),
           col("end_ms").as("end_us"), col("n_events"), col("sum_value"))
+    }),
+
+    // streaming exact dedup: the stateful dropDuplicates path. Staging
+    // triples ~half the events (exact row copies), the stream must emit
+    // each event_id exactly once; duplicates are bit-identical rows so
+    // "which copy survives" is not observable — deterministic under
+    // AvailableNow regardless of batch split.
+    "st02_stream_dedup" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      val staged = ev
+        .unionAll(ev.filter(col("event_id") % 3 === 0))
+        .unionAll(ev.filter(col("event_id") % 7 === 0))
+      val staging = s"/tmp/graft_stream_dedup/${math.abs(dir.hashCode)}"
+      staged.coalesce(1).write.mode("overwrite").parquet(staging)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("us", LongType), StructField("value", DoubleType)))
+      val sinkName = s"graft_dedup_${math.abs(dir.hashCode)}"
+      val q = s.readStream.schema(schema).parquet(staging)
+        .dropDuplicates("event_id")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -77,5 +105,11 @@ object StreamingQueries {
         |  FROM g)
         |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
         |  COUNT(*) AS n_events, SUM(value) AS sum_value
-        |FROM sess GROUP BY user_id, sid""".stripMargin)
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // duplicates exist only in the staging copy; distinct event rows ARE
+    // the oracle (event_id is unique in the source table)
+    "st02_stream_dedup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us, value
+        |FROM events""".stripMargin)
 }

@@ -44,6 +44,55 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pts == Set("ST_Point"))
   }
 
+  test("sd_random_geometry option parity: geom_type, rates, parts, vertices " +
+      "(reference random_geometry_provider.rs options)") {
+    def types(opts: String): Map[String, Long] = spark.sql(
+      s"""SELECT CASE WHEN geometry IS NULL THEN 'NULL'
+         |  WHEN st_isempty(geometry) THEN 'EMPTY'
+         |  ELSE st_geometrytype(geometry) END t, count(*) c
+         |FROM sd_random_geometry('$opts') GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // canonical geom_type key, every supported type
+    assert(types("""{"num_rows": 50, "seed": 5, "geom_type": "Polygon"}""")
+      == Map("ST_Polygon" -> 50L))
+    assert(types("""{"num_rows": 50, "seed": 5, "geom_type": "LineString"}""")
+      == Map("ST_LineString" -> 50L))
+    assert(types("""{"num_rows": 50, "seed": 5, "geom_type": "MultiPoint",
+      "num_parts": [2, 5]}""") == Map("ST_MultiPoint" -> 50L))
+    assert(types("""{"num_rows": 50, "seed": 5, "geom_type": "MultiPolygon",
+      "num_parts": 3}""") == Map("ST_MultiPolygon" -> 50L))
+    // null / empty rates produce roughly the requested fractions
+    val mixed = types("""{"num_rows": 400, "seed": 6, "geom_type": "Point",
+      "null_rate": 0.25, "empty_rate": 0.25}""")
+    assert(mixed.keySet == Set("NULL", "EMPTY", "ST_Point"))
+    assert(mixed("NULL") > 50 && mixed("NULL") < 150, mixed)
+    assert(mixed("EMPTY") > 50 && mixed("EMPTY") < 150, mixed)
+    // hole_rate: some polygons gain interior rings, all stay valid rings
+    val holed = spark.sql(
+      """SELECT st_numinteriorrings(geometry) h
+        |FROM sd_random_geometry('{"num_rows": 200, "seed": 8,
+        |  "geom_type": "Polygon", "hole_rate": 0.5}')""".stripMargin)
+      .collect().map(_.getInt(0))
+    assert(holed.count(_ == 1) > 40 && holed.count(_ == 0) > 40)
+    // num_parts range respected
+    val parts = spark.sql(
+      """SELECT st_numgeometries(geometry) p
+        |FROM sd_random_geometry('{"num_rows": 100, "seed": 9,
+        |  "geom_type": "MultiPoint", "num_parts": [2, 5]}')""".stripMargin)
+      .collect().map(_.getInt(0))
+    assert(parts.forall(p => p >= 2 && p <= 5) && parts.distinct.length > 1)
+    // num_vertices range drives linestring vertex counts
+    val nv = spark.sql(
+      """SELECT st_npoints(geometry) v
+        |FROM sd_random_geometry('{"num_rows": 100, "seed": 10,
+        |  "geom_type": "LineString", "num_vertices": [2, 6]}')""".stripMargin)
+      .collect().map(_.getInt(0))
+    assert(nv.forall(v => v >= 2 && v <= 6) && nv.distinct.length > 1)
+    // unknown keys are ignored (reference serde behavior)
+    assert(types("""{"num_rows": 10, "seed": 5, "geom_type": "Point",
+      "polygon_hole_rate": 0.5, "unknown_key": 1}""") == Map("ST_Point" -> 10L))
+  }
+
   test("st_covered_by snake alias matches st_coveredby, incl. join planning") {
     assert(q("st_covered_by(st_point(1,1), st_makeenvelope(0,0,2,2))") == true)
     assert(q("st_covered_by(st_point(5,5), st_makeenvelope(0,0,2,2))") == false)
