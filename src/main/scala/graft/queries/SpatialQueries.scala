@@ -288,6 +288,27 @@ object SpatialQueries {
     // row-varying EPSG code, pushed through geometry kernels (translate →
     // centroid) — the crs string must ride along unchanged and seed the
     // SRID, while scalar kernels unwrap transparently
+    // wrap-aware geography bounds: per-row geodesic line whose endpoints
+    // straddle (or not) the antimeridian; st_x(min|max)sphere follow the
+    // SHORT arc, so xmin > xmax encodes wrap — longitude endpoints are
+    // chart-exact (no bulge on the x axis), giving a closed-form oracle:
+    // span = a - b; wrapped iff span > 180 (then min/max swap sides)
+    "sp17_sphere_bounds" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .withColumn("a", (col("c_custkey") % 80).cast("double") + 100.0) // east lon
+        .withColumn("b", -((col("c_custkey") % 75).cast("double") + 20.0)) // west lon
+        .withColumn("lat1", (col("c_custkey") % 120).cast("double") * 0.5 - 30.0)
+        .withColumn("lat2", (col("c_custkey") % 90).cast("double") * 0.5 - 20.0)
+        .withColumn("line", st.f("st_makeline",
+          st.point(col("a"), col("lat1")), st.point(col("b"), col("lat2"))))
+        .select(col("c_custkey"),
+          st.f("st_xminsphere", col("line")).as("sxmin"),
+          st.f("st_xmaxsphere", col("line")).as("sxmax"),
+          (st.f("st_xminsphere", col("line")) >
+            st.f("st_xmaxsphere", col("line"))).as("wrapped"))
+    }),
+
     "sp16_itemcrs" -> ((s, dir) => {
       prep(s)
       t(s, dir, "customer")
@@ -880,6 +901,17 @@ object SpatialQueries {
 
     // the crs string and srid restate the synthesized code; centroid and
     // area of the translated envelope are exact dyadic arithmetic
+    "sp17_sphere_bounds" ->
+      """WITH p AS (SELECT c_custkey,
+        |    CAST(c_custkey % 80 AS DOUBLE) + 100.0 AS a,
+        |    -(CAST(c_custkey % 75 AS DOUBLE) + 20.0) AS b
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN a - b <= 180.0 THEN b ELSE a END AS sxmin,
+        |  CASE WHEN a - b <= 180.0 THEN a ELSE b END AS sxmax,
+        |  a - b > 180.0 AS wrapped
+        |FROM p""".stripMargin,
+
     "sp16_itemcrs" ->
       """WITH p AS (SELECT c_custkey,
         |    CAST(c_custkey % 500 AS DOUBLE)*0.5 AS x0,

@@ -143,6 +143,60 @@ class GeomPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("wrap-aware lng/lat rect covers every vertex; span is minimal-ish") {
+    import graft.functions.Spherical
+    val lonlat: Gen[Coordinate] = for {
+      lon <- Gen.chooseNum(-179.99, 179.99)
+      lat <- Gen.chooseNum(-85.0, 85.0)
+    } yield new Coordinate(lon, lat)
+    // lines with modest per-edge spans (short-arc contract)
+    val sphLine: Gen[Geometry] = for {
+      c0 <- lonlat
+      n <- Gen.chooseNum(2, 6)
+      steps <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(-60.0, 60.0), Gen.chooseNum(-20.0, 20.0)))
+    } yield {
+      var lon = c0.x; var lat = c0.y
+      val cs = scala.collection.mutable.ArrayBuffer(new Coordinate(lon, lat))
+      steps.foreach { case (dl, dp) =>
+        lon = ((lon + dl + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+        lat = math.max(-85.0, math.min(85.0, lat + dp))
+        cs += new Coordinate(lon, lat)
+      }
+      GeomIO.factory.createLineString(cs.toArray)
+    }
+    def containsLon(lo: Double, hi: Double, l: Double): Boolean =
+      if (lo <= hi) l >= lo - 1e-9 && l <= hi + 1e-9
+      else l >= lo - 1e-9 || l <= hi + 1e-9
+    check(Prop.forAll(sphLine) { g =>
+      Spherical.lngLatRect(g) match {
+        case None => g.isEmpty
+        case Some((lo, latLo, hi, latHi)) =>
+          g.getCoordinates.forall(c =>
+            containsLon(lo, hi, c.x) && c.y >= latLo - 1e-9 && c.y <= latHi + 1e-9)
+      }
+    })
+  }
+
+  test("spherical max distance: >= min distance, symmetric, bounded by pi*R") {
+    import graft.functions.Spherical
+    val lonlat: Gen[Geometry] = for {
+      lon <- Gen.chooseNum(-179.0, 179.0)
+      lat <- Gen.chooseNum(-85.0, 85.0)
+    } yield GeomIO.point(lon, lat)
+    def maxD(a: Geometry, b: Geometry): Double = {
+      val c = b.getCoordinate
+      val l = ((c.x + 180.0 + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      val anti = GeomIO.point(l, -c.y)
+      math.Pi * Spherical.R - Spherical.distance(a, anti).asInstanceOf[Double]
+    }
+    check(Prop.forAll(lonlat, lonlat) { (a, b) =>
+      val mx = maxD(a, b)
+      val mn = Spherical.distance(a, b).asInstanceOf[Double]
+      math.abs(mx - maxD(b, a)) < 1e-6 &&
+        mx >= mn - 1e-6 && mx <= math.Pi * Spherical.R + 1e-6
+    })
+  }
+
   test("spherical grid cover: within-radius pairs always share a cell") {
     // the invariant behind sphereDWithinJoin's correctness — the lon bound
     // sin(dlam/2) <= sin(r/2R)/cos(phi) plus pole/antimeridian handling
