@@ -346,7 +346,7 @@ object LasIO {
   private case class Header(versionMinor: Int, pointOff: Int, fmt: Int,
       compressed: Boolean, recLen: Int, count: Long,
       sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double,
-      vlrs: Seq[Vlr])
+      vlrs: Seq[Vlr], software: String = "")
 
   private def parseHeader(bytes: Array[Byte]): Header = {
     require(bytes.length >= HeaderSize &&
@@ -374,8 +374,44 @@ object LasIO {
     Header(vMinor, pointOff, fmtByte & 0x3f, (fmtByte & 0x80) != 0,
       bb.getShort(105) & 0xffff, count,
       bb.getDouble(131), bb.getDouble(139), bb.getDouble(147),
-      bb.getDouble(155), bb.getDouble(163), bb.getDouble(171), vlrs)
+      bb.getDouble(155), bb.getDouble(163), bb.getDouble(171), vlrs,
+      new String(bytes, 58, 32, "US-ASCII").takeWhile(_ != 0).trim)
   }
+
+  /** Our own generating-software stamp: files we wrote decode exactly
+    * (encoder and decoder share the reconstructed return-map tables). */
+  private val OwnSoftware = "graft spark engine"
+
+  /** The LASzip return-map tables are reconstructed, not transcribed
+    * from the spec (Laszip.scala header note): an EXTERNALLY-encoded
+    * multi-return LAZ whose (returns, return-number) pattern varies can
+    * silently mis-predict coordinates after the first pattern change.
+    * Until the published 16x16 tables are available to transcribe, make
+    * that risk LOUD: watch the decoded return byte and warn once per
+    * split the first time the pattern changes in a foreign file. */
+  private def warnVaryingReturns(records: Iterator[Array[Byte]],
+      retOff: Int, mask: Int, file: String, software: String): Iterator[Array[Byte]] =
+    if (software == OwnSoftware) records
+    else new Iterator[Array[Byte]] {
+      private var first = -1
+      private var warned = false
+      override def hasNext: Boolean = records.hasNext
+      override def next(): Array[Byte] = {
+        val rec = records.next()
+        val rb = rec(retOff) & mask
+        if (first < 0) first = rb
+        else if (rb != first && !warned) {
+          warned = true
+          org.slf4j.LoggerFactory.getLogger(classOf[Header]).warn(
+            s"$file (generating software '$software'): LAZ stream with a " +
+              "varying multi-return pattern — X/Y/Z prediction contexts use " +
+              "reconstructed return-map tables, not the published ones " +
+              "(sources/Laszip.scala header); cross-check a sample of this " +
+              "file against the producing tool before trusting coordinates")
+        }
+        rec
+      }
+    }
 
   /** Core record length per point format (extras follow it). */
   private def coreLen(fmt: Int): Int = fmt match {
@@ -534,8 +570,10 @@ object LasIO {
       if (h.compressed) {
         val vlr = h.vlrs.find(v => v.userId == "laszip encoded" || v.recordId == 22204)
           .getOrElse(throw new IllegalArgumentException(s"$f: LAZ without laszip VLR"))
-        Laszip.decodePointwise(bytes, h.pointOff, h.count,
-          Laszip.parseVlr(vlr.payload), h.recLen).map(toRow(_, 0))
+        warnVaryingReturns(
+          Laszip.decodePointwise(bytes, h.pointOff, h.count,
+            Laszip.parseVlr(vlr.payload), h.recLen),
+          retOff = 14, mask = 0x3f, f, h.software).map(toRow(_, 0))
       } else {
         (0L until h.count).iterator.map { i =>
           toRow(bytes, h.pointOff + (i * h.recLen).toInt)
@@ -551,7 +589,8 @@ object LasIO {
     * the split so mixed-grid directories read correctly. */
   private case class Split6(file: String, mode: Int, off: Long, len: Long,
       expect: Long, recLen: Int, fmt: Int,
-      sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double)
+      sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double,
+      software: String = "")
 
   /** The LAZ chunk table turns chunks (50k points by default), not
     * files, into the split unit — a single huge .laz parallelizes across
@@ -607,11 +646,11 @@ object LasIO {
                 val expect = math.min(lz.chunkSize.toLong, remaining)
                 remaining -= expect
                 Split6(f, 2, off, len, expect, h.recLen, h.fmt,
-                  h.sx, h.sy, h.sz, h.ox, h.oy, h.oz)
+                  h.sx, h.sy, h.sz, h.ox, h.oy, h.oz, h.software)
               }
             case None =>
               Seq(Split6(f, 0, 0, flen, h.count, h.recLen, h.fmt,
-                h.sx, h.sy, h.sz, h.ox, h.oy, h.oz))
+                h.sx, h.sy, h.sz, h.ox, h.oy, h.oz, h.software))
           }
         }
       out
@@ -631,12 +670,16 @@ object LasIO {
             val buf = new Array[Byte](sp.len.toInt)
             val in = fsx.open(fp); in.readFully(sp.off, buf); in.close()
             val rgbB = sp.fmt match { case 8 => 8; case 7 => 6; case _ => 0 }
-            Laszip.decodeChunkRecords(buf, sp.expect, sp.recLen - 30 - rgbB,
-              sp.recLen, rgbB).iterator
+            warnVaryingReturns(
+              Laszip.decodeChunkRecords(buf, sp.expect, sp.recLen - 30 - rgbB,
+                sp.recLen, rgbB).iterator,
+              retOff = 14, mask = 0xff, sp.file, sp.software)
           case _ =>
             val (h, bytes) = loadFile(sp.file, serConf)
             val vlr = h.vlrs.find(v => v.userId == "laszip encoded" || v.recordId == 22204).get
-            Laszip.decode(bytes, h.pointOff, h.count, Laszip.parseVlr(vlr.payload), h.recLen)
+            warnVaryingReturns(
+              Laszip.decode(bytes, h.pointOff, h.count, Laszip.parseVlr(vlr.payload), h.recLen),
+              retOff = 14, mask = 0xff, sp.file, sp.software)
         }
         records.map(recordToRow(_, sp, dimsB))
       }
