@@ -1673,10 +1673,23 @@ object GeomScalars {
           val maxC = if (a.length > 3) a(3).asInstanceOf[Int] else 8
           new GenericArrayData(S2Cells.covering(g0(a), minL, maxL, maxC))
         })),
-    fn("sd_format", StringType, Seq(Geom))(a => {
-      val wkt = GeomIO.writeWkt(g0(a))
-      if (wkt.length > 80) wkt.take(77) + "..." else wkt
-    }),
+    // optional 2nd arg: JSON options with a width_hint bounding the
+    // rendered length (docs/reference/sql/sd_format.qmd)
+    "sd_format" -> ((children: Seq[Expression]) =>
+      GeomScalar("sd_format", children, StringType,
+        Seq(Geom) ++ Seq(Str).take(children.length - 1),
+        a => {
+          val width =
+            if (a.length < 2) 80
+            else try {
+              val node = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(a(1).asInstanceOf[String])
+              if (node.has("width_hint")) math.max(node.get("width_hint").asInt(80), 4)
+              else 80
+            } catch { case _: Exception => 80 }
+          val wkt = GeomIO.writeWkt(g0(a))
+          if (wkt.length > width) wkt.take(width - 3) + "..." else wkt
+        })),
     fn("st_hausdorffdistancedensify", DoubleType, Seq(Geom, Geom, Dbl))(a => {
       val h = new DiscreteHausdorffDistance(g0(a), g1(a))
       h.setDensifyFraction(d(a, 2)); h.distance()

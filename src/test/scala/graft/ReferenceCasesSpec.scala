@@ -1388,6 +1388,16 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[Int] > 0)
   }
 
+  test("sd_format width_hint options form (docs/reference/sql/sd_format.qmd)") {
+    assert(q("sd_format(st_point(1.0, 2.0))") == "POINT (1 2)")
+    assert(q("sd_format(st_point(1.0, 2.0), '{\"width_hint\": 16}')") == "POINT (1 2)")
+    val long = q("sd_format(st_makeenvelope(0.123456, 1.2, 2.3, 3.4), " +
+      "'{\"width_hint\": 16}')").asInstanceOf[String]
+    assert(long.length == 16 && long.endsWith("..."), long)
+    // malformed options fall back to the default width
+    assert(q("sd_format(st_point(1.0, 2.0), 'not json')") == "POINT (1 2)")
+  }
+
   test("spherical max distance incl. antipodal linestrings " +
       "(geography/test_geog_distance.py)") {
     def md(a: String, b: String): Double =
