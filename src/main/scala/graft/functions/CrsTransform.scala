@@ -564,7 +564,9 @@ object CrsTransform {
     // 3D geocentric legs (EPSG:4978) carry the height through a full
     // coordinate rebuild; the 2D path below only touches x/y
     // (reference c/sedona-proj: test_transforms.py test_st_transform_3d)
-    val srid3 = to.trim.toUpperCase.stripPrefix("EPSG:").toInt
+    // SRID stamp via the shared parser so non-"EPSG:n" spellings parse()
+    // accepts (OGC:CRS84, WKT, PROJJSON) don't throw NumberFormatException
+    val srid3 = try GeomScalars.parseCrsSrid(to) catch { case _: Exception => 0 }
     (src, dst) match {
       case (LonLat | Geodetic3D, Geocentric) =>
         val out = map3d(g, geodeticToXyzH)
@@ -589,7 +591,7 @@ object CrsTransform {
       override def isGeometryChanged: Boolean = true
     })
     out.geometryChanged()
-    out.setSRID(to.trim.toUpperCase.stripPrefix("EPSG:").toInt)
+    out.setSRID(srid3)
     out
   }
 }

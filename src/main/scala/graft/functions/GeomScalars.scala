@@ -1674,22 +1674,31 @@ object GeomScalars {
           new GenericArrayData(S2Cells.covering(g0(a), minL, maxL, maxC))
         })),
     // optional 2nd arg: JSON options with a width_hint bounding the
-    // rendered length (docs/reference/sql/sd_format.qmd)
-    "sd_format" -> ((children: Seq[Expression]) =>
+    // rendered length (docs/reference/sql/sd_format.qmd). Matches
+    // sd_format.rs:73-100: malformed options JSON is an ERROR (not a
+    // silent default), the options parse happens once per distinct
+    // string (it is effectively a scalar), and truncation stops
+    // mid-render with no ellipsis (LimitedSizeOutput).
+    "sd_format" -> ((children: Seq[Expression]) => {
+      val widthCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
       GeomScalar("sd_format", children, StringType,
         Seq(Geom) ++ Seq(Str).take(children.length - 1),
         a => {
-          val width =
-            if (a.length < 2) 80
-            else try {
-              val node = new com.fasterxml.jackson.databind.ObjectMapper()
-                .readTree(a(1).asInstanceOf[String])
-              if (node.has("width_hint")) math.max(node.get("width_hint").asInt(80), 4)
-              else 80
-            } catch { case _: Exception => 80 }
+          val width: Int =
+            if (a.length < 2) Int.MaxValue
+            else widthCache.computeIfAbsent(a(1).asInstanceOf[String], opts => {
+              val node =
+                try new com.fasterxml.jackson.databind.ObjectMapper().readTree(opts)
+                catch { case e: Exception => throw new IllegalArgumentException(
+                  s"sd_format: invalid options JSON: ${e.getMessage}") }
+              if (node != null && node.has("width_hint"))
+                math.max(node.get("width_hint").asInt(Int.MaxValue), 0)
+              else Int.MaxValue
+            })
           val wkt = GeomIO.writeWkt(g0(a))
-          if (wkt.length > width) wkt.take(width - 3) + "..." else wkt
-        })),
+          if (wkt.length > width) wkt.take(width) else wkt
+        })
+    }),
     fn("st_hausdorffdistancedensify", DoubleType, Seq(Geom, Geom, Dbl))(a => {
       val h = new DiscreteHausdorffDistance(g0(a), g1(a))
       h.setDensifyFraction(d(a, 2)); h.distance()

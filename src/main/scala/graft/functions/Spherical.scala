@@ -420,6 +420,19 @@ object Spherical {
         }
         if (onShortArc(lonN)) latMax = math.max(latMax, latExt)
         if (onShortArc(norm(lonN + 180.0))) latMin = math.min(latMin, -latExt)
+      } else if (nn > 1e-18 && math.abs(nz) <= 1e-15) {
+        // Meridian-plane edge (normal has no vertical component): the
+        // short arc passes through a pole when the endpoints sit on
+        // opposite meridians — e.g. LINESTRING (0 80, 180 80) runs over
+        // the north pole. S2LatLngRectBounder returns ±90 here; which
+        // pole follows from the arc length 180−(latA+latB) via the north
+        // pole (shorter iff latA+latB > 0).
+        val dLon = math.abs(norm(a.x - b.x))
+        if (dLon >= 180.0 - 1e-9) {
+          val s = a.y + b.y
+          if (s >= 0) latMax = 90.0
+          if (s <= 0) latMin = -90.0
+        }
       }
     }
     def addCoords(cs: Array[Coordinate]): Unit = {

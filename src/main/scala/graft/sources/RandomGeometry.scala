@@ -101,13 +101,16 @@ object RandomGeometry {
             cy + sz * (uv(18, -1, 1, p, j))))), lit(")"))
     }
     def ringBody(p: org.apache.spark.sql.Column, salt: Int,
-        cxIn: org.apache.spark.sql.Column = null, scale: Double = 1.0) = {
+        cxIn: org.apache.spark.sql.Column = null,
+        cyIn: org.apache.spark.sql.Column = null,
+        szIn: org.apache.spark.sql.Column = null, scale: Double = 1.0) = {
       val nv = ui(salt, math.max(vLo, 3), math.max(vHi, 3), p)
       val cx = if (cxIn != null) cxIn else uv(salt + 1, xmin, xmax, p)
-      val cy = uv(salt + 2, ymin, ymax, p)
-      val sz = uv(salt + 3, szLo, szHi, p) * scale
+      val cy = if (cyIn != null) cyIn else uv(salt + 2, ymin, ymax, p)
+      val szBase = if (szIn != null) szIn else uv(salt + 3, szLo, szHi, p)
+      val sz = szBase * scale
       // star-convex ring: radius jitter per vertex, closed by index mod
-      (cx, cy, concat(lit("("), concat_ws(", ",
+      (cx, cy, szBase, concat(lit("("), concat_ws(", ",
         transform(sequence(lit(0), nv), j => {
           val k = pmod(j, nv)
           val ang = k.cast("double") * lit(2 * math.Pi) / nv.cast("double")
@@ -117,31 +120,35 @@ object RandomGeometry {
         })), lit(")")))
     }
     def polyBody(p: org.apache.spark.sql.Column) = {
-      val (cx, cy, shell) = ringBody(p, 20)
+      val (cx, cy, sz, shell) = ringBody(p, 20)
       val withHole = holeRate > 0.0
       if (!withHole) concat(lit("("), shell, lit(")"))
       else {
-        val (_, _, hole) = ringBody(p, 30, cxIn = cx, scale = 0.2)
+        // Hole shares the shell's center AND size draw: shell vertex radii
+        // are >= 0.5*sz and the inscribed chord distance is >= 0.25*sz
+        // (worst case nv=3); hole radii are < 0.2*sz, so the hole always
+        // lies strictly inside the shell (reference generator contract).
+        val (_, _, _, hole) = ringBody(p, 30, cxIn = cx, cyIn = cy,
+          szIn = sz, scale = 0.2)
         concat(lit("("), shell,
           when(uv(29, 0, 1, p) < holeRate, concat(lit(", "), hole))
             .otherwise(lit("")), lit(")"))
       }
     }
     val nParts = ui(40, math.max(pLo, 1), math.max(pHi, 1))
-    def multi(tag: String, member: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-        wrap: Boolean) =
+    def multi(tag: String,
+        member: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       concat(lit(tag + " ("), concat_ws(", ",
-        transform(sequence(lit(1), nParts), p =>
-          if (wrap) member(p) else member(p))), lit(")"))
+        transform(sequence(lit(1), nParts), member)), lit(")"))
 
     val wkt = geomType match {
       case "point" => concat(lit("POINT ("), pointBody(lit(0)), lit(")"))
       case "linestring" => concat(lit("LINESTRING "), lineBody(lit(0)))
       case "polygon" => concat(lit("POLYGON "), polyBody(lit(0)))
       case "multipoint" => multi("MULTIPOINT",
-        p => concat(lit("("), pointBody(p), lit(")")), wrap = true)
-      case "multilinestring" => multi("MULTILINESTRING", lineBody, wrap = false)
-      case "multipolygon" => multi("MULTIPOLYGON", polyBody, wrap = false)
+        p => concat(lit("("), pointBody(p), lit(")")))
+      case "multilinestring" => multi("MULTILINESTRING", lineBody)
+      case "multipolygon" => multi("MULTIPOLYGON", polyBody)
       case "box" | "envelope" | "rectangle" => null // handled below
       case other => throw new IllegalArgumentException(
         s"sd_random_geometry: unsupported geom_type '$other'")
@@ -151,11 +158,17 @@ object RandomGeometry {
       case t => t.toUpperCase + " EMPTY"
     }
     val geom =
-      if (wkt == null)
-        st.makeEnvelope(uv(11, xmin, xmax), uv(12, ymin, ymax),
+      if (wkt == null) {
+        val env = st.makeEnvelope(uv(11, xmin, xmax), uv(12, ymin, ymax),
           uv(11, xmin, xmax) + uv(13, szLo, szHi),
           uv(12, ymin, ymax) + uv(14, szLo, szHi))
-      else st.geomFromWkt(
+        // empty_rate applies on the box path too (same salt as the WKT
+        // branch so a given (seed, id) is empty regardless of geom_type)
+        if (emptyRate > 0.0)
+          when(uv(50, 0, 1) < emptyRate, st.geomFromWkt(lit(emptyTag)))
+            .otherwise(env)
+        else env
+      } else st.geomFromWkt(
         when(uv(50, 0, 1) < emptyRate, lit(emptyTag)).otherwise(wkt))
     val geomN =
       if (nullRate > 0.0) when(uv(51, 0, 1) < nullRate,

@@ -67,13 +67,22 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mixed.keySet == Set("NULL", "EMPTY", "ST_Point"))
     assert(mixed("NULL") > 50 && mixed("NULL") < 150, mixed)
     assert(mixed("EMPTY") > 50 && mixed("EMPTY") < 150, mixed)
-    // hole_rate: some polygons gain interior rings, all stay valid rings
+    // hole_rate: some polygons gain interior rings, and every holed
+    // polygon is VALID (hole strictly inside the shell — the hole shares
+    // the shell's center and size draw, max hole radius 0.2*sz < 0.25*sz
+    // shell inscribed distance)
     val holed = spark.sql(
-      """SELECT st_numinteriorrings(geometry) h
+      """SELECT st_numinteriorrings(geometry) h, st_isvalid(geometry) v
         |FROM sd_random_geometry('{"num_rows": 200, "seed": 8,
         |  "geom_type": "Polygon", "hole_rate": 0.5}')""".stripMargin)
-      .collect().map(_.getInt(0))
-    assert(holed.count(_ == 1) > 40 && holed.count(_ == 0) > 40)
+      .collect().map(r => (r.getInt(0), r.getBoolean(1)))
+    assert(holed.count(_._1 == 1) > 40 && holed.count(_._1 == 0) > 40)
+    assert(holed.forall(_._2), s"invalid holed polygons: ${holed.count(!_._2)}")
+    // empty_rate applies on the box/envelope path too
+    val boxMixed = types("""{"num_rows": 400, "seed": 6,
+      "geom_type": "box", "empty_rate": 0.25}""")
+    assert(boxMixed.keySet == Set("EMPTY", "ST_Polygon"), boxMixed)
+    assert(boxMixed("EMPTY") > 50 && boxMixed("EMPTY") < 150, boxMixed)
     // num_parts range respected
     val parts = spark.sql(
       """SELECT st_numgeometries(geometry) p
@@ -532,6 +541,10 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("st_srid(st_setcrs(st_point(1,2), 'EPSG:32610'))") == 32610)
     assert(q("st_srid(st_setcrs(st_point(1,2), 'OGC:CRS84'))") == 4326)
     intercept[Exception](q("st_setcrs(st_point(1,2), 'bogus')"))
+    // transform to a non-"EPSG:n" spelling stamps the SRID via the shared
+    // parser instead of throwing NumberFormatException
+    assert(q("st_srid(st_transform(st_point(500000.0, 4649776.0), " +
+      "'EPSG:32610', 'OGC:CRS84'))") == 4326)
   }
 
   test("raster metadata batch: dims, shape, rotation, srid, setters, example") {

@@ -1391,11 +1391,19 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("sd_format width_hint options form (docs/reference/sql/sd_format.qmd)") {
     assert(q("sd_format(st_point(1.0, 2.0))") == "POINT (1 2)")
     assert(q("sd_format(st_point(1.0, 2.0), '{\"width_hint\": 16}')") == "POINT (1 2)")
+    val full = q("sd_format(st_makeenvelope(0.123456, 1.2, 2.3, 3.4))")
+      .asInstanceOf[String]
     val long = q("sd_format(st_makeenvelope(0.123456, 1.2, 2.3, 3.4), " +
       "'{\"width_hint\": 16}')").asInstanceOf[String]
-    assert(long.length == 16 && long.endsWith("..."), long)
-    // malformed options fall back to the default width
-    assert(q("sd_format(st_point(1.0, 2.0), 'not json')") == "POINT (1 2)")
+    // truncation stops mid-render, no ellipsis (sd_format.rs LimitedSizeOutput)
+    assert(long.length == 16 && long == full.take(16), long)
+    // malformed options JSON is an error (sd_format.rs:78-80 map_err)
+    val err = intercept[Exception] {
+      q("sd_format(st_point(1.0, 2.0), 'not json')")
+    }
+    val errMsg = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(errMsg.contains("invalid options JSON"), errMsg)
   }
 
   test("spherical max distance incl. antipodal linestrings " +
@@ -1462,6 +1470,14 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty -> empty; null propagates
     assert(q("st_isempty(st_envelopesphere(st_geomfromwkt('POLYGON EMPTY')))") == true)
     assert(q("st_envelopesphere(CAST(NULL AS BINARY))") == null)
+    // pole-crossing geodesic: the short arc of (0 80)->(180 80) runs over
+    // the north pole, so ymax is 90 (S2LatLngRectBounder pole handling)
+    assert(q("st_ymaxsphere(st_geomfromwkt('LINESTRING (0 80, 180 80)'))") == 90.0)
+    assert(q("st_yminsphere(st_geomfromwkt('LINESTRING (0 80, 180 80)'))") == 80.0)
+    assert(q("st_yminsphere(st_geomfromwkt('LINESTRING (-90 -70, 90 -70)'))") == -90.0)
+    assert(q("st_ymaxsphere(st_geomfromwkt('LINESTRING (-90 -70, 90 -70)'))") == -70.0)
+    // a meridian edge that does NOT span opposite longitudes stays chart-exact
+    assert(q("st_ymaxsphere(st_geomfromwkt('LINESTRING (10 20, 10 60)'))") == 60.0)
   }
 
   test("ST_HausdorffDistance densify fraction + empties (test_distance.py)") {
