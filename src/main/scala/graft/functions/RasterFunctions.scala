@@ -50,6 +50,29 @@ object RasterFunctions {
       // N-D reshaping copies band bytes
       "rs_slice", "rs_slicerange", "rs_dimtoband", "rs_bandtodim")
 
+  /** The out-db SCALE path: these kernels are NOT wrapped in
+    * rs_ensureloaded by RasterLoadRule — they resolve just the pixel
+    * window their geometry touches through the per-executor block cache
+    * (sources/RasterLoaders.window), so a point sample over a huge COG
+    * fetches one tile, never the scene. Mirrors the reference's lazy
+    * per-band out-db fetch (rust/sedona-schema/src/raster.rs outdb
+    * bands + async RS_EnsureLoaded) with GDAL-style block caching. */
+  val windowedAccess: Set[String] =
+    Set("rs_value", "rs_values", "rs_zonalstats", "rs_zonalstatsall")
+
+  /** Windowed raster covering full-raster pixel range [c0..c1]x[r0..r1]
+    * of an out-db raster, plus the window's global pixel origin. */
+  private[functions] def outDbWindow(r: Raster, c0: Int, r0: Int,
+      c1: Int, r1: Int): (Raster, Int, Int) =
+    graft.sources.RasterLoaders.windowWithOrigin(
+      r.path, c0, r0, c1 - c0 + 1, r1 - r0 + 1)
+
+  /** Band count for default-band resolution; an out-db raster answers
+    * from one cached corner block (its header carries no band count). */
+  private[functions] def bandCountOf(r: Raster): Int =
+    if (r.isOutDb) graft.sources.RasterLoaders.window(r.path, 0, 0, 1, 1).bands.length
+    else r.bands.length
+
   private def bandValues(r: Raster, band1: Int): Array[Double] = {
     val band = r.bands(band1 - 1)
     require(band.dims == null || band.dims.length == 2,
@@ -113,8 +136,9 @@ object RasterFunctions {
       require(b >= 1, s"$fname: Invalid band number $b: band numbers must be 1-based")
       b
     } else {
-      require(r.bands.length == 1,
-        s"$fname: raster has ${r.bands.length} bands; specify which band to " +
+      val nb = bandCountOf(r)
+      require(nb == 1,
+        s"$fname: raster has $nb bands; specify which band to " +
           "sample (the 2-argument form is only allowed for a single-band raster)")
       1
     }
@@ -149,7 +173,17 @@ object RasterFunctions {
       s"$fname: raster has a CRS but the geometry does not")
     if (!java.lang.Double.isFinite(x) || !java.lang.Double.isFinite(y)) return null
     val (fc, fr) = r.rasterCoord(x, y)
-    r.value(band, math.floor(fc).toInt, math.floor(fr).toInt)
+    val c = math.floor(fc).toInt
+    val row = math.floor(fr).toInt
+    if (r.isOutDb) {
+      // out-of-bounds answers from the header alone — no fetch at all;
+      // in-bounds fetches only the (cached) block holding the pixel
+      if (c < 0 || row < 0 || c >= r.width || row >= r.height) null
+      else {
+        val (wr, ax, ay) = outDbWindow(r, c, row, c, row)
+        wr.value(band, c - ax, row - ay)
+      }
+    } else r.value(band, c, row)
   }
 
   private def envelopeOf(r: Raster): org.locationtech.jts.geom.Geometry = {
@@ -260,8 +294,17 @@ object RasterFunctions {
     // int form is kept as a pixel-space extension.
     fnv("rs_value", DoubleType,
         Seq(Seq(Raw, Geom), Seq(Raw, Geom, Int_), Seq(Raw, Int_, Int_, Int_)))(a =>
-      if (a.length == 4) rast(a).value(ii(a, 1), ii(a, 2), ii(a, 3))
-      else {
+      if (a.length == 4) {
+        val r = rast(a)
+        val c = ii(a, 2); val row = ii(a, 3)
+        if (r.isOutDb) {
+          if (c < 0 || row < 0 || c >= r.width || row >= r.height) null
+          else {
+            val (wr, ax, ay) = outDbWindow(r, c, row, c, row)
+            wr.value(ii(a, 1), c - ax, row - ay)
+          }
+        } else r.value(ii(a, 1), c, row)
+      } else {
         val r = rast(a)
         val band = resolveSampleBand("rs_value", r, a, 2)
         a(1).asInstanceOf[org.locationtech.jts.geom.Geometry] match {

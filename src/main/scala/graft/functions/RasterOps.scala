@@ -758,14 +758,15 @@ object RasterOps {
     * array (count, sum, mean, median, mode, stddev, variance, min, max). */
   private def zonalCompute(fname: String, a: Array[Any],
       hasStat: Boolean): Array[Any] = {
-    val r = rast(a)
+    val r0 = rast(a)
     val zone = a(1).asInstanceOf[Geometry]
     val statOff = if (hasStat) 1 else 0
     val band =
       if (a.length > 2 && a(2).isInstanceOf[Int]) ii(a, 2)
       else {
-        require(r.bands.length == 1,
-          s"$fname: raster has ${r.bands.length} bands; specify which band " +
+        val nb = RasterFunctions.bandCountOf(r0)
+        require(nb == 1,
+          s"$fname: raster has $nb bands; specify which band " +
             "(the band-less overload is only allowed for a single-band raster)")
         1
       }
@@ -773,15 +774,18 @@ object RasterOps {
     val allTouched = a.length > flagBase && bb(a, flagBase)
     val excludeNoData = a.length <= flagBase + 1 || bb(a, flagBase + 1)
     val lenient = a.length <= flagBase + 2 || bb(a, flagBase + 2)
-    require(band >= 1 && band <= r.bands.length,
+    // in-db: validate the band up front (error ordering unchanged);
+    // out-db learns its band count only after the windowed fetch below
+    if (!r0.isOutDb) require(band >= 1 && band <= r0.bands.length,
       s"$fname: band $band out of range")
     // true-geometry intersection with the raster footprint quad — a roi
     // whose bbox overlaps but whose geometry is disjoint is still a
-    // no-intersection case (rs_zonal_stats.rs roi gate)
+    // no-intersection case (rs_zonal_stats.rs roi gate). Computed on the
+    // FULL raster extent — pure header math, no pixels fetched.
     val quad = {
-      val cs = Array((0, 0), (r.width, 0), (r.width, r.height), (0, r.height),
+      val cs = Array((0, 0), (r0.width, 0), (r0.width, r0.height), (0, r0.height),
         (0, 0)).map { case (c, row) =>
-        new org.locationtech.jts.geom.Coordinate(r.worldX(c, row), r.worldY(c, row))
+        new org.locationtech.jts.geom.Coordinate(r0.worldX(c, row), r0.worldY(c, row))
       }
       GeomIO.factory.createPolygon(cs)
     }
@@ -791,6 +795,19 @@ object RasterOps {
         s"$fname: the roi geometry does not intersect the raster; " +
           "pass lenient to get NULL instead")
     }
+    // out-db: fetch only the blocks under the roi's pixel bbox (padded a
+    // pixel for allTouched edge cells); in-db rasters pass through
+    val r = if (!r0.isOutDb) r0 else {
+      windowOf(r0, zone.getEnvelopeInternal, if (allTouched) 1 else 0) match {
+        case None =>
+          // roi intersects the footprint but selects no pixel range
+          return zonalStatistics(Array.empty[Double])
+        case Some((c0, c1, rr0, rr1)) =>
+          RasterFunctions.outDbWindow(r0, c0, rr0, c1, rr1)._1
+      }
+    }
+    require(band >= 1 && band <= r.bands.length,
+      s"$fname: band $band out of range")
     zonalStatistics(zoneValues(r, zone, band, allTouched, excludeNoData))
   }
 

@@ -25,7 +25,11 @@ object RasterLoadRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case gs @ GeomScalar(name, children, _, _, _)
-        if RasterFunctions.needsPixels(name) && !alreadyWrapped(children.head) =>
+        if RasterFunctions.needsPixels(name) &&
+          !RasterFunctions.windowedAccess(name) && !alreadyWrapped(children.head) =>
+      // windowedAccess kernels stay UNwrapped: they fetch only the
+      // cached pixel blocks their geometry touches (the out-db scale
+      // path) instead of materializing the whole scene
       gs.copy(children = ensure(Seq(children.head)) +: children.tail)
   }
 }

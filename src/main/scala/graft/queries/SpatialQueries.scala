@@ -476,6 +476,57 @@ object SpatialQueries {
           st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
     }),
 
+    // WINDOWED out-db reads — the 100 TB raster scale path: ONE shared
+    // tiled deflate GeoTIFF scene (512x384, 64px tiles, 2 bands) far
+    // larger than any single strip; every row samples rs_value at its
+    // own pixel and runs zonal stats over its own 8x6-pixel roi. The
+    // windowedAccess kernels fetch only the cached blocks each roi
+    // touches (RasterLoaders.window) — never the whole scene (proved by
+    // the fetch counters in RasterWindowSpec; this gate proves the
+    // VALUES match a DuckDB recomputation of the generating formula).
+    "rs09_outdb_window" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_outdb_window/${math.abs(dir.hashCode)}"
+      new java.io.File(base).mkdirs()
+      val scenePath = s"$base/scene.tif"
+      val W = 512; val H = 384
+      val b1 = Array.tabulate(W * H)(i => (((i / W) * 7 + (i % W) * 3) % 101).toDouble)
+      val b2 = Array.tabulate(W * H)(i => (((i / W) * 5 + (i % W) * 11) % 89).toDouble)
+      val scene = graft.functions.RasterModel.Raster("EPSG:32611",
+        Array(300000.0, 10.0, 0.0, 5000000.0, 0.0, -10.0), W, H,
+        Vector(
+          graft.functions.RasterModel.Band(Double.NaN,
+            graft.functions.RasterModel.packDoubles(b1)),
+          graft.functions.RasterModel.Band(Double.NaN,
+            graft.functions.RasterModel.packDoubles(b2))))
+      java.nio.file.Files.write(java.nio.file.Paths.get(scenePath),
+        graft.sources.GeoTiff.writeTiled(scene, 64, 64, 8))
+      t(s, dir, "nation")
+        .withColumn("c", (col("n_nationkey") * 17) % 512)
+        .withColumn("r", (col("n_nationkey") * 13) % 384)
+        .withColumn("c0", (col("n_nationkey") * 11) % 500)
+        .withColumn("r0", (col("n_nationkey") * 29) % 370)
+        .withColumn("rast", st.f("rs_frompath", lit(s"file:$scenePath")))
+        .withColumn("pt", st.f("st_setsrid",
+          st.point(lit(300000.0) + col("c") * 10.0 + 5.0,
+            lit(5000000.0) - col("r") * 10.0 - 5.0), lit(32611)))
+        // half-pixel-safe roi covering pixel centers [c0..c0+7]x[r0..r0+5]
+        .withColumn("zone", st.f("st_setsrid", st.makeEnvelope(
+          lit(300000.0) + col("c0") * 10.0 + 1.0,
+          lit(5000000.0) - (col("r0") + 6) * 10.0 + 1.0,
+          lit(300000.0) + (col("c0") + 8) * 10.0 - 1.0,
+          lit(5000000.0) - col("r0") * 10.0 - 1.0), lit(32611)))
+        .withColumn("zs", st.f("rs_zonalstatsall", col("rast"), col("zone"), lit(1)))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rast")).as("w"),
+          st.f("rs_height", col("rast")).as("h"),
+          st.f("rs_value", col("rast"), col("pt"), lit(1)).as("v1"),
+          st.f("rs_value", col("rast"), col("pt"), lit(2)).as("v2"),
+          col("zs.count").as("zcnt"), col("zs.sum").as("zsum"),
+          col("zs.mean").as("zmean"), col("zs.min").as("zmin"),
+          col("zs.max").as("zmax"))
+    }),
+
     // raster metadata batch: N-D dimension surface, rotation, CRS
     // plumbing, setters (nodata/georeference incl. ESRI pixel-center
     // shift), point sampling, combined coord mapping, skewed convex hull
@@ -1027,6 +1078,32 @@ object SpatialQueries {
         |  list_sum(vs)/12.0 AS bavg,
         |  list_max(vs) AS bmax
         |FROM v""".stripMargin,
+
+    // scene pixel (r, c): band1 = (r*7 + c*3) % 101, band2 = (r*5 + c*11) % 89;
+    // roi covers pixel centers [c0..c0+7] x [r0..r0+5] (48 pixels)
+    "rs09_outdb_window" ->
+      """WITH n AS (
+        |  SELECT n_nationkey,
+        |    (n_nationkey * 17) % 512 AS c,
+        |    (n_nationkey * 13) % 384 AS r,
+        |    (n_nationkey * 11) % 500 AS c0,
+        |    (n_nationkey * 29) % 370 AS r0
+        |  FROM nation),
+        |z AS (
+        |  SELECT n_nationkey, c, r,
+        |    flatten([[CAST(((r0 + dr) * 7 + (c0 + dc) * 3) % 101 AS DOUBLE)
+        |      for dc in range(0, 8)] for dr in range(0, 6)]) AS vs
+        |  FROM n)
+        |SELECT n_nationkey,
+        |  CAST(512 AS INT) AS w, CAST(384 AS INT) AS h,
+        |  CAST((r * 7 + c * 3) % 101 AS DOUBLE) AS v1,
+        |  CAST((r * 5 + c * 11) % 89 AS DOUBLE) AS v2,
+        |  CAST(48 AS BIGINT) AS zcnt,
+        |  list_sum(vs) AS zsum,
+        |  list_sum(vs) / 48.0 AS zmean,
+        |  list_min(vs) AS zmin,
+        |  list_max(vs) AS zmax
+        |FROM z""".stripMargin,
 
     // zone covers pixel centers (c,r) with c in 0..2, r in 0..1 ->
     // band indices i = r*4+c in [0,1,2,4,5,6]

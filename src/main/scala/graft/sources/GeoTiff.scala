@@ -56,12 +56,27 @@ object GeoTiff {
   def write(r: Raster, deflate: Boolean = false): Array[Byte] =
     writeCompressed(r, if (deflate) 8 else 1)
 
+  /** Tiled layout (TileWidth/TileLength/TileOffsets, per TIFF 6.0 §15):
+    * the shape COGs use, and what makes windowed out-db reads fetch only
+    * the tiles a query touches. Tile dims must be multiples of 16 (spec
+    * requirement); edge tiles are zero-padded to full size. */
+  def writeTiled(r: Raster, tileW: Int, tileH: Int,
+      compressionCode: Int = 1): Array[Byte] = {
+    require(tileW > 0 && tileH > 0 && tileW % 16 == 0 && tileH % 16 == 0,
+      s"rs_asgeotiff: tile dims must be positive multiples of 16, got ${tileW}x$tileH")
+    writeChunked(r, compressionCode, Some((tileW, tileH)))
+  }
+
   /** compressionCode: TIFF tag 259 value — 1 none, 5 LZW, 8 deflate,
     * 32773 PackBits (the lossless set RS_AsGeoTiff's reference suite
     * pins, test_rs_asgeotiff.py COMPRESSIONS). Bands whose declared
     * ptype agrees are written in that dtype so load→encode→decode is
     * byte-identical; mixed/unknown ptypes fall back to f64. */
-  def writeCompressed(r: Raster, compressionCode: Int): Array[Byte] = {
+  def writeCompressed(r: Raster, compressionCode: Int): Array[Byte] =
+    writeChunked(r, compressionCode, None)
+
+  private def writeChunked(r: Raster, compressionCode: Int,
+      tile: Option[(Int, Int)]): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asgeotiff: raster has no bands")
     require(r.bands.forall(b => b.dims == null || b.dims.length == 2),
       "rs_asgeotiff: N-D bands not representable in TIFF (slice first)")
@@ -107,16 +122,40 @@ object GeoTiff {
         }
         out.array()
       }
-    val stripData: IndexedSeq[Array[Byte]] = r.bands.toIndexedSeq.map { b =>
-      val raw = narrow(b.data)
-      compressionCode match {
-        case 1 => raw
-        case 5 => lzwEncode(raw)
-        case 8 => deflateBytes(raw)
-        case 32773 => packBitsEncode(raw, r.width * (sampleBits / 8))
-        case other => throw new IllegalArgumentException(
-          s"rs_asgeotiff: compression code $other not supported")
+    val bytesPerSample = sampleBits / 8
+    def compress(raw: Array[Byte], rowBytes: Int): Array[Byte] = compressionCode match {
+      case 1 => raw
+      case 5 => lzwEncode(raw)
+      case 8 => deflateBytes(raw)
+      case 32773 => packBitsEncode(raw, rowBytes)
+      case other => throw new IllegalArgumentException(
+        s"rs_asgeotiff: compression code $other not supported")
+    }
+    // chunk payloads, plane-major: one whole-band strip per band, or
+    // down*across zero-padded tiles per band (TIFF 6.0 §15 tile order)
+    val stripData: IndexedSeq[Array[Byte]] = tile match {
+      case None => r.bands.toIndexedSeq.map { b =>
+        compress(narrow(b.data), r.width * bytesPerSample)
       }
+      case Some((tw, th)) =>
+        val across = (r.width + tw - 1) / tw
+        val down = (r.height + th - 1) / th
+        r.bands.toIndexedSeq.flatMap { b =>
+          val raw = narrow(b.data)
+          for (ty <- 0 until down; tx <- 0 until across) yield {
+            val block = new Array[Byte]((tw * th * bytesPerSample))
+            val validRows = math.min(th, r.height - ty * th)
+            val validCols = math.min(tw, r.width - tx * tw)
+            var row = 0
+            while (row < validRows) {
+              System.arraycopy(raw,
+                (((ty * th + row).toLong * r.width + tx.toLong * tw) * bytesPerSample).toInt,
+                block, row * tw * bytesPerSample, validCols * bytesPerSample)
+              row += 1
+            }
+            compress(block, tw * bytesPerSample)
+          }
+        }
     }
     val skewed = r.gt(2) != 0.0 || r.gt(4) != 0.0
     val srid =
@@ -168,6 +207,10 @@ object GeoTiff {
     }
 
     val stripLens = stripData.map(_.length.toLong)
+    val nChunks = stripData.length
+    // the tag carrying chunk offsets (patched with real positions at
+    // layout time): StripOffsets for strips, TileOffsets for tiles
+    val offsetsTag = if (tile.isDefined) TTileOffsets else TStripOffsets
     var entries = scala.collection.mutable.ArrayBuffer[E](
       E(TImageWidth, 4, 1, Some(r.width.toLong)),
       E(TImageLength, 4, 1, Some(r.height.toLong)),
@@ -176,15 +219,23 @@ object GeoTiff {
         shorts(Seq.fill(nb)(sampleBits))),
       E(TCompression, 3, 1, Some(compressionCode.toLong)),
       E(TPhotometric, 3, 1, Some(1L)),
-      E(TStripOffsets, 4, nb, None, longs(Seq.fill(nb)(0L))),
+      E(offsetsTag, 4, nChunks, None, longs(Seq.fill(nChunks)(0L))),
       E(TSamplesPerPixel, 3, 1, Some(nb.toLong)),
-      E(TRowsPerStrip, 4, 1, Some(r.height.toLong)),
-      E(TStripByteCounts, 4, nb,
-        if (nb == 1) Some(stripLens.head) else None, longs(stripLens)),
       E(TPlanarConfig, 3, 1, Some(2L)),
       E(TSampleFormat, 3, nb,
         if (nb <= 2) Some(packShortsInline(Seq.fill(nb)(sampleFmt))) else None,
         shorts(Seq.fill(nb)(sampleFmt))))
+    tile match {
+      case None =>
+        entries += E(TRowsPerStrip, 4, 1, Some(r.height.toLong))
+        entries += E(TStripByteCounts, 4, nChunks,
+          if (nChunks == 1) Some(stripLens.head) else None, longs(stripLens))
+      case Some((tw, th)) =>
+        entries += E(TTileWidth, 3, 1, Some(tw.toLong))
+        entries += E(TTileLength, 3, 1, Some(th.toLong))
+        entries += E(TTileByteCounts, 4, nChunks,
+          if (nChunks == 1) Some(stripLens.head) else None, longs(stripLens))
+    }
     if (skewed)
       entries += E(TModelTransformation, 12, 16, None, doubles(Seq(
         r.gt(1), r.gt(2), 0, r.gt(0), r.gt(4), r.gt(5), 0, r.gt(3),
@@ -207,7 +258,7 @@ object GeoTiff {
       if (e.inline.isDefined || e.payload.length <= 4) None
       else { val o = dataOff; dataOff += e.payload.length + (e.payload.length & 1); Some(o) }
     }
-    val stripOffsets = stripLens.scanLeft(dataOff)(_ + _).take(nb)
+    val stripOffsets = stripLens.scanLeft(dataOff)(_ + _).take(nChunks)
     val total = dataOff + stripLens.sum
     val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
@@ -215,8 +266,8 @@ object GeoTiff {
     entries.zip(payloadOffsets).foreach { case (e, po) =>
       out.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.count)
       e.tag match {
-        case TStripOffsets =>
-          if (nb == 1) out.putInt(stripOffsets.head.toInt)
+        case t if t == offsetsTag =>
+          if (nChunks == 1) out.putInt(stripOffsets.head.toInt)
           else { // the offsets array itself lives out-of-line
             out.putInt(po.get.toInt)
           }
@@ -232,9 +283,9 @@ object GeoTiff {
     out.putInt(0) // no next IFD
     entries.zip(payloadOffsets).foreach { case (e, po) =>
       po.foreach { o =>
-        // StripOffsets payload needs the real strip positions
+        // the offsets tag's payload needs the real chunk positions
         val bytes =
-          if (e.tag == TStripOffsets) longs(stripOffsets)
+          if (e.tag == offsetsTag) longs(stripOffsets)
           else e.payload
         out.position(o.toInt)
         out.put(bytes)
@@ -728,52 +779,52 @@ object GeoTiff {
       epsg.map(c => s"EPSG:$c").getOrElse("EPSG:0")
     }.getOrElse("EPSG:0")
 
-  /** Header-only metadata read for the out-db loader path: bounded
-    * fetches — 8-byte header, the IFD, and the handful of referenced geo
-    * tag values; strip/tile pixel bytes are never touched, so an S3
-    * `rs_frompath` over a fleet of large tiles costs a few KB per file.
-    * `fetch(off, len)` must return exactly `len` bytes.
-    */
-  def readMeta(fetch: (Long, Int) => Array[Byte]): Raster = {
-    val head = ByteBuffer.wrap(fetch(0L, 8))
-    val order = (head.get(0).toChar, head.get(1).toChar) match {
-      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
-      case ('M', 'M') => ByteOrder.BIG_ENDIAN
-      case _ => throw new IllegalArgumentException("geotiff: not a TIFF (bad byte order)")
+  /** Fetch-based TIFF/BigTIFF IFD parser shared by the bounded-read
+    * paths (readMeta, readWindow): 8-byte header, the IFD, and targeted
+    * fetches of out-of-line tag values only. `fetch(off, len)` must
+    * return exactly `len` bytes. */
+  private final class TiffTags(fetch: (Long, Int) => Array[Byte]) {
+    val order: ByteOrder = {
+      val head0 = fetch(0L, 8)
+      (head0(0).toChar, head0(1).toChar) match {
+        case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+        case ('M', 'M') => ByteOrder.BIG_ENDIAN
+        case _ => throw new IllegalArgumentException("geotiff: not a TIFF (bad byte order)")
+      }
     }
-    head.order(order)
-    val magic = head.getShort(2)
+    private val head = ByteBuffer.wrap(fetch(0L, 8)).order(order)
+    private val magic = head.getShort(2)
     require(magic == 42 || magic == 43, "geotiff: bad TIFF magic")
-    val big = magic == 43
-    val (n, entryBase, entrySize, valSlot, inlineMax) =
+    private val big = magic == 43
+    private val (n, entrySize, valSlot, inlineMax, entries) =
       if (big) {
         require(head.getShort(4) == 8 && head.getShort(6) == 0,
           "geotiff: bad BigTIFF header")
         val o = ByteBuffer.wrap(fetch(8L, 8)).order(order).getLong(0)
         val cnt = ByteBuffer.wrap(fetch(o, 8)).order(order).getLong(0).toInt
-        (cnt, o + 8, 20, 12, 8)
+        (cnt, 20, 12, 8, ByteBuffer.wrap(fetch(o + 8, cnt * 20)).order(order))
       } else {
         val o = head.getInt(4) & 0xffffffffL
         val cnt = ByteBuffer.wrap(fetch(o, 2)).order(order).getShort(0) & 0xffff
-        (cnt, o + 2, 12, 8, 4)
+        (cnt, 12, 8, 4, ByteBuffer.wrap(fetch(o + 2, cnt * 12)).order(order))
       }
-    val entries = ByteBuffer.wrap(fetch(entryBase, n * entrySize)).order(order)
 
     // tag -> (type, count, byte offset of the inline value slot)
-    val tags: Map[Int, (Int, Int, Int)] = (0 until n).map { i =>
+    private val tags: Map[Int, (Int, Int, Int)] = (0 until n).map { i =>
       val p = i * entrySize
       val count = if (big) entries.getLong(p + 4).toInt else entries.getInt(p + 4)
       (entries.getShort(p) & 0xffff) ->
         ((entries.getShort(p + 2) & 0xffff, count, p + valSlot))
     }.toMap
-    def typeSize(t: Int): Int = t match {
+    def has(tag: Int): Boolean = tags.contains(tag)
+    private def typeSize(t: Int): Int = t match {
       case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
       case 5 | 10 | 12 | 16 | 17 | 18 => 8
       case other => throw new IllegalArgumentException(s"geotiff: field type $other")
     }
     // value bytes: inline when they fit the value slot, else one
     // targeted fetch at the stored offset
-    def bytesOf(typ: Int, count: Int, pos: Int): ByteBuffer = {
+    private def bytesOf(typ: Int, count: Int, pos: Int): ByteBuffer = {
       val sz = typeSize(typ) * count
       val bb =
         if (sz <= inlineMax) {
@@ -810,13 +861,200 @@ object GeoTiff {
         val bb = bytesOf(typ, count, pos)
         (0 until count).map(i => bb.getDouble(i * 8))
     }
+    def asciiOf(tag: Int): Option[String] = tags.get(tag).map {
+      case (typ, count, pos) =>
+        require(typ == 2, s"geotiff: tag $tag expected ASCII")
+        val bb = bytesOf(typ, count, pos)
+        val raw = new Array[Byte](count)
+        bb.get(raw)
+        new String(raw, "US-ASCII").takeWhile(_ != '\u0000')
+    }
+    def one(tag: Int, default: => Long): Long =
+      longsOf(tag).map(_.head).getOrElse(default)
+  }
 
-    val w = longsOf(TImageWidth).map(_.head.toInt)
+  /** Header-only metadata read for the out-db loader path: bounded
+    * fetches — 8-byte header, the IFD, and the handful of referenced geo
+    * tag values; strip/tile pixel bytes are never touched, so an S3
+    * `rs_frompath` over a fleet of large tiles costs a few KB per file.
+    * `fetch(off, len)` must return exactly `len` bytes.
+    */
+  def readMeta(fetch: (Long, Int) => Array[Byte]): Raster = {
+    val t = new TiffTags(fetch)
+    val w = t.longsOf(TImageWidth).map(_.head.toInt)
       .getOrElse(throw new IllegalArgumentException("geotiff: no width"))
-    val h = longsOf(TImageLength).map(_.head.toInt)
+    val h = t.longsOf(TImageLength).map(_.head.toInt)
       .getOrElse(throw new IllegalArgumentException("geotiff: no height"))
-    val gt = gtFrom(doublesOf(TModelTransformation), doublesOf(TModelPixelScale),
-      doublesOf(TModelTiepoint))
-    Raster(crsFrom(longsOf(TGeoKeyDirectory)), gt, w, h, Vector.empty)
+    val gt = gtFrom(t.doublesOf(TModelTransformation), t.doublesOf(TModelPixelScale),
+      t.doublesOf(TModelTiepoint))
+    Raster(crsFrom(t.longsOf(TGeoKeyDirectory)), gt, w, h, Vector.empty)
+  }
+
+  /** Windowed read: decodes ONLY the strips/tiles that intersect the
+    * pixel window [xoff, xoff+ww) x [yoff, yoff+wh), fetching their byte
+    * ranges individually — the out-db scale path for rasters far larger
+    * than memory (a point sample over a tiled scene fetches one tile, not
+    * the file). The returned raster has the window's dimensions and a
+    * geotransform translated to the window origin, so world-coordinate
+    * sampling on it agrees with the full image. The analog of the
+    * reference's lazy per-band out-db fetch
+    * (rust/sedona-schema/src/raster.rs outdb bands + async
+    * RS_EnsureLoaded); GDAL calls this a RasterIO window. */
+  def readWindow(fetch: (Long, Int) => Array[Byte],
+      xoff: Int, yoff: Int, ww: Int, wh: Int): Raster = {
+    val t = new TiffTags(fetch)
+    val w = t.one(TImageWidth, throw new IllegalArgumentException("geotiff: no width")).toInt
+    val h = t.one(TImageLength, throw new IllegalArgumentException("geotiff: no height")).toInt
+    require(xoff >= 0 && yoff >= 0 && ww > 0 && wh > 0 &&
+      xoff.toLong + ww <= w && yoff.toLong + wh <= h,
+      s"geotiff: window ($xoff,$yoff ${ww}x$wh) outside raster ${w}x$h")
+    val nb = t.one(TSamplesPerPixel, 1L).toInt
+    val compression = t.one(TCompression, 1L).toInt
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32946 || compression == 32773,
+      s"geotiff: compression $compression not supported (NONE/LZW/DEFLATE/PACKBITS only)")
+    val predictor = t.one(TPredictor, 1L).toInt
+    val planar = t.one(TPlanarConfig, 1L).toInt
+    val bits = t.longsOf(TBitsPerSample).map(_.map(_.toInt)).getOrElse(IndexedSeq.fill(nb)(1))
+    val formats = t.longsOf(TSampleFormat).map(_.map(_.toInt))
+      .getOrElse(IndexedSeq.fill(nb)(1))
+    require(bits.distinct.length == 1 && formats.distinct.length == 1,
+      "geotiff: mixed per-band sample layouts not supported")
+    val bitsPer = bits.head
+    val fmt = formats.head
+    val bytesPer = bitsPer / 8
+    val chans = if (planar == 2) 1 else nb
+    val stride = if (planar == 2) 1 else nb
+    val planes = if (planar == 2) nb else 1
+
+    def decodeChunk(off: Long, len: Int, rowSamples: Int): Array[Byte] = {
+      val data = fetch(off, len)
+      val chunk = compression match {
+        case 1 => data
+        case 5 => lzwDecode(data, 0, len)
+        case 32773 => packBitsDecode(data, 0, len)
+        case _ => inflateBytes(data, 0, len)
+      }
+      predictor match {
+        case 1 => chunk
+        case 2 => undoHorizontalPredictor(chunk, rowSamples, stride, bytesPer, t.order)
+        case 3 => undoFloatPredictor(chunk, rowSamples, bytesPer, t.order)
+        case p => throw new IllegalArgumentException(s"geotiff: predictor $p not supported")
+      }
+    }
+
+    // window sample buffer: plane-major for planar=2, chunky row-major else
+    val out = new Array[Byte](ww * wh * nb * bytesPer)
+    if (t.has(TTileWidth)) {
+      val tw = t.one(TTileWidth, 0L).toInt
+      val th = t.one(TTileLength, 0L).toInt
+      require(tw > 0 && th > 0, "geotiff: bad tile size")
+      val tOffs = t.longsOf(TTileOffsets).getOrElse(
+        throw new IllegalArgumentException("geotiff: no tile offsets"))
+      val tCounts = t.longsOf(TTileByteCounts).getOrElse(
+        throw new IllegalArgumentException("geotiff: no tile byte counts"))
+      val across = (w + tw - 1) / tw
+      val down = (h + th - 1) / th
+      val tileRowSamples = tw * chans
+      var pl = 0
+      while (pl < planes) {
+        var ty = yoff / th
+        while (ty <= (yoff + wh - 1) / th) {
+          var tx = xoff / tw
+          while (tx <= (xoff + ww - 1) / tw) {
+            val ti = pl * down * across + ty * across + tx
+            require(ti < tOffs.length && ti < tCounts.length, "geotiff: missing tiles")
+            val tile = decodeChunk(tOffs(ti), tCounts(ti).toInt, tileRowSamples)
+            val rowLo = math.max(yoff, ty * th)
+            val rowHi = math.min(math.min(yoff + wh, ty * th + th), h)
+            val colLo = math.max(xoff, tx * tw)
+            val colHi = math.min(math.min(xoff + ww, tx * tw + tw), w)
+            var r0 = rowLo
+            while (r0 < rowHi) {
+              val srcOff = ((r0 - ty * th) * tileRowSamples + (colLo - tx * tw) * chans) * bytesPer
+              val dstSample =
+                pl.toLong * ww * wh + ((r0 - yoff).toLong * ww + (colLo - xoff)) * chans
+              System.arraycopy(tile, srcOff, out, (dstSample * bytesPer).toInt,
+                (colHi - colLo) * chans * bytesPer)
+              r0 += 1
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        pl += 1
+      }
+    } else {
+      val rps = math.max(1, t.one(TRowsPerStrip, h.toLong).toInt)
+      val stripOffs = t.longsOf(TStripOffsets).getOrElse(
+        throw new IllegalArgumentException("geotiff: no strip offsets"))
+      val stripCounts = t.longsOf(TStripByteCounts).getOrElse(
+        throw new IllegalArgumentException("geotiff: no strip byte counts"))
+      val stripsPerPlane = (h + rps - 1) / rps
+      val samplesPerRow = w * chans
+      var pl = 0
+      while (pl < planes) {
+        var s0 = yoff / rps
+        while (s0 <= (yoff + wh - 1) / rps) {
+          val si = pl * stripsPerPlane + s0
+          require(si < stripOffs.length && si < stripCounts.length,
+            "geotiff: missing strips")
+          val strip = decodeChunk(stripOffs(si), stripCounts(si).toInt, samplesPerRow)
+          val rowLo = math.max(yoff, s0 * rps)
+          val rowHi = math.min(math.min(yoff + wh, (s0 + 1) * rps), h)
+          var r0 = rowLo
+          while (r0 < rowHi) {
+            val srcOff = ((r0 - s0 * rps) * samplesPerRow + xoff * chans) * bytesPer
+            val dstSample =
+              pl.toLong * ww * wh + (r0 - yoff).toLong * ww * chans
+            System.arraycopy(strip, srcOff, out, (dstSample * bytesPer).toInt,
+              ww * chans * bytesPer)
+            r0 += 1
+          }
+          s0 += 1
+        }
+        pl += 1
+      }
+    }
+
+    val data = ByteBuffer.wrap(out).order(t.order)
+    @inline def sample(idx: Int): Double = (fmt, bitsPer) match {
+      case (3, 64) => data.getDouble(idx * 8)
+      case (3, 32) => data.getFloat(idx * 4).toDouble
+      case (1, 8) => (data.get(idx) & 0xff).toDouble
+      case (2, 8) => data.get(idx).toDouble
+      case (1, 16) => (data.getShort(idx * 2) & 0xffff).toDouble
+      case (2, 16) => data.getShort(idx * 2).toDouble
+      case (1, 32) => (data.getInt(idx * 4) & 0xffffffffL).toDouble
+      case (2, 32) => data.getInt(idx * 4).toDouble
+      case (1, 64) =>
+        val v = data.getLong(idx * 8)
+        if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+      case (2, 64) => data.getLong(idx * 8).toDouble
+      case other => throw new IllegalArgumentException(
+        s"geotiff: unsupported sample layout $other")
+    }
+    val nodata = t.asciiOf(TGdalNoData).map { s =>
+      if (s.equalsIgnoreCase("nan")) Double.NaN else s.trim.toDouble
+    }.getOrElse(Double.NaN)
+    val bands = (0 until nb).map { b =>
+      val vals = new Array[Double](ww * wh)
+      var i = 0
+      while (i < ww * wh) {
+        val idx = if (planar == 2) b * ww * wh + i else i * nb + b
+        vals(i) = sample(idx)
+        i += 1
+      }
+      Band(nodata, RasterModel.packDoubles(vals), ptype = pixelTypeName(fmt, bitsPer))
+    }
+
+    val gt = gtFrom(t.doublesOf(TModelTransformation), t.doublesOf(TModelPixelScale),
+      t.doublesOf(TModelTiepoint))
+    // geotransform translated to the window origin so world coordinates
+    // of the windowed pixels match the full image
+    val gtW = Array(
+      gt(0) + xoff * gt(1) + yoff * gt(2), gt(1), gt(2),
+      gt(3) + xoff * gt(4) + yoff * gt(5), gt(4), gt(5))
+    Raster(crsFrom(t.longsOf(TGeoKeyDirectory)), gtW, ww, wh, bands)
   }
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.util.concurrent.atomic.LongAdder
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import graft.functions.RasterModel.Raster
@@ -15,7 +16,19 @@ import graft.functions.RasterModel.Raster
   *
   * `rs_frompath` does a header-only `readMeta` (bounded reads — a few KB
   * per file regardless of raster size); pixel bytes are fetched only when
-  * the planner-injected `rs_ensureloaded` materializes them.
+  * the planner-injected `rs_ensureloaded` materializes them, or when a
+  * window-capable kernel (rs_value/rs_values/rs_zonalstats) asks for just
+  * the tiles it touches via `window`.
+  *
+  * Scale design (the 100 TB story):
+  *  - full decodes go through a PER-EXECUTOR cache keyed (path, mtime) —
+  *    a million rows sampling one scene decode it once per executor, not
+  *    once per row;
+  *  - windowed reads fetch only the strip/tile byte ranges intersecting
+  *    the request (GeoTiff.readWindow), so a >2 GiB COG never needs a
+  *    whole-file materialization; windows are aligned outward to a
+  *    256-pixel block grid and cached, so clustered point samples share
+  *    one fetch.
   */
 object RasterLoaders {
 
@@ -24,12 +37,26 @@ object RasterLoaders {
     def readMeta(fetch: (Long, Int) => Array[Byte], fileLen: Long): Raster
     /** Full decode of the file bytes, bands materialized. */
     def load(bytes: Array[Byte]): Raster
+    /** Windowed decode: fetch+decode only the chunks intersecting the
+      * pixel window. Default falls back to a full fetch+decode+crop for
+      * formats without an internal chunk index (keeps the whole-file
+      * size cap those formats already imply). */
+    def loadWindow(fetch: (Long, Int) => Array[Byte], fileLen: Long,
+        xoff: Int, yoff: Int, w: Int, h: Int): Raster = {
+      require(fileLen <= Int.MaxValue,
+        s"raster loader: file too large for a whole-file decode " +
+          s"($fileLen bytes) and the format has no windowed reader")
+      crop(load(fetch(0L, fileLen.toInt)), xoff, yoff, w, h)
+    }
   }
 
   private object GeoTiffLoader extends Loader {
     def readMeta(fetch: (Long, Int) => Array[Byte], fileLen: Long): Raster =
       GeoTiff.readMeta(fetch)
     def load(bytes: Array[Byte]): Raster = GeoTiff.read(bytes)
+    override def loadWindow(fetch: (Long, Int) => Array[Byte], fileLen: Long,
+        xoff: Int, yoff: Int, w: Int, h: Int): Raster =
+      GeoTiff.readWindow(fetch, xoff, yoff, w, h)
   }
 
   @volatile private var registry: Map[String, Loader] =
@@ -53,36 +80,149 @@ object RasterLoaders {
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
+  // ---- read accounting (asserted by RasterWindowSpec: a windowed read
+  // must fetch a small fraction of the file) ----
+  val fetchCalls = new LongAdder
+  val fetchBytes = new LongAdder
+  val fullDecodes = new LongAdder
+  def resetCounters(): Unit = { fetchCalls.reset(); fetchBytes.reset(); fullDecodes.reset() }
+
+  /** Open `path` and hand a counting positional reader to `f`. */
+  private def withFetch[T](path: String)(f: ((Long, Int) => Array[Byte], Long) => T): T = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try f((off, n) => {
+      val buf = new Array[Byte](n)
+      in.readFully(off, buf)
+      fetchCalls.increment()
+      fetchBytes.add(n.toLong)
+      buf
+    }, len)
+    finally in.close()
+  }
+
+  /** One metadata RPC: (mtime, length). The only per-call filesystem
+    * touch on a cache hit — no open, no data read. */
+  private def statOf(path: String): (Long, Long) = {
+    val p = new Path(path)
+    val st = p.getFileSystem(hadoopConf).getFileStatus(p)
+    (st.getModificationTime, st.getLen)
+  }
+
+  // ---- per-executor (per-JVM) decode caches. SoftReference values so
+  // memory pressure evicts decoded scenes before an OOM; keys carry the
+  // file mtime so an overwritten file is re-read, never served stale. ----
+  private final class SoftLru[K, V <: AnyRef](maxEntries: Int) {
+    private val map = new java.util.LinkedHashMap[K, java.lang.ref.SoftReference[V]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[K, java.lang.ref.SoftReference[V]]): Boolean =
+        size() > maxEntries
+    }
+    // compute OUTSIDE the lock: a slow decode must not serialize the
+    // other 31 local threads' cache lookups; a racing duplicate decode
+    // is idempotent and cheaper than a convoyed cache
+    def get(k: K)(compute: => V): V =
+      map.synchronized(Option(map.get(k)).flatMap(r => Option(r.get))) match {
+        case Some(v) => v
+        case None =>
+          val v = compute
+          map.synchronized(map.put(k, new java.lang.ref.SoftReference[V](v)))
+          v
+      }
+  }
+  private val metaCache = new SoftLru[(String, Long), Raster](1024)
+  private val fullCache = new SoftLru[(String, Long), Raster](32)
+  private val windowCache = new SoftLru[(String, Long, Int, Int, Int, Int), Raster](256)
+
+  /** Windowed reads align outward to this pixel grid so clustered point
+    * samples hit one cached block instead of issuing per-row fetches. */
+  private val BlockAlign = 256
+
+  private def cachedMeta(path: String, loader: Loader, mtime: Long): Raster =
+    metaCache.get((path, mtime)) {
+      withFetch(path) { (fetch, len) =>
+        val r = loader.readMeta(fetch, len)
+        Raster(r.crs, r.gt, r.width, r.height, Vector.empty, path)
+      }
+    }
+
   /** Header-only metadata; bands stay empty, `path` is carried so
     * `rs_ensureloaded` can find the bytes later. Throws
     * FileNotFoundException for a missing file. */
-  def readMeta(path: String): Raster = {
-    val loader = loaderFor(path)
-    val p = new Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    val len = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
-    try {
-      val r = loader.readMeta((off, n) => {
-        val buf = new Array[Byte](n)
-        in.readFully(off, buf)
-        buf
-      }, len)
-      Raster(r.crs, r.gt, r.width, r.height, Vector.empty, path)
-    } finally in.close()
-  }
+  def readMeta(path: String): Raster =
+    cachedMeta(path, loaderFor(path), statOf(path)._1)
 
-  /** Full load: one sequential read + format decode, bands materialized. */
+  /** Full load, cached per executor on (path, mtime). Window-capable
+    * formats stream chunk-by-chunk (no whole-file byte array, no 2 GiB
+    * compressed-size cap); others fall back to one sequential read. */
   def load(path: String): Raster = {
     val loader = loaderFor(path)
-    val p = new Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    val len = fs.getFileStatus(p).getLen
-    require(len <= Int.MaxValue, s"rs_ensureloaded: $path too large ($len bytes)")
-    val bytes = new Array[Byte](len.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    val r = loader.load(bytes)
-    Raster(r.crs, r.gt, r.width, r.height, r.bands, path)
+    val (mtime, len) = statOf(path)
+    fullCache.get((path, mtime)) {
+      fullDecodes.increment()
+      val meta = cachedMeta(path, loader, mtime)
+      withFetch(path) { (fetch, _) =>
+        val r = loader.loadWindow(fetch, len, 0, 0, meta.width, meta.height)
+        Raster(r.crs, r.gt, r.width, r.height, r.bands, path)
+      }
+    }
+  }
+
+  /** Load only the pixels of [xoff,xoff+w) x [yoff,yoff+h), aligned
+    * outward to the block grid and cached per executor. The returned
+    * raster's geotransform is translated to the (aligned) window origin,
+    * so world-coordinate sampling works unchanged. */
+  def window(path: String, xoff: Int, yoff: Int, w: Int, h: Int): Raster =
+    windowWithOrigin(path, xoff, yoff, w, h)._1
+
+  /** As `window`, also returning the window's global pixel origin
+    * (aligned xoff, yoff) so callers can map full-raster pixel indices
+    * into the window without float round-trips. */
+  def windowWithOrigin(path: String, xoff: Int, yoff: Int,
+      w: Int, h: Int): (Raster, Int, Int) = {
+    val loader = loaderFor(path)
+    val (mtime, len) = statOf(path)
+    val meta = cachedMeta(path, loader, mtime)
+    // clamp + align outward to the block grid
+    val ax = math.max(0, (xoff / BlockAlign) * BlockAlign)
+    val ay = math.max(0, (yoff / BlockAlign) * BlockAlign)
+    val ax1 = math.min(meta.width, ((xoff + w + BlockAlign - 1) / BlockAlign) * BlockAlign)
+    val ay1 = math.min(meta.height, ((yoff + h + BlockAlign - 1) / BlockAlign) * BlockAlign)
+    require(ax < ax1 && ay < ay1,
+      s"rs window: empty window ($xoff,$yoff ${w}x$h) for ${meta.width}x${meta.height} $path")
+    val r = windowCache.get((path, mtime, ax, ay, ax1 - ax, ay1 - ay)) {
+      withFetch(path) { (fetch, _) =>
+        val wr = loader.loadWindow(fetch, len, ax, ay, ax1 - ax, ay1 - ay)
+        Raster(wr.crs, wr.gt, wr.width, wr.height, wr.bands, path)
+      }
+    }
+    (r, ax, ay)
+  }
+
+  /** Crop helper for loaders without an internal chunk index. */
+  private[sources] def crop(r: Raster, xoff: Int, yoff: Int, w: Int, h: Int): Raster = {
+    require(xoff >= 0 && yoff >= 0 && w > 0 && h > 0 &&
+      xoff + w <= r.width && yoff + h <= r.height,
+      s"raster crop: window ($xoff,$yoff ${w}x$h) outside ${r.width}x${r.height}")
+    if (xoff == 0 && yoff == 0 && w == r.width && h == r.height) return r
+    val bands = r.bands.map { b =>
+      require(b.dims == null || b.dims.length == 2,
+        "raster crop: N-D bands not croppable (slice first)")
+      val out = new Array[Byte](w * h * 8)
+      var row = 0
+      while (row < h) {
+        System.arraycopy(b.data, (((yoff + row).toLong * r.width + xoff) * 8).toInt,
+          out, row * w * 8, w * 8)
+        row += 1
+      }
+      b.copy(data = out)
+    }
+    val gtW = Array(
+      r.gt(0) + xoff * r.gt(1) + yoff * r.gt(2), r.gt(1), r.gt(2),
+      r.gt(3) + xoff * r.gt(4) + yoff * r.gt(5), r.gt(4), r.gt(5))
+    Raster(r.crs, gtW, w, h, bands, r.path)
   }
 }

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.RasterModel
+import graft.functions.RasterModel.{Band, Raster}
+import graft.sources.{GeoTiff, RasterLoaders}
+
+/** Windowed out-db raster reads: the scale path for rasters larger than
+  * memory. Pins (a) tiled-writer/reader roundtrips, (b) readWindow ==
+  * crop-of-full-decode for every window shape, and (c) the fetch
+  * accounting that proves a point sample reads a small fraction of the
+  * file — the engine-side analog of the reference's lazy out-db band
+  * fetch (rust/sedona-schema/src/raster.rs + async RS_EnsureLoaded). */
+class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Deterministic multi-band raster: v(b, row, col) = b*100000 + row*1000 + col. */
+  private def makeRaster(w: Int, h: Int, nb: Int, nodata: Double = Double.NaN,
+      crs: String = "EPSG:32610"): Raster = {
+    val bands = (1 to nb).map { b =>
+      val vals = Array.tabulate(w * h)(i => b * 100000.0 + (i / w) * 1000.0 + (i % w))
+      Band(nodata, RasterModel.packDoubles(vals))
+    }
+    // 10m pixels anchored at (500000, 4650000), north-up
+    Raster(crs, Array(500000.0, 10.0, 0.0, 4650000.0, 0.0, -10.0), w, h, bands)
+  }
+
+  private def pixels(r: Raster, b: Int): IndexedSeq[Double] =
+    for (row <- 0 until r.height; c <- 0 until r.width)
+      yield r.value(b, c, row) match { case null => Double.NaN; case v => v.doubleValue }
+
+  test("tiled writer roundtrips through the full reader (none/deflate/LZW, edge tiles)") {
+    val r = makeRaster(150, 90, 2) // 150x90 with 64x64 tiles -> ragged edges
+    for (code <- Seq(1, 8, 5, 32773)) {
+      val bytes = GeoTiff.writeTiled(r, 64, 64, code)
+      val back = GeoTiff.read(bytes)
+      assert(back.width == 150 && back.height == 90 && back.bands.length == 2, s"code $code")
+      for (b <- 1 to 2)
+        assert(pixels(back, b) == pixels(r, b), s"code $code band $b")
+      assert(back.gt.toSeq == r.gt.toSeq && back.crs == r.crs)
+    }
+  }
+
+  test("readWindow == crop of full decode, tiled and striped, all window shapes") {
+    val r = makeRaster(150, 90, 2)
+    val tiled = GeoTiff.writeTiled(r, 64, 64, 8)
+    val striped = GeoTiff.write(r, deflate = true)
+    def fetchOf(bytes: Array[Byte]): (Long, Int) => Array[Byte] =
+      (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    val windows = Seq(
+      (0, 0, 150, 90),      // full
+      (0, 0, 64, 64),       // exactly tile 0
+      (64, 64, 86, 26),     // ragged bottom-right corner
+      (10, 20, 100, 50),    // interior spanning 4 tiles
+      (149, 89, 1, 1),      // last pixel
+      (63, 63, 2, 2))       // 2x2 across a 4-tile corner
+    for ((bytes, label) <- Seq((tiled, "tiled"), (striped, "striped"));
+         (x, y, w, h) <- windows) {
+      val win = GeoTiff.readWindow(fetchOf(bytes), x, y, w, h)
+      assert(win.width == w && win.height == h, s"$label ($x,$y ${w}x$h)")
+      for (b <- 1 to 2; row <- 0 until h; c <- 0 until w) {
+        val expect = r.value(b, x + c, y + row)
+        assert(win.value(b, c, row) == expect,
+          s"$label ($x,$y ${w}x$h) band $b pixel ($c,$row)")
+      }
+      // world coordinates of window pixels match the full image
+      assert(win.worldX(0, 0) == r.worldX(x, y) && win.worldY(0, 0) == r.worldY(x, y),
+        s"$label ($x,$y) gt translation")
+    }
+  }
+
+  test("point sample over an out-db tiled scene fetches a small fraction of the file") {
+    val r = makeRaster(1024, 768, 1)
+    val bytes = GeoTiff.writeTiled(r, 64, 64, 1) // uncompressed: size known
+    val dir = new java.io.File("/tmp/graft_window_spec"); dir.mkdirs()
+    val f = new java.io.File(dir, "scene.tif")
+    val out = new java.io.FileOutputStream(f)
+    out.write(bytes); out.close()
+    val path = f.getAbsolutePath
+
+    RasterLoaders.resetCounters()
+    // world coords of pixel (700, 500): aligned block is (512..1023, 256..511)
+    val x = 500000.0 + 700 * 10.0 + 5.0
+    val y = 4650000.0 - 500 * 10.0 - 5.0
+    val v = spark.sql(
+      s"SELECT rs_value(rs_frompath('$path'), st_point($x, $y, 'EPSG:32610'), 1) v")
+      .collect()(0).getDouble(0)
+    assert(v == 100000.0 + 500 * 1000.0 + 700)
+    val bytesAfterFirst = RasterLoaders.fetchBytes.sum()
+    // the 256-aligned block is 512x256 pixels = 1/6 of the scene; header
+    // reads add a few KB. The whole file is ~6.3 MB.
+    assert(bytesAfterFirst < bytes.length / 4,
+      s"windowed read fetched $bytesAfterFirst of ${bytes.length} bytes")
+    assert(RasterLoaders.fullDecodes.sum() == 0, "no full decode on the window path")
+
+    // a second point in the SAME block: served from the executor cache,
+    // no new data fetch beyond the header stat
+    val before = RasterLoaders.fetchBytes.sum()
+    val v2 = spark.sql(
+      s"SELECT rs_value(rs_frompath('$path'), st_point(${x + 10.0}, $y, 'EPSG:32610'), 1) v")
+      .collect()(0).getDouble(0)
+    assert(v2 == 100000.0 + 500 * 1000.0 + 701)
+    assert(RasterLoaders.fetchBytes.sum() == before,
+      "second sample in the same block must hit the cache")
+
+    // out-of-bounds sample: header-only, still no new fetch
+    val v3 = spark.sql(
+      s"SELECT rs_value(rs_frompath('$path'), st_point(400000.0, $y, 'EPSG:32610'), 1) v")
+      .collect()(0)
+    assert(v3.isNullAt(0))
+    assert(RasterLoaders.fetchBytes.sum() == before, "out-of-bounds fetches nothing")
+  }
+
+  test("out-db zonal stats match the in-db decode and fetch only the roi's blocks") {
+    val r = makeRaster(1024, 768, 1)
+    val bytes = GeoTiff.writeTiled(r, 64, 64, 8)
+    val dir = new java.io.File("/tmp/graft_window_spec"); dir.mkdirs()
+    val f = new java.io.File(dir, "scene_deflate.tif")
+    val out = new java.io.FileOutputStream(f)
+    out.write(bytes); out.close()
+    val path = f.getAbsolutePath
+    // roi: a rectangle over pixels [100..139] x [200..229] (half-pixel
+    // inset so no boundary passes through a pixel center)
+    val x0 = 500000.0 + 100 * 10.0 + 1.0; val x1 = 500000.0 + 140 * 10.0 - 1.0
+    val y0 = 4650000.0 - 230 * 10.0 + 1.0; val y1 = 4650000.0 - 200 * 10.0 - 1.0
+    val roi = s"st_setsrid(st_makeenvelope($x0, $y0, $x1, $y1), 32610)"
+    RasterLoaders.resetCounters()
+    val outdb = spark.sql(
+      s"SELECT rs_zonalstatsall(rs_frompath('$path'), $roi, 1) s").collect()(0).getStruct(0)
+    assert(RasterLoaders.fullDecodes.sum() == 0, "zonal must use the window path")
+    val indb = spark.sql(
+      s"SELECT rs_zonalstatsall(rs_ensureloaded(rs_frompath('$path')), $roi, 1) s")
+      .collect()(0).getStruct(0)
+    assert(outdb == indb, s"out-db $outdb vs in-db $indb")
+    // sanity: count = 40x30 pixels, mean = band formula at the roi center
+    assert(outdb.getLong(0) == 40L * 30L)
+  }
+
+  test("rs_value/rs_values band-less form resolves the default band out-db") {
+    val r = makeRaster(200, 100, 1)
+    val bytes = GeoTiff.writeTiled(r, 64, 64, 1)
+    val dir = new java.io.File("/tmp/graft_window_spec"); dir.mkdirs()
+    val f = new java.io.File(dir, "oneband.tif")
+    val out = new java.io.FileOutputStream(f); out.write(bytes); out.close()
+    val path = f.getAbsolutePath
+    val x = 500000.0 + 42 * 10.0 + 5.0
+    val y = 4650000.0 - 17 * 10.0 - 5.0
+    val v = spark.sql(
+      s"SELECT rs_value(rs_frompath('$path'), st_point($x, $y, 'EPSG:32610')) v")
+      .collect()(0).getDouble(0)
+    assert(v == 100000.0 + 17 * 1000.0 + 42)
+    val vs = spark.sql(
+      s"""SELECT rs_values(rs_frompath('$path'),
+         |  st_geomfromtext('MULTIPOINT ($x $y, 400000 $y)', 'EPSG:32610')) v"""
+        .stripMargin).collect()(0).getSeq[Any](0)
+    assert(vs == Seq(100000.0 + 17 * 1000.0 + 42, null))
+  }
+}
