@@ -22,6 +22,14 @@ import org.locationtech.jts.geom.{Coordinate, CoordinateSequence, CoordinateSequ
   *    parameters, ~3.5 m vs the OSTN grid) + Airy 1830 Transverse
   *    Mercator
   *
+  *  - PLUS any CRS defined by a parameterized PROJJSON document whose
+  *    conversion method is TM (9807), LCC-2SP (9802), LAEA (9820),
+  *    Albers (9822), polar stereographic (9810/9829) or natural-origin
+  *    Mercator (9804) — the parameters drive the same kernels, so
+  *    unlisted UTM/SPCS zones work without a table entry, mirroring how
+  *    the reference builds pipelines from the CRS definition via PROJ
+  *    (c/sedona-proj/src/transform.rs:36,258).
+  *
   * Anything else errors loudly, matching the reference's lazy-error
   * behavior (rust/sedona/src/context.rs:128-130).
   *
@@ -89,13 +97,23 @@ object CrsTransform {
 
   def parse(code: String): Crs = {
     val t = code.trim
-    // WKT1/WKT2/PROJJSON/OGC:CRS84 route through the authority extractor
+    // PROJJSON: prefer the enumerated table when the JSON carries a
+    // listed EPSG id (tested fast path); otherwise build the projection
+    // from the parsed parameters — any TM/LCC/LAEA/Albers/polar-stereo
+    // definition works without a table entry, the behavior the reference
+    // gets from PROJ (c/sedona-proj/src/transform.rs:36,258)
+    if (t.startsWith("{")) return parseProjJson(t)
+    // WKT1/WKT2/OGC:CRS84 route through the authority extractor
     // and come back as plain EPSG codes
     val c =
       if (t.toUpperCase.startsWith("EPSG:")) t.drop(5).trim
       else if (t.nonEmpty && t.forall(_.isDigit)) t
       else GeomScalars.parseCrsSrid(t).toString
-    c.toInt match {
+    parseEpsg(c.toInt)
+  }
+
+  private def parseEpsg(epsg: Int): Crs = {
+    epsg match {
       case 4326 => LonLat
       case 4979 => Geodetic3D
       case 4978 => Geocentric
@@ -144,7 +162,82 @@ object CrsTransform {
       case other => throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$other (supported: 4326, 4978, 4979, 3857, 3395, " +
           "UTM 326xx/327xx, ETRS89 UTM 258xx, NAD83 UTM 269xx, 2154, 3035, 5070, " +
-          "4258, 4269, 4277, 27700, 32118, 32139)")
+          "4258, 4269, 4277, 27700, 32118, 32139; or pass a parameterized " +
+          "PROJJSON definition)")
+    }
+  }
+
+  private def parseProjJson(json: String): Crs = {
+    // listed EPSG id -> the tested enumerated path
+    val viaId =
+      (try Some(GeomScalars.parseCrsSrid(json)) catch { case _: Exception => None })
+        .flatMap(c => try Some(parseEpsg(c)) catch { case _: Exception => None })
+    viaId.getOrElse {
+      val p = graft.sources.ProjJson.parseCrs(json).getOrElse(
+        throw new IllegalArgumentException(
+          "st_transform: unparseable PROJJSON CRS (GeographicCRS/ProjectedCRS " +
+            "with an ellipsoid and a TM/LCC-2SP/LAEA/Albers/polar-stereographic " +
+            "conversion are supported)"))
+      fromParsed(p)
+    }
+  }
+
+  /** Build a Crs from parsed PROJJSON parameters. Datums: OSGB36 gets
+    * its real Helmert leg; everything else is treated WGS84-coincident
+    * (the same metre-level contract as the enumerated NAD83/ETRS89
+    * entries). Anonymous definitions get a stable synthetic negative id
+    * so `src == dst` shortcuts still work for identical JSON. */
+  private def fromParsed(p: graft.sources.ProjJson.ParsedCrs): Crs = {
+    val el = Ellipsoid(p.a, if (p.rf == 0.0) 0.0 else 1.0 / p.rf)
+    val datum =
+      if (p.datumName.toUpperCase.contains("ORDNANCE") ||
+        p.datumName.toUpperCase.contains("OSGB")) Osgb36
+      else null
+    val codeId =
+      if (p.code != 0) p.code
+      else -(math.abs((p.name, p.a, p.rf, p.conv).hashCode) % 1000000000 + 1)
+    p.conv match {
+      case None =>
+        if (datum == null && p.a == Wgs84.a &&
+          math.abs(el.f - Wgs84.f) < 1e-9 && p.code == 0) LonLat
+        else if (p.code == 4326) LonLat
+        else Geographic(if (p.code != 0) p.code else codeId, datum)
+      case Some(cv) =>
+        def prm(id: Int, d: Double = Double.NaN): Double =
+          cv.params.getOrElse(id, {
+            require(!d.isNaN,
+              s"PROJJSON conversion '${cv.methodName}' missing EPSG parameter $id")
+            d
+          })
+        val proj = cv.methodCode match {
+          case 9807 => TransverseMercator(el, lon0 = prm(8802), k0 = prm(8805, 1.0),
+            fe = prm(8806, 0.0), fn = prm(8807, 0.0), lat0 = prm(8801, 0.0))
+          case 9802 => LambertConformal2SP(el, lat0 = prm(8821), lon0 = prm(8822),
+            sp1 = prm(8823), sp2 = prm(8824), fe = prm(8826, 0.0), fn = prm(8827, 0.0))
+          case 9820 => LambertAzimuthalEqualArea(el, lat0 = prm(8801), lon0 = prm(8802),
+            fe = prm(8806, 0.0), fn = prm(8807, 0.0))
+          case 9822 => AlbersEqualArea(el, lat0 = prm(8821), lon0 = prm(8822),
+            sp1 = prm(8823), sp2 = prm(8824), fe = prm(8826, 0.0), fn = prm(8827, 0.0))
+          case 9810 => PolarStereographic(el, south = prm(8801) < 0,
+            lon0 = prm(8802), k0 = prm(8805, 1.0),
+            fe = prm(8806, 0.0), fn = prm(8807, 0.0))
+          case 9829 => PolarStereographic(el, south = prm(8832) < 0,
+            lon0 = prm(8833), latTs = prm(8832),
+            fe = prm(8806, 0.0), fn = prm(8807, 0.0))
+          case 9804 =>
+            // the Mercator kernel is the natural-origin form: reject
+            // parameterizations it cannot represent instead of mislocating
+            require(prm(8802, 0.0) == 0.0 && prm(8805, 1.0) == 1.0 &&
+              prm(8806, 0.0) == 0.0 && prm(8807, 0.0) == 0.0,
+              "PROJJSON Mercator: only the natural-origin form " +
+                "(lon0=0, k0=1, fe=fn=0) is supported")
+            EllipsoidalMercator(el)
+          case other => throw new IllegalArgumentException(
+            s"PROJJSON conversion method EPSG:$other ('${cv.methodName}') not " +
+              "supported (TM 9807, LCC-2SP 9802, LAEA 9820, Albers 9822, " +
+              "polar stereographic 9810/9829, Mercator 9804)")
+        }
+        Projected(codeId, proj, datum)
     }
   }
 

@@ -214,6 +214,28 @@ object SpatialQueries {
         .withColumn("lon_z17", (col("c_custkey") % 240).cast("double") / 40.0 - 82.5)
         // Antarctic band for the polar-stereographic grid
         .withColumn("lat_ant", (col("c_custkey") % 200).cast("double") / 10.0 - 85.0)
+        // LA-basin band for the PROJJSON-parameterized zone below
+        .withColumn("lon_ca", (col("c_custkey") % 40).cast("double") / 10.0 - 120.0)
+        .withColumn("lat_ca", (col("c_custkey") % 30).cast("double") / 10.0 + 33.0)
+      // NAD83 / California zone 5: NOT in the enumerated EPSG table —
+      // defined ONLY by its PROJJSON parameters (EPSG:26945 registry
+      // values), exercising the parameter-driven kernel path the
+      // reference gets from PROJ (c/sedona-proj/src/transform.rs)
+      val ca5 =
+        """{"type":"ProjectedCRS","name":"NAD83 / California zone 5",
+          |"base_crs":{"type":"GeographicCRS","name":"NAD83","datum":{
+          |"type":"GeodeticReferenceFrame","name":"North American Datum 1983",
+          |"ellipsoid":{"name":"GRS 1980","semi_major_axis":6378137,
+          |"inverse_flattening":298.257222101}}},
+          |"conversion":{"name":"SPCS83 California zone 5","method":{
+          |"name":"Lambert Conic Conformal (2SP)"},"parameters":[
+          |{"name":"Latitude of false origin","value":33.5,"unit":"degree"},
+          |{"name":"Longitude of false origin","value":-118,"unit":"degree"},
+          |{"name":"Latitude of 1st standard parallel","value":35.46666666666667,"unit":"degree"},
+          |{"name":"Latitude of 2nd standard parallel","value":34.03333333333333,"unit":"degree"},
+          |{"name":"Easting at false origin","value":2000000,"unit":"metre"},
+          |{"name":"Northing at false origin","value":500000,"unit":"metre"}]}}"""
+          .stripMargin.replace("\n", "")
       base.select(Seq(col("c_custkey")) ++
         rt(col("lon_eu"), col("lat_eu"), "EPSG:2154", "lcc") ++
         rt(col("lon_eu"), col("lat_eu"), "EPSG:3035", "laea") ++
@@ -224,7 +246,8 @@ object SpatialQueries {
         rt(col("lon_ny"), col("lat_ny"), "EPSG:32118", "spny") ++
         rt(col("lon_tx"), col("lat_tx"), "EPSG:32139", "sptx") ++
         rt(col("lon_z17"), col("lat_ny"), "EPSG:26917", "n83") ++
-        rt(col("lon_w"), col("lat_ant"), "EPSG:3031", "ps"): _*)
+        rt(col("lon_w"), col("lat_ant"), "EPSG:3031", "ps") ++
+        rt(col("lon_ca"), col("lat_ca"), ca5, "ca5"): _*)
     }),
 
     // spatial sort key: Z-order (Hilbert variant covered in unit spec)
@@ -860,7 +883,9 @@ object SpatialQueries {
         |    CAST(c_custkey % 30 AS DOUBLE)/10.0 - 100.0 AS lon_tx,
         |    CAST(c_custkey % 20 AS DOUBLE)/10.0 + 29.8 AS lat_tx,
         |    CAST(c_custkey % 240 AS DOUBLE)/40.0 - 82.5 AS lon_z17,
-        |    CAST(c_custkey % 200 AS DOUBLE)/10.0 - 85.0 AS lat_ant
+        |    CAST(c_custkey % 200 AS DOUBLE)/10.0 - 85.0 AS lat_ant,
+        |    CAST(c_custkey % 40 AS DOUBLE)/10.0 - 120.0 AS lon_ca,
+        |    CAST(c_custkey % 30 AS DOUBLE)/10.0 + 33.0 AS lat_ca
         |  FROM customer WHERE c_custkey % 5 = 0)
         |SELECT c_custkey,
         |  round(lon_eu, 5) AS lon_lcc,  round(lat_eu, 5) AS lat_lcc,
@@ -872,7 +897,8 @@ object SpatialQueries {
         |  round(lon_ny, 5) AS lon_spny, round(lat_ny, 5) AS lat_spny,
         |  round(lon_tx, 5) AS lon_sptx, round(lat_tx, 5) AS lat_sptx,
         |  round(lon_z17, 5) AS lon_n83, round(lat_ny, 5) AS lat_n83,
-        |  round(lon_w, 5) AS lon_ps,   round(lat_ant, 5) AS lat_ps
+        |  round(lon_w, 5) AS lon_ps,   round(lat_ant, 5) AS lat_ps,
+        |  round(lon_ca, 5) AS lon_ca5, round(lat_ca, 5) AS lat_ca5
         |FROM p""".stripMargin,
 
     "sp09_zorder" ->

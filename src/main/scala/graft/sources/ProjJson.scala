@@ -168,4 +168,147 @@ object ProjJson {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // PROJJSON parsing — the READ side. Extracts the ellipsoid, datum
+  // name, conversion method and normalized parameters so CrsTransform
+  // can drive its projection kernels from ANY parameterized PROJJSON,
+  // not only enumerated EPSG codes — the behavior the reference gets
+  // from PROJ itself (c/sedona-proj/src/transform.rs:36,258 builds the
+  // pipeline from the CRS definition, not from an id table).
+
+  /** One parsed conversion: EPSG method code + (EPSG parameter code ->
+    * value in degrees / metres / unity). */
+  final case class ParsedConv(methodName: String, methodCode: Int,
+      params: Map[Int, Double])
+
+  /** Parsed CRS subset: kind ("geographic" | "projected"), EPSG id (0 if
+    * the JSON carries none), ellipsoid (a, 1/f — rf 0 means a sphere),
+    * datum name, and the conversion for projected CRS. */
+  final case class ParsedCrs(kind: String, name: String, code: Int,
+      a: Double, rf: Double, datumName: String, conv: Option[ParsedConv])
+
+  /** EPSG parameter codes by lowercase name, for writers that omit the
+    * optional parameter ids (the proj.org schema allows it). */
+  private val ParamCodeByName: Map[String, Int] = Map(
+    "latitude of natural origin" -> 8801,
+    "longitude of natural origin" -> 8802,
+    "scale factor at natural origin" -> 8805,
+    "false easting" -> 8806,
+    "false northing" -> 8807,
+    "latitude of false origin" -> 8821,
+    "longitude of false origin" -> 8822,
+    "latitude of 1st standard parallel" -> 8823,
+    "latitude of 2nd standard parallel" -> 8824,
+    "easting at false origin" -> 8826,
+    "northing at false origin" -> 8827,
+    "latitude of standard parallel" -> 8832,
+    "longitude of origin" -> 8833)
+
+  private val MethodCodeByName: Map[String, Int] = Map(
+    "transverse mercator" -> 9807,
+    "lambert conic conformal (2sp)" -> 9802,
+    "lambert azimuthal equal area" -> 9820,
+    "albers equal area" -> 9822,
+    "polar stereographic (variant a)" -> 9810,
+    "polar stereographic (variant b)" -> 9829,
+    "mercator (variant a)" -> 9804,
+    "mercator (variant b)" -> 9805,
+    "popular visualisation pseudo mercator" -> 1024)
+
+  /** Parse a PROJJSON Geographic/Geodetic/Projected CRS; None for other
+    * types (compound, bound, engineering) or malformed JSON. */
+  def parseCrs(json: String): Option[ParsedCrs] = try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(json)
+    def idCode(node: com.fasterxml.jackson.databind.JsonNode): Int = {
+      val c = node.path("id").path("code")
+      if (c.isInt || c.isLong) c.asInt else 0
+    }
+    // numeric-or-{value,unit} scalar; converted to metres for linear
+    // units and DEGREES for angular units via the conversion_factor
+    def scalarOf(node: com.fasterxml.jackson.databind.JsonNode): Double =
+      if (node.isObject) {
+        val v = node.path("value").asDouble
+        val unit = node.path("unit")
+        if (unit.isObject) {
+          val cf = unit.path("conversion_factor").asDouble(1.0)
+          val utype = unit.path("type").asText("")
+          if (utype.equalsIgnoreCase("AngularUnit"))
+            math.toDegrees(v * cf) // cf converts to radians (SI)
+          else v * cf // LinearUnit cf converts to metres
+        } else unitScaled(v, unit.asText("metre"))
+      } else node.asDouble
+    def unitScaled(v: Double, unit: String): Double = unit.toLowerCase match {
+      case "degree" | "metre" | "meter" | "unity" | "" => v
+      case "grad" => v * 0.9
+      case "arc-second" => v / 3600.0
+      case other => throw new IllegalArgumentException(s"PROJJSON unit '$other'")
+    }
+    def ellOf(crsNode: com.fasterxml.jackson.databind.JsonNode): (Double, Double, String) = {
+      val datum =
+        if (!crsNode.path("datum").isMissingNode) crsNode.path("datum")
+        else crsNode.path("datum_ensemble")
+      val ell = datum.path("ellipsoid")
+      if (ell.isMissingNode) throw new IllegalArgumentException("PROJJSON: no ellipsoid")
+      val a =
+        if (!ell.path("semi_major_axis").isMissingNode)
+          scalarOf(ell.path("semi_major_axis"))
+        else scalarOf(ell.path("radius"))
+      val rf =
+        if (!ell.path("inverse_flattening").isMissingNode)
+          scalarOf(ell.path("inverse_flattening"))
+        else if (!ell.path("semi_minor_axis").isMissingNode) {
+          val b = scalarOf(ell.path("semi_minor_axis"))
+          if (a == b) 0.0 else a / (a - b)
+        } else if (ell.path("radius").isMissingNode)
+          throw new IllegalArgumentException("PROJJSON: no flattening")
+        else 0.0 // sphere
+      (a, rf, datum.path("name").asText(""))
+    }
+    n.path("type").asText("") match {
+      case "GeographicCRS" | "GeodeticCRS" =>
+        val (a, rf, dn) = ellOf(n)
+        Some(ParsedCrs("geographic", n.path("name").asText(""), idCode(n), a, rf, dn, None))
+      case "ProjectedCRS" =>
+        val base = n.path("base_crs")
+        val (a, rf, dn) = ellOf(base)
+        val conv = n.path("conversion")
+        val method = conv.path("method")
+        val mCode = {
+          val c = idCode(method)
+          if (c != 0) c
+          else MethodCodeByName.getOrElse(method.path("name").asText("").trim.toLowerCase,
+            throw new IllegalArgumentException(
+              s"PROJJSON: unknown conversion method '${method.path("name").asText("")}'"))
+        }
+        val params = {
+          val it = conv.path("parameters").elements()
+          val b = Map.newBuilder[Int, Double]
+          while (it.hasNext) {
+            val p = it.next()
+            val c0 = idCode(p)
+            val code = if (c0 != 0) c0
+              else ParamCodeByName.getOrElse(p.path("name").asText("").trim.toLowerCase, 0)
+            if (code != 0) {
+              val raw = p.path("value")
+              val v =
+                if (p.path("unit").isMissingNode) scalarOf(raw)
+                else if (p.path("unit").isObject) {
+                  val cf = p.path("unit").path("conversion_factor").asDouble(1.0)
+                  val utype = p.path("unit").path("type").asText("")
+                  if (utype.equalsIgnoreCase("AngularUnit")) math.toDegrees(raw.asDouble * cf)
+                  else raw.asDouble * cf
+                } else unitScaled(raw.asDouble, p.path("unit").asText(""))
+              b += code -> v
+            }
+          }
+          b.result()
+        }
+        Some(ParsedCrs("projected", n.path("name").asText(""), idCode(n), a, rf, dn,
+          Some(ParsedConv(method.path("name").asText(""), mCode, params))))
+      case _ => None
+    }
+  } catch { case _: IllegalArgumentException => None
+            case _: com.fasterxml.jackson.core.JacksonException => None }
 }

@@ -200,6 +200,98 @@ class CrsSpec extends AnyFunSuite {
     roundtrip("EPSG:26918", -75.2, 39.9)
   }
 
+  test("PROJJSON-parameterized transforms drive the projection kernels " +
+      "(c/sedona-proj transform.rs behavior: definition, not id table)") {
+    def geogWgs84 =
+      """"base_crs":{"type":"GeographicCRS","name":"WGS 84","datum":{"type":
+        |"GeodeticReferenceFrame","name":"World Geodetic System 1984",
+        |"ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,
+        |"inverse_flattening":298.257223563}}}""".stripMargin.replace("\n", "")
+    def geogNad83 =
+      """"base_crs":{"type":"GeographicCRS","name":"NAD83","datum":{"type":
+        |"GeodeticReferenceFrame","name":"North American Datum 1983",
+        |"ellipsoid":{"name":"GRS 1980","semi_major_axis":6378137,
+        |"inverse_flattening":298.257222101}}}""".stripMargin.replace("\n", "")
+    // UTM zone 31N expressed ONLY as parameters — no id anywhere: must
+    // agree with the enumerated EPSG:32631 to sub-mm
+    val utm31 =
+      s"""{"type":"ProjectedCRS","name":"anonymous TM",$geogWgs84,
+         |"conversion":{"name":"c","method":{"name":"Transverse Mercator"},
+         |"parameters":[
+         |{"name":"Latitude of natural origin","value":0,"unit":"degree"},
+         |{"name":"Longitude of natural origin","value":3,"unit":"degree"},
+         |{"name":"Scale factor at natural origin","value":0.9996,"unit":"unity"},
+         |{"name":"False easting","value":500000,"unit":"metre"},
+         |{"name":"False northing","value":0,"unit":"metre"}]}}"""
+        .stripMargin.replace("\n", "")
+    for ((lon, lat) <- Seq((2.2945, 48.858), (3.0, 0.0), (5.5, 60.0))) {
+      val viaJson = pt(lon, lat, "EPSG:4326", utm31)
+      val viaCode = pt(lon, lat, "EPSG:4326", "EPSG:32631")
+      assert(math.abs(viaJson._1 - viaCode._1) < 1e-4 &&
+        math.abs(viaJson._2 - viaCode._2) < 1e-4,
+        s"($lon,$lat): projjson $viaJson vs 32631 $viaCode")
+    }
+    // Texas South Central parameters (32139) without the id: identical
+    // to the enumerated state-plane entry
+    val tx =
+      s"""{"type":"ProjectedCRS","name":"anonymous LCC",$geogNad83,
+         |"conversion":{"name":"c","method":{"name":"Lambert Conic Conformal (2SP)"},
+         |"parameters":[
+         |{"name":"Latitude of false origin","value":29.666666666666668,"unit":"degree"},
+         |{"name":"Longitude of false origin","value":-98.5,"unit":"degree"},
+         |{"name":"Latitude of 1st standard parallel","value":31.883333333333333,"unit":"degree"},
+         |{"name":"Latitude of 2nd standard parallel","value":30.116666666666667,"unit":"degree"},
+         |{"name":"Easting at false origin","value":700000,"unit":"metre"},
+         |{"name":"Northing at false origin","value":3000000,"unit":"metre"}]}}"""
+        .stripMargin.replace("\n", "")
+    val viaTx = pt(-97.7, 30.3, "EPSG:4326", tx)
+    val viaTxCode = pt(-97.7, 30.3, "EPSG:4326", "EPSG:32139")
+    assert(math.abs(viaTx._1 - viaTxCode._1) < 1e-4 &&
+      math.abs(viaTx._2 - viaTxCode._2) < 1e-4, s"$viaTx vs $viaTxCode")
+    // a zone NOT in the table at all: NAD83 / California zone 5
+    // (EPSG:26945 parameters). False origin -> (eF, nF) EXACTLY by the
+    // projection definition; roundtrip sub-mm; id recorded but unlisted.
+    val ca5 =
+      s"""{"type":"ProjectedCRS","name":"NAD83 / California zone 5",$geogNad83,
+         |"conversion":{"name":"c","method":{"name":"Lambert Conic Conformal (2SP)",
+         |"id":{"authority":"EPSG","code":9802}},
+         |"parameters":[
+         |{"name":"Latitude of false origin","value":33.5,"unit":"degree"},
+         |{"name":"Longitude of false origin","value":-118,"unit":"degree"},
+         |{"name":"Latitude of 1st standard parallel","value":35.46666666666667,"unit":"degree"},
+         |{"name":"Latitude of 2nd standard parallel","value":34.03333333333333,"unit":"degree"},
+         |{"name":"Easting at false origin","value":2000000,"unit":"metre"},
+         |{"name":"Northing at false origin","value":500000,"unit":"metre"}]},
+         |"id":{"authority":"EPSG","code":26945}}"""
+        .stripMargin.replace("\n", "")
+    assert(near(pt(-118.0, 33.5, "EPSG:4326", ca5), (2000000.0, 500000.0), 1e-5))
+    val (cx, cy) = pt(-118.2437, 34.0522, "EPSG:4326", ca5) // LA city hall area
+    val (lonB, latB) = pt(cx, cy, ca5, "EPSG:4326")
+    assert(math.abs(lonB + 118.2437) < 1e-8 && math.abs(latB - 34.0522) < 1e-8,
+      s"CA5 roundtrip ($lonB,$latB)")
+    // scale ~1 along a standard parallel (34°02'N)
+    val spLat = 34.03333333333333
+    val (sx1, sy1) = pt(-118.05, spLat, "EPSG:4326", ca5)
+    val (sx2, sy2) = pt(-117.95, spLat, "EPSG:4326", ca5)
+    val planar = math.hypot(sx2 - sx1, sy2 - sy1)
+    val ground = graft.functions.Spherical.haversine(-118.05, spLat, -117.95, spLat)
+    assert(math.abs(planar / ground - 1.0) < 5e-3, s"CA5 sp scale ${planar / ground}")
+    // a PROJJSON carrying a LISTED id routes through the enumerated path
+    val l93 = graft.sources.ProjJson.forCrs("EPSG:2154").get
+    assert(near(pt(2.3522, 48.8566, "EPSG:4326", l93),
+      pt(2.3522, 48.8566, "EPSG:4326", "EPSG:2154"), 1e-9))
+    // unit given as a {conversion_factor} object (PROJ writes these for
+    // non-degree angular units) normalizes correctly: 0.62 grad = 0.558°
+    val gradTm = utm31.replace(
+      """{"name":"Longitude of natural origin","value":3,"unit":"degree"}""",
+      """{"name":"Longitude of natural origin","value":3.3333333333333335,"unit":{"type":"AngularUnit","name":"grad","conversion_factor":0.015707963267948967}}""")
+    assert(near(pt(5.5, 60.0, "EPSG:4326", gradTm),
+      pt(5.5, 60.0, "EPSG:4326", utm31), 1e-6))
+    // unknown method errors loudly
+    val bad = utm31.replace("Transverse Mercator", "Krovak")
+    intercept[IllegalArgumentException] { CrsTransform.parse(bad) }
+  }
+
   test("equal-area property: LAEA preserves a small cell's area") {
     // 0.1° x 0.1° cell near (10,52): planar area in 3035 must match the
     // ellipsoid-ish area estimate within 0.2%
