@@ -550,6 +550,66 @@ object SpatialQueries {
           col("zs.max").as("zmax"))
     }),
 
+    // Zarr out-db: rs_frompath over a .zarr DIRECTORY store through the
+    // format-keyed DirLoader (reference rust/sedona-raster-zarr behind
+    // rust/sedona/src/context.rs:383-392). Chunked natively, so the
+    // windowed kernels read only the chunk objects each row's geometry
+    // touches. Header metadata from .zarray/.zattrs alone.
+    "rs10_outdb_zarr" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_outdb_zarr/${math.abs(dir.hashCode)}"
+      val store = new java.io.File(s"$base/cube.zarr")
+      store.mkdirs()
+      val W = 512; val H = 384; val CW = 64; val CH = 64
+      def wr(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/cube.zarr/$name"), bytes)
+      wr(".zarray",
+        s"""{"zarr_format": 2, "shape": [$H, $W], "chunks": [$CH, $CW],
+           | "dtype": "<f8", "compressor": {"id": "zlib", "level": 6},
+           | "fill_value": "NaN", "order": "C", "filters": null}"""
+          .stripMargin.getBytes("UTF-8"))
+      wr(".zattrs",
+        """{"transform": [400000.0, 10.0, 0.0, 4800000.0, 0.0, -10.0],
+          | "crs": "EPSG:32612"}""".stripMargin.getBytes("UTF-8"))
+      for (cy <- 0 until H / CH; cx <- 0 until W / CW) {
+        val bb = java.nio.ByteBuffer.allocate(CW * CH * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for (r <- 0 until CH; c <- 0 until CW)
+          bb.putDouble((((cy * CH + r) * 3 + (cx * CW + c) * 5) % 97).toDouble)
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(bb.array()); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        wr(s"$cy.$cx", out.toByteArray)
+      }
+      t(s, dir, "nation")
+        .withColumn("c", (col("n_nationkey") * 19) % 512)
+        .withColumn("r", (col("n_nationkey") * 23) % 384)
+        .withColumn("c0", (col("n_nationkey") * 13) % 500)
+        .withColumn("r0", (col("n_nationkey") * 31) % 370)
+        .withColumn("rast", st.f("rs_frompath", lit(s"file:$base/cube.zarr")))
+        .withColumn("pt", st.f("st_setsrid",
+          st.point(lit(400000.0) + col("c") * 10.0 + 5.0,
+            lit(4800000.0) - col("r") * 10.0 - 5.0), lit(32612)))
+        .withColumn("zone", st.f("st_setsrid", st.makeEnvelope(
+          lit(400000.0) + col("c0") * 10.0 + 1.0,
+          lit(4800000.0) - (col("r0") + 6) * 10.0 + 1.0,
+          lit(400000.0) + (col("c0") + 8) * 10.0 - 1.0,
+          lit(4800000.0) - col("r0") * 10.0 - 1.0), lit(32612)))
+        .withColumn("zs", st.f("rs_zonalstatsall", col("rast"), col("zone"), lit(1)))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rast")).as("w"),
+          st.f("rs_height", col("rast")).as("h"),
+          st.f("rs_crs", col("rast")).as("crs"),
+          st.f("rs_upperleftx", col("rast")).as("ulx"),
+          st.f("rs_value", col("rast"), col("pt"), lit(1)).as("v1"),
+          col("zs.count").as("zcnt"), col("zs.sum").as("zsum"),
+          col("zs.min").as("zmin"), col("zs.max").as("zmax"))
+    }),
+
     // raster metadata batch: N-D dimension surface, rotation, CRS
     // plumbing, setters (nodata/georeference incl. ESRI pixel-center
     // shift), point sampling, combined coord mapping, skewed convex hull
@@ -1104,6 +1164,32 @@ object SpatialQueries {
         |  list_sum(vs)/12.0 AS bavg,
         |  list_max(vs) AS bmax
         |FROM v""".stripMargin,
+
+    // zarr store pixel (r, c) = (r*3 + c*5) % 97; roi covers pixel
+    // centers [c0..c0+7] x [r0..r0+5] (48 pixels)
+    "rs10_outdb_zarr" ->
+      """WITH n AS (
+        |  SELECT n_nationkey,
+        |    (n_nationkey * 19) % 512 AS c,
+        |    (n_nationkey * 23) % 384 AS r,
+        |    (n_nationkey * 13) % 500 AS c0,
+        |    (n_nationkey * 31) % 370 AS r0
+        |  FROM nation),
+        |z AS (
+        |  SELECT n_nationkey, c, r,
+        |    flatten([[CAST(((r0 + dr) * 3 + (c0 + dc) * 5) % 97 AS DOUBLE)
+        |      for dc in range(0, 8)] for dr in range(0, 6)]) AS vs
+        |  FROM n)
+        |SELECT n_nationkey,
+        |  CAST(512 AS INT) AS w, CAST(384 AS INT) AS h,
+        |  'EPSG:32612' AS crs,
+        |  400000.0 AS ulx,
+        |  CAST((r * 3 + c * 5) % 97 AS DOUBLE) AS v1,
+        |  CAST(48 AS BIGINT) AS zcnt,
+        |  list_sum(vs) AS zsum,
+        |  list_min(vs) AS zmin,
+        |  list_max(vs) AS zmax
+        |FROM z""".stripMargin,
 
     // scene pixel (r, c): band1 = (r*7 + c*3) % 101, band2 = (r*5 + c*11) % 89;
     // roi covers pixel centers [c0..c0+7] x [r0..r0+5] (48 pixels)

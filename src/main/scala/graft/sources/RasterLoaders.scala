@@ -50,6 +50,21 @@ object RasterLoaders {
     }
   }
 
+  /** Directory-store loader (Zarr and friends): the "file" is a
+    * directory of metadata + chunk objects, so reads are path-based
+    * rather than positional. `loadWindow` must fetch only the chunks
+    * intersecting the pixel window — the format's native strength. */
+  trait DirLoader {
+    /** Header-only metadata from the store's metadata objects. */
+    def readMeta(path: String, conf: Configuration): Raster
+    /** Windowed decode reading only intersecting chunk objects. */
+    def loadWindow(path: String, conf: Configuration,
+        xoff: Int, yoff: Int, w: Int, h: Int): Raster
+    /** The store object whose mtime keys the caches (chunk writes may
+      * not touch the directory's own mtime). */
+    def statObject: String
+  }
+
   private object GeoTiffLoader extends Loader {
     def readMeta(fetch: (Long, Int) => Array[Byte], fileLen: Long): Raster =
       GeoTiff.readMeta(fetch)
@@ -59,14 +74,18 @@ object RasterLoaders {
       GeoTiff.readWindow(fetch, xoff, yoff, w, h)
   }
 
-  @volatile private var registry: Map[String, Loader] =
-    Map("tif" -> GeoTiffLoader, "tiff" -> GeoTiffLoader)
+  @volatile private var registry: Map[String, Either[Loader, DirLoader]] =
+    Map("tif" -> Left(GeoTiffLoader), "tiff" -> Left(GeoTiffLoader),
+      "zarr" -> Right(ZarrIO.OutDb))
 
   def register(ext: String, loader: Loader): Unit = synchronized {
-    registry = registry + (ext.toLowerCase -> loader)
+    registry = registry + (ext.toLowerCase -> Left(loader))
+  }
+  def registerDir(ext: String, loader: DirLoader): Unit = synchronized {
+    registry = registry + (ext.toLowerCase -> Right(loader))
   }
 
-  private def loaderFor(path: String): Loader = {
+  private def loaderFor(path: String): Either[Loader, DirLoader] = {
     val name = path.substring(path.lastIndexOf('/') + 1)
     val dot = name.lastIndexOf('.')
     val ext = if (dot < 0) "" else name.substring(dot + 1).toLowerCase
@@ -104,9 +123,14 @@ object RasterLoaders {
   }
 
   /** One metadata RPC: (mtime, length). The only per-call filesystem
-    * touch on a cache hit — no open, no data read. */
-  private def statOf(path: String): (Long, Long) = {
-    val p = new Path(path)
+    * touch on a cache hit — no open, no data read. Directory stores
+    * stat their metadata object (its mtime tracks rewrites). */
+  private def statOf(path: String, loader: Either[Loader, DirLoader]): (Long, Long) = {
+    val target = loader match {
+      case Right(d) => path.stripSuffix("/") + "/" + d.statObject
+      case Left(_) => path
+    }
+    val p = new Path(target)
     val st = p.getFileSystem(hadoopConf).getFileStatus(p)
     (st.getModificationTime, st.getLen)
   }
@@ -141,33 +165,44 @@ object RasterLoaders {
     * samples hit one cached block instead of issuing per-row fetches. */
   private val BlockAlign = 256
 
-  private def cachedMeta(path: String, loader: Loader, mtime: Long): Raster =
+  private def cachedMeta(path: String, loader: Either[Loader, DirLoader],
+      mtime: Long): Raster =
     metaCache.get((path, mtime)) {
-      withFetch(path) { (fetch, len) =>
-        val r = loader.readMeta(fetch, len)
-        Raster(r.crs, r.gt, r.width, r.height, Vector.empty, path)
+      val r = loader match {
+        case Left(l) => withFetch(path)((fetch, len) => l.readMeta(fetch, len))
+        case Right(d) => d.readMeta(path, hadoopConf)
       }
+      Raster(r.crs, r.gt, r.width, r.height, Vector.empty, path)
     }
+
+  private def decodeWindow(path: String, loader: Either[Loader, DirLoader],
+      len: Long, xoff: Int, yoff: Int, w: Int, h: Int): Raster = {
+    val r = loader match {
+      case Left(l) => withFetch(path)((fetch, _) =>
+        l.loadWindow(fetch, len, xoff, yoff, w, h))
+      case Right(d) => d.loadWindow(path, hadoopConf, xoff, yoff, w, h)
+    }
+    Raster(r.crs, r.gt, r.width, r.height, r.bands, path)
+  }
 
   /** Header-only metadata; bands stay empty, `path` is carried so
     * `rs_ensureloaded` can find the bytes later. Throws
     * FileNotFoundException for a missing file. */
-  def readMeta(path: String): Raster =
-    cachedMeta(path, loaderFor(path), statOf(path)._1)
+  def readMeta(path: String): Raster = {
+    val l = loaderFor(path)
+    cachedMeta(path, l, statOf(path, l)._1)
+  }
 
   /** Full load, cached per executor on (path, mtime). Window-capable
     * formats stream chunk-by-chunk (no whole-file byte array, no 2 GiB
     * compressed-size cap); others fall back to one sequential read. */
   def load(path: String): Raster = {
     val loader = loaderFor(path)
-    val (mtime, len) = statOf(path)
+    val (mtime, len) = statOf(path, loader)
     fullCache.get((path, mtime)) {
       fullDecodes.increment()
       val meta = cachedMeta(path, loader, mtime)
-      withFetch(path) { (fetch, _) =>
-        val r = loader.loadWindow(fetch, len, 0, 0, meta.width, meta.height)
-        Raster(r.crs, r.gt, r.width, r.height, r.bands, path)
-      }
+      decodeWindow(path, loader, len, 0, 0, meta.width, meta.height)
     }
   }
 
@@ -184,7 +219,7 @@ object RasterLoaders {
   def windowWithOrigin(path: String, xoff: Int, yoff: Int,
       w: Int, h: Int): (Raster, Int, Int) = {
     val loader = loaderFor(path)
-    val (mtime, len) = statOf(path)
+    val (mtime, len) = statOf(path, loader)
     val meta = cachedMeta(path, loader, mtime)
     // clamp + align outward to the block grid
     val ax = math.max(0, (xoff / BlockAlign) * BlockAlign)
@@ -194,10 +229,7 @@ object RasterLoaders {
     require(ax < ax1 && ay < ay1,
       s"rs window: empty window ($xoff,$yoff ${w}x$h) for ${meta.width}x${meta.height} $path")
     val r = windowCache.get((path, mtime, ax, ay, ax1 - ax, ay1 - ay)) {
-      withFetch(path) { (fetch, _) =>
-        val wr = loader.loadWindow(fetch, len, ax, ay, ax1 - ax, ay1 - ay)
-        Raster(wr.crs, wr.gt, wr.width, wr.height, wr.bands, path)
-      }
+      decodeWindow(path, loader, len, ax, ay, ax1 - ax, ay1 - ay)
     }
     (r, ax, ay)
   }

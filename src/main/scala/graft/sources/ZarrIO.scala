@@ -233,4 +233,137 @@ object ZarrIO {
       }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  // ------------------------------------------------------------------
+  // out-db loader: `rs_frompath('.../cube.zarr')` + windowed reads.
+  // A Zarr store is chunked natively, so the window path reads ONLY the
+  // chunk objects under the request — the same lazy out-db contract as
+  // the reference's zarr source (rust/sedona-raster-zarr) behind the
+  // format-keyed registry (rust/sedona/src/context.rs:383-392).
+
+  /** Parsed v2 store metadata (single 2D `<f8` array at the store root). */
+  private case class StoreMeta(shapeH: Int, shapeW: Int, ch: Int, cw: Int,
+      compressed: Boolean, fill: Double, gt: Array[Double], crs: String)
+
+  private def storeMeta(path: String,
+      conf: org.apache.hadoop.conf.Configuration): StoreMeta = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    def readText(name: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      if (!fs.exists(p)) throw new java.io.FileNotFoundException(
+        s"zarr outdb: missing $name under $path")
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p); in.readFully(0, buf); in.close()
+      RasterLoaders.fetchCalls.increment()
+      RasterLoaders.fetchBytes.add(len.toLong)
+      new String(buf, "UTF-8")
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val za = mapper.readTree(readText(".zarray"))
+    require(za.get("zarr_format").asInt() == 2, "zarr v2 only")
+    require(za.get("dtype").asText() == "<f8",
+      s"zarr dtype ${za.get("dtype").asText()} not supported (<f8 only)")
+    require(za.get("order").asText() == "C", "zarr order C only")
+    require(za.get("shape").size == 2,
+      s"zarr outdb: ${za.get("shape").size}-D array (2D y/x only)")
+    val fl = za.get("filters")
+    require(fl == null || fl.isNull || (fl.isArray && fl.size == 0),
+      s"zarr filters $fl not supported")
+    val fill: Double = {
+      val fv = za.get("fill_value")
+      if (fv == null || fv.isNull) Double.NaN
+      else if (fv.isTextual) fv.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => other.toDouble
+      }
+      else fv.asDouble()
+    }
+    val compressed = {
+      val c = za.get("compressor")
+      if (c == null || c.isNull) false
+      else {
+        require(c.get("id").asText() == "zlib",
+          s"zarr compressor ${c.get("id").asText()} not supported (zlib/raw only)")
+        true
+      }
+    }
+    val (gt, crs) = {
+      val p = new org.apache.hadoop.fs.Path(dir, ".zattrs")
+      if (fs.exists(p)) {
+        val at = mapper.readTree(readText(".zattrs"))
+        val t = Option(at.get("transform"))
+          .map(n => Array.tabulate(6)(i => n.get(i).asDouble()))
+          .getOrElse(Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+        (t, Option(at.get("crs")).map(_.asText()).getOrElse("EPSG:0"))
+      } else (Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0), "EPSG:0")
+    }
+    StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
+      za.get("chunks").get(0).asInt(), za.get("chunks").get(1).asInt(),
+      compressed, fill, gt, crs)
+  }
+
+  object OutDb extends RasterLoaders.DirLoader {
+    def statObject: String = ".zarray"
+
+    def readMeta(path: String,
+        conf: org.apache.hadoop.conf.Configuration): RasterModel.Raster = {
+      val m = storeMeta(path, conf)
+      RasterModel.Raster(m.crs, m.gt, m.shapeW, m.shapeH, Vector.empty)
+    }
+
+    def loadWindow(path: String, conf: org.apache.hadoop.conf.Configuration,
+        xoff: Int, yoff: Int, w: Int, h: Int): RasterModel.Raster = {
+      val m = storeMeta(path, conf)
+      require(xoff >= 0 && yoff >= 0 && w > 0 && h > 0 &&
+        xoff + w <= m.shapeW && yoff + h <= m.shapeH,
+        s"zarr outdb: window ($xoff,$yoff ${w}x$h) outside ${m.shapeW}x${m.shapeH}")
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(conf)
+      val out = Array.fill(w * h)(m.fill) // absent chunks are all-fill per spec
+      var cy = yoff / m.ch
+      while (cy <= (yoff + h - 1) / m.ch) {
+        var cx = xoff / m.cw
+        while (cx <= (xoff + w - 1) / m.cw) {
+          val p = new org.apache.hadoop.fs.Path(dir, s"$cy.$cx")
+          if (fs.exists(p)) {
+            val len = fs.getFileStatus(p).getLen.toInt
+            val buf = new Array[Byte](len)
+            val in = fs.open(p); in.readFully(0, buf); in.close()
+            RasterLoaders.fetchCalls.increment()
+            RasterLoaders.fetchBytes.add(len.toLong)
+            val raw = if (m.compressed) inflate(buf, m.cw * m.ch * 8) else buf
+            require(raw.length == m.cw * m.ch * 8,
+              s"zarr chunk $cy.$cx: ${raw.length} bytes")
+            val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+            val rowLo = math.max(yoff, cy * m.ch)
+            val rowHi = math.min(yoff + h, (cy + 1) * m.ch)
+            val colLo = math.max(xoff, cx * m.cw)
+            val colHi = math.min(xoff + w, (cx + 1) * m.cw)
+            var r0 = rowLo
+            while (r0 < rowHi) {
+              var c0 = colLo
+              while (c0 < colHi) {
+                out((r0 - yoff) * w + (c0 - xoff)) =
+                  bb.getDouble(((r0 - cy * m.ch) * m.cw + (c0 - cx * m.cw)) * 8)
+                c0 += 1
+              }
+              r0 += 1
+            }
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+      val g = m.gt
+      val gtW = Array(
+        g(0) + xoff * g(1) + yoff * g(2), g(1), g(2),
+        g(3) + xoff * g(4) + yoff * g(5), g(4), g(5))
+      RasterModel.Raster(m.crs, gtW, w, h,
+        Vector(RasterModel.Band(m.fill, RasterModel.packDoubles(out))))
+    }
+  }
 }
