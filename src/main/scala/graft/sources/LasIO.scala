@@ -549,37 +549,105 @@ object LasIO {
     }
   }
 
+  /** One unit of parallel legacy work, mirroring [[Split6]]: mode 0 =
+    * whole-file pointwise decode (compressor 1, or no usable chunk
+    * table), 1 = uncompressed row range, 2 = one pointwise-chunked LAZ
+    * chunk (seek-read `len` bytes at `off`). The tiny laszip VLR payload
+    * travels with the split so chunk tasks decode without re-reading the
+    * header. */
+  private case class LegacySplit(file: String, mode: Int, off: Long, len: Long,
+      expect: Long, recLen: Int,
+      sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double,
+      software: String, vlrPayload: Array[Byte])
+
   /** Legacy formats 0/1, plain or LAZ (pointwise compressors 1/2 via
-    * [[Laszip.decodePointwise]]). */
+    * [[Laszip.decodePointwise]]). Pointwise-CHUNKED files (compressor 2,
+    * what this writer and laszip emit by default) split per chunk, so a
+    * single huge legacy .laz fans out across the cluster exactly like
+    * the fmt-6 path; plain .las splits by row ranges. */
   private def readLegacy(spark: SparkSession, files: Seq[String], withGps: Boolean,
       serConf: org.apache.spark.util.SerializableConfiguration): DataFrame = {
     val outSchema = schema(withGps)
-    val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { f =>
-      val (h, bytes) = loadFile(f, serConf)
+    val splits: Seq[LegacySplit] = files.flatMap { f =>
+      val fp = new org.apache.hadoop.fs.Path(f)
+      val fs = fp.getFileSystem(serConf.value)
+      val flen = fs.getFileStatus(fp).getLen
+      val h = parseHeader(readHeaderRegion(fs, fp, flen))
       require(h.fmt == (if (withGps) 1 else 0), s"mixed LAS point formats under $f")
-      def toRow(rec: Array[Byte], off: Int): Row = {
-        val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
-        val x = bb.getInt(off) * h.sx + h.ox
-        val y = bb.getInt(off + 4) * h.sy + h.oy
-        val z = bb.getInt(off + 8) * h.sz + h.oz
-        val intensity = (bb.getShort(off + 12) & 0xffff).toLong
-        val cls = (rec(off + 15) & 0xff).toLong
-        if (withGps) Row(x, y, z, intensity, cls, bb.getDouble(off + 20))
-        else Row(x, y, z, intensity, cls)
-      }
-      if (h.compressed) {
+      if (!h.compressed) {
+        val rowsPerSplit = math.max(1L, (64L << 20) / h.recLen)
+        (0L until h.count by rowsPerSplit).map { i0 =>
+          val n = math.min(rowsPerSplit, h.count - i0)
+          LegacySplit(f, 1, h.pointOff + i0 * h.recLen, n * h.recLen, n, h.recLen,
+            h.sx, h.sy, h.sz, h.ox, h.oy, h.oz, h.software, Array.emptyByteArray)
+        }
+      } else {
         val vlr = h.vlrs.find(v => v.userId == "laszip encoded" || v.recordId == 22204)
           .getOrElse(throw new IllegalArgumentException(s"$f: LAZ without laszip VLR"))
-        warnVaryingReturns(
-          Laszip.decodePointwise(bytes, h.pointOff, h.count,
-            Laszip.parseVlr(vlr.payload), h.recLen),
-          retOff = 14, mask = 0x3f, f, h.software).map(toRow(_, 0))
-      } else {
-        (0L until h.count).iterator.map { i =>
-          toRow(bytes, h.pointOff + (i * h.recLen).toInt)
+        val lz = Laszip.parseVlr(vlr.payload)
+        val table =
+          if (lz.compressor == 2 && lz.chunkSize > 0 && lz.chunkSize != -1) {
+            val ctoBuf = new Array[Byte](8)
+            val in = fs.open(fp)
+            try {
+              in.readFully(h.pointOff, ctoBuf)
+              val cto = ByteBuffer.wrap(ctoBuf).order(ByteOrder.LITTLE_ENDIAN).getLong
+              if (cto > h.pointOff && cto < flen && flen - cto <= (64L << 20)) {
+                val tail = new Array[Byte]((flen - cto).toInt)
+                in.readFully(cto, tail)
+                Laszip.chunkSizes(tail).map(Laszip.offsetsFromSizes(_, h.pointOff + 8L))
+              } else None
+            } finally in.close()
+          } else None
+        table match {
+          case Some(chunks) =>
+            var remaining = h.count
+            chunks.toSeq.map { case (off, len) =>
+              val expect = math.min(lz.chunkSize.toLong, remaining)
+              remaining -= expect
+              LegacySplit(f, 2, off, len, expect, h.recLen,
+                h.sx, h.sy, h.sz, h.ox, h.oy, h.oz, h.software, vlr.payload)
+            }
+          case None =>
+            Seq(LegacySplit(f, 0, 0, flen, h.count, h.recLen,
+              h.sx, h.sy, h.sz, h.ox, h.oy, h.oz, h.software, vlr.payload))
         }
       }
     }
+    val rdd = spark.sparkContext.parallelize(splits, math.max(1, splits.length))
+      .flatMap { sp =>
+        def toRow(rec: Array[Byte], off: Int): Row = {
+          val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
+          val x = bb.getInt(off) * sp.sx + sp.ox
+          val y = bb.getInt(off + 4) * sp.sy + sp.oy
+          val z = bb.getInt(off + 8) * sp.sz + sp.oz
+          val intensity = (bb.getShort(off + 12) & 0xffff).toLong
+          val cls = (rec(off + 15) & 0xff).toLong
+          if (withGps) Row(x, y, z, intensity, cls, bb.getDouble(off + 20))
+          else Row(x, y, z, intensity, cls)
+        }
+        val fp = new org.apache.hadoop.fs.Path(sp.file)
+        val fsx = fp.getFileSystem(serConf.value)
+        sp.mode match {
+          case 1 =>
+            val buf = new Array[Byte](sp.len.toInt)
+            val in = fsx.open(fp); in.readFully(sp.off, buf); in.close()
+            (0 until sp.expect.toInt).iterator.map(i => toRow(buf, i * sp.recLen))
+          case 2 =>
+            val buf = new Array[Byte](sp.len.toInt)
+            val in = fsx.open(fp); in.readFully(sp.off, buf); in.close()
+            warnVaryingReturns(
+              Laszip.decodePointwiseChunkRecords(buf, sp.expect,
+                Laszip.parseVlr(sp.vlrPayload), sp.recLen).iterator,
+              retOff = 14, mask = 0x3f, sp.file, sp.software).map(toRow(_, 0))
+          case _ =>
+            val (h, bytes) = loadFile(sp.file, serConf)
+            warnVaryingReturns(
+              Laszip.decodePointwise(bytes, h.pointOff, h.count,
+                Laszip.parseVlr(sp.vlrPayload), h.recLen),
+              retOff = 14, mask = 0x3f, sp.file, sp.software).map(toRow(_, 0))
+        }
+      }
     spark.createDataFrame(rdd, outSchema)
   }
 

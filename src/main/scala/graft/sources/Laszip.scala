@@ -555,6 +555,16 @@ private[graft] object Laszip {
       recLen: Int, rgbBytes: Int = 0): Array[Array[Byte]] =
     decodeChunk(chunk, 0, expect, nExtra, recLen, rgbBytes)._1
 
+  /** Legacy (pointwise compressor 2) analog of [[decodeChunkRecords]]:
+    * decode one pointwise chunk from its own byte slice. Each chunk
+    * restarts the coder with a raw first point, so a seek-read slice
+    * decodes independently — chunks, not files, are the split unit. */
+  def decodePointwiseChunkRecords(chunk: Array[Byte], expect: Long,
+      vlr: LazVlr, recLen: Int): Array[Array[Byte]] = {
+    val (gps, rgb, nExtra) = legacyLayout(vlr.items)
+    decodePointwiseChunk(chunk, 0, expect, gps, rgb, nExtra, recLen)
+  }
+
   /** One chunk: [raw first point][u32 count][9 + rgbLayers + nExtra u32
     * layer sizes][layer bytes...]; returns the records and the offset
     * just past the chunk. RGB14 contributes one layer, RGBNIR14 two

@@ -37,6 +37,33 @@ class LasSpec extends AnyFunSuite {
     assert(laz.rdd.getNumPartitions == 2)
   }
 
+  test("legacy LAZ (pointwise compressor 2): chunks are the split unit and " +
+      "split decode equals sequential") {
+    import org.apache.spark.sql.functions._
+    // 120_001 points -> 3 pointwise chunks (50k each) in ONE file
+    val df = spark.range(120001).select(
+      (col("id") % 1000).cast("double").as("x"),
+      (col("id") % 777).cast("double").as("y"),
+      (col("id") % 13).cast("double").as("z"),
+      (col("id") % 65000).as("intensity"),
+      (col("id") % 32).as("classification"),
+      (col("id").cast("double") * 0.001).as("gps_time")).coalesce(1)
+    val dir = "/tmp/graft_legacy_chunks"
+    LasIO.write(df, s"$dir/laz", scale = 0.001, compress = true)
+    LasIO.write(df, s"$dir/las", scale = 0.001, compress = false)
+    val laz = LasIO.read(spark, s"$dir/laz")
+    val las = LasIO.read(spark, s"$dir/las")
+    // one file, three chunk splits
+    assert(laz.rdd.getNumPartitions == 3, s"got ${laz.rdd.getNumPartitions} splits")
+    assert(laz.count() == 120001L && las.count() == 120001L)
+    // split decode == sequential (uncompressed) decode, order-insensitive
+    assert(laz.exceptAll(las).isEmpty && las.exceptAll(laz).isEmpty)
+    // spot anchors across chunk boundaries (ids 49999/50000, 99999/100000)
+    val got = laz.filter(col("x") === 999.0 && col("intensity") === 49999 % 65000)
+      .count()
+    assert(got >= 1)
+  }
+
   test("chunk table decodes to dense, in-bounds chunk extents") {
     assume(fixturesPresent)
     val bytes = java.nio.file.Files.readAllBytes(
