@@ -26,9 +26,13 @@ object Spherical {
   // mixed shapes decompose into vertices + arcs: the minimum over
   // vertex-to-arc distances is exact for disjoint arc sets (as in the
   // plane, the min between disjoint segments is attained at an
-  // endpoint), arcs that cross -> 0, and chart containment (point in
-  // polygon) -> 0 (containment itself is the one chart-proxied test —
-  // contract excludes wrap/pole polygons). ----
+  // endpoint), arcs that cross -> 0, and spherical winding-number
+  // containment (point in polygon) -> 0. Containment is computed on the
+  // sphere (coversPoint below), so pole-covering and antimeridian-
+  // crossing rings work; the one remaining exclusion is a ring whose
+  // intended interior is MORE than a hemisphere — like S2geography's
+  // oriented=false ingestion, the interior is taken to be the smaller
+  // side. ----
 
   @inline private def angV(ax: Double, ay: Double, az: Double,
       bx: Double, by: Double, bz: Double): Double = {
@@ -118,13 +122,152 @@ object Spherical {
     (verts.result(), arcs.result())
   }
 
+  // ---- spherical point-in-polygon (winding number) ----
+
+  /** Signed azimuth change at unit vector P between directions to A and
+    * B: the angle between the tangent-plane projections of A and B at P,
+    * atan2(P·(A×B), A·B − (P·A)(P·B)), wrapped to (−π, π]. Summing over
+    * a closed ring gives ±2π when the ring winds around P (sign = its
+    * orientation as seen from P) and 0 when it does not — the spherical
+    * analog of the planar winding formula, valid for rings crossing the
+    * antimeridian or enclosing a pole because it never charts. */
+  @inline private def windingAngle(px: Double, py: Double, pz: Double,
+      ax: Double, ay: Double, az: Double,
+      bx: Double, by: Double, bz: Double): Double = {
+    val cx = ay * bz - az * by
+    val cy = az * bx - ax * bz
+    val cz = ax * by - ay * bx
+    val sinT = px * cx + py * cy + pz * cz
+    val cosT = (ax * bx + ay * by + az * bz) -
+      (px * ax + py * ay + pz * az) * (px * bx + py * by + pz * bz)
+    math.atan2(sinT, cosT)
+  }
+
+  /** Is the point inside the closed ring, interior taken as the ring's
+    * SMALLER side (S2geography oriented=false semantics)? The winding
+    * sum at an interior point is +2π for a CCW ring and −2π for a CW
+    * ring; at the ANTIPODE of an interior point it is the negation, and
+    * elsewhere 0 — so orienting by the ring's signed spherical excess
+    * makes sgn·sum ≈ +2π exactly on the smaller side. Points on the
+    * boundary (sum ≈ ±π) classify as outside here; distance() reaches 0
+    * for them through the vertex/arc terms. */
+  private def inRingSphere(cs: Array[Coordinate],
+      px: Double, py: Double, pz: Double): Boolean = {
+    if (cs.length < 4) return false
+    var sum = 0.0
+    var prev = vecOf(cs(0))
+    var i = 1
+    while (i < cs.length) {
+      val cur = vecOf(cs(i))
+      sum += windingAngle(px, py, pz,
+        prev(0), prev(1), prev(2), cur(0), cur(1), cur(2))
+      prev = cur
+      i += 1
+    }
+    val sgn = if (signedRingExcess(cs) >= 0) 1.0 else -1.0
+    sgn * sum > math.Pi
+  }
+
+  /** Spherical covers(point): true when (lon, lat) lies inside some
+    * polygonal component — inside its shell (smaller side) and outside
+    * every hole. Matches the reference's S2 containment kernels
+    * (c/sedona-s2geography/src/kernels.rs:68-226) for polygons up to a
+    * hemisphere, including pole caps and dateline-crossing rings. */
+  def coversPoint(g: Geometry, lon: Double, lat: Double): Boolean = {
+    var (px, py, pz) = unitVec(lon, lat)
+    // Degenerate guard: a ring vertex within ~1e-9 rad of P or its
+    // antipode makes the tangent-plane azimuth atan2(~0, ~0) — garbage
+    // at double precision (seen with lattice data, where a point can be
+    // EXACTLY antipodal to a polygon corner). Nudge P by 1e-9 rad
+    // (~6 mm on Earth) until clear; classification changes only for
+    // points that close to the degeneracy, which the distance terms
+    // already treat as boundary contact.
+    def nearVertex(): Boolean = {
+      var found = false
+      def scan(geom: Geometry): Unit = if (!found) geom match {
+        case c: org.locationtech.jts.geom.GeometryCollection =>
+          (0 until c.getNumGeometries).foreach(i => scan(c.getGeometryN(i)))
+        case p: Polygon =>
+          def ring(cs: Array[Coordinate]): Unit = {
+            var i = 0
+            while (i < cs.length && !found) {
+              val (vx, vy, vz) = unitVec(cs(i).x, cs(i).y)
+              val dm = (vx - px) * (vx - px) + (vy - py) * (vy - py) + (vz - pz) * (vz - pz)
+              val dp = (vx + px) * (vx + px) + (vy + py) * (vy + py) + (vz + pz) * (vz + pz)
+              if (dm < 1e-18 || dp < 1e-18) found = true
+              i += 1
+            }
+          }
+          ring(p.getExteriorRing.getCoordinates)
+          (0 until p.getNumInteriorRing).foreach(i =>
+            if (!found) ring(p.getInteriorRingN(i).getCoordinates))
+        case _ =>
+      }
+      scan(g)
+      found
+    }
+    var guard = 0
+    while (guard < 3 && nearVertex()) {
+      // tangent direction from a fixed axis not parallel to P
+      val (ax, ay, az): (Double, Double, Double) =
+        if (guard == 0 && math.abs(px) < 0.9) (1.0, 0.0, 0.0)
+        else if (guard <= 1 && math.abs(py) < 0.9) (0.0, 1.0, 0.0)
+        else (0.0, 0.0, 1.0)
+      var tx = py * az - pz * ay
+      var ty = pz * ax - px * az
+      var tz = px * ay - py * ax
+      val tn = math.sqrt(tx * tx + ty * ty + tz * tz)
+      tx /= tn; ty /= tn; tz /= tn
+      val nx = px + 1e-9 * tx; val ny = py + 1e-9 * ty; val nz = pz + 1e-9 * tz
+      val nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+      px = nx / nn; py = ny / nn; pz = nz / nn
+      guard += 1
+    }
+    def walk(geom: Geometry): Boolean = geom match {
+      case _ if geom.isEmpty => false
+      case p: Polygon =>
+        inRingSphere(p.getExteriorRing.getCoordinates, px, py, pz) &&
+          (0 until p.getNumInteriorRing).forall(i =>
+            !inRingSphere(p.getInteriorRingN(i).getCoordinates, px, py, pz))
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until c.getNumGeometries).exists(i => walk(c.getGeometryN(i)))
+      case _ => false
+    }
+    walk(g)
+  }
+
+  /** First coordinate of each connected component — the containment
+    * representatives for polygon-vs-geometry distance: if a component
+    * lies inside a polygon without its boundary crossing the shell, its
+    * first vertex is inside. */
+  private def componentReps(g: Geometry): Seq[Coordinate] = g match {
+    case _ if g.isEmpty => Nil
+    case c: org.locationtech.jts.geom.GeometryCollection =>
+      (0 until c.getNumGeometries).flatMap(i => componentReps(c.getGeometryN(i)))
+    case p: Polygon => Seq(p.getExteriorRing.getCoordinateN(0))
+    case _ => g.getCoordinates.headOption.toSeq
+  }
+
+  /** Does some polygonal component of `container` spherically cover a
+    * representative vertex of `other`? Combined with the arc-crossing
+    * test this is a complete interior-overlap check: a component of
+    * `other` inside `container` either has its rep vertex inside or its
+    * boundary crosses the shell. */
+  private def polyCoversRep(container: Geometry, other: Geometry): Boolean = {
+    if (container.getDimension < 2) return false
+    val reps = componentReps(other)
+    reps.exists(c => coversPoint(container, c.x, c.y))
+  }
+
   def distance(a: Geometry, b: Geometry): Any = (a, b) match {
     case (p: Point, q: Point) if !p.isEmpty && !q.isEmpty =>
       haversine(p.getX, p.getY, q.getX, q.getY)
     case _ if !a.isEmpty && !b.isEmpty =>
-      // chart containment/overlap: any shared interior -> 0 (exact for
-      // crossing arcs below; this catches point-in-polygon)
-      if ((a.getDimension == 2 || b.getDimension == 2) && a.intersects(b))
+      // spherical containment/overlap: any shared interior -> 0 (the
+      // crossing-arc test below catches boundary crossings; winding
+      // containment catches fully-enclosed components, incl. pole caps
+      // and dateline-crossing rings)
+      if (polyCoversRep(a, b) || polyCoversRep(b, a))
         return 0.0
       val (va, aa) = decompose(a)
       val (vb, ab) = decompose(b)
@@ -202,7 +345,13 @@ object Spherical {
     * scaling. (The previous chart-edge lon-difference formula is exact
     * only for parallel-following edges and diverged up to ~1.6e-3 on
     * geodesic quads away from the equator.) */
-  private def ringArea(cs: Array[org.locationtech.jts.geom.Coordinate]): Double = {
+  private def ringArea(cs: Array[org.locationtech.jts.geom.Coordinate]): Double =
+    math.abs(signedRingExcess(cs)) * R * R
+
+  /** Signed spherical excess of the ring (steradians), CCW positive —
+    * the fan sum without the absolute value. Orientation source for the
+    * smaller-side containment rule in inRingSphere. */
+  private def signedRingExcess(cs: Array[org.locationtech.jts.geom.Coordinate]): Double = {
     if (cs.length < 4) return 0.0 // closed ring needs >= 3 distinct vertices
     val n = cs.length - 1
     val vx = new Array[Double](n)
@@ -238,7 +387,7 @@ object Spherical {
       total += (if (sp >= 0) e else -e)
       i += 1
     }
-    math.abs(total) * R * R
+    total
   }
 
   /** Spherical area of polygonal geometry (holes subtracted; collections
@@ -366,6 +515,12 @@ object Spherical {
         addEdges(p.getExteriorRing.getCoordinates)
         (0 until p.getNumInteriorRing).foreach(i =>
           addEdges(p.getInteriorRingN(i).getCoordinates))
+        // a polygon whose interior covers a pole (a polar cap) has no
+        // vertex there — widen to ±90 so the grid cover reaches the
+        // interior (gridCells' poleTouch then emits the full lon ring)
+        val cx = p.getExteriorRing.getCoordinateN(0).x
+        if (coversPoint(p, 0.0, 90.0)) env.expandToInclude(cx, 90.0)
+        if (coversPoint(p, 0.0, -90.0)) env.expandToInclude(cx, -90.0)
       case c: org.locationtech.jts.geom.GeometryCollection =>
         (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
       case other => env.expandToInclude(other.getEnvelopeInternal)
@@ -454,6 +609,11 @@ object Spherical {
         addCoords(p.getExteriorRing.getCoordinates)
         (0 until p.getNumInteriorRing).foreach(i =>
           addCoords(p.getInteriorRingN(i).getCoordinates))
+        // polar-cap interiors: a polygon covering a pole spans the full
+        // longitude ring and reaches ±90 (S2LatLngRectBounder does the
+        // same via its loop-contains-pole check)
+        if (coversPoint(p, 0.0, 90.0)) { latMax = 90.0; addSeg(-180.0, 180.0) }
+        if (coversPoint(p, 0.0, -90.0)) { latMin = -90.0; addSeg(-180.0, 180.0) }
       case c: org.locationtech.jts.geom.GeometryCollection =>
         (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
       case other =>

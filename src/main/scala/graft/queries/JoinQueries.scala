@@ -207,13 +207,34 @@ object JoinQueries {
         .withColumn("qymin", (col("p_size") % 28).cast("double") * 6.0 - 84.0)
         .withColumn("quad", st.makeEnvelope(col("qxmin"), col("qymin"),
           col("qxmin") + 2.0, col("qymin") + 2.0))
-        .select(col("p_partkey"), col("quad"))
+        .select(col("p_partkey").cast("long").as("p_partkey"), col("quad"))
+      // antimeridian-crossing quads (lon [179, 181] wraps to [179,180] U
+      // [-180,-179]) and polar-cap 12-gons at ±71° — the shapes the
+      // winding-number containment kernel exists for. Synthetic keys keep
+      // the output rows distinct from the chart quads'. The point lattice
+      // (0.25° offsets, 3° steps) clears every geodesic bulge band, so
+      // the oracle's interval logic is exact (cap edges at 71° bulge to
+      // 71.60°; nearest point latitudes 69.25 / 72.25).
+      val wrapQuads = t(s, dir, "part").filter(col("p_partkey") % 37 === 0)
+        .withColumn("qymin", (col("p_size") % 28).cast("double") * 6.0 - 84.0)
+        .withColumn("quad", st.makeEnvelope(lit(179.0), col("qymin"),
+          lit(181.0), col("qymin") + 2.0))
+        .select((col("p_partkey") + 9000000L).as("p_partkey"), col("quad"))
+      val ncap = "POLYGON ((0 71, 30 71, 60 71, 90 71, 120 71, 150 71, 180 71, " +
+        "-150 71, -120 71, -90 71, -60 71, -30 71, 0 71))"
+      val scap = "POLYGON ((0 -71, 30 -71, 60 -71, 90 -71, 120 -71, 150 -71, 180 -71, " +
+        "-150 -71, -120 -71, -90 -71, -60 -71, -30 -71, 0 -71))"
+      val caps = t(s, dir, "part").filter(col("p_partkey") <= 2)
+        .withColumn("quad", st.geomFromWkt(
+          when(col("p_partkey") === 1, lit(ncap)).otherwise(lit(scap))))
+        .select((col("p_partkey") + 9999990L).as("p_partkey"), col("quad"))
       val pts = t(s, dir, "orders")
         .withColumn("plon", (col("o_orderkey") % 120).cast("double") * 3.0 - 179.75)
         .withColumn("plat", (col("o_custkey") % 56).cast("double") * 3.0 - 83.75)
         .withColumn("pt", st.point(col("plon"), col("plat")))
         .select(col("o_orderkey"), col("pt"))
-      SpatialJoins.sphereIntersectsJoin(quads, pts, col("quad"), col("pt"))
+      SpatialJoins.sphereIntersectsJoin(
+          quads.union(wrapQuads).union(caps), pts, col("quad"), col("pt"))
         .select(col("p_partkey"), col("o_orderkey"))
     }),
 
@@ -427,17 +448,31 @@ object JoinQueries {
         |  OR o_orderkey IN (SELECT o_orderkey FROM hit)""".stripMargin,
 
     "sj13_sphere_intersects_join" ->
-      """WITH q AS (SELECT p_partkey,
+      """WITH q AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
         |    CAST(p_partkey % 60 AS DOUBLE)*6.0 - 180.0 AS qxmin,
         |    CAST(p_size % 28 AS DOUBLE)*6.0 - 84.0 AS qymin
         |  FROM part),
+        |wq AS (SELECT CAST(p_partkey + 9000000 AS BIGINT) AS p_partkey,
+        |    CAST(p_size % 28 AS DOUBLE)*6.0 - 84.0 AS qymin
+        |  FROM part WHERE p_partkey % 37 = 0),
+        |caps AS (SELECT CAST(p_partkey + 9999990 AS BIGINT) AS p_partkey,
+        |    CASE WHEN p_partkey = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM part WHERE p_partkey <= 2),
         |p AS (SELECT o_orderkey,
         |    CAST(o_orderkey % 120 AS DOUBLE)*3.0 - 179.75 AS plon,
         |    CAST(o_custkey % 56 AS DOUBLE)*3.0 - 83.75 AS plat
         |  FROM orders)
         |SELECT q.p_partkey, p.o_orderkey FROM q JOIN p
         |ON p.plon >= q.qxmin AND p.plon <= q.qxmin + 2.0
-        |AND p.plat >= q.qymin AND p.plat <= q.qymin + 2.0""".stripMargin,
+        |AND p.plat >= q.qymin AND p.plat <= q.qymin + 2.0
+        |UNION ALL
+        |SELECT wq.p_partkey, p.o_orderkey FROM wq JOIN p
+        |ON abs(p.plon) > 179.0
+        |AND p.plat >= wq.qymin AND p.plat <= wq.qymin + 2.0
+        |UNION ALL
+        |SELECT caps.p_partkey, p.o_orderkey FROM caps JOIN p
+        |ON (caps.sgn = 1 AND p.plat > 72.0)
+        |OR (caps.sgn = -1 AND p.plat < -71.7)""".stripMargin,
 
     "sj07_planner_grid_join" ->
       s"""WITH p AS ($pointsSql), b AS ($boxesSql)

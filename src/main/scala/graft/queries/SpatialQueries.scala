@@ -332,6 +332,43 @@ object SpatialQueries {
             st.f("st_xmaxsphere", col("line"))).as("wrapped"))
     }),
 
+    // spherical winding-number containment on the shapes the chart proxy
+    // could not represent: polar-cap 12-gons (no vertex at the pole) and
+    // an antimeridian-crossing quad. Point lattice avoids the geodesic
+    // bulge band of each edge (cap edges at lat 72 bulge to 72.59°; the
+    // nearest point latitudes are 71.25 and 73.75), so chart interval
+    // logic is an exact oracle. Bounds columns prove the cap's grid
+    // cover reaches the pole (full lon ring, ymax 90).
+    "sp18_sphere_containment" -> ((s, dir) => {
+      prep(s)
+      val ncap = "POLYGON ((0 72, 30 72, 60 72, 90 72, 120 72, 150 72, 180 72, " +
+        "-150 72, -120 72, -90 72, -60 72, -30 72, 0 72))"
+      val scap = "POLYGON ((0 -72, 30 -72, 60 -72, 90 -72, 120 -72, 150 -72, 180 -72, " +
+        "-150 -72, -120 -72, -90 -72, -60 -72, -30 -72, 0 -72))"
+      val dlq = "POLYGON ((179 10, 181 10, 181 20, 179 20, 179 10))"
+      t(s, dir, "customer")
+        .withColumn("plon", (col("c_custkey") % 360).cast("double") - 179.5)
+        .withColumn("plat", (col("c_custkey") % 70).cast("double") * 2.5 - 86.25)
+        .withColumn("pt", st.point(col("plon"), col("plat")))
+        .withColumn("ncap", st.geomFromWkt(lit(ncap)))
+        .withColumn("scap", st.geomFromWkt(lit(scap)))
+        .withColumn("dlq", st.geomFromWkt(lit(dlq)))
+        .withColumn("ptq", st.makeEnvelope(col("plon") - 0.2, col("plat") - 0.2,
+          col("plon") + 0.2, col("plat") + 0.2))
+        .withColumn("in_ncap", st.f("st_intersectssphere", col("ncap"), col("pt")))
+        .withColumn("in_dlq", st.f("st_intersectssphere", col("dlq"), col("pt")))
+        .select(col("c_custkey"),
+          col("in_ncap"),
+          st.f("st_intersectssphere", col("scap"), col("pt")).as("in_scap"),
+          col("in_dlq"),
+          st.f("st_intersectssphere", col("dlq"), col("ptq")).as("quad_hits_dlq"),
+          (((st.f("st_distancesphere", col("ncap"), col("pt")) === 0.0) === col("in_ncap")) &&
+            ((st.f("st_distancesphere", col("dlq"), col("pt")) === 0.0) === col("in_dlq")))
+            .as("dist_consistent"),
+          st.f("st_ymaxsphere", col("ncap")).as("ncap_ymax"),
+          st.f("st_xminsphere", col("ncap")).as("ncap_xmin"))
+    }),
+
     "sp16_itemcrs" -> ((s, dir) => {
       prep(s)
       t(s, dir, "customer")
@@ -1047,6 +1084,23 @@ object SpatialQueries {
         |  CASE WHEN a - b <= 180.0 THEN b ELSE a END AS sxmin,
         |  CASE WHEN a - b <= 180.0 THEN a ELSE b END AS sxmax,
         |  a - b > 180.0 AS wrapped
+        |FROM p""".stripMargin,
+
+    // chart interval logic is exact because the point lattice avoids
+    // every geodesic bulge band (see the query comment)
+    "sp18_sphere_containment" ->
+      """WITH p AS (SELECT c_custkey,
+        |    CAST(c_custkey % 360 AS DOUBLE) - 179.5 AS plon,
+        |    CAST(c_custkey % 70 AS DOUBLE) * 2.5 - 86.25 AS plat
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  plat > 73.0 AS in_ncap,
+        |  plat < -73.0 AS in_scap,
+        |  (abs(plon) > 179.0 AND plat > 10.0 AND plat < 20.0) AS in_dlq,
+        |  (abs(plon) > 179.0 AND plat > 9.8 AND plat < 20.2) AS quad_hits_dlq,
+        |  TRUE AS dist_consistent,
+        |  90.0 AS ncap_ymax,
+        |  -180.0 AS ncap_xmin
         |FROM p""".stripMargin,
 
     "sp16_itemcrs" ->

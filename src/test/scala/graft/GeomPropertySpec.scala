@@ -197,6 +197,80 @@ class GeomPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("spherical winding containment: pole caps, dateline rings, holes, antipodes") {
+    import graft.functions.Spherical
+    def poly(wkt: String): Geometry = GeomIO.readWkt(wkt)
+    val northCap = poly("POLYGON ((0 73, 30 73, 60 73, 90 73, 120 73, 150 73, 180 73, -150 73, -120 73, -90 73, -60 73, -30 73, 0 73))")
+    // same ring drawn the other way (CW): interior is still the cap
+    val northCapCw = poly("POLYGON ((0 73, -30 73, -60 73, -90 73, -120 73, -150 73, 180 73, 150 73, 120 73, 90 73, 60 73, 30 73, 0 73))")
+    val southCap = poly("POLYGON ((0 -73, 30 -73, 60 -73, 90 -73, 120 -73, 150 -73, 180 -73, -150 -73, -120 -73, -90 -73, -60 -73, -30 -73, 0 -73))")
+    for (cap <- Seq(northCap, northCapCw)) {
+      assert(Spherical.coversPoint(cap, 12.0, 90.0))
+      assert(Spherical.coversPoint(cap, -170.0, 80.0))
+      assert(!Spherical.coversPoint(cap, 10.0, 60.0))
+      assert(!Spherical.coversPoint(cap, 10.0, -90.0)) // antipodal cap excluded
+      assert(!Spherical.coversPoint(cap, -170.0, -80.0))
+    }
+    assert(Spherical.coversPoint(southCap, 45.0, -90.0))
+    assert(!Spherical.coversPoint(southCap, 45.0, 90.0))
+    // dateline-crossing quad: short-arc edges span lon [179, -179]
+    val dlQuad = poly("POLYGON ((179 10, -179 10, -179 20, 179 20, 179 10))")
+    assert(Spherical.coversPoint(dlQuad, 180.0, 15.0))
+    assert(Spherical.coversPoint(dlQuad, -179.5, 12.0))
+    assert(Spherical.coversPoint(dlQuad, 179.5, 18.0))
+    assert(!Spherical.coversPoint(dlQuad, 178.0, 15.0))
+    assert(!Spherical.coversPoint(dlQuad, 0.0, 15.0))
+    assert(!Spherical.coversPoint(dlQuad, -178.0, 15.0))
+    // hole subtracts
+    val holed = poly("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(Spherical.coversPoint(holed, 2.0, 2.0))
+    assert(!Spherical.coversPoint(holed, 5.0, 5.0))
+    assert(!Spherical.coversPoint(holed, 15.0, 5.0))
+    // point exactly antipodal to a ring vertex: the azimuth degeneracy
+    // must not misclassify (regression: lattice data hits this exactly)
+    val quad0 = poly("POLYGON ((57 19, 57 24, 62 24, 62 19, 57 19))")
+    assert(!Spherical.coversPoint(quad0, -118.0, -19.0))
+    assert(!Spherical.coversPoint(quad0, -123.0, -24.0))
+    assert(Spherical.coversPoint(quad0, 59.0, 21.0))
+    // distance reaches 0 through containment for cap and dateline cases
+    assert(Spherical.distance(northCap, GeomIO.point(33.0, 88.0)) == 0.0)
+    assert(Spherical.distance(dlQuad, GeomIO.point(-179.9, 15.0)) == 0.0)
+    assert(Spherical.distance(GeomIO.point(179.9, 15.0), dlQuad) == 0.0)
+    // a far point keeps a positive distance
+    assert(Spherical.distance(northCap, GeomIO.point(0.0, 0.0)).asInstanceOf[Double] > 1e6)
+    // polar bounds widen: cap's grid cover reaches the pole band
+    val env = Spherical.latLngBound(northCap)
+    assert(env.getMaxY == 90.0)
+    Spherical.lngLatRect(northCap) match {
+      case Some((lo, _, hi, latHi)) =>
+        assert(latHi == 90.0); assert(lo == -180.0 && hi == 180.0)
+      case None => fail("rect expected")
+    }
+  }
+
+  test("spherical containment agrees with chart containment away from poles/dateline") {
+    import graft.functions.Spherical
+    val quad: Gen[(Geometry, Double, Double)] = for {
+      x0 <- Gen.chooseNum(-170.0, 160.0)
+      y0 <- Gen.chooseNum(-80.0, 70.0)
+      w <- Gen.chooseNum(1.0, 9.0)
+      h <- Gen.chooseNum(1.0, 9.0)
+      px <- Gen.chooseNum(-178.0, 178.0)
+      py <- Gen.chooseNum(-88.0, 88.0)
+    } yield (GeomIO.envelope(x0, y0, x0 + w, y0 + h), px, py)
+    check(Prop.forAll(quad) { case (g, px, py) =>
+      val env = g.getEnvelopeInternal
+      // skip the geodesic-bulge ambiguity band near horizontal edges
+      val nearEdge = math.abs(py - env.getMinY) < 0.2 || math.abs(py - env.getMaxY) < 0.2 ||
+        math.abs(px - env.getMinX) < 0.2 || math.abs(px - env.getMaxX) < 0.2
+      nearEdge || {
+        val chart = px > env.getMinX && px < env.getMaxX &&
+          py > env.getMinY && py < env.getMaxY
+        Spherical.coversPoint(g, px, py) == chart
+      }
+    })
+  }
+
   test("spherical grid cover: within-radius pairs always share a cell") {
     // the invariant behind sphereDWithinJoin's correctness — the lon bound
     // sin(dlam/2) <= sin(r/2R)/cos(phi) plus pole/antimeridian handling
