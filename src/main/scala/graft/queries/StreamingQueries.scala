@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.streaming.StreamingOps
+import graft.functions.GraftFunctions.st
 
 /** Structured-streaming coverage (SURVEY.md §2.10) driven through the
   * batch correctness gate: the streaming query runs to completion with
@@ -63,6 +64,91 @@ object StreamingQueries {
     // each event_id exactly once; duplicates are bit-identical rows so
     // "which copy survives" is not observable — deterministic under
     // AvailableNow regardless of batch split.
+    // watermarked stream-stream spatial join: two event-derived point/box
+    // streams grid-cell equi-joined (StreamingOps.streamSpatialJoin) with
+    // an event-time range bound — the grid decomposition supplies the
+    // equi key Structured Streaming needs for state partitioning, the
+    // time range bounds the state. Staged as one file per side (one
+    // micro-batch), so the inner-join output is complete and the hash
+    // matches the batch oracle exactly. Integer lattice coordinates keep
+    // the predicate refine bit-exact.
+    "st03_stream_stream_spatial_join" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      val lstage = s"/tmp/graft_stream_ssj_l/${math.abs(dir.hashCode)}"
+      val rstage = s"/tmp/graft_stream_ssj_r/${math.abs(dir.hashCode)}"
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("l_event"), col("ts").as("lts"),
+          (col("event_id") % 31).cast("double").as("lx"),
+          (col("user_id") % 23).cast("double").as("ly"))
+        .coalesce(1).write.mode("overwrite").parquet(lstage)
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("r_event"), col("ts").as("rts"),
+          (col("event_id") % 31).cast("double").as("rx"),
+          (col("user_id") % 23).cast("double").as("ry"))
+        .coalesce(1).write.mode("overwrite").parquet(rstage)
+      val lschema = StructType(Seq(StructField("l_event", LongType),
+        StructField("lts", TimestampType), StructField("lx", DoubleType),
+        StructField("ly", DoubleType)))
+      val rschema = StructType(Seq(StructField("r_event", LongType),
+        StructField("rts", TimestampType), StructField("rx", DoubleType),
+        StructField("ry", DoubleType)))
+      val lstream = s.readStream.schema(lschema).parquet(lstage)
+        .withWatermark("lts", "0 seconds")
+        .withColumn("lg", st.point(col("lx"), col("ly")))
+      val rstream = s.readStream.schema(rschema).parquet(rstage)
+        .withWatermark("rts", "0 seconds")
+        .withColumn("rg", st.makeEnvelope(col("rx") - 0.25, col("ry") - 0.25,
+          col("rx") + 0.25, col("ry") + 0.25))
+      val joined = StreamingOps.streamSpatialJoin(
+        lstream, rstream, col("lg"), col("rg"), "st_intersects",
+        bounds = (0.0, 0.0, 31.0, 23.0),
+        timeCond = col("lts") >= col("rts") - expr("INTERVAL 24 HOURS") &&
+          col("lts") <= col("rts") + expr("INTERVAL 24 HOURS"))
+        .select(col("l_event"), col("r_event"))
+      val sinkName = s"graft_ssj_${math.abs(dir.hashCode)}"
+      val q = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    }),
+
+    // stream-static spatial join: the event point stream probes a static
+    // box table through the same grid-cell equi-join — stateless per
+    // micro-batch, the stream-side analog of the batch grid join
+    "st04_stream_static_spatial_join" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      val stage = s"/tmp/graft_stream_stst/${math.abs(dir.hashCode)}"
+      ev.select(col("event_id"),
+          (col("event_id") % 89).cast("double").as("lx"),
+          (col("user_id") % 67).cast("double").as("ly"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("lx", DoubleType), StructField("ly", DoubleType)))
+      val pts = s.readStream.schema(schema).parquet(stage)
+        .withColumn("pt", st.point(col("lx"), col("ly")))
+      val boxes = Tables.t(s, dir, "part").filter(col("p_partkey") % 3 === 0)
+        .withColumn("box", st.makeEnvelope(
+          (col("p_partkey") % 80).cast("double"), (col("p_size") % 60).cast("double"),
+          (col("p_partkey") % 80).cast("double") + (col("p_partkey") % 5 + 1).cast("double"),
+          (col("p_size") % 60).cast("double") + (col("p_size") % 4 + 1).cast("double")))
+        .select(col("p_partkey"), col("box"))
+      val joined = graft.operators.SpatialJoins.gridJoin(
+        pts, boxes, col("pt"), col("box"), "st_intersects",
+        bounds = Some((0.0, 0.0, 89.0, 67.0)))
+        .select(col("event_id"), col("p_partkey"))
+      val sinkName = s"graft_stst_${math.abs(dir.hashCode)}"
+      val q = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    }),
+
     "st02_stream_dedup" -> ((s, dir) => {
       import graft.Tables
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -106,6 +192,30 @@ object StreamingQueries {
         |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
         |  COUNT(*) AS n_events, SUM(value) AS sum_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // the grid join restated as lattice-interval logic with the same
+    // inclusive one-hour event-time band
+    "st03_stream_stream_spatial_join" ->
+      """WITH l AS (SELECT event_id AS l_event, epoch_us(ts) AS lus,
+        |    event_id % 31 AS gx, user_id % 23 AS gy
+        |  FROM events WHERE event_id % 2 = 0),
+        |r AS (SELECT event_id AS r_event, epoch_us(ts) AS rus,
+        |    event_id % 31 AS gx, user_id % 23 AS gy
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT l.l_event, r.r_event FROM l JOIN r
+        |ON l.gx = r.gx AND l.gy = r.gy
+        |AND abs(l.lus - r.rus) <= 86400000000""".stripMargin,
+
+    "st04_stream_static_spatial_join" ->
+      """WITH p AS (SELECT event_id,
+        |    event_id % 89 AS lx, user_id % 67 AS ly FROM events),
+        |b AS (SELECT p_partkey,
+        |    p_partkey % 80 AS bx, p_size % 60 AS by2,
+        |    p_partkey % 5 + 1 AS w, p_size % 4 + 1 AS h
+        |  FROM part WHERE p_partkey % 3 = 0)
+        |SELECT p.event_id, b.p_partkey FROM p JOIN b
+        |ON p.lx >= b.bx AND p.lx <= b.bx + b.w
+        |AND p.ly >= b.by2 AND p.ly <= b.by2 + b.h""".stripMargin,
 
     // duplicates exist only in the staging copy; distinct event rows ARE
     // the oracle (event_id is unique in the source table)

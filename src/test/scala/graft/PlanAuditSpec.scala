@@ -91,6 +91,108 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pl03.contains("Join"), "pl03 dedup should be join-free")
   }
 
+  test("round-7 gates keep their intended plan shapes") {
+    // sj10 out-of-core KNN grid: cell equi-join + window ranking — the
+    // two-round exact algorithm's shape; anything quadratic is a bug
+    val sj10 = entries("sj10_knn_grid_join").plan
+    assert(sj10.contains("SortMergeJoin") || sj10.contains("ShuffledHashJoin") ||
+      sj10.contains("BroadcastHashJoin"), "sj10 lost its grid equi-join")
+    assert(sj10.contains("Window"), "sj10 lost its window ranking")
+    // sj11: the planner must pick KnnJoinExec in spheroid mode (the
+    // chord kd-tree branch-and-bound path, not the planar tree)
+    val sj11df = SparkEntry.queries("sj11_knn_spheroid")(spark, dir)
+    // unwrap AQE: the KNN node lives under AdaptiveSparkPlanExec
+    def findKnn(p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.joins.KnnJoinExec] =
+      p.collect { case k: graft.joins.KnnJoinExec => k } ++
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+        }.flatMap(a => findKnn(a.executedPlan))
+    val knn = findKnn(sj11df.queryExecution.executedPlan)
+    assert(knn.nonEmpty, "sj11 lost the KNN operator")
+    assert(knn.head.spheroid, "sj11 KNN not in spheroid (chord kd-tree) mode")
+    // sj13's wrap/cap extension must still plan as a cell equi-join
+    val sj13 = entries("sj13_sphere_intersects_join").plan
+    assert(!sj13.contains("CartesianProduct") &&
+      !sj13.contains("BroadcastNestedLoopJoin"), "sj13 fell off the grid join")
+  }
+
+  test("streaming joins plan their streaming operators") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.functions.GraftFunctions.st
+    // stage tiny two-sided inputs, run the watermarked stream-stream
+    // grid join under AvailableNow, and audit the executed streaming plan
+    val base = s"/tmp/graft_plan_audit_stream"
+    spark.range(64).select(col("id").as("l_event"),
+        timestamp_micros(col("id") * 1000000L).as("lts"),
+        (col("id") % 5).cast("double").as("lx"),
+        (col("id") % 3).cast("double").as("ly"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/l")
+    spark.range(64).select(col("id").as("r_event"),
+        timestamp_micros(col("id") * 1000000L).as("rts"),
+        (col("id") % 5).cast("double").as("rx"),
+        (col("id") % 3).cast("double").as("ry"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/r")
+    val lschema = StructType(Seq(StructField("l_event", LongType),
+      StructField("lts", TimestampType), StructField("lx", DoubleType),
+      StructField("ly", DoubleType)))
+    val rschema = StructType(Seq(StructField("r_event", LongType),
+      StructField("rts", TimestampType), StructField("rx", DoubleType),
+      StructField("ry", DoubleType)))
+    val l = spark.readStream.schema(lschema).parquet(s"$base/l")
+      .withWatermark("lts", "0 seconds")
+      .withColumn("lg", st.point(col("lx"), col("ly")))
+    val r = spark.readStream.schema(rschema).parquet(s"$base/r")
+      .withWatermark("rts", "0 seconds")
+      .withColumn("rg", st.makeEnvelope(col("rx") - 0.25, col("ry") - 0.25,
+        col("rx") + 0.25, col("ry") + 0.25))
+    val joined = graft.streaming.StreamingOps.streamSpatialJoin(
+      l, r, col("lg"), col("rg"), "st_intersects",
+      bounds = (0.0, 0.0, 5.0, 3.0),
+      timeCond = col("lts") >= col("rts") - expr("INTERVAL 10 SECONDS") &&
+        col("lts") <= col("rts") + expr("INTERVAL 10 SECONDS"))
+    val q = joined.select("l_event", "r_event").writeStream
+      .format("memory").queryName("pa_ssj").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { q.explain() }
+    val plan = out.toString
+    assert(plan.contains("StreamingSymmetricHashJoin"),
+      s"stream-stream grid join did not plan StreamingSymmetricHashJoin:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "stream-stream join fell back to a quadratic operator")
+    assert(spark.table("pa_ssj").count() > 0)
+
+    // stream-static: the point stream against a static box table must
+    // plan a hash equi-join on the grid cell per micro-batch
+    val pts = spark.readStream.schema(StructType(Seq(
+        StructField("l_event", LongType), StructField("lts", TimestampType),
+        StructField("lx", DoubleType), StructField("ly", DoubleType))))
+      .parquet(s"$base/l")
+      .withColumn("pt", st.point(col("lx"), col("ly")))
+    val boxes = spark.range(8).select(col("id").as("bid"),
+      st.makeEnvelope((col("id") % 5).cast("double") - 0.25,
+        (col("id") % 3).cast("double") - 0.25,
+        (col("id") % 5).cast("double") + 0.25,
+        (col("id") % 3).cast("double") + 0.25).as("box"))
+    val j2 = graft.operators.SpatialJoins.gridJoin(
+      pts, boxes, col("pt"), col("box"), "st_intersects",
+      bounds = Some((0.0, 0.0, 5.0, 3.0)))
+    val q2 = j2.select("l_event", "bid").writeStream
+      .format("memory").queryName("pa_stst").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) { q2.explain() }
+    val plan2 = out2.toString
+    assert(plan2.contains("BroadcastHashJoin") || plan2.contains("SortMergeJoin") ||
+      plan2.contains("ShuffledHashJoin"),
+      s"stream-static grid join lost its equi-join:\n$plan2")
+    assert(spark.table("pa_stst").count() > 0)
+  }
+
   test("GeoParquet scan carries pushed bbox filters and pruned files") {
     val gp = entries("gp01_geoparquet_prune").plan
     assert(gp.contains("PushedFilters") && gp.contains("_bbox"),
