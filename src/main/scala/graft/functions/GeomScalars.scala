@@ -1846,6 +1846,34 @@ object GeomScalars {
             Spherical.latLngBound(g0(a)), d(a, 1), i(a, 2), i(a, 3))))),
     fn("st_refcell_sphere", LongType, Seq(Geom, Geom, Dbl, Int_, Int_))(a =>
       Spherical.refCell(g0(a), g1(a), d(a, 2), i(a, 3), i(a, 4))),
+    // join-condition forms over a PRECOMPUTED spherical bound (the
+    // lat/lng rect as 4 doubles): the spherical analog of sd_envelope4 /
+    // sd_gridcells4 — bound computed once per row, cells/refcell/bbox
+    // checks become per-pair double arithmetic with no WKB parse
+    fn("sd_envelopesphere4", ArrayType(DoubleType, containsNull = false), Seq(Geom))(a => {
+      val e = Spherical.latLngBound(g0(a))
+      if (e.isNull) null
+      else new GenericArrayData(Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+    }),
+    fn("sd_gridcells_sphere4", ArrayType(LongType, containsNull = false),
+        Seq(ArgKind.Raw, Dbl, Int_, Int_))(a => {
+      val e = a(0).asInstanceOf[ArrayData]
+      new GenericArrayData(Spherical.gridCells(
+        new org.locationtech.jts.geom.Envelope(
+          e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
+        d(a, 1), i(a, 2), i(a, 3)))
+    }),
+    fn("sd_refcell_sphere4", LongType,
+        Seq(ArgKind.Raw, ArgKind.Raw, Dbl, Int_, Int_))(a => {
+      val ea = a(0).asInstanceOf[ArrayData]
+      val eb = a(1).asInstanceOf[ArrayData]
+      Spherical.refCellEnv(
+        new org.locationtech.jts.geom.Envelope(
+          ea.getDouble(0), ea.getDouble(2), ea.getDouble(1), ea.getDouble(3)),
+        new org.locationtech.jts.geom.Envelope(
+          eb.getDouble(0), eb.getDouble(2), eb.getDouble(1), eb.getDouble(3)),
+        d(a, 2), i(a, 3), i(a, 4))
+    }),
 
     // ---- KNN join stub: only valid inside a join condition, where
     // SpatialJoinStrategy plans it into KnnJoinExec (reference pattern:

@@ -122,50 +122,65 @@ object Spherical {
     (verts.result(), arcs.result())
   }
 
-  // ---- spherical point-in-polygon (winding number) ----
-
-  /** Signed azimuth change at unit vector P between directions to A and
-    * B: the angle between the tangent-plane projections of A and B at P,
-    * atan2(P·(A×B), A·B − (P·A)(P·B)), wrapped to (−π, π]. Summing over
-    * a closed ring gives ±2π when the ring winds around P (sign = its
-    * orientation as seen from P) and 0 when it does not — the spherical
-    * analog of the planar winding formula, valid for rings crossing the
-    * antimeridian or enclosing a pole because it never charts. */
-  @inline private def windingAngle(px: Double, py: Double, pz: Double,
-      ax: Double, ay: Double, az: Double,
-      bx: Double, by: Double, bz: Double): Double = {
-    val cx = ay * bz - az * by
-    val cy = az * bx - ax * bz
-    val cz = ax * by - ay * bx
-    val sinT = px * cx + py * cy + pz * cz
-    val cosT = (ax * bx + ay * by + az * bz) -
-      (px * ax + py * ay + pz * az) * (px * bx + py * by + pz * bz)
-    math.atan2(sinT, cosT)
-  }
+  // ---- spherical point-in-polygon (winding number). Per ring edge the
+  // signed azimuth change at unit vector P between directions to A and B
+  // is atan2(P·(A×B), A·B − (P·A)(P·B)) — the angle between the
+  // tangent-plane projections, wrapped to (−π, π]. Summing over a closed
+  // ring gives ±2π when the ring winds around P (sign = its orientation
+  // as seen from P) and 0 when it does not — the spherical analog of the
+  // planar winding formula, valid for rings crossing the antimeridian or
+  // enclosing a pole because it never charts. ----
 
   /** Is the point inside the closed ring, interior taken as the ring's
     * SMALLER side (S2geography oriented=false semantics)? The winding
     * sum at an interior point is +2π for a CCW ring and −2π for a CW
     * ring; at the ANTIPODE of an interior point it is the negation, and
-    * elsewhere 0 — so orienting by the ring's signed spherical excess
-    * makes sgn·sum ≈ +2π exactly on the smaller side. Points on the
+    * elsewhere 0 — so orienting by the ring makes sgn·sum ≈ +2π exactly
+    * on the smaller side. Orientation comes from the shoelace sum
+    * projected on the vertex-sum direction (Σ C·(vᵢ×vᵢ₊₁)) — the sign of
+    * the spherical excess for rings within a hemisphere of their vertex
+    * mean, at a fraction of the l'Huilier fan's trig cost. Points on the
     * boundary (sum ≈ ±π) classify as outside here; distance() reaches 0
-    * for them through the vertex/arc terms. */
-  private def inRingSphere(cs: Array[Coordinate],
-      px: Double, py: Double, pz: Double): Boolean = {
-    if (cs.length < 4) return false
-    var sum = 0.0
-    var prev = vecOf(cs(0))
-    var i = 1
-    while (i < cs.length) {
-      val cur = vecOf(cs(i))
-      sum += windingAngle(px, py, pz,
-        prev(0), prev(1), prev(2), cur(0), cur(1), cur(2))
-      prev = cur
+    * for them through the vertex/arc terms. A vertex within ~1e-9 rad of
+    * P or its antipode makes the azimuth atan2(~0,~0)-degenerate (seen
+    * with lattice data, where a point can be EXACTLY antipodal to a
+    * polygon corner): the caller nudges P and retries. Returns 1 (in),
+    * 0 (out), -1 (degenerate — nudge needed). */
+  private def ringSide(cs: Array[Coordinate],
+      px: Double, py: Double, pz: Double): Int = {
+    val n = cs.length - 1
+    if (n < 3) return 0
+    val vx = new Array[Double](n + 1)
+    val vy = new Array[Double](n + 1)
+    val vz = new Array[Double](n + 1)
+    var i = 0
+    while (i <= n) {
+      val (x, y, z) = unitVec(cs(i).x, cs(i).y)
+      vx(i) = x; vy(i) = y; vz(i) = z
+      val dm = (x - px) * (x - px) + (y - py) * (y - py) + (z - pz) * (z - pz)
+      val dp = (x + px) * (x + px) + (y + py) * (y + py) + (z + pz) * (z + pz)
+      if (dm < 1e-18 || dp < 1e-18) return -1
       i += 1
     }
-    val sgn = if (signedRingExcess(cs) >= 0) 1.0 else -1.0
-    sgn * sum > math.Pi
+    var cxs = 0.0; var cys = 0.0; var czs = 0.0
+    i = 0
+    while (i < n) { cxs += vx(i); cys += vy(i); czs += vz(i); i += 1 }
+    var sum = 0.0
+    var shoelace = 0.0
+    i = 0
+    while (i < n) {
+      val ax = vx(i); val ay = vy(i); val az = vz(i)
+      val bx = vx(i + 1); val by = vy(i + 1); val bz = vz(i + 1)
+      val crx = ay * bz - az * by
+      val cry = az * bx - ax * bz
+      val crz = ax * by - ay * bx
+      sum += math.atan2(px * crx + py * cry + pz * crz,
+        (ax * bx + ay * by + az * bz) - (px * ax + py * ay + pz * az) * (px * bx + py * by + pz * bz))
+      shoelace += cxs * crx + cys * cry + czs * crz
+      i += 1
+    }
+    val oriented = if (shoelace >= 0) sum else -sum
+    if (oriented > math.Pi) 1 else 0
   }
 
   /** Spherical covers(point): true when (lon, lat) lies inside some
@@ -175,40 +190,12 @@ object Spherical {
     * hemisphere, including pole caps and dateline-crossing rings. */
   def coversPoint(g: Geometry, lon: Double, lat: Double): Boolean = {
     var (px, py, pz) = unitVec(lon, lat)
-    // Degenerate guard: a ring vertex within ~1e-9 rad of P or its
-    // antipode makes the tangent-plane azimuth atan2(~0, ~0) — garbage
-    // at double precision (seen with lattice data, where a point can be
-    // EXACTLY antipodal to a polygon corner). Nudge P by 1e-9 rad
-    // (~6 mm on Earth) until clear; classification changes only for
-    // points that close to the degeneracy, which the distance terms
-    // already treat as boundary contact.
-    def nearVertex(): Boolean = {
-      var found = false
-      def scan(geom: Geometry): Unit = if (!found) geom match {
-        case c: org.locationtech.jts.geom.GeometryCollection =>
-          (0 until c.getNumGeometries).foreach(i => scan(c.getGeometryN(i)))
-        case p: Polygon =>
-          def ring(cs: Array[Coordinate]): Unit = {
-            var i = 0
-            while (i < cs.length && !found) {
-              val (vx, vy, vz) = unitVec(cs(i).x, cs(i).y)
-              val dm = (vx - px) * (vx - px) + (vy - py) * (vy - py) + (vz - pz) * (vz - pz)
-              val dp = (vx + px) * (vx + px) + (vy + py) * (vy + py) + (vz + pz) * (vz + pz)
-              if (dm < 1e-18 || dp < 1e-18) found = true
-              i += 1
-            }
-          }
-          ring(p.getExteriorRing.getCoordinates)
-          (0 until p.getNumInteriorRing).foreach(i =>
-            if (!found) ring(p.getInteriorRingN(i).getCoordinates))
-        case _ =>
-      }
-      scan(g)
-      found
-    }
-    var guard = 0
-    while (guard < 3 && nearVertex()) {
-      // tangent direction from a fixed axis not parallel to P
+    // ringSide reports -1 when a ring vertex sits within ~1e-9 rad of P
+    // or its antipode: nudge P by 1e-9 rad (~6 mm on Earth) along a
+    // fixed tangent and retry — classification changes only for points
+    // that close to the degeneracy, which the distance terms already
+    // treat as boundary contact.
+    def nudge(guard: Int): Unit = {
       val (ax, ay, az): (Double, Double, Double) =
         if (guard == 0 && math.abs(px) < 0.9) (1.0, 0.0, 0.0)
         else if (guard <= 1 && math.abs(py) < 0.9) (0.0, 1.0, 0.0)
@@ -221,14 +208,19 @@ object Spherical {
       val nx = px + 1e-9 * tx; val ny = py + 1e-9 * ty; val nz = pz + 1e-9 * tz
       val nn = math.sqrt(nx * nx + ny * ny + nz * nz)
       px = nx / nn; py = ny / nn; pz = nz / nn
-      guard += 1
+    }
+    def ringIn(cs: Array[Coordinate]): Boolean = {
+      var guard = 0
+      var s = ringSide(cs, px, py, pz)
+      while (s < 0 && guard < 3) { nudge(guard); guard += 1; s = ringSide(cs, px, py, pz) }
+      s > 0
     }
     def walk(geom: Geometry): Boolean = geom match {
       case _ if geom.isEmpty => false
       case p: Polygon =>
-        inRingSphere(p.getExteriorRing.getCoordinates, px, py, pz) &&
+        ringIn(p.getExteriorRing.getCoordinates) &&
           (0 until p.getNumInteriorRing).forall(i =>
-            !inRingSphere(p.getInteriorRingN(i).getCoordinates, px, py, pz))
+            !ringIn(p.getInteriorRingN(i).getCoordinates))
       case c: org.locationtech.jts.geom.GeometryCollection =>
         (0 until c.getNumGeometries).exists(i => walk(c.getGeometryN(i)))
       case _ => false
@@ -415,9 +407,15 @@ object Spherical {
     * wrap emits the modulo cells, and a band that reaches a pole covers the
     * full longitude ring.
     */
-  def gridCells(env: org.locationtech.jts.geom.Envelope,
-      radiusM: Double, nx: Int, ny: Int): Array[Long] = {
-    if (env.isNull) return Array.empty
+  /** Compact cell cover: lat rows [cy0, cy1] × a circular lon range of
+    * `lonLen` cells starting at `lonStart` (lonLen == nx ⇒ full ring).
+    * (-1, -1, 0, 0) encodes an empty cover. Shared by gridCells (which
+    * materializes it) and refCell (which intersects two covers
+    * arithmetically — no per-call array/hash allocation, the former
+    * scale-killer for polar caps whose covers held thousands of cells). */
+  private def coverOf(env: org.locationtech.jts.geom.Envelope,
+      radiusM: Double, nx: Int, ny: Int): (Int, Int, Int, Int) = {
+    if (env.isNull) return (-1, -1, 0, 0)
     val dLat = math.toDegrees(radiusM / R)
     val poleTouch = env.getMaxY + dLat >= 90.0 || env.getMinY - dLat <= -90.0
     val lat0 = math.max(-90.0, env.getMinY - dLat)
@@ -433,26 +431,28 @@ object Spherical {
     val fullRing = poleTouch || sinHalf >= cosMax ||
       { val dLon = math.toDegrees(2 * math.asin(sinHalf / cosMax))
         env.getWidth + 2 * dLon >= 360.0 }
-    val lonIdxs: Array[Int] =
-      if (fullRing) Array.tabulate(nx)(identity)
-      else {
-        val dLon = if (radiusM <= 0) 0.0 else math.toDegrees(2 * math.asin(sinHalf / cosMax))
-        val cx0 = math.floor((env.getMinX - dLon + 180.0) / 360.0 * nx).toLong
-        val cx1 = math.floor((env.getMaxX + dLon + 180.0) / 360.0 * nx).toLong
-        val seen = new java.util.LinkedHashSet[Int]()
-        var c = cx0
-        while (c <= cx1) { seen.add((((c % nx) + nx) % nx).toInt); c += 1 }
-        val arr = new Array[Int](seen.size)
-        val it = seen.iterator(); var i = 0
-        while (it.hasNext) { arr(i) = it.next(); i += 1 }
-        arr
-      }
-    val out = new Array[Long]((cy1 - cy0 + 1) * lonIdxs.length)
+    if (fullRing) (cy0, cy1, 0, nx)
+    else {
+      val dLon = if (radiusM <= 0) 0.0 else math.toDegrees(2 * math.asin(sinHalf / cosMax))
+      val cx0 = math.floor((env.getMinX - dLon + 180.0) / 360.0 * nx).toLong
+      val cx1 = math.floor((env.getMaxX + dLon + 180.0) / 360.0 * nx).toLong
+      val len = math.min(nx.toLong, cx1 - cx0 + 1).toInt
+      ((cy0, cy1, (((cx0 % nx) + nx) % nx).toInt, len))
+    }
+  }
+
+  def gridCells(env: org.locationtech.jts.geom.Envelope,
+      radiusM: Double, nx: Int, ny: Int): Array[Long] = {
+    val (cy0, cy1, lonStart, lonLen) = coverOf(env, radiusM, nx, ny)
+    if (cy1 < cy0) return Array.empty
+    val out = new Array[Long]((cy1 - cy0 + 1) * lonLen)
     var k = 0
     var cy = cy0
     while (cy <= cy1) {
       var j = 0
-      while (j < lonIdxs.length) { out(k) = cy.toLong * nx + lonIdxs(j); k += 1; j += 1 }
+      while (j < lonLen) {
+        out(k) = cy.toLong * nx + (lonStart + j) % nx; k += 1; j += 1
+      }
       cy += 1
     }
     out
@@ -494,14 +494,25 @@ object Spherical {
             // (z-component nx²+ny² is positive, so this is the max-z
             // branch for either circle orientation)
             val px = -nx * nz; val py = -nyv * nz
-            val lonN = math.toDegrees(math.atan2(py, px))
-            def within(lon: Double): Boolean = {
-              val lo = math.min(a.x, b.x); val hi = math.max(a.x, b.x)
-              val l = ((lon - lo) % 360.0 + 360.0) % 360.0 + lo
-              l >= lo && l <= hi
+            def norm(l: Double): Double = {
+              val x = ((l + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+              if (x == -180.0 && l >= 0) 180.0 else x
+            }
+            val lonN = norm(math.toDegrees(math.atan2(py, px)))
+            // short-arc containment (edges take the shorter great-circle
+            // leg): a chart span > 180° means the edge wraps the
+            // antimeridian, so the covered lon interval is the COMPLEMENT
+            // of [lo, hi]. The previous raw-chart test admitted the
+            // opposite extremum for wrapping edges, inflating polar-cap
+            // bounds to near-global lat ranges (and their grid covers to
+            // ~half the sphere).
+            def within(l: Double): Boolean = {
+              val lo = math.min(norm(a.x), norm(b.x))
+              val hi = math.max(norm(a.x), norm(b.x))
+              if (hi - lo <= 180.0) l >= lo && l <= hi else l >= hi || l <= lo
             }
             if (within(lonN)) env.expandToInclude(a.x, latExt)
-            if (within(lonN + 180.0)) env.expandToInclude(a.x, -latExt)
+            if (within(norm(lonN + 180.0))) env.expandToInclude(a.x, -latExt)
           }
         }
         i += 1
@@ -517,10 +528,20 @@ object Spherical {
           addEdges(p.getInteriorRingN(i).getCoordinates))
         // a polygon whose interior covers a pole (a polar cap) has no
         // vertex there — widen to ±90 so the grid cover reaches the
-        // interior (gridCells' poleTouch then emits the full lon ring)
-        val cx = p.getExteriorRing.getCoordinateN(0).x
-        if (coversPoint(p, 0.0, 90.0)) env.expandToInclude(cx, 90.0)
-        if (coversPoint(p, 0.0, -90.0)) env.expandToInclude(cx, -90.0)
+        // interior (gridCells' poleTouch then emits the full lon ring).
+        // Cheap gate first: under the short-arc edge contract a
+        // pole-enclosing ring's vertices span ≥180° of chart longitude
+        // (the max lon gap must stay <180°), and the smaller-side
+        // interior can only hold a pole the ring reaches toward — so
+        // narrow or wrong-hemisphere polygons skip the winding test.
+        val pe = p.getEnvelopeInternal
+        if (pe.getWidth >= 180.0) {
+          val cx = p.getExteriorRing.getCoordinateN(0).x
+          if (pe.getMaxY > 0 && coversPoint(p, 0.0, 90.0))
+            env.expandToInclude(cx, 90.0)
+          if (pe.getMinY < 0 && coversPoint(p, 0.0, -90.0))
+            env.expandToInclude(cx, -90.0)
+        }
       case c: org.locationtech.jts.geom.GeometryCollection =>
         (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
       case other => env.expandToInclude(other.getEnvelopeInternal)
@@ -611,9 +632,18 @@ object Spherical {
           addCoords(p.getInteriorRingN(i).getCoordinates))
         // polar-cap interiors: a polygon covering a pole spans the full
         // longitude ring and reaches ±90 (S2LatLngRectBounder does the
-        // same via its loop-contains-pole check)
-        if (coversPoint(p, 0.0, 90.0)) { latMax = 90.0; addSeg(-180.0, 180.0) }
-        if (coversPoint(p, 0.0, -90.0)) { latMin = -90.0; addSeg(-180.0, 180.0) }
+        // same via its loop-contains-pole check). Same cheap gate as
+        // latLngBound: chart lon span ≥180° is necessary to enclose a
+        // pole under the short-arc contract.
+        val pe = p.getEnvelopeInternal
+        if (pe.getWidth >= 180.0) {
+          if (pe.getMaxY > 0 && coversPoint(p, 0.0, 90.0)) {
+            latMax = 90.0; addSeg(-180.0, 180.0)
+          }
+          if (pe.getMinY < 0 && coversPoint(p, 0.0, -90.0)) {
+            latMin = -90.0; addSeg(-180.0, 180.0)
+          }
+        }
       case c: org.locationtech.jts.geom.GeometryCollection =>
         (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
       case other =>
@@ -656,14 +686,43 @@ object Spherical {
     Some((lo, latMin, hi, latMax))
   }
 
-  def refCell(a: Geometry, b: Geometry, radiusM: Double, nx: Int, ny: Int): Any = {
-    val ca = gridCells(latLngBound(a), radiusM, nx, ny)
-    val cb = gridCells(latLngBound(b), 0.0, nx, ny)
-    val sb = new java.util.HashSet[Long]()
-    cb.foreach(sb.add(_))
-    var best = Long.MaxValue
-    ca.foreach(c => if (sb.contains(c) && c < best) best = c)
-    if (best == Long.MaxValue) null else java.lang.Long.valueOf(best)
+  def refCell(a: Geometry, b: Geometry, radiusM: Double, nx: Int, ny: Int): Any =
+    refCellEnv(latLngBound(a), latLngBound(b), radiusM, nx, ny)
+
+  /** refCell on precomputed spherical bounds (sd_envelopesphere4 arrays):
+    * the join-condition form — pure cover arithmetic, no WKB parse and no
+    * bound recomputation per pair. */
+  def refCellEnv(ea: org.locationtech.jts.geom.Envelope,
+      eb: org.locationtech.jts.geom.Envelope,
+      radiusM: Double, nx: Int, ny: Int): Any = {
+    val (ay0, ay1, as0, alen) = coverOf(ea, radiusM, nx, ny)
+    val (by0, by1, bs0, blen) = coverOf(eb, 0.0, nx, ny)
+    if (ay1 < ay0 || by1 < by0) return null
+    val cy = math.max(ay0, by0)
+    if (cy > math.min(ay1, by1)) return null
+    // every common row shares the same common lon set, so the minimum
+    // common id lives in the lowest common row: scan the smaller lon
+    // range with O(1) membership in the other — no materialization
+    @inline def inRange(cx: Int, s: Int, len: Int): Boolean =
+      ((cx - s) % nx + nx) % nx < len
+    var best = Int.MaxValue
+    if (alen <= blen) {
+      var j = 0
+      while (j < alen) {
+        val cx = (as0 + j) % nx
+        if (cx < best && inRange(cx, bs0, blen)) best = cx
+        j += 1
+      }
+    } else {
+      var j = 0
+      while (j < blen) {
+        val cx = (bs0 + j) % nx
+        if (cx < best && inRange(cx, as0, alen)) best = cx
+        j += 1
+      }
+    }
+    if (best == Int.MaxValue) null
+    else java.lang.Long.valueOf(cy.toLong * nx + best)
   }
 
   def perimeter(g: Geometry): Any = g match {
@@ -683,9 +742,11 @@ object Spherical {
   // projection centered on the inputs' combined envelope: densify in
   // lon/lat, project, run JTS OverlayNG in the plane, inverse-project.
   // Accurate to the densification tolerance for inputs spanning up to a
-  // few tens of degrees; geometries crossing the antimeridian or
-  // containing a pole are outside the contract (same caveat as the planar
-  // st_distancesphere general case above). ----
+  // few tens of degrees. Geometries crossing the antimeridian or
+  // covering a pole route through overlayWrap (wrap-aware center +
+  // geodesic slerp densification); the remaining exclusion is inputs
+  // whose combined extent exceeds the hemisphere around the combined
+  // center. ----
 
   /** Azimuthal-equidistant forward/inverse about (lon0, lat0), meters. */
   final class AzEq(lon0: Double, lat0: Double) {
@@ -767,11 +828,22 @@ object Spherical {
         if (a.isEmpty) a.getFactory.createGeometryCollection() else a
       case _ => if (a.isEmpty) b else a // UNION / SYMDIFFERENCE
     }
+    // antimeridian-crossing or pole-covering inputs can't densify or
+    // center in chart space — route them through the wrap-aware branch
+    // (geodesic slerp densification, circular-midpoint projection center)
+    (lngLatRect(a), lngLatRect(b)) match {
+      case (Some(ra), Some(rb))
+          if ra._1 > ra._3 || rb._1 > rb._3 ||
+            ra._4 >= 90.0 - 1e-9 || rb._4 >= 90.0 - 1e-9 ||
+            ra._2 <= -90.0 + 1e-9 || rb._2 <= -90.0 + 1e-9 =>
+        return overlayWrap(a, b, op, tolDeg, ra, rb)
+      case _ =>
+    }
     val da = densifyDeg(a, tolDeg)
     val db = densifyDeg(b, tolDeg)
     // densified geodesics deviate < ~2e-3 deg from their chart chords, so
     // chart envelopes separated by a wider margin are disjoint on the
-    // sphere (antimeridian wrap stays outside the contract)
+    // sphere (wrap inputs took the overlayWrap branch above)
     val ea = da.getEnvelopeInternal.copy()
     ea.expandBy(0.01)
     if (!ea.intersects(db.getEnvelopeInternal)) return op match {
@@ -786,6 +858,119 @@ object Spherical {
     val pb = mapCoords(db, proj.forward)
     val res = org.locationtech.jts.operation.overlayng.OverlayNG.overlay(pa, pb, op)
     mapCoords(res, proj.inverse)
+  }
+
+  @inline private def normLon(l: Double): Double = {
+    val x = ((l + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    if (x == -180.0 && l >= 0) 180.0 else x
+  }
+
+  /** Wrap-aware overlay branch: inputs crossing the antimeridian or
+    * covering a pole. The azimuthal-equidistant projection itself is
+    * chart-free (it only takes angular offsets from the center), so the
+    * fix is (1) a projection center from the wrap-aware rects' circular
+    * midpoint — or the pole itself for polar caps — and (2) geodesic
+    * slerp densification of each edge straight into the projected plane
+    * instead of chart-chord densification. Output longitudes are
+    * normalized to [-180, 180]; rings crossing the antimeridian come
+    * back with the usual short-arc vertex jump (the same convention the
+    * input used). Contract: the combined inputs must fit inside the
+    * projection's valid hemisphere around the center. */
+  private def overlayWrap(a: Geometry, b: Geometry, op: Int, tolDeg: Double,
+      ra: (Double, Double, Double, Double),
+      rb: (Double, Double, Double, Double)): Geometry = {
+    import org.locationtech.jts.operation.overlayng.OverlayNG._
+    def mid(r: (Double, Double, Double, Double)): Double = {
+      val w = if (r._1 <= r._3) r._3 - r._1 else r._3 - r._1 + 360.0
+      normLon(r._1 + w / 2)
+    }
+    def inIv(r: (Double, Double, Double, Double), l: Double): Boolean =
+      if (r._1 <= r._3) l >= r._1 - 0.01 && l <= r._3 + 0.01
+      else l >= r._1 - 0.01 || l <= r._3 + 0.01
+    // circular-arc overlap: overlapping arcs always have an endpoint of
+    // one inside the other (covers full-ring and both-wrapped cases)
+    val lonOverlap = inIv(ra, rb._1) || inIv(ra, rb._3) || inIv(rb, ra._1)
+    val latOverlap = ra._2 - 0.01 <= rb._4 && rb._2 - 0.01 <= ra._4
+    if (!(lonOverlap && latOverlap)) return op match {
+      case INTERSECTION =>
+        emptyOfDim(math.min(a.getDimension, b.getDimension), a.getFactory)
+      case DIFFERENCE => a
+      case _ =>
+        org.locationtech.jts.geom.util.GeometryCombiner.combine(a, b)
+    }
+    val dl = { val d = normLon(mid(rb) - mid(ra)); d }
+    val clon = normLon(mid(ra) + dl / 2)
+    val clat = (math.min(ra._2, rb._2) + math.max(ra._4, rb._4)) / 2
+    val proj = new AzEq(clon, clat)
+    val pa = projectDensify(a, proj, tolDeg)
+    val pb = projectDensify(b, proj, tolDeg)
+    val res = org.locationtech.jts.operation.overlayng.OverlayNG.overlay(pa, pb, op)
+    mapCoords(res, (x, y) => {
+      val (lo, la) = proj.inverse(x, y); (normLon(lo), la)
+    })
+  }
+
+  /** Rebuild `g` with every edge geodesically (slerp) subdivided to at
+    * most `tolDeg` arc steps, coordinates already projected by `proj` —
+    * the chart-free counterpart of densifyDeg + mapCoords(forward). */
+  private def projectDensify(g: Geometry, proj: AzEq, tolDeg: Double): Geometry = {
+    val f = g.getFactory
+    def densify(cs: Array[Coordinate]): Array[Coordinate] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+      def put(lon: Double, lat: Double): Unit = {
+        val (x, y) = proj.forward(lon, lat)
+        out += new Coordinate(x, y)
+      }
+      var i = 0
+      while (i < cs.length - 1) {
+        val (ux, uy, uz) = unitVec(cs(i).x, cs(i).y)
+        val (vx, vy, vz) = unitVec(cs(i + 1).x, cs(i + 1).y)
+        val w = angV(ux, uy, uz, vx, vy, vz)
+        val n = math.max(1, math.ceil(math.toDegrees(w) / tolDeg).toInt)
+        put(cs(i).x, cs(i).y)
+        if (n > 1 && math.sin(w) > 1e-12) {
+          var k = 1
+          while (k < n) {
+            val t = k.toDouble / n
+            val s1 = math.sin((1 - t) * w) / math.sin(w)
+            val s2 = math.sin(t * w) / math.sin(w)
+            val px = s1 * ux + s2 * vx
+            val py = s1 * uy + s2 * vy
+            val pz = s1 * uz + s2 * vz
+            put(math.toDegrees(math.atan2(py, px)),
+              math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, pz)))))
+            k += 1
+          }
+        }
+        i += 1
+      }
+      put(cs(cs.length - 1).x, cs(cs.length - 1).y)
+      out.toArray
+    }
+    def ring(r: org.locationtech.jts.geom.LinearRing): org.locationtech.jts.geom.LinearRing =
+      f.createLinearRing(densify(r.getCoordinates))
+    def walk(geom: Geometry): Geometry = geom match {
+      case p: Point =>
+        val (x, y) = proj.forward(p.getX, p.getY); f.createPoint(new Coordinate(x, y))
+      case l: org.locationtech.jts.geom.LinearRing => ring(l)
+      case l: LineString => f.createLineString(densify(l.getCoordinates))
+      case p: Polygon =>
+        f.createPolygon(ring(p.getExteriorRing),
+          Array.tabulate(p.getNumInteriorRing)(i => ring(p.getInteriorRingN(i))))
+      case m: MultiPolygon =>
+        f.createMultiPolygon(Array.tabulate(m.getNumGeometries)(i =>
+          walk(m.getGeometryN(i)).asInstanceOf[Polygon]))
+      case m: org.locationtech.jts.geom.MultiLineString =>
+        f.createMultiLineString(Array.tabulate(m.getNumGeometries)(i =>
+          walk(m.getGeometryN(i)).asInstanceOf[LineString]))
+      case m: MultiPoint =>
+        f.createMultiPoint(Array.tabulate(m.getNumGeometries)(i =>
+          walk(m.getGeometryN(i)).asInstanceOf[Point]))
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        f.createGeometryCollection(Array.tabulate(c.getNumGeometries)(i =>
+          walk(c.getGeometryN(i))))
+    }
+    walk(g)
   }
 
   /** Geodesic buffer: planar buffer of `distM` meters in the tangent

@@ -133,38 +133,64 @@ object SpatialJoins {
       leftGeom: Column, rightGeom: Column,
       radiusM: Double,
       nx: Int = 360, ny: Int = 180): DataFrame = {
+    // spherical bound computed ONCE per row (sd_envelopesphere4), so the
+    // per-pair conjuncts — lat-band overlap, canonical-cell dedup — are
+    // double arithmetic with no WKB re-parse; the great-circle refine
+    // runs last, only on pairs the cheap conjuncts admit (the same
+    // carried-envelope layout as the planar gridJoin)
+    val dLat = math.toDegrees(radiusM / graft.functions.Spherical.R)
     val l = left.withColumn("__lg", leftGeom)
-      .withColumn("__cell", explode(st.f("st_gridcells_sphere", col("__lg"),
+      .withColumn("__l4", st.f("sd_envelopesphere4", col("__lg")))
+      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4", col("__l4"),
         lit(radiusM), lit(nx), lit(ny))))
     val r = right.withColumn("__rg", rightGeom)
-      .withColumn("__cell", explode(st.f("st_gridcells_sphere", col("__rg"),
+      .withColumn("__r4", st.f("sd_envelopesphere4", col("__rg")))
+      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4", col("__r4"),
         lit(0.0), lit(nx), lit(ny))))
+    def le(k: Int) = element_at(col("__l4"), k)
+    def re(k: Int) = element_at(col("__r4"), k)
+    val latOverlap = le(2) - lit(dLat) <= re(4) && re(2) <= le(4) + lit(dLat)
     l.join(r, l("__cell") === r("__cell")
-        && st.f("st_dwithinsphere", col("__lg"), col("__rg"), lit(radiusM))
-        && st.f("st_refcell_sphere", col("__lg"), col("__rg"),
-          lit(radiusM), lit(nx), lit(ny)) === l("__cell"))
-      .drop("__cell", "__lg", "__rg")
+        && latOverlap
+        && st.f("sd_refcell_sphere4", col("__l4"), col("__r4"),
+          lit(radiusM), lit(nx), lit(ny)) === l("__cell")
+        && st.f("st_dwithinsphere", col("__lg"), col("__rg"), lit(radiusM)))
+      .drop("__cell", "__lg", "__rg", "__l4", "__r4")
   }
 
   /** Geography intersects join: the dwithin machinery at radius 0 with
-    * the st_intersectssphere refine (exact for crossing geodesic edges,
-    * chart containment for fully-contained pairs — the reference's
-    * geography sjoin surface, tests/geography/test_geog_sjoin.py). */
+    * the st_intersectssphere refine (winding containment + crossing
+    * geodesic arcs — the reference's geography sjoin surface,
+    * tests/geography/test_geog_sjoin.py). The modulo lon-interval
+    * pre-filter is gated off for bounds spanning ≥ 180° (polar caps,
+    * whose chart lon interval is not a cover); latitude overlap is
+    * always a valid cover test because latLngBound carries the geodesic
+    * bulges. */
   def sphereIntersectsJoin(
       left: DataFrame, right: DataFrame,
       leftGeom: Column, rightGeom: Column,
       nx: Int = 360, ny: Int = 180): DataFrame = {
     val l = left.withColumn("__lg", leftGeom)
-      .withColumn("__cell", explode(st.f("st_gridcells_sphere", col("__lg"),
+      .withColumn("__l4", st.f("sd_envelopesphere4", col("__lg")))
+      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4", col("__l4"),
         lit(0.0), lit(nx), lit(ny))))
     val r = right.withColumn("__rg", rightGeom)
-      .withColumn("__cell", explode(st.f("st_gridcells_sphere", col("__rg"),
+      .withColumn("__r4", st.f("sd_envelopesphere4", col("__rg")))
+      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4", col("__r4"),
         lit(0.0), lit(nx), lit(ny))))
+    def le(k: Int) = element_at(col("__l4"), k)
+    def re(k: Int) = element_at(col("__r4"), k)
+    val latOverlap = le(2) <= re(4) && re(2) <= le(4)
+    def lonOv(shift: Double) =
+      le(1) + lit(shift) <= re(3) && re(1) <= le(3) + lit(shift)
+    val lonOverlap = (le(3) - le(1) >= 180.0) || (re(3) - re(1) >= 180.0) ||
+      lonOv(0.0) || lonOv(360.0) || lonOv(-360.0)
     l.join(r, l("__cell") === r("__cell")
-        && st.f("st_intersectssphere", col("__lg"), col("__rg"))
-        && st.f("st_refcell_sphere", col("__lg"), col("__rg"),
-          lit(0.0), lit(nx), lit(ny)) === l("__cell"))
-      .drop("__cell", "__lg", "__rg")
+        && latOverlap && lonOverlap
+        && st.f("sd_refcell_sphere4", col("__l4"), col("__r4"),
+          lit(0.0), lit(nx), lit(ny)) === l("__cell")
+        && st.f("st_intersectssphere", col("__lg"), col("__rg")))
+      .drop("__cell", "__lg", "__rg", "__l4", "__r4")
   }
 
   /** Partitioned KNN join — the scale path when the OBJECT side cannot be

@@ -248,6 +248,43 @@ class GeomPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("spherical overlay handles dateline-crossing and pole-covering inputs") {
+    import graft.functions.Spherical
+    import org.locationtech.jts.operation.overlayng.OverlayNG._
+    def poly(wkt: String) = GeomIO.readWkt(wkt)
+    def area(g: Geometry): Double = Spherical.area(g).asInstanceOf[Double]
+    // dateline quads with partial overlap (short-arc edges)
+    val qa = poly("POLYGON ((179 10, -179 10, -179 20, 179 20, 179 10))")
+    val qb = poly("POLYGON ((179.5 12, -178.5 12, -178.5 22, 179.5 22, 179.5 12))")
+    val inter = Spherical.overlay(qa, qb, INTERSECTION)
+    val union = Spherical.overlay(qa, qb, UNION)
+    assert(!inter.isEmpty && !union.isEmpty)
+    // inclusion-exclusion on spherical areas (1e-3 relative: densification)
+    val aA = area(qa); val aB = area(qb)
+    assert(math.abs(area(inter) + area(union) - (aA + aB)) < 1e-3 * (aA + aB))
+    assert(area(inter) < math.min(aA, aB))
+    assert(Spherical.coversPoint(inter, 180.0, 15.0))
+    assert(!Spherical.coversPoint(inter, -178.8, 15.0)) // in B only
+    assert(!Spherical.coversPoint(inter, 180.0, 21.0)) // in B only (lat)
+    assert(Spherical.coversPoint(union, -178.7, 21.0))
+    // nested polar caps: the 75-cap lies strictly inside the 71-cap
+    val capA = poly("POLYGON ((0 71, 30 71, 60 71, 90 71, 120 71, 150 71, 180 71, -150 71, -120 71, -90 71, -60 71, -30 71, 0 71))")
+    val capB = poly("POLYGON ((0 75, 30 75, 60 75, 90 75, 120 75, 150 75, 180 75, -150 75, -120 75, -90 75, -60 75, -30 75, 0 75))")
+    val ci = Spherical.overlay(capA, capB, INTERSECTION)
+    val cu = Spherical.overlay(capA, capB, UNION)
+    val cd = Spherical.overlay(capA, capB, DIFFERENCE)
+    assert(math.abs(area(ci) - area(capB)) < 1e-3 * area(capB), "cap inter != inner cap")
+    assert(math.abs(area(cu) - area(capA)) < 1e-3 * area(capA), "cap union != outer cap")
+    assert(math.abs(area(cd) - (area(capA) - area(capB))) < 1e-3 * area(capA))
+    assert(Spherical.coversPoint(ci, 45.0, 90.0))
+    assert(Spherical.coversPoint(cd, 45.0, 72.5) && !Spherical.coversPoint(cd, 45.0, 80.0))
+    // disjoint wrap inputs short-circuit with correct op semantics
+    val far = poly("POLYGON ((0 -10, 5 -10, 5 -5, 0 -5, 0 -10))")
+    assert(Spherical.overlay(qa, far, INTERSECTION).isEmpty)
+    assert(area(Spherical.overlay(qa, far, UNION)) > aA)
+    assert(math.abs(area(Spherical.overlay(qa, far, DIFFERENCE)) - aA) < 1e-9)
+  }
+
   test("spherical containment agrees with chart containment away from poles/dateline") {
     import graft.functions.Spherical
     val quad: Gen[(Geometry, Double, Double)] = for {
