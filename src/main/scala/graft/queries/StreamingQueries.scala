@@ -77,12 +77,12 @@ object StreamingQueries {
       val ev = Tables.events(s, dir)
       val lstage = s"/tmp/graft_stream_ssj_l/${math.abs(dir.hashCode)}"
       val rstage = s"/tmp/graft_stream_ssj_r/${math.abs(dir.hashCode)}"
-      ev.filter(col("event_id") % 2 === 0)
+      ev.filter(col("event_id") % 4 === 0)
         .select(col("event_id").as("l_event"), col("ts").as("lts"),
           (col("event_id") % 31).cast("double").as("lx"),
           (col("user_id") % 23).cast("double").as("ly"))
         .coalesce(1).write.mode("overwrite").parquet(lstage)
-      ev.filter(col("event_id") % 2 === 1)
+      ev.filter(col("event_id") % 4 === 1)
         .select(col("event_id").as("r_event"), col("ts").as("rts"),
           (col("event_id") % 31).cast("double").as("rx"),
           (col("user_id") % 23).cast("double").as("ry"))
@@ -103,15 +103,23 @@ object StreamingQueries {
       val joined = StreamingOps.streamSpatialJoin(
         lstream, rstream, col("lg"), col("rg"), "st_intersects",
         bounds = (0.0, 0.0, 31.0, 23.0),
-        timeCond = col("lts") >= col("rts") - expr("INTERVAL 24 HOURS") &&
-          col("lts") <= col("rts") + expr("INTERVAL 24 HOURS"))
+        timeCond = col("lts") >= col("rts") - expr("INTERVAL 12 HOURS") &&
+          col("lts") <= col("rts") + expr("INTERVAL 12 HOURS"))
         .select(col("l_event"), col("r_event"))
       val sinkName = s"graft_ssj_${math.abs(dir.hashCode)}"
-      val q = joined.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // the symmetric hash join opens 4 state stores per partition per
+      // micro-batch: at gate scale the store commits dominate, so the
+      // streaming query runs on fewer partitions (a cluster run would
+      // size this to the data, not the machinery)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sinkName)
     }),
 
@@ -130,7 +138,7 @@ object StreamingQueries {
         StructField("lx", DoubleType), StructField("ly", DoubleType)))
       val pts = s.readStream.schema(schema).parquet(stage)
         .withColumn("pt", st.point(col("lx"), col("ly")))
-      val boxes = Tables.t(s, dir, "part").filter(col("p_partkey") % 3 === 0)
+      val boxes = Tables.t(s, dir, "part").filter(col("p_partkey") % 71 === 0)
         .withColumn("box", st.makeEnvelope(
           (col("p_partkey") % 80).cast("double"), (col("p_size") % 60).cast("double"),
           (col("p_partkey") % 80).cast("double") + (col("p_partkey") % 5 + 1).cast("double"),
@@ -141,11 +149,15 @@ object StreamingQueries {
         bounds = Some((0.0, 0.0, 89.0, 67.0)))
         .select(col("event_id"), col("p_partkey"))
       val sinkName = s"graft_stst_${math.abs(dir.hashCode)}"
-      val q = joined.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sinkName)
     }),
 
@@ -198,13 +210,13 @@ object StreamingQueries {
     "st03_stream_stream_spatial_join" ->
       """WITH l AS (SELECT event_id AS l_event, epoch_us(ts) AS lus,
         |    event_id % 31 AS gx, user_id % 23 AS gy
-        |  FROM events WHERE event_id % 2 = 0),
+        |  FROM events WHERE event_id % 4 = 0),
         |r AS (SELECT event_id AS r_event, epoch_us(ts) AS rus,
         |    event_id % 31 AS gx, user_id % 23 AS gy
-        |  FROM events WHERE event_id % 2 = 1)
+        |  FROM events WHERE event_id % 4 = 1)
         |SELECT l.l_event, r.r_event FROM l JOIN r
         |ON l.gx = r.gx AND l.gy = r.gy
-        |AND abs(l.lus - r.rus) <= 86400000000""".stripMargin,
+        |AND abs(l.lus - r.rus) <= 43200000000""".stripMargin,
 
     "st04_stream_static_spatial_join" ->
       """WITH p AS (SELECT event_id,
@@ -212,7 +224,7 @@ object StreamingQueries {
         |b AS (SELECT p_partkey,
         |    p_partkey % 80 AS bx, p_size % 60 AS by2,
         |    p_partkey % 5 + 1 AS w, p_size % 4 + 1 AS h
-        |  FROM part WHERE p_partkey % 3 = 0)
+        |  FROM part WHERE p_partkey % 71 = 0)
         |SELECT p.event_id, b.p_partkey FROM p JOIN b
         |ON p.lx >= b.bx AND p.lx <= b.bx + b.w
         |AND p.ly >= b.by2 AND p.ly <= b.by2 + b.h""".stripMargin,
