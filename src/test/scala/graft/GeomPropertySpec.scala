@@ -285,6 +285,43 @@ class GeomPropertySpec extends AnyFunSuite {
     assert(math.abs(area(Spherical.overlay(qa, far, DIFFERENCE)) - aA) < 1e-9)
   }
 
+  test("wrap overlay differential: dateline inputs == rotated chart overlay rotated back") {
+    // rotating the sphere in longitude commutes with overlay; a pair of
+    // quads straddling the dateline must therefore produce (up to
+    // densification) the same area and containment classifications as
+    // the same pair rotated to lon 0 and run through the chart branch
+    import graft.functions.Spherical
+    import org.locationtech.jts.operation.overlayng.OverlayNG._
+    def area(g: Geometry): Double = Spherical.area(g).asInstanceOf[Double]
+    val quadPair = for {
+      y0 <- Gen.chooseNum(-60.0, 50.0)
+      h <- Gen.chooseNum(2.0, 8.0)
+      dx <- Gen.chooseNum(-3.0, 3.0)
+      dy <- Gen.chooseNum(-3.0, 3.0)
+      w <- Gen.chooseNum(2.0, 8.0)
+      op <- Gen.oneOf(INTERSECTION, UNION, DIFFERENCE, SYMDIFFERENCE)
+    } yield (y0, h, dx, dy, w, op)
+    def mkQuad(x0: Double, y0: Double, w: Double, h: Double): Geometry = {
+      def n(l: Double) = ((l + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      GeomIO.readWkt(s"POLYGON ((${n(x0)} $y0, ${n(x0 + w)} $y0, " +
+        s"${n(x0 + w)} ${y0 + h}, ${n(x0)} ${y0 + h}, ${n(x0)} $y0))")
+    }
+    check(Prop.forAll(quadPair) { case (y0, h, dx, dy, w, op) =>
+      // wrap pair: first quad centered on the dateline
+      val wa = mkQuad(180.0 - w / 2, y0, w, h)
+      val wb = mkQuad(180.0 - w / 2 + dx, y0 + dy, w, h)
+      // chart pair: same shapes rotated to lon 0
+      val ca = mkQuad(-w / 2, y0, w, h)
+      val cb = mkQuad(-w / 2 + dx, y0 + dy, w, h)
+      val aw = area(Spherical.overlay(wa, wb, op))
+      val ac = area(Spherical.overlay(ca, cb, op))
+      // the branches differ in edge model (chart chords vs geodesics):
+      // top/bottom-edge slivers reach ~0.5% of quad area at these sizes
+      val scale = math.max(1.0, math.max(area(wa), area(wb)))
+      math.abs(aw - ac) <= 1e-2 * scale
+    })
+  }
+
   test("spherical containment agrees with chart containment away from poles/dateline") {
     import graft.functions.Spherical
     val quad: Gen[(Geometry, Double, Double)] = for {
