@@ -179,8 +179,13 @@ object Spherical {
       shoelace += cxs * crx + cys * cry + czs * crz
       i += 1
     }
-    val oriented = if (shoelace >= 0) sum else -sum
-    if (oriented > math.Pi) 1 else 0
+    // near-hemisphere rings have a vanishing vertex sum, making the
+    // projected shoelace unreliable — fall back to the signed excess fan
+    val cn = math.sqrt(cxs * cxs + cys * cys + czs * czs)
+    val sgn =
+      if (cn > 0.1 * n) { if (shoelace >= 0) 1.0 else -1.0 }
+      else { if (signedRingExcess(cs) >= 0) 1.0 else -1.0 }
+    if (sgn * sum > math.Pi) 1 else 0
   }
 
   /** Spherical covers(point): true when (lon, lat) lies inside some
