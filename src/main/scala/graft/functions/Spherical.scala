@@ -67,7 +67,8 @@ object Spherical {
   /** Do geodesic arcs AB and CD cross? (great-circle intersection point
     * inside both arcs) */
   private def arcsCross(a: Array[Double], b: Array[Double],
-      c: Array[Double], d: Array[Double]): Boolean = {
+      c: Array[Double], d: Array[Double],
+      excludeEndpoints: Boolean = false): Boolean = {
     val n1x = a(1) * b(2) - a(2) * b(1); val n1y = a(2) * b(0) - a(0) * b(2)
     val n1z = a(0) * b(1) - a(1) * b(0)
     val n2x = c(1) * d(2) - c(2) * d(1); val n2y = c(2) * d(0) - c(0) * d(2)
@@ -82,8 +83,17 @@ object Spherical {
         u: Array[Double], v: Array[Double]): Boolean =
       angV(u(0), u(1), u(2), px, py, pz) + angV(px, py, pz, v(0), v(1), v(2)) <=
         angV(u(0), u(1), u(2), v(0), v(1), v(2)) + 1e-12
-    (onArc(tx, ty, tz, a, b) && onArc(tx, ty, tz, c, d)) ||
-      (onArc(-tx, -ty, -tz, a, b) && onArc(-tx, -ty, -tz, c, d))
+    // proper-crossing mode (coversGeom): contact AT an endpoint of
+    // either arc is boundary touch, not an interior crossing
+    def nearEnd(px: Double, py: Double, pz: Double): Boolean =
+      Seq(a, b, c, d).exists { e =>
+        val dx = e(0) - px; val dy = e(1) - py; val dz = e(2) - pz
+        dx * dx + dy * dy + dz * dz < 1e-18
+      }
+    def hit(px: Double, py: Double, pz: Double): Boolean =
+      onArc(px, py, pz, a, b) && onArc(px, py, pz, c, d) &&
+        (!excludeEndpoints || !nearEnd(px, py, pz))
+    hit(tx, ty, tz) || hit(-tx, -ty, -tz)
   }
 
   private def vecOf(c: Coordinate): Array[Double] = {
@@ -250,6 +260,81 @@ object Spherical {
     * test this is a complete interior-overlap check: a component of
     * `other` inside `container` either has its rep vertex inside or its
     * boundary crosses the shell. */
+  /** Minimum central angle from (lon, lat) to the boundary arc set of
+    * `g` — the on-boundary tolerance for coversGeom's vertex test. */
+  private def boundaryAngle(g: Geometry, lon: Double, lat: Double): Double = {
+    val (px, py, pz) = unitVec(lon, lat)
+    val (va, aa) = decompose(g)
+    var best = Double.MaxValue
+    if (aa.isEmpty) {
+      var i = 0
+      while (i < va.length) {
+        val v = va(i)
+        best = math.min(best, angV(px, py, pz, v(0), v(1), v(2)))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < aa.length) {
+        val (u, v) = aa(i)
+        best = math.min(best, pointArcAngle(px, py, pz,
+          u(0), u(1), u(2), v(0), v(1), v(2)))
+        i += 1
+      }
+    }
+    best
+  }
+
+  /** Spherical covers(a, b): b lies within the closed region of
+    * polygonal `a` — every vertex of b inside or on a's boundary
+    * (~1e-9 rad tolerance), no geodesic boundary arcs properly crossing,
+    * and no interior ring of a poking into an areal b. The S2 geography
+    * containment surface (c/sedona-s2geography/src/kernels.rs
+    * st_contains/within) under the same smaller-side polygon contract as
+    * coversPoint. Interiors touching along shared boundary segments ride
+    * the arc-crossing test's coplanar exemption; isolated
+    * boundary-contact crossings classify conservatively as not-covered. */
+  def coversGeom(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    if (a.getDimension < 2) return false
+    val cs = b.getCoordinates
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      if (!coversPoint(a, c.x, c.y) && boundaryAngle(a, c.x, c.y) > 1e-9)
+        return false
+      i += 1
+    }
+    val (_, aa) = decompose(a)
+    val (_, ab) = decompose(b)
+    i = 0
+    while (i < aa.length) {
+      var j = 0
+      while (j < ab.length) {
+        if (arcsCross(aa(i)._1, aa(i)._2, ab(j)._1, ab(j)._2,
+            excludeEndpoints = true)) return false
+        j += 1
+      }
+      i += 1
+    }
+    if (b.getDimension == 2) {
+      // a hole of `a` strictly inside areal b means b covers ground a
+      // excludes; a hole crossing b's boundary was caught above
+      def holes(geom: Geometry): Boolean = geom match {
+        case p: Polygon =>
+          (0 until p.getNumInteriorRing).forall { k =>
+            val rep = p.getInteriorRingN(k).getCoordinateN(0)
+            !coversPoint(b, rep.x, rep.y)
+          }
+        case c: org.locationtech.jts.geom.GeometryCollection =>
+          (0 until c.getNumGeometries).forall(k => holes(c.getGeometryN(k)))
+        case _ => true
+      }
+      if (!holes(a)) return false
+    }
+    true
+  }
+
   private def polyCoversRep(container: Geometry, other: Geometry): Boolean = {
     if (container.getDimension < 2) return false
     val reps = componentReps(other)

@@ -366,7 +366,15 @@ object SpatialQueries {
             ((st.f("st_distancesphere", col("dlq"), col("pt")) === 0.0) === col("in_dlq")))
             .as("dist_consistent"),
           st.f("st_ymaxsphere", col("ncap")).as("ncap_ymax"),
-          st.f("st_xminsphere", col("ncap")).as("ncap_xmin"))
+          st.f("st_xminsphere", col("ncap")).as("ncap_xmin"),
+          // containment family: quad-in-quad across the dateline,
+          // within against the polar cap, disjoint/equals consistency
+          st.f("st_containssphere", col("dlq"), col("ptq")).as("quad_in_dlq"),
+          st.f("st_withinsphere", col("ptq"), col("ncap")).as("quad_within_ncap"),
+          st.f("st_disjointsphere", col("dlq"), col("pt")).as("pt_disj_dlq"),
+          (st.f("st_equalssphere", col("dlq"), st.geomFromWkt(lit(dlq))) &&
+            !st.f("st_equalssphere", col("dlq"), col("ncap")) &&
+            !st.f("st_equalssphere", col("dlq"), col("ptq"))).as("eq_ok"))
     }),
 
     "sp16_itemcrs" -> ((s, dir) => {
@@ -1100,7 +1108,11 @@ object SpatialQueries {
         |  (abs(plon) > 179.0 AND plat > 9.8 AND plat < 20.2) AS quad_hits_dlq,
         |  TRUE AS dist_consistent,
         |  90.0 AS ncap_ymax,
-        |  -180.0 AS ncap_xmin
+        |  -180.0 AS ncap_xmin,
+        |  (abs(plon) > 179.0 AND plat > 10.2 AND plat < 19.8) AS quad_in_dlq,
+        |  plat > 73.0 AS quad_within_ncap,
+        |  NOT (abs(plon) > 179.0 AND plat > 10.0 AND plat < 20.0) AS pt_disj_dlq,
+        |  TRUE AS eq_ok
         |FROM p""".stripMargin,
 
     "sp16_itemcrs" ->

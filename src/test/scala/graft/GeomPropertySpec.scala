@@ -285,6 +285,33 @@ class GeomPropertySpec extends AnyFunSuite {
     assert(math.abs(area(Spherical.overlay(qa, far, DIFFERENCE)) - aA) < 1e-9)
   }
 
+  test("spherical covers/contains family: caps, dateline, holes, identity") {
+    import graft.functions.Spherical
+    def poly(wkt: String) = GeomIO.readWkt(wkt)
+    val cap = poly("POLYGON ((0 71, 30 71, 60 71, 90 71, 120 71, 150 71, 180 71, -150 71, -120 71, -90 71, -60 71, -30 71, 0 71))")
+    val innerCap = poly("POLYGON ((0 80, 60 80, 120 80, 180 80, -120 80, -60 80, 0 80))")
+    val dlq = poly("POLYGON ((179 10, 181 10, 181 20, 179 20, 179 10))")
+    val dlqInner = poly("POLYGON ((179.5 12, 180.5 12, 180.5 18, 179.5 18, 179.5 12))")
+    val dlqShift = poly("POLYGON ((180 12, 182 12, 182 18, 180 18, 180 12))")
+    assert(Spherical.coversGeom(cap, innerCap))
+    assert(!Spherical.coversGeom(innerCap, cap))
+    assert(Spherical.coversGeom(dlq, dlqInner))
+    assert(!Spherical.coversGeom(dlq, dlqShift)) // pokes past lon 181
+    assert(!Spherical.coversGeom(dlqInner, dlq))
+    // linestring crossing out and back: both endpoints inside, not covered
+    val inOut = poly("LINESTRING (179.5 12, 183 15, 180.5 18)")
+    assert(!Spherical.coversGeom(dlq, inOut))
+    assert(Spherical.coversGeom(dlq, poly("LINESTRING (179.5 12, 180.5 18)")))
+    // identity through equals (vertices on boundary ride the tolerance)
+    assert(Spherical.coversGeom(dlq, poly("POLYGON ((179 10, 181 10, 181 20, 179 20, 179 10))")))
+    // hole poke: region with a hole does not cover a quad over the hole
+    val holed = poly("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (8 8, 12 8, 12 12, 8 12, 8 8))")
+    assert(!Spherical.coversGeom(holed, poly("POLYGON ((7 7, 13 7, 13 13, 7 13, 7 7))")))
+    assert(Spherical.coversGeom(holed, poly("POLYGON ((1 1, 6 1, 6 6, 1 6, 1 1))")))
+    // a quad strictly inside the hole is not covered
+    assert(!Spherical.coversGeom(holed, poly("POLYGON ((9 9, 11 9, 11 11, 9 11, 9 9))")))
+  }
+
   test("wrap overlay differential: dateline inputs == rotated chart overlay rotated back") {
     // rotating the sphere in longitude commutes with overlay; a pair of
     // quads straddling the dateline must therefore produce (up to
