@@ -1792,6 +1792,24 @@ object GeomScalars {
         math.Pi * Spherical.R - Spherical.distance(g0(a), anti).asInstanceOf[Double]
       }
     }),
+    // the LINE achieving the spherical max distance — the antipode
+    // identity again: the farthest pair (a*, b*) is the closest pair of
+    // (A, antipode(B)) with b* mapped back (same chart-level
+    // approximation contract as st_closestpointsphere)
+    fn("st_longestlinesphere", BinaryType, Seq(Geom, Geom))(a => {
+      if (g0(a).isEmpty || g1(a).isEmpty) null
+      else {
+        def flip(c: Coordinate): Coordinate = {
+          val lon = c.x + 180.0
+          val n = ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+          new Coordinate(n, -c.y, c.getZ)
+        }
+        val anti = GeomScalars.mapCoords3D(g1(a), flip)
+        Spherical.closestPoints(g0(a), anti)
+          .map(p => GeomIO.factory.createLineString(Array(p._1, flip(p._2))))
+          .orNull
+      }
+    }),
     fn("st_xminsphere", DoubleType, Seq(Geom))(a =>
       Spherical.lngLatRect(g0(a)).map(_._1).orNull),
     fn("st_yminsphere", DoubleType, Seq(Geom))(a =>
@@ -1831,16 +1849,14 @@ object GeomScalars {
           }
       }),
 
-    fn("st_closestpointsphere", BinaryType, Seq(Geom, Geom))(a => {
-      val pts = org.locationtech.jts.operation.distance.DistanceOp
-        .nearestPoints(g0(a), g1(a))
-      GeomIO.factory.createPoint(pts(0))
-    }),
-    fn("st_shortestlinesphere", BinaryType, Seq(Geom, Geom))(a => {
-      val pts = org.locationtech.jts.operation.distance.DistanceOp
-        .nearestPoints(g0(a), g1(a))
-      GeomIO.factory.createLineString(Array(pts(0), pts(1)))
-    }),
+    // exact spherical closest pair (Spherical.closestPoints) — correct
+    // at any separation, unlike a chart DistanceOp proxy
+    fn("st_closestpointsphere", BinaryType, Seq(Geom, Geom))(a =>
+      Spherical.closestPoints(g0(a), g1(a))
+        .map(p => GeomIO.factory.createPoint(p._1)).orNull),
+    fn("st_shortestlinesphere", BinaryType, Seq(Geom, Geom))(a =>
+      Spherical.closestPoints(g0(a), g1(a))
+        .map(p => GeomIO.factory.createLineString(Array(p._1, p._2))).orNull),
     // spherical overlay subset (s2 geography st_intersection/union/
     // difference/symdifference, c/sedona-s2geography/src/kernels.rs:
     // 110-118): azimuthal-equidistant tangent-plane OverlayNG, see

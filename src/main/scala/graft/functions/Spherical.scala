@@ -64,6 +64,143 @@ object Spherical {
     if (within) math.asin(math.min(1.0, math.abs(pn))) else endMin
   }
 
+  /** Closest point on geodesic arc AB to P: the foot of P on the arc's
+    * great circle when it lands inside the arc, else the nearer
+    * endpoint. (angle, point) — the argmin companion of pointArcAngle. */
+  private def pointArcClosest(px: Double, py: Double, pz: Double,
+      a: Array[Double], b: Array[Double]): (Double, Array[Double]) = {
+    val ax = a(0); val ay = a(1); val az = a(2)
+    val bx = b(0); val by = b(1); val bz = b(2)
+    val nx = ay * bz - az * by
+    val ny = az * bx - ax * bz
+    val nz = ax * by - ay * bx
+    val nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+    val dA = angV(px, py, pz, ax, ay, az)
+    val dB = angV(px, py, pz, bx, by, bz)
+    val end: (Double, Array[Double]) = if (dA <= dB) (dA, a) else (dB, b)
+    if (nn < 1e-18) return end
+    val pn = (px * nx + py * ny + pz * nz) / nn
+    var fx = px - pn * nx / nn
+    var fy = py - pn * ny / nn
+    var fz = pz - pn * nz / nn
+    val fn = math.sqrt(fx * fx + fy * fy + fz * fz)
+    if (fn < 1e-18) return end
+    fx /= fn; fy /= fn; fz /= fn
+    val arc = angV(ax, ay, az, bx, by, bz)
+    val within = angV(ax, ay, az, fx, fy, fz) +
+      angV(fx, fy, fz, bx, by, bz) <= arc + 1e-12
+    if (within) (math.asin(math.min(1.0, math.abs(pn))), Array(fx, fy, fz))
+    else end
+  }
+
+  @inline private def lonLatOf(v: Array[Double]): Coordinate =
+    new Coordinate(math.toDegrees(math.atan2(v(1), v(0))),
+      math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, v(2))))))
+
+  /** Exact spherical closest pair (first on a, second on b): the argmin
+    * companion of distance() — vertex/arc minimization, crossing arcs'
+    * intersection point, and the contained component's representative
+    * for interior overlap. None for empty inputs. Unlike a chart
+    * DistanceOp proxy this is correct at any separation, including
+    * near-antipodal configurations (where st_longestlinesphere routes
+    * through it via the antipode identity). */
+  def closestPoints(a: Geometry, b: Geometry): Option[(Coordinate, Coordinate)] = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return None
+    (a, b) match {
+      case (p: Point, q: Point) =>
+        return Some((new Coordinate(p.getX, p.getY), new Coordinate(q.getX, q.getY)))
+      case _ =>
+    }
+    // interior overlap: the covered representative is a shared point
+    componentReps(b).find(c => coversPoint(a, c.x, c.y)) match {
+      case Some(c) => return Some((new Coordinate(c.x, c.y), new Coordinate(c.x, c.y)))
+      case None =>
+    }
+    componentReps(a).find(c => coversPoint(b, c.x, c.y)) match {
+      case Some(c) => return Some((new Coordinate(c.x, c.y), new Coordinate(c.x, c.y)))
+      case None =>
+    }
+    val (va, aa) = decompose(a)
+    val (vb, ab) = decompose(b)
+    var best = Double.MaxValue
+    var bestA: Array[Double] = null
+    var bestB: Array[Double] = null
+    var i = 0
+    while (i < va.length) {
+      val p = va(i)
+      if (ab.isEmpty) {
+        var j = 0
+        while (j < vb.length) {
+          val q = vb(j)
+          val d = angV(p(0), p(1), p(2), q(0), q(1), q(2))
+          if (d < best) { best = d; bestA = p; bestB = q }
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < ab.length) {
+          val (u, v) = ab(j)
+          val (d, cp) = pointArcClosest(p(0), p(1), p(2), u, v)
+          if (d < best) { best = d; bestA = p; bestB = cp }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < vb.length && aa.nonEmpty) {
+      val p = vb(i)
+      var j = 0
+      while (j < aa.length) {
+        val (u, v) = aa(j)
+        val (d, cp) = pointArcClosest(p(0), p(1), p(2), u, v)
+        if (d < best) { best = d; bestA = cp; bestB = p }
+        j += 1
+      }
+      i += 1
+    }
+    if (best > 0) {
+      var i2 = 0
+      while (i2 < aa.length) {
+        var j = 0
+        while (j < ab.length) {
+          val (u1, v1) = aa(i2); val (u2, v2) = ab(j)
+          if (arcsCross(u1, v1, u2, v2)) {
+            val x = crossingPoint(u1, v1, u2, v2)
+            if (x != null) { best = 0.0; bestA = x; bestB = x }
+          }
+          j += 1
+        }
+        i2 += 1
+      }
+    }
+    if (bestA == null) None else Some((lonLatOf(bestA), lonLatOf(bestB)))
+  }
+
+  /** The great-circle intersection point lying on both arcs (null when
+    * the coplanar guard fired — callers treat it as no-crossing). */
+  private def crossingPoint(a: Array[Double], b: Array[Double],
+      c: Array[Double], d: Array[Double]): Array[Double] = {
+    val n1x = a(1) * b(2) - a(2) * b(1); val n1y = a(2) * b(0) - a(0) * b(2)
+    val n1z = a(0) * b(1) - a(1) * b(0)
+    val n2x = c(1) * d(2) - c(2) * d(1); val n2y = c(2) * d(0) - c(0) * d(2)
+    val n2z = c(0) * d(1) - c(1) * d(0)
+    var tx = n1y * n2z - n1z * n2y
+    var ty = n1z * n2x - n1x * n2z
+    var tz = n1x * n2y - n1y * n2x
+    val tn = math.sqrt(tx * tx + ty * ty + tz * tz)
+    if (tn < 1e-18) return null
+    tx /= tn; ty /= tn; tz /= tn
+    def onArc(px: Double, py: Double, pz: Double,
+        u: Array[Double], v: Array[Double]): Boolean =
+      angV(u(0), u(1), u(2), px, py, pz) + angV(px, py, pz, v(0), v(1), v(2)) <=
+        angV(u(0), u(1), u(2), v(0), v(1), v(2)) + 1e-12
+    if (onArc(tx, ty, tz, a, b) && onArc(tx, ty, tz, c, d)) Array(tx, ty, tz)
+    else if (onArc(-tx, -ty, -tz, a, b) && onArc(-tx, -ty, -tz, c, d))
+      Array(-tx, -ty, -tz)
+    else null
+  }
+
   /** Do geodesic arcs AB and CD cross? (great-circle intersection point
     * inside both arcs) */
   private def arcsCross(a: Array[Double], b: Array[Double],

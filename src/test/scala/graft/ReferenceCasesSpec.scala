@@ -1428,6 +1428,21 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // is the full half-circumference pi*R
     rel(md("LINESTRING (-90 -80, 90 -80)", "LINESTRING (0 80, 180 80)"),
       20015118.022076216)
+    // st_longestlinesphere: its endpoints realize the max distance and
+    // lie on their respective inputs
+    def ql(a: String, b: String, expr: String): Double =
+      spark.sql(("SELECT EXPR AS r FROM (SELECT " +
+        s"st_longestlinesphere(st_geomfromwkt('$a'), st_geomfromwkt('$b')) AS ll, " +
+        s"st_geomfromwkt('$a') AS ga, st_geomfromwkt('$b') AS gb)")
+        .replace("EXPR", expr)).collect()(0).getDouble(0)
+    for ((a, b) <- Seq(
+        ("POINT (1 0)", "LINESTRING (0 0, 0 1)"),
+        ("POINT (-1 0)", "POLYGON ((0 0, 2 0, 0 2, 0 0))"),
+        ("LINESTRING (10 10, 20 20)", "POLYGON ((40 0, 42 0, 40 2, 40 0))"))) {
+      rel(ql(a, b, "st_distancesphere(st_startpoint(ll), st_endpoint(ll))"), md(a, b))
+      assert(ql(a, b, "st_distancesphere(st_startpoint(ll), ga)") < 1e-6)
+      assert(ql(a, b, "st_distancesphere(st_endpoint(ll), gb)") < 1e-6)
+    }
   }
 
   test("geography wrap-aware bounds + envelope (geography/test_bounds.py)") {
