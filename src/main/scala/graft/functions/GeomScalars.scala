@@ -1849,6 +1849,10 @@ object GeomScalars {
           }
       }),
 
+    // geodesic segmentize (S2 geography st_segmentize: subdivision along
+    // great circles, not chart chords)
+    fn("st_segmentizesphere", BinaryType, Seq(Geom, Dbl))(a =>
+      Spherical.segmentize(g0(a), d(a, 1))),
     // exact spherical closest pair (Spherical.closestPoints) — correct
     // at any separation, unlike a chart DistanceOp proxy
     fn("st_closestpointsphere", BinaryType, Seq(Geom, Geom))(a =>

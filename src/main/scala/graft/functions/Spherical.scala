@@ -1140,6 +1140,66 @@ object Spherical {
   /** Rebuild `g` with every edge geodesically (slerp) subdivided to at
     * most `tolDeg` arc steps, coordinates already projected by `proj` —
     * the chart-free counterpart of densifyDeg + mapCoords(forward). */
+  /** Geodesic segmentize: every edge slerp-subdivided so no piece spans
+    * more than `maxM` meters of great-circle arc — the geography
+    * st_segmentize (S2 interpolation on geodesics, not chart chords).
+    * Points pass through; inserted vertices carry no Z/M. */
+  def segmentize(g: Geometry, maxM: Double): Geometry = {
+    require(maxM > 0 && !maxM.isNaN && !maxM.isInfinite,
+      "st_segmentizesphere: max_distance must be finite and greater than 0")
+    val f = g.getFactory
+    val maxAng = maxM / R
+    def densify(cs: Array[Coordinate]): Array[Coordinate] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Coordinate]
+      var i = 0
+      while (i < cs.length - 1) {
+        val (ux, uy, uz) = unitVec(cs(i).x, cs(i).y)
+        val (vx, vy, vz) = unitVec(cs(i + 1).x, cs(i + 1).y)
+        val w = angV(ux, uy, uz, vx, vy, vz)
+        val n = math.max(1, math.ceil(w / maxAng).toInt)
+        out += cs(i)
+        if (n > 1 && math.sin(w) > 1e-12) {
+          var k = 1
+          while (k < n) {
+            val t = k.toDouble / n
+            val s1 = math.sin((1 - t) * w) / math.sin(w)
+            val s2 = math.sin(t * w) / math.sin(w)
+            val px = s1 * ux + s2 * vx
+            val py = s1 * uy + s2 * vy
+            val pz = s1 * uz + s2 * vz
+            out += lonLatOf(Array(px, py, pz))
+            k += 1
+          }
+        }
+        i += 1
+      }
+      out += cs(cs.length - 1)
+      out.toArray
+    }
+    def ring(r: org.locationtech.jts.geom.LinearRing): org.locationtech.jts.geom.LinearRing =
+      f.createLinearRing(densify(r.getCoordinates))
+    def walk(geom: Geometry): Geometry = geom match {
+      case _ if geom.isEmpty => geom.copy()
+      case p: Point => p.copy()
+      case mp: MultiPoint => mp.copy()
+      case l: org.locationtech.jts.geom.LinearRing => ring(l)
+      case l: LineString => f.createLineString(densify(l.getCoordinates))
+      case p: Polygon =>
+        f.createPolygon(ring(p.getExteriorRing),
+          Array.tabulate(p.getNumInteriorRing)(i => ring(p.getInteriorRingN(i))))
+      case m: MultiPolygon =>
+        f.createMultiPolygon(Array.tabulate(m.getNumGeometries)(i =>
+          walk(m.getGeometryN(i)).asInstanceOf[Polygon]))
+      case m: org.locationtech.jts.geom.MultiLineString =>
+        f.createMultiLineString(Array.tabulate(m.getNumGeometries)(i =>
+          walk(m.getGeometryN(i)).asInstanceOf[LineString]))
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        f.createGeometryCollection(Array.tabulate(c.getNumGeometries)(i =>
+          walk(c.getGeometryN(i))))
+    }
+    walk(g)
+  }
+
   private def projectDensify(g: Geometry, proj: AzEq, tolDeg: Double): Geometry = {
     val f = g.getFactory
     def densify(cs: Array[Coordinate]): Array[Coordinate] = {

@@ -309,6 +309,28 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("my_inflated_area(CAST(NULL AS BINARY), 1.0)") == null)
   }
 
+  test("geodesic segmentize: pieces bounded, length preserved, dateline-safe") {
+    // a 60-degree equatorial edge split to <= 1000 km geodesic pieces
+    val n = q("st_npoints(st_segmentizesphere(st_geomfromwkt(" +
+      "'LINESTRING (0 0, 60 0)'), 1000000.0))").asInstanceOf[Int]
+    assert(n == 8, s"expected 7 pieces + 1, got $n") // 6672 km / 1000 km -> 7
+    val len = q("st_lengthsphere(st_segmentizesphere(st_geomfromwkt(" +
+      "'LINESTRING (0 0, 60 0)'), 1000000.0))").asInstanceOf[Double]
+    val len0 = q("st_lengthsphere(st_geomfromwkt('LINESTRING (0 0, 60 0)'))")
+      .asInstanceOf[Double]
+    assert(math.abs(len - len0) < 1e-6 * len0)
+    // high-latitude edge: inserted points follow the geodesic (bulge
+    // poleward of the chart line)
+    val midLat = q("st_y(st_pointn(st_segmentizesphere(st_geomfromwkt(" +
+      "'LINESTRING (-60 60, 60 60)'), 2000000.0), 2))").asInstanceOf[Double]
+    assert(midLat > 65.0, s"geodesic midpoint should bulge poleward, got $midLat")
+    // dateline-crossing edge stays a short arc
+    val dl = q("st_lengthsphere(st_segmentizesphere(st_geomfromwkt(" +
+      "'LINESTRING (179 0, -179 0)'), 50000.0))").asInstanceOf[Double]
+    assert(math.abs(dl - 222390.2) < 1.0, s"short-arc length, got $dl")
+    intercept[Exception](q("st_segmentizesphere(st_point(0, 0), 0.0)"))
+  }
+
   test("geography closest point / shortest line / general distance") {
     // the exact spherical foot carries ~1e-15 deg FP residue — compare
     // by distance to the expected point, not by WKT text
