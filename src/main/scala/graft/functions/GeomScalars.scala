@@ -1853,6 +1853,14 @@ object GeomScalars {
     // great circles, not chart chords)
     fn("st_segmentizesphere", BinaryType, Seq(Geom, Dbl))(a =>
       Spherical.segmentize(g0(a), d(a, 1))),
+    fn("st_linelocatepointsphere", DoubleType, Seq(Geom, Geom))(a => (g0(a), g1(a)) match {
+      case (l: org.locationtech.jts.geom.LineString, p: org.locationtech.jts.geom.Point)
+          if !l.isEmpty && !p.isEmpty =>
+        Spherical.lineLocatePoint(l, p.getX, p.getY)
+      case (l, p) => throw new IllegalArgumentException(
+        "st_linelocatepointsphere: arguments must be a LineString and a Point, got " +
+          s"${l.getGeometryType} / ${p.getGeometryType}")
+    }),
     // exact spherical closest pair (Spherical.closestPoints) — correct
     // at any separation, unlike a chart DistanceOp proxy
     fn("st_closestpointsphere", BinaryType, Seq(Geom, Geom))(a =>

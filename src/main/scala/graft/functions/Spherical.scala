@@ -1140,6 +1140,33 @@ object Spherical {
   /** Rebuild `g` with every edge geodesically (slerp) subdivided to at
     * most `tolDeg` arc steps, coordinates already projected by `proj` —
     * the chart-free counterpart of densifyDeg + mapCoords(forward). */
+  /** Fraction of the geodesic line's length at the point closest to
+    * (lon, lat) — geography st_linelocatepoint: projection onto geodesic
+    * segments, arc-length accumulation (all in central angles, so the
+    * radius cancels). */
+  def lineLocatePoint(line: LineString, lon: Double, lat: Double): Double = {
+    val cs = line.getCoordinates
+    val (px, py, pz) = unitVec(lon, lat)
+    var best = Double.MaxValue
+    var bestAt = 0.0
+    var lenUpTo = 0.0
+    var total = 0.0
+    var i = 0
+    while (i < cs.length - 1) {
+      val u = vecOf(cs(i)); val v = vecOf(cs(i + 1))
+      val seg = angV(u(0), u(1), u(2), v(0), v(1), v(2))
+      val (d, cp) = pointArcClosest(px, py, pz, u, v)
+      if (d < best) {
+        best = d
+        bestAt = lenUpTo + angV(u(0), u(1), u(2), cp(0), cp(1), cp(2))
+      }
+      lenUpTo += seg
+      total += seg
+      i += 1
+    }
+    if (total <= 0) 0.0 else math.min(1.0, bestAt / total)
+  }
+
   /** Geodesic segmentize: every edge slerp-subdivided so no piece spans
     * more than `maxM` meters of great-circle arc — the geography
     * st_segmentize (S2 interpolation on geodesics, not chart chords).

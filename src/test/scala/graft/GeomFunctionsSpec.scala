@@ -331,6 +331,21 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](q("st_segmentizesphere(st_point(0, 0), 0.0)"))
   }
 
+  test("geodesic line locate point") {
+    def ll(line: String, pt: String): Double =
+      q(s"st_linelocatepointsphere(st_geomfromwkt('$line'), st_geomfromwkt('$pt'))")
+        .asInstanceOf[Double]
+    assert(ll("LINESTRING (-60 60, 60 60)", "POINT (-60 60)") == 0.0)
+    assert(ll("LINESTRING (-60 60, 60 60)", "POINT (60 60)") == 1.0)
+    // the geodesic apex (lon 0, lat ~73.9) sits at the half-length mark
+    assert(math.abs(ll("LINESTRING (-60 60, 60 60)", "POINT (0 73.9)") - 0.5) < 1e-3)
+    // chart midpoint (0, 60) projects to the apex too (same meridian)
+    assert(math.abs(ll("LINESTRING (-60 60, 60 60)", "POINT (0 60)") - 0.5) < 1e-3)
+    // dateline-crossing line: point past the antimeridian
+    assert(math.abs(ll("LINESTRING (179 0, -179 0)", "POINT (-179.5 1)") - 0.75) < 1e-3)
+    intercept[Exception](ll("LINESTRING (0 0, 1 1)", "LINESTRING (0 0, 1 1)"))
+  }
+
   test("geography closest point / shortest line / general distance") {
     // the exact spherical foot carries ~1e-15 deg FP residue — compare
     // by distance to the expected point, not by WKT text
