@@ -377,6 +377,36 @@ object SpatialQueries {
             !st.f("st_equalssphere", col("dlq"), col("ptq"))).as("eq_ok"))
     }),
 
+    // geodesic linear referencing + segmentize + longest line. The line
+    // lies ON the equator, where the geodesic IS the chart segment and
+    // the closest point from (lon, lat) is exactly (lon, 0) — so
+    // st_linelocatepointsphere has an exact rational oracle. Segmentize
+    // piece counts are ceil(arc/step) with arcs far from integer
+    // boundaries; longest line between two points returns the points
+    // themselves.
+    "sp19_sphere_linref" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .withColumn("x0", (col("c_custkey") % 300).cast("double") - 150.0)
+        .withColumn("o", (col("c_custkey") % 11).cast("double"))
+        .withColumn("line", st.f("st_makeline",
+          st.point(col("x0"), lit(0.0)), st.point(col("x0") + 10.0, lit(0.0))))
+        .withColumn("pt", st.point(col("x0") + col("o"),
+          (col("c_custkey") % 7).cast("double") - 3.0))
+        .withColumn("step", ((col("c_custkey") % 5) + 1).cast("double") * 100000.0)
+        .withColumn("pt2", st.point((col("c_custkey") % 360).cast("double") - 179.5,
+          (col("c_custkey") % 100).cast("double") - 49.75))
+        .select(col("c_custkey"),
+          round(st.f("st_linelocatepointsphere", col("line"), col("pt")), 9).as("frac"),
+          st.f("st_npoints", st.f("st_segmentizesphere", col("line"), col("step"))).as("segn"),
+          round(abs(st.f("st_lengthsphere", st.f("st_segmentizesphere", col("line"), col("step"))) -
+            st.f("st_lengthsphere", col("line"))), 3).as("dlen"),
+          round(st.f("st_x", st.f("st_endpoint",
+            st.f("st_longestlinesphere", col("pt"), col("pt2")))), 6).as("ll_x"),
+          round(st.f("st_y", st.f("st_endpoint",
+            st.f("st_longestlinesphere", col("pt"), col("pt2")))), 6).as("ll_y"))
+    }),
+
     "sp16_itemcrs" -> ((s, dir) => {
       prep(s)
       t(s, dir, "customer")
@@ -1113,6 +1143,24 @@ object SpatialQueries {
         |  plat > 73.0 AS quad_within_ncap,
         |  NOT (abs(plon) > 179.0 AND plat > 10.0 AND plat < 20.0) AS pt_disj_dlq,
         |  TRUE AS eq_ok
+        |FROM p""".stripMargin,
+
+    // equator-exact linear referencing; segmentize counts are
+    // ceil(10-deg-arc / step) with arcs far from integer boundaries
+    "sp19_sphere_linref" ->
+      """WITH p AS (SELECT c_custkey,
+        |    CAST(c_custkey % 11 AS DOUBLE) AS o,
+        |    c_custkey % 5 AS stepk,
+        |    CAST(c_custkey % 360 AS DOUBLE) - 179.5 AS p2x,
+        |    CAST(c_custkey % 100 AS DOUBLE) - 49.75 AS p2y
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  round(o / 10.0, 9) AS frac,
+        |  CASE stepk WHEN 0 THEN 13 WHEN 1 THEN 7 WHEN 2 THEN 5
+        |    WHEN 3 THEN 4 ELSE 4 END AS segn,
+        |  0.0 AS dlen,
+        |  round(p2x, 6) AS ll_x,
+        |  round(p2y, 6) AS ll_y
         |FROM p""".stripMargin,
 
     "sp16_itemcrs" ->
