@@ -288,3 +288,93 @@ object StAnalyzeAgg {
     var env: Envelope = new Envelope()
   }
 }
+
+object StEnvelopeSphereAgg {
+  /** Wrap-aware buffer: chart lon segments (merged on overflow) + lat
+    * range. Bounded: segments merge to at most the distinct gaps. */
+  class Buf {
+    var segs: ArrayBuffer[(Double, Double)] = new ArrayBuffer[(Double, Double)]()
+    var latMin: Double = Double.MaxValue
+    var latMax: Double = -Double.MaxValue
+    def add(lo: Double, hi: Double): Unit = {
+      if (lo <= hi) segs += ((lo, hi))
+      else { segs += ((lo, 180.0)); segs += ((-180.0, hi)) } // wrapped
+      if (segs.length > 64) compact()
+    }
+    def compact(): Unit = {
+      val sorted = segs.sortBy(_._1)
+      val merged = new ArrayBuffer[(Double, Double)]()
+      sorted.foreach { case (s, e) =>
+        if (merged.nonEmpty && s <= merged.last._2) {
+          val (ps, pe) = merged.last
+          merged(merged.length - 1) = (ps, math.max(pe, e))
+        } else merged += ((s, e))
+      }
+      segs = merged
+    }
+  }
+}
+
+/** ST_EnvelopeSphere_Agg — the geography envelope aggregate: each input's
+  * wrap-aware lng/lat rect (short-arc cover) feeds a circular segment
+  * union, and the final rect is the complement of the largest lon gap —
+  * so a group straddling the antimeridian aggregates to a wrapped rect
+  * (MULTIPOLYGON split at ±180), not a [-180, 180] chart blowup. The
+  * geography analog of the reference's st_envelope_agg.rs accumulator. */
+case class StEnvelopeSphereAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[StEnvelopeSphereAgg.Buf] {
+  import StEnvelopeSphereAgg.Buf
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "st_envelopesphere_agg"
+  override def createAggregationBuffer(): Buf = new Buf
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      Spherical.lngLatRect(GeomIO.read(v.asInstanceOf[Array[Byte]])).foreach {
+        case (lo, latLo, hi, latHi) =>
+          b.add(lo, hi)
+          b.latMin = math.min(b.latMin, latLo)
+          b.latMax = math.max(b.latMax, latHi)
+      }
+    }
+    b
+  }
+  override def merge(b: Buf, o: Buf): Buf = {
+    o.segs.foreach { case (lo, hi) => b.add(lo, hi) }
+    b.latMin = math.min(b.latMin, o.latMin)
+    b.latMax = math.max(b.latMax, o.latMax)
+    b
+  }
+  override def eval(b: Buf): Any =
+    Spherical.coverInterval(b.segs.toSeq) match {
+      case None => null
+      case Some((lo, hi)) =>
+        GeomIO.write(Spherical.rectGeometry(lo, b.latMin, hi, b.latMax))
+    }
+  override def serialize(b: Buf): Array[Byte] = {
+    b.compact()
+    val bb = java.nio.ByteBuffer.allocate(4 + b.segs.length * 16 + 16)
+    bb.putInt(b.segs.length)
+    b.segs.foreach { case (lo, hi) => bb.putDouble(lo).putDouble(hi) }
+    bb.putDouble(b.latMin).putDouble(b.latMax)
+    bb.array()
+  }
+  override def deserialize(s: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(s)
+    val b = new Buf
+    val n = bb.getInt
+    (0 until n).foreach(_ => b.segs += ((bb.getDouble, bb.getDouble)))
+    b.latMin = bb.getDouble
+    b.latMax = bb.getDouble
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): StEnvelopeSphereAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): StEnvelopeSphereAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}

@@ -1822,31 +1822,9 @@ object GeomScalars {
       Spherical.lngLatRect(g0(a)) match {
         case None => GeomIO.factory.createPolygon()
         case Some((lo, latLo, hi, latHi)) =>
-          def rect(x0: Double, x1: Double): Geometry =
-            if (latLo == latHi)
-              GeomIO.factory.createLineString(Array(
-                new Coordinate(x0, latLo), new Coordinate(x1, latLo)))
-            else GeomIO.factory.createPolygon(Array(
-              new Coordinate(x0, latLo), new Coordinate(x0, latHi),
-              new Coordinate(x1, latHi), new Coordinate(x1, latLo),
-              new Coordinate(x0, latLo)))
-          if (lo <= hi) {
-            if (lo == hi && latLo == latHi) GeomIO.point(lo, latLo)
-            else if (lo == hi)
-              GeomIO.factory.createLineString(Array(
-                new Coordinate(lo, latLo), new Coordinate(lo, latHi)))
-            else rect(lo, hi)
-          } else {
-            // antimeridian wrap: split into east [lo, 180] + west
-            // [-180, hi] pieces (polygons, or lines when zero-height)
-            (rect(lo, 180.0), rect(-180.0, hi)) match {
-              case (e: Polygon, w: Polygon) =>
-                GeomIO.factory.createMultiPolygon(Array(e, w))
-              case (e: LineString, w: LineString) =>
-                GeomIO.factory.createMultiLineString(Array(e, w))
-              case (e, w) => GeomIO.factory.createGeometryCollection(Array(e, w))
-            }
-          }
+          // antimeridian wrap splits into east [lo, 180] + west
+          // [-180, hi] pieces (Spherical.rectGeometry)
+          Spherical.rectGeometry(lo, latLo, hi, latHi)
       }),
 
     // geodesic segmentize (S2 geography st_segmentize: subdivision along

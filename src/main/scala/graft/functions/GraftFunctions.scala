@@ -13,6 +13,7 @@ object GraftFunctions {
 
   private val aggregates: Map[String, Seq[Expression] => Expression] = Map(
     "st_envelope_agg" -> (es => StEnvelopeAgg(es.head)),
+    "st_envelopesphere_agg" -> (es => StEnvelopeSphereAgg(es.head)),
     "st_union_agg" -> (es => StUnionAgg(es.head)),
     "st_intersection_agg" -> (es => StIntersectionAgg(es.head)),
     "st_collect_agg" -> (es => StCollectAgg(es.head)),

@@ -879,9 +879,51 @@ object Spherical {
         addArc(e.getMinX, e.getMaxX)
     }
     walk(g)
-    if (segs.isEmpty) return None
-    // merge chart segments, then take the complement of the largest gap
-    val sorted = segs.sortBy(_._1)
+    // merge chart segments + largest-gap complement (coverInterval)
+    coverInterval(segs.toSeq).map { case (lo, hi) => (lo, latMin, hi, latMax) }
+  }
+
+  /** Geometry form of a (possibly antimeridian-wrapped) lng/lat rect:
+    * polygon / line / point by degeneracy; wrapped rects split into an
+    * east + west piece at ±180 (the st_envelopesphere output contract). */
+  def rectGeometry(lo: Double, latLo: Double, hi: Double, latHi: Double): Geometry = {
+    import graft.geom.GeomIO
+    def rect(x0: Double, x1: Double): Geometry =
+      if (latLo == latHi)
+        GeomIO.factory.createLineString(Array(
+          new Coordinate(x0, latLo), new Coordinate(x1, latLo)))
+      else GeomIO.factory.createPolygon(Array(
+        new Coordinate(x0, latLo), new Coordinate(x0, latHi),
+        new Coordinate(x1, latHi), new Coordinate(x1, latLo),
+        new Coordinate(x0, latLo)))
+    if (lo <= hi) {
+      if (lo == hi && latLo == latHi) GeomIO.point(lo, latLo)
+      else if (lo == hi)
+        GeomIO.factory.createLineString(Array(
+          new Coordinate(lo, latLo), new Coordinate(lo, latHi)))
+      else rect(lo, hi)
+    } else {
+      (rect(lo, 180.0), rect(-180.0, hi)) match {
+        case (e: Polygon, w: Polygon) =>
+          GeomIO.factory.createMultiPolygon(Array(e, w))
+        case (e: LineString, w: LineString) =>
+          GeomIO.factory.createMultiLineString(Array(e, w))
+        case (e, w) => GeomIO.factory.createGeometryCollection(Array(e, w))
+      }
+    }
+  }
+
+  /** Minimal circular cover of chart lon segments: merge, then take the
+    * complement of the largest gap (lngLatRect's tail, exposed for the
+    * wrap-aware envelope aggregate). None for no segments; lo > hi
+    * encodes an antimeridian-crossing cover. */
+  def coverInterval(segsIn: Seq[(Double, Double)]): Option[(Double, Double)] = {
+    if (segsIn.isEmpty) return None
+    def norm(l: Double): Double = {
+      val x = ((l + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      if (x == -180.0 && l >= 0) 180.0 else x
+    }
+    val sorted = segsIn.sortBy(_._1)
     val merged = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     sorted.foreach { case (s, e) =>
       if (merged.nonEmpty && s <= merged.last._2) {
@@ -889,13 +931,11 @@ object Spherical {
         merged(merged.length - 1) = (ps, math.max(pe, e))
       } else merged += ((s, e))
     }
-    val (lo, hi) =
+    val out =
       if (merged.length == 1 &&
           !(merged.head._1 <= -180.0 + 1e-12 && merged.head._2 >= 180.0 - 1e-12))
         merged.head
       else {
-        // circular gaps: between consecutive merged segments + the
-        // wrap-around gap from the last segment's end to the first's start
         var bestGap = -1.0; var bestAt = 0
         var i = 0
         while (i < merged.length) {
@@ -904,13 +944,13 @@ object Spherical {
           if (gap > bestGap) { bestGap = gap; bestAt = i }
           i += 1
         }
-        if (bestGap <= 1e-12) (-180.0, 180.0) // fully covered
+        if (bestGap <= 1e-12) (-180.0, 180.0)
         else {
           val start = norm(if (bestAt == merged.length - 1) merged(0)._1 else merged(bestAt + 1)._1)
           (start, norm(merged(bestAt)._2))
         }
       }
-    Some((lo, latMin, hi, latMax))
+    Some(out)
   }
 
   def refCell(a: Geometry, b: Geometry, radiusM: Double, nx: Int, ny: Int): Any =

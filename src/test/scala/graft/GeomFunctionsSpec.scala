@@ -331,6 +331,24 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception](q("st_segmentizesphere(st_point(0, 0), 0.0)"))
   }
 
+  test("wrap-aware geography envelope aggregate") {
+    spark.sql("""SELECT id, st_point(lon, lat) AS g FROM VALUES
+      (1, 170.0D, 10.0D), (1, 175.0D, 12.0D), (1, -175.0D, 14.0D),
+      (2, 10.0D, 0.0D), (2, 20.0D, 5.0D)
+      AS t(id, lon, lat)""").createOrReplaceTempView("esa_in")
+    val rows = spark.sql("""SELECT id,
+        st_xminsphere(env) AS xmin, st_xmaxsphere(env) AS xmax,
+        st_geometrytype(env) AS t
+      FROM (SELECT id, st_envelopesphere_agg(g) AS env FROM esa_in GROUP BY id)""")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1)
+    // group 1 straddles the antimeridian: wrapped interval [170, -175],
+    // split MULTIPOLYGON; group 2 is a plain chart rect
+    assert(rows(0)._2 == 170.0 && rows(0)._3 == -175.0, rows(0).toString)
+    assert(rows(0)._4 == "ST_MultiPolygon", rows(0).toString)
+    assert(rows(1)._2 == 10.0 && rows(1)._3 == 20.0 && rows(1)._4 == "ST_Polygon")
+  }
+
   test("geodesic line locate point") {
     def ll(line: String, pt: String): Double =
       q(s"st_linelocatepointsphere(st_geomfromwkt('$line'), st_geomfromwkt('$pt'))")
