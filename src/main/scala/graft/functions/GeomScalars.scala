@@ -1890,6 +1890,25 @@ object GeomScalars {
           e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
         d(a, 1), i(a, 2), i(a, 3)))
     }),
+    // two-level covers: wide geometries (polar caps) emit coarse cells
+    // past maxCells instead of thousands of fine ones; the probe side
+    // emits both levels (Spherical two-level cover notes)
+    fn("sd_gridcells_sphere4_adaptive", ArrayType(LongType, containsNull = false),
+        Seq(ArgKind.Raw, Dbl, Int_, Int_, Int_))(a => {
+      val e = a(0).asInstanceOf[ArrayData]
+      new GenericArrayData(Spherical.gridCellsAdaptive(
+        new org.locationtech.jts.geom.Envelope(
+          e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
+        d(a, 1), i(a, 2), i(a, 3), i(a, 4)))
+    }),
+    fn("sd_gridcells_sphere4_dual", ArrayType(LongType, containsNull = false),
+        Seq(ArgKind.Raw, Dbl, Int_, Int_))(a => {
+      val e = a(0).asInstanceOf[ArrayData]
+      new GenericArrayData(Spherical.gridCellsDual(
+        new org.locationtech.jts.geom.Envelope(
+          e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
+        d(a, 1), i(a, 2), i(a, 3)))
+    }),
     fn("sd_refcell_sphere4", LongType,
         Seq(ArgKind.Raw, ArgKind.Raw, Dbl, Int_, Int_))(a => {
       val ea = a(0).asInstanceOf[ArrayData]

@@ -685,6 +685,45 @@ object Spherical {
     out
   }
 
+  // ---- two-level cover: the fanout bound for wide geometries. A polar
+  // cap's fine cover is (band rows × nx) cells (~7k at 360×180) — at
+  // scale that multiplies the shuffle by orders of magnitude. The
+  // adaptive side emits FINE cells while its cover is small and COARSE
+  // cells (grid nx/8 × ny/8, ids offset by nx*ny) once it exceeds
+  // `maxCells`; the other side emits BOTH levels (one extra cell per
+  // point). A pair meets at exactly the level the adaptive row chose,
+  // so per-level refcell dedup keeps pairs unique. ----
+
+  @inline def coarseNx(nx: Int): Int = math.max(1, nx / 8)
+  @inline def coarseNy(ny: Int): Int = math.max(1, ny / 8)
+
+  /** Adaptive cover: fine cells, or OFFSET+coarse cells past maxCells. */
+  def gridCellsAdaptive(env: org.locationtech.jts.geom.Envelope,
+      radiusM: Double, nx: Int, ny: Int, maxCells: Int): Array[Long] = {
+    val (cy0, cy1, _, lonLen) = coverOf(env, radiusM, nx, ny)
+    if (cy1 < cy0) return Array.empty
+    if ((cy1 - cy0 + 1).toLong * lonLen <= maxCells)
+      gridCells(env, radiusM, nx, ny)
+    else {
+      val off = nx.toLong * ny
+      gridCells(env, radiusM, coarseNx(nx), coarseNy(ny)).map(_ + off)
+    }
+  }
+
+  /** Dual cover: fine cells plus OFFSET+coarse cells — the probe-side
+    * companion of gridCellsAdaptive. */
+  def gridCellsDual(env: org.locationtech.jts.geom.Envelope,
+      radiusM: Double, nx: Int, ny: Int): Array[Long] = {
+    val fine = gridCells(env, radiusM, nx, ny)
+    val off = nx.toLong * ny
+    val coarse = gridCells(env, radiusM, coarseNx(nx), coarseNy(ny))
+    val out = new Array[Long](fine.length + coarse.length)
+    System.arraycopy(fine, 0, out, 0, fine.length)
+    var i = 0
+    while (i < coarse.length) { out(fine.length + i) = coarse(i) + off; i += 1 }
+    out
+  }
+
   /** Canonical cell for pair dedup in the spherical grid join: the minimum
     * cell id common to a's expanded cover and b's cover (the wrap-safe
     * analog of the planar reference-point rule). Null when disjoint —

@@ -141,21 +141,38 @@ object SpatialJoins {
     val dLat = math.toDegrees(radiusM / graft.functions.Spherical.R)
     val l = left.withColumn("__lg", leftGeom)
       .withColumn("__l4", st.f("sd_envelopesphere4", col("__lg")))
-      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4", col("__l4"),
-        lit(radiusM), lit(nx), lit(ny))))
+      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4_adaptive", col("__l4"),
+        lit(radiusM), lit(nx), lit(ny), lit(MaxFineCells))))
     val r = right.withColumn("__rg", rightGeom)
       .withColumn("__r4", st.f("sd_envelopesphere4", col("__rg")))
-      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4", col("__r4"),
+      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4_dual", col("__r4"),
         lit(0.0), lit(nx), lit(ny))))
     def le(k: Int) = element_at(col("__l4"), k)
     def re(k: Int) = element_at(col("__r4"), k)
     val latOverlap = le(2) - lit(dLat) <= re(4) && re(2) <= le(4) + lit(dLat)
     l.join(r, l("__cell") === r("__cell")
         && latOverlap
-        && st.f("sd_refcell_sphere4", col("__l4"), col("__r4"),
-          lit(radiusM), lit(nx), lit(ny)) === l("__cell")
+        && levelRefCell(l("__cell"), lit(radiusM), nx, ny)
         && st.f("st_dwithinsphere", col("__lg"), col("__rg"), lit(radiusM)))
       .drop("__cell", "__lg", "__rg", "__l4", "__r4")
+  }
+
+  /** Fine cover budget before the adaptive side switches to coarse
+    * cells (two-level spherical grid — Spherical.gridCellsAdaptive). */
+  val MaxFineCells = 256
+
+  /** Per-level canonical-cell dedup: a pair meets at the level the
+    * adaptive (left) row chose, so the refcell comparison runs against
+    * that level's grid (coarse ids carry the nx*ny offset). */
+  private def levelRefCell(cell: Column, radius: Column, nx: Int, ny: Int): Column = {
+    import graft.functions.Spherical.{coarseNx, coarseNy}
+    val off = nx.toLong * ny
+    when(cell < off,
+      st.f("sd_refcell_sphere4", col("__l4"), col("__r4"),
+        radius, lit(nx), lit(ny)) === cell)
+      .otherwise(
+        st.f("sd_refcell_sphere4", col("__l4"), col("__r4"),
+          radius, lit(coarseNx(nx)), lit(coarseNy(ny))) === cell - lit(off))
   }
 
   /** Geography intersects join: the dwithin machinery at radius 0 with
@@ -172,11 +189,11 @@ object SpatialJoins {
       nx: Int = 360, ny: Int = 180): DataFrame = {
     val l = left.withColumn("__lg", leftGeom)
       .withColumn("__l4", st.f("sd_envelopesphere4", col("__lg")))
-      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4", col("__l4"),
-        lit(0.0), lit(nx), lit(ny))))
+      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4_adaptive", col("__l4"),
+        lit(0.0), lit(nx), lit(ny), lit(MaxFineCells))))
     val r = right.withColumn("__rg", rightGeom)
       .withColumn("__r4", st.f("sd_envelopesphere4", col("__rg")))
-      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4", col("__r4"),
+      .withColumn("__cell", explode(st.f("sd_gridcells_sphere4_dual", col("__r4"),
         lit(0.0), lit(nx), lit(ny))))
     def le(k: Int) = element_at(col("__l4"), k)
     def re(k: Int) = element_at(col("__r4"), k)
@@ -187,8 +204,7 @@ object SpatialJoins {
       lonOv(0.0) || lonOv(360.0) || lonOv(-360.0)
     l.join(r, l("__cell") === r("__cell")
         && latOverlap && lonOverlap
-        && st.f("sd_refcell_sphere4", col("__l4"), col("__r4"),
-          lit(0.0), lit(nx), lit(ny)) === l("__cell")
+        && levelRefCell(l("__cell"), lit(0.0), nx, ny)
         && st.f("st_intersectssphere", col("__lg"), col("__rg")))
       .drop("__cell", "__lg", "__rg", "__l4", "__r4")
   }

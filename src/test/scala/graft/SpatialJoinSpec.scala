@@ -587,12 +587,21 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b(s"st_intersectssphere(${g("LINESTRING (-60 60, 60 60)")}, " +
       s"${g("LINESTRING (0 60, 0 80)")})") == true)
 
-    // join: sphereIntersectsJoin == brute-force over the predicate
+    // join: sphereIntersectsJoin == brute-force over the predicate.
+    // The two polar caps and the dateline quad have wide covers, so they
+    // exercise the adaptive COARSE level of the two-level grid while the
+    // envelopes stay on the fine level.
+    val caps = spark.sql("""SELECT aid, st_geomfromwkt(w) AS ag FROM VALUES
+      (1000L, 'POLYGON ((0 71, 30 71, 60 71, 90 71, 120 71, 150 71, 180 71, -150 71, -120 71, -90 71, -60 71, -30 71, 0 71))'),
+      (1001L, 'POLYGON ((0 -71, 30 -71, 60 -71, 90 -71, 120 -71, 150 -71, 180 -71, -150 -71, -120 -71, -90 -71, -60 -71, -30 -71, 0 -71))'),
+      (1002L, 'POLYGON ((175 -20, -175 -20, -175 20, 175 20, 175 -20))')
+      AS t(aid, w)""")
     val polys = spark.range(40).selectExpr("id AS aid",
       """st_makeenvelope(CAST(pmod(hash(id), 300) AS DOUBLE) - 150.0,
          CAST(pmod(hash(id*7), 120) AS DOUBLE) - 60.0,
          CAST(pmod(hash(id), 300) AS DOUBLE) - 145.0,
          CAST(pmod(hash(id*7), 120) AS DOUBLE) - 55.0) AS ag""")
+      .unionAll(caps)
     val pts = spark.range(300).selectExpr("id AS bid",
       """st_point(CAST(pmod(hash(id*3), 340) AS DOUBLE) - 170.0,
          CAST(pmod(hash(id*11), 160) AS DOUBLE) - 80.0) AS bg""")
