@@ -114,6 +114,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sj13 = entries("sj13_sphere_intersects_join").plan
     assert(!sj13.contains("CartesianProduct") &&
       !sj13.contains("BroadcastNestedLoopJoin"), "sj13 fell off the grid join")
+    // the two-level cover must stay in the plan: adaptive explode on the
+    // build side, dual explode on the probe side (fanout bound for wide
+    // covers — a regression to single-level reverts polar caps to ~7k
+    // exploded cells per row)
+    assert(sj13.contains("sd_gridcells_sphere4_adaptive"),
+      "sj13 lost the adaptive cover explode")
+    assert(sj13.contains("sd_gridcells_sphere4_dual"),
+      "sj13 lost the dual cover explode")
+    val sj08 = entries("sj08_sphere_join").plan
+    assert(sj08.contains("sd_gridcells_sphere4_adaptive") &&
+      sj08.contains("sd_gridcells_sphere4_dual"),
+      "sj08 lost the two-level cover")
   }
 
   test("streaming joins plan their streaming operators") {
