@@ -1756,8 +1756,12 @@ object GeomScalars {
     // the S2 surface's st_contains/within/disjoint/equals on geography
     // (c/sedona-s2geography/src/kernels.rs:68-226)
     fn("st_containssphere", BooleanType, Seq(Geom, Geom))(a =>
-      java.lang.Boolean.valueOf(Spherical.coversGeom(g0(a), g1(a)))),
+      java.lang.Boolean.valueOf(Spherical.containsGeom(g0(a), g1(a)))),
     fn("st_withinsphere", BooleanType, Seq(Geom, Geom))(a =>
+      java.lang.Boolean.valueOf(Spherical.containsGeom(g1(a), g0(a)))),
+    fn("st_coverssphere", BooleanType, Seq(Geom, Geom))(a =>
+      java.lang.Boolean.valueOf(Spherical.coversGeom(g0(a), g1(a)))),
+    fn("st_coveredbysphere", BooleanType, Seq(Geom, Geom))(a =>
       java.lang.Boolean.valueOf(Spherical.coversGeom(g1(a), g0(a)))),
     fn("st_disjointsphere", BooleanType, Seq(Geom, Geom))(a => {
       val ga = g0(a); val gb = g1(a)
@@ -1767,12 +1771,8 @@ object GeomScalars {
         case d: Double => java.lang.Boolean.valueOf(d != 0.0)
       }
     }),
-    fn("st_equalssphere", BooleanType, Seq(Geom, Geom))(a => {
-      val ga = g0(a); val gb = g1(a)
-      if (ga.isEmpty && gb.isEmpty) java.lang.Boolean.TRUE
-      else java.lang.Boolean.valueOf(
-        Spherical.coversGeom(ga, gb) && Spherical.coversGeom(gb, ga))
-    }),
+    fn("st_equalssphere", BooleanType, Seq(Geom, Geom))(a =>
+      java.lang.Boolean.valueOf(Spherical.equalsGeom(g0(a), g1(a)))),
     // ---- S2 LngLatRect surface: wrap-aware geography bounds
     // (tests/geography/test_bounds.py — ST_XMin/ST_XMax on a geography
     // crossing the antimeridian return the WRAPPED interval endpoints,

@@ -472,6 +472,89 @@ object Spherical {
     true
   }
 
+  /** Spherical contains (the reference's geography ST_Contains,
+    * tests/geography/test_geog_predicates.py): covers PLUS an interior
+    * witness — some point of b strictly inside a — so a point lying
+    * only on a's boundary is NOT contained while a polygon sharing
+    * boundary segments (or equal to a) is. Witnesses: b's vertices,
+    * geodesic edge midpoints, and b's spherical centroid (the identity
+    * case, where every vertex sits on the boundary). */
+  def containsGeom(a: Geometry, b: Geometry): Boolean = {
+    if (!coversGeom(a, b)) return false
+    // interior witness: strictly inside AND clear of the boundary (a
+    // point AT a ring vertex rides the degeneracy nudge and could
+    // classify either way — the boundary-distance check settles it)
+    def interior(lon: Double, lat: Double): Boolean =
+      coversPoint(a, lon, lat) && boundaryAngle(a, lon, lat) > 1e-9
+    val cs = b.getCoordinates
+    var i = 0
+    while (i < cs.length) {
+      if (interior(cs(i).x, cs(i).y)) return true
+      i += 1
+    }
+    // edge midpoints (slerp), then the spherical centroid
+    val (_, ab) = decompose(b)
+    i = 0
+    while (i < ab.length) {
+      val (u, v) = ab(i)
+      val mx = u(0) + v(0); val my = u(1) + v(1); val mz = u(2) + v(2)
+      val mn = math.sqrt(mx * mx + my * my + mz * mz)
+      if (mn > 1e-12) {
+        val c = lonLatOf(Array(mx / mn, my / mn, mz / mn))
+        if (interior(c.x, c.y)) return true
+      }
+      i += 1
+    }
+    centroid(b) match {
+      case p: Point if !p.isEmpty => interior(p.getX, p.getY)
+      case _ => false
+    }
+  }
+
+  /** Spherical equals (geography ST_Equals pins,
+    * tests/geography/test_geog_predicates.py): two empties are equal
+    * regardless of type; areal pairs compare as covers-both-ways
+    * (rotated ring starts ride the boundary tolerance); point/line
+    * content compares as canonical component sets — so
+    * GEOMETRYCOLLECTION (POINT (0 0)) equals POINT (0 0), and reversed
+    * linestrings equal their forward form. */
+  def equalsGeom(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null) return false
+    if (a.isEmpty && b.isEmpty) return true
+    if (a.isEmpty || b.isEmpty) return false
+    val da = a.getDimension; val db = b.getDimension
+    if (da != db) return false
+    if (da == 2) coversGeom(a, b) && coversGeom(b, a)
+    else canonicalParts(a) == canonicalParts(b)
+  }
+
+  /** Canonical (type, normalized-coords) component set for dim ≤ 1
+    * geometry content: lon normalized to [-180, 180) (pole points get
+    * lon 0), 1e-9-deg quantized; linestrings take the lexicographically
+    * smaller of forward/reversed. */
+  private def canonicalParts(g: Geometry): Set[(String, Vector[(Long, Long)])] = {
+    def n(c: Coordinate): (Long, Long) = {
+      var lon = ((c.x + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      if (lon == 180.0) lon = -180.0
+      if (math.abs(c.y) >= 90.0 - 1e-12) lon = 0.0
+      (math.round(lon * 1e9), math.round(c.y * 1e9))
+    }
+    val out = scala.collection.mutable.Set[(String, Vector[(Long, Long)])]()
+    def walk(geom: Geometry): Unit = geom match {
+      case _ if geom.isEmpty =>
+      case p: Point => out += (("P", Vector(n(p.getCoordinate))))
+      case l: LineString =>
+        val fwd = l.getCoordinates.toVector.map(n)
+        val rev = fwd.reverse
+        out += (("L", Seq(fwd, rev).min(Ordering.Implicits.seqOrdering[Vector, (Long, Long)])))
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case other => out += ((other.getGeometryType, other.getCoordinates.toVector.map(n)))
+    }
+    walk(g)
+    out.toSet
+  }
+
   private def polyCoversRep(container: Geometry, other: Geometry): Boolean = {
     if (container.getDimension < 2) return false
     val reps = componentReps(other)

@@ -1406,6 +1406,79 @@ class ReferenceCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errMsg.contains("invalid options JSON"), errMsg)
   }
 
+  test("geography predicate pins: intersects/contains/within/equals/disjoint " +
+      "(tests/geography/test_geog_predicates.py)") {
+    def b2(fn: String, a: String, b: String): Any =
+      q(s"$fn(st_geomfromwkt('$a'), st_geomfromwkt('$b'))")
+    val tri = "POLYGON ((0 0, 2 0, 0 2, 0 0))"
+    val wrap = "POLYGON ((179 0, -179 0, 179 2, 179 0))"
+    // intersects
+    assert(b2("st_intersectssphere", tri, "POINT (0.25 0.25)") == true)
+    assert(b2("st_intersectssphere", wrap, "POINT (-180 0.25)") == true)
+    assert(b2("st_intersectssphere", tri, "POINT (-30 -30)") == false)
+    assert(b2("st_intersectssphere", tri, "POINT (1.01 1.01)") == false)
+    assert(b2("st_intersectssphere", tri, "POINT (0 0)") == true) // boundary
+    assert(b2("st_intersectssphere", tri, "POLYGON ((0 0, 1 0, 0 1, 0 0))") == true)
+    // contains: boundary-only point is NOT contained; wraparound point is
+    assert(b2("st_containssphere", tri, "POINT (0.25 0.25)") == true)
+    assert(b2("st_containssphere", wrap, "POINT (-180 0.25)") == true)
+    assert(b2("st_containssphere", tri, "POINT (0 0)") == false)
+    assert(b2("st_containssphere", tri, "POINT (-30 -30)") == false)
+    assert(b2("st_containssphere", tri, "POINT (1.01 1.01)") == false)
+    assert(b2("st_containssphere", tri, "LINESTRING (0.25 0.25, 0.5 0.5)") == true)
+    assert(b2("st_containssphere", tri, "LINESTRING (0.25 0.25, 3 3)") == false)
+    assert(b2("st_containssphere", tri, "LINESTRING (3 3, 4 4)") == false)
+    assert(b2("st_containssphere", tri,
+      "POLYGON ((0.1 0.1, 0.5 0.1, 0.1 0.5, 0.1 0.1))") == true)
+    assert(b2("st_containssphere",
+      "POLYGON ((0.1 0.1, 0.5 0.1, 0.1 0.5, 0.1 0.1))", tri) == false)
+    assert(b2("st_containssphere", tri,
+      "POLYGON ((0.1 0.1, 3 0.1, 0.1 3, 0.1 0.1))") == false)
+    assert(b2("st_containssphere", "LINESTRING (0 0, 1 0)", "POINT (10 10)") == false)
+    assert(b2("st_containssphere", tri, tri) == true) // identity via centroid witness
+    // GEOMETRYCOLLECTION cases
+    assert(b2("st_containssphere",
+      s"GEOMETRYCOLLECTION (POINT (30 30), LINESTRING (40 40, 41 40), $tri)",
+      "POINT (0.25 0.25)") == true)
+    assert(b2("st_containssphere", tri,
+      "GEOMETRYCOLLECTION (POINT (0.25 0.25), LINESTRING (0.3 0.3, 0.4 0.4))") == true)
+    assert(b2("st_containssphere", tri,
+      "GEOMETRYCOLLECTION (POINT (30 30), LINESTRING (0.3 0.3, 0.4 0.4))") == false)
+    // within = flipped contains
+    assert(b2("st_withinsphere", "POINT (0.25 0.25)", tri) == true)
+    assert(b2("st_withinsphere", "POINT (-180 0.25)", wrap) == true)
+    assert(b2("st_withinsphere", "POINT (0 0)", tri) == false) // boundary
+    assert(b2("st_withinsphere", tri, "POINT (0.25 0.25)") == false)
+    // equals
+    assert(q("st_equalssphere(st_geomfromwkt('POINT EMPTY'), st_geomfromwkt('POINT EMPTY'))") == true)
+    assert(q("st_equalssphere(st_geomfromwkt('POINT EMPTY'), st_geomfromwkt('LINESTRING EMPTY'))") == true)
+    assert(b2("st_equalssphere", "POINT (0 0)", "POINT EMPTY") == false)
+    val triS = "POLYGON ((0 0, 1 0, 0 1, 0 0))"
+    assert(b2("st_equalssphere", triS, triS) == true)
+    assert(b2("st_equalssphere", triS, "POLYGON ((1 0, 0 1, 0 0, 1 0))") == true)
+    assert(b2("st_equalssphere", triS, tri) == false)
+    assert(b2("st_equalssphere", triS, "POLYGON ((30 30, 32 30, 30 32, 30 30))") == false)
+    assert(b2("st_equalssphere",
+      "MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)), ((10 10, 11 10, 10 11, 10 10)))", tri) == false)
+    assert(b2("st_equalssphere",
+      "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (1 1, 2 2))",
+      "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (1 1, 2 2))") == true)
+    assert(b2("st_equalssphere",
+      "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (1 1, 2 2))",
+      "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (1 1, 3 3))") == false)
+    assert(b2("st_equalssphere",
+      "GEOMETRYCOLLECTION (POINT (0 0))", "POINT (0 0)") == true)
+    assert(b2("st_equalssphere", "LINESTRING (1 1, 2 2)", "LINESTRING (2 2, 1 1)") == true)
+    // disjoint
+    assert(b2("st_disjointsphere", "POLYGON ((0 0, 1 0, 0 1, 0 0))", "POINT (30 30)") == true)
+    assert(b2("st_disjointsphere", "POLYGON ((0 0, 1 0, 0 1, 0 0))", "POINT (0.1 0.1)") == false)
+    assert(b2("st_disjointsphere", "LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)") == false)
+    assert(b2("st_disjointsphere", "LINESTRING (0 0, 1 1)", "LINESTRING (5 5, 6 6)") == true)
+    // null propagation
+    assert(q(s"st_containssphere(NULL, st_geomfromwkt('$tri'))") == null)
+    assert(q(s"st_equalssphere(st_geomfromwkt('$tri'), NULL)") == null)
+  }
+
   test("spherical max distance incl. antipodal linestrings " +
       "(geography/test_geog_distance.py)") {
     def md(a: String, b: String): Double =
