@@ -312,6 +312,40 @@ class GeomPropertySpec extends AnyFunSuite {
     assert(!Spherical.coversGeom(holed, poly("POLYGON ((9 9, 11 9, 11 11, 9 11, 9 9))")))
   }
 
+  test("containment family agrees with JTS planar semantics away from wrap/poles") {
+    // for small mid-latitude quads the geodesic model and the chart
+    // agree (bulge << the 0.3-degree guard band): coversGeom/containsGeom
+    // must match JTS covers/contains, equalsGeom must match equalsTopo
+    import graft.functions.Spherical
+    val pair: Gen[(Geometry, Geometry)] = for {
+      x0 <- Gen.chooseNum(-150.0, 140.0)
+      y0 <- Gen.chooseNum(-60.0, 50.0)
+      w <- Gen.chooseNum(2.0, 10.0)
+      h <- Gen.chooseNum(2.0, 10.0)
+      dx <- Gen.chooseNum(-12.0, 12.0)
+      dy <- Gen.chooseNum(-12.0, 12.0)
+      w2 <- Gen.chooseNum(1.0, 10.0)
+      h2 <- Gen.chooseNum(1.0, 10.0)
+    } yield (GeomIO.envelope(x0, y0, x0 + w, y0 + h),
+      GeomIO.envelope(x0 + dx, y0 + dy, x0 + dx + w2, y0 + dy + h2))
+    check(Prop.forAll(pair) { case (a, b) =>
+      val ea = a.getEnvelopeInternal; val eb = b.getEnvelopeInternal
+      // skip configurations within the geodesic-bulge ambiguity band of
+      // any edge alignment
+      def near(u: Double, v: Double) = math.abs(u - v) < 0.3
+      val ambiguous =
+        near(ea.getMinX, eb.getMinX) || near(ea.getMaxX, eb.getMaxX) ||
+        near(ea.getMinY, eb.getMinY) || near(ea.getMaxY, eb.getMaxY) ||
+        near(ea.getMinX, eb.getMaxX) || near(ea.getMaxX, eb.getMinX) ||
+        near(ea.getMinY, eb.getMaxY) || near(ea.getMaxY, eb.getMinY)
+      ambiguous || {
+        Spherical.coversGeom(a, b) == a.covers(b) &&
+          Spherical.containsGeom(a, b) == a.contains(b) &&
+          Spherical.equalsGeom(a, b) == a.equalsTopo(b)
+      }
+    })
+  }
+
   test("wrap overlay differential: dateline inputs == rotated chart overlay rotated back") {
     // rotating the sphere in longitude commutes with overlay; a pair of
     // quads straddling the dateline must therefore produce (up to
