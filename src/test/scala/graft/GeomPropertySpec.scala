@@ -312,6 +312,42 @@ class GeomPropertySpec extends AnyFunSuite {
     assert(!Spherical.coversGeom(holed, poly("POLYGON ((9 9, 11 9, 11 11, 9 11, 9 9))")))
   }
 
+  test("new sphere kernels never throw on degenerate inputs") {
+    import graft.functions.Spherical
+    import org.locationtech.jts.operation.overlayng.OverlayNG._
+    val lonlat: Gen[Coordinate] = for {
+      lon <- Gen.oneOf(Gen.chooseNum(-180.0, 180.0), Gen.oneOf(-180.0, 0.0, 180.0))
+      lat <- Gen.oneOf(Gen.chooseNum(-90.0, 90.0), Gen.oneOf(-90.0, 0.0, 90.0))
+    } yield new Coordinate(lon, lat)
+    val anyGeom: Gen[Geometry] = Gen.oneOf(
+      lonlat.map(GeomIO.factory.createPoint),
+      for { a <- lonlat; b <- lonlat } yield
+        GeomIO.factory.createLineString(Array(a, b)),
+      for { a <- lonlat } yield // zero-length degenerate line
+        GeomIO.factory.createLineString(Array(a, new Coordinate(a.x, a.y))),
+      for { c <- lonlat; w <- Gen.chooseNum(0.0, 40.0); h <- Gen.chooseNum(0.0, 40.0) }
+        yield GeomIO.envelope(c.x, c.y,
+          math.min(180.0, c.x + w), math.min(90.0, c.y + h)),
+      Gen.const(GeomIO.factory.createPolygon()),
+      Gen.const(GeomIO.readWkt(
+        "POLYGON ((0 71, 120 71, -120 71, 0 71))"))) // sparse pole cap
+    check(Prop.forAll(anyGeom, anyGeom, lonlat) { (a, b, p) =>
+      Spherical.coversPoint(a, p.x, p.y)
+      Spherical.coversGeom(a, b); Spherical.containsGeom(a, b)
+      Spherical.equalsGeom(a, b); Spherical.distance(a, b)
+      Spherical.closestPoints(a, b)
+      Spherical.lngLatRect(a); Spherical.latLngBound(a)
+      Spherical.overlay(a, b, INTERSECTION); Spherical.overlay(a, b, UNION)
+      if (!a.isEmpty) Spherical.segmentize(a, 500000.0)
+      a match {
+        case l: org.locationtech.jts.geom.LineString if !l.isEmpty =>
+          Spherical.lineLocatePoint(l, p.x, p.y)
+        case _ =>
+      }
+      true
+    })
+  }
+
   test("containment family agrees with JTS planar semantics away from wrap/poles") {
     // for small mid-latitude quads the geodesic model and the chart
     // agree (bulge << the 0.3-degree guard band): coversGeom/containsGeom
