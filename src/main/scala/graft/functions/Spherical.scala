@@ -1452,9 +1452,21 @@ object Spherical {
   /** Geodesic buffer: planar buffer of `distM` meters in the tangent
     * plane, inverse-projected. */
   def buffer(g: Geometry, distM: Double, tolDeg: Double = 0.5): Geometry = {
-    val e = g.getEnvelopeInternal
-    val proj = new AzEq((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
-    mapCoords(mapCoords(densifyDeg(g, tolDeg), proj.forward).buffer(distM), proj.inverse)
+    // wrap-aware center (chart envelope midpoints are wrong for
+    // antimeridian-crossing or polar inputs — same fix as overlayWrap)
+    lngLatRect(g) match {
+      case Some((lo, latLo, hi, latHi)) if lo > hi || latHi >= 90.0 - 1e-9 ||
+          latLo <= -90.0 + 1e-9 =>
+        val w = if (lo <= hi) hi - lo else hi - lo + 360.0
+        val proj = new AzEq(normLon(lo + w / 2), (latLo + latHi) / 2)
+        mapCoords(projectDensify(g, proj, tolDeg).buffer(distM), (x, y) => {
+          val (lon, lat) = proj.inverse(x, y); (normLon(lon), lat)
+        })
+      case _ =>
+        val e = g.getEnvelopeInternal
+        val proj = new AzEq((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+        mapCoords(mapCoords(densifyDeg(g, tolDeg), proj.forward).buffer(distM), proj.inverse)
+    }
   }
 
   // ---- spherical (true) centroid — the geography ST_Centroid kernel

@@ -309,6 +309,22 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q("my_inflated_area(CAST(NULL AS BINARY), 1.0)") == null)
   }
 
+  test("spherical buffer handles dateline and polar inputs") {
+    // a point on the antimeridian buffered 100 km must cover both sides
+    val wrapOk = q("st_containssphere(st_buffersphere(st_point(180.0, 10.0), 100000.0)," +
+      " st_point(-179.5, 10.0)) AND st_containssphere(" +
+      "st_buffersphere(st_point(180.0, 10.0), 100000.0), st_point(179.5, 10.0))")
+    assert(wrapOk == true)
+    // buffered area ~ pi r^2 (within 2% at this radius)
+    val a = q("st_areasphere(st_buffersphere(st_point(180.0, 10.0), 100000.0))")
+      .asInstanceOf[Double]
+    assert(math.abs(a - math.Pi * 1e10) < 0.02 * math.Pi * 1e10, a.toString)
+    // polar cap ring buffered outward still covers the pole
+    val cap = "POLYGON ((0 80, 60 80, 120 80, 180 80, -120 80, -60 80, 0 80))"
+    assert(q(s"st_containssphere(st_buffersphere(st_geomfromwkt('$cap'), 50000.0)," +
+      " st_point(0.0, 90.0))") == true)
+  }
+
   test("geodesic segmentize: pieces bounded, length preserved, dateline-safe") {
     // a 60-degree equatorial edge split to <= 1000 km geodesic pieces
     val n = q("st_npoints(st_segmentizesphere(st_geomfromwkt(" +
