@@ -1176,6 +1176,21 @@ object Spherical {
     out
   }
 
+  /** Wrap-aware projection center for single-geometry tangent-plane
+    * kernels: circular midpoint of the lng/lat rect when the input
+    * crosses the antimeridian or covers a pole, chart-envelope midpoint
+    * otherwise. */
+  private def centerFor(g: Geometry): (Double, Double) =
+    lngLatRect(g) match {
+      case Some((lo, latLo, hi, latHi)) if lo > hi || latHi >= 90.0 - 1e-9 ||
+          latLo <= -90.0 + 1e-9 =>
+        val w = if (lo <= hi) hi - lo else hi - lo + 360.0
+        (normLon(lo + w / 2), (latLo + latHi) / 2)
+      case _ =>
+        val e = g.getEnvelopeInternal
+        ((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+    }
+
   private def projectionFor(a: Geometry, b: Geometry): AzEq = {
     val e = a.getEnvelopeInternal.copy()
     e.expandToInclude(b.getEnvelopeInternal)
@@ -1457,8 +1472,8 @@ object Spherical {
     lngLatRect(g) match {
       case Some((lo, latLo, hi, latHi)) if lo > hi || latHi >= 90.0 - 1e-9 ||
           latLo <= -90.0 + 1e-9 =>
-        val w = if (lo <= hi) hi - lo else hi - lo + 360.0
-        val proj = new AzEq(normLon(lo + w / 2), (latLo + latHi) / 2)
+        val (clon, clat) = centerFor(g)
+        val proj = new AzEq(clon, clat)
         mapCoords(projectDensify(g, proj, tolDeg).buffer(distM), (x, y) => {
           val (lon, lat) = proj.inverse(x, y); (normLon(lon), lat)
         })
@@ -1616,8 +1631,8 @@ object Spherical {
   def convexHull(g: Geometry): Geometry = {
     if (g == null) return null
     if (g.isEmpty) return g
-    val e = g.getEnvelopeInternal
-    val proj = new AzEq((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+    val (clon, clat) = centerFor(g)
+    val proj = new AzEq(clon, clat)
     // key projected coords back to original lon/lat so hull output keeps
     // the input vertices bit-for-bit
     val back = new java.util.HashMap[(Double, Double), Coordinate]()
@@ -1661,11 +1676,11 @@ object Spherical {
     if (g == null) return null
     if (g.isEmpty) return g.getFactory.createPoint()
     if (g.getDimension == 2) {
-      val e = g.getEnvelopeInternal
-      val proj = new AzEq((e.getMinX + e.getMaxX) / 2, (e.getMinY + e.getMaxY) / 2)
+      val (clon, clat) = centerFor(g)
+      val proj = new AzEq(clon, clat)
       val ip = mapCoords(g, proj.forward).getInteriorPoint
       val (lon, lat) = proj.inverse(ip.getX, ip.getY)
-      return g.getFactory.createPoint(new Coordinate(lon, lat))
+      return g.getFactory.createPoint(new Coordinate(normLon(lon), lat))
     }
     val cen = centroid(g)
     val c = cen match {

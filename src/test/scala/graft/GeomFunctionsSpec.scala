@@ -325,6 +325,21 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       " st_point(0.0, 90.0))") == true)
   }
 
+  test("convex hull and point-on-surface handle dateline/polar inputs") {
+    // hull of points straddling the antimeridian: the short-arc hull,
+    // not a chart-wide band — it must NOT contain lon 0
+    val hullHas = q("st_containssphere(st_convexhullsphere(st_geomfromwkt(" +
+      "'MULTIPOINT (178 -5, -178 -5, 178 5, -178 5)')), st_point(180.0, 0.0))")
+    assert(hullHas == true)
+    val hullNotHas = q("st_intersectssphere(st_convexhullsphere(st_geomfromwkt(" +
+      "'MULTIPOINT (178 -5, -178 -5, 178 5, -178 5)')), st_point(0.0, 0.0))")
+    assert(hullNotHas == false)
+    // point-on-surface of a dateline quad lands inside it
+    assert(q("st_withinsphere(st_pointonsurfacesphere(st_geomfromwkt(" +
+      "'POLYGON ((179 10, -179 10, -179 20, 179 20, 179 10))')), st_geomfromwkt(" +
+      "'POLYGON ((179 10, -179 10, -179 20, 179 20, 179 10))'))") == true)
+  }
+
   test("geodesic segmentize: pieces bounded, length preserved, dateline-safe") {
     // a 60-degree equatorial edge split to <= 1000 km geodesic pieces
     val n = q("st_npoints(st_segmentizesphere(st_geomfromwkt(" +
