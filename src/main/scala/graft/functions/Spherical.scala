@@ -1308,7 +1308,12 @@ object Spherical {
     val proj = new AzEq(clon, clat)
     val pa = projectDensify(a, proj, tolDeg)
     val pb = projectDensify(b, proj, tolDeg)
-    val res = org.locationtech.jts.operation.overlayng.OverlayNG.overlay(pa, pb, op)
+    // snap-rounded noding (1 µm grid in the projected meters plane):
+    // slerp-densified geodesic edges of near-coincident inputs can pass
+    // within nanometers of each other, which floating OverlayNG rejects
+    // as non-noded; snapping is robust and far below output precision
+    val res = org.locationtech.jts.operation.overlayng.OverlayNG.overlay(
+      pa, pb, op, new org.locationtech.jts.geom.PrecisionModel(1e6))
     mapCoords(res, (x, y) => {
       val (lo, la) = proj.inverse(x, y); (normLon(lo), la)
     })

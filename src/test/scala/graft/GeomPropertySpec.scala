@@ -403,7 +403,7 @@ class GeomPropertySpec extends AnyFunSuite {
       GeomIO.readWkt(s"POLYGON ((${n(x0)} $y0, ${n(x0 + w)} $y0, " +
         s"${n(x0 + w)} ${y0 + h}, ${n(x0)} ${y0 + h}, ${n(x0)} $y0))")
     }
-    check(Prop.forAll(quadPair) { case (y0, h, dx, dy, w, op) =>
+    check(Prop.forAllNoShrink(quadPair) { case (y0, h, dx, dy, w, op) =>
       // wrap pair: first quad centered on the dateline
       val wa = mkQuad(180.0 - w / 2, y0, w, h)
       val wb = mkQuad(180.0 - w / 2 + dx, y0 + dy, w, h)
@@ -413,9 +413,12 @@ class GeomPropertySpec extends AnyFunSuite {
       val aw = area(Spherical.overlay(wa, wb, op))
       val ac = area(Spherical.overlay(ca, cb, op))
       // the branches differ in edge model (chart chords vs geodesics):
-      // top/bottom-edge slivers reach ~0.5% of quad area at these sizes
+      // the top/bottom bulge lenses reach ~2.2% of quad area for 8-deg
+      // spans at |lat|~52 (lens ~ (2/3)*bulge*w*cos(lat) with bulge =
+      // atan(tan(lat)/cos(w/2)) - lat); 5% headroom still catches the
+      // wrong-center / wrong-interval bug class, which errs by ~100%
       val scale = math.max(1.0, math.max(area(wa), area(wb)))
-      math.abs(aw - ac) <= 1e-2 * scale
+      math.abs(aw - ac) <= 5e-2 * scale
     })
   }
 
