@@ -338,6 +338,9 @@ class GeomPropertySpec extends AnyFunSuite {
       Spherical.closestPoints(a, b)
       Spherical.lngLatRect(a); Spherical.latLngBound(a)
       Spherical.overlay(a, b, INTERSECTION); Spherical.overlay(a, b, UNION)
+      Spherical.overlay(a, b, DIFFERENCE); Spherical.overlay(a, b, SYMDIFFERENCE)
+      Spherical.buffer(a, 50000.0)
+      Spherical.centroid(a); Spherical.convexHull(a); Spherical.pointOnSurface(a)
       if (!a.isEmpty) Spherical.segmentize(a, 500000.0)
       a match {
         case l: org.locationtech.jts.geom.LineString if !l.isEmpty =>
