@@ -92,7 +92,30 @@ object MicroBench {
         graft.pipeline.PipelineOps.dedupGroups(
           spark.range(20000).select((col("id") / 3).cast("long").as("a"),
             ((col("id") / 3) + pmod(col("id"), lit(3)) + 1).cast("long").as("b")),
-          col("a"), col("b")))))
+          col("a"), col("b")))),
+      // round-7 spherical kernels: winding containment and the geography
+      // predicate surface over lattice points vs quads + polar caps
+      time("sphere_contains")(run(
+        points.limit(100000).select(st.f("st_containssphere",
+          st.makeEnvelope(lit(10.0), lit(10.0), lit(60.0), lit(60.0)),
+          st.point(pmod(hash(col("id"), lit(31)), lit(1400)).cast("double") / 20.0 - 35.0,
+            pmod(hash(col("id"), lit(32)), lit(1400)).cast("double") / 20.0 - 35.0))))),
+      time("sphere_cap_covers")(run(
+        points.limit(100000).select(st.f("st_intersectssphere",
+          st.geomFromWkt(lit("POLYGON ((0 71, 60 71, 120 71, 180 71, -120 71, -60 71, 0 71))")),
+          st.point(pmod(hash(col("id"), lit(33)), lit(7200)).cast("double") / 20.0 - 180.0,
+            pmod(hash(col("id"), lit(34)), lit(3600)).cast("double") / 20.0 - 90.0))))),
+      time("sphere_intersects_join")(run(SpatialJoins.sphereIntersectsJoin(
+        points.limit(20000).select(col("id").as("aid"),
+          st.makeEnvelope(
+            pmod(hash(col("id"), lit(41)), lit(7000)).cast("double") / 20.0 - 179.0,
+            pmod(hash(col("id"), lit(42)), lit(3300)).cast("double") / 20.0 - 84.0,
+            pmod(hash(col("id"), lit(41)), lit(7000)).cast("double") / 20.0 - 177.0,
+            pmod(hash(col("id"), lit(42)), lit(3300)).cast("double") / 20.0 - 82.0).as("ag")),
+        points.limit(20000).select(col("id").as("bid"),
+          st.point(pmod(hash(col("id"), lit(43)), lit(7200)).cast("double") / 20.0 - 180.0,
+            pmod(hash(col("id"), lit(44)), lit(3500)).cast("double") / 20.0 - 87.5).as("bg")),
+        col("ag"), col("bg"), nx = 180, ny = 90))))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
