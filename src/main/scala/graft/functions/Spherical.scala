@@ -125,25 +125,25 @@ object Spherical {
     var best = Double.MaxValue
     var bestA: Array[Double] = null
     var bestB: Array[Double] = null
+    // vertex-vertex always runs: vertex-arc only subsumes it for
+    // vertices that are arc ENDPOINTS, so isolated point components of
+    // a mixed collection would otherwise never be compared
     var i = 0
     while (i < va.length) {
       val p = va(i)
-      if (ab.isEmpty) {
-        var j = 0
-        while (j < vb.length) {
-          val q = vb(j)
-          val d = angV(p(0), p(1), p(2), q(0), q(1), q(2))
-          if (d < best) { best = d; bestA = p; bestB = q }
-          j += 1
-        }
-      } else {
-        var j = 0
-        while (j < ab.length) {
-          val (u, v) = ab(j)
-          val (d, cp) = pointArcClosest(p(0), p(1), p(2), u, v)
-          if (d < best) { best = d; bestA = p; bestB = cp }
-          j += 1
-        }
+      var j = 0
+      while (j < vb.length) {
+        val q = vb(j)
+        val d = angV(p(0), p(1), p(2), q(0), q(1), q(2))
+        if (d < best) { best = d; bestA = p; bestB = q }
+        j += 1
+      }
+      j = 0
+      while (j < ab.length) {
+        val (u, v) = ab(j)
+        val (d, cp) = pointArcClosest(p(0), p(1), p(2), u, v)
+        if (d < best) { best = d; bestA = p; bestB = cp }
+        j += 1
       }
       i += 1
     }
@@ -422,10 +422,13 @@ object Spherical {
     best
   }
 
-  /** Spherical covers(a, b): b lies within the closed region of
-    * polygonal `a` — every vertex of b inside or on a's boundary
-    * (~1e-9 rad tolerance), no geodesic boundary arcs properly crossing,
-    * and no interior ring of a poking into an areal b. The S2 geography
+  /** Spherical covers(a, b): b lies within the closed region of `a`.
+    * Areal a: every vertex of b inside or on a's boundary (~1e-9 rad
+    * tolerance), no geodesic boundary arcs properly crossing, and no
+    * interior ring of a poking into an areal b. Linear a: b (dim ≤ 1)
+    * lies on a's arc set — exact interval coverage along each b-arc's
+    * great circle, so a b-edge spanning several collinear a-edges still
+    * covers. Point a: coincident point content. The S2 geography
     * containment surface (c/sedona-s2geography/src/kernels.rs
     * st_contains/within) under the same smaller-side polygon contract as
     * coversPoint. Interiors touching along shared boundary segments ride
@@ -433,7 +436,26 @@ object Spherical {
     * boundary-contact crossings classify conservatively as not-covered. */
   def coversGeom(a: Geometry, b: Geometry): Boolean = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return false
-    if (a.getDimension < 2) return false
+    if (a.getDimension == 0) {
+      if (b.getDimension != 0) return false
+      val (va, _) = decompose(a)
+      val cs = b.getCoordinates
+      var i = 0
+      while (i < cs.length) {
+        val (px, py, pz) = unitVec(cs(i).x, cs(i).y)
+        var hit = false
+        var j = 0
+        while (j < va.length && !hit) {
+          val v = va(j)
+          hit = angV(px, py, pz, v(0), v(1), v(2)) <= 1e-9
+          j += 1
+        }
+        if (!hit) return false
+        i += 1
+      }
+      return true
+    }
+    if (a.getDimension == 1) return b.getDimension <= 1 && linearCovers(a, b)
     val cs = b.getCoordinates
     var i = 0
     while (i < cs.length) {
@@ -472,15 +494,139 @@ object Spherical {
     true
   }
 
+  /** Linear covers (dim-1 container): every vertex of b on a's arcs or
+    * isolated vertices, and every geodesic arc of b covered by the
+    * UNION of a's coplanar arcs — interval arithmetic along the b-arc's
+    * great circle (two non-antipodal points on a great circle pin it
+    * uniquely, so endpoint-on-plane implies the whole a-arc is on the
+    * circle). Closes the ADVICE r7 polygonal-container-only gap. */
+  private def linearCovers(a: Geometry, b: Geometry): Boolean = {
+    val tol = 1e-9
+    val (va, aa) = decompose(a)
+    def onA(p: Array[Double]): Boolean = {
+      var i = 0
+      while (i < aa.length) {
+        val (u, v) = aa(i)
+        if (pointArcAngle(p(0), p(1), p(2), u(0), u(1), u(2),
+            v(0), v(1), v(2)) <= tol) return true
+        i += 1
+      }
+      i = 0
+      while (i < va.length) {
+        val v = va(i)
+        if (angV(p(0), p(1), p(2), v(0), v(1), v(2)) <= tol) return true
+        i += 1
+      }
+      false
+    }
+    val (vb, ab) = decompose(b)
+    var i = 0
+    while (i < vb.length) { if (!onA(vb(i))) return false; i += 1 }
+    i = 0
+    while (i < ab.length) {
+      val (u, v) = ab(i)
+      val len = angV(u(0), u(1), u(2), v(0), v(1), v(2))
+      if (len > tol) {
+        var nx = u(1) * v(2) - u(2) * v(1)
+        var ny = u(2) * v(0) - u(0) * v(2)
+        var nz = u(0) * v(1) - u(1) * v(0)
+        val nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+        if (nn < 1e-18) return false // near-antipodal b-arc: circle undefined
+        nx /= nn; ny /= nn; nz /= nn
+        // circle frame: u at angle 0, v at angle `len`, w = n × u
+        val wx = ny * u(2) - nz * u(1)
+        val wy = nz * u(0) - nx * u(2)
+        val wz = nx * u(1) - ny * u(0)
+        val ivs = Array.newBuilder[(Double, Double)]
+        var j = 0
+        while (j < aa.length) {
+          val (p, q) = aa(j)
+          if (math.abs(p(0) * nx + p(1) * ny + p(2) * nz) <= tol &&
+              math.abs(q(0) * nx + q(1) * ny + q(2) * nz) <= tol) {
+            val tp = math.atan2(p(0) * wx + p(1) * wy + p(2) * wz,
+              p(0) * u(0) + p(1) * u(1) + p(2) * u(2))
+            val tq = math.atan2(q(0) * wx + q(1) * wy + q(2) * wz,
+              q(0) * u(0) + q(1) * u(1) + q(2) * u(2))
+            // the a-arc spans the SHORT way between tp and tq
+            if (math.abs(tp - tq) <= math.Pi) {
+              ivs += ((math.min(tp, tq), math.max(tp, tq)))
+            } else { // wraps across ±π
+              ivs += ((math.max(tp, tq), math.Pi))
+              ivs += ((-math.Pi, math.min(tp, tq)))
+            }
+          }
+          j += 1
+        }
+        val sorted = ivs.result()
+          .filter(iv => iv._2 >= -tol && iv._1 <= len + tol).sortBy(_._1)
+        var reach = 0.0
+        var k = 0
+        while (k < sorted.length && reach < len - tol) {
+          val (s, e) = sorted(k)
+          if (s > reach + tol) return false
+          if (e > reach) reach = e
+          k += 1
+        }
+        if (reach < len - tol) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Odd-degree (mod-2) endpoints of the linear components — the
+    * topological boundary of a dim-1 geometry, as unit vectors. Closed
+    * rings and even-degree junctions contribute nothing. */
+  private def linearBoundaryVecs(g: Geometry): Seq[Array[Double]] = {
+    val counts =
+      scala.collection.mutable.LinkedHashMap[(Long, Long), (Int, Array[Double])]()
+    def add(c: Coordinate): Unit = {
+      var lon = ((c.x + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      if (lon == 180.0) lon = -180.0
+      if (math.abs(c.y) >= 90.0 - 1e-12) lon = 0.0
+      val k = (math.round(lon * 1e9), math.round(c.y * 1e9))
+      val (px, py, pz) = unitVec(c.x, c.y)
+      val prev = counts.getOrElse(k, (0, Array(px, py, pz)))
+      counts(k) = (prev._1 + 1, prev._2)
+    }
+    def walk(geom: Geometry): Unit = geom match {
+      case l: LineString if !l.isEmpty && !l.isClosed =>
+        add(l.getCoordinateN(0)); add(l.getCoordinateN(l.getNumPoints - 1))
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until c.getNumGeometries).foreach(i => walk(c.getGeometryN(i)))
+      case _ =>
+    }
+    walk(g)
+    counts.values.collect { case (n, v) if n % 2 == 1 => v }.toSeq
+  }
+
   /** Spherical contains (the reference's geography ST_Contains,
     * tests/geography/test_geog_predicates.py): covers PLUS an interior
     * witness — some point of b strictly inside a — so a point lying
     * only on a's boundary is NOT contained while a polygon sharing
     * boundary segments (or equal to a) is. Witnesses: b's vertices,
-    * geodesic edge midpoints, and b's spherical centroid (the identity
-    * case, where every vertex sits on the boundary). */
+    * geodesic edge midpoints, and pointOnSurface(b) (the identity case,
+    * where every vertex sits on the boundary — guaranteed interior even
+    * for concave b, unlike the centroid). */
   def containsGeom(a: Geometry, b: Geometry): Boolean = {
     if (!coversGeom(a, b)) return false
+    // point container: boundary is empty, contains == covers
+    if (a.getDimension == 0) return true
+    if (a.getDimension == 1) {
+      // linear container: boundary = odd-degree endpoints (mod-2 rule);
+      // witness = some point of b clear of that endpoint set
+      val bnd = linearBoundaryVecs(a)
+      if (bnd.isEmpty) return true // closed rings have no boundary
+      def clear(p: Array[Double]): Boolean =
+        bnd.forall(e => angV(p(0), p(1), p(2), e(0), e(1), e(2)) > 1e-9)
+      val (vb, ab) = decompose(b)
+      if (vb.exists(clear)) return true
+      return ab.exists { case (u, v) =>
+        val mx = u(0) + v(0); val my = u(1) + v(1); val mz = u(2) + v(2)
+        val mn = math.sqrt(mx * mx + my * my + mz * mz)
+        mn > 1e-12 && clear(Array(mx / mn, my / mn, mz / mn))
+      }
+    }
     // interior witness: strictly inside AND clear of the boundary (a
     // point AT a ring vertex rides the degeneracy nudge and could
     // classify either way — the boundary-distance check settles it)
@@ -505,7 +651,10 @@ object Spherical {
       }
       i += 1
     }
-    centroid(b) match {
+    // final witness: pointOnSurface is guaranteed interior for areal b
+    // (the centroid of a concave b falls in the notch — outside b and
+    // outside a for a == b, which broke a-contains-a reflexivity)
+    pointOnSurface(b) match {
       case p: Point if !p.isEmpty => interior(p.getX, p.getY)
       case _ => false
     }
@@ -574,17 +723,19 @@ object Spherical {
       val (va, aa) = decompose(a)
       val (vb, ab) = decompose(b)
       var best = Double.MaxValue
+      // vertex-vertex always runs (see closestPoints: isolated point
+      // components are not arc endpoints, so vertex-arc alone misses them)
       var i = 0
       while (i < va.length) {
         val p = va(i)
         var j = 0
-        if (ab.isEmpty) {
-          while (j < vb.length) {
-            val q = vb(j)
-            best = math.min(best, angV(p(0), p(1), p(2), q(0), q(1), q(2)))
-            j += 1
-          }
-        } else while (j < ab.length) {
+        while (j < vb.length) {
+          val q = vb(j)
+          best = math.min(best, angV(p(0), p(1), p(2), q(0), q(1), q(2)))
+          j += 1
+        }
+        j = 0
+        while (j < ab.length) {
           val (u, v) = ab(j)
           best = math.min(best, pointArcAngle(p(0), p(1), p(2),
             u(0), u(1), u(2), v(0), v(1), v(2)))

@@ -206,7 +206,7 @@ object StreamingQueries {
         |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     // the grid join restated as lattice-interval logic with the same
-    // inclusive one-hour event-time band
+    // inclusive twelve-hour event-time band
     "st03_stream_stream_spatial_join" ->
       """WITH l AS (SELECT event_id AS l_event, epoch_us(ts) AS lus,
         |    event_id % 31 AS gx, user_id % 23 AS gy

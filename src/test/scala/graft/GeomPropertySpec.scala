@@ -505,4 +505,54 @@ class GeomPropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  test("spherical closest pair compares isolated point components of mixed collections") {
+    import graft.functions.Spherical
+    def g(wkt: String): Geometry = GeomIO.readWkt(wkt)
+    // b's POINT is not an arc endpoint, so vertex-arc loops alone miss it
+    val a = g("POINT (0 0)")
+    val b = g("GEOMETRYCOLLECTION (POINT (1 0), LINESTRING (50 0, 60 0))")
+    val near = Spherical.distance(a, g("POINT (1 0)")).asInstanceOf[Double]
+    assert(math.abs(Spherical.distance(a, b).asInstanceOf[Double] - near) < 1e-6)
+    assert(math.abs(Spherical.distance(b, a).asInstanceOf[Double] - near) < 1e-6)
+    val (_, cb) = Spherical.closestPoints(a, b).get
+    assert(math.abs(cb.x - 1.0) < 1e-9 && math.abs(cb.y) < 1e-9)
+    val (ca2, _) = Spherical.closestPoints(b, a).get
+    assert(math.abs(ca2.x - 1.0) < 1e-9 && math.abs(ca2.y) < 1e-9)
+  }
+
+  test("spherical contains is reflexive for concave polygons (pointOnSurface witness)") {
+    import graft.functions.Spherical
+    // horseshoe: the centroid falls in the notch, outside the polygon
+    val h = GeomIO.readWkt(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 8, 8 8, 8 2, 0 2, 0 0))")
+    assert(Spherical.coversGeom(h, h))
+    assert(Spherical.containsGeom(h, h))
+  }
+
+  test("spherical covers/contains with linear and point containers") {
+    import graft.functions.Spherical
+    def g(wkt: String): Geometry = GeomIO.readWkt(wkt)
+    val line = g("LINESTRING (0 0, 10 0, 20 0)")
+    assert(Spherical.coversGeom(line, g("POINT (5 0)")))
+    // sub-line spanning the collinear vertex at lon 10 (interval union)
+    assert(Spherical.coversGeom(line, g("LINESTRING (5 0, 15 0)")))
+    assert(Spherical.coversGeom(line, line))
+    assert(!Spherical.coversGeom(line, g("POINT (5 1)")))
+    assert(!Spherical.coversGeom(line, g("LINESTRING (5 0, 15 1)")))
+    assert(!Spherical.coversGeom(line, g("LINESTRING (5 0, 25 0)"))) // runs past the end
+    // mod-2 boundary: interior point contained, endpoint not
+    assert(Spherical.containsGeom(line, g("POINT (5 0)")))
+    assert(!Spherical.containsGeom(line, g("POINT (0 0)")))
+    assert(Spherical.containsGeom(line, line))
+    // a closed ring has no boundary: its start vertex is contained
+    val ring = g("LINESTRING (0 0, 10 0, 10 10, 0 0)")
+    assert(Spherical.containsGeom(ring, g("POINT (0 0)")))
+    // point containers
+    assert(Spherical.coversGeom(g("MULTIPOINT (0 0, 5 5)"), g("POINT (5 5)")))
+    assert(Spherical.containsGeom(g("POINT (5 5)"), g("POINT (5 5)")))
+    assert(!Spherical.coversGeom(g("POINT (5 5)"), g("POINT (5 6)")))
+    assert(!Spherical.coversGeom(g("POINT (5 5)"), g("LINESTRING (5 5, 5 6)")))
+    assert(!Spherical.coversGeom(line, g("POLYGON ((0 0, 1 0, 1 1, 0 0))")))
+  }
 }
