@@ -22,13 +22,19 @@ import org.locationtech.jts.geom.{Coordinate, CoordinateSequence, CoordinateSequ
   *    parameters, ~3.5 m vs the OSTN grid) + Airy 1830 Transverse
   *    Mercator
   *
+  *  - 2056/21781 Swiss LV95/LV03 (Hotine oblique Mercator variant B,
+  *    azimuth 90 = somerc, Bessel 1841 + CH1903 Helmert), 5514 Czech
+  *    S-JTSK Krovak East North (Bessel + S-JTSK Helmert), 3375 Malaysia
+  *    GDM2000 Peninsular RSO (Hotine variant A on GRS80)
+  *
   *  - PLUS any CRS defined by a parameterized PROJJSON document whose
-  *    conversion method is TM (9807), LCC-2SP (9802), LAEA (9820),
-  *    Albers (9822), polar stereographic (9810/9829) or natural-origin
-  *    Mercator (9804) — the parameters drive the same kernels, so
-  *    unlisted UTM/SPCS zones work without a table entry, mirroring how
-  *    the reference builds pipelines from the CRS definition via PROJ
-  *    (c/sedona-proj/src/transform.rs:36,258).
+  *    conversion method is TM (9807), LCC-2SP (9802), LCC-1SP (9801),
+  *    LAEA (9820), Albers (9822), polar stereographic (9810/9829),
+  *    natural-origin Mercator (9804), Hotine oblique Mercator
+  *    (9812/9815) or Krovak (9819/1041) — the parameters drive the same
+  *    kernels, so unlisted zones work without a table entry, mirroring
+  *    how the reference builds pipelines from the CRS definition via
+  *    PROJ (c/sedona-proj/src/transform.rs:36,258).
   *
   * Anything else errors loudly, matching the reference's lazy-error
   * behavior (rust/sedona/src/context.rs:128-130).
@@ -49,6 +55,7 @@ object CrsTransform {
   private val Wgs84 = Ellipsoid(6378137.0, 1.0 / 298.257223563)
   private val Grs80 = Ellipsoid(6378137.0, 1.0 / 298.257222101)
   private val Airy1830 = Ellipsoid(6377563.396, 1.0 / 299.3249646)
+  private val Bessel1841 = Ellipsoid(6377397.155, 1.0 / 299.1528128)
 
   /** 7-parameter Helmert similarity transform (position-vector rotation
     * convention, EPSG method 9606), datum -> WGS84: translations in
@@ -65,6 +72,17 @@ object CrsTransform {
     * grid files). */
   private val Osgb36 = DatumShift(Airy1830,
     Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894))
+
+  /** CH1903+ -> WGS84 (swisstopo official, translation-only — ~1 m vs
+    * the CHENyx06 grid; same parameters PROJ ships as towgs84). */
+  private val Ch1903Plus = DatumShift(Bessel1841,
+    Helmert(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0))
+
+  /** S-JTSK -> WGS84 (EPSG 1623 family, Czech 7-parameter position
+    * vector set — ~1 m; PROJ's default for 5514 is the 3-translation
+    * subset of the same determination). */
+  private val Sjtsk = DatumShift(Bessel1841,
+    Helmert(570.8, 85.7, 462.8, 4.998, 1.587, 5.261, 3.56))
 
   sealed trait Crs
   case object LonLat extends Crs
@@ -159,11 +177,31 @@ object CrsTransform {
       case 32139 => Projected(32139, LambertConformal2SP(Grs80,
         lat0 = 29.0 + 40.0 / 60, lon0 = -98.5, sp1 = 31.0 + 53.0 / 60,
         sp2 = 30.0 + 7.0 / 60, fe = 700000.0, fn = 3000000.0))
+      // Swiss LV95/LV03: Hotine variant B with azimuth 90 (= somerc),
+      // Bessel 1841 + CH1903(+) translation Helmert
+      case 2056 => Projected(2056, ObliqueMercator(Bessel1841,
+        latC = 46.0 + 57.0 / 60 + 8.66 / 3600, lonC = 7.0 + 26.0 / 60 + 22.5 / 3600,
+        azimuth = 90.0, gridAngle = 90.0, k0 = 1.0,
+        fe = 2600000.0, fn = 1200000.0, variantB = true), Ch1903Plus)
+      case 21781 => Projected(21781, ObliqueMercator(Bessel1841,
+        latC = 46.0 + 57.0 / 60 + 8.66 / 3600, lonC = 7.0 + 26.0 / 60 + 22.5 / 3600,
+        azimuth = 90.0, gridAngle = 90.0, k0 = 1.0,
+        fe = 600000.0, fn = 200000.0, variantB = true), Ch1903Plus)
+      // Czech S-JTSK / Krovak East North
+      case 5514 => Projected(5514, Krovak(Bessel1841,
+        latC = 49.5, lonO = 24.0 + 50.0 / 60, coLat = 30.0 + 17.0 / 60 + 17.3031 / 3600,
+        latP = 78.5, kP = 0.9999, fe = 0.0, fn = 0.0, eastNorth = true), Sjtsk)
+      // Malaysia GDM2000 / Peninsular RSO: Hotine variant A on GRS80
+      case 3375 => Projected(3375, ObliqueMercator(Grs80,
+        latC = 4.0, lonC = 102.25,
+        azimuth = 323.0 + 1.0 / 60 + 32.8458 / 3600,
+        gridAngle = 323.0 + 7.0 / 60 + 48.3685 / 3600, k0 = 0.99984,
+        fe = 804671.0, fn = 0.0, variantB = false))
       case other => throw new IllegalArgumentException(
         s"Unsupported CRS EPSG:$other (supported: 4326, 4978, 4979, 3857, 3395, " +
           "UTM 326xx/327xx, ETRS89 UTM 258xx, NAD83 UTM 269xx, 2154, 3035, 5070, " +
-          "4258, 4269, 4277, 27700, 32118, 32139; or pass a parameterized " +
-          "PROJJSON definition)")
+          "4258, 4269, 4277, 27700, 32118, 32139, 2056, 21781, 5514, 3375; or " +
+          "pass a parameterized PROJJSON definition)")
     }
   }
 
@@ -189,9 +227,12 @@ object CrsTransform {
     * so `src == dst` shortcuts still work for identical JSON. */
   private def fromParsed(p: graft.sources.ProjJson.ParsedCrs): Crs = {
     val el = Ellipsoid(p.a, if (p.rf == 0.0) 0.0 else 1.0 / p.rf)
+    val dn = p.datumName.toUpperCase
     val datum =
-      if (p.datumName.toUpperCase.contains("ORDNANCE") ||
-        p.datumName.toUpperCase.contains("OSGB")) Osgb36
+      if (dn.contains("ORDNANCE") || dn.contains("OSGB")) Osgb36
+      else if (dn.contains("CH1903")) Ch1903Plus
+      else if (dn.contains("JTSK") ||
+        dn.contains("UNIFIED TRIGONOMETRICAL")) Sjtsk // official S-JTSK name
       else null
     val codeId =
       if (p.code != 0) p.code
@@ -224,6 +265,20 @@ object CrsTransform {
           case 9829 => PolarStereographic(el, south = prm(8832) < 0,
             lon0 = prm(8833), latTs = prm(8832),
             fe = prm(8806, 0.0), fn = prm(8807, 0.0))
+          case 9801 => LambertConformal1SP(el, lat0 = prm(8801), lon0 = prm(8802),
+            k0 = prm(8805, 1.0), fe = prm(8806, 0.0), fn = prm(8807, 0.0))
+          case 9812 => ObliqueMercator(el, latC = prm(8811), lonC = prm(8812),
+            azimuth = prm(8813), gridAngle = prm(8814, prm(8813)),
+            k0 = prm(8815, 1.0), fe = prm(8806, 0.0), fn = prm(8807, 0.0),
+            variantB = false)
+          case 9815 => ObliqueMercator(el, latC = prm(8811), lonC = prm(8812),
+            azimuth = prm(8813), gridAngle = prm(8814, prm(8813)),
+            k0 = prm(8815, 1.0), fe = prm(8816, 0.0), fn = prm(8817, 0.0),
+            variantB = true)
+          case 9819 | 1041 => Krovak(el, latC = prm(8811), lonO = prm(8833),
+            coLat = prm(1036), latP = prm(8818), kP = prm(8819, 1.0),
+            fe = prm(8806, 0.0), fn = prm(8807, 0.0),
+            eastNorth = cv.methodCode == 1041)
           case 9804 =>
             // the Mercator kernel is the natural-origin form: reject
             // parameterizations it cannot represent instead of mislocating
@@ -234,8 +289,9 @@ object CrsTransform {
             EllipsoidalMercator(el)
           case other => throw new IllegalArgumentException(
             s"PROJJSON conversion method EPSG:$other ('${cv.methodName}') not " +
-              "supported (TM 9807, LCC-2SP 9802, LAEA 9820, Albers 9822, " +
-              "polar stereographic 9810/9829, Mercator 9804)")
+              "supported (TM 9807, LCC-2SP 9802, LCC-1SP 9801, LAEA 9820, " +
+              "Albers 9822, polar stereographic 9810/9829, Mercator 9804, " +
+              "Hotine oblique Mercator 9812/9815, Krovak 9819/1041)")
         }
         Projected(codeId, proj, datum)
     }
@@ -490,6 +546,165 @@ object CrsTransform {
       val lam = math.atan2(xp, -yp)
       val lon = if (south) lon0 - math.toDegrees(lam) else lon0 + math.toDegrees(lam)
       (((lon + 540.0) % 360.0) - 180.0, math.toDegrees(if (south) -phi else phi))
+    }
+  }
+
+  /** Lambert Conformal Conic, one standard parallel with scale factor
+    * (EPSG method 9801; Snyder 15-x with n = sin φ0). Legacy national
+    * grids (Jamaica National Grid, French Lambert zones). */
+  final case class LambertConformal1SP(el: Ellipsoid, lat0: Double, lon0: Double,
+      k0: Double, fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(lat0)
+    private val n = math.sin(phi0)
+    private val bigF = mFn(el, phi0) / (n * math.pow(tFn(el, phi0), n))
+    private val rho0 = el.a * bigF * k0 * math.pow(tFn(el, phi0), n)
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      val rho = el.a * bigF * k0 * math.pow(tFn(el, math.toRadians(lat)), n)
+      val theta = n * math.toRadians(lon - lon0)
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+    def inv(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe
+      val dy = rho0 - (y - fn)
+      val sgn = if (n >= 0) 1.0 else -1.0
+      val rho = sgn * math.sqrt(dx * dx + dy * dy)
+      val theta = math.atan2(sgn * dx, sgn * dy)
+      val t = math.pow(rho / (el.a * bigF * k0), 1 / n)
+      (lon0 + math.toDegrees(theta / n), math.toDegrees(phiFromT(el, t)))
+    }
+  }
+
+  /** Hotine Oblique Mercator (EPSG methods 9812 variant A / 9815
+    * variant B; EPSG Guidance Note 7-2 formulas). Variant A anchors the
+    * false grid coordinates at the natural origin, variant B at the
+    * projection centre (uc computed by evaluating the unrectified u at
+    * the centre — definitionally maps (latC, lonC) to (fe, fn), which
+    * also covers the azimuth = 90° Swiss/Hungarian special case without
+    * a separate formula). Backs CH1903+/LV95 2056, LV03 21781 and
+    * Malaysia RSO 3375; the reference reaches these via PROJ omerc/
+    * somerc (c/sedona-proj/src/transform.rs:36,258). */
+  final case class ObliqueMercator(el: Ellipsoid, latC: Double, lonC: Double,
+      azimuth: Double, gridAngle: Double, k0: Double,
+      fe: Double, fn: Double, variantB: Boolean) extends Projection {
+    private val phiC = math.toRadians(latC)
+    private val alphaC = math.toRadians(azimuth)
+    private val gammaC = math.toRadians(gridAngle)
+    private val e = el.e
+    private val e2 = el.e2
+    private val sinC = math.sin(phiC)
+    private val cosC = math.cos(phiC)
+    private val bB = math.sqrt(1 + e2 * math.pow(cosC, 4) / (1 - e2))
+    private val aA = el.a * bB * k0 * math.sqrt(1 - e2) / (1 - e2 * sinC * sinC)
+    private val t0 = tFn(el, phiC)
+    private val dD = // D can dip below 1 by rounding for latC near 0
+      math.max(1.0, bB * math.sqrt(1 - e2) / (cosC * math.sqrt(1 - e2 * sinC * sinC)))
+    private val fF = dD + math.sqrt(dD * dD - 1) * (if (phiC < 0) -1.0 else 1.0)
+    private val hH = fF * math.pow(t0, bB)
+    private val gG = (fF - 1 / fF) / 2
+    private val gamma0 = math.asin(math.min(1.0, math.sin(alphaC) / dD))
+    // G·tanγ0 = 1 exactly when azimuth = 90° (Swiss); clamp the roundoff
+    private val lambda0 = math.toRadians(lonC) -
+      math.asin(math.min(1.0, math.max(-1.0, gG * math.tan(gamma0)))) / bB
+    private val cosG0 = math.cos(gamma0)
+    private val sinG0 = math.sin(gamma0)
+    /** Unrectified (u, v) skew coordinates of (lon, lat) degrees. */
+    private def uv(lon: Double, lat: Double): (Double, Double) = {
+      val t = tFn(el, math.toRadians(lat))
+      val qQ = hH / math.pow(t, bB)
+      val sS = (qQ - 1 / qQ) / 2
+      val tT = (qQ + 1 / qQ) / 2
+      val dl = bB * (math.toRadians(lon) - lambda0)
+      val vV = math.sin(dl)
+      val uU = (-vV * cosG0 + sS * sinG0) / tT
+      val v = aA * math.log((1 - uU) / (1 + uU)) / (2 * bB)
+      val u = aA * math.atan2(sS * cosG0 + vV * sinG0, math.cos(dl)) / bB
+      (u, v)
+    }
+    private val uC = if (variantB) uv(lonC, latC)._1 else 0.0
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      val (u0, v) = uv(lon, lat)
+      val u = u0 - uC
+      (fe + v * math.cos(gammaC) + u * math.sin(gammaC),
+        fn + u * math.cos(gammaC) - v * math.sin(gammaC))
+    }
+    def inv(x: Double, y: Double): (Double, Double) = {
+      val vP = (x - fe) * math.cos(gammaC) - (y - fn) * math.sin(gammaC)
+      val uP = (y - fn) * math.cos(gammaC) + (x - fe) * math.sin(gammaC) + uC
+      val qQ = math.exp(-bB * vP / aA)
+      val sS = (qQ - 1 / qQ) / 2
+      val tT = (qQ + 1 / qQ) / 2
+      val vV = math.sin(bB * uP / aA)
+      val uU = (vV * cosG0 + sS * sinG0) / tT
+      val t = math.pow(hH / math.sqrt((1 + uU) / (1 - uU)), 1 / bB)
+      val phi = phiFromT(el, t)
+      val lam = lambda0 - math.atan2(sS * cosG0 - vV * sinG0,
+        math.cos(bB * uP / aA)) / bB
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Krovak oblique conformal conic (EPSG methods 9819 / 1041 "Krovak
+    * East North"; EPSG Guidance Note 7-2 formulas). Native axes are
+    * Southing X / Westing Y; `eastNorth` negates both for the 5514 axis
+    * convention (easting = -Y, northing = -X). The gaussian-sphere
+    * latitude iteration inverts U -> φ to sub-mm in 3-4 rounds. */
+  final case class Krovak(el: Ellipsoid, latC: Double, lonO: Double,
+      coLat: Double, latP: Double, kP: Double, fe: Double, fn: Double,
+      eastNorth: Boolean) extends Projection {
+    private val phiC = math.toRadians(latC)
+    private val lamO = math.toRadians(lonO)
+    private val alphaC = math.toRadians(coLat)
+    private val phiP = math.toRadians(latP)
+    private val e = el.e
+    private val e2 = el.e2
+    private val sinC = math.sin(phiC)
+    private val aA = el.a * math.sqrt(1 - e2) / (1 - e2 * sinC * sinC)
+    private val bB = math.sqrt(1 + e2 * math.pow(math.cos(phiC), 4) / (1 - e2))
+    private val gamma0 = math.asin(sinC / bB)
+    private val t0 = math.tan(math.Pi / 4 + gamma0 / 2) *
+      math.pow((1 + e * sinC) / (1 - e * sinC), e * bB / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bB)
+    private val n = math.sin(phiP)
+    private val r0 = kP * aA / math.tan(phiP)
+    private val tanP = math.pow(math.tan(math.Pi / 4 + phiP / 2), n)
+    def fwd(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val sinP = math.sin(phi)
+      val uU = 2 * (math.atan(t0 * math.pow(math.tan(phi / 2 + math.Pi / 4), bB) /
+        math.pow((1 + e * sinP) / (1 - e * sinP), e * bB / 2)) - math.Pi / 4)
+      val vV = bB * (lamO - math.toRadians(lon))
+      val tT = math.asin(math.cos(alphaC) * math.sin(uU) +
+        math.sin(alphaC) * math.cos(uU) * math.cos(vV))
+      val dD = math.asin(math.cos(uU) * math.sin(vV) / math.cos(tT))
+      val theta = n * dD
+      val r = r0 * tanP / math.pow(math.tan(tT / 2 + math.Pi / 4), n)
+      val xS = r * math.cos(theta) + fn // southing
+      val yW = r * math.sin(theta) + fe // westing
+      if (eastNorth) (-yW, -xS) else (xS, yW)
+    }
+    def inv(x: Double, y: Double): (Double, Double) = {
+      val xS = (if (eastNorth) -y else x) - fn
+      val yW = (if (eastNorth) -x else y) - fe
+      val r = math.hypot(xS, yW)
+      val theta = math.atan2(yW, xS)
+      val dD = theta / n
+      // r = r0·tanP / tan(T/2+π/4)^n  =>  tan(T/2+π/4) = (r0·tanP/r)^(1/n)
+      val tT = 2 * (math.atan(math.pow(r0 * tanP / r, 1.0 / n)) - math.Pi / 4)
+      val uU = math.asin(math.cos(alphaC) * math.sin(tT) -
+        math.sin(alphaC) * math.cos(tT) * math.cos(dD))
+      val vV = math.asin(math.cos(tT) * math.sin(dD) / math.cos(uU))
+      // invert the gaussian latitude: φ_{j+1} from U with the ellipsoidal
+      // correction re-applied each round (converges quadratically)
+      var phi = uU
+      var j = 0
+      while (j < 6) {
+        val sinP = math.sin(phi)
+        phi = 2 * (math.atan(math.pow(t0, -1.0 / bB) *
+          math.pow(math.tan(uU / 2 + math.Pi / 4), 1.0 / bB) *
+          math.pow((1 + e * sinP) / (1 - e * sinP), e / 2)) - math.Pi / 4)
+        j += 1
+      }
+      (math.toDegrees(lamO - vV / bB), math.toDegrees(phi))
     }
   }
 

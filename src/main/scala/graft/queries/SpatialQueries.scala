@@ -217,6 +217,14 @@ object SpatialQueries {
         // LA-basin band for the PROJJSON-parameterized zone below
         .withColumn("lon_ca", (col("c_custkey") % 40).cast("double") / 10.0 - 120.0)
         .withColumn("lat_ca", (col("c_custkey") % 30).cast("double") / 10.0 + 33.0)
+        // Swiss / Czech / Malaysian bands for the oblique-Mercator and
+        // Krovak kernels (EPSG 2056 LV95, 5514 Krovak EN, 3375 RSO)
+        .withColumn("lon_ch", (col("c_custkey") % 40).cast("double") / 10.0 + 6.0)
+        .withColumn("lat_ch", (col("c_custkey") % 18).cast("double") / 10.0 + 46.0)
+        .withColumn("lon_cz", (col("c_custkey") % 60).cast("double") / 10.0 + 12.5)
+        .withColumn("lat_cz", (col("c_custkey") % 24).cast("double") / 10.0 + 48.6)
+        .withColumn("lon_my", (col("c_custkey") % 40).cast("double") / 10.0 + 100.0)
+        .withColumn("lat_my", (col("c_custkey") % 50).cast("double") / 10.0 + 1.5)
       // NAD83 / California zone 5: NOT in the enumerated EPSG table —
       // defined ONLY by its PROJJSON parameters (EPSG:26945 registry
       // values), exercising the parameter-driven kernel path the
@@ -247,7 +255,10 @@ object SpatialQueries {
         rt(col("lon_tx"), col("lat_tx"), "EPSG:32139", "sptx") ++
         rt(col("lon_z17"), col("lat_ny"), "EPSG:26917", "n83") ++
         rt(col("lon_w"), col("lat_ant"), "EPSG:3031", "ps") ++
-        rt(col("lon_ca"), col("lat_ca"), ca5, "ca5"): _*)
+        rt(col("lon_ca"), col("lat_ca"), ca5, "ca5") ++
+        rt(col("lon_ch"), col("lat_ch"), "EPSG:2056", "lv95") ++
+        rt(col("lon_cz"), col("lat_cz"), "EPSG:5514", "kro") ++
+        rt(col("lon_my"), col("lat_my"), "EPSG:3375", "rso"): _*)
     }),
 
     // spatial sort key: Z-order (Hilbert variant covered in unit spec)
@@ -1020,7 +1031,13 @@ object SpatialQueries {
         |    CAST(c_custkey % 240 AS DOUBLE)/40.0 - 82.5 AS lon_z17,
         |    CAST(c_custkey % 200 AS DOUBLE)/10.0 - 85.0 AS lat_ant,
         |    CAST(c_custkey % 40 AS DOUBLE)/10.0 - 120.0 AS lon_ca,
-        |    CAST(c_custkey % 30 AS DOUBLE)/10.0 + 33.0 AS lat_ca
+        |    CAST(c_custkey % 30 AS DOUBLE)/10.0 + 33.0 AS lat_ca,
+        |    CAST(c_custkey % 40 AS DOUBLE)/10.0 + 6.0 AS lon_ch,
+        |    CAST(c_custkey % 18 AS DOUBLE)/10.0 + 46.0 AS lat_ch,
+        |    CAST(c_custkey % 60 AS DOUBLE)/10.0 + 12.5 AS lon_cz,
+        |    CAST(c_custkey % 24 AS DOUBLE)/10.0 + 48.6 AS lat_cz,
+        |    CAST(c_custkey % 40 AS DOUBLE)/10.0 + 100.0 AS lon_my,
+        |    CAST(c_custkey % 50 AS DOUBLE)/10.0 + 1.5 AS lat_my
         |  FROM customer WHERE c_custkey % 5 = 0)
         |SELECT c_custkey,
         |  round(lon_eu, 5) AS lon_lcc,  round(lat_eu, 5) AS lat_lcc,
@@ -1033,7 +1050,10 @@ object SpatialQueries {
         |  round(lon_tx, 5) AS lon_sptx, round(lat_tx, 5) AS lat_sptx,
         |  round(lon_z17, 5) AS lon_n83, round(lat_ny, 5) AS lat_n83,
         |  round(lon_w, 5) AS lon_ps,   round(lat_ant, 5) AS lat_ps,
-        |  round(lon_ca, 5) AS lon_ca5, round(lat_ca, 5) AS lat_ca5
+        |  round(lon_ca, 5) AS lon_ca5, round(lat_ca, 5) AS lat_ca5,
+        |  round(lon_ch, 5) AS lon_lv95, round(lat_ch, 5) AS lat_lv95,
+        |  round(lon_cz, 5) AS lon_kro,  round(lat_cz, 5) AS lat_kro,
+        |  round(lon_my, 5) AS lon_rso,  round(lat_my, 5) AS lat_rso
         |FROM p""".stripMargin,
 
     "sp09_zorder" ->

@@ -203,7 +203,19 @@ object ProjJson {
     "easting at false origin" -> 8826,
     "northing at false origin" -> 8827,
     "latitude of standard parallel" -> 8832,
-    "longitude of origin" -> 8833)
+    "longitude of origin" -> 8833,
+    "latitude of projection centre" -> 8811,
+    "longitude of projection centre" -> 8812,
+    "azimuth at projection centre" -> 8813,
+    "azimuth of initial line" -> 8813,
+    "angle from rectified to skew grid" -> 8814,
+    "scale factor at projection centre" -> 8815,
+    "scale factor on initial line" -> 8815,
+    "easting at projection centre" -> 8816,
+    "northing at projection centre" -> 8817,
+    "latitude of pseudo standard parallel" -> 8818,
+    "scale factor on pseudo standard parallel" -> 8819,
+    "co-latitude of cone axis" -> 1036)
 
   private val MethodCodeByName: Map[String, Int] = Map(
     "transverse mercator" -> 9807,
@@ -214,7 +226,12 @@ object ProjJson {
     "polar stereographic (variant b)" -> 9829,
     "mercator (variant a)" -> 9804,
     "mercator (variant b)" -> 9805,
-    "popular visualisation pseudo mercator" -> 1024)
+    "popular visualisation pseudo mercator" -> 1024,
+    "lambert conic conformal (1sp)" -> 9801,
+    "hotine oblique mercator (variant a)" -> 9812,
+    "hotine oblique mercator (variant b)" -> 9815,
+    "krovak" -> 9819,
+    "krovak (north orientated)" -> 1041)
 
   /** Parse a PROJJSON Geographic/Geodetic/Projected CRS; None for other
     * types (compound, bound, engineering) or malformed JSON. */

@@ -292,6 +292,103 @@ class CrsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { CrsTransform.parse(bad) }
   }
 
+  test("oblique Mercator / Krovak / LCC-1SP: EPSG Guidance Note 7-2 anchors") {
+    // Timbalai 1948 / RSO Borneo (m) — Hotine variant B (method 9815),
+    // Everest 1830 (1967 definition). GN7-2 worked example.
+    val rso = ObliqueMercator(Ellipsoid(6377298.556, 1.0 / 300.8017),
+      latC = 4.0, lonC = 115.0,
+      azimuth = 53.0 + 18.0 / 60 + 56.9537 / 3600,
+      gridAngle = 53.0 + 7.0 / 60 + 48.3685 / 3600, k0 = 0.99984,
+      fe = 590476.87, fn = 442857.65, variantB = true)
+    val in = (115.0 + 48.0 / 60 + 19.8196 / 3600, 5.0 + 23.0 / 60 + 14.1129 / 3600)
+    val (re, rn) = rso.fwd(in._1, in._2)
+    assert(math.abs(re - 679245.73) < 0.05 && math.abs(rn - 596562.78) < 0.05,
+      s"RSO Borneo ($re,$rn)")
+    // inverse of the published cm-rounded E/N: ~1e-7 deg of roundoff
+    val (rlo, rla) = rso.inv(679245.73, 596562.78)
+    assert(math.abs(rlo - in._1) < 5e-7 && math.abs(rla - in._2) < 5e-7)
+    // Krovak (method 9819, native Southing/Westing) — GN7-2 worked
+    // example on S-JTSK (Bessel 1841), longitudes East of Greenwich
+    val kro = Krovak(Ellipsoid(6377397.155, 1.0 / 299.1528128),
+      latC = 49.5, lonO = 24.0 + 50.0 / 60,
+      coLat = 30.0 + 17.0 / 60 + 17.3031 / 3600,
+      latP = 78.5, kP = 0.9999, fe = 0.0, fn = 0.0, eastNorth = false)
+    val kin = (16.0 + 50.0 / 60 + 59.179 / 3600, 50.0 + 12.0 / 60 + 32.4416 / 3600)
+    val (kx, ky) = kro.fwd(kin._1, kin._2)
+    assert(math.abs(kx - 1050538.63) < 0.05 && math.abs(ky - 568991.0) < 0.05,
+      s"Krovak southing/westing ($kx,$ky)")
+    val (klo, kla) = kro.inv(1050538.63, 568991.0)
+    assert(math.abs(klo - kin._1) < 5e-7 && math.abs(kla - kin._2) < 5e-7)
+    // Jamaica 1969 / Jamaica National Grid — LCC-1SP (method 9801) on
+    // Clarke 1866. GN7-2 worked example.
+    val jam = LambertConformal1SP(Ellipsoid(6378206.4, 1.0 / 294.9786982),
+      lat0 = 18.0, lon0 = -77.0, k0 = 1.0, fe = 250000.0, fn = 150000.0)
+    val (je, jn) = jam.fwd(-(76.0 + 56.0 / 60 + 37.26 / 3600),
+      17.0 + 55.0 / 60 + 55.8 / 3600)
+    assert(math.abs(je - 255966.58) < 0.05 && math.abs(jn - 142493.51) < 0.05,
+      s"Jamaica ($je,$jn)")
+  }
+
+  test("Swiss LV95/LV03, Czech 5514, Malaysia 3375: centers, axes, roundtrips") {
+    // the Swiss projection centre (Bern old observatory, CH1903+ datum)
+    // maps exactly to the LV95/LV03 false origins at the kernel level
+    val latC = 46.0 + 57.0 / 60 + 8.66 / 3600
+    val lonC = 7.0 + 26.0 / 60 + 22.5 / 3600
+    val lv95 = ObliqueMercator(Ellipsoid(6377397.155, 1.0 / 299.1528128),
+      latC, lonC, azimuth = 90.0, gridAngle = 90.0, k0 = 1.0,
+      fe = 2600000.0, fn = 1200000.0, variantB = true)
+    assert(near(lv95.fwd(lonC, latC), (2600000.0, 1200000.0), 1e-6))
+    // swisstopo worked example (WGS84/ETRS89 input, full datum chain):
+    // φ=46°02'38.87" λ=8°43'49.79" -> LV95 (2700000.005, 1100000.000);
+    // the translation-only Helmert reproduces it to ~4 cm
+    val (se, sn) = pt(8.0 + 43.0 / 60 + 49.79 / 3600,
+      46.0 + 2.0 / 60 + 38.87 / 3600, "EPSG:4326", "EPSG:2056")
+    assert(math.abs(se - 2700000.005) < 0.2 && math.abs(sn - 1100000.0) < 0.2,
+      s"LV95 swisstopo example ($se,$sn)")
+    // full-chain roundtrips through the datum legs (the Helmert
+    // geodetic<->geocentric legs carry ~1e-8 deg of iteration roundoff)
+    for (lon <- Seq(6.2, 7.5, 9.8); lat <- Seq(46.0, 47.0, 47.7)) {
+      roundtrip("EPSG:2056", lon, lat, 1e-7)
+      roundtrip("EPSG:21781", lon, lat, 1e-7)
+    }
+    for (lon <- Seq(12.5, 15.0, 18.5); lat <- Seq(48.7, 49.8, 50.9))
+      roundtrip("EPSG:5514", lon, lat, 1e-7)
+    for (lon <- Seq(100.5, 102.0, 103.5); lat <- Seq(1.5, 4.0, 6.5))
+      roundtrip("EPSG:3375", lon, lat, 1e-7)
+    // 5514 East-North axes: both coordinates negative in-country, and
+    // equal to the negated native southing/westing
+    val (e5514, n5514) = pt(14.42, 50.09, "EPSG:4326", "EPSG:5514") // Prague
+    assert(e5514 < -700000 && e5514 > -760000, s"5514 easting $e5514")
+    assert(n5514 < -1030000 && n5514 > -1070000, s"5514 northing $n5514")
+    // LV95 = LV03 + (2000000, 1000000) by construction
+    val (e95, n95) = pt(8.54, 47.38, "EPSG:4326", "EPSG:2056") // Zurich
+    val (e03, n03) = pt(8.54, 47.38, "EPSG:4326", "EPSG:21781")
+    assert(math.abs(e95 - e03 - 2000000.0) < 1e-6 &&
+      math.abs(n95 - n03 - 1000000.0) < 1e-6)
+    // Zurich lands in the published LV95 neighborhood (~2683000, 1248000)
+    assert(math.abs(e95 - 2683200) < 2000 && math.abs(n95 - 1247800) < 2000,
+      s"LV95 Zurich ($e95,$n95)")
+    // PROJJSON Krovak parameters (no id) must match the enumerated 5514
+    val k5514 =
+      """{"type":"ProjectedCRS","name":"anon krovak","base_crs":{
+        |"type":"GeographicCRS","name":"S-JTSK","datum":{"type":
+        |"GeodeticReferenceFrame","name":"System of the Unified Trigonometrical Cadastral Network",
+        |"ellipsoid":{"name":"Bessel 1841","semi_major_axis":6377397.155,
+        |"inverse_flattening":299.1528128}}},
+        |"conversion":{"name":"c","method":{"name":"Krovak (North Orientated)"},
+        |"parameters":[
+        |{"name":"Latitude of projection centre","value":49.5,"unit":"degree"},
+        |{"name":"Longitude of origin","value":24.833333333333333,"unit":"degree"},
+        |{"name":"Co-latitude of cone axis","value":30.288139749999998,"unit":"degree"},
+        |{"name":"Latitude of pseudo standard parallel","value":78.5,"unit":"degree"},
+        |{"name":"Scale factor on pseudo standard parallel","value":0.9999,"unit":"unity"},
+        |{"name":"False easting","value":0,"unit":"metre"},
+        |{"name":"False northing","value":0,"unit":"metre"}]}}"""
+        .stripMargin.replace("\n", "")
+    assert(near(pt(14.42, 50.09, "EPSG:4326", k5514),
+      pt(14.42, 50.09, "EPSG:4326", "EPSG:5514"), 1e-4))
+  }
+
   test("equal-area property: LAEA preserves a small cell's area") {
     // 0.1° x 0.1° cell near (10,52): planar area in 3035 must match the
     // ellipsoid-ish area estimate within 0.2%

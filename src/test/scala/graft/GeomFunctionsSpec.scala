@@ -567,8 +567,9 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sb = CrsTransform.transform(s, "EPSG:32721", "EPSG:4326").getCoordinate
     assert(math.abs(sb.x + 58.4) < 1e-6 && math.abs(sb.y + 34.6) < 1e-6)
     // OSGB36/27700 is supported via a real Helmert leg (CrsSpec anchors);
-    // a CRS we genuinely don't carry still errors loudly
-    intercept[IllegalArgumentException](CrsTransform.parse("EPSG:2056"))
+    // a CRS we genuinely don't carry still errors loudly (Irish grid:
+    // TM on the Ireland 1965 datum, no enumerated entry)
+    intercept[IllegalArgumentException](CrsTransform.parse("EPSG:29902"))
   }
 
   test("hilbert curve: locality + bijectivity on a grid") {
