@@ -121,8 +121,28 @@ object CrsTransform {
     // definition works without a table entry, the behavior the reference
     // gets from PROJ (c/sedona-proj/src/transform.rs:36,258)
     if (t.startsWith("{")) return parseProjJson(t)
-    // WKT1/WKT2/OGC:CRS84 route through the authority extractor
-    // and come back as plain EPSG codes
+    // WKT1/WKT2: enumerated authority-id fast path first; a WKT body
+    // without an EPSG id (or with an unlisted one) falls back to
+    // CONVERSION/PARAMETER extraction into the same kernels PROJJSON
+    // feeds — the PROJ-like definition-driven path
+    val up = t.toUpperCase
+    if (up.startsWith("PROJCS") || up.startsWith("PROJCRS") ||
+      up.startsWith("GEOGCS") || up.startsWith("GEOGCRS") ||
+      up.startsWith("GEODCRS")) {
+      val viaId =
+        (try Some(GeomScalars.parseCrsSrid(t)) catch { case _: Exception => None })
+          .flatMap(c => try Some(parseEpsg(c)) catch { case _: Exception => None })
+      return viaId.getOrElse {
+        val p = graft.sources.WktCrs.parseCrs(t).getOrElse(
+          throw new IllegalArgumentException(
+            "st_transform: WKT CRS carries no supported authority id and its " +
+              "CONVERSION/PARAMETER set is not a supported method (TM, LCC-1SP/" +
+              "2SP, LAEA, Albers, polar stereographic, Mercator, Hotine oblique " +
+              "Mercator, Krovak)"))
+        fromParsed(p)
+      }
+    }
+    // OGC:CRS84 and friends route through the authority extractor
     val c =
       if (t.toUpperCase.startsWith("EPSG:")) t.drop(5).trim
       else if (t.nonEmpty && t.forall(_.isDigit)) t

@@ -190,7 +190,7 @@ object ProjJson {
 
   /** EPSG parameter codes by lowercase name, for writers that omit the
     * optional parameter ids (the proj.org schema allows it). */
-  private val ParamCodeByName: Map[String, Int] = Map(
+  private[graft] val ParamCodeByName: Map[String, Int] = Map(
     "latitude of natural origin" -> 8801,
     "longitude of natural origin" -> 8802,
     "scale factor at natural origin" -> 8805,
@@ -217,7 +217,7 @@ object ProjJson {
     "scale factor on pseudo standard parallel" -> 8819,
     "co-latitude of cone axis" -> 1036)
 
-  private val MethodCodeByName: Map[String, Int] = Map(
+  private[graft] val MethodCodeByName: Map[String, Int] = Map(
     "transverse mercator" -> 9807,
     "lambert conic conformal (2sp)" -> 9802,
     "lambert azimuthal equal area" -> 9820,

@@ -389,6 +389,73 @@ class CrsSpec extends AnyFunSuite {
       pt(14.42, 50.09, "EPSG:4326", "EPSG:5514"), 1e-4))
   }
 
+  test("WKT1/WKT2 parameter extraction: no authority id needed") {
+    // WKT2 TM definition with NO id anywhere (GeoTIFF-style custom CRS):
+    // must agree with the enumerated EPSG:32631 kernels to sub-mm
+    val wkt2Tm =
+      """PROJCRS["custom TM",
+        |  BASEGEOGCRS["WGS 84",
+        |    DATUM["World Geodetic System 1984",
+        |      ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]]],
+        |  CONVERSION["c",
+        |    METHOD["Transverse Mercator"],
+        |    PARAMETER["Latitude of natural origin",0,ANGLEUNIT["degree",0.0174532925199433]],
+        |    PARAMETER["Longitude of natural origin",3,ANGLEUNIT["degree",0.0174532925199433]],
+        |    PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1]],
+        |    PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],
+        |    PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],
+        |  CS[Cartesian,2]]""".stripMargin
+    for ((lon, lat) <- Seq((2.2945, 48.858), (3.0, 0.0), (5.5, 60.0)))
+      assert(near(pt(lon, lat, "EPSG:4326", wkt2Tm),
+        pt(lon, lat, "EPSG:4326", "EPSG:32631"), 1e-6), s"wkt2 TM ($lon,$lat)")
+    // WKT1 (GDAL snake_case) LCC-2SP without AUTHORITY: matches 32139
+    val wkt1Lcc =
+      """PROJCS["custom LCC",
+        |  GEOGCS["NAD83",
+        |    DATUM["North_American_Datum_1983",
+        |      SPHEROID["GRS 1980",6378137,298.257222101]],
+        |    PRIMEM["Greenwich",0],
+        |    UNIT["degree",0.0174532925199433]],
+        |  PROJECTION["Lambert_Conformal_Conic_2SP"],
+        |  PARAMETER["latitude_of_origin",29.6666666666667],
+        |  PARAMETER["central_meridian",-98.5],
+        |  PARAMETER["standard_parallel_1",31.8833333333333],
+        |  PARAMETER["standard_parallel_2",30.1166666666667],
+        |  PARAMETER["false_easting",700000],
+        |  PARAMETER["false_northing",3000000],
+        |  UNIT["metre",1]]""".stripMargin
+    assert(near(pt(-97.7, 30.3, "EPSG:4326", wkt1Lcc),
+      pt(-97.7, 30.3, "EPSG:4326", "EPSG:32139"), 1e-4))
+    // WKT2 Krovak with parameter ID nodes and the official datum name
+    // (no top-level id): agrees with enumerated 5514 incl. Helmert leg
+    val wkt2Krovak =
+      """PROJCRS["custom Krovak",
+        |  BASEGEOGCRS["S-JTSK",
+        |    DATUM["System of the Unified Trigonometrical Cadastral Network",
+        |      ELLIPSOID["Bessel 1841",6377397.155,299.1528128,LENGTHUNIT["metre",1]]]],
+        |  CONVERSION["c",
+        |    METHOD["Krovak (North Orientated)",ID["EPSG",1041]],
+        |    PARAMETER["Latitude of projection centre",49.5,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8811]],
+        |    PARAMETER["Longitude of origin",24.8333333333333,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8833]],
+        |    PARAMETER["Co-latitude of cone axis",30.2881397527778,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",1036]],
+        |    PARAMETER["Latitude of pseudo standard parallel",78.5,ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8818]],
+        |    PARAMETER["Scale factor on pseudo standard parallel",0.9999,SCALEUNIT["unity",1],ID["EPSG",8819]],
+        |    PARAMETER["False easting",0,LENGTHUNIT["metre",1]],
+        |    PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],
+        |  CS[Cartesian,2]]""".stripMargin
+    assert(near(pt(14.42, 50.09, "EPSG:4326", wkt2Krovak),
+      pt(14.42, 50.09, "EPSG:4326", "EPSG:5514"), 5e-3))
+    // a WKT with a LISTED authority id still takes the enumerated path
+    val withId = wkt2Tm.replace("CS[Cartesian,2]]",
+      """CS[Cartesian,2],ID["EPSG",32631]]""")
+    assert(near(pt(5.5, 60.0, "EPSG:4326", withId),
+      pt(5.5, 60.0, "EPSG:4326", "EPSG:32631"), 1e-9))
+    // non-CRS WKT errors loudly
+    intercept[IllegalArgumentException] {
+      CrsTransform.parse("""PROJCRS["broken", CS[Cartesian,2]]""")
+    }
+  }
+
   test("equal-area property: LAEA preserves a small cell's area") {
     // 0.1° x 0.1° cell near (10,52): planar area in 3035 must match the
     // ellipsoid-ish area estimate within 0.2%
