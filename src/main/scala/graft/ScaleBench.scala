@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.st
+import graft.operators.SpatialJoins
+import graft.pipeline.{IvfAnn, PipelineOps}
+
+/** Empirical scale validation for the join/pipeline/streaming operators
+  * (VERDICT r7 "next round" #1): run the same operator code paths the
+  * gates exercise at a size multiplier m=1 vs m=10 and report wall-time
+  * and output-row ratios.
+  *
+  * The gate queries themselves synthesize coordinates as f(key mod M),
+  * so replicating the parquet rows 10x would stack 10x points on the
+  * SAME lattice sites — output pairs grow ~100x and the measurement
+  * reads data degeneracy, not operator scaling. Instead each workload
+  * here generates its inputs with DENSITY HELD CONSTANT: ground extent
+  * (or corpus/time span) grows with m, and the per-deployment tuning
+  * knobs scale the way a cluster operator would set them — grid cells
+  * proportional to extent (cell size constant in ground units), LSH
+  * bits ~ log2(n), dwithin radius fixed in ground terms while the grid
+  * tracks it. A sound distributed plan then shows time ratio ~ m
+  * (linear work, constant density) and rows ratio ~ m; super-linear
+  * time with linear rows is a scaling bug in the operator.
+  *
+  * Run: SPARK_GRAFT_SCALE_MULT=10 sbt "runMain graft.ScaleBench [wl...]"
+  * Prints one JSON line per workload; results recorded in BENCH_LOCAL.md.
+  */
+object ScaleBench {
+
+  /** Deterministic pseudo-uniform double in [0, 1) from (id, salt) —
+    * murmur3 via Spark's hash(), sign-folded. */
+  private def u(idCol: Column, salt: Int): Column =
+    (pmod(hash(idCol, lit(salt)), lit(1000000)).cast("double")) / 1000000.0
+
+  private def sqrtM(m: Int): Double = math.sqrt(m.toDouble)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mBig = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftSparkSessionExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
+
+    // ---- synthetic generators (density constant in m) ----
+
+    // planar plane: W x H grows with m, uniform points
+    def planeW(m: Int): Double = 2000.0 * sqrtM(m)
+    def planeH(m: Int): Double = 1000.0 * sqrtM(m)
+    def points(m: Int, n0: Int): DataFrame =
+      spark.range(0, n0.toLong * m).toDF("id")
+        .withColumn("pt", st.point(u(col("id"), 1) * planeW(m), u(col("id"), 2) * planeH(m)))
+    def boxesN(m: Int, n: Long, side: Double): DataFrame =
+      spark.range(0, n).toDF("bid")
+        .withColumn("bx", u(col("bid"), 3) * planeW(m))
+        .withColumn("by", u(col("bid"), 4) * planeH(m))
+        .withColumn("box", st.makeEnvelope(col("bx"), col("by"),
+          col("bx") + lit(side), col("by") + lit(side)))
+        .select(col("bid"), col("box"))
+    def boxes(m: Int, n0: Int, side: Double): DataFrame =
+      boxesN(m, n0.toLong * m, side)
+
+    // globe points: uniform lon/lat band (density per degree constant
+    // because the globe cannot grow — workloads shrink their radius or
+    // shapes instead)
+    def globePoints(n: Long, salt: Int): DataFrame =
+      spark.range(0, n).toDF("id")
+        .withColumn("pt", st.point(u(col("id"), salt) * 360.0 - 180.0,
+          u(col("id"), salt + 1) * 170.0 - 85.0))
+
+    // documents: ~80-word texts over a fixed vocab; every 10th doc is a
+    // near-dup of its predecessor (2 words changed) — constant dup rate
+    def docs(m: Int, n0: Int): DataFrame =
+      spark.range(0, n0.toLong * m).toDF("doc_id")
+        .withColumn("base", col("doc_id") - when(col("doc_id") % 10 === 9, 1).otherwise(0))
+        .withColumn("isdup", col("doc_id") % 10 === 9)
+        .withColumn("text", array_join(transform(sequence(lit(0), lit(79)),
+          i => when(col("isdup") && (i === 3 || i === 40),
+            concat(lit("x"), col("doc_id")))
+            .otherwise(concat(lit("w"), pmod(hash(col("base"), i), lit(8000))))), " "))
+        .withColumn("source", pmod(hash(col("doc_id"), lit(77)), lit(100) * m).cast("string"))
+        .select(col("doc_id"), col("text"), col("source"))
+
+    def embeddings(m: Int, n0: Int): DataFrame =
+      spark.range(0, n0.toLong * m).toDF("vec_id")
+        .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+          d => (pmod(hash(col("vec_id"), d), lit(2000)).cast("double") / 1000.0 - 1.0)
+            .cast("float")))
+
+    // ---- workloads: (name, m => (rows, seconds)) ----
+
+    def timed(df: => DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val workloads: Seq[(String, Int => (Long, Double))] = Seq(
+      // sj01 path: broadcast index join — dim side FIXED at 20k (a dim
+      // table does not grow with fact data), probe scales; the boxes
+      // grow with the plane so hits-per-probe stays constant and the
+      // output scales with the probe
+      "sj01_broadcast_index" -> { m =>
+        timed(points(m, 150000).join(boxesN(m, 20000, 10.0 * sqrtM(m)),
+          st.intersects(col("pt"), col("box"))))
+      },
+      // sj05 path: shuffle-partitioned grid join, both sides scale,
+      // cell size constant in ground units (nx ~ sqrt(m))
+      "sj05_grid_join" -> { m =>
+        val nx = math.max(8, (32 * sqrtM(m)).toInt)
+        timed(SpatialJoins.gridJoin(points(m, 150000), boxes(m, 20000, 5.0),
+          col("pt"), col("box"), "st_intersects",
+          bounds = Some((0.0, 0.0, planeW(m), planeH(m))), nx = nx, ny = nx))
+      },
+      // sj07 path: planner-level SQL grid join under broadcast-off,
+      // grid resolution from the deployment conf
+      "sj07_planner_grid" -> { m =>
+        val nx = math.max(8, (64 * sqrtM(m)).toInt)
+        points(m, 150000).select(col("id"), col("pt")).createOrReplaceTempView("sb_pts")
+        boxes(m, 20000, 5.0).createOrReplaceTempView("sb_boxes")
+        val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.graft.join.grid.nx", nx.toString)
+        spark.conf.set("spark.graft.join.grid.ny", nx.toString)
+        try timed(spark.sql(
+          "SELECT id, bid FROM sb_pts JOIN sb_boxes ON st_intersects(pt, box)"))
+        finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+          spark.conf.unset("spark.graft.join.grid.nx")
+          spark.conf.unset("spark.graft.join.grid.ny")
+        }
+      },
+      // sj08 path: spherical dwithin join on the (fixed) globe — density
+      // grows with m, so the ground radius shrinks ~1/sqrt(m) to keep
+      // matches-per-probe constant and the grid tracks the radius
+      "sj08_sphere_dwithin" -> { m =>
+        val nx = math.max(36, (72 * sqrtM(m)).toInt)
+        timed(SpatialJoins.sphereDWithinJoin(
+          globePoints(15000L * m, 11).select(col("id").as("aid"), col("pt").as("apt")),
+          globePoints(15000L * m, 13).select(col("id").as("bid"), col("pt").as("bpt")),
+          col("apt"), col("bpt"), 250000.0 / sqrtM(m), nx = nx, ny = nx / 2))
+      },
+      // sj10 path: out-of-core two-round KNN grid, k fixed, both sides
+      // scale, cells constant in ground units
+      "sj10_knn_grid" -> { m =>
+        val nx = math.max(8, (32 * sqrtM(m)).toInt)
+        timed(SpatialJoins.knnJoinGrid(
+          points(m, 1500).select(col("id").as("qid"), col("pt").as("qpt")),
+          points(m, 20000).select(col("id").as("oid"), col("pt").as("opt")),
+          col("qpt"), col("opt"), 3, col("oid"),
+          nx = nx, ny = nx, bounds = Some((0.0, 0.0, planeW(m), planeH(m)))))
+      },
+      // sj13 path: spherical intersects join — polygon count scales,
+      // polygon side shrinks 1/sqrt(m) so expected point-in-quad pairs
+      // stay linear; the adaptive two-level grid tracks nx
+      "sj13_sphere_intersects" -> { m =>
+        val nx = math.max(90, (360 * sqrtM(m)).toInt)
+        val side = 2.0 / sqrtM(m)
+        val quads = spark.range(0, 2000L * m).toDF("qid")
+          .withColumn("qx", u(col("qid"), 21) * (360.0 - side) - 180.0)
+          .withColumn("qy", u(col("qid"), 22) * (160.0 - side) - 80.0)
+          .withColumn("quad", st.makeEnvelope(col("qx"), col("qy"),
+            col("qx") + lit(side), col("qy") + lit(side)))
+          .select(col("qid"), col("quad"))
+        timed(SpatialJoins.sphereIntersectsJoin(
+          quads, globePoints(150000L * m, 31), col("quad"), col("pt"),
+          nx = nx, ny = nx / 2))
+      },
+      // pl04 path: MinHash+LSH banding, constant dup rate
+      "pl04_minhash" -> { m =>
+        timed(PipelineOps.minhashPairs(docs(m, 5000), col("doc_id"), col("text"),
+          numHashes = 12, bands = 4))
+      },
+      // pl05 path: SimHash blocked hamming; block count scales with m so
+      // block size stays constant
+      "pl05_simhash" -> { m =>
+        timed(PipelineOps.simhashPairs(docs(m, 5000), col("doc_id"), col("text"),
+          col("source"), maxHamming = 14))
+      },
+      // pl06 path: n-gram jaccard inside source blocks (low threshold =
+      // the blocked-merge branch)
+      "pl06_ngram_jaccard" -> { m =>
+        timed(PipelineOps.ngramJaccardPairs(docs(m, 5000), col("doc_id"),
+          col("text"), col("source"), k = 3, minJaccard = 0.03))
+      },
+      // pl09 path: hyperplane LSH ANN self-join; bits ~ 8 + log2(m)
+      // keeps expected bucket occupancy constant (the knob a deployment
+      // scales with corpus size)
+      "pl09_lsh_ann" -> { m =>
+        val nbits = 8 + math.ceil(math.log(m.toDouble) / math.log(2)).toInt
+        timed(PipelineOps.lshAnn(embeddings(m, 2000), col("vec_id"),
+          col("embedding"), nbits = nbits, k = 2))
+      },
+      // pl11 path: IVF ANN — k-means|| quantizer (driver holds k x dims
+      // only) + inverted-list probe with a fixed query set
+      "pl11_ivf_ann" -> { m =>
+        timed {
+          val e = embeddings(m, 2000)
+          val qv = IvfAnn.quantized(col("embedding"))
+          val centroids = IvfAnn.kmeans(e, col("vec_id"), qv, k = 64, iters = 3)
+          IvfAnn.search(e, e.filter(col("vec_id") < 20),
+            col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+            centroids, nProbe = 8, topK = 3, listVec = Some((qv, qv)))
+        }
+      },
+      // pl12 path: connected components over the minhash pair graph
+      "pl12_dedup_groups" -> { m =>
+        timed {
+          val pairs = PipelineOps.minhashPairs(docs(m, 5000), col("doc_id"),
+            col("text"), numHashes = 12, bands = 4)
+          PipelineOps.dedupGroups(pairs, col("doc_a"), col("doc_b"))
+        }
+      },
+      // st03 path: watermarked stream-stream spatial join; event rate and
+      // spatial extent constant, only the stream's time span grows with m
+      // (a longer stream at the same rate) — the 12h band bounds state,
+      // so output scales linearly and state stays constant
+      "st03_stream_stream" -> { m =>
+        val gw = 31.0
+        val gh = 23.0
+        val nx = 64
+        val spanUs = 30L * 86400L * 1000000L * m // rate constant in m
+        val n = 25000L * m
+        def side(salt: Int, tag: String): String = {
+          val stage = s"/tmp/graft_scalebench_$tag/$m"
+          spark.range(0, n).toDF("id")
+            .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
+              (col("id") * (spanUs / n)) + pmod(hash(col("id"), lit(salt)), lit(1000000))))
+            .withColumn("x", round(u(col("id"), salt + 1) * gw * 4.0) / 4.0)
+            .withColumn("y", round(u(col("id"), salt + 2) * gh * 4.0) / 4.0)
+            .coalesce(2).write.mode("overwrite").parquet(stage)
+          stage
+        }
+        val lstage = side(41, "l")
+        val rstage = side(47, "r")
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("id", LongType),
+          StructField("ts", TimestampType), StructField("x", DoubleType),
+          StructField("y", DoubleType)))
+        val l = spark.readStream.schema(schema).parquet(lstage)
+          .withWatermark("ts", "0 seconds")
+          .withColumnRenamed("ts", "lts").withColumnRenamed("id", "lid")
+          .withColumn("lg", st.point(col("x"), col("y")))
+          .drop("x", "y")
+        val r = spark.readStream.schema(schema).parquet(rstage)
+          .withWatermark("ts", "0 seconds")
+          .withColumnRenamed("ts", "rts").withColumnRenamed("id", "rid")
+          .withColumn("rg", st.makeEnvelope(col("x") - 0.25, col("y") - 0.25,
+            col("x") + 0.25, col("y") + 0.25))
+          .drop("x", "y")
+        val joined = graft.streaming.StreamingOps.streamSpatialJoin(
+          l, r, col("lg"), col("rg"), "st_intersects",
+          bounds = (0.0, 0.0, gw, gh),
+          timeCond = col("lts") >= col("rts") - expr("INTERVAL 12 HOURS") &&
+            col("lts") <= col("rts") + expr("INTERVAL 12 HOURS"),
+          nx = nx, ny = nx)
+          .select(col("lid"), col("rid"))
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val t0 = System.nanoTime()
+          val sink = s"sb_ssj_$m"
+          val q = joined.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val rows = spark.table(sink).count()
+          (rows, (System.nanoTime() - t0) / 1e9)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    )
+
+    val selected =
+      if (args.isEmpty) workloads else workloads.filter(w => args.contains(w._1))
+    selected.foreach { case (name, run) =>
+      // m=1 twice (second run is warm), m=big once on the warmed JIT
+      run(1)
+      val (r1, t1) = run(1)
+      val (rb, tb) = run(mBig)
+      val tr = tb / math.max(t1, 1e-9)
+      val rr = rb.toDouble / math.max(r1, 1).toDouble
+      println(f"""{"wl":"$name","m":$mBig,"rows_1":$r1,"sec_1":$t1%.2f,""" +
+        f""""rows_$mBig":$rb,"sec_$mBig":$tb%.2f,"time_ratio":$tr%.2f,""" +
+        f""""rows_ratio":$rr%.2f}""")
+    }
+    spark.stop()
+  }
+}

@@ -257,11 +257,33 @@ object PipelineOps {
         .join(g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
           Seq("__blk", "doc_b")))
     } else {
-      // all-pairs-within-block: per-pair allocation-free merge over the
-      // sorted hashed shingles
-      val a = g.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = g.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      verify(a.join(b, Seq("__blk")).filter(col("doc_a") < col("doc_b")))
+      // all-pairs-within-block. Joining the two sides on __blk ships BOTH
+      // shingle arrays through the shuffle once per PAIR — O(pairs x
+      // array) shuffle bytes, the measured 100TB scale-killer (ScaleBench
+      // pl06: 30x wall for 10x pairs once the build side outgrows
+      // broadcast). Instead shuffle each doc's array ONCE (collect_list
+      // per block) and expand the pairs locally; blocks too large to
+      // buffer fall back to the pair join (size-adaptive, like
+      // dedupGroups). sort_array orders by the struct's leading doc_id,
+      // so generated pairs satisfy doc_a < doc_b without a filter.
+      val maxLocalBlock = 8192
+      val sizes = g.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+      val sized = g.join(broadcast(sizes), Seq("__blk"))
+      val local = sized.filter(col("__bn") <= maxLocalBlock)
+        .groupBy(col("__blk"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("__docs"))
+        .select(explode(flatten(transform(col("__docs"), (x, i) =>
+          transform(slice(col("__docs"), i + lit(2), size(col("__docs"))), y =>
+            struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+              x.getField("sh").as("sh_a"), y.getField("sh").as("sh_b")))))).as("__p"))
+        .select(col("__p.doc_a"), col("__p.doc_b"), col("__p.sh_a"), col("__p.sh_b"))
+      val big = sized.filter(col("__bn") > maxLocalBlock)
+      val joined = big.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .join(big.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("__blk"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      verify(local.unionByName(joined))
     }
   }
 
