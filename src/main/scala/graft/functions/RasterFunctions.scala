@@ -44,8 +44,10 @@ object RasterFunctions {
   val needsPixels: Set[String] =
     Set("rs_value", "rs_values", "rs_bandmin", "rs_bandmax", "rs_bandavg",
       "rs_zonalstats", "rs_setbandnodatavalue",
-      // RasterOps window/resample/vectorize kernels all read pixels
-      "rs_clip", "rs_tile", "rs_resample", "rs_reprojectmatch",
+      // RasterOps window/vectorize kernels all read pixels. rs_resample
+      // is NOT pre-wrapped: it resolves its own pixels so an out-db COG
+      // downsample can read an overview level instead of full resolution
+      "rs_clip", "rs_tile", "rs_reprojectmatch",
       "rs_polygonize", "rs_zonalstatsall",
       // N-D reshaping copies band bytes
       "rs_slice", "rs_slicerange", "rs_dimtoband", "rs_bandtodim")

@@ -527,9 +527,23 @@ object RasterOps {
       // path (pure value selection); scale mode, grid snap, the reference-
       // grid form, and any interpolating algorithm route through float
       // (rs_resample.rs:522-539)
+      // out-db sources resolve their own pixels (rs_resample is excluded
+      // from the rs_ensureloaded pre-wrap): a nearest-neighbor downsample
+      // reads the coarsest COG overview that still satisfies the target
+      // grid — the GDAL overview selection the reference gets from
+      // rust/sedona-raster-gdal — while bilinear keeps full resolution
+      // for reference-faithful interpolation
+      val srcPix =
+        if (!src.isOutDb) src
+        else if (bilinear) graft.sources.RasterLoaders.load(src.path)
+        else {
+          val factor = math.min(math.abs(gt(1)) / math.abs(src.gt(1)),
+            math.abs(gt(5)) / math.abs(src.gt(5)))
+          graft.sources.RasterLoaders.loadAtFactor(src.path, factor)
+        }
       val isRegrid = a.length == 4 || a.length == 7 || (a.length == 5 && bb(a, 3))
-      if (isRegrid || bilinear) rejectInt64Warp("RS_Resample", src)
-      resampleTo(src, gt, w, h, src.crs, bilinear, (x, y) => (x, y))
+      if (isRegrid || bilinear) rejectInt64Warp("RS_Resample", srcPix)
+      resampleTo(srcPix, gt, w, h, src.crs, bilinear, (x, y) => (x, y))
     }),
 
     // ------------------------------------------------------------------

@@ -696,6 +696,50 @@ object SpatialQueries {
           col("zs.min").as("zmin"), col("zs.max").as("zmax"))
     }),
 
+    // COG overview reads — out-db RS_Resample picks the coarsest
+    // reduced-resolution IFD satisfying the target grid instead of
+    // decoding full resolution (the GDAL overview selection behind the
+    // reference's RS_Resample, rust/sedona-raster-gdal/src/register.rs).
+    // A 40 m nearest downsample of the 10 m scene reads the factor-4
+    // overview: overview pixel (r, c) IS full pixel (4r, 4c), so every
+    // sampled value recomputes in plain SQL from the generating formula.
+    // RasterWindowSpec counter-asserts the byte economics; this gate
+    // proves the VALUES.
+    "rs11_cog_overview" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_outdb_cog/${math.abs(dir.hashCode)}"
+      new java.io.File(base).mkdirs()
+      val scenePath = s"$base/scene_cog.tif"
+      val W = 512; val H = 384
+      val b1 = Array.tabulate(W * H)(i => (((i / W) * 7 + (i % W) * 3) % 101).toDouble)
+      val b2 = Array.tabulate(W * H)(i => (((i / W) * 5 + (i % W) * 11) % 89).toDouble)
+      val scene = graft.functions.RasterModel.Raster("EPSG:32610",
+        Array(500000.0, 10.0, 0.0, 4650000.0, 0.0, -10.0), W, H,
+        Vector(
+          graft.functions.RasterModel.Band(Double.NaN,
+            graft.functions.RasterModel.packDoubles(b1)),
+          graft.functions.RasterModel.Band(Double.NaN,
+            graft.functions.RasterModel.packDoubles(b2))))
+      java.nio.file.Files.write(java.nio.file.Paths.get(scenePath),
+        graft.sources.GeoTiff.writeCog(scene, 64, 64, Seq(2, 4, 8), 8))
+      t(s, dir, "nation")
+        .withColumn("c", (col("n_nationkey") * 17) % 128)
+        .withColumn("r", (col("n_nationkey") * 13) % 96)
+        .withColumn("down", st.f("rs_resample",
+          st.f("rs_frompath", lit(s"file:$scenePath")),
+          lit(40.0), lit(-40.0), lit(true), lit("nearestneighbor")))
+        .withColumn("pt", st.f("st_setsrid",
+          st.point(lit(500000.0) + col("c") * 40.0 + 20.0,
+            lit(4650000.0) - col("r") * 40.0 - 20.0), lit(32610)))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("down")).as("w"),
+          st.f("rs_height", col("down")).as("h"),
+          st.f("rs_scalex", col("down")).as("sx"),
+          st.f("rs_upperleftx", col("down")).as("ulx"),
+          st.f("rs_value", col("down"), col("pt"), lit(1)).as("v1"),
+          st.f("rs_value", col("down"), col("pt"), lit(2)).as("v2"))
+    }),
+
     // raster metadata batch: N-D dimension surface, rotation, CRS
     // plumbing, setters (nodata/georeference incl. ESRI pixel-center
     // shift), point sampling, combined coord mapping, skewed convex hull
@@ -1324,6 +1368,18 @@ object SpatialQueries {
         |  list_min(vs) AS zmin,
         |  list_max(vs) AS zmax
         |FROM z""".stripMargin,
+
+    // factor-4 overview pixel (r, c) = full pixel (4r, 4c):
+    // band1 = (4r*7 + 4c*3) % 101, band2 = (4r*5 + 4c*11) % 89
+    "rs11_cog_overview" ->
+      """SELECT n_nationkey,
+        |  CAST(128 AS INT) AS w, CAST(96 AS INT) AS h,
+        |  40.0 AS sx, 500000.0 AS ulx,
+        |  CAST((((n_nationkey * 13) % 96) * 4 * 7
+        |      + ((n_nationkey * 17) % 128) * 4 * 3) % 101 AS DOUBLE) AS v1,
+        |  CAST((((n_nationkey * 13) % 96) * 4 * 5
+        |      + ((n_nationkey * 17) % 128) * 4 * 11) % 89 AS DOUBLE) AS v2
+        |FROM nation""".stripMargin,
 
     // scene pixel (r, c): band1 = (r*7 + c*3) % 101, band2 = (r*5 + c*11) % 89;
     // roi covers pixel centers [c0..c0+7] x [r0..r0+5] (48 pixels)

@@ -22,6 +22,7 @@ import graft.functions.RasterModel.{Band, Raster}
 object GeoTiff {
 
   // TIFF tags
+  private val TNewSubfileType = 254
   private val TImageWidth = 256
   private val TImageLength = 257
   private val TBitsPerSample = 258
@@ -77,6 +78,79 @@ object GeoTiff {
 
   private def writeChunked(r: Raster, compressionCode: Int,
       tile: Option[(Int, Int)]): Array[Byte] = {
+    val (seg, _) = writeSegment(r, compressionCode, tile, 8L, subfile = false)
+    val out = ByteBuffer.allocate(8 + seg.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    out.put(seg)
+    out.array()
+  }
+
+  /** Cloud-Optimized-GeoTIFF-style file: a tiled main image followed by
+    * tiled reduced-resolution overview IFDs (NewSubfileType = 1), chained
+    * through the next-IFD pointers — the layout whose coarse levels
+    * RS_Resample reads instead of decoding full resolution (the GDAL
+    * overview-selection behavior behind the reference's RS_Resample,
+    * rust/sedona-raster-gdal/src/register.rs). `factors` are integer
+    * decimations of the full image (e.g. 2, 4, 8), nearest-pixel. */
+  def writeCog(r: Raster, tileW: Int, tileH: Int, factors: Seq[Int],
+      compressionCode: Int = 1): Array[Byte] = {
+    require(tileW > 0 && tileH > 0 && tileW % 16 == 0 && tileH % 16 == 0,
+      s"writeCog: tile dims must be positive multiples of 16, got ${tileW}x$tileH")
+    require(factors.forall(_ >= 2), "writeCog: overview factors must be >= 2")
+    val images = r +: factors.sorted.map(f => decimate(r, f))
+    var off = 8L
+    val segs = images.zipWithIndex.map { case (img, i) =>
+      val (bytes, ptr) = writeSegment(img, compressionCode, Some((tileW, tileH)),
+        off, subfile = i > 0)
+      val segOff = off
+      off += bytes.length
+      (bytes, ptr, segOff)
+    }
+    val out = ByteBuffer.allocate(off.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    segs.zipWithIndex.foreach { case ((bytes, ptr, segOff), i) =>
+      val next = if (i == segs.length - 1) 0L else segs(i + 1)._3
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(ptr, next.toInt)
+      out.position(segOff.toInt)
+      out.put(bytes)
+    }
+    out.array()
+  }
+
+  /** Nearest-pixel integer decimation for overview levels; the
+    * geotransform keeps the origin and scales the pixel size. */
+  private def decimate(r: Raster, f: Int): Raster = {
+    val w = math.max(1, (r.width + f - 1) / f)
+    val h = math.max(1, (r.height + f - 1) / f)
+    val bands = r.bands.map { b =>
+      val in = ByteBuffer.wrap(b.data).order(ByteOrder.LITTLE_ENDIAN)
+      val vals = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = math.min(y * f, r.height - 1)
+        var x = 0
+        while (x < w) {
+          val sx = math.min(x * f, r.width - 1)
+          vals(y * w + x) = in.getDouble((sy.toLong * r.width + sx).toInt * 8)
+          x += 1
+        }
+        y += 1
+      }
+      graft.functions.RasterModel.Band(b.nodata,
+        graft.functions.RasterModel.packDoubles(vals), ptype = b.ptype)
+    }
+    Raster(r.crs, Array(r.gt(0), r.gt(1) * f, r.gt(2) * f,
+      r.gt(3), r.gt(4) * f, r.gt(5) * f), w, h, bands)
+  }
+
+  /** One image's IFD + payloads + chunk data laid out at `baseOffset`
+    * (absolute file offsets inside), WITHOUT the 8-byte file header.
+    * Returns (bytes, relative position of the 4-byte next-IFD slot) —
+    * the caller patches the chain. */
+  private def writeSegment(r: Raster, compressionCode: Int,
+      tile: Option[(Int, Int)], baseOffset: Long,
+      subfile: Boolean): (Array[Byte], Int) = {
     require(r.bands.nonEmpty, "rs_asgeotiff: raster has no bands")
     require(r.bands.forall(b => b.dims == null || b.dims.length == 2),
       "rs_asgeotiff: N-D bands not representable in TIFF (slice first)")
@@ -249,19 +323,21 @@ object GeoTiff {
     entries += E(TGeoKeyDirectory, 3, geoKeys.length, None, shorts(geoKeys.toSeq))
     nodataAscii.foreach(b => entries += E(TGdalNoData, 2, b.length,
       if (b.length <= 4) Some(packBytesInline(b)) else None, b))
+    if (subfile) entries += E(TNewSubfileType, 4, 1, Some(1L)) // reduced-resolution
     entries = entries.sortBy(_.tag)
 
-    // layout: header(8) + IFD + out-of-line payloads + strips
+    // layout at baseOffset: IFD + out-of-line payloads + strips (all
+    // stored offsets are absolute file positions)
     val ifdSize = 2 + entries.length * 12 + 4
-    var dataOff = 8L + ifdSize
+    var dataOff = baseOffset + ifdSize
     val payloadOffsets = entries.map { e =>
       if (e.inline.isDefined || e.payload.length <= 4) None
       else { val o = dataOff; dataOff += e.payload.length + (e.payload.length & 1); Some(o) }
     }
     val stripOffsets = stripLens.scanLeft(dataOff)(_ + _).take(nChunks)
     val total = dataOff + stripLens.sum
-    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    val out = ByteBuffer.allocate((total - baseOffset).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
     out.putShort(entries.length.toShort)
     entries.zip(payloadOffsets).foreach { case (e, po) =>
       out.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.count)
@@ -280,23 +356,24 @@ object GeoTiff {
         }
       }
     }
-    out.putInt(0) // no next IFD
+    val ptrPos = 2 + entries.length * 12
+    out.putInt(0) // next-IFD slot; writeCog patches the chain here
     entries.zip(payloadOffsets).foreach { case (e, po) =>
       po.foreach { o =>
         // the offsets tag's payload needs the real chunk positions
         val bytes =
           if (e.tag == offsetsTag) longs(stripOffsets)
           else e.payload
-        out.position(o.toInt)
+        out.position((o - baseOffset).toInt)
         out.put(bytes)
         if ((bytes.length & 1) == 1) out.put(0.toByte)
       }
     }
     stripData.zipWithIndex.foreach { case (d, i) =>
-      out.position(stripOffsets(i).toInt)
+      out.position((stripOffsets(i) - baseOffset).toInt)
       out.put(d)
     }
-    out.array()
+    (out.array(), ptrPos)
   }
 
   private def deflateBytes(data: Array[Byte]): Array[Byte] = {
@@ -783,7 +860,8 @@ object GeoTiff {
     * paths (readMeta, readWindow): 8-byte header, the IFD, and targeted
     * fetches of out-of-line tag values only. `fetch(off, len)` must
     * return exactly `len` bytes. */
-  private final class TiffTags(fetch: (Long, Int) => Array[Byte]) {
+  private final class TiffTags(fetch: (Long, Int) => Array[Byte],
+      ifdAt: Long = -1L) {
     val order: ByteOrder = {
       val head0 = fetch(0L, 8)
       (head0(0).toChar, head0(1).toChar) match {
@@ -796,18 +874,24 @@ object GeoTiff {
     private val magic = head.getShort(2)
     require(magic == 42 || magic == 43, "geotiff: bad TIFF magic")
     private val big = magic == 43
-    private val (n, entrySize, valSlot, inlineMax, entries) =
+    private val (n, entrySize, valSlot, inlineMax, entries, nextIfdOff) =
       if (big) {
         require(head.getShort(4) == 8 && head.getShort(6) == 0,
           "geotiff: bad BigTIFF header")
-        val o = ByteBuffer.wrap(fetch(8L, 8)).order(order).getLong(0)
+        val o = if (ifdAt >= 0) ifdAt
+          else ByteBuffer.wrap(fetch(8L, 8)).order(order).getLong(0)
         val cnt = ByteBuffer.wrap(fetch(o, 8)).order(order).getLong(0).toInt
-        (cnt, 20, 12, 8, ByteBuffer.wrap(fetch(o + 8, cnt * 20)).order(order))
+        val next = ByteBuffer.wrap(fetch(o + 8 + cnt * 20L, 8)).order(order).getLong(0)
+        (cnt, 20, 12, 8, ByteBuffer.wrap(fetch(o + 8, cnt * 20)).order(order), next)
       } else {
-        val o = head.getInt(4) & 0xffffffffL
+        val o = if (ifdAt >= 0) ifdAt else head.getInt(4) & 0xffffffffL
         val cnt = ByteBuffer.wrap(fetch(o, 2)).order(order).getShort(0) & 0xffff
-        (cnt, 12, 8, 4, ByteBuffer.wrap(fetch(o + 2, cnt * 12)).order(order))
+        val next = ByteBuffer.wrap(fetch(o + 2 + cnt * 12L, 4))
+          .order(order).getInt(0) & 0xffffffffL
+        (cnt, 12, 8, 4, ByteBuffer.wrap(fetch(o + 2, cnt * 12)).order(order), next)
       }
+    /** File offset of the next IFD in the chain; 0 terminates. */
+    def nextIfd: Long = nextIfdOff
 
     // tag -> (type, count, byte offset of the inline value slot)
     private val tags: Map[Int, (Int, Int, Int)] = (0 until n).map { i =>
@@ -900,9 +984,31 @@ object GeoTiff {
     * reference's lazy per-band out-db fetch
     * (rust/sedona-schema/src/raster.rs outdb bands + async
     * RS_EnsureLoaded); GDAL calls this a RasterIO window. */
+  /** Reduced-resolution overview levels of a COG-style multi-IFD file:
+    * (ifdOffset, width, height) in chain order, coarsest last when the
+    * writer follows COG convention. Bounded fetches only (headers). */
+  def overviews(fetch: (Long, Int) => Array[Byte]): IndexedSeq[(Long, Int, Int)] = {
+    val res = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
+    var next = new TiffTags(fetch).nextIfd
+    var guard = 0
+    while (next != 0 && guard < 64) {
+      val ov = new TiffTags(fetch, next)
+      val w = ov.one(TImageWidth, 0L).toInt
+      val h = ov.one(TImageLength, 0L).toInt
+      // accept chained IFDs marked reduced-resolution (bit 0 of 254) or,
+      // like GDAL, any smaller follow-on image in the chain
+      if (w > 0 && h > 0) res += ((next, w, h))
+      guard += 1
+      next = ov.nextIfd
+    }
+    res.toIndexedSeq
+  }
+
   def readWindow(fetch: (Long, Int) => Array[Byte],
-      xoff: Int, yoff: Int, ww: Int, wh: Int): Raster = {
-    val t = new TiffTags(fetch)
+      xoff: Int, yoff: Int, ww: Int, wh: Int,
+      ifdAt: Long = -1L, fallbackGt: Array[Double] = null,
+      fallbackCrs: String = null): Raster = {
+    val t = new TiffTags(fetch, ifdAt)
     val w = t.one(TImageWidth, throw new IllegalArgumentException("geotiff: no width")).toInt
     val h = t.one(TImageLength, throw new IllegalArgumentException("geotiff: no height")).toInt
     require(xoff >= 0 && yoff >= 0 && ww > 0 && wh > 0 &&
@@ -1048,13 +1154,22 @@ object GeoTiff {
       Band(nodata, RasterModel.packDoubles(vals), ptype = pixelTypeName(fmt, bitsPer))
     }
 
-    val gt = gtFrom(t.doublesOf(TModelTransformation), t.doublesOf(TModelPixelScale),
-      t.doublesOf(TModelTiepoint))
+    // COG overview IFDs conventionally omit geo tags: fall back to the
+    // caller-scaled main-image geotransform/CRS when absent
+    val hasGeo = t.has(TModelTransformation) ||
+      (t.has(TModelPixelScale) && t.has(TModelTiepoint))
+    val gt =
+      if (!hasGeo && fallbackGt != null) fallbackGt
+      else gtFrom(t.doublesOf(TModelTransformation), t.doublesOf(TModelPixelScale),
+        t.doublesOf(TModelTiepoint))
+    val crs =
+      if (!t.has(TGeoKeyDirectory) && fallbackCrs != null) fallbackCrs
+      else crsFrom(t.longsOf(TGeoKeyDirectory))
     // geotransform translated to the window origin so world coordinates
     // of the windowed pixels match the full image
     val gtW = Array(
       gt(0) + xoff * gt(1) + yoff * gt(2), gt(1), gt(2),
       gt(3) + xoff * gt(4) + yoff * gt(5), gt(4), gt(5))
-    Raster(crsFrom(t.longsOf(TGeoKeyDirectory)), gtW, ww, wh, bands)
+    Raster(crs, gtW, ww, wh, bands)
   }
 }

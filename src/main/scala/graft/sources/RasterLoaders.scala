@@ -48,6 +48,17 @@ object RasterLoaders {
           s"($fileLen bytes) and the format has no windowed reader")
       crop(load(fetch(0L, fileLen.toInt)), xoff, yoff, w, h)
     }
+    /** Reduced-resolution pyramid levels as (levelToken, width, height);
+      * empty for formats without overviews. Header-bounded fetches. */
+    def overviews(fetch: (Long, Int) => Array[Byte],
+        fileLen: Long): IndexedSeq[(Long, Int, Int)] = IndexedSeq.empty
+    /** Windowed decode at an overview level token from `overviews`;
+      * `baseGt`/`baseCrs` are the main image's georeferencing pre-scaled
+      * to the level, for formats whose overview headers omit geo tags. */
+    def loadWindowAt(fetch: (Long, Int) => Array[Byte], fileLen: Long,
+        level: Long, xoff: Int, yoff: Int, w: Int, h: Int,
+        baseGt: Array[Double], baseCrs: String): Raster =
+      throw new UnsupportedOperationException("no overview reader")
   }
 
   /** Directory-store loader (Zarr and friends): the "file" is a
@@ -72,6 +83,13 @@ object RasterLoaders {
     override def loadWindow(fetch: (Long, Int) => Array[Byte], fileLen: Long,
         xoff: Int, yoff: Int, w: Int, h: Int): Raster =
       GeoTiff.readWindow(fetch, xoff, yoff, w, h)
+    override def overviews(fetch: (Long, Int) => Array[Byte],
+        fileLen: Long): IndexedSeq[(Long, Int, Int)] = GeoTiff.overviews(fetch)
+    override def loadWindowAt(fetch: (Long, Int) => Array[Byte], fileLen: Long,
+        level: Long, xoff: Int, yoff: Int, w: Int, h: Int,
+        baseGt: Array[Double], baseCrs: String): Raster =
+      GeoTiff.readWindow(fetch, xoff, yoff, w, h, ifdAt = level,
+        fallbackGt = baseGt, fallbackCrs = baseCrs)
   }
 
   @volatile private var registry: Map[String, Either[Loader, DirLoader]] =
@@ -104,7 +122,16 @@ object RasterLoaders {
   val fetchCalls = new LongAdder
   val fetchBytes = new LongAdder
   val fullDecodes = new LongAdder
-  def resetCounters(): Unit = { fetchCalls.reset(); fetchBytes.reset(); fullDecodes.reset() }
+  /** Decode-cache observability (VERDICT r7 #6): per-JVM hit/miss across
+    * the meta/full/window/overview caches — the 100x cache-churn watch
+    * item is measurable, and RasterWindowSpec asserts reuse. */
+  val cacheHits = new LongAdder
+  val cacheMisses = new LongAdder
+  val overviewReads = new LongAdder
+  def resetCounters(): Unit = {
+    fetchCalls.reset(); fetchBytes.reset(); fullDecodes.reset()
+    cacheHits.reset(); cacheMisses.reset(); overviewReads.reset()
+  }
 
   /** Open `path` and hand a counting positional reader to `f`. */
   private def withFetch[T](path: String)(f: ((Long, Int) => Array[Byte], Long) => T): T = {
@@ -150,8 +177,9 @@ object RasterLoaders {
     // is idempotent and cheaper than a convoyed cache
     def get(k: K)(compute: => V): V =
       map.synchronized(Option(map.get(k)).flatMap(r => Option(r.get))) match {
-        case Some(v) => v
+        case Some(v) => cacheHits.increment(); v
         case None =>
+          cacheMisses.increment()
           val v = compute
           map.synchronized(map.put(k, new java.lang.ref.SoftReference[V](v)))
           v
@@ -160,6 +188,8 @@ object RasterLoaders {
   private val metaCache = new SoftLru[(String, Long), Raster](1024)
   private val fullCache = new SoftLru[(String, Long), Raster](32)
   private val windowCache = new SoftLru[(String, Long, Int, Int, Int, Int), Raster](256)
+  private val ovListCache = new SoftLru[(String, Long), IndexedSeq[(Long, Int, Int)]](1024)
+  private val ovCache = new SoftLru[(String, Long, Long), Raster](32)
 
   /** Windowed reads align outward to this pixel grid so clustered point
     * samples hit one cached block instead of issuing per-row fetches. */
@@ -203,6 +233,55 @@ object RasterLoaders {
       fullDecodes.increment()
       val meta = cachedMeta(path, loader, mtime)
       decodeWindow(path, loader, len, 0, 0, meta.width, meta.height)
+    }
+  }
+
+  /** Overview pyramid levels (token, width, height) of an out-db raster;
+    * empty for formats without overviews. Header-bounded reads, cached. */
+  def overviews(path: String): IndexedSeq[(Long, Int, Int)] = {
+    val loader = loaderFor(path)
+    val (mtime, _) = statOf(path, loader)
+    loader match {
+      case Left(l) => ovListCache.get((path, mtime)) {
+        withFetch(path)((fetch, flen) => l.overviews(fetch, flen))
+      }
+      case Right(_) => IndexedSeq.empty
+    }
+  }
+
+  /** Full-extent decode at the coarsest pyramid level whose decimation
+    * factor does not exceed `targetFactor` (so the level is at least as
+    * fine as the requested output grid); the full image when no level
+    * qualifies. This is GDAL's overview selection behind RS_Resample
+    * (the reference reaches it via rust/sedona-raster-gdal): an 8x
+    * downsample of a COG fetches the 8x overview's bytes — 1/64th of
+    * the pixels — instead of decoding full resolution. */
+  def loadAtFactor(path: String, targetFactor: Double): Raster = {
+    val loader = loaderFor(path)
+    val (mtime, _) = statOf(path, loader)
+    val meta = cachedMeta(path, loader, mtime)
+    val pick = overviews(path)
+      .map { case (tok, w, h) => (tok, w, h, meta.width.toDouble / w) }
+      .filter { case (_, _, _, f) => f <= targetFactor + 1e-9 && f >= 2.0 - 1e-9 }
+      .sortBy(-_._4)
+      .headOption
+    pick match {
+      case None => load(path)
+      case Some((tok, w, h, _)) =>
+        ovCache.get((path, mtime, tok)) {
+          overviewReads.increment()
+          val fx = meta.width.toDouble / w
+          val fy = meta.height.toDouble / h
+          val gt = Array(meta.gt(0), meta.gt(1) * fx, meta.gt(2) * fx,
+            meta.gt(3), meta.gt(4) * fy, meta.gt(5) * fy)
+          val r = loader match {
+            case Left(l) => withFetch(path)((fetch, flen) =>
+              l.loadWindowAt(fetch, flen, tok, 0, 0, w, h, gt, meta.crs))
+            case Right(_) => throw new IllegalStateException(
+              "directory stores expose no overview levels")
+          }
+          Raster(r.crs, r.gt, r.width, r.height, r.bands, path)
+        }
     }
   }
 

@@ -201,6 +201,78 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == 80 * 1000 + 70)
   }
 
+  test("COG overviews: downsampled rs_resample reads the overview level, counter-asserted") {
+    val r = makeRaster(1024, 768, 1)
+    val cog = GeoTiff.writeCog(r, 64, 64, Seq(2, 4, 8))
+    def fetchOf(bytes: Array[Byte]): (Long, Int) => Array[Byte] =
+      (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    // the full reader still sees the main image; the chain enumerates
+    // the three reduced-resolution IFDs in factor order
+    val main = GeoTiff.read(cog)
+    assert(main.width == 1024 && main.height == 768)
+    assert(GeoTiff.overviews(fetchOf(cog)).map(o => (o._2, o._3)) ==
+      Seq((512, 384), (256, 192), (128, 96)))
+    val dir = new java.io.File("/tmp/graft_window_spec"); dir.mkdirs()
+    val f = new java.io.File(dir, "cog.tif")
+    val os = new java.io.FileOutputStream(f); os.write(cog); os.close()
+    val path = f.getAbsolutePath
+
+    RasterLoaders.resetCounters()
+    // 4x nearest downsample out-db: reads the factor-4 overview (256x192
+    // pixels = 1/16 of the data), never decodes full resolution
+    val down = spark.sql(
+      s"""SELECT rs_width(r) w, rs_height(r) h, rs_upperleftx(r) x0, rs_scalex(r) sx
+         |FROM (SELECT rs_resample(rs_frompath('$path'),
+         |  40.0, -40.0, true, 'nearestneighbor') r)""".stripMargin).collect()(0)
+    assert(down.getInt(0) == 256 && down.getInt(1) == 192)
+    assert(down.getDouble(2) == 500000.0 && down.getDouble(3) == 40.0)
+    assert(RasterLoaders.overviewReads.sum() == 1, "must decode one overview level")
+    assert(RasterLoaders.fullDecodes.sum() == 0, "no full decode on the overview path")
+    val fetched = RasterLoaders.fetchBytes.sum()
+    assert(fetched < cog.length / 8,
+      s"overview read fetched $fetched of ${cog.length} bytes")
+
+    // hash-match vs the full-res decimate oracle: the factor-4 overview
+    // IS decimate(full, 4), and the 40m target grid aligns its pixel
+    // centers with the overview's, so every output pixel must equal full
+    // pixel (4c, 4row): v = 100000 + 4*row*1000 + 4*c
+    for ((c, row) <- Seq((0, 0), (10, 5), (255, 191), (100, 100))) {
+      val px = 500000.0 + c * 40.0 + 20.0
+      val py = 4650000.0 - row * 40.0 - 20.0
+      val v = spark.sql(
+        s"""SELECT rs_value(rs_resample(rs_frompath('$path'),
+           |  40.0, -40.0, true, 'nearestneighbor'),
+           |  st_point($px, $py, 'EPSG:32610'), 1) v""".stripMargin)
+        .collect()(0).getDouble(0)
+      assert(v == 100000.0 + 4 * row * 1000.0 + 4 * c, s"pixel ($c,$row)")
+    }
+
+    // cache observability (VERDICT r7 #6): repeating the same resample
+    // serves the overview decode from the per-executor cache
+    val bytesBefore = RasterLoaders.fetchBytes.sum()
+    val hitsBefore = RasterLoaders.cacheHits.sum()
+    spark.sql(
+      s"""SELECT rs_value(rs_resample(rs_frompath('$path'),
+         |  40.0, -40.0, true, 'nearestneighbor'),
+         |  st_point(500020.0, 4649980.0, 'EPSG:32610'), 1) v""".stripMargin).collect()
+    assert(RasterLoaders.fetchBytes.sum() == bytesBefore,
+      "repeated overview resample must hit the decode cache")
+    assert(RasterLoaders.cacheHits.sum() > hitsBefore, "cache hits must be counted")
+
+    // a full-resolution request ignores overviews; bilinear always
+    // decodes full resolution for reference-faithful interpolation
+    RasterLoaders.resetCounters()
+    spark.sql(
+      s"""SELECT rs_width(rs_resample(rs_frompath('$path'),
+         |  10.0, -10.0, true, 'nearestneighbor')) w""".stripMargin).collect()
+    assert(RasterLoaders.overviewReads.sum() == 0 &&
+      RasterLoaders.fullDecodes.sum() == 1, "factor 1 must use full resolution")
+    spark.sql(
+      s"""SELECT rs_width(rs_resample(rs_frompath('$path'),
+         |  40.0, -40.0, true, 'bilinear')) w""".stripMargin).collect()
+    assert(RasterLoaders.overviewReads.sum() == 0, "bilinear stays full-res")
+  }
+
   test("rs_value/rs_values band-less form resolves the default band out-db") {
     val r = makeRaster(200, 100, 1)
     val bytes = GeoTiff.writeTiled(r, 64, 64, 1)
