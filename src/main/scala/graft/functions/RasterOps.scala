@@ -714,11 +714,17 @@ object RasterOps {
     }),
 
     // RS_FromGDALRaster(binary) -> raster (rs_from_gdal_raster.rs:49,143):
-    // GeoTIFF only — the one GDAL format with an offline codec here.
-    fnv("rs_fromgdalraster", RasterModel.dataType, Seq(Seq(Bin)))(a =>
-      graft.sources.GeoTiff.read(a(0).asInstanceOf[Array[Byte]]) match {
-        case r => RasterModel.toRow(r.crs, r.gt, r.width, r.height, r.bands, r.path)
-      }),
+    // magic-sniffed like GDAL driver selection — GeoTIFF (II/MM) and
+    // netCDF classic (CDF) are the formats with offline codecs here.
+    fnv("rs_fromgdalraster", RasterModel.dataType, Seq(Seq(Bin)))(a => {
+      val bytes = a(0).asInstanceOf[Array[Byte]]
+      val r =
+        if (bytes.length >= 3 && bytes(0) == 'C'.toByte &&
+            bytes(1) == 'D'.toByte && bytes(2) == 'F'.toByte)
+          graft.sources.NetCdf.read(bytes)
+        else graft.sources.GeoTiff.read(bytes)
+      RasterModel.toRow(r.crs, r.gt, r.width, r.height, r.bands, r.path)
+    }),
 
     // ------------------------------------------------------------------
     // RS_ZonalStats(raster, roi[, band], stat[, allTouched[, excludeNoData

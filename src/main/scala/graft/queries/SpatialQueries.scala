@@ -740,6 +740,43 @@ object SpatialQueries {
           st.f("rs_value", col("down"), col("pt"), lit(2)).as("v2"))
     }),
 
+    // netCDF classic out-db: per-nation CDF-2 tiles written through
+    // sources/NetCdf (the reference reads netCDF via its GDAL raster
+    // side, rust/sedona-raster-gdal/src/register.rs; here the classic
+    // format is decoded natively), then rs_frompath header metadata +
+    // windowed/ensureloaded pixel access like any other registry format.
+    "rs12_netcdf_roundtrip" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_outdb_netcdf/${math.abs(dir.hashCode)}"
+      new java.io.File(base).mkdirs()
+      t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { row =>
+            val n = row.getInt(0)
+            val vals = Array.tabulate(12)(i => ((n * 100 + i) % 89).toDouble)
+            val r = graft.functions.RasterModel.Raster("EPSG:4326",
+              Array((n % 10) * 8.0, 2.0, 0.0, 50.0 - (n % 5) * 6.0, 0.0, -2.0),
+              4, 3, Vector(graft.functions.RasterModel.Band(Double.NaN,
+                graft.functions.RasterModel.packDoubles(vals))))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$base/tile_$n.nc"),
+              graft.sources.NetCdf.write(r))
+          }
+        }
+      t(s, dir, "nation")
+        .withColumn("path", concat(lit(s"file:$base/tile_"),
+          col("n_nationkey"), lit(".nc")))
+        .withColumn("r", st.f("rs_frompath", col("path")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("r")).as("w"),
+          st.f("rs_height", col("r")).as("h"),
+          st.f("rs_crs", col("r")).as("crs"),
+          st.f("rs_upperleftx", col("r")).as("ulx"),
+          st.f("rs_value", col("r"), lit(1), lit(1), lit(1)).as("v11"),
+          st.f("rs_bandavg", col("r"), lit(1)).as("bavg"),
+          st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
+    }),
+
     // raster metadata batch: N-D dimension surface, rotation, CRS
     // plumbing, setters (nodata/georeference incl. ESRI pixel-center
     // shift), point sampling, combined coord mapping, skewed convex hull
@@ -1368,6 +1405,20 @@ object SpatialQueries {
         |  list_min(vs) AS zmin,
         |  list_max(vs) AS zmax
         |FROM z""".stripMargin,
+
+    // netCDF tile pixel i = (n*100 + i) % 89 on a 4x3 grid
+    "rs12_netcdf_roundtrip" ->
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*100 + i) % 89 AS DOUBLE) for i in range(0, 12)] AS vs
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(4 AS INT) AS w, CAST(3 AS INT) AS h,
+        |  'EPSG:4326' AS crs,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*8.0 AS ulx,
+        |  vs[6] AS v11,
+        |  list_sum(vs)/12.0 AS bavg,
+        |  list_max(vs) AS bmax
+        |FROM v""".stripMargin,
 
     // factor-4 overview pixel (r, c) = full pixel (4r, 4c):
     // band1 = (4r*7 + 4c*3) % 101, band2 = (4r*5 + 4c*11) % 89

@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.RasterModel
+import graft.functions.RasterModel.{Band, Raster}
+import graft.sources.{NetCdf, RasterLoaders}
+
+/** NetCDF classic source: CDF-2 writer/reader roundtrips, hand-built
+  * CDF-1 fixtures (record dimension, CF coordinate variables, non-double
+  * types), windowed out-db reads with fetch accounting. */
+class NetCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def makeRaster(w: Int, h: Int, nb: Int, nodata: Double = Double.NaN): Raster = {
+    val bands = (1 to nb).map { b =>
+      val vals = Array.tabulate(w * h)(i => b * 100000.0 + (i / w) * 1000.0 + (i % w))
+      Band(nodata, RasterModel.packDoubles(vals))
+    }
+    Raster("EPSG:32610", Array(500000.0, 10.0, 0.0, 4650000.0, 0.0, -10.0), w, h, bands)
+  }
+
+  private def pixels(r: Raster, b: Int): IndexedSeq[Double] =
+    for (row <- 0 until r.height; c <- 0 until r.width)
+      yield r.value(b, c, row) match { case null => Double.NaN; case v => v.doubleValue }
+
+  private def fetchOf(bytes: Array[Byte]): (Long, Int) => Array[Byte] =
+    (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+
+  test("CDF-2 writer roundtrips: 2D multiband, nodata, transform/crs attributes") {
+    val r = makeRaster(37, 23, 3, nodata = -9999.0)
+    val bytes = NetCdf.write(r)
+    assert(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F' && bytes(3) == 2)
+    val back = NetCdf.read(bytes)
+    assert(back.width == 37 && back.height == 23 && back.bands.length == 3)
+    assert(back.gt.toSeq == r.gt.toSeq && back.crs == "EPSG:32610")
+    for (b <- 1 to 3) {
+      assert(back.bands(b - 1).nodata == -9999.0)
+      assert(pixels(back, b) == pixels(r, b), s"band $b")
+    }
+  }
+
+  test("N-D band (time,y,x) roundtrips and slices") {
+    val T = 3; val H = 4; val W = 5
+    val vals = Array.tabulate(T * H * W)(i => i * 2.0)
+    val band = Band(Double.NaN, RasterModel.packDoubles(vals),
+      dims = Vector("time", "y", "x"), shape = Vector(T.toLong, H.toLong, W.toLong))
+    val r = Raster("EPSG:4326", Array(10.0, 0.5, 0.0, 50.0, 0.0, -0.5), W, H, Vector(band))
+    val back = NetCdf.read(NetCdf.write(r))
+    assert(back.bands.head.dims == Vector("time", "y", "x"))
+    assert(back.bands.head.shape == Vector(T.toLong, H.toLong, W.toLong))
+    val in = ByteBuffer.wrap(back.bands.head.data).order(ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until T * H * W) assert(in.getDouble(i * 8) == i * 2.0)
+  }
+
+  /** Hand-built CDF-1 file: record dim `time` (2 records), dims y=3 x=4,
+    * a record variable `temp`(time,y,x) of NC_SHORT with _FillValue, and
+    * CF coordinate variables x/y (NC_FLOAT) — exercises v1 32-bit begins,
+    * record interleaving, non-double decode, and CF georeferencing. */
+  private def cdf1Fixture(): Array[Byte] = {
+    val H = 3; val W = 4; val T = 2
+    val bb = ByteBuffer.allocate(4096).order(ByteOrder.BIG_ENDIAN)
+    def name(s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      bb.putInt(b.length); bb.put(b)
+      var p = b.length; while ((p & 3) != 0) { bb.put(0.toByte); p += 1 }
+    }
+    bb.put("CDF".getBytes("US-ASCII")).put(1.toByte)
+    bb.putInt(T) // numrecs
+    bb.putInt(0x0A); bb.putInt(3)
+    name("time"); bb.putInt(0) // record dim
+    name("y"); bb.putInt(H)
+    name("x"); bb.putInt(W)
+    bb.putInt(0); bb.putInt(0) // no global atts
+    bb.putInt(0x0B); bb.putInt(3)
+    // var x: NC_FLOAT[x], coord values 100,110,120,130 (centers, dx=10)
+    // var y: NC_FLOAT[y], coord values 55,45,35 (centers, dy=-10)
+    // var temp: NC_SHORT[time,y,x], _FillValue=-1
+    // layout after header: x data (16B), y data (12B), records
+    // header size: compute by patching begins after serialization — here
+    // sizes are small and deterministic, so precompute:
+    //   fixed part so far + 3 var entries
+    // var entry size (v1): name + 4 + 4*nd + atts + 4 + 4 + 4
+    // xVar: name("x")=8, nd=1 -> 8+4+4+(8 no atts)+12 = 36
+    // Instead of hand-arithmetic, serialize entries with placeholder
+    // begins, then patch (positions recorded).
+    var beginSlots = List.empty[Int]
+    def varEntry(nm: String, dimids: Seq[Int], atts: () => Unit, typ: Int,
+        vsize: Int): Unit = {
+      name(nm)
+      bb.putInt(dimids.length); dimids.foreach(bb.putInt)
+      atts()
+      bb.putInt(typ); bb.putInt(vsize)
+      beginSlots = beginSlots :+ bb.position()
+      bb.putInt(0) // begin placeholder
+    }
+    def noAtts(): Unit = { bb.putInt(0); bb.putInt(0) }
+    varEntry("x", Seq(2), noAtts _, 5, W * 4)
+    varEntry("y", Seq(1), noAtts _, 5, H * 4)
+    varEntry("temp", Seq(0, 1, 2), { () =>
+      bb.putInt(0x0C); bb.putInt(1)
+      name("_FillValue"); bb.putInt(3); bb.putInt(1)
+      bb.putShort((-1).toShort); bb.putShort(0) // value + pad to 4
+    }, 3, ((H * W * 2 + 3) & ~3))
+    val headerEnd = bb.position()
+    // data: x, y fixed; then records
+    val xBegin = headerEnd
+    for (i <- 0 until W) bb.putFloat(100.0f + 10.0f * i)
+    val yBegin = bb.position()
+    for (i <- 0 until H) bb.putFloat(55.0f - 10.0f * i)
+    val tempBegin = bb.position()
+    for (t <- 0 until T; i <- 0 until H * W) bb.putShort((t * 100 + i).toShort)
+    // patch begins
+    val begins = Seq(xBegin, yBegin, tempBegin)
+    beginSlots.zip(begins).foreach { case (slot, off) => bb.putInt(slot, off) }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("CDF-1 fixture: record variable, NC_SHORT decode, CF coordinate georef") {
+    val bytes = cdf1Fixture()
+    val r = NetCdf.read(bytes)
+    assert(r.width == 4 && r.height == 3 && r.bands.length == 1)
+    // CF georef: x centers start at 100 step 10 -> ulx 95; y 55 step -10 -> uly 60
+    assert(r.gt.toSeq == Seq(95.0, 10.0, 0.0, 60.0, 0.0, -10.0))
+    val b = r.bands.head
+    assert(b.dims == Vector("time", "y", "x"))
+    assert(b.shape == Vector(2L, 3L, 4L))
+    assert(b.nodata == -1.0)
+    assert(b.ptype == "SIGNED_16BITS")
+    val in = ByteBuffer.wrap(b.data).order(ByteOrder.LITTLE_ENDIAN)
+    for (t <- 0 until 2; i <- 0 until 12)
+      assert(in.getDouble((t * 12 + i) * 8) == t * 100.0 + i)
+    // meta is header-bounded and agrees
+    val meta = NetCdf.readMeta(fetchOf(bytes), bytes.length.toLong)
+    assert(meta.width == 4 && meta.height == 3 && meta.bands.isEmpty)
+    assert(meta.gt.toSeq == r.gt.toSeq)
+    // windowed read of the record variable: window (1,1) 2x2
+    val win = NetCdf.readWindow(fetchOf(bytes), bytes.length.toLong, 1, 1, 2, 2)
+    assert(win.width == 2 && win.height == 2)
+    val wd = ByteBuffer.wrap(win.bands.head.data).order(ByteOrder.LITTLE_ENDIAN)
+    // plane t: rows 1..2, cols 1..2 of t*100 + (row*4+col)
+    val expect = for (t <- 0 until 2; row <- 1 to 2; c <- 1 to 2)
+      yield t * 100.0 + row * 4 + c
+    for (i <- expect.indices) assert(wd.getDouble(i * 8) == expect(i), s"i=$i")
+    assert(win.gt(0) == 95.0 + 10.0 && win.gt(3) == 60.0 - 10.0)
+  }
+
+  test("readWindow == crop of full decode; out-db rs_value fetches O(window) bytes") {
+    val r = makeRaster(256, 128, 2)
+    val bytes = NetCdf.write(r)
+    for ((x, y, w, h) <- Seq((0, 0, 256, 128), (10, 20, 30, 40), (255, 127, 1, 1),
+        (0, 5, 256, 3))) {
+      val win = NetCdf.readWindow(fetchOf(bytes), bytes.length.toLong, x, y, w, h)
+      for (b <- 1 to 2; row <- 0 until h; c <- 0 until w)
+        assert(win.value(b, c, row) == r.value(b, x + c, y + row),
+          s"($x,$y ${w}x$h) b$b ($c,$row)")
+    }
+    // out-db: a point sample through rs_frompath reads a small fraction.
+    // Scene larger than the 256px block alignment so the aligned window
+    // (one 256x256 block per band) stays well under the file size.
+    val big = makeRaster(1024, 512, 2)
+    val bigBytes = NetCdf.write(big)
+    val dir = new java.io.File("/tmp/graft_netcdf_spec"); dir.mkdirs()
+    val f = new java.io.File(dir, "scene.nc")
+    val os = new java.io.FileOutputStream(f); os.write(bigBytes); os.close()
+    RasterLoaders.resetCounters()
+    val v = spark.sql(
+      s"""SELECT rs_value(rs_frompath('${f.getAbsolutePath}'),
+         |  st_point(${500000.0 + 70 * 10 + 5}, ${4650000.0 - 80 * 10 - 5},
+         |    'EPSG:32610'), 1) v""".stripMargin).collect()(0).getDouble(0)
+    assert(v == 100000.0 + 80 * 1000 + 70)
+    val fetched = RasterLoaders.fetchBytes.sum()
+    assert(RasterLoaders.fullDecodes.sum() == 0, "point sample must not full-decode")
+    assert(fetched < bigBytes.length / 4,
+      s"windowed netcdf read fetched $fetched of ${bigBytes.length} bytes")
+  }
+
+  test("rs_fromgdalraster sniffs netCDF bytes") {
+    val r = makeRaster(8, 6, 1)
+    val bytes = NetCdf.write(r)
+    val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("b")
+    df.createOrReplaceTempView("ncbytes")
+    val row = spark.sql(
+      """SELECT rs_width(rs_fromgdalraster(b)) w, rs_height(rs_fromgdalraster(b)) h,
+        |  rs_value(rs_fromgdalraster(b), 1, 3, 2) v FROM ncbytes""".stripMargin)
+      .collect()(0)
+    assert(row.getInt(0) == 8 && row.getInt(1) == 6)
+    assert(row.getDouble(2) == 100000.0 + 2 * 1000 + 3)
+  }
+}
