@@ -161,6 +161,60 @@ object StreamingQueries {
       s.table(sinkName)
     }),
 
+    // watermarked tumbling-window spatial aggregation: the streaming
+    // AGGREGATION state path (StateStoreSave under append mode) — the
+    // stateful operator class the other gates don't cover (sessionize =
+    // flatMapGroupsWithState, dedup = dedup state, joins = symmetric
+    // hash). Per event-time hour and per 8x8 grid cell: count, exact
+    // dyadic sum, and st_envelope_agg of the event points — the spatial
+    // TypedImperativeAggregate running with partial merges inside the
+    // streaming agg. The st01 sentinel trick closes every real window
+    // inside the run (watermark 0s; the sentinel's own window stays in
+    // state, never emitted), so append mode emits each real window
+    // exactly once and the output hash-matches a plain GROUP BY oracle.
+    "st05_stream_window_agg" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"),
+          (col("event_id") % 31).cast("double").as("x"),
+          (col("user_id") % 23).cast("double").as("y"),
+          (col("event_id") % 100).cast("double") * 0.25 as "value")
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      val staged = ev.unionAll(
+        s.range(1).select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxUs + 36L * 3600 * 1000000)).as("ts"),
+          lit(0.0).as("x"), lit(0.0).as("y"), lit(0.0).as("value")))
+      val staging = s"/tmp/graft_stream_winagg/${math.abs(dir.hashCode)}"
+      staged.coalesce(1).write.mode("overwrite").parquet(staging)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("x", DoubleType), StructField("y", DoubleType),
+        StructField("value", DoubleType)))
+      val agg = s.readStream.schema(schema).parquet(staging)
+        .withWatermark("ts", "0 seconds")
+        .withColumn("pt", st.point(col("x"), col("y")))
+        .withColumn("cx", floor(col("x") / 8).cast("long"))
+        .withColumn("cy", floor(col("y") / 8).cast("long"))
+        .groupBy(window(col("ts"), "1 hour"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+          st.envelopeAgg(col("pt")).as("env"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("cx"), col("cy"), col("n"), col("sum_value"),
+          st.xmin(col("env")).as("exmin"), st.ymin(col("env")).as("eymin"),
+          st.xmax(col("env")).as("exmax"), st.ymax(col("env")).as("eymax"))
+      val sinkName = s"graft_winagg_${math.abs(dir.hashCode)}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName)
+    }),
+
     "st02_stream_dedup" -> ((s, dir) => {
       import graft.Tables
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -228,6 +282,23 @@ object StreamingQueries {
         |SELECT p.event_id, b.p_partkey FROM p JOIN b
         |ON p.lx >= b.bx AND p.lx <= b.bx + b.w
         |AND p.ly >= b.by2 AND p.ly <= b.by2 + b.h""".stripMargin,
+
+    // tumbling hour windows restated as epoch-floor buckets; the
+    // sentinel row exists only in the staging copy (its window is never
+    // emitted), so the oracle groups real events only
+    "st05_stream_window_agg" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us,
+        |    CAST(event_id % 31 AS DOUBLE) AS x,
+        |    CAST(user_id % 23 AS DOUBLE) AS y,
+        |    CAST(event_id % 100 AS DOUBLE)*0.25 AS value
+        |  FROM events)
+        |SELECT us - us % 3600000000 AS win_us,
+        |  CAST(floor(x / 8) AS BIGINT) AS cx,
+        |  CAST(floor(y / 8) AS BIGINT) AS cy,
+        |  COUNT(*) AS n, SUM(value) AS sum_value,
+        |  MIN(x) AS exmin, MIN(y) AS eymin,
+        |  MAX(x) AS exmax, MAX(y) AS eymax
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
 
     // duplicates exist only in the staging copy; distinct event rows ARE
     // the oracle (event_id is unique in the source table)

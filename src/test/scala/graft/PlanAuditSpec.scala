@@ -203,6 +203,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan2.contains("ShuffledHashJoin"),
       s"stream-static grid join lost its equi-join:\n$plan2")
     assert(spark.table("pa_stst").count() > 0)
+
+    // watermarked tumbling-window aggregation (st05's shape): the
+    // streaming agg must plan the state-store save path with a partial
+    // (merge-capable) spatial aggregate, not a full-recompute per batch
+    val aggStream = spark.readStream.schema(StructType(Seq(
+        StructField("l_event", LongType), StructField("lts", TimestampType),
+        StructField("lx", DoubleType), StructField("ly", DoubleType))))
+      .parquet(s"$base/l")
+      .withWatermark("lts", "0 seconds")
+      .withColumn("pt", st.point(col("lx"), col("ly")))
+      .groupBy(window(col("lts"), "10 seconds"), (col("lx") % 2).as("cell"))
+      .agg(count(lit(1)).as("n"), st.envelopeAgg(col("pt")).as("env"))
+      .select(col("cell"), col("n"), st.xmin(col("env")).as("exmin"))
+    val q3 = aggStream.writeStream
+      .format("memory").queryName("pa_winagg").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val out3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out3)) { q3.explain() }
+    val plan3 = out3.toString
+    assert(plan3.contains("StateStoreSave"),
+      s"windowed streaming agg lost its state-store path:\n$plan3")
+    assert(plan3.toLowerCase.contains("partial"),
+      s"windowed streaming agg lost map-side partial aggregation:\n$plan3")
+    assert(spark.table("pa_winagg").count() > 0)
   }
 
   test("GeoParquet scan carries pushed bbox filters and pruned files") {
