@@ -218,6 +218,98 @@ object ScaleBench {
           PipelineOps.dedupGroups(pairs, col("doc_a"), col("doc_b"))
         }
       },
+      // rs09/rs12 path: out-db windowed raster sampling — scene pixels
+      // grow with m (sqrt(m) per axis), sample count grows with m, so
+      // samples-per-block density is constant. The probe side is
+      // range-partitioned on the 256px block grid first (the sd_order-
+      // style clustering a cluster deployment applies before touching
+      // storage), so each task streams through few blocks and the
+      // per-executor window cache converts repeat samples into hits.
+      // Exercises the netCDF contiguous per-row-range reader end to end.
+      "rs09_outdb_sample" -> { m =>
+        val w = (2048 * sqrtM(m)).toInt
+        val h = (1024 * sqrtM(m)).toInt
+        val f = new java.io.File(s"/tmp/graft_scalebench_nc/scene_$m.nc")
+        if (!f.exists()) {
+          f.getParentFile.mkdirs()
+          val vals = Array.tabulate(w * h)(i => (i % 251).toDouble)
+          val r = graft.functions.RasterModel.Raster("EPSG:32610",
+            Array(0.0, 10.0, 0.0, 0.0, 0.0, -10.0), w, h,
+            Vector(graft.functions.RasterModel.Band(Double.NaN,
+              graft.functions.RasterModel.packDoubles(vals))))
+          java.nio.file.Files.write(f.toPath, graft.sources.NetCdf.write(r))
+        }
+        val path = f.getAbsolutePath
+        // samples are generated already CLUSTERED by 256px cache block
+        // along spark.range's natural id order (consecutive ids share a
+        // block; each task's contiguous id range covers contiguous
+        // blocks). This bakes the locality into the data layout itself —
+        // the property a real deployment gets from sd_order clustering —
+        // rather than trusting a Sort node to survive optimization, and
+        // keeps concurrent hot blocks ~= task count, inside the window
+        // cache. Uniform coverage of every block is preserved.
+        val nbx = (w + 255) / 256
+        val nSamples = 50000L * m
+        val nBlocks = nbx.toLong * ((h + 255) / 256)
+        graft.sources.RasterLoaders.resetCounters()
+        val res = timed {
+          spark.range(0, nSamples).toDF("id")
+            .withColumn("b", col("id") * nBlocks / nSamples)
+            .withColumn("c", least(
+              (col("b") % nbx) * 256 + pmod(hash(col("id"), lit(61)), lit(256)),
+              lit(w - 1)).cast("int"))
+            .withColumn("r", least(
+              (col("b") / nbx) * 256 + pmod(hash(col("id"), lit(62)), lit(256)),
+              lit(h - 1)).cast("int"))
+            .withColumn("v", st.f("rs_value", st.f("rs_frompath", lit(path)),
+              st.f("st_setsrid", st.point(col("c") * 10.0 + 5.0,
+                -(col("r") * 10.0 + 5.0)), lit(32610)), lit(1)))
+            .filter(col("v").isNotNull)
+        }
+        import graft.sources.RasterLoaders._
+        println(s"""{"wl":"rs09_outdb_sample","diag":"m=$m hits=${cacheHits.sum()} """ +
+          s"""misses=${cacheMisses.sum()} fetchMB=${fetchBytes.sum() / 1000000}"}""")
+        res
+      },
+      // st05 path: watermarked tumbling-window streaming aggregation —
+      // rate and cell grid constant, the stream's time span grows with m
+      // (more windows, same per-window state); append emission per
+      // closed window, so rows and time should both scale ~m
+      "st05_stream_window_agg" -> { m =>
+        val stage = s"/tmp/graft_scalebench_winagg/$m"
+        val n = 25000L * m
+        val spanUs = 30L * 86400L * 1000000L * m
+        spark.range(0, n).toDF("id")
+          .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
+            (col("id") * (spanUs / n)) + pmod(hash(col("id"), lit(53)), lit(1000000))))
+          .withColumn("x", round(u(col("id"), 54) * 31.0 * 4.0) / 4.0)
+          .withColumn("y", round(u(col("id"), 55) * 23.0 * 4.0) / 4.0)
+          .coalesce(2).write.mode("overwrite").parquet(stage)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("id", LongType),
+          StructField("ts", TimestampType), StructField("x", DoubleType),
+          StructField("y", DoubleType)))
+        val agg = spark.readStream.schema(schema).parquet(stage)
+          .withWatermark("ts", "0 seconds")
+          .withColumn("pt", st.point(col("x"), col("y")))
+          .groupBy(window(col("ts"), "1 hour"),
+            floor(col("x") / 8).as("cx"), floor(col("y") / 8).as("cy"))
+          .agg(count(lit(1)).as("n"), st.envelopeAgg(col("pt")).as("env"))
+          .select(col("cx"), col("cy"), col("n"), st.xmin(col("env")).as("exmin"))
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val t0 = System.nanoTime()
+          val sink = s"sb_winagg_$m"
+          val q = agg.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val rows = spark.table(sink).count()
+          (rows, (System.nanoTime() - t0) / 1e9)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
       // st03 path: watermarked stream-stream spatial join; event rate and
       // spatial extent constant, only the stream's time span grows with m
       // (a longer stream at the same rate) — the 12h band bounds state,

@@ -52,6 +52,46 @@ object ScalableRank {
     rn.withColumn(out, tile).drop("__grn")
   }
 
+  /** df plus `out` = EXCLUSIVE global prefix sum of `valueCol` (a LongType
+    * column of df) by `orderCols`: each row gets the sum of all earlier
+    * rows' values. Same two-job scheme as globalRowNumber — job 1 sums
+    * per partition, job 2 replays the post-shuffle stage carrying the
+    * partition's offset and a running local sum. The single-reducer
+    * `SUM OVER (ORDER BY ...)` window this replaces is the canonical
+    * scale cliff for running totals. */
+  def globalPrefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+      out: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"globalPrefixSum: $valueCol must be LongType (cast first)")
+    val rdd = sorted.queryExecution.toRdd
+    val sums = rdd.mapPartitions({ it =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator.single(s)
+    }, preservesPartitioning = true).collect()
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val outSchema = sorted.schema.add(out, LongType, nullable = false)
+    val types = outSchema.fields.map(_.dataType)
+    val zipped = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(types)
+      val joined = new JoinedRow
+      val sumRow = new SpecificInternalRow(Seq(LongType))
+      var running = offsets(pid)
+      it.map { row =>
+        sumRow.setLong(0, running)
+        running += row.getLong(vIdx)
+        proj(joined(row, sumRow)): InternalRow
+      }
+    }
+    org.apache.spark.sql.graft.DatasetBridge.internalDf(spark, zipped, outSchema)
+  }
+
   /** Shared plumbing: (df + 1-based global row number `out`, total rows). */
   private def withGlobalRn(df: DataFrame, orderCols: Seq[Column], out: String,
       numPartitions: Int): (DataFrame, Long) = {

@@ -20,6 +20,30 @@ object PipelineOps {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_docs"))
   }
 
+  /** Training-sequence packing (GPT-style concat-then-chunk): documents
+    * in deterministic `id` order are conceptually concatenated into one
+    * token stream that is cut into fixed `maxTokens` sequences; each doc
+    * gets its global token offset, owning sequence, offset inside it,
+    * and the number of sequences it spans (docs may split across a
+    * boundary, the standard pretraining layout). The running total comes
+    * from ScalableRank.globalPrefixSum — a range repartition plus a
+    * per-partition sum pass — NOT a single-reducer `SUM OVER (ORDER BY)`
+    * window, so the op holds at any corpus size. */
+  def packSequences(df: DataFrame, id: Column, nTokens: Column,
+      maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "packSequences: maxTokens must be positive")
+    val base = df.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+    graft.operators.ScalableRank
+      .globalPrefixSum(base, Seq(col("doc_id")), "n_tokens", "start_off")
+      // `div` = integer division on longs (a double-precision divide
+      // would round above 2^52 total tokens — petatoken corpora are real)
+      .selectExpr("doc_id", "n_tokens", "start_off",
+        s"start_off div ${maxTokens}L AS seq_id",
+        s"start_off % ${maxTokens}L AS off_in_seq",
+        s"((start_off + greatest(n_tokens, 1L) - 1L) div ${maxTokens}L) - " +
+          s"(start_off div ${maxTokens}L) + 1L AS n_seqs")
+  }
+
   /** Benchmark-contamination check: for each document, how many of its
     * distinct k-gram hashes appear anywhere in the benchmark set's k-gram
     * universe. Shuffle shape: explode to (doc, hash) + left-semi join

@@ -222,6 +222,16 @@ object PipelineQueries {
         occurrences(TextOps.redactPii(col("spiked")), "[PHONE]").as("n_phone"))
     }),
 
+    // training-sequence packing: concat-then-chunk layout over the corpus
+    // in doc_id order — each doc's global token offset, owning 2048-token
+    // sequence, in-sequence offset, and sequences spanned. The running
+    // total is ScalableRank.globalPrefixSum (range repartition + partition
+    // sum pass), not a single-reducer ORDER BY window.
+    "pl19_seq_packing" -> ((s, dir) => {
+      PipelineOps.packSequences(t(s, dir, "documents"),
+        col("doc_id"), size(TextOps.tokens(col("text"))), 2048L)
+    }),
+
     // multimodal binary column plumbing with deterministic fake decode
     // real image pipeline: per-doc solid-gray PNG synthesized through the
     // JVM codec, decoded back by MultimodalOps.decodeBatch via
@@ -247,6 +257,23 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // exclusive running total restated as a window cumsum (fine at oracle
+    // scale; the engine side uses the partition-sum scheme instead)
+    "pl19_seq_packing" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM d)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // 2048 AS seq_id,
+        |  start_off % 2048 AS off_in_seq,
+        |  ((start_off + greatest(n_tokens, 1) - 1) // 2048)
+        |    - (start_off // 2048) + 1 AS n_seqs
+        |FROM p""".stripMargin,
     "pl01_text_stats" ->
       s"""WITH d AS (SELECT doc_id, text, $toksSql AS t FROM documents),
         |s AS (SELECT doc_id, text, t,

@@ -113,10 +113,23 @@ object RasterLoaders {
         s"(registered: ${registry.keys.toSeq.sorted.mkString(", ")})"))
   }
 
-  private def hadoopConf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  // Cached per JVM: newHadoopConf() re-parses every *-site.xml resource
+  // through the classloader (ZIP scans serialized on the loader lock).
+  // statOf runs once per out-db row, so a per-call conf build turns the
+  // whole windowed-read path into XML parsing — invisible at 25-row gate
+  // scale, dominant at 500k samples (caught by ScaleBench m=10, round 8).
+  // A benign race builds it at most once per thread.
+  @volatile private var cachedHadoopConf: Configuration = _
+  private def hadoopConf: Configuration = {
+    var c = cachedHadoopConf
+    if (c == null) {
+      c = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration())
+      cachedHadoopConf = c
+    }
+    c
+  }
 
   // ---- read accounting (asserted by RasterWindowSpec: a windowed read
   // must fetch a small fraction of the file) ----
@@ -186,11 +199,26 @@ object RasterLoaders {
           v
       }
   }
-  private val metaCache = new SoftLru[(String, Long), Raster](1024)
-  private val fullCache = new SoftLru[(String, Long), Raster](32)
-  private val windowCache = new SoftLru[(String, Long, Int, Int, Int, Int), Raster](256)
-  private val ovListCache = new SoftLru[(String, Long), IndexedSeq[(Long, Int, Int)]](1024)
-  private val ovCache = new SoftLru[(String, Long, Long), Raster](32)
+  /** Cache capacities are deployment knobs (`spark.graft.raster.cache.*`):
+    * the defaults fit a local[32] session's working set; a 1000-executor
+    * job over thousands of distinct scenes per executor sizes them to its
+    * own memory/locality budget instead of recompiling. Read through
+    * SparkEnv so executors see `--conf` values too; SoftReference values
+    * still bound actual memory either way. */
+  private def confEntries(key: String, dflt: Int): Int = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) dflt else env.conf.getInt(s"spark.graft.raster.cache.$key", dflt)
+  }
+  private lazy val metaCache =
+    new SoftLru[(String, Long), Raster](confEntries("metaEntries", 1024))
+  private lazy val fullCache =
+    new SoftLru[(String, Long), Raster](confEntries("fullEntries", 32))
+  private lazy val windowCache = new SoftLru[(String, Long, Int, Int, Int, Int), Raster](
+    confEntries("windowEntries", 256))
+  private lazy val ovListCache = new SoftLru[(String, Long), IndexedSeq[(Long, Int, Int)]](
+    confEntries("metaEntries", 1024))
+  private lazy val ovCache =
+    new SoftLru[(String, Long, Long), Raster](confEntries("overviewEntries", 32))
 
   /** Windowed reads align outward to this pixel grid so clustered point
     * samples hit one cached block instead of issuing per-row fetches. */

@@ -403,6 +403,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("ScalableRank.globalPrefixSum ≡ window cumsum; packSequences boundary math") {
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("v", (col("id") * 2654435761L) % 500 + 1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expected = df.withColumn("ps", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("id", "ps").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = graft.operators.ScalableRank
+      .globalPrefixSum(df, Seq(col("id")), "v", "ps")
+      .select("id", "ps").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+
+    // packSequences invariants: offsets tile the stream with no gaps,
+    // in-sequence offsets stay in range, span counts match the interval
+    val packed = graft.pipeline.PipelineOps
+      .packSequences(df, col("id"), col("v"), 257L)
+      .orderBy("doc_id").collect()
+    var run = 0L
+    packed.foreach { r =>
+      val (nt, start, seq, off, nseqs) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(start == run, s"gap at doc ${r.getLong(0)}")
+      run += nt
+      assert(seq == start / 257 && off == start % 257)
+      assert(nseqs == (start + math.max(nt, 1) - 1) / 257 - start / 257 + 1)
+    }
+    // a doc crossing a boundary must span >1 sequence somewhere
+    assert(packed.exists(_.getLong(5) > 1))
+  }
+
   test("ScalableRank.globalNtile ≡ window ntile incl. ties and uneven tiles") {
     for (n <- Seq(3, 4, 7)) {
       // non-unique order key: tile SIZES must match exactly; membership can
