@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * batches.
   *
   * Image formats decode FOR REAL through `javax.imageio` (pure JVM —
-  * PNG/JPEG/GIF/BMP): width/height/mean come from actual pixels. Audio/
-  * video (no codecs in the JVM) fall back to `decodeStub`, a deterministic
-  * fake that keeps the pipeline testable end-to-end; bytes that fail image
-  * decode also fall back, so a corrupt blob degrades instead of killing
-  * the batch.
+  * PNG/JPEG/GIF/BMP): width/height/mean come from actual pixels. Audio
+  * decodes FOR REAL for RIFF/WAVE PCM (direct chunk-walk parser, 8/16-bit,
+  * any channel count): sample rate / channels / frame count / mean
+  * amplitude come from actual samples. Video (no codecs in the JVM) falls
+  * back to `decodeStub`, a deterministic fake that keeps the pipeline
+  * testable end-to-end; bytes that fail decode also fall back, so a
+  * corrupt blob degrades instead of killing the batch.
   *
   * At cluster scale this is the pattern for GPU/native decoders: one
   * decoder init per partition, rows streamed through it in order, output
@@ -25,7 +27,9 @@ object MultimodalOps {
     StructField("format", StringType),
     StructField("n_bytes", IntegerType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType)))
 
   val featureType: StructType = StructType(Seq(
     StructField("checksum", StringType),
@@ -71,7 +75,56 @@ object MultimodalOps {
       }
     } catch { case _: Exception => None }
 
+  /** Real audio decode: RIFF/WAVE PCM (8/16-bit, any channel count) parsed
+    * directly — fmt/data chunk walk, so a WAV with extra chunks (LIST,
+    * fact) still decodes. Returns (sampleRate, channels, framesPerChannel,
+    * features); mean_byte is the mean absolute amplitude scaled to the
+    * 0-255 byte range so the feature slot is comparable across modalities.
+    * None when the bytes aren't PCM WAV (caller falls back to the stub). */
+  private[pipeline] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Row)] =
+    try {
+      if (bytes.length < 44) return None
+      def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var channels = 0; var rate = 0; var bits = 0; var audioFormat = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length) {
+        val id = tag(pos); val size = bb.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > bytes.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            audioFormat = bb.getShort(pos + 8) & 0xffff
+            channels = bb.getShort(pos + 10) & 0xffff
+            rate = bb.getInt(pos + 12)
+            bits = bb.getShort(pos + 22) & 0xffff
+          case "data" => dataOff = pos + 8; dataLen = size
+          case _ => // skip LIST/fact/...
+        }
+        pos += 8 + size + (size & 1)
+      }
+      if (audioFormat != 1 || channels <= 0 || rate <= 0 ||
+        (bits != 8 && bits != 16) || dataOff < 0) return None
+      val bytesPer = bits / 8
+      val total = dataLen / bytesPer
+      val frames = total / channels
+      var sumAbs = 0L
+      var i = 0
+      while (i < total) {
+        val v = if (bits == 16) bb.getShort(dataOff + i * 2).toInt
+          else (bytes(dataOff + i) & 0xff) - 128
+        sumAbs += math.abs(v)
+        i += 1
+      }
+      val fullScale = if (bits == 16) 32768.0 else 128.0
+      val mean = if (total == 0) 0.0
+        else sumAbs.toDouble / total / fullScale * 255.0
+      Some((rate, channels, frames, Row(md5Hex(bytes), mean, frames)))
+    } catch { case _: Exception => None }
+
   private val imageFormats = Set("png", "jpg", "jpeg", "gif", "bmp", "image", "img")
+  private val audioFormats = Set("wav", "wave", "audio")
 
   /** Attach media metadata + run the partition-batched decode over a binary
     * column. Decoder state is initialized once per partition — the
@@ -82,24 +135,46 @@ object MultimodalOps {
       StructField("features", featureType)))
     val binIdx = df.schema.fieldIndex(binCol)
     val tryImage = imageFormats.contains(format.toLowerCase)
+    val tryWav = audioFormats.contains(format.toLowerCase)
     val rdd = df.rdd.mapPartitions { it =>
       // per-partition decoder init: no disk-backed ImageIO scratch files
       if (tryImage) javax.imageio.ImageIO.setUseCache(false)
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val decoded = if (tryImage) decodeImage(bytes) else None
-        val (meta, features) = decoded match {
-          case Some((w, h, f)) => (Row(format, bytes.length, w, h), f)
-          case None =>
-            (Row(format, bytes.length,
-              256 + math.abs(java.util.Arrays.hashCode(bytes)) % 1024,
-              256 + math.abs(java.util.Arrays.hashCode(bytes) / 7) % 1024),
-              decodeStub(bytes))
-        }
+        val (meta, features) =
+          (if (tryImage) decodeImage(bytes) else None) match {
+            case Some((w, h, f)) => (Row(format, bytes.length, w, h, null, null), f)
+            case None => (if (tryWav) decodeWav(bytes) else None) match {
+              case Some((rate, ch, _, f)) =>
+                (Row(format, bytes.length, null, null, rate, ch), f)
+              case None =>
+                (Row(format, bytes.length,
+                  256 + math.abs(java.util.Arrays.hashCode(bytes)) % 1024,
+                  256 + math.abs(java.util.Arrays.hashCode(bytes) / 7) % 1024,
+                  null, null),
+                  decodeStub(bytes))
+            }
+          }
         Row.fromSeq(row.toSeq ++ Seq(meta, features))
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Canonical 44-byte-header 16-bit PCM mono WAV from the given samples
+    * (fixture generator — real RIFF structure on the write side too). */
+  def synthWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
   }
 
   /** Deterministic solid-gray PNG bytes (fixture generator for gates and

@@ -19,6 +19,17 @@ object TextOps {
     * string_split_regex(lower(x), '\s+') */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** GPT-2-style pre-tokenizer pieces: contraction suffixes, optionally
+    * space-prefixed letter / digit / punctuation runs, whitespace runs —
+    * the boundary pass every BPE tokenizer applies before merges, so
+    * piece counts are the scale-stable token-budget estimator. The
+    * pattern is RE2-compatible (leftmost-first alternation, \p classes)
+    * so the DuckDB oracle runs it verbatim. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** PII-redaction regexes, ordered (emails first so an IP-shaped mail
     * domain is consumed by [EMAIL] before the IP pass — order changes
     * output, both engines must apply the same sequence). Patterns are

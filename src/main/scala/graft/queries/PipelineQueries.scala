@@ -222,6 +222,42 @@ object PipelineQueries {
         occurrences(TextOps.redactPii(col("spiked")), "[PHONE]").as("n_phone"))
     }),
 
+    // audio modality: per-doc 16-bit PCM mono WAV synthesized with real
+    // RIFF structure, decoded back by MultimodalOps.decodeWav (direct
+    // chunk-walk parser) — rate/channels/frames/mean-amplitude come from
+    // actual samples, the oracle recomputes them from the generator
+    // formula v_i = ((doc_id*7 + i*13) % 2001) - 1000
+    "pl21_audio_wav" -> ((s, dir) => {
+      val synth = udf((docId: Long, n: Int) =>
+        MultimodalOps.synthWav(Array.tabulate(n)(i =>
+          (((docId * 7 + i * 13) % 2001) - 1000).toShort), 16000))
+      val src = t(s, dir, "documents")
+        .withColumn("n", (pmod(col("doc_id"), lit(50)) + 10).cast("int"))
+        .withColumn("clip", synth(col("doc_id"), col("n")))
+      MultimodalOps.decodeBatch(src, "clip", "wav")
+        .select(col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.sample_rate").as("sample_rate"),
+          col("media_meta.channels").as("channels"),
+          col("features.n_frames").as("n_frames"),
+          round(col("features.mean_byte"), 6).as("mean_amp"))
+    }),
+
+    // BPE-ish token accounting: GPT-2 pre-tokenizer piece counts (the
+    // boundary pass before merges — the scale-stable token-budget
+    // estimator), per-class counts and mean piece length; the RE2-
+    // compatible pattern runs verbatim in the DuckDB oracle
+    "pl20_bpe_pieces" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("pcs", TextOps.bpePieces(col("text")))
+        .select(col("doc_id"),
+          size(col("pcs")).as("n_pieces"),
+          size(filter(col("pcs"), p => p.rlike("^\\s+$"))).as("n_ws"),
+          size(filter(col("pcs"), p => p.rlike("^ ?\\p{N}+$"))).as("n_num"),
+          round(aggregate(transform(col("pcs"), p => length(p)), lit(0),
+            (a, x) => a + x).cast("double") / size(col("pcs")), 6).as("avg_len"))
+    }),
+
     // training-sequence packing: concat-then-chunk layout over the corpus
     // in doc_id order — each doc's global token offset, owning 2048-token
     // sequence, in-sequence offset, and sequences spanned. The running
@@ -257,6 +293,34 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "pl21_audio_wav" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    [abs(((doc_id*7 + i*13) % 2001) - 1000) for i in range(0, CAST(n AS INT))]
+        |      AS a
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(44 + 2*n AS INT) AS n_bytes,
+        |  CAST(16000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(n AS INT) AS n_frames,
+        |  round(CAST(list_sum(a) AS DOUBLE)/n/32768*255, 6) AS mean_amp
+        |FROM s""".stripMargin,
+
+    "pl20_bpe_pieces" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+        |    AS pcs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(pcs) AS INT) AS n_pieces,
+        |  CAST(len(list_filter(pcs, x -> regexp_full_match(x, '\s+'))) AS INT) AS n_ws,
+        |  CAST(len(list_filter(pcs, x -> regexp_full_match(x, ' ?\p{N}+'))) AS INT)
+        |    AS n_num,
+        |  round(CAST(list_sum([length(x) for x in pcs]) AS DOUBLE)/len(pcs), 6)
+        |    AS avg_len
+        |FROM d""".stripMargin,
+
     // exclusive running total restated as a window cumsum (fine at oracle
     // scale; the engine side uses the partition-sum scheme instead)
     "pl19_seq_packing" ->

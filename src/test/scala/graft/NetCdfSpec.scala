@@ -190,6 +190,50 @@ class NetCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"windowed netcdf read fetched $fetched of ${bigBytes.length} bytes")
   }
 
+  test("seeded fuzz: CDF-2 write/read roundtrips across shapes, N-D, nodata, windows") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (it <- 0 until 25) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val lead = rnd.nextInt(3) // 0 = 2D, else N-D leading dim of this length+1
+      val nb = 1 + rnd.nextInt(3)
+      val nodata = if (rnd.nextBoolean()) Double.NaN else rnd.nextInt(1000).toDouble
+      val n = (lead + 1) * w * h
+      val bands = (0 until nb).map { b =>
+        val vals = Array.fill(n)((rnd.nextInt(2000000) - 1000000).toDouble)
+        if (lead == 0) Band(nodata, RasterModel.packDoubles(vals))
+        else Band(nodata, RasterModel.packDoubles(vals),
+          dims = Vector("t", "y", "x"),
+          shape = Vector((lead + 1).toLong, h.toLong, w.toLong))
+      }
+      val gt = Array(rnd.nextInt(1000).toDouble, 1 + rnd.nextInt(10).toDouble, 0.0,
+        rnd.nextInt(1000).toDouble, 0.0, -(1 + rnd.nextInt(10)).toDouble)
+      val crs = if (rnd.nextBoolean()) s"EPSG:${32600 + rnd.nextInt(60)}" else null
+      val r = Raster(crs, gt, w, h, bands)
+      val bytes = NetCdf.write(r)
+      val back = NetCdf.read(bytes)
+      assert(back.width == w && back.height == h && back.bands.length == nb, s"it=$it")
+      assert(back.gt.toSeq == gt.toSeq, s"it=$it")
+      assert(back.crs == crs, s"it=$it")
+      for (b <- 0 until nb) {
+        assert(java.util.Arrays.equals(back.bands(b).data, bands(b).data), s"it=$it b=$b")
+        assert(back.bands(b).nodata == nodata ||
+          (back.bands(b).nodata.isNaN && nodata.isNaN), s"it=$it b=$b")
+      }
+      // one random window == crop
+      val x0 = rnd.nextInt(w); val y0 = rnd.nextInt(h)
+      val ww = 1 + rnd.nextInt(w - x0); val wh = 1 + rnd.nextInt(h - y0)
+      val win = NetCdf.readWindow(fetchOf(bytes), bytes.length.toLong, x0, y0, ww, wh)
+      val full = ByteBuffer.wrap(bands(0).data).order(ByteOrder.LITTLE_ENDIAN)
+      val wd = ByteBuffer.wrap(win.bands(0).data).order(ByteOrder.LITTLE_ENDIAN)
+      for (p <- 0 to lead; row <- 0 until wh; c <- 0 until ww) {
+        val got = wd.getDouble(((p * wh + row) * ww + c) * 8)
+        val exp = full.getDouble(((p * h + y0 + row) * w + x0 + c) * 8)
+        assert(got == exp, s"it=$it p=$p ($c,$row)")
+      }
+    }
+  }
+
   test("rs_fromgdalraster sniffs netCDF bytes") {
     val r = makeRaster(8, 6, 1)
     val bytes = NetCdf.write(r)

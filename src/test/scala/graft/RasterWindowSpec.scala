@@ -273,6 +273,45 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RasterLoaders.overviewReads.sum() == 0, "bilinear stays full-res")
   }
 
+  test("seeded fuzz: writeCog chains read back level-exact across sizes/factors/codecs") {
+    val rnd = new scala.util.Random(0xC06)
+    def fetchOf(bytes: Array[Byte]): (Long, Int) => Array[Byte] =
+      (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    for (it <- 0 until 12) {
+      val w = 40 + rnd.nextInt(300)
+      val h = 30 + rnd.nextInt(200)
+      val nb = 1 + rnd.nextInt(2)
+      val tile = Seq(16, 32, 64)(rnd.nextInt(3))
+      val code = Seq(1, 8, 5)(rnd.nextInt(3))
+      val factors = Seq(2, 3, 4, 8).filter(_ => rnd.nextBoolean()) match {
+        case Nil => Seq(2)
+        case fs => fs
+      }
+      val r = makeRaster(w, h, nb)
+      val cog = GeoTiff.writeCog(r, tile, tile, factors, code)
+      val main = GeoTiff.read(cog)
+      assert(main.width == w && main.height == h && main.bands.length == nb, s"it=$it")
+      for (b <- 1 to nb)
+        assert(pixels(main, b) == pixels(r, b), s"it=$it main b=$b")
+      val ovs = GeoTiff.overviews(fetchOf(cog))
+      assert(ovs.length == factors.length, s"it=$it")
+      factors.sorted.zip(ovs).foreach { case (f, (tok, ow, oh)) =>
+        assert(ow == math.max(1, (w + f - 1) / f) &&
+          oh == math.max(1, (h + f - 1) / f), s"it=$it f=$f")
+        val lvl = GeoTiff.readWindow(fetchOf(cog), 0, 0, ow, oh, ifdAt = tok,
+          fallbackGt = Array(r.gt(0), r.gt(1) * f, 0.0, r.gt(3), 0.0, r.gt(5) * f),
+          fallbackCrs = r.crs)
+        // overview pixel (row, c) must equal full pixel (f*row, f*c)
+        for (b <- 1 to nb; row <- 0 until oh by math.max(1, oh / 7);
+             c <- 0 until ow by math.max(1, ow / 7)) {
+          val exp = r.value(b, math.min(c * f, w - 1), math.min(row * f, h - 1))
+          assert(lvl.value(b, c, row) == exp, s"it=$it f=$f b=$b ($c,$row)")
+        }
+        assert(lvl.gt(1) == r.gt(1) * f && lvl.gt(5) == r.gt(5) * f, s"it=$it f=$f gt")
+      }
+    }
+  }
+
   test("rs_value/rs_values band-less form resolves the default band out-db") {
     val r = makeRaster(200, 100, 1)
     val bytes = GeoTiff.writeTiled(r, 64, 64, 1)
