@@ -792,8 +792,68 @@ object CrsTransform {
       sgn * h.tz + s * (-ry * x + rx * y + z))
   }
 
-  /** Lon/lat on `d`'s datum -> WGS84 lon/lat (toWgs) or back. */
+  // ---- NTv2 grid-shift registry (PROJ's grid-based datum leg: when a
+  // grid is registered for a datum it REPLACES the Helmert leg, giving
+  // the grid's cm-level accuracy instead of the single-set Helmert's
+  // meters — the behavior the reference gets from PROJ with NADCON/NTv2/
+  // OSTN15 files installed). Registration stores the PATH; each JVM
+  // parses the .gsb lazily on first use, so a cluster ships only the
+  // path and executors read the grid from shared storage. ----
+  private val gridPaths =
+    new java.util.concurrent.ConcurrentHashMap[DatumShift, String]()
+  private val gridCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.Ntv2.Grid]()
+
+  /** Register an NTv2 .gsb file as the datum leg for `crsCode`'s datum
+    * (any CRS on that datum — geographic or projected — picks it up). */
+  def registerGridShift(crsCode: String, gsbPath: String): Unit = {
+    val d = datumOf(parse(crsCode))
+    require(d != null,
+      s"registerGridShift: $crsCode has no datum leg (WGS84-coincident)")
+    gridPaths.put(d, gsbPath)
+  }
+
+  def unregisterGridShift(crsCode: String): Unit = {
+    val d = datumOf(parse(crsCode))
+    if (d != null) gridPaths.remove(d)
+  }
+
+  private def gridForOrNull(d: DatumShift): graft.sources.Ntv2.Grid = {
+    val path = gridPaths.get(d)
+    if (path == null) null
+    else gridCache.computeIfAbsent(path, { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sessionState.newHadoopConf())
+          .getOrElse(new org.apache.hadoop.conf.Configuration()))
+      val len = fs.getFileStatus(hp).getLen
+      require(len <= Int.MaxValue, s"ntv2 grid too large: $p")
+      val buf = new Array[Byte](len.toInt)
+      val in = fs.open(hp)
+      try in.readFully(0L, buf) finally in.close()
+      graft.sources.Ntv2.read(buf)
+    })
+  }
+
+  /** Lon/lat on `d`'s datum -> WGS84 lon/lat (toWgs) or back. A
+    * registered NTv2 grid takes precedence inside its coverage; points
+    * outside every subgrid fall back to the datum's Helmert leg (PROJ
+    * behaves the same with a ballpark transformation available). */
   private def shiftDatum(lon: Double, lat: Double, d: DatumShift,
+      toWgs: Boolean): (Double, Double) = {
+    val grid = gridForOrNull(d)
+    if (grid == null) return shiftHelmert(lon, lat, d, toWgs)
+    if (toWgs) grid.shiftAt(lon, lat) match {
+      case Some((dLat, dLonW)) => (lon - dLonW / 3600.0, lat + dLat / 3600.0)
+      case None => shiftHelmert(lon, lat, d, toWgs)
+    } else {
+      if (grid.shiftAt(lon, lat).isEmpty) shiftHelmert(lon, lat, d, toWgs)
+      else grid.inverse(lon, lat)
+    }
+  }
+
+  private def shiftHelmert(lon: Double, lat: Double, d: DatumShift,
       toWgs: Boolean): (Double, Double) =
     if (toWgs) {
       val (x, y, z) = geodeticToXyz(d.el, lon, lat)

@@ -740,6 +740,39 @@ object SpatialQueries {
           st.f("rs_value", col("down"), col("pt"), lit(2)).as("v2"))
     }),
 
+    // NTv2 grid-shift datum leg: a synthetic .gsb (dyadic linear shift
+    // fields over a fictional coverage box, so other OSGB36 gates keep
+    // their Helmert leg via the outside-coverage fallback) registered for
+    // EPSG:4277; sample points sit ON grid nodes so the applied shift is
+    // the node value exactly and the oracle recomputes it in plain SQL.
+    // This is the machinery of PROJ's NADCON/NTv2/OSTN15 leg (reference:
+    // c/sedona-proj/src/transform.rs) — real national grids drop in via
+    // CrsTransform.registerGridShift(crs, path).
+    "sp20_ntv2_gridshift" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_ntv2_gate/${math.abs(dir.hashCode)}"
+      new java.io.File(base).mkdirs()
+      val gsb = s"$base/test.gsb"
+      val nR = 21; val nC = 21
+      val latS = Array.tabulate(nR * nC)(i => ((i / nC) * 2 + i % nC) * 0.125f + 1.0f)
+      val lonS = Array.tabulate(nR * nC)(i => ((i / nC) + (i % nC) * 3) * 0.0625f - 2.0f)
+      java.nio.file.Files.write(java.nio.file.Paths.get(gsb),
+        graft.sources.Ntv2.write(graft.sources.Ntv2.Grid(Vector(
+          graft.sources.Ntv2.SubGrid("GATE", "NONE", 36000.0, 72000.0,
+            -72000.0, -36000.0, 1800.0, 1800.0, nR, nC, latS, lonS)))))
+      graft.functions.CrsTransform.registerGridShift("EPSG:4277", gsb)
+      t(s, dir, "nation")
+        .withColumn("r", col("n_nationkey") % 21)
+        .withColumn("c", (col("n_nationkey") * 5) % 21)
+        .withColumn("lat", lit(10.0) + col("r") * 0.5)
+        .withColumn("lon", lit(20.0) - col("c") * 0.5)
+        .withColumn("w", st.transform(st.point(col("lon"), col("lat")),
+          lit("EPSG:4277"), lit("EPSG:4326")))
+        .select(col("n_nationkey"),
+          round(st.x(col("w")), 7).as("wlon"),
+          round(st.y(col("w")), 7).as("wlat"))
+    }),
+
     // netCDF classic out-db: per-nation CDF-2 tiles written through
     // sources/NetCdf (the reference reads netCDF via its GDAL raster
     // side, rust/sedona-raster-gdal/src/register.rs; here the classic
@@ -1405,6 +1438,16 @@ object SpatialQueries {
         |  list_min(vs) AS zmin,
         |  list_max(vs) AS zmax
         |FROM z""".stripMargin,
+
+    // node (r, c): dLat = (2r+c)/8 + 1 arcsec, dLonWest = (r+3c)/16 - 2;
+    // forward: lat + dLat/3600, lon - dLonWest/3600
+    "sp20_ntv2_gridshift" ->
+      """WITH n AS (SELECT n_nationkey,
+        |    n_nationkey % 21 AS r, (n_nationkey*5) % 21 AS c FROM nation)
+        |SELECT n_nationkey,
+        |  round((20.0 - c*0.5) - ((r + c*3)*0.0625 - 2.0)/3600.0, 7) AS wlon,
+        |  round(10.0 + r*0.5 + ((2*r + c)*0.125 + 1.0)/3600.0, 7) AS wlat
+        |FROM n""".stripMargin,
 
     // netCDF tile pixel i = (n*100 + i) % 89 on a 4x3 grid
     "rs12_netcdf_roundtrip" ->

@@ -474,4 +474,71 @@ class CrsSpec extends AnyFunSuite {
       math.toRadians(0.1) * 6356752.314 * 1.0045 // crude ellipsoidal patch estimate
     assert(math.abs(area / expect - 1) < 0.01, s"area=$area expect~$expect")
   }
+
+  test("NTv2 grid shift: codec roundtrip, bilinear exactness, registry + Helmert fallback") {
+    import graft.sources.Ntv2
+    // fictional coverage box lat 10..20, lonEast 10..20 (west-positive
+    // seconds -72000..-36000), 0.5 deg nodes, dyadic linear shift fields
+    // so float32 nodes are exact and bilinear == the linear function
+    val nR = 21; val nC = 21
+    val latS = Array.tabulate(nR * nC)(i => ((i / nC) * 2 + i % nC) * 0.125f + 1.0f)
+    val lonS = Array.tabulate(nR * nC)(i => ((i / nC) + (i % nC) * 3) * 0.0625f - 2.0f)
+    val g = Ntv2.Grid(Vector(Ntv2.SubGrid("TEST", "NONE",
+      36000.0, 72000.0, -72000.0, -36000.0, 1800.0, 1800.0, nR, nC, latS, lonS)))
+    val bytes = Ntv2.write(g)
+    val back = Ntv2.read(bytes)
+    assert(back.subs.length == 1)
+    val sg = back.subs.head
+    assert(sg.name == "TEST" && sg.nRows == nR && sg.nCols == nC)
+    assert(sg.sLat == 36000.0 && sg.wLonW == -36000.0 && sg.latInc == 1800.0)
+    assert(java.util.Arrays.equals(sg.latShift, latS) &&
+      java.util.Arrays.equals(sg.lonShift, lonS))
+
+    // linear-field bilinear exactness at quarter-cell interior points:
+    // r = (latSec-36000)/1800, c = (lonWestSec+72000)/1800 (fractional)
+    for (r <- Seq(0.0, 0.25, 3.5, 19.75, 20.0); c <- Seq(0.0, 0.75, 10.25, 20.0)) {
+      val lat = 10.0 + r * 0.5
+      val lon = 20.0 - c * 0.5
+      val Some((dLat, dLonW)) = back.shiftAt(lon, lat)
+      assert(dLat == (2 * r + c) * 0.125 + 1.0, s"dLat r=$r c=$c")
+      assert(dLonW == (r + c * 3) * 0.0625 - 2.0, s"dLonW r=$r c=$c")
+    }
+    // forward/inverse fixed-point roundtrip
+    for ((lon, lat) <- Seq((15.3, 12.7), (10.01, 19.99), (19.9, 10.1))) {
+      val (flon, flat) = back.forward(lon, lat)
+      val (blon, blat) = back.inverse(flon, flat)
+      assert(math.abs(blon - lon) < 1e-12 && math.abs(blat - lat) < 1e-12,
+        s"fixed-point roundtrip ($lon,$lat)")
+    }
+
+    // registry: grid replaces the OSGB36 Helmert leg inside coverage,
+    // falls back to Helmert outside, restores on unregister
+    val f = java.io.File.createTempFile("graft_ntv2", ".gsb")
+    val os = new java.io.FileOutputStream(f); os.write(bytes); os.close()
+    val inBox = (15.25, 12.5)
+    val outside = (-1.5, 52.0) // GB — outside the fictional box
+    val helmertIn = pt(inBox._1, inBox._2, "EPSG:4277", "EPSG:4326")
+    val helmertOut = pt(outside._1, outside._2, "EPSG:4277", "EPSG:4326")
+    CrsTransform.registerGridShift("EPSG:4277", f.getAbsolutePath)
+    try {
+      val (glon, glat) = pt(inBox._1, inBox._2, "EPSG:4277", "EPSG:4326")
+      val r = (12.5 - 10.0) / 0.5; val c = (20.0 - 15.25) / 0.5
+      assert(glat == 12.5 + ((2 * r + c) * 0.125 + 1.0) / 3600.0, "grid lat applied")
+      assert(glon == 15.25 - ((r + c * 3) * 0.0625 - 2.0) / 3600.0, "grid lon applied")
+      assert((glon, glat) != helmertIn, "grid must differ from Helmert in coverage")
+      // inverse direction (4326 -> 4277) round-trips through the grid
+      val (ilon, ilat) = pt(glon, glat, "EPSG:4326", "EPSG:4277")
+      assert(math.abs(ilon - inBox._1) < 1e-11 && math.abs(ilat - inBox._2) < 1e-11)
+      // outside coverage: Helmert fallback, bit-identical to pre-registration
+      assert(pt(outside._1, outside._2, "EPSG:4277", "EPSG:4326") == helmertOut)
+      // projected CRS on the same datum picks the grid up too
+      val (bx, by) = pt(inBox._1, inBox._2, "EPSG:4326", "EPSG:27700")
+      assert(!bx.isNaN && !by.isNaN)
+    } finally {
+      CrsTransform.unregisterGridShift("EPSG:4277")
+      f.delete()
+    }
+    assert(pt(inBox._1, inBox._2, "EPSG:4277", "EPSG:4326") == helmertIn,
+      "unregister must restore the Helmert leg")
+  }
 }
