@@ -132,6 +132,68 @@ object RelationalQueries {
           |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity <= 2)""".stripMargin)
     }),
 
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average
+    // threshold) — Catalyst rewrites it to an aggregate + join, no
+    // per-row re-scan. Money summed as exact integer cents.
+    "q17_corr_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("c17_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("c17_part")
+      s.sql(
+        """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+          |    AS cents_sum,
+          |  COUNT(*) AS n_rows
+          |FROM c17_lineitem l JOIN c17_part p ON p.p_partkey = l.l_partkey
+          |WHERE p.p_size <= 5
+          |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+          |                      FROM c17_lineitem l2
+          |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    }),
+
+    // TPC-H Q18 shape: IN-subquery over a grouped HAVING aggregate
+    "q18_having_in" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("c18_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("c18_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus,
+          |  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+          |FROM c18_orders
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM c18_lineitem
+          |  GROUP BY l_orderkey HAVING SUM(l_quantity) >= 140)""".stripMargin)
+    }),
+
+    // TPC-H Q19 shape: disjunction of conjunctive join+filter branches —
+    // the predicate the optimizer must NOT turn into a cartesian fallback
+    "q19_disjunctive" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("c19_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("c19_part")
+      s.sql(
+        """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+          |    AS cents_sum,
+          |  COUNT(*) AS n_rows
+          |FROM c19_lineitem l JOIN c19_part p ON l.l_partkey = p.p_partkey
+          |WHERE (p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20)
+          |   OR (p.p_size BETWEEN 11 AND 20 AND l.l_quantity BETWEEN 10 AND 30
+          |       AND l.l_discount < 0.05)
+          |   OR (p.p_size > 40 AND l.l_quantity >= 45)""".stripMargin)
+    }),
+
+    // TPC-H Q20 shape: nested IN-subqueries (semi-join chain) with a
+    // grouped HAVING threshold in the middle
+    "q20_nested_semi" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("c20_supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("c20_lineitem")
+      t(s, dir, "part").createOrReplaceTempView("c20_part")
+      s.sql(
+        """SELECT s_suppkey, s_name
+          |FROM c20_supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey FROM c20_lineitem
+          |  WHERE l_partkey IN (SELECT p_partkey FROM c20_part
+          |                      WHERE p_name LIKE '%a%')
+          |  GROUP BY l_suppkey HAVING COUNT(*) >= 20)""".stripMargin)
+    }),
+
     // Top-1-per-group via ranked window (deterministic tie-break).
     "q08_top_per_nation" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -302,6 +364,43 @@ object RelationalQueries {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l
         |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity <= 2)""".stripMargin,
+
+    "q17_corr_scalar_subquery" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size <= 5
+        |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q18_having_in" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) >= 140)""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_size BETWEEN 11 AND 20 AND l.l_quantity BETWEEN 10 AND 30
+        |       AND l.l_discount < 0.05)
+        |   OR (p.p_size > 40 AND l.l_quantity >= 45)""".stripMargin,
+
+    "q20_nested_semi" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE '%a%')
+        |  GROUP BY l_suppkey HAVING COUNT(*) >= 20)""".stripMargin,
 
     "q08_top_per_nation" ->
       """SELECT n.n_name, x.c_custkey, x.c_acctbal FROM (
