@@ -42,6 +42,39 @@ object MicroBench {
     }
     def run(df: DataFrame): Unit = { df.write.format("noop").mode("overwrite").save() }
 
+    // round-8 kernel fixtures (built outside the timed sections):
+    // a 2048x1024 netCDF scene for out-db windowed sampling, a COG with
+    // 2/4/8 overviews, and a synthetic NTv2 grid over lat/lon 10..20
+    val microDir = new java.io.File("/tmp/graft_micro_r8"); microDir.mkdirs()
+    val ncScene = new java.io.File(microDir, "scene.nc")
+    if (!ncScene.exists()) {
+      val w = 2048; val h = 1024
+      val vals = Array.tabulate(w * h)(i => (i % 251).toDouble)
+      java.nio.file.Files.write(ncScene.toPath, graft.sources.NetCdf.write(
+        graft.functions.RasterModel.Raster("EPSG:32610",
+          Array(0.0, 10.0, 0.0, 0.0, 0.0, -10.0), w, h,
+          Vector(graft.functions.RasterModel.Band(Double.NaN,
+            graft.functions.RasterModel.packDoubles(vals))))))
+    }
+    val cogScene = new java.io.File(microDir, "scene_cog.tif")
+    if (!cogScene.exists()) {
+      val w = 1024; val h = 768
+      val vals = Array.tabulate(w * h)(i => (i % 251).toDouble)
+      java.nio.file.Files.write(cogScene.toPath, graft.sources.GeoTiff.writeCog(
+        graft.functions.RasterModel.Raster("EPSG:32610",
+          Array(0.0, 10.0, 0.0, 0.0, 0.0, -10.0), w, h,
+          Vector(graft.functions.RasterModel.Band(Double.NaN,
+            graft.functions.RasterModel.packDoubles(vals)))), 64, 64, Seq(2, 4, 8), 8))
+    }
+    val gsb = new java.io.File(microDir, "grid.gsb")
+    if (!gsb.exists()) {
+      val latS = Array.tabulate(21 * 21)(i => ((i / 21) * 2 + i % 21) * 0.125f + 1.0f)
+      val lonS = Array.tabulate(21 * 21)(i => ((i / 21) + (i % 21) * 3) * 0.0625f - 2.0f)
+      java.nio.file.Files.write(gsb.toPath, graft.sources.Ntv2.write(
+        graft.sources.Ntv2.Grid(Vector(graft.sources.Ntv2.SubGrid("MB", "NONE",
+          36000.0, 72000.0, -72000.0, -36000.0, 1800.0, 1800.0, 21, 21, latS, lonS)))))
+    }
+
     val results = Seq(
       time("area_simple")(run(polySimple.select(st.area(col("geom1"))))),
       time("area_complex")(run(polyComplex.select(st.area(col("geom1"))))),
@@ -115,7 +148,36 @@ object MicroBench {
         points.limit(20000).select(col("id").as("bid"),
           st.point(pmod(hash(col("id"), lit(43)), lit(7200)).cast("double") / 20.0 - 180.0,
             pmod(hash(col("id"), lit(44)), lit(3500)).cast("double") / 20.0 - 87.5).as("bg")),
-        col("ag"), col("bg"), nx = 180, ny = 90))))
+        col("ag"), col("bg"), nx = 180, ny = 90))),
+      // round-8 kernels: out-db windowed netCDF sampling (block-clustered
+      // probes, warm cache after the first touch of each 256px block),
+      // COG overview-path resample reuse, NTv2 grid-shift transform
+      time("netcdf_outdb_value")(run(
+        spark.range(0, 100000).toDF("id")
+          .withColumn("b", col("id") * 32 / 100000)
+          .withColumn("c", ((col("b") % 8) * 256 +
+            pmod(hash(col("id"), lit(61)), lit(256))).cast("int"))
+          .withColumn("r", ((col("b") / 8) * 256 +
+            pmod(hash(col("id"), lit(62)), lit(256))).cast("int"))
+          .select(st.f("rs_value",
+            st.f("rs_frompath", lit(ncScene.getAbsolutePath)),
+            st.f("st_setsrid", st.point(col("c") * 10.0 + 5.0,
+              -(col("r") * 10.0 + 5.0)), lit(32610)), lit(1))))),
+      time("cog_overview_resample")(run(
+        spark.range(0, 200).toDF("id")
+          .select(st.f("rs_value",
+            st.f("rs_resample", st.f("rs_frompath", lit(cogScene.getAbsolutePath)),
+              lit(40.0), lit(-40.0), lit(true), lit("nearestneighbor")),
+            st.f("st_setsrid", st.point(pmod(col("id"), lit(256)) * 40.0 + 20.0,
+              -(pmod(col("id") * 7, lit(192)) * 40.0 + 20.0)), lit(32610)), lit(1))))),
+      time("ntv2_gridshift")({
+        graft.functions.CrsTransform.registerGridShift("EPSG:4277", gsb.getAbsolutePath)
+        try run(points.limit(200000).select(st.transform(
+          st.point(pmod(hash(col("id"), lit(71)), lit(2000)).cast("double") / 200.0 + 10.0,
+            pmod(hash(col("id"), lit(72)), lit(2000)).cast("double") / 200.0 + 10.0),
+          lit("EPSG:4277"), lit("EPSG:4326"))))
+        finally graft.functions.CrsTransform.unregisterGridShift("EPSG:4277")
+      }))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

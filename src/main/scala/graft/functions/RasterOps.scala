@@ -713,6 +713,13 @@ object RasterOps {
       graft.sources.GeoTiff.writeCompressed(rast(a), code)
     }),
 
+    // RS_AsNetCDF(raster) -> binary: classic CDF-2 serialization through
+    // sources.NetCdf (writer symmetry with RS_AsGeoTiff; the reference's
+    // GDAL side can write netCDF through the same driver it reads with).
+    // Roundtrips through RS_FromGDALRaster's CDF byte sniff.
+    fnv("rs_asnetcdf", BinaryType, Seq(Seq(Raw)))(a =>
+      graft.sources.NetCdf.write(rast(a))),
+
     // RS_FromGDALRaster(binary) -> raster (rs_from_gdal_raster.rs:49,143):
     // magic-sniffed like GDAL driver selection — GeoTIFF (II/MM) and
     // netCDF classic (CDF) are the formats with offline codecs here.

@@ -234,7 +234,7 @@ class NetCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("rs_fromgdalraster sniffs netCDF bytes") {
+  test("rs_fromgdalraster sniffs netCDF bytes; rs_asnetcdf roundtrips through it") {
     val r = makeRaster(8, 6, 1)
     val bytes = NetCdf.write(r)
     val df = spark.createDataFrame(Seq(Tuple1(bytes))).toDF("b")
@@ -245,5 +245,12 @@ class NetCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(row.getInt(0) == 8 && row.getInt(1) == 6)
     assert(row.getDouble(2) == 100000.0 + 2 * 1000 + 3)
+    // SQL-level writer: rs_asnetcdf(raster) -> CDF bytes -> sniffed back
+    val rt = spark.sql(
+      """SELECT rs_value(rs_fromgdalraster(rs_asnetcdf(rs_fromgdalraster(b))),
+        |  1, 5, 4) v, length(rs_asnetcdf(rs_fromgdalraster(b))) n FROM ncbytes"""
+        .stripMargin).collect()(0)
+    assert(rt.getDouble(0) == 100000.0 + 4 * 1000 + 5)
+    assert(rt.getInt(1) == bytes.length)
   }
 }
