@@ -42,7 +42,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     (GeomScalars.registry ++ RasterFunctions.registry ++ RasterOps.registry ++
-      aggregates ++ sketches)
+      GeoArrowFunctions.registry ++ aggregates ++ sketches)
       .foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }

@@ -32,6 +32,39 @@ object IoQueries {
         .select(col("p_partkey"))
     }),
 
+    // GeoParquet 1.1 geoarrow encoding roundtrip: box polygons written as
+    // nested coordinate arrays ("polygon" encoding) + points as
+    // struct<x,y> ("point"), read back through the encoding-aware rebind
+    // (sd_fromgeoarrow_*), then projected to numerics the oracle
+    // recomputes from the generator formulas.
+    "gp02_geoarrow_roundtrip" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val base = s"/tmp/graft_geoarrow/${math.abs(dir.hashCode)}"
+      val boxes = t(s, dir, "part")
+        .withColumn("bxmin", (col("p_partkey") % 100).cast("double") * 20.0)
+        .withColumn("bymin", (col("p_size") % 50).cast("double") * 20.0)
+        .withColumn("geom", st.makeEnvelope(col("bxmin"), col("bymin"),
+          col("bxmin") + (col("p_partkey") % 7 + 1).cast("double"),
+          col("bymin") + (col("p_size") % 5 + 1).cast("double")))
+        .select(col("p_partkey"), col("geom"))
+      GeoParquet.write(boxes, s"$base/polys", "geom", crs = "EPSG:3857",
+        encoding = "polygon")
+      val pts = t(s, dir, "part")
+        .withColumn("pt", st.point((col("p_partkey") % 100).cast("double") * 2.0,
+          (col("p_size") % 50).cast("double") * 3.0))
+        .select(col("p_partkey"), col("pt"))
+      GeoParquet.write(pts, s"$base/pts", "pt", crs = "EPSG:3857",
+        encoding = "point")
+      GeoParquet.read(s, s"$base/polys")
+        .join(GeoParquet.read(s, s"$base/pts"), "p_partkey")
+        .select(col("p_partkey"),
+          st.f("st_area", col("geom")).as("area"),
+          st.xmin(col("geom")).as("bxmin"),
+          st.ymin(col("geom")).as("bymin"),
+          st.x(col("pt")).as("px"),
+          st.y(col("pt")).as("py"))
+    }),
+
     // sd_random_geometry table function: the generator's per-(seed,id)
     // hash values aren't DuckDB-expressible, so the gate pins the
     // documented CONTRACT — full id sequence, geometry type, bounds
@@ -352,6 +385,15 @@ object IoQueries {
         |  CAST(n_nationkey AS DOUBLE)*2.5 AS y,
         |  'EPSG:32620' AS crs
         |FROM nation""".stripMargin,
+
+    "gp02_geoarrow_roundtrip" ->
+      """SELECT p_partkey,
+        |  CAST((p_partkey % 7 + 1) * (p_size % 5 + 1) AS DOUBLE) AS area,
+        |  CAST(p_partkey % 100 AS DOUBLE) * 20.0 AS bxmin,
+        |  CAST(p_size % 50 AS DOUBLE) * 20.0 AS bymin,
+        |  CAST(p_partkey % 100 AS DOUBLE) * 2.0 AS px,
+        |  CAST(p_size % 50 AS DOUBLE) * 3.0 AS py
+        |FROM part""".stripMargin,
 
     "gp01_geoparquet_prune" ->
       """WITH b AS (

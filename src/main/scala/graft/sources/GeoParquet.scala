@@ -53,7 +53,20 @@ object GeoParquet {
       crs: String = "EPSG:4326", withBbox: Boolean = true,
       hilbertCluster: Boolean = true, clusterPartitions: Int = 0,
       overwriteBboxColumns: Boolean = false,
-      geoparquetVersion: String = "1.1"): Unit = {
+      geoparquetVersion: String = "1.1",
+      encoding: String = "WKB"): Unit = {
+    // GeoParquet 1.1 geoarrow column encodings: the geometry column is
+    // stored as nested struct/list coordinate arrays instead of WKB (the
+    // single-type layouts GeoPandas/geoarrow writers emit). All bbox /
+    // Hilbert / bounds machinery runs on the WKB form; the conversion is
+    // the last step before the write.
+    require(encoding == "WKB" ||
+      graft.functions.GeoArrowFunctions.encodings.contains(encoding),
+      s"GeoParquet encoding '$encoding' not supported (WKB or one of " +
+        graft.functions.GeoArrowFunctions.encodings.mkString(", ") + ")")
+    require(encoding == "WKB" || !geoparquetVersion.startsWith("2."),
+      "GeoParquet 2.0 uses the native parquet GEOMETRY type; geoarrow " +
+        "encodings are a 1.1 feature")
     // version gate mirrors the reference writer's
     // ("Unexpected GeoParquet version string", io/test_parquet.py):
     // 1.0 = metadata only, 1.1 = + covering, 2.0 = + native parquet
@@ -95,6 +108,8 @@ object GeoParquet {
         else df.sparkSession.sessionState.conf.numShufflePartitions
       out = out.repartitionByRange(parts, st.f("sd_order", col(geomCol)))
     }
+    if (encoding != "WKB")
+      out = out.withColumn(geomCol, st.f(s"sd_togeoarrow_$encoding", col(geomCol)))
     out.write.mode("overwrite").parquet(path)
 
     // sidecar mirroring the `geo` footer metadata (GeoParquetMetadata)
@@ -130,7 +145,7 @@ object GeoParquet {
         }
       val typesJson = geometryTypes.map(t => s""""$t"""").mkString(",")
       s"""{"version":"$version","primary_column":"$geomCol","columns":{"$geomCol":{
-         |"encoding":"WKB",$crsJson"geometry_types":[$typesJson],
+         |"encoding":"$encoding",$crsJson"geometry_types":[$typesJson],
          |$bboxJson
          |"covering":${if (bboxOn) s"""{"bbox":{"xmin":["${geomCol}_bbox","xmin"],"ymin":["${geomCol}_bbox","ymin"],"xmax":["${geomCol}_bbox","xmax"],"ymax":["${geomCol}_bbox","ymax"]}}""" else "null"}}}}""".stripMargin
     }
@@ -491,31 +506,38 @@ object GeoParquet {
     require(missing.isEmpty,
       s"Geometry columns not found in schema: ${missing.mkString(", ")}")
     // explicit overrides win over footer/native tags, which win over
-    // pre-existing Spark field metadata
-    val tagged = (geometryColumns.toSeq ++
-      (fm.flatMap(_._1).toSeq.flatMap(parseGeoColumns) ++ native)
-        .filter { case (name, _) =>
+    // pre-existing Spark field metadata. Each tag carries (crs, encoding):
+    // WKB columns rebind in place; geoarrow-encoded columns (GeoParquet
+    // 1.1 nested coordinate layouts) decode through sd_fromgeoarrow_<enc>
+    // so downstream operators always see WKB geometry.
+    val tagged = (geometryColumns.toSeq.map { case (n, c) => (n, c, "WKB") } ++
+      (fm.flatMap(_._1).toSeq.flatMap(parseGeoColumns) ++
+        native.map { case (n, c) => (n, c, "WKB") })
+        .filter { case (name, _, _) =>
           df.columns.contains(name) &&
             !df.schema(name).metadata.contains("graft.geometry")
         }).distinctBy(_._1)
     if (tagged.isEmpty) df
     else df.select(df.columns.toIndexedSeq.map { c =>
       tagged.find(_._1 == c) match {
-        case Some((_, crs)) =>
-          val base = if (validate) st.f("sd_validatewkb", col(c)) else col(c)
+        case Some((_, crs, enc)) =>
+          val decoded =
+            if (enc == "WKB") col(c) else st.f(s"sd_fromgeoarrow_$enc", col(c))
+          val base = if (validate) st.f("sd_validatewkb", decoded) else decoded
           base.as(c, geomMetadata(crs))
         case None => col(c)
       }
     }: _*)
   }
 
-  /** (column, crs) pairs out of a `geo` metadata JSON; crs may be a
-    * PROJJSON object (take its authority:code id) or a plain string. */
-  private def parseGeoColumns(json: String): Seq[(String, String)] = try {
+  /** (column, crs, encoding) triples out of a `geo` metadata JSON; crs
+    * may be a PROJJSON object (take its authority:code id) or a plain
+    * string; encoding defaults to WKB per spec. */
+  private def parseGeoColumns(json: String): Seq[(String, String, String)] = try {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val cols = om.readTree(json).get("columns")
     if (cols == null) return Nil
-    val out = Seq.newBuilder[(String, String)]
+    val out = Seq.newBuilder[(String, String, String)]
     val it = cols.fields()
     while (it.hasNext) {
       val e = it.next()
@@ -529,7 +551,16 @@ object GeoParquet {
             s"${id.get("authority").asText}:${id.get("code").asText}"
           else "OGC:CRS84"
         }
-      out += e.getKey -> crs
+      val encNode = e.getValue.get("encoding")
+      val enc =
+        if (encNode == null || !encNode.isTextual) "WKB"
+        else encNode.asText() match {
+          case "WKB" | "wkb" => "WKB"
+          case ga if graft.functions.GeoArrowFunctions.encodings.contains(ga) => ga
+          case other => throw new IllegalArgumentException(
+            s"GeoParquet column '${e.getKey}': unsupported encoding '$other'")
+        }
+      out += ((e.getKey, crs, enc))
     }
     out.result()
   } catch { case _: Exception => Nil }

@@ -733,4 +733,45 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new java.io.File(path).listFiles().count(_.getName.endsWith(".fgb")) == 1)
     assert(FlatGeobuf.read(spark, path, "geom").count() == 10)
   }
+
+  test("geoarrow encodings: all six layouts roundtrip; files are nested, not WKB") {
+    val cases = Seq(
+      "point" -> "POINT (3 4)",
+      "linestring" -> "LINESTRING (0 0, 1 1, 2 0)",
+      "polygon" -> "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "multipoint" -> "MULTIPOINT ((1 1), (2 3))",
+      "multilinestring" -> "MULTILINESTRING ((0 0, 1 1), (5 5, 6 7, 8 5))",
+      "multipolygon" ->
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 5)))")
+    for ((enc, wkt) <- cases) {
+      val dir = Files.createTempDirectory("gp_ga").toString + s"/$enc"
+      // a per-row translated copy of the type's base shape keeps every row
+      // distinct so the multiset compare is meaningful
+      val src = spark.range(50).select(col("id"),
+        st.f("st_translate", st.geomFromWkt(lit(wkt)),
+          col("id").cast("double"), (col("id") % 7).cast("double")).as("geom"))
+      GeoParquet.write(src, dir, "geom", crs = "EPSG:3857", encoding = enc)
+      // the stored column is the nested coordinate layout, not binary
+      val raw = spark.read.parquet(dir)
+      assert(!raw.schema("geom").dataType.isInstanceOf[
+        org.apache.spark.sql.types.BinaryType.type], s"$enc stored as WKB?")
+      assert(new String(Files.readAllBytes(java.nio.file.Paths.get(dir, "_geo.json")))
+        .contains(s""""encoding":"$enc""""), s"$enc metadata")
+      val back = GeoParquet.read(spark, dir)
+      assert(GeoParquet.geometryColumns(back) == Seq("geom" -> "EPSG:3857"), enc)
+      val a = src.select(st.asText(col("geom"))).collect().map(_.getString(0)).sorted
+      val b = back.select(st.asText(col("geom"))).collect().map(_.getString(0)).sorted
+      assert(a.sameElements(b), s"$enc values")
+      // decoded column composes with ordinary operators
+      assert(back.select(st.area(col("geom"))).count() == 50)
+    }
+    // type-mismatched write errors loudly
+    val bad = spark.range(1).select(
+      st.geomFromWkt(lit("LINESTRING (0 0, 1 1)")).as("geom"))
+    val dir = Files.createTempDirectory("gp_ga").toString + "/bad"
+    val e = intercept[Exception] {
+      GeoParquet.write(bad, dir, "geom", encoding = "point")
+    }
+    assert(e.getMessage != null)
+  }
 }
