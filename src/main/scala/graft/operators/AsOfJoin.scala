@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Time-series as-of join — the operator Spark's relational algebra
+  * cannot express without a quadratic range join: for every left row,
+  * the LATEST right row of the same key with `rightTime <= leftTime`
+  * (backward as-of, optionally bounded by a tolerance), left-outer.
+  *
+  * Scale shape: ONE hash shuffle per side (repartition on the key), a
+  * per-partition sort, and a linear merge sweep — the plan a dedicated
+  * time-series engine (kdb aj, QuestDB/DuckDB ASOF) runs, here built
+  * from Spark primitives so it inherits AQE sizing and columnar scans
+  * upstream. No per-key windowing, no cross product, no state beyond
+  * one held right row per key during the sweep.
+  *
+  * Determinism: right rows sharing (key, time) are ordered by the
+  * caller-named `rightIdCol` and the LARGEST id wins — a total order the
+  * oracle can restate, instead of "whichever row the scan met last".
+  */
+object AsOfJoin {
+
+  /** `leftTimeCol`/`rightTimeCol` must be integral (cast timestamps to
+    * epoch micros first); `keyCol` must exist on both sides; payload
+    * column names must not collide across sides (except the key, which
+    * is emitted once from the left). */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String, rightIdCol: String,
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(toleranceUs >= 0, "asof: tolerance must be non-negative")
+    val dup = right.columns.toSet.intersect(left.columns.toSet) - keyCol
+    require(dup.isEmpty, s"asof: colliding payload columns: ${dup.mkString(", ")}")
+    require(left.schema(leftTimeCol).dataType == LongType &&
+      right.schema(rightTimeCol).dataType == LongType,
+      "asof: time columns must be LongType (cast timestamps to epoch micros)")
+    require(rightTimeCol != keyCol && rightIdCol != keyCol,
+      "asof: right time/id columns must be payload, not the key")
+    val spark = left.sparkSession
+    // the key is emitted once, from the left side
+    val rCols = right.columns.filterNot(_ == keyCol).toIndexedSeq
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(rCols.map(right.schema(_)).toArray)
+    val lPay = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rPay = struct(rCols.map(col): _*)
+    // tag 0 = right, 1 = left: at equal times the right row is seen
+    // first, so `rightTime <= leftTime` is inclusive
+    val lTagged = left.select(col(keyCol).as("__k"),
+      col(leftTimeCol).cast(LongType).as("__t"), lit(1).as("__tag"),
+      lit(0L).as("__tb"), lPay.as("__l"), lit(null).cast(rType).as("__r"))
+    val rTagged = right.select(col(keyCol).as("__k"),
+      col(rightTimeCol).cast(LongType).as("__t"), lit(0).as("__tag"),
+      col(rightIdCol).cast(LongType).as("__tb"),
+      lit(null).cast(lType).as("__l"), rPay.as("__r"))
+    val merged = lTagged.unionAll(rTagged)
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"), col("__tag"), col("__tb"))
+    val rTimeIdx = rType.fieldIndex(rightTimeCol)
+    val rWidth = rType.length
+    val outSchema = StructType(lType.fields ++
+      rType.fields.map(_.copy(nullable = true)))
+    val swept = merged.rdd.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var lastR: Row = null
+      it.flatMap { row =>
+        val k = row.get(0)
+        if (!haveKey || k != curKey) { curKey = k; haveKey = true; lastR = null }
+        if (row.getInt(2) == 0) { // right: becomes the held candidate
+          lastR = row.getStruct(5)
+          None
+        } else {
+          val l = row.getStruct(4)
+          val t = row.getLong(1)
+          val r =
+            if (lastR != null && t - lastR.getLong(rTimeIdx) <= toleranceUs) lastR
+            else null
+          val rVals: Seq[Any] =
+            if (r == null) Seq.fill[Any](rWidth)(null) else r.toSeq
+          Some(Row.fromSeq(l.toSeq ++ rVals))
+        }
+      }
+    }
+    spark.createDataFrame(swept, outSchema)
+  }
+}

@@ -194,6 +194,25 @@ object RelationalQueries {
           |  GROUP BY l_suppkey HAVING COUNT(*) >= 20)""".stripMargin)
     }),
 
+    // Backward as-of join (kdb aj / DuckDB ASOF shape): every left event
+    // picks the latest right event of the same user at-or-before its
+    // time within a 48h tolerance, left-outer, ties on (user, time)
+    // resolved to the largest right id. operators.AsOfJoin = one hash
+    // shuffle per side + per-key time-sorted sweep — no quadratic range
+    // join; the oracle restates it as a ranked candidate window.
+    "q21_asof_join" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      val l = ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id"), col("event_id").as("l_event"),
+          unix_micros(col("ts")).as("lts"), col("value").as("lvalue"))
+      val r = ev.filter(col("event_id") % 3 === 1)
+        .select(col("user_id"), col("event_id").as("r_event"),
+          unix_micros(col("ts")).as("rts"), col("value").as("rvalue"))
+      graft.operators.AsOfJoin.asofBackward(l, r, "user_id",
+        "lts", "rts", "r_event", toleranceUs = 172800000000L)
+    }),
+
     // Top-1-per-group via ranked window (deterministic tie-break).
     "q08_top_per_nation" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -364,6 +383,20 @@ object RelationalQueries {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l
         |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity <= 2)""".stripMargin,
+
+    "q21_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id AS l_event, epoch_us(ts) AS lts,
+        |    value AS lvalue FROM events WHERE event_id % 3 = 0),
+        |r AS (SELECT user_id, event_id AS r_event, epoch_us(ts) AS rts,
+        |    value AS rvalue FROM events WHERE event_id % 3 = 1),
+        |cand AS (SELECT l.user_id, l.l_event, l.lts, l.lvalue,
+        |    r.r_event, r.rts, r.rvalue,
+        |    row_number() OVER (PARTITION BY l.l_event
+        |      ORDER BY r.rts DESC, r.r_event DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.rts <= l.lts
+        |    AND l.lts - r.rts <= 172800000000)
+        |SELECT user_id, l_event, lts, lvalue, r_event, rts, rvalue
+        |FROM cand WHERE rn = 1""".stripMargin,
 
     "q17_corr_scalar_subquery" ->
       """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -403,6 +403,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("AsOfJoin.asofBackward: inclusive boundary, id ties, tolerance, left outer") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 7L, "d"))
+      .toDF("k", "lts", "ltag")
+    val right = Seq((1L, 10L, 100L, 1.5), (1L, 10L, 101L, 2.5),
+      (1L, 15L, 102L, 3.5), (3L, 1L, 103L, 4.5))
+      .toDF("k", "rts", "rid", "rv")
+    def runWith(tol: Long) = graft.operators.AsOfJoin
+      .asofBackward(left, right, "k", "lts", "rts", "rid", tol)
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    val res = runWith(Long.MaxValue)
+    assert(res("a") == 101L, "equal-time right included; tie -> largest id")
+    assert(res("b") == 102L, "latest right at-or-before")
+    assert(res("c") == -1L, "no earlier right -> left outer null")
+    assert(res("d") == -1L, "key with no right rows")
+    val tight = runWith(3L)
+    assert(tight("a") == 101L && tight("b") == -1L,
+      "tolerance excludes a 5-tick-stale match")
+    // colliding payload names rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asofBackward(left,
+        right.withColumnRenamed("rv", "ltag"), "k", "lts", "rts", "rid")
+    }
+  }
+
   test("ScalableRank.globalPrefixSum ≡ window cumsum; packSequences boundary math") {
     val df = spark.range(0, 4000).toDF("id")
       .withColumn("v", (col("id") * 2654435761L) % 500 + 1)
