@@ -57,10 +57,33 @@ object AsOfJoin {
       .repartition(col("__k"))
       .sortWithinPartitions(col("__k"), col("__t"), col("__tag"), col("__tb"))
     val rTimeIdx = rType.fieldIndex(rightTimeCol)
-    val rWidth = rType.length
     val outSchema = StructType(lType.fields ++
       rType.fields.map(_.copy(nullable = true)))
-    val swept = merged.rdd.mapPartitions { it =>
+    val swept = sweep(merged, lType, rType, rTimeIdx, toleranceUs)
+    spark.createDataFrame(swept, outSchema)
+  }
+
+  /** Forward as-of: the EARLIEST right row at-or-after each left row per
+    * key (ties -> smallest right id), same tolerance/outer semantics.
+    * Implemented as the backward sweep over negated times and ids — one
+    * reflection, identical plan shape. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String, rightIdCol: String,
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
+    val negL = left.withColumn(leftTimeCol, -col(leftTimeCol))
+    val negR = right.withColumn(rightTimeCol, -col(rightTimeCol))
+      .withColumn(rightIdCol, -col(rightIdCol))
+    val out = asofBackward(negL, negR, keyCol, leftTimeCol, rightTimeCol,
+      rightIdCol, toleranceUs)
+    out.withColumn(leftTimeCol, -col(leftTimeCol))
+      .withColumn(rightTimeCol, -col(rightTimeCol))
+      .withColumn(rightIdCol, -col(rightIdCol))
+  }
+
+  private def sweep(merged: DataFrame, lType: StructType, rType: StructType,
+      rTimeIdx: Int, toleranceUs: Long) = {
+    val rWidth = rType.length
+    merged.rdd.mapPartitions { it =>
       var curKey: Any = null
       var haveKey = false
       var lastR: Row = null
@@ -82,6 +105,5 @@ object AsOfJoin {
         }
       }
     }
-    spark.createDataFrame(swept, outSchema)
   }
 }

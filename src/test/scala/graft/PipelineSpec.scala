@@ -427,6 +427,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.operators.AsOfJoin.asofBackward(left,
         right.withColumnRenamed("rv", "ltag"), "k", "lts", "rts", "rid")
     }
+    // forward direction: earliest right at-or-after, ties -> smallest id
+    val fwd = graft.operators.AsOfJoin
+      .asofForward(left, right, "k", "lts", "rts", "rid")
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(fwd("a") == 100L, "equal-time tie -> smallest id forward")
+    assert(fwd("c") == 100L, "t=5 -> earliest at-or-after is t=10 id 100")
+    assert(fwd("b") == -1L, "t=20 has no later right")
+    assert(fwd("d") == -1L)
   }
 
   test("ScalableRank.globalPrefixSum ≡ window cumsum; packSequences boundary math") {
