@@ -310,6 +310,21 @@ object ScaleBench {
           (rows, (System.nanoTime() - t0) / 1e9)
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
+      // q21 path: backward as-of join — both sides scale with m, keys
+      // scale with m so per-key row counts stay constant; one hash
+      // shuffle per side + per-key time-sorted sweep should hold linear
+      "q21_asof_join" -> { m =>
+        val nKeys = 500L * m
+        def side(n: Long, salt: Int, idName: String, tName: String) =
+          spark.range(0, n).toDF(idName)
+            .withColumn("k", pmod(hash(col(idName), lit(salt)), lit(nKeys)))
+            .withColumn(tName, (pmod(hash(col(idName), lit(salt + 1)),
+              lit(1000000000)) + 1000000000L).cast("long"))
+        val l = side(100000L * m, 81, "lid", "lts")
+        val r = side(100000L * m, 83, "rid", "rts")
+        timed(graft.operators.AsOfJoin.asofBackward(
+          l, r, "k", "lts", "rts", "rid", toleranceUs = 50000000L))
+      },
       // st03 path: watermarked stream-stream spatial join; event rate and
       // spatial extent constant, only the stream's time span grows with m
       // (a longer stream at the same rate) — the 12h band bounds state,
