@@ -213,6 +213,26 @@ object RelationalQueries {
         "lts", "rts", "r_event", toleranceUs = 172800000000L)
     }),
 
+    // Banded interval overlap join (per-user time ranges): both sides
+    // explode to 4h cells, equi-join on (user, cell), exact-overlap
+    // refine + reference-cell dedup — no theta-join/BNLJ ever planned.
+    "q22_interval_join" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      val hourUs = 3600000000L
+      val l = ev.filter(col("event_id") % 4 === 0)
+        .select(col("user_id").as("lu"), col("event_id").as("l_event"),
+          unix_micros(col("ts")).as("ls"))
+        .withColumn("le", col("ls") + (col("l_event") % 7 + 1) * hourUs)
+      val r = ev.filter(col("event_id") % 4 === 1)
+        .select(col("user_id").as("ru"), col("event_id").as("r_event"),
+          unix_micros(col("ts")).as("rs"))
+        .withColumn("re", col("rs") + (col("r_event") % 5 + 1) * hourUs)
+      graft.operators.IntervalJoin.overlapJoin(l, r, "ls", "le", "rs", "re",
+        key = Some(("lu", "ru")), cellWidth = 4L * hourUs)
+        .select(col("l_event"), col("r_event"))
+    }),
+
     // Top-1-per-group via ranked window (deterministic tie-break).
     "q08_top_per_nation" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -383,6 +403,18 @@ object RelationalQueries {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l
         |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity <= 2)""".stripMargin,
+
+    "q22_interval_join" ->
+      """WITH l AS (SELECT user_id AS lu, event_id AS l_event,
+        |    epoch_us(ts) AS ls,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS le
+        |  FROM events WHERE event_id % 4 = 0),
+        |r AS (SELECT user_id AS ru, event_id AS r_event,
+        |    epoch_us(ts) AS rs,
+        |    epoch_us(ts) + (event_id % 5 + 1) * 3600000000 AS re
+        |  FROM events WHERE event_id % 4 = 1)
+        |SELECT l.l_event, r.r_event FROM l JOIN r
+        |ON l.lu = r.ru AND l.ls <= r.re AND r.rs <= l.le""".stripMargin,
 
     "q21_asof_join" ->
       """WITH l AS (SELECT user_id, event_id AS l_event, epoch_us(ts) AS lts,

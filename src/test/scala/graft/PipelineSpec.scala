@@ -438,6 +438,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fwd("d") == -1L)
   }
 
+  test("IntervalJoin.overlapJoin ≡ cross-filter reference; multi-cell pairs emit once") {
+    import spark.implicits._
+    // intervals up to 40 ticks over cells of width 5 -> pairs share many
+    // cells; the reference-cell rule must still emit each pair once
+    val l = spark.range(300).select(col("id").as("lid"),
+      (pmod(hash(col("id"), lit(1)), lit(1000)).cast("long")).as("ls"))
+      .withColumn("le", col("ls") + pmod(hash(col("lid"), lit(2)), lit(40)))
+      .withColumn("lk", pmod(col("lid"), lit(5)))
+    val r = spark.range(300).select(col("id").as("rid"),
+      (pmod(hash(col("id"), lit(3)), lit(1000)).cast("long")).as("rs"))
+      .withColumn("re", col("rs") + pmod(hash(col("rid"), lit(4)), lit(40)))
+      .withColumn("rk", pmod(col("rid"), lit(5)))
+    val got = graft.operators.IntervalJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", Some(("lk", "rk")), cellWidth = 5L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val expect = l.crossJoin(r)
+      .filter(col("lk") === col("rk") &&
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == expect)
+    // no duplicates even though intervals span up to 9 cells
+    assert(got.distinct.size == got.size)
+    // key-less variant
+    val gotNoKey = graft.operators.IntervalJoin
+      .overlapJoin(l.drop("lk"), r.drop("rk"), "ls", "le", "rs", "re",
+        None, cellWidth = 7L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val expectNoKey = l.drop("lk").crossJoin(r.drop("rk"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(gotNoKey == expectNoKey)
+  }
+
   test("ScalableRank.globalPrefixSum ≡ window cumsum; packSequences boundary math") {
     val df = spark.range(0, 4000).toDF("id")
       .withColumn("v", (col("id") * 2654435761L) % 500 + 1)
