@@ -325,6 +325,25 @@ object ScaleBench {
         timed(graft.operators.AsOfJoin.asofBackward(
           l, r, "k", "lts", "rts", "rid", toleranceUs = 50000000L))
       },
+      // q22 path: banded interval overlap join — span and rows grow with
+      // m (constant event rate), interval lengths, cell width, and key
+      // count fixed: matches-per-row constant, output ~ m
+      "q22_interval_join" -> { m =>
+        val nKeys = 200L
+        val span = 1000000000L * m
+        def side(n: Long, salt: Int, id: String, s: String, e: String,
+            k: String, maxLen: Long) =
+          spark.range(0, n).toDF(id)
+            .withColumn(k, pmod(hash(col(id), lit(salt)), lit(nKeys)))
+            .withColumn(s, (pmod(hash(col(id), lit(salt + 1)), lit(1000000))
+              .cast("long") * (span / 1000000L)))
+            .withColumn(e, col(s) + pmod(hash(col(id), lit(salt + 2)), lit(maxLen)))
+        val l = side(100000L * m, 91, "lid", "ls", "le", "lk", 40000000L)
+        val r = side(100000L * m, 95, "rid", "rs", "re", "rk", 40000000L)
+        timed(graft.operators.IntervalJoin.overlapJoin(
+          l, r, "ls", "le", "rs", "re", Some(("lk", "rk")),
+          cellWidth = 40000000L))
+      },
       // st03 path: watermarked stream-stream spatial join; event rate and
       // spatial extent constant, only the stream's time span grows with m
       // (a longer stream at the same rate) — the 12h band bounds state,
