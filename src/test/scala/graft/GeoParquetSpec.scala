@@ -734,6 +734,25 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FlatGeobuf.read(spark, path, "geom").count() == 10)
   }
 
+  test("Geo.read dispatches on extension across the vector containers") {
+    import graft.sources.Geo
+    val base = Files.createTempDirectory("geo_read").toString
+    val small = spark.range(10).select(col("id"),
+      st.point(col("id").cast("double"), (col("id") % 3).cast("double")).as("geom"))
+    GeoParquet.write(small, s"$base/d.parquet", "geom")
+    graft.sources.FlatGeobuf.write(small, s"$base/d.fgb", "geom")
+    graft.sources.Shapefile.write(small, s"$base/d.shp", "geom")
+    graft.sources.GeoJsonIO.write(small, s"$base/d.geojson", "geom")
+    for (p <- Seq(s"$base/d.parquet", s"$base/d.fgb", s"$base/d.shp",
+        s"$base/d.geojson")) {
+      val df = Geo.read(spark, p)
+      assert(df.count() == 10, p)
+      assert(df.columns.contains("geom") || df.columns.contains("geometry"), p)
+    }
+    val e = intercept[IllegalArgumentException](Geo.read(spark, s"$base/d.xyz"))
+    assert(e.getMessage.contains("supported extensions"))
+  }
+
   test("geoarrow encodings: all six layouts roundtrip; files are nested, not WKB") {
     val cases = Seq(
       "point" -> "POINT (3 4)",

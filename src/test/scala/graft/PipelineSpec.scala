@@ -438,6 +438,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fwd("d") == -1L)
   }
 
+  test("AsOfJoin differential fuzz: backward ≡ ranked-window oracle incl. ties + tolerance") {
+    // coarse timestamps (multiples of 10 over 40 keys) force plenty of
+    // duplicate (key, time) rows on both sides; tolerance active
+    val l = spark.range(2000).select(col("id").as("lid"),
+      pmod(hash(col("id"), lit(11)), lit(40)).as("k"),
+      (pmod(hash(col("id"), lit(12)), lit(300)).cast("long") * 10L).as("lts"))
+    val r = spark.range(2000).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(13)), lit(40)).as("k"),
+      (pmod(hash(col("id"), lit(14)), lit(300)).cast("long") * 10L).as("rts"))
+    val tol = 500L
+    val got = graft.operators.AsOfJoin
+      .asofBackward(l, r, "k", "lts", "rts", "rid", tol)
+      .select("lid", "rid").collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) -1L else row.getLong(1)))
+      .toMap
+    val matched = l.join(r, "k")
+      .filter(col("rts") <= col("lts") && col("lts") - col("rts") <= tol)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lid")
+          .orderBy(col("rts").desc, col("rid").desc)))
+      .filter(col("rn") === 1)
+      .select("lid", "rid").collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val lids = l.select("lid").collect().map(_.getLong(0))
+    assert(got.keySet == lids.toSet, "exactly one output row per left row")
+    lids.foreach { lid =>
+      assert(got(lid) == matched.getOrElse(lid, -1L), s"lid=$lid")
+    }
+    assert(matched.nonEmpty && matched.size < lids.length,
+      "fuzz must exercise both matched and unmatched rows")
+  }
+
   test("IntervalJoin.overlapJoin ≡ cross-filter reference; multi-cell pairs emit once") {
     import spark.implicits._
     // intervals up to 40 ticks over cells of width 5 -> pairs share many
