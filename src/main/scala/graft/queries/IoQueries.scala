@@ -260,6 +260,43 @@ object IoQueries {
     // LAS point-cloud roundtrip (ASPRS 1.2, point format 1). Scale 0.25
     // -> i32 quantization is exact for quarter-step coordinates, so the
     // read-back doubles hash-match the oracle's formulas directly.
+    // COPC octree point cloud: a 20k-point cloud written once with
+    // per-node chunks + hierarchy, then PER-NATION bbox queries read
+    // through the hierarchy (only intersecting nodes decode — the
+    // point-cloud analog of the rs09 windowed-raster gate) with an exact
+    // in-box refine, so the result is independent of octree layout and
+    // the oracle regenerates it from the arithmetic point formulas.
+    // Coordinates are dyadic eighths: quantization at scale 1/8 and the
+    // in-box sums stay bit-exact.
+    "pc06_copc_bbox" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val base = s"/tmp/graft_copc_gate/${math.abs(dir.hashCode)}"
+      new java.io.File(base).mkdirs()
+      val path = s"$base/cloud.copc.laz"
+      val src = s.range(20000).select(
+        ((col("id") * 37) % 8000).cast("double")./(8.0).as("x"),
+        ((col("id") * 59) % 6400).cast("double")./(8.0).as("y"),
+        ((col("id") * 17) % 800).cast("double")./(8.0).as("z"),
+        (col("id") % 60000).as("intensity"),
+        (col("id") % 32).as("classification"),
+        (col("id").cast("double") * 0.25).as("gps_time"))
+      graft.sources.Copc.write(src, path, scale = 0.125, maxPerNode = 1024)
+      (0 until 25).map { n =>
+        val bx = (n * 73 % 900).toDouble
+        val by = (n * 97 % 700).toDouble
+        graft.sources.Copc.read(s, path, Some((bx, by, bx + 100, by + 80)))
+          .filter(col("x") >= bx && col("x") <= bx + 100 &&
+            col("y") >= by && col("y") <= by + 80)
+          .agg(count(lit(1)).as("npts"),
+            sum(col("intensity")).as("sum_int"),
+            sum(col("x")).as("sum_x"),
+            min(col("gps_time")).as("min_gps"),
+            max(col("gps_time")).as("max_gps"))
+          .select(lit(n).cast("long").as("n_nationkey"), col("npts"),
+            col("sum_int"), col("sum_x"), col("min_gps"), col("max_gps"))
+      }.reduce(_ unionAll _)
+    }),
+
     "pc01_las_roundtrip" -> ((s, dir) => {
       GraftExtensions.install(s)
       val pts = t(s, dir, "customer")
@@ -443,6 +480,26 @@ object IoQueries {
 
     // sums are over dyadic-rational doubles (quarter/half steps), so
     // float addition is exact and order-independent across engines
+    "pc06_copc_bbox" ->
+      """WITH p AS (SELECT CAST(range AS BIGINT) AS id,
+        |    CAST((range*37) % 8000 AS DOUBLE)/8.0 AS x,
+        |    CAST((range*59) % 6400 AS DOUBLE)/8.0 AS y
+        |  FROM range(0, 20000)),
+        |n AS (SELECT n_nationkey,
+        |    CAST((n_nationkey*73) % 900 AS DOUBLE) AS bx,
+        |    CAST((n_nationkey*97) % 700 AS DOUBLE) AS by2
+        |  FROM nation)
+        |SELECT n.n_nationkey,
+        |  COUNT(*) AS npts,
+        |  CAST(SUM(p.id % 60000) AS BIGINT) AS sum_int,
+        |  SUM(p.x) AS sum_x,
+        |  MIN(p.id * 0.25) AS min_gps,
+        |  MAX(p.id * 0.25) AS max_gps
+        |FROM n JOIN p
+        |ON p.x >= n.bx AND p.x <= n.bx + 100
+        |AND p.y >= n.by2 AND p.y <= n.by2 + 80
+        |GROUP BY n.n_nationkey""".stripMargin,
+
     "pc01_las_roundtrip" ->
       """SELECT CAST(c_nationkey % 32 AS BIGINT) AS classification,
         |  COUNT(*) AS n,

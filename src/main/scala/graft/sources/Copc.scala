@@ -1,0 +1,336 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** COPC (Cloud-Optimized Point Cloud) support: a LAZ 1.4 file whose
+  * chunks are the nodes of an octree, indexed by a hierarchy so a reader
+  * can fetch ONLY the nodes intersecting a query window — the point-cloud
+  * analog of the COG/Zarr/netCDF windowed-raster paths (copc.io spec;
+  * the reference's pointcloud side reads plain LAS/LAZ via the laz crate,
+  * so this is beyond-reference breadth on the same chunk machinery).
+  *
+  * Layout honored: the `copc` info VLR (user id "copc", record 1, 160
+  * bytes: center xyz, halfsize, spacing, root hierarchy offset/size,
+  * gpstime range) MUST be the first VLR; point data is chunked layered
+  * LAZ with VARIABLE chunks — laszip VLR chunk_size = -1, every chunk
+  * prefixed by its u32 point count, chunk table coding (count, size)
+  * pairs; the hierarchy lives in an EVLR of 32-byte entries
+  * (VoxelKey{level,x,y,z}, absolute offset, byte size, point count;
+  * count -1 = pointer to a child hierarchy page).
+  *
+  * Scale shape of [[read]]: header + VLRs + hierarchy are a few bounded
+  * fetches; each selected node is one Spark task seek-reading exactly its
+  * chunk's byte range — a city-block query over a country-sized cloud
+  * touches a handful of nodes, never the file.
+  */
+object Copc {
+
+  final case class Info(cx: Double, cy: Double, cz: Double, halfsize: Double,
+      spacing: Double, rootHierOffset: Long, rootHierSize: Long)
+
+  final case class Entry(level: Int, x: Int, y: Int, z: Int,
+      offset: Long, byteSize: Int, pointCount: Int) {
+    /** Voxel cube bounds of this node inside `info`'s root cube. */
+    def bounds(info: Info): (Double, Double, Double, Double, Double, Double) = {
+      val size = 2.0 * info.halfsize / (1L << level)
+      val x0 = info.cx - info.halfsize + x * size
+      val y0 = info.cy - info.halfsize + y * size
+      val z0 = info.cz - info.halfsize + z * size
+      (x0, y0, z0, x0 + size, y0 + size, z0 + size)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // read
+  // ------------------------------------------------------------------
+
+  private def parseInfo(payload: Array[Byte]): Info = {
+    require(payload.length >= 64, "copc: info VLR too short")
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    Info(bb.getDouble(0), bb.getDouble(8), bb.getDouble(16), bb.getDouble(24),
+      bb.getDouble(32), bb.getLong(40), bb.getLong(48))
+  }
+
+  private def parseHierPage(bytes: Array[Byte]): Seq[Entry] = {
+    require(bytes.length % 32 == 0, "copc: hierarchy page not 32-byte entries")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until bytes.length / 32).map { i =>
+      val o = i * 32
+      Entry(bb.getInt(o), bb.getInt(o + 4), bb.getInt(o + 8), bb.getInt(o + 12),
+        bb.getLong(o + 16), bb.getInt(o + 24), bb.getInt(o + 28))
+    }
+  }
+
+  /** All leaf entries (pointCount >= 0), child pages followed. */
+  private def hierarchy(fetch: (Long, Int) => Array[Byte], off: Long,
+      size: Long, depth: Int = 0): Seq[Entry] = {
+    require(depth < 16, "copc: hierarchy page nesting too deep")
+    parseHierPage(fetch(off, size.toInt)).flatMap { e =>
+      if (e.pointCount == -1) hierarchy(fetch, e.offset, e.byteSize.toLong, depth + 1)
+      else Seq(e)
+    }
+  }
+
+  /** (LAS header, copc info, hierarchy leaves) via bounded fetches. */
+  private[graft] def meta(fetch: (Long, Int) => Array[Byte], fileLen: Long)
+    : (LasIO.Header, Info, Seq[Entry]) = {
+    val head = fetch(0L, math.min(fileLen, 512L).toInt)
+    val pointOff = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN).getInt(96)
+    require(pointOff > 0 && pointOff <= fileLen, "copc: bad point-data offset")
+    val h = LasIO.parseHeader(fetch(0L, pointOff))
+    val copcVlr = h.vlrs.find(v => v.userId == "copc" && v.recordId == 1)
+      .getOrElse(throw new IllegalArgumentException("not a COPC file (no copc info VLR)"))
+    require(h.vlrs.head.userId == "copc", "copc: info VLR must be the first VLR")
+    val info = parseInfo(copcVlr.payload)
+    (h, info, hierarchy(fetch, info.rootHierOffset, info.rootHierSize))
+  }
+
+  /** Read a COPC file, optionally restricted to the octree nodes whose
+    * voxels intersect `bbox` (xmin, ymin, xmax, ymax in file CRS units).
+    * Returned rows are ALL points of the selected nodes (a superset of
+    * the bbox — refine with a predicate); `None` reads every node. */
+  def read(spark: SparkSession, path: String,
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val flen = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    val (h, info, leaves) = try {
+      meta((off, n) => { val b = new Array[Byte](n); in.readFully(off, b); b }, flen)
+    } finally in.close()
+    require(h.fmt >= 6 && h.fmt <= 8, s"copc: point format ${h.fmt} (6-8 required)")
+    val selected = leaves.filter { e =>
+      e.pointCount > 0 && (bbox match {
+        case None => true
+        case Some((qx0, qy0, qx1, qy1)) =>
+          val (x0, y0, _, x1, y1, _) = e.bounds(info)
+          x0 <= qx1 && qx0 <= x1 && y0 <= qy1 && qy0 <= y1
+      })
+    }
+    val dims = LasIO.extraDims(h)
+    val outSchema = LasIO.schema6(dims.map(LasIO.extraField), h.fmt)
+    val dimsB = dims.toArray
+    // one task per selected node; +4/-4 skips the chunk's leading u32
+    // point count (the variable-chunk convention)
+    val splits = selected.map { e =>
+      LasIO.Split6(path, 2, e.offset + 4, e.byteSize.toLong - 4,
+        e.pointCount.toLong, h.recLen, h.fmt,
+        h.sx, h.sy, h.sz, h.ox, h.oy, h.oz, h.software)
+    }
+    if (splits.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      new org.apache.hadoop.conf.Configuration(conf))
+    val rdd = spark.sparkContext.parallelize(splits, splits.length)
+      .flatMap { sp =>
+        val fp = new org.apache.hadoop.fs.Path(sp.file)
+        val fsx = fp.getFileSystem(serConf.value)
+        val buf = new Array[Byte](sp.len.toInt)
+        val inx = fsx.open(fp); inx.readFully(sp.off, buf); inx.close()
+        val rgbB = sp.fmt match { case 8 => 8; case 7 => 6; case _ => 0 }
+        Laszip.decodeChunkRecords(buf, sp.expect, sp.recLen - 30 - rgbB,
+          sp.recLen, rgbB).iterator.map(LasIO.recordToRow(_, sp, dimsB))
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ------------------------------------------------------------------
+  // write (fixture/tooling scale: single file built on the driver — a
+  // production pipeline would write per-partition COPC tiles)
+  // ------------------------------------------------------------------
+
+  /** Octree assignment: subdivide while a node holds more than
+    * `maxPerNode` points (depth-capped); internal nodes hold none. */
+  private def buildOctree(pts: Array[(Double, Double, Double, Int)],
+      info: Info, maxPerNode: Int): Seq[((Int, Int, Int, Int), Array[Int])] = {
+    val out = Seq.newBuilder[((Int, Int, Int, Int), Array[Int])]
+    def go(level: Int, x: Int, y: Int, z: Int, idx: Array[Int]): Unit = {
+      if (idx.isEmpty) return
+      if (idx.length <= maxPerNode || level >= 8) {
+        out += (((level, x, y, z), idx))
+      } else {
+        val size = 2.0 * info.halfsize / (1L << level)
+        val x0 = info.cx - info.halfsize + x * size
+        val y0 = info.cy - info.halfsize + y * size
+        val z0 = info.cz - info.halfsize + z * size
+        val groups = idx.groupBy { i =>
+          val (px, py, pz, _) = pts(i)
+          val cx = if (px >= x0 + size / 2) 1 else 0
+          val cy = if (py >= y0 + size / 2) 1 else 0
+          val cz = if (pz >= z0 + size / 2) 1 else 0
+          (cx, cy, cz)
+        }
+        groups.toSeq.sortBy(_._1).foreach { case ((cx, cy, cz), sub) =>
+          go(level + 1, 2 * x + cx, 2 * y + cy, 2 * z + cz, sub)
+        }
+      }
+    }
+    go(0, 0, 0, 0, pts.indices.toArray)
+    out.result()
+  }
+
+  /** Serialize (x, y, z[, intensity, classification, gps_time]) rows as
+    * a COPC file. Fixture-scale: rows are collected to the driver. */
+  def write(df: DataFrame, path: String, scale: Double = 0.001,
+      maxPerNode: Int = 4096): Unit = {
+    val sch = df.schema
+    def idx(n: String): Int = if (sch.fieldNames.contains(n)) sch.fieldIndex(n) else -1
+    val xi = idx("x"); val yi = idx("y"); val zi = idx("z")
+    require(xi >= 0 && yi >= 0 && zi >= 0, "copc write: x, y, z columns required")
+    val ii = idx("intensity"); val ci = idx("classification"); val gi = idx("gps_time")
+    val rows = df.collect()
+    require(rows.nonEmpty, "copc write: empty input")
+    val pts = rows.zipWithIndex.map { case (r, i) =>
+      (r.getDouble(xi), r.getDouble(yi), r.getDouble(zi), i)
+    }
+    var minX = Double.MaxValue; var minY = Double.MaxValue; var minZ = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue; var maxZ = -Double.MaxValue
+    pts.foreach { case (x, y, z, _) =>
+      minX = math.min(minX, x); maxX = math.max(maxX, x)
+      minY = math.min(minY, y); maxY = math.max(maxY, y)
+      minZ = math.min(minZ, z); maxZ = math.max(maxZ, z)
+    }
+    // root cube: centered on the bbox, half-size = half the largest extent
+    // (slightly inflated so max-edge points fall strictly inside)
+    val half = math.max(math.max(maxX - minX, maxY - minY),
+      math.max(maxZ - minZ, scale)) / 2 * 1.000001
+    val info0 = Info((minX + maxX) / 2, (minY + maxY) / 2, (minZ + maxZ) / 2,
+      half, half / 64, 0L, 0L)
+    val nodes = buildOctree(pts, info0, maxPerNode)
+
+    val recLen = 30
+    def record(r: Row): Array[Byte] = {
+      val bb = ByteBuffer.allocate(recLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(math.round((r.getDouble(xi) - minX) / scale).toInt)
+      bb.putInt(math.round((r.getDouble(yi) - minY) / scale).toInt)
+      bb.putInt(math.round((r.getDouble(zi) - minZ) / scale).toInt)
+      bb.putShort(if (ii >= 0 && !r.isNullAt(ii)) r.getLong(ii).toShort else 0)
+      bb.put(0x11.toByte) // return 1 of 1
+      bb.put(0.toByte)
+      bb.put(if (ci >= 0 && !r.isNullAt(ci)) r.getLong(ci).toByte else 0.toByte)
+      bb.put(0.toByte)
+      bb.putShort(0); bb.putShort(0)
+      bb.putDouble(if (gi >= 0 && !r.isNullAt(gi)) r.getDouble(gi) else 0.0)
+      bb.array()
+    }
+
+    // chunks in node order, each prefixed by its u32 point count
+    val chunks = nodes.map { case (_, idxs) =>
+      val recs = idxs.map(i => record(rows(pts(i)._4)))
+      val body = Laszip.encodeChunk(recs, 0, recLen, 0)
+      val withCount = ByteBuffer.allocate(4 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      withCount.putInt(idxs.length).put(body)
+      withCount.array()
+    }
+
+    // laszip VLR: compressor 3, chunk_size -1 (variable), POINT14 v3
+    val lazPayload = ByteBuffer.allocate(34 + 6).order(ByteOrder.LITTLE_ENDIAN)
+    lazPayload.putShort(3).putShort(0)
+    lazPayload.put(2.toByte).put(2.toByte).putShort(0)
+    lazPayload.putInt(0)
+    lazPayload.putInt(-1) // variable-size chunks
+    lazPayload.putLong(0L).putLong(0L)
+    lazPayload.putShort(1)
+    lazPayload.putShort(10).putShort(30).putShort(3)
+    def vlr(userId: String, recordId: Int, payload: Array[Byte]): Array[Byte] = {
+      val v = ByteBuffer.allocate(54 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+      v.putShort(0)
+      v.put(userId.padTo(16, ' ').getBytes("US-ASCII"))
+      v.putShort(recordId.toShort)
+      v.putShort(payload.length.toShort)
+      v.position(54)
+      v.put(payload)
+      v.array()
+    }
+    val copcPayload = new Array[Byte](160) // offsets patched below
+    val vlrs = Array(vlr("copc", 1, copcPayload), vlr("laszip encoded", 22204,
+      lazPayload.array()))
+    val headerSize = 375
+    val pointOff = headerSize + vlrs.map(_.length).sum
+
+    // point data stream: [i64 cto][chunks][variable table of (count,size)]
+    val dataLen = chunks.map(_.length.toLong).sum
+    val tenc = new Laszip.ArEncoder
+    val tic = new Laszip.IntEnc(tenc, 32, 2)
+    var prevC = 0; var prevS = 0
+    nodes.zip(chunks).foreach { case ((_, idxs), c) =>
+      tic.compress(prevC, idxs.length, 0); prevC = idxs.length
+      tic.compress(prevS, c.length, 1); prevS = c.length
+    }
+    val table = tenc.done()
+    val cto = pointOff + 8 + dataLen
+
+    // hierarchy EVLR after the point data (single page)
+    val evlrHeaderLen = 60
+    val hierOff = cto + 8 + table.length + evlrHeaderLen
+    val chunkOffsets = chunks.scanLeft(pointOff + 8L)(_ + _.length)
+    val hier = ByteBuffer.allocate(nodes.length * 32).order(ByteOrder.LITTLE_ENDIAN)
+    nodes.zipWithIndex.foreach { case (((lvl, nx, ny, nz), idxs), i) =>
+      hier.putInt(lvl).putInt(nx).putInt(ny).putInt(nz)
+      hier.putLong(chunkOffsets(i)).putInt(chunks(i).length).putInt(idxs.length)
+    }
+    // copc info payload: center, halfsize, spacing, root hier off/size
+    locally {
+      val bb = ByteBuffer.wrap(copcPayload).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(info0.cx).putDouble(info0.cy).putDouble(info0.cz)
+      bb.putDouble(info0.halfsize).putDouble(info0.spacing)
+      bb.putLong(hierOff).putLong(nodes.length * 32L)
+      bb.putDouble(0.0).putDouble(0.0) // gpstime range (unused)
+    }
+    val vlrBytes = Array(vlr("copc", 1, copcPayload),
+      vlr("laszip encoded", 22204, lazPayload.array())).flatten
+
+    val total = cto + 8 + table.length + evlrHeaderLen + nodes.length * 32L
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("LASF".getBytes("US-ASCII"))
+    out.position(24); out.put(1.toByte).put(4.toByte)
+    out.position(26)
+    out.put("GRAFT".padTo(32, ' ').getBytes("US-ASCII"))
+    out.put("graft spark engine".padTo(32, ' ').getBytes("US-ASCII"))
+    out.putShort(1.toShort).putShort(2026.toShort)
+    out.putShort(headerSize.toShort)
+    out.putInt(pointOff)
+    out.putInt(2) // VLR count
+    out.put((6 | 0x80).toByte)
+    out.putShort(recLen.toShort)
+    out.putInt(0)
+    out.position(131)
+    out.putDouble(scale).putDouble(scale).putDouble(scale)
+    out.putDouble(minX).putDouble(minY).putDouble(minZ)
+    out.putDouble(maxX).putDouble(minX)
+    out.putDouble(maxY).putDouble(minY)
+    out.putDouble(maxZ).putDouble(minZ)
+    out.position(235)
+    out.putLong(cto + 8 + table.length) // first EVLR offset
+    out.putInt(1) // EVLR count
+    out.position(247)
+    out.putLong(rows.length.toLong)
+    out.position(headerSize)
+    out.put(vlrBytes)
+    out.putLong(cto)
+    chunks.foreach(out.put)
+    out.putInt(0).putInt(chunks.length)
+    out.put(table)
+    // EVLR header (60 bytes) + hierarchy page
+    val eh = ByteBuffer.allocate(evlrHeaderLen).order(ByteOrder.LITTLE_ENDIAN)
+    eh.putShort(0)
+    eh.put("copc".padTo(16, ' ').getBytes("US-ASCII"))
+    eh.putShort(1000.toShort)
+    eh.putLong(nodes.length * 32L)
+    out.put(eh.array())
+    out.put(hier.array())
+
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    val os = fs.create(p, true)
+    os.write(java.util.Arrays.copyOf(out.array(), out.position()))
+    os.close()
+  }
+}

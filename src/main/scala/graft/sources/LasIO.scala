@@ -336,19 +336,19 @@ object LasIO {
   // Read path (LAS 1.0-1.4, formats 0/1/6/7/8, LAZ for all of them)
   // -------------------------------------------------------------------
 
-  private case class Vlr(userId: String, recordId: Int, payload: Array[Byte])
+  private[sources] case class Vlr(userId: String, recordId: Int, payload: Array[Byte])
 
   /** Extra Bytes descriptor (LASF_Spec/4, 192-byte records): data type
     * code, byte offset inside the extra block, and optional no_data. */
-  private case class ExtraDim(name: String, dtype: Int, off: Int, size: Int,
+  private[sources] case class ExtraDim(name: String, dtype: Int, off: Int, size: Int,
       nullable: Boolean, noDataBits: Long)
 
-  private case class Header(versionMinor: Int, pointOff: Int, fmt: Int,
+  private[sources] case class Header(versionMinor: Int, pointOff: Int, fmt: Int,
       compressed: Boolean, recLen: Int, count: Long,
       sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double,
       vlrs: Seq[Vlr], software: String = "")
 
-  private def parseHeader(bytes: Array[Byte]): Header = {
+  private[sources] def parseHeader(bytes: Array[Byte]): Header = {
     require(bytes.length >= HeaderSize &&
       bytes(0) == 'L' && bytes(1) == 'A' && bytes(2) == 'S' && bytes(3) == 'F',
       "not a LAS file (bad magic)")
@@ -414,7 +414,7 @@ object LasIO {
     }
 
   /** Core record length per point format (extras follow it). */
-  private def coreLen(fmt: Int): Int = fmt match {
+  private[sources] def coreLen(fmt: Int): Int = fmt match {
     case 8 => 38 // fmt6 + RGB + NIR
     case 7 => 36 // fmt6 + RGB
     case 6 => 30
@@ -422,7 +422,7 @@ object LasIO {
     case _ => 20
   }
 
-  private def extraDims(h: Header): Seq[ExtraDim] = {
+  private[sources] def extraDims(h: Header): Seq[ExtraDim] = {
     var off = 0
     val dims = h.vlrs.filter(v => v.userId == "LASF_Spec" && v.recordId == 4).flatMap { v =>
       v.payload.grouped(192).filter(_.length == 192).map { d =>
@@ -450,7 +450,7 @@ object LasIO {
     dims
   }
 
-  private def extraField(d: ExtraDim): StructField = d.dtype match {
+  private[sources] def extraField(d: ExtraDim): StructField = d.dtype match {
     case 0 => StructField(d.name, BinaryType, nullable = false)
     case 9 | 10 => StructField(d.name, DoubleType, nullable = d.nullable)
     case _ => StructField(d.name, LongType, nullable = d.nullable)
@@ -540,6 +540,12 @@ object LasIO {
     }
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       new org.apache.hadoop.conf.Configuration(conf))
+    // COPC files are variable-chunk LAZ indexed by an octree hierarchy —
+    // route through the hierarchy reader (a full read selects every node)
+    if (probe.vlrs.exists(v => v.userId == "copc" && v.recordId == 1)) {
+      require(files.length == 1, "COPC read: one file per call (hierarchy-indexed)")
+      return Copc.read(spark, files.head, None)
+    }
     if (probe.fmt >= 6 && probe.fmt <= 8)
       readFmt6(spark, files, probe.fmt, extraDims(probe), serConf)
     else {
@@ -655,7 +661,7 @@ object LasIO {
     * (chunk table unavailable), 1 = uncompressed row range, 2 = one LAZ
     * chunk (seek-read `len` bytes at `off`). Scale/offset travel with
     * the split so mixed-grid directories read correctly. */
-  private case class Split6(file: String, mode: Int, off: Long, len: Long,
+  private[sources] case class Split6(file: String, mode: Int, off: Long, len: Long,
       expect: Long, recLen: Int, fmt: Int,
       sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double,
       software: String = "")
@@ -754,7 +760,7 @@ object LasIO {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  private def recordToRow(rec: Array[Byte], sp: Split6, dims: Array[ExtraDim]): Row = {
+  private[sources] def recordToRow(rec: Array[Byte], sp: Split6, dims: Array[ExtraDim]): Row = {
     val bb = ByteBuffer.wrap(rec).order(ByteOrder.LITTLE_ENDIAN)
     val flags = rec(15) & 0xff
     val nCore = 18 + (if (sp.fmt >= 7) 3 else 0) + (if (sp.fmt == 8) 1 else 0)
@@ -801,7 +807,7 @@ object LasIO {
     * the offset-to-point-data, which bounds the region precisely (VLRs
     * always precede point data), so oversized VLR blocks are never
     * truncated at an arbitrary probe size. */
-  private def readHeaderRegion(fsx: org.apache.hadoop.fs.FileSystem,
+  private[sources] def readHeaderRegion(fsx: org.apache.hadoop.fs.FileSystem,
       fp: org.apache.hadoop.fs.Path, flen: Long): Array[Byte] = {
     val in = fsx.open(fp)
     try {

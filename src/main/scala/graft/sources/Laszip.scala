@@ -1167,7 +1167,7 @@ private[graft] object Laszip {
     * user-data/point-source/gps/extra) are dropped when the field never
     * changed in the chunk — the decoder then holds the first point's
     * value, exactly as the layered format specifies. */
-  private def encodeChunk(recs: Array[Array[Byte]], nExtra: Int, recLen: Int,
+  private[sources] def encodeChunk(recs: Array[Array[Byte]], nExtra: Int, recLen: Int,
       rgbBytes: Int = 0): Array[Byte] = {
     val encXY = new ArEncoder; val encZ = new ArEncoder; val encCls = new ArEncoder
     val encFlags = new ArEncoder; val encInt = new ArEncoder; val encSa = new ArEncoder

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.sources.{Copc, LasIO}
+
+/** COPC octree point cloud: write/read roundtrip, hierarchy-driven
+  * bbox-pruned reads, and routing of COPC files through the generic LAS
+  * reader. */
+class CopcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  // deterministic cloud over a 1000x800 m footprint; scale 0.001 keeps
+  // the quantized coordinates exactly representable (multiples of 1/8)
+  private def cloud(n: Int) = spark.range(n).select(
+    (pmod(hash(col("id"), lit(1)), lit(8000)).cast("double") / 8.0).as("x"),
+    (pmod(hash(col("id"), lit(2)), lit(6400)).cast("double") / 8.0).as("y"),
+    (pmod(hash(col("id"), lit(3)), lit(800)).cast("double") / 8.0).as("z"),
+    pmod(hash(col("id"), lit(4)), lit(60000)).cast("long").as("intensity"),
+    pmod(hash(col("id"), lit(5)), lit(32)).cast("long").as("classification"),
+    (col("id").cast("double") * 0.25).as("gps_time"))
+
+  private def key(r: org.apache.spark.sql.Row): (Double, Double, Double, Long, Long, Double) =
+    (r.getAs[Double]("x"), r.getAs[Double]("y"), r.getAs[Double]("z"),
+      r.getAs[Long]("intensity"), r.getAs[Long]("classification"),
+      r.getAs[Double]("gps_time"))
+
+  test("write/read roundtrip across a multi-node octree; LasIO routes COPC") {
+    val src = cloud(20000)
+    val path = "/tmp/graft_copc_spec/cloud.copc.laz"
+    Copc.write(src, path, scale = 0.125, maxPerNode = 1024)
+    val back = Copc.read(spark, path)
+    assert(back.count() == 20000)
+    val a = src.collect().map(key).sorted
+    val b = back.collect().map(key).sorted
+    assert(a.sameElements(b), "full COPC roundtrip must be value-exact")
+    // the generic LAS entry point must detect the copc VLR and route
+    val viaLas = LasIO.read(spark, path)
+    assert(viaLas.count() == 20000)
+    assert(viaLas.collect().map(key).sorted.sameElements(a))
+    // the octree genuinely split (multiple >0-point leaves)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val flen = fs.getFileStatus(new org.apache.hadoop.fs.Path(path)).getLen
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val (_, info, leaves) = try Copc.meta((off, n) => {
+      val buf = new Array[Byte](n); in.readFully(off, buf); buf
+    }, flen) finally in.close()
+    assert(leaves.count(_.pointCount > 0) > 8, s"only ${leaves.length} leaves")
+    assert(leaves.map(_.pointCount.toLong).sum == 20000)
+    assert(info.halfsize > 0)
+  }
+
+  test("bbox read prunes to intersecting nodes and misses no in-box point") {
+    val src = cloud(20000)
+    val path = "/tmp/graft_copc_spec/cloud2.copc.laz"
+    Copc.write(src, path, scale = 0.125, maxPerNode = 1024)
+    val bbox = (100.0, 150.0, 300.0, 320.0)
+    val pruned = Copc.read(spark, path, Some(bbox)).cache()
+    val inBox = pruned.filter(col("x") >= bbox._1 && col("x") <= bbox._3 &&
+      col("y") >= bbox._2 && col("y") <= bbox._4)
+    val expectInBox = src.filter(col("x") >= bbox._1 && col("x") <= bbox._3 &&
+      col("y") >= bbox._2 && col("y") <= bbox._4)
+    assert(inBox.count() == expectInBox.count(),
+      "every in-box point must be inside some selected node")
+    assert(inBox.collect().map(key).sorted
+      .sameElements(expectInBox.collect().map(key).sorted))
+    // economics: the node selection decoded well under the whole cloud
+    val total = 20000L
+    val decoded = pruned.count()
+    assert(decoded < total / 4,
+      s"bbox covering ~4% of the footprint decoded $decoded of $total points")
+    pruned.unpersist()
+  }
+}
