@@ -310,6 +310,35 @@ object ScaleBench {
           (rows, (System.nanoTime() - t0) / 1e9)
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       },
+      // pc06 path: COPC bbox query — the cloud's footprint and point
+      // count grow with m (density constant), the query box stays fixed:
+      // a hierarchy-indexed read should cost ~the points under the box
+      // (constant), NOT the cloud size. rows_ratio ~1 and time_ratio ~1
+      // is the win condition here.
+      "pc06_copc_bbox" -> { m =>
+        val w = 1000.0 * sqrtM(m)
+        val hgt = 800.0 * sqrtM(m)
+        val n = 20000L * m
+        val f = new java.io.File(s"/tmp/graft_scalebench_copc/cloud_$m.copc.laz")
+        if (!f.exists()) {
+          f.getParentFile.mkdirs()
+          val src = spark.range(n).select(
+            (u(col("id"), 201) * (w * 8).toLong.toDouble).cast("long")
+              .cast("double")./(8.0).as("x"),
+            (u(col("id"), 202) * (hgt * 8).toLong.toDouble).cast("long")
+              .cast("double")./(8.0).as("y"),
+            (u(col("id"), 203) * 800).cast("long").cast("double")./(8.0).as("z"),
+            (col("id") % 60000).as("intensity"),
+            (col("id") % 32).as("classification"),
+            (col("id").cast("double") * 0.25).as("gps_time"))
+          graft.sources.Copc.write(src, f.getAbsolutePath,
+            scale = 0.125, maxPerNode = 2048)
+        }
+        timed(graft.sources.Copc.read(spark, f.getAbsolutePath,
+            Some((100.0, 150.0, 300.0, 310.0)))
+          .filter(col("x") >= 100.0 && col("x") <= 300.0 &&
+            col("y") >= 150.0 && col("y") <= 310.0))
+      },
       // q21 path: backward as-of join — both sides scale with m, keys
       // scale with m so per-key row counts stay constant; one hash
       // shuffle per side + per-key time-sorted sweep should hold linear
