@@ -248,7 +248,8 @@ object PipelineOps {
     *   worse than the plain C(block,2) merge; the blocking key carries the
     *   scale burden here, as it must for any exact low-threshold join. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-      block: Column, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+      block: Column, k: Int = 3, minJaccard: Double = 0.0,
+      maxLocalBlock: Int = 8192): DataFrame = {
     // persist: both join sides reference the hashed-shingle arrays — without
     // it the scan + md5 shingle hashing runs twice
     val g = graft.CacheRegistry.register(
@@ -288,9 +289,10 @@ object PipelineOps {
       // broadcast). Instead shuffle each doc's array ONCE (collect_list
       // per block) and expand the pairs locally; blocks too large to
       // buffer fall back to the pair join (size-adaptive, like
-      // dedupGroups). sort_array orders by the struct's leading doc_id,
-      // so generated pairs satisfy doc_a < doc_b without a filter.
-      val maxLocalBlock = 8192
+      // dedupGroups; maxLocalBlock is the knob, parameterized so the
+      // fallback branch is testable). sort_array orders by the struct's
+      // leading doc_id, so generated pairs satisfy doc_a < doc_b
+      // without a filter.
       val sizes = g.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
       val sized = g.join(broadcast(sizes), Seq("__blk"))
       val local = sized.filter(col("__bn") <= maxLocalBlock)

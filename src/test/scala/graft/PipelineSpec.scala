@@ -438,6 +438,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fwd("d") == -1L)
   }
 
+  test("ngramJaccard low-threshold branches agree: local pair expansion ≡ pair-join fallback") {
+    // blocks of ~40 docs; maxLocalBlock = 1 forces EVERY block down the
+    // oversized-block pair-join path, which must produce identical pairs
+    val docs = spark.range(400).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), pmod(hash(col("id") - pmod(col("id"), lit(4)), lit(j)),
+          lit(500)))): _*).as("text"),
+      pmod(col("id") - pmod(col("id"), lit(4)), lit(10)).cast("string").as("source"))
+    def run(maxLocal: Int) = graft.pipeline.PipelineOps
+      .ngramJaccardPairs(docs, col("doc_id"), col("text"), col("source"),
+        k = 3, minJaccard = 0.05, maxLocalBlock = maxLocal)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val local = run(8192)
+    val fallback = run(1)
+    assert(local.nonEmpty, "fixture must produce near-dup pairs")
+    assert(local == fallback, "branch outputs must be identical")
+  }
+
   test("AsOfJoin differential fuzz: backward ≡ ranked-window oracle incl. ties + tolerance") {
     // coarse timestamps (multiples of 10 over 40 keys) force plenty of
     // duplicate (key, time) rows on both sides; tolerance active
