@@ -182,6 +182,11 @@ object Copc {
     val xi = idx("x"); val yi = idx("y"); val zi = idx("z")
     require(xi >= 0 && yi >= 0 && zi >= 0, "copc write: x, y, z columns required")
     val ii = idx("intensity"); val ci = idx("classification"); val gi = idx("gps_time")
+    // red/green/blue together select point format 7 (RGB14 item)
+    val ri = idx("red"); val gri = idx("green"); val bi = idx("blue")
+    require(ri >= 0 == gri >= 0 && gri >= 0 == bi >= 0,
+      "copc write: red/green/blue columns must be present together")
+    val hasRgb = ri >= 0
     val rows = df.collect()
     require(rows.nonEmpty, "copc write: empty input")
     val pts = rows.zipWithIndex.map { case (r, i) =>
@@ -202,7 +207,9 @@ object Copc {
       half, half / 64, 0L, 0L)
     val nodes = buildOctree(pts, info0, maxPerNode)
 
-    val recLen = 30
+    val rgbBytes = if (hasRgb) 6 else 0
+    val fmt = if (hasRgb) 7 else 6
+    val recLen = 30 + rgbBytes
     def record(r: Row): Array[Byte] = {
       val bb = ByteBuffer.allocate(recLen).order(ByteOrder.LITTLE_ENDIAN)
       bb.putInt(math.round((r.getDouble(xi) - minX) / scale).toInt)
@@ -215,13 +222,18 @@ object Copc {
       bb.put(0.toByte)
       bb.putShort(0); bb.putShort(0)
       bb.putDouble(if (gi >= 0 && !r.isNullAt(gi)) r.getDouble(gi) else 0.0)
+      if (hasRgb) {
+        bb.putShort(if (r.isNullAt(ri)) 0 else r.getLong(ri).toShort)
+        bb.putShort(if (r.isNullAt(gri)) 0 else r.getLong(gri).toShort)
+        bb.putShort(if (r.isNullAt(bi)) 0 else r.getLong(bi).toShort)
+      }
       bb.array()
     }
 
     // chunks in node order, each prefixed by its u32 point count
     val chunks = nodes.map { case (_, idxs) =>
       val recs = idxs.map(i => record(rows(pts(i)._4)))
-      val body = Laszip.encodeChunk(recs, 0, recLen, 0)
+      val body = Laszip.encodeChunk(recs, 0, recLen, rgbBytes)
       val withCount = ByteBuffer.allocate(4 + body.length)
         .order(ByteOrder.LITTLE_ENDIAN)
       withCount.putInt(idxs.length).put(body)
@@ -229,14 +241,20 @@ object Copc {
     }
 
     // laszip VLR: compressor 3, chunk_size -1 (variable), POINT14 v3
-    val lazPayload = ByteBuffer.allocate(34 + 6).order(ByteOrder.LITTLE_ENDIAN)
+    // (+ RGB14 v3 for point format 7)
+    val items: Seq[(Int, Int, Int)] =
+      Seq((10, 30, 3)) ++ (if (hasRgb) Seq((11, 6, 3)) else Nil)
+    val lazPayload = ByteBuffer.allocate(34 + 6 * items.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
     lazPayload.putShort(3).putShort(0)
     lazPayload.put(2.toByte).put(2.toByte).putShort(0)
     lazPayload.putInt(0)
     lazPayload.putInt(-1) // variable-size chunks
     lazPayload.putLong(0L).putLong(0L)
-    lazPayload.putShort(1)
-    lazPayload.putShort(10).putShort(30).putShort(3)
+    lazPayload.putShort(items.length.toShort)
+    items.foreach { case (t, sz, ver) =>
+      lazPayload.putShort(t.toShort).putShort(sz.toShort).putShort(ver.toShort)
+    }
     def vlr(userId: String, recordId: Int, payload: Array[Byte]): Array[Byte] = {
       val v = ByteBuffer.allocate(54 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
       v.putShort(0)
@@ -296,7 +314,7 @@ object Copc {
     out.putShort(headerSize.toShort)
     out.putInt(pointOff)
     out.putInt(2) // VLR count
-    out.put((6 | 0x80).toByte)
+    out.put((fmt | 0x80).toByte)
     out.putShort(recLen.toShort)
     out.putInt(0)
     out.position(131)

@@ -64,6 +64,21 @@ class CopcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(info.halfsize > 0)
   }
 
+  test("format 7 (RGB) roundtrip through the octree writer") {
+    val src = cloud(5000)
+      .withColumn("red", pmod(hash(col("x"), lit(11)), lit(65536)).cast("long"))
+      .withColumn("green", pmod(hash(col("y"), lit(12)), lit(65536)).cast("long"))
+      .withColumn("blue", pmod(hash(col("z"), lit(13)), lit(65536)).cast("long"))
+    val path = "/tmp/graft_copc_spec/rgb.copc.laz"
+    Copc.write(src, path, scale = 0.125, maxPerNode = 700)
+    val back = Copc.read(spark, path)
+    assert(back.columns.contains("red") && back.count() == 5000)
+    def rkey(r: org.apache.spark.sql.Row) = (key(r),
+      r.getAs[Long]("red"), r.getAs[Long]("green"), r.getAs[Long]("blue"))
+    assert(src.collect().map(rkey).sorted.sameElements(
+      back.collect().map(rkey).sorted), "fmt7 roundtrip must carry RGB exactly")
+  }
+
   test("bbox read prunes to intersecting nodes and misses no in-box point") {
     val src = cloud(20000)
     val path = "/tmp/graft_copc_spec/cloud2.copc.laz"
