@@ -289,8 +289,8 @@ object SpatialJoins {
       .withColumn("knn_rank", row_number().over(w2))
       .filter(col("knn_rank") <= k)
       .withColumn("knn_distance", col("__d"))
-      .select(qCols.map(col) ++ oCols.map(c => col(s"__o_$c").as(c)) ++
-        Seq(col("knn_distance"), col("knn_rank")): _*)
+      .select((qCols.map(col) ++ oCols.map(c => col(s"__o_$c").as(c)) ++
+        Seq(col("knn_distance"), col("knn_rank"))).toIndexedSeq: _*)
   }
 
   private class GeomItemDistance extends ItemDistance with Serializable {
@@ -314,7 +314,7 @@ object SpatialJoins {
     val spark = query.sparkSession
     val objCols = objects.columns
     val collected = objects
-      .select(objGeom.as("__g"), struct(objCols.map(col): _*).as("__s"),
+      .select(objGeom.as("__g"), struct(objCols.map(col).toIndexedSeq: _*).as("__s"),
         tieBreak.cast("double").as("__t"))
       .collect()
       .map(r => (GeomIO.read(r.getAs[Array[Byte]]("__g")), r.getStruct(1), r.getDouble(2)))
@@ -325,7 +325,7 @@ object SpatialJoins {
       Seq(StructField("knn_distance", DoubleType), StructField("knn_rank", IntegerType)))
 
     val qCols = query.columns
-    val rdd = query.select(queryGeom.as("__g"), struct(qCols.map(col): _*).as("__s"))
+    val rdd = query.select(queryGeom.as("__g"), struct(qCols.map(col).toIndexedSeq: _*).as("__s"))
       .rdd.mapPartitions { iter =>
         val objs = bc.value
         val tree = new STRtree()

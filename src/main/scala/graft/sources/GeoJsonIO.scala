@@ -28,7 +28,7 @@ object GeoJsonIO {
         lit("""{"type":"Feature","geometry":"""),
         st.f("st_asgeojson", col(geomCol)),
         lit(""","properties":"""),
-        to_json(struct(props.map(col): _*)),
+        to_json(struct(props.map(col).toIndexedSeq: _*)),
         lit("}")).as("value"))
       .write.mode("overwrite").text(path)
   }

@@ -450,7 +450,7 @@ object GeoParquet {
           s.getPath.getName -> ((s.getLen, s.getModificationTime))
       }.toMap
       val out = Map.newBuilder[String, Array[Double]]
-      val it = files.fields()
+      val it = files.properties().iterator()
       while (it.hasNext) {
         val e = it.next()
         val a = e.getValue
@@ -538,7 +538,7 @@ object GeoParquet {
     val cols = om.readTree(json).get("columns")
     if (cols == null) return Nil
     val out = Seq.newBuilder[(String, String, String)]
-    val it = cols.fields()
+    val it = cols.properties().iterator()
     while (it.hasNext) {
       val e = it.next()
       val crsNode = e.getValue.get("crs")
