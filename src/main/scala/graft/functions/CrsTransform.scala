@@ -796,9 +796,12 @@ object CrsTransform {
   // grid is registered for a datum it REPLACES the Helmert leg, giving
   // the grid's cm-level accuracy instead of the single-set Helmert's
   // meters — the behavior the reference gets from PROJ with NADCON/NTv2/
-  // OSTN15 files installed). Registration stores the PATH; each JVM
-  // parses the .gsb lazily on first use, so a cluster ships only the
-  // path and executors read the grid from shared storage. ----
+  // OSTN15 files installed). Registration stores the PATH in this JVM's
+  // static map; the st_transform expression builder snapshots the map at
+  // construction time (driver) and the shipped closure installs it into
+  // each executor JVM via installGridRegistry, so only the path crosses
+  // the wire and each JVM parses the .gsb lazily from shared storage on
+  // first use. ----
   private val gridPaths =
     new java.util.concurrent.ConcurrentHashMap[DatumShift, String]()
   private val gridCache =
@@ -817,6 +820,18 @@ object CrsTransform {
     val d = datumOf(parse(crsCode))
     if (d != null) gridPaths.remove(d)
   }
+
+  /** Immutable view of the registrations, captured on the driver when a
+    * transform expression is built so it serializes with the closure. */
+  def gridRegistrySnapshot(): Map[DatumShift, String] = {
+    import scala.jdk.CollectionConverters._
+    gridPaths.asScala.toMap
+  }
+
+  /** Merge a driver-captured snapshot into THIS JVM's registry (no-op when
+    * already identical — a lock-free get per entry, safe on the row path). */
+  def installGridRegistry(snap: Map[DatumShift, String]): Unit =
+    snap.foreach { case (d, p) => if (gridPaths.get(d) != p) gridPaths.put(d, p) }
 
   private def gridForOrNull(d: DatumShift): graft.sources.Ntv2.Grid = {
     val path = gridPaths.get(d)

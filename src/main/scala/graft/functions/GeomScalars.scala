@@ -1707,9 +1707,18 @@ object GeomScalars {
     // ---- CRS (st_transform.rs; PROJ replaced by hand-coded math) ----
     // 3-arg (geom, src, dst), or the reference's 2-arg form where the
     // source comes from the geometry's own CRS (SRID / item-CRS string)
-    "st_transform" -> ((children: Seq[Expression]) => GeomScalar("st_transform", children,
+    "st_transform" -> ((children: Seq[Expression]) => {
+      // NTv2 registrations live in a driver-JVM static map; capture them
+      // HERE (expression construction runs on the driver) so the closure
+      // ships the (datum -> grid path) entries to executor JVMs, which
+      // install them before the first transform. Without this, distributed
+      // st_transform would silently fall back to the meters-level Helmert
+      // leg while local-mode tests (same JVM) keep passing.
+      val gridSnap = CrsTransform.gridRegistrySnapshot()
+      GeomScalar("st_transform", children,
       BinaryType, if (children.length >= 3) Seq(Geom, Str, Str) else Seq(Geom, Str),
       a => {
+        if (gridSnap.nonEmpty) CrsTransform.installGridRegistry(gridSnap)
         if (a.length >= 3) CrsTransform.transform(g0(a), s(a, 1), s(a, 2))
         else {
           val srid = g0(a).getSRID
@@ -1717,7 +1726,8 @@ object GeomScalars {
             "(the 2-arg form needs ST_SetSRID/ST_SetCrs or an item-CRS column)")
           CrsTransform.transform(g0(a), s"EPSG:$srid", s(a, 1))
         }
-      })),
+      })
+    }),
 
     // ---- spherical (geography) subset — s2 kernel analogs
     // (c/sedona-s2geography/src/kernels.rs:68-226) ----

@@ -1,8 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Time-series as-of join — the operator Spark's relational algebra
   * cannot express without a quadratic range join: for every left row,
@@ -14,7 +18,15 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * time-series engine (kdb aj, QuestDB/DuckDB ASOF) runs, here built
   * from Spark primitives so it inherits AQE sizing and columnar scans
   * upstream. No per-key windowing, no cross product, no state beyond
-  * one held right row per key during the sweep.
+  * one held right row per key during the sweep. The sweep itself runs
+  * on `queryExecution.toRdd` (Tungsten `InternalRow` + one
+  * `UnsafeProjection` per output row), so no external-Row
+  * deserialization or re-encoding is paid per row.
+  *
+  * Null semantics (merge_asof-compatible): right rows with a null key,
+  * time, or id can never be "the latest match" and are dropped up
+  * front; left rows with a null key or null time emit unmatched (null
+  * right side) — a null key never equals anything, per SQL.
   *
   * Determinism: right rows sharing (key, time) are ordered by the
   * caller-named `rightIdCol` and the LARGEST id wins — a total order the
@@ -49,10 +61,15 @@ object AsOfJoin {
     val lTagged = left.select(col(keyCol).as("__k"),
       col(leftTimeCol).cast(LongType).as("__t"), lit(1).as("__tag"),
       lit(0L).as("__tb"), lPay.as("__l"), lit(null).cast(rType).as("__r"))
-    val rTagged = right.select(col(keyCol).as("__k"),
-      col(rightTimeCol).cast(LongType).as("__t"), lit(0).as("__tag"),
-      col(rightIdCol).cast(LongType).as("__tb"),
-      lit(null).cast(lType).as("__l"), rPay.as("__r"))
+    val rTagged = right
+      // a null key/time/id right row can never win the sweep; dropping it
+      // here also keeps the sweep free of null-unboxing on the held row
+      .filter(col(keyCol).isNotNull && col(rightTimeCol).isNotNull &&
+        col(rightIdCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        col(rightTimeCol).cast(LongType).as("__t"), lit(0).as("__tag"),
+        col(rightIdCol).cast(LongType).as("__tb"),
+        lit(null).cast(lType).as("__l"), rPay.as("__r"))
     val merged = lTagged.unionAll(rTagged)
       .repartition(col("__k"))
       .sortWithinPartitions(col("__k"), col("__t"), col("__tag"), col("__tb"))
@@ -60,7 +77,7 @@ object AsOfJoin {
     val outSchema = StructType(lType.fields ++
       rType.fields.map(_.copy(nullable = true)))
     val swept = sweep(merged, lType, rType, rTimeIdx, toleranceUs)
-    spark.createDataFrame(swept, outSchema)
+    org.apache.spark.sql.graft.DatasetBridge.internalDf(spark, swept, outSchema)
   }
 
   /** Forward as-of: the EARLIEST right row at-or-after each left row per
@@ -80,28 +97,42 @@ object AsOfJoin {
       .withColumn(rightIdCol, -col(rightIdCol))
   }
 
+  /** Linear merge sweep over the Tungsten rows of the sorted exchange.
+    * The held right struct is copied out of the (task-reused) UnsafeRow
+    * buffer once per right row; left rows pay one `UnsafeProjection`
+    * each — the same InternalRow discipline as
+    * `ScalableRank.globalPrefixSum`. */
   private def sweep(merged: DataFrame, lType: StructType, rType: StructType,
-      rTimeIdx: Int, toleranceUs: Long) = {
+      rTimeIdx: Int, toleranceUs: Long): RDD[InternalRow] = {
+    val keyType = merged.schema("__k").dataType
+    val lWidth = lType.length
     val rWidth = rType.length
-    merged.rdd.mapPartitions { it =>
+    val outTypes = (lType.fields ++ rType.fields).map(_.dataType)
+    merged.queryExecution.toRdd.mapPartitions { it =>
+      val proj = UnsafeProjection.create(outTypes)
+      val joined = new JoinedRow
+      val nullR = new GenericInternalRow(rWidth) // all-null right side
       var curKey: Any = null
       var haveKey = false
-      var lastR: Row = null
+      var lastR: InternalRow = null
       it.flatMap { row =>
-        val k = row.get(0)
-        if (!haveKey || k != curKey) { curKey = k; haveKey = true; lastR = null }
+        val k = if (row.isNullAt(0)) null else row.get(0, keyType)
+        val changed = !haveKey ||
+          (if (k == null) curKey != null else k != curKey)
+        if (changed) {
+          // buffer-backed key values (strings) must outlive this row
+          curKey = k match { case u: UTF8String => u.copy(); case v => v }
+          haveKey = true
+          lastR = null
+        }
         if (row.getInt(2) == 0) { // right: becomes the held candidate
-          lastR = row.getStruct(5)
+          lastR = row.getStruct(5, rWidth).copy()
           None
         } else {
-          val l = row.getStruct(4)
-          val t = row.getLong(1)
-          val r =
-            if (lastR != null && t - lastR.getLong(rTimeIdx) <= toleranceUs) lastR
-            else null
-          val rVals: Seq[Any] =
-            if (r == null) Seq.fill[Any](rWidth)(null) else r.toSeq
-          Some(Row.fromSeq(l.toSeq ++ rVals))
+          val l = row.getStruct(4, lWidth)
+          val matched = lastR != null && !row.isNullAt(1) &&
+            row.getLong(1) - lastR.getLong(rTimeIdx) <= toleranceUs
+          Some(proj(joined(l, if (matched) lastR else nullR)): InternalRow)
         }
       }
     }

@@ -32,9 +32,16 @@ object IntervalJoin {
     require(dup.isEmpty, s"intervalJoin: colliding columns: ${dup.mkString(", ")}")
     def cellOf(c: Column): Column =
       floor((c - lit(origin)) / lit(cellWidth)).cast("long")
+    // An inverted interval (start > end) is logically EMPTY and must match
+    // nothing — without this filter, sequence(a,b) with b < a yields a
+    // DESCENDING cell list and the overlap predicate can still pass, so
+    // empty intervals would emit pairs. Null endpoints drop here too
+    // (explode(null) would drop them anyway; this makes it explicit).
     val lc = left
+      .filter(col(lStart) <= col(lEnd))
       .withColumn("__lc", explode(sequence(cellOf(col(lStart)), cellOf(col(lEnd)))))
     val rc = right
+      .filter(col(rStart) <= col(rEnd))
       .withColumn("__rc", explode(sequence(cellOf(col(rStart)), cellOf(col(rEnd)))))
     val joinCond = key match {
       case Some((lk, rk)) => col("__lc") === col("__rc") && col(lk) === col(rk)

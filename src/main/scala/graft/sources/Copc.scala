@@ -258,16 +258,25 @@ object Copc {
     def vlr(userId: String, recordId: Int, payload: Array[Byte]): Array[Byte] = {
       val v = ByteBuffer.allocate(54 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
       v.putShort(0)
-      v.put(userId.padTo(16, ' ').getBytes("US-ASCII"))
+      v.put(userId.padTo(16, '\u0000').getBytes("US-ASCII"))
       v.putShort(recordId.toShort)
       v.putShort(payload.length.toShort)
       v.position(54)
       v.put(payload)
       v.array()
     }
+    // OGC WKT CRS VLR (LASF_Projection/2112): LAS 1.4 point formats 6-8
+    // REQUIRE WKT CRS storage (global-encoding WKT bit set below); strict
+    // readers (PDAL, lastools) warn or reject without it. The writer has
+    // no CRS parameter, so a local engineering CRS in WKT2 form states
+    // "coordinates are metric, datum unspecified" honestly.
+    val wktCrs = ("ENGCRS[\"Local engineering (unspecified datum)\"," +
+      "EDATUM[\"Unknown\"],CS[Cartesian,3]," +
+      "AXIS[\"x\",east],AXIS[\"y\",north],AXIS[\"z\",up]," +
+      "LENGTHUNIT[\"metre\",1]]\u0000").getBytes("US-ASCII")
     val copcPayload = new Array[Byte](160) // offsets patched below
     val vlrs = Array(vlr("copc", 1, copcPayload), vlr("laszip encoded", 22204,
-      lazPayload.array()))
+      lazPayload.array()), vlr("LASF_Projection", 2112, wktCrs))
     val headerSize = 375
     val pointOff = headerSize + vlrs.map(_.length).sum
 
@@ -301,11 +310,14 @@ object Copc {
       bb.putDouble(0.0).putDouble(0.0) // gpstime range (unused)
     }
     val vlrBytes = Array(vlr("copc", 1, copcPayload),
-      vlr("laszip encoded", 22204, lazPayload.array())).flatten
+      vlr("laszip encoded", 22204, lazPayload.array()),
+      vlr("LASF_Projection", 2112, wktCrs)).flatten
 
     val total = cto + 8 + table.length + evlrHeaderLen + nodes.length * 32L
     val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     out.put("LASF".getBytes("US-ASCII"))
+    // global encoding bit 4 (0x0010): CRS is WKT — mandatory for formats 6-8
+    out.position(6); out.putShort(0x0010.toShort)
     out.position(24); out.put(1.toByte).put(4.toByte)
     out.position(26)
     out.put("GRAFT".padTo(32, ' ').getBytes("US-ASCII"))
@@ -313,7 +325,7 @@ object Copc {
     out.putShort(1.toShort).putShort(2026.toShort)
     out.putShort(headerSize.toShort)
     out.putInt(pointOff)
-    out.putInt(2) // VLR count
+    out.putInt(3) // VLR count
     out.put((fmt | 0x80).toByte)
     out.putShort(recLen.toShort)
     out.putInt(0)
@@ -337,7 +349,7 @@ object Copc {
     // EVLR header (60 bytes) + hierarchy page
     val eh = ByteBuffer.allocate(evlrHeaderLen).order(ByteOrder.LITTLE_ENDIAN)
     eh.putShort(0)
-    eh.put("copc".padTo(16, ' ').getBytes("US-ASCII"))
+    eh.put("copc".padTo(16, '\u0000').getBytes("US-ASCII"))
     eh.putShort(1000.toShort)
     eh.putLong(nodes.length * 32L)
     out.put(eh.array())

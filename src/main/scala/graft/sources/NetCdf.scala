@@ -71,12 +71,20 @@ object NetCdf {
     def dimLen(i: Int): Int = if (dims(i).len == 0) numrecs else dims(i).len
     def isRecordVar(v: Var): Boolean =
       v.dimids.nonEmpty && dims(v.dimids.head).len == 0
-    /** Per-record byte stride across all record variables (each record
-      * variable's vsize is its padded per-record slab; the single-
-      * record-variable special case uses that variable's stored vsize). */
+    /** Per-record byte stride across all record variables. Each record
+      * variable's stored vsize is its PADDED per-record slab; the classic
+      * spec's special case — exactly one record variable of type byte,
+      * char, or short — stores record slabs UNPADDED, so there the true
+      * stride is the product of the non-record dimension lengths times
+      * the element size, not the padded vsize. */
     lazy val recSize: Long = {
       val rv = vars.filter(isRecordVar)
-      if (rv.isEmpty) 0L else rv.map(_.vsize).sum
+      if (rv.isEmpty) 0L
+      else if (rv.length == 1 &&
+          (rv.head.typ == NcByte || rv.head.typ == NcChar || rv.head.typ == NcShort)) {
+        val v = rv.head
+        v.dimids.tail.map(dimLen(_).toLong).product * sizeOf(v.typ)
+      } else rv.map(_.vsize).sum
     }
     def gatt(n: String): Option[Att] = gatts.find(_.name == n)
     /** Band variables: non-char with >= 2 dims (1-D coordinate variables

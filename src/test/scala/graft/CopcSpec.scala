@@ -64,6 +64,31 @@ class CopcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(info.halfsize > 0)
   }
 
+  test("writer emits the WKT global-encoding bit and an OGC WKT CRS VLR") {
+    // LAS 1.4 + point formats 6-8 REQUIRE WKT CRS storage: global
+    // encoding bit 4 set and a LASF_Projection/2112 VLR present — strict
+    // external readers (PDAL, lastools) reject or warn otherwise
+    val path = "/tmp/graft_copc_spec/wkt.copc.laz"
+    Copc.write(cloud(500), path, scale = 0.125, maxPerNode = 256)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    val globalEnc = (buf(6) & 0xff) | ((buf(7) & 0xff) << 8)
+    assert((globalEnc & 0x0010) != 0, "global-encoding WKT bit must be set")
+    val txt = new String(buf, "ISO-8859-1")
+    val vlrAt = txt.indexOf("LASF_Projection")
+    assert(vlrAt > 0, "OGC WKT CRS VLR (LASF_Projection) must be present")
+    // record id 2112 sits right after the 16-byte user id field
+    val rid = (buf(vlrAt + 16) & 0xff) | ((buf(vlrAt + 17) & 0xff) << 8)
+    assert(rid == 2112, s"projection VLR record id must be 2112, got $rid")
+    assert(txt.contains("ENGCRS["), "WKT2 payload present")
+    // and the file still roundtrips through the reader
+    assert(Copc.read(spark, path).count() == 500)
+  }
+
   test("format 7 (RGB) roundtrip through the octree writer") {
     val src = cloud(5000)
       .withColumn("red", pmod(hash(col("x"), lit(11)), lit(65536)).cast("long"))

@@ -522,6 +522,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotNoKey == expectNoKey)
   }
 
+  test("AsOfJoin null semantics + IntervalJoin rejects inverted/empty intervals") {
+    import spark.implicits._
+    // null right key/time/id rows are dropped (can never match); null left
+    // key/time rows emit unmatched — SQL null-key semantics, no NPE
+    val left = Seq((Option(1L), Option(10L), "a"), (None, Option(10L), "nk"),
+      (Option(1L), None, "nt")).toDF("k", "lts", "ltag")
+    val right = Seq((Option(1L), Option(5L), Option(100L), 1.0),
+      (Option(1L), None, Option(101L), 2.0), // null time: dropped
+      (None, Option(5L), Option(102L), 3.0), // null key: dropped
+      (Option(1L), Option(6L), None, 4.0)) // null id: dropped
+      .toDF("k", "rts", "rid", "rv")
+    val res = graft.operators.AsOfJoin
+      .asofBackward(left, right, "k", "lts", "rts", "rid")
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(res("a") == 100L, "only the fully-non-null right row can match")
+    assert(res("nk") == -1L, "null left key matches nothing")
+    assert(res("nt") == -1L, "null left time matches nothing")
+    // inverted (logically empty) intervals match nothing instead of
+    // riding a descending sequence() into spurious pairs
+    val l = Seq((1L, 10L, 5L), (2L, 1L, 4L)).toDF("lid", "ls", "le")
+    val r = Seq((1L, 3L, 12L)).toDF("rid", "rs", "re")
+    val pairs = graft.operators.IntervalJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", None, cellWidth = 5L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((2L, 1L)), "inverted [10,5] must not pair with [3,12]")
+    val rInv = Seq((9L, 20L, 2L)).toDF("rid", "rs", "re")
+    assert(graft.operators.IntervalJoin
+      .overlapJoin(l, rInv, "ls", "le", "rs", "re", None, cellWidth = 5L)
+      .count() == 0L, "inverted right intervals match nothing")
+  }
+
   test("ScalableRank.globalPrefixSum ≡ window cumsum; packSequences boundary math") {
     val df = spark.range(0, 4000).toDF("id")
       .withColumn("v", (col("id") * 2654435761L) % 500 + 1)
