@@ -31,5 +31,13 @@ object GraftExtensions {
     val opts4 = spark.experimental.extraOptimizations
     if (!opts4.contains(graft.plans.RasterLoadRule))
       spark.experimental.extraOptimizations = opts4 :+ graft.plans.RasterLoadRule
+    val opts5 = spark.experimental.extraOptimizations
+    if (!opts5.exists(_.isInstanceOf[graft.plans.BandedRangeJoinRule]))
+      spark.experimental.extraOptimizations =
+        opts5 :+ graft.plans.BandedRangeJoinRule(spark)
+    val opts6 = spark.experimental.extraOptimizations
+    if (!opts6.exists(_.isInstanceOf[graft.plans.AsOfAggregateRule]))
+      spark.experimental.extraOptimizations =
+        opts6 :+ graft.plans.AsOfAggregateRule(spark)
   }
 }

@@ -97,6 +97,16 @@ object AsOfJoin {
       .withColumn(rightIdCol, -col(rightIdCol))
   }
 
+  /** Value equality for sweep keys: binary keys compare by content
+    * (Array[Byte].equals is reference equality); struct keys arrive as
+    * same-schema UnsafeRows whose equals is bytewise. */
+  private def keysEqual(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case (x, y) => x == y
+  }
+
   /** Linear merge sweep over the Tungsten rows of the sorted exchange.
     * The held right struct is copied out of the (task-reused) UnsafeRow
     * buffer once per right row; left rows pay one `UnsafeProjection`
@@ -117,11 +127,17 @@ object AsOfJoin {
       var lastR: InternalRow = null
       it.flatMap { row =>
         val k = if (row.isNullAt(0)) null else row.get(0, keyType)
-        val changed = !haveKey ||
-          (if (k == null) curKey != null else k != curKey)
+        val changed = !haveKey || !keysEqual(k, curKey)
         if (changed) {
-          // buffer-backed key values (strings) must outlive this row
-          curKey = k match { case u: UTF8String => u.copy(); case v => v }
+          // buffer-backed key values (strings/structs/arrays) must
+          // outlive this row — copy out of the task-reused buffer
+          curKey = k match {
+            case u: UTF8String => u.copy()
+            case r: InternalRow => r.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case b: Array[Byte] => b.clone()
+            case v => v
+          }
           haveKey = true
           lastR = null
         }

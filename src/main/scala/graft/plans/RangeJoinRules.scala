@@ -1,0 +1,343 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared shape recognition for the 1-D range-join rewrites: splitting a
+  * join condition into conjuncts, spotting the equi-conjunct that makes
+  * Catalyst's hash machinery applicable, and normalizing inequality
+  * conjuncts into cross-side `lo <= hi` bounds. */
+object RangeJoinShapes {
+
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** True when some conjunct is an equality between the two sides —
+    * Catalyst then plans SMJ/SHJ and no rewrite is needed. */
+  def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+    conjuncts(cond).exists {
+      case EqualTo(a, b) => crossSide(a, b, left, right)
+      case EqualNullSafe(a, b) => crossSide(a, b, left, right)
+      case _ => false
+    }
+
+  private def crossSide(a: Expression, b: Expression,
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+      (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
+
+  /** Orderable types whose cast-to-long is monotone non-decreasing, so
+    * banding in long space generates a candidate superset and the exact
+    * predicate can refine. (Timestamps truncate to seconds, doubles
+    * truncate toward zero — both monotone.) */
+  def bandable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+        TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** A conjunct normalized to `lo <= hi` (strictness folded away — the
+    * original conjunct stays in the refine filter). */
+  def asBound(e: Expression): Option[(Expression, Expression)] = e match {
+    case LessThanOrEqual(a, b) => Some((a, b))
+    case LessThan(a, b) => Some((a, b))
+    case GreaterThanOrEqual(a, b) => Some((b, a))
+    case GreaterThan(a, b) => Some((b, a))
+    case _ => None
+  }
+
+  /** Monotone embedding into long space for cell arithmetic. */
+  def toLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** floorDiv(v, w) in exact long arithmetic: (v - pmod(v, w)) div w. */
+  def cellOf(v: Expression, w: Long): Expression =
+    IntegralDivide(Subtract(v, Pmod(v, Literal(w))), Literal(w))
+
+  /** The two opposing cross-side bounds of a banded join: (lLow <= rHigh)
+    * and (rLow <= lHigh), all four deterministic and bandable. */
+  final case class Band(lLow: Expression, rHigh: Expression,
+      rLow: Expression, lHigh: Expression)
+
+  /** The extreme-value-over-inequality-join aggregate: v (in B) bounded
+    * by d (in A), plus the grouping split across the two sides. */
+  final case class Shape(v: Attribute, d: Attribute, backward: Boolean,
+      gbA: Seq[Attribute], gbB: Seq[Attribute])
+}
+
+/** Planner-level banded 1-D range join — the time/interval analog of
+  * `GridSpatialJoinRule`, giving SQL users writing
+  * `l.ts BETWEEN r.lo AND r.hi` or
+  * `l.lo <= r.hi AND r.lo <= l.hi` the banded equi-join plan instead of
+  * Spark's quadratic BroadcastNestedLoopJoin.
+  *
+  * Recognition: an inner join whose condition carries two OPPOSING
+  * cross-side inequality conjuncts (one bounding a left expression above
+  * by a right expression, one the reverse) and no equi-conjunct. Rewrite:
+  *
+  *   Join(L, R, lA <= rB AND rC <= lD [AND rest])
+  *     =>
+  *   Project(L.out ++ R.out,
+  *     Join(Generate(explode(cells(lA..lD)), L)  as L + __lband,
+  *          Generate(explode(cells(rC..rB)), R)  as R + __rband,
+  *          Inner, __lband = __rband
+  *                 AND cell(greatest(lA, rC)) = __lband   -- ref-cell dedup
+  *                 AND <original condition>))             -- exact refine
+  *
+  * Cell ranges use least/greatest of the two endpoints' cells, so rows
+  * whose "interval" is inverted (lA > lD) keep raw theta-join semantics:
+  * the pair is still caught in the cell of the reference point
+  * max(lA, rC), which both spans provably cover whenever the two
+  * conjuncts hold. The cell width is `spark.graft.join.band.cellwidth`
+  * when set; otherwise a one-pass max-interval-length pre-pass over both
+  * (already pruned) children picks the smallest width that caps per-row
+  * fanout at 2 cells. The rewritten join has an equi-conjunct on the cell
+  * id, so Catalyst plans a shuffled hash/sort-merge join and AQE handles
+  * sizing and skew — the machinery a dedicated IEJoin/interval-join
+  * operator would otherwise reimplement.
+  *
+  * `spark.graft.join.band.enabled=false` disables the rewrite. Inner
+  * joins only; like `GridSpatialJoinRule`, the rewrite fires when neither
+  * side fits the broadcast threshold (or broadcast is disabled).
+  */
+case class BandedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import RangeJoinShapes._
+
+  private def conf(key: String, default: String): String =
+    session.conf.getOption(key).getOrElse(default)
+
+  private def bothLarge(left: LogicalPlan, right: LogicalPlan): Boolean = {
+    val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold < 0) true
+    else left.stats.sizeInBytes > threshold && right.stats.sizeInBytes > threshold
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf("spark.graft.join.band.enabled", "true") != "true") return plan
+    plan.transformUp {
+      case j @ Join(left, right, jt, Some(cond), _)
+          if (jt == Inner || jt == Cross) && !j.isStreaming &&
+            !hasEquiConjunct(cond, left, right) && bothLarge(left, right) =>
+        extract(cond, left, right).flatMap(rewrite(j, _)).getOrElse(j)
+    }
+  }
+
+  private def extract(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Band] = {
+    def ok(e: Expression, side: LogicalPlan): Boolean =
+      e.deterministic && e.references.nonEmpty &&
+        e.references.subsetOf(side.outputSet) && bandable(e.dataType)
+    val bounds = conjuncts(cond).flatMap(asBound)
+    val lr = bounds.find { case (lo, hi) => ok(lo, left) && ok(hi, right) }
+    val rl = bounds.find { case (lo, hi) => ok(lo, right) && ok(hi, left) }
+    for ((lLow, rHigh) <- lr; (rLow, lHigh) <- rl)
+      yield Band(lLow, rHigh, rLow, lHigh)
+  }
+
+  private def rewrite(j: Join, b: Band): Option[LogicalPlan] = {
+    val w = cellWidth(j.left, j.right, b)
+    def cellsOf(a: Expression, bb: Expression): Expression = {
+      val ca = cellOf(toLong(a), w)
+      val cb = cellOf(toLong(bb), w)
+      // Sequence is TimeZoneAware: optimizer-built instances must carry
+      // the session zone or the plan flips back to unresolved
+      Sequence(Least(Seq(ca, cb)), Greatest(Seq(ca, cb)), None,
+        Some(session.sessionState.conf.sessionLocalTimeZone))
+    }
+    val lcell = AttributeReference("__lband", LongType, nullable = false)()
+    val rcell = AttributeReference("__rband", LongType, nullable = false)()
+    val lgen = Generate(Explode(cellsOf(b.lLow, b.lHigh)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(lcell), child = j.left)
+    val rgen = Generate(Explode(cellsOf(b.rLow, b.rHigh)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(rcell), child = j.right)
+    // the pair is counted only in the cell holding the later of the two
+    // lower bounds — provably within both spans when the conjuncts hold
+    val refCell = EqualTo(
+      cellOf(Greatest(Seq(toLong(b.lLow), toLong(b.rLow))), w), lcell)
+    val newCond = Seq[Expression](EqualTo(lcell, rcell), refCell,
+      j.condition.get).reduce(And)
+    Some(Project(j.left.output ++ j.right.output,
+      Join(lgen, rgen, Inner, Some(newCond), JoinHint.NONE)))
+  }
+
+  /** Smallest width that caps per-row fanout at 2 cells: the max interval
+    * length across both sides (one partial-aggregated pre-pass per side,
+    * the 1-D analog of GridSpatialJoinRule's bounds pre-pass), floored at
+    * 1. Pin `spark.graft.join.band.cellwidth` to skip the pre-pass. */
+  private def cellWidth(left: LogicalPlan, right: LogicalPlan, b: Band): Long =
+    conf("spark.graft.join.band.cellwidth", "auto") match {
+      case "auto" =>
+        def maxLen(plan: LogicalPlan, lo: Expression, hi: Expression): Long = {
+          val m = Alias(Max(Subtract(toLong(hi), toLong(lo)))
+            .toAggregateExpression(), "m")()
+          val rows = session.sessionState
+            .executePlan(Aggregate(Nil, Seq(m), plan))
+            .executedPlan.executeCollect()
+          if (rows.isEmpty || rows(0).isNullAt(0)) 0L else rows(0).getLong(0)
+        }
+        math.max(1L, math.max(maxLen(left, b.lLow, b.lHigh),
+          maxLen(right, b.rLow, b.rHigh)))
+      case s => {
+        val w = s.toLong
+        require(w > 0, s"spark.graft.join.band.cellwidth must be positive, got $s")
+        w
+      }
+    }
+}
+
+/** Rewrites the EXTREME-VALUE-OVER-INEQUALITY-JOIN aggregate — the shape
+  * Catalyst produces when it decorrelates the classic SQL as-of idiom
+  *
+  *   WHERE r.ts = (SELECT max(r2.ts) FROM r r2
+  *                 WHERE r2.k = l.k AND r2.ts <= l.ts)
+  *
+  * into `Aggregate[d, k..](max(v), Join(domain, R, v <= d))` — into the
+  * as-of merge sweep. The inner inequality join is the quadratic part
+  * (every domain timestamp against every right row); the sweep computes
+  * the same per-(domain value, key) running maximum with one hash shuffle
+  * per side, a per-partition sort, and a linear pass
+  * (`graft.operators.AsOfJoin`, the kdb/DuckDB ASOF plan).
+  *
+  * Equivalence: for each (d, k...) group the aggregate's `max(v)` is the
+  * latest v <= d within key group k — exactly the backward as-of match of
+  * the domain row (d) against R on key k. Groups with no matching v do
+  * not exist in the inner-join aggregate, so the sweep's unmatched
+  * (null) rows are filtered. The key is carried as a struct so SQL's
+  * GROUP BY null-key group survives (a bare null key would be dropped by
+  * the sweep's null-key contract). `min(v)` with `v >= d` is the mirrored
+  * forward sweep. Strict bounds (<, >) are left to Spark — the sweep's
+  * boundary is inclusive.
+  *
+  * `spark.graft.join.asof.enabled=false` disables the rewrite.
+  */
+case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import RangeJoinShapes._
+
+  private def conf(key: String, default: String): String =
+    session.conf.getOption(key).getOrElse(default)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf("spark.graft.join.asof.enabled", "true") != "true") return plan
+    plan.transformUp {
+      case agg @ Aggregate(_, _, j: Join, _)
+          if j.joinType == Inner && !agg.isStreaming && j.condition.isDefined =>
+        matchShape(agg, j).map(rewrite(agg, j, _)).getOrElse(agg)
+    }
+  }
+
+  private def matchShape(agg: Aggregate, j: Join): Option[RangeJoinShapes.Shape] = {
+    val cs = conjuncts(j.condition.get)
+    if (cs.length != 1) return None
+    // normalized lo <= hi from a NON-STRICT comparison only (the sweep's
+    // boundary is inclusive; strict shapes keep Spark's plan)
+    val bound = j.condition.get match {
+      case LessThanOrEqual(a, b) => Some((a, b))
+      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case _ => None
+    }
+    val (lo, hi) = bound.getOrElse(return None)
+    // backward: v (in B) <= d (in A); forward: d <= v
+    val vdOpt = (lo, hi) match {
+      case (v: AttributeReference, d: AttributeReference)
+          if j.right.outputSet.contains(v) && j.left.outputSet.contains(d) =>
+        Some((v, d, true))
+      case (d: AttributeReference, v: AttributeReference)
+          if j.left.outputSet.contains(d) && j.right.outputSet.contains(v) =>
+        Some((v, d, false))
+      case _ => None
+    }
+    val (v, d, backward) = vdOpt.getOrElse(return None)
+    if (v.dataType != LongType || d.dataType != LongType) return None
+    // grouping: plain attributes, d among them
+    val gAttrs = agg.groupingExpressions.map {
+      case a: Attribute => a
+      case _ => return None
+    }
+    if (!gAttrs.exists(_.exprId == d.exprId)) return None
+    val gbA = gAttrs.filter(j.left.outputSet.contains)
+    val gbB = gAttrs.filter(j.right.outputSet.contains)
+    if (gbA.length + gbB.length != gAttrs.length) return None
+    // aggregate list: grouping attrs (possibly aliased) + >=1 extremum of
+    // v in the matching direction, nothing else
+    var sawExtremum = false
+    agg.aggregateExpressions.foreach {
+      case a: Attribute if gAttrs.exists(_.exprId == a.exprId) => ()
+      case Alias(a: Attribute, _) if gAttrs.exists(_.exprId == a.exprId) => ()
+      case Alias(AggregateExpression(Max(mv: Attribute), _, false, _, _), _)
+          if backward && mv.exprId == v.exprId => sawExtremum = true
+      case Alias(AggregateExpression(Min(mv: Attribute), _, false, _, _), _)
+          if !backward && mv.exprId == v.exprId => sawExtremum = true
+      case _ => return None
+    }
+    if (!sawExtremum) return None
+    Some(Shape(v, d, backward, gbA, gbB))
+  }
+
+  private def rewrite(agg: Aggregate, j: Join,
+      s: RangeJoinShapes.Shape): LogicalPlan = {
+    import org.apache.spark.sql.graft.DatasetBridge
+    val aDF = DatasetBridge.ofRows(session, j.left)
+    val bDF = DatasetBridge.ofRows(session, j.right)
+    val di = s.gbA.indexWhere(_.exprId == s.d.exprId)
+    // the domain of A-side groups; skip the distinct when A is already a
+    // grouping-only Aggregate on exactly these columns (the decorrelated
+    // idiom's dedup'd outer-reference domain)
+    val aDom0 = aDF.select(s.gbA.zipWithIndex.map { case (a, i) =>
+      DatasetBridge.column(a).as(s"__ga$i") }: _*)
+    val alreadyDistinct = j.left match {
+      case ag: Aggregate =>
+        ag.aggregateExpressions.forall(!_.exists(
+          _.isInstanceOf[AggregateExpression])) &&
+          ag.output.map(_.exprId).toSet == s.gbA.map(_.exprId).toSet
+      case _ => false
+    }
+    val aDom = if (alreadyDistinct) aDom0 else aDom0.distinct()
+    val gbBNames = s.gbB.indices.map(i => s"__gb$i")
+    def withKey(df: org.apache.spark.sql.DataFrame) =
+      if (s.gbB.isEmpty) df.withColumn("__ck", lit(0L))
+      else df.withColumn("__ck", struct(gbBNames.map(col): _*))
+    // every (A-group, B-key) combination the aggregate could emit
+    val lhs = withKey(
+      if (s.gbB.isEmpty) aDom
+      else aDom.crossJoin(bDF.select(s.gbB.zipWithIndex.map { case (a, i) =>
+        DatasetBridge.column(a).as(s"__gb$i") }: _*).distinct()))
+      .withColumn("__d", col(s"__ga$di"))
+    // the tiebreak id must be a COLUMN DISTINCT from the time column:
+    // asofForward negates time and id independently, and they alias here
+    val rhs = withKey(bDF.select((s.gbB.zipWithIndex.map { case (a, i) =>
+      DatasetBridge.column(a).as(s"__gb$i") } :+
+      DatasetBridge.column(s.v).as("__v")): _*))
+      .select(col("__ck"), col("__v"), col("__v").as("__vid"))
+    val swept =
+      if (s.backward) graft.operators.AsOfJoin
+        .asofBackward(lhs, rhs, "__ck", "__d", "__v", "__vid")
+      else graft.operators.AsOfJoin
+        .asofForward(lhs, rhs, "__ck", "__d", "__v", "__vid")
+    // groups exist only where the inner join found at least one v
+    val res = swept.filter(col("__v").isNotNull)
+    val analyzed = res.queryExecution.optimizedPlan
+    val byTemp = analyzed.output.map(a => a.name -> a).toMap
+    def tempOf(e: NamedExpression): Attribute = e match {
+      case a: Attribute =>
+        val ia = s.gbA.indexWhere(_.exprId == a.exprId)
+        if (ia >= 0) byTemp(s"__ga$ia")
+        else byTemp(s"__gb${s.gbB.indexWhere(_.exprId == a.exprId)}")
+      case Alias(a: Attribute, _) => tempOf(a)
+      case _ => byTemp("__v") // the extremum alias
+    }
+    Project(agg.aggregateExpressions.zip(agg.output).map { case (ae, out) =>
+      Alias(tempOf(ae), out.name)(exprId = out.exprId)
+    }, analyzed)
+  }
+}

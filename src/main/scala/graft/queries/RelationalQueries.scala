@@ -233,6 +233,58 @@ object RelationalQueries {
         .select(col("l_event"), col("r_event"))
     }),
 
+    // PLAIN SQL interval-overlap (no key, no equi-conjunct): Spark alone
+    // would plan a quadratic BroadcastNestedLoopJoin; BandedRangeJoinRule
+    // recognizes the opposing inequality pair and rewrites to the banded
+    // cell equi-join (explode to cells sized by a max-interval pre-pass,
+    // shuffle on the cell id, exact refine + reference-cell dedup) —
+    // the SQL front door to the q22 operator.
+    "q23_band_range_join" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      val hourUs = 3600000000L
+      ev.filter(col("event_id") % 59 === 0)
+        .select(col("event_id").as("l_event"), unix_micros(col("ts")).as("ls"))
+        .withColumn("le", col("ls") + (col("l_event") % 7 + 1) * hourUs)
+        .createOrReplaceTempView("q23_l")
+      ev.filter(col("event_id") % 59 === 1)
+        .select(col("event_id").as("r_event"), unix_micros(col("ts")).as("rs"))
+        .withColumn("re", col("rs") + (col("r_event") % 5 + 1) * hourUs)
+        .createOrReplaceTempView("q23_r")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = s.sql(
+          "SELECT l_event, r_event FROM q23_l JOIN q23_r ON ls <= re AND rs <= le")
+        df.queryExecution.executedPlan // force planning under broadcast-off
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
+    // PLAIN SQL backward as-of (the classic max-timestamp-<= correlated
+    // subquery idiom): Catalyst decorrelates it into an extreme-value
+    // aggregate over an inequality join — the quadratic part —
+    // which AsOfAggregateRule rewrites into the AsOfJoin merge sweep
+    // (hash shuffle + per-key sort + linear pass). The SQL front door to
+    // the q21 operator.
+    "q24_asof_sql" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_id") % 3 === 0 && col("user_id") % 13 === 1)
+        .select(col("user_id"), col("event_id").as("l_event"),
+          unix_micros(col("ts")).as("lts"))
+        .createOrReplaceTempView("q24_l")
+      ev.filter(col("event_id") % 3 === 1 && col("user_id") % 13 === 1)
+        .select(col("user_id"), col("event_id").as("r_event"),
+          unix_micros(col("ts")).as("rts"), col("value").as("rvalue"))
+        .createOrReplaceTempView("q24_r")
+      s.sql("""SELECT l.user_id, l.l_event, l.lts, r.r_event, r.rts, r.rvalue
+              |FROM q24_l l JOIN q24_r r ON l.user_id = r.user_id
+              |WHERE r.rts = (SELECT max(r2.rts) FROM q24_r r2
+              |               WHERE r2.user_id = l.user_id
+              |                 AND r2.rts <= l.lts)""".stripMargin)
+    }),
+
     // Top-1-per-group via ranked window (deterministic tie-break).
     "q08_top_per_nation" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -429,6 +481,27 @@ object RelationalQueries {
         |    AND l.lts - r.rts <= 172800000000)
         |SELECT user_id, l_event, lts, lvalue, r_event, rts, rvalue
         |FROM cand WHERE rn = 1""".stripMargin,
+
+    "q23_band_range_join" ->
+      """WITH l AS (SELECT event_id AS l_event, epoch_us(ts) AS ls,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS le
+        |  FROM events WHERE event_id % 59 = 0),
+        |r AS (SELECT event_id AS r_event, epoch_us(ts) AS rs,
+        |    epoch_us(ts) + (event_id % 5 + 1) * 3600000000 AS re
+        |  FROM events WHERE event_id % 59 = 1)
+        |SELECT l.l_event, r.r_event FROM l JOIN r
+        |ON l.ls <= r.re AND r.rs <= l.le""".stripMargin,
+
+    "q24_asof_sql" ->
+      """WITH l AS (SELECT user_id, event_id AS l_event, epoch_us(ts) AS lts
+        |  FROM events WHERE event_id % 3 = 0 AND user_id % 13 = 1),
+        |r AS (SELECT user_id, event_id AS r_event, epoch_us(ts) AS rts,
+        |    value AS rvalue
+        |  FROM events WHERE event_id % 3 = 1 AND user_id % 13 = 1)
+        |SELECT l.user_id, l.l_event, l.lts, r.r_event, r.rts, r.rvalue
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |WHERE r.rts = (SELECT max(r2.rts) FROM r r2
+        |               WHERE r2.user_id = l.user_id AND r2.rts <= l.lts)""".stripMargin,
 
     "q17_corr_scalar_subquery" ->
       """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -128,6 +128,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "sj08 lost the two-level cover")
   }
 
+  test("round-8/9 gates keep their intended plan shapes") {
+    // q21 as-of operator: the merge sweep materializes as an RDD scan
+    // (union + hash exchange + per-partition sort live inside its
+    // lineage); no quadratic join may appear
+    val q21 = entries("q21_asof_join").plan
+    assert(q21.contains("ExistingRDD"), "q21 lost the as-of sweep")
+    // q22 banded interval join: explode-to-cells + cell equi-join +
+    // reference-cell dedup (the greatest(...) filter)
+    val q22 = entries("q22_interval_join").plan
+    assert(q22.contains("Generate explode"), "q22 lost the cell explode")
+    assert(q22.contains("SortMergeJoin") || q22.contains("ShuffledHashJoin") ||
+      q22.contains("BroadcastHashJoin"), "q22 lost the cell equi-join")
+    assert(q22.contains("greatest"), "q22 lost the reference-cell dedup")
+    // q23: the PLAIN SQL overlap must be rewritten by BandedRangeJoinRule
+    // into the same banded equi-join (no BNLJ — generic sweep catches it,
+    // but pin the mechanism too)
+    val q23 = entries("q23_band_range_join").plan
+    assert(q23.contains("Generate explode"), "q23 banded rewrite did not fire")
+    assert(q23.contains("SortMergeJoin") || q23.contains("ShuffledHashJoin") ||
+      q23.contains("BroadcastHashJoin"), "q23 lost the cell equi-join")
+    assert(q23.contains("greatest"), "q23 lost the reference-cell dedup")
+    // q24: the SQL max-subquery as-of idiom must route its decorrelated
+    // inequality aggregate through the AsOfJoin sweep
+    val q24 = entries("q24_asof_sql").plan
+    assert(q24.contains("ExistingRDD"), "q24 as-of aggregate rewrite did not fire")
+    // gp02 geoarrow roundtrip: a hash equi-join over the two geoparquet
+    // reads — never a nested loop
+    val gp02 = entries("gp02_geoarrow_roundtrip").plan
+    assert(gp02.contains("BroadcastHashJoin") || gp02.contains("SortMergeJoin") ||
+      gp02.contains("ShuffledHashJoin"), "gp02 lost its equi-join")
+    // pc06 COPC bbox queries: pruned node reads + partial aggregation,
+    // join-free by construction
+    val pc06 = entries("pc06_copc_bbox").plan
+    assert(!pc06.contains("Join"), "pc06 gained a join")
+    assert(pc06.toLowerCase.contains("partial"),
+      "pc06 lost map-side partial aggregation")
+  }
+
   test("streaming joins plan their streaming operators") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Planner-level range-join rewrites: the banded 1-D join
+  * (BandedRangeJoinRule) and the decorrelated as-of aggregate
+  * (AsOfAggregateRule) must fire on plain SQL, keep exact theta-join
+  * semantics, and purge BNLJ/cartesian from the executed plan. */
+class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark)
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def withBroadcastOff[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def events(n: Int) = spark.range(n).select(
+    col("id").as("eid"),
+    (pmod(hash(col("id"), lit(7)), lit(100000)).cast("long")).as("ts"))
+
+  private def windows(n: Int) = spark.range(n).select(
+    col("id").as("wid"),
+    (pmod(hash(col("id"), lit(8)), lit(100000)).cast("long")).as("ws"))
+    // ~1/8 of the windows are inverted (we > ws is violated): raw SQL
+    // theta semantics must survive the rewrite for those rows too
+    .withColumn("we", col("ws") +
+      pmod(hash(col("wid"), lit(9)), lit(400)) - lit(48))
+
+  test("banded rewrite: BETWEEN point-in-interval SQL ≡ reference, no BNLJ") {
+    events(3000).createOrReplaceTempView("brj_ev")
+    windows(600).createOrReplaceTempView("brj_win")
+    val sql = "SELECT eid, wid FROM brj_ev JOIN brj_win " +
+      "ON ts BETWEEN ws AND we"
+    val (gotDf, got) = withBroadcastOff {
+      val df = spark.sql(sql)
+      (df, df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    }
+    val p = planString(gotDf)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded rewrite must purge BNLJ/cartesian:\n$p")
+    assert(p.contains("Generate explode"), s"cell explode missing:\n$p")
+    // reference: same SQL with the rewrite disabled (broadcast BNLJ is fine
+    // at test scale)
+    val expect = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("banded rewrite: interval-overlap SQL incl. inverted rows and strict bound") {
+    val l = spark.range(800).select(col("id").as("lid"),
+      (pmod(hash(col("id"), lit(1)), lit(50000)).cast("long")).as("ls"))
+      .withColumn("le", col("ls") + pmod(hash(col("lid"), lit(2)), lit(300)) - lit(20))
+    val r = spark.range(800).select(col("id").as("rid"),
+      (pmod(hash(col("id"), lit(3)), lit(50000)).cast("long")).as("rs"))
+      .withColumn("re", col("rs") + pmod(hash(col("rid"), lit(4)), lit(300)) - lit(20))
+    l.createOrReplaceTempView("brj_l")
+    r.createOrReplaceTempView("brj_r")
+    // one strict bound: stays in the refine filter, banding still applies
+    val sql = "SELECT lid, rid FROM brj_l JOIN brj_r " +
+      "ON ls <= re AND rs < le"
+    val (gotDf, got) = withBroadcastOff {
+      val df = spark.sql(sql)
+      (df, df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq)
+    }
+    val p = planString(gotDf)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    val expect = l.join(r, col("ls") <= col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(got.nonEmpty && got == expect)
+    assert(got.distinct.size == got.size, "reference-cell dedup emits pairs once")
+  }
+
+  test("as-of aggregate rewrite: WHERE max-subquery idiom ≡ rule-off run") {
+    val l = spark.range(1500).select(col("id").as("lid"),
+      pmod(hash(col("id"), lit(11)), lit(30)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(12)), lit(200)).cast("long") * 10L).as("lts"))
+    val r = spark.range(1500).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(13)), lit(30)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(14)), lit(200)).cast("long") * 10L).as("rts"))
+    l.createOrReplaceTempView("asr_l")
+    r.createOrReplaceTempView("asr_r")
+    val sql = """
+      SELECT l.lid, l.k, l.lts, r.rid, r.rts
+      FROM asr_l l JOIN asr_r r ON l.k = r.k
+      WHERE r.rts = (SELECT max(r2.rts) FROM asr_r r2
+                     WHERE r2.k = l.k AND r2.rts <= l.lts)"""
+    val df = spark.sql(sql)
+    val p = planString(df)
+    assert(p.contains("ExistingRDD"),
+      s"as-of sweep (RDD scan) must replace the inequality join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no quadratic join may remain in the outer plan:\n$p")
+    val got = df.collect()
+      .map(x => (x.getLong(0), x.getLong(3))).sorted.toSeq
+    spark.conf.set("spark.graft.join.asof.enabled", "false")
+    val expect = try spark.sql(sql).collect()
+      .map(x => (x.getLong(0), x.getLong(3))).sorted.toSeq
+    finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("as-of aggregate rewrite: forward (min/>=) direction and no-key shape") {
+    val l = spark.range(400).select(col("id").as("lid"),
+      (pmod(hash(col("id"), lit(21)), lit(5000)).cast("long")).as("lts"))
+    val r = spark.range(400).select(col("id").as("rid"),
+      (pmod(hash(col("id"), lit(22)), lit(5000)).cast("long")).as("rts"))
+    l.createOrReplaceTempView("asr_fl")
+    r.createOrReplaceTempView("asr_fr")
+    // keyless forward: earliest rts at-or-after each distinct lts
+    val sql = """
+      SELECT lts, min(rts) AS nxt
+      FROM (SELECT DISTINCT lts FROM asr_fl) d JOIN asr_fr
+      ON rts >= lts GROUP BY lts"""
+    val df = spark.sql(sql)
+    assert(planString(df).contains("ExistingRDD"),
+      "forward shape must route through the sweep")
+    val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    spark.conf.set("spark.graft.join.asof.enabled", "false")
+    val expect = try spark.sql(sql).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+    assert(got.nonEmpty && got == expect)
+  }
+}
