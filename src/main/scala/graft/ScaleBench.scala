@@ -339,6 +339,35 @@ object ScaleBench {
           .filter(col("x") >= 100.0 && col("x") <= 300.0 &&
             col("y") >= 150.0 && col("y") <= 310.0))
       },
+      // pc07 path: DISTRIBUTED tiled COPC write — n and footprint grow
+      // with m (density constant), tile size knob fixed, so tile count
+      // grows ~m and tasks parallelize. Win condition: write wall time
+      // ratio <= m (constant cost per point), i.e. the serialization
+      // stays fully distributed with no driver funnel.
+      "pc07_copc_tiled" -> { m =>
+        val w = 1000.0 * sqrtM(m)
+        val hgt = 800.0 * sqrtM(m)
+        val n = 20000L * m
+        val dir = s"/tmp/graft_scalebench_copc/tiled_$m"
+        val src = spark.range(n).select(
+          (u(col("id"), 201) * (w * 8).toLong.toDouble).cast("long")
+            .cast("double")./(8.0).as("x"),
+          (u(col("id"), 202) * (hgt * 8).toLong.toDouble).cast("long")
+            .cast("double")./(8.0).as("y"),
+          (u(col("id"), 203) * 800).cast("long").cast("double")./(8.0).as("z"),
+          (col("id") % 60000).as("intensity"),
+          (col("id") % 32).as("classification"),
+          (col("id").cast("double") * 0.25).as("gps_time"))
+        val t0 = System.nanoTime()
+        graft.sources.Copc.writeTiled(src, dir, scale = 0.125,
+          maxPerNode = 2048, targetPerTile = 4000)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // sanity: the tiles re-read under a fixed box (file-prune + node-
+        // prune) — not part of the timed write
+        require(graft.sources.Copc.readTiled(spark, dir,
+          Some((100.0, 150.0, 300.0, 310.0))).count() > 0)
+        (n, secs)
+      },
       // q21 path: backward as-of join — both sides scale with m, keys
       // scale with m so per-key row counts stay constant; one hash
       // shuffle per side + per-key time-sorted sweep should hold linear

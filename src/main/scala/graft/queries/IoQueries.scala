@@ -268,6 +268,39 @@ object IoQueries {
     // the oracle regenerates it from the arithmetic point formulas.
     // Coordinates are dyadic eighths: quantization at scale 1/8 and the
     // in-box sums stay bit-exact.
+    // Distributed tiled COPC: writeTiled partitions the cloud by global
+    // octant cells and every task serializes its own COPC tile (no point
+    // data on the driver); readTiled prunes whole files by header bbox,
+    // then per-file octree nodes by the hierarchy — two pruning levels
+    // before any point decodes.
+    "pc07_copc_tiled" -> ((s, dir) => {
+      GraftExtensions.install(s)
+      val base = s"/tmp/graft_copc_tiled_gate/${math.abs(dir.hashCode)}"
+      val src = s.range(60000).select(
+        ((col("id") * 41) % 9600).cast("double")./(8.0).as("x"),
+        ((col("id") * 67) % 7200).cast("double")./(8.0).as("y"),
+        ((col("id") * 19) % 960).cast("double")./(8.0).as("z"),
+        (col("id") % 60000).as("intensity"),
+        (col("id") % 32).as("classification"),
+        (col("id").cast("double") * 0.25).as("gps_time"))
+      graft.sources.Copc.writeTiled(src, base, scale = 0.125,
+        maxPerNode = 1024, targetPerTile = 8000)
+      (0 until 25).map { n =>
+        val bx = (n * 83 % 1000).toDouble
+        val by = (n * 61 % 800).toDouble
+        graft.sources.Copc.readTiled(s, base, Some((bx, by, bx + 120, by + 90)))
+          .filter(col("x") >= bx && col("x") <= bx + 120 &&
+            col("y") >= by && col("y") <= by + 90)
+          .agg(count(lit(1)).as("npts"),
+            sum(col("intensity")).as("sum_int"),
+            sum(col("x")).as("sum_x"),
+            min(col("gps_time")).as("min_gps"),
+            max(col("gps_time")).as("max_gps"))
+          .select(lit(n).cast("long").as("n_nationkey"), col("npts"),
+            col("sum_int"), col("sum_x"), col("min_gps"), col("max_gps"))
+      }.reduce(_ unionAll _)
+    }),
+
     "pc06_copc_bbox" -> ((s, dir) => {
       GraftExtensions.install(s)
       val base = s"/tmp/graft_copc_gate/${math.abs(dir.hashCode)}"
@@ -480,6 +513,26 @@ object IoQueries {
 
     // sums are over dyadic-rational doubles (quarter/half steps), so
     // float addition is exact and order-independent across engines
+    "pc07_copc_tiled" ->
+      """WITH p AS (SELECT CAST(range AS BIGINT) AS id,
+        |    CAST((range*41) % 9600 AS DOUBLE)/8.0 AS x,
+        |    CAST((range*67) % 7200 AS DOUBLE)/8.0 AS y
+        |  FROM range(0, 60000)),
+        |n AS (SELECT n_nationkey,
+        |    CAST((n_nationkey*83) % 1000 AS DOUBLE) AS bx,
+        |    CAST((n_nationkey*61) % 800 AS DOUBLE) AS by2
+        |  FROM nation)
+        |SELECT n.n_nationkey,
+        |  COUNT(*) AS npts,
+        |  CAST(SUM(p.id % 60000) AS BIGINT) AS sum_int,
+        |  SUM(p.x) AS sum_x,
+        |  MIN(p.id * 0.25) AS min_gps,
+        |  MAX(p.id * 0.25) AS max_gps
+        |FROM n JOIN p
+        |ON p.x >= n.bx AND p.x <= n.bx + 120
+        |AND p.y >= n.by2 AND p.y <= n.by2 + 90
+        |GROUP BY n.n_nationkey""".stripMargin,
+
     "pc06_copc_bbox" ->
       """WITH p AS (SELECT CAST(range AS BIGINT) AS id,
         |    CAST((range*37) % 8000 AS DOUBLE)/8.0 AS x,

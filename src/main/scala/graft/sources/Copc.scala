@@ -174,10 +174,19 @@ object Copc {
   }
 
   /** Serialize (x, y, z[, intensity, classification, gps_time]) rows as
-    * a COPC file. Fixture-scale: rows are collected to the driver. */
+    * a single COPC file. Fixture/tooling scale: rows are collected to the
+    * driver — the distributed path is [[writeTiled]]. */
   def write(df: DataFrame, path: String, scale: Double = 0.001,
-      maxPerNode: Int = 4096): Unit = {
-    val sch = df.schema
+      maxPerNode: Int = 4096): Unit =
+    writeRows(df.collect(), df.schema, path, scale, maxPerNode,
+      df.sparkSession.sparkContext.hadoopConfiguration)
+
+  /** Single-file COPC serialization core, callable on an executor with
+    * the rows of one tile (no SparkSession dependency). */
+  private[graft] def writeRows(rows: Array[Row],
+      sch: org.apache.spark.sql.types.StructType, path: String,
+      scale: Double, maxPerNode: Int,
+      hconf: org.apache.hadoop.conf.Configuration): Unit = {
     def idx(n: String): Int = if (sch.fieldNames.contains(n)) sch.fieldIndex(n) else -1
     val xi = idx("x"); val yi = idx("y"); val zi = idx("z")
     require(xi >= 0 && yi >= 0 && zi >= 0, "copc write: x, y, z columns required")
@@ -187,7 +196,6 @@ object Copc {
     require(ri >= 0 == gri >= 0 && gri >= 0 == bi >= 0,
       "copc write: red/green/blue columns must be present together")
     val hasRgb = ri >= 0
-    val rows = df.collect()
     require(rows.nonEmpty, "copc write: empty input")
     val pts = rows.zipWithIndex.map { case (r, i) =>
       (r.getDouble(xi), r.getDouble(yi), r.getDouble(zi), i)
@@ -356,11 +364,111 @@ object Copc {
     out.put(hier.array())
 
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    val fs = p.getFileSystem(hconf)
     val os = fs.create(p, true)
     os.write(java.util.Arrays.copyOf(out.array(), out.position()))
     os.close()
+  }
+
+  // ------------------------------------------------------------------
+  // distributed tiled write + pruned tiled read
+  // ------------------------------------------------------------------
+
+  /** Distributed COPC writer: partitions the cloud by octant cells of the
+    * GLOBAL root cube (level picked so a tile holds ~`targetPerTile`
+    * points), ships each tile's rows to one task, and has every task
+    * serialize its own complete COPC file (octree, chunked LAZ, hierarchy
+    * page) under `dir` — no point data ever crosses the driver; the
+    * driver's only jobs are a 6-scalar bounds/count aggregate and the
+    * final file listing. The tile grid is the top level of one logical
+    * octree, so [[readTiled]] can prune whole FILES by header bbox before
+    * per-file node pruning takes over — the standard tiled-COPC layout
+    * production pipelines emit.
+    *
+    * Per-task memory is bounded by the tile size knob (a tile's rows are
+    * materialized to build its octree), the same contract as any
+    * columnar writer's row-group buffer. */
+  def writeTiled(df: DataFrame, dir: String, scale: Double = 0.001,
+      maxPerNode: Int = 4096, targetPerTile: Long = 2000000L): Unit = {
+    import org.apache.spark.sql.functions._
+    require(targetPerTile > 0, "copc writeTiled: targetPerTile must be positive")
+    val spark = df.sparkSession
+    val stats = df.agg(count(lit(1)), min("x"), min("y"), min("z"),
+      max("x"), max("y"), max("z")).collect()(0)
+    val n = stats.getLong(0)
+    require(n > 0, "copc writeTiled: empty input")
+    val (minX, minY, minZ) = (stats.getDouble(1), stats.getDouble(2), stats.getDouble(3))
+    val (maxX, maxY, maxZ) = (stats.getDouble(4), stats.getDouble(5), stats.getDouble(6))
+    // the same root cube the single-file writer would build, so tile
+    // cells are genuine octants of one logical octree
+    val half = math.max(math.max(maxX - minX, maxY - minY),
+      math.max(maxZ - minZ, scale)) / 2 * 1.000001
+    val cx = (minX + maxX) / 2; val cy = (minY + maxY) / 2; val cz = (minZ + maxZ) / 2
+    val level = math.max(0,
+      math.ceil(math.log(n.toDouble / targetPerTile) / math.log(8.0)).toInt)
+    val dim = 1 << level
+    def cellIdx(c: org.apache.spark.sql.Column, lo: Double): org.apache.spark.sql.Column =
+      least(lit(dim - 1), greatest(lit(0),
+        floor((c - lit(lo)) / lit(2.0 * half) * lit(dim.toDouble)).cast("int")))
+    val tile = (cellIdx(col("z"), cz - half) * dim + cellIdx(col("y"), cy - half)) *
+      dim + cellIdx(col("x"), cx - half)
+    val outPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    fs.mkdirs(outPath)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration))
+    val sch = df.schema
+    val parts = math.min(dim.toLong * dim * dim,
+      math.max(spark.sparkContext.defaultParallelism.toLong, 8L)).toInt
+    df.withColumn("__tile", tile)
+      .repartition(parts, col("__tile"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        // a hash partition may carry several tiles; group and write each
+        val byTile = new scala.collection.mutable.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[Row]]()
+        val ti = sch.length // __tile appended after the original columns
+        it.foreach { r =>
+          byTile.getOrElseUpdate(r.getInt(ti).toLong,
+            new scala.collection.mutable.ArrayBuffer[Row]()) += r
+        }
+        byTile.foreach { case (tid, rows) =>
+          val tx = tid % dim; val ty = (tid / dim) % dim; val tz = tid / (dim.toLong * dim)
+          writeRows(rows.toArray, sch,
+            s"$dir/tile_${level}_${tx}_${ty}_$tz.copc.laz",
+            scale, maxPerNode, serConf.value)
+        }
+      }
+  }
+
+  /** Read a tiled COPC directory written by [[writeTiled]] (or any
+    * directory of COPC files): tiles whose HEADER bbox misses `bbox` are
+    * pruned without opening their hierarchy; surviving tiles read through
+    * [[read]]'s per-node pruning. */
+  def readTiled(spark: SparkSession, dir: String,
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tiles = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".copc.laz")).sortBy(_.getName)
+    require(tiles.nonEmpty, s"copc readTiled: no .copc.laz files under $dir")
+    val selected = bbox match {
+      case None => tiles.toSeq
+      case Some((qx0, qy0, qx1, qy1)) => tiles.toSeq.filter { t =>
+        // LAS header min/max X/Y at fixed offsets 179..210
+        val in = fs.open(t)
+        val head = new Array[Byte](227)
+        try in.readFully(0L, head) finally in.close()
+        val bb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+        val fx1 = bb.getDouble(179); val fx0 = bb.getDouble(187)
+        val fy1 = bb.getDouble(195); val fy0 = bb.getDouble(203)
+        fx0 <= qx1 && qx0 <= fx1 && fy0 <= qy1 && qy0 <= fy1
+      }
+    }
+    if (selected.isEmpty)
+      // preserve the schema by asking one tile for a necessarily-empty read
+      read(spark, tiles.head.toString, Some((Double.MaxValue, Double.MaxValue,
+        Double.MaxValue, Double.MaxValue)))
+    else selected.map(t => read(spark, t.toString, bbox)).reduce(_ unionAll _)
   }
 }

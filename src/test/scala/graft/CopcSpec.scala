@@ -64,6 +64,36 @@ class CopcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(info.halfsize > 0)
   }
 
+  test("distributed tiled write: multi-file roundtrip value-exact, bbox prunes files") {
+    val src = cloud(30000)
+    val dir = "/tmp/graft_copc_spec/tiled"
+    // small tiles force a real multi-octant split (level >= 1)
+    graft.sources.Copc.writeTiled(src, dir, scale = 0.125,
+      maxPerNode = 512, targetPerTile = 4000)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".copc.laz"))
+    assert(tiles.length >= 8, s"expected a real octant split, got ${tiles.length} tiles")
+    val back = graft.sources.Copc.readTiled(spark, dir)
+    assert(back.count() == 30000)
+    assert(back.collect().map(key).sorted.sameElements(src.collect().map(key).sorted),
+      "tiled roundtrip must be value-exact")
+    // bbox query: correct subset, and the header prune visits fewer tiles
+    val (bx0, by0, bx1, by1) = (100.0, 100.0, 260.0, 240.0)
+    val got = graft.sources.Copc.readTiled(spark, dir, Some((bx0, by0, bx1, by1)))
+      .filter(col("x") >= bx0 && col("x") <= bx1 &&
+        col("y") >= by0 && col("y") <= by1)
+      .collect().map(key).sorted
+    val expect = src.filter(col("x") >= bx0 && col("x") <= bx1 &&
+        col("y") >= by0 && col("y") <= by1)
+      .collect().map(key).sorted
+    assert(got.nonEmpty && got.sameElements(expect))
+    // empty-intersection query keeps the schema and returns nothing
+    assert(graft.sources.Copc.readTiled(spark, dir,
+      Some((1e7, 1e7, 1e7 + 1, 1e7 + 1))).count() == 0)
+  }
+
   test("writer emits the WKT global-encoding bit and an OGC WKT CRS VLR") {
     // LAS 1.4 + point formats 6-8 REQUIRE WKT CRS storage: global
     // encoding bit 4 set and a LASF_Projection/2112 VLR present — strict
