@@ -469,5 +469,8 @@ object NetCdf {
     override def loadWindow(fetch: (Long, Int) => Array[Byte], fileLen: Long,
         xoff: Int, yoff: Int, w: Int, h: Int): Raster =
       NetCdf.readWindow(fetch, fileLen, xoff, yoff, w, h)
+    // classic-format variables are row-major contiguous: a full-width
+    // row band is one byte range (readWindow's coalesced branch)
+    override def rowContiguous: Boolean = true
   }
 }

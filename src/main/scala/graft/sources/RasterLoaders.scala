@@ -59,6 +59,15 @@ object RasterLoaders {
         level: Long, xoff: Int, yoff: Int, w: Int, h: Int,
         baseGt: Array[Double], baseCrs: String): Raster =
       throw new UnsupportedOperationException("no overview reader")
+    /** True when the format stores pixels ROW-CONTIGUOUSLY, so a
+      * full-width window of k rows is ONE contiguous byte range: the
+      * window cache then widens block windows to full-width row bands
+      * (capped by spark.graft.raster.window.bandBytes) and a band's
+      * worth of per-row range reads coalesces into a single fetch —
+      * same bytes, a tiny fraction of the round-trips. Formats with 2-D
+      * chunking (tiled GeoTIFF, Zarr) must leave this false: widening
+      * would fetch chunk columns the probe never asked for. */
+    def rowContiguous: Boolean = false
   }
 
   /** Directory-store loader (Zarr and friends): the "file" is a
@@ -186,18 +195,35 @@ object RasterLoaders {
           e: java.util.Map.Entry[K, java.lang.ref.SoftReference[V]]): Boolean =
         size() > maxEntries
     }
-    // compute OUTSIDE the lock: a slow decode must not serialize the
-    // other 31 local threads' cache lookups; a racing duplicate decode
-    // is idempotent and cheaper than a convoyed cache
-    def get(k: K)(compute: => V): V =
-      map.synchronized(Option(map.get(k)).flatMap(r => Option(r.get))) match {
+    // compute outside the MAP lock (a slow decode must not serialize the
+    // other 31 local threads' unrelated lookups), but WITH a per-key
+    // in-flight lock: concurrent misses on the same key wait for one
+    // winner instead of issuing duplicate fetches — the old
+    // race-and-duplicate policy amplified full-width band reads ~8x
+    // under 32-thread probes (64 misses for a 4-band scene). Distinct
+    // keys never convoy.
+    private val inflight = new java.util.concurrent.ConcurrentHashMap[K, Object]()
+    def get(k: K)(compute: => V): V = {
+      def lookup(): Option[V] =
+        map.synchronized(Option(map.get(k)).flatMap(r => Option(r.get)))
+      lookup() match {
         case Some(v) => cacheHits.increment(); v
         case None =>
-          cacheMisses.increment()
-          val v = compute
-          map.synchronized(map.put(k, new java.lang.ref.SoftReference[V](v)))
-          v
+          val lock = inflight.computeIfAbsent(k, _ => new Object)
+          lock.synchronized {
+            lookup() match {
+              case Some(v) => cacheHits.increment(); v
+              case None =>
+                cacheMisses.increment()
+                try {
+                  val v = compute
+                  map.synchronized(map.put(k, new java.lang.ref.SoftReference[V](v)))
+                  v
+                } finally inflight.remove(k)
+            }
+          }
       }
+    }
   }
   /** Cache capacities are deployment knobs (`spark.graft.raster.cache.*`):
     * the defaults fit a local[32] session's working set; a 1000-executor
@@ -223,6 +249,16 @@ object RasterLoaders {
   /** Windowed reads align outward to this pixel grid so clustered point
     * samples hit one cached block instead of issuing per-row fetches. */
   private val BlockAlign = 256
+
+  /** Cap on widening a block window to a full-width row band for
+    * row-contiguous formats (decoded-bytes estimate). Past the cap the
+    * window stays a 256-px block — a planet-width scene must not turn a
+    * point probe into a multi-GB band fetch. */
+  private def bandBytesCap: Long = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) 64L << 20
+    else env.conf.getLong("spark.graft.raster.window.bandBytes", 64L << 20)
+  }
 
   private def cachedMeta(path: String, loader: Either[Loader, DirLoader],
       mtime: Long): Raster =
@@ -330,10 +366,21 @@ object RasterLoaders {
     val (mtime, len) = statOf(path, loader)
     val meta = cachedMeta(path, loader, mtime)
     // clamp + align outward to the block grid
-    val ax = math.max(0, (xoff / BlockAlign) * BlockAlign)
+    var ax = math.max(0, (xoff / BlockAlign) * BlockAlign)
     val ay = math.max(0, (yoff / BlockAlign) * BlockAlign)
-    val ax1 = math.min(meta.width, ((xoff + w + BlockAlign - 1) / BlockAlign) * BlockAlign)
+    var ax1 = math.min(meta.width, ((xoff + w + BlockAlign - 1) / BlockAlign) * BlockAlign)
     val ay1 = math.min(meta.height, ((yoff + h + BlockAlign - 1) / BlockAlign) * BlockAlign)
+    // row-contiguous formats widen to a full-width row band (one
+    // coalesced byte range per plane instead of a per-row fetch loop;
+    // neighboring column blocks then share the cached band) unless the
+    // band would exceed the configured byte cap
+    loader match {
+      case Left(l) if l.rowContiguous =>
+        val bandBytes = meta.width.toLong * (ay1 - ay) * 8L *
+          math.max(1, meta.bands.length)
+        if (bandBytes <= bandBytesCap) { ax = 0; ax1 = meta.width }
+      case _ => ()
+    }
     require(ax < ax1 && ay < ay1,
       s"rs window: empty window ($xoff,$yoff ${w}x$h) for ${meta.width}x${meta.height} $path")
     val r = windowCache.get((path, mtime, ax, ay, ax1 - ax, ay1 - ay)) {

@@ -171,9 +171,12 @@ class NetCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"($x,$y ${w}x$h) b$b ($c,$row)")
     }
     // out-db: a point sample through rs_frompath reads a small fraction.
-    // Scene larger than the 256px block alignment so the aligned window
-    // (one 256x256 block per band) stays well under the file size.
-    val big = makeRaster(1024, 512, 2)
+    // netCDF is row-contiguous, so the 256px block window widens to a
+    // FULL-WIDTH row band (one coalesced range per plane, neighboring
+    // column blocks share the cached band) — the fetched bytes are one
+    // 256-row band of the scene, well under the file, and the fetch-call
+    // count proves the coalescing (no per-row range loop).
+    val big = makeRaster(1024, 1024, 2)
     val bigBytes = NetCdf.write(big)
     val dir = new java.io.File("/tmp/graft_netcdf_spec"); dir.mkdirs()
     val f = new java.io.File(dir, "scene.nc")
@@ -186,8 +189,10 @@ class NetCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == 100000.0 + 80 * 1000 + 70)
     val fetched = RasterLoaders.fetchBytes.sum()
     assert(RasterLoaders.fullDecodes.sum() == 0, "point sample must not full-decode")
-    assert(fetched < bigBytes.length / 4,
+    assert(fetched < bigBytes.length / 3,
       s"windowed netcdf read fetched $fetched of ${bigBytes.length} bytes")
+    assert(RasterLoaders.fetchCalls.sum() < 10,
+      s"band read must coalesce per-row ranges, made ${RasterLoaders.fetchCalls.sum()} fetches")
   }
 
   test("seeded fuzz: CDF-2 write/read roundtrips across shapes, N-D, nodata, windows") {
