@@ -170,6 +170,19 @@ object MicroBench {
               lit(40.0), lit(-40.0), lit(true), lit("nearestneighbor")),
             st.f("st_setsrid", st.point(pmod(col("id"), lit(256)) * 40.0 + 20.0,
               -(pmod(col("id") * 7, lit(192)) * 40.0 + 20.0)), lit(32610)), lit(1))))),
+      // round-9: the as-of sweep runs on InternalRow (no external-Row
+      // decode per row) — this row times the full union+shuffle+sort+
+      // sweep pipeline over 1M rows per side
+      time("asof_sweep_1m")({
+        def side(salt: Int, idName: String, tName: String) =
+          spark.range(0, 1000000L).toDF(idName)
+            .withColumn("k", pmod(hash(col(idName), lit(salt)), lit(5000)))
+            .withColumn(tName, pmod(hash(col(idName), lit(salt + 1)),
+              lit(1000000000)).cast("long"))
+        run(graft.operators.AsOfJoin.asofBackward(
+          side(81, "lid", "lts"), side(83, "rid", "rts"),
+          "k", "lts", "rts", "rid"))
+      }),
       time("ntv2_gridshift")({
         graft.functions.CrsTransform.registerGridShift("EPSG:4277", gsb.getAbsolutePath)
         try run(points.limit(200000).select(st.transform(

@@ -1773,6 +1773,22 @@ object GeomScalars {
       java.lang.Boolean.valueOf(Spherical.coversGeom(g0(a), g1(a)))),
     fn("st_coveredbysphere", BooleanType, Seq(Geom, Geom))(a =>
       java.lang.Boolean.valueOf(Spherical.coversGeom(g1(a), g0(a)))),
+    // winding-aware (oriented=true) variants: the authored ring order
+    // defines the interior, so polygons LARGER than a hemisphere (cap
+    // complements) are expressible — beyond the smaller-side contract
+    // the rest of the _sphere family shares with S2geography's
+    // oriented=false ingestion. Point containment + area only; the
+    // relate family stays smaller-side.
+    fn("st_containssphereoriented", BooleanType, Seq(Geom, Geom))(a =>
+      g1(a) match {
+        case p: org.locationtech.jts.geom.Point if !p.isEmpty =>
+          java.lang.Boolean.valueOf(
+            Spherical.coversPointOriented(g0(a), p.getX, p.getY))
+        case _ => throw new IllegalArgumentException(
+          "st_containssphereoriented: second argument must be a point")
+      }),
+    fn("st_areasphereoriented", DoubleType, Seq(Geom))(a =>
+      Spherical.areaOriented(g0(a))),
     fn("st_disjointsphere", BooleanType, Seq(Geom, Geom))(a => {
       val ga = g0(a); val gb = g1(a)
       if (ga.isEmpty || gb.isEmpty) java.lang.Boolean.TRUE

@@ -380,6 +380,119 @@ object Spherical {
     walk(g)
   }
 
+  /** Raw winding sum of the closed ring around unit vector P (+2π when
+    * the ring winds CCW around P as authored, −2π CW, ~0 outside; ±π on
+    * the boundary). NaN when a vertex is degenerate-close to P or its
+    * antipode (caller nudges and retries). */
+  private def ringWinding(cs: Array[Coordinate],
+      px: Double, py: Double, pz: Double): Double = {
+    val n = cs.length - 1
+    if (n < 3) return 0.0
+    var sum = 0.0
+    var (ax, ay, az) = unitVec(cs(0).x, cs(0).y)
+    var i = 0
+    while (i < n) {
+      val dm = (ax - px) * (ax - px) + (ay - py) * (ay - py) + (az - pz) * (az - pz)
+      val dp = (ax + px) * (ax + px) + (ay + py) * (ay + py) + (az + pz) * (az + pz)
+      if (dm < 1e-18 || dp < 1e-18) return Double.NaN
+      val (bx, by, bz) = unitVec(cs(i + 1).x, cs(i + 1).y)
+      val crx = ay * bz - az * by
+      val cry = az * bx - ax * bz
+      val crz = ax * by - ay * bx
+      sum += math.atan2(px * crx + py * cry + pz * crz,
+        (ax * bx + ay * by + az * bz) - (px * ax + py * ay + pz * az) * (px * bx + py * by + pz * bz))
+      ax = bx; ay = by; az = bz
+      i += 1
+    }
+    sum
+  }
+
+  /** WINDING-AWARE spherical point containment (S2geography
+    * oriented=true ingestion): each ring's authored vertex order defines
+    * its region as the side to the LEFT of travel, and the polygon is
+    * the INTERSECTION of its rings' left regions (OGC winding: shells
+    * keep the interior left, holes — wound oppositely — keep it left
+    * too). A clockwise-authored cap ring thus denotes the cap's
+    * COMPLEMENT, an interior larger than a hemisphere, which the
+    * smaller-side family cannot express.
+    *
+    * Membership per ring: the spherical winding sum at P is ±2π inside
+    * the ring's SMALL side, the negation inside its antipodal mirror,
+    * and 0 elsewhere (unlike the plane, "outside" is not a single
+    * 0-region) — so the left-region test must fold in the ring's
+    * authored orientation σ around its small side (sign of the spherical
+    * excess): P is left of the ring iff sum > π·σ. Boundary points
+    * classify outside. */
+  def coversPointOriented(g: Geometry, lon: Double, lat: Double): Boolean = {
+    var (px, py, pz) = unitVec(lon, lat)
+    def nudge(guard: Int): Unit = {
+      val (ax, ay, az): (Double, Double, Double) =
+        if (guard == 0 && math.abs(px) < 0.9) (1.0, 0.0, 0.0)
+        else if (guard <= 1 && math.abs(py) < 0.9) (0.0, 1.0, 0.0)
+        else (0.0, 0.0, 1.0)
+      var tx = py * az - pz * ay
+      var ty = pz * ax - px * az
+      var tz = px * ay - py * ax
+      val tn = math.sqrt(tx * tx + ty * ty + tz * tz)
+      tx /= tn; ty /= tn; tz /= tn
+      val nx = px + 1e-9 * tx; val ny = py + 1e-9 * ty; val nz = pz + 1e-9 * tz
+      val nn = math.sqrt(nx * nx + ny * ny + nz * nz)
+      px = nx / nn; py = ny / nn; pz = nz / nn
+    }
+    def leftOf(cs: Array[Coordinate]): Boolean = {
+      val sigma = if (signedRingExcess(cs) >= 0) 1.0 else -1.0
+      var guard = 0
+      var s = ringWinding(cs, px, py, pz)
+      while (s.isNaN && guard < 3) {
+        nudge(guard); guard += 1
+        s = ringWinding(cs, px, py, pz)
+      }
+      !s.isNaN && s > math.Pi * sigma
+    }
+    def polyIn(p: Polygon): Boolean =
+      leftOf(p.getExteriorRing.getCoordinates) &&
+        (0 until p.getNumInteriorRing).forall(i =>
+          leftOf(p.getInteriorRingN(i).getCoordinates))
+    def walk(geom: Geometry): Boolean = geom match {
+      case _ if geom.isEmpty => false
+      case p: Polygon => polyIn(p)
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        (0 until c.getNumGeometries).exists(i => walk(c.getGeometryN(i)))
+      case _ => false
+    }
+    walk(g)
+  }
+
+  /** WINDING-AWARE spherical area: the polygon is the intersection of
+    * its rings' left regions, and each ring's left-region area is its
+    * signed excess E normalized to [0, 4π) (E when authored CCW around
+    * its small side, 4π+E when CW — the complement). Intersecting k
+    * nested left regions overcounts the full sphere k−1 times, so
+    * area = Σ leftArea(ring) − (k−1)·4π — which reduces to the usual
+    * shell-minus-holes for conventionally-wound polygons and to 4π−A
+    * for a lone clockwise (complement) shell. */
+  def areaOriented(g: Geometry): Any = g match {
+    case p: Polygon =>
+      def leftArea(cs: Array[org.locationtech.jts.geom.Coordinate]): Double = {
+        val e = signedRingExcess(cs)
+        if (e < 0) 4 * math.Pi + e else e
+      }
+      var a = leftArea(p.getExteriorRing.getCoordinates)
+      var i = 0
+      while (i < p.getNumInteriorRing) {
+        a += leftArea(p.getInteriorRingN(i).getCoordinates) - 4 * math.Pi
+        i += 1
+      }
+      math.max(0.0, a) * R * R
+    case m: MultiPolygon =>
+      (0 until m.getNumGeometries).map(i =>
+        areaOriented(m.getGeometryN(i)).asInstanceOf[Double]).sum
+    case gc: org.locationtech.jts.geom.GeometryCollection =>
+      (0 until gc.getNumGeometries).map(i =>
+        areaOriented(gc.getGeometryN(i)).asInstanceOf[Double]).sum
+    case _ => 0.0
+  }
+
   /** First coordinate of each connected component — the containment
     * representatives for polygon-vs-geometry distance: if a component
     * lies inside a polygon without its boundary crossing the shell, its

@@ -17,6 +17,27 @@ object SpatialQueries {
 
   private def prep(s: SparkSession): Unit = GraftExtensions.install(s)
 
+  /** Densified 60-vertex small circle of angular radius 20 deg around
+    * (10, 45), authored CCW (the cap) or CW (its complement) — the
+    * oriented-polygon gate fixture. */
+  private def orientedCapWkt(clockwise: Boolean): String = {
+    val (cx, cy) = (10.0, 45.0)
+    val rho = math.toRadians(20.0)
+    val (ux, uy, uz) = (math.cos(math.toRadians(cy)) * math.cos(math.toRadians(cx)),
+      math.cos(math.toRadians(cy)) * math.sin(math.toRadians(cx)),
+      math.sin(math.toRadians(cy)))
+    val (e1x, e1y, e1z) = (-math.sin(math.toRadians(cx)), math.cos(math.toRadians(cx)), 0.0)
+    val (e2x, e2y, e2z) = (uy * e1z - uz * e1y, uz * e1x - ux * e1z, ux * e1y - uy * e1x)
+    val pts = (0 to 60).map { i =>
+      val t = 2 * math.Pi * i / 60.0 * (if (clockwise) -1 else 1)
+      val px = math.cos(rho) * ux + math.sin(rho) * (math.cos(t) * e1x + math.sin(t) * e2x)
+      val py = math.cos(rho) * uy + math.sin(rho) * (math.cos(t) * e1y + math.sin(t) * e2y)
+      val pz = math.cos(rho) * uz + math.sin(rho) * (math.cos(t) * e1z + math.sin(t) * e2z)
+      f"${math.toDegrees(math.atan2(py, px))}%.10f ${math.toDegrees(math.asin(pz))}%.10f"
+    }
+    s"POLYGON ((${pts.mkString(", ")}))"
+  }
+
   // part-derived box: xmin = (p_partkey%100)*20, ymin = (p_size%50)*20,
   // w = 1+(p_partkey%7), h = 1+(p_size%5)  — all exact integer doubles.
   private def withBox(df: DataFrame): DataFrame = df
@@ -748,6 +769,27 @@ object SpatialQueries {
     // This is the machinery of PROJ's NADCON/NTv2/OSTN15 leg (reference:
     // c/sedona-proj/src/transform.rs) — real national grids drop in via
     // CrsTransform.registerGridShift(crs, path).
+    // Winding-aware (oriented) spherical polygons: a clockwise-authored
+    // cap ring denotes its COMPLEMENT — an interior larger than a
+    // hemisphere, which the smaller-side contract cannot express. The
+    // oracle restates containment as the haversine central angle vs the
+    // cap radius (every lattice point sits >= 0.098 deg away from the
+    // boundary, far beyond the inscribed-60-gon sag of ~0.027 deg and
+    // cross-engine trig noise).
+    "sp21_oriented_cap" -> ((s, dir) => {
+      prep(s)
+      val cw = orientedCapWkt(clockwise = true)
+      val ccw = orientedCapWkt(clockwise = false)
+      s.range(2000).select(col("id"),
+        ((col("id") * 19 % 720).cast("double") / 2 - 180).as("lon"),
+        ((col("id") * 23 % 340).cast("double") / 2 - 85).as("lat"))
+        .select(col("id"),
+          expr(s"st_containssphereoriented(st_geomfromtext('$cw'), " +
+            "st_point(lon, lat))").as("in_complement"),
+          expr(s"st_containssphereoriented(st_geomfromtext('$ccw'), " +
+            "st_point(lon, lat))").as("in_cap"))
+    }),
+
     "sp20_ntv2_gridshift" -> ((s, dir) => {
       prep(s)
       val base = s"/tmp/graft_ntv2_gate/${math.abs(dir.hashCode)}"
@@ -1448,6 +1490,20 @@ object SpatialQueries {
         |  round((20.0 - c*0.5) - ((r + c*3)*0.0625 - 2.0)/3600.0, 7) AS wlon,
         |  round(10.0 + r*0.5 + ((2*r + c)*0.125 + 1.0)/3600.0, 7) AS wlat
         |FROM n""".stripMargin,
+
+    "sp21_oriented_cap" ->
+      """WITH p AS (SELECT CAST(range AS BIGINT) AS id,
+        |    CAST((range*19) % 720 AS DOUBLE)/2 - 180 AS lon,
+        |    CAST((range*23) % 340 AS DOUBLE)/2 - 85 AS lat
+        |  FROM range(0, 2000)),
+        |a AS (SELECT id,
+        |    DEGREES(2*ASIN(SQRT(
+        |      POW(SIN(RADIANS(lat - 45)/2), 2) +
+        |      COS(RADIANS(lat))*COS(RADIANS(45))*POW(SIN(RADIANS(lon - 10)/2), 2)
+        |    ))) AS ang
+        |  FROM p)
+        |SELECT id, ang > 20 AS in_complement, ang < 20 AS in_cap
+        |FROM a""".stripMargin,
 
     // netCDF tile pixel i = (n*100 + i) % 89 on a 4x3 grid
     "rs12_netcdf_roundtrip" ->

@@ -1140,6 +1140,66 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "st_makeline(st_point(0.0, 0.0), st_point(0.0, 10.0)), 1.0))") == "POINT (0 10)")
   }
 
+  test("oriented sphere: CW cap ring denotes its complement (> hemisphere)") {
+    // densified 60-vertex circle of angular radius 20° around (10, 45),
+    // authored CCW (cap) and CW (complement). The smaller-side family
+    // reads both as the cap; the oriented family honors the winding.
+    def capWkt(cw: Boolean): String = {
+      val (cx, cy) = (10.0, 45.0)
+      val rho = math.toRadians(20.0)
+      val (ux, uy, uz) = (math.cos(math.toRadians(cy)) * math.cos(math.toRadians(cx)),
+        math.cos(math.toRadians(cy)) * math.sin(math.toRadians(cx)),
+        math.sin(math.toRadians(cy)))
+      // orthonormal frame at the center
+      val (e1x, e1y, e1z) = (-math.sin(math.toRadians(cx)), math.cos(math.toRadians(cx)), 0.0)
+      val (e2x, e2y, e2z) = (uy * e1z - uz * e1y, uz * e1x - ux * e1z, ux * e1y - uy * e1x)
+      val pts = (0 to 60).map { i =>
+        val t = 2 * math.Pi * i / 60.0 * (if (cw) -1 else 1)
+        val px = math.cos(rho) * ux + math.sin(rho) * (math.cos(t) * e1x + math.sin(t) * e2x)
+        val py = math.cos(rho) * uy + math.sin(rho) * (math.cos(t) * e1y + math.sin(t) * e2y)
+        val pz = math.cos(rho) * uz + math.sin(rho) * (math.cos(t) * e1z + math.sin(t) * e2z)
+        f"${math.toDegrees(math.atan2(py, px))}%.10f ${math.toDegrees(math.asin(pz))}%.10f"
+      }
+      s"POLYGON ((${pts.mkString(", ")}))"
+    }
+    val inCap = "st_point(10.0, 45.0)" // the center
+    val farSide = "st_point(-170.0, -45.0)" // the exact antipode (sum = -2π·σ)
+    val midBand = "st_point(-60.0, 0.0)" // mid complement (winding sum = 0)
+    for ((pt, cwExpect, ccwExpect) <- Seq((inCap, false, true),
+        (farSide, true, false), (midBand, true, false))) {
+      assert(q(s"st_containssphereoriented(st_geomfromtext('${capWkt(cw = true)}'), $pt)")
+        == cwExpect, s"CW(complement) containment of $pt")
+      assert(q(s"st_containssphereoriented(st_geomfromtext('${capWkt(cw = false)}'), $pt)")
+        == ccwExpect, s"CCW(cap) containment of $pt")
+    }
+    // areas: CCW measures the cap (2π(1−cos ρ)R²; inscribed polygon
+    // slightly smaller), CW measures the complement, and they sum to the
+    // full sphere exactly (same excess, opposite sign)
+    val r = 6371008.7714
+    val capA = q(s"st_areasphereoriented(st_geomfromtext('${capWkt(cw = false)}'))")
+      .asInstanceOf[Double]
+    val compA = q(s"st_areasphereoriented(st_geomfromtext('${capWkt(cw = true)}'))")
+      .asInstanceOf[Double]
+    val capExact = 2 * math.Pi * (1 - math.cos(math.toRadians(20.0))) * r * r
+    assert(math.abs(capA - capExact) / capExact < 0.01, s"cap area $capA vs $capExact")
+    assert(compA > 2 * math.Pi * r * r, "complement must exceed a hemisphere")
+    assert(math.abs(capA + compA - 4 * math.Pi * r * r) < 1e-3 * r * r,
+      "cap + complement = full sphere")
+    // smaller-side family is unchanged: both windings read as the cap
+    assert(q(s"st_containssphere(st_geomfromtext('${capWkt(cw = true)}'), $inCap)") == true)
+    assert(q(s"st_areasphere(st_geomfromtext('${capWkt(cw = true)}'))")
+      .asInstanceOf[Double] < 2 * math.Pi * r * r)
+    // conventionally-wound polygons agree across families
+    val box = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert(q(s"st_areasphereoriented(st_geomfromtext('$box'))") ==
+      q(s"st_areasphere(st_geomfromtext('$box'))"))
+    assert(q(s"st_containssphereoriented(st_geomfromtext('$box'), st_point(5.0, 5.0))") == true)
+    // oriented hole: CCW shell with a properly-wound (CW) hole excludes it
+    val holed = "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (5 5, 5 9, 9 9, 9 5, 5 5))"
+    assert(q(s"st_containssphereoriented(st_geomfromtext('$holed'), st_point(7.0, 7.0))") == false)
+    assert(q(s"st_containssphereoriented(st_geomfromtext('$holed'), st_point(2.0, 2.0))") == true)
+  }
+
   test("null propagation") {
     assert(q("st_area(NULL)") == null)
     assert(q("st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)'))") == null)
