@@ -1004,6 +1004,13 @@ object GeoTiff {
     res.toIndexedSeq
   }
 
+  /** True when the main IFD stores pixels in strips (row-contiguous
+    * full-width chunks) rather than tiles — the layout that benefits
+    * from full-width row-band windowing (tiled/COG files must stay on
+    * the block-window path). Header-bounded fetches only. */
+  def isStripLayout(fetch: (Long, Int) => Array[Byte]): Boolean =
+    !new TiffTags(fetch, -1L).has(TTileWidth)
+
   def readWindow(fetch: (Long, Int) => Array[Byte],
       xoff: Int, yoff: Int, ww: Int, wh: Int,
       ifdAt: Long = -1L, fallbackGt: Array[Double] = null,
@@ -1105,12 +1112,23 @@ object GeoTiff {
           val si = pl * stripsPerPlane + s0
           require(si < stripOffs.length && si < stripCounts.length,
             "geotiff: missing strips")
-          val strip = decodeChunk(stripOffs(si), stripCounts(si).toInt, samplesPerRow)
           val rowLo = math.max(yoff, s0 * rps)
           val rowHi = math.min(math.min(yoff + wh, (s0 + 1) * rps), h)
+          // uncompressed strips are row-addressable: fetch ONLY the
+          // window's row range instead of the whole strip — with the
+          // writer's default single-strip layout, this is what makes a
+          // windowed read O(window) bytes instead of O(image)
+          val (strip, stripBase) =
+            if (compression == 1 && predictor == 1) {
+              val off = stripOffs(si) +
+                (rowLo - s0 * rps).toLong * samplesPerRow * bytesPer
+              (fetch(off, (rowHi - rowLo) * samplesPerRow * bytesPer), rowLo)
+            } else
+              (decodeChunk(stripOffs(si), stripCounts(si).toInt, samplesPerRow),
+                s0 * rps)
           var r0 = rowLo
           while (r0 < rowHi) {
-            val srcOff = ((r0 - s0 * rps) * samplesPerRow + xoff * chans) * bytesPer
+            val srcOff = ((r0 - stripBase) * samplesPerRow + xoff * chans) * bytesPer
             val dstSample =
               pl.toLong * ww * wh + (r0 - yoff).toLong * ww * chans
             System.arraycopy(strip, srcOff, out, (dstSample * bytesPer).toInt,

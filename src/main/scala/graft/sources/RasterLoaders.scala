@@ -68,6 +68,11 @@ object RasterLoaders {
       * chunking (tiled GeoTIFF, Zarr) must leave this false: widening
       * would fetch chunk columns the probe never asked for. */
     def rowContiguous: Boolean = false
+    /** Per-FILE refinement of [[rowContiguous]] for formats whose
+      * layout varies by file (GeoTIFF: strips vs tiles). Header-bounded
+      * fetches only; the answer is cached per (path, mtime). */
+    def rowContiguousFile(fetch: (Long, Int) => Array[Byte],
+        fileLen: Long): Boolean = rowContiguous
   }
 
   /** Directory-store loader (Zarr and friends): the "file" is a
@@ -99,6 +104,10 @@ object RasterLoaders {
         baseGt: Array[Double], baseCrs: String): Raster =
       GeoTiff.readWindow(fetch, xoff, yoff, w, h, ifdAt = level,
         fallbackGt = baseGt, fallbackCrs = baseCrs)
+    // layout is per-file: strips (incl. the writer's default one-strip
+    // layout) row-band; tiles/COG stay on block windows
+    override def rowContiguousFile(fetch: (Long, Int) => Array[Byte],
+        fileLen: Long): Boolean = GeoTiff.isStripLayout(fetch)
   }
 
   @volatile private var registry: Map[String, Either[Loader, DirLoader]] =
@@ -245,6 +254,8 @@ object RasterLoaders {
     confEntries("metaEntries", 1024))
   private lazy val ovCache =
     new SoftLru[(String, Long, Long), Raster](confEntries("overviewEntries", 32))
+  private lazy val layoutCache =
+    new SoftLru[(String, Long), java.lang.Boolean](confEntries("metaEntries", 1024))
 
   /** Windowed reads align outward to this pixel grid so clustered point
     * samples hit one cached block instead of issuing per-row fetches. */
@@ -370,15 +381,22 @@ object RasterLoaders {
     val ay = math.max(0, (yoff / BlockAlign) * BlockAlign)
     var ax1 = math.min(meta.width, ((xoff + w + BlockAlign - 1) / BlockAlign) * BlockAlign)
     val ay1 = math.min(meta.height, ((yoff + h + BlockAlign - 1) / BlockAlign) * BlockAlign)
-    // row-contiguous formats widen to a full-width row band (one
+    // row-contiguous files widen to a full-width row band (one
     // coalesced byte range per plane instead of a per-row fetch loop;
     // neighboring column blocks then share the cached band) unless the
-    // band would exceed the configured byte cap
+    // band would exceed the configured byte cap. Static format property
+    // (netCDF) or a cached per-file layout probe (GeoTIFF strips yes,
+    // tiles/COG no).
     loader match {
-      case Left(l) if l.rowContiguous =>
-        val bandBytes = meta.width.toLong * (ay1 - ay) * 8L *
-          math.max(1, meta.bands.length)
-        if (bandBytes <= bandBytesCap) { ax = 0; ax1 = meta.width }
+      case Left(l) =>
+        val contiguous = l.rowContiguous ||
+          layoutCache.get((path, mtime))(java.lang.Boolean.valueOf(
+            withFetch(path)((f, fl) => l.rowContiguousFile(f, fl)))).booleanValue
+        if (contiguous) {
+          val bandBytes = meta.width.toLong * (ay1 - ay) * 8L *
+            math.max(1, meta.bands.length)
+          if (bandBytes <= bandBytesCap) { ax = 0; ax1 = meta.width }
+        }
       case _ => ()
     }
     require(ax < ax1 && ay < ay1,

@@ -125,6 +125,52 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RasterLoaders.fetchBytes.sum() == before, "out-of-bounds fetches nothing")
   }
 
+  test("strip geotiff point probe reads one row band, not the image; tiled stays on blocks") {
+    // the default writer emits ONE strip covering the whole image: the
+    // row-range sub-fetch + per-file layout probe must keep a point
+    // probe at O(band rows), and correctness must match the full decode
+    val r = makeRaster(1024, 768, 1)
+    val bytes = GeoTiff.write(r) // single uncompressed strip
+    val dir = new java.io.File("/tmp/graft_window_spec"); dir.mkdirs()
+    val f = new java.io.File(dir, "strip_scene.tif")
+    val out = new java.io.FileOutputStream(f)
+    out.write(bytes); out.close()
+    RasterLoaders.resetCounters()
+    val x = 500000.0 + 700 * 10.0 + 5.0
+    val y = 4650000.0 - 500 * 10.0 - 5.0
+    val v = spark.sql(
+      s"SELECT rs_value(rs_frompath('${f.getAbsolutePath}'), st_point($x, $y, 'EPSG:32610'), 1) v")
+      .collect()(0).getDouble(0)
+    assert(v == 100000.0 + 500 * 1000.0 + 700)
+    val fetched = RasterLoaders.fetchBytes.sum()
+    // one full-width 256-row band of doubles = 1024*256*8 = 2 MB of a
+    // 6.3 MB file; tag/header reads add a few KB
+    assert(fetched < bytes.length / 2,
+      s"strip probe fetched $fetched of ${bytes.length} bytes")
+    assert(fetched >= 1024L * 256 * 8,
+      "band read must cover the full-width row band")
+    assert(RasterLoaders.fullDecodes.sum() == 0)
+    // a probe in a DIFFERENT column block of the same rows: band cached
+    val before = RasterLoaders.fetchBytes.sum()
+    val x2 = 500000.0 + 100 * 10.0 + 5.0
+    val v2 = spark.sql(
+      s"SELECT rs_value(rs_frompath('${f.getAbsolutePath}'), st_point($x2, $y, 'EPSG:32610'), 1) v")
+      .collect()(0).getDouble(0)
+    assert(v2 == 100000.0 + 500 * 1000.0 + 100)
+    assert(RasterLoaders.fetchBytes.sum() == before,
+      "different column block of the same rows must hit the cached band")
+    // a TILED file must not widen: fetched bytes stay near one block
+    val tiled = new java.io.File(dir, "tiled_scene2.tif")
+    val out2 = new java.io.FileOutputStream(tiled)
+    out2.write(GeoTiff.writeTiled(r, 64, 64, 1)); out2.close()
+    RasterLoaders.resetCounters()
+    spark.sql(
+      s"SELECT rs_value(rs_frompath('${tiled.getAbsolutePath}'), st_point($x, $y, 'EPSG:32610'), 1) v")
+      .collect()
+    assert(RasterLoaders.fetchBytes.sum() < 1024L * 256 * 8,
+      "tiled file must stay on the block-window path")
+  }
+
   test("out-db zonal stats match the in-db decode and fetch only the roi's blocks") {
     val r = makeRaster(1024, 768, 1)
     val bytes = GeoTiff.writeTiled(r, 64, 64, 8)
