@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
@@ -69,9 +69,11 @@ object RangeJoinShapes {
       rLow: Expression, lHigh: Expression)
 
   /** The extreme-value-over-inequality-join aggregate: v (in B) bounded
-    * by d (in A), plus the grouping split across the two sides. */
+    * by d (in A), plus the grouping split across the two sides. `strict`
+    * marks a </> bound (rewritten to <=/>= on d∓1 with a boundary
+    * guard, exact on integers). */
   final case class Shape(v: Attribute, d: Attribute, backward: Boolean,
-      gbA: Seq[Attribute], gbB: Seq[Attribute])
+      strict: Boolean, gbA: Seq[Attribute], gbB: Seq[Attribute])
 }
 
 /** Planner-level banded 1-D range join — the time/interval analog of
@@ -128,6 +130,45 @@ case class BandedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
           if (jt == Inner || jt == Cross) && !j.isStreaming &&
             !hasEquiConjunct(cond, left, right) && bothLarge(left, right) =>
         extract(cond, left, right).flatMap(rewrite(j, _)).getOrElse(j)
+      case j @ Join(left, right, LeftOuter, Some(cond), _)
+          if !j.isStreaming && !hasEquiConjunct(cond, left, right) &&
+            bothLarge(left, right) &&
+            left.output.map(_.name).toSet
+              .intersect(right.output.map(_.name).toSet).isEmpty =>
+        extract(cond, left, right).flatMap(rewriteLeftOuter(j, _)).getOrElse(j)
+    }
+  }
+
+  /** Large-large LEFT OUTER range join: inner banded join over a
+    * row-id-tagged left side, then null-padded anti rows unioned back —
+    * the same construction `GridSpatialJoinRule.rewriteLeftOuter`
+    * proved for spatial predicates. The tagged left is persisted inside
+    * the rewrite so both branches observe identical ids; disjoint
+    * column names across sides required (the anti branch selects by
+    * name). */
+  private def rewriteLeftOuter(j: Join, b: RangeJoinShapes.Band): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.DatasetBridge
+    val lDF = graft.CacheRegistry.register(
+      DatasetBridge.ofRows(session, j.left)
+        .withColumn("__brj_id", monotonically_increasing_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lPlan = lDF.queryExecution.analyzed
+    val innerJoin = Join(lPlan, j.right, Inner, j.condition, JoinHint.NONE)
+    rewrite(innerJoin, b).map { innerPlan =>
+      val lNames = j.left.output.map(_.name)
+      val rNames = j.right.output.map(_.name)
+      val inner = DatasetBridge.ofRows(session, innerPlan)
+      val matched = inner.select(col("__brj_id")).distinct()
+      val anti = lDF.join(matched, Seq("__brj_id"), "left_anti")
+        .select(lNames.map(col) ++
+          j.right.output.map(a => lit(null).cast(a.dataType).as(a.name)): _*)
+      val result = inner.select((lNames ++ rNames).map(col): _*).unionAll(anti)
+      val analyzed = result.queryExecution.optimizedPlan
+      val byName = analyzed.output.map(a => a.name -> a).toMap
+      Project(j.output.map { orig =>
+        Alias(byName(orig.name), orig.name)(exprId = orig.exprId)
+      }, analyzed)
     }
   }
 
@@ -239,14 +280,17 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def matchShape(agg: Aggregate, j: Join): Option[RangeJoinShapes.Shape] = {
     val cs = conjuncts(j.condition.get)
     if (cs.length != 1) return None
-    // normalized lo <= hi from a NON-STRICT comparison only (the sweep's
-    // boundary is inclusive; strict shapes keep Spark's plan)
+    // normalized lo <= hi; a STRICT bound over integers rewrites exactly
+    // to a non-strict bound on d∓1 (the boundary value that would wrap
+    // is filtered from the domain — it can match nothing anyway)
     val bound = j.condition.get match {
-      case LessThanOrEqual(a, b) => Some((a, b))
-      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case LessThanOrEqual(a, b) => Some((a, b, false))
+      case GreaterThanOrEqual(a, b) => Some((b, a, false))
+      case LessThan(a, b) => Some((a, b, true))
+      case GreaterThan(a, b) => Some((b, a, true))
       case _ => None
     }
-    val (lo, hi) = bound.getOrElse(return None)
+    val (lo, hi, strict) = bound.getOrElse(return None)
     // backward: v (in B) <= d (in A); forward: d <= v
     val vdOpt = (lo, hi) match {
       case (v: AttributeReference, d: AttributeReference)
@@ -281,7 +325,7 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (!sawExtremum) return None
-    Some(Shape(v, d, backward, gbA, gbB))
+    Some(Shape(v, d, backward, strict, gbA, gbB))
   }
 
   private def rewrite(agg: Aggregate, j: Join,
@@ -307,12 +351,22 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
     def withKey(df: org.apache.spark.sql.DataFrame) =
       if (s.gbB.isEmpty) df.withColumn("__ck", lit(0L))
       else df.withColumn("__ck", struct(gbBNames.map(col): _*))
-    // every (A-group, B-key) combination the aggregate could emit
-    val lhs = withKey(
+    // every (A-group, B-key) combination the aggregate could emit. A
+    // strict bound sweeps on d∓1 (exact for longs); the single domain
+    // value whose adjustment would wrap matches nothing in the original
+    // semantics, so it is filtered rather than wrapped.
+    val lhs0 = withKey(
       if (s.gbB.isEmpty) aDom
       else aDom.crossJoin(bDF.select(s.gbB.zipWithIndex.map { case (a, i) =>
         DatasetBridge.column(a).as(s"__gb$i") }: _*).distinct()))
-      .withColumn("__d", col(s"__ga$di"))
+    val lhs =
+      if (!s.strict) lhs0.withColumn("__d", col(s"__ga$di"))
+      else if (s.backward)
+        lhs0.filter(col(s"__ga$di") =!= lit(Long.MinValue))
+          .withColumn("__d", col(s"__ga$di") - 1L)
+      else
+        lhs0.filter(col(s"__ga$di") =!= lit(Long.MaxValue))
+          .withColumn("__d", col(s"__ga$di") + 1L)
     // the tiebreak id must be a COLUMN DISTINCT from the time column:
     // asofForward negates time and id independently, and they alias here
     val rhs = withKey(bDF.select((s.gbB.zipWithIndex.map { case (a, i) =>

@@ -89,6 +89,51 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.distinct.size == got.size, "reference-cell dedup emits pairs once")
   }
 
+  test("banded rewrite: LEFT OUTER range join keeps unmatched rows, no BNLJ") {
+    events(1200).createOrReplaceTempView("brj_lo_ev")
+    windows(80).createOrReplaceTempView("brj_lo_win")
+    val sql = "SELECT eid, wid FROM brj_lo_ev LEFT JOIN brj_lo_win " +
+      "ON ts BETWEEN ws AND we"
+    val (gotDf, got) = withBroadcastOff {
+      val df = spark.sql(sql)
+      (df, df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq)
+    }
+    val p = planString(gotDf)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"left-outer banded rewrite must purge BNLJ:\n$p")
+    val expect = spark.sql(sql).collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(got == expect)
+    assert(got.exists(_._2 == -1L) && got.exists(_._2 >= 0L),
+      "fixture must exercise matched AND unmatched left rows")
+  }
+
+  test("as-of aggregate rewrite: STRICT bound (<) sweeps on d-1, exact") {
+    val l = spark.range(600).select(col("id").as("lid"),
+      pmod(hash(col("id"), lit(31)), lit(20)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(32)), lit(100)).cast("long") * 10L).as("lts"))
+    val r = spark.range(600).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(33)), lit(20)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(34)), lit(100)).cast("long") * 10L).as("rts"))
+    l.createOrReplaceTempView("asr_sl")
+    r.createOrReplaceTempView("asr_sr")
+    // coarse times guarantee plenty of EXACT ties where < and <= differ
+    val sql = """
+      SELECT l.lid, r.rid FROM asr_sl l JOIN asr_sr r ON l.k = r.k
+      WHERE r.rts = (SELECT max(r2.rts) FROM asr_sr r2
+                     WHERE r2.k = l.k AND r2.rts < l.lts)"""
+    val df = spark.sql(sql)
+    assert(planString(df).contains("ExistingRDD"),
+      "strict as-of shape must route through the sweep")
+    val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    spark.conf.set("spark.graft.join.asof.enabled", "false")
+    val expect = try spark.sql(sql).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+    assert(got.nonEmpty && got == expect)
+  }
+
   test("as-of aggregate rewrite: WHERE max-subquery idiom ≡ rule-off run") {
     val l = spark.range(1500).select(col("id").as("lid"),
       pmod(hash(col("id"), lit(11)), lit(30)).cast("long").as("k"),
