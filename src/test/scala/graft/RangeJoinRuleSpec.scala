@@ -163,6 +163,76 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got == expect)
   }
 
+  test("as-of aggregate rewrite: null keys form a SQL group (struct-key path)") {
+    // GROUP BY treats null keys as one group; the rewrite carries the
+    // key as a struct so the sweep's null-key drop contract cannot eat
+    // the group. Observed on the raw aggregate shape (no outer equi-join
+    // to mask it).
+    val l = spark.range(200).select(
+      (pmod(hash(col("id"), lit(41)), lit(50)).cast("long") * 4L).as("lts"))
+    val r = spark.range(300).select(col("id").as("rid"),
+      when(col("id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(pmod(hash(col("id"), lit(43)), lit(8)).cast("long")).as("k"),
+      (pmod(hash(col("id"), lit(44)), lit(50)).cast("long") * 4L).as("rts"))
+    l.createOrReplaceTempView("asr_nl")
+    r.createOrReplaceTempView("asr_nr")
+    val sql = """
+      SELECT d.lts, r.k, max(r.rts) AS m
+      FROM (SELECT DISTINCT lts FROM asr_nl) d JOIN asr_nr r
+      ON r.rts <= d.lts GROUP BY d.lts, r.k"""
+    val df = spark.sql(sql)
+    assert(planString(df).contains("ExistingRDD"), "shape must route through the sweep")
+    def key(x: org.apache.spark.sql.Row) =
+      (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1), x.getLong(2))
+    val got = df.collect().map(key).sorted.toSeq
+    spark.conf.set("spark.graft.join.asof.enabled", "false")
+    val expect = try spark.sql(sql).collect().map(key).sorted.toSeq
+    finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+    assert(got == expect)
+    assert(got.exists(_._2 == -1L), "fixture must produce null-key groups")
+  }
+
+  test("banded rewrite differential fuzz: random ranges, strictness, inversions") {
+    val rnd = new scala.util.Random(0xBEEF)
+    for (it <- 0 until 8) {
+      val span = 1000 + rnd.nextInt(50000)
+      val maxLen = 1 + rnd.nextInt(800)
+      val off = rnd.nextInt(2000) - 1000 // negative starts exercised
+      val nl = 100 + rnd.nextInt(200)
+      val nr = 100 + rnd.nextInt(200)
+      val strictA = rnd.nextBoolean()
+      val strictB = rnd.nextBoolean()
+      val l = spark.range(nl).select(col("id").as("lid"),
+        (pmod(hash(col("id"), lit(it * 7 + 1)), lit(span)).cast("long") + off).as("ls"))
+        // ~1/6 inverted (le < ls): raw theta semantics must hold
+        .withColumn("le", col("ls") +
+          pmod(hash(col("lid"), lit(it * 7 + 2)), lit(maxLen)) - lit(maxLen / 6))
+      val r = spark.range(nr).select(col("id").as("rid"),
+        (pmod(hash(col("id"), lit(it * 7 + 3)), lit(span)).cast("long") + off).as("rs"))
+        .withColumn("re", col("rs") +
+          pmod(hash(col("rid"), lit(it * 7 + 4)), lit(maxLen)) - lit(maxLen / 6))
+      l.createOrReplaceTempView("brj_fz_l")
+      r.createOrReplaceTempView("brj_fz_r")
+      val opA = if (strictA) "<" else "<="
+      val opB = if (strictB) "<" else "<="
+      val sql = s"SELECT lid, rid FROM brj_fz_l JOIN brj_fz_r " +
+        s"ON ls $opA re AND rs $opB le"
+      val got = withBroadcastOff {
+        val df = spark.sql(sql)
+        val p = planString(df)
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"iter $it must band")
+        df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      }
+      val expect = l.join(r,
+          (if (strictA) col("ls") < col("re") else col("ls") <= col("re")) &&
+          (if (strictB) col("rs") < col("le") else col("rs") <= col("le")))
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got == expect, s"iter $it: ${got.size} vs ${expect.size} pairs")
+    }
+  }
+
   test("as-of aggregate rewrite: forward (min/>=) direction and no-key shape") {
     val l = spark.range(400).select(col("id").as("lid"),
       (pmod(hash(col("id"), lit(21)), lit(5000)).cast("long")).as("lts"))
