@@ -44,6 +44,23 @@ object PipelineOps {
           s"(start_off div ${maxTokens}L) + 1L AS n_seqs")
   }
 
+  /** Token-budget corpus selection: rank documents by `orderCols`
+    * (quality-descending in the usual curation pass) and admit each
+    * while the cumulative token count BEFORE it stays under `budget` —
+    * whole-document greedy, so the last admitted document may overshoot
+    * (the standard contract: a budget is a target, not a hard byte
+    * cap). The running total is ScalableRank.globalPrefixSum, so the
+    * op never funnels the corpus through a single-reducer ORDER BY
+    * window — selecting a 1-trillion-token training set from a
+    * 100 TB crawl is one range shuffle plus two linear passes. */
+  def selectByBudget(df: DataFrame, orderCols: Seq[Column], tokensCol: String,
+      budget: Long, out: String = "cum_before"): DataFrame = {
+    require(budget > 0, "selectByBudget: budget must be positive")
+    graft.operators.ScalableRank
+      .globalPrefixSum(df, orderCols, tokensCol, out)
+      .filter(col(out) < budget)
+  }
+
   /** Benchmark-contamination check: for each document, how many of its
     * distinct k-gram hashes appear anywhere in the benchmark set's k-gram
     * universe. Shuffle shape: explode to (doc, hash) + left-semi join

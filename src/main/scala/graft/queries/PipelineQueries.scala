@@ -268,6 +268,21 @@ object PipelineQueries {
         col("doc_id"), size(TextOps.tokens(col("text"))), 2048L)
     }),
 
+    // token-budget corpus selection: the curation step that turns "all
+    // crawl text" into "the N-token training set" — rank by a quality
+    // score, admit greedily while the cumulative tokens BEFORE each doc
+    // stay under budget. Distributed prefix sum, not a single-reducer
+    // window; the oracle restates it as the ordered window sum.
+    "pl22_budget_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") * 2654435761L % 1000).as("quality"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      PipelineOps.selectByBudget(d,
+        Seq(col("quality").desc, col("doc_id")), "n_tokens", 10000L)
+        .select("doc_id", "quality", "n_tokens", "cum_before")
+    }),
+
     // multimodal binary column plumbing with deterministic fake decode
     // real image pipeline: per-doc solid-gray PNG synthesized through the
     // JVM codec, decoded back by MultimodalOps.decodeBatch via
@@ -323,6 +338,19 @@ object PipelineQueries {
 
     // exclusive running total restated as a window cumsum (fine at oracle
     // scale; the engine side uses the partition-sum scheme instead)
+    "pl22_budget_select" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    (doc_id * 2654435761) % 1000 AS quality,
+        |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, quality, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM d)
+        |SELECT doc_id, CAST(quality AS BIGINT) AS quality, n_tokens, cum_before
+        |FROM p WHERE cum_before < 10000""".stripMargin,
+
     "pl19_seq_packing" ->
       s"""WITH d AS (SELECT doc_id,
         |    CAST(len($toksSql) AS BIGINT) AS n_tokens

@@ -554,6 +554,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0L, "inverted right intervals match nothing")
   }
 
+  test("selectByBudget: greedy whole-doc admission, last doc may overshoot") {
+    import spark.implicits._
+    val docs = Seq((1L, 90L, 40L), (2L, 80L, 40L), (3L, 70L, 40L),
+      (4L, 60L, 40L), (5L, 50L, 40L)).toDF("doc_id", "quality", "n_tokens")
+    val got = graft.pipeline.PipelineOps.selectByBudget(docs,
+      Seq(col("quality").desc, col("doc_id")), "n_tokens", budget = 100L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // cum_before: doc1=0, doc2=40, doc3=80 (< 100, admitted -> 120 total
+    // overshoots), doc4=120 (>= 100, rejected)
+    assert(got == Seq(1L, 2L, 3L))
+    // budget larger than the corpus admits everything
+    assert(graft.pipeline.PipelineOps.selectByBudget(docs,
+      Seq(col("quality").desc, col("doc_id")), "n_tokens", budget = 10000L)
+      .count() == 5)
+  }
+
   test("ScalableRank.globalPrefixSum ≡ window cumsum; packSequences boundary math") {
     val df = spark.range(0, 4000).toDF("id")
       .withColumn("v", (col("id") * 2654435761L) % 500 + 1)
