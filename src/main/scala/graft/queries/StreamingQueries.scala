@@ -123,6 +123,46 @@ object StreamingQueries {
       s.table(sinkName)
     }),
 
+    // streaming backward as-of join: both sides tagged into one keyed
+    // stream, flatMapGroupsWithState holds ONE right event per key (the
+    // fifth stateful operator class). Staged as one file = one
+    // AvailableNow batch, where the per-batch sweep reproduces the batch
+    // as-of semantics exactly — the oracle is q21's ranked window.
+    "st06_stream_asof_join" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      val tagged = ev.filter(col("event_id") % 3 === 0)
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("ts_ms"),
+          lit(1).as("tag"), col("event_id").as("id"), lit(0.0).as("value"))
+        .unionAll(ev.filter(col("event_id") % 3 === 1)
+          .select(col("user_id").as("k"), unix_micros(col("ts")).as("ts_ms"),
+            lit(0).as("tag"), col("event_id").as("id"), col("value")))
+      val staging = s"/tmp/graft_stream_asof/${math.abs(dir.hashCode)}"
+      tagged.coalesce(1).write.mode("overwrite").parquet(staging)
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("ts_ms", LongType),
+        StructField("tag", IntegerType), StructField("id", LongType),
+        StructField("value", DoubleType)))
+      val stream = s.readStream.schema(schema).parquet(staging)
+        .as[StreamingOps.AsOfEvent](
+          org.apache.spark.sql.Encoders.product[StreamingOps.AsOfEvent])
+      val joined = StreamingOps.streamAsOfJoin(stream, 172800000000L)
+      val sinkName = s"graft_asof_${math.abs(dir.hashCode)}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName)
+        .select(col("k").as("user_id"), col("l_id").as("l_event"),
+          col("l_ts").as("lts"), col("r_id").as("r_event"),
+          col("r_ts").as("rts"), col("r_value").as("rvalue"))
+    }),
+
     // stream-static spatial join: the event point stream probes a static
     // box table through the same grid-cell equi-join — stateless per
     // micro-batch, the stream-side analog of the batch grid join
@@ -271,6 +311,20 @@ object StreamingQueries {
         |SELECT l.l_event, r.r_event FROM l JOIN r
         |ON l.gx = r.gx AND l.gy = r.gy
         |AND abs(l.lus - r.rus) <= 43200000000""".stripMargin,
+
+    "st06_stream_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id AS l_event, epoch_us(ts) AS lts
+        |  FROM events WHERE event_id % 3 = 0),
+        |r AS (SELECT user_id, event_id AS r_event, epoch_us(ts) AS rts,
+        |    value AS rvalue FROM events WHERE event_id % 3 = 1),
+        |cand AS (SELECT l.user_id, l.l_event, l.lts,
+        |    r.r_event, r.rts, r.rvalue,
+        |    row_number() OVER (PARTITION BY l.l_event
+        |      ORDER BY r.rts DESC, r.r_event DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.rts <= l.lts
+        |    AND l.lts - r.rts <= 172800000000)
+        |SELECT user_id, l_event, lts, r_event, rts, rvalue
+        |FROM cand WHERE rn = 1""".stripMargin,
 
     "st04_stream_static_spatial_join" ->
       """WITH p AS (SELECT event_id,

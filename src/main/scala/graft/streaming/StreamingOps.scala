@@ -61,6 +61,59 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class AsOfEvent(k: Long, ts_ms: Long, tag: Int, id: Long, value: Double)
+  case class AsOfHeld(r_ts: Long, r_id: Long, r_value: Double)
+  case class AsOfMatch(k: Long, l_ts: Long, l_id: Long,
+      r_ts: Option[Long], r_id: Option[Long], r_value: Option[Double])
+
+  /** Streaming backward as-of join (latest right event at-or-before each
+    * left event per key, tolerance-bounded, ties to the largest right
+    * id): both sides arrive as one keyed stream of tagged events (tag 0
+    * = right, 1 = left) and `flatMapGroupsWithState` keeps exactly ONE
+    * held right event per key — O(keys) state, the same per-key
+    * invariant the batch sweep (`operators.AsOfJoin`) maintains during
+    * its pass. Within each micro-batch the group's events are
+    * time-sorted and swept exactly like the batch operator, so a single
+    * AvailableNow batch reproduces the batch semantics bit-for-bit;
+    * across batches a left event matches the latest right SEEN so far —
+    * the streaming temporal-join contract (a right that arrives after
+    * the left's batch cannot retroactively match). A held right later
+    * than a late left emits unmatched rather than matching forward. */
+  def streamAsOfJoin(events: Dataset[AsOfEvent],
+      toleranceMs: Long): Dataset[AsOfMatch] = {
+    implicit val sh = Encoders.product[AsOfHeld]
+    implicit val sm = Encoders.product[AsOfMatch]
+    def update(k: Long, batch: Iterator[AsOfEvent],
+        state: GroupState[AsOfHeld]): Iterator[AsOfMatch] = {
+      // rights before lefts at equal times (inclusive boundary), largest
+      // right id wins ties — q21's deterministic ordering
+      val evs = batch.toSeq.sortBy(e => (e.ts_ms, e.tag, e.id))
+      var held = state.getOption
+      val out = List.newBuilder[AsOfMatch]
+      evs.foreach { e =>
+        if (e.tag == 0) {
+          if (held.forall(h => h.r_ts < e.ts_ms ||
+              (h.r_ts == e.ts_ms && h.r_id < e.id)))
+            held = Some(AsOfHeld(e.ts_ms, e.id, e.value))
+        } else {
+          val m = held.filter(h =>
+            h.r_ts <= e.ts_ms && e.ts_ms - h.r_ts <= toleranceMs)
+          out += AsOfMatch(k, e.ts_ms, e.id,
+            m.map(_.r_ts), m.map(_.r_id), m.map(_.r_value))
+        }
+      }
+      held.foreach(state.update)
+      out.result().iterator
+    }
+    events
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
+        org.apache.spark.sql.functions.col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .as[AsOfEvent](Encoders.product[AsOfEvent])
+      .groupByKey(_.k)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-stream spatial join.
     *
     * Structured Streaming's stream-stream join requires an equi key for
