@@ -541,10 +541,10 @@ object LasIO {
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       new org.apache.hadoop.conf.Configuration(conf))
     // COPC files are variable-chunk LAZ indexed by an octree hierarchy —
-    // route through the hierarchy reader (a full read selects every node)
+    // route through the hierarchy reader (a full read selects every node);
+    // a DIRECTORY of COPC tiles (writeTiled output) unions per-tile reads
     if (probe.vlrs.exists(v => v.userId == "copc" && v.recordId == 1)) {
-      require(files.length == 1, "COPC read: one file per call (hierarchy-indexed)")
-      return Copc.read(spark, files.head, None)
+      return files.map(f => Copc.read(spark, f, None)).reduce(_ unionAll _)
     }
     if (probe.fmt >= 6 && probe.fmt <= 8)
       readFmt6(spark, files, probe.fmt, extraDims(probe), serConf)

@@ -92,6 +92,9 @@ class CopcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty-intersection query keeps the schema and returns nothing
     assert(graft.sources.Copc.readTiled(spark, dir,
       Some((1e7, 1e7, 1e7 + 1, 1e7 + 1))).count() == 0)
+    // generic entry points route the tile directory too
+    assert(graft.sources.LasIO.read(spark, dir).count() == 30000)
+    assert(graft.sources.Geo.read(spark, dir).count() == 30000)
   }
 
   test("writer emits the WKT global-encoding bit and an OGC WKT CRS VLR") {
