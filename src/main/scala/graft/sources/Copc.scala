@@ -91,16 +91,35 @@ object Copc {
     * voxels intersect `bbox` (xmin, ymin, xmax, ymax in file CRS units).
     * Returned rows are ALL points of the selected nodes (a superset of
     * the bbox — refine with a predicate); `None` reads every node. */
+  // per-JVM meta cache: repeated bbox queries over the same cloud (the
+  // interactive pattern) and readTiled fan-outs skip re-reading header +
+  // hierarchy pages; keyed by (path, mtime, length) so an overwritten
+  // file is re-read, never served stale
+  private val metaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long),
+        (LasIO.Header, Info, Seq[Entry])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            (LasIO.Header, Info, Seq[Entry])]): Boolean = size() > 1024
+    })
+
   def read(spark: SparkSession, path: String,
       bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val flen = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
-    val (h, info, leaves) = try {
-      meta((off, n) => { val b = new Array[Byte](n); in.readFully(off, b); b }, flen)
-    } finally in.close()
+    val st = fs.getFileStatus(p)
+    val flen = st.getLen
+    val cacheKey = (path, st.getModificationTime, flen)
+    val cached = metaCache.get(cacheKey)
+    val (h, info, leaves) = if (cached != null) cached else {
+      val in = fs.open(p)
+      val m = try {
+        meta((off, n) => { val b = new Array[Byte](n); in.readFully(off, b); b }, flen)
+      } finally in.close()
+      metaCache.put(cacheKey, m)
+      m
+    }
     require(h.fmt >= 6 && h.fmt <= 8, s"copc: point format ${h.fmt} (6-8 required)")
     val selected = leaves.filter { e =>
       e.pointCount > 0 && (bbox match {
@@ -441,10 +460,21 @@ object Copc {
       }
   }
 
+  // per-JVM tile-header bbox cache for [[readTiled]]'s file-level prune
+  private val bboxCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long),
+        (Double, Double, Double, Double)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long),
+            (Double, Double, Double, Double)]): Boolean = size() > 8192
+    })
+
   /** Read a tiled COPC directory written by [[writeTiled]] (or any
     * directory of COPC files): tiles whose HEADER bbox misses `bbox` are
     * pruned without opening their hierarchy; surviving tiles read through
-    * [[read]]'s per-node pruning. */
+    * [[read]]'s per-node pruning. Header bboxes and per-file meta are
+    * cached per (path, mtime), so repeated queries over the same tile
+    * set cost only the file listing. */
   def readTiled(spark: SparkSession, dir: String,
       bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -455,13 +485,20 @@ object Copc {
     val selected = bbox match {
       case None => tiles.toSeq
       case Some((qx0, qy0, qx1, qy1)) => tiles.toSeq.filter { t =>
-        // LAS header min/max X/Y at fixed offsets 179..210
-        val in = fs.open(t)
-        val head = new Array[Byte](227)
-        try in.readFully(0L, head) finally in.close()
-        val bb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
-        val fx1 = bb.getDouble(179); val fx0 = bb.getDouble(187)
-        val fy1 = bb.getDouble(195); val fy0 = bb.getDouble(203)
+        val st = fs.getFileStatus(t)
+        val key = (t.toString, st.getModificationTime, st.getLen)
+        var fb = bboxCache.get(key)
+        if (fb == null) {
+          // LAS header min/max X/Y at fixed offsets 179..210
+          val in = fs.open(t)
+          val head = new Array[Byte](227)
+          try in.readFully(0L, head) finally in.close()
+          val bb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+          fb = (bb.getDouble(187), bb.getDouble(203),
+            bb.getDouble(179), bb.getDouble(195))
+          bboxCache.put(key, fb)
+        }
+        val (fx0, fy0, fx1, fy1) = fb
         fx0 <= qx1 && qx0 <= fx1 && fy0 <= qy1 && qy0 <= fy1
       }
     }
