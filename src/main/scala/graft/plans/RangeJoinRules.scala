@@ -71,9 +71,12 @@ object RangeJoinShapes {
   /** The extreme-value-over-inequality-join aggregate: v (in B) bounded
     * by d (in A), plus the grouping split across the two sides. `strict`
     * marks a </> bound (rewritten to <=/>= on d∓1 with a boundary
-    * guard, exact on integers). */
+    * guard, exact on integers); `tolerance` is the optional inclusive
+    * literal staleness bound (the `AND d - v <= t` idiom), mapped onto
+    * the sweep's tolerance parameter. */
   final case class Shape(v: Attribute, d: Attribute, backward: Boolean,
-      strict: Boolean, gbA: Seq[Attribute], gbB: Seq[Attribute])
+      strict: Boolean, tolerance: Option[Long],
+      gbA: Seq[Attribute], gbB: Seq[Attribute])
 }
 
 /** Planner-level banded 1-D range join — the time/interval analog of
@@ -279,30 +282,86 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def matchShape(agg: Aggregate, j: Join): Option[RangeJoinShapes.Shape] = {
     val cs = conjuncts(j.condition.get)
-    if (cs.length != 1) return None
-    // normalized lo <= hi; a STRICT bound over integers rewrites exactly
-    // to a non-strict bound on d∓1 (the boundary value that would wrap
-    // is filtered from the domain — it can match nothing anyway)
-    val bound = j.condition.get match {
-      case LessThanOrEqual(a, b) => Some((a, b, false))
-      case GreaterThanOrEqual(a, b) => Some((b, a, false))
-      case LessThan(a, b) => Some((a, b, true))
-      case GreaterThan(a, b) => Some((b, a, true))
-      case _ => None
+    if (cs.isEmpty || cs.length > 2) return None
+    // primary bound, normalized lo <= hi; a STRICT bound over integers
+    // rewrites exactly to a non-strict bound on d∓1 (the boundary value
+    // that would wrap is filtered from the domain — it can match
+    // nothing anyway)
+    def primary(e: Expression): Option[(AttributeReference, AttributeReference,
+        Boolean, Boolean)] = {
+      val bound = e match {
+        case LessThanOrEqual(a, b) => Some((a, b, false))
+        case GreaterThanOrEqual(a, b) => Some((b, a, false))
+        case LessThan(a, b) => Some((a, b, true))
+        case GreaterThan(a, b) => Some((b, a, true))
+        case _ => None
+      }
+      bound.flatMap {
+        // backward: v (in B) <= d (in A); forward: d <= v
+        case (v: AttributeReference, dd: AttributeReference, st)
+            if j.right.outputSet.contains(v) && j.left.outputSet.contains(dd) =>
+          Some((v, dd, true, st))
+        case (dd: AttributeReference, v: AttributeReference, st)
+            if j.left.outputSet.contains(dd) && j.right.outputSet.contains(v) =>
+          Some((v, dd, false, st))
+        case _ => None
+      }
     }
-    val (lo, hi, strict) = bound.getOrElse(return None)
-    // backward: v (in B) <= d (in A); forward: d <= v
-    val vdOpt = (lo, hi) match {
-      case (v: AttributeReference, d: AttributeReference)
-          if j.right.outputSet.contains(v) && j.left.outputSet.contains(d) =>
-        Some((v, d, true))
-      case (d: AttributeReference, v: AttributeReference)
-          if j.left.outputSet.contains(d) && j.right.outputSet.contains(v) =>
-        Some((v, d, false))
-      case _ => None
-    }
-    val (v, d, backward) = vdOpt.getOrElse(return None)
+    val primIdx = cs.indexWhere(primary(_).isDefined)
+    if (primIdx < 0) return None
+    val (v, d, backward, strict) = primary(cs(primIdx)).get
     if (v.dataType != LongType || d.dataType != LongType) return None
+    // the optional second conjunct must be a LITERAL staleness bound —
+    // the tolerance idiom (backward: d - v <= t in any of its surface
+    // spellings; forward: v - d <= t). Maps onto the sweep's inclusive
+    // tolerance; strict forms subtract one (exact on integers).
+    def litOf(e: Expression): Option[Long] = e match {
+      case Literal(x: Long, LongType) => Some(x)
+      case Literal(x: Int, IntegerType) => Some(x.toLong)
+      case _ => None
+    }
+    def sameAttr(e: Expression, a: AttributeReference): Boolean = e match {
+      case r: AttributeReference => r.exprId == a.exprId
+      case _ => false
+    }
+    def tolOf(e: Expression): Option[Long] = {
+      def diffBound(a: Expression, b: Expression, lit: Expression,
+          st: Boolean): Option[Long] =
+        // (a - b) cmp t with a the later side of the match direction
+        if ((backward && sameAttr(a, d) && sameAttr(b, v)) ||
+            (!backward && sameAttr(a, v) && sameAttr(b, d)))
+          litOf(lit).map(t => if (st) t - 1 else t)
+        else None
+      e match {
+        // backward: v >= d - t; forward: v <= d + t (attr-typed cases
+        // first, or the generic literal-vs-difference patterns below
+        // would swallow them)
+        case GreaterThanOrEqual(vv: AttributeReference, Subtract(dd, t, _))
+            if backward && sameAttr(vv, v) && sameAttr(dd, d) => litOf(t)
+        case GreaterThan(vv: AttributeReference, Subtract(dd, t, _))
+            if backward && sameAttr(vv, v) && sameAttr(dd, d) =>
+          litOf(t).map(_ - 1)
+        case LessThanOrEqual(vv: AttributeReference, Add(dd, t, _))
+            if !backward && sameAttr(vv, v) && sameAttr(dd, d) => litOf(t)
+        case LessThan(vv: AttributeReference, Add(dd, t, _))
+            if !backward && sameAttr(vv, v) && sameAttr(dd, d) =>
+          litOf(t).map(_ - 1)
+        case LessThanOrEqual(Subtract(a, b, _), t) => diffBound(a, b, t, st = false)
+        case LessThan(Subtract(a, b, _), t) => diffBound(a, b, t, st = true)
+        case GreaterThanOrEqual(t, Subtract(a, b, _)) => diffBound(a, b, t, st = false)
+        case GreaterThan(t, Subtract(a, b, _)) => diffBound(a, b, t, st = true)
+        case _ => None
+      }
+    }
+    val tolerance: Option[Long] =
+      if (cs.length == 1) None
+      else tolOf(cs(1 - primIdx)) match {
+        case some @ Some(_) => some
+        case None => return None // second conjunct is not a staleness bound
+      }
+    // a tolerance that goes negative after the strict shift admits
+    // nothing: leave Spark's plan (the aggregate is empty anyway)
+    if (tolerance.exists(t => (if (strict) t - 1 else t) < 0)) return None
     // grouping: plain attributes, d among them
     val gAttrs = agg.groupingExpressions.map {
       case a: Attribute => a
@@ -325,7 +384,7 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (!sawExtremum) return None
-    Some(Shape(v, d, backward, strict, gbA, gbB))
+    Some(Shape(v, d, backward, strict, tolerance, gbA, gbB))
   }
 
   private def rewrite(agg: Aggregate, j: Join,
@@ -373,11 +432,16 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
       DatasetBridge.column(a).as(s"__gb$i") } :+
       DatasetBridge.column(s.v).as("__v")): _*))
       .select(col("__ck"), col("__v"), col("__v").as("__vid"))
+    // the strict-primary shift moves the sweep's reference point by one,
+    // so an accompanying tolerance tightens by one too:
+    // v <= d-1 AND d - v <= t  <=>  (d-1) - v <= t-1
+    val sweepTol = s.tolerance
+      .map(t => if (s.strict) t - 1 else t).getOrElse(Long.MaxValue)
     val swept =
       if (s.backward) graft.operators.AsOfJoin
-        .asofBackward(lhs, rhs, "__ck", "__d", "__v", "__vid")
+        .asofBackward(lhs, rhs, "__ck", "__d", "__v", "__vid", sweepTol)
       else graft.operators.AsOfJoin
-        .asofForward(lhs, rhs, "__ck", "__d", "__v", "__vid")
+        .asofForward(lhs, rhs, "__ck", "__d", "__v", "__vid", sweepTol)
     // groups exist only where the inner join found at least one v
     val res = swept.filter(col("__v").isNotNull)
     val analyzed = res.queryExecution.optimizedPlan

@@ -282,7 +282,8 @@ object RelationalQueries {
               |FROM q24_l l JOIN q24_r r ON l.user_id = r.user_id
               |WHERE r.rts = (SELECT max(r2.rts) FROM q24_r r2
               |               WHERE r2.user_id = l.user_id
-              |                 AND r2.rts <= l.lts)""".stripMargin)
+              |                 AND r2.rts <= l.lts
+              |                 AND l.lts - r2.rts <= 172800000000)""".stripMargin)
     }),
 
     // Top-1-per-group via ranked window (deterministic tie-break).
@@ -501,7 +502,8 @@ object RelationalQueries {
         |SELECT l.user_id, l.l_event, l.lts, r.r_event, r.rts, r.rvalue
         |FROM l JOIN r ON l.user_id = r.user_id
         |WHERE r.rts = (SELECT max(r2.rts) FROM r r2
-        |               WHERE r2.user_id = l.user_id AND r2.rts <= l.lts)""".stripMargin,
+        |               WHERE r2.user_id = l.user_id AND r2.rts <= l.lts
+        |                 AND l.lts - r2.rts <= 172800000000)""".stripMargin,
 
     "q17_corr_scalar_subquery" ->
       """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

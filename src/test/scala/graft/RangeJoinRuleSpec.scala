@@ -163,6 +163,39 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got == expect)
   }
 
+  test("as-of aggregate rewrite: tolerance idiom in its surface spellings") {
+    // the natural production as-of carries a staleness bound:
+    // WHERE r.ts = (SELECT max(ts) ... WHERE ts <= l.ts AND l.ts - ts <= tol)
+    // — decorrelates to a two-conjunct inequality join whose second
+    // conjunct maps onto the sweep's tolerance parameter
+    val l = spark.range(800).select(col("id").as("lid"),
+      pmod(hash(col("id"), lit(51)), lit(25)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(52)), lit(150)).cast("long") * 10L).as("lts"))
+    val r = spark.range(800).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(53)), lit(25)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(54)), lit(150)).cast("long") * 10L).as("rts"))
+    l.createOrReplaceTempView("asr_tl")
+    r.createOrReplaceTempView("asr_tr")
+    // tolerance 40 with 10-tick quantization: plenty of rows where the
+    // latest-within-tolerance differs from the unconditional latest
+    for (tolPred <- Seq("l.lts - r2.rts <= 40", "r2.rts >= l.lts - 40",
+        "l.lts - r2.rts < 40")) {
+      val sql = s"""
+        SELECT l.lid, r.rid FROM asr_tl l JOIN asr_tr r ON l.k = r.k
+        WHERE r.rts = (SELECT max(r2.rts) FROM asr_tr r2
+                       WHERE r2.k = l.k AND r2.rts <= l.lts AND $tolPred)"""
+      val df = spark.sql(sql)
+      assert(planString(df).contains("ExistingRDD"),
+        s"tolerance shape '$tolPred' must route through the sweep")
+      val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      spark.conf.set("spark.graft.join.asof.enabled", "false")
+      val expect = try spark.sql(sql).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+      assert(got.nonEmpty && got == expect, s"tolerance spelling '$tolPred'")
+    }
+  }
+
   test("as-of aggregate rewrite: null keys form a SQL group (struct-key path)") {
     // GROUP BY treats null keys as one group; the rewrite carries the
     // key as a struct so the sweep's null-key drop contract cannot eat
