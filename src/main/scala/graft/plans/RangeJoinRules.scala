@@ -110,9 +110,13 @@ object RangeJoinShapes {
   * sizing and skew — the machinery a dedicated IEJoin/interval-join
   * operator would otherwise reimplement.
   *
-  * `spark.graft.join.band.enabled=false` disables the rewrite. Inner
-  * joins only; like `GridSpatialJoinRule`, the rewrite fires when neither
-  * side fits the broadcast threshold (or broadcast is disabled).
+  * `spark.graft.join.band.enabled=false` disables the rewrite. Inner,
+  * cross, and left-outer joins (the outer form via a row-id-tagged
+  * inner join + anti-join null pad). The rewrite fires unless the
+  * smaller side is under `spark.graft.join.band.minSideBytes` (~1k
+  * rows by default) — a broadcast BNLJ is quadratic in the pair count
+  * even when one side "fits broadcast", so broadcastability alone is
+  * not a reason to skip banding.
   */
 case class BandedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
   import RangeJoinShapes._
@@ -120,10 +124,17 @@ case class BandedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
   private def conf(key: String, default: String): String =
     session.conf.getOption(key).getOrElse(default)
 
-  private def bothLarge(left: LogicalPlan, right: LogicalPlan): Boolean = {
-    val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
-    if (threshold < 0) true
-    else left.stats.sizeInBytes > threshold && right.stats.sizeInBytes > threshold
+  /** Band unless the SMALLER side is genuinely tiny. A broadcast BNLJ
+    * evaluates the condition for every (left, right) pair — with the
+    * default 10 MB broadcast threshold the "small" side can be ~100k
+    * rows, i.e. 100k condition evals per probe row, which dwarfs the
+    * banded plan's one shuffle at any real scale. Below the cutoff
+    * (~1k rows) the per-probe scan is cheaper than exploding and
+    * shuffling both sides, so Spark's broadcast plan stands. */
+  private def worthBanding(left: LogicalPlan, right: LogicalPlan): Boolean = {
+    if (session.sessionState.conf.autoBroadcastJoinThreshold < 0) return true
+    val cutoff = conf("spark.graft.join.band.minSideBytes", "65536").toLong
+    left.stats.sizeInBytes.min(right.stats.sizeInBytes) > cutoff
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -131,11 +142,11 @@ case class BandedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     plan.transformUp {
       case j @ Join(left, right, jt, Some(cond), _)
           if (jt == Inner || jt == Cross) && !j.isStreaming &&
-            !hasEquiConjunct(cond, left, right) && bothLarge(left, right) =>
+            !hasEquiConjunct(cond, left, right) && worthBanding(left, right) =>
         extract(cond, left, right).flatMap(rewrite(j, _)).getOrElse(j)
       case j @ Join(left, right, LeftOuter, Some(cond), _)
           if !j.isStreaming && !hasEquiConjunct(cond, left, right) &&
-            bothLarge(left, right) &&
+            worthBanding(left, right) &&
             left.output.map(_.name).toSet
               .intersect(right.output.map(_.name).toSet).isEmpty =>
         extract(cond, left, right).flatMap(rewriteLeftOuter(j, _)).getOrElse(j)
@@ -260,8 +271,15 @@ case class BandedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
   * (null) rows are filtered. The key is carried as a struct so SQL's
   * GROUP BY null-key group survives (a bare null key would be dropped by
   * the sweep's null-key contract). `min(v)` with `v >= d` is the mirrored
-  * forward sweep. Strict bounds (<, >) are left to Spark — the sweep's
-  * boundary is inclusive.
+  * forward sweep.
+  *
+  * The time column may be any type whose long image is exact and
+  * order-isomorphic — long/int/short/byte, TIMESTAMP (micros via
+  * `unix_micros`), DATE (days via `unix_date`) — the natural production
+  * as-of is over TIMESTAMP columns. The sweep runs in long space and the
+  * extremum converts back losslessly (`MicrosToTimestamp` /
+  * `DateFromUnixDate`, never SQL CAST, whose long<->timestamp contract
+  * is seconds and would truncate).
   *
   * `spark.graft.join.asof.enabled=false` disables the rewrite.
   */
@@ -270,6 +288,33 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def conf(key: String, default: String): String =
     session.conf.getOption(key).getOrElse(default)
+
+  /** Types whose long image is exact and order-isomorphic, so the sweep
+    * can run in long space and convert the extremum back losslessly. */
+  private def exactLongImage(t: DataType): Boolean = t match {
+    case LongType | IntegerType | ShortType | ByteType |
+        TimestampType | DateType => true
+    case _ => false
+  }
+
+  /** Column-level monotone embedding into long space (exact, not CAST
+    * semantics: SQL CAST between long and timestamp is in seconds). */
+  private def toLongCol(c: org.apache.spark.sql.Column,
+      t: DataType): org.apache.spark.sql.Column = t match {
+    case LongType => c
+    case TimestampType => unix_micros(c)
+    case DateType => unix_date(c).cast("long")
+    case _ => c.cast("long")
+  }
+
+  /** Inverse of [[toLongCol]] at expression level, for the final
+    * output projection. */
+  private def fromLongExpr(e: Expression, t: DataType): Expression = t match {
+    case LongType => e
+    case TimestampType => MicrosToTimestamp(e)
+    case DateType => DateFromUnixDate(Cast(e, IntegerType))
+    case _ => Cast(e, t)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf("spark.graft.join.asof.enabled", "true") != "true") return plan
@@ -310,7 +355,12 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
     val primIdx = cs.indexWhere(primary(_).isDefined)
     if (primIdx < 0) return None
     val (v, d, backward, strict) = primary(cs(primIdx)).get
-    if (v.dataType != LongType || d.dataType != LongType) return None
+    if (v.dataType != d.dataType || !exactLongImage(v.dataType)) return None
+    // the tolerance idiom's difference arithmetic is matched in the
+    // column's own type; only the long form is overflow-free under the
+    // sweep's long-space subtraction, so other types take the primary-
+    // bound-only path (a tolerance conjunct falls back to Spark's plan)
+    if (cs.length == 2 && v.dataType != LongType) return None
     // the optional second conjunct must be a LITERAL staleness bound —
     // the tolerance idiom (backward: d - v <= t in any of its surface
     // spellings; forward: v - d <= t). Maps onto the sweep's inclusive
@@ -418,19 +468,18 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (s.gbB.isEmpty) aDom
       else aDom.crossJoin(bDF.select(s.gbB.zipWithIndex.map { case (a, i) =>
         DatasetBridge.column(a).as(s"__gb$i") }: _*).distinct()))
+    val dLong = toLongCol(col(s"__ga$di"), s.d.dataType)
     val lhs =
-      if (!s.strict) lhs0.withColumn("__d", col(s"__ga$di"))
+      if (!s.strict) lhs0.withColumn("__d", dLong)
       else if (s.backward)
-        lhs0.filter(col(s"__ga$di") =!= lit(Long.MinValue))
-          .withColumn("__d", col(s"__ga$di") - 1L)
+        lhs0.filter(dLong =!= lit(Long.MinValue)).withColumn("__d", dLong - 1L)
       else
-        lhs0.filter(col(s"__ga$di") =!= lit(Long.MaxValue))
-          .withColumn("__d", col(s"__ga$di") + 1L)
+        lhs0.filter(dLong =!= lit(Long.MaxValue)).withColumn("__d", dLong + 1L)
     // the tiebreak id must be a COLUMN DISTINCT from the time column:
     // asofForward negates time and id independently, and they alias here
     val rhs = withKey(bDF.select((s.gbB.zipWithIndex.map { case (a, i) =>
       DatasetBridge.column(a).as(s"__gb$i") } :+
-      DatasetBridge.column(s.v).as("__v")): _*))
+      toLongCol(DatasetBridge.column(s.v), s.v.dataType).as("__v")): _*))
       .select(col("__ck"), col("__v"), col("__v").as("__vid"))
     // the strict-primary shift moves the sweep's reference point by one,
     // so an accompanying tolerance tightens by one too:
@@ -446,13 +495,14 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
     val res = swept.filter(col("__v").isNotNull)
     val analyzed = res.queryExecution.optimizedPlan
     val byTemp = analyzed.output.map(a => a.name -> a).toMap
-    def tempOf(e: NamedExpression): Attribute = e match {
+    def tempOf(e: NamedExpression): Expression = e match {
       case a: Attribute =>
         val ia = s.gbA.indexWhere(_.exprId == a.exprId)
         if (ia >= 0) byTemp(s"__ga$ia")
         else byTemp(s"__gb${s.gbB.indexWhere(_.exprId == a.exprId)}")
       case Alias(a: Attribute, _) => tempOf(a)
-      case _ => byTemp("__v") // the extremum alias
+      // the extremum alias: convert the swept long back to the source type
+      case _ => fromLongExpr(byTemp("__v"), s.v.dataType)
     }
     Project(agg.aggregateExpressions.zip(agg.output).map { case (ae, out) =>
       Alias(tempOf(ae), out.name)(exprId = out.exprId)

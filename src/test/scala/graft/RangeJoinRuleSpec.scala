@@ -109,6 +109,37 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture must exercise matched AND unmatched left rows")
   }
 
+  test("banded rewrite fires under broadcast when no side is tiny") {
+    // a broadcast BNLJ is quadratic in the pair count even when one side
+    // "fits broadcast" — the rule bands unless the SMALLER side's stats
+    // are under spark.graft.join.band.minSideBytes
+    val big1 = events(20000)   // range stats ≈ 160 KB > 64 KB cutoff
+    val big2 = windows(12000)
+    val joined = big1.join(big2,
+      col("ts") >= col("ws") && col("ts") <= col("we"))
+    val p = planString(joined)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"large-stat sides must band even though one fits broadcast:\n$p")
+    assert(p.contains("Generate explode"), s"cell explode missing:\n$p")
+    // a genuinely tiny side stays on Spark's broadcast plan: the per-probe
+    // scan of ~500 rows beats exploding and shuffling both sides
+    val tiny = windows(500)
+    val pt = planString(big1.join(tiny,
+      col("ts") >= col("ws") && col("ts") <= col("we")))
+    assert(pt.contains("BroadcastNestedLoopJoin"),
+      s"tiny side must keep the broadcast plan:\n$pt")
+    // correctness of the banded-under-broadcast plan vs the BNLJ reference
+    val got = joined.select("eid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.conf.set("spark.graft.join.band.enabled", "false")
+    val expect = try big1.join(big2,
+        col("ts") >= col("ws") && col("ts") <= col("we"))
+      .select("eid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    finally spark.conf.set("spark.graft.join.band.enabled", "true")
+    assert(got.nonEmpty && got == expect)
+  }
+
   test("as-of aggregate rewrite: STRICT bound (<) sweeps on d-1, exact") {
     val l = spark.range(600).select(col("id").as("lid"),
       pmod(hash(col("id"), lit(31)), lit(20)).cast("long").as("k"),
@@ -264,6 +295,60 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
       assert(got == expect, s"iter $it: ${got.size} vs ${expect.size} pairs")
     }
+  }
+
+  test("as-of aggregate rewrite: TIMESTAMP and DATE time columns") {
+    // the natural production as-of is over TIMESTAMP — the sweep runs in
+    // long space via unix_micros/unix_date and converts the extremum back
+    // losslessly (never SQL CAST, whose long<->timestamp unit is seconds)
+    val l = spark.range(500).select(col("id").as("lid"),
+      pmod(hash(col("id"), lit(61)), lit(15)).cast("long").as("k"),
+      timestamp_micros(pmod(hash(col("id"), lit(62)), lit(500)).cast("long")
+        * 1000001L).as("lts"))
+    val r = spark.range(500).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(63)), lit(15)).cast("long").as("k"),
+      timestamp_micros(pmod(hash(col("id"), lit(64)), lit(500)).cast("long")
+        * 1000001L).as("rts"))
+    l.createOrReplaceTempView("asr_ts_l")
+    r.createOrReplaceTempView("asr_ts_r")
+    val sql = """
+      SELECT l.lid, r.rid, unix_micros(r.rts) AS m
+      FROM asr_ts_l l JOIN asr_ts_r r ON l.k = r.k
+      WHERE r.rts = (SELECT max(r2.rts) FROM asr_ts_r r2
+                     WHERE r2.k = l.k AND r2.rts <= l.lts)"""
+    val df = spark.sql(sql)
+    assert(planString(df).contains("ExistingRDD"),
+      "timestamp as-of shape must route through the sweep")
+    def row3(x: org.apache.spark.sql.Row) = (x.getLong(0), x.getLong(1), x.getLong(2))
+    val got = df.collect().map(row3).sorted.toSeq
+    spark.conf.set("spark.graft.join.asof.enabled", "false")
+    val expect = try spark.sql(sql).collect().map(row3).sorted.toSeq
+    finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+    assert(got.nonEmpty && got == expect)
+
+    // DATE columns sweep on unix_date days; strict (<) shifts a day
+    val dl = spark.range(300).select(col("id").as("lid"),
+      date_from_unix_date(pmod(hash(col("id"), lit(65)), lit(400))
+        .cast("int")).as("ld"))
+    val dr = spark.range(300).select(col("id").as("rid"),
+      date_from_unix_date(pmod(hash(col("id"), lit(66)), lit(400))
+        .cast("int")).as("rd"))
+    dl.createOrReplaceTempView("asr_dt_l")
+    dr.createOrReplaceTempView("asr_dt_r")
+    val dsql = """
+      SELECT d.ld, min(r.rd) AS nxt
+      FROM (SELECT DISTINCT ld FROM asr_dt_l) d JOIN asr_dt_r r
+      ON r.rd > d.ld GROUP BY d.ld"""
+    val ddf = spark.sql(dsql)
+    assert(planString(ddf).contains("ExistingRDD"),
+      "date as-of shape must route through the sweep")
+    def row2(x: org.apache.spark.sql.Row) =
+      (x.getDate(0).toString, x.getDate(1).toString)
+    val dgot = ddf.collect().map(row2).sorted.toSeq
+    spark.conf.set("spark.graft.join.asof.enabled", "false")
+    val dexpect = try spark.sql(dsql).collect().map(row2).sorted.toSeq
+    finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+    assert(dgot.nonEmpty && dgot == dexpect)
   }
 
   test("as-of aggregate rewrite: forward (min/>=) direction and no-key shape") {
