@@ -286,6 +286,54 @@ object RelationalQueries {
               |                 AND l.lts - r2.rts <= 172800000000)""".stripMargin)
     }),
 
+    // PLAIN SQL as-of over raw TIMESTAMP columns with a STRICT bound —
+    // the production event-time shape. AsOfAggregateRule sweeps in long
+    // space (unix_micros embedding, strict < shifted to <= on d-1 micros)
+    // and converts the extremum back losslessly; no caller-side
+    // pre-projection to epoch integers is needed.
+    "q25_asof_timestamp" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_id") % 3 === 0 && col("user_id") % 17 === 2)
+        .select(col("user_id"), col("event_id").as("l_event"), col("ts").as("lts"))
+        .createOrReplaceTempView("q25_l")
+      ev.filter(col("event_id") % 3 === 1 && col("user_id") % 17 === 2)
+        .select(col("user_id"), col("event_id").as("r_event"), col("ts").as("rts"))
+        .createOrReplaceTempView("q25_r")
+      s.sql("""SELECT l.user_id, l.l_event, unix_micros(l.lts) AS lts_us,
+              |  r.r_event, unix_micros(r.rts) AS rts_us
+              |FROM q25_l l JOIN q25_r r ON l.user_id = r.user_id
+              |WHERE r.rts = (SELECT max(r2.rts) FROM q25_r r2
+              |               WHERE r2.user_id = l.user_id
+              |                 AND r2.rts < l.lts)""".stripMargin)
+    }),
+
+    // PLAIN SQL LEFT OUTER range join (point BETWEEN interval, no equi
+    // conjunct): BandedRangeJoinRule's outer form — banded inner join over
+    // a row-id-tagged left side, anti-join null pad unioned back — instead
+    // of Spark's quadratic BNLJ. Unmatched left rows must survive.
+    "q26_range_left_outer" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      val hourUs = 3600000000L
+      ev.filter(col("event_id") % 41 === 0)
+        .select(col("event_id").as("l_event"), unix_micros(col("ts")).as("lts"))
+        .createOrReplaceTempView("q26_l")
+      ev.filter(col("event_id") % 83 === 5)
+        .select(col("event_id").as("r_event"), unix_micros(col("ts")).as("rs"))
+        .withColumn("re", col("rs") + (col("r_event") % 3 + 1) * hourUs)
+        .createOrReplaceTempView("q26_r")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = s.sql(
+          "SELECT l_event, r_event FROM q26_l LEFT JOIN q26_r " +
+            "ON lts BETWEEN rs AND re")
+        df.queryExecution.executedPlan // force planning under broadcast-off
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // Top-1-per-group via ranked window (deterministic tie-break).
     "q08_top_per_nation" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -504,6 +552,27 @@ object RelationalQueries {
         |WHERE r.rts = (SELECT max(r2.rts) FROM r r2
         |               WHERE r2.user_id = l.user_id AND r2.rts <= l.lts
         |                 AND l.lts - r2.rts <= 172800000000)""".stripMargin,
+
+    "q25_asof_timestamp" ->
+      """WITH l AS (SELECT user_id, event_id AS l_event, ts AS lts
+        |  FROM events WHERE event_id % 3 = 0 AND user_id % 17 = 2),
+        |r AS (SELECT user_id, event_id AS r_event, ts AS rts
+        |  FROM events WHERE event_id % 3 = 1 AND user_id % 17 = 2)
+        |SELECT l.user_id, l.l_event, epoch_us(l.lts) AS lts_us,
+        |  r.r_event, epoch_us(r.rts) AS rts_us
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |WHERE r.rts = (SELECT max(r2.rts) FROM r r2
+        |               WHERE r2.user_id = l.user_id
+        |                 AND r2.rts < l.lts)""".stripMargin,
+
+    "q26_range_left_outer" ->
+      """WITH l AS (SELECT event_id AS l_event, epoch_us(ts) AS lts
+        |  FROM events WHERE event_id % 41 = 0),
+        |r AS (SELECT event_id AS r_event, epoch_us(ts) AS rs,
+        |    epoch_us(ts) + (event_id % 3 + 1) * 3600000000 AS re
+        |  FROM events WHERE event_id % 83 = 5)
+        |SELECT l.l_event, r.r_event FROM l LEFT JOIN r
+        |ON l.lts BETWEEN r.rs AND r.re""".stripMargin,
 
     "q17_corr_scalar_subquery" ->
       """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)

@@ -153,6 +153,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // inequality aggregate through the AsOfJoin sweep
     val q24 = entries("q24_asof_sql").plan
     assert(q24.contains("ExistingRDD"), "q24 as-of aggregate rewrite did not fire")
+    // q25: the raw-TIMESTAMP strict as-of must route through the typed
+    // sweep (unix_micros embedding) — same RDD-scan signature as q24
+    val q25 = entries("q25_asof_timestamp").plan
+    assert(q25.contains("ExistingRDD"), "q25 typed as-of rewrite did not fire")
+    // q26: SQL LEFT OUTER range join — banded inner branch (cell explode)
+    // plus the anti-join null pad, never a BNLJ
+    val q26 = entries("q26_range_left_outer").plan
+    assert(q26.contains("Generate explode"), "q26 banded rewrite did not fire")
+    assert(q26.toLowerCase.contains("anti"), "q26 lost the anti-join null pad")
     // gp02 geoarrow roundtrip: a hash equi-join over the two geoparquet
     // reads — never a nested loop
     val gp02 = entries("gp02_geoarrow_roundtrip").plan
