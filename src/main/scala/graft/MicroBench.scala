@@ -183,6 +183,27 @@ object MicroBench {
           side(81, "lid", "lts"), side(83, "rid", "rts"),
           "k", "lts", "rts", "rid"))
       }),
+      // round-9: the banded range-join rewrite fires even when one side
+      // fits broadcast (worthBanding) — paired rows time the SAME SQL
+      // with the rule on vs off; the off row is the quadratic BNLJ plan
+      // Spark would otherwise pick for a 10k-row "small" side
+      time("range_sql_banded")({
+        spark.range(0, 100000L).select(col("id").as("lid"),
+          pmod(hash(col("id"), lit(87)), lit(100000000)).cast("long").as("ls"))
+          .createOrReplaceTempView("mb_rb_l")
+        spark.range(0, 10000L).select(col("id").as("rid"),
+          pmod(hash(col("id"), lit(88)), lit(100000000)).cast("long").as("rs"))
+          .withColumn("re", col("rs") + pmod(hash(col("rid"), lit(89)), lit(20000)))
+          .createOrReplaceTempView("mb_rb_r")
+        run(spark.sql(
+          "SELECT lid, rid FROM mb_rb_l JOIN mb_rb_r ON ls BETWEEN rs AND re"))
+      }),
+      time("range_sql_bnlj")({
+        spark.conf.set("spark.graft.join.band.enabled", "false")
+        try run(spark.sql(
+          "SELECT lid, rid FROM mb_rb_l JOIN mb_rb_r ON ls BETWEEN rs AND re"))
+        finally spark.conf.set("spark.graft.join.band.enabled", "true")
+      }),
       time("ntv2_gridshift")({
         graft.functions.CrsTransform.registerGridShift("EPSG:4277", gsb.getAbsolutePath)
         try run(points.limit(200000).select(st.transform(

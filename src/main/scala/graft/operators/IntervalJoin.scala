@@ -22,11 +22,15 @@ object IntervalJoin {
 
   /** `cellWidth > 0` in the same units as the (integral) start/end
     * columns; `origin` anchors cell 0. `key` columns, when given, must be
-    * equality-joinable. Column names across sides must not collide. */
+    * equality-joinable. Column names across sides must not collide.
+    * `extraCond` is ANDed into the JOIN condition itself (not a post
+    * filter) — streaming callers put their event-time state bound here,
+    * where Structured Streaming's watermark analysis can see it. */
   def overlapJoin(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       key: Option[(String, String)] = None,
-      cellWidth: Long, origin: Long = 0L): DataFrame = {
+      cellWidth: Long, origin: Long = 0L,
+      extraCond: Option[Column] = None): DataFrame = {
     require(cellWidth > 0, "intervalJoin: cellWidth must be positive")
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"intervalJoin: colliding columns: ${dup.mkString(", ")}")
@@ -43,10 +47,11 @@ object IntervalJoin {
     val rc = right
       .filter(col(rStart) <= col(rEnd))
       .withColumn("__rc", explode(sequence(cellOf(col(rStart)), cellOf(col(rEnd)))))
-    val joinCond = key match {
+    val equi = key match {
       case Some((lk, rk)) => col("__lc") === col("__rc") && col(lk) === col(rk)
       case None => col("__lc") === col("__rc")
     }
+    val joinCond = extraCond.map(equi && _).getOrElse(equi)
     lc.join(rc, joinCond)
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       // reference cell: the pair is counted only where the later of the

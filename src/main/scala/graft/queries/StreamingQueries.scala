@@ -163,6 +163,57 @@ object StreamingQueries {
           col("r_ts").as("rts"), col("r_value").as("rvalue"))
     }),
 
+    // stream-stream 1-D interval overlap join (StreamingOps
+    // .streamRangeJoin): the fixed-width cell decomposition supplies the
+    // equi key Structured Streaming needs, the ±7h event-time band bounds
+    // state (implied by overlap since interval lengths cap at 7h/5h).
+    // One staged file per side = one micro-batch, so the inner-join
+    // output is complete and hash-matches the batch oracle.
+    "st07_stream_range_join" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir)
+      val hourUs = 3600000000L
+      val lstage = s"/tmp/graft_stream_srj_l/${math.abs(dir.hashCode)}"
+      val rstage = s"/tmp/graft_stream_srj_r/${math.abs(dir.hashCode)}"
+      ev.filter(col("event_id") % 37 === 0)
+        .select(col("event_id").as("l_event"), col("ts").as("lts"),
+          unix_micros(col("ts")).as("ls"))
+        .withColumn("le", col("ls") + (col("l_event") % 7 + 1) * hourUs)
+        .coalesce(1).write.mode("overwrite").parquet(lstage)
+      ev.filter(col("event_id") % 37 === 1)
+        .select(col("event_id").as("r_event"), col("ts").as("rts"),
+          unix_micros(col("ts")).as("rs"))
+        .withColumn("re", col("rs") + (col("r_event") % 5 + 1) * hourUs)
+        .coalesce(1).write.mode("overwrite").parquet(rstage)
+      val lschema = StructType(Seq(StructField("l_event", LongType),
+        StructField("lts", TimestampType), StructField("ls", LongType),
+        StructField("le", LongType)))
+      val rschema = StructType(Seq(StructField("r_event", LongType),
+        StructField("rts", TimestampType), StructField("rs", LongType),
+        StructField("re", LongType)))
+      val lstream = s.readStream.schema(lschema).parquet(lstage)
+        .withWatermark("lts", "0 seconds")
+      val rstream = s.readStream.schema(rschema).parquet(rstage)
+        .withWatermark("rts", "0 seconds")
+      val joined = StreamingOps.streamRangeJoin(lstream, rstream,
+        "ls", "le", "rs", "re",
+        timeCond = col("lts") >= col("rts") - expr("INTERVAL 7 HOURS") &&
+          col("lts") <= col("rts") + expr("INTERVAL 7 HOURS"),
+        cellWidth = 4L * hourUs)
+        .select(col("l_event"), col("r_event"))
+      val sinkName = s"graft_srj_${math.abs(dir.hashCode)}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(sinkName)
+    }),
+
     // stream-static spatial join: the event point stream probes a static
     // box table through the same grid-cell equi-join — stateless per
     // micro-batch, the stream-side analog of the batch grid join
@@ -325,6 +376,19 @@ object StreamingQueries {
         |    AND l.lts - r.rts <= 172800000000)
         |SELECT user_id, l_event, lts, r_event, rts, rvalue
         |FROM cand WHERE rn = 1""".stripMargin,
+
+    // the streaming banded join restated as the raw closed-interval
+    // overlap; the ±7h band is implied by the capped interval lengths,
+    // so it does not appear in the oracle
+    "st07_stream_range_join" ->
+      """WITH l AS (SELECT event_id AS l_event, epoch_us(ts) AS ls,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS le
+        |  FROM events WHERE event_id % 37 = 0),
+        |r AS (SELECT event_id AS r_event, epoch_us(ts) AS rs,
+        |    epoch_us(ts) + (event_id % 5 + 1) * 3600000000 AS re
+        |  FROM events WHERE event_id % 37 = 1)
+        |SELECT l.l_event, r.r_event FROM l JOIN r
+        |ON l.ls <= r.re AND r.rs <= l.le""".stripMargin,
 
     "st04_stream_static_spatial_join" ->
       """WITH p AS (SELECT event_id,

@@ -140,4 +140,29 @@ object StreamingOps {
     graft.operators.SpatialJoins.gridJoin(left, right, leftGeom, rightGeom,
       predicate, bounds = Some(bounds), nx = nx, ny = ny,
       distance = distance, extraCond = Some(timeCond))
+
+  /** Stream-stream 1-D interval overlap join — the time-range analog of
+    * [[streamSpatialJoin]]: the fixed-width cell decomposition of
+    * `operators.IntervalJoin` supplies the equi key Structured Streaming
+    * needs for state partitioning, and `timeCond` (an event-time range
+    * over the two sides' WATERMARKED timestamp columns, e.g.
+    * `lts BETWEEN rts - INTERVAL 7 HOURS AND rts + INTERVAL 7 HOURS`)
+    * bounds the join state. `timeCond` is ANDed into the join condition,
+    * so it must be implied by interval overlap — pick the band from the
+    * maximum interval length on each side (overlap of closed intervals
+    * with lengths <= La/Lb implies lStart - rStart in [-Lb, La]); rows
+    * with longer intervals would silently lose matches, so bound your
+    * interval lengths upstream.
+    *
+    * Start/end columns are integral (e.g. epoch micros); `cellWidth` is
+    * the usual fanout knob (~ typical interval length). Inverted
+    * intervals match nothing; pairs emit exactly once (reference-cell
+    * dedup). Both inputs MUST carry `withWatermark` on the columns
+    * `timeCond` references. */
+  def streamRangeJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      timeCond: Column, cellWidth: Long, origin: Long = 0L): DataFrame =
+    graft.operators.IntervalJoin.overlapJoin(left, right,
+      lStart, lEnd, rStart, rEnd, key = None,
+      cellWidth = cellWidth, origin = origin, extraCond = Some(timeCond))
 }

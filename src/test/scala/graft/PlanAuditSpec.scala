@@ -251,6 +251,44 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream-static grid join lost its equi-join:\n$plan2")
     assert(spark.table("pa_stst").count() > 0)
 
+    // stream-stream banded range join (st07's shape): the cell explode
+    // supplies the equi key, so the plan must be a symmetric hash join —
+    // never a quadratic fallback
+    val li = spark.readStream.schema(StructType(Seq(
+        StructField("l_event", LongType), StructField("lts", TimestampType),
+        StructField("lx", DoubleType), StructField("ly", DoubleType))))
+      .parquet(s"$base/l")
+      .withWatermark("lts", "0 seconds")
+      .withColumn("ls", unix_micros(col("lts")))
+      .withColumn("le", col("ls") + 3000000L)
+      .select("l_event", "lts", "ls", "le")
+    val ri = spark.readStream.schema(StructType(Seq(
+        StructField("r_event", LongType), StructField("rts", TimestampType),
+        StructField("rx", DoubleType), StructField("ry", DoubleType))))
+      .parquet(s"$base/r")
+      .withWatermark("rts", "0 seconds")
+      .withColumn("rs", unix_micros(col("rts")))
+      .withColumn("re", col("rs") + 2000000L)
+      .select("r_event", "rts", "rs", "re")
+    val jr = graft.streaming.StreamingOps.streamRangeJoin(li, ri,
+      "ls", "le", "rs", "re",
+      timeCond = col("lts") >= col("rts") - expr("INTERVAL 3 SECONDS") &&
+        col("lts") <= col("rts") + expr("INTERVAL 3 SECONDS"),
+      cellWidth = 2000000L)
+    val qr = jr.select("l_event", "r_event").writeStream
+      .format("memory").queryName("pa_srj").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qr.awaitTermination()
+    val outR = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outR)) { qr.explain() }
+    val planR = outR.toString
+    assert(planR.contains("StreamingSymmetricHashJoin"),
+      s"stream-stream range join did not plan StreamingSymmetricHashJoin:\n$planR")
+    assert(!planR.contains("CartesianProduct") &&
+      !planR.contains("BroadcastNestedLoopJoin"),
+      "stream-stream range join fell back to a quadratic operator")
+    assert(spark.table("pa_srj").count() > 0)
+
     // watermarked tumbling-window aggregation (st05's shape): the
     // streaming agg must plan the state-store save path with a partial
     // (merge-capable) spatial aggregate, not a full-recompute per batch
