@@ -1777,16 +1777,19 @@ object GeomScalars {
     // defines the interior, so polygons LARGER than a hemisphere (cap
     // complements) are expressible — beyond the smaller-side contract
     // the rest of the _sphere family shares with S2geography's
-    // oriented=false ingestion. Point containment + area only; the
-    // relate family stays smaller-side.
+    // oriented=false ingestion. Containment takes any second geometry
+    // (point fast path, else the vertex + arc-crossing + reverse-nesting
+    // kernel); intersects is the symmetric closed-region test.
     fn("st_containssphereoriented", BooleanType, Seq(Geom, Geom))(a =>
       g1(a) match {
         case p: org.locationtech.jts.geom.Point if !p.isEmpty =>
           java.lang.Boolean.valueOf(
             Spherical.coversPointOriented(g0(a), p.getX, p.getY))
-        case _ => throw new IllegalArgumentException(
-          "st_containssphereoriented: second argument must be a point")
+        case other =>
+          java.lang.Boolean.valueOf(Spherical.coversGeomOriented(g0(a), other))
       }),
+    fn("st_intersectssphereoriented", BooleanType, Seq(Geom, Geom))(a =>
+      java.lang.Boolean.valueOf(Spherical.intersectsOriented(g0(a), g1(a)))),
     fn("st_areasphereoriented", DoubleType, Seq(Geom))(a =>
       Spherical.areaOriented(g0(a))),
     fn("st_disjointsphere", BooleanType, Seq(Geom, Geom))(a => {

@@ -493,6 +493,84 @@ object Spherical {
     case _ => 0.0
   }
 
+  /** WINDING-AWARE spherical intersects: do the oriented regions of `a`
+    * and `b` meet (closed-region contact counts)? Non-areal `b` is its
+    * own point/arc set. Complete by the no-crossing argument: if the
+    * interiors overlap and no boundary arcs cross, some whole ring of
+    * one boundary lies inside the other region's closure, so its
+    * vertices witness the overlap; partial (Venn) overlaps are caught by
+    * the arc-crossing sweep even when every vertex is outside. */
+  def intersectsOriented(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    def vertexIn(container: Geometry, g: Geometry): Boolean = {
+      val cs = g.getCoordinates
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i)
+        if (coversPointOriented(container, c.x, c.y) ||
+            boundaryAngle(container, c.x, c.y) <= 1e-9) return true
+        i += 1
+      }
+      false
+    }
+    if (vertexIn(a, b)) return true
+    if (b.getDimension == 2 && vertexIn(b, a)) return true
+    val (_, aa) = decompose(a)
+    val (_, ab) = decompose(b)
+    var i = 0
+    while (i < aa.length) {
+      var j = 0
+      while (j < ab.length) {
+        if (arcsCross(aa(i)._1, aa(i)._2, ab(j)._1, ab(j)._2)) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** WINDING-AWARE spherical covers: `b` lies within the closed oriented
+    * region of `a`. Conditions: every `b` vertex inside-or-on `a`, no
+    * proper boundary crossings, and no `a`-boundary vertex STRICTLY
+    * interior to an areal oriented `b` — a ring of `a` inside `b`'s
+    * interior puts ground `a` excludes inside `b` (the band-vs-cap case
+    * vertex tests alone would miss). Boundary-coincident contact
+    * classifies covered (~1e-9 rad tolerance, as coversGeom). */
+  def coversGeomOriented(a: Geometry, b: Geometry): Boolean = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return false
+    val cs = b.getCoordinates
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      if (!coversPointOriented(a, c.x, c.y) && boundaryAngle(a, c.x, c.y) > 1e-9)
+        return false
+      i += 1
+    }
+    val (_, aa) = decompose(a)
+    val (_, ab) = decompose(b)
+    i = 0
+    while (i < aa.length) {
+      var j = 0
+      while (j < ab.length) {
+        if (arcsCross(aa(i)._1, aa(i)._2, ab(j)._1, ab(j)._2,
+            excludeEndpoints = true)) return false
+        j += 1
+      }
+      i += 1
+    }
+    if (b.getDimension == 2) {
+      val as = a.getCoordinates
+      i = 0
+      while (i < as.length) {
+        val c = as(i)
+        if (coversPointOriented(b, c.x, c.y) && boundaryAngle(b, c.x, c.y) > 1e-9)
+          return false
+        i += 1
+      }
+    }
+    true
+  }
+
   /** First coordinate of each connected component — the containment
     * representatives for polygon-vs-geometry distance: if a component
     * lies inside a polygon without its boundary crossing the shell, its

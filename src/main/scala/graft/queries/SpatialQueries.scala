@@ -790,6 +790,42 @@ object SpatialQueries {
             "st_point(lon, lat))").as("in_cap"))
     }),
 
+    // oriented polygon-POLYGON relate: a geodesic quad (CCW) and its CW
+    // complement against 2°x2° lattice boxes classified fully-inside /
+    // fully-outside by INTEGER chart intervals with a 3° margin that
+    // swallows the geodesic edge bulge (top edge of the quad bulges to
+    // ~55.9°; boxes in the margin band are excluded on both engines by
+    // the same integer filter), so the oracle needs no spherical math.
+    "sp22_oriented_relate" -> ((s, dir) => {
+      prep(s)
+      val quad = "POLYGON ((10 30, 40 30, 40 55, 10 55, 10 30))"
+      val comp = "POLYGON ((10 30, 10 55, 40 55, 40 30, 10 30))"
+      t(s, dir, "part").filter(col("p_partkey") % 13 === 0)
+        .select(col("p_partkey").cast("long").as("box_id"),
+          (col("p_partkey") * 7 % 69 - 12).cast("long").as("lon0"),
+          (col("p_partkey") * 11 % 67 - 5).cast("long").as("lat0"))
+        .withColumn("cls",
+          when(col("lon0") >= 13 && col("lon0") + 2 <= 37 &&
+            col("lat0") >= 33 && col("lat0") + 2 <= 52, lit("in"))
+          .when(col("lon0") + 2 <= 7 || col("lon0") >= 43 ||
+            col("lat0") + 2 <= 27 || col("lat0") >= 58, lit("out"))
+          .otherwise(lit("skip")))
+        .filter(col("cls") =!= "skip")
+        .withColumn("box", expr(
+          "st_geomfromtext(concat('POLYGON ((', lon0, ' ', lat0, ', ', " +
+            "lon0+2, ' ', lat0, ', ', lon0+2, ' ', lat0+2, ', ', " +
+            "lon0, ' ', lat0+2, ', ', lon0, ' ', lat0, '))'))"))
+        .select(col("box_id"), col("cls"),
+          expr(s"st_containssphereoriented(st_geomfromtext('$quad'), box)")
+            .as("c_quad"),
+          expr(s"st_intersectssphereoriented(st_geomfromtext('$quad'), box)")
+            .as("i_quad"),
+          expr(s"st_containssphereoriented(st_geomfromtext('$comp'), box)")
+            .as("c_comp"),
+          expr(s"st_intersectssphereoriented(st_geomfromtext('$comp'), box)")
+            .as("i_comp"))
+    }),
+
     "sp20_ntv2_gridshift" -> ((s, dir) => {
       prep(s)
       val base = s"/tmp/graft_ntv2_gate/${math.abs(dir.hashCode)}"
@@ -1504,6 +1540,25 @@ object SpatialQueries {
         |  FROM p)
         |SELECT id, ang > 20 AS in_complement, ang < 20 AS in_cap
         |FROM a""".stripMargin,
+
+    // the in/out classes are decided by the same integer chart filter on
+    // both engines; within a class the oriented predicates are constant
+    "sp22_oriented_relate" ->
+      """WITH b AS (SELECT CAST(p_partkey AS BIGINT) AS box_id,
+        |    CAST(p_partkey*7 % 69 - 12 AS BIGINT) AS lon0,
+        |    CAST(p_partkey*11 % 67 - 5 AS BIGINT) AS lat0
+        |  FROM part WHERE p_partkey % 13 = 0),
+        |c AS (SELECT box_id,
+        |    CASE WHEN lon0 >= 13 AND lon0+2 <= 37
+        |           AND lat0 >= 33 AND lat0+2 <= 52 THEN 'in'
+        |         WHEN lon0+2 <= 7 OR lon0 >= 43
+        |           OR lat0+2 <= 27 OR lat0 >= 58 THEN 'out'
+        |         ELSE 'skip' END AS cls
+        |  FROM b)
+        |SELECT box_id, cls,
+        |  cls = 'in' AS c_quad, cls = 'in' AS i_quad,
+        |  cls = 'out' AS c_comp, cls = 'out' AS i_comp
+        |FROM c WHERE cls <> 'skip'""".stripMargin,
 
     // netCDF tile pixel i = (n*100 + i) % 89 on a 4x3 grid
     "rs12_netcdf_roundtrip" ->

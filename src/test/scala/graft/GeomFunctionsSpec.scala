@@ -1200,6 +1200,67 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(s"st_containssphereoriented(st_geomfromtext('$holed'), st_point(2.0, 2.0))") == true)
   }
 
+  test("oriented sphere: polygon-polygon containment and intersection") {
+    // densified circle of angular radius 20° around (cx, cy); cw=true
+    // authors the COMPLEMENT (region larger than a hemisphere)
+    def circWkt(cx: Double, cy: Double, cw: Boolean): String = {
+      val rho = math.toRadians(20.0)
+      val (ux, uy, uz) = (math.cos(math.toRadians(cy)) * math.cos(math.toRadians(cx)),
+        math.cos(math.toRadians(cy)) * math.sin(math.toRadians(cx)),
+        math.sin(math.toRadians(cy)))
+      val (e1x, e1y, e1z) = (-math.sin(math.toRadians(cx)), math.cos(math.toRadians(cx)), 0.0)
+      val (e2x, e2y, e2z) = (uy * e1z - uz * e1y, uz * e1x - ux * e1z, ux * e1y - uy * e1x)
+      val pts = (0 to 60).map { i =>
+        val t = 2 * math.Pi * i / 60.0 * (if (cw) -1 else 1)
+        val px = math.cos(rho) * ux + math.sin(rho) * (math.cos(t) * e1x + math.sin(t) * e2x)
+        val py = math.cos(rho) * uy + math.sin(rho) * (math.cos(t) * e1y + math.sin(t) * e2y)
+        val pz = math.cos(rho) * uz + math.sin(rho) * (math.cos(t) * e1z + math.sin(t) * e2z)
+        f"${math.toDegrees(math.atan2(py, px))}%.10f ${math.toDegrees(math.asin(pz))}%.10f"
+      }
+      s"POLYGON ((${pts.mkString(", ")}))"
+    }
+    def cnt(a: String, b: String) =
+      q(s"st_containssphereoriented(st_geomfromtext('$a'), st_geomfromtext('$b'))")
+    def ix(a: String, b: String) =
+      q(s"st_intersectssphereoriented(st_geomfromtext('$a'), st_geomfromtext('$b'))")
+    val cap = circWkt(10, 45, cw = false)
+    val comp = circWkt(10, 45, cw = true)
+    val boxFar = "POLYGON ((-62 -2, -58 -2, -58 2, -62 2, -62 -2))"
+    val boxNear = "POLYGON ((8 43, 12 43, 12 47, 8 47, 8 43))"
+    // the complement covers ground far from the cap and excludes the cap
+    assert(cnt(comp, boxFar) == true, "complement must cover the far box")
+    assert(ix(comp, boxFar) == true)
+    assert(cnt(cap, boxFar) == false)
+    assert(ix(cap, boxFar) == false, "cap and far box are disjoint")
+    assert(cnt(cap, boxNear) == true, "cap covers the box at its center")
+    assert(ix(comp, boxNear) == false, "complement excludes the cap interior")
+    // two complements always intersect (each exceeds a hemisphere) but
+    // neither contains the other — the reverse-nesting leg must fire
+    val compB = circWkt(-170, -45, cw = true)
+    assert(ix(comp, compB) == true)
+    assert(cnt(comp, compB) == false,
+      "complement cannot contain the complement of its antipodal cap")
+    // Venn overlap with every vertex outside the other region: only the
+    // arc-crossing sweep can see it
+    val vennA = "POLYGON ((0 -10, 4 -10, 4 30, 0 30, 0 -10))"
+    val vennB = "POLYGON ((-10 0, 30 0, 30 4, -10 4, -10 0))"
+    assert(ix(vennA, vennB) == true, "crossing boxes must intersect")
+    assert(cnt(vennA, vennB) == false)
+    // a holed frame does NOT contain a box spanning its hole, even though
+    // every box vertex lies in the frame and no arcs cross — the
+    // hole-ring-inside-b leg catches it
+    val frame = "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), " +
+      "(10 10, 10 30, 30 30, 30 10, 10 10))"
+    val spanning = "POLYGON ((5 5, 35 5, 35 35, 5 35, 5 5))"
+    assert(cnt(frame, spanning) == false,
+      "frame must not contain a box spanning its hole")
+    assert(ix(frame, spanning) == true)
+    val inHole = "POLYGON ((15 15, 25 15, 25 25, 15 25, 15 15))"
+    assert(cnt(frame, inHole) == false)
+    assert(ix(frame, inHole) == false,
+      "box strictly inside the hole is disjoint from the frame")
+  }
+
   test("null propagation") {
     assert(q("st_area(NULL)") == null)
     assert(q("st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)'))") == null)
