@@ -217,6 +217,26 @@ object PipelineOps {
     connectedComponents(pairs, aCol, bCol)
       .withColumn("keep", col("id") === col("group_id"))
 
+  /** Canonical-survivor selection — the tail of the production dedup
+    * flow: given near-dup candidate pairs, tag every document with its
+    * connected-component group and keep exactly ONE per group (highest
+    * `quality`, ties to the smallest id). Documents in no pair form
+    * singleton groups and survive trivially. Cost beyond the CC rounds:
+    * one shuffle on the group id and a per-group window — no global
+    * sort, so the selection scales with the corpus, not a reducer. */
+  def dedupSurvivors(docs: DataFrame, id: Column, quality: Column,
+      pairs: DataFrame, pairA: Column, pairB: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = dedupGroups(pairs, pairA, pairB)
+      .select(col("id").as("__gid_of"), col("group_id"))
+    val tagged = docs.select(id.cast("long").as("doc_id"), quality.as("__q"))
+      .join(groups, col("doc_id") === col("__gid_of"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"), col("__q"))
+    val w = Window.partitionBy("group_id").orderBy(col("__q").desc, col("doc_id"))
+    tagged.withColumn("survivor", row_number().over(w) === 1).drop("__q")
+  }
+
   /** MinHash-LSH candidate pairs: signature → band keys → explode →
     * band-bucket self-join → distinct pairs with jaccard estimate.
     * Pairs only form inside a band bucket, so the shuffle key is the band

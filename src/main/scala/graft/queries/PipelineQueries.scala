@@ -154,6 +154,17 @@ object PipelineQueries {
       PipelineOps.dedupGroups(pairs, col("doc_a"), col("doc_b"))
     }),
 
+    // canonical-survivor dedup: pairs -> connected components -> one
+    // highest-quality (longest, tie smallest-id) survivor per group;
+    // singletons survive trivially — the full production dedup tail
+    "pl23_dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = PipelineOps.minhashPairs(docs, col("doc_id"), col("text"),
+        numHashes = 12, bands = 4)
+      PipelineOps.dedupSurvivors(docs, col("doc_id"),
+        length(col("text")).cast("long"), pairs, col("doc_a"), col("doc_b"))
+    }),
+
     // deterministic stratified sampling: cap docs per (source, lang)
     // stratum by md5-hash order — the training-mix balancing op
     "pl13_stratified_sample" -> ((s, dir) => {
@@ -420,6 +431,28 @@ object PipelineQueries {
         |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r)
         |SELECT id, MIN(r) AS group_id, MIN(r) = id AS keep
         |FROM reach GROUP BY id""".stripMargin,
+
+    // pl12's transitive closure extended with the survivor window
+    "pl23_dedup_survivors" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+        |grp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY id),
+        |tagged AS (SELECT d.doc_id,
+        |    COALESCE(g.group_id, d.doc_id) AS group_id,
+        |    length(d.text) AS q
+        |  FROM documents d LEFT JOIN grp g ON g.id = d.doc_id),
+        |rk AS (SELECT doc_id, group_id,
+        |    row_number() OVER (PARTITION BY group_id
+        |      ORDER BY q DESC, doc_id) AS rn
+        |  FROM tagged)
+        |SELECT doc_id, group_id, rn = 1 AS survivor FROM rk""".stripMargin,
 
     "pl13_stratified_sample" ->
       """WITH d AS (SELECT doc_id, source, lang,
