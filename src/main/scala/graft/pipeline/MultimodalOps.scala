@@ -161,6 +161,213 @@ object MultimodalOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Exact integer box-downsample by `factor`: output pixel = floor of
+    * the block mean per RGB channel, trailing rows/columns that do not
+    * fill a block drop. Integer math end-to-end so the result is
+    * bit-reproducible across engines and platforms (no float scaler). */
+  private[pipeline] def boxDownsample(img: java.awt.image.BufferedImage,
+      factor: Int): java.awt.image.BufferedImage = {
+    val rw = img.getWidth / factor
+    val rh = img.getHeight / factor
+    val out = new java.awt.image.BufferedImage(rw, rh,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val n = factor * factor
+    var ry = 0
+    while (ry < rh) {
+      var rx = 0
+      while (rx < rw) {
+        var sr = 0; var sg = 0; var sb = 0
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          while (dx < factor) {
+            val rgb = img.getRGB(rx * factor + dx, ry * factor + dy)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        out.setRGB(rx, ry, ((sr / n) << 16) | ((sg / n) << 8) | (sb / n))
+        rx += 1
+      }
+      ry += 1
+    }
+    out
+  }
+
+  /** Image RESIZE over a binary column: real decode (`javax.imageio`),
+    * exact integer box-downsample, PNG re-encode. Appends resized_w/
+    * resized_h, resized_sum — the deterministic pixel checksum
+    * `Σ (R*31 + C) · (r + g + b)` over the resized grid — and the
+    * resized PNG bytes. Undecodable rows get null outputs (degrade, not
+    * die). One decoder init per partition, as decodeBatch. */
+  def resizeBatch(df: DataFrame, binCol: String, factor: Int): DataFrame = {
+    require(factor > 0, "resizeBatch: factor must be positive")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized_w", IntegerType),
+      StructField("resized_h", IntegerType),
+      StructField("resized_sum", LongType),
+      StructField("resized_png", BinaryType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val extra: Seq[Any] =
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getWidth < factor || img.getHeight < factor)
+              Seq(null, null, null, null)
+            else {
+              val out = boxDownsample(img, factor)
+              var sum = 0L
+              var y = 0
+              while (y < out.getHeight) {
+                var x = 0
+                while (x < out.getWidth) {
+                  val rgb = out.getRGB(x, y)
+                  sum += (y.toLong * 31 + x) *
+                    (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Seq(out.getWidth, out.getHeight, sum, bos.toByteArray)
+            }
+          } catch { case _: Exception => Seq(null, null, null, null) }
+        Row.fromSeq(row.toSeq ++ extra)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Parsed YUV4MPEG2 stream: (width, height, bytes-per-frame, Y-plane
+    * length, frame payload offsets). Y4M is the uncompressed video
+    * interchange container (no codec needed — the one video format a
+    * pure JVM can decode for real); C420 (default), C422, C444 and Cmono
+    * chroma layouts supported. */
+  private[graft] def parseY4m(bytes: Array[Byte])
+    : Option[(Int, Int, Int, Int, Array[Int])] =
+    try {
+      val headEnd = bytes.indexOf('\n'.toByte)
+      if (headEnd < 9) return None
+      val head = new String(bytes, 0, headEnd, "US-ASCII")
+      if (!head.startsWith("YUV4MPEG2")) return None
+      var w = 0; var h = 0; var chroma = "420"
+      head.split(' ').drop(1).foreach { p =>
+        if (p.startsWith("W")) w = p.substring(1).toInt
+        else if (p.startsWith("H")) h = p.substring(1).toInt
+        else if (p.startsWith("C")) chroma = p.substring(1)
+      }
+      if (w <= 0 || h <= 0) return None
+      val y = w * h
+      val frameLen = chroma match {
+        case c if c.startsWith("420") => y + 2 * ((w / 2) * (h / 2))
+        case c if c.startsWith("422") => y + 2 * ((w / 2) * h)
+        case c if c.startsWith("444") => 3 * y
+        case c if c.startsWith("mono") => y
+        case _ => return None
+      }
+      val offs = Array.newBuilder[Int]
+      var pos = headEnd + 1
+      while (pos < bytes.length) {
+        val lineEnd = bytes.indexOf('\n'.toByte, pos)
+        if (lineEnd < 0) return None
+        val marker = new String(bytes, pos, math.min(5, lineEnd - pos), "US-ASCII")
+        if (marker != "FRAME") return None
+        if (lineEnd + 1 + frameLen > bytes.length) return None
+        offs += lineEnd + 1
+        pos = lineEnd + 1 + frameLen
+      }
+      Some((w, h, frameLen, y, offs.result()))
+    } catch { case _: Exception => None }
+
+  /** Video FRAME-SAMPLE over a binary column: decode the Y4M container
+    * for real, keep every `everyN`-th frame, and emit one output row per
+    * sampled frame with its exact Y-plane (luma) integer sum — the
+    * deterministic per-frame feature. Non-Y4M rows emit nothing. At
+    * cluster scale each task streams its rows through one parser — the
+    * same per-partition contract as decodeBatch; a codec'd container
+    * would swap parseY4m for the native decoder behind this boundary. */
+  def sampleFrames(df: DataFrame, binCol: String, everyN: Int): DataFrame = {
+    require(everyN > 0, "sampleFrames: everyN must be positive")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("luma_sum", LongType),
+      StructField("n_pix", IntegerType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        parseY4m(bytes) match {
+          case None => Iterator.empty
+          case Some((_, _, _, yLen, offs)) =>
+            Iterator.range(0, offs.length, everyN).map { fi =>
+              val off = offs(fi)
+              var sum = 0L
+              var i = 0
+              while (i < yLen) { sum += bytes(off + i) & 0xff; i += 1 }
+              // Seq[Any]: a bare Seq(Int, Long, Int) harmonizes to
+              // Seq[Long] (weak conformance) and boxes the ints as Longs,
+              // which the IntegerType encoder then rejects
+              Row.fromSeq(row.toSeq ++ Seq[Any](fi, sum, yLen))
+            }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic gradient PNG (fixture generator): grayscale pixel
+    * value `(r*7 + c*3 + seed) % 251` in all three channels — closed
+    * form, so a SQL oracle can recompute resize results without a
+    * decoder. */
+  def synthGradientPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val v = ((r.toLong * 7 + c * 3 + seed) % 251).toInt
+        img.setRGB(c, r, (v << 16) | (v << 8) | v)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic C420 Y4M fixture: Y pixel `(r*5 + c*11 + f*13 + seed)
+    * % 240`, chroma planes constant 128. Closed form for SQL oracles. */
+  def synthY4m(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    val yLen = w * h
+    val cLen = (w / 2) * (h / 2)
+    val head = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(head)
+    val fm = "FRAME\n".getBytes("US-ASCII")
+    var f = 0
+    while (f < frames) {
+      bos.write(fm)
+      var i = 0
+      while (i < yLen) {
+        bos.write((((i / w).toLong * 5 + (i % w) * 11 + f * 13 + seed) % 240).toInt)
+        i += 1
+      }
+      i = 0
+      while (i < 2 * cLen) { bos.write(128); i += 1 }
+      f += 1
+    }
+    bos.toByteArray
+  }
+
   /** Canonical 44-byte-header 16-bit PCM mono WAV from the given samples
     * (fixture generator — real RIFF structure on the write side too). */
   def synthWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {

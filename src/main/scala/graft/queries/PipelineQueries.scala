@@ -315,10 +315,61 @@ object PipelineQueries {
           // text-side blob stats ride along (stub-free byte math)
           length(col("text").cast("binary")).as("n_bytes"),
           md5(col("text").cast("binary")).as("checksum"))
+    }),
+
+    // image RESIZE: gradient PNG through the real codec, exact integer
+    // box-downsample (floor of block mean per channel), deterministic
+    // pixel checksum — the oracle recomputes it from the generator
+    // formula with no decoder
+    "pl24_image_resize" -> ((s, dir) => {
+      val synth = udf((id: Long) => MultimodalOps.synthGradientPng(16, 12, id))
+      val src = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("img", synth(col("doc_id")))
+      MultimodalOps.resizeBatch(src, "img", 2)
+        .select(col("doc_id"), col("resized_w"), col("resized_h"),
+          col("resized_sum"))
+    }),
+
+    // video FRAME-SAMPLE: Y4M (the uncompressed interchange container —
+    // real parse, no codec) sampled every 3rd frame with exact Y-plane
+    // luma sums per sampled frame
+    "pl25_video_frames" -> ((s, dir) => {
+      val synth = udf((id: Long) => MultimodalOps.synthY4m(8, 6, 10, id))
+      val src = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("vid", synth(col("doc_id")))
+      MultimodalOps.sampleFrames(src, "vid", 3)
+        .select(col("doc_id"), col("frame_idx"), col("luma_sum"), col("n_pix"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // 16x12 gradient pixel v = (r*7 + c*3 + id) % 251, 2x box block sums
+    // floored per channel; checksum Σ (R*31+C)·(r+g+b) over the 8x6 grid
+    "pl24_image_resize" ->
+      """WITH px AS (SELECT d.doc_id, t.range // 8 AS R, t.range % 8 AS C
+        |  FROM documents AS d CROSS JOIN range(0, 48) AS t)
+        |SELECT doc_id, CAST(8 AS INT) AS resized_w, CAST(6 AS INT) AS resized_h,
+        |  CAST(SUM((R*31 + C) * 3 * ((
+        |      ((2*R*7 + 2*C*3 + doc_id) % 251)
+        |    + ((2*R*7 + (2*C+1)*3 + doc_id) % 251)
+        |    + (((2*R+1)*7 + 2*C*3 + doc_id) % 251)
+        |    + (((2*R+1)*7 + (2*C+1)*3 + doc_id) % 251)) // 4)) AS BIGINT)
+        |    AS resized_sum
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    // 8x6 C420 Y4M, Y pixel (r*5 + c*11 + f*13 + id) % 240, frames
+    // 0/3/6/9 sampled
+    "pl25_video_frames" ->
+      """WITH f AS (SELECT d.doc_id, CAST(3*fr.range AS INT) AS frame_idx
+        |  FROM documents AS d CROSS JOIN range(0, 4) AS fr),
+        |s AS (SELECT doc_id, frame_idx,
+        |    CAST(SUM(((p.range // 8)*5 + (p.range % 8)*11
+        |      + frame_idx*13 + doc_id) % 240) AS BIGINT) AS luma_sum
+        |  FROM f CROSS JOIN range(0, 48) AS p
+        |  GROUP BY doc_id, frame_idx)
+        |SELECT doc_id, frame_idx, luma_sum, CAST(48 AS INT) AS n_pix
+        |FROM s""".stripMargin,
+
     "pl21_audio_wav" ->
       """WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
         |s AS (SELECT doc_id, n,

@@ -248,6 +248,70 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(badOut.length == 1)
   }
 
+  test("multimodal resizeBatch: exact box downsample, roundtrippable PNG") {
+    val synth = org.apache.spark.sql.functions.udf(
+      (id: Long) => MultimodalOps.synthGradientPng(16, 12, id))
+    val df = spark.range(4).select(col("id").as("doc_id"),
+      synth(col("id")).as("img"))
+    val out = MultimodalOps.resizeBatch(df, "img", 2)
+      .select(col("doc_id"), col("resized_w"), col("resized_h"),
+        col("resized_sum"), col("resized_png")).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8 && r.getInt(2) == 6)
+      // closed-form: block (R,C) holds pixels v(2R+dr, 2C+dc),
+      // v(r,c) = (r*7 + c*3 + id) % 251; channels equal -> 3x gray
+      var expect = 0L
+      for (rr <- 0 until 6; cc <- 0 until 8) {
+        val s4 = (for (dr <- 0 to 1; dc <- 0 to 1)
+          yield ((2 * rr + dr) * 7 + (2 * cc + dc) * 3 + id) % 251).sum
+        expect += (rr * 31 + cc) * 3 * (s4 / 4)
+      }
+      assert(r.getLong(3) == expect, s"checksum of $id")
+      // the emitted PNG decodes back to the resized dims (real codec)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](4)))
+      assert(back.getWidth == 8 && back.getHeight == 6)
+    }
+    // undecodable bytes degrade to nulls, not exceptions
+    val bad = MultimodalOps.resizeBatch(spark.range(1).select(col("id"),
+      org.apache.spark.sql.functions.lit("junk".getBytes).as("img")), "img", 2)
+      .select("resized_w").collect()
+    assert(bad.length == 1 && bad(0).isNullAt(0))
+  }
+
+  test("multimodal sampleFrames: Y4M parse, sampling stride, non-Y4M drop") {
+    val synth = org.apache.spark.sql.functions.udf(
+      (id: Long) => MultimodalOps.synthY4m(8, 6, 10, id))
+    val df = spark.range(3).select(col("id").as("doc_id"),
+      synth(col("id")).as("vid"))
+    val rows = MultimodalOps.sampleFrames(df, "vid", 3)
+      .select(col("doc_id"), col("frame_idx"), col("luma_sum"), col("n_pix"))
+      .collect()
+    assert(rows.length == 3 * 4) // frames 0, 3, 6, 9 per doc
+    rows.foreach { r =>
+      val id = r.getLong(0); val f = r.getInt(1)
+      assert(Seq(0, 3, 6, 9).contains(f))
+      val expect = (0 until 48).map(i =>
+        ((i / 8) * 5 + (i % 8) * 11 + f * 13 + id) % 240).sum
+      assert(r.getLong(2) == expect, s"luma of ($id, $f)")
+      assert(r.getInt(3) == 48)
+    }
+    // C444 layout parses too (frame stride 3*w*h)
+    val y = Array.tabulate(12)(i => (i * 17 % 240).toByte)
+    val c444 = ("YUV4MPEG2 W4 H3 F25:1 C444\n").getBytes("US-ASCII") ++
+      ("FRAME\n").getBytes("US-ASCII") ++ y ++ y ++ y ++
+      ("FRAME\n").getBytes("US-ASCII") ++ y ++ y ++ y
+    val p = MultimodalOps.parseY4m(c444)
+    assert(p.exists { case (w, h, fl, yl, offs) =>
+      w == 4 && h == 3 && fl == 36 && yl == 12 && offs.length == 2 })
+    // non-Y4M rows emit nothing
+    val none = MultimodalOps.sampleFrames(spark.range(1).select(col("id"),
+      org.apache.spark.sql.functions.lit("AVI whatever".getBytes).as("vid")),
+      "vid", 2).count()
+    assert(none == 0)
+  }
+
   test("stateful streaming sessionization (flatMapGroupsWithState) emits on timeout") {
     import graft.streaming.StreamingOps
     import graft.streaming.StreamingOps.Event
