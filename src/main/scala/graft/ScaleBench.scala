@@ -218,6 +218,19 @@ object ScaleBench {
           PipelineOps.dedupGroups(pairs, col("doc_a"), col("doc_b"))
         }
       },
+      // pl23 path: survivor selection on top of the pl12 pair graph —
+      // adds one group-id shuffle + per-group window to the CC rounds;
+      // groups stay O(1)-sized (constant dup rate), so the window never
+      // concentrates a partition
+      "pl23_dedup_survivors" -> { m =>
+        timed {
+          val d = docs(m, 5000)
+          val pairs = PipelineOps.minhashPairs(d, col("doc_id"), col("text"),
+            numHashes = 12, bands = 4)
+          PipelineOps.dedupSurvivors(d, col("doc_id"),
+            length(col("text")).cast("long"), pairs, col("doc_a"), col("doc_b"))
+        }
+      },
       // rs09/rs12 path: out-db windowed raster sampling — scene pixels
       // grow with m (sqrt(m) per axis), sample count grows with m, so
       // samples-per-block density is constant. The probe side is
