@@ -1792,6 +1792,13 @@ object GeomScalars {
       java.lang.Boolean.valueOf(Spherical.intersectsOriented(g0(a), g1(a)))),
     fn("st_areasphereoriented", DoubleType, Seq(Geom))(a =>
       Spherical.areaOriented(g0(a))),
+    // oriented boolean ops: arc split + midpoint classify + stitch;
+    // union via the reverse-rings complement duality (full-sphere
+    // unions have no boundary and throw)
+    fn("st_intersectionsphereoriented", BinaryType, Seq(Geom, Geom))(a =>
+      GeomIO.write(Spherical.intersectionOriented(g0(a), g1(a)))),
+    fn("st_unionsphereoriented", BinaryType, Seq(Geom, Geom))(a =>
+      GeomIO.write(Spherical.unionOriented(g0(a), g1(a)))),
     fn("st_disjointsphere", BooleanType, Seq(Geom, Geom))(a => {
       val ga = g0(a); val gb = g1(a)
       if (ga.isEmpty || gb.isEmpty) java.lang.Boolean.TRUE

@@ -571,6 +571,190 @@ object Spherical {
     true
   }
 
+  // ---- oriented boolean ops: arc split + midpoint classify + stitch ----
+
+  /** Geodesic arc crossing POINT (transversal INTERIOR crossing of both
+    * arcs — endpoint contact excluded, unlike [[crossingPoint]]), or
+    * None. Returns the shared point so both arcs split at the
+    * bit-identical vector. */
+  private def transversalCrossing(a: Array[Double], b: Array[Double],
+      c: Array[Double], d: Array[Double]): Option[Array[Double]] = {
+    val n1x = a(1) * b(2) - a(2) * b(1); val n1y = a(2) * b(0) - a(0) * b(2)
+    val n1z = a(0) * b(1) - a(1) * b(0)
+    val n2x = c(1) * d(2) - c(2) * d(1); val n2y = c(2) * d(0) - c(0) * d(2)
+    val n2z = c(0) * d(1) - c(1) * d(0)
+    var tx = n1y * n2z - n1z * n2y
+    var ty = n1z * n2x - n1x * n2z
+    var tz = n1x * n2y - n1y * n2x
+    val tn = math.sqrt(tx * tx + ty * ty + tz * tz)
+    if (tn < 1e-18) return None
+    tx /= tn; ty /= tn; tz /= tn
+    def onArc(px: Double, py: Double, pz: Double,
+        u: Array[Double], v: Array[Double]): Boolean =
+      angV(u(0), u(1), u(2), px, py, pz) + angV(px, py, pz, v(0), v(1), v(2)) <=
+        angV(u(0), u(1), u(2), v(0), v(1), v(2)) + 1e-12
+    def nearEnd(px: Double, py: Double, pz: Double): Boolean =
+      Seq(a, b, c, d).exists { e =>
+        val dx = e(0) - px; val dy = e(1) - py; val dz = e(2) - pz
+        dx * dx + dy * dy + dz * dz < 1e-18
+      }
+    def hit(px: Double, py: Double, pz: Double): Option[Array[Double]] =
+      if (onArc(px, py, pz, a, b) && onArc(px, py, pz, c, d) &&
+        !nearEnd(px, py, pz)) Some(Array(px, py, pz)) else None
+    hit(tx, ty, tz).orElse(hit(-tx, -ty, -tz))
+  }
+
+  private def toLonLat(v: Array[Double]): (Double, Double) =
+    (math.toDegrees(math.atan2(v(1), v(0))),
+      math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, v(2))))))
+
+  private def ringEdgeVecs(g: Geometry): Array[(Array[Double], Array[Double])] = {
+    val edges = Array.newBuilder[(Array[Double], Array[Double])]
+    def addRing(cs: Array[Coordinate]): Unit = {
+      // one vector per DISTINCT vertex, the closing edge reusing the
+      // first instance — adjacency keys stay bit-exact around the seam
+      val n = cs.length - 1
+      val vs = Array.tabulate(n)(i => vecOf(cs(i)))
+      var i = 0
+      while (i < n) { edges += ((vs(i), vs((i + 1) % n))); i += 1 }
+    }
+    g match {
+      case p: Polygon =>
+        addRing(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing).foreach(i =>
+          addRing(p.getInteriorRingN(i).getCoordinates))
+      case _ => throw new IllegalArgumentException(
+        "oriented overlay: single POLYGON inputs only")
+    }
+    edges.result()
+  }
+
+  /** Oriented boolean INTERSECTION of two oriented polygons. Every
+    * boundary arc splits at its transversal crossings with the other
+    * boundary (crossing points computed ONCE and shared, so stitch keys
+    * are bit-exact); a sub-arc survives iff its midpoint lies inside the
+    * other ORIENTED region; kept sub-arcs stitch into rings by endpoint
+    * adjacency. The construction needs no case analysis: whole rings
+    * inside the other region survive intact (nesting, bands,
+    * complement∩complement), redundant rings drop because their
+    * midpoints test outside, and kept arcs keep their authored travel
+    * direction so result rings carry the correct orientation by
+    * construction (the region stays on the LEFT). Degenerate contact —
+    * tangencies, crossings at vertices, coincident boundary arcs — is
+    * out of contract. Empty intersection returns POLYGON EMPTY. */
+  def intersectionOriented(a: Geometry, b: Geometry): Geometry = {
+    val gf = graft.geom.GeomIO.factory
+    if (a == null || b == null) return null
+    if (a.isEmpty || b.isEmpty) return gf.createPolygon()
+    val ea = ringEdgeVecs(a)
+    val eb = ringEdgeVecs(b)
+    val splitsA = Array.fill(ea.length)(List.empty[Array[Double]])
+    val splitsB = Array.fill(eb.length)(List.empty[Array[Double]])
+    var i = 0
+    while (i < ea.length) {
+      var j = 0
+      while (j < eb.length) {
+        transversalCrossing(ea(i)._1, ea(i)._2, eb(j)._1, eb(j)._2).foreach { p =>
+          splitsA(i) ::= p; splitsB(j) ::= p
+        }
+        j += 1
+      }
+      i += 1
+    }
+    def subArcs(edges: Array[(Array[Double], Array[Double])],
+        splits: Array[List[Array[Double]]]): Array[(Array[Double], Array[Double])] =
+      edges.indices.toArray.flatMap { k =>
+        val (u, v) = edges(k)
+        val chain = (u +: splits(k).sortBy(p =>
+          angV(u(0), u(1), u(2), p(0), p(1), p(2))) :+ v).toArray
+        (0 until chain.length - 1).flatMap { s =>
+          val (p, q) = (chain(s), chain(s + 1))
+          // degenerate slivers (crossing ~at an endpoint) drop
+          if (angV(p(0), p(1), p(2), q(0), q(1), q(2)) < 1e-12) None
+          else Some((p, q))
+        }
+      }
+    def keep(subs: Array[(Array[Double], Array[Double])],
+        other: Geometry): Array[(Array[Double], Array[Double])] =
+      subs.filter { case (s, e) =>
+        val mx = s(0) + e(0); val my = s(1) + e(1); val mz = s(2) + e(2)
+        val mn = math.sqrt(mx * mx + my * my + mz * mz)
+        if (mn < 1e-12) false // antipodal endpoints: out of contract
+        else {
+          val (lon, lat) = toLonLat(Array(mx / mn, my / mn, mz / mn))
+          coversPointOriented(other, lon, lat)
+        }
+      }
+    val kept = keep(subArcs(ea, splitsA), b) ++ keep(subArcs(eb, splitsB), a)
+    if (kept.isEmpty) return gf.createPolygon()
+    // stitch: exact-double adjacency (shared crossing instances + one
+    // vector instance per original vertex make keys bit-identical)
+    def key(v: Array[Double]) = (v(0), v(1), v(2))
+    val outgoing = scala.collection.mutable.Map
+      .empty[(Double, Double, Double), List[Int]]
+    kept.indices.foreach { k =>
+      val s = key(kept(k)._1)
+      outgoing(s) = k :: outgoing.getOrElse(s, Nil)
+    }
+    val used = new Array[Boolean](kept.length)
+    val rings = Array.newBuilder[Array[Coordinate]]
+    kept.indices.foreach { start =>
+      if (!used(start)) {
+        val pts = Array.newBuilder[Coordinate]
+        var cur = start
+        val startKey = key(kept(start)._1)
+        var guard = 0
+        var ok = true
+        while (ok && guard <= kept.length) {
+          used(cur) = true
+          val (s, e) = kept(cur)
+          val (lon, lat) = toLonLat(s)
+          pts += new Coordinate(lon, lat)
+          val ek = key(e)
+          if (ek == startKey) ok = false // ring closed
+          else outgoing.getOrElse(ek, Nil).find(!used(_)) match {
+            case Some(nxt) => cur = nxt
+            case None => ok = false; pts.clear() // dangling: degenerate input
+          }
+          guard += 1
+        }
+        val ring = pts.result()
+        if (ring.length >= 3) rings += (ring :+ ring(0).copy())
+      }
+    }
+    val rs = rings.result()
+    if (rs.isEmpty) gf.createPolygon()
+    else gf.createPolygon(gf.createLinearRing(rs.head),
+      rs.tail.map(gf.createLinearRing).toArray)
+  }
+
+  private def reverseRings(g: Geometry): Geometry = g match {
+    case p: Polygon =>
+      val gf = p.getFactory
+      def rev(r: org.locationtech.jts.geom.LinearRing) =
+        gf.createLinearRing(r.getCoordinates.reverse)
+      gf.createPolygon(rev(p.getExteriorRing),
+        (0 until p.getNumInteriorRing).map(i =>
+          rev(p.getInteriorRingN(i))).toArray)
+    case other => other
+  }
+
+  /** Oriented boolean UNION via the complement duality: reversing every
+    * ring complements an oriented region, so A ∪ B =
+    * complement(comp(A) ∩ comp(B)). A union covering the FULL sphere
+    * (e.g. two complements of disjoint caps) has no boundary and is not
+    * representable as a polygon — that case throws. */
+  def unionOriented(a: Geometry, b: Geometry): Geometry = {
+    if (a == null || b == null) return null
+    val gf = graft.geom.GeomIO.factory
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val r = intersectionOriented(reverseRings(a), reverseRings(b))
+    if (r.isEmpty) throw new IllegalArgumentException(
+      "st_unionsphereoriented: result covers the full sphere (no boundary)")
+    reverseRings(r)
+  }
+
   /** First coordinate of each connected component — the containment
     * representatives for polygon-vs-geometry distance: if a component
     * lies inside a polygon without its boundary crossing the shell, its

@@ -826,6 +826,44 @@ object SpatialQueries {
             .as("i_comp"))
     }),
 
+    // oriented boolean OVERLAY: a CCW quad intersected/unioned with a CW
+    // (complement) quad — real arc-split + stitch construction, then
+    // membership of margin-filtered lattice points in the CONSTRUCTED
+    // geometry; the result's boundary is a subset of the inputs' edges
+    // (plus their crossings), so the same 3° integer-chart margins that
+    // swallow geodesic bulge make the oracle pure interval logic
+    "sp23_oriented_overlay" -> ((s, dir) => {
+      prep(s)
+      val q1 = "POLYGON ((10 30, 40 30, 40 55, 10 55, 10 30))"
+      val q2c = "POLYGON ((20 20, 20 45, 50 45, 50 20, 20 20))" // CW = complement
+      val interE = s"st_intersectionsphereoriented(" +
+        s"st_geomfromtext('$q1'), st_geomfromtext('$q2c'))"
+      val uniE = s"st_unionsphereoriented(" +
+        s"st_geomfromtext('$q1'), st_geomfromtext('$q2c'))"
+      t(s, dir, "part").filter(col("p_partkey") % 11 === 0)
+        .select(col("p_partkey").cast("long").as("pt_id"),
+          (col("p_partkey") * 7 % 69 - 10).cast("long").as("lon"),
+          (col("p_partkey") * 11 % 67 - 4).cast("long").as("lat"))
+        .withColumn("c1",
+          when(col("lon") >= 13 && col("lon") <= 37 &&
+            col("lat") >= 33 && col("lat") <= 52, lit("in"))
+          .when(col("lon") <= 7 || col("lon") >= 43 ||
+            col("lat") <= 27 || col("lat") >= 58, lit("out"))
+          .otherwise(lit("skip")))
+        .withColumn("c2",
+          when(col("lon") >= 23 && col("lon") <= 47 &&
+            col("lat") >= 23 && col("lat") <= 42, lit("in"))
+          .when(col("lon") <= 17 || col("lon") >= 53 ||
+            col("lat") <= 17 || col("lat") >= 48, lit("out"))
+          .otherwise(lit("skip")))
+        .filter(col("c1") =!= "skip" && col("c2") =!= "skip")
+        .select(col("pt_id"), col("c1"), col("c2"),
+          expr(s"st_containssphereoriented($interE, " +
+            "st_point(cast(lon as double), cast(lat as double)))").as("i_in"),
+          expr(s"st_containssphereoriented($uniE, " +
+            "st_point(cast(lon as double), cast(lat as double)))").as("u_in"))
+    }),
+
     "sp20_ntv2_gridshift" -> ((s, dir) => {
       prep(s)
       val base = s"/tmp/graft_ntv2_gate/${math.abs(dir.hashCode)}"
@@ -1559,6 +1597,31 @@ object SpatialQueries {
         |  cls = 'in' AS c_quad, cls = 'in' AS i_quad,
         |  cls = 'out' AS c_comp, cls = 'out' AS i_comp
         |FROM c WHERE cls <> 'skip'""".stripMargin,
+
+    // Q1 region = chart rect [10,40]x[30,55], Q2c = complement of
+    // [20,50]x[20,45]; classes decided by identical integer filters,
+    // membership in the constructed overlay follows by boolean algebra
+    "sp23_oriented_overlay" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pt_id,
+        |    CAST(p_partkey*7 % 69 - 10 AS BIGINT) AS lon,
+        |    CAST(p_partkey*11 % 67 - 4 AS BIGINT) AS lat
+        |  FROM part WHERE p_partkey % 11 = 0),
+        |c AS (SELECT pt_id,
+        |  CASE WHEN lon >= 13 AND lon <= 37 AND lat >= 33 AND lat <= 52
+        |         THEN 'in'
+        |       WHEN lon <= 7 OR lon >= 43 OR lat <= 27 OR lat >= 58
+        |         THEN 'out'
+        |       ELSE 'skip' END AS c1,
+        |  CASE WHEN lon >= 23 AND lon <= 47 AND lat >= 23 AND lat <= 42
+        |         THEN 'in'
+        |       WHEN lon <= 17 OR lon >= 53 OR lat <= 17 OR lat >= 48
+        |         THEN 'out'
+        |       ELSE 'skip' END AS c2
+        |  FROM p)
+        |SELECT pt_id, c1, c2,
+        |  c1 = 'in' AND c2 = 'out' AS i_in,
+        |  c1 = 'in' OR c2 = 'out' AS u_in
+        |FROM c WHERE c1 <> 'skip' AND c2 <> 'skip'""".stripMargin,
 
     // netCDF tile pixel i = (n*100 + i) % 89 on a 4x3 grid
     "rs12_netcdf_roundtrip" ->

@@ -1261,6 +1261,87 @@ class GeomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "box strictly inside the hole is disjoint from the frame")
   }
 
+  test("oriented sphere: boolean intersection/union via arc stitching") {
+    def circ(cx: Double, cy: Double, rhoDeg: Double, cw: Boolean): String = {
+      val rho = math.toRadians(rhoDeg)
+      val (ux, uy, uz) = (math.cos(math.toRadians(cy)) * math.cos(math.toRadians(cx)),
+        math.cos(math.toRadians(cy)) * math.sin(math.toRadians(cx)),
+        math.sin(math.toRadians(cy)))
+      val (e1x, e1y, e1z) = (-math.sin(math.toRadians(cx)), math.cos(math.toRadians(cx)), 0.0)
+      val (e2x, e2y, e2z) = (uy * e1z - uz * e1y, uz * e1x - ux * e1z, ux * e1y - uy * e1x)
+      val pts = (0 to 48).map { i =>
+        val t = 2 * math.Pi * i / 48.0 * (if (cw) -1 else 1)
+        val px = math.cos(rho) * ux + math.sin(rho) * (math.cos(t) * e1x + math.sin(t) * e2x)
+        val py = math.cos(rho) * uy + math.sin(rho) * (math.cos(t) * e1y + math.sin(t) * e2y)
+        val pz = math.cos(rho) * uz + math.sin(rho) * (math.cos(t) * e1z + math.sin(t) * e2z)
+        f"${math.toDegrees(math.atan2(py, px))}%.10f ${math.toDegrees(math.asin(pz))}%.10f"
+      }
+      s"POLYGON ((${pts.mkString(", ")}))"
+    }
+    def areaO(e: String): Double =
+      q(s"st_areasphereoriented($e)").asInstanceOf[Double]
+    def inter(a: String, b: String): String =
+      s"st_intersectionsphereoriented(st_geomfromtext('$a'), st_geomfromtext('$b'))"
+    def uni(a: String, b: String): String =
+      s"st_unionsphereoriented(st_geomfromtext('$a'), st_geomfromtext('$b'))"
+    def cntE(container: String, lon: Double, lat: Double): Boolean =
+      q(s"st_containssphereoriented($container, st_point($lon, $lat))")
+        .asInstanceOf[Boolean]
+    def cntW(wkt: String, lon: Double, lat: Double): Boolean =
+      cntE(s"st_geomfromtext('$wkt')", lon, lat)
+
+    val configs = Seq(
+      // Venn quads, conventional winding
+      ("POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0))",
+        "POLYGON ((15 -10, 45 -10, 45 10, 15 10, 15 -10))"),
+      // cap complement (CW) against an overlapping quad
+      (circ(10, 45, 20, cw = true),
+        "POLYGON ((-20 20, 25 20, 25 50, -20 50, -20 20))"),
+      // two caps, Venn overlap
+      (circ(0, 20, 18, cw = false), circ(14, 28, 18, cw = false)))
+    for (((a, b), ci) <- configs.zipWithIndex) {
+      // global invariant: the stitched overlay satisfies
+      // area(A) + area(B) = area(A∩B) + area(A∪B)
+      val lhs = areaO(s"st_geomfromtext('$a')") + areaO(s"st_geomfromtext('$b')")
+      val rhs = areaO(inter(a, b)) + areaO(uni(a, b))
+      assert(math.abs(lhs - rhs) / lhs < 1e-9, s"config $ci incl-excl: $lhs vs $rhs")
+      // point-sampling differential, only at neighborhood-stable points
+      // (skip the float-sensitive band near any boundary)
+      var checked = 0
+      for (lon <- -28 to 52 by 8; lat <- -20 to 60 by 8) {
+        def expectAt(lo: Double, la: Double) = cntW(a, lo, la) && cntW(b, lo, la)
+        val e0 = expectAt(lon, lat)
+        val stable = Seq((1.2, 0.0), (-1.2, 0.0), (0.0, 1.2), (0.0, -1.2))
+          .forall { case (dl, dp) => expectAt(lon + dl, lat + dp) == e0 }
+        if (stable) {
+          checked += 1
+          assert(cntE(inter(a, b), lon, lat) == e0,
+            s"config $ci intersection membership at ($lon, $lat)")
+        }
+      }
+      assert(checked > 40, s"config $ci: too few stable sample points")
+    }
+    // complement ∩ complement = the band between the two circles: a
+    // 2-ring polygon whose area is the sphere minus both caps
+    val compN = circ(0, 60, 20, cw = true)
+    val compS = circ(0, -60, 20, cw = true)
+    val r = 6371008.7714
+    val capArea = 2 * math.Pi * (1 - math.cos(math.toRadians(20))) * r * r
+    val bandArea = areaO(inter(compN, compS))
+    assert(math.abs(bandArea - (4 * math.Pi * r * r - 2 * capArea)) / bandArea < 0.01,
+      s"band area $bandArea")
+    assert(cntE(inter(compN, compS), 0, 0) &&
+      !cntE(inter(compN, compS), 0, 65) && !cntE(inter(compN, compS), 0, -65))
+    // disjoint caps intersect to POLYGON EMPTY
+    assert(q(s"st_isempty(${inter(circ(0, 0, 10, cw = false), circ(90, 0, 10, cw = false))})")
+      == true)
+    // a union covering the full sphere has no boundary: loud error
+    val ex = intercept[Exception] {
+      q(s"st_astext(${uni(compN, compS)})")
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("null propagation") {
     assert(q("st_area(NULL)") == null)
     assert(q("st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)'))") == null)
