@@ -357,10 +357,13 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
     val (v, d, backward, strict) = primary(cs(primIdx)).get
     if (v.dataType != d.dataType || !exactLongImage(v.dataType)) return None
     // the tolerance idiom's difference arithmetic is matched in the
-    // column's own type; only the long form is overflow-free under the
-    // sweep's long-space subtraction, so other types take the primary-
-    // bound-only path (a tolerance conjunct falls back to Spark's plan)
-    if (cs.length == 2 && v.dataType != LongType) return None
+    // column's own type: long/int literals for long columns, and
+    // timestamp differences against DayTimeInterval literals (micros,
+    // exactly the sweep's long space) for TIMESTAMP columns. Other
+    // types take the primary-bound-only path (a tolerance conjunct
+    // falls back to Spark's plan).
+    if (cs.length == 2 && v.dataType != LongType &&
+      v.dataType != TimestampType) return None
     // the optional second conjunct must be a LITERAL staleness bound —
     // the tolerance idiom (backward: d - v <= t in any of its surface
     // spellings; forward: v - d <= t). Maps onto the sweep's inclusive
@@ -400,6 +403,21 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
         case LessThan(Subtract(a, b, _), t) => diffBound(a, b, t, st = true)
         case GreaterThanOrEqual(t, Subtract(a, b, _)) => diffBound(a, b, t, st = false)
         case GreaterThan(t, Subtract(a, b, _)) => diffBound(a, b, t, st = true)
+        // the TIMESTAMP staleness idiom: `d - v <= INTERVAL ...`
+        // decorrelates to SubtractTimestamps vs a DayTimeIntervalType
+        // literal, whose stored long IS micros — the sweep's long space
+        case LessThanOrEqual(sub: SubtractTimestamps, Literal(t: Long,
+            _: DayTimeIntervalType)) =>
+          diffBound(sub.left, sub.right, Literal(t), st = false)
+        case LessThan(sub: SubtractTimestamps, Literal(t: Long,
+            _: DayTimeIntervalType)) =>
+          diffBound(sub.left, sub.right, Literal(t), st = true)
+        case GreaterThanOrEqual(Literal(t: Long, _: DayTimeIntervalType),
+            sub: SubtractTimestamps) =>
+          diffBound(sub.left, sub.right, Literal(t), st = false)
+        case GreaterThan(Literal(t: Long, _: DayTimeIntervalType),
+            sub: SubtractTimestamps) =>
+          diffBound(sub.left, sub.right, Literal(t), st = true)
         case _ => None
       }
     }

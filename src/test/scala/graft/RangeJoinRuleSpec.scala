@@ -351,6 +351,48 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dgot.nonEmpty && dgot == dexpect)
   }
 
+  test("as-of aggregate rewrite: TIMESTAMP tolerance via INTERVAL literals") {
+    // second-aligned times so `<= INTERVAL '40' SECOND` has exact ties
+    // and the strict (<) spelling provably differs
+    val l = spark.range(600).select(col("id").as("lid"),
+      pmod(hash(col("id"), lit(71)), lit(12)).cast("long").as("k"),
+      timestamp_micros(pmod(hash(col("id"), lit(72)), lit(120)).cast("long")
+        * 10000000L).as("lts"))
+    val r = spark.range(600).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(73)), lit(12)).cast("long").as("k"),
+      timestamp_micros(pmod(hash(col("id"), lit(74)), lit(120)).cast("long")
+        * 10000000L).as("rts"))
+    l.createOrReplaceTempView("asr_it_l")
+    r.createOrReplaceTempView("asr_it_r")
+    for (tolPred <- Seq("l.lts - r2.rts <= INTERVAL '40' SECOND",
+        "l.lts - r2.rts < INTERVAL '40' SECOND",
+        "INTERVAL '40' SECOND >= l.lts - r2.rts")) {
+      val sql = s"""
+        SELECT l.lid, r.rid FROM asr_it_l l JOIN asr_it_r r ON l.k = r.k
+        WHERE r.rts = (SELECT max(r2.rts) FROM asr_it_r r2
+                       WHERE r2.k = l.k AND r2.rts <= l.lts AND $tolPred)"""
+      val df = spark.sql(sql)
+      assert(planString(df).contains("ExistingRDD"),
+        s"interval tolerance '$tolPred' must route through the sweep")
+      val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      spark.conf.set("spark.graft.join.asof.enabled", "false")
+      val expect = try spark.sql(sql).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+      assert(got.nonEmpty && got == expect, s"interval spelling '$tolPred'")
+    }
+    // the strict and non-strict spellings really differ on this fixture
+    def run(p: String): Long = spark.sql(s"""
+      SELECT count(*) AS n FROM (
+        SELECT l.lid, r.rid FROM asr_it_l l JOIN asr_it_r r ON l.k = r.k
+        WHERE r.rts = (SELECT max(r2.rts) FROM asr_it_r r2
+                       WHERE r2.k = l.k AND r2.rts <= l.lts AND $p))""")
+      .head.getLong(0)
+    assert(run("l.lts - r2.rts <= INTERVAL '40' SECOND") !=
+      run("l.lts - r2.rts < INTERVAL '40' SECOND"),
+      "fixture must distinguish strict from inclusive interval bounds")
+  }
+
   test("as-of aggregate rewrite: forward (min/>=) direction and no-key shape") {
     val l = spark.range(400).select(col("id").as("lid"),
       (pmod(hash(col("id"), lit(21)), lit(5000)).cast("long")).as("lts"))
