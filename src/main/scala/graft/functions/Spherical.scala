@@ -618,15 +618,77 @@ object Spherical {
       var i = 0
       while (i < n) { edges += ((vs(i), vs((i + 1) % n))); i += 1 }
     }
-    g match {
+    def walk(geom: Geometry): Unit = geom match {
       case p: Polygon =>
         addRing(p.getExteriorRing.getCoordinates)
         (0 until p.getNumInteriorRing).foreach(i =>
           addRing(p.getInteriorRingN(i).getCoordinates))
+      case mp: MultiPolygon =>
+        (0 until mp.getNumGeometries).foreach(i => walk(mp.getGeometryN(i)))
       case _ => throw new IllegalArgumentException(
-        "oriented overlay: single POLYGON inputs only")
+        "oriented overlay: POLYGON/MULTIPOLYGON inputs only")
     }
+    walk(g)
     edges.result()
+  }
+
+  /** A point a hair to the LEFT of the ring (just inside the region it
+    * bounds): midpoint of the longest edge, offset by 1e-6 rad along
+    * m̂ × t̂ (the left normal of travel). Used to group stitched rings
+    * into connected components. */
+  private def justInside(cs: Array[Coordinate]): (Double, Double) = {
+    val n = cs.length - 1
+    var best = -1.0; var bi = 0
+    var i = 0
+    while (i < n) {
+      val (ax, ay, az) = unitVec(cs(i).x, cs(i).y)
+      val (bx, by, bz) = unitVec(cs(i + 1).x, cs(i + 1).y)
+      val d = angV(ax, ay, az, bx, by, bz)
+      if (d > best) { best = d; bi = i }
+      i += 1
+    }
+    val (ax, ay, az) = unitVec(cs(bi).x, cs(bi).y)
+    val (bx, by, bz) = unitVec(cs(bi + 1).x, cs(bi + 1).y)
+    var mx = ax + bx; var my = ay + by; var mz = az + bz
+    val mn = math.sqrt(mx * mx + my * my + mz * mz)
+    mx /= mn; my /= mn; mz /= mn
+    // tangent along travel at the midpoint: b projected off m
+    var tx = bx - (mx * bx + my * by + mz * bz) * mx
+    var ty = by - (mx * bx + my * by + mz * bz) * my
+    var tz = bz - (mx * bx + my * by + mz * bz) * mz
+    val tn = math.sqrt(tx * tx + ty * ty + tz * tz)
+    tx /= tn; ty /= tn; tz /= tn
+    val lx = my * tz - mz * ty
+    val ly = mz * tx - mx * tz
+    val lz = mx * ty - my * tx
+    val px = mx + 1e-6 * lx; val py = my + 1e-6 * ly; val pz = mz + 1e-6 * lz
+    val pn = math.sqrt(px * px + py * py + pz * pz)
+    toLonLat(Array(px / pn, py / pn, pz / pn))
+  }
+
+  /** Group stitched rings into connected components: each ring's
+    * just-inside sample collects the set of rings whose left region
+    * contains it (always including the ring itself; redundant rings
+    * whose constraint is vacuous over the component are harmless), and
+    * identical sets collapse. One group → a single conjunctive Polygon;
+    * several → a MultiPolygon (membership = exists over components). */
+  private def assemble(gf: org.locationtech.jts.geom.GeometryFactory,
+      rs: Array[Array[Coordinate]]): Geometry = {
+    if (rs.isEmpty) return gf.createPolygon()
+    if (rs.length == 1)
+      return gf.createPolygon(gf.createLinearRing(rs.head))
+    val singles = rs.map(r => gf.createPolygon(gf.createLinearRing(r)))
+    val groups = rs.indices.map { i =>
+      val (lon, lat) = justInside(rs(i))
+      rs.indices.filter(j => coversPointOriented(singles(j), lon, lat)).toList
+    }.distinct
+    if (groups.length == 1)
+      gf.createPolygon(gf.createLinearRing(rs(groups.head.head)),
+        groups.head.tail.map(j => gf.createLinearRing(rs(j))).toArray)
+    else gf.createMultiPolygon(groups.map { g =>
+      gf.createPolygon(gf.createLinearRing(rs(g.head)),
+        g.tail.map(j => gf.createLinearRing(rs(j))).toArray)
+    }.toArray)
   }
 
   /** Oriented boolean INTERSECTION of two oriented polygons. Every
@@ -722,37 +784,54 @@ object Spherical {
         if (ring.length >= 3) rings += (ring :+ ring(0).copy())
       }
     }
-    val rs = rings.result()
-    if (rs.isEmpty) gf.createPolygon()
-    else gf.createPolygon(gf.createLinearRing(rs.head),
-      rs.tail.map(gf.createLinearRing).toArray)
+    assemble(gf, rings.result())
   }
 
-  private def reverseRings(g: Geometry): Geometry = g match {
-    case p: Polygon =>
-      val gf = p.getFactory
-      def rev(r: org.locationtech.jts.geom.LinearRing) =
-        gf.createLinearRing(r.getCoordinates.reverse)
-      gf.createPolygon(rev(p.getExteriorRing),
-        (0 until p.getNumInteriorRing).map(i =>
-          rev(p.getInteriorRingN(i))).toArray)
-    case other => other
+  /** Oriented complement. A Polygon is the CONJUNCTION of its rings'
+    * left regions, so its complement is the DISJUNCTION of the reversed
+    * rings — a MultiPolygon of single-ring polygons (de Morgan). A
+    * MultiPolygon of single-ring components complements back to the
+    * conjunctive Polygon. A MultiPolygon with holed components would
+    * complement to an intersection of unions — not representable in
+    * this encoding — and throws (loudly, rather than silently wrong). */
+  private def complementOriented(g: Geometry): Geometry = {
+    val gf = graft.geom.GeomIO.factory
+    def rev(r: org.locationtech.jts.geom.LinearRing) =
+      gf.createLinearRing(r.getCoordinates.reverse)
+    g match {
+      case p: Polygon if p.getNumInteriorRing == 0 =>
+        gf.createPolygon(rev(p.getExteriorRing))
+      case p: Polygon =>
+        gf.createMultiPolygon(
+          (rev(p.getExteriorRing) +: (0 until p.getNumInteriorRing).map(i =>
+            rev(p.getInteriorRingN(i)))).map(gf.createPolygon).toArray)
+      case mp: MultiPolygon =>
+        val comps = (0 until mp.getNumGeometries)
+          .map(mp.getGeometryN(_).asInstanceOf[Polygon])
+        if (comps.exists(_.getNumInteriorRing > 0))
+          throw new IllegalArgumentException(
+            "oriented complement: holed multipolygon components are not " +
+              "representable in the oriented encoding")
+        val rings = comps.map(c => rev(c.getExteriorRing))
+        gf.createPolygon(rings.head, rings.tail.toArray)
+      case other => other
+    }
   }
 
-  /** Oriented boolean UNION via the complement duality: reversing every
-    * ring complements an oriented region, so A ∪ B =
-    * complement(comp(A) ∩ comp(B)). A union covering the FULL sphere
-    * (e.g. two complements of disjoint caps) has no boundary and is not
-    * representable as a polygon — that case throws. */
+  /** Oriented boolean UNION via de Morgan: A ∪ B =
+    * complement(comp(A) ∩ comp(B)), with [[complementOriented]] moving
+    * between the conjunctive (Polygon) and disjunctive (MultiPolygon)
+    * encodings. A union covering the FULL sphere (e.g. two complements
+    * of disjoint caps) has no boundary and is not representable —
+    * that case throws. */
   def unionOriented(a: Geometry, b: Geometry): Geometry = {
     if (a == null || b == null) return null
-    val gf = graft.geom.GeomIO.factory
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val r = intersectionOriented(reverseRings(a), reverseRings(b))
+    val r = intersectionOriented(complementOriented(a), complementOriented(b))
     if (r.isEmpty) throw new IllegalArgumentException(
       "st_unionsphereoriented: result covers the full sphere (no boundary)")
-    reverseRings(r)
+    complementOriented(r)
   }
 
   /** First coordinate of each connected component — the containment

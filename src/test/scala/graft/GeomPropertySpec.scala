@@ -555,4 +555,93 @@ class GeomPropertySpec extends AnyFunSuite {
     assert(!Spherical.coversGeom(g("POINT (5 5)"), g("LINESTRING (5 5, 5 6)")))
     assert(!Spherical.coversGeom(line, g("POLYGON ((0 0, 1 0, 1 1, 0 0))")))
   }
+
+  test("oriented overlay property: random caps, membership + inclusion-exclusion") {
+    import graft.functions.Spherical
+    def circle(cx: Double, cy: Double, rhoDeg: Double, cw: Boolean): Geometry = {
+      val rho = math.toRadians(rhoDeg)
+      val (ux, uy, uz) = (math.cos(math.toRadians(cy)) * math.cos(math.toRadians(cx)),
+        math.cos(math.toRadians(cy)) * math.sin(math.toRadians(cx)),
+        math.sin(math.toRadians(cy)))
+      val (e1x, e1y, e1z) =
+        (-math.sin(math.toRadians(cx)), math.cos(math.toRadians(cx)), 0.0)
+      val (e2x, e2y, e2z) =
+        (uy * e1z - uz * e1y, uz * e1x - ux * e1z, ux * e1y - uy * e1x)
+      val open = (0 until 36).map { i =>
+        val t = 2 * math.Pi * i / 36.0 * (if (cw) -1 else 1)
+        val px = math.cos(rho) * ux +
+          math.sin(rho) * (math.cos(t) * e1x + math.sin(t) * e2x)
+        val py = math.cos(rho) * uy +
+          math.sin(rho) * (math.cos(t) * e1y + math.sin(t) * e2y)
+        val pz = math.cos(rho) * uz +
+          math.sin(rho) * (math.cos(t) * e1z + math.sin(t) * e2z)
+        new Coordinate(math.toDegrees(math.atan2(py, px)),
+          math.toDegrees(math.asin(pz)))
+      }
+      GeomIO.factory.createPolygon((open :+ open.head.copy()).toArray)
+    }
+    def areaO(g: Geometry): Double =
+      if (g.isEmpty) 0.0 else Spherical.areaOriented(g).asInstanceOf[Double]
+    val sphere = 4 * math.Pi * 6371008.7714 * 6371008.7714
+    val rnd = new scala.util.Random(0x0B9L)
+    var unions = 0
+    for (cfg <- 0 until 30) {
+      val a = circle(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 130 - 65,
+        8 + rnd.nextDouble() * 32, rnd.nextBoolean())
+      val b = circle(rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 130 - 65,
+        8 + rnd.nextDouble() * 32, rnd.nextBoolean())
+      val inter = Spherical.intersectionOriented(a, b)
+      // inclusion-exclusion whenever the union has a boundary
+      try {
+        val uni = Spherical.unionOriented(a, b)
+        unions += 1
+        val lhs = areaO(a) + areaO(b)
+        val rhs = areaO(inter) + areaO(uni)
+        assert(math.abs(lhs - rhs) <= 1e-9 * sphere,
+          s"cfg $cfg incl-excl: $lhs vs $rhs")
+      } catch { case _: IllegalArgumentException => () } // full-sphere union
+      // membership of the constructed intersection == AND of the inputs,
+      // at neighborhood-stable lattice points (skip the float-sensitive
+      // band near any boundary)
+      for (lon <- -170 to 170 by 20; lat <- -80 to 80 by 16) {
+        def e(lo: Double, la: Double): Boolean =
+          Spherical.coversPointOriented(a, lo, la) &&
+            Spherical.coversPointOriented(b, lo, la)
+        val e0 = e(lon, lat)
+        val stable = Seq((2.0, 0.0), (-2.0, 0.0), (0.0, 2.0), (0.0, -2.0))
+          .forall { case (dl, dp) => e(lon + dl, lat + dp) == e0 }
+        if (stable) {
+          val got = !inter.isEmpty &&
+            Spherical.coversPointOriented(inter, lon, lat)
+          assert(got == e0, s"cfg $cfg membership at ($lon, $lat)")
+        }
+      }
+    }
+    assert(unions > 10, s"fixture mix must produce representable unions ($unions)")
+
+    // single-ring inputs always intersect into ONE component (caps and
+    // cap complements are connected with connected complements), so the
+    // multi-component assembly branch needs a holed fixture: a frame
+    // crossed by a strip splits into two pieces — grouping must emit a
+    // MultiPolygon, and the union must bridge the hole
+    def g(wkt: String): Geometry =
+      new org.locationtech.jts.io.WKTReader(GeomIO.factory).read(wkt)
+    val frame = g("POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), " +
+      "(10 10, 10 30, 30 30, 30 10, 10 10))")
+    val strip = g("POLYGON ((15 -5, 25 -5, 25 45, 15 45, 15 -5))")
+    val inter = Spherical.intersectionOriented(frame, strip)
+    assert(inter.getNumGeometries == 2 && inter.getGeometryType == "MultiPolygon",
+      s"frame x strip must split into two components, got $inter")
+    assert(Spherical.coversPointOriented(inter, 20, 5))   // bottom piece
+    assert(Spherical.coversPointOriented(inter, 20, 35))  // top piece
+    assert(!Spherical.coversPointOriented(inter, 20, 20)) // the hole
+    assert(!Spherical.coversPointOriented(inter, 5, 5))   // outside the strip
+    val uni = Spherical.unionOriented(frame, strip)
+    assert(Spherical.coversPointOriented(uni, 20, -3))    // strip below frame
+    assert(Spherical.coversPointOriented(uni, 5, 5))      // frame-only ground
+    assert(Spherical.coversPointOriented(uni, 20, 20))    // strip crosses hole
+    val lhs2 = areaO(frame) + areaO(strip)
+    val rhs2 = areaO(inter) + areaO(uni)
+    assert(math.abs(lhs2 - rhs2) <= 1e-9 * sphere, s"incl-excl $lhs2 vs $rhs2")
+  }
 }
