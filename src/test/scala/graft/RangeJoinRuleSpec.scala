@@ -279,21 +279,26 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.createOrReplaceTempView("brj_fz_r")
       val opA = if (strictA) "<" else "<="
       val opB = if (strictB) "<" else "<="
-      val sql = s"SELECT lid, rid FROM brj_fz_l JOIN brj_fz_r " +
+      // every third iteration also fuzzes the LEFT OUTER form (row-id
+      // tag + anti-join null pad) against Spark's own outer BNLJ
+      val joinKind = if (it % 3 == 2) "LEFT JOIN" else "JOIN"
+      val sql = s"SELECT lid, rid FROM brj_fz_l $joinKind brj_fz_r " +
         s"ON ls $opA re AND rs $opB le"
+      def key(x: org.apache.spark.sql.Row) =
+        (x.getLong(0), if (x.isNullAt(1)) Long.MinValue else x.getLong(1))
       val got = withBroadcastOff {
         val df = spark.sql(sql)
         val p = planString(df)
         assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
           s"iter $it must band")
-        df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+        df.collect().map(key).sorted.toSeq
       }
-      val expect = l.join(r,
-          (if (strictA) col("ls") < col("re") else col("ls") <= col("re")) &&
-          (if (strictB) col("rs") < col("le") else col("rs") <= col("le")))
-        .select("lid", "rid").collect()
-        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
-      assert(got == expect, s"iter $it: ${got.size} vs ${expect.size} pairs")
+      val expect = {
+        spark.conf.set("spark.graft.join.band.enabled", "false")
+        try spark.sql(sql).collect().map(key).sorted.toSeq
+        finally spark.conf.set("spark.graft.join.band.enabled", "true")
+      }
+      assert(got == expect, s"iter $it ($joinKind): ${got.size} vs ${expect.size} pairs")
     }
   }
 
