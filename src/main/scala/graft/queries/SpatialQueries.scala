@@ -864,6 +864,48 @@ object SpatialQueries {
             "st_point(cast(lon as double), cast(lat as double)))").as("u_in"))
     }),
 
+    // MULTI-COMPONENT oriented overlay: a holed frame crossed by a strip
+    // intersects into TWO disjoint pieces (the stitched rings must group
+    // into a MultiPolygon — the de Morgan/assembly machinery) and unions
+    // into a single bridged region. Same margin-filtered integer-chart
+    // oracle discipline as sp22/sp23.
+    "sp24_oriented_multicomponent" -> ((s, dir) => {
+      prep(s)
+      val frame = "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), " +
+        "(10 10, 10 30, 30 30, 30 10, 10 10))"
+      val strip = "POLYGON ((15 -10, 25 -10, 25 50, 15 50, 15 -10))"
+      val interE = s"st_intersectionsphereoriented(" +
+        s"st_geomfromtext('$frame'), st_geomfromtext('$strip'))"
+      val uniE = s"st_unionsphereoriented(" +
+        s"st_geomfromtext('$frame'), st_geomfromtext('$strip'))"
+      t(s, dir, "part").filter(col("p_partkey") % 7 === 3)
+        .select(col("p_partkey").cast("long").as("pt_id"),
+          (col("p_partkey") * 13 % 61 - 8).cast("long").as("lon"),
+          (col("p_partkey") * 17 % 67 - 12).cast("long").as("lat"))
+        .withColumn("cf",
+          when(col("lon") >= 3 && col("lon") <= 37 &&
+            col("lat") >= 3 && col("lat") <= 37 &&
+            (col("lon") <= 7 || col("lon") >= 33 ||
+              col("lat") <= 7 || col("lat") >= 33), lit("in"))
+          .when(col("lon") <= -3 || col("lon") >= 43 ||
+            col("lat") <= -3 || col("lat") >= 43, lit("out"))
+          .when(col("lon") >= 13 && col("lon") <= 27 &&
+            col("lat") >= 13 && col("lat") <= 27, lit("out"))
+          .otherwise(lit("skip")))
+        .withColumn("cs",
+          when(col("lon") >= 18 && col("lon") <= 22 &&
+            col("lat") >= -7 && col("lat") <= 47, lit("in"))
+          .when(col("lon") <= 12 || col("lon") >= 28 ||
+            col("lat") <= -13 || col("lat") >= 53, lit("out"))
+          .otherwise(lit("skip")))
+        .filter(col("cf") =!= "skip" && col("cs") =!= "skip")
+        .select(col("pt_id"), col("cf"), col("cs"),
+          expr(s"st_containssphereoriented($interE, " +
+            "st_point(cast(lon as double), cast(lat as double)))").as("i_in"),
+          expr(s"st_containssphereoriented($uniE, " +
+            "st_point(cast(lon as double), cast(lat as double)))").as("u_in"))
+    }),
+
     "sp20_ntv2_gridshift" -> ((s, dir) => {
       prep(s)
       val base = s"/tmp/graft_ntv2_gate/${math.abs(dir.hashCode)}"
@@ -1622,6 +1664,34 @@ object SpatialQueries {
         |  c1 = 'in' AND c2 = 'out' AS i_in,
         |  c1 = 'in' OR c2 = 'out' AS u_in
         |FROM c WHERE c1 <> 'skip' AND c2 <> 'skip'""".stripMargin,
+
+    // frame = [0,40]^2 minus hole [10,30]^2; strip = [15,25]x[-10,50];
+    // classes by the same integer filters, overlay membership by boolean
+    // algebra (i = frame AND strip, u = frame OR strip)
+    "sp24_oriented_multicomponent" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pt_id,
+        |    CAST(p_partkey*13 % 61 - 8 AS BIGINT) AS lon,
+        |    CAST(p_partkey*17 % 67 - 12 AS BIGINT) AS lat
+        |  FROM part WHERE p_partkey % 7 = 3),
+        |c AS (SELECT pt_id,
+        |  CASE WHEN lon >= 3 AND lon <= 37 AND lat >= 3 AND lat <= 37
+        |         AND (lon <= 7 OR lon >= 33 OR lat <= 7 OR lat >= 33)
+        |         THEN 'in'
+        |       WHEN lon <= -3 OR lon >= 43 OR lat <= -3 OR lat >= 43
+        |         THEN 'out'
+        |       WHEN lon >= 13 AND lon <= 27 AND lat >= 13 AND lat <= 27
+        |         THEN 'out'
+        |       ELSE 'skip' END AS cf,
+        |  CASE WHEN lon >= 18 AND lon <= 22 AND lat >= -7 AND lat <= 47
+        |         THEN 'in'
+        |       WHEN lon <= 12 OR lon >= 28 OR lat <= -13 OR lat >= 53
+        |         THEN 'out'
+        |       ELSE 'skip' END AS cs
+        |  FROM p)
+        |SELECT pt_id, cf, cs,
+        |  cf = 'in' AND cs = 'in' AS i_in,
+        |  cf = 'in' OR cs = 'in' AS u_in
+        |FROM c WHERE cf <> 'skip' AND cs <> 'skip'""".stripMargin,
 
     // netCDF tile pixel i = (n*100 + i) % 89 on a 4x3 grid
     "rs12_netcdf_roundtrip" ->
