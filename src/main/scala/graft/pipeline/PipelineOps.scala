@@ -237,6 +237,64 @@ object PipelineOps {
     tagged.withColumn("survivor", row_number().over(w) === 1).drop("__q")
   }
 
+  /** Duplicated-span statistics — the exact-substring-dedup signal (the
+    * scalable stand-in for suffix-array substring dedup): hash every
+    * k-token window, count occurrences across the WHOLE corpus, and
+    * report per doc how many of its windows are duplicated (appear more
+    * than once anywhere — self-repetition included). Plan: one
+    * map-side-combined count shuffle on the window hash plus the join
+    * back; docs shorter than k tokens report zero windows. */
+  def dupSpanStats(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val base = docs.select(id.cast("long").as("doc_id"),
+      TextOps.shingleHashes(TextOps.tokens(text), k).as("ws"))
+    val ex = base.select(col("doc_id"), explode(col("ws")).as("wh"))
+    val counts = ex.groupBy("wh").agg(count(lit(1)).as("wc"))
+    val per = ex.join(counts, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("wc") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+    base.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
+  /** BM25 lexical top-k — keyword retrieval over the corpus, the
+    * non-embedding leg of similarity search. Query terms broadcast;
+    * term frequencies and document frequencies come from two map-side-
+    * combined aggregations; nothing quadratic. Per-term scores
+    * accumulate as exact nano-scaled longs (`round(score·1e9)`), so the
+    * summation is order-free and the ranking bit-deterministic across
+    * engines — double addition order would not be. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      query: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      TextOps.tokens(text).as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+    val hd = toks.agg(count(lit(1)), sum(col("dl"))).head
+    val nDocs = hd.getLong(0)
+    val sumDl = hd.getLong(1)
+    val qSet = query.map(_.toLowerCase).distinct
+    val tf = toks.select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(qSet: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
+    // op order mirrors the SQL oracle exactly: IEEE +,-,*,/ are
+    // bit-identical across engines given identical operand order
+    val avgdl = lit(sumDl.toDouble) / lit(nDocs.toDouble)
+    tf.join(broadcast(dft), "term")
+      .withColumn("idf", log((lit(nDocs.toDouble) - col("dfreq") + lit(0.5)) /
+        (col("dfreq") + lit(0.5)) + lit(1.0)))
+      .withColumn("ts", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / avgdl))))
+      .withColumn("tsn", round(col("ts") * lit(1e9)).cast("long"))
+      .groupBy("doc_id").agg(sum(col("tsn")).as("bm25_nano"))
+      .orderBy(col("bm25_nano").desc, col("doc_id")).limit(topK)
+  }
+
   /** MinHash-LSH candidate pairs: signature → band keys → explode →
     * band-bucket self-join → distinct pairs with jaccard estimate.
     * Pairs only form inside a band bucket, so the shuffle key is the band

@@ -165,6 +165,21 @@ object PipelineQueries {
         length(col("text")).cast("long"), pairs, col("doc_a"), col("doc_b"))
     }),
 
+    // duplicated-span statistics: 8-token window hashes counted across
+    // the corpus — the exact-substring-dedup signal (windows appearing
+    // more than once anywhere, self-repetition included)
+    "pl26_dup_spans" -> ((s, dir) => {
+      PipelineOps.dupSpanStats(t(s, dir, "documents"),
+        col("doc_id"), col("text"), k = 8)
+    }),
+
+    // BM25 lexical top-k: the non-embedding leg of similarity search —
+    // keyword retrieval with exact nano-scaled score accumulation
+    "pl27_bm25" -> ((s, dir) => {
+      PipelineOps.bm25TopK(t(s, dir, "documents"), col("doc_id"), col("text"),
+        query = Seq("spark", "window", "customer", "stream"), topK = 25)
+    }),
+
     // deterministic stratified sampling: cap docs per (source, lang)
     // stratum by md5-hash order — the training-mix balancing op
     "pl13_stratified_sample" -> ((s, dir) => {
@@ -504,6 +519,46 @@ object PipelineQueries {
         |      ORDER BY q DESC, doc_id) AS rn
         |  FROM tagged)
         |SELECT doc_id, group_id, rn = 1 AS survivor FROM rk""".stripMargin,
+
+    // 8-token window hash = h32 of the space-joined window, the
+    // sd_shingle_hash32 contract pl15 already pins
+    "pl26_dup_spans" -> {
+      val wins = s"[${h32("array_to_string(t[i:i+7], ' ')")} for i in range(1, len(t)-6)]"
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |w AS (SELECT doc_id, unnest($wins) AS wh FROM d),
+        |c AS (SELECT wh, count(*) AS wc FROM w GROUP BY 1),
+        |per AS (SELECT w.doc_id, count(*) AS n_windows,
+        |    CAST(SUM(CASE WHEN c.wc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_windows
+        |  FROM w JOIN c USING (wh) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_windows, 0) AS n_windows,
+        |  COALESCE(per.n_dup_windows, 0) AS n_dup_windows
+        |FROM d LEFT JOIN per USING (doc_id)""".stripMargin
+    },
+
+    // BM25 restated with the SAME operand order (IEEE +,-,*,/ are
+    // bit-identical given identical order; the constants compose the
+    // same way — (1.2 + 1.0), not a pre-evaluated 2.2); per-term scores
+    // quantize to nano-longs so the final sum is order-free
+    "pl27_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |st AS (SELECT count(*) AS n, CAST(SUM(len(t)) AS BIGINT) AS sdl FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tfreq
+        |  FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d)
+        |  WHERE term IN ('spark', 'window', 'customer', 'stream')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(SUM(CAST(round(
+        |      (ln((CAST(st.n AS DOUBLE) - df.dfreq + 0.5)
+        |          / (df.dfreq + 0.5) + 1.0)
+        |        * (tf.tfreq * (1.2 + 1.0))
+        |        / (tf.tfreq + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(tf.dl AS DOUBLE)
+        |            / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS bm25_nano
+        |  FROM tf, df, st WHERE tf.term = df.term GROUP BY 1)
+        |SELECT doc_id, bm25_nano FROM sc
+        |ORDER BY bm25_nano DESC, doc_id LIMIT 25""".stripMargin,
 
     "pl13_stratified_sample" ->
       """WITH d AS (SELECT doc_id, source, lang,
