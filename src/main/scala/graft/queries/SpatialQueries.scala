@@ -931,6 +931,46 @@ object SpatialQueries {
           round(st.y(col("w")), 7).as("wlat"))
     }),
 
+    // BigTIFF out-db: per-nation TILED BigTIFF files (magic 43, LONG8
+    // chunk tables — the format GDAL switches to near 4 GB, so >4 GB
+    // COG mosaics stay writable AND readable here), read back through
+    // the same rs_frompath fetch parser as any classic GeoTIFF; the
+    // 16x16 tiling over a 40x24 image exercises ragged-edge tiles and
+    // a pixel probe across a tile boundary.
+    "rs13_bigtiff_outdb" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_outdb_bigtiff/${math.abs(dir.hashCode)}"
+      new java.io.File(base).mkdirs()
+      t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { row =>
+            val n = row.getInt(0)
+            val w = 40; val h = 24
+            val vals = Array.tabulate(w * h)(i => ((n * 100 + i) % 97).toDouble)
+            val r = graft.functions.RasterModel.Raster("EPSG:32610",
+              Array((n % 10) * 400.0, 10.0, 0.0, 50000.0 - (n % 5) * 240.0,
+                0.0, -10.0),
+              w, h, Vector(graft.functions.RasterModel.Band(Double.NaN,
+                graft.functions.RasterModel.packDoubles(vals))))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$base/tile_$n.tif"),
+              graft.sources.GeoTiff.writeTiled(r, 16, 16, 8, bigTiff = true))
+          }
+        }
+      t(s, dir, "nation")
+        .withColumn("path", concat(lit(s"file:$base/tile_"),
+          col("n_nationkey"), lit(".tif")))
+        .withColumn("r", st.f("rs_frompath", col("path")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("r")).as("w"),
+          st.f("rs_height", col("r")).as("h"),
+          st.f("rs_crs", col("r")).as("crs"),
+          st.f("rs_upperleftx", col("r")).as("ulx"),
+          st.f("rs_value", col("r"), lit(1), lit(17), lit(9)).as("v179"),
+          st.f("rs_bandavg", col("r"), lit(1)).as("bavg"),
+          st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
+    }),
+
     // netCDF classic out-db: per-nation CDF-2 tiles written through
     // sources/NetCdf (the reference reads netCDF via its GDAL raster
     // side, rust/sedona-raster-gdal/src/register.rs; here the classic
@@ -1692,6 +1732,21 @@ object SpatialQueries {
         |  cf = 'in' AND cs = 'in' AS i_in,
         |  cf = 'in' OR cs = 'in' AS u_in
         |FROM c WHERE cf <> 'skip' AND cs <> 'skip'""".stripMargin,
+
+    // BigTIFF tile pixel i = (n*100 + i) % 97 on a 40x24 grid; sums of
+    // small integer doubles are exact, so bavg is order-free
+    "rs13_bigtiff_outdb" ->
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*100 + i) % 97 AS DOUBLE) for i in range(0, 960)] AS vs
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(40 AS INT) AS w, CAST(24 AS INT) AS h,
+        |  'EPSG:32610' AS crs,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*400.0 AS ulx,
+        |  vs[378] AS v179,
+        |  list_sum(vs)/960.0 AS bavg,
+        |  list_max(vs) AS bmax
+        |FROM v""".stripMargin,
 
     // netCDF tile pixel i = (n*100 + i) % 89 on a 4x3 grid
     "rs12_netcdf_roundtrip" ->

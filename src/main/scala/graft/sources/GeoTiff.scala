@@ -62,25 +62,39 @@ object GeoTiff {
     * the tiles a query touches. Tile dims must be multiples of 16 (spec
     * requirement); edge tiles are zero-padded to full size. */
   def writeTiled(r: Raster, tileW: Int, tileH: Int,
-      compressionCode: Int = 1): Array[Byte] = {
+      compressionCode: Int = 1, bigTiff: Boolean = false): Array[Byte] = {
     require(tileW > 0 && tileH > 0 && tileW % 16 == 0 && tileH % 16 == 0,
       s"rs_asgeotiff: tile dims must be positive multiples of 16, got ${tileW}x$tileH")
-    writeChunked(r, compressionCode, Some((tileW, tileH)))
+    writeChunked(r, compressionCode, Some((tileW, tileH)), bigTiff)
   }
 
   /** compressionCode: TIFF tag 259 value — 1 none, 5 LZW, 8 deflate,
     * 32773 PackBits (the lossless set RS_AsGeoTiff's reference suite
     * pins, test_rs_asgeotiff.py COMPRESSIONS). Bands whose declared
     * ptype agrees are written in that dtype so load→encode→decode is
-    * byte-identical; mixed/unknown ptypes fall back to f64. */
-  def writeCompressed(r: Raster, compressionCode: Int): Array[Byte] =
-    writeChunked(r, compressionCode, None)
+    * byte-identical; mixed/unknown ptypes fall back to f64.
+    * `bigTiff` emits the BigTIFF layout (magic 43, 8-byte offsets,
+    * LONG8 chunk tables) — the format GDAL switches to near 4 GB, so a
+    * pipeline tiling large mosaics stays interoperable. */
+  def writeCompressed(r: Raster, compressionCode: Int,
+      bigTiff: Boolean = false): Array[Byte] =
+    writeChunked(r, compressionCode, None, bigTiff)
+
+  private def header(big: Boolean, total: Long): ByteBuffer = {
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    if (big) out.put('I'.toByte).put('I'.toByte).putShort(43)
+      .putShort(8).putShort(0).putLong(16L)
+    else out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    out
+  }
+
+  private def headerLen(big: Boolean): Long = if (big) 16L else 8L
 
   private def writeChunked(r: Raster, compressionCode: Int,
-      tile: Option[(Int, Int)]): Array[Byte] = {
-    val (seg, _) = writeSegment(r, compressionCode, tile, 8L, subfile = false)
-    val out = ByteBuffer.allocate(8 + seg.length).order(ByteOrder.LITTLE_ENDIAN)
-    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      tile: Option[(Int, Int)], big: Boolean = false): Array[Byte] = {
+    val h = headerLen(big)
+    val (seg, _) = writeSegment(r, compressionCode, tile, h, subfile = false, big)
+    val out = header(big, h + seg.length)
     out.put(seg)
     out.array()
   }
@@ -93,25 +107,24 @@ object GeoTiff {
     * rust/sedona-raster-gdal/src/register.rs). `factors` are integer
     * decimations of the full image (e.g. 2, 4, 8), nearest-pixel. */
   def writeCog(r: Raster, tileW: Int, tileH: Int, factors: Seq[Int],
-      compressionCode: Int = 1): Array[Byte] = {
+      compressionCode: Int = 1, bigTiff: Boolean = false): Array[Byte] = {
     require(tileW > 0 && tileH > 0 && tileW % 16 == 0 && tileH % 16 == 0,
       s"writeCog: tile dims must be positive multiples of 16, got ${tileW}x$tileH")
     require(factors.forall(_ >= 2), "writeCog: overview factors must be >= 2")
     val images = r +: factors.sorted.map(f => decimate(r, f))
-    var off = 8L
+    var off = headerLen(bigTiff)
     val segs = images.zipWithIndex.map { case (img, i) =>
       val (bytes, ptr) = writeSegment(img, compressionCode, Some((tileW, tileH)),
-        off, subfile = i > 0)
+        off, subfile = i > 0, bigTiff)
       val segOff = off
       off += bytes.length
       (bytes, ptr, segOff)
     }
-    val out = ByteBuffer.allocate(off.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    val out = header(bigTiff, off)
     segs.zipWithIndex.foreach { case ((bytes, ptr, segOff), i) =>
       val next = if (i == segs.length - 1) 0L else segs(i + 1)._3
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(ptr, next.toInt)
+      if (bigTiff) bb.putLong(ptr, next) else bb.putInt(ptr, next.toInt)
       out.position(segOff.toInt)
       out.put(bytes)
     }
@@ -145,12 +158,14 @@ object GeoTiff {
   }
 
   /** One image's IFD + payloads + chunk data laid out at `baseOffset`
-    * (absolute file offsets inside), WITHOUT the 8-byte file header.
-    * Returns (bytes, relative position of the 4-byte next-IFD slot) —
-    * the caller patches the chain. */
+    * (absolute file offsets inside), WITHOUT the file header. Returns
+    * (bytes, relative position of the next-IFD slot) — the caller
+    * patches the chain. `big` emits the BigTIFF IFD layout: u64 entry
+    * count, 20-byte entries with 8-byte value slots, LONG8 (type 16)
+    * chunk offset/bytecount tables, u64 next-IFD pointer. */
   private def writeSegment(r: Raster, compressionCode: Int,
       tile: Option[(Int, Int)], baseOffset: Long,
-      subfile: Boolean): (Array[Byte], Int) = {
+      subfile: Boolean, big: Boolean = false): (Array[Byte], Int) = {
     require(r.bands.nonEmpty, "rs_asgeotiff: raster has no bands")
     require(r.bands.forall(b => b.dims == null || b.dims.length == 2),
       "rs_asgeotiff: N-D bands not representable in TIFF (slice first)")
@@ -275,6 +290,13 @@ object GeoTiff {
       val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(v => b.putInt(v.toInt)); b.array()
     }
+    def longs8(vs: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putLong); b.array()
+    }
+    // chunk offset/bytecount tables: LONG8 in BigTIFF, LONG classically
+    val chunkTyp = if (big) 16 else 4
+    def chunkArr(vs: Seq[Long]): Array[Byte] = if (big) longs8(vs) else longs(vs)
     def doubles(vs: Seq[Double]): Array[Byte] = {
       val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(b.putDouble); b.array()
@@ -293,7 +315,7 @@ object GeoTiff {
         shorts(Seq.fill(nb)(sampleBits))),
       E(TCompression, 3, 1, Some(compressionCode.toLong)),
       E(TPhotometric, 3, 1, Some(1L)),
-      E(offsetsTag, 4, nChunks, None, longs(Seq.fill(nChunks)(0L))),
+      E(offsetsTag, chunkTyp, nChunks, None, chunkArr(Seq.fill(nChunks)(0L))),
       E(TSamplesPerPixel, 3, 1, Some(nb.toLong)),
       E(TPlanarConfig, 3, 1, Some(2L)),
       E(TSampleFormat, 3, nb,
@@ -302,13 +324,13 @@ object GeoTiff {
     tile match {
       case None =>
         entries += E(TRowsPerStrip, 4, 1, Some(r.height.toLong))
-        entries += E(TStripByteCounts, 4, nChunks,
-          if (nChunks == 1) Some(stripLens.head) else None, longs(stripLens))
+        entries += E(TStripByteCounts, chunkTyp, nChunks,
+          if (nChunks == 1) Some(stripLens.head) else None, chunkArr(stripLens))
       case Some((tw, th)) =>
         entries += E(TTileWidth, 3, 1, Some(tw.toLong))
         entries += E(TTileLength, 3, 1, Some(th.toLong))
-        entries += E(TTileByteCounts, 4, nChunks,
-          if (nChunks == 1) Some(stripLens.head) else None, longs(stripLens))
+        entries += E(TTileByteCounts, chunkTyp, nChunks,
+          if (nChunks == 1) Some(stripLens.head) else None, chunkArr(stripLens))
     }
     if (skewed)
       entries += E(TModelTransformation, 12, 16, None, doubles(Seq(
@@ -328,41 +350,44 @@ object GeoTiff {
 
     // layout at baseOffset: IFD + out-of-line payloads + strips (all
     // stored offsets are absolute file positions)
-    val ifdSize = 2 + entries.length * 12 + 4
+    val entrySize = if (big) 20 else 12
+    val inlineCap = if (big) 8 else 4
+    val ifdSize = (if (big) 8 else 2) + entries.length * entrySize + inlineCap
     var dataOff = baseOffset + ifdSize
     val payloadOffsets = entries.map { e =>
-      if (e.inline.isDefined || e.payload.length <= 4) None
+      if (e.inline.isDefined || e.payload.length <= inlineCap) None
       else { val o = dataOff; dataOff += e.payload.length + (e.payload.length & 1); Some(o) }
     }
     val stripOffsets = stripLens.scanLeft(dataOff)(_ + _).take(nChunks)
     val total = dataOff + stripLens.sum
     val out = ByteBuffer.allocate((total - baseOffset).toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
-    out.putShort(entries.length.toShort)
+    def putVal(v: Long): Unit = if (big) out.putLong(v) else out.putInt(v.toInt)
+    if (big) out.putLong(entries.length.toLong)
+    else out.putShort(entries.length.toShort)
     entries.zip(payloadOffsets).foreach { case (e, po) =>
-      out.putShort(e.tag.toShort).putShort(e.typ.toShort).putInt(e.count)
+      out.putShort(e.tag.toShort).putShort(e.typ.toShort)
+      if (big) out.putLong(e.count.toLong) else out.putInt(e.count)
       e.tag match {
         case t if t == offsetsTag =>
-          if (nChunks == 1) out.putInt(stripOffsets.head.toInt)
-          else { // the offsets array itself lives out-of-line
-            out.putInt(po.get.toInt)
-          }
+          if (nChunks == 1) putVal(stripOffsets.head)
+          else putVal(po.get) // the offsets array itself lives out-of-line
         case _ => (e.inline, po) match {
-          case (Some(v), _) => out.putInt(v.toInt)
-          case (None, Some(o)) => out.putInt(o.toInt)
-          case (None, None) => // payload fits inline (<=4 bytes)
-            val pad = e.payload ++ Array.fill(4 - e.payload.length)(0.toByte)
-            out.put(pad, 0, 4)
+          case (Some(v), _) => putVal(v)
+          case (None, Some(o)) => putVal(o)
+          case (None, None) => // payload fits inline
+            val pad = e.payload ++ Array.fill(inlineCap - e.payload.length)(0.toByte)
+            out.put(pad, 0, inlineCap)
         }
       }
     }
-    val ptrPos = 2 + entries.length * 12
-    out.putInt(0) // next-IFD slot; writeCog patches the chain here
+    val ptrPos = (if (big) 8 else 2) + entries.length * entrySize
+    putVal(0L) // next-IFD slot; writeCog patches the chain here
     entries.zip(payloadOffsets).foreach { case (e, po) =>
       po.foreach { o =>
         // the offsets tag's payload needs the real chunk positions
         val bytes =
-          if (e.tag == offsetsTag) longs(stripOffsets)
+          if (e.tag == offsetsTag) chunkArr(stripOffsets)
           else e.payload
         out.position((o - baseOffset).toInt)
         out.put(bytes)

@@ -55,6 +55,42 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BigTIFF write: magic 43, LONG8 chunk tables, full + windowed + COG reads") {
+    def fetchOf(bytes: Array[Byte]): (Long, Int) => Array[Byte] =
+      (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    val r = makeRaster(150, 90, 2)
+    for (code <- Seq(1, 8, 5, 32773)) {
+      val bytes = GeoTiff.writeTiled(r, 64, 64, code, bigTiff = true)
+      // header shape: II, 43, offset size 8, first IFD at 16
+      assert(bytes(2) == 43 && bytes(3) == 0, s"code $code: not BigTIFF")
+      assert(bytes(4) == 8 && bytes(6) == 0)
+      val back = GeoTiff.read(bytes)
+      assert(back.width == 150 && back.height == 90 && back.bands.length == 2)
+      for (b <- 1 to 2)
+        assert(pixels(back, b) == pixels(r, b), s"bigtiff code $code band $b")
+      assert(back.gt.toSeq == r.gt.toSeq && back.crs == r.crs)
+      // windowed read path (the out-db fetch parser speaks BigTIFF too)
+      val win = GeoTiff.readWindow(fetchOf(bytes), 30, 20, 70, 50)
+      for (b <- 1 to 2; row <- 0 until 50; c <- 0 until 70)
+        assert(win.value(b, c, row) == back.value(b, 30 + c, 20 + row),
+          s"window mismatch at band $b ($c, $row)")
+    }
+    // striped BigTIFF (single chunk per band: the inline-LONG8 path)
+    val striped = GeoTiff.writeCompressed(r, 8, bigTiff = true)
+    val sb = GeoTiff.read(striped)
+    for (b <- 1 to 2) assert(pixels(sb, b) == pixels(r, b), s"striped band $b")
+    // BigTIFF COG: overview chain through 8-byte next-IFD pointers
+    val cog = GeoTiff.writeCog(r, 64, 64, Seq(2, 4), 8, bigTiff = true)
+    assert(cog(2) == 43)
+    val ovs = GeoTiff.overviews(fetchOf(cog))
+    assert(ovs.map(o => (o._2, o._3)) == IndexedSeq((75, 45), (38, 23)),
+      s"overview dims: $ovs")
+    val lvl1 = GeoTiff.readWindow(fetchOf(cog), 0, 0, 75, 45, ifdAt = ovs.head._1)
+    assert(lvl1.width == 75 && lvl1.height == 45)
+    val fullCog = GeoTiff.read(cog)
+    for (b <- 1 to 2) assert(pixels(fullCog, b) == pixels(r, b))
+  }
+
   test("readWindow == crop of full decode, tiled and striped, all window shapes") {
     val r = makeRaster(150, 90, 2)
     val tiled = GeoTiff.writeTiled(r, 64, 64, 8)
