@@ -231,6 +231,12 @@ object ScaleBench {
             length(col("text")).cast("long"), pairs, col("doc_a"), col("doc_b"))
         }
       },
+      // pl26 path: duplicated-span stats — window-hash count shuffle +
+      // join-back; constant dup rate keeps per-hash counts O(1)
+      "pl26_dup_spans" -> { m =>
+        timed(PipelineOps.dupSpanStats(docs(m, 5000), col("doc_id"),
+          col("text"), k = 8))
+      },
       // rs09/rs12 path: out-db windowed raster sampling — scene pixels
       // grow with m (sqrt(m) per axis), sample count grows with m, so
       // samples-per-block density is constant. The probe side is
