@@ -662,6 +662,57 @@ object SpatialQueries {
     // rust/sedona/src/context.rs:383-392). Chunked natively, so the
     // windowed kernels read only the chunk objects each row's geometry
     // touches. Header metadata from .zarray/.zattrs alone.
+    // Zarr V3 out-db: root zarr.json, c/<y>/<x> chunk keys, bytes+gzip
+    // codecs — the current zarr spec vintage, auto-detected by the same
+    // loader that serves v2 stores (rs05/rs10); windowed point samples
+    // fetch only the chunks under each probe.
+    "rs14_zarr_v3" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_outdb_zarrv3/${math.abs(dir.hashCode)}"
+      val store = new java.io.File(s"$base/cube.zarr/c")
+      store.mkdirs()
+      val W = 512; val H = 384; val CW = 64; val CH = 64
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/cube.zarr/zarr.json"),
+        s"""{"zarr_format": 3, "node_type": "array", "shape": [$H, $W],
+           | "data_type": "float64",
+           | "chunk_grid": {"name": "regular",
+           |   "configuration": {"chunk_shape": [$CH, $CW]}},
+           | "chunk_key_encoding": {"name": "default",
+           |   "configuration": {"separator": "/"}},
+           | "fill_value": "NaN",
+           | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+           |   {"name": "gzip", "configuration": {"level": 6}}],
+           | "attributes": {
+           |   "transform": [500000.0, 10.0, 0.0, 4700000.0, 0.0, -10.0],
+           |   "crs": "EPSG:32611"}}""".stripMargin.getBytes("UTF-8"))
+      for (cy <- 0 until H / CH; cx <- 0 until W / CW) {
+        val bb = java.nio.ByteBuffer.allocate(CW * CH * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for (r <- 0 until CH; c <- 0 until CW)
+          bb.putDouble((((cy * CH + r) * 7 + (cx * CW + c) * 11) % 89).toDouble)
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(bb.array()); gz.close()
+        new java.io.File(s"$base/cube.zarr/c/$cy").mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/cube.zarr/c/$cy/$cx"), bos.toByteArray)
+      }
+      t(s, dir, "nation")
+        .withColumn("c", (col("n_nationkey") * 19) % 512)
+        .withColumn("r", (col("n_nationkey") * 23) % 384)
+        .withColumn("rast", st.f("rs_frompath", lit(s"file:$base/cube.zarr")))
+        .withColumn("pt", st.f("st_setsrid",
+          st.point(lit(500000.0) + col("c") * 10.0 + 5.0,
+            lit(4700000.0) - col("r") * 10.0 - 5.0), lit(32611)))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rast")).as("w"),
+          st.f("rs_height", col("rast")).as("h"),
+          st.f("rs_crs", col("rast")).as("crs"),
+          st.f("rs_upperleftx", col("rast")).as("ulx"),
+          st.f("rs_value", col("rast"), col("pt"), lit(1)).as("v1"))
+    }),
+
     "rs10_outdb_zarr" -> ((s, dir) => {
       prep(s)
       val base = s"/tmp/graft_outdb_zarr/${math.abs(dir.hashCode)}"
@@ -1613,6 +1664,15 @@ object SpatialQueries {
 
     // zarr store pixel (r, c) = (r*3 + c*5) % 97; roi covers pixel
     // centers [c0..c0+7] x [r0..r0+5] (48 pixels)
+    // v3 cube pixel (r, c) = (r*7 + c*11) % 89
+    "rs14_zarr_v3" ->
+      """SELECT n_nationkey,
+        |  CAST(512 AS INT) AS w, CAST(384 AS INT) AS h,
+        |  'EPSG:32611' AS crs, 500000.0 AS ulx,
+        |  CAST(((n_nationkey*23 % 384)*7 + (n_nationkey*19 % 512)*11) % 89
+        |    AS DOUBLE) AS v1
+        |FROM nation""".stripMargin,
+
     "rs10_outdb_zarr" ->
       """WITH n AS (
         |  SELECT n_nationkey,

@@ -88,6 +88,10 @@ object RasterLoaders {
     /** The store object whose mtime keys the caches (chunk writes may
       * not touch the directory's own mtime). */
     def statObject: String
+    /** Alternate metadata objects tried when [[statObject]] is absent —
+      * for formats with several on-disk vintages (zarr v2 `.zarray` vs
+      * v3 `zarr.json`). */
+    def altStatObjects: Seq[String] = Nil
   }
 
   private object GeoTiffLoader extends Loader {
@@ -185,13 +189,19 @@ object RasterLoaders {
     * touch on a cache hit — no open, no data read. Directory stores
     * stat their metadata object (its mtime tracks rewrites). */
   private def statOf(path: String, loader: Either[Loader, DirLoader]): (Long, Long) = {
-    val target = loader match {
-      case Right(d) => path.stripSuffix("/") + "/" + d.statObject
-      case Left(_) => path
+    loader match {
+      case Right(d) =>
+        val base = path.stripSuffix("/")
+        val fs = new Path(base).getFileSystem(hadoopConf)
+        val candidates = (d.statObject +: d.altStatObjects).map(n => new Path(s"$base/$n"))
+        val p = candidates.find(fs.exists).getOrElse(candidates.head)
+        val st = fs.getFileStatus(p)
+        (st.getModificationTime, st.getLen)
+      case Left(_) =>
+        val p = new Path(path)
+        val st = p.getFileSystem(hadoopConf).getFileStatus(p)
+        (st.getModificationTime, st.getLen)
     }
-    val p = new Path(target)
-    val st = p.getFileSystem(hadoopConf).getFileStatus(p)
-    (st.getModificationTime, st.getLen)
   }
 
   // ---- per-executor (per-JVM) decode caches. SoftReference values so

@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions.{col, max => smax}
 import org.apache.spark.sql.types._
 import graft.functions.RasterModel
 
-/** Zarr v2 N-D array source for rasters (zarr-specs v2: `.zarray` JSON
-  * metadata + C-order chunk files named `i.j`). The reference ships a
-  * Zarr raster source (rust/sedona-raster-zarr, python/sedonadb-zarr);
-  * here the format is implemented directly — raw or zlib-compressed
-  * chunks (numcodecs `zlib` == RFC1950, java.util.zip.Deflater), dtype
-  * `<f8`, single band.
+/** Zarr N-D array source for rasters, speaking BOTH on-disk vintages:
+  * v2 (`.zarray` JSON + chunk files named `i.j`, numcodecs `zlib` ==
+  * RFC1950) and v3 (root `zarr.json`, chunks at `c/<i>/<j>` under the
+  * default key encoding, codecs `[bytes little-endian, gzip]` ==
+  * RFC1952). The reference ships a Zarr raster source
+  * (rust/sedona-raster-zarr, python/sedonadb-zarr); here both formats
+  * are implemented directly — dtype `<f8`/`float64`, single band.
   *
   * Distributed mapping: ONE CHUNK == ONE ROW carrying an in-db raster
   * whose geotransform is the array's global transform shifted by the
@@ -50,6 +51,38 @@ object ZarrIO {
     require(off == outLen, s"zarr chunk inflated to $off bytes, expected $outLen (truncated?)")
     out
   }
+
+  private def gzipBytes(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  private def gunzip(data: Array[Byte], outLen: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data))
+    val out = new Array[Byte](outLen)
+    var off = 0
+    var n = 0
+    while (off < outLen && n >= 0) {
+      n = in.read(out, off, outLen - off)
+      if (n > 0) off += n
+    }
+    in.close()
+    require(off == outLen, s"zarr gzip chunk: $off bytes, expected $outLen")
+    out
+  }
+
+  /** Decode one chunk payload by codec id ("zlib" v2, "gzip" v3, "raw"). */
+  private def decodeChunk(buf: Array[Byte], codec: String, outLen: Int): Array[Byte] =
+    codec match {
+      case "zlib" => inflate(buf, outLen)
+      case "gzip" => gunzip(buf, outLen)
+      case _ =>
+        require(buf.length == outLen, s"zarr raw chunk: ${buf.length} bytes")
+        buf
+    }
 
   /** Write band 1 of `rasterCol` rasters as one Zarr array; `cyCol`/`cxCol`
     * give each row's chunk grid position (must be distinct). Every raster
@@ -144,67 +177,107 @@ object ZarrIO {
       if (s.length > 5) s.getString(5) else null)
   }
 
-  /** Read a Zarr v2 array directory: one row per materialized chunk with
-    * columns (cy, cx, raster). */
+  /** Zarr v3 variant of [[write]]: root `zarr.json`, chunks at
+    * `c/<cy>/<cx>` (default key encoding, "/" separator), codecs
+    * `[bytes little-endian, gzip]` (or bytes only when uncompressed).
+    * The transform/CRS ride in v3's in-document `attributes`. */
+  def writeV3(df: DataFrame, path: String, rasterCol: String,
+      cyCol: String = "cy", cxCol: String = "cx", compress: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    locally {
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(conf)
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.mkdirs(target)
+    }
+    val firstRow = df.select(cyCol, cxCol, rasterCol).limit(1).collect()
+      .headOption.getOrElse(throw new IllegalArgumentException("zarr write: empty input"))
+    val proto = rasterOf(firstRow, 2)
+    val (cw, ch) = (proto.width, proto.height)
+    val cy0 = chunkIdx(firstRow, 0); val cx0 = chunkIdx(firstRow, 1)
+    val g = proto.gt
+    val gUlx = g(0) - cx0 * cw * g(1) - cy0 * ch * g(2)
+    val gUly = g(3) - cx0 * cw * g(4) - cy0 * ch * g(5)
+    val bounds = df.agg(smax(col(cyCol).cast("long")), smax(col(cxCol).cast("long")))
+      .collect().head
+    val shape = ((bounds.getLong(0) + 1) * ch, (bounds.getLong(1) + 1) * cw)
+    val codecs =
+      if (compress)
+        """[{"name": "bytes", "configuration": {"endian": "little"}},
+          | {"name": "gzip", "configuration": {"level": 6}}]""".stripMargin
+      else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
+    val fillJson = {
+      val nd = proto.bands.head.nodata
+      if (nd.isNaN) "\"NaN\"" else nd.toString
+    }
+    val zjson =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [${shape._1}, ${shape._2}],
+         |  "data_type": "float64",
+         |  "chunk_grid": {"name": "regular",
+         |    "configuration": {"chunk_shape": [$ch, $cw]}},
+         |  "chunk_key_encoding": {"name": "default",
+         |    "configuration": {"separator": "/"}},
+         |  "fill_value": $fillJson,
+         |  "codecs": $codecs,
+         |  "attributes": {
+         |    "transform": [$gUlx, ${g(1)}, ${g(2)}, $gUly, ${g(4)}, ${g(5)}],
+         |    "crs": "${proto.crs}"
+         |  }
+         |}""".stripMargin
+    val fs0 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    locally {
+      val os = fs0.create(new org.apache.hadoop.fs.Path(path, "zarr.json"), true)
+      os.write(zjson.getBytes("UTF-8")); os.close()
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val doCompress = compress
+    df.select(cyCol, cxCol, rasterCol).rdd.foreachPartition { rows =>
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(serConf.value)
+      rows.foreach { r =>
+        val rast = rasterOf(r, 2)
+        require(rast.width == cw && rast.height == ch,
+          s"zarr write: chunk shape ${rast.width}x${rast.height} != ${cw}x$ch")
+        val data = rast.bands.headOption.map(_.data).getOrElse(
+          throw new IllegalArgumentException("zarr write: raster has no bands"))
+        val bytes = if (doCompress) gzipBytes(data) else data
+        // create() makes parent dirs, so the c/<cy>/ level appears lazily
+        val p = new org.apache.hadoop.fs.Path(path,
+          s"c/${chunkIdx(r, 0)}/${chunkIdx(r, 1)}")
+        val os = fs.create(p, true)
+        os.write(bytes); os.close()
+      }
+    }
+  }
+
+  /** Read a Zarr array directory (v2 or v3, auto-detected): one row per
+    * materialized chunk with columns (cy, cx, raster). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
-    def readText(name: String): String = {
-      val p = new org.apache.hadoop.fs.Path(dir, name)
-      require(fs.exists(p), s"zarr read: missing $name under $path")
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(p); in.readFully(0, buf); in.close()
-      new String(buf, "UTF-8")
-    }
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val za = mapper.readTree(readText(".zarray"))
-    require(za.get("zarr_format").asInt() == 2, "zarr v2 only")
-    require(za.get("dtype").asText() == "<f8",
-      s"zarr dtype ${za.get("dtype").asText()} not supported (<f8 only)")
-    require(za.get("order").asText() == "C", "zarr order C only")
-    val chunks = za.get("chunks")
-    val ch = chunks.get(0).asInt(); val cw = chunks.get(1).asInt()
-    // codec filters would alter the byte stream before decompression —
-    // decoding without applying them yields garbage, so reject loudly
-    locally {
-      val f = za.get("filters")
-      require(f == null || f.isNull || (f.isArray && f.size == 0),
-        s"zarr filters $f not supported")
-    }
-    val fillValue: Double = {
-      val fv = za.get("fill_value")
-      if (fv == null || fv.isNull) Double.NaN
-      else if (fv.isTextual) fv.asText() match {
-        case "NaN" => Double.NaN
-        case "Infinity" => Double.PositiveInfinity
-        case "-Infinity" => Double.NegativeInfinity
-        case other => other.toDouble
-      }
-      else fv.asDouble()
-    }
-    val compressed = {
-      val c = za.get("compressor")
-      if (c == null || c.isNull) false
-      else {
-        require(c.get("id").asText() == "zlib",
-          s"zarr compressor ${c.get("id").asText()} not supported (zlib/raw only)")
-        true
-      }
-    }
-    val (gt, crs) = {
-      val p = new org.apache.hadoop.fs.Path(dir, ".zattrs")
-      if (fs.exists(p)) {
-        val at = mapper.readTree(readText(".zattrs"))
-        val t = Option(at.get("transform"))
-          .map(n => Array.tabulate(6)(i => n.get(i).asDouble()))
-          .getOrElse(Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
-        (t, Option(at.get("crs")).map(_.asText()).getOrElse("EPSG:0"))
-      } else (Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0), "EPSG:0")
-    }
-    val chunkFiles = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("\\d+\\.\\d+")).sorted.toSeq
+    val m = parseMeta(path, conf, counted = false)
+    val chunkFiles: Seq[(Long, Long, String)] =
+      if (m.v3) {
+        val cdir = new org.apache.hadoop.fs.Path(dir, "c")
+        if (!fs.exists(cdir)) Seq.empty
+        else fs.listStatus(cdir).filter(_.isDirectory)
+          .filter(_.getPath.getName.matches("\\d+")).flatMap { yd =>
+            val cy = yd.getPath.getName.toLong
+            fs.listStatus(yd.getPath).filter(_.getPath.getName.matches("\\d+"))
+              .map(xs => (cy, xs.getPath.getName.toLong,
+                s"c/$cy/${xs.getPath.getName}"))
+          }.sortBy(t => (t._1, t._2)).toSeq
+      } else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.matches("\\d+\\.\\d+")).sorted.toSeq
+        .map { name =>
+          val Array(cyS, cxS) = name.split("\\.")
+          (cyS.toLong, cxS.toLong, name)
+        }
     val outSchema = StructType(Seq(
       StructField("cy", LongType, nullable = false),
       StructField("cx", LongType, nullable = false),
@@ -212,17 +285,19 @@ object ZarrIO {
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       new org.apache.hadoop.conf.Configuration(conf))
     val pathStr = path
+    val (ch, cw) = (m.ch, m.cw)
+    val codec = m.codec
+    val fillValue = m.fill
+    val gt = m.gt
+    val crs = m.crs
     val rdd = spark.sparkContext.parallelize(chunkFiles, math.max(1, chunkFiles.length))
-      .map { name =>
+      .map { case (cy, cx, name) =>
         val fsx = new org.apache.hadoop.fs.Path(pathStr).getFileSystem(serConf.value)
         val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(pathStr), name)
         val len = fsx.getFileStatus(p).getLen.toInt
         val buf = new Array[Byte](len)
         val in = fsx.open(p); in.readFully(0, buf); in.close()
-        val Array(cyS, cxS) = name.split("\\.")
-        val cy = cyS.toLong; val cx = cxS.toLong
-        val raw = if (compressed) inflate(buf, cw * ch * 8) else buf
-        require(raw.length == cw * ch * 8, s"chunk $name: ${raw.length} bytes")
+        val raw = decodeChunk(buf, codec, cw * ch * 8)
         val cgt = Array(
           gt(0) + cx * cw * gt(1) + cy * ch * gt(2), gt(1), gt(2),
           gt(3) + cx * cw * gt(4) + cy * ch * gt(5), gt(4), gt(5))
@@ -241,83 +316,140 @@ object ZarrIO {
   // the reference's zarr source (rust/sedona-raster-zarr) behind the
   // format-keyed registry (rust/sedona/src/context.rs:383-392).
 
-  /** Parsed v2 store metadata (single 2D `<f8` array at the store root). */
+  /** Parsed store metadata (single 2D f64 array at the store root),
+    * covering both vintages: `codec` is "zlib" (v2), "gzip" (v3) or
+    * "raw"; `v3` drives the chunk key layout. */
   private case class StoreMeta(shapeH: Int, shapeW: Int, ch: Int, cw: Int,
-      compressed: Boolean, fill: Double, gt: Array[Double], crs: String)
+      codec: String, fill: Double, gt: Array[Double], crs: String, v3: Boolean) {
+    def chunkName(cy: Long, cx: Long): String =
+      if (v3) s"c/$cy/$cx" else s"$cy.$cx"
+  }
 
-  private def storeMeta(path: String,
-      conf: org.apache.hadoop.conf.Configuration): StoreMeta = {
+  private def fillOf(fv: com.fasterxml.jackson.databind.JsonNode): Double =
+    if (fv == null || fv.isNull) Double.NaN
+    else if (fv.isTextual) fv.asText() match {
+      case "NaN" => Double.NaN
+      case "Infinity" => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case other => other.toDouble
+    }
+    else fv.asDouble()
+
+  /** Read + parse the store's metadata document(s): v3 `zarr.json` when
+    * present, else v2 `.zarray` (+`.zattrs`). `counted` routes the byte
+    * reads through the out-db fetch counters. */
+  private def parseMeta(path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      counted: Boolean): StoreMeta = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
-    def readText(name: String): String = {
+    def readText(name: String): Option[String] = {
       val p = new org.apache.hadoop.fs.Path(dir, name)
-      if (!fs.exists(p)) throw new java.io.FileNotFoundException(
-        s"zarr outdb: missing $name under $path")
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(p); in.readFully(0, buf); in.close()
-      RasterLoaders.fetchCalls.increment()
-      RasterLoaders.fetchBytes.add(len.toLong)
-      new String(buf, "UTF-8")
+      if (!fs.exists(p)) None
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p); in.readFully(0, buf); in.close()
+        if (counted) {
+          RasterLoaders.fetchCalls.increment()
+          RasterLoaders.fetchBytes.add(len.toLong)
+        }
+        Some(new String(buf, "UTF-8"))
+      }
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val za = mapper.readTree(readText(".zarray"))
-    require(za.get("zarr_format").asInt() == 2, "zarr v2 only")
-    require(za.get("dtype").asText() == "<f8",
-      s"zarr dtype ${za.get("dtype").asText()} not supported (<f8 only)")
-    require(za.get("order").asText() == "C", "zarr order C only")
-    require(za.get("shape").size == 2,
-      s"zarr outdb: ${za.get("shape").size}-D array (2D y/x only)")
-    val fl = za.get("filters")
-    require(fl == null || fl.isNull || (fl.isArray && fl.size == 0),
-      s"zarr filters $fl not supported")
-    val fill: Double = {
-      val fv = za.get("fill_value")
-      if (fv == null || fv.isNull) Double.NaN
-      else if (fv.isTextual) fv.asText() match {
-        case "NaN" => Double.NaN
-        case "Infinity" => Double.PositiveInfinity
-        case "-Infinity" => Double.NegativeInfinity
-        case other => other.toDouble
-      }
-      else fv.asDouble()
-    }
-    val compressed = {
-      val c = za.get("compressor")
-      if (c == null || c.isNull) false
-      else {
-        require(c.get("id").asText() == "zlib",
-          s"zarr compressor ${c.get("id").asText()} not supported (zlib/raw only)")
-        true
-      }
-    }
-    val (gt, crs) = {
-      val p = new org.apache.hadoop.fs.Path(dir, ".zattrs")
-      if (fs.exists(p)) {
-        val at = mapper.readTree(readText(".zattrs"))
-        val t = Option(at.get("transform"))
+    readText("zarr.json") match {
+      case Some(txt) =>
+        val za = mapper.readTree(txt)
+        require(za.get("zarr_format").asInt() == 3 &&
+          za.get("node_type").asText() == "array",
+          "zarr v3: root zarr.json must be an array node")
+        require(za.get("data_type").asText() == "float64",
+          s"zarr v3 data_type ${za.get("data_type").asText()} not supported (float64 only)")
+        require(za.get("shape").size == 2,
+          s"zarr: ${za.get("shape").size}-D array (2D y/x only)")
+        val grid = za.get("chunk_grid")
+        require(grid.get("name").asText() == "regular", "zarr v3: regular chunk grid only")
+        val cs = grid.get("configuration").get("chunk_shape")
+        val cke = za.get("chunk_key_encoding")
+        if (cke != null && !cke.isNull) {
+          require(cke.get("name").asText() == "default",
+            "zarr v3: default chunk key encoding only")
+          val sep = Option(cke.get("configuration"))
+            .flatMap(c => Option(c.get("separator"))).map(_.asText()).getOrElse("/")
+          require(sep == "/", s"zarr v3: chunk key separator '$sep' not supported")
+        }
+        val codecs = za.get("codecs")
+        val names = (0 until codecs.size).map(i => codecs.get(i).get("name").asText())
+        require(names == Seq("bytes") || names == Seq("bytes", "gzip"),
+          s"zarr v3 codecs ${names.mkString(",")} not supported (bytes[+gzip] only)")
+        (0 until codecs.size).find(i => names(i) == "bytes").foreach { i =>
+          val cfg = codecs.get(i).get("configuration")
+          val endian = Option(cfg).flatMap(c => Option(c.get("endian")))
+            .map(_.asText()).getOrElse("little")
+          require(endian == "little", "zarr v3: little-endian bytes codec only")
+        }
+        val at = za.get("attributes")
+        val gt = Option(at).flatMap(a => Option(a.get("transform")))
           .map(n => Array.tabulate(6)(i => n.get(i).asDouble()))
           .getOrElse(Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
-        (t, Option(at.get("crs")).map(_.asText()).getOrElse("EPSG:0"))
-      } else (Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0), "EPSG:0")
+        val crs = Option(at).flatMap(a => Option(a.get("crs")))
+          .map(_.asText()).getOrElse("EPSG:0")
+        StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
+          cs.get(0).asInt(), cs.get(1).asInt(),
+          if (names.contains("gzip")) "gzip" else "raw",
+          fillOf(za.get("fill_value")), gt, crs, v3 = true)
+      case None =>
+        val za = mapper.readTree(readText(".zarray").getOrElse(
+          throw new java.io.FileNotFoundException(
+            s"zarr: neither zarr.json nor .zarray under $path")))
+        require(za.get("zarr_format").asInt() == 2, "zarr v2 or v3 only")
+        require(za.get("dtype").asText() == "<f8",
+          s"zarr dtype ${za.get("dtype").asText()} not supported (<f8 only)")
+        require(za.get("order").asText() == "C", "zarr order C only")
+        require(za.get("shape").size == 2,
+          s"zarr: ${za.get("shape").size}-D array (2D y/x only)")
+        val fl = za.get("filters")
+        require(fl == null || fl.isNull || (fl.isArray && fl.size == 0),
+          s"zarr filters $fl not supported")
+        val compressed = {
+          val c = za.get("compressor")
+          if (c == null || c.isNull) false
+          else {
+            require(c.get("id").asText() == "zlib",
+              s"zarr compressor ${c.get("id").asText()} not supported (zlib/raw only)")
+            true
+          }
+        }
+        val (gt, crs) = readText(".zattrs") match {
+          case Some(atTxt) =>
+            val at = mapper.readTree(atTxt)
+            val t = Option(at.get("transform"))
+              .map(n => Array.tabulate(6)(i => n.get(i).asDouble()))
+              .getOrElse(Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+            (t, Option(at.get("crs")).map(_.asText()).getOrElse("EPSG:0"))
+          case None => (Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0), "EPSG:0")
+        }
+        StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
+          za.get("chunks").get(0).asInt(), za.get("chunks").get(1).asInt(),
+          if (compressed) "zlib" else "raw", fillOf(za.get("fill_value")),
+          gt, crs, v3 = false)
     }
-    StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
-      za.get("chunks").get(0).asInt(), za.get("chunks").get(1).asInt(),
-      compressed, fill, gt, crs)
   }
 
   object OutDb extends RasterLoaders.DirLoader {
     def statObject: String = ".zarray"
+    override def altStatObjects: Seq[String] = Seq("zarr.json")
 
     def readMeta(path: String,
         conf: org.apache.hadoop.conf.Configuration): RasterModel.Raster = {
-      val m = storeMeta(path, conf)
+      val m = parseMeta(path, conf, counted = true)
       RasterModel.Raster(m.crs, m.gt, m.shapeW, m.shapeH, Vector.empty)
     }
 
     def loadWindow(path: String, conf: org.apache.hadoop.conf.Configuration,
         xoff: Int, yoff: Int, w: Int, h: Int): RasterModel.Raster = {
-      val m = storeMeta(path, conf)
+      val m = parseMeta(path, conf, counted = true)
       require(xoff >= 0 && yoff >= 0 && w > 0 && h > 0 &&
         xoff + w <= m.shapeW && yoff + h <= m.shapeH,
         s"zarr outdb: window ($xoff,$yoff ${w}x$h) outside ${m.shapeW}x${m.shapeH}")
@@ -328,16 +460,14 @@ object ZarrIO {
       while (cy <= (yoff + h - 1) / m.ch) {
         var cx = xoff / m.cw
         while (cx <= (xoff + w - 1) / m.cw) {
-          val p = new org.apache.hadoop.fs.Path(dir, s"$cy.$cx")
+          val p = new org.apache.hadoop.fs.Path(dir, m.chunkName(cy, cx))
           if (fs.exists(p)) {
             val len = fs.getFileStatus(p).getLen.toInt
             val buf = new Array[Byte](len)
             val in = fs.open(p); in.readFully(0, buf); in.close()
             RasterLoaders.fetchCalls.increment()
             RasterLoaders.fetchBytes.add(len.toLong)
-            val raw = if (m.compressed) inflate(buf, m.cw * m.ch * 8) else buf
-            require(raw.length == m.cw * m.ch * 8,
-              s"zarr chunk $cy.$cx: ${raw.length} bytes")
+            val raw = decodeChunk(buf, m.codec, m.cw * m.ch * 8)
             val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
             val rowLo = math.max(yoff, cy * m.ch)
             val rowHi = math.min(yoff + h, (cy + 1) * m.ch)

@@ -641,6 +641,24 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     // uncompressed mode roundtrips too
     ZarrIO.write(df, "/tmp/graft_zarr_raw", "raster", compress = false)
     assert(ZarrIO.read(spark, "/tmp/graft_zarr_raw").count() == 6)
+
+    // zarr V3: root zarr.json, c/<y>/<x> chunk keys, bytes+gzip codecs —
+    // the same grid roundtrips with identical values through read()'s
+    // auto-detection, both compressed and raw
+    for ((p, comp) <- Seq(("/tmp/graft_zarr_v3", true), ("/tmp/graft_zarr_v3raw", false))) {
+      ZarrIO.writeV3(df, p, "raster", compress = comp)
+      assert(new java.io.File(p, "zarr.json").isFile, s"$p missing zarr.json")
+      assert(new java.io.File(p, "c/1/2").isFile, s"$p missing c/1/2 chunk")
+      val b3 = ZarrIO.read(spark, p)
+      assert(b3.count() == 6)
+      val v3vals = b3.select(col("cy"), col("cx"),
+          st.f("rs_value", col("raster"), lit(1), lit(1), lit(2)).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      (0 until 6).foreach { i =>
+        assert(v3vals((i / 3L, i % 3L)) == i * 100 + 2 * 4 + 1,
+          s"$p chunk ($i) value")
+      }
+    }
   }
 
   test("FlatGeobuf reads a real-world file (natural-earth cities, GDAL-written)") {

@@ -283,6 +283,52 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == 80 * 1000 + 70)
   }
 
+  test("zarr V3 out-db: zarr.json meta, c/y/x chunks, absent-chunk fill, SQL path") {
+    val dir = new java.io.File("/tmp/graft_window_spec/cube_v3.zarr")
+    if (dir.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "zarr.json").toPath,
+      """{"zarr_format": 3, "node_type": "array", "shape": [192, 256],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [64, 64]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": -1.0,
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        | "attributes": {"transform": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+        |   "crs": "EPSG:32610"}}""".stripMargin.getBytes("UTF-8"))
+    for (cy <- 0 until 3; cx <- 0 until 4; if !(cy == 1 && cx == 2)) {
+      val bb = java.nio.ByteBuffer.allocate(64 * 64 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 64; c <- 0 until 64)
+        bb.putDouble(((cy * 64 + r) * 1000 + (cx * 64 + c)).toDouble)
+      val f = new java.io.File(dir, s"c/$cy/$cx")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, bb.array())
+    }
+    val path = dir.getAbsolutePath
+    val meta = RasterLoaders.readMeta(path)
+    assert(meta.width == 256 && meta.height == 192 && meta.crs == "EPSG:32610")
+    val win = RasterLoaders.window(path, 120, 100, 80, 40)
+    def at(gc: Int, gr: Int): Double = {
+      val (fc, fr) = win.rasterCoord(gc + 0.5, -(gr + 0.5))
+      val v = win.value(1, math.floor(fc).toInt, math.floor(fr).toInt)
+      if (v == null) Double.NaN else v.doubleValue
+    }
+    assert(at(120, 100) == 100 * 1000 + 120)
+    assert(at(199, 139) == 139 * 1000 + 199)
+    assert(at(150, 120).isNaN, "absent v3 chunk pixel must be fill")
+    val v = spark.sql(
+      s"SELECT rs_value(rs_frompath('$path'), st_point(70.5, -80.5, 'EPSG:32610'), 1) v")
+      .collect()(0).getDouble(0)
+    assert(v == 80 * 1000 + 70)
+  }
+
   test("COG overviews: downsampled rs_resample reads the overview level, counter-asserted") {
     val r = makeRaster(1024, 768, 1)
     val cog = GeoTiff.writeCog(r, 64, 64, Seq(2, 4, 8))
