@@ -982,6 +982,42 @@ object SpatialQueries {
           round(st.y(col("w")), 7).as("wlat"))
     }),
 
+    // CDF-5 out-db: per-nation netCDF 64-bit-data files (version byte 5,
+    // every NON_NEG header field widened to 64 bits — the classic-family
+    // format for >4 GB variables), read through the same rs_frompath
+    // loader as CDF-1/2.
+    "rs15_netcdf5" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_outdb_netcdf5/${math.abs(dir.hashCode)}"
+      new java.io.File(base).mkdirs()
+      t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { row =>
+            val n = row.getInt(0)
+            val vals = Array.tabulate(12)(i => ((n * 50 + i * 3) % 83).toDouble)
+            val r = graft.functions.RasterModel.Raster("EPSG:4326",
+              Array((n % 8) * 8.0, 2.0, 0.0, 40.0 - (n % 4) * 6.0, 0.0, -2.0),
+              4, 3, Vector(graft.functions.RasterModel.Band(Double.NaN,
+                graft.functions.RasterModel.packDoubles(vals))))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$base/tile_$n.nc"),
+              graft.sources.NetCdf.write(r, version = 5))
+          }
+        }
+      t(s, dir, "nation")
+        .withColumn("path", concat(lit(s"file:$base/tile_"),
+          col("n_nationkey"), lit(".nc")))
+        .withColumn("r", st.f("rs_frompath", col("path")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("r")).as("w"),
+          st.f("rs_height", col("r")).as("h"),
+          st.f("rs_crs", col("r")).as("crs"),
+          st.f("rs_upperleftx", col("r")).as("ulx"),
+          st.f("rs_value", col("r"), lit(1), lit(2), lit(1)).as("v21"),
+          st.f("rs_bandavg", col("r"), lit(1)).as("bavg"),
+          st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
+    }),
+
     // BigTIFF out-db: per-nation TILED BigTIFF files (magic 43, LONG8
     // chunk tables — the format GDAL switches to near 4 GB, so >4 GB
     // COG mosaics stay writable AND readable here), read back through
@@ -1792,6 +1828,21 @@ object SpatialQueries {
         |  cf = 'in' AND cs = 'in' AS i_in,
         |  cf = 'in' OR cs = 'in' AS u_in
         |FROM c WHERE cf <> 'skip' AND cs <> 'skip'""".stripMargin,
+
+    // CDF-5 tile pixel i = (n*50 + i*3) % 83 on a 4x3 grid; v21 is the
+    // flat index 1*4+2 = 6 -> 1-based [7]
+    "rs15_netcdf5" ->
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*50 + i*3) % 83 AS DOUBLE) for i in range(0, 12)] AS vs
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(4 AS INT) AS w, CAST(3 AS INT) AS h,
+        |  'EPSG:4326' AS crs,
+        |  CAST(n_nationkey % 8 AS DOUBLE)*8.0 AS ulx,
+        |  vs[7] AS v21,
+        |  list_sum(vs)/12.0 AS bavg,
+        |  list_max(vs) AS bmax
+        |FROM v""".stripMargin,
 
     // BigTIFF tile pixel i = (n*100 + i) % 97 on a 40x24 grid; sums of
     // small integer doubles are exact, so bavg is order-free

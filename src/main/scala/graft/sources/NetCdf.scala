@@ -5,7 +5,8 @@ import java.nio.{ByteBuffer, ByteOrder}
 import graft.functions.RasterModel
 import graft.functions.RasterModel.{Band, Raster}
 
-/** NetCDF classic-format (CDF-1 32-bit / CDF-2 64-bit offsets) raster
+/** NetCDF classic-format (CDF-1 32-bit / CDF-2 64-bit offsets / CDF-5
+  * 64-bit data incl. its unsigned/64-bit integer types) raster
   * source, implemented directly from the published classic file format:
   * big-endian header with dim/attribute/variable lists, contiguous
   * row-major fixed variables, record variables interleaved per record.
@@ -33,21 +34,26 @@ import graft.functions.RasterModel.{Band, Raster}
   */
 object NetCdf {
 
-  // classic nc_type codes
+  // classic nc_type codes (7-11 are the CDF-5 additions)
   private val NcByte = 1
   private val NcChar = 2
   private val NcShort = 3
   private val NcInt = 4
   private val NcFloat = 5
   private val NcDouble = 6
+  private val NcUByte = 7
+  private val NcUShort = 8
+  private val NcUInt = 9
+  private val NcInt64 = 10
+  private val NcUInt64 = 11
 
   private def sizeOf(t: Int): Int = t match {
-    case NcByte | NcChar => 1
-    case NcShort => 2
-    case NcInt | NcFloat => 4
-    case NcDouble => 8
+    case NcByte | NcChar | NcUByte => 1
+    case NcShort | NcUShort => 2
+    case NcInt | NcFloat | NcUInt => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
     case other => throw new IllegalArgumentException(
-      s"netcdf: nc_type $other is not a classic-format type (CDF-5 types unsupported)")
+      s"netcdf: nc_type $other is not a classic/CDF-5 type")
   }
 
   private def ptypeOf(t: Int): String = t match {
@@ -55,6 +61,11 @@ object NetCdf {
     case NcShort => "SIGNED_16BITS"
     case NcInt => "SIGNED_32BITS"
     case NcFloat => "REAL_32BITS"
+    case NcUByte => "UNSIGNED_8BITS"
+    case NcUShort => "UNSIGNED_16BITS"
+    case NcUInt => "UNSIGNED_32BITS"
+    case NcInt64 => "SIGNED_64BITS"
+    case NcUInt64 => "UNSIGNED_64BITS"
     case NcDouble => null // natively f64
     case _ => null
   }
@@ -105,6 +116,8 @@ object NetCdf {
   private final class P(fetch: (Long, Int) => Array[Byte], fileLen: Long) {
     private var buf: Array[Byte] = fetch(0L, math.min(fileLen, 8192L).toInt)
     var pos: Int = 0
+    /** Header format version; 5 widens every NON_NEG field to 64 bits. */
+    var version: Int = 1
     private def ensure(n: Int): Unit = if (pos + n > buf.length) {
       val want = math.max(buf.length.toLong * 2, pos.toLong + n)
       require(want <= fileLen || pos + n <= fileLen,
@@ -119,19 +132,21 @@ object NetCdf {
       pos += 4; v }
     def i64(): Long = { val hi = i32().toLong; val lo = i32().toLong & 0xffffffffL
       (hi << 32) | lo }
+    /** The spec's NON_NEG: INT classically, INT64 in CDF-5. */
+    def nonNeg(): Long = if (version == 5) i64() else i32().toLong
     def bytes(n: Int): Array[Byte] = { ensure(n)
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out }
     def pad4(): Unit = { val r = pos & 3; if (r != 0) { ensure(4 - r); pos += 4 - r } }
-    def name(): String = { val n = i32()
+    def name(): String = { val n = nonNeg().toInt
       require(n >= 0 && n < (1 << 20), s"netcdf: implausible name length $n")
       val b = bytes(n); pad4(); new String(b, "UTF-8") }
   }
 
   private def parseAtts(p: P): Seq[Att] = {
-    val tag = p.i32(); val n = p.i32()
+    val tag = p.i32(); val n = p.nonNeg().toInt
     require(tag == 0x0C || (tag == 0 && n == 0), s"netcdf: bad attribute-list tag $tag")
     (0 until n).map { _ =>
-      val nm = p.name(); val typ = p.i32(); val cnt = p.i32()
+      val nm = p.name(); val typ = p.i32(); val cnt = p.nonNeg().toInt
       require(cnt >= 0 && cnt < (1 << 26), s"netcdf: implausible attribute count $cnt")
       val esz = sizeOf(typ)
       val raw = p.bytes(cnt * esz); p.pad4()
@@ -145,25 +160,29 @@ object NetCdf {
     val magic = p.bytes(3)
     require(magic.sameElements("CDF".getBytes("US-ASCII")), "netcdf: bad magic")
     val version = p.u8()
-    require(version == 1 || version == 2,
-      s"netcdf: classic format versions 1/2 only (got $version; " +
-        "CDF-5 and netCDF-4/HDF5 files are unsupported offline)")
-    val numrecs = p.i32()
-    require(numrecs != -1, "netcdf: STREAMING numrecs unsupported")
-    val dimTag = p.i32(); val nDims = p.i32()
+    require(version == 1 || version == 2 || version == 5,
+      s"netcdf: classic format versions 1/2/5 only (got $version; " +
+        "netCDF-4/HDF5 files are unsupported offline)")
+    p.version = version
+    val numrecs = {
+      val v = p.nonNeg()
+      require(v != -1L && v != 0xffffffffL, "netcdf: STREAMING numrecs unsupported")
+      v.toInt
+    }
+    val dimTag = p.i32(); val nDims = p.nonNeg().toInt
     require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"netcdf: bad dim-list tag $dimTag")
-    val dims = (0 until nDims).map(_ => Dim(p.name(), p.i32()))
+    val dims = (0 until nDims).map(_ => Dim(p.name(), p.nonNeg().toInt))
     val gatts = parseAtts(p)
-    val varTag = p.i32(); val nVars = p.i32()
+    val varTag = p.i32(); val nVars = p.nonNeg().toInt
     require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"netcdf: bad var-list tag $varTag")
     val vars = (0 until nVars).map { _ =>
       val nm = p.name()
-      val nd = p.i32()
+      val nd = p.nonNeg().toInt
       require(nd >= 0 && nd <= 1024, s"netcdf: implausible ndims $nd")
-      val dimids = (0 until nd).map(_ => p.i32())
+      val dimids = (0 until nd).map(_ => p.nonNeg().toInt)
       val atts = parseAtts(p)
       val typ = p.i32()
-      val vsize = p.i32().toLong & 0xffffffffL
+      val vsize = if (version == 5) p.i64() else p.i32().toLong & 0xffffffffL
       val begin = if (version == 1) p.i32().toLong & 0xffffffffL else p.i64()
       Var(nm, dimids, atts, typ, vsize, begin)
     }
@@ -181,6 +200,15 @@ object NetCdf {
       case NcInt => while (i < n) { out(i) = bb.getInt(i * 4).toDouble; i += 1 }
       case NcFloat => while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
       case NcDouble => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
+      case NcUByte => while (i < n) { out(i) = (bb.get(i) & 0xff).toDouble; i += 1 }
+      case NcUShort => while (i < n) { out(i) = (bb.getShort(i * 2) & 0xffff).toDouble; i += 1 }
+      case NcUInt => while (i < n) { out(i) = (bb.getInt(i * 4) & 0xffffffffL).toDouble; i += 1 }
+      case NcInt64 => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
+      case NcUInt64 => while (i < n) {
+        val v = bb.getLong(i * 8)
+        out(i) = if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+        i += 1
+      }
       case other => throw new IllegalArgumentException(s"netcdf: unreadable type $other")
     }
     out
@@ -366,11 +394,15 @@ object NetCdf {
   // writer (CDF-2: 64-bit begins; doubles; fixed variables only)
   // ------------------------------------------------------------------
 
-  /** Serialize a raster as a classic CDF-2 file: one double variable per
+  /** Serialize a raster as a classic file: one double variable per
     * band (band1..bandN), shared dimensions from the bands' N-D structure
     * (trailing "y"/"x"), global `transform` + `crs` attributes, per-band
-    * `_FillValue`. All bands must share dims/shape. */
-  def write(r: Raster): Array[Byte] = {
+    * `_FillValue`. All bands must share dims/shape. `version` 2 writes
+    * CDF-2 (64-bit begins); 5 writes CDF-5 (64-bit data: every NON_NEG
+    * header field widens to 64 bits — the format large model outputs
+    * need once any dimension or variable passes 32-bit sizes). */
+  def write(r: Raster, version: Int = 2): Array[Byte] = {
+    require(version == 2 || version == 5, s"netcdf write: CDF-$version unsupported")
     require(r.bands.nonEmpty, "netcdf write: raster has no bands")
     val dimNames = r.bands.head.dimsOf(r.height, r.width)
     val dimLens = r.bands.head.shapeOf(r.height, r.width).map(_.toInt)
@@ -383,14 +415,16 @@ object NetCdf {
     val nVals = dimLens.map(_.toLong).product
     require(nVals * 8 <= Int.MaxValue / 2, "netcdf write: raster too large for one file")
 
+    // NON_NEG fields are 4 bytes classically, 8 in CDF-5
+    val nn = if (version == 5) 8 else 4
     def nameSize(s: String): Int = {
-      val n = s.getBytes("UTF-8").length; 4 + ((n + 3) & ~3)
+      val n = s.getBytes("UTF-8").length; nn + ((n + 3) & ~3)
     }
     def attSize(a: (String, Either[String, Array[Double]])): Int = a._2 match {
       case Left(text) =>
         val n = text.getBytes("UTF-8").length
-        nameSize(a._1) + 8 + ((n + 3) & ~3)
-      case Right(nums) => nameSize(a._1) + 8 + nums.length * 8
+        nameSize(a._1) + 4 + nn + ((n + 3) & ~3)
+      case Right(nums) => nameSize(a._1) + 4 + nn + nums.length * 8
     }
     val gatts: Seq[(String, Either[String, Array[Double]])] =
       Seq("transform" -> Right(r.gt.take(6))) ++
@@ -402,53 +436,58 @@ object NetCdf {
       }.toIndexedSeq
     val varNames = r.bands.indices.map(i => s"band${i + 1}")
 
-    val headerSize = 8 +
-      (8 + dimNames.map(n => nameSize(n) + 4).sum) +
-      (8 + gatts.map(attSize).sum) +
-      (8 + varNames.zip(vatts).map { case (nm, va) =>
-        nameSize(nm) + 4 + 4 * dimNames.length + (8 + va.map(attSize).sum) + 4 + 4 + 8
+    val headerSize = (4 + nn) +
+      (4 + nn + dimNames.map(n => nameSize(n) + nn).sum) +
+      (4 + nn + gatts.map(attSize).sum) +
+      (4 + nn + varNames.zip(vatts).map { case (nm, va) =>
+        nameSize(nm) + nn + nn * dimNames.length +
+          (4 + nn + va.map(attSize).sum) + 4 + nn + 8
       }.sum)
     val vsize = nVals * 8
     val total = headerSize + vsize * r.bands.length
     require(total <= Int.MaxValue, "netcdf write: file exceeds 2 GiB")
     val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.BIG_ENDIAN)
 
+    def putNonNeg(v: Long): Unit =
+      if (version == 5) out.putLong(v) else out.putInt(v.toInt)
     def putName(s: String): Unit = {
       val b = s.getBytes("UTF-8")
-      out.putInt(b.length); out.put(b)
+      putNonNeg(b.length.toLong); out.put(b)
       var p = b.length
       while ((p & 3) != 0) { out.put(0.toByte); p += 1 }
     }
     def putAtts(as: Seq[(String, Either[String, Array[Double]])]): Unit = {
-      out.putInt(if (as.isEmpty) 0 else 0x0C); out.putInt(as.length)
+      out.putInt(if (as.isEmpty) 0 else 0x0C); putNonNeg(as.length.toLong)
       as.foreach { case (nm, v) =>
         putName(nm)
         v match {
           case Left(text) =>
             val b = text.getBytes("UTF-8")
-            out.putInt(NcChar); out.putInt(b.length); out.put(b)
+            out.putInt(NcChar); putNonNeg(b.length.toLong); out.put(b)
             var p = b.length
             while ((p & 3) != 0) { out.put(0.toByte); p += 1 }
           case Right(nums) =>
-            out.putInt(NcDouble); out.putInt(nums.length)
+            out.putInt(NcDouble); putNonNeg(nums.length.toLong)
             nums.foreach(out.putDouble)
         }
       }
     }
 
-    out.put("CDF".getBytes("US-ASCII")).put(2.toByte)
-    out.putInt(0) // numrecs: all variables fixed-size
-    out.putInt(0x0A); out.putInt(dimNames.length)
-    dimNames.zip(dimLens).foreach { case (nm, len) => putName(nm); out.putInt(len) }
+    out.put("CDF".getBytes("US-ASCII")).put(version.toByte)
+    putNonNeg(0L) // numrecs: all variables fixed-size
+    out.putInt(0x0A); putNonNeg(dimNames.length.toLong)
+    dimNames.zip(dimLens).foreach { case (nm, len) =>
+      putName(nm); putNonNeg(len.toLong)
+    }
     putAtts(gatts)
-    out.putInt(0x0B); out.putInt(varNames.length)
+    out.putInt(0x0B); putNonNeg(varNames.length.toLong)
     varNames.zipWithIndex.foreach { case (nm, i) =>
       putName(nm)
-      out.putInt(dimNames.length)
-      dimNames.indices.foreach(out.putInt)
+      putNonNeg(dimNames.length.toLong)
+      dimNames.indices.foreach(d => putNonNeg(d.toLong))
       putAtts(vatts(i))
       out.putInt(NcDouble)
-      out.putInt(vsize.toInt)
+      putNonNeg(vsize)
       out.putLong(headerSize + vsize * i)
     }
     require(out.position() == headerSize,

@@ -55,6 +55,52 @@ class NetCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CDF-5 writer roundtrips; 64-bit NON_NEG header fields; windowed reads") {
+    val r = makeRaster(37, 23, 3, nodata = -9999.0)
+    val bytes = NetCdf.write(r, version = 5)
+    assert(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F' && bytes(3) == 5)
+    val back = NetCdf.read(bytes)
+    assert(back.width == 37 && back.height == 23 && back.bands.length == 3)
+    assert(back.gt.toSeq == r.gt.toSeq && back.crs == "EPSG:32610")
+    for (b <- 1 to 3) {
+      assert(back.bands(b - 1).nodata == -9999.0)
+      assert(pixels(back, b) == pixels(r, b), s"band $b")
+    }
+    // windowed read path on the 64-bit header
+    val win = NetCdf.readWindow(fetchOf(bytes), bytes.length.toLong, 5, 3, 12, 8)
+    for (b <- 1 to 3; row <- 0 until 8; c <- 0 until 12)
+      assert(win.value(b, c, row) == back.value(b, 5 + c, 3 + row),
+        s"cdf-5 window band $b ($c, $row)")
+  }
+
+  test("CDF-5 unsigned/64-bit types decode (hand-built NC_UINT fixture)") {
+    // minimal CDF-5 file: dims y=2 x=3, one NC_UINT variable with a value
+    // above Int.MaxValue to prove the unsigned read
+    val vals = Array(1L, 2L, 3L, 4L, 5L, 0xFFFFFFF0L)
+    val bb = ByteBuffer.allocate(512).order(ByteOrder.BIG_ENDIAN)
+    bb.put("CDF".getBytes("US-ASCII")).put(5.toByte)
+    bb.putLong(0L) // numrecs
+    bb.putInt(0x0A); bb.putLong(2L) // dim list
+    bb.putLong(1L).put("y".getBytes).put(Array.fill(3)(0.toByte)).putLong(2L)
+    bb.putLong(1L).put("x".getBytes).put(Array.fill(3)(0.toByte)).putLong(3L)
+    bb.putInt(0); bb.putLong(0L) // no global atts
+    bb.putInt(0x0B); bb.putLong(1L) // var list
+    bb.putLong(1L).put("b".getBytes).put(Array.fill(3)(0.toByte)) // name
+    bb.putLong(2L).putLong(0L).putLong(1L) // ndims, dimids
+    bb.putInt(0); bb.putLong(0L) // no var atts
+    bb.putInt(9) // NC_UINT
+    bb.putLong(24L) // vsize
+    val headerSize = bb.position() + 8 // + begin field
+    bb.putLong(headerSize.toLong) // begin
+    vals.foreach(v => bb.putInt(v.toInt))
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val back = NetCdf.read(bytes)
+    assert(back.width == 3 && back.height == 2)
+    assert(back.bands.head.ptype == "UNSIGNED_32BITS")
+    assert(pixels(back, 1) == vals.map(_.toDouble).toIndexedSeq,
+      "NC_UINT values incl. one above Int.MaxValue")
+  }
+
   test("N-D band (time,y,x) roundtrips and slices") {
     val T = 3; val H = 4; val W = 5
     val vals = Array.tabulate(T * H * W)(i => i * 2.0)

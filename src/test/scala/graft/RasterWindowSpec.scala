@@ -416,7 +416,10 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
         case fs => fs
       }
       val r = makeRaster(w, h, nb)
-      val cog = GeoTiff.writeCog(r, tile, tile, factors, code)
+      // alternate iterations fuzz the BigTIFF layout through the same chain
+      val cog = GeoTiff.writeCog(r, tile, tile, factors, code,
+        bigTiff = it % 2 == 0)
+      assert(cog(2) == (if (it % 2 == 0) 43 else 42), s"it=$it magic")
       val main = GeoTiff.read(cog)
       assert(main.width == w && main.height == h && main.bands.length == nb, s"it=$it")
       for (b <- 1 to nb)
