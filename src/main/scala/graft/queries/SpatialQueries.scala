@@ -713,6 +713,76 @@ object SpatialQueries {
           st.f("rs_value", col("rast"), col("pt"), lit(1)).as("v1"))
     }),
 
+    // Zarr V3 SHARDED out-db (sharding_indexed: many gzip inner chunks
+    // per c/<y>/<x> object with a trailing crc32c'd offset index — the
+    // object-store-optimized layout): windowed point samples fetch the
+    // shard index + only the inner chunks under each probe.
+    "rs16_zarr_sharded" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_outdb_zarrshard/${math.abs(dir.hashCode)}"
+      new java.io.File(s"$base/cube.zarr/c").mkdirs()
+      val W = 512; val H = 384
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/cube.zarr/zarr.json"),
+        s"""{"zarr_format": 3, "node_type": "array", "shape": [$H, $W],
+           | "data_type": "float64",
+           | "chunk_grid": {"name": "regular",
+           |   "configuration": {"chunk_shape": [128, 128]}},
+           | "chunk_key_encoding": {"name": "default",
+           |   "configuration": {"separator": "/"}},
+           | "fill_value": "NaN",
+           | "codecs": [{"name": "sharding_indexed", "configuration": {
+           |   "chunk_shape": [64, 64],
+           |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+           |     {"name": "gzip", "configuration": {"level": 6}}],
+           |   "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+           |   "index_location": "end"}}],
+           | "attributes": {
+           |   "transform": [600000.0, 10.0, 0.0, 4600000.0, 0.0, -10.0],
+           |   "crs": "EPSG:32613"}}""".stripMargin.getBytes("UTF-8"))
+      for (sy <- 0 until H / 128; sx <- 0 until W / 128) {
+        val payload = new java.io.ByteArrayOutputStream()
+        val entries = Array.fill(4)((0L, 0L))
+        for (iy <- 0 until 2; ix <- 0 until 2) {
+          val bb = java.nio.ByteBuffer.allocate(64 * 64 * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          for (r <- 0 until 64; c <- 0 until 64)
+            bb.putDouble((((sy * 128 + iy * 64 + r) * 13 +
+              (sx * 128 + ix * 64 + c) * 3) % 79).toDouble)
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(bb.array()); gz.close()
+          entries(iy * 2 + ix) = (payload.size().toLong, bos.size().toLong)
+          payload.write(bos.toByteArray)
+        }
+        val idx = java.nio.ByteBuffer.allocate(4 * 16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        entries.foreach { case (o, l) => idx.putLong(o).putLong(l) }
+        val crc = new java.util.zip.CRC32C()
+        crc.update(idx.array())
+        val crcBytes = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(crc.getValue.toInt).array()
+        new java.io.File(s"$base/cube.zarr/c/$sy").mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$base/cube.zarr/c/$sy/$sx"),
+          payload.toByteArray ++ idx.array() ++ crcBytes)
+      }
+      t(s, dir, "nation")
+        .withColumn("c", (col("n_nationkey") * 29) % 512)
+        .withColumn("r", (col("n_nationkey") * 37) % 384)
+        .withColumn("rast", st.f("rs_frompath", lit(s"file:$base/cube.zarr")))
+        .withColumn("pt", st.f("st_setsrid",
+          st.point(lit(600000.0) + col("c") * 10.0 + 5.0,
+            lit(4600000.0) - col("r") * 10.0 - 5.0), lit(32613)))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rast")).as("w"),
+          st.f("rs_height", col("rast")).as("h"),
+          st.f("rs_crs", col("rast")).as("crs"),
+          st.f("rs_upperleftx", col("rast")).as("ulx"),
+          st.f("rs_value", col("rast"), col("pt"), lit(1)).as("v1"))
+    }),
+
     "rs10_outdb_zarr" -> ((s, dir) => {
       prep(s)
       val base = s"/tmp/graft_outdb_zarr/${math.abs(dir.hashCode)}"
@@ -1700,6 +1770,15 @@ object SpatialQueries {
 
     // zarr store pixel (r, c) = (r*3 + c*5) % 97; roi covers pixel
     // centers [c0..c0+7] x [r0..r0+5] (48 pixels)
+    // sharded cube pixel (r, c) = (r*13 + c*3) % 79
+    "rs16_zarr_sharded" ->
+      """SELECT n_nationkey,
+        |  CAST(512 AS INT) AS w, CAST(384 AS INT) AS h,
+        |  'EPSG:32613' AS crs, 600000.0 AS ulx,
+        |  CAST(((n_nationkey*37 % 384)*13 + (n_nationkey*29 % 512)*3) % 79
+        |    AS DOUBLE) AS v1
+        |FROM nation""".stripMargin,
+
     // v3 cube pixel (r, c) = (r*7 + c*11) % 89
     "rs14_zarr_v3" ->
       """SELECT n_nationkey,

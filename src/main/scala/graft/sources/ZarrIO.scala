@@ -254,6 +254,105 @@ object ZarrIO {
     }
   }
 
+  /** Zarr v3 SHARDED writer (sharding_indexed): each input row is one
+    * INNER chunk; rows group by their shard object (one shuffle) and
+    * each task assembles its shard — gzip'd inner chunks back to back,
+    * then the uint64-LE (offset, nbytes) index with a crc32c, at
+    * index_location end. Fully distributed: no shard ever exists on
+    * the driver. `innerPerShard` is the (y, x) inner-chunk count per
+    * shard; missing inner chunks get absent (-1) index entries, per
+    * spec. */
+  def writeV3Sharded(df: DataFrame, path: String, rasterCol: String,
+      innerPerShard: (Int, Int),
+      cyCol: String = "cy", cxCol: String = "cx"): Unit = {
+    val (ipsY, ipsX) = innerPerShard
+    require(ipsY > 0 && ipsX > 0, "zarr sharded write: innerPerShard must be positive")
+    val spark = df.sparkSession
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    locally {
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(conf)
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.mkdirs(target)
+    }
+    val firstRow = df.select(cyCol, cxCol, rasterCol).limit(1).collect()
+      .headOption.getOrElse(throw new IllegalArgumentException("zarr write: empty input"))
+    val proto = rasterOf(firstRow, 2)
+    val (cw, ch) = (proto.width, proto.height)
+    val cy0 = chunkIdx(firstRow, 0); val cx0 = chunkIdx(firstRow, 1)
+    val g = proto.gt
+    val gUlx = g(0) - cx0 * cw * g(1) - cy0 * ch * g(2)
+    val gUly = g(3) - cx0 * cw * g(4) - cy0 * ch * g(5)
+    val bounds = df.agg(smax(col(cyCol).cast("long")), smax(col(cxCol).cast("long")))
+      .collect().head
+    val shape = ((bounds.getLong(0) + 1) * ch, (bounds.getLong(1) + 1) * cw)
+    val fillJson = {
+      val nd = proto.bands.head.nodata
+      if (nd.isNaN) "\"NaN\"" else nd.toString
+    }
+    val zjson =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [${shape._1}, ${shape._2}],
+         |  "data_type": "float64",
+         |  "chunk_grid": {"name": "regular",
+         |    "configuration": {"chunk_shape": [${ch * ipsY}, ${cw * ipsX}]}},
+         |  "chunk_key_encoding": {"name": "default",
+         |    "configuration": {"separator": "/"}},
+         |  "fill_value": $fillJson,
+         |  "codecs": [{"name": "sharding_indexed", "configuration": {
+         |    "chunk_shape": [$ch, $cw],
+         |    "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+         |      {"name": "gzip", "configuration": {"level": 6}}],
+         |    "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+         |    "index_location": "end"}}],
+         |  "attributes": {
+         |    "transform": [$gUlx, ${g(1)}, ${g(2)}, $gUly, ${g(4)}, ${g(5)}],
+         |    "crs": "${proto.crs}"
+         |  }
+         |}""".stripMargin
+    val fs0 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    locally {
+      val os = fs0.create(new org.apache.hadoop.fs.Path(path, "zarr.json"), true)
+      os.write(zjson.getBytes("UTF-8")); os.close()
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    df.select(col(cyCol).cast("long").as("cy"), col(cxCol).cast("long").as("cx"),
+        col(rasterCol).as("raster"))
+      .repartition(col("cy") / ipsY.toLong, col("cx") / ipsX.toLong)
+      .rdd.map(r => ((r.getLong(0) / ipsY, r.getLong(1) / ipsX), r))
+      .groupByKey()
+      .foreachPartition { groups =>
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(serConf.value)
+        groups.foreach { case ((sy, sx), rows) =>
+          val payload = new java.io.ByteArrayOutputStream()
+          val entries = Array.fill(ipsY * ipsX)((-1L, -1L))
+          rows.foreach { r =>
+            val rast = rasterOf(r, 2)
+            require(rast.width == cw && rast.height == ch,
+              s"zarr sharded write: chunk ${rast.width}x${rast.height} != ${cw}x$ch")
+            val k = ((r.getLong(0) % ipsY) * ipsX + (r.getLong(1) % ipsX)).toInt
+            val enc = gzipBytes(rast.bands.head.data)
+            entries(k) = (payload.size().toLong, enc.length.toLong)
+            payload.write(enc)
+          }
+          val idx = ByteBuffer.allocate(entries.length * 16)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          entries.foreach { case (o, l) => idx.putLong(o).putLong(l) }
+          val crc = new java.util.zip.CRC32C()
+          crc.update(idx.array())
+          val crcBytes = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            .putInt(crc.getValue.toInt).array()
+          val p = new org.apache.hadoop.fs.Path(path, s"c/$sy/$sx")
+          val os = fs.create(p, true)
+          os.write(payload.toByteArray); os.write(idx.array()); os.write(crcBytes)
+          os.close()
+        }
+      }
+  }
+
   /** Read a Zarr array directory (v2 or v3, auto-detected): one row per
     * materialized chunk with columns (cy, cx, raster). */
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -290,21 +389,39 @@ object ZarrIO {
     val fillValue = m.fill
     val gt = m.gt
     val crs = m.crs
+    val shardOpt = m.shard
+    val (ipsY, ipsX) = (m.ipsY, m.ipsX)
+    def rowOf(cy: Long, cx: Long, raw: Array[Byte]): Row = {
+      val cgt = Array(
+        gt(0) + cx * cw * gt(1) + cy * ch * gt(2), gt(1), gt(2),
+        gt(3) + cx * cw * gt(4) + cy * ch * gt(5), gt(4), gt(5))
+      // external Row (createDataFrame converts to internal); the
+      // array's fill_value becomes the band nodata
+      Row(cy, cx, Row(crs, cgt.toSeq, cw, ch,
+        Seq(Row(fillValue, raw, null, null, null)), null))
+    }
     val rdd = spark.sparkContext.parallelize(chunkFiles, math.max(1, chunkFiles.length))
-      .map { case (cy, cx, name) =>
+      .flatMap { case (cy, cx, name) =>
         val fsx = new org.apache.hadoop.fs.Path(pathStr).getFileSystem(serConf.value)
         val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(pathStr), name)
         val len = fsx.getFileStatus(p).getLen.toInt
         val buf = new Array[Byte](len)
         val in = fsx.open(p); in.readFully(0, buf); in.close()
-        val raw = decodeChunk(buf, codec, cw * ch * 8)
-        val cgt = Array(
-          gt(0) + cx * cw * gt(1) + cy * ch * gt(2), gt(1), gt(2),
-          gt(3) + cx * cw * gt(4) + cy * ch * gt(5), gt(4), gt(5))
-        // external Row (createDataFrame converts to internal); the
-        // array's fill_value becomes the band nodata
-        Row(cy, cx, Row(crs, cgt.toSeq, cw, ch,
-          Seq(Row(fillValue, raw, null, null, null)), null))
+        shardOpt match {
+          case None =>
+            Seq(rowOf(cy, cx, decodeChunk(buf, codec, cw * ch * 8)))
+          case Some(sd) =>
+            // (cy, cx) here index the SHARD; expand its present inner
+            // chunks into one row each at their global chunk positions
+            val idx = shardIndex(buf, ipsY * ipsX, sd.indexCrc)
+            idx.zipWithIndex.flatMap { case (entry, k) =>
+              entry.map { case (off, ln) =>
+                val raw = decodeChunk(java.util.Arrays.copyOfRange(
+                  buf, off.toInt, (off + ln).toInt), codec, cw * ch * 8)
+                rowOf(cy * ipsY + k / ipsX, cx * ipsX + k % ipsX, raw)
+              }
+            }
+        }
       }
     spark.createDataFrame(rdd, outSchema)
   }
@@ -316,13 +433,50 @@ object ZarrIO {
   // the reference's zarr source (rust/sedona-raster-zarr) behind the
   // format-keyed registry (rust/sedona/src/context.rs:383-392).
 
+  /** v3 sharding_indexed parameters: shard PIXEL dims (the array's
+    * chunk_grid shape — one shard per `c/<y>/<x>` object), with
+    * StoreMeta.ch/cw holding the INNER chunk pixel dims; `indexCrc`
+    * marks a crc32c index codec (4 trailing checksum bytes). Index
+    * location "end": uint64-LE (offset, nbytes) pairs per inner chunk
+    * in C order, 2^64-1 marking an absent inner chunk. */
+  private case class Shard(sh: Int, sw: Int, indexCrc: Boolean)
+
   /** Parsed store metadata (single 2D f64 array at the store root),
     * covering both vintages: `codec` is "zlib" (v2), "gzip" (v3) or
-    * "raw"; `v3` drives the chunk key layout. */
+    * "raw"; `v3` drives the chunk key layout; `shard` marks the v3
+    * sharding_indexed layout (ch/cw are then the INNER chunk dims and
+    * `codec` the inner codec). */
   private case class StoreMeta(shapeH: Int, shapeW: Int, ch: Int, cw: Int,
-      codec: String, fill: Double, gt: Array[Double], crs: String, v3: Boolean) {
+      codec: String, fill: Double, gt: Array[Double], crs: String, v3: Boolean,
+      shard: Option[Shard] = None) {
     def chunkName(cy: Long, cx: Long): String =
       if (v3) s"c/$cy/$cx" else s"$cy.$cx"
+    /** Inner chunks per shard along y/x. */
+    def ipsY: Int = shard.map(_.sh / ch).getOrElse(1)
+    def ipsX: Int = shard.map(_.sw / cw).getOrElse(1)
+  }
+
+  /** Parse a shard object's trailing index: (offset, nbytes) per inner
+    * chunk in C order; None entries are absent chunks. */
+  private def shardIndex(bytes: Array[Byte], nInner: Int,
+      crc: Boolean): IndexedSeq[Option[(Long, Long)]] = {
+    val idxLen = nInner * 16 + (if (crc) 4 else 0)
+    require(bytes.length >= idxLen, s"zarr shard: ${bytes.length} bytes < index $idxLen")
+    val base = bytes.length - idxLen
+    if (crc) {
+      val c = new java.util.zip.CRC32C()
+      c.update(bytes, base, nInner * 16)
+      val stored = ByteBuffer.wrap(bytes, base + nInner * 16, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt() & 0xffffffffL
+      require(c.getValue == stored,
+        s"zarr shard: index crc32c mismatch (${c.getValue} vs $stored)")
+    }
+    val bb = ByteBuffer.wrap(bytes, base, nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until nInner).map { k =>
+      val off = bb.getLong(base + k * 16)
+      val len = bb.getLong(base + k * 16 + 8)
+      if (off == -1L && len == -1L) None else Some((off, len))
+    }
   }
 
   private def fillOf(fv: com.fasterxml.jackson.databind.JsonNode): Double =
@@ -379,15 +533,18 @@ object ZarrIO {
             .flatMap(c => Option(c.get("separator"))).map(_.asText()).getOrElse("/")
           require(sep == "/", s"zarr v3: chunk key separator '$sep' not supported")
         }
-        val codecs = za.get("codecs")
-        val names = (0 until codecs.size).map(i => codecs.get(i).get("name").asText())
-        require(names == Seq("bytes") || names == Seq("bytes", "gzip"),
-          s"zarr v3 codecs ${names.mkString(",")} not supported (bytes[+gzip] only)")
-        (0 until codecs.size).find(i => names(i) == "bytes").foreach { i =>
-          val cfg = codecs.get(i).get("configuration")
-          val endian = Option(cfg).flatMap(c => Option(c.get("endian")))
-            .map(_.asText()).getOrElse("little")
-          require(endian == "little", "zarr v3: little-endian bytes codec only")
+        def plainCodecs(codecs: com.fasterxml.jackson.databind.JsonNode,
+            what: String): String = {
+          val names = (0 until codecs.size).map(i => codecs.get(i).get("name").asText())
+          require(names == Seq("bytes") || names == Seq("bytes", "gzip"),
+            s"zarr v3 $what codecs ${names.mkString(",")} not supported (bytes[+gzip] only)")
+          (0 until codecs.size).find(i => names(i) == "bytes").foreach { i =>
+            val cfg = codecs.get(i).get("configuration")
+            val endian = Option(cfg).flatMap(c => Option(c.get("endian")))
+              .map(_.asText()).getOrElse("little")
+            require(endian == "little", s"zarr v3: little-endian $what bytes codec only")
+          }
+          if (names.contains("gzip")) "gzip" else "raw"
         }
         val at = za.get("attributes")
         val gt = Option(at).flatMap(a => Option(a.get("transform")))
@@ -395,10 +552,35 @@ object ZarrIO {
           .getOrElse(Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
         val crs = Option(at).flatMap(a => Option(a.get("crs")))
           .map(_.asText()).getOrElse("EPSG:0")
-        StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
-          cs.get(0).asInt(), cs.get(1).asInt(),
-          if (names.contains("gzip")) "gzip" else "raw",
-          fillOf(za.get("fill_value")), gt, crs, v3 = true)
+        val codecs = za.get("codecs")
+        val topNames = (0 until codecs.size).map(i => codecs.get(i).get("name").asText())
+        if (topNames == Seq("sharding_indexed")) {
+          // the object-store layout: each c/<y>/<x> object is a SHARD of
+          // inner chunks with a trailing (offset, nbytes) index
+          val cfg = codecs.get(0).get("configuration")
+          val ics = cfg.get("chunk_shape")
+          require(ics.size == 2, "zarr v3 sharding: 2D inner chunk shape only")
+          val innerCodec = plainCodecs(cfg.get("codecs"), "inner")
+          val idxCodecs = Option(cfg.get("index_codecs")).map(ic =>
+            (0 until ic.size).map(i => ic.get(i).get("name").asText()))
+            .getOrElse(Seq("bytes"))
+          require(idxCodecs == Seq("bytes") || idxCodecs == Seq("bytes", "crc32c"),
+            s"zarr v3 sharding index codecs ${idxCodecs.mkString(",")} not supported")
+          val loc = Option(cfg.get("index_location")).map(_.asText()).getOrElse("end")
+          require(loc == "end", "zarr v3 sharding: index_location end only")
+          val (sh, sw) = (cs.get(0).asInt(), cs.get(1).asInt())
+          val (ich, icw) = (ics.get(0).asInt(), ics.get(1).asInt())
+          require(ich > 0 && icw > 0 && sh % ich == 0 && sw % icw == 0,
+            s"zarr v3 sharding: shard ${sh}x$sw not a multiple of inner ${ich}x$icw")
+          StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
+            ich, icw, innerCodec, fillOf(za.get("fill_value")), gt, crs, v3 = true,
+            shard = Some(Shard(sh, sw, idxCodecs.contains("crc32c"))))
+        } else {
+          val codec = plainCodecs(codecs, "array")
+          StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
+            cs.get(0).asInt(), cs.get(1).asInt(), codec,
+            fillOf(za.get("fill_value")), gt, crs, v3 = true)
+        }
       case None =>
         val za = mapper.readTree(readText(".zarray").getOrElse(
           throw new java.io.FileNotFoundException(
@@ -456,37 +638,76 @@ object ZarrIO {
       val dir = new org.apache.hadoop.fs.Path(path)
       val fs = dir.getFileSystem(conf)
       val out = Array.fill(w * h)(m.fill) // absent chunks are all-fill per spec
-      var cy = yoff / m.ch
-      while (cy <= (yoff + h - 1) / m.ch) {
-        var cx = xoff / m.cw
-        while (cx <= (xoff + w - 1) / m.cw) {
-          val p = new org.apache.hadoop.fs.Path(dir, m.chunkName(cy, cx))
-          if (fs.exists(p)) {
-            val len = fs.getFileStatus(p).getLen.toInt
-            val buf = new Array[Byte](len)
-            val in = fs.open(p); in.readFully(0, buf); in.close()
-            RasterLoaders.fetchCalls.increment()
-            RasterLoaders.fetchBytes.add(len.toLong)
-            val raw = decodeChunk(buf, m.codec, m.cw * m.ch * 8)
-            val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
-            val rowLo = math.max(yoff, cy * m.ch)
-            val rowHi = math.min(yoff + h, (cy + 1) * m.ch)
-            val colLo = math.max(xoff, cx * m.cw)
-            val colHi = math.min(xoff + w, (cx + 1) * m.cw)
-            var r0 = rowLo
-            while (r0 < rowHi) {
-              var c0 = colLo
-              while (c0 < colHi) {
-                out((r0 - yoff) * w + (c0 - xoff)) =
-                  bb.getDouble(((r0 - cy * m.ch) * m.cw + (c0 - cx * m.cw)) * 8)
-                c0 += 1
+      def copyChunk(raw: Array[Byte], cy: Int, cx: Int): Unit = {
+        val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val rowLo = math.max(yoff, cy * m.ch)
+        val rowHi = math.min(yoff + h, (cy + 1) * m.ch)
+        val colLo = math.max(xoff, cx * m.cw)
+        val colHi = math.min(xoff + w, (cx + 1) * m.cw)
+        var r0 = rowLo
+        while (r0 < rowHi) {
+          var c0 = colLo
+          while (c0 < colHi) {
+            out((r0 - yoff) * w + (c0 - xoff)) =
+              bb.getDouble(((r0 - cy * m.ch) * m.cw + (c0 - cx * m.cw)) * 8)
+            c0 += 1
+          }
+          r0 += 1
+        }
+      }
+      val gy0 = yoff / m.ch; val gy1 = (yoff + h - 1) / m.ch
+      val gx0 = xoff / m.cw; val gx1 = (xoff + w - 1) / m.cw
+      m.shard match {
+        case None =>
+          var cy = gy0
+          while (cy <= gy1) {
+            var cx = gx0
+            while (cx <= gx1) {
+              val p = new org.apache.hadoop.fs.Path(dir, m.chunkName(cy, cx))
+              if (fs.exists(p)) {
+                val len = fs.getFileStatus(p).getLen.toInt
+                val buf = new Array[Byte](len)
+                val in = fs.open(p); in.readFully(0, buf); in.close()
+                RasterLoaders.fetchCalls.increment()
+                RasterLoaders.fetchBytes.add(len.toLong)
+                copyChunk(decodeChunk(buf, m.codec, m.cw * m.ch * 8), cy, cx)
               }
-              r0 += 1
+              cx += 1
+            }
+            cy += 1
+          }
+        case Some(sd) =>
+          // group the needed inner chunks by shard OBJECT, fetch each
+          // shard's trailing index once, then ONLY the needed inner
+          // ranges — an out-db window over a sharded cube costs
+          // O(indices touched + window bytes), never whole shards
+          val byShard = (for (gy <- gy0 to gy1; gx <- gx0 to gx1)
+            yield ((gy / m.ipsY, gx / m.ipsX), (gy, gx))).groupBy(_._1)
+          byShard.toSeq.sortBy(_._1).foreach { case ((sy, sx), inners) =>
+            val p = new org.apache.hadoop.fs.Path(dir, m.chunkName(sy.toLong, sx.toLong))
+            if (fs.exists(p)) {
+              val flen = fs.getFileStatus(p).getLen
+              val nInner = m.ipsY * m.ipsX
+              val idxLen = nInner * 16 + (if (sd.indexCrc) 4 else 0)
+              val in = fs.open(p)
+              val idxBuf = new Array[Byte](idxLen)
+              in.readFully(flen - idxLen, idxBuf)
+              RasterLoaders.fetchCalls.increment()
+              RasterLoaders.fetchBytes.add(idxLen.toLong)
+              val idx = shardIndex(idxBuf, nInner, sd.indexCrc)
+              inners.map(_._2).foreach { case (gy, gx) =>
+                val k = (gy % m.ipsY) * m.ipsX + (gx % m.ipsX)
+                idx(k).foreach { case (off, ln) =>
+                  val buf = new Array[Byte](ln.toInt)
+                  in.readFully(off, buf)
+                  RasterLoaders.fetchCalls.increment()
+                  RasterLoaders.fetchBytes.add(ln)
+                  copyChunk(decodeChunk(buf, m.codec, m.cw * m.ch * 8), gy, gx)
+                }
+              }
+              in.close()
             }
           }
-          cx += 1
-        }
-        cy += 1
       }
       val g = m.gt
       val gtW = Array(

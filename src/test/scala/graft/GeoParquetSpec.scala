@@ -642,6 +642,24 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     ZarrIO.write(df, "/tmp/graft_zarr_raw", "raster", compress = false)
     assert(ZarrIO.read(spark, "/tmp/graft_zarr_raw").count() == 6)
 
+    // zarr V3 SHARDED write: inner chunks group into 2x2 shards (one
+    // shuffle, shard assembly per task), read() expands them back to one
+    // row per inner chunk with identical values
+    locally {
+      val p = "/tmp/graft_zarr_sharded_w"
+      ZarrIO.writeV3Sharded(df, p, "raster", innerPerShard = (2, 2))
+      assert(new java.io.File(p, "zarr.json").isFile)
+      assert(new java.io.File(p, "c/0/0").isFile && new java.io.File(p, "c/0/1").isFile)
+      val back = ZarrIO.read(spark, p)
+      assert(back.count() == 6)
+      val vals = back.select(col("cy"), col("cx"),
+          st.f("rs_value", col("raster"), lit(1), lit(1), lit(2)).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      (0 until 6).foreach { i =>
+        assert(vals((i / 3L, i % 3L)) == i * 100 + 2 * 4 + 1, s"sharded chunk $i")
+      }
+    }
+
     // zarr V3: root zarr.json, c/<y>/<x> chunk keys, bytes+gzip codecs —
     // the same grid roundtrips with identical values through read()'s
     // auto-detection, both compressed and raw

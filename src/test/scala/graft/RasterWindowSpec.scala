@@ -329,6 +329,104 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == 80 * 1000 + 70)
   }
 
+  test("zarr V3 sharding_indexed: gzip inner chunks, crc32c index, range reads") {
+    val dir = new java.io.File("/tmp/graft_window_spec/cube_shard.zarr")
+    if (dir.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+    dir.mkdirs()
+    // shape [192, 256]; shard [96, 128] (4 shard objects); inner [32, 64]
+    // (3x2 = 6 inner chunks per shard); inner chunk (0,0)+k=3 absent
+    java.nio.file.Files.write(new java.io.File(dir, "zarr.json").toPath,
+      """{"zarr_format": 3, "node_type": "array", "shape": [192, 256],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [96, 128]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": -1.0,
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [32, 64],
+        |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |     {"name": "gzip", "configuration": {"level": 6}}],
+        |   "index_codecs": [{"name": "bytes"}, {"name": "crc32c"}],
+        |   "index_location": "end"}}],
+        | "attributes": {"transform": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+        |   "crs": "EPSG:32610"}}""".stripMargin.getBytes("UTF-8"))
+    def innerEnc(gy: Int, gx: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32 * 64 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 32; c <- 0 until 64)
+        bb.putDouble(((gy * 32 + r) * 1000 + (gx * 64 + c)).toDouble)
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(bb.array()); gz.close()
+      bos.toByteArray
+    }
+    for (sy <- 0 until 2; sx <- 0 until 2) {
+      val payload = new java.io.ByteArrayOutputStream()
+      val entries = Array.fill(6)((-1L, -1L))
+      for (iy <- 0 until 3; ix <- 0 until 2) {
+        val k = iy * 2 + ix
+        if (!(sy == 0 && sx == 0 && k == 3)) {
+          val enc = innerEnc(sy * 3 + iy, sx * 2 + ix)
+          entries(k) = (payload.size().toLong, enc.length.toLong)
+          payload.write(enc)
+        }
+      }
+      val idx = java.nio.ByteBuffer.allocate(6 * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      entries.foreach { case (o, l) => idx.putLong(o).putLong(l) }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(idx.array())
+      val crcBytes = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array()
+      val f = new java.io.File(dir, s"c/$sy/$sx")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath,
+        payload.toByteArray ++ idx.array() ++ crcBytes)
+    }
+    val path = dir.getAbsolutePath
+    val meta = RasterLoaders.readMeta(path)
+    assert(meta.width == 256 && meta.height == 192 && meta.crs == "EPSG:32610")
+    // window spanning the absent inner chunk (global chunk (1, 1) is the
+    // (0,0)-shard's k=3): rows 32..63 x cols 64..127 are fill there
+    RasterLoaders.resetCounters()
+    val win = RasterLoaders.window(path, 40, 20, 100, 40)
+    def at(gc: Int, gr: Int): Double = {
+      val (fc, fr) = win.rasterCoord(gc + 0.5, -(gr + 0.5))
+      val v = win.value(1, math.floor(fc).toInt, math.floor(fr).toInt)
+      if (v == null) Double.NaN else v.doubleValue
+    }
+    assert(at(40, 20) == 20 * 1000 + 40)
+    assert(at(139, 59) == 59 * 1000 + 139)
+    assert(at(100, 40).isNaN, "absent inner chunk must read as fill")
+    // range-read efficiency, measured on the loader directly (the cache
+    // layer above aligns to 256px blocks, which covers this small array
+    // wholesale): a one-inner-chunk window fetches that chunk's bytes
+    // plus one shard index, NOT whole shards
+    val totalStore = new java.io.File(dir, "c").listFiles()
+      .flatMap(_.listFiles()).map(_.length).sum
+    RasterLoaders.resetCounters()
+    val direct = graft.sources.ZarrIO.OutDb.loadWindow(path,
+      new org.apache.hadoop.conf.Configuration(), 70, 75, 20, 10)
+    assert(direct.value(1, 0, 0).doubleValue == 75 * 1000 + 70)
+    assert(RasterLoaders.fetchBytes.sum() < totalStore / 4,
+      s"fetched ${RasterLoaders.fetchBytes.sum()} of $totalStore store bytes")
+    // read(): one row per PRESENT inner chunk at its global position
+    val rows = graft.sources.ZarrIO.read(spark, path)
+    assert(rows.count() == 4 * 6 - 1)
+    val r11 = rows.filter("cy = 1 AND cx = 1").count()
+    assert(r11 == 0, "absent inner chunk must not produce a row")
+    // SQL point sample through rs_frompath
+    val v = spark.sql(
+      s"SELECT rs_value(rs_frompath('$path'), st_point(70.5, -80.5, 'EPSG:32610'), 1) v")
+      .collect()(0).getDouble(0)
+    assert(v == 80 * 1000 + 70)
+  }
+
   test("COG overviews: downsampled rs_resample reads the overview level, counter-asserted") {
     val r = makeRaster(1024, 768, 1)
     val cog = GeoTiff.writeCog(r, 64, 64, Seq(2, 4, 8))
