@@ -358,6 +358,31 @@ object ScaleBench {
           .filter(col("x") >= 100.0 && col("x") <= 300.0 &&
             col("y") >= 150.0 && col("y") <= 310.0))
       },
+      // rs16 path: DISTRIBUTED sharded zarr v3 write — inner-chunk count
+      // grows with m, shard size fixed, so shard count grows ~m and the
+      // one grouping shuffle plus per-task assembly should hold linear
+      "rs16_sharded_write" -> { m =>
+        val gridW = 16
+        val rows = 4L * m // chunk grid: gridW x (4m)
+        val dir = s"/tmp/graft_scalebench_zarrshard/$m"
+        val chunks = spark.range(0, rows * gridW).toDF("i")
+          .withColumn("cy", col("i") / gridW)
+          .withColumn("cx", col("i") % gridW)
+          .withColumn("vals", org.apache.spark.sql.functions.transform(
+            sequence(lit(0), lit(64 * 64 - 1)),
+            j => (pmod(hash(col("i"), j), lit(251))).cast("double")))
+          .withColumn("raster", st.f("rs_makeraster", lit(64), lit(64),
+            col("cx").cast("double") * 640.0, col("cy").cast("double") * -640.0,
+            lit(10.0), lit(-10.0), col("vals")))
+          .select("cy", "cx", "raster")
+        val t0 = System.nanoTime()
+        graft.sources.ZarrIO.writeV3Sharded(chunks, dir, "raster",
+          innerPerShard = (4, 4))
+        val secs = (System.nanoTime() - t0) / 1e9
+        // sanity read-back of one shard's worth, not part of the timing
+        require(graft.sources.ZarrIO.read(spark, dir).limit(1).count() == 1)
+        (rows * gridW, secs)
+      },
       // pc07 path: DISTRIBUTED tiled COPC write — n and footprint grow
       // with m (density constant), tile size knob fixed, so tile count
       // grows ~m and tasks parallelize. Win condition: write wall time
