@@ -295,6 +295,29 @@ object PipelineOps {
       .orderBy(col("bm25_nano").desc, col("doc_id")).limit(topK)
   }
 
+  /** CCNet-style unigram-LM quality score: train unigram counts over
+    * the corpus (one map-side-combined shuffle), then score every
+    * document by the sum of add-one-smoothed token log-probabilities
+    * `ln((count + 1) / (T + V))`, accumulated as exact nano-scaled
+    * longs so the score is order-free and engine-reproducible. Very
+    * negative sums flag rare/implausible token streams — the
+    * perplexity-filter signal. The count table joins by token (Catalyst
+    * broadcasts it when small; a web-scale LM table shuffles), nothing
+    * quadratic. */
+  def unigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.cast("long").as("doc_id"),
+      explode(TextOps.tokens(text)).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+    val hd = counts.agg(count(lit(1)), sum(col("tc"))).head
+    val vocab = hd.getLong(0)
+    val total = hd.getLong(1)
+    toks.join(counts, "term")
+      .withColumn("lpn", round(log((col("tc").cast("double") + lit(1.0)) /
+        lit((total + vocab).toDouble)) * lit(1e9)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lpn")).as("lp_nano_sum"))
+  }
+
   /** MinHash-LSH candidate pairs: signature → band keys → explode →
     * band-bucket self-join → distinct pairs with jaccard estimate.
     * Pairs only form inside a band bucket, so the shuffle key is the band

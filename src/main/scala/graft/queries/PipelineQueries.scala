@@ -180,6 +180,13 @@ object PipelineQueries {
         query = Seq("spark", "window", "customer", "stream"), topK = 25)
     }),
 
+    // unigram-LM (perplexity-style) quality scoring: corpus-trained
+    // add-one-smoothed token log-probs summed per doc as nano-longs
+    "pl28_unigram_lm" -> ((s, dir) => {
+      PipelineOps.unigramLogProb(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+    }),
+
     // deterministic stratified sampling: cap docs per (source, lang)
     // stratum by md5-hash order — the training-mix balancing op
     "pl13_stratified_sample" -> ((s, dir) => {
@@ -559,6 +566,23 @@ object PipelineQueries {
         |  FROM tf, df, st WHERE tf.term = df.term GROUP BY 1)
         |SELECT doc_id, bm25_nano FROM sc
         |ORDER BY bm25_nano DESC, doc_id LIMIT 25""".stripMargin,
+
+    // identical operand order: (tc + 1.0) / CAST(T + V AS DOUBLE), then
+    // nano-long quantization makes the per-doc sum order-free
+    "pl28_unigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |tok AS (SELECT doc_id, term
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM d)),
+        |c AS (SELECT term, count(*) AS tc FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS v, CAST(SUM(tc) AS BIGINT) AS tt FROM c),
+        |lp AS (SELECT tok.doc_id,
+        |    CAST(round(ln((CAST(c.tc AS DOUBLE) + 1.0)
+        |        / CAST(st.tt + st.v AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS lpn
+        |  FROM tok, c, st WHERE tok.term = c.term)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(SUM(lpn) AS BIGINT) AS lp_nano_sum
+        |FROM lp GROUP BY doc_id""".stripMargin,
 
     "pl13_stratified_sample" ->
       """WITH d AS (SELECT doc_id, source, lang,
