@@ -319,9 +319,10 @@ object ZarrIO {
       os.write(zjson.getBytes("UTF-8")); os.close()
     }
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    // groupByKey on the shard id is the ONE shuffle; inner chunks of a
+    // shard land in the same task, which assembles and writes it
     df.select(col(cyCol).cast("long").as("cy"), col(cxCol).cast("long").as("cx"),
         col(rasterCol).as("raster"))
-      .repartition(col("cy") / ipsY.toLong, col("cx") / ipsX.toLong)
       .rdd.map(r => ((r.getLong(0) / ipsY, r.getLong(1) / ipsX), r))
       .groupByKey()
       .foreachPartition { groups =>
