@@ -1799,6 +1799,8 @@ object GeomScalars {
       GeomIO.write(Spherical.intersectionOriented(g0(a), g1(a)))),
     fn("st_unionsphereoriented", BinaryType, Seq(Geom, Geom))(a =>
       GeomIO.write(Spherical.unionOriented(g0(a), g1(a)))),
+    fn("st_differencesphereoriented", BinaryType, Seq(Geom, Geom))(a =>
+      GeomIO.write(Spherical.differenceOriented(g0(a), g1(a)))),
     fn("st_disjointsphere", BooleanType, Seq(Geom, Geom))(a => {
       val ga = g0(a); val gb = g1(a)
       if (ga.isEmpty || gb.isEmpty) java.lang.Boolean.TRUE

@@ -818,6 +818,14 @@ object Spherical {
     }
   }
 
+  /** Oriented boolean DIFFERENCE: A \ B = A ∩ complement(B). Empty B
+    * subtracts nothing; empty A stays empty. */
+  def differenceOriented(a: Geometry, b: Geometry): Geometry = {
+    if (a == null || b == null) return null
+    if (a.isEmpty || b.isEmpty) return a
+    intersectionOriented(a, complementOriented(b))
+  }
+
   /** Oriented boolean UNION via de Morgan: A ∪ B =
     * complement(comp(A) ∩ comp(B)), with [[complementOriented]] moving
     * between the conjunctive (Polygon) and disjunctive (MultiPolygon)

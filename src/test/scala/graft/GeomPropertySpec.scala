@@ -643,5 +643,14 @@ class GeomPropertySpec extends AnyFunSuite {
     val lhs2 = areaO(frame) + areaO(strip)
     val rhs2 = areaO(inter) + areaO(uni)
     assert(math.abs(lhs2 - rhs2) <= 1e-9 * sphere, s"incl-excl $lhs2 vs $rhs2")
+    // difference: frame \ strip — membership = in frame AND NOT in strip,
+    // and area(frame) = area(frame \ strip) + area(frame ∩ strip)
+    val diff = Spherical.differenceOriented(frame, strip)
+    assert(Spherical.coversPointOriented(diff, 5, 5))    // frame-only ground
+    assert(!Spherical.coversPointOriented(diff, 20, 5))  // in both
+    assert(!Spherical.coversPointOriented(diff, 20, 20)) // the hole
+    assert(!Spherical.coversPointOriented(diff, 20, -3)) // strip-only
+    assert(math.abs(areaO(frame) - (areaO(diff) + areaO(inter))) <= 1e-9 * sphere,
+      "difference + intersection must partition the frame")
   }
 }
