@@ -34,14 +34,20 @@ object RangeJoinShapes {
     (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
       (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
 
-  /** Orderable types whose cast-to-long is monotone non-decreasing, so
-    * banding in long space generates a candidate superset and the exact
-    * predicate can refine. (Timestamps truncate to seconds, doubles
-    * truncate toward zero — both monotone.) */
+  /** Orderable types whose cast-to-long is monotone non-decreasing AND
+    * total, so banding in long space generates a candidate superset and
+    * the exact predicate can refine. (Timestamps truncate to seconds,
+    * doubles truncate toward zero — both monotone.) TIMESTAMP_NTZ is
+    * deliberately absent: Spark 4.1 has no TIMESTAMP_NTZ -> BIGINT cast,
+    * so the rewrite would emit an unresolvable plan (mirrors
+    * AsOfAggregateRule.exactLongImage). Decimals are capped at precision
+    * 18: wider decimals can exceed the long range and non-ANSI
+    * Cast(decimal, long) returns null on overflow, which would make the
+    * generated Sequence null and silently DROP matching rows. */
   def bandable(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-        TimestampType | TimestampNTZType => true
-    case _: DecimalType => true
+        TimestampType => true
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
@@ -226,15 +232,20 @@ case class BandedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
       Join(lgen, rgen, Inner, Some(newCond), JoinHint.NONE)))
   }
 
-  /** Smallest width that caps per-row fanout at 2 cells: the max interval
-    * length across both sides (one partial-aggregated pre-pass per side,
-    * the 1-D analog of GridSpatialJoinRule's bounds pre-pass), floored at
-    * 1. Pin `spark.graft.join.band.cellwidth` to skip the pre-pass. */
+  /** Smallest width that caps per-row fanout at 2 cells: the max ABSOLUTE
+    * interval length across both sides (one partial-aggregated pre-pass
+    * per side, the 1-D analog of GridSpatialJoinRule's bounds pre-pass),
+    * floored at 1. abs() matters: the rewrite preserves inverted-row
+    * (lo > hi) theta semantics by exploding least..greatest of the
+    * endpoint cells, so a strongly inverted row sized against only the
+    * positive lengths would fan out |span|/width cells — abs keeps
+    * per-row fanout <= 2 for inverted rows too. Pin
+    * `spark.graft.join.band.cellwidth` to skip the pre-pass. */
   private def cellWidth(left: LogicalPlan, right: LogicalPlan, b: Band): Long =
     conf("spark.graft.join.band.cellwidth", "auto") match {
       case "auto" =>
         def maxLen(plan: LogicalPlan, lo: Expression, hi: Expression): Long = {
-          val m = Alias(Max(Subtract(toLong(hi), toLong(lo)))
+          val m = Alias(Max(Abs(Subtract(toLong(hi), toLong(lo))))
             .toAggregateExpression(), "m")()
           val rows = session.sessionState
             .executePlan(Aggregate(Nil, Seq(m), plan))

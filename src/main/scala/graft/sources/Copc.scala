@@ -94,13 +94,17 @@ object Copc {
   // per-JVM meta cache: repeated bbox queries over the same cloud (the
   // interactive pattern) and readTiled fan-outs skip re-reading header +
   // hierarchy pages; keyed by (path, mtime, length) so an overwritten
-  // file is re-read, never served stale
+  // file is re-read, never served stale. Values are SoftReferences: a
+  // hierarchy Seq[Entry] has unbounded per-cloud size, so up to 1024
+  // strong entries could pin substantial heap for the JVM lifetime — the
+  // GC may reclaim them under pressure and the next query re-reads.
+  private type Meta = (LasIO.Header, Info, Seq[Entry])
   private val metaCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Long, Long),
-        (LasIO.Header, Info, Seq[Entry])](16, 0.75f, true) {
+        java.lang.ref.SoftReference[Meta]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long, Long),
-            (LasIO.Header, Info, Seq[Entry])]): Boolean = size() > 1024
+            java.lang.ref.SoftReference[Meta]]): Boolean = size() > 1024
     })
 
   def read(spark: SparkSession, path: String,
@@ -111,13 +115,13 @@ object Copc {
     val st = fs.getFileStatus(p)
     val flen = st.getLen
     val cacheKey = (path, st.getModificationTime, flen)
-    val cached = metaCache.get(cacheKey)
-    val (h, info, leaves) = if (cached != null) cached else {
+    val cached = Option(metaCache.get(cacheKey)).flatMap(r => Option(r.get))
+    val (h, info, leaves) = cached.getOrElse {
       val in = fs.open(p)
       val m = try {
         meta((off, n) => { val b = new Array[Byte](n); in.readFully(off, b); b }, flen)
       } finally in.close()
-      metaCache.put(cacheKey, m)
+      metaCache.put(cacheKey, new java.lang.ref.SoftReference[Meta](m))
       m
     }
     require(h.fmt >= 6 && h.fmt <= 8, s"copc: point format ${h.fmt} (6-8 required)")

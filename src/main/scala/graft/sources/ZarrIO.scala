@@ -117,7 +117,9 @@ object ZarrIO {
     // roundtrip (NaN spells "NaN" in zarr v2 JSON)
     val fillJson = {
       val nd = proto.bands.head.nodata
-      if (nd.isNaN) "\"NaN\"" else nd.toString
+      // NaN/Infinity/-Infinity must be quoted: bare Infinity is invalid
+      // JSON (our own Jackson parseMeta and spec readers reject it)
+      if (nd.isNaN || nd.isInfinite) "\"" + nd.toString + "\"" else nd.toString
     }
     val zarray =
       s"""{
@@ -210,7 +212,9 @@ object ZarrIO {
       else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
     val fillJson = {
       val nd = proto.bands.head.nodata
-      if (nd.isNaN) "\"NaN\"" else nd.toString
+      // NaN/Infinity/-Infinity must be quoted: bare Infinity is invalid
+      // JSON (our own Jackson parseMeta and spec readers reject it)
+      if (nd.isNaN || nd.isInfinite) "\"" + nd.toString + "\"" else nd.toString
     }
     val zjson =
       s"""{
@@ -289,7 +293,9 @@ object ZarrIO {
     val shape = ((bounds.getLong(0) + 1) * ch, (bounds.getLong(1) + 1) * cw)
     val fillJson = {
       val nd = proto.bands.head.nodata
-      if (nd.isNaN) "\"NaN\"" else nd.toString
+      // NaN/Infinity/-Infinity must be quoted: bare Infinity is invalid
+      // JSON (our own Jackson parseMeta and spec readers reject it)
+      if (nd.isNaN || nd.isInfinite) "\"" + nd.toString + "\"" else nd.toString
     }
     val zjson =
       s"""{

@@ -677,6 +677,26 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"$p chunk ($i) value")
       }
     }
+
+    // +/-Infinity nodata must be string-quoted in zarr.json (bare
+    // Infinity is invalid JSON — our own parseMeta rejects it) and must
+    // survive v2, v3 and sharded roundtrips
+    for ((nd, tag) <- Seq((Double.PositiveInfinity, "pinf"),
+        (Double.NegativeInfinity, "ninf"))) {
+      val dfi = df.withColumn("raster",
+        st.f("rs_setbandnodatavalue", col("raster"), lit(nd)))
+      for ((p, wr) <- Seq[(String, org.apache.spark.sql.DataFrame => Unit)](
+          (s"/tmp/graft_zarr_inf_v2_$tag", d => ZarrIO.write(d, s"/tmp/graft_zarr_inf_v2_$tag", "raster")),
+          (s"/tmp/graft_zarr_inf_v3_$tag", d => ZarrIO.writeV3(d, s"/tmp/graft_zarr_inf_v3_$tag", "raster")),
+          (s"/tmp/graft_zarr_inf_sh_$tag", d => ZarrIO.writeV3Sharded(d, s"/tmp/graft_zarr_inf_sh_$tag", "raster", innerPerShard = (2, 2))))) {
+        wr(dfi)
+        val back = ZarrIO.read(spark, p) // parseMeta must accept the JSON
+        val got = back.limit(1)
+          .select(st.f("rs_bandnodatavalue", col("raster"), lit(1)))
+          .collect().head.getDouble(0)
+        assert(got == nd, s"$p nodata roundtrip: $got != $nd")
+      }
+    }
   }
 
   test("FlatGeobuf reads a real-world file (natural-earth cities, GDAL-written)") {

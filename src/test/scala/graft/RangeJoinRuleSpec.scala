@@ -420,4 +420,101 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally spark.conf.set("spark.graft.join.asof.enabled", "true")
     assert(got.nonEmpty && got == expect)
   }
+
+  test("banded rewrite declines TIMESTAMP_NTZ (no BIGINT cast exists) but SQL still runs") {
+    // Spark 4.1 has no TIMESTAMP_NTZ -> BIGINT cast: a rewrite that
+    // banded NTZ columns would emit an unresolvable plan and fail a
+    // query stock Spark runs fine. bandable() must exclude NTZ.
+    val l = spark.range(40).select(col("id").as("lid"),
+      timestamp_seconds(col("id") * 60).cast("timestamp_ntz").as("lts"))
+    val r = spark.range(20).select(col("id").as("rid"),
+      timestamp_seconds(col("id") * 120).cast("timestamp_ntz").as("rs"))
+      .withColumn("re", col("rs") + expr("INTERVAL 3 MINUTES"))
+    l.createOrReplaceTempView("brj_ntz_l")
+    r.createOrReplaceTempView("brj_ntz_r")
+    val sql = "SELECT lid, rid FROM brj_ntz_l JOIN brj_ntz_r " +
+      "ON lts >= rs AND lts <= re"
+    // must not throw (execution included), with or without broadcast
+    val got = withBroadcastOff {
+      spark.sql(sql).collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    }
+    val expect = spark.sql(sql).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(got.nonEmpty && got == expect)
+  }
+
+  test("banded rewrite declines DECIMAL(precision > 18): overflow-to-null would drop rows") {
+    // non-ANSI Cast(decimal(38), long) nulls on overflow -> Sequence null
+    // -> Generate drops the row: the banded plan would silently LOSE
+    // matching pairs. Precision <= 18 is the guaranteed-exact domain.
+    val big = BigDecimal("92233720368547758080000") // > Long.MaxValue
+    val l = spark.range(30).select(col("id").as("lid"),
+      (col("id").cast("decimal(38,0)") * lit(1000) + lit(big)).as("lv"))
+    val r = spark.range(10).select(col("id").as("rid"),
+      (col("id").cast("decimal(38,0)") * lit(3000) + lit(big)).as("rs"))
+      .withColumn("re", col("rs") + lit(2500))
+    l.createOrReplaceTempView("brj_dec_l")
+    r.createOrReplaceTempView("brj_dec_r")
+    val sql = "SELECT lid, rid FROM brj_dec_l JOIN brj_dec_r " +
+      "ON lv >= rs AND lv <= re"
+    val got = withBroadcastOff {
+      spark.sql(sql).collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    }
+    val expect = spark.sql(sql).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(got.nonEmpty && got == expect)
+    // and the exact-long decimal domain still bands
+    val l18 = spark.range(200).select(col("id").as("lid"),
+      (pmod(hash(col("id"), lit(5)), lit(9000)).cast("decimal(18,0)")).as("lv"))
+    val r18 = spark.range(100).select(col("id").as("rid"),
+      (pmod(hash(col("id"), lit(6)), lit(9000)).cast("decimal(18,0)")).as("rs"))
+      // decimal + literal widens to precision 19 — cast back so the
+      // bound expression itself stays in the exact-long domain
+      .withColumn("re", (col("rs") + lit(BigDecimal(40))).cast("decimal(18,0)"))
+    l18.createOrReplaceTempView("brj_d18_l")
+    r18.createOrReplaceTempView("brj_d18_r")
+    val sql18 = "SELECT lid, rid FROM brj_d18_l JOIN brj_d18_r " +
+      "ON lv >= rs AND lv <= re"
+    withBroadcastOff {
+      val df = spark.sql(sql18)
+      val p = planString(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"decimal(18,0) must still band:\n$p")
+      assert(df.collect().nonEmpty)
+    }
+  }
+
+  test("auto cell width sizes from |hi - lo|: one strongly inverted row stays O(1) fanout") {
+    // normal rows have length <= 50; one row is inverted by ~1e9. With
+    // signed max-length sizing the width would be ~50 and the inverted
+    // row would explode ~2e7 cells (or die in Sequence's length cap);
+    // abs() sizing makes the width ~1e9 and per-row fanout <= 2.
+    val l = spark.range(300).select(col("id").as("lid"),
+      (pmod(hash(col("id"), lit(11)), lit(5000)).cast("long")).as("ls"))
+      .withColumn("le",
+        when(col("lid") === 7, col("ls") - lit(1000000000L))
+          .otherwise(col("ls") + pmod(hash(col("lid"), lit(12)), lit(50))))
+    val r = spark.range(200).select(col("id").as("rid"),
+      (pmod(hash(col("id"), lit(13)), lit(5000)).cast("long")).as("rs"))
+      .withColumn("re", col("rs") + pmod(hash(col("rid"), lit(14)), lit(50)))
+    l.createOrReplaceTempView("brj_inv_l")
+    r.createOrReplaceTempView("brj_inv_r")
+    val sql = "SELECT lid, rid FROM brj_inv_l JOIN brj_inv_r " +
+      "ON ls <= re AND rs <= le"
+    val t0 = System.nanoTime()
+    val (p, got) = withBroadcastOff {
+      val df = spark.sql(sql)
+      (planString(df),
+        df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq)
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(secs < 60, s"inverted-row fanout blew up: $secs s")
+    val expect = {
+      spark.conf.set("spark.graft.join.band.enabled", "false")
+      try spark.sql(sql).collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      finally spark.conf.set("spark.graft.join.band.enabled", "true")
+    }
+    assert(got.nonEmpty && got == expect)
+  }
 }
