@@ -39,5 +39,9 @@ object GraftExtensions {
     if (!opts6.exists(_.isInstanceOf[graft.plans.AsOfAggregateRule]))
       spark.experimental.extraOptimizations =
         opts6 :+ graft.plans.AsOfAggregateRule(spark)
+    val opts7 = spark.experimental.extraOptimizations
+    if (!opts7.exists(_.isInstanceOf[graft.plans.SphereJoinRule]))
+      spark.experimental.extraOptimizations =
+        opts7 :+ graft.plans.SphereJoinRule(spark)
   }
 }

@@ -186,6 +186,20 @@ object SpatialJoins {
   def sphereIntersectsJoin(
       left: DataFrame, right: DataFrame,
       leftGeom: Column, rightGeom: Column,
+      nx: Int = 360, ny: Int = 180): DataFrame =
+    sphereRelationJoin(left, right, leftGeom, rightGeom, "st_intersectssphere", nx, ny)
+
+  /** The sphereIntersectsJoin machinery with a parameterized exact
+    * refine: any spherical binary predicate that IMPLIES envelope
+    * overlap (intersects / contains / within / covers / coveredby /
+    * equals — NOT disjoint) is admitted by the same radius-0 grid
+    * candidate generation, so the predicate only changes the last
+    * conjunct. The SQL planner path (`SphereJoinRule`) routes all
+    * recognized spherical relation predicates through here. */
+  def sphereRelationJoin(
+      left: DataFrame, right: DataFrame,
+      leftGeom: Column, rightGeom: Column,
+      predicate: String,
       nx: Int = 360, ny: Int = 180): DataFrame = {
     val l = left.withColumn("__lg", leftGeom)
       .withColumn("__l4", st.f("sd_envelopesphere4", col("__lg")))
@@ -205,7 +219,7 @@ object SpatialJoins {
     l.join(r, l("__cell") === r("__cell")
         && latOverlap && lonOverlap
         && levelRefCell(l("__cell"), lit(0.0), nx, ny)
-        && st.f("st_intersectssphere", col("__lg"), col("__rg")))
+        && st.f(predicate, col("__lg"), col("__rg")))
       .drop("__cell", "__lg", "__rg", "__l4", "__r4")
   }
 

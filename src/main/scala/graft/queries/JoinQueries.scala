@@ -238,6 +238,57 @@ object JoinQueries {
         .select(col("p_partkey"), col("o_orderkey"))
     }),
 
+    // SQL planner surface for geography joins (SphereJoinRule): the SQL
+    // forms of sj08's dwithin and sj13's intersects shapes. Without the
+    // rule both joins have no equi-conjunct and plan a quadratic BNLJ;
+    // with it they route through the two-level-grid spherical joins.
+    "sj14_sphere_sql_join" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .withColumn("clon", (col("c_custkey") % 720).cast("double") / 2.0 - 180.0)
+        .withColumn("clat", (col("c_custkey") % 356).cast("double") / 2.0 - 89.0)
+        .withColumn("cpt", st.point(col("clon"), col("clat")))
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("cpt"))
+        .createOrReplaceTempView("sj14_c")
+      t(s, dir, "supplier")
+        .withColumn("slon", (col("s_suppkey") % 720).cast("double") / 2.0 - 179.75)
+        .withColumn("slat", (col("s_suppkey") % 356).cast("double") / 2.0 - 88.75)
+        .withColumn("spt", st.point(col("slon"), col("slat")))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("spt"))
+        .createOrReplaceTempView("sj14_s")
+      t(s, dir, "part")
+        .withColumn("qxmin", (col("p_partkey") % 60).cast("double") * 6.0 - 180.0)
+        .withColumn("qymin", (col("p_size") % 28).cast("double") * 6.0 - 84.0)
+        .withColumn("quad", st.makeEnvelope(col("qxmin"), col("qymin"),
+          col("qxmin") + 2.0, col("qymin") + 2.0))
+        .select(col("p_partkey").cast("long").as("p_partkey"), col("quad"))
+        .createOrReplaceTempView("sj14_q")
+      t(s, dir, "orders")
+        .withColumn("plon", (col("o_orderkey") % 120).cast("double") * 3.0 - 179.75)
+        .withColumn("plat", (col("o_custkey") % 56).cast("double") * 3.0 - 83.75)
+        .withColumn("pt", st.point(col("plon"), col("plat")))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"), col("pt"))
+        .createOrReplaceTempView("sj14_p")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.graft.join.sphere.nx", "72")
+      s.conf.set("spark.graft.join.sphere.ny", "36")
+      try {
+        val df = s.sql("""
+          SELECT c_custkey AS ka, s_suppkey AS kb, 'dwithin' AS tag
+          FROM sj14_c JOIN sj14_s ON st_dwithinsphere(cpt, spt, 250000.0D)
+          UNION ALL
+          SELECT p_partkey AS ka, o_orderkey AS kb, 'intersects' AS tag
+          FROM sj14_q JOIN sj14_p ON st_intersectssphere(quad, pt)""")
+        df.queryExecution.executedPlan // force planning under broadcast-off
+        df
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        s.conf.unset("spark.graft.join.sphere.nx")
+        s.conf.unset("spark.graft.join.sphere.ny")
+      }
+    }),
+
     "sj07_planner_grid_join" -> ((s, dir) => {
       prep(s)
       orderPoints(s, dir).select(col("o_orderkey"), col("pt"))
@@ -494,6 +545,42 @@ object JoinQueries {
         |SELECT p.o_orderkey, r.p_partkey FROM p JOIN r
         |ON p.px >= r.ulx AND p.px <= r.ulx + 8.0
         |AND p.py >= r.uly - 6.0 AND p.py <= r.uly""".stripMargin,
+
+    "sj14_sphere_sql_join" -> {
+      def hav(lo1: String, la1: String, lo2: String, la2: String) =
+        s"""2*6371008.8*asin(sqrt(
+           |    sin(radians(($la2)-($la1))/2)*sin(radians(($la2)-($la1))/2)
+           |    + cos(radians($la1))*cos(radians($la2))
+           |      * sin(radians(($lo2)-($lo1))/2)*sin(radians(($lo2)-($lo1))/2)))""".stripMargin
+      s"""WITH c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    CAST(c_custkey % 720 AS DOUBLE)/2.0 - 180.0 AS clon,
+        |    CAST(c_custkey % 356 AS DOUBLE)/2.0 - 89.0 AS clat
+        |  FROM customer),
+        |s AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |    CAST(s_suppkey % 720 AS DOUBLE)/2.0 - 179.75 AS slon,
+        |    CAST(s_suppkey % 356 AS DOUBLE)/2.0 - 88.75 AS slat
+        |  FROM supplier),
+        |q AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        |    CAST(p_partkey % 60 AS DOUBLE)*6.0 - 180.0 AS qxmin,
+        |    CAST(p_size % 28 AS DOUBLE)*6.0 - 84.0 AS qymin
+        |  FROM part),
+        |p AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_orderkey % 120 AS DOUBLE)*3.0 - 179.75 AS plon,
+        |    CAST(o_custkey % 56 AS DOUBLE)*3.0 - 83.75 AS plat
+        |  FROM orders)
+        |SELECT c.c_custkey AS ka, s.s_suppkey AS kb, 'dwithin' AS tag
+        |FROM c JOIN s
+        |ON ${hav("clon", "clat", "slon", "slat")} <= 250000.0
+        |UNION ALL
+        |SELECT q.p_partkey AS ka, p.o_orderkey AS kb, 'intersects' AS tag
+        |FROM q JOIN p
+        |ON p.plon >= q.qxmin AND p.plon <= q.qxmin + 2.0
+        |AND p.plat >= q.qymin AND p.plat <= q.qymin + 2.0""".stripMargin
+    },
 
     "sj08_sphere_join" -> {
       def hav(lo1: String, la1: String, lo2: String, la2: String) =

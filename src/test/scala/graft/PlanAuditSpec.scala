@@ -49,6 +49,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val grid = entries("sj07_planner_grid_join").plan
     assert(grid.contains("SortMergeJoin") || grid.contains("ShuffledHashJoin") ||
       grid.contains("BroadcastHashJoin"), "sj07 grid rewrite did not equi-join")
+    // sj14: the SQL geography join rule must rewrite BOTH legs (dwithin +
+    // intersects) onto the spherical grid equi-join — no BNLJ, and the
+    // spherical cell explode present
+    val sj14 = entries("sj14_sphere_sql_join").plan
+    assert(!sj14.contains("BroadcastNestedLoopJoin") &&
+      !sj14.contains("CartesianProduct"), "sj14 fell back to BNLJ/cartesian")
+    assert(sj14.contains("SortMergeJoin") || sj14.contains("ShuffledHashJoin") ||
+      sj14.contains("BroadcastHashJoin"), "sj14 sphere SQL join did not equi-join")
+    assert(sj14.toLowerCase.contains("gridcells_sphere"),
+      "sj14 lost the spherical grid explode")
   }
 
   test("analyzer KNN barrier survives constant folding of the query side") {
