@@ -1027,6 +1027,50 @@ object SpatialQueries {
             "st_point(cast(lon as double), cast(lat as double)))").as("u_in"))
     }),
 
+    // Oriented boolean DIFFERENCE, both directions over the sp24
+    // frame×strip fixture: frame∖strip (simple B — complement is one
+    // reversed ring) and strip∖frame (holed B — complement is the
+    // de Morgan MultiPolygon of reversed rings). Same margin-filtered
+    // integer-chart oracle discipline as sp22-sp24; the dense lattice
+    // (full part table, multipliers chosen so every class combo has
+    // rows at sf0.001) keeps all four membership combinations gated.
+    "sp25_oriented_difference" -> ((s, dir) => {
+      prep(s)
+      val frame = "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), " +
+        "(10 10, 10 30, 30 30, 30 10, 10 10))"
+      val strip = "POLYGON ((15 -10, 25 -10, 25 50, 15 50, 15 -10))"
+      val d1E = s"st_differencesphereoriented(" +
+        s"st_geomfromtext('$frame'), st_geomfromtext('$strip'))"
+      val d2E = s"st_differencesphereoriented(" +
+        s"st_geomfromtext('$strip'), st_geomfromtext('$frame'))"
+      t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("pt_id"),
+          (col("p_partkey") * 7 % 61 - 8).cast("long").as("lon"),
+          (col("p_partkey") * 11 % 67 - 12).cast("long").as("lat"))
+        .withColumn("cf",
+          when(col("lon") >= 3 && col("lon") <= 37 &&
+            col("lat") >= 3 && col("lat") <= 37 &&
+            (col("lon") <= 7 || col("lon") >= 33 ||
+              col("lat") <= 7 || col("lat") >= 33), lit("in"))
+          .when(col("lon") <= -3 || col("lon") >= 43 ||
+            col("lat") <= -3 || col("lat") >= 43, lit("out"))
+          .when(col("lon") >= 13 && col("lon") <= 27 &&
+            col("lat") >= 13 && col("lat") <= 27, lit("out"))
+          .otherwise(lit("skip")))
+        .withColumn("cs",
+          when(col("lon") >= 18 && col("lon") <= 22 &&
+            col("lat") >= -7 && col("lat") <= 47, lit("in"))
+          .when(col("lon") <= 12 || col("lon") >= 28 ||
+            col("lat") <= -13 || col("lat") >= 53, lit("out"))
+          .otherwise(lit("skip")))
+        .filter(col("cf") =!= "skip" && col("cs") =!= "skip")
+        .select(col("pt_id"), col("cf"), col("cs"),
+          expr(s"st_containssphereoriented($d1E, " +
+            "st_point(cast(lon as double), cast(lat as double)))").as("d1_in"),
+          expr(s"st_containssphereoriented($d2E, " +
+            "st_point(cast(lon as double), cast(lat as double)))").as("d2_in"))
+    }),
+
     "sp20_ntv2_gridshift" -> ((s, dir) => {
       prep(s)
       val base = s"/tmp/graft_ntv2_gate/${math.abs(dir.hashCode)}"
@@ -1906,6 +1950,34 @@ object SpatialQueries {
         |SELECT pt_id, cf, cs,
         |  cf = 'in' AND cs = 'in' AS i_in,
         |  cf = 'in' OR cs = 'in' AS u_in
+        |FROM c WHERE cf <> 'skip' AND cs <> 'skip'""".stripMargin,
+
+    // difference membership by boolean algebra: d1 (frame∖strip) =
+    // in-frame AND NOT in-strip; d2 (strip∖frame) = in-strip AND NOT
+    // in-frame — classes by the same integer interval filters
+    "sp25_oriented_difference" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pt_id,
+        |    CAST(p_partkey*7 % 61 - 8 AS BIGINT) AS lon,
+        |    CAST(p_partkey*11 % 67 - 12 AS BIGINT) AS lat
+        |  FROM part),
+        |c AS (SELECT pt_id,
+        |  CASE WHEN lon >= 3 AND lon <= 37 AND lat >= 3 AND lat <= 37
+        |         AND (lon <= 7 OR lon >= 33 OR lat <= 7 OR lat >= 33)
+        |         THEN 'in'
+        |       WHEN lon <= -3 OR lon >= 43 OR lat <= -3 OR lat >= 43
+        |         THEN 'out'
+        |       WHEN lon >= 13 AND lon <= 27 AND lat >= 13 AND lat <= 27
+        |         THEN 'out'
+        |       ELSE 'skip' END AS cf,
+        |  CASE WHEN lon >= 18 AND lon <= 22 AND lat >= -7 AND lat <= 47
+        |         THEN 'in'
+        |       WHEN lon <= 12 OR lon >= 28 OR lat <= -13 OR lat >= 53
+        |         THEN 'out'
+        |       ELSE 'skip' END AS cs
+        |  FROM p)
+        |SELECT pt_id, cf, cs,
+        |  cf = 'in' AND cs = 'out' AS d1_in,
+        |  cs = 'in' AND cf = 'out' AS d2_in
         |FROM c WHERE cf <> 'skip' AND cs <> 'skip'""".stripMargin,
 
     // CDF-5 tile pixel i = (n*50 + i*3) % 83 on a 4x3 grid; v21 is the
