@@ -297,6 +297,23 @@ case class BandedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
 case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
   import RangeJoinShapes._
 
+  private val MicrosPerDay: Long = 86400L * 1000000L
+
+  /** SubtractDates, possibly wrapped in an interval-width cast (e.g.
+    * `cast((d - v) as interval day to hour)` when the literal's width is
+    * finer than DAY) — the stored long is micros either way. */
+  private object SubtractDatesMicros {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case sub: SubtractDates => Some((sub.left, sub.right))
+      case c: Cast if c.dataType.isInstanceOf[DayTimeIntervalType] =>
+        c.child match {
+          case sub: SubtractDates => Some((sub.left, sub.right))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   private def conf(key: String, default: String): String =
     session.conf.getOption(key).getOrElse(default)
 
@@ -368,13 +385,15 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
     val (v, d, backward, strict) = primary(cs(primIdx)).get
     if (v.dataType != d.dataType || !exactLongImage(v.dataType)) return None
     // the tolerance idiom's difference arithmetic is matched in the
-    // column's own type: long/int literals for long columns, and
-    // timestamp differences against DayTimeInterval literals (micros,
-    // exactly the sweep's long space) for TIMESTAMP columns. Other
-    // types take the primary-bound-only path (a tolerance conjunct
-    // falls back to Spark's plan).
+    // column's own type: long/int literals for long columns, timestamp
+    // differences against DayTimeInterval literals (micros, exactly the
+    // sweep's long space) for TIMESTAMP columns, and DATE differences
+    // (datediff/int arithmetic, date_add/date_sub, or SubtractDates vs
+    // interval literals floored to whole days) in the unix_date day
+    // space for DATE columns. Other types take the primary-bound-only
+    // path (a tolerance conjunct falls back to Spark's plan).
     if (cs.length == 2 && v.dataType != LongType &&
-      v.dataType != TimestampType) return None
+      v.dataType != TimestampType && v.dataType != DateType) return None
     // the optional second conjunct must be a LITERAL staleness bound —
     // the tolerance idiom (backward: d - v <= t in any of its surface
     // spellings; forward: v - d <= t). Maps onto the sweep's inclusive
@@ -429,6 +448,42 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
         case GreaterThan(Literal(t: Long, _: DayTimeIntervalType),
             sub: SubtractTimestamps) =>
           diffBound(sub.left, sub.right, Literal(t), st = true)
+        // the DATE staleness idioms, in the sweep's unix_date day space.
+        // `datediff(d, v) <= t`: DateDiff(end, start) = end - start days
+        case LessThanOrEqual(DateDiff(a, b), t) => diffBound(a, b, t, st = false)
+        case LessThan(DateDiff(a, b), t) => diffBound(a, b, t, st = true)
+        case GreaterThanOrEqual(t, DateDiff(a, b)) => diffBound(a, b, t, st = false)
+        case GreaterThan(t, DateDiff(a, b)) => diffBound(a, b, t, st = true)
+        // `d - v <= INTERVAL ...` on DATEs decorrelates to SubtractDates
+        // (possibly cast between interval widths — the value stays
+        // micros) vs a DayTimeInterval literal: floor to whole days —
+        // exact, the date difference is an integer day count, so
+        // days*US <= t  <=>  days <= floor(t/US), and the strict form
+        // days*US < t  <=>  days <= floor((t-1)/US)
+        case LessThanOrEqual(SubtractDatesMicros(a, b),
+            Literal(t: Long, _: DayTimeIntervalType)) =>
+          diffBound(a, b, Literal(Math.floorDiv(t, MicrosPerDay)), st = false)
+        case LessThan(SubtractDatesMicros(a, b),
+            Literal(t: Long, _: DayTimeIntervalType)) =>
+          diffBound(a, b, Literal(Math.floorDiv(t - 1, MicrosPerDay)), st = false)
+        case GreaterThanOrEqual(Literal(t: Long, _: DayTimeIntervalType),
+            SubtractDatesMicros(a, b)) =>
+          diffBound(a, b, Literal(Math.floorDiv(t, MicrosPerDay)), st = false)
+        case GreaterThan(Literal(t: Long, _: DayTimeIntervalType),
+            SubtractDatesMicros(a, b)) =>
+          diffBound(a, b, Literal(Math.floorDiv(t - 1, MicrosPerDay)), st = false)
+        // `v >= date_sub(d, t)` / `v <= date_add(d, t)` — `d - t` / `d + t`
+        // on a DATE resolves to these nodes, t an int-literal day count
+        case GreaterThanOrEqual(vv: AttributeReference, DateSub(dd, t))
+            if backward && sameAttr(vv, v) && sameAttr(dd, d) => litOf(t)
+        case GreaterThan(vv: AttributeReference, DateSub(dd, t))
+            if backward && sameAttr(vv, v) && sameAttr(dd, d) =>
+          litOf(t).map(_ - 1)
+        case LessThanOrEqual(vv: AttributeReference, DateAdd(dd, t))
+            if !backward && sameAttr(vv, v) && sameAttr(dd, d) => litOf(t)
+        case LessThan(vv: AttributeReference, DateAdd(dd, t))
+            if !backward && sameAttr(vv, v) && sameAttr(dd, d) =>
+          litOf(t).map(_ - 1)
         case _ => None
       }
     }

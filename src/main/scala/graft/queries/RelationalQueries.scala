@@ -312,6 +312,33 @@ object RelationalQueries {
     // conjunct): BandedRangeJoinRule's outer form — banded inner join over
     // a row-id-tagged left side, anti-join null pad unioned back — instead
     // of Spark's quadratic BNLJ. Unmatched left rows must survive.
+    // PLAIN SQL as-of over DATE columns with a day-count staleness bound
+    // (`datediff(l.ld, r2.rd) <= 30`) — the DATE analog of q24. The
+    // AsOfAggregateRule matcher maps the DateDiff conjunct onto the
+    // sweep's unix_date day space; without it the decorrelated plan is a
+    // quadratic inequality join.
+    "q27_asof_date" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0 && col("o_custkey") % 5 === 2)
+        .select((col("o_custkey") % 20).cast("long").as("user_id"),
+          col("o_orderkey").cast("long").as("l_key"),
+          to_date(col("o_orderdate")).as("ld"))
+        .createOrReplaceTempView("q27_l")
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 1 && col("o_custkey") % 5 === 2)
+        .select((col("o_custkey") % 20).cast("long").as("user_id"),
+          col("o_orderkey").cast("long").as("r_key"),
+          to_date(col("o_orderdate")).as("rd"))
+        .createOrReplaceTempView("q27_r")
+      s.sql("""SELECT l.user_id, l.l_key, unix_date(l.ld) AS ld_d,
+              |  r.r_key, unix_date(r.rd) AS rd_d
+              |FROM q27_l l JOIN q27_r r ON l.user_id = r.user_id
+              |WHERE r.rd = (SELECT max(r2.rd) FROM q27_r r2
+              |              WHERE r2.user_id = l.user_id
+              |                AND r2.rd <= l.ld
+              |                AND datediff(l.ld, r2.rd) <= 30)""".stripMargin)
+    }),
+
     "q26_range_left_outer" -> ((s, dir) => {
       import graft.Tables
       val ev = Tables.events(s, dir)
@@ -564,6 +591,23 @@ object RelationalQueries {
         |WHERE r.rts = (SELECT max(r2.rts) FROM r r2
         |               WHERE r2.user_id = l.user_id
         |                 AND r2.rts < l.lts)""".stripMargin,
+
+    "q27_asof_date" ->
+      """WITH l AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS user_id,
+        |    CAST(o_orderkey AS BIGINT) AS l_key,
+        |    CAST(o_orderdate AS DATE) AS ld
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey % 5 = 2),
+        |r AS (SELECT CAST(o_custkey % 20 AS BIGINT) AS user_id,
+        |    CAST(o_orderkey AS BIGINT) AS r_key,
+        |    CAST(o_orderdate AS DATE) AS rd
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_custkey % 5 = 2)
+        |SELECT l.user_id, l.l_key,
+        |  CAST(l.ld - DATE '1970-01-01' AS BIGINT) AS ld_d,
+        |  r.r_key, CAST(r.rd - DATE '1970-01-01' AS BIGINT) AS rd_d
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |WHERE r.rd = (SELECT max(r2.rd) FROM r r2
+        |              WHERE r2.user_id = l.user_id AND r2.rd <= l.ld
+        |                AND l.ld - r2.rd <= 30)""".stripMargin,
 
     "q26_range_left_outer" ->
       """WITH l AS (SELECT event_id AS l_event, epoch_us(ts) AS lts

@@ -167,6 +167,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sweep (unix_micros embedding) — same RDD-scan signature as q24
     val q25 = entries("q25_asof_timestamp").plan
     assert(q25.contains("ExistingRDD"), "q25 typed as-of rewrite did not fire")
+    // q27: the DATE-bounded as-of (datediff staleness conjunct) must map
+    // onto the sweep's unix_date day space — same RDD-scan signature
+    val q27 = entries("q27_asof_date").plan
+    assert(q27.contains("ExistingRDD"), "q27 DATE as-of rewrite did not fire")
     // q26: SQL LEFT OUTER range join — banded inner branch (cell explode)
     // plus the anti-join null pad, never a BNLJ
     val q26 = entries("q26_range_left_outer").plan

@@ -398,6 +398,54 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture must distinguish strict from inclusive interval bounds")
   }
 
+  test("as-of aggregate rewrite: DATE tolerance in its surface spellings") {
+    // DATE staleness decorrelates through datediff/int arithmetic,
+    // date_sub/date_add nodes, or SubtractDates vs interval literals —
+    // all must map onto the sweep's unix_date day space
+    val l = spark.range(500).select(col("id").as("lid"),
+      pmod(hash(col("id"), lit(81)), lit(10)).cast("long").as("k"),
+      date_from_unix_date(pmod(hash(col("id"), lit(82)), lit(200))
+        .cast("int")).as("ld"))
+    val r = spark.range(500).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(83)), lit(10)).cast("long").as("k"),
+      date_from_unix_date(pmod(hash(col("id"), lit(84)), lit(200))
+        .cast("int")).as("rd"))
+    l.createOrReplaceTempView("asr_dd_l")
+    r.createOrReplaceTempView("asr_dd_r")
+    for (tolPred <- Seq(
+        "datediff(l.ld, r2.rd) <= 7",
+        "datediff(l.ld, r2.rd) < 7",
+        "7 >= datediff(l.ld, r2.rd)",
+        "r2.rd >= l.ld - 7",
+        "r2.rd >= date_sub(l.ld, 7)",
+        "l.ld - r2.rd <= INTERVAL '7' DAY",
+        // 36h floors to 1 day — exact because date diffs are whole days
+        "l.ld - r2.rd <= INTERVAL '36' HOUR")) {
+      val sql = s"""
+        SELECT l.lid, r.rid FROM asr_dd_l l JOIN asr_dd_r r ON l.k = r.k
+        WHERE r.rd = (SELECT max(r2.rd) FROM asr_dd_r r2
+                      WHERE r2.k = l.k AND r2.rd <= l.ld AND $tolPred)"""
+      val df = spark.sql(sql)
+      assert(planString(df).contains("ExistingRDD"),
+        s"DATE tolerance '$tolPred' must route through the sweep")
+      val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      spark.conf.set("spark.graft.join.asof.enabled", "false")
+      val expect = try spark.sql(sql).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+      assert(got.nonEmpty && got == expect, s"DATE spelling '$tolPred'")
+    }
+    // strict and inclusive datediff bounds really differ on this fixture
+    def run(p: String): Long = spark.sql(s"""
+      SELECT count(*) AS n FROM (
+        SELECT l.lid, r.rid FROM asr_dd_l l JOIN asr_dd_r r ON l.k = r.k
+        WHERE r.rd = (SELECT max(r2.rd) FROM asr_dd_r r2
+                      WHERE r2.k = l.k AND r2.rd <= l.ld AND $p))""")
+      .head.getLong(0)
+    assert(run("datediff(l.ld, r2.rd) <= 7") != run("datediff(l.ld, r2.rd) < 7"),
+      "fixture must distinguish strict from inclusive day bounds")
+  }
+
   test("as-of aggregate rewrite: forward (min/>=) direction and no-key shape") {
     val l = spark.range(400).select(col("id").as("lid"),
       (pmod(hash(col("id"), lit(21)), lit(5000)).cast("long")).as("lts"))
