@@ -78,19 +78,38 @@ object StreamingOps {
     * across batches a left event matches the latest right SEEN so far —
     * the streaming temporal-join contract (a right that arrives after
     * the left's batch cannot retroactively match). A held right later
-    * than a late left emits unmatched rather than matching forward. */
+    * than a late left emits unmatched rather than matching forward.
+    *
+    * O(keys) state is the right invariant, but an unbounded KEY SPACE
+    * (100 TB ingest with ephemeral keys) still grows without limit —
+    * `idleTtlMs` bounds it: a key idle past watermark + ttl has its held
+    * right evicted via event-time timeout. Eviction is RESULT-NEUTRAL
+    * when ttl >= toleranceMs (enforced): any future left is at or above
+    * the watermark (later arrivals are watermark-dropped), so a right
+    * older than watermark - ttl <= watermark - tolerance could only
+    * produce matches the tolerance already rejects. Default None keeps
+    * the unbounded-retention behavior for stable key spaces. */
   def streamAsOfJoin(events: Dataset[AsOfEvent],
-      toleranceMs: Long): Dataset[AsOfMatch] = {
+      toleranceMs: Long, idleTtlMs: Option[Long] = None): Dataset[AsOfMatch] = {
+    idleTtlMs.foreach(ttl => require(ttl >= toleranceMs,
+      s"idleTtlMs ($ttl) must be >= toleranceMs ($toleranceMs) so eviction " +
+        "cannot drop a right event a future left could still match"))
     implicit val sh = Encoders.product[AsOfHeld]
     implicit val sm = Encoders.product[AsOfMatch]
     def update(k: Long, batch: Iterator[AsOfEvent],
         state: GroupState[AsOfHeld]): Iterator[AsOfMatch] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       // rights before lefts at equal times (inclusive boundary), largest
       // right id wins ties — q21's deterministic ordering
       val evs = batch.toSeq.sortBy(e => (e.ts_ms, e.tag, e.id))
       var held = state.getOption
       val out = List.newBuilder[AsOfMatch]
+      var maxTs = Long.MinValue
       evs.foreach { e =>
+        if (e.ts_ms > maxTs) maxTs = e.ts_ms
         if (e.tag == 0) {
           if (held.forall(h => h.r_ts < e.ts_ms ||
               (h.r_ts == e.ts_ms && h.r_id < e.id)))
@@ -103,15 +122,26 @@ object StreamingOps {
         }
       }
       held.foreach(state.update)
+      idleTtlMs.foreach { ttl =>
+        if (state.exists)
+          // must exceed the current watermark or Spark rejects it; the
+          // max() keeps a key whose events lag the watermark evictable
+          // at the next watermark advance rather than erroring
+          state.setTimeoutTimestamp(
+            math.max(maxTs + ttl, state.getCurrentWatermarkMs + 1))
+      }
       out.result().iterator
     }
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
         org.apache.spark.sql.functions.col("ts_ms")))
       .withWatermark("ts", "0 seconds")
       .as[AsOfEvent](Encoders.product[AsOfEvent])
       .groupByKey(_.k)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
   }
 
   /** Stream-stream spatial join.

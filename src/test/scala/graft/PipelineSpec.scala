@@ -681,6 +681,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming as-of TTL evicts idle keys: state bounded under a growing key space") {
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.AsOfEvent
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[AsOfEvent]
+    val input = MemoryStream[AsOfEvent]
+    val q = StreamingOps.streamAsOfJoin(input.toDS(),
+        toleranceMs = 1000, idleTtlMs = Some(2000))
+      .writeStream.format("memory").queryName("asof_ttl")
+      .outputMode("append").start()
+    try {
+      // 5 waves of 20 FRESH keys each, event time advancing 10 s per
+      // wave: without eviction state grows to 100 keys; with the 2 s TTL
+      // every wave's keys are idle far past watermark+ttl by the time
+      // the next-next wave commits
+      for (w <- 0 until 5) {
+        // base starts at 10 s, not 0: with event-time timeout enabled the
+        // state operator filters rows at-or-below the watermark, and the
+        // initial watermark is epoch 0 — a right at ts 0 would be dropped
+        val base = (w + 1) * 10000L
+        input.addData((0 until 20).flatMap(i => Seq(
+          AsOfEvent(w * 100 + i, base, 0, 1, w * 1.0 + i),
+          AsOfEvent(w * 100 + i, base + 500, 1, 2, 0.0))): _*)
+        q.processAllAvailable()
+      }
+      // two probe batches advance the watermark so the last waves' and
+      // probe keys' timeouts actually fire
+      input.addData(AsOfEvent(9999, 60000, 0, 1, 1.0))
+      q.processAllAvailable()
+      input.addData(AsOfEvent(9998, 70000, 0, 1, 1.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 25,
+        s"state must stay bounded by the active window, got $stateRows of 102 keys")
+      // eviction was result-neutral: all 100 lefts matched their
+      // in-tolerance right
+      val out = spark.table("asof_ttl").collect()
+      assert(out.length == 100 && out.forall(r => !r.isNullAt(3)),
+        s"got ${out.length} rows, ${out.count(r => !r.isNullAt(3))} matched")
+    } finally q.stop()
+  }
+
   test("structured streaming: stream-stream spatial join via grid equi-keys") {
     // two unbounded inputs joined on a spatial predicate — possible in
     // Structured Streaming only because the grid decomposition turns the
