@@ -1065,8 +1065,8 @@ object GeoTiff {
     val stride = if (planar == 2) 1 else nb
     val planes = if (planar == 2) nb else 1
 
-    def decodeChunk(off: Long, len: Int, rowSamples: Int): Array[Byte] = {
-      val data = fetch(off, len)
+    def decodeBytes(data: Array[Byte], rowSamples: Int): Array[Byte] = {
+      val len = data.length
       val chunk = compression match {
         case 1 => data
         case 5 => lzwDecode(data, 0, len)
@@ -1094,33 +1094,33 @@ object GeoTiff {
       val across = (w + tw - 1) / tw
       val down = (h + th - 1) / th
       val tileRowSamples = tw * chans
-      var pl = 0
-      while (pl < planes) {
-        var ty = yoff / th
-        while (ty <= (yoff + wh - 1) / th) {
-          var tx = xoff / tw
-          while (tx <= (xoff + ww - 1) / tw) {
-            val ti = pl * down * across + ty * across + tx
-            require(ti < tOffs.length && ti < tCounts.length, "geotiff: missing tiles")
-            val tile = decodeChunk(tOffs(ti), tCounts(ti).toInt, tileRowSamples)
-            val rowLo = math.max(yoff, ty * th)
-            val rowHi = math.min(math.min(yoff + wh, ty * th + th), h)
-            val colLo = math.max(xoff, tx * tw)
-            val colHi = math.min(math.min(xoff + ww, tx * tw + tw), w)
-            var r0 = rowLo
-            while (r0 < rowHi) {
-              val srcOff = ((r0 - ty * th) * tileRowSamples + (colLo - tx * tw) * chans) * bytesPer
-              val dstSample =
-                pl.toLong * ww * wh + ((r0 - yoff).toLong * ww + (colLo - xoff)) * chans
-              System.arraycopy(tile, srcOff, out, (dstSample * bytesPer).toInt,
-                (colHi - colLo) * chans * bytesPer)
-              r0 += 1
-            }
-            tx += 1
-          }
-          ty += 1
+      // enumerate the window's tiles up front so FetchPipeline can keep
+      // the NEXT tile's fetch in flight while this one decompresses
+      val tileIdx = for {
+        pl <- 0 until planes
+        ty <- (yoff / th) to ((yoff + wh - 1) / th)
+        tx <- (xoff / tw) to ((xoff + ww - 1) / tw)
+      } yield (pl, ty, tx)
+      FetchPipeline.run(fetch, tileIdx.map { case (pl, ty, tx) =>
+        val ti = pl * down * across + ty * across + tx
+        require(ti < tOffs.length && ti < tCounts.length, "geotiff: missing tiles")
+        (tOffs(ti), tCounts(ti).toInt)
+      }) { (i, data) =>
+        val (pl, ty, tx) = tileIdx(i)
+        val tile = decodeBytes(data, tileRowSamples)
+        val rowLo = math.max(yoff, ty * th)
+        val rowHi = math.min(math.min(yoff + wh, ty * th + th), h)
+        val colLo = math.max(xoff, tx * tw)
+        val colHi = math.min(math.min(xoff + ww, tx * tw + tw), w)
+        var r0 = rowLo
+        while (r0 < rowHi) {
+          val srcOff = ((r0 - ty * th) * tileRowSamples + (colLo - tx * tw) * chans) * bytesPer
+          val dstSample =
+            pl.toLong * ww * wh + ((r0 - yoff).toLong * ww + (colLo - xoff)) * chans
+          System.arraycopy(tile, srcOff, out, (dstSample * bytesPer).toInt,
+            (colHi - colLo) * chans * bytesPer)
+          r0 += 1
         }
-        pl += 1
       }
     } else {
       val rps = math.max(1, t.one(TRowsPerStrip, h.toLong).toInt)
@@ -1130,39 +1130,41 @@ object GeoTiff {
         throw new IllegalArgumentException("geotiff: no strip byte counts"))
       val stripsPerPlane = (h + rps - 1) / rps
       val samplesPerRow = w * chans
-      var pl = 0
-      while (pl < planes) {
-        var s0 = yoff / rps
-        while (s0 <= (yoff + wh - 1) / rps) {
-          val si = pl * stripsPerPlane + s0
-          require(si < stripOffs.length && si < stripCounts.length,
-            "geotiff: missing strips")
-          val rowLo = math.max(yoff, s0 * rps)
-          val rowHi = math.min(math.min(yoff + wh, (s0 + 1) * rps), h)
+      val rawStrips = compression == 1 && predictor == 1
+      val stripIdx = for {
+        pl <- 0 until planes
+        s0 <- (yoff / rps) to ((yoff + wh - 1) / rps)
+      } yield (pl, s0)
+      FetchPipeline.run(fetch, stripIdx.map { case (pl, s0) =>
+        val si = pl * stripsPerPlane + s0
+        require(si < stripOffs.length && si < stripCounts.length,
+          "geotiff: missing strips")
+        if (rawStrips) {
           // uncompressed strips are row-addressable: fetch ONLY the
           // window's row range instead of the whole strip — with the
           // writer's default single-strip layout, this is what makes a
           // windowed read O(window) bytes instead of O(image)
-          val (strip, stripBase) =
-            if (compression == 1 && predictor == 1) {
-              val off = stripOffs(si) +
-                (rowLo - s0 * rps).toLong * samplesPerRow * bytesPer
-              (fetch(off, (rowHi - rowLo) * samplesPerRow * bytesPer), rowLo)
-            } else
-              (decodeChunk(stripOffs(si), stripCounts(si).toInt, samplesPerRow),
-                s0 * rps)
-          var r0 = rowLo
-          while (r0 < rowHi) {
-            val srcOff = ((r0 - stripBase) * samplesPerRow + xoff * chans) * bytesPer
-            val dstSample =
-              pl.toLong * ww * wh + (r0 - yoff).toLong * ww * chans
-            System.arraycopy(strip, srcOff, out, (dstSample * bytesPer).toInt,
-              ww * chans * bytesPer)
-            r0 += 1
-          }
-          s0 += 1
+          val rowLo = math.max(yoff, s0 * rps)
+          val rowHi = math.min(math.min(yoff + wh, (s0 + 1) * rps), h)
+          (stripOffs(si) + (rowLo - s0 * rps).toLong * samplesPerRow * bytesPer,
+            (rowHi - rowLo) * samplesPerRow * bytesPer)
+        } else (stripOffs(si), stripCounts(si).toInt)
+      }) { (i, data) =>
+        val (pl, s0) = stripIdx(i)
+        val rowLo = math.max(yoff, s0 * rps)
+        val rowHi = math.min(math.min(yoff + wh, (s0 + 1) * rps), h)
+        val (strip, stripBase) =
+          if (rawStrips) (data, rowLo)
+          else (decodeBytes(data, samplesPerRow), s0 * rps)
+        var r0 = rowLo
+        while (r0 < rowHi) {
+          val srcOff = ((r0 - stripBase) * samplesPerRow + xoff * chans) * bytesPer
+          val dstSample =
+            pl.toLong * ww * wh + (r0 - yoff).toLong * ww * chans
+          System.arraycopy(strip, srcOff, out, (dstSample * bytesPer).toInt,
+            ww * chans * bytesPer)
+          r0 += 1
         }
-        pl += 1
       }
     }
 

@@ -364,16 +364,29 @@ object NetCdf {
           (if (isRec) recIdx * h.recSize + innerIdx * planeVals * esz
            else plane * planeVals * esz)
         if (xoff == 0 && ww == wd) {
-          val raw = fetch(base + yoff.toLong * wd * esz, wh * ww * esz)
-          val vals = toDoubles(raw, v.typ, wh * ww)
-          System.arraycopy(vals, 0, out, (plane * wh * ww).toInt, wh * ww)
+          // one coalesced range per plane, split into ~4 MB stages so
+          // the fetch of stage i+1 overlaps the double-conversion of
+          // stage i (FetchPipeline: same bytes, one-ahead lookahead)
+          val rowBytes = wd.toLong * esz
+          val chunkRows = math.max(1,
+            math.min(wh.toLong, FetchPipeline.ChunkBytes / rowBytes).toInt)
+          val starts = (0 until wh by chunkRows).toIndexedSeq
+          FetchPipeline.run(fetch, starts.map { r0 =>
+            val rows = math.min(chunkRows, wh - r0)
+            (base + (yoff + r0).toLong * wd * esz, rows * ww * esz)
+          }) { (i, raw) =>
+            val r0 = starts(i)
+            val rows = math.min(chunkRows, wh - r0)
+            val vals = toDoubles(raw, v.typ, rows * ww)
+            System.arraycopy(vals, 0, out, ((plane * wh + r0) * ww).toInt, rows * ww)
+          }
         } else {
-          var r = 0
-          while (r < wh) {
-            val raw = fetch(base + ((yoff + r).toLong * wd + xoff) * esz, ww * esz)
+          // per-row ranges: latency-bound, so the same one-ahead overlap
+          // hides row i+1's fetch behind row i's convert
+          FetchPipeline.run(fetch, (0 until wh).map(r =>
+            (base + ((yoff + r).toLong * wd + xoff) * esz, ww * esz))) { (r, raw) =>
             val vals = toDoubles(raw, v.typ, ww)
             System.arraycopy(vals, 0, out, ((plane * wh + r) * ww).toInt, ww)
-            r += 1
           }
         }
         plane += 1
