@@ -723,6 +723,41 @@ object Spherical {
       }
       i += 1
     }
+    // DEGENERATE CONTACT (tangencies, T-crossings at vertices, coincident
+    // arcs): transversalCrossing deliberately drops crossings at edge
+    // endpoints, so a vertex of one polygon lying ON an edge of the other
+    // would leave that edge unsplit and its midpoint classification wrong
+    // (half in, half out). Snap each such vertex into the edge's split
+    // set, REUSING the vertex's exact vector instance — the other
+    // polygon's arcs already start/end on that instance, so the stitch
+    // adjacency keys stay bit-identical. This also registers the
+    // endpoints of coincident-arc overlaps, making coincident sub-arc
+    // pairs align exactly (handled below). Contact must be coordinate-
+    // exact (shared vertices / points on meridian- or equator-aligned
+    // edges); near-miss contact within float noise stays out of contract.
+    def snapVertices(verts: Array[Array[Double]],
+        edges: Array[(Array[Double], Array[Double])],
+        splits: Array[List[Array[Double]]]): Unit =
+      edges.indices.foreach { j =>
+        val (c, d) = edges(j)
+        val span = angV(c(0), c(1), c(2), d(0), d(1), d(2))
+        verts.foreach { w =>
+          val nearC = {
+            val dx = w(0) - c(0); val dy = w(1) - c(1); val dz = w(2) - c(2)
+            dx * dx + dy * dy + dz * dz < 1e-18
+          }
+          val nearD = {
+            val dx = w(0) - d(0); val dy = w(1) - d(1); val dz = w(2) - d(2)
+            dx * dx + dy * dy + dz * dz < 1e-18
+          }
+          if (!nearC && !nearD &&
+            angV(c(0), c(1), c(2), w(0), w(1), w(2)) +
+              angV(w(0), w(1), w(2), d(0), d(1), d(2)) <= span + 1e-12)
+            splits(j) ::= w
+        }
+      }
+    snapVertices(ea.map(_._1), eb, splitsB)
+    snapVertices(eb.map(_._1), ea, splitsA)
     def subArcs(edges: Array[(Array[Double], Array[Double])],
         splits: Array[List[Array[Double]]]): Array[(Array[Double], Array[Double])] =
       edges.indices.toArray.flatMap { k =>
@@ -747,11 +782,32 @@ object Spherical {
           coversPointOriented(other, lon, lat)
         }
       }
-    val kept = keep(subArcs(ea, splitsA), b) ++ keep(subArcs(eb, splitsB), a)
+    // COINCIDENT sub-arcs (shared boundary segments): after the vertex
+    // snapping above, an a-sub-arc lying on b's boundary coincides
+    // bit-exactly with a b-sub-arc. Same direction = both interiors on
+    // the arc's left: it IS intersection boundary — keep exactly one
+    // copy (a midpoint test would be a knife-edge on the boundary).
+    // Opposite direction = interiors on opposite sides (adjacent
+    // regions): the arc bounds no intersection area — keep neither.
+    // Under the union-by-de-Morgan route the opposite-direction rule is
+    // what merges adjacent polygons without an internal seam.
+    def key(v: Array[Double]) = (v(0), v(1), v(2))
+    val subsA = subArcs(ea, splitsA)
+    val subsB = subArcs(eb, splitsB)
+    def k2(s: (Array[Double], Array[Double])) = (key(s._1), key(s._2))
+    val aKeys = subsA.map(k2).toSet
+    val bKeys = subsB.map(k2).toSet
+    def coSame(s: (Array[Double], Array[Double]), o: Set[((Double, Double, Double), (Double, Double, Double))]) =
+      o(k2(s))
+    def coOpp(s: (Array[Double], Array[Double]), o: Set[((Double, Double, Double), (Double, Double, Double))]) =
+      o((key(s._2), key(s._1)))
+    val aPlain = subsA.filterNot(s => coSame(s, bKeys) || coOpp(s, bKeys))
+    val aShared = subsA.filter(s => coSame(s, bKeys))
+    val bPlain = subsB.filterNot(s => coSame(s, aKeys) || coOpp(s, aKeys))
+    val kept = keep(aPlain, b) ++ aShared ++ keep(bPlain, a)
     if (kept.isEmpty) return gf.createPolygon()
     // stitch: exact-double adjacency (shared crossing instances + one
     // vector instance per original vertex make keys bit-identical)
-    def key(v: Array[Double]) = (v(0), v(1), v(2))
     val outgoing = scala.collection.mutable.Map
       .empty[(Double, Double, Double), List[Int]]
     kept.indices.foreach { k =>

@@ -1071,6 +1071,49 @@ object SpatialQueries {
             "st_point(cast(lon as double), cast(lat as double)))").as("d2_in"))
     }),
 
+    // TANGENT-CONTACT oriented overlay: B shares part of A's equator
+    // edge (coincident arc, same direction, T-contact vertices on A's
+    // edge) and sticks out past A's right meridian (one regular
+    // crossing) — the degenerate-contact contract real coastline/admin
+    // data hits. Intersection/union/difference memberships of a
+    // margin-filtered lattice against pure boolean interval logic.
+    // All contact is coordinate-exact (equator + meridian edges).
+    "sp26_oriented_tangent" -> ((s, dir) => {
+      prep(s)
+      val qa = "POLYGON ((0 0, 40 0, 40 30, 0 30, 0 0))"
+      val qb = "POLYGON ((10 0, 50 0, 50 15, 10 15, 10 0))"
+      val iE = s"st_intersectionsphereoriented(" +
+        s"st_geomfromtext('$qa'), st_geomfromtext('$qb'))"
+      val uE = s"st_unionsphereoriented(" +
+        s"st_geomfromtext('$qa'), st_geomfromtext('$qb'))"
+      val dE = s"st_differencesphereoriented(" +
+        s"st_geomfromtext('$qa'), st_geomfromtext('$qb'))"
+      t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("pt_id"),
+          (col("p_partkey") * 7 % 71 - 8).cast("long").as("lon"),
+          (col("p_partkey") * 11 % 67 - 12).cast("long").as("lat"))
+        .withColumn("ca",
+          when(col("lon") >= 3 && col("lon") <= 37 &&
+            col("lat") >= 3 && col("lat") <= 27, lit("in"))
+          .when(col("lon") <= -3 || col("lon") >= 43 ||
+            col("lat") <= -3 || col("lat") >= 35, lit("out"))
+          .otherwise(lit("skip")))
+        .withColumn("cb",
+          when(col("lon") >= 13 && col("lon") <= 47 &&
+            col("lat") >= 3 && col("lat") <= 12, lit("in"))
+          .when(col("lon") <= 7 || col("lon") >= 53 ||
+            col("lat") <= -3 || col("lat") >= 19, lit("out"))
+          .otherwise(lit("skip")))
+        .filter(col("ca") =!= "skip" && col("cb") =!= "skip")
+        .select(col("pt_id"), col("ca"), col("cb"),
+          expr(s"st_containssphereoriented($iE, " +
+            "st_point(cast(lon as double), cast(lat as double)))").as("i_in"),
+          expr(s"st_containssphereoriented($uE, " +
+            "st_point(cast(lon as double), cast(lat as double)))").as("u_in"),
+          expr(s"st_containssphereoriented($dE, " +
+            "st_point(cast(lon as double), cast(lat as double)))").as("d_in"))
+    }),
+
     "sp20_ntv2_gridshift" -> ((s, dir) => {
       prep(s)
       val base = s"/tmp/graft_ntv2_gate/${math.abs(dir.hashCode)}"
@@ -1951,6 +1994,31 @@ object SpatialQueries {
         |  cf = 'in' AND cs = 'in' AS i_in,
         |  cf = 'in' OR cs = 'in' AS u_in
         |FROM c WHERE cf <> 'skip' AND cs <> 'skip'""".stripMargin,
+
+    // tangent-contact overlay membership by boolean algebra over the
+    // interval classes: i = A AND B, u = A OR B, d = A AND NOT B
+    "sp26_oriented_tangent" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pt_id,
+        |    CAST(p_partkey*7 % 71 - 8 AS BIGINT) AS lon,
+        |    CAST(p_partkey*11 % 67 - 12 AS BIGINT) AS lat
+        |  FROM part),
+        |c AS (SELECT pt_id,
+        |  CASE WHEN lon >= 3 AND lon <= 37 AND lat >= 3 AND lat <= 27
+        |         THEN 'in'
+        |       WHEN lon <= -3 OR lon >= 43 OR lat <= -3 OR lat >= 35
+        |         THEN 'out'
+        |       ELSE 'skip' END AS ca,
+        |  CASE WHEN lon >= 13 AND lon <= 47 AND lat >= 3 AND lat <= 12
+        |         THEN 'in'
+        |       WHEN lon <= 7 OR lon >= 53 OR lat <= -3 OR lat >= 19
+        |         THEN 'out'
+        |       ELSE 'skip' END AS cb
+        |  FROM p)
+        |SELECT pt_id, ca, cb,
+        |  ca = 'in' AND cb = 'in' AS i_in,
+        |  ca = 'in' OR cb = 'in' AS u_in,
+        |  ca = 'in' AND cb = 'out' AS d_in
+        |FROM c WHERE ca <> 'skip' AND cb <> 'skip'""".stripMargin,
 
     // difference membership by boolean algebra: d1 (frame∖strip) =
     // in-frame AND NOT in-strip; d2 (strip∖frame) = in-strip AND NOT

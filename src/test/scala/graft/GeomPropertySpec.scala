@@ -556,6 +556,100 @@ class GeomPropertySpec extends AnyFunSuite {
     assert(!Spherical.coversGeom(line, g("POLYGON ((0 0, 1 0, 1 1, 0 0))")))
   }
 
+  test("oriented overlay degenerate contact: shared edges, T-contacts, vertex crossings") {
+    import graft.functions.Spherical
+    def g(wkt: String): Geometry =
+      new org.locationtech.jts.io.WKTReader(GeomIO.factory).read(wkt)
+    def areaO(x: Geometry): Double =
+      if (x.isEmpty) 0.0 else Spherical.areaOriented(x).asInstanceOf[Double]
+    val sphere = 4 * math.Pi * Spherical.R * Spherical.R
+
+    // 1. adjacent quads sharing a full meridian edge (coincident arcs,
+    //    opposite direction): intersection is empty area, union merges
+    //    across the seam with no internal boundary
+    val adjA = g("POLYGON ((0 0, 20 0, 20 30, 0 30, 0 0))")
+    val adjB = g("POLYGON ((20 0, 40 0, 40 30, 20 30, 20 0))")
+    val adjI = Spherical.intersectionOriented(adjA, adjB)
+    assert(adjI.isEmpty || math.abs(areaO(adjI)) <= 1e-9 * sphere,
+      s"adjacent quads must intersect empty, got $adjI")
+    val adjU = Spherical.unionOriented(adjA, adjB)
+    assert(math.abs(areaO(adjU) - (areaO(adjA) + areaO(adjB))) <= 1e-9 * sphere,
+      "adjacent union area must be the sum")
+    assert(Spherical.coversPointOriented(adjU, 10, 10))
+    assert(Spherical.coversPointOriented(adjU, 30, 10))
+    assert(Spherical.coversPointOriented(adjU, 20, 10), "seam interior is inside")
+    assert(!Spherical.coversPointOriented(adjU, -5, 10))
+    assert(!Spherical.coversPointOriented(adjU, 45, 10))
+
+    // 2. contained polygon sharing a boundary SEGMENT (coincident arcs,
+    //    same direction, T-contact vertices (10,0)/(30,0) on A's equator
+    //    edge): intersection = B, union = A, difference = A minus B
+    val cntA = g("POLYGON ((0 0, 40 0, 40 30, 0 30, 0 0))")
+    val cntB = g("POLYGON ((10 0, 30 0, 30 15, 10 15, 10 0))")
+    val cntI = Spherical.intersectionOriented(cntA, cntB)
+    assert(math.abs(areaO(cntI) - areaO(cntB)) <= 1e-9 * sphere,
+      "contained-tangent intersection must equal B")
+    assert(Spherical.coversPointOriented(cntI, 20, 7))
+    assert(!Spherical.coversPointOriented(cntI, 20, 22))
+    assert(!Spherical.coversPointOriented(cntI, 5, 5))
+    val cntU = Spherical.unionOriented(cntA, cntB)
+    assert(math.abs(areaO(cntU) - areaO(cntA)) <= 1e-9 * sphere,
+      "contained-tangent union must equal A")
+    val cntD = Spherical.differenceOriented(cntA, cntB)
+    assert(math.abs(areaO(cntD) - (areaO(cntA) - areaO(cntB))) <= 1e-9 * sphere,
+      "contained-tangent difference area")
+    assert(Spherical.coversPointOriented(cntD, 5, 5))
+    assert(!Spherical.coversPointOriented(cntD, 20, 7))
+    assert(Spherical.coversPointOriented(cntD, 20, 22))
+
+    // 3. overlap sticking out: B shares part of A's equator edge and
+    //    extends past A's right meridian (coincident sub-arc + one
+    //    regular crossing) — full inclusion-exclusion must hold
+    val ovA = cntA
+    val ovB = g("POLYGON ((10 0, 50 0, 50 15, 10 15, 10 0))")
+    val ovI = Spherical.intersectionOriented(ovA, ovB)
+    val ovU = Spherical.unionOriented(ovA, ovB)
+    assert(math.abs((areaO(ovA) + areaO(ovB)) - (areaO(ovI) + areaO(ovU))) <=
+      1e-9 * sphere, "stick-out overlap incl-excl")
+    assert(Spherical.coversPointOriented(ovI, 20, 7))
+    assert(!Spherical.coversPointOriented(ovI, 45, 7)) // B only
+    assert(Spherical.coversPointOriented(ovU, 45, 7))
+    assert(Spherical.coversPointOriented(ovU, 20, 22)) // A only
+    val ovD = Spherical.differenceOriented(ovA, ovB)
+    assert(math.abs(areaO(ovD) - (areaO(ovA) - areaO(ovI))) <= 1e-9 * sphere)
+    assert(Spherical.coversPointOriented(ovD, 20, 22))
+    assert(!Spherical.coversPointOriented(ovD, 20, 7))
+
+    // 4. boundary crossing AT a vertex: B's vertex (10,20) lies exactly
+    //    on A's right meridian edge with B extending to both sides
+    val vxA = g("POLYGON ((-20 0, 10 0, 10 40, -20 40, -20 0))")
+    val vxB = g("POLYGON ((-10 10, 10 20, 30 10, 30 30, -10 30, -10 10))")
+    val vxI = Spherical.intersectionOriented(vxA, vxB)
+    val vxU = Spherical.unionOriented(vxA, vxB)
+    assert(math.abs((areaO(vxA) + areaO(vxB)) - (areaO(vxI) + areaO(vxU))) <=
+      1e-9 * sphere, "vertex-crossing incl-excl")
+    assert(Spherical.coversPointOriented(vxI, 0, 26))   // in both
+    assert(!Spherical.coversPointOriented(vxI, 0, 12))  // A only
+    assert(!Spherical.coversPointOriented(vxI, 20, 25)) // B only
+    val vxD = Spherical.differenceOriented(vxA, vxB)
+    assert(Spherical.coversPointOriented(vxD, 0, 12))
+    assert(!Spherical.coversPointOriented(vxD, 0, 26))
+
+    // 5. T-vertex tangency (vertex on edge, region entirely one side):
+    //    intersection empty, union area = sum
+    val tA = vxA
+    val tB = g("POLYGON ((10 20, 30 10, 30 30, 10 20))")
+    val tI = Spherical.intersectionOriented(tA, tB)
+    assert(tI.isEmpty || math.abs(areaO(tI)) <= 1e-9 * sphere,
+      s"T-tangent intersection must be empty, got $tI")
+    val tU = Spherical.unionOriented(tA, tB)
+    assert(math.abs(areaO(tU) - (areaO(tA) + areaO(tB))) <= 1e-9 * sphere,
+      "T-tangent union area must be the sum")
+    assert(Spherical.coversPointOriented(tU, 0, 20))
+    assert(Spherical.coversPointOriented(tU, 25, 20))
+    assert(!Spherical.coversPointOriented(tU, 40, 20))
+  }
+
   test("oriented overlay property: random caps, membership + inclusion-exclusion") {
     import graft.functions.Spherical
     def circle(cx: Double, cy: Double, rhoDeg: Double, cw: Boolean): Geometry = {
