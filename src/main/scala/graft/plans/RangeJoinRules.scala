@@ -548,17 +548,41 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
     // strict bound sweeps on d∓1 (exact for longs); the single domain
     // value whose adjustment would wrap matches nothing in the original
     // semantics, so it is filtered rather than wrapped.
+    //
+    // Domain pruning: the distinct-keys build doubles as a per-key
+    // extremum (min v backward, max v forward) — the same shuffle and
+    // output cardinality as the old `.distinct()`, plus one long — and
+    // the domain product keeps only (d, key) pairs the sweep could
+    // possibly match (backward: min(v) <= sweep point; forward:
+    // max(v) >= sweep point). The pruned pairs are exactly the groups
+    // that would sweep to null and be dropped by the `__v.isNotNull`
+    // filter below, so results are identical; the bound becomes the
+    // nested-loop join's condition (Catalyst pushes the filter into the
+    // cross join), so at extreme |d|x|keys| cardinality dead pairs are
+    // never materialized or shuffled into the sweep. A key whose every
+    // v is null aggregates to a null extremum and prunes — correct,
+    // since a null v matches no inequality in the original plan.
+    val dLong = toLongCol(col(s"__ga$di"), s.d.dataType)
     val lhs0 = withKey(
       if (s.gbB.isEmpty) aDom
-      else aDom.crossJoin(bDF.select(s.gbB.zipWithIndex.map { case (a, i) =>
-        DatasetBridge.column(a).as(s"__gb$i") }: _*).distinct()))
-    val dLong = toLongCol(col(s"__ga$di"), s.d.dataType)
-    val lhs =
+      else {
+        val ext = (if (s.backward) min(col("__bv")) else max(col("__bv")))
+          .as("__bext")
+        aDom.crossJoin(bDF.select((s.gbB.zipWithIndex.map { case (a, i) =>
+          DatasetBridge.column(a).as(s"__gb$i") } :+
+          toLongCol(DatasetBridge.column(s.v), s.v.dataType).as("__bv")): _*)
+          .groupBy(gbBNames.map(col): _*).agg(ext))
+      })
+    val shifted =
       if (!s.strict) lhs0.withColumn("__d", dLong)
       else if (s.backward)
         lhs0.filter(dLong =!= lit(Long.MinValue)).withColumn("__d", dLong - 1L)
       else
         lhs0.filter(dLong =!= lit(Long.MaxValue)).withColumn("__d", dLong + 1L)
+    val lhs =
+      if (s.gbB.isEmpty) shifted
+      else (if (s.backward) shifted.filter(col("__bext") <= col("__d"))
+            else shifted.filter(col("__bext") >= col("__d"))).drop("__bext")
     // the tiebreak id must be a COLUMN DISTINCT from the time column:
     // asofForward negates time and id independently, and they alias here
     val rhs = withKey(bDF.select((s.gbB.zipWithIndex.map { case (a, i) =>

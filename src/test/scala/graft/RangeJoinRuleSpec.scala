@@ -532,6 +532,63 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("as-of domain pruning: unmatchable keys drop before the sweep, results exact") {
+    // 40 keys, but only keys 0..3 have any rts at or below the lts range:
+    // the domain product is 40x the live one, and the per-key min(v)
+    // bound must prune the dead 90% without changing results. Mixed
+    // strict/tolerance spellings keep the pruning honest under the d-1
+    // sweep shift.
+    val l = spark.range(500).select(col("id").as("lid"),
+      pmod(hash(col("id"), lit(41)), lit(40)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(42)), lit(100)).cast("long") * 10L).as("lts"))
+    // keys >= 4 start 1e6 above every lts: min(rts) > max(lts) -> prunable
+    val r = spark.range(500).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(43)), lit(40)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(44)), lit(100)).cast("long") * 10L +
+        when(pmod(hash(col("id"), lit(43)), lit(40)) >= 4, lit(1000000L))
+          .otherwise(lit(0L))).as("rts"))
+    l.createOrReplaceTempView("asr_pr_l")
+    r.createOrReplaceTempView("asr_pr_r")
+    for (bound <- Seq("r2.rts <= l.lts", "r2.rts < l.lts",
+        "r2.rts <= l.lts AND l.lts - r2.rts <= 70")) {
+      val sql = s"""
+        SELECT l.lid, r.rid FROM asr_pr_l l JOIN asr_pr_r r ON l.k = r.k
+        WHERE r.rts = (SELECT max(r2.rts) FROM asr_pr_r r2
+                       WHERE r2.k = l.k AND $bound)"""
+      val df = spark.sql(sql)
+      assert(planString(df).contains("ExistingRDD"),
+        s"rewrite must still fire with domain pruning ($bound)")
+      val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      spark.conf.set("spark.graft.join.asof.enabled", "false")
+      val expect = try spark.sql(sql).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+      assert(got.nonEmpty && got == expect, s"pruned sweep diverged ($bound)")
+      // the surviving keys really are only the live ones
+      assert(spark.sql(sql).select("rid").distinct().collect().nonEmpty)
+    }
+    // forward/min mirror: keys >= 4 END 1e6 BELOW every lts -> max(rts)
+    // < min(lts) prunes under the max-extremum bound
+    val rf = spark.range(500).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(45)), lit(40)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(46)), lit(100)).cast("long") * 10L +
+        when(pmod(hash(col("id"), lit(45)), lit(40)) >= 4, lit(-1000000L))
+          .otherwise(lit(0L))).as("rts"))
+    rf.createOrReplaceTempView("asr_pr_rf")
+    val sqlF = """
+      SELECT l.lid, r.rid FROM asr_pr_l l JOIN asr_pr_rf r ON l.k = r.k
+      WHERE r.rts = (SELECT min(r2.rts) FROM asr_pr_rf r2
+                     WHERE r2.k = l.k AND r2.rts >= l.lts)"""
+    val dfF = spark.sql(sqlF)
+    assert(planString(dfF).contains("ExistingRDD"))
+    val gotF = dfF.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    spark.conf.set("spark.graft.join.asof.enabled", "false")
+    val expectF = try spark.sql(sqlF).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+    assert(gotF.nonEmpty && gotF == expectF)
+  }
+
   test("auto cell width sizes from |hi - lo|: one strongly inverted row stays O(1) fanout") {
     // normal rows have length <= 50; one row is inverted by ~1e9. With
     // signed max-length sizing the width would be ~50 and the inverted
