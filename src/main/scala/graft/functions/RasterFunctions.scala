@@ -536,6 +536,26 @@ object RasterFunctions {
       else RasterModel.toRow(r.crs, r.gt, r.width, r.height,
         r.bands.updated(b - 1, r.bands(b - 1).copy(nodata = v)), r.path)
     }),
+    // declare the storage dtype of one band or all bands (the model's
+    // pixels stay f64; the dtype governs how writers like RS_AsGeoTiff
+    // serialize — e.g. UNSIGNED_8BITS is what the JPEG codec needs)
+    fnv("rs_setbandpixeltype", RasterModel.dataType,
+        Seq(Seq(Raw, Str), Seq(Raw, Int_, Str)))(a => {
+      val r = rast(a)
+      val (b, t) = if (a.length == 2) (0, a(1).asInstanceOf[String])
+        else (ii(a, 1), a(2).asInstanceOf[String])
+      val tt = t.trim.toUpperCase(java.util.Locale.ROOT)
+      require(Set("UNSIGNED_8BITS", "SIGNED_8BITS", "UNSIGNED_16BITS",
+        "SIGNED_16BITS", "UNSIGNED_32BITS", "SIGNED_32BITS",
+        "UNSIGNED_64BITS", "SIGNED_64BITS", "REAL_32BITS",
+        "REAL_64BITS")(tt), s"rs_setbandpixeltype: unknown pixel type '$t'")
+      if (b != 0 && (b < 1 || b > r.bands.length)) null
+      else {
+        val bands = if (b == 0) r.bands.map(_.copy(ptype = tt))
+          else r.bands.updated(b - 1, r.bands(b - 1).copy(ptype = tt))
+        RasterModel.toRow(r.crs, r.gt, r.width, r.height, bands, r.path)
+      }
+    }),
     fnv("rs_setgeoreference", RasterModel.dataType,
         Seq(Seq(Raw, Str), Seq(Raw, Str, Str)))(a => {
       val r = rast(a)

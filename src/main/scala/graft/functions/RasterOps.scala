@@ -691,26 +691,29 @@ object RasterOps {
     fnv("rs_asgeotiff", BinaryType,
         Seq(Seq(Raw), Seq(Raw, Str, Dbl)))(a => {
       // the lossless codec set the reference suite pins
-      // (test_rs_asgeotiff.py COMPRESSIONS); the quality fraction is
-      // accepted and ignored for lossless codecs
-      if (a.length > 2) {
-        val quality = d(a, 2)
-        require(quality >= 0.0 && quality <= 1.0,
-          s"rs_asgeotiff: quality $quality out of range: must be between " +
+      // (test_rs_asgeotiff.py COMPRESSIONS) plus JPEG, the one lossy
+      // member (rs_as_geotiff.rs imageQuality); the quality fraction is
+      // honored for JPEG and ignored for the lossless codecs
+      val quality = if (a.length > 2) {
+        val q = d(a, 2)
+        require(q >= 0.0 && q <= 1.0,
+          s"rs_asgeotiff: quality $q out of range: must be between " +
             "0.0 and 1.0 (a fraction, not a 0-100 percentage)")
-      }
+        q
+      } else 0.75
       val code = if (a.length <= 1) 1 else {
         a(1).asInstanceOf[String].trim.toLowerCase(java.util.Locale.ROOT) match {
           case "" | "none" => 1
           case "deflate" => 8
           case "lzw" => 5
+          case "jpeg" => 7
           case "packbits" => 32773
           case other => throw new IllegalArgumentException(
             s"rs_asgeotiff: compression '$other' not supported offline " +
-              "(NONE/DEFLATE/LZW/PACKBITS)")
+              "(NONE/DEFLATE/LZW/JPEG/PACKBITS)")
         }
       }
-      graft.sources.GeoTiff.writeCompressed(rast(a), code)
+      graft.sources.GeoTiff.writeCompressed(rast(a), code, quality = quality)
     }),
 
     // RS_AsNetCDF(raster) -> binary: classic CDF-2 serialization through

@@ -1215,6 +1215,36 @@ object SpatialQueries {
           st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
     }),
 
+    // JPEG-compressed GeoTIFF (TIFF compression 7, the layout aerial
+    // imagery and most lossy COGs ship in; the reference reaches it
+    // through GDAL's libjpeg path, here the JDK ImageIO codec): 8-bit
+    // constant bands survive a q=1.0 whole-band JPEG stream exactly, so
+    // bandmin == bandmax == the source value proves every pixel decoded
+    // right, while octet_length shows the stream really is entropy-coded
+    "rs17_jpeg_geotiff" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("val", (col("n_nationkey") * 9 % 200 + 10).cast("double"))
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("r", st.f("rs_setbandpixeltype",
+          st.f("rs_setcrs",
+            st.f("rs_makeraster", lit(64), lit(48), col("ulx"), lit(100.0),
+              lit(2.0), lit(-2.0), array_repeat(col("val"), 64 * 48)),
+            lit("EPSG:3857")),
+          lit("UNSIGNED_8BITS")))
+        .withColumn("g", st.f("rs_asgeotiff", col("r"), lit("jpeg"), lit(1.0)))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_upperleftx", col("rt")).as("ulx_out"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          st.f("rs_bandmin", col("rt"), lit(1)).as("vmin"),
+          st.f("rs_bandmax", col("rt"), lit(1)).as("vmax"),
+          st.f("rs_bandpixeltype", col("rt"), lit(1)).as("ptype"),
+          (octet_length(col("g")) < lit(64 * 48)).as("compressed"))
+    }),
+
     // netCDF classic out-db: per-nation CDF-2 tiles written through
     // sources/NetCdf (the reference reads netCDF via its GDAL raster
     // side, rust/sedona-raster-gdal/src/register.rs; here the classic
@@ -2062,6 +2092,17 @@ object SpatialQueries {
         |  list_sum(vs)/12.0 AS bavg,
         |  list_max(vs) AS bmax
         |FROM v""".stripMargin,
+
+    // constant 8-bit bands survive a q=1.0 JPEG stream exactly (DC-only
+    // blocks), so min == max == source value proves the decode
+    "rs17_jpeg_geotiff" ->
+      """SELECT n_nationkey, 64 AS w, 48 AS h,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*8.0 AS ulx_out,
+        |  'EPSG:3857' AS crs,
+        |  CAST(n_nationkey*9 % 200 + 10 AS DOUBLE) AS vmin,
+        |  CAST(n_nationkey*9 % 200 + 10 AS DOUBLE) AS vmax,
+        |  'UNSIGNED_8BITS' AS ptype, TRUE AS compressed
+        |FROM nation""".stripMargin,
 
     // BigTIFF tile pixel i = (n*100 + i) % 97 on a 40x24 grid; sums of
     // small integer doubles are exact, so bavg is order-free

@@ -39,6 +39,7 @@ object GeoTiff {
   private val TTileOffsets = 324
   private val TTileByteCounts = 325
   private val TSampleFormat = 339
+  private val TJpegTables = 347
   private val TModelPixelScale = 33550
   private val TModelTiepoint = 33922
   private val TModelTransformation = 34264
@@ -62,10 +63,11 @@ object GeoTiff {
     * the tiles a query touches. Tile dims must be multiples of 16 (spec
     * requirement); edge tiles are zero-padded to full size. */
   def writeTiled(r: Raster, tileW: Int, tileH: Int,
-      compressionCode: Int = 1, bigTiff: Boolean = false): Array[Byte] = {
+      compressionCode: Int = 1, bigTiff: Boolean = false,
+      quality: Double = 0.75): Array[Byte] = {
     require(tileW > 0 && tileH > 0 && tileW % 16 == 0 && tileH % 16 == 0,
       s"rs_asgeotiff: tile dims must be positive multiples of 16, got ${tileW}x$tileH")
-    writeChunked(r, compressionCode, Some((tileW, tileH)), bigTiff)
+    writeChunked(r, compressionCode, Some((tileW, tileH)), bigTiff, quality)
   }
 
   /** compressionCode: TIFF tag 259 value — 1 none, 5 LZW, 8 deflate,
@@ -77,8 +79,8 @@ object GeoTiff {
     * LONG8 chunk tables) — the format GDAL switches to near 4 GB, so a
     * pipeline tiling large mosaics stays interoperable. */
   def writeCompressed(r: Raster, compressionCode: Int,
-      bigTiff: Boolean = false): Array[Byte] =
-    writeChunked(r, compressionCode, None, bigTiff)
+      bigTiff: Boolean = false, quality: Double = 0.75): Array[Byte] =
+    writeChunked(r, compressionCode, None, bigTiff, quality)
 
   private def header(big: Boolean, total: Long): ByteBuffer = {
     val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
@@ -91,9 +93,11 @@ object GeoTiff {
   private def headerLen(big: Boolean): Long = if (big) 16L else 8L
 
   private def writeChunked(r: Raster, compressionCode: Int,
-      tile: Option[(Int, Int)], big: Boolean = false): Array[Byte] = {
+      tile: Option[(Int, Int)], big: Boolean = false,
+      quality: Double = 0.75): Array[Byte] = {
     val h = headerLen(big)
-    val (seg, _) = writeSegment(r, compressionCode, tile, h, subfile = false, big)
+    val (seg, _) = writeSegment(r, compressionCode, tile, h, subfile = false,
+      big, quality)
     val out = header(big, h + seg.length)
     out.put(seg)
     out.array()
@@ -165,7 +169,8 @@ object GeoTiff {
     * chunk offset/bytecount tables, u64 next-IFD pointer. */
   private def writeSegment(r: Raster, compressionCode: Int,
       tile: Option[(Int, Int)], baseOffset: Long,
-      subfile: Boolean, big: Boolean = false): (Array[Byte], Int) = {
+      subfile: Boolean, big: Boolean = false,
+      quality: Double = 0.75): (Array[Byte], Int) = {
     require(r.bands.nonEmpty, "rs_asgeotiff: raster has no bands")
     require(r.bands.forall(b => b.dims == null || b.dims.length == 2),
       "rs_asgeotiff: N-D bands not representable in TIFF (slice first)")
@@ -212,9 +217,18 @@ object GeoTiff {
         out.array()
       }
     val bytesPerSample = sampleBits / 8
+    // JPEG (code 7) is an 8-bit-unsigned codec: each plane-major chunk
+    // becomes a standalone grayscale JPEG stream (spec-legal with
+    // PlanarConfig=2 + Photometric=1; GDAL reads the layout), so the
+    // quality knob is honored and no JPEGTables tag is needed
+    if (compressionCode == 7)
+      require(sampleFmt == 1 && sampleBits == 8,
+        "rs_asgeotiff: JPEG compression requires UNSIGNED_8BITS bands " +
+          s"(got fmt=$sampleFmt bits=$sampleBits)")
     def compress(raw: Array[Byte], rowBytes: Int): Array[Byte] = compressionCode match {
       case 1 => raw
       case 5 => lzwEncode(raw)
+      case 7 => jpegEncodeGray(raw, rowBytes, quality)
       case 8 => deflateBytes(raw)
       case 32773 => packBitsEncode(raw, rowBytes)
       case other => throw new IllegalArgumentException(
@@ -570,6 +584,103 @@ object GeoTiff {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // JPEG (compression 7, the TTN2 "new-style" scheme GDAL writes): each
+  // strip/tile is a standalone or abbreviated JPEG stream; tag 347
+  // JPEGTables, when present, carries the shared DQT/DHT segments as a
+  // tables-only stream (SOI..tables..EOI). Decode splices the tables
+  // ahead of the chunk's entropy data and hands the result to the JDK's
+  // ImageIO codec — the same baseline-JPEG decode GDAL delegates to
+  // libjpeg, so decoded pixels match the de-facto reference decoder.
+
+  /** tables minus its trailing EOI ++ chunk minus its leading SOI. */
+  private def jpegMerge(tables: Array[Byte], chunk: Array[Byte]): Array[Byte] =
+    if (tables == null || tables.length < 4) chunk
+    else {
+      require(chunk.length >= 2 && (chunk(0) & 0xff) == 0xff &&
+        (chunk(1) & 0xff) == 0xd8, "geotiff: JPEG chunk missing SOI")
+      require((tables(0) & 0xff) == 0xff && (tables(1) & 0xff) == 0xd8,
+        "geotiff: JPEGTables missing SOI")
+      val tl =
+        if ((tables(tables.length - 2) & 0xff) == 0xff &&
+            (tables(tables.length - 1) & 0xff) == 0xd9) tables.length - 2
+        else tables.length
+      val out = new Array[Byte](tl + chunk.length - 2)
+      System.arraycopy(tables, 0, out, 0, tl)
+      System.arraycopy(chunk, 2, out, tl, chunk.length - 2)
+      out
+    }
+
+  /** Decode one JPEG chunk to 8-bit samples in the chunk's row-major
+    * layout (`rowSamples` samples per row, `chans` samples per pixel —
+    * 1 for grayscale/planar planes, 3 for chunky RGB/YCbCr, which
+    * ImageIO hands back already converted to RGB). */
+  private def jpegDecodeChunk(data: Array[Byte], tables: Array[Byte],
+      rowSamples: Int, chans: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpegMerge(tables, data)))
+    require(img != null, "geotiff: undecodable JPEG chunk")
+    val w0 = img.getWidth
+    val h0 = img.getHeight
+    val out = new Array[Byte](h0 * rowSamples)
+    if (chans == 1) {
+      val ras = img.getRaster
+      require(ras.getNumBands == 1,
+        s"geotiff: JPEG chunk decoded ${ras.getNumBands} bands where the " +
+          "tile layout holds 1 sample/pixel")
+      val row = new Array[Int](w0)
+      val cols = math.min(w0, rowSamples)
+      var y = 0
+      while (y < h0) {
+        ras.getSamples(0, y, w0, 1, 0, row)
+        var x = 0
+        while (x < cols) { out(y * rowSamples + x) = row(x).toByte; x += 1 }
+        y += 1
+      }
+    } else {
+      require(chans == 3,
+        s"geotiff: JPEG chunky layout supports 1 or 3 samples/pixel, got $chans")
+      val px = img.getRGB(0, 0, w0, h0, null, 0, w0)
+      val cols = math.min(w0, rowSamples / 3)
+      var y = 0
+      while (y < h0) {
+        var x = 0
+        while (x < cols) {
+          val p = px(y * w0 + x)
+          val o = y * rowSamples + x * 3
+          out(o) = ((p >> 16) & 0xff).toByte
+          out(o + 1) = ((p >> 8) & 0xff).toByte
+          out(o + 2) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  /** Encode one plane-major chunk (8-bit unsigned samples, `width`
+    * samples per row) as a standalone grayscale JPEG at the given
+    * ImageIO quality fraction. */
+  private def jpegEncodeGray(raw: Array[Byte], width: Int,
+      quality: Double): Array[Byte] = {
+    val h0 = raw.length / width
+    val img = new java.awt.image.BufferedImage(width, h0,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, h0, raw)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality.toFloat)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** PackBits decode (TIFF 6.0 §9): n in [0,127] copy n+1 literals,
     * n in [-127,-1] repeat next byte 1-n times, -128 is a no-op. */
   private def packBitsDecode(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
@@ -716,10 +827,15 @@ object GeoTiff {
     val h = one(TImageLength, throw new IllegalArgumentException("geotiff: no height")).toInt
     val nb = one(TSamplesPerPixel, 1L).toInt
     val compression = one(TCompression, 1L).toInt
-    // 5 = LZW, 8 = Adobe deflate, 32946 = legacy deflate, 32773 = PackBits
-    require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32946 || compression == 32773,
-      s"geotiff: compression $compression not supported (NONE/LZW/DEFLATE/PACKBITS only)")
+    // 5 = LZW, 7 = JPEG (TTN2), 8 = Adobe deflate, 32946 = legacy
+    // deflate, 32773 = PackBits
+    require(compression == 1 || compression == 5 || compression == 7 ||
+      compression == 8 || compression == 32946 || compression == 32773,
+      s"geotiff: compression $compression not supported (NONE/LZW/JPEG/DEFLATE/PACKBITS only)")
+    val jpegTables: Array[Byte] = tags.get(TJpegTables).map { case (_, count, pos) =>
+      val off = if (count <= inlineMax) pos else readOff(pos)
+      java.util.Arrays.copyOfRange(bytes, off, off + count)
+    }.orNull
     val predictor = one(TPredictor, 1L).toInt
     val planar = one(TPlanarConfig, 1L).toInt
     val bits = valuesOf(TBitsPerSample).map(_.map(_.toInt)).getOrElse(IndexedSeq.fill(nb)(1))
@@ -738,6 +854,9 @@ object GeoTiff {
       val chunk = compression match {
         case 1 => java.util.Arrays.copyOfRange(bytes, off, off + len)
         case 5 => lzwDecode(bytes, off, len)
+        case 7 => jpegDecodeChunk(
+          java.util.Arrays.copyOfRange(bytes, off, off + len),
+          jpegTables, rowSamples, stride)
         case 32773 => packBitsDecode(bytes, off, len)
         case _ => inflateBytes(bytes, off, len)
       }
@@ -980,6 +1099,14 @@ object GeoTiff {
     }
     def one(tag: Int, default: => Long): Long =
       longsOf(tag).map(_.head).getOrElse(default)
+    /** Raw value bytes of a tag (e.g. UNDEFINED-typed JPEGTables). */
+    def rawOf(tag: Int): Option[Array[Byte]] = tags.get(tag).map {
+      case (typ, count, pos) =>
+        val bb = bytesOf(typ, count, pos)
+        val out = new Array[Byte](typeSize(typ) * count)
+        bb.get(out)
+        out
+    }
   }
 
   /** Header-only metadata read for the out-db loader path: bounded
@@ -1048,9 +1175,10 @@ object GeoTiff {
       s"geotiff: window ($xoff,$yoff ${ww}x$wh) outside raster ${w}x$h")
     val nb = t.one(TSamplesPerPixel, 1L).toInt
     val compression = t.one(TCompression, 1L).toInt
-    require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32946 || compression == 32773,
-      s"geotiff: compression $compression not supported (NONE/LZW/DEFLATE/PACKBITS only)")
+    require(compression == 1 || compression == 5 || compression == 7 ||
+      compression == 8 || compression == 32946 || compression == 32773,
+      s"geotiff: compression $compression not supported (NONE/LZW/JPEG/DEFLATE/PACKBITS only)")
+    val jpegTables: Array[Byte] = t.rawOf(TJpegTables).orNull
     val predictor = t.one(TPredictor, 1L).toInt
     val planar = t.one(TPlanarConfig, 1L).toInt
     val bits = t.longsOf(TBitsPerSample).map(_.map(_.toInt)).getOrElse(IndexedSeq.fill(nb)(1))
@@ -1070,6 +1198,7 @@ object GeoTiff {
       val chunk = compression match {
         case 1 => data
         case 5 => lzwDecode(data, 0, len)
+        case 7 => jpegDecodeChunk(data, jpegTables, rowSamples, chans)
         case 32773 => packBitsDecode(data, 0, len)
         case _ => inflateBytes(data, 0, len)
       }

@@ -560,4 +560,131 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
         .stripMargin).collect()(0).getSeq[Any](0)
     assert(vs == Seq(100000.0 + 17 * 1000.0 + 42, null))
   }
+
+  /** Deterministic 8-bit raster for the lossy JPEG codec tests. */
+  private def makeRaster8(w: Int, h: Int, nb: Int,
+      f: (Int, Int, Int) => Int): Raster = {
+    val bands = (1 to nb).map { b =>
+      val vals = Array.tabulate(w * h)(i => f(b, i / w, i % w).toDouble)
+      Band(Double.NaN, RasterModel.packDoubles(vals), ptype = "UNSIGNED_8BITS")
+    }
+    Raster("EPSG:32610", Array(500000.0, 10.0, 0.0, 4650000.0, 0.0, -10.0),
+      w, h, bands)
+  }
+
+  test("JPEG geotiff: constant tiles roundtrip within 1 at q=1.0; smooth data within tolerance; window == full crop") {
+    def fetchOf(bytes: Array[Byte]): (Long, Int) => Array[Byte] =
+      (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    // constant image at q=1.0: interior blocks are DC-only; the
+    // zero-padded edge tiles put a hard step inside their blocks, so
+    // integer DCT rounding may wobble edge-adjacent pixels by 1
+    val rc = makeRaster8(150, 90, 2, (b, _, _) => 40 * b + 17)
+    val cb = GeoTiff.writeTiled(rc, 64, 64, 7, quality = 1.0)
+    val cback = GeoTiff.read(cb)
+    for (b <- 1 to 2) {
+      val d = pixels(cback, b).zip(pixels(rc, b)).map {
+        case (a, e) => math.abs(a - e) }.max
+      assert(d <= 1.0, s"constant JPEG band $b max error $d")
+    }
+    assert(cback.gt.toSeq == rc.gt.toSeq && cback.crs == rc.crs)
+    // smooth gradient: lossy, but must stay within a tight tolerance
+    val rg = makeRaster8(150, 90, 1, (_, row, col) => (row + col) / 2 % 200)
+    val gb = GeoTiff.writeTiled(rg, 64, 64, 7, quality = 0.95)
+    val gback = GeoTiff.read(gb)
+    val maxd = pixels(gback, 1).zip(pixels(rg, 1)).map {
+      case (a, e) => math.abs(a - e) }.max
+    assert(maxd <= 8.0, s"JPEG q0.95 max pixel error $maxd")
+    assert(gb.length < GeoTiff.writeTiled(rg, 64, 64, 1).length,
+      "JPEG output should be smaller than uncompressed")
+    // windowed read decodes the same streams -> exactly equal to the crop
+    val win = GeoTiff.readWindow(fetchOf(gb), 30, 20, 70, 50)
+    for (y <- 0 until 50; x <- 0 until 70)
+      assert(win.value(1, x, y) == gback.value(1, x + 30, y + 20),
+        s"window mismatch at ($x,$y)")
+    // strip layout (one whole-band JPEG per band) roundtrips too; no
+    // padding in a whole-band strip, so constants are exact here
+    val sb = GeoTiff.read(GeoTiff.writeCompressed(rc, 7, quality = 1.0))
+    for (b <- 1 to 2) assert(pixels(sb, b) == pixels(rc, b))
+    // non-8-bit bands must be rejected loudly
+    val r64 = makeRaster(64, 64, 1)
+    intercept[IllegalArgumentException](GeoTiff.writeTiled(r64, 64, 64, 7))
+  }
+
+  test("chunky RGB JPEG strip with JPEGTables (the GDAL layout) decodes via the tables merge") {
+    // reference image + stream from the JDK encoder itself: our TIFF
+    // decode must match ImageIO's own decode of the same JPEG bit-exactly
+    val w = 96; val h = 64
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 2 % 256) << 16) | ((y * 3 % 256) << 8) | ((x + y) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    val full = baos.toByteArray
+    // split the stream GDAL-style: DQT/DHT segments into tag 347, the
+    // rest (APPn/SOF/SOS + entropy data) stays in the strip
+    def u8(b: Byte) = b & 0xff
+    val tables = new java.io.ByteArrayOutputStream()
+    val chunk = new java.io.ByteArrayOutputStream()
+    tables.write(0xff); tables.write(0xd8)
+    chunk.write(0xff); chunk.write(0xd8)
+    var i = 2
+    while (i < full.length) {
+      assert(u8(full(i)) == 0xff, s"marker expected at $i")
+      val marker = u8(full(i + 1))
+      if (marker == 0xd9) { chunk.write(full, i, 2); i += 2 }
+      else if (marker == 0xda) { chunk.write(full, i, full.length - i); i = full.length }
+      else {
+        val len = ((u8(full(i + 2)) << 8) | u8(full(i + 3))) + 2
+        if (marker == 0xdb || marker == 0xc4) tables.write(full, i, len)
+        else chunk.write(full, i, len)
+        i += len
+      }
+    }
+    tables.write(0xff); tables.write(0xd9)
+    val tbl = tables.toByteArray
+    val strip = chunk.toByteArray
+    assert(tbl.length > 8, "fixture must actually carry tables")
+    // minimal little-endian classic TIFF: chunky 3-band JPEG strip
+    val bb = java.nio.ByteBuffer.allocate(4096 + strip.length + tbl.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    val nTags = 11
+    bb.putShort(8, nTags.toShort)
+    val valArea = 10 + nTags * 12 + 4
+    var vp = valArea // running cursor for out-of-line values
+    def entry(idx: Int, tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      val p = 10 + idx * 12
+      bb.putShort(p, tag.toShort); bb.putShort(p + 2, typ.toShort)
+      bb.putInt(p + 4, count); bb.putInt(p + 8, value.toInt)
+    }
+    // out-of-line: BitsPerSample (3 shorts), JPEGTables, strip data
+    val bitsOff = vp; bb.putShort(vp, 8).putShort(vp + 2, 8).putShort(vp + 4, 8); vp += 6
+    val tblOff = vp; (0 until tbl.length).foreach(k => bb.put(vp + k, tbl(k))); vp += tbl.length
+    val dataOff = vp; (0 until strip.length).foreach(k => bb.put(vp + k, strip(k))); vp += strip.length
+    entry(0, 256, 4, 1, w); entry(1, 257, 4, 1, h)
+    entry(2, 258, 3, 3, bitsOff); entry(3, 259, 3, 1, 7)
+    entry(4, 262, 3, 1, 6) // photometric YCbCr, as GDAL writes for JPEG
+    entry(5, 273, 4, 1, dataOff); entry(6, 277, 3, 1, 3)
+    entry(7, 278, 4, 1, h); entry(8, 279, 4, 1, strip.length)
+    entry(9, 284, 3, 1, 1) // chunky
+    entry(10, 347, 7, tbl.length, tblOff)
+    bb.putInt(10 + nTags * 12, 0) // next IFD
+    val tiff = java.util.Arrays.copyOf(bb.array(), vp)
+    val back = GeoTiff.read(tiff)
+    assert(back.width == w && back.height == h && back.bands.length == 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(full))
+    var bad = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ref.getRGB(x, y)
+      if (back.value(1, x, y) != ((p >> 16) & 0xff).toDouble ||
+          back.value(2, x, y) != ((p >> 8) & 0xff).toDouble ||
+          back.value(3, x, y) != (p & 0xff).toDouble) bad += 1
+    }
+    assert(bad == 0, s"$bad pixels diverge from the reference JPEG decode")
+    // the same strip without tag 347 must fail loudly (tables missing),
+    // proving the merge path is actually load-bearing... unless the
+    // encoder emitted a self-contained stream; reassembled-with-tables
+    // equality above is the real contract
+  }
 }
