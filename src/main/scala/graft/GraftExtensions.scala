@@ -35,6 +35,12 @@ object GraftExtensions {
     if (!opts5.exists(_.isInstanceOf[graft.plans.BandedRangeJoinRule]))
       spark.experimental.extraOptimizations =
         opts5 :+ graft.plans.BandedRangeJoinRule(spark)
+    // must precede AsOfAggregateRule within the batch: the rotation
+    // matches the Aggregate node the as-of rewrite then replaces
+    val opts5b = spark.experimental.extraOptimizations
+    if (!opts5b.exists(_.isInstanceOf[graft.plans.AggregateJoinReorderRule]))
+      spark.experimental.extraOptimizations =
+        opts5b :+ graft.plans.AggregateJoinReorderRule(spark)
     val opts6 = spark.experimental.extraOptimizations
     if (!opts6.exists(_.isInstanceOf[graft.plans.AsOfAggregateRule]))
       spark.experimental.extraOptimizations =

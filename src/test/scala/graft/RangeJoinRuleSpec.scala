@@ -589,6 +589,51 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotF.nonEmpty && gotF == expectF)
   }
 
+  test("aggregate join reorder: key-unique sweep joins the probe side before the wide sibling") {
+    // 4-key correlation: l JOIN r ON k first is |l||r|/4 — the rotation
+    // must join l to the key-unique aggregate (<= |l| rows) first
+    val l = spark.range(3000).select(col("id").as("lid"),
+      pmod(hash(col("id"), lit(51)), lit(4)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(52)), lit(300)).cast("long") * 10L).as("lts"))
+    val r = spark.range(3000).select(col("id").as("rid"),
+      pmod(hash(col("id"), lit(53)), lit(4)).cast("long").as("k"),
+      (pmod(hash(col("id"), lit(54)), lit(300)).cast("long") * 10L).as("rts"))
+    l.createOrReplaceTempView("ajr_l")
+    r.createOrReplaceTempView("ajr_r")
+    val sql = """
+      SELECT l.lid, r.rid FROM ajr_l l JOIN ajr_r r ON l.k = r.k
+      WHERE r.rts = (SELECT max(r2.rts) FROM ajr_r r2
+                     WHERE r2.k = l.k AND r2.rts <= l.lts)"""
+    val df = spark.sql(sql)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val joins = df.queryExecution.optimizedPlan.collect { case jn: LJoin => jn }
+    def joinFree(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst { case jj: LJoin => jj }.isEmpty
+    def hasSweep(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst {
+        case rdd: org.apache.spark.sql.execution.LogicalRDD => rdd }.isDefined
+    assert(joins.exists(jn =>
+      (hasSweep(jn.right) && joinFree(jn.right) && joinFree(jn.left)) ||
+        (hasSweep(jn.left) && joinFree(jn.left) && joinFree(jn.right))),
+      s"sweep output must join a join-free side first:\n${df.queryExecution.optimizedPlan}")
+    val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    spark.conf.set("spark.graft.join.aggreorder.enabled", "false")
+    spark.conf.set("spark.graft.join.asof.enabled", "false")
+    val expect = try spark.sql(sql).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    finally {
+      spark.conf.set("spark.graft.join.aggreorder.enabled", "true")
+      spark.conf.set("spark.graft.join.asof.enabled", "true")
+    }
+    assert(got.nonEmpty && got == expect, "rotated plan diverged from stock Spark")
+    // rotation alone (sweep off) must also be result-neutral
+    spark.conf.set("spark.graft.join.asof.enabled", "false")
+    val rotOnly = try spark.sql(sql).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    finally spark.conf.set("spark.graft.join.asof.enabled", "true")
+    assert(rotOnly == expect)
+  }
+
   test("auto cell width sizes from |hi - lo|: one strongly inverted row stays O(1) fanout") {
     // normal rows have length <= 50; one row is inverted by ~1e9. With
     // signed max-length sizing the width would be ~50 and the inverted
