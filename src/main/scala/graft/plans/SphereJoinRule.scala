@@ -51,8 +51,16 @@ case class SphereJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def worthGrid(left: LogicalPlan, right: LogicalPlan): Boolean = {
     if (session.sessionState.conf.autoBroadcastJoinThreshold < 0) return true
-    val cutoff = conf("spark.graft.join.sphere.minSideBytes", "65536").toLong
-    left.stats.sizeInBytes.min(right.stats.sizeInBytes) > cutoff
+    val cutoff = BigInt(
+      conf("spark.graft.join.sphere.minSideBytes", "65536").toLong)
+    val lB = left.stats.sizeInBytes
+    val rB = right.stats.sizeInBytes
+    // A broadcast BNLJ runs the geodesic refine on EVERY pair, so its
+    // cost is the pair product, not the smaller side: 1k x 15k rows is
+    // already 15M geodesic evaluations, far past where two grid explodes
+    // win. Decline the grid only when one side is tiny AND the product
+    // stays small (cutoff^2 * 4 ~ a couple million pairs at ~100 B/row).
+    lB.min(rB) > cutoff || lB * rB > cutoff * cutoff * 4
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -181,5 +181,14 @@ class SphereJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     }
     assert(got == expect)
+    // one small side does NOT excuse a BNLJ when the pair PRODUCT is
+    // large — 1k x 30k is 30M geodesic refines, the grid must fire
+    pts(1000, 95, "cid", "cg").createOrReplaceTempView("spht_c")
+    pts(30000, 97, "did", "dg").createOrReplaceTempView("spht_d")
+    val prod = spark.sql("SELECT cid, did FROM spht_c JOIN spht_d " +
+      "ON st_dwithinsphere(cg, dg, 500000.0)")
+    val pp = planString(prod)
+    assert(!pp.contains("BroadcastNestedLoopJoin"),
+      s"large pair product must engage the grid even with one small side:\n$pp")
   }
 }
