@@ -458,6 +458,37 @@ object PipelineOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means lists bound the pairwise cosine work to Σ|cluster|² — never
+    * corpus² — and within a cluster an item is dropped when ANY lower-id
+    * member sits above the cosine threshold (greedy first-seen survivor:
+    * one equi-join on the cluster id, no transitive chasing, so the
+    * contract is deterministic and engine-reproducible). `centroids` is
+    * the (centroid_id, centroid) table from [[IvfAnn.kmeans]]; it ships
+    * to executors as a k×dims literal, so assignment is map-only and the
+    * only shuffle is the cluster-id equi-join. Integer-valued (quantized)
+    * vectors make the threshold comparison exact across engines.
+    * Returns (item_id, cluster, kept). */
+  def semanticDedup(vectors: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, tau: Double): DataFrame = {
+    val cents: Seq[Seq[Double]] = centroids.orderBy(col("centroid_id"))
+      .select(col("centroid")).collect().map(_.getSeq[Double](0)).toSeq
+    val assigned = vectors
+      .select(id.as("__vid"), asDouble(vec).as("__v"))
+      .withColumn("__cid", call_function("sd_argmin_sqdist", col("__v"),
+        typedlit(cents)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lower = assigned
+      .select(col("__cid"), col("__vid").as("__idb"), col("__v").as("__vb"))
+    val dups = assigned.join(lower, Seq("__cid"))
+      .filter(col("__idb") < col("__vid") &&
+        cosine(col("__v"), col("__vb")) > lit(tau))
+      .select(col("__vid").as("__dup")).distinct()
+    assigned.join(dups, assigned("__vid") === dups("__dup"), "left_outer")
+      .select(col("__vid").as("item_id"), col("__cid").as("cluster"),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** Brute-force cosine top-k: every query row against the whole corpus
     * (corpus side broadcast when small). The exact baseline ANN. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,

@@ -146,6 +146,21 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"))
     }),
 
+    // SemDeDup-style semantic dedup: the k-means lists from pl11's
+    // quantizer bound the pairwise cosine to Σ|cluster|²; an item drops
+    // when any lower-id cluster member exceeds the cosine threshold
+    // (greedy first-seen survivor). Integer-valued quantized vectors
+    // keep the threshold comparison engine-exact.
+    "pl29_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = graft.pipeline.IvfAnn.quantized(col("embedding"))
+      val centroids = graft.pipeline.IvfAnn.kmeans(
+        e, col("vec_id"), qv, k = 16, iters = 3)
+      PipelineOps.semanticDedup(e, col("vec_id"), qv, centroids, tau = 0.3)
+        .select(col("item_id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("kept"))
+    }),
+
     // dedup groups: connected components over the minhash pair graph —
     // distributed min-label propagation, one shuffle per round
     "pl12_dedup_groups" -> ((s, dir) => {
@@ -363,6 +378,56 @@ object PipelineQueries {
         .select(col("doc_id"), col("frame_idx"), col("luma_sum"), col("n_pix"))
     })
   )
+
+  /** Shared DuckDB twin of IvfAnn.kmeans(k=16, iters=3, hash seeding)
+    * over 2^20-quantized embeddings: integer-valued arithmetic keeps
+    * every step bit-reproducible across engines. Ends at the final
+    * centroid table `c3`; consumers append their own assignment. */
+  private val kmeansCte: String =
+    """WITH ve AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v,
+        |    [floor(x::DOUBLE * 1048576.0 + 0.5) for x in embedding] AS q
+        |  FROM embeddings),
+        |seedr AS (
+        |  SELECT vec_id, q,
+        |    row_number() OVER (ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT, vec_id) - 1 AS cid
+        |  FROM ve),
+        |c0 AS (SELECT cid, q AS cv FROM seedr WHERE cid < 16),
+        |a1 AS (SELECT ve.vec_id, ve.q, c.cid,
+        |    list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]) AS d2
+        |  FROM ve CROSS JOIN c0 c),
+        |g1 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a1)
+        |  WHERE rn = 1),
+        |m1 AS (SELECT cid, dim, SUM(val)/COUNT(*) AS m FROM (
+        |    SELECT cid, UNNEST(q) AS val, UNNEST(range(1, len(q)+1)) AS dim FROM g1)
+        |  GROUP BY cid, dim),
+        |mm1 AS (SELECT cid, LIST(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        |c1 AS (SELECT s.cid, COALESCE(mm1.cv, s.cv) AS cv FROM c0 s LEFT JOIN mm1 ON s.cid = mm1.cid),
+        |a2 AS (SELECT ve.vec_id, ve.q, c.cid,
+        |    list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]) AS d2
+        |  FROM ve CROSS JOIN c1 c),
+        |g2 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a2)
+        |  WHERE rn = 1),
+        |m2 AS (SELECT cid, dim, SUM(val)/COUNT(*) AS m FROM (
+        |    SELECT cid, UNNEST(q) AS val, UNNEST(range(1, len(q)+1)) AS dim FROM g2)
+        |  GROUP BY cid, dim),
+        |mm2 AS (SELECT cid, LIST(m ORDER BY dim) AS cv FROM m2 GROUP BY cid),
+        |c2 AS (SELECT s.cid, COALESCE(mm2.cv, s.cv) AS cv FROM c1 s LEFT JOIN mm2 ON s.cid = mm2.cid),
+        |a3 AS (SELECT ve.vec_id, ve.q, c.cid,
+        |    list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]) AS d2
+        |  FROM ve CROSS JOIN c2 c),
+        |g3 AS (SELECT vec_id, q, cid FROM (
+        |    SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a3)
+        |  WHERE rn = 1),
+        |m3 AS (SELECT cid, dim, SUM(val)/COUNT(*) AS m FROM (
+        |    SELECT cid, UNNEST(q) AS val, UNNEST(range(1, len(q)+1)) AS dim FROM g3)
+        |  GROUP BY cid, dim),
+        |mm3 AS (SELECT cid, LIST(m ORDER BY dim) AS cv FROM m3 GROUP BY cid),
+        |c3 AS (SELECT s.cid, COALESCE(mm3.cv, s.cv) AS cv FROM c2 s LEFT JOIN mm3 ON s.cid = mm3.cid),"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     // 16x12 gradient pixel v = (r*7 + c*3 + id) % 251, 2x box block sums
@@ -725,50 +790,27 @@ object PipelineQueries {
         |SELECT query_id, bucket, cand_id, CAST(rk AS INT) AS rnk, round(sim, 6) AS sim
         |FROM ranked WHERE rk <= 2""".stripMargin,
 
+    // final assignment + greedy lower-id cosine dedup inside each list
+    "pl29_semantic_dedup" ->
+      (kmeansCte + """
+        |asg AS (SELECT vec_id, q, cid FROM (
+        |    SELECT ve.vec_id, ve.q, c.cid,
+        |      row_number() OVER (PARTITION BY ve.vec_id ORDER BY
+        |        list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]), c.cid) AS rn
+        |    FROM ve CROSS JOIN c3 c)
+        |  WHERE rn = 1),
+        |dup AS (SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+        |  ON a.cid = b.cid AND b.vec_id < a.vec_id
+        |  WHERE list_sum([a.q[i]*b.q[i] for i in range(1, len(a.q)+1)]) /
+        |    (sqrt(list_sum([a.q[i]*a.q[i] for i in range(1, len(a.q)+1)])) *
+        |     sqrt(list_sum([b.q[i]*b.q[i] for i in range(1, len(b.q)+1)]))) > 0.3)
+        |SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cluster,
+        |  dup.vec_id IS NULL AS kept
+        |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id""".stripMargin),
+
     "pl11_ivf_ann" ->
-      """WITH ve AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> x::DOUBLE) AS v,
-        |    [floor(x::DOUBLE * 1048576.0 + 0.5) for x in embedding] AS q
-        |  FROM embeddings),
-        |seedr AS (
-        |  SELECT vec_id, q,
-        |    row_number() OVER (ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT, vec_id) - 1 AS cid
-        |  FROM ve),
-        |c0 AS (SELECT cid, q AS cv FROM seedr WHERE cid < 16),
-        |a1 AS (SELECT ve.vec_id, ve.q, c.cid,
-        |    list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]) AS d2
-        |  FROM ve CROSS JOIN c0 c),
-        |g1 AS (SELECT vec_id, q, cid FROM (
-        |    SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a1)
-        |  WHERE rn = 1),
-        |m1 AS (SELECT cid, dim, SUM(val)/COUNT(*) AS m FROM (
-        |    SELECT cid, UNNEST(q) AS val, UNNEST(range(1, len(q)+1)) AS dim FROM g1)
-        |  GROUP BY cid, dim),
-        |mm1 AS (SELECT cid, LIST(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
-        |c1 AS (SELECT s.cid, COALESCE(mm1.cv, s.cv) AS cv FROM c0 s LEFT JOIN mm1 ON s.cid = mm1.cid),
-        |a2 AS (SELECT ve.vec_id, ve.q, c.cid,
-        |    list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]) AS d2
-        |  FROM ve CROSS JOIN c1 c),
-        |g2 AS (SELECT vec_id, q, cid FROM (
-        |    SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a2)
-        |  WHERE rn = 1),
-        |m2 AS (SELECT cid, dim, SUM(val)/COUNT(*) AS m FROM (
-        |    SELECT cid, UNNEST(q) AS val, UNNEST(range(1, len(q)+1)) AS dim FROM g2)
-        |  GROUP BY cid, dim),
-        |mm2 AS (SELECT cid, LIST(m ORDER BY dim) AS cv FROM m2 GROUP BY cid),
-        |c2 AS (SELECT s.cid, COALESCE(mm2.cv, s.cv) AS cv FROM c1 s LEFT JOIN mm2 ON s.cid = mm2.cid),
-        |a3 AS (SELECT ve.vec_id, ve.q, c.cid,
-        |    list_sum([ (ve.q[i]-c.cv[i])*(ve.q[i]-c.cv[i]) for i in range(1, len(ve.q)+1) ]) AS d2
-        |  FROM ve CROSS JOIN c2 c),
-        |g3 AS (SELECT vec_id, q, cid FROM (
-        |    SELECT vec_id, q, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a3)
-        |  WHERE rn = 1),
-        |m3 AS (SELECT cid, dim, SUM(val)/COUNT(*) AS m FROM (
-        |    SELECT cid, UNNEST(q) AS val, UNNEST(range(1, len(q)+1)) AS dim FROM g3)
-        |  GROUP BY cid, dim),
-        |mm3 AS (SELECT cid, LIST(m ORDER BY dim) AS cv FROM m3 GROUP BY cid),
-        |c3 AS (SELECT s.cid, COALESCE(mm3.cv, s.cv) AS cv FROM c2 s LEFT JOIN mm3 ON s.cid = mm3.cid),
+      (kmeansCte + """
+
         |asg AS (SELECT vec_id AS cand_id, cid AS list_id FROM (
         |    SELECT ve.vec_id, c.cid,
         |      row_number() OVER (PARTITION BY ve.vec_id ORDER BY
@@ -792,7 +834,7 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
         |  FROM sims)
         |SELECT query_id, cand_id, CAST(rk AS INT) AS rnk, round(sim, 6) AS sim
-        |FROM ranked WHERE rk <= 3""".stripMargin,
+        |FROM ranked WHERE rk <= 3""".stripMargin),
 
     "pl10_multimodal" ->
       s"""SELECT doc_id,

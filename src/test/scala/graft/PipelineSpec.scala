@@ -211,6 +211,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((tuned & brute).size.toDouble / brute.size >= 0.9)
   }
 
+  test("semanticDedup: near-parallel vectors drop, spread vectors survive, greedy keeps lowest id") {
+    import graft.pipeline.IvfAnn
+    // 4 tight bundles (near-parallel members -> semantic dups) plus 40
+    // well-spread singletons that must all survive a 0.95 threshold
+    val bundles = (0 until 4).flatMap { c =>
+      (0 until 5).map { j =>
+        val base = Array.tabulate(16)(d => if (d == c * 4) 100.0f else 0.0f)
+        base(c * 4 + 1) = j * 0.5f // tiny angular spread inside the bundle
+        ((c * 5 + j).toLong, base)
+      }
+    }
+    // Walsh-Hadamard rows are mutually orthogonal; using rows 1..15 with
+    // both signs gives 30 vectors whose pairwise cosine is 0 or -1 —
+    // provably under any positive threshold
+    val spread = (0 until 30).map { i =>
+      val row = i % 15 + 1
+      val sign = if (i < 15) 1f else -1f
+      val v = Array.tabulate(16)(d =>
+        sign * (if (Integer.bitCount(row & d) % 2 == 0) 10f else -10f))
+      ((100 + i).toLong, v)
+    }
+    val vecs = (bundles ++ spread).toDF("vec_id", "embedding")
+    val centroids = IvfAnn.kmeans(vecs, col("vec_id"),
+      col("embedding"), k = 8, iters = 4)
+    val out = graft.pipeline.PipelineOps.semanticDedup(
+      vecs, col("vec_id"), col("embedding"), centroids, tau = 0.95)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getBoolean(2))).toMap
+    assert(rows.size == 50)
+    // each bundle keeps exactly its lowest id (greedy first-seen)
+    for (c <- 0 until 4) {
+      val ids = (c * 5) until (c * 5 + 5)
+      val kept = ids.filter(i => rows(i.toLong))
+      assert(kept == Seq(c * 5),
+        s"bundle $c kept $kept, expected only ${c * 5}")
+    }
+    // all spread vectors survive — they are nobody's near-duplicate
+    assert((100 until 130).forall(i => rows(i.toLong)),
+      "spread vectors must all survive")
+    // pairwise work is bounded by the cluster partition: every comparison
+    // shares a cluster id (structural property of the plan: one equi-join)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cartesian"), s"no cartesian allowed:\n$plan")
+  }
+
   test("multimodal decodeBatch: schema + deterministic stub features") {
     val df = docs.withColumn("blob", col("text").cast("binary"))
     val out = MultimodalOps.decodeBatch(df, "blob", "img")
