@@ -44,12 +44,22 @@ object GraftExtensions {
     if (!opts5.exists(_.isInstanceOf[graft.plans.BandedRangeJoinRule]))
       spark.experimental.extraOptimizations =
         opts5 :+ graft.plans.BandedRangeJoinRule(spark)
+    val opts5a = spark.experimental.extraOptimizations
+    if (!opts5a.exists(_.isInstanceOf[graft.plans.SemiUnderDistinctRule]))
+      spark.experimental.extraOptimizations =
+        opts5a :+ graft.plans.SemiUnderDistinctRule(spark)
     // must precede AsOfAggregateRule within the batch: the rotation
     // matches the Aggregate node the as-of rewrite then replaces
     val opts5b = spark.experimental.extraOptimizations
     if (!opts5b.exists(_.isInstanceOf[graft.plans.AggregateJoinReorderRule]))
       spark.experimental.extraOptimizations =
         opts5b :+ graft.plans.AggregateJoinReorderRule(spark)
+    // between the rotation (which creates the Join(probe, agg) shape)
+    // and the bare-aggregate rewrite (which would consume the Aggregate)
+    val opts5c = spark.experimental.extraOptimizations
+    if (!opts5c.exists(_.isInstanceOf[graft.plans.AsOfProbeJoinRule]))
+      spark.experimental.extraOptimizations =
+        opts5c :+ graft.plans.AsOfProbeJoinRule(spark)
     val opts6 = spark.experimental.extraOptimizations
     if (!opts6.exists(_.isInstanceOf[graft.plans.AsOfAggregateRule]))
       spark.experimental.extraOptimizations =

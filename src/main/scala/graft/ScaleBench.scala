@@ -503,6 +503,52 @@ object ScaleBench {
           val rows = spark.table(sink).count()
           (rows, (System.nanoTime() - t0) / 1e9)
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      // pl29 path: SemDeDup — corpus AND cluster count grow with m, so
+      // per-cluster membership (and thus each cluster's pairwise work)
+      // stays constant; total = #clusters * const ~ m. Timed block
+      // includes the k-means training (itself ~ m map-only scans)
+      "pl29_semantic_dedup" -> { m =>
+        import graft.pipeline.{IvfAnn, PipelineOps}
+        val e = embeddings(m, 20000)
+        val qv = IvfAnn.quantized(col("embedding"))
+        timed {
+          val cents = IvfAnn.kmeans(e, col("vec_id"), qv, k = 16 * m, iters = 2)
+          PipelineOps.semanticDedup(e, col("vec_id"), qv, cents, tau = 0.3)
+        }
+      },
+      // q27 path: SQL max-subquery as-of with a FIXED low-cardinality
+      // key (the adversarial shape): the syntactic plan materializes
+      // |l||r|/32 rows, so linear wall here certifies the
+      // AggregateJoinReorder rotation + sweep end-to-end
+      "q27_asof_sql" -> { m =>
+        val nKeys = 32L
+        def side(n: Long, salt: Int, id: String, t: String) =
+          spark.range(0, n).toDF(id)
+            .withColumn("k", pmod(hash(col(id), lit(salt)), lit(nKeys)))
+            .withColumn(t, pmod(hash(col(id), lit(salt + 1)),
+              lit(100000L * m)).cast("long"))
+        side(30000L * m, 171, "lid", "lts").createOrReplaceTempView("sb_q27_l")
+        side(30000L * m, 173, "rid", "rts").createOrReplaceTempView("sb_q27_r")
+        timed(spark.sql("""
+          SELECT l.lid, r.rid FROM sb_q27_l l JOIN sb_q27_r r ON l.k = r.k
+          WHERE r.rts = (SELECT max(r2.rts) FROM sb_q27_r r2
+                         WHERE r2.k = l.k AND r2.rts <= l.lts)"""))
+      },
+      // rs17 path: JPEG GeoTIFF codec throughput — raster count grows
+      // with m at constant tile size, encode+decode map-only per row
+      "rs17_jpeg_codec" -> { m =>
+        val n = 200L * m
+        timed(spark.range(0, n).toDF("i")
+          .withColumn("vals", org.apache.spark.sql.functions.transform(
+            sequence(lit(0), lit(128 * 128 - 1)),
+            j => pmod(hash(col("i"), j), lit(200)).cast("double")))
+          .withColumn("r", st.f("rs_setbandpixeltype",
+            st.f("rs_makeraster", lit(128), lit(128), lit(0.0), lit(0.0),
+              lit(1.0), lit(-1.0), col("vals")), lit("UNSIGNED_8BITS")))
+          .withColumn("g", st.f("rs_asgeotiff", col("r"), lit("jpeg"), lit(0.9)))
+          .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+          .filter(st.f("rs_width", col("rt")) === 128))
       }
     )
 

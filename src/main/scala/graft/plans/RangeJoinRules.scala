@@ -262,47 +262,16 @@ case class BandedRangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     }
 }
 
-/** Rewrites the EXTREME-VALUE-OVER-INEQUALITY-JOIN aggregate — the shape
-  * Catalyst produces when it decorrelates the classic SQL as-of idiom
-  *
-  *   WHERE r.ts = (SELECT max(r2.ts) FROM r r2
-  *                 WHERE r2.k = l.k AND r2.ts <= l.ts)
-  *
-  * into `Aggregate[d, k..](max(v), Join(domain, R, v <= d))` — into the
-  * as-of merge sweep. The inner inequality join is the quadratic part
-  * (every domain timestamp against every right row); the sweep computes
-  * the same per-(domain value, key) running maximum with one hash shuffle
-  * per side, a per-partition sort, and a linear pass
-  * (`graft.operators.AsOfJoin`, the kdb/DuckDB ASOF plan).
-  *
-  * Equivalence: for each (d, k...) group the aggregate's `max(v)` is the
-  * latest v <= d within key group k — exactly the backward as-of match of
-  * the domain row (d) against R on key k. Groups with no matching v do
-  * not exist in the inner-join aggregate, so the sweep's unmatched
-  * (null) rows are filtered. The key is carried as a struct so SQL's
-  * GROUP BY null-key group survives (a bare null key would be dropped by
-  * the sweep's null-key contract). `min(v)` with `v >= d` is the mirrored
-  * forward sweep.
-  *
-  * The time column may be any type whose long image is exact and
-  * order-isomorphic — long/int/short/byte, TIMESTAMP (micros via
-  * `unix_micros`), DATE (days via `unix_date`) — the natural production
-  * as-of is over TIMESTAMP columns. The sweep runs in long space and the
-  * extremum converts back losslessly (`MicrosToTimestamp` /
-  * `DateFromUnixDate`, never SQL CAST, whose long<->timestamp contract
-  * is seconds and would truncate).
-  *
-  * `spark.graft.join.asof.enabled=false` disables the rewrite.
-  */
-case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
+/** Shape matching + long-embedding helpers shared by the as-of family
+  * of rules (AsOfAggregateRule, AsOfProbeJoinRule). */
+private[plans] object AsOfShapes {
   import RangeJoinShapes._
-
-  private val MicrosPerDay: Long = 86400L * 1000000L
+  val MicrosPerDay: Long = 86400L * 1000000L
 
   /** SubtractDates, possibly wrapped in an interval-width cast (e.g.
     * `cast((d - v) as interval day to hour)` when the literal's width is
     * finer than DAY) — the stored long is micros either way. */
-  private object SubtractDatesMicros {
+  object SubtractDatesMicros {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case sub: SubtractDates => Some((sub.left, sub.right))
       case c: Cast if c.dataType.isInstanceOf[DayTimeIntervalType] =>
@@ -314,12 +283,9 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  private def conf(key: String, default: String): String =
-    session.conf.getOption(key).getOrElse(default)
-
   /** Types whose long image is exact and order-isomorphic, so the sweep
     * can run in long space and convert the extremum back losslessly. */
-  private def exactLongImage(t: DataType): Boolean = t match {
+  def exactLongImage(t: DataType): Boolean = t match {
     case LongType | IntegerType | ShortType | ByteType |
         TimestampType | DateType => true
     case _ => false
@@ -327,7 +293,7 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** Column-level monotone embedding into long space (exact, not CAST
     * semantics: SQL CAST between long and timestamp is in seconds). */
-  private def toLongCol(c: org.apache.spark.sql.Column,
+  def toLongCol(c: org.apache.spark.sql.Column,
       t: DataType): org.apache.spark.sql.Column = t match {
     case LongType => c
     case TimestampType => unix_micros(c)
@@ -337,23 +303,14 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** Inverse of [[toLongCol]] at expression level, for the final
     * output projection. */
-  private def fromLongExpr(e: Expression, t: DataType): Expression = t match {
+  def fromLongExpr(e: Expression, t: DataType): Expression = t match {
     case LongType => e
     case TimestampType => MicrosToTimestamp(e)
     case DateType => DateFromUnixDate(Cast(e, IntegerType))
     case _ => Cast(e, t)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf("spark.graft.join.asof.enabled", "true") != "true") return plan
-    plan.transformUp {
-      case agg @ Aggregate(_, _, j: Join, _)
-          if j.joinType == Inner && !agg.isStreaming && j.condition.isDefined =>
-        matchShape(agg, j).map(rewrite(agg, j, _)).getOrElse(agg)
-    }
-  }
-
-  private def matchShape(agg: Aggregate, j: Join): Option[RangeJoinShapes.Shape] = {
+  def matchShape(agg: Aggregate, j: Join): Option[RangeJoinShapes.Shape] = {
     val cs = conjuncts(j.condition.get)
     if (cs.isEmpty || cs.length > 2) return None
     // primary bound, normalized lo <= hi; a STRICT bound over integers
@@ -521,6 +478,56 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
     Some(Shape(v, d, backward, strict, tolerance, gbA, gbB))
   }
 
+}
+
+/** Rewrites the EXTREME-VALUE-OVER-INEQUALITY-JOIN aggregate — the shape
+  * Catalyst produces when it decorrelates the classic SQL as-of idiom
+  *
+  *   WHERE r.ts = (SELECT max(r2.ts) FROM r r2
+  *                 WHERE r2.k = l.k AND r2.ts <= l.ts)
+  *
+  * into `Aggregate[d, k..](max(v), Join(domain, R, v <= d))` — into the
+  * as-of merge sweep. The inner inequality join is the quadratic part
+  * (every domain timestamp against every right row); the sweep computes
+  * the same per-(domain value, key) running maximum with one hash shuffle
+  * per side, a per-partition sort, and a linear pass
+  * (`graft.operators.AsOfJoin`, the kdb/DuckDB ASOF plan).
+  *
+  * Equivalence: for each (d, k...) group the aggregate's `max(v)` is the
+  * latest v <= d within key group k — exactly the backward as-of match of
+  * the domain row (d) against R on key k. Groups with no matching v do
+  * not exist in the inner-join aggregate, so the sweep's unmatched
+  * (null) rows are filtered. The key is carried as a struct so SQL's
+  * GROUP BY null-key group survives (a bare null key would be dropped by
+  * the sweep's null-key contract). `min(v)` with `v >= d` is the mirrored
+  * forward sweep.
+  *
+  * The time column may be any type whose long image is exact and
+  * order-isomorphic — long/int/short/byte, TIMESTAMP (micros via
+  * `unix_micros`), DATE (days via `unix_date`) — the natural production
+  * as-of is over TIMESTAMP columns. The sweep runs in long space and the
+  * extremum converts back losslessly (`MicrosToTimestamp` /
+  * `DateFromUnixDate`, never SQL CAST, whose long<->timestamp contract
+  * is seconds and would truncate).
+  *
+  * `spark.graft.join.asof.enabled=false` disables the rewrite.
+  */
+case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import RangeJoinShapes._
+  import AsOfShapes._
+
+  private def conf(key: String, default: String): String =
+    session.conf.getOption(key).getOrElse(default)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf("spark.graft.join.asof.enabled", "true") != "true") return plan
+    plan.transformUp {
+      case agg @ Aggregate(_, _, j: Join, _)
+          if j.joinType == Inner && !agg.isStreaming && j.condition.isDefined =>
+        matchShape(agg, j).map(rewrite(agg, j, _)).getOrElse(agg)
+    }
+  }
+
   private def rewrite(agg: Aggregate, j: Join,
       s: RangeJoinShapes.Shape): LogicalPlan = {
     import org.apache.spark.sql.graft.DatasetBridge
@@ -615,5 +622,205 @@ case class AsOfAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
     Project(agg.aggregateExpressions.zip(agg.output).map { case (ae, out) =>
       Alias(tempOf(ae), out.name)(exprId = out.exprId)
     }, analyzed)
+  }
+}
+
+/** Rewrites the COMPLETE decorrelated as-of idiom — a probe relation
+  * equi-joined to the extreme-value aggregate on ALL of its grouping
+  * outputs — into a direct merge sweep with the probe itself as the
+  * sweep's left side:
+  *
+  *   Join(probe, Aggregate[d, k](max v, Join(dom, R, v <= d ...)),
+  *        probe.pd <=> d AND probe.pk = k)
+  *     =>
+  *   Filter(__v notnull, Sweep(lhs = probe, rhs = R))  [semi dom on pd]
+  *
+  * This is the piece `AsOfAggregateRule` alone cannot reach: computed in
+  * isolation, the aggregate must enumerate |distinct d| × |distinct k|
+  * candidate groups (the round-9 verdict's domain watch item), yet the
+  * parent join consumes only the probe's own (pd, pk) pairs — at most
+  * |probe| sweep rows, usually far fewer than the product. The sweep
+  * output keeps inner-join semantics via the `__v` not-null filter, and
+  * a left-semi guard against the original domain keeps the rewrite
+  * sound when `dom` is NOT derived from the probe (a group can only
+  * exist for d values the domain actually contains; the guard costs one
+  * small semi-join on d instead of the full domain product).
+  *
+  * Fires between `AggregateJoinReorderRule` (which creates the
+  * Join(probe, agg) shape from Catalyst's syntactic order) and
+  * `AsOfAggregateRule` (which handles aggregates no probe consumes).
+  * Null semantics: a null probe time sweeps unmatched and the not-null
+  * filter drops it (matching `v <= null` = no group); a null probe key
+  * under EqualTo is pre-filtered (null never equals), while under
+  * EqualNullSafe it rides the struct key and correctly matches R's
+  * null-key group. `spark.graft.join.asof.enabled=false` disables.
+  */
+case class AsOfProbeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import RangeJoinShapes._
+  import AsOfShapes._
+
+  private def conf(key: String, default: String): String =
+    session.conf.getOption(key).getOrElse(default)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf("spark.graft.join.asof.enabled", "true") != "true") return plan
+    plan.transformUp {
+      case j @ Join(probe, PeeledAgg(post, agg, inner), Inner, Some(cond),
+          JoinHint.NONE) if !j.isStreaming && inner.condition.isDefined =>
+        AsOfShapes.matchShape(agg, inner)
+          .flatMap(rewrite(j, probe, post, agg, inner, cond, _))
+          .getOrElse(j)
+    }
+  }
+
+  /** An Aggregate over an inner join, under any stack of Filters and
+    * attribute-only Projects; the peeled predicates are re-applied above
+    * the rewrite (inner-join filters commute), the Projects only narrow
+    * which aggregate outputs survive. Returns (peeled filter conditions,
+    * the aggregate, its inner join). */
+  private object PeeledAgg {
+    def unapply(p: LogicalPlan): Option[(Seq[Expression], Aggregate, Join)] =
+      p match {
+        case f: Filter =>
+          unapply(f.child).map { case (cs, a, j) => (cs :+ f.condition, a, j) }
+        case pr: Project
+            if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+          unapply(pr.child)
+        case agg @ Aggregate(_, _, ij: Join, _) if ij.joinType == Inner =>
+          Some((Nil, agg, ij))
+        case _ => None
+      }
+  }
+
+  private def rewrite(j: Join, probe: LogicalPlan, peeled: Seq[Expression],
+      agg: Aggregate, inner: Join, cond: Expression,
+      s: RangeJoinShapes.Shape): Option[LogicalPlan] = {
+    import org.apache.spark.sql.graft.DatasetBridge
+    // the domain side must contribute exactly the time column to the
+    // grouping (the decorrelated idiom's shape)
+    if (s.gbA.length != 1 || s.gbA.head.exprId != s.d.exprId) return None
+    // classify the aggregate's outputs: grouping passthroughs vs extrema
+    val gbIds = (s.gbA ++ s.gbB).map(_.exprId).toSet
+    val outs: Seq[(Attribute, Either[Attribute, Unit])] =
+      agg.aggregateExpressions.zip(agg.output).map {
+        case (a: Attribute, out) if gbIds.contains(a.exprId) =>
+          (out, scala.util.Left(a))
+        case (Alias(a: Attribute, _), out) if gbIds.contains(a.exprId) =>
+          (out, scala.util.Left(a))
+        case (_, out) => (out, scala.util.Right(())) // matchShape proved: an extremum of v
+      }
+    // every grouping output must be equi-bound to a probe ATTRIBUTE in
+    // the parent condition; leftover conjuncts become a post-filter
+    val gOutSet = AttributeSet(agg.output)
+    val probeSet = probe.outputSet
+    val binding = scala.collection.mutable.HashMap[ExprId,
+      (AttributeReference, Boolean)]() // agg-output -> (probe attr, nullSafe)
+    val leftover = scala.collection.mutable.ArrayBuffer[Expression]()
+    conjuncts(cond).foreach { e =>
+      def bind(x: Expression, y: Expression, ns: Boolean): Boolean = (x, y) match {
+        case (g: AttributeReference, pAtt: AttributeReference)
+            if gOutSet.contains(g) && probeSet.contains(pAtt) &&
+              !binding.contains(g.exprId) =>
+          binding += g.exprId -> (pAtt, ns); true
+        case _ => false
+      }
+      e match {
+        case EqualTo(x, y) if bind(x, y, ns = false) || bind(y, x, ns = false) => ()
+        case EqualNullSafe(x, y) if bind(x, y, ns = true) || bind(y, x, ns = true) => ()
+        case other => leftover += other
+      }
+    }
+    // grouping-output coverage + type agreement with the sweep columns
+    val groupOuts = outs.collect { case (out, scala.util.Left(src)) => (out, src) }
+    if (!groupOuts.forall { case (out, _) => binding.contains(out.exprId) })
+      return None
+    val dOut = groupOuts.collectFirst {
+      case (out, src) if src.exprId == s.d.exprId => out }
+    if (dOut.isEmpty) return None
+    val pd = binding(dOut.get.exprId)._1
+    if (pd.dataType != s.d.dataType) return None
+    val keyOuts: Seq[(Attribute, Attribute)] = groupOuts.collect {
+      case (out, src) if src.exprId != s.d.exprId => (out, src) }
+    // each gbB key bound exactly once, types agreeing
+    if (keyOuts.map(_._2.exprId).distinct.length != s.gbB.length) return None
+    if (!keyOuts.forall { case (out, src) =>
+        binding(out.exprId)._1.dataType == src.dataType }) return None
+    // leftover conjuncts must not need columns we cannot reproduce
+    if (!leftover.forall(_.references.subsetOf(probeSet ++ gOutSet))) return None
+
+    val probeDf0 = DatasetBridge.ofRows(session, probe)
+    // name uniqueness: the sweep output is matched back by NAME
+    val names = probeDf0.columns
+    if (names.distinct.length != names.length) return None
+    val temps = Set("__ck", "__d", "__v", "__vid") ++
+      s.gbB.indices.map(i => s"__gb$i")
+    if (names.exists(temps.contains)) return None
+
+    // pre-filter probe keys bound with plain equality (null never matches)
+    val eqKeys = keyOuts.map(ko => binding(ko._1.exprId))
+      .collect { case (att, false) => att }
+    val probeDf = eqKeys.foldLeft(probeDf0)((df, att) =>
+      df.filter(DatasetBridge.column(att).isNotNull))
+
+    val bDF = DatasetBridge.ofRows(session, inner.right)
+    val gbBNames = s.gbB.indices.map(i => s"__gb$i")
+    // probe key columns aliased to the shared struct field names so the
+    // union inside the sweep sees one key type on both sides
+    val keyByGb: Map[ExprId, AttributeReference] = keyOuts.map { case (out, src) =>
+      src.exprId -> binding(out.exprId)._1 }.toMap
+    def withKey(df: org.apache.spark.sql.DataFrame,
+        fields: Seq[org.apache.spark.sql.Column]) =
+      if (s.gbB.isEmpty) df.withColumn("__ck", lit(0L))
+      else df.withColumn("__ck", struct(
+        fields.zip(gbBNames).map { case (c, n) => c.as(n) }: _*))
+    val lhs0 = withKey(probeDf,
+      s.gbB.map(k => DatasetBridge.column(keyByGb(k.exprId))))
+    val dLong = toLongCol(DatasetBridge.column(pd), s.d.dataType)
+    val lhs =
+      if (!s.strict) lhs0.withColumn("__d", dLong)
+      else if (s.backward)
+        lhs0.filter(dLong =!= lit(Long.MinValue)).withColumn("__d", dLong - 1L)
+      else
+        lhs0.filter(dLong =!= lit(Long.MaxValue)).withColumn("__d", dLong + 1L)
+    val rhs = withKey(bDF.select((s.gbB.map(a => DatasetBridge.column(a)) :+
+      toLongCol(DatasetBridge.column(s.v), s.v.dataType).as("__v")): _*),
+      s.gbB.map(a => DatasetBridge.column(a)))
+      .select(col("__ck"), col("__v"), col("__v").as("__vid"))
+    val sweepTol = s.tolerance
+      .map(t => if (s.strict) t - 1 else t).getOrElse(Long.MaxValue)
+    val swept =
+      if (s.backward) graft.operators.AsOfJoin
+        .asofBackward(lhs, rhs, "__ck", "__d", "__v", "__vid", sweepTol)
+      else graft.operators.AsOfJoin
+        .asofForward(lhs, rhs, "__ck", "__d", "__v", "__vid", sweepTol)
+    val matched = swept.filter(col("__v").isNotNull)
+    // soundness guard: a (d, k) group exists only for d values the
+    // original domain side contains — semi-join the (small) distinct
+    // domain unless the probe IS provably that domain's source
+    val domD = DatasetBridge.ofRows(session, inner.left)
+      .select(DatasetBridge.column(s.d).as("__dom_d")).distinct()
+    val guarded = matched.join(domD,
+      matched(pd.name) === col("__dom_d"), "left_semi")
+
+    val analyzed = guarded.queryExecution.optimizedPlan
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    val probeAliases = probe.output.map(p =>
+      Alias(byName(p.name), p.name)(exprId = p.exprId))
+    val aggAliases = outs.map {
+      case (out, scala.util.Left(src)) if src.exprId == s.d.exprId =>
+        Alias(byName(pd.name), out.name)(exprId = out.exprId)
+      case (out, scala.util.Left(_)) =>
+        Alias(byName(binding(out.exprId)._1.name), out.name)(exprId = out.exprId)
+      case (out, scala.util.Right(_)) =>
+        Alias(fromLongExpr(byName("__v"), s.v.dataType), out.name)(
+          exprId = out.exprId)
+    }
+    val projected = Project(probeAliases ++ aggAliases, analyzed)
+    val allPost = leftover.toSeq ++ peeled
+    val full: LogicalPlan =
+      if (allPost.isEmpty) projected
+      else Filter(allPost.reduce(And), projected)
+    // the parent join's output may be a subset/reorder: restore exactly
+    Some(Project(j.output, full))
   }
 }

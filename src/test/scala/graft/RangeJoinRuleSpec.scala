@@ -605,17 +605,12 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       WHERE r.rts = (SELECT max(r2.rts) FROM ajr_r r2
                      WHERE r2.k = l.k AND r2.rts <= l.lts)"""
     val df = spark.sql(sql)
-    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
-    val joins = df.queryExecution.optimizedPlan.collect { case jn: LJoin => jn }
-    def joinFree(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-      p.collectFirst { case jj: LJoin => jj }.isEmpty
-    def hasSweep(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-      p.collectFirst {
-        case rdd: org.apache.spark.sql.execution.LogicalRDD => rdd }.isDefined
-    assert(joins.exists(jn =>
-      (hasSweep(jn.right) && joinFree(jn.right) && joinFree(jn.left)) ||
-        (hasSweep(jn.left) && joinFree(jn.left) && joinFree(jn.right))),
-      s"sweep output must join a join-free side first:\n${df.queryExecution.optimizedPlan}")
+    // after rotation, AsOfProbeJoinRule absorbs the probe INTO the sweep:
+    // the LogicalRDD carries the probe's columns directly (no domain
+    // product), guarded by a left-semi on the original domain's d values
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("LogicalRDD [lid") && p.contains("LeftSemi"),
+      s"probe columns must ride the sweep lhs under a domain semi guard:\n$p")
     val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
     spark.conf.set("spark.graft.join.aggreorder.enabled", "false")
     spark.conf.set("spark.graft.join.asof.enabled", "false")
@@ -632,6 +627,33 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
     finally spark.conf.set("spark.graft.join.asof.enabled", "true")
     assert(rotOnly == expect)
+  }
+
+  test("distinct over a one-sided inner join becomes a semi join; aggregates decline") {
+    val a = spark.range(200).select(col("id").as("aid"),
+      pmod(hash(col("id"), lit(61)), lit(10)).cast("long").as("k"),
+      pmod(hash(col("id"), lit(62)), lit(40)).cast("long").as("x"))
+    val b = spark.range(300).select(col("id").as("bid"),
+      pmod(hash(col("id"), lit(63)), lit(10)).cast("long").as("k"))
+    a.createOrReplaceTempView("sud_a")
+    b.createOrReplaceTempView("sud_b")
+    val dq = "SELECT DISTINCT a.x FROM sud_a a JOIN sud_b b ON a.k = b.k"
+    val df = spark.sql(dq)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftSemi"), s"distinct must turn the join semi:\n$p")
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    spark.conf.set("spark.graft.semidistinct.enabled", "false")
+    val expect = try spark.sql(dq).collect().map(_.getLong(0)).sorted.toSeq
+    finally spark.conf.set("spark.graft.semidistinct.enabled", "true")
+    assert(got.nonEmpty && got == expect)
+    // a multiplicity-observing aggregate must NOT be rewritten
+    val cq = "SELECT a.x, count(*) AS n FROM sud_a a JOIN sud_b b ON a.k = b.k GROUP BY a.x"
+    val cp = spark.sql(cq).queryExecution.optimizedPlan.toString
+    assert(!cp.contains("LeftSemi"), s"count observes multiplicity:\n$cp")
+    // distinct reading BOTH sides must not be rewritten
+    val bq = "SELECT DISTINCT a.x, b.bid FROM sud_a a JOIN sud_b b ON a.k = b.k"
+    val bp = spark.sql(bq).queryExecution.optimizedPlan.toString
+    assert(!bp.contains("LeftSemi"), s"two-sided distinct keeps the join:\n$bp")
   }
 
   test("auto cell width sizes from |hi - lo|: one strongly inverted row stays O(1) fanout") {
