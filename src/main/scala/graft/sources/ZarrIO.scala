@@ -75,6 +75,22 @@ object ZarrIO {
   }
 
   /** Decode one chunk payload by codec id ("zlib" v2, "gzip" v3, "raw"). */
+  /** Column-major (Fortran order) chunk bytes to row-major. */
+  private def fToC(raw: Array[Byte], ch: Int, cw: Int): Array[Byte] = {
+    val in = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val out = ByteBuffer.allocate(raw.length).order(ByteOrder.LITTLE_ENDIAN)
+    var r = 0
+    while (r < ch) {
+      var c = 0
+      while (c < cw) {
+        out.putDouble((r * cw + c) * 8, in.getDouble((c * ch + r) * 8))
+        c += 1
+      }
+      r += 1
+    }
+    out.array()
+  }
+
   private def decodeChunk(buf: Array[Byte], codec: String, outLen: Int): Array[Byte] =
     codec match {
       case "zlib" => inflate(buf, outLen)
@@ -368,22 +384,27 @@ object ZarrIO {
     val fs = dir.getFileSystem(conf)
     val m = parseMeta(path, conf, counted = false)
     val chunkFiles: Seq[(Long, Long, String)] =
-      if (m.v3) {
-        val cdir = new org.apache.hadoop.fs.Path(dir, "c")
-        if (!fs.exists(cdir)) Seq.empty
-        else fs.listStatus(cdir).filter(_.isDirectory)
+      if (m.v3 && m.sep == "/") {
+        // nested directories: [c/]<y>/<x>
+        val root = if (m.v2keys) dir else new org.apache.hadoop.fs.Path(dir, "c")
+        if (!fs.exists(root)) Seq.empty
+        else fs.listStatus(root).filter(_.isDirectory)
           .filter(_.getPath.getName.matches("\\d+")).flatMap { yd =>
             val cy = yd.getPath.getName.toLong
             fs.listStatus(yd.getPath).filter(_.getPath.getName.matches("\\d+"))
               .map(xs => (cy, xs.getPath.getName.toLong,
-                s"c/$cy/${xs.getPath.getName}"))
+                m.chunkName(cy, xs.getPath.getName.toLong)))
           }.sortBy(t => (t._1, t._2)).toSeq
-      } else fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.matches("\\d+\\.\\d+")).sorted.toSeq
-        .map { name =>
-          val Array(cyS, cxS) = name.split("\\.")
-          (cyS.toLong, cxS.toLong, name)
+      } else {
+        // flat "."-separated objects: [c.]<y>.<x>
+        val rx = if (m.v3 && !m.v2keys) "c\\.(\\d+)\\.(\\d+)".r
+          else "(\\d+)\\.(\\d+)".r
+        fs.listStatus(dir).map(_.getPath.getName).toSeq.sorted.flatMap {
+          case rx(cyS, cxS) => Some((cyS.toLong, cxS.toLong,
+            m.chunkName(cyS.toLong, cxS.toLong)))
+          case _ => None
         }
+      }
     val outSchema = StructType(Seq(
       StructField("cy", LongType, nullable = false),
       StructField("cx", LongType, nullable = false),
@@ -397,6 +418,7 @@ object ZarrIO {
     val gt = m.gt
     val crs = m.crs
     val shardOpt = m.shard
+    val forder = m.forder
     val (ipsY, ipsX) = (m.ipsY, m.ipsX)
     def rowOf(cy: Long, cx: Long, raw: Array[Byte]): Row = {
       val cgt = Array(
@@ -416,11 +438,12 @@ object ZarrIO {
         val in = fsx.open(p); in.readFully(0, buf); in.close()
         shardOpt match {
           case None =>
-            Seq(rowOf(cy, cx, decodeChunk(buf, codec, cw * ch * 8)))
+            val dec = decodeChunk(buf, codec, cw * ch * 8)
+            Seq(rowOf(cy, cx, if (forder) fToC(dec, ch, cw) else dec))
           case Some(sd) =>
             // (cy, cx) here index the SHARD; expand its present inner
             // chunks into one row each at their global chunk positions
-            val idx = shardIndex(buf, ipsY * ipsX, sd.indexCrc)
+            val idx = shardIndex(buf, ipsY * ipsX, sd.indexCrc, sd.atStart)
             idx.zipWithIndex.flatMap { case (entry, k) =>
               entry.map { case (off, ln) =>
                 val raw = decodeChunk(java.util.Arrays.copyOfRange(
@@ -446,7 +469,8 @@ object ZarrIO {
     * marks a crc32c index codec (4 trailing checksum bytes). Index
     * location "end": uint64-LE (offset, nbytes) pairs per inner chunk
     * in C order, 2^64-1 marking an absent inner chunk. */
-  private case class Shard(sh: Int, sw: Int, indexCrc: Boolean)
+  private case class Shard(sh: Int, sw: Int, indexCrc: Boolean,
+      atStart: Boolean = false)
 
   /** Parsed store metadata (single 2D f64 array at the store root),
     * covering both vintages: `codec` is "zlib" (v2), "gzip" (v3) or
@@ -455,9 +479,12 @@ object ZarrIO {
     * `codec` the inner codec). */
   private case class StoreMeta(shapeH: Int, shapeW: Int, ch: Int, cw: Int,
       codec: String, fill: Double, gt: Array[Double], crs: String, v3: Boolean,
-      shard: Option[Shard] = None) {
+      shard: Option[Shard] = None, sep: String = "/",
+      v2keys: Boolean = false, forder: Boolean = false) {
     def chunkName(cy: Long, cx: Long): String =
-      if (v3) s"c/$cy/$cx" else s"$cy.$cx"
+      if (v3 && !v2keys) s"c$sep$cy$sep$cx"
+      else if (v3) s"$cy$sep$cx"
+      else s"$cy.$cx"
     /** Inner chunks per shard along y/x. */
     def ipsY: Int = shard.map(_.sh / ch).getOrElse(1)
     def ipsX: Int = shard.map(_.sw / cw).getOrElse(1)
@@ -466,10 +493,10 @@ object ZarrIO {
   /** Parse a shard object's trailing index: (offset, nbytes) per inner
     * chunk in C order; None entries are absent chunks. */
   private def shardIndex(bytes: Array[Byte], nInner: Int,
-      crc: Boolean): IndexedSeq[Option[(Long, Long)]] = {
+      crc: Boolean, atStart: Boolean = false): IndexedSeq[Option[(Long, Long)]] = {
     val idxLen = nInner * 16 + (if (crc) 4 else 0)
     require(bytes.length >= idxLen, s"zarr shard: ${bytes.length} bytes < index $idxLen")
-    val base = bytes.length - idxLen
+    val base = if (atStart) 0 else bytes.length - idxLen
     if (crc) {
       val c = new java.util.zip.CRC32C()
       c.update(bytes, base, nInner * 16)
@@ -533,13 +560,24 @@ object ZarrIO {
         require(grid.get("name").asText() == "regular", "zarr v3: regular chunk grid only")
         val cs = grid.get("configuration").get("chunk_shape")
         val cke = za.get("chunk_key_encoding")
-        if (cke != null && !cke.isNull) {
-          require(cke.get("name").asText() == "default",
-            "zarr v3: default chunk key encoding only")
-          val sep = Option(cke.get("configuration"))
-            .flatMap(c => Option(c.get("separator"))).map(_.asText()).getOrElse("/")
-          require(sep == "/", s"zarr v3: chunk key separator '$sep' not supported")
-        }
+        // "default" keys are c<sep>y<sep>x; "v2" keys are y<sep>x with a
+        // "." default separator — both spec encodings, both separators
+        val (keySep, v2keys) =
+          if (cke == null || cke.isNull) ("/", false)
+          else {
+            val nm = cke.get("name").asText()
+            val csep = Option(cke.get("configuration"))
+              .flatMap(c => Option(c.get("separator"))).map(_.asText())
+            val (sp, v2k) = nm match {
+              case "default" => (csep.getOrElse("/"), false)
+              case "v2" => (csep.getOrElse("."), true)
+              case other => throw new IllegalArgumentException(
+                s"zarr v3: chunk key encoding '$other' not supported")
+            }
+            require(sp == "/" || sp == ".",
+              s"zarr v3: chunk key separator '$sp' not supported")
+            (sp, v2k)
+          }
         def plainCodecs(codecs: com.fasterxml.jackson.databind.JsonNode,
             what: String): String = {
           val names = (0 until codecs.size).map(i => codecs.get(i).get("name").asText())
@@ -574,19 +612,23 @@ object ZarrIO {
           require(idxCodecs == Seq("bytes") || idxCodecs == Seq("bytes", "crc32c"),
             s"zarr v3 sharding index codecs ${idxCodecs.mkString(",")} not supported")
           val loc = Option(cfg.get("index_location")).map(_.asText()).getOrElse("end")
-          require(loc == "end", "zarr v3 sharding: index_location end only")
+          require(loc == "end" || loc == "start",
+            s"zarr v3 sharding: index_location '$loc' not supported")
           val (sh, sw) = (cs.get(0).asInt(), cs.get(1).asInt())
           val (ich, icw) = (ics.get(0).asInt(), ics.get(1).asInt())
           require(ich > 0 && icw > 0 && sh % ich == 0 && sw % icw == 0,
             s"zarr v3 sharding: shard ${sh}x$sw not a multiple of inner ${ich}x$icw")
           StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
             ich, icw, innerCodec, fillOf(za.get("fill_value")), gt, crs, v3 = true,
-            shard = Some(Shard(sh, sw, idxCodecs.contains("crc32c"))))
+            shard = Some(Shard(sh, sw, idxCodecs.contains("crc32c"),
+              atStart = loc == "start")),
+            sep = keySep, v2keys = v2keys)
         } else {
           val codec = plainCodecs(codecs, "array")
           StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
             cs.get(0).asInt(), cs.get(1).asInt(), codec,
-            fillOf(za.get("fill_value")), gt, crs, v3 = true)
+            fillOf(za.get("fill_value")), gt, crs, v3 = true,
+            sep = keySep, v2keys = v2keys)
         }
       case None =>
         val za = mapper.readTree(readText(".zarray").getOrElse(
@@ -595,7 +637,9 @@ object ZarrIO {
         require(za.get("zarr_format").asInt() == 2, "zarr v2 or v3 only")
         require(za.get("dtype").asText() == "<f8",
           s"zarr dtype ${za.get("dtype").asText()} not supported (<f8 only)")
-        require(za.get("order").asText() == "C", "zarr order C only")
+        val order = za.get("order").asText()
+        require(order == "C" || order == "F",
+          s"zarr order '$order' not supported (C/F only)")
         require(za.get("shape").size == 2,
           s"zarr: ${za.get("shape").size}-D array (2D y/x only)")
         val fl = za.get("filters")
@@ -622,7 +666,7 @@ object ZarrIO {
         StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
           za.get("chunks").get(0).asInt(), za.get("chunks").get(1).asInt(),
           if (compressed) "zlib" else "raw", fillOf(za.get("fill_value")),
-          gt, crs, v3 = false)
+          gt, crs, v3 = false, forder = order == "F")
     }
   }
 
@@ -677,7 +721,8 @@ object ZarrIO {
                 val in = fs.open(p); in.readFully(0, buf); in.close()
                 RasterLoaders.fetchCalls.increment()
                 RasterLoaders.fetchBytes.add(len.toLong)
-                copyChunk(decodeChunk(buf, m.codec, m.cw * m.ch * 8), cy, cx)
+                val dec = decodeChunk(buf, m.codec, m.cw * m.ch * 8)
+                copyChunk(if (m.forder) fToC(dec, m.ch, m.cw) else dec, cy, cx)
               }
               cx += 1
             }
@@ -698,7 +743,7 @@ object ZarrIO {
               val idxLen = nInner * 16 + (if (sd.indexCrc) 4 else 0)
               val in = fs.open(p)
               val idxBuf = new Array[Byte](idxLen)
-              in.readFully(flen - idxLen, idxBuf)
+              in.readFully(if (sd.atStart) 0L else flen - idxLen, idxBuf)
               RasterLoaders.fetchCalls.increment()
               RasterLoaders.fetchBytes.add(idxLen.toLong)
               val idx = shardIndex(idxBuf, nInner, sd.indexCrc)

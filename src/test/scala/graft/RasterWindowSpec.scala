@@ -572,6 +572,129 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
       w, h, bands)
   }
 
+  test("zarr interop: '.'-separated v3 keys, v2 key encoding, index_location start, v2 F order") {
+    def fresh(name: String): java.io.File = {
+      val d = new java.io.File(s"/tmp/graft_window_spec/$name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (d.exists) rm(d)
+      d.mkdirs()
+      d
+    }
+    def chunk64(cy: Int, cx: Int, forder: Boolean): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64 * 64 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 64; c <- 0 until 64) {
+        val v = ((cy * 64 + r) * 1000 + (cx * 64 + c)).toDouble
+        val k = if (forder) c * 64 + r else r * 64 + c
+        bb.putDouble(k * 8, v)
+      }
+      bb.array()
+    }
+    def v3meta(cke: String): String =
+      s"""{"zarr_format": 3, "node_type": "array", "shape": [128, 128],
+         | "data_type": "float64",
+         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [64, 64]}},
+         | $cke
+         | "fill_value": -1.0,
+         | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+         | "attributes": {"transform": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+         |   "crs": "EPSG:32610"}}""".stripMargin
+    def probe(path: String, expectRows: Long = 4): Unit = {
+      val win = RasterLoaders.window(path, 60, 60, 10, 10)
+      def at(gc: Int, gr: Int): Double = {
+        val (fc, fr) = win.rasterCoord(gc + 0.5, -(gr + 0.5))
+        win.value(1, math.floor(fc).toInt, math.floor(fr).toInt).doubleValue
+      }
+      assert(at(60, 60) == 60 * 1000 + 60)
+      assert(at(69, 69) == 69 * 1000 + 69) // crosses into chunk (1,1)
+      val rows = graft.sources.ZarrIO.read(spark, path).count()
+      assert(rows == expectRows, s"expected $expectRows chunk rows, got $rows")
+    }
+    // (a) v3 default key encoding with "." separator: flat c.y.x objects
+    val a = fresh("interop_dot.zarr")
+    java.nio.file.Files.write(new java.io.File(a, "zarr.json").toPath,
+      v3meta(""""chunk_key_encoding": {"name": "default", "configuration": {"separator": "."}},""")
+        .getBytes("UTF-8"))
+    for (cy <- 0 until 2; cx <- 0 until 2)
+      java.nio.file.Files.write(new java.io.File(a, s"c.$cy.$cx").toPath,
+        chunk64(cy, cx, forder = false))
+    probe(a.getAbsolutePath)
+    // (b) v3 "v2" key encoding: flat y.x objects, no c prefix
+    val b = fresh("interop_v2keys.zarr")
+    java.nio.file.Files.write(new java.io.File(b, "zarr.json").toPath,
+      v3meta(""""chunk_key_encoding": {"name": "v2"},""").getBytes("UTF-8"))
+    for (cy <- 0 until 2; cx <- 0 until 2)
+      java.nio.file.Files.write(new java.io.File(b, s"$cy.$cx").toPath,
+        chunk64(cy, cx, forder = false))
+    probe(b.getAbsolutePath)
+    // (c) v2 store with Fortran (column-major) chunk order
+    val c = fresh("interop_forder.zarr")
+    java.nio.file.Files.write(new java.io.File(c, ".zarray").toPath,
+      """{"zarr_format": 2, "shape": [128, 128], "chunks": [64, 64],
+        | "dtype": "<f8", "order": "F", "fill_value": -1.0,
+        | "compressor": null, "filters": null}""".stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(c, ".zattrs").toPath,
+      """{"transform": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0], "crs": "EPSG:32610"}"""
+        .getBytes("UTF-8"))
+    for (cy <- 0 until 2; cx <- 0 until 2)
+      java.nio.file.Files.write(new java.io.File(c, s"$cy.$cx").toPath,
+        chunk64(cy, cx, forder = true))
+    probe(c.getAbsolutePath)
+    // (d) sharding_indexed with index_location START: one 128x128 shard
+    // of 2x2 inner 64x64 chunks, inner (1,0) absent -> fill
+    val d = fresh("interop_idxstart.zarr")
+    java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
+      """{"zarr_format": 3, "node_type": "array", "shape": [128, 128],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [128, 128]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": -1.0,
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [64, 64],
+        |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |   "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |                    {"name": "crc32c"}],
+        |   "index_location": "start"}}],
+        | "attributes": {"transform": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+        |   "crs": "EPSG:32610"}}""".stripMargin.getBytes("UTF-8"))
+    val present = Seq((0, 0), (0, 1), (1, 1)) // inner (1,0) absent
+    val idxLen = 4 * 16 + 4
+    val chunkLen = 64 * 64 * 8
+    val obj = java.nio.ByteBuffer.allocate(idxLen + present.length * chunkLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = idxLen.toLong
+    val offsets = scala.collection.mutable.Map[(Int, Int), Long]()
+    present.foreach { case (iy, ix) =>
+      obj.position(off.toInt)
+      obj.put(chunk64(iy, ix, forder = false))
+      offsets((iy, ix)) = off
+      off += chunkLen
+    }
+    for (iy <- 0 until 2; ix <- 0 until 2) {
+      val k = iy * 2 + ix
+      val (o, l) = offsets.get((iy, ix))
+        .map(o => (o, chunkLen.toLong)).getOrElse((-1L, -1L))
+      obj.putLong(k * 16, o)
+      obj.putLong(k * 16 + 8, l)
+    }
+    val crc = new java.util.zip.CRC32C()
+    crc.update(obj.array(), 0, 4 * 16)
+    obj.putInt(4 * 16, crc.getValue.toInt)
+    val shardFile = new java.io.File(d, "c/0/0")
+    shardFile.getParentFile.mkdirs()
+    java.nio.file.Files.write(shardFile.toPath, obj.array())
+    probe(d.getAbsolutePath, expectRows = 3) // inner (1,0) absent
+    // the absent inner chunk reads as fill through the windowed path
+    // (fill == band nodata, so the pixel surfaces as null)
+    val winD = RasterLoaders.window(d.getAbsolutePath, 10, 70, 4, 4)
+    val (fc, fr) = winD.rasterCoord(10.5, -70.5)
+    assert(winD.value(1, math.floor(fc).toInt, math.floor(fr).toInt) == null,
+      "absent inner chunk must be fill under index_location start")
+  }
+
   test("JPEG geotiff: constant tiles roundtrip within 1 at q=1.0; smooth data within tolerance; window == full crop") {
     def fetchOf(bytes: Array[Byte]): (Long, Int) => Array[Byte] =
       (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
