@@ -23,7 +23,7 @@ object PipelineQueries {
 
   // shared CTE chain: documents → shingles → minhash signatures → LSH
   // bands → candidate pairs (the pl04 construction, reused by pl12)
-  private lazy val minhashPairCtes =
+  private[queries] lazy val minhashPairCtes =
     s"""d AS (SELECT doc_id, $toksSql AS t FROM documents),
       |sh AS (SELECT doc_id, $shSql AS sh FROM d),
       |hashed AS (SELECT doc_id, [${h32("s")} for s in sh] AS hs FROM sh),

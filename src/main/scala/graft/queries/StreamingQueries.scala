@@ -327,9 +327,44 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
       s.table(sinkName)
+    }),
+
+    // streaming MinHash near-dup dedup: band buckets keyed into
+    // flatMapGroupsWithState holding ONE long (the min doc id) per
+    // bucket; a doc is a near-duplicate when any of its buckets already
+    // held a lower id. The bucket flags roll up to the per-doc verdict
+    // with a stateless batch aggregation of the sink. One staged file =
+    // one batch; the held-minimum contract makes the flags
+    // batch-split-invariant anyway.
+    "st08_stream_minhash_dedup" -> ((s, dir) => {
+      import graft.Tables
+      val docs = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val staging = s"/tmp/graft_stream_mhd/${math.abs(dir.hashCode)}"
+      docs.coalesce(1).write.mode("overwrite").parquet(staging)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val stream = s.readStream.schema(schema).parquet(staging)
+      val flags = StreamingOps.streamMinhashDedup(
+        stream, col("doc_id"), col("text"), numHashes = 12, bands = 4)
+      val sinkName = s"graft_mhd_${math.abs(dir.hashCode)}"
+      val q = flags.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName).groupBy(col("doc_id"))
+        .agg(max(col("is_dup")).as("is_dup"))
     }))
 
   val oracles: Map[String, String] = Map(
+    // batch restatement of the held-minimum contract: a doc is a dup iff
+    // some band bucket contains a lower doc id (pl04's banded CTE chain)
+    "st08_stream_minhash_dedup" ->
+      s"""WITH ${PipelineQueries.minhashPairCtes},
+        |dup AS (SELECT DISTINCT a.doc_id FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id < a.doc_id)
+        |SELECT d.doc_id, dup.doc_id IS NOT NULL AS is_dup
+        |FROM d LEFT JOIN dup ON dup.doc_id = d.doc_id""".stripMargin,
     // gap sessionization restated over plain windows; the sentinel rows
     // exist only in the staging copy, so the oracle sees real events only
     "st01_stream_sessionize" ->

@@ -195,4 +195,53 @@ object StreamingOps {
     graft.operators.IntervalJoin.overlapJoin(left, right,
       lStart, lEnd, rStart, rEnd, key = None,
       cellWidth = cellWidth, origin = origin, extraCond = Some(timeCond))
+
+  case class BucketDoc(bucket: String, band: Int, doc_id: Long)
+  case class BucketFlag(doc_id: Long, band: Int, is_dup: Boolean)
+
+  /** Streaming MinHash near-dup dedup — the fuzzy analog of the exact
+    * content-hash dedup stream: each document explodes to its LSH band
+    * buckets (map-only sketch kernels, the same bits as
+    * `PipelineOps.minhashPairs`), and a bucket-keyed
+    * `flatMapGroupsWithState` holds the MINIMUM doc id ever seen per
+    * bucket — O(buckets) state, one long each, never a document body.
+    * A document is flagged in a bucket when a lower-id document already
+    * occupies it (first-seen-by-id survivor — a total order the oracle
+    * can restate, batch-split-invariant because the held minimum is).
+    *
+    * Emits bucket-level flags (doc_id, band, is_dup); the per-doc
+    * verdict is ANY over its bands — a stateless rollup of the sink
+    * (Structured Streaming does not admit an aggregation downstream of
+    * flatMapGroupsWithState in one query). */
+  def streamMinhashDedup(docs: DataFrame, id: Column, text: Column,
+      numHashes: Int = 12, bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    import graft.pipeline.TextOps
+    import org.apache.spark.sql.functions._
+    val r = numHashes / bands
+    val exploded = docs.select(id.as("doc_id"),
+        posexplode(TextOps.bandKeys(
+          TextOps.minhashSignatureTok(TextOps.tokens(text), shingleK, numHashes),
+          bands, r)))
+      .select(concat(col("pos").cast("string"), lit(":"), col("col")).as("bucket"),
+        col("pos").as("band"), col("doc_id"))
+      .as[BucketDoc](Encoders.product[BucketDoc])
+    implicit val bf = Encoders.product[BucketFlag]
+    implicit val le = Encoders.scalaLong
+    def update(bucket: String, batch: Iterator[BucketDoc],
+        state: GroupState[Long]): Iterator[BucketFlag] = {
+      val ds = batch.toSeq.sortBy(_.doc_id)
+      var minSeen: Long = state.getOption.getOrElse(Long.MaxValue)
+      val out = ds.map { d =>
+        val f = BucketFlag(d.doc_id, d.band,
+          minSeen != Long.MaxValue && d.doc_id > minSeen)
+        if (d.doc_id < minSeen) minSeen = d.doc_id
+        f
+      }
+      if (minSeen != Long.MaxValue) state.update(minSeen)
+      out.iterator
+    }
+    exploded.groupByKey(_.bucket)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
 }

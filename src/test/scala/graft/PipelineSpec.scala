@@ -429,6 +429,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("structured streaming: MinHash near-dup dedup flags across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val flags = graft.streaming.StreamingOps.streamMinhashDedup(
+      input.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      numHashes = 12, bands = 4)
+    val q = flags.writeStream.format("memory").queryName("smhd")
+      .outputMode("append").start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      val b = "completely different content about spark engines and shuffles"
+      input.addData((10L, a), (20L, b))
+      q.processAllAvailable()
+      // a near-identical doc in a LATER batch must flag against held state
+      input.addData((30L, a), (40L, "yet another unrelated document body here"))
+      q.processAllAvailable()
+      val perDoc = spark.table("smhd").groupBy("doc_id")
+        .agg(max(col("is_dup")).as("d")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(perDoc(10L) == false && perDoc(20L) == false)
+      assert(perDoc(30L) == true, "identical text in batch 2 must flag as dup")
+      assert(perDoc(40L) == false)
+      // state is one long per bucket: a doc with a LOWER id arriving later
+      // is NOT a dup itself (first-seen-by-id), but pins the bucket minimum
+      input.addData((5L, a))
+      q.processAllAvailable()
+      val d5 = spark.table("smhd").filter(col("doc_id") === 5L)
+        .agg(max(col("is_dup"))).collect()(0).getBoolean(0)
+      assert(!d5, "lowest id is the survivor even arriving late")
+    } finally q.stop()
+  }
+
   test("structured streaming: windowed counts + dedup run with our extensions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
