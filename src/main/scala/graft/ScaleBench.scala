@@ -535,6 +535,25 @@ object ScaleBench {
           WHERE r.rts = (SELECT max(r2.rts) FROM sb_q27_r r2
                          WHERE r2.k = l.k AND r2.rts <= l.lts)"""))
       },
+      // gs01 path: distributed DBSCAN — points and extent grow with m
+      // (density constant), eps/minPts fixed, grid cells ~ extent: the
+      // neighbor graph, degree agg and CC all scale with the point
+      // count, never the pair product
+      "gs01_dbscan" -> { m =>
+        val w = 200.0 * sqrtM(m)
+        val hh = 120.0 * sqrtM(m)
+        val n = 20000L * m
+        val pts = spark.range(n).select(col("id"),
+          st.point(
+            (u(col("id"), 301) * (w * 2).toLong.toDouble).cast("long")
+              .cast("double") / 2.0,
+            (u(col("id"), 302) * (hh * 2).toLong.toDouble).cast("long")
+              .cast("double") / 2.0).as("pt"))
+        val nx = math.max(16, (80 * sqrtM(m)).toInt)
+        timed(graft.operators.Dbscan.dbscan(pts, col("id"), col("pt"),
+          eps = 1.5, minPts = 4, bounds = Some((0.0, 0.0, w, hh)),
+          nx = nx, ny = nx))
+      },
       // rs17 path: JPEG GeoTIFF codec throughput — raster count grows
       // with m at constant tile size, encode+decode map-only per row
       "rs17_jpeg_codec" -> { m =>

@@ -147,11 +147,11 @@ object PipelineOps {
     // plan that holds at 100TB. One action decides AND fetches: head
     // collects at most probeLimit+1 rows, so the common small-graph case
     // pays a single job instead of count()+collect(). The probe is capped
-    // at 1M rows regardless of the caller's threshold so a huge graph
-    // never materializes threshold-many rows on the driver just to learn
-    // it is huge; graphs between the cap and the threshold take the
-    // distributed path, which is correct at any size.
-    val probeLimit = math.min(localThreshold, 1L << 20).toInt
+    // at the threshold itself (4M edges ~ 64 MB of longs, far below any
+    // driver heap) so graphs up to the threshold genuinely take the
+    // one-pass local plan; beyond it the distributed rounds are correct
+    // at any size.
+    val probeLimit = math.min(localThreshold, 1L << 22).toInt
     val probe = edges.head(probeLimit + 1)
     if (probe.length <= probeLimit) {
       val es = probe.map(r => (r.getLong(0), r.getLong(1)))
@@ -173,16 +173,28 @@ object PipelineOps {
       import pairs.sparkSession.implicits._
       return out.toDF("id", "group_id")
     }
-    var cached = edges.select(col("src").as("id")).distinct()
+    // lineage barrier: each round's plan references the previous round
+    // TWICE (propagation + pointer jump) and the edge list twice more, so
+    // chaining raw DataFrames grows the logical plan ~4x PER ROUND — by
+    // round 12 the analyzer and AQE's explain walk millions of nodes of
+    // driver CPU. Re-entering through an InternalRow RDD leaf keeps each
+    // round's plan O(1); the persist (materialized by the convergence
+    // aggregate) serves recomputation as before.
+    val sparkS = pairs.sparkSession
+    def leafOf(d: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.DatasetBridge.internalDf(
+        sparkS, d.queryExecution.toRdd, d.schema)
+    val edgesLeaf = leafOf(edges)
+    var cached = edgesLeaf.select(col("src").as("id")).distinct()
       .withColumn("group_id", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+    var labels = leafOf(cached)
     var iter = 0
     var changed = 1L
     var prevSum: java.math.BigDecimal = null
     while (changed > 0 && iter < maxIter) {
       // neighbour-min propagation (one hop along edges) ...
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+      val nbrMin = edgesLeaf.join(labels, edgesLeaf("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
       val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id").as("pid"),
@@ -191,7 +203,14 @@ object PipelineOps {
       // ever point at same-component nodes, so the jump is safe and cuts
       // chain diameter exponentially — O(log d) rounds total.
       val hop = prop.select(col("pid").as("jid"), col("pgid").as("jgid"))
-      val next = prop.join(hop, col("pgid") === col("jid"), "left")
+      val jump1 = prop.join(hop, col("pgid") === col("jid"), "left")
+        .select(col("pid"),
+          least(col("pgid"), coalesce(col("jgid"), col("pgid"))).as("pgid"))
+      // second jump in the same round: label(label(label(x))) — one more
+      // shuffle, but the chain diameter divides by 4 per round instead
+      // of 2, halving the round count on deep components
+      val hop2 = jump1.select(col("pid").as("jid"), col("pgid").as("jgid"))
+      val next = jump1.join(hop2, col("pgid") === col("jid"), "left")
         .select(col("pid").as("id"),
           least(col("pgid"), coalesce(col("jgid"), col("pgid"))).as("group_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -203,7 +222,7 @@ object PipelineOps {
       prevSum = curSum
       cached.unpersist()
       cached = next
-      labels = next
+      labels = leafOf(next)
       iter += 1
     }
     edges.unpersist()

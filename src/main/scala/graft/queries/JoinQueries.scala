@@ -242,6 +242,27 @@ object JoinQueries {
     // forms of sj08's dwithin and sj13's intersects shapes. Without the
     // rule both joins have no equi-conjunct and plan a quadratic BNLJ;
     // with it they route through the two-level-grid spherical joins.
+    // distributed DBSCAN: eps-neighbor graph from the grid join, core
+    // points from one degree agg, clusters from connected components of
+    // the core-core subgraph, borders to the min neighboring cluster —
+    // the whole clusterer composed from scale primitives (no all-pairs)
+    "gs01_dbscan" -> ((s, dir) => {
+      prep(s)
+      // fixed key cap: the SAME point set at every SF >= 0.01, so the
+      // oracle's recursive component closure stays tractable (ScaleBench
+      // covers the operator's scaling separately)
+      val pts = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 3 && col("o_orderkey") < 15000)
+        .withColumn("x", ((col("o_orderkey") * 7) % 200).cast("double"))
+        .withColumn("y", ((col("o_custkey") * 11) % 120).cast("double"))
+        .select(col("o_orderkey").cast("long").as("oid"),
+          st.point(col("x"), col("y")).as("pt"))
+      graft.operators.Dbscan.dbscan(pts, col("oid"), col("pt"),
+          eps = 2.5, minPts = 4,
+          bounds = Some((0.0, 0.0, 200.0, 120.0)), nx = 80, ny = 48)
+        .select(col("id"), col("role"), col("cluster"))
+    }),
+
     "sj14_sphere_sql_join" -> ((s, dir) => {
       prep(s)
       t(s, dir, "customer")
@@ -358,6 +379,38 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // quadratic restatement at oracle scale: banded self-join (IEJoin),
+    // recursive closure of the core-core subgraph, min-cluster borders
+    "gs01_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST((o_orderkey * 7) % 200 AS DOUBLE) AS x,
+        |    CAST((o_custkey * 11) % 120 AS DOUBLE) AS y
+        |  FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey < 15000),
+        |e AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+        |  ON a.id <> b.id
+        |  AND b.x BETWEEN a.x - 2.5 AND a.x + 2.5
+        |  AND b.y BETWEEN a.y - 2.5 AND a.y + 2.5
+        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 6.25),
+        |deg AS (SELECT ia AS id, count(*) AS n FROM e GROUP BY 1),
+        |core AS (SELECT id FROM deg WHERE n + 1 >= 4),
+        |ce AS (SELECT e.ia AS a, e.ib AS b FROM e
+        |  JOIN core c1 ON e.ia = c1.id JOIN core c2 ON e.ib = c2.id),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT reach.id, ce.b FROM reach JOIN ce ON ce.a = reach.r),
+        |grp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |bord AS (SELECT e.ia AS id, MIN(g.cluster) AS cluster
+        |  FROM e JOIN grp g ON g.id = e.ib
+        |  WHERE e.ia NOT IN (SELECT id FROM core)
+        |  GROUP BY e.ia)
+        |SELECT p.id,
+        |  CASE WHEN g.id IS NOT NULL THEN 'core'
+        |       WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+        |  CAST(COALESCE(g.cluster, b.cluster) AS BIGINT) AS cluster
+        |FROM p LEFT JOIN grp g ON g.id = p.id
+        |LEFT JOIN bord b ON b.id = p.id""".stripMargin,
     "sj01_intersects_join" ->
       s"""WITH p AS ($pointsSql), b AS ($boxesSql)
         |SELECT p.o_orderkey, b.p_partkey FROM p JOIN b

@@ -613,4 +613,31 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(j) == sortedRows(ref))
     assert(j.count() > 0)
   }
+  test("dbscan: cores/borders/noise on a hand-verified fixture, deterministic ids") {
+    import graft.functions.GraftFunctions.st
+    import spark.implicits._
+    // blob A (6 mutually-within-eps points), blob B (4 in a line, ends at
+    // exactly eps), one border hanging off A, two isolated noise points
+    val pts = Seq(
+      (1L, 10.0, 10.0), (2L, 11.0, 10.0), (3L, 10.0, 11.0),
+      (4L, 11.0, 11.0), (5L, 12.0, 10.0), (6L, 12.0, 11.0),
+      (11L, 50.0, 50.0), (12L, 51.0, 50.0), (13L, 52.0, 50.0), (14L, 53.0, 50.0),
+      (20L, 13.0, 13.0),
+      (30L, 90.0, 90.0), (31L, 0.0, 99.0)
+    ).toDF("pid", "x", "y").withColumn("pt", st.point(col("x"), col("y")))
+    val out = graft.operators.Dbscan.dbscan(pts, col("pid"), col("pt"),
+        eps = 3.0, minPts = 4, bounds = Some((0.0, 0.0, 100.0, 100.0)),
+        nx = 16, ny = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    for (i <- Seq(1L, 2L, 3L, 4L, 5L, 6L))
+      assert(out(i) == ("core", 1L), s"$i: ${out(i)}")
+    // B: endpoints sit at distance exactly eps from the far end -> the
+    // <= boundary keeps all four core in one cluster
+    for (i <- Seq(11L, 12L, 13L, 14L))
+      assert(out(i) == ("core", 11L), s"$i: ${out(i)}")
+    assert(out(20L) == ("border", 1L), s"20: ${out(20L)}")
+    assert(out(30L) == ("noise", -1L) && out(31L) == ("noise", -1L))
+    assert(out.size == 13)
+  }
 }
