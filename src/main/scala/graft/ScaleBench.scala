@@ -535,6 +535,34 @@ object ScaleBench {
           WHERE r.rts = (SELECT max(r2.rts) FROM sb_q27_r r2
                          WHERE r2.k = l.k AND r2.rts <= l.lts)"""))
       },
+      // st08 path: streaming MinHash near-dup dedup — docs grow with m,
+      // state is one long per band bucket; AvailableNow over one staged
+      // file, the wall is sketch compute + bucket-state commits ~ m
+      "st08_stream_minhash" -> { m =>
+        val n = 20000L * m
+        val stage = s"/tmp/graft_scalebench_mhd/$m"
+        docs(m, 20000).coalesce(4).write.mode("overwrite").parquet(stage)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType), StructField("source", StringType)))
+        val stream = spark.readStream.schema(schema).parquet(stage)
+        val flags = graft.streaming.StreamingOps.streamMinhashDedup(
+          stream, col("doc_id"), col("text"))
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val t0 = System.nanoTime()
+          val sink = s"sb_mhd_$m"
+          val q = flags.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val rows = spark.table(sink).count()
+          require(rows >= n, "every doc emits one flag per band")
+          (n, (System.nanoTime() - t0) / 1e9)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
       // gs01 path: distributed DBSCAN — points and extent grow with m
       // (density constant), eps/minPts fixed, grid cells ~ extent: the
       // neighbor graph, degree agg and CC all scale with the point
