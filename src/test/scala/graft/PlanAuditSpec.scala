@@ -189,6 +189,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pc06 lost map-side partial aggregation")
   }
 
+  test("round-10 gates keep their intended plan shapes") {
+    // q27: the DATE as-of now routes through rotation + the PROBE-side
+    // sweep — the sweep RDD scan is the signature, with the domain
+    // reduced to a left-semi guard (no |d|x|keys| product anywhere)
+    val q27 = entries("q27_asof_date").plan
+    assert(q27.contains("ExistingRDD"), "q27 probe-side sweep missing")
+    // sj14: both SQL sphere joins grid-rewritten — cell explode present,
+    // and no BNLJ even though the gate leaves broadcast enabled at
+    // execution time (the pair-product decline)
+    val sj14 = entries("sj14_sphere_sql_join").plan
+    assert(sj14.contains("Generate explode"), "sj14 lost the grid explode")
+    assert(!sj14.contains("BroadcastNestedLoopJoin"),
+      "sj14 must not fall back to a BNLJ")
+    // gs01: dbscan's persisted intermediates re-enter as RDD leaves
+    // (the anti-exponential-plan barrier) — joins run over those scans
+    val gs = entries("gs01_dbscan").plan
+    assert(gs.contains("ExistingRDD"), "gs01 lost the lineage barriers")
+    // pl29: semantic dedup is ONE cluster-id equi-join plus the
+    // survivor anti side — hash machinery, never a nested loop
+    val pl29 = entries("pl29_semantic_dedup").plan
+    assert(pl29.contains("SortMergeJoin") || pl29.contains("ShuffledHashJoin") ||
+      pl29.contains("BroadcastHashJoin"), "pl29 lost the cluster equi-join")
+    assert(!pl29.contains("BroadcastNestedLoopJoin"), "pl29 must hash-join")
+  }
+
   test("streaming joins plan their streaming operators") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
