@@ -13,10 +13,26 @@ object GraftExtensions {
     // at ingest scale the HDFS-backed heap store's commit volume and
     // resident state are the bottleneck (st03 ScaleBench history);
     // measured ~20% faster on the stream-stream join gate locally
-    if (spark.conf.getOption(
-        "spark.sql.streaming.stateStore.providerClass").isEmpty)
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // NB: conf.getOption is the wrong probe here — the key has a
+    // built-in default (HDFSBackedStateStoreProvider), so getOption is
+    // always Some(...). Only the explicitly-set maps (session settings
+    // + SparkConf from spark-submit) tell us whether the USER chose one.
+    val ssProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val userChoseProvider =
+      spark.sessionState.conf.contains(ssProviderKey) ||
+        spark.sparkContext.getConf.contains(ssProviderKey)
+    if (!userChoseProvider) {
+      spark.conf.set(ssProviderKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: per-commit cost becomes the delta
+      // upload, not a full snapshot — the dominant streaming-gate
+      // constant at ingest scale (same explicitly-set-only guard)
+      val clKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      if (!spark.sessionState.conf.contains(clKey) &&
+          !spark.sparkContext.getConf.contains(clKey))
+        spark.conf.set(clKey, "true")
+    }
     graft.functions.GraftFunctions.register(spark)
     graft.sources.RandomGeometry.registerTable(spark)
     val cur = spark.experimental.extraStrategies

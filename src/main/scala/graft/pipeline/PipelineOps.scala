@@ -124,11 +124,15 @@ object PipelineOps {
   /** Connected components over a near-duplicate pair list — the step a
     * training pipeline runs after MinHash/SimHash pair generation to turn
     * pairwise matches into dedup groups (keep one canonical doc per
-    * component). Iterative min-label propagation: each round is one
-    * shuffle (edge-label join + min-aggregate) and converges in
-    * O(component diameter) rounds — near-dup clusters are shallow, so
-    * this beats the constant-factor-heavy two-phase star algorithms for
-    * this workload while staying fully distributed (no driver state).
+    * component). Size-adaptive: an edge list under `localThreshold`
+    * resolves with driver union-find in one pass (packed long arrays,
+    * 16 B/edge); above it, the alternating large-star / small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) runs fully distributed — provably O(log n)
+    * rounds, two map-side-combinable aggregations plus two
+    * same-key-partitioned joins per round, and the edge set SHRINKS
+    * monotonically toward the final star forest, so later rounds get
+    * cheaper instead of re-shuffling the whole graph each time.
     *
     * @param pairs one row per undirected pair
     * @return (id, group_id) for every id that appears in `pairs`, where
@@ -141,20 +145,22 @@ object PipelineOps {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // size-adaptive, like Spark's broadcast-join policy: an edge list that
-    // fits the driver resolves with union-find in one pass — the iterative
-    // label-propagation rounds below carry ~4 shuffles each, pure waste
-    // when the graph is megabytes. The distributed path is the >threshold
-    // plan that holds at 100TB. One action decides AND fetches: head
-    // collects at most probeLimit+1 rows, so the common small-graph case
-    // pays a single job instead of count()+collect(). The probe is capped
-    // at the threshold itself (4M edges ~ 64 MB of longs, far below any
-    // driver heap) so graphs up to the threshold genuinely take the
-    // one-pass local plan; beyond it the distributed rounds are correct
-    // at any size.
-    val probeLimit = math.min(localThreshold, 1L << 22).toInt
-    val probe = edges.head(probeLimit + 1)
-    if (probe.length <= probeLimit) {
-      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+    // fits the driver resolves with union-find in one pass — the star
+    // rounds below carry shuffles each, pure waste when the graph is
+    // megabytes. The distributed path is the >threshold plan that holds
+    // at 100TB. The count materializes the persisted cache once (either
+    // path re-reads it from cache), and the local fetch ships PACKED long
+    // arrays per partition — 16 B/edge, so the 4M-edge cap really is
+    // ~64 MB of driver footprint, never a GenericRow per edge.
+    val probeLimit = math.min(localThreshold, 1L << 22)
+    val sparkS = pairs.sparkSession
+    if (edges.count() <= probeLimit) {
+      val packed: Array[Array[Long]] =
+        edges.queryExecution.toRdd.mapPartitions { it =>
+          val b = new scala.collection.mutable.ArrayBuilder.ofLong
+          while (it.hasNext) { val r = it.next(); b += r.getLong(0); b += r.getLong(1) }
+          Iterator.single(b.result())
+        }.collect()
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -163,15 +169,47 @@ object PipelineOps {
         while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
         r
       }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      var nNodes = 0
+      packed.foreach { arr =>
+        var i = 0
+        while (i < arr.length) {
+          val a = arr(i); val b = arr(i + 1)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          i += 2
+        }
+        nNodes += arr.length / 2 // bidirectional: srcs enumerate every node, with dups
       }
-      val nodes = es.iterator.map(_._1).toArray.distinct
-      val out = nodes.map(n => (n, find(n))).toIndexedSeq
+      // distinct node ids from the (bidirectional) src positions: sort+dedup
+      // in a primitive array — no boxing
+      val srcs = new Array[Long](nNodes)
+      var w = 0
+      packed.foreach { arr =>
+        var i = 0
+        while (i < arr.length) { srcs(w) = arr(i); w += 1; i += 2 }
+      }
+      java.util.Arrays.sort(srcs)
+      var n = 0
+      var i = 0
+      while (i < srcs.length) {
+        if (i == 0 || srcs(i) != srcs(i - 1)) { srcs(n) = srcs(i); n += 1 }
+        i += 1
+      }
+      val ids = java.util.Arrays.copyOf(srcs, n)
+      val gids = new Array[Long](n)
+      i = 0
+      while (i < n) { gids(i) = find(ids(i)); i += 1 }
       edges.unpersist()
-      import pairs.sparkSession.implicits._
-      return out.toDF("id", "group_id")
+      // ship the answer back as two primitive arrays (16 B/node), not a
+      // driver-built Seq of boxed rows
+      val idsB = sparkS.sparkContext.broadcast(ids)
+      val gidsB = sparkS.sparkContext.broadcast(gids)
+      val slices = math.max(1, n / (1 << 21))
+      val rows = sparkS.sparkContext.range(0L, n.toLong, numSlices = slices)
+        .map(j => org.apache.spark.sql.Row(idsB.value(j.toInt), gidsB.value(j.toInt)))
+      return sparkS.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("group_id", org.apache.spark.sql.types.LongType, nullable = false))))
     }
     // lineage barrier: each round's plan references the previous round
     // TWICE (propagation + pointer jump) and the edge list twice more, so
