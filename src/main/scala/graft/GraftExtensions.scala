@@ -22,6 +22,18 @@ object GraftExtensions {
       spark.sessionState.conf.contains(ssProviderKey) ||
         spark.sparkContext.getConf.contains(ssProviderKey)
     if (!userChoseProvider) {
+      // CAVEAT: Spark cannot change state-store providers across restarts
+      // of the SAME checkpoint. A streaming query resuming from a
+      // checkpoint written under the default HDFSBackedStateStoreProvider
+      // must pin spark.sql.streaming.stateStore.providerClass explicitly
+      // (either provider) — this default only intends to cover fresh
+      // checkpoints. Warn loudly so the switch is never silent.
+      org.apache.log4j.Logger.getLogger(getClass.getName).warn(
+        s"graft: defaulting $ssProviderKey to RocksDBStateStoreProvider. " +
+          "Streaming queries resuming from checkpoints written under a " +
+          "different provider must set this key explicitly — Spark does " +
+          "not support changing the state store provider of an existing " +
+          "checkpoint.")
       spark.conf.set(ssProviderKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // changelog checkpointing: per-commit cost becomes the delta

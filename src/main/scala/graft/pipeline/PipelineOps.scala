@@ -128,11 +128,12 @@ object PipelineOps {
     * resolves with driver union-find in one pass (packed long arrays,
     * 16 B/edge); above it, the alternating large-star / small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC'14) runs fully distributed — provably O(log n)
-    * rounds, two map-side-combinable aggregations plus two
-    * same-key-partitioned joins per round, and the edge set SHRINKS
-    * monotonically toward the final star forest, so later rounds get
-    * cheaper instead of re-shuffling the whole graph each time.
+    * Beyond", SoCC'14) runs fully distributed: O(log n) rounds, each a
+    * map-side-combinable min aggregation plus a same-key join per star
+    * op, over an edge set that shrinks monotonically toward the final
+    * star forest — so later rounds get cheaper instead of re-shuffling
+    * the whole graph. An InternalRow RDD lineage barrier keeps the plan
+    * O(1) per round. Ids must be non-null (checked on the local path).
     *
     * @param pairs one row per undirected pair
     * @return (id, group_id) for every id that appears in `pairs`, where
@@ -158,7 +159,15 @@ object PipelineOps {
       val packed: Array[Array[Long]] =
         edges.queryExecution.toRdd.mapPartitions { it =>
           val b = new scala.collection.mutable.ArrayBuilder.ofLong
-          while (it.hasNext) { val r = it.next(); b += r.getLong(0); b += r.getLong(1) }
+          while (it.hasNext) {
+            val r = it.next()
+            // fail loudly on null ids: getLong on a null slot silently
+            // reads 0 and would merge the null rows into group 0
+            if (r.isNullAt(0) || r.isNullAt(1))
+              throw new IllegalArgumentException(
+                "connectedComponents: null id in pair list")
+            b += r.getLong(0); b += r.getLong(1)
+          }
           Iterator.single(b.result())
         }.collect()
       val parent = scala.collection.mutable.HashMap[Long, Long]()
@@ -211,61 +220,91 @@ object PipelineOps {
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("group_id", org.apache.spark.sql.types.LongType, nullable = false))))
     }
-    // lineage barrier: each round's plan references the previous round
-    // TWICE (propagation + pointer jump) and the edge list twice more, so
-    // chaining raw DataFrames grows the logical plan ~4x PER ROUND — by
-    // round 12 the analyzer and AQE's explain walk millions of nodes of
-    // driver CPU. Re-entering through an InternalRow RDD leaf keeps each
-    // round's plan O(1); the persist (materialized by the convergence
-    // aggregate) serves recomputation as before.
-    val sparkS = pairs.sparkSession
+    // Distributed path: alternating large-star / small-star rounds
+    // (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    // SoCC'14). Each round rewires edges toward per-neighbourhood minima;
+    // the edge set converges MONOTONICALLY to the star forest (one edge
+    // per node, pointing at its component min) in O(log n) rounds. Unlike
+    // label propagation over a static edge list, later rounds shuffle a
+    // SHRINKING set, and the per-node min is a map-side-combinable
+    // aggregation — skew-safe where a window min over a hot node is not.
+    //
+    // Lineage barrier: each round re-enters through an InternalRow RDD
+    // leaf so the logical plan stays O(1) per round instead of growing
+    // multiplicatively (analyzer/AQE walk cost at round 12+).
     def leafOf(d: DataFrame): DataFrame =
       org.apache.spark.sql.graft.DatasetBridge.internalDf(
         sparkS, d.queryExecution.toRdd, d.schema)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edgesLeaf = leafOf(edges)
-    var cached = edgesLeaf.select(col("src").as("id")).distinct()
-      .withColumn("group_id", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = leafOf(cached)
+    // node inventory persisted up front (self-loop-only nodes vanish from
+    // the star rounds but must still get a singleton label)
+    val nodes = edgesLeaf.select(col("src").as("id")).distinct().persist(mem)
+    nodes.count() // materialize while the edges cache is hot
+
+    // large-star(u): attach every STRICTLY LARGER neighbour of u to
+    // m = min(Γ(u) ∪ {u}). groupBy-min (partial agg, skew-safe) + join
+    // back on u; AQE splits the probe side if a hub node skews it.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star(u): orient each edge toward its larger endpoint, then
+    // attach every smaller neighbour AND u itself to m = min(Γ⁻(u) ∪ {u}).
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).where(col("u") =!= col("v"))
+      val mins = or.groupBy("u").agg(min(col("v")).as("m"))
+      or.join(mins, "u")
+        .select(col("v").as("u2"), col("m").as("v2"))
+        .unionAll(mins.select(col("u").as("u2"), col("m").as("v2")))
+        .where(col("u2") =!= col("v2"))
+        .select(col("u2").as("u"), col("v2").as("v"))
+        .distinct()
+    }
+
+    var cur = edgesLeaf.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().persist(mem)
+    var curLeaf = leafOf(cur)
     var iter = 0
-    var changed = 1L
-    var prevSum: java.math.BigDecimal = null
-    while (changed > 0 && iter < maxIter) {
-      // neighbour-min propagation (one hop along edges) ...
-      val nbrMin = edgesLeaf.join(labels, edgesLeaf("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("group_id")).as("nbr_min"))
-      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id").as("pid"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("pgid"))
-      // ... then pointer jumping: label(x) <- label(label(x)). Labels only
-      // ever point at same-component nodes, so the jump is safe and cuts
-      // chain diameter exponentially — O(log d) rounds total.
-      val hop = prop.select(col("pid").as("jid"), col("pgid").as("jgid"))
-      val jump1 = prop.join(hop, col("pgid") === col("jid"), "left")
-        .select(col("pid"),
-          least(col("pgid"), coalesce(col("jgid"), col("pgid"))).as("pgid"))
-      // second jump in the same round: label(label(label(x))) — one more
-      // shuffle, but the chain diameter divides by 4 per round instead
-      // of 2, halving the round count on deep components
-      val hop2 = jump1.select(col("pid").as("jid"), col("pgid").as("jgid"))
-      val next = jump1.join(hop2, col("pgid") === col("jid"), "left")
-        .select(col("pid").as("id"),
-          least(col("pgid"), coalesce(col("jgid"), col("pgid"))).as("group_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // labels only ever decrease, so the label sum strictly decreases iff
-      // anything changed — one aggregate materializes `next` in the cache
-      // (cutting lineage) and doubles as the convergence check
-      val curSum = next.agg(sum(col("group_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-      changed = if (prevSum == null || prevSum.compareTo(curSum) != 0) 1L else 0L
-      prevSum = curSum
-      cached.unpersist()
-      cached = next
-      labels = leafOf(next)
+    var converged = false
+    var prev: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
+    while (!converged && iter < maxIter) {
+      val ls = largeStar(curLeaf).persist(mem)
+      val next = smallStar(leafOf(ls)).persist(mem)
+      // one aggregate materializes the round AND doubles as convergence
+      // check: at the star-forest fixed point both rounds are identity
+      // maps, so (count, Σu, Σv) all freeze; before it, edge targets only
+      // ever decrease, so Σv strictly decreases every effective round.
+      val st = next.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)"))).collect()(0)
+      val stats = (st.getLong(0), st.getDecimal(1), st.getDecimal(2))
+      ls.unpersist()
+      cur.unpersist()
+      converged = prev != null && prev._1 == stats._1 &&
+        cmpDec(prev._2, stats._2) && cmpDec(prev._3, stats._3)
+      prev = stats
+      cur = next
+      curLeaf = leafOf(next)
       iter += 1
     }
+    // at convergence `cur` IS the star forest: (member, component-min).
+    // Roots and isolated nodes carry no edge → coalesce to themselves.
+    val out = nodes.join(curLeaf, nodes("id") === curLeaf("u"), "left")
+      .select(nodes("id"), coalesce(curLeaf("v"), nodes("id")).as("group_id"))
     edges.unpersist()
-    labels
+    out
   }
+
+  private def cmpDec(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
+    (a == null && b == null) || (a != null && b != null && a.compareTo(b) == 0)
 
   /** Dedup groups from near-dup pairs: every doc in `pairs` mapped to its
     * component's canonical (minimum) id, with `keep` marking the survivor.

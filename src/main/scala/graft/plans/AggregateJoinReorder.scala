@@ -44,7 +44,7 @@ case class AggregateJoinReorderRule(session: SparkSession)
     if (!enabled) plan
     else plan.transformUp {
       case j @ Join(InnerEquiJoin(a, b, c1), g, Inner,
-          Some(c2), JoinHint.NONE) =>
+          Some(c2), JoinHint.NONE) if !j.isStreaming =>
         rotate(j, a, b, c1, g, c2).getOrElse(j)
     }
 

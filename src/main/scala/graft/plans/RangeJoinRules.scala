@@ -752,7 +752,7 @@ case class AsOfProbeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     // name uniqueness: the sweep output is matched back by NAME
     val names = probeDf0.columns
     if (names.distinct.length != names.length) return None
-    val temps = Set("__ck", "__d", "__v", "__vid") ++
+    val temps = Set("__ck", "__d", "__v", "__vid", "__dom_d") ++
       s.gbB.indices.map(i => s"__gb$i")
     if (names.exists(temps.contains)) return None
 

@@ -52,7 +52,7 @@ case class SemiUnderDistinctRule(session: SparkSession)
           val below = AttributeSet(pl.filter(e =>
             needed.contains(e.toAttribute)).flatMap(_.references))
           descend(c, below).map(nc => pr.copy(child = nc))
-        case jn @ Join(a, b, Inner, cond, JoinHint.NONE) =>
+        case jn @ Join(a, b, Inner, cond, JoinHint.NONE) if !jn.isStreaming =>
           if (needed.subsetOf(a.outputSet))
             Some(jn.copy(joinType = LeftSemi))
           else if (needed.subsetOf(b.outputSet))
