@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.DatasetBridge
@@ -71,13 +71,13 @@ case class SphereJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
             !RangeJoinShapes.hasEquiConjunct(cond, left, right) &&
             worthGrid(left, right) =>
         extract(cond, left, right).flatMap(rewrite(j, left, right, _)).getOrElse(j)
-      case j @ Join(left, right, LeftOuter, Some(cond), _)
-          if !j.isStreaming &&
+      case j @ Join(left, right, jt, Some(cond), _)
+          if (jt == LeftOuter || jt == LeftSemi || jt == LeftAnti) &&
+            !j.isStreaming &&
             !RangeJoinShapes.hasEquiConjunct(cond, left, right) &&
-            worthGrid(left, right) &&
-            left.output.map(_.name).toSet
-              .intersect(right.output.map(_.name).toSet).isEmpty =>
-        extract(cond, left, right).flatMap(rewriteLeftOuter(j, left, right, _)).getOrElse(j)
+            worthGrid(left, right) =>
+        extract(cond, left, right)
+          .flatMap(rewriteLeftType(j, left, right, jt, _)).getOrElse(j)
     }
   }
 
@@ -113,10 +113,14 @@ case class SphereJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     }, analyzed))
   }
 
-  /** LEFT OUTER: inner grid join over a row-id-tagged left side, then
-    * null-padded anti rows unioned back (GridSpatialJoinRule's
-    * construction; disjoint column names across sides required). */
-  private def rewriteLeftOuter(j: Join, lChild: LogicalPlan, rChild: LogicalPlan,
+  /** LEFT OUTER / LEFT SEMI / LEFT ANTI: inner grid join over a
+    * row-id-tagged left side, then assemble the join type's semantics
+    * from the matched row-id set — null-padded anti rows unioned back
+    * (outer), or a semi/anti join of the tagged left against it.
+    * All column plumbing is POSITIONAL (attribute-based), so sides that
+    * share column names are fine. */
+  private def rewriteLeftType(j: Join, lChild: LogicalPlan, rChild: LogicalPlan,
+      jt: org.apache.spark.sql.catalyst.plans.JoinType,
       ex: Sphere): Option[LogicalPlan] = {
     import org.apache.spark.sql.functions._
     val lDF = graft.CacheRegistry.register(
@@ -127,21 +131,39 @@ case class SphereJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     // the tagged left keeps lChild's attribute ids, so ex's geometry
     // expressions resolve against it unchanged
     val inner = innerGridDF(tagged, rChild, ex)
-    val lNames = lChild.output.map(_.name)
-    val rNames = rChild.output.map(_.name)
-    val matched = inner.select(col("__spj_id")).distinct()
-    val anti = lDF.join(matched, Seq("__spj_id"), "left_anti")
-      .select(lNames.map(col) ++
-        rChild.output.map(a => lit(null).cast(a.dataType).as(a.name)): _*)
-    val result = inner.select((lNames ++ rNames).map(col): _*).unionAll(anti)
+    val innerAttrs = inner.queryExecution.analyzed.output
+    val nL = lChild.output.length
+    val nR = rChild.output.length
+    if (innerAttrs.length != nL + 1 + nR) return None
+    val lAttrs = innerAttrs.take(nL)
+    val idAttr = innerAttrs(nL)
+    val rAttrs = innerAttrs.takeRight(nR)
+    val matched = inner.select(DatasetBridge.column(idAttr).as("__spj_mid"))
+      .distinct()
+    val taggedId = tagged.output.last // the __spj_id tag
+    val lCols = lChild.output.map(DatasetBridge.column)
+    val result = jt match {
+      case LeftSemi =>
+        lDF.join(matched,
+            DatasetBridge.column(taggedId) === col("__spj_mid"), "left_semi")
+          .select(lCols: _*)
+      case LeftAnti =>
+        lDF.join(matched,
+            DatasetBridge.column(taggedId) === col("__spj_mid"), "left_anti")
+          .select(lCols: _*)
+      case _ => // LeftOuter
+        val anti = lDF.join(matched,
+            DatasetBridge.column(taggedId) === col("__spj_mid"), "left_anti")
+          .select(lCols ++
+            rChild.output.map(a => lit(null).cast(a.dataType)): _*)
+        inner.select((lAttrs ++ rAttrs).map(DatasetBridge.column): _*)
+          .unionAll(anti)
+    }
     val analyzed = result.queryExecution.optimizedPlan
     if (analyzed.output.length != j.output.length) None
-    else {
-      val byName = analyzed.output.map(a => a.name -> a).toMap
-      Some(Project(j.output.map { orig =>
-        Alias(byName(orig.name), orig.name)(exprId = orig.exprId)
-      }, analyzed))
-    }
+    else Some(Project(j.output.zip(analyzed.output).map { case (orig, a) =>
+      Alias(a, orig.name)(exprId = orig.exprId)
+    }, analyzed))
   }
 }
 

@@ -310,6 +310,56 @@ object JoinQueries {
       }
     }),
 
+    // SQL sphere joins beyond INNER/LEFT OUTER: LEFT SEMI + LEFT ANTI via
+    // the matched-row-id set, plus a LEFT OUTER whose sides share column
+    // NAMES (the rewrite assembles positionally, so name collisions are
+    // legal exactly as they are for stock Spark joins)
+    "sj15_sphere_sql_semi_anti" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "customer")
+        .withColumn("apt", st.point(
+          (col("c_custkey") % 720).cast("double") / 2.0 - 180.0,
+          (col("c_custkey") % 356).cast("double") / 2.0 - 89.0))
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("apt"))
+        .createOrReplaceTempView("sj15_a")
+      t(s, dir, "supplier")
+        .withColumn("bpt", st.point(
+          (col("s_suppkey") % 720).cast("double") / 2.0 - 179.75,
+          (col("s_suppkey") % 356).cast("double") / 2.0 - 88.75))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("bpt"))
+        .createOrReplaceTempView("sj15_b")
+      // same-named sides for the outer leg: both expose (id, pt)
+      s.table("sj15_a").select(col("c_custkey").as("id"), col("apt").as("pt"))
+        .createOrReplaceTempView("sj15_l")
+      s.table("sj15_b").select(col("s_suppkey").as("id"), col("bpt").as("pt"))
+        .createOrReplaceTempView("sj15_r")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.graft.join.sphere.nx", "72")
+      s.conf.set("spark.graft.join.sphere.ny", "36")
+      try {
+        val df = s.sql("""
+          SELECT a.c_custkey AS ka, CAST(-1 AS BIGINT) AS kb, 'semi' AS tag
+          FROM sj15_a a LEFT SEMI JOIN sj15_b b
+            ON st_dwithinsphere(apt, bpt, 250000.0D)
+          UNION ALL
+          SELECT a.c_custkey AS ka, CAST(-2 AS BIGINT) AS kb, 'anti' AS tag
+          FROM sj15_a a LEFT ANTI JOIN sj15_b b
+            ON st_dwithinsphere(apt, bpt, 250000.0D)
+          UNION ALL
+          SELECT l.id AS ka, coalesce(r.id, CAST(-1 AS BIGINT)) AS kb,
+            'outer' AS tag
+          FROM sj15_l l LEFT JOIN sj15_r r
+            ON st_dwithinsphere(l.pt, r.pt, 250000.0D)""")
+        df.queryExecution.executedPlan // force planning under broadcast-off
+        df
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        s.conf.unset("spark.graft.join.sphere.nx")
+        s.conf.unset("spark.graft.join.sphere.ny")
+      }
+    }),
+
     "sj07_planner_grid_join" -> ((s, dir) => {
       prep(s)
       orderPoints(s, dir).select(col("o_orderkey"), col("pt"))
@@ -633,6 +683,36 @@ object JoinQueries {
         |FROM q JOIN p
         |ON p.plon >= q.qxmin AND p.plon <= q.qxmin + 2.0
         |AND p.plat >= q.qymin AND p.plat <= q.qymin + 2.0""".stripMargin
+    },
+
+    "sj15_sphere_sql_semi_anti" -> {
+      def hav(lo1: String, la1: String, lo2: String, la2: String) =
+        s"""2*6371008.8*asin(sqrt(
+           |    sin(radians(($la2)-($la1))/2)*sin(radians(($la2)-($la1))/2)
+           |    + cos(radians($la1))*cos(radians($la2))
+           |      * sin(radians(($lo2)-($lo1))/2)*sin(radians(($lo2)-($lo1))/2)))""".stripMargin
+      s"""WITH a AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    CAST(c_custkey % 720 AS DOUBLE)/2.0 - 180.0 AS lon,
+        |    CAST(c_custkey % 356 AS DOUBLE)/2.0 - 89.0 AS lat
+        |  FROM customer),
+        |b AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS id,
+        |    CAST(s_suppkey % 720 AS DOUBLE)/2.0 - 179.75 AS lon,
+        |    CAST(s_suppkey % 356 AS DOUBLE)/2.0 - 88.75 AS lat
+        |  FROM supplier)
+        |SELECT a.id AS ka, CAST(-1 AS BIGINT) AS kb, 'semi' AS tag FROM a
+        |WHERE EXISTS (SELECT 1 FROM b
+        |  WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 250000.0)
+        |UNION ALL
+        |SELECT a.id AS ka, CAST(-2 AS BIGINT) AS kb, 'anti' AS tag FROM a
+        |WHERE NOT EXISTS (SELECT 1 FROM b
+        |  WHERE ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 250000.0)
+        |UNION ALL
+        |SELECT a.id AS ka, coalesce(b.id, CAST(-1 AS BIGINT)) AS kb,
+        |  'outer' AS tag
+        |FROM a LEFT JOIN b
+        |ON ${hav("a.lon", "a.lat", "b.lon", "b.lat")} <= 250000.0""".stripMargin
     },
 
     "sj08_sphere_join" -> {

@@ -59,6 +59,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       sj14.contains("BroadcastHashJoin"), "sj14 sphere SQL join did not equi-join")
     assert(sj14.toLowerCase.contains("gridcells_sphere"),
       "sj14 lost the spherical grid explode")
+    // sj15: LEFT SEMI / LEFT ANTI / same-named LEFT OUTER sphere joins all
+    // grid-rewritten — no BNLJ, spherical cell explode present
+    val sj15 = entries("sj15_sphere_sql_semi_anti").plan
+    assert(!sj15.contains("BroadcastNestedLoopJoin") &&
+      !sj15.contains("CartesianProduct"), "sj15 fell back to BNLJ/cartesian")
+    assert(sj15.toLowerCase.contains("gridcells_sphere"),
+      "sj15 lost the spherical grid explode")
   }
 
   test("analyzer KNN barrier survives constant folding of the query side") {

@@ -162,6 +162,44 @@ class SphereJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_._2 == Long.MinValue), "some left rows must be unmatched")
   }
 
+  test("SQL LEFT SEMI / LEFT ANTI st_dwithinsphere joins: grid plan ≡ rule-off") {
+    pts(150, 91, "said", "sag").createOrReplaceTempView("sphsa_a")
+    pts(60, 93, "sbid", "sbg").createOrReplaceTempView("sphsa_b")
+    for (kind <- Seq("SEMI", "ANTI")) {
+      val sql = s"SELECT said FROM sphsa_a LEFT $kind JOIN sphsa_b " +
+        "ON st_dwithinsphere(sag, sbg, 200000.0)"
+      val (p, got) = withBroadcastOff {
+        val df = spark.sql(sql)
+        (planString(df), df.collect().map(_.getLong(0)).sorted.toSeq)
+      }
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$kind sphere rewrite must purge BNLJ:\n${p.take(3000)}")
+      val expect = ruleOff {
+        spark.sql(sql).collect().map(_.getLong(0)).sorted.toSeq
+      }
+      assert(got.nonEmpty && got == expect, s"$kind results differ")
+      assert(got == got.distinct, s"$kind must emit each left row at most once")
+    }
+  }
+
+  test("SQL LEFT OUTER with SAME-NAMED columns on both sides rewrites positionally") {
+    pts(150, 95, "id", "g").createOrReplaceTempView("sphn_a")
+    pts(60, 97, "id", "g").createOrReplaceTempView("sphn_b")
+    val sql = "SELECT a.id AS aid, b.id AS bid FROM sphn_a a LEFT JOIN sphn_b b " +
+      "ON st_dwithinsphere(a.g, b.g, 200000.0)"
+    def key(x: org.apache.spark.sql.Row) =
+      (x.getLong(0), if (x.isNullAt(1)) Long.MinValue else x.getLong(1))
+    val (p, got) = withBroadcastOff {
+      val df = spark.sql(sql)
+      (planString(df), df.collect().map(key).sorted.toSeq)
+    }
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"same-named outer sphere rewrite must purge BNLJ:\n${p.take(3000)}")
+    val expect = ruleOff { spark.sql(sql).collect().map(key).sorted.toSeq }
+    assert(got.nonEmpty && got == expect)
+    assert(got.exists(_._2 == Long.MinValue), "some left rows must be unmatched")
+  }
+
   test("tiny side declines the rewrite; extra conjuncts survive as remainder") {
     // 3-row side under minSideBytes with broadcast on: BNLJ is the right
     // plan, the rule must not fire
