@@ -9,10 +9,13 @@ import org.apache.spark.sql.SparkSession
 object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     // default the streaming state store to RocksDB (spilled to local
-    // disk, bounded executor heap) unless the user chose a provider —
-    // at ingest scale the HDFS-backed heap store's commit volume and
-    // resident state are the bottleneck (st03 ScaleBench history);
-    // measured ~20% faster on the stream-stream join gate locally
+    // disk, bounded executor heap) unless the user chose a provider.
+    // Measured (ScaleBench r12, m=1 vs m=10): RocksDB costs a constant
+    // at toy scale (st03 10.9s vs heap 5.6s at m=1) but is the only
+    // provider that stays near-linear as state grows — st03 at 10x
+    // events: RocksDB 51.6s (4.8x) vs heap 89.7s (15.9x, super-linear);
+    // st08 a wash. The at-scale provider is the right default; gate-
+    // scale microbenchmarks should pin the heap store explicitly.
     // NB: conf.getOption is the wrong probe here — the key has a
     // built-in default (HDFSBackedStateStoreProvider), so getOption is
     // always Some(...). Only the explicitly-set maps (session settings

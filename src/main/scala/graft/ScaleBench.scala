@@ -47,6 +47,15 @@ object ScaleBench {
       .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // measurement hook: force a specific streaming state-store provider
+    // (install() treats an explicitly-set key as the user's choice) —
+    // lets the same workload run under RocksDB vs the heap store
+    sys.env.get("SPARK_GRAFT_SS_PROVIDER").foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    // same idea for RocksDB changelog checkpointing (default true when
+    // the provider default applies): set explicitly to measure on/off
+    sys.env.get("SPARK_GRAFT_SS_CHANGELOG").foreach(v => spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", v))
     GraftExtensions.install(spark)
 
     // ---- synthetic generators (density constant in m) ----
@@ -208,6 +217,23 @@ object ScaleBench {
           IvfAnn.search(e, e.filter(col("vec_id") < 20),
             col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
             centroids, nProbe = 8, topK = 3, listVec = Some((qv, qv)))
+        }
+      },
+      // forced-distributed connected components (localThreshold=0): the
+      // large-star/small-star rounds on a synthetic graph of 1000-node
+      // chains — deep diameter (the propagation worst case) and >4M
+      // edges at m=10, well past the local union-find cap. A sound
+      // distributed CC shows wall ~ m: round count is O(log n), and the
+      // edge set shrinks monotonically, so per-round shuffles track the
+      // (linear) edge volume.
+      "cc_distributed" -> { m =>
+        val n = 500000L * m
+        timed {
+          val edges = spark.range(n).toDF("a")
+            .where(pmod(col("a"), lit(1000)) =!= 999)
+            .select(col("a"), (col("a") + 1L).as("b"))
+          PipelineOps.connectedComponents(edges, col("a"), col("b"),
+            localThreshold = 0)
         }
       },
       // pl12 path: connected components over the minhash pair graph

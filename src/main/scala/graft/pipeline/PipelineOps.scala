@@ -248,10 +248,12 @@ object PipelineOps {
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      // no distinct here: duplicates (several u sharing a neighbour v and
+      // a min) are bounded by 2|E| and the small-star distinct right
+      // after canonicalizes anyway — saves one full shuffle per round
       nbrs.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     // small-star(u): orient each edge toward its larger endpoint, then
     // attach every smaller neighbour AND u itself to m = min(Γ⁻(u) ∪ {u}).

@@ -448,7 +448,8 @@ object ZarrIO {
               entry.map { case (off, ln) =>
                 val raw = decodeChunk(java.util.Arrays.copyOfRange(
                   buf, off.toInt, (off + ln).toInt), codec, cw * ch * 8)
-                rowOf(cy * ipsY + k / ipsX, cx * ipsX + k % ipsX, raw)
+                rowOf(cy * ipsY + k / ipsX, cx * ipsX + k % ipsX,
+                  if (forder) fToC(raw, ch, cw) else raw)
               }
             }
         }
@@ -578,18 +579,33 @@ object ZarrIO {
               s"zarr v3: chunk key separator '$sp' not supported")
             (sp, v2k)
           }
+        // bytes[+gzip], with an optional LEADING transpose codec: order
+        // [1,0] stores the chunk column-major, which is exactly the v2
+        // F-order layout — decode reuses the same fToC un-permute;
+        // order [0,1] is the identity permutation (a no-op)
         def plainCodecs(codecs: com.fasterxml.jackson.databind.JsonNode,
-            what: String): String = {
+            what: String): (String, Boolean) = {
           val names = (0 until codecs.size).map(i => codecs.get(i).get("name").asText())
-          require(names == Seq("bytes") || names == Seq("bytes", "gzip"),
-            s"zarr v3 $what codecs ${names.mkString(",")} not supported (bytes[+gzip] only)")
+          val transposed = names.headOption.contains("transpose") && {
+            val ord = codecs.get(0).get("configuration").get("order")
+            require(ord != null && ord.size == 2,
+              s"zarr v3 $what transpose: 2D order only")
+            val o = (ord.get(0).asInt(), ord.get(1).asInt())
+            require(o == (0, 1) || o == (1, 0),
+              s"zarr v3 $what transpose order $o not a permutation of (0,1)")
+            o == (1, 0)
+          }
+          val rest = if (names.headOption.contains("transpose")) names.tail else names
+          require(rest == Seq("bytes") || rest == Seq("bytes", "gzip"),
+            s"zarr v3 $what codecs ${names.mkString(",")} not supported " +
+              "([transpose+]bytes[+gzip] only)")
           (0 until codecs.size).find(i => names(i) == "bytes").foreach { i =>
             val cfg = codecs.get(i).get("configuration")
             val endian = Option(cfg).flatMap(c => Option(c.get("endian")))
               .map(_.asText()).getOrElse("little")
             require(endian == "little", s"zarr v3: little-endian $what bytes codec only")
           }
-          if (names.contains("gzip")) "gzip" else "raw"
+          (if (names.contains("gzip")) "gzip" else "raw", transposed)
         }
         val at = za.get("attributes")
         val gt = Option(at).flatMap(a => Option(a.get("transform")))
@@ -605,7 +621,7 @@ object ZarrIO {
           val cfg = codecs.get(0).get("configuration")
           val ics = cfg.get("chunk_shape")
           require(ics.size == 2, "zarr v3 sharding: 2D inner chunk shape only")
-          val innerCodec = plainCodecs(cfg.get("codecs"), "inner")
+          val (innerCodec, innerTrans) = plainCodecs(cfg.get("codecs"), "inner")
           val idxCodecs = Option(cfg.get("index_codecs")).map(ic =>
             (0 until ic.size).map(i => ic.get(i).get("name").asText()))
             .getOrElse(Seq("bytes"))
@@ -622,13 +638,13 @@ object ZarrIO {
             ich, icw, innerCodec, fillOf(za.get("fill_value")), gt, crs, v3 = true,
             shard = Some(Shard(sh, sw, idxCodecs.contains("crc32c"),
               atStart = loc == "start")),
-            sep = keySep, v2keys = v2keys)
+            sep = keySep, v2keys = v2keys, forder = innerTrans)
         } else {
-          val codec = plainCodecs(codecs, "array")
+          val (codec, trans) = plainCodecs(codecs, "array")
           StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
             cs.get(0).asInt(), cs.get(1).asInt(), codec,
             fillOf(za.get("fill_value")), gt, crs, v3 = true,
-            sep = keySep, v2keys = v2keys)
+            sep = keySep, v2keys = v2keys, forder = trans)
         }
       case None =>
         val za = mapper.readTree(readText(".zarray").getOrElse(
@@ -754,7 +770,8 @@ object ZarrIO {
                   in.readFully(off, buf)
                   RasterLoaders.fetchCalls.increment()
                   RasterLoaders.fetchBytes.add(ln)
-                  copyChunk(decodeChunk(buf, m.codec, m.cw * m.ch * 8), gy, gx)
+                  val dec = decodeChunk(buf, m.codec, m.cw * m.ch * 8)
+                  copyChunk(if (m.forder) fToC(dec, m.ch, m.cw) else dec, gy, gx)
                 }
               }
               in.close()

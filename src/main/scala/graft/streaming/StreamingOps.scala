@@ -196,7 +196,7 @@ object StreamingOps {
       lStart, lEnd, rStart, rEnd, key = None,
       cellWidth = cellWidth, origin = origin, extraCond = Some(timeCond))
 
-  case class BucketDoc(bucket: String, band: Int, doc_id: Long)
+  case class BucketDoc(bucket: String, band: Int, doc_id: Long, ts_ms: Long)
   case class BucketFlag(doc_id: Long, band: Int, is_dup: Boolean)
 
   /** Streaming MinHash near-dup dedup — the fuzzy analog of the exact
@@ -212,36 +212,67 @@ object StreamingOps {
     * Emits bucket-level flags (doc_id, band, is_dup); the per-doc
     * verdict is ANY over its bands — a stateless rollup of the sink
     * (Structured Streaming does not admit an aggregation downstream of
-    * flatMapGroupsWithState in one query). */
+    * flatMapGroupsWithState in one query).
+    *
+    * State bound: without a TTL the bucket set grows with the corpus.
+    * Passing `eventTimeMs` (epoch-millis column) + `idleTtlMs` switches
+    * to event-time timeouts: a bucket idle longer than the TTL (by
+    * watermark) drops its held minimum. Result-neutrality: every flag
+    * for a doc arriving within `idleTtlMs` of its bucket's last activity
+    * is IDENTICAL to the unbounded run; only docs past the idle horizon
+    * lose matches against pre-horizon minima — the deliberate
+    * windowed-dedup contract, same as the as-of join's idle TTL. */
   def streamMinhashDedup(docs: DataFrame, id: Column, text: Column,
-      numHashes: Int = 12, bands: Int = 4, shingleK: Int = 3): DataFrame = {
+      numHashes: Int = 12, bands: Int = 4, shingleK: Int = 3,
+      eventTimeMs: Option[Column] = None,
+      idleTtlMs: Option[Long] = None): DataFrame = {
     import graft.pipeline.TextOps
     import org.apache.spark.sql.functions._
+    require(idleTtlMs.isEmpty || eventTimeMs.isDefined,
+      "idleTtlMs requires an eventTimeMs column to watermark on")
     val r = numHashes / bands
-    val exploded = docs.select(id.as("doc_id"),
+    val exploded0 = docs.select(id.as("doc_id"),
+        eventTimeMs.getOrElse(lit(0L)).cast("long").as("ts_ms"),
         posexplode(TextOps.bandKeys(
           TextOps.minhashSignatureTok(TextOps.tokens(text), shingleK, numHashes),
           bands, r)))
       .select(concat(col("pos").cast("string"), lit(":"), col("col")).as("bucket"),
-        col("pos").as("band"), col("doc_id"))
-      .as[BucketDoc](Encoders.product[BucketDoc])
+        col("pos").as("band"), col("doc_id"), col("ts_ms"))
+    val exploded =
+      (if (idleTtlMs.isDefined)
+        exploded0.withColumn("ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("ts", "0 seconds")
+      else exploded0).as[BucketDoc](Encoders.product[BucketDoc])
     implicit val bf = Encoders.product[BucketFlag]
     implicit val le = Encoders.scalaLong
     def update(bucket: String, batch: Iterator[BucketDoc],
         state: GroupState[Long]): Iterator[BucketFlag] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val ds = batch.toSeq.sortBy(_.doc_id)
       var minSeen: Long = state.getOption.getOrElse(Long.MaxValue)
+      var maxTs = Long.MinValue
       val out = ds.map { d =>
+        if (d.ts_ms > maxTs) maxTs = d.ts_ms
         val f = BucketFlag(d.doc_id, d.band,
           minSeen != Long.MaxValue && d.doc_id > minSeen)
         if (d.doc_id < minSeen) minSeen = d.doc_id
         f
       }
       if (minSeen != Long.MaxValue) state.update(minSeen)
+      idleTtlMs.foreach { ttl =>
+        if (state.exists)
+          // must exceed the current watermark or Spark rejects it (the
+          // same lagging-key guard as the as-of idle TTL)
+          state.setTimeoutTimestamp(
+            math.max(maxTs + ttl, state.getCurrentWatermarkMs + 1))
+      }
       out.iterator
     }
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     exploded.groupByKey(_.bucket)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(update)
       .toDF()
   }
 }

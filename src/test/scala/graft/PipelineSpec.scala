@@ -461,6 +461,64 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("structured streaming: MinHash dedup idle TTL bounds bucket state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val flags = graft.streaming.StreamingOps.streamMinhashDedup(
+      input.toDF().toDF("doc_id", "text", "ts_ms"), col("doc_id"), col("text"),
+      numHashes = 12, bands = 4,
+      eventTimeMs = Some(col("ts_ms")), idleTtlMs = Some(1000L))
+    val q = flags.writeStream.format("memory").queryName("smhd_ttl")
+      .outputMode("append").start()
+    def stateRows: Long = q.recentProgress
+      .filter(_.stateOperators.nonEmpty).last.stateOperators(0).numRowsTotal
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      // batch 1: 20 distinct docs → a bucket-growing stream
+      input.addData((1 to 20).map(i =>
+        (100L + i, s"unique doc number $i carrying its own words w$i x$i", 1000L)): _*)
+      q.processAllAvailable()
+      val grown = stateRows
+      assert(grown >= 20, s"batch 1 must populate many buckets, got $grown")
+      // batch 2 jumps event time far past every batch-1 timeout (1000+1000)
+      input.addData((500L, a, 100000L))
+      q.processAllAvailable()
+      // batch 3 runs with watermark=100000 → idle batch-1 buckets evict
+      input.addData((501L, a, 100001L))
+      q.processAllAvailable()
+      val bounded = stateRows
+      assert(bounded < grown && bounded <= 8,
+        s"idle buckets must evict: $grown -> $bounded")
+      val perDoc = spark.table("smhd_ttl").groupBy("doc_id")
+        .agg(max(col("is_dup")).as("d")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // within-horizon flags identical to the unbounded run
+      assert(!perDoc(500L) && perDoc(501L),
+        "in-window near-dup must still flag against the held minimum")
+      // past the idle horizon the minimum is forgotten — deliberate
+      // windowed-dedup semantics (a re-sent batch-1 text is NOT a dup)
+      input.addData((1000L, "unique doc number 5 carrying its own words w5 x5", 100002L))
+      q.processAllAvailable()
+      val late = spark.table("smhd_ttl").filter(col("doc_id") === 1000L)
+        .agg(max(col("is_dup"))).collect()(0).getBoolean(0)
+      assert(!late, "evicted bucket must forget its pre-horizon minimum")
+    } finally q.stop()
+  }
+
+  test("streaming state store: RocksDB default pinned by install(), user choice respected") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    // the suite session ran install() with no user-set provider
+    assert(spark.conf.get(key).contains("RocksDBStateStoreProvider"),
+      s"install() must default the state store to RocksDB, got ${spark.conf.get(key)}")
+    // a session where the USER pinned a provider must keep it
+    val s2 = spark.newSession()
+    val heap = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    s2.conf.set(key, heap)
+    GraftExtensions.install(s2)
+    assert(s2.conf.get(key) == heap,
+      "an explicitly-chosen provider must never be overridden")
+  }
+
   test("structured streaming: windowed counts + dedup run with our extensions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

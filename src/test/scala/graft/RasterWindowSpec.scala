@@ -695,6 +695,102 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
       "absent inner chunk must be fill under index_location start")
   }
 
+  test("zarr v3 transpose codec: column-major chunks plain and inside sharding") {
+    def fresh(name: String): java.io.File = {
+      val d = new java.io.File(s"/tmp/graft_window_spec/$name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (d.exists) rm(d)
+      d.mkdirs()
+      d
+    }
+    def chunk64(cy: Int, cx: Int, forder: Boolean): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64 * 64 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 64; c <- 0 until 64) {
+        val v = ((cy * 64 + r) * 1000 + (cx * 64 + c)).toDouble
+        val k = if (forder) c * 64 + r else r * 64 + c
+        bb.putDouble(k * 8, v)
+      }
+      bb.array()
+    }
+    def probe(path: String, expectRows: Long): Unit = {
+      val win = RasterLoaders.window(path, 60, 60, 10, 10)
+      def at(gc: Int, gr: Int): Double = {
+        val (fc, fr) = win.rasterCoord(gc + 0.5, -(gr + 0.5))
+        win.value(1, math.floor(fc).toInt, math.floor(fr).toInt).doubleValue
+      }
+      assert(at(60, 60) == 60 * 1000 + 60)
+      assert(at(69, 69) == 69 * 1000 + 69) // crosses into chunk (1,1)
+      val rows = graft.sources.ZarrIO.read(spark, path).count()
+      assert(rows == expectRows, s"expected $expectRows chunk rows, got $rows")
+    }
+    // (a) plain chunks with a leading transpose [1,0]: stored F-order
+    val a = fresh("interop_transpose.zarr")
+    java.nio.file.Files.write(new java.io.File(a, "zarr.json").toPath,
+      """{"zarr_format": 3, "node_type": "array", "shape": [128, 128],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [64, 64]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": -1.0,
+        | "codecs": [{"name": "transpose", "configuration": {"order": [1, 0]}},
+        |            {"name": "bytes", "configuration": {"endian": "little"}}],
+        | "attributes": {"transform": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+        |   "crs": "EPSG:32610"}}""".stripMargin.getBytes("UTF-8"))
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      val f = new java.io.File(a, s"c/$cy/$cx")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, chunk64(cy, cx, forder = true))
+    }
+    probe(a.getAbsolutePath, expectRows = 4)
+    // (b) identity transpose [0,1] is a no-op over row-major chunks
+    val b = fresh("interop_transpose_id.zarr")
+    java.nio.file.Files.write(new java.io.File(b, "zarr.json").toPath,
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(a, "zarr.json").toPath), "UTF-8")
+        .replace("\"order\": [1, 0]", "\"order\": [0, 1]").getBytes("UTF-8"))
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      val f = new java.io.File(b, s"c/$cy/$cx")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, chunk64(cy, cx, forder = false))
+    }
+    probe(b.getAbsolutePath, expectRows = 4)
+    // (c) transpose as the sharding INNER codec chain: one 128x128 shard
+    // of 2x2 F-order inner chunks, trailing index
+    val c = fresh("interop_transpose_shard.zarr")
+    java.nio.file.Files.write(new java.io.File(c, "zarr.json").toPath,
+      """{"zarr_format": 3, "node_type": "array", "shape": [128, 128],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [128, 128]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": -1.0,
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [64, 64],
+        |   "codecs": [{"name": "transpose", "configuration": {"order": [1, 0]}},
+        |              {"name": "bytes", "configuration": {"endian": "little"}}],
+        |   "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |   "index_location": "end"}}],
+        | "attributes": {"transform": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+        |   "crs": "EPSG:32610"}}""".stripMargin.getBytes("UTF-8"))
+    val chunkLen = 64 * 64 * 8
+    val idxLen = 4 * 16
+    val obj = java.nio.ByteBuffer.allocate(4 * chunkLen + idxLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (iy <- 0 until 2; ix <- 0 until 2) {
+      val k = iy * 2 + ix
+      obj.position(k * chunkLen)
+      obj.put(chunk64(iy, ix, forder = true))
+      obj.putLong(4 * chunkLen + k * 16, (k * chunkLen).toLong)
+      obj.putLong(4 * chunkLen + k * 16 + 8, chunkLen.toLong)
+    }
+    val shardFile = new java.io.File(c, "c/0/0")
+    shardFile.getParentFile.mkdirs()
+    java.nio.file.Files.write(shardFile.toPath, obj.array())
+    probe(c.getAbsolutePath, expectRows = 4)
+  }
+
   test("JPEG geotiff: constant tiles roundtrip within 1 at q=1.0; smooth data within tolerance; window == full crop") {
     def fetchOf(bytes: Array[Byte]): (Long, Int) => Array[Byte] =
       (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
