@@ -40,8 +40,9 @@ object GraftExtensions {
       spark.conf.set(ssProviderKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // changelog checkpointing: per-commit cost becomes the delta
-      // upload, not a full snapshot — the dominant streaming-gate
-      // constant at ingest scale (same explicitly-set-only guard)
+      // upload, not a full snapshot — matters for REMOTE checkpoint
+      // storage; measured a wash on local disk (st03 m=10: 51.6s on
+      // vs 54.0s off). Same explicitly-set-only guard.
       val clKey =
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       if (!spark.sessionState.conf.contains(clKey) &&
