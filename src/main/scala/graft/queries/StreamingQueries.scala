@@ -26,6 +26,32 @@ object StreamingQueries {
 
   private val GapUs = 30L * 60 * 1000000 // 30 min in micros
 
+  /** Gate-scale streaming confs around a streaming-query run: 8 shuffle
+    * partitions (the state machinery opens several stores per partition
+    * per micro-batch — at gate scale the store commits dominate, so the
+    * query runs on fewer partitions; a cluster run would size this to
+    * the data) and the HEAP state store — the measured-right provider at
+    * gate-scale state volume (BENCH_LOCAL round-12 provider table: st03
+    * m=1 5.6s heap vs 10.9s RocksDB, while the library's RocksDB session
+    * default remains right at ingest scale, 4.8x vs 15.9x at m=10).
+    * st02/st08 deliberately keep the session default so the RocksDB path
+    * stays oracle-covered. */
+  private def gateRun[T](s: SparkSession)(body: => T): T = {
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption(pKey)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => s.conf.set(pKey, v)
+        case None => s.conf.unset(pKey)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_sessionize" -> ((s, dir) => {
       import graft.Tables
@@ -111,15 +137,13 @@ object StreamingQueries {
       // micro-batch: at gate scale the store commits dominate, so the
       // streaming query runs on fewer partitions (a cluster run would
       // size this to the data, not the machinery)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      gateRun(s) {
         val q = joined.writeStream.format("memory").queryName(sinkName)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName)
     }),
 
@@ -148,15 +172,13 @@ object StreamingQueries {
           org.apache.spark.sql.Encoders.product[StreamingOps.AsOfEvent])
       val joined = StreamingOps.streamAsOfJoin(stream, 172800000000L)
       val sinkName = s"graft_asof_${math.abs(dir.hashCode)}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      gateRun(s) {
         val q = joined.writeStream.format("memory").queryName(sinkName)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName)
         .select(col("k").as("user_id"), col("l_id").as("l_event"),
           col("l_ts").as("lts"), col("r_id").as("r_event"),
@@ -202,15 +224,13 @@ object StreamingQueries {
         cellWidth = 4L * hourUs)
         .select(col("l_event"), col("r_event"))
       val sinkName = s"graft_srj_${math.abs(dir.hashCode)}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      gateRun(s) {
         val q = joined.writeStream.format("memory").queryName(sinkName)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName)
     }),
 
@@ -240,15 +260,13 @@ object StreamingQueries {
         bounds = Some((0.0, 0.0, 89.0, 67.0)))
         .select(col("event_id"), col("p_partkey"))
       val sinkName = s"graft_stst_${math.abs(dir.hashCode)}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      gateRun(s) {
         val q = joined.writeStream.format("memory").queryName(sinkName)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName)
     }),
 
@@ -294,15 +312,13 @@ object StreamingQueries {
           st.xmin(col("env")).as("exmin"), st.ymin(col("env")).as("eymin"),
           st.xmax(col("env")).as("exmax"), st.ymax(col("env")).as("eymax"))
       val sinkName = s"graft_winagg_${math.abs(dir.hashCode)}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      gateRun(s) {
         val q = agg.writeStream.format("memory").queryName(sinkName)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sinkName)
     }),
 
