@@ -89,6 +89,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist == expected)
   }
 
+  test("connected components property: random graphs match a union-find oracle") {
+    // seeded random graphs at three densities, plus self-loops (isolated
+    // nodes must still label themselves) — the forced-distributed
+    // large-star/small-star path against an in-test union-find
+    val rnd = new scala.util.Random(20260815)
+    for ((n, mEdges) <- Seq((200, 90), (300, 600), (120, 400))) {
+      val raw = Seq.fill(mEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq((n.toLong + 5, n.toLong + 5)) // a self-loop-only node
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        r
+      }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = raw.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOf = nodes.groupBy(find).map { case (r, ms) => r -> ms.min }
+      val expected = nodes.map(id => id -> minOf(find(id))).toMap
+      val got = PipelineOps.connectedComponents(
+        raw.toDF("a", "b"), col("a"), col("b"), localThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"mismatch at (n=$n, m=$mEdges)")
+      // and the local union-find path agrees with itself
+      val loc = PipelineOps.connectedComponents(
+        raw.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(loc == expected, s"local path mismatch at (n=$n, m=$mEdges)")
+    }
+  }
+
   test("cosine top-k: self-similar vectors rank first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
