@@ -420,6 +420,7 @@ object ZarrIO {
     val shardOpt = m.shard
     val forder = m.forder
     val (ipsY, ipsX) = (m.ipsY, m.ipsX)
+    val nestedLevels = m.nested
     def rowOf(cy: Long, cx: Long, raw: Array[Byte]): Row = {
       val cgt = Array(
         gt(0) + cx * cw * gt(1) + cy * ch * gt(2), gt(1), gt(2),
@@ -436,7 +437,36 @@ object ZarrIO {
         val len = fsx.getFileStatus(p).getLen.toInt
         val buf = new Array[Byte](len)
         val in = fsx.open(p); in.readFully(0, buf); in.close()
-        shardOpt match {
+        if (nestedLevels.nonEmpty) {
+          // shards of shards: expand each level's present children
+          // recursively, tracking the global PIXEL origin
+          def expand(bytes: Array[Byte], pixY: Long, pixX: Long,
+              lv: Int): Seq[Row] = {
+            val (objH, objW, crc, atStart) = nestedLevels(lv)
+            val (chH, chW) =
+              if (lv + 1 < nestedLevels.length)
+                (nestedLevels(lv + 1)._1, nestedLevels(lv + 1)._2)
+              else (ch, cw)
+            val nX = objW / chW
+            val idx = shardIndex(bytes, (objH / chH) * nX, crc, atStart)
+            idx.zipWithIndex.flatMap { case (e, k) =>
+              e.toSeq.flatMap { case (off, ln) =>
+                val sub = java.util.Arrays.copyOfRange(
+                  bytes, off.toInt, (off + ln).toInt)
+                val py = pixY + (k / nX).toLong * chH
+                val px = pixX + (k % nX).toLong * chW
+                if (lv + 1 < nestedLevels.length) expand(sub, py, px, lv + 1)
+                else {
+                  val raw = decodeChunk(sub, codec, cw * ch * 8)
+                  Seq(rowOf(py / ch, px / cw,
+                    if (forder) fToC(raw, ch, cw) else raw))
+                }
+              }
+            }
+          }
+          expand(buf, cy * nestedLevels.head._1.toLong,
+            cx * nestedLevels.head._2.toLong, 0)
+        } else shardOpt match {
           case None =>
             val dec = decodeChunk(buf, codec, cw * ch * 8)
             Seq(rowOf(cy, cx, if (forder) fToC(dec, ch, cw) else dec))
@@ -481,14 +511,23 @@ object ZarrIO {
   private case class StoreMeta(shapeH: Int, shapeW: Int, ch: Int, cw: Int,
       codec: String, fill: Double, gt: Array[Double], crs: String, v3: Boolean,
       shard: Option[Shard] = None, sep: String = "/",
-      v2keys: Boolean = false, forder: Boolean = false) {
+      v2keys: Boolean = false, forder: Boolean = false,
+      // nested sharding (shards of shards): per-level (objH, objW,
+      // indexCrc, atStart), outermost first; ch/cw are the INNERMOST
+      // chunk dims. Mutually exclusive with `shard`.
+      nested: List[(Int, Int, Boolean, Boolean)] = Nil) {
     def chunkName(cy: Long, cx: Long): String =
       if (v3 && !v2keys) s"c$sep$cy$sep$cx"
       else if (v3) s"$cy$sep$cx"
       else s"$cy.$cx"
-    /** Inner chunks per shard along y/x. */
+    /** Inner chunks per shard along y/x (single-level sharding). */
     def ipsY: Int = shard.map(_.sh / ch).getOrElse(1)
     def ipsX: Int = shard.map(_.sw / cw).getOrElse(1)
+    /** Pixel dims of a TOP-LEVEL store object (grid cell). */
+    def topH: Int = nested.headOption.map(_._1)
+      .orElse(shard.map(_.sh)).getOrElse(ch)
+    def topW: Int = nested.headOption.map(_._2)
+      .orElse(shard.map(_.sw)).getOrElse(cw)
   }
 
   /** Parse a shard object's trailing index: (offset, nbytes) per inner
@@ -615,7 +654,61 @@ object ZarrIO {
           .map(_.asText()).getOrElse("EPSG:0")
         val codecs = za.get("codecs")
         val topNames = (0 until codecs.size).map(i => codecs.get(i).get("name").asText())
-        if (topNames == Seq("sharding_indexed")) {
+        // per-level sharding parameters shared by the single-level and
+        // nested parsers
+        def shardParams(cfg: com.fasterxml.jackson.databind.JsonNode):
+            (Boolean, Boolean) = {
+          val idxCodecs = Option(cfg.get("index_codecs")).map(ic =>
+            (0 until ic.size).map(i => ic.get(i).get("name").asText()))
+            .getOrElse(Seq("bytes"))
+          require(idxCodecs == Seq("bytes") || idxCodecs == Seq("bytes", "crc32c"),
+            s"zarr v3 sharding index codecs ${idxCodecs.mkString(",")} not supported")
+          val loc = Option(cfg.get("index_location")).map(_.asText()).getOrElse("end")
+          require(loc == "end" || loc == "start",
+            s"zarr v3 sharding: index_location '$loc' not supported")
+          (idxCodecs.contains("crc32c"), loc == "start")
+        }
+        // NESTED sharding: the inner codec chain is itself
+        // sharding_indexed — shards of shards, arbitrary depth. Each
+        // level's object holds an index over children whose pixel dims
+        // are that level's chunk_shape; the innermost chain is the usual
+        // [transpose+]bytes[+gzip].
+        def parseNested(cfg: com.fasterxml.jackson.databind.JsonNode,
+            objH: Int, objW: Int):
+            (List[(Int, Int, Boolean, Boolean)], String, Boolean, Int, Int) = {
+          val ics = cfg.get("chunk_shape")
+          require(ics.size == 2, "zarr v3 sharding: 2D inner chunk shape only")
+          val (chH, chW) = (ics.get(0).asInt(), ics.get(1).asInt())
+          require(chH > 0 && chW > 0 && objH % chH == 0 && objW % chW == 0,
+            s"zarr v3 sharding: object ${objH}x$objW not a multiple of child ${chH}x$chW")
+          val (crc, atStart) = shardParams(cfg)
+          val level = (objH, objW, crc, atStart)
+          val inner = cfg.get("codecs")
+          val innerNames = (0 until inner.size).map(i => inner.get(i).get("name").asText())
+          if (innerNames.headOption.contains("sharding_indexed")) {
+            require(innerNames == Seq("sharding_indexed"),
+              "zarr v3 nested sharding: sharding_indexed must be the sole inner codec")
+            val (rest, codec, trans, ih, iw) =
+              parseNested(inner.get(0).get("configuration"), chH, chW)
+            (level :: rest, codec, trans, ih, iw)
+          } else {
+            val (codec, trans) = plainCodecs(inner, "inner")
+            (List(level), codec, trans, chH, chW)
+          }
+        }
+        val nestedDetected = topNames == Seq("sharding_indexed") && {
+          val ic = codecs.get(0).get("configuration").get("codecs")
+          ic != null && ic.size > 0 &&
+            ic.get(0).get("name").asText() == "sharding_indexed"
+        }
+        if (nestedDetected) {
+          val (sh, sw) = (cs.get(0).asInt(), cs.get(1).asInt())
+          val (levels, codec, trans, ich, icw) =
+            parseNested(codecs.get(0).get("configuration"), sh, sw)
+          StoreMeta(za.get("shape").get(0).asInt(), za.get("shape").get(1).asInt(),
+            ich, icw, codec, fillOf(za.get("fill_value")), gt, crs, v3 = true,
+            sep = keySep, v2keys = v2keys, forder = trans, nested = levels)
+        } else if (topNames == Seq("sharding_indexed")) {
           // the object-store layout: each c/<y>/<x> object is a SHARD of
           // inner chunks with a trailing (offset, nbytes) index
           val cfg = codecs.get(0).get("configuration")
@@ -724,7 +817,57 @@ object ZarrIO {
       }
       val gy0 = yoff / m.ch; val gy1 = (yoff + h - 1) / m.ch
       val gx0 = xoff / m.cw; val gx1 = (xoff + w - 1) / m.cw
-      m.shard match {
+      if (m.nested.nonEmpty) {
+        // shards of shards: per intersecting top object, walk the level
+        // indices with RANGE reads — each level costs one index fetch,
+        // leaves cost only the window's chunk bytes, exactly the
+        // single-level out-db contract applied recursively
+        def readLevel(in: org.apache.hadoop.fs.FSDataInputStream,
+            objOff: Long, objLen: Long, pixY: Long, pixX: Long, lv: Int): Unit = {
+          val (objH, objW, crc, atStart) = m.nested(lv)
+          val (chH, chW) =
+            if (lv + 1 < m.nested.length)
+              (m.nested(lv + 1)._1, m.nested(lv + 1)._2)
+            else (m.ch, m.cw)
+          val nY = objH / chH; val nX = objW / chW
+          val idxLen = nY * nX * 16 + (if (crc) 4 else 0)
+          val idxBuf = new Array[Byte](idxLen)
+          in.readFully(if (atStart) objOff else objOff + objLen - idxLen, idxBuf)
+          RasterLoaders.fetchCalls.increment()
+          RasterLoaders.fetchBytes.add(idxLen.toLong)
+          val idx = shardIndex(idxBuf, nY * nX, crc)
+          for (ky <- 0 until nY; kx <- 0 until nX) {
+            val py = pixY + ky.toLong * chH; val px = pixX + kx.toLong * chW
+            if (py < yoff + h && py + chH > yoff &&
+                px < xoff + w && px + chW > xoff)
+              idx(ky * nX + kx).foreach { case (off, ln) =>
+                if (lv + 1 < m.nested.length)
+                  readLevel(in, objOff + off, ln, py, px, lv + 1)
+                else {
+                  val buf = new Array[Byte](ln.toInt)
+                  in.readFully(objOff + off, buf)
+                  RasterLoaders.fetchCalls.increment()
+                  RasterLoaders.fetchBytes.add(ln)
+                  val dec = decodeChunk(buf, m.codec, m.cw * m.ch * 8)
+                  copyChunk(if (m.forder) fToC(dec, m.ch, m.cw) else dec,
+                    (py / m.ch).toInt, (px / m.cw).toInt)
+                }
+              }
+          }
+        }
+        val sy0 = yoff / m.topH; val sy1 = (yoff + h - 1) / m.topH
+        val sx0 = xoff / m.topW; val sx1 = (xoff + w - 1) / m.topW
+        for (sy <- sy0 to sy1; sx <- sx0 to sx1) {
+          val p = new org.apache.hadoop.fs.Path(dir, m.chunkName(sy.toLong, sx.toLong))
+          if (fs.exists(p)) {
+            val flen = fs.getFileStatus(p).getLen
+            val in = fs.open(p)
+            try readLevel(in, 0L, flen,
+              sy.toLong * m.topH, sx.toLong * m.topW, 0)
+            finally in.close()
+          }
+        }
+      } else m.shard match {
         case None =>
           var cy = gy0
           while (cy <= gy1) {

@@ -791,6 +791,116 @@ class RasterWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     probe(c.getAbsolutePath, expectRows = 4)
   }
 
+  test("zarr v3 NESTED sharding: shards of shards, absent levels are fill, range-read window") {
+    val d = new java.io.File("/tmp/graft_window_spec/interop_nested.zarr")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (d.exists) rm(d)
+    d.mkdirs()
+    // 128x128 image; one top object (grid cell 128x128) holding a 2x2
+    // index of 64x64 INNER SHARDS, each holding a 2x2 crc32c'd index of
+    // 32x32 innermost chunks. Inner shard (1,1) absent at the top level;
+    // innermost chunk (0,3) absent inside inner shard (0,1).
+    java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
+      """{"zarr_format": 3, "node_type": "array", "shape": [128, 128],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [128, 128]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": -1.0,
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [64, 64],
+        |   "codecs": [{"name": "sharding_indexed", "configuration": {
+        |     "chunk_shape": [32, 32],
+        |     "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |     "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |                      {"name": "crc32c"}],
+        |     "index_location": "end"}}],
+        |   "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |   "index_location": "end"}}],
+        | "attributes": {"transform": [0.0, 1.0, 0.0, 0.0, 0.0, -1.0],
+        |   "crs": "EPSG:32610"}}""".stripMargin.getBytes("UTF-8"))
+    def chunk32(cy: Int, cx: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32 * 32 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 32; c <- 0 until 32)
+        bb.putDouble((r * 32 + c) * 8, ((cy * 32 + r) * 1000 + (cx * 32 + c)).toDouble)
+      bb.array()
+    }
+    val chunkLen = 32 * 32 * 8
+    // inner shard (sy,sx) = its present innermost chunks + crc32c'd index
+    def innerShard(sy: Int, sx: Int, absent: Set[(Int, Int)]): Array[Byte] = {
+      val present = (for (iy <- 0 until 2; ix <- 0 until 2
+        if !absent((iy, ix))) yield (iy, ix)).toSeq
+      val idxLen = 4 * 16 + 4
+      val bb = java.nio.ByteBuffer.allocate(present.length * chunkLen + idxLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val offs = scala.collection.mutable.Map[(Int, Int), Long]()
+      present.zipWithIndex.foreach { case ((iy, ix), i) =>
+        bb.position(i * chunkLen)
+        bb.put(chunk32(sy * 2 + iy, sx * 2 + ix))
+        offs((iy, ix)) = (i * chunkLen).toLong
+      }
+      val base = present.length * chunkLen
+      for (iy <- 0 until 2; ix <- 0 until 2) {
+        val k = iy * 2 + ix
+        val (o, l) = offs.get((iy, ix))
+          .map(o => (o, chunkLen.toLong)).getOrElse((-1L, -1L))
+        bb.putLong(base + k * 16, o)
+        bb.putLong(base + k * 16 + 8, l)
+      }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(bb.array(), base, 4 * 16)
+      bb.putInt(base + 4 * 16, crc.getValue.toInt)
+      bb.array()
+    }
+    val shards = Seq(
+      (0, 0) -> innerShard(0, 0, Set.empty),
+      (0, 1) -> innerShard(0, 1, Set((0, 1))), // global chunk (0,3) absent
+      (1, 0) -> innerShard(1, 0, Set.empty))   // inner shard (1,1) absent
+    val topIdxLen = 4 * 16
+    val topLen = shards.map(_._2.length).sum + topIdxLen
+    val top = java.nio.ByteBuffer.allocate(topLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val topOffs = scala.collection.mutable.Map[(Int, Int), (Long, Long)]()
+    var off = 0L
+    shards.foreach { case (k, bytes) =>
+      top.position(off.toInt); top.put(bytes)
+      topOffs(k) = (off, bytes.length.toLong)
+      off += bytes.length
+    }
+    for (sy <- 0 until 2; sx <- 0 until 2) {
+      val k = sy * 2 + sx
+      val (o, l) = topOffs.getOrElse((sy, sx), (-1L, -1L))
+      top.putLong(off.toInt + k * 16, o)
+      top.putLong(off.toInt + k * 16 + 8, l)
+    }
+    val f = new java.io.File(d, "c/0/0")
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, top.array())
+    // full read: 4 + 3 + 4 present innermost chunks = 11 rows
+    assert(graft.sources.ZarrIO.read(spark, d.getAbsolutePath).count() == 11)
+    // windowed read crossing all four innermost chunks around (60..69)²:
+    // (2,2) lives in the ABSENT inner shard -> fill/null
+    val win = RasterLoaders.window(d.getAbsolutePath, 60, 60, 10, 10)
+    def at(gc: Int, gr: Int): Any = {
+      val (fc, fr) = win.rasterCoord(gc + 0.5, -(gr + 0.5))
+      win.value(1, math.floor(fc).toInt, math.floor(fr).toInt)
+    }
+    assert(at(60, 60).asInstanceOf[Number].doubleValue == 60 * 1000 + 60)
+    assert(at(63, 65).asInstanceOf[Number].doubleValue == 65 * 1000 + 63)
+    assert(at(69, 69) == null, "chunk inside the absent inner shard must be fill")
+    // the absent INNERMOST chunk (global (0,3): pixels y<32, x in 96..127)
+    val win2 = RasterLoaders.window(d.getAbsolutePath, 90, 10, 20, 8)
+    val (fc2, fr2) = win2.rasterCoord(105.5, -12.5)
+    assert(win2.value(1, math.floor(fc2).toInt, math.floor(fr2).toInt) == null,
+      "absent innermost chunk must be fill")
+    val (fc3, fr3) = win2.rasterCoord(95.5, -12.5) // chunk (0,2), present
+    assert(win2.value(1, math.floor(fc3).toInt, math.floor(fr3).toInt)
+      .doubleValue == 12 * 1000 + 95)
+  }
+
   test("JPEG geotiff: constant tiles roundtrip within 1 at q=1.0; smooth data within tolerance; window == full crop") {
     def fetchOf(bytes: Array[Byte]): (Long, Int) => Array[Byte] =
       (off, n) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
