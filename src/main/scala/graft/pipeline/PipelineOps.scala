@@ -357,6 +357,42 @@ object PipelineOps {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
+  /** Exact-substring dedup REMOVAL (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — the cut step on top
+    * of `dupSpanStats`): every k-token window is hashed corpus-wide; a
+    * window INSTANCE is duplicated when its hash occurs more than once
+    * and the instance is not the canonical minimum-(doc_id, pos)
+    * occurrence — the first copy survives. A token is cut when ANY
+    * duplicated window covers it; `clean_text` re-joins the survivors.
+    * Cost: one window-hash count shuffle + one join-back + a per-doc
+    * LOCAL coverage sweep (HOFs over the doc's duplicated-start list) —
+    * nothing quadratic across documents, and the canonical-instance
+    * rule is a total order both engines can restate. */
+  def removeDupSpans(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val base = docs.select(id.cast("long").as("doc_id"),
+      TextOps.tokens(text).as("t"))
+    val wins = base.select(col("doc_id"),
+        posexplode(TextOps.shingleHashes(col("t"), k)))
+      .withColumnRenamed("col", "wh")
+    val agg = wins.groupBy("wh").agg(count(lit(1)).as("wc"),
+      min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val dups = wins.join(agg, "wh")
+      .filter(col("wc") > 1 &&
+        !(col("doc_id") === col("keeper.doc_id") &&
+          col("pos") === col("keeper.pos")))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("dupstarts"))
+    base.join(dups, Seq("doc_id"), "left")
+      .withColumn("ds", coalesce(col("dupstarts"),
+        typedLit(Array.empty[Int])))
+      .withColumn("kept", expr(
+        "filter(transform(t, (tok, p) -> named_struct('tok', tok, 'p', p)), " +
+          s"x -> NOT exists(ds, s -> s <= x.p AND x.p <= s + ${k - 1}))"))
+      .select(col("doc_id"),
+        expr("array_join(transform(kept, x -> x.tok), ' ')").as("clean_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** BM25 lexical top-k — keyword retrieval over the corpus, the
     * non-embedding leg of similarity search. Query terms broadcast;
     * term frequencies and document frequencies come from two map-side-

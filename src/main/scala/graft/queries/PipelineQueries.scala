@@ -188,6 +188,14 @@ object PipelineQueries {
         col("doc_id"), col("text"), k = 8)
     }),
 
+    // exact-substring dedup REMOVAL (Lee et al. 2022): duplicated
+    // 8-token windows cut from every non-canonical occurrence, cleaned
+    // text re-joined
+    "pl30_remove_dup_spans" -> ((s, dir) => {
+      PipelineOps.removeDupSpans(t(s, dir, "documents"),
+        col("doc_id"), col("text"), k = 8)
+    }),
+
     // BM25 lexical top-k: the non-embedding leg of similarity search —
     // keyword retrieval with exact nano-scaled score accumulation
     "pl27_bm25" -> ((s, dir) => {
@@ -606,6 +614,34 @@ object PipelineQueries {
         |SELECT d.doc_id, COALESCE(per.n_windows, 0) AS n_windows,
         |  COALESCE(per.n_dup_windows, 0) AS n_dup_windows
         |FROM d LEFT JOIN per USING (doc_id)""".stripMargin
+    },
+
+    // exact-substring removal restated: window instances ranked by
+    // (doc_id, pos) within each hash — rank 1 is the surviving canonical
+    // copy; coverage and text rebuild via list comprehensions
+    "pl30_remove_dup_spans" -> {
+      val wins = s"[{'pos': i-1, 'wh': ${h32("array_to_string(t[i:i+7], ' ')")}} " +
+        "for i in range(1, len(t)-6)]"
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |w AS (SELECT doc_id, unnest($wins) AS u FROM d),
+        |w2 AS (SELECT doc_id, u['pos'] AS pos, u['wh'] AS wh FROM w),
+        |m AS (SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY wh) AS wc,
+        |    row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+        |  FROM w2),
+        |ds AS (SELECT doc_id, list_sort(list(pos)) AS dupstarts
+        |  FROM m WHERE wc > 1 AND rn > 1 GROUP BY 1),
+        |j AS (SELECT d.doc_id, d.t, COALESCE(ds.dupstarts, []) AS dss
+        |  FROM d LEFT JOIN ds USING (doc_id)),
+        |kk AS (SELECT doc_id, len(t) AS nt,
+        |    [t[p] for p in range(1, len(t)+1)
+        |     if len(list_filter(dss, s -> s <= p-1 AND p-1 <= s+7)) = 0] AS kept
+        |  FROM j)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(nt - len(kept) AS BIGINT) AS n_removed
+        |FROM kk""".stripMargin
     },
 
     // BM25 restated with the SAME operand order (IEEE +,-,*,/ are

@@ -89,6 +89,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist == expected)
   }
 
+  test("exact-substring removal: duplicated span cut from the non-canonical doc only") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val d = Seq(
+      (1L, s"intro words here $span closing remarks"),
+      (2L, s"different opening $span and a different tail"),
+      (3L, "too short"),
+      (4L, "no duplicated content in this document at all truly")
+    ).toDF("doc_id", "text")
+    val r = PipelineOps.removeDupSpans(d, col("doc_id"), col("text"), k = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // doc 1 holds the canonical (min doc_id, pos) instance -> intact
+    assert(r(1L)._3 == 0 && r(1L)._1.contains("alpha"))
+    // doc 2's instance is the duplicate -> the 8 covered tokens are cut
+    assert(r(2L)._3 == 8, r(2L))
+    assert(!r(2L)._1.contains("alpha") && !r(2L)._1.contains("theta"))
+    assert(r(2L)._1 == "different opening and a different tail")
+    // shorter than k: no windows, untouched
+    assert(r(3L) == ("too short", 2L, 0L))
+    assert(r(4L)._3 == 0)
+  }
+
   test("connected components property: random graphs match a union-find oracle") {
     // seeded random graphs at three densities, plus self-loops (isolated
     // nodes must still label themselves) — the forced-distributed
