@@ -236,6 +236,21 @@ object ScaleBench {
             localThreshold = 0)
         }
       },
+      // dense-pair-graph CC (|E| >> |V|, the quadratic near-dup pair
+      // explosion shape): the entry probe sees >4M bidirectional edges
+      // and goes distributed, round 1 collapses the edge set to ~|V|,
+      // and the mid-loop local finish replaces the remaining rounds —
+      // wall should track the ONE full-volume round, ~linear in m
+      "cc_dense" -> { m =>
+        val nodes = 200000L * m
+        val pairs = 3000000L * m
+        timed {
+          val e = spark.range(pairs).toDF("i")
+            .select(pmod(hash(col("i"), lit(1)), lit(nodes)).cast("long").as("a"),
+              pmod(hash(col("i"), lit(2)), lit(nodes)).cast("long").as("b"))
+          PipelineOps.connectedComponents(e, col("a"), col("b"))
+        }
+      },
       // pl12 path: connected components over the minhash pair graph
       "pl12_dedup_groups" -> { m =>
         timed {

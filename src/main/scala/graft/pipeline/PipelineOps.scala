@@ -141,8 +141,13 @@ object PipelineOps {
     */
   def connectedComponents(pairs: DataFrame, aCol: Column, bCol: Column,
       maxIter: Int = 30, localThreshold: Long = 1L << 22): DataFrame = {
-    val half = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
-    val edges = half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+    // undirected pairs deduped ONCE in canonical (max, min) orientation —
+    // no bidirectional blow-up: the local union-find reads both
+    // endpoints, the node inventory enumerates both, and large-star
+    // symmetrizes per round internally, so nothing needs the 2x set
+    val edges = pairs.select(aCol.cast("long").as("src"), bCol.cast("long").as("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // size-adaptive, like Spark's broadcast-join policy: an edge list that
@@ -156,69 +161,9 @@ object PipelineOps {
     val probeLimit = math.min(localThreshold, 1L << 22)
     val sparkS = pairs.sparkSession
     if (edges.count() <= probeLimit) {
-      val packed: Array[Array[Long]] =
-        edges.queryExecution.toRdd.mapPartitions { it =>
-          val b = new scala.collection.mutable.ArrayBuilder.ofLong
-          while (it.hasNext) {
-            val r = it.next()
-            // fail loudly on null ids: getLong on a null slot silently
-            // reads 0 and would merge the null rows into group 0
-            if (r.isNullAt(0) || r.isNullAt(1))
-              throw new IllegalArgumentException(
-                "connectedComponents: null id in pair list")
-            b += r.getLong(0); b += r.getLong(1)
-          }
-          Iterator.single(b.result())
-        }.collect()
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
-        r
-      }
-      var nNodes = 0
-      packed.foreach { arr =>
-        var i = 0
-        while (i < arr.length) {
-          val a = arr(i); val b = arr(i + 1)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-          i += 2
-        }
-        nNodes += arr.length / 2 // bidirectional: srcs enumerate every node, with dups
-      }
-      // distinct node ids from the (bidirectional) src positions: sort+dedup
-      // in a primitive array — no boxing
-      val srcs = new Array[Long](nNodes)
-      var w = 0
-      packed.foreach { arr =>
-        var i = 0
-        while (i < arr.length) { srcs(w) = arr(i); w += 1; i += 2 }
-      }
-      java.util.Arrays.sort(srcs)
-      var n = 0
-      var i = 0
-      while (i < srcs.length) {
-        if (i == 0 || srcs(i) != srcs(i - 1)) { srcs(n) = srcs(i); n += 1 }
-        i += 1
-      }
-      val ids = java.util.Arrays.copyOf(srcs, n)
-      val gids = new Array[Long](n)
-      i = 0
-      while (i < n) { gids(i) = find(ids(i)); i += 1 }
+      val out = localUnionFind(edges)
       edges.unpersist()
-      // ship the answer back as two primitive arrays (16 B/node), not a
-      // driver-built Seq of boxed rows
-      val idsB = sparkS.sparkContext.broadcast(ids)
-      val gidsB = sparkS.sparkContext.broadcast(gids)
-      val slices = math.max(1, n / (1 << 21))
-      val rows = sparkS.sparkContext.range(0L, n.toLong, numSlices = slices)
-        .map(j => org.apache.spark.sql.Row(idsB.value(j.toInt), gidsB.value(j.toInt)))
-      return sparkS.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("group_id", org.apache.spark.sql.types.LongType, nullable = false))))
+      return out
     }
     // Distributed path: alternating large-star / small-star rounds
     // (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -239,7 +184,9 @@ object PipelineOps {
     val edgesLeaf = leafOf(edges)
     // node inventory persisted up front (self-loop-only nodes vanish from
     // the star rounds but must still get a singleton label)
-    val nodes = edgesLeaf.select(col("src").as("id")).distinct().persist(mem)
+    val nodes = edgesLeaf.select(col("src").as("id"))
+      .unionAll(edgesLeaf.select(col("dst").as("id")))
+      .distinct().persist(mem)
     nodes.count() // materialize while the edges cache is hot
 
     // large-star(u): attach every STRICTLY LARGER neighbour of u to
@@ -269,10 +216,11 @@ object PipelineOps {
         .distinct()
     }
 
+    // edges are already canonical (max, min) and distinct — just drop
+    // self-loops for the star rounds
     var cur = edgesLeaf.where(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      .distinct().persist(mem)
+      .select(col("src").as("u"), col("dst").as("v"))
+      .persist(mem)
     var curLeaf = leafOf(cur)
     var iter = 0
     var converged = false
@@ -296,6 +244,22 @@ object PipelineOps {
       cur = next
       curLeaf = leafOf(next)
       iter += 1
+      // early local finish: star rounds rewire within components (never
+      // merge or split), and every non-isolated node keeps an endpoint
+      // each round — so once the SHRINKING edge set fits the driver cap,
+      // one packed union-find over it yields the exact component minima
+      // and replaces the remaining O(log d) shuffle rounds. This is the
+      // dense-pair-graph case (|E| >> |V|, e.g. quadratic near-dup pair
+      // explosions), where round 1 collapses the edge count to ~|V|.
+      if (!converged && stats._1 <= probeLimit) {
+        val local = localUnionFind(curLeaf)
+          .withColumnRenamed("id", "__cc_uid")
+        val out = nodes.join(local, nodes("id") === col("__cc_uid"), "left")
+          .select(nodes("id"),
+            coalesce(col("group_id"), nodes("id")).as("group_id"))
+        edges.unpersist()
+        return out
+      }
     }
     // at convergence `cur` IS the star forest: (member, component-min).
     // Roots and isolated nodes carry no edge → coalesce to themselves.
@@ -307,6 +271,75 @@ object PipelineOps {
 
   private def cmpDec(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
     (a == null && b == null) || (a != null && b != null && a.compareTo(b) == 0)
+
+  /** Driver-side union-find over an edge DataFrame whose FIRST TWO
+    * columns are long endpoint ids. The fetch ships PACKED long arrays
+    * per partition — 16 B/edge, so the 4M-edge cap really is ~64 MB of
+    * driver footprint, never a GenericRow per edge. Every node appearing
+    * at either endpoint is labeled with its component minimum; the
+    * result ships back as two broadcast primitive arrays. Null ids fail
+    * loudly (getLong on a null slot would silently merge into group 0). */
+  private def localUnionFind(edgesDf: DataFrame): DataFrame = {
+    val sparkS = edgesDf.sparkSession
+    val packed: Array[Array[Long]] =
+      edgesDf.queryExecution.toRdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) {
+          val r = it.next()
+          if (r.isNullAt(0) || r.isNullAt(1))
+            throw new IllegalArgumentException(
+              "connectedComponents: null id in pair list")
+          b += r.getLong(0); b += r.getLong(1)
+        }
+        Iterator.single(b.result())
+      }.collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    var nSlots = 0
+    packed.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val a = arr(i); val b = arr(i + 1)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        i += 2
+      }
+      nSlots += arr.length // both endpoints enumerate the node set, with dups
+    }
+    // distinct node ids from BOTH endpoint positions: sort+dedup in a
+    // primitive array — no boxing
+    val srcs = new Array[Long](nSlots)
+    var w = 0
+    packed.foreach { arr =>
+      var i = 0
+      while (i < arr.length) { srcs(w) = arr(i); w += 1; i += 1 }
+    }
+    java.util.Arrays.sort(srcs)
+    var n = 0
+    var i = 0
+    while (i < srcs.length) {
+      if (i == 0 || srcs(i) != srcs(i - 1)) { srcs(n) = srcs(i); n += 1 }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(srcs, n)
+    val gids = new Array[Long](n)
+    i = 0
+    while (i < n) { gids(i) = find(ids(i)); i += 1 }
+    val idsB = sparkS.sparkContext.broadcast(ids)
+    val gidsB = sparkS.sparkContext.broadcast(gids)
+    val slices = math.max(1, n / (1 << 21))
+    val rows = sparkS.sparkContext.range(0L, n.toLong, numSlices = slices)
+      .map(j => org.apache.spark.sql.Row(idsB.value(j.toInt), gidsB.value(j.toInt)))
+    sparkS.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("group_id", org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 
   /** Dedup groups from near-dup pairs: every doc in `pairs` mapped to its
     * component's canonical (minimum) id, with `keep` marking the survivor.

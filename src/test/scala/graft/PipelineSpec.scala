@@ -141,6 +141,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         raw.toDF("a", "b"), col("a"), col("b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(loc == expected, s"local path mismatch at (n=$n, m=$mEdges)")
+      // dense small graph + a threshold between |V| and |E|: enters the
+      // distributed path, then the shrinking edge set crosses under the
+      // cap and the mid-loop local finish fires — must be exact too
+      if (n == 120) {
+        val mid = PipelineOps.connectedComponents(
+          raw.toDF("a", "b"), col("a"), col("b"), localThreshold = 150)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(mid == expected, "mid-loop local finish mismatch")
+      }
     }
   }
 
