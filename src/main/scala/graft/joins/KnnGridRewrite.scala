@@ -32,12 +32,14 @@ import graft.operators.SpatialJoins
 object KnnGridRewrite {
 
   /** Rewrite applies only when query/object column names are disjoint and
-    * don't collide with the helper columns. */
+    * don't collide with the helper columns. Both metrics qualify: planar
+    * goes through the euclidean grid, spheroid through the geodesic
+    * (st_gridcells_sphere) grid — no KNN shape is broadcast-only. */
   def applicable(p: KnnJoinPlan): Boolean = {
     val (q, o) = if (p.objectIsLeft) (p.right, p.left) else (p.left, p.right)
     val qn = q.output.map(_.name).toSet
     val on = o.output.map(_.name).toSet
-    !p.spheroid && qn.intersect(on).isEmpty &&
+    qn.intersect(on).isEmpty &&
       !(qn ++ on).exists(n => n == "knn_distance" || n == "knn_rank")
   }
 
@@ -47,9 +49,13 @@ object KnnGridRewrite {
     val oDF = DatasetBridge.ofRows(spark, objectChild)
     val tie = xxhash64(call_function("st_asbinary", DatasetBridge.column(p.objectGeom)))
       .cast("double")
-    val joined = SpatialJoins.knnJoinGrid(
+    val joined = (if (p.spheroid)
+        SpatialJoins.knnJoinGridSphere(
+          qDF, oDF, DatasetBridge.column(p.queryGeom), DatasetBridge.column(p.objectGeom),
+          p.k, tie)
+      else SpatialJoins.knnJoinGrid(
         qDF, oDF, DatasetBridge.column(p.queryGeom), DatasetBridge.column(p.objectGeom),
-        p.k, tie)
+        p.k, tie))
       .drop("knn_distance", "knn_rank")
     // use the OPTIMIZED inner plan (planLater skips optimization of
     // handed-in subtrees), then remap the output onto the original join

@@ -307,6 +307,88 @@ object SpatialJoins {
         Seq(col("knn_distance"), col("knn_rank"))).toIndexedSeq: _*)
   }
 
+  /** Spheroid (great-circle) partitioned KNN join — the scale path when
+    * the OBJECT side of a `st_knn(..., use_spheroid=true)` join cannot be
+    * broadcast, closing the one join family that previously always
+    * driver-collected. Same exact two-round scheme as `knnJoinGrid`, with
+    * every planar ingredient swapped for its wrap-safe spherical analog:
+    *
+    *   - cells: `st_gridcells_sphere` — the lat/lon cover of the
+    *     geometry's SPHERICAL envelope (S2 RectBounder latitude bulges)
+    *     expanded by a geodesic radius in METERS, full-ring/pole-touch
+    *     fallbacks included (the same kernel the sphere dwithin join's
+    *     candidate cover is gate-proven on);
+    *   - distance: `st_distancesphere` (haversine meters);
+    *   - the "no candidates" fallback radius: half the circumference
+    *     (π·R — the antipodal maximum), the spherical analog of the
+    *     planar full-extent diagonal.
+    *
+    * Round 1 probes each query's ~one-cell-ring geodesic neighbourhood
+    * and takes its kth candidate distance as a per-query upper bound
+    * (the kth smallest over any subset bounds the true kth from above);
+    * round 2 re-probes the radius-expanded spherical cover and ranks by
+    * (distance, tieBreak, object id) — exact top-k, three shuffles,
+    * nothing broadcast, no O(|q|·|o|) rank. Reference semantics:
+    * rust/sedona-spatial-join/src/index/default_spatial_index.rs:359-430
+    * with the spheroid option of option.rs:98. */
+  def knnJoinGridSphere(
+      query: DataFrame, objects: DataFrame,
+      queryGeom: Column, objectGeom: Column,
+      k: Int, tieBreak: Column,
+      nx: Int = 90, ny: Int = 45): DataFrame = {
+
+    val maxGeo = math.Pi * graft.functions.Spherical.R // antipodal meters
+    def cells(g: Column, expandM: Column): Column =
+      st.f("st_gridcells_sphere", g, expandM, lit(nx), lit(ny))
+
+    val qCols = query.columns
+    val oCols = objects.columns
+    val q = graft.CacheRegistry.register(query.withColumn("__qg", queryGeom)
+      .withColumn("__qid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val o = graft.CacheRegistry.register(
+      objects.withColumn("__og", objectGeom).withColumn("__otb", tieBreak.cast("double"))
+        .withColumn("__oid", monotonically_increasing_id())
+        .withColumn("__ocell", explode(cells(col("__og"), lit(0.0))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    // round 1: ~one-cell-height geodesic ring probe -> per-query bound
+    val ringM = math.Pi * graft.functions.Spherical.R / ny + 1e-6
+    val probe1 = q.select(col("__qid"), col("__qg"),
+        explode(cells(col("__qg"), lit(ringM))).as("__pcell"))
+      .join(o.select(col("__ocell"), col("__og"), col("__otb"), col("__oid")),
+        col("__pcell") === col("__ocell"))
+      .select(col("__qid"), col("__oid"),
+        st.f("st_distancesphere", col("__qg"), col("__og")).as("__d"), col("__otb"))
+      .dropDuplicates("__qid", "__oid")
+    val w1 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
+    val bound = probe1.withColumn("__rn", row_number().over(w1))
+      .groupBy(col("__qid"))
+      .agg(max(when(col("__rn") <= k, col("__d"))).as("__dk"),
+        count(when(col("__rn") <= k, 1)).as("__cnt"))
+      .select(col("__qid"),
+        when(col("__cnt") >= k, col("__dk")).otherwise(lit(maxGeo)).as("__radius"))
+
+    // round 2: exact re-probe of the radius-expanded spherical cover
+    // (queries with an empty round-1 neighbourhood fall back to π·R —
+    // the whole-globe cover, rare by construction, never wrong)
+    val q2 = q.join(bound, Seq("__qid"), "left")
+      .withColumn("__radius", coalesce(col("__radius"), lit(maxGeo)))
+      .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-3))))
+    val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
+    q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++
+        oCols.map(c => o(c).as(s"__o_$c")): _*),
+        col("__pcell") === col("__ocell"))
+      .withColumn("__d", st.f("st_distancesphere", col("__qg"), col("__og")))
+      .filter(col("__d") <= col("__radius") + lit(1e-3))
+      .dropDuplicates("__qid", "__oid")
+      .withColumn("knn_rank", row_number().over(w2))
+      .filter(col("knn_rank") <= k)
+      .withColumn("knn_distance", col("__d"))
+      .select((qCols.map(col) ++ oCols.map(c => col(s"__o_$c").as(c)) ++
+        Seq(col("knn_distance"), col("knn_rank"))).toIndexedSeq: _*)
+  }
+
   private class GeomItemDistance extends ItemDistance with Serializable {
     override def distance(a: ItemBoundable, b: ItemBoundable): Double = {
       val ga = a.getItem.asInstanceOf[(Geometry, Any, Any)]._1

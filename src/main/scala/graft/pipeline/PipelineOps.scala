@@ -224,22 +224,24 @@ object PipelineOps {
     var curLeaf = leafOf(cur)
     var iter = 0
     var converged = false
-    var prev: (Long, java.math.BigDecimal, java.math.BigDecimal) = null
+    var prev: (Long, java.math.BigDecimal) = null
     while (!converged && iter < maxIter) {
       val ls = largeStar(curLeaf).persist(mem)
       val next = smallStar(leafOf(ls)).persist(mem)
       // one aggregate materializes the round AND doubles as convergence
-      // check: at the star-forest fixed point both rounds are identity
-      // maps, so (count, Σu, Σv) all freeze; before it, edge targets only
-      // ever decrease, so Σv strictly decreases every effective round.
+      // check. The round output is a SET (small-star ends in distinct), so
+      // (count, Σ xxhash64(u,v)) freezing across rounds means set equality
+      // up to a 64-bit-sum collision — an order-independent content hash,
+      // not the old (Σu, Σv) fingerprint a stats collision could fool.
+      // An except()-based exact check would cost a full extra shuffle per
+      // round for no practical gain.
       val st = next.agg(count(lit(1)),
-        sum(col("u").cast("decimal(38,0)")),
-        sum(col("v").cast("decimal(38,0)"))).collect()(0)
-      val stats = (st.getLong(0), st.getDecimal(1), st.getDecimal(2))
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect()(0)
+      val stats = (st.getLong(0), st.getDecimal(1))
       ls.unpersist()
       cur.unpersist()
       converged = prev != null && prev._1 == stats._1 &&
-        cmpDec(prev._2, stats._2) && cmpDec(prev._3, stats._3)
+        cmpDec(prev._2, stats._2)
       prev = stats
       cur = next
       curLeaf = leafOf(next)
@@ -261,6 +263,12 @@ object PipelineOps {
         return out
       }
     }
+    // exhausting maxIter without the fixed point means the star forest is
+    // not fully collapsed — labels would be silently wrong; fail loudly
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixed point after $maxIter rounds " +
+        "(expected O(log n)); raise maxIter")
     // at convergence `cur` IS the star forest: (member, component-min).
     // Roots and isolated nodes carry no edge → coalesce to themselves.
     val out = nodes.join(curLeaf, nodes("id") === curLeaf("u"), "left")
@@ -400,10 +408,12 @@ object PipelineOps {
     * Cost: one window-hash count shuffle + one join-back + a per-doc
     * LOCAL coverage sweep (HOFs over the doc's duplicated-start list) —
     * nothing quadratic across documents, and the canonical-instance
-    * rule is a total order both engines can restate. */
+    * rule is a total order both engines can restate.
+    * Null text ≡ empty text: clean_text '', n_tokens 0, n_removed 0
+    * (the oracle encodes the same contract) — never NULL outputs. */
   def removeDupSpans(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val base = docs.select(id.cast("long").as("doc_id"),
-      TextOps.tokens(text).as("t"))
+      coalesce(TextOps.tokens(text), typedLit(Array.empty[String])).as("t"))
     val wins = base.select(col("doc_id"),
         posexplode(TextOps.shingleHashes(col("t"), k)))
       .withColumnRenamed("col", "wh")

@@ -123,6 +123,11 @@ case class SphereJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
       jt: org.apache.spark.sql.catalyst.plans.JoinType,
       ex: Sphere): Option[LogicalPlan] = {
     import org.apache.spark.sql.functions._
+    // withColumn would silently REPLACE a user column named __spj_id, and
+    // a user __spj_mid makes the matched-id join condition ambiguous —
+    // decline the rewrite on name overlap (join keeps its default plan)
+    if (j.output.exists(a => a.name == "__spj_id" || a.name == "__spj_mid"))
+      return None
     val lDF = graft.CacheRegistry.register(
       DatasetBridge.ofRows(session, lChild)
         .withColumn("__spj_id", monotonically_increasing_id())

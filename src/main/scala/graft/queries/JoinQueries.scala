@@ -167,6 +167,31 @@ object JoinQueries {
           |FROM knn_sph_q JOIN knn_sph_o ON st_knn(qpt, opt, 3, true)""".stripMargin)
     }),
 
+    // spheroid out-of-core KNN: the geodesic two-round grid path (nothing
+    // broadcast, wrap-safe st_gridcells_sphere cover) on the same data as
+    // sj11 — identical result set to the broadcast chord-kd path. The
+    // per-key epsilons make distances tie-free, so the tie rule is moot.
+    "sj16_knn_spheroid_grid" -> ((s, dir) => {
+      prep(s)
+      val q = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .withColumn("qpt", st.point(
+          (col("c_custkey") % 340).cast("double") / 2.0 - 85.0 + 1.0 / 3,
+          (col("c_custkey") % 160).cast("double") / 2.0 - 40.0 + 1.0 / 7))
+        .select(col("c_custkey"), col("qpt"))
+      val o = t(s, dir, "part")
+        .withColumn("opt", st.point(
+          (col("p_partkey") % 680).cast("double") / 4.0 - 85.0
+            + col("p_partkey").cast("double") * 1.0e-6,
+          (col("p_partkey") % 320).cast("double") / 4.0 - 40.0
+            + col("p_partkey").cast("double") * 1.0e-6))
+        .select(col("p_partkey"), col("opt"))
+      SpatialJoins.knnJoinGridSphere(q, o, col("qpt"), col("opt"), 3,
+          col("p_partkey"))
+        .select(col("c_custkey"), col("p_partkey"),
+          round(col("knn_distance"), 2).as("dist_m"))
+    }),
+
     // planner-level grid rewrite: pure SQL, no hints, broadcast disabled —
     // GridSpatialJoinRule turns the spatial theta-join into the explode/
     // equi-join/dedup plan (the plan a 1000-executor cluster needs)
@@ -528,6 +553,36 @@ object JoinQueries {
         |FROM ranked WHERE rk <= 3""".stripMargin,
 
     "sj11_knn_spheroid" ->
+      """WITH q AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 340 AS DOUBLE)/2.0 - 85.0 + 1.0/3 AS qlon,
+        |    CAST(c_custkey % 160 AS DOUBLE)/2.0 - 40.0 + 1.0/7 AS qlat
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |o AS (
+        |  SELECT p_partkey,
+        |    CAST(p_partkey % 680 AS DOUBLE)/4.0 - 85.0
+        |      + CAST(p_partkey AS DOUBLE)*1.0e-6 AS olon,
+        |    CAST(p_partkey % 320 AS DOUBLE)/4.0 - 40.0
+        |      + CAST(p_partkey AS DOUBLE)*1.0e-6 AS olat
+        |  FROM part),
+        |d AS (
+        |  SELECT q.c_custkey, o.p_partkey,
+        |    2*6371008.8*asin(sqrt(
+        |      sin(radians(olat-qlat)/2)*sin(radians(olat-qlat)/2)
+        |      + cos(radians(qlat))*cos(radians(olat))
+        |        * sin(radians(olon-qlon)/2)*sin(radians(olon-qlon)/2))) AS dist
+        |  FROM q CROSS JOIN o),
+        |ranked AS (
+        |  SELECT c_custkey, p_partkey, dist,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY dist, p_partkey) AS rk
+        |  FROM d)
+        |SELECT c_custkey, p_partkey, round(dist, 2) AS dist_m
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    // identical result contract to sj11 — the geodesic grid must agree
+    // with the broadcast chord-kd path exactly
+    "sj16_knn_spheroid_grid" ->
       """WITH q AS (
         |  SELECT c_custkey,
         |    CAST(c_custkey % 340 AS DOUBLE)/2.0 - 85.0 + 1.0/3 AS qlon,

@@ -622,7 +622,8 @@ object PipelineQueries {
     "pl30_remove_dup_spans" -> {
       val wins = s"[{'pos': i-1, 'wh': ${h32("array_to_string(t[i:i+7], ' ')")}} " +
         "for i in range(1, len(t)-6)]"
-      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+      s"""WITH d AS (SELECT doc_id,
+        |    COALESCE($toksSql, CAST([] AS VARCHAR[])) AS t FROM documents),
         |w AS (SELECT doc_id, unnest($wins) AS u FROM d),
         |w2 AS (SELECT doc_id, u['pos'] AS pos, u['wh'] AS wh FROM w),
         |m AS (SELECT doc_id, pos,

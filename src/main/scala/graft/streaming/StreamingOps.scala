@@ -221,7 +221,12 @@ object StreamingOps {
     * for a doc arriving within `idleTtlMs` of its bucket's last activity
     * is IDENTICAL to the unbounded run; only docs past the idle horizon
     * lose matches against pre-horizon minima — the deliberate
-    * windowed-dedup contract, same as the as-of join's idle TTL. */
+    * windowed-dedup contract, same as the as-of join's idle TTL.
+    * Out-of-order tolerance: the watermark delay equals the TTL itself,
+    * so a row up to `idleTtlMs` behind the max event time seen is still
+    * processed (not silently dropped pre-state); rows later than that
+    * are outside the idle horizon by definition and are dropped by the
+    * watermark, consistent with the contract above. */
   def streamMinhashDedup(docs: DataFrame, id: Column, text: Column,
       numHashes: Int = 12, bands: Int = 4, shingleK: Int = 3,
       eventTimeMs: Option[Column] = None,
@@ -240,8 +245,11 @@ object StreamingOps {
         col("pos").as("band"), col("doc_id"), col("ts_ms"))
     val exploded =
       (if (idleTtlMs.isDefined)
+        // watermark delay = the TTL: a row within the idle horizon of the
+        // max event time is never dropped pre-state (a 0s delay would
+        // silently drop ANY out-of-order row before flatMapGroupsWithState)
         exploded0.withColumn("ts", timestamp_millis(col("ts_ms")))
-          .withWatermark("ts", "0 seconds")
+          .withWatermark("ts", s"${idleTtlMs.get} milliseconds")
       else exploded0).as[BucketDoc](Encoders.product[BucketDoc])
     implicit val bf = Encoders.product[BucketFlag]
     implicit val le = Encoders.scalaLong

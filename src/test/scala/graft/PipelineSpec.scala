@@ -153,6 +153,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connected components: maxIter exhaustion fails loudly, never silent labels") {
+    import spark.implicits._
+    // a 64-node chain needs ~log2(64) star rounds; maxIter=1 cannot reach
+    // the fixed point and the early local finish is disabled (threshold 0)
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      PipelineOps.connectedComponents(chain, col("a"), col("b"),
+        maxIter = 1, localThreshold = 0).collect()
+    }
+    assert(ex.getMessage.contains("no fixed point"))
+  }
+
+  test("removeDupSpans: null text ≡ empty text (non-null outputs)") {
+    val d = Seq((1L, Option("alpha beta gamma delta epsilon zeta eta theta nine")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val r = PipelineOps.removeDupSpans(d, col("doc_id"), col("text"), k = 8)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(2L) == ("", 0L, 0L), s"null text must map to ('',0,0): ${r(2L)}")
+    assert(r(1L)._2 == 9L && r(1L)._3 == 0L)
+  }
+
   test("cosine top-k: self-similar vectors rank first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
@@ -566,6 +588,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val late = spark.table("smhd_ttl").filter(col("doc_id") === 1000L)
         .agg(max(col("is_dup"))).collect()(0).getBoolean(0)
       assert(!late, "evicted bucket must forget its pre-horizon minimum")
+      // an OUT-OF-ORDER row within the TTL of the max event time must be
+      // processed, not silently dropped by the watermark (the delay is the
+      // TTL itself; a 0s delay lost any row behind the max seen)
+      input.addData((2000L, a, 100002L - 500L))
+      q.processAllAvailable()
+      val ooo = spark.table("smhd_ttl").filter(col("doc_id") === 2000L)
+        .groupBy().agg(count(lit(1)), max(col("is_dup"))).collect()(0)
+      assert(ooo.getLong(0) > 0, "out-of-order row within TTL must emit flags")
+      assert(ooo.getBoolean(1), "and must flag against the live held minimum")
     } finally q.stop()
   }
 

@@ -371,4 +371,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q2 = entries("q02_top_revenue").plan
     assert(q2.contains("PushedFilters: ["), "q02 lost parquet filter pushdown")
   }
+
+  test("round-13 gates keep their intended plan shapes") {
+    // sj16 spheroid out-of-core KNN: geodesic cell equi-join + window
+    // ranking, nothing broadcast-nested-loop, the spherical cover explode
+    // present — the plan that holds when the object side is 100 TB
+    val sj16 = entries("sj16_knn_spheroid_grid").plan
+    assert(!sj16.contains("BroadcastNestedLoopJoin") &&
+      !sj16.contains("CartesianProduct"), "sj16 fell back to BNLJ/cartesian")
+    assert(sj16.contains("SortMergeJoin") || sj16.contains("ShuffledHashJoin") ||
+      sj16.contains("BroadcastHashJoin"), "sj16 lost its grid equi-join")
+    assert(sj16.contains("Window"), "sj16 lost its window ranking")
+    assert(sj16.toLowerCase.contains("gridcells_sphere"),
+      "sj16 lost the spherical grid cover explode")
+  }
 }

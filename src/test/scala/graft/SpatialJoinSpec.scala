@@ -513,6 +513,79 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(grid) == sortedRows(brute))
   }
 
+  test("spheroid grid KNN ≡ brute-force geodesic rank incl. dateline + pole") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // same adversarial shape as the chord kd test: global spread with
+    // antimeridian and pole clusters — the geodesic grid cover must not
+    // lose candidates at the wrap or the caps
+    val rnd = new java.util.Random(13)
+    val objPts = (0 until 400).map { i =>
+      if (i % 10 == 0) (i.toLong, 179.5 + rnd.nextDouble(), -60 + rnd.nextInt(120) * 1.0)
+      else if (i % 17 == 0) (i.toLong, rnd.nextDouble() * 360 - 180, 89.0 + rnd.nextDouble())
+      else (i.toLong, rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 170 - 85)
+    }
+    val queries = Seq((1L, -179.9, 0.0), (2L, 0.0, 89.9),
+      (3L, 12.5, 48.1), (4L, 179.95, -45.0), (5L, -20.0, -89.7))
+    val o = objPts.toDF("oid", "olon", "olat")
+      .select(col("oid"), st.point(col("olon"), col("olat")).as("opt"))
+    val q = queries.toDF("qid", "qlon", "qlat")
+      .select(col("qid"), st.point(col("qlon"), col("qlat")).as("qpt"))
+    val grid = SpatialJoins.knnJoinGridSphere(q, o, col("qpt"), col("opt"),
+      7, col("oid")).select("qid", "oid")
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("oid"))
+    val brute = q.crossJoin(o)
+      .withColumn("d", st.f("st_distancesphere", col("qpt"), col("opt")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 7)
+      .select("qid", "oid")
+    assert(sortedRows(grid) == sortedRows(brute))
+  }
+
+  test("spheroid grid KNN: sparse neighbourhood falls back to the global cover") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 3 objects on the whole globe, k=2: round 1 finds < k candidates for
+    // every query, so round 2 must re-probe at the antipodal radius
+    val o = Seq((1L, 10.0, 10.0), (2L, -120.0, 45.0), (3L, 100.0, -60.0))
+      .toDF("oid", "olon", "olat")
+      .select(col("oid"), st.point(col("olon"), col("olat")).as("opt"))
+    val q = Seq((1L, -170.0, -5.0), (2L, 60.0, 80.0)).toDF("qid", "qlon", "qlat")
+      .select(col("qid"), st.point(col("qlon"), col("qlat")).as("qpt"))
+    val grid = SpatialJoins.knnJoinGridSphere(q, o, col("qpt"), col("opt"),
+      2, col("oid")).select("qid", "oid")
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("oid"))
+    val brute = q.crossJoin(o)
+      .withColumn("d", st.f("st_distancesphere", col("qpt"), col("opt")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .select("qid", "oid")
+    assert(sortedRows(grid) == sortedRows(brute))
+  }
+
+  test("SQL spheroid KNN with large object side plans the geodesic grid path") {
+    // tie-free coordinates (per-key epsilons): the grid path must return
+    // exactly the broadcast chord-kd path's rows
+    val q = spark.range(40).select(col("id").as("qid"),
+      st.point(col("id") % 340 / 2.0 - 85.0 + 1.0 / 3,
+        col("id") % 160 / 2.0 - 40.0 + 1.0 / 7).as("qg"))
+    val o = spark.range(2500).select(col("id").as("oid"),
+      st.point(col("id") % 680 / 4.0 - 85.0 + col("id") * 1e-6,
+        col("id") % 320 / 4.0 - 40.0 + col("id") * 1e-6).as("og"))
+    q.createOrReplaceTempView("sphgrid_q")
+    o.createOrReplaceTempView("sphgrid_o")
+    val sql = "SELECT qid, oid FROM sphgrid_q JOIN sphgrid_o ON st_knn(qg, og, 3, true)"
+    val expected = sortedRows(spark.sql(sql)) // broadcast path (default conf)
+    assert(spark.sql(sql).queryExecution.executedPlan.toString.contains("KnnJoin "))
+    spark.conf.set("spark.graft.knn.broadcastThreshold", "0")
+    try {
+      val grid = spark.sql(sql)
+      val phys = grid.queryExecution.executedPlan.toString
+      assert(!phys.contains("KnnJoin "), phys.take(2000))
+      assert(!phys.contains("BroadcastNestedLoopJoin") &&
+        !phys.contains("CartesianProduct"), phys.take(2000))
+      assert(sortedRows(grid) == expected)
+    } finally spark.conf.unset("spark.graft.knn.broadcastThreshold")
+  }
+
   test("knn join: exactly k per query, ranked by distance") {
     val q = points(50, 23).withColumnRenamed("pid", "qid").withColumnRenamed("pgeom", "qgeom")
     val o = points(200, 29)

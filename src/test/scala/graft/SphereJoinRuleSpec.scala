@@ -229,4 +229,28 @@ class SphereJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pp.contains("BroadcastNestedLoopJoin"),
       s"large pair product must engage the grid even with one small side:\n$pp")
   }
+
+  test("LEFT OUTER declines rewrite when a side already has __spj_id/__spj_mid") {
+    // the left-type rewrite tags the left with __spj_id and joins the
+    // matched-id set as __spj_mid; a user column with either name would be
+    // silently replaced / ambiguous, so the rule must keep the default plan
+    // and still return correct results
+    pts(150, 301, "aid", "ag")
+      .withColumn("__spj_id", col("aid") * 1000)
+      .createOrReplaceTempView("sphr_a")
+    pts(150, 303, "bid", "bg").createOrReplaceTempView("sphr_b")
+    val sql = "SELECT aid, __spj_id, bid FROM sphr_a LEFT JOIN sphr_b " +
+      "ON st_dwithinsphere(ag, bg, 400000.0)"
+    val got = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sorted.toSeq
+    val expect = ruleOff {
+      spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sorted.toSeq
+    }
+    assert(got.nonEmpty && got == expect)
+    assert(got.forall { case (aid, sid, _) => sid == aid * 1000 },
+      "user __spj_id column must survive untouched")
+  }
 }
