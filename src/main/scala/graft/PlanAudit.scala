@@ -14,12 +14,31 @@ object PlanAudit {
   final case class Entry(name: String, plan: String, tags: Seq[String],
       flagged: Boolean, error: Option[String])
 
+  /** A BNLJ is acceptable exactly when every NON-EQUI logical join in the
+    * query has a small pair product — the same policy the rewrite rules
+    * (SphereJoinRule.worthGrid, the banded-range tiny test) apply, so
+    * gates carry NO conf windows and still can't hide a scale-hostile
+    * fallback: a rule that silently stops firing on large sides pushes
+    * the product past the cutoff and flags here. Cutoff mirrors
+    * worthGrid: 65536² · 4 bytes² (~a couple million pairs at 100 B/row). */
+  private def bnljJustified(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val cutoff = BigInt(65536)
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty ||
+          !graft.plans.RangeJoinShapes.hasEquiConjunct(
+            j.condition.get, j.left, j.right) =>
+        j.left.stats.sizeInBytes * j.right.stats.sizeInBytes
+    }.forall(_ <= cutoff * cutoff * 4)
+  }
+
   /** Build (not execute) every gate query's physical plan and classify
     * its join strategy. */
   def audit(spark: SparkSession, dir: String): Seq[Entry] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
-        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val df = fn(spark, dir)
+        val p = df.queryExecution.executedPlan.toString
         val bnlj = p.contains("BroadcastNestedLoopJoin")
         val cart = p.contains("CartesianProduct")
         val tags = Seq(
@@ -30,7 +49,8 @@ object PlanAudit {
           if (p.contains("BroadcastHashJoin")) Some("bhj") else None,
           if (bnlj) Some("BNLJ") else None,
           if (cart) Some("CARTESIAN") else None).flatten
-        Entry(name, p, tags, (bnlj && !allowedBnlj(name)) || cart, None)
+        val badBnlj = bnlj && !allowedBnlj(name) && !bnljJustified(df)
+        Entry(name, p, tags, badBnlj || cart, None)
       } catch {
         case e: Exception => Entry(name, "", Nil, flagged = true,
           Some(String.valueOf(e.getMessage)))

@@ -315,24 +315,17 @@ object JoinQueries {
         .withColumn("pt", st.point(col("plon"), col("plat")))
         .select(col("o_orderkey").cast("long").as("o_orderkey"), col("pt"))
         .createOrReplaceTempView("sj14_p")
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s.conf.set("spark.graft.join.sphere.nx", "72")
-      s.conf.set("spark.graft.join.sphere.ny", "36")
-      try {
-        val df = s.sql("""
-          SELECT c_custkey AS ka, s_suppkey AS kb, 'dwithin' AS tag
-          FROM sj14_c JOIN sj14_s ON st_dwithinsphere(cpt, spt, 250000.0D)
-          UNION ALL
-          SELECT p_partkey AS ka, o_orderkey AS kb, 'intersects' AS tag
-          FROM sj14_q JOIN sj14_p ON st_intersectssphere(quad, pt)""")
-        df.queryExecution.executedPlan // force planning under broadcast-off
-        df
-      } finally {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        s.conf.unset("spark.graft.join.sphere.nx")
-        s.conf.unset("spark.graft.join.sphere.ny")
-      }
+      // NO conf window: the rule's pair-product test (worthGrid) engages
+      // the grid at DEFAULT confs for driver-scale inputs, and at tiny
+      // audit scale a broadcast BNLJ is the genuinely optimal plan — a
+      // set/force/restore window here would diverge from what a later
+      // .count() replans (the round-10 postmortem hazard)
+      s.sql("""
+        SELECT c_custkey AS ka, s_suppkey AS kb, 'dwithin' AS tag
+        FROM sj14_c JOIN sj14_s ON st_dwithinsphere(cpt, spt, 250000.0D)
+        UNION ALL
+        SELECT p_partkey AS ka, o_orderkey AS kb, 'intersects' AS tag
+        FROM sj14_q JOIN sj14_p ON st_intersectssphere(quad, pt)""")
     }),
 
     // SQL sphere joins beyond INNER/LEFT OUTER: LEFT SEMI + LEFT ANTI via
@@ -358,31 +351,20 @@ object JoinQueries {
         .createOrReplaceTempView("sj15_l")
       s.table("sj15_b").select(col("s_suppkey").as("id"), col("bpt").as("pt"))
         .createOrReplaceTempView("sj15_r")
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s.conf.set("spark.graft.join.sphere.nx", "72")
-      s.conf.set("spark.graft.join.sphere.ny", "36")
-      try {
-        val df = s.sql("""
-          SELECT a.c_custkey AS ka, CAST(-1 AS BIGINT) AS kb, 'semi' AS tag
-          FROM sj15_a a LEFT SEMI JOIN sj15_b b
-            ON st_dwithinsphere(apt, bpt, 250000.0D)
-          UNION ALL
-          SELECT a.c_custkey AS ka, CAST(-2 AS BIGINT) AS kb, 'anti' AS tag
-          FROM sj15_a a LEFT ANTI JOIN sj15_b b
-            ON st_dwithinsphere(apt, bpt, 250000.0D)
-          UNION ALL
-          SELECT l.id AS ka, coalesce(r.id, CAST(-1 AS BIGINT)) AS kb,
-            'outer' AS tag
-          FROM sj15_l l LEFT JOIN sj15_r r
-            ON st_dwithinsphere(l.pt, r.pt, 250000.0D)""")
-        df.queryExecution.executedPlan // force planning under broadcast-off
-        df
-      } finally {
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        s.conf.unset("spark.graft.join.sphere.nx")
-        s.conf.unset("spark.graft.join.sphere.ny")
-      }
+      // NO conf window (see sj14): default-conf planning is the contract
+      s.sql("""
+        SELECT a.c_custkey AS ka, CAST(-1 AS BIGINT) AS kb, 'semi' AS tag
+        FROM sj15_a a LEFT SEMI JOIN sj15_b b
+          ON st_dwithinsphere(apt, bpt, 250000.0D)
+        UNION ALL
+        SELECT a.c_custkey AS ka, CAST(-2 AS BIGINT) AS kb, 'anti' AS tag
+        FROM sj15_a a LEFT ANTI JOIN sj15_b b
+          ON st_dwithinsphere(apt, bpt, 250000.0D)
+        UNION ALL
+        SELECT l.id AS ka, coalesce(r.id, CAST(-1 AS BIGINT)) AS kb,
+          'outer' AS tag
+        FROM sj15_l l LEFT JOIN sj15_r r
+          ON st_dwithinsphere(l.pt, r.pt, 250000.0D)""")
     }),
 
     "sj07_planner_grid_join" -> ((s, dir) => {
@@ -391,14 +373,13 @@ object JoinQueries {
         .createOrReplaceTempView("pg_pts")
       partBoxes(s, dir).select(col("p_partkey"), col("box"))
         .createOrReplaceTempView("pg_boxes")
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val df = s.sql(
-          "SELECT o_orderkey, p_partkey FROM pg_pts JOIN pg_boxes ON st_intersects(pt, box)")
-        df.queryExecution.executedPlan // force planning under broadcast-off
-        df
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // NO conf window: at gate scale both sides broadcast, so the plan
+      // is the (equally scale-sound) broadcast index spatial join; the
+      // large-large grid rewrite's plan AND execution are pinned in
+      // SpatialJoinSpec/PlanAuditSpec where set+collect happen inside one
+      // window — gates must execute what a default-conf replan would
+      s.sql(
+        "SELECT o_orderkey, p_partkey FROM pg_pts JOIN pg_boxes ON st_intersects(pt, box)")
     }),
 
     // geography join: great-circle dwithin via wrap-safe lat-lon grid —

@@ -251,14 +251,12 @@ object RelationalQueries {
         .select(col("event_id").as("r_event"), unix_micros(col("ts")).as("rs"))
         .withColumn("re", col("rs") + (col("r_event") % 5 + 1) * hourUs)
         .createOrReplaceTempView("q23_r")
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val df = s.sql(
-          "SELECT l_event, r_event FROM q23_l JOIN q23_r ON ls <= re AND rs <= le")
-        df.queryExecution.executedPlan // force planning under broadcast-off
-        df
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // NO conf window: the banded rewrite carries its own not-tiny
+      // policy (RangeJoinRuleSpec pins it firing under broadcast); a
+      // tiny-side BNLJ at gate scale is the optimal default-conf plan,
+      // and gates must execute what a later .count() would replan
+      s.sql(
+        "SELECT l_event, r_event FROM q23_l JOIN q23_r ON ls <= re AND rs <= le")
     }),
 
     // PLAIN SQL backward as-of (the classic max-timestamp-<= correlated
@@ -350,15 +348,10 @@ object RelationalQueries {
         .select(col("event_id").as("r_event"), unix_micros(col("ts")).as("rs"))
         .withColumn("re", col("rs") + (col("r_event") % 3 + 1) * hourUs)
         .createOrReplaceTempView("q26_r")
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val df = s.sql(
-          "SELECT l_event, r_event FROM q26_l LEFT JOIN q26_r " +
-            "ON lts BETWEEN rs AND re")
-        df.queryExecution.executedPlan // force planning under broadcast-off
-        df
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // NO conf window (see q23)
+      s.sql(
+        "SELECT l_event, r_event FROM q26_l LEFT JOIN q26_r " +
+          "ON lts BETWEEN rs AND re")
     }),
 
     // Top-1-per-group via ranked window (deterministic tie-break).

@@ -44,28 +44,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // so the SQL-planned KNN operator is asserted on sj06
     assert(entries("sj06_knn_filter_barrier").plan.contains("KnnJoin"),
       "sj06 lost the KNN pushdown capture")
-    // the planner grid join rewrites to an equi-join on cell id: any
-    // shuffle-based equi join qualifies, a nested loop does not
+    // sj07 carries no conf window: at audit scale the broadcast index
+    // spatial join is the right plan (the large-large grid rewrite's plan
+    // AND execution are pinned in SpatialJoinSpec, set+collect in one
+    // window); a BNLJ/cartesian would still flag in the blanket sweep
     val grid = entries("sj07_planner_grid_join").plan
-    assert(grid.contains("SortMergeJoin") || grid.contains("ShuffledHashJoin") ||
-      grid.contains("BroadcastHashJoin"), "sj07 grid rewrite did not equi-join")
-    // sj14: the SQL geography join rule must rewrite BOTH legs (dwithin +
-    // intersects) onto the spherical grid equi-join — no BNLJ, and the
-    // spherical cell explode present
-    val sj14 = entries("sj14_sphere_sql_join").plan
-    assert(!sj14.contains("BroadcastNestedLoopJoin") &&
-      !sj14.contains("CartesianProduct"), "sj14 fell back to BNLJ/cartesian")
-    assert(sj14.contains("SortMergeJoin") || sj14.contains("ShuffledHashJoin") ||
-      sj14.contains("BroadcastHashJoin"), "sj14 sphere SQL join did not equi-join")
-    assert(sj14.toLowerCase.contains("gridcells_sphere"),
-      "sj14 lost the spherical grid explode")
-    // sj15: LEFT SEMI / LEFT ANTI / same-named LEFT OUTER sphere joins all
-    // grid-rewritten — no BNLJ, spherical cell explode present
-    val sj15 = entries("sj15_sphere_sql_semi_anti").plan
-    assert(!sj15.contains("BroadcastNestedLoopJoin") &&
-      !sj15.contains("CartesianProduct"), "sj15 fell back to BNLJ/cartesian")
-    assert(sj15.toLowerCase.contains("gridcells_sphere"),
-      "sj15 lost the spherical grid explode")
+    assert(grid.contains("BroadcastIndexSpatialJoin") ||
+      grid.contains("SortMergeJoin") || grid.contains("ShuffledHashJoin") ||
+      grid.contains("BroadcastHashJoin"), "sj07 lost its spatial join operator")
+    // sj14/sj15: the gates carry NO conf windows, so at audit scale the
+    // sphere sides (150 × 10 rows) plan the genuinely-optimal tiny-side
+    // broadcast BNLJ, which the blanket audit admits ONLY via the
+    // pair-product justification (PlanAudit.bnljJustified — the same
+    // worthGrid policy the rule applies). The grid rewrite firing at
+    // DEFAULT confs on large pair products is pinned in
+    // SphereJoinRuleSpec ("one small side does NOT excuse a BNLJ…"), and
+    // the blanket test above flags either gate the moment its product
+    // outgrows the cutoff without the rule firing.
+    assert(!entries("sj14_sphere_sql_join").flagged,
+      "sj14 BNLJ must stay pair-product-justified at audit scale")
+    assert(!entries("sj15_sphere_sql_semi_anti").flagged,
+      "sj15 BNLJ must stay pair-product-justified at audit scale")
   }
 
   test("analyzer KNN barrier survives constant folding of the query side") {
@@ -158,14 +157,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q22.contains("SortMergeJoin") || q22.contains("ShuffledHashJoin") ||
       q22.contains("BroadcastHashJoin"), "q22 lost the cell equi-join")
     assert(q22.contains("greatest"), "q22 lost the reference-cell dedup")
-    // q23: the PLAIN SQL overlap must be rewritten by BandedRangeJoinRule
-    // into the same banded equi-join (no BNLJ — generic sweep catches it,
-    // but pin the mechanism too)
-    val q23 = entries("q23_band_range_join").plan
-    assert(q23.contains("Generate explode"), "q23 banded rewrite did not fire")
-    assert(q23.contains("SortMergeJoin") || q23.contains("ShuffledHashJoin") ||
-      q23.contains("BroadcastHashJoin"), "q23 lost the cell equi-join")
-    assert(q23.contains("greatest"), "q23 lost the reference-cell dedup")
+    // q23 carries no conf window: at audit scale its sides are under the
+    // banded rule's not-tiny policy, so the justified tiny-side BNLJ is
+    // the right default-conf plan (the rewrite's firing-at-scale plan and
+    // execution are pinned in RangeJoinRuleSpec, incl. "fires under
+    // broadcast when no side is tiny"); the blanket sweep flags q23 the
+    // moment its pair product outgrows the justification cutoff
+    assert(!entries("q23_band_range_join").flagged,
+      "q23 BNLJ must stay pair-product-justified at audit scale")
     // q24: the SQL max-subquery as-of idiom must route its decorrelated
     // inequality aggregate through the AsOfJoin sweep
     val q24 = entries("q24_asof_sql").plan
@@ -178,11 +177,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // onto the sweep's unix_date day space — same RDD-scan signature
     val q27 = entries("q27_asof_date").plan
     assert(q27.contains("ExistingRDD"), "q27 DATE as-of rewrite did not fire")
-    // q26: SQL LEFT OUTER range join — banded inner branch (cell explode)
-    // plus the anti-join null pad, never a BNLJ
-    val q26 = entries("q26_range_left_outer").plan
-    assert(q26.contains("Generate explode"), "q26 banded rewrite did not fire")
-    assert(q26.toLowerCase.contains("anti"), "q26 lost the anti-join null pad")
+    // q26 carries no conf window (see q23): justified tiny-side BNLJ at
+    // audit scale; the LEFT OUTER banded rewrite (cell explode + anti
+    // null pad) is pinned in RangeJoinRuleSpec at firing scale
+    assert(!entries("q26_range_left_outer").flagged,
+      "q26 BNLJ must stay pair-product-justified at audit scale")
     // gp02 geoarrow roundtrip: a hash equi-join over the two geoparquet
     // reads — never a nested loop
     val gp02 = entries("gp02_geoarrow_roundtrip").plan
@@ -202,13 +201,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // reduced to a left-semi guard (no |d|x|keys| product anywhere)
     val q27 = entries("q27_asof_date").plan
     assert(q27.contains("ExistingRDD"), "q27 probe-side sweep missing")
-    // sj14: both SQL sphere joins grid-rewritten — cell explode present,
-    // and no BNLJ even though the gate leaves broadcast enabled at
-    // execution time (the pair-product decline)
-    val sj14 = entries("sj14_sphere_sql_join").plan
-    assert(sj14.contains("Generate explode"), "sj14 lost the grid explode")
-    assert(!sj14.contains("BroadcastNestedLoopJoin"),
-      "sj14 must not fall back to a BNLJ")
+    // sj14: conf-window-free — justified tiny-side BNLJ at audit scale;
+    // the grid rewrite firing at default confs on large pair products is
+    // pinned in SphereJoinRuleSpec
+    assert(!entries("sj14_sphere_sql_join").flagged,
+      "sj14 BNLJ must stay pair-product-justified at audit scale")
     // gs01: dbscan's persisted intermediates re-enter as RDD leaves
     // (the anti-exponential-plan barrier) — joins run over those scans
     val gs = entries("gs01_dbscan").plan
