@@ -128,6 +128,38 @@ object ScaleBench {
           col("pt"), col("box"), "st_intersects",
           bounds = Some((0.0, 0.0, planeW(m), planeH(m))), nx = nx, ny = nx))
       },
+      // sj05 SKEW variant: 10% of probe points pile onto ONE cell-sized
+      // hot spot (the city-downtown shape), boxes stay uniform — the hot
+      // grid key concentrates 15k·m probe rows in one shuffle partition,
+      // and AQE's skew-join split must keep wall ~ m (a plan without the
+      // split shows one straggler task and a super-linear ratio)
+      "sj05_grid_skew" -> { m =>
+        val nx = math.max(8, (32 * sqrtM(m)).toInt)
+        val hotX = planeW(m) / 2
+        val hotY = planeH(m) / 2
+        val pts = spark.range(0, 150000L * m).toDF("id")
+          .withColumn("hot", pmod(col("id"), lit(10)) === 0)
+          .withColumn("pt", st.point(
+            when(col("hot"), lit(hotX) + u(col("id"), 5) * (planeW(m) / nx))
+              .otherwise(u(col("id"), 1) * planeW(m)),
+            when(col("hot"), lit(hotY) + u(col("id"), 6) * (planeH(m) / nx))
+              .otherwise(u(col("id"), 2) * planeH(m))))
+          .select(col("id"), col("pt"))
+        timed(SpatialJoins.gridJoin(pts, boxes(m, 20000, 5.0),
+          col("pt"), col("box"), "st_intersects",
+          bounds = Some((0.0, 0.0, planeW(m), planeH(m))), nx = nx, ny = nx))
+      },
+      // sj16 path: spheroid out-of-core KNN grid — same density-constant
+      // globe as sj08; query count and object count scale with m, the
+      // geodesic grid tracks object density (ny ~ sqrt(m)) so round-1
+      // neighbourhoods keep ~constant candidates
+      "sj16_knn_sphere_grid" -> { m =>
+        val ny = math.max(24, (24 * sqrtM(m)).toInt)
+        timed(SpatialJoins.knnJoinGridSphere(
+          globePoints(1500L * m, 17).select(col("id").as("qid"), col("pt").as("qpt")),
+          globePoints(20000L * m, 19).select(col("id").as("oid"), col("pt").as("opt")),
+          col("qpt"), col("opt"), 3, col("oid"), nx = 2 * ny, ny = ny))
+      },
       // sj07 path: planner-level SQL grid join under broadcast-off,
       // grid resolution from the deployment conf
       "sj07_planner_grid" -> { m =>

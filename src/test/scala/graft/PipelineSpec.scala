@@ -297,6 +297,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((tuned & brute).size.toDouble / brute.size >= 0.9)
   }
 
+  test("IvfAnn kmeans: analyzed plan size stays O(1) per Lloyd round (20 rounds)") {
+    // the anti-pattern this pins against: an iterative composer whose
+    // round N plan CONTAINS round N-1's (multiplicative growth — the CC/
+    // DBSCAN lineage-barrier lesson). kmeans re-enters from the persisted
+    // input every round, so every round's aggregation plan must have the
+    // SAME node count — round 20 no bigger than round 1.
+    val counts = scala.collection.mutable.ArrayBuffer[Int]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (qe.analyzed.toString.contains("__cid"))
+          counts.synchronized { counts += qe.analyzed.collect { case n => n }.size }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val v = spark.range(300).select(col("id"),
+        array((0 until 4).map(d => (col("id") * (d + 1) % 37).cast("double")): _*).as("emb"))
+      val cents = graft.pipeline.IvfAnn.kmeans(v, col("id"), col("emb"), k = 5, iters = 20)
+      assert(cents.count() == 5)
+      // listener delivery is async — poll until all 20 rounds reported
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (counts.synchronized(counts.size) < 20 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val cs = counts.synchronized(counts.toSeq)
+      assert(cs.size >= 20, s"expected one aggregation per round, saw ${cs.size}")
+      assert(cs.distinct.size == 1,
+        s"per-round analyzed plan size must be constant, got $cs")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("semanticDedup: near-parallel vectors drop, spread vectors survive, greedy keeps lowest id") {
     import graft.pipeline.IvfAnn
     // 4 tight bundles (near-parallel members -> semantic dups) plus 40
