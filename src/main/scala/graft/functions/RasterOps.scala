@@ -716,6 +716,20 @@ object RasterOps {
       graft.sources.GeoTiff.writeCompressed(rast(a), code, quality = quality)
     }),
 
+    // RS_AsJPEG2000(raster[, levels]) -> binary: JP2 container with a
+    // LOSSLESS (reversible 5/3) Part-1 codestream — the raster format
+    // the reference reaches only through GDAL's openjpeg driver
+    // (rust/sedona-raster-gdal/src/register.rs:23-34), implemented
+    // offline in sources/Jpeg2000. Integer band types up to 16 bits;
+    // georeferencing travels as a GeoJP2 uuid box (embedded degenerate
+    // GeoTIFF). Roundtrips through RS_FromGDALRaster's JP2/SOC sniff.
+    fnv("rs_asjpeg2000", BinaryType, Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
+      val levels = if (a.length > 1) a(1).asInstanceOf[Int] else 5
+      require(levels >= 0 && levels <= 32,
+        s"rs_asjpeg2000: decomposition levels $levels out of range 0..32")
+      graft.sources.Jp2Raster.write(rast(a), levels)
+    }),
+
     // RS_AsNetCDF(raster) -> binary: classic CDF-2 serialization through
     // sources.NetCdf (writer symmetry with RS_AsGeoTiff; the reference's
     // GDAL side can write netCDF through the same driver it reads with).
@@ -724,14 +738,17 @@ object RasterOps {
       graft.sources.NetCdf.write(rast(a))),
 
     // RS_FromGDALRaster(binary) -> raster (rs_from_gdal_raster.rs:49,143):
-    // magic-sniffed like GDAL driver selection — GeoTIFF (II/MM) and
-    // netCDF classic (CDF) are the formats with offline codecs here.
+    // magic-sniffed like GDAL driver selection — GeoTIFF (II/MM), netCDF
+    // classic (CDF), and JPEG 2000 (JP2 box signature or raw SOC
+    // codestream) are the formats with offline codecs here.
     fnv("rs_fromgdalraster", RasterModel.dataType, Seq(Seq(Bin)))(a => {
       val bytes = a(0).asInstanceOf[Array[Byte]]
       val r =
         if (bytes.length >= 3 && bytes(0) == 'C'.toByte &&
             bytes(1) == 'D'.toByte && bytes(2) == 'F'.toByte)
           graft.sources.NetCdf.read(bytes)
+        else if (graft.sources.Jp2Raster.sniff(bytes))
+          graft.sources.Jp2Raster.read(bytes)
         else graft.sources.GeoTiff.read(bytes)
       RasterModel.toRow(r.crs, r.gt, r.width, r.height, r.bands, r.path)
     }),

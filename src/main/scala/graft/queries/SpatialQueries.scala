@@ -1245,6 +1245,41 @@ object SpatialQueries {
           (octet_length(col("g")) < lit(64 * 48)).as("compressed"))
     }),
 
+    // JPEG 2000 lossless (reversible 5/3, sources/Jpeg2000 — the format
+    // the reference reads via GDAL's openjpeg driver, register.rs:23-34):
+    // per-nation 40x28 UNSIGNED_16BITS rasters with VARIED formula
+    // pixels encode to a GeoJP2-tagged JP2 and decode back bit-exact —
+    // min/max/avg over every decoded pixel equal the formula's, CRS and
+    // geotransform survive the GeoJP2 uuid box, and octet_length proves
+    // the stream is genuinely wavelet-entropy-coded, not stored
+    "rs18_jpeg2000_roundtrip" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("vals", expr(
+          "transform(sequence(0, 40*28 - 1), i -> " +
+            "CAST((n_nationkey*7919 + (i % 40)*31 + CAST(i / 40 AS INT)*53) " +
+            "% 60000 AS DOUBLE))"))
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("r", st.f("rs_setbandpixeltype",
+          st.f("rs_setcrs",
+            st.f("rs_makeraster", lit(40), lit(28), col("ulx"), lit(100.0),
+              lit(2.0), lit(-2.0), col("vals")),
+            lit("EPSG:32610")),
+          lit("UNSIGNED_16BITS")))
+        .withColumn("g", st.f("rs_asjpeg2000", col("r"), lit(3)))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_upperleftx", col("rt")).as("ulx_out"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          st.f("rs_bandpixeltype", col("rt"), lit(1)).as("ptype"),
+          st.f("rs_bandmin", col("rt"), lit(1)).as("vmin"),
+          st.f("rs_bandmax", col("rt"), lit(1)).as("vmax"),
+          st.f("rs_bandavg", col("rt"), lit(1)).as("vavg"),
+          (octet_length(col("g")) < lit(40 * 28 * 2)).as("compressed"))
+    }),
+
     // netCDF classic out-db: per-nation CDF-2 tiles written through
     // sources/NetCdf (the reference reads netCDF via its GDAL raster
     // side, rust/sedona-raster-gdal/src/register.rs; here the classic
@@ -2091,6 +2126,23 @@ object SpatialQueries {
         |  vs[7] AS v21,
         |  list_sum(vs)/12.0 AS bavg,
         |  list_max(vs) AS bmax
+        |FROM v""".stripMargin,
+
+    // lossless JP2 roundtrip: min/max/avg over EVERY decoded pixel must
+    // replay the generating formula exactly (sums of <2^53 integer
+    // doubles are order-free); CRS/geotransform prove the GeoJP2 box
+    "rs18_jpeg2000_roundtrip" ->
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*7919 + (i % 40)*31 + (i // 40)*53) % 60000
+        |      AS DOUBLE) for i in range(0, 1120)] AS vs
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(40 AS INT) AS w, CAST(28 AS INT) AS h,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*8.0 AS ulx_out,
+        |  'EPSG:32610' AS crs, 'UNSIGNED_16BITS' AS ptype,
+        |  list_min(vs) AS vmin, list_max(vs) AS vmax,
+        |  list_sum(vs)/1120.0 AS vavg,
+        |  TRUE AS compressed
         |FROM v""".stripMargin,
 
     // constant 8-bit bands survive a q=1.0 JPEG stream exactly (DC-only

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import graft.functions.RasterModel
+import graft.functions.RasterModel.{Band, Raster}
+
+/** JP2 container glue between the in-memory raster model and the
+  * [[Jpeg2000]] codestream codec: integer-typed bands become image
+  * components, and georeferencing travels as a GeoJP2 `uuid` box
+  * holding a degenerate 1x1 GeoTIFF with the raster's CRS and
+  * geotransform — the exact mechanism GDAL reads/writes, reusing this
+  * repo's own GeoTIFF codec for the embedded payload. The reference
+  * reaches JP2 rasters through GDAL's openjpeg driver
+  * (rust/sedona-raster-gdal/src/register.rs:23-34). Band nodata
+  * metadata has no JP2 slot and does not survive the roundtrip. */
+private[graft] object Jp2Raster {
+
+  /** GeoJP2 UUID (the GeoTIFF-in-JP2 convention). */
+  private val GeoJp2Uuid: Array[Byte] = Array(
+    0xBE, 0x7A, 0xCF, 0xCB, 0x97, 0xA9, 0x42, 0xE8,
+    0x9C, 0x71, 0x99, 0x94, 0x91, 0xE3, 0xAF, 0xAC).map(_.toByte)
+
+  private val IntTypes: Map[String, (Int, Boolean)] = Map(
+    "UNSIGNED_8BITS" -> ((8, false)),
+    "SIGNED_8BITS" -> ((8, true)),
+    "UNSIGNED_16BITS" -> ((16, false)),
+    "SIGNED_16BITS" -> ((16, true)))
+
+  private def typeName(depth: Int, signed: Boolean): String =
+    (if (signed) "SIGNED_" else "UNSIGNED_") + depth + "BITS"
+
+  /** Raster -> JP2 file bytes (signature/ftyp/jp2h/GeoJP2 uuid/jp2c). */
+  def write(r: Raster, levels: Int = 5): Array[Byte] = {
+    require(r.bands.nonEmpty, "rs_asjpeg2000: raster has no loaded bands")
+    val planes = r.bands.zipWithIndex.map { case (b, bi) =>
+      val (depth, signed) = IntTypes.getOrElse(b.pixelTypeName,
+        throw new IllegalArgumentException(
+          s"rs_asjpeg2000: band ${bi + 1} is ${b.pixelTypeName}; JPEG 2000 " +
+            "lossless supports integer bands up to 16 bits " +
+            "(set UNSIGNED_8BITS/SIGNED_8BITS/UNSIGNED_16BITS/SIGNED_16BITS " +
+            "via rs_setbandpixeltype)"))
+      val lo = if (signed) -(1 << (depth - 1)) else 0
+      val hi = if (signed) (1 << (depth - 1)) - 1 else (1 << depth) - 1
+      val bb = ByteBuffer.wrap(b.data).order(ByteOrder.LITTLE_ENDIAN)
+      val samples = new Array[Int](r.width * r.height)
+      var i = 0
+      while (i < samples.length) {
+        val v = bb.getDouble(i * 8)
+        val iv = math.rint(v).toInt
+        require(iv == v && iv >= lo && iv <= hi,
+          s"rs_asjpeg2000: band ${bi + 1} pixel $i = $v is not an " +
+            s"integer in [$lo, $hi] for ${b.pixelTypeName}")
+        samples(i) = iv
+        i += 1
+      }
+      Jpeg2000.Plane(r.width, r.height, depth, signed, samples)
+    }
+    require(planes.map(p => (p.depth, p.signed)).distinct.size == 1,
+      "rs_asjpeg2000: all bands must share one pixel type (ihdr bpc)")
+    val cs = Jpeg2000.encode(planes, levels = levels)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def box(tp: String, payload: Array[Byte]): Unit = {
+      val len = 8 + payload.length
+      out.write(Array[Byte]((len >> 24).toByte, (len >> 16).toByte,
+        (len >> 8).toByte, len.toByte))
+      out.write(tp.getBytes("ISO-8859-1"))
+      out.write(payload)
+    }
+    box("jP  ", Array[Byte](0x0D, 0x0A, 0x87.toByte, 0x0A))
+    box("ftyp", "jp2     jp2 ".getBytes("ISO-8859-1"))
+    // jp2h = ihdr + colr
+    val jp2h = new java.io.ByteArrayOutputStream()
+    val ihdr = ByteBuffer.allocate(14)
+    ihdr.putInt(r.height).putInt(r.width)
+      .putShort(planes.length.toShort)
+      .put((((planes.head.depth - 1) | (if (planes.head.signed) 0x80 else 0)).toByte))
+      .put(7.toByte) // compression type 7 (wavelet)
+      .put(0.toByte).put(0.toByte)
+    val colr = Array[Byte](1, 0, 0, 0, 0, 0,
+      (if (planes.length == 3) 16 else 17).toByte)
+    def sub(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length)
+      b.put(tp.getBytes("ISO-8859-1"))
+      b.put(payload)
+      b.array()
+    }
+    jp2h.write(sub("ihdr", ihdr.array()))
+    jp2h.write(sub("colr", colr))
+    box("jp2h", jp2h.toByteArray)
+    // GeoJP2: a degenerate 1x1 GeoTIFF carrying crs + geotransform
+    if (r.crs != null && r.crs.nonEmpty) {
+      val geo = Raster(r.crs, r.gt, 1, 1,
+        Vector(Band(Double.NaN, RasterModel.packDoubles(Array(0.0)))))
+      box("uuid", GeoJp2Uuid ++ GeoTiff.writeCompressed(geo, 1))
+    }
+    box("jp2c", cs)
+    out.toByteArray
+  }
+
+  /** True when the bytes are a JP2 container or a raw codestream. */
+  def sniff(bytes: Array[Byte]): Boolean =
+    (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0x4F && (bytes(2) & 0xFF) == 0xFF &&
+      (bytes(3) & 0xFF) == 0x51) ||
+    (bytes.length >= 12 && bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 0 &&
+      (bytes(3) & 0xFF) == 0x0C && bytes(4) == 'j'.toByte &&
+      bytes(5) == 'P'.toByte)
+
+  /** JP2/codestream bytes -> Raster (CRS/geotransform from the GeoJP2
+    * uuid box when present; identity grid otherwise). */
+  def read(bytes: Array[Byte]): Raster = {
+    val planes = Jpeg2000.decode(bytes)
+    val (crs, gt) = geoOf(bytes).getOrElse(
+      ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
+    val w = planes.head.w
+    val h = planes.head.h
+    val bands = planes.map { p =>
+      val vals = new Array[Double](p.samples.length)
+      var i = 0
+      while (i < vals.length) { vals(i) = p.samples(i).toDouble; i += 1 }
+      Band(Double.NaN, RasterModel.packDoubles(vals),
+        ptype = typeName(p.depth, p.signed))
+    }
+    Raster(crs, gt, w, h, bands.toIndexedSeq)
+  }
+
+  private def geoOf(bytes: Array[Byte]): Option[(String, Array[Double])] = {
+    if (bytes.length < 12 || bytes(4) != 'j'.toByte || bytes(5) != 'P'.toByte)
+      return None // raw codestream: no boxes
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 0
+    while (pos + 8 <= bytes.length) {
+      var len = bb.getInt(pos).toLong
+      val boxType = new String(bytes, pos + 4, 4, "ISO-8859-1")
+      var dataOff = pos + 8
+      if (len == 1) { len = bb.getLong(pos + 8); dataOff = pos + 16 }
+      else if (len == 0) len = bytes.length - pos
+      if (boxType == "uuid" && (pos + len).toInt - dataOff > 16 &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + 16),
+            GeoJp2Uuid)) {
+        val tiff = java.util.Arrays.copyOfRange(bytes, dataOff + 16, (pos + len).toInt)
+        val g = GeoTiff.read(tiff)
+        return Some((g.crs, g.gt))
+      }
+      pos += len.toInt
+    }
+    None
+  }
+}

@@ -1,0 +1,1258 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** JPEG 2000 Part-1 codec, LOSSLESS profile: reversible 5/3 wavelet,
+  * EBCOT tier-1 (MQ arithmetic coder, three coding passes per bitplane),
+  * tier-2 packet headers with tag trees, LRCP single-layer codestream.
+  * The one raster format the reference reaches only through GDAL's
+  * openjpeg driver (rust/sedona-raster-gdal/src/register.rs:23-34) —
+  * Sentinel-2 ships in it — re-implemented here from the published
+  * ISO/IEC 15444-1 algorithm descriptions (Annexes B, C, D, F).
+  *
+  * Scope and validation honesty:
+  *  - encode: raw .j2k codestream — single tile at origin, 1..N
+  *    components (same dimensions, no subsampling), bit depth <= 16
+  *    signed or unsigned, code-blocks 2^2..2^10 square, no precinct
+  *    subdivision (one packet per resolution/component), one quality
+  *    layer, reversible 5/3 only, no coder bypass/termination options.
+  *  - decode: the same feature set, from a raw codestream or a JP2 box
+  *    container (the `jp2c` box is located and decoded; other boxes are
+  *    metadata this codec does not need).
+  *  - The DWT, tag trees, pass-count / length codewords, and packet
+  *    structure are pinned by hand-computed unit fixtures; the MQ coder
+  *    and tier-1 context machine are pinned by spec invariants plus
+  *    dense roundtrip fuzz (Jpeg2000Spec). NO third-party-encoded
+  *    fixture exists in this offline environment, so byte-exact interop
+  *    with openjpeg-encoded files is NOT certified — a decoder-side
+  *    context-table transcription error would not be caught by
+  *    roundtrips. Lossy 9/7, multiple tiles/layers, subsampling, and
+  *    coder option flags raise loud errors rather than guessing.
+  */
+private[graft] object Jpeg2000 {
+
+  /** One image component: `samples` row-major, already in its signed
+    * representation (unsigned data holds raw magnitudes; the DC level
+    * shift is applied internally on encode and undone on decode). */
+  final case class Plane(w: Int, h: Int, depth: Int, signed: Boolean,
+      samples: Array[Int])
+
+  // =====================================================================
+  // MQ arithmetic coder (ISO 15444-1 Annex C; the JBIG2-shared coder).
+  // State table: (Qe, NMPS, NLPS, SWITCH).
+  // =====================================================================
+
+  private val Qe = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val Nmps = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val Nlps = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val Switch = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Tier-1 context count: 0-8 zero coding, 9-13 sign coding, 14-16
+    * magnitude refinement, 17 run-length, 18 uniform. */
+  private val NCtx = 19
+  private val CtxRL = 17
+  private val CtxUNI = 18
+
+  private def initCtx(): (Array[Int], Array[Int]) = {
+    val idx = new Array[Int](NCtx)
+    val mps = new Array[Int](NCtx)
+    idx(0) = 4   // ZC context 0
+    idx(CtxRL) = 3
+    idx(CtxUNI) = 46
+    (idx, mps)
+  }
+
+  private final class MqEncoder {
+    private var a = 0x8000
+    private var c = 0L
+    private var ct = 12
+    private val out = new ArrayBuffer[Byte]()
+    private var b = -1 // pending byte; -1 = none yet (spec's BP = BPST-1)
+
+    var (ctxIdx, ctxMps) = initCtx()
+
+    def encode(d: Int, cx: Int): Unit = {
+      val i = ctxIdx(cx)
+      val qe = Qe(i)
+      if (d == ctxMps(cx)) { // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe else c += qe
+          ctxIdx(cx) = Nmps(i)
+          renorm()
+        } else c += qe
+      } else {               // CODELPS
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (Switch(i) == 1) ctxMps(cx) = 1 - ctxMps(cx)
+        ctxIdx(cx) = Nlps(i)
+        renorm()
+      }
+    }
+
+    private def renorm(): Unit = {
+      do {
+        a <<= 1
+        c <<= 1
+        ct -= 1
+        if (ct == 0) byteOut()
+      } while ((a & 0x8000) == 0)
+    }
+
+    private def emit(v: Int): Unit = { if (b >= 0) out += b.toByte; b = v }
+
+    private def byteOut(): Unit = {
+      if (b == 0xFF) {
+        emit((c >> 20).toInt); c &= 0xFFFFF; ct = 7
+      } else if (c < 0x8000000L) {
+        emit((c >> 19).toInt); c &= 0x7FFFF; ct = 8
+      } else {
+        b += 1
+        if (b == 0xFF) {
+          c &= 0x7FFFFFFL
+          emit((c >> 20).toInt); c &= 0xFFFFF; ct = 7
+        } else {
+          emit((c >> 19).toInt); c &= 0x7FFFF; ct = 8
+        }
+      }
+    }
+
+    /** Terminate and return the codeword segment (trailing 0xFF dropped,
+      * as the standard's FLUSH permits). */
+    def flush(): Array[Byte] = {
+      // SETBITS
+      val tempC = c + a
+      c |= 0xFFFF
+      if (c >= tempC) c -= 0x8000
+      c <<= ct; byteOut()
+      c <<= ct; byteOut()
+      if (b >= 0 && b != 0xFF) out += b.toByte
+      out.toArray
+    }
+  }
+
+  private final class MqDecoder(data: Array[Byte]) {
+    private var bp = 0
+    private var c = 0L
+    private var ct = 0
+    private var a = 0
+
+    var (ctxIdx, ctxMps) = initCtx()
+
+    private def byteAt(i: Int): Int = if (i < data.length) data(i) & 0xFF else 0xFF
+
+    // INITDEC
+    c = byteAt(0).toLong << 16
+    byteIn()
+    c <<= 7
+    ct -= 7
+    a = 0x8000
+
+    private def byteIn(): Unit = {
+      if (byteAt(bp) == 0xFF) {
+        if (byteAt(bp + 1) > 0x8F) { c += 0xFF00; ct = 8 }
+        else { bp += 1; c += byteAt(bp).toLong << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp).toLong << 8; ct = 8 }
+    }
+
+    def decode(cx: Int): Int = {
+      val i = ctxIdx(cx)
+      val qe = Qe(i)
+      var d = 0
+      a -= qe
+      if (((c >> 16) & 0xFFFF) < qe) {
+        // LPS exchange
+        if (a < qe) { d = ctxMps(cx); ctxIdx(cx) = Nmps(i) }
+        else {
+          d = 1 - ctxMps(cx)
+          if (Switch(i) == 1) ctxMps(cx) = 1 - ctxMps(cx)
+          ctxIdx(cx) = Nlps(i)
+        }
+        a = qe
+        renorm()
+      } else {
+        c -= qe.toLong << 16
+        if ((a & 0x8000) == 0) {
+          // MPS exchange
+          if (a < qe) {
+            d = 1 - ctxMps(cx)
+            if (Switch(i) == 1) ctxMps(cx) = 1 - ctxMps(cx)
+            ctxIdx(cx) = Nlps(i)
+          } else { d = ctxMps(cx); ctxIdx(cx) = Nmps(i) }
+          renorm()
+        } else d = ctxMps(cx)
+      }
+      d
+    }
+
+    private def renorm(): Unit = {
+      do {
+        if (ct == 0) byteIn()
+        a <<= 1
+        c = (c << 1) & 0xFFFFFFFFL
+        ct -= 1
+      } while ((a & 0x8000) == 0)
+    }
+  }
+
+  // =====================================================================
+  // Reversible 5/3 wavelet (Annex F): integer lifting with symmetric
+  // extension. Forward splits x[0..n) (positions anchored at 0) into
+  // low s = ceil(n/2) and high d = floor(n/2) halves.
+  // =====================================================================
+
+  /** In-place-free 1D forward: returns (low, high). */
+  private[sources] def fwd53(x: Array[Int]): (Array[Int], Array[Int]) = {
+    val n = x.length
+    val ns = (n + 1) / 2
+    val nd = n / 2
+    if (n == 1) return (Array(x(0)), Array.empty[Int])
+    val d = new Array[Int](nd)
+    val s = new Array[Int](ns)
+    var i = 0
+    while (i < nd) {
+      val right = if (2 * i + 2 < n) x(2 * i + 2) else x(2 * i) // mirror E(n)=E(n-2)
+      d(i) = x(2 * i + 1) - ((x(2 * i) + right) >> 1)
+      i += 1
+    }
+    i = 0
+    while (i < ns) {
+      val dl = if (i - 1 >= 0) d(i - 1) else d(0)       // mirror d(-1)=d(0)
+      val dr = if (i < nd) d(i) else d(nd - 1)          // mirror d(nd)=d(nd-1)
+      s(i) = x(2 * i) + ((dl + dr + 2) >> 2)
+      i += 1
+    }
+    (s, d)
+  }
+
+  /** Exact inverse of [[fwd53]]. */
+  private[sources] def inv53(s: Array[Int], d: Array[Int]): Array[Int] = {
+    val n = s.length + d.length
+    if (n == 1) return Array(s(0))
+    val x = new Array[Int](n)
+    var i = 0
+    while (i < s.length) {
+      val dl = if (i - 1 >= 0) d(i - 1) else d(0)
+      val dr = if (i < d.length) d(i) else d(d.length - 1)
+      x(2 * i) = s(i) - ((dl + dr + 2) >> 2)
+      i += 1
+    }
+    i = 0
+    while (i < d.length) {
+      val right = if (2 * i + 2 < n) x(2 * i + 2) else x(2 * i)
+      x(2 * i + 1) = d(i) + ((x(2 * i) + right) >> 1)
+      i += 1
+    }
+    x
+  }
+
+  /** One 2D decomposition of a w x h plane: rows first, then columns —
+    * quadrant layout (LL | HL) over (LH | HH), JPEG2000 band naming
+    * (HL = horizontally high-pass). The inverse mirrors the order, so
+    * the choice is reversible by construction. */
+  private def fwd2d(a: Array[Int], w: Int, h: Int): (Array[Int], Int, Int) = {
+    val lw = (w + 1) / 2
+    val lh = (h + 1) / 2
+    val t = new Array[Int](w * h)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(a, y * w, row, 0, w)
+      val (s, d) = fwd53(row)
+      System.arraycopy(s, 0, t, y * w, s.length)
+      System.arraycopy(d, 0, t, y * w + lw, d.length)
+      y += 1
+    }
+    val colBuf = new Array[Int](h)
+    var x = 0
+    while (x < w) {
+      var i = 0
+      while (i < h) { colBuf(i) = t(i * w + x); i += 1 }
+      val (s, d) = fwd53(colBuf)
+      i = 0
+      while (i < s.length) { t(i * w + x) = s(i); i += 1 }
+      i = 0
+      while (i < d.length) { t((lh + i) * w + x) = d(i); i += 1 }
+      x += 1
+    }
+    (t, lw, lh)
+  }
+
+  private def inv2d(t: Array[Int], w: Int, h: Int): Array[Int] = {
+    val lw = (w + 1) / 2
+    val lh = (h + 1) / 2
+    val a = new Array[Int](w * h)
+    System.arraycopy(t, 0, a, 0, w * h)
+    val colS = new Array[Int](lh)
+    val colD = new Array[Int](h - lh)
+    var x = 0
+    while (x < w) {
+      var i = 0
+      while (i < lh) { colS(i) = a(i * w + x); i += 1 }
+      i = 0
+      while (i < h - lh) { colD(i) = a((lh + i) * w + x); i += 1 }
+      val col = inv53(colS, colD)
+      i = 0
+      while (i < h) { a(i * w + x) = col(i); i += 1 }
+      x += 1
+    }
+    val rowS = new Array[Int](lw)
+    val rowD = new Array[Int](w - lw)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(a, y * w, rowS, 0, lw)
+      System.arraycopy(a, y * w + lw, rowD, 0, w - lw)
+      val row = inv53(rowS, rowD)
+      System.arraycopy(row, 0, a, y * w, w)
+      y += 1
+    }
+    a
+  }
+
+  // =====================================================================
+  // Tag trees (Annex B.10.2)
+  // =====================================================================
+
+  private[sources] final class TagTree(val w: Int, val h: Int) {
+    // levels(0) is the leaf grid; the root is the last level (1x1)
+    private val levels = {
+      val ls = ArrayBuffer[(Int, Int)]((w, h))
+      while (ls.last._1 > 1 || ls.last._2 > 1)
+        ls += (((ls.last._1 + 1) / 2, (ls.last._2 + 1) / 2))
+      ls.toArray
+    }
+    private val values = levels.map { case (lw, lh) =>
+      Array.fill(lw * lh)(Int.MaxValue)
+    }
+    // decode/encode shared visible-state: per node, the lower bound
+    // established so far and whether the node's value is final
+    private val lower = levels.map { case (lw, lh) => new Array[Int](lw * lh) }
+    private val known = levels.map { case (lw, lh) => new Array[Boolean](lw * lh) }
+
+    def set(x: Int, y: Int, v: Int): Unit = {
+      values(0)(y * w + x) = v
+      // internal nodes = min of children
+      var l = 0
+      while (l + 1 < levels.length) {
+        val (cw, ch) = levels(l)
+        val (pw, _) = levels(l + 1)
+        var j = 0
+        while (j < ch) {
+          var i = 0
+          while (i < cw) {
+            val p = (j / 2) * pw + (i / 2)
+            val c = values(l)(j * cw + i)
+            if (c < values(l + 1)(p)) values(l + 1)(p) = c
+            i += 1
+          }
+          j += 1
+        }
+        l = l + 1
+      }
+    }
+
+    def reset(): Unit = {
+      lower.foreach(a => java.util.Arrays.fill(a, 0))
+      known.foreach(a => java.util.Arrays.fill(a, false))
+    }
+
+    /** Encode: emit bits so the decoder learns whether value(x,y) <
+      * threshold (and the exact value if so). */
+    def encode(bw: BitWriter, x: Int, y: Int, threshold: Int): Unit = {
+      var l = levels.length - 1
+      var lowBound = 0
+      while (l >= 0) {
+        val (lw, _) = levels(l)
+        val ni = (y >> l) * lw + (x >> l)
+        if (lower(l)(ni) < lowBound) lower(l)(ni) = lowBound
+        val v = values(l)(ni)
+        var break = false
+        while (!known(l)(ni) && !break) {
+          if (lower(l)(ni) >= threshold) break = true // can't resolve yet
+          else if (v > lower(l)(ni)) { bw.bit(0); lower(l)(ni) += 1 }
+          else { bw.bit(1); known(l)(ni) = true }
+        }
+        lowBound = math.max(lowBound, if (known(l)(ni)) v else lower(l)(ni))
+        l -= 1
+      }
+    }
+
+    /** Decode counterpart: returns the leaf's value if it resolved below
+      * `threshold`, else Int.MaxValue (meaning ">= threshold"). */
+    def decode(br: BitReader, x: Int, y: Int, threshold: Int): Int = {
+      var l = levels.length - 1
+      var lowBound = 0
+      var result = Int.MaxValue
+      while (l >= 0) {
+        val (lw, _) = levels(l)
+        val ni = (y >> l) * lw + (x >> l)
+        if (lower(l)(ni) < lowBound) lower(l)(ni) = lowBound
+        var break = false
+        while (!known(l)(ni) && !break) {
+          if (lower(l)(ni) >= threshold) break = true
+          else if (br.bit() == 0) lower(l)(ni) += 1
+          else known(l)(ni) = true
+        }
+        lowBound = math.max(lowBound, lower(l)(ni))
+        if (l == 0 && known(0)(ni)) result = lower(0)(ni)
+        l -= 1
+      }
+      result
+    }
+  }
+
+  // =====================================================================
+  // Packet-header bit IO with the 0xFF stuffing rule (after a 0xFF byte
+  // only 7 bits follow in the next byte).
+  // =====================================================================
+
+  private[sources] final class BitWriter {
+    private val out = new ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nBits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nBits += 1
+      val limit = if (out.nonEmpty && (out.last & 0xFF) == 0xFF) 7 else 8
+      if (nBits == limit) { out += cur.toByte; cur = 0; nBits = 0 }
+    }
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >> i) & 1); i -= 1 }
+    }
+    /** Pad to a byte boundary with 0s (plus the stuffing byte if the
+      * last full byte was 0xFF). */
+    def finish(): Array[Byte] = {
+      if (nBits > 0) {
+        val limit = if (out.nonEmpty && (out.last & 0xFF) == 0xFF) 7 else 8
+        out += (cur << (limit - nBits)).toByte
+      } else if (out.nonEmpty && (out.last & 0xFF) == 0xFF) {
+        out += 0.toByte // a stuffing byte must follow a trailing 0xFF
+      }
+      out.toArray
+    }
+  }
+
+  // =====================================================================
+  // Tier-1: EBCOT code-block coding (Annex D). Coefficients are coded in
+  // sign-magnitude form over bitplanes, three passes per plane
+  // (significance propagation, magnitude refinement, cleanup), stripe
+  // scan of 4 rows. Context formation per Tables D.1-D.4:
+  //  - zero coding: 9 contexts from neighbor significance counts, with
+  //    the HL table the transpose of LL/LH and HH keyed on diagonals;
+  //  - sign coding: 5 contexts + predicted sign from H/V contributions;
+  //  - magnitude refinement: 3 contexts (first / first-with-neighbors /
+  //    subsequent);
+  //  - cleanup run mode: 4-row all-clear columns code one RL bit, a
+  //    broken run positions its first 1 with two UNIFORM-context bits.
+  // Single MQ codeword per code-block (no bypass, no per-pass resets).
+  // =====================================================================
+
+  /** Band orientation: 0 = LL, 1 = HL, 2 = LH, 3 = HH. */
+  private def zcCtx(band: Int, h: Int, v: Int, d: Int): Int = {
+    val (hh, vv) = if (band == 1) (v, h) else (h, v) // HL: transpose
+    if (band == 3) {
+      if (d >= 3) 8
+      else if (d == 2) { if (hh + vv >= 1) 7 else 6 }
+      else if (d == 1) { if (hh + vv >= 2) 5 else if (hh + vv == 1) 4 else 3 }
+      else { if (hh + vv >= 2) 2 else if (hh + vv == 1) 1 else 0 }
+    } else {
+      if (hh == 2) 8
+      else if (hh == 1) { if (vv >= 1) 7 else if (d >= 1) 6 else 5 }
+      else if (vv == 2) 4
+      else if (vv == 1) 3
+      else if (d >= 2) 2
+      else if (d == 1) 1
+      else 0
+    }
+  }
+
+  /** Sign-coding (ctx, xorBit) from clamped H and V contributions. */
+  private def scCtx(hc: Int, vc: Int): (Int, Int) = (hc, vc) match {
+    case (1, 1)   => (13, 0)
+    case (1, 0)   => (12, 0)
+    case (1, -1)  => (11, 0)
+    case (0, 1)   => (10, 0)
+    case (0, 0)   => (9, 0)
+    case (0, -1)  => (10, 1)
+    case (-1, 1)  => (11, 1)
+    case (-1, 0)  => (12, 1)
+    case (-1, -1) => (13, 1)
+    case _ => throw new IllegalStateException("unreachable")
+  }
+
+  /** Per-code-block coder state shared by encode and decode: sigma,
+    * sign, first-refinement and this-plane-visited flags. */
+  private final class CbState(val w: Int, val h: Int) {
+    val sig = new Array[Boolean](w * h)
+    val neg = new Array[Boolean](w * h)
+    val refined = new Array[Boolean](w * h) // coded at least one MR pass
+    val visited = new Array[Boolean](w * h) // coded in current plane's SPP
+
+    @inline def at(x: Int, y: Int): Boolean =
+      x >= 0 && x < w && y >= 0 && y < h && sig(y * w + x)
+    @inline def sgn(x: Int, y: Int): Int =
+      if (!at(x, y)) 0 else if (neg(y * w + x)) -1 else 1
+
+    def counts(x: Int, y: Int): (Int, Int, Int) = {
+      val hC = (if (at(x - 1, y)) 1 else 0) + (if (at(x + 1, y)) 1 else 0)
+      val vC = (if (at(x, y - 1)) 1 else 0) + (if (at(x, y + 1)) 1 else 0)
+      val dC = (if (at(x - 1, y - 1)) 1 else 0) + (if (at(x + 1, y - 1)) 1 else 0) +
+        (if (at(x - 1, y + 1)) 1 else 0) + (if (at(x + 1, y + 1)) 1 else 0)
+      (hC, vC, dC)
+    }
+
+    def signCtx(x: Int, y: Int): (Int, Int) = {
+      val hc = math.max(-1, math.min(1, sgn(x - 1, y) + sgn(x + 1, y)))
+      val vc = math.max(-1, math.min(1, sgn(x, y - 1) + sgn(x, y + 1)))
+      scCtx(hc, vc)
+    }
+  }
+
+  /** Encode one code-block. `mag`/`negIn`: magnitudes and signs.
+    * Returns (bytes, numPasses, zeroBitplanes given Mb). */
+  private def encodeCb(band: Int, w: Int, h: Int, mag: Array[Int],
+      negIn: Array[Boolean], mb: Int): (Array[Byte], Int, Int) = {
+    var maxM = 0
+    var i = 0
+    while (i < mag.length) { if (mag(i) > maxM) maxM = mag(i); i += 1 }
+    val nbps = if (maxM == 0) 0 else 32 - Integer.numberOfLeadingZeros(maxM)
+    require(nbps <= mb, s"jpeg2000: magnitude needs $nbps bitplanes, Mb=$mb")
+    if (nbps == 0) return (Array.empty[Byte], 0, mb)
+    val zbp = mb - nbps
+    val st = new CbState(w, h)
+    val mq = new MqEncoder
+    val numPasses = 3 * nbps - 2
+
+    var plane = nbps - 1
+    var first = true
+    while (plane >= 0) {
+      val bitOf = (idx: Int) => (mag(idx) >> plane) & 1
+      if (!first) {
+        // significance propagation pass
+        stripeScan(w, h) { (x, y) =>
+          val idx = y * w + x
+          if (!st.sig(idx)) {
+            val (hC, vC, dC) = st.counts(x, y)
+            if (hC + vC + dC > 0) {
+              val b = bitOf(idx)
+              mq.encode(b, zcCtx(band, hC, vC, dC))
+              if (b == 1) {
+                val (sc, xorBit) = st.signCtx(x, y)
+                mq.encode((if (negIn(idx)) 1 else 0) ^ xorBit, sc)
+                st.sig(idx) = true
+                st.neg(idx) = negIn(idx)
+              }
+              st.visited(idx) = true
+            }
+          }
+        }
+        // magnitude refinement pass
+        stripeScan(w, h) { (x, y) =>
+          val idx = y * w + x
+          if (st.sig(idx) && !st.visited(idx)) {
+            val (hC, vC, dC) = st.counts(x, y)
+            val cx = if (!st.refined(idx)) { if (hC + vC + dC > 0) 15 else 14 }
+              else 16
+            mq.encode(bitOf(idx), cx)
+            st.refined(idx) = true
+          }
+        }
+      }
+      // cleanup pass
+      cleanupScan(w, h, st) { (x, y, runMode) =>
+        val idx = y * w + x
+        if (runMode) {
+          // caller handles the run-length bit; here code significance
+          // of the first broken coefficient's SIGN only
+          val (sc, xorBit) = st.signCtx(x, y)
+          mq.encode((if (negIn(idx)) 1 else 0) ^ xorBit, sc)
+          st.sig(idx) = true
+          st.neg(idx) = negIn(idx)
+        } else if (!st.sig(idx) && !st.visited(idx)) {
+          val (hC, vC, dC) = st.counts(x, y)
+          val b = bitOf(idx)
+          mq.encode(b, zcCtx(band, hC, vC, dC))
+          if (b == 1) {
+            val (sc, xorBit) = st.signCtx(x, y)
+            mq.encode((if (negIn(idx)) 1 else 0) ^ xorBit, sc)
+            st.sig(idx) = true
+            st.neg(idx) = negIn(idx)
+          }
+        }
+      } { (x, yTop) =>
+        // run-length decision for an eligible all-clear 4-column: does a
+        // 1-bit appear in this plane within the column?
+        var firstOne = -1
+        var k = 0
+        while (k < 4 && firstOne < 0) {
+          if (bitOf((yTop + k) * w + x) == 1) firstOne = k
+          k += 1
+        }
+        if (firstOne < 0) { mq.encode(0, CtxRL); -1 }
+        else {
+          mq.encode(1, CtxRL)
+          mq.encode((firstOne >> 1) & 1, CtxUNI)
+          mq.encode(firstOne & 1, CtxUNI)
+          firstOne
+        }
+      }
+      java.util.Arrays.fill(st.visited, false)
+      first = false
+      plane -= 1
+    }
+    (mq.flush(), numPasses, zbp)
+  }
+
+  /** Decode one code-block coded with `numPasses` starting at bitplane
+    * mb-1-zbp. Returns (magnitudes, signs). */
+  private def decodeCb(band: Int, w: Int, h: Int, data: Array[Byte],
+      numPasses: Int, mb: Int, zbp: Int): (Array[Int], Array[Boolean]) = {
+    val mag = new Array[Int](w * h)
+    val neg = new Array[Boolean](w * h)
+    if (numPasses == 0) return (mag, neg)
+    val st = new CbState(w, h)
+    val mq = new MqDecoder(data)
+    val nbps = mb - zbp
+    var plane = nbps - 1
+    var passesLeft = numPasses
+    var first = true
+    while (plane >= 0 && passesLeft > 0) {
+      if (!first) {
+        if (passesLeft > 0) { // significance propagation
+          stripeScan(w, h) { (x, y) =>
+            val idx = y * w + x
+            if (!st.sig(idx)) {
+              val (hC, vC, dC) = st.counts(x, y)
+              if (hC + vC + dC > 0) {
+                if (mq.decode(zcCtx(band, hC, vC, dC)) == 1) {
+                  val (sc, xorBit) = st.signCtx(x, y)
+                  val s = mq.decode(sc) ^ xorBit
+                  st.sig(idx) = true
+                  st.neg(idx) = s == 1
+                  mag(idx) |= 1 << plane
+                  neg(idx) = s == 1
+                }
+                st.visited(idx) = true
+              }
+            }
+          }
+          passesLeft -= 1
+        }
+        if (passesLeft > 0) { // magnitude refinement
+          stripeScan(w, h) { (x, y) =>
+            val idx = y * w + x
+            if (st.sig(idx) && !st.visited(idx)) {
+              val (hC, vC, dC) = st.counts(x, y)
+              val cx = if (!st.refined(idx)) { if (hC + vC + dC > 0) 15 else 14 }
+                else 16
+              if (mq.decode(cx) == 1) mag(idx) |= 1 << plane
+              st.refined(idx) = true
+            }
+          }
+          passesLeft -= 1
+        }
+      }
+      if (passesLeft > 0) { // cleanup
+        cleanupScan(w, h, st) { (x, y, runMode) =>
+          val idx = y * w + x
+          if (runMode) {
+            val (sc, xorBit) = st.signCtx(x, y)
+            val s = mq.decode(sc) ^ xorBit
+            st.sig(idx) = true
+            st.neg(idx) = s == 1
+            mag(idx) |= 1 << plane
+            neg(idx) = s == 1
+          } else if (!st.sig(idx) && !st.visited(idx)) {
+            val (hC, vC, dC) = st.counts(x, y)
+            if (mq.decode(zcCtx(band, hC, vC, dC)) == 1) {
+              val (sc, xorBit) = st.signCtx(x, y)
+              val s = mq.decode(sc) ^ xorBit
+              st.sig(idx) = true
+              st.neg(idx) = s == 1
+              mag(idx) |= 1 << plane
+              neg(idx) = s == 1
+            }
+          }
+        } { (x, yTop) =>
+          if (mq.decode(CtxRL) == 0) -1
+          else (mq.decode(CtxUNI) << 1) | mq.decode(CtxUNI)
+        }
+        passesLeft -= 1
+      }
+      java.util.Arrays.fill(st.visited, false)
+      first = false
+      plane -= 1
+    }
+    (mag, neg)
+  }
+
+  /** Stripe scan: 4-row stripes, column-major within a stripe. */
+  private def stripeScan(w: Int, h: Int)(f: (Int, Int) => Unit): Unit = {
+    var y0 = 0
+    while (y0 < h) {
+      var x = 0
+      while (x < w) {
+        var k = 0
+        while (k < 4 && y0 + k < h) { f(x, y0 + k); k += 1 }
+        x += 1
+      }
+      y0 += 4
+    }
+  }
+
+  /** Cleanup scan with run-length mode: a full 4-column whose members
+    * are all insignificant, unvisited, and neighbor-free enters run
+    * mode — `runDecision(x, yTop)` codes/decodes the RL bit (+ position
+    * on a broken run) and returns the first-significant offset or -1;
+    * coefficients after that offset (and every non-run column) go
+    * through `f(x, y, runMode)` where runMode marks the single broken
+    * coefficient whose magnitude bit is implied 1 (sign only). */
+  private def cleanupScan(w: Int, h: Int, st: CbState)(
+      f: (Int, Int, Boolean) => Unit)(
+      runDecision: (Int, Int) => Int): Unit = {
+    var y0 = 0
+    while (y0 < h) {
+      var x = 0
+      while (x < w) {
+        val fullStripe = y0 + 3 < h
+        var eligible = fullStripe
+        if (eligible) {
+          var k = 0
+          while (k < 4 && eligible) {
+            val y = y0 + k
+            val idx = y * w + x
+            if (st.sig(idx) || st.visited(idx)) eligible = false
+            else {
+              val (hC, vC, dC) = st.counts(x, y)
+              if (hC + vC + dC > 0) eligible = false
+            }
+            k += 1
+          }
+        }
+        if (eligible) {
+          val firstOne = runDecision(x, y0)
+          if (firstOne >= 0) {
+            f(x, y0 + firstOne, true) // implied-1 coefficient: sign only
+            var k = firstOne + 1
+            while (k < 4) { f(x, y0 + k, false); k += 1 }
+          }
+        } else {
+          var k = 0
+          while (k < 4 && y0 + k < h) { f(x, y0 + k, false); k += 1 }
+        }
+        x += 1
+      }
+      y0 += 4
+    }
+  }
+
+  private[sources] final class BitReader(data: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nBits = 0
+    private var lastByte = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        val limit = if (lastByte == 0xFF) 7 else 8
+        lastByte = if (pos < data.length) data(pos) & 0xFF else 0
+        pos += 1
+        cur = lastByte
+        nBits = limit
+        if (limit == 7) cur &= 0x7F
+      }
+      nBits -= 1
+      (cur >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Advance to the byte boundary (consuming the stuffing byte the
+      * writer emits after a trailing 0xFF). */
+    def align(): Int = {
+      val wasFF = lastByte == 0xFF
+      nBits = 0
+      lastByte = 0
+      if (wasFF) pos += 1
+      pos
+    }
+  }
+
+  // =====================================================================
+  // Tier-2 geometry: single tile at origin, so at decomposition step l
+  // the low band is ceil(n / 2^l) wide and the high band fills the rest.
+  // Bands per resolution: r=0 -> LL(NL); r>0 -> HL/LH/HH at level
+  // l = NL - r + 1. Code-blocks tile each band from its own origin.
+  // =====================================================================
+
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+  private def lowLen(n: Int, l: Int): Int = {
+    var v = n
+    var i = 0
+    while (i < l) { v = (v + 1) / 2; i += 1 }
+    v
+  }
+
+  /** (band, w, h, xOff, yOff) of each subband of resolution r inside the
+    * transformed plane's quadrant layout. */
+  private def bandsOf(w: Int, h: Int, nl: Int, r: Int): Seq[(Int, Int, Int, Int, Int)] =
+    if (r == 0) Seq((0, lowLen(w, nl), lowLen(h, nl), 0, 0))
+    else {
+      val l = nl - r + 1 // decomposition level of these bands
+      val lw = lowLen(w, l); val lh = lowLen(h, l)
+      val pw = lowLen(w, l - 1); val ph = lowLen(h, l - 1)
+      val hw = pw - lw; val hh = ph - lh
+      Seq(
+        (1, hw, lh, lw, 0),  // HL right of LL
+        (2, lw, hh, 0, lh),  // LH below LL
+        (3, hw, hh, lw, lh)) // HH diagonal
+        .filter(b => b._2 > 0 && b._3 > 0)
+    }
+
+  /** Per-code-block record used by both directions. */
+  private final case class CbRec(band: Int, w: Int, h: Int,
+      xOff: Int, yOff: Int, gx: Int, gy: Int)
+
+  private def cbGrid(bw: Int, bh: Int, cb: Int): (Int, Int) =
+    (math.max(1, ceilDiv(bw, cb)), math.max(1, ceilDiv(bh, cb)))
+
+  /** Pass-count codeword (Table B.4). */
+  private def writePassCount(bwr: BitWriter, n: Int): Unit = n match {
+    case 1 => bwr.bit(0)
+    case 2 => bwr.bits(0x2, 2)
+    case k if k <= 5 => bwr.bits(0x3, 2); bwr.bits(k - 3, 2)
+    case k if k <= 36 => bwr.bits(0xF, 4); bwr.bits(k - 6, 5)
+    case k => bwr.bits(0x1FF, 9); bwr.bits(k - 37, 7)
+  }
+
+  private def readPassCount(br: BitReader): Int = {
+    if (br.bit() == 0) 1
+    else if (br.bit() == 0) 2
+    else {
+      val two = br.bits(2)
+      if (two < 3) 3 + two
+      else {
+        val five = br.bits(5)
+        if (five < 31) 6 + five
+        else 37 + br.bits(7)
+      }
+    }
+  }
+
+  // =====================================================================
+  // Public API
+  // =====================================================================
+
+  /** Encode planes (same dimensions) as a raw .j2k codestream. */
+  def encode(planes: Seq[Plane], levels: Int = 5, cbExp: Int = 6): Array[Byte] = {
+    require(planes.nonEmpty, "jpeg2000: no components")
+    val w = planes.head.w
+    val h = planes.head.h
+    require(w > 0 && h > 0, "jpeg2000: empty image")
+    require(planes.forall(p => p.w == w && p.h == h),
+      "jpeg2000: components must share dimensions")
+    require(planes.forall(p => p.depth >= 1 && p.depth <= 16),
+      "jpeg2000: bit depth must be 1..16")
+    require(cbExp >= 2 && cbExp <= 10, "jpeg2000: code-block exponent 2..10")
+    val nl = math.max(0, math.min(levels,
+      31 - Integer.numberOfLeadingZeros(math.max(1, math.min(w, h)))))
+    val cb = 1 << cbExp
+    val guard = 2
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
+
+    // SOC + SIZ
+    u16(0xFF4F)
+    u16(0xFF51)
+    u16(38 + 3 * planes.length)
+    u16(0) // Rsiz
+    u32(w); u32(h); u32(0); u32(0)
+    u32(w); u32(h); u32(0); u32(0)
+    u16(planes.length)
+    planes.foreach { p =>
+      u8((p.depth - 1) | (if (p.signed) 0x80 else 0))
+      u8(1); u8(1)
+    }
+    // COD
+    u16(0xFF52)
+    u16(12)
+    u8(0)        // Scod: default precincts, no SOP/EPH
+    u8(0)        // LRCP
+    u16(1)       // one layer
+    u8(0)        // no MCT
+    u8(nl)
+    u8(cbExp - 2); u8(cbExp - 2)
+    u8(0)        // code-block style: all defaults
+    u8(1)        // 5/3 reversible
+    // QCD: no quantization, exponents only; Mb = eps + guard - 1
+    u16(0xFF5C)
+    u16(4 + 3 * nl)
+    u8(guard << 5) // Sqcd: style 0 (no quantization)
+    val depthMax = planes.map(_.depth).max
+    def gainOf(band: Int): Int = band match {
+      case 0 => 0
+      case 3 => 2
+      case _ => 1
+    }
+    u8((depthMax + gainOf(0)) << 3)
+    for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8((depthMax + gainOf(b)) << 3)
+
+    // tile body: per component, DWT then per-resolution packets
+    val body = new java.io.ByteArrayOutputStream()
+    // compute transforms for all components up front
+    val transformed = planes.map { p =>
+      val a = new Array[Int](w * h)
+      var i = 0
+      val shift = if (p.signed) 0 else 1 << (p.depth - 1)
+      while (i < a.length) { a(i) = p.samples(i) - shift; i += 1 }
+      var cw = w
+      var ch = h
+      var buf = a
+      // quads(l) = the level-(l+1) split of the level-l LL region,
+      // stride lowLen(w, l); quads(nl) = the final LL itself
+      val quads = new Array[(Array[Int], Int, Int)](nl + 1)
+      var l = 0
+      while (l < nl) {
+        val (t, lw2, lh2) = fwd2d(buf, cw, ch)
+        quads(l) = (t, cw, ch)
+        val nxt = new Array[Int](lw2 * lh2)
+        var yy = 0
+        while (yy < lh2) {
+          System.arraycopy(t, yy * cw, nxt, yy * lw2, lw2)
+          yy += 1
+        }
+        buf = nxt
+        cw = lw2
+        ch = lh2
+        l += 1
+      }
+      quads(nl) = (buf, cw, ch) // final LL
+      quads
+    }
+
+    // band sample extractor: band coords -> coefficient array
+    def bandSamples(comp: Int, r: Int, band: Int, bw: Int, bh: Int,
+        xOff: Int, yOff: Int): Array[Int] = {
+      val quads = transformed(comp)
+      if (r == 0) {
+        val (ll, lw2, _) = quads(nl)
+        val outA = new Array[Int](bw * bh)
+        var y = 0
+        while (y < bh) {
+          System.arraycopy(ll, y * lw2, outA, y * bw, bw)
+          y += 1
+        }
+        outA
+      } else {
+        val l = nl - r + 1
+        val (t, tw, _) = quads(l - 1)
+        val outA = new Array[Int](bw * bh)
+        var y = 0
+        while (y < bh) {
+          var x = 0
+          while (x < bw) {
+            outA(y * bw + x) = t((yOff + y) * tw + (xOff + x))
+            x += 1
+          }
+          y += 1
+        }
+        outA
+      }
+    }
+
+    for (r <- 0 to nl; comp <- planes.indices) {
+      // one packet per (resolution, component): header then bodies
+      val bands = bandsOf(w, h, nl, r)
+      val bwr = new BitWriter
+      val bodies = new ArrayBuffer[Array[Byte]]()
+      bwr.bit(1) // non-empty packet
+      bands.foreach { case (band, bw, bh, xOff, yOff) =>
+        val (gw, gh) = cbGrid(bw, bh, cb)
+        val incl = new TagTree(gw, gh)
+        val zbpT = new TagTree(gw, gh)
+        val mb = depthMax + gainOf(band) + guard - 1
+        // encode all code-blocks of the band first (need zbp for trees)
+        val recs = for (gy <- 0 until gh; gx <- 0 until gw) yield {
+          val x0 = gx * cb; val y0 = gy * cb
+          val cw2 = math.min(cb, bw - x0)
+          val ch2 = math.min(cb, bh - y0)
+          val magA = new Array[Int](cw2 * ch2)
+          val negA = new Array[Boolean](cw2 * ch2)
+          val bs = bandSamples(comp, r, band, bw, bh, xOff, yOff)
+          var y = 0
+          while (y < ch2) {
+            var x = 0
+            while (x < cw2) {
+              val v = bs((y0 + y) * bw + (x0 + x))
+              magA(y * cw2 + x) = math.abs(v)
+              negA(y * cw2 + x) = v < 0
+              x += 1
+            }
+            y += 1
+          }
+          val (bytes, np, zbp) = encodeCb(band, cw2, ch2, magA, negA, mb)
+          (gx, gy, bytes, np, zbp)
+        }
+        recs.foreach { case (gx, gy, _, np, zbp) =>
+          incl.set(gx, gy, if (np > 0) 0 else 1) // included in layer 0?
+          zbpT.set(gx, gy, zbp)
+        }
+        incl.reset(); zbpT.reset()
+        recs.foreach { case (gx, gy, bytes, np, zbp) =>
+          incl.encode(bwr, gx, gy, 1)
+          if (np > 0) {
+            // zero-bitplane tag tree: encoding at threshold zbp+1 emits
+            // exactly the bits the decoder's rising-threshold loop reads
+            zbpT.encode(bwr, gx, gy, zbp + 1)
+            writePassCount(bwr, np)
+            // length: single codeword segment, Lblock grows via 1-bits
+            val lblBase = 3
+            val needed = math.max(0,
+              bitLen(bytes.length) - (lblBase + floorLog2(np)))
+            var k = 0
+            while (k < needed) { bwr.bit(1); k += 1 }
+            bwr.bit(0)
+            bwr.bits(bytes.length, lblBase + needed + floorLog2(np))
+            bodies += bytes
+          }
+        }
+      }
+      val header = bwr.finish()
+      body.write(header)
+      bodies.foreach(body.write)
+    }
+
+    val tileBytes = body.toByteArray
+    // SOT
+    u16(0xFF90)
+    u16(10)
+    u16(0)
+    u32(12 + 2 + tileBytes.length) // Psot: SOT seg + SOD marker + data
+    u8(0); u8(1)
+    u16(0xFF93) // SOD
+    out.write(tileBytes)
+    u16(0xFFD9) // EOC
+    out.toByteArray
+  }
+
+  private def bitLen(v: Int): Int = if (v == 0) 1 else 32 - Integer.numberOfLeadingZeros(v)
+  private def floorLog2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+  /** Decode a raw codestream or a JP2 container. */
+  def decode(bytes: Array[Byte]): Seq[Plane] = {
+    val cs = if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xFF) == 0x4F) bytes
+      else jp2Codestream(bytes)
+    val bb = ByteBuffer.wrap(cs).order(ByteOrder.BIG_ENDIAN)
+    require((bb.getShort(0) & 0xFFFF) == 0xFF4F, "jpeg2000: missing SOC")
+    var pos = 2
+    var w = 0; var h = 0; var nc = 0
+    var depths: Array[Int] = null
+    var signedA: Array[Boolean] = null
+    var nl = -1; var cbExp = -1
+    var guard = -1
+    var sodAt = -1
+    var tileEnd = -1
+    while (sodAt < 0) {
+      val marker = bb.getShort(pos) & 0xFFFF
+      require((marker >> 8) == 0xFF, f"jpeg2000: bad marker at $pos: $marker%04x")
+      marker match {
+        case 0xFF51 => // SIZ
+          val base = pos + 4
+          require((bb.getShort(base) & 0xFFFF) == 0, "jpeg2000: non-zero Rsiz")
+          w = bb.getInt(base + 2)
+          h = bb.getInt(base + 6)
+          require(bb.getInt(base + 10) == 0 && bb.getInt(base + 14) == 0,
+            "jpeg2000: image offset unsupported")
+          require(bb.getInt(base + 18) == w && bb.getInt(base + 22) == h &&
+            bb.getInt(base + 26) == 0 && bb.getInt(base + 30) == 0,
+            "jpeg2000: multi-tile codestreams unsupported")
+          nc = bb.getShort(base + 34) & 0xFFFF
+          depths = new Array[Int](nc)
+          signedA = new Array[Boolean](nc)
+          for (i <- 0 until nc) {
+            val ssiz = bb.get(base + 36 + 3 * i) & 0xFF
+            depths(i) = (ssiz & 0x7F) + 1
+            signedA(i) = (ssiz & 0x80) != 0
+            require((bb.get(base + 37 + 3 * i) & 0xFF) == 1 &&
+              (bb.get(base + 38 + 3 * i) & 0xFF) == 1,
+              "jpeg2000: component subsampling unsupported")
+          }
+        case 0xFF52 => // COD
+          val base = pos + 4
+          require((bb.get(base) & 0xFF) == 0,
+            "jpeg2000: custom precincts / SOP / EPH unsupported")
+          require((bb.get(base + 1) & 0xFF) == 0, "jpeg2000: only LRCP supported")
+          require((bb.getShort(base + 2) & 0xFFFF) == 1,
+            "jpeg2000: multiple layers unsupported")
+          nl = bb.get(base + 5) & 0xFF
+          cbExp = (bb.get(base + 6) & 0xFF) + 2
+          require((bb.get(base + 7) & 0xFF) == cbExp - 2,
+            "jpeg2000: non-square code-blocks unsupported")
+          require((bb.get(base + 8) & 0xFF) == 0,
+            "jpeg2000: code-block style options unsupported")
+          require((bb.get(base + 9) & 0xFF) == 1,
+            "jpeg2000: only the reversible 5/3 transform is supported")
+        case 0xFF5C => // QCD
+          val sqcd = bb.get(pos + 4) & 0xFF
+          require((sqcd & 0x1F) == 0, "jpeg2000: only no-quantization QCD")
+          guard = sqcd >> 5
+        case 0xFF90 => // SOT
+          val psot = bb.getInt(pos + 6)
+          tileEnd = if (psot == 0) cs.length - 2 else pos + psot
+          require((bb.get(pos + 10) & 0xFF) == 0, "jpeg2000: one tile only")
+        case 0xFF93 =>
+          sodAt = pos + 2
+        case _ => // skip any other marker segment
+      }
+      if (sodAt < 0) {
+        pos = if (marker == 0xFF90) pos + 12
+          else pos + 2 + (bb.getShort(pos + 2) & 0xFFFF)
+      }
+    }
+    require(w > 0 && nl >= 0 && guard >= 0, "jpeg2000: incomplete headers")
+    val cb = 1 << cbExp
+    val depthMax = depths.max
+    def gainOf(band: Int): Int = band match {
+      case 0 => 0
+      case 3 => 2
+      case _ => 1
+    }
+
+    // decode packets in LRCP order into per-component quadrant arrays
+    // (each level's bands live at their offsets inside the full plane,
+    // row stride w — the exact inverse of the encoder's layout)
+    final case class Meta(band: Int, xOff: Int, yOff: Int,
+        x0: Int, y0: Int, cw: Int, ch: Int, np: Int, zbp: Int, len: Int)
+    val planesT = Array.fill(nc)(new Array[Int](w * h))
+    var p = sodAt
+    for (r <- 0 to nl; comp <- 0 until nc) {
+      val br = new BitReader(cs, p)
+      val bands = bandsOf(w, h, nl, r)
+      val cbMeta = new ArrayBuffer[Meta]()
+      if (br.bit() == 1) {
+        bands.foreach { case (band, bw2, bh2, xOff, yOff) =>
+          val (gw, gh) = cbGrid(bw2, bh2, cb)
+          val incl = new TagTree(gw, gh)
+          val zbpT = new TagTree(gw, gh)
+          for (gy <- 0 until gh; gx <- 0 until gw) {
+            val inc = incl.decode(br, gx, gy, 1)
+            if (inc == 0) {
+              var thr = 1
+              var zbp = Int.MaxValue
+              while (zbp == Int.MaxValue && thr <= 64) {
+                zbp = zbpT.decode(br, gx, gy, thr)
+                thr += 1
+              }
+              require(zbp != Int.MaxValue, "jpeg2000: runaway zbp tag tree")
+              val np = readPassCount(br)
+              var extra = 0
+              while (br.bit() == 1) extra += 1
+              val len = br.bits(3 + extra + floorLog2(np))
+              val x0 = gx * cb; val y0 = gy * cb
+              cbMeta += Meta(band, xOff, yOff, x0, y0,
+                math.min(cb, bw2 - x0), math.min(cb, bh2 - y0), np, zbp, len)
+            }
+          }
+        }
+      }
+      p = br.align()
+      // bodies follow the header in the same order
+      cbMeta.foreach { m =>
+        val mb = depthMax + gainOf(m.band) + guard - 1
+        require(p + m.len <= cs.length, "jpeg2000: truncated code-block body")
+        val seg = java.util.Arrays.copyOfRange(cs, p, p + m.len)
+        p += m.len
+        val (mag, neg) = decodeCb(m.band, m.cw, m.ch, seg, m.np, mb, m.zbp)
+        var y = 0
+        while (y < m.ch) {
+          var x = 0
+          while (x < m.cw) {
+            val v0 = mag(y * m.cw + x)
+            val v = if (neg(y * m.cw + x)) -v0 else v0
+            planesT(comp)((m.yOff + m.y0 + y) * w + (m.xOff + m.x0 + x)) = v
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+    require(tileEnd < 0 || p <= tileEnd, "jpeg2000: packet data overruns the tile")
+
+    // inverse DWT per component
+    (0 until nc).map { comp =>
+      val full = planesT(comp)
+      var l = nl
+      while (l >= 1) {
+        val cw2 = lowLen(w, l - 1)
+        val ch2 = lowLen(h, l - 1)
+        // gather the cw2 x ch2 region (stored at the top-left of full)
+        val sub = new Array[Int](cw2 * ch2)
+        var y = 0
+        while (y < ch2) {
+          System.arraycopy(full, y * w, sub, y * cw2, cw2)
+          y += 1
+        }
+        val invd = inv2d(sub, cw2, ch2)
+        y = 0
+        while (y < ch2) {
+          System.arraycopy(invd, y * cw2, full, y * w, cw2)
+          y += 1
+        }
+        l -= 1
+      }
+      val shift = if (signedA(comp)) 0 else 1 << (depths(comp) - 1)
+      val outA = new Array[Int](w * h)
+      var i = 0
+      while (i < outA.length) { outA(i) = full(i) + shift; i += 1 }
+      Plane(w, h, depths(comp), signedA(comp), outA)
+    }
+  }
+
+  /** Flat index of band coordinate (x, y) of level `l` inside the w-wide
+    * full-plane quadrant layout: at level l the quadrants live inside
+    * the level-(l-1) LL region, rows of width lowLen(w, l-1) — but all
+    * regions share the full plane's row stride at their top-left. */
+  private def levelIndex(w: Int, nl: Int, l: Int, destW: Int,
+      x: Int, y: Int): Int = y * w + x
+
+  /** Extract the contiguous codestream from a JP2 box container. */
+  private def jp2Codestream(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 12 && bytes(4) == 'j'.toByte &&
+      bytes(5) == 'P'.toByte, "jpeg2000: neither a codestream nor a JP2 file")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 0
+    while (pos + 8 <= bytes.length) {
+      var len = bb.getInt(pos).toLong
+      val boxType = new String(bytes, pos + 4, 4, "ISO-8859-1")
+      var dataOff = pos + 8
+      if (len == 1) { len = bb.getLong(pos + 8); dataOff = pos + 16 }
+      else if (len == 0) len = bytes.length - pos
+      if (boxType == "jp2c")
+        return java.util.Arrays.copyOfRange(bytes, dataOff, (pos + len).toInt)
+      pos += len.toInt
+    }
+    throw new IllegalArgumentException("jpeg2000: JP2 file has no jp2c box")
+  }
+}
