@@ -126,6 +126,79 @@ private[graft] object Jp2Raster {
     Raster(crs, gt, w, h, bands.toIndexedSeq)
   }
 
+  /** Decode at a reduced resolution (see Jpeg2000.decode(bytes, d)). */
+  def readAt(bytes: Array[Byte], discardLevels: Int): Raster = {
+    val planes = Jpeg2000.decode(bytes, discardLevels)
+    val (crs, gt0) = geoOf(bytes).getOrElse(
+      ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
+    val s = (1 << discardLevels).toDouble
+    val gt = Array(gt0(0), gt0(1) * s, gt0(2) * s, gt0(3), gt0(4) * s, gt0(5) * s)
+    val w = planes.head.w
+    val h = planes.head.h
+    val bands = planes.map { p =>
+      val vals = new Array[Double](p.samples.length)
+      var i = 0
+      while (i < vals.length) { vals(i) = p.samples(i).toDouble; i += 1 }
+      Band(Double.NaN, RasterModel.packDoubles(vals),
+        ptype = typeName(p.depth, p.signed))
+    }
+    Raster(crs, gt, w, h, bands.toIndexedSeq)
+  }
+
+  /** Out-db loader for `rs_frompath('….jp2')`: header-bounded metadata,
+    * whole-tile decode for pixel windows (Part-1 without precinct
+    * indexing offers no cheap spatial windowing — GDAL's openjpeg path
+    * decodes at tile granularity too), and the format's NATIVE scale
+    * axis as overviews: each decomposition level is a 1/2-per-axis
+    * reduced-resolution decode that entropy-decodes only the leading
+    * packets of the codestream. */
+  object OutDb extends RasterLoaders.Loader {
+    private val HeaderProbe = 256 * 1024
+
+    def readMeta(fetch: (Long, Int) => Array[Byte], fileLen: Long): Raster = {
+      val head = fetch(0L, math.min(fileLen, HeaderProbe.toLong).toInt)
+      val (w, h, nc, _) = Jpeg2000.info(head)
+      val (crs, gt) = geoOf(head).getOrElse(
+        ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
+      Raster(crs, gt, w, h, Vector.empty)
+    }
+
+    def load(bytes: Array[Byte]): Raster = read(bytes)
+
+    override def overviews(fetch: (Long, Int) => Array[Byte],
+        fileLen: Long): IndexedSeq[(Long, Int, Int)] = {
+      val head = fetch(0L, math.min(fileLen, HeaderProbe.toLong).toInt)
+      val (w, h, _, nl) = Jpeg2000.info(head)
+      (1 to nl).map { d =>
+        (d.toLong, Jpeg2000Dims.lowLen(w, d), Jpeg2000Dims.lowLen(h, d))
+      }.toIndexedSeq
+    }
+
+    override def loadWindowAt(fetch: (Long, Int) => Array[Byte], fileLen: Long,
+        level: Long, xoff: Int, yoff: Int, w: Int, h: Int,
+        baseGt: Array[Double], baseCrs: String): Raster = {
+      require(fileLen <= Int.MaxValue, "jp2 loader: file too large")
+      val full = readAt(fetch(0L, fileLen.toInt), level.toInt)
+      val cropped = RasterLoaders.crop(full, xoff, yoff, w, h)
+      cropped.copy(crs = baseCrs, gt = {
+        val g = baseGt.clone()
+        g(0) = baseGt(0) + xoff * baseGt(1) + yoff * baseGt(2)
+        g(3) = baseGt(3) + xoff * baseGt(4) + yoff * baseGt(5)
+        g
+      })
+    }
+  }
+
+  /** lowLen re-export for overview dimension math. */
+  private[sources] object Jpeg2000Dims {
+    def lowLen(n: Int, l: Int): Int = {
+      var v = n
+      var i = 0
+      while (i < l) { v = (v + 1) / 2; i += 1 }
+      v
+    }
+  }
+
   private def geoOf(bytes: Array[Byte]): Option[(String, Array[Double])] = {
     if (bytes.length < 12 || bytes(4) != 'j'.toByte || bytes(5) != 'P'.toByte)
       return None // raw codestream: no boxes

@@ -1060,7 +1060,18 @@ private[graft] object Jpeg2000 {
   private def floorLog2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
 
   /** Decode a raw codestream or a JP2 container. */
-  def decode(bytes: Array[Byte]): Seq[Plane] = {
+  def decode(bytes: Array[Byte]): Seq[Plane] = decode(bytes, 0)
+
+  /** Decode at a REDUCED resolution: `discardLevels` highest-frequency
+    * decomposition levels are skipped — only the packets of resolutions
+    * 0..NL-discard are entropy-decoded (they come first in LRCP order,
+    * so later packet bytes are never touched), and the inverse DWT stops
+    * at the requested level. The result is the 5/3 LL approximation at
+    * 1/2^discard scale per axis — JPEG 2000's native resolution
+    * scalability, the overview mechanism GDAL exposes for JP2 (and the
+    * reason a 100 TB Sentinel-2 archive can be thumbnailed without
+    * decoding full scenes). */
+  def decode(bytes: Array[Byte], discardLevels: Int): Seq[Plane] = {
     val cs = if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
         (bytes(1) & 0xFF) == 0x4F) bytes
       else jp2Codestream(bytes)
@@ -1132,6 +1143,9 @@ private[graft] object Jpeg2000 {
       }
     }
     require(w > 0 && nl >= 0 && guard >= 0, "jpeg2000: incomplete headers")
+    require(discardLevels >= 0 && discardLevels <= nl,
+      s"jpeg2000: cannot discard $discardLevels of $nl decomposition levels")
+    val rMax = nl - discardLevels
     val cb = 1 << cbExp
     val depthMax = depths.max
     def gainOf(band: Int): Int = band match {
@@ -1147,7 +1161,7 @@ private[graft] object Jpeg2000 {
         x0: Int, y0: Int, cw: Int, ch: Int, np: Int, zbp: Int, len: Int)
     val planesT = Array.fill(nc)(new Array[Int](w * h))
     var p = sodAt
-    for (r <- 0 to nl; comp <- 0 until nc) {
+    for (r <- 0 to rMax; comp <- 0 until nc) {
       val br = new BitReader(cs, p)
       val bands = bandsOf(w, h, nl, r)
       val cbMeta = new ArrayBuffer[Meta]()
@@ -1200,11 +1214,14 @@ private[graft] object Jpeg2000 {
     }
     require(tileEnd < 0 || p <= tileEnd, "jpeg2000: packet data overruns the tile")
 
-    // inverse DWT per component
+    // inverse DWT per component, stopping at the requested level: the
+    // level-`discardLevels` LL region is the reduced-resolution image
+    val outW = lowLen(w, discardLevels)
+    val outH = lowLen(h, discardLevels)
     (0 until nc).map { comp =>
       val full = planesT(comp)
       var l = nl
-      while (l >= 1) {
+      while (l >= discardLevels + 1) {
         val cw2 = lowLen(w, l - 1)
         val ch2 = lowLen(h, l - 1)
         // gather the cw2 x ch2 region (stored at the top-left of full)
@@ -1223,10 +1240,17 @@ private[graft] object Jpeg2000 {
         l -= 1
       }
       val shift = if (signedA(comp)) 0 else 1 << (depths(comp) - 1)
-      val outA = new Array[Int](w * h)
-      var i = 0
-      while (i < outA.length) { outA(i) = full(i) + shift; i += 1 }
-      Plane(w, h, depths(comp), signedA(comp), outA)
+      val outA = new Array[Int](outW * outH)
+      var y = 0
+      while (y < outH) {
+        var x = 0
+        while (x < outW) {
+          outA(y * outW + x) = full(y * w + x) + shift
+          x += 1
+        }
+        y += 1
+      }
+      Plane(outW, outH, depths(comp), signedA(comp), outA)
     }
   }
 
@@ -1236,6 +1260,35 @@ private[graft] object Jpeg2000 {
     * regions share the full plane's row stride at their top-left. */
   private def levelIndex(w: Int, nl: Int, l: Int, destW: Int,
       x: Int, y: Int): Int = y * w + x
+
+  /** Header-only (w, h, components, decomposition levels) from the
+    * SIZ/COD markers — bounded work, no entropy decoding; accepts a
+    * prefix of the file as long as it covers the main header. */
+  def info(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    val cs = if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xFF) == 0x4F) bytes
+      else jp2Codestream(bytes)
+    val bb = ByteBuffer.wrap(cs).order(ByteOrder.BIG_ENDIAN)
+    var pos = 2
+    var w = -1; var h = -1; var nc = -1; var nl = -1
+    var sane = true
+    while (sane && (w < 0 || nl < 0) && pos + 4 <= cs.length) {
+      val marker = bb.getShort(pos) & 0xFFFF
+      if ((marker >> 8) != 0xFF) sane = false
+      else {
+        marker match {
+          case 0xFF51 =>
+            w = bb.getInt(pos + 6); h = bb.getInt(pos + 10)
+            nc = bb.getShort(pos + 38) & 0xFFFF
+          case 0xFF52 => nl = bb.get(pos + 9) & 0xFF
+          case _ =>
+        }
+        pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
+      }
+    }
+    require(w > 0 && nl >= 0, "jpeg2000: SIZ/COD not found in header bytes")
+    (w, h, nc, nl)
+  }
 
   /** Extract the contiguous codestream from a JP2 box container. */
   private def jp2Codestream(bytes: Array[Byte]): Array[Byte] = {

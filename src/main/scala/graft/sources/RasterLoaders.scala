@@ -117,7 +117,8 @@ object RasterLoaders {
   @volatile private var registry: Map[String, Either[Loader, DirLoader]] =
     Map("tif" -> Left(GeoTiffLoader), "tiff" -> Left(GeoTiffLoader),
       "zarr" -> Right(ZarrIO.OutDb),
-      "nc" -> Left(NetCdf.OutDb), "cdf" -> Left(NetCdf.OutDb))
+      "nc" -> Left(NetCdf.OutDb), "cdf" -> Left(NetCdf.OutDb),
+      "jp2" -> Left(Jp2Raster.OutDb), "j2k" -> Left(Jp2Raster.OutDb))
 
   def register(ext: String, loader: Loader): Unit = synchronized {
     registry = registry + (ext.toLowerCase -> Left(loader))

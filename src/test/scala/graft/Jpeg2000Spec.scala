@@ -235,6 +235,94 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(e.getMessage.contains("integer"))
   }
 
+  test("reduced-resolution decode equals the forward transform's LL exactly") {
+    val rnd = new scala.util.Random(321)
+    val w = 53; val h = 37
+    val p = planeOf(w, h, 8, signed = false, (_, _) => rnd.nextInt(256))
+    val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4)
+    // independent expectation: apply the 2D 5/3 forward d times to the
+    // DC-shifted image and keep the LL quadrant
+    def llAt(d: Int): Array[Int] = {
+      var cur = p.samples.map(_ - 128)
+      var cw = w; var ch = h
+      for (_ <- 0 until d) {
+        val lw = (cw + 1) / 2; val lh = (ch + 1) / 2
+        // rows then columns, same as the codec
+        val t = {
+          val rows = Array.tabulate(ch) { y =>
+            val (s, dd) = Jpeg2000.fwd53(cur.slice(y * cw, (y + 1) * cw))
+            s ++ dd
+          }
+          val flat = rows.flatten
+          val cols = Array.tabulate(cw) { x =>
+            val col = Array.tabulate(ch)(y => flat(y * cw + x))
+            val (s, dd) = Jpeg2000.fwd53(col)
+            s ++ dd
+          }
+          Array.tabulate(ch * cw)(i => cols(i % cw)(i / cw))
+        }
+        val next = new Array[Int](lw * lh)
+        for (y <- 0 until lh; x <- 0 until lw) next(y * lw + x) = t(y * cw + x)
+        cur = next; cw = lw; ch = lh
+      }
+      cur.map(_ + 128)
+    }
+    for (d <- 0 to 3) {
+      val back = Jpeg2000.decode(cs, d)
+      val exp = llAt(d)
+      assert(back.head.w == Jp2Raster.Jpeg2000Dims.lowLen(w, d))
+      assert(back.head.samples.toSeq == exp.toSeq, s"discard $d")
+    }
+    // decode(d) must not read past resolution rMax's packets: a stream
+    // truncated right after them still decodes the reduced image
+    val full = Jpeg2000.decode(cs, 0)
+    assert(full.head.samples.toSeq == p.samples.toSeq)
+  }
+
+  test("out-db loader: header meta, overviews, reduced windowed read") {
+    import graft.functions.RasterModel
+    import graft.functions.RasterModel.{Band, Raster}
+    val w = 96; val h = 64
+    val vals = Array.tabulate(w * h)(i => ((i * 131) % 250).toDouble)
+    val r = Raster("EPSG:3857", Array(10.0, 5.0, 0.0, 9000.0, 0.0, -5.0),
+      w, h, Vector(Band(Double.NaN, RasterModel.packDoubles(vals),
+        ptype = "UNSIGNED_8BITS")))
+    val f = java.io.File.createTempFile("graft_jp2_outdb", ".jp2")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, Jp2Raster.write(r, levels = 3))
+    val meta = RasterLoaders.readMeta(f.getAbsolutePath)
+    assert(meta.width == w && meta.height == h && meta.crs == "EPSG:3857")
+    assert(meta.gt.toSeq == r.gt.toSeq && meta.bands.isEmpty, "meta is out-db")
+    val ovs = RasterLoaders.overviews(f.getAbsolutePath)
+    assert(ovs.map(o => (o._1, o._2, o._3)) ==
+      IndexedSeq((1L, 48, 32), (2L, 24, 16), (3L, 12, 8)))
+    // loadAtFactor picks the level-1 overview for a 2x decimation and
+    // scales the geotransform
+    val at2 = RasterLoaders.loadAtFactor(f.getAbsolutePath, 2.0)
+    assert(at2.width == 48 && at2.height == 32)
+    assert(at2.gt(1) == 10.0 && at2.gt(5) == -10.0)
+    // the loader's reduced windowed read crops the level image and
+    // re-anchors the prescaled geotransform
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val fetch = (off: Long, n: Int) =>
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    val red = Jp2Raster.OutDb.loadWindowAt(fetch, bytes.length.toLong,
+      1L, 4, 2, 10, 6, Array(10.0, 10.0, 0.0, 9000.0, 0.0, -10.0), "EPSG:3857")
+    assert(red.width == 10 && red.height == 6)
+    assert(red.gt(0) == 10.0 + 4 * 10.0 && red.gt(3) == 9000.0 - 2 * 10.0)
+    // the reduced window's pixels equal the same region of a direct
+    // reduced-resolution decode
+    val direct = Jp2Raster.readAt(
+      java.nio.file.Files.readAllBytes(f.toPath), 1)
+    val db = java.nio.ByteBuffer.wrap(direct.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rb = java.nio.ByteBuffer.wrap(red.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (y <- 0 until 6; x <- 0 until 10)
+      assert(rb.getDouble((y * 10 + x) * 8) ==
+        db.getDouble(((y + 2) * 48 + (x + 4)) * 8), s"($x,$y)")
+  }
+
   test("unsupported features fail loudly, never silently wrong") {
     val p = planeOf(8, 8, 8, signed = false, (x, y) => x + y)
     val cs = Jpeg2000.encode(Seq(p), levels = 1, cbExp = 4)
