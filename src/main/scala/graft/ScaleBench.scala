@@ -655,6 +655,22 @@ object ScaleBench {
           eps = 1.5, minPts = 4, bounds = Some((0.0, 0.0, w, hh)),
           nx = nx, ny = nx))
       },
+      // rs18 path: JPEG 2000 lossless codec throughput — raster count
+      // grows with m at constant tile size, encode+decode map-only per
+      // row (per-file parallelism is the codec's cluster shape)
+      "rs18_jp2_codec" -> { m =>
+        val n = 100L * m
+        timed(spark.range(0, n).toDF("i")
+          .withColumn("vals", org.apache.spark.sql.functions.transform(
+            sequence(lit(0), lit(128 * 128 - 1)),
+            j => pmod(hash(col("i"), j), lit(60000)).cast("double")))
+          .withColumn("r", st.f("rs_setbandpixeltype",
+            st.f("rs_makeraster", lit(128), lit(128), lit(0.0), lit(0.0),
+              lit(1.0), lit(-1.0), col("vals")), lit("UNSIGNED_16BITS")))
+          .withColumn("g", st.f("rs_asjpeg2000", col("r"), lit(3)))
+          .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+          .filter(st.f("rs_width", col("rt")) === 128))
+      },
       // rs17 path: JPEG GeoTIFF codec throughput — raster count grows
       // with m at constant tile size, encode+decode map-only per row
       "rs17_jpeg_codec" -> { m =>

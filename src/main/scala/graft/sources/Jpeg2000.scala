@@ -82,7 +82,7 @@ private[graft] object Jpeg2000 {
     private var a = 0x8000
     private var c = 0L
     private var ct = 12
-    private val out = new ArrayBuffer[Byte]()
+    private val out = new java.io.ByteArrayOutputStream(1 << 12)
     private var b = -1 // pending byte; -1 = none yet (spec's BP = BPST-1)
 
     var (ctxIdx, ctxMps) = initCtx()
@@ -115,7 +115,7 @@ private[graft] object Jpeg2000 {
       } while ((a & 0x8000) == 0)
     }
 
-    private def emit(v: Int): Unit = { if (b >= 0) out += b.toByte; b = v }
+    private def emit(v: Int): Unit = { if (b >= 0) out.write(b); b = v }
 
     private def byteOut(): Unit = {
       if (b == 0xFF) {
@@ -142,8 +142,8 @@ private[graft] object Jpeg2000 {
       if (c >= tempC) c -= 0x8000
       c <<= ct; byteOut()
       c <<= ct; byteOut()
-      if (b >= 0 && b != 0xFF) out += b.toByte
-      out.toArray
+      if (b >= 0 && b != 0xFF) out.write(b)
+      out.toByteArray
     }
   }
 
@@ -483,47 +483,74 @@ private[graft] object Jpeg2000 {
     }
   }
 
-  /** Sign-coding (ctx, xorBit) from clamped H and V contributions. */
-  private def scCtx(hc: Int, vc: Int): (Int, Int) = (hc, vc) match {
-    case (1, 1)   => (13, 0)
-    case (1, 0)   => (12, 0)
-    case (1, -1)  => (11, 0)
-    case (0, 1)   => (10, 0)
-    case (0, 0)   => (9, 0)
-    case (0, -1)  => (10, 1)
-    case (-1, 1)  => (11, 1)
-    case (-1, 0)  => (12, 1)
-    case (-1, -1) => (13, 1)
-    case _ => throw new IllegalStateException("unreachable")
+  /** Sign-coding (ctx | xorBit << 8) from clamped H and V contributions
+    * (Table D.3), pre-packed so the per-coefficient hot path allocates
+    * nothing: index (hc+1)*3 + (vc+1). */
+  private val ScPacked: Array[Int] = {
+    val t = new Array[Int](9)
+    def put(hc: Int, vc: Int, ctx: Int, xor: Int): Unit =
+      t((hc + 1) * 3 + (vc + 1)) = ctx | (xor << 8)
+    put(1, 1, 13, 0); put(1, 0, 12, 0); put(1, -1, 11, 0)
+    put(0, 1, 10, 0); put(0, 0, 9, 0); put(0, -1, 10, 1)
+    put(-1, 1, 11, 1); put(-1, 0, 12, 1); put(-1, -1, 13, 1)
+    t
   }
 
   /** Per-code-block coder state shared by encode and decode: sigma,
-    * sign, first-refinement and this-plane-visited flags. */
+    * sign, first-refinement and this-plane-visited flags. The neighbor
+    * queries return PACKED ints (h | v<<4 | d<<8; ctx | xor<<8) —
+    * these run once per coefficient per pass, so boxed tuples here
+    * dominate the whole codec's allocation profile. */
   private final class CbState(val w: Int, val h: Int) {
     val sig = new Array[Boolean](w * h)
     val neg = new Array[Boolean](w * h)
     val refined = new Array[Boolean](w * h) // coded at least one MR pass
     val visited = new Array[Boolean](w * h) // coded in current plane's SPP
+    // incrementally maintained packed neighbor counts (h | v<<4 | d<<8),
+    // padded one cell on every side so border updates need no bounds
+    // checks — counts are READ ~3x per coefficient per bitplane but only
+    // WRITTEN once per significance event, so the classic T1 flags trick
+    // turns the hottest query into one array load
+    private val stride = w + 2
+    private val nb = new Array[Int](stride * (h + 2))
 
-    @inline def at(x: Int, y: Int): Boolean =
-      x >= 0 && x < w && y >= 0 && y < h && sig(y * w + x)
-    @inline def sgn(x: Int, y: Int): Int =
-      if (!at(x, y)) 0 else if (neg(y * w + x)) -1 else 1
+    @inline def countsPacked(x: Int, y: Int): Int = nb((y + 1) * stride + (x + 1))
 
-    def counts(x: Int, y: Int): (Int, Int, Int) = {
-      val hC = (if (at(x - 1, y)) 1 else 0) + (if (at(x + 1, y)) 1 else 0)
-      val vC = (if (at(x, y - 1)) 1 else 0) + (if (at(x, y + 1)) 1 else 0)
-      val dC = (if (at(x - 1, y - 1)) 1 else 0) + (if (at(x + 1, y - 1)) 1 else 0) +
-        (if (at(x - 1, y + 1)) 1 else 0) + (if (at(x + 1, y + 1)) 1 else 0)
-      (hC, vC, dC)
+    /** Mark (x, y) significant with the given sign and bump all eight
+      * neighbors' counts (pad cells absorb border spill). */
+    def setSig(x: Int, y: Int, negative: Boolean): Unit = {
+      val idx = y * w + x
+      sig(idx) = true
+      neg(idx) = negative
+      val c = (y + 1) * stride + (x + 1)
+      nb(c - 1) += 1
+      nb(c + 1) += 1
+      nb(c - stride) += 1 << 4
+      nb(c + stride) += 1 << 4
+      nb(c - stride - 1) += 1 << 8
+      nb(c - stride + 1) += 1 << 8
+      nb(c + stride - 1) += 1 << 8
+      nb(c + stride + 1) += 1 << 8
     }
 
-    def signCtx(x: Int, y: Int): (Int, Int) = {
+    @inline private def sgn(x: Int, y: Int): Int =
+      if (x < 0 || x >= w || y < 0 || y >= h || !sig(y * w + x)) 0
+      else if (neg(y * w + x)) -1 else 1
+
+    /** ctx | xorBit << 8 sign-coding context (once per significance
+      * event — the bounds-checked reads are off the hot path). */
+    def signCtxPacked(x: Int, y: Int): Int = {
       val hc = math.max(-1, math.min(1, sgn(x - 1, y) + sgn(x + 1, y)))
       val vc = math.max(-1, math.min(1, sgn(x, y - 1) + sgn(x, y + 1)))
-      scCtx(hc, vc)
+      ScPacked((hc + 1) * 3 + (vc + 1))
     }
   }
+
+  /** No-boxing visitor interfaces for the stripe/cleanup scans:
+    * Function3 would box every argument per coefficient. Each has two
+    * implementations (encode, decode) — bimorphic call sites. */
+  private trait CbVisit { def visit(x: Int, y: Int, runMode: Boolean): Unit }
+  private trait RunDecide { def decide(x: Int, yTop: Int): Int }
 
   /** Encode one code-block. `mag`/`negIn`: magnitudes and signs.
     * Returns (bytes, numPasses, zeroBitplanes given Mb). */
@@ -543,21 +570,20 @@ private[graft] object Jpeg2000 {
     var plane = nbps - 1
     var first = true
     while (plane >= 0) {
-      val bitOf = (idx: Int) => (mag(idx) >> plane) & 1
+      val pl = plane
       if (!first) {
         // significance propagation pass
         stripeScan(w, h) { (x, y) =>
           val idx = y * w + x
           if (!st.sig(idx)) {
-            val (hC, vC, dC) = st.counts(x, y)
-            if (hC + vC + dC > 0) {
-              val b = bitOf(idx)
-              mq.encode(b, zcCtx(band, hC, vC, dC))
+            val p = st.countsPacked(x, y)
+            if (p != 0) {
+              val b = (mag(idx) >> pl) & 1
+              mq.encode(b, zcCtx(band, p & 0xF, (p >> 4) & 0xF, p >> 8))
               if (b == 1) {
-                val (sc, xorBit) = st.signCtx(x, y)
-                mq.encode((if (negIn(idx)) 1 else 0) ^ xorBit, sc)
-                st.sig(idx) = true
-                st.neg(idx) = negIn(idx)
+                val sp = st.signCtxPacked(x, y)
+                mq.encode((if (negIn(idx)) 1 else 0) ^ (sp >> 8), sp & 0xFF)
+                st.setSig(x, y, negIn(idx))
               }
               st.visited(idx) = true
             }
@@ -567,52 +593,56 @@ private[graft] object Jpeg2000 {
         stripeScan(w, h) { (x, y) =>
           val idx = y * w + x
           if (st.sig(idx) && !st.visited(idx)) {
-            val (hC, vC, dC) = st.counts(x, y)
-            val cx = if (!st.refined(idx)) { if (hC + vC + dC > 0) 15 else 14 }
-              else 16
-            mq.encode(bitOf(idx), cx)
+            val cx = if (!st.refined(idx)) {
+              if (st.countsPacked(x, y) != 0) 15 else 14
+            } else 16
+            mq.encode((mag(idx) >> pl) & 1, cx)
             st.refined(idx) = true
           }
         }
       }
       // cleanup pass
-      cleanupScan(w, h, st) { (x, y, runMode) =>
-        val idx = y * w + x
-        if (runMode) {
-          // caller handles the run-length bit; here code significance
-          // of the first broken coefficient's SIGN only
-          val (sc, xorBit) = st.signCtx(x, y)
-          mq.encode((if (negIn(idx)) 1 else 0) ^ xorBit, sc)
-          st.sig(idx) = true
-          st.neg(idx) = negIn(idx)
-        } else if (!st.sig(idx) && !st.visited(idx)) {
-          val (hC, vC, dC) = st.counts(x, y)
-          val b = bitOf(idx)
-          mq.encode(b, zcCtx(band, hC, vC, dC))
-          if (b == 1) {
-            val (sc, xorBit) = st.signCtx(x, y)
-            mq.encode((if (negIn(idx)) 1 else 0) ^ xorBit, sc)
-            st.sig(idx) = true
-            st.neg(idx) = negIn(idx)
+      val visit = new CbVisit {
+        def visit(x: Int, y: Int, runMode: Boolean): Unit = {
+          val idx = y * w + x
+          if (runMode) {
+            // caller coded the run-length bit; here the implied-1
+            // coefficient's SIGN only
+            val sp = st.signCtxPacked(x, y)
+            mq.encode((if (negIn(idx)) 1 else 0) ^ (sp >> 8), sp & 0xFF)
+            st.setSig(x, y, negIn(idx))
+          } else if (!st.sig(idx) && !st.visited(idx)) {
+            val p = st.countsPacked(x, y)
+            val b = (mag(idx) >> pl) & 1
+            mq.encode(b, zcCtx(band, p & 0xF, (p >> 4) & 0xF, p >> 8))
+            if (b == 1) {
+              val sp = st.signCtxPacked(x, y)
+              mq.encode((if (negIn(idx)) 1 else 0) ^ (sp >> 8), sp & 0xFF)
+              st.setSig(x, y, negIn(idx))
+            }
           }
         }
-      } { (x, yTop) =>
-        // run-length decision for an eligible all-clear 4-column: does a
-        // 1-bit appear in this plane within the column?
-        var firstOne = -1
-        var k = 0
-        while (k < 4 && firstOne < 0) {
-          if (bitOf((yTop + k) * w + x) == 1) firstOne = k
-          k += 1
-        }
-        if (firstOne < 0) { mq.encode(0, CtxRL); -1 }
-        else {
-          mq.encode(1, CtxRL)
-          mq.encode((firstOne >> 1) & 1, CtxUNI)
-          mq.encode(firstOne & 1, CtxUNI)
-          firstOne
+      }
+      val decide = new RunDecide {
+        def decide(x: Int, yTop: Int): Int = {
+          // run-length decision for an eligible all-clear 4-column: does
+          // a 1-bit appear in this plane within the column?
+          var firstOne = -1
+          var k = 0
+          while (k < 4 && firstOne < 0) {
+            if (((mag((yTop + k) * w + x) >> pl) & 1) == 1) firstOne = k
+            k += 1
+          }
+          if (firstOne < 0) { mq.encode(0, CtxRL); -1 }
+          else {
+            mq.encode(1, CtxRL)
+            mq.encode((firstOne >> 1) & 1, CtxUNI)
+            mq.encode(firstOne & 1, CtxUNI)
+            firstOne
+          }
         }
       }
+      cleanupScan(w, h, st, visit, decide)
       java.util.Arrays.fill(st.visited, false)
       first = false
       plane -= 1
@@ -634,19 +664,19 @@ private[graft] object Jpeg2000 {
     var passesLeft = numPasses
     var first = true
     while (plane >= 0 && passesLeft > 0) {
+      val pl = plane
       if (!first) {
         if (passesLeft > 0) { // significance propagation
           stripeScan(w, h) { (x, y) =>
             val idx = y * w + x
             if (!st.sig(idx)) {
-              val (hC, vC, dC) = st.counts(x, y)
-              if (hC + vC + dC > 0) {
-                if (mq.decode(zcCtx(band, hC, vC, dC)) == 1) {
-                  val (sc, xorBit) = st.signCtx(x, y)
-                  val s = mq.decode(sc) ^ xorBit
-                  st.sig(idx) = true
-                  st.neg(idx) = s == 1
-                  mag(idx) |= 1 << plane
+              val p = st.countsPacked(x, y)
+              if (p != 0) {
+                if (mq.decode(zcCtx(band, p & 0xF, (p >> 4) & 0xF, p >> 8)) == 1) {
+                  val sp = st.signCtxPacked(x, y)
+                  val s = mq.decode(sp & 0xFF) ^ (sp >> 8)
+                  st.setSig(x, y, s == 1)
+                  mag(idx) |= 1 << pl
                   neg(idx) = s == 1
                 }
                 st.visited(idx) = true
@@ -659,10 +689,10 @@ private[graft] object Jpeg2000 {
           stripeScan(w, h) { (x, y) =>
             val idx = y * w + x
             if (st.sig(idx) && !st.visited(idx)) {
-              val (hC, vC, dC) = st.counts(x, y)
-              val cx = if (!st.refined(idx)) { if (hC + vC + dC > 0) 15 else 14 }
-                else 16
-              if (mq.decode(cx) == 1) mag(idx) |= 1 << plane
+              val cx = if (!st.refined(idx)) {
+                if (st.countsPacked(x, y) != 0) 15 else 14
+              } else 16
+              if (mq.decode(cx) == 1) mag(idx) |= 1 << pl
               st.refined(idx) = true
             }
           }
@@ -670,30 +700,33 @@ private[graft] object Jpeg2000 {
         }
       }
       if (passesLeft > 0) { // cleanup
-        cleanupScan(w, h, st) { (x, y, runMode) =>
-          val idx = y * w + x
-          if (runMode) {
-            val (sc, xorBit) = st.signCtx(x, y)
-            val s = mq.decode(sc) ^ xorBit
-            st.sig(idx) = true
-            st.neg(idx) = s == 1
-            mag(idx) |= 1 << plane
-            neg(idx) = s == 1
-          } else if (!st.sig(idx) && !st.visited(idx)) {
-            val (hC, vC, dC) = st.counts(x, y)
-            if (mq.decode(zcCtx(band, hC, vC, dC)) == 1) {
-              val (sc, xorBit) = st.signCtx(x, y)
-              val s = mq.decode(sc) ^ xorBit
-              st.sig(idx) = true
-              st.neg(idx) = s == 1
-              mag(idx) |= 1 << plane
+        val visit = new CbVisit {
+          def visit(x: Int, y: Int, runMode: Boolean): Unit = {
+            val idx = y * w + x
+            if (runMode) {
+              val sp = st.signCtxPacked(x, y)
+              val s = mq.decode(sp & 0xFF) ^ (sp >> 8)
+              st.setSig(x, y, s == 1)
+              mag(idx) |= 1 << pl
               neg(idx) = s == 1
+            } else if (!st.sig(idx) && !st.visited(idx)) {
+              val p = st.countsPacked(x, y)
+              if (mq.decode(zcCtx(band, p & 0xF, (p >> 4) & 0xF, p >> 8)) == 1) {
+                val sp = st.signCtxPacked(x, y)
+                val s = mq.decode(sp & 0xFF) ^ (sp >> 8)
+                st.setSig(x, y, s == 1)
+                mag(idx) |= 1 << pl
+                neg(idx) = s == 1
+              }
             }
           }
-        } { (x, yTop) =>
-          if (mq.decode(CtxRL) == 0) -1
-          else (mq.decode(CtxUNI) << 1) | mq.decode(CtxUNI)
         }
+        val decide = new RunDecide {
+          def decide(x: Int, yTop: Int): Int =
+            if (mq.decode(CtxRL) == 0) -1
+            else (mq.decode(CtxUNI) << 1) | mq.decode(CtxUNI)
+        }
+        cleanupScan(w, h, st, visit, decide)
         passesLeft -= 1
       }
       java.util.Arrays.fill(st.visited, false)
@@ -724,9 +757,8 @@ private[graft] object Jpeg2000 {
     * coefficients after that offset (and every non-run column) go
     * through `f(x, y, runMode)` where runMode marks the single broken
     * coefficient whose magnitude bit is implied 1 (sign only). */
-  private def cleanupScan(w: Int, h: Int, st: CbState)(
-      f: (Int, Int, Boolean) => Unit)(
-      runDecision: (Int, Int) => Int): Unit = {
+  private def cleanupScan(w: Int, h: Int, st: CbState,
+      f: CbVisit, runDecision: RunDecide): Unit = {
     var y0 = 0
     while (y0 < h) {
       var x = 0
@@ -739,23 +771,20 @@ private[graft] object Jpeg2000 {
             val y = y0 + k
             val idx = y * w + x
             if (st.sig(idx) || st.visited(idx)) eligible = false
-            else {
-              val (hC, vC, dC) = st.counts(x, y)
-              if (hC + vC + dC > 0) eligible = false
-            }
+            else if (st.countsPacked(x, y) != 0) eligible = false
             k += 1
           }
         }
         if (eligible) {
-          val firstOne = runDecision(x, y0)
+          val firstOne = runDecision.decide(x, y0)
           if (firstOne >= 0) {
-            f(x, y0 + firstOne, true) // implied-1 coefficient: sign only
+            f.visit(x, y0 + firstOne, true) // implied-1: sign only
             var k = firstOne + 1
-            while (k < 4) { f(x, y0 + k, false); k += 1 }
+            while (k < 4) { f.visit(x, y0 + k, false); k += 1 }
           }
         } else {
           var k = 0
-          while (k < 4 && y0 + k < h) { f(x, y0 + k, false); k += 1 }
+          while (k < 4 && y0 + k < h) { f.visit(x, y0 + k, false); k += 1 }
         }
         x += 1
       }
@@ -992,6 +1021,9 @@ private[graft] object Jpeg2000 {
         val incl = new TagTree(gw, gh)
         val zbpT = new TagTree(gw, gh)
         val mb = depthMax + gainOf(band) + guard - 1
+        // one band extraction, shared by every code-block (extracting
+        // per block is O(band x blocks) — quadratic on big images)
+        val bs = bandSamples(comp, r, band, bw, bh, xOff, yOff)
         // encode all code-blocks of the band first (need zbp for trees)
         val recs = for (gy <- 0 until gh; gx <- 0 until gw) yield {
           val x0 = gx * cb; val y0 = gy * cb
@@ -999,7 +1031,6 @@ private[graft] object Jpeg2000 {
           val ch2 = math.min(cb, bh - y0)
           val magA = new Array[Int](cw2 * ch2)
           val negA = new Array[Boolean](cw2 * ch2)
-          val bs = bandSamples(comp, r, band, bw, bh, xOff, yOff)
           var y = 0
           while (y < ch2) {
             var x = 0
