@@ -57,7 +57,9 @@ private[graft] object Jp2Raster {
     }
     require(planes.map(p => (p.depth, p.signed)).distinct.size == 1,
       "rs_asjpeg2000: all bands must share one pixel type (ihdr bpc)")
-    val cs = Jpeg2000.encode(planes, levels = levels)
+    // 3-band rasters get the reversible color transform — the lossless
+    // RGB decorrelation GDAL's openjpeg writer applies by default
+    val cs = Jpeg2000.encode(planes, levels = levels, mct = planes.length == 3)
 
     val out = new java.io.ByteArrayOutputStream()
     def box(tp: String, payload: Array[Byte]): Unit = {

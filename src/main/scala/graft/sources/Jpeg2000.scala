@@ -890,8 +890,13 @@ private[graft] object Jpeg2000 {
   // Public API
   // =====================================================================
 
-  /** Encode planes (same dimensions) as a raw .j2k codestream. */
-  def encode(planes: Seq[Plane], levels: Int = 5, cbExp: Int = 6): Array[Byte] = {
+  /** Encode planes (same dimensions) as a raw .j2k codestream.
+    * `mct = true` applies the REVERSIBLE COLOR TRANSFORM (RCT, Annex
+    * G.2) to the first three components — the lossless-profile
+    * decorrelation openjpeg/GDAL apply to RGB by default; requires
+    * exactly 3 components of one depth/signedness. */
+  def encode(planes: Seq[Plane], levels: Int = 5, cbExp: Int = 6,
+      mct: Boolean = false): Array[Byte] = {
     require(planes.nonEmpty, "jpeg2000: no components")
     val w = planes.head.w
     val h = planes.head.h
@@ -901,6 +906,9 @@ private[graft] object Jpeg2000 {
     require(planes.forall(p => p.depth >= 1 && p.depth <= 16),
       "jpeg2000: bit depth must be 1..16")
     require(cbExp >= 2 && cbExp <= 10, "jpeg2000: code-block exponent 2..10")
+    require(!mct || (planes.length == 3 &&
+      planes.map(p => (p.depth, p.signed)).distinct.size == 1),
+      "jpeg2000: RCT needs exactly 3 components of one depth/signedness")
     val nl = math.max(0, math.min(levels,
       31 - Integer.numberOfLeadingZeros(math.max(1, math.min(w, h)))))
     val cb = 1 << cbExp
@@ -929,7 +937,7 @@ private[graft] object Jpeg2000 {
     u8(0)        // Scod: default precincts, no SOP/EPH
     u8(0)        // LRCP
     u16(1)       // one layer
-    u8(0)        // no MCT
+    u8(if (mct) 1 else 0)
     u8(nl)
     u8(cbExp - 2); u8(cbExp - 2)
     u8(0)        // code-block style: all defaults
@@ -949,12 +957,28 @@ private[graft] object Jpeg2000 {
 
     // tile body: per component, DWT then per-resolution packets
     val body = new java.io.ByteArrayOutputStream()
-    // compute transforms for all components up front
-    val transformed = planes.map { p =>
+    // DC level shift all components, then the optional RCT across the
+    // first three (forward: Y=(R+2G+B)>>2, Cb=B-G, Cr=R-G — exact
+    // integers, inverse in decode), then per-component DWT
+    val shifted: Seq[Array[Int]] = planes.map { p =>
       val a = new Array[Int](w * h)
       var i = 0
       val shift = if (p.signed) 0 else 1 << (p.depth - 1)
       while (i < a.length) { a(i) = p.samples(i) - shift; i += 1 }
+      a
+    }
+    if (mct) {
+      val r = shifted(0); val g = shifted(1); val b = shifted(2)
+      var i = 0
+      while (i < w * h) {
+        val y = (r(i) + 2 * g(i) + b(i)) >> 2
+        val cb2 = b(i) - g(i)
+        val cr = r(i) - g(i)
+        r(i) = y; g(i) = cb2; b(i) = cr
+        i += 1
+      }
+    }
+    val transformed = shifted.map { a =>
       var cw = w
       var ch = h
       var buf = a
@@ -1114,6 +1138,7 @@ private[graft] object Jpeg2000 {
     var signedA: Array[Boolean] = null
     var nl = -1; var cbExp = -1
     var guard = -1
+    var mct = 0
     var sodAt = -1
     var tileEnd = -1
     while (sodAt < 0) {
@@ -1148,6 +1173,9 @@ private[graft] object Jpeg2000 {
           require((bb.get(base + 1) & 0xFF) == 0, "jpeg2000: only LRCP supported")
           require((bb.getShort(base + 2) & 0xFFFF) == 1,
             "jpeg2000: multiple layers unsupported")
+          mct = bb.get(base + 4) & 0xFF
+          require(mct == 0 || mct == 1,
+            s"jpeg2000: unknown MCT mode $mct (0 = none, 1 = reversible RCT)")
           nl = bb.get(base + 5) & 0xFF
           cbExp = (bb.get(base + 6) & 0xFF) + 2
           require((bb.get(base + 7) & 0xFF) == cbExp - 2,
@@ -1249,7 +1277,7 @@ private[graft] object Jpeg2000 {
     // level-`discardLevels` LL region is the reduced-resolution image
     val outW = lowLen(w, discardLevels)
     val outH = lowLen(h, discardLevels)
-    (0 until nc).map { comp =>
+    val shiftedOut: IndexedSeq[Array[Int]] = (0 until nc).map { comp =>
       val full = planesT(comp)
       var l = nl
       while (l >= discardLevels + 1) {
@@ -1270,18 +1298,39 @@ private[graft] object Jpeg2000 {
         }
         l -= 1
       }
-      val shift = if (signedA(comp)) 0 else 1 << (depths(comp) - 1)
       val outA = new Array[Int](outW * outH)
       var y = 0
       while (y < outH) {
         var x = 0
         while (x < outW) {
-          outA(y * outW + x) = full(y * w + x) + shift
+          outA(y * outW + x) = full(y * w + x)
           x += 1
         }
         y += 1
       }
-      Plane(outW, outH, depths(comp), signedA(comp), outA)
+      outA
+    }
+    // inverse RCT (per-pixel, so valid at any reduced resolution), then
+    // the DC level unshift
+    if (mct == 1) {
+      require(nc >= 3, "jpeg2000: MCT declared with fewer than 3 components")
+      val ya = shiftedOut(0); val cba = shiftedOut(1); val cra = shiftedOut(2)
+      var i = 0
+      while (i < outW * outH) {
+        val g = ya(i) - ((cba(i) + cra(i)) >> 2)
+        ya(i) = cra(i) + g  // R
+        val b = cba(i) + g
+        cba(i) = g          // G
+        cra(i) = b          // B
+        i += 1
+      }
+    }
+    (0 until nc).map { comp =>
+      val a = shiftedOut(comp)
+      val shift = if (signedA(comp)) 0 else 1 << (depths(comp) - 1)
+      var i = 0
+      while (i < a.length) { a(i) += shift; i += 1 }
+      Plane(outW, outH, depths(comp), signedA(comp), a)
     }
   }
 

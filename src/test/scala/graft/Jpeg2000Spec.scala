@@ -186,6 +186,46 @@ class Jpeg2000Spec extends AnyFunSuite {
     assertRoundtrip(Seq(r, deep), 2, 4, "mixed-depth")
   }
 
+  test("reversible color transform: exact RGB roundtrip, better correlated-RGB rate") {
+    val rnd = new scala.util.Random(17)
+    def rt(planes: Seq[Plane], tag: String): Array[Byte] = {
+      val bytes = Jpeg2000.encode(planes, levels = 3, cbExp = 4, mct = true)
+      val back = Jpeg2000.decode(bytes)
+      planes.zip(back).zipWithIndex.foreach { case ((a, b), ci) =>
+        assert(java.util.Arrays.equals(a.samples, b.samples), s"$tag comp $ci")
+      }
+      bytes
+    }
+    // random RGB (adversarial: chroma ranges exercise the extra bit)
+    rt(Seq.fill(3)(planeOf(41, 29, 8, signed = false,
+      (_, _) => rnd.nextInt(256))), "random")
+    // extreme corners of the RCT range
+    val lo = planeOf(16, 16, 8, signed = false, (_, _) => 0)
+    val hi = planeOf(16, 16, 8, signed = false, (_, _) => 255)
+    rt(Seq(lo, hi, lo), "lo-hi-lo"); rt(Seq(hi, lo, hi), "hi-lo-hi")
+    // 16-bit signed
+    rt(Seq.fill(3)(planeOf(23, 19, 16, signed = true,
+      (_, _) => rnd.nextInt(65536) - 32768)), "rgb16s")
+    // correlated channels (the natural-image shape RCT exists for):
+    // the transform must not LOSE to independent coding
+    def lum(x: Int, y: Int) = (x * 3 + y * 5) % 200
+    val cr = planeOf(64, 48, 8, signed = false, (x, y) => lum(x, y) + 20)
+    val cg = planeOf(64, 48, 8, signed = false, (x, y) => lum(x, y) + 35)
+    val cbp = planeOf(64, 48, 8, signed = false, (x, y) => lum(x, y) + 5)
+    val withMct = rt(Seq(cr, cg, cbp), "correlated")
+    val without = Jpeg2000.encode(Seq(cr, cg, cbp), levels = 3, cbExp = 4)
+    assert(withMct.length <= without.length,
+      s"RCT must not inflate correlated RGB: ${withMct.length} vs ${without.length}")
+    // reduced-resolution decode under MCT stays well-formed (per-pixel
+    // inverse applies at any scale)
+    val red = Jpeg2000.decode(withMct, 1)
+    assert(red.length == 3 && red.head.w == 32 && red.head.h == 24)
+    // refusal paths
+    intercept[IllegalArgumentException] {
+      Jpeg2000.encode(Seq(lo, hi), mct = true)
+    }
+  }
+
   test("JP2 box container: the jp2c box is located and decoded") {
     val p = planeOf(16, 16, 8, signed = false, (x, y) => (x * 16 + y) % 256)
     val cs = Jpeg2000.encode(Seq(p), levels = 2, cbExp = 4)
