@@ -49,13 +49,22 @@ object KnnGridRewrite {
     val oDF = DatasetBridge.ofRows(spark, objectChild)
     val tie = xxhash64(call_function("st_asbinary", DatasetBridge.column(p.objectGeom)))
       .cast("double")
+    // grid resolution is a deployment knob (cells should track object
+    // density so a round-1 neighbourhood holds ~k candidates); read at
+    // RULE level — plan-time confs belong to rules, never gate bodies
+    def conf(key: String, dflt: Int): Int =
+      spark.conf.getOption(key).map(_.toInt).getOrElse(dflt)
     val joined = (if (p.spheroid)
         SpatialJoins.knnJoinGridSphere(
           qDF, oDF, DatasetBridge.column(p.queryGeom), DatasetBridge.column(p.objectGeom),
-          p.k, tie)
+          p.k, tie,
+          nx = conf("spark.graft.knn.sphere.nx", 90),
+          ny = conf("spark.graft.knn.sphere.ny", 45))
       else SpatialJoins.knnJoinGrid(
         qDF, oDF, DatasetBridge.column(p.queryGeom), DatasetBridge.column(p.objectGeom),
-        p.k, tie))
+        p.k, tie,
+        nx = conf("spark.graft.knn.grid.nx", 32),
+        ny = conf("spark.graft.knn.grid.ny", 32)))
       .drop("knn_distance", "knn_rank")
     // use the OPTIMIZED inner plan (planLater skips optimization of
     // handed-in subtrees), then remap the output onto the original join

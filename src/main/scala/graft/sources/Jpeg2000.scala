@@ -83,7 +83,12 @@ private[graft] object Jpeg2000 {
     private var c = 0L
     private var ct = 12
     private val out = new java.io.ByteArrayOutputStream(1 << 12)
-    private var b = -1 // pending byte; -1 = none yet (spec's BP = BPST-1)
+    // the spec's BP = BPST-1 scratch byte: it absorbs a first-byte carry
+    // and is NEVER part of the output (Annex C.2.3/C.2.9) — modeling it
+    // as "no byte" would let that carry leak a spurious byte into the
+    // stream, so it exists explicitly and is dropped at the first emit
+    private var b = 0
+    private var scratch = true
 
     var (ctxIdx, ctxMps) = initCtx()
 
@@ -115,7 +120,10 @@ private[graft] object Jpeg2000 {
       } while ((a & 0x8000) == 0)
     }
 
-    private def emit(v: Int): Unit = { if (b >= 0) out.write(b); b = v }
+    private def emit(v: Int): Unit = {
+      if (scratch) scratch = false else out.write(b)
+      b = v
+    }
 
     private def byteOut(): Unit = {
       if (b == 0xFF) {
@@ -142,7 +150,7 @@ private[graft] object Jpeg2000 {
       if (c >= tempC) c -= 0x8000
       c <<= ct; byteOut()
       c <<= ct; byteOut()
-      if (b >= 0 && b != 0xFF) out.write(b)
+      if (!scratch && b != 0xFF) out.write(b)
       out.toByteArray
     }
   }
