@@ -263,6 +263,21 @@ class Jpeg2000Spec extends AnyFunSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     for (i <- 0 until w * h)
       assert(bb.getDouble(i * 8) == vals(i), s"pixel $i")
+    // 3-band rasters route through the RCT (GDAL's RGB default) and
+    // still roundtrip bit-exact with band order preserved
+    val b3 = (1 to 3).map(k => Band(Double.NaN,
+      RasterModel.packDoubles(Array.tabulate(w * h)(i => ((i * k * 7) % 251).toDouble)),
+      ptype = "UNSIGNED_8BITS"))
+    val rgb = r.copy(bands = b3.toVector)
+    val backRgb = Jp2Raster.read(Jp2Raster.write(rgb, levels = 2))
+    assert(backRgb.bands.length == 3)
+    for (k <- 0 until 3) {
+      val eb = java.nio.ByteBuffer.wrap(backRgb.bands(k).data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until w * h)
+        assert(eb.getDouble(i * 8) == ((i * (k + 1) * 7) % 251).toDouble,
+          s"band $k pixel $i")
+    }
     // a raw codestream (no boxes) also sniffs and reads, identity grid
     val cs = Jpeg2000.encode(Seq(Plane(4, 4, 8, signed = false,
       Array.tabulate(16)(identity))))
