@@ -378,6 +378,32 @@ class Jpeg2000Spec extends AnyFunSuite {
         db.getDouble(((y + 2) * 48 + (x + 4)) * 8), s"($x,$y)")
   }
 
+  test("corrupt and truncated inputs terminate with errors, never hang") {
+    val p = planeOf(32, 24, 8, signed = false, (x, y) => (x * 7 + y * 3) % 256)
+    val cs = Jpeg2000.encode(Seq(p), levels = 2, cbExp = 4)
+    val rnd = new scala.util.Random(8)
+    // truncations at every tenth byte: decode must throw or return fast
+    var t = 4
+    while (t < cs.length) {
+      try Jpeg2000.decode(java.util.Arrays.copyOfRange(cs, 0, t))
+      catch { case _: Exception => } // any loud failure is acceptable
+      t += math.max(1, cs.length / 10)
+    }
+    // random byte corruption in the tile body (headers intact enough to
+    // enter the packet parser) — 50 trials
+    for (_ <- 0 until 50) {
+      val m = cs.clone()
+      val at = 60 + rnd.nextInt(m.length - 60)
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      try Jpeg2000.decode(m)
+      catch { case _: Exception => }
+    }
+    // pure junk with a valid SOC prefix
+    val junk = Array[Byte](0xFF.toByte, 0x4F.toByte) ++
+      Array.fill(500)(rnd.nextInt(256).toByte)
+    intercept[Exception](Jpeg2000.decode(junk))
+  }
+
   test("unsupported features fail loudly, never silently wrong") {
     val p = planeOf(8, 8, 8, signed = false, (x, y) => x + y)
     val cs = Jpeg2000.encode(Seq(p), levels = 1, cbExp = 4)
