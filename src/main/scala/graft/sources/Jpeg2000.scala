@@ -1202,7 +1202,13 @@ private[graft] object Jpeg2000 {
           require((bb.get(pos + 10) & 0xFF) == 0, "jpeg2000: one tile only")
         case 0xFF93 =>
           sodAt = pos + 2
-        case _ => // skip any other marker segment
+        case 0xFF53 | 0xFF5D | 0xFF5E | 0xFF5F =>
+          // COC / QCC / RGN / POC override coding or quantization per
+          // component, tile, or progression — skipping them would decode
+          // silently wrong, so refuse loudly
+          throw new IllegalArgumentException(f"jpeg2000: marker $marker%04x " +
+            "(COC/QCC/RGN/POC component or progression overrides) unsupported")
+        case _ => // skip informational marker segments (COM, CRG, TLM, PLM...)
       }
       if (sodAt < 0) {
         pos = if (marker == 0xFF90) pos + 12
