@@ -421,5 +421,12 @@ class Jpeg2000Spec extends AnyFunSuite {
     mutated2(idx + 7) = 2 // SGcod layer count low byte
     val e2 = intercept[IllegalArgumentException](Jpeg2000.decode(mutated2))
     assert(e2.getMessage.contains("layers"))
+    // a QCC (per-component quantization override) segment must refuse,
+    // not silently skip — insert one right after the COD segment
+    val insertAt = idx + 2 + lcod
+    val qcc = Array[Byte](0xFF.toByte, 0x5D.toByte, 0, 4, 0, 0x40)
+    val withQcc = cs.take(insertAt) ++ qcc ++ cs.drop(insertAt)
+    val e3 = intercept[IllegalArgumentException](Jpeg2000.decode(withQcc))
+    assert(e3.getMessage.contains("ff5d"))
   }
 }
