@@ -167,6 +167,30 @@ private[graft] object Jp2Raster {
 
     def load(bytes: Array[Byte]): Raster = read(bytes)
 
+    /** Windowed read: whole-file fetch (code-block byte ranges are only
+      * known after walking packet headers), but the ENTROPY decode —
+      * the dominant cost — runs only for the code-blocks inside the
+      * window's wavelet pyramid (Jpeg2000.decodeWindow). */
+    override def loadWindow(fetch: (Long, Int) => Array[Byte], fileLen: Long,
+        xoff: Int, yoff: Int, w: Int, h: Int): Raster = {
+      require(fileLen <= Int.MaxValue, "jp2 loader: file too large")
+      val bytes = fetch(0L, fileLen.toInt)
+      val planes = Jpeg2000.decodeWindow(bytes, xoff, yoff, w, h)
+      val (crs, gt0) = geoOf(bytes).getOrElse(
+        ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
+      val gt = gt0.clone()
+      gt(0) = gt0(0) + xoff * gt0(1) + yoff * gt0(2)
+      gt(3) = gt0(3) + xoff * gt0(4) + yoff * gt0(5)
+      val bands = planes.map { p =>
+        val vals = new Array[Double](p.samples.length)
+        var i = 0
+        while (i < vals.length) { vals(i) = p.samples(i).toDouble; i += 1 }
+        Band(Double.NaN, RasterModel.packDoubles(vals),
+          ptype = typeName(p.depth, p.signed))
+      }
+      Raster(crs, gt, w, h, bands.toIndexedSeq)
+    }
+
     override def overviews(fetch: (Long, Int) => Array[Byte],
         fileLen: Long): IndexedSeq[(Long, Int, Int)] = {
       val head = fetch(0L, math.min(fileLen, HeaderProbe.toLong).toInt)

@@ -1123,7 +1123,25 @@ private[graft] object Jpeg2000 {
   private def floorLog2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
 
   /** Decode a raw codestream or a JP2 container. */
-  def decode(bytes: Array[Byte]): Seq[Plane] = decode(bytes, 0)
+  def decode(bytes: Array[Byte]): Seq[Plane] = decode(bytes, 0, None)
+
+  def decode(bytes: Array[Byte], discardLevels: Int): Seq[Plane] =
+    decode(bytes, discardLevels, None)
+
+  /** Decode EXACTLY the pixels of a window: packet headers are all
+    * parsed (cheap), but only the code-blocks whose coefficients
+    * influence the window — the window's per-level wavelet pyramid plus
+    * a 4-sample lifting margin — are entropy-decoded. EBCOT is the
+    * dominant decode cost, so a small window over a big scene skips
+    * almost all of it (the full-plane inverse DWT that remains is
+    * linear and cheap). Exactness is differential-tested against
+    * full-decode-then-crop. */
+  def decodeWindow(bytes: Array[Byte], x0: Int, y0: Int,
+      ww: Int, wh: Int): Seq[Plane] = {
+    require(ww > 0 && wh > 0 && x0 >= 0 && y0 >= 0,
+      s"jpeg2000: bad window ($x0,$y0,$ww,$wh)")
+    decode(bytes, 0, Some((x0, y0, ww, wh)))
+  }
 
   /** Decode at a REDUCED resolution: `discardLevels` highest-frequency
     * decomposition levels are skipped — only the packets of resolutions
@@ -1134,7 +1152,8 @@ private[graft] object Jpeg2000 {
     * scalability, the overview mechanism GDAL exposes for JP2 (and the
     * reason a 100 TB Sentinel-2 archive can be thumbnailed without
     * decoding full scenes). */
-  def decode(bytes: Array[Byte], discardLevels: Int): Seq[Plane] = {
+  private def decode(bytes: Array[Byte], discardLevels: Int,
+      window: Option[(Int, Int, Int, Int)]): Seq[Plane] = {
     val cs = if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
         (bytes(1) & 0xFF) == 0x4F) bytes
       else jp2Codestream(bytes)
@@ -1227,11 +1246,38 @@ private[graft] object Jpeg2000 {
       case _ => 1
     }
 
+    // windowed decode: the per-level coefficient regions that influence
+    // the window's pixels — each inverse-lifting level halves the region
+    // and needs a support margin (radius <= 2 per axis per level; 4 is
+    // safely over). neededAt(l) is in level-l band/LL coordinates.
+    val neededAt: Array[(Int, Int, Int, Int)] = window match {
+      case None => null
+      case Some((wx, wy, wwid, whgt)) =>
+        require(wx + wwid <= w && wy + whgt <= h,
+          s"jpeg2000: window ($wx,$wy,$wwid,$whgt) outside ${w}x$h")
+        val m = 4
+        val rects = new Array[(Int, Int, Int, Int)](nl + 1)
+        rects(0) = (wx, wy, wx + wwid, wy + whgt)
+        var l = 1
+        while (l <= nl) {
+          val (a, b2, c2, d2) = rects(l - 1)
+          rects(l) = (a / 2 - m, b2 / 2 - m, (c2 + 1) / 2 + m, (d2 + 1) / 2 + m)
+          l += 1
+        }
+        rects
+    }
+    @inline def cbNeeded(level: Int, bx0: Int, by0: Int,
+        bx1: Int, by1: Int): Boolean = neededAt == null || {
+      val (a, b2, c2, d2) = neededAt(level)
+      bx0 < c2 && a < bx1 && by0 < d2 && b2 < by1
+    }
+
     // decode packets in LRCP order into per-component quadrant arrays
     // (each level's bands live at their offsets inside the full plane,
     // row stride w — the exact inverse of the encoder's layout)
     final case class Meta(band: Int, xOff: Int, yOff: Int,
-        x0: Int, y0: Int, cw: Int, ch: Int, np: Int, zbp: Int, len: Int)
+        x0: Int, y0: Int, cw: Int, ch: Int, np: Int, zbp: Int, len: Int,
+        use: Boolean)
     val planesT = Array.fill(nc)(new Array[Int](w * h))
     var p = sodAt
     for (r <- 0 to rMax; comp <- 0 until nc) {
@@ -1258,30 +1304,37 @@ private[graft] object Jpeg2000 {
               while (br.bit() == 1) extra += 1
               val len = br.bits(3 + extra + floorLog2(np))
               val x0 = gx * cb; val y0 = gy * cb
-              cbMeta += Meta(band, xOff, yOff, x0, y0,
-                math.min(cb, bw2 - x0), math.min(cb, bh2 - y0), np, zbp, len)
+              val cw2 = math.min(cb, bw2 - x0)
+              val ch2 = math.min(cb, bh2 - y0)
+              val lvl = if (r == 0) nl else nl - r + 1
+              cbMeta += Meta(band, xOff, yOff, x0, y0, cw2, ch2, np, zbp, len,
+                use = cbNeeded(lvl, x0, y0, x0 + cw2, y0 + ch2))
             }
           }
         }
       }
       p = br.align()
-      // bodies follow the header in the same order
+      // bodies follow the header in the same order; windowed decode
+      // skips the EBCOT work of code-blocks outside the needed pyramid
       cbMeta.foreach { m =>
         val mb = depthMax + gainOf(m.band) + guard - 1
         require(p + m.len <= cs.length, "jpeg2000: truncated code-block body")
-        val seg = java.util.Arrays.copyOfRange(cs, p, p + m.len)
-        p += m.len
-        val (mag, neg) = decodeCb(m.band, m.cw, m.ch, seg, m.np, mb, m.zbp)
-        var y = 0
-        while (y < m.ch) {
-          var x = 0
-          while (x < m.cw) {
-            val v0 = mag(y * m.cw + x)
-            val v = if (neg(y * m.cw + x)) -v0 else v0
-            planesT(comp)((m.yOff + m.y0 + y) * w + (m.xOff + m.x0 + x)) = v
-            x += 1
+        if (!m.use) p += m.len
+        else {
+          val seg = java.util.Arrays.copyOfRange(cs, p, p + m.len)
+          p += m.len
+          val (mag, neg) = decodeCb(m.band, m.cw, m.ch, seg, m.np, mb, m.zbp)
+          var y = 0
+          while (y < m.ch) {
+            var x = 0
+            while (x < m.cw) {
+              val v0 = mag(y * m.cw + x)
+              val v = if (neg(y * m.cw + x)) -v0 else v0
+              planesT(comp)((m.yOff + m.y0 + y) * w + (m.xOff + m.x0 + x)) = v
+              x += 1
+            }
+            y += 1
           }
-          y += 1
         }
       }
     }
@@ -1312,25 +1365,34 @@ private[graft] object Jpeg2000 {
         }
         l -= 1
       }
-      val outA = new Array[Int](outW * outH)
+      // crop to the window (windowed mode) or to the reduced-res LL
+      val (cx0, cy0, fw, fh) = window match {
+        case Some((wx, wy, wwid, whgt)) => (wx, wy, wwid, whgt)
+        case None => (0, 0, outW, outH)
+      }
+      val outA = new Array[Int](fw * fh)
       var y = 0
-      while (y < outH) {
+      while (y < fh) {
         var x = 0
-        while (x < outW) {
-          outA(y * outW + x) = full(y * w + x)
+        while (x < fw) {
+          outA(y * fw + x) = full((cy0 + y) * w + (cx0 + x))
           x += 1
         }
         y += 1
       }
       outA
     }
-    // inverse RCT (per-pixel, so valid at any reduced resolution), then
-    // the DC level unshift
+    val (fw, fh) = window match {
+      case Some((_, _, wwid, whgt)) => (wwid, whgt)
+      case None => (outW, outH)
+    }
+    // inverse RCT (per-pixel, so valid at any reduced resolution or
+    // window), then the DC level unshift
     if (mct == 1) {
       require(nc >= 3, "jpeg2000: MCT declared with fewer than 3 components")
       val ya = shiftedOut(0); val cba = shiftedOut(1); val cra = shiftedOut(2)
       var i = 0
-      while (i < outW * outH) {
+      while (i < fw * fh) {
         val g = ya(i) - ((cba(i) + cra(i)) >> 2)
         ya(i) = cra(i) + g  // R
         val b = cba(i) + g
@@ -1344,7 +1406,7 @@ private[graft] object Jpeg2000 {
       val shift = if (signedA(comp)) 0 else 1 << (depths(comp) - 1)
       var i = 0
       while (i < a.length) { a(i) += shift; i += 1 }
-      Plane(outW, outH, depths(comp), signedA(comp), a)
+      Plane(fw, fh, depths(comp), signedA(comp), a)
     }
   }
 

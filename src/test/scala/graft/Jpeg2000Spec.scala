@@ -378,6 +378,53 @@ class Jpeg2000Spec extends AnyFunSuite {
         db.getDouble(((y + 2) * 48 + (x + 4)) * 8), s"($x,$y)")
   }
 
+  test("windowed decode ≡ full decode crop, across window positions and shapes") {
+    val rnd = new scala.util.Random(27)
+    for ((w, h, depth, levels, mct) <- Seq((130, 70, 8, 3, false),
+        (97, 111, 16, 4, false), (64, 64, 8, 2, true))) {
+      val nComp = if (mct) 3 else 1
+      val planes = Seq.fill(nComp)(planeOf(w, h, depth, signed = false,
+        (_, _) => rnd.nextInt(1 << depth)))
+      val cs = Jpeg2000.encode(planes, levels = levels, cbExp = 4, mct = mct)
+      val full = Jpeg2000.decode(cs)
+      // corners, center, single pixel, full-extent, odd offsets
+      val windows = Seq((0, 0, 7, 5), (w - 9, h - 6, 9, 6), (w / 3, h / 3, 11, 13),
+        (w / 2, h / 2, 1, 1), (0, 0, w, h), (5, 7, w - 11, h - 14))
+      for ((wx, wy, wwid, whgt) <- windows) {
+        val win = Jpeg2000.decodeWindow(cs, wx, wy, wwid, whgt)
+        assert(win.length == nComp)
+        for (ci <- 0 until nComp; y <- 0 until whgt; x <- 0 until wwid)
+          assert(win(ci).samples(y * wwid + x) ==
+            full(ci).samples((wy + y) * w + (wx + x)),
+            s"${w}x$h mct=$mct window ($wx,$wy,$wwid,$whgt) comp $ci at ($x,$y)")
+      }
+    }
+    // out-of-bounds windows refuse
+    val cs1 = Jpeg2000.encode(Seq(planeOf(16, 16, 8, signed = false, (x, y) => x + y)))
+    intercept[IllegalArgumentException](Jpeg2000.decodeWindow(cs1, 10, 10, 10, 10))
+  }
+
+  test("out-db loader windowed read uses the selective decode and re-anchors geo") {
+    import graft.functions.RasterModel
+    import graft.functions.RasterModel.{Band, Raster}
+    val w = 96; val h = 64
+    val vals = Array.tabulate(w * h)(i => ((i * 37) % 250).toDouble)
+    val r = Raster("EPSG:3857", Array(100.0, 2.0, 0.0, 500.0, 0.0, -2.0),
+      w, h, Vector(Band(Double.NaN, RasterModel.packDoubles(vals),
+        ptype = "UNSIGNED_8BITS")))
+    val bytes = Jp2Raster.write(r, levels = 3)
+    val fetch = (off: Long, n: Int) =>
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    val win = Jp2Raster.OutDb.loadWindow(fetch, bytes.length.toLong, 10, 20, 8, 6)
+    assert(win.width == 8 && win.height == 6 && win.crs == "EPSG:3857")
+    assert(win.gt(0) == 100.0 + 10 * 2.0 && win.gt(3) == 500.0 - 20 * 2.0)
+    val bb = java.nio.ByteBuffer.wrap(win.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (y <- 0 until 6; x <- 0 until 8)
+      assert(bb.getDouble((y * 8 + x) * 8) == vals((20 + y) * w + (10 + x)),
+        s"($x,$y)")
+  }
+
   test("corrupt and truncated inputs terminate with errors, never hang") {
     val p = planeOf(32, 24, 8, signed = false, (x, y) => (x * 7 + y * 3) % 256)
     val cs = Jpeg2000.encode(Seq(p), levels = 2, cbExp = 4)
