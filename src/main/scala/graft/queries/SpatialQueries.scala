@@ -1215,6 +1215,48 @@ object SpatialQueries {
           st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
     }),
 
+    // JPEG 2000 out-db: per-nation GeoJP2 tiles written through
+    // sources/Jp2Raster on the executors, then rs_frompath header-only
+    // metadata + windowed pixel access — rs_value routes through the
+    // loader's loadWindow, which entropy-decodes ONLY the code-blocks
+    // in the sample's wavelet pyramid (Jpeg2000.decodeWindow); bandavg
+    // forces the full decode. Same contract shape as rs13's BigTIFF
+    // out-db gate, over the lossless wavelet codec instead
+    "rs19_jp2_outdb" -> ((s, dir) => {
+      prep(s)
+      val base = s"/tmp/graft_outdb_jp2/${math.abs(dir.hashCode)}"
+      new java.io.File(base).mkdirs()
+      t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { row =>
+            val n = row.getInt(0)
+            val w = 40; val h = 24
+            val vals = Array.tabulate(w * h)(i => ((n * 100 + i) % 89).toDouble)
+            val r = graft.functions.RasterModel.Raster("EPSG:32610",
+              Array((n % 10) * 400.0, 10.0, 0.0, 50000.0 - (n % 5) * 240.0,
+                0.0, -10.0),
+              w, h, Vector(graft.functions.RasterModel.Band(Double.NaN,
+                graft.functions.RasterModel.packDoubles(vals),
+                ptype = "UNSIGNED_8BITS")))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$base/tile_$n.jp2"),
+              graft.sources.Jp2Raster.write(r, levels = 2))
+          }
+        }
+      t(s, dir, "nation")
+        .withColumn("path", concat(lit(s"file:$base/tile_"),
+          col("n_nationkey"), lit(".jp2")))
+        .withColumn("r", st.f("rs_frompath", col("path")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("r")).as("w"),
+          st.f("rs_height", col("r")).as("h"),
+          st.f("rs_crs", col("r")).as("crs"),
+          st.f("rs_upperleftx", col("r")).as("ulx"),
+          st.f("rs_value", col("r"), lit(1), lit(17), lit(9)).as("v179"),
+          st.f("rs_bandavg", col("r"), lit(1)).as("bavg"),
+          st.f("rs_bandmax", col("r"), lit(1)).as("bmax"))
+    }),
+
     // JPEG-compressed GeoTIFF (TIFF compression 7, the layout aerial
     // imagery and most lossy COGs ship in; the reference reaches it
     // through GDAL's libjpeg path, here the JDK ImageIO codec): 8-bit
@@ -2125,6 +2167,21 @@ object SpatialQueries {
         |  CAST(n_nationkey % 8 AS DOUBLE)*8.0 AS ulx,
         |  vs[7] AS v21,
         |  list_sum(vs)/12.0 AS bavg,
+        |  list_max(vs) AS bmax
+        |FROM v""".stripMargin,
+
+    // JP2 out-db tile pixel i = (n*100 + i) % 89 on a 40x24 grid —
+    // identical contract shape to the BigTIFF out-db oracle
+    "rs19_jp2_outdb" ->
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*100 + i) % 89 AS DOUBLE) for i in range(0, 960)] AS vs
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(40 AS INT) AS w, CAST(24 AS INT) AS h,
+        |  'EPSG:32610' AS crs,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*400.0 AS ulx,
+        |  vs[378] AS v179,
+        |  list_sum(vs)/960.0 AS bavg,
         |  list_max(vs) AS bmax
         |FROM v""".stripMargin,
 
