@@ -204,7 +204,16 @@ private[graft] object Jp2Raster {
         level: Long, xoff: Int, yoff: Int, w: Int, h: Int,
         baseGt: Array[Double], baseCrs: String): Raster = {
       require(fileLen <= Int.MaxValue, "jp2 loader: file too large")
-      val full = readAt(fetch(0L, fileLen.toInt), level.toInt)
+      // a reduced-resolution decode consumes only the leading packets:
+      // the PLT marker (this encoder always writes one) gives the exact
+      // prefix length, so the fetch is megabytes, not the whole scene
+      val head = fetch(0L, math.min(fileLen, HeaderProbe.toLong).toInt)
+      val n = Jpeg2000.prefixLenFor(head, level.toInt)
+        .map(p => math.min(p.toLong, fileLen)).getOrElse(fileLen)
+      val bytes =
+        if (n <= head.length) head
+        else head ++ fetch(head.length.toLong, (n - head.length).toInt)
+      val full = readAt(bytes, level.toInt)
       val cropped = RasterLoaders.crop(full, xoff, yoff, w, h)
       cropped.copy(crs = baseCrs, gt = {
         val g = baseGt.clone()

@@ -1042,6 +1042,10 @@ private[graft] object Jpeg2000 {
       }
     }
 
+    // per-packet byte lengths (header + bodies), emitted as a PLT
+    // marker segment so a reader can fetch ONLY the leading packets for
+    // a reduced-resolution decode (A.7.1 — informational otherwise)
+    val packetLens = new ArrayBuffer[Int]()
     for (r <- 0 to nl; comp <- planes.indices) {
       // one packet per (resolution, component): header then bodies
       val bands = bandsOf(w, h, nl, r)
@@ -1104,15 +1108,40 @@ private[graft] object Jpeg2000 {
       val header = bwr.finish()
       body.write(header)
       bodies.foreach(body.write)
+      packetLens += header.length + bodies.map(_.length).sum
     }
 
     val tileBytes = body.toByteArray
+    // PLT payload: packet lengths as 7-bit big-endian varints
+    // (continuation bit 0x80), split into <= 65535-byte segments
+    val pltBytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      packetLens.foreach { len =>
+        var started = false
+        var shift = 28
+        while (shift > 0) {
+          val part = (len >> shift) & 0x7F
+          if (part != 0 || started) { b.write(part | 0x80); started = true }
+          shift -= 7
+        }
+        b.write(len & 0x7F)
+      }
+      b.toByteArray
+    }
     // SOT
     u16(0xFF90)
+    val pltSegs = pltBytes.grouped(65532).toSeq
+    val pltTotal = pltSegs.map(_.length + 5).sum
     u16(10)
     u16(0)
-    u32(12 + 2 + tileBytes.length) // Psot: SOT seg + SOD marker + data
+    u32(12 + pltTotal + 2 + tileBytes.length) // Psot incl. PLT segments
     u8(0); u8(1)
+    pltSegs.zipWithIndex.foreach { case (seg, zi) =>
+      u16(0xFF58) // PLT
+      u16(3 + seg.length)
+      u8(zi)
+      out.write(seg)
+    }
     u16(0xFF93) // SOD
     out.write(tileBytes)
     u16(0xFFD9) // EOC
@@ -1444,6 +1473,71 @@ private[graft] object Jpeg2000 {
     }
     require(w > 0 && nl >= 0, "jpeg2000: SIZ/COD not found in header bytes")
     (w, h, nc, nl)
+  }
+
+  /** FILE-byte length of the prefix sufficient to decode resolutions
+    * 0..NL-discard, computed from the PLT packet-length marker this
+    * encoder writes: header bytes + the leading (NL-discard+1)*nc
+    * packets. None when the stream carries no PLT (foreign encoders may
+    * omit it) or the header probe is too short. A reduced-resolution
+    * out-db read then FETCHES only this prefix — megabytes instead of a
+    * whole scene. */
+  def prefixLenFor(head: Array[Byte], discard: Int): Option[Int] = {
+    val csOff =
+      if (head.length >= 4 && (head(0) & 0xFF) == 0xFF && (head(1) & 0xFF) == 0x4F) 0
+      else jp2CodestreamOffset(head).getOrElse(return None)
+    val bb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
+    var pos = csOff + 2
+    var nc = -1; var nl = -1
+    val lens = new ArrayBuffer[Int]()
+    var sodAt = -1
+    while (sodAt < 0 && pos + 4 <= head.length) {
+      val marker = bb.getShort(pos) & 0xFFFF
+      if ((marker >> 8) != 0xFF) return None
+      marker match {
+        case 0xFF51 => nc = bb.getShort(pos + 38) & 0xFFFF
+        case 0xFF52 => nl = bb.get(pos + 9) & 0xFF
+        case 0xFF58 =>
+          val end = pos + 2 + (bb.getShort(pos + 2) & 0xFFFF)
+          if (end > head.length) return None
+          var q = pos + 5 // skip marker, Lplt, Zplt
+          var cur = 0
+          while (q < end) {
+            val v = head(q) & 0xFF
+            cur = (cur << 7) | (v & 0x7F)
+            if ((v & 0x80) == 0) { lens += cur; cur = 0 }
+            q += 1
+          }
+        case 0xFF93 => sodAt = pos + 2
+        case _ =>
+      }
+      if (sodAt < 0)
+        pos = if (marker == 0xFF90) pos + 12
+          else pos + 2 + (bb.getShort(pos + 2) & 0xFFFF)
+    }
+    if (sodAt < 0 || nc <= 0 || nl < 0 || discard > nl) return None
+    val needPackets = (nl - discard + 1) * nc
+    if (lens.length < needPackets) return None
+    Some(sodAt + lens.take(needPackets).sum)
+  }
+
+  /** Offset of the jp2c box PAYLOAD inside a JP2 container (walking
+    * only the boxes present in the given bytes). */
+  private def jp2CodestreamOffset(bytes: Array[Byte]): Option[Int] = {
+    if (bytes.length < 12 || bytes(4) != 'j'.toByte || bytes(5) != 'P'.toByte)
+      return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 0
+    while (pos + 8 <= bytes.length) {
+      var len = bb.getInt(pos).toLong
+      val boxType = new String(bytes, pos + 4, 4, "ISO-8859-1")
+      var dataOff = pos + 8
+      if (len == 1) { len = bb.getLong(pos + 8); dataOff = pos + 16 }
+      else if (len == 0) len = bytes.length - pos
+      if (boxType == "jp2c") return Some(dataOff)
+      pos += len.toInt
+    }
+    None
   }
 
   /** Extract the contiguous codestream from a JP2 box container. */

@@ -334,6 +334,27 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(full.head.samples.toSeq == p.samples.toSeq)
   }
 
+  test("PLT prefix: reduced-resolution decode from only the leading bytes") {
+    val rnd = new scala.util.Random(51)
+    val w = 120; val h = 90
+    val p = planeOf(w, h, 8, signed = false, (_, _) => rnd.nextInt(256))
+    val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4)
+    for (d <- 0 to 3) {
+      val n = Jpeg2000.prefixLenFor(cs, d).get
+      assert(n <= cs.length)
+      val fromPrefix = Jpeg2000.decode(java.util.Arrays.copyOfRange(cs, 0, n), d)
+      val fromFull = Jpeg2000.decode(cs, d)
+      assert(fromPrefix.head.w == fromFull.head.w)
+      assert(fromPrefix.head.samples.toSeq == fromFull.head.samples.toSeq,
+        s"discard $d from ${n} of ${cs.length} bytes")
+    }
+    // deeper discards need strictly less of the stream; the full-res
+    // prefix is the whole packet range
+    val ns = (0 to 3).map(d => Jpeg2000.prefixLenFor(cs, d).get)
+    assert(ns == ns.sorted.reverse && ns(3) < ns(0),
+      s"prefix lengths must shrink with discard: $ns")
+  }
+
   test("out-db loader: header meta, overviews, reduced windowed read") {
     import graft.functions.RasterModel
     import graft.functions.RasterModel.{Band, Raster}
@@ -359,12 +380,20 @@ class Jpeg2000Spec extends AnyFunSuite {
     // the loader's reduced windowed read crops the level image and
     // re-anchors the prescaled geotransform
     val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-    val fetch = (off: Long, n: Int) =>
+    var fetched = 0L
+    val fetch = (off: Long, n: Int) => {
+      fetched += n
       java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    }
     val red = Jp2Raster.OutDb.loadWindowAt(fetch, bytes.length.toLong,
       1L, 4, 2, 10, 6, Array(10.0, 10.0, 0.0, 9000.0, 0.0, -10.0), "EPSG:3857")
     assert(red.width == 10 && red.height == 6)
     assert(red.gt(0) == 10.0 + 4 * 10.0 && red.gt(3) == 9000.0 - 2 * 10.0)
+    // the PLT prefix keeps the overview fetch under the whole file when
+    // the file outgrows the header probe... at this fixture size the
+    // probe covers it; assert the prefix accounting instead
+    assert(Jpeg2000.prefixLenFor(bytes, 1).exists(_ < bytes.length),
+      "level-1 prefix must be shorter than the file")
     // the reduced window's pixels equal the same region of a direct
     // reduced-resolution decode
     val direct = Jp2Raster.readAt(
