@@ -23,13 +23,18 @@ object PlanAudit {
     * worthGrid: 65536² · 4 bytes² (~a couple million pairs at 100 B/row). */
   private def bnljJustified(df: org.apache.spark.sql.DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    val cutoff = BigInt(65536)
-    df.queryExecution.optimizedPlan.collect {
-      case j: Join if j.condition.isEmpty ||
-          !graft.plans.RangeJoinShapes.hasEquiConjunct(
-            j.condition.get, j.left, j.right) =>
-        j.left.stats.sizeInBytes * j.right.stats.sizeInBytes
-    }.forall(_ <= cutoff * cutoff * 4)
+    val cutoff = BigInt(65536) * 65536 * 4
+    val all = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val nonEqui = all.filter(j => j.condition.isEmpty ||
+      !graft.plans.RangeJoinShapes.hasEquiConjunct(j.condition.get, j.left, j.right))
+    // the physical BNLJ came from SOME logical join: judge the non-equi
+    // ones when present, otherwise every join (an equi-join shape Catalyst
+    // could not hash — e.g. an outer join with a null-intolerant key —
+    // still falls back to BNLJ and must not pass vacuously); a BNLJ with
+    // no logical join at all (subquery machinery) is never justified
+    val suspects = if (nonEqui.nonEmpty) nonEqui else all
+    suspects.nonEmpty &&
+      suspects.forall(j => j.left.stats.sizeInBytes * j.right.stats.sizeInBytes <= cutoff)
   }
 
   /** Build (not execute) every gate query's physical plan and classify

@@ -160,6 +160,38 @@ object ScaleBench {
           globePoints(20000L * m, 19).select(col("id").as("oid"), col("pt").as("opt")),
           col("qpt"), col("opt"), 3, col("oid"), nx = 2 * ny, ny = ny))
       },
+      // sj16 SPARSE variant: 30% of queries are isolated (mid-ocean
+      // sensors, nearest object > 2000 km). Objects are uniform over the
+      // globe EXCEPT a ~90°x60° empty "ocean" whose center holds the
+      // isolated queries — per-cell object density stays what sj16's
+      // uniform workload has, but 30% of probes find NOTHING in their
+      // one-cell ring. The former π·R fallback joined every such query
+      // against the ENTIRE object side (30% of probes x all objects —
+      // quadratic in m); geometric ring escalation must keep wall ~ m by
+      // resolving them at a few-ring cover instead.
+      "sj16_knn_sphere_sparse" -> { m =>
+        val ny = math.max(24, (24 * sqrtM(m)).toInt)
+        // objects: uniform outside the ocean [-135,-45]x[-30,30]
+        val o = spark.range(0, 20000L * m).toDF("id")
+          .withColumn("lon", u(col("id"), 23) * 360.0 - 180.0)
+          .withColumn("lat", u(col("id"), 24) * 170.0 - 85.0)
+          .filter(!(col("lon") > -135 && col("lon") < -45 &&
+            col("lat") > -30 && col("lat") < 30))
+          .select(col("id").as("oid"), st.point(col("lon"), col("lat")).as("opt"))
+        // queries: 70% uniform over the object region, 30% in the ocean
+        // center (nearest object >= ~2500 km away at the closest edge)
+        val q = spark.range(0, 1500L * m).toDF("id")
+          .withColumn("iso", pmod(col("id"), lit(10)) < 3)
+          .withColumn("qlon",
+            when(col("iso"), lit(-110.0) + u(col("id"), 25) * 40.0)
+              .otherwise(u(col("id"), 25) * 170.0 - 30.0))
+          .withColumn("qlat",
+            when(col("iso"), lit(-7.0) + u(col("id"), 26) * 14.0)
+              .otherwise(u(col("id"), 26) * 100.0 - 50.0))
+          .select(col("id").as("qid"), st.point(col("qlon"), col("qlat")).as("qpt"))
+        timed(SpatialJoins.knnJoinGridSphere(
+          q, o, col("qpt"), col("opt"), 3, col("oid"), nx = 2 * ny, ny = ny))
+      },
       // sj07 path: planner-level SQL grid join under broadcast-off,
       // grid resolution from the deployment conf
       "sj07_planner_grid" -> { m =>

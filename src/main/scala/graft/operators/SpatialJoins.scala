@@ -271,25 +271,17 @@ object SpatialJoins {
           lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    // round 1: one-ring neighbourhood probe -> per-query distance bound
+    // round 1: geometric radius escalation -> per-query bound (one-ring
+    // probe first, 4x per round for still-unresolved queries; see
+    // escalateKnnBounds — the planar analog of the spheroid fix, so a
+    // sparse query never re-probes the full extent)
     val ring = math.max(cellW, cellH) + 1e-12
-    val probe1 = q.select(col("__qid"), col("__qg"),
-        explode(cells(col("__qg"), lit(ring))).as("__pcell"))
-      .join(o.select(col("__ocell"), col("__og"), col("__otb"), col("__oid")),
-        col("__pcell") === col("__ocell"))
-      .select(col("__qid"), col("__oid"),
-        st.distance(col("__qg"), col("__og")).as("__d"), col("__otb"))
-      .dropDuplicates("__qid", "__oid")
-    val w1 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
-    val bound = probe1.withColumn("__rn", row_number().over(w1))
-      .groupBy(col("__qid"))
-      .agg(max(when(col("__rn") <= k, col("__d"))).as("__dk"),
-        count(when(col("__rn") <= k, 1)).as("__cnt"))
-      .select(col("__qid"),
-        when(col("__cnt") >= k, col("__dk")).otherwise(lit(diag)).as("__radius"))
+    val bound = escalateKnnBounds(q, o, k, cells, st.distance, ring, diag)
 
     // round 2: exact re-probe within the per-query radius (queries with an
-    // empty round-1 neighbourhood fall back to the full-extent diagonal)
+    // empty neighbourhood at every radius fall back to the full-extent
+    // diagonal via the left-join coalesce — only possible when the object
+    // side holds fewer than k rows)
     val q2 = q.join(bound, Seq("__qid"), "left")
       .withColumn("__radius", coalesce(col("__radius"), lit(diag)))
       .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-9))))
@@ -305,6 +297,95 @@ object SpatialJoins {
       .withColumn("knn_distance", col("__d"))
       .select((qCols.map(col) ++ oCols.map(c => col(s"__o_$c").as(c)) ++
         Seq(col("knn_distance"), col("knn_rank"))).toIndexedSeq: _*)
+  }
+
+  /** Round-1 of the two-round grid KNN schemes: per-query kth-distance
+    * upper bound via GEOMETRIC RADIUS ESCALATION. Probe each query's
+    * ~one-cell ring first; queries still holding < k distinct candidates
+    * re-probe at 4x the radius (ring -> 4x -> 16x -> ... -> maxR) until
+    * they resolve. A query's kth candidate distance under ANY cover
+    * bounds its true kth distance from above (the cover contains every
+    * object within the probe radius), so resolved queries never
+    * re-probe, and a sparse query pays for its own escalated radius
+    * instead of being dragged straight to the full-extent cover (the
+    * former fallback joined every empty-ring query against the ENTIRE
+    * object side). Escalation rounds see only the shrinking unresolved
+    * set — on a dense workload rounds 2+ run on (near-)empty inputs and
+    * AQE's empty-relation propagation collapses them at runtime.
+    *
+    * The per-round bound is computed by `sd_knn_bound_agg`, a bounded
+    * TypedImperativeAggregate with MAP-SIDE partial aggregation: the
+    * probe join's candidate pairs are consumed where they are produced
+    * and only (qid, <=k entries) buffers shuffle — the former
+    * dropDuplicates + row_number pipeline shuffled every candidate pair
+    * twice, the dominant intermediate at scale. Per-round stats (one row
+    * per probing query) are persisted so later rounds and the final
+    * union never recompute earlier probe joins.
+    *
+    * `q` must carry __qid/__qg, `o` must carry __ocell/__og/__otb/__oid.
+    * Returns (__qid, __radius) for every query with >= 1 candidate at
+    * some radius; the terminal round hands cnt < k queries maxR (cover =
+    * the full extent, so < k candidates there means the object side
+    * itself holds fewer than k rows — taking everything is exact). */
+  private[graft] def escalateKnnBounds(q: DataFrame, o: DataFrame, k: Int,
+      cells: (Column, Column) => Column, dist: (Column, Column) => Column,
+      ring: Double, maxR: Double): DataFrame = {
+    val radii =
+      Iterator.iterate(ring)(_ * 4).takeWhile(_ < maxR).take(12).toList :+ maxR
+    val oProbe = o.select(col("__ocell"), col("__og"), col("__otb"), col("__oid"))
+    var unresolved = q.select(col("__qid"), col("__qg"))
+    // Each round MATERIALIZES its stats (and the shrunk unresolved set)
+    // before the next round is even planned: rounds whose input is empty
+    // are never constructed, so a dense workload's final plan carries
+    // ONLY the rounds that actually probed (no full-extent branches),
+    // and each probe join runs exactly once — a lazily-composed
+    // escalation re-derived every round's subtree inside one action and
+    // measured 4-8x slower. Eager jobs at operator-construction time are
+    // this codebase's established pattern (knnJoinGrid's envelope
+    // pre-pass collect, IvfAnn's Lloyd rounds). The per-round persists
+    // join the CacheRegistry only AFTER construction completes — the
+    // sweep listener releases caches referenced by any finishing query,
+    // and the construction-time counts must not trigger it early.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pinned += df
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    var remaining = -1L // unknown before the first round's count
+    val bounds = radii.zipWithIndex.flatMap { case (r, i) =>
+      val last = i == radii.size - 1
+      if (remaining == 0) None
+      else {
+        // distance PROJECTED before the aggregate: the typed aggregate's
+        // partial (ObjectHashAggregate) falls back to sort-based beyond
+        // the distinct-key threshold, and that sort touches the full
+        // input rows — 4 scalars per row here, not two WKB geometries
+        // (measured 16x on the fallback stage at 48M candidate pairs)
+        val stats = pin(unresolved
+          .select(col("__qid"), col("__qg"), explode(cells(col("__qg"), lit(r))).as("__pcell"))
+          .join(oProbe, col("__pcell") === col("__ocell"))
+          .select(col("__qid"), dist(col("__qg"), col("__og")).as("__d"),
+            col("__otb"), col("__oid"))
+          .groupBy(col("__qid"))
+          .agg(st.f("sd_knn_bound_agg", col("__d"),
+            col("__otb"), col("__oid"), lit(k)).as("__b"))
+          .select(col("__qid"), col("__b").getField("dk").as("__dk"),
+            col("__b").getField("cnt").as("__cnt")))
+        if (!last) {
+          unresolved = pin(unresolved.join(
+            stats.filter(col("__cnt") >= k).select(col("__qid")), Seq("__qid"), "left_anti"))
+          remaining = unresolved.count() // also materializes stats
+        }
+        Some(
+          if (last)
+            stats.select(col("__qid"),
+              when(col("__cnt") >= k, col("__dk")).otherwise(lit(maxR)).as("__radius"))
+          else
+            stats.filter(col("__cnt") >= k).select(col("__qid"), col("__dk").as("__radius")))
+      }
+    }
+    pinned.foreach(graft.CacheRegistry.register)
+    bounds.reduce(_ unionByName _)
   }
 
   /** Spheroid (great-circle) partitioned KNN join — the scale path when
@@ -352,26 +433,21 @@ object SpatialJoins {
         .withColumn("__ocell", explode(cells(col("__og"), lit(0.0))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    // round 1: ~one-cell-height geodesic ring probe -> per-query bound
+    // round 1: geometric radius escalation -> per-query bound (one-ring
+    // geodesic probe first, 4x per round, globe only as the terminal
+    // radius — see escalateKnnBounds; the former π·R fallback joined
+    // every empty-ring query against the ENTIRE object side, a skew
+    // cliff on sparse/clustered workloads like ocean sensors vs coastal
+    // assets)
     val ringM = math.Pi * graft.functions.Spherical.R / ny + 1e-6
-    val probe1 = q.select(col("__qid"), col("__qg"),
-        explode(cells(col("__qg"), lit(ringM))).as("__pcell"))
-      .join(o.select(col("__ocell"), col("__og"), col("__otb"), col("__oid")),
-        col("__pcell") === col("__ocell"))
-      .select(col("__qid"), col("__oid"),
-        st.f("st_distancesphere", col("__qg"), col("__og")).as("__d"), col("__otb"))
-      .dropDuplicates("__qid", "__oid")
-    val w1 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
-    val bound = probe1.withColumn("__rn", row_number().over(w1))
-      .groupBy(col("__qid"))
-      .agg(max(when(col("__rn") <= k, col("__d"))).as("__dk"),
-        count(when(col("__rn") <= k, 1)).as("__cnt"))
-      .select(col("__qid"),
-        when(col("__cnt") >= k, col("__dk")).otherwise(lit(maxGeo)).as("__radius"))
+    val bound = escalateKnnBounds(q, o, k, cells,
+      (a, b) => st.f("st_distancesphere", a, b), ringM, maxGeo)
 
     // round 2: exact re-probe of the radius-expanded spherical cover
-    // (queries with an empty round-1 neighbourhood fall back to π·R —
-    // the whole-globe cover, rare by construction, never wrong)
+    // (queries with an empty neighbourhood at every escalation radius can
+    // only mean an object side smaller than k — the left-join coalesce
+    // below hands them the antipodal maximum, rare by construction,
+    // never wrong)
     val q2 = q.join(bound, Seq("__qid"), "left")
       .withColumn("__radius", coalesce(col("__radius"), lit(maxGeo)))
       .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-3))))

@@ -26,31 +26,13 @@ object StreamingQueries {
 
   private val GapUs = 30L * 60 * 1000000 // 30 min in micros
 
-  /** Gate-scale streaming confs around a streaming-query run: 8 shuffle
-    * partitions (the state machinery opens several stores per partition
-    * per micro-batch — at gate scale the store commits dominate, so the
-    * query runs on fewer partitions; a cluster run would size this to
-    * the data) and the HEAP state store — the measured-right provider at
-    * gate-scale state volume (BENCH_LOCAL round-12 provider table: st03
-    * m=1 5.6s heap vs 10.9s RocksDB, while the library's RocksDB session
-    * default remains right at ingest scale, 4.8x vs 15.9x at m=10).
-    * st02/st08 deliberately keep the session default so the RocksDB path
-    * stays oracle-covered. */
-  private def gateRun[T](s: SparkSession)(body: => T): T = {
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevProv = s.conf.getOption(pKey)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set(pKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    try body finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProv match {
-        case Some(v) => s.conf.set(pKey, v)
-        case None => s.conf.unset(pKey)
-      }
-    }
-  }
+  /** Gate-scale streaming runs use the operator-layer deployment knob
+    * `StreamingOps.withMicroScaleConfs` (8 partitions + heap store —
+    * rationale and the restore-safety contract documented there), so no
+    * gate body carries a conf.set. st02/st08 deliberately keep the
+    * session default so the RocksDB path stays oracle-covered. */
+  private def gateRun[T](s: SparkSession)(body: => T): T =
+    StreamingOps.withMicroScaleConfs(s)(body)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_sessionize" -> ((s, dir) => {

@@ -561,6 +561,58 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(grid) == sortedRows(brute))
   }
 
+  test("sd_knn_bound_agg ≡ window oracle: distinct-oid kth distance + count") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate oids (same pair via several cover cells), distance ties
+    // broken by (tb, oid), many partitions so the partial-merge path runs
+    val rows = spark.range(4000).select(
+      (col("id") % 37).as("qid"),
+      (pmod(hash(col("id"), lit(1)), lit(50)).cast("double") / 10.0).as("d"),
+      (pmod(hash(col("id"), lit(2)), lit(3)).cast("double")).as("tb"),
+      pmod(hash(col("id"), lit(3)), lit(40)).cast("long").as("oid"))
+      .repartition(16)
+    rows.cache().count()
+    val agg = rows.groupBy("qid")
+      .agg(st.f("sd_knn_bound_agg", col("d"), col("tb"), col("oid"), lit(5)).as("b"))
+      .select(col("qid"), col("b.dk").as("dk"), col("b.cnt").as("cnt"))
+    // oracle: per (qid, oid) keep the min (d, tb), rank by (d, tb, oid)
+    val wOid = Window.partitionBy("qid", "oid").orderBy(col("d"), col("tb"))
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("tb"), col("oid"))
+    val oracle = rows.withColumn("rn0", row_number().over(wOid)).filter(col("rn0") === 1)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("qid").agg(max(col("d")).as("dk"), count(lit(1)).cast("int").as("cnt"))
+    assert(sortedRows(agg) == sortedRows(oracle))
+    rows.unpersist()
+  }
+
+  test("spheroid grid KNN: isolated queries escalate geometrically, stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sparse/clustered workload: 70% of queries sit inside the object
+    // cluster, 30% are isolated (nearest object > 2000 km — mid-ocean
+    // sensors vs coastal assets). The escalation rounds must hand the
+    // isolated tail a 4x/16x-ring bound instead of the whole-globe cover,
+    // and the result must still be the exact geodesic top-k.
+    val rnd = new java.util.Random(41)
+    val o = (0 until 300).map { i => // objects clustered in a ~15° patch
+      (i.toLong, -5.0 + rnd.nextDouble() * 15, 40.0 + rnd.nextDouble() * 15)
+    }.toDF("oid", "olon", "olat")
+      .select(col("oid"), st.point(col("olon"), col("olat")).as("opt"))
+    val q = (0 until 40).map { i =>
+      if (i % 10 < 3) (i.toLong, -150.0 + rnd.nextDouble() * 40, -40.0 + rnd.nextDouble() * 30)
+      else (i.toLong, -4.0 + rnd.nextDouble() * 13, 41.0 + rnd.nextDouble() * 13)
+    }.toDF("qid", "qlon", "qlat")
+      .select(col("qid"), st.point(col("qlon"), col("qlat")).as("qpt"))
+    val grid = SpatialJoins.knnJoinGridSphere(q, o, col("qpt"), col("opt"),
+      5, col("oid")).select("qid", "oid")
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("oid"))
+    val brute = q.crossJoin(o)
+      .withColumn("d", st.f("st_distancesphere", col("qpt"), col("opt")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "oid")
+    assert(sortedRows(grid) == sortedRows(brute))
+  }
+
   test("SQL spheroid KNN with large object side plans the geodesic grid path") {
     // tie-free coordinates (per-key epsilons): the grid path must return
     // exactly the broadcast chord-kd path's rows
