@@ -723,11 +723,17 @@ object RasterOps {
     // offline in sources/Jpeg2000. Integer band types up to 16 bits;
     // georeferencing travels as a GeoJP2 uuid box (embedded degenerate
     // GeoTIFF). Roundtrips through RS_FromGDALRaster's JP2/SOC sniff.
-    fnv("rs_asjpeg2000", BinaryType, Seq(Seq(Raw), Seq(Raw, Int_)))(a => {
+    // The 4-arg form RS_AsJPEG2000(raster, levels, tileW, tileH) writes
+    // a TILED codestream (independent tiles + TLM byte directory — the
+    // Sentinel-2 layout); tile dims must be multiples of 2^levels.
+    fnv("rs_asjpeg2000", BinaryType,
+      Seq(Seq(Raw), Seq(Raw, Int_), Seq(Raw, Int_, Int_, Int_)))(a => {
       val levels = if (a.length > 1) a(1).asInstanceOf[Int] else 5
       require(levels >= 0 && levels <= 32,
         s"rs_asjpeg2000: decomposition levels $levels out of range 0..32")
-      graft.sources.Jp2Raster.write(rast(a), levels)
+      val tiles = if (a.length > 3)
+        Some((a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])) else None
+      graft.sources.Jp2Raster.write(rast(a), levels, tiles)
     }),
 
     // RS_AsNetCDF(raster) -> binary: classic CDF-2 serialization through

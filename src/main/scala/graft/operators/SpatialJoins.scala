@@ -287,7 +287,8 @@ object SpatialJoins {
       .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-9))))
     val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
     q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++
-        oCols.map(c => o(c).as(s"__o_$c")): _*),
+        oCols.map(c => o(c).as(s"__o_$c")): _*)
+        .hint("shuffle_hash"), // probe side is an explode: see escalateKnnBounds
         col("__pcell") === col("__ocell"))
       .withColumn("__d", st.distance(col("__qg"), col("__og")))
       .filter(col("__d") <= col("__radius") + lit(1e-9))
@@ -332,7 +333,14 @@ object SpatialJoins {
       ring: Double, maxR: Double): DataFrame = {
     val radii =
       Iterator.iterate(ring)(_ * 4).takeWhile(_ < maxR).take(12).toList :+ maxR
+    // the probe side is an EXPLODE of per-query covers — Catalyst's
+    // row-count estimate ignores the explode factor, so left alone AQE
+    // can pick a broadcast of a "45k-row" side that is really 100M+
+    // exploded rows (observed: driver maxResultSize abort at m=100).
+    // Pin the cell join to shuffle-hash with the object index as the
+    // per-partition build side — the only shape that holds at 100 TB.
     val oProbe = o.select(col("__ocell"), col("__og"), col("__otb"), col("__oid"))
+      .hint("shuffle_hash")
     var unresolved = q.select(col("__qid"), col("__qg"))
     // Each round MATERIALIZES its stats (and the shrunk unresolved set)
     // before the next round is even planned: rounds whose input is empty
@@ -453,7 +461,8 @@ object SpatialJoins {
       .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-3))))
     val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
     q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++
-        oCols.map(c => o(c).as(s"__o_$c")): _*),
+        oCols.map(c => o(c).as(s"__o_$c")): _*)
+        .hint("shuffle_hash"), // probe side is an explode: see escalateKnnBounds
         col("__pcell") === col("__ocell"))
       .withColumn("__d", st.f("st_distancesphere", col("__qg"), col("__og")))
       .filter(col("__d") <= col("__radius") + lit(1e-3))

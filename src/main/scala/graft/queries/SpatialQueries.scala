@@ -1322,6 +1322,43 @@ object SpatialQueries {
           (octet_length(col("g")) < lit(40 * 28 * 2)).as("compressed"))
     }),
 
+    // MULTI-TILE JPEG 2000 (the real Sentinel-2 granule layout: a tile
+    // grid of independently-coded codestreams + a TLM byte directory in
+    // the main header): per-nation 96x64 UNSIGNED_16BITS rasters with
+    // varied formula pixels encode through the 4-arg rs_asjpeg2000 into
+    // a 3x2 grid of 32x32 tiles and decode back bit-exact — min/max/avg
+    // over every pixel replay the formula, a probed pixel sits ON a tile
+    // seam (col 33, row 33 crosses both seams), and octet_length proves
+    // genuine entropy coding
+    "rs20_jp2_multitile" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("vals", expr(
+          "transform(sequence(0, 96*64 - 1), i -> " +
+            "CAST((n_nationkey*7919 + (i % 96)*31 + CAST(i / 96 AS INT)*53) " +
+            "% 60000 AS DOUBLE))"))
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("r", st.f("rs_setbandpixeltype",
+          st.f("rs_setcrs",
+            st.f("rs_makeraster", lit(96), lit(64), col("ulx"), lit(100.0),
+              lit(2.0), lit(-2.0), col("vals")),
+            lit("EPSG:32610")),
+          lit("UNSIGNED_16BITS")))
+        .withColumn("g", st.f("rs_asjpeg2000", col("r"), lit(3), lit(32), lit(32)))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_upperleftx", col("rt")).as("ulx_out"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          st.f("rs_bandpixeltype", col("rt"), lit(1)).as("ptype"),
+          st.f("rs_bandmin", col("rt"), lit(1)).as("vmin"),
+          st.f("rs_bandmax", col("rt"), lit(1)).as("vmax"),
+          st.f("rs_bandavg", col("rt"), lit(1)).as("vavg"),
+          st.f("rs_value", col("rt"), lit(1), lit(33), lit(33)).as("seam"),
+          (octet_length(col("g")) < lit(96 * 64 * 2)).as("compressed"))
+    }),
+
     // netCDF classic out-db: per-nation CDF-2 tiles written through
     // sources/NetCdf (the reference reads netCDF via its GDAL raster
     // side, rust/sedona-raster-gdal/src/register.rs; here the classic
@@ -2199,6 +2236,24 @@ object SpatialQueries {
         |  'EPSG:32610' AS crs, 'UNSIGNED_16BITS' AS ptype,
         |  list_min(vs) AS vmin, list_max(vs) AS vmax,
         |  list_sum(vs)/1120.0 AS vavg,
+        |  TRUE AS compressed
+        |FROM v""".stripMargin,
+
+    // multi-tile JP2: same formula-replay contract as rs18 on a 96x64
+    // canvas cut into 32x32 tiles; the seam probe is 0-indexed (33,33)
+    // -> 1-based list index 33*96 + 33 + 1
+    "rs20_jp2_multitile" ->
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*7919 + (i % 96)*31 + (i // 96)*53) % 60000
+        |      AS DOUBLE) for i in range(0, 6144)] AS vs
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(96 AS INT) AS w, CAST(64 AS INT) AS h,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*8.0 AS ulx_out,
+        |  'EPSG:32610' AS crs, 'UNSIGNED_16BITS' AS ptype,
+        |  list_min(vs) AS vmin, list_max(vs) AS vmax,
+        |  list_sum(vs)/6144.0 AS vavg,
+        |  vs[3202] AS seam,
         |  TRUE AS compressed
         |FROM v""".stripMargin,
 

@@ -29,8 +29,12 @@ private[graft] object Jp2Raster {
   private def typeName(depth: Int, signed: Boolean): String =
     (if (signed) "SIGNED_" else "UNSIGNED_") + depth + "BITS"
 
-  /** Raster -> JP2 file bytes (signature/ftyp/jp2h/GeoJP2 uuid/jp2c). */
-  def write(r: Raster, levels: Int = 5): Array[Byte] = {
+  /** Raster -> JP2 file bytes (signature/ftyp/jp2h/GeoJP2 uuid/jp2c).
+    * `tileSize` produces a TILED codestream (independent tiles + TLM
+    * byte directory) — the layout that lets the out-db loader fetch
+    * only the tiles a window intersects. */
+  def write(r: Raster, levels: Int = 5,
+      tileSize: Option[(Int, Int)] = None): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asjpeg2000: raster has no loaded bands")
     val planes = r.bands.zipWithIndex.map { case (b, bi) =>
       val (depth, signed) = IntTypes.getOrElse(b.pixelTypeName,
@@ -59,7 +63,8 @@ private[graft] object Jp2Raster {
       "rs_asjpeg2000: all bands must share one pixel type (ihdr bpc)")
     // 3-band rasters get the reversible color transform — the lossless
     // RGB decorrelation GDAL's openjpeg writer applies by default
-    val cs = Jpeg2000.encode(planes, levels = levels, mct = planes.length == 3)
+    val cs = Jpeg2000.encode(planes, levels = levels,
+      mct = planes.length == 3, tileSize = tileSize)
 
     val out = new java.io.ByteArrayOutputStream()
     def box(tp: String, payload: Array[Byte]): Unit = {
@@ -147,15 +152,23 @@ private[graft] object Jp2Raster {
     Raster(crs, gt, w, h, bands.toIndexedSeq)
   }
 
-  /** Out-db loader for `rs_frompath('….jp2')`: header-bounded metadata,
-    * whole-tile decode for pixel windows (Part-1 without precinct
-    * indexing offers no cheap spatial windowing — GDAL's openjpeg path
-    * decodes at tile granularity too), and the format's NATIVE scale
-    * axis as overviews: each decomposition level is a 1/2-per-axis
-    * reduced-resolution decode that entropy-decodes only the leading
-    * packets of the codestream. */
+  /** Out-db loader for `rs_frompath('….jp2')`: header-bounded metadata
+    * and BOTH of the format's native scale axes —
+    *
+    *  - spatial windows: on a TILED codestream (the Sentinel-2 layout),
+    *    the main-header TLM gives every tile-part's byte range, so a
+    *    window fetches ONLY the tiles it intersects (stitched into a
+    *    partial codestream) and the selective-EBCOT windowed decode
+    *    then skips the non-window code-blocks inside them; a
+    *    single-tile stream falls back to a whole-file fetch with the
+    *    same selective-EBCOT decode;
+    *  - overviews: each decomposition level is a 1/2-per-axis reduced
+    *    decode that consumes only each tile's LEADING packets — the
+    *    per-tile PLT gives the exact prefix, so the fetch per tile is
+    *    kilobytes, not the scene. */
   object OutDb extends RasterLoaders.Loader {
     private val HeaderProbe = 256 * 1024
+    private val TilePeek = 8 * 1024
 
     def readMeta(fetch: (Long, Int) => Array[Byte], fileLen: Long): Raster = {
       val head = fetch(0L, math.min(fileLen, HeaderProbe.toLong).toInt)
@@ -167,16 +180,80 @@ private[graft] object Jp2Raster {
 
     def load(bytes: Array[Byte]): Raster = read(bytes)
 
-    /** Windowed read: whole-file fetch (code-block byte ranges are only
-      * known after walking packet headers), but the ENTROPY decode —
-      * the dominant cost — runs only for the code-blocks inside the
-      * window's wavelet pyramid (Jpeg2000.decodeWindow). */
+    /** Tile indices intersecting a window given in level-`d` (reduced)
+      * coordinates. */
+    private def tilesFor(hd: Jpeg2000.MainHeader, d: Int,
+        xoff: Int, yoff: Int, w: Int, h: Int): Seq[Int] = {
+      def red(n: Int): Int = Jpeg2000Dims.lowLen(n, d)
+      for {
+        ty <- 0 until hd.nty
+        tx <- 0 until hd.ntx
+        rx0 = (tx * hd.tw) >> d
+        ry0 = (ty * hd.th) >> d
+        rw = red(math.min(hd.tw, hd.w - tx * hd.tw))
+        rh = red(math.min(hd.th, hd.h - ty * hd.th))
+        if rx0 < xoff + w && xoff < rx0 + rw && ry0 < yoff + h && yoff < ry0 + rh
+      } yield ty * hd.ntx + tx
+    }
+
+    /** Partial codestream: main header ++ the SELECTED tile-parts ++
+      * EOC. With `discard > 0` each tile-part is truncated to its PLT
+      * prefix (leading packets only) and its Psot patched to match.
+      * None when the stream carries no TLM or a peek falls short —
+      * callers fall back to bigger fetches. */
+    private def stitch(fetch: (Long, Int) => Array[Byte], fileLen: Long,
+        head: Array[Byte], hd: Jpeg2000.MainHeader,
+        needed: Seq[Int], discard: Int): Option[Array[Byte]] = {
+      if (hd.firstSot > head.length) return None
+      val ranges = Jpeg2000.tileRangesFromTlm(head).getOrElse(return None)
+      if (needed.exists(_ >= ranges.length)) return None
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(head, 0, hd.firstSot)
+      needed.foreach { ti =>
+        val (off, len) = ranges(ti)
+        if (off + len > fileLen) return None
+        if (discard == 0) {
+          out.write(fetch(off, len))
+        } else {
+          val peek = fetch(off, math.min(len, TilePeek))
+          val pre = Jpeg2000.tilePrefixLen(peek, hd.nc, hd.nl, discard)
+            .getOrElse(return None)
+          val part =
+            if (pre <= peek.length) java.util.Arrays.copyOfRange(peek, 0, pre)
+            else peek ++ fetch(off + peek.length, pre - peek.length)
+          // patch Psot to the truncated tile-part length so the decoder's
+          // tile directory steps to the next stitched part correctly
+          part(6) = (pre >>> 24).toByte
+          part(7) = (pre >>> 16).toByte
+          part(8) = (pre >>> 8).toByte
+          part(9) = pre.toByte
+          out.write(part)
+        }
+      }
+      out.write(0xFF); out.write(0xD9) // EOC
+      Some(out.toByteArray)
+    }
+
+    private def layoutOf(head: Array[Byte]): Option[Jpeg2000.MainHeader] =
+      try Some(Jpeg2000.layout(head)) catch { case _: Exception => None }
+
+    /** Windowed read: a TILED stream fetches only the intersecting
+      * tile-parts (TLM byte ranges); a single-tile stream fetches whole
+      * (code-block ranges are only known after walking packet headers).
+      * Either way the ENTROPY decode — the dominant cost — runs only
+      * for the code-blocks inside the window's wavelet pyramid
+      * (Jpeg2000.decodeWindow's selective EBCOT). */
     override def loadWindow(fetch: (Long, Int) => Array[Byte], fileLen: Long,
         xoff: Int, yoff: Int, w: Int, h: Int): Raster = {
       require(fileLen <= Int.MaxValue, "jp2 loader: file too large")
-      val bytes = fetch(0L, fileLen.toInt)
+      val head = fetch(0L, math.min(fileLen, HeaderProbe.toLong).toInt)
+      val bytes = layoutOf(head).filter(_.multiTile)
+        .flatMap(hd => stitch(fetch, fileLen, head, hd,
+          tilesFor(hd, 0, xoff, yoff, w, h), 0))
+        .getOrElse(if (fileLen <= head.length) head
+          else head ++ fetch(head.length.toLong, (fileLen - head.length).toInt))
       val planes = Jpeg2000.decodeWindow(bytes, xoff, yoff, w, h)
-      val (crs, gt0) = geoOf(bytes).getOrElse(
+      val (crs, gt0) = geoOf(head).getOrElse(
         ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
       val gt = gt0.clone()
       gt(0) = gt0(0) + xoff * gt0(1) + yoff * gt0(2)
@@ -205,22 +282,44 @@ private[graft] object Jp2Raster {
         baseGt: Array[Double], baseCrs: String): Raster = {
       require(fileLen <= Int.MaxValue, "jp2 loader: file too large")
       // a reduced-resolution decode consumes only the leading packets:
-      // the PLT marker (this encoder always writes one) gives the exact
-      // prefix length, so the fetch is megabytes, not the whole scene
+      // the PLT gives the exact prefix. Tiled streams fetch a per-tile
+      // prefix for just the tiles the window intersects; single-tile
+      // streams fetch the single global prefix.
       val head = fetch(0L, math.min(fileLen, HeaderProbe.toLong).toInt)
-      val n = Jpeg2000.prefixLenFor(head, level.toInt)
-        .map(p => math.min(p.toLong, fileLen)).getOrElse(fileLen)
-      val bytes =
-        if (n <= head.length) head
-        else head ++ fetch(head.length.toLong, (n - head.length).toInt)
-      val full = readAt(bytes, level.toInt)
-      val cropped = RasterLoaders.crop(full, xoff, yoff, w, h)
-      cropped.copy(crs = baseCrs, gt = {
-        val g = baseGt.clone()
-        g(0) = baseGt(0) + xoff * baseGt(1) + yoff * baseGt(2)
-        g(3) = baseGt(3) + xoff * baseGt(4) + yoff * baseGt(5)
-        g
-      })
+      val d = level.toInt
+      layoutOf(head).filter(_.multiTile)
+        .flatMap(hd => stitch(fetch, fileLen, head, hd,
+          tilesFor(hd, d, xoff, yoff, w, h), d)) match {
+        case Some(st) =>
+          val planes = Jpeg2000.decodeWindowAt(st, d, xoff, yoff, w, h)
+          val bands = planes.map { p =>
+            val vals = new Array[Double](p.samples.length)
+            var i = 0
+            while (i < vals.length) { vals(i) = p.samples(i).toDouble; i += 1 }
+            Band(Double.NaN, RasterModel.packDoubles(vals),
+              ptype = typeName(p.depth, p.signed))
+          }
+          Raster(baseCrs, {
+            val g = baseGt.clone()
+            g(0) = baseGt(0) + xoff * baseGt(1) + yoff * baseGt(2)
+            g(3) = baseGt(3) + xoff * baseGt(4) + yoff * baseGt(5)
+            g
+          }, w, h, bands.toIndexedSeq)
+        case None =>
+          val n = Jpeg2000.prefixLenFor(head, d)
+            .map(p => math.min(p.toLong, fileLen)).getOrElse(fileLen)
+          val bytes =
+            if (n <= head.length) head
+            else head ++ fetch(head.length.toLong, (n - head.length).toInt)
+          val full = readAt(bytes, d)
+          val cropped = RasterLoaders.crop(full, xoff, yoff, w, h)
+          cropped.copy(crs = baseCrs, gt = {
+            val g = baseGt.clone()
+            g(0) = baseGt(0) + xoff * baseGt(1) + yoff * baseGt(2)
+            g(3) = baseGt(3) + xoff * baseGt(4) + yoff * baseGt(5)
+            g
+          })
+      }
     }
   }
 

@@ -902,9 +902,14 @@ private[graft] object Jpeg2000 {
     * `mct = true` applies the REVERSIBLE COLOR TRANSFORM (RCT, Annex
     * G.2) to the first three components — the lossless-profile
     * decorrelation openjpeg/GDAL apply to RGB by default; requires
-    * exactly 3 components of one depth/signedness. */
+    * exactly 3 components of one depth/signedness. `tileSize` splits the
+    * image into an independently-coded tile grid (SOT per tile, TLM in
+    * the main header so a reader can locate tile-parts without scanning)
+    * — the layout real Sentinel-2-class granules use; tile dimensions
+    * must be multiples of 2^levels so every tile starts at even parity
+    * at every decomposition level (the canvas-coordinate rule F.2). */
   def encode(planes: Seq[Plane], levels: Int = 5, cbExp: Int = 6,
-      mct: Boolean = false): Array[Byte] = {
+      mct: Boolean = false, tileSize: Option[(Int, Int)] = None): Array[Byte] = {
     require(planes.nonEmpty, "jpeg2000: no components")
     val w = planes.head.w
     val h = planes.head.h
@@ -921,6 +926,14 @@ private[graft] object Jpeg2000 {
       31 - Integer.numberOfLeadingZeros(math.max(1, math.min(w, h)))))
     val cb = 1 << cbExp
     val guard = 2
+    val (tw, th) = tileSize.getOrElse((w, h))
+    require(tw > 0 && th > 0, "jpeg2000: tile size must be positive")
+    val multiTile = tw < w || th < h
+    require(!multiTile || (tw % (1 << nl) == 0 && th % (1 << nl) == 0),
+      s"jpeg2000: tile size ${tw}x$th must be a multiple of 2^levels=" +
+        s"${1 << nl} (canvas parity)")
+    val ntx = ceilDiv(w, tw)
+    val nty = ceilDiv(h, th)
 
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xFF)
@@ -933,7 +946,7 @@ private[graft] object Jpeg2000 {
     u16(38 + 3 * planes.length)
     u16(0) // Rsiz
     u32(w); u32(h); u32(0); u32(0)
-    u32(w); u32(h); u32(0); u32(0)
+    u32(tw); u32(th); u32(0); u32(0)
     u16(planes.length)
     planes.foreach { p =>
       u8((p.depth - 1) | (if (p.signed) 0x80 else 0))
@@ -950,200 +963,260 @@ private[graft] object Jpeg2000 {
     u8(cbExp - 2); u8(cbExp - 2)
     u8(0)        // code-block style: all defaults
     u8(1)        // 5/3 reversible
-    // QCD: no quantization, exponents only; Mb = eps + guard - 1
-    u16(0xFF5C)
-    u16(4 + 3 * nl)
-    u8(guard << 5) // Sqcd: style 0 (no quantization)
     val depthMax = planes.map(_.depth).max
     def gainOf(band: Int): Int = band match {
       case 0 => 0
       case 3 => 2
       case _ => 1
     }
-    u8((depthMax + gainOf(0)) << 3)
-    for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8((depthMax + gainOf(b)) << 3)
-
-    // tile body: per component, DWT then per-resolution packets
-    val body = new java.io.ByteArrayOutputStream()
-    // DC level shift all components, then the optional RCT across the
-    // first three (forward: Y=(R+2G+B)>>2, Cb=B-G, Cr=R-G — exact
-    // integers, inverse in decode), then per-component DWT
-    val shifted: Seq[Array[Int]] = planes.map { p =>
-      val a = new Array[Int](w * h)
-      var i = 0
-      val shift = if (p.signed) 0 else 1 << (p.depth - 1)
-      while (i < a.length) { a(i) = p.samples(i) - shift; i += 1 }
-      a
-    }
-    if (mct) {
-      val r = shifted(0); val g = shifted(1); val b = shifted(2)
-      var i = 0
-      while (i < w * h) {
-        val y = (r(i) + 2 * g(i) + b(i)) >> 2
-        val cb2 = b(i) - g(i)
-        val cr = r(i) - g(i)
-        r(i) = y; g(i) = cb2; b(i) = cr
-        i += 1
-      }
-    }
-    val transformed = shifted.map { a =>
-      var cw = w
-      var ch = h
-      var buf = a
-      // quads(l) = the level-(l+1) split of the level-l LL region,
-      // stride lowLen(w, l); quads(nl) = the final LL itself
-      val quads = new Array[(Array[Int], Int, Int)](nl + 1)
-      var l = 0
-      while (l < nl) {
-        val (t, lw2, lh2) = fwd2d(buf, cw, ch)
-        quads(l) = (t, cw, ch)
-        val nxt = new Array[Int](lw2 * lh2)
-        var yy = 0
-        while (yy < lh2) {
-          System.arraycopy(t, yy * cw, nxt, yy * lw2, lw2)
-          yy += 1
-        }
-        buf = nxt
-        cw = lw2
-        ch = lh2
-        l += 1
-      }
-      quads(nl) = (buf, cw, ch) // final LL
-      quads
+    // subband exponent: RCT expands the chroma components (1, 2) by one
+    // bit (Cb = B - G, Cr = R - G span depth+1), so their exponents —
+    // and with them Mb — carry the +1 the standard prescribes (G.2);
+    // component 0 keeps the plain depth
+    def epsOf(comp: Int, band: Int): Int =
+      depthMax + gainOf(band) + (if (mct && comp >= 1) 1 else 0)
+    def mbOf(comp: Int, band: Int): Int = epsOf(comp, band) + guard - 1
+    // QCD: no quantization, exponents only; Mb = eps + guard - 1
+    u16(0xFF5C)
+    u16(4 + 3 * nl)
+    u8(guard << 5) // Sqcd: style 0 (no quantization)
+    u8(epsOf(0, 0) << 3)
+    for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8(epsOf(0, b) << 3)
+    // QCC for every component whose exponents differ from the QCD's
+    // (the RCT chroma components): same style, +1 exponents
+    for (comp <- planes.indices if epsOf(comp, 0) != epsOf(0, 0)) {
+      u16(0xFF5D)
+      u16(5 + 3 * nl)
+      u8(comp)       // Cqcc (1 byte: nc < 257 always holds here)
+      u8(guard << 5) // Sqcc
+      u8(epsOf(comp, 0) << 3)
+      for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8(epsOf(comp, b) << 3)
     }
 
-    // band sample extractor: band coords -> coefficient array
-    def bandSamples(comp: Int, r: Int, band: Int, bw: Int, bh: Int,
-        xOff: Int, yOff: Int): Array[Int] = {
-      val quads = transformed(comp)
-      if (r == 0) {
-        val (ll, lw2, _) = quads(nl)
-        val outA = new Array[Int](bw * bh)
+    // ---- per-tile encoding (tiles are independently coded) ----
+    def encodeTile(tx0: Int, ty0: Int, tcw: Int, tch: Int)
+        : (Array[Byte], ArrayBuffer[Int]) = {
+      val body = new java.io.ByteArrayOutputStream()
+      // DC level shift the tile's sub-rect of every component, then the
+      // optional RCT across the first three (forward: Y=(R+2G+B)>>2,
+      // Cb=B-G, Cr=R-G — exact integers, inverse in decode), then
+      // per-component DWT
+      val shifted: Seq[Array[Int]] = planes.map { p =>
+        val a = new Array[Int](tcw * tch)
+        val shift = if (p.signed) 0 else 1 << (p.depth - 1)
         var y = 0
-        while (y < bh) {
-          System.arraycopy(ll, y * lw2, outA, y * bw, bw)
-          y += 1
-        }
-        outA
-      } else {
-        val l = nl - r + 1
-        val (t, tw, _) = quads(l - 1)
-        val outA = new Array[Int](bw * bh)
-        var y = 0
-        while (y < bh) {
+        while (y < tch) {
           var x = 0
-          while (x < bw) {
-            outA(y * bw + x) = t((yOff + y) * tw + (xOff + x))
+          while (x < tcw) {
+            a(y * tcw + x) = p.samples((ty0 + y) * w + (tx0 + x)) - shift
             x += 1
           }
           y += 1
         }
-        outA
+        a
       }
-    }
+      if (mct) {
+        val r = shifted(0); val g = shifted(1); val b = shifted(2)
+        var i = 0
+        while (i < tcw * tch) {
+          val y = (r(i) + 2 * g(i) + b(i)) >> 2
+          val cb2 = b(i) - g(i)
+          val cr = r(i) - g(i)
+          r(i) = y; g(i) = cb2; b(i) = cr
+          i += 1
+        }
+      }
+      val transformed = shifted.map { a =>
+        var cw = tcw
+        var ch = tch
+        var buf = a
+        // quads(l) = the level-(l+1) split of the level-l LL region,
+        // stride lowLen(tcw, l); quads(nl) = the final LL itself
+        val quads = new Array[(Array[Int], Int, Int)](nl + 1)
+        var l = 0
+        while (l < nl) {
+          val (t, lw2, lh2) = fwd2d(buf, cw, ch)
+          quads(l) = (t, cw, ch)
+          val nxt = new Array[Int](lw2 * lh2)
+          var yy = 0
+          while (yy < lh2) {
+            System.arraycopy(t, yy * cw, nxt, yy * lw2, lw2)
+            yy += 1
+          }
+          buf = nxt
+          cw = lw2
+          ch = lh2
+          l += 1
+        }
+        quads(nl) = (buf, cw, ch) // final LL
+        quads
+      }
 
-    // per-packet byte lengths (header + bodies), emitted as a PLT
-    // marker segment so a reader can fetch ONLY the leading packets for
-    // a reduced-resolution decode (A.7.1 — informational otherwise)
-    val packetLens = new ArrayBuffer[Int]()
-    for (r <- 0 to nl; comp <- planes.indices) {
-      // one packet per (resolution, component): header then bodies
-      val bands = bandsOf(w, h, nl, r)
-      val bwr = new BitWriter
-      val bodies = new ArrayBuffer[Array[Byte]]()
-      bwr.bit(1) // non-empty packet
-      bands.foreach { case (band, bw, bh, xOff, yOff) =>
-        val (gw, gh) = cbGrid(bw, bh, cb)
-        val incl = new TagTree(gw, gh)
-        val zbpT = new TagTree(gw, gh)
-        val mb = depthMax + gainOf(band) + guard - 1
-        // one band extraction, shared by every code-block (extracting
-        // per block is O(band x blocks) — quadratic on big images)
-        val bs = bandSamples(comp, r, band, bw, bh, xOff, yOff)
-        // encode all code-blocks of the band first (need zbp for trees)
-        val recs = for (gy <- 0 until gh; gx <- 0 until gw) yield {
-          val x0 = gx * cb; val y0 = gy * cb
-          val cw2 = math.min(cb, bw - x0)
-          val ch2 = math.min(cb, bh - y0)
-          val magA = new Array[Int](cw2 * ch2)
-          val negA = new Array[Boolean](cw2 * ch2)
+      // band sample extractor: band coords -> coefficient array
+      def bandSamples(comp: Int, r: Int, band: Int, bw: Int, bh: Int,
+          xOff: Int, yOff: Int): Array[Int] = {
+        val quads = transformed(comp)
+        if (r == 0) {
+          val (ll, lw2, _) = quads(nl)
+          val outA = new Array[Int](bw * bh)
           var y = 0
-          while (y < ch2) {
+          while (y < bh) {
+            System.arraycopy(ll, y * lw2, outA, y * bw, bw)
+            y += 1
+          }
+          outA
+        } else {
+          val l = nl - r + 1
+          val (t, qw, _) = quads(l - 1)
+          val outA = new Array[Int](bw * bh)
+          var y = 0
+          while (y < bh) {
             var x = 0
-            while (x < cw2) {
-              val v = bs((y0 + y) * bw + (x0 + x))
-              magA(y * cw2 + x) = math.abs(v)
-              negA(y * cw2 + x) = v < 0
+            while (x < bw) {
+              outA(y * bw + x) = t((yOff + y) * qw + (xOff + x))
               x += 1
             }
             y += 1
           }
-          val (bytes, np, zbp) = encodeCb(band, cw2, ch2, magA, negA, mb)
-          (gx, gy, bytes, np, zbp)
-        }
-        recs.foreach { case (gx, gy, _, np, zbp) =>
-          incl.set(gx, gy, if (np > 0) 0 else 1) // included in layer 0?
-          zbpT.set(gx, gy, zbp)
-        }
-        incl.reset(); zbpT.reset()
-        recs.foreach { case (gx, gy, bytes, np, zbp) =>
-          incl.encode(bwr, gx, gy, 1)
-          if (np > 0) {
-            // zero-bitplane tag tree: encoding at threshold zbp+1 emits
-            // exactly the bits the decoder's rising-threshold loop reads
-            zbpT.encode(bwr, gx, gy, zbp + 1)
-            writePassCount(bwr, np)
-            // length: single codeword segment, Lblock grows via 1-bits
-            val lblBase = 3
-            val needed = math.max(0,
-              bitLen(bytes.length) - (lblBase + floorLog2(np)))
-            var k = 0
-            while (k < needed) { bwr.bit(1); k += 1 }
-            bwr.bit(0)
-            bwr.bits(bytes.length, lblBase + needed + floorLog2(np))
-            bodies += bytes
-          }
+          outA
         }
       }
-      val header = bwr.finish()
-      body.write(header)
-      bodies.foreach(body.write)
-      packetLens += header.length + bodies.map(_.length).sum
+
+      // per-packet byte lengths (header + bodies), emitted as a PLT
+      // marker segment so a reader can fetch ONLY the leading packets
+      // for a reduced-resolution decode (A.7.1 — informational otherwise)
+      val packetLens = new ArrayBuffer[Int]()
+      for (r <- 0 to nl; comp <- planes.indices) {
+        // one packet per (resolution, component): header then bodies
+        val bands = bandsOf(tcw, tch, nl, r)
+        val bwr = new BitWriter
+        val bodies = new ArrayBuffer[Array[Byte]]()
+        bwr.bit(1) // non-empty packet
+        bands.foreach { case (band, bw, bh, xOff, yOff) =>
+          val (gw, gh) = cbGrid(bw, bh, cb)
+          val incl = new TagTree(gw, gh)
+          val zbpT = new TagTree(gw, gh)
+          val mb = mbOf(comp, band)
+          // one band extraction, shared by every code-block (extracting
+          // per block is O(band x blocks) — quadratic on big images)
+          val bs = bandSamples(comp, r, band, bw, bh, xOff, yOff)
+          // encode all code-blocks of the band first (need zbp for trees)
+          val recs = for (gy <- 0 until gh; gx <- 0 until gw) yield {
+            val x0 = gx * cb; val y0 = gy * cb
+            val cw2 = math.min(cb, bw - x0)
+            val ch2 = math.min(cb, bh - y0)
+            val magA = new Array[Int](cw2 * ch2)
+            val negA = new Array[Boolean](cw2 * ch2)
+            var y = 0
+            while (y < ch2) {
+              var x = 0
+              while (x < cw2) {
+                val v = bs((y0 + y) * bw + (x0 + x))
+                magA(y * cw2 + x) = math.abs(v)
+                negA(y * cw2 + x) = v < 0
+                x += 1
+              }
+              y += 1
+            }
+            val (bytes, np, zbp) = encodeCb(band, cw2, ch2, magA, negA, mb)
+            (gx, gy, bytes, np, zbp)
+          }
+          recs.foreach { case (gx, gy, _, np, zbp) =>
+            incl.set(gx, gy, if (np > 0) 0 else 1) // included in layer 0?
+            zbpT.set(gx, gy, zbp)
+          }
+          incl.reset(); zbpT.reset()
+          recs.foreach { case (gx, gy, bytes, np, zbp) =>
+            incl.encode(bwr, gx, gy, 1)
+            if (np > 0) {
+              // zero-bitplane tag tree: encoding at threshold zbp+1 emits
+              // exactly the bits the decoder's rising-threshold loop reads
+              zbpT.encode(bwr, gx, gy, zbp + 1)
+              writePassCount(bwr, np)
+              // length: single codeword segment, Lblock grows via 1-bits
+              val lblBase = 3
+              val needed = math.max(0,
+                bitLen(bytes.length) - (lblBase + floorLog2(np)))
+              var k = 0
+              while (k < needed) { bwr.bit(1); k += 1 }
+              bwr.bit(0)
+              bwr.bits(bytes.length, lblBase + needed + floorLog2(np))
+              bodies += bytes
+            }
+          }
+        }
+        val header = bwr.finish()
+        body.write(header)
+        bodies.foreach(body.write)
+        packetLens += header.length + bodies.map(_.length).sum
+      }
+      (body.toByteArray, packetLens)
     }
 
-    val tileBytes = body.toByteArray
-    // PLT payload: packet lengths as 7-bit big-endian varints
-    // (continuation bit 0x80), split into <= 65535-byte segments
-    val pltBytes = {
-      val b = new java.io.ByteArrayOutputStream()
+    // PLT payload per tile: packet lengths as 7-bit big-endian varints
+    // (continuation bit 0x80), split into <= 65535-byte segments AT
+    // VARINT BOUNDARIES only — a varint cut across two PLT segments
+    // would corrupt every later length for a parser that (legally)
+    // resets per segment
+    def pltSegsOf(packetLens: ArrayBuffer[Int]): Seq[Array[Byte]] = {
+      val segs = new ArrayBuffer[Array[Byte]]()
+      var cur = new java.io.ByteArrayOutputStream()
       packetLens.foreach { len =>
+        val v = new java.io.ByteArrayOutputStream()
         var started = false
         var shift = 28
         while (shift > 0) {
           val part = (len >> shift) & 0x7F
-          if (part != 0 || started) { b.write(part | 0x80); started = true }
+          if (part != 0 || started) { v.write(part | 0x80); started = true }
           shift -= 7
         }
-        b.write(len & 0x7F)
+        v.write(len & 0x7F)
+        if (cur.size() + v.size() > 65532) { segs += cur.toByteArray; cur = new java.io.ByteArrayOutputStream() }
+        v.writeTo(cur)
       }
-      b.toByteArray
+      if (cur.size() > 0) segs += cur.toByteArray
+      require(segs.length <= 256, "jpeg2000: PLT exceeds 256 segments (Zplt is u8)")
+      segs.toSeq
     }
-    // SOT
-    u16(0xFF90)
-    val pltSegs = pltBytes.grouped(65532).toSeq
-    val pltTotal = pltSegs.map(_.length + 5).sum
-    u16(10)
-    u16(0)
-    u32(12 + pltTotal + 2 + tileBytes.length) // Psot incl. PLT segments
-    u8(0); u8(1)
-    pltSegs.zipWithIndex.foreach { case (seg, zi) =>
-      u16(0xFF58) // PLT
-      u16(3 + seg.length)
+
+    val tiles = for (ty <- 0 until nty; tx <- 0 until ntx) yield {
+      val tx0 = tx * tw; val ty0 = ty * th
+      val (bodyBytes, lens) = encodeTile(tx0, ty0,
+        math.min(tw, w - tx0), math.min(th, h - ty0))
+      val segs = pltSegsOf(lens)
+      val pltTotal = segs.map(_.length + 5).sum
+      (bodyBytes, segs, 12 + pltTotal + 2 + bodyBytes.length) // Psot
+    }
+
+    // TLM (A.7.1): tile-part lengths in the MAIN header, so a ranged
+    // reader can fetch exactly the tiles a spatial window intersects
+    // without scanning the codestream. Stlm = 0x40: Ttlm omitted (tiles
+    // in index order, one part each), Ptlm 4 bytes.
+    val tlmCapacity = (65535 - 4) / 4
+    tiles.map(_._3).grouped(tlmCapacity).zipWithIndex.foreach { case (grp, zi) =>
+      require(zi <= 255, "jpeg2000: TLM exceeds 256 segments (Ztlm is u8)")
+      u16(0xFF55)
+      u16(4 + 4 * grp.length)
       u8(zi)
-      out.write(seg)
+      u8(0x40)
+      grp.foreach(u32)
     }
-    u16(0xFF93) // SOD
-    out.write(tileBytes)
+
+    tiles.zipWithIndex.foreach { case ((bodyBytes, segs, psot), ti) =>
+      u16(0xFF90) // SOT
+      u16(10)
+      u16(ti)     // Isot
+      u32(psot)
+      u8(0); u8(1) // TPsot = 0, TNsot = 1
+      segs.zipWithIndex.foreach { case (seg, zi) =>
+        u16(0xFF58) // PLT
+        u16(3 + seg.length)
+        u8(zi)
+        out.write(seg)
+      }
+      u16(0xFF93) // SOD
+      out.write(bodyBytes)
+    }
     u16(0xFFD9) // EOC
     out.toByteArray
   }
@@ -1172,6 +1245,17 @@ private[graft] object Jpeg2000 {
     decode(bytes, 0, Some((x0, y0, ww, wh)))
   }
 
+  /** Windowed REDUCED-resolution decode: the window is in level-`d`
+    * (reduced) coordinates. Only the tiles the window intersects are
+    * touched, so a ranged reader may hand a stitched stream holding just
+    * those tile-parts (missing non-intersecting tiles are fine). */
+  def decodeWindowAt(bytes: Array[Byte], d: Int, x0: Int, y0: Int,
+      ww: Int, wh: Int): Seq[Plane] = {
+    require(ww > 0 && wh > 0 && x0 >= 0 && y0 >= 0,
+      s"jpeg2000: bad window ($x0,$y0,$ww,$wh)")
+    decode(bytes, d, Some((x0, y0, ww, wh)))
+  }
+
   /** Decode at a REDUCED resolution: `discardLevels` highest-frequency
     * decomposition levels are skipped — only the packets of resolutions
     * 0..NL-discard are entropy-decoded (they come first in LRCP order,
@@ -1181,23 +1265,61 @@ private[graft] object Jpeg2000 {
     * scalability, the overview mechanism GDAL exposes for JP2 (and the
     * reason a 100 TB Sentinel-2 archive can be thumbnailed without
     * decoding full scenes). */
-  private def decode(bytes: Array[Byte], discardLevels: Int,
-      window: Option[(Int, Int, Int, Int)]): Seq[Plane] = {
-    val cs = if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
-        (bytes(1) & 0xFF) == 0x4F) bytes
-      else jp2Codestream(bytes)
-    val bb = ByteBuffer.wrap(cs).order(ByteOrder.BIG_ENDIAN)
-    require((bb.getShort(0) & 0xFFFF) == 0xFF4F, "jpeg2000: missing SOC")
-    var pos = 2
-    var w = 0; var h = 0; var nc = 0
+  /** Parsed main-header state (everything before the first SOT). All
+    * positions are ABSOLUTE offsets into the original byte array — JP2
+    * containers are parsed IN PLACE from the jp2c payload offset, never
+    * copied out (a 256KB header probe of a multi-GB scene must stay
+    * header-bounded, and a declared box length near 2^31 must not drive
+    * an allocation). */
+  private[sources] final case class MainHeader(
+      csOff: Int, w: Int, h: Int, tw: Int, th: Int, nc: Int,
+      depths: Array[Int], signed: Array[Boolean], nl: Int, cbExp: Int,
+      mct: Int, qcdGuard: Int, qcdExps: Array[Int],
+      qccGuard: Map[Int, Int], qccExps: Map[Int, Array[Int]],
+      firstSot: Int) {
+    def epsTable(comp: Int): Array[Int] = qccExps.getOrElse(comp, qcdExps)
+    def guardOf(comp: Int): Int = qccGuard.getOrElse(comp, qcdGuard)
+    /** Mb for (component, resolution r, band) from the SIGNALLED
+      * exponents — never recomputed from bit depths, so a legal foreign
+      * stream with different per-subband exponents decodes by its own
+      * declaration (and an exponent table shorter than the COD levels
+      * fails loudly). */
+    def mbOf(comp: Int, r: Int, band: Int): Int = {
+      val idx = if (r == 0) 0 else 1 + (r - 1) * 3 + (band - 1)
+      val exps = epsTable(comp)
+      require(idx < exps.length,
+        s"jpeg2000: QCD/QCC carries ${exps.length} exponents but resolution " +
+          s"$r band $band needs index $idx")
+      exps(idx) + guardOf(comp) - 1
+    }
+    def ntx: Int = ceilDiv(w, tw)
+    def nty: Int = ceilDiv(h, th)
+    def multiTile: Boolean = ntx > 1 || nty > 1
+  }
+
+  private def codestreamOffsetOf(bytes: Array[Byte]): Int =
+    if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0x4F) 0
+    else jp2CodestreamOffset(bytes).getOrElse(throw new IllegalArgumentException(
+      "jpeg2000: neither a codestream nor a JP2 file"))
+
+  private def parseMainHeader(bytes: Array[Byte]): MainHeader = {
+    val csOff = codestreamOffsetOf(bytes)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    require((bb.getShort(csOff) & 0xFFFF) == 0xFF4F, "jpeg2000: missing SOC")
+    var pos = csOff + 2
+    var w = 0; var h = 0; var tw = 0; var th = 0; var nc = 0
     var depths: Array[Int] = null
     var signedA: Array[Boolean] = null
     var nl = -1; var cbExp = -1
-    var guard = -1
+    var qcdGuard = -1
+    var qcdExps: Array[Int] = null
+    var qccGuard = Map.empty[Int, Int]
+    var qccExps = Map.empty[Int, Array[Int]]
     var mct = 0
-    var sodAt = -1
-    var tileEnd = -1
-    while (sodAt < 0) {
+    var firstSot = -1
+    while (firstSot < 0) {
+      require(pos + 4 <= bytes.length, "jpeg2000: truncated main header")
       val marker = bb.getShort(pos) & 0xFFFF
       require((marker >> 8) == 0xFF, f"jpeg2000: bad marker at $pos: $marker%04x")
       marker match {
@@ -1208,9 +1330,11 @@ private[graft] object Jpeg2000 {
           h = bb.getInt(base + 6)
           require(bb.getInt(base + 10) == 0 && bb.getInt(base + 14) == 0,
             "jpeg2000: image offset unsupported")
-          require(bb.getInt(base + 18) == w && bb.getInt(base + 22) == h &&
-            bb.getInt(base + 26) == 0 && bb.getInt(base + 30) == 0,
-            "jpeg2000: multi-tile codestreams unsupported")
+          tw = bb.getInt(base + 18)
+          th = bb.getInt(base + 22)
+          require(bb.getInt(base + 26) == 0 && bb.getInt(base + 30) == 0,
+            "jpeg2000: tile grid offset unsupported")
+          require(tw > 0 && th > 0, "jpeg2000: zero tile size")
           nc = bb.getShort(base + 34) & 0xFFFF
           depths = new Array[Int](nc)
           signedA = new Array[Boolean](nc)
@@ -1241,185 +1365,315 @@ private[graft] object Jpeg2000 {
           require((bb.get(base + 9) & 0xFF) == 1,
             "jpeg2000: only the reversible 5/3 transform is supported")
         case 0xFF5C => // QCD
+          val lqcd = bb.getShort(pos + 2) & 0xFFFF
           val sqcd = bb.get(pos + 4) & 0xFF
           require((sqcd & 0x1F) == 0, "jpeg2000: only no-quantization QCD")
-          guard = sqcd >> 5
-        case 0xFF90 => // SOT
-          val psot = bb.getInt(pos + 6)
-          tileEnd = if (psot == 0) cs.length - 2 else pos + psot
-          require((bb.get(pos + 10) & 0xFF) == 0, "jpeg2000: one tile only")
-        case 0xFF93 =>
-          sodAt = pos + 2
-        case 0xFF53 | 0xFF5D | 0xFF5E | 0xFF5F =>
-          // COC / QCC / RGN / POC override coding or quantization per
-          // component, tile, or progression — skipping them would decode
-          // silently wrong, so refuse loudly
+          qcdGuard = sqcd >> 5
+          qcdExps = (0 until (lqcd - 3)).map(i => (bb.get(pos + 5 + i) & 0xFF) >> 3).toArray
+        case 0xFF5D => // QCC: per-component quantization override
+          require(nc > 0, "jpeg2000: QCC before SIZ")
+          val lqcc = bb.getShort(pos + 2) & 0xFFFF
+          val cLen = if (nc < 257) 1 else 2
+          val cqcc = if (nc < 257) bb.get(pos + 4) & 0xFF
+            else bb.getShort(pos + 4) & 0xFFFF
+          val sqcc = bb.get(pos + 4 + cLen) & 0xFF
+          require((sqcc & 0x1F) == 0, "jpeg2000: only no-quantization QCC")
+          qccGuard += cqcc -> (sqcc >> 5)
+          qccExps += cqcc -> (0 until (lqcc - 3 - cLen))
+            .map(i => (bb.get(pos + 5 + cLen + i) & 0xFF) >> 3).toArray
+        case 0xFF90 =>
+          firstSot = pos
+        case 0xFF53 | 0xFF5E | 0xFF5F =>
+          // COC / RGN / POC override coding per component or progression
+          // — skipping them would decode silently wrong, refuse loudly
           throw new IllegalArgumentException(f"jpeg2000: marker $marker%04x " +
-            "(COC/QCC/RGN/POC component or progression overrides) unsupported")
+            "(COC/RGN/POC component or progression overrides) unsupported")
         case _ => // skip informational marker segments (COM, CRG, TLM, PLM...)
       }
-      if (sodAt < 0) {
-        pos = if (marker == 0xFF90) pos + 12
-          else pos + 2 + (bb.getShort(pos + 2) & 0xFFFF)
+      if (firstSot < 0) pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
+    }
+    require(w > 0 && nl >= 0 && qcdGuard >= 0, "jpeg2000: incomplete headers")
+    MainHeader(csOff, w, h, math.min(tw, w), math.min(th, h), nc,
+      depths, signedA, nl, cbExp, mct, qcdGuard, qcdExps,
+      qccGuard, qccExps, firstSot)
+  }
+
+  /** Tile-part directory: tile index -> (sod position, tile end), both
+    * absolute. Tolerates ABSENT tiles (a ranged reader stitches only the
+    * tile-parts a window needs); the caller checks presence of the tiles
+    * it requires. */
+  private def scanTileParts(bytes: Array[Byte], hd: MainHeader): Map[Int, (Int, Int)] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = hd.firstSot
+    var parts = Map.empty[Int, (Int, Int)]
+    var done = false
+    while (!done && pos + 2 <= bytes.length) {
+      val marker = bb.getShort(pos) & 0xFFFF
+      if (marker == 0xFFD9) done = true
+      else {
+        require(marker == 0xFF90, f"jpeg2000: expected SOT at $pos, got $marker%04x")
+        val isot = bb.getShort(pos + 4) & 0xFFFF
+        val psot = bb.getInt(pos + 6)
+        require((bb.get(pos + 10) & 0xFF) == 0 && (bb.get(pos + 11) & 0xFF) <= 1,
+          "jpeg2000: multiple tile-parts per tile unsupported")
+        // tileEnd MAY exceed the buffer: a reduced-resolution reader
+        // hands a PREFIX of the stream (only the leading packets were
+        // fetched) — the packet loop's own truncation check guards every
+        // byte actually read
+        val tileEnd = if (psot == 0) bytes.length - 2 else pos + psot
+        // walk tile-part header markers to SOD; tile-specific COD/QCD/
+        // QCC/COC overrides would change the decode of this tile only —
+        // refuse loudly rather than decode wrong
+        var q = pos + 12
+        var sod = -1
+        while (sod < 0) {
+          require(q + 4 <= bytes.length, "jpeg2000: truncated tile-part header")
+          val m = bb.getShort(q) & 0xFFFF
+          require((m >> 8) == 0xFF, f"jpeg2000: bad marker at $q: $m%04x")
+          if (m == 0xFF93) sod = q + 2
+          else {
+            require(m != 0xFF52 && m != 0xFF53 && m != 0xFF5C && m != 0xFF5D &&
+              m != 0xFF5E && m != 0xFF5F,
+              f"jpeg2000: tile-part coding override marker $m%04x unsupported")
+            q += 2 + (bb.getShort(q + 2) & 0xFFFF)
+          }
+        }
+        require(!parts.contains(isot), s"jpeg2000: duplicate tile-part for tile $isot")
+        parts += isot -> ((sod, tileEnd))
+        pos = tileEnd
+        if (psot == 0) done = true
       }
     }
-    require(w > 0 && nl >= 0 && guard >= 0, "jpeg2000: incomplete headers")
+    parts
+  }
+
+  private def decode(bytes: Array[Byte], discardLevels: Int,
+      window: Option[(Int, Int, Int, Int)]): Seq[Plane] = {
+    val hd = parseMainHeader(bytes)
+    import hd.{w, h, tw, th, nc, nl, mct}
+    val depths = hd.depths
+    val signedA = hd.signed
     require(discardLevels >= 0 && discardLevels <= nl,
       s"jpeg2000: cannot discard $discardLevels of $nl decomposition levels")
+    require(!hd.multiTile || (tw % (1 << nl) == 0 && th % (1 << nl) == 0),
+      s"jpeg2000: tile grid ${tw}x$th not aligned to 2^levels=${1 << nl} " +
+        "(canvas parity) unsupported")
+    // the window is in OUTPUT coordinates: full-resolution pixels when
+    // discardLevels = 0, level-d reduced pixels otherwise
+    window.foreach { case (wx, wy, wwid, whgt) =>
+      require(wx + wwid <= lowLen(w, discardLevels) &&
+        wy + whgt <= lowLen(h, discardLevels),
+        s"jpeg2000: window ($wx,$wy,$wwid,$whgt) outside " +
+          s"${lowLen(w, discardLevels)}x${lowLen(h, discardLevels)}")
+    }
     val rMax = nl - discardLevels
-    val cb = 1 << cbExp
-    val depthMax = depths.max
-    def gainOf(band: Int): Int = band match {
-      case 0 => 0
-      case 3 => 2
-      case _ => 1
-    }
+    val cb = 1 << hd.cbExp
+    val parts = scanTileParts(bytes, hd)
+    val d = discardLevels
 
-    // windowed decode: the per-level coefficient regions that influence
-    // the window's pixels — each inverse-lifting level halves the region
-    // and needs a support margin (radius <= 2 per axis per level; 4 is
-    // safely over). neededAt(l) is in level-l band/LL coordinates.
-    val neededAt: Array[(Int, Int, Int, Int)] = window match {
-      case None => null
-      case Some((wx, wy, wwid, whgt)) =>
-        require(wx + wwid <= w && wy + whgt <= h,
-          s"jpeg2000: window ($wx,$wy,$wwid,$whgt) outside ${w}x$h")
-        val m = 4
-        val rects = new Array[(Int, Int, Int, Int)](nl + 1)
-        rects(0) = (wx, wy, wx + wwid, wy + whgt)
-        var l = 1
-        while (l <= nl) {
-          val (a, b2, c2, d2) = rects(l - 1)
-          rects(l) = (a / 2 - m, b2 / 2 - m, (c2 + 1) / 2 + m, (d2 + 1) / 2 + m)
-          l += 1
-        }
-        rects
-    }
-    @inline def cbNeeded(level: Int, bx0: Int, by0: Int,
-        bx1: Int, by1: Int): Boolean = neededAt == null || {
-      val (a, b2, c2, d2) = neededAt(level)
-      bx0 < c2 && a < bx1 && by0 < d2 && b2 < by1
-    }
-
-    // decode packets in LRCP order into per-component quadrant arrays
-    // (each level's bands live at their offsets inside the full plane,
-    // row stride w — the exact inverse of the encoder's layout)
+    // ---- one tile: packet decode + inverse DWT, all tile-local ----
+    // (a tile is an independent codestream body over its own canvas
+    // region; tile origins are multiples of the 2^nl-aligned tile size,
+    // so tile-local coordinates keep global parity at every level)
     final case class Meta(band: Int, xOff: Int, yOff: Int,
         x0: Int, y0: Int, cw: Int, ch: Int, np: Int, zbp: Int, len: Int,
         use: Boolean)
-    val planesT = Array.fill(nc)(new Array[Int](w * h))
-    var p = sodAt
-    for (r <- 0 to rMax; comp <- 0 until nc) {
-      val br = new BitReader(cs, p)
-      val bands = bandsOf(w, h, nl, r)
-      val cbMeta = new ArrayBuffer[Meta]()
-      if (br.bit() == 1) {
-        bands.foreach { case (band, bw2, bh2, xOff, yOff) =>
-          val (gw, gh) = cbGrid(bw2, bh2, cb)
-          val incl = new TagTree(gw, gh)
-          val zbpT = new TagTree(gw, gh)
-          for (gy <- 0 until gh; gx <- 0 until gw) {
-            val inc = incl.decode(br, gx, gy, 1)
-            if (inc == 0) {
-              var thr = 1
-              var zbp = Int.MaxValue
-              while (zbp == Int.MaxValue && thr <= 64) {
-                zbp = zbpT.decode(br, gx, gy, thr)
-                thr += 1
+    def decodeTile(tcw: Int, tch: Int, sodAt: Int, tileEnd: Int,
+        win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Int]] = {
+      // windowed decode: the per-level coefficient regions that influence
+      // the window's pixels — each inverse-lifting level halves the
+      // region and needs a support margin (radius <= 2 per axis per
+      // level; 4 is safely over). neededAt(l) is in level-l coords.
+      val neededAt: Array[(Int, Int, Int, Int)] = win match {
+        case None => null
+        case Some((wx, wy, wwid, whgt)) =>
+          val m = 4
+          val rects = new Array[(Int, Int, Int, Int)](nl + 1)
+          rects(0) = (wx, wy, wx + wwid, wy + whgt)
+          var l = 1
+          while (l <= nl) {
+            val (a, b2, c2, d2) = rects(l - 1)
+            rects(l) = (a / 2 - m, b2 / 2 - m, (c2 + 1) / 2 + m, (d2 + 1) / 2 + m)
+            l += 1
+          }
+          rects
+      }
+      @inline def cbNeeded(level: Int, bx0: Int, by0: Int,
+          bx1: Int, by1: Int): Boolean = neededAt == null || {
+        val (a, b2, c2, d2) = neededAt(level)
+        bx0 < c2 && a < bx1 && by0 < d2 && b2 < by1
+      }
+
+      // decode packets in LRCP order into per-component quadrant arrays
+      // (each level's bands live at their offsets inside the tile plane,
+      // row stride tcw — the exact inverse of the encoder's layout)
+      val planesT = Array.fill(nc)(new Array[Int](tcw * tch))
+      var p = sodAt
+      for (r <- 0 to rMax; comp <- 0 until nc) {
+        val br = new BitReader(bytes, p)
+        val bands = bandsOf(tcw, tch, nl, r)
+        val cbMeta = new ArrayBuffer[Meta]()
+        if (br.bit() == 1) {
+          bands.foreach { case (band, bw2, bh2, xOff, yOff) =>
+            val (gw, gh) = cbGrid(bw2, bh2, cb)
+            val incl = new TagTree(gw, gh)
+            val zbpT = new TagTree(gw, gh)
+            for (gy <- 0 until gh; gx <- 0 until gw) {
+              val inc = incl.decode(br, gx, gy, 1)
+              if (inc == 0) {
+                var thr = 1
+                var zbp = Int.MaxValue
+                while (zbp == Int.MaxValue && thr <= 64) {
+                  zbp = zbpT.decode(br, gx, gy, thr)
+                  thr += 1
+                }
+                require(zbp != Int.MaxValue, "jpeg2000: runaway zbp tag tree")
+                val np = readPassCount(br)
+                var extra = 0
+                while (br.bit() == 1) extra += 1
+                val len = br.bits(3 + extra + floorLog2(np))
+                val x0 = gx * cb; val y0 = gy * cb
+                val cw2 = math.min(cb, bw2 - x0)
+                val ch2 = math.min(cb, bh2 - y0)
+                val lvl = if (r == 0) nl else nl - r + 1
+                cbMeta += Meta(band, xOff, yOff, x0, y0, cw2, ch2, np, zbp, len,
+                  use = cbNeeded(lvl, x0, y0, x0 + cw2, y0 + ch2))
               }
-              require(zbp != Int.MaxValue, "jpeg2000: runaway zbp tag tree")
-              val np = readPassCount(br)
-              var extra = 0
-              while (br.bit() == 1) extra += 1
-              val len = br.bits(3 + extra + floorLog2(np))
-              val x0 = gx * cb; val y0 = gy * cb
-              val cw2 = math.min(cb, bw2 - x0)
-              val ch2 = math.min(cb, bh2 - y0)
-              val lvl = if (r == 0) nl else nl - r + 1
-              cbMeta += Meta(band, xOff, yOff, x0, y0, cw2, ch2, np, zbp, len,
-                use = cbNeeded(lvl, x0, y0, x0 + cw2, y0 + ch2))
+            }
+          }
+        }
+        p = br.align()
+        // bodies follow the header in the same order; windowed decode
+        // skips the EBCOT work of code-blocks outside the needed pyramid
+        cbMeta.foreach { m =>
+          val mb = hd.mbOf(comp, r, m.band)
+          require(p + m.len <= bytes.length, "jpeg2000: truncated code-block body")
+          if (!m.use) p += m.len
+          else {
+            val seg = java.util.Arrays.copyOfRange(bytes, p, p + m.len)
+            p += m.len
+            val (mag, neg) = decodeCb(m.band, m.cw, m.ch, seg, m.np, mb, m.zbp)
+            var y = 0
+            while (y < m.ch) {
+              var x = 0
+              while (x < m.cw) {
+                val v0 = mag(y * m.cw + x)
+                val v = if (neg(y * m.cw + x)) -v0 else v0
+                planesT(comp)((m.yOff + m.y0 + y) * tcw + (m.xOff + m.x0 + x)) = v
+                x += 1
+              }
+              y += 1
             }
           }
         }
       }
-      p = br.align()
-      // bodies follow the header in the same order; windowed decode
-      // skips the EBCOT work of code-blocks outside the needed pyramid
-      cbMeta.foreach { m =>
-        val mb = depthMax + gainOf(m.band) + guard - 1
-        require(p + m.len <= cs.length, "jpeg2000: truncated code-block body")
-        if (!m.use) p += m.len
-        else {
-          val seg = java.util.Arrays.copyOfRange(cs, p, p + m.len)
-          p += m.len
-          val (mag, neg) = decodeCb(m.band, m.cw, m.ch, seg, m.np, mb, m.zbp)
+      require(p <= tileEnd, "jpeg2000: packet data overruns the tile")
+
+      // inverse DWT per component, stopping at the requested level: the
+      // level-`discardLevels` LL region is the reduced-resolution tile
+      val redW = lowLen(tcw, d)
+      val redH = lowLen(tch, d)
+      (0 until nc).map { comp =>
+        val full = planesT(comp)
+        var l = nl
+        while (l >= d + 1) {
+          val cw2 = lowLen(tcw, l - 1)
+          val ch2 = lowLen(tch, l - 1)
+          // gather the cw2 x ch2 region (stored at the top-left of full)
+          val sub = new Array[Int](cw2 * ch2)
           var y = 0
-          while (y < m.ch) {
-            var x = 0
-            while (x < m.cw) {
-              val v0 = mag(y * m.cw + x)
-              val v = if (neg(y * m.cw + x)) -v0 else v0
-              planesT(comp)((m.yOff + m.y0 + y) * w + (m.xOff + m.x0 + x)) = v
-              x += 1
-            }
+          while (y < ch2) {
+            System.arraycopy(full, y * tcw, sub, y * cw2, cw2)
+            y += 1
+          }
+          val invd = inv2d(sub, cw2, ch2)
+          y = 0
+          while (y < ch2) {
+            System.arraycopy(invd, y * cw2, full, y * tcw, cw2)
+            y += 1
+          }
+          l -= 1
+        }
+        // crop to the tile-local window (windowed mode) or the reduced LL
+        val (cx0, cy0, fw, fh) = win match {
+          case Some((wx, wy, wwid, whgt)) => (wx, wy, wwid, whgt)
+          case None => (0, 0, redW, redH)
+        }
+        val outA = new Array[Int](fw * fh)
+        var y = 0
+        while (y < fh) {
+          var x = 0
+          while (x < fw) {
+            outA(y * fw + x) = full((cy0 + y) * tcw + (cx0 + x))
+            x += 1
+          }
+          y += 1
+        }
+        outA
+      }
+    }
+
+    // ---- assemble tiles into the output canvas ----
+    // (output coordinates: level-d reduced when d > 0; tile origins are
+    // 2^nl-aligned so the reduced tile origins abut exactly:
+    // lowLen(w, d) - tx0/2^d == lowLen(w - tx0, d))
+    val (fw, fh) = window match {
+      case Some((_, _, wwid, whgt)) => (wwid, whgt)
+      case None => (lowLen(w, d), lowLen(h, d))
+    }
+    val assembled = Array.fill(nc)(new Array[Int](fw * fh))
+    for (ty <- 0 until hd.nty; tx <- 0 until hd.ntx) {
+      val ti = ty * hd.ntx + tx
+      val tx0 = tx * tw; val ty0 = ty * th
+      val tcw = math.min(tw, w - tx0)
+      val tch = math.min(th, h - ty0)
+      // tile rect in OUTPUT coordinates
+      val rx0 = tx0 >> d; val ry0 = ty0 >> d
+      val rw = lowLen(tcw, d); val rh = lowLen(tch, d)
+      // intersection with the window (full tile when no window)
+      val (ix0, iy0, ix1, iy1) = window match {
+        case Some((wx, wy, wwid, whgt)) =>
+          (math.max(rx0, wx), math.max(ry0, wy),
+            math.min(rx0 + rw, wx + wwid), math.min(ry0 + rh, wy + whgt))
+        case None => (rx0, ry0, rx0 + rw, ry0 + rh)
+      }
+      if (ix0 < ix1 && iy0 < iy1) {
+        val (sod, tileEnd) = parts.getOrElse(ti, throw new IllegalArgumentException(
+          s"jpeg2000: tile-part for needed tile $ti missing from the stream"))
+        // full-resolution windows crop INSIDE the tile decode (that is
+        // what lets it skip EBCOT work); reduced windows decode the
+        // whole (already prefix-small) reduced tile and crop on copy
+        val localWin =
+          if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
+          else None
+        val tilePlanes = decodeTile(tcw, tch, sod, tileEnd, localWin)
+        val (px, py, pw2, ph2) = window match {
+          case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
+          case None => (rx0, ry0, rw, rh)
+        }
+        // source offset inside the decoded tile planes: 0 when the tile
+        // decode already cropped (d == 0 window), the reduced-local
+        // intersection origin otherwise
+        val (sx, sy, srcW) =
+          if (d == 0) (0, 0, pw2)
+          else (ix0 - rx0, iy0 - ry0, rw)
+        for (comp <- 0 until nc) {
+          val src = tilePlanes(comp)
+          var y = 0
+          while (y < ph2) {
+            System.arraycopy(src, (sy + y) * srcW + sx,
+              assembled(comp), (py + y) * fw + px, pw2)
             y += 1
           }
         }
       }
     }
-    require(tileEnd < 0 || p <= tileEnd, "jpeg2000: packet data overruns the tile")
 
-    // inverse DWT per component, stopping at the requested level: the
-    // level-`discardLevels` LL region is the reduced-resolution image
-    val outW = lowLen(w, discardLevels)
-    val outH = lowLen(h, discardLevels)
-    val shiftedOut: IndexedSeq[Array[Int]] = (0 until nc).map { comp =>
-      val full = planesT(comp)
-      var l = nl
-      while (l >= discardLevels + 1) {
-        val cw2 = lowLen(w, l - 1)
-        val ch2 = lowLen(h, l - 1)
-        // gather the cw2 x ch2 region (stored at the top-left of full)
-        val sub = new Array[Int](cw2 * ch2)
-        var y = 0
-        while (y < ch2) {
-          System.arraycopy(full, y * w, sub, y * cw2, cw2)
-          y += 1
-        }
-        val invd = inv2d(sub, cw2, ch2)
-        y = 0
-        while (y < ch2) {
-          System.arraycopy(invd, y * cw2, full, y * w, cw2)
-          y += 1
-        }
-        l -= 1
-      }
-      // crop to the window (windowed mode) or to the reduced-res LL
-      val (cx0, cy0, fw, fh) = window match {
-        case Some((wx, wy, wwid, whgt)) => (wx, wy, wwid, whgt)
-        case None => (0, 0, outW, outH)
-      }
-      val outA = new Array[Int](fw * fh)
-      var y = 0
-      while (y < fh) {
-        var x = 0
-        while (x < fw) {
-          outA(y * fw + x) = full((cy0 + y) * w + (cx0 + x))
-          x += 1
-        }
-        y += 1
-      }
-      outA
-    }
-    val (fw, fh) = window match {
-      case Some((_, _, wwid, whgt)) => (wwid, whgt)
-      case None => (outW, outH)
-    }
     // inverse RCT (per-pixel, so valid at any reduced resolution or
     // window), then the DC level unshift
     if (mct == 1) {
       require(nc >= 3, "jpeg2000: MCT declared with fewer than 3 components")
-      val ya = shiftedOut(0); val cba = shiftedOut(1); val cra = shiftedOut(2)
+      val ya = assembled(0); val cba = assembled(1); val cra = assembled(2)
       var i = 0
       while (i < fw * fh) {
         val g = ya(i) - ((cba(i) + cra(i)) >> 2)
@@ -1431,7 +1685,7 @@ private[graft] object Jpeg2000 {
       }
     }
     (0 until nc).map { comp =>
-      val a = shiftedOut(comp)
+      val a = assembled(comp)
       val shift = if (signedA(comp)) 0 else 1 << (depths(comp) - 1)
       var i = 0
       while (i < a.length) { a(i) += shift; i += 1 }
@@ -1450,14 +1704,12 @@ private[graft] object Jpeg2000 {
     * SIZ/COD markers — bounded work, no entropy decoding; accepts a
     * prefix of the file as long as it covers the main header. */
   def info(bytes: Array[Byte]): (Int, Int, Int, Int) = {
-    val cs = if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
-        (bytes(1) & 0xFF) == 0x4F) bytes
-      else jp2Codestream(bytes)
-    val bb = ByteBuffer.wrap(cs).order(ByteOrder.BIG_ENDIAN)
-    var pos = 2
+    val csOff = codestreamOffsetOf(bytes)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = csOff + 2
     var w = -1; var h = -1; var nc = -1; var nl = -1
     var sane = true
-    while (sane && (w < 0 || nl < 0) && pos + 4 <= cs.length) {
+    while (sane && (w < 0 || nl < 0) && pos + 4 <= bytes.length) {
       val marker = bb.getShort(pos) & 0xFFFF
       if ((marker >> 8) != 0xFF) sane = false
       else {
@@ -1473,6 +1725,41 @@ private[graft] object Jpeg2000 {
     }
     require(w > 0 && nl >= 0, "jpeg2000: SIZ/COD not found in header bytes")
     (w, h, nc, nl)
+  }
+
+  /** Full main-header layout from a header PREFIX (tile grid, exponent
+    * tables, first-SOT offset) — the out-db loader's entry point for
+    * tile-ranged reads. Header-bounded: nothing past the first SOT is
+    * touched, and JP2 boxes are parsed in place. */
+  private[sources] def layout(bytes: Array[Byte]): MainHeader =
+    parseMainHeader(bytes)
+
+  /** Tile-part byte ranges (absolute file offsets, SOT inclusive) from
+    * the TLM marker this encoder writes into the main header: entry i is
+    * tile i's (start, length). None when the stream carries no TLM or
+    * the header probe is too short. A windowed out-db read then FETCHES
+    * only the tiles the window intersects. */
+  private[sources] def tileRangesFromTlm(head: Array[Byte]): Option[IndexedSeq[(Long, Int)]] = {
+    val hd = try parseMainHeader(head) catch { case _: Exception => return None }
+    val bb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
+    var pos = hd.csOff + 2
+    val lens = new ArrayBuffer[Int]()
+    while (pos < hd.firstSot) {
+      val marker = bb.getShort(pos) & 0xFFFF
+      if (marker == 0xFF55) { // TLM
+        val end = pos + 2 + (bb.getShort(pos + 2) & 0xFFFF)
+        val stlm = head(pos + 5) & 0xFF
+        val st = (stlm >> 4) & 3
+        val sp = (stlm >> 6) & 1
+        if (st != 0 || sp != 1) return None // only the layout we write
+        var q = pos + 6
+        while (q + 4 <= end) { lens += bb.getInt(q); q += 4 }
+      }
+      pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
+    }
+    if (lens.isEmpty) return None
+    var off = hd.firstSot.toLong
+    Some(lens.map { len => val r = (off, len); off += len; r }.toIndexedSeq)
   }
 
   /** FILE-byte length of the prefix sufficient to decode resolutions
@@ -1491,17 +1778,27 @@ private[graft] object Jpeg2000 {
     var nc = -1; var nl = -1
     val lens = new ArrayBuffer[Int]()
     var sodAt = -1
+    // a 7-bit varint may legally straddle two PLT segments: the partial
+    // accumulator carries ACROSS segments and resets only when a varint
+    // completes (continuation bit clear)
+    var cur = 0
     while (sodAt < 0 && pos + 4 <= head.length) {
       val marker = bb.getShort(pos) & 0xFFFF
       if ((marker >> 8) != 0xFF) return None
       marker match {
-        case 0xFF51 => nc = bb.getShort(pos + 38) & 0xFFFF
+        case 0xFF51 =>
+          // single-tile streams only: a multi-tile codestream interleaves
+          // every tile's packets, so "leading packets" is per tile-part
+          // there (the out-db loader stitches per-tile prefixes instead)
+          val w = bb.getInt(pos + 6); val h = bb.getInt(pos + 10)
+          val tw = bb.getInt(pos + 22); val th = bb.getInt(pos + 26)
+          if (tw < w || th < h) return None
+          nc = bb.getShort(pos + 38) & 0xFFFF
         case 0xFF52 => nl = bb.get(pos + 9) & 0xFF
         case 0xFF58 =>
           val end = pos + 2 + (bb.getShort(pos + 2) & 0xFFFF)
           if (end > head.length) return None
           var q = pos + 5 // skip marker, Lplt, Zplt
-          var cur = 0
           while (q < end) {
             val v = head(q) & 0xFF
             cur = (cur << 7) | (v & 0x7F)
@@ -1521,41 +1818,63 @@ private[graft] object Jpeg2000 {
     Some(sodAt + lens.take(needPackets).sum)
   }
 
+  /** Byte length of the PREFIX of ONE tile-part (SOT .. SOD .. leading
+    * packets) sufficient to decode its resolutions 0..nl-discard, parsed
+    * from the tile-part's own PLT. `part` is a peek at the tile-part's
+    * first bytes (must start at its SOT and cover SOT+PLT+SOD). None
+    * when the peek is too short or carries no PLT. */
+  private[sources] def tilePrefixLen(part: Array[Byte], nc: Int, nl: Int,
+      discard: Int): Option[Int] = {
+    if (part.length < 12 || (part(0) & 0xFF) != 0xFF || (part(1) & 0xFF) != 0x90)
+      return None
+    val bb = ByteBuffer.wrap(part).order(ByteOrder.BIG_ENDIAN)
+    var pos = 12
+    val lens = new ArrayBuffer[Int]()
+    var cur = 0 // varint accumulator carries across PLT segments
+    var sodAt = -1
+    while (sodAt < 0 && pos + 4 <= part.length) {
+      val marker = bb.getShort(pos) & 0xFFFF
+      if ((marker >> 8) != 0xFF) return None
+      marker match {
+        case 0xFF58 =>
+          val end = pos + 2 + (bb.getShort(pos + 2) & 0xFFFF)
+          if (end > part.length) return None
+          var q = pos + 5
+          while (q < end) {
+            val v = part(q) & 0xFF
+            cur = (cur << 7) | (v & 0x7F)
+            if ((v & 0x80) == 0) { lens += cur; cur = 0 }
+            q += 1
+          }
+        case 0xFF93 => sodAt = pos + 2
+        case _ =>
+      }
+      if (sodAt < 0) pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
+    }
+    if (sodAt < 0 || discard > nl) return None
+    val needPackets = (nl - discard + 1) * nc
+    if (lens.length < needPackets) return None
+    Some(sodAt + lens.take(needPackets).sum)
+  }
+
   /** Offset of the jp2c box PAYLOAD inside a JP2 container (walking
-    * only the boxes present in the given bytes). */
+    * only the boxes present in the given bytes; positions held as Long
+    * so a declared box length near 2 GiB cannot overflow the walk). */
   private def jp2CodestreamOffset(bytes: Array[Byte]): Option[Int] = {
     if (bytes.length < 12 || bytes(4) != 'j'.toByte || bytes(5) != 'P'.toByte)
       return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    var pos = 0
+    var pos = 0L
     while (pos + 8 <= bytes.length) {
-      var len = bb.getInt(pos).toLong
-      val boxType = new String(bytes, pos + 4, 4, "ISO-8859-1")
+      var len = bb.getInt(pos.toInt).toLong
+      val boxType = new String(bytes, pos.toInt + 4, 4, "ISO-8859-1")
       var dataOff = pos + 8
-      if (len == 1) { len = bb.getLong(pos + 8); dataOff = pos + 16 }
-      else if (len == 0) len = bytes.length - pos
-      if (boxType == "jp2c") return Some(dataOff)
-      pos += len.toInt
-    }
-    None
-  }
-
-  /** Extract the contiguous codestream from a JP2 box container. */
-  private def jp2Codestream(bytes: Array[Byte]): Array[Byte] = {
-    require(bytes.length >= 12 && bytes(4) == 'j'.toByte &&
-      bytes(5) == 'P'.toByte, "jpeg2000: neither a codestream nor a JP2 file")
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    var pos = 0
-    while (pos + 8 <= bytes.length) {
-      var len = bb.getInt(pos).toLong
-      val boxType = new String(bytes, pos + 4, 4, "ISO-8859-1")
-      var dataOff = pos + 8
-      if (len == 1) { len = bb.getLong(pos + 8); dataOff = pos + 16 }
+      if (len == 1) { len = bb.getLong(pos.toInt + 8); dataOff = pos + 16 }
       else if (len == 0) len = bytes.length - pos
       if (boxType == "jp2c")
-        return java.util.Arrays.copyOfRange(bytes, dataOff, (pos + len).toInt)
-      pos += len.toInt
+        return if (dataOff <= Int.MaxValue) Some(dataOff.toInt) else None
+      pos += len
     }
-    throw new IllegalArgumentException("jpeg2000: JP2 file has no jp2c box")
+    None
   }
 }

@@ -497,12 +497,187 @@ class Jpeg2000Spec extends AnyFunSuite {
     mutated2(idx + 7) = 2 // SGcod layer count low byte
     val e2 = intercept[IllegalArgumentException](Jpeg2000.decode(mutated2))
     assert(e2.getMessage.contains("layers"))
-    // a QCC (per-component quantization override) segment must refuse,
-    // not silently skip — insert one right after the COD segment
+    // QCC overrides are now parsed per component (the RCT chroma path
+    // writes them) — but a MALFORMED one carrying fewer exponents than
+    // the COD levels need must refuse loudly, not decode wrong
     val insertAt = idx + 2 + lcod
     val qcc = Array[Byte](0xFF.toByte, 0x5D.toByte, 0, 4, 0, 0x40)
     val withQcc = cs.take(insertAt) ++ qcc ++ cs.drop(insertAt)
     val e3 = intercept[IllegalArgumentException](Jpeg2000.decode(withQcc))
-    assert(e3.getMessage.contains("ff5d"))
+    assert(e3.getMessage.contains("exponents"))
+  }
+
+  // ---------------------------------------------------------------
+  // Multi-tile codestreams (SOT per tile + TLM byte directory)
+  // ---------------------------------------------------------------
+
+  test("multi-tile roundtrip bit-exact: odd edge tiles, 16-bit RCT chroma (QCC)") {
+    val rnd = new scala.util.Random(97)
+    // 130x70 with 64x32 tiles -> 3x3 grid including a 2-wide and a
+    // 6-tall edge tile; the 16-bit 3-component case exercises the RCT
+    // chroma bit-depth expansion end to end (QCD for Y, QCC with +1
+    // exponents for Cb/Cr — the worst-case input that used to trip the
+    // encoder's magnitude require)
+    for ((depth, nComp, mct) <- Seq((8, 1, false), (16, 3, true))) {
+      val planes = Seq.fill(nComp)(planeOf(130, 70, depth, signed = false,
+        (_, _) => rnd.nextInt(1 << depth)))
+      val cs = Jpeg2000.encode(planes, levels = 5, cbExp = 4, mct = mct,
+        tileSize = Some((64, 32)))
+      val back = Jpeg2000.decode(cs)
+      assert(back.length == nComp)
+      planes.zip(back).zipWithIndex.foreach { case ((a, b), ci) =>
+        assert(b.w == a.w && b.h == a.h, s"depth $depth comp $ci header")
+        assert(java.util.Arrays.equals(a.samples, b.samples),
+          s"depth $depth comp $ci: first diff at " +
+            a.samples.zip(b.samples).indexWhere(q => q._1 != q._2))
+      }
+    }
+    // a tile size not aligned to 2^levels refuses loudly (canvas parity)
+    val e = intercept[IllegalArgumentException](Jpeg2000.encode(
+      Seq(planeOf(64, 64, 8, signed = false, (x, y) => x + y)),
+      levels = 3, tileSize = Some((20, 20))))
+    assert(e.getMessage.contains("multiple"))
+  }
+
+  test("multi-tile windowed decode ≡ full crop, windows straddling tile seams") {
+    val rnd = new scala.util.Random(98)
+    val planes = Seq.fill(3)(planeOf(130, 70, 8, signed = false,
+      (_, _) => rnd.nextInt(256)))
+    val cs = Jpeg2000.encode(planes, levels = 4, cbExp = 4, mct = true,
+      tileSize = Some((64, 32)))
+    val full = Jpeg2000.decode(cs)
+    // straddles 4 tiles; inside one tile; on the far edge; full extent
+    val windows = Seq((60, 28, 12, 10), (10, 5, 7, 9), (126, 66, 4, 4),
+      (0, 0, 130, 70), (63, 31, 2, 2))
+    for ((wx, wy, ww, wh) <- windows) {
+      val win = Jpeg2000.decodeWindow(cs, wx, wy, ww, wh)
+      for (ci <- 0 until 3; y <- 0 until wh; x <- 0 until ww)
+        assert(win(ci).samples(y * ww + x) ==
+          full(ci).samples((wy + y) * 130 + (wx + x)),
+          s"window ($wx,$wy,$ww,$wh) comp $ci at ($x,$y)")
+    }
+  }
+
+  test("multi-tile reduced decode ≡ per-tile single-tile reduced assembly") {
+    val rnd = new scala.util.Random(99)
+    val w = 160; val h = 88 // tiles 64x32 -> edge tiles 32x24 (>= 2^3)
+    val p = planeOf(w, h, 12, signed = false, (_, _) => rnd.nextInt(1 << 12))
+    val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4,
+      tileSize = Some((64, 32)))
+    for (d <- 0 to 3) {
+      val red = Jpeg2000.decode(cs, d)
+      val rw = red.head.w; val rh = red.head.h
+      assert(rw == Jp2Raster.Jpeg2000Dims.lowLen(w, d) && rh == Jp2Raster.Jpeg2000Dims.lowLen(h, d))
+      // oracle: each tile is an independent codestream — encode the
+      // tile region alone, reduce-decode it, and the mosaic must match
+      for (ty <- 0 until 3; tx <- 0 until 3) {
+        val tx0 = tx * 64; val ty0 = ty * 32
+        val tcw = math.min(64, w - tx0); val tch = math.min(32, h - ty0)
+        val tp = Plane(tcw, tch, 12, signed = false,
+          Array.tabulate(tcw * tch)(i =>
+            p.samples((ty0 + i / tcw) * w + (tx0 + i % tcw))))
+        val solo = Jpeg2000.decode(
+          Jpeg2000.encode(Seq(tp), levels = 3, cbExp = 4), d).head
+        for (y <- 0 until solo.h; x <- 0 until solo.w)
+          assert(red.head.samples(((ty0 >> d) + y) * rw + (tx0 >> d) + x) ==
+            solo.samples(y * solo.w + x),
+            s"d=$d tile ($tx,$ty) at ($x,$y)")
+      }
+      // reduced WINDOW (level coords) ≡ reduced full crop
+      if (d > 0) {
+        val (wx, wy, ww2, wh2) = (rw / 3, rh / 3, rw / 2, rh / 3)
+        val winp = Jpeg2000.decodeWindowAt(cs, d, wx, wy, ww2, wh2)
+        for (y <- 0 until wh2; x <- 0 until ww2)
+          assert(winp.head.samples(y * ww2 + x) ==
+            red.head.samples((wy + y) * rw + wx + x), s"d=$d at ($x,$y)")
+      }
+    }
+  }
+
+  test("TLM directory: ranges tile the stream; stitched partial stream decodes a window") {
+    val rnd = new scala.util.Random(100)
+    val planes = Seq.fill(1)(planeOf(130, 70, 8, signed = false,
+      (_, _) => rnd.nextInt(256)))
+    val cs = Jpeg2000.encode(planes, levels = 4, cbExp = 4,
+      tileSize = Some((64, 32)))
+    val hd = Jpeg2000.layout(cs)
+    val ranges = Jpeg2000.tileRangesFromTlm(cs).get
+    assert(ranges.length == 9)
+    assert(ranges.head._1 == hd.firstSot)
+    // contiguous, each starting at an SOT with the right Isot, ending at EOC
+    ranges.zipWithIndex.foreach { case ((off, len), i) =>
+      assert((cs(off.toInt) & 0xFF) == 0xFF && (cs(off.toInt + 1) & 0xFF) == 0x90, s"tile $i")
+      val isot = ((cs(off.toInt + 4) & 0xFF) << 8) | (cs(off.toInt + 5) & 0xFF)
+      assert(isot == i)
+      if (i > 0) assert(off == ranges(i - 1)._1 + ranges(i - 1)._2)
+    }
+    assert(ranges.last._1 + ranges.last._2 == cs.length - 2)
+    // stitch ONLY the tile an interior window needs (tile (1,1) = #4)
+    val needed = Seq(4)
+    val st = new java.io.ByteArrayOutputStream()
+    st.write(cs, 0, hd.firstSot)
+    needed.foreach { ti =>
+      val (off, len) = ranges(ti)
+      st.write(cs, off.toInt, len)
+    }
+    st.write(0xFF); st.write(0xD9)
+    val stitched = st.toByteArray
+    assert(stitched.length < cs.length / 2, "stitching must skip bytes")
+    val win = Jpeg2000.decodeWindow(stitched, 70, 40, 8, 6)
+    val oracle = Jpeg2000.decodeWindow(cs, 70, 40, 8, 6)
+    assert(java.util.Arrays.equals(win.head.samples, oracle.head.samples))
+    // a window needing an ABSENT tile refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Jpeg2000.decodeWindow(stitched, 120, 60, 8, 6))
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("out-db tiled: window fetch is tile-ranged, overview fetch is per-tile prefixes") {
+    import graft.functions.RasterModel
+    import graft.functions.RasterModel.{Band, Raster}
+    val rnd = new scala.util.Random(101)
+    val w = 1024; val h = 512 // incompressible 16-bit -> file >> 256KB probe
+    val vals = Array.tabulate(w * h)(_ => rnd.nextInt(1 << 16).toDouble)
+    val r = Raster("EPSG:32632", Array(500000.0, 10.0, 0.0, 5000000.0, 0.0, -10.0),
+      w, h, Vector(Band(Double.NaN, RasterModel.packDoubles(vals),
+        ptype = "UNSIGNED_16BITS")))
+    val bytes = Jp2Raster.write(r, levels = 3, tileSize = Some((256, 128)))
+    assert(bytes.length > 512 * 1024, s"fixture must outgrow the probe: ${bytes.length}")
+    var fetched = 0L
+    val fetch = (off: Long, n: Int) => {
+      fetched += n
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    }
+    // window inside one interior tile: header probe + ~1/16 of the body
+    fetched = 0L
+    val win = Jp2Raster.OutDb.loadWindow(fetch, bytes.length.toLong, 300, 150, 40, 20)
+    assert(fetched < bytes.length / 2,
+      s"window fetched $fetched of ${bytes.length}")
+    val full = Jp2Raster.read(bytes)
+    val fb = java.nio.ByteBuffer.wrap(full.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val wb = java.nio.ByteBuffer.wrap(win.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (y <- 0 until 20; x <- 0 until 40)
+      assert(wb.getDouble((y * 40 + x) * 8) ==
+        fb.getDouble(((150 + y) * w + 300 + x) * 8), s"($x,$y)")
+    assert(win.gt(0) == 500000.0 + 300 * 10.0 && win.gt(3) == 5000000.0 - 150 * 10.0)
+    // overview window at level 2: per-tile PLT prefixes, not the scene
+    fetched = 0L
+    val red = Jp2Raster.OutDb.loadWindowAt(fetch, bytes.length.toLong,
+      2L, 10, 20, 100, 60, Array(500000.0, 40.0, 0.0, 5000000.0, 0.0, -40.0),
+      "EPSG:32632")
+    assert(fetched < bytes.length / 2,
+      s"overview fetched $fetched of ${bytes.length}")
+    assert(red.width == 100 && red.height == 60)
+    val direct = Jp2Raster.readAt(bytes, 2)
+    val db = java.nio.ByteBuffer.wrap(direct.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rb = java.nio.ByteBuffer.wrap(red.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (y <- 0 until 60; x <- 0 until 100)
+      assert(rb.getDouble((y * 100 + x) * 8) ==
+        db.getDouble(((20 + y) * 256 + 10 + x) * 8), s"red ($x,$y)")
+    assert(red.gt(0) == 500000.0 + 10 * 40.0 && red.gt(3) == 5000000.0 - 20 * 40.0)
   }
 }
