@@ -62,6 +62,118 @@ object SdKnnBoundAgg {
   * dropDuplicates + row_number window pipeline shuffled every candidate
   * pair twice. At 100 TB the probe join's pair count is the dominant
   * intermediate — this keeps it out of the exchange entirely. */
+object SdKnnWeightedBoundAgg {
+  /** Weighted kth-smallest upper-bound state: the k smallest (ub,
+    * weight) entries plus a saturating total weight. Each entry's
+    * weight is >= 1, so the k smallest entries always contain the
+    * weighted kth when the total reaches k. */
+  final class Buf(val k: Int) {
+    val ubs = new Array[Double](k)
+    val wts = new Array[Long](k)
+    var n = 0
+    var total = 0L
+    private def maxIdx: Int = {
+      var m = 0; var i = 1
+      while (i < n) { if (ubs(i) > ubs(m)) m = i; i += 1 }
+      m
+    }
+    def insert(ub: Double, wt: Long): Unit = {
+      if (wt <= 0) return
+      total = math.min(Long.MaxValue / 2, total + wt)
+      if (n < k) { ubs(n) = ub; wts(n) = wt; n += 1 }
+      else {
+        val m = maxIdx
+        if (ub < ubs(m)) { ubs(m) = ub; wts(m) = wt }
+      }
+    }
+    /** Smallest kept ub whose cumulative weight reaches k (the kept max
+      * when the total is still short of k). */
+    def rk: Double = {
+      val order = (0 until n).sortBy(i => ubs(i))
+      var cum = 0L
+      var i = 0
+      while (i < order.length) {
+        cum += wts(order(i))
+        if (cum >= k) return ubs(order(i))
+        i += 1
+      }
+      ubs(order.last)
+    }
+  }
+}
+
+/** sd_knn_wbound_agg(ub, weight, k) -> struct(rk double, cnt int): the
+  * weighted kth-smallest upper bound and min(total weight, k). The
+  * COUNT-PROBE form of the KNN round-1 bound: inputs are (cell upper
+  * bound, cell object count) pairs from a broadcast per-cell histogram,
+  * never object rows — with >= k objects at cell upper bounds <= rk,
+  * the true kth distance is <= rk, and the single exact join that
+  * follows probes radius rk instead of enumerating an escalation
+  * cover's full object population. */
+case class SdKnnWeightedBoundAgg(
+    ub: Expression, wt: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SdKnnWeightedBoundAgg.Buf] {
+  import SdKnnWeightedBoundAgg.Buf
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(ub, wt, kExpr)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sd_knn_wbound_agg"
+  override def dataType: DataType = StructType(Seq(
+    StructField("rk", DoubleType), StructField("cnt", IntegerType)))
+  override def createAggregationBuffer(): Buf = {
+    require(k >= 1 && k <= 65536, s"sd_knn_wbound_agg: k out of range: $k")
+    new Buf(k)
+  }
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val u = ub.eval(input)
+    val w = wt.eval(input)
+    if (u != null && w != null)
+      b.insert(u.asInstanceOf[Double], w.asInstanceOf[Number].longValue())
+    b
+  }
+  override def merge(b: Buf, o: Buf): Buf = {
+    var i = 0
+    while (i < o.n) { b.insert(o.ubs(i), o.wts(i)); i += 1 }
+    // kept entries re-add their weights inside insert; correct the total
+    // to reflect BOTH sides' full totals, not just the kept entries
+    var keptO = 0L
+    i = 0
+    while (i < o.n) { keptO += o.wts(i); i += 1 }
+    b.total = math.min(Long.MaxValue / 2, b.total + (o.total - keptO))
+    b
+  }
+  override def eval(b: Buf): Any =
+    if (b.n == 0) null
+    else new GenericInternalRow(Array[Any](b.rk, math.min(b.total, k.toLong).toInt))
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 16 * b.n)
+    bb.putInt(b.k).putInt(b.n).putLong(b.total)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.ubs(i)).putLong(b.wts(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(s: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(s)
+    val b = new Buf(bb.getInt)
+    val n = bb.getInt
+    b.total = bb.getLong
+    var i = 0
+    while (i < n) { b.ubs(i) = bb.getDouble; b.wts(i) = bb.getLong; i += 1 }
+    b.n = n
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): SdKnnWeightedBoundAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SdKnnWeightedBoundAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(ub = c(0), wt = c(1), kExpr = c(2))
+}
+
 case class SdKnnBoundAgg(
     d: Expression, tb: Expression, oid: Expression, kExpr: Expression,
     mutableAggBufferOffset: Int = 0,

@@ -271,20 +271,39 @@ object SpatialJoins {
           lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    // round 1: geometric radius escalation -> per-query bound (one-ring
-    // probe first, 4x per round for still-unresolved queries; see
-    // escalateKnnBounds — the planar analog of the spheroid fix, so a
-    // sparse query never re-probes the full extent)
+    // round 1: geometric radius escalation over the per-cell COUNT
+    // histogram -> per-query bound (one-ring probe first, 4x per round
+    // for still-unresolved queries; see escalateKnnBounds — a sparse
+    // query never re-probes the full extent, and no escalation round
+    // touches an object row)
     val ring = math.max(cellW, cellH) + 1e-12
-    val bound = escalateKnnBounds(q, o, k, cells, st.distance, ring, diag)
+    def clampIdx(v: Column, n: Int): Column =
+      least(greatest(v.cast("long"), lit(0L)), lit((n - 1).toLong))
+    def oe(i: Int) = element_at(st.f("sd_envelope4", col("__og")), i)
+    val canonCell = clampIdx(floor((oe(2) - lit(ymin)) / lit(ymax - ymin) * ny), ny) * nx +
+      clampIdx(floor((oe(1) - lit(xmin)) / lit(xmax - xmin) * nx), nx)
+    def centerOf(cell: Column): Column = st.point(
+      lit(xmin) + (pmod(cell, lit(nx)).cast("double") + 0.5) * cellW,
+      lit(ymin) + (floor(cell / nx).cast("double") + 0.5) * cellH)
+    val reachLit = lit(math.sqrt(cellW * cellW / 4 + cellH * cellH / 4))
+    val diagCol = sqrt((oe(3) - oe(1)) * (oe(3) - oe(1)) +
+      (oe(4) - oe(2)) * (oe(4) - oe(2)))
+    val cellStats = knnCellStats(objects, objectGeom, canonCell,
+      centerOf, _ => reachLit, diagCol)
+    val bound = escalateKnnBounds(q, cellStats, k, cells, st.distance, ring, diag)
 
     // round 2: exact re-probe within the per-query radius (queries with an
     // empty neighbourhood at every radius fall back to the full-extent
     // diagonal via the left-join coalesce — only possible when the object
     // side holds fewer than k rows)
+    // occupied-cell semi filter: a sparse query's cover is mostly empty
+    // cells — drop them map-side (broadcast, <= nx*ny ids) BEFORE the
+    // exploded rows reach the shuffle join
+    val occupied = broadcast(o.select(col("__ocell").as("__occ")).distinct())
     val q2 = q.join(bound, Seq("__qid"), "left")
       .withColumn("__radius", coalesce(col("__radius"), lit(diag)))
       .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-9))))
+      .join(occupied, col("__pcell") === col("__occ"), "left_semi")
     val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
     q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++
         oCols.map(c => o(c).as(s"__o_$c")): _*)
@@ -328,19 +347,22 @@ object SpatialJoins {
     * some radius; the terminal round hands cnt < k queries maxR (cover =
     * the full extent, so < k candidates there means the object side
     * itself holds fewer than k rows — taking everything is exact). */
-  private[graft] def escalateKnnBounds(q: DataFrame, o: DataFrame, k: Int,
+  private[graft] def escalateKnnBounds(q: DataFrame, cellStats: DataFrame, k: Int,
       cells: (Column, Column) => Column, dist: (Column, Column) => Column,
       ring: Double, maxR: Double): DataFrame = {
     val radii =
       Iterator.iterate(ring)(_ * 4).takeWhile(_ < maxR).take(12).toList :+ maxR
-    // the probe side is an EXPLODE of per-query covers — Catalyst's
-    // row-count estimate ignores the explode factor, so left alone AQE
-    // can pick a broadcast of a "45k-row" side that is really 100M+
-    // exploded rows (observed: driver maxResultSize abort at m=100).
-    // Pin the cell join to shuffle-hash with the object index as the
-    // per-partition build side — the only shape that holds at 100 TB.
-    val oProbe = o.select(col("__ocell"), col("__og"), col("__otb"), col("__oid"))
-      .hint("shuffle_hash")
+    // COUNT PROBES, not object probes: each round joins the query covers
+    // against the broadcast per-cell histogram (<= nx*ny rows — bounded
+    // by the same deployment knob that sizes the grid), so no escalation
+    // round ever touches an object row. A query resolves with radius
+    // rk = the weighted kth-smallest CELL upper bound (distance to cell
+    // center + cell reach + the cell's max object extent): >= k objects
+    // provably sit within rk, so the single exact join that follows
+    // probes ~the true kth distance — the former object-enumeration
+    // rounds scanned density x area(4 d_k) pairs on clustered data
+    // (observed: a 5B-pair sort fallback filling the disk at m=100).
+    val probe = broadcast(cellStats)
     var unresolved = q.select(col("__qid"), col("__qg"))
     // Each round MATERIALIZES its stats (and the shrunk unresolved set)
     // before the next round is even planned: rounds whose input is empty
@@ -364,20 +386,19 @@ object SpatialJoins {
       val last = i == radii.size - 1
       if (remaining == 0) None
       else {
-        // distance PROJECTED before the aggregate: the typed aggregate's
-        // partial (ObjectHashAggregate) falls back to sort-based beyond
-        // the distinct-key threshold, and that sort touches the full
-        // input rows — 4 scalars per row here, not two WKB geometries
-        // (measured 16x on the fallback stage at 48M candidate pairs)
+        // the ub is PROJECTED to a narrow row before the aggregate: the
+        // typed aggregate's partial (ObjectHashAggregate) falls back to
+        // sort-based beyond the distinct-key threshold, and that sort
+        // touches the full input rows — 3 scalars per row here
         val stats = pin(unresolved
           .select(col("__qid"), col("__qg"), explode(cells(col("__qg"), lit(r))).as("__pcell"))
-          .join(oProbe, col("__pcell") === col("__ocell"))
-          .select(col("__qid"), dist(col("__qg"), col("__og")).as("__d"),
-            col("__otb"), col("__oid"))
+          .join(probe, col("__pcell") === col("__ccell"))
+          .select(col("__qid"),
+            (dist(col("__qg"), col("__cc")) + col("__cpad")).as("__ub"),
+            col("__ccnt"))
           .groupBy(col("__qid"))
-          .agg(st.f("sd_knn_bound_agg", col("__d"),
-            col("__otb"), col("__oid"), lit(k)).as("__b"))
-          .select(col("__qid"), col("__b").getField("dk").as("__dk"),
+          .agg(st.f("sd_knn_wbound_agg", col("__ub"), col("__ccnt"), lit(k)).as("__b"))
+          .select(col("__qid"), col("__b").getField("rk").as("__dk"),
             col("__b").getField("cnt").as("__cnt")))
         if (!last) {
           unresolved = pin(unresolved.join(
@@ -395,6 +416,26 @@ object SpatialJoins {
     pinned.foreach(graft.CacheRegistry.register)
     bounds.reduce(_ unionByName _)
   }
+
+  /** Per-cell object histogram for the count-probe escalation: one row
+    * per OCCUPIED canonical cell (the cell of each object's envelope
+    * min corner — pure column arithmetic, counted once per object) with
+    * the object count, the cell center geometry, and a SOUND distance
+    * pad: distance(q, object) <= dist(q, center) + reach(center ->
+    * farthest corner) + the cell's max object-envelope diagonal. At most
+    * nx*ny rows — broadcastable by construction (the grid resolution is
+    * the deployment knob that already bounds it). */
+  private def knnCellStats(objects: DataFrame, objectGeom: Column,
+      canonCell: Column, centerOf: Column => Column,
+      reachOf: Column => Column, diag: Column): DataFrame =
+    objects
+      .select(objectGeom.as("__og"))
+      .select(canonCell.as("__ccell"), diag.as("__diag"))
+      .groupBy(col("__ccell"))
+      .agg(count(lit(1)).as("__ccnt"), max(col("__diag")).as("__mdiag"))
+      .select(col("__ccell"), col("__ccnt"),
+        centerOf(col("__ccell")).as("__cc"),
+        (reachOf(col("__ccell")) + col("__mdiag")).as("__cpad"))
 
   /** Spheroid (great-circle) partitioned KNN join — the scale path when
     * the OBJECT side of a `st_knn(..., use_spheroid=true)` join cannot be
@@ -441,24 +482,55 @@ object SpatialJoins {
         .withColumn("__ocell", explode(cells(col("__og"), lit(0.0))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    // round 1: geometric radius escalation -> per-query bound (one-ring
-    // geodesic probe first, 4x per round, globe only as the terminal
-    // radius — see escalateKnnBounds; the former π·R fallback joined
-    // every empty-ring query against the ENTIRE object side, a skew
-    // cliff on sparse/clustered workloads like ocean sensors vs coastal
-    // assets)
+    // round 1: geometric radius escalation over the per-cell COUNT
+    // histogram -> per-query bound (one-ring geodesic probe first, 4x
+    // per round, globe only as the terminal radius — see
+    // escalateKnnBounds; the former π·R fallback joined every empty-ring
+    // query against the ENTIRE object side, a skew cliff on
+    // sparse/clustered workloads like ocean sensors vs coastal assets)
     val ringM = math.Pi * graft.functions.Spherical.R / ny + 1e-6
-    val bound = escalateKnnBounds(q, o, k, cells,
-      (a, b) => st.f("st_distancesphere", a, b), ringM, maxGeo)
+    val distSphere = (a: Column, b: Column) => st.f("st_distancesphere", a, b)
+    val cellW = 360.0 / nx
+    val cellH = 180.0 / ny
+    def clampIdx(v: Column, n: Int): Column =
+      least(greatest(v.cast("long"), lit(0L)), lit((n - 1).toLong))
+    def oe(i: Int) = element_at(st.f("sd_envelopesphere4", col("__og")), i)
+    val canonCell =
+      clampIdx(floor((oe(2) + lit(90.0)) / 180.0 * ny), ny) * nx +
+        clampIdx(floor((oe(1) + lit(180.0)) / 360.0 * nx), nx)
+    def centerLon(cell: Column): Column =
+      lit(-180.0) + (pmod(cell, lit(nx)).cast("double") + 0.5) * cellW
+    def centerLat(cell: Column): Column =
+      lit(-90.0) + (floor(cell / nx).cast("double") + 0.5) * cellH
+    def centerOf(cell: Column): Column = st.point(centerLon(cell), centerLat(cell))
+    // geodesic reach: center -> farthest corner (both lat signs — the
+    // higher-|lat| corner is farther in longitude arc terms)
+    def reachOf(cell: Column): Column = greatest(
+      distSphere(centerOf(cell), st.point(centerLon(cell) + cellW / 2,
+        centerLat(cell) + cellH / 2)),
+      distSphere(centerOf(cell), st.point(centerLon(cell) + cellW / 2,
+        centerLat(cell) - cellH / 2)))
+    // object extent pad: the geodesic envelope diagonal; a wrap-aware
+    // envelope that crosses the antimeridian (or spans >= 180 deg) gets
+    // the antipodal maximum — a corner-to-corner arc undershoots there
+    val diagCol = when(oe(1) > oe(3) || oe(3) - oe(1) >= 180.0, lit(maxGeo))
+      .otherwise(distSphere(st.point(oe(1), oe(2)), st.point(oe(3), oe(4))))
+    val cellStats = knnCellStats(objects, objectGeom, canonCell,
+      centerOf, reachOf, diagCol)
+    val bound = escalateKnnBounds(q, cellStats, k, cells, distSphere, ringM, maxGeo)
 
     // round 2: exact re-probe of the radius-expanded spherical cover
     // (queries with an empty neighbourhood at every escalation radius can
     // only mean an object side smaller than k — the left-join coalesce
     // below hands them the antipodal maximum, rare by construction,
     // never wrong)
+    // occupied-cell semi filter (see the planar twin): empty-ocean cover
+    // cells never reach the shuffle
+    val occupied = broadcast(o.select(col("__ocell").as("__occ")).distinct())
     val q2 = q.join(bound, Seq("__qid"), "left")
       .withColumn("__radius", coalesce(col("__radius"), lit(maxGeo)))
       .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-3))))
+      .join(occupied, col("__pcell") === col("__occ"), "left_semi")
     val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
     q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++
         oCols.map(c => o(c).as(s"__o_$c")): _*)

@@ -334,6 +334,186 @@ private[graft] object Jpeg2000 {
   }
 
   // =====================================================================
+  // Irreversible 9/7 DWT (Annex F.4.8.2) — double lifting, the LOSSY
+  // path. Same split/mirror conventions as the 5/3 above (the mirror is
+  // whole-sample symmetric extension expressed on the lifted bands);
+  // scaling K on the high band and 1/K on the low band matches the
+  // openjpeg/ISO normalization (decode unscales with 2/K and K).
+  // =====================================================================
+
+  private val A97 = -1.586134342059924
+  private val B97 = -0.052980118572961
+  private val G97 = 0.882911075530934
+  private val D97 = 0.443506852043971
+  private val K97 = 1.230174104914001
+
+  /** 1D forward 9/7: returns (low, high). */
+  private[sources] def fwd97(x: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = x.length
+    val ns = (n + 1) / 2
+    val nd = n / 2
+    if (n == 1) return (Array(x(0)), Array.empty[Double])
+    val d = new Array[Double](nd)
+    val s = new Array[Double](ns)
+    var i = 0
+    while (i < nd) {
+      val right = if (2 * i + 2 < n) x(2 * i + 2) else x(2 * i)
+      d(i) = x(2 * i + 1) + A97 * (x(2 * i) + right)
+      i += 1
+    }
+    i = 0
+    while (i < ns) {
+      val dl = if (i - 1 >= 0) d(i - 1) else d(0)
+      val dr = if (i < nd) d(i) else d(nd - 1)
+      s(i) = x(2 * i) + B97 * (dl + dr)
+      i += 1
+    }
+    i = 0
+    while (i < nd) {
+      val sr = if (i + 1 < ns) s(i + 1) else s(ns - 1)
+      d(i) += G97 * (s(i) + sr)
+      i += 1
+    }
+    i = 0
+    while (i < ns) {
+      val dl = if (i - 1 >= 0) d(i - 1) else d(0)
+      val dr = if (i < nd) d(i) else d(nd - 1)
+      s(i) = (s(i) + D97 * (dl + dr)) / K97
+      i += 1
+    }
+    i = 0
+    while (i < nd) { d(i) *= K97 / 2.0; i += 1 }
+    (s, d)
+  }
+
+  /** Exact float inverse of [[fwd97]]. */
+  private[sources] def inv97(s0: Array[Double], d0: Array[Double]): Array[Double] = {
+    val n = s0.length + d0.length
+    if (n == 1) return Array(s0(0))
+    val ns = s0.length
+    val nd = d0.length
+    val s = new Array[Double](ns)
+    val d = new Array[Double](nd)
+    var i = 0
+    while (i < nd) { d(i) = d0(i) * (2.0 / K97); i += 1 }
+    i = 0
+    while (i < ns) { s(i) = s0(i) * K97; i += 1 }
+    i = 0
+    while (i < ns) {
+      val dl = if (i - 1 >= 0) d(i - 1) else d(0)
+      val dr = if (i < nd) d(i) else d(nd - 1)
+      s(i) -= D97 * (dl + dr)
+      i += 1
+    }
+    i = 0
+    while (i < nd) {
+      val sr = if (i + 1 < ns) s(i + 1) else s(ns - 1)
+      d(i) -= G97 * (s(i) + sr)
+      i += 1
+    }
+    val x = new Array[Double](n)
+    i = 0
+    while (i < ns) {
+      val dl = if (i - 1 >= 0) d(i - 1) else d(0)
+      val dr = if (i < nd) d(i) else d(nd - 1)
+      x(2 * i) = s(i) - B97 * (dl + dr)
+      i += 1
+    }
+    i = 0
+    while (i < nd) {
+      val right = if (2 * i + 2 < n) x(2 * i + 2) else x(2 * i)
+      x(2 * i + 1) = d(i) - A97 * (x(2 * i) + right)
+      i += 1
+    }
+    x
+  }
+
+  private def fwd2d97(a: Array[Double], w: Int, h: Int): (Array[Double], Int, Int) = {
+    val lw = (w + 1) / 2
+    val lh = (h + 1) / 2
+    val t = new Array[Double](w * h)
+    val row = new Array[Double](w)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(a, y * w, row, 0, w)
+      val (s, d) = fwd97(row)
+      System.arraycopy(s, 0, t, y * w, s.length)
+      System.arraycopy(d, 0, t, y * w + lw, d.length)
+      y += 1
+    }
+    val colBuf = new Array[Double](h)
+    var x = 0
+    while (x < w) {
+      var i = 0
+      while (i < h) { colBuf(i) = t(i * w + x); i += 1 }
+      val (s, d) = fwd97(colBuf)
+      i = 0
+      while (i < s.length) { t(i * w + x) = s(i); i += 1 }
+      i = 0
+      while (i < d.length) { t((lh + i) * w + x) = d(i); i += 1 }
+      x += 1
+    }
+    (t, lw, lh)
+  }
+
+  private def inv2d97(t: Array[Double], w: Int, h: Int): Array[Double] = {
+    val lw = (w + 1) / 2
+    val lh = (h + 1) / 2
+    val a = new Array[Double](w * h)
+    System.arraycopy(t, 0, a, 0, w * h)
+    val colS = new Array[Double](lh)
+    val colD = new Array[Double](h - lh)
+    var x = 0
+    while (x < w) {
+      var i = 0
+      while (i < lh) { colS(i) = a(i * w + x); i += 1 }
+      i = 0
+      while (i < h - lh) { colD(i) = a((lh + i) * w + x); i += 1 }
+      val col = inv97(colS, colD)
+      i = 0
+      while (i < h) { a(i * w + x) = col(i); i += 1 }
+      x += 1
+    }
+    val rowS = new Array[Double](lw)
+    val rowD = new Array[Double](w - lw)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(a, y * w, rowS, 0, lw)
+      System.arraycopy(a, y * w + lw, rowD, 0, w - lw)
+      val row = inv97(rowS, rowD)
+      System.arraycopy(row, 0, a, y * w, w)
+      y += 1
+    }
+    a
+  }
+
+  // =====================================================================
+  // Scalar quantization (Annex E) — the lossy path's rate knob.
+  // Δ_b = 2^(R_b − ε_b) · (1 + μ_b / 2^11), signalled per subband as a
+  // 16-bit SPqcd word (ε << 11 | μ) under Sqcd style 2 ("scalar
+  // expounded"). The encoder quantizes with the SIGNALLED step (not the
+  // requested one), so encode/decode agree bit-for-bit on the grid.
+  // =====================================================================
+
+  /** Reconstructed step size from a signalled (ε, μ) at dynamic range
+    * exponent Rb. */
+  private[sources] def stepOf(eps: Int, mu: Int, rb: Int): Double =
+    math.pow(2.0, rb - eps) * (1.0 + mu / 2048.0)
+
+  /** Signalling (ε, μ) whose step is the closest representable to the
+    * requested Δ (ε clamped to the 5-bit field). */
+  private[sources] def stepToEpsMu(delta: Double, rb: Int): (Int, Int) = {
+    require(delta > 0, s"jpeg2000: quantization step must be positive: $delta")
+    val e2 = math.floor(math.log(delta) / math.log(2.0)).toInt
+    var eps = rb - e2
+    var mu = math.round((delta / math.pow(2.0, e2) - 1.0) * 2048.0).toInt
+    if (mu >= 2048) { mu = 0; eps -= 1 } // mantissa rounded up to 2.0
+    if (eps < 0) { eps = 0; mu = 2047 }  // clamp: biggest representable step
+    if (eps > 31) { eps = 31; mu = 0 }   // clamp: smallest representable step
+    (eps, mu)
+  }
+
+  // =====================================================================
   // Tag trees (Annex B.10.2)
   // =====================================================================
 
@@ -907,9 +1087,20 @@ private[graft] object Jpeg2000 {
     * the main header so a reader can locate tile-parts without scanning)
     * — the layout real Sentinel-2-class granules use; tile dimensions
     * must be multiples of 2^levels so every tile starts at even parity
-    * at every decomposition level (the canvas-coordinate rule F.2). */
+    * at every decomposition level (the canvas-coordinate rule F.2).
+    *
+    * `qstep > 0` selects the LOSSY path: irreversible 9/7 DWT (Annex F)
+    * + scalar quantization (Annex E) with a uniform requested step of
+    * `qstep` sample units per subband, signalled per subband as Sqcd
+    * style-2 (ε, μ) words — the encoder quantizes with the SIGNALLED
+    * step so decode reconstructs on exactly the grid the stream
+    * declares. With `mct` the lossy path applies the irreversible ICT
+    * (floating YCbCr) instead of the RCT. One quality layer: qstep IS
+    * the rate knob (quicklook archives; no ROI/precinct rate control). */
   def encode(planes: Seq[Plane], levels: Int = 5, cbExp: Int = 6,
-      mct: Boolean = false, tileSize: Option[(Int, Int)] = None): Array[Byte] = {
+      mct: Boolean = false, tileSize: Option[(Int, Int)] = None,
+      qstep: Double = 0.0): Array[Byte] = {
+    val lossy = qstep > 0.0
     require(planes.nonEmpty, "jpeg2000: no components")
     val w = planes.head.w
     val h = planes.head.h
@@ -962,7 +1153,7 @@ private[graft] object Jpeg2000 {
     u8(nl)
     u8(cbExp - 2); u8(cbExp - 2)
     u8(0)        // code-block style: all defaults
-    u8(1)        // 5/3 reversible
+    u8(if (lossy) 0 else 1) // transform: 0 = 9/7 irreversible, 1 = 5/3
     val depthMax = planes.map(_.depth).max
     def gainOf(band: Int): Int = band match {
       case 0 => 0
@@ -972,25 +1163,49 @@ private[graft] object Jpeg2000 {
     // subband exponent: RCT expands the chroma components (1, 2) by one
     // bit (Cb = B - G, Cr = R - G span depth+1), so their exponents —
     // and with them Mb — carry the +1 the standard prescribes (G.2);
-    // component 0 keeps the plain depth
+    // component 0 keeps the plain depth. (Lossless path only: the ICT
+    // is float, no integer expansion.)
     def epsOf(comp: Int, band: Int): Int =
       depthMax + gainOf(band) + (if (mct && comp >= 1) 1 else 0)
-    def mbOf(comp: Int, band: Int): Int = epsOf(comp, band) + guard - 1
-    // QCD: no quantization, exponents only; Mb = eps + guard - 1
-    u16(0xFF5C)
-    u16(4 + 3 * nl)
-    u8(guard << 5) // Sqcd: style 0 (no quantization)
-    u8(epsOf(0, 0) << 3)
-    for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8(epsOf(0, b) << 3)
-    // QCC for every component whose exponents differ from the QCD's
-    // (the RCT chroma components): same style, +1 exponents
-    for (comp <- planes.indices if epsOf(comp, 0) != epsOf(0, 0)) {
-      u16(0xFF5D)
-      u16(5 + 3 * nl)
-      u8(comp)       // Cqcc (1 byte: nc < 257 always holds here)
-      u8(guard << 5) // Sqcc
-      u8(epsOf(comp, 0) << 3)
-      for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8(epsOf(comp, b) << 3)
+    // lossy: per-subband signalled (ε, μ) for the uniform requested step
+    // at the subband's dynamic-range exponent Rb = depth + gain; the
+    // QUANTIZER uses the signalled step these words reconstruct to
+    def lossyEpsMu(band: Int): (Int, Int) =
+      stepToEpsMu(qstep, depthMax + gainOf(band))
+    def stepHatEnc(band: Int): Double = {
+      val (e, m) = lossyEpsMu(band)
+      stepOf(e, m, depthMax + gainOf(band))
+    }
+    def mbOf(comp: Int, band: Int): Int =
+      (if (lossy) lossyEpsMu(band)._1 else epsOf(comp, band)) + guard - 1
+    if (lossy) {
+      // QCD style 2 (scalar expounded): 16-bit (ε << 11 | μ) per subband
+      u16(0xFF5C)
+      u16(3 + 2 * (1 + 3 * nl))
+      u8((guard << 5) | 2)
+      val (e0, m0) = lossyEpsMu(0)
+      u16((e0 << 11) | m0)
+      for (r <- 1 to nl; b <- Seq(1, 2, 3)) {
+        val (e, m) = lossyEpsMu(b)
+        u16((e << 11) | m)
+      }
+    } else {
+      // QCD: no quantization, exponents only; Mb = eps + guard - 1
+      u16(0xFF5C)
+      u16(4 + 3 * nl)
+      u8(guard << 5) // Sqcd: style 0 (no quantization)
+      u8(epsOf(0, 0) << 3)
+      for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8(epsOf(0, b) << 3)
+      // QCC for every component whose exponents differ from the QCD's
+      // (the RCT chroma components): same style, +1 exponents
+      for (comp <- planes.indices if epsOf(comp, 0) != epsOf(0, 0)) {
+        u16(0xFF5D)
+        u16(5 + 3 * nl)
+        u8(comp)       // Cqcc (1 byte: nc < 257 always holds here)
+        u8(guard << 5) // Sqcc
+        u8(epsOf(comp, 0) << 3)
+        for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8(epsOf(comp, b) << 3)
+      }
     }
 
     // ---- per-tile encoding (tiles are independently coded) ----
@@ -1001,7 +1216,7 @@ private[graft] object Jpeg2000 {
       // optional RCT across the first three (forward: Y=(R+2G+B)>>2,
       // Cb=B-G, Cr=R-G — exact integers, inverse in decode), then
       // per-component DWT
-      val shifted: Seq[Array[Int]] = planes.map { p =>
+      val shifted: Seq[Array[Int]] = if (lossy) null else planes.map { p =>
         val a = new Array[Int](tcw * tch)
         val shift = if (p.signed) 0 else 1 << (p.depth - 1)
         var y = 0
@@ -1015,7 +1230,7 @@ private[graft] object Jpeg2000 {
         }
         a
       }
-      if (mct) {
+      if (!lossy && mct) {
         val r = shifted(0); val g = shifted(1); val b = shifted(2)
         var i = 0
         while (i < tcw * tch) {
@@ -1026,7 +1241,56 @@ private[graft] object Jpeg2000 {
           i += 1
         }
       }
-      val transformed = shifted.map { a =>
+      // lossy: DC shift to doubles, irreversible ICT, 9/7 pyramid
+      val shiftedD: Seq[Array[Double]] = if (!lossy) null else planes.map { p =>
+        val a = new Array[Double](tcw * tch)
+        val shift = if (p.signed) 0 else 1 << (p.depth - 1)
+        var y = 0
+        while (y < tch) {
+          var x = 0
+          while (x < tcw) {
+            a(y * tcw + x) = (p.samples((ty0 + y) * w + (tx0 + x)) - shift).toDouble
+            x += 1
+          }
+          y += 1
+        }
+        a
+      }
+      if (lossy && mct) {
+        val r = shiftedD(0); val g = shiftedD(1); val b = shiftedD(2)
+        var i = 0
+        while (i < tcw * tch) {
+          val y = 0.299 * r(i) + 0.587 * g(i) + 0.114 * b(i)
+          val cb2 = -0.168736 * r(i) - 0.331264 * g(i) + 0.5 * b(i)
+          val cr = 0.5 * r(i) - 0.418688 * g(i) - 0.081312 * b(i)
+          r(i) = y; g(i) = cb2; b(i) = cr
+          i += 1
+        }
+      }
+      val transformedD = if (!lossy) null else shiftedD.map { a =>
+        var cw = tcw
+        var ch = tch
+        var buf = a
+        val quads = new Array[(Array[Double], Int, Int)](nl + 1)
+        var l = 0
+        while (l < nl) {
+          val (t, lw2, lh2) = fwd2d97(buf, cw, ch)
+          quads(l) = (t, cw, ch)
+          val nxt = new Array[Double](lw2 * lh2)
+          var yy = 0
+          while (yy < lh2) {
+            System.arraycopy(t, yy * cw, nxt, yy * lw2, lw2)
+            yy += 1
+          }
+          buf = nxt
+          cw = lw2
+          ch = lh2
+          l += 1
+        }
+        quads(nl) = (buf, cw, ch)
+        quads
+      }
+      val transformed = if (lossy) null else shifted.map { a =>
         var cw = tcw
         var ch = tch
         var buf = a
@@ -1052,34 +1316,67 @@ private[graft] object Jpeg2000 {
         quads
       }
 
-      // band sample extractor: band coords -> coefficient array
-      def bandSamples(comp: Int, r: Int, band: Int, bw: Int, bh: Int,
+      // band sample extractor: band coords -> SIGNED coefficient array.
+      // Lossless: raw 5/3 integers; lossy: 9/7 doubles quantized with
+      // the SIGNALLED step (sign * floor(|v| / Δ̂_b)).
+      def bandCoeffs(comp: Int, r: Int, band: Int, bw: Int, bh: Int,
           xOff: Int, yOff: Int): Array[Int] = {
-        val quads = transformed(comp)
-        if (r == 0) {
-          val (ll, lw2, _) = quads(nl)
-          val outA = new Array[Int](bw * bh)
-          var y = 0
-          while (y < bh) {
-            System.arraycopy(ll, y * lw2, outA, y * bw, bw)
-            y += 1
-          }
-          outA
-        } else {
-          val l = nl - r + 1
-          val (t, qw, _) = quads(l - 1)
-          val outA = new Array[Int](bw * bh)
-          var y = 0
-          while (y < bh) {
-            var x = 0
-            while (x < bw) {
-              outA(y * bw + x) = t((yOff + y) * qw + (xOff + x))
-              x += 1
+        val outA = new Array[Int](bw * bh)
+        if (!lossy) {
+          val quads = transformed(comp)
+          if (r == 0) {
+            val (ll, lw2, _) = quads(nl)
+            var y = 0
+            while (y < bh) {
+              System.arraycopy(ll, y * lw2, outA, y * bw, bw)
+              y += 1
             }
-            y += 1
+          } else {
+            val l = nl - r + 1
+            val (t, qw, _) = quads(l - 1)
+            var y = 0
+            while (y < bh) {
+              var x = 0
+              while (x < bw) {
+                outA(y * bw + x) = t((yOff + y) * qw + (xOff + x))
+                x += 1
+              }
+              y += 1
+            }
           }
-          outA
+        } else {
+          val quads = transformedD(comp)
+          val delta = stepHatEnc(band)
+          @inline def q(v: Double): Int = {
+            val m = math.floor(math.abs(v) / delta).toInt
+            if (v < 0) -m else m
+          }
+          if (r == 0) {
+            val (ll, lw2, _) = quads(nl)
+            var y = 0
+            while (y < bh) {
+              var x = 0
+              while (x < bw) {
+                outA(y * bw + x) = q(ll(y * lw2 + x))
+                x += 1
+              }
+              y += 1
+            }
+          } else {
+            val l = nl - r + 1
+            val (t, qw, _) = quads(l - 1)
+            var y = 0
+            while (y < bh) {
+              var x = 0
+              while (x < bw) {
+                outA(y * bw + x) = q(t((yOff + y) * qw + (xOff + x)))
+                x += 1
+              }
+              y += 1
+            }
+          }
         }
+        outA
       }
 
       // per-packet byte lengths (header + bodies), emitted as a PLT
@@ -1099,7 +1396,7 @@ private[graft] object Jpeg2000 {
           val mb = mbOf(comp, band)
           // one band extraction, shared by every code-block (extracting
           // per block is O(band x blocks) — quadratic on big images)
-          val bs = bandSamples(comp, r, band, bw, bh, xOff, yOff)
+          val bs = bandCoeffs(comp, r, band, bw, bh, xOff, yOff)
           // encode all code-blocks of the band first (need zbp for trees)
           val recs = for (gy <- 0 until gh; gx <- 0 until gw) yield {
             val x0 = gx * cb; val y0 = gy * cb
@@ -1274,23 +1571,40 @@ private[graft] object Jpeg2000 {
   private[sources] final case class MainHeader(
       csOff: Int, w: Int, h: Int, tw: Int, th: Int, nc: Int,
       depths: Array[Int], signed: Array[Boolean], nl: Int, cbExp: Int,
-      mct: Int, qcdGuard: Int, qcdExps: Array[Int],
+      mct: Int, transform: Int, qStyle: Int,
+      qcdGuard: Int, qcdExps: Array[Int], qcdMus: Array[Int],
       qccGuard: Map[Int, Int], qccExps: Map[Int, Array[Int]],
+      qccMus: Map[Int, Array[Int]],
       firstSot: Int) {
     def epsTable(comp: Int): Array[Int] = qccExps.getOrElse(comp, qcdExps)
+    def muTable(comp: Int): Array[Int] = qccMus.getOrElse(comp, qcdMus)
     def guardOf(comp: Int): Int = qccGuard.getOrElse(comp, qcdGuard)
+    private def bandIdx(r: Int, band: Int): Int =
+      if (r == 0) 0 else 1 + (r - 1) * 3 + (band - 1)
     /** Mb for (component, resolution r, band) from the SIGNALLED
       * exponents — never recomputed from bit depths, so a legal foreign
       * stream with different per-subband exponents decodes by its own
       * declaration (and an exponent table shorter than the COD levels
       * fails loudly). */
     def mbOf(comp: Int, r: Int, band: Int): Int = {
-      val idx = if (r == 0) 0 else 1 + (r - 1) * 3 + (band - 1)
+      val idx = bandIdx(r, band)
       val exps = epsTable(comp)
       require(idx < exps.length,
         s"jpeg2000: QCD/QCC carries ${exps.length} exponents but resolution " +
           s"$r band $band needs index $idx")
       exps(idx) + guardOf(comp) - 1
+    }
+    /** Lossy reconstruction step for (component, resolution, band) from
+      * the signalled (ε, μ) at Rb = component depth + subband gain. */
+    def stepHatOf(comp: Int, r: Int, band: Int): Double = {
+      val idx = bandIdx(r, band)
+      val exps = epsTable(comp)
+      val mus = muTable(comp)
+      require(idx < exps.length && idx < mus.length,
+        s"jpeg2000: quantization table carries ${exps.length} entries but " +
+          s"resolution $r band $band needs index $idx")
+      val gain = band match { case 0 => 0; case 3 => 2; case _ => 1 }
+      stepOf(exps(idx), mus(idx), depths(comp) + gain)
     }
     def ntx: Int = ceilDiv(w, tw)
     def nty: Int = ceilDiv(h, th)
@@ -1314,10 +1628,34 @@ private[graft] object Jpeg2000 {
     var nl = -1; var cbExp = -1
     var qcdGuard = -1
     var qcdExps: Array[Int] = null
+    var qcdMus: Array[Int] = null
     var qccGuard = Map.empty[Int, Int]
     var qccExps = Map.empty[Int, Array[Int]]
+    var qccMus = Map.empty[Int, Array[Int]]
     var mct = 0
+    var transform = -1
+    var qStyle = -1
     var firstSot = -1
+    // SPqcd/SPqcc payload -> (exponents, mantissas): style 0 (no
+    // quantization) is one byte per subband (ε << 3, μ = 0); style 2
+    // (scalar expounded) is a 16-bit (ε << 11 | μ) word per subband
+    def parseSp(style: Int, start: Int, end: Int): (Array[Int], Array[Int]) =
+      if (style == 0) {
+        val es = (start until end).map(i => (bb.get(i) & 0xFF) >> 3).toArray
+        (es, new Array[Int](es.length))
+      } else {
+        val n = (end - start) / 2
+        val es = new Array[Int](n)
+        val ms = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val word = bb.getShort(start + 2 * i) & 0xFFFF
+          es(i) = word >> 11
+          ms(i) = word & 0x7FF
+          i += 1
+        }
+        (es, ms)
+      }
     while (firstSot < 0) {
       require(pos + 4 <= bytes.length, "jpeg2000: truncated main header")
       val marker = bb.getShort(pos) & 0xFFFF
@@ -1362,25 +1700,34 @@ private[graft] object Jpeg2000 {
             "jpeg2000: non-square code-blocks unsupported")
           require((bb.get(base + 8) & 0xFF) == 0,
             "jpeg2000: code-block style options unsupported")
-          require((bb.get(base + 9) & 0xFF) == 1,
-            "jpeg2000: only the reversible 5/3 transform is supported")
+          transform = bb.get(base + 9) & 0xFF
+          require(transform == 0 || transform == 1,
+            s"jpeg2000: unknown wavelet transform $transform")
         case 0xFF5C => // QCD
           val lqcd = bb.getShort(pos + 2) & 0xFFFF
           val sqcd = bb.get(pos + 4) & 0xFF
-          require((sqcd & 0x1F) == 0, "jpeg2000: only no-quantization QCD")
+          qStyle = sqcd & 0x1F
+          require(qStyle == 0 || qStyle == 2,
+            s"jpeg2000: quantization style $qStyle unsupported " +
+              "(0 = none, 2 = scalar expounded; 1 = scalar derived refused)")
           qcdGuard = sqcd >> 5
-          qcdExps = (0 until (lqcd - 3)).map(i => (bb.get(pos + 5 + i) & 0xFF) >> 3).toArray
+          val (es, ms) = parseSp(qStyle, pos + 5, pos + 2 + lqcd)
+          qcdExps = es
+          qcdMus = ms
         case 0xFF5D => // QCC: per-component quantization override
           require(nc > 0, "jpeg2000: QCC before SIZ")
+          require(qStyle >= 0, "jpeg2000: QCC before QCD")
           val lqcc = bb.getShort(pos + 2) & 0xFFFF
           val cLen = if (nc < 257) 1 else 2
           val cqcc = if (nc < 257) bb.get(pos + 4) & 0xFF
             else bb.getShort(pos + 4) & 0xFFFF
           val sqcc = bb.get(pos + 4 + cLen) & 0xFF
-          require((sqcc & 0x1F) == 0, "jpeg2000: only no-quantization QCC")
+          require((sqcc & 0x1F) == qStyle,
+            "jpeg2000: QCC quantization style differs from the QCD's")
           qccGuard += cqcc -> (sqcc >> 5)
-          qccExps += cqcc -> (0 until (lqcc - 3 - cLen))
-            .map(i => (bb.get(pos + 5 + cLen + i) & 0xFF) >> 3).toArray
+          val (es, ms) = parseSp(qStyle, pos + 5 + cLen, pos + 2 + lqcc)
+          qccExps += cqcc -> es
+          qccMus += cqcc -> ms
         case 0xFF90 =>
           firstSot = pos
         case 0xFF53 | 0xFF5E | 0xFF5F =>
@@ -1393,9 +1740,12 @@ private[graft] object Jpeg2000 {
       if (firstSot < 0) pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
     }
     require(w > 0 && nl >= 0 && qcdGuard >= 0, "jpeg2000: incomplete headers")
+    require((transform == 1 && qStyle == 0) || (transform == 0 && qStyle == 2),
+      s"jpeg2000: transform $transform with quantization style $qStyle " +
+        "unsupported (5/3 + none, or 9/7 + scalar expounded)")
     MainHeader(csOff, w, h, math.min(tw, w), math.min(th, h), nc,
-      depths, signedA, nl, cbExp, mct, qcdGuard, qcdExps,
-      qccGuard, qccExps, firstSot)
+      depths, signedA, nl, cbExp, mct, transform, qStyle,
+      qcdGuard, qcdExps, qcdMus, qccGuard, qccExps, qccMus, firstSot)
   }
 
   /** Tile-part directory: tile index -> (sod position, tile end), both
@@ -1478,8 +1828,10 @@ private[graft] object Jpeg2000 {
     final case class Meta(band: Int, xOff: Int, yOff: Int,
         x0: Int, y0: Int, cw: Int, ch: Int, np: Int, zbp: Int, len: Int,
         use: Boolean)
-    def decodeTile(tcw: Int, tch: Int, sodAt: Int, tileEnd: Int,
-        win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Int]] = {
+    // shared packet + EBCOT stage: SIGNED coefficient planes in the
+    // quadrant layout (lossless 5/3 integers, or lossy quantizer indices)
+    def decodeTileCoeffs(tcw: Int, tch: Int, sodAt: Int, tileEnd: Int,
+        win: Option[(Int, Int, Int, Int)]): Array[Array[Int]] = {
       // windowed decode: the per-level coefficient regions that influence
       // the window's pixels — each inverse-lifting level halves the
       // region and needs a support margin (radius <= 2 per axis per
@@ -1568,7 +1920,12 @@ private[graft] object Jpeg2000 {
         }
       }
       require(p <= tileEnd, "jpeg2000: packet data overruns the tile")
+      planesT
+    }
 
+    def decodeTile(tcw: Int, tch: Int, sodAt: Int, tileEnd: Int,
+        win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Int]] = {
+      val planesT = decodeTileCoeffs(tcw, tch, sodAt, tileEnd, win)
       // inverse DWT per component, stopping at the requested level: the
       // level-`discardLevels` LL region is the reduced-resolution tile
       val redW = lowLen(tcw, d)
@@ -1612,6 +1969,149 @@ private[graft] object Jpeg2000 {
         outA
       }
     }
+
+    // lossy tile: dequantize the indices per subband (midpoint
+    // reconstruction v = sign * (|q| + 0.5) * Δ̂_b for q != 0 — E.4.1.2
+    // with r = 1/2), then the inverse 9/7 pyramid on doubles
+    def decodeTileLossy(tcw: Int, tch: Int, sodAt: Int, tileEnd: Int,
+        win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Double]] = {
+      val planesT = decodeTileCoeffs(tcw, tch, sodAt, tileEnd, win)
+      val redW = lowLen(tcw, d)
+      val redH = lowLen(tch, d)
+      (0 until nc).map { comp =>
+        val q = planesT(comp)
+        val full = new Array[Double](tcw * tch)
+        def dequantRegion(r: Int, band: Int, bw: Int, bh: Int,
+            xOff: Int, yOff: Int): Unit = {
+          val delta = hd.stepHatOf(comp, r, band)
+          var y = 0
+          while (y < bh) {
+            var x = 0
+            while (x < bw) {
+              val i = (yOff + y) * tcw + (xOff + x)
+              val qi = q(i)
+              full(i) =
+                if (qi == 0) 0.0
+                else if (qi > 0) (qi + 0.5) * delta
+                else -((-qi + 0.5) * delta)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        for (r <- 0 to nl; (band, bw, bh, xOff, yOff) <- bandsOf(tcw, tch, nl, r))
+          dequantRegion(r, band, bw, bh, xOff, yOff)
+        var l = nl
+        while (l >= d + 1) {
+          val cw2 = lowLen(tcw, l - 1)
+          val ch2 = lowLen(tch, l - 1)
+          val sub = new Array[Double](cw2 * ch2)
+          var y = 0
+          while (y < ch2) {
+            System.arraycopy(full, y * tcw, sub, y * cw2, cw2)
+            y += 1
+          }
+          val invd = inv2d97(sub, cw2, ch2)
+          y = 0
+          while (y < ch2) {
+            System.arraycopy(invd, y * cw2, full, y * tcw, cw2)
+            y += 1
+          }
+          l -= 1
+        }
+        val (cx0, cy0, fw, fh) = win match {
+          case Some((wx, wy, wwid, whgt)) => (wx, wy, wwid, whgt)
+          case None => (0, 0, redW, redH)
+        }
+        val outA = new Array[Double](fw * fh)
+        var y = 0
+        while (y < fh) {
+          var x = 0
+          while (x < fw) {
+            outA(y * fw + x) = full((cy0 + y) * tcw + (cx0 + x))
+            x += 1
+          }
+          y += 1
+        }
+        outA
+      }
+    }
+
+    // ---- lossy (9/7) assembly: doubles end-to-end, then the inverse
+    // ICT and a rounded, clamped DC unshift ----
+    def assembleLossy(): Seq[Plane] = {
+      val (fw, fh) = window match {
+        case Some((_, _, wwid, whgt)) => (wwid, whgt)
+        case None => (lowLen(w, d), lowLen(h, d))
+      }
+      val assembled = Array.fill(nc)(new Array[Double](fw * fh))
+      for (ty <- 0 until hd.nty; tx <- 0 until hd.ntx) {
+        val ti = ty * hd.ntx + tx
+        val tx0 = tx * tw; val ty0 = ty * th
+        val tcw = math.min(tw, w - tx0)
+        val tch = math.min(th, h - ty0)
+        val rx0 = tx0 >> d; val ry0 = ty0 >> d
+        val rw = lowLen(tcw, d); val rh = lowLen(tch, d)
+        val (ix0, iy0, ix1, iy1) = window match {
+          case Some((wx, wy, wwid, whgt)) =>
+            (math.max(rx0, wx), math.max(ry0, wy),
+              math.min(rx0 + rw, wx + wwid), math.min(ry0 + rh, wy + whgt))
+          case None => (rx0, ry0, rx0 + rw, ry0 + rh)
+        }
+        if (ix0 < ix1 && iy0 < iy1) {
+          val (sod, tileEnd) = parts.getOrElse(ti, throw new IllegalArgumentException(
+            s"jpeg2000: tile-part for needed tile $ti missing from the stream"))
+          val localWin =
+            if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
+            else None
+          val tilePlanes = decodeTileLossy(tcw, tch, sod, tileEnd, localWin)
+          val (px, py, pw2, ph2) = window match {
+            case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
+            case None => (rx0, ry0, rw, rh)
+          }
+          val (sx, sy, srcW) =
+            if (d == 0) (0, 0, pw2)
+            else (ix0 - rx0, iy0 - ry0, rw)
+          for (comp <- 0 until nc) {
+            val src = tilePlanes(comp)
+            var y = 0
+            while (y < ph2) {
+              System.arraycopy(src, (sy + y) * srcW + sx,
+                assembled(comp), (py + y) * fw + px, pw2)
+              y += 1
+            }
+          }
+        }
+      }
+      if (mct == 1) {
+        require(nc >= 3, "jpeg2000: MCT declared with fewer than 3 components")
+        val ya = assembled(0); val cba = assembled(1); val cra = assembled(2)
+        var i = 0
+        while (i < fw * fh) {
+          val r0 = ya(i) + 1.402 * cra(i)
+          val g0 = ya(i) - 0.344136 * cba(i) - 0.714136 * cra(i)
+          val b0 = ya(i) + 1.772 * cba(i)
+          ya(i) = r0; cba(i) = g0; cra(i) = b0
+          i += 1
+        }
+      }
+      (0 until nc).map { comp =>
+        val a = assembled(comp)
+        val depth = depths(comp)
+        val shift = if (signedA(comp)) 0 else 1 << (depth - 1)
+        val lo = if (signedA(comp)) -(1 << (depth - 1)) else 0
+        val hi = if (signedA(comp)) (1 << (depth - 1)) - 1 else (1 << depth) - 1
+        val outA = new Array[Int](a.length)
+        var i = 0
+        while (i < a.length) {
+          val v = math.rint(a(i)).toInt + shift
+          outA(i) = math.max(lo, math.min(hi, v))
+          i += 1
+        }
+        Plane(fw, fh, depth, signedA(comp), outA)
+      }
+    }
+    if (hd.transform == 0) return assembleLossy()
 
     // ---- assemble tiles into the output canvas ----
     // (output coordinates: level-d reduced when d > 0; tile origins are

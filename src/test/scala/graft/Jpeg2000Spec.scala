@@ -680,4 +680,119 @@ class Jpeg2000Spec extends AnyFunSuite {
         db.getDouble(((20 + y) * 256 + 10 + x) * 8), s"red ($x,$y)")
     assert(red.gt(0) == 500000.0 + 10 * 40.0 && red.gt(3) == 5000000.0 - 20 * 40.0)
   }
+
+  // ---------------------------------------------------------------
+  // Lossy 9/7 path (irreversible DWT + scalar quantization)
+  // ---------------------------------------------------------------
+
+  test("9/7 lifting roundtrips every length 1..40 within float tolerance") {
+    val rnd = new scala.util.Random(7)
+    for (n <- 1 to 40; trial <- 0 until 3) {
+      val x = Array.fill(n)(rnd.nextDouble() * 512 - 256)
+      val (s, dd) = Jpeg2000.fwd97(x)
+      assert(s.length == (n + 1) / 2 && dd.length == n / 2)
+      val back = Jpeg2000.inv97(s, dd)
+      for (i <- 0 until n)
+        assert(math.abs(back(i) - x(i)) < 1e-9, s"n=$n trial=$trial i=$i")
+    }
+    // a linear ramp must land (almost) entirely in the low band: the
+    // 9/7 analysis highpass has two vanishing moments
+    val (_, dRamp) = Jpeg2000.fwd97(Array.tabulate(64)(i => 3.0 * i))
+    assert(dRamp.drop(1).dropRight(1).forall(v => math.abs(v) < 1e-9),
+      dRamp.take(8).toSeq)
+  }
+
+  test("quantizer signalling: (eps, mu) reconstructs the step; dequant-requant is identity") {
+    for (rb <- Seq(8, 10, 18); dIn <- Seq(0.25, 0.5, 1.0, 1.7, 2.0, 13.37, 255.0)) {
+      val (e, m) = Jpeg2000.stepToEpsMu(dIn, rb)
+      assert(e >= 0 && e <= 31 && m >= 0 && m <= 2047, s"($e,$m)")
+      val dHat = Jpeg2000.stepOf(e, m, rb)
+      assert(math.abs(dHat - dIn) / dIn < 1.0 / 2048 + 1e-6,
+        s"rb=$rb delta=$dIn -> $dHat")
+      // midpoint dequantization inverts exactly back to the index
+      for (q <- Seq(0, 1, 2, 5, 1000, 123456)) {
+        val v = (q + 0.5) * dHat
+        assert(math.floor(v / dHat).toInt == q, s"q=$q dHat=$dHat")
+      }
+    }
+  }
+
+  test("lossy roundtrip: error bounded by the step, PSNR scales with qstep") {
+    val rnd = new scala.util.Random(55)
+    val w = 96; val h = 80
+    // smooth terrain + noise: representative content
+    val p = planeOf(w, h, 8, signed = false, (x, y) =>
+      math.max(0, math.min(255,
+        (96 + 64 * math.sin(x / 9.0) + 48 * math.cos(y / 7.0)).toInt + rnd.nextInt(17))))
+    def mse(a: Array[Int], b: Array[Int]): Double =
+      a.zip(b).map { case (u, v) => val e = (u - v).toDouble; e * e }.sum / a.length
+    def maxErr(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (u, v) => math.abs(u - v) }.max
+    var lastBytes = Int.MaxValue
+    var lastMse = 0.0
+    for (qstep <- Seq(0.51, 2.0, 8.0)) {
+      val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 5, qstep = qstep)
+      val back = Jpeg2000.decode(cs).head
+      assert(back.w == w && back.h == h && back.depth == 8)
+      val me = maxErr(p.samples, back.samples)
+      val ms = mse(p.samples, back.samples)
+      info(f"qstep=$qstep%.2f bytes=${cs.length} maxErr=$me mse=$ms%.3f " +
+        f"psnr=${10 * math.log10(255.0 * 255.0 / math.max(ms, 1e-12))}%.1f dB")
+      assert(me <= math.max(2, (8 * qstep).toInt), s"qstep=$qstep maxErr=$me")
+      assert(cs.length < lastBytes, "bigger step must not grow the stream")
+      assert(ms >= lastMse, "bigger step must not reduce distortion")
+      lastBytes = cs.length
+      lastMse = ms
+    }
+  }
+
+  test("lossy ICT 3-band roundtrip within tolerance; COD declares 9/7 + style-2 QCD") {
+    val rnd = new scala.util.Random(56)
+    val planes = Seq.fill(3)(planeOf(64, 48, 8, signed = false,
+      (x, y) => math.min(255, x * 2 + y + rnd.nextInt(9))))
+    val cs = Jpeg2000.encode(planes, levels = 3, cbExp = 4, mct = true, qstep = 1.0)
+    val back = Jpeg2000.decode(cs)
+    for (ci <- 0 until 3) {
+      val me = planes(ci).samples.zip(back(ci).samples)
+        .map { case (u, v) => math.abs(u - v) }.max
+      assert(me <= 12, s"comp $ci maxErr=$me")
+    }
+    // header honesty: transform byte 0 (9/7), Sqcd style 2
+    val hd = Jpeg2000.layout(cs)
+    assert(hd.transform == 0 && hd.qStyle == 2 && hd.mct == 1)
+  }
+
+  test("lossy multi-tile: per-tile independence, seam windows, reduced decode") {
+    val rnd = new scala.util.Random(57)
+    val w = 160; val h = 88
+    val p = planeOf(w, h, 10, signed = false, (x, y) =>
+      ((x * 13 + y * 29 + rnd.nextInt(25)) % 1024))
+    val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4,
+      tileSize = Some((64, 32)), qstep = 2.0)
+    val full = Jpeg2000.decode(cs).head
+    // per-tile oracle: each tile is independently coded, so a solo
+    // encode/decode of the tile region reproduces the mosaic EXACTLY
+    for (ty <- 0 until 3; tx <- 0 until 3) {
+      val tx0 = tx * 64; val ty0 = ty * 32
+      val tcw = math.min(64, w - tx0); val tch = math.min(32, h - ty0)
+      val tp = Jpeg2000.Plane(tcw, tch, 10, signed = false,
+        Array.tabulate(tcw * tch)(i =>
+          p.samples((ty0 + i / tcw) * w + (tx0 + i % tcw))))
+      val solo = Jpeg2000.decode(
+        Jpeg2000.encode(Seq(tp), levels = 3, cbExp = 4, qstep = 2.0)).head
+      for (y <- 0 until tch; x <- 0 until tcw)
+        assert(full.samples((ty0 + y) * w + tx0 + x) == solo.samples(y * tcw + x),
+          s"tile ($tx,$ty) at ($x,$y)")
+    }
+    // seam-straddling window ≡ full crop (exact: the window decode sees
+    // the same decoded coefficients, and the lifting is local)
+    val win = Jpeg2000.decodeWindow(cs, 60, 28, 12, 10)
+    for (y <- 0 until 10; x <- 0 until 12)
+      assert(win.head.samples(y * 12 + x) == full.samples((28 + y) * w + 60 + x),
+        s"window at ($x,$y)")
+    // reduced decode: right dims and a sane overview (LL of a 9/7)
+    val red = Jpeg2000.decode(cs, 2)
+    assert(red.head.w == Jp2Raster.Jpeg2000Dims.lowLen(w, 2) &&
+      red.head.h == Jp2Raster.Jpeg2000Dims.lowLen(h, 2))
+  }
 }
