@@ -736,6 +736,23 @@ object RasterOps {
       graft.sources.Jp2Raster.write(rast(a), levels, tiles)
     }),
 
+    // RS_AsJPEG2000_Lossy(raster, levels, qstep[, tileW, tileH]) ->
+    // binary: the LOSSY 9/7 + scalar-quantization path (Annex E/F) —
+    // quicklooks and lossy archives; qstep (in sample units) is the rate
+    // knob, signalled per subband so the stream self-describes its grid.
+    fnv("rs_asjpeg2000_lossy", BinaryType,
+      Seq(Seq(Raw, Int_, Dbl), Seq(Raw, Int_, Dbl, Int_, Int_)))(a => {
+      val levels = a(1).asInstanceOf[Int]
+      val qstep = a(2).asInstanceOf[Double]
+      require(levels >= 0 && levels <= 32,
+        s"rs_asjpeg2000_lossy: decomposition levels $levels out of range 0..32")
+      require(qstep > 0,
+        s"rs_asjpeg2000_lossy: quantization step must be positive: $qstep")
+      val tiles = if (a.length > 4)
+        Some((a(3).asInstanceOf[Int], a(4).asInstanceOf[Int])) else None
+      graft.sources.Jp2Raster.write(rast(a), levels, tiles, qstep)
+    }),
+
     // RS_AsNetCDF(raster) -> binary: classic CDF-2 serialization through
     // sources.NetCdf (writer symmetry with RS_AsGeoTiff; the reference's
     // GDAL side can write netCDF through the same driver it reads with).

@@ -1359,6 +1359,53 @@ object SpatialQueries {
           (octet_length(col("g")) < lit(96 * 64 * 2)).as("compressed"))
     }),
 
+    // LOSSY JPEG 2000 (irreversible 9/7 + Annex-E scalar quantization —
+    // the quicklook/lossy-archive path): per-nation 16-bit rasters
+    // encode at qstep=8 and decode back WITHIN TOLERANCE. The tolerance
+    // claims are computed IN SPARK against the original raster on the
+    // same row (band avg within 4, min/max/probed pixels within 8x the
+    // step — the spec-measured reconstruction bound), so a broken
+    // transform or quantizer flips a boolean and hash-mismatches; the
+    // lossy stream must also undercut the LOSSLESS encoding of the same
+    // raster, proving the step actually bought rate
+    "rs21_jp2_lossy" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        // ramp + deterministic pseudo-noise: pure ramps compress to
+        // nothing losslessly (the 5/3 annihilates them), which would
+        // falsify the rate claim below on content no archive resembles
+        .withColumn("vals", expr(
+          "transform(sequence(0, 64*48 - 1), i -> " +
+            "CAST((n_nationkey*7919 + (i % 64)*31 + CAST(i / 64 AS INT)*53 " +
+            "+ (i * 131071) % 89) % 60000 AS DOUBLE))"))
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("r", st.f("rs_setbandpixeltype",
+          st.f("rs_setcrs",
+            st.f("rs_makeraster", lit(64), lit(48), col("ulx"), lit(100.0),
+              lit(2.0), lit(-2.0), col("vals")),
+            lit("EPSG:32610")),
+          lit("UNSIGNED_16BITS")))
+        .withColumn("g", st.f("rs_asjpeg2000_lossy", col("r"), lit(3), lit(8.0)))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          st.f("rs_bandpixeltype", col("rt"), lit(1)).as("ptype"),
+          (abs(st.f("rs_bandavg", col("rt"), lit(1)) -
+            st.f("rs_bandavg", col("r"), lit(1))) <= lit(4.0)).as("avg_ok"),
+          (abs(st.f("rs_bandmin", col("rt"), lit(1)) -
+            st.f("rs_bandmin", col("r"), lit(1))) <= lit(64.0)).as("min_ok"),
+          (abs(st.f("rs_bandmax", col("rt"), lit(1)) -
+            st.f("rs_bandmax", col("r"), lit(1))) <= lit(64.0)).as("max_ok"),
+          (abs(st.f("rs_value", col("rt"), lit(1), lit(10), lit(7)) -
+            st.f("rs_value", col("r"), lit(1), lit(10), lit(7))) <= lit(64.0))
+            .as("px_ok"),
+          (octet_length(col("g")) <
+            octet_length(st.f("rs_asjpeg2000", col("r"), lit(3))))
+            .as("smaller_than_lossless"))
+    }),
+
     // netCDF classic out-db: per-nation CDF-2 tiles written through
     // sources/NetCdf (the reference reads netCDF via its GDAL raster
     // side, rust/sedona-raster-gdal/src/register.rs; here the classic
@@ -2238,6 +2285,17 @@ object SpatialQueries {
         |  list_sum(vs)/1120.0 AS vavg,
         |  TRUE AS compressed
         |FROM v""".stripMargin,
+
+    // lossy JP2: the tolerance booleans are computed in Spark against
+    // the same-row original; the oracle pins the metadata and that every
+    // claim holds
+    "rs21_jp2_lossy" ->
+      """SELECT n_nationkey,
+        |  CAST(64 AS INT) AS w, CAST(48 AS INT) AS h,
+        |  'EPSG:32610' AS crs, 'UNSIGNED_16BITS' AS ptype,
+        |  TRUE AS avg_ok, TRUE AS min_ok, TRUE AS max_ok, TRUE AS px_ok,
+        |  TRUE AS smaller_than_lossless
+        |FROM nation""".stripMargin,
 
     // multi-tile JP2: same formula-replay contract as rs18 on a 96x64
     // canvas cut into 32x32 tiles; the seam probe is 0-indexed (33,33)

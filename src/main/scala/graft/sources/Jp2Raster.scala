@@ -32,9 +32,11 @@ private[graft] object Jp2Raster {
   /** Raster -> JP2 file bytes (signature/ftyp/jp2h/GeoJP2 uuid/jp2c).
     * `tileSize` produces a TILED codestream (independent tiles + TLM
     * byte directory) — the layout that lets the out-db loader fetch
-    * only the tiles a window intersects. */
+    * only the tiles a window intersects. `qstep > 0` selects the LOSSY
+    * 9/7 path (see Jpeg2000.encode) — quicklooks and lossy archives;
+    * 3-band rasters then get the irreversible ICT. */
   def write(r: Raster, levels: Int = 5,
-      tileSize: Option[(Int, Int)] = None): Array[Byte] = {
+      tileSize: Option[(Int, Int)] = None, qstep: Double = 0.0): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asjpeg2000: raster has no loaded bands")
     val planes = r.bands.zipWithIndex.map { case (b, bi) =>
       val (depth, signed) = IntTypes.getOrElse(b.pixelTypeName,
@@ -64,7 +66,7 @@ private[graft] object Jp2Raster {
     // 3-band rasters get the reversible color transform — the lossless
     // RGB decorrelation GDAL's openjpeg writer applies by default
     val cs = Jpeg2000.encode(planes, levels = levels,
-      mct = planes.length == 3, tileSize = tileSize)
+      mct = planes.length == 3, tileSize = tileSize, qstep = qstep)
 
     val out = new java.io.ByteArrayOutputStream()
     def box(tp: String, payload: Array[Byte]): Unit = {

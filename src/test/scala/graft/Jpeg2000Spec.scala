@@ -499,12 +499,20 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("layers"))
     // QCC overrides are now parsed per component (the RCT chroma path
     // writes them) — but a MALFORMED one carrying fewer exponents than
-    // the COD levels need must refuse loudly, not decode wrong
-    val insertAt = idx + 2 + lcod
+    // the COD levels need must refuse loudly, not decode wrong. Insert
+    // it after the QCD (a QCC ahead of its QCD is a separate loud error).
+    val qidx = cs.indices.dropRight(1).find(i =>
+      (cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x5C).get
+    val lqcd = ((cs(qidx + 2) & 0xFF) << 8) | (cs(qidx + 3) & 0xFF)
+    val insertAt = qidx + 2 + lqcd
     val qcc = Array[Byte](0xFF.toByte, 0x5D.toByte, 0, 4, 0, 0x40)
     val withQcc = cs.take(insertAt) ++ qcc ++ cs.drop(insertAt)
     val e3 = intercept[IllegalArgumentException](Jpeg2000.decode(withQcc))
-    assert(e3.getMessage.contains("exponents"))
+    assert(e3.getMessage.contains("exponents"), e3.getMessage)
+    // and a QCC arriving before any QCD refuses too
+    val early = cs.take(idx) ++ qcc ++ cs.drop(idx)
+    val e4 = intercept[IllegalArgumentException](Jpeg2000.decode(early))
+    assert(e4.getMessage.contains("QCC before QCD"), e4.getMessage)
   }
 
   // ---------------------------------------------------------------
@@ -695,11 +703,14 @@ class Jpeg2000Spec extends AnyFunSuite {
       for (i <- 0 until n)
         assert(math.abs(back(i) - x(i)) < 1e-9, s"n=$n trial=$trial i=$i")
     }
-    // a linear ramp must land (almost) entirely in the low band: the
-    // 9/7 analysis highpass has two vanishing moments
+    // a linear ramp lands entirely in the low band away from the seams
+    // (vanishing moment: (1+2a) + 2g(1+2b(1+2a)) = 0); the symmetric
+    // extension breaks the ramp at both edges, and the edge d-value
+    // contaminates its neighbour THROUGH the beta-updated s — so the
+    // zero region is d(1)..d(nd-3)
     val (_, dRamp) = Jpeg2000.fwd97(Array.tabulate(64)(i => 3.0 * i))
-    assert(dRamp.drop(1).dropRight(1).forall(v => math.abs(v) < 1e-9),
-      dRamp.take(8).toSeq)
+    assert(dRamp.drop(1).dropRight(2).forall(v => math.abs(v) < 1e-9),
+      dRamp.toSeq.take(8) ++ dRamp.toSeq.takeRight(4))
   }
 
   test("quantizer signalling: (eps, mu) reconstructs the step; dequant-requant is identity") {
