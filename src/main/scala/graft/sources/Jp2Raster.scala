@@ -34,9 +34,15 @@ private[graft] object Jp2Raster {
     * byte directory) — the layout that lets the out-db loader fetch
     * only the tiles a window intersects. `qstep > 0` selects the LOSSY
     * 9/7 path (see Jpeg2000.encode) — quicklooks and lossy archives;
-    * 3-band rasters then get the irreversible ICT. */
+    * 3-band rasters then get the irreversible ICT. `layers`/`order`/
+    * `precinct`/`sopEph` select the packet packaging (quality layers,
+    * progression order 0..4 = LRCP/RLCP/RPCL/PCRL/CPRL, precinct
+    * exponents, SOP/EPH resync) — the knobs real Kakadu/openjpeg
+    * Sentinel-2 profiles use. */
   def write(r: Raster, levels: Int = 5,
-      tileSize: Option[(Int, Int)] = None, qstep: Double = 0.0): Array[Byte] = {
+      tileSize: Option[(Int, Int)] = None, qstep: Double = 0.0,
+      layers: Int = 1, order: Int = 0,
+      precinct: Option[(Int, Int)] = None, sopEph: Boolean = false): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asjpeg2000: raster has no loaded bands")
     val planes = r.bands.zipWithIndex.map { case (b, bi) =>
       val (depth, signed) = IntTypes.getOrElse(b.pixelTypeName,
@@ -66,7 +72,8 @@ private[graft] object Jp2Raster {
     // 3-band rasters get the reversible color transform — the lossless
     // RGB decorrelation GDAL's openjpeg writer applies by default
     val cs = Jpeg2000.encode(planes, levels = levels,
-      mct = planes.length == 3, tileSize = tileSize, qstep = qstep)
+      mct = planes.length == 3, tileSize = tileSize, qstep = qstep,
+      layers = layers, order = order, precinct = precinct, sopEph = sopEph)
 
     val out = new java.io.ByteArrayOutputStream()
     def box(tp: String, payload: Array[Byte]): Unit = {
@@ -218,7 +225,7 @@ private[graft] object Jp2Raster {
           out.write(fetch(off, len))
         } else {
           val peek = fetch(off, math.min(len, TilePeek))
-          val pre = Jpeg2000.tilePrefixLen(peek, hd.nc, hd.nl, discard)
+          val pre = Jpeg2000.tilePrefixLen(peek, hd, ti, discard)
             .getOrElse(return None)
           val part =
             if (pre <= peek.length) java.util.Arrays.copyOfRange(peek, 0, pre)

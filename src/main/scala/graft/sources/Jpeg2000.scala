@@ -1051,6 +1051,116 @@ private[graft] object Jpeg2000 {
   private def cbGrid(bw: Int, bh: Int, cb: Int): (Int, Int) =
     (math.max(1, ceilDiv(bw, cb)), math.max(1, ceilDiv(bh, cb)))
 
+  // =====================================================================
+  // Precincts, progression orders, quality layers (Annex B.6 / B.12)
+  // =====================================================================
+
+  /** One packet identity: (layer, resolution, component, precinct).
+    * `pix`/`piy` index the precinct grid of resolution `r`; `p` is the
+    * raster precinct number piy * npx + pix used by LRCP/RLCP. */
+  private final case class PktId(l: Int, r: Int, c: Int,
+      pix: Int, piy: Int, p: Int)
+
+  /** Precinct grid dimensions of resolution `r` over a tile: the
+    * resolution plane (lowLen at nl - r) partitioned by 2^ppx x 2^ppy
+    * cells anchored at 0 (the tile grid carries no canvas offset here,
+    * so precinct origins are exact multiples). Never 0x0: the resolution
+    * plane of a non-empty tile is at least 1x1. */
+  private def precGridOf(tcw: Int, tch: Int, nl: Int, r: Int,
+      ppx: Int, ppy: Int): (Int, Int) = {
+    val rw = lowLen(tcw, nl - r)
+    val rh = lowLen(tch, nl - r)
+    (math.max(1, ceilDiv(rw, 1 << ppx)), math.max(1, ceilDiv(rh, 1 << ppy)))
+  }
+
+  /** Subband geometry extended with the precinct-capped EFFECTIVE
+    * code-block dimensions (B.7: xcb' = min(xcb, PPx) at r = 0, min(xcb,
+    * PPx - 1) above — band coordinates are half the resolution's) and
+    * the resulting code-block grid. With maximal precincts (PPx = PPy =
+    * 15) this degenerates to the plain square-cb grid. */
+  private final case class BandGeom(band: Int, bw: Int, bh: Int,
+      xOff: Int, yOff: Int, cbw: Int, cbh: Int, gw: Int, gh: Int,
+      sx: Int, sy: Int) {
+    /** Code-block index rectangle [gx0, gx1) x [gy0, gy1) of precinct
+      * (pix, piy) inside this band — possibly empty (band smaller than
+      * the precinct cover). Precinct origins are multiples of the
+      * effective cb size, so the global grid respects the boundary. */
+    def cbRect(pix: Int, piy: Int): (Int, Int, Int, Int) = {
+      val px0 = math.min(pix.toLong << sx, bw.toLong).toInt
+      val px1 = math.min((pix + 1).toLong << sx, bw.toLong).toInt
+      val py0 = math.min(piy.toLong << sy, bh.toLong).toInt
+      val py1 = math.min((piy + 1).toLong << sy, bh.toLong).toInt
+      (px0 / cbw, py0 / cbh, ceilDiv(px1, cbw), ceilDiv(py1, cbh))
+    }
+  }
+
+  private def bandGeoms(tcw: Int, tch: Int, nl: Int, r: Int, cbExp: Int,
+      ppx: Int, ppy: Int): Seq[BandGeom] = {
+    val sx = math.min(30, if (r == 0) ppx else ppx - 1)
+    val sy = math.min(30, if (r == 0) ppy else ppy - 1)
+    val cbw = math.min(1 << cbExp, 1 << sx)
+    val cbh = math.min(1 << cbExp, 1 << sy)
+    bandsOf(tcw, tch, nl, r).map { case (band, bw, bh, xOff, yOff) =>
+      BandGeom(band, bw, bh, xOff, yOff, cbw, cbh,
+        math.max(1, ceilDiv(bw, cbw)), math.max(1, ceilDiv(bh, cbh)), sx, sy)
+    }
+  }
+
+  /** The tile's packet sequence in the signalled progression order
+    * (Table B.12). Position-driven orders (RPCL/PCRL/CPRL) compare the
+    * precinct origin in full-resolution canvas coordinates — with
+    * anchored grids and no subsampling this sort is exactly the spec's
+    * position-sampling loops. Both directions iterate this one sequence,
+    * so packet order is consistent by construction. */
+  private def packetSeq(order: Int, layers: Int, nc: Int, nl: Int,
+      tcw: Int, tch: Int, pp: Int => (Int, Int)): IndexedSeq[PktId] = {
+    val all = for {
+      r <- 0 to nl
+      (ppx, ppy) = pp(r)
+      (npx, npy) = precGridOf(tcw, tch, nl, r, ppx, ppy)
+      c <- 0 until nc
+      l <- 0 until layers
+      piy <- 0 until npy
+      pix <- 0 until npx
+    } yield PktId(l, r, c, pix, piy, piy * npx + pix)
+    def pos(k: PktId): (Long, Long) = {
+      val (ppx, ppy) = pp(k.r)
+      (k.piy.toLong << (ppy + nl - k.r), k.pix.toLong << (ppx + nl - k.r))
+    }
+    order match {
+      case 0 => all.sortBy(k => (k.l, k.r, k.c, k.p))
+      case 1 => all.sortBy(k => (k.r, k.l, k.c, k.p))
+      case 2 => all.sortBy { k => val (py, px) = pos(k); (k.r, py, px, k.c, k.l) }
+      case 3 => all.sortBy { k => val (py, px) = pos(k); (py, px, k.c, k.r, k.l) }
+      case 4 => all.sortBy { k => val (py, px) = pos(k); (k.c, py, px, k.r, k.l) }
+      case o => throw new IllegalArgumentException(
+        s"jpeg2000: unknown progression order $o")
+    }
+  }
+
+  /** True when every packet of resolutions 0..rMax precedes every packet
+    * of higher resolutions — the property that makes a leading-prefix
+    * fetch sufficient for a reduced-resolution decode. Holds for RLCP
+    * and RPCL always, and for LRCP with a single layer. */
+  private def resolutionMajor(order: Int, layers: Int): Boolean =
+    order == 1 || order == 2 || (order == 0 && layers == 1)
+
+  /** Split a code-block's `np` coding passes and `nbytes` codeword bytes
+    * into per-layer contributions: passes spread evenly (cumulative
+    * boundary at round(np * (l+1) / layers)), bytes proportionally to
+    * passes. The codeword is ONE MQ stream (default code-block style),
+    * so any byte split that the decoder re-concatenates in layer order
+    * reproduces it exactly. */
+  private def layerSplit(np: Int, nbytes: Int, layers: Int): Array[(Int, Int)] =
+    if (np == 0) Array.fill(layers)((0, 0))
+    else Array.tabulate(layers) { l =>
+      val p0 = (l.toLong * np / layers).toInt
+      val p1 = ((l + 1).toLong * np / layers).toInt
+      val b0 = if (p0 == np) nbytes else (p0.toLong * nbytes / np).toInt
+      val b1 = if (p1 == np) nbytes else (p1.toLong * nbytes / np).toInt
+      (p1 - p0, b1 - b0)
+    }
+
   /** Pass-count codeword (Table B.4). */
   private def writePassCount(bwr: BitWriter, n: Int): Unit = n match {
     case 1 => bwr.bit(0)
@@ -1099,9 +1209,17 @@ private[graft] object Jpeg2000 {
     * the rate knob (quicklook archives; no ROI/precinct rate control). */
   def encode(planes: Seq[Plane], levels: Int = 5, cbExp: Int = 6,
       mct: Boolean = false, tileSize: Option[(Int, Int)] = None,
-      qstep: Double = 0.0): Array[Byte] = {
+      qstep: Double = 0.0, layers: Int = 1, order: Int = 0,
+      precinct: Option[(Int, Int)] = None, sopEph: Boolean = false): Array[Byte] = {
     val lossy = qstep > 0.0
     require(planes.nonEmpty, "jpeg2000: no components")
+    require(layers >= 1 && layers <= 1000, "jpeg2000: layers must be 1..1000")
+    require(order >= 0 && order <= 4,
+      "jpeg2000: progression order 0..4 (LRCP/RLCP/RPCL/PCRL/CPRL)")
+    precinct.foreach { case (px, py) =>
+      require(px >= 1 && px <= 15 && py >= 1 && py <= 15,
+        "jpeg2000: precinct exponents must be 1..15")
+    }
     val w = planes.head.w
     val h = planes.head.h
     require(w > 0 && h > 0, "jpeg2000: empty image")
@@ -1143,17 +1261,22 @@ private[graft] object Jpeg2000 {
       u8((p.depth - 1) | (if (p.signed) 0x80 else 0))
       u8(1); u8(1)
     }
-    // COD
+    // COD: Scod flags custom precincts (bit 0) and SOP/EPH resync
+    // markers (bits 1/2); SPcod then carries one PPx|PPy<<4 byte per
+    // resolution when precincts are custom (B.12 signalling)
+    val (ppxE, ppyE) = precinct.getOrElse((15, 15))
+    val usePrec = precinct.isDefined
     u16(0xFF52)
-    u16(12)
-    u8(0)        // Scod: default precincts, no SOP/EPH
-    u8(0)        // LRCP
-    u16(1)       // one layer
+    u16(12 + (if (usePrec) nl + 1 else 0))
+    u8((if (usePrec) 1 else 0) | (if (sopEph) 2 | 4 else 0))
+    u8(order)
+    u16(layers)
     u8(if (mct) 1 else 0)
     u8(nl)
     u8(cbExp - 2); u8(cbExp - 2)
     u8(0)        // code-block style: all defaults
     u8(if (lossy) 0 else 1) // transform: 0 = 9/7 irreversible, 1 = 5/3
+    if (usePrec) for (_ <- 0 to nl) u8(ppxE | (ppyE << 4))
     val depthMax = planes.map(_.depth).max
     def gainOf(band: Int): Int = band match {
       case 0 => 0
@@ -1379,73 +1502,139 @@ private[graft] object Jpeg2000 {
         outA
       }
 
-      // per-packet byte lengths (header + bodies), emitted as a PLT
-      // marker segment so a reader can fetch ONLY the leading packets
-      // for a reduced-resolution decode (A.7.1 — informational otherwise)
-      val packetLens = new ArrayBuffer[Int]()
-      for (r <- 0 to nl; comp <- planes.indices) {
-        // one packet per (resolution, component): header then bodies
-        val bands = bandsOf(tcw, tch, nl, r)
-        val bwr = new BitWriter
-        val bodies = new ArrayBuffer[Array[Byte]]()
-        bwr.bit(1) // non-empty packet
-        bands.foreach { case (band, bw, bh, xOff, yOff) =>
-          val (gw, gh) = cbGrid(bw, bh, cb)
-          val incl = new TagTree(gw, gh)
-          val zbpT = new TagTree(gw, gh)
-          val mb = mbOf(comp, band)
+      // ---- EBCOT every code-block first (packet emission below may
+      // interleave bands/resolutions in any progression order) ----
+      final class CbE(val bytes: Array[Byte], val np: Int, val zbp: Int) {
+        val split: Array[(Int, Int)] = layerSplit(np, bytes.length, layers)
+        val firstL: Int = split.indexWhere(_._1 > 0) // -1 when np == 0
+        var lblock = 3
+        var included = false
+        var byteOff = 0
+      }
+      // geometry + encoded blocks per (component, resolution, band)
+      val geoms = Array.tabulate(planes.length, nl + 1) { (comp, r) =>
+        bandGeoms(tcw, tch, nl, r, cbExp, ppxE, ppyE).map { g =>
+          val mb = mbOf(comp, g.band)
           // one band extraction, shared by every code-block (extracting
           // per block is O(band x blocks) — quadratic on big images)
-          val bs = bandCoeffs(comp, r, band, bw, bh, xOff, yOff)
-          // encode all code-blocks of the band first (need zbp for trees)
-          val recs = for (gy <- 0 until gh; gx <- 0 until gw) yield {
-            val x0 = gx * cb; val y0 = gy * cb
-            val cw2 = math.min(cb, bw - x0)
-            val ch2 = math.min(cb, bh - y0)
+          val bs = bandCoeffs(comp, r, g.band, g.bw, g.bh, g.xOff, g.yOff)
+          val grid = new Array[CbE](g.gw * g.gh)
+          for (gy <- 0 until g.gh; gx <- 0 until g.gw) {
+            val x0 = gx * g.cbw; val y0 = gy * g.cbh
+            val cw2 = math.min(g.cbw, g.bw - x0)
+            val ch2 = math.min(g.cbh, g.bh - y0)
             val magA = new Array[Int](cw2 * ch2)
             val negA = new Array[Boolean](cw2 * ch2)
             var y = 0
             while (y < ch2) {
               var x = 0
               while (x < cw2) {
-                val v = bs((y0 + y) * bw + (x0 + x))
+                val v = bs((y0 + y) * g.bw + (x0 + x))
                 magA(y * cw2 + x) = math.abs(v)
                 negA(y * cw2 + x) = v < 0
                 x += 1
               }
               y += 1
             }
-            val (bytes, np, zbp) = encodeCb(band, cw2, ch2, magA, negA, mb)
-            (gx, gy, bytes, np, zbp)
+            val (bytes, np, zbp) = encodeCb(g.band, cw2, ch2, magA, negA, mb)
+            grid(gy * g.gw + gx) = new CbE(bytes, np, zbp)
           }
-          recs.foreach { case (gx, gy, _, np, zbp) =>
-            incl.set(gx, gy, if (np > 0) 0 else 1) // included in layer 0?
-            zbpT.set(gx, gy, zbp)
+          (g, grid)
+        }
+      }
+      // per-(resolution, component, precinct, band) tag trees, created
+      // once and PERSISTENT across layers (B.10.4: inclusion thresholds
+      // rise with the layer; zbp is coded at first inclusion only)
+      val trees = scala.collection.mutable.HashMap
+        .empty[(Int, Int, Int, Int), (TagTree, TagTree)]
+      def treesOf(r: Int, c: Int, p: Int, bi: Int, g: BandGeom,
+          grid: Array[CbE], gx0: Int, gy0: Int, gx1: Int, gy1: Int)
+          : (TagTree, TagTree) =
+        trees.getOrElseUpdate((r, c, p, bi), {
+          val incl = new TagTree(gx1 - gx0, gy1 - gy0)
+          val zbpT = new TagTree(gx1 - gx0, gy1 - gy0)
+          for (gy <- gy0 until gy1; gx <- gx0 until gx1) {
+            val cbRec = grid(gy * g.gw + gx)
+            incl.set(gx - gx0, gy - gy0,
+              if (cbRec.firstL >= 0) cbRec.firstL else layers)
+            zbpT.set(gx - gx0, gy - gy0, cbRec.zbp)
           }
           incl.reset(); zbpT.reset()
-          recs.foreach { case (gx, gy, bytes, np, zbp) =>
-            incl.encode(bwr, gx, gy, 1)
-            if (np > 0) {
-              // zero-bitplane tag tree: encoding at threshold zbp+1 emits
-              // exactly the bits the decoder's rising-threshold loop reads
-              zbpT.encode(bwr, gx, gy, zbp + 1)
-              writePassCount(bwr, np)
-              // length: single codeword segment, Lblock grows via 1-bits
-              val lblBase = 3
-              val needed = math.max(0,
-                bitLen(bytes.length) - (lblBase + floorLog2(np)))
-              var k = 0
-              while (k < needed) { bwr.bit(1); k += 1 }
-              bwr.bit(0)
-              bwr.bits(bytes.length, lblBase + needed + floorLog2(np))
-              bodies += bytes
+          (incl, zbpT)
+        })
+
+      // ---- packets in progression order; per-packet byte lengths
+      // (SOP + header + EPH + bodies) emitted as a PLT marker segment so
+      // a reader can fetch ONLY the leading packets for a reduced-
+      // resolution decode (A.7.1 — informational otherwise) ----
+      val packetLens = new ArrayBuffer[Int]()
+      var nsop = 0
+      packetSeq(order, layers, planes.length, nl, tcw, tch,
+          _ => (ppxE, ppyE)).foreach { pk =>
+        val bandsHere = geoms(pk.c)(pk.r)
+        val any = bandsHere.exists { case (g, grid) =>
+          val (gx0, gy0, gx1, gy1) = g.cbRect(pk.pix, pk.piy)
+          (gy0 until gy1).exists(gy => (gx0 until gx1).exists(gx =>
+            grid(gy * g.gw + gx).split(pk.l)._1 > 0))
+        }
+        var pktBytes = 0
+        if (sopEph) { // SOP marker segment (D.2) before the header
+          body.write(0xFF); body.write(0x91); body.write(0); body.write(4)
+          body.write((nsop >> 8) & 0xFF); body.write(nsop & 0xFF)
+          pktBytes += 6
+        }
+        nsop = (nsop + 1) & 0xFFFF
+        val bwr = new BitWriter
+        val bodies = new ArrayBuffer[(Array[Byte], Int, Int)]() // (buf, off, len)
+        if (!any) bwr.bit(0) // empty packet: no contributions this layer
+        else {
+          bwr.bit(1)
+          bandsHere.zipWithIndex.foreach { case ((g, grid), bi) =>
+            val (gx0, gy0, gx1, gy1) = g.cbRect(pk.pix, pk.piy)
+            if (gx0 < gx1 && gy0 < gy1) {
+              val (incl, zbpT) =
+                treesOf(pk.r, pk.c, pk.p, bi, g, grid, gx0, gy0, gx1, gy1)
+              for (gy <- gy0 until gy1; gx <- gx0 until gx1) {
+                val cbRec = grid(gy * g.gw + gx)
+                val (npL, lenL) = cbRec.split(pk.l)
+                val first = !cbRec.included && npL > 0
+                if (!cbRec.included) {
+                  incl.encode(bwr, gx - gx0, gy - gy0, pk.l + 1)
+                  if (first) cbRec.included = true
+                } else bwr.bit(if (npL > 0) 1 else 0)
+                if (npL > 0) {
+                  if (first) {
+                    // zero-bitplane tag tree: encoding at threshold zbp+1
+                    // emits exactly the bits the decoder's rising-
+                    // threshold loop reads
+                    zbpT.encode(bwr, gx - gx0, gy - gy0, cbRec.zbp + 1)
+                  }
+                  writePassCount(bwr, npL)
+                  // length: one codeword segment per contribution; Lblock
+                  // is PER CODE-BLOCK and persists across layers
+                  val needed = math.max(0,
+                    bitLen(lenL) - (cbRec.lblock + floorLog2(npL)))
+                  var k = 0
+                  while (k < needed) { bwr.bit(1); k += 1 }
+                  bwr.bit(0)
+                  cbRec.lblock += needed
+                  bwr.bits(lenL, cbRec.lblock + floorLog2(npL))
+                  bodies += ((cbRec.bytes, cbRec.byteOff, lenL))
+                  cbRec.byteOff += lenL
+                }
+              }
             }
           }
         }
         val header = bwr.finish()
         body.write(header)
-        bodies.foreach(body.write)
-        packetLens += header.length + bodies.map(_.length).sum
+        pktBytes += header.length
+        if (sopEph) { // EPH marker (D.3) terminates the packet header
+          body.write(0xFF); body.write(0x92)
+          pktBytes += 2
+        }
+        bodies.foreach { case (buf, off, len) => body.write(buf, off, len) }
+        packetLens += pktBytes + bodies.map(_._3).sum
       }
       (body.toByteArray, packetLens)
     }
@@ -1575,7 +1764,13 @@ private[graft] object Jpeg2000 {
       qcdGuard: Int, qcdExps: Array[Int], qcdMus: Array[Int],
       qccGuard: Map[Int, Int], qccExps: Map[Int, Array[Int]],
       qccMus: Map[Int, Array[Int]],
-      firstSot: Int) {
+      firstSot: Int,
+      order: Int = 0, layers: Int = 1,
+      sop: Boolean = false, eph: Boolean = false,
+      ppx: Array[Int] = null, ppy: Array[Int] = null) {
+    /** Precinct exponents at resolution r (maximal when none signalled). */
+    def ppOf(r: Int): (Int, Int) =
+      if (ppx == null) (15, 15) else (ppx(r), ppy(r))
     def epsTable(comp: Int): Array[Int] = qccExps.getOrElse(comp, qcdExps)
     def muTable(comp: Int): Array[Int] = qccMus.getOrElse(comp, qcdMus)
     def guardOf(comp: Int): Int = qccGuard.getOrElse(comp, qcdGuard)
@@ -1626,6 +1821,10 @@ private[graft] object Jpeg2000 {
     var depths: Array[Int] = null
     var signedA: Array[Boolean] = null
     var nl = -1; var cbExp = -1
+    var order = 0; var layers = 1
+    var sop = false; var eph = false
+    var ppx: Array[Int] = null
+    var ppy: Array[Int] = null
     var qcdGuard = -1
     var qcdExps: Array[Int] = null
     var qcdMus: Array[Int] = null
@@ -1686,11 +1885,16 @@ private[graft] object Jpeg2000 {
           }
         case 0xFF52 => // COD
           val base = pos + 4
-          require((bb.get(base) & 0xFF) == 0,
-            "jpeg2000: custom precincts / SOP / EPH unsupported")
-          require((bb.get(base + 1) & 0xFF) == 0, "jpeg2000: only LRCP supported")
-          require((bb.getShort(base + 2) & 0xFFFF) == 1,
-            "jpeg2000: multiple layers unsupported")
+          val scod = bb.get(base) & 0xFF
+          require((scod & ~7) == 0, f"jpeg2000: unknown Scod bits $scod%02x")
+          val usePrec = (scod & 1) != 0
+          sop = (scod & 2) != 0
+          eph = (scod & 4) != 0
+          order = bb.get(base + 1) & 0xFF
+          require(order <= 4,
+            s"jpeg2000: unknown progression order $order")
+          layers = bb.getShort(base + 2) & 0xFFFF
+          require(layers >= 1, "jpeg2000: zero quality layers")
           mct = bb.get(base + 4) & 0xFF
           require(mct == 0 || mct == 1,
             s"jpeg2000: unknown MCT mode $mct (0 = none, 1 = reversible RCT)")
@@ -1703,6 +1907,20 @@ private[graft] object Jpeg2000 {
           transform = bb.get(base + 9) & 0xFF
           require(transform == 0 || transform == 1,
             s"jpeg2000: unknown wavelet transform $transform")
+          ppx = Array.fill(nl + 1)(15)
+          ppy = Array.fill(nl + 1)(15)
+          if (usePrec) {
+            val lcod = bb.getShort(pos + 2) & 0xFFFF
+            require(lcod >= 12 + nl + 1,
+              "jpeg2000: COD too short for the precinct table")
+            for (r <- 0 to nl) {
+              val b2 = bb.get(base + 10 + r) & 0xFF
+              ppx(r) = b2 & 0xF
+              ppy(r) = b2 >> 4
+              require(r == 0 || (ppx(r) >= 1 && ppy(r) >= 1),
+                s"jpeg2000: precinct exponent 0 at resolution $r > 0")
+            }
+          }
         case 0xFF5C => // QCD
           val lqcd = bb.getShort(pos + 2) & 0xFFFF
           val sqcd = bb.get(pos + 4) & 0xFF
@@ -1730,11 +1948,12 @@ private[graft] object Jpeg2000 {
           qccMus += cqcc -> ms
         case 0xFF90 =>
           firstSot = pos
-        case 0xFF53 | 0xFF5E | 0xFF5F =>
-          // COC / RGN / POC override coding per component or progression
-          // — skipping them would decode silently wrong, refuse loudly
+        case 0xFF53 | 0xFF5E | 0xFF5F | 0xFF60 =>
+          // COC / RGN / POC / PPM override coding per component,
+          // progression, or relocate packet headers — skipping them
+          // would decode silently wrong, refuse loudly
           throw new IllegalArgumentException(f"jpeg2000: marker $marker%04x " +
-            "(COC/RGN/POC component or progression overrides) unsupported")
+            "(COC/RGN/POC/PPM overrides) unsupported")
         case _ => // skip informational marker segments (COM, CRG, TLM, PLM...)
       }
       if (firstSot < 0) pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
@@ -1745,7 +1964,8 @@ private[graft] object Jpeg2000 {
         "unsupported (5/3 + none, or 9/7 + scalar expounded)")
     MainHeader(csOff, w, h, math.min(tw, w), math.min(th, h), nc,
       depths, signedA, nl, cbExp, mct, transform, qStyle,
-      qcdGuard, qcdExps, qcdMus, qccGuard, qccExps, qccMus, firstSot)
+      qcdGuard, qcdExps, qcdMus, qccGuard, qccExps, qccMus, firstSot,
+      order, layers, sop, eph, ppx, ppy)
   }
 
   /** Tile-part directory: tile index -> (sod position, tile end), both
@@ -1783,7 +2003,7 @@ private[graft] object Jpeg2000 {
           if (m == 0xFF93) sod = q + 2
           else {
             require(m != 0xFF52 && m != 0xFF53 && m != 0xFF5C && m != 0xFF5D &&
-              m != 0xFF5E && m != 0xFF5F,
+              m != 0xFF5E && m != 0xFF5F && m != 0xFF61,
               f"jpeg2000: tile-part coding override marker $m%04x unsupported")
             q += 2 + (bb.getShort(q + 2) & 0xFFFF)
           }
@@ -1817,7 +2037,6 @@ private[graft] object Jpeg2000 {
           s"${lowLen(w, discardLevels)}x${lowLen(h, discardLevels)}")
     }
     val rMax = nl - discardLevels
-    val cb = 1 << hd.cbExp
     val parts = scanTileParts(bytes, hd)
     val d = discardLevels
 
@@ -1825,9 +2044,6 @@ private[graft] object Jpeg2000 {
     // (a tile is an independent codestream body over its own canvas
     // region; tile origins are multiples of the 2^nl-aligned tile size,
     // so tile-local coordinates keep global parity at every level)
-    final case class Meta(band: Int, xOff: Int, yOff: Int,
-        x0: Int, y0: Int, cw: Int, ch: Int, np: Int, zbp: Int, len: Int,
-        use: Boolean)
     // shared packet + EBCOT stage: SIGNED coefficient planes in the
     // quadrant layout (lossless 5/3 integers, or lossy quantizer indices)
     def decodeTileCoeffs(tcw: Int, tch: Int, sodAt: Int, tileEnd: Int,
@@ -1856,70 +2072,157 @@ private[graft] object Jpeg2000 {
         bx0 < c2 && a < bx1 && by0 < d2 && b2 < by1
       }
 
-      // decode packets in LRCP order into per-component quadrant arrays
-      // (each level's bands live at their offsets inside the tile plane,
-      // row stride tcw — the exact inverse of the encoder's layout)
+      // decode packets in the SIGNALLED progression order into per-
+      // component quadrant arrays (each level's bands live at their
+      // offsets inside the tile plane, row stride tcw — the exact
+      // inverse of the encoder's layout). A code-block may contribute to
+      // several packets (one per quality layer): contributions are
+      // byte ranges of ONE MQ codeword, accumulated in layer order and
+      // entropy-decoded once after the packet walk.
       val planesT = Array.fill(nc)(new Array[Int](tcw * tch))
+      final class CbD(val band: Int, val xAbs: Int, val yAbs: Int,
+          val cw: Int, val ch: Int, val use: Boolean) {
+        var zbp = -1
+        var np = 0
+        var lblock = 3
+        var included = false
+        val chunks = new ArrayBuffer[(Int, Int)]() // (offset, len) in bytes
+      }
+      // geometry + per-code-block state per (component, resolution, band),
+      // built lazily: packets of resolutions ABOVE rMax are only walked
+      // (non-resolution-major orders interleave them), never decoded
+      val geoms = Array.tabulate(nc, nl + 1) { (_, r) =>
+        val (px, py) = hd.ppOf(r)
+        bandGeoms(tcw, tch, nl, r, hd.cbExp, px, py)
+      }
+      val cbState = Array.ofDim[Array[CbD]](nc, nl + 1, 3)
+      def stateOf(c: Int, r: Int, bi: Int, g: BandGeom): Array[CbD] = {
+        if (cbState(c)(r)(bi) == null)
+          cbState(c)(r)(bi) = {
+            val grid = new Array[CbD](g.gw * g.gh)
+            val lvl = if (r == 0) nl else nl - r + 1
+            for (gy <- 0 until g.gh; gx <- 0 until g.gw) {
+              val x0 = gx * g.cbw; val y0 = gy * g.cbh
+              val cw2 = math.min(g.cbw, g.bw - x0)
+              val ch2 = math.min(g.cbh, g.bh - y0)
+              grid(gy * g.gw + gx) = new CbD(g.band, x0, y0, cw2, ch2,
+                cbNeeded(lvl, x0, y0, x0 + cw2, y0 + ch2))
+            }
+            grid
+          }
+        cbState(c)(r)(bi)
+      }
+      val trees = scala.collection.mutable.HashMap
+        .empty[(Int, Int, Int, Int), (TagTree, TagTree)]
+
+      val seqAll = packetSeq(hd.order, hd.layers, nc, nl, tcw, tch, hd.ppOf)
+      // the walk may stop after the LAST packet a reduced decode needs:
+      // for resolution-major orders that is a stream PREFIX (what the
+      // PLT-ranged out-db fetch provides); other orders interleave, so
+      // the last needed packet sits near the end and the walk covers
+      // (and skips over) the high-resolution packets in between
+      val lastNeeded = seqAll.lastIndexWhere(_.r <= rMax)
       var p = sodAt
-      for (r <- 0 to rMax; comp <- 0 until nc) {
+      var pi = 0
+      while (pi <= lastNeeded) {
+        val pk = seqAll(pi)
+        // SOP resync marker before the header (D.2) — skip when present;
+        // a packet header's first byte may be 0xFF but its second then
+        // has a clear msb (bit-stuffing), so 0xFF91 here is unambiguous
+        if (hd.sop && p + 1 < bytes.length && (bytes(p) & 0xFF) == 0xFF &&
+            (bytes(p + 1) & 0xFF) == 0x91)
+          p += 6
         val br = new BitReader(bytes, p)
-        val bands = bandsOf(tcw, tch, nl, r)
-        val cbMeta = new ArrayBuffer[Meta]()
+        val contribs = new ArrayBuffer[(CbD, Int)]() // (cb, contribution len)
         if (br.bit() == 1) {
-          bands.foreach { case (band, bw2, bh2, xOff, yOff) =>
-            val (gw, gh) = cbGrid(bw2, bh2, cb)
-            val incl = new TagTree(gw, gh)
-            val zbpT = new TagTree(gw, gh)
-            for (gy <- 0 until gh; gx <- 0 until gw) {
-              val inc = incl.decode(br, gx, gy, 1)
-              if (inc == 0) {
-                var thr = 1
-                var zbp = Int.MaxValue
-                while (zbp == Int.MaxValue && thr <= 64) {
-                  zbp = zbpT.decode(br, gx, gy, thr)
-                  thr += 1
+          geoms(pk.c)(pk.r).zipWithIndex.foreach { case (g, bi) =>
+            val (gx0, gy0, gx1, gy1) = g.cbRect(pk.pix, pk.piy)
+            if (gx0 < gx1 && gy0 < gy1) {
+              val grid = stateOf(pk.c, pk.r, bi, g)
+              val (incl, zbpT) = trees.getOrElseUpdate((pk.r, pk.c, pk.p, bi),
+                (new TagTree(gx1 - gx0, gy1 - gy0),
+                  new TagTree(gx1 - gx0, gy1 - gy0)))
+              for (gy <- gy0 until gy1; gx <- gx0 until gx1) {
+                val cbRec = grid(gy * g.gw + gx)
+                var contributes = false
+                if (!cbRec.included) {
+                  val v = incl.decode(br, gx - gx0, gy - gy0, pk.l + 1)
+                  if (v <= pk.l) { // first inclusion is in THIS layer
+                    cbRec.included = true
+                    contributes = true
+                    var thr = 1
+                    var zbp = Int.MaxValue
+                    while (zbp == Int.MaxValue && thr <= 64) {
+                      zbp = zbpT.decode(br, gx - gx0, gy - gy0, thr)
+                      thr += 1
+                    }
+                    require(zbp != Int.MaxValue, "jpeg2000: runaway zbp tag tree")
+                    cbRec.zbp = zbp
+                  }
+                } else contributes = br.bit() == 1
+                if (contributes) {
+                  val npL = readPassCount(br)
+                  var extra = 0
+                  while (br.bit() == 1) extra += 1
+                  cbRec.lblock += extra
+                  val len = br.bits(cbRec.lblock + floorLog2(npL))
+                  cbRec.np += npL
+                  contribs += ((cbRec, len))
                 }
-                require(zbp != Int.MaxValue, "jpeg2000: runaway zbp tag tree")
-                val np = readPassCount(br)
-                var extra = 0
-                while (br.bit() == 1) extra += 1
-                val len = br.bits(3 + extra + floorLog2(np))
-                val x0 = gx * cb; val y0 = gy * cb
-                val cw2 = math.min(cb, bw2 - x0)
-                val ch2 = math.min(cb, bh2 - y0)
-                val lvl = if (r == 0) nl else nl - r + 1
-                cbMeta += Meta(band, xOff, yOff, x0, y0, cw2, ch2, np, zbp, len,
-                  use = cbNeeded(lvl, x0, y0, x0 + cw2, y0 + ch2))
               }
             }
           }
         }
         p = br.align()
-        // bodies follow the header in the same order; windowed decode
-        // skips the EBCOT work of code-blocks outside the needed pyramid
-        cbMeta.foreach { m =>
-          val mb = hd.mbOf(comp, r, m.band)
-          require(p + m.len <= bytes.length, "jpeg2000: truncated code-block body")
-          if (!m.use) p += m.len
-          else {
-            val seg = java.util.Arrays.copyOfRange(bytes, p, p + m.len)
-            p += m.len
-            val (mag, neg) = decodeCb(m.band, m.cw, m.ch, seg, m.np, mb, m.zbp)
-            var y = 0
-            while (y < m.ch) {
-              var x = 0
-              while (x < m.cw) {
-                val v0 = mag(y * m.cw + x)
-                val v = if (neg(y * m.cw + x)) -v0 else v0
-                planesT(comp)((m.yOff + m.y0 + y) * tcw + (m.xOff + m.x0 + x)) = v
-                x += 1
-              }
-              y += 1
-            }
-          }
+        if (hd.eph) { // EPH terminates every packet header when signalled
+          require(p + 2 <= bytes.length && (bytes(p) & 0xFF) == 0xFF &&
+            (bytes(p + 1) & 0xFF) == 0x92, "jpeg2000: missing EPH marker")
+          p += 2
         }
+        // bodies follow the header in the same code-block order
+        contribs.foreach { case (cbRec, len) =>
+          require(p + len <= bytes.length, "jpeg2000: truncated code-block body")
+          cbRec.chunks += ((p, len))
+          p += len
+        }
+        pi += 1
       }
       require(p <= tileEnd, "jpeg2000: packet data overruns the tile")
+      // entropy-decode each needed code-block ONCE over its concatenated
+      // contributions; windowed decode skips the EBCOT work of
+      // code-blocks outside the needed pyramid
+      for {
+        r <- 0 to rMax
+        comp <- 0 until nc
+        (g, bi) <- geoms(comp)(r).zipWithIndex
+        grid = cbState(comp)(r)(bi)
+        if grid != null
+        cbRec <- grid
+        if cbRec.included && cbRec.use && cbRec.np > 0
+      } {
+        val total = cbRec.chunks.map(_._2).sum
+        val seg = new Array[Byte](total)
+        var off = 0
+        cbRec.chunks.foreach { case (o, len) =>
+          System.arraycopy(bytes, o, seg, off, len)
+          off += len
+        }
+        val mb = hd.mbOf(comp, r, cbRec.band)
+        val (mag, neg) = decodeCb(cbRec.band, cbRec.cw, cbRec.ch, seg,
+          cbRec.np, mb, cbRec.zbp)
+        var y = 0
+        while (y < cbRec.ch) {
+          var x = 0
+          while (x < cbRec.cw) {
+            val v0 = mag(y * cbRec.cw + x)
+            val v = if (neg(y * cbRec.cw + x)) -v0 else v0
+            planesT(comp)((g.yOff + cbRec.yAbs + y) * tcw +
+              (g.xOff + cbRec.xAbs + x)) = v
+            x += 1
+          }
+          y += 1
+        }
+      }
       planesT
     }
 
@@ -2262,20 +2565,35 @@ private[graft] object Jpeg2000 {
     Some(lens.map { len => val r = (off, len); off += len; r }.toIndexedSeq)
   }
 
+  /** Number of LEADING packets that cover resolutions 0..rMax of one
+    * tile, or None when the progression order interleaves resolutions
+    * (LRCP with several layers, PCRL, CPRL) — then no prefix is
+    * sufficient and callers fall back to a full fetch. */
+  private def leadingPacketCount(hd: MainHeader, tcw: Int, tch: Int,
+      rMax: Int): Option[Int] =
+    if (!resolutionMajor(hd.order, hd.layers)) None
+    else Some((0 to rMax).map { r =>
+      val (px, py) = hd.ppOf(r)
+      val (npx, npy) = precGridOf(tcw, tch, hd.nl, r, px, py)
+      hd.layers * hd.nc * npx * npy
+    }.sum)
+
   /** FILE-byte length of the prefix sufficient to decode resolutions
     * 0..NL-discard, computed from the PLT packet-length marker this
-    * encoder writes: header bytes + the leading (NL-discard+1)*nc
-    * packets. None when the stream carries no PLT (foreign encoders may
-    * omit it) or the header probe is too short. A reduced-resolution
-    * out-db read then FETCHES only this prefix — megabytes instead of a
-    * whole scene. */
+    * encoder writes: header bytes + the leading packets of resolutions
+    * 0..NL-discard (layers x components x precincts each). None when the
+    * stream carries no PLT (foreign encoders may omit it), the header
+    * probe is too short, or the progression order is not resolution-
+    * major. A reduced-resolution out-db read then FETCHES only this
+    * prefix — megabytes instead of a whole scene. */
   def prefixLenFor(head: Array[Byte], discard: Int): Option[Int] = {
-    val csOff =
-      if (head.length >= 4 && (head(0) & 0xFF) == 0xFF && (head(1) & 0xFF) == 0x4F) 0
-      else jp2CodestreamOffset(head).getOrElse(return None)
+    val hd = try parseMainHeader(head) catch { case _: Exception => return None }
+    // single-tile streams only: a multi-tile codestream interleaves
+    // every tile's packets, so "leading packets" is per tile-part
+    // there (the out-db loader stitches per-tile prefixes instead)
+    if (hd.multiTile || discard > hd.nl) return None
     val bb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
-    var pos = csOff + 2
-    var nc = -1; var nl = -1
+    var pos = hd.firstSot
     val lens = new ArrayBuffer[Int]()
     var sodAt = -1
     // a 7-bit varint may legally straddle two PLT segments: the partial
@@ -2286,15 +2604,6 @@ private[graft] object Jpeg2000 {
       val marker = bb.getShort(pos) & 0xFFFF
       if ((marker >> 8) != 0xFF) return None
       marker match {
-        case 0xFF51 =>
-          // single-tile streams only: a multi-tile codestream interleaves
-          // every tile's packets, so "leading packets" is per tile-part
-          // there (the out-db loader stitches per-tile prefixes instead)
-          val w = bb.getInt(pos + 6); val h = bb.getInt(pos + 10)
-          val tw = bb.getInt(pos + 22); val th = bb.getInt(pos + 26)
-          if (tw < w || th < h) return None
-          nc = bb.getShort(pos + 38) & 0xFFFF
-        case 0xFF52 => nl = bb.get(pos + 9) & 0xFF
         case 0xFF58 =>
           val end = pos + 2 + (bb.getShort(pos + 2) & 0xFFFF)
           if (end > head.length) return None
@@ -2312,8 +2621,9 @@ private[graft] object Jpeg2000 {
         pos = if (marker == 0xFF90) pos + 12
           else pos + 2 + (bb.getShort(pos + 2) & 0xFFFF)
     }
-    if (sodAt < 0 || nc <= 0 || nl < 0 || discard > nl) return None
-    val needPackets = (nl - discard + 1) * nc
+    if (sodAt < 0) return None
+    val needPackets =
+      leadingPacketCount(hd, hd.w, hd.h, hd.nl - discard).getOrElse(return None)
     if (lens.length < needPackets) return None
     Some(sodAt + lens.take(needPackets).sum)
   }
@@ -2321,10 +2631,12 @@ private[graft] object Jpeg2000 {
   /** Byte length of the PREFIX of ONE tile-part (SOT .. SOD .. leading
     * packets) sufficient to decode its resolutions 0..nl-discard, parsed
     * from the tile-part's own PLT. `part` is a peek at the tile-part's
-    * first bytes (must start at its SOT and cover SOT+PLT+SOD). None
-    * when the peek is too short or carries no PLT. */
-  private[sources] def tilePrefixLen(part: Array[Byte], nc: Int, nl: Int,
-      discard: Int): Option[Int] = {
+    * first bytes (must start at its SOT and cover SOT+PLT+SOD); `ti` is
+    * the tile index (edge tiles have smaller precinct grids). None when
+    * the peek is too short, carries no PLT, or the progression order is
+    * not resolution-major. */
+  private[sources] def tilePrefixLen(part: Array[Byte], hd: MainHeader,
+      ti: Int, discard: Int): Option[Int] = {
     if (part.length < 12 || (part(0) & 0xFF) != 0xFF || (part(1) & 0xFF) != 0x90)
       return None
     val bb = ByteBuffer.wrap(part).order(ByteOrder.BIG_ENDIAN)
@@ -2351,8 +2663,12 @@ private[graft] object Jpeg2000 {
       }
       if (sodAt < 0) pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
     }
-    if (sodAt < 0 || discard > nl) return None
-    val needPackets = (nl - discard + 1) * nc
+    if (sodAt < 0 || discard > hd.nl) return None
+    val tx = ti % hd.ntx; val ty = ti / hd.ntx
+    val tcw = math.min(hd.tw, hd.w - tx * hd.tw)
+    val tch = math.min(hd.th, hd.h - ty * hd.th)
+    val needPackets =
+      leadingPacketCount(hd, tcw, tch, hd.nl - discard).getOrElse(return None)
     if (lens.length < needPackets) return None
     Some(sodAt + lens.take(needPackets).sum)
   }

@@ -492,11 +492,11 @@ class Jpeg2000Spec extends AnyFunSuite {
     mutated(idx + 2 + lcod - 1) = 0 // last SPcod byte = transform
     val e = intercept[IllegalArgumentException](Jpeg2000.decode(mutated))
     assert(e.getMessage.contains("5/3"))
-    // multi-layer claim must also refuse
+    // an unknown progression order (5 is reserved) must refuse
     val mutated2 = cs.clone()
-    mutated2(idx + 7) = 2 // SGcod layer count low byte
+    mutated2(idx + 5) = 5 // SGcod progression order byte
     val e2 = intercept[IllegalArgumentException](Jpeg2000.decode(mutated2))
-    assert(e2.getMessage.contains("layers"))
+    assert(e2.getMessage.contains("progression order"))
     // QCC overrides are now parsed per component (the RCT chroma path
     // writes them) — but a MALFORMED one carrying fewer exponents than
     // the COD levels need must refuse loudly, not decode wrong. Insert
@@ -689,6 +689,57 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(red.gt(0) == 500000.0 + 10 * 40.0 && red.gt(3) == 5000000.0 - 20 * 40.0)
   }
 
+  test("out-db tiled, kakadu profile: RPCL+precincts+layers keep ranged fetches") {
+    import graft.functions.RasterModel
+    import graft.functions.RasterModel.{Band, Raster}
+    val rnd = new scala.util.Random(212)
+    val w = 1024; val h = 512
+    val vals = Array.tabulate(w * h)(_ => rnd.nextInt(1 << 16).toDouble)
+    val r = Raster("EPSG:32632", Array(500000.0, 10.0, 0.0, 5000000.0, 0.0, -10.0),
+      w, h, Vector(Band(Double.NaN, RasterModel.packDoubles(vals),
+        ptype = "UNSIGNED_16BITS")))
+    // the Sentinel-2-style packaging: tiled + RPCL + precincts + layers
+    // + SOP/EPH. RPCL is resolution-major, so per-tile PLT prefixes
+    // still bound overview fetches.
+    val bytes = Jp2Raster.write(r, levels = 3, tileSize = Some((256, 128)),
+      layers = 3, order = 2, precinct = Some((6, 6)), sopEph = true)
+    assert(bytes.length > 512 * 1024)
+    var fetched = 0L
+    val fetch = (off: Long, n: Int) => {
+      fetched += n
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    }
+    val full = Jp2Raster.read(bytes)
+    val fb = java.nio.ByteBuffer.wrap(full.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // full-res window: tile-ranged fetch through the profile stream
+    fetched = 0L
+    val win = Jp2Raster.OutDb.loadWindow(fetch, bytes.length.toLong, 300, 150, 40, 20)
+    assert(fetched < bytes.length / 2,
+      s"window fetched $fetched of ${bytes.length}")
+    val wb = java.nio.ByteBuffer.wrap(win.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (y <- 0 until 20; x <- 0 until 40)
+      assert(wb.getDouble((y * 40 + x) * 8) ==
+        fb.getDouble(((150 + y) * w + 300 + x) * 8), s"($x,$y)")
+    // overview at level 2: per-tile prefixes must stay bounded even
+    // with 3 layers x precinct packets per resolution
+    fetched = 0L
+    val red = Jp2Raster.OutDb.loadWindowAt(fetch, bytes.length.toLong,
+      2L, 10, 20, 100, 60, Array(500000.0, 40.0, 0.0, 5000000.0, 0.0, -40.0),
+      "EPSG:32632")
+    assert(fetched < bytes.length / 2,
+      s"overview fetched $fetched of ${bytes.length}")
+    val direct = Jp2Raster.readAt(bytes, 2)
+    val db = java.nio.ByteBuffer.wrap(direct.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rb = java.nio.ByteBuffer.wrap(red.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (y <- 0 until 60; x <- 0 until 100)
+      assert(rb.getDouble((y * 100 + x) * 8) ==
+        db.getDouble(((20 + y) * 256 + 10 + x) * 8), s"red ($x,$y)")
+  }
+
   // ---------------------------------------------------------------
   // Lossy 9/7 path (irreversible DWT + scalar quantization)
   // ---------------------------------------------------------------
@@ -805,5 +856,174 @@ class Jpeg2000Spec extends AnyFunSuite {
     val red = Jpeg2000.decode(cs, 2)
     assert(red.head.w == Jp2Raster.Jpeg2000Dims.lowLen(w, 2) &&
       red.head.h == Jp2Raster.Jpeg2000Dims.lowLen(h, 2))
+  }
+
+  // ---------------------------------------------------------------
+  // Progression orders, quality layers, precincts, SOP/EPH (B.12)
+  // — the packet-PACKAGING features real encoders (Kakadu/openjpeg
+  // Sentinel-2 profiles) use. Core invariant: packaging must not
+  // change ANY decode output, so every combination is differentially
+  // pinned against the plain LRCP/1-layer/no-precinct stream.
+  // ---------------------------------------------------------------
+
+  private def samePlanes(a: Seq[Plane], b: Seq[Plane], tag: String): Unit = {
+    assert(a.length == b.length, tag)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), ci) =>
+      assert(x.w == y.w && x.h == y.h && x.depth == y.depth &&
+        x.signed == y.signed, s"$tag comp $ci header")
+      assert(java.util.Arrays.equals(x.samples, y.samples),
+        s"$tag comp $ci: first diff at " +
+          x.samples.zip(y.samples).indexWhere(p => p._1 != p._2))
+    }
+  }
+
+  test("progression orders: all five roundtrip bit-exact, 1 and 3 layers") {
+    val rnd = new scala.util.Random(140814)
+    val planes = Seq.tabulate(3)(c =>
+      planeOf(70, 50, 8, signed = false, (x, y) => rnd.nextInt(256)))
+    val plain = Jpeg2000.decode(
+      Jpeg2000.encode(planes, levels = 2, cbExp = 4, mct = true))
+    for (order <- 0 to 4; layers <- Seq(1, 3)) {
+      val cs = Jpeg2000.encode(planes, levels = 2, cbExp = 4, mct = true,
+        layers = layers, order = order)
+      samePlanes(Jpeg2000.decode(cs), plain, s"order=$order layers=$layers")
+      // packaging-independence extends to reduced decodes and windows
+      samePlanes(Jpeg2000.decode(cs, 1),
+        Jpeg2000.decode(Jpeg2000.encode(planes, levels = 2, cbExp = 4,
+          mct = true), 1), s"order=$order layers=$layers reduced")
+    }
+  }
+
+  test("quality layers: many layers, more layers than passes, deep splits") {
+    val rnd = new scala.util.Random(7341)
+    // noisy content (many passes per block) and near-flat content
+    // (np < layers — some layers carry no contribution at all)
+    val noisy = planeOf(64, 64, 12, signed = false, (_, _) => rnd.nextInt(4096))
+    val flat = planeOf(64, 64, 12, signed = false, (x, y) => 2048 + (x + y) % 2)
+    for (p <- Seq(noisy, flat); layers <- Seq(2, 5, 17)) {
+      val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 5, layers = layers)
+      samePlanes(Jpeg2000.decode(cs),
+        Jpeg2000.decode(Jpeg2000.encode(Seq(p), levels = 3, cbExp = 5)),
+        s"layers=$layers")
+    }
+  }
+
+  test("precincts: sizes down to 1x1 band cells, odd edges, cb capping") {
+    val rnd = new scala.util.Random(90125)
+    for {
+      (w, h) <- Seq((33, 17), (64, 64), (9, 7))
+      (px, py) <- Seq((1, 1), (2, 3), (4, 4), (6, 5))
+    } {
+      val p = planeOf(w, h, 8, signed = false, (_, _) => rnd.nextInt(256))
+      val plain = Jpeg2000.decode(Jpeg2000.encode(Seq(p), levels = 2, cbExp = 6))
+      // cbExp 6 (64) is far above small precincts: the effective
+      // code-block dims must be CAPPED to the precinct partition (B.7)
+      val cs = Jpeg2000.encode(Seq(p), levels = 2, cbExp = 6,
+        precinct = Some((px, py)))
+      samePlanes(Jpeg2000.decode(cs), plain, s"${w}x$h pp=($px,$py)")
+      // windows must see identical pixels through precinct packets
+      if (w >= 20) {
+        val win = Jpeg2000.decodeWindow(cs, 5, 3, 11, 9)
+        for (y <- 0 until 9; x <- 0 until 11)
+          assert(win.head.samples(y * 11 + x) ==
+            plain.head.samples((3 + y) * w + 5 + x),
+            s"window ($x,$y) pp=($px,$py)")
+      }
+    }
+  }
+
+  test("SOP/EPH resync markers roundtrip; missing EPH refuses loudly") {
+    val rnd = new scala.util.Random(60901)
+    val p = planeOf(48, 40, 8, signed = false, (_, _) => rnd.nextInt(256))
+    val plain = Jpeg2000.decode(Jpeg2000.encode(Seq(p), levels = 2, cbExp = 4))
+    val cs = Jpeg2000.encode(Seq(p), levels = 2, cbExp = 4, sopEph = true,
+      layers = 2, precinct = Some((4, 4)))
+    samePlanes(Jpeg2000.decode(cs), plain, "sop/eph")
+    // a stream CLAIMING EPH without writing it must refuse, not drift
+    val noEph = Jpeg2000.encode(Seq(p), levels = 2, cbExp = 4)
+    val idx = noEph.indices.dropRight(1).find(i =>
+      (noEph(i) & 0xFF) == 0xFF && (noEph(i + 1) & 0xFF) == 0x52).get
+    val mutated = noEph.clone()
+    mutated(idx + 4) = 4 // Scod: EPH flag
+    val e = intercept[Exception](Jpeg2000.decode(mutated))
+    assert(e.getMessage.contains("EPH"))
+  }
+
+  test("kakadu-style profile: RPCL + precincts + SOP/EPH + layers + tiles") {
+    val rnd = new scala.util.Random(20260815)
+    val w = 150; val h = 100
+    val planes = Seq.tabulate(3)(c => planeOf(w, h, 12, signed = false,
+      (x, y) => (x * 7 + y * 31 + c * 911 + rnd.nextInt(64)) % 4096))
+    def enc(tiles: Option[(Int, Int)]) =
+      Jpeg2000.encode(planes, levels = 3, cbExp = 5, mct = true,
+        tileSize = tiles, layers = 3, order = 2,
+        precinct = Some((5, 5)), sopEph = true)
+    val plain = Jpeg2000.decode(Jpeg2000.encode(planes, levels = 3,
+      cbExp = 5, mct = true))
+    for (tiles <- Seq(None, Some((64, 64)))) {
+      val cs = enc(tiles)
+      samePlanes(Jpeg2000.decode(cs), plain, s"profile tiles=$tiles")
+      // seam-straddling window through the full feature stack
+      val win = Jpeg2000.decodeWindow(cs, 60, 60, 10, 8)
+      for (ci <- planes.indices; y <- 0 until 8; x <- 0 until 10)
+        assert(win(ci).samples(y * 10 + x) ==
+          plain(ci).samples((60 + y) * w + 60 + x),
+          s"window ($x,$y) comp $ci tiles=$tiles")
+      // reduced decode ≡ the plain stream's WITH THE SAME TILING
+      // (identical coefficients, different packaging; the reduced LL is
+      // tiling-dependent near seams, so the oracle must share the grid)
+      for (d <- 1 to 3)
+        samePlanes(Jpeg2000.decode(cs, d),
+          Jpeg2000.decode(Jpeg2000.encode(planes, levels = 3, cbExp = 5,
+            mct = true, tileSize = tiles), d), s"reduced d=$d tiles=$tiles")
+    }
+  }
+
+  test("prefix reads honor the progression order's resolution-majority") {
+    val rnd = new scala.util.Random(31337)
+    val p = planeOf(120, 90, 8, signed = false, (_, _) => rnd.nextInt(256))
+    // RLCP(1)/RPCL(2) are resolution-major at any layer count: a PLT
+    // prefix suffices for a reduced decode even with layers + precincts
+    for (order <- Seq(1, 2); layers <- Seq(1, 3)) {
+      val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4,
+        layers = layers, order = order, precinct = Some((5, 5)))
+      for (d <- 1 to 3) {
+        val n = Jpeg2000.prefixLenFor(cs, d).get
+        assert(n < cs.length, s"order=$order layers=$layers d=$d")
+        val fromPrefix =
+          Jpeg2000.decode(java.util.Arrays.copyOfRange(cs, 0, n), d)
+        samePlanes(fromPrefix, Jpeg2000.decode(cs, d),
+          s"order=$order layers=$layers d=$d")
+      }
+    }
+    // LRCP with layers > 1, PCRL, CPRL interleave resolutions: no
+    // prefix is sufficient and the loader must fall back to full fetch
+    for ((order, layers) <- Seq((0, 2), (3, 1), (4, 1))) {
+      val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4,
+        layers = layers, order = order)
+      assert(Jpeg2000.prefixLenFor(cs, 1).isEmpty,
+        s"order=$order layers=$layers must not claim a prefix")
+      // ... but the FULL stream still decodes reduced correctly
+      samePlanes(Jpeg2000.decode(cs, 2),
+        Jpeg2000.decode(Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4), 2),
+        s"order=$order layers=$layers full-fetch reduced")
+    }
+  }
+
+  test("lossy composes with orders, layers, precincts: identical output") {
+    val rnd = new scala.util.Random(8086)
+    val p = planeOf(72, 56, 10, signed = false,
+      (x, y) => (x * 13 + y * 29 + rnd.nextInt(25)) % 1024)
+    // quantized indices are packaging-independent: every combination
+    // reconstructs EXACTLY the plain lossy stream's pixels
+    val plain = Jpeg2000.decode(
+      Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4, qstep = 2.0))
+    for ((order, layers, prec) <- Seq((2, 3, Some((4, 4))),
+        (4, 2, Some((3, 5))), (1, 5, None))) {
+      val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4, qstep = 2.0,
+        order = order, layers = layers, precinct = prec, sopEph = true)
+      samePlanes(Jpeg2000.decode(cs), plain,
+        s"lossy order=$order layers=$layers prec=$prec")
+    }
   }
 }
