@@ -292,13 +292,16 @@ object ScaleBench {
       // (linear) edge volume.
       "cc_distributed" -> { m =>
         val n = 500000L * m
-        timed {
+        val res = timed {
           val edges = spark.range(n).toDF("a")
             .where(pmod(col("a"), lit(1000)) =!= 999)
             .select(col("a"), (col("a") + 1L).as("b"))
           PipelineOps.connectedComponents(edges, col("a"), col("b"),
             localThreshold = 0)
         }
+        println(s"""{"wl":"cc_distributed","diag":"m=$m """ +
+          s"""ls_ss_rounds=${PipelineOps.lastCcRounds.get()}"}""")
+        res
       },
       // dense-pair-graph CC (|E| >> |V|, the quadratic near-dup pair
       // explosion shape): the entry probe sees >4M bidirectional edges
@@ -308,12 +311,15 @@ object ScaleBench {
       "cc_dense" -> { m =>
         val nodes = 200000L * m
         val pairs = 3000000L * m
-        timed {
+        val res = timed {
           val e = spark.range(pairs).toDF("i")
             .select(pmod(hash(col("i"), lit(1)), lit(nodes)).cast("long").as("a"),
               pmod(hash(col("i"), lit(2)), lit(nodes)).cast("long").as("b"))
           PipelineOps.connectedComponents(e, col("a"), col("b"))
         }
+        println(s"""{"wl":"cc_dense","diag":"m=$m """ +
+          s"""ls_ss_rounds=${PipelineOps.lastCcRounds.get()}"}""")
+        res
       },
       // pl12 path: connected components over the minhash pair graph
       "pl12_dedup_groups" -> { m =>

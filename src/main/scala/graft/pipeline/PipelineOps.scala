@@ -139,6 +139,11 @@ object PipelineOps {
     * @return (id, group_id) for every id that appears in `pairs`, where
     *   group_id is the minimum id in the component
     */
+  /** Diagnostic: LS/SS shuffle rounds executed by the most recent
+    * [[connectedComponents]] call on this JVM (0 = resolved on the
+    * local union-find path). Read by ScaleBench's campaign logging. */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def connectedComponents(pairs: DataFrame, aCol: Column, bCol: Column,
       maxIter: Int = 30, localThreshold: Long = 1L << 22): DataFrame = {
     // undirected pairs deduped ONCE in canonical (max, min) orientation —
@@ -163,6 +168,7 @@ object PipelineOps {
     if (edges.count() <= probeLimit) {
       val out = localUnionFind(edges)
       edges.unpersist()
+      lastCcRounds.set(0)
       return out
     }
     // Distributed path: alternating large-star / small-star rounds
@@ -254,6 +260,7 @@ object PipelineOps {
       // dense-pair-graph case (|E| >> |V|, e.g. quadratic near-dup pair
       // explosions), where round 1 collapses the edge count to ~|V|.
       if (!converged && stats._1 <= probeLimit) {
+        lastCcRounds.set(iter)
         val local = localUnionFind(curLeaf)
           .withColumnRenamed("id", "__cc_uid")
         val out = nodes.join(local, nodes("id") === col("__cc_uid"), "left")
@@ -269,6 +276,7 @@ object PipelineOps {
       throw new IllegalStateException(
         s"connectedComponents: no fixed point after $maxIter rounds " +
         "(expected O(log n)); raise maxIter")
+    lastCcRounds.set(iter)
     // at convergence `cur` IS the star forest: (member, component-min).
     // Roots and isolated nodes carry no edge → coalesce to themselves.
     val out = nodes.join(curLeaf, nodes("id") === curLeaf("u"), "left")

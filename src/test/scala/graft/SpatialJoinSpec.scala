@@ -613,6 +613,32 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(grid) == sortedRows(brute))
   }
 
+  test("spheroid grid KNN: coarse-level cover wraps the antimeridian") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // isolated queries just WEST of the dateline; the object cluster sits
+    // ~3500 km EAST of it (across the wrap). The escalated radius pushes
+    // the cover past MaxFineCells, so the final probe runs at the COARSE
+    // level — and that coarse cover must wrap lon like the fine one does.
+    val rnd = new java.util.Random(7)
+    val o = (0 until 250).map { i =>
+      (i.toLong, -168.0 + rnd.nextDouble() * 12, -50.0 + rnd.nextDouble() * 20)
+    }.toDF("oid", "olon", "olat")
+      .select(col("oid"), st.point(col("olon"), col("olat")).as("opt"))
+    val q = (0 until 12).map { i =>
+      (i.toLong, 168.0 + rnd.nextDouble() * 11, -45.0 + rnd.nextDouble() * 10)
+    }.toDF("qid", "qlon", "qlat")
+      .select(col("qid"), st.point(col("qlon"), col("qlat")).as("qpt"))
+    val grid = SpatialJoins.knnJoinGridSphere(q, o, col("qpt"), col("opt"),
+      4, col("oid")).select("qid", "oid")
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("oid"))
+    val brute = q.crossJoin(o)
+      .withColumn("d", st.f("st_distancesphere", col("qpt"), col("opt")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select("qid", "oid")
+    assert(sortedRows(grid) == sortedRows(brute))
+  }
+
   test("SQL spheroid KNN with large object side plans the geodesic grid path") {
     // tie-free coordinates (per-key epsilons): the grid path must return
     // exactly the broadcast chord-kd path's rows
