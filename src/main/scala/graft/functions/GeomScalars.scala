@@ -1947,6 +1947,25 @@ object GeomScalars {
           e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
         d(a, 1), i(a, 2), i(a, 3)))
     }),
+    // KNN mixed cover + its object-side dual: NESTED coarse interior +
+    // fine boundary past maxCells — pair-set identical to all-fine
+    // (Spherical.gridCellsKnnCover notes)
+    fn("sd_gridcells_sphere4_knncover", ArrayType(LongType, containsNull = false),
+        Seq(ArgKind.Raw, Dbl, Int_, Int_, Int_))(a => {
+      val e = a(0).asInstanceOf[ArrayData]
+      new GenericArrayData(Spherical.gridCellsKnnCover(
+        new org.locationtech.jts.geom.Envelope(
+          e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
+        d(a, 1), i(a, 2), i(a, 3), i(a, 4)))
+    }),
+    fn("sd_gridcells_sphere4_knndual", ArrayType(LongType, containsNull = false),
+        Seq(ArgKind.Raw, Dbl, Int_, Int_))(a => {
+      val e = a(0).asInstanceOf[ArrayData]
+      new GenericArrayData(Spherical.gridCellsKnnDual(
+        new org.locationtech.jts.geom.Envelope(
+          e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
+        d(a, 1), i(a, 2), i(a, 3)))
+    }),
     fn("sd_refcell_sphere4", LongType,
         Seq(ArgKind.Raw, ArgKind.Raw, Dbl, Int_, Int_))(a => {
       val ea = a(0).asInstanceOf[ArrayData]

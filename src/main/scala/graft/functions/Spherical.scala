@@ -1462,6 +1462,97 @@ object Spherical {
     }
   }
 
+  /** Largest divisor of n that is <= 8: the NESTED coarse factor for the
+    * KNN mixed cover (nesting must be exact so interior coarse cells
+    * admit precisely the objects their fine cells would; the /8 grid of
+    * gridCellsAdaptive does not nest when n % 8 != 0). 1 = no nesting. */
+  @inline private def nestFactor(n: Int): Int = {
+    var f = math.min(8, n)
+    while (f > 1 && n % f != 0) f -= 1
+    f
+  }
+
+  /** KNN final-probe cover: all-fine while small; past `maxCells`, a
+    * MIXED cover — nested coarse cells (ids offset nx*ny on the
+    * nx/fx x ny/fy grid) for the fully-contained interior plus FINE
+    * cells along the boundary ring. Paired with [[gridCellsKnnDual]] on
+    * the object side, the admitted candidate-pair set is IDENTICAL to
+    * the all-fine cover's (interior coarse cells match exactly the
+    * objects whose fine cells they contain; the boundary stays fine), so
+    * an escalated-radius query enumerates ~fx*fy fewer cover rows with
+    * zero extra exact-distance work. */
+  def gridCellsKnnCover(env: org.locationtech.jts.geom.Envelope,
+      radiusM: Double, nx: Int, ny: Int, maxCells: Int): Array[Long] = {
+    val (cy0, cy1, lonStart, lonLen) = coverOf(env, radiusM, nx, ny)
+    if (cy1 < cy0) return Array.empty
+    if ((cy1 - cy0 + 1).toLong * lonLen <= maxCells)
+      return gridCells(env, radiusM, nx, ny)
+    val fx = nestFactor(nx); val fy = nestFactor(ny)
+    if (fx * fy <= 1) return gridCells(env, radiusM, nx, ny)
+    val cnx = nx / fx
+    val off = nx.toLong * ny
+    // contained coarse band: coarse row r covers fine rows [r*fy, r*fy+fy);
+    // coarse col c covers UNWRAPPED fine cols [c*fx, (c+1)*fx) against the
+    // circular fine arc [lonStart, lonStart+lonLen)
+    val ry0 = (cy0 + fy - 1) / fy
+    val ry1 = (cy1 + 1) / fy // exclusive
+    val rx0 = (lonStart + fx - 1) / fx
+    val rx1 = (lonStart + lonLen) / fx // exclusive, unwrapped
+    if (ry0 >= ry1 || rx0 >= rx1) return gridCells(env, radiusM, nx, ny)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var r = ry0
+    while (r < ry1) {
+      var c = rx0
+      while (c < rx1) { out += off + r.toLong * cnx + (c % cnx); c += 1 }
+      r += 1
+    }
+    def fineRow(cy: Int, fromU: Int, toU: Int): Unit = {
+      var u = fromU
+      while (u < toU) { out += cy.toLong * nx + (u % nx); u += 1 }
+    }
+    var cy = cy0
+    while (cy < math.min(ry0 * fy, cy1 + 1)) { // rows above the band
+      fineRow(cy, lonStart, lonStart + lonLen); cy += 1
+    }
+    cy = math.max(ry1 * fy, cy0)
+    while (cy <= cy1) { // rows below the band
+      fineRow(cy, lonStart, lonStart + lonLen); cy += 1
+    }
+    cy = math.max(ry0 * fy, cy0)
+    val bandEnd = math.min(ry1 * fy, cy1 + 1)
+    while (cy < bandEnd) { // in-band rows: fine cols outside the coarse arc
+      fineRow(cy, lonStart, rx0 * fx)
+      fineRow(cy, rx1 * fx, lonStart + lonLen)
+      cy += 1
+    }
+    out.toArray
+  }
+
+  /** Object-side companion of [[gridCellsKnnCover]]: the fine cover plus
+    * its image on the NESTED coarse grid (exact nesting, so the coarse
+    * set is just the floor-divided fine set, deduplicated). */
+  def gridCellsKnnDual(env: org.locationtech.jts.geom.Envelope,
+      radiusM: Double, nx: Int, ny: Int): Array[Long] = {
+    val fine = gridCells(env, radiusM, nx, ny)
+    val fx = nestFactor(nx); val fy = nestFactor(ny)
+    if (fx * fy <= 1 || fine.isEmpty) return fine
+    val cnx = nx / fx
+    val off = nx.toLong * ny
+    val coarse = new java.util.TreeSet[Long]()
+    var i = 0
+    while (i < fine.length) {
+      val cy = fine(i) / nx; val cx = fine(i) % nx
+      coarse.add(off + (cy / fy) * cnx + cx / fx)
+      i += 1
+    }
+    val out = new Array[Long](fine.length + coarse.size)
+    System.arraycopy(fine, 0, out, 0, fine.length)
+    val it = coarse.iterator()
+    var j = fine.length
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
   /** Dual cover: fine cells plus OFFSET+coarse cells — the probe-side
     * companion of gridCellsAdaptive. */
   def gridCellsDual(env: org.locationtech.jts.geom.Envelope,

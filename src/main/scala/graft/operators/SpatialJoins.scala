@@ -468,16 +468,17 @@ object SpatialJoins {
       nx: Int = 90, ny: Int = 45): DataFrame = {
 
     val maxGeo = math.Pi * graft.functions.Spherical.R // antipodal meters
-    // HIERARCHICAL (two-level) covers — the same adaptive/dual pairing
-    // the dwithin join is gate-proven on: a query whose fine cover would
-    // exceed MaxFineCells (an isolated query escalated to a 1000s-of-km
-    // radius) emits COARSE cells (nx/8 x ny/8 grid, ids offset by nx*ny)
-    // instead of thousands of fine ones; objects emit BOTH levels, so a
-    // pair meets at exactly the level the query chose. Without this the
-    // sparse 30%-isolated workload's final probe generated ~(d_iso/cell)^2
-    // fine cells per isolated query (measured 39x wall at m=100).
+    // BOUND probes stay on the FINE grid (tight per-query radii — a
+    // coarse-cell bound pads the resolved radius by the coarse reach,
+    // which measured 3x the exact-probe pairs on the sparse workload);
+    // only the FINAL probe's cover enumeration goes hierarchical, via
+    // the MIXED nested cover whose candidate-pair set is provably
+    // identical to all-fine (sd_gridcells_sphere4_knncover notes).
     def cells(g: Column, expandM: Column): Column =
-      st.f("sd_gridcells_sphere4_adaptive", st.f("sd_envelopesphere4", g),
+      st.f("sd_gridcells_sphere4", st.f("sd_envelopesphere4", g),
+        expandM, lit(nx), lit(ny))
+    def cellsMixed(g: Column, expandM: Column): Column =
+      st.f("sd_gridcells_sphere4_knncover", st.f("sd_envelopesphere4", g),
         expandM, lit(nx), lit(ny), lit(MaxFineCells))
 
     val qCols = query.columns
@@ -488,7 +489,7 @@ object SpatialJoins {
     val o = graft.CacheRegistry.register(
       objects.withColumn("__og", objectGeom).withColumn("__otb", tieBreak.cast("double"))
         .withColumn("__oid", monotonically_increasing_id())
-        .withColumn("__ocell", explode(st.f("sd_gridcells_sphere4_dual",
+        .withColumn("__ocell", explode(st.f("sd_gridcells_sphere4_knndual",
           st.f("sd_envelopesphere4", col("__og")), lit(0.0), lit(nx), lit(ny))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -525,33 +526,8 @@ object SpatialJoins {
     // the antipodal maximum — a corner-to-corner arc undershoots there
     val diagCol = when(oe(1) > oe(3) || oe(3) - oe(1) >= 180.0, lit(maxGeo))
       .otherwise(distSphere(st.point(oe(1), oe(2)), st.point(oe(3), oe(4))))
-    // two-level count histogram: every object is counted once per LEVEL
-    // (fine canonical cell + offset coarse canonical cell, each row
-    // carrying its own center and sound pad), so an escalation round's
-    // cover — all-fine or all-coarse, never mixed (gridCellsAdaptive
-    // picks one level) — joins exactly one count per object
-    val cnx = graft.functions.Spherical.coarseNx(nx)
-    val cny = graft.functions.Spherical.coarseNy(ny)
-    val coarseOff = nx.toLong * ny
-    val ccellW = 360.0 / cnx
-    val ccellH = 180.0 / cny
-    val canonCoarse =
-      clampIdx(floor((oe(2) + lit(90.0)) / 180.0 * cny), cny) * cnx +
-        clampIdx(floor((oe(1) + lit(180.0)) / 360.0 * cnx), cnx) + lit(coarseOff)
-    def cCenterLon(cell: Column): Column =
-      lit(-180.0) + (pmod(cell - lit(coarseOff), lit(cnx)).cast("double") + 0.5) * ccellW
-    def cCenterLat(cell: Column): Column =
-      lit(-90.0) + (floor((cell - lit(coarseOff)) / cnx).cast("double") + 0.5) * ccellH
-    def cCenterOf(cell: Column): Column = st.point(cCenterLon(cell), cCenterLat(cell))
-    def cReachOf(cell: Column): Column = greatest(
-      distSphere(cCenterOf(cell), st.point(cCenterLon(cell) + ccellW / 2,
-        cCenterLat(cell) + ccellH / 2)),
-      distSphere(cCenterOf(cell), st.point(cCenterLon(cell) + ccellW / 2,
-        cCenterLat(cell) - ccellH / 2)))
     val cellStats = knnCellStats(objects, objectGeom, canonCell,
       centerOf, reachOf, diagCol)
-      .unionByName(knnCellStats(objects, objectGeom, canonCoarse,
-        cCenterOf, cReachOf, diagCol))
     val bound = escalateKnnBounds(q, cellStats, k, cells, distSphere, ringM, maxGeo)
 
     // round 2: exact re-probe of the radius-expanded spherical cover
@@ -564,7 +540,8 @@ object SpatialJoins {
     val occupied = broadcast(o.select(col("__ocell").as("__occ")).distinct())
     val q2 = q.join(bound, Seq("__qid"), "left")
       .withColumn("__radius", coalesce(col("__radius"), lit(maxGeo)))
-      .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-3))))
+      .withColumn("__pcell",
+        explode(cellsMixed(col("__qg"), col("__radius") + lit(1e-3))))
       .join(occupied, col("__pcell") === col("__occ"), "left_semi")
     val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
     q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++
