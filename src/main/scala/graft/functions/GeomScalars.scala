@@ -2026,6 +2026,25 @@ object GeomScalars {
           else new GenericArrayData(Grid.cellsOf(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY,
             d(a, 1), d(a, 2), d(a, 3), d(a, 4), i(a, 5), i(a, 6)))
         })),
+    // planar KNN mixed cover + object dual (Grid.cellsKnnCover notes):
+    // nested coarse interior + fine boundary past maxCells — pair-set
+    // identical to all-fine
+    fn("st_gridcells_knncover", ArrayType(LongType, containsNull = false),
+        Seq(Geom, Dbl, Dbl, Dbl, Dbl, Int_, Int_, Int_))(a => {
+      val e = g0(a).getEnvelopeInternal
+      if (e.isNull) null
+      else new GenericArrayData(Grid.cellsKnnCover(
+        e.getMinX, e.getMinY, e.getMaxX, e.getMaxY,
+        d(a, 1), d(a, 2), d(a, 3), d(a, 4), i(a, 5), i(a, 6), i(a, 7)))
+    }),
+    fn("st_gridcells_knndual", ArrayType(LongType, containsNull = false),
+        Seq(Geom, Dbl, Dbl, Dbl, Dbl, Int_, Int_))(a => {
+      val e = g0(a).getEnvelopeInternal
+      if (e.isNull) null
+      else new GenericArrayData(Grid.cellsKnnDual(
+        e.getMinX, e.getMinY, e.getMaxX, e.getMaxY,
+        d(a, 1), d(a, 2), d(a, 3), d(a, 4), i(a, 5), i(a, 6)))
+    }),
     fn("st_refcell", LongType, Seq(Geom, Geom, Dbl, Dbl, Dbl, Dbl, Int_, Int_))(a => {
       val e1 = g0(a).getEnvelopeInternal
       val e2 = g1(a).getEnvelopeInternal

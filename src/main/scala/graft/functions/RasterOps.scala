@@ -725,15 +725,24 @@ object RasterOps {
     // GeoTIFF). Roundtrips through RS_FromGDALRaster's JP2/SOC sniff.
     // The 4-arg form RS_AsJPEG2000(raster, levels, tileW, tileH) writes
     // a TILED codestream (independent tiles + TLM byte directory — the
-    // Sentinel-2 layout); tile dims must be multiples of 2^levels.
+    // Sentinel-2 layout); tile dims must be multiples of 2^levels. The
+    // 5/6-arg forms add the progression order (0..4 = LRCP/RLCP/RPCL/
+    // PCRL/CPRL) and a nonzero tileparts flag for ONE TILE-PART PER
+    // RESOLUTION (TLM ST=2 per-part directory — what production
+    // encoders emit so overview readers fetch only leading parts).
     fnv("rs_asjpeg2000", BinaryType,
-      Seq(Seq(Raw), Seq(Raw, Int_), Seq(Raw, Int_, Int_, Int_)))(a => {
+      Seq(Seq(Raw), Seq(Raw, Int_), Seq(Raw, Int_, Int_, Int_),
+        Seq(Raw, Int_, Int_, Int_, Int_),
+        Seq(Raw, Int_, Int_, Int_, Int_, Int_)))(a => {
       val levels = if (a.length > 1) a(1).asInstanceOf[Int] else 5
       require(levels >= 0 && levels <= 32,
         s"rs_asjpeg2000: decomposition levels $levels out of range 0..32")
       val tiles = if (a.length > 3)
         Some((a(2).asInstanceOf[Int], a(3).asInstanceOf[Int])) else None
-      graft.sources.Jp2Raster.write(rast(a), levels, tiles)
+      val order = if (a.length > 4) a(4).asInstanceOf[Int] else 0
+      val parts = a.length > 5 && a(5).asInstanceOf[Int] != 0
+      graft.sources.Jp2Raster.write(rast(a), levels, tiles, order = order,
+        partsPerResolution = parts)
     }),
 
     // RS_AsJPEG2000_Lossy(raster, levels, qstep[, tileW, tileH]) ->

@@ -259,6 +259,15 @@ object SpatialJoins {
       st.f("st_expandenvelope", g, expand),
       lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))
 
+    // object cells at BOTH nested levels (fine + coarse image) so the
+    // final probe's MIXED cover matches at either level — see the
+    // spheroid twin's notes (bound probes stay fine; only the final
+    // enumeration goes hierarchical)
+    def cellsMixed(g: Column, expand: Column): Column =
+      st.f("st_gridcells_knncover", st.f("st_expandenvelope", g, expand),
+        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny),
+        lit(MaxFineCells))
+
     val qCols = query.columns
     val oCols = objects.columns
     val q = graft.CacheRegistry.register(query.withColumn("__qg", queryGeom)
@@ -267,7 +276,8 @@ object SpatialJoins {
     val o = graft.CacheRegistry.register(
       objects.withColumn("__og", objectGeom).withColumn("__otb", tieBreak.cast("double"))
         .withColumn("__oid", monotonically_increasing_id())
-        .withColumn("__ocell", explode(st.f("st_gridcells", st.f("st_envelope", col("__og")),
+        .withColumn("__ocell", explode(st.f("st_gridcells_knndual",
+          st.f("st_envelope", col("__og")),
           lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -302,7 +312,8 @@ object SpatialJoins {
     val occupied = broadcast(o.select(col("__ocell").as("__occ")).distinct())
     val q2 = q.join(bound, Seq("__qid"), "left")
       .withColumn("__radius", coalesce(col("__radius"), lit(diag)))
-      .withColumn("__pcell", explode(cells(col("__qg"), col("__radius") + lit(1e-9))))
+      .withColumn("__pcell",
+        explode(cellsMixed(col("__qg"), col("__radius") + lit(1e-9))))
       .join(occupied, col("__pcell") === col("__occ"), "left_semi")
     val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
     q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++

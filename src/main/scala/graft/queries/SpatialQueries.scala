@@ -1359,6 +1359,41 @@ object SpatialQueries {
           (octet_length(col("g")) < lit(96 * 64 * 2)).as("compressed"))
     }),
 
+    // multi TILE-PART JP2 (one part per resolution, TLM ST=2, RPCL — the
+    // packaging real Sentinel-2-style encoders emit so overview readers
+    // fetch only each tile's leading parts): same formula-replay
+    // contract as rs20; the per-resolution split must not change one
+    // output sample, and the stream still roundtrips via the JP2 sniff
+    "rs22_jp2_tileparts" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("vals", expr(
+          "transform(sequence(0, 96*64 - 1), i -> " +
+            "CAST((n_nationkey*6131 + (i % 96)*37 + CAST(i / 96 AS INT)*59) " +
+            "% 60000 AS DOUBLE))"))
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("r", st.f("rs_setbandpixeltype",
+          st.f("rs_setcrs",
+            st.f("rs_makeraster", lit(96), lit(64), col("ulx"), lit(100.0),
+              lit(2.0), lit(-2.0), col("vals")),
+            lit("EPSG:32610")),
+          lit("UNSIGNED_16BITS")))
+        .withColumn("g", st.f("rs_asjpeg2000", col("r"), lit(3), lit(32),
+          lit(32), lit(2), lit(1)))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_upperleftx", col("rt")).as("ulx_out"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          st.f("rs_bandpixeltype", col("rt"), lit(1)).as("ptype"),
+          st.f("rs_bandmin", col("rt"), lit(1)).as("vmin"),
+          st.f("rs_bandmax", col("rt"), lit(1)).as("vmax"),
+          st.f("rs_bandavg", col("rt"), lit(1)).as("vavg"),
+          st.f("rs_value", col("rt"), lit(1), lit(33), lit(33)).as("seam"),
+          (octet_length(col("g")) < lit(96 * 64 * 2)).as("compressed"))
+    }),
+
     // LOSSY JPEG 2000 (irreversible 9/7 + Annex-E scalar quantization —
     // the quicklook/lossy-archive path): per-nation 16-bit rasters
     // encode at qstep=8 and decode back WITHIN TOLERANCE. The tolerance
@@ -2303,6 +2338,23 @@ object SpatialQueries {
     "rs20_jp2_multitile" ->
       """WITH v AS (SELECT n_nationkey,
         |    [CAST((n_nationkey*7919 + (i % 96)*31 + (i // 96)*53) % 60000
+        |      AS DOUBLE) for i in range(0, 6144)] AS vs
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(96 AS INT) AS w, CAST(64 AS INT) AS h,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*8.0 AS ulx_out,
+        |  'EPSG:32610' AS crs, 'UNSIGNED_16BITS' AS ptype,
+        |  list_min(vs) AS vmin, list_max(vs) AS vmax,
+        |  list_sum(vs)/6144.0 AS vavg,
+        |  vs[3202] AS seam,
+        |  TRUE AS compressed
+        |FROM v""".stripMargin,
+
+    // per-resolution tile-parts: rs20's formula-replay contract with the
+    // rs22 constants (packaging never changes pixels)
+    "rs22_jp2_tileparts" ->
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*6131 + (i % 96)*37 + (i // 96)*59) % 60000
         |      AS DOUBLE) for i in range(0, 6144)] AS vs
         |  FROM nation)
         |SELECT n_nationkey,

@@ -42,7 +42,8 @@ private[graft] object Jp2Raster {
   def write(r: Raster, levels: Int = 5,
       tileSize: Option[(Int, Int)] = None, qstep: Double = 0.0,
       layers: Int = 1, order: Int = 0,
-      precinct: Option[(Int, Int)] = None, sopEph: Boolean = false): Array[Byte] = {
+      precinct: Option[(Int, Int)] = None, sopEph: Boolean = false,
+      partsPerResolution: Boolean = false): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asjpeg2000: raster has no loaded bands")
     val planes = r.bands.zipWithIndex.map { case (b, bi) =>
       val (depth, signed) = IntTypes.getOrElse(b.pixelTypeName,
@@ -73,7 +74,8 @@ private[graft] object Jp2Raster {
     // RGB decorrelation GDAL's openjpeg writer applies by default
     val cs = Jpeg2000.encode(planes, levels = levels,
       mct = planes.length == 3, tileSize = tileSize, qstep = qstep,
-      layers = layers, order = order, precinct = precinct, sopEph = sopEph)
+      layers = layers, order = order, precinct = precinct, sopEph = sopEph,
+      partsPerResolution = partsPerResolution)
 
     val out = new java.io.ByteArrayOutputStream()
     def box(tp: String, payload: Array[Byte]): Unit = {
@@ -215,28 +217,52 @@ private[graft] object Jp2Raster {
         needed: Seq[Int], discard: Int): Option[Array[Byte]] = {
       if (hd.firstSot > head.length) return None
       val ranges = Jpeg2000.tileRangesFromTlm(head).getOrElse(return None)
-      if (needed.exists(_ >= ranges.length)) return None
+      if (needed.exists(ti => ti >= ranges.length || ranges(ti).isEmpty))
+        return None
       val out = new java.io.ByteArrayOutputStream()
       out.write(head, 0, hd.firstSot)
       needed.foreach { ti =>
-        val (off, len) = ranges(ti)
-        if (off + len > fileLen) return None
         if (discard == 0) {
-          out.write(fetch(off, len))
+          ranges(ti).foreach { case (off, len) =>
+            if (off + len > fileLen) return None
+            out.write(fetch(off, len))
+          }
         } else {
-          val peek = fetch(off, math.min(len, TilePeek))
-          val pre = Jpeg2000.tilePrefixLen(peek, hd, ti, discard)
+          // leading packets of resolutions 0..nl-discard, accumulated
+          // ACROSS the tile's parts (a per-resolution multi-part layout
+          // contributes whole leading parts, then a PLT prefix of the
+          // boundary part)
+          var remaining = Jpeg2000.neededPackets(hd, ti, discard)
             .getOrElse(return None)
-          val part =
-            if (pre <= peek.length) java.util.Arrays.copyOfRange(peek, 0, pre)
-            else peek ++ fetch(off + peek.length, pre - peek.length)
-          // patch Psot to the truncated tile-part length so the decoder's
-          // tile directory steps to the next stitched part correctly
-          part(6) = (pre >>> 24).toByte
-          part(7) = (pre >>> 16).toByte
-          part(8) = (pre >>> 8).toByte
-          part(9) = pre.toByte
-          out.write(part)
+          val it = ranges(ti).iterator
+          while (remaining > 0) {
+            if (!it.hasNext) return None // parts exhausted before covered
+            val (off, len) = it.next()
+            if (off + len > fileLen) return None
+            val peek = fetch(off, math.min(len, TilePeek))
+            val (sodAt, lens) = Jpeg2000.partPacketLens(peek)
+              .getOrElse(return None)
+            if (lens.length <= remaining) {
+              // whole part needed (equality included: trailing part bytes
+              // past the listed packets would be unreachable anyway)
+              out.write(if (peek.length >= len) peek
+                else peek ++ fetch(off + peek.length, len - peek.length))
+              remaining -= lens.length
+            } else {
+              val pre = sodAt + lens.take(remaining).sum
+              val part =
+                if (pre <= peek.length) java.util.Arrays.copyOfRange(peek, 0, pre)
+                else peek ++ fetch(off + peek.length, pre - peek.length)
+              // patch Psot to the truncated length so the decoder's tile
+              // directory steps to the next stitched part correctly
+              part(6) = (pre >>> 24).toByte
+              part(7) = (pre >>> 16).toByte
+              part(8) = (pre >>> 8).toByte
+              part(9) = pre.toByte
+              out.write(part)
+              remaining = 0
+            }
+          }
         }
       }
       out.write(0xFF); out.write(0xD9) // EOC

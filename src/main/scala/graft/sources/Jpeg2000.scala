@@ -1210,12 +1210,16 @@ private[graft] object Jpeg2000 {
   def encode(planes: Seq[Plane], levels: Int = 5, cbExp: Int = 6,
       mct: Boolean = false, tileSize: Option[(Int, Int)] = None,
       qstep: Double = 0.0, layers: Int = 1, order: Int = 0,
-      precinct: Option[(Int, Int)] = None, sopEph: Boolean = false): Array[Byte] = {
+      precinct: Option[(Int, Int)] = None, sopEph: Boolean = false,
+      partsPerResolution: Boolean = false): Array[Byte] = {
     val lossy = qstep > 0.0
     require(planes.nonEmpty, "jpeg2000: no components")
     require(layers >= 1 && layers <= 1000, "jpeg2000: layers must be 1..1000")
     require(order >= 0 && order <= 4,
       "jpeg2000: progression order 0..4 (LRCP/RLCP/RPCL/PCRL/CPRL)")
+    require(!partsPerResolution || order == 1 || order == 2,
+      "jpeg2000: per-resolution tile-parts need a resolution-major " +
+        "progression (RLCP or RPCL)")
     precinct.foreach { case (px, py) =>
       require(px >= 1 && px <= 15 && py >= 1 && py <= 15,
         "jpeg2000: precinct exponents must be 1..15")
@@ -1665,35 +1669,76 @@ private[graft] object Jpeg2000 {
       segs.toSeq
     }
 
-    val tiles = for (ty <- 0 until nty; tx <- 0 until ntx) yield {
-      val tx0 = tx * tw; val ty0 = ty * th
-      val (bodyBytes, lens) = encodeTile(tx0, ty0,
-        math.min(tw, w - tx0), math.min(th, h - ty0))
-      val segs = pltSegsOf(lens)
-      val pltTotal = segs.map(_.length + 5).sum
-      (bodyBytes, segs, 12 + pltTotal + 2 + bodyBytes.length) // Psot
-    }
+    // every tile-part to emit, in stream order:
+    // (tile index, TPsot, TNsot, PLT segments, body slice (buf, off, len))
+    val allParts: Seq[(Int, Int, Int, Seq[Array[Byte]], (Array[Byte], Int, Int))] =
+      (for (ty <- 0 until nty; tx <- 0 until ntx) yield {
+        val ti = ty * ntx + tx
+        val tx0 = tx * tw; val ty0 = ty * th
+        val tcw = math.min(tw, w - tx0); val tch = math.min(th, h - ty0)
+        val (bodyBytes, lens) = encodeTile(tx0, ty0, tcw, tch)
+        if (!partsPerResolution)
+          Seq((ti, 0, 1, pltSegsOf(lens), (bodyBytes, 0, bodyBytes.length)))
+        else {
+          // one tile-part per RESOLUTION (the layout real encoders emit
+          // for resolution-progressive streams): RLCP/RPCL sort packets
+          // with r as the outer key, so resolution groups are contiguous
+          // and their sizes follow from the precinct grids — the same
+          // formula leadingPacketCount uses on the decode side
+          var pktAt = 0
+          var byteAt = 0
+          (0 to nl).map { r =>
+            val (npx, npy) = precGridOf(tcw, tch, nl, r, ppxE, ppyE)
+            val n = layers * planes.length * npx * npy
+            val grp = lens.slice(pktAt, pktAt + n)
+            val grpBytes = grp.sum
+            val part = (ti, r, nl + 1, pltSegsOf(grp),
+              (bodyBytes, byteAt, grpBytes))
+            pktAt += n; byteAt += grpBytes
+            part
+          }
+        }
+      }).flatten
+
+    def psotOf(p: (Int, Int, Int, Seq[Array[Byte]], (Array[Byte], Int, Int))): Int =
+      12 + p._4.map(_.length + 5).sum + 2 + p._5._3
 
     // TLM (A.7.1): tile-part lengths in the MAIN header, so a ranged
-    // reader can fetch exactly the tiles a spatial window intersects
-    // without scanning the codestream. Stlm = 0x40: Ttlm omitted (tiles
-    // in index order, one part each), Ptlm 4 bytes.
-    val tlmCapacity = (65535 - 4) / 4
-    tiles.map(_._3).grouped(tlmCapacity).zipWithIndex.foreach { case (grp, zi) =>
-      require(zi <= 255, "jpeg2000: TLM exceeds 256 segments (Ztlm is u8)")
-      u16(0xFF55)
-      u16(4 + 4 * grp.length)
-      u8(zi)
-      u8(0x40)
-      grp.foreach(u32)
+    // reader can fetch exactly the tile-parts a spatial window (or a
+    // resolution prefix) needs without scanning the codestream.
+    // Single-part layout keeps Stlm = 0x40 (Ttlm omitted: tiles in index
+    // order, one part each, Ptlm 4 bytes); per-resolution parts write
+    // Stlm = 0x60 (Ttlm 16-bit tile index + 32-bit Ptlm per part).
+    if (!partsPerResolution) {
+      val tlmCapacity = (65535 - 4) / 4
+      allParts.map(psotOf).grouped(tlmCapacity).zipWithIndex.foreach {
+        case (grp, zi) =>
+          require(zi <= 255, "jpeg2000: TLM exceeds 256 segments (Ztlm is u8)")
+          u16(0xFF55)
+          u16(4 + 4 * grp.length)
+          u8(zi)
+          u8(0x40)
+          grp.foreach(u32)
+      }
+    } else {
+      val tlmCapacity = (65535 - 4) / 6
+      allParts.map(p => (p._1, psotOf(p))).grouped(tlmCapacity).zipWithIndex
+        .foreach { case (grp, zi) =>
+          require(zi <= 255, "jpeg2000: TLM exceeds 256 segments (Ztlm is u8)")
+          u16(0xFF55)
+          u16(4 + 6 * grp.length)
+          u8(zi)
+          u8(0x60)
+          grp.foreach { case (ti, psot) => u16(ti); u32(psot) }
+        }
     }
 
-    tiles.zipWithIndex.foreach { case ((bodyBytes, segs, psot), ti) =>
+    allParts.foreach { case p @ (ti, tpsot, tnsot, segs, (body, off, len)) =>
       u16(0xFF90) // SOT
       u16(10)
       u16(ti)     // Isot
-      u32(psot)
-      u8(0); u8(1) // TPsot = 0, TNsot = 1
+      u32(psotOf(p))
+      u8(tpsot); u8(tnsot)
       segs.zipWithIndex.foreach { case (seg, zi) =>
         u16(0xFF58) // PLT
         u16(3 + seg.length)
@@ -1701,7 +1746,7 @@ private[graft] object Jpeg2000 {
         out.write(seg)
       }
       u16(0xFF93) // SOD
-      out.write(bodyBytes)
+      out.write(body, off, len)
     }
     u16(0xFFD9) // EOC
     out.toByteArray
@@ -1968,14 +2013,19 @@ private[graft] object Jpeg2000 {
       order, layers, sop, eph, ppx, ppy)
   }
 
-  /** Tile-part directory: tile index -> (sod position, tile end), both
-    * absolute. Tolerates ABSENT tiles (a ranged reader stitches only the
-    * tile-parts a window needs); the caller checks presence of the tiles
-    * it requires. */
-  private def scanTileParts(bytes: Array[Byte], hd: MainHeader): Map[Int, (Int, Int)] = {
+  /** Tile-part directory: tile index -> ordered (sod position, part end)
+    * segments, both absolute. A tile's coded data is the CONCATENATION of
+    * its tile-part payloads in TPsot order (A.4.2 — tile-parts of
+    * different tiles may interleave, but each tile's own parts arrive in
+    * TPsot order, validated here). Tolerates ABSENT tiles and a TRUNCATED
+    * final part (a ranged reader stitches only the tile-parts a window
+    * or resolution prefix needs); the caller checks presence of the
+    * tiles it requires. */
+  private def scanTileParts(bytes: Array[Byte],
+      hd: MainHeader): Map[Int, Vector[(Int, Int)]] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     var pos = hd.firstSot
-    var parts = Map.empty[Int, (Int, Int)]
+    var parts = Map.empty[Int, Vector[(Int, Int)]]
     var done = false
     while (!done && pos + 2 <= bytes.length) {
       val marker = bb.getShort(pos) & 0xFFFF
@@ -1984,13 +2034,12 @@ private[graft] object Jpeg2000 {
         require(marker == 0xFF90, f"jpeg2000: expected SOT at $pos, got $marker%04x")
         val isot = bb.getShort(pos + 4) & 0xFFFF
         val psot = bb.getInt(pos + 6)
-        require((bb.get(pos + 10) & 0xFF) == 0 && (bb.get(pos + 11) & 0xFF) <= 1,
-          "jpeg2000: multiple tile-parts per tile unsupported")
-        // tileEnd MAY exceed the buffer: a reduced-resolution reader
+        val tpsot = bb.get(pos + 10) & 0xFF
+        // partEnd MAY exceed the buffer: a reduced-resolution reader
         // hands a PREFIX of the stream (only the leading packets were
         // fetched) — the packet loop's own truncation check guards every
         // byte actually read
-        val tileEnd = if (psot == 0) bytes.length - 2 else pos + psot
+        val partEnd = if (psot == 0) bytes.length - 2 else pos + psot
         // walk tile-part header markers to SOD; tile-specific COD/QCD/
         // QCC/COC overrides would change the decode of this tile only —
         // refuse loudly rather than decode wrong
@@ -2008,14 +2057,43 @@ private[graft] object Jpeg2000 {
             q += 2 + (bb.getShort(q + 2) & 0xFFFF)
           }
         }
-        require(!parts.contains(isot), s"jpeg2000: duplicate tile-part for tile $isot")
-        parts += isot -> ((sod, tileEnd))
-        pos = tileEnd
+        val seen = parts.getOrElse(isot, Vector.empty)
+        // TPsot must equal the count of this tile's parts already seen:
+        // catches duplicates, gaps, and reordering in one check (a
+        // stitched prefix legally DROPS trailing parts, never middle ones)
+        require(tpsot == seen.length,
+          s"jpeg2000: tile $isot tile-part out of order " +
+            s"(TPsot $tpsot after ${seen.length} parts)")
+        parts += isot -> (seen :+ ((sod, partEnd)))
+        pos = partEnd
         if (psot == 0) done = true
       }
     }
     parts
   }
+
+  /** The coded payload of one tile: (buffer, start, end). Single
+    * tile-part streams alias the original buffer (no copy); multi-part
+    * tiles concatenate their payload segments, clamping a truncated
+    * final segment at the buffer edge (prefix reads). */
+  private def tilePayload(bytes: Array[Byte],
+      segs: Vector[(Int, Int)]): (Array[Byte], Int, Int) =
+    if (segs.length == 1) (bytes, segs.head._1, segs.head._2)
+    else {
+      val clamped = segs.map { case (s, e) =>
+        (s, math.max(s, math.min(e, bytes.length))) }
+      val total = clamped.map { case (s, e) => e - s }.sum
+      val arr = new Array[Byte](total)
+      var off = 0
+      clamped.foreach { case (s, e) =>
+        System.arraycopy(bytes, s, arr, off, e - s); off += e - s }
+      // a mid-stream part may still DECLARE more bytes than the buffer
+      // holds (truncated fetch): report the declared total so the packet
+      // loop's truncation guard fires instead of decoding short data as
+      // if complete
+      val declared = segs.map { case (s, e) => e - s }.sum
+      (arr, 0, declared)
+    }
 
   private def decode(bytes: Array[Byte], discardLevels: Int,
       window: Option[(Int, Int, Int, Int)]): Seq[Plane] = {
@@ -2046,7 +2124,8 @@ private[graft] object Jpeg2000 {
     // so tile-local coordinates keep global parity at every level)
     // shared packet + EBCOT stage: SIGNED coefficient planes in the
     // quadrant layout (lossless 5/3 integers, or lossy quantizer indices)
-    def decodeTileCoeffs(tcw: Int, tch: Int, sodAt: Int, tileEnd: Int,
+    def decodeTileCoeffs(buf: Array[Byte], tcw: Int, tch: Int,
+        sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)]): Array[Array[Int]] = {
       // windowed decode: the per-level coefficient regions that influence
       // the window's pixels — each inverse-lifting level halves the
@@ -2129,10 +2208,10 @@ private[graft] object Jpeg2000 {
         // SOP resync marker before the header (D.2) — skip when present;
         // a packet header's first byte may be 0xFF but its second then
         // has a clear msb (bit-stuffing), so 0xFF91 here is unambiguous
-        if (hd.sop && p + 1 < bytes.length && (bytes(p) & 0xFF) == 0xFF &&
-            (bytes(p + 1) & 0xFF) == 0x91)
+        if (hd.sop && p + 1 < buf.length && (buf(p) & 0xFF) == 0xFF &&
+            (buf(p + 1) & 0xFF) == 0x91)
           p += 6
-        val br = new BitReader(bytes, p)
+        val br = new BitReader(buf, p)
         val contribs = new ArrayBuffer[(CbD, Int)]() // (cb, contribution len)
         if (br.bit() == 1) {
           geoms(pk.c)(pk.r).zipWithIndex.foreach { case (g, bi) =>
@@ -2175,13 +2254,13 @@ private[graft] object Jpeg2000 {
         }
         p = br.align()
         if (hd.eph) { // EPH terminates every packet header when signalled
-          require(p + 2 <= bytes.length && (bytes(p) & 0xFF) == 0xFF &&
-            (bytes(p + 1) & 0xFF) == 0x92, "jpeg2000: missing EPH marker")
+          require(p + 2 <= buf.length && (buf(p) & 0xFF) == 0xFF &&
+            (buf(p + 1) & 0xFF) == 0x92, "jpeg2000: missing EPH marker")
           p += 2
         }
         // bodies follow the header in the same code-block order
         contribs.foreach { case (cbRec, len) =>
-          require(p + len <= bytes.length, "jpeg2000: truncated code-block body")
+          require(p + len <= buf.length, "jpeg2000: truncated code-block body")
           cbRec.chunks += ((p, len))
           p += len
         }
@@ -2204,7 +2283,7 @@ private[graft] object Jpeg2000 {
         val seg = new Array[Byte](total)
         var off = 0
         cbRec.chunks.foreach { case (o, len) =>
-          System.arraycopy(bytes, o, seg, off, len)
+          System.arraycopy(buf, o, seg, off, len)
           off += len
         }
         val mb = hd.mbOf(comp, r, cbRec.band)
@@ -2226,9 +2305,10 @@ private[graft] object Jpeg2000 {
       planesT
     }
 
-    def decodeTile(tcw: Int, tch: Int, sodAt: Int, tileEnd: Int,
+    def decodeTile(buf: Array[Byte], tcw: Int, tch: Int,
+        sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Int]] = {
-      val planesT = decodeTileCoeffs(tcw, tch, sodAt, tileEnd, win)
+      val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win)
       // inverse DWT per component, stopping at the requested level: the
       // level-`discardLevels` LL region is the reduced-resolution tile
       val redW = lowLen(tcw, d)
@@ -2276,9 +2356,10 @@ private[graft] object Jpeg2000 {
     // lossy tile: dequantize the indices per subband (midpoint
     // reconstruction v = sign * (|q| + 0.5) * Δ̂_b for q != 0 — E.4.1.2
     // with r = 1/2), then the inverse 9/7 pyramid on doubles
-    def decodeTileLossy(tcw: Int, tch: Int, sodAt: Int, tileEnd: Int,
+    def decodeTileLossy(buf: Array[Byte], tcw: Int, tch: Int,
+        sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Double]] = {
-      val planesT = decodeTileCoeffs(tcw, tch, sodAt, tileEnd, win)
+      val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win)
       val redW = lowLen(tcw, d)
       val redH = lowLen(tch, d)
       (0 until nc).map { comp =>
@@ -2362,12 +2443,13 @@ private[graft] object Jpeg2000 {
           case None => (rx0, ry0, rx0 + rw, ry0 + rh)
         }
         if (ix0 < ix1 && iy0 < iy1) {
-          val (sod, tileEnd) = parts.getOrElse(ti, throw new IllegalArgumentException(
-            s"jpeg2000: tile-part for needed tile $ti missing from the stream"))
+          val (tbuf, sod, tileEnd) = tilePayload(bytes,
+            parts.getOrElse(ti, throw new IllegalArgumentException(
+              s"jpeg2000: tile-part for needed tile $ti missing from the stream")))
           val localWin =
             if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
             else None
-          val tilePlanes = decodeTileLossy(tcw, tch, sod, tileEnd, localWin)
+          val tilePlanes = decodeTileLossy(tbuf, tcw, tch, sod, tileEnd, localWin)
           val (px, py, pw2, ph2) = window match {
             case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
             case None => (rx0, ry0, rw, rh)
@@ -2441,15 +2523,16 @@ private[graft] object Jpeg2000 {
         case None => (rx0, ry0, rx0 + rw, ry0 + rh)
       }
       if (ix0 < ix1 && iy0 < iy1) {
-        val (sod, tileEnd) = parts.getOrElse(ti, throw new IllegalArgumentException(
-          s"jpeg2000: tile-part for needed tile $ti missing from the stream"))
+        val (tbuf, sod, tileEnd) = tilePayload(bytes,
+          parts.getOrElse(ti, throw new IllegalArgumentException(
+            s"jpeg2000: tile-part for needed tile $ti missing from the stream")))
         // full-resolution windows crop INSIDE the tile decode (that is
         // what lets it skip EBCOT work); reduced windows decode the
         // whole (already prefix-small) reduced tile and crop on copy
         val localWin =
           if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
           else None
-        val tilePlanes = decodeTile(tcw, tch, sod, tileEnd, localWin)
+        val tilePlanes = decodeTile(tbuf, tcw, tch, sod, tileEnd, localWin)
         val (px, py, pw2, ph2) = window match {
           case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
           case None => (rx0, ry0, rw, rh)
@@ -2542,11 +2625,14 @@ private[graft] object Jpeg2000 {
     * tile i's (start, length). None when the stream carries no TLM or
     * the header probe is too short. A windowed out-db read then FETCHES
     * only the tiles the window intersects. */
-  private[sources] def tileRangesFromTlm(head: Array[Byte]): Option[IndexedSeq[(Long, Int)]] = {
+  private[sources] def tileRangesFromTlm(
+      head: Array[Byte]): Option[IndexedSeq[IndexedSeq[(Long, Int)]]] = {
     val hd = try parseMainHeader(head) catch { case _: Exception => return None }
     val bb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
     var pos = hd.csOff + 2
-    val lens = new ArrayBuffer[Int]()
+    // (tile index or -1 for "in index order", length) per tile-part,
+    // accumulated across TLM segments in stream order
+    val entries = new ArrayBuffer[(Int, Int)]()
     while (pos < hd.firstSot) {
       val marker = bb.getShort(pos) & 0xFFFF
       if (marker == 0xFF55) { // TLM
@@ -2554,15 +2640,32 @@ private[graft] object Jpeg2000 {
         val stlm = head(pos + 5) & 0xFF
         val st = (stlm >> 4) & 3
         val sp = (stlm >> 6) & 1
-        if (st != 0 || sp != 1) return None // only the layout we write
+        if (sp != 1 || st == 3) return None // 32-bit Ptlm layouts only
         var q = pos + 6
-        while (q + 4 <= end) { lens += bb.getInt(q); q += 4 }
+        val entryLen = 4 + st
+        while (q + entryLen <= end) {
+          val ti = st match {
+            case 0 => -1
+            case 1 => head(q) & 0xFF
+            case _ => bb.getShort(q) & 0xFFFF
+          }
+          entries += ti -> bb.getInt(q + st)
+          q += entryLen
+        }
       }
       pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
     }
-    if (lens.isEmpty) return None
+    if (entries.isEmpty) return None
+    val nTiles = hd.ntx * hd.nty
+    val parts = Array.fill(nTiles)(new ArrayBuffer[(Long, Int)]())
     var off = hd.firstSot.toLong
-    Some(lens.map { len => val r = (off, len); off += len; r }.toIndexedSeq)
+    entries.zipWithIndex.foreach { case ((ti0, len), i) =>
+      val ti = if (ti0 < 0) i else ti0 // Ttlm omitted: index order, one each
+      if (ti >= nTiles) return None
+      parts(ti) += ((off, len))
+      off += len
+    }
+    Some(parts.map(_.toIndexedSeq).toIndexedSeq)
   }
 
   /** Number of LEADING packets that cover resolutions 0..rMax of one
@@ -2637,6 +2740,18 @@ private[graft] object Jpeg2000 {
     * not resolution-major. */
   private[sources] def tilePrefixLen(part: Array[Byte], hd: MainHeader,
       ti: Int, discard: Int): Option[Int] = {
+    val (sodAt, lens) = partPacketLens(part).getOrElse(return None)
+    val needPackets = neededPackets(hd, ti, discard).getOrElse(return None)
+    if (lens.length < needPackets) return None
+    Some(sodAt + lens.take(needPackets).sum)
+  }
+
+  /** ONE tile-part's PLT: (SOD payload offset within the part, packet
+    * byte lengths listed by the part's own PLT segments). `part` must
+    * start at the SOT and cover SOT..SOD; None when the peek is too
+    * short or carries no complete header. */
+  private[sources] def partPacketLens(
+      part: Array[Byte]): Option[(Int, IndexedSeq[Int])] = {
     if (part.length < 12 || (part(0) & 0xFF) != 0xFF || (part(1) & 0xFF) != 0x90)
       return None
     val bb = ByteBuffer.wrap(part).order(ByteOrder.BIG_ENDIAN)
@@ -2663,14 +2778,18 @@ private[graft] object Jpeg2000 {
       }
       if (sodAt < 0) pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
     }
-    if (sodAt < 0 || discard > hd.nl) return None
+    if (sodAt < 0) None else Some((sodAt, lens.toIndexedSeq))
+  }
+
+  /** Leading packets of tile `ti` covering resolutions 0..nl-discard
+    * (None when the order interleaves resolutions). */
+  private[sources] def neededPackets(hd: MainHeader, ti: Int,
+      discard: Int): Option[Int] = {
+    if (discard > hd.nl) return None
     val tx = ti % hd.ntx; val ty = ti / hd.ntx
     val tcw = math.min(hd.tw, hd.w - tx * hd.tw)
     val tch = math.min(hd.th, hd.h - ty * hd.th)
-    val needPackets =
-      leadingPacketCount(hd, tcw, tch, hd.nl - discard).getOrElse(return None)
-    if (lens.length < needPackets) return None
-    Some(sodAt + lens.take(needPackets).sum)
+    leadingPacketCount(hd, tcw, tch, hd.nl - discard)
   }
 
   /** Offset of the jp2c box PAYLOAD inside a JP2 container (walking

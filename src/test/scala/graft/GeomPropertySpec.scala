@@ -804,4 +804,54 @@ class GeomPropertySpec extends AnyFunSuite {
       } else assert(dual.toSet == dFine)
     }
   }
+
+  test("Grid.cellsKnnCover: planar mixed cover decomposes the fine cover exactly") {
+    import graft.functions.Grid
+    val rnd = new java.util.Random(77)
+    for (_ <- 0 until 300) {
+      val nx = 2 + rnd.nextInt(200)
+      val ny = 2 + rnd.nextInt(100)
+      val (xmin, ymin, xmax, ymax) = (0.0, 0.0, 1000.0, 500.0)
+      val gx = rnd.nextDouble() * 1100 - 50 // may clamp at the border
+      val gy = rnd.nextDouble() * 600 - 50
+      val gw = rnd.nextDouble() * 600
+      val gh = rnd.nextDouble() * 300
+      val maxCells = 1 + rnd.nextInt(64)
+      val fine = Grid.cellsOf(gx, gy, gx + gw, gy + gh,
+        xmin, ymin, xmax, ymax, nx, ny).toSet
+      val mixed = Grid.cellsKnnCover(gx, gy, gx + gw, gy + gh,
+        xmin, ymin, xmax, ymax, nx, ny, maxCells)
+      assert(mixed.length == mixed.toSet.size, s"duplicates nx=$nx ny=$ny")
+      val off = nx.toLong * ny
+      val (coarse, fineOut) = mixed.partition(_ >= off)
+      if (coarse.isEmpty) assert(fineOut.toSet == fine)
+      else {
+        def fac(n: Int): Int = { var f = math.min(8, n); while (f > 1 && n % f != 0) f -= 1; f }
+        val fx = fac(nx); val fy = fac(ny)
+        val cnx = nx / fx
+        val expanded = coarse.flatMap { cid =>
+          val c = cid - off
+          val cy = (c / cnx).toInt; val cx = (c % cnx).toInt
+          for (dy <- 0 until fy; dx <- 0 until fx)
+            yield (cy * fy + dy).toLong * nx + (cx * fx + dx)
+        }.toSet
+        assert(expanded.subsetOf(fine), s"interior leak nx=$nx ny=$ny")
+        assert((expanded ++ fineOut).size == expanded.size + fineOut.length,
+          s"overlap nx=$nx ny=$ny")
+        assert(expanded ++ fineOut.toSet == fine, s"miss nx=$nx ny=$ny")
+      }
+      val dual = Grid.cellsKnnDual(gx, gy, gx + gw, gy + gh,
+        xmin, ymin, xmax, ymax, nx, ny)
+      def fac2(n: Int): Int = { var f = math.min(8, n); while (f > 1 && n % f != 0) f -= 1; f }
+      val (fx2, fy2) = (fac2(nx), fac2(ny))
+      val dFine = Grid.cellsOf(gx, gy, gx + gw, gy + gh,
+        xmin, ymin, xmax, ymax, nx, ny).toSet
+      if (fx2 * fy2 > 1) {
+        val cnx2 = nx / fx2
+        val expect = dFine.map(id => off + (id / nx / fy2) * cnx2 + (id % nx) / fx2)
+        assert(dual.filter(_ >= off).toSet == expect)
+        assert(dual.filter(_ < off).toSet == dFine)
+      } else assert(dual.toSet == dFine)
+    }
+  }
 }

@@ -610,22 +610,23 @@ class Jpeg2000Spec extends AnyFunSuite {
       tileSize = Some((64, 32)))
     val hd = Jpeg2000.layout(cs)
     val ranges = Jpeg2000.tileRangesFromTlm(cs).get
-    assert(ranges.length == 9)
-    assert(ranges.head._1 == hd.firstSot)
+    assert(ranges.length == 9 && ranges.forall(_.length == 1))
+    assert(ranges.head.head._1 == hd.firstSot)
     // contiguous, each starting at an SOT with the right Isot, ending at EOC
-    ranges.zipWithIndex.foreach { case ((off, len), i) =>
+    ranges.zipWithIndex.foreach { case (parts, i) =>
+      val (off, len) = parts.head
       assert((cs(off.toInt) & 0xFF) == 0xFF && (cs(off.toInt + 1) & 0xFF) == 0x90, s"tile $i")
       val isot = ((cs(off.toInt + 4) & 0xFF) << 8) | (cs(off.toInt + 5) & 0xFF)
       assert(isot == i)
-      if (i > 0) assert(off == ranges(i - 1)._1 + ranges(i - 1)._2)
+      if (i > 0) assert(off == ranges(i - 1).head._1 + ranges(i - 1).head._2)
     }
-    assert(ranges.last._1 + ranges.last._2 == cs.length - 2)
+    assert(ranges.last.head._1 + ranges.last.head._2 == cs.length - 2)
     // stitch ONLY the tile an interior window needs (tile (1,1) = #4)
     val needed = Seq(4)
     val st = new java.io.ByteArrayOutputStream()
     st.write(cs, 0, hd.firstSot)
     needed.foreach { ti =>
-      val (off, len) = ranges(ti)
+      val (off, len) = ranges(ti).head
       st.write(cs, off.toInt, len)
     }
     st.write(0xFF); st.write(0xD9)
@@ -738,6 +739,59 @@ class Jpeg2000Spec extends AnyFunSuite {
     for (y <- 0 until 60; x <- 0 until 100)
       assert(rb.getDouble((y * 100 + x) * 8) ==
         db.getDouble(((20 + y) * 256 + 10 + x) * 8), s"red ($x,$y)")
+  }
+
+  test("out-db multi tile-parts: overview fetches only each tile's leading parts") {
+    import graft.functions.RasterModel
+    import graft.functions.RasterModel.{Band, Raster}
+    val rnd = new scala.util.Random(333)
+    val w = 1024; val h = 512
+    val vals = Array.tabulate(w * h)(_ => rnd.nextInt(1 << 16).toDouble)
+    val r = Raster("EPSG:32632", Array(500000.0, 10.0, 0.0, 5000000.0, 0.0, -10.0),
+      w, h, Vector(Band(Double.NaN, RasterModel.packDoubles(vals),
+        ptype = "UNSIGNED_16BITS")))
+    // the real Sentinel-2 packaging: tiled + RPCL + one tile-part per
+    // resolution (TLM ST=2 directory)
+    val bytes = Jp2Raster.write(r, levels = 3, tileSize = Some((256, 128)),
+      order = 2, partsPerResolution = true)
+    assert(bytes.length > 512 * 1024)
+    var fetched = 0L
+    val fetch = (off: Long, n: Int) => {
+      fetched += n
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + n)
+    }
+    val full = Jp2Raster.read(bytes)
+    val fb = java.nio.ByteBuffer.wrap(full.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // full-res window: all parts of one tile
+    fetched = 0L
+    val win = Jp2Raster.OutDb.loadWindow(fetch, bytes.length.toLong, 300, 150, 40, 20)
+    assert(fetched < bytes.length / 2, s"window fetched $fetched of ${bytes.length}")
+    val wb = java.nio.ByteBuffer.wrap(win.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (y <- 0 until 20; x <- 0 until 40)
+      assert(wb.getDouble((y * 40 + x) * 8) ==
+        fb.getDouble(((150 + y) * w + 300 + x) * 8), s"($x,$y)")
+    // level-2 overview: per tile only parts r0+r1 (plus the boundary
+    // peek) — on incompressible data that is ~1/16 of the body, far
+    // under the single-part prefix of the same stream
+    fetched = 0L
+    val red = Jp2Raster.OutDb.loadWindowAt(fetch, bytes.length.toLong,
+      2L, 10, 20, 100, 60, Array(500000.0, 40.0, 0.0, 5000000.0, 0.0, -40.0),
+      "EPSG:32632")
+    // beyond the fixed 256KB header probe, the part fetches must stay a
+    // small fraction of the body (r0+r1 of incompressible data ~ 1/16)
+    assert(fetched - 256 * 1024 < bytes.length / 8,
+      s"overview fetched $fetched of ${bytes.length}")
+    val direct = Jp2Raster.readAt(bytes, 2)
+    val db = java.nio.ByteBuffer.wrap(direct.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val rb = java.nio.ByteBuffer.wrap(red.bands.head.data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (y <- 0 until 60; x <- 0 until 100)
+      assert(rb.getDouble((y * 100 + x) * 8) ==
+        db.getDouble(((20 + y) * 256 + 10 + x) * 8), s"red ($x,$y)")
+    assert(red.gt(0) == 500000.0 + 10 * 40.0 && red.gt(3) == 5000000.0 - 20 * 40.0)
   }
 
   // ---------------------------------------------------------------
@@ -1025,5 +1079,88 @@ class Jpeg2000Spec extends AnyFunSuite {
       samePlanes(Jpeg2000.decode(cs), plain,
         s"lossy order=$order layers=$layers prec=$prec")
     }
+  }
+
+  test("multi tile-parts: per-resolution parts decode bit-exact, all paths") {
+    val rnd = new scala.util.Random(140)
+    // multi-tile 16-bit + 3-band RCT 8-bit, lossless and lossy, RLCP and
+    // RPCL: the per-resolution tile-part packaging must never change a
+    // single output sample vs the single-part stream
+    val p16 = Seq(planeOf(130, 70, 16, signed = false, (_, _) => rnd.nextInt(60000)))
+    val rgb = Seq.fill(3)(planeOf(96, 64, 8, signed = false, (_, _) => rnd.nextInt(256)))
+    for ((planes, mct, tiles, tag) <- Seq(
+      (p16, false, Some((64, 32)), "16b tiled"),
+      (p16, false, None, "16b single-tile"),
+      (rgb, true, Some((32, 32)), "rgb tiled"))) {
+      for ((order, qstep) <- Seq((1, 0.0), (2, 0.0), (1, 1.0 / 512))) {
+        val single = Jpeg2000.encode(planes, levels = 3, cbExp = 4, mct = mct,
+          tileSize = tiles, qstep = qstep, order = order)
+        val multi = Jpeg2000.encode(planes, levels = 3, cbExp = 4, mct = mct,
+          tileSize = tiles, qstep = qstep, order = order,
+          partsPerResolution = true)
+        // every tile now carries levels+1 parts, TPsot 0.., TNsot = 4
+        val hd = Jpeg2000.layout(multi)
+        val ranges = Jpeg2000.tileRangesFromTlm(multi).get
+        assert(ranges.forall(_.length == 4), s"$tag o$order q$qstep parts")
+        samePlanes(Jpeg2000.decode(multi), Jpeg2000.decode(single),
+          s"$tag o$order q$qstep full")
+        samePlanes(Jpeg2000.decode(multi, 2), Jpeg2000.decode(single, 2),
+          s"$tag o$order q$qstep reduced")
+        samePlanes(Jpeg2000.decodeWindow(multi, 21, 17, 40, 30),
+          Jpeg2000.decodeWindow(single, 21, 17, 40, 30),
+          s"$tag o$order q$qstep window")
+        assert(hd.firstSot > 0)
+      }
+    }
+    // per-resolution parts demand a resolution-major order
+    val e = intercept[IllegalArgumentException](Jpeg2000.encode(p16,
+      levels = 3, order = 0, partsPerResolution = true))
+    assert(e.getMessage.contains("resolution-major"))
+  }
+
+  test("multi tile-parts: TLM ST=2 ranges tile the stream; prefix parts decode reduced") {
+    val rnd = new scala.util.Random(141)
+    val planes = Seq(planeOf(130, 70, 8, signed = false, (_, _) => rnd.nextInt(256)))
+    val cs = Jpeg2000.encode(planes, levels = 3, cbExp = 4,
+      tileSize = Some((64, 32)), order = 1, partsPerResolution = true)
+    val hd = Jpeg2000.layout(cs)
+    val ranges = Jpeg2000.tileRangesFromTlm(cs).get
+    assert(ranges.length == 9 && ranges.forall(_.length == 4))
+    // parts are contiguous in stream order and each starts at an SOT
+    // with the right Isot/TPsot
+    var off = hd.firstSot.toLong
+    for (ti <- 0 until 9; tp <- 0 until 4) {
+      val (o, l) = ranges(ti)(tp)
+      assert(o == off, s"tile $ti part $tp offset")
+      assert((cs(o.toInt) & 0xFF) == 0xFF && (cs(o.toInt + 1) & 0xFF) == 0x90)
+      val isot = ((cs(o.toInt + 4) & 0xFF) << 8) | (cs(o.toInt + 5) & 0xFF)
+      assert(isot == ti && (cs(o.toInt + 10) & 0xFF) == tp)
+      off += l
+    }
+    assert(off == cs.length - 2)
+    // a stream holding only each tile's FIRST 2 parts (resolutions 0-1)
+    // decodes at discard >= 2 bit-exactly
+    val st = new java.io.ByteArrayOutputStream()
+    st.write(cs, 0, hd.firstSot)
+    for (ti <- 0 until 9; tp <- 0 until 2) {
+      val (o, l) = ranges(ti)(tp)
+      st.write(cs, o.toInt, l)
+    }
+    st.write(0xFF); st.write(0xD9)
+    val prefix = st.toByteArray
+    assert(prefix.length < cs.length / 2)
+    samePlanes(Jpeg2000.decode(prefix, 2), Jpeg2000.decode(cs, 2), "prefix d2")
+    samePlanes(Jpeg2000.decode(prefix, 3), Jpeg2000.decode(cs, 3), "prefix d3")
+    // out-of-order tile-parts refuse loudly: swap a tile's parts 0 and 1
+    val swapped = new java.io.ByteArrayOutputStream()
+    swapped.write(cs, 0, hd.firstSot)
+    val (o1, l1) = ranges(0)(1)
+    val (o0, l0) = ranges(0)(0)
+    swapped.write(cs, o1.toInt, l1)
+    swapped.write(cs, o0.toInt, l0)
+    swapped.write(0xFF); swapped.write(0xD9)
+    val e = intercept[IllegalArgumentException](
+      Jpeg2000.decode(swapped.toByteArray))
+    assert(e.getMessage.contains("out of order"))
   }
 }

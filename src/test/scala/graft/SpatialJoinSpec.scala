@@ -513,6 +513,33 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(grid) == sortedRows(brute))
   }
 
+  test("planar grid KNN: isolated queries take the mixed cover, stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // objects clustered in one corner of a large extent; 30% of queries
+    // isolated far away — their resolved radius spans most of the plane,
+    // so the final probe's cover goes through the nested mixed kernel
+    val rnd = new java.util.Random(23)
+    val o = (0 until 300).map { i =>
+      (i.toLong, rnd.nextDouble() * 60, rnd.nextDouble() * 60)
+    }.toDF("oid", "ox", "oy")
+      .select(col("oid"), st.point(col("ox"), col("oy")).as("opt"))
+    val q = (0 until 40).map { i =>
+      if (i % 10 < 3) (i.toLong, 1500.0 + rnd.nextDouble() * 400, 700.0 + rnd.nextDouble() * 200)
+      else (i.toLong, rnd.nextDouble() * 55, rnd.nextDouble() * 55)
+    }.toDF("qid", "qx", "qy")
+      .select(col("qid"), st.point(col("qx"), col("qy")).as("qpt"))
+    val grid = SpatialJoins.knnJoinGrid(q, o, col("qpt"), col("opt"),
+      5, col("oid"), nx = 64, ny = 32,
+      bounds = Some((0.0, 0.0, 2000.0, 1000.0))).select("qid", "oid")
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("oid"))
+    val brute = q.crossJoin(o)
+      .withColumn("d", st.distance(col("qpt"), col("opt")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "oid")
+    assert(sortedRows(grid) == sortedRows(brute))
+  }
+
   test("spheroid grid KNN ≡ brute-force geodesic rank incl. dateline + pole") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
