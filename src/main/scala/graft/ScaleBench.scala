@@ -230,6 +230,27 @@ object ScaleBench {
           col("qpt"), col("opt"), 3, col("oid"),
           nx = nx, ny = nx, bounds = Some((0.0, 0.0, planeW(m), planeH(m)))))
       },
+      // sj10 SPARSE variant (the planar twin of sj16_knn_sphere_sparse):
+      // objects clustered in the left half of the plane, 30% of queries
+      // isolated deep in the empty right half — their resolved radius
+      // spans a large fraction of the extent, so the final probe's cover
+      // runs through the nested MIXED kernel instead of enumerating
+      // ~(d_iso/cell)^2 fine cells
+      "sj10_knn_grid_sparse" -> { m =>
+        val nx = math.max(8, (32 * sqrtM(m)).toInt)
+        val w = planeW(m); val h = planeH(m)
+        val o = spark.range(0, 20000L * m).toDF("id")
+          .select(col("id").as("oid"),
+            st.point(u(col("id"), 61) * (w * 0.4), u(col("id"), 62) * h).as("opt"))
+        val q = spark.range(0, 1500L * m).toDF("id")
+          .withColumn("iso", pmod(col("id"), lit(10)) < 3)
+          .select(col("id").as("qid"), st.point(
+            when(col("iso"), lit(0.8) * w + u(col("id"), 63) * (w * 0.15))
+              .otherwise(u(col("id"), 63) * (w * 0.38)),
+            u(col("id"), 64) * h).as("qpt"))
+        timed(SpatialJoins.knnJoinGrid(q, o, col("qpt"), col("opt"), 3,
+          col("oid"), nx = nx, ny = nx, bounds = Some((0.0, 0.0, w, h))))
+      },
       // sj13 path: spherical intersects join — polygon count scales,
       // polygon side shrinks 1/sqrt(m) so expected point-in-quad pairs
       // stay linear; the adaptive two-level grid tracks nx

@@ -1966,6 +1966,10 @@ object GeomScalars {
           e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
         d(a, 1), i(a, 2), i(a, 3)))
     }),
+    // raw-doubles great-circle distance (meters): the KNN bound rounds'
+    // per-pair arithmetic — no WKB in the hot path
+    fn("sd_haversine", DoubleType, Seq(Dbl, Dbl, Dbl, Dbl))(a =>
+      Spherical.haversine(d(a, 0), d(a, 1), d(a, 2), d(a, 3))),
     fn("sd_refcell_sphere4", LongType,
         Seq(ArgKind.Raw, ArgKind.Raw, Dbl, Int_, Int_))(a => {
       val ea = a(0).asInstanceOf[ArrayData]

@@ -34,8 +34,10 @@ object Grid {
 
   /** Largest divisor of n that is <= 8: the NESTED coarse factor for the
     * KNN mixed cover (exact nesting — see Spherical.gridCellsKnnCover,
-    * the wrap-aware twin). 1 = no nesting possible. */
-  @inline private def nestFactor(n: Int): Int = {
+    * the wrap-aware twin). 1 = no nesting possible. Public so the KNN
+    * operators can derive per-coarse-cell histogram rows with the same
+    * factor the cover kernels use. */
+  @inline def nestFactor(n: Int): Int = {
     var f = math.min(8, n)
     while (f > 1 && n % f != 0) f -= 1
     f

@@ -1466,11 +1466,7 @@ object Spherical {
     * KNN mixed cover (nesting must be exact so interior coarse cells
     * admit precisely the objects their fine cells would; the /8 grid of
     * gridCellsAdaptive does not nest when n % 8 != 0). 1 = no nesting. */
-  @inline private def nestFactor(n: Int): Int = {
-    var f = math.min(8, n)
-    while (f > 1 && n % f != 0) f -= 1
-    f
-  }
+  @inline private def nestFactor(n: Int): Int = Grid.nestFactor(n)
 
   /** KNN final-probe cover: all-fine while small; past `maxCells`, a
     * MIXED cover — nested coarse cells (ids offset nx*ny on the

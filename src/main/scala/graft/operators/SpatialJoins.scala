@@ -292,15 +292,34 @@ object SpatialJoins {
     def oe(i: Int) = element_at(st.f("sd_envelope4", col("__og")), i)
     val canonCell = clampIdx(floor((oe(2) - lit(ymin)) / lit(ymax - ymin) * ny), ny) * nx +
       clampIdx(floor((oe(1) - lit(xmin)) / lit(xmax - xmin) * nx), nx)
-    def centerOf(cell: Column): Column = st.point(
+    def centerXY(cell: Column): (Column, Column) = (
       lit(xmin) + (pmod(cell, lit(nx)).cast("double") + 0.5) * cellW,
       lit(ymin) + (floor(cell / nx).cast("double") + 0.5) * cellH)
     val reachLit = lit(math.sqrt(cellW * cellW / 4 + cellH * cellH / 4))
     val diagCol = sqrt((oe(3) - oe(1)) * (oe(3) - oe(1)) +
       (oe(4) - oe(2)) * (oe(4) - oe(2)))
-    val cellStats = knnCellStats(objects, objectGeom, canonCell,
-      centerOf, _ => reachLit, diagCol)
-    val bound = escalateKnnBounds(q, cellStats, k, cells, st.distance, ring, diag)
+    // the escalation's per-pair ub is codegen'd double arithmetic: raw
+    // cell centers in the histogram (fine + derived nested-coarse rows),
+    // euclidean ubDist, and the query anchored at its envelope min
+    // corner (exact for point queries)
+    def ubDist(ax: Column, ay: Column, bx: Column, by: Column): Column =
+      sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+    val fxN = graft.functions.Grid.nestFactor(nx)
+    val fyN = graft.functions.Grid.nestFactor(ny)
+    val offN = nx.toLong * ny
+    def cCenterXY(cell: Column): (Column, Column) = (
+      lit(xmin) + (pmod(cell - lit(offN), lit(nx / fxN)).cast("double") + 0.5) *
+        (cellW * fxN),
+      lit(ymin) + (floor((cell - lit(offN)) / (nx / fxN)).cast("double") + 0.5) *
+        (cellH * fyN))
+    val cellStats = coarsenCellStats(
+      knnCellStats(objects, objectGeom, canonCell, centerXY, _ => reachLit, diagCol),
+      nx, ny, cCenterXY, ubDist)
+    def qe(i: Int) = element_at(st.f("sd_envelope4", col("__qg")), i)
+    val qAnchor = (qe(1), qe(2), sqrt((qe(3) - qe(1)) * (qe(3) - qe(1)) +
+      (qe(4) - qe(2)) * (qe(4) - qe(2))))
+    val bound = escalateKnnBounds(q, cellStats, k, cells, ubDist, qAnchor,
+      ring, diag, nx.toLong * ny)
 
     // round 2: exact re-probe within the per-query radius (queries with an
     // empty neighbourhood at every radius fall back to the full-extent
@@ -359,8 +378,10 @@ object SpatialJoins {
     * the full extent, so < k candidates there means the object side
     * itself holds fewer than k rows — taking everything is exact). */
   private[graft] def escalateKnnBounds(q: DataFrame, cellStats: DataFrame, k: Int,
-      cells: (Column, Column) => Column, dist: (Column, Column) => Column,
-      ring: Double, maxR: Double): DataFrame = {
+      cells: (Column, Column) => Column,
+      ubDist: (Column, Column, Column, Column) => Column,
+      anchor: (Column, Column, Column),
+      ring: Double, maxR: Double, fineCellLimit: Long): DataFrame = {
     val radii =
       Iterator.iterate(ring)(_ * 4).takeWhile(_ < maxR).take(12).toList :+ maxR
     // COUNT PROBES, not object probes: each round joins the query covers
@@ -373,8 +394,46 @@ object SpatialJoins {
     // probes ~the true kth distance — the former object-enumeration
     // rounds scanned density x area(4 d_k) pairs on clustered data
     // (observed: a 5B-pair sort fallback filling the disk at m=100).
-    val probe = broadcast(cellStats)
-    var unresolved = q.select(col("__qid"), col("__qg"))
+    // the histogram is persisted so the per-round broadcast exchanges
+    // (one per eager round action — exchange reuse does not span
+    // actions) re-read <= 2*nx*ny cached rows instead of re-running the
+    // object aggregation (and its coarse derivation) every round
+    val probe = broadcast(cellStats
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // occupied-cell count, materialized once (also warms the persist):
+    // a round whose fine cover would ENUMERATE more cells than the
+    // histogram HOLDS probes the whole broadcast histogram directly
+    // instead — strictly cheaper (no empty-cell explode rows: a
+    // whole-extent round was measured at 92s of a 184s sparse m=100
+    // run, all cover generation) and strictly TIGHTER (every histogram
+    // row's ub is sound regardless of cover membership, and more
+    // entries only lower the weighted kth bound). The cover is a
+    // work-reduction device, never a correctness one.
+    // FINE rows only for the whole-histogram probe: the histogram also
+    // carries the derived nested-coarse rows, and probing both levels
+    // would count every object twice (a doubled multiset shrinks the
+    // weighted kth bound below the true kth distance — observed: lost
+    // neighbours on the 3-object global-cover fixture)
+    // the whole-histogram probe is an equi-join on a CONSTANT key, not a
+    // crossJoin: semantically identical (every pair matches), but it
+    // plans as a BroadcastHashJoin — the operator keeps the no-BNLJ /
+    // no-Cartesian property the plan audit pins across every gate
+    // the key must be NON-FOLDABLE (pmod over a data column, always 0):
+    // a literal key constant-folds away and the join degenerates to the
+    // BroadcastNestedLoopJoin the audit forbids
+    val probeFine = broadcast(cellStats.filter(col("__ccell") < lit(fineCellLimit))
+      .withColumn("__k1", pmod(col("__ccell"), lit(1L))))
+    val histRows = cellStats.filter(col("__ccell") < lit(fineCellLimit)).count()
+    // the per-pair ub is PURE DOUBLE ARITHMETIC: the query contributes a
+    // fixed ANCHOR (its envelope min corner — a point of the envelope,
+    // so any point of the query is within the envelope "diag" of it;
+    // for point queries anchor == the point and diag == 0, exact) and
+    // the histogram row its center coords — no WKB parse per pair (the
+    // former st_distance(query_wkb, center_point) re-parsed the query
+    // per histogram row: measured 92s of one whole-extent round)
+    val (ax, ay, adiag) = anchor
+    var unresolved = q.select(col("__qid"), col("__qg"),
+      ax.as("__qax"), ay.as("__qay"), adiag.as("__qdiag"))
     // Each round MATERIALIZES its stats (and the shrunk unresolved set)
     // before the next round is even planned: rounds whose input is empty
     // are never constructed, so a dense workload's final plan carries
@@ -392,20 +451,30 @@ object SpatialJoins {
       pinned += df
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    val dbg = sys.env.contains("SPARK_GRAFT_KNN_DEBUG")
     var remaining = -1L // unknown before the first round's count
     val bounds = radii.zipWithIndex.flatMap { case (r, i) =>
       val last = i == radii.size - 1
       if (remaining == 0) None
       else {
+        val t0 = if (dbg) System.nanoTime() else 0L
         // the ub is PROJECTED to a narrow row before the aggregate: the
         // typed aggregate's partial (ObjectHashAggregate) falls back to
         // sort-based beyond the distinct-key threshold, and that sort
         // touches the full input rows — 3 scalars per row here
-        val stats = pin(unresolved
-          .select(col("__qid"), col("__qg"), explode(cells(col("__qg"), lit(r))).as("__pcell"))
-          .join(probe, col("__pcell") === col("__ccell"))
+        val coverEst = { val c = 2.0 * r / ring + 1.0; c * c }
+        val cand =
+          if (coverEst >= histRows)
+            unresolved.withColumn("__k1", pmod(col("__qid"), lit(1L)))
+              .join(probeFine, "__k1")
+          else unresolved
+            .select(col("__qid"), col("__qax"), col("__qay"), col("__qdiag"),
+              explode(cells(col("__qg"), lit(r))).as("__pcell"))
+            .join(probe, col("__pcell") === col("__ccell"))
+        val stats = pin(cand
           .select(col("__qid"),
-            (dist(col("__qg"), col("__cc")) + col("__cpad")).as("__ub"),
+            (ubDist(col("__qax"), col("__qay"), col("__ccx"), col("__ccy")) +
+              col("__qdiag") + col("__cpad")).as("__ub"),
             col("__ccnt"))
           .groupBy(col("__qid"))
           .agg(st.f("sd_knn_wbound_agg", col("__ub"), col("__ccnt"), lit(k)).as("__b"))
@@ -415,7 +484,9 @@ object SpatialJoins {
           unresolved = pin(unresolved.join(
             stats.filter(col("__cnt") >= k).select(col("__qid")), Seq("__qid"), "left_anti"))
           remaining = unresolved.count() // also materializes stats
-        }
+        } else if (dbg) stats.count()
+        if (dbg) println(f"[knn-bound] round=$i radius=$r%.1f " +
+          f"unresolved_after=$remaining sec=${(System.nanoTime() - t0) / 1e9}%.2f")
         Some(
           if (last)
             stats.select(col("__qid"),
@@ -425,6 +496,7 @@ object SpatialJoins {
       }
     }
     pinned.foreach(graft.CacheRegistry.register)
+    graft.CacheRegistry.register(cellStats)
     bounds.reduce(_ unionByName _)
   }
 
@@ -437,16 +509,51 @@ object SpatialJoins {
     * nx*ny rows — broadcastable by construction (the grid resolution is
     * the deployment knob that already bounds it). */
   private def knnCellStats(objects: DataFrame, objectGeom: Column,
-      canonCell: Column, centerOf: Column => Column,
-      reachOf: Column => Column, diag: Column): DataFrame =
+      canonCell: Column, centerXY: Column => (Column, Column),
+      reachOf: Column => Column, diag: Column): DataFrame = {
+    val (ccx, ccy) = centerXY(col("__ccell"))
     objects
       .select(objectGeom.as("__og"))
       .select(canonCell.as("__ccell"), diag.as("__diag"))
       .groupBy(col("__ccell"))
       .agg(count(lit(1)).as("__ccnt"), max(col("__diag")).as("__mdiag"))
       .select(col("__ccell"), col("__ccnt"),
-        centerOf(col("__ccell")).as("__cc"),
+        ccx.as("__ccx"), ccy.as("__ccy"),
         (reachOf(col("__ccell")) + col("__mdiag")).as("__cpad"))
+  }
+
+  /** NESTED-coarse histogram rows derived from the fine histogram (one
+    * tiny aggregation over <= nx*ny rows, never a second object scan):
+    * count = Σ member counts; pad = max over member fine cells of
+    * (dist(coarse center, fine center) + fine pad), a sound bound by
+    * the triangle inequality for any metric. With these rows present
+    * the BOUND escalation rounds can probe with the same MIXED cover
+    * the final probe uses — an isolated query's large-radius round
+    * enumerates ~fx*fy fewer cells, and each object is still counted
+    * exactly once per cover (interior via its coarse row, boundary via
+    * fine; interior fine cells are not in a mixed cover). */
+  private def coarsenCellStats(fine: DataFrame, nx: Int, ny: Int,
+      centerXYCoarse: Column => (Column, Column),
+      ubDist: (Column, Column, Column, Column) => Column): DataFrame = {
+    val fx = graft.functions.Grid.nestFactor(nx)
+    val fy = graft.functions.Grid.nestFactor(ny)
+    if (fx * fy <= 1) return fine
+    val off = nx.toLong * ny
+    val cnx = nx / fx
+    val cy = floor(col("__ccell") / nx)
+    val cx = col("__ccell") - cy * nx
+    val cid = floor(cy / fy) * cnx + floor(cx / fx) + lit(off)
+    val (gx, gy) = centerXYCoarse(col("__gcid"))
+    val coarse = fine
+      .withColumn("__gcid", cid) // projected first: a grouping ALIAS is
+      .groupBy(col("__gcid"))    // not referenceable inside agg functions
+      .agg(sum(col("__ccnt")).as("__ccnt"),
+        max(ubDist(gx, gy, col("__ccx"), col("__ccy")) + col("__cpad"))
+          .as("__cpad"))
+      .select(col("__gcid").as("__ccell"), col("__ccnt"),
+        gx.as("__ccx"), gy.as("__ccy"), col("__cpad"))
+    fine.unionByName(coarse)
+  }
 
   /** Spheroid (great-circle) partitioned KNN join — the scale path when
     * the OBJECT side of a `st_knn(..., use_spheroid=true)` join cannot be
@@ -524,22 +631,47 @@ object SpatialJoins {
       lit(-180.0) + (pmod(cell, lit(nx)).cast("double") + 0.5) * cellW
     def centerLat(cell: Column): Column =
       lit(-90.0) + (floor(cell / nx).cast("double") + 0.5) * cellH
-    def centerOf(cell: Column): Column = st.point(centerLon(cell), centerLat(cell))
-    // geodesic reach: center -> farthest corner (both lat signs — the
-    // higher-|lat| corner is farther in longitude arc terms)
-    def reachOf(cell: Column): Column = greatest(
-      distSphere(centerOf(cell), st.point(centerLon(cell) + cellW / 2,
-        centerLat(cell) + cellH / 2)),
-      distSphere(centerOf(cell), st.point(centerLon(cell) + cellW / 2,
-        centerLat(cell) - cellH / 2)))
-    // object extent pad: the geodesic envelope diagonal; a wrap-aware
-    // envelope that crosses the antimeridian (or spans >= 180 deg) gets
-    // the antipodal maximum — a corner-to-corner arc undershoots there
+    def centerXY(cell: Column): (Column, Column) =
+      (centerLon(cell), centerLat(cell))
+    // SOUND rect bounds on the sphere use the meridian+parallel path
+    // R*(dLatRad + dLonRad) — NOT corner-to-corner haversine, which can
+    // UNDERSHOOT a rect's diameter at high latitude (a same-latitude
+    // pair can be farther apart than the corner pair because the
+    // parallel shrinks with cos(lat) while the corner pair climbs to a
+    // shorter-arc latitude). Exact for the degenerate (point) case.
+    val mPerDeg = math.Pi * graft.functions.Spherical.R / 180.0
+    def rectBound(dLonDeg: Column, dLatDeg: Column): Column =
+      (dLonDeg + dLatDeg) * mPerDeg
+    // cell reach: center -> any point of the cell
+    def reachOf(cell: Column): Column = {
+      val _ = cell
+      lit((cellW / 2 + cellH / 2) * mPerDeg)
+    }
+    // object extent pad: any-point bound from the envelope min corner; a
+    // wrap-aware envelope crossing the antimeridian (or spanning >= 180
+    // deg) gets the antipodal maximum
     val diagCol = when(oe(1) > oe(3) || oe(3) - oe(1) >= 180.0, lit(maxGeo))
-      .otherwise(distSphere(st.point(oe(1), oe(2)), st.point(oe(3), oe(4))))
-    val cellStats = knnCellStats(objects, objectGeom, canonCell,
-      centerOf, reachOf, diagCol)
-    val bound = escalateKnnBounds(q, cellStats, k, cells, distSphere, ringM, maxGeo)
+      .otherwise(least(rectBound(oe(3) - oe(1), oe(4) - oe(2)), lit(maxGeo)))
+    // per-pair ub = haversine on raw doubles (no WKB in the bound loop)
+    def ubDist(ax: Column, ay: Column, bx: Column, by: Column): Column =
+      st.f("sd_haversine", ax, ay, bx, by)
+    val fxN = graft.functions.Grid.nestFactor(nx)
+    val fyN = graft.functions.Grid.nestFactor(ny)
+    val offN = nx.toLong * ny
+    def cCenterXY(cell: Column): (Column, Column) = (
+      lit(-180.0) + (pmod(cell - lit(offN), lit(nx / fxN)).cast("double") + 0.5) *
+        (cellW * fxN),
+      lit(-90.0) + (floor((cell - lit(offN)) / (nx / fxN)).cast("double") + 0.5) *
+        (cellH * fyN))
+    val cellStats = coarsenCellStats(
+      knnCellStats(objects, objectGeom, canonCell, centerXY, reachOf, diagCol),
+      nx, ny, cCenterXY, ubDist)
+    def qe(i: Int) = element_at(st.f("sd_envelopesphere4", col("__qg")), i)
+    val qAnchor = (qe(1), qe(2),
+      when(qe(1) > qe(3) || qe(3) - qe(1) >= 180.0, lit(maxGeo))
+        .otherwise(least(rectBound(qe(3) - qe(1), qe(4) - qe(2)), lit(maxGeo))))
+    val bound = escalateKnnBounds(q, cellStats, k, cells, ubDist, qAnchor,
+      ringM, maxGeo, nx.toLong * ny)
 
     // round 2: exact re-probe of the radius-expanded spherical cover
     // (queries with an empty neighbourhood at every escalation radius can

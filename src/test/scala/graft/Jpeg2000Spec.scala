@@ -480,6 +480,40 @@ class Jpeg2000Spec extends AnyFunSuite {
     intercept[Exception](Jpeg2000.decode(junk))
   }
 
+  test("multi tile-part streams: truncation and corruption stay loud or exact") {
+    val rnd = new scala.util.Random(55)
+    val p = planeOf(96, 64, 8, signed = false, (_, _) => rnd.nextInt(256))
+    val cs = Jpeg2000.encode(Seq(p), levels = 2, cbExp = 4,
+      tileSize = Some((32, 32)), order = 1, partsPerResolution = true)
+    val full = Jpeg2000.decode(cs)
+    // truncations at every ~1/40 of the stream: throw or return fast,
+    // and a REDUCED decode that does succeed on a prefix must be exact
+    var t = 4
+    while (t < cs.length) {
+      val pre = java.util.Arrays.copyOfRange(cs, 0, t)
+      try Jpeg2000.decode(pre)
+      catch { case _: Exception => }
+      try {
+        val red = Jpeg2000.decode(pre, 2)
+        samePlanes(red, Jpeg2000.decode(cs, 2), s"reduced-on-prefix t=$t")
+      } catch { case _: Exception => }
+      t += math.max(1, cs.length / 40)
+    }
+    // bit corruption across the whole multi-part stream
+    for (_ <- 0 until 50) {
+      val m = cs.clone()
+      val at = 60 + rnd.nextInt(m.length - 60)
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val out = Jpeg2000.decode(m)
+        // a decode that survives a TILE-BODY bit flip may differ in
+        // samples (entropy payload) but must keep the geometry
+        assert(out.head.w == 96 && out.head.h == 64)
+      } catch { case _: Exception => }
+    }
+    assert(full.head.w == 96 && full.head.h == 64)
+  }
+
   test("unsupported features fail loudly, never silently wrong") {
     val p = planeOf(8, 8, 8, signed = false, (x, y) => x + y)
     val cs = Jpeg2000.encode(Seq(p), levels = 1, cbExp = 4)
