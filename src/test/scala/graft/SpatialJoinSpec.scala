@@ -640,6 +640,24 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(grid) == sortedRows(brute))
   }
 
+  test("KNN whole-histogram probe plans a hash join, never BNLJ/cartesian") {
+    import spark.implicits._
+    // 3 objects force the whole-histogram probe in round 1 (cover cells
+    // >= histogram rows) — the non-foldable constant join key must keep
+    // it a BroadcastHashJoin; a literal key constant-folds into the
+    // BroadcastNestedLoopJoin the plan audit forbids
+    val o = Seq((1L, 10.0, 10.0), (2L, -120.0, 45.0), (3L, 100.0, -60.0))
+      .toDF("oid", "olon", "olat")
+      .select(col("oid"), st.point(col("olon"), col("olat")).as("opt"))
+    val q = Seq((1L, -170.0, -5.0), (2L, 60.0, 80.0)).toDF("qid", "qlon", "qlat")
+      .select(col("qid"), st.point(col("qlon"), col("qlat")).as("qpt"))
+    val grid = SpatialJoins.knnJoinGridSphere(q, o, col("qpt"), col("opt"),
+      2, col("oid")).select("qid", "oid")
+    val phys = grid.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"), phys.take(3000))
+  }
+
   test("spheroid grid KNN: coarse-level cover wraps the antimeridian") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
