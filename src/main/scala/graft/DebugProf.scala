@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.pipeline.{PipelineOps, TextOps}
+import graft.functions.GraftFunctions.st
+import graft.operators.SpatialJoins
 
 /** Scratch profiling entry (not part of the driver contract). */
 object DebugProf {
@@ -14,27 +15,26 @@ object DebugProf {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.install(spark)
-    val dir = "/root/testdata/sf0.1"
-    val docs = Tables.t(spark, dir, "documents")
-    docs.count()
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-    }
-    (0 until 3).foreach { _ =>
-      time("sig-only") {
-        docs.select(col("doc_id"),
-          TextOps.minhashSignatureTok(TextOps.tokens(col("text")), 3, 12).as("mh")).count()
-      }
-      time("minhashPairs") {
-        PipelineOps.minhashPairs(docs, col("doc_id"), col("text"), 12, 4).count()
-      }
-      time("dedupGroups-full") {
-        val pairs = PipelineOps.minhashPairs(docs, col("doc_id"), col("text"), 12, 4)
-        PipelineOps.dedupGroups(pairs, col("doc_a"), col("doc_b")).count()
-      }
-    }
+    val m = args.headOption.map(_.toInt).getOrElse(10)
+    def sqrtM = math.sqrt(m.toDouble)
+    val w = 2000.0 * sqrtM; val h = 1000.0 * sqrtM
+    val nx = math.max(8, (32 * sqrtM).toInt)
+    def u(c: org.apache.spark.sql.Column, salt: Int) =
+      pmod(hash(c * 31 + salt), lit(1000000)).cast("double") / 1000000.0
+    val o = spark.range(0, 20000L * m).toDF("id")
+      .select(col("id").as("oid"),
+        st.point(u(col("id"), 61) * (w * 0.4), u(col("id"), 62) * h).as("opt"))
+    val q = spark.range(0, 1500L * m).toDF("id")
+      .withColumn("iso", pmod(col("id"), lit(10)) < 3)
+      .select(col("id").as("qid"), st.point(
+        when(col("iso"), lit(0.8) * w + u(col("id"), 63) * (w * 0.15))
+          .otherwise(u(col("id"), 63) * (w * 0.38)),
+        u(col("id"), 64) * h).as("qpt"))
+    val j = SpatialJoins.knnJoinGrid(q, o, col("qpt"), col("opt"), 3,
+      col("oid"), nx = nx, ny = nx, bounds = Some((0.0, 0.0, w, h)))
+    val t0 = System.nanoTime()
+    println("rows=" + j.count() + " sec=" + (System.nanoTime() - t0) / 1e9)
+    println(j.queryExecution.executedPlan.treeString.take(20000))
     spark.stop()
   }
 }

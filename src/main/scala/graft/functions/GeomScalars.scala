@@ -2041,6 +2041,28 @@ object GeomScalars {
         e.getMinX, e.getMinY, e.getMaxX, e.getMaxY,
         d(a, 1), d(a, 2), d(a, 3), d(a, 4), i(a, 5), i(a, 6), i(a, 7)))
     }),
+    // occupancy-filtered covers for the KNN probes: the trailing binary
+    // arg is a bitmap over cell ids (fine ids 0..nx*ny-1, nested-coarse
+    // ids past nx*ny) of cells that hold >= 1 object — emitted set =
+    // cover ∩ occupied, pair-set identical, no empty-cell explode rows
+    fn("st_gridcells_occ", ArrayType(LongType, containsNull = false),
+        Seq(Geom, Dbl, Dbl, Dbl, Dbl, Int_, Int_, Bin))(a => {
+      val e = g0(a).getEnvelopeInternal
+      if (e.isNull) null
+      else new GenericArrayData(Grid.cellsOfOcc(
+        e.getMinX, e.getMinY, e.getMaxX, e.getMaxY,
+        d(a, 1), d(a, 2), d(a, 3), d(a, 4), i(a, 5), i(a, 6),
+        a(7).asInstanceOf[Array[Byte]]))
+    }),
+    fn("st_gridcells_knncover_occ", ArrayType(LongType, containsNull = false),
+        Seq(Geom, Dbl, Dbl, Dbl, Dbl, Int_, Int_, Int_, Bin))(a => {
+      val e = g0(a).getEnvelopeInternal
+      if (e.isNull) null
+      else new GenericArrayData(Grid.cellsKnnCoverOcc(
+        e.getMinX, e.getMinY, e.getMaxX, e.getMaxY,
+        d(a, 1), d(a, 2), d(a, 3), d(a, 4), i(a, 5), i(a, 6), i(a, 7),
+        a(8).asInstanceOf[Array[Byte]]))
+    }),
     fn("st_gridcells_knndual", ArrayType(LongType, containsNull = false),
         Seq(Geom, Dbl, Dbl, Dbl, Dbl, Int_, Int_))(a => {
       val e = g0(a).getEnvelopeInternal

@@ -89,6 +89,56 @@ object Grid {
     out.toArray
   }
 
+  @inline private def occHit(occ: Array[Byte], id: Long): Boolean = {
+    val i = id.toInt
+    val b = i >> 3
+    b < occ.length && (occ(b) & (1 << (i & 7))) != 0
+  }
+
+  /** [[cellsOf]] filtered by an occupancy bitmap (bit index = cell id):
+    * a cell with no objects can never produce a candidate pair, so the
+    * KNN probe explodes occupied cells ONLY — the former explode-then-
+    * broadcast-semi-filter generated (and copied the query row into)
+    * every empty cell of a sparse query's cover before dropping it. */
+  def cellsOfOcc(gxmin: Double, gymin: Double, gxmax: Double, gymax: Double,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+      nx: Int, ny: Int, occ: Array[Byte]): Array[Long] = {
+    val cx0 = cellX(gxmin, xmin, xmax, nx); val cx1 = cellX(gxmax, xmin, xmax, nx)
+    val cy0 = cellX(gymin, ymin, ymax, ny); val cy1 = cellX(gymax, ymin, ymax, ny)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var cy = cy0
+    while (cy <= cy1) {
+      var cx = cx0
+      while (cx <= cx1) {
+        val id = cy.toLong * nx + cx
+        if (occHit(occ, id)) out += id
+        cx += 1
+      }
+      cy += 1
+    }
+    out.toArray
+  }
+
+  /** [[cellsKnnCover]] filtered by the occupancy bitmap (fine AND nested-
+    * coarse ids share one bit space — coarse bits sit past nx*ny, exactly
+    * the ids [[cellsKnnDual]] assigns). Emitted set = mixed cover ∩
+    * occupied, so paired with the dual object explode the candidate pair
+    * set is IDENTICAL to the unfiltered cover's (an unoccupied cell
+    * matches nothing). */
+  def cellsKnnCoverOcc(gxmin: Double, gymin: Double, gxmax: Double, gymax: Double,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+      nx: Int, ny: Int, maxCells: Int, occ: Array[Byte]): Array[Long] = {
+    val all = cellsKnnCover(gxmin, gymin, gxmax, gymax,
+      xmin, ymin, xmax, ymax, nx, ny, maxCells)
+    var n = 0
+    var i = 0
+    while (i < all.length) {
+      if (occHit(occ, all(i))) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    if (n == all.length) all else java.util.Arrays.copyOf(all, n)
+  }
+
   /** Object-side companion of [[cellsKnnCover]]: the fine cover plus its
     * image on the NESTED coarse grid. */
   def cellsKnnDual(gxmin: Double, gymin: Double, gxmax: Double, gymax: Double,

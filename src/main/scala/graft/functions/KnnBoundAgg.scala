@@ -174,6 +174,93 @@ case class SdKnnWeightedBoundAgg(
     copy(ub = c(0), wt = c(1), kExpr = c(2))
 }
 
+/** sd_knn_topk_agg(d, tb, oid, k) -> array<struct<oid, d, rank>>: the
+  * exact distinct-oid top-k candidates per group under (d, tb, oid) tie
+  * ordering, rank assigned 1..n in that order. The FINAL phase of the
+  * out-of-core KNN grid joins: candidate pairs are consumed map-side
+  * where the probe join produces them and only (qid, <=k entries)
+  * buffers shuffle — the former dropDuplicates + row_number window
+  * pipeline shuffled every surviving pair twice (and its narrow
+  * post-shuffle rows invited an AQE coalesce into near-single-threaded
+  * sorts: measured 50s of a 53s m=10 sparse run). Winner rows rejoin
+  * the persisted inputs by id afterwards. */
+case class SdKnnTopKAgg(
+    d: Expression, tb: Expression, oid: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SdKnnBoundAgg.Buf] {
+  import SdKnnBoundAgg.Buf
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(d, tb, oid, kExpr)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sd_knn_topk_agg"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("oid", LongType), StructField("d", DoubleType),
+    StructField("rank", IntegerType))), containsNull = false)
+  override def createAggregationBuffer(): Buf = {
+    require(k >= 1 && k <= 65536, s"sd_knn_topk_agg: k out of range: $k")
+    new Buf(k)
+  }
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val dv = d.eval(input)
+    val ov = oid.eval(input)
+    if (dv != null && ov != null) {
+      val tv = tb.eval(input)
+      b.insert(dv.asInstanceOf[Double],
+        if (tv == null) 0.0 else tv.asInstanceOf[Double],
+        ov.asInstanceOf[Long])
+    }
+    b
+  }
+  override def merge(b: Buf, o: Buf): Buf = {
+    var i = 0
+    while (i < o.n) { b.insert(o.ds(i), o.tbs(i), o.oids(i)); i += 1 }
+    b
+  }
+  override def eval(b: Buf): Any = {
+    if (b.n == 0) return null
+    val order = (0 until b.n).sortBy(i => (b.ds(i), b.tbs(i), b.oids(i)))
+    val out = new Array[Any](b.n)
+    var r = 0
+    while (r < b.n) {
+      val i = order(r)
+      out(r) = new GenericInternalRow(Array[Any](b.oids(i), b.ds(i), r + 1))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override def serialize(b: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 24 * b.n)
+    bb.putInt(b.k).putInt(b.n)
+    var i = 0
+    while (i < b.n) {
+      bb.putDouble(b.ds(i)).putDouble(b.tbs(i)).putLong(b.oids(i))
+      i += 1
+    }
+    bb.array()
+  }
+  override def deserialize(s: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(s)
+    val b = new Buf(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      b.ds(i) = bb.getDouble; b.tbs(i) = bb.getDouble; b.oids(i) = bb.getLong
+      i += 1
+    }
+    b.n = n
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): SdKnnTopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SdKnnTopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(d = c(0), tb = c(1), oid = c(2), kExpr = c(3))
+}
+
 case class SdKnnBoundAgg(
     d: Expression, tb: Expression, oid: Expression, kExpr: Expression,
     mutableAggBufferOffset: Int = 0,

@@ -104,7 +104,11 @@ case class BroadcastIndexSpatialJoinExec(
           else {
             val sg = GeomIO.read(gBytes.asInstanceOf[Array[Byte]])
             val env = new Envelope(sg.getEnvelopeInternal)
-            val dist = boundDistance.map(_.eval(streamRow).asInstanceOf[Number].doubleValue())
+            val dist = boundDistance.map(_.eval(streamRow) match {
+              // SQL `st_dwithin(a, b, 2.0)` carries a DECIMAL literal
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case n: Number => n.doubleValue()
+            })
             dist.foreach(d => env.expandBy(d))
             val candidates = tree.query(env)
             if (candidates.isEmpty) Iterator.empty

@@ -255,31 +255,69 @@ object SpatialJoins {
     val diag = math.sqrt((xmax - xmin) * (xmax - xmin) + (ymax - ymin) * (ymax - ymin))
     val cellW = (xmax - xmin) / nx
     val cellH = (ymax - ymin) / ny
-    def cells(g: Column, expand: Column): Column = st.f("st_gridcells",
-      st.f("st_expandenvelope", g, expand),
-      lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))
-
-    // object cells at BOTH nested levels (fine + coarse image) so the
-    // final probe's MIXED cover matches at either level — see the
-    // spheroid twin's notes (bound probes stay fine; only the final
-    // enumeration goes hierarchical)
-    def cellsMixed(g: Column, expand: Column): Column =
-      st.f("st_gridcells_knncover", st.f("st_expandenvelope", g, expand),
-        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny),
-        lit(MaxFineCells))
 
     val qCols = query.columns
     val oCols = objects.columns
-    val q = graft.CacheRegistry.register(query.withColumn("__qg", queryGeom)
+    // persisted NOW, registered with the CacheRegistry only at the END of
+    // construction: the construction-time collects below (occ bitmap,
+    // histogram, escalation counts) are completing queries that reference
+    // these caches, and an early registration lets the sweep listener
+    // unpersist them mid-build — every later stage then recomputes the
+    // sources AND re-draws monotonically_increasing_id, a correctness
+    // hazard for the id-keyed rejoin
+    val q = query.withColumn("__qg", queryGeom)
       .withColumn("__qid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val o = graft.CacheRegistry.register(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o =
       objects.withColumn("__og", objectGeom).withColumn("__otb", tieBreak.cast("double"))
         .withColumn("__oid", monotonically_increasing_id())
+        .withColumn("__o4", st.f("sd_envelope4", col("__og")))
         .withColumn("__ocell", explode(st.f("st_gridcells_knndual",
           st.f("st_envelope", col("__og")),
           lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // OCCUPANCY bitmap over the dual cell-id space (fine + nested
+    // coarse): every probe cover — bound rounds AND the final mixed
+    // cover — intersects against it INSIDE the generator, so a sparse
+    // query's empty cells are never exploded into rows at all (the
+    // former explode-then-broadcast-semi pipeline generated ~cover
+    // rows per query before dropping the empties; at m=100 sparse that
+    // was ~60s of pure cover generation). Bounded by the grid knob:
+    // <= nx*ny + (nx/f)*(ny/f) bits, same bound the broadcast occupied
+    // list already had. Collected eagerly (warms o's persist).
+    val fxN = graft.functions.Grid.nestFactor(nx)
+    val fyN = graft.functions.Grid.nestFactor(ny)
+    val occOn = query.sparkSession.conf
+      .getOption("spark.graft.knn.occCover").forall(_ == "true")
+    val occBitmap: Array[Byte] = if (!occOn) null else {
+      val nBits = nx * ny +
+        (if (fxN * fyN > 1) (nx / fxN) * (ny / fyN) else 0)
+      val bm = new Array[Byte]((nBits + 7) / 8)
+      o.select(col("__ocell")).distinct().collect().foreach { r =>
+        val id = r.getLong(0).toInt
+        bm(id >> 3) = (bm(id >> 3) | (1 << (id & 7))).toByte
+      }
+      bm
+    }
+    def cells(g: Column, expand: Column): Column =
+      if (occOn) st.f("st_gridcells_occ", st.f("st_expandenvelope", g, expand),
+        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny),
+        lit(occBitmap))
+      else st.f("st_gridcells", st.f("st_expandenvelope", g, expand),
+        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny))
+
+    // final-probe cover: object cells exist at BOTH nested levels (fine
+    // + coarse image) so the MIXED cover matches at either level (bound
+    // probes stay fine; only the final enumeration goes hierarchical)
+    def cellsMixed(g: Column, expand: Column): Column =
+      if (occOn) st.f("st_gridcells_knncover_occ",
+        st.f("st_expandenvelope", g, expand),
+        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny),
+        lit(MaxFineCells), lit(occBitmap))
+      else st.f("st_gridcells_knncover", st.f("st_expandenvelope", g, expand),
+        lit(xmin), lit(ymin), lit(xmax), lit(ymax), lit(nx), lit(ny),
+        lit(MaxFineCells))
 
     // round 1: geometric radius escalation over the per-cell COUNT
     // histogram -> per-query bound (one-ring probe first, 4x per round
@@ -299,52 +337,137 @@ object SpatialJoins {
     val diagCol = sqrt((oe(3) - oe(1)) * (oe(3) - oe(1)) +
       (oe(4) - oe(2)) * (oe(4) - oe(2)))
     // the escalation's per-pair ub is codegen'd double arithmetic: raw
-    // cell centers in the histogram (fine + derived nested-coarse rows),
+    // cell centers in the fine-only histogram,
     // euclidean ubDist, and the query anchored at its envelope min
     // corner (exact for point queries)
     def ubDist(ax: Column, ay: Column, bx: Column, by: Column): Column =
       sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
-    val fxN = graft.functions.Grid.nestFactor(nx)
-    val fyN = graft.functions.Grid.nestFactor(ny)
-    val offN = nx.toLong * ny
-    def cCenterXY(cell: Column): (Column, Column) = (
-      lit(xmin) + (pmod(cell - lit(offN), lit(nx / fxN)).cast("double") + 0.5) *
-        (cellW * fxN),
-      lit(ymin) + (floor((cell - lit(offN)) / (nx / fxN)).cast("double") + 0.5) *
-        (cellH * fyN))
-    val cellStats = coarsenCellStats(
-      knnCellStats(objects, objectGeom, canonCell, centerXY, _ => reachLit, diagCol),
-      nx, ny, cCenterXY, ubDist)
+    // histogram stays FINE-ONLY: bound rounds probe fine covers and the
+    // whole-histogram probe must not double-count (see escalateKnnBounds)
+    val cellStats =
+      knnCellStats(objects, objectGeom, canonCell, centerXY, _ => reachLit, diagCol)
     def qe(i: Int) = element_at(st.f("sd_envelope4", col("__qg")), i)
     val qAnchor = (qe(1), qe(2), sqrt((qe(3) - qe(1)) * (qe(3) - qe(1)) +
       (qe(4) - qe(2)) * (qe(4) - qe(2))))
-    val bound = escalateKnnBounds(q, cellStats, k, cells, ubDist, qAnchor,
-      ring, diag, nx.toLong * ny)
+    // round 1, default path: per-query kth-bound via the driver-built
+    // CellBoundKd over the (grid-knob-bounded) histogram — a map-side
+    // projection, no joins, no escalation actions, and the bound is the
+    // global weighted-kth (never looser than any escalation round's).
+    // spark.graft.knn.kdBound=false falls back to the count-probe
+    // escalation (kept as the measured A/B reference).
+    val useKd = query.sparkSession.conf
+      .getOption("spark.graft.knn.kdBound").forall(_ == "true")
+    val withRadius =
+      if (useKd)
+        q.withColumn("__radius",
+          kdBoundColumn(cellStats, k, diag, sphereMode = false, qAnchor))
+      else
+        q.join(escalateKnnBounds(q, cellStats, k, cells, ubDist, qAnchor,
+            ring, diag), Seq("__qid"), "left")
+          .withColumn("__radius", coalesce(col("__radius"), lit(diag)))
 
     // round 2: exact re-probe within the per-query radius (queries with an
     // empty neighbourhood at every radius fall back to the full-extent
-    // diagonal via the left-join coalesce — only possible when the object
-    // side holds fewer than k rows)
-    // occupied-cell semi filter: a sparse query's cover is mostly empty
-    // cells — drop them map-side (broadcast, <= nx*ny ids) BEFORE the
-    // exploded rows reach the shuffle join
-    val occupied = broadcast(o.select(col("__ocell").as("__occ")).distinct())
-    val q2 = q.join(bound, Seq("__qid"), "left")
-      .withColumn("__radius", coalesce(col("__radius"), lit(diag)))
+    // diagonal — only possible when the object side holds fewer than k
+    // rows). With the occupancy bitmap the cover explode emits occupied
+    // cells only; the legacy path (occCover=false) keeps the broadcast
+    // semi filter instead.
+    // Envelope doubles on BOTH sides (one WKB parse per query row / per
+    // object row at persist time), so the per-pair refine below is pure
+    // codegen'd double arithmetic: rect-gap lower bound first (drops the
+    // in-envelope / out-of-circle corner pairs — measured 1.34G of 1.47G
+    // pairs at m=100 sparse), exact WKB st_distance ONLY for pairs of
+    // non-degenerate envelopes (for point-point pairs, the common KNN
+    // shape, gap == exact distance). The former st_distance-per-pair
+    // refine parsed two WKBs on every one of the 1.47G pairs: 56s.
+    // only the probe machinery rides the pair join — user columns are
+    // recovered by the winner rejoin in knnTopKFinish. Per-side envelope
+    // SCALAR columns (not element_at over the array per pair): the
+    // refine expressions appear in the join condition AND the __d
+    // projection, and the array-indexing form blew the stage's generated
+    // method past HotSpot's 8 KB JIT limit — the whole join stage ran in
+    // the bytecode interpreter, measured 25x slower (uniform 46s tasks).
+    def q4(i: Int) = element_at(st.f("sd_envelope4", col("__qg")), i)
+    var q2 = withRadius.select(col("__qid"), col("__qg"), col("__radius"),
+        q4(1).as("__qx0"), q4(2).as("__qy0"), q4(3).as("__qx1"), q4(4).as("__qy1"))
+      .withColumn("__qpt",
+        col("__qx0") === col("__qx1") && col("__qy0") === col("__qy1"))
       .withColumn("__pcell",
         explode(cellsMixed(col("__qg"), col("__radius") + lit(1e-9))))
-      .join(occupied, col("__pcell") === col("__occ"), "left_semi")
-    val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
-    q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++
-        oCols.map(c => o(c).as(s"__o_$c")): _*)
-        .hint("shuffle_hash"), // probe side is an explode: see escalateKnnBounds
-        col("__pcell") === col("__ocell"))
-      .withColumn("__d", st.distance(col("__qg"), col("__og")))
-      .filter(col("__d") <= col("__radius") + lit(1e-9))
-      .dropDuplicates("__qid", "__oid")
-      .withColumn("knn_rank", row_number().over(w2))
-      .filter(col("knn_rank") <= k)
-      .withColumn("knn_distance", col("__d"))
+    if (!occOn) {
+      val occupied = broadcast(o.select(col("__ocell").as("__occ")).distinct())
+      q2 = q2.join(occupied, col("__pcell") === col("__occ"), "left_semi")
+    }
+    def o4(i: Int) = element_at(col("__o4"), i)
+    val oSel = o.select(col("__ocell"), col("__og"),
+        o4(1).as("__ox0"), o4(2).as("__oy0"), o4(3).as("__ox1"), o4(4).as("__oy1"),
+        (o4(1) === o4(3) && o4(2) === o4(4)).as("__opt"),
+        col("__otb"), col("__oid"))
+      .hint("shuffle_hash") // probe side is an explode: see escalateKnnBounds
+    val pairs = q2.join(oSel, col("__pcell") === col("__ocell"))
+    val gapX = greatest(lit(0.0), col("__ox0") - col("__qx1"),
+      col("__qx0") - col("__ox1"))
+    val gapY = greatest(lit(0.0), col("__oy0") - col("__qy1"),
+      col("__qy0") - col("__oy1"))
+    val gapSq = gapX * gapX + gapY * gapY
+    val rEff = col("__radius") + lit(1e-9)
+    val refined = pairs
+      .filter(gapSq <= rEff * rEff) // sqrt-free rect-gap lower bound
+      .withColumn("__d", when(col("__qpt") && col("__opt"), sqrt(gapSq))
+        .otherwise(st.distance(col("__qg"), col("__og"))))
+      .filter(col("__d") <= rEff)
+      .select(col("__qid"), col("__oid"), col("__otb"), col("__d"))
+    if (sys.env.contains("SPARK_GRAFT_KNN_PROF")) {
+      def t(name: String)(df: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"[knn-prof] $name n=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      t("cover-rows")(q2)
+      t("join-pairs")(pairs)
+      t("refined")(refined)
+    }
+    val result = knnTopKFinish(refined, q, o, qCols, oCols, k)
+    graft.CacheRegistry.register(q)
+    graft.CacheRegistry.register(o)
+    result
+  }
+
+  /** Shared final phase of the grid KNN twins: a BOUNDED top-k
+    * aggregate (`sd_knn_topk_agg`, map-side combine, distinct-oid,
+    * (d, tb, oid) tie order) over the NARROW candidate rows — only
+    * (qid, <=k entries) buffers shuffle — then winner rows rejoin the
+    * persisted inputs by id. Replaces the dropDuplicates + row_number
+    * pipeline, which shuffled every surviving pair twice and whose
+    * narrow post-shuffle partitions AQE coalesced into near-single-
+    * threaded sorts (measured 50s of a 53s m=10 sparse run).
+    * `refined` must carry exactly (__qid, __oid, __otb, __d). */
+  private def knnTopKFinish(refined: DataFrame, q: DataFrame, o: DataFrame,
+      qCols: Array[String], oCols: Array[String], k: Int): DataFrame = {
+    val topk = refined
+      .groupBy(col("__qid"))
+      .agg(st.f("sd_knn_topk_agg", col("__d"), col("__otb"), col("__oid"),
+        lit(k)).as("__top"))
+      .select(col("__qid"), explode(col("__top")).as("__t"))
+      .select(col("__qid"), col("__t.oid").as("__woid"),
+        col("__t.d").as("knn_distance"), col("__t.rank").as("knn_rank"))
+    // o is persisted pre-dedup (one row per object-cell), so the distinct
+    // by id is a narrow shuffle of the object side, consistent with the
+    // ids the candidates carry
+    val oRows = o.select(col("__oid") +: oCols.map(c => o(c).as(s"__o_$c")): _*)
+      .dropDuplicates("__oid")
+    if (sys.env.contains("SPARK_GRAFT_KNN_PROF")) {
+      def t(name: String)(df: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"[knn-prof] $name n=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      t("topk-exploded")(topk)
+      t("join-q")(topk.join(q.select(col("__qid") +: qCols.map(col): _*), Seq("__qid")))
+      t("join-o")(topk.join(oRows, col("__woid") === col("__oid")))
+    }
+    topk.join(q.select(col("__qid") +: qCols.map(col): _*), Seq("__qid"))
+      .join(oRows, col("__woid") === col("__oid"))
       .select((qCols.map(col) ++ oCols.map(c => col(s"__o_$c").as(c)) ++
         Seq(col("knn_distance"), col("knn_rank"))).toIndexedSeq: _*)
   }
@@ -377,11 +500,60 @@ object SpatialJoins {
     * some radius; the terminal round hands cnt < k queries maxR (cover =
     * the full extent, so < k candidates there means the object side
     * itself holds fewer than k rows — taking everything is exact). */
+  /** Round-1 default for both grid KNN twins: driver-collect the fine
+    * per-cell histogram (<= nx*ny rows, the grid-resolution knob that
+    * already bounds the broadcast), build a [[graft.functions.CellBoundKd]]
+    * over it, and compute each query's kth-bound radius as a MAP-SIDE
+    * projection — no probe joins, no escalation rounds. Queries whose
+    * total histogram weight is below k (object side smaller than k) get
+    * `maxR`, matching the escalation's terminal-round semantics. */
+  private def kdBoundColumn(cellStats: DataFrame, k: Int, maxR: Double,
+      sphereMode: Boolean, anchor: (Column, Column, Column)): Column = {
+    import org.apache.spark.sql.graft.DatasetBridge
+    val t0 = System.nanoTime()
+    val rows = cellStats
+      .select(col("__ccx"), col("__ccy"), col("__ccnt"), col("__cpad")).collect()
+    val m = rows.length
+    val cx = new Array[Double](m); val cy = new Array[Double](m)
+    val w = new Array[Long](m); val pd = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val r = rows(i)
+      cx(i) = r.getDouble(0); cy(i) = r.getDouble(1)
+      w(i) = r.getLong(2); pd(i) = r.getDouble(3)
+      i += 1
+    }
+    val kd = if (sphereMode) graft.functions.CellBoundKd.sphere(cx, cy, w, pd)
+      else graft.functions.CellBoundKd.planar(cx, cy, w, pd)
+    if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
+      println(f"[knn-kdbound] cells=$m collect+buildSec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    val kk = k
+    val mr = maxR
+    val kern: Array[Any] => Any = a => {
+      val b = kd.kthBound(a(0).asInstanceOf[Double], a(1).asInstanceOf[Double], kk)
+      if (b < 0) mr else b + a(2).asInstanceOf[Double]
+    }
+    val (ax, ay, adiag) = anchor
+    DatasetBridge.column(graft.functions.GeomScalar("sd_knn_kdbound",
+      Seq(DatasetBridge.expr(ax), DatasetBridge.expr(ay), DatasetBridge.expr(adiag)),
+      org.apache.spark.sql.types.DoubleType,
+      Seq(graft.functions.ArgKind.Dbl, graft.functions.ArgKind.Dbl,
+        graft.functions.ArgKind.Dbl), kern))
+  }
+
+  /** Non-foldable constant-0 join key: a join on a LITERAL constant key
+    * constant-folds away and the equi-join degenerates to the
+    * BroadcastNestedLoopJoin the plan audit forbids; pmod over a data
+    * column is semantically the same constant 0 but survives the
+    * optimizer, keeping the whole-histogram probe a BroadcastHashJoin
+    * (plan shape pinned in SpatialJoinSpec). */
+  private def constKey(dataCol: Column): Column = pmod(dataCol, lit(1L))
+
   private[graft] def escalateKnnBounds(q: DataFrame, cellStats: DataFrame, k: Int,
       cells: (Column, Column) => Column,
       ubDist: (Column, Column, Column, Column) => Column,
       anchor: (Column, Column, Column),
-      ring: Double, maxR: Double, fineCellLimit: Long): DataFrame = {
+      ring: Double, maxR: Double): DataFrame = {
     val radii =
       Iterator.iterate(ring)(_ * 4).takeWhile(_ < maxR).take(12).toList :+ maxR
     // COUNT PROBES, not object probes: each round joins the query covers
@@ -396,8 +568,13 @@ object SpatialJoins {
     // (observed: a 5B-pair sort fallback filling the disk at m=100).
     // the histogram is persisted so the per-round broadcast exchanges
     // (one per eager round action — exchange reuse does not span
-    // actions) re-read <= 2*nx*ny cached rows instead of re-running the
-    // object aggregation (and its coarse derivation) every round
+    // actions) re-read <= nx*ny cached rows instead of re-running the
+    // object aggregation every round. The histogram is FINE-ONLY by
+    // construction (knnCellStats): bound rounds must never see a coarse
+    // row — a doubled fine+coarse multiset would shrink the weighted
+    // kth bound below the true kth distance (observed: lost neighbours
+    // on the 3-object global-cover fixture), and coarse-cell pads
+    // inflate resolved radii (measured 1.6-3x worse end to end).
     val probe = broadcast(cellStats
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // occupied-cell count, materialized once (also warms the persist):
@@ -409,21 +586,13 @@ object SpatialJoins {
     // row's ub is sound regardless of cover membership, and more
     // entries only lower the weighted kth bound). The cover is a
     // work-reduction device, never a correctness one.
-    // FINE rows only for the whole-histogram probe: the histogram also
-    // carries the derived nested-coarse rows, and probing both levels
-    // would count every object twice (a doubled multiset shrinks the
-    // weighted kth bound below the true kth distance — observed: lost
-    // neighbours on the 3-object global-cover fixture)
     // the whole-histogram probe is an equi-join on a CONSTANT key, not a
     // crossJoin: semantically identical (every pair matches), but it
     // plans as a BroadcastHashJoin — the operator keeps the no-BNLJ /
-    // no-Cartesian property the plan audit pins across every gate
-    // the key must be NON-FOLDABLE (pmod over a data column, always 0):
-    // a literal key constant-folds away and the join degenerates to the
-    // BroadcastNestedLoopJoin the audit forbids
-    val probeFine = broadcast(cellStats.filter(col("__ccell") < lit(fineCellLimit))
-      .withColumn("__k1", pmod(col("__ccell"), lit(1L))))
-    val histRows = cellStats.filter(col("__ccell") < lit(fineCellLimit)).count()
+    // no-Cartesian property the plan audit pins across every gate (see
+    // constKey for why the key must be non-foldable)
+    val probeAll = broadcast(cellStats.withColumn("__k1", constKey(col("__ccell"))))
+    val histRows = cellStats.count()
     // the per-pair ub is PURE DOUBLE ARITHMETIC: the query contributes a
     // fixed ANCHOR (its envelope min corner — a point of the envelope,
     // so any point of the query is within the envelope "diag" of it;
@@ -465,8 +634,8 @@ object SpatialJoins {
         val coverEst = { val c = 2.0 * r / ring + 1.0; c * c }
         val cand =
           if (coverEst >= histRows)
-            unresolved.withColumn("__k1", pmod(col("__qid"), lit(1L)))
-              .join(probeFine, "__k1")
+            unresolved.withColumn("__k1", constKey(col("__qid")))
+              .join(probeAll, "__k1")
           else unresolved
             .select(col("__qid"), col("__qax"), col("__qay"), col("__qdiag"),
               explode(cells(col("__qg"), lit(r))).as("__pcell"))
@@ -522,39 +691,6 @@ object SpatialJoins {
         (reachOf(col("__ccell")) + col("__mdiag")).as("__cpad"))
   }
 
-  /** NESTED-coarse histogram rows derived from the fine histogram (one
-    * tiny aggregation over <= nx*ny rows, never a second object scan):
-    * count = Σ member counts; pad = max over member fine cells of
-    * (dist(coarse center, fine center) + fine pad), a sound bound by
-    * the triangle inequality for any metric. With these rows present
-    * the BOUND escalation rounds can probe with the same MIXED cover
-    * the final probe uses — an isolated query's large-radius round
-    * enumerates ~fx*fy fewer cells, and each object is still counted
-    * exactly once per cover (interior via its coarse row, boundary via
-    * fine; interior fine cells are not in a mixed cover). */
-  private def coarsenCellStats(fine: DataFrame, nx: Int, ny: Int,
-      centerXYCoarse: Column => (Column, Column),
-      ubDist: (Column, Column, Column, Column) => Column): DataFrame = {
-    val fx = graft.functions.Grid.nestFactor(nx)
-    val fy = graft.functions.Grid.nestFactor(ny)
-    if (fx * fy <= 1) return fine
-    val off = nx.toLong * ny
-    val cnx = nx / fx
-    val cy = floor(col("__ccell") / nx)
-    val cx = col("__ccell") - cy * nx
-    val cid = floor(cy / fy) * cnx + floor(cx / fx) + lit(off)
-    val (gx, gy) = centerXYCoarse(col("__gcid"))
-    val coarse = fine
-      .withColumn("__gcid", cid) // projected first: a grouping ALIAS is
-      .groupBy(col("__gcid"))    // not referenceable inside agg functions
-      .agg(sum(col("__ccnt")).as("__ccnt"),
-        max(ubDist(gx, gy, col("__ccx"), col("__ccy")) + col("__cpad"))
-          .as("__cpad"))
-      .select(col("__gcid").as("__ccell"), col("__ccnt"),
-        gx.as("__ccx"), gy.as("__ccy"), col("__cpad"))
-    fine.unionByName(coarse)
-  }
-
   /** Spheroid (great-circle) partitioned KNN join — the scale path when
     * the OBJECT side of a `st_knn(..., use_spheroid=true)` join cannot be
     * broadcast, closing the one join family that previously always
@@ -601,15 +737,19 @@ object SpatialJoins {
 
     val qCols = query.columns
     val oCols = objects.columns
-    val q = graft.CacheRegistry.register(query.withColumn("__qg", queryGeom)
+    // persisted now, CacheRegistry-registered at the END of construction
+    // (see the planar twin: early registration lets construction-time
+    // collects sweep the caches mid-build)
+    val q = query.withColumn("__qg", queryGeom)
       .withColumn("__qid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val o = graft.CacheRegistry.register(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o =
       objects.withColumn("__og", objectGeom).withColumn("__otb", tieBreak.cast("double"))
         .withColumn("__oid", monotonically_increasing_id())
+        .withColumn("__o4", st.f("sd_envelopesphere4", col("__og")))
         .withColumn("__ocell", explode(st.f("sd_gridcells_sphere4_knndual",
           st.f("sd_envelopesphere4", col("__og")), lit(0.0), lit(nx), lit(ny))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // round 1: geometric radius escalation over the per-cell COUNT
     // histogram -> per-query bound (one-ring geodesic probe first, 4x
@@ -655,50 +795,61 @@ object SpatialJoins {
     // per-pair ub = haversine on raw doubles (no WKB in the bound loop)
     def ubDist(ax: Column, ay: Column, bx: Column, by: Column): Column =
       st.f("sd_haversine", ax, ay, bx, by)
-    val fxN = graft.functions.Grid.nestFactor(nx)
-    val fyN = graft.functions.Grid.nestFactor(ny)
-    val offN = nx.toLong * ny
-    def cCenterXY(cell: Column): (Column, Column) = (
-      lit(-180.0) + (pmod(cell - lit(offN), lit(nx / fxN)).cast("double") + 0.5) *
-        (cellW * fxN),
-      lit(-90.0) + (floor((cell - lit(offN)) / (nx / fxN)).cast("double") + 0.5) *
-        (cellH * fyN))
-    val cellStats = coarsenCellStats(
-      knnCellStats(objects, objectGeom, canonCell, centerXY, reachOf, diagCol),
-      nx, ny, cCenterXY, ubDist)
+    // histogram stays FINE-ONLY (see the planar twin / escalateKnnBounds)
+    val cellStats =
+      knnCellStats(objects, objectGeom, canonCell, centerXY, reachOf, diagCol)
     def qe(i: Int) = element_at(st.f("sd_envelopesphere4", col("__qg")), i)
     val qAnchor = (qe(1), qe(2),
       when(qe(1) > qe(3) || qe(3) - qe(1) >= 180.0, lit(maxGeo))
         .otherwise(least(rectBound(qe(3) - qe(1), qe(4) - qe(2)), lit(maxGeo))))
-    val bound = escalateKnnBounds(q, cellStats, k, cells, ubDist, qAnchor,
-      ringM, maxGeo, nx.toLong * ny)
+    // round 1 (see the planar twin): map-side CellBoundKd radius by
+    // default, count-probe escalation as the A/B fallback
+    val useKd = query.sparkSession.conf
+      .getOption("spark.graft.knn.kdBound").forall(_ == "true")
+    val withRadius =
+      if (useKd)
+        q.withColumn("__radius",
+          kdBoundColumn(cellStats, k, maxGeo, sphereMode = true, qAnchor))
+      else
+        q.join(escalateKnnBounds(q, cellStats, k, cells, ubDist, qAnchor,
+            ringM, maxGeo), Seq("__qid"), "left")
+          .withColumn("__radius", coalesce(col("__radius"), lit(maxGeo)))
 
     // round 2: exact re-probe of the radius-expanded spherical cover
-    // (queries with an empty neighbourhood at every escalation radius can
-    // only mean an object side smaller than k — the left-join coalesce
-    // below hands them the antipodal maximum, rare by construction,
-    // never wrong)
+    // (a query bound of maxGeo can only mean an object side smaller than
+    // k — rare by construction, never wrong)
     // occupied-cell semi filter (see the planar twin): empty-ocean cover
     // cells never reach the shuffle
     val occupied = broadcast(o.select(col("__ocell").as("__occ")).distinct())
-    val q2 = q.join(bound, Seq("__qid"), "left")
-      .withColumn("__radius", coalesce(col("__radius"), lit(maxGeo)))
+    // per-side envelope SCALARS, not per-pair element_at (see the planar
+    // twin's generated-method-size note); point-point pairs (degenerate
+    // spherical envelopes, the common KNN shape) refine via haversine on
+    // raw doubles — no per-pair WKB parse
+    def q4(i: Int) = element_at(st.f("sd_envelopesphere4", col("__qg")), i)
+    val q2 = withRadius.select(col("__qid"), col("__qg"), col("__radius"),
+        q4(1).as("__qx0"), q4(2).as("__qy0"),
+        (q4(1) === q4(3) && q4(2) === q4(4)).as("__qpt"))
       .withColumn("__pcell",
         explode(cellsMixed(col("__qg"), col("__radius") + lit(1e-3))))
       .join(occupied, col("__pcell") === col("__occ"), "left_semi")
-    val w2 = Window.partitionBy("__qid").orderBy(col("__d"), col("__otb"), col("__oid"))
-    q2.join(o.select(Seq(col("__ocell"), col("__og"), col("__otb"), col("__oid")) ++
-        oCols.map(c => o(c).as(s"__o_$c")): _*)
+    def o4(i: Int) = element_at(col("__o4"), i)
+    val pairs = q2.join(
+      o.select(col("__ocell"), col("__og"),
+          o4(1).as("__ox0"), o4(2).as("__oy0"),
+          (o4(1) === o4(3) && o4(2) === o4(4)).as("__opt"),
+          col("__otb"), col("__oid"))
         .hint("shuffle_hash"), // probe side is an explode: see escalateKnnBounds
-        col("__pcell") === col("__ocell"))
-      .withColumn("__d", st.f("st_distancesphere", col("__qg"), col("__og")))
+      col("__pcell") === col("__ocell"))
+    val refined = pairs
+      .withColumn("__d", when(col("__qpt") && col("__opt"),
+          st.f("sd_haversine", col("__qx0"), col("__qy0"), col("__ox0"), col("__oy0")))
+        .otherwise(st.f("st_distancesphere", col("__qg"), col("__og"))))
       .filter(col("__d") <= col("__radius") + lit(1e-3))
-      .dropDuplicates("__qid", "__oid")
-      .withColumn("knn_rank", row_number().over(w2))
-      .filter(col("knn_rank") <= k)
-      .withColumn("knn_distance", col("__d"))
-      .select((qCols.map(col) ++ oCols.map(c => col(s"__o_$c").as(c)) ++
-        Seq(col("knn_distance"), col("knn_rank"))).toIndexedSeq: _*)
+      .select(col("__qid"), col("__oid"), col("__otb"), col("__d"))
+    val result = knnTopKFinish(refined, q, o, qCols, oCols, k)
+    graft.CacheRegistry.register(q)
+    graft.CacheRegistry.register(o)
+    result
   }
 
   private class GeomItemDistance extends ItemDistance with Serializable {

@@ -139,9 +139,12 @@ object PipelineOps {
     * @return (id, group_id) for every id that appears in `pairs`, where
     *   group_id is the minimum id in the component
     */
-  /** Diagnostic: LS/SS shuffle rounds executed by the most recent
+  /** Diagnostic ONLY: LS/SS shuffle rounds executed by the most recent
     * [[connectedComponents]] call on this JVM (0 = resolved on the
-    * local union-find path). Read by ScaleBench's campaign logging. */
+    * local union-find path). Read by ScaleBench's campaign logging —
+    * a single-bench-at-a-time context. JVM-global by design: concurrent
+    * pipelines racing on it will read each other's round counts, so it
+    * must never feed product logic (results carry no dependence on it). */
   val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   def connectedComponents(pairs: DataFrame, aCol: Column, bCol: Column,

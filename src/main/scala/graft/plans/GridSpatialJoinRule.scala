@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateFunction, Max, Min}
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
@@ -82,7 +82,81 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
             rewriteLeftOuter(j, left, right, ex).getOrElse(j)
           case _ => j
         }
+      // FULL OUTER fires at EVERY size: without the rewrite Spark's only
+      // plan is a BroadcastNestedLoopJoin (correct, quadratic refine), so
+      // even the broadcast-sized case wins from inner-join + anti-pads —
+      // the inner join below re-enters planning and takes the broadcast
+      // index path (small side) or this rule's grid path (both large).
+      case j @ Join(left, right, FullOuter, Some(cond), _)
+          if !j.isStreaming && !hasEquiConjunct(cond, left, right) =>
+        SpatialPredicate.extract(cond, left, right) match {
+          case Some(_) => rewriteFullOuter(j, left, right, cond).getOrElse(j)
+          case None => j
+        }
     }
+  }
+
+  /** FULL OUTER: the reference's spatial join supports inner/left/right/
+    * full (rust/sedona-spatial-join/src/exec.rs:88, test_sjoin.py:34-36);
+    * here full-outer assembles from the INNER spatial join over row-id-
+    * tagged sides plus BOTH anti-pads (the row-id tag + null-pad scheme
+    * `SphereJoinRule.rewriteLeftType` / `rewriteLeftOuter` already prove):
+    *
+    *   L' = L + __fsj_lid (persisted: both branches must see one id set)
+    *   R' = R + __fsj_rid (persisted)
+    *   inner = L' JOIN R' ON cond            -- broadcast or grid planned
+    *   full  = inner ∪ (L' ANTI matchedL) × nulls ∪ nulls × (R' ANTI matchedR)
+    *
+    * All column plumbing is positional (attribute-based) so shared names
+    * across sides are fine. The matched-id sides are distinct long sets —
+    * broadcast-sized in the anti joins by construction at any data scale
+    * where the inner result itself is computable. */
+  private def rewriteFullOuter(
+      j: Join, lChild: LogicalPlan, rChild: LogicalPlan,
+      cond: Expression): Option[LogicalPlan] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.DatasetBridge
+    if (j.output.exists(a => a.name == "__fsj_lid" || a.name == "__fsj_rid" ||
+        a.name == "__fsj_mid"))
+      return None
+    val lDF = graft.CacheRegistry.register(
+      DatasetBridge.ofRows(session, lChild)
+        .withColumn("__fsj_lid", monotonically_increasing_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rDF = graft.CacheRegistry.register(
+      DatasetBridge.ofRows(session, rChild)
+        .withColumn("__fsj_rid", monotonically_increasing_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the tagged sides keep the children's attribute ids, so the original
+    // condition resolves against them unchanged
+    val inner = lDF.join(rDF, DatasetBridge.column(cond), "inner")
+    val innerAttrs = inner.queryExecution.analyzed.output
+    val nL = lChild.output.length
+    val nR = rChild.output.length
+    if (innerAttrs.length != nL + 1 + nR + 1) return None
+    val lidInner = innerAttrs(nL)
+    val ridInner = innerAttrs.last
+    val lAttrs = innerAttrs.take(nL)
+    val rAttrs = innerAttrs.slice(nL + 1, nL + 1 + nR)
+    val matchedL = inner.select(DatasetBridge.column(lidInner).as("__fsj_mid")).distinct()
+    val matchedR = inner.select(DatasetBridge.column(ridInner).as("__fsj_mid")).distinct()
+    val lTagId = lDF.queryExecution.analyzed.output.last
+    val rTagId = rDF.queryExecution.analyzed.output.last
+    val lCols = lChild.output.map(DatasetBridge.column)
+    val rCols = rChild.output.map(DatasetBridge.column)
+    val antiL = lDF.join(matchedL,
+        DatasetBridge.column(lTagId) === col("__fsj_mid"), "left_anti")
+      .select(lCols ++ rChild.output.map(a => lit(null).cast(a.dataType)): _*)
+    val antiR = rDF.join(matchedR,
+        DatasetBridge.column(rTagId) === col("__fsj_mid"), "left_anti")
+      .select(lChild.output.map(a => lit(null).cast(a.dataType)) ++ rCols: _*)
+    val result = inner.select((lAttrs ++ rAttrs).map(DatasetBridge.column): _*)
+      .unionAll(antiL).unionAll(antiR)
+    val analyzed = result.queryExecution.optimizedPlan
+    if (analyzed.output.length != j.output.length) None
+    else Some(Project(j.output.zip(analyzed.output).map { case (orig, a) =>
+      Alias(a, orig.name)(exprId = orig.exprId)
+    }, analyzed))
   }
 
   /** Large-large LEFT OUTER: inner grid join over a row-id-tagged left

@@ -48,10 +48,13 @@ case class SemiUnderDistinctRule(session: SparkSession)
     // projection chain above the join)
     def descend(p: LogicalPlan, needed: AttributeSet): Option[LogicalPlan] =
       p match {
-        case pr @ Project(pl, c) =>
-          val below = AttributeSet(pl.filter(e =>
-            needed.contains(e.toAttribute)).flatMap(_.references))
-          descend(c, below).map(nc => pr.copy(child = nc))
+        case Project(pl, c) =>
+          // keep only the entries the distinct reads: an unneeded entry may
+          // reference the join side the semi rewrite is about to drop, and
+          // copying it through would leave an unresolvable Project
+          val kept = pl.filter(e => needed.contains(e.toAttribute))
+          val below = AttributeSet(kept.flatMap(_.references))
+          descend(c, below).map(nc => Project(kept, nc))
         case jn @ Join(a, b, Inner, cond, JoinHint.NONE) if !jn.isStreaming =>
           if (needed.subsetOf(a.outputSet))
             Some(jn.copy(joinType = LeftSemi))

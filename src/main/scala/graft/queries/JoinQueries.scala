@@ -221,6 +221,19 @@ object JoinQueries {
       semi.union(anti).union(ro).union(mark)
     }),
 
+    // FULL OUTER spatial join (reference exec.rs:88, test_sjoin.py:34-36):
+    // GridSpatialJoinRule assembles inner + both-side anti-pads from
+    // row-id-tagged sides; the inner join takes the broadcast index path
+    // at gate scale (the large-large grid path is pinned in
+    // SpatialJoinSpec with set+collect inside one conf window)
+    "sj17_full_outer_join" -> ((s, dir) => {
+      prep(s)
+      val pts = orderPoints(s, dir).select(col("o_orderkey"), col("pt"))
+      val boxes = partBoxes(s, dir).select(col("p_partkey"), col("box"))
+      pts.join(boxes, st.intersects(col("pt"), col("box")), "full_outer")
+        .select(col("o_orderkey"), col("p_partkey"))
+    }),
+
     // geography intersects join (st_intersectssphere refine over the
     // radius-0 grid cover). Point-in-quad membership rides the chart
     // containment branch of the spherical distance kernel, so the
@@ -636,6 +649,12 @@ object JoinQueries {
         |SELECT o_orderkey AS key, 'mark' AS tag FROM p
         |WHERE o_orderkey % 1000 = 0
         |  OR o_orderkey IN (SELECT o_orderkey FROM hit)""".stripMargin,
+
+    "sj17_full_outer_join" ->
+      s"""WITH p AS ($pointsSql), b AS ($boxesSql)
+        |SELECT p.o_orderkey, b.p_partkey FROM p FULL OUTER JOIN b
+        |ON p.px >= b.bxmin AND p.px <= b.bxmin + b.bw
+        |AND p.py >= b.bymin AND p.py <= b.bymin + b.bh""".stripMargin,
 
     "sj13_sphere_intersects_join" ->
       """WITH q AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,

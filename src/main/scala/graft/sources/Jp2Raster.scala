@@ -220,7 +220,19 @@ private[graft] object Jp2Raster {
       if (needed.exists(ti => ti >= ranges.length || ranges(ti).isEmpty))
         return None
       val out = new java.io.ByteArrayOutputStream()
-      out.write(head, 0, hd.firstSot)
+      // main header with TLM STRIPPED: the original TLM describes the
+      // FULL stream's tile-part offsets/lengths, which are meaningless in
+      // a stitched stream — a consumer re-windowing the stitched output
+      // through tileRangesFromTlm would read garbage ranges. Internal
+      // decode ignores TLM, so dropping it loses nothing.
+      val bbH = java.nio.ByteBuffer.wrap(head).order(java.nio.ByteOrder.BIG_ENDIAN)
+      out.write(head, 0, hd.csOff + 2)
+      var hp = hd.csOff + 2
+      while (hp < hd.firstSot) {
+        val segLen = 2 + (bbH.getShort(hp + 2) & 0xFFFF)
+        if ((bbH.getShort(hp) & 0xFFFF) != 0xFF55) out.write(head, hp, segLen)
+        hp += segLen
+      }
       needed.foreach { ti =>
         if (discard == 0) {
           ranges(ti).foreach { case (off, len) =>

@@ -17,6 +17,8 @@ object DatasetBridge {
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
   /** DataFrame over an RDD of UnsafeRows matching `schema` (the
     * private[sql] internalCreateDataFrame — used by ScalableRank to
     * re-enter DataFrame land after a per-partition index pass). */

@@ -108,12 +108,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("round-7 gates keep their intended plan shapes") {
-    // sj10 out-of-core KNN grid: cell equi-join + window ranking — the
-    // two-round exact algorithm's shape; anything quadratic is a bug
+    // sj10 out-of-core KNN grid: cell equi-join + BOUNDED top-k aggregate
+    // (round 15: sd_knn_topk_agg + winner rejoin replaced the
+    // dropDuplicates/row_number window — only (qid, <=k) buffers shuffle);
+    // anything quadratic is a bug
     val sj10 = entries("sj10_knn_grid_join").plan
     assert(sj10.contains("SortMergeJoin") || sj10.contains("ShuffledHashJoin") ||
       sj10.contains("BroadcastHashJoin"), "sj10 lost its grid equi-join")
-    assert(sj10.contains("Window"), "sj10 lost its window ranking")
+    assert(sj10.contains("sd_knn_topk_agg"), "sj10 lost its top-k aggregate")
     // sj11: the planner must pick KnnJoinExec in spheroid mode (the
     // chord kd-tree branch-and-bound path, not the planar tree)
     val sj11df = SparkEntry.queries("sj11_knn_spheroid")(spark, dir)
@@ -370,15 +372,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("round-13 gates keep their intended plan shapes") {
-    // sj16 spheroid out-of-core KNN: geodesic cell equi-join + window
-    // ranking, nothing broadcast-nested-loop, the spherical cover explode
-    // present — the plan that holds when the object side is 100 TB
+    // sj16 spheroid out-of-core KNN: geodesic cell equi-join + BOUNDED
+    // top-k aggregate (see sj10's round-15 note), nothing broadcast-
+    // nested-loop, the spherical cover explode present — the plan that
+    // holds when the object side is 100 TB
     val sj16 = entries("sj16_knn_spheroid_grid").plan
     assert(!sj16.contains("BroadcastNestedLoopJoin") &&
       !sj16.contains("CartesianProduct"), "sj16 fell back to BNLJ/cartesian")
     assert(sj16.contains("SortMergeJoin") || sj16.contains("ShuffledHashJoin") ||
       sj16.contains("BroadcastHashJoin"), "sj16 lost its grid equi-join")
-    assert(sj16.contains("Window"), "sj16 lost its window ranking")
+    assert(sj16.contains("sd_knn_topk_agg"), "sj16 lost its top-k aggregate")
     assert(sj16.toLowerCase.contains("gridcells_sphere"),
       "sj16 lost the spherical grid cover explode")
   }

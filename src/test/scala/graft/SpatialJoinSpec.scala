@@ -273,6 +273,47 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("FULL OUTER spatial join: broadcast and grid paths, no BNLJ") {
+    val p = points(250, 71).toDF("pid", "pgeom")
+    val b = boxes(40, 73)
+    def q(): DataFrame =
+      p.join(b, st.intersects(col("pgeom"), col("bgeom")), "full_outer")
+        .select(col("pid"), col("bid"))
+    // reference: Spark's native (quadratic BNLJ) full outer, rewrite off
+    spark.conf.set("spark.graft.join.grid.enabled", "false")
+    val expected = try sortedRows(q())
+      finally spark.conf.set("spark.graft.join.grid.enabled", "true")
+    // broadcast-sized: the rewrite's inner join takes the index path
+    val jb = q()
+    val physB = jb.queryExecution.executedPlan.toString
+    assert(!physB.contains("BroadcastNestedLoopJoin"), physB.take(2000))
+    assert(physB.contains("BroadcastIndexSpatialJoin"), physB.take(2000))
+    assert(sortedRows(jb) == expected)
+    // large-large: broadcast off, the inner join takes the grid path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val jg = q()
+      val physG = jg.queryExecution.executedPlan.toString
+      assert(!physG.contains("BroadcastNestedLoopJoin"), physG.take(2000))
+      assert(sortedRows(jg) == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // SQL surface + dwithin form, shared column names across sides
+    p.createOrReplaceTempView("fo_p")
+    b.createOrReplaceTempView("fo_b")
+    val sqlExpected = {
+      spark.conf.set("spark.graft.join.grid.enabled", "false")
+      try sortedRows(spark.sql(
+        """SELECT p.pid, b.bid FROM fo_p p FULL OUTER JOIN fo_b b
+          |ON st_dwithin(p.pgeom, b.bgeom, 2.0)""".stripMargin))
+      finally spark.conf.set("spark.graft.join.grid.enabled", "true")
+    }
+    val js = spark.sql(
+      """SELECT p.pid, b.bid FROM fo_p p FULL OUTER JOIN fo_b b
+        |ON st_dwithin(p.pgeom, b.bgeom, 2.0)""".stripMargin)
+    assert(!js.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(sortedRows(js) == sqlExpected)
+  }
+
   test("grid rewrite: empty sides degrade gracefully") {
     val p = points(50, 97).filter(col("pid") < 0) // empty
     val b = boxes(50, 99)
@@ -538,6 +579,34 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .select("qid", "oid")
     assert(sortedRows(grid) == sortedRows(brute))
+  }
+
+  test("planar grid KNN: occupancy-filtered covers ≡ legacy explode+semi path") {
+    import spark.implicits._
+    // same sparse-clustered shape that motivates the occ bitmap: the
+    // emitted pair set (and thus the result) must be IDENTICAL with the
+    // occupancy-filtered cover kernels on (default) and off (legacy
+    // broadcast-semi path) — an unoccupied cell matches nothing either way
+    val rnd = new java.util.Random(47)
+    val o = (0 until 400).map { i =>
+      (i.toLong, rnd.nextDouble() * 800, rnd.nextDouble() * 1000)
+    }.toDF("oid", "ox", "oy")
+      .select(col("oid"), st.point(col("ox"), col("oy")).as("opt"))
+    val q = (0 until 50).map { i =>
+      if (i % 10 < 3) (i.toLong, 1600.0 + rnd.nextDouble() * 300, rnd.nextDouble() * 1000)
+      else (i.toLong, rnd.nextDouble() * 760, rnd.nextDouble() * 1000)
+    }.toDF("qid", "qx", "qy")
+      .select(col("qid"), st.point(col("qx"), col("qy")).as("qpt"))
+    def run(): Seq[String] = sortedRows(
+      SpatialJoins.knnJoinGrid(q, o, col("qpt"), col("opt"), 3, col("oid"),
+        nx = 64, ny = 32, bounds = Some((0.0, 0.0, 2000.0, 1000.0)))
+        .select(col("qid"), col("oid"), col("knn_rank")))
+    val withOcc = run()
+    spark.conf.set("spark.graft.knn.occCover", "false")
+    val legacy = try run()
+      finally spark.conf.unset("spark.graft.knn.occCover")
+    assert(withOcc == legacy)
+    assert(withOcc.nonEmpty)
   }
 
   test("spheroid grid KNN ≡ brute-force geodesic rank incl. dateline + pole") {
