@@ -762,6 +762,44 @@ object RasterOps {
       graft.sources.Jp2Raster.write(rast(a), levels, tiles, qstep)
     }),
 
+    // RS_AsJPEG2000_Profile(raster, levels, qstep, derived, cocSpec) ->
+    // binary: the full signalling surface in one call. qstep = 0 keeps
+    // the 5/3 lossless path; derived != 0 selects scalar-DERIVED
+    // quantization (QCD style 1: one (ε0, μ0) word, ε_b derived per
+    // resolution — the common openjpeg lossy signalling). cocSpec emits
+    // per-component COC overrides: ';'-separated entries of
+    // '<comp>:cb=<exp>' (code-block size) and '<comp>:pp=<x>x<y>'
+    // (precinct exponents); empty = none.
+    fnv("rs_asjpeg2000_profile", BinaryType,
+      Seq(Seq(Raw, Int_, Dbl, Int_, Str)))(a => {
+      val levels = a(1).asInstanceOf[Int]
+      val qstep = a(2).asInstanceOf[Double]
+      val derived = a(3).asInstanceOf[Int] != 0
+      val spec = a(4).asInstanceOf[String].trim
+      require(levels >= 0 && levels <= 32,
+        s"rs_asjpeg2000_profile: decomposition levels $levels out of range 0..32")
+      require(qstep >= 0,
+        s"rs_asjpeg2000_profile: negative quantization step: $qstep")
+      var cb = Map.empty[Int, Int]
+      var pp = Map.empty[Int, (Int, Int)]
+      if (spec.nonEmpty) spec.split(";").foreach { ent =>
+        val cv = ent.split(":", 2)
+        require(cv.length == 2, s"rs_asjpeg2000_profile: bad COC entry '$ent'")
+        val comp = cv(0).trim.toInt
+        cv(1).trim match {
+          case s if s.startsWith("cb=") => cb += comp -> s.drop(3).toInt
+          case s if s.startsWith("pp=") =>
+            val xy = s.drop(3).split("x", 2)
+            require(xy.length == 2, s"rs_asjpeg2000_profile: bad pp in '$ent'")
+            pp += comp -> (xy(0).toInt, xy(1).toInt)
+          case other => throw new IllegalArgumentException(
+            s"rs_asjpeg2000_profile: unknown COC override '$other'")
+        }
+      }
+      graft.sources.Jp2Raster.write(rast(a), levels, qstep = qstep,
+        derivedQuant = derived, cocCbExp = cb, cocPrecinct = pp)
+    }),
+
     // RS_AsNetCDF(raster) -> binary: classic CDF-2 serialization through
     // sources.NetCdf (writer symmetry with RS_AsGeoTiff; the reference's
     // GDAL side can write netCDF through the same driver it reads with).

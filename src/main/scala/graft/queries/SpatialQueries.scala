@@ -1403,6 +1403,45 @@ object SpatialQueries {
     // transform or quantizer flips a boolean and hash-mismatches; the
     // lossy stream must also undercut the LOSSLESS encoding of the same
     // raster, proving the step actually bought rate
+    // COC per-component overrides + scalar-DERIVED quantization (QCD
+    // style 1) through the SQL profile writer: one stream carries a
+    // COC (code-block + precinct override for component 0) AND the
+    // one-word derived QCD — the openjpeg-style signalling surface the
+    // plain lossy writer doesn't emit. Tolerances follow rs21's; the
+    // derived top band quantizes ~2^(levels-1) coarser than qstep.
+    "rs23_jp2_coc_derived" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("vals", expr(
+          "transform(sequence(0, 64*48 - 1), i -> " +
+            "CAST((n_nationkey*6553 + (i % 64)*29 + CAST(i / 64 AS INT)*47 " +
+            "+ (i * 131071) % 83) % 60000 AS DOUBLE))"))
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("r", st.f("rs_setbandpixeltype",
+          st.f("rs_setcrs",
+            st.f("rs_makeraster", lit(64), lit(48), col("ulx"), lit(100.0),
+              lit(2.0), lit(-2.0), col("vals")),
+            lit("EPSG:32610")),
+          lit("UNSIGNED_16BITS")))
+        .withColumn("g", st.f("rs_asjpeg2000_profile", col("r"), lit(3),
+          lit(6.0), lit(1), lit("0:cb=4;0:pp=5x4")))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          st.f("rs_bandpixeltype", col("rt"), lit(1)).as("ptype"),
+          (abs(st.f("rs_bandavg", col("rt"), lit(1)) -
+            st.f("rs_bandavg", col("r"), lit(1))) <= lit(12.0)).as("avg_ok"),
+          (abs(st.f("rs_value", col("rt"), lit(1), lit(10), lit(7)) -
+            st.f("rs_value", col("r"), lit(1), lit(10), lit(7))) <= lit(200.0))
+            .as("px_ok"),
+          (octet_length(col("g")) <
+            octet_length(st.f("rs_asjpeg2000_profile", col("r"), lit(3),
+              lit(0.0), lit(0), lit("0:cb=4;0:pp=5x4"))))
+            .as("smaller_than_lossless_coc"))
+    }),
+
     "rs21_jp2_lossy" -> ((s, dir) => {
       prep(s)
       t(s, dir, "nation")
@@ -2324,6 +2363,14 @@ object SpatialQueries {
     // lossy JP2: the tolerance booleans are computed in Spark against
     // the same-row original; the oracle pins the metadata and that every
     // claim holds
+    "rs23_jp2_coc_derived" ->
+      """SELECT n_nationkey,
+        |  CAST(64 AS INT) AS w, CAST(48 AS INT) AS h,
+        |  'EPSG:32610' AS crs, 'UNSIGNED_16BITS' AS ptype,
+        |  TRUE AS avg_ok, TRUE AS px_ok,
+        |  TRUE AS smaller_than_lossless_coc
+        |FROM nation""".stripMargin,
+
     "rs21_jp2_lossy" ->
       """SELECT n_nationkey,
         |  CAST(64 AS INT) AS w, CAST(48 AS INT) AS h,

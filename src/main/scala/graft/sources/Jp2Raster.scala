@@ -43,7 +43,10 @@ private[graft] object Jp2Raster {
       tileSize: Option[(Int, Int)] = None, qstep: Double = 0.0,
       layers: Int = 1, order: Int = 0,
       precinct: Option[(Int, Int)] = None, sopEph: Boolean = false,
-      partsPerResolution: Boolean = false): Array[Byte] = {
+      partsPerResolution: Boolean = false,
+      derivedQuant: Boolean = false,
+      cocCbExp: Map[Int, Int] = Map.empty,
+      cocPrecinct: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asjpeg2000: raster has no loaded bands")
     val planes = r.bands.zipWithIndex.map { case (b, bi) =>
       val (depth, signed) = IntTypes.getOrElse(b.pixelTypeName,
@@ -75,7 +78,8 @@ private[graft] object Jp2Raster {
     val cs = Jpeg2000.encode(planes, levels = levels,
       mct = planes.length == 3, tileSize = tileSize, qstep = qstep,
       layers = layers, order = order, precinct = precinct, sopEph = sopEph,
-      partsPerResolution = partsPerResolution)
+      partsPerResolution = partsPerResolution, derivedQuant = derivedQuant,
+      cocCbExp = cocCbExp, cocPrecinct = cocPrecinct)
 
     val out = new java.io.ByteArrayOutputStream()
     def box(tp: String, payload: Array[Byte]): Unit = {

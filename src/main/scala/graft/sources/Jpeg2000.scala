@@ -1113,18 +1113,21 @@ private[graft] object Jpeg2000 {
     * position-sampling loops. Both directions iterate this one sequence,
     * so packet order is consistent by construction. */
   private def packetSeq(order: Int, layers: Int, nc: Int, nl: Int,
-      tcw: Int, tch: Int, pp: Int => (Int, Int)): IndexedSeq[PktId] = {
+      tcw: Int, tch: Int, pp: (Int, Int) => (Int, Int)): IndexedSeq[PktId] = {
+    // pp is (resolution, component) -> precinct exponents: a COC override
+    // gives components their own precinct grids, so the precinct count
+    // varies per (r, c) — generation order is irrelevant (sorted below)
     val all = for {
       r <- 0 to nl
-      (ppx, ppy) = pp(r)
-      (npx, npy) = precGridOf(tcw, tch, nl, r, ppx, ppy)
       c <- 0 until nc
+      (ppx, ppy) = pp(r, c)
+      (npx, npy) = precGridOf(tcw, tch, nl, r, ppx, ppy)
       l <- 0 until layers
       piy <- 0 until npy
       pix <- 0 until npx
     } yield PktId(l, r, c, pix, piy, piy * npx + pix)
     def pos(k: PktId): (Long, Long) = {
-      val (ppx, ppy) = pp(k.r)
+      val (ppx, ppy) = pp(k.r, k.c)
       (k.piy.toLong << (ppy + nl - k.r), k.pix.toLong << (ppx + nl - k.r))
     }
     order match {
@@ -1211,8 +1214,22 @@ private[graft] object Jpeg2000 {
       mct: Boolean = false, tileSize: Option[(Int, Int)] = None,
       qstep: Double = 0.0, layers: Int = 1, order: Int = 0,
       precinct: Option[(Int, Int)] = None, sopEph: Boolean = false,
-      partsPerResolution: Boolean = false): Array[Byte] = {
+      partsPerResolution: Boolean = false,
+      derivedQuant: Boolean = false,
+      cocCbExp: Map[Int, Int] = Map.empty,
+      cocPrecinct: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
     val lossy = qstep > 0.0
+    require(!derivedQuant || lossy,
+      "jpeg2000: derivedQuant is a lossy-path (qstep > 0) option")
+    cocCbExp.foreach { case (c, e) =>
+      require(c >= 0 && c < planes.length && e >= 2 && e <= 10,
+        s"jpeg2000: COC code-block override out of range: comp $c exp $e")
+    }
+    cocPrecinct.foreach { case (c, (px, py)) =>
+      require(c >= 0 && c < planes.length &&
+        px >= 1 && px <= 15 && py >= 1 && py <= 15,
+        s"jpeg2000: COC precinct override out of range: comp $c ($px,$py)")
+    }
     require(planes.nonEmpty, "jpeg2000: no components")
     require(layers >= 1 && layers <= 1000, "jpeg2000: layers must be 1..1000")
     require(order >= 0 && order <= 4,
@@ -1281,6 +1298,23 @@ private[graft] object Jpeg2000 {
     u8(0)        // code-block style: all defaults
     u8(if (lossy) 0 else 1) // transform: 0 = 9/7 irreversible, 1 = 5/3
     if (usePrec) for (_ <- 0 to nl) u8(ppxE | (ppyE << 4))
+    // per-component overrides for code-block size / precincts (COC,
+    // A.6.2) — the decode-side COC surface is differential-tested by
+    // emitting them from this encoder (the rs20/rs22 pattern)
+    def cbExpOfE(comp: Int): Int = cocCbExp.getOrElse(comp, cbExp)
+    def ppOfE(comp: Int): (Int, Int) = cocPrecinct.getOrElse(comp, (ppxE, ppyE))
+    for (comp <- planes.indices
+        if cocCbExp.contains(comp) || cocPrecinct.contains(comp)) {
+      val ce = cbExpOfE(comp)
+      val hasPrec = cocPrecinct.contains(comp)
+      val (cpx, cpy) = ppOfE(comp)
+      u16(0xFF53)
+      u16(9 + (if (hasPrec) nl + 1 else 0))
+      u8(comp) // Ccoc (1 byte: nc < 257 always holds here)
+      u8(if (hasPrec) 1 else 0) // Scoc
+      u8(nl); u8(ce - 2); u8(ce - 2); u8(0); u8(if (lossy) 0 else 1)
+      if (hasPrec) for (_ <- 0 to nl) u8(cpx | (cpy << 4))
+    }
     val depthMax = planes.map(_.depth).max
     def gainOf(band: Int): Int = band match {
       case 0 => 0
@@ -1296,24 +1330,42 @@ private[graft] object Jpeg2000 {
       depthMax + gainOf(band) + (if (mct && comp >= 1) 1 else 0)
     // lossy: per-subband signalled (ε, μ) for the uniform requested step
     // at the subband's dynamic-range exponent Rb = depth + gain; the
-    // QUANTIZER uses the signalled step these words reconstruct to
-    def lossyEpsMu(band: Int): (Int, Int) =
-      stepToEpsMu(qstep, depthMax + gainOf(band))
-    def stepHatEnc(band: Int): Double = {
-      val (e, m) = lossyEpsMu(band)
+    // QUANTIZER uses the signalled step these words reconstruct to.
+    // Derived mode (style 1) signals ONE (ε0, μ0) — the LL word — and
+    // BOTH sides derive ε_b = ε0 + 1 − r at resolution r ≥ 1 (E.1.1),
+    // so coarser resolutions quantize with progressively finer steps.
+    val derivedE0M0: (Int, Int) =
+      if (lossy && derivedQuant) {
+        val em = stepToEpsMu(qstep, depthMax)
+        require(em._1 >= nl,
+          s"jpeg2000: derived quantization needs ε0 >= levels ($nl), " +
+            s"got ${em._1} — use a smaller qstep or expounded signalling")
+        em
+      } else null
+    def lossyEpsMu(r: Int, band: Int): (Int, Int) =
+      if (derivedQuant) (derivedE0M0._1 + (if (r == 0) 0 else 1 - r), derivedE0M0._2)
+      else stepToEpsMu(qstep, depthMax + gainOf(band))
+    def stepHatEnc(r: Int, band: Int): Double = {
+      val (e, m) = lossyEpsMu(r, band)
       stepOf(e, m, depthMax + gainOf(band))
     }
-    def mbOf(comp: Int, band: Int): Int =
-      (if (lossy) lossyEpsMu(band)._1 else epsOf(comp, band)) + guard - 1
-    if (lossy) {
+    def mbOf(comp: Int, r: Int, band: Int): Int =
+      (if (lossy) lossyEpsMu(r, band)._1 else epsOf(comp, band)) + guard - 1
+    if (lossy && derivedQuant) {
+      // QCD style 1 (scalar derived): a single 16-bit (ε0 << 11 | μ0)
+      u16(0xFF5C)
+      u16(5)
+      u8((guard << 5) | 1)
+      u16((derivedE0M0._1 << 11) | derivedE0M0._2)
+    } else if (lossy) {
       // QCD style 2 (scalar expounded): 16-bit (ε << 11 | μ) per subband
       u16(0xFF5C)
       u16(3 + 2 * (1 + 3 * nl))
       u8((guard << 5) | 2)
-      val (e0, m0) = lossyEpsMu(0)
+      val (e0, m0) = lossyEpsMu(0, 0)
       u16((e0 << 11) | m0)
       for (r <- 1 to nl; b <- Seq(1, 2, 3)) {
-        val (e, m) = lossyEpsMu(b)
+        val (e, m) = lossyEpsMu(r, b)
         u16((e << 11) | m)
       }
     } else {
@@ -1473,7 +1525,7 @@ private[graft] object Jpeg2000 {
           }
         } else {
           val quads = transformedD(comp)
-          val delta = stepHatEnc(band)
+          val delta = stepHatEnc(r, band)
           @inline def q(v: Double): Int = {
             val m = math.floor(math.abs(v) / delta).toInt
             if (v < 0) -m else m
@@ -1517,8 +1569,9 @@ private[graft] object Jpeg2000 {
       }
       // geometry + encoded blocks per (component, resolution, band)
       val geoms = Array.tabulate(planes.length, nl + 1) { (comp, r) =>
-        bandGeoms(tcw, tch, nl, r, cbExp, ppxE, ppyE).map { g =>
-          val mb = mbOf(comp, g.band)
+        val (px, py) = ppOfE(comp)
+        bandGeoms(tcw, tch, nl, r, cbExpOfE(comp), px, py).map { g =>
+          val mb = mbOf(comp, r, g.band)
           // one band extraction, shared by every code-block (extracting
           // per block is O(band x blocks) — quadratic on big images)
           val bs = bandCoeffs(comp, r, g.band, g.bw, g.bh, g.xOff, g.yOff)
@@ -1574,7 +1627,7 @@ private[graft] object Jpeg2000 {
       val packetLens = new ArrayBuffer[Int]()
       var nsop = 0
       packetSeq(order, layers, planes.length, nl, tcw, tch,
-          _ => (ppxE, ppyE)).foreach { pk =>
+          (_, c) => ppOfE(c)).foreach { pk =>
         val bandsHere = geoms(pk.c)(pk.r)
         val any = bandsHere.exists { case (g, grid) =>
           val (gx0, gy0, gx1, gy1) = g.cbRect(pk.pix, pk.piy)
@@ -1688,8 +1741,11 @@ private[graft] object Jpeg2000 {
           var pktAt = 0
           var byteAt = 0
           (0 to nl).map { r =>
-            val (npx, npy) = precGridOf(tcw, tch, nl, r, ppxE, ppyE)
-            val n = layers * planes.length * npx * npy
+            val n = layers * planes.indices.map { c =>
+              val (px, py) = ppOfE(c)
+              val (npx, npy) = precGridOf(tcw, tch, nl, r, px, py)
+              npx * npy
+            }.sum
             val grp = lens.slice(pktAt, pktAt + n)
             val grpBytes = grp.sum
             val part = (ti, r, nl + 1, pltSegsOf(grp),
@@ -1812,39 +1868,57 @@ private[graft] object Jpeg2000 {
       firstSot: Int,
       order: Int = 0, layers: Int = 1,
       sop: Boolean = false, eph: Boolean = false,
-      ppx: Array[Int] = null, ppy: Array[Int] = null) {
-    /** Precinct exponents at resolution r (maximal when none signalled). */
-    def ppOf(r: Int): (Int, Int) =
-      if (ppx == null) (15, 15) else (ppx(r), ppy(r))
+      ppx: Array[Int] = null, ppy: Array[Int] = null,
+      cocCbExp: Map[Int, Int] = Map.empty,
+      cocPpx: Map[Int, Array[Int]] = Map.empty,
+      cocPpy: Map[Int, Array[Int]] = Map.empty) {
+    /** Precinct exponents for (resolution, component): the component's
+      * COC override when present, else the COD's (maximal when none
+      * signalled). */
+    def ppOf(r: Int, comp: Int): (Int, Int) = cocPpx.get(comp) match {
+      case Some(px) => (px(r), cocPpy(comp)(r))
+      case None => if (ppx == null) (15, 15) else (ppx(r), ppy(r))
+    }
+    /** Code-block size exponent for a component (COC override or COD). */
+    def cbExpOf(comp: Int): Int = cocCbExp.getOrElse(comp, cbExp)
     def epsTable(comp: Int): Array[Int] = qccExps.getOrElse(comp, qcdExps)
     def muTable(comp: Int): Array[Int] = qccMus.getOrElse(comp, qcdMus)
     def guardOf(comp: Int): Int = qccGuard.getOrElse(comp, qcdGuard)
     private def bandIdx(r: Int, band: Int): Int =
       if (r == 0) 0 else 1 + (r - 1) * 3 + (band - 1)
+    /** Signalled (ε, μ) for (component, resolution, band). Style 2
+      * (scalar expounded) indexes the per-subband table; style 1
+      * (scalar DERIVED, E.1.1) carries one (ε0, μ0) and derives
+      * ε_b = ε0 − N_L + n_b with n_b the band's decomposition depth
+      * (N_L for the LL, N_L − r + 1 at resolution r ≥ 1), μ_b = μ0. */
+    private def epsMuOf(comp: Int, r: Int, band: Int): (Int, Int) = {
+      val exps = epsTable(comp)
+      val mus = muTable(comp)
+      if (qStyle == 1) {
+        require(exps.length >= 1 && mus.length >= 1,
+          "jpeg2000: derived quantization signalled without its (ε0, μ0)")
+        (exps(0) + (if (r == 0) 0 else 1 - r), mus(0))
+      } else {
+        val idx = bandIdx(r, band)
+        require(idx < exps.length && idx < mus.length,
+          s"jpeg2000: QCD/QCC carries ${exps.length} exponents but " +
+            s"resolution $r band $band needs index $idx")
+        (exps(idx), mus(idx))
+      }
+    }
     /** Mb for (component, resolution r, band) from the SIGNALLED
       * exponents — never recomputed from bit depths, so a legal foreign
       * stream with different per-subband exponents decodes by its own
       * declaration (and an exponent table shorter than the COD levels
       * fails loudly). */
-    def mbOf(comp: Int, r: Int, band: Int): Int = {
-      val idx = bandIdx(r, band)
-      val exps = epsTable(comp)
-      require(idx < exps.length,
-        s"jpeg2000: QCD/QCC carries ${exps.length} exponents but resolution " +
-          s"$r band $band needs index $idx")
-      exps(idx) + guardOf(comp) - 1
-    }
+    def mbOf(comp: Int, r: Int, band: Int): Int =
+      epsMuOf(comp, r, band)._1 + guardOf(comp) - 1
     /** Lossy reconstruction step for (component, resolution, band) from
       * the signalled (ε, μ) at Rb = component depth + subband gain. */
     def stepHatOf(comp: Int, r: Int, band: Int): Double = {
-      val idx = bandIdx(r, band)
-      val exps = epsTable(comp)
-      val mus = muTable(comp)
-      require(idx < exps.length && idx < mus.length,
-        s"jpeg2000: quantization table carries ${exps.length} entries but " +
-          s"resolution $r band $band needs index $idx")
+      val (e, m) = epsMuOf(comp, r, band)
       val gain = band match { case 0 => 0; case 3 => 2; case _ => 1 }
-      stepOf(exps(idx), mus(idx), depths(comp) + gain)
+      stepOf(e, m, depths(comp) + gain)
     }
     def ntx: Int = ceilDiv(w, tw)
     def nty: Int = ceilDiv(h, th)
@@ -1876,6 +1950,9 @@ private[graft] object Jpeg2000 {
     var qccGuard = Map.empty[Int, Int]
     var qccExps = Map.empty[Int, Array[Int]]
     var qccMus = Map.empty[Int, Array[Int]]
+    var cocCb = Map.empty[Int, Int]
+    var cocPx = Map.empty[Int, Array[Int]]
+    var cocPy = Map.empty[Int, Array[Int]]
     var mct = 0
     var transform = -1
     var qStyle = -1
@@ -1970,9 +2047,9 @@ private[graft] object Jpeg2000 {
           val lqcd = bb.getShort(pos + 2) & 0xFFFF
           val sqcd = bb.get(pos + 4) & 0xFF
           qStyle = sqcd & 0x1F
-          require(qStyle == 0 || qStyle == 2,
+          require(qStyle == 0 || qStyle == 1 || qStyle == 2,
             s"jpeg2000: quantization style $qStyle unsupported " +
-              "(0 = none, 2 = scalar expounded; 1 = scalar derived refused)")
+              "(0 = none, 1 = scalar derived, 2 = scalar expounded)")
           qcdGuard = sqcd >> 5
           val (es, ms) = parseSp(qStyle, pos + 5, pos + 2 + lqcd)
           qcdExps = es
@@ -1993,24 +2070,67 @@ private[graft] object Jpeg2000 {
           qccMus += cqcc -> ms
         case 0xFF90 =>
           firstSot = pos
-        case 0xFF53 | 0xFF5E | 0xFF5F | 0xFF60 =>
-          // COC / RGN / POC / PPM override coding per component,
-          // progression, or relocate packet headers — skipping them
-          // would decode silently wrong, refuse loudly
+        case 0xFF53 => // COC: per-component coding-style override
+          // Supported override surface: code-block size and precinct
+          // partitions (geometry-only — the packet walk and band grids
+          // honour them per component). Decomposition-level and
+          // transform overrides would change the DWT pyramid per
+          // component; refuse those loudly rather than decode wrong.
+          require(nc > 0, "jpeg2000: COC before SIZ")
+          require(nl >= 0 && transform >= 0, "jpeg2000: COC before COD")
+          val cLen = if (nc < 257) 1 else 2
+          val ccoc = if (nc < 257) bb.get(pos + 4) & 0xFF
+            else bb.getShort(pos + 4) & 0xFFFF
+          val scoc = bb.get(pos + 4 + cLen) & 0xFF
+          require(scoc == 0 || scoc == 1,
+            s"jpeg2000: unknown COC coding style $scoc")
+          val b2 = pos + 5 + cLen
+          require((bb.get(b2) & 0xFF) == nl,
+            "jpeg2000: COC decomposition-level override unsupported " +
+              s"(COD declares $nl, COC ${bb.get(b2) & 0xFF})")
+          val ce = (bb.get(b2 + 1) & 0xFF) + 2
+          require((bb.get(b2 + 2) & 0xFF) == ce - 2,
+            "jpeg2000: non-square code-blocks unsupported")
+          require((bb.get(b2 + 3) & 0xFF) == 0,
+            "jpeg2000: code-block style options unsupported")
+          require((bb.get(b2 + 4) & 0xFF) == transform,
+            "jpeg2000: COC wavelet-transform override unsupported")
+          cocCb += ccoc -> ce
+          if (scoc == 1) {
+            val lcoc = bb.getShort(pos + 2) & 0xFFFF
+            require(lcoc >= 3 + cLen + 5 + nl + 1,
+              "jpeg2000: COC too short for the precinct table")
+            val px = new Array[Int](nl + 1)
+            val py = new Array[Int](nl + 1)
+            for (r <- 0 to nl) {
+              val v = bb.get(b2 + 5 + r) & 0xFF
+              px(r) = v & 0xF
+              py(r) = v >> 4
+              require(r == 0 || (px(r) >= 1 && py(r) >= 1),
+                s"jpeg2000: COC precinct exponent 0 at resolution $r > 0")
+            }
+            cocPx += ccoc -> px
+            cocPy += ccoc -> py
+          }
+        case 0xFF5E | 0xFF5F | 0xFF60 =>
+          // RGN / POC / PPM shift ROI bitplanes, change the progression
+          // mid-stream, or relocate packet headers — skipping them would
+          // decode silently wrong, refuse loudly
           throw new IllegalArgumentException(f"jpeg2000: marker $marker%04x " +
-            "(COC/RGN/POC/PPM overrides) unsupported")
+            "(RGN/POC/PPM) unsupported")
         case _ => // skip informational marker segments (COM, CRG, TLM, PLM...)
       }
       if (firstSot < 0) pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
     }
     require(w > 0 && nl >= 0 && qcdGuard >= 0, "jpeg2000: incomplete headers")
-    require((transform == 1 && qStyle == 0) || (transform == 0 && qStyle == 2),
+    require((transform == 1 && qStyle == 0) ||
+        (transform == 0 && (qStyle == 1 || qStyle == 2)),
       s"jpeg2000: transform $transform with quantization style $qStyle " +
-        "unsupported (5/3 + none, or 9/7 + scalar expounded)")
+        "unsupported (5/3 + none, or 9/7 + scalar derived/expounded)")
     MainHeader(csOff, w, h, math.min(tw, w), math.min(th, h), nc,
       depths, signedA, nl, cbExp, mct, transform, qStyle,
       qcdGuard, qcdExps, qcdMus, qccGuard, qccExps, qccMus, firstSot,
-      order, layers, sop, eph, ppx, ppy)
+      order, layers, sop, eph, ppx, ppy, cocCb, cocPx, cocPy)
   }
 
   /** Tile-part directory: tile index -> ordered (sod position, part end)
@@ -2170,9 +2290,9 @@ private[graft] object Jpeg2000 {
       // geometry + per-code-block state per (component, resolution, band),
       // built lazily: packets of resolutions ABOVE rMax are only walked
       // (non-resolution-major orders interleave them), never decoded
-      val geoms = Array.tabulate(nc, nl + 1) { (_, r) =>
-        val (px, py) = hd.ppOf(r)
-        bandGeoms(tcw, tch, nl, r, hd.cbExp, px, py)
+      val geoms = Array.tabulate(nc, nl + 1) { (comp, r) =>
+        val (px, py) = hd.ppOf(r, comp)
+        bandGeoms(tcw, tch, nl, r, hd.cbExpOf(comp), px, py)
       }
       val cbState = Array.ofDim[Array[CbD]](nc, nl + 1, 3)
       def stateOf(c: Int, r: Int, bi: Int, g: BandGeom): Array[CbD] = {
@@ -2194,7 +2314,8 @@ private[graft] object Jpeg2000 {
       val trees = scala.collection.mutable.HashMap
         .empty[(Int, Int, Int, Int), (TagTree, TagTree)]
 
-      val seqAll = packetSeq(hd.order, hd.layers, nc, nl, tcw, tch, hd.ppOf)
+      val seqAll = packetSeq(hd.order, hd.layers, nc, nl, tcw, tch,
+        (r, c) => hd.ppOf(r, c))
       // the walk may stop after the LAST packet a reduced decode needs:
       // for resolution-major orders that is a stream PREFIX (what the
       // PLT-ranged out-db fetch provides); other orders interleave, so
@@ -2675,11 +2796,11 @@ private[graft] object Jpeg2000 {
   private def leadingPacketCount(hd: MainHeader, tcw: Int, tch: Int,
       rMax: Int): Option[Int] =
     if (!resolutionMajor(hd.order, hd.layers)) None
-    else Some((0 to rMax).map { r =>
-      val (px, py) = hd.ppOf(r)
+    else Some((for (r <- 0 to rMax; c <- 0 until hd.nc) yield {
+      val (px, py) = hd.ppOf(r, c)
       val (npx, npy) = precGridOf(tcw, tch, hd.nl, r, px, py)
-      hd.layers * hd.nc * npx * npy
-    }.sum)
+      hd.layers * npx * npy
+    }).sum)
 
   /** FILE-byte length of the prefix sufficient to decode resolutions
     * 0..NL-discard, computed from the PLT packet-length marker this

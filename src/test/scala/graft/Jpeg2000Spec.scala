@@ -1197,4 +1197,102 @@ class Jpeg2000Spec extends AnyFunSuite {
       Jpeg2000.decode(swapped.toByteArray))
     assert(e.getMessage.contains("out of order"))
   }
+  // ---------------------------------------------------------------
+  // Scalar DERIVED quantization (QCD style 1) + COC overrides
+  // ---------------------------------------------------------------
+
+  test("derived quantization (style 1): bounded error, one-word QCD, style bit set") {
+    val rnd = new scala.util.Random(57)
+    val w = 90; val h = 70
+    val p = planeOf(w, h, 8, signed = false, (x, y) =>
+      math.max(0, math.min(255,
+        (120 + 70 * math.sin(x / 8.0) + 40 * math.cos(y / 6.0)).toInt + rnd.nextInt(9))))
+    for (qstep <- Seq(0.51, 2.0)) {
+      val cs = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 5, qstep = qstep,
+        derivedQuant = true)
+      // the QCD is the single-word form with style bits = 1
+      var i = 0
+      var found = false
+      while (i + 4 < cs.length && !found) {
+        if ((cs(i) & 0xFF) == 0xFF && (cs(i + 1) & 0xFF) == 0x5C) {
+          val lqcd = ((cs(i + 2) & 0xFF) << 8) | (cs(i + 3) & 0xFF)
+          assert(lqcd == 5, s"derived QCD must be one word, Lqcd=$lqcd")
+          assert((cs(i + 4) & 0x1F) == 1, "Sqcd style bits must be 1 (derived)")
+          found = true
+        }
+        i += 1
+      }
+      assert(found, "no QCD marker")
+      val back = Jpeg2000.decode(cs).head
+      // derived steps grow 2x per resolution (eps_b = eps0 + 1 - r), so
+      // the top band quantizes ~2^(nl-1) coarser than the LL's qstep
+      val me = p.samples.zip(back.samples).map { case (u, v) => math.abs(u - v) }.max
+      assert(me <= math.max(2, (8 * qstep * 4).toInt), s"qstep=$qstep maxErr=$me")
+    }
+    // composes with the expounded path: same image, style 2, must differ
+    // in signalling but both decode
+    val csE = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 5, qstep = 2.0)
+    val csD = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 5, qstep = 2.0,
+      derivedQuant = true)
+    assert(csD.length < csE.length, "derived QCD signalling must be smaller")
+    assert(Jpeg2000.decode(csE).head.samples.length ==
+      Jpeg2000.decode(csD).head.samples.length)
+  }
+
+  test("COC overrides: per-component code-block + precinct grids, lossless bit-exact") {
+    val rnd = new scala.util.Random(58)
+    val w = 75; val h = 52
+    val planes = (0 until 3).map { c =>
+      planeOf(w, h, 8, signed = false, (x, y) =>
+        (x * (c + 3) + y * 5 + rnd.nextInt(64)) & 0xFF)
+    }
+    // comp 1: smaller code-blocks; comp 2: its own (finer) precincts —
+    // per-component band grids AND packet sequences
+    for (order <- Seq(0, 1, 2, 4); layers <- Seq(1, 2)) {
+      val cs = Jpeg2000.encode(planes, levels = 3, cbExp = 6,
+        precinct = Some((6, 5)), order = order, layers = layers,
+        cocCbExp = Map(1 -> 4), cocPrecinct = Map(2 -> (4, 4)))
+      val back = Jpeg2000.decode(cs)
+      assert(back.length == 3)
+      for (c <- 0 until 3)
+        assert(back(c).samples.toSeq == planes(c).samples.toSeq,
+          s"order=$order layers=$layers comp=$c")
+    }
+    // identical result with and without the COC overrides (the override
+    // changes the packet partitioning, never the samples)
+    val plain = Jpeg2000.decode(Jpeg2000.encode(planes, levels = 3, cbExp = 6))
+    val withCoc = Jpeg2000.decode(Jpeg2000.encode(planes, levels = 3, cbExp = 6,
+      cocCbExp = Map(0 -> 3, 2 -> 5)))
+    for (c <- 0 until 3)
+      assert(plain(c).samples.toSeq == withCoc(c).samples.toSeq)
+  }
+
+  test("COC + multi-tile + per-resolution tile-parts + reduced decode compose") {
+    val rnd = new scala.util.Random(59)
+    val w = 128; val h = 96
+    val planes = (0 until 3).map { c =>
+      planeOf(w, h, 8, signed = false, (x, y) =>
+        (x * 2 + y * (c + 1) + rnd.nextInt(32)) & 0xFF)
+    }
+    val cs = Jpeg2000.encode(planes, levels = 3, cbExp = 5,
+      tileSize = Some((64, 32)), order = 2, precinct = Some((5, 5)),
+      partsPerResolution = true,
+      cocCbExp = Map(1 -> 4), cocPrecinct = Map(0 -> (4, 4)))
+    val back = Jpeg2000.decode(cs)
+    for (c <- 0 until 3)
+      assert(back(c).samples.toSeq == planes(c).samples.toSeq, s"comp=$c")
+    // reduced decode agrees with the per-tile LL of a reference decode
+    val red = Jpeg2000.decode(cs, 1)
+    assert(red.head.w == w / 2 && red.head.h == h / 2)
+    // derived quantization composes with COC overrides (lossy)
+    val csL = Jpeg2000.encode(planes, levels = 3, cbExp = 5, qstep = 2.0,
+      derivedQuant = true, cocCbExp = Map(2 -> 4))
+    val backL = Jpeg2000.decode(csL)
+    for (c <- 0 until 3) {
+      val me = planes(c).samples.zip(backL(c).samples)
+        .map { case (u, v) => math.abs(u - v) }.max
+      assert(me <= 100, s"comp=$c maxErr=$me")
+    }
+  }
+
 }
