@@ -588,14 +588,34 @@ object ScaleBench {
         val nx = 64
         val spanUs = 30L * 86400L * 1000000L * m // rate constant in m
         val n = 25000L * m
+        // TIME-CHUNKED staging (round 15): each side is written as a
+        // sequence of timestamp-ordered chunk files and the stream reads
+        // ONE file per trigger, so the watermark advances between
+        // microbatches and the join's 12h band actually prunes state —
+        // a 2-file staging fed 2.5M events in ONE batch at m=100, the
+        // watermark never moved inside it, and the state join
+        // degenerated to unbounded-band (killed at 50 min). A real
+        // stream arrives in time order; the bench now drives the
+        // operator the same way.
+        val chunks = math.max(4, (4 * sqrtM(m)).toInt)
         def side(salt: Int, tag: String): String = {
           val stage = s"/tmp/graft_scalebench_$tag/$m"
-          spark.range(0, n).toDF("id")
+          val dirF = new java.io.File(stage)
+          org.apache.commons.io.FileUtils.deleteQuietly(dirF)
+          val df = spark.range(0, n).toDF("id")
             .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
               (col("id") * (spanUs / n)) + pmod(hash(col("id"), lit(salt)), lit(1000000))))
             .withColumn("x", round(u(col("id"), salt + 1) * gw * 4.0) / 4.0)
             .withColumn("y", round(u(col("id"), salt + 2) * gh * 4.0) / 4.0)
-            .coalesce(2).write.mode("overwrite").parquet(stage)
+            .persist()
+          // sequential appends: file modification times increase with
+          // the chunk's time range, matching the source's file order
+          for (c <- 0 until chunks) {
+            df.filter(col("id") >= c.toLong * n / chunks &&
+                col("id") < (c + 1).toLong * n / chunks)
+              .coalesce(1).write.mode("append").parquet(stage)
+          }
+          df.unpersist()
           stage
         }
         val lstage = side(41, "l")
@@ -604,12 +624,14 @@ object ScaleBench {
         val schema = StructType(Seq(StructField("id", LongType),
           StructField("ts", TimestampType), StructField("x", DoubleType),
           StructField("y", DoubleType)))
-        val l = spark.readStream.schema(schema).parquet(lstage)
+        val l = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(lstage)
           .withWatermark("ts", "0 seconds")
           .withColumnRenamed("ts", "lts").withColumnRenamed("id", "lid")
           .withColumn("lg", st.point(col("x"), col("y")))
           .drop("x", "y")
-        val r = spark.readStream.schema(schema).parquet(rstage)
+        val r = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(rstage)
           .withWatermark("ts", "0 seconds")
           .withColumnRenamed("ts", "rts").withColumnRenamed("id", "rid")
           .withColumn("rg", st.makeEnvelope(col("x") - 0.25, col("y") - 0.25,
