@@ -608,12 +608,21 @@ object ScaleBench {
             .withColumn("x", round(u(col("id"), salt + 1) * gw * 4.0) / 4.0)
             .withColumn("y", round(u(col("id"), salt + 2) * gh * 4.0) / 4.0)
             .persist()
-          // sequential appends: file modification times increase with
-          // the chunk's time range, matching the source's file order
+          // FileStreamSource orders files by modification time; quick
+          // sequential appends can land with EQUAL mtimes and tie-break
+          // out of time order, regressing the 0-second watermark and
+          // silently dropping rows — stamp each chunk's files with
+          // strictly increasing mtimes so trigger order is deterministic
+          var seen = Set.empty[String]
+          val baseMs = System.currentTimeMillis() - chunks.toLong * 2000L
           for (c <- 0 until chunks) {
             df.filter(col("id") >= c.toLong * n / chunks &&
                 col("id") < (c + 1).toLong * n / chunks)
               .coalesce(1).write.mode("append").parquet(stage)
+            val fresh = dirF.listFiles().filter(f =>
+              f.getName.endsWith(".parquet") && !seen(f.getName))
+            fresh.foreach(_.setLastModified(baseMs + c.toLong * 2000L))
+            seen ++= fresh.map(_.getName)
           }
           df.unpersist()
           stage

@@ -288,11 +288,16 @@ object SpatialJoins {
     // list already had. Collected eagerly (warms o's persist).
     val fxN = graft.functions.Grid.nestFactor(nx)
     val fyN = graft.functions.Grid.nestFactor(ny)
-    val occOn = query.sparkSession.conf
+    // The bitmap (and occHit's id.toInt) indexes with Int: a grid near
+    // or above 2^31 cells would wrap silently and DROP occupied cells
+    // from covers (lost KNN candidates) — force the legacy
+    // broadcast-semi path for oversized grids instead.
+    val nBitsL = nx.toLong * ny +
+      (if (fxN * fyN > 1) (nx.toLong / fxN) * (ny.toLong / fyN) else 0L)
+    val occOn = nBitsL <= Int.MaxValue.toLong && query.sparkSession.conf
       .getOption("spark.graft.knn.occCover").forall(_ == "true")
     val occBitmap: Array[Byte] = if (!occOn) null else {
-      val nBits = nx * ny +
-        (if (fxN * fyN > 1) (nx / fxN) * (ny / fyN) else 0)
+      val nBits = nBitsL.toInt
       val bm = new Array[Byte]((nBits + 7) / 8)
       o.select(col("__ocell")).distinct().collect().foreach { r =>
         val id = r.getLong(0).toInt

@@ -117,7 +117,7 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.DatasetBridge
     if (j.output.exists(a => a.name == "__fsj_lid" || a.name == "__fsj_rid" ||
-        a.name == "__fsj_mid"))
+        a.name == "__fsj_mid" || a.name == "__fsj_plid" || a.name == "__fsj_prid"))
       return None
     val lDF = graft.CacheRegistry.register(
       DatasetBridge.ofRows(session, lChild)
@@ -136,22 +136,42 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
     if (innerAttrs.length != nL + 1 + nR + 1) return None
     val lidInner = innerAttrs(nL)
     val ridInner = innerAttrs.last
-    val lAttrs = innerAttrs.take(nL)
-    val rAttrs = innerAttrs.slice(nL + 1, nL + 1 + nR)
-    val matchedL = inner.select(DatasetBridge.column(lidInner).as("__fsj_mid")).distinct()
-    val matchedR = inner.select(DatasetBridge.column(ridInner).as("__fsj_mid")).distinct()
+    // Persist ONLY the narrow matched-id pair set: the (possibly
+    // large-large grid) inner spatial join executes ONCE, and the union
+    // branch plus both matched-id sets all read the two-long pairs —
+    // the wide result rows rebuild via equi hash joins against the
+    // already-persisted sides (the KNN winner-rejoin pattern).
+    val pairs = graft.CacheRegistry.register(
+      inner.select(DatasetBridge.column(lidInner).as("__fsj_plid"),
+          DatasetBridge.column(ridInner).as("__fsj_prid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairsOut = pairs.queryExecution.analyzed.output
+    val pLid = DatasetBridge.column(pairsOut.head)
+    val pRid = DatasetBridge.column(pairsOut.last)
+    val matchedL = pairs.select(pLid.as("__fsj_mid")).distinct()
+    val matchedR = pairs.select(pRid.as("__fsj_mid")).distinct()
     val lTagId = lDF.queryExecution.analyzed.output.last
     val rTagId = rDF.queryExecution.analyzed.output.last
     val lCols = lChild.output.map(DatasetBridge.column)
     val rCols = rChild.output.map(DatasetBridge.column)
+    // the rejoin is a SELF-join (pairs' lineage contains both sides), so
+    // Spark de-dups the right occurrences under fresh attribute ids —
+    // project the rebuilt wide row POSITIONALLY from the joined output
+    val rejoined = pairs
+      .join(lDF, pLid === DatasetBridge.column(lTagId))
+      .join(rDF, pRid === DatasetBridge.column(rTagId))
+    val rjOut = rejoined.queryExecution.analyzed.output
+    if (rjOut.length != 2 + nL + 1 + nR + 1) return None
+    val matchedRows = rejoined.select(
+      (rjOut.slice(2, 2 + nL) ++ rjOut.slice(2 + nL + 1, 2 + nL + 1 + nR))
+        .map(DatasetBridge.column): _*)
     val antiL = lDF.join(matchedL,
         DatasetBridge.column(lTagId) === col("__fsj_mid"), "left_anti")
       .select(lCols ++ rChild.output.map(a => lit(null).cast(a.dataType)): _*)
     val antiR = rDF.join(matchedR,
         DatasetBridge.column(rTagId) === col("__fsj_mid"), "left_anti")
       .select(lChild.output.map(a => lit(null).cast(a.dataType)) ++ rCols: _*)
-    val result = inner.select((lAttrs ++ rAttrs).map(DatasetBridge.column): _*)
-      .unionAll(antiL).unionAll(antiR)
+    val result = matchedRows.unionAll(antiL).unionAll(antiR)
     val analyzed = result.queryExecution.optimizedPlan
     if (analyzed.output.length != j.output.length) None
     else Some(Project(j.output.zip(analyzed.output).map { case (orig, a) =>

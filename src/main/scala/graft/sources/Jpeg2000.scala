@@ -1306,7 +1306,12 @@ private[graft] object Jpeg2000 {
     for (comp <- planes.indices
         if cocCbExp.contains(comp) || cocPrecinct.contains(comp)) {
       val ce = cbExpOfE(comp)
-      val hasPrec = cocPrecinct.contains(comp)
+      // Scoc=0 means MAXIMAL precincts for the component (A.6.2), not
+      // "inherit the COD's" — so when the COD signals custom precincts,
+      // every COC must carry its own precinct table (copying the COD
+      // exponents when the component has no override), else the
+      // signalled layout diverges from the packets.
+      val hasPrec = cocPrecinct.contains(comp) || usePrec
       val (cpx, cpy) = ppOfE(comp)
       u16(0xFF53)
       u16(9 + (if (hasPrec) nl + 1 else 0))
@@ -2096,6 +2101,14 @@ private[graft] object Jpeg2000 {
           require((bb.get(b2 + 4) & 0xFF) == transform,
             "jpeg2000: COC wavelet-transform override unsupported")
           cocCb += ccoc -> ce
+          if (scoc == 0) {
+            // A COC with Scoc=0 resets the component to MAXIMAL
+            // precincts (A.6.2) — it does NOT inherit the COD's custom
+            // grid. Record an explicit (15,15) table so ppOf never
+            // falls back to the COD exponents for this component.
+            cocPx += ccoc -> Array.fill(nl + 1)(15)
+            cocPy += ccoc -> Array.fill(nl + 1)(15)
+          }
           if (scoc == 1) {
             val lcoc = bb.getShort(pos + 2) & 0xFFFF
             require(lcoc >= 3 + cLen + 5 + nl + 1,
