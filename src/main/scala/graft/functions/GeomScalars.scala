@@ -1958,6 +1958,21 @@ object GeomScalars {
           e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
         d(a, 1), i(a, 2), i(a, 3), i(a, 4)))
     }),
+    // occupancy-filtered spherical KNN cover: trailing binary arg is the
+    // bitmap over cell ids (fine 0..nx*ny-1, nested-coarse past nx*ny)
+    // of cells holding >= 1 object — pair-set identical to the
+    // unfiltered cover, no empty-cell explode rows (planar twin:
+    // st_gridcells_knncover_occ)
+    fn("sd_gridcells_sphere4_knncover_occ",
+        ArrayType(LongType, containsNull = false),
+        Seq(ArgKind.Raw, Dbl, Int_, Int_, Int_, Bin))(a => {
+      val e = a(0).asInstanceOf[ArrayData]
+      new GenericArrayData(Spherical.gridCellsKnnCoverOcc(
+        new org.locationtech.jts.geom.Envelope(
+          e.getDouble(0), e.getDouble(2), e.getDouble(1), e.getDouble(3)),
+        d(a, 1), i(a, 2), i(a, 3), i(a, 4),
+        a(5).asInstanceOf[Array[Byte]]))
+    }),
     fn("sd_gridcells_sphere4_knndual", ArrayType(LongType, containsNull = false),
         Seq(ArgKind.Raw, Dbl, Int_, Int_))(a => {
       val e = a(0).asInstanceOf[ArrayData]

@@ -89,7 +89,7 @@ object Grid {
     out.toArray
   }
 
-  @inline private def occHit(occ: Array[Byte], id: Long): Boolean = {
+  @inline private[functions] def occHit(occ: Array[Byte], id: Long): Boolean = {
     val i = id.toInt
     val b = i >> 3
     b < occ.length && (occ(b) & (1 << (i & 7))) != 0

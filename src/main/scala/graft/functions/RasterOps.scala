@@ -768,8 +768,11 @@ object RasterOps {
     // quantization (QCD style 1: one (ε0, μ0) word, ε_b derived per
     // resolution — the common openjpeg lossy signalling). cocSpec emits
     // per-component COC overrides: ';'-separated entries of
-    // '<comp>:cb=<exp>' (code-block size) and '<comp>:pp=<x>x<y>'
-    // (precinct exponents); empty = none.
+    // '<comp>:cb=<exp>' (code-block size), '<comp>:pp=<x>x<y>'
+    // (precinct exponents), '<comp>:nl=<levels>' (decomposition levels,
+    // <= the COD's), and '<comp>:tr=<0|1>' (wavelet transform: 0 = 9/7
+    // lossy, 1 = 5/3 reversible — e.g. keep a mask band exact inside a
+    // lossy stream); empty = none.
     fnv("rs_asjpeg2000_profile", BinaryType,
       Seq(Seq(Raw, Int_, Dbl, Int_, Str)))(a => {
       val levels = a(1).asInstanceOf[Int]
@@ -782,6 +785,8 @@ object RasterOps {
         s"rs_asjpeg2000_profile: negative quantization step: $qstep")
       var cb = Map.empty[Int, Int]
       var pp = Map.empty[Int, (Int, Int)]
+      var nlM = Map.empty[Int, Int]
+      var trM = Map.empty[Int, Int]
       if (spec.nonEmpty) spec.split(";").foreach { ent =>
         val cv = ent.split(":", 2)
         require(cv.length == 2, s"rs_asjpeg2000_profile: bad COC entry '$ent'")
@@ -792,12 +797,15 @@ object RasterOps {
             val xy = s.drop(3).split("x", 2)
             require(xy.length == 2, s"rs_asjpeg2000_profile: bad pp in '$ent'")
             pp += comp -> (xy(0).toInt, xy(1).toInt)
+          case s if s.startsWith("nl=") => nlM += comp -> s.drop(3).toInt
+          case s if s.startsWith("tr=") => trM += comp -> s.drop(3).toInt
           case other => throw new IllegalArgumentException(
             s"rs_asjpeg2000_profile: unknown COC override '$other'")
         }
       }
       graft.sources.Jp2Raster.write(rast(a), levels, qstep = qstep,
-        derivedQuant = derived, cocCbExp = cb, cocPrecinct = pp)
+        derivedQuant = derived, cocCbExp = cb, cocPrecinct = pp,
+        cocLevels = nlM, cocTransform = trM)
     }),
 
     // RS_AsNetCDF(raster) -> binary: classic CDF-2 serialization through

@@ -1524,6 +1524,27 @@ object Spherical {
     out.toArray
   }
 
+  /** [[gridCellsKnnCover]] filtered by the occupancy bitmap (fine AND
+    * nested-coarse ids share one bit space — coarse bits sit past nx*ny,
+    * exactly the ids [[gridCellsKnnDual]] assigns). Emitted set = mixed
+    * cover ∩ occupied, so paired with the dual object explode the
+    * candidate-pair set is IDENTICAL to the unfiltered cover's (an
+    * unoccupied cell matches nothing) — the spherical twin of
+    * Grid.cellsKnnCoverOcc, closing the explode-then-broadcast-semi tax
+    * the planar side already removed. */
+  def gridCellsKnnCoverOcc(env: org.locationtech.jts.geom.Envelope,
+      radiusM: Double, nx: Int, ny: Int, maxCells: Int,
+      occ: Array[Byte]): Array[Long] = {
+    val all = gridCellsKnnCover(env, radiusM, nx, ny, maxCells)
+    var n = 0
+    var i = 0
+    while (i < all.length) {
+      if (Grid.occHit(occ, all(i))) { all(n) = all(i); n += 1 }
+      i += 1
+    }
+    if (n == all.length) all else java.util.Arrays.copyOf(all, n)
+  }
+
   /** Object-side companion of [[gridCellsKnnCover]]: the fine cover plus
     * its image on the NESTED coarse grid (exact nesting, so the coarse
     * set is just the floor-divided fine set, deduplicated). */

@@ -736,9 +736,6 @@ object SpatialJoins {
     def cells(g: Column, expandM: Column): Column =
       st.f("sd_gridcells_sphere4", st.f("sd_envelopesphere4", g),
         expandM, lit(nx), lit(ny))
-    def cellsMixed(g: Column, expandM: Column): Column =
-      st.f("sd_gridcells_sphere4_knncover", st.f("sd_envelopesphere4", g),
-        expandM, lit(nx), lit(ny), lit(MaxFineCells))
 
     val qCols = query.columns
     val oCols = objects.columns
@@ -755,6 +752,35 @@ object SpatialJoins {
         .withColumn("__ocell", explode(st.f("sd_gridcells_sphere4_knndual",
           st.f("sd_envelopesphere4", col("__og")), lit(0.0), lit(nx), lit(ny))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // OCCUPANCY bitmap over the dual cell-id space (fine + nested
+    // coarse), collected from the object explode — the final probe's
+    // cover generator intersects against it so empty-ocean cells are
+    // never exploded into rows (the planar twin's round-15 fix; the
+    // sphere side previously paid the explode-then-broadcast-semi tax).
+    // Same Int-overflow guard as the planar path: an oversized grid
+    // falls back to the legacy broadcast-semi filter. Collected eagerly
+    // (warms o's persist, and runs BEFORE CacheRegistry registration).
+    val fxN = graft.functions.Grid.nestFactor(nx)
+    val fyN = graft.functions.Grid.nestFactor(ny)
+    val nBitsL = nx.toLong * ny +
+      (if (fxN * fyN > 1) (nx.toLong / fxN) * (ny.toLong / fyN) else 0L)
+    val occOn = nBitsL <= Int.MaxValue.toLong && query.sparkSession.conf
+      .getOption("spark.graft.knn.occCover").forall(_ == "true")
+    val occBitmap: Array[Byte] = if (!occOn) null else {
+      val bm = new Array[Byte]((nBitsL.toInt + 7) / 8)
+      o.select(col("__ocell")).distinct().collect().foreach { r =>
+        val id = r.getLong(0).toInt
+        bm(id >> 3) = (bm(id >> 3) | (1 << (id & 7))).toByte
+      }
+      bm
+    }
+    def cellsMixed(g: Column, expandM: Column): Column =
+      if (occOn) st.f("sd_gridcells_sphere4_knncover_occ",
+        st.f("sd_envelopesphere4", g),
+        expandM, lit(nx), lit(ny), lit(MaxFineCells), lit(occBitmap))
+      else st.f("sd_gridcells_sphere4_knncover", st.f("sd_envelopesphere4", g),
+        expandM, lit(nx), lit(ny), lit(MaxFineCells))
 
     // round 1: geometric radius escalation over the per-cell COUNT
     // histogram -> per-query bound (one-ring geodesic probe first, 4x
@@ -822,21 +848,24 @@ object SpatialJoins {
 
     // round 2: exact re-probe of the radius-expanded spherical cover
     // (a query bound of maxGeo can only mean an object side smaller than
-    // k — rare by construction, never wrong)
-    // occupied-cell semi filter (see the planar twin): empty-ocean cover
-    // cells never reach the shuffle
-    val occupied = broadcast(o.select(col("__ocell").as("__occ")).distinct())
+    // k — rare by construction, never wrong). With the occ bitmap the
+    // cover generator already dropped unoccupied cells; the legacy path
+    // (occCover=false or oversized grid) keeps the broadcast-semi filter
     // per-side envelope SCALARS, not per-pair element_at (see the planar
     // twin's generated-method-size note); point-point pairs (degenerate
     // spherical envelopes, the common KNN shape) refine via haversine on
     // raw doubles — no per-pair WKB parse
     def q4(i: Int) = element_at(st.f("sd_envelopesphere4", col("__qg")), i)
-    val q2 = withRadius.select(col("__qid"), col("__qg"), col("__radius"),
+    val q2base = withRadius.select(col("__qid"), col("__qg"), col("__radius"),
         q4(1).as("__qx0"), q4(2).as("__qy0"),
         (q4(1) === q4(3) && q4(2) === q4(4)).as("__qpt"))
       .withColumn("__pcell",
         explode(cellsMixed(col("__qg"), col("__radius") + lit(1e-3))))
-      .join(occupied, col("__pcell") === col("__occ"), "left_semi")
+    val q2 =
+      if (occOn) q2base
+      else q2base.join(
+        broadcast(o.select(col("__ocell").as("__occ")).distinct()),
+        col("__pcell") === col("__occ"), "left_semi")
     def o4(i: Int) = element_at(col("__o4"), i)
     val pairs = q2.join(
       o.select(col("__ocell"), col("__og"),

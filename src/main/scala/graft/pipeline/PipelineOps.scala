@@ -148,7 +148,7 @@ object PipelineOps {
   val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   def connectedComponents(pairs: DataFrame, aCol: Column, bCol: Column,
-      maxIter: Int = 30, localThreshold: Long = 1L << 22): DataFrame = {
+      maxIter: Int = 30, localThreshold: Long = 1L << 24): DataFrame = {
     // undirected pairs deduped ONCE in canonical (max, min) orientation —
     // no bidirectional blow-up: the local union-find reads both
     // endpoints, the node inventory enumerates both, and large-star
@@ -164,10 +164,17 @@ object PipelineOps {
     // megabytes. The distributed path is the >threshold plan that holds
     // at 100TB. The count materializes the persisted cache once (either
     // path re-reads it from cache), and the local fetch ships PACKED long
-    // arrays per partition — 16 B/edge, so the 4M-edge cap really is
-    // ~64 MB of driver footprint, never a GenericRow per edge.
-    val probeLimit = math.min(localThreshold, 1L << 22)
+    // arrays per partition — 16 B/edge, and the union-find below is all
+    // primitive arrays (no per-node boxing), so the 16M-edge default cap
+    // peaks at ~800 MB of transient driver footprint — the same order as
+    // collecting a large broadcast side. Tunable via
+    // spark.graft.cc.localLimit: one distributed LS/SS round over a
+    // just-past-the-cap graph (the r15 DBSCAN profile: 11.9M edges vs
+    // the old 4.2M cap) cost 24 s where the collect path is seconds.
     val sparkS = pairs.sparkSession
+    val probeLimit = math.min(localThreshold,
+      sparkS.conf.getOption("spark.graft.cc.localLimit")
+        .map(_.toLong).getOrElse(1L << 24))
     if (edges.count() <= probeLimit) {
       val out = localUnionFind(edges)
       edges.unpersist()
@@ -312,32 +319,17 @@ object PipelineOps {
         }
         Iterator.single(b.result())
       }.collect()
-    val parent = scala.collection.mutable.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
-      r
-    }
+    // distinct node ids from BOTH endpoint positions FIRST (sort+dedup
+    // in a primitive array), then union-find over int INDICES into the
+    // sorted id array — all-primitive (8 B/node ids + 4 B/node parents,
+    // no boxed HashMap entries), which is what lets the edge cap sit at
+    // 16M instead of 4M for the same driver footprint
     var nSlots = 0
-    packed.foreach { arr =>
-      var i = 0
-      while (i < arr.length) {
-        val a = arr(i); val b = arr(i + 1)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        i += 2
-      }
-      nSlots += arr.length // both endpoints enumerate the node set, with dups
-    }
-    // distinct node ids from BOTH endpoint positions: sort+dedup in a
-    // primitive array — no boxing
+    packed.foreach { arr => nSlots += arr.length }
     val srcs = new Array[Long](nSlots)
     var w = 0
     packed.foreach { arr =>
-      var i = 0
-      while (i < arr.length) { srcs(w) = arr(i); w += 1; i += 1 }
+      System.arraycopy(arr, 0, srcs, w, arr.length); w += arr.length
     }
     java.util.Arrays.sort(srcs)
     var n = 0
@@ -347,9 +339,30 @@ object PipelineOps {
       i += 1
     }
     val ids = java.util.Arrays.copyOf(srcs, n)
+    // ids is sorted, so index order = id order: rooting every union at
+    // the SMALLER index makes each final root the component's minimum id
+    // directly. Path-halving find keeps chains short without union-by-
+    // rank (which would break the min-root invariant).
+    val parent = new Array[Int](n)
+    i = 0
+    while (i < n) { parent(i) = i; i += 1 }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    packed.foreach { arr =>
+      var j = 0
+      while (j < arr.length) {
+        val ra = find(java.util.Arrays.binarySearch(ids, arr(j)))
+        val rb = find(java.util.Arrays.binarySearch(ids, arr(j + 1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        j += 2
+      }
+    }
     val gids = new Array[Long](n)
     i = 0
-    while (i < n) { gids(i) = find(ids(i)); i += 1 }
+    while (i < n) { gids(i) = ids(find(i)); i += 1 }
     val idsB = sparkS.sparkContext.broadcast(ids)
     val gidsB = sparkS.sparkContext.broadcast(gids)
     val slices = math.max(1, n / (1 << 21))

@@ -1442,6 +1442,51 @@ object SpatialQueries {
             .as("smaller_than_lossless_coc"))
     }),
 
+    // MIXED per-component transforms + levels (COC SPcoc bytes 0/4): one
+    // stream carries a lossy 9/7 band AND a reversible 5/3 "mask" band
+    // (the Sentinel-2 shape: imagery lossy, classification exact). The
+    // reversible band must decode BIT-EXACT (avg/min/max/probed-pixel
+    // equality), the 9/7 band within the quantizer bound, and the mask
+    // band rides a 2-level pyramid under the COD's 3. Reference reaches
+    // this surface via GDAL openjpeg (sedona-raster-gdal/register.rs).
+    "rs24_jp2_mixed" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("vals", expr(
+          "transform(sequence(0, 64*48*2 - 1), i -> CAST(CASE " +
+            "WHEN i < 64*48 THEN (n_nationkey*6151 + (i % 64)*37 + " +
+            "CAST(i / 64 AS INT)*59 + (i * 131071) % 97) % 60000 " +
+            "ELSE (n_nationkey + i * 2654435761) % 7 END AS DOUBLE))"))
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("r", st.f("rs_setbandpixeltype",
+          st.f("rs_setcrs",
+            st.f("rs_makeraster", lit(64), lit(48), col("ulx"), lit(100.0),
+              lit(2.0), lit(-2.0), col("vals"), lit(2)),
+            lit("EPSG:32610")),
+          lit("UNSIGNED_16BITS")))
+        .withColumn("g", st.f("rs_asjpeg2000_profile", col("r"), lit(3),
+          lit(4.0), lit(0), lit("1:tr=1;1:nl=2")))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_numbands", col("rt")).as("nb"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          (abs(st.f("rs_bandavg", col("rt"), lit(1)) -
+            st.f("rs_bandavg", col("r"), lit(1))) <= lit(8.0)).as("lossy_avg_ok"),
+          (abs(st.f("rs_value", col("rt"), lit(1), lit(10), lit(7)) -
+            st.f("rs_value", col("r"), lit(1), lit(10), lit(7))) <= lit(128.0))
+            .as("lossy_px_ok"),
+          (st.f("rs_bandavg", col("rt"), lit(2)) ===
+            st.f("rs_bandavg", col("r"), lit(2))).as("mask_avg_exact"),
+          (st.f("rs_bandmin", col("rt"), lit(2)) ===
+            st.f("rs_bandmin", col("r"), lit(2)) &&
+           st.f("rs_bandmax", col("rt"), lit(2)) ===
+            st.f("rs_bandmax", col("r"), lit(2))).as("mask_range_exact"),
+          (st.f("rs_value", col("rt"), lit(2), lit(33), lit(21)) ===
+            st.f("rs_value", col("r"), lit(2), lit(33), lit(21))).as("mask_px_exact"))
+    }),
+
     "rs21_jp2_lossy" -> ((s, dir) => {
       prep(s)
       t(s, dir, "nation")
@@ -2369,6 +2414,15 @@ object SpatialQueries {
         |  'EPSG:32610' AS crs, 'UNSIGNED_16BITS' AS ptype,
         |  TRUE AS avg_ok, TRUE AS px_ok,
         |  TRUE AS smaller_than_lossless_coc
+        |FROM nation""".stripMargin,
+
+    "rs24_jp2_mixed" ->
+      """SELECT n_nationkey,
+        |  CAST(64 AS INT) AS w, CAST(48 AS INT) AS h, CAST(2 AS INT) AS nb,
+        |  'EPSG:32610' AS crs,
+        |  TRUE AS lossy_avg_ok, TRUE AS lossy_px_ok,
+        |  TRUE AS mask_avg_exact, TRUE AS mask_range_exact,
+        |  TRUE AS mask_px_exact
         |FROM nation""".stripMargin,
 
     "rs21_jp2_lossy" ->

@@ -46,7 +46,9 @@ private[graft] object Jp2Raster {
       partsPerResolution: Boolean = false,
       derivedQuant: Boolean = false,
       cocCbExp: Map[Int, Int] = Map.empty,
-      cocPrecinct: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
+      cocPrecinct: Map[Int, (Int, Int)] = Map.empty,
+      cocLevels: Map[Int, Int] = Map.empty,
+      cocTransform: Map[Int, Int] = Map.empty): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asjpeg2000: raster has no loaded bands")
     val planes = r.bands.zipWithIndex.map { case (b, bi) =>
       val (depth, signed) = IntTypes.getOrElse(b.pixelTypeName,
@@ -74,12 +76,16 @@ private[graft] object Jp2Raster {
     require(planes.map(p => (p.depth, p.signed)).distinct.size == 1,
       "rs_asjpeg2000: all bands must share one pixel type (ihdr bpc)")
     // 3-band rasters get the reversible color transform — the lossless
-    // RGB decorrelation GDAL's openjpeg writer applies by default
+    // RGB decorrelation GDAL's openjpeg writer applies by default.
+    // A per-component transform override is incompatible with the MCT
+    // (it couples components 0-2 through one transform), so it wins.
     val cs = Jpeg2000.encode(planes, levels = levels,
-      mct = planes.length == 3, tileSize = tileSize, qstep = qstep,
+      mct = planes.length == 3 && cocTransform.isEmpty,
+      tileSize = tileSize, qstep = qstep,
       layers = layers, order = order, precinct = precinct, sopEph = sopEph,
       partsPerResolution = partsPerResolution, derivedQuant = derivedQuant,
-      cocCbExp = cocCbExp, cocPrecinct = cocPrecinct)
+      cocCbExp = cocCbExp, cocPrecinct = cocPrecinct,
+      cocLevels = cocLevels, cocTransform = cocTransform)
 
     val out = new java.io.ByteArrayOutputStream()
     def box(tp: String, payload: Array[Byte]): Unit = {
@@ -322,7 +328,12 @@ private[graft] object Jp2Raster {
     override def overviews(fetch: (Long, Int) => Array[Byte],
         fileLen: Long): IndexedSeq[(Long, Int, Int)] = {
       val head = fetch(0L, math.min(fileLen, HeaderProbe.toLong).toInt)
-      val (w, h, _, nl) = Jpeg2000.info(head)
+      val (w, h, _, codNl) = Jpeg2000.info(head)
+      // a COC level override caps the usable overview depth at the
+      // SHALLOWEST component pyramid
+      val nl = (try Some(Jpeg2000.layout(head)) catch {
+        case _: Exception => None
+      }).map(hd => (0 until hd.nc).map(hd.nlOf).min).getOrElse(codNl)
       (1 to nl).map { d =>
         (d.toLong, Jpeg2000Dims.lowLen(w, d), Jpeg2000Dims.lowLen(h, d))
       }.toIndexedSeq

@@ -1112,23 +1112,29 @@ private[graft] object Jpeg2000 {
     * anchored grids and no subsampling this sort is exactly the spec's
     * position-sampling loops. Both directions iterate this one sequence,
     * so packet order is consistent by construction. */
-  private def packetSeq(order: Int, layers: Int, nc: Int, nl: Int,
+  private def packetSeq(order: Int, layers: Int, nc: Int, nlOf: Int => Int,
       tcw: Int, tch: Int, pp: (Int, Int) => (Int, Int)): IndexedSeq[PktId] = {
     // pp is (resolution, component) -> precinct exponents: a COC override
     // gives components their own precinct grids, so the precinct count
-    // varies per (r, c) — generation order is irrelevant (sorted below)
+    // varies per (r, c) — generation order is irrelevant (sorted below).
+    // nlOf is PER COMPONENT (a COC level override shrinks one
+    // component's pyramid): packets exist only for r <= nlOf(c), and the
+    // resolution-plane scale at r is 2^(nlOf(c) - r).
+    val nlMax = (0 until nc).map(nlOf).max
     val all = for {
-      r <- 0 to nl
+      r <- 0 to nlMax
       c <- 0 until nc
+      if r <= nlOf(c)
       (ppx, ppy) = pp(r, c)
-      (npx, npy) = precGridOf(tcw, tch, nl, r, ppx, ppy)
+      (npx, npy) = precGridOf(tcw, tch, nlOf(c), r, ppx, ppy)
       l <- 0 until layers
       piy <- 0 until npy
       pix <- 0 until npx
     } yield PktId(l, r, c, pix, piy, piy * npx + pix)
     def pos(k: PktId): (Long, Long) = {
       val (ppx, ppy) = pp(k.r, k.c)
-      (k.piy.toLong << (ppy + nl - k.r), k.pix.toLong << (ppx + nl - k.r))
+      (k.piy.toLong << (ppy + nlOf(k.c) - k.r),
+        k.pix.toLong << (ppx + nlOf(k.c) - k.r))
     }
     order match {
       case 0 => all.sortBy(k => (k.l, k.r, k.c, k.p))
@@ -1217,7 +1223,9 @@ private[graft] object Jpeg2000 {
       partsPerResolution: Boolean = false,
       derivedQuant: Boolean = false,
       cocCbExp: Map[Int, Int] = Map.empty,
-      cocPrecinct: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
+      cocPrecinct: Map[Int, (Int, Int)] = Map.empty,
+      cocLevels: Map[Int, Int] = Map.empty,
+      cocTransform: Map[Int, Int] = Map.empty): Array[Byte] = {
     val lossy = qstep > 0.0
     require(!derivedQuant || lossy,
       "jpeg2000: derivedQuant is a lossy-path (qstep > 0) option")
@@ -1230,6 +1238,24 @@ private[graft] object Jpeg2000 {
         px >= 1 && px <= 15 && py >= 1 && py <= 15,
         s"jpeg2000: COC precinct override out of range: comp $c ($px,$py)")
     }
+    // per-component decomposition-level / wavelet-transform overrides
+    // (COC SPcoc bytes 0 and 4): a transform-0 (9/7) component inside a
+    // stream needs the quantizer step, so any 9/7 override requires
+    // qstep > 0 (which also makes 9/7 the COD default — mixed streams
+    // signal the 5/3 components as the overrides, with style-0 QCCs)
+    cocTransform.foreach { case (c, t) =>
+      require(c >= 0 && c < planes.length && (t == 0 || t == 1),
+        s"jpeg2000: COC transform override out of range: comp $c tr $t")
+    }
+    require(cocTransform.values.forall(_ == 1) || lossy,
+      "jpeg2000: a 9/7 component override needs qstep > 0")
+    require(cocTransform.isEmpty || !mct,
+      "jpeg2000: MCT couples components 0-2 through one transform; " +
+        "per-component transform overrides are incompatible with it")
+    require((cocTransform.isEmpty && cocLevels.isEmpty) ||
+        (!derivedQuant && !partsPerResolution),
+      "jpeg2000: level/transform overrides with derivedQuant or " +
+        "per-resolution tile-parts unsupported")
     require(planes.nonEmpty, "jpeg2000: no components")
     require(layers >= 1 && layers <= 1000, "jpeg2000: layers must be 1..1000")
     require(order >= 0 && order <= 4,
@@ -1254,6 +1280,14 @@ private[graft] object Jpeg2000 {
       "jpeg2000: RCT needs exactly 3 components of one depth/signedness")
     val nl = math.max(0, math.min(levels,
       31 - Integer.numberOfLeadingZeros(math.max(1, math.min(w, h)))))
+    cocLevels.foreach { case (c, l) =>
+      require(c >= 0 && c < planes.length && l >= 0 && l <= nl,
+        s"jpeg2000: COC level override out of range: comp $c levels $l " +
+          s"(COD carries the maximum, $nl)")
+    }
+    def nlOfE(comp: Int): Int = cocLevels.getOrElse(comp, nl)
+    def lossyOfE(comp: Int): Boolean =
+      cocTransform.get(comp).map(_ == 0).getOrElse(lossy)
     val cb = 1 << cbExp
     val guard = 2
     val (tw, th) = tileSize.getOrElse((w, h))
@@ -1304,8 +1338,10 @@ private[graft] object Jpeg2000 {
     def cbExpOfE(comp: Int): Int = cocCbExp.getOrElse(comp, cbExp)
     def ppOfE(comp: Int): (Int, Int) = cocPrecinct.getOrElse(comp, (ppxE, ppyE))
     for (comp <- planes.indices
-        if cocCbExp.contains(comp) || cocPrecinct.contains(comp)) {
+        if cocCbExp.contains(comp) || cocPrecinct.contains(comp) ||
+          cocLevels.contains(comp) || cocTransform.contains(comp)) {
       val ce = cbExpOfE(comp)
+      val nlc = nlOfE(comp)
       // Scoc=0 means MAXIMAL precincts for the component (A.6.2), not
       // "inherit the COD's" — so when the COD signals custom precincts,
       // every COC must carry its own precinct table (copying the COD
@@ -1314,11 +1350,12 @@ private[graft] object Jpeg2000 {
       val hasPrec = cocPrecinct.contains(comp) || usePrec
       val (cpx, cpy) = ppOfE(comp)
       u16(0xFF53)
-      u16(9 + (if (hasPrec) nl + 1 else 0))
+      u16(9 + (if (hasPrec) nlc + 1 else 0))
       u8(comp) // Ccoc (1 byte: nc < 257 always holds here)
       u8(if (hasPrec) 1 else 0) // Scoc
-      u8(nl); u8(ce - 2); u8(ce - 2); u8(0); u8(if (lossy) 0 else 1)
-      if (hasPrec) for (_ <- 0 to nl) u8(cpx | (cpy << 4))
+      u8(nlc); u8(ce - 2); u8(ce - 2); u8(0)
+      u8(if (lossyOfE(comp)) 0 else 1)
+      if (hasPrec) for (_ <- 0 to nlc) u8(cpx | (cpy << 4))
     }
     val depthMax = planes.map(_.depth).max
     def gainOf(band: Int): Int = band match {
@@ -1355,7 +1392,8 @@ private[graft] object Jpeg2000 {
       stepOf(e, m, depthMax + gainOf(band))
     }
     def mbOf(comp: Int, r: Int, band: Int): Int =
-      (if (lossy) lossyEpsMu(r, band)._1 else epsOf(comp, band)) + guard - 1
+      (if (lossyOfE(comp)) lossyEpsMu(r, band)._1 else epsOf(comp, band)) +
+        guard - 1
     if (lossy && derivedQuant) {
       // QCD style 1 (scalar derived): a single 16-bit (ε0 << 11 | μ0)
       u16(0xFF5C)
@@ -1380,17 +1418,38 @@ private[graft] object Jpeg2000 {
       u8(guard << 5) // Sqcd: style 0 (no quantization)
       u8(epsOf(0, 0) << 3)
       for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8(epsOf(0, b) << 3)
-      // QCC for every component whose exponents differ from the QCD's
-      // (the RCT chroma components): same style, +1 exponents
-      for (comp <- planes.indices if epsOf(comp, 0) != epsOf(0, 0)) {
+    }
+    // QCC for every component the global QCD does not describe: the RCT
+    // chroma components (+1 exponents), any component whose transform
+    // differs from the COD's (style flips between 0/no-quant and 2/
+    // expounded), and any component whose level override changes the
+    // subband table length
+    def writeQcc(comp: Int): Unit = {
+      val nlc = nlOfE(comp)
+      if (lossyOfE(comp)) {
         u16(0xFF5D)
-        u16(5 + 3 * nl)
-        u8(comp)       // Cqcc (1 byte: nc < 257 always holds here)
-        u8(guard << 5) // Sqcc
+        u16(4 + 2 * (1 + 3 * nlc))
+        u8(comp)                // Cqcc (1 byte: nc < 257 always holds)
+        u8((guard << 5) | 2)    // Sqcc: scalar expounded
+        val (e0, m0) = lossyEpsMu(0, 0)
+        u16((e0 << 11) | m0)
+        for (r <- 1 to nlc; b <- Seq(1, 2, 3)) {
+          val (e, m) = lossyEpsMu(r, b)
+          u16((e << 11) | m)
+        }
+      } else {
+        u16(0xFF5D)
+        u16(5 + 3 * nlc)
+        u8(comp)
+        u8(guard << 5)          // Sqcc: style 0 (no quantization)
         u8(epsOf(comp, 0) << 3)
-        for (r <- 1 to nl; b <- Seq(1, 2, 3)) u8(epsOf(comp, b) << 3)
+        for (r <- 1 to nlc; b <- Seq(1, 2, 3)) u8(epsOf(comp, b) << 3)
       }
     }
+    for (comp <- planes.indices
+        if lossyOfE(comp) != lossy || nlOfE(comp) != nl ||
+          (!lossy && epsOf(comp, 0) != epsOf(0, 0)))
+      writeQcc(comp)
 
     // ---- per-tile encoding (tiles are independently coded) ----
     def encodeTile(tx0: Int, ty0: Int, tcw: Int, tch: Int)
@@ -1400,19 +1459,23 @@ private[graft] object Jpeg2000 {
       // optional RCT across the first three (forward: Y=(R+2G+B)>>2,
       // Cb=B-G, Cr=R-G — exact integers, inverse in decode), then
       // per-component DWT
-      val shifted: Seq[Array[Int]] = if (lossy) null else planes.map { p =>
-        val a = new Array[Int](tcw * tch)
-        val shift = if (p.signed) 0 else 1 << (p.depth - 1)
-        var y = 0
-        while (y < tch) {
-          var x = 0
-          while (x < tcw) {
-            a(y * tcw + x) = p.samples((ty0 + y) * w + (tx0 + x)) - shift
-            x += 1
+      val shifted: IndexedSeq[Array[Int]] = planes.indices.map { ci =>
+        if (lossyOfE(ci)) null
+        else {
+          val p = planes(ci)
+          val a = new Array[Int](tcw * tch)
+          val shift = if (p.signed) 0 else 1 << (p.depth - 1)
+          var y = 0
+          while (y < tch) {
+            var x = 0
+            while (x < tcw) {
+              a(y * tcw + x) = p.samples((ty0 + y) * w + (tx0 + x)) - shift
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          a
         }
-        a
       }
       if (!lossy && mct) {
         val r = shifted(0); val g = shifted(1); val b = shifted(2)
@@ -1426,19 +1489,24 @@ private[graft] object Jpeg2000 {
         }
       }
       // lossy: DC shift to doubles, irreversible ICT, 9/7 pyramid
-      val shiftedD: Seq[Array[Double]] = if (!lossy) null else planes.map { p =>
-        val a = new Array[Double](tcw * tch)
-        val shift = if (p.signed) 0 else 1 << (p.depth - 1)
-        var y = 0
-        while (y < tch) {
-          var x = 0
-          while (x < tcw) {
-            a(y * tcw + x) = (p.samples((ty0 + y) * w + (tx0 + x)) - shift).toDouble
-            x += 1
+      val shiftedD: IndexedSeq[Array[Double]] = planes.indices.map { ci =>
+        if (!lossyOfE(ci)) null
+        else {
+          val p = planes(ci)
+          val a = new Array[Double](tcw * tch)
+          val shift = if (p.signed) 0 else 1 << (p.depth - 1)
+          var y = 0
+          while (y < tch) {
+            var x = 0
+            while (x < tcw) {
+              a(y * tcw + x) =
+                (p.samples((ty0 + y) * w + (tx0 + x)) - shift).toDouble
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          a
         }
-        a
       }
       if (lossy && mct) {
         val r = shiftedD(0); val g = shiftedD(1); val b = shiftedD(2)
@@ -1451,54 +1519,67 @@ private[graft] object Jpeg2000 {
           i += 1
         }
       }
-      val transformedD = if (!lossy) null else shiftedD.map { a =>
-        var cw = tcw
-        var ch = tch
-        var buf = a
-        val quads = new Array[(Array[Double], Int, Int)](nl + 1)
-        var l = 0
-        while (l < nl) {
-          val (t, lw2, lh2) = fwd2d97(buf, cw, ch)
-          quads(l) = (t, cw, ch)
-          val nxt = new Array[Double](lw2 * lh2)
-          var yy = 0
-          while (yy < lh2) {
-            System.arraycopy(t, yy * cw, nxt, yy * lw2, lw2)
-            yy += 1
+      // per-component pyramids at the component's OWN level count (and
+      // transform): lossy components get the 9/7 double pyramid, the
+      // reversible ones the 5/3 integer pyramid
+      val transformedD: IndexedSeq[Array[(Array[Double], Int, Int)]] =
+        planes.indices.map { ci =>
+          if (!lossyOfE(ci)) null
+          else {
+            val nlc = nlOfE(ci)
+            var cw = tcw
+            var ch = tch
+            var buf = shiftedD(ci)
+            val quads = new Array[(Array[Double], Int, Int)](nlc + 1)
+            var l = 0
+            while (l < nlc) {
+              val (t, lw2, lh2) = fwd2d97(buf, cw, ch)
+              quads(l) = (t, cw, ch)
+              val nxt = new Array[Double](lw2 * lh2)
+              var yy = 0
+              while (yy < lh2) {
+                System.arraycopy(t, yy * cw, nxt, yy * lw2, lw2)
+                yy += 1
+              }
+              buf = nxt
+              cw = lw2
+              ch = lh2
+              l += 1
+            }
+            quads(nlc) = (buf, cw, ch)
+            quads
           }
-          buf = nxt
-          cw = lw2
-          ch = lh2
-          l += 1
         }
-        quads(nl) = (buf, cw, ch)
-        quads
-      }
-      val transformed = if (lossy) null else shifted.map { a =>
-        var cw = tcw
-        var ch = tch
-        var buf = a
-        // quads(l) = the level-(l+1) split of the level-l LL region,
-        // stride lowLen(tcw, l); quads(nl) = the final LL itself
-        val quads = new Array[(Array[Int], Int, Int)](nl + 1)
-        var l = 0
-        while (l < nl) {
-          val (t, lw2, lh2) = fwd2d(buf, cw, ch)
-          quads(l) = (t, cw, ch)
-          val nxt = new Array[Int](lw2 * lh2)
-          var yy = 0
-          while (yy < lh2) {
-            System.arraycopy(t, yy * cw, nxt, yy * lw2, lw2)
-            yy += 1
+      val transformed: IndexedSeq[Array[(Array[Int], Int, Int)]] =
+        planes.indices.map { ci =>
+          if (lossyOfE(ci)) null
+          else {
+            val nlc = nlOfE(ci)
+            var cw = tcw
+            var ch = tch
+            var buf = shifted(ci)
+            // quads(l) = the level-(l+1) split of the level-l LL region,
+            // stride lowLen(tcw, l); quads(nlc) = the final LL itself
+            val quads = new Array[(Array[Int], Int, Int)](nlc + 1)
+            var l = 0
+            while (l < nlc) {
+              val (t, lw2, lh2) = fwd2d(buf, cw, ch)
+              quads(l) = (t, cw, ch)
+              val nxt = new Array[Int](lw2 * lh2)
+              var yy = 0
+              while (yy < lh2) {
+                System.arraycopy(t, yy * cw, nxt, yy * lw2, lw2)
+                yy += 1
+              }
+              buf = nxt
+              cw = lw2
+              ch = lh2
+              l += 1
+            }
+            quads(nlc) = (buf, cw, ch) // final LL
+            quads
           }
-          buf = nxt
-          cw = lw2
-          ch = lh2
-          l += 1
         }
-        quads(nl) = (buf, cw, ch) // final LL
-        quads
-      }
 
       // band sample extractor: band coords -> SIGNED coefficient array.
       // Lossless: raw 5/3 integers; lossy: 9/7 doubles quantized with
@@ -1506,17 +1587,18 @@ private[graft] object Jpeg2000 {
       def bandCoeffs(comp: Int, r: Int, band: Int, bw: Int, bh: Int,
           xOff: Int, yOff: Int): Array[Int] = {
         val outA = new Array[Int](bw * bh)
-        if (!lossy) {
+        val nlc = nlOfE(comp)
+        if (!lossyOfE(comp)) {
           val quads = transformed(comp)
           if (r == 0) {
-            val (ll, lw2, _) = quads(nl)
+            val (ll, lw2, _) = quads(nlc)
             var y = 0
             while (y < bh) {
               System.arraycopy(ll, y * lw2, outA, y * bw, bw)
               y += 1
             }
           } else {
-            val l = nl - r + 1
+            val l = nlc - r + 1
             val (t, qw, _) = quads(l - 1)
             var y = 0
             while (y < bh) {
@@ -1536,7 +1618,7 @@ private[graft] object Jpeg2000 {
             if (v < 0) -m else m
           }
           if (r == 0) {
-            val (ll, lw2, _) = quads(nl)
+            val (ll, lw2, _) = quads(nlc)
             var y = 0
             while (y < bh) {
               var x = 0
@@ -1547,7 +1629,7 @@ private[graft] object Jpeg2000 {
               y += 1
             }
           } else {
-            val l = nl - r + 1
+            val l = nlc - r + 1
             val (t, qw, _) = quads(l - 1)
             var y = 0
             while (y < bh) {
@@ -1572,10 +1654,12 @@ private[graft] object Jpeg2000 {
         var included = false
         var byteOff = 0
       }
-      // geometry + encoded blocks per (component, resolution, band)
+      // geometry + encoded blocks per (component, resolution, band);
+      // resolutions above a component's OWN level count carry no bands
       val geoms = Array.tabulate(planes.length, nl + 1) { (comp, r) =>
         val (px, py) = ppOfE(comp)
-        bandGeoms(tcw, tch, nl, r, cbExpOfE(comp), px, py).map { g =>
+        if (r > nlOfE(comp)) Seq.empty[(BandGeom, Array[CbE])]
+        else bandGeoms(tcw, tch, nlOfE(comp), r, cbExpOfE(comp), px, py).map { g =>
           val mb = mbOf(comp, r, g.band)
           // one band extraction, shared by every code-block (extracting
           // per block is O(band x blocks) — quadratic on big images)
@@ -1631,7 +1715,7 @@ private[graft] object Jpeg2000 {
       // resolution decode (A.7.1 — informational otherwise) ----
       val packetLens = new ArrayBuffer[Int]()
       var nsop = 0
-      packetSeq(order, layers, planes.length, nl, tcw, tch,
+      packetSeq(order, layers, planes.length, nlOfE, tcw, tch,
           (_, c) => ppOfE(c)).foreach { pk =>
         val bandsHere = geoms(pk.c)(pk.r)
         val any = bandsHere.exists { case (g, grid) =>
@@ -1876,7 +1960,16 @@ private[graft] object Jpeg2000 {
       ppx: Array[Int] = null, ppy: Array[Int] = null,
       cocCbExp: Map[Int, Int] = Map.empty,
       cocPpx: Map[Int, Array[Int]] = Map.empty,
-      cocPpy: Map[Int, Array[Int]] = Map.empty) {
+      cocPpy: Map[Int, Array[Int]] = Map.empty,
+      cocNl: Map[Int, Int] = Map.empty,
+      cocTr: Map[Int, Int] = Map.empty,
+      qccStyle: Map[Int, Int] = Map.empty) {
+    /** Decomposition levels for a component (COC override or COD). */
+    def nlOf(comp: Int): Int = cocNl.getOrElse(comp, nl)
+    /** Wavelet transform for a component (0 = 9/7, 1 = 5/3). */
+    def trOf(comp: Int): Int = cocTr.getOrElse(comp, transform)
+    /** Quantization style for a component (QCC override or QCD). */
+    def qStyleOf(comp: Int): Int = qccStyle.getOrElse(comp, qStyle)
     /** Precinct exponents for (resolution, component): the component's
       * COC override when present, else the COD's (maximal when none
       * signalled). */
@@ -1899,7 +1992,7 @@ private[graft] object Jpeg2000 {
     private def epsMuOf(comp: Int, r: Int, band: Int): (Int, Int) = {
       val exps = epsTable(comp)
       val mus = muTable(comp)
-      if (qStyle == 1) {
+      if (qStyleOf(comp) == 1) {
         require(exps.length >= 1 && mus.length >= 1,
           "jpeg2000: derived quantization signalled without its (ε0, μ0)")
         (exps(0) + (if (r == 0) 0 else 1 - r), mus(0))
@@ -1958,6 +2051,9 @@ private[graft] object Jpeg2000 {
     var cocCb = Map.empty[Int, Int]
     var cocPx = Map.empty[Int, Array[Int]]
     var cocPy = Map.empty[Int, Array[Int]]
+    var cocNlM = Map.empty[Int, Int]
+    var cocTrM = Map.empty[Int, Int]
+    var qccStyleM = Map.empty[Int, Int]
     var mct = 0
     var transform = -1
     var qStyle = -1
@@ -2067,20 +2163,29 @@ private[graft] object Jpeg2000 {
           val cqcc = if (nc < 257) bb.get(pos + 4) & 0xFF
             else bb.getShort(pos + 4) & 0xFFFF
           val sqcc = bb.get(pos + 4 + cLen) & 0xFF
-          require((sqcc & 0x1F) == qStyle,
-            "jpeg2000: QCC quantization style differs from the QCD's")
+          // a QCC may flip the style per component (a mixed-transform
+          // stream signals its 5/3 components with style-0 QCCs under a
+          // lossy QCD); consistency with the component's transform is
+          // checked once all headers are parsed
+          val qs = sqcc & 0x1F
+          require(qs == 0 || qs == 1 || qs == 2,
+            s"jpeg2000: quantization style $qs unsupported " +
+              "(0 = none, 1 = scalar derived, 2 = scalar expounded)")
+          if (qs != qStyle) qccStyleM += cqcc -> qs
           qccGuard += cqcc -> (sqcc >> 5)
-          val (es, ms) = parseSp(qStyle, pos + 5 + cLen, pos + 2 + lqcc)
+          val (es, ms) = parseSp(qs, pos + 5 + cLen, pos + 2 + lqcc)
           qccExps += cqcc -> es
           qccMus += cqcc -> ms
         case 0xFF90 =>
           firstSot = pos
         case 0xFF53 => // COC: per-component coding-style override
-          // Supported override surface: code-block size and precinct
-          // partitions (geometry-only — the packet walk and band grids
-          // honour them per component). Decomposition-level and
-          // transform overrides would change the DWT pyramid per
-          // component; refuse those loudly rather than decode wrong.
+          // Supported override surface: code-block size, precinct
+          // partitions, decomposition levels, and the wavelet transform
+          // (the packet walk, band grids, DWT pyramid, and quantization
+          // all honour them per component). Still required: COC levels
+          // <= COD levels (the COD carries the pyramid maximum this
+          // codec sizes its walks by); more levels than COD refuses
+          // loudly rather than decode wrong.
           require(nc > 0, "jpeg2000: COC before SIZ")
           require(nl >= 0 && transform >= 0, "jpeg2000: COC before COD")
           val cLen = if (nc < 257) 1 else 2
@@ -2090,32 +2195,36 @@ private[graft] object Jpeg2000 {
           require(scoc == 0 || scoc == 1,
             s"jpeg2000: unknown COC coding style $scoc")
           val b2 = pos + 5 + cLen
-          require((bb.get(b2) & 0xFF) == nl,
-            "jpeg2000: COC decomposition-level override unsupported " +
-              s"(COD declares $nl, COC ${bb.get(b2) & 0xFF})")
+          val cnl = bb.get(b2) & 0xFF
+          require(cnl <= nl,
+            s"jpeg2000: COC declares $cnl decomposition levels above " +
+              s"the COD's $nl — unsupported")
           val ce = (bb.get(b2 + 1) & 0xFF) + 2
           require((bb.get(b2 + 2) & 0xFF) == ce - 2,
             "jpeg2000: non-square code-blocks unsupported")
           require((bb.get(b2 + 3) & 0xFF) == 0,
             "jpeg2000: code-block style options unsupported")
-          require((bb.get(b2 + 4) & 0xFF) == transform,
-            "jpeg2000: COC wavelet-transform override unsupported")
+          val ctr = bb.get(b2 + 4) & 0xFF
+          require(ctr == 0 || ctr == 1,
+            s"jpeg2000: unknown COC wavelet transform $ctr")
           cocCb += ccoc -> ce
+          if (cnl != nl) cocNlM += ccoc -> cnl
+          if (ctr != transform) cocTrM += ccoc -> ctr
           if (scoc == 0) {
             // A COC with Scoc=0 resets the component to MAXIMAL
             // precincts (A.6.2) — it does NOT inherit the COD's custom
             // grid. Record an explicit (15,15) table so ppOf never
             // falls back to the COD exponents for this component.
-            cocPx += ccoc -> Array.fill(nl + 1)(15)
-            cocPy += ccoc -> Array.fill(nl + 1)(15)
+            cocPx += ccoc -> Array.fill(cnl + 1)(15)
+            cocPy += ccoc -> Array.fill(cnl + 1)(15)
           }
           if (scoc == 1) {
             val lcoc = bb.getShort(pos + 2) & 0xFFFF
-            require(lcoc >= 3 + cLen + 5 + nl + 1,
+            require(lcoc >= 3 + cLen + 5 + cnl + 1,
               "jpeg2000: COC too short for the precinct table")
-            val px = new Array[Int](nl + 1)
-            val py = new Array[Int](nl + 1)
-            for (r <- 0 to nl) {
+            val px = new Array[Int](cnl + 1)
+            val py = new Array[Int](cnl + 1)
+            for (r <- 0 to cnl) {
               val v = bb.get(b2 + 5 + r) & 0xFF
               px(r) = v & 0xF
               py(r) = v >> 4
@@ -2136,14 +2245,28 @@ private[graft] object Jpeg2000 {
       if (firstSot < 0) pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
     }
     require(w > 0 && nl >= 0 && qcdGuard >= 0, "jpeg2000: incomplete headers")
-    require((transform == 1 && qStyle == 0) ||
-        (transform == 0 && (qStyle == 1 || qStyle == 2)),
-      s"jpeg2000: transform $transform with quantization style $qStyle " +
-        "unsupported (5/3 + none, or 9/7 + scalar derived/expounded)")
+    // transform/quantization consistency is PER COMPONENT: COC may flip
+    // a component's transform and its QCC then flips the style with it
+    for (c <- 0 until nc) {
+      val t = cocTrM.getOrElse(c, transform)
+      val qs = qccStyleM.getOrElse(c, qStyle)
+      require((t == 1 && qs == 0) || (t == 0 && (qs == 1 || qs == 2)),
+        s"jpeg2000: component $c transform $t with quantization style " +
+          s"$qs unsupported (5/3 + none, or 9/7 + scalar derived/expounded)")
+      // a component whose style differs from the QCD's MUST carry its
+      // own table (the QCD one is the wrong shape for it)
+      require(qs == qStyle || qccExps.contains(c),
+        s"jpeg2000: component $c style $qs differs from the QCD's " +
+          s"$qStyle but no QCC table was signalled")
+    }
+    require(mct == 0 || (0 until math.min(3, nc)).forall(c =>
+        cocTrM.getOrElse(c, transform) == transform),
+      "jpeg2000: MCT with mixed per-component transforms unsupported")
     MainHeader(csOff, w, h, math.min(tw, w), math.min(th, h), nc,
       depths, signedA, nl, cbExp, mct, transform, qStyle,
       qcdGuard, qcdExps, qcdMus, qccGuard, qccExps, qccMus, firstSot,
-      order, layers, sop, eph, ppx, ppy, cocCb, cocPx, cocPy)
+      order, layers, sop, eph, ppx, ppy, cocCb, cocPx, cocPy,
+      cocNlM, cocTrM, qccStyleM)
   }
 
   /** Tile-part directory: tile index -> ordered (sod position, part end)
@@ -2234,8 +2357,12 @@ private[graft] object Jpeg2000 {
     import hd.{w, h, tw, th, nc, nl, mct}
     val depths = hd.depths
     val signedA = hd.signed
-    require(discardLevels >= 0 && discardLevels <= nl,
-      s"jpeg2000: cannot discard $discardLevels of $nl decomposition levels")
+    // with per-component level overrides the reduced decode is bounded
+    // by the SHALLOWEST pyramid (every component must still reach the
+    // requested scale)
+    val nlMin = (0 until nc).map(hd.nlOf).min
+    require(discardLevels >= 0 && discardLevels <= nlMin,
+      s"jpeg2000: cannot discard $discardLevels of $nlMin decomposition levels")
     require(!hd.multiTile || (tw % (1 << nl) == 0 && th % (1 << nl) == 0),
       s"jpeg2000: tile grid ${tw}x$th not aligned to 2^levels=${1 << nl} " +
         "(canvas parity) unsupported")
@@ -2304,15 +2431,19 @@ private[graft] object Jpeg2000 {
       // built lazily: packets of resolutions ABOVE rMax are only walked
       // (non-resolution-major orders interleave them), never decoded
       val geoms = Array.tabulate(nc, nl + 1) { (comp, r) =>
-        val (px, py) = hd.ppOf(r, comp)
-        bandGeoms(tcw, tch, nl, r, hd.cbExpOf(comp), px, py)
+        if (r > hd.nlOf(comp)) Seq.empty[BandGeom]
+        else {
+          val (px, py) = hd.ppOf(r, comp)
+          bandGeoms(tcw, tch, hd.nlOf(comp), r, hd.cbExpOf(comp), px, py)
+        }
       }
       val cbState = Array.ofDim[Array[CbD]](nc, nl + 1, 3)
       def stateOf(c: Int, r: Int, bi: Int, g: BandGeom): Array[CbD] = {
         if (cbState(c)(r)(bi) == null)
           cbState(c)(r)(bi) = {
             val grid = new Array[CbD](g.gw * g.gh)
-            val lvl = if (r == 0) nl else nl - r + 1
+            val nlc = hd.nlOf(c)
+            val lvl = if (r == 0) nlc else nlc - r + 1
             for (gy <- 0 until g.gh; gx <- 0 until g.gw) {
               val x0 = gx * g.cbw; val y0 = gy * g.cbh
               val cw2 = math.min(g.cbw, g.bw - x0)
@@ -2327,14 +2458,14 @@ private[graft] object Jpeg2000 {
       val trees = scala.collection.mutable.HashMap
         .empty[(Int, Int, Int, Int), (TagTree, TagTree)]
 
-      val seqAll = packetSeq(hd.order, hd.layers, nc, nl, tcw, tch,
+      val seqAll = packetSeq(hd.order, hd.layers, nc, hd.nlOf, tcw, tch,
         (r, c) => hd.ppOf(r, c))
       // the walk may stop after the LAST packet a reduced decode needs:
       // for resolution-major orders that is a stream PREFIX (what the
       // PLT-ranged out-db fetch provides); other orders interleave, so
       // the last needed packet sits near the end and the walk covers
       // (and skips over) the high-resolution packets in between
-      val lastNeeded = seqAll.lastIndexWhere(_.r <= rMax)
+      val lastNeeded = seqAll.lastIndexWhere(pk => pk.r <= hd.nlOf(pk.c) - d)
       var p = sodAt
       var pi = 0
       while (pi <= lastNeeded) {
@@ -2407,6 +2538,7 @@ private[graft] object Jpeg2000 {
       for {
         r <- 0 to rMax
         comp <- 0 until nc
+        if r <= hd.nlOf(comp) - d
         (g, bi) <- geoms(comp)(r).zipWithIndex
         grid = cbState(comp)(r)(bi)
         if grid != null
@@ -2443,13 +2575,15 @@ private[graft] object Jpeg2000 {
         sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Int]] = {
       val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win)
-      // inverse DWT per component, stopping at the requested level: the
-      // level-`discardLevels` LL region is the reduced-resolution tile
+      // inverse DWT per component — at the component's OWN level count —
+      // stopping at the requested level: the level-`discardLevels` LL
+      // region is the reduced-resolution tile (same size for every
+      // component: lowLen(tcw, d) regardless of pyramid depth)
       val redW = lowLen(tcw, d)
       val redH = lowLen(tch, d)
       (0 until nc).map { comp =>
         val full = planesT(comp)
-        var l = nl
+        var l = hd.nlOf(comp)
         while (l >= d + 1) {
           val cw2 = lowLen(tcw, l - 1)
           val ch2 = lowLen(tch, l - 1)
@@ -2498,7 +2632,33 @@ private[graft] object Jpeg2000 {
       val redH = lowLen(tch, d)
       (0 until nc).map { comp =>
         val q = planesT(comp)
+        val nlc = hd.nlOf(comp)
         val full = new Array[Double](tcw * tch)
+        if (hd.trOf(comp) == 1) {
+          // reversible component inside a (mixed) lossy stream: raw 5/3
+          // integers, EXACT integer inverse lifting, then to doubles for
+          // the shared assembly (rint at the end is the identity)
+          var l = nlc
+          while (l >= d + 1) {
+            val cw2 = lowLen(tcw, l - 1)
+            val ch2 = lowLen(tch, l - 1)
+            val sub = new Array[Int](cw2 * ch2)
+            var y = 0
+            while (y < ch2) {
+              System.arraycopy(q, y * tcw, sub, y * cw2, cw2)
+              y += 1
+            }
+            val invd = inv2d(sub, cw2, ch2)
+            y = 0
+            while (y < ch2) {
+              System.arraycopy(invd, y * cw2, q, y * tcw, cw2)
+              y += 1
+            }
+            l -= 1
+          }
+          var i = 0
+          while (i < tcw * tch) { full(i) = q(i).toDouble; i += 1 }
+        } else {
         def dequantRegion(r: Int, band: Int, bw: Int, bh: Int,
             xOff: Int, yOff: Int): Unit = {
           val delta = hd.stepHatOf(comp, r, band)
@@ -2517,9 +2677,10 @@ private[graft] object Jpeg2000 {
             y += 1
           }
         }
-        for (r <- 0 to nl; (band, bw, bh, xOff, yOff) <- bandsOf(tcw, tch, nl, r))
+        for (r <- 0 to nlc;
+            (band, bw, bh, xOff, yOff) <- bandsOf(tcw, tch, nlc, r))
           dequantRegion(r, band, bw, bh, xOff, yOff)
-        var l = nl
+        var l = nlc
         while (l >= d + 1) {
           val cw2 = lowLen(tcw, l - 1)
           val ch2 = lowLen(tch, l - 1)
@@ -2536,6 +2697,7 @@ private[graft] object Jpeg2000 {
             y += 1
           }
           l -= 1
+        }
         }
         val (cx0, cy0, fw, fh) = win match {
           case Some((wx, wy, wwid, whgt)) => (wx, wy, wwid, whgt)
@@ -2630,7 +2792,11 @@ private[graft] object Jpeg2000 {
         Plane(fw, fh, depth, signedA(comp), outA)
       }
     }
-    if (hd.transform == 0) return assembleLossy()
+    // lossy/double assembly whenever ANY component is 9/7 (mixed streams
+    // run their 5/3 components through the exact integer inverse inside
+    // decodeTileLossy, so rint+clamp at the end is the identity for
+    // them); the all-5/3 stream keeps the integer path below
+    if ((0 until nc).exists(c => hd.trOf(c) == 0)) return assembleLossy()
 
     // ---- assemble tiles into the output canvas ----
     // (output coordinates: level-d reduced when d > 0; tile origins are
@@ -2809,9 +2975,10 @@ private[graft] object Jpeg2000 {
   private def leadingPacketCount(hd: MainHeader, tcw: Int, tch: Int,
       rMax: Int): Option[Int] =
     if (!resolutionMajor(hd.order, hd.layers)) None
-    else Some((for (r <- 0 to rMax; c <- 0 until hd.nc) yield {
+    else Some((for (r <- 0 to rMax; c <- 0 until hd.nc
+        if r <= hd.nlOf(c)) yield {
       val (px, py) = hd.ppOf(r, c)
-      val (npx, npy) = precGridOf(tcw, tch, hd.nl, r, px, py)
+      val (npx, npy) = precGridOf(tcw, tch, hd.nlOf(c), r, px, py)
       hd.layers * npx * npy
     }).sum)
 
@@ -2828,7 +2995,8 @@ private[graft] object Jpeg2000 {
     // single-tile streams only: a multi-tile codestream interleaves
     // every tile's packets, so "leading packets" is per tile-part
     // there (the out-db loader stitches per-tile prefixes instead)
-    if (hd.multiTile || discard > hd.nl) return None
+    if (hd.multiTile ||
+        discard > (0 until hd.nc).map(hd.nlOf).min) return None
     val bb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
     var pos = hd.firstSot
     val lens = new ArrayBuffer[Int]()
@@ -2919,7 +3087,7 @@ private[graft] object Jpeg2000 {
     * (None when the order interleaves resolutions). */
   private[sources] def neededPackets(hd: MainHeader, ti: Int,
       discard: Int): Option[Int] = {
-    if (discard > hd.nl) return None
+    if (discard > (0 until hd.nc).map(hd.nlOf).min) return None
     val tx = ti % hd.ntx; val ty = ti / hd.ntx
     val tcw = math.min(hd.tw, hd.w - tx * hd.tw)
     val tch = math.min(hd.th, hd.h - ty * hd.th)

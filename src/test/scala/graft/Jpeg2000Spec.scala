@@ -1267,6 +1267,97 @@ class Jpeg2000Spec extends AnyFunSuite {
       assert(plain(c).samples.toSeq == withCoc(c).samples.toSeq)
   }
 
+  test("COC level overrides: per-component pyramid depths, lossless bit-exact") {
+    val rnd = new scala.util.Random(61)
+    val w = 83; val h = 57
+    val planes = (0 until 3).map { c =>
+      planeOf(w, h, 8, signed = false, (x, y) =>
+        (x * (c + 2) + y * 3 + rnd.nextInt(64)) & 0xFF)
+    }
+    // comp 1 gets a 2-level pyramid, comp 2 a 3-level one, under a
+    // 4-level COD — per-component resolution counts in the packet walk,
+    // band grids, and inverse DWT
+    for (order <- Seq(0, 1, 2, 4); layers <- Seq(1, 2)) {
+      val cs = Jpeg2000.encode(planes, levels = 4, cbExp = 5,
+        order = order, layers = layers,
+        cocLevels = Map(1 -> 2, 2 -> 3))
+      val back = Jpeg2000.decode(cs)
+      for (c <- 0 until 3)
+        assert(back(c).samples.toSeq == planes(c).samples.toSeq,
+          s"order=$order layers=$layers comp=$c")
+    }
+    // level overrides compose with per-component code-blocks + precincts
+    val cs2 = Jpeg2000.encode(planes, levels = 4, cbExp = 6,
+      precinct = Some((6, 5)), order = 1,
+      cocLevels = Map(0 -> 1), cocCbExp = Map(1 -> 4),
+      cocPrecinct = Map(2 -> (4, 4)))
+    val back2 = Jpeg2000.decode(cs2)
+    for (c <- 0 until 3)
+      assert(back2(c).samples.toSeq == planes(c).samples.toSeq, s"comp=$c")
+    // reduced decode is bounded by the SHALLOWEST pyramid: d = 1 works
+    // (every component reaches scale 1/2), d = 2 refuses loudly
+    val red = Jpeg2000.decode(cs2, 1)
+    assert(red.head.w == (w + 1) / 2 && red.head.h == (h + 1) / 2)
+    val e = intercept[IllegalArgumentException](Jpeg2000.decode(cs2, 2))
+    assert(e.getMessage.contains("discard"), e.getMessage)
+    // identical samples with and without the overrides
+    val plain = Jpeg2000.decode(Jpeg2000.encode(planes, levels = 4, cbExp = 5))
+    val withNl = Jpeg2000.decode(Jpeg2000.encode(planes, levels = 4, cbExp = 5,
+      cocLevels = Map(1 -> 0, 2 -> 2)))
+    for (c <- 0 until 3)
+      assert(plain(c).samples.toSeq == withNl(c).samples.toSeq)
+  }
+
+  test("COC transform overrides: mixed 9/7 lossy × 5/3 reversible components") {
+    val rnd = new scala.util.Random(62)
+    val w = 66; val h = 49
+    val planes = (0 until 3).map { c =>
+      planeOf(w, h, 8, signed = false, (x, y) =>
+        (x + y * (c + 2) + rnd.nextInt(32)) & 0xFF)
+    }
+    // comp 1 stays REVERSIBLE 5/3 (e.g. a classification-mask band)
+    // inside a lossy 9/7 stream: it must decode BIT-EXACT while the 9/7
+    // components carry the quantizer's bounded error; the 5/3 component
+    // is signalled via COC transform=1 + a style-0 QCC
+    for (order <- Seq(0, 1, 2); layers <- Seq(1, 3)) {
+      val cs = Jpeg2000.encode(planes, levels = 3, cbExp = 5, qstep = 1.0,
+        order = order, layers = layers, cocTransform = Map(1 -> 1))
+      val back = Jpeg2000.decode(cs)
+      assert(back(1).samples.toSeq == planes(1).samples.toSeq,
+        s"order=$order layers=$layers: reversible component not exact")
+      for (c <- Seq(0, 2)) {
+        val me = planes(c).samples.zip(back(c).samples)
+          .map { case (u, v) => math.abs(u - v) }.max
+        assert(me <= 8, s"order=$order comp=$c maxErr=$me")
+      }
+    }
+    // the full mix: per-component transform AND levels AND precincts —
+    // the shape the reference reaches through GDAL's openjpeg
+    // (rust/sedona-raster-gdal/src/register.rs:23-34)
+    val cs2 = Jpeg2000.encode(planes, levels = 3, cbExp = 5, qstep = 0.5,
+      precinct = Some((5, 5)), order = 2,
+      cocTransform = Map(1 -> 1), cocLevels = Map(1 -> 2, 2 -> 1))
+    val back2 = Jpeg2000.decode(cs2)
+    assert(back2(1).samples.toSeq == planes(1).samples.toSeq)
+    for (c <- Seq(0, 2)) {
+      val me = planes(c).samples.zip(back2(c).samples)
+        .map { case (u, v) => math.abs(u - v) }.max
+      assert(me <= 4, s"comp=$c maxErr=$me")
+    }
+    // reduced decode of the mixed stream (d = 1 <= min levels)
+    val red = Jpeg2000.decode(cs2, 1)
+    assert(red.length == 3 && red.head.w == w / 2 && red.head.h == (h + 1) / 2)
+    // a 9/7 override without a quantizer step refuses loudly
+    val e = intercept[IllegalArgumentException](Jpeg2000.encode(
+      planes, levels = 3, cocTransform = Map(0 -> 0)))
+    assert(e.getMessage.contains("qstep"), e.getMessage)
+    // MCT couples components through one transform: refuse the mix
+    val e2 = intercept[IllegalArgumentException](Jpeg2000.encode(
+      planes, levels = 3, qstep = 1.0, mct = true,
+      cocTransform = Map(1 -> 1)))
+    assert(e2.getMessage.contains("MCT"), e2.getMessage)
+  }
+
   test("COC + multi-tile + per-resolution tile-parts + reduced decode compose") {
     val rnd = new scala.util.Random(59)
     val w = 128; val h = 96

@@ -609,6 +609,34 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withOcc.nonEmpty)
   }
 
+  test("sphere grid KNN: occupancy-filtered covers ≡ legacy explode+semi path") {
+    import spark.implicits._
+    // spherical twin of the planar occ A/B: objects cluster on one
+    // "coast", queries include far-ocean strays (whose escalated covers
+    // cross mostly empty cells) and dateline-adjacent points — the
+    // emitted pair set must be IDENTICAL with the occ-filtered cover
+    // kernel on (default) and off (legacy broadcast-semi path)
+    val rnd = new java.util.Random(53)
+    val o = (0 until 400).map { i =>
+      (i.toLong, -20.0 + rnd.nextDouble() * 40, -30.0 + rnd.nextDouble() * 60)
+    }.toDF("oid", "ox", "oy")
+      .select(col("oid"), st.point(col("ox"), col("oy")).as("opt"))
+    val q = (0 until 50).map { i =>
+      if (i % 10 < 3) (i.toLong, 170.0 + rnd.nextDouble() * 19.9, -40.0 + rnd.nextDouble() * 80)
+      else (i.toLong, -18.0 + rnd.nextDouble() * 36, -28.0 + rnd.nextDouble() * 56)
+    }.toDF("qid", "qx", "qy")
+      .select(col("qid"), st.point(col("qx"), col("qy")).as("qpt"))
+    def run(): Seq[String] = sortedRows(
+      SpatialJoins.knnJoinGridSphere(q, o, col("qpt"), col("opt"), 3, col("oid"))
+        .select(col("qid"), col("oid"), col("knn_rank")))
+    val withOcc = run()
+    spark.conf.set("spark.graft.knn.occCover", "false")
+    val legacy = try run()
+      finally spark.conf.unset("spark.graft.knn.occCover")
+    assert(withOcc == legacy)
+    assert(withOcc.nonEmpty)
+  }
+
   test("spheroid grid KNN ≡ brute-force geodesic rank incl. dateline + pole") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
