@@ -56,6 +56,14 @@ object ScaleBench {
     // the provider default applies): set explicitly to measure on/off
     sys.env.get("SPARK_GRAFT_SS_CHANGELOG").foreach(v => spark.conf.set(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", v))
+    // generic A/B hook: ';'-separated key=value session confs (e.g.
+    // spark.graft.cc.localLimit=4194304 to re-measure the old CC cap, or
+    // spark.graft.knn.occCover=false for the legacy cover path)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"SPARK_GRAFT_EXTRA_CONF: bad entry '$kv'")
+      spark.conf.set(kv.take(i), kv.drop(i + 1))
+    })
     GraftExtensions.install(spark)
 
     // ---- synthetic generators (density constant in m) ----
