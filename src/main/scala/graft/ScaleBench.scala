@@ -66,6 +66,33 @@ object ScaleBench {
     })
     GraftExtensions.install(spark)
 
+    // TIME-CHUNKED streaming staging: write `df` (whose `id` column
+    // orders event time) as id-ordered chunk files with strictly
+    // increasing mtimes, so a maxFilesPerTrigger=1 stream reads them in
+    // event-time order and the watermark advances BETWEEN microbatches.
+    // Single-batch AvailableNow staging silently defeats every
+    // event-time state bound (watermark pruning, window eviction, TTLs)
+    // — the st03 round-15 finding; equal mtimes could still tie-break
+    // chunks out of time order and regress the watermark (round-16 fix).
+    def stageTimeChunked(df: DataFrame, stage: String, n: Long,
+        chunks: Int): Unit = {
+      val dirF = new java.io.File(stage)
+      org.apache.commons.io.FileUtils.deleteQuietly(dirF)
+      val p = df.persist()
+      var seen = Set.empty[String]
+      val baseMs = System.currentTimeMillis() - chunks.toLong * 2000L
+      for (c <- 0 until chunks) {
+        p.filter(col("id") >= c.toLong * n / chunks &&
+            col("id") < (c + 1).toLong * n / chunks)
+          .coalesce(1).write.mode("append").parquet(stage)
+        val fresh = dirF.listFiles().filter(f =>
+          f.getName.endsWith(".parquet") && !seen(f.getName))
+        fresh.foreach(_.setLastModified(baseMs + c.toLong * 2000L))
+        seen ++= fresh.map(_.getName)
+      }
+      p.unpersist()
+    }
+
     // ---- synthetic generators (density constant in m) ----
 
     // planar plane: W x H grows with m, uniform points
@@ -434,21 +461,27 @@ object ScaleBench {
       // rate and cell grid constant, the stream's time span grows with m
       // (more windows, same per-window state); append emission per
       // closed window, so rows and time should both scale ~m
+      // time-chunked staging (see st03): a single-batch AvailableNow run
+      // would hold EVERY window of the m-scaled span in state at once
+      // (state ~ m, the quiet degeneration st03 exposed); one chunk per
+      // trigger advances the watermark so state = open windows only
       "st05_stream_window_agg" -> { m =>
         val stage = s"/tmp/graft_scalebench_winagg/$m"
         val n = 25000L * m
         val spanUs = 30L * 86400L * 1000000L * m
-        spark.range(0, n).toDF("id")
-          .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
-            (col("id") * (spanUs / n)) + pmod(hash(col("id"), lit(53)), lit(1000000))))
-          .withColumn("x", round(u(col("id"), 54) * 31.0 * 4.0) / 4.0)
-          .withColumn("y", round(u(col("id"), 55) * 23.0 * 4.0) / 4.0)
-          .coalesce(2).write.mode("overwrite").parquet(stage)
+        stageTimeChunked(
+          spark.range(0, n).toDF("id")
+            .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
+              (col("id") * (spanUs / n)) + pmod(hash(col("id"), lit(53)), lit(1000000))))
+            .withColumn("x", round(u(col("id"), 54) * 31.0 * 4.0) / 4.0)
+            .withColumn("y", round(u(col("id"), 55) * 23.0 * 4.0) / 4.0),
+          stage, n, math.max(4, (4 * sqrtM(m)).toInt))
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(StructField("id", LongType),
           StructField("ts", TimestampType), StructField("x", DoubleType),
           StructField("y", DoubleType)))
-        val agg = spark.readStream.schema(schema).parquet(stage)
+        val agg = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
           .withWatermark("ts", "0 seconds")
           .withColumn("pt", st.point(col("x"), col("y")))
           .groupBy(window(col("ts"), "1 hour"),
@@ -608,31 +641,12 @@ object ScaleBench {
         val chunks = math.max(4, (4 * sqrtM(m)).toInt)
         def side(salt: Int, tag: String): String = {
           val stage = s"/tmp/graft_scalebench_$tag/$m"
-          val dirF = new java.io.File(stage)
-          org.apache.commons.io.FileUtils.deleteQuietly(dirF)
-          val df = spark.range(0, n).toDF("id")
+          stageTimeChunked(spark.range(0, n).toDF("id")
             .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
               (col("id") * (spanUs / n)) + pmod(hash(col("id"), lit(salt)), lit(1000000))))
             .withColumn("x", round(u(col("id"), salt + 1) * gw * 4.0) / 4.0)
-            .withColumn("y", round(u(col("id"), salt + 2) * gh * 4.0) / 4.0)
-            .persist()
-          // FileStreamSource orders files by modification time; quick
-          // sequential appends can land with EQUAL mtimes and tie-break
-          // out of time order, regressing the 0-second watermark and
-          // silently dropping rows — stamp each chunk's files with
-          // strictly increasing mtimes so trigger order is deterministic
-          var seen = Set.empty[String]
-          val baseMs = System.currentTimeMillis() - chunks.toLong * 2000L
-          for (c <- 0 until chunks) {
-            df.filter(col("id") >= c.toLong * n / chunks &&
-                col("id") < (c + 1).toLong * n / chunks)
-              .coalesce(1).write.mode("append").parquet(stage)
-            val fresh = dirF.listFiles().filter(f =>
-              f.getName.endsWith(".parquet") && !seen(f.getName))
-            fresh.foreach(_.setLastModified(baseMs + c.toLong * 2000L))
-            seen ++= fresh.map(_.getName)
-          }
-          df.unpersist()
+            .withColumn("y", round(u(col("id"), salt + 2) * gh * 4.0) / 4.0),
+            stage, n, chunks)
           stage
         }
         val lstage = side(41, "l")
