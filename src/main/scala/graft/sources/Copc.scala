@@ -107,8 +107,13 @@ object Copc {
             java.lang.ref.SoftReference[Meta]]): Boolean = size() > 1024
     })
 
-  def read(spark: SparkSession, path: String,
-      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+  /** Node-pruned splits + output schema + extra-dim list for one COPC
+    * file: the shared planning step of [[read]] and [[readTiled]]
+    * (per-file meta served from [[metaCache]]). */
+  private def splitsFor(spark: SparkSession, path: String,
+      bbox: Option[(Double, Double, Double, Double)])
+      : (Seq[LasIO.Split6], org.apache.spark.sql.types.StructType,
+        Array[LasIO.ExtraDim]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -135,20 +140,33 @@ object Copc {
     }
     val dims = LasIO.extraDims(h)
     val outSchema = LasIO.schema6(dims.map(LasIO.extraField), h.fmt)
-    val dimsB = dims.toArray
-    // one task per selected node; +4/-4 skips the chunk's leading u32
-    // point count (the variable-chunk convention)
+    // +4/-4 skips the chunk's leading u32 point count (the
+    // variable-chunk convention)
     val splits = selected.map { e =>
       LasIO.Split6(path, 2, e.offset + 4, e.byteSize.toLong - 4,
         e.pointCount.toLong, h.recLen, h.fmt,
         h.sx, h.sy, h.sz, h.ox, h.oy, h.oz, h.software)
     }
+    (splits, outSchema, dims.toArray)
+  }
+
+  /** One scan over a split list (possibly spanning several files): tasks
+    * are BATCHED to ~4x the default parallelism — one task per node is
+    * pure scheduler overhead when nodes are small, and a batched task
+    * just decodes its nodes sequentially (the same per-task byte-range
+    * batching FileScanRDD does for small files). */
+  private def splitsToDf(spark: SparkSession, splits: Seq[LasIO.Split6],
+      outSchema: org.apache.spark.sql.types.StructType,
+      dimsB: Array[LasIO.ExtraDim]): DataFrame = {
     if (splits.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], outSchema)
     val serConf = new org.apache.spark.util.SerializableConfiguration(
-      new org.apache.hadoop.conf.Configuration(conf))
-    val rdd = spark.sparkContext.parallelize(splits, splits.length)
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
+    val slices = math.max(1, math.min(splits.length,
+      spark.sparkContext.defaultParallelism * 4))
+    val rdd = spark.sparkContext.parallelize(splits, slices)
       .flatMap { sp =>
         val fp = new org.apache.hadoop.fs.Path(sp.file)
         val fsx = fp.getFileSystem(serConf.value)
@@ -159,6 +177,12 @@ object Copc {
           sp.recLen, rgbB).iterator.map(LasIO.recordToRow(_, sp, dimsB))
       }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  def read(spark: SparkSession, path: String,
+      bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    val (splits, outSchema, dimsB) = splitsFor(spark, path, bbox)
+    splitsToDf(spark, splits, outSchema, dimsB)
   }
 
   // ------------------------------------------------------------------
@@ -510,6 +534,17 @@ object Copc {
       // preserve the schema by asking one tile for a necessarily-empty read
       read(spark, tiles.head.toString, Some((Double.MaxValue, Double.MaxValue,
         Double.MaxValue, Double.MaxValue)))
-    else selected.map(t => read(spark, t.toString, bbox)).reduce(_ unionAll _)
+    else {
+      // ONE scan across every surviving tile's node splits (Split6
+      // carries its own file path): a per-tile scan per query multiplies
+      // plan width and task count by the tile fan-out for nothing. Tiles
+      // with a different point format/extra-dims (foreign mixed dirs)
+      // fall back to the per-tile union.
+      val planned = selected.map(t => splitsFor(spark, t.toString, bbox))
+      if (planned.map(_._2).distinct.length == 1)
+        splitsToDf(spark, planned.flatMap(_._1), planned.head._2,
+          planned.head._3)
+      else selected.map(t => read(spark, t.toString, bbox)).reduce(_ unionAll _)
+    }
   }
 }
