@@ -461,6 +461,154 @@ object ScaleBench {
       // rate and cell grid constant, the stream's time span grows with m
       // (more windows, same per-window state); append emission per
       // closed window, so rows and time should both scale ~m
+      // st07 path: watermarked stream-stream 1-D interval overlap join —
+      // event rate and interval lengths constant, only the span grows
+      // with m; the ±30min time band (implied by the 7/5-minute caps)
+      // bounds state, chunked staging advances the watermark so it
+      // actually prunes; output (overlaps) ~ m
+      "st07_stream_range" -> { m =>
+        val n = 25000L * m
+        val spanMs = 30L * 86400L * 1000L * m
+        val minMs = 60L * 1000L
+        val base = 1700000000000L
+        // interval lengths ~ minutes against a ~104s inter-arrival, so
+        // overlaps-per-row stays a small constant (output ~ m, not
+        // ~ m x band/arrival)
+        def side(salt: Int, tag: String, maxLenMin: Int,
+            sN: String, eN: String, tsN: String): String = {
+          val stage = s"/tmp/graft_scalebench_srj_$tag/$m"
+          stageTimeChunked(spark.range(0, n).toDF("id")
+              .withColumn(sN, lit(base) + (col("id") * (spanMs / n)) +
+                pmod(hash(col("id"), lit(salt)), lit(1000)))
+              .withColumn(eN, col(sN) +
+                (pmod(hash(col("id"), lit(salt + 1)), lit(maxLenMin)) + 1) * minMs)
+              .withColumn(tsN, timestamp_millis(col(sN))),
+            stage, n, math.max(4, (4 * sqrtM(m)).toInt))
+          stage
+        }
+        val lstage = side(71, "l", 7, "ls", "le", "lts")
+        val rstage = side(73, "r", 5, "rs", "re", "rts")
+        import org.apache.spark.sql.types._
+        def sch(sN: String, eN: String, tsN: String) = StructType(Seq(
+          StructField("id", LongType), StructField(sN, LongType),
+          StructField(eN, LongType), StructField(tsN, TimestampType)))
+        val l = spark.readStream.schema(sch("ls", "le", "lts"))
+          .option("maxFilesPerTrigger", "1").parquet(lstage)
+          .withColumnRenamed("id", "lid").withWatermark("lts", "0 seconds")
+        val r = spark.readStream.schema(sch("rs", "re", "rts"))
+          .option("maxFilesPerTrigger", "1").parquet(rstage)
+          .withColumnRenamed("id", "rid").withWatermark("rts", "0 seconds")
+        val joined = graft.streaming.StreamingOps.streamRangeJoin(l, r,
+          "ls", "le", "rs", "re",
+          timeCond = col("lts") >= col("rts") - expr("INTERVAL 30 MINUTES") &&
+            col("lts") <= col("rts") + expr("INTERVAL 30 MINUTES"),
+          cellWidth = 10L * minMs)
+          .select(col("lid"), col("rid"))
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val t0 = System.nanoTime()
+          val sink = s"sb_srj_$m"
+          val q = joined.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (spark.table(sink).count(), (System.nanoTime() - t0) / 1e9)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      // st01 path: gap-sessionize under a GROWING key space (users ~ m,
+      // rate constant) — the honest shape: state is bounded by users
+      // active within one gap of the watermark (arrival rate x gap),
+      // NOT by the key space; time-chunked staging advances the
+      // watermark so the event-time timeout actually evicts. A final
+      // sentinel chunk (one far-future event per user) flushes the tail
+      // sessions, so rows out = events in (per-user inter-arrival >>
+      // gap at every m: each event is its own session), linear in m.
+      "st01_stream_sessionize" -> { m =>
+        val stage = s"/tmp/graft_scalebench_sess/$m"
+        val n = 25000L * m
+        val nKeys = 500L * m
+        val spanMs = 30L * 86400L * 1000L * m
+        val gapMs = 3600L * 1000L
+        val base = 1700000000000L
+        val ev = spark.range(0, n).toDF("id")
+          .withColumn("user_id", pmod(hash(col("id"), lit(11)), lit(nKeys)))
+          .withColumn("ts_ms", lit(base) + (col("id") * (spanMs / n)))
+          .withColumn("value", (col("id") % 100).cast("double") * 0.25)
+        val sentinels = spark.range(0, nKeys).toDF("user_id")
+          .withColumn("id", lit(n) + col("user_id")) // orders AFTER all events
+          .withColumn("ts_ms", lit(base + spanMs + 10 * gapMs))
+          .withColumn("value", lit(0.0))
+          .select(col("id"), col("user_id"), col("ts_ms"), col("value"))
+        stageTimeChunked(ev.select(col("id"), col("user_id"),
+            col("ts_ms"), col("value")).unionAll(sentinels),
+          stage, n + nKeys, math.max(4, (4 * sqrtM(m)).toInt))
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("id", LongType),
+          StructField("user_id", LongType), StructField("ts_ms", LongType),
+          StructField("value", DoubleType)))
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .select(col("user_id"), col("ts_ms"), col("value"))
+          .as[graft.streaming.StreamingOps.Event](
+            org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.Event])
+        val sessions = graft.streaming.StreamingOps.sessionize(stream, gapMs)
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val t0 = System.nanoTime()
+          val sink = s"sb_sess_$m"
+          val q = sessions.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (spark.table(sink).count(), (System.nanoTime() - t0) / 1e9)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      // st06 path: streaming backward as-of join with the idle-key TTL —
+      // key space grows with m (the 100TB ephemeral-key shape), state is
+      // bounded by keys active within the TTL of the watermark; chunked
+      // staging makes the event-time timeout fire. Output = one row per
+      // left event (matched or unmatched), linear in m.
+      "st06_stream_asof" -> { m =>
+        val stage = s"/tmp/graft_scalebench_asof/$m"
+        val n = 50000L * m
+        val nKeys = 500L * m
+        val spanMs = 30L * 86400L * 1000L * m
+        val tolMs = 2L * 86400L * 1000L
+        val base = 1700000000000L
+        stageTimeChunked(spark.range(0, n).toDF("id")
+            .withColumn("k", pmod(hash(col("id"), lit(13)), lit(nKeys)))
+            .withColumn("ts_ms", lit(base) + (col("id") * (spanMs / n)))
+            .withColumn("tag", (col("id") % 2).cast("int"))
+            .withColumn("value", (col("id") % 1000).cast("double") * 0.5),
+          stage, n, math.max(4, (4 * sqrtM(m)).toInt))
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("id", LongType),
+          StructField("k", LongType), StructField("ts_ms", LongType),
+          StructField("tag", IntegerType), StructField("value", DoubleType)))
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .select(col("k"), col("ts_ms"), col("tag"), col("id"), col("value"))
+          .as[graft.streaming.StreamingOps.AsOfEvent](
+            org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.AsOfEvent])
+        val joined = graft.streaming.StreamingOps.streamAsOfJoin(
+          stream, tolMs, idleTtlMs = Some(tolMs))
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val t0 = System.nanoTime()
+          val sink = s"sb_asof_$m"
+          val q = joined.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (spark.table(sink).count(), (System.nanoTime() - t0) / 1e9)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
       // time-chunked staging (see st03): a single-batch AvailableNow run
       // would hold EVERY window of the m-scaled span in state at once
       // (state ~ m, the quiet degeneration st03 exposed); one chunk per
