@@ -461,6 +461,48 @@ object ScaleBench {
       // rate and cell grid constant, the stream's time span grows with m
       // (more windows, same per-window state); append emission per
       // closed window, so rows and time should both scale ~m
+      // st09 path: watermark-bounded exact dedup — ids ~ m (every id
+      // unique except near-in-time duplicates), but state holds only the
+      // ids within the 1h watermark delay; chunked staging advances the
+      // watermark so eviction fires. Plain dropDuplicates on this stream
+      // would hold ALL m-scaled ids forever. Output = distinct ids ~ m.
+      "st09_stream_dedup_bounded" -> { m =>
+        val stage = s"/tmp/graft_scalebench_dwm/$m"
+        val n = 25000L * m
+        val spanMs = 30L * 86400L * 1000L * m
+        val base = 1700000000000L
+        // every 5th id is emitted twice at the SAME event time (a
+        // bit-identical duplicate, trivially within the delay)
+        val ev = spark.range(0, n).toDF("eid")
+          .withColumn("dup", explode(when(col("eid") % 5 === 0,
+            array(lit(0), lit(1))).otherwise(array(lit(0)))))
+          .withColumn("id", col("eid")) // orders staging chunks by time
+          .withColumn("ts_ms", lit(base) + (col("eid") * (spanMs / n)))
+          .withColumn("value", (col("eid") % 100).cast("double"))
+          .select(col("id"), col("eid"), col("ts_ms"), col("value"))
+        stageTimeChunked(ev, stage, n, math.max(4, (4 * sqrtM(m)).toInt))
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("id", LongType),
+          StructField("eid", LongType), StructField("ts_ms", LongType),
+          StructField("value", DoubleType)))
+        val deduped = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("eid")
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val t0 = System.nanoTime()
+          val sink = s"sb_dwm_$m"
+          val q = deduped.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (spark.table(sink).count(), (System.nanoTime() - t0) / 1e9)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
       // st07 path: watermarked stream-stream 1-D interval overlap join —
       // event rate and interval lengths constant, only the span grows
       // with m; the ±30min time band (implied by the 7/5-minute caps)

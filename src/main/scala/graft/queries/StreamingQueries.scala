@@ -327,6 +327,38 @@ object StreamingQueries {
       s.table(sinkName)
     }),
 
+    // watermark-BOUNDED streaming exact dedup: dropDuplicatesWithinWatermark
+    // holds only ids within the watermark delay of the max event time —
+    // the 100 TB shape (plain dropDuplicates state grows with every id
+    // ever seen). Duplicates here are bit-identical rows (same event
+    // time), trivially inside any delay, so the result equals global
+    // DISTINCT and the DuckDB oracle can state it.
+    "st09_stream_dedup_bounded" -> ((s, dir) => {
+      import graft.Tables
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"), col("value"))
+      val staged = ev
+        .unionAll(ev.filter(col("event_id") % 3 === 0))
+        .unionAll(ev.filter(col("event_id") % 7 === 0))
+      val staging = s"/tmp/graft_stream_dedup_wm/${math.abs(dir.hashCode)}"
+      staged.coalesce(1).write.mode("overwrite").parquet(staging)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType)))
+      val sinkName = s"graft_dedupwm_${math.abs(dir.hashCode)}"
+      val q = s.readStream.schema(schema).parquet(staging)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sinkName)
+    }),
+
     // streaming MinHash near-dup dedup: band buckets keyed into
     // flatMapGroupsWithState holding ONE long (the min doc id) per
     // bucket; a doc is a near-duplicate when any of its buckets already
@@ -454,6 +486,12 @@ object StreamingQueries {
     // duplicates exist only in the staging copy; distinct event rows ARE
     // the oracle (event_id is unique in the source table)
     "st02_stream_dedup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us, value
+        |FROM events""".stripMargin,
+
+    // the bounded variant's duplicates are bit-identical rows, so the
+    // within-watermark dedup equals global DISTINCT
+    "st09_stream_dedup_bounded" ->
       """SELECT event_id, user_id, epoch_us(ts) AS us, value
         |FROM events""".stripMargin)
 }

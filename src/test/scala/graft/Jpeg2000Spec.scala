@@ -1358,6 +1358,67 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("MCT"), e2.getMessage)
   }
 
+  test("fuzz: random per-component level/transform/cb/precinct lattices") {
+    // dense randomized sweep over the NEW per-component surface composed
+    // with the old one — each draw randomizes size, depth, component
+    // count, global levels/precincts/order/layers, and per-component
+    // levels/transform/code-block overrides; reversible components must
+    // roundtrip bit-exact, 9/7 components within the quantizer bound
+    val rnd = new scala.util.Random(20260816)
+    for (trial <- 0 until 30) {
+      val w = 9 + rnd.nextInt(90)
+      val h = 9 + rnd.nextInt(70)
+      val nc = 1 + rnd.nextInt(4)
+      val depth = Seq(8, 10, 12)(rnd.nextInt(3))
+      val planes = (0 until nc).map { c =>
+        planeOf(w, h, depth, signed = false, (x, y) =>
+          (x * (c + 2) + y * 5 + rnd.nextInt(1 << (depth - 2))) %
+            (1 << depth))
+      }
+      val levels = 1 + rnd.nextInt(3)
+      val lossyStream = rnd.nextBoolean()
+      val qstep = if (lossyStream) 0.5 + rnd.nextInt(3) * 0.5 else 0.0
+      val order = rnd.nextInt(5)
+      val layers = 1 + rnd.nextInt(3)
+      val prec = if (rnd.nextBoolean()) Some((4 + rnd.nextInt(3),
+        4 + rnd.nextInt(3))) else None
+      def draw[T](f: => T): Map[Int, T] =
+        (0 until nc).flatMap(c =>
+          if (rnd.nextInt(3) == 0) Some(c -> f) else None).toMap
+      val cocNl = draw(rnd.nextInt(levels + 1))
+      // transform overrides: only 9/7 -> 5/3 inside a lossy stream (a
+      // 9/7 override needs qstep > 0, which flips the whole COD)
+      val cocTr = if (lossyStream) draw(1) else Map.empty[Int, Int]
+      val cocCb = draw(3 + rnd.nextInt(3))
+      val tag = s"trial=$trial ${w}x$h nc=$nc d=$depth L=$levels " +
+        s"q=$qstep o=$order l=$layers p=$prec nl=$cocNl tr=$cocTr cb=$cocCb"
+      val cs = Jpeg2000.encode(planes, levels = levels, cbExp = 5,
+        qstep = qstep, order = order, layers = layers, precinct = prec,
+        cocLevels = cocNl, cocTransform = cocTr, cocCbExp = cocCb)
+      val back = Jpeg2000.decode(cs)
+      assert(back.length == nc, tag)
+      for (c <- 0 until nc) {
+        val reversible = !lossyStream || cocTr.get(c).contains(1)
+        if (reversible)
+          assert(back(c).samples.toSeq == planes(c).samples.toSeq,
+            s"$tag comp=$c not bit-exact")
+        else {
+          val me = planes(c).samples.zip(back(c).samples)
+            .map { case (u, v) => math.abs(u - v) }.max
+          // reconstruction error <= ~8x the top-band effective step
+          assert(me <= 8 * math.max(1.0, qstep) * (1 << (levels - 1)),
+            s"$tag comp=$c maxErr=$me")
+        }
+      }
+      // reduced decode at the shallowest pyramid holds the size contract
+      val dMax = (0 until nc).map(c => cocNl.getOrElse(c, levels)).min
+      if (dMax > 0) {
+        val red = Jpeg2000.decode(cs, 1)
+        assert(red.head.w == (w + 1) / 2 && red.head.h == (h + 1) / 2, tag)
+      }
+    }
+  }
+
   test("COC + multi-tile + per-resolution tile-parts + reduced decode compose") {
     val rnd = new scala.util.Random(59)
     val w = 128; val h = 96
