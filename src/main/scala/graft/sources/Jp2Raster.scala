@@ -144,6 +144,12 @@ private[graft] object Jp2Raster {
       ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
     val w = planes.head.w
     val h = planes.head.h
+    // subsampled streams decode fine at the CODEC layer (per-component
+    // plane dims) but the raster model's bands share one grid — resample
+    // upstream or read the codestream via Jpeg2000.decode directly
+    require(planes.forall(p => p.w == w && p.h == h),
+      "jp2 raster: component subsampling yields mixed band dims; " +
+        "decode via Jpeg2000.decode for per-component planes")
     val bands = planes.map { p =>
       val vals = new Array[Double](p.samples.length)
       var i = 0

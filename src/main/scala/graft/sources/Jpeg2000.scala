@@ -12,14 +12,21 @@ import scala.collection.mutable.ArrayBuffer
   * ISO/IEC 15444-1 algorithm descriptions (Annexes B, C, D, F).
   *
   * Scope and validation honesty:
-  *  - encode: raw .j2k codestream — single tile at origin, 1..N
-  *    components (same dimensions, no subsampling), bit depth <= 16
-  *    signed or unsigned, code-blocks 2^2..2^10 square, no precinct
-  *    subdivision (one packet per resolution/component), one quality
-  *    layer, reversible 5/3 only, no coder bypass/termination options.
+  *  - encode: raw .j2k codestream — 1..N components, bit depth <= 16
+  *    signed or unsigned, reversible 5/3 and lossy 9/7 (scalar
+  *    expounded or DERIVED quantization), RCT/ICT, multiple tiles and
+  *    tile-parts (per-resolution grouping, TLM), quality layers, all
+  *    five progression orders, precincts, SOP/EPH, code-blocks
+  *    2^2..2^10 square, per-component COC overrides (code-block size,
+  *    precincts, decomposition LEVELS, wavelet TRANSFORM) and SIZ
+  *    component SUBSAMPLING (single-tile, MCT-free; components decode
+  *    at their own plane dims — the 4:2:0 chroma shape).
   *  - decode: the same feature set, from a raw codestream or a JP2 box
   *    container (the `jp2c` box is located and decoded; other boxes are
-  *    metadata this codec does not need).
+  *    metadata this codec does not need). Still refusing loudly:
+  *    RGN/POC/PPM (ROI bitplane shifts, mid-stream progression changes,
+  *    relocated packet headers), code-block coder option flags, and
+  *    windowed decode of subsampled streams.
   *  - The DWT, tag trees, pass-count / length codewords, and packet
   *    structure are pinned by hand-computed unit fixtures; the MQ coder
   *    and tier-1 context machine are pinned by spec invariants plus
@@ -27,8 +34,7 @@ import scala.collection.mutable.ArrayBuffer
   *    fixture exists in this offline environment, so byte-exact interop
   *    with openjpeg-encoded files is NOT certified — a decoder-side
   *    context-table transcription error would not be caught by
-  *    roundtrips. Lossy 9/7, multiple tiles/layers, subsampling, and
-  *    coder option flags raise loud errors rather than guessing.
+  *    roundtrips.
   */
 private[graft] object Jpeg2000 {
 
@@ -1113,19 +1119,23 @@ private[graft] object Jpeg2000 {
     * position-sampling loops. Both directions iterate this one sequence,
     * so packet order is consistent by construction. */
   private def packetSeq(order: Int, layers: Int, nc: Int, nlOf: Int => Int,
-      tcw: Int, tch: Int, pp: (Int, Int) => (Int, Int)): IndexedSeq[PktId] = {
+      dims: Int => (Int, Int), pp: (Int, Int) => (Int, Int),
+      ss: Int => (Int, Int) = _ => (1, 1)): IndexedSeq[PktId] = {
     // pp is (resolution, component) -> precinct exponents: a COC override
     // gives components their own precinct grids, so the precinct count
     // varies per (r, c) — generation order is irrelevant (sorted below).
-    // nlOf is PER COMPONENT (a COC level override shrinks one
-    // component's pyramid): packets exist only for r <= nlOf(c), and the
-    // resolution-plane scale at r is 2^(nlOf(c) - r).
+    // nlOf and dims are PER COMPONENT (COC level overrides shrink one
+    // component's pyramid; SIZ subsampling shrinks its tile plane):
+    // packets exist only for r <= nlOf(c), grids come from the
+    // component's own plane, and position-driven orders scale precinct
+    // origins by the subsampling back to CANVAS coordinates.
     val nlMax = (0 until nc).map(nlOf).max
     val all = for {
       r <- 0 to nlMax
       c <- 0 until nc
       if r <= nlOf(c)
       (ppx, ppy) = pp(r, c)
+      (tcw, tch) = dims(c)
       (npx, npy) = precGridOf(tcw, tch, nlOf(c), r, ppx, ppy)
       l <- 0 until layers
       piy <- 0 until npy
@@ -1133,8 +1143,9 @@ private[graft] object Jpeg2000 {
     } yield PktId(l, r, c, pix, piy, piy * npx + pix)
     def pos(k: PktId): (Long, Long) = {
       val (ppx, ppy) = pp(k.r, k.c)
-      (k.piy.toLong << (ppy + nlOf(k.c) - k.r),
-        k.pix.toLong << (ppx + nlOf(k.c) - k.r))
+      val (sx, sy) = ss(k.c)
+      ((k.piy.toLong << (ppy + nlOf(k.c) - k.r)) * sy,
+        (k.pix.toLong << (ppx + nlOf(k.c) - k.r)) * sx)
     }
     order match {
       case 0 => all.sortBy(k => (k.l, k.r, k.c, k.p))
@@ -1225,7 +1236,8 @@ private[graft] object Jpeg2000 {
       cocCbExp: Map[Int, Int] = Map.empty,
       cocPrecinct: Map[Int, (Int, Int)] = Map.empty,
       cocLevels: Map[Int, Int] = Map.empty,
-      cocTransform: Map[Int, Int] = Map.empty): Array[Byte] = {
+      cocTransform: Map[Int, Int] = Map.empty,
+      subsampling: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
     val lossy = qstep > 0.0
     require(!derivedQuant || lossy,
       "jpeg2000: derivedQuant is a lossy-path (qstep > 0) option")
@@ -1267,11 +1279,33 @@ private[graft] object Jpeg2000 {
       require(px >= 1 && px <= 15 && py >= 1 && py <= 15,
         "jpeg2000: precinct exponents must be 1..15")
     }
+    // component subsampling (SIZ XRsiz/YRsiz): component c samples the
+    // reference canvas every (ssx, ssy) pixels — the 4:2:0 chroma shape
+    // of real Sentinel-2 JP2s. Component 0 anchors the canvas (ss 1,1);
+    // every other plane must arrive at ceil(canvas / ss). Kept
+    // single-tile and MCT-free (the RCT/ICT couples equal-size planes).
+    val ssOf: Int => (Int, Int) = c => subsampling.getOrElse(c, (1, 1))
+    subsampling.foreach { case (c, (sx, sy)) =>
+      require(c >= 0 && c < planes.length &&
+        sx >= 1 && sx <= 255 && sy >= 1 && sy <= 255,
+        s"jpeg2000: subsampling out of range: comp $c ($sx,$sy)")
+    }
+    val subsampled = planes.indices.exists(c => ssOf(c) != ((1, 1)))
+    require(!subsampled || ssOf(0) == ((1, 1)),
+      "jpeg2000: component 0 anchors the canvas (subsampling must be 1,1)")
+    require(!subsampled || (!mct && tileSize.isEmpty &&
+        !partsPerResolution && !derivedQuant),
+      "jpeg2000: subsampling with MCT, tiling, per-resolution tile-parts " +
+        "or derived quantization unsupported")
     val w = planes.head.w
     val h = planes.head.h
     require(w > 0 && h > 0, "jpeg2000: empty image")
-    require(planes.forall(p => p.w == w && p.h == h),
-      "jpeg2000: components must share dimensions")
+    planes.indices.foreach { c =>
+      val (sx, sy) = ssOf(c)
+      require(planes(c).w == ceilDiv(w, sx) && planes(c).h == ceilDiv(h, sy),
+        s"jpeg2000: component $c is ${planes(c).w}x${planes(c).h}, " +
+          s"expected ${ceilDiv(w, sx)}x${ceilDiv(h, sy)} for subsampling ($sx,$sy)")
+    }
     require(planes.forall(p => p.depth >= 1 && p.depth <= 16),
       "jpeg2000: bit depth must be 1..16")
     require(cbExp >= 2 && cbExp <= 10, "jpeg2000: code-block exponent 2..10")
@@ -1312,9 +1346,11 @@ private[graft] object Jpeg2000 {
     u32(w); u32(h); u32(0); u32(0)
     u32(tw); u32(th); u32(0); u32(0)
     u16(planes.length)
-    planes.foreach { p =>
+    planes.indices.foreach { c =>
+      val p = planes(c)
+      val (sx, sy) = ssOf(c)
       u8((p.depth - 1) | (if (p.signed) 0x80 else 0))
-      u8(1); u8(1)
+      u8(sx); u8(sy)
     }
     // COD: Scod flags custom precincts (bit 0) and SOP/EPH resync
     // markers (bits 1/2); SPcod then carries one PPx|PPy<<4 byte per
@@ -1455,6 +1491,11 @@ private[graft] object Jpeg2000 {
     def encodeTile(tx0: Int, ty0: Int, tcw: Int, tch: Int)
         : (Array[Byte], ArrayBuffer[Int]) = {
       val body = new java.io.ByteArrayOutputStream()
+      // per-component tile plane: the component's own (subsampled) dims —
+      // subsampling forces single-tile, so the plane IS the whole
+      // component and tx0/ty0 are 0 there
+      def tdims(c: Int): (Int, Int) =
+        if (subsampled) (planes(c).w, planes(c).h) else (tcw, tch)
       // DC level shift the tile's sub-rect of every component, then the
       // optional RCT across the first three (forward: Y=(R+2G+B)>>2,
       // Cb=B-G, Cr=R-G — exact integers, inverse in decode), then
@@ -1463,13 +1504,14 @@ private[graft] object Jpeg2000 {
         if (lossyOfE(ci)) null
         else {
           val p = planes(ci)
-          val a = new Array[Int](tcw * tch)
+          val (cw, ch) = tdims(ci)
+          val a = new Array[Int](cw * ch)
           val shift = if (p.signed) 0 else 1 << (p.depth - 1)
           var y = 0
-          while (y < tch) {
+          while (y < ch) {
             var x = 0
-            while (x < tcw) {
-              a(y * tcw + x) = p.samples((ty0 + y) * w + (tx0 + x)) - shift
+            while (x < cw) {
+              a(y * cw + x) = p.samples((ty0 + y) * p.w + (tx0 + x)) - shift
               x += 1
             }
             y += 1
@@ -1493,14 +1535,15 @@ private[graft] object Jpeg2000 {
         if (!lossyOfE(ci)) null
         else {
           val p = planes(ci)
-          val a = new Array[Double](tcw * tch)
+          val (cw, ch) = tdims(ci)
+          val a = new Array[Double](cw * ch)
           val shift = if (p.signed) 0 else 1 << (p.depth - 1)
           var y = 0
-          while (y < tch) {
+          while (y < ch) {
             var x = 0
-            while (x < tcw) {
-              a(y * tcw + x) =
-                (p.samples((ty0 + y) * w + (tx0 + x)) - shift).toDouble
+            while (x < cw) {
+              a(y * cw + x) =
+                (p.samples((ty0 + y) * p.w + (tx0 + x)) - shift).toDouble
               x += 1
             }
             y += 1
@@ -1527,8 +1570,7 @@ private[graft] object Jpeg2000 {
           if (!lossyOfE(ci)) null
           else {
             val nlc = nlOfE(ci)
-            var cw = tcw
-            var ch = tch
+            var (cw, ch) = tdims(ci)
             var buf = shiftedD(ci)
             val quads = new Array[(Array[Double], Int, Int)](nlc + 1)
             var l = 0
@@ -1555,8 +1597,7 @@ private[graft] object Jpeg2000 {
           if (lossyOfE(ci)) null
           else {
             val nlc = nlOfE(ci)
-            var cw = tcw
-            var ch = tch
+            var (cw, ch) = tdims(ci)
             var buf = shifted(ci)
             // quads(l) = the level-(l+1) split of the level-l LL region,
             // stride lowLen(tcw, l); quads(nlc) = the final LL itself
@@ -1658,8 +1699,9 @@ private[graft] object Jpeg2000 {
       // resolutions above a component's OWN level count carry no bands
       val geoms = Array.tabulate(planes.length, nl + 1) { (comp, r) =>
         val (px, py) = ppOfE(comp)
+        val (tcwC, tchC) = tdims(comp)
         if (r > nlOfE(comp)) Seq.empty[(BandGeom, Array[CbE])]
-        else bandGeoms(tcw, tch, nlOfE(comp), r, cbExpOfE(comp), px, py).map { g =>
+        else bandGeoms(tcwC, tchC, nlOfE(comp), r, cbExpOfE(comp), px, py).map { g =>
           val mb = mbOf(comp, r, g.band)
           // one band extraction, shared by every code-block (extracting
           // per block is O(band x blocks) — quadratic on big images)
@@ -1715,8 +1757,8 @@ private[graft] object Jpeg2000 {
       // resolution decode (A.7.1 — informational otherwise) ----
       val packetLens = new ArrayBuffer[Int]()
       var nsop = 0
-      packetSeq(order, layers, planes.length, nlOfE, tcw, tch,
-          (_, c) => ppOfE(c)).foreach { pk =>
+      packetSeq(order, layers, planes.length, nlOfE, tdims,
+          (_, c) => ppOfE(c), ssOf).foreach { pk =>
         val bandsHere = geoms(pk.c)(pk.r)
         val any = bandsHere.exists { case (g, grid) =>
           val (gx0, gy0, gx1, gy1) = g.cbRect(pk.pix, pk.piy)
@@ -1963,7 +2005,14 @@ private[graft] object Jpeg2000 {
       cocPpy: Map[Int, Array[Int]] = Map.empty,
       cocNl: Map[Int, Int] = Map.empty,
       cocTr: Map[Int, Int] = Map.empty,
-      qccStyle: Map[Int, Int] = Map.empty) {
+      qccStyle: Map[Int, Int] = Map.empty,
+      ssx: Array[Int] = null,
+      ssy: Array[Int] = null) {
+    /** SIZ per-component subsampling (XRsiz, YRsiz); (1,1) when absent. */
+    def ssOf(comp: Int): (Int, Int) =
+      if (ssx == null) (1, 1) else (ssx(comp), ssy(comp))
+    def subsampled: Boolean =
+      ssx != null && (0 until nc).exists(c => ssx(c) != 1 || ssy(c) != 1)
     /** Decomposition levels for a component (COC override or COD). */
     def nlOf(comp: Int): Int = cocNl.getOrElse(comp, nl)
     /** Wavelet transform for a component (0 = 9/7, 1 = 5/3). */
@@ -2037,6 +2086,8 @@ private[graft] object Jpeg2000 {
     var w = 0; var h = 0; var tw = 0; var th = 0; var nc = 0
     var depths: Array[Int] = null
     var signedA: Array[Boolean] = null
+    var ssxA: Array[Int] = null
+    var ssyA: Array[Int] = null
     var nl = -1; var cbExp = -1
     var order = 0; var layers = 1
     var sop = false; var eph = false
@@ -2098,13 +2149,16 @@ private[graft] object Jpeg2000 {
           nc = bb.getShort(base + 34) & 0xFFFF
           depths = new Array[Int](nc)
           signedA = new Array[Boolean](nc)
+          ssxA = new Array[Int](nc)
+          ssyA = new Array[Int](nc)
           for (i <- 0 until nc) {
             val ssiz = bb.get(base + 36 + 3 * i) & 0xFF
             depths(i) = (ssiz & 0x7F) + 1
             signedA(i) = (ssiz & 0x80) != 0
-            require((bb.get(base + 37 + 3 * i) & 0xFF) == 1 &&
-              (bb.get(base + 38 + 3 * i) & 0xFF) == 1,
-              "jpeg2000: component subsampling unsupported")
+            ssxA(i) = bb.get(base + 37 + 3 * i) & 0xFF
+            ssyA(i) = bb.get(base + 38 + 3 * i) & 0xFF
+            require(ssxA(i) >= 1 && ssyA(i) >= 1,
+              s"jpeg2000: component $i subsampling 0")
           }
         case 0xFF52 => // COD
           val base = pos + 4
@@ -2262,11 +2316,18 @@ private[graft] object Jpeg2000 {
     require(mct == 0 || (0 until math.min(3, nc)).forall(c =>
         cocTrM.getOrElse(c, transform) == transform),
       "jpeg2000: MCT with mixed per-component transforms unsupported")
+    if (ssxA != null && (0 until nc).exists(c => ssxA(c) != 1 || ssyA(c) != 1)) {
+      require(mct == 0,
+        "jpeg2000: MCT with component subsampling unsupported " +
+          "(the RCT/ICT couples equal-size planes)")
+      require(tw >= w && th >= h,
+        "jpeg2000: component subsampling with tiling unsupported")
+    }
     MainHeader(csOff, w, h, math.min(tw, w), math.min(th, h), nc,
       depths, signedA, nl, cbExp, mct, transform, qStyle,
       qcdGuard, qcdExps, qcdMus, qccGuard, qccExps, qccMus, firstSot,
       order, layers, sop, eph, ppx, ppy, cocCb, cocPx, cocPy,
-      cocNlM, cocTrM, qccStyleM)
+      cocNlM, cocTrM, qccStyleM, ssxA, ssyA)
   }
 
   /** Tile-part directory: tile index -> ordered (sod position, part end)
@@ -2418,7 +2479,16 @@ private[graft] object Jpeg2000 {
       // several packets (one per quality layer): contributions are
       // byte ranges of ONE MQ codeword, accumulated in layer order and
       // entropy-decoded once after the packet walk.
-      val planesT = Array.fill(nc)(new Array[Int](tcw * tch))
+      // per-component tile plane dims: exact for single-tile subsampled
+      // streams (subsampling + tiling is refused at parse)
+      def tdimsD(c: Int): (Int, Int) = {
+        val (sx, sy) = hd.ssOf(c)
+        (ceilDiv(tcw, sx), ceilDiv(tch, sy))
+      }
+      val planesT = Array.tabulate(nc) { c =>
+        val (cw2, ch2) = tdimsD(c)
+        new Array[Int](cw2 * ch2)
+      }
       final class CbD(val band: Int, val xAbs: Int, val yAbs: Int,
           val cw: Int, val ch: Int, val use: Boolean) {
         var zbp = -1
@@ -2434,7 +2504,8 @@ private[graft] object Jpeg2000 {
         if (r > hd.nlOf(comp)) Seq.empty[BandGeom]
         else {
           val (px, py) = hd.ppOf(r, comp)
-          bandGeoms(tcw, tch, hd.nlOf(comp), r, hd.cbExpOf(comp), px, py)
+          val (tcwC, tchC) = tdimsD(comp)
+          bandGeoms(tcwC, tchC, hd.nlOf(comp), r, hd.cbExpOf(comp), px, py)
         }
       }
       val cbState = Array.ofDim[Array[CbD]](nc, nl + 1, 3)
@@ -2458,8 +2529,8 @@ private[graft] object Jpeg2000 {
       val trees = scala.collection.mutable.HashMap
         .empty[(Int, Int, Int, Int), (TagTree, TagTree)]
 
-      val seqAll = packetSeq(hd.order, hd.layers, nc, hd.nlOf, tcw, tch,
-        (r, c) => hd.ppOf(r, c))
+      val seqAll = packetSeq(hd.order, hd.layers, nc, hd.nlOf, tdimsD,
+        (r, c) => hd.ppOf(r, c), hd.ssOf)
       // the walk may stop after the LAST packet a reduced decode needs:
       // for resolution-major orders that is a stream PREFIX (what the
       // PLT-ranged out-db fetch provides); other orders interleave, so
@@ -2555,13 +2626,14 @@ private[graft] object Jpeg2000 {
         val mb = hd.mbOf(comp, r, cbRec.band)
         val (mag, neg) = decodeCb(cbRec.band, cbRec.cw, cbRec.ch, seg,
           cbRec.np, mb, cbRec.zbp)
+        val strideC = tdimsD(comp)._1
         var y = 0
         while (y < cbRec.ch) {
           var x = 0
           while (x < cbRec.cw) {
             val v0 = mag(y * cbRec.cw + x)
             val v = if (neg(y * cbRec.cw + x)) -v0 else v0
-            planesT(comp)((g.yOff + cbRec.yAbs + y) * tcw +
+            planesT(comp)((g.yOff + cbRec.yAbs + y) * strideC +
               (g.xOff + cbRec.xAbs + x)) = v
             x += 1
           }
@@ -2575,29 +2647,29 @@ private[graft] object Jpeg2000 {
         sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Int]] = {
       val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win)
-      // inverse DWT per component — at the component's OWN level count —
-      // stopping at the requested level: the level-`discardLevels` LL
-      // region is the reduced-resolution tile (same size for every
-      // component: lowLen(tcw, d) regardless of pyramid depth)
-      val redW = lowLen(tcw, d)
-      val redH = lowLen(tch, d)
+      // inverse DWT per component — at the component's OWN level count
+      // and OWN (subsampled) plane dims — stopping at the requested
+      // level: the level-`discardLevels` LL region is the reduced tile
       (0 until nc).map { comp =>
+        val (sx, sy) = hd.ssOf(comp)
+        val tcwC = ceilDiv(tcw, sx)
+        val tchC = ceilDiv(tch, sy)
         val full = planesT(comp)
         var l = hd.nlOf(comp)
         while (l >= d + 1) {
-          val cw2 = lowLen(tcw, l - 1)
-          val ch2 = lowLen(tch, l - 1)
+          val cw2 = lowLen(tcwC, l - 1)
+          val ch2 = lowLen(tchC, l - 1)
           // gather the cw2 x ch2 region (stored at the top-left of full)
           val sub = new Array[Int](cw2 * ch2)
           var y = 0
           while (y < ch2) {
-            System.arraycopy(full, y * tcw, sub, y * cw2, cw2)
+            System.arraycopy(full, y * tcwC, sub, y * cw2, cw2)
             y += 1
           }
           val invd = inv2d(sub, cw2, ch2)
           y = 0
           while (y < ch2) {
-            System.arraycopy(invd, y * cw2, full, y * tcw, cw2)
+            System.arraycopy(invd, y * cw2, full, y * tcwC, cw2)
             y += 1
           }
           l -= 1
@@ -2605,14 +2677,14 @@ private[graft] object Jpeg2000 {
         // crop to the tile-local window (windowed mode) or the reduced LL
         val (cx0, cy0, fw, fh) = win match {
           case Some((wx, wy, wwid, whgt)) => (wx, wy, wwid, whgt)
-          case None => (0, 0, redW, redH)
+          case None => (0, 0, lowLen(tcwC, d), lowLen(tchC, d))
         }
         val outA = new Array[Int](fw * fh)
         var y = 0
         while (y < fh) {
           var x = 0
           while (x < fw) {
-            outA(y * fw + x) = full((cy0 + y) * tcw + (cx0 + x))
+            outA(y * fw + x) = full((cy0 + y) * tcwC + (cx0 + x))
             x += 1
           }
           y += 1
@@ -2628,36 +2700,37 @@ private[graft] object Jpeg2000 {
         sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Double]] = {
       val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win)
-      val redW = lowLen(tcw, d)
-      val redH = lowLen(tch, d)
       (0 until nc).map { comp =>
+        val (sx, sy) = hd.ssOf(comp)
+        val tcwC = ceilDiv(tcw, sx)
+        val tchC = ceilDiv(tch, sy)
         val q = planesT(comp)
         val nlc = hd.nlOf(comp)
-        val full = new Array[Double](tcw * tch)
+        val full = new Array[Double](tcwC * tchC)
         if (hd.trOf(comp) == 1) {
           // reversible component inside a (mixed) lossy stream: raw 5/3
           // integers, EXACT integer inverse lifting, then to doubles for
           // the shared assembly (rint at the end is the identity)
           var l = nlc
           while (l >= d + 1) {
-            val cw2 = lowLen(tcw, l - 1)
-            val ch2 = lowLen(tch, l - 1)
+            val cw2 = lowLen(tcwC, l - 1)
+            val ch2 = lowLen(tchC, l - 1)
             val sub = new Array[Int](cw2 * ch2)
             var y = 0
             while (y < ch2) {
-              System.arraycopy(q, y * tcw, sub, y * cw2, cw2)
+              System.arraycopy(q, y * tcwC, sub, y * cw2, cw2)
               y += 1
             }
             val invd = inv2d(sub, cw2, ch2)
             y = 0
             while (y < ch2) {
-              System.arraycopy(invd, y * cw2, q, y * tcw, cw2)
+              System.arraycopy(invd, y * cw2, q, y * tcwC, cw2)
               y += 1
             }
             l -= 1
           }
           var i = 0
-          while (i < tcw * tch) { full(i) = q(i).toDouble; i += 1 }
+          while (i < tcwC * tchC) { full(i) = q(i).toDouble; i += 1 }
         } else {
         def dequantRegion(r: Int, band: Int, bw: Int, bh: Int,
             xOff: Int, yOff: Int): Unit = {
@@ -2666,7 +2739,7 @@ private[graft] object Jpeg2000 {
           while (y < bh) {
             var x = 0
             while (x < bw) {
-              val i = (yOff + y) * tcw + (xOff + x)
+              val i = (yOff + y) * tcwC + (xOff + x)
               val qi = q(i)
               full(i) =
                 if (qi == 0) 0.0
@@ -2678,22 +2751,22 @@ private[graft] object Jpeg2000 {
           }
         }
         for (r <- 0 to nlc;
-            (band, bw, bh, xOff, yOff) <- bandsOf(tcw, tch, nlc, r))
+            (band, bw, bh, xOff, yOff) <- bandsOf(tcwC, tchC, nlc, r))
           dequantRegion(r, band, bw, bh, xOff, yOff)
         var l = nlc
         while (l >= d + 1) {
-          val cw2 = lowLen(tcw, l - 1)
-          val ch2 = lowLen(tch, l - 1)
+          val cw2 = lowLen(tcwC, l - 1)
+          val ch2 = lowLen(tchC, l - 1)
           val sub = new Array[Double](cw2 * ch2)
           var y = 0
           while (y < ch2) {
-            System.arraycopy(full, y * tcw, sub, y * cw2, cw2)
+            System.arraycopy(full, y * tcwC, sub, y * cw2, cw2)
             y += 1
           }
           val invd = inv2d97(sub, cw2, ch2)
           y = 0
           while (y < ch2) {
-            System.arraycopy(invd, y * cw2, full, y * tcw, cw2)
+            System.arraycopy(invd, y * cw2, full, y * tcwC, cw2)
             y += 1
           }
           l -= 1
@@ -2701,14 +2774,14 @@ private[graft] object Jpeg2000 {
         }
         val (cx0, cy0, fw, fh) = win match {
           case Some((wx, wy, wwid, whgt)) => (wx, wy, wwid, whgt)
-          case None => (0, 0, redW, redH)
+          case None => (0, 0, lowLen(tcwC, d), lowLen(tchC, d))
         }
         val outA = new Array[Double](fw * fh)
         var y = 0
         while (y < fh) {
           var x = 0
           while (x < fw) {
-            outA(y * fw + x) = full((cy0 + y) * tcw + (cx0 + x))
+            outA(y * fw + x) = full((cy0 + y) * tcwC + (cx0 + x))
             x += 1
           }
           y += 1
@@ -2792,6 +2865,52 @@ private[graft] object Jpeg2000 {
         Plane(fw, fh, depth, signedA(comp), outA)
       }
     }
+    // SUBSAMPLED streams (SIZ XRsiz/YRsiz > 1): single-tile by parse
+    // contract, components decode at their OWN plane dims and come back
+    // as differently-sized Planes (the 4:2:0 chroma shape) — assembly is
+    // a per-component wrap, no canvas stitching; windowed decode refuses
+    if (hd.subsampled) {
+      require(window.isEmpty,
+        "jpeg2000: windowed decode of a subsampled stream unsupported")
+      val (tbuf, sod, tileEnd) = tilePayload(bytes,
+        parts.getOrElse(0, throw new IllegalArgumentException(
+          "jpeg2000: tile 0 missing from the stream")))
+      val anyLossy = (0 until nc).exists(c => hd.trOf(c) == 0)
+      return if (anyLossy) {
+        val tp = decodeTileLossy(tbuf, w, h, sod, tileEnd, None)
+        (0 until nc).map { comp =>
+          val (sx, sy) = hd.ssOf(comp)
+          val fw = lowLen(ceilDiv(w, sx), d)
+          val fh = lowLen(ceilDiv(h, sy), d)
+          val a = tp(comp)
+          val depth = depths(comp)
+          val shift = if (signedA(comp)) 0 else 1 << (depth - 1)
+          val lo = if (signedA(comp)) -(1 << (depth - 1)) else 0
+          val hi = if (signedA(comp)) (1 << (depth - 1)) - 1 else (1 << depth) - 1
+          val outA = new Array[Int](fw * fh)
+          var i = 0
+          while (i < outA.length) {
+            val v = math.rint(a(i)).toInt + shift
+            outA(i) = math.max(lo, math.min(hi, v))
+            i += 1
+          }
+          Plane(fw, fh, depth, signedA(comp), outA)
+        }
+      } else {
+        val tp = decodeTile(tbuf, w, h, sod, tileEnd, None)
+        (0 until nc).map { comp =>
+          val (sx, sy) = hd.ssOf(comp)
+          val fw = lowLen(ceilDiv(w, sx), d)
+          val fh = lowLen(ceilDiv(h, sy), d)
+          val a = tp(comp)
+          val shift = if (signedA(comp)) 0 else 1 << (depths(comp) - 1)
+          var i = 0
+          while (i < a.length) { a(i) += shift; i += 1 }
+          Plane(fw, fh, depths(comp), signedA(comp), a)
+        }
+      }
+    }
+
     // lossy/double assembly whenever ANY component is 9/7 (mixed streams
     // run their 5/3 components through the exact integer inverse inside
     // decodeTileLossy, so rint+clamp at the end is the identity for
@@ -2978,7 +3097,9 @@ private[graft] object Jpeg2000 {
     else Some((for (r <- 0 to rMax; c <- 0 until hd.nc
         if r <= hd.nlOf(c)) yield {
       val (px, py) = hd.ppOf(r, c)
-      val (npx, npy) = precGridOf(tcw, tch, hd.nlOf(c), r, px, py)
+      val (sx, sy) = hd.ssOf(c)
+      val (npx, npy) = precGridOf(ceilDiv(tcw, sx), ceilDiv(tch, sy),
+        hd.nlOf(c), r, px, py)
       hd.layers * npx * npy
     }).sum)
 

@@ -1358,6 +1358,65 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("MCT"), e2.getMessage)
   }
 
+  test("component subsampling: 4:2:0-style planes roundtrip at their own dims") {
+    val rnd = new scala.util.Random(63)
+    val w = 77; val h = 50
+    def plane(cw: Int, ch: Int, salt: Int) =
+      planeOf(cw, ch, 8, signed = false, (x, y) =>
+        (x * 3 + y * salt + rnd.nextInt(64)) & 0xFF)
+    // luma full-res; chroma 2x2-subsampled (the Sentinel-2 / JPEG 4:2:0
+    // shape); one extra 2x1 component to pin asymmetric subsampling
+    val planes = Seq(plane(w, h, 5),
+      plane((w + 1) / 2, h / 2, 7), plane((w + 1) / 2, h / 2, 11),
+      plane((w + 1) / 2, h, 13))
+    val ss = Map(1 -> (2, 2), 2 -> (2, 2), 3 -> (2, 1))
+    for (order <- Seq(0, 1, 2, 4); layers <- Seq(1, 2)) {
+      val cs = Jpeg2000.encode(planes, levels = 3, cbExp = 5,
+        order = order, layers = layers, subsampling = ss)
+      val back = Jpeg2000.decode(cs)
+      assert(back.map(p => (p.w, p.h)) ==
+        Seq((77, 50), (39, 25), (39, 25), (39, 50)))
+      for (c <- planes.indices)
+        assert(back(c).samples.toSeq == planes(c).samples.toSeq,
+          s"order=$order layers=$layers comp=$c")
+    }
+    // composes with precincts, per-component code-blocks, level AND
+    // transform overrides: chroma rides a 2-level 5/3 pyramid inside a
+    // lossy 9/7 stream, still bit-exact at its own dims
+    val cs2 = Jpeg2000.encode(planes, levels = 3, cbExp = 5, qstep = 1.0,
+      precinct = Some((5, 5)), order = 1, subsampling = ss,
+      cocTransform = Map(3 -> 1), cocLevels = Map(3 -> 2),
+      cocCbExp = Map(1 -> 4))
+    val back2 = Jpeg2000.decode(cs2)
+    assert(back2(3).samples.toSeq == planes(3).samples.toSeq)
+    for (c <- Seq(0, 1, 2)) {
+      val me = planes(c).samples.zip(back2(c).samples)
+        .map { case (u, v) => math.abs(u - v) }.max
+      assert(me <= 8, s"comp=$c maxErr=$me")
+    }
+    // reduced decode halves every component's OWN dims
+    val cs3 = Jpeg2000.encode(planes, levels = 3, cbExp = 5,
+      subsampling = ss)
+    val red = Jpeg2000.decode(cs3, 1)
+    assert(red.map(p => (p.w, p.h)) ==
+      Seq((39, 25), (20, 13), (20, 13), (20, 25)))
+    // refusals: windowed decode, MCT, tiling, wrong plane dims
+    val e1 = intercept[IllegalArgumentException](
+      Jpeg2000.decodeWindow(cs3, 0, 0, 8, 8))
+    assert(e1.getMessage.contains("subsampled"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Jpeg2000.encode(
+      planes.take(3).map(_ => plane(w, h, 3)), levels = 2, mct = true,
+      subsampling = Map(1 -> (2, 2))))
+    assert(e2.getMessage.toLowerCase.contains("subsampling"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](Jpeg2000.encode(
+      planes, levels = 2, subsampling = ss, tileSize = Some((32, 32))))
+    assert(e3.getMessage.toLowerCase.contains("subsampling"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](Jpeg2000.encode(
+      Seq(plane(w, h, 5), plane(w, h, 7)), levels = 2,
+      subsampling = Map(1 -> (2, 2))))
+    assert(e4.getMessage.contains("expected"), e4.getMessage)
+  }
+
   test("fuzz: random per-component level/transform/cb/precinct lattices") {
     // dense randomized sweep over the NEW per-component surface composed
     // with the old one — each draw randomizes size, depth, component
@@ -1370,8 +1429,19 @@ class Jpeg2000Spec extends AnyFunSuite {
       val h = 9 + rnd.nextInt(70)
       val nc = 1 + rnd.nextInt(4)
       val depth = Seq(8, 10, 12)(rnd.nextInt(3))
+      // subsampling axis: comp 0 anchors the canvas; others may sample
+      // every (1..3, 1..3) pixels and arrive at ceil(canvas / ss)
+      val ssM: Map[Int, (Int, Int)] = (1 until nc).flatMap(c =>
+        if (rnd.nextInt(3) == 0)
+          Some(c -> (1 + rnd.nextInt(3), 1 + rnd.nextInt(3)))
+        else None).toMap
+      def dimsOf(c: Int): (Int, Int) = {
+        val (sx, sy) = ssM.getOrElse(c, (1, 1))
+        ((w + sx - 1) / sx, (h + sy - 1) / sy)
+      }
       val planes = (0 until nc).map { c =>
-        planeOf(w, h, depth, signed = false, (x, y) =>
+        val (cw, ch) = dimsOf(c)
+        planeOf(cw, ch, depth, signed = false, (x, y) =>
           (x * (c + 2) + y * 5 + rnd.nextInt(1 << (depth - 2))) %
             (1 << depth))
       }
@@ -1391,10 +1461,12 @@ class Jpeg2000Spec extends AnyFunSuite {
       val cocTr = if (lossyStream) draw(1) else Map.empty[Int, Int]
       val cocCb = draw(3 + rnd.nextInt(3))
       val tag = s"trial=$trial ${w}x$h nc=$nc d=$depth L=$levels " +
-        s"q=$qstep o=$order l=$layers p=$prec nl=$cocNl tr=$cocTr cb=$cocCb"
+        s"q=$qstep o=$order l=$layers p=$prec nl=$cocNl tr=$cocTr " +
+        s"cb=$cocCb ss=$ssM"
       val cs = Jpeg2000.encode(planes, levels = levels, cbExp = 5,
         qstep = qstep, order = order, layers = layers, precinct = prec,
-        cocLevels = cocNl, cocTransform = cocTr, cocCbExp = cocCb)
+        cocLevels = cocNl, cocTransform = cocTr, cocCbExp = cocCb,
+        subsampling = ssM)
       val back = Jpeg2000.decode(cs)
       assert(back.length == nc, tag)
       for (c <- 0 until nc) {
@@ -1414,7 +1486,11 @@ class Jpeg2000Spec extends AnyFunSuite {
       val dMax = (0 until nc).map(c => cocNl.getOrElse(c, levels)).min
       if (dMax > 0) {
         val red = Jpeg2000.decode(cs, 1)
-        assert(red.head.w == (w + 1) / 2 && red.head.h == (h + 1) / 2, tag)
+        for (c <- 0 until nc) {
+          val (cw, ch) = dimsOf(c)
+          assert(red(c).w == (cw + 1) / 2 && red(c).h == (ch + 1) / 2,
+            s"$tag comp=$c reduced ${red(c).w}x${red(c).h}")
+        }
       }
     }
   }
