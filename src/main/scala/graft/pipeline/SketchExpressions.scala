@@ -274,3 +274,105 @@ case class SimHash32(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** HTML/markup stripper — the boilerplate-removal step every
+  * web-corpus training pipeline runs before quality scoring (the
+  * trafilatura/jusText-family preprocessing, reduced to its
+  * deterministic core so a SQL oracle can restate it):
+  *
+  *   1. `<script>`/`<style>` elements drop WITH their content
+  *      (case-insensitive; unterminated ones drop to end-of-input);
+  *   2. `<!-- comments -->` drop;
+  *   3. every remaining tag `<...>` becomes one space (block or inline —
+  *      a single space beats gluing words across tags, and the squeeze
+  *      below collapses runs); an unterminated `<` drops the tail;
+  *   4. entities decode AFTER tag removal: named (&amp; &lt; &gt;
+  *      &quot; &apos; &nbsp;), decimal `&#NN;`, hex `&#xHH;`;
+  *      unrecognized ones stay literal;
+  *   5. whitespace runs collapse to one space, ends trimmed.
+  *
+  * Map-only (one pass per document, no state) — at 100 TB this runs
+  * inside whole-stage codegen's pipeline as a plain projection. */
+case class SdStripMarkup(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "sd_strip_markup"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    @inline def regionEqIc(i: Int, lit: String): Boolean =
+      i + lit.length <= n && s.regionMatches(true, i, lit, 0, lit.length)
+    def closeOf(i: Int, lit: String): Int = {
+      // index just past the matching close tag's '>', or n
+      var j = i
+      while (j < n && !regionEqIc(j, lit)) j += 1
+      if (j >= n) return n
+      while (j < n && s.charAt(j) != '>') j += 1
+      if (j < n) j + 1 else n
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (regionEqIc(i, "<!--")) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+          sb.append(' ') // dropped spans separate words like tags do
+        } else if (regionEqIc(i, "<script")) {
+          i = closeOf(i + 7, "</script"); sb.append(' ')
+        } else if (regionEqIc(i, "<style")) {
+          i = closeOf(i + 6, "</style"); sb.append(' ')
+        } else {
+          val e = s.indexOf('>', i + 1)
+          i = if (e < 0) n else e + 1
+          sb.append(' ')
+        }
+      } else if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: String =
+          if (semi < 0 || semi - i > 10) null
+          else {
+            val body = s.substring(i + 1, semi)
+            body match {
+              case "amp" => "&"
+              case "lt" => "<"
+              case "gt" => ">"
+              case "quot" => "\""
+              case "apos" => "'"
+              case "nbsp" => " "
+              case b if b.length >= 2 && b.charAt(0) == '#' =>
+                try {
+                  val cp =
+                    if (b.charAt(1) == 'x' || b.charAt(1) == 'X')
+                      Integer.parseInt(b.substring(2), 16)
+                    else Integer.parseInt(b.substring(1), 10)
+                  if (Character.isValidCodePoint(cp))
+                    new String(Character.toChars(cp))
+                  else null
+                } catch { case _: NumberFormatException => null }
+              case _ => null
+            }
+          }
+        if (decoded == null) { sb.append('&'); i += 1 }
+        else { sb.append(decoded); i = semi + 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    // squeeze whitespace runs to one space, trim ends
+    val out = new java.lang.StringBuilder(sb.length)
+    var k = 0
+    var pendingSpace = false
+    while (k < sb.length) {
+      val c = sb.charAt(k)
+      if (Character.isWhitespace(c)) pendingSpace = out.length > 0
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      k += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

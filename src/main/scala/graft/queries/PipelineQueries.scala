@@ -191,6 +191,28 @@ object PipelineQueries {
     // exact-substring dedup REMOVAL (Lee et al. 2022): duplicated
     // 8-token windows cut from every non-canonical occurrence, cleaned
     // text re-joined
+    // HTML/boilerplate stripping (sd_strip_markup) — the web-corpus
+    // cleaning step ahead of quality scoring: a deterministic page is
+    // synthesized around each doc's text (head/style/script/comment +
+    // named, decimal and hex entities), the native one-pass kernel
+    // strips it, and the oracle restates the expected text in plain SQL.
+    // The [<>&] pre-strip is identity on the driver corpus (verified)
+    // but keeps the oracle exact should a future vintage carry markup.
+    "pl31_strip_markup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("__safe", regexp_replace(col("text"), "[<>&]", ""))
+        .withColumn("html", concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style>" +
+            "</head><body><!-- nav boilerplate --><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("__safe"),
+          lit("</p><p>x &lt;tag&gt; &amp; &quot;q&quot; &#65; &#x42;</p>" +
+            "<script>var x=1;</script></body></html>")))
+        .select(col("doc_id"),
+          expr("sd_strip_markup(html)").as("clean"))
+        .withColumn("nchars", length(col("clean")).cast("long"))
+    }),
+
     "pl30_remove_dup_spans" -> ((s, dir) => {
       PipelineOps.removeDupSpans(t(s, dir, "documents"),
         col("doc_id"), col("text"), k = 8)
@@ -619,6 +641,18 @@ object PipelineQueries {
     // exact-substring removal restated: window instances ranked by
     // (doc_id, pos) within each hash — rank 1 is the surviving canonical
     // copy; coverage and text rebuild via list comprehensions
+    // the synthesized page strips to a closed form: title text + h1 +
+    // body text + the entity line; tags become spaces and squeeze
+    "pl31_strip_markup" ->
+      """SELECT doc_id,
+        |  'T Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |    regexp_replace(text, '[<>&]', '', 'g') ||
+        |    ' x <tag> & "q" A B' AS clean,
+        |  CAST(length('T Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+        |    regexp_replace(text, '[<>&]', '', 'g') ||
+        |    ' x <tag> & "q" A B') AS BIGINT) AS nchars
+        |FROM documents""".stripMargin,
+
     "pl30_remove_dup_spans" -> {
       val wins = s"[{'pos': i-1, 'wh': ${h32("array_to_string(t[i:i+7], ' ')")}} " +
         "for i in range(1, len(t)-6)]"

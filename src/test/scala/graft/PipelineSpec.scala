@@ -30,6 +30,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     (4L, "the quick brown fox jumps over the lazy dog")
   ).toDF("doc_id", "text")
 
+  test("sd_strip_markup: tags, script/style spans, comments, entities, edges") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    def strip(in: String): String =
+      spark.range(1).withColumn("x", lit(in))
+        .select(expr("sd_strip_markup(x)").as("o"))
+        .collect()(0).getString(0)
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    assert(strip("<SCRIPT>var x = '<p>';</SCRIPT>after") == "after")
+    assert(strip("a<style media='x'>p{}</style>b") == "a b")
+    assert(strip("a<!-- <p>hidden</p> -->b") == "a b")
+    assert(strip("x &lt;tag&gt; &amp; &quot;q&quot; &#65; &#x42;") ==
+      "x <tag> & \"q\" A B")
+    // unrecognized / malformed entities stay literal; & without ; kept
+    assert(strip("a &bogus; b & c &#zz; d") == "a &bogus; b & c &#zz; d")
+    // unterminated constructs never hang: tag/script/comment to EOF
+    assert(strip("keep <unclosed") == "keep")
+    assert(strip("keep <script>to the end") == "keep")
+    assert(strip("keep <!-- to the end") == "keep")
+    // whitespace squeeze + trim, nbsp decodes to a space
+    assert(strip("  a\n\n<br/>\t b&nbsp;&nbsp;c ") == "a b c")
+    assert(strip("") == "")
+    assert(strip("<p></p>") == "")
+  }
+
   test("minhash pairs surface near-duplicates, not unrelated docs") {
     val pairs = PipelineOps.minhashPairs(docs, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
