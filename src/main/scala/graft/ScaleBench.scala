@@ -461,6 +461,41 @@ object ScaleBench {
       // rate and cell grid constant, the stream's time span grows with m
       // (more windows, same per-window state); append emission per
       // closed window, so rows and time should both scale ~m
+      // st04 path: stream-static spatial join — point stream ~ m over a
+      // growing plane probes a static box table (~ m, a dim that grows
+      // with the deployment) through the grid-cell equi-join; STATELESS
+      // per microbatch, so chunked staging only adds the per-trigger
+      // constant and wall should track events
+      "st04_stream_static" -> { m =>
+        val stage = s"/tmp/graft_scalebench_stst/$m"
+        val n = 25000L * m
+        stageTimeChunked(spark.range(0, n).toDF("id")
+            .withColumn("x", u(col("id"), 81) * planeW(m))
+            .withColumn("y", u(col("id"), 82) * planeH(m)),
+          stage, n, math.max(4, (4 * sqrtM(m)).toInt))
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("id", LongType),
+          StructField("x", DoubleType), StructField("y", DoubleType)))
+        val pts = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .withColumn("pt", st.point(col("x"), col("y")))
+        val bxs = boxes(m, 200, 8.0)
+        val joined = SpatialJoins.gridJoin(pts, bxs, col("pt"), col("box"),
+          "st_intersects", bounds = Some((0.0, 0.0, planeW(m), planeH(m))))
+          .select(col("id"), col("bid"))
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val t0 = System.nanoTime()
+          val sink = s"sb_stst_$m"
+          val q = joined.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (spark.table(sink).count(), (System.nanoTime() - t0) / 1e9)
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
       // st09 path: watermark-bounded exact dedup — ids ~ m (every id
       // unique except near-in-time duplicates), but state holds only the
       // ids within the 1h watermark delay; chunked staging advances the
