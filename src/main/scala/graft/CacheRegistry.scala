@@ -33,6 +33,14 @@ object CacheRegistry {
     df
   }
 
+  /** Release ONE tracked cache immediately (abandoned-rewrite bail-out
+    * path: a planner rule that persisted intermediates but then declined
+    * the rewrite must not leave them pinned for the session). */
+  def release(df: DataFrame): Unit = {
+    caches.remove(df)
+    try df.unpersist(blocking = false) catch { case _: Throwable => () }
+  }
+
   /** Manual release path: unpersist every tracked internal cache now. */
   def releaseAll(): Unit = {
     caches.forEach { df =>

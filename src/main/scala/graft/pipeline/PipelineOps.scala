@@ -172,9 +172,18 @@ object PipelineOps {
     // just-past-the-cap graph (the r15 DBSCAN profile: 11.9M edges vs
     // the old 4.2M cap) cost 24 s where the collect path is seconds.
     val sparkS = pairs.sparkSession
+    // Default cap derives from driver heap, not a fixed constant (ADVICE
+    // r16: drivers sized for the old 4M cap could OOM at a fixed 16M).
+    // All-in transient footprint is ~48 B/edge (packed collect + srcs
+    // copy + ids + parents); budget 1/8th of maxMemory for it, clamped
+    // to [4M, 16M] edges. spark.graft.cc.localLimit overrides outright.
+    val heapDefault = {
+      val budget = Runtime.getRuntime.maxMemory / 8
+      math.max(1L << 22, math.min(1L << 24, budget / 48))
+    }
     val probeLimit = math.min(localThreshold,
       sparkS.conf.getOption("spark.graft.cc.localLimit")
-        .map(_.toLong).getOrElse(1L << 24))
+        .map(_.toLong).getOrElse(heapDefault))
     if (edges.count() <= probeLimit) {
       val out = localUnionFind(edges)
       edges.unpersist()

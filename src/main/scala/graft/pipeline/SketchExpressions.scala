@@ -304,10 +304,17 @@ case class SdStripMarkup(child: Expression)
     val sb = new java.lang.StringBuilder(n)
     @inline def regionEqIc(i: Int, lit: String): Boolean =
       i + lit.length <= n && s.regionMatches(true, i, lit, 0, lit.length)
+    // A tag-name prefix match only counts if the name ENDS there — next char
+    // '>', '/', or whitespace — so '<scriptable-widget>' is not a script open.
+    @inline def tagEqIc(i: Int, lit: String): Boolean =
+      regionEqIc(i, lit) && {
+        val j = i + lit.length
+        j >= n || { val c = s.charAt(j); c == '>' || c == '/' || Character.isWhitespace(c) }
+      }
     def closeOf(i: Int, lit: String): Int = {
       // index just past the matching close tag's '>', or n
       var j = i
-      while (j < n && !regionEqIc(j, lit)) j += 1
+      while (j < n && !tagEqIc(j, lit)) j += 1
       if (j >= n) return n
       while (j < n && s.charAt(j) != '>') j += 1
       if (j < n) j + 1 else n
@@ -320,9 +327,9 @@ case class SdStripMarkup(child: Expression)
           val e = s.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
           sb.append(' ') // dropped spans separate words like tags do
-        } else if (regionEqIc(i, "<script")) {
+        } else if (tagEqIc(i, "<script")) {
           i = closeOf(i + 7, "</script"); sb.append(' ')
-        } else if (regionEqIc(i, "<style")) {
+        } else if (tagEqIc(i, "<style")) {
           i = closeOf(i + 6, "</style"); sb.append(' ')
         } else {
           val e = s.indexOf('>', i + 1)
@@ -348,7 +355,8 @@ case class SdStripMarkup(child: Expression)
                     if (b.charAt(1) == 'x' || b.charAt(1) == 'X')
                       Integer.parseInt(b.substring(2), 16)
                     else Integer.parseInt(b.substring(1), 10)
-                  if (Character.isValidCodePoint(cp))
+                  if (Character.isValidCodePoint(cp) &&
+                      !(cp >= 0xD800 && cp <= 0xDFFF)) // unpaired surrogates stay literal
                     new String(Character.toChars(cp))
                   else null
                 } catch { case _: NumberFormatException => null }

@@ -129,11 +129,18 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the tagged sides keep the children's attribute ids, so the original
     // condition resolves against them unchanged
+    // Abandoned-rewrite bail-outs must release every cache created above
+    // (ADVICE r16): a declined rewrite otherwise pins lDF/rDF/pairs for
+    // the whole session.
+    def bail(extra: org.apache.spark.sql.DataFrame*): Option[LogicalPlan] = {
+      (Seq(lDF, rDF) ++ extra).foreach(graft.CacheRegistry.release)
+      None
+    }
     val inner = lDF.join(rDF, DatasetBridge.column(cond), "inner")
     val innerAttrs = inner.queryExecution.analyzed.output
     val nL = lChild.output.length
     val nR = rChild.output.length
-    if (innerAttrs.length != nL + 1 + nR + 1) return None
+    if (innerAttrs.length != nL + 1 + nR + 1) return bail()
     val lidInner = innerAttrs(nL)
     val ridInner = innerAttrs.last
     // Persist ONLY the narrow matched-id pair set: the (possibly
@@ -161,7 +168,7 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
       .join(lDF, pLid === DatasetBridge.column(lTagId))
       .join(rDF, pRid === DatasetBridge.column(rTagId))
     val rjOut = rejoined.queryExecution.analyzed.output
-    if (rjOut.length != 2 + nL + 1 + nR + 1) return None
+    if (rjOut.length != 2 + nL + 1 + nR + 1) return bail(pairs)
     val matchedRows = rejoined.select(
       (rjOut.slice(2, 2 + nL) ++ rjOut.slice(2 + nL + 1, 2 + nL + 1 + nR))
         .map(DatasetBridge.column): _*)
@@ -173,7 +180,7 @@ case class GridSpatialJoinRule(session: SparkSession) extends Rule[LogicalPlan] 
       .select(lChild.output.map(a => lit(null).cast(a.dataType)) ++ rCols: _*)
     val result = matchedRows.unionAll(antiL).unionAll(antiR)
     val analyzed = result.queryExecution.optimizedPlan
-    if (analyzed.output.length != j.output.length) None
+    if (analyzed.output.length != j.output.length) bail(pairs)
     else Some(Project(j.output.zip(analyzed.output).map { case (orig, a) =>
       Alias(a, orig.name)(exprId = orig.exprId)
     }, analyzed))

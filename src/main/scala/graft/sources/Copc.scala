@@ -541,7 +541,11 @@ object Copc {
       // with a different point format/extra-dims (foreign mixed dirs)
       // fall back to the per-tile union.
       val planned = selected.map(t => splitsFor(spark, t.toString, bbox))
-      if (planned.map(_._2).distinct.length == 1)
+      // Homogeneity must cover the extra-dim tables too (offsets/sizes/
+      // no-data bits), not just the output schema: same-named same-typed
+      // extra dims with different record layouts would silently misdecode
+      // under a shared planned.head._3.
+      if (planned.map(p => (p._2, p._3.toSeq)).distinct.length == 1)
         splitsToDf(spark, planned.flatMap(_._1), planned.head._2,
           planned.head._3)
       else selected.map(t => read(spark, t.toString, bbox)).reduce(_ unionAll _)

@@ -52,6 +52,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strip("  a\n\n<br/>\t b&nbsp;&nbsp;c ") == "a b c")
     assert(strip("") == "")
     assert(strip("<p></p>") == "")
+    // custom elements whose names merely START with script/style are
+    // ordinary tags, not swallowed spans (ADVICE r16)
+    assert(strip("a<scriptable-widget>keep</scriptable-widget>b") == "a keep b")
+    assert(strip("a<styled>keep</styled>b") == "a keep b")
+    // ...but real script tags with attributes still swallow content
+    assert(strip("a<script type='x'>gone</script>b") == "a b")
+    // '<script/>' opens a script span like browsers do (self-closing is
+    // void for script): content swallows to the next close or EOF
+    assert(strip("a<script/>b<p>c") == "a")
+    // surrogate-range numeric entities stay literal (ADVICE r16)
+    assert(strip("a &#55296; b &#xD800; c") == "a &#55296; b &#xD800; c")
+    // astral-plane code points still decode (surrogate PAIR output is fine)
+    assert(strip("&#x1F600;") == new String(Character.toChars(0x1F600)))
   }
 
   test("minhash pairs surface near-duplicates, not unrelated docs") {
