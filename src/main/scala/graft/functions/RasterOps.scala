@@ -787,25 +787,50 @@ object RasterOps {
       var pp = Map.empty[Int, (Int, Int)]
       var nlM = Map.empty[Int, Int]
       var trM = Map.empty[Int, Int]
+      var roiM = Map.empty[Int, (Int, Int, Int, Int)]
+      var ph = 0
+      var pocSegs = Seq.empty[(Int, Int, Int, Int, Int, Int)]
       if (spec.nonEmpty) spec.split(";").foreach { ent =>
         val cv = ent.split(":", 2)
         require(cv.length == 2, s"rs_asjpeg2000_profile: bad COC entry '$ent'")
-        val comp = cv(0).trim.toInt
-        cv(1).trim match {
-          case s if s.startsWith("cb=") => cb += comp -> s.drop(3).toInt
-          case s if s.startsWith("pp=") =>
-            val xy = s.drop(3).split("x", 2)
-            require(xy.length == 2, s"rs_asjpeg2000_profile: bad pp in '$ent'")
-            pp += comp -> (xy(0).toInt, xy(1).toInt)
-          case s if s.startsWith("nl=") => nlM += comp -> s.drop(3).toInt
-          case s if s.startsWith("tr=") => trM += comp -> s.drop(3).toInt
+        if (cv(0).trim == "*") cv(1).trim match {
+          // global signalling: '*:ph=<1|2>' packs packet headers (PPM /
+          // PPT), '*:poc=<rb>/<o1>/<o2>' emits a two-segment POC split
+          // at resolution rb (order o1 below, o2 from rb up — the
+          // "thumbnail progression first" layout)
+          case s if s.startsWith("ph=") => ph = s.drop(3).toInt
+          case s if s.startsWith("poc=") =>
+            val parts = s.drop(4).split("/", 3)
+            require(parts.length == 3, s"rs_asjpeg2000_profile: bad poc in '$ent'")
+            val rb = parts(0).toInt
+            pocSegs = Seq((0, 0, 65535, rb, 255, parts(1).toInt),
+              (rb, 0, 65535, 255, 255, parts(2).toInt))
           case other => throw new IllegalArgumentException(
-            s"rs_asjpeg2000_profile: unknown COC override '$other'")
+            s"rs_asjpeg2000_profile: unknown global override '$other'")
+        } else {
+          val comp = cv(0).trim.toInt
+          cv(1).trim match {
+            case s if s.startsWith("cb=") => cb += comp -> s.drop(3).toInt
+            case s if s.startsWith("pp=") =>
+              val xy = s.drop(3).split("x", 2)
+              require(xy.length == 2, s"rs_asjpeg2000_profile: bad pp in '$ent'")
+              pp += comp -> (xy(0).toInt, xy(1).toInt)
+            case s if s.startsWith("nl=") => nlM += comp -> s.drop(3).toInt
+            case s if s.startsWith("tr=") => trM += comp -> s.drop(3).toInt
+            case s if s.startsWith("roi=") =>
+              // '<comp>:roi=<x>,<y>,<w>,<h>' — RGN maxshift ROI rect
+              val q = s.drop(4).split(",", 4)
+              require(q.length == 4, s"rs_asjpeg2000_profile: bad roi in '$ent'")
+              roiM += comp -> (q(0).toInt, q(1).toInt, q(2).toInt, q(3).toInt)
+            case other => throw new IllegalArgumentException(
+              s"rs_asjpeg2000_profile: unknown COC override '$other'")
+          }
         }
       }
       graft.sources.Jp2Raster.write(rast(a), levels, qstep = qstep,
         derivedQuant = derived, cocCbExp = cb, cocPrecinct = pp,
-        cocLevels = nlM, cocTransform = trM)
+        cocLevels = nlM, cocTransform = trM,
+        poc = pocSegs, packedHeaders = ph, roi = roiM)
     }),
 
     // RS_AsNetCDF(raster) -> binary: classic CDF-2 serialization through

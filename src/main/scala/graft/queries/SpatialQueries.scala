@@ -1487,6 +1487,54 @@ object SpatialQueries {
             st.f("rs_value", col("r"), lit(2), lit(33), lit(21))).as("mask_px_exact"))
     }),
 
+    // POC + PPM/PPT + RGN in one stream (the r17 refusal-surface
+    // retirement): a lossless 16-bit raster encodes with a two-segment
+    // POC (LRCP thumbnail resolutions first, RPCL tail), PPM packed
+    // packet headers, and a maxshift ROI on band 1 — and must decode
+    // BIT-EXACT (formula-replay min/max/avg/probed pixel in the oracle).
+    // The same raster through the PPT variant must decode identically
+    // (packaging independence, checked in Spark on the same row).
+    // Reference reaches POC/PPM/RGN via GDAL openjpeg
+    // (rust/sedona-raster-gdal/src/register.rs:23-34).
+    "rs25_jp2_poc_ppm_roi" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("vals", expr(
+          "transform(sequence(0, 64*48 - 1), i -> " +
+            "CAST((n_nationkey*6599 + (i % 64)*41 + CAST(i / 64 AS INT)*61 " +
+            "+ (i * 131071) % 101) % 251 AS DOUBLE))"))
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("r", st.f("rs_setbandpixeltype",
+          st.f("rs_setcrs",
+            st.f("rs_makeraster", lit(64), lit(48), col("ulx"), lit(100.0),
+              lit(2.0), lit(-2.0), col("vals")),
+            lit("EPSG:32610")),
+          // 8-bit: maxshift doubles the magnitude budget (Mb+SPrgn), so
+          // the ROI envelope is <= 12-bit components (16-bit refuses)
+          lit("UNSIGNED_8BITS")))
+        .withColumn("g", st.f("rs_asjpeg2000_profile", col("r"), lit(3),
+          lit(0.0), lit(0), lit("*:ph=1;*:poc=2/0/2;0:roi=8,6,24,18")))
+        .withColumn("g2", st.f("rs_asjpeg2000_profile", col("r"), lit(3),
+          lit(0.0), lit(0), lit("*:ph=2;0:roi=8,6,24,18")))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .withColumn("rt2", st.f("rs_fromgdalraster", col("g2")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_upperleftx", col("rt")).as("ulx_out"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          st.f("rs_bandpixeltype", col("rt"), lit(1)).as("ptype"),
+          st.f("rs_bandmin", col("rt"), lit(1)).as("vmin"),
+          st.f("rs_bandmax", col("rt"), lit(1)).as("vmax"),
+          st.f("rs_bandavg", col("rt"), lit(1)).as("vavg"),
+          st.f("rs_value", col("rt"), lit(1), lit(33), lit(21)).as("roi_px"),
+          (st.f("rs_bandavg", col("rt2"), lit(1)) ===
+            st.f("rs_bandavg", col("rt"), lit(1)) &&
+           st.f("rs_value", col("rt2"), lit(1), lit(33), lit(21)) ===
+            st.f("rs_value", col("rt"), lit(1), lit(33), lit(21)))
+            .as("ppt_identical"))
+    }),
+
     "rs21_jp2_lossy" -> ((s, dir) => {
       prep(s)
       t(s, dir, "nation")
@@ -2424,6 +2472,24 @@ object SpatialQueries {
         |  TRUE AS mask_avg_exact, TRUE AS mask_range_exact,
         |  TRUE AS mask_px_exact
         |FROM nation""".stripMargin,
+
+    // POC+PPM+RGN lossless stream: pure formula replay (pixel i =
+    // (n*6599 + (i%64)*41 + (i//64)*61 + (i*131071)%101) % 60000);
+    // the ROI probe (33,21) is 1-based list index 21*64 + 33 + 1
+    "rs25_jp2_poc_ppm_roi" ->
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*6599 + (i % 64)*41 + (i // 64)*61
+        |      + (i * 131071) % 101) % 251 AS DOUBLE) for i in range(0, 3072)] AS vs
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(64 AS INT) AS w, CAST(48 AS INT) AS h,
+        |  CAST(n_nationkey % 10 AS DOUBLE)*8.0 AS ulx_out,
+        |  'EPSG:32610' AS crs, 'UNSIGNED_8BITS' AS ptype,
+        |  list_min(vs) AS vmin, list_max(vs) AS vmax,
+        |  list_sum(vs)/3072.0 AS vavg,
+        |  vs[1378] AS roi_px,
+        |  TRUE AS ppt_identical
+        |FROM v""".stripMargin,
 
     "rs21_jp2_lossy" ->
       """SELECT n_nationkey,

@@ -48,7 +48,10 @@ private[graft] object Jp2Raster {
       cocCbExp: Map[Int, Int] = Map.empty,
       cocPrecinct: Map[Int, (Int, Int)] = Map.empty,
       cocLevels: Map[Int, Int] = Map.empty,
-      cocTransform: Map[Int, Int] = Map.empty): Array[Byte] = {
+      cocTransform: Map[Int, Int] = Map.empty,
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+      packedHeaders: Int = 0,
+      roi: Map[Int, (Int, Int, Int, Int)] = Map.empty): Array[Byte] = {
     require(r.bands.nonEmpty, "rs_asjpeg2000: raster has no loaded bands")
     val planes = r.bands.zipWithIndex.map { case (b, bi) =>
       val (depth, signed) = IntTypes.getOrElse(b.pixelTypeName,
@@ -85,7 +88,8 @@ private[graft] object Jp2Raster {
       layers = layers, order = order, precinct = precinct, sopEph = sopEph,
       partsPerResolution = partsPerResolution, derivedQuant = derivedQuant,
       cocCbExp = cocCbExp, cocPrecinct = cocPrecinct,
-      cocLevels = cocLevels, cocTransform = cocTransform)
+      cocLevels = cocLevels, cocTransform = cocTransform,
+      poc = poc, packedHeaders = packedHeaders, roi = roi)
 
     val out = new java.io.ByteArrayOutputStream()
     def box(tp: String, payload: Array[Byte]): Unit = {
@@ -316,6 +320,11 @@ private[graft] object Jp2Raster {
         .getOrElse(if (fileLen <= head.length) head
           else head ++ fetch(head.length.toLong, (fileLen - head.length).toInt))
       val planes = Jpeg2000.decodeWindow(bytes, xoff, yoff, w, h)
+      // the raster model's bands share one grid: a subsampled stream's
+      // per-component window planes must be read via Jpeg2000.decodeWindow
+      require(planes.forall(p => p.w == w && p.h == h),
+        "jp2 loader: component subsampling yields mixed band dims; " +
+          "decode via Jpeg2000.decodeWindow for per-component planes")
       val (crs, gt0) = geoOf(head).getOrElse(
         ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
       val gt = gt0.clone()

@@ -18,15 +18,17 @@ import scala.collection.mutable.ArrayBuffer
   *    tile-parts (per-resolution grouping, TLM), quality layers, all
   *    five progression orders, precincts, SOP/EPH, code-blocks
   *    2^2..2^10 square, per-component COC overrides (code-block size,
-  *    precincts, decomposition LEVELS, wavelet TRANSFORM) and SIZ
+  *    precincts, decomposition LEVELS, wavelet TRANSFORM), SIZ
   *    component SUBSAMPLING (single-tile, MCT-free; components decode
-  *    at their own plane dims — the 4:2:0 chroma shape).
+  *    at their own plane dims — the 4:2:0 chroma shape, windowed decode
+  *    included), POC progression-order changes, PPM/PPT packed packet
+  *    headers, and RGN maxshift ROI scaling (reversible components).
   *  - decode: the same feature set, from a raw codestream or a JP2 box
   *    container (the `jp2c` box is located and decoded; other boxes are
   *    metadata this codec does not need). Still refusing loudly:
-  *    RGN/POC/PPM (ROI bitplane shifts, mid-stream progression changes,
-  *    relocated packet headers), code-block coder option flags, and
-  *    windowed decode of subsampled streams.
+  *    code-block coder option flags (bypass/termall/... — EBCOT-core
+  *    variants with no fixture to certify against), tile-part-header
+  *    POC/RGN, and RGN on lossy (9/7) components.
   *  - The DWT, tag trees, pass-count / length codewords, and packet
   *    structure are pinned by hand-computed unit fixtures; the MQ coder
   *    and tier-1 context machine are pinned by spec invariants plus
@@ -1158,6 +1160,37 @@ private[graft] object Jpeg2000 {
     }
   }
 
+  /** POC-aware packet sequence: with no POC segments this is exactly
+    * [[packetSeq]] in the COD order; with POC (A.6.6 / B.12) the
+    * progression is the CONCATENATION of the segments — each iterates
+    * its own order over layers < LYEpoc, RSpoc <= r < REpoc, CSpoc <= c
+    * < CEpoc — deduplicated in arrival order (a packet already placed by
+    * an earlier segment is not re-emitted). Encoder and decoder share
+    * this one function, so packet order is consistent by construction;
+    * a POC whose segments do not cover every packet refuses loudly. */
+  private def packetSeqOf(order: Int, poc: Seq[(Int, Int, Int, Int, Int, Int)],
+      layers: Int, nc: Int, nlOf: Int => Int,
+      dims: Int => (Int, Int), pp: (Int, Int) => (Int, Int),
+      ss: Int => (Int, Int) = _ => (1, 1)): IndexedSeq[PktId] = {
+    val base = packetSeq(order, layers, nc, nlOf, dims, pp, ss)
+    if (poc.isEmpty) base
+    else {
+      val seen = scala.collection.mutable.HashSet.empty[PktId]
+      val out = new ArrayBuffer[PktId](base.length)
+      poc.foreach { case (rs, cs, lye, re, ce, ppoc) =>
+        packetSeq(ppoc, layers, nc, nlOf, dims, pp, ss).foreach { k =>
+          if (k.l < lye && k.r >= rs && k.r < re && k.c >= cs && k.c < ce &&
+              seen.add(k))
+            out += k
+        }
+      }
+      require(out.length == base.length,
+        s"jpeg2000: POC segments cover ${out.length} of ${base.length} " +
+          "packets — incomplete progression unsupported")
+      out.toIndexedSeq
+    }
+  }
+
   /** True when every packet of resolutions 0..rMax precedes every packet
     * of higher resolutions — the property that makes a leading-prefix
     * fetch sufficient for a reduced-resolution decode. Holds for RLCP
@@ -1237,8 +1270,27 @@ private[graft] object Jpeg2000 {
       cocPrecinct: Map[Int, (Int, Int)] = Map.empty,
       cocLevels: Map[Int, Int] = Map.empty,
       cocTransform: Map[Int, Int] = Map.empty,
-      subsampling: Map[Int, (Int, Int)] = Map.empty): Array[Byte] = {
+      subsampling: Map[Int, (Int, Int)] = Map.empty,
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+      packedHeaders: Int = 0,
+      roi: Map[Int, (Int, Int, Int, Int)] = Map.empty): Array[Byte] = {
     val lossy = qstep > 0.0
+    // POC (A.6.6): ordered (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc)
+    // segments replacing the COD progression; the shared packetSeqOf
+    // guarantees encode/decode agree, and refuses incomplete coverage.
+    poc.foreach { case (rs, cs, lye, re, ce, pp) =>
+      require(pp >= 0 && pp <= 4 && re > rs && ce > cs && lye >= 1 &&
+        rs >= 0 && cs >= 0,
+        s"jpeg2000: bad POC segment ($rs,$cs,$lye,$re,$ce,$pp)")
+    }
+    require(poc.isEmpty || !partsPerResolution,
+      "jpeg2000: POC with per-resolution tile-parts unsupported")
+    // PPM (1) / PPT (2): packet headers relocated to the main header /
+    // tile-part header; bodies (and SOP markers) stay in the bitstream
+    require(packedHeaders >= 0 && packedHeaders <= 2,
+      s"jpeg2000: packedHeaders $packedHeaders (0 none, 1 PPM, 2 PPT)")
+    require(packedHeaders == 0 || !partsPerResolution,
+      "jpeg2000: packed headers with per-resolution tile-parts unsupported")
     require(!derivedQuant || lossy,
       "jpeg2000: derivedQuant is a lossy-path (qstep > 0) option")
     cocCbExp.foreach { case (c, e) =>
@@ -1427,9 +1479,28 @@ private[graft] object Jpeg2000 {
       val (e, m) = lossyEpsMu(r, band)
       stepOf(e, m, depthMax + gainOf(band))
     }
+    // RGN maxshift (E.1): ROI coefficients scale UP by SPrgn = the
+    // component's largest Mb — every background coefficient fits its
+    // band's Mb bits, so it stays < 2^SPrgn and the decoder's
+    // magnitude test separates the sets exactly. Reversible (5/3)
+    // components only: a quantized ROI has no bit-exact contract.
+    val roiS: Map[Int, Int] = roi.map { case (c, rect) =>
+      require(c >= 0 && c < planes.length, s"jpeg2000: ROI component $c")
+      require(!lossyOfE(c),
+        s"jpeg2000: ROI on a 9/7 (lossy) component $c unsupported")
+      val (rx0, ry0, rw0, rh0) = rect
+      require(rw0 > 0 && rh0 > 0 && rx0 >= 0 && ry0 >= 0 &&
+        rx0 + rw0 <= planes(c).w && ry0 + rh0 <= planes(c).h,
+        s"jpeg2000: ROI rect $rect outside component $c plane")
+      val s = epsOf(c, 3) + guard - 1
+      require(s + epsOf(c, 3) + guard - 1 <= 30,
+        s"jpeg2000: ROI shift $s overflows 32-bit magnitudes " +
+          "(component depth too large for maxshift)")
+      c -> s
+    }
     def mbOf(comp: Int, r: Int, band: Int): Int =
       (if (lossyOfE(comp)) lossyEpsMu(r, band)._1 else epsOf(comp, band)) +
-        guard - 1
+        guard - 1 + roiS.getOrElse(comp, 0)
     if (lossy && derivedQuant) {
       // QCD style 1 (scalar derived): a single 16-bit (ε0 << 11 | μ0)
       u16(0xFF5C)
@@ -1486,16 +1557,57 @@ private[graft] object Jpeg2000 {
         if lossyOfE(comp) != lossy || nlOfE(comp) != nl ||
           (!lossy && epsOf(comp, 0) != epsOf(0, 0)))
       writeQcc(comp)
+    // POC (A.6.6): 7-byte entries (nc < 257 always holds here)
+    if (poc.nonEmpty) {
+      u16(0xFF5F)
+      u16(2 + 7 * poc.length)
+      poc.foreach { case (rs, cs, lye, re, ce, pp) =>
+        u8(rs); u8(cs); u16(lye); u8(re); u8(math.min(ce, 255)); u8(pp)
+      }
+    }
+    // RGN (A.6.3): one marker per ROI component, Srgn = 0 (maxshift)
+    roiS.toSeq.sortBy(_._1).foreach { case (c, s) =>
+      u16(0xFF5E)
+      u16(5)
+      u8(c); u8(0); u8(s)
+    }
 
     // ---- per-tile encoding (tiles are independently coded) ----
     def encodeTile(tx0: Int, ty0: Int, tcw: Int, tch: Int)
-        : (Array[Byte], ArrayBuffer[Int]) = {
+        : (Array[Byte], Array[Byte], ArrayBuffer[Int]) = {
       val body = new java.io.ByteArrayOutputStream()
+      // packedHeaders: packet headers (and their EPH) collect here
+      // instead of the bitstream; SOP markers and bodies stay in-stream
+      val hdrOut = new java.io.ByteArrayOutputStream()
       // per-component tile plane: the component's own (subsampled) dims —
       // subsampling forces single-tile, so the plane IS the whole
       // component and tx0/ty0 are 0 there
       def tdims(c: Int): (Int, Int) =
         if (subsampled) (planes(c).w, planes(c).h) else (tcw, tch)
+      // ROI support rects per level, tile-local component coords — the
+      // SAME margin-4 halving recursion the windowed decoder uses for
+      // its needed-coefficient sets (a superset of the true influence
+      // set, which is all maxshift legality requires)
+      val roiRects: Map[Int, Array[(Int, Int, Int, Int)]] =
+        roiS.keys.map { c =>
+          val (rx, ry, rw2, rh2) = roi(c)
+          val ox = if (subsampled) 0 else tx0
+          val oy = if (subsampled) 0 else ty0
+          val (cw, ch) = tdims(c)
+          val x0 = math.max(0, rx - ox); val y0 = math.max(0, ry - oy)
+          val x1 = math.min(cw, rx + rw2 - ox)
+          val y1 = math.min(ch, ry + rh2 - oy)
+          val nlc = nlOfE(c)
+          val rects = new Array[(Int, Int, Int, Int)](nlc + 1)
+          rects(0) = (x0, y0, x1, y1)
+          var l = 1
+          while (l <= nlc) {
+            val (a, b2, c2, d2) = rects(l - 1)
+            rects(l) = (a / 2 - 4, b2 / 2 - 4, (c2 + 1) / 2 + 4, (d2 + 1) / 2 + 4)
+            l += 1
+          }
+          c -> rects
+        }.toMap
       // DC level shift the tile's sub-rect of every component, then the
       // optional RCT across the first three (forward: Y=(R+2G+B)>>2,
       // Cb=B-G, Cr=R-G — exact integers, inverse in decode), then
@@ -1706,6 +1818,29 @@ private[graft] object Jpeg2000 {
           // one band extraction, shared by every code-block (extracting
           // per block is O(band x blocks) — quadratic on big images)
           val bs = bandCoeffs(comp, r, g.band, g.bw, g.bh, g.xOff, g.yOff)
+          // RGN maxshift: scale the ROI's band-coordinate support rect
+          // UP by the component's SPrgn (mb above already carries +s).
+          // The rect is a conservative SUPERSET of the coefficients
+          // influencing the ROI pixels — legal: extra background just
+          // joins the ROI set, and the decoder's magnitude test is
+          // position-free so both sets roundtrip exactly.
+          val sroi = roiS.getOrElse(comp, 0)
+          if (sroi > 0) {
+            val nlc = nlOfE(comp)
+            val lvl = if (r == 0) nlc else nlc - r + 1
+            val (a, b2, c2, d2) = roiRects(comp)(lvl)
+            val xr0 = math.max(0, a); val yr0 = math.max(0, b2)
+            val xr1 = math.min(g.bw, c2); val yr1 = math.min(g.bh, d2)
+            var yy = yr0
+            while (yy < yr1) {
+              var xx = xr0
+              while (xx < xr1) {
+                bs(yy * g.bw + xx) = bs(yy * g.bw + xx) << sroi
+                xx += 1
+              }
+              yy += 1
+            }
+          }
           val grid = new Array[CbE](g.gw * g.gh)
           for (gy <- 0 until g.gh; gx <- 0 until g.gw) {
             val x0 = gx * g.cbw; val y0 = gy * g.cbh
@@ -1757,7 +1892,7 @@ private[graft] object Jpeg2000 {
       // resolution decode (A.7.1 — informational otherwise) ----
       val packetLens = new ArrayBuffer[Int]()
       var nsop = 0
-      packetSeq(order, layers, planes.length, nlOfE, tdims,
+      packetSeqOf(order, poc, layers, planes.length, nlOfE, tdims,
           (_, c) => ppOfE(c), ssOf).foreach { pk =>
         val bandsHere = geoms(pk.c)(pk.r)
         val any = bandsHere.exists { case (g, grid) =>
@@ -1815,16 +1950,19 @@ private[graft] object Jpeg2000 {
           }
         }
         val header = bwr.finish()
-        body.write(header)
-        pktBytes += header.length
-        if (sopEph) { // EPH marker (D.3) terminates the packet header
-          body.write(0xFF); body.write(0x92)
-          pktBytes += 2
+        val hsink = if (packedHeaders == 0) body else hdrOut
+        hsink.write(header)
+        if (packedHeaders == 0) pktBytes += header.length
+        if (sopEph) { // EPH (D.3) terminates the header WHEREVER it lives
+          hsink.write(0xFF); hsink.write(0x92)
+          if (packedHeaders == 0) pktBytes += 2
         }
         bodies.foreach { case (buf, off, len) => body.write(buf, off, len) }
+        // PLT length = the packet's IN-STREAM bytes (bodies + SOP only
+        // when the header is relocated to PPM/PPT)
         packetLens += pktBytes + bodies.map(_._3).sum
       }
-      (body.toByteArray, packetLens)
+      (body.toByteArray, hdrOut.toByteArray, packetLens)
     }
 
     // PLT payload per tile: packet lengths as 7-bit big-endian varints
@@ -1853,16 +1991,18 @@ private[graft] object Jpeg2000 {
       segs.toSeq
     }
 
-    // every tile-part to emit, in stream order:
-    // (tile index, TPsot, TNsot, PLT segments, body slice (buf, off, len))
-    val allParts: Seq[(Int, Int, Int, Seq[Array[Byte]], (Array[Byte], Int, Int))] =
+    // every tile-part to emit, in stream order: (tile index, TPsot,
+    // TNsot, PLT segments, body slice (buf, off, len), packed headers)
+    val allParts: Seq[(Int, Int, Int, Seq[Array[Byte]],
+        (Array[Byte], Int, Int), Array[Byte])] =
       (for (ty <- 0 until nty; tx <- 0 until ntx) yield {
         val ti = ty * ntx + tx
         val tx0 = tx * tw; val ty0 = ty * th
         val tcw = math.min(tw, w - tx0); val tch = math.min(th, h - ty0)
-        val (bodyBytes, lens) = encodeTile(tx0, ty0, tcw, tch)
+        val (bodyBytes, hdrBytes, lens) = encodeTile(tx0, ty0, tcw, tch)
         if (!partsPerResolution)
-          Seq((ti, 0, 1, pltSegsOf(lens), (bodyBytes, 0, bodyBytes.length)))
+          Seq((ti, 0, 1, pltSegsOf(lens), (bodyBytes, 0, bodyBytes.length),
+            hdrBytes))
         else {
           // one tile-part per RESOLUTION (the layout real encoders emit
           // for resolution-progressive streams): RLCP/RPCL sort packets
@@ -1880,15 +2020,45 @@ private[graft] object Jpeg2000 {
             val grp = lens.slice(pktAt, pktAt + n)
             val grpBytes = grp.sum
             val part = (ti, r, nl + 1, pltSegsOf(grp),
-              (bodyBytes, byteAt, grpBytes))
+              (bodyBytes, byteAt, grpBytes), Array.empty[Byte])
             pktAt += n; byteAt += grpBytes
             part
           }
         }
       }).flatten
 
-    def psotOf(p: (Int, Int, Int, Seq[Array[Byte]], (Array[Byte], Int, Int))): Int =
-      12 + p._4.map(_.length + 5).sum + 2 + p._5._3
+    // split a packed-header payload into <= 65532-byte PPT/PPM marker
+    // chunks (records/headers may legally SPAN segments — A.7.4/A.7.5)
+    def hdrChunks(data: Array[Byte]): Seq[Array[Byte]] =
+      if (data.isEmpty) Seq.empty
+      else data.grouped(65532).toSeq
+
+    def psotOf(p: (Int, Int, Int, Seq[Array[Byte]],
+        (Array[Byte], Int, Int), Array[Byte])): Int =
+      12 + p._4.map(_.length + 5).sum +
+        (if (packedHeaders == 2) hdrChunks(p._6).map(_.length + 5).sum else 0) +
+        2 + p._5._3
+
+    // PPM (A.7.4): one (Nppm u32, packed headers) record per tile-part
+    // in codestream order, the record stream split across <= 65532-byte
+    // Zppm-indexed marker segments (records may span segments)
+    if (packedHeaders == 1) {
+      val recs = new java.io.ByteArrayOutputStream()
+      allParts.foreach { p =>
+        val hdr = p._6
+        recs.write((hdr.length >>> 24) & 0xFF); recs.write((hdr.length >>> 16) & 0xFF)
+        recs.write((hdr.length >>> 8) & 0xFF); recs.write(hdr.length & 0xFF)
+        recs.write(hdr)
+      }
+      val chunks = hdrChunks(recs.toByteArray)
+      require(chunks.length <= 256, "jpeg2000: PPM exceeds 256 segments")
+      chunks.zipWithIndex.foreach { case (chunk, zi) =>
+        u16(0xFF60)
+        u16(3 + chunk.length)
+        u8(zi)
+        out.write(chunk)
+      }
+    }
 
     // TLM (A.7.1): tile-part lengths in the MAIN header, so a ranged
     // reader can fetch exactly the tile-parts a spatial window (or a
@@ -1920,12 +2090,22 @@ private[graft] object Jpeg2000 {
         }
     }
 
-    allParts.foreach { case p @ (ti, tpsot, tnsot, segs, (body, off, len)) =>
+    allParts.foreach { case p @ (ti, tpsot, tnsot, segs, (body, off, len), hdr) =>
       u16(0xFF90) // SOT
       u16(10)
       u16(ti)     // Isot
       u32(psotOf(p))
       u8(tpsot); u8(tnsot)
+      if (packedHeaders == 2) { // PPT (A.7.5): Zppt-indexed header chunks
+        val chunks = hdrChunks(hdr)
+        require(chunks.length <= 256, "jpeg2000: PPT exceeds 256 segments")
+        chunks.zipWithIndex.foreach { case (chunk, zi) =>
+          u16(0xFF61)
+          u16(3 + chunk.length)
+          u8(zi)
+          out.write(chunk)
+        }
+      }
       segs.zipWithIndex.foreach { case (seg, zi) =>
         u16(0xFF58) // PLT
         u16(3 + seg.length)
@@ -2007,7 +2187,16 @@ private[graft] object Jpeg2000 {
       cocTr: Map[Int, Int] = Map.empty,
       qccStyle: Map[Int, Int] = Map.empty,
       ssx: Array[Int] = null,
-      ssy: Array[Int] = null) {
+      ssy: Array[Int] = null,
+      // POC progression-order changes (main header): ordered segments of
+      // (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) replacing the COD order
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+      // PPM: the Zppm-ordered concatenation of all PPM marker payloads —
+      // a stream of (Nppm u32, packed packet headers) records, one record
+      // per tile-part in codestream order (A.7.4)
+      ppm: Option[Array[Byte]] = None,
+      // RGN maxshift (Srgn = 0): component -> SPrgn ROI upshift (E.1)
+      roiShift: Map[Int, Int] = Map.empty) {
     /** SIZ per-component subsampling (XRsiz, YRsiz); (1,1) when absent. */
     def ssOf(comp: Int): (Int, Int) =
       if (ssx == null) (1, 1) else (ssx(comp), ssy(comp))
@@ -2059,7 +2248,8 @@ private[graft] object Jpeg2000 {
       * declaration (and an exponent table shorter than the COD levels
       * fails loudly). */
     def mbOf(comp: Int, r: Int, band: Int): Int =
-      epsMuOf(comp, r, band)._1 + guardOf(comp) - 1
+      epsMuOf(comp, r, band)._1 + guardOf(comp) - 1 +
+        roiShift.getOrElse(comp, 0)
     /** Lossy reconstruction step for (component, resolution, band) from
       * the signalled (ε, μ) at Rb = component depth + subband gain. */
     def stepHatOf(comp: Int, r: Int, band: Int): Double = {
@@ -2109,6 +2299,9 @@ private[graft] object Jpeg2000 {
     var transform = -1
     var qStyle = -1
     var firstSot = -1
+    var pocSegs = Vector.empty[(Int, Int, Int, Int, Int, Int)]
+    var ppmChunks = Vector.empty[(Int, Array[Byte])] // (Zppm, payload)
+    var roiShiftM = Map.empty[Int, Int]
     // SPqcd/SPqcc payload -> (exponents, mantissas): style 0 (no
     // quantization) is one byte per subband (ε << 3, μ = 0); style 2
     // (scalar expounded) is a 16-bit (ε << 11 | μ) word per subband
@@ -2288,12 +2481,46 @@ private[graft] object Jpeg2000 {
             cocPx += ccoc -> px
             cocPy += ccoc -> py
           }
-        case 0xFF5E | 0xFF5F | 0xFF60 =>
-          // RGN / POC / PPM shift ROI bitplanes, change the progression
-          // mid-stream, or relocate packet headers — skipping them would
-          // decode silently wrong, refuse loudly
-          throw new IllegalArgumentException(f"jpeg2000: marker $marker%04x " +
-            "(RGN/POC/PPM) unsupported")
+        case 0xFF5E => // RGN (E.1): maxshift ROI scaling only
+          val base = pos + 4
+          val big = nc >= 257
+          val crgn = if (big) bb.getShort(base) & 0xFFFF else bb.get(base) & 0xFF
+          val srgn = bb.get(base + (if (big) 2 else 1)) & 0xFF
+          val sprgn = bb.get(base + (if (big) 3 else 2)) & 0xFF
+          require(srgn == 0,
+            s"jpeg2000: RGN style $srgn unsupported (0 = implicit maxshift)")
+          require(sprgn >= 0 && sprgn <= 37,
+            s"jpeg2000: RGN SPrgn $sprgn out of range")
+          roiShiftM += crgn -> sprgn
+        case 0xFF5F => // POC (A.6.6): ordered progression segments
+          val len = bb.getShort(pos + 2) & 0xFFFF
+          val big = nc >= 257
+          val entry = if (big) 9 else 7
+          require((len - 2) % entry == 0 && len > 2,
+            s"jpeg2000: POC length $len not a multiple of $entry entries")
+          val n = (len - 2) / entry
+          var q = pos + 4
+          for (_ <- 0 until n) {
+            val rs = bb.get(q) & 0xFF
+            val cs = if (big) bb.getShort(q + 1) & 0xFFFF else bb.get(q + 1) & 0xFF
+            var o = q + (if (big) 3 else 2)
+            val lye = bb.getShort(o) & 0xFFFF
+            val re = bb.get(o + 2) & 0xFF
+            val ce0 = if (big) bb.getShort(o + 3) & 0xFFFF else bb.get(o + 3) & 0xFF
+            val ce = if (ce0 == 0) 256 else ce0 // CEpoc 0 means "all" (Table A.32)
+            val pp = bb.get(o + (if (big) 5 else 4)) & 0xFF
+            require(pp <= 4, s"jpeg2000: POC progression $pp unknown")
+            require(lye >= 1 && re > rs && ce > cs,
+              s"jpeg2000: POC segment empty (rs=$rs re=$re cs=$cs ce=$ce lye=$lye)")
+            pocSegs :+= ((rs, cs, lye, re, ce, pp))
+            q += entry
+          }
+        case 0xFF60 => // PPM (A.7.4): packed packet headers, main header
+          val len = bb.getShort(pos + 2) & 0xFFFF
+          val z = bb.get(pos + 4) & 0xFF
+          val payload = new Array[Byte](len - 3)
+          System.arraycopy(bytes, pos + 5, payload, 0, len - 3)
+          ppmChunks :+= ((z, payload))
         case _ => // skip informational marker segments (COM, CRG, TLM, PLM...)
       }
       if (firstSot < 0) pos += 2 + (bb.getShort(pos + 2) & 0xFFFF)
@@ -2323,11 +2550,33 @@ private[graft] object Jpeg2000 {
       require(tw >= w && th >= h,
         "jpeg2000: component subsampling with tiling unsupported")
     }
+    // RGN scope: decode applies the maxshift downshift on the reversible
+    // integer path only — a quantized (9/7) ROI cannot be certified
+    // bit-exactly without a foreign fixture, so it refuses loudly
+    roiShiftM.keys.foreach { c =>
+      require(c < nc, s"jpeg2000: RGN component $c out of range")
+      require(cocTrM.getOrElse(c, transform) == 1,
+        s"jpeg2000: RGN on a 9/7 (lossy) component $c unsupported")
+    }
+    // PPM payloads concatenate in Zppm order; duplicate indices refuse
+    val ppmStream =
+      if (ppmChunks.isEmpty) None
+      else {
+        require(ppmChunks.map(_._1).distinct.length == ppmChunks.length,
+          "jpeg2000: duplicate Zppm index")
+        val sorted = ppmChunks.sortBy(_._1)
+        val total = sorted.map(_._2.length).sum
+        val arr = new Array[Byte](total)
+        var off = 0
+        sorted.foreach { case (_, p) =>
+          System.arraycopy(p, 0, arr, off, p.length); off += p.length }
+        Some(arr)
+      }
     MainHeader(csOff, w, h, math.min(tw, w), math.min(th, h), nc,
       depths, signedA, nl, cbExp, mct, transform, qStyle,
       qcdGuard, qcdExps, qcdMus, qccGuard, qccExps, qccMus, firstSot,
       order, layers, sop, eph, ppx, ppy, cocCb, cocPx, cocPy,
-      cocNlM, cocTrM, qccStyleM, ssxA, ssyA)
+      cocNlM, cocTrM, qccStyleM, ssxA, ssyA, pocSegs, ppmStream, roiShiftM)
   }
 
   /** Tile-part directory: tile index -> ordered (sod position, part end)
@@ -2338,11 +2587,18 @@ private[graft] object Jpeg2000 {
     * final part (a ranged reader stitches only the tile-parts a window
     * or resolution prefix needs); the caller checks presence of the
     * tiles it requires. */
+  /** One discovered tile-part: SOD payload bounds, the part's GLOBAL
+    * ordinal in codestream order (what PPM records key on), and its
+    * PPT packed-header payloads (Zppt-ordered, empty when none). */
+  private final case class PartRec(sod: Int, end: Int, ordinal: Int,
+      ppt: Vector[(Int, Array[Byte])])
+
   private def scanTileParts(bytes: Array[Byte],
-      hd: MainHeader): Map[Int, Vector[(Int, Int)]] = {
+      hd: MainHeader): Map[Int, Vector[PartRec]] = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     var pos = hd.firstSot
-    var parts = Map.empty[Int, Vector[(Int, Int)]]
+    var parts = Map.empty[Int, Vector[PartRec]]
+    var ordinal = 0
     var done = false
     while (!done && pos + 2 <= bytes.length) {
       val marker = bb.getShort(pos) & 0xFFFF
@@ -2359,9 +2615,11 @@ private[graft] object Jpeg2000 {
         val partEnd = if (psot == 0) bytes.length - 2 else pos + psot
         // walk tile-part header markers to SOD; tile-specific COD/QCD/
         // QCC/COC overrides would change the decode of this tile only —
-        // refuse loudly rather than decode wrong
+        // refuse loudly rather than decode wrong. PPT (A.7.5) relocates
+        // this tile's packet headers into the tile-part header: collect.
         var q = pos + 12
         var sod = -1
+        var ppt = Vector.empty[(Int, Array[Byte])]
         while (sod < 0) {
           require(q + 4 <= bytes.length, "jpeg2000: truncated tile-part header")
           val m = bb.getShort(q) & 0xFFFF
@@ -2369,8 +2627,15 @@ private[graft] object Jpeg2000 {
           if (m == 0xFF93) sod = q + 2
           else {
             require(m != 0xFF52 && m != 0xFF53 && m != 0xFF5C && m != 0xFF5D &&
-              m != 0xFF5E && m != 0xFF5F && m != 0xFF61,
+              m != 0xFF5E && m != 0xFF5F,
               f"jpeg2000: tile-part coding override marker $m%04x unsupported")
+            if (m == 0xFF61) {
+              val len = bb.getShort(q + 2) & 0xFFFF
+              val z = bytes(q + 4) & 0xFF
+              val payload = new Array[Byte](len - 3)
+              System.arraycopy(bytes, q + 5, payload, 0, len - 3)
+              ppt :+= ((z, payload))
+            }
             q += 2 + (bb.getShort(q + 2) & 0xFFFF)
           }
         }
@@ -2381,7 +2646,8 @@ private[graft] object Jpeg2000 {
         require(tpsot == seen.length,
           s"jpeg2000: tile $isot tile-part out of order " +
             s"(TPsot $tpsot after ${seen.length} parts)")
-        parts += isot -> (seen :+ ((sod, partEnd)))
+        parts += isot -> (seen :+ PartRec(sod, partEnd, ordinal, ppt))
+        ordinal += 1
         pos = partEnd
         if (psot == 0) done = true
       }
@@ -2389,16 +2655,66 @@ private[graft] object Jpeg2000 {
     parts
   }
 
+  /** The packed-header stream for ONE tile, or None when its headers are
+    * in-stream. PPM: the Zppm-concatenated main-header stream is a
+    * sequence of (Nppm u32, headers) records, record i belonging to the
+    * i-th tile-part in CODESTREAM order — the tile's stream concatenates
+    * its own parts' records in TPsot order. PPT: the tile's parts'
+    * Zppt-ordered payloads concatenate directly (no length records). */
+  private def headerStreamFor(hd: MainHeader,
+      segs: Vector[PartRec]): Option[Array[Byte]] = hd.ppm match {
+    case Some(stream) =>
+      // split the PPM stream into per-tile-part records once per call:
+      // records are few (one per tile-part) and the split is O(bytes)
+      val bb = ByteBuffer.wrap(stream).order(ByteOrder.BIG_ENDIAN)
+      val recs = new ArrayBuffer[(Int, Int)]() // (offset, len) into stream
+      var p = 0
+      while (p + 4 <= stream.length) {
+        val n = bb.getInt(p)
+        require(n >= 0 && p + 4 + n <= stream.length,
+          "jpeg2000: PPM record overruns the marker payloads")
+        recs += ((p + 4, n))
+        p += 4 + n
+      }
+      require(p == stream.length, "jpeg2000: trailing PPM bytes")
+      val total = segs.map(s => {
+        require(s.ordinal < recs.length,
+          s"jpeg2000: no PPM record for tile-part ordinal ${s.ordinal}")
+        recs(s.ordinal)._2
+      }).sum
+      val arr = new Array[Byte](total)
+      var off = 0
+      segs.foreach { s =>
+        val (o, n) = recs(s.ordinal)
+        System.arraycopy(stream, o, arr, off, n); off += n
+      }
+      Some(arr)
+    case None =>
+      if (segs.forall(_.ppt.isEmpty)) None
+      else Some {
+        val chunks = segs.flatMap { s =>
+          require(s.ppt.map(_._1).distinct.length == s.ppt.length,
+            "jpeg2000: duplicate Zppt index in one tile-part")
+          s.ppt.sortBy(_._1).map(_._2)
+        }
+        val arr = new Array[Byte](chunks.map(_.length).sum)
+        var off = 0
+        chunks.foreach { c =>
+          System.arraycopy(c, 0, arr, off, c.length); off += c.length }
+        arr
+      }
+  }
+
   /** The coded payload of one tile: (buffer, start, end). Single
     * tile-part streams alias the original buffer (no copy); multi-part
     * tiles concatenate their payload segments, clamping a truncated
     * final segment at the buffer edge (prefix reads). */
   private def tilePayload(bytes: Array[Byte],
-      segs: Vector[(Int, Int)]): (Array[Byte], Int, Int) =
-    if (segs.length == 1) (bytes, segs.head._1, segs.head._2)
+      segs: Vector[PartRec]): (Array[Byte], Int, Int) =
+    if (segs.length == 1) (bytes, segs.head.sod, segs.head.end)
     else {
-      val clamped = segs.map { case (s, e) =>
-        (s, math.max(s, math.min(e, bytes.length))) }
+      val clamped = segs.map { p =>
+        (p.sod, math.max(p.sod, math.min(p.end, bytes.length))) }
       val total = clamped.map { case (s, e) => e - s }.sum
       val arr = new Array[Byte](total)
       var off = 0
@@ -2408,7 +2724,7 @@ private[graft] object Jpeg2000 {
       // holds (truncated fetch): report the declared total so the packet
       // loop's truncation guard fires instead of decoding short data as
       // if complete
-      val declared = segs.map { case (s, e) => e - s }.sum
+      val declared = segs.map(p => p.end - p.sod).sum
       (arr, 0, declared)
     }
 
@@ -2447,28 +2763,37 @@ private[graft] object Jpeg2000 {
     // quadrant layout (lossless 5/3 integers, or lossy quantizer indices)
     def decodeTileCoeffs(buf: Array[Byte], tcw: Int, tch: Int,
         sodAt: Int, tileEnd: Int,
-        win: Option[(Int, Int, Int, Int)]): Array[Array[Int]] = {
+        win: Option[(Int, Int, Int, Int)],
+        hdrStream: Option[Array[Byte]] = None): Array[Array[Int]] = {
       // windowed decode: the per-level coefficient regions that influence
       // the window's pixels — each inverse-lifting level halves the
       // region and needs a support margin (radius <= 2 per axis per
-      // level; 4 is safely over). neededAt(l) is in level-l coords.
-      val neededAt: Array[(Int, Int, Int, Int)] = win match {
+      // level; 4 is safely over). Rects are PER COMPONENT: a subsampled
+      // component's window is the canvas window under ceil-division to
+      // its own plane, and its pyramid is its own level count.
+      // neededAt(c)(l) is in the component's level-l coords.
+      val neededAt: Array[Array[(Int, Int, Int, Int)]] = win match {
         case None => null
         case Some((wx, wy, wwid, whgt)) =>
-          val m = 4
-          val rects = new Array[(Int, Int, Int, Int)](nl + 1)
-          rects(0) = (wx, wy, wx + wwid, wy + whgt)
-          var l = 1
-          while (l <= nl) {
-            val (a, b2, c2, d2) = rects(l - 1)
-            rects(l) = (a / 2 - m, b2 / 2 - m, (c2 + 1) / 2 + m, (d2 + 1) / 2 + m)
-            l += 1
+          Array.tabulate(nc) { c =>
+            val (sx, sy) = hd.ssOf(c)
+            val m = 4
+            val nlc = hd.nlOf(c)
+            val rects = new Array[(Int, Int, Int, Int)](nlc + 1)
+            rects(0) = (wx / sx, wy / sy,
+              ceilDiv(wx + wwid, sx), ceilDiv(wy + whgt, sy))
+            var l = 1
+            while (l <= nlc) {
+              val (a, b2, c2, d2) = rects(l - 1)
+              rects(l) = (a / 2 - m, b2 / 2 - m, (c2 + 1) / 2 + m, (d2 + 1) / 2 + m)
+              l += 1
+            }
+            rects
           }
-          rects
       }
-      @inline def cbNeeded(level: Int, bx0: Int, by0: Int,
+      @inline def cbNeeded(c: Int, level: Int, bx0: Int, by0: Int,
           bx1: Int, by1: Int): Boolean = neededAt == null || {
-        val (a, b2, c2, d2) = neededAt(level)
+        val (a, b2, c2, d2) = neededAt(c)(level)
         bx0 < c2 && a < bx1 && by0 < d2 && b2 < by1
       }
 
@@ -2520,7 +2845,7 @@ private[graft] object Jpeg2000 {
               val cw2 = math.min(g.cbw, g.bw - x0)
               val ch2 = math.min(g.cbh, g.bh - y0)
               grid(gy * g.gw + gx) = new CbD(g.band, x0, y0, cw2, ch2,
-                cbNeeded(lvl, x0, y0, x0 + cw2, y0 + ch2))
+                cbNeeded(c, lvl, x0, y0, x0 + cw2, y0 + ch2))
             }
             grid
           }
@@ -2529,14 +2854,19 @@ private[graft] object Jpeg2000 {
       val trees = scala.collection.mutable.HashMap
         .empty[(Int, Int, Int, Int), (TagTree, TagTree)]
 
-      val seqAll = packetSeq(hd.order, hd.layers, nc, hd.nlOf, tdimsD,
-        (r, c) => hd.ppOf(r, c), hd.ssOf)
+      val seqAll = packetSeqOf(hd.order, hd.poc, hd.layers, nc, hd.nlOf,
+        tdimsD, (r, c) => hd.ppOf(r, c), hd.ssOf)
       // the walk may stop after the LAST packet a reduced decode needs:
       // for resolution-major orders that is a stream PREFIX (what the
       // PLT-ranged out-db fetch provides); other orders interleave, so
       // the last needed packet sits near the end and the walk covers
       // (and skips over) the high-resolution packets in between
       val lastNeeded = seqAll.lastIndexWhere(pk => pk.r <= hd.nlOf(pk.c) - d)
+      // PPM/PPT: packet HEADERS read from the relocated stream with a
+      // persistent bit cursor; SOP markers and packet bodies stay in the
+      // bitstream (D.2/D.3 — EPH terminates headers wherever they live)
+      val hbuf = hdrStream.orNull
+      var hp = 0
       var p = sodAt
       var pi = 0
       while (pi <= lastNeeded) {
@@ -2547,7 +2877,8 @@ private[graft] object Jpeg2000 {
         if (hd.sop && p + 1 < buf.length && (buf(p) & 0xFF) == 0xFF &&
             (buf(p + 1) & 0xFF) == 0x91)
           p += 6
-        val br = new BitReader(buf, p)
+        val br = if (hbuf == null) new BitReader(buf, p)
+          else new BitReader(hbuf, hp)
         val contribs = new ArrayBuffer[(CbD, Int)]() // (cb, contribution len)
         if (br.bit() == 1) {
           geoms(pk.c)(pk.r).zipWithIndex.foreach { case (g, bi) =>
@@ -2588,11 +2919,20 @@ private[graft] object Jpeg2000 {
             }
           }
         }
-        p = br.align()
-        if (hd.eph) { // EPH terminates every packet header when signalled
-          require(p + 2 <= buf.length && (buf(p) & 0xFF) == 0xFF &&
-            (buf(p + 1) & 0xFF) == 0x92, "jpeg2000: missing EPH marker")
-          p += 2
+        if (hbuf == null) {
+          p = br.align()
+          if (hd.eph) { // EPH terminates every packet header when signalled
+            require(p + 2 <= buf.length && (buf(p) & 0xFF) == 0xFF &&
+              (buf(p + 1) & 0xFF) == 0x92, "jpeg2000: missing EPH marker")
+            p += 2
+          }
+        } else {
+          hp = br.align()
+          if (hd.eph) { // EPH lives with the header in the PPM/PPT stream
+            require(hp + 2 <= hbuf.length && (hbuf(hp) & 0xFF) == 0xFF &&
+              (hbuf(hp + 1) & 0xFF) == 0x92, "jpeg2000: missing EPH marker")
+            hp += 2
+          }
         }
         // bodies follow the header in the same code-block order
         contribs.foreach { case (cbRec, len) =>
@@ -2627,11 +2967,17 @@ private[graft] object Jpeg2000 {
         val (mag, neg) = decodeCb(cbRec.band, cbRec.cw, cbRec.ch, seg,
           cbRec.np, mb, cbRec.zbp)
         val strideC = tdimsD(comp)._1
+        // RGN maxshift (E.1): magnitudes >= 2^SPrgn are ROI coefficients
+        // the encoder scaled UP by SPrgn — undo exactly; anything below
+        // is background, guaranteed < 2^SPrgn by the maxshift contract
+        val roiS = hd.roiShift.getOrElse(comp, 0)
+        val roiBound = 1 << roiS
         var y = 0
         while (y < cbRec.ch) {
           var x = 0
           while (x < cbRec.cw) {
-            val v0 = mag(y * cbRec.cw + x)
+            var v0 = mag(y * cbRec.cw + x)
+            if (roiS > 0 && v0 >= roiBound) v0 >>= roiS
             val v = if (neg(y * cbRec.cw + x)) -v0 else v0
             planesT(comp)((g.yOff + cbRec.yAbs + y) * strideC +
               (g.xOff + cbRec.xAbs + x)) = v
@@ -2645,8 +2991,10 @@ private[graft] object Jpeg2000 {
 
     def decodeTile(buf: Array[Byte], tcw: Int, tch: Int,
         sodAt: Int, tileEnd: Int,
-        win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Int]] = {
-      val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win)
+        win: Option[(Int, Int, Int, Int)],
+        hdrStream: Option[Array[Byte]] = None): IndexedSeq[Array[Int]] = {
+      val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win,
+        hdrStream)
       // inverse DWT per component — at the component's OWN level count
       // and OWN (subsampled) plane dims — stopping at the requested
       // level: the level-`discardLevels` LL region is the reduced tile
@@ -2674,9 +3022,14 @@ private[graft] object Jpeg2000 {
           }
           l -= 1
         }
-        // crop to the tile-local window (windowed mode) or the reduced LL
+        // crop to the tile-local window (windowed mode) or the reduced
+        // LL — the window is in canvas coords; a subsampled component
+        // crops its ceil-division image of it (d = 0 there by contract)
         val (cx0, cy0, fw, fh) = win match {
-          case Some((wx, wy, wwid, whgt)) => (wx, wy, wwid, whgt)
+          case Some((wx, wy, wwid, whgt)) =>
+            (wx / sx, wy / sy,
+              ceilDiv(wx + wwid, sx) - wx / sx,
+              ceilDiv(wy + whgt, sy) - wy / sy)
           case None => (0, 0, lowLen(tcwC, d), lowLen(tchC, d))
         }
         val outA = new Array[Int](fw * fh)
@@ -2698,8 +3051,10 @@ private[graft] object Jpeg2000 {
     // with r = 1/2), then the inverse 9/7 pyramid on doubles
     def decodeTileLossy(buf: Array[Byte], tcw: Int, tch: Int,
         sodAt: Int, tileEnd: Int,
-        win: Option[(Int, Int, Int, Int)]): IndexedSeq[Array[Double]] = {
-      val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win)
+        win: Option[(Int, Int, Int, Int)],
+        hdrStream: Option[Array[Byte]] = None): IndexedSeq[Array[Double]] = {
+      val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win,
+        hdrStream)
       (0 until nc).map { comp =>
         val (sx, sy) = hd.ssOf(comp)
         val tcwC = ceilDiv(tcw, sx)
@@ -2773,7 +3128,10 @@ private[graft] object Jpeg2000 {
         }
         }
         val (cx0, cy0, fw, fh) = win match {
-          case Some((wx, wy, wwid, whgt)) => (wx, wy, wwid, whgt)
+          case Some((wx, wy, wwid, whgt)) =>
+            (wx / sx, wy / sy,
+              ceilDiv(wx + wwid, sx) - wx / sx,
+              ceilDiv(wy + whgt, sy) - wy / sy)
           case None => (0, 0, lowLen(tcwC, d), lowLen(tchC, d))
         }
         val outA = new Array[Double](fw * fh)
@@ -2812,13 +3170,14 @@ private[graft] object Jpeg2000 {
           case None => (rx0, ry0, rx0 + rw, ry0 + rh)
         }
         if (ix0 < ix1 && iy0 < iy1) {
-          val (tbuf, sod, tileEnd) = tilePayload(bytes,
-            parts.getOrElse(ti, throw new IllegalArgumentException(
-              s"jpeg2000: tile-part for needed tile $ti missing from the stream")))
+          val segsT = parts.getOrElse(ti, throw new IllegalArgumentException(
+            s"jpeg2000: tile-part for needed tile $ti missing from the stream"))
+          val (tbuf, sod, tileEnd) = tilePayload(bytes, segsT)
           val localWin =
             if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
             else None
-          val tilePlanes = decodeTileLossy(tbuf, tcw, tch, sod, tileEnd, localWin)
+          val tilePlanes = decodeTileLossy(tbuf, tcw, tch, sod, tileEnd,
+            localWin, headerStreamFor(hd, segsT))
           val (px, py, pw2, ph2) = window match {
             case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
             case None => (rx0, ry0, rw, rh)
@@ -2868,20 +3227,33 @@ private[graft] object Jpeg2000 {
     // SUBSAMPLED streams (SIZ XRsiz/YRsiz > 1): single-tile by parse
     // contract, components decode at their OWN plane dims and come back
     // as differently-sized Planes (the 4:2:0 chroma shape) — assembly is
-    // a per-component wrap, no canvas stitching; windowed decode refuses
+    // a per-component wrap, no canvas stitching. A WINDOW (full
+    // resolution only) is given in canvas coordinates; each component
+    // returns its ceil-division image of it — the selective-EBCOT scale
+    // path, differential-tested against full-decode-then-crop.
     if (hd.subsampled) {
-      require(window.isEmpty,
-        "jpeg2000: windowed decode of a subsampled stream unsupported")
-      val (tbuf, sod, tileEnd) = tilePayload(bytes,
-        parts.getOrElse(0, throw new IllegalArgumentException(
-          "jpeg2000: tile 0 missing from the stream")))
+      require(window.isEmpty || d == 0,
+        "jpeg2000: reduced-resolution windowed decode of a subsampled " +
+          "stream unsupported (window full-resolution, or no window)")
+      val segs0 = parts.getOrElse(0, throw new IllegalArgumentException(
+        "jpeg2000: tile 0 missing from the stream"))
+      val (tbuf, sod, tileEnd) = tilePayload(bytes, segs0)
+      val hdrS = headerStreamFor(hd, segs0)
       val anyLossy = (0 until nc).exists(c => hd.trOf(c) == 0)
+      // per-component output dims: the window's ceil-division image, or
+      // the component's (possibly reduced) full plane
+      def outDims(comp: Int): (Int, Int) = {
+        val (sx, sy) = hd.ssOf(comp)
+        window match {
+          case Some((wx, wy, wwid, whgt)) =>
+            (ceilDiv(wx + wwid, sx) - wx / sx, ceilDiv(wy + whgt, sy) - wy / sy)
+          case None => (lowLen(ceilDiv(w, sx), d), lowLen(ceilDiv(h, sy), d))
+        }
+      }
       return if (anyLossy) {
-        val tp = decodeTileLossy(tbuf, w, h, sod, tileEnd, None)
+        val tp = decodeTileLossy(tbuf, w, h, sod, tileEnd, window, hdrS)
         (0 until nc).map { comp =>
-          val (sx, sy) = hd.ssOf(comp)
-          val fw = lowLen(ceilDiv(w, sx), d)
-          val fh = lowLen(ceilDiv(h, sy), d)
+          val (fw, fh) = outDims(comp)
           val a = tp(comp)
           val depth = depths(comp)
           val shift = if (signedA(comp)) 0 else 1 << (depth - 1)
@@ -2897,11 +3269,9 @@ private[graft] object Jpeg2000 {
           Plane(fw, fh, depth, signedA(comp), outA)
         }
       } else {
-        val tp = decodeTile(tbuf, w, h, sod, tileEnd, None)
+        val tp = decodeTile(tbuf, w, h, sod, tileEnd, window, hdrS)
         (0 until nc).map { comp =>
-          val (sx, sy) = hd.ssOf(comp)
-          val fw = lowLen(ceilDiv(w, sx), d)
-          val fh = lowLen(ceilDiv(h, sy), d)
+          val (fw, fh) = outDims(comp)
           val a = tp(comp)
           val shift = if (signedA(comp)) 0 else 1 << (depths(comp) - 1)
           var i = 0
@@ -2942,16 +3312,17 @@ private[graft] object Jpeg2000 {
         case None => (rx0, ry0, rx0 + rw, ry0 + rh)
       }
       if (ix0 < ix1 && iy0 < iy1) {
-        val (tbuf, sod, tileEnd) = tilePayload(bytes,
-          parts.getOrElse(ti, throw new IllegalArgumentException(
-            s"jpeg2000: tile-part for needed tile $ti missing from the stream")))
+        val segsT = parts.getOrElse(ti, throw new IllegalArgumentException(
+          s"jpeg2000: tile-part for needed tile $ti missing from the stream"))
+        val (tbuf, sod, tileEnd) = tilePayload(bytes, segsT)
         // full-resolution windows crop INSIDE the tile decode (that is
         // what lets it skip EBCOT work); reduced windows decode the
         // whole (already prefix-small) reduced tile and crop on copy
         val localWin =
           if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
           else None
-        val tilePlanes = decodeTile(tbuf, tcw, tch, sod, tileEnd, localWin)
+        val tilePlanes = decodeTile(tbuf, tcw, tch, sod, tileEnd, localWin,
+          headerStreamFor(hd, segsT))
         val (px, py, pw2, ph2) = window match {
           case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
           case None => (rx0, ry0, rw, rh)
@@ -3047,6 +3418,9 @@ private[graft] object Jpeg2000 {
   private[sources] def tileRangesFromTlm(
       head: Array[Byte]): Option[IndexedSeq[IndexedSeq[(Long, Int)]]] = {
     val hd = try parseMainHeader(head) catch { case _: Exception => return None }
+    // PPM records key on the GLOBAL tile-part ordinal: a stitched stream
+    // holding only some tiles would misalign every record — full fetch
+    if (hd.ppm.isDefined) return None
     val bb = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN)
     var pos = hd.csOff + 2
     // (tile index or -1 for "in index order", length) per tile-part,
@@ -3093,7 +3467,9 @@ private[graft] object Jpeg2000 {
     * sufficient and callers fall back to a full fetch. */
   private def leadingPacketCount(hd: MainHeader, tcw: Int, tch: Int,
       rMax: Int): Option[Int] =
-    if (!resolutionMajor(hd.order, hd.layers)) None
+    // POC replaces the COD progression: "leading packets = low
+    // resolutions" no longer follows from hd.order — full fetch instead
+    if (hd.poc.nonEmpty || !resolutionMajor(hd.order, hd.layers)) None
     else Some((for (r <- 0 to rMax; c <- 0 until hd.nc
         if r <= hd.nlOf(c)) yield {
       val (px, py) = hd.ppOf(r, c)

@@ -1400,9 +1400,10 @@ class Jpeg2000Spec extends AnyFunSuite {
     val red = Jpeg2000.decode(cs3, 1)
     assert(red.map(p => (p.w, p.h)) ==
       Seq((39, 25), (20, 13), (20, 13), (20, 25)))
-    // refusals: windowed decode, MCT, tiling, wrong plane dims
+    // refusals: REDUCED windowed decode (full-res windows are supported
+    // since r17 — tested in its own spec), MCT, tiling, wrong plane dims
     val e1 = intercept[IllegalArgumentException](
-      Jpeg2000.decodeWindow(cs3, 0, 0, 8, 8))
+      Jpeg2000.decodeWindowAt(cs3, 1, 0, 0, 8, 8))
     assert(e1.getMessage.contains("subsampled"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](Jpeg2000.encode(
       planes.take(3).map(_ => plane(w, h, 3)), levels = 2, mct = true,
@@ -1460,13 +1461,29 @@ class Jpeg2000Spec extends AnyFunSuite {
       // 9/7 override needs qstep > 0, which flips the whole COD)
       val cocTr = if (lossyStream) draw(1) else Map.empty[Int, Int]
       val cocCb = draw(3 + rnd.nextInt(3))
+      // r17 axes: packed headers (PPM/PPT), a resolution-split POC, and
+      // a maxshift ROI on a reversible component
+      val ph = rnd.nextInt(3)
+      val pocSegs =
+        if (rnd.nextInt(3) == 0) {
+          val rb = 1 + rnd.nextInt(levels)
+          Seq((0, 0, layers, rb, nc, rnd.nextInt(5)),
+            (rb, 0, layers, levels + 1, nc, rnd.nextInt(5)))
+        } else Nil
+      val roiM: Map[Int, (Int, Int, Int, Int)] =
+        if (rnd.nextInt(3) == 0 && !lossyStream) {
+          val c = rnd.nextInt(nc)
+          val (cw, ch) = dimsOf(c)
+          val rx = rnd.nextInt(cw); val ry = rnd.nextInt(ch)
+          Map(c -> (rx, ry, 1 + rnd.nextInt(cw - rx), 1 + rnd.nextInt(ch - ry)))
+        } else Map.empty
       val tag = s"trial=$trial ${w}x$h nc=$nc d=$depth L=$levels " +
         s"q=$qstep o=$order l=$layers p=$prec nl=$cocNl tr=$cocTr " +
-        s"cb=$cocCb ss=$ssM"
+        s"cb=$cocCb ss=$ssM ph=$ph poc=$pocSegs roi=$roiM"
       val cs = Jpeg2000.encode(planes, levels = levels, cbExp = 5,
         qstep = qstep, order = order, layers = layers, precinct = prec,
         cocLevels = cocNl, cocTransform = cocTr, cocCbExp = cocCb,
-        subsampling = ssM)
+        subsampling = ssM, packedHeaders = ph, poc = pocSegs, roi = roiM)
       val back = Jpeg2000.decode(cs)
       assert(back.length == nc, tag)
       for (c <- 0 until nc) {
@@ -1493,6 +1510,201 @@ class Jpeg2000Spec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Round 17: POC, PPM/PPT, RGN (self-emitted, differential-tested)
+  // and the subsampled windowed decode scale path
+  // ---------------------------------------------------------------
+
+  test("POC progression changes: packaging-independent, gaps refuse") {
+    val rnd = new scala.util.Random(1771)
+    val planes = Seq.tabulate(2)(c =>
+      planeOf(61, 47, 8, signed = false, (x, y) => rnd.nextInt(256)))
+    val enc0 = Jpeg2000.encode(planes, levels = 2, cbExp = 4, layers = 2)
+    val plain = Jpeg2000.decode(enc0)
+    val plainRed = Jpeg2000.decode(enc0, 1)
+    // resolution split (LRCP head, RPCL tail), component split, layer
+    // split with an OVERLAPPING second segment (dedup keeps first
+    // placement) — each also composed with precincts and SOP/EPH
+    val shapes = Seq(
+      Seq((0, 0, 2, 1, 2, 0), (1, 0, 2, 3, 2, 2)),
+      Seq((0, 0, 2, 3, 1, 1), (0, 1, 2, 3, 2, 4)),
+      Seq((0, 0, 1, 3, 2, 3), (0, 0, 2, 3, 2, 0)))
+    for ((segs, i) <- shapes.zipWithIndex;
+        prec <- Seq(None, Some((4, 4))); sop <- Seq(false, true)) {
+      val cs = Jpeg2000.encode(planes, levels = 2, cbExp = 4, layers = 2,
+        poc = segs, precinct = prec, sopEph = sop)
+      // the POC marker is actually in the stream
+      assert(cs.sliding(2).exists(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0x5F), s"shape $i")
+      val tag = s"shape=$i prec=$prec sop=$sop"
+      samePlanes(Jpeg2000.decode(cs), plain, tag)
+      samePlanes(Jpeg2000.decode(cs, 1), plainRed, s"$tag reduced")
+      // windowed decode walks the POC sequence too
+      val wp = Jpeg2000.decodeWindow(cs, 13, 9, 17, 11)
+      plain.zip(wp).zipWithIndex.foreach { case ((f, p2), ci) =>
+        for (y <- 0 until 11; x <- 0 until 17)
+          assert(p2.samples(y * 17 + x) == f.samples((y + 9) * 61 + x + 13),
+            s"$tag win comp $ci ($x,$y)")
+      }
+    }
+    // a POC that covers only resolution 0 refuses at ENCODE (the shared
+    // sequencer), and a stream whose POC is byte-poked into a gap
+    // refuses at DECODE
+    val eGap = intercept[IllegalArgumentException](Jpeg2000.encode(
+      planes, levels = 2, cbExp = 4, poc = Seq((0, 0, 1, 1, 2, 0))))
+    assert(eGap.getMessage.contains("cover"), eGap.getMessage)
+    val csOk = Jpeg2000.encode(planes, levels = 2, cbExp = 4, layers = 2,
+      poc = Seq((0, 0, 2, 1, 2, 0), (1, 0, 2, 3, 2, 2)))
+    val idx = csOk.indices.dropRight(1).find(j =>
+      (csOk(j) & 0xFF) == 0xFF && (csOk(j + 1) & 0xFF) == 0x5F).get
+    val mutated = csOk.clone()
+    mutated(idx + 4 + 7 + 4) = 2 // second segment's REpoc: 3 -> 2 (gap at r=2)
+    val eDec = intercept[IllegalArgumentException](Jpeg2000.decode(mutated))
+    assert(eDec.getMessage.contains("cover"), eDec.getMessage)
+  }
+
+  test("PPM/PPT packed packet headers: relocated headers decode identically") {
+    val rnd = new scala.util.Random(2206)
+    val planes = Seq.tabulate(3)(c =>
+      planeOf(70, 52, 8, signed = false, (x, y) => rnd.nextInt(256)))
+    val enc0 = Jpeg2000.encode(planes, levels = 2, cbExp = 4, mct = true)
+    val plain = Jpeg2000.decode(enc0)
+    val plainRed = Jpeg2000.decode(enc0, 1)
+    for (ph <- Seq(1, 2); order <- Seq(0, 2); layers <- Seq(1, 3);
+        sop <- Seq(false, true)) {
+      val tag = s"ph=$ph order=$order layers=$layers sop=$sop"
+      val cs = Jpeg2000.encode(planes, levels = 2, cbExp = 4, mct = true,
+        order = order, layers = layers, sopEph = sop, packedHeaders = ph,
+        precinct = Some((4, 4)))
+      val marker = if (ph == 1) 0x60 else 0x61
+      assert(cs.sliding(2).exists(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == marker), tag)
+      samePlanes(Jpeg2000.decode(cs), plain, tag)
+      samePlanes(Jpeg2000.decode(cs, 1), plainRed, s"$tag reduced")
+      val wp = Jpeg2000.decodeWindow(cs, 11, 7, 19, 13)
+      plain.zip(wp).foreach { case (f, p2) =>
+        for (y <- 0 until 13; x <- 0 until 19)
+          assert(p2.samples(y * 19 + x) == f.samples((y + 7) * 70 + x + 11),
+            s"$tag win ($x,$y)")
+      }
+    }
+    // multi-tile: PPM keys records on the GLOBAL tile-part ordinal, PPT
+    // stays tile-local — both must reassemble bit-exact
+    for (ph <- Seq(1, 2)) {
+      val cs = Jpeg2000.encode(planes, levels = 2, cbExp = 4,
+        tileSize = Some((32, 32)), packedHeaders = ph)
+      samePlanes(Jpeg2000.decode(cs), plain, s"tiled ph=$ph")
+    }
+    // packed headers compose with POC and subsampling
+    val ss = Map(1 -> (2, 2), 2 -> (2, 2))
+    val planesSS = Seq(planes(0), planeOf(35, 26, 8, signed = false,
+      (x, y) => rnd.nextInt(256)), planeOf(35, 26, 8, signed = false,
+      (x, y) => rnd.nextInt(256)))
+    val basSS = Jpeg2000.decode(Jpeg2000.encode(planesSS, levels = 2,
+      cbExp = 4, subsampling = ss))
+    for (ph <- Seq(1, 2)) {
+      val cs = Jpeg2000.encode(planesSS, levels = 2, cbExp = 4,
+        subsampling = ss, packedHeaders = ph,
+        poc = Seq((0, 0, 1, 1, 3, 0), (1, 0, 1, 3, 3, 2)))
+      samePlanes(Jpeg2000.decode(cs), basSS, s"ss+poc ph=$ph")
+    }
+  }
+
+  test("RGN maxshift ROI: bit-exact roundtrip; lossy ROI refuses") {
+    val rnd = new scala.util.Random(5212)
+    val planes = Seq.tabulate(2)(c =>
+      planeOf(66, 49, 8, signed = false, (x, y) => rnd.nextInt(256)))
+    val plain = Jpeg2000.decode(Jpeg2000.encode(planes, levels = 2, cbExp = 4))
+    for (roiC <- Seq(Map(0 -> (10, 8, 20, 15)),
+        Map(0 -> (0, 0, 66, 49), 1 -> (40, 30, 26, 19)));
+        layers <- Seq(1, 2); order <- Seq(0, 2)) {
+      val tag = s"roi=$roiC layers=$layers order=$order"
+      val cs = Jpeg2000.encode(planes, levels = 2, cbExp = 4,
+        layers = layers, order = order, roi = roiC)
+      assert(cs.sliding(2).exists(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0x5E), tag)
+      samePlanes(Jpeg2000.decode(cs), plain, tag)
+      // the downshift composes with reduced and windowed decodes
+      samePlanes(Jpeg2000.decode(cs, 1),
+        Jpeg2000.decode(Jpeg2000.encode(planes, levels = 2, cbExp = 4), 1),
+        s"$tag reduced")
+      val wp = Jpeg2000.decodeWindow(cs, 5, 3, 21, 17)
+      plain.zip(wp).foreach { case (f, p2) =>
+        for (y <- 0 until 17; x <- 0 until 21)
+          assert(p2.samples(y * 21 + x) == f.samples((y + 3) * 66 + x + 5),
+            s"$tag win ($x,$y)")
+      }
+    }
+    // composes with COC level overrides, precincts, POC, packed headers
+    val cs2 = Jpeg2000.encode(planes, levels = 2, cbExp = 4, layers = 2,
+      roi = Map(1 -> (5, 5, 30, 20)), cocLevels = Map(1 -> 1),
+      precinct = Some((4, 4)), packedHeaders = 2,
+      poc = Seq((0, 0, 2, 1, 2, 0), (1, 0, 2, 3, 2, 2)))
+    samePlanes(Jpeg2000.decode(cs2), plain, "roi+coc+poc+ppt")
+    // 16-bit depth keeps the doubled-Mb budget in range
+    val deep = Seq(planeOf(40, 30, 12, signed = false,
+      (x, y) => rnd.nextInt(1 << 12)))
+    samePlanes(Jpeg2000.decode(Jpeg2000.encode(deep, levels = 2, cbExp = 4,
+      roi = Map(0 -> (8, 8, 16, 12)))), Seq(deep(0)).map(p =>
+        Jpeg2000.decode(Jpeg2000.encode(Seq(p), levels = 2, cbExp = 4)).head),
+      "12-bit roi")
+    // ROI on a 9/7 component refuses at encode AND at decode (byte-poked)
+    val eEnc = intercept[IllegalArgumentException](Jpeg2000.encode(
+      planes, levels = 2, cbExp = 4, qstep = 1.0, roi = Map(0 -> (0, 0, 8, 8))))
+    assert(eEnc.getMessage.contains("9/7"), eEnc.getMessage)
+    val csL = Jpeg2000.encode(planes, levels = 2, cbExp = 4, qstep = 1.0)
+    // splice an RGN (comp 0, maxshift, shift 5) before the first SOT
+    val sotAt = csL.indices.dropRight(1).find(j =>
+      (csL(j) & 0xFF) == 0xFF && (csL(j + 1) & 0xFF) == 0x90).get
+    val rgn = Array[Byte](0xFF.toByte, 0x5E.toByte, 0, 5, 0, 0, 5)
+    val spliced = csL.take(sotAt) ++ rgn ++ csL.drop(sotAt)
+    val eDec = intercept[IllegalArgumentException](Jpeg2000.decode(spliced))
+    assert(eDec.getMessage.contains("9/7"), eDec.getMessage)
+  }
+
+  test("subsampled windowed decode ≡ full decode crop (4:2:0 scale path)") {
+    val rnd = new scala.util.Random(420420)
+    val w = 83; val h = 57
+    val planes = Seq(
+      planeOf(w, h, 8, signed = false, (x, y) => rnd.nextInt(256)),
+      planeOf((w + 1) / 2, (h + 1) / 2, 8, signed = false,
+        (x, y) => rnd.nextInt(256)),
+      planeOf((w + 1) / 2, (h + 1) / 2, 8, signed = false,
+        (x, y) => rnd.nextInt(256)),
+      planeOf((w + 2) / 3, h, 8, signed = false, (x, y) => rnd.nextInt(256)))
+    val ss = Map(1 -> (2, 2), 2 -> (2, 2), 3 -> (3, 1))
+    for (prec <- Seq(None, Some((4, 4))); ph <- Seq(0, 1)) {
+      val cs = Jpeg2000.encode(planes, levels = 3, cbExp = 4,
+        subsampling = ss, precinct = prec, packedHeaders = ph)
+      val full = Jpeg2000.decode(cs)
+      // windows at odd/even offsets, spanning subsample-phase boundaries
+      // and the image edges
+      for ((wx, wy, ww2, wh2) <- Seq((0, 0, 8, 8), (13, 9, 22, 17),
+          (14, 10, 21, 16), (w - 9, h - 7, 9, 7), (0, h - 1, w, 1))) {
+        val wins = Jpeg2000.decodeWindow(cs, wx, wy, ww2, wh2)
+        for (c <- planes.indices) {
+          val (sx, sy) = ss.getOrElse(c, (1, 1))
+          val cx0 = wx / sx; val cy0 = wy / sy
+          val cw = (wx + ww2 + sx - 1) / sx - cx0
+          val ch = (wy + wh2 + sy - 1) / sy - cy0
+          val wp = wins(c)
+          assert(wp.w == cw && wp.h == ch,
+            s"prec=$prec ph=$ph comp=$c win ${wp.w}x${wp.h} want ${cw}x$ch")
+          val fw = full(c).w
+          for (y <- 0 until ch; x <- 0 until cw)
+            assert(wp.samples(y * cw + x) ==
+              full(c).samples((cy0 + y) * fw + cx0 + x),
+              s"prec=$prec ph=$ph comp=$c ($x,$y)")
+        }
+      }
+    }
+    // reduced windowed decode of subsampled streams still refuses loudly
+    val cs0 = Jpeg2000.encode(planes, levels = 2, cbExp = 4, subsampling = ss)
+    val e = intercept[IllegalArgumentException](
+      Jpeg2000.decodeWindowAt(cs0, 1, 0, 0, 4, 4))
+    assert(e.getMessage.contains("subsampled"), e.getMessage)
   }
 
   test("COC + multi-tile + per-resolution tile-parts + reduced decode compose") {
