@@ -2728,8 +2728,17 @@ private[graft] object Jpeg2000 {
       (arr, 0, declared)
     }
 
+  /** Diagnostic ONLY: code-blocks entropy-decoded by the most recent
+    * decode call ON THIS THREAD (thread-local — safe under Spark's
+    * task parallelism). Tests assert the windowed decode's selective
+    * EBCOT actually skips work; never feeds product logic. */
+  private[sources] val lastEbcotBlocks = new ThreadLocal[Integer] {
+    override def initialValue: Integer = -1
+  }
+
   private def decode(bytes: Array[Byte], discardLevels: Int,
       window: Option[(Int, Int, Int, Int)]): Seq[Plane] = {
+    lastEbcotBlocks.set(0)
     val hd = parseMainHeader(bytes)
     import hd.{w, h, tw, th, nc, nl, mct}
     val depths = hd.depths
@@ -2964,6 +2973,7 @@ private[graft] object Jpeg2000 {
           off += len
         }
         val mb = hd.mbOf(comp, r, cbRec.band)
+        lastEbcotBlocks.set(lastEbcotBlocks.get + 1)
         val (mag, neg) = decodeCb(cbRec.band, cbRec.cw, cbRec.ch, seg,
           cbRec.np, mb, cbRec.zbp)
         val strideC = tdimsD(comp)._1

@@ -1700,6 +1700,23 @@ class Jpeg2000Spec extends AnyFunSuite {
         }
       }
     }
+    // byte-economics of the scale path: a small window must entropy-
+    // decode FAR fewer code-blocks than the full decode (selective
+    // EBCOT is what makes windowed reads of big subsampled scenes
+    // cheap — the whole point of supporting them)
+    val bigW = 320; val bigH = 224
+    val bigPlanes = Seq(
+      planeOf(bigW, bigH, 8, signed = false, (x, y) => rnd.nextInt(256)),
+      planeOf(bigW / 2, bigH / 2, 8, signed = false, (x, y) => rnd.nextInt(256)),
+      planeOf(bigW / 2, bigH / 2, 8, signed = false, (x, y) => rnd.nextInt(256)))
+    val csBig = Jpeg2000.encode(bigPlanes, levels = 3, cbExp = 4,
+      subsampling = Map(1 -> (2, 2), 2 -> (2, 2)))
+    Jpeg2000.decode(csBig)
+    val fullBlocks = Jpeg2000.lastEbcotBlocks.get.intValue
+    Jpeg2000.decodeWindow(csBig, 150, 100, 8, 8)
+    val winBlocks = Jpeg2000.lastEbcotBlocks.get.intValue
+    assert(fullBlocks > 0 && winBlocks > 0 && winBlocks * 4 < fullBlocks,
+      s"selective EBCOT: window decoded $winBlocks of $fullBlocks blocks")
     // reduced windowed decode of subsampled streams still refuses loudly
     val cs0 = Jpeg2000.encode(planes, levels = 2, cbExp = 4, subsampling = ss)
     val e = intercept[IllegalArgumentException](
