@@ -265,6 +265,32 @@ object ScaleBench {
           col("qpt"), col("opt"), 3, col("oid"),
           nx = nx, ny = nx, bounds = Some((0.0, 0.0, planeW(m), planeH(m)))))
       },
+      // GUARD PROBE (round-17 VERDICT #3): a grid past the occupancy
+      // bitmap's Int budget (50000^2 + coarse image > 2^31 bits) must
+      // take the legacy broadcast-semi cover path — same answer rows,
+      // no wrap, no OOM. Runs the sj10 shape twice (normal grid with
+      // the bitmap vs oversized grid without) and pins equal results;
+      // wall of the second leg is the degradation cost, not a target.
+      "knn_occ_guard" -> { m =>
+        val q = points(m, 1500).select(col("id").as("qid"), col("pt").as("qpt"))
+        val o = points(m, 20000).select(col("id").as("oid"), col("pt").as("opt"))
+        val normal = SpatialJoins.knnJoinGrid(q, o, col("qpt"), col("opt"), 3,
+          col("oid"), nx = 32, ny = 32,
+          bounds = Some((0.0, 0.0, planeW(m), planeH(m))))
+          .select(col("qid"), col("oid")).collect().map(r =>
+            (r.getLong(0), r.getLong(1))).toSet
+        val res = timed(SpatialJoins.knnJoinGrid(q, o, col("qpt"), col("opt"), 3,
+          col("oid"), nx = 50000, ny = 50000,
+          bounds = Some((0.0, 0.0, planeW(m), planeH(m)))))
+        val guarded = SpatialJoins.knnJoinGrid(q, o, col("qpt"), col("opt"), 3,
+          col("oid"), nx = 50000, ny = 50000,
+          bounds = Some((0.0, 0.0, planeW(m), planeH(m))))
+          .select(col("qid"), col("oid")).collect().map(r =>
+            (r.getLong(0), r.getLong(1))).toSet
+        println(s"""{"wl":"knn_occ_guard","diag":"m=$m """ +
+          s"""identical=${normal == guarded} pairs=${normal.size}"}""")
+        res
+      },
       // sj10 SPARSE variant (the planar twin of sj16_knn_sphere_sparse):
       // objects clustered in the left half of the plane, 30% of queries
       // isolated deep in the empty right half — their resolved radius

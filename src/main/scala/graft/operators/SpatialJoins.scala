@@ -296,6 +296,9 @@ object SpatialJoins {
       (if (fxN * fyN > 1) (nx.toLong / fxN) * (ny.toLong / fyN) else 0L)
     val occOn = nBitsL <= Int.MaxValue.toLong && query.sparkSession.conf
       .getOption("spark.graft.knn.occCover").forall(_ == "true")
+    if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
+      println(s"[knn-occ] planar nBits=$nBitsL occOn=$occOn " +
+        s"(guard=${nBitsL > Int.MaxValue.toLong})")
     val occBitmap: Array[Byte] = if (!occOn) null else {
       val nBits = nBitsL.toInt
       val bm = new Array[Byte]((nBits + 7) / 8)
@@ -767,6 +770,9 @@ object SpatialJoins {
       (if (fxN * fyN > 1) (nx.toLong / fxN) * (ny.toLong / fyN) else 0L)
     val occOn = nBitsL <= Int.MaxValue.toLong && query.sparkSession.conf
       .getOption("spark.graft.knn.occCover").forall(_ == "true")
+    if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
+      println(s"[knn-occ] sphere nBits=$nBitsL occOn=$occOn " +
+        s"(guard=${nBitsL > Int.MaxValue.toLong})")
     val occBitmap: Array[Byte] = if (!occOn) null else {
       val bm = new Array[Byte]((nBitsL.toInt + 7) / 8)
       o.select(col("__ocell")).distinct().collect().foreach { r =>
