@@ -34,6 +34,7 @@ object GraftFunctions {
       (es => graft.pipeline.SortedIntersectCount(es.head, es(1))),
     "sd_hash32" -> (es => graft.pipeline.SdHash32(es.head)),
     "sd_strip_markup" -> (es => graft.pipeline.SdStripMarkup(es.head)),
+    "sd_repetition_stats" -> (es => graft.pipeline.SdRepetitionStats(es.head)),
     "sd_shingle_hash32" -> (es => graft.pipeline.SdShingleHash32(es.head, es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => other.eval().asInstanceOf[Number].intValue()

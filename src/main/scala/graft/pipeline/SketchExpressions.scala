@@ -384,3 +384,105 @@ case class SdStripMarkup(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** N-gram repetition statistics — the Gopher/RefinedWeb-family quality
+  * signals that filter boilerplate-heavy and degenerately repetitive
+  * documents from a training corpus (Rae et al. 2021 §A1.1 "repetition
+  * removal"; reimplemented here with an EXACTLY specified integer
+  * contract so a SQL oracle can restate it).
+  *
+  * Tokens: the input trimmed and lowercased, split on whitespace runs.
+  * Over word n-grams in the space-joined normalization:
+  *
+  *   - n_words, total_chars: token count and normalized length
+  *     (Σ word lengths + (n_words − 1) joining spaces);
+  *   - top2_count/top2_chars, top3_count/top3_chars: occurrences of the
+  *     most frequent 2-/3-gram (ties → lexicographically SMALLEST gram)
+  *     and its character mass (count × joined-gram length) — the "most
+  *     common n-gram character fraction" numerator;
+  *   - dup5_chars: Σ over distinct 5-grams occurring ≥ 2 times of
+  *     (count × joined-gram length) — the duplicated-n-gram character
+  *     mass (a deliberate per-occurrence definition: positional
+  *     overlap-dedup would be oracle-inexpressible).
+  *
+  * Fractions are left to the caller (top2_chars / total_chars etc.) so
+  * every emitted value is an exact integer — hash-stable in the DuckDB
+  * compare. Map-only one pass per document; the n-gram count maps are
+  * O(words) and per-row transient — at 100 TB this is a projection, no
+  * shuffle, no state. */
+case class SdRepetitionStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("total_chars", LongType, nullable = false),
+    StructField("top2_count", LongType, nullable = false),
+    StructField("top2_chars", LongType, nullable = false),
+    StructField("top3_count", LongType, nullable = false),
+    StructField("top3_chars", LongType, nullable = false),
+    StructField("dup5_chars", LongType, nullable = false)))
+  override def prettyName: String = "sd_repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.toLowerCase(java.util.Locale.ROOT)
+    val words: Array[String] =
+      if (text.isEmpty) Array.empty else text.split("\\s+")
+    val n = words.length
+    var totalChars = 0L
+    var i = 0
+    while (i < n) { totalChars += words(i).length; i += 1 }
+    if (n > 1) totalChars += n - 1
+    // top-(count, lexicographically-smallest) n-gram for n = 2, 3;
+    // duplicated-gram character mass for n = 5
+    def top(ng: Int): (Long, Long) = {
+      if (n < ng) return (0L, 0L)
+      val counts = new java.util.HashMap[String, Integer]()
+      var j = 0
+      while (j + ng <= n) {
+        val sb = new java.lang.StringBuilder()
+        var q = 0
+        while (q < ng) {
+          if (q > 0) sb.append(' ')
+          sb.append(words(j + q))
+          q += 1
+        }
+        counts.merge(sb.toString, 1, (a, b) => a + b)
+        j += 1
+      }
+      var bestG: String = null
+      var bestC = 0
+      counts.forEach { (g, c) =>
+        if (c > bestC || (c == bestC && (bestG == null || g.compareTo(bestG) < 0))) {
+          bestG = g; bestC = c
+        }
+      }
+      (bestC.toLong, bestC.toLong * bestG.length)
+    }
+    def dupMass(ng: Int): Long = {
+      if (n < ng) return 0L
+      val counts = new java.util.HashMap[String, Integer]()
+      var j = 0
+      while (j + ng <= n) {
+        val sb = new java.lang.StringBuilder()
+        var q = 0
+        while (q < ng) {
+          if (q > 0) sb.append(' ')
+          sb.append(words(j + q))
+          q += 1
+        }
+        counts.merge(sb.toString, 1, (a, b) => a + b)
+        j += 1
+      }
+      var mass = 0L
+      counts.forEach { (g, c) =>
+        if (c >= 2) mass += c.toLong * g.length
+      }
+      mass
+    }
+    val (t2c, t2m) = top(2)
+    val (t3c, t3m) = top(3)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, totalChars, t2c, t2m, t3c, t3m, dupMass(5)))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

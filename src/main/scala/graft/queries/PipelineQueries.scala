@@ -218,6 +218,24 @@ object PipelineQueries {
         col("doc_id"), col("text"), k = 8)
     }),
 
+    // n-gram repetition quality signals (the Gopher/RefinedWeb-family
+    // "repetition removal" filters): most-common 2-/3-gram character
+    // mass and duplicated-5-gram character mass per document, as exact
+    // integers — a map-only projection at any corpus scale; the caller
+    // divides by total_chars for the published fractional thresholds
+    "pl32_repetition_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("sd_repetition_stats(text)").as("st"))
+        .select(col("doc_id"),
+          col("st.n_words").as("n_words"),
+          col("st.total_chars").as("total_chars"),
+          col("st.top2_count").as("top2_count"),
+          col("st.top2_chars").as("top2_chars"),
+          col("st.top3_count").as("top3_count"),
+          col("st.top3_chars").as("top3_chars"),
+          col("st.dup5_chars").as("dup5_chars"))
+    }),
+
     // BM25 lexical top-k: the non-embedding leg of similarity search —
     // keyword retrieval with exact nano-scaled score accumulation
     "pl27_bm25" -> ((s, dir) => {
@@ -652,6 +670,47 @@ object PipelineQueries {
         |    regexp_replace(text, '[<>&]', '', 'g') ||
         |    ' x <tag> & "q" A B') AS BIGINT) AS nchars
         |FROM documents""".stripMargin,
+
+    // repetition stats restated: per-doc word list, n-gram comprehension
+    // slices (DuckDB slices are 1-based inclusive: t[i:i+1] is a 2-gram),
+    // top gram by (count DESC, gram ASC) row_number, dup-5 mass as a
+    // filtered sum; all integers so the hash compare is exact
+    "pl32_repetition_stats" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(length(array_to_string(t, ' ')) AS BIGINT) AS total_chars
+        |  FROM d),
+        |g2 AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+        |    for i in range(1, len(t))]) AS g FROM d),
+        |t2 AS (SELECT doc_id, CAST(c AS BIGINT) AS top2_count,
+        |    CAST(c * length(g) AS BIGINT) AS top2_chars
+        |  FROM (SELECT doc_id, g, c, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |    FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |g3 AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+        |    for i in range(1, len(t) - 1)]) AS g FROM d),
+        |t3 AS (SELECT doc_id, CAST(c AS BIGINT) AS top3_count,
+        |    CAST(c * length(g) AS BIGINT) AS top3_chars
+        |  FROM (SELECT doc_id, g, c, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |    FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |g5 AS (SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ')
+        |    for i in range(1, len(t) - 3)]) AS g FROM d),
+        |c5 AS (SELECT doc_id, CAST(COALESCE(SUM(CASE WHEN c >= 2
+        |      THEN c * length(g) END), 0) AS BIGINT) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT w.doc_id, w.n_words, w.total_chars,
+        |  CAST(COALESCE(t2.top2_count, 0) AS BIGINT) AS top2_count,
+        |  CAST(COALESCE(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+        |  CAST(COALESCE(t3.top3_count, 0) AS BIGINT) AS top3_count,
+        |  CAST(COALESCE(t3.top3_chars, 0) AS BIGINT) AS top3_chars,
+        |  CAST(COALESCE(c5.dup5_chars, 0) AS BIGINT) AS dup5_chars
+        |FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |  LEFT JOIN c5 USING (doc_id)""".stripMargin,
 
     "pl30_remove_dup_spans" -> {
       val wins = s"[{'pos': i-1, 'wh': ${h32("array_to_string(t[i:i+7], ' ')")}} " +

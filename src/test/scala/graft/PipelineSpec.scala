@@ -67,6 +67,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strip("&#x1F600;") == new String(Character.toChars(0x1F600)))
   }
 
+  test("sd_repetition_stats: hand-computed n-gram repetition masses") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    def stats(in: String): Seq[Long] =
+      spark.range(1).withColumn("x", lit(in))
+        .selectExpr("sd_repetition_stats(x) AS s")
+        .selectExpr("s.n_words", "s.total_chars", "s.top2_count",
+          "s.top2_chars", "s.top3_count", "s.top3_chars", "s.dup5_chars")
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    // "a b a b a b": top 2-gram "a b" x3 (mass 9); 3-grams tie at 2,
+    // lexicographically smallest is "a b a" (mass 10); no dup 5-gram
+    assert(stats("a b a b a b") == Seq(6, 11, 3, 9, 2, 10, 0))
+    // degenerate repetition: 7 identical words
+    assert(stats("x x x x x x x") == Seq(7, 13, 6, 18, 5, 25, 27))
+    // normalization: trim, lowercase, whitespace-run split
+    assert(stats(" Foo  BAR\tfoo bar ") == Seq(4, 15, 2, 14, 1, 11, 0))
+    // short docs: no n-grams of that order -> zeros
+    assert(stats("hello") == Seq(1, 5, 0, 0, 0, 0, 0))
+    assert(stats("") == Seq(0, 0, 0, 0, 0, 0, 0))
+  }
+
   test("minhash pairs surface near-duplicates, not unrelated docs") {
     val pairs = PipelineOps.minhashPairs(docs, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
