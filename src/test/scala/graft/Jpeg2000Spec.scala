@@ -353,6 +353,26 @@ class Jpeg2000Spec extends AnyFunSuite {
     val ns = (0 to 3).map(d => Jpeg2000.prefixLenFor(cs, d).get)
     assert(ns == ns.sorted.reverse && ns(3) < ns(0),
       s"prefix lengths must shrink with discard: $ns")
+    // packed headers keep the prefix path: PPM lives in the MAIN header
+    // and PPT in the tile-part header — both are inside every prefix,
+    // and PLT lengths are in-stream (body-only) bytes, so sodAt + the
+    // leading lens is still exactly the bytes a reduced decode needs
+    for (ph <- Seq(1, 2)) {
+      val csP = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4, order = 1,
+        packedHeaders = ph)
+      for (d <- 1 to 3) {
+        val n = Jpeg2000.prefixLenFor(csP, d).get
+        assert(n < csP.length, s"ph=$ph d=$d prefix $n")
+        val fromPrefix = Jpeg2000.decode(java.util.Arrays.copyOfRange(csP, 0, n), d)
+        assert(fromPrefix.head.samples.toSeq ==
+          Jpeg2000.decode(csP, d).head.samples.toSeq, s"ph=$ph discard $d")
+      }
+    }
+    // a POC stream loses the prefix path (resolution majority is
+    // unknowable from hd.order) — refuses with None, never wrong bytes
+    val csPoc = Jpeg2000.encode(Seq(p), levels = 3, cbExp = 4, order = 1,
+      poc = Seq((0, 0, 1, 2, 1, 1), (2, 0, 1, 4, 1, 1)))
+    assert(Jpeg2000.prefixLenFor(csPoc, 1).isEmpty)
   }
 
   test("out-db loader: header meta, overviews, reduced windowed read") {
