@@ -21,14 +21,16 @@ import scala.collection.mutable.ArrayBuffer
   *    precincts, decomposition LEVELS, wavelet TRANSFORM), SIZ
   *    component SUBSAMPLING (single-tile, MCT-free; components decode
   *    at their own plane dims — the 4:2:0 chroma shape, windowed decode
-  *    included), POC progression-order changes, PPM/PPT packed packet
-  *    headers, and RGN maxshift ROI scaling (reversible components).
+  *    included), POC progression-order changes (main header OR first
+  *    tile-part header), PPM/PPT packed packet headers, and RGN
+  *    maxshift ROI scaling (reversible components).
   *  - decode: the same feature set, from a raw codestream or a JP2 box
   *    container (the `jp2c` box is located and decoded; other boxes are
   *    metadata this codec does not need). Still refusing loudly:
   *    code-block coder option flags (bypass/termall/... — EBCOT-core
-  *    variants with no fixture to certify against), tile-part-header
-  *    POC/RGN, and RGN on lossy (9/7) components.
+  *    variants with no fixture to certify against), POC in a NON-first
+  *    tile-part, tile-part-header RGN, and RGN on lossy (9/7)
+  *    components.
   *  - The DWT, tag trees, pass-count / length codewords, and packet
   *    structure are pinned by hand-computed unit fixtures; the MQ coder
   *    and tier-1 context machine are pinned by spec invariants plus
@@ -1273,7 +1275,8 @@ private[graft] object Jpeg2000 {
       subsampling: Map[Int, (Int, Int)] = Map.empty,
       poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
       packedHeaders: Int = 0,
-      roi: Map[Int, (Int, Int, Int, Int)] = Map.empty): Array[Byte] = {
+      roi: Map[Int, (Int, Int, Int, Int)] = Map.empty,
+      pocInTilePart: Boolean = false): Array[Byte] = {
     val lossy = qstep > 0.0
     // POC (A.6.6): ordered (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc)
     // segments replacing the COD progression; the shared packetSeqOf
@@ -1285,6 +1288,8 @@ private[graft] object Jpeg2000 {
     }
     require(poc.isEmpty || !partsPerResolution,
       "jpeg2000: POC with per-resolution tile-parts unsupported")
+    require(!pocInTilePart || poc.nonEmpty,
+      "jpeg2000: pocInTilePart without POC segments")
     // PPM (1) / PPT (2): packet headers relocated to the main header /
     // tile-part header; bodies (and SOP markers) stay in the bitstream
     require(packedHeaders >= 0 && packedHeaders <= 2,
@@ -1557,8 +1562,9 @@ private[graft] object Jpeg2000 {
         if lossyOfE(comp) != lossy || nlOfE(comp) != nl ||
           (!lossy && epsOf(comp, 0) != epsOf(0, 0)))
       writeQcc(comp)
-    // POC (A.6.6): 7-byte entries (nc < 257 always holds here)
-    if (poc.nonEmpty) {
+    // POC (A.6.6): 7-byte entries (nc < 257 always holds here); with
+    // pocInTilePart the marker moves into each tile-part header instead
+    if (poc.nonEmpty && !pocInTilePart) {
       u16(0xFF5F)
       u16(2 + 7 * poc.length)
       poc.foreach { case (rs, cs, lye, re, ce, pp) =>
@@ -2037,6 +2043,7 @@ private[graft] object Jpeg2000 {
         (Array[Byte], Int, Int), Array[Byte])): Int =
       12 + p._4.map(_.length + 5).sum +
         (if (packedHeaders == 2) hdrChunks(p._6).map(_.length + 5).sum else 0) +
+        (if (pocInTilePart && p._2 == 0) 4 + 7 * poc.length else 0) +
         2 + p._5._3
 
     // PPM (A.7.4): one (Nppm u32, packed headers) record per tile-part
@@ -2096,6 +2103,13 @@ private[graft] object Jpeg2000 {
       u16(ti)     // Isot
       u32(psotOf(p))
       u8(tpsot); u8(tnsot)
+      if (pocInTilePart && tpsot == 0) { // per-tile POC (A.6.6)
+        u16(0xFF5F)
+        u16(2 + 7 * poc.length)
+        poc.foreach { case (rs, cs, lye, re, ce, pp) =>
+          u8(rs); u8(cs); u16(lye); u8(re); u8(math.min(ce, 255)); u8(pp)
+        }
+      }
       if (packedHeaders == 2) { // PPT (A.7.5): Zppt-indexed header chunks
         val chunks = hdrChunks(hdr)
         require(chunks.length <= 256, "jpeg2000: PPT exceeds 256 segments")
@@ -2493,28 +2507,7 @@ private[graft] object Jpeg2000 {
             s"jpeg2000: RGN SPrgn $sprgn out of range")
           roiShiftM += crgn -> sprgn
         case 0xFF5F => // POC (A.6.6): ordered progression segments
-          val len = bb.getShort(pos + 2) & 0xFFFF
-          val big = nc >= 257
-          val entry = if (big) 9 else 7
-          require((len - 2) % entry == 0 && len > 2,
-            s"jpeg2000: POC length $len not a multiple of $entry entries")
-          val n = (len - 2) / entry
-          var q = pos + 4
-          for (_ <- 0 until n) {
-            val rs = bb.get(q) & 0xFF
-            val cs = if (big) bb.getShort(q + 1) & 0xFFFF else bb.get(q + 1) & 0xFF
-            var o = q + (if (big) 3 else 2)
-            val lye = bb.getShort(o) & 0xFFFF
-            val re = bb.get(o + 2) & 0xFF
-            val ce0 = if (big) bb.getShort(o + 3) & 0xFFFF else bb.get(o + 3) & 0xFF
-            val ce = if (ce0 == 0) 256 else ce0 // CEpoc 0 means "all" (Table A.32)
-            val pp = bb.get(o + (if (big) 5 else 4)) & 0xFF
-            require(pp <= 4, s"jpeg2000: POC progression $pp unknown")
-            require(lye >= 1 && re > rs && ce > cs,
-              s"jpeg2000: POC segment empty (rs=$rs re=$re cs=$cs ce=$ce lye=$lye)")
-            pocSegs :+= ((rs, cs, lye, re, ce, pp))
-            q += entry
-          }
+          pocSegs ++= parsePocEntries(bytes, bb, pos, nc)
         case 0xFF60 => // PPM (A.7.4): packed packet headers, main header
           val len = bb.getShort(pos + 2) & 0xFFFF
           val z = bb.get(pos + 4) & 0xFF
@@ -2588,10 +2581,42 @@ private[graft] object Jpeg2000 {
     * or resolution prefix needs); the caller checks presence of the
     * tiles it requires. */
   /** One discovered tile-part: SOD payload bounds, the part's GLOBAL
-    * ordinal in codestream order (what PPM records key on), and its
-    * PPT packed-header payloads (Zppt-ordered, empty when none). */
+    * ordinal in codestream order (what PPM records key on), its
+    * PPT packed-header payloads (Zppt-ordered, empty when none), and
+    * its POC segments (tile-part-header POC overrides the main header's
+    * progression FOR THIS TILE — A.6.6; empty when none). */
   private final case class PartRec(sod: Int, end: Int, ordinal: Int,
-      ppt: Vector[(Int, Array[Byte])])
+      ppt: Vector[(Int, Array[Byte])],
+      poc: Vector[(Int, Int, Int, Int, Int, Int)] = Vector.empty)
+
+  /** Parse one POC marker segment's entries at `pos` (marker offset). */
+  private def parsePocEntries(bytes: Array[Byte], bb: ByteBuffer, pos: Int,
+      nc: Int): Vector[(Int, Int, Int, Int, Int, Int)] = {
+    val len = bb.getShort(pos + 2) & 0xFFFF
+    val big = nc >= 257
+    val entry = if (big) 9 else 7
+    require((len - 2) % entry == 0 && len > 2,
+      s"jpeg2000: POC length $len not a multiple of $entry entries")
+    val n = (len - 2) / entry
+    var out = Vector.empty[(Int, Int, Int, Int, Int, Int)]
+    var q = pos + 4
+    for (_ <- 0 until n) {
+      val rs = bb.get(q) & 0xFF
+      val cs = if (big) bb.getShort(q + 1) & 0xFFFF else bb.get(q + 1) & 0xFF
+      val o = q + (if (big) 3 else 2)
+      val lye = bb.getShort(o) & 0xFFFF
+      val re = bb.get(o + 2) & 0xFF
+      val ce0 = if (big) bb.getShort(o + 3) & 0xFFFF else bb.get(o + 3) & 0xFF
+      val ce = if (ce0 == 0) 256 else ce0 // CEpoc 0 means "all" (Table A.32)
+      val pp = bb.get(o + (if (big) 5 else 4)) & 0xFF
+      require(pp <= 4, s"jpeg2000: POC progression $pp unknown")
+      require(lye >= 1 && re > rs && ce > cs,
+        s"jpeg2000: POC segment empty (rs=$rs re=$re cs=$cs ce=$ce lye=$lye)")
+      out :+= ((rs, cs, lye, re, ce, pp))
+      q += entry
+    }
+    out
+  }
 
   private def scanTileParts(bytes: Array[Byte],
       hd: MainHeader): Map[Int, Vector[PartRec]] = {
@@ -2614,12 +2639,15 @@ private[graft] object Jpeg2000 {
         // byte actually read
         val partEnd = if (psot == 0) bytes.length - 2 else pos + psot
         // walk tile-part header markers to SOD; tile-specific COD/QCD/
-        // QCC/COC overrides would change the decode of this tile only —
-        // refuse loudly rather than decode wrong. PPT (A.7.5) relocates
-        // this tile's packet headers into the tile-part header: collect.
+        // QCC/COC/RGN overrides would change the decode of this tile
+        // only — refuse loudly rather than decode wrong. PPT (A.7.5)
+        // relocates this tile's packet headers into the tile-part
+        // header, and a tile-part POC (A.6.6) replaces the progression
+        // FOR THIS TILE: both collect.
         var q = pos + 12
         var sod = -1
         var ppt = Vector.empty[(Int, Array[Byte])]
+        var pocT = Vector.empty[(Int, Int, Int, Int, Int, Int)]
         while (sod < 0) {
           require(q + 4 <= bytes.length, "jpeg2000: truncated tile-part header")
           val m = bb.getShort(q) & 0xFFFF
@@ -2627,7 +2655,7 @@ private[graft] object Jpeg2000 {
           if (m == 0xFF93) sod = q + 2
           else {
             require(m != 0xFF52 && m != 0xFF53 && m != 0xFF5C && m != 0xFF5D &&
-              m != 0xFF5E && m != 0xFF5F,
+              m != 0xFF5E,
               f"jpeg2000: tile-part coding override marker $m%04x unsupported")
             if (m == 0xFF61) {
               val len = bb.getShort(q + 2) & 0xFFFF
@@ -2635,6 +2663,14 @@ private[graft] object Jpeg2000 {
               val payload = new Array[Byte](len - 3)
               System.arraycopy(bytes, q + 5, payload, 0, len - 3)
               ppt :+= ((z, payload))
+            }
+            if (m == 0xFF5F) {
+              // POC only in the FIRST tile-part of a tile: a mid-stream
+              // progression change (TPsot > 0) would re-order packets
+              // already consumed — refuse rather than decode wrong
+              require(tpsot == 0,
+                "jpeg2000: POC in a non-first tile-part unsupported")
+              pocT ++= parsePocEntries(bytes, bb, q, hd.nc)
             }
             q += 2 + (bb.getShort(q + 2) & 0xFFFF)
           }
@@ -2646,7 +2682,7 @@ private[graft] object Jpeg2000 {
         require(tpsot == seen.length,
           s"jpeg2000: tile $isot tile-part out of order " +
             s"(TPsot $tpsot after ${seen.length} parts)")
-        parts += isot -> (seen :+ PartRec(sod, partEnd, ordinal, ppt))
+        parts += isot -> (seen :+ PartRec(sod, partEnd, ordinal, ppt, pocT))
         ordinal += 1
         pos = partEnd
         if (psot == 0) done = true
@@ -2773,7 +2809,8 @@ private[graft] object Jpeg2000 {
     def decodeTileCoeffs(buf: Array[Byte], tcw: Int, tch: Int,
         sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)],
-        hdrStream: Option[Array[Byte]] = None): Array[Array[Int]] = {
+        hdrStream: Option[Array[Byte]] = None,
+        tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): Array[Array[Int]] = {
       // windowed decode: the per-level coefficient regions that influence
       // the window's pixels — each inverse-lifting level halves the
       // region and needs a support margin (radius <= 2 per axis per
@@ -2863,7 +2900,10 @@ private[graft] object Jpeg2000 {
       val trees = scala.collection.mutable.HashMap
         .empty[(Int, Int, Int, Int), (TagTree, TagTree)]
 
-      val seqAll = packetSeqOf(hd.order, hd.poc, hd.layers, nc, hd.nlOf,
+      // a tile-part POC replaces the main header's progression for this
+      // tile (A.6.6 precedence)
+      val pocEff = if (tilePoc.nonEmpty) tilePoc else hd.poc
+      val seqAll = packetSeqOf(hd.order, pocEff, hd.layers, nc, hd.nlOf,
         tdimsD, (r, c) => hd.ppOf(r, c), hd.ssOf)
       // the walk may stop after the LAST packet a reduced decode needs:
       // for resolution-major orders that is a stream PREFIX (what the
@@ -3002,9 +3042,10 @@ private[graft] object Jpeg2000 {
     def decodeTile(buf: Array[Byte], tcw: Int, tch: Int,
         sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)],
-        hdrStream: Option[Array[Byte]] = None): IndexedSeq[Array[Int]] = {
+        hdrStream: Option[Array[Byte]] = None,
+        tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): IndexedSeq[Array[Int]] = {
       val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win,
-        hdrStream)
+        hdrStream, tilePoc)
       // inverse DWT per component — at the component's OWN level count
       // and OWN (subsampled) plane dims — stopping at the requested
       // level: the level-`discardLevels` LL region is the reduced tile
@@ -3062,9 +3103,10 @@ private[graft] object Jpeg2000 {
     def decodeTileLossy(buf: Array[Byte], tcw: Int, tch: Int,
         sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)],
-        hdrStream: Option[Array[Byte]] = None): IndexedSeq[Array[Double]] = {
+        hdrStream: Option[Array[Byte]] = None,
+        tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): IndexedSeq[Array[Double]] = {
       val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win,
-        hdrStream)
+        hdrStream, tilePoc)
       (0 until nc).map { comp =>
         val (sx, sy) = hd.ssOf(comp)
         val tcwC = ceilDiv(tcw, sx)
@@ -3187,7 +3229,7 @@ private[graft] object Jpeg2000 {
             if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
             else None
           val tilePlanes = decodeTileLossy(tbuf, tcw, tch, sod, tileEnd,
-            localWin, headerStreamFor(hd, segsT))
+            localWin, headerStreamFor(hd, segsT), segsT.head.poc)
           val (px, py, pw2, ph2) = window match {
             case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
             case None => (rx0, ry0, rw, rh)
@@ -3260,8 +3302,9 @@ private[graft] object Jpeg2000 {
           case None => (lowLen(ceilDiv(w, sx), d), lowLen(ceilDiv(h, sy), d))
         }
       }
+      val pocT0 = segs0.head.poc
       return if (anyLossy) {
-        val tp = decodeTileLossy(tbuf, w, h, sod, tileEnd, window, hdrS)
+        val tp = decodeTileLossy(tbuf, w, h, sod, tileEnd, window, hdrS, pocT0)
         (0 until nc).map { comp =>
           val (fw, fh) = outDims(comp)
           val a = tp(comp)
@@ -3279,7 +3322,7 @@ private[graft] object Jpeg2000 {
           Plane(fw, fh, depth, signedA(comp), outA)
         }
       } else {
-        val tp = decodeTile(tbuf, w, h, sod, tileEnd, window, hdrS)
+        val tp = decodeTile(tbuf, w, h, sod, tileEnd, window, hdrS, pocT0)
         (0 until nc).map { comp =>
           val (fw, fh) = outDims(comp)
           val a = tp(comp)
@@ -3332,7 +3375,7 @@ private[graft] object Jpeg2000 {
           if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
           else None
         val tilePlanes = decodeTile(tbuf, tcw, tch, sod, tileEnd, localWin,
-          headerStreamFor(hd, segsT))
+          headerStreamFor(hd, segsT), segsT.head.poc)
         val (px, py, pw2, ph2) = window match {
           case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
           case None => (rx0, ry0, rw, rh)
@@ -3526,6 +3569,10 @@ private[graft] object Jpeg2000 {
             if ((v & 0x80) == 0) { lens += cur; cur = 0 }
             q += 1
           }
+        case 0xFF5F =>
+          // tile-part POC: the progression is no longer hd.order, so
+          // "leading packets = low resolutions" may not hold
+          return None
         case 0xFF93 => sodAt = pos + 2
         case _ =>
       }
@@ -3582,6 +3629,7 @@ private[graft] object Jpeg2000 {
             if ((v & 0x80) == 0) { lens += cur; cur = 0 }
             q += 1
           }
+        case 0xFF5F => return None // tile-part POC: prefix order unknowable
         case 0xFF93 => sodAt = pos + 2
         case _ =>
       }

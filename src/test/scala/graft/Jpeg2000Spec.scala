@@ -1585,6 +1585,50 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(eDec.getMessage.contains("cover"), eDec.getMessage)
   }
 
+  test("tile-part-header POC: per-tile progression decodes identically") {
+    val rnd = new scala.util.Random(9917)
+    val planes = Seq.tabulate(2)(c =>
+      planeOf(96, 64, 8, signed = false, (x, y) => rnd.nextInt(256)))
+    val plain = Jpeg2000.decode(
+      Jpeg2000.encode(planes, levels = 2, cbExp = 4, layers = 2))
+    val segs = Seq((0, 0, 2, 1, 2, 0), (1, 0, 2, 3, 2, 2))
+    // single-tile and multi-tile (each tile carries its own POC marker)
+    for (tiles <- Seq(None, Some((32, 32))); ph <- Seq(0, 2)) {
+      val cs = Jpeg2000.encode(planes, levels = 2, cbExp = 4, layers = 2,
+        tileSize = tiles, poc = segs, pocInTilePart = true, packedHeaders = ph)
+      // the POC marker sits AFTER the first SOT, not in the main header
+      val sotAt = cs.indices.dropRight(1).find(j =>
+        (cs(j) & 0xFF) == 0xFF && (cs(j + 1) & 0xFF) == 0x90).get
+      val pocAt = cs.indices.dropRight(1).find(j =>
+        (cs(j) & 0xFF) == 0xFF && (cs(j + 1) & 0xFF) == 0x5F).get
+      assert(pocAt > sotAt, s"tiles=$tiles ph=$ph POC at $pocAt, SOT at $sotAt")
+      samePlanes(Jpeg2000.decode(cs), plain, s"tiles=$tiles ph=$ph")
+      // reduced baseline must share the TILING (per-tile pyramids make
+      // the reduced LL tiling-dependent even though full-res is not)
+      samePlanes(Jpeg2000.decode(cs, 1), Jpeg2000.decode(
+        Jpeg2000.encode(planes, levels = 2, cbExp = 4, layers = 2,
+          tileSize = tiles), 1),
+        s"tiles=$tiles ph=$ph reduced")
+      // prefix reads refuse under a tile-part POC (order unknowable)
+      assert(Jpeg2000.prefixLenFor(cs, 1).isEmpty, s"tiles=$tiles ph=$ph")
+    }
+    // a POC in a NON-first tile-part refuses: splice the main-header-POC
+    // encoding's marker into TPsot=1 of a per-resolution stream
+    val csParts = Jpeg2000.encode(planes, levels = 2, cbExp = 4, order = 1,
+      partsPerResolution = true)
+    // find the SECOND SOT and insert a POC right after its 12-byte header
+    val sots = csParts.indices.dropRight(1).filter(j =>
+      (csParts(j) & 0xFF) == 0xFF && (csParts(j + 1) & 0xFF) == 0x90)
+    assert(sots.length >= 2)
+    val at = sots(1) + 12
+    val pocMarker = Array[Byte](0xFF.toByte, 0x5F.toByte, 0, 9,
+      0, 0, 0, 1, 3, 2, 2)
+    val spliced = csParts.take(at) ++ pocMarker ++ csParts.drop(at)
+    val e = intercept[IllegalArgumentException](Jpeg2000.decode(spliced))
+    assert(e.getMessage.contains("non-first") ||
+      e.getMessage.contains("expected SOT"), e.getMessage)
+  }
+
   test("PPM/PPT packed packet headers: relocated headers decode identically") {
     val rnd = new scala.util.Random(2206)
     val planes = Seq.tabulate(3)(c =>
