@@ -1490,6 +1490,7 @@ class Jpeg2000Spec extends AnyFunSuite {
           Seq((0, 0, layers, rb, nc, rnd.nextInt(5)),
             (rb, 0, layers, levels + 1, nc, rnd.nextInt(5)))
         } else Nil
+      val pocTp = pocSegs.nonEmpty && rnd.nextBoolean()
       val roiM: Map[Int, (Int, Int, Int, Int)] =
         if (rnd.nextInt(3) == 0 && !lossyStream) {
           val c = rnd.nextInt(nc)
@@ -1499,11 +1500,12 @@ class Jpeg2000Spec extends AnyFunSuite {
         } else Map.empty
       val tag = s"trial=$trial ${w}x$h nc=$nc d=$depth L=$levels " +
         s"q=$qstep o=$order l=$layers p=$prec nl=$cocNl tr=$cocTr " +
-        s"cb=$cocCb ss=$ssM ph=$ph poc=$pocSegs roi=$roiM"
+        s"cb=$cocCb ss=$ssM ph=$ph poc=$pocSegs tp=$pocTp roi=$roiM"
       val cs = Jpeg2000.encode(planes, levels = levels, cbExp = 5,
         qstep = qstep, order = order, layers = layers, precinct = prec,
         cocLevels = cocNl, cocTransform = cocTr, cocCbExp = cocCb,
-        subsampling = ssM, packedHeaders = ph, poc = pocSegs, roi = roiM)
+        subsampling = ssM, packedHeaders = ph, poc = pocSegs, roi = roiM,
+        pocInTilePart = pocTp)
       val back = Jpeg2000.decode(cs)
       assert(back.length == nc, tag)
       for (c <- 0 until nc) {
