@@ -403,6 +403,27 @@ object ScaleBench {
           s"""ls_ss_rounds=${PipelineOps.lastCcRounds.get()}"}""")
         res
       },
+      // pl31/pl32 path: the map-only text kernels (markup strip + n-gram
+      // repetition stats) over a growing corpus — pure projections, so
+      // wall must track rows ~linearly with zero shuffle
+      "pl32_text_mapops" -> { m =>
+        // BOTH .count() and agg(...).count() PRUNE the kernels (the
+        // memory-noted probe lie) — collect the 1-row aggregate so every
+        // kernel provably ran (the sums depend on each doc's outputs)
+        val t0 = System.nanoTime()
+        val r = docs(m, 50000)
+          .withColumn("html", concat(lit("<p>"), col("text"),
+            lit("</p><script>x</script> &amp; tail")))
+          .select(col("doc_id"),
+            expr("sd_strip_markup(html)").as("clean"),
+            expr("sd_repetition_stats(text)").as("st"))
+          .agg(sum(length(col("clean"))).as("nc"),
+            sum(col("st.top2_chars")).as("t2"),
+            sum(col("st.dup5_chars")).as("d5"),
+            count(lit(1)).as("n"))
+          .collect()(0)
+        (r.getLong(3), (System.nanoTime() - t0) / 1e9)
+      },
       // pl12 path: connected components over the minhash pair graph
       "pl12_dedup_groups" -> { m =>
         timed {
