@@ -21,16 +21,16 @@ import scala.collection.mutable.ArrayBuffer
   *    precincts, decomposition LEVELS, wavelet TRANSFORM), SIZ
   *    component SUBSAMPLING (single-tile, MCT-free; components decode
   *    at their own plane dims — the 4:2:0 chroma shape, windowed decode
-  *    included), POC progression-order changes (main header OR first
-  *    tile-part header), PPM/PPT packed packet headers, and RGN
-  *    maxshift ROI scaling (reversible components).
+  *    included), POC progression-order changes and RGN maxshift ROI
+  *    scaling (each from the main header OR the first tile-part
+  *    header), and PPM/PPT packed packet headers.
   *  - decode: the same feature set, from a raw codestream or a JP2 box
   *    container (the `jp2c` box is located and decoded; other boxes are
   *    metadata this codec does not need). Still refusing loudly:
   *    code-block coder option flags (bypass/termall/... — EBCOT-core
-  *    variants with no fixture to certify against), POC in a NON-first
-  *    tile-part, tile-part-header RGN, and RGN on lossy (9/7)
-  *    components.
+  *    variants with no fixture to certify against), POC/RGN in a
+  *    NON-first tile-part (a mid-stream progression/Mb change over
+  *    partially-consumed packets), and RGN on lossy (9/7) components.
   *  - The DWT, tag trees, pass-count / length codewords, and packet
   *    structure are pinned by hand-computed unit fixtures; the MQ coder
   *    and tier-1 context machine are pinned by spec invariants plus
@@ -1276,7 +1276,8 @@ private[graft] object Jpeg2000 {
       poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
       packedHeaders: Int = 0,
       roi: Map[Int, (Int, Int, Int, Int)] = Map.empty,
-      pocInTilePart: Boolean = false): Array[Byte] = {
+      pocInTilePart: Boolean = false,
+      rgnInTilePart: Boolean = false): Array[Byte] = {
     val lossy = qstep > 0.0
     // POC (A.6.6): ordered (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc)
     // segments replacing the COD progression; the shared packetSeqOf
@@ -1290,6 +1291,8 @@ private[graft] object Jpeg2000 {
       "jpeg2000: POC with per-resolution tile-parts unsupported")
     require(!pocInTilePart || poc.nonEmpty,
       "jpeg2000: pocInTilePart without POC segments")
+    require(!rgnInTilePart || roi.nonEmpty,
+      "jpeg2000: rgnInTilePart without ROI rects")
     // PPM (1) / PPT (2): packet headers relocated to the main header /
     // tile-part header; bodies (and SOP markers) stay in the bitstream
     require(packedHeaders >= 0 && packedHeaders <= 2,
@@ -1571,8 +1574,9 @@ private[graft] object Jpeg2000 {
         u8(rs); u8(cs); u16(lye); u8(re); u8(math.min(ce, 255)); u8(pp)
       }
     }
-    // RGN (A.6.3): one marker per ROI component, Srgn = 0 (maxshift)
-    roiS.toSeq.sortBy(_._1).foreach { case (c, s) =>
+    // RGN (A.6.3): one marker per ROI component, Srgn = 0 (maxshift);
+    // with rgnInTilePart the markers move into each tile-part header
+    if (!rgnInTilePart) roiS.toSeq.sortBy(_._1).foreach { case (c, s) =>
       u16(0xFF5E)
       u16(5)
       u8(c); u8(0); u8(s)
@@ -2044,6 +2048,7 @@ private[graft] object Jpeg2000 {
       12 + p._4.map(_.length + 5).sum +
         (if (packedHeaders == 2) hdrChunks(p._6).map(_.length + 5).sum else 0) +
         (if (pocInTilePart && p._2 == 0) 4 + 7 * poc.length else 0) +
+        (if (rgnInTilePart && p._2 == 0) 7 * roiS.size else 0) +
         2 + p._5._3
 
     // PPM (A.7.4): one (Nppm u32, packed headers) record per tile-part
@@ -2103,6 +2108,13 @@ private[graft] object Jpeg2000 {
       u16(ti)     // Isot
       u32(psotOf(p))
       u8(tpsot); u8(tnsot)
+      if (rgnInTilePart && tpsot == 0) { // per-tile RGN (A.6.3/E.1)
+        roiS.toSeq.sortBy(_._1).foreach { case (c, sh) =>
+          u16(0xFF5E)
+          u16(5)
+          u8(c); u8(0); u8(sh)
+        }
+      }
       if (pocInTilePart && tpsot == 0) { // per-tile POC (A.6.6)
         u16(0xFF5F)
         u16(2 + 7 * poc.length)
@@ -2262,8 +2274,12 @@ private[graft] object Jpeg2000 {
       * declaration (and an exponent table shorter than the COD levels
       * fails loudly). */
     def mbOf(comp: Int, r: Int, band: Int): Int =
+      mbOf(comp, r, band, roiShift)
+    /** Mb under an explicit ROI-shift table (a tile-part RGN replaces
+      * the main header's for that tile). */
+    def mbOf(comp: Int, r: Int, band: Int, roi: Map[Int, Int]): Int =
       epsMuOf(comp, r, band)._1 + guardOf(comp) - 1 +
-        roiShift.getOrElse(comp, 0)
+        roi.getOrElse(comp, 0)
     /** Lossy reconstruction step for (component, resolution, band) from
       * the signalled (ε, μ) at Rb = component depth + subband gain. */
     def stepHatOf(comp: Int, r: Int, band: Int): Double = {
@@ -2587,7 +2603,8 @@ private[graft] object Jpeg2000 {
     * progression FOR THIS TILE — A.6.6; empty when none). */
   private final case class PartRec(sod: Int, end: Int, ordinal: Int,
       ppt: Vector[(Int, Array[Byte])],
-      poc: Vector[(Int, Int, Int, Int, Int, Int)] = Vector.empty)
+      poc: Vector[(Int, Int, Int, Int, Int, Int)] = Vector.empty,
+      roi: Map[Int, Int] = Map.empty)
 
   /** Parse one POC marker segment's entries at `pos` (marker offset). */
   private def parsePocEntries(bytes: Array[Byte], bb: ByteBuffer, pos: Int,
@@ -2648,14 +2665,14 @@ private[graft] object Jpeg2000 {
         var sod = -1
         var ppt = Vector.empty[(Int, Array[Byte])]
         var pocT = Vector.empty[(Int, Int, Int, Int, Int, Int)]
+        var roiT = Map.empty[Int, Int]
         while (sod < 0) {
           require(q + 4 <= bytes.length, "jpeg2000: truncated tile-part header")
           val m = bb.getShort(q) & 0xFFFF
           require((m >> 8) == 0xFF, f"jpeg2000: bad marker at $q: $m%04x")
           if (m == 0xFF93) sod = q + 2
           else {
-            require(m != 0xFF52 && m != 0xFF53 && m != 0xFF5C && m != 0xFF5D &&
-              m != 0xFF5E,
+            require(m != 0xFF52 && m != 0xFF53 && m != 0xFF5C && m != 0xFF5D,
               f"jpeg2000: tile-part coding override marker $m%04x unsupported")
             if (m == 0xFF61) {
               val len = bb.getShort(q + 2) & 0xFFFF
@@ -2672,6 +2689,23 @@ private[graft] object Jpeg2000 {
                 "jpeg2000: POC in a non-first tile-part unsupported")
               pocT ++= parsePocEntries(bytes, bb, q, hd.nc)
             }
+            if (m == 0xFF5E) {
+              // RGN (E.1) in the FIRST tile-part: a per-tile ROI shift —
+              // mid-stream (TPsot > 0) would change Mb for code-blocks
+              // already partially consumed
+              require(tpsot == 0,
+                "jpeg2000: RGN in a non-first tile-part unsupported")
+              val big = hd.nc >= 257
+              val crgn = if (big) bb.getShort(q + 4) & 0xFFFF else bytes(q + 4) & 0xFF
+              val srgn = bytes(q + 4 + (if (big) 2 else 1)) & 0xFF
+              val sprgn = bytes(q + 4 + (if (big) 3 else 2)) & 0xFF
+              require(srgn == 0,
+                s"jpeg2000: RGN style $srgn unsupported (0 = implicit maxshift)")
+              require(crgn < hd.nc, s"jpeg2000: RGN component $crgn out of range")
+              require(hd.trOf(crgn) == 1,
+                s"jpeg2000: RGN on a 9/7 (lossy) component $crgn unsupported")
+              roiT += crgn -> sprgn
+            }
             q += 2 + (bb.getShort(q + 2) & 0xFFFF)
           }
         }
@@ -2682,7 +2716,7 @@ private[graft] object Jpeg2000 {
         require(tpsot == seen.length,
           s"jpeg2000: tile $isot tile-part out of order " +
             s"(TPsot $tpsot after ${seen.length} parts)")
-        parts += isot -> (seen :+ PartRec(sod, partEnd, ordinal, ppt, pocT))
+        parts += isot -> (seen :+ PartRec(sod, partEnd, ordinal, ppt, pocT, roiT))
         ordinal += 1
         pos = partEnd
         if (psot == 0) done = true
@@ -2810,7 +2844,10 @@ private[graft] object Jpeg2000 {
         sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)],
         hdrStream: Option[Array[Byte]] = None,
-        tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): Array[Array[Int]] = {
+        tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+        tileRoi: Map[Int, Int] = Map.empty): Array[Array[Int]] = {
+      // a tile-part RGN replaces the main header's ROI table for this tile
+      val roiEff = if (tileRoi.nonEmpty) tileRoi else hd.roiShift
       // windowed decode: the per-level coefficient regions that influence
       // the window's pixels — each inverse-lifting level halves the
       // region and needs a support margin (radius <= 2 per axis per
@@ -3012,7 +3049,7 @@ private[graft] object Jpeg2000 {
           System.arraycopy(buf, o, seg, off, len)
           off += len
         }
-        val mb = hd.mbOf(comp, r, cbRec.band)
+        val mb = hd.mbOf(comp, r, cbRec.band, roiEff)
         lastEbcotBlocks.set(lastEbcotBlocks.get + 1)
         val (mag, neg) = decodeCb(cbRec.band, cbRec.cw, cbRec.ch, seg,
           cbRec.np, mb, cbRec.zbp)
@@ -3020,7 +3057,7 @@ private[graft] object Jpeg2000 {
         // RGN maxshift (E.1): magnitudes >= 2^SPrgn are ROI coefficients
         // the encoder scaled UP by SPrgn — undo exactly; anything below
         // is background, guaranteed < 2^SPrgn by the maxshift contract
-        val roiS = hd.roiShift.getOrElse(comp, 0)
+        val roiS = roiEff.getOrElse(comp, 0)
         val roiBound = 1 << roiS
         var y = 0
         while (y < cbRec.ch) {
@@ -3043,9 +3080,10 @@ private[graft] object Jpeg2000 {
         sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)],
         hdrStream: Option[Array[Byte]] = None,
-        tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): IndexedSeq[Array[Int]] = {
+        tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+        tileRoi: Map[Int, Int] = Map.empty): IndexedSeq[Array[Int]] = {
       val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win,
-        hdrStream, tilePoc)
+        hdrStream, tilePoc, tileRoi)
       // inverse DWT per component — at the component's OWN level count
       // and OWN (subsampled) plane dims — stopping at the requested
       // level: the level-`discardLevels` LL region is the reduced tile
@@ -3104,9 +3142,10 @@ private[graft] object Jpeg2000 {
         sodAt: Int, tileEnd: Int,
         win: Option[(Int, Int, Int, Int)],
         hdrStream: Option[Array[Byte]] = None,
-        tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): IndexedSeq[Array[Double]] = {
+        tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+        tileRoi: Map[Int, Int] = Map.empty): IndexedSeq[Array[Double]] = {
       val planesT = decodeTileCoeffs(buf, tcw, tch, sodAt, tileEnd, win,
-        hdrStream, tilePoc)
+        hdrStream, tilePoc, tileRoi)
       (0 until nc).map { comp =>
         val (sx, sy) = hd.ssOf(comp)
         val tcwC = ceilDiv(tcw, sx)
@@ -3229,7 +3268,8 @@ private[graft] object Jpeg2000 {
             if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
             else None
           val tilePlanes = decodeTileLossy(tbuf, tcw, tch, sod, tileEnd,
-            localWin, headerStreamFor(hd, segsT), segsT.head.poc)
+            localWin, headerStreamFor(hd, segsT), segsT.head.poc,
+            segsT.head.roi)
           val (px, py, pw2, ph2) = window match {
             case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
             case None => (rx0, ry0, rw, rh)
@@ -3303,8 +3343,10 @@ private[graft] object Jpeg2000 {
         }
       }
       val pocT0 = segs0.head.poc
+      val roiT0 = segs0.head.roi
       return if (anyLossy) {
-        val tp = decodeTileLossy(tbuf, w, h, sod, tileEnd, window, hdrS, pocT0)
+        val tp = decodeTileLossy(tbuf, w, h, sod, tileEnd, window, hdrS,
+          pocT0, roiT0)
         (0 until nc).map { comp =>
           val (fw, fh) = outDims(comp)
           val a = tp(comp)
@@ -3322,7 +3364,8 @@ private[graft] object Jpeg2000 {
           Plane(fw, fh, depth, signedA(comp), outA)
         }
       } else {
-        val tp = decodeTile(tbuf, w, h, sod, tileEnd, window, hdrS, pocT0)
+        val tp = decodeTile(tbuf, w, h, sod, tileEnd, window, hdrS,
+          pocT0, roiT0)
         (0 until nc).map { comp =>
           val (fw, fh) = outDims(comp)
           val a = tp(comp)
@@ -3375,7 +3418,7 @@ private[graft] object Jpeg2000 {
           if (d == 0) window.map(_ => (ix0 - tx0, iy0 - ty0, ix1 - ix0, iy1 - iy0))
           else None
         val tilePlanes = decodeTile(tbuf, tcw, tch, sod, tileEnd, localWin,
-          headerStreamFor(hd, segsT), segsT.head.poc)
+          headerStreamFor(hd, segsT), segsT.head.poc, segsT.head.roi)
         val (px, py, pw2, ph2) = window match {
           case Some((wx, wy, _, _)) => (ix0 - wx, iy0 - wy, ix1 - ix0, iy1 - iy0)
           case None => (rx0, ry0, rw, rh)

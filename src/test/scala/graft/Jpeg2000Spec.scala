@@ -1498,14 +1498,15 @@ class Jpeg2000Spec extends AnyFunSuite {
           val rx = rnd.nextInt(cw); val ry = rnd.nextInt(ch)
           Map(c -> (rx, ry, 1 + rnd.nextInt(cw - rx), 1 + rnd.nextInt(ch - ry)))
         } else Map.empty
+      val rgnTp = roiM.nonEmpty && rnd.nextBoolean()
       val tag = s"trial=$trial ${w}x$h nc=$nc d=$depth L=$levels " +
         s"q=$qstep o=$order l=$layers p=$prec nl=$cocNl tr=$cocTr " +
-        s"cb=$cocCb ss=$ssM ph=$ph poc=$pocSegs tp=$pocTp roi=$roiM"
+        s"cb=$cocCb ss=$ssM ph=$ph poc=$pocSegs tp=$pocTp roi=$roiM rtp=$rgnTp"
       val cs = Jpeg2000.encode(planes, levels = levels, cbExp = 5,
         qstep = qstep, order = order, layers = layers, precinct = prec,
         cocLevels = cocNl, cocTransform = cocTr, cocCbExp = cocCb,
         subsampling = ssM, packedHeaders = ph, poc = pocSegs, roi = roiM,
-        pocInTilePart = pocTp)
+        pocInTilePart = pocTp, rgnInTilePart = rgnTp)
       val back = Jpeg2000.decode(cs)
       assert(back.length == nc, tag)
       for (c <- 0 until nc) {
@@ -1626,6 +1627,42 @@ class Jpeg2000Spec extends AnyFunSuite {
     val pocMarker = Array[Byte](0xFF.toByte, 0x5F.toByte, 0, 9,
       0, 0, 0, 1, 3, 2, 2)
     val spliced = csParts.take(at) ++ pocMarker ++ csParts.drop(at)
+    val e = intercept[IllegalArgumentException](Jpeg2000.decode(spliced))
+    assert(e.getMessage.contains("non-first") ||
+      e.getMessage.contains("expected SOT"), e.getMessage)
+  }
+
+  test("tile-part-header RGN: per-tile ROI shift decodes bit-exact") {
+    val rnd = new scala.util.Random(8114)
+    val planes = Seq.tabulate(2)(c =>
+      planeOf(96, 64, 8, signed = false, (x, y) => rnd.nextInt(256)))
+    val plain = Jpeg2000.decode(Jpeg2000.encode(planes, levels = 2, cbExp = 4))
+    val roiC = Map(0 -> (10, 8, 30, 20))
+    for (tiles <- Seq(None, Some((32, 32))); ph <- Seq(0, 2)) {
+      val cs = Jpeg2000.encode(planes, levels = 2, cbExp = 4,
+        tileSize = tiles, roi = roiC, rgnInTilePart = true, packedHeaders = ph)
+      val sotAt = cs.indices.dropRight(1).find(j =>
+        (cs(j) & 0xFF) == 0xFF && (cs(j + 1) & 0xFF) == 0x90).get
+      val rgnAt = cs.indices.dropRight(1).find(j =>
+        (cs(j) & 0xFF) == 0xFF && (cs(j + 1) & 0xFF) == 0x5E).get
+      assert(rgnAt > sotAt, s"tiles=$tiles ph=$ph RGN at $rgnAt, SOT at $sotAt")
+      samePlanes(Jpeg2000.decode(cs), plain, s"tiles=$tiles ph=$ph")
+      // windowed decode applies the per-tile downshift too
+      val wp = Jpeg2000.decodeWindow(cs, 12, 9, 17, 13)
+      plain.zip(wp).foreach { case (f, p2) =>
+        for (y <- 0 until 13; x <- 0 until 17)
+          assert(p2.samples(y * 17 + x) == f.samples((y + 9) * 96 + x + 12),
+            s"tiles=$tiles ph=$ph win ($x,$y)")
+      }
+    }
+    // RGN in a NON-first tile-part refuses (mid-stream Mb change)
+    val csParts = Jpeg2000.encode(planes, levels = 2, cbExp = 4, order = 1,
+      partsPerResolution = true)
+    val sots = csParts.indices.dropRight(1).filter(j =>
+      (csParts(j) & 0xFF) == 0xFF && (csParts(j + 1) & 0xFF) == 0x90)
+    val at = sots(1) + 12
+    val rgn = Array[Byte](0xFF.toByte, 0x5E.toByte, 0, 5, 0, 0, 5)
+    val spliced = csParts.take(at) ++ rgn ++ csParts.drop(at)
     val e = intercept[IllegalArgumentException](Jpeg2000.decode(spliced))
     assert(e.getMessage.contains("non-first") ||
       e.getMessage.contains("expected SOT"), e.getMessage)
