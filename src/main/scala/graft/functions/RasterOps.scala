@@ -788,6 +788,7 @@ object RasterOps {
       var nlM = Map.empty[Int, Int]
       var trM = Map.empty[Int, Int]
       var roiM = Map.empty[Int, (Int, Int, Int, Int)]
+      var ssM = Map.empty[Int, (Int, Int)]
       var ph = 0
       var pocSegs = Seq.empty[(Int, Int, Int, Int, Int, Int)]
       if (spec.nonEmpty) spec.split(";").foreach { ent =>
@@ -822,6 +823,14 @@ object RasterOps {
               val q = s.drop(4).split(",", 4)
               require(q.length == 4, s"rs_asjpeg2000_profile: bad roi in '$ent'")
               roiM += comp -> (q(0).toInt, q(1).toInt, q(2).toInt, q(3).toInt)
+            case s if s.startsWith("ss=") =>
+              // '<comp>:ss=<sx>x<sy>' — SIZ component subsampling: the
+              // band is top-left decimated onto a ceil(w/sx) x ceil(h/sy)
+              // plane (4:2:0 chroma = '1:ss=2x2;2:ss=2x2'); the reader
+              // replication-upsamples back onto the canvas grid
+              val xy = s.drop(3).split("x", 2)
+              require(xy.length == 2, s"rs_asjpeg2000_profile: bad ss in '$ent'")
+              ssM += comp -> (xy(0).toInt, xy(1).toInt)
             case other => throw new IllegalArgumentException(
               s"rs_asjpeg2000_profile: unknown COC override '$other'")
           }
@@ -829,7 +838,7 @@ object RasterOps {
       }
       graft.sources.Jp2Raster.write(rast(a), levels, qstep = qstep,
         derivedQuant = derived, cocCbExp = cb, cocPrecinct = pp,
-        cocLevels = nlM, cocTransform = trM,
+        cocLevels = nlM, cocTransform = trM, subsampling = ssM,
         poc = pocSegs, packedHeaders = ph, roi = roiM)
     }),
 

@@ -1535,6 +1535,51 @@ object SpatialQueries {
             .as("ppt_identical"))
     }),
 
+    // SIZ component SUBSAMPLING as a first-class raster (the 4:2:0 /
+    // Sentinel-2 chroma shape): band 2 is encoded on a ceil(65/2) x
+    // ceil(47/2) plane (top-left decimation) and presented back on the
+    // canvas grid by sample replication — the decoded value at ANY
+    // (x, y) is the original at (x//2*2, y//2*2), which the oracle
+    // replays directly (odd-coordinate probes witness that decimation
+    // actually happened). Band 1 stays full-res and must be bit-exact.
+    // Reference reaches subsampled JP2 via GDAL openjpeg
+    // (rust/sedona-raster-gdal/src/register.rs:23-34).
+    "rs26_jp2_subsampled" -> ((s, dir) => {
+      prep(s)
+      t(s, dir, "nation")
+        .withColumn("vals", expr(
+          "transform(sequence(0, 65*47*2 - 1), i -> CAST(CASE " +
+            "WHEN i < 65*47 THEN (n_nationkey*6151 + (i % 65)*37 + " +
+            "CAST(i / 65 AS INT)*59 + (i * 131071) % 97) % 251 " +
+            "ELSE (n_nationkey*7919 + ((i - 65*47) % 65)*43 + " +
+            "CAST((i - 65*47) / 65 AS INT)*67 + " +
+            "(((i - 65*47) % 65) * CAST((i - 65*47) / 65 AS INT)) % 29) % 251 " +
+            "END AS DOUBLE))"))
+        .withColumn("ulx", (col("n_nationkey") % 10).cast("double") * 8.0)
+        .withColumn("r", st.f("rs_setbandpixeltype",
+          st.f("rs_setcrs",
+            st.f("rs_makeraster", lit(65), lit(47), col("ulx"), lit(100.0),
+              lit(2.0), lit(-2.0), col("vals"), lit(2)),
+            lit("EPSG:32610")),
+          lit("UNSIGNED_8BITS")))
+        .withColumn("g", st.f("rs_asjpeg2000_profile", col("r"), lit(3),
+          lit(0.0), lit(0), lit("1:ss=2x2")))
+        .withColumn("rt", st.f("rs_fromgdalraster", col("g")))
+        .select(col("n_nationkey"),
+          st.f("rs_width", col("rt")).as("w"),
+          st.f("rs_height", col("rt")).as("h"),
+          st.f("rs_numbands", col("rt")).as("nb"),
+          st.f("rs_crs", col("rt")).as("crs"),
+          st.f("rs_bandpixeltype", col("rt"), lit(2)).as("ptype"),
+          st.f("rs_bandmin", col("rt"), lit(1)).as("vmin1"),
+          st.f("rs_bandmax", col("rt"), lit(1)).as("vmax1"),
+          st.f("rs_bandavg", col("rt"), lit(1)).as("vavg1"),
+          st.f("rs_bandavg", col("rt"), lit(2)).as("vavg2"),
+          st.f("rs_value", col("rt"), lit(2), lit(33), lit(21)).as("chroma_px"),
+          st.f("rs_value", col("rt"), lit(2), lit(64), lit(46))
+            .as("chroma_edge_px"))
+    }),
+
     "rs21_jp2_lossy" -> ((s, dir) => {
       prep(s)
       t(s, dir, "nation")
@@ -2489,6 +2534,30 @@ object SpatialQueries {
         |  list_sum(vs)/3072.0 AS vavg,
         |  vs[1378] AS roi_px,
         |  TRUE AS ppt_identical
+        |FROM v""".stripMargin,
+
+    // subsampled JP2: band 1 full-res formula replay; band 2's decoded
+    // canvas value at (x, y) is the ORIGINAL at (x//2*2, y//2*2) —
+    // top-left decimation onto the ceil-division plane, then sample
+    // replication back onto the canvas grid (the probes at odd
+    // coordinates witness the decimation)
+    "rs26_jp2_subsampled" ->
+      """WITH v AS (SELECT n_nationkey,
+        |    [CAST((n_nationkey*6151 + (i % 65)*37 + (i // 65)*59
+        |      + (i * 131071) % 97) % 251 AS DOUBLE)
+        |     for i in range(0, 3055)] AS v1,
+        |    [CAST((n_nationkey*7919 + ((i % 65)//2*2)*43 + ((i // 65)//2*2)*67
+        |      + (((i % 65)//2*2) * ((i // 65)//2*2)) % 29) % 251 AS DOUBLE)
+        |     for i in range(0, 3055)] AS v2
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |  CAST(65 AS INT) AS w, CAST(47 AS INT) AS h, CAST(2 AS INT) AS nb,
+        |  'EPSG:32610' AS crs, 'UNSIGNED_8BITS' AS ptype,
+        |  list_min(v1) AS vmin1, list_max(v1) AS vmax1,
+        |  list_sum(v1)/3055.0 AS vavg1,
+        |  list_sum(v2)/3055.0 AS vavg2,
+        |  v2[21*65 + 33 + 1] AS chroma_px,
+        |  v2[46*65 + 64 + 1] AS chroma_edge_px
         |FROM v""".stripMargin,
 
     "rs21_jp2_lossy" ->

@@ -49,6 +49,7 @@ private[graft] object Jp2Raster {
       cocPrecinct: Map[Int, (Int, Int)] = Map.empty,
       cocLevels: Map[Int, Int] = Map.empty,
       cocTransform: Map[Int, Int] = Map.empty,
+      subsampling: Map[Int, (Int, Int)] = Map.empty,
       poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
       packedHeaders: Int = 0,
       roi: Map[Int, (Int, Int, Int, Int)] = Map.empty): Array[Byte] = {
@@ -63,32 +64,46 @@ private[graft] object Jp2Raster {
       val lo = if (signed) -(1 << (depth - 1)) else 0
       val hi = if (signed) (1 << (depth - 1)) - 1 else (1 << depth) - 1
       val bb = ByteBuffer.wrap(b.data).order(ByteOrder.LITTLE_ENDIAN)
-      val samples = new Array[Int](r.width * r.height)
-      var i = 0
-      while (i < samples.length) {
-        val v = bb.getDouble(i * 8)
-        val iv = math.rint(v).toInt
-        require(iv == v && iv >= lo && iv <= hi,
-          s"rs_asjpeg2000: band ${bi + 1} pixel $i = $v is not an " +
-            s"integer in [$lo, $hi] for ${b.pixelTypeName}")
-        samples(i) = iv
-        i += 1
+      // a subsampled component (SIZ XRsiz/YRsiz, the 4:2:0 chroma shape)
+      // is TOP-LEFT DECIMATED from the band's canvas grid — the exact
+      // inverse of the reader's sample-replication upsampling, so
+      // cell-constant content roundtrips bit-exact
+      val (sx, sy) = subsampling.getOrElse(bi, (1, 1))
+      val pw = (r.width + sx - 1) / sx
+      val ph = (r.height + sy - 1) / sy
+      val samples = new Array[Int](pw * ph)
+      var py = 0
+      while (py < ph) {
+        var px = 0
+        while (px < pw) {
+          val i = (py * sy) * r.width + px * sx
+          val v = bb.getDouble(i * 8)
+          val iv = math.rint(v).toInt
+          require(iv == v && iv >= lo && iv <= hi,
+            s"rs_asjpeg2000: band ${bi + 1} pixel $i = $v is not an " +
+              s"integer in [$lo, $hi] for ${b.pixelTypeName}")
+          samples(py * pw + px) = iv
+          px += 1
+        }
+        py += 1
       }
-      Jpeg2000.Plane(r.width, r.height, depth, signed, samples)
+      Jpeg2000.Plane(pw, ph, depth, signed, samples)
     }
     require(planes.map(p => (p.depth, p.signed)).distinct.size == 1,
       "rs_asjpeg2000: all bands must share one pixel type (ihdr bpc)")
     // 3-band rasters get the reversible color transform — the lossless
     // RGB decorrelation GDAL's openjpeg writer applies by default.
     // A per-component transform override is incompatible with the MCT
-    // (it couples components 0-2 through one transform), so it wins.
+    // (it couples components 0-2 through one transform), so it wins;
+    // subsampling likewise (MCT needs equal component grids).
     val cs = Jpeg2000.encode(planes, levels = levels,
-      mct = planes.length == 3 && cocTransform.isEmpty,
+      mct = planes.length == 3 && cocTransform.isEmpty && subsampling.isEmpty,
       tileSize = tileSize, qstep = qstep,
       layers = layers, order = order, precinct = precinct, sopEph = sopEph,
       partsPerResolution = partsPerResolution, derivedQuant = derivedQuant,
       cocCbExp = cocCbExp, cocPrecinct = cocPrecinct,
       cocLevels = cocLevels, cocTransform = cocTransform,
+      subsampling = subsampling,
       poc = poc, packedHeaders = packedHeaders, roi = roi)
 
     val out = new java.io.ByteArrayOutputStream()
@@ -140,44 +155,83 @@ private[graft] object Jp2Raster {
       (bytes(3) & 0xFF) == 0x0C && bytes(4) == 'j'.toByte &&
       bytes(5) == 'P'.toByte)
 
+  /** Per-component SIZ subsampling factors, (1,1) when the stream has
+    * none (or the header is not parseable as a layout — equal-dim
+    * planes then hold by construction). */
+  private def ssTable(bytes: Array[Byte]): Int => (Int, Int) =
+    try { val hd = Jpeg2000.layout(bytes); c => hd.ssOf(c) }
+    catch { case _: Exception => _ => (1, 1) }
+
+  /** Sample-replication upsampling of a (possibly subsampled) component
+    * plane onto the shared canvas grid: band pixel (x, y) = plane
+    * sample (x/sx, y/sy) — every band on ONE grid, the presentation a
+    * GDAL-style consumer of a 4:2:0 JP2 expects. The top-left
+    * replication is the exact inverse of the writer's top-left
+    * decimation, so cell-constant content roundtrips bit-exact.
+    * `x0`/`y0` give the canvas origin of a windowed read (the plane
+    * then starts at plane coords (x0/sx, y0/sy)); the same mapping is
+    * valid in reduced coordinates because nested ceil-divisions
+    * compose. */
+  private def upsample(p: Jpeg2000.Plane, sx: Int, sy: Int,
+      w: Int, h: Int, x0: Int = 0, y0: Int = 0): Array[Double] = {
+    val vals = new Array[Double](w * h)
+    if (sx == 1 && sy == 1) {
+      require(p.w == w && p.h == h,
+        s"jp2 raster: plane ${p.w}x${p.h} != expected ${w}x$h")
+      var i = 0
+      while (i < vals.length) { vals(i) = p.samples(i).toDouble; i += 1 }
+    } else {
+      val px0 = x0 / sx; val py0 = y0 / sy
+      var y = 0
+      while (y < h) {
+        val pr = ((y0 + y) / sy - py0) * p.w
+        var x = 0
+        while (x < w) {
+          vals(y * w + x) = p.samples(pr + ((x0 + x) / sx - px0)).toDouble
+          x += 1
+        }
+        y += 1
+      }
+    }
+    vals
+  }
+
   /** JP2/codestream bytes -> Raster (CRS/geotransform from the GeoJP2
-    * uuid box when present; identity grid otherwise). */
+    * uuid box when present; identity grid otherwise). Subsampled
+    * components are replication-upsampled onto the canvas grid (see
+    * [[upsample]]); read via Jpeg2000.decode for the raw per-component
+    * planes. */
   def read(bytes: Array[Byte]): Raster = {
     val planes = Jpeg2000.decode(bytes)
     val (crs, gt) = geoOf(bytes).getOrElse(
       ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
-    val w = planes.head.w
-    val h = planes.head.h
-    // subsampled streams decode fine at the CODEC layer (per-component
-    // plane dims) but the raster model's bands share one grid — resample
-    // upstream or read the codestream via Jpeg2000.decode directly
-    require(planes.forall(p => p.w == w && p.h == h),
-      "jp2 raster: component subsampling yields mixed band dims; " +
-        "decode via Jpeg2000.decode for per-component planes")
-    val bands = planes.map { p =>
-      val vals = new Array[Double](p.samples.length)
-      var i = 0
-      while (i < vals.length) { vals(i) = p.samples(i).toDouble; i += 1 }
-      Band(Double.NaN, RasterModel.packDoubles(vals),
+    val (w, h, _, _) = Jpeg2000.info(bytes)
+    val ss = ssTable(bytes)
+    val bands = planes.zipWithIndex.map { case (p, c) =>
+      val (sx, sy) = ss(c)
+      Band(Double.NaN, RasterModel.packDoubles(upsample(p, sx, sy, w, h)),
         ptype = typeName(p.depth, p.signed))
     }
     Raster(crs, gt, w, h, bands.toIndexedSeq)
   }
 
-  /** Decode at a reduced resolution (see Jpeg2000.decode(bytes, d)). */
+  /** Decode at a reduced resolution (see Jpeg2000.decode(bytes, d));
+    * subsampled components replication-upsample onto the reduced canvas
+    * grid (the factor-sx mapping holds at every level — ceil-divisions
+    * compose). */
   def readAt(bytes: Array[Byte], discardLevels: Int): Raster = {
     val planes = Jpeg2000.decode(bytes, discardLevels)
     val (crs, gt0) = geoOf(bytes).getOrElse(
       ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
     val s = (1 << discardLevels).toDouble
     val gt = Array(gt0(0), gt0(1) * s, gt0(2) * s, gt0(3), gt0(4) * s, gt0(5) * s)
-    val w = planes.head.w
-    val h = planes.head.h
-    val bands = planes.map { p =>
-      val vals = new Array[Double](p.samples.length)
-      var i = 0
-      while (i < vals.length) { vals(i) = p.samples(i).toDouble; i += 1 }
-      Band(Double.NaN, RasterModel.packDoubles(vals),
+    val (cw, chh, _, _) = Jpeg2000.info(bytes)
+    val w = Jpeg2000Dims.lowLen(cw, discardLevels)
+    val h = Jpeg2000Dims.lowLen(chh, discardLevels)
+    val ss = ssTable(bytes)
+    val bands = planes.zipWithIndex.map { case (p, c) =>
+      val (sx, sy) = ss(c)
+      Band(Double.NaN, RasterModel.packDoubles(upsample(p, sx, sy, w, h)),
         ptype = typeName(p.depth, p.signed))
     }
     Raster(crs, gt, w, h, bands.toIndexedSeq)
@@ -320,21 +374,19 @@ private[graft] object Jp2Raster {
         .getOrElse(if (fileLen <= head.length) head
           else head ++ fetch(head.length.toLong, (fileLen - head.length).toInt))
       val planes = Jpeg2000.decodeWindow(bytes, xoff, yoff, w, h)
-      // the raster model's bands share one grid: a subsampled stream's
-      // per-component window planes must be read via Jpeg2000.decodeWindow
-      require(planes.forall(p => p.w == w && p.h == h),
-        "jp2 loader: component subsampling yields mixed band dims; " +
-          "decode via Jpeg2000.decodeWindow for per-component planes")
       val (crs, gt0) = geoOf(head).getOrElse(
         ("", Array(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
       val gt = gt0.clone()
       gt(0) = gt0(0) + xoff * gt0(1) + yoff * gt0(2)
       gt(3) = gt0(3) + xoff * gt0(4) + yoff * gt0(5)
-      val bands = planes.map { p =>
-        val vals = new Array[Double](p.samples.length)
-        var i = 0
-        while (i < vals.length) { vals(i) = p.samples(i).toDouble; i += 1 }
-        Band(Double.NaN, RasterModel.packDoubles(vals),
+      // a subsampled component's window plane is its ceil-division image
+      // of the canvas window — replication-upsample it onto the window
+      // grid with the window-origin phase
+      val ss = ssTable(head)
+      val bands = planes.zipWithIndex.map { case (p, c) =>
+        val (sx, sy) = ss(c)
+        Band(Double.NaN,
+          RasterModel.packDoubles(upsample(p, sx, sy, w, h, xoff, yoff)),
           ptype = typeName(p.depth, p.signed))
       }
       Raster(crs, gt, w, h, bands.toIndexedSeq)

@@ -3319,14 +3319,19 @@ private[graft] object Jpeg2000 {
     // SUBSAMPLED streams (SIZ XRsiz/YRsiz > 1): single-tile by parse
     // contract, components decode at their OWN plane dims and come back
     // as differently-sized Planes (the 4:2:0 chroma shape) — assembly is
-    // a per-component wrap, no canvas stitching. A WINDOW (full
-    // resolution only) is given in canvas coordinates; each component
-    // returns its ceil-division image of it — the selective-EBCOT scale
-    // path, differential-tested against full-decode-then-crop.
+    // a per-component wrap, no canvas stitching. A WINDOW is given in
+    // canvas coordinates (level-d reduced canvas coordinates when
+    // discardLevels > 0); each component returns its ceil-division image
+    // of it. Full-resolution windows run the selective-EBCOT path inside
+    // the tile decode; reduced windows decode the whole (already
+    // prefix-small) reduced planes and crop per component — the same
+    // split the tiled path uses. The reduced crop rect is the
+    // ceil-division transform applied in REDUCED units, which equals the
+    // full-resolution composition exactly because nested ceil-divisions
+    // compose: ceil(ceil(n/2^d)/s) == ceil(n/(s*2^d)) == ceil(ceil(n/s)/2^d)
+    // (and floor compositions likewise for the origin). Both window
+    // shapes are differential-tested against full-decode-then-crop.
     if (hd.subsampled) {
-      require(window.isEmpty || d == 0,
-        "jpeg2000: reduced-resolution windowed decode of a subsampled " +
-          "stream unsupported (window full-resolution, or no window)")
       val segs0 = parts.getOrElse(0, throw new IllegalArgumentException(
         "jpeg2000: tile 0 missing from the stream"))
       val (tbuf, sod, tileEnd) = tilePayload(bytes, segs0)
@@ -3344,12 +3349,35 @@ private[graft] object Jpeg2000 {
       }
       val pocT0 = segs0.head.poc
       val roiT0 = segs0.head.roi
+      // a reduced-coordinate window cannot seed the selective-EBCOT
+      // needed-set recursion (it is anchored at full resolution), so
+      // d > 0 decodes the whole reduced planes and crops here instead
+      val winDec = if (d == 0) window else None
+      // crop a component's full reduced plane (row stride = its reduced
+      // width) to the window's reduced ceil-division rect; identity
+      // when the tile decode already cropped (winDec == window)
+      def cropRed[T](comp: Int, a: Array[T], mk: Int => Array[T]): Array[T] =
+        (window, winDec) match {
+          case (Some((wx, wy, _, _)), None) =>
+            val (sx, sy) = hd.ssOf(comp)
+            val fullW = lowLen(ceilDiv(w, sx), d)
+            val (fw, fh) = outDims(comp)
+            val out = mk(fw * fh)
+            val x0 = wx / sx; val y0 = wy / sy
+            var y = 0
+            while (y < fh) {
+              System.arraycopy(a, (y0 + y) * fullW + x0, out, y * fw, fw)
+              y += 1
+            }
+            out
+          case _ => a
+        }
       return if (anyLossy) {
-        val tp = decodeTileLossy(tbuf, w, h, sod, tileEnd, window, hdrS,
+        val tp = decodeTileLossy(tbuf, w, h, sod, tileEnd, winDec, hdrS,
           pocT0, roiT0)
         (0 until nc).map { comp =>
           val (fw, fh) = outDims(comp)
-          val a = tp(comp)
+          val a = cropRed(comp, tp(comp), n => new Array[Double](n))
           val depth = depths(comp)
           val shift = if (signedA(comp)) 0 else 1 << (depth - 1)
           val lo = if (signedA(comp)) -(1 << (depth - 1)) else 0
@@ -3364,11 +3392,11 @@ private[graft] object Jpeg2000 {
           Plane(fw, fh, depth, signedA(comp), outA)
         }
       } else {
-        val tp = decodeTile(tbuf, w, h, sod, tileEnd, window, hdrS,
+        val tp = decodeTile(tbuf, w, h, sod, tileEnd, winDec, hdrS,
           pocT0, roiT0)
         (0 until nc).map { comp =>
           val (fw, fh) = outDims(comp)
-          val a = tp(comp)
+          val a = cropRed(comp, tp(comp), n => new Array[Int](n))
           val shift = if (signedA(comp)) 0 else 1 << (depths(comp) - 1)
           var i = 0
           while (i < a.length) { a(i) += shift; i += 1 }

@@ -290,6 +290,87 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert(e.getMessage.contains("integer"))
   }
 
+  test("Jp2Raster subsampled presentation: one canvas grid, replication contract") {
+    import graft.functions.RasterModel
+    import graft.functions.RasterModel.{Band, Raster}
+    val w = 51; val h = 37 // odd dims: ceil-division edges exercised
+    val rnd = new scala.util.Random(4200)
+    // band 1 full-res arbitrary; band 2 CELL-CONSTANT on 2x2 blocks
+    // (top-left decimation + replication = identity there); band 3
+    // arbitrary (replication-of-decimation contract checked pointwise)
+    val b1 = Array.tabulate(w * h)(_ => rnd.nextInt(256).toDouble)
+    val blockVal = Array.tabulate((w + 1) / 2 * ((h + 1) / 2))(
+      _ => rnd.nextInt(256).toDouble)
+    val b2 = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      blockVal((y / 2) * ((w + 1) / 2) + x / 2)
+    }
+    val b3 = Array.tabulate(w * h)(_ => rnd.nextInt(256).toDouble)
+    def band(a: Array[Double]) = Band(Double.NaN,
+      RasterModel.packDoubles(a), ptype = "UNSIGNED_8BITS")
+    val r = Raster("EPSG:32610", Array(100.0, 2.0, 0.0, 5000.0, 0.0, -2.0),
+      w, h, Vector(band(b1), band(b2), band(b3)))
+    val ss = Map(1 -> (2, 2), 2 -> (2, 2))
+    val jp2 = Jp2Raster.write(r, levels = 3, subsampling = ss)
+    def vals(rr: Raster, k: Int): Int => Double = {
+      val bb = java.nio.ByteBuffer.wrap(rr.bands(k).data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      i => bb.getDouble(i * 8)
+    }
+    // full read: every band on the canvas grid
+    val back = Jp2Raster.read(jp2)
+    assert(back.width == w && back.height == h && back.bands.length == 3)
+    val (v1, v2, v3) = (vals(back, 0), vals(back, 1), vals(back, 2))
+    for (y <- 0 until h; x <- 0 until w) {
+      assert(v1(y * w + x) == b1(y * w + x), s"b1 ($x,$y)")
+      assert(v2(y * w + x) == b2(y * w + x), s"b2 cell-constant ($x,$y)")
+      assert(v3(y * w + x) == b3((y / 2 * 2) * w + (x / 2 * 2)),
+        s"b3 replication-of-decimation ($x,$y)")
+    }
+    // reduced read: reduced canvas dims; subsampled band = replication
+    // of the codec's own reduced plane (lowLen/ceilDiv commute)
+    val red = Jp2Raster.readAt(jp2, 1)
+    val rw = (w + 1) / 2; val rh = (h + 1) / 2
+    assert(red.width == rw && red.height == rh)
+    val planesRed = Jpeg2000.decode(jp2, 1)
+    val rv2 = vals(red, 1)
+    for (y <- 0 until rh; x <- 0 until rw)
+      assert(rv2(y * rw + x) ==
+        planesRed(1).samples((y / 2) * planesRed(1).w + x / 2).toDouble,
+        s"red b2 ($x,$y)")
+    // out-db windowed read ≡ full-read crop (phase-offset replication)
+    var fetched = 0L
+    val fetch = (off: Long, n: Int) => {
+      fetched += n
+      java.util.Arrays.copyOfRange(jp2, off.toInt, off.toInt + n)
+    }
+    for ((wx, wy, ww2, wh2) <- Seq((0, 0, 6, 5), (5, 3, 11, 9),
+        (w - 7, h - 4, 7, 4), (4, 2, 12, 10))) {
+      val win = Jp2Raster.OutDb.loadWindow(fetch, jp2.length.toLong,
+        wx, wy, ww2, wh2)
+      assert(win.width == ww2 && win.height == wh2)
+      for (k <- 0 until 3) {
+        val wv = vals(win, k); val fv = vals(back, k)
+        for (y <- 0 until wh2; x <- 0 until ww2)
+          assert(wv(y * ww2 + x) == fv((wy + y) * w + wx + x),
+            s"win=($wx,$wy) band=$k ($x,$y)")
+      }
+    }
+    // out-db reduced windowed read ≡ reduced-read crop
+    val winAt = Jp2Raster.OutDb.loadWindowAt(fetch, jp2.length.toLong,
+      1L, 3, 2, 9, 7, Array(100.0, 4.0, 0.0, 5000.0, 0.0, -4.0), "EPSG:32610")
+    assert(winAt.width == 9 && winAt.height == 7)
+    for (k <- 0 until 3) {
+      val wv = vals(winAt, k); val fv = vals(red, k)
+      for (y <- 0 until 7; x <- 0 until 9)
+        assert(wv(y * 9 + x) == fv((2 + y) * rw + 3 + x), s"redwin band=$k ($x,$y)")
+    }
+    // the writer refuses a subsampled component 0 (canvas anchor)
+    val e = intercept[IllegalArgumentException](
+      Jp2Raster.write(r, levels = 2, subsampling = Map(0 -> (2, 2))))
+    assert(e.getMessage.toLowerCase.contains("subsampling"), e.getMessage)
+  }
+
   test("reduced-resolution decode equals the forward transform's LL exactly") {
     val rnd = new scala.util.Random(321)
     val w = 53; val h = 37
@@ -1420,11 +1501,20 @@ class Jpeg2000Spec extends AnyFunSuite {
     val red = Jpeg2000.decode(cs3, 1)
     assert(red.map(p => (p.w, p.h)) ==
       Seq((39, 25), (20, 13), (20, 13), (20, 25)))
-    // refusals: REDUCED windowed decode (full-res windows are supported
-    // since r17 — tested in its own spec), MCT, tiling, wrong plane dims
-    val e1 = intercept[IllegalArgumentException](
-      Jpeg2000.decodeWindowAt(cs3, 1, 0, 0, 8, 8))
-    assert(e1.getMessage.contains("subsampled"), e1.getMessage)
+    // REDUCED windowed decode: each component returns the ceil-division
+    // rect of the reduced window cropped from its own reduced plane
+    // (full differential coverage in the windowed-decode spec)
+    val rwins = Jpeg2000.decodeWindowAt(cs3, 1, 2, 3, 8, 8)
+    assert(rwins.map(p => (p.w, p.h)) ==
+      Seq((8, 8), (4, 5), (4, 5), (4, 8)))
+    for (c <- planes.indices) {
+      val (sx, sy) = ss.getOrElse(c, (1, 1))
+      for (y <- 0 until rwins(c).h; x <- 0 until rwins(c).w)
+        assert(rwins(c).samples(y * rwins(c).w + x) ==
+          red(c).samples((3 / sy + y) * red(c).w + 2 / sx + x),
+          s"comp=$c ($x,$y)")
+    }
+    // refusals: MCT, tiling, wrong plane dims
     val e2 = intercept[IllegalArgumentException](Jpeg2000.encode(
       planes.take(3).map(_ => plane(w, h, 3)), levels = 2, mct = true,
       subsampling = Map(1 -> (2, 2))))
@@ -1820,11 +1910,52 @@ class Jpeg2000Spec extends AnyFunSuite {
     val winBlocks = Jpeg2000.lastEbcotBlocks.get.intValue
     assert(fullBlocks > 0 && winBlocks > 0 && winBlocks * 4 < fullBlocks,
       s"selective EBCOT: window decoded $winBlocks of $fullBlocks blocks")
-    // reduced windowed decode of subsampled streams still refuses loudly
-    val cs0 = Jpeg2000.encode(planes, levels = 2, cbExp = 4, subsampling = ss)
-    val e = intercept[IllegalArgumentException](
-      Jpeg2000.decodeWindowAt(cs0, 1, 0, 0, 4, 4))
-    assert(e.getMessage.contains("subsampled"), e.getMessage)
+    // REDUCED-resolution windows (level-d coordinates): each component
+    // returns the ceil-division rect of the window within its OWN
+    // reduced plane — identical to cropping the full reduced decode
+    // (the mapping commutes: ceil(ceil(n/2^d)/s) == ceil(ceil(n/s)/2^d))
+    val cs0 = Jpeg2000.encode(planes, levels = 3, cbExp = 4, subsampling = ss)
+    for (d <- 1 to 2) {
+      val redFull = Jpeg2000.decode(cs0, d)
+      val rw = (0 until d).foldLeft(w)((n, _) => (n + 1) / 2)
+      val rh = (0 until d).foldLeft(h)((n, _) => (n + 1) / 2)
+      for ((wx, wy, ww2, wh2) <- Seq((0, 0, 4, 4), (3, 5, 9, 7),
+          (rw - 5, rh - 3, 5, 3), (1, 0, rw - 1, rh))) {
+        val wins = Jpeg2000.decodeWindowAt(cs0, d, wx, wy, ww2, wh2)
+        for (c <- planes.indices) {
+          val (sx, sy) = ss.getOrElse(c, (1, 1))
+          val cx0 = wx / sx; val cy0 = wy / sy
+          val cw = (wx + ww2 + sx - 1) / sx - cx0
+          val ch = (wy + wh2 + sy - 1) / sy - cy0
+          val wp = wins(c)
+          assert(wp.w == cw && wp.h == ch,
+            s"d=$d comp=$c win ${wp.w}x${wp.h} want ${cw}x$ch")
+          val fw = redFull(c).w
+          for (y <- 0 until ch; x <- 0 until cw)
+            assert(wp.samples(y * cw + x) ==
+              redFull(c).samples((cy0 + y) * fw + cx0 + x),
+              s"d=$d comp=$c ($x,$y) win=($wx,$wy,$ww2,$wh2)")
+        }
+      }
+    }
+    // a mixed lossy/reversible subsampled stream takes the double
+    // assembly through the same reduced-window crop
+    val csL = Jpeg2000.encode(planes, levels = 3, cbExp = 4,
+      subsampling = ss, qstep = 2.0, cocTransform = Map(3 -> 1))
+    val redL = Jpeg2000.decode(csL, 1)
+    val winsL = Jpeg2000.decodeWindowAt(csL, 1, 3, 2, 10, 9)
+    for (c <- planes.indices) {
+      val (sx, sy) = ss.getOrElse(c, (1, 1))
+      val cx0 = 3 / sx; val cy0 = 2 / sy
+      val cw = (3 + 10 + sx - 1) / sx - cx0
+      val ch = (2 + 9 + sy - 1) / sy - cy0
+      val wp = winsL(c)
+      assert(wp.w == cw && wp.h == ch, s"lossy comp=$c")
+      val fw = redL(c).w
+      for (y <- 0 until ch; x <- 0 until cw)
+        assert(wp.samples(y * cw + x) ==
+          redL(c).samples((cy0 + y) * fw + cx0 + x), s"lossy comp=$c ($x,$y)")
+    }
   }
 
   test("COC + multi-tile + per-resolution tile-parts + reduced decode compose") {
