@@ -424,6 +424,28 @@ object ScaleBench {
           .collect()(0)
         (r.getLong(3), (System.nanoTime() - t0) / 1e9)
       },
+      // pl33 path: corpus-level line dedup — one 8-byte-key count
+      // shuffle + join-back + per-doc local rejoin. Boilerplate line
+      // counts grow with m but stay ONE aggregate row each; wall must
+      // track rows. count() would prune the clean_text rebuild (the
+      // probe lie), so collect a 1-row aggregate whose sums depend on
+      // every doc's rebuilt text.
+      "pl33_line_dedup" -> { m =>
+        val t0 = System.nanoTime()
+        val pages = docs(m, 50000)
+          .withColumn("page", concat(
+            lit("Share on Facebook\nDoc "), col("doc_id").cast("string"),
+            lit("\nCategory: "), pmod(col("doc_id"), lit(97)).cast("string"),
+            lit("\n"), col("text"),
+            lit("\nCopyright 2020 Example Corp")))
+        val r = PipelineOps.removeDupLines(pages, col("doc_id"), col("page"))
+          .agg(sum(length(col("clean_text"))).as("nc"),
+            sum(col("n_removed")).as("nr"), count(lit(1)).as("n"))
+          .collect()(0)
+        println(s"""{"wl":"pl33_line_dedup","diag":"m=$m """ +
+          s"""removed=${r.getLong(1)}"}""")
+        (r.getLong(2), (System.nanoTime() - t0) / 1e9)
+      },
       // pl12 path: connected components over the minhash pair graph
       "pl12_dedup_groups" -> { m =>
         timed {

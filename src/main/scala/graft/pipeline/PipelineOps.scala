@@ -469,6 +469,94 @@ object PipelineOps {
         (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** Corpus-level LINE dedup (the C4/RefinedWeb boilerplate-removal
+    * shape: "Share on Facebook" / cookie banners / copyright footers
+    * repeat across pages): every non-blank line is counted corpus-wide;
+    * a line INSTANCE is removed when its line occurs >= `minCount`
+    * times and (with `keepFirst`) it is not the canonical
+    * minimum-(doc_id, pos) occurrence — C4 keeps the first copy;
+    * `keepFirst = false` drops every instance (the hard boilerplate
+    * filter). Blank (trim-empty) lines never participate and always
+    * survive — they carry paragraph structure, not content.
+    * Plan shape at 100 TB: lines are projected to (doc_id, pos,
+    * xxhash64(line)) BEFORE the count shuffle — one map-side-combined
+    * count on an 8-byte key, one join back, and a per-doc LOCAL
+    * filter+rejoin; nothing quadratic, no raw text through the
+    * shuffle. Dedup keys are 64-bit hashes (the standard C4-family
+    * tradeoff): a collision conflates two distinct lines, vanishingly
+    * rare below ~2^32 distinct lines.
+    * Null text ≡ empty text (one empty line, kept): clean_text '',
+    * n_lines 1, n_removed 0 — never NULL outputs. */
+  def removeDupLines(docs: DataFrame, id: Column, text: Column,
+      minCount: Int = 2, keepFirst: Boolean = true): DataFrame = {
+    require(minCount >= 2, s"removeDupLines: minCount $minCount < 2")
+    val base = docs.select(id.cast("long").as("doc_id"),
+      split(coalesce(text, lit("")), "\n", -1).as("ls"))
+    val lines = base.select(col("doc_id"), posexplode(col("ls")))
+      .withColumnRenamed("col", "line")
+      .filter(trim(col("line")) =!= "")
+      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+    val agg = lines.groupBy("lh").agg(count(lit(1)).as("lc"),
+      min(struct(col("doc_id"), col("pos"))).as("keeper"))
+    val removed = lines.join(agg, "lh")
+      .filter(col("lc") >= minCount &&
+        (if (keepFirst)
+          !(col("doc_id") === col("keeper.doc_id") &&
+            col("pos") === col("keeper.pos"))
+         else lit(true)))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("rm"))
+    base.join(removed, Seq("doc_id"), "left")
+      .withColumn("rm", coalesce(col("rm"), typedLit(Array.empty[Int])))
+      .withColumn("kept", expr(
+        "filter(transform(ls, (l, p) -> named_struct('l', l, 'p', p)), " +
+          "x -> NOT array_contains(rm, x.p))"))
+      .select(col("doc_id"),
+        array_join(expr("transform(kept, x -> x.l)"), "\n").as("clean_text"),
+        size(col("ls")).cast("long").as("n_lines"),
+        (size(col("ls")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Temperature-smoothed domain mixture (the multilingual / multi-
+    * source reweighting rule of GPT/LLaMA-family data recipes, fixed at
+    * alpha = 0.5): domain d with T_d total tokens gets sampling mass
+    * p_d ∝ sqrt(T_d); its keep RATE is min(1, budget·p_d / T_d) —
+    * low-resource domains are pulled toward uniform (rate saturates at
+    * 1), high-resource ones are trimmed. Selection is a deterministic
+    * hash gate on a parts-per-million grid: a doc is kept iff
+    * h32(doc_id) mod 1e6 < floor(rate·1e6).
+    * Cross-engine determinism (the DuckDB oracle restates every step):
+    * sqrt is IEEE-exact; per-domain masses quantize to nano-longs so
+    * the denominator is an ORDER-FREE integer sum; the remaining double
+    * steps are one fixed operation sequence; the hash is the md5-based
+    * h32 both engines share. alpha = 0.5 is pinned BECAUSE pow() is not
+    * correctly rounded across engines — sqrt is.
+    * Plan at 100 TB: one tiny per-domain aggregate (map-side combined),
+    * a one-long driver total, a broadcast rate join, and a map-side
+    * filter — nothing but the scan grows with the corpus. */
+  def domainMixture(docs: DataFrame, id: Column, domain: Column,
+      nTokens: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"domainMixture: budget $budgetTokens <= 0")
+    val perDom = docs.groupBy(domain.as("dom"))
+      .agg(sum(nTokens.cast("long")).as("t_d"))
+      .withColumn("s_nano",
+        round(sqrt(col("t_d").cast("double")) * 1e9).cast("long"))
+    val total = perDom.agg(sum(col("s_nano"))).collect()(0).getLong(0)
+    val rates = perDom
+      .withColumn("rate_ppm",
+        floor(least(lit(1.0),
+          lit(budgetTokens.toDouble) *
+            (col("s_nano").cast("double") / lit(total.toDouble)) /
+            col("t_d").cast("double")) * 1e6).cast("long"))
+      .select(col("dom"), col("rate_ppm"))
+    docs.select(id.cast("long").as("doc_id"), domain.as("dom"),
+        nTokens.cast("long").as("n_tokens"))
+      .join(broadcast(rates), Seq("dom"))
+      .filter(pmod(TextOps.hash32(col("doc_id").cast("string")),
+        lit(1000000L)) < col("rate_ppm"))
+      .select(col("doc_id"), col("dom").as("domain"), col("n_tokens"),
+        col("rate_ppm"))
+  }
+
   /** BM25 lexical top-k — keyword retrieval over the corpus, the
     * non-embedding leg of similarity search. Query terms broadcast;
     * term frequencies and document frequencies come from two map-side-

@@ -218,6 +218,37 @@ object PipelineQueries {
         col("doc_id"), col("text"), k = 8)
     }),
 
+    // corpus-level LINE dedup (the C4 keep-first / boilerplate-removal
+    // rule): a deterministic page is synthesized around each doc's text
+    // — two global boilerplate lines (count = corpus size), a 7-way
+    // category line, a per-doc unique line, the doc text, and a blank
+    // line that must survive untouched — and the op keeps exactly the
+    // canonical minimum-(doc_id, pos) instance of every duplicated line
+    "pl33_remove_dup_lines" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .withColumn("page", concat(
+          lit("Share on Facebook\nDoc "), col("doc_id").cast("string"),
+          lit("\nCategory: "), (col("doc_id") % 7).cast("string"),
+          lit("\n"), coalesce(col("text"), lit("")),
+          lit("\n\nCopyright 2020 Example Corp")))
+      PipelineOps.removeDupLines(pages, col("doc_id"), col("page"))
+    }),
+
+    // temperature-smoothed domain mixture (the alpha=0.5 data-recipe
+    // reweighting): a skewed domain map is synthesized — one giant
+    // 'web' domain plus a low-resource tail keyed on source — and the
+    // op keeps exactly the ppm-hash-gated docs at each domain's
+    // smoothed rate (small domains saturate at rate 1, the big one is
+    // trimmed toward the token budget)
+    "pl34_domain_mixture" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("dom", when(col("doc_id") % 17 === 0, col("source"))
+          .otherwise(lit("web")))
+        .withColumn("n_tok", size(TextOps.tokens(col("text"))))
+      PipelineOps.domainMixture(d, col("doc_id"), col("dom"),
+        col("n_tok"), budgetTokens = 13000L)
+    }),
+
     // n-gram repetition quality signals (the Gopher/RefinedWeb-family
     // "repetition removal" filters): most-common 2-/3-gram character
     // mass and duplicated-5-gram character mass per document, as exact
@@ -737,6 +768,57 @@ object PipelineQueries {
         |  CAST(nt - len(kept) AS BIGINT) AS n_removed
         |FROM kk""".stripMargin
     },
+
+    // domain mixture restated step-for-step: sqrt masses quantized to
+    // nano-longs (order-free integer denominator), one fixed double
+    // operation sequence for the rate, md5-h32 ppm gate
+    "pl34_domain_mixture" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN source ELSE 'web' END AS dom,
+        |    len($toksSql) AS n_tok FROM documents),
+        |pd AS (SELECT dom, CAST(SUM(n_tok) AS BIGINT) AS t_d,
+        |    CAST(round(sqrt(CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT) AS s_nano
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(s_nano) AS BIGINT) AS s FROM pd),
+        |rates AS (SELECT dom,
+        |    CAST(floor(least(1.0, 13000.0
+        |      * (CAST(s_nano AS DOUBLE) / CAST(tot.s AS DOUBLE))
+        |      / CAST(t_d AS DOUBLE)) * 1000000.0) AS BIGINT) AS rate_ppm
+        |  FROM pd, tot)
+        |SELECT d.doc_id, d.dom AS domain,
+        |  CAST(d.n_tok AS BIGINT) AS n_tokens, r.rate_ppm
+        |FROM d JOIN rates r USING (dom)
+        |WHERE ${h32("CAST(d.doc_id AS VARCHAR)")} % 1000000
+        |  < r.rate_ppm""".stripMargin,
+
+    // line dedup restated: keep a non-blank line instance iff its line
+    // is corpus-unique or it is the row_number()=1 occurrence under
+    // (doc_id, pos) — exactly the op's min-(doc_id, pos) keeper; blank
+    // lines always survive
+    "pl33_remove_dup_lines" ->
+      """WITH pages AS (SELECT doc_id,
+        |    'Share on Facebook' || chr(10) || 'Doc ' || doc_id || chr(10) ||
+        |    'Category: ' || (doc_id % 7) || chr(10) || COALESCE(text, '') ||
+        |    chr(10) || chr(10) || 'Copyright 2020 Example Corp' AS page
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(string_split(page, chr(10))) AS line,
+        |    unnest(range(len(string_split(page, chr(10))))) AS pos
+        |  FROM pages),
+        |m AS (SELECT doc_id, pos, line,
+        |    CASE WHEN trim(line) = '' THEN TRUE
+        |      ELSE count(*) OVER (PARTITION BY line) < 2
+        |        OR row_number() OVER (PARTITION BY line
+        |             ORDER BY doc_id, pos) = 1
+        |    END AS keep
+        |  FROM l)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed
+        |FROM m GROUP BY doc_id""".stripMargin,
 
     // BM25 restated with the SAME operand order (IEEE +,-,*,/ are
     // bit-identical given identical order; the constants compose the

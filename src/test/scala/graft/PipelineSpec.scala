@@ -222,6 +222,78 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("no fixed point"))
   }
 
+  test("domainMixture: sqrt-temperature rates, ppm hash gate, saturation") {
+    // one big domain (90 docs x 100 tokens) + two small (5 docs x 20)
+    val rows = (0 until 90).map(i => (i.toLong, "web", 100)) ++
+      (90 until 95).map(i => (i.toLong, "niche_a", 20)) ++
+      (95 until 100).map(i => (i.toLong, "niche_b", 20))
+    val d = rows.toDF("doc_id", "dom", "n_tok")
+    val budget = 4000L
+    val out = PipelineOps.domainMixture(d, col("doc_id"), col("dom"),
+      col("n_tok"), budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // hand-computed: T_web = 9000, T_a = T_b = 100
+    val sW = math.round(math.sqrt(9000.0) * 1e9)
+    val sA = math.round(math.sqrt(100.0) * 1e9)
+    val tot = sW + 2 * sA
+    def ppm(s: Long, t: Long): Long = math.floor(math.min(1.0,
+      budget.toDouble * (s.toDouble / tot.toDouble) / t.toDouble) * 1e6).toLong
+    val pW = ppm(sW, 9000); val pA = ppm(sA, 100)
+    assert(pA == 1000000L, s"low-resource domain must saturate: $pA")
+    assert(pW > 0 && pW < 1000000L, s"big domain must be trimmed: $pW")
+    out.foreach { case (id, dom, nt, rp) =>
+      assert(rp == (if (dom == "web") pW else pA), s"doc $id rate $rp")
+      assert(nt == (if (dom == "web") 100L else 20L))
+    }
+    // saturated domains keep every doc; the big one keeps exactly the
+    // md5-h32 ppm-gated subset (recomputed independently here)
+    assert(out.count(_._2 != "web") == 10)
+    def h32(sIn: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sIn.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expectWeb = (0 until 90)
+      .filter(i => h32(i.toString) % 1000000 < pW).map(_.toLong).toSet
+    assert(out.filter(_._2 == "web").map(_._1).toSet == expectWeb)
+  }
+
+  test("removeDupLines: keep-first, hard-drop, blanks, minCount, null text") {
+    val boiler = "Share on Facebook"
+    val d = Seq(
+      (3L, s"$boiler\nunique three\n\ntail three"),
+      (1L, s"$boiler\nunique one"),
+      (2L, s"intro two\n$boiler\n$boiler"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = PipelineOps.removeDupLines(d, col("doc_id"), col("text"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // canonical instance = min (doc_id, pos): doc 1 pos 0 keeps it
+    assert(r(1L) == (s"$boiler\nunique one", 2L, 0L), r(1L))
+    // every other instance drops — including the SECOND copy inside
+    // doc 2 (corpus-level counting sees intra-doc repeats too)
+    assert(r(2L) == ("intro two", 3L, 2L), r(2L))
+    // blank line survives and keeps its position
+    assert(r(3L) == ("unique three\n\ntail three", 4L, 1L), r(3L))
+    // null text ≡ empty text: one (blank) line, kept
+    assert(r(4L) == ("", 1L, 0L), r(4L))
+    // keepFirst = false: the hard boilerplate filter drops EVERY instance
+    val hard = PipelineOps.removeDupLines(d, col("doc_id"), col("text"),
+      keepFirst = false)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(hard(1L) == ("unique one", 2L, 1L), hard(1L))
+    assert(hard(2L) == ("intro two", 3L, 2L))
+    // minCount above the corpus count: nothing removed anywhere
+    val loose = PipelineOps.removeDupLines(d, col("doc_id"), col("text"),
+      minCount = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(loose.values.forall(_ == 0L), loose)
+  }
+
   test("removeDupSpans: null text ≡ empty text (non-null outputs)") {
     val d = Seq((1L, Option("alpha beta gamma delta epsilon zeta eta theta nine")),
       (2L, None: Option[String])).toDF("doc_id", "text")
