@@ -1612,6 +1612,27 @@ class Jpeg2000Spec extends AnyFunSuite {
             s"$tag comp=$c maxErr=$me")
         }
       }
+      // windowed decode differential across the WHOLE lattice: a random
+      // full-resolution window equals the full decode's crop (per-
+      // component ceil-division rects; exact on lossy components too —
+      // same dequantization, sufficient lifting margins)
+      locally {
+        val wx = rnd.nextInt(w); val wy = rnd.nextInt(h)
+        val ww2 = 1 + rnd.nextInt(w - wx); val wh2 = 1 + rnd.nextInt(h - wy)
+        val wins = Jpeg2000.decodeWindow(cs, wx, wy, ww2, wh2)
+        for (c <- 0 until nc) {
+          val (sx, sy) = ssM.getOrElse(c, (1, 1))
+          val cx0 = wx / sx; val cy0 = wy / sy
+          val cw2 = (wx + ww2 + sx - 1) / sx - cx0
+          val ch2 = (wy + wh2 + sy - 1) / sy - cy0
+          assert(wins(c).w == cw2 && wins(c).h == ch2,
+            s"$tag comp=$c win dims ${wins(c).w}x${wins(c).h}")
+          for (y <- 0 until ch2; x <- 0 until cw2)
+            assert(wins(c).samples(y * cw2 + x) ==
+              back(c).samples((cy0 + y) * back(c).w + cx0 + x),
+              s"$tag comp=$c win=($wx,$wy,$ww2,$wh2) at ($x,$y)")
+        }
+      }
       // reduced decode at the shallowest pyramid holds the size contract
       val dMax = (0 until nc).map(c => cocNl.getOrElse(c, levels)).min
       if (dMax > 0) {
@@ -1620,6 +1641,23 @@ class Jpeg2000Spec extends AnyFunSuite {
           val (cw, ch) = dimsOf(c)
           assert(red(c).w == (cw + 1) / 2 && red(c).h == (ch + 1) / 2,
             s"$tag comp=$c reduced ${red(c).w}x${red(c).h}")
+        }
+        // and a random REDUCED window equals the reduced decode's crop
+        val rw = (w + 1) / 2; val rh = (h + 1) / 2
+        val rx = rnd.nextInt(rw); val ry = rnd.nextInt(rh)
+        val rwd = 1 + rnd.nextInt(rw - rx); val rht = 1 + rnd.nextInt(rh - ry)
+        val rwins = Jpeg2000.decodeWindowAt(cs, 1, rx, ry, rwd, rht)
+        for (c <- 0 until nc) {
+          val (sx, sy) = ssM.getOrElse(c, (1, 1))
+          val cx0 = rx / sx; val cy0 = ry / sy
+          val cw2 = (rx + rwd + sx - 1) / sx - cx0
+          val ch2 = (ry + rht + sy - 1) / sy - cy0
+          assert(rwins(c).w == cw2 && rwins(c).h == ch2,
+            s"$tag comp=$c redwin dims ${rwins(c).w}x${rwins(c).h}")
+          for (y <- 0 until ch2; x <- 0 until cw2)
+            assert(rwins(c).samples(y * cw2 + x) ==
+              red(c).samples((cy0 + y) * red(c).w + cx0 + x),
+              s"$tag comp=$c redwin=($rx,$ry,$rwd,$rht) at ($x,$y)")
         }
       }
     }
