@@ -81,31 +81,52 @@ object MultimodalOps {
     * features); mean_byte is the mean absolute amplitude scaled to the
     * 0-255 byte range so the feature slot is comparable across modalities.
     * None when the bytes aren't PCM WAV (caller falls back to the stub). */
+  /** WAV RIFF chunk walk shared by the decoders: (rate, channels, bits,
+    * dataOff, dataLen) for PCM 8/16-bit; None on anything else. */
+  private def wavLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (bytes.length < 44) return None
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var channels = 0; var rate = 0; var bits = 0; var audioFormat = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos); val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          audioFormat = bb.getShort(pos + 8) & 0xffff
+          channels = bb.getShort(pos + 10) & 0xffff
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22) & 0xffff
+        case "data" => dataOff = pos + 8; dataLen = size
+        case _ => // skip LIST/fact/...
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (audioFormat != 1 || channels <= 0 || rate <= 0 ||
+      (bits != 8 && bits != 16) || dataOff < 0) None
+    else Some((rate, channels, bits, dataOff, dataLen))
+  }
+
+  /** Interleaved PCM samples in their signed representation (8-bit data
+    * is offset-binary and shifts to [-128, 127]). */
+  private[pipeline] def wavSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    wavLayout(bytes).map { case (_, _, bits, dataOff, dataLen) =>
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = dataLen / (bits / 8)
+      Array.tabulate(n)(i =>
+        if (bits == 16) bb.getShort(dataOff + i * 2).toInt
+        else (bytes(dataOff + i) & 0xff) - 128)
+    }
+
   private[pipeline] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Row)] =
     try {
-      if (bytes.length < 44) return None
-      def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
-      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      val (rate, channels, bits, dataOff, dataLen) =
+        wavLayout(bytes).getOrElse(return None)
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var pos = 12
-      var channels = 0; var rate = 0; var bits = 0; var audioFormat = 0
-      var dataOff = -1; var dataLen = 0
-      while (pos + 8 <= bytes.length) {
-        val id = tag(pos); val size = bb.getInt(pos + 4)
-        if (size < 0 || pos + 8 + size > bytes.length) return None
-        id match {
-          case "fmt " if size >= 16 =>
-            audioFormat = bb.getShort(pos + 8) & 0xffff
-            channels = bb.getShort(pos + 10) & 0xffff
-            rate = bb.getInt(pos + 12)
-            bits = bb.getShort(pos + 22) & 0xffff
-          case "data" => dataOff = pos + 8; dataLen = size
-          case _ => // skip LIST/fact/...
-        }
-        pos += 8 + size + (size & 1)
-      }
-      if (audioFormat != 1 || channels <= 0 || rate <= 0 ||
-        (bits != 8 && bits != 16) || dataOff < 0) return None
       val bytesPer = bits / 8
       val total = dataLen / bytesPer
       val frames = total / channels
@@ -156,6 +177,53 @@ object MultimodalOps {
             }
           }
         Row.fromSeq(row.toSeq ++ Seq(meta, features))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Per-frame audio features over PCM WAV — the energy/silence profile
+    * a speech-curation pipeline computes ahead of VAD/segmentation:
+    * non-overlapping frames of `frameLen` interleaved samples (the
+    * trailing partial frame counts), each reporting the exact-integer
+    * abs-amplitude sum, the peak |amplitude|, and frame-local sign
+    * crossings (#{i > frame start : (x[i-1] < 0) != (x[i] < 0)}).
+    * One output row per (input row, frame) — map-only, no shuffle,
+    * integer-exact across engines. Undecodable bytes contribute zero
+    * rows. */
+  def audioFrameStats(df: DataFrame, idCol: String, binCol: String,
+      frameLen: Int): DataFrame = {
+    require(frameLen > 0, s"audioFrameStats: frameLen $frameLen <= 0")
+    val schema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("abs_sum", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("crossings", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        wavSamples(row.getAs[Array[Byte]](binIdx)) match {
+          case None => Iterator.empty
+          case Some(v) =>
+            val nf = (v.length + frameLen - 1) / frameLen
+            (0 until nf).iterator.map { f =>
+              val s = f * frameLen
+              val e = math.min(v.length, s + frameLen)
+              var sum = 0L; var peak = 0L; var cr = 0L
+              var i = s
+              while (i < e) {
+                val a = math.abs(v(i).toLong)
+                sum += a
+                if (a > peak) peak = a
+                if (i > s && ((v(i - 1) < 0) != (v(i) < 0))) cr += 1
+                i += 1
+              }
+              Row(row.get(idIdx), f, e - s, sum, peak, cr)
+            }
+        }
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)

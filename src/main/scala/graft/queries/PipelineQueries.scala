@@ -370,6 +370,21 @@ object PipelineQueries {
           round(col("features.mean_byte"), 6).as("mean_amp"))
     }),
 
+    // audio feature extraction (the VAD/segmentation pre-pass): per-
+    // frame exact-integer energy (abs-amplitude sum), peak, and sign
+    // crossings over the pl21 synthesized PCM clips — one row per
+    // (doc, 16-sample frame), map-only; the oracle replays the
+    // generator formula per frame slice
+    "pl35_audio_framestats" -> ((s, dir) => {
+      val synth = udf((docId: Long, n: Int) =>
+        MultimodalOps.synthWav(Array.tabulate(n)(i =>
+          (((docId * 7 + i * 13) % 2001) - 1000).toShort), 16000))
+      val src = t(s, dir, "documents")
+        .withColumn("n", (pmod(col("doc_id"), lit(50)) + 10).cast("int"))
+        .withColumn("clip", synth(col("doc_id"), col("n")))
+      MultimodalOps.audioFrameStats(src, "doc_id", "clip", frameLen = 16)
+    }),
+
     // BPE-ish token accounting: GPT-2 pre-tokenizer piece counts (the
     // boundary pass before merges — the scale-stable token-budget
     // estimator), per-class counts and mean piece length; the RE2-
@@ -548,6 +563,27 @@ object PipelineQueries {
         |  CAST(1 AS INT) AS channels,
         |  CAST(n AS INT) AS n_frames,
         |  round(CAST(list_sum(a) AS DOUBLE)/n/32768*255, 6) AS mean_amp
+        |FROM s""".stripMargin,
+
+    // frame stats restated: per doc, frame f slices the generator
+    // formula at [f*16, min((f+1)*16, n)); crossings compare adjacent
+    // in-frame sample signs (1-based list indexing)
+    "pl35_audio_framestats" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 50 + 10 AS INT) AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, n,
+        |    unnest(range(CAST((n + 15) // 16 AS INT))) AS frame_idx
+        |  FROM d),
+        |s AS (SELECT doc_id, frame_idx,
+        |    [((doc_id*7 + i*13) % 2001) - 1000
+        |     for i in range(frame_idx*16, least((frame_idx+1)*16, n))] AS v
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(len(v) AS INT) AS n_samples,
+        |  CAST(list_sum([abs(x) for x in v]) AS BIGINT) AS abs_sum,
+        |  CAST(list_max([abs(x) for x in v]) AS BIGINT) AS peak,
+        |  CAST(len([i for i in range(1, len(v))
+        |    if (v[i] < 0) != (v[i+1] < 0)]) AS BIGINT) AS crossings
         |FROM s""".stripMargin,
 
     "pl20_bpe_pieces" ->

@@ -503,6 +503,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Cartesian"), s"no cartesian allowed:\n$plan")
   }
 
+  test("audioFrameStats: frame slicing, crossings, partial frames, bad bytes") {
+    // 10 samples, frameLen 4 -> frames of 4/4/2; signs + - + - ...
+    val v = Array[Short](100, -200, 300, -400, 500, 600, -700, 0, -800, 900)
+    val wav = MultimodalOps.synthWav(v, 8000)
+    val df = Seq((7L, wav), (8L, Array[Byte](1, 2, 3))).toDF("doc_id", "clip")
+    val out = MultimodalOps.audioFrameStats(df, "doc_id", "clip", frameLen = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // bad bytes contribute zero rows
+    assert(out.keys.forall(_._1 == 7L) && out.size == 3)
+    // frame 0: |100|+|200|+|300|+|400| = 1000, peak 400, crossings 3
+    assert(out((7L, 0)) == ((4, 1000L, 400L, 3L)))
+    // frame 1: 500,600,-700,0 -> sum 1800, peak 700; crossings: only
+    // 600->-700 (0 is non-negative, -700 -> 0 crosses back): 2
+    assert(out((7L, 1)) == ((4, 1800L, 700L, 2L)))
+    // frame 2 (partial): -800,900 -> sum 1700, peak 900, crossings 1;
+    // the 0 -> -800 boundary pair is NOT counted (frame-local)
+    assert(out((7L, 2)) == ((2, 1700L, 900L, 1L)))
+  }
+
   test("multimodal decodeBatch: schema + deterministic stub features") {
     val df = docs.withColumn("blob", col("text").cast("binary"))
     val out = MultimodalOps.decodeBatch(df, "blob", "img")

@@ -107,6 +107,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pl03.contains("Join"), "pl03 dedup should be join-free")
   }
 
+  test("round-17 pipeline gates keep their intended plan shapes") {
+    // pl33 line dedup: hash-key count shuffle + equi-joins, never BNLJ
+    val pl33 = entries("pl33_remove_dup_lines").plan
+    assert(pl33.contains("SortMergeJoin") || pl33.contains("ShuffledHashJoin") ||
+      pl33.contains("BroadcastHashJoin"), "pl33 lost its equi-joins")
+    // pl34 domain mixture: the rate join must BROADCAST the tiny
+    // per-domain side (the hinted plan a 100 TB corpus needs)
+    val pl34 = entries("pl34_domain_mixture").plan
+    assert(pl34.contains("BroadcastHashJoin"), "pl34 rate join must broadcast")
+    // pl35 audio frame stats is map-only: no shuffle anywhere
+    val pl35 = entries("pl35_audio_framestats").plan
+    assert(!pl35.contains("Exchange"), "pl35 gained a shuffle")
+  }
+
   test("round-7 gates keep their intended plan shapes") {
     // sj10 out-of-core KNN grid: cell equi-join + BOUNDED top-k aggregate
     // (round 15: sd_knn_topk_agg + winner rejoin replaced the
