@@ -446,6 +446,38 @@ object ScaleBench {
           s"""removed=${r.getLong(1)}"}""")
         (r.getLong(2), (System.nanoTime() - t0) / 1e9)
       },
+      // pl34 path: domain mixture — one tiny per-domain aggregate (the
+      // docs generator carries 100*m source domains), a broadcast rate
+      // join, and a map-side ppm-hash filter; budget scales with m so
+      // the keep rates stay constant and output rows track input rows
+      "pl34_domain_mixture" -> { m =>
+        timed {
+          val d = docs(m, 50000)
+            .withColumn("n_tok", size(split(col("text"), " ")))
+          graft.pipeline.PipelineOps.domainMixture(d, col("doc_id"),
+            col("source"), col("n_tok"), budgetTokens = 2000000L * m)
+        }
+      },
+      // pl35 path: per-frame audio features — map-only (synth + frame
+      // stats, one output row per 16-sample frame, no shuffle); the agg
+      // collect forces every frame kernel to run (count would prune it)
+      "pl35_audio_frames" -> { m =>
+        val t0 = System.nanoTime()
+        val synth = udf((docId: Long, n: Int) =>
+          graft.pipeline.MultimodalOps.synthWav(Array.tabulate(n)(i =>
+            (((docId * 7 + i * 13) % 2001) - 1000).toShort), 16000))
+        val src = docs(m, 50000)
+          .withColumn("n", (pmod(col("doc_id"), lit(50)) + 30).cast("int"))
+          .withColumn("clip", synth(col("doc_id"), col("n")))
+        val r = graft.pipeline.MultimodalOps
+          .audioFrameStats(src, "doc_id", "clip", frameLen = 16)
+          .agg(sum(col("abs_sum")).as("e"), sum(col("crossings")).as("c"),
+            count(lit(1)).as("n"))
+          .collect()(0)
+        println(s"""{"wl":"pl35_audio_frames","diag":"m=$m """ +
+          s"""energy=${r.getLong(0)}"}""")
+        (r.getLong(2), (System.nanoTime() - t0) / 1e9)
+      },
       // pl12 path: connected components over the minhash pair graph
       "pl12_dedup_groups" -> { m =>
         timed {
