@@ -532,7 +532,10 @@ object PipelineOps {
     * correctly rounded across engines — sqrt is.
     * Plan at 100 TB: one tiny per-domain aggregate (map-side combined),
     * a one-long driver total, a broadcast rate join, and a map-side
-    * filter — nothing but the scan grows with the corpus. */
+    * filter — nothing but the scan grows with the corpus.
+    * Rows with a NULL domain are EXCLUDED (an equi-join never matches
+    * null keys) — coalesce to a sentinel domain upstream if they should
+    * participate. */
   def domainMixture(docs: DataFrame, id: Column, domain: Column,
       nTokens: Column, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"domainMixture: budget $budgetTokens <= 0")

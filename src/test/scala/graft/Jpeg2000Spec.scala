@@ -579,6 +579,30 @@ class Jpeg2000Spec extends AnyFunSuite {
     val junk = Array[Byte](0xFF.toByte, 0x4F.toByte) ++
       Array.fill(500)(rnd.nextInt(256).toByte)
     intercept[Exception](Jpeg2000.decode(junk))
+    // the same sweeps over a FEATURE-RICH stream — the r17 marker
+    // surface (subsampling + POC + PPM + ROI + layers + precincts) has
+    // its own parsers (packet sequencer, Nppm record walk, per-component
+    // grids) that must also refuse or return, never hang
+    val rich = Jpeg2000.encode(Seq(
+        planeOf(48, 40, 8, signed = false, (x, y) => (x * 5 + y * 11) % 256),
+        planeOf(24, 20, 8, signed = false, (x, y) => (x + y * 7) % 256)),
+      levels = 2, cbExp = 4, layers = 2, precinct = Some((4, 4)),
+      subsampling = Map(1 -> (2, 2)), packedHeaders = 1,
+      poc = Seq((0, 0, 2, 1, 2, 0), (1, 0, 2, 3, 2, 2)),
+      roi = Map(0 -> (8, 8, 16, 12)))
+    var tr = 4
+    while (tr < rich.length) {
+      try Jpeg2000.decode(java.util.Arrays.copyOfRange(rich, 0, tr))
+      catch { case _: Exception => }
+      tr += math.max(1, rich.length / 25)
+    }
+    for (_ <- 0 until 80) {
+      val m = rich.clone()
+      val at = 2 + rnd.nextInt(m.length - 2) // headers included this time
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      try Jpeg2000.decode(m)
+      catch { case _: Exception => }
+    }
   }
 
   test("multi tile-part streams: truncation and corruption stay loud or exact") {
