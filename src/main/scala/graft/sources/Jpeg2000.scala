@@ -2273,13 +2273,20 @@ private[graft] object Jpeg2000 {
       * stream with different per-subband exponents decodes by its own
       * declaration (and an exponent table shorter than the COD levels
       * fails loudly). */
-    def mbOf(comp: Int, r: Int, band: Int): Int =
-      mbOf(comp, r, band, roiShift)
-    /** Mb under an explicit ROI-shift table (a tile-part RGN replaces
-      * the main header's for that tile). */
-    def mbOf(comp: Int, r: Int, band: Int, roi: Map[Int, Int]): Int =
-      epsMuOf(comp, r, band)._1 + guardOf(comp) - 1 +
+    /** Mb under an explicit ROI-shift table (tile-part RGN entries
+      * override the main header's per component). The 31-bit cap is a
+      * hard decoder contract: EBCOT magnitudes live in Ints, so a
+      * hostile/foreign stream whose ε + guard + SPrgn would need more
+      * bits must refuse loudly here instead of wrapping shifts into
+      * silent garbage pixels. */
+    def mbOf(comp: Int, r: Int, band: Int, roi: Map[Int, Int]): Int = {
+      val mb = epsMuOf(comp, r, band)._1 + guardOf(comp) - 1 +
         roi.getOrElse(comp, 0)
+      require(mb <= 31,
+        s"jpeg2000: Mb $mb exceeds 31-bit EBCOT magnitudes (quantization " +
+          "exponent / guard bits / ROI shift too large)")
+      mb
+    }
     /** Lossy reconstruction step for (component, resolution, band) from
       * the signalled (ε, μ) at Rb = component depth + subband gain. */
     def stepHatOf(comp: Int, r: Int, band: Int): Double = {
@@ -2512,15 +2519,7 @@ private[graft] object Jpeg2000 {
             cocPy += ccoc -> py
           }
         case 0xFF5E => // RGN (E.1): maxshift ROI scaling only
-          val base = pos + 4
-          val big = nc >= 257
-          val crgn = if (big) bb.getShort(base) & 0xFFFF else bb.get(base) & 0xFF
-          val srgn = bb.get(base + (if (big) 2 else 1)) & 0xFF
-          val sprgn = bb.get(base + (if (big) 3 else 2)) & 0xFF
-          require(srgn == 0,
-            s"jpeg2000: RGN style $srgn unsupported (0 = implicit maxshift)")
-          require(sprgn >= 0 && sprgn <= 37,
-            s"jpeg2000: RGN SPrgn $sprgn out of range")
+          val (crgn, sprgn) = parseRgn(bytes, bb, pos, nc)
           roiShiftM += crgn -> sprgn
         case 0xFF5F => // POC (A.6.6): ordered progression segments
           pocSegs ++= parsePocEntries(bytes, bb, pos, nc)
@@ -2605,6 +2604,22 @@ private[graft] object Jpeg2000 {
       ppt: Vector[(Int, Array[Byte])],
       poc: Vector[(Int, Int, Int, Int, Int, Int)] = Vector.empty,
       roi: Map[Int, Int] = Map.empty)
+
+  /** RGN (E.1) field extraction shared by the main-header and tile-part
+    * parsers: (Crgn, SPrgn). Refuses non-maxshift styles and
+    * out-of-range shifts here so the two call sites cannot drift. */
+  private def parseRgn(bytes: Array[Byte], bb: ByteBuffer, pos: Int,
+      nc: Int): (Int, Int) = {
+    val base = pos + 4
+    val big = nc >= 257
+    val crgn = if (big) bb.getShort(base) & 0xFFFF else bytes(base) & 0xFF
+    val srgn = bytes(base + (if (big) 2 else 1)) & 0xFF
+    val sprgn = bytes(base + (if (big) 3 else 2)) & 0xFF
+    require(srgn == 0,
+      s"jpeg2000: RGN style $srgn unsupported (0 = implicit maxshift)")
+    require(sprgn <= 37, s"jpeg2000: RGN SPrgn $sprgn out of range")
+    (crgn, sprgn)
+  }
 
   /** Parse one POC marker segment's entries at `pos` (marker offset). */
   private def parsePocEntries(bytes: Array[Byte], bb: ByteBuffer, pos: Int,
@@ -2695,12 +2710,7 @@ private[graft] object Jpeg2000 {
               // already partially consumed
               require(tpsot == 0,
                 "jpeg2000: RGN in a non-first tile-part unsupported")
-              val big = hd.nc >= 257
-              val crgn = if (big) bb.getShort(q + 4) & 0xFFFF else bytes(q + 4) & 0xFF
-              val srgn = bytes(q + 4 + (if (big) 2 else 1)) & 0xFF
-              val sprgn = bytes(q + 4 + (if (big) 3 else 2)) & 0xFF
-              require(srgn == 0,
-                s"jpeg2000: RGN style $srgn unsupported (0 = implicit maxshift)")
+              val (crgn, sprgn) = parseRgn(bytes, bb, q, hd.nc)
               require(crgn < hd.nc, s"jpeg2000: RGN component $crgn out of range")
               require(hd.trOf(crgn) == 1,
                 s"jpeg2000: RGN on a 9/7 (lossy) component $crgn unsupported")
@@ -2846,8 +2856,10 @@ private[graft] object Jpeg2000 {
         hdrStream: Option[Array[Byte]] = None,
         tilePoc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
         tileRoi: Map[Int, Int] = Map.empty): Array[Array[Int]] = {
-      // a tile-part RGN replaces the main header's ROI table for this tile
-      val roiEff = if (tileRoi.nonEmpty) tileRoi else hd.roiShift
+      // tile-part RGN entries override the main header's PER COMPONENT
+      // (A.6.3 marker precedence); components without a tile-part entry
+      // keep their main-header shift
+      val roiEff = hd.roiShift ++ tileRoi
       // windowed decode: the per-level coefficient regions that influence
       // the window's pixels — each inverse-lifting level halves the
       // region and needs a support margin (radius <= 2 per axis per

@@ -1779,9 +1779,14 @@ class Jpeg2000Spec extends AnyFunSuite {
     val pocMarker = Array[Byte](0xFF.toByte, 0x5F.toByte, 0, 9,
       0, 0, 0, 1, 3, 2, 2)
     val spliced = csParts.take(at) ++ pocMarker ++ csParts.drop(at)
+    // patch the spliced part's Psot so the tile-part walk stays aligned
+    // and the refusal UNDER TEST (not a bogus 'expected SOT' from a
+    // stale length) is the one that fires
+    val bbS = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bbS.putInt(sots(1) + 6, bbS.getInt(sots(1) + 6) + pocMarker.length)
     val e = intercept[IllegalArgumentException](Jpeg2000.decode(spliced))
-    assert(e.getMessage.contains("non-first") ||
-      e.getMessage.contains("expected SOT"), e.getMessage)
+    assert(e.getMessage.contains("non-first"), e.getMessage)
   }
 
   test("tile-part-header RGN: per-tile ROI shift decodes bit-exact") {
@@ -1815,9 +1820,30 @@ class Jpeg2000Spec extends AnyFunSuite {
     val at = sots(1) + 12
     val rgn = Array[Byte](0xFF.toByte, 0x5E.toByte, 0, 5, 0, 0, 5)
     val spliced = csParts.take(at) ++ rgn ++ csParts.drop(at)
+    // Psot patch: see the POC twin — the tpsot refusal must be what fires
+    val bbS = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bbS.putInt(sots(1) + 6, bbS.getInt(sots(1) + 6) + rgn.length)
     val e = intercept[IllegalArgumentException](Jpeg2000.decode(spliced))
-    assert(e.getMessage.contains("non-first") ||
-      e.getMessage.contains("expected SOT"), e.getMessage)
+    assert(e.getMessage.contains("non-first"), e.getMessage)
+    // main-header + tile-part RGN MIX (a foreign shape this encoder
+    // never emits): tile-part entries override PER COMPONENT (A.6.3) —
+    // the spliced main-header shift on component 1 must SURVIVE the
+    // merge, where it trips the decoder's 31-bit Mb refusal (the old
+    // whole-table replacement silently dropped it)
+    val csTileRgn = Jpeg2000.encode(planes, levels = 2, cbExp = 4,
+      roi = Map(0 -> (10, 8, 30, 20)), rgnInTilePart = true)
+    val sot0 = csTileRgn.indices.dropRight(1).find(j =>
+      (csTileRgn(j) & 0xFF) == 0xFF && (csTileRgn(j + 1) & 0xFF) == 0x90).get
+    val mainRgn = Array[Byte](0xFF.toByte, 0x5E.toByte, 0, 5, 1, 0, 25)
+    val mixed = csTileRgn.take(sot0) ++ mainRgn ++ csTileRgn.drop(sot0)
+    val e2 = intercept[IllegalArgumentException](Jpeg2000.decode(mixed))
+    assert(e2.getMessage.contains("31-bit"), e2.getMessage)
+    // an out-of-range SPrgn refuses at parse in BOTH header positions
+    val badRgn = Array[Byte](0xFF.toByte, 0x5E.toByte, 0, 5, 1, 0, 38)
+    val bad = csTileRgn.take(sot0) ++ badRgn ++ csTileRgn.drop(sot0)
+    val e3 = intercept[IllegalArgumentException](Jpeg2000.decode(bad))
+    assert(e3.getMessage.contains("out of range"), e3.getMessage)
   }
 
   test("PPM/PPT packed packet headers: relocated headers decode identically") {
