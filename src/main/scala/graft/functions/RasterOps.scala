@@ -830,7 +830,12 @@ object RasterOps {
               // replication-upsamples back onto the canvas grid
               val xy = s.drop(3).split("x", 2)
               require(xy.length == 2, s"rs_asjpeg2000_profile: bad ss in '$ent'")
-              ssM += comp -> (xy(0).toInt, xy(1).toInt)
+              val (sx, sy) = (xy(0).toInt, xy(1).toInt)
+              // range-checked HERE: the band is decimated before the
+              // codestream encoder's own check could fire
+              require(sx >= 1 && sx <= 255 && sy >= 1 && sy <= 255,
+                s"rs_asjpeg2000_profile: ss factors out of range 1..255 in '$ent'")
+              ssM += comp -> (sx, sy)
             case other => throw new IllegalArgumentException(
               s"rs_asjpeg2000_profile: unknown COC override '$other'")
           }

@@ -93,7 +93,8 @@ object MultimodalOps {
     var dataOff = -1; var dataLen = 0
     while (pos + 8 <= bytes.length) {
       val id = tag(pos); val size = bb.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // subtraction form: 'pos + 8 + size' overflows Int on hostile sizes
+      if (size < 0 || size > bytes.length - pos - 8) return None
       id match {
         case "fmt " if size >= 16 =>
           audioFormat = bb.getShort(pos + 8) & 0xffff
@@ -111,16 +112,19 @@ object MultimodalOps {
   }
 
   /** Interleaved PCM samples in their signed representation (8-bit data
-    * is offset-binary and shifts to [-128, 127]). */
+    * is offset-binary and shifts to [-128, 127]). Total: null or
+    * malformed bytes yield None — callers promise "undecodable
+    * contributes zero rows", so nothing here may throw. */
   private[pipeline] def wavSamples(bytes: Array[Byte]): Option[Array[Int]] =
-    wavLayout(bytes).map { case (_, _, bits, dataOff, dataLen) =>
+    if (bytes == null) None
+    else try wavLayout(bytes).map { case (_, _, bits, dataOff, dataLen) =>
       val bb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val n = dataLen / (bits / 8)
       Array.tabulate(n)(i =>
         if (bits == 16) bb.getShort(dataOff + i * 2).toInt
         else (bytes(dataOff + i) & 0xff) - 128)
-    }
+    } catch { case _: Exception => None }
 
   private[pipeline] def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Row)] =
     try {

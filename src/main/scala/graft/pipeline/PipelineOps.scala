@@ -539,18 +539,36 @@ object PipelineOps {
   def domainMixture(docs: DataFrame, id: Column, domain: Column,
       nTokens: Column, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"domainMixture: budget $budgetTokens <= 0")
-    val perDom = docs.groupBy(domain.as("dom"))
+    // ONE corpus scan: the per-domain totals (broadcast-sized by the
+    // op's contract) collect to the driver, where the masses, the
+    // order-free nano-long denominator, and the rates are computed —
+    // re-deriving them inside the join would scan the corpus twice.
+    // math.round(positive) == Spark/DuckDB HALF_UP round; the division
+    // sequence matches the oracle's verbatim. addExact refuses loudly
+    // if the summed sqrt masses ever outgrow a Long (~9.2e9 summed
+    // sqrt-tokens) instead of wrapping into garbage rates.
+    val agged = docs.groupBy(domain.as("dom"))
       .agg(sum(nTokens.cast("long")).as("t_d"))
-      .withColumn("s_nano",
-        round(sqrt(col("t_d").cast("double")) * 1e9).cast("long"))
-    val total = perDom.agg(sum(col("s_nano"))).collect()(0).getLong(0)
-    val rates = perDom
-      .withColumn("rate_ppm",
-        floor(least(lit(1.0),
-          lit(budgetTokens.toDouble) *
-            (col("s_nano").cast("double") / lit(total.toDouble)) /
-            col("t_d").cast("double")) * 1e6).cast("long"))
-      .select(col("dom"), col("rate_ppm"))
+    val domRows = agged.collect().filter(!_.isNullAt(1))
+    val sNano = domRows.map(r =>
+      math.round(math.sqrt(r.getLong(1).toDouble) * 1e9))
+    var total = 0L
+    sNano.foreach(s => total = math.addExact(total, s))
+    val rateRows: Seq[org.apache.spark.sql.Row] =
+      domRows.toSeq.zip(sNano).map { case (r, s) =>
+        val tD = r.getLong(1)
+        // tD == 0 (a domain of zero-token docs) would divide 0/0: keep
+        // it saturated — the rate gates nothing of substance
+        val rate = if (tD == 0L) 1.0 else math.min(1.0,
+          budgetTokens.toDouble * (s.toDouble / total.toDouble) / tD.toDouble)
+        org.apache.spark.sql.Row(r.get(0), math.floor(rate * 1e6).toLong)
+      }
+    val sess = docs.sparkSession
+    val rates = sess.createDataFrame(
+      sess.sparkContext.parallelize(rateRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(agged.schema("dom"),
+        org.apache.spark.sql.types.StructField("rate_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     docs.select(id.cast("long").as("doc_id"), domain.as("dom"),
         nTokens.cast("long").as("n_tokens"))
       .join(broadcast(rates), Seq("dom"))

@@ -258,6 +258,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expectWeb = (0 until 90)
       .filter(i => h32(i.toString) % 1000000 < pW).map(_.toLong).toSet
     assert(out.filter(_._2 == "web").map(_._1).toSet == expectWeb)
+    // empty input: empty output, no crash (the per-domain collect sees
+    // zero rows)
+    val empty = PipelineOps.domainMixture(d.filter(col("doc_id") < 0),
+      col("doc_id"), col("dom"), col("n_tok"), budget)
+    assert(empty.count() == 0)
+    // a zero-token domain saturates instead of dividing 0/0
+    val zeroed = rows.map { case (i, dm, n) =>
+      (i, dm, if (dm == "niche_b") 0 else n) }.toDF("doc_id", "dom", "n_tok")
+    val z = PipelineOps.domainMixture(zeroed, col("doc_id"), col("dom"),
+      col("n_tok"), budget)
+      .filter(col("domain") === "niche_b").collect()
+    assert(z.length == 5 && z.forall(_.getLong(3) == 1000000L))
+  }
+
+  test("audioFrameStats: hostile chunk sizes and null clips yield zero rows") {
+    // a RIFF/WAVE header whose chunk size would overflow pos+8+size
+    val hostile = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(0x7FFFFFF0)
+      b.array()
+    }
+    val df = Seq((1L, hostile), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, MultimodalOps.synthWav(Array[Short](5, -5, 5, -5), 8000)))
+      .toDF("doc_id", "clip")
+    val out = MultimodalOps.audioFrameStats(df, "doc_id", "clip", frameLen = 4)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 3L,
+      out.mkString(","))
   }
 
   test("removeDupLines: keep-first, hard-drop, blanks, minCount, null text") {
