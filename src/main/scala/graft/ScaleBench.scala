@@ -478,6 +478,22 @@ object ScaleBench {
           s"""energy=${r.getLong(0)}"}""")
         (r.getLong(2), (System.nanoTime() - t0) / 1e9)
       },
+      // pl36 path: per-tile image features — map-only like pl35 but the
+      // per-row work is a REAL PNG encode+decode; wall must track rows
+      "pl36_image_tiles" -> { m =>
+        val t0 = System.nanoTime()
+        val synth = udf((docId: Long) =>
+          graft.pipeline.MultimodalOps.synthGradientPng(37, 23, docId * 13))
+        val src = spark.range(0, 20000L * m).toDF("doc_id")
+          .withColumn("img", synth(col("doc_id")))
+        val r = graft.pipeline.MultimodalOps
+          .imageTileStats(src, "doc_id", "img", tile = 8)
+          .agg(sum(col("lum_sum")).as("s"), count(lit(1)).as("n"))
+          .collect()(0)
+        println(s"""{"wl":"pl36_image_tiles","diag":"m=$m """ +
+          s"""lum=${r.getLong(0)}"}""")
+        (r.getLong(1), (System.nanoTime() - t0) / 1e9)
+      },
       // pl12 path: connected components over the minhash pair graph
       "pl12_dedup_groups" -> { m =>
         timed {

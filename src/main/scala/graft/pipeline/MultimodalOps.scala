@@ -233,6 +233,71 @@ object MultimodalOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Per-tile image statistics — the image-modality feature-extraction
+    * pass of a vision-data curation pipeline (brightness/contrast tiles
+    * ahead of filtering or patching): the decoded image splits into
+    * non-overlapping `tile` x `tile` blocks (partial edge tiles count),
+    * each reporting its pixel count and the exact-integer sum / min /
+    * max of the channel-sum luma (R+G+B, 0..765 per pixel). One output
+    * row per (input row, tile) — map-only, no shuffle, integer-exact
+    * across engines. Undecodable or null bytes contribute zero rows. */
+  def imageTileStats(df: DataFrame, idCol: String, binCol: String,
+      tile: Int): DataFrame = {
+    require(tile > 0, s"imageTileStats: tile $tile <= 0")
+    val schema = StructType(Seq(
+      df.schema(idCol),
+      StructField("tile_x", IntegerType, nullable = false),
+      StructField("tile_y", IntegerType, nullable = false),
+      StructField("n_px", IntegerType, nullable = false),
+      StructField("lum_sum", LongType, nullable = false),
+      StructField("lum_min", LongType, nullable = false),
+      StructField("lum_max", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val img =
+          if (bytes == null) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val ntx = (w + tile - 1) / tile
+          val nty = (h + tile - 1) / tile
+          (0 until nty).iterator.flatMap { ty =>
+            (0 until ntx).iterator.map { tx =>
+              val x1 = math.min(w, (tx + 1) * tile)
+              val y1 = math.min(h, (ty + 1) * tile)
+              var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+              var n = 0
+              var y = ty * tile
+              while (y < y1) {
+                var x = tx * tile
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                    (rgb & 0xFF)).toLong
+                  sum += lum
+                  if (lum < mn) mn = lum
+                  if (lum > mx) mx = lum
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              Row(row.get(idIdx), tx, ty, n, sum, mn, mx)
+            }
+          }
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Exact integer box-downsample by `factor`: output pixel = floor of
     * the block mean per RGB channel, trailing rows/columns that do not
     * fill a block drop. Integer math end-to-end so the result is

@@ -385,6 +385,18 @@ object PipelineQueries {
       MultimodalOps.audioFrameStats(src, "doc_id", "clip", frameLen = 16)
     }),
 
+    // image feature extraction (the vision-curation brightness/contrast
+    // pre-pass): per 8x8-tile exact-integer luma sum/min/max over real
+    // PNG decodes of per-doc gradient images — one row per (doc, tile),
+    // partial edge tiles included (37x23 -> 5x3 tiles), map-only; the
+    // oracle replays the gradient formula per tile slice
+    "pl36_image_tilestats" -> ((s, dir) => {
+      val synth = udf((docId: Long) =>
+        MultimodalOps.synthGradientPng(37, 23, docId * 13))
+      val src = t(s, dir, "documents").withColumn("img", synth(col("doc_id")))
+      MultimodalOps.imageTileStats(src, "doc_id", "img", tile = 8)
+    }),
+
     // BPE-ish token accounting: GPT-2 pre-tokenizer piece counts (the
     // boundary pass before merges — the scale-stable token-budget
     // estimator), per-class counts and mean piece length; the RE2-
@@ -564,6 +576,25 @@ object PipelineQueries {
         |  CAST(n AS INT) AS n_frames,
         |  round(CAST(list_sum(a) AS DOUBLE)/n/32768*255, 6) AS mean_amp
         |FROM s""".stripMargin,
+
+    // tile stats restated: the gradient pixel is v = (r*7 + c*3 +
+    // doc_id*13) % 251 on every channel, so channel-sum luma = 3v; each
+    // tile's pixel list is the nested comprehension over its clipped
+    // row/column ranges
+    "pl36_image_tilestats" ->
+      """WITH g AS (SELECT doc_id, unnest(range(5)) AS tx FROM documents),
+        |g2 AS (SELECT doc_id, tx, unnest(range(3)) AS ty FROM g),
+        |px AS (SELECT doc_id, tx, ty,
+        |    flatten([[3*((r*7 + c*3 + doc_id*13) % 251)
+        |      for c in range(tx*8, least((tx+1)*8, 37))]
+        |      for r in range(ty*8, least((ty+1)*8, 23))]) AS lum
+        |  FROM g2)
+        |SELECT doc_id, CAST(tx AS INT) AS tile_x, CAST(ty AS INT) AS tile_y,
+        |  CAST(len(lum) AS INT) AS n_px,
+        |  CAST(list_sum(lum) AS BIGINT) AS lum_sum,
+        |  CAST(list_min(lum) AS BIGINT) AS lum_min,
+        |  CAST(list_max(lum) AS BIGINT) AS lum_max
+        |FROM px""".stripMargin,
 
     // frame stats restated: per doc, frame f slices the generator
     // formula at [f*16, min((f+1)*16, n)); crossings compare adjacent

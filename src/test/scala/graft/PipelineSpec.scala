@@ -557,6 +557,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((7L, 2)) == ((2, 1700L, 900L, 1L)))
   }
 
+  test("imageTileStats: tile clipping, exact luma stats, bad bytes") {
+    // 10x6 gradient, tile 4 -> 3x2 tiles with clipped right/bottom edges
+    val png = MultimodalOps.synthGradientPng(10, 6, seed = 5)
+    val df = Seq((1L, png), (2L, Array[Byte](9, 9, 9))).toDF("doc_id", "img")
+    val out = MultimodalOps.imageTileStats(df, "doc_id", "img", tile = 4)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) ->
+        (r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.size == 6) // bad bytes row contributed nothing
+    def lum(r: Int, c: Int): Long = 3L * ((r * 7 + c * 3 + 5) % 251)
+    for (ty <- 0 until 2; tx <- 0 until 3) {
+      val cells = for (r <- ty * 4 until math.min(6, ty * 4 + 4);
+          c <- tx * 4 until math.min(10, tx * 4 + 4)) yield lum(r, c)
+      assert(out((tx, ty)) ==
+        ((cells.size, cells.sum, cells.min, cells.max)), s"tile ($tx,$ty)")
+    }
+    // clipped edge tile really is smaller
+    assert(out((2, 1))._1 == 2 * 2)
+  }
+
   test("multimodal decodeBatch: schema + deterministic stub features") {
     val df = docs.withColumn("blob", col("text").cast("binary"))
     val out = MultimodalOps.decodeBatch(df, "blob", "img")

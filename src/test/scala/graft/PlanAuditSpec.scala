@@ -116,9 +116,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-domain side (the hinted plan a 100 TB corpus needs)
     val pl34 = entries("pl34_domain_mixture").plan
     assert(pl34.contains("BroadcastHashJoin"), "pl34 rate join must broadcast")
-    // pl35 audio frame stats is map-only: no shuffle anywhere
+    // pl35/pl36 feature extraction is map-only: no shuffle anywhere
     val pl35 = entries("pl35_audio_framestats").plan
     assert(!pl35.contains("Exchange"), "pl35 gained a shuffle")
+    val pl36 = entries("pl36_image_tilestats").plan
+    assert(!pl36.contains("Exchange"), "pl36 gained a shuffle")
   }
 
   test("round-7 gates keep their intended plan shapes") {
