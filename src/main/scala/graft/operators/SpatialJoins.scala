@@ -92,6 +92,13 @@ object SpatialJoins {
     }
     val cond = col("__lcell") === col("__rcell") &&
       bboxOverlap && refCell === col("__lcell") && refine
+    // (opt r17 note: the spherical joins redistribute their larger side
+    // by cell before joining — see cellRepartitionLarger — because their
+    // per-pair refine is spherical trig over WKB. The planar refine here
+    // is double-interval math + one cheap JTS predicate; an A/B showed
+    // the extra exchange LOSES at gate scale (gs01 2.07→2.71 s) and at
+    // cluster scale the join's own shuffle already provides the width,
+    // so the planar path deliberately stays as-is.)
     l.join(r, extraCond.map(cond && _).getOrElse(cond))
       .drop("__lcell", "__rcell", "__l4", "__r4", "__lg", "__rg")
   }
@@ -150,9 +157,20 @@ object SpatialJoins {
     def le(k: Int) = element_at(col("__l4"), k)
     def re(k: Int) = element_at(col("__r4"), k)
     val latOverlap = le(2) - lit(dLat) <= re(4) && re(2) <= le(4) + lit(dLat)
-    l.join(r, l("__cell") === r("__cell")
+    // Distribute the LARGER candidate set by cell before the join (opt
+    // r17): cell is the join's own equi-key, so at scale a sort-merge/
+    // hash plan reuses the exchange outright — and when the smaller side
+    // broadcasts (gate scale), the probe side no longer inherits the
+    // SCAN's split count (one task per small parquet file) for the
+    // expensive great-circle refine: the per-pair work spreads over the
+    // session's shuffle width either way. The smaller side is left
+    // alone so the broadcast fast path stays shuffle-free. Explicit N
+    // pins the width (AQE would coalesce a few-MB exploded set back to
+    // one task — the exact straggler this fixes).
+    val (lp, rp) = cellRepartitionLarger(left, right, l, r)
+    lp.join(rp, lp("__cell") === rp("__cell")
         && latOverlap
-        && levelRefCell(l("__cell"), lit(radiusM), nx, ny)
+        && levelRefCell(lp("__cell"), lit(radiusM), nx, ny)
         && st.f("st_dwithinsphere", col("__lg"), col("__rg"), lit(radiusM)))
       .drop("__cell", "__lg", "__rg", "__l4", "__r4")
   }
@@ -160,6 +178,28 @@ object SpatialJoins {
   /** Fine cover budget before the adaptive side switches to coarse
     * cells (two-level spherical grid — Spherical.gridCellsAdaptive). */
   val MaxFineCells = 256
+
+  /** Cell-keyed pre-shuffle of the larger join input (its exploded
+    * frame), leaving the smaller input on the broadcast fast path.
+    * "Larger" by the optimizer's size estimate of the un-exploded
+    * inputs — both sides inflate by the same cover machinery, so the
+    * input ordering is the candidate-set ordering. */
+  private def cellRepartitionLarger(left: DataFrame, right: DataFrame,
+      l: DataFrame, r: DataFrame): (DataFrame, DataFrame) = {
+    val spark = left.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val lBytes = left.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Micro-join floor: when even the larger input is this small the
+    // whole candidate set is a single cheap task and the extra exchange
+    // is pure overhead; any production-scale side clears 1 MB by many
+    // orders of magnitude, so the knob only exempts toy inputs.
+    val minBytes = spark.conf.getOption("spark.graft.sphere.repartitionMinBytes")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (lBytes.max(rBytes) < minBytes) (l, r)
+    else if (lBytes >= rBytes) (l.repartition(parts, col("__cell")), r)
+    else (l, r.repartition(parts, col("__cell")))
+  }
 
   /** Per-level canonical-cell dedup: a pair meets at the level the
     * adaptive (left) row chose, so the refcell comparison runs against
@@ -216,9 +256,14 @@ object SpatialJoins {
       le(1) + lit(shift) <= re(3) && re(1) <= le(3) + lit(shift)
     val lonOverlap = (le(3) - le(1) >= 180.0) || (re(3) - re(1) >= 180.0) ||
       lonOv(0.0) || lonOv(360.0) || lonOv(-360.0)
-    l.join(r, l("__cell") === r("__cell")
+    // cell-keyed redistribution of the larger side before the join — see
+    // sphereDWithinJoin: exchange-reused at scale, and the winding/
+    // arc-crossing refine gets the session's full shuffle width instead
+    // of the scan's split count
+    val (lp, rp) = cellRepartitionLarger(left, right, l, r)
+    lp.join(rp, lp("__cell") === rp("__cell")
         && latOverlap && lonOverlap
-        && levelRefCell(l("__cell"), lit(0.0), nx, ny)
+        && levelRefCell(lp("__cell"), lit(0.0), nx, ny)
         && st.f(predicate, col("__lg"), col("__rg")))
       .drop("__cell", "__lg", "__rg", "__l4", "__r4")
   }

@@ -588,17 +588,29 @@ object PipelineOps {
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
       query: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(id.cast("long").as("doc_id"),
-      TextOps.tokens(text).as("t"))
-      .withColumn("dl", size(col("t")).cast("long"))
+    // Tokenization is the expensive per-row kernel and three consumers
+    // need it (corpus-stats action, tf probe, dft build): persist the
+    // per-doc token arrays once (the minhashPairs signature-reuse
+    // pattern; released by CacheRegistry when the consuming query
+    // finishes) instead of re-tokenizing the corpus per consumer.
+    val toks = graft.CacheRegistry.register(
+      docs.select(id.cast("long").as("doc_id"),
+          TextOps.tokens(text).as("t"))
+        .withColumn("dl", size(col("t")).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hd = toks.agg(count(lit(1)), sum(col("dl"))).head
     val nDocs = hd.getLong(0)
     val sumDl = hd.getLong(1)
     val qSet = query.map(_.toLowerCase).distinct
-    val tf = toks.select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
-      .filter(col("term").isin(qSet: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // tf is consumed twice (probe side + the dft broadcast build) and is
+    // tiny (≤ docs × |query| rows): persist it so the filtered explode
+    // over the corpus runs once.
+    val tf = graft.CacheRegistry.register(
+      toks.select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+        .filter(col("term").isin(qSet: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
     // op order mirrors the SQL oracle exactly: IEEE +,-,*,/ are
     // bit-identical across engines given identical operand order
@@ -624,9 +636,18 @@ object PipelineOps {
     * broadcasts it when small; a web-scale LM table shuffles), nothing
     * quadratic. */
   def unigramLogProb(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = docs.select(id.cast("long").as("doc_id"),
-      explode(TextOps.tokens(text)).as("term"))
-    val counts = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+    // Same reuse discipline as bm25TopK: the corpus tokenizes ONCE into
+    // a persisted per-doc array (three consumers otherwise re-run the
+    // tokenizer: the vocab-stats action, the count build, the score
+    // probe), and the vocab-sized count table persists so its term
+    // shuffle runs once instead of per consumer.
+    val tokDocs = graft.CacheRegistry.register(
+      docs.select(id.cast("long").as("doc_id"), TextOps.tokens(text).as("t"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val toks = tokDocs.select(col("doc_id"), explode(col("t")).as("term"))
+    val counts = graft.CacheRegistry.register(
+      toks.groupBy("term").agg(count(lit(1)).as("tc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hd = counts.agg(count(lit(1)), sum(col("tc"))).head
     val vocab = hd.getLong(0)
     val total = hd.getLong(1)

@@ -37,10 +37,12 @@ object StreamingQueries {
     * micro-batch — machinery, not data. A cluster run sizes partitions to
     * the key space through the same knob. */
   private def gateRun[T](s: SparkSession)(body: => T): T =
-    StreamingOps.withMicroScaleConfs(s)(body)
+    try StreamingOps.withMicroScaleConfs(s)(body)
+    finally StreamingOps.drainStateStores()
 
   private def gateRunRocks[T](s: SparkSession)(body: => T): T =
-    StreamingOps.withMicroScaleConfs(s, heapStore = false)(body)
+    try StreamingOps.withMicroScaleConfs(s, heapStore = false)(body)
+    finally StreamingOps.drainStateStores()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_sessionize" -> ((s, dir) => {

@@ -104,8 +104,23 @@ object GeoParquet {
       st.ymax(st.envelopeAgg(col(geomCol))).as("ymax"),
       collect_set(st.f("st_geometrytype", col(geomCol))).as("gtypes"))
     if (hilbertCluster) {
+      // Scale-adaptive clustering width (opt r17): the partition count
+      // derives from the input's estimated size at ~128 MB per output
+      // file (guide §6 file-sizing band) instead of inheriting
+      // spark.sql.shuffle.partitions — a constant tuned for the session,
+      // not the dataset. A 100 TB write still fans out to the session
+      // ceiling ×4; a tooling-scale write stops paying 32 range-sampled
+      // sorts and 32 footer opens on every read-back for one file of
+      // data. Explicit clusterPartitions overrides as before.
       val parts = if (clusterPartitions > 0) clusterPartitions
-        else df.sparkSession.sessionState.conf.numShufflePartitions
+        else {
+          val sessionParts = df.sparkSession.sessionState.conf.numShufflePartitions
+          val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          val target = BigInt(128L << 20)
+          val bySize = ((estBytes + target - 1) / target).min(
+            BigInt(sessionParts) * 4).max(BigInt(1)).toInt
+          bySize
+        }
       out = out.repartitionByRange(parts, st.f("sd_order", col(geomCol)))
     }
     if (encoding != "WKB")

@@ -11,6 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * expression). Used by the large-object KNN planner path.
   */
 object DatasetBridge {
+  /** Unload all registered state-store providers (private[sql]
+    * StateStore.unloadAll): session hygiene between short-lived
+    * streaming queries — dead providers otherwise linger until the 60 s
+    * maintenance sweep. See StreamingOps.drainStateStores. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
