@@ -36,13 +36,53 @@ object StreamingQueries {
     * extra partition costs a full RocksDB instance open+commit per
     * micro-batch — machinery, not data. A cluster run sizes partitions to
     * the key space through the same knob. */
-  private def gateRun[T](s: SparkSession)(body: => T): T =
-    try StreamingOps.withMicroScaleConfs(s)(body)
-    finally StreamingOps.drainStateStores()
+  /** Gate emission happens IN the data batch for every gate except st05
+    * (inner joins emit eagerly; dedup/flags/sessions use the in-batch
+    * sentinel/sweep contracts documented per gate), so the trailing
+    * no-data micro-batch that Structured Streaming runs to advance the
+    * watermark would only evict state the query is about to drop anyway
+    * — at gate scale that is one full extra load/commit round across
+    * every state store. Skip it (opt r17). st05's append-mode window
+    * aggregation is the one gate whose EMISSION needs the
+    * watermark-advancing batch: it passes keepNoDataBatch = true. */
+  private def withNoDataBatchOff[T](s: SparkSession, keep: Boolean)(body: => T): T = {
+    val k = "spark.sql.streaming.noDataMicroBatches.enabled"
+    if (keep) return body
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "false")
+    try body finally {
+      prev match {
+        case Some(v) => s.conf.set(k, v)
+        case None => s.conf.unset(k)
+      }
+    }
+  }
 
-  private def gateRunRocks[T](s: SparkSession)(body: => T): T =
-    try StreamingOps.withMicroScaleConfs(s, heapStore = false)(body)
-    finally StreamingOps.drainStateStores()
+  private def gateRun[T](s: SparkSession, keepNoDataBatch: Boolean = false)
+      (body: => T): T =
+    try withNoDataBatchOff(s, keepNoDataBatch) {
+      StreamingOps.withMicroScaleConfs(s)(body)
+    } finally StreamingOps.drainStateStores()
+
+  private def gateRunRocks[T](s: SparkSession)(body: => T): T = {
+    // RocksDB write-path knob (documented Spark streaming perf option):
+    // tracking exact row counts costs a read-before-every-put; the gates
+    // never consume the numRows metric, and production deployments that
+    // care about ingest throughput run with tracking off. Restored after
+    // the gate so session metrics behavior is unchanged elsewhere.
+    val tk = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val prevTk = s.conf.getOption(tk)
+    s.conf.set(tk, "false")
+    try withNoDataBatchOff(s, keep = false) {
+      StreamingOps.withMicroScaleConfs(s, heapStore = false)(body)
+    } finally {
+      prevTk match {
+        case Some(v) => s.conf.set(tk, v)
+        case None => s.conf.unset(tk)
+      }
+      StreamingOps.drainStateStores()
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_sessionize" -> ((s, dir) => {
@@ -306,7 +346,7 @@ object StreamingQueries {
           st.xmin(col("env")).as("exmin"), st.ymin(col("env")).as("eymin"),
           st.xmax(col("env")).as("exmax"), st.ymax(col("env")).as("eymax"))
       val sinkName = s"graft_winagg_${math.abs(dir.hashCode)}"
-      gateRun(s) {
+      gateRun(s, keepNoDataBatch = true) {
         val q = agg.writeStream.format("memory").queryName(sinkName)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
