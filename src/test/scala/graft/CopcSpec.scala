@@ -158,4 +158,35 @@ class CopcSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bbox covering ~4% of the footprint decoded $decoded of $total points")
     pruned.unpersist()
   }
+
+  test("readMulti ≡ per-box read, per query id (single file and tiled)") {
+    val src = cloud(20000)
+    val path = "/tmp/graft_copc_spec/cloud3.copc.laz"
+    Copc.write(src, path, scale = 0.125, maxPerNode = 1024)
+    // overlapping boxes (a node can serve several qids) + one empty box
+    val boxes: Seq[(Long, (Double, Double, Double, Double))] = Seq(
+      0L -> (100.0, 150.0, 300.0, 320.0),
+      1L -> (250.0, 200.0, 500.0, 400.0),
+      2L -> (2000.0, 2000.0, 2100.0, 2100.0)) // outside the footprint
+    val multi = Copc.readMulti(spark, path, boxes).cache()
+    boxes.foreach { case (qid, b) =>
+      val single = Copc.read(spark, path, Some(b)).collect().map(key).sorted
+      val tagged = multi.filter(col("qid") === qid).drop("qid")
+        .collect().map(key).sorted
+      assert(tagged.sameElements(single), s"qid=$qid candidate set diverged")
+    }
+    multi.unpersist()
+
+    val dirT = "/tmp/graft_copc_spec/tiled_multi"
+    Copc.writeTiled(src, dirT, scale = 0.125, maxPerNode = 1024,
+      targetPerTile = 5000)
+    val multiT = Copc.readTiledMulti(spark, dirT, boxes).cache()
+    boxes.foreach { case (qid, b) =>
+      val single = Copc.readTiled(spark, dirT, Some(b)).collect().map(key).sorted
+      val tagged = multiT.filter(col("qid") === qid).drop("qid")
+        .collect().map(key).sorted
+      assert(tagged.sameElements(single), s"tiled qid=$qid candidate set diverged")
+    }
+    multiT.unpersist()
+  }
 }
