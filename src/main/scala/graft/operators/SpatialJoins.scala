@@ -196,9 +196,23 @@ object SpatialJoins {
     // orders of magnitude, so the knob only exempts toy inputs.
     val minBytes = spark.conf.getOption("spark.graft.sphere.repartitionMinBytes")
       .map(_.toLong).getOrElse(1L << 20)
-    if (lBytes.max(rBytes) < minBytes) (l, r)
-    else if (lBytes >= rBytes) (l.repartition(parts, col("__cell")), r)
-    else (l, r.repartition(parts, col("__cell")))
+    if (lBytes.max(rBytes) < minBytes) return (l, r)
+    // Redistribute ONLY when the candidate side is actually
+    // under-parallelized (e.g. one task per small single-row-group
+    // file): a source that already scans wide — a big cluster input, a
+    // generated range — keeps its width, and the broadcast fast path
+    // stays exchange-free (measured: blanket redistribution cost
+    // sj13's m=10 ScaleBench run ~1.5 s of pure shuffle overhead on an
+    // already-32-way input). Physical planning of the input is cheap;
+    // nothing executes here.
+    def width(df: DataFrame): Int =
+      try df.queryExecution.toRdd.getNumPartitions
+      catch { case _: Throwable => parts }
+    val (bigIn, big, small, bigFirst) =
+      if (lBytes >= rBytes) (left, l, r, true) else (right, r, l, false)
+    if (width(bigIn) * 2 >= parts) (l, r)
+    else if (bigFirst) (big.repartition(parts, col("__cell")), small)
+    else (small, big.repartition(parts, col("__cell")))
   }
 
   /** Per-level canonical-cell dedup: a pair meets at the level the
