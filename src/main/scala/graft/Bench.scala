@@ -66,6 +66,21 @@ object Bench {
       s""","full_total":${results.values.map(_._2).sum},"queries_full":$fq"""
     } else ""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$fullPart,"sf":"$sfDir"}""")
+    // Driver-contract repair (opt r18, VERDICT r17 #1): the line above is
+    // ~5 KB with 158 per-query entries and the driver keeps only a
+    // 2000-char TAIL of the output, which truncates the leading
+    // `"value"` — PERF has had `parsed: null` since r13. Additive fix,
+    // old numbers stay comparable: (a) the full per-query map also goes
+    // to a sidecar file next to the cwd, (b) the LAST line printed is a
+    // SHORT total-only JSON that fits any tail capture.
+    try {
+      val side = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_queries.json"))
+      java.nio.file.Files.write(side,
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$fullPart,"sf":"$sfDir"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

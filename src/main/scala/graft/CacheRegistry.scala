@@ -22,14 +22,36 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheRegistry {
 
-  private val caches = ConcurrentHashMap.newKeySet[DataFrame]()
+  /** value = minimum QueryExecution id (exclusive) a completed query
+    * must carry for its sweep to release this cache; Long.MinValue means
+    * "any referencing query releases" (the planner-rule case, where the
+    * CONSUMING query's QueryExecution was created before the rule — and
+    * thus the registration — ran inside its optimization). */
+  private val caches = new ConcurrentHashMap[DataFrame, java.lang.Long]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
-  /** Register a df that the caller has just persisted; returns it. */
-  def register(df: DataFrame): DataFrame = {
+  /** Register a df that the caller has just persisted; returns it.
+    *
+    * `afterCurrent = true` arms the release only for queries whose
+    * QueryExecution is created AFTER this call (ADVICE r17): an operator
+    * that runs an eager stats action over the cache before handing the
+    * consuming DataFrame back (bm25/unigram corpus stats) must not have
+    * that action's async onSuccess sweep release the cache out from
+    * under the real consumers — the release should fire on the gate
+    * query, which is created later. Leave it false for planner-rule
+    * registrations, where the consuming query's QueryExecution predates
+    * the registration by construction. */
+  def register(df: DataFrame, afterCurrent: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     if (hooked.add(spark)) spark.listenerManager.register(new SweepListener)
-    caches.add(df)
+    // sampling the monotone QueryExecution id counter: a fresh trivial
+    // Dataset's QueryExecution carries the next id — nothing executes
+    val barrier: Long =
+      if (afterCurrent)
+        try spark.range(0).queryExecution.id
+        catch { case _: Throwable => Long.MinValue }
+      else Long.MinValue
+    caches.put(df, barrier)
     df
   }
 
@@ -43,7 +65,7 @@ object CacheRegistry {
 
   /** Manual release path: unpersist every tracked internal cache now. */
   def releaseAll(): Unit = {
-    caches.forEach { df =>
+    caches.forEach { (df, _) =>
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     caches.clear()
@@ -67,8 +89,9 @@ object CacheRegistry {
         }.toSet
         catch { case _: Throwable => Set.empty }
       if (present.isEmpty) return
-      caches.forEach { df =>
-        if (builderOf(df).exists(b => present.exists(_ eq b))) {
+      caches.forEach { (df, barrier) =>
+        if (qe.id > barrier &&
+            builderOf(df).exists(b => present.exists(_ eq b))) {
           caches.remove(df)
           try df.unpersist(blocking = false) catch { case _: Throwable => () }
         }

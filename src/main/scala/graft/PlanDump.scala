@@ -29,7 +29,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark)
-    val outDir = Paths.get("plans/r17")
+    val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r18"))
     Files.createDirectories(outDir)
     val selected =
       if (names.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)

@@ -203,11 +203,29 @@ object SpatialJoins {
     // generated range — keeps its width, and the broadcast fast path
     // stays exchange-free (measured: blanket redistribution cost
     // sj13's m=10 ScaleBench run ~1.5 s of pure shuffle overhead on an
-    // already-32-way input). Physical planning of the input is cheap;
-    // nothing executes here.
+    // already-32-way input).
+    //
+    // The toRdd probe is gated to EXCHANGE-FREE physical plans (ADVICE
+    // r17): under AQE, toRdd on a plan with an Exchange/Broadcast
+    // materializes the child stages at planning time — the work would
+    // run here, be discarded, and run again in the real query. A plan
+    // that carries its own exchange already gets the session's shuffle
+    // width from it, so "already wide" (no repartition) is also the
+    // semantically right answer for that case; only exchange-free scans
+    // (the gate case: one task per single-row-group file) are probed,
+    // where toRdd is pure planning. The catch is scoped to NonFatal so
+    // a genuine planning failure still surfaces in the real query, not
+    // here.
     def width(df: DataFrame): Int =
-      try df.queryExecution.toRdd.getNumPartitions
-      catch { case _: Throwable => parts }
+      try {
+        val plan = df.queryExecution.sparkPlan
+        val hasExchange = plan.exists {
+          case _: org.apache.spark.sql.execution.exchange.Exchange => true
+          case _ => false
+        }
+        if (hasExchange) parts
+        else df.queryExecution.toRdd.getNumPartitions
+      } catch { case scala.util.control.NonFatal(_) => parts }
     val (bigIn, big, small, bigFirst) =
       if (lBytes >= rBytes) (left, l, r, true) else (right, r, l, false)
     if (width(bigIn) * 2 >= parts) (l, r)
@@ -731,7 +749,7 @@ object SpatialJoins {
             stats.filter(col("__cnt") >= k).select(col("__qid"), col("__dk").as("__radius")))
       }
     }
-    pinned.foreach(graft.CacheRegistry.register)
+    pinned.foreach(graft.CacheRegistry.register(_))
     graft.CacheRegistry.register(cellStats)
     bounds.reduce(_ unionByName _)
   }

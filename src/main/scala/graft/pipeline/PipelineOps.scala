@@ -593,12 +593,20 @@ object PipelineOps {
     // per-doc token arrays once (the minhashPairs signature-reuse
     // pattern; released by CacheRegistry when the consuming query
     // finishes) instead of re-tokenizing the corpus per consumer.
-    val toks = graft.CacheRegistry.register(
-      docs.select(id.cast("long").as("doc_id"),
-          TextOps.tokens(text).as("t"))
-        .withColumn("dl", size(col("t")).cast("long"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val hd = toks.agg(count(lit(1)), sum(col("dl"))).head
+    // MEMORY_AND_DISK_SER (opt r18): the cached batches stay serialized
+    // in memory — at corpus scale this is a block-manager footprint knob,
+    // not a plan change — and the stats action below prunes to the `dl`
+    // column through the columnar cache, so it never deserializes the
+    // token arrays. Registration happens AFTER the stats action with
+    // afterCurrent = true (ADVICE r17): the action's own async sweep
+    // event must not release the cache before the gate query — the real
+    // consumer — has run.
+    val toksDf = docs.select(id.cast("long").as("doc_id"),
+        TextOps.tokens(text).as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hd = toksDf.agg(count(lit(1)), sum(col("dl"))).head
+    val toks = graft.CacheRegistry.register(toksDf, afterCurrent = true)
     val nDocs = hd.getLong(0)
     val sumDl = hd.getLong(1)
     val qSet = query.map(_.toLowerCase).distinct
@@ -610,7 +618,8 @@ object PipelineOps {
         .filter(col("term").isin(qSet: _*))
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).cast("double").as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
+      afterCurrent = true)
     val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
     // op order mirrors the SQL oracle exactly: IEEE +,-,*,/ are
     // bit-identical across engines given identical operand order

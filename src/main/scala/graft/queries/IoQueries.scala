@@ -298,7 +298,12 @@ object IoQueries {
       }
       val bx = (col("qid") * 83 % 1000).cast("double")
       val by = (col("qid") * 61 % 800).cast("double")
-      graft.sources.Copc.readTiledMulti(s, base, boxes)
+      // opt r18 (ADVICE r17): the grouped aggregate left-joins back to
+      // the static box list so output arity is invariant to box
+      // emptiness (an empty box emits npts=0 + null aggregates, the
+      // LEFT JOIN .. GROUP BY oracle shape) instead of depending on the
+      // fixture leaving no box empty. One tiny broadcast join.
+      val agged = graft.sources.Copc.readTiledMulti(s, base, boxes)
         .filter(col("x") >= bx && col("x") <= bx + 120 &&
           col("y") >= by && col("y") <= by + 90)
         .groupBy(col("qid"))
@@ -307,7 +312,13 @@ object IoQueries {
           sum(col("x")).as("sum_x"),
           min(col("gps_time")).as("min_gps"),
           max(col("gps_time")).as("max_gps"))
-        .select(col("qid").as("n_nationkey"), col("npts"),
+      // the aggregate side is <= 25 rows by construction (one per box):
+      // broadcast it so the arity join never shuffles (stats over the
+      // ExistingRDD scan are unknown, so AQE would plan an SMJ)
+      s.range(0, 25).select(col("id").as("qid"))
+        .join(broadcast(agged), Seq("qid"), "left")
+        .select(col("qid").as("n_nationkey"),
+          coalesce(col("npts"), lit(0L)).as("npts"),
           col("sum_int"), col("sum_x"), col("min_gps"), col("max_gps"))
     }),
 
@@ -334,7 +345,8 @@ object IoQueries {
       }
       val bx = (col("qid") * 73 % 900).cast("double")
       val by = (col("qid") * 97 % 700).cast("double")
-      graft.sources.Copc.readMulti(s, path, boxes)
+      // empty-box arity invariance via the static box list — see pc07
+      val agged = graft.sources.Copc.readMulti(s, path, boxes)
         .filter(col("x") >= bx && col("x") <= bx + 100 &&
           col("y") >= by && col("y") <= by + 80)
         .groupBy(col("qid"))
@@ -343,7 +355,13 @@ object IoQueries {
           sum(col("x")).as("sum_x"),
           min(col("gps_time")).as("min_gps"),
           max(col("gps_time")).as("max_gps"))
-        .select(col("qid").as("n_nationkey"), col("npts"),
+      // the aggregate side is <= 25 rows by construction (one per box):
+      // broadcast it so the arity join never shuffles (stats over the
+      // ExistingRDD scan are unknown, so AQE would plan an SMJ)
+      s.range(0, 25).select(col("id").as("qid"))
+        .join(broadcast(agged), Seq("qid"), "left")
+        .select(col("qid").as("n_nationkey"),
+          coalesce(col("npts"), lit(0L)).as("npts"),
           col("sum_int"), col("sum_x"), col("min_gps"), col("max_gps"))
     }),
 
@@ -540,12 +558,12 @@ object IoQueries {
         |    CAST((n_nationkey*61) % 800 AS DOUBLE) AS by2
         |  FROM nation)
         |SELECT n.n_nationkey,
-        |  COUNT(*) AS npts,
+        |  COUNT(p.id) AS npts,
         |  CAST(SUM(p.id % 60000) AS BIGINT) AS sum_int,
         |  SUM(p.x) AS sum_x,
         |  MIN(p.id * 0.25) AS min_gps,
         |  MAX(p.id * 0.25) AS max_gps
-        |FROM n JOIN p
+        |FROM n LEFT JOIN p
         |ON p.x >= n.bx AND p.x <= n.bx + 120
         |AND p.y >= n.by2 AND p.y <= n.by2 + 90
         |GROUP BY n.n_nationkey""".stripMargin,
@@ -560,12 +578,12 @@ object IoQueries {
         |    CAST((n_nationkey*97) % 700 AS DOUBLE) AS by2
         |  FROM nation)
         |SELECT n.n_nationkey,
-        |  COUNT(*) AS npts,
+        |  COUNT(p.id) AS npts,
         |  CAST(SUM(p.id % 60000) AS BIGINT) AS sum_int,
         |  SUM(p.x) AS sum_x,
         |  MIN(p.id * 0.25) AS min_gps,
         |  MAX(p.id * 0.25) AS max_gps
-        |FROM n JOIN p
+        |FROM n LEFT JOIN p
         |ON p.x >= n.bx AND p.x <= n.bx + 100
         |AND p.y >= n.by2 AND p.y <= n.by2 + 80
         |GROUP BY n.n_nationkey""".stripMargin,

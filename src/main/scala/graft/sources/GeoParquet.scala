@@ -117,9 +117,17 @@ object GeoParquet {
           val sessionParts = df.sparkSession.sessionState.conf.numShufflePartitions
           val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
           val target = BigInt(128L << 20)
-          val bySize = ((estBytes + target - 1) / target).min(
-            BigInt(sessionParts) * 4).max(BigInt(1)).toInt
-          bySize
+          // Unknown-stats guard (ADVICE r17): a source without statistics
+          // reports the default Long.MaxValue-scale estimate, which would
+          // saturate bySize at sessionParts*4 — 4x MORE range-sampled
+          // sort partitions than the old default, the opposite of the
+          // intent. Treat anything >= 1 PiB as "unknown" and fall back
+          // to the session width (the pre-r17 behavior for that case).
+          val bySize =
+            if (estBytes >= BigInt(1L << 50)) BigInt(sessionParts)
+            else ((estBytes + target - 1) / target).min(
+              BigInt(sessionParts) * 4).max(BigInt(1))
+          bySize.toInt
         }
       out = out.repartitionByRange(parts, st.f("sd_order", col(geomCol)))
     }

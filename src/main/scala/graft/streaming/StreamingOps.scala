@@ -38,7 +38,15 @@ object StreamingOps {
     * deleted temp checkpoints) steals cycles from live queries; measured
     * ~1.3 s/gate of cross-gate drag at 30 queries/session. Results are
     * unaffected: the memory sink owns the output, and the next query
-    * loads its providers fresh for its own runId regardless. */
+    * loads its providers fresh for its own runId regardless.
+    *
+    * SEQUENTIAL-ONLY contract (ADVICE r17): the unload is JVM-global
+    * (StateStore.unloadAll), so any OTHER streaming query running
+    * concurrently in this process has its providers unloaded mid-flight
+    * and must reload state from its checkpoint on the next batch —
+    * correct but slow. Call this only between queries in a
+    * one-query-at-a-time harness (the gate suite); a shared session
+    * with parallel streaming queries must not. */
   def drainStateStores(): Unit =
     try org.apache.spark.sql.graft.DatasetBridge.unloadStateStores()
     catch { case _: Throwable => () }

@@ -189,4 +189,32 @@ class CopcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     multiT.unpersist()
   }
+
+  test("gate aggregate shape: an empty box still emits one row (npts=0, null aggs)") {
+    // the pc06/pc07 shape (opt r18, ADVICE r17): grouped aggregate over
+    // the tagged scan LEFT-joined back to the static box list — output
+    // arity must be invariant to box emptiness, matching the old
+    // per-box global-aggregate contract (count=0 row with null min/max)
+    val src = cloud(20000)
+    val path = "/tmp/graft_copc_spec/cloud4.copc.laz"
+    Copc.write(src, path, scale = 0.125, maxPerNode = 1024)
+    val boxes: Seq[(Long, (Double, Double, Double, Double))] = Seq(
+      0L -> (100.0, 150.0, 300.0, 320.0),
+      1L -> (2000.0, 2000.0, 2100.0, 2100.0)) // intentionally empty
+    val agged = Copc.readMulti(spark, path, boxes)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("npts"), sum(col("intensity")).as("sum_int"),
+        min(col("gps_time")).as("min_gps"), max(col("gps_time")).as("max_gps"))
+    val out = spark.range(0, 2).select(col("id").as("qid"))
+      .join(agged, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("npts"), lit(0L)).as("npts"),
+        col("sum_int"), col("min_gps"), col("max_gps"))
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 2, "one row per box regardless of emptiness")
+    assert(out(0).getLong(1) > 0L)
+    val empty = out(1)
+    assert(empty.getLong(1) == 0L, "empty box emits npts=0")
+    assert(empty.isNullAt(2) && empty.isNullAt(3) && empty.isNullAt(4),
+      "empty box emits null sum/min/max")
+  }
 }

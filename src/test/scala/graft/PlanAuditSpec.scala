@@ -205,10 +205,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gp02 = entries("gp02_geoarrow_roundtrip").plan
     assert(gp02.contains("BroadcastHashJoin") || gp02.contains("SortMergeJoin") ||
       gp02.contains("ShuffledHashJoin"), "gp02 lost its equi-join")
-    // pc06 COPC bbox queries: pruned node reads + partial aggregation,
-    // join-free by construction
+    // pc06 COPC bbox queries: pruned node reads + partial aggregation.
+    // Since opt r18 the grouped aggregate LEFT-joins back to the static
+    // 25-row box list (empty-box arity invariance, ADVICE r17) — that
+    // join must stay a broadcast of the tiny side, never a shuffle
     val pc06 = entries("pc06_copc_bbox").plan
-    assert(!pc06.contains("Join"), "pc06 gained a join")
+    assert(pc06.contains("BroadcastHashJoin"),
+      "pc06 box-list join must be a broadcast hash join")
+    assert(!pc06.contains("SortMergeJoin") && !pc06.contains("ShuffledHashJoin"),
+      "pc06 box-list join must not shuffle")
     assert(pc06.toLowerCase.contains("partial"),
       "pc06 lost map-side partial aggregation")
   }
