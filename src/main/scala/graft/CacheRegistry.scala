@@ -9,26 +9,47 @@ import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Tracks DataFrames persisted *internally* by graft rewrites and pipeline
   * ops (grid left-outer join row-id tagging, minhash/jaccard signature
-  * reuse) and releases them automatically once a consuming query finishes.
+  * reuse, DBSCAN/CC lineage barriers) and releases them automatically once
+  * a consuming query finishes.
   *
   * Without this, optimizer-time persists pin their whole input in the
   * block-manager cache for the session lifetime — at 100 TB that is an
-  * unbounded leak. Release is matched by cache-builder identity: when a
+  * unbounded leak. Release is matched by cache-builder identity — when a
   * completed query's optimized plan references the registered cache's
-  * InMemoryRelation, the cache did its job and is dropped (non-blocking).
+  * InMemoryRelation — or, for caches consumed through an InternalRow RDD
+  * lineage barrier (whose downstream plans never carry the
+  * InMemoryRelation, only a LogicalRDD leaf), by the identity of that
+  * leaf RDD ([[registerForRdd]]). Either way the cache did its job and is
+  * dropped (non-blocking).
   *
   * `releaseAll()` is the manual release path for long-lived sessions that
   * never run the consuming action to completion (e.g. abandoned queries).
   */
 object CacheRegistry {
 
-  /** value = minimum QueryExecution id (exclusive) a completed query
+  /** barrier = minimum QueryExecution id (exclusive) a completed query
     * must carry for its sweep to release this cache; Long.MinValue means
     * "any referencing query releases" (the planner-rule case, where the
     * CONSUMING query's QueryExecution was created before the rule — and
-    * thus the registration — ran inside its optimization). */
-  private val caches = new ConcurrentHashMap[DataFrame, java.lang.Long]()
+    * thus the registration — ran inside its optimization).
+    * leafRdd = identity token for barrier-style consumers (None for
+    * plain IMR-matched caches). */
+  private final case class Entry(barrier: Long,
+      leafRdd: Option[org.apache.spark.rdd.RDD[_]])
+
+  private val caches = new ConcurrentHashMap[DataFrame, Entry]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private def hook(spark: SparkSession): Unit =
+    if (hooked.add(spark)) spark.listenerManager.register(new SweepListener)
+
+  /** Sample the monotone QueryExecution id counter: a fresh trivial
+    * Dataset's QueryExecution carries the next id — nothing executes. */
+  private def qeBarrier(spark: SparkSession, afterCurrent: Boolean): Long =
+    if (afterCurrent)
+      try spark.range(0).queryExecution.id
+      catch { case _: Throwable => Long.MinValue }
+    else Long.MinValue
 
   /** Register a df that the caller has just persisted; returns it.
     *
@@ -43,15 +64,23 @@ object CacheRegistry {
     * the registration by construction. */
   def register(df: DataFrame, afterCurrent: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    if (hooked.add(spark)) spark.listenerManager.register(new SweepListener)
-    // sampling the monotone QueryExecution id counter: a fresh trivial
-    // Dataset's QueryExecution carries the next id — nothing executes
-    val barrier: Long =
-      if (afterCurrent)
-        try spark.range(0).queryExecution.id
-        catch { case _: Throwable => Long.MinValue }
-      else Long.MinValue
-    caches.put(df, barrier)
+    hook(spark)
+    caches.put(df, Entry(qeBarrier(spark, afterCurrent), None))
+    df
+  }
+
+  /** Register a persisted df whose consumers re-enter through an
+    * InternalRow-RDD lineage barrier (`DatasetBridge.internalDf` over
+    * `leaf`): their plans carry the LogicalRDD leaf, never the cache's
+    * InMemoryRelation, so the sweep matches on the leaf RDD's identity
+    * instead. Before opt r18 these barrier caches were never swept at
+    * all — every DBSCAN/CC invocation pinned its intermediates for the
+    * session lifetime. */
+  def registerForRdd(df: DataFrame, leaf: org.apache.spark.rdd.RDD[_],
+      afterCurrent: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    hook(spark)
+    caches.put(df, Entry(qeBarrier(spark, afterCurrent), Some(leaf)))
     df
   }
 
@@ -83,17 +112,28 @@ object CacheRegistry {
   private final class SweepListener extends QueryExecutionListener {
     private def sweep(qe: QueryExecution): Unit = {
       if (caches.isEmpty) return
-      val present: Set[AnyRef] =
-        try qe.optimizedPlan.collect {
-          case r: InMemoryRelation => r.cacheBuilder: AnyRef
-        }.toSet
-        catch { case _: Throwable => Set.empty }
-      if (present.isEmpty) return
-      caches.forEach { (df, barrier) =>
-        if (qe.id > barrier &&
-            builderOf(df).exists(b => present.exists(_ eq b))) {
-          caches.remove(df)
-          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      val (builders, rdds) =
+        try {
+          val b = Set.newBuilder[AnyRef]
+          val r = Set.newBuilder[AnyRef]
+          qe.optimizedPlan.foreach {
+            case im: InMemoryRelation => b += (im.cacheBuilder: AnyRef)
+            case l: org.apache.spark.sql.execution.LogicalRDD => r += (l.rdd: AnyRef)
+            case _ => ()
+          }
+          (b.result(), r.result())
+        } catch { case _: Throwable => (Set.empty[AnyRef], Set.empty[AnyRef]) }
+      if (builders.isEmpty && rdds.isEmpty) return
+      caches.forEach { (df, entry) =>
+        if (qe.id > entry.barrier) {
+          val hit = entry.leafRdd match {
+            case Some(leaf) => rdds.exists(_ eq leaf)
+            case None => builderOf(df).exists(b => builders.exists(_ eq b))
+          }
+          if (hit) {
+            caches.remove(df)
+            try df.unpersist(blocking = false) catch { case _: Throwable => () }
+          }
         }
       }
     }

@@ -286,6 +286,12 @@ object PipelineOps {
           .select(nodes("id"),
             coalesce(col("group_id"), nodes("id")).as("group_id"))
         edges.unpersist()
+        // localUnionFind collected the star set already; only `nodes` is
+        // referenced by the returned plan — release cur now, hand nodes
+        // to the registry so the consuming query's completion frees it
+        // (leak fix, opt r18: these persists used to outlive the session)
+        cur.unpersist(blocking = false)
+        graft.CacheRegistry.register(nodes, afterCurrent = true)
         return out
       }
     }
@@ -301,6 +307,13 @@ object PipelineOps {
     val out = nodes.join(curLeaf, nodes("id") === curLeaf("u"), "left")
       .select(nodes("id"), coalesce(curLeaf("v"), nodes("id")).as("group_id"))
     edges.unpersist()
+    // leak fix (opt r18): the returned plan references `nodes` (its
+    // InMemoryRelation) and `cur` (through its RDD leaf only) — register
+    // both so the consuming query's completion releases them instead of
+    // pinning two graph-sized caches for the session lifetime
+    graft.CacheRegistry.register(nodes, afterCurrent = true)
+    graft.CacheRegistry.registerForRdd(cur, cur.queryExecution.toRdd,
+      afterCurrent = true)
     out
   }
 
@@ -718,11 +731,13 @@ object PipelineOps {
       block: Column, k: Int = 3, minJaccard: Double = 0.0,
       maxLocalBlock: Int = 8192): DataFrame = {
     // persist: both join sides reference the hashed-shingle arrays — without
-    // it the scan + md5 shingle hashing runs twice
-    val g = graft.CacheRegistry.register(
-      df.select(block.as("__blk"), id.as("doc_id"),
+    // it the scan + md5 shingle hashing runs twice (registered per branch
+    // below: the low-threshold branch runs an eager block-count action
+    // first, so it registers afterCurrent to keep the async sweep from
+    // releasing the cache before the consuming query runs)
+    val gDf = df.select(block.as("__blk"), id.as("doc_id"),
         array_sort(array_distinct(shingleHashes(tokens(text), k))).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verify = (pairs: DataFrame) => pairs
       .withColumn("inter",
         call_function("sd_sorted_intersect_count", col("sh_a"), col("sh_b")).cast("double"))
@@ -731,6 +746,7 @@ object PipelineOps {
       .filter(col("jaccard") > minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     if (minJaccard >= 0.4) {
+      val g = graft.CacheRegistry.register(gDf)
       // floor (not ceil) keeps the prefix a safe over-approximation under
       // double rounding; the verify step is exact regardless
       val pref = g.select(col("__blk"), col("doc_id"),
@@ -753,22 +769,72 @@ object PipelineOps {
       // shingle arrays through the shuffle once per PAIR — O(pairs x
       // array) shuffle bytes, the measured 100TB scale-killer (ScaleBench
       // pl06: 30x wall for 10x pairs once the build side outgrows
-      // broadcast). Instead shuffle each doc's array ONCE (collect_list
-      // per block) and expand the pairs locally; blocks too large to
-      // buffer fall back to the pair join (size-adaptive, like
-      // dedupGroups; maxLocalBlock is the knob, parameterized so the
-      // fallback branch is testable). sort_array orders by the struct's
-      // leading doc_id, so generated pairs satisfy doc_a < doc_b
-      // without a filter.
-      val sizes = g.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+      // broadcast). Instead shuffle each doc's array a BOUNDED number of
+      // times and expand the pairs locally; blocks too large to buffer
+      // fall back to the pair join (size-adaptive, like dedupGroups;
+      // maxLocalBlock is the knob, parameterized so the fallback branch
+      // is testable).
+      //
+      // Chunk-pair redistribution (opt r18, guide §2.5/§2.6 — the
+      // triangle partitioning of an all-pairs set): with one group per
+      // BLOCK the C(block,2) verify merges run on at most nBlocks tasks
+      // (20 blocks left 12+ of 32 cores idle at gate scale, and one hot
+      // block is a straggler at any scale). Each doc gets a
+      // deterministic chunk c = xxhash64(doc_id) mod C, every unordered
+      // chunk pair (i<=j) becomes its own group, a doc ships to the C
+      // groups it participates in (C copies — never O(block) copies),
+      // and a pair {a,b} materializes exactly once: in group
+      // (min(ca,cb), max(ca,cb)). C is derived from the block-count
+      // estimate so nBlocks*C*(C+1)/2 >= 2x the session width — C=1
+      // (few cores or many blocks) degenerates to the old one-group-
+      // per-block plan.
+      val sizes = gDf.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+      val nBlocks = sizes.count()
+      val g = graft.CacheRegistry.register(gDf, afterCurrent = true)
+      val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+      val nChunks = (1 to 8).find(c =>
+        nBlocks.toDouble * c * (c + 1) / 2 >= 2.0 * parts).getOrElse(8)
       val sized = g.join(broadcast(sizes), Seq("__blk"))
-      val local = sized.filter(col("__bn") <= maxLocalBlock)
-        .groupBy(col("__blk"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("__docs"))
-        .select(explode(flatten(transform(col("__docs"), (x, i) =>
-          transform(slice(col("__docs"), i + lit(2), size(col("__docs"))), y =>
-            struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
-              x.getField("sh").as("sh_a"), y.getField("sh").as("sh_b")))))).as("__p"))
+      val small = sized.filter(col("__bn") <= maxLocalBlock)
+        .withColumn("__ck", pmod(xxhash64(col("doc_id")), lit(nChunks)).cast("int"))
+      // role A in groups (ck, j) for j >= ck; role B in (i, ck) for
+      // i < ck — ascending sequences only (sequence() flips direction
+      // when start > stop, so the B side is guarded to __ck > 0)
+      val asA = small.select(col("__blk"), col("__ck").as("__gi"),
+        explode(sequence(col("__ck"), lit(nChunks - 1))).as("__gj"),
+        lit(0).as("__side"), struct(col("doc_id"), col("sh")).as("__doc"))
+      val asB = small.filter(col("__ck") > 0).select(col("__blk"),
+        explode(sequence(lit(0), col("__ck") - 1)).as("__gi"),
+        col("__ck").as("__gj"),
+        lit(1).as("__side"), struct(col("doc_id"), col("sh")).as("__doc"))
+      val groups = asA.unionByName(asB)
+        .groupBy(col("__blk"), col("__gi"), col("__gj"))
+        .agg(
+          sort_array(collect_list(when(col("__side") === 0, col("__doc")))).as("__da"),
+          sort_array(collect_list(when(col("__side") === 1, col("__doc")))).as("__db"))
+      // diagonal groups (i == j, __db empty): ordered positions of the
+      // sorted A list, exactly the old one-group expansion; off-diagonal:
+      // full A x B cross, oriented so doc_a < doc_b (ids are unique).
+      // ONE conditional expansion expression — two filtered branches
+      // would each re-run the whole chunk-group shuffle subtree.
+      val diagExpand = flatten(transform(col("__da"), (x, i) =>
+        transform(slice(col("__da"), i + lit(2), size(col("__da"))), y =>
+          struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+            x.getField("sh").as("sh_a"), y.getField("sh").as("sh_b")))))
+      val crossExpand = flatten(transform(col("__da"), x =>
+        transform(col("__db"), y =>
+          struct(
+            when(x.getField("doc_id") < y.getField("doc_id"),
+              x.getField("doc_id")).otherwise(y.getField("doc_id")).as("doc_a"),
+            when(x.getField("doc_id") < y.getField("doc_id"),
+              y.getField("doc_id")).otherwise(x.getField("doc_id")).as("doc_b"),
+            when(x.getField("doc_id") < y.getField("doc_id"),
+              x.getField("sh")).otherwise(y.getField("sh")).as("sh_a"),
+            when(x.getField("doc_id") < y.getField("doc_id"),
+              y.getField("sh")).otherwise(x.getField("sh")).as("sh_b")))))
+      val local = groups
+        .select(explode(when(col("__gi") === col("__gj"), diagExpand)
+          .otherwise(crossExpand)).as("__p"))
         .select(col("__p.doc_a"), col("__p.doc_b"), col("__p.sh_a"), col("__p.sh_b"))
       val big = sized.filter(col("__bn") > maxLocalBlock)
       val joined = big.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))

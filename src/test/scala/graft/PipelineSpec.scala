@@ -985,6 +985,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(local == fallback, "branch outputs must be identical")
   }
 
+  test("ngramJaccard chunk-pair redistribution (C>1) ≡ pair-join fallback") {
+    // one block of 400 docs forces the chunk derivation to C=4 at the
+    // test session's width (nBlocks*C*(C+1)/2 >= 2*parts), so the
+    // diagonal AND cross chunk-group expansions both run; maxLocalBlock=1
+    // routes the same input down the pair-join path as ground truth
+    val docs = spark.range(400).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), pmod(hash(col("id") - pmod(col("id"), lit(4)), lit(j)),
+          lit(500)))): _*).as("text"),
+      lit("all").as("source"))
+    def run(maxLocal: Int) = graft.pipeline.PipelineOps
+      .ngramJaccardPairs(docs, col("doc_id"), col("text"), col("source"),
+        k = 3, minJaccard = 0.05, maxLocalBlock = maxLocal)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val chunked = run(8192)
+    val fallback = run(1)
+    assert(chunked.nonEmpty, "fixture must produce near-dup pairs")
+    assert(chunked == fallback, "chunk-pair expansion must emit each pair exactly once")
+  }
+
   test("AsOfJoin differential fuzz: backward ≡ ranked-window oracle incl. ties + tolerance") {
     // coarse timestamps (multiples of 10 over 40 keys) force plenty of
     // duplicate (key, time) rows on both sides; tolerance active

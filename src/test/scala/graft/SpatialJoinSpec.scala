@@ -933,4 +933,27 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(30L) == ("noise", -1L) && out(31L) == ("noise", -1L))
     assert(out.size == 13)
   }
+
+  test("dbscan: local finish ≡ distributed path on a dense random fixture") {
+    import graft.functions.GraftFunctions.st
+    // a few hundred points with mixed dense blobs and scattered noise;
+    // spark.graft.dbscan.localLimit=0 forces the distributed plan on the
+    // same input — outputs must be row-identical
+    val pts = spark.range(400).select(col("id").as("pid"),
+      st.point(
+        (pmod(hash(col("id"), lit(1)), lit(400)).cast("double") / 4.0),
+        (pmod(hash(col("id"), lit(2)), lit(300)).cast("double") / 4.0)).as("pt"))
+    def run(): Seq[(Long, String, Long)] = graft.operators.Dbscan
+      .dbscan(pts, col("pid"), col("pt"), eps = 4.0, minPts = 4,
+        bounds = Some((0.0, 0.0, 100.0, 75.0)), nx = 16, ny = 12)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val local = run()
+    spark.conf.set("spark.graft.dbscan.localLimit", "0")
+    val dist = try run()
+      finally spark.conf.unset("spark.graft.dbscan.localLimit")
+    assert(local.nonEmpty && local.exists(_._2 == "core"))
+    assert(local.exists(_._2 == "border") || local.exists(_._2 == "noise"))
+    assert(local == dist, "local finish diverged from the distributed plan")
+  }
 }
