@@ -52,6 +52,73 @@ object ScalableRank {
     rn.withColumn(out, tile).drop("__grn")
   }
 
+  /** Per-tile (count, double-sum of `valueCol`) with built-in ntile
+    * boundary semantics (first `N mod n` tiles one row larger), WITHOUT
+    * materializing per-row tile ids: the same two-job range scheme as
+    * [[globalRowNumber]], but job 2 walks each sorted partition with its
+    * global offset and accumulates into at most n local buckets,
+    * emitting ≤ n rows per partition — so the per-row UnsafeProjection
+    * of 600k+ ranked rows and the row-wide groupBy(tile) exchange both
+    * disappear from the plan (opt r18, guide §2.3/§2.4: aggregate before
+    * you shuffle; the exchange now carries ≤ n·partitions tiny rows).
+    * Returns (tile INT, n LONG, sum_val DOUBLE). */
+  def globalNtileAgg(df: DataFrame, orderCols: Seq[Column], n: Int,
+      valueCol: String, numPartitions: Int = 0): DataFrame = {
+    require(n > 0, "ntile requires n > 0")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val vType = sorted.schema(vIdx).dataType
+    require(vType == org.apache.spark.sql.types.DoubleType,
+      s"globalNtileAgg: $valueCol must be DoubleType (cast first)")
+    val rdd = sorted.queryExecution.toRdd
+    val counts = rdd.mapPartitions(it => Iterator.single(it.size.toLong),
+      preservesPartitioning = true).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val q = total / n
+    val r = total % n
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tile",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__n",
+        LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__sv",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val types = outSchema.fields.map(_.dataType)
+    val tiled = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cnt = new Array[Long](n)
+      val sum = new Array[Double](n)
+      var g = offsets(pid)
+      while (it.hasNext) {
+        val row = it.next()
+        // 0-based tile of global index g — the built-in ntile split
+        val t =
+          if (q == 0) g.toInt
+          else if (g < r * (q + 1)) (g / (q + 1)).toInt
+          else (r + (g - r * (q + 1)) / q).toInt
+        cnt(t) += 1
+        sum(t) += row.getDouble(vIdx)
+        g += 1
+      }
+      val proj = UnsafeProjection.create(types)
+      val out = new SpecificInternalRow(types.toIndexedSeq)
+      (0 until n).iterator.filter(cnt(_) > 0).map { t =>
+        out.setInt(0, t + 1)
+        out.setLong(1, cnt(t))
+        out.setDouble(2, sum(t))
+        proj(out): InternalRow
+      }
+    }
+    org.apache.spark.sql.graft.DatasetBridge
+      .internalDf(spark, tiled, outSchema)
+      .groupBy(col("tile"))
+      .agg(sum(col("__n")).as("n"), sum(col("__sv")).as("sum_val"))
+  }
+
   /** df plus `out` = EXCLUSIVE global prefix sum of `valueCol` (a LongType
     * column of df) by `orderCols`: each row gets the sum of all earlier
     * rows' values. Same two-job scheme as globalRowNumber — job 1 sums

@@ -416,12 +416,18 @@ object RelationalQueries {
       // ntile without a global-window single-reducer sort (ScalableRank:
       // range repartition + per-partition row_number + count offsets);
       // projected first so the ranged cache holds 4 numeric columns
-      val tiles = graft.operators.ScalableRank.globalNtile(
+      // opt r18 (§2.3 aggregate-before-shuffle): fused per-tile aggregate
+      // — the ranked 600k-row projection and the row-wide groupBy(tile)
+      // exchange are gone; each sorted range partition emits ≤4 partial
+      // (tile, count, sum) rows. Sum over integral-valued doubles is
+      // exact in any order, so results are bit-identical.
+      val tiles = graft.operators.ScalableRank.globalNtileAgg(
           l.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
-            col("l_quantity")),
-          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), 4, "tile")
-        .groupBy(col("tile")).agg(count(lit(1)).as("n"),
-          sum(col("l_quantity")).cast("long").as("sum_qty"))
+            col("l_quantity").cast("double").as("l_quantity")),
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), 4,
+          "l_quantity")
+        .select(col("tile"), col("n"),
+          col("sum_val").cast("long").as("sum_qty"))
       val pct = l.groupBy(col("l_returnflag"))
         .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),

@@ -1166,6 +1166,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ScalableRank.globalNtileAgg ≡ groupBy over globalNtile (fused per-tile agg)") {
+    for (n <- Seq(3, 4, 7)) {
+      val df = spark.range(0, 5003).toDF("id")
+        .withColumn("k", col("id") % 97)
+        .withColumn("v", (col("id") % 11).cast("double"))
+      val expected = graft.operators.ScalableRank
+        .globalNtile(df, Seq(col("k")), n, "t")
+        .groupBy("t").agg(count(lit(1)).as("c"), sum("v").as("s"))
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val got = graft.operators.ScalableRank
+        .globalNtileAgg(df, Seq(col("k")), n, "v")
+        .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == expected, s"n=$n")
+    }
+  }
+
   test("streaming as-of TTL evicts idle keys: state bounded under a growing key space") {
     import graft.streaming.StreamingOps
     import graft.streaming.StreamingOps.AsOfEvent
