@@ -816,33 +816,41 @@ object PipelineOps {
       // sorted A list, exactly the old one-group expansion; off-diagonal:
       // full A x B cross, oriented so doc_a < doc_b (ids are unique).
       // ONE conditional expansion expression — two filtered branches
-      // would each re-run the whole chunk-group shuffle subtree.
+      // would each re-run the whole chunk-group shuffle subtree. The
+      // exact sorted-merge intersect runs INSIDE the expansion lambda so
+      // each pair materializes five scalars, never copies of the two
+      // shingle arrays (~KBs per pair × C(block,2) pairs was the
+      // measured wall); the jaccard arithmetic below mirrors verify()
+      // operation-for-operation, so both branches stay bit-identical.
+      def pairStruct(x: Column, y: Column, aFirst: Column) = {
+        val inter = call_function("sd_sorted_intersect_count",
+          x.getField("sh"), y.getField("sh")).cast("double")
+        val unisum = (size(x.getField("sh")) + size(y.getField("sh"))).cast("double")
+        struct(
+          when(aFirst, x.getField("doc_id")).otherwise(y.getField("doc_id")).as("doc_a"),
+          when(aFirst, y.getField("doc_id")).otherwise(x.getField("doc_id")).as("doc_b"),
+          inter.as("inter"), unisum.as("unisum"))
+      }
       val diagExpand = flatten(transform(col("__da"), (x, i) =>
         transform(slice(col("__da"), i + lit(2), size(col("__da"))), y =>
-          struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
-            x.getField("sh").as("sh_a"), y.getField("sh").as("sh_b")))))
+          pairStruct(x, y, lit(true)))))
       val crossExpand = flatten(transform(col("__da"), x =>
         transform(col("__db"), y =>
-          struct(
-            when(x.getField("doc_id") < y.getField("doc_id"),
-              x.getField("doc_id")).otherwise(y.getField("doc_id")).as("doc_a"),
-            when(x.getField("doc_id") < y.getField("doc_id"),
-              y.getField("doc_id")).otherwise(x.getField("doc_id")).as("doc_b"),
-            when(x.getField("doc_id") < y.getField("doc_id"),
-              x.getField("sh")).otherwise(y.getField("sh")).as("sh_a"),
-            when(x.getField("doc_id") < y.getField("doc_id"),
-              y.getField("sh")).otherwise(x.getField("sh")).as("sh_b")))))
+          pairStruct(x, y, x.getField("doc_id") < y.getField("doc_id")))))
       val local = groups
         .select(explode(when(col("__gi") === col("__gj"), diagExpand)
           .otherwise(crossExpand)).as("__p"))
-        .select(col("__p.doc_a"), col("__p.doc_b"), col("__p.sh_a"), col("__p.sh_b"))
+        .withColumn("jaccard", col("__p.inter") / (col("__p.unisum") - col("__p.inter")))
+        .filter(col("jaccard") > minJaccard)
+        .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"),
+          col("jaccard"))
       val big = sized.filter(col("__bn") > maxLocalBlock)
       val joined = big.select(col("__blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         .join(big.select(col("__blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
           Seq("__blk"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      verify(local.unionByName(joined))
+      local.unionByName(verify(joined))
     }
   }
 

@@ -153,28 +153,30 @@ object StreamingQueries {
     "st03_stream_stream_spatial_join" -> ((s, dir) => {
       import graft.Tables
       val ev = Tables.events(s, dir)
-      val lstage = s"/tmp/graft_stream_ssj_l/${math.abs(dir.hashCode)}"
-      val rstage = s"/tmp/graft_stream_ssj_r/${math.abs(dir.hashCode)}"
-      ev.filter(col("event_id") % 4 === 0)
-        .select(col("event_id").as("l_event"), col("ts").as("lts"),
-          (col("event_id") % 31).cast("double").as("lx"),
-          (col("user_id") % 23).cast("double").as("ly"))
-        .coalesce(1).write.mode("overwrite").parquet(lstage)
-      ev.filter(col("event_id") % 4 === 1)
-        .select(col("event_id").as("r_event"), col("ts").as("rts"),
-          (col("event_id") % 31).cast("double").as("rx"),
-          (col("user_id") % 23).cast("double").as("ry"))
-        .coalesce(1).write.mode("overwrite").parquet(rstage)
-      val lschema = StructType(Seq(StructField("l_event", LongType),
-        StructField("lts", TimestampType), StructField("lx", DoubleType),
-        StructField("ly", DoubleType)))
-      val rschema = StructType(Seq(StructField("r_event", LongType),
-        StructField("rts", TimestampType), StructField("rx", DoubleType),
-        StructField("ry", DoubleType)))
-      val lstream = s.readStream.schema(lschema).parquet(lstage)
+      // one events scan + one partitioned write stages BOTH sides
+      // (side=0/ and side=1/ dirs) instead of two scans + two write jobs
+      // (opt r18 — per-gate staging was ~0.9 s of the streaming floor);
+      // generic column names here, renamed per side at stream definition
+      val stage = s"/tmp/graft_stream_ssj/${math.abs(dir.hashCode)}"
+      ev.filter(col("event_id") % 4 <= 1)
+        .select((col("event_id") % 4).cast("int").as("side"),
+          col("event_id").as("ev"), col("ts").as("evts"),
+          (col("event_id") % 31).cast("double").as("cx"),
+          (col("user_id") % 23).cast("double").as("cy"))
+        .coalesce(1).write.mode("overwrite").partitionBy("side").parquet(stage)
+      val lstage = s"$stage/side=0"
+      val rstage = s"$stage/side=1"
+      val sschema = StructType(Seq(StructField("ev", LongType),
+        StructField("evts", TimestampType), StructField("cx", DoubleType),
+        StructField("cy", DoubleType)))
+      val lstream = s.readStream.schema(sschema).parquet(lstage)
+        .select(col("ev").as("l_event"), col("evts").as("lts"),
+          col("cx").as("lx"), col("cy").as("ly"))
         .withWatermark("lts", "0 seconds")
         .withColumn("lg", st.point(col("lx"), col("ly")))
-      val rstream = s.readStream.schema(rschema).parquet(rstage)
+      val rstream = s.readStream.schema(sschema).parquet(rstage)
+        .select(col("ev").as("r_event"), col("evts").as("rts"),
+          col("cx").as("rx"), col("cy").as("ry"))
         .withWatermark("rts", "0 seconds")
         .withColumn("rg", st.makeEnvelope(col("rx") - 0.25, col("ry") - 0.25,
           col("rx") + 0.25, col("ry") + 0.25))
@@ -258,27 +260,28 @@ object StreamingQueries {
       import graft.Tables
       val ev = Tables.events(s, dir)
       val hourUs = 3600000000L
-      val lstage = s"/tmp/graft_stream_srj_l/${math.abs(dir.hashCode)}"
-      val rstage = s"/tmp/graft_stream_srj_r/${math.abs(dir.hashCode)}"
-      ev.filter(col("event_id") % 37 === 0)
-        .select(col("event_id").as("l_event"), col("ts").as("lts"),
-          unix_micros(col("ts")).as("ls"))
-        .withColumn("le", col("ls") + (col("l_event") % 7 + 1) * hourUs)
-        .coalesce(1).write.mode("overwrite").parquet(lstage)
-      ev.filter(col("event_id") % 37 === 1)
-        .select(col("event_id").as("r_event"), col("ts").as("rts"),
-          unix_micros(col("ts")).as("rs"))
-        .withColumn("re", col("rs") + (col("r_event") % 5 + 1) * hourUs)
-        .coalesce(1).write.mode("overwrite").parquet(rstage)
-      val lschema = StructType(Seq(StructField("l_event", LongType),
-        StructField("lts", TimestampType), StructField("ls", LongType),
-        StructField("le", LongType)))
-      val rschema = StructType(Seq(StructField("r_event", LongType),
-        StructField("rts", TimestampType), StructField("rs", LongType),
-        StructField("re", LongType)))
-      val lstream = s.readStream.schema(lschema).parquet(lstage)
+      // one events scan + one partitioned write stages BOTH interval
+      // sides (see st03) — side-dependent interval length folded into
+      // the staged end column
+      val stage = s"/tmp/graft_stream_srj/${math.abs(dir.hashCode)}"
+      ev.filter(col("event_id") % 37 <= 1)
+        .select((col("event_id") % 37).cast("int").as("side"),
+          col("event_id").as("ev"), col("ts").as("evts"),
+          unix_micros(col("ts")).as("ivs"))
+        .withColumn("ive", col("ivs") +
+          (when(col("side") === 0, col("ev") % 7).otherwise(col("ev") % 5)
+            + 1) * hourUs)
+        .coalesce(1).write.mode("overwrite").partitionBy("side").parquet(stage)
+      val sschema = StructType(Seq(StructField("ev", LongType),
+        StructField("evts", TimestampType), StructField("ivs", LongType),
+        StructField("ive", LongType)))
+      val lstream = s.readStream.schema(sschema).parquet(s"$stage/side=0")
+        .select(col("ev").as("l_event"), col("evts").as("lts"),
+          col("ivs").as("ls"), col("ive").as("le"))
         .withWatermark("lts", "0 seconds")
-      val rstream = s.readStream.schema(rschema).parquet(rstage)
+      val rstream = s.readStream.schema(sschema).parquet(s"$stage/side=1")
+        .select(col("ev").as("r_event"), col("evts").as("rts"),
+          col("ivs").as("rs"), col("ive").as("re"))
         .withWatermark("rts", "0 seconds")
       val joined = StreamingOps.streamRangeJoin(lstream, rstream,
         "ls", "le", "rs", "re",
