@@ -180,56 +180,39 @@ object GeoParquet {
     val os = fs.create(p, true)
     os.write(geoJson.getBytes("UTF-8")); os.close()
 
-    // Per-file bbox manifest (`_geo_files.json`): the FILE-level skip.
-    // Row-group pruning via the covering column still requires opening
-    // every footer; at 10^6 files that listing+footer pass dominates. The
-    // manifest lets GeoPruneRule drop whole files before the scan is
-    // planned (the reference's file-level prune,
-    // rust/sedona-geoparquet/src/file_opener.rs:291-309). Built from a
-    // read-back over the 4 bbox doubles only — column-pruned, no WKB
-    // parse, one distributed pass; Hilbert clustering makes the per-file
-    // boxes tight.
-    var fileBbox = Map.empty[String, Seq[Double]]
-    if (bboxOn) {
-      val bb = s"${geomCol}_bbox"
-      val rows = spark.read.parquet(path)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col(s"$bb.xmin")).as("x0"), min(col(s"$bb.ymin")).as("y0"),
-          max(col(s"$bb.xmax")).as("x1"), max(col(s"$bb.ymax")).as("y1"))
-        .collect()
-      fileBbox = rows.filterNot(_.anyNull).map { r =>
-        r.getString(0).split('/').last ->
-          Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
-      }.toMap
-    }
-
-    // inject the `geo` footer key into every part file, per-file bbox
-    // where known; distributed — metadata-sized work per file. Runs
-    // BEFORE the manifest write: the patch changes each file's
-    // length/mtime, and the manifest records those for freshness checks.
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    // Per-file bbox manifest (`_geo_files.json`) + `geo` footer patch in
+    // ONE distributed metadata pass (opt r18, guide §6/§1.2): each task
+    // reads its file's footer once, derives the file bbox from the
+    // covering struct's column STATISTICS (min/max per row group — the
+    // same values the old column-pruned data read-back recomputed from
+    // every row), writes the patched footer, and reports the post-patch
+    // (length, mtime) for the manifest's freshness check. The manifest
+    // lets GeoPruneRule drop whole files before the scan is planned
+    // (the reference's file-level prune,
+    // rust/sedona-geoparquet/src/file_opener.rs:291-309); Hilbert
+    // clustering keeps the per-file boxes tight. At 10^6 files this is
+    // one footer-sized read+write per file and no data pass.
+    val bbName = if (bboxOn) Some(s"${geomCol}_bbox") else None
+    val partPaths = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      .map(p => (p.toString, geoJsonFor(fileBbox.get(p.getName).orElse(dsBounds))))
-      .toSeq
+      .map(_.toString).toSeq
     val nativeType =
       if (version == "2.0.0") Some((geomCol, crs)) else None
-    if (parts.nonEmpty)
-      spark.sparkContext.parallelize(parts, math.min(parts.length, 64))
-        .foreach { case (f, j) => GeoParquet.patchFooterGeo(f, j, nativeType) }
+    val patched: Seq[(String, Option[Seq[Double]], Long, Long)] =
+      if (partPaths.isEmpty) Seq.empty
+      else spark.sparkContext.parallelize(partPaths, math.min(partPaths.length, 64))
+        .map { f =>
+          GeoParquet.patchFooterGeoStats(f, bbName,
+            bb => geoJsonFor(bb.orElse(dsBounds)), nativeType)
+        }.collect().toSeq
 
     if (bboxOn) {
       // manifest entries carry [bbox(4), length, mtime] — the reader
       // drops any entry whose live file status mismatches (file
-      // rewritten by another process → never wrongly pruned)
-      val statuses = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .collect {
-          case s if s.getPath.getName.endsWith(".parquet") =>
-            s.getPath.getName -> ((s.getLen, s.getModificationTime))
-        }.toMap
-      val entries = fileBbox.toSeq.sortBy(_._1).flatMap { case (name, b) =>
-        statuses.get(name).map { case (l, m) =>
-          s""""$name":[${b.mkString(",")},$l,$m]"""
-        }
+      // rewritten by another process → never wrongly pruned); files
+      // without complete bbox statistics are omitted (never pruned)
+      val entries = patched.sortBy(_._1).collect {
+        case (name, Some(b), l, m) => s""""$name":[${b.mkString(",")},$l,$m]"""
       }
       val mp = new org.apache.hadoop.fs.Path(path, manifestName)
       val mos = fs.create(mp, true)
@@ -248,6 +231,65 @@ object GeoParquet {
     * streamed once into a sibling and renamed over. */
   def patchFooterGeo(file: String, geoJson: String,
       geometryLogicalType: Option[(String, String)] = None): Unit = {
+    patchFooterGeoStats(file, None, _ => geoJson, geometryLogicalType)
+    ()
+  }
+
+  /** Per-file bbox from the footer's column statistics of the covering
+    * struct `<bb>.{xmin,ymin,xmax,ymax}` (DOUBLE, plain little-endian):
+    * min of the xmin/ymin minima and max of the xmax/ymax maxima across
+    * row groups — exactly the per-file bbox the manifest needs, with no
+    * data read. None when any row group lacks the statistic (the
+    * manifest then simply omits the file — never wrongly pruned). */
+  private def statsBbox(md: org.apache.parquet.format.FileMetaData,
+      bb: String): Option[Seq[Double]] = {
+    import scala.jdk.CollectionConverters._
+    if (md.getRow_groups == null || md.getRow_groups.isEmpty) return None
+    def leafStat(leaf: String, wantMin: Boolean): Option[Double] = {
+      val perGroup: Seq[Option[Double]] = md.getRow_groups.asScala.toSeq.map { rg =>
+        rg.getColumns.asScala.find { cc =>
+          val pth = cc.getMeta_data.getPath_in_schema.asScala
+          pth.size == 2 && pth(0) == bb && pth(1) == leaf
+        }.flatMap { cc =>
+          val st = cc.getMeta_data.getStatistics
+          if (st == null) None
+          else {
+            val bytes =
+              if (wantMin) { if (st.isSetMin_value) st.getMin_value else if (st.isSetMin) st.getMin else null }
+              else { if (st.isSetMax_value) st.getMax_value else if (st.isSetMax) st.getMax else null }
+            if (bytes == null || bytes.length != 8) None
+            else Some(java.lang.Double.longBitsToDouble(java.nio.ByteBuffer
+              .wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong))
+          }
+        }
+      }
+      if (perGroup.exists(_.isEmpty)) None
+      else {
+        val vs = perGroup.map(_.get)
+        Some(if (wantMin) vs.min else vs.max)
+      }
+    }
+    for {
+      x0 <- leafStat("xmin", wantMin = true)
+      y0 <- leafStat("ymin", wantMin = true)
+      x1 <- leafStat("xmax", wantMin = false)
+      y1 <- leafStat("ymax", wantMin = false)
+    } yield Seq(x0, y0, x1, y1)
+  }
+
+  /** patchFooterGeo with the per-file bbox read off the SAME footer
+    * (opt r18): `bbCol` names the covering struct; `mkGeoJson` builds
+    * the file's `geo` JSON from that bbox (None → caller's dataset
+    * fallback). Returns (file name, stats bbox, post-patch length,
+    * post-patch mtime) so the writer can build the `_geo_files.json`
+    * manifest without re-reading the data OR re-listing the directory —
+    * the pre-r18 writer paid a full column-pruned read-back of every
+    * written file just to recompute what the footer statistics already
+    * hold. */
+  def patchFooterGeoStats(file: String, bbCol: Option[String],
+      mkGeoJson: Option[Seq[Double]] => String,
+      geometryLogicalType: Option[(String, String)] = None)
+      : (String, Option[Seq[Double]], Long, Long) = {
     import org.apache.parquet.format.{KeyValue, Util}
     val p = new org.apache.hadoop.fs.Path(file)
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -266,11 +308,12 @@ object GeoParquet {
       in.readFully(fStart, fb)
       (Util.readFileMetaData(new java.io.ByteArrayInputStream(fb)), fStart)
     } finally in.close()
+    val bbox = bbCol.flatMap(statsBbox(md, _))
     if (md.getKey_value_metadata != null)
       md.getKey_value_metadata.removeIf(
         (kv: KeyValue) => kv.getKey == "geo")
     val kv = new KeyValue("geo")
-    kv.setValue(geoJson)
+    kv.setValue(mkGeoJson(bbox))
     md.addToKey_value_metadata(kv)
     // GeoParquet 2.0: stamp the native parquet GEOMETRY logical type on
     // the geometry column's schema element (what sedona-db's 2.0 writer
@@ -330,6 +373,8 @@ object GeoParquet {
       fs.delete(p, false)
       fs.rename(tmp, p)
     }
+    val st = fs.getFileStatus(p)
+    (p.getName, bbox, st.getLen, st.getModificationTime)
   }
 
   /** The `geo` footer key-value metadata of a parquet file/dataset (first

@@ -337,6 +337,23 @@ class GeoParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = docs.filter(st.intersects(col("geom"),
       st.makeEnvelope(lit(-1.0), lit(-1.0), lit(200.0), lit(200.0)))).count()
     assert(q.count() == expected && expected == 1000)
+    // opt r18: the manifest bboxes now come from the footers' column
+    // STATISTICS (no data read-back) — they must equal the exact
+    // per-file min/max recomputed from the data, for every file
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, GeoParquet.manifestName)), "UTF-8")
+    val fromData = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("geom_bbox.xmin")).as("x0"), min(col("geom_bbox.ymin")).as("y0"),
+        max(col("geom_bbox.xmax")).as("x1"), max(col("geom_bbox.ymax")).as("y1"))
+      .collect()
+    assert(fromData.nonEmpty)
+    fromData.foreach { r =>
+      val name = r.getString(0).split('/').last
+      val want = s""""$name":[${r.getDouble(1)},${r.getDouble(2)},${r.getDouble(3)},${r.getDouble(4)},"""
+      assert(manifest.contains(want),
+        s"manifest bbox for $name diverged from data: expected $want in $manifest")
+    }
   }
 
   test("FlatGeobuf roundtrip: all geometry types, nulls, property types") {
