@@ -166,6 +166,10 @@ object StreamingQueries {
         .coalesce(1).write.mode("overwrite").partitionBy("side").parquet(stage)
       val lstage = s"$stage/side=0"
       val rstage = s"$stage/side=1"
+      // a side with zero rows writes no partition dir — make both exist
+      // so the streams read an empty batch instead of failing on a
+      // missing path (schemas are explicit, so an empty dir is fine)
+      new java.io.File(lstage).mkdirs(); new java.io.File(rstage).mkdirs()
       val sschema = StructType(Seq(StructField("ev", LongType),
         StructField("evts", TimestampType), StructField("cx", DoubleType),
         StructField("cy", DoubleType)))
@@ -272,6 +276,9 @@ object StreamingQueries {
           (when(col("side") === 0, col("ev") % 7).otherwise(col("ev") % 5)
             + 1) * hourUs)
         .coalesce(1).write.mode("overwrite").partitionBy("side").parquet(stage)
+      // empty-side guard — see st03
+      new java.io.File(s"$stage/side=0").mkdirs()
+      new java.io.File(s"$stage/side=1").mkdirs()
       val sschema = StructType(Seq(StructField("ev", LongType),
         StructField("evts", TimestampType), StructField("ivs", LongType),
         StructField("ive", LongType)))
