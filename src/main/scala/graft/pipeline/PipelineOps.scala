@@ -663,14 +663,20 @@ object PipelineOps {
     // tokenizer: the vocab-stats action, the count build, the score
     // probe), and the vocab-sized count table persists so its term
     // shuffle runs once instead of per consumer.
-    val tokDocs = graft.CacheRegistry.register(
-      docs.select(id.cast("long").as("doc_id"), TextOps.tokens(text).as("t"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val toks = tokDocs.select(col("doc_id"), explode(col("t")).as("term"))
-    val counts = graft.CacheRegistry.register(
-      toks.groupBy("term").agg(count(lit(1)).as("tc"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val hd = counts.agg(count(lit(1)), sum(col("tc"))).head
+    // persist → eager vocab-stats action → register(afterCurrent), same
+    // as bm25TopK (ADVICE r17): the stats head references BOTH caches,
+    // so registering first would let its async sweep release them before
+    // the gate query — the real consumer — runs. Serialized level, same
+    // rationale as bm25TopK.
+    val tokDocsDf = docs
+      .select(id.cast("long").as("doc_id"), TextOps.tokens(text).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val toks = tokDocsDf.select(col("doc_id"), explode(col("t")).as("term"))
+    val countsDf = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val hd = countsDf.agg(count(lit(1)), sum(col("tc"))).head
+    graft.CacheRegistry.register(tokDocsDf, afterCurrent = true)
+    val counts = graft.CacheRegistry.register(countsDf, afterCurrent = true)
     val vocab = hd.getLong(0)
     val total = hd.getLong(1)
     toks.join(counts, "term")
